@@ -1,16 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship quality-filter pipeline; ``queries()`` /
+``oracle_sql()`` expose one entry per implemented operator (SURVEY.md §2)
+checked against DuckDB at sf=0.01.  Ray is initialised by the driver BEFORE
+this module is imported — nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +11,49 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _documents_as_code(sf_dir: str):
+    """Map the driver's documents table onto the flagship corpus schema
+    (repo,path,commit,lang,content) so the pipeline runs on driver data."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def remap(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "repo": batch["source"],
+            "path": pa.array([f"doc/{i}.txt" for i in ids], pa.string()),
+            "commit": pa.array([f"{i:040x}" for i in ids], pa.string()),
+            "lang": batch["lang"],
+            "content": batch["text"],
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
+        remap, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline over /root/testdata/sf0.001 (driver smoke check)."""
+    from dataquality_ray.pipelines.quality_filter import (
+        build_dup_index,
+        label_pipeline,
+    )
+
+    ds = _documents_as_code(SF0001)
+    dup_ref = build_dup_index(_documents_as_code(SF0001))
+    return label_pipeline(ds, dup_index_ref=dup_ref)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from dataquality_ray.pipelines import registry
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dataquality_ray.pipelines import registry
+
+    return registry.oracle_sql()

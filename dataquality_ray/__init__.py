@@ -1,0 +1,15 @@
+"""dataquality_ray — a Ray-Data-native data-quality / corpus quality-filter engine.
+
+Re-expresses the capabilities of the reference data-quality framework
+(``dfo-mpo/DataQuality``, read-only at /root/reference) as idiomatic Ray Data
+pipelines: ``ray.data.Dataset`` -> ``map_batches`` over zero-copy Arrow batches,
+actor pools for stateful scorers (language-ID, n-gram perplexity, similarity),
+and groupby/aggregate/sort for the wide steps.
+
+Nothing in this package calls ``ray.init()`` / ``ray.shutdown()`` — sessions are
+owned by the caller (driver, tests' conftest, bench.py).
+"""
+
+__version__ = "0.1.0"
+
+RULE_VERSION = "dq-ray-0.1.0"  # stamped into lineage records

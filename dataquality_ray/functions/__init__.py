@@ -1,0 +1,1 @@
+"""Stateless, vectorized Arrow-batch kernels (no Ray imports at module load)."""

@@ -1,0 +1,94 @@
+"""Regex PII/credential scrubber over the ``content`` column.
+
+North-rule stage: emails, cloud keys, IPs, credentials -> deterministic
+placeholder tokens.  The per-row invariant (BASELINE.json ``input_hint``) is
+that rows the scrubber does NOT touch keep byte-identical content
+(sha256 equality); the ``scrubbed`` flag marks rows whose content changed.
+
+Patterns are compiled once per process (module import), applied per batch.
+The pass runs as a stateless ``map_batches`` task: the regex set is tiny, so
+an actor pool buys nothing here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# Order matters: more specific first (AWS key before generic token).
+PII_PATTERNS: list[tuple[str, re.Pattern]] = [
+    ("email", re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")),
+    ("aws_key", re.compile(r"\bAKIA[0-9A-Z]{16}\b")),
+    ("api_key", re.compile(r"\b(?:sk_live|sk_test|ghp|gho|xox[bpas])_[0-9A-Za-z]{8,}\b")),
+    ("ipv4", re.compile(
+        r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+        r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b")),
+    ("password", re.compile(
+        r"(?i)\b(password|passwd|pwd|secret|api_key|token)\b(\s*[:=]\s*)"
+        r"(['\"])[^'\"\n]{4,}\3")),
+    ("private_key", re.compile(
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----.*?-----END [A-Z ]*PRIVATE KEY-----",
+        re.S)),
+]
+
+REPLACEMENTS = {
+    "email": "<EMAIL>",
+    "aws_key": "<AWS_KEY>",
+    "api_key": "<API_KEY>",
+    "ipv4": "<IP>",
+    "password": r"\1\2\3<SECRET>\3",
+    "private_key": "<PRIVATE_KEY>",
+}
+
+
+def scrub_text(text: str) -> tuple[str, int]:
+    """Scrub one document; returns (scrubbed_text, total_hits)."""
+    hits = 0
+    for name, pat in PII_PATTERNS:
+        text, n = pat.subn(REPLACEMENTS[name], text)
+        hits += n
+    return text, hits
+
+
+def scrub_batch(batch: pa.Table, col: str = "content") -> pa.Table:
+    """Replace ``col`` with scrubbed text; append pii_count and scrubbed.
+
+    re.subn is C-level per document; a cheap vectorized prefilter
+    (``first_hit``) skips documents with no candidate matches at all, which is
+    the common case at scale.
+    """
+    docs = batch[col].to_pylist()
+    out = []
+    counts = np.zeros(len(docs), dtype=np.int64)
+    changed = np.zeros(len(docs), dtype=bool)
+    for i, doc in enumerate(docs):
+        if doc is None:
+            out.append(None)
+            continue
+        s, n = scrub_text(doc)
+        out.append(s)
+        counts[i] = n
+        changed[i] = n > 0 and s != doc
+    idx = batch.schema.get_field_index(col)
+    batch = batch.set_column(idx, col, pa.array(out, type=pa.string()))
+    return (
+        batch
+        .append_column("pii_count", pa.array(counts))
+        .append_column("scrubbed", pa.array(changed))
+    )
+
+
+def sha256_batch(batch: pa.Table, col: str = "content",
+                 out_col: str = "content_sha256") -> pa.Table:
+    """Append the per-row sha256 hex digest of ``col`` (pass-through
+    invariant key and exact-dedup key — reference U1 semantics,
+    dimensions/uniqueness/u1.py:33-39, re-keyed on content)."""
+    docs = batch[col].to_pylist()
+    hashes = [
+        None if d is None else hashlib.sha256(d.encode("utf-8")).hexdigest()
+        for d in docs
+    ]
+    return batch.append_column(out_col, pa.array(hashes, type=pa.string()))

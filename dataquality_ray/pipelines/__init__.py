@@ -1,0 +1,1 @@
+"""Pipeline assembly: the flagship quality filter and the DQ-dimension suite."""

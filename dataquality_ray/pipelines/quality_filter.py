@@ -1,0 +1,282 @@
+"""The flagship corpus quality-filter pipeline (BASELINE.json north rule).
+
+Stage DAG (all lazy; the streaming executor pipelines blocks with
+backpressure — nothing materializes the full corpus):
+
+  read_parquet (pruned)                                    [tasks]
+    -> row_id + content_sha256 + heuristic stats kernel    [tasks, Arrow]
+    -> CodeLangId                                          [actor pool]
+    -> PerplexityScorer                                    [actor pool]
+    -> PII scrub                                           [tasks, Arrow]
+    -> keep/drop decision kernel                           [tasks, Arrow]
+    -> MarkDuplicates (broadcast dup index)                [actor pool]
+    -> write_parquet + per-file lineage records            [sink + tiny groupby]
+
+The only shuffle is the exact-dedup index build, and it moves just
+(sha256, row_id) — never content (stages/dedup.py).
+
+This subsumes the reference's per-test battery on the code corpus: heuristic
+rules play A1's "wrong stuff in a field" role (dimensions/accuracy/a1.py:45-58),
+exact dedup is U1 re-keyed on content (dimensions/uniqueness/u1.py:33-39),
+and the score roll-up mirrors the weighted-average machinery
+(utils/core_operations.py:344-386) via pipelines/scoring.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataquality_ray import RULE_VERSION
+from dataquality_ray.functions.heuristics import content_stats, heuristic_violations
+from dataquality_ray.functions.scrub import scrub_batch, sha256_batch
+from dataquality_ray.stages.langid import CodeLangId
+from dataquality_ray.stages.perplexity import PPL_THRESHOLD, PerplexityScorer
+from dataquality_ray.state.lineage import LineageStore
+
+DROP_RULES = [
+    "rule_long_lines",
+    "rule_repetitive",
+    "rule_autogen",
+    "rule_low_alnum",
+    "lang_mismatch",
+    "rule_high_perplexity",
+    "rule_duplicate",
+]
+
+
+def _row_id_batch(batch: pa.Table) -> pa.Table:
+    """Stable 63-bit row id from (repo, path, commit) — deterministic across
+    partitionings and runs (needed for exact resume + canonical dedup pick)."""
+    repo = batch["repo"].to_pylist()
+    path = batch["path"].to_pylist()
+    commit = batch["commit"].to_pylist()
+    ids = np.empty(len(repo), dtype=np.int64)
+    for i in range(len(repo)):
+        h = hashlib.sha1(f"{repo[i]}\x00{path[i]}\x00{commit[i]}".encode()).digest()
+        ids[i] = int.from_bytes(h[:8], "big") & 0x7FFFFFFFFFFFFFFF
+    return batch.append_column("row_id", pa.array(ids))
+
+
+def _prep_batch(batch: pa.Table) -> pa.Table:
+    """Fused cheap kernel: row_id + sha256(original content) + stats."""
+    return content_stats(sha256_batch(_row_id_batch(batch)))
+
+
+def _decide_batch(batch: pa.Table) -> pa.Table:
+    """Combine violation flags into keep + drop_reasons."""
+    flags = heuristic_violations(batch)
+    flags["lang_mismatch"] = batch["lang_mismatch"]
+    flags["rule_high_perplexity"] = pc.greater(batch["perplexity"], PPL_THRESHOLD)
+
+    masks = {}
+    for name in DROP_RULES:
+        if name == "rule_duplicate":
+            continue  # applied later by the dedup stage
+        arr = flags[name]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        masks[name] = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=bool)
+
+    n = len(batch)
+    keep = np.ones(n, dtype=bool)
+    reasons = np.full(n, "", dtype=object)
+    for name, mask in masks.items():
+        keep &= ~mask
+        short = name.removeprefix("rule_")
+        reasons = np.where(
+            mask, np.where(reasons == "", short, reasons + "," + short), reasons
+        )
+    return (
+        batch
+        .append_column("keep", pa.array(keep))
+        .append_column("drop_reasons", pa.array(reasons, type=pa.string()))
+    )
+
+
+def _apply_dup_batch(batch: pa.Table) -> pa.Table:
+    """Fold the dedup verdict into keep/drop_reasons (non-canonical copies of
+    a duplicate group are dropped with reason 'duplicate')."""
+    is_dup = np.asarray(batch["is_dup"].to_numpy(zero_copy_only=False), dtype=bool)
+    dup_keep = np.asarray(batch["dup_keep"].to_numpy(zero_copy_only=False), dtype=bool)
+    keep = np.asarray(batch["keep"].to_numpy(zero_copy_only=False), dtype=bool)
+    reasons = np.asarray(batch["drop_reasons"].to_pylist(), dtype=object)
+
+    drop = is_dup & ~dup_keep
+    keep = keep & ~drop
+    reasons = np.where(
+        drop, np.where(reasons == "", "duplicate", reasons + ",duplicate"), reasons
+    )
+    batch = batch.drop_columns(["keep", "drop_reasons"])
+    return (
+        batch
+        .append_column("keep", pa.array(keep.astype(bool)))
+        .append_column("drop_reasons", pa.array(reasons, type=pa.string()))
+    )
+
+
+def label_pipeline(ds, *, dup_index_ref=None, langid_concurrency=(1, 8),
+                   ppl_concurrency=(1, 8), batch_size: int = 512):
+    """Attach all label columns to a (repo,path,commit,lang,content) Dataset.
+
+    ``batch_size`` is moderate because ``content`` rows are wide (SURVEY §7.2).
+    """
+    ds = ds.map_batches(_prep_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(CodeLangId, batch_format="pyarrow",
+                        batch_size=batch_size, concurrency=langid_concurrency)
+    ds = ds.map_batches(PerplexityScorer, batch_format="pyarrow",
+                        batch_size=batch_size, concurrency=ppl_concurrency)
+    ds = ds.map_batches(scrub_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(_decide_batch, batch_format="pyarrow", batch_size=batch_size)
+    if dup_index_ref is not None:
+        from dataquality_ray.stages.dedup import MarkDuplicates
+
+        ds = ds.map_batches(
+            MarkDuplicates, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=(1, 4), fn_constructor_kwargs={"dup_index_ref": dup_index_ref},
+        )
+        ds = ds.map_batches(_apply_dup_batch, batch_format="pyarrow",
+                            batch_size=batch_size)
+    return ds
+
+
+def build_dup_index(files_or_ds):
+    """Cheap first pass: stream (sha256, row_id) over the input and build the
+    broadcast duplicate index.  Reads content once but ships only hashes."""
+    import ray.data as rd
+
+    from dataquality_ray.stages.dedup import compute_dup_index
+
+    ds = (rd.read_parquet(files_or_ds, columns=["repo", "path", "commit", "content"])
+          if isinstance(files_or_ds, (str, list)) else files_or_ds)
+    hashed = ds.map_batches(
+        lambda b: sha256_batch(_row_id_batch(b)).select(["content_sha256", "row_id"]),
+        batch_format="pyarrow",
+    )
+    return compute_dup_index(hashed)
+
+
+def _expand_files(input_path: str | list[str]) -> list[str]:
+    if isinstance(input_path, list):
+        return sorted(input_path)
+    if os.path.isdir(input_path):
+        return sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".parquet")
+        )
+    return [input_path]
+
+
+def run_quality_filter(input_path: str | list[str], run_dir: str, *,
+                       chunk_files: int | None = None,
+                       dedup: bool = True,
+                       batch_size: int = 512) -> dict:
+    """End-to-end resumable run: label + scrub + write + lineage.
+
+    Resume unit = input file.  Files already in the manifest are skipped at
+    the read; each chunk of files is one streaming Dataset execution whose
+    completion is committed atomically (state/lineage.py).
+    """
+    import ray.data as rd
+
+    files = _expand_files(input_path)
+    store = LineageStore(run_dir)
+    done = store.completed_partitions()
+    todo = [f for f in files if f not in done]
+    if not todo:
+        return summarize_run(run_dir)
+
+    # Global dedup index over the FULL input (hash-only pass) so canonical
+    # picks are identical no matter how the run is chunked/resumed.
+    dup_ref = build_dup_index(files) if dedup else None
+
+    chunks = ([todo] if not chunk_files else
+              [todo[i:i + chunk_files] for i in range(0, len(todo), chunk_files)])
+
+    for chunk in chunks:
+        chunk_key = hashlib.sha1("\x00".join(chunk).encode()).hexdigest()[:12]
+        out_dir = os.path.join(run_dir, "data", f"chunk-{chunk_key}")
+        srcfile_col = "_srcfile"
+        # Tag every row with its source file (the resume/lineage unit).
+        # Ray's include_paths=True would be the obvious tool, but its added
+        # column is hard-named 'path' and collides with the corpus's own
+        # 'path' column, so we union per-file reads with a constant column.
+        pieces = []
+        for f in chunk:
+            piece = rd.read_parquet(f).map_batches(
+                _make_srcfile_tagger(f), batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+            pieces.append(piece)
+        ds = pieces[0].union(*pieces[1:]) if len(pieces) > 1 else pieces[0]
+        labeled = label_pipeline(ds, dup_index_ref=dup_ref, batch_size=batch_size)
+        labeled.write_parquet(out_dir)
+
+        # Per-file lineage metrics: tiny projection -> one small groupby.
+        out = rd.read_parquet(out_dir, columns=[
+            srcfile_col, "keep", "scrubbed", "pii_count", "is_dup"]
+            if dedup else [srcfile_col, "keep", "scrubbed", "pii_count"])
+        stats = _lineage_stats(out, srcfile_col, dedup)
+        store.write_records(stats)
+        store.commit(chunk)
+
+    return summarize_run(run_dir)
+
+
+def _make_srcfile_tagger(srcfile: str):
+    def tag(batch: pa.Table) -> pa.Table:
+        col = pa.array([srcfile] * len(batch), type=pa.string())
+        return batch.append_column("_srcfile", col)
+    return tag
+
+
+def _lineage_stats(ds, srcfile_col: str, dedup: bool) -> list[dict]:
+    from ray.data.aggregate import Count, Sum
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        cols = {srcfile_col: batch[srcfile_col]}
+        cols["kept"] = pc.cast(batch["keep"], pa.int64())
+        cols["scrubbed_n"] = pc.cast(batch["scrubbed"], pa.int64())
+        cols["pii_rows"] = pc.cast(pc.greater(batch["pii_count"], 0), pa.int64())
+        cols["dup_rows"] = (pc.cast(batch["is_dup"], pa.int64())
+                            if dedup else pa.array([0] * len(batch)))
+        return pa.table(cols)
+
+    agg = (ds.map_batches(to_int, batch_format="pyarrow")
+             .groupby(srcfile_col)
+             .aggregate(Count(srcfile_col, alias_name="rows_in"),
+                        Sum("kept", alias_name="kept"),
+                        Sum("scrubbed_n", alias_name="scrubbed"),
+                        Sum("pii_rows", alias_name="pii_rows"),
+                        Sum("dup_rows", alias_name="dup_rows")))
+    recs = []
+    for row in agg.iter_rows():
+        recs.append({
+            "partition": row[srcfile_col],
+            "rule_version": RULE_VERSION,
+            "rows_in": int(row["rows_in"]),
+            "kept": int(row["kept"]),
+            "dropped": int(row["rows_in"] - row["kept"]),
+            "scrubbed": int(row["scrubbed"]),
+            "pii_rows": int(row["pii_rows"]),
+            "dup_rows": int(row["dup_rows"]),
+        })
+    return recs
+
+
+def summarize_run(run_dir: str) -> dict:
+    store = LineageStore(run_dir)
+    recs = store.read_records()
+    total = {k: 0 for k in ("rows_in", "kept", "dropped", "scrubbed",
+                            "pii_rows", "dup_rows")}
+    for r in recs:
+        for k in total:
+            total[k] += r.get(k, 0)
+    total["partitions"] = len(recs)
+    total["rule_version"] = RULE_VERSION
+    return total

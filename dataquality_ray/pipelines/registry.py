@@ -1,0 +1,52 @@
+"""The queries()/oracle_sql() registry — one entry per implemented operator.
+
+Each query callable takes ``sf_dir`` and returns a Dataset / DataFrame /
+pyarrow Table; the matching oracle_sql string is ANSI SQL DuckDB runs over
+the same parquet tables (views: region nation customer supplier part orders
+lineitem events documents embeddings).  Column names match exactly between
+the two sides (the driver hash-compares values after sorting columns by
+name).  Operators with no SQL equivalent (similarity, langid, MinHash, ...)
+appear in queries() only — the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+_QUERIES: dict[str, Callable[[str], Any]] = {}
+_SQL: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _SQL[name] = sql
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    _load()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return dict(_SQL)
+
+
+_LOADED = False
+
+
+def _load():
+    global _LOADED
+    if _LOADED:
+        return
+    from dataquality_ray.pipelines import (  # noqa: F401
+        queries_dimensions,
+        queries_text,
+        queries_tpch,
+    )
+    _LOADED = True

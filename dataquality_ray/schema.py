@@ -1,0 +1,60 @@
+"""Arrow schemas for the engine's tables.
+
+The flagship input shape is fixed by the driver contract
+(/root/repo/BASELINE.json ``input_hint``): a Parquet table of source-code
+repositories with columns (repo, path, commit, lang, content) — the
+scale-analog of the reference's "one inferred-schema DataFrame"
+(reference: utils/core_operations.py:50-70).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# Flagship corpus table (BASELINE.json input_hint).
+CODE_FILES = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+    ]
+)
+
+# Columns the flagship pipeline appends to each row.
+LABEL_COLUMNS = pa.schema(
+    [
+        ("row_id", pa.int64()),          # stable input row id (order-independent joins)
+        ("content_sha256", pa.string()),  # pass-through invariant key (input_hint)
+        ("n_chars", pa.int64()),
+        ("n_lines", pa.int64()),
+        ("max_line_len", pa.int64()),
+        ("mean_line_len", pa.float64()),
+        ("alnum_ratio", pa.float64()),
+        ("dup_line_frac", pa.float64()),
+        ("autogen", pa.bool_()),
+        ("detected_lang", pa.string()),
+        ("langid_conf", pa.float64()),
+        ("lang_mismatch", pa.bool_()),
+        ("perplexity", pa.float64()),
+        ("pii_count", pa.int64()),
+        ("scrubbed", pa.bool_()),         # content was modified by the scrubber
+        ("is_dup", pa.bool_()),           # exact-duplicate content seen elsewhere
+        ("dup_keep", pa.bool_()),         # this row is the canonical copy of its dup group
+        ("keep", pa.bool_()),
+        ("drop_reasons", pa.string()),    # comma-joined reason codes, "" if keep
+    ]
+)
+
+# Per-partition lineage record (north-rule checkpoint/resume unit = input file).
+LINEAGE_FIELDS = [
+    "partition",       # input file path (the resume unit)
+    "rule_version",
+    "rows_in",
+    "kept",
+    "dropped",
+    "scrubbed",
+    "pii_rows",
+    "dup_rows",
+]

@@ -1,0 +1,2 @@
+"""Sources: the engine reads Parquet via ray.data.read_parquet with column
+pruning; fixture writers live in dataquality_ray.fixtures."""

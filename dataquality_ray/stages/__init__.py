@@ -1,0 +1,2 @@
+"""Stateful Ray Data stages (callable classes for map_batches actor pools)
+and shuffle-shaped helpers (dedup, quantiles, correlation, ANN)."""

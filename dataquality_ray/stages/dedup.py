@@ -1,0 +1,73 @@
+"""Exact deduplication stages.
+
+Reference semantics: U1 flags every row whose full content appears more than
+once (dimensions/uniqueness/u1.py:33-39, ``duplicated(keep=False)``); the
+flagship pipeline additionally keeps one canonical copy per duplicate group
+(min row_id), like a training-data dedup would.
+
+Scale design: rows (with their wide ``content``) are NEVER shuffled.  We
+shuffle only the (sha256, row_id) projection — 40-ish bytes per row — via
+``groupby().aggregate``; groups with count > 1 are a small table that is
+broadcast (``ray.put``) and joined back as a dictionary lookup inside
+``map_batches``.  Assumption (documented for the 100 TB case): duplicate
+*groups* fit in one node's memory after aggregation — true for real corpora
+where the duplicated fraction is a few percent; if it ever isn't, the
+fallback is a full hash-partition join keyed on sha256.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def compute_dup_index(ds, sha_col: str = "content_sha256",
+                      id_col: str = "row_id"):
+    """Shuffle the tiny (sha, id) projection; return a broadcast ref of
+    {sha -> canonical row_id} for groups with >1 member."""
+    from ray.data.aggregate import Count, Min
+
+    small = ds.select_columns([sha_col, id_col])
+    agg = small.groupby(sha_col).aggregate(
+        Count(id_col, alias_name="dup_n"),
+        Min(id_col, alias_name="canonical_id"),
+    )
+    dups = agg.filter(expr="dup_n > 1")
+    # The dup-group table is small; materialize on the driver and broadcast.
+    parts = list(dups.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(parts) if parts else pa.table(
+        {sha_col: pa.array([], pa.string()),
+         "dup_n": pa.array([], pa.int64()),
+         "canonical_id": pa.array([], pa.int64())}
+    )
+    mapping = dict(zip(tbl[sha_col].to_pylist(), tbl["canonical_id"].to_pylist()))
+    return ray.put(mapping)
+
+
+class MarkDuplicates:
+    """Actor: given the broadcast dup index, append is_dup / dup_keep."""
+
+    def __init__(self, dup_index_ref, sha_col: str = "content_sha256",
+                 id_col: str = "row_id"):
+        self.index: dict[str, int] = ray.get(dup_index_ref)
+        self.sha_col = sha_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        shas = batch[self.sha_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        is_dup = np.zeros(len(shas), dtype=bool)
+        keep = np.ones(len(shas), dtype=bool)
+        idx = self.index
+        for i, s in enumerate(shas):
+            canonical = idx.get(s)
+            if canonical is not None:
+                is_dup[i] = True
+                keep[i] = ids[i] == canonical
+        return (
+            batch
+            .append_column("is_dup", pa.array(is_dup))
+            .append_column("dup_keep", pa.array(keep))
+        )

@@ -1,0 +1,118 @@
+"""Language identification as an actor-pool ``map_batches`` stage.
+
+North-rule stage ("fastText langid served via map_batches on an actor pool
+with pinned model state").  No model downloads are possible in this sandbox,
+so the model is a deterministic pattern-profile classifier for programming
+languages, pinned in ``__init__`` (compiled once per actor) and applied
+vectorized per batch via ``pyarrow.compute.count_substring_regex`` — one
+C-level regex pass per (language, feature) over the whole batch, never a
+Python loop over rows.
+
+Usage:
+    ds.map_batches(CodeLangId, batch_format="pyarrow",
+                   batch_size=512, concurrency=(2, 8))
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# (pattern, weight) feature lists per language.  Patterns use (?m) so ^/$
+# anchor per line.  Weights resolve overlaps (e.g. braces appear everywhere).
+LANG_FEATURES: dict[str, list[tuple[str, float]]] = {
+    "py": [
+        (r"(?m)^\s*def \w+\(", 3.0),
+        (r"(?m)^\s*(import|from) \w", 2.0),
+        (r"(?m)^\s*class \w+[:(]", 2.0),
+        (r"\bself\.", 2.0),
+        (r"(?m)^\s*(elif|except|raise)\b", 2.0),
+        (r"(?m):\s*$", 0.5),
+    ],
+    "js": [
+        (r"(?m)^\s*(const|let|var)\s+\w+\s*=", 3.0),
+        (r"=>", 2.0),
+        (r"\bfunction\b", 2.0),
+        (r"\bconsole\.log\b", 2.0),
+        (r"\brequire\(", 2.0),
+        (r"(?m)^\s*export\b", 2.0),
+        (r";\s*$", 0.3),
+    ],
+    "c": [
+        (r"(?m)^\s*#include\s*<", 4.0),
+        (r"(?m)^\s*(static\s+)?(const\s+)?(int|char|void|float|double|long)\b[^=\n]*\(", 2.0),
+        (r"(?m)^\s*struct \w+", 2.0),
+        (r"/\*.*?\*/", 1.0),
+        (r"(?m)^\s*for \(int ", 2.0),
+        (r"->", 1.0),
+    ],
+    "md": [
+        # capitalized so Python/shell comments ("# compute x") don't match
+        (r"(?m)^#{1,6} [A-Z]", 3.0),
+        (r"(?m)^- ", 1.0),
+        (r"`[^`\n]+`", 1.5),
+        (r"(?m)^> ", 2.0),
+        (r"(?m)^\w[\w ,.]{20,}$", 0.8),  # prose lines
+    ],
+    "json": [
+        (r'(?m)^\s*"[^"\n]+"\s*:', 3.0),
+        (r"\b(true|false|null)\b", 1.0),
+        (r"(?m)^\s*[{}],?\s*$", 1.0),
+    ],
+}
+
+UNKNOWN = "unknown"
+# Mismatch only fires when the model is confident AND has real evidence;
+# the flagship drop decision also requires the claimed language to be one the
+# model knows (otherwise the claim is unverifiable, not wrong).
+MIN_CONF = 0.55
+MIN_DENSITY = 0.08  # weighted hits per line
+
+
+class CodeLangId:
+    """Actor: detect the programming language of ``content``.
+
+    Appends ``detected_lang``, ``langid_conf``, ``lang_mismatch``.
+    """
+
+    def __init__(self, content_col: str = "content", claimed_col: str = "lang"):
+        self.content_col = content_col
+        self.claimed_col = claimed_col
+        self.langs = list(LANG_FEATURES)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = batch[self.content_col]
+        n = len(batch)
+        n_lines = pc.add(pc.count_substring(content, "\n"), 1)
+        n_lines_np = np.maximum(n_lines.to_numpy(zero_copy_only=False)
+                                .astype(np.float64), 1.0)
+
+        scores = np.zeros((len(self.langs), n), dtype=np.float64)
+        for li, lang in enumerate(self.langs):
+            for pattern, weight in LANG_FEATURES[lang]:
+                cnt = pc.count_substring_regex(content, pattern)
+                scores[li] += weight * cnt.to_numpy(zero_copy_only=False).astype(np.float64)
+        density = scores / n_lines_np  # hits per line
+
+        best = np.argmax(density, axis=0)
+        total = density.sum(axis=0)
+        best_val = density[best, np.arange(n)]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            conf = np.where(total > 0, best_val / np.maximum(total, 1e-12), 0.0)
+
+        detected = np.where(
+            (best_val >= MIN_DENSITY) & (conf >= MIN_CONF),
+            np.array(self.langs, dtype=object)[best],
+            UNKNOWN,
+        )
+        claimed = batch[self.claimed_col].to_numpy(zero_copy_only=False)
+        known_claim = np.isin(claimed, self.langs)
+        mismatch = (detected != UNKNOWN) & known_claim & (detected != claimed)
+
+        return (
+            batch
+            .append_column("detected_lang", pa.array(detected, type=pa.string()))
+            .append_column("langid_conf", pa.array(conf))
+            .append_column("lang_mismatch", pa.array(mismatch))
+        )

@@ -1,0 +1,76 @@
+"""Character-bigram LM perplexity scorer as an actor-pool stage.
+
+North-rule stage ("KenLM-style n-gram perplexity scorer").  KenLM itself is
+not in this container, so the model is a deterministic add-k-smoothed
+character-bigram LM trained in-process from the seeded clean synthetic corpus
+(no downloads, no files): the training corpus and therefore the counts are
+bit-identical across actors and runs, and the model version is stamped into
+lineage records.
+
+The expensive part — training — happens once per actor in ``__init__``;
+``__call__`` scores each document with two numpy gathers (no Python loop over
+characters).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+V = 128  # byte vocabulary (ASCII; >=128 clamped to 127)
+MODEL_SEED = 7
+MODEL_VERSION = "char-bigram-v1-seed7"
+
+# Keep/drop threshold; clean synthetic code scores ~<=15, garbage >>100.
+# Calibrated in tests/test_perplexity.py.
+PPL_THRESHOLD = 60.0
+
+
+def _training_corpus() -> list[str]:
+    from dataquality_ray.fixtures import LANGS, _clean_content
+
+    rng = np.random.RandomState(MODEL_SEED)
+    docs = []
+    for _ in range(60):
+        for lang in LANGS:
+            docs.append(_clean_content(lang, rng))
+    return docs
+
+
+def train_bigram_logprobs() -> np.ndarray:
+    """(V, V) matrix of log P(next | prev), add-0.5 smoothing."""
+    counts = np.zeros((V, V), dtype=np.float64)
+    for doc in _training_corpus():
+        arr = np.frombuffer(doc.encode("utf-8", "replace"), dtype=np.uint8)
+        arr = np.minimum(arr, V - 1).astype(np.int64)
+        if len(arr) < 2:
+            continue
+        idx = arr[:-1] * V + arr[1:]
+        counts.flat += np.bincount(idx, minlength=V * V)
+    k = 0.5
+    row_tot = counts.sum(axis=1, keepdims=True)
+    return np.log((counts + k) / (row_tot + k * V))
+
+
+class PerplexityScorer:
+    """Actor: append ``perplexity`` (char-bigram, e-base) per document."""
+
+    def __init__(self, content_col: str = "content"):
+        self.content_col = content_col
+        self.logp = train_bigram_logprobs()
+
+    def score_doc(self, doc: str) -> float:
+        arr = np.frombuffer(doc.encode("utf-8", "replace"), dtype=np.uint8)
+        arr = np.minimum(arr, V - 1).astype(np.int64)
+        if len(arr) < 2:
+            return 1.0
+        lp = self.logp.flat[arr[:-1] * V + arr[1:]]
+        return float(np.exp(-lp.mean()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs = batch[self.content_col].to_pylist()
+        ppl = np.array(
+            [np.nan if d is None else self.score_doc(d) for d in docs],
+            dtype=np.float64,
+        )
+        return batch.append_column("perplexity", pa.array(ppl))

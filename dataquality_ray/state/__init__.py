@@ -1,0 +1,1 @@
+"""Checkpoint / lineage state (north rule: per-partition lineage + resume)."""

@@ -1,0 +1,67 @@
+"""Per-partition lineage records + resumable manifest.
+
+North rule: "each partition emits lineage records (input shards, rule
+versions, keep/drop counts) to a checkpoint store enabling exact resume".
+
+The resume unit is ONE INPUT FILE: ``read_parquet(..., include_paths=True)``
+tags every row with its source file, per-file keep/drop counts are aggregated
+from the labeled output, and a run writes one JSON lineage record per
+completed input file plus an atomic manifest.  A rerun diffs the manifest
+against the input file list and processes only the missing files — "exact"
+because file -> output-subdirectory mapping is deterministic.
+
+This replaces the reference's append-only run-log XLSX, which is a
+read-modify-write of one file per test run (utils/core_operations.py:73-137)
+and cannot survive parallel writers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+
+class LineageStore:
+    def __init__(self, run_dir: str):
+        self.run_dir = run_dir
+        self.lineage_dir = os.path.join(run_dir, "lineage")
+        self.manifest_path = os.path.join(run_dir, "manifest.json")
+        os.makedirs(self.lineage_dir, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    def completed_partitions(self) -> set[str]:
+        if not os.path.exists(self.manifest_path):
+            return set()
+        with open(self.manifest_path) as fh:
+            return set(json.load(fh).get("completed", []))
+
+    def commit(self, partitions: list[str]) -> None:
+        """Atomically extend the manifest (write temp + rename)."""
+        done = self.completed_partitions()
+        done.update(partitions)
+        payload = {"completed": sorted(done), "committed_at": time.time()}
+        fd, tmp = tempfile.mkstemp(dir=self.run_dir, suffix=".manifest")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        os.replace(tmp, self.manifest_path)
+
+    # -- lineage records ---------------------------------------------------
+    def write_records(self, records: list[dict]) -> None:
+        """One JSON file per partition record, named by a stable key."""
+        for rec in records:
+            key = str(abs(hash(rec["partition"])) % 10**12)
+            path = os.path.join(self.lineage_dir, f"{key}.json")
+            fd, tmp = tempfile.mkstemp(dir=self.lineage_dir)
+            with os.fdopen(fd, "w") as fh:
+                json.dump(rec, fh)
+            os.replace(tmp, path)
+
+    def read_records(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.lineage_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.lineage_dir, name)) as fh:
+                    out.append(json.load(fh))
+        return out
