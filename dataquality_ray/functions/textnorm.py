@@ -1,0 +1,102 @@
+"""Text normalization + string-similarity scalar functions.
+
+Reproduces the reference's scalar library (utils/item_operations.py,
+utils/column_operations.py) without its dependencies: SequenceMatcher comes
+from stdlib difflib; the python-Levenshtein ``ratio`` (indel similarity) is
+reimplemented as a DP (utils/column_operations.py:81-87 uses
+Levenshtein.ratio, whose weighted distance counts substitutions as 2 —
+equivalent to indel distance, ratio = (|a|+|b|-dist)/(|a|+|b|)).
+"""
+
+from __future__ import annotations
+
+import re
+from difflib import SequenceMatcher
+from functools import lru_cache
+
+# utils/item_operations.py:8-22
+PROVINCE_ABBREVIATIONS = {
+    "BC": "British Columbia",
+    "ON": "Ontario",
+    "QC": "Quebec",
+    "AB": "Alberta",
+    "MB": "Manitoba",
+    "SK": "Saskatchewan",
+    "NS": "Nova Scotia",
+    "NB": "New Brunswick",
+    "NL": "Newfoundland and Labrador",
+    "PE": "Prince Edward Island",
+    "NT": "Northwest Territories",
+    "YT": "Yukon",
+    "NU": "Nunavut",
+}
+
+_ABBR_RES = [(re.compile(r"\b" + abbr.lower() + r"\b"), full.lower())
+             for abbr, full in PROVINCE_ABBREVIATIONS.items()]
+_SHORT_NUM_RE = re.compile(r"\b\d{1,4}\b")
+_NUM_RE = re.compile(r"\d+")
+
+
+def normalize_text(text, remove_numbers: bool = False) -> str:
+    """Lowercase, strip, expand province abbreviations, keep alnum+space,
+    collapse whitespace (utils/item_operations.py:29-36)."""
+    text = str(text).lower().strip()
+    for pat, full in _ABBR_RES:
+        text = pat.sub(full, text)
+    if remove_numbers:
+        text = _NUM_RE.sub("", text)
+    text = "".join(ch for ch in text if ch.isalnum() or ch.isspace())
+    return " ".join(text.split())
+
+
+def remove_short_numbers(text: str) -> str:
+    return _SHORT_NUM_RE.sub("", text)
+
+
+def extract_numbers(text: str) -> list[str]:
+    return _NUM_RE.findall(text)
+
+
+def contains_short_number(num_list) -> bool:
+    return any(len(num) <= 4 for num in num_list)
+
+
+def numbers_match(num_list1, num_list2) -> bool:
+    return any(num in num_list2 for num in num_list1)
+
+
+def numeric_similarity(num1_list, num2_list) -> float:
+    """Digit-position match fraction (utils/column_operations.py:63-67)."""
+    num1, num2 = " ".join(num1_list), " ".join(num2_list)
+    matches = sum(1 for a, b in zip(num1, num2) if a == b)
+    max_length = max(len(num1), len(num2))
+    return matches / max_length if max_length > 0 else 0
+
+
+def string_similarity(str1: str, str2: str) -> float:
+    """difflib SequenceMatcher ratio (utils/item_operations.py:67-68)."""
+    return SequenceMatcher(None, str1, str2).ratio()
+
+
+@lru_cache(maxsize=65536)
+def indel_ratio(a: str, b: str) -> float:
+    """python-Levenshtein ``ratio``: (|a|+|b| - dist_indel) / (|a|+|b|),
+    where dist_indel = |a|+|b| - 2*LCS(a, b)."""
+    la, lb = len(a), len(b)
+    if la + lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    # LCS length via rolling DP row.
+    prev = [0] * (lb + 1)
+    for i in range(1, la + 1):
+        cur = [0] * (lb + 1)
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            if ai == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = cur[j - 1] if cur[j - 1] >= prev[j] else prev[j]
+        prev = cur
+    lcs = prev[lb]
+    return 2.0 * lcs / (la + lb)

@@ -1,0 +1,75 @@
+"""Minimal TF-IDF (word 1–2-grams) + cosine similarity in numpy.
+
+Reproduces sklearn's TfidfVectorizer defaults as used by the reference
+(utils/column_operations.py:72-76): token_pattern ``(?u)\\b\\w\\w+\\b``,
+lowercase, stop-word filtering applied before n-gram construction,
+smooth idf = ln((1+n)/(1+df)) + 1, l2-normalized rows.  sklearn itself is
+deliberately NOT a dependency of this engine.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"(?u)\b\w\w+\b")
+
+
+def _analyze(doc: str, stop_words: set[str], ngram_range=(1, 2)) -> list[str]:
+    toks = [t for t in _TOKEN_RE.findall(doc.lower()) if t not in stop_words]
+    out = []
+    lo, hi = ngram_range
+    for n in range(lo, hi + 1):
+        if n == 1:
+            out.extend(toks)
+        else:
+            out.extend(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+    return out
+
+
+class TfidfModel:
+    """Fit on a reference list, transform any list — both return dense
+    l2-normalized row matrices (universes here are small distinct sets)."""
+
+    def __init__(self, ref_docs: list[str], stop_words=("the", "and"),
+                 ngram_range=(1, 2)):
+        self.stop = set(stop_words or [])
+        self.ngram_range = ngram_range
+        df: dict[str, int] = {}
+        analyzed = [self._an(d) for d in ref_docs]
+        for toks in analyzed:
+            for t in set(toks):
+                df[t] = df.get(t, 0) + 1
+        self.vocab = {t: i for i, t in enumerate(sorted(df))}
+        n = len(ref_docs)
+        self.idf = np.array(
+            [np.log((1 + n) / (1 + df[t])) + 1 for t in sorted(df)],
+            dtype=np.float64)
+        self._ref_matrix = self._vectorize(analyzed)
+
+    def _an(self, doc: str) -> list[str]:
+        return _analyze(doc, self.stop, self.ngram_range)
+
+    def _vectorize(self, analyzed: list[list[str]]) -> np.ndarray:
+        m = np.zeros((len(analyzed), len(self.vocab)))
+        for i, toks in enumerate(analyzed):
+            for t in toks:
+                j = self.vocab.get(t)
+                if j is not None:
+                    m[i, j] += 1
+        m *= self.idf
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return m / norms
+
+    def transform(self, docs: list[str]) -> np.ndarray:
+        return self._vectorize([self._an(d) for d in docs])
+
+    @property
+    def ref_matrix(self) -> np.ndarray:
+        return self._ref_matrix
+
+    def cosine_vs_ref(self, docs: list[str]) -> np.ndarray:
+        """(len(docs), len(ref)) cosine similarity matrix."""
+        return self.transform(docs) @ self._ref_matrix.T

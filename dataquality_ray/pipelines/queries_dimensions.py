@@ -1,1 +1,422 @@
-"""Filled in by subsequent milestones."""
+"""queries()/oracle_sql() entries for the DQ-dimension operators (SURVEY §2)
+applied to the driver's testdata tables.  Every float the driver will
+hash-compare is rounded to 6 decimals on BOTH sides."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dataquality_ray.pipelines.registry import query
+
+R = 6  # rounding for hash-compared floats
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# A1 — symbols in numerics, over part(p_brand, p_size)
+# ---------------------------------------------------------------------------
+
+@query("a1_symbols_in_numerics", sql="""
+WITH src AS (
+  SELECT 'p_brand' AS column_name, cast(p_brand AS varchar) AS v FROM part
+  UNION ALL
+  SELECT 'p_size', cast(p_size AS varchar) FROM part
+)
+SELECT column_name,
+       count(*) AS non_null,
+       count(*) FILTER (WHERE try_cast(v AS double) IS NULL
+                           OR isnan(try_cast(v AS double))) AS violations,
+       round((count(*) - count(*) FILTER (WHERE try_cast(v AS double) IS NULL
+                           OR isnan(try_cast(v AS double)))) * 1.0
+             / count(*), 6) AS score
+FROM src
+WHERE v IS NOT NULL AND trim(v) <> ''
+GROUP BY column_name
+ORDER BY column_name
+""")
+def a1_q(sf_dir: str):
+    from dataquality_ray.pipelines.dimensions import a1_symbols_in_numerics
+
+    res = a1_symbols_in_numerics(_read(sf_dir, "part", ["p_brand", "p_size"]),
+                                 ["p_brand", "p_size"])
+    t = res["table"].copy()
+    t["score"] = t["score"].round(R)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# A2 global — IQR outliers over lineitem(l_quantity, l_extendedprice)
+# ---------------------------------------------------------------------------
+
+def _a2_sql_one(col: str) -> str:
+    return f"""
+SELECT '{col}' AS column_name,
+       round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+       s.n, s.outliers,
+       round(1.0 - s.outliers * 1.0 / s.n, 6) AS non_outlier_rate,
+       CASE WHEN 1.0 - s.outliers * 1.0 / s.n > 0.85 THEN 1 ELSE 0 END AS passes
+FROM (SELECT quantile_cont({col}, 0.25) AS q1,
+             quantile_cont({col}, 0.75) AS q3 FROM lineitem) q,
+     LATERAL (SELECT count(*) AS n,
+              count(*) FILTER (WHERE {col} < q.q1 - 1.5 * (q.q3 - q.q1)
+                                  OR {col} > q.q3 + 1.5 * (q.q3 - q.q1)) AS outliers
+              FROM lineitem) s
+"""
+
+
+@query("a2_iqr_global",
+       sql=(_a2_sql_one("l_quantity") + " UNION ALL " +
+            _a2_sql_one("l_extendedprice") + " ORDER BY column_name"))
+def a2_global_q(sf_dir: str):
+    from dataquality_ray.pipelines.dimensions import a2_iqr_global
+
+    res = a2_iqr_global(
+        _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]),
+        ["l_quantity", "l_extendedprice"])
+    t = res["table"][["column_name", "q1", "q3", "n", "outliers",
+                      "non_outlier_rate", "passes"]].copy()
+    for c in ("q1", "q3", "non_outlier_rate"):
+        t[c] = t[c].round(R)
+    return t.sort_values("column_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# A2 grouped — per l_returnflag group
+# ---------------------------------------------------------------------------
+
+@query("a2_iqr_grouped", sql="""
+WITH g AS (
+  SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.25) AS q1,
+         quantile_cont(l_quantity, 0.75) AS q3
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT 'l_quantity' AS column_name,
+       l.l_returnflag AS group_name,
+       round(1.0 - sum(CASE WHEN l.l_quantity < g.q1 - 1.5 * (g.q3 - g.q1)
+                              OR l.l_quantity > g.q3 + 1.5 * (g.q3 - g.q1)
+                            THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS non_outlier_rate
+FROM lineitem l JOIN g USING (l_returnflag)
+GROUP BY l.l_returnflag
+ORDER BY group_name
+""")
+def a2_grouped_q(sf_dir: str):
+    from dataquality_ray.pipelines.dimensions import a2_iqr_grouped
+
+    res = a2_iqr_grouped(
+        _read(sf_dir, "lineitem", ["l_quantity", "l_returnflag"]),
+        ["l_quantity"], group_col="l_returnflag")
+    t = res["table"].copy()
+    t["non_outlier_rate"] = t["non_outlier_rate"].round(R)
+    return t.sort_values("group_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# A3 — row-wise sum check: l_discount + l_tax vs l_quantity
+# ---------------------------------------------------------------------------
+
+@query("a3_sum_check", sql="""
+SELECT count(*) AS n,
+       count(*) FILTER (WHERE coalesce(l_discount, 0) + coalesce(l_tax, 0)
+                              <> coalesce(l_quantity, 0)) AS violations,
+       round(1.0 - count(*) FILTER (WHERE coalesce(l_discount, 0)
+                 + coalesce(l_tax, 0) <> coalesce(l_quantity, 0)) * 1.0
+             / count(*), 6) AS score
+FROM lineitem
+""")
+def a3_q(sf_dir: str):
+    from dataquality_ray.pipelines.dimensions import a3_sum_check
+
+    res = a3_sum_check(
+        _read(sf_dir, "lineitem", ["l_discount", "l_tax", "l_quantity"]),
+        ["l_discount", "l_tax"], "l_quantity")
+    t = res["table"].copy()
+    t["score"] = t["score"].round(R)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# A4 — chronology via broadcast join: o_orderdate (start) vs l_shipdate (end)
+# ---------------------------------------------------------------------------
+
+@query("a4_chronological", sql="""
+SELECT 'o_orderdate_after_l_shipdate' AS pair,
+       count(*) AS n,
+       count(*) FILTER (WHERE NOT (l_shipdate >= o_orderdate
+                                   OR l_shipdate IS NULL
+                                   OR o_orderdate IS NULL)) AS violations,
+       round(1.0 - count(*) FILTER (WHERE NOT (l_shipdate >= o_orderdate
+                 OR l_shipdate IS NULL OR o_orderdate IS NULL)) * 1.0
+             / count(*), 6) AS score
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""")
+def a4_q(sf_dir: str):
+    from dataquality_ray.pipelines.dimensions import a4_chronology
+    from dataquality_ray.stages.joins import broadcast_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).to_pandas()
+    orders = orders.rename(columns={"o_orderkey": "l_orderkey"})
+    joined = broadcast_join(li, orders, on="l_orderkey",
+                            value_cols=["o_orderdate"])
+    res = a4_chronology(joined, [("o_orderdate", "l_shipdate")])
+    t = res["table"].copy()
+    t["score"] = t["score"].round(R)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# C4 — datetime-format validation over a derived mixed-format string column
+# ---------------------------------------------------------------------------
+
+@query("c4_datetime_format", sql="""
+WITH src AS (
+  SELECT CASE WHEN event_id % 2 = 0
+              THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+              ELSE strftime(ts, '%Y-%m-%d') END AS date_str
+  FROM events
+)
+SELECT 'date_str' AS column_name,
+       count(*) AS n,
+       count(*) FILTER (WHERE try_strptime(date_str, '%Y-%m-%d %H:%M:%S')
+                              IS NULL) AS inconsistent,
+       round(1.0 - count(*) FILTER (WHERE try_strptime(date_str,
+                 '%Y-%m-%d %H:%M:%S') IS NULL) * 1.0 / count(*), 6) AS score
+FROM src
+""")
+def c4_q(sf_dir: str):
+    from dataquality_ray.pipelines.dimensions import c4_datetime_format
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        even = batch["event_id"] % 2 == 0
+        full = batch["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        short = batch["ts"].dt.strftime("%Y-%m-%d")
+        return pd.DataFrame({"date_str": np.where(even, full, short)})
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        derive, batch_format="pandas")
+    res = c4_datetime_format(ds, ["date_str"], fmt="%Y-%m-%d %H:%M:%S")
+    t = res["table"].copy()
+    t["score"] = t["score"].round(R)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# C5 — coordinate bounds over renamed acctbal columns
+# ---------------------------------------------------------------------------
+
+@query("c5_coordinate_bounds", sql="""
+WITH lat AS (SELECT c_acctbal AS v FROM customer WHERE c_acctbal IS NOT NULL),
+     lng AS (SELECT s_acctbal AS v FROM supplier WHERE s_acctbal IS NOT NULL)
+SELECT 'cust_latitude' AS column_name, count(*) AS n,
+       count(*) FILTER (WHERE NOT (v >= -90 AND v <= 90)) AS invalid,
+       round(1.0 - count(*) FILTER (WHERE NOT (v >= -90 AND v <= 90)) * 1.0
+             / count(*), 6) AS score
+FROM lat
+UNION ALL
+SELECT 'supp_longitude', count(*),
+       count(*) FILTER (WHERE NOT (v >= -180 AND v <= 180)),
+       round(1.0 - count(*) FILTER (WHERE NOT (v >= -180 AND v <= 180)) * 1.0
+             / count(*), 6)
+FROM lng
+ORDER BY column_name
+""")
+def c5_q(sf_dir: str):
+    from dataquality_ray.pipelines.dimensions import c5_coordinate_bounds
+
+    cust = _read(sf_dir, "customer", ["c_acctbal"]).map_batches(
+        lambda t: t.rename_columns(["cust_latitude"]), batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_acctbal"]).map_batches(
+        lambda t: t.rename_columns(["supp_longitude"]), batch_format="pyarrow")
+    r1 = c5_coordinate_bounds(cust, ["cust_latitude"])
+    r2 = c5_coordinate_bounds(supp, ["supp_longitude"])
+    t = pd.concat([r1["table"], r2["table"]], ignore_index=True)
+    t["score"] = t["score"].round(R)
+    return t.sort_values("column_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# P1 — completeness over orders
+# ---------------------------------------------------------------------------
+
+_P1_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+
+@query("p1_completeness", sql=" UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, count(*) AS n, "
+    f"count(*) - count({c}) AS nulls, "
+    f"round((count(*) - count({c})) * 1.0 / count(*), 6) AS null_frac "
+    f"FROM orders" for c in sorted(_P1_COLS)) + " ORDER BY column_name")
+def p1_q(sf_dir: str):
+    from dataquality_ray.pipelines.dimensions import p1_completeness
+
+    res = p1_completeness(_read(sf_dir, "orders"))
+    t = res["table"][["column_name", "n", "nulls", "null_frac"]].copy()
+    t["null_frac"] = t["null_frac"].round(R)
+    return t.sort_values("column_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# P2 — missingness correlation over derived null-indicator columns
+# ---------------------------------------------------------------------------
+
+@query("p2_missingness_corr", sql="""
+WITH ind AS (
+  SELECT CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END AS m_q25,
+         CASE WHEN l_quantity < 30 THEN 1 ELSE 0 END AS m_q30,
+         CASE WHEN l_extendedprice < 25000 THEN 1 ELSE 0 END AS m_price
+  FROM lineitem
+), pairs AS (
+  SELECT 'm_q25/m_q30' AS features, corr(m_q25, m_q30) AS c FROM ind
+  UNION ALL
+  SELECT 'm_price/m_q25', corr(m_q25, m_price) FROM ind
+  UNION ALL
+  SELECT 'm_price/m_q30', corr(m_q30, m_price) FROM ind
+)
+SELECT features, round(c, 6) AS corr_coeff
+FROM pairs WHERE abs(c) > 0.5
+ORDER BY corr_coeff DESC
+""")
+def p2_q(sf_dir: str):
+    from dataquality_ray.stages.corr import filter_corrs, pearson_matrix
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "m_q25": pc.cast(pc.less(batch["l_quantity"], 25.0), pa.int8()),
+            "m_q30": pc.cast(pc.less(batch["l_quantity"], 30.0), pa.int8()),
+            "m_price": pc.cast(pc.less(batch["l_extendedprice"], 25000.0),
+                               pa.int8()),
+        })
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]) \
+        .map_batches(indicators, batch_format="pyarrow")
+    corrs = pearson_matrix(ds, ["m_q25", "m_q30", "m_price"])
+    thr = filter_corrs(corrs, 0.5)
+    out = thr[["features", "corr_coeff"]].copy()
+    out["corr_coeff"] = out["corr_coeff"].round(R)
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# I1 — proxy detection: derived proxy column correlates with sensitive one
+# ---------------------------------------------------------------------------
+
+@query("i1_proxy_corr", sql="""
+WITH t AS (
+  SELECT l_quantity, l_discount, l_tax,
+         l_quantity * 2 + l_tax AS proxy_qty
+  FROM lineitem
+), pairs AS (
+  SELECT 'l_quantity/proxy_qty' AS features, corr(l_quantity, proxy_qty) AS c FROM t
+  UNION ALL SELECT 'l_discount/l_quantity', corr(l_quantity, l_discount) FROM t
+  UNION ALL SELECT 'l_quantity/l_tax', corr(l_quantity, l_tax) FROM t
+)
+SELECT features, round(c, 6) AS corr_coeff
+FROM pairs WHERE abs(c) > 0.75
+ORDER BY corr_coeff DESC
+""")
+def i1_q(sf_dir: str):
+    from dataquality_ray.pipelines.dimensions import i1_proxy_corr
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        proxy = pc.add(pc.multiply(batch["l_quantity"], 2.0), batch["l_tax"])
+        return batch.append_column("proxy_qty", proxy)
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount", "l_tax"]) \
+        .map_batches(derive, batch_format="pyarrow")
+    res = i1_proxy_corr(ds, sensitive_columns=["l_quantity"], threshold=0.75,
+                        numeric_columns=["l_quantity", "l_discount", "l_tax",
+                                         "proxy_qty"])
+    out = res["table"][["features", "corr_coeff"]].copy()
+    out["corr_coeff"] = out["corr_coeff"].round(R)
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# U1 — duplicate rows over documents union'd with a 10% copy of itself
+# ---------------------------------------------------------------------------
+
+@query("u1_duplicate_rows", sql="""
+WITH u AS (
+  SELECT * FROM documents
+  UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0
+), g AS (
+  SELECT count(*) AS c FROM u
+  GROUP BY doc_id, text, lang, source, n_chars
+)
+SELECT cast(sum(c) AS bigint) AS total_rows,
+       cast(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS bigint)
+         AS duplicate_rows,
+       round(1.0 - coalesce(sum(c) FILTER (WHERE c > 1), 0) * 1.0 / sum(c), 6)
+         AS score
+FROM g
+""")
+def u1_q(sf_dir: str):
+    from dataquality_ray.pipelines.dimensions import u1_duplicate_rows
+
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents")
+    def mod10(t: pa.Table) -> pa.Table:
+        rem = pc.subtract(t["doc_id"],
+                          pc.multiply(pc.divide(t["doc_id"], 10), 10))
+        return t.filter(pc.equal(rem, 0))
+
+    extra = docs.map_batches(mod10, batch_format="pyarrow")
+    res = u1_duplicate_rows(docs.union(extra))
+    t = res["table"].copy()
+    t["score"] = t["score"].round(R)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# C1/C2/C3 — similarity family (no SQL equivalent -> rows-only checks; the
+# score formulas are pandas-oracle-tested in tests/test_similarity.py)
+# ---------------------------------------------------------------------------
+
+@query("c1_near_dup")
+def c1_q(sf_dir: str):
+    from dataquality_ray.stages.similarity import c1_near_dup
+
+    res = c1_near_dup(_read(sf_dir, "part", ["p_name"]), ["p_name"],
+                      threshold=0.5)
+    t = res["table"].copy()
+    t["similarity_score"] = t["similarity_score"].round(R)
+    return t.sort_values("names_tested").reset_index(drop=True)
+
+
+@query("c2_reference_lookup")
+def c2_q(sf_dir: str):
+    from dataquality_ray.stages.similarity import c2_reference_lookup
+
+    # customer market segments vs the distinct segments of their own column
+    res = c2_reference_lookup(_read(sf_dir, "customer", ["c_mktsegment"]),
+                              {"c_mktsegment": "c_mktsegment"}, threshold=1.0)
+    t = res["table"].copy()
+    t["max_similarity"] = t["max_similarity"].round(R)
+    return t.sort_values("value").reset_index(drop=True)
+
+
+@query("c3_fuzzy_reference")
+def c3_q(sf_dir: str):
+    from dataquality_ray.stages.similarity import c3_fuzzy_reference
+
+    # nation names fuzzily matched against region names
+    regions = _read(sf_dir, "region", ["r_name"]).to_pandas()["r_name"].tolist()
+    res = c3_fuzzy_reference(_read(sf_dir, "nation", ["n_name"]), ["n_name"],
+                             ref_names=regions, threshold=0.6)
+    t = res["table"].copy()
+    t["best_ratio"] = t["best_ratio"].round(R)
+    return t.sort_values("normalized_value").reset_index(drop=True)

@@ -1,0 +1,64 @@
+"""Score roll-ups: test -> dimension -> DQ grade.
+
+Mirrors utils/core_operations.py:301-386 exactly, including its quirks:
+weights are rejected (falling back to equal weights) when their count
+differs from the score count OR they sum to < 1.0 (:328-331); a failed test
+(value None or a non-numeric message) contributes 0; grade buckets are
+strict '>' comparisons at 0.9/0.8/0.7/0.5.
+"""
+
+from __future__ import annotations
+
+
+def are_weights_valid(weights: dict, scores: list[dict]) -> tuple[dict, bool]:
+    if weights in ("", "{}"):
+        return {}, True
+    if not isinstance(weights, dict):
+        return {}, False
+    try:
+        if len(weights) != len(scores):
+            return {}, False
+        if sum(weights.values()) < 1.0:
+            return {}, False
+    except Exception:
+        return {}, False
+    return weights, True
+
+
+def calculate_dimension_score(dimension: str, scores: list[dict],
+                              weights: dict | None = None) -> dict:
+    weights = weights or {}
+    if weights != {}:
+        weights, _ = are_weights_valid(weights, scores)
+    total = 0.0
+    for score in scores:
+        try:
+            value = score["value"]
+            numeric = 0 if not value else value  # None/0/"msg" -> 0 (:359)
+            if not isinstance(numeric, (int, float)):
+                numeric = 0
+            w = weights.get(score["test"], 1.0 / len(scores))
+            total += numeric * w
+        except Exception:
+            total += 0
+    return {"dimension": dimension, "score": total}
+
+
+def calculate_dq_grade(scores: list[dict], weights: dict | None = None) -> str:
+    weights = weights or {}
+    if weights != {}:
+        weights, _ = are_weights_valid(weights, scores)
+    total = 0.0
+    for score in scores:
+        numeric = 0 if score["score"] is None else score["score"]
+        w = weights.get(score["dimension"], 1 / len(scores))
+        total += numeric * w
+    if total > 0.9:
+        return "Exceptional"
+    elif total > 0.8:
+        return "High"
+    elif total > 0.7:
+        return "Good"
+    elif total > 0.5:
+        return "Minimum"
+    return "Needs Improvement"

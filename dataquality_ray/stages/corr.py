@@ -1,0 +1,133 @@
+"""Distributed correlation via per-batch sufficient statistics.
+
+Reference P2/I1 call dython ``associations`` (Pearson for numeric-numeric,
+Cramér's V for nominal-nominal) on the whole in-memory frame
+(dimensions/completeness/p2.py:46, dimensions/interdependency/i1.py:68).
+Here each batch emits moment sums / contingency counts; the driver combines
+them into the tiny k×k matrix — one streaming pass, no shuffle.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+
+
+def pearson_matrix(ds, columns: list[str]) -> pd.DataFrame:
+    """Exact Pearson correlation matrix from one streaming pass.
+
+    NaNs are treated as pandas.DataFrame.corr would NOT (corr does pairwise
+    deletion); for parity with dython's associations (which fills/"drops
+    samples" dataset-wide) we compute over rows complete in all columns.
+    The P2 use-case feeds 0/1 null-indicators, which are never NaN.
+    """
+    k = len(columns)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[columns].apply(pd.to_numeric, errors="coerce").to_numpy(
+            dtype=np.float64)
+        x = x[~np.isnan(x).any(axis=1)]
+        s_ = x.sum(axis=0) if len(x) else np.zeros(k)
+        ss_ = x.T @ x if len(x) else np.zeros((k, k))
+        return pd.DataFrame({
+            "n": [float(len(x))],
+            "s": [s_.tolist()],
+            "ss": [ss_.ravel().tolist()],
+        })
+
+    # Per-batch moment sums (tiny rows) combined on the driver — the data
+    # itself never leaves the workers.
+    partials = (ds.select_columns(columns)
+                  .map_batches(partial, batch_format="pandas")
+                  .take_all())
+    n = 0
+    s = np.zeros(k)
+    ss = np.zeros((k, k))
+    for p in partials:
+        n += int(p["n"])
+        s += np.asarray(p["s"])
+        ss += np.asarray(p["ss"]).reshape(k, k)
+    if n < 2:
+        return pd.DataFrame(np.full((k, k), np.nan), index=columns, columns=columns)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    sd = np.sqrt(np.diag(cov))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = cov / np.outer(sd, sd)
+    corr[~np.isfinite(corr)] = np.nan
+    np.fill_diagonal(corr, 1.0)
+    return pd.DataFrame(corr, index=columns, columns=columns)
+
+
+def cramers_v_matrix(ds, columns: list[str], bias_correction: bool = False,
+                     max_categories: int = 10_000) -> pd.DataFrame:
+    """Cramér's V for nominal column pairs from distributed contingency
+    tables (per-batch pair-count dicts combined on the driver).
+
+    ``max_categories`` bounds contingency explosion on high-cardinality
+    columns (overflow values collapse into one bucket, logged by raising);
+    the reference has no such bound because it is single-machine.
+    """
+    pairs = list(itertools.combinations(range(len(columns)), 2))
+    counts: dict[tuple[int, int], dict[tuple, int]] = {p: {} for p in pairs}
+    for batch in ds.select_columns(columns).iter_batches(batch_format="pandas"):
+        cols = [batch[c].astype(str) for c in columns]
+        for (i, j) in pairs:
+            vc = pd.crosstab(cols[i], cols[j])
+            d = counts[(i, j)]
+            for (a, b), v in vc.stack().items():
+                if v:
+                    d[(a, b)] = d.get((a, b), 0) + int(v)
+            if len(d) > max_categories:
+                raise ValueError(
+                    f"contingency table for ({columns[i]},{columns[j]}) "
+                    f"exceeds {max_categories} cells")
+    k = len(columns)
+    m = np.eye(k)
+    for (i, j), d in counts.items():
+        m[i, j] = m[j, i] = _cramers_v_from_counts(d, bias_correction)
+    return pd.DataFrame(m, index=columns, columns=columns)
+
+
+def _cramers_v_from_counts(d: dict[tuple, int], bias_correction: bool) -> float:
+    if not d:
+        return np.nan
+    rows = sorted({a for a, _ in d})
+    cols = sorted({b for _, b in d})
+    obs = np.zeros((len(rows), len(cols)))
+    ri = {r: i for i, r in enumerate(rows)}
+    ci = {c: i for i, c in enumerate(cols)}
+    for (a, b), v in d.items():
+        obs[ri[a], ci[b]] = v
+    n = obs.sum()
+    row_tot = obs.sum(axis=1, keepdims=True)
+    col_tot = obs.sum(axis=0, keepdims=True)
+    expected = row_tot @ col_tot / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        chi2 = np.nansum(np.where(expected > 0, (obs - expected) ** 2 / expected, 0.0))
+    r, c = obs.shape
+    if bias_correction:
+        phi2 = max(0.0, chi2 / n - (c - 1) * (r - 1) / (n - 1))
+        r = r - (r - 1) ** 2 / (n - 1)
+        c = c - (c - 1) ** 2 / (n - 1)
+    else:
+        phi2 = chi2 / n
+    denom = min(r - 1, c - 1)
+    return float(np.sqrt(phi2 / denom)) if denom > 0 else np.nan
+
+
+def filter_corrs(corrs: pd.DataFrame, threshold: float,
+                 subset: list[str] | None = None) -> pd.DataFrame:
+    """Reference utils/table_operations.py:61-80 faithfully: melt pairs above
+    |threshold|, dedup unordered pairs via '/'-joined sorted key, sort desc."""
+    corrs = corrs.copy()
+    np.fill_diagonal(corrs.values, np.nan)
+    if subset is not None:
+        corrs = corrs[subset].drop(index=subset)
+    thr = corrs[abs(corrs) > threshold].melt(ignore_index=False).reset_index().dropna()
+    thr.columns = ["var1", "var2", "corr_coeff"]
+    thr["features"] = ["/".join(sorted((r.var1, r.var2))) for r in thr.itertuples()]
+    thr = thr.drop_duplicates("features")
+    return thr.sort_values("corr_coeff", ascending=False).reset_index(drop=True)

@@ -1,0 +1,57 @@
+"""Join / lookup stages.
+
+All reference joins are broadcast-small-side lookups (SURVEY §2.4): the
+small side is materialized once, ``ray.put`` into the object store, and each
+actor resolves it in ``__init__`` — never re-shipped per batch, never a
+shuffle.  For genuinely large-large joins the documented pattern is
+bucket-by-key-hash + per-bucket merge (not needed by any reference op).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def broadcast_table(small_ds_or_df) -> "ray.ObjectRef":
+    """Materialize a small Dataset/DataFrame and put it once."""
+    df = (small_ds_or_df.to_pandas()
+          if hasattr(small_ds_or_df, "to_pandas") and not isinstance(
+              small_ds_or_df, pd.DataFrame)
+          else small_ds_or_df)
+    return ray.put(df)
+
+
+class BroadcastLookup:
+    """Actor: left-join batches against a broadcast key->values table.
+
+    fn_constructor_kwargs: ref (ObjectRef of a DataFrame), on (key column),
+    value_cols (columns to append).  Missing keys yield nulls.
+    """
+
+    def __init__(self, ref, on: str, value_cols: list[str]):
+        df = ray.get(ref)
+        self.on = on
+        self.value_cols = value_cols
+        self.index = df.set_index(on)[value_cols]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.on].to_pandas()
+        joined = self.index.reindex(keys)
+        for col in self.value_cols:
+            batch = batch.append_column(
+                col, pa.Array.from_pandas(joined[col].reset_index(drop=True)))
+        return batch
+
+
+def broadcast_join(ds, small_ds_or_df, on: str, value_cols: list[str],
+                   batch_size: int = 8192, concurrency=(1, 8)):
+    ref = broadcast_table(small_ds_or_df)
+    return ds.map_batches(
+        BroadcastLookup, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"ref": ref, "on": on, "value_cols": value_cols},
+    )

@@ -1,0 +1,95 @@
+"""Quantile / IQR-outlier stages (reference A2, dimensions/accuracy/a2.py).
+
+Global path: exact quantiles with pandas' linear interpolation semantics.
+The engine prunes to the single numeric column at the read, gathers the
+per-block arrays on the driver and takes numpy quantiles — exact, and cheap
+as long as ONE column of the dataset fits driver memory (8 bytes/row: 8 GB
+per 10^9 rows).  The documented scale path beyond that is iterative
+bisection over value-domain counts (log(range) streaming passes) or a
+t-digest sketch when approximation is acceptable; exact parity with the
+reference's pandas ``quantile`` argues for the exact path here (SURVEY §2.5).
+
+Grouped path: ``groupby(key).map_groups`` with pandas quantiles per group —
+the wide step; only the (key, value) projection is shuffled, never full rows.
+Skew note: quantiles are holistic, so hot groups cannot be salted — salting
+applies only to the bound-apply pass (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def exact_quantiles(ds, col: str, qs=(0.25, 0.75)) -> dict[float, float]:
+    """Exact quantiles of one numeric column (pandas/numpy 'linear' method).
+
+    Non-numeric values are coerced out first, mirroring
+    pd.to_numeric(errors='coerce').dropna() (a2.py:72-73).
+    """
+    parts = []
+    for batch in ds.select_columns([col]).iter_batches(batch_format="pandas"):
+        vals = pd.to_numeric(batch[col], errors="coerce").dropna().to_numpy(
+            dtype=np.float64)
+        if len(vals):
+            parts.append(vals)
+    if not parts:
+        return {q: float("nan") for q in qs}
+    allv = np.concatenate(parts)
+    res = np.quantile(allv, list(qs))
+    return dict(zip(qs, map(float, res)))
+
+
+def iqr_outlier_stats(ds, col: str, threshold: float = 1.5) -> dict:
+    """Global A2: bounds from exact quantiles, then one vectorized counting
+    pass.  Returns q1, q3, bounds, n, outliers, non_outlier_rate."""
+    q = exact_quantiles(ds, col, (0.25, 0.75))
+    q1, q3 = q[0.25], q[0.75]
+    iqr = q3 - q1
+    lo, hi = q1 - threshold * iqr, q3 + threshold * iqr
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = pd.to_numeric(batch[col], errors="coerce").dropna()
+        return pd.DataFrame({"n": [len(vals)],
+                             "out": [int(((vals < lo) | (vals > hi)).sum())]})
+
+    parts = (ds.select_columns([col])
+               .map_batches(partial, batch_format="pandas").take_all())
+    n = sum(int(p["n"]) for p in parts)
+    out = sum(int(p["out"]) for p in parts)
+    rate = 1.0 - (out / n) if n else float("nan")
+    return {"column_name": col, "q1": q1, "q3": q3, "lower": lo, "upper": hi,
+            "n": n, "outliers": out, "non_outlier_rate": rate}
+
+
+def grouped_iqr_rates(ds, col: str, group_col: str,
+                      threshold: float = 1.5) -> pd.DataFrame:
+    """Grouped A2: per-group non-outlier rate (a2.py:54-67).
+
+    Shuffles only the (group, value) projection.  Quantile semantics are
+    pandas' inside each group, exactly as the reference.
+    """
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        x = g[col]
+        q1, q3 = x.quantile(0.25), x.quantile(0.75)
+        iqr = q3 - q1
+        mask = (x < q1 - threshold * iqr) | (x > q3 + threshold * iqr)
+        return pd.DataFrame({
+            "group_name": [g[group_col].iloc[0]],
+            "non_outlier_rate": [1.0 - mask.mean()],
+        })
+
+    res = (ds.select_columns([group_col, col])
+             .groupby(group_col)
+             .map_groups(per_group, batch_format="pandas")
+             .to_pandas())
+    return res.sort_values("group_name").reset_index(drop=True)
+
+
+def grouped_a2_score(rates: pd.DataFrame, n_groups: int,
+                     minimum_score: float = 0.85) -> float:
+    """Reference quirk preserved: score = fraction of groups whose rate
+    STRICTLY exceeds minimum_score (a2.py:63-67)."""
+    if n_groups == 0:
+        return 0.0
+    return float((rates["non_outlier_rate"] > minimum_score).sum() / n_groups)

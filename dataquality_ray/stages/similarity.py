@@ -1,0 +1,203 @@
+"""C1/C2/C3 similarity operators: distinct-universe + broadcast all-pairs.
+
+Scale shape (SURVEY §2.4): the expensive O(n²) similarity runs on the
+DISTINCT universe of the tested column (obtained with a shuffle-distinct or
+per-batch value-count partials), never on raw rows; row-level scores are
+recovered by weighting distinct-value results with their row counts.
+Universe size is capped explicitly — no silent truncation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from dataquality_ray.functions.textnorm import (
+    contains_short_number,
+    extract_numbers,
+    indel_ratio,
+    normalize_text,
+    numbers_match,
+    numeric_similarity,
+    remove_short_numbers,
+    string_similarity,
+)
+from dataquality_ray.functions.tfidf import TfidfModel
+
+MAX_UNIVERSE = 50_000
+
+
+def value_counts(ds, col: str, normalize: bool = False) -> pd.Series:
+    """Distinct values of ``col`` with row counts, via per-batch value_counts
+    partials combined on the driver (no full-column shuffle)."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[col].dropna()
+        if normalize:
+            s = s.map(normalize_text)
+        vc = s.value_counts()
+        return pd.DataFrame({"value": vc.index.astype(str), "n": vc.values})
+
+    parts = (ds.select_columns([col])
+               .map_batches(partial, batch_format="pandas").to_pandas())
+    combined = parts.groupby("value")["n"].sum()
+    if len(combined) > MAX_UNIVERSE:
+        raise ValueError(
+            f"distinct universe of {col} is {len(combined)} > {MAX_UNIVERSE}; "
+            "C1/C2/C3-family similarity requires a bounded universe")
+    return combined
+
+
+# ---------------------------------------------------------------------------
+# C1 — within-column near-duplicate detection (dimensions/consistency/c1.py)
+# ---------------------------------------------------------------------------
+
+
+def _combined_similarity(unique_obs: np.ndarray,
+                         text_sim: np.ndarray) -> np.ndarray:
+    """utils/table_operations.py:125-152 faithfully, including the observable
+    quirk that the numeric-similarity merge is gated on
+    contains_short_number(<list of per-doc number lists>) — i.e. it fires
+    only when every document has >4 extracted numbers."""
+    combined = text_sim.copy()
+    numeric_parts = [extract_numbers(o) for o in unique_obs]
+    apply_numeric = not contains_short_number(numeric_parts)
+    n = len(unique_obs)
+    if apply_numeric:
+        for i in range(n):
+            for j in range(n):
+                if i != j:
+                    ns = numeric_similarity(numeric_parts[i], numeric_parts[j])
+                    combined[i, j] = max(combined[i, j], ns)
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                ss = string_similarity(unique_obs[i], unique_obs[j])
+                combined[i, j] = max(combined[i, j], ss)
+    return combined
+
+
+def c1_near_dup(ds, columns: list[str], threshold: float = 0.91,
+                stop_words=("the", "and")) -> dict:
+    """Near-duplicate values within each column.
+
+    Score per column (c1.py:137 quirk: uses the TEXT similarity matrix only):
+    fraction of distinct values with no other value above the threshold.
+    Report: per distinct value, its most-similar neighbour under the
+    COMBINED matrix (text / numeric / SequenceMatcher max-merge).
+    """
+    reports = []
+    col_scores = []
+    for col in columns:
+        vc = value_counts(ds, col, normalize=True)
+        uniq = np.array(list(vc.index), dtype=object)
+        model = TfidfModel(list(uniq), stop_words=stop_words)
+        text_sim = model.ref_matrix @ model.ref_matrix.T
+        np.fill_diagonal(text_sim, 0.0)
+
+        # score = average_c1_consistency_score (table_operations.py:86-92)
+        inconsistent = int(np.any(text_sim > threshold, axis=1).sum())
+        col_scores.append((len(uniq) - inconsistent) / len(uniq))
+
+        combined = _combined_similarity(uniq, text_sim)
+        masked = combined.copy()
+        np.fill_diagonal(masked, -1.0)
+        best = masked.argmax(axis=1)
+        reports.append(pd.DataFrame({
+            "column_source": col,
+            "names_tested": uniq,
+            "highest_similarity_names": uniq[best],
+            "similarity_score": masked[np.arange(len(uniq)), best],
+        }))
+    score = float(np.mean(col_scores)) if col_scores else None
+    return {"score": score, "table": pd.concat(reports, ignore_index=True)}
+
+
+def c1_best_match(norm_value: str, unique_obs: np.ndarray,
+                  combined_row: np.ndarray, threshold: float = 0.91) -> str:
+    """The reference's best-match selection with the short-number guard
+    (c1.py:85-134): candidates >= threshold must agree on short numbers and
+    are re-scored with short numbers removed."""
+    matched = np.where(combined_row >= threshold)[0]
+    best_score, best_match = 0.0, "No significant match"
+    nums_cur = extract_numbers(norm_value)
+    for idx in matched:
+        cand = unique_obs[idx]
+        nums_cand = extract_numbers(cand)
+        if contains_short_number(nums_cur) or contains_short_number(nums_cand):
+            if not numbers_match(nums_cur, nums_cand):
+                continue
+            re_sim = string_similarity(remove_short_numbers(norm_value),
+                                       remove_short_numbers(cand))
+            if re_sim > best_score:
+                best_score, best_match = re_sim, cand
+        elif combined_row[idx] > best_score:
+            best_score, best_match = combined_row[idx], cand
+    if best_score > threshold:
+        return f"{best_match} ({best_score:.2f})"
+    return "No significant match"
+
+
+# ---------------------------------------------------------------------------
+# C2 — reference-list lookup (dimensions/consistency/c2.py)
+# ---------------------------------------------------------------------------
+
+
+def c2_reference_lookup(ds, column_mapping: dict[str, str],
+                        ref_ds=None, threshold: float = 1.00,
+                        stop_words=("activity",)) -> dict:
+    """Each value of a tested column scored by max TF-IDF cosine against the
+    distinct values of a reference column (of a second dataset, or itself).
+    Score = fraction of rows whose max similarity >= threshold
+    (table_operations.py:97-106).  Distinct+counts keeps row weighting exact
+    while computing similarity once per distinct value."""
+    col_scores = []
+    tables = []
+    for col, ref_col in column_mapping.items():
+        ref_universe = value_counts(ref_ds if ref_ds is not None else ds,
+                                    ref_col if ref_ds is not None else col)
+        model = TfidfModel(list(ref_universe.index), stop_words=stop_words)
+        vc = value_counts(ds, col)
+        sims = model.cosine_vs_ref(list(vc.index))
+        max_sim = sims.max(axis=1) if sims.shape[1] else np.zeros(len(vc))
+        ok = max_sim >= threshold
+        rows = int(vc.sum())
+        ok_rows = int(vc[ok].sum())
+        col_scores.append(ok_rows / rows if rows else 0.0)
+        tables.append(pd.DataFrame({
+            "column_name": col, "value": list(vc.index), "n_rows": vc.values,
+            "max_similarity": max_sim, "consistent": ok,
+        }))
+    score = (sum(col_scores) / len(col_scores)) if col_scores else None
+    return {"score": score, "table": pd.concat(tables, ignore_index=True)}
+
+
+# ---------------------------------------------------------------------------
+# C3 — fuzzy match vs fixed reference names (dimensions/consistency/c3.py)
+# ---------------------------------------------------------------------------
+
+
+def c3_fuzzy_reference(ds, columns: list[str], ref_names: list[str] | None = None,
+                       threshold: float = 0.91) -> dict:
+    """Normalized values vs lowercased reference names via Levenshtein
+    (indel) similarity ratio; score = fraction of rows whose best ratio >=
+    threshold (table_operations.py:111-120)."""
+    from dataquality_ray.functions.textnorm import PROVINCE_ABBREVIATIONS
+
+    refs = [r.lower() for r in (ref_names or PROVINCE_ABBREVIATIONS.values())]
+    col_scores = []
+    tables = []
+    for col in columns:
+        vc = value_counts(ds, col, normalize=True)
+        uniq = list(vc.index)
+        best = np.array([max(indel_ratio(u, r) for r in refs) for u in uniq]) \
+            if uniq else np.array([])
+        ok = best >= threshold
+        rows = int(vc.sum())
+        ok_rows = int(vc[ok].sum())
+        col_scores.append(ok_rows / rows if rows else 0.0)
+        tables.append(pd.DataFrame({
+            "column_name": col, "normalized_value": uniq, "n_rows": vc.values,
+            "best_ratio": best, "consistent": ok,
+        }))
+    score = (sum(col_scores) / len(col_scores)) if col_scores else None
+    return {"score": score, "table": pd.concat(tables, ignore_index=True)}

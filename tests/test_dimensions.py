@@ -1,0 +1,199 @@
+"""Pandas-oracle parity for the DQ-dimension operators on a planted-violation
+fixture (FIXTURES.md §B style): each score is checked against a straight
+pandas reimplementation of the reference formula."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from dataquality_ray.pipelines import dimensions as dim
+from dataquality_ray.pipelines.scoring import (
+    calculate_dimension_score,
+    calculate_dq_grade,
+)
+
+
+@pytest.fixture(scope="module")
+def salmon():
+    rng = np.random.RandomState(3)
+    n = 400
+    species = rng.choice(["Chinook", "Coho", "Sockeye"], n, p=[0.6, 0.3, 0.1])
+    total = np.round(rng.lognormal(4, 1, n), 1)
+    total[5] = 1e6  # planted outliers
+    total[6] = -500
+    area = np.array([str(x) for x in rng.randint(1, 30, n)], dtype=object)
+    area[3] = "14N"
+    area[8] = "12b"
+    area[2] = ""
+    adult = rng.randint(0, 100, n).astype(float)
+    jack = rng.randint(0, 50, n).astype(float)
+    tot_sp = adult + jack
+    tot_sp[10] += 1  # planted sum violation
+    adult[11] = np.nan  # NA component (fillna(0) -> violation unless jack==tot)
+    start = pd.Timestamp("2020-01-01") + pd.to_timedelta(
+        rng.randint(0, 300, n), unit="D")
+    end = start + pd.to_timedelta(rng.randint(0, 60, n), unit="D")
+    end_arr = end.to_numpy().astype("datetime64[ns]").astype(object)
+    end_arr[7] = start[7] - pd.Timedelta(days=3)  # end before start
+    end_arr[9] = None
+    lat = rng.uniform(40, 60, n)
+    lat[4] = -98.9  # invalid latitude
+    df = pd.DataFrame({
+        "SPECIES": species, "TOTAL_RETURN_TO_RIVER": total, "AREA": area,
+        "NATURAL_ADULT_SPAWNERS": adult, "NATURAL_JACK_SPAWNERS": jack,
+        "NATURAL_SPAWNERS_TOTAL": tot_sp, "START_DTT": start,
+        "END_DTT": pd.Series(end_arr, dtype="datetime64[ns]"),
+        "STOCK_LATITUDE": lat,
+        "Comment": ["free text"] * n,
+    })
+    return df
+
+
+@pytest.fixture(scope="module")
+def ds(salmon):
+    return rd.from_pandas(salmon).repartition(4)
+
+
+def test_a1_matches_pandas_oracle(ds, salmon):
+    res = dim.a1_symbols_in_numerics(ds, ["AREA"])
+    s = salmon["AREA"]
+    blank = s.isna() | (s.astype(str).str.strip() == "")
+    tested = s[~blank]
+    viol = pd.to_numeric(tested, errors="coerce").isna().sum()
+    expected = (len(tested) - viol) / len(tested)
+    assert res["score"] == pytest.approx(expected)
+
+
+def test_a2_global_matches_pandas(ds, salmon):
+    res = dim.a2_iqr_global(ds, ["TOTAL_RETURN_TO_RIVER"])
+    x = pd.to_numeric(salmon["TOTAL_RETURN_TO_RIVER"], errors="coerce").dropna()
+    q1, q3 = x.quantile(0.25), x.quantile(0.75)
+    iqr = q3 - q1
+    out = ((x < q1 - 1.5 * iqr) | (x > q3 + 1.5 * iqr))
+    rate = 1 - out.mean()
+    # reference quirk: global score per column is the 0/1 pass indicator
+    assert res["score"] == float(rate > 0.85)
+    row = res["table"].iloc[0]
+    assert row["non_outlier_rate"] == pytest.approx(rate)
+    assert row["outliers"] >= 2
+
+
+def test_a2_grouped_matches_pandas(ds, salmon):
+    res = dim.a2_iqr_grouped(ds, ["TOTAL_RETURN_TO_RIVER"], "SPECIES")
+
+    def detect(x):
+        q1, q3 = x.quantile(0.25), x.quantile(0.75)
+        iqr = q3 - q1
+        return (x < q1 - 1.5 * iqr) | (x > q3 + 1.5 * iqr)
+
+    grouped = salmon.groupby("SPECIES")["TOTAL_RETURN_TO_RIVER"]
+    rates = 1 - grouped.apply(detect).groupby("SPECIES").mean()
+    expected_score = np.sum(rates > 0.85) / len(rates)
+    assert res["score"] == pytest.approx(expected_score)
+    got = res["table"].set_index("group_name")["non_outlier_rate"]
+    for g, r in rates.items():
+        assert got[g] == pytest.approx(r)
+
+
+def test_a3_matches_pandas(ds, salmon):
+    comp = ["NATURAL_ADULT_SPAWNERS", "NATURAL_JACK_SPAWNERS"]
+    res = dim.a3_sum_check(ds, comp, "NATURAL_SPAWNERS_TOTAL")
+    expected_sum = salmon[comp].fillna(0).sum(axis=1)
+    viol = ~salmon["NATURAL_SPAWNERS_TOTAL"].fillna(0).eq(expected_sum)
+    assert res["score"] == pytest.approx(1 - viol.mean())
+    assert res["table"].iloc[0]["violations"] >= 2
+
+
+def test_a4_matches_pandas(ds, salmon):
+    res = dim.a4_chronology(ds, [("START_DTT", "END_DTT")])
+    flag = ~((salmon["END_DTT"] >= salmon["START_DTT"])
+             | salmon["END_DTT"].isna() | salmon["START_DTT"].isna())
+    assert res["score"] == pytest.approx(1 - flag.mean())
+    assert res["table"].iloc[0]["violations"] == 1  # null end counts valid
+
+
+def test_c5_matches_pandas(ds, salmon):
+    res = dim.c5_coordinate_bounds(ds, ["STOCK_LATITUDE"])
+    s = salmon["STOCK_LATITUDE"].dropna()
+    invalid = ~((s >= -90) & (s <= 90))
+    assert res["score"] == pytest.approx(1 - invalid.mean())
+
+
+def test_c5_pacific_narrows_bounds(ds, salmon):
+    res = dim.c5_coordinate_bounds(ds, ["STOCK_LATITUDE"], region="Pacific")
+    s = salmon["STOCK_LATITUDE"].dropna()
+    lo, hi = dim.PACIFIC_LAT
+    invalid = ~((s >= lo) & (s <= hi))
+    assert res["score"] == pytest.approx(1 - invalid.mean())
+
+
+def test_p1_excludes_comment_and_scores(ds, salmon):
+    res = dim.p1_completeness(ds)
+    t = res["table"]
+    assert "Comment" not in set(t["column_name"])
+    df = salmon.drop(columns=["Comment"])
+    expected = df.notna().sum().sum() / (df.shape[0] * df.shape[1])
+    assert res["score"] == pytest.approx(expected)
+
+
+def test_u1_counts_all_copies(salmon):
+    df = pd.concat([salmon, salmon.head(40)], ignore_index=True)
+    res = dim.u1_duplicate_rows(rd.from_pandas(df).repartition(4))
+    dup = df.duplicated(keep=False).sum()
+    assert res["table"].iloc[0]["duplicate_rows"] == dup
+    assert res["score"] == pytest.approx(1 - dup / len(df))
+
+
+def test_p2_flags_correlated_missingness():
+    rng = np.random.RandomState(5)
+    n = 300
+    base = rng.rand(n) < 0.3
+    df = pd.DataFrame({
+        "a": np.where(base, np.nan, 1.0),
+        "b": np.where(base, np.nan, 2.0),          # perfectly co-missing
+        "c": np.where(rng.rand(n) < 0.3, np.nan, 3.0),
+        "d": np.ones(n),                            # no nulls -> excluded
+    })
+    res = dim.p2_missingness_corr(rd.from_pandas(df).repartition(3),
+                                  threshold=0.5)
+    feats = set(res["table"]["features"])
+    assert feats == {"a/b"}
+    # 3 null columns -> 3 pairs, 1 flagged
+    assert res["score"] == pytest.approx(1 - 1 / 3)
+
+
+def test_i1_flags_proxy():
+    rng = np.random.RandomState(6)
+    n = 300
+    sens = rng.rand(n)
+    df = pd.DataFrame({"sens": sens, "proxy": sens * 3 + 0.01 * rng.rand(n),
+                       "noise": rng.rand(n)})
+    res = dim.i1_proxy_corr(rd.from_pandas(df).repartition(3),
+                            ["sens"], threshold=0.75,
+                            numeric_columns=["sens", "proxy", "noise"])
+    assert set(res["table"]["features"]) == {"proxy/sens"}
+    assert res["score"] == pytest.approx(1 - 1 / 2)
+
+
+def test_scoring_rollup_reference_quirks():
+    scores = [{"test": "A1", "value": 0.8}, {"test": "A2", "value": None},
+              {"test": "A3", "value": 0.6}]
+    # equal weights; None -> 0
+    d = calculate_dimension_score("Accuracy", scores)
+    assert d["score"] == pytest.approx((0.8 + 0 + 0.6) / 3)
+    # invalid weights (sum < 1) -> fall back to equal
+    d2 = calculate_dimension_score("Accuracy", scores,
+                                   {"A1": 0.1, "A2": 0.1, "A3": 0.1})
+    assert d2["score"] == pytest.approx((0.8 + 0 + 0.6) / 3)
+    # valid weights used as-is
+    d3 = calculate_dimension_score("Accuracy", scores,
+                                   {"A1": 0.5, "A2": 0.25, "A3": 0.25})
+    assert d3["score"] == pytest.approx(0.8 * 0.5 + 0.6 * 0.25)
+    # grade buckets are strict '>'
+    assert calculate_dq_grade([{"dimension": "x", "score": 0.9}]) == "High"
+    assert calculate_dq_grade([{"dimension": "x", "score": 0.91}]) == "Exceptional"
+    assert calculate_dq_grade([{"dimension": "x", "score": 0.5}]) == \
+        "Needs Improvement"
+    assert calculate_dq_grade([{"dimension": "x", "score": None}]) == \
+        "Needs Improvement"

@@ -1,0 +1,75 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+and its oracle_sql() twin over the same parquet tables; compare row count,
+schema (column names) and values order-insensitively."""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+_orc = entrymod.oracle_sql()
+_qs = entrymod.queries()
+PAIRS = sorted(set(_qs) & set(_orc))
+RAY_ONLY = sorted(set(_qs) - set(_orc))
+
+
+@pytest.mark.parametrize("name", PAIRS)
+def test_query_matches_oracle(name):
+    ray_df = _canon(_to_pandas(_qs[name](SF_DIR)))
+    with _duck() as con:
+        duck_df = _canon(con.execute(_orc[name]).fetchdf())
+    assert list(ray_df.columns) == list(duck_df.columns), \
+        f"schema mismatch: {list(ray_df.columns)} vs {list(duck_df.columns)}"
+    assert len(ray_df) == len(duck_df), \
+        f"row count {len(ray_df)} vs {len(duck_df)}"
+    for c in ray_df.columns:
+        a, b = ray_df[c], duck_df[c].astype(ray_df[c].dtype)
+        if pd.api.types.is_float_dtype(a):
+            ok = ((a - b).abs() < 1e-9) | (a.isna() & b.isna())
+        else:
+            ok = (a == b) | (a.isna() & b.isna())
+        assert ok.all(), f"{name}.{c}: first diff\n" \
+            f"{pd.DataFrame({'ray': a[~ok], 'duck': b[~ok]}).head()}"
+
+
+@pytest.mark.parametrize("name", RAY_ONLY)
+def test_rows_only_queries_run(name):
+    df = _to_pandas(_qs[name](SF_DIR))
+    assert len(df) >= 0

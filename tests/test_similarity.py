@@ -1,0 +1,94 @@
+"""C1/C2/C3 similarity operators on planted near-duplicate fixtures."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from dataquality_ray.functions.textnorm import (
+    indel_ratio,
+    normalize_text,
+    remove_short_numbers,
+)
+from dataquality_ray.functions.tfidf import TfidfModel
+from dataquality_ray.stages.similarity import (
+    c1_near_dup,
+    c2_reference_lookup,
+    c3_fuzzy_reference,
+)
+
+
+def test_normalize_text_reference_semantics():
+    assert normalize_text("  Emily Lake, BC!  ") == "emily lake british columbia"
+    assert normalize_text("Stock #12 (ON)") == "stock 12 ontario"
+    assert normalize_text("A1-B2", remove_numbers=True) == "ab"
+    assert remove_short_numbers("site 1234 and 12345") == "site  and 12345"
+
+
+def test_indel_ratio_matches_known_values():
+    # python-Levenshtein ratio("lewenstein","levenshtein") == 0.85714...
+    assert indel_ratio("lewenstein", "levenshtein") == pytest.approx(18 / 21)
+    assert indel_ratio("abc", "abc") == 1.0
+    assert indel_ratio("abc", "xyz") == 0.0
+    assert indel_ratio("", "") == 1.0
+
+
+def test_tfidf_identical_strings_score_one():
+    m = TfidfModel(["emily lake", "fraser river", "emily lk"])
+    sims = m.cosine_vs_ref(["emily lake"])
+    assert sims[0][0] == pytest.approx(1.0)
+
+
+def test_c1_flags_near_duplicates():
+    df = pd.DataFrame({"PROJ_NAME": (
+        ["Emily Lake Project"] * 5 + ["Emily Lake Projects"] * 2
+        + ["Fraser River Survey"] * 4 + ["Skeena Estuary"] * 3)})
+    res = c1_near_dup(rd.from_pandas(df).repartition(2), ["PROJ_NAME"],
+                      threshold=0.4)
+    t = res["table"]
+    pair = t[t["names_tested"] == "emily lake project"]
+    assert pair["highest_similarity_names"].iloc[0] == "emily lake projects"
+    # the report's combined matrix includes SequenceMatcher (0.97 here)
+    assert pair["similarity_score"].iloc[0] > 0.9
+    # score uses the TEXT matrix only (c1.py:137): the emily-lake pair's
+    # word-level tf-idf cosine is ~0.483 > 0.4, so 2 of 4 distinct values
+    # are inconsistent
+    assert res["score"] == pytest.approx(2 / 4)
+
+
+def test_c2_exact_membership_scores_rows():
+    df = pd.DataFrame({"CU": ["alpha", "alpha", "beta", "zeta-unknown"]})
+    ref = pd.DataFrame({"CU_REF": ["alpha", "beta", "gamma"]})
+    res = c2_reference_lookup(
+        rd.from_pandas(df), {"CU": "CU_REF"},
+        ref_ds=rd.from_pandas(ref), threshold=1.0, stop_words=[])
+    # 3 of 4 rows exactly match the reference universe
+    assert res["score"] == pytest.approx(3 / 4)
+
+
+def test_c3_province_fuzzy_match():
+    df = pd.DataFrame({"PROVINCE": ["British Columbia", "BC", "albert",
+                                    "novascotia", "Ontario", None]})
+    res = c3_fuzzy_reference(rd.from_pandas(df), ["PROVINCE"], threshold=0.91)
+    t = res["table"].set_index("normalized_value")
+    # "BC" normalizes to full name -> ratio 1.0; "albert" ~ alberta = 13/14
+    assert t.loc["british columbia", "best_ratio"] == pytest.approx(1.0)
+    assert t.loc["albert", "best_ratio"] == pytest.approx(
+        indel_ratio("albert", "alberta"))
+    # rows: 5 non-null; consistent: BC, British Columbia, Ontario, albert(0.92)
+    n_ok = int(t[t["consistent"]]["n_rows"].sum())
+    assert res["score"] == pytest.approx(n_ok / 5)
+
+
+def test_c1_universe_cap():
+    import numpy as np
+
+    from dataquality_ray.stages import similarity
+
+    old = similarity.MAX_UNIVERSE
+    similarity.MAX_UNIVERSE = 10
+    try:
+        df = pd.DataFrame({"x": [f"value {i}" for i in range(50)]})
+        with pytest.raises(ValueError, match="universe"):
+            c1_near_dup(rd.from_pandas(df), ["x"])
+    finally:
+        similarity.MAX_UNIVERSE = old
