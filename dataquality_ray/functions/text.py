@@ -1,0 +1,118 @@
+"""Text-analysis kernels for the documents table: token counting, quality
+scoring, natural-language ID features, document fingerprinting.
+
+All per-batch, vectorized where the operation allows; per-doc loops use only
+C-level string ops.  (Counterparts of the north rule's "text analysis"
+bullet; the code-corpus heuristics live in functions/heuristics.py.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# A BPE-ish tokenizer regex: words, numbers, or single non-space symbols.
+BPE_RE = r"\w+|[^\w\s]"
+
+STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "on", "for"},
+    "es": {"el", "la", "de", "y", "en", "que", "los", "un"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "ein"},
+    "fr": {"le", "la", "les", "de", "et", "est", "un", "une"},
+}
+
+
+def token_stats(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append n_ws_tokens (whitespace split) and n_bpe_tokens (regex)."""
+    text = batch[col]
+    # whitespace tokens of trimmed text = 1 + count of whitespace runs
+    trimmed = pc.utf8_trim_whitespace(text)
+    runs = pc.count_substring_regex(trimmed, r"\s+")
+    n_ws = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0),
+                      pa.scalar(0), pc.add(runs, 1))
+    n_bpe = pc.count_substring_regex(text, BPE_RE)
+    return (batch.append_column("n_ws_tokens", pc.cast(n_ws, pa.int64()))
+                 .append_column("n_bpe_tokens", pc.cast(n_bpe, pa.int64())))
+
+
+def quality_stats(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append n_chars_q, n_words, mean_word_len, alnum_frac, space_frac,
+    digit_frac — the inputs to a heuristic quality score."""
+    text = batch[col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_alnum = pc.cast(pc.utf8_length(
+        pc.replace_substring_regex(text, r"[^0-9A-Za-z]", "")), pa.float64())
+    n_digit = pc.cast(pc.utf8_length(
+        pc.replace_substring_regex(text, r"[^0-9]", "")), pa.float64())
+    n_space = pc.cast(pc.count_substring_regex(text, r"\s"), pa.float64())
+    n_words = pc.cast(pc.count_substring_regex(text, r"\w+"), pa.float64())
+    safe = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    mean_wl = pc.divide(n_alnum, pc.max_element_wise(n_words, pa.scalar(1.0)))
+    return (batch
+            .append_column("n_chars_q", pc.cast(n_chars, pa.int64()))
+            .append_column("n_words", pc.cast(n_words, pa.int64()))
+            .append_column("mean_word_len", mean_wl)
+            .append_column("alnum_frac", pc.divide(n_alnum, safe))
+            .append_column("space_frac", pc.divide(n_space, safe))
+            .append_column("digit_frac", pc.divide(n_digit, safe)))
+
+
+class NaturalLangId:
+    """Actor: stopword-profile language scorer for prose text (the
+    documents-table analog of stages/langid.CodeLangId)."""
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+        self.langs = sorted(STOPWORDS)
+        self.word_re = re.compile(r"[a-zàâäéèêëîïôöùûüñ]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.col].fillna("")
+        detected = []
+        confs = []
+        for t in texts:
+            toks = self.word_re.findall(t.lower())
+            if not toks:
+                detected.append("unknown")
+                confs.append(0.0)
+                continue
+            scores = {lang: sum(tok in sw for tok in toks) / len(toks)
+                      for lang, sw in STOPWORDS.items()}
+            best = max(scores, key=scores.get)
+            total = sum(scores.values())
+            if scores[best] == 0:
+                detected.append("unknown")
+                confs.append(0.0)
+            else:
+                detected.append(best)
+                confs.append(scores[best] / total if total else 0.0)
+        batch = batch.copy()
+        batch["detected_lang"] = detected
+        batch["langid_conf"] = confs
+        return batch
+
+
+FP_BASE = np.uint64(1099511628211)  # FNV-ish multiplier
+
+
+def fingerprint_batch(batch: pa.Table, col: str = "text",
+                      out_col: str = "fingerprint") -> pa.Table:
+    """Polynomial rolling hash over whitespace tokens (order-sensitive
+    64-bit document fingerprint; deterministic, process-independent)."""
+    texts = batch[col].to_pylist()
+    fps = np.empty(len(texts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            acc = np.uint64(14695981039346656037)
+            for tok in (t or "").split():
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+                acc = (acc * FP_BASE) ^ np.uint64(h)
+            fps[i] = acc
+    return batch.append_column(out_col,
+                               pa.array(fps.astype(np.int64)))

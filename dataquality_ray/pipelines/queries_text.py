@@ -1,1 +1,306 @@
-"""Filled in by subsequent milestones."""
+"""queries()/oracle_sql() entries: text analysis, dedup family, ANN, and the
+flagship corpus filter (rows-only where SQL cannot express the op)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataquality_ray.pipelines.registry import query
+
+R = 6
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace) per source — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("text_token_count", sql="""
+SELECT source,
+       cast(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS bigint)
+         AS total_tokens,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+""")
+def token_count_q(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from dataquality_ray.functions.text import token_stats
+
+    ds = (_read(sf_dir, "documents", ["source", "text"])
+          .map_batches(token_stats, batch_format="pyarrow")
+          .select_columns(["source", "n_ws_tokens"]))
+    agg = ds.groupby("source").aggregate(
+        Sum("n_ws_tokens", alias_name="total_tokens"),
+        Count("source", alias_name="n_docs"))
+    out = agg.to_pandas().sort_values("source").reset_index(drop=True)
+    return out[["source", "total_tokens", "n_docs"]]
+
+
+# ---------------------------------------------------------------------------
+# Quality stats per document — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("text_quality_stats", sql="""
+SELECT doc_id,
+       length(text) AS n_chars_q,
+       len(regexp_extract_all(text, '\\w+')) AS n_words,
+       floor(length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g')) * 1.0
+             / greatest(length(text), 1) * 1000000) / 1000000 AS alnum_frac,
+       floor(len(regexp_extract_all(text, '\\s')) * 1.0
+             / greatest(length(text), 1) * 1000000) / 1000000 AS space_frac
+FROM documents
+ORDER BY doc_id
+""")
+def quality_stats_q(sf_dir: str):
+    from dataquality_ray.functions.text import quality_stats
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(quality_stats, batch_format="pyarrow")
+          .select_columns(["doc_id", "n_chars_q", "n_words", "alnum_frac",
+                           "space_frac"]))
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # floor-truncation, not round(): round-half ties would diverge between
+    # Python (half-even) and DuckDB (half-away)
+    out["alnum_frac"] = np.floor(out["alnum_frac"] * 1e6) / 1e6
+    out["space_frac"] = np.floor(out["space_frac"] * 1e6) / 1e6
+    return out
+
+
+# ---------------------------------------------------------------------------
+# normalize_text (reference semantics incl. province expansion) — SQL chain
+# ---------------------------------------------------------------------------
+
+def _norm_sql() -> str:
+    from dataquality_ray.functions.textnorm import PROVINCE_ABBREVIATIONS
+
+    expr = "lower(trim(text))"
+    for abbr, full in PROVINCE_ABBREVIATIONS.items():
+        expr = (f"regexp_replace({expr}, '\\b{abbr.lower()}\\b', "
+                f"'{full.lower()}', 'g')")
+    # keep alnum+space, collapse whitespace
+    expr = f"regexp_replace({expr}, '[^0-9a-z\\s]', '', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"SELECT doc_id, {expr} AS normalized FROM documents ORDER BY doc_id"
+
+
+@query("text_normalize", sql=_norm_sql())
+def normalize_q(sf_dir: str):
+    from dataquality_ray.functions.textnorm import normalize_text
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "normalized": batch["text"].map(normalize_text)})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        norm, batch_format="pandas")
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Language ID over documents — rows-only (model-based)
+# ---------------------------------------------------------------------------
+
+@query("lang_id_documents")
+def langid_q(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from dataquality_ray.functions.text import NaturalLangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        NaturalLangId, batch_format="pandas", batch_size=256,
+        concurrency=(1, 4))
+    agg = ds.groupby("detected_lang").aggregate(
+        Count("detected_lang", alias_name="n"))
+    return agg.to_pandas().sort_values("detected_lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint — rows-only (rolling hash)
+# ---------------------------------------------------------------------------
+
+@query("doc_fingerprint")
+def fingerprint_q(sf_dir: str):
+    from dataquality_ray.functions.text import fingerprint_batch
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(fingerprint_batch, batch_format="pyarrow")
+          .select_columns(["doc_id", "fingerprint"]))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup by text over documents + shifted copy — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact", sql="""
+SELECT cast(min(doc_id) AS bigint) AS doc_id
+FROM (SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+GROUP BY text
+ORDER BY doc_id
+""")
+def dedup_exact_q(sf_dir: str):
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    shifted = docs.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                               pc.add(t["doc_id"], 1000000)),
+        batch_format="pyarrow")
+    both = docs.union(shifted)
+
+    def sha(batch: pa.Table) -> pa.Table:
+        hashes = [hashlib.sha256(t.encode()).hexdigest()
+                  for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text_sha": pa.array(hashes)})
+
+    hashed = both.map_batches(sha, batch_format="pyarrow")
+    kept = hashed.groupby("text_sha").aggregate(Min("doc_id",
+                                                    alias_name="doc_id"))
+    out = kept.select_columns(["doc_id"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup over documents + mutated copies — rows-only
+# ---------------------------------------------------------------------------
+
+@query("dedup_minhash")
+def minhash_q(sf_dir: str):
+    from dataquality_ray.stages.minhash import minhash_near_dup_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # plant near-dups: copies of docs 0..19 with the first word dropped
+    def mutate(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch["doc_id"], 20)
+        sub = batch.filter(mask)
+        texts = [" ".join(t.split()[1:]) for t in sub["text"].to_pylist()]
+        return pa.table({
+            "doc_id": pc.add(sub["doc_id"], 1000000),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    mutated = docs.map_batches(mutate, batch_format="pyarrow")
+    pairs = minhash_near_dup_pairs(docs.union(mutated),
+                                   jaccard_threshold=0.5)
+    pairs["jaccard"] = pairs["jaccard"].round(R)
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup — rows-only
+# ---------------------------------------------------------------------------
+
+@query("dedup_simhash")
+def simhash_q(sf_dir: str):
+    from dataquality_ray.stages.minhash import simhash_candidates
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch["doc_id"], 10)
+        sub = batch.filter(mask)
+        texts = [t + " extra" for t in sub["text"].to_pylist()]
+        return pa.table({"doc_id": pc.add(sub["doc_id"], 1000000),
+                         "text": pa.array(texts, pa.string())})
+
+    mutated = docs.map_batches(mutate, batch_format="pyarrow")
+    return simhash_candidates(docs.union(mutated), max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# ANN — brute-force cosine top-k vs the vec_id=0 embedding — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("ann_cosine_topk", sql="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id
+LIMIT 10
+""")
+def ann_q(sf_dir: str):
+    from dataquality_ray.stages.ann import cosine_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrow = emb.filter(expr="vec_id == 0").to_pandas()
+    qvec = np.array(qrow["embedding"].iloc[0], dtype=np.float64)
+    res = cosine_topk(emb, qvec[None, :], k=11, exclude_ids={0})
+    res = res.sort_values(["score", "vec_id"],
+                          ascending=[False, True]).head(10)
+    return res[["vec_id"]].reset_index(drop=True)
+
+
+@query("ann_lsh_bucketed")
+def ann_lsh_q(sf_dir: str):
+    from dataquality_ray.stages.ann import lsh_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrow = emb.filter(expr="vec_id == 0").to_pandas()
+    qvec = np.array(qrow["embedding"].iloc[0], dtype=np.float64)
+    res = lsh_topk(emb, qvec, dim=len(qvec), k=10, bits=6)
+    res["score"] = res["score"].round(R)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Flagship corpus quality filter on the synthesized corpus — rows-only
+# ---------------------------------------------------------------------------
+
+@query("quality_filter_code")
+def flagship_q(sf_dir: str):
+    import ray.data as rd
+
+    from dataquality_ray.fixtures import generate_code_files
+    from dataquality_ray.pipelines.quality_filter import (
+        build_dup_index,
+        label_pipeline,
+    )
+
+    n_rows = 2000
+    tbl = generate_code_files(n_rows, seed=42).select(
+        ["repo", "path", "commit", "lang", "content"])
+    ds = rd.from_arrow(tbl).repartition(8)
+    dup_ref = build_dup_index(rd.from_arrow(tbl).repartition(8))
+    labeled = label_pipeline(ds, dup_index_ref=dup_ref)
+    out = labeled.select_columns(
+        ["repo", "path", "commit", "keep", "drop_reasons", "scrubbed",
+         "is_dup", "content_sha256"]).to_pandas()
+    return out.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing smoke (fake decoder) — rows-only
+# ---------------------------------------------------------------------------
+
+@query("multimodal_image_features")
+def multimodal_q(sf_dir: str):
+    import ray.data as rd
+
+    from dataquality_ray.stages.multimodal import (
+        decode_images,
+        synthesize_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_media_table(64, seed=42)).repartition(4)
+    images = media.filter(expr="mime_type == 'image/png'")
+    decoded = decode_images(images, fake=True)
+    out = decoded.select_columns(
+        ["media_id", "mime_type", "height", "width"]).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)

@@ -1,1 +1,162 @@
-"""Filled in by subsequent milestones."""
+"""General engine-breadth queries over the TPC-H-ish tables: grouped
+aggregation, broadcast-join top-k, tumbling windows, sessionization."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataquality_ray.pipelines.registry import query
+
+R2 = 2
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary — grouped aggregation with derived revenue
+# ---------------------------------------------------------------------------
+
+@query("q1_pricing_summary", sql="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q1(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(1.0, batch["l_discount"]))
+        return batch.append_column("disc_price", disc)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count("l_quantity", alias_name="count_order"))
+    out = agg.to_pandas()
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(R2)
+    return (out.sort_values(["l_returnflag", "l_linestatus"])
+               .reset_index(drop=True)
+            [["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+              "sum_disc_price", "count_order"]])
+
+
+# ---------------------------------------------------------------------------
+# Top-k customers by order value, names resolved by broadcast join
+# ---------------------------------------------------------------------------
+
+@query("top_customers", sql="""
+SELECT o_custkey, c_name,
+       round(sum(o_totalprice), 2) AS total_spent,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY total_spent DESC, o_custkey
+LIMIT 10
+""")
+def top_customers(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from dataquality_ray.stages.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spent"),
+        Count("o_custkey", alias_name="n_orders"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(agg, cust, on="o_custkey", value_cols=["c_name"])
+    top = joined.sort("total_spent", descending=True).limit(10).to_pandas()
+    top["total_spent"] = top["total_spent"].round(R2)
+    return (top.sort_values(["total_spent", "o_custkey"],
+                            ascending=[False, True]).reset_index(drop=True)
+            [["o_custkey", "c_name", "total_spent", "n_orders"]])
+
+
+# ---------------------------------------------------------------------------
+# Tumbling 1-hour windows over the events stream table
+# ---------------------------------------------------------------------------
+
+@query("event_windows", sql="""
+SELECT cast(floor(epoch(ts) / 3600) * 3600 AS bigint) AS window_start_epoch,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""")
+def event_windows(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def windowize(batch: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(batch["ts"], pa.int64())  # timestamp[us] -> us
+        win = pc.multiply(pc.divide(epoch_us, 3_600_000_000), 3600)
+        return pa.table({"window_start_epoch": win,
+                         "event_type": batch["event_type"],
+                         "value": batch["value"]})
+
+    agg = (ds.map_batches(windowize, batch_format="pyarrow")
+             .groupby(["window_start_epoch", "event_type"])
+             .aggregate(Count("value", alias_name="n"),
+                        Sum("value", alias_name="sum_value")))
+    out = agg.to_pandas()
+    out["sum_value"] = out["sum_value"].round(R2)
+    return (out.sort_values(["window_start_epoch", "event_type"])
+               .reset_index(drop=True)
+            [["window_start_epoch", "event_type", "n", "sum_value"]])
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: per-user 30-minute-gap sessions via sorted map_groups
+# ---------------------------------------------------------------------------
+
+@query("sessionize", sql="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       cast(1 + sum(CASE WHEN prev_ts IS NOT NULL
+                          AND epoch(ts) - epoch(prev_ts) > 1800
+                         THEN 1 ELSE 0 END) AS bigint) AS n_sessions,
+       count(*) AS n_events
+FROM ordered
+GROUP BY user_id
+ORDER BY user_id
+""")
+def sessionize(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds() > 1800
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [int(1 + gaps.sum())],
+                             "n_events": [len(g)]})
+
+    out = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+             .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)

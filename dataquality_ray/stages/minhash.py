@@ -1,0 +1,232 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Ray shape (ray_guide pattern): shingle+minhash per batch -> explode to
+(band_id, band_hash, doc_id) rows -> groupby bands -> candidate pairs ->
+verify true Jaccard on the (small) candidate set.  Only signatures and ids
+shuffle; documents never do.  All hashes are blake2b-derived (deterministic
+across processes — python's builtin hash() is salted and never used).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MERSENNE = (1 << 61) - 1
+N_PERM = 64
+BAND_ROWS = 4  # 64/4 = 16 bands -> catches J >= ~0.7 reliably
+MAX_BUCKET = 200  # cap pairs per bucket; larger buckets are logged, not silent
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                          "big")
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingles as uint64 hashes."""
+    toks = text.split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    return np.array(sorted({_hash64(s) for s in shingles}), dtype=np.uint64)
+
+
+class MinHasher:
+    """Actor: per-doc 64-permutation MinHash signature + LSH band hashes.
+
+    The permutation coefficients are derived from a fixed seed in __init__
+    (once per actor) and are identical everywhere.
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 3, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, MERSENNE, N_PERM, dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, MERSENNE, N_PERM, dtype=np.int64).astype(np.uint64)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingle_hashes(text, self.k)
+        if not len(sh):
+            return np.full(N_PERM, MERSENNE, dtype=np.uint64)
+        # (a*h + b) mod p, vectorized over permutations x shingles
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Explode each doc into one row per LSH band."""
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_ids, out_band, out_hash = [], [], []
+        n_bands = N_PERM // BAND_ROWS
+        for i, text in enumerate(texts):
+            sig = self.signature(text or "")
+            for band in range(n_bands):
+                chunk = sig[band * BAND_ROWS:(band + 1) * BAND_ROWS]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                out_ids.append(ids[i])
+                out_band.append(band)
+                out_hash.append(h)
+        return pa.table({
+            "doc_id": pa.array(out_ids),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.string()),
+        })
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 1.0
+
+
+def minhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                           k: int = 3, jaccard_threshold: float = 0.7,
+                           batch_size: int = 1024,
+                           concurrency=(1, 8)) -> pd.DataFrame:
+    """Full MinHash-LSH pipeline; returns verified pairs
+    (id_a, id_b, jaccard) with id_a < id_b.
+
+    Verification re-reads ONLY candidate documents (broadcast id-set filter),
+    so the heavy text never shuffles.  Candidate-set size is assumed driver-
+    manageable (near-dup fraction is small in real corpora).
+    """
+    from ray.data.aggregate import AggregateFn  # noqa: F401  (doc pointer)
+
+    sigs = ds.map_batches(
+        MinHasher, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "k": k})
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"]))
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        if len(ids) > MAX_BUCKET:
+            # pathological bucket (e.g. empty docs) — cap, loudly
+            print(f"[minhash] bucket capped: {len(ids)} docs share a band")
+            ids = ids[:MAX_BUCKET]
+        pairs = list(itertools.combinations(ids, 2))
+        return pd.DataFrame({"id_a": [p[0] for p in pairs],
+                             "id_b": [p[1] for p in pairs]})
+
+    cand = (sigs.groupby(["band", "band_hash"])
+                .map_groups(bucket_pairs, batch_format="pandas")
+                .to_pandas().drop_duplicates())
+    if not len(cand):
+        return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+
+    # verify: fetch candidate docs only
+    cand_ids = set(cand["id_a"]) | set(cand["id_b"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pa.array([i in cand_ids for i in batch[id_col].to_pylist()])
+        return batch.filter(mask).select([id_col, text_col])
+
+    docs = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    shingles = {row[id_col]: shingle_hashes(row[text_col] or "", k)
+                for _, row in docs.iterrows()}
+    out = []
+    for _, r in cand.iterrows():
+        j = jaccard(shingles[r["id_a"]], shingles[r["id_b"]])
+        if j >= jaccard_threshold:
+            out.append({"id_a": r["id_a"], "id_b": r["id_b"], "jaccard": j})
+    return (pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """Actor: 64-bit SimHash fingerprint per document + 4×16-bit band keys
+    (two fingerprints within hamming distance 3 share at least one band)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @staticmethod
+    def fingerprint(text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        toks = text.split()
+        if not toks:
+            return 0
+        shifts = np.arange(64, dtype=np.uint64)
+        vals, counts = np.unique(toks, return_counts=True)
+        for tok, cnt in zip(vals, counts):
+            h = np.uint64(_hash64(tok))
+            bits = (h >> shifts) & np.uint64(1)
+            acc += np.where(bits == 1, cnt, -cnt)
+        fp = np.bitwise_or.reduce((acc > 0).astype(np.uint64) << shifts)
+        return int(fp)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        fps = np.array([self.fingerprint(t or "") for t in texts],
+                       dtype=np.uint64)
+        tbl = pa.table({
+            "doc_id": batch[self.id_col],
+            "simhash": pa.array(fps.astype(np.int64)),  # parquet-friendly
+        })
+        for band in range(4):
+            part = ((fps >> np.uint64(band * 16)) &
+                    np.uint64(0xFFFF)).astype(np.int32)
+            tbl = tbl.append_column(f"band{band}", pa.array(part))
+        return tbl
+
+
+def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash fingerprints + candidate near-dup pairs via band buckets,
+    verified by exact hamming distance."""
+    sigs = ds.map_batches(SimHasher, batch_format="pyarrow",
+                          concurrency=(1, 4),
+                          fn_constructor_kwargs={"text_col": text_col,
+                                                 "id_col": id_col})
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(rows) < 2 or len(rows) > MAX_BUCKET:
+            return pd.DataFrame({"id_a": [], "id_b": [],
+                                 "hamming": pd.Series([], dtype=int)})
+        out = []
+        recs = rows[["doc_id", "simhash"]].to_records(index=False)
+        for (ida, fa), (idb, fb) in itertools.combinations(recs, 2):
+            d = bin(np.uint64(fa) ^ np.uint64(fb)).count("1")
+            if d <= max_hamming:
+                out.append({"id_a": ida, "id_b": idb, "hamming": d})
+        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+
+    pairs = []
+    for band in range(4):
+        p = (sigs.groupby(f"band{band}")
+                 .map_groups(bucket_pairs, batch_format="pandas")
+                 .to_pandas())
+        pairs.append(p)
+    allp = pd.concat(pairs, ignore_index=True)
+    if not len(allp):
+        return pd.DataFrame(columns=["id_a", "id_b", "hamming"])
+    return (allp.drop_duplicates(["id_a", "id_b"])
+                .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def ngram_jaccard_matrix(texts: list[str], k: int = 3) -> np.ndarray:
+    """Dense pairwise n-gram Jaccard for a small universe (driver-side)."""
+    sh = [shingle_hashes(t, k) for t in texts]
+    n = len(texts)
+    m = np.eye(n)
+    for i in range(n):
+        for j in range(i + 1, n):
+            m[i, j] = m[j, i] = jaccard(sh[i], sh[j])
+    return m

@@ -1,0 +1,90 @@
+"""Multimodal (image/audio/video) stages — real Ray plumbing, stubbed codecs.
+
+Media travel as opaque ``binary`` columns with typed metadata columns
+(mime_type, width/height or sample_rate, n_bytes).  Decode / resize /
+feature-extract run as actor-pool ``map_batches`` stages with the codec
+pinned in ``__init__``.  The actual decode libraries (PIL/ffmpeg/librosa)
+are NOT in this container, so the codec layer is stubbed: by default it
+raises NotImplementedError; with ``fake=True`` it produces a deterministic
+fake decode so the schema / batch-size / actor plumbing is fully testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("mime_type", pa.string()),
+    ("payload", pa.binary()),
+    ("n_bytes", pa.int64()),
+])
+
+
+def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows (opaque bytes + metadata)."""
+    rng = np.random.RandomState(seed)
+    payloads = [rng.bytes(rng.randint(256, 2048)) for _ in range(n)]
+    mimes = [["image/png", "audio/wav", "video/mp4"][i % 3] for i in range(n)]
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "mime_type": pa.array(mimes),
+        "payload": pa.array(payloads, pa.binary()),
+        "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+
+
+class ImageDecoder:
+    """Actor: decode image payloads -> (height, width, channels) + a feature
+    vector.  batch_size MUST be small for large payloads (the caller sizes
+    it; see pipeline docstring) — payload bytes stay in Arrow buffers
+    (zero-copy) until the codec touches them."""
+
+    def __init__(self, fake: bool = False, feature_dim: int = 16):
+        self.fake = fake
+        self.feature_dim = feature_dim
+        if not fake:
+            try:
+                import PIL.Image  # noqa: F401
+                self.codec = "pil"
+            except ImportError as err:
+                raise NotImplementedError(
+                    "image decoding requires PIL, which is not available in "
+                    "this environment; construct with fake=True for the "
+                    "deterministic stub") from err
+
+    def _fake_decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        h = hashlib.blake2b(payload, digest_size=16).digest()
+        height = 16 + h[0] % 240
+        width = 16 + h[1] % 240
+        rng = np.random.RandomState(int.from_bytes(h[2:6], "big"))
+        feat = rng.rand(self.feature_dim)
+        return height, width, feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        hs, ws, feats = [], [], []
+        for p in payloads:
+            if self.fake:
+                h, w, f = self._fake_decode(p or b"")
+            else:  # pragma: no cover - no codec in this container
+                raise NotImplementedError
+            hs.append(h)
+            ws.append(w)
+            feats.append(f.tolist())
+        return (batch.drop_columns(["payload"])
+                .append_column("height", pa.array(hs, pa.int32()))
+                .append_column("width", pa.array(ws, pa.int32()))
+                .append_column("features",
+                               pa.array(feats, pa.list_(pa.float32()))))
+
+
+def decode_images(ds, fake: bool = False, batch_size: int = 32,
+                  concurrency=(1, 4)):
+    """Actor-pool decode stage; small batch_size because payloads are wide."""
+    return ds.map_batches(ImageDecoder, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"fake": fake})

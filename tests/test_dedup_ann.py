@@ -1,0 +1,86 @@
+"""MinHash-LSH / SimHash / ANN correctness on planted fixtures."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from dataquality_ray.stages.ann import cosine_topk, lsh_topk
+from dataquality_ray.stages.minhash import (
+    MinHasher,
+    jaccard,
+    minhash_near_dup_pairs,
+    shingle_hashes,
+    simhash_candidates,
+)
+
+
+@pytest.fixture(scope="module")
+def docs():
+    rng = np.random.RandomState(9)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(60)]
+    # planted near-dups: docs 100.. are docs 0..4 with one word changed
+    near = []
+    for i in range(5):
+        toks = texts[i].split()
+        toks[3] = "CHANGED"
+        near.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": list(range(60)) + list(range(100, 105)),
+                       "text": texts + near})
+    return df
+
+
+def test_minhash_finds_planted_pairs(docs):
+    pairs = minhash_near_dup_pairs(rd.from_pandas(docs).repartition(4),
+                                   jaccard_threshold=0.7)
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    for i in range(5):
+        assert (i, 100 + i) in found, f"missing planted pair {i}"
+    # verified jaccard values are the true ones
+    for _, r in pairs.iterrows():
+        a = docs.loc[docs.doc_id == r["id_a"], "text"].iloc[0]
+        b = docs.loc[docs.doc_id == r["id_b"], "text"].iloc[0]
+        assert r["jaccard"] == pytest.approx(
+            jaccard(shingle_hashes(a), shingle_hashes(b)))
+
+
+def test_minhash_signature_deterministic_across_instances():
+    a, b = MinHasher(), MinHasher()
+    sig1 = a.signature("the quick brown fox jumps over the lazy dog")
+    sig2 = b.signature("the quick brown fox jumps over the lazy dog")
+    assert np.array_equal(sig1, sig2)
+
+
+def test_simhash_finds_planted_pairs(docs):
+    cands = simhash_candidates(rd.from_pandas(docs).repartition(4),
+                               max_hamming=8)
+    found = set(zip(cands["id_a"], cands["id_b"]))
+    hits = sum((i, 100 + i) in found for i in range(5))
+    assert hits >= 4  # simhash is probabilistic per band; expect most
+
+
+def test_cosine_topk_matches_numpy_bruteforce():
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(500, 32)
+    df = pd.DataFrame({"vec_id": np.arange(500),
+                       "embedding": [v.tolist() for v in vecs]})
+    q = vecs[7]
+    res = cosine_topk(rd.from_pandas(df).repartition(4), q[None, :], k=10)
+    # numpy oracle
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nv @ (q / np.linalg.norm(q))
+    expected = set(np.argsort(-sims)[:10].tolist())
+    assert set(res["vec_id"]) == expected
+    assert res.iloc[0]["vec_id"] == 7  # self is the top hit
+
+
+def test_lsh_topk_contains_self_and_subsets_bruteforce():
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(400, 16)
+    df = pd.DataFrame({"vec_id": np.arange(400),
+                       "embedding": [v.tolist() for v in vecs]})
+    q = vecs[3]
+    res = lsh_topk(rd.from_pandas(df).repartition(4), q, dim=16, k=5, bits=4)
+    assert 3 in set(res["vec_id"])  # identical vector always shares bucket
+    assert len(res) <= 5
