@@ -1,0 +1,145 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE
+JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "files_per_sec": ...}
+
+`python bench.py --scaling` runs the same suite twice in fresh subprocesses
+(num_cpus=8 then 32) on identical input and reports throughputs plus scaling
+efficiency (the sandbox evidence for the north rule's N-vs-4N criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CORPUS_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "40000"))
+CORPUS_DIR = f"/tmp/graft_bench_corpus_{BENCH_CORPUS_ROWS}"
+
+
+def ensure_corpus() -> list[str]:
+    """Deterministic flagship corpus, cached on disk so both scaling runs
+    (and repeated benches) read identical untimed input."""
+    from dataquality_ray.fixtures import write_code_files
+
+    marker = os.path.join(CORPUS_DIR, "_complete")
+    if os.path.exists(marker):
+        return sorted(
+            os.path.join(CORPUS_DIR, f) for f in os.listdir(CORPUS_DIR)
+            if f.endswith(".parquet"))
+    files = write_code_files(CORPUS_DIR, n_rows=BENCH_CORPUS_ROWS, seed=42,
+                             rows_per_file=5000)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return files
+
+
+def bench_quality_filter() -> dict:
+    import shutil
+
+    from dataquality_ray.pipelines.quality_filter import run_quality_filter
+
+    files = ensure_corpus()
+    run_dir = f"/tmp/graft_bench_run_{os.getpid()}"
+    shutil.rmtree(run_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    summary = run_quality_filter(files, run_dir, dedup=True)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(run_dir, ignore_errors=True)
+    return {"sec": dt, "rows": summary["rows_in"],
+            "files_per_sec": summary["rows_in"] / dt}
+
+
+def bench_query(fn, *args) -> float:
+    t0 = time.perf_counter()
+    res = fn(*args)
+    if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+        res.to_pandas()
+    return time.perf_counter() - t0
+
+
+def run_suite() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import __ray_entry__ as entry
+
+    q = entry.queries()
+
+    # warm the page cache with one untimed read
+    import ray.data as rd
+
+    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+    ensure_corpus()
+
+    queries: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+
+    qf = bench_quality_filter()
+    queries["quality_filter"] = round(qf["sec"], 3)
+
+    for name in ("q1_pricing_summary", "a2_iqr_grouped", "event_windows",
+                 "dedup_exact", "dedup_minhash", "ann_cosine_topk",
+                 "text_quality_stats", "u1_duplicate_rows", "sessionize"):
+        queries[name] = round(bench_query(q[name], SF_DIR), 3)
+
+    total = time.perf_counter() - t_total0
+    result = {
+        "metric": "end-to-end bench suite (flagship quality filter + "
+                  "headline queries)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "files_per_sec": round(qf["files_per_sec"], 1),
+        "corpus_rows": qf["rows"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, "bench.py"], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (same suite, fresh sessions, "
+                  f"num_cpus {lo} vs {hi})",
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "cpus_lo": lo, "cpus_hi": hi,
+        "files_per_sec_lo": r_lo["files_per_sec"],
+        "files_per_sec_hi": r_hi["files_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_suite()))

@@ -5,8 +5,7 @@ backpressure — nothing materializes the full corpus):
 
   read_parquet (pruned)                                    [tasks]
     -> row_id + content_sha256 + heuristic stats kernel    [tasks, Arrow]
-    -> CodeLangId                                          [actor pool]
-    -> PerplexityScorer                                    [actor pool]
+    -> ContentScorer (langid + perplexity, fused)          [actor pool]
     -> PII scrub                                           [tasks, Arrow]
     -> keep/drop decision kernel                           [tasks, Arrow]
     -> MarkDuplicates (broadcast dup index)                [actor pool]
@@ -34,8 +33,7 @@ import pyarrow.compute as pc
 from dataquality_ray import RULE_VERSION
 from dataquality_ray.functions.heuristics import content_stats, heuristic_violations
 from dataquality_ray.functions.scrub import scrub_batch, sha256_batch
-from dataquality_ray.stages.langid import CodeLangId
-from dataquality_ray.stages.perplexity import PPL_THRESHOLD, PerplexityScorer
+from dataquality_ray.stages.perplexity import PPL_THRESHOLD
 from dataquality_ray.state.lineage import LineageStore
 
 DROP_RULES = [
@@ -119,17 +117,25 @@ def _apply_dup_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def label_pipeline(ds, *, dup_index_ref=None, langid_concurrency=(1, 8),
-                   ppl_concurrency=(1, 8), batch_size: int = 512):
+def label_pipeline(ds, *, dup_index_ref=None, scorer_concurrency=None,
+                   batch_size: int = 512):
     """Attach all label columns to a (repo,path,commit,lang,content) Dataset.
 
     ``batch_size`` is moderate because ``content`` rows are wide (SURVEY §7.2).
+    Stateless kernels (prep, scrub, decide) are task stages the streaming
+    executor fuses; the langid+perplexity models run as ONE fused actor pool
+    sized from the session's CPUs (stages/scorer.py).
     """
+    from dataquality_ray.stages.perplexity import broadcast_model
+    from dataquality_ray.stages.scorer import ContentScorer, default_pool_size
+
+    if scorer_concurrency is None:
+        scorer_concurrency = default_pool_size()
+    logp_ref = broadcast_model()  # train once, share across all actors
     ds = ds.map_batches(_prep_batch, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(CodeLangId, batch_format="pyarrow",
-                        batch_size=batch_size, concurrency=langid_concurrency)
-    ds = ds.map_batches(PerplexityScorer, batch_format="pyarrow",
-                        batch_size=batch_size, concurrency=ppl_concurrency)
+    ds = ds.map_batches(ContentScorer, batch_format="pyarrow",
+                        batch_size=batch_size, concurrency=scorer_concurrency,
+                        fn_constructor_kwargs={"logp_ref": logp_ref})
     ds = ds.map_batches(scrub_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(_decide_batch, batch_format="pyarrow", batch_size=batch_size)
     if dup_index_ref is not None:
@@ -151,13 +157,28 @@ def build_dup_index(files_or_ds):
 
     from dataquality_ray.stages.dedup import compute_dup_index
 
-    ds = (rd.read_parquet(files_or_ds, columns=["repo", "path", "commit", "content"])
-          if isinstance(files_or_ds, (str, list)) else files_or_ds)
+    if isinstance(files_or_ds, (str, list)):
+        ds = rd.read_parquet(files_or_ds,
+                             columns=["repo", "path", "commit", "content"],
+                             override_num_blocks=_target_blocks(files_or_ds))
+    else:
+        ds = files_or_ds
     hashed = ds.map_batches(
         lambda b: sha256_batch(_row_id_batch(b)).select(["content_sha256", "row_id"]),
         batch_format="pyarrow",
     )
     return compute_dup_index(hashed)
+
+
+def _target_blocks(files) -> int:
+    """Block count sized so every CPU has work even when the input is a few
+    big files: at least 2 blocks per CPU.  With thousands of input files the
+    file count dominates and reads parallelize naturally."""
+    import ray
+
+    n_files = len(files) if isinstance(files, list) else 1
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(n_files, 2 * cpus)
 
 
 def _expand_files(input_path: str | list[str]) -> list[str]:
@@ -206,9 +227,11 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
         # Ray's include_paths=True would be the obvious tool, but its added
         # column is hard-named 'path' and collides with the corpus's own
         # 'path' column, so we union per-file reads with a constant column.
+        blocks_per_file = max(1, _target_blocks(chunk) // len(chunk))
         pieces = []
         for f in chunk:
-            piece = rd.read_parquet(f).map_batches(
+            piece = rd.read_parquet(
+                f, override_num_blocks=blocks_per_file).map_batches(
                 _make_srcfile_tagger(f), batch_format="pyarrow",
                 batch_size=batch_size,
             )

@@ -5,44 +5,68 @@ once (dimensions/uniqueness/u1.py:33-39, ``duplicated(keep=False)``); the
 flagship pipeline additionally keeps one canonical copy per duplicate group
 (min row_id), like a training-data dedup would.
 
-Scale design: rows (with their wide ``content``) are NEVER shuffled.  We
-shuffle only the (sha256, row_id) projection — 40-ish bytes per row — via
-``groupby().aggregate``; groups with count > 1 are a small table that is
-broadcast (``ray.put``) and joined back as a dictionary lookup inside
-``map_batches``.  Assumption (documented for the 100 TB case): duplicate
-*groups* fit in one node's memory after aggregation — true for real corpora
-where the duplicated fraction is a few percent; if it ever isn't, the
-fallback is a full hash-partition join keyed on sha256.
+Scale design: rows (with their wide ``content``) are NEVER shuffled.  Two
+index-build modes:
+
+- ``combine`` (default): each batch pre-aggregates to (sha, min_id, count)
+  per distinct sha — the map-side combiner pattern — and the driver merges
+  the partials.  Driver memory is O(#distinct hashes) (~50 B each), fine to
+  ~10^8 distinct documents per run partition.
+- ``shuffle``: ``groupby(sha).aggregate`` for corpora whose distinct-hash
+  set exceeds driver memory; only 40-byte keys + int64 ids move.
+
+Either way, only groups with count > 1 survive into the broadcast index that
+``MarkDuplicates`` resolves per batch.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
 
 
-def compute_dup_index(ds, sha_col: str = "content_sha256",
-                      id_col: str = "row_id"):
-    """Shuffle the tiny (sha, id) projection; return a broadcast ref of
-    {sha -> canonical row_id} for groups with >1 member."""
-    from ray.data.aggregate import Count, Min
+def _partial_agg(batch: pa.Table, sha_col: str, id_col: str) -> pa.Table:
+    df = pd.DataFrame({"sha": batch[sha_col].to_pylist(),
+                       "id": batch[id_col].to_numpy(zero_copy_only=False)})
+    g = df.groupby("sha")["id"].agg(["min", "count"]).reset_index()
+    return pa.table({"sha": pa.array(g["sha"], pa.string()),
+                     "min_id": pa.array(g["min"].astype(np.int64)),
+                     "count": pa.array(g["count"].astype(np.int64))})
 
-    small = ds.select_columns([sha_col, id_col])
-    agg = small.groupby(sha_col).aggregate(
-        Count(id_col, alias_name="dup_n"),
-        Min(id_col, alias_name="canonical_id"),
-    )
-    dups = agg.filter(expr="dup_n > 1")
-    # The dup-group table is small; materialize on the driver and broadcast.
-    parts = list(dups.iter_batches(batch_format="pyarrow"))
-    tbl = pa.concat_tables(parts) if parts else pa.table(
-        {sha_col: pa.array([], pa.string()),
-         "dup_n": pa.array([], pa.int64()),
-         "canonical_id": pa.array([], pa.int64())}
-    )
-    mapping = dict(zip(tbl[sha_col].to_pylist(), tbl["canonical_id"].to_pylist()))
+
+def compute_dup_index(ds, sha_col: str = "content_sha256",
+                      id_col: str = "row_id", mode: str = "combine"):
+    """Return a broadcast ref of {sha -> canonical row_id} for groups with
+    more than one member."""
+    if mode == "combine":
+        parts = (ds.map_batches(
+                    lambda b: _partial_agg(b, sha_col, id_col),
+                    batch_format="pyarrow")
+                 .to_pandas())
+        g = parts.groupby("sha").agg(min_id=("min_id", "min"),
+                                     count=("count", "sum"))
+        dups = g[g["count"] > 1]
+        mapping = dups["min_id"].to_dict()
+    elif mode == "shuffle":
+        from ray.data.aggregate import Count, Min
+
+        small = ds.select_columns([sha_col, id_col])
+        agg = small.groupby(sha_col).aggregate(
+            Count(id_col, alias_name="dup_n"),
+            Min(id_col, alias_name="canonical_id"))
+        dups = agg.filter(expr="dup_n > 1")
+        parts = list(dups.iter_batches(batch_format="pyarrow"))
+        tbl = pa.concat_tables(parts) if parts else pa.table(
+            {sha_col: pa.array([], pa.string()),
+             "dup_n": pa.array([], pa.int64()),
+             "canonical_id": pa.array([], pa.int64())})
+        mapping = dict(zip(tbl[sha_col].to_pylist(),
+                           tbl["canonical_id"].to_pylist()))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     return ray.put(mapping)
 
 

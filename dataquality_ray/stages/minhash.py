@@ -54,30 +54,42 @@ class MinHasher:
         self.k = k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = shingle_hashes(text, self.k)
-        if not len(sh):
-            return np.full(N_PERM, MERSENNE, dtype=np.uint64)
-        # (a*h + b) mod p, vectorized over permutations x shingles
-        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % MERSENNE
-        return vals.min(axis=1)
+        return self.signatures([text])[0]
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, N_PERM) MinHash signatures, vectorized across the whole
+        batch: all shingle hashes are concatenated, the permutation matrix is
+        computed in one numpy expression, and per-doc minima come from
+        ``np.minimum.reduceat`` — no per-doc Python inner loop."""
+        per_doc = [shingle_hashes(t or "", self.k) for t in texts]
+        sizes = np.array([max(len(p), 1) for p in per_doc])
+        # empty docs get one sentinel shingle so reduceat segments align
+        flat = np.concatenate(
+            [p if len(p) else np.array([MERSENNE], dtype=np.uint64)
+             for p in per_doc])
+        with np.errstate(over="ignore"):
+            vals = (self.a[:, None] * flat[None, :] + self.b[:, None]) % MERSENNE
+        offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        mins = np.minimum.reduceat(vals, offsets, axis=1)  # (N_PERM, n_docs)
+        return np.ascontiguousarray(mins.T)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Explode each doc into one row per LSH band."""
-        ids = batch[self.id_col].to_pylist()
+        ids = np.asarray(batch[self.id_col].to_pylist())
         texts = batch[self.text_col].to_pylist()
-        out_ids, out_band, out_hash = [], [], []
+        sigs = self.signatures(texts)  # (n, 64)
+        n = len(ids)
         n_bands = N_PERM // BAND_ROWS
-        for i, text in enumerate(texts):
-            sig = self.signature(text or "")
+        out_hash = []
+        for i in range(n):
+            row = sigs[i]
             for band in range(n_bands):
-                chunk = sig[band * BAND_ROWS:(band + 1) * BAND_ROWS]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_ids.append(ids[i])
-                out_band.append(band)
-                out_hash.append(h)
+                chunk = row[band * BAND_ROWS:(band + 1) * BAND_ROWS]
+                out_hash.append(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
         return pa.table({
-            "doc_id": pa.array(out_ids),
-            "band": pa.array(out_band, pa.int32()),
+            "doc_id": pa.array(np.repeat(ids, n_bands)),
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
             "band_hash": pa.array(out_hash, pa.string()),
         })
 
@@ -101,26 +113,42 @@ def minhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     from ray.data.aggregate import AggregateFn  # noqa: F401  (doc pointer)
 
+    # Signatures are consumed twice (bucket counting, then hot-bucket member
+    # fetch); the (doc_id, band, band_hash) projection is tiny, so pin it.
     sigs = ds.map_batches(
         MinHasher, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "k": k})
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
+                               "k": k}).materialize()
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+    # 1. vectorized count per bucket; only buckets with >=2 docs matter.
+    #    (map_groups over ~n_docs*16 singleton groups would be Python-per-
+    #    group and dominates wall time — measured 10x slower.)
+    from ray.data.aggregate import Count
+
+    counts = (sigs.groupby(["band", "band_hash"])
+                  .aggregate(Count("doc_id", alias_name="n")))
+    hot = counts.filter(expr="n > 1").to_pandas()
+    if not len(hot):
+        return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+    hot_keys = set(zip(hot["band"], hot["band_hash"]))
+
+    # 2. fetch members of hot buckets only (broadcast key-set filter).
+    def in_hot(batch: pa.Table) -> pa.Table:
+        mask = [(b, h) in hot_keys
+                for b, h in zip(batch["band"].to_pylist(),
+                                batch["band_hash"].to_pylist())]
+        return batch.filter(pa.array(mask))
+
+    members = sigs.map_batches(in_hot, batch_format="pyarrow").to_pandas()
+    cand_rows = []
+    for (_, _), grp in members.groupby(["band", "band_hash"]):
+        ids = sorted(set(grp["doc_id"]))
         if len(ids) > MAX_BUCKET:
-            # pathological bucket (e.g. empty docs) — cap, loudly
             print(f"[minhash] bucket capped: {len(ids)} docs share a band")
             ids = ids[:MAX_BUCKET]
-        pairs = list(itertools.combinations(ids, 2))
-        return pd.DataFrame({"id_a": [p[0] for p in pairs],
-                             "id_b": [p[1] for p in pairs]})
-
-    cand = (sigs.groupby(["band", "band_hash"])
-                .map_groups(bucket_pairs, batch_format="pandas")
-                .to_pandas().drop_duplicates())
+        cand_rows.extend(itertools.combinations(ids, 2))
+    cand = pd.DataFrame(cand_rows, columns=["id_a", "id_b"]).drop_duplicates()
     if not len(cand):
         return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
 
@@ -155,20 +183,27 @@ class SimHasher:
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
+        self._tok_bits: dict[str, np.ndarray] = {}  # token -> ±1 vector (64,)
+        self._shifts = np.arange(64, dtype=np.uint64)
 
-    @staticmethod
-    def fingerprint(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
+    def _bits(self, tok: str) -> np.ndarray:
+        v = self._tok_bits.get(tok)
+        if v is None:
+            h = np.uint64(_hash64(tok))
+            v = np.where((h >> self._shifts) & np.uint64(1) == 1, 1, -1) \
+                .astype(np.int64)
+            self._tok_bits[tok] = v
+        return v
+
+    def fingerprint(self, text: str) -> int:
         toks = text.split()
         if not toks:
             return 0
-        shifts = np.arange(64, dtype=np.uint64)
         vals, counts = np.unique(toks, return_counts=True)
-        for tok, cnt in zip(vals, counts):
-            h = np.uint64(_hash64(tok))
-            bits = (h >> shifts) & np.uint64(1)
-            acc += np.where(bits == 1, cnt, -cnt)
-        fp = np.bitwise_or.reduce((acc > 0).astype(np.uint64) << shifts)
+        m = np.stack([self._bits(t) for t in vals])  # (n_tok, 64), cached
+        acc = counts @ m
+        fp = np.bitwise_or.reduce(
+            (acc > 0).astype(np.uint64) << self._shifts)
         return int(fp)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -195,28 +230,55 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                           fn_constructor_kwargs={"text_col": text_col,
                                                  "id_col": id_col})
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(rows) < 2 or len(rows) > MAX_BUCKET:
-            return pd.DataFrame({"id_a": [], "id_b": [],
-                                 "hamming": pd.Series([], dtype=int)})
-        out = []
-        recs = rows[["doc_id", "simhash"]].to_records(index=False)
-        for (ida, fa), (idb, fb) in itertools.combinations(recs, 2):
-            d = bin(np.uint64(fa) ^ np.uint64(fb)).count("1")
-            if d <= max_hamming:
-                out.append({"id_a": ida, "id_b": idb, "hamming": d})
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+    # one exploded (band, value) keyspace -> ONE groupby instead of four
+    # sequential shuffles (each Ray all-to-all has seconds of fixed cost)
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = np.repeat(np.asarray(batch["doc_id"].to_pylist()), 4)
+        fps = np.repeat(np.asarray(batch["simhash"].to_pylist()), 4)
+        bands = np.tile(np.arange(4, dtype=np.int64), n)
+        vals = np.empty(4 * n, dtype=np.int64)
+        for b in range(4):
+            vals[b::4] = batch[f"band{b}"].to_numpy(zero_copy_only=False)
+        key = bands * (1 << 16) + vals  # band-qualified bucket key
+        return pa.table({"doc_id": pa.array(ids), "simhash": pa.array(fps),
+                         "bucket": pa.array(key)})
 
+    exploded = sigs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Count
+
+    counts = exploded.groupby("bucket").aggregate(
+        Count("doc_id", alias_name="n"))
+    hot = counts.filter(expr="n > 1").to_pandas()
     pairs = []
-    for band in range(4):
-        p = (sigs.groupby(f"band{band}")
-                 .map_groups(bucket_pairs, batch_format="pandas")
-                 .to_pandas())
-        pairs.append(p)
-    allp = pd.concat(pairs, ignore_index=True)
-    if not len(allp):
+    if len(hot):
+        hot_vals = set(hot["bucket"])
+
+        def in_hot(batch: pa.Table) -> pa.Table:
+            mask = [v in hot_vals for v in batch["bucket"].to_pylist()]
+            return batch.filter(pa.array(mask))
+
+        members = exploded.map_batches(in_hot,
+                                       batch_format="pyarrow").to_pandas()
+        for _, grp in members.groupby("bucket"):
+            rows = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(rows) < 2 or len(rows) > MAX_BUCKET:
+                continue
+            ids = rows["doc_id"].to_numpy()
+            fps = rows["simhash"].to_numpy().astype(np.uint64)
+            # vectorized pairwise hamming: XOR matrix -> byte view -> popcount
+            xor = np.bitwise_xor.outer(fps, fps)
+            ham = np.unpackbits(
+                xor.view(np.uint8).reshape(len(ids), len(ids), 8),
+                axis=2).sum(axis=2)
+            ia, ib = np.where(np.triu(ham <= max_hamming, k=1))
+            for x, y in zip(ia, ib):
+                pairs.append({"id_a": ids[x], "id_b": ids[y],
+                              "hamming": int(ham[x, y])})
+    if not pairs:
         return pd.DataFrame(columns=["id_a", "id_b", "hamming"])
+    allp = pd.DataFrame(pairs)
     return (allp.drop_duplicates(["id_a", "id_b"])
                 .sort_values(["id_a", "id_b"]).reset_index(drop=True))
 

@@ -52,12 +52,36 @@ def train_bigram_logprobs() -> np.ndarray:
     return np.log((counts + k) / (row_tot + k * V))
 
 
-class PerplexityScorer:
-    """Actor: append ``perplexity`` (char-bigram, e-base) per document."""
+def broadcast_model():
+    """Train once on the driver, ``ray.put`` the weight matrix; actors then
+    load it in milliseconds instead of re-training per actor (the matrix is
+    tiny; the win is skipping corpus synthesis + counting in every
+    ``__init__``)."""
+    import ray
 
-    def __init__(self, content_col: str = "content"):
+    global _MODEL_REF
+    if _MODEL_REF is None:
+        _MODEL_REF = ray.put(train_bigram_logprobs())
+    return _MODEL_REF
+
+
+_MODEL_REF = None
+
+
+class PerplexityScorer:
+    """Actor: append ``perplexity`` (char-bigram, e-base) per document.
+
+    ``logp_ref``: optional ObjectRef of pre-trained weights (broadcast_model);
+    without it the actor trains locally (deterministic either way)."""
+
+    def __init__(self, content_col: str = "content", logp_ref=None):
         self.content_col = content_col
-        self.logp = train_bigram_logprobs()
+        if logp_ref is not None:
+            import ray
+
+            self.logp = ray.get(logp_ref)
+        else:
+            self.logp = train_bigram_logprobs()
 
     def score_doc(self, doc: str) -> float:
         arr = np.frombuffer(doc.encode("utf-8", "replace"), dtype=np.uint8)
