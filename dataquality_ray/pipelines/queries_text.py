@@ -247,6 +247,25 @@ def ann_q(sf_dir: str):
     return res[["vec_id"]].reset_index(drop=True)
 
 
+@query("dedup_embedding_cosine", sql="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) DESC,
+         a.vec_id, b.vec_id
+LIMIT 50
+""")
+def embedding_near_dup_q(sf_dir: str):
+    from dataquality_ray.stages.ann import cosine_near_dup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_near_dup_pairs(emb, top_n=50)
+    pairs["cosine"] = pairs["cosine"].round(R)
+    return pairs
+
+
 @query("ann_lsh_bucketed")
 def ann_lsh_q(sf_dir: str):
     from dataquality_ray.stages.ann import lsh_topk

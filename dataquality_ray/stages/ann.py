@@ -76,6 +76,72 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10,
     return out
 
 
+class PairwiseCosineTopK:
+    """Actor: each batch scores its vectors against the broadcast full
+    (normalized) matrix and emits only its local top pairs with
+    ``global_id < other_id`` — each unordered pair is produced exactly once,
+    by the batch that owns its smaller id."""
+
+    def __init__(self, mat_ref, ids_ref, top_n: int, min_sim: float,
+                 emb_col: str, id_col: str):
+        self.mat = ray.get(mat_ref)          # (n, d) normalized
+        self.ids = ray.get(ids_ref)          # (n,) global ids, same order
+        self.pos = {int(i): p for p, i in enumerate(self.ids)}
+        self.top_n = top_n
+        self.min_sim = min_sim
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _normalize(_stack_embeddings(batch, self.emb_col))
+        bids = np.asarray(batch[self.id_col].to_pylist())
+        sims = x @ self.mat.T                       # (batch, n)
+        # mask: only pairs where this row's id < the column's id
+        col_ids = self.ids[None, :]
+        mask = bids[:, None] < col_ids
+        if self.min_sim > -1.0:
+            mask &= sims >= self.min_sim
+        r, c = np.where(mask)
+        s = sims[r, c]
+        if self.top_n and len(s) > self.top_n:      # local prune
+            keep = np.argpartition(-s, self.top_n - 1)[:self.top_n]
+            r, c, s = r[keep], c[keep], s[keep]
+        return pa.table({"id_a": pa.array(bids[r].astype(np.int64)),
+                         "id_b": pa.array(self.ids[c].astype(np.int64)),
+                         "cosine": pa.array(s, type=pa.float64())})
+
+
+def cosine_near_dup_pairs(ds, top_n: int = 50, min_sim: float = -1.0,
+                          emb_col: str = "embedding", id_col: str = "vec_id",
+                          batch_size: int = 2048,
+                          concurrency=(1, 8)) -> pd.DataFrame:
+    """Exact embedding-cosine near-dup: the globally top-``top_n`` unordered
+    pairs by cosine similarity (optionally gated at ``min_sim``).
+
+    Scale note (documented cap): the normalized matrix is broadcast once via
+    ``ray.put`` — O(n*d) bytes per node, fine to ~10^7 x 128-d vectors.  Past
+    that, use the LSH-bucketed path (``lsh_topk`` / ``HyperplaneBucketer``)
+    which trades recall for a 2^bits reduction in comparisons.
+    """
+    rows = ds.select_columns([id_col, emb_col]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = _normalize(np.array([np.asarray(r[emb_col], dtype=np.float64)
+                               for r in rows]))
+    mat_ref, ids_ref = ray.put(mat), ray.put(ids)
+    cand = ds.map_batches(
+        PairwiseCosineTopK, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"mat_ref": mat_ref, "ids_ref": ids_ref,
+                               "top_n": top_n, "min_sim": min_sim,
+                               "emb_col": emb_col, "id_col": id_col},
+    ).to_pandas()
+    out = cand.sort_values(["cosine", "id_a", "id_b"],
+                           ascending=[False, True, True])
+    if top_n:
+        out = out.head(top_n)
+    return out.reset_index(drop=True)
+
+
 class HyperplaneBucketer:
     """Actor: assign each vector an LSH bucket (sign pattern of ``bits``
     random hyperplane projections, seed-fixed)."""
