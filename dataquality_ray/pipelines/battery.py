@@ -1,0 +1,93 @@
+"""The DQ test battery: the reference's notebook lifecycle (SURVEY §3.1) as
+one configured run over a shared Dataset.
+
+The reference re-reads the input file for EVERY test (each test's __init__
+calls read_data again — dimensions/accuracy/a1.py:36-40); here the pruned
+input is scanned once, pinned in the object store (``materialize``), and all
+tests consume the shared blocks.  ``share='rescan'`` keeps the input fully
+streaming instead (each test re-executes the read) for inputs too large to
+pin even pruned — the trade is explicit.
+
+Each battery entry: (test_name, dimension, callable(ds) -> {'score','table'}).
+Results roll up with the reference's exact weighted-average + grade formulas
+(pipelines/scoring.py, mirroring utils/core_operations.py:301-386), and each
+test's violating-row table lands under reports/<run_id>/<test>/ with a
+run-log JSONL row (state/report.py).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from collections.abc import Callable
+
+from dataquality_ray.pipelines.scoring import (
+    calculate_dimension_score,
+    calculate_dq_grade,
+)
+from dataquality_ray.state.report import append_log, write_report
+
+
+def run_battery(ds, tests: list[tuple[str, str, Callable]],
+                *, columns: list[str] | None = None,
+                weights: dict[str, dict] | None = None,
+                dimension_weights: dict | None = None,
+                share: str = "materialize",
+                report_base: str | None = None,
+                run_id: str = "run") -> dict:
+    """Run every test on a shared scan; return scores, dimension scores,
+    grade, and per-test tables.
+
+    A failing test scores None and the battery continues — the reference's
+    runner semantics (dimensions/accuracy/dimension_reference.py:103-113).
+    """
+    if columns:
+        ds = ds.select_columns(columns)
+    if share == "materialize":
+        ds = ds.materialize()
+
+    per_dim: dict[str, list[dict]] = defaultdict(list)
+    tables: dict[str, object] = {}
+    errors: dict[str, str] = {}
+    for test_name, dimension, fn in tests:
+        try:
+            res = fn(ds)
+            score = res.get("score")
+            tables[test_name] = res.get("table")
+        except Exception as exc:  # score None, keep going (ref runner)
+            score, errors[test_name] = None, f"{type(exc).__name__}: {exc}"
+        per_dim[dimension].append({"test": test_name, "value": score})
+        if report_base is not None:
+            if tables.get(test_name) is not None:
+                write_report(tables[test_name], report_base, run_id, test_name)
+            append_log(report_base, {
+                "dataset": run_id, "dimension": dimension, "test": test_name,
+                "score": score, "errors": errors.get(test_name, "")})
+
+    dim_scores = [calculate_dimension_score(
+                      dim, scores, (weights or {}).get(dim))
+                  for dim, scores in per_dim.items()]
+    grade = calculate_dq_grade(dim_scores, dimension_weights)
+    return {"tests": {t: s for d in per_dim.values() for t, s in
+                      ((x["test"], x["value"]) for x in d)},
+            "dimension_scores": dim_scores, "grade": grade,
+            "tables": tables, "errors": errors}
+
+
+def lineitem_battery(sf_dir: str) -> list[tuple[str, str, Callable]]:
+    """A representative battery over the lineitem table — one entry per
+    reference dimension that applies to a numeric/date table."""
+    from dataquality_ray.pipelines import dimensions as dq
+
+    return [
+        ("A1", "Accuracy",
+         lambda ds: dq.a1_symbols_in_numerics(ds, ["l_quantity", "l_tax"])),
+        ("A2", "Accuracy",
+         lambda ds: dq.a2_iqr_grouped(ds, ["l_quantity"],
+                                      group_col="l_returnflag")),
+        ("A3", "Accuracy",
+         lambda ds: dq.a3_sum_check(ds, ["l_discount", "l_tax"],
+                                    "l_quantity")),
+        ("P1", "Completeness", lambda ds: dq.p1_completeness(ds)),
+        ("U1", "Uniqueness", lambda ds: dq.u1_duplicate_rows(
+            ds, ["l_orderkey", "l_linenumber"])),
+    ]

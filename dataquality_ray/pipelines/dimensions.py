@@ -358,13 +358,16 @@ def i1_proxy_corr(ds, sensitive_columns: list[str], threshold: float = 0.75,
 # ---------------------------------------------------------------------------
 
 
-def u1_duplicate_rows(ds, columns: list[str] | None = None) -> dict:
-    """duplicated(keep=False) over all columns at scale: hash-partition on a
-    canonical row hash; only (hash) leaves the workers.  Score =
-    1 - duplicated_rows/total."""
-    import hashlib
+def u1_duplicate_rows(ds, columns: list[str] | None = None,
+                      mode: str = "combine") -> dict:
+    """duplicated(keep=False) over all columns at scale: canonical row hash
+    per row, then count per hash.  Score = 1 - duplicated_rows/total.
 
-    from ray.data.aggregate import Count
+    ``combine`` (default): per-batch hash counts merged driver-side — no
+    shuffle; driver memory is O(#distinct rows), fine to ~10^8.  ``shuffle``:
+    ``groupby(row_hash)`` for corpora beyond that; only 32-byte hashes move.
+    """
+    import hashlib
 
     cols = columns or ds.schema().names
 
@@ -375,17 +378,27 @@ def u1_duplicate_rows(ds, columns: list[str] | None = None) -> dict:
         return pa.table({"row_hash": pa.array(hashes)})
 
     hashed = ds.select_columns(cols).map_batches(rowhash, batch_format="pyarrow")
-    counts = hashed.groupby("row_hash").aggregate(Count("row_hash",
-                                                        alias_name="c"))
+    if mode == "combine":
+        from dataquality_ray.stages.combine import combine_groupby
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        dup = batch[batch["c"] > 1]["c"].sum()
-        return pd.DataFrame({"total": [int(batch["c"].sum())],
-                             "dups": [int(dup)]})
+        counts = combine_groupby(hashed, ["row_hash"],
+                                 {"c": ("row_hash", "size")})
+        total = int(counts["c"].sum())
+        dups = int(counts.loc[counts["c"] > 1, "c"].sum())
+    else:
+        from ray.data.aggregate import Count
 
-    parts = counts.map_batches(partial, batch_format="pandas").take_all()
-    total = sum(int(p["total"]) for p in parts)
-    dups = sum(int(p["dups"]) for p in parts)
+        counts = hashed.groupby("row_hash").aggregate(
+            Count("row_hash", alias_name="c"))
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            dup = batch[batch["c"] > 1]["c"].sum()
+            return pd.DataFrame({"total": [int(batch["c"].sum())],
+                                 "dups": [int(dup)]})
+
+        parts = counts.map_batches(partial, batch_format="pandas").take_all()
+        total = sum(int(p["total"]) for p in parts)
+        dups = sum(int(p["dups"]) for p in parts)
     score = 1 - dups / total if total else None
     return {"score": score,
             "table": pd.DataFrame([{"total_rows": total,

@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 
 from dataquality_ray import RULE_VERSION
 from dataquality_ray.functions.heuristics import content_stats, heuristic_violations
-from dataquality_ray.functions.scrub import scrub_batch, sha256_batch
+from dataquality_ray.functions.scrub import sha256_batch
 from dataquality_ray.stages.perplexity import PPL_THRESHOLD
 from dataquality_ray.state.lineage import LineageStore
 
@@ -122,31 +122,22 @@ def label_pipeline(ds, *, dup_index_ref=None, scorer_concurrency=None,
     """Attach all label columns to a (repo,path,commit,lang,content) Dataset.
 
     ``batch_size`` is moderate because ``content`` rows are wide (SURVEY §7.2).
-    Stateless kernels (prep, scrub, decide) are task stages the streaming
-    executor fuses; the langid+perplexity models run as ONE fused actor pool
-    sized from the session's CPUs (stages/scorer.py).
+    The cheap prep kernel is a task stage fused with the read; EVERYTHING
+    else (langid + perplexity + scrub + decide + dedup-mark) runs as ONE
+    actor pool (stages/scorer.py FilterStage) so each batch crosses the
+    object store once and pool sizing is a single knob.
     """
     from dataquality_ray.stages.perplexity import broadcast_model
-    from dataquality_ray.stages.scorer import ContentScorer, default_pool_size
+    from dataquality_ray.stages.scorer import FilterStage, default_pool_size
 
     if scorer_concurrency is None:
         scorer_concurrency = default_pool_size()
     logp_ref = broadcast_model()  # train once, share across all actors
     ds = ds.map_batches(_prep_batch, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(ContentScorer, batch_format="pyarrow",
+    ds = ds.map_batches(FilterStage, batch_format="pyarrow",
                         batch_size=batch_size, concurrency=scorer_concurrency,
-                        fn_constructor_kwargs={"logp_ref": logp_ref})
-    ds = ds.map_batches(scrub_batch, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(_decide_batch, batch_format="pyarrow", batch_size=batch_size)
-    if dup_index_ref is not None:
-        from dataquality_ray.stages.dedup import MarkDuplicates
-
-        ds = ds.map_batches(
-            MarkDuplicates, batch_format="pyarrow", batch_size=batch_size,
-            concurrency=(1, 4), fn_constructor_kwargs={"dup_index_ref": dup_index_ref},
-        )
-        ds = ds.map_batches(_apply_dup_batch, batch_format="pyarrow",
-                            batch_size=batch_size)
+                        fn_constructor_kwargs={"logp_ref": logp_ref,
+                                               "dup_index_ref": dup_index_ref})
     return ds
 
 
@@ -259,7 +250,7 @@ def _make_srcfile_tagger(srcfile: str):
 
 
 def _lineage_stats(ds, srcfile_col: str, dedup: bool) -> list[dict]:
-    from ray.data.aggregate import Count, Sum
+    from dataquality_ray.stages.combine import combine_groupby
 
     def to_int(batch: pa.Table) -> pa.Table:
         cols = {srcfile_col: batch[srcfile_col]}
@@ -270,15 +261,14 @@ def _lineage_stats(ds, srcfile_col: str, dedup: bool) -> list[dict]:
                             if dedup else pa.array([0] * len(batch)))
         return pa.table(cols)
 
-    agg = (ds.map_batches(to_int, batch_format="pyarrow")
-             .groupby(srcfile_col)
-             .aggregate(Count(srcfile_col, alias_name="rows_in"),
-                        Sum("kept", alias_name="kept"),
-                        Sum("scrubbed_n", alias_name="scrubbed"),
-                        Sum("pii_rows", alias_name="pii_rows"),
-                        Sum("dup_rows", alias_name="dup_rows")))
+    # one partial row per (batch, srcfile) -> driver combine, no shuffle
+    agg = combine_groupby(
+        ds.map_batches(to_int, batch_format="pyarrow"), [srcfile_col],
+        {"rows_in": (srcfile_col, "size"), "kept": ("kept", "sum"),
+         "scrubbed": ("scrubbed_n", "sum"), "pii_rows": ("pii_rows", "sum"),
+         "dup_rows": ("dup_rows", "sum")})
     recs = []
-    for row in agg.iter_rows():
+    for row in agg.to_dict("records"):
         recs.append({
             "partition": row[srcfile_col],
             "rule_version": RULE_VERSION,

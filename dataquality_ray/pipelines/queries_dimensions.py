@@ -420,3 +420,23 @@ def c3_q(sf_dir: str):
     t = res["table"].copy()
     t["best_ratio"] = t["best_ratio"].round(R)
     return t.sort_values("normalized_value").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Full DQ battery over lineitem: shared scan -> tests -> weighted roll-up ->
+# grade (reference notebook lifecycle, SURVEY §3.1) — rows-only; the roll-up
+# formulas are pandas-oracle-tested in tests/test_dimensions.py
+# ---------------------------------------------------------------------------
+
+@query("dq_battery")
+def dq_battery_q(sf_dir: str):
+    from dataquality_ray.pipelines.battery import lineitem_battery, run_battery
+
+    res = run_battery(_read(sf_dir, "lineitem"), lineitem_battery(sf_dir))
+    rows = [{"dimension": d["dimension"], "score": round(d["score"], R)}
+            for d in res["dimension_scores"]]
+    rows.append({"dimension": "DQ_GRADE",
+                 "score": float("nan"), "grade": res["grade"]})
+    out = pd.DataFrame(rows)
+    out["grade"] = out.get("grade", pd.Series(dtype=object)).fillna("")
+    return out.sort_values("dimension").reset_index(drop=True)

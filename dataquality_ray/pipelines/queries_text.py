@@ -153,7 +153,7 @@ ORDER BY doc_id
 def dedup_exact_q(sf_dir: str):
     import hashlib
 
-    from ray.data.aggregate import Min
+    from dataquality_ray.stages.combine import combine_groupby
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     shifted = docs.map_batches(
@@ -169,10 +169,9 @@ def dedup_exact_q(sf_dir: str):
                          "text_sha": pa.array(hashes)})
 
     hashed = both.map_batches(sha, batch_format="pyarrow")
-    kept = hashed.groupby("text_sha").aggregate(Min("doc_id",
-                                                    alias_name="doc_id"))
-    out = kept.select_columns(["doc_id"]).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # per-sha min via map-side combine (no shuffle; stages/combine.py)
+    kept = combine_groupby(hashed, ["text_sha"], {"doc_id": ("doc_id", "min")})
+    return (kept[["doc_id"]].sort_values("doc_id").reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
@@ -322,4 +321,21 @@ def multimodal_q(sf_dir: str):
     decoded = decode_images(images, fake=True)
     out = decoded.select_columns(
         ["media_id", "mime_type", "height", "width"]).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+@query("multimodal_audio_features")
+def multimodal_audio_q(sf_dir: str):
+    import ray.data as rd
+
+    from dataquality_ray.stages.multimodal import (
+        sample_audio,
+        synthesize_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_media_table(64, seed=42)).repartition(4)
+    audio = media.filter(expr="mime_type == 'audio/wav'")
+    sampled = sample_audio(audio, fake=True)
+    out = sampled.select_columns(
+        ["media_id", "mime_type", "sample_rate", "n_samples"]).to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)

@@ -34,7 +34,7 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """)
 def q1(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from dataquality_ray.stages.combine import combine_groupby
 
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
@@ -46,12 +46,12 @@ def q1(sf_dir: str):
         return batch.append_column("disc_price", disc)
 
     ds = ds.map_batches(revenue, batch_format="pyarrow")
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Count("l_quantity", alias_name="count_order"))
-    out = agg.to_pandas()
+    # 6 groups -> map-side combine, no shuffle (stages/combine.py)
+    out = combine_groupby(ds, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("l_quantity", "sum"),
+        "sum_base_price": ("l_extendedprice", "sum"),
+        "sum_disc_price": ("disc_price", "sum"),
+        "count_order": ("l_quantity", "count")})
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
         out[c] = out[c].round(R2)
     return (out.sort_values(["l_returnflag", "l_linestatus"])
@@ -74,18 +74,19 @@ ORDER BY total_spent DESC, o_custkey
 LIMIT 10
 """)
 def top_customers(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
-
-    from dataquality_ray.stages.joins import broadcast_join
+    from dataquality_ray.stages.combine import combine_groupby
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    agg = orders.groupby("o_custkey").aggregate(
-        Sum("o_totalprice", alias_name="total_spent"),
-        Count("o_custkey", alias_name="n_orders"))
+    # custkey cardinality ~ |customer| -> combiner partials stay small;
+    # past ~10^7 customers switch to Dataset.groupby (stages/combine.py).
+    agg = combine_groupby(orders, ["o_custkey"], {
+        "total_spent": ("o_totalprice", "sum"),
+        "n_orders": ("o_totalprice", "count")})
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
-    joined = broadcast_join(agg, cust, on="o_custkey", value_cols=["c_name"])
-    top = joined.sort("total_spent", descending=True).limit(10).to_pandas()
+    top = (agg.sort_values(["total_spent", "o_custkey"],
+                           ascending=[False, True]).head(10)
+              .merge(cust, on="o_custkey", how="left"))
     top["total_spent"] = top["total_spent"].round(R2)
     return (top.sort_values(["total_spent", "o_custkey"],
                             ascending=[False, True]).reset_index(drop=True)
@@ -106,7 +107,7 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """)
 def event_windows(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from dataquality_ray.stages.combine import combine_groupby
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
@@ -117,11 +118,11 @@ def event_windows(sf_dir: str):
                          "event_type": batch["event_type"],
                          "value": batch["value"]})
 
-    agg = (ds.map_batches(windowize, batch_format="pyarrow")
-             .groupby(["window_start_epoch", "event_type"])
-             .aggregate(Count("value", alias_name="n"),
-                        Sum("value", alias_name="sum_value")))
-    out = agg.to_pandas()
+    # hours x event_types is a tiny key space -> combiner, no shuffle
+    out = combine_groupby(
+        ds.map_batches(windowize, batch_format="pyarrow"),
+        ["window_start_epoch", "event_type"],
+        {"n": ("value", "count"), "sum_value": ("value", "sum")})
     out["sum_value"] = out["sum_value"].round(R2)
     return (out.sort_values(["window_start_epoch", "event_type"])
                .reset_index(drop=True)

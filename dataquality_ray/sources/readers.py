@@ -1,0 +1,64 @@
+"""Table readers.
+
+Parquet is the primary scale format (``ray.data.read_parquet`` with column
+pruning).  CSV support mirrors the reference's ``read_data``
+(utils/core_operations.py:50-70): header row is the schema, utf-8-sig first
+with a cp1252 fallback for legacy exports.  XLSX is intentionally out of
+scope at scale (SURVEY §2.1); a CSV conversion is the documented migration.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def read_table(path: str, columns: list[str] | None = None,
+               parallelism: int | None = None):
+    """Dispatch on extension -> ray.data Dataset with column pruning."""
+    import ray.data as rd
+
+    ext = os.path.splitext(path)[1].lower()
+    kwargs = {}
+    if parallelism:
+        kwargs["override_num_blocks"] = parallelism
+    if ext in (".parquet", ""):
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    if ext == ".csv":
+        ds = read_csv_fallback(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
+    raise ValueError(f"unsupported source extension {ext!r} ({path})")
+
+
+def read_csv_fallback(path: str, **kwargs):
+    """CSV with the reference's encoding ladder: utf-8-sig, then cp1252.
+
+    Arrow's CSV reader only consumes UTF-8, so the cp1252 fallback
+    transcodes to a temp UTF-8 file once (driver-side, streaming, O(file));
+    the Dataset then reads the transcoded copy in parallel as usual.
+    """
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    try:
+        ds = rd.read_csv(
+            path,
+            parse_options=pacsv.ParseOptions(),
+            read_options=pacsv.ReadOptions(encoding="utf-8-sig"),
+            **kwargs)
+        ds.schema()  # force first-fragment read so bad bytes surface HERE
+        return ds
+    except (UnicodeDecodeError, Exception) as first_err:  # pragma: no cover
+        # Arrow surfaces bad bytes as ArrowInvalid at execution; retry
+        # through a transcoded copy, re-raising the original on failure.
+        import tempfile
+
+        try:
+            tmp = tempfile.NamedTemporaryFile(
+                "w", suffix=".csv", delete=False, encoding="utf-8")
+            with open(path, encoding="cp1252") as src:
+                for chunk in iter(lambda: src.read(1 << 20), ""):
+                    tmp.write(chunk)
+            tmp.close()
+            return rd.read_csv(tmp.name, **kwargs)
+        except Exception:
+            raise first_err

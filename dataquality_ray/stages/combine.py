@@ -1,0 +1,103 @@
+"""Map-side combine (partial aggregation) helpers.
+
+Ray Data's ``groupby().aggregate()`` is an all-to-all shuffle with seconds of
+fixed cost per exchange; for low-cardinality keys the idiomatic scale pattern
+is the combiner: each batch pre-aggregates with a vectorized pandas groupby,
+only the tiny partials move, and the driver (or a single small node) merges
+them.  This is the same partial/final split the reference applies implicitly
+by being single-process (SURVEY §2.5) — here it removes the shuffle entirely.
+
+Scale contract (documented, enforced by the caller's choice): the COMBINED
+result must fit one node's memory — true for group-by keys up to ~10^7
+distinct values.  Past that, use ``Dataset.groupby`` (the shuffle path);
+every caller below exposes a ``mode`` switch where that matters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# agg name -> (per-batch pandas agg, partial-combine agg)
+_AGGS = {
+    "sum": ("sum", "sum"),
+    "count": ("count", "sum"),
+    "size": ("size", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+}
+
+
+def combine_groupby(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
+                    batch_size: int | None = None) -> pd.DataFrame:
+    """Grouped aggregation without a shuffle.
+
+    ``aggs``: {out_col: (in_col, fn)} with fn in sum/count/size/min/max.
+    Each batch emits one partial row per group; the driver merges partials
+    with the matching combine fn.  Exact for these algebraic aggregates.
+    """
+    for out, (_, fn) in aggs.items():
+        if fn not in _AGGS:
+            raise ValueError(f"unsupported agg {fn!r} for {out!r}")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for out, (col, fn) in aggs.items():
+            pfn = _AGGS[fn][0]
+            cols[out] = g.size() if pfn == "size" else g[col].agg(pfn)
+        return pd.DataFrame(cols).reset_index()
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas",
+        **({"batch_size": batch_size} if batch_size else {})).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(columns=keys + list(aggs))
+    g = parts.groupby(keys, sort=False, dropna=False)
+    out = pd.DataFrame(
+        {out_col: g[out_col].agg(_AGGS[fn][1])
+         for out_col, (_, fn) in aggs.items()}).reset_index()
+    return out
+
+
+def grouped_value_counts(ds, group_col: str, val_col: str,
+                         coerce_numeric: bool = True) -> pd.DataFrame:
+    """(group, value, count) partials combined driver-side — the sufficient
+    statistic for exact grouped quantiles/histograms when the distinct
+    (group, value) universe is bounded (SURVEY §7.4 scale note)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[val_col]
+        if coerce_numeric:
+            v = pd.to_numeric(v, errors="coerce")
+        df = pd.DataFrame({"g": batch[group_col], "v": v}).dropna(subset=["v"])
+        c = df.groupby(["g", "v"], sort=False).size().rename("c")
+        return c.reset_index()
+
+    parts = ds.select_columns([group_col, val_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(columns=["g", "v", "c"])
+    return (parts.groupby(["g", "v"], sort=False)["c"].sum()
+                 .reset_index())
+
+
+def weighted_quantile(values: np.ndarray, counts: np.ndarray,
+                      qs) -> np.ndarray:
+    """Exact quantiles (numpy/pandas 'linear' interpolation) from a
+    (value, count) histogram — identical to ``np.quantile(np.repeat(values,
+    counts), qs)`` without expanding."""
+    order = np.argsort(values)
+    v = np.asarray(values, dtype=np.float64)[order]
+    c = np.asarray(counts, dtype=np.int64)[order]
+    cum = np.cumsum(c)
+    n = cum[-1]
+    out = []
+    for q in np.atleast_1d(qs):
+        pos = q * (n - 1)
+        lo_i = int(np.floor(pos))
+        hi_i = int(np.ceil(pos))
+        lo_v = v[np.searchsorted(cum, lo_i + 1)]
+        hi_v = v[np.searchsorted(cum, hi_i + 1)]
+        out.append(lo_v + (hi_v - lo_v) * (pos - lo_i))
+    return np.asarray(out)

@@ -121,14 +121,15 @@ def minhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
                                "k": k}).materialize()
 
-    # 1. vectorized count per bucket; only buckets with >=2 docs matter.
-    #    (map_groups over ~n_docs*16 singleton groups would be Python-per-
-    #    group and dominates wall time — measured 10x slower.)
-    from ray.data.aggregate import Count
+    # 1. count per bucket via map-side combine (no shuffle; the combined
+    #    (band, hash, n) table is ~16 rows/doc of a few bytes); only buckets
+    #    with >=2 docs matter.  (map_groups over ~n_docs*16 singleton groups
+    #    would be Python-per-group — measured 10x slower.)
+    from dataquality_ray.stages.combine import combine_groupby
 
-    counts = (sigs.groupby(["band", "band_hash"])
-                  .aggregate(Count("doc_id", alias_name="n")))
-    hot = counts.filter(expr="n > 1").to_pandas()
+    counts = combine_groupby(sigs, ["band", "band_hash"],
+                             {"n": ("doc_id", "size")})
+    hot = counts[counts["n"] > 1]
     if not len(hot):
         return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
     hot_keys = set(zip(hot["band"], hot["band_hash"]))
@@ -246,11 +247,10 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow").materialize()
 
-    from ray.data.aggregate import Count
+    from dataquality_ray.stages.combine import combine_groupby
 
-    counts = exploded.groupby("bucket").aggregate(
-        Count("doc_id", alias_name="n"))
-    hot = counts.filter(expr="n > 1").to_pandas()
+    counts = combine_groupby(exploded, ["bucket"], {"n": ("doc_id", "size")})
+    hot = counts[counts["n"] > 1]
     pairs = []
     if len(hot):
         hot_vals = set(hot["bucket"])

@@ -88,3 +88,47 @@ def decode_images(ds, fake: bool = False, batch_size: int = 32,
     return ds.map_batches(ImageDecoder, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency,
                           fn_constructor_kwargs={"fake": fake})
+
+class AudioFrameSampler:
+    """Actor: decode audio payloads -> (sample_rate, n_samples) metadata plus
+    K fixed-offset frame energies.  Real decode needs ffmpeg/librosa (absent
+    here) — ``fake=True`` derives deterministic pseudo-audio from the payload
+    hash so the plumbing (schema, batch sizing, actor pool) is fully tested.
+    """
+
+    def __init__(self, fake: bool = False, n_frames: int = 8):
+        self.fake = fake
+        self.n_frames = n_frames
+        if not fake:
+            raise NotImplementedError(
+                "audio decoding requires ffmpeg/librosa, not available in "
+                "this environment; construct with fake=True for the stub")
+
+    def _fake_decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        h = hashlib.blake2b(payload, digest_size=16).digest()
+        rate = [8000, 16000, 44100][h[0] % 3]
+        n_samples = rate * (1 + h[1] % 10)
+        rng = np.random.RandomState(int.from_bytes(h[2:6], "big"))
+        energies = rng.rand(self.n_frames).astype(np.float32)
+        return rate, n_samples, energies
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, counts, frames = [], [], []
+        for p in batch["payload"].to_pylist():
+            r, n, e = self._fake_decode(p or b"")
+            rates.append(r)
+            counts.append(n)
+            frames.append(e.tolist())
+        return (batch.drop_columns(["payload"])
+                .append_column("sample_rate", pa.array(rates, pa.int32()))
+                .append_column("n_samples", pa.array(counts, pa.int64()))
+                .append_column("frame_energy",
+                               pa.array(frames, pa.list_(pa.float32()))))
+
+
+def sample_audio(ds, fake: bool = False, batch_size: int = 32,
+                 concurrency=(1, 4)):
+    """Actor-pool audio frame-sampling stage (stubbed codec, real plumbing)."""
+    return ds.map_batches(AudioFrameSampler, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"fake": fake})

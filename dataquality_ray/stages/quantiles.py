@@ -63,26 +63,51 @@ def iqr_outlier_stats(ds, col: str, threshold: float = 1.5) -> dict:
 
 
 def grouped_iqr_rates(ds, col: str, group_col: str,
-                      threshold: float = 1.5) -> pd.DataFrame:
+                      threshold: float = 1.5,
+                      mode: str = "counts") -> pd.DataFrame:
     """Grouped A2: per-group non-outlier rate (a2.py:54-67).
 
-    Shuffles only the (group, value) projection.  Quantile semantics are
-    pandas' inside each group, exactly as the reference.
+    ``counts`` (default): per-batch (group, value, count) partials combined
+    driver-side, quantiles computed exactly from the histogram — NO shuffle.
+    Exact and fast whenever the distinct (group, value) universe is bounded
+    (integer-ish measures, bucketed floats).  ``shuffle``: groupby.map_groups
+    with pandas quantiles per group — the path for unbounded float domains;
+    only the (group, value) projection moves, never full rows.
     """
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        x = g[col]
-        q1, q3 = x.quantile(0.25), x.quantile(0.75)
-        iqr = q3 - q1
-        mask = (x < q1 - threshold * iqr) | (x > q3 + threshold * iqr)
-        return pd.DataFrame({
-            "group_name": [g[group_col].iloc[0]],
-            "non_outlier_rate": [1.0 - mask.mean()],
-        })
+    if mode == "counts":
+        from dataquality_ray.stages.combine import (
+            grouped_value_counts,
+            weighted_quantile,
+        )
 
-    res = (ds.select_columns([group_col, col])
-             .groupby(group_col)
-             .map_groups(per_group, batch_format="pandas")
-             .to_pandas())
+        counts = grouped_value_counts(ds, group_col, col)
+        rows = []
+        for gname, sub in counts.groupby("g", sort=True):
+            v = sub["v"].to_numpy(dtype=np.float64)
+            c = sub["c"].to_numpy(dtype=np.int64)
+            q1, q3 = weighted_quantile(v, c, (0.25, 0.75))
+            iqr = q3 - q1
+            lo, hi = q1 - threshold * iqr, q3 + threshold * iqr
+            n = c.sum()
+            out = c[(v < lo) | (v > hi)].sum()
+            rows.append({"group_name": gname,
+                         "non_outlier_rate": 1.0 - out / n})
+        res = pd.DataFrame(rows, columns=["group_name", "non_outlier_rate"])
+    else:
+        def per_group(g: pd.DataFrame) -> pd.DataFrame:
+            x = g[col]
+            q1, q3 = x.quantile(0.25), x.quantile(0.75)
+            iqr = q3 - q1
+            mask = (x < q1 - threshold * iqr) | (x > q3 + threshold * iqr)
+            return pd.DataFrame({
+                "group_name": [g[group_col].iloc[0]],
+                "non_outlier_rate": [1.0 - mask.mean()],
+            })
+
+        res = (ds.select_columns([group_col, col])
+                 .groupby(group_col)
+                 .map_groups(per_group, batch_format="pandas")
+                 .to_pandas())
     return res.sort_values("group_name").reset_index(drop=True)
 
 

@@ -24,6 +24,41 @@ class ContentScorer:
         return self.ppl(self.langid(batch))
 
 
+class FilterStage:
+    """The whole post-prep flagship chain in ONE actor pool: langid +
+    perplexity + PII scrub + keep/drop decision + duplicate marking.
+
+    Each batch crosses the object store once instead of five times, and the
+    pool's concurrency bounds the pipeline's CPU share in a single knob.
+    ``dup_index_ref=None`` skips the dedup columns (index not built).
+    """
+
+    def __init__(self, content_col: str = "content",
+                 claimed_col: str = "lang", logp_ref=None, dup_index_ref=None):
+        from dataquality_ray.functions.scrub import scrub_batch
+        from dataquality_ray.pipelines.quality_filter import (
+            _apply_dup_batch,
+            _decide_batch,
+        )
+
+        self.scorer = ContentScorer(content_col, claimed_col, logp_ref)
+        self.scrub = scrub_batch
+        self.decide = _decide_batch
+        self.apply_dup = _apply_dup_batch
+        if dup_index_ref is not None:
+            from dataquality_ray.stages.dedup import MarkDuplicates
+
+            self.mark = MarkDuplicates(dup_index_ref=dup_index_ref)
+        else:
+            self.mark = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self.decide(self.scrub(self.scorer(batch)))
+        if self.mark is not None:
+            batch = self.apply_dup(self.mark(batch))
+        return batch
+
+
 def default_pool_size(fraction: float = 0.6) -> int:
     """Fixed actor-pool size from the session's CPUs.  Fixed (not
     autoscaling) because the ramp-up from min=1..2 actors serializes the

@@ -49,9 +49,15 @@ class LineageStore:
 
     # -- lineage records ---------------------------------------------------
     def write_records(self, records: list[dict]) -> None:
-        """One JSON file per partition record, named by a stable key."""
+        """One JSON file per partition record, named by a stable key.
+
+        The key must be deterministic ACROSS PROCESSES (Python's ``hash`` on
+        strings is salted per process) so a crashed-then-resumed run
+        overwrites its partition's record instead of duplicating it."""
+        import hashlib
+
         for rec in records:
-            key = str(abs(hash(rec["partition"])) % 10**12)
+            key = hashlib.sha1(rec["partition"].encode()).hexdigest()[:16]
             path = os.path.join(self.lineage_dir, f"{key}.json")
             fd, tmp = tempfile.mkstemp(dir=self.lineage_dir)
             with os.fdopen(fd, "w") as fh:

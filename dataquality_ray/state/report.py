@@ -1,0 +1,55 @@
+"""Violating-row report writer + run-log records.
+
+The reference writes one versioned CSV per test by probing
+``{base}_v{N}.csv`` until a free name appears (utils/core_operations.py:20-31)
+— racy under parallel writers — and appends run-log rows to a shared XLSX
+(:73-137).  Here every run gets a deterministic run-id directory
+(``reports/<run_id>/<test>/``, parquet, partitioned by block) and run-log
+rows are append-only JSONL, both safe under concurrent runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def report_dir(base_dir: str, run_id: str, test: str) -> str:
+    return os.path.join(base_dir, "reports", run_id, test)
+
+
+def write_report(result, base_dir: str, run_id: str, test: str) -> str:
+    """Write a test's violating-row report table.  ``result`` is either a
+    ray.data.Dataset (written in parallel, one file per block) or a small
+    pandas DataFrame (single parquet file)."""
+    out = report_dir(base_dir, run_id, test)
+    os.makedirs(out, exist_ok=True)
+    if hasattr(result, "write_parquet"):        # Dataset -> parallel sink
+        result.write_parquet(out)
+    else:                                       # small driver-side table
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(result, preserve_index=False),
+                       os.path.join(out, "report.parquet"))
+    return out
+
+
+def append_log(base_dir: str, record: dict) -> str:
+    """Append one run-log row (reference's output_log_score fields re-keyed)
+    as JSONL — O(1) append, no read-modify-write."""
+    os.makedirs(base_dir, exist_ok=True)
+    path = os.path.join(base_dir, "run_log.jsonl")
+    rec = {"run_time": time.strftime("%Y-%m-%d %H:%M:%S"), **record}
+    with open(path, "a") as fh:
+        fh.write(json.dumps(rec, default=str) + "\n")
+    return path
+
+
+def read_log(base_dir: str) -> list[dict]:
+    path = os.path.join(base_dir, "run_log.jsonl")
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return [json.loads(line) for line in fh if line.strip()]

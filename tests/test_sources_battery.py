@@ -1,0 +1,155 @@
+"""Sources (CSV fallback), report writer, DQ battery, lineage stable keys,
+audio stub plumbing."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_csv_utf8_and_cp1252_fallback(tmp_path):
+    from dataquality_ray.sources.readers import read_table
+
+    p1 = tmp_path / "plain.csv"
+    p1.write_text("a,b\n1,x\n2,y\n", encoding="utf-8-sig")
+    out = read_table(str(p1)).to_pandas()
+    assert list(out.columns) == ["a", "b"]
+    assert out["a"].tolist() == [1, 2]
+
+    p2 = tmp_path / "legacy.csv"
+    p2.write_bytes("a,name\n1,caf\xe9\n".encode("cp1252"))  # invalid UTF-8
+    out2 = read_table(str(p2)).to_pandas()
+    assert out2["name"].tolist() == ["café"]
+
+
+def test_read_table_prunes_columns(tmp_path):
+    from dataquality_ray.sources.readers import read_table
+
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"], "c": [0.1, 0.2]}),
+                   tmp_path / "t.parquet")
+    ds = read_table(str(tmp_path / "t.parquet"), columns=["a", "c"])
+    assert ds.schema().names == ["a", "c"]
+
+
+def test_report_writer_and_log(tmp_path):
+    from dataquality_ray.state.report import (
+        append_log,
+        read_log,
+        write_report,
+    )
+
+    df = pd.DataFrame({"row": [1, 2], "bad": [True, False]})
+    out = write_report(df, str(tmp_path), "run1", "A1")
+    assert os.path.exists(os.path.join(out, "report.parquet"))
+
+    ds = rd.from_items([{"row": 1}, {"row": 2}])
+    out2 = write_report(ds, str(tmp_path), "run1", "U1")
+    assert any(f.endswith(".parquet") for f in os.listdir(out2))
+
+    append_log(str(tmp_path), {"test": "A1", "score": 0.9})
+    append_log(str(tmp_path), {"test": "U1", "score": None})
+    log = read_log(str(tmp_path))
+    assert [r["test"] for r in log] == ["A1", "U1"]
+
+
+def test_lineage_record_key_is_cross_process_stable(tmp_path):
+    """hash() is salted per process; record filenames must not be."""
+    code = (
+        "from dataquality_ray.state.lineage import LineageStore; "
+        f"s = LineageStore({str(tmp_path)!r}); "
+        "s.write_records([{'partition': 'shard-7', 'kept': 1}])"
+    )
+    env = dict(os.environ)
+    for seed in ("101", "202"):
+        env["PYTHONHASHSEED"] = seed
+        subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                       cwd="/root/repo")
+    files = [f for f in os.listdir(tmp_path / "lineage") if f.endswith(".json")]
+    assert len(files) == 1  # same partition -> same file, overwritten
+
+
+def test_battery_rollup_and_error_isolation(ray_session, tmp_path):
+    from dataquality_ray.pipelines.battery import run_battery
+
+    ds = rd.from_arrow(pa.table({
+        "x": [1.0, 2.0, None, 4.0],
+        "y": ["a", "b", "b", "c"],
+    }))
+
+    def good(d):
+        return {"score": 0.5, "table": pd.DataFrame({"v": [1]})}
+
+    def bad(d):
+        raise KeyError("missing column")
+
+    res = run_battery(ds, [("G1", "Accuracy", good), ("B1", "Accuracy", bad),
+                           ("G2", "Completeness", good)],
+                      report_base=str(tmp_path), run_id="t")
+    # Accuracy = mean(0.5, 0 for failed) = 0.25; Completeness = 0.5
+    by_dim = {d["dimension"]: d["score"] for d in res["dimension_scores"]}
+    assert abs(by_dim["Accuracy"] - 0.25) < 1e-12
+    assert abs(by_dim["Completeness"] - 0.5) < 1e-12
+    assert "B1" in res["errors"]
+    assert res["grade"] == "Needs Improvement"
+    from dataquality_ray.state.report import read_log
+
+    assert len(read_log(str(tmp_path))) == 3
+
+
+def test_audio_stub_plumbing(ray_session):
+    from dataquality_ray.stages.multimodal import (
+        sample_audio,
+        synthesize_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_media_table(24, seed=1))
+    audio = media.filter(expr="mime_type == 'audio/wav'")
+    out = sample_audio(audio, fake=True).to_pandas()
+    assert set(["media_id", "sample_rate", "n_samples",
+                "frame_energy"]) <= set(out.columns)
+    assert (out["sample_rate"].isin([8000, 16000, 44100])).all()
+    assert all(len(f) == 8 for f in out["frame_energy"])
+    # deterministic across calls
+    out2 = sample_audio(audio, fake=True).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("media_id").reset_index(drop=True),
+        out2.sort_values("media_id").reset_index(drop=True))
+
+
+def test_combiner_matches_shuffle_groupby(ray_session):
+    from dataquality_ray.stages.combine import combine_groupby
+
+    df = pd.DataFrame({"k": ["a", "b", "a", "c", "b", "a"],
+                       "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    ds = rd.from_pandas(df).repartition(3)
+    got = (combine_groupby(ds, ["k"], {
+        "s": ("v", "sum"), "n": ("v", "count"),
+        "mn": ("v", "min"), "mx": ("v", "max")})
+        .sort_values("k").reset_index(drop=True))
+    exp = (df.groupby("k")
+             .agg(s=("v", "sum"), n=("v", "count"),
+                  mn=("v", "min"), mx=("v", "max"))
+             .reset_index())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_weighted_quantile_matches_numpy():
+    import numpy as np
+
+    from dataquality_ray.stages.combine import weighted_quantile
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 30, size=200).astype(float)
+    uniq, counts = np.unique(vals, return_counts=True)
+    for q in (0.25, 0.5, 0.75, 0.9):
+        got = weighted_quantile(uniq, counts, q)[0]
+        exp = np.quantile(vals, q)
+        assert abs(got - exp) < 1e-12
