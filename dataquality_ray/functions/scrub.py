@@ -53,27 +53,53 @@ def scrub_text(text: str) -> tuple[str, int]:
     return text, hits
 
 
+# Vectorized SUPERSET prefilters (RE2-safe: no backreferences): a row that
+# matches none of these cannot match any PII_PATTERNS pattern, so only
+# candidate rows pay the exact Python pass.  (substring > regex where it can.)
+_PREFILTER_SUBSTR = ["@", "AKIA", "-----BEGIN"]
+_PREFILTER_REGEX = (
+    r"sk_live|sk_test|ghp_|gho_|xox[bpas]_"
+    r"|\d+\.\d+\.\d+\.\d+"
+    r"|(?i:\b(?:password|passwd|pwd|secret|api_key|token)\b\s*[:=])"
+)
+
+
+def _candidate_mask(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    mask = None
+    for s in _PREFILTER_SUBSTR:
+        m = pc.match_substring(arr, s)
+        mask = m if mask is None else pc.or_kleene(mask, m)
+    mask = pc.or_kleene(mask, pc.match_substring_regex(arr, _PREFILTER_REGEX))
+    return np.asarray(pc.fill_null(mask, False).to_numpy(zero_copy_only=False),
+                      dtype=bool)
+
+
 def scrub_batch(batch: pa.Table, col: str = "content") -> pa.Table:
     """Replace ``col`` with scrubbed text; append pii_count and scrubbed.
 
-    re.subn is C-level per document; a cheap vectorized prefilter
-    (``first_hit``) skips documents with no candidate matches at all, which is
-    the common case at scale.
+    A vectorized Arrow prefilter (superset patterns, one C-level pass each)
+    selects candidate rows; the exact Python ``re.subn`` pass runs ONLY on
+    those — the common case at scale is that most rows skip it entirely.
     """
-    docs = batch[col].to_pylist()
-    out = []
-    counts = np.zeros(len(docs), dtype=np.int64)
-    changed = np.zeros(len(docs), dtype=bool)
-    for i, doc in enumerate(docs):
-        if doc is None:
-            out.append(None)
-            continue
-        s, n = scrub_text(doc)
-        out.append(s)
-        counts[i] = n
-        changed[i] = n > 0 and s != doc
-    idx = batch.schema.get_field_index(col)
-    batch = batch.set_column(idx, col, pa.array(out, type=pa.string()))
+    n_rows = len(batch)
+    cand = _candidate_mask(batch[col])
+    counts = np.zeros(n_rows, dtype=np.int64)
+    changed = np.zeros(n_rows, dtype=bool)
+    if cand.any():
+        docs = batch[col].to_pylist()
+        out = list(docs)
+        for i in np.nonzero(cand)[0]:
+            doc = docs[i]
+            if doc is None:
+                continue
+            s, n = scrub_text(doc)
+            out[i] = s
+            counts[i] = n
+            changed[i] = n > 0 and s != doc
+        idx = batch.schema.get_field_index(col)
+        batch = batch.set_column(idx, col, pa.array(out, type=pa.string()))
     return (
         batch
         .append_column("pii_count", pa.array(counts))

@@ -118,7 +118,7 @@ def _apply_dup_batch(batch: pa.Table) -> pa.Table:
 
 
 def label_pipeline(ds, *, dup_index_ref=None, scorer_concurrency=None,
-                   batch_size: int = 512):
+                   batch_size: int = 2048):
     """Attach all label columns to a (repo,path,commit,lang,content) Dataset.
 
     ``batch_size`` is moderate because ``content`` rows are wide (SURVEY §7.2).
@@ -187,12 +187,19 @@ def _expand_files(input_path: str | list[str]) -> list[str]:
 def run_quality_filter(input_path: str | list[str], run_dir: str, *,
                        chunk_files: int | None = None,
                        dedup: bool = True,
-                       batch_size: int = 512) -> dict:
+                       batch_size: int = 2048) -> dict:
     """End-to-end resumable run: label + scrub + write + lineage.
 
-    Resume unit = input file.  Files already in the manifest are skipped at
-    the read; each chunk of files is one streaming Dataset execution whose
-    completion is committed atomically (state/lineage.py).
+    Partition/lineage unit = one CHUNK of input files (``chunk_files`` per
+    chunk; default = everything in one chunk).  Each chunk is ONE
+    ``read_parquet`` over its file list — never a per-file union, whose
+    O(files) read operators collapse the scheduler (measured 25x slower at
+    128 files) — tagged with a constant ``_srcfile=chunk-<key>`` column.
+    The chunk's lineage record lists its input shards, rule version, and
+    keep/drop counts; the manifest is keyed by FILE, so resume skips any
+    file whose chunk committed and reprocesses the rest.  ``chunk_files``
+    bounds both resume granularity and the object-store footprint of the
+    materialized chunk at scale.
     """
     import ray.data as rd
 
@@ -212,31 +219,22 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
 
     for chunk in chunks:
         chunk_key = hashlib.sha1("\x00".join(chunk).encode()).hexdigest()[:12]
-        out_dir = os.path.join(run_dir, "data", f"chunk-{chunk_key}")
-        srcfile_col = "_srcfile"
-        # Tag every row with its source file (the resume/lineage unit).
-        # Ray's include_paths=True would be the obvious tool, but its added
-        # column is hard-named 'path' and collides with the corpus's own
-        # 'path' column, so we union per-file reads with a constant column.
-        blocks_per_file = max(1, _target_blocks(chunk) // len(chunk))
-        pieces = []
-        for f in chunk:
-            piece = rd.read_parquet(
-                f, override_num_blocks=blocks_per_file).map_batches(
-                _make_srcfile_tagger(f), batch_format="pyarrow",
-                batch_size=batch_size,
-            )
-            pieces.append(piece)
-        ds = pieces[0].union(*pieces[1:]) if len(pieces) > 1 else pieces[0]
+        partition = f"chunk-{chunk_key}"
+        out_dir = os.path.join(run_dir, "data", partition)
+        ds = rd.read_parquet(chunk, override_num_blocks=_target_blocks(chunk))
+        ds = ds.map_batches(_make_srcfile_tagger(partition),
+                            batch_format="pyarrow", batch_size=batch_size)
         labeled = label_pipeline(ds, dup_index_ref=dup_ref, batch_size=batch_size)
+        # Pin the labeled chunk once so write + lineage both consume the same
+        # blocks (no recompute, no disk re-read).  Bounded by chunk_files at
+        # scale; the object store spills if a chunk exceeds memory.
+        labeled = labeled.materialize()
         labeled.write_parquet(out_dir)
 
-        # Per-file lineage metrics: tiny projection -> one small groupby.
-        out = rd.read_parquet(out_dir, columns=[
-            srcfile_col, "keep", "scrubbed", "pii_count", "is_dup"]
-            if dedup else [srcfile_col, "keep", "scrubbed", "pii_count"])
-        stats = _lineage_stats(out, srcfile_col, dedup)
-        store.write_records(stats)
+        rec = _chunk_stats(labeled, dedup)
+        rec.update({"partition": partition, "input_shards": chunk,
+                    "rule_version": RULE_VERSION})
+        store.write_records([rec])
         store.commit(chunk)
 
     return summarize_run(run_dir)
@@ -249,37 +247,28 @@ def _make_srcfile_tagger(srcfile: str):
     return tag
 
 
-def _lineage_stats(ds, srcfile_col: str, dedup: bool) -> list[dict]:
-    from dataquality_ray.stages.combine import combine_groupby
+def _chunk_stats(ds, dedup: bool) -> dict:
+    """Scalar keep/drop counts for one chunk: per-batch partial sums combined
+    on the driver — no groupby, no shuffle."""
 
-    def to_int(batch: pa.Table) -> pa.Table:
-        cols = {srcfile_col: batch[srcfile_col]}
-        cols["kept"] = pc.cast(batch["keep"], pa.int64())
-        cols["scrubbed_n"] = pc.cast(batch["scrubbed"], pa.int64())
-        cols["pii_rows"] = pc.cast(pc.greater(batch["pii_count"], 0), pa.int64())
-        cols["dup_rows"] = (pc.cast(batch["is_dup"], pa.int64())
-                            if dedup else pa.array([0] * len(batch)))
-        return pa.table(cols)
-
-    # one partial row per (batch, srcfile) -> driver combine, no shuffle
-    agg = combine_groupby(
-        ds.map_batches(to_int, batch_format="pyarrow"), [srcfile_col],
-        {"rows_in": (srcfile_col, "size"), "kept": ("kept", "sum"),
-         "scrubbed": ("scrubbed_n", "sum"), "pii_rows": ("pii_rows", "sum"),
-         "dup_rows": ("dup_rows", "sum")})
-    recs = []
-    for row in agg.to_dict("records"):
-        recs.append({
-            "partition": row[srcfile_col],
-            "rule_version": RULE_VERSION,
-            "rows_in": int(row["rows_in"]),
-            "kept": int(row["kept"]),
-            "dropped": int(row["rows_in"] - row["kept"]),
-            "scrubbed": int(row["scrubbed"]),
-            "pii_rows": int(row["pii_rows"]),
-            "dup_rows": int(row["dup_rows"]),
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "rows_in": [len(batch)],
+            "kept": [int(pc.sum(pc.cast(batch["keep"], pa.int64())).as_py() or 0)],
+            "scrubbed": [int(pc.sum(pc.cast(batch["scrubbed"], pa.int64())).as_py() or 0)],
+            "pii_rows": [int(pc.sum(pc.cast(pc.greater(batch["pii_count"], 0),
+                                            pa.int64())).as_py() or 0)],
+            "dup_rows": [int(pc.sum(pc.cast(batch["is_dup"], pa.int64())).as_py() or 0)
+                         if dedup else 0],
         })
-    return recs
+
+    cols = ["keep", "scrubbed", "pii_count"] + (["is_dup"] if dedup else [])
+    parts = (ds.select_columns(cols)
+               .map_batches(partial, batch_format="pyarrow").take_all())
+    tot = {k: int(sum(int(p[k]) for p in parts))
+           for k in ("rows_in", "kept", "scrubbed", "pii_rows", "dup_rows")}
+    tot["dropped"] = tot["rows_in"] - tot["kept"]
+    return tot
 
 
 def summarize_run(run_dir: str) -> dict:

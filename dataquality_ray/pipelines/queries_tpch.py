@@ -161,3 +161,34 @@ def sessionize(sf_dir: str):
     out = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
              .to_pandas())
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Salted-groupby supplier stats: the skew-safe SHUFFLE path (north rule) —
+# exact vs the oracle even though each key is split across salt sub-keys
+# ---------------------------------------------------------------------------
+
+@query("supplier_stats_salted", sql="""
+SELECT l_suppkey,
+       round(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS n_items,
+       round(min(l_quantity), 2) AS min_qty,
+       round(max(l_quantity), 2) AS max_qty
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+""")
+def supplier_stats_salted(sf_dir: str):
+    from dataquality_ray.stages.shuffle import salted_groupby_agg
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_quantity"])
+    out = salted_groupby_agg(ds, "l_suppkey", {
+        "revenue": ("l_extendedprice", "sum"),
+        "n_items": ("l_extendedprice", "count"),
+        "min_qty": ("l_quantity", "min"),
+        "max_qty": ("l_quantity", "max")}, salt=8)
+    for c in ("revenue", "min_qty", "max_qty"):
+        out[c] = out[c].round(R2)
+    return (out.sort_values("l_suppkey").reset_index(drop=True)
+            [["l_suppkey", "revenue", "n_items", "min_qty", "max_qty"]])

@@ -71,19 +71,33 @@ def cramers_v_matrix(ds, columns: list[str], bias_correction: bool = False,
     the reference has no such bound because it is single-machine.
     """
     pairs = list(itertools.combinations(range(len(columns)), 2))
-    counts: dict[tuple[int, int], dict[tuple, int]] = {p: {} for p in pairs}
-    for batch in ds.select_columns(columns).iter_batches(batch_format="pandas"):
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
         cols = [batch[c].astype(str) for c in columns]
+        frames = []
         for (i, j) in pairs:
-            vc = pd.crosstab(cols[i], cols[j])
-            d = counts[(i, j)]
-            for (a, b), v in vc.stack().items():
-                if v:
-                    d[(a, b)] = d.get((a, b), 0) + int(v)
-            if len(d) > max_categories:
-                raise ValueError(
-                    f"contingency table for ({columns[i]},{columns[j]}) "
-                    f"exceeds {max_categories} cells")
+            g = (pd.DataFrame({"a": cols[i], "b": cols[j]})
+                   .groupby(["a", "b"], sort=False).size().rename("c")
+                   .reset_index())
+            g.insert(0, "j", j)
+            g.insert(0, "i", i)
+            frames.append(g)
+        return pd.concat(frames, ignore_index=True)
+
+    # per-batch contingency partials (tiny: distinct (a,b) cells only) are
+    # combined on the driver — the rows themselves never move
+    combined = (ds.select_columns(columns)
+                  .map_batches(partial, batch_format="pandas")
+                  .to_pandas()
+                  .groupby(["i", "j", "a", "b"], sort=False)["c"].sum())
+    counts: dict[tuple[int, int], dict[tuple, int]] = {p: {} for p in pairs}
+    for (i, j, a, b), v in combined.items():
+        d = counts[(i, j)]
+        d[(a, b)] = int(v)
+        if len(d) > max_categories:
+            raise ValueError(
+                f"contingency table for ({columns[i]},{columns[j]}) "
+                f"exceeds {max_categories} cells")
     k = len(columns)
     m = np.eye(k)
     for (i, j), d in counts.items():

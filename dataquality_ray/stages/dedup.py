@@ -29,12 +29,11 @@ import ray
 
 
 def _partial_agg(batch: pa.Table, sha_col: str, id_col: str) -> pa.Table:
-    df = pd.DataFrame({"sha": batch[sha_col].to_pylist(),
-                       "id": batch[id_col].to_numpy(zero_copy_only=False)})
-    g = df.groupby("sha")["id"].agg(["min", "count"]).reset_index()
-    return pa.table({"sha": pa.array(g["sha"], pa.string()),
-                     "min_id": pa.array(g["min"].astype(np.int64)),
-                     "count": pa.array(g["count"].astype(np.int64))})
+    # pure-Arrow group_by (C++ hash agg) — no pandas conversion in the hot pass
+    g = (pa.table({"sha": batch[sha_col], "id": batch[id_col]})
+         .group_by("sha")
+         .aggregate([("id", "min"), ("id", "count")]))
+    return g.rename_columns(["sha", "min_id", "count"])
 
 
 def compute_dup_index(ds, sha_col: str = "content_sha256",
@@ -42,14 +41,18 @@ def compute_dup_index(ds, sha_col: str = "content_sha256",
     """Return a broadcast ref of {sha -> canonical row_id} for groups with
     more than one member."""
     if mode == "combine":
-        parts = (ds.map_batches(
-                    lambda b: _partial_agg(b, sha_col, id_col),
-                    batch_format="pyarrow")
-                 .to_pandas())
-        g = parts.groupby("sha").agg(min_id=("min_id", "min"),
-                                     count=("count", "sum"))
-        dups = g[g["count"] > 1]
-        mapping = dups["min_id"].to_dict()
+        import pyarrow.compute as pc
+
+        parts = pa.concat_tables(
+            ds.map_batches(lambda b: _partial_agg(b, sha_col, id_col),
+                           batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow", batch_size=None))
+        g = (parts.group_by("sha")
+             .aggregate([("min_id", "min"), ("count", "sum")])
+             .rename_columns(["sha", "min_id", "count"]))
+        dups = g.filter(pc.greater(g["count"], 1))
+        mapping = dict(zip(dups["sha"].to_pylist(),
+                           dups["min_id"].to_pylist()))
     elif mode == "shuffle":
         from ray.data.aggregate import Count, Min
 

@@ -63,8 +63,8 @@ def default_pool_size(fraction: float = 0.6) -> int:
     """Fixed actor-pool size from the session's CPUs.  Fixed (not
     autoscaling) because the ramp-up from min=1..2 actors serializes the
     early batches; leave headroom for read/write/task stages so the pool
-    doesn't starve them."""
+    doesn't starve them — never take the session's last CPU."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(2, int(cpus * fraction))
+    return max(1, min(cpus - 1, int(cpus * fraction)))

@@ -1,0 +1,76 @@
+"""Skew-aware shuffle helpers (north rule: "per-repo skew is handled with
+salted groupby + repartition before stateful stages").
+
+A plain ``Dataset.groupby(key)`` sends EVERY row of a hot key (the mega-repo
+in a Zipf-skewed corpus) to one reduce task; salting splits each key into
+``salt`` sub-keys so reduce work spreads across the cluster, and a second,
+tiny combine over (key, salt) partials restores exact results.  Valid for
+algebraic aggregates (sum/count/min/max); holistic aggregates (quantiles)
+cannot be salted — see stages/quantiles.py for the counts-based alternative.
+
+For bounded key spaces prefer stages/combine.py (no shuffle at all); the
+salted path is for key spaces too large to combine driver-side but skewed
+enough that an unsalted shuffle would straggle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_PARTIAL = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
+_COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def salted_groupby_agg(ds, key: str, aggs: dict[str, tuple[str, str]],
+                       salt: int = 16) -> pd.DataFrame:
+    """Two-stage exact grouped aggregation under key skew.
+
+    Stage 1 shuffles on ``(key, _salt)`` — a hot key's rows land on up to
+    ``salt`` different reduce tasks.  Stage 2 merges the |keys| x salt
+    partial rows (tiny) into final per-key values.
+    ``aggs``: {out_col: (in_col, fn)}, fn in sum/count/min/max.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    for out, (_, fn) in aggs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"unsupported agg {fn!r} for {out!r}")
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_salt", pa.array(np.arange(len(batch)) % salt))
+
+    ray_aggs = []
+    for out, (col, fn) in aggs.items():
+        cls = {"sum": Sum, "count": Count, "min": Min, "max": Max}[fn]
+        ray_aggs.append(cls(col, alias_name=out))
+
+    partials = (ds.map_batches(add_salt, batch_format="pyarrow")
+                  .groupby([key, "_salt"])
+                  .aggregate(*ray_aggs)
+                  .to_pandas())
+    if not len(partials):
+        return pd.DataFrame(columns=[key] + list(aggs))
+    g = partials.groupby(key, sort=False)
+    return pd.DataFrame(
+        {out: g[out].agg(_COMBINE[fn])
+         for out, (_, fn) in aggs.items()}).reset_index()
+
+
+def rebalance(ds, rows_per_block: int | None = None, num_blocks: int | None = None):
+    """Repartition before a stateful actor stage so block sizes are even and
+    every actor in the pool gets work — the "repartition before stateful
+    stages" half of the north-rule skew handling."""
+    import ray
+
+    if num_blocks is None:
+        if rows_per_block:
+            n = max(1, ds.count() // rows_per_block)
+        else:
+            cpus = (int(ray.cluster_resources().get("CPU", 8))
+                    if ray.is_initialized() else 8)
+            n = 2 * cpus
+        num_blocks = n
+    return ds.repartition(num_blocks)

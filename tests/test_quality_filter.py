@@ -102,7 +102,14 @@ def test_lineage_counts_match_output(run):
     m = run["merged"]
     assert s["rows_in"] == N_ROWS
     assert s["kept"] == int(m["keep"].sum())
-    assert s["partitions"] == 3
+    # default chunking: all files -> ONE chunk partition whose lineage
+    # record lists the 3 input shards
+    assert s["partitions"] == 1
+    from dataquality_ray.state.lineage import LineageStore
+
+    recs = LineageStore(run["run_dir"]).read_records()
+    assert len(recs) == 1 and len(recs[0]["input_shards"]) == 3
+    assert recs[0]["rule_version"]
 
 
 def test_resume_skips_completed_and_is_exact(tmp_path):

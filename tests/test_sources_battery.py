@@ -153,3 +153,27 @@ def test_weighted_quantile_matches_numpy():
         got = weighted_quantile(uniq, counts, q)[0]
         exp = np.quantile(vals, q)
         assert abs(got - exp) < 1e-12
+
+
+def test_salted_groupby_matches_plain(ray_session):
+    import numpy as np
+
+    from dataquality_ray.stages.shuffle import rebalance, salted_groupby_agg
+
+    rng = np.random.RandomState(3)
+    # Zipf-ish skew: one hot key with most rows
+    keys = np.where(rng.rand(5000) < 0.7, "hot",
+                    rng.choice(list("abcdef"), 5000))
+    df = pd.DataFrame({"k": keys, "v": rng.rand(5000)})
+    ds = rd.from_pandas(df).repartition(8)
+    got = (salted_groupby_agg(ds, "k", {
+        "s": ("v", "sum"), "n": ("v", "count"),
+        "mn": ("v", "min"), "mx": ("v", "max")}, salt=4)
+        .sort_values("k").reset_index(drop=True))
+    exp = (df.groupby("k").agg(s=("v", "sum"), n=("v", "count"),
+                               mn=("v", "min"), mx=("v", "max"))
+             .reset_index())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=False, rtol=1e-12)
+
+    assert rebalance(ds, num_blocks=4).materialize().num_blocks() == 4
