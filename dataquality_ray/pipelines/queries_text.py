@@ -339,3 +339,53 @@ def multimodal_audio_q(sf_dir: str):
     out = sampled.select_columns(
         ["media_id", "mime_type", "sample_rate", "n_samples"]).to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# n-gram (word-trigram) Jaccard similarity — exact, SQL-checkable on fixed
+# pairs (doc i vs i+1); the LSH-candidate variant is dedup_minhash
+# ---------------------------------------------------------------------------
+
+@query("ngram_jaccard_pairs", sql="""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id <= 100
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       floor(len(list_intersect(a.shingles, b.shingles)) * 1.0
+             / len(list_distinct(list_concat(a.shingles, b.shingles)))
+             * 1000000) / 1000000 AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id < 100
+ORDER BY id_a
+""")
+def ngram_jaccard_q(sf_dir: str):
+    from dataquality_ray.stages.minhash import word_shingle_set
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr="doc_id <= 100")
+
+    def extract(batch: pa.Table) -> pa.Table:
+        sets = [sorted(word_shingle_set(t or "", 3))
+                for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "shingles": pa.array(sets, pa.list_(pa.string()))})
+
+    rows = extract and (ds.map_batches(extract, batch_format="pyarrow")
+                        .to_pandas().set_index("doc_id")["shingles"])
+    out = []
+    for i in range(100):
+        a, b = set(rows[i]), set(rows[i + 1])
+        inter = len(a & b)
+        # floor-truncate: round-half ties diverge between Python
+        # (half-even) and DuckDB (half-away)
+        out.append({"id_a": i, "id_b": i + 1,
+                    "jaccard": np.floor(inter / len(a | b) * 1e6) / 1e6})
+    return pd.DataFrame(out)

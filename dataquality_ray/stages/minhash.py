@@ -27,6 +27,15 @@ def _hash64(s: str) -> int:
                           "big")
 
 
+def word_shingle_set(text: str, k: int = 3) -> set[str]:
+    """Distinct word k-gram shingles as raw strings (exact-Jaccard path;
+    ``shingle_hashes`` is the hashed variant the MinHash sketch consumes)."""
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Word k-gram shingles as uint64 hashes."""
     toks = text.split()
