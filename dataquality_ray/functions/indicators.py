@@ -1,0 +1,108 @@
+"""Reference-named report indicator columns, as vectorized batch kernels.
+
+The reference's report tables are the ORIGINAL rows augmented with boolean
+indicator columns (SURVEY §1); the exact names and semantics are
+reproduced here so a reference user can read our reports unchanged:
+
+- ``{col}_Only_Numbers`` — False iff the cell contains symbols; original
+  nulls/blanks count as True (not violations) —
+  utils/table_operations.py:13-23 + utils/column_operations.py:15-35.
+- ``{start}_after_{end}`` — True iff start > end with both present —
+  dimensions/accuracy/a4.py:40-50.
+- ``{col}_inconsistent`` — True iff the string fails strftime parsing —
+  dimensions/consistency/c4.py + utils/item_operations.py:54-60.
+- ``{col}_invalid`` — True iff a coordinate is out of bounds —
+  dimensions/consistency/c5.py:38-72.
+- ``{col}_comparison`` — membership vs a reference value set, nulls True —
+  utils/column_operations.py:93-102.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def only_numbers_columns(batch: pd.DataFrame,
+                         columns: list[str]) -> pd.DataFrame:
+    for col in columns:
+        s = batch[col]
+        blank = s.isna() | (s.astype(str).str.strip() == "")
+        coerced = pd.to_numeric(s, errors="coerce")
+        # blank/null -> True (pre-existing nulls are not symbol violations)
+        batch[f"{col}_Only_Numbers"] = np.where(blank, True, ~coerced.isna())
+    return batch
+
+
+def chronology_columns(batch: pd.DataFrame,
+                       pairs: list[tuple[str, str]]) -> pd.DataFrame:
+    for start, end in pairs:
+        s, e = batch[start], batch[end]
+        batch[f"{start}_after_{end}"] = ~((e >= s) | e.isna() | s.isna())
+    return batch
+
+
+def datetime_format_columns(batch: pd.DataFrame, columns: list[str],
+                            fmt: str = "%Y-%m-%d") -> pd.DataFrame:
+    def bad(v) -> bool:
+        if pd.isna(v):
+            return False
+        try:
+            datetime.strptime(str(v), fmt)
+            return False
+        except ValueError:
+            return True
+
+    for col in columns:
+        batch[f"{col}_inconsistent"] = batch[col].map(bad)
+    return batch
+
+
+# c5.py:42-43,50-52 — global vs Pacific-region coordinate bounds
+_BOUNDS = {
+    None: {"lat": (-90.0, 90.0), "long": (-180.0, 180.0)},
+    "Pacific": {"lat": (48.3094, 68.7081), "long": (-141.0141, -114.0546)},
+}
+
+
+def coordinate_invalid_columns(batch: pd.DataFrame, columns: list[str],
+                               region: str | None = None) -> pd.DataFrame:
+    import re
+
+    bounds = _BOUNDS[region]
+    for col in columns:
+        # role picked by regex on the COLUMN NAME, as the reference does
+        # (c5.py:45-47)
+        role = "lat" if re.search(r"lat", col, re.I) else "long"
+        lo, hi = bounds[role]
+        v = pd.to_numeric(batch[col], errors="coerce")
+        batch[f"{col}_invalid"] = ~((v >= lo) & (v <= hi)) & ~v.isna()
+    return batch
+
+
+def comparison_columns(batch: pd.DataFrame, col: str,
+                       value_set: set) -> pd.DataFrame:
+    s = batch[col]
+    batch[f"{col}_comparison"] = np.where(s.isna(), True, s.isin(value_set))
+    return batch
+
+
+def violating_rows(ds, kernel, flag_cols: list[str],
+                   invert: list[str] | None = None):
+    """The reference report shape: original rows (plus indicators) filtered
+    to those violating ANY flag.  ``invert`` lists flags where False means
+    violation (e.g. Only_Numbers)."""
+    invert = set(invert or [])
+
+    def mark_and_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = kernel(batch)
+        mask = np.zeros(len(batch), dtype=bool)
+        for f in flag_cols:
+            v = batch[f].to_numpy(dtype=bool)
+            mask |= (~v if f in invert else v)
+        return batch[mask]
+
+    return ds.map_batches(mark_and_filter, batch_format="pandas")

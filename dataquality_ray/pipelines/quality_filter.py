@@ -37,6 +37,7 @@ from dataquality_ray.stages.perplexity import PPL_THRESHOLD
 from dataquality_ray.state.lineage import LineageStore
 
 DROP_RULES = [
+    "rule_null_content",
     "rule_long_lines",
     "rule_repetitive",
     "rule_autogen",
@@ -68,6 +69,7 @@ def _prep_batch(batch: pa.Table) -> pa.Table:
 def _decide_batch(batch: pa.Table) -> pa.Table:
     """Combine violation flags into keep + drop_reasons."""
     flags = heuristic_violations(batch)
+    flags["rule_null_content"] = pc.is_null(batch["content"])
     flags["lang_mismatch"] = batch["lang_mismatch"]
     flags["rule_high_perplexity"] = pc.greater(batch["perplexity"], PPL_THRESHOLD)
 

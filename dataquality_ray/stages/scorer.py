@@ -31,6 +31,12 @@ class FilterStage:
     Each batch crosses the object store once instead of five times, and the
     pool's concurrency bounds the pipeline's CPU share in a single knob.
     ``dup_index_ref=None`` skips the dedup columns (index not built).
+
+    Per-row error capture (SURVEY §4): a kernel exception never throws away
+    the batch — the batch is bisected until the poison rows are isolated,
+    which come out labeled ``keep=False, drop_reasons='error:<Type>'`` with
+    null scores, while every healthy row is scored normally.  One corrupt
+    document cannot kill a 100 TB chunk or trigger a task-level retry loop.
     """
 
     def __init__(self, content_col: str = "content",
@@ -51,12 +57,49 @@ class FilterStage:
             self.mark = MarkDuplicates(dup_index_ref=dup_index_ref)
         else:
             self.mark = None
+        self._out_schema: pa.Schema | None = None
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _chain(self, batch: pa.Table) -> pa.Table:
         batch = self.decide(self.scrub(self.scorer(batch)))
         if self.mark is not None:
             batch = self.apply_dup(self.mark(batch))
         return batch
+
+    def _error_rows(self, batch: pa.Table, exc: Exception) -> pa.Table:
+        """Fabricate output rows for poison input: input columns preserved,
+        appended columns null, keep=False with the error as drop reason."""
+        if self._out_schema is None:
+            raise exc  # no healthy row seen yet anywhere -> real failure
+        n = len(batch)
+        cols = {}
+        for field in self._out_schema:
+            if field.name in batch.column_names:
+                cols[field.name] = batch[field.name].cast(field.type)
+            elif field.name == "keep":
+                cols[field.name] = pa.array([False] * n, pa.bool_())
+            elif field.name == "drop_reasons":
+                reason = f"error:{type(exc).__name__}"
+                cols[field.name] = pa.array([reason] * n, pa.string())
+            else:
+                cols[field.name] = pa.nulls(n, field.type)
+        return pa.table(cols).cast(self._out_schema)
+
+    def _safe(self, batch: pa.Table) -> pa.Table:
+        try:
+            out = self._chain(batch)
+            if self._out_schema is None:
+                self._out_schema = out.schema
+            return out
+        except Exception as exc:
+            if len(batch) == 1:
+                return self._error_rows(batch, exc)
+            mid = len(batch) // 2
+            halves = [self._safe(batch.slice(0, mid)),
+                      self._safe(batch.slice(mid))]
+            return pa.concat_tables(halves)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._safe(batch)
 
 
 def default_pool_size(fraction: float = 0.6) -> int:

@@ -160,3 +160,30 @@ def test_resume_after_partial_manifest(tmp_path):
     out = rd.read_parquet(os.path.join(run_dir, "data")).to_pandas()
     assert len(out) == 400
     assert out[["repo", "path", "commit"]].drop_duplicates().shape[0] == 400
+
+
+def test_null_and_empty_content_rows(ray_session):
+    """Null content must drop with an explicit reason (not crash or pass);
+    empty content drops via heuristics; sha256 is null only for null rows."""
+    import pyarrow as pa
+
+    from dataquality_ray.pipelines.quality_filter import (
+        build_dup_index,
+        label_pipeline,
+    )
+
+    tbl = pa.table({
+        "repo": ["r1", "r1", "r2"],
+        "path": ["a.py", "b.py", "c.py"],
+        "commit": ["c1", "c2", "c3"],
+        "lang": ["py", None, "py"],
+        "content": ["def f():\n    return 1\n", None, ""],
+    })
+    dup_ref = build_dup_index(rd.from_arrow(tbl))
+    out = (label_pipeline(rd.from_arrow(tbl), dup_index_ref=dup_ref)
+           .to_pandas().set_index("path"))
+    assert bool(out.loc["a.py", "keep"])
+    assert not bool(out.loc["b.py", "keep"])
+    assert "null_content" in out.loc["b.py", "drop_reasons"]
+    assert out.loc["b.py", "content_sha256"] is None
+    assert not bool(out.loc["c.py", "keep"])
