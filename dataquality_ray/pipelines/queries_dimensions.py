@@ -440,3 +440,37 @@ def dq_battery_q(sf_dir: str):
     out = pd.DataFrame(rows)
     out["grade"] = out.get("grade", pd.Series(dtype=object)).fillna("")
     return out.sort_values("dimension").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# A4 violating-row REPORT (the reference's report-table shape: original rows
+# + {start}_after_{end} indicator, filtered to violations) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("a4_violations_report", sql="""
+SELECT l_orderkey, l_linenumber, o_orderdate, l_shipdate,
+       true AS o_orderdate_after_l_shipdate
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE NOT (l_shipdate >= o_orderdate
+           OR l_shipdate IS NULL OR o_orderdate IS NULL)
+ORDER BY l_orderkey, l_linenumber
+""")
+def a4_report_q(sf_dir: str):
+    from dataquality_ray.functions.indicators import (
+        chronology_columns,
+        violating_rows,
+    )
+    from dataquality_ray.stages.joins import broadcast_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).to_pandas()
+    orders = orders.rename(columns={"o_orderkey": "l_orderkey"})
+    joined = broadcast_join(li, orders, on="l_orderkey",
+                            value_cols=["o_orderdate"])
+    rep = violating_rows(
+        joined, lambda b: chronology_columns(b, [("o_orderdate", "l_shipdate")]),
+        ["o_orderdate_after_l_shipdate"]).to_pandas()
+    return (rep.sort_values(["l_orderkey", "l_linenumber"])
+               .reset_index(drop=True)
+            [["l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate",
+              "o_orderdate_after_l_shipdate"]])
