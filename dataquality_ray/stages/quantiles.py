@@ -21,12 +21,37 @@ import numpy as np
 import pandas as pd
 
 
-def exact_quantiles(ds, col: str, qs=(0.25, 0.75)) -> dict[float, float]:
+def exact_quantiles(ds, col: str, qs=(0.25, 0.75),
+                    mode: str = "counts") -> dict[float, float]:
     """Exact quantiles of one numeric column (pandas/numpy 'linear' method).
 
     Non-numeric values are coerced out first, mirroring
     pd.to_numeric(errors='coerce').dropna() (a2.py:72-73).
+
+    ``counts`` (default): per-batch (value, count) partials -> driver
+    weighted quantile — exact, and only distinct values move (bounded
+    domains: integers, currencies, bucketed floats).  ``gather``: ship the
+    raw column to the driver — the path for unbounded float domains; 8
+    bytes/row, so one column of 10^9 rows is 8 GB of driver memory.
     """
+    if mode == "counts":
+        from dataquality_ray.stages.combine import weighted_quantile
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            v = pd.to_numeric(batch[col], errors="coerce").dropna()
+            c = v.value_counts(sort=False)
+            return pd.DataFrame({"v": c.index.to_numpy(dtype=np.float64),
+                                 "c": c.to_numpy(dtype=np.int64)})
+
+        parts = (ds.select_columns([col])
+                   .map_batches(partial, batch_format="pandas").to_pandas())
+        if not len(parts):
+            return {q: float("nan") for q in qs}
+        g = parts.groupby("v", sort=False)["c"].sum().reset_index()
+        res = weighted_quantile(g["v"].to_numpy(), g["c"].to_numpy(),
+                                list(qs))
+        return dict(zip(qs, map(float, res)))
+
     parts = []
     for batch in ds.select_columns([col]).iter_batches(batch_format="pandas"):
         vals = pd.to_numeric(batch[col], errors="coerce").dropna().to_numpy(
