@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+These don't need Ray: they pin the algebraic invariants the distributed
+paths rely on — combiner == whole-data result, prefilter soundness,
+normalization idempotence, sketch-vs-exact agreement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+settings.register_profile("fast", max_examples=50, deadline=None)
+settings.load_profile("fast")
+
+
+@given(st.lists(st.integers(min_value=-100, max_value=100),
+                min_size=1, max_size=200),
+       st.floats(min_value=0.0, max_value=1.0))
+def test_weighted_quantile_equals_numpy(vals, q):
+    from dataquality_ray.stages.combine import weighted_quantile
+
+    arr = np.array(vals, dtype=np.float64)
+    uniq, counts = np.unique(arr, return_counts=True)
+    got = weighted_quantile(uniq, counts, q)[0]
+    exp = np.quantile(arr, q)
+    assert abs(got - exp) < 1e-9
+
+
+@given(st.text(max_size=400))
+def test_scrub_prefilter_is_sound(text):
+    """Any text the exact scrubber would modify MUST be selected by the
+    vectorized prefilter (no missed PII)."""
+    import pyarrow as pa
+
+    from dataquality_ray.functions.scrub import (
+        _candidate_mask,
+        scrub_text,
+    )
+
+    scrubbed, hits = scrub_text(text)
+    if hits > 0:
+        mask = _candidate_mask(pa.array([text], pa.string()))
+        assert mask[0], f"prefilter missed: {text!r}"
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               max_size=200))
+def test_normalize_text_idempotent(text):
+    from dataquality_ray.functions.textnorm import normalize_text
+
+    once = normalize_text(text)
+    assert normalize_text(once) == once
+
+
+@given(st.text(max_size=300), st.text(max_size=300))
+def test_minhash_estimates_jaccard(a, b):
+    """MinHash signature agreement must track true shingle Jaccard within
+    sketch tolerance (64 permutations -> se ~ 1/8)."""
+    from dataquality_ray.stages.minhash import (
+        MinHasher,
+        jaccard,
+        shingle_hashes,
+    )
+
+    sa, sb = shingle_hashes(a), shingle_hashes(b)
+    if not len(sa) or not len(sb):
+        return
+    true_j = jaccard(sa, sb)
+    m = MinHasher()
+    siga, sigb = m.signature(a), m.signature(b)
+    est = float((siga == sigb).mean())
+    assert abs(est - true_j) <= 0.45  # 64 perms: >3.5 sigma bound
+
+
+@given(st.lists(st.tuples(st.sampled_from("abc"),
+                          st.floats(min_value=-10, max_value=10,
+                                    allow_nan=False)),
+                min_size=1, max_size=300))
+def test_salted_partial_combine_is_exact(rows):
+    """The stage-2 combine rule (sum/sum, count/sum, min/min, max/max)
+    reproduces the unsalted aggregate for any salt split."""
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    df["salt"] = np.arange(len(df)) % 3
+    partial = df.groupby(["k", "salt"]).agg(
+        s=("v", "sum"), n=("v", "count"), mn=("v", "min"), mx=("v", "max"))
+    combined = partial.groupby("k").agg(
+        s=("s", "sum"), n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+    direct = df.groupby("k").agg(
+        s=("v", "sum"), n=("v", "count"), mn=("v", "min"), mx=("v", "max"))
+    pd.testing.assert_frame_equal(combined, direct, check_exact=False,
+                                  rtol=1e-12)
