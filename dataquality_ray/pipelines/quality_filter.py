@@ -1,18 +1,17 @@
 """The flagship corpus quality-filter pipeline (BASELINE.json north rule).
 
-Stage DAG (all lazy; the streaming executor pipelines blocks with
-backpressure — nothing materializes the full corpus):
+Stage DAG (lazy until the per-chunk materialize; the streaming executor
+pipelines blocks with backpressure):
 
-  read_parquet (pruned)                                    [tasks]
-    -> row_id + content_sha256 + heuristic stats kernel    [tasks, Arrow]
-    -> ContentScorer (langid + perplexity, fused)          [actor pool]
-    -> PII scrub                                           [tasks, Arrow]
-    -> keep/drop decision kernel                           [tasks, Arrow]
-    -> MarkDuplicates (broadcast dup index)                [actor pool]
-    -> write_parquet + per-file lineage records            [sink + tiny groupby]
+  read_parquet (one per CHUNK of files, pruned)            [tasks]
+    -> chunk tag + row_id + sha256 + stats kernel          [tasks, Arrow]
+    -> FilterStage: langid + perplexity + scrub + decide
+       + dup-mark, with per-row poison isolation           [ONE actor pool]
+    -> materialize chunk -> write_parquet + chunk lineage  [sink + partials]
 
-The only shuffle is the exact-dedup index build, and it moves just
-(sha256, row_id) — never content (stages/dedup.py).
+There is NO shuffle anywhere: the exact-dedup index is a map-side combine
+over (sha256, row_id) partials — content never moves (stages/dedup.py) —
+and chunk stats are scalar partial sums.
 
 This subsumes the reference's per-test battery on the code corpus: heuristic
 rules play A1's "wrong stuff in a field" role (dimensions/accuracy/a1.py:45-58),

@@ -84,3 +84,18 @@ def test_lsh_topk_contains_self_and_subsets_bruteforce():
     res = lsh_topk(rd.from_pandas(df).repartition(4), q, dim=16, k=5, bits=4)
     assert 3 in set(res["vec_id"])  # identical vector always shares bucket
     assert len(res) <= 5
+
+
+def test_dup_index_combine_equals_shuffle(ray_session):
+    """Both index-build modes must produce the identical broadcast mapping."""
+    import ray
+    import ray.data as rd
+
+    from dataquality_ray.stages.dedup import compute_dup_index
+
+    rows = [{"content_sha256": f"sha{i % 7}", "row_id": i} for i in range(50)]
+    ds = rd.from_items(rows).repartition(4)
+    m1 = ray.get(compute_dup_index(ds, mode="combine"))
+    m2 = ray.get(compute_dup_index(rd.from_items(rows).repartition(4),
+                                   mode="shuffle"))
+    assert m1 == m2 and len(m1) == 7  # every sha has >1 member
