@@ -389,3 +389,31 @@ def ngram_jaccard_q(sf_dir: str):
         out.append({"id_a": i, "id_b": i + 1,
                     "jaccard": np.floor(inter / len(a | b) * 1e6) / 1e6})
     return pd.DataFrame(out)
+
+
+@query("dedup_minhash_groups")
+def minhash_groups_q(sf_dir: str):
+    """Near-dup GROUPS: MinHash-LSH pairs -> connected components ->
+    canonical keep per group (min doc_id)."""
+    from dataquality_ray.stages.minhash import (
+        minhash_near_dup_pairs,
+        near_dup_keep,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch["doc_id"], 20)
+        sub = batch.filter(mask)
+        texts = [" ".join(t.split()[1:]) for t in sub["text"].to_pylist()]
+        tagged = [t + " tail" for t in texts]
+        # two mutated copies per base doc -> 3-member groups via transitivity
+        return pa.table({
+            "doc_id": pa.chunked_array([pc.add(sub["doc_id"], 1000000),
+                                        pc.add(sub["doc_id"], 2000000)]),
+            "text": pa.array(texts + tagged, pa.string()),
+        })
+
+    mutated = docs.map_batches(mutate, batch_format="pyarrow")
+    pairs = minhash_near_dup_pairs(docs.union(mutated), jaccard_threshold=0.5)
+    return near_dup_keep(pairs)

@@ -301,3 +301,39 @@ def ngram_jaccard_matrix(texts: list[str], k: int = 3) -> np.ndarray:
         for j in range(i + 1, n):
             m[i, j] = m[j, i] = jaccard(sh[i], sh[j])
     return m
+
+
+def connected_components(pairs: pd.DataFrame,
+                         id_a: str = "id_a", id_b: str = "id_b") -> dict:
+    """Union-find over the near-dup candidate PAIRS (driver-side: the pair
+    set is tiny relative to the corpus — it only contains near-duplicates).
+    Returns {doc_id -> group_root}.  At corpus scale where even the pair set
+    overflows one node, the alternative is a few rounds of min-label
+    propagation via groupby (documented in the ray guide); not needed here.
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs[id_a], pairs[id_b]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in set(pairs[id_a]) | set(pairs[id_b])}
+
+
+def near_dup_keep(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Canonical-keep decision per near-dup group: keep = (doc_id == group
+    minimum).  Docs not in any pair are implicitly kept by the caller."""
+    comp = connected_components(pairs)
+    if not comp:
+        return pd.DataFrame(columns=["doc_id", "group_id", "keep"])
+    out = pd.DataFrame({"doc_id": list(comp), "group_id": list(comp.values())})
+    out["keep"] = out["doc_id"] == out["group_id"]
+    return out.sort_values("doc_id").reset_index(drop=True)

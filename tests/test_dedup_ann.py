@@ -99,3 +99,19 @@ def test_dup_index_combine_equals_shuffle(ray_session):
     m2 = ray.get(compute_dup_index(rd.from_items(rows).repartition(4),
                                    mode="shuffle"))
     assert m1 == m2 and len(m1) == 7  # every sha has >1 member
+
+
+def test_connected_components_and_keep():
+    import pandas as pd
+
+    from dataquality_ray.stages.minhash import connected_components, near_dup_keep
+
+    pairs = pd.DataFrame({"id_a": [1, 2, 5, 9], "id_b": [2, 3, 6, 1]})
+    comp = connected_components(pairs)
+    # {1,2,3,9} one group rooted at 1; {5,6} rooted at 5
+    assert comp[1] == comp[2] == comp[3] == comp[9] == 1
+    assert comp[5] == comp[6] == 5
+    keep = near_dup_keep(pairs).set_index("doc_id")
+    assert keep.loc[1, "keep"] and keep.loc[5, "keep"]
+    assert not keep.loc[2, "keep"] and not keep.loc[9, "keep"]
+    assert near_dup_keep(pd.DataFrame(columns=["id_a", "id_b"])).empty
