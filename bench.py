@@ -127,7 +127,9 @@ def run_suite() -> dict:
 
     for name in ("q1_pricing_summary", "a2_iqr_grouped", "event_windows",
                  "dedup_exact", "dedup_minhash", "ann_cosine_topk",
-                 "text_quality_stats", "u1_duplicate_rows", "sessionize"):
+                 "text_quality_stats", "u1_duplicate_rows", "sessionize",
+                 "supplier_stats_salted", "top_customers",
+                 "dedup_embedding_cosine", "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 
     total = time.perf_counter() - t_total0
