@@ -59,6 +59,47 @@ def salted_groupby_agg(ds, key: str, aggs: dict[str, tuple[str, str]],
          for out, (_, fn) in aggs.items()}).reset_index()
 
 
+def partial_shuffle_groupby(ds, key: str, aggs: dict[str, tuple[str, str]],
+                            batch_size: int | None = None) -> pd.DataFrame:
+    """Combiner + distributed reduce: pre-aggregate per key INSIDE each
+    batch (one partial row per key per batch), then ONE ``groupby(key)``
+    shuffle over the partials.
+
+    This is the scale path for key spaces too large for the driver-side
+    merge of ``combine_groupby``: the shuffle moves O(batches x keys)
+    partial rows instead of raw rows, and — because each key contributes at
+    most one row per batch — a hot key's reduce load is bounded by the batch
+    count, so NO salting is needed for algebraic aggregates.  Salting
+    (``salted_groupby_agg``) remains necessary only when raw rows must reach
+    the reducer (holistic aggregations, map_groups logic).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    for out, (_, fn) in aggs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"unsupported agg {fn!r} for {out!r}")
+
+    def batch_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(key, sort=False, dropna=False)
+        cols = {}
+        for out, (col, fn) in aggs.items():
+            cols[out] = g[col].agg("count" if fn == "count" else fn)
+        return pd.DataFrame(cols).reset_index()
+
+    ray_aggs = []
+    for out, (_, fn) in aggs.items():
+        cls = {"sum": Sum, "count": Sum, "min": Min, "max": Max}[fn]
+        ray_aggs.append(cls(out, alias_name=out))
+
+    out_df = (ds.map_batches(
+                  batch_partial, batch_format="pandas",
+                  **({"batch_size": batch_size} if batch_size else {}))
+                .groupby(key)
+                .aggregate(*ray_aggs)
+                .to_pandas())
+    return out_df
+
+
 def rebalance(ds, rows_per_block: int | None = None, num_blocks: int | None = None):
     """Repartition before a stateful actor stage so block sizes are even and
     every actor in the pool gets work — the "repartition before stateful

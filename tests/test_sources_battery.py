@@ -177,3 +177,23 @@ def test_salted_groupby_matches_plain(ray_session):
                                   check_exact=False, rtol=1e-12)
 
     assert rebalance(ds, num_blocks=4).materialize().num_blocks() == 4
+
+
+def test_partial_shuffle_groupby_matches_plain(ray_session):
+    import numpy as np
+
+    from dataquality_ray.stages.shuffle import partial_shuffle_groupby
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"k": rng.choice(list("wxyz"), 3000),
+                       "v": rng.rand(3000)})
+    ds = rd.from_pandas(df).repartition(6)
+    got = (partial_shuffle_groupby(ds, "k", {
+        "s": ("v", "sum"), "n": ("v", "count"),
+        "mn": ("v", "min"), "mx": ("v", "max")})
+        .sort_values("k").reset_index(drop=True))
+    exp = (df.groupby("k").agg(s=("v", "sum"), n=("v", "count"),
+                               mn=("v", "min"), mx=("v", "max"))
+             .reset_index())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=False, rtol=1e-12)
