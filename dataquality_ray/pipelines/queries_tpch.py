@@ -11,6 +11,7 @@ import pyarrow.compute as pc
 from dataquality_ray.pipelines.registry import query
 
 R2 = 2
+R = 6
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -192,3 +193,63 @@ def supplier_stats_salted(sf_dir: str):
         out[c] = out[c].round(R2)
     return (out.sort_values("l_suppkey").reset_index(drop=True)
             [["l_suppkey", "revenue", "n_items", "min_qty", "max_qty"]])
+
+
+# ---------------------------------------------------------------------------
+# Sliding event-time windows (2h size, 1h step): explode + combiner —
+# SQL-checkable via the two-offset union
+# ---------------------------------------------------------------------------
+
+@query("sliding_window_counts", sql="""
+WITH e AS (
+  SELECT cast(floor(epoch(ts)) AS bigint) AS ep, event_type, value FROM events
+), exploded AS (
+  SELECT (ep // 3600) * 3600 - off AS window_start_epoch, event_type, value
+  FROM e CROSS JOIN (VALUES (0), (3600)) offs(off)
+)
+SELECT window_start_epoch, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM exploded
+GROUP BY 1, 2
+ORDER BY 1, 2
+""")
+def sliding_window_counts(sf_dir: str):
+    from dataquality_ray.stages.windows import sliding_window_agg
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = sliding_window_agg(ds, "ts", size_s=7200, step_s=3600,
+                             keys=["event_type"],
+                             aggs={"n": ("value", "count"),
+                                   "sum_value": ("value", "sum")})
+    out["sum_value"] = out["sum_value"].round(R2)
+    return (out.sort_values(["window_start_epoch", "event_type"])
+               .reset_index(drop=True)
+            [["window_start_epoch", "event_type", "n", "sum_value"]])
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's latest prior click —
+# SQL-checkable via DuckDB's native ASOF JOIN
+# ---------------------------------------------------------------------------
+
+@query("event_asof_join", sql="""
+SELECT l.event_id, l.user_id,
+       r.ts AS click_ts, round(r.value, 6) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+""")
+def event_asof_join(sf_dir: str):
+    from dataquality_ray.stages.windows import asof_join
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    out = asof_join(ds, key="user_id", ts_col="ts",
+                    left_filter="purchase", right_filter="click",
+                    right_value_cols={"value": "click_value"},
+                    left_cols=["event_id"])
+    out = out.rename(columns={"click_ts": "click_ts"})
+    out["click_value"] = out["click_value"].round(R)
+    return (out.sort_values("event_id").reset_index(drop=True)
+            [["event_id", "user_id", "click_ts", "click_value"]])

@@ -1,0 +1,93 @@
+"""Windowed aggregates and as-of joins — operators Ray Data lacks natively,
+composed per the documented patterns (ray_guide "Streaming-shaped
+workloads"): tumbling/sliding windows as explode + combine, as-of joins as
+bucket-by-key + sorted ``pd.merge_asof`` inside ``map_groups``.
+
+Partitioning assumptions (stated per the task contract):
+- sliding windows: the (window, keys) result universe fits the map-side
+  combiner (bounded time range x key cardinality); unbounded key spaces
+  should route the partials through ``partial_shuffle_groupby`` instead.
+- as-of join: one KEY's rows (both sides) fit in one ``map_groups`` task —
+  the same assumption any per-key ordered computation makes; skewed keys
+  need time-range sub-bucketing with boundary overlap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def sliding_window_agg(ds, ts_col: str, size_s: int, step_s: int,
+                       keys: list[str], aggs: dict[str, tuple[str, str]],
+                       extra_cols: list[str] | None = None) -> pd.DataFrame:
+    """Sliding event-time windows: each row lands in ``size_s/step_s``
+    windows; windows explode inside ``map_batches`` (vectorized tile/repeat)
+    and aggregate via the map-side combiner — no shuffle.
+
+    Window starts are epoch-second multiples of ``step_s``; a row with
+    timestamp t belongs to every window [s, s+size) with s <= t < s+size.
+    """
+    assert size_s % step_s == 0, "size must be a multiple of step"
+    n_off = size_s // step_s
+    offsets = np.arange(n_off, dtype=np.int64) * step_s
+    cols = list(dict.fromkeys(keys + [c for c, _ in aggs.values()]
+                              + (extra_cols or [])))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(batch[ts_col], pa.int64()),
+                          1_000_000).to_numpy(zero_copy_only=False)
+        n = len(epoch)
+        # anchor = largest step-multiple <= t; window starts walk back
+        anchor = (epoch // step_s) * step_s
+        starts = np.repeat(anchor, n_off) - np.tile(offsets, n)
+        out = {"window_start_epoch": pa.array(starts)}
+        for c in cols:
+            vals = batch[c].to_numpy(zero_copy_only=False)
+            out[c] = pa.array(np.repeat(vals, n_off))
+        return pa.table(out)
+
+    from dataquality_ray.stages.combine import combine_groupby
+
+    return combine_groupby(
+        ds.select_columns(cols + [ts_col]).map_batches(
+            explode, batch_format="pyarrow"),
+        ["window_start_epoch"] + keys, aggs)
+
+
+def asof_join(ds, key: str, ts_col: str,
+              left_filter: str, right_filter: str,
+              right_value_cols: dict[str, str],
+              filter_col: str = "event_type",
+              left_cols: list[str] | None = None) -> pd.DataFrame:
+    """As-of join WITHIN one Dataset: for every left row (``filter_col ==
+    left_filter``), attach the most recent right row (``== right_filter``)
+    of the SAME key at-or-before its timestamp (backward as-of, exact
+    matches allowed — DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics).
+
+    One groupby(key) shuffle of the pruned columns; per-key ordered logic is
+    ``pd.merge_asof`` over the sorted group.
+    """
+    value_cols = list(right_value_cols)
+    need = list(dict.fromkeys(
+        [key, ts_col, filter_col] + (left_cols or []) + value_cols))
+    pruned = ds.select_columns(need)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        left = (g[g[filter_col] == left_filter]
+                .sort_values(ts_col))
+        right = (g[g[filter_col] == right_filter]
+                 .sort_values(ts_col))
+        if not len(left):
+            return pd.DataFrame()
+        rsel = right[[ts_col] + value_cols].rename(
+            columns={ts_col: "_r_ts", **right_value_cols})
+        out = pd.merge_asof(left, rsel, left_on=ts_col, right_on="_r_ts",
+                            direction="backward", allow_exact_matches=True)
+        return out.rename(columns={"_r_ts": f"{right_filter}_ts"})
+
+    return (pruned.groupby(key)
+                  .map_groups(per_key, batch_format="pandas")
+                  .to_pandas())
