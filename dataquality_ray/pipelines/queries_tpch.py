@@ -253,3 +253,27 @@ def event_asof_join(sf_dir: str):
     out["click_value"] = out["click_value"].round(R)
     return (out.sort_values("event_id").reset_index(drop=True)
             [["event_id", "user_id", "click_ts", "click_value"]])
+
+
+# ---------------------------------------------------------------------------
+# Range join: views in the hour right after an error, per user —
+# SQL-checkable as a non-equi interval join
+# ---------------------------------------------------------------------------
+
+@query("event_range_join", sql="""
+SELECT l.user_id, l.event_id AS left_id, l.ts AS left_ts,
+       r.event_id AS right_id, r.ts AS right_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+ORDER BY left_id, right_id
+""")
+def event_range_join(sf_dir: str):
+    from dataquality_ray.stages.windows import range_join
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = range_join(ds, key="user_id", ts_col="ts",
+                     left_filter="error", right_filter="view", range_s=3600)
+    return (out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+            [["user_id", "left_id", "left_ts", "right_id", "right_ts"]])

@@ -91,3 +91,47 @@ def asof_join(ds, key: str, ts_col: str,
     return (pruned.groupby(key)
                   .map_groups(per_key, batch_format="pandas")
                   .to_pandas())
+
+
+def range_join(ds, key: str, ts_col: str,
+               left_filter: str, right_filter: str, range_s: int,
+               filter_col: str = "event_type",
+               left_id: str = "event_id", right_id: str = "event_id"):
+    """Range join WITHIN one Dataset: pair every left row with every right
+    row of the SAME key whose timestamp falls in (left.ts, left.ts+range_s]
+    — i.e. right events in the window right AFTER a left event.
+
+    One groupby(key) shuffle of pruned columns; inside each group the
+    interval probe is vectorized with ``np.searchsorted`` over the sorted
+    right timestamps (no per-row Python scan).  Same per-key-fits-one-task
+    assumption as asof_join.
+    """
+    need = list(dict.fromkeys([key, ts_col, filter_col, left_id, right_id]))
+    pruned = ds.select_columns(need)
+    delta = np.timedelta64(range_s, "s")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g[filter_col] == left_filter]
+        right = (g[g[filter_col] == right_filter]
+                 .sort_values(ts_col).reset_index(drop=True))
+        if not len(left) or not len(right):
+            return pd.DataFrame()
+        lts = left[ts_col].to_numpy()
+        rts = right[ts_col].to_numpy()
+        lo = np.searchsorted(rts, lts, side="right")           # > left.ts
+        hi = np.searchsorted(rts, lts + delta, side="right")   # <= +range
+        counts = hi - lo
+        li = np.repeat(np.arange(len(left)), counts)
+        ri = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)]) \
+            if counts.sum() else np.array([], dtype=int)
+        return pd.DataFrame({
+            key: left[key].to_numpy()[li],
+            "left_id": left[left_id].to_numpy()[li],
+            "left_ts": lts[li],
+            "right_id": right[right_id].to_numpy()[ri],
+            "right_ts": rts[ri],
+        })
+
+    return (pruned.groupby(key)
+                  .map_groups(per_key, batch_format="pandas")
+                  .to_pandas())
