@@ -417,3 +417,17 @@ def minhash_groups_q(sf_dir: str):
     mutated = docs.map_batches(mutate, batch_format="pyarrow")
     pairs = minhash_near_dup_pairs(docs.union(mutated), jaccard_threshold=0.5)
     return near_dup_keep(pairs)
+
+
+@query("ann_ivf")
+def ann_ivf_q(sf_dir: str):
+    """IVF-bucketed ANN (deterministic k-means coarse quantizer) — the
+    second scale path next to LSH; recall<1 by design (rows-only check)."""
+    from dataquality_ray.stages.ann import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrow = emb.filter(expr="vec_id == 0").to_pandas()
+    qvec = np.array(qrow["embedding"].iloc[0], dtype=np.float64)
+    res = ivf_topk(emb, qvec, dim=len(qvec), k=10, nlist=16, nprobe=4)
+    res["score"] = res["score"].round(R)
+    return res

@@ -178,3 +178,76 @@ def lsh_topk(ds, query: np.ndarray, dim: int, k: int = 10, bits: int = 8,
     res = cosine_topk(in_bucket, np.atleast_2d(query), k=k,
                       emb_col=emb_col, id_col=id_col)
     return res[["vec_id", "score"]].reset_index(drop=True)
+
+
+class IVFIndex:
+    """IVF (inverted-file) coarse quantizer: deterministic Lloyd k-means
+    (fixed seed, fixed iterations, driver-side fit on a bounded sample),
+    then an actor-pool assignment stage tags every vector with its nearest
+    centroid.  A query probes only the ``nprobe`` closest centroids'
+    buckets — compared vectors shrink ~nlist/nprobe-fold; recall < 1 by
+    design (the scale path next to the exact broadcast matmul)."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(centroids)
+
+    @classmethod
+    def fit(cls, ds, dim: int, nlist: int = 16, sample_n: int = 4096,
+            iters: int = 10, seed: int = 42,
+            emb_col: str = "embedding") -> "IVFIndex":
+        # bounded deterministic sample: first sample_n rows of the dataset
+        # order (limit(), not random, so the index is reproducible)
+        rows = ds.limit(sample_n).take_all()
+        x = _normalize(np.array([np.asarray(r[emb_col], dtype=np.float64)
+                                 for r in rows]))
+        rng = np.random.RandomState(seed)
+        cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(x @ cent.T, axis=1)
+            for j in range(len(cent)):
+                m = assign == j
+                if m.any():
+                    v = x[m].mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        cent[j] = v / n
+        return cls(cent)
+
+    def assign_stage(self, ds, emb_col: str = "embedding",
+                     batch_size: int = 4096, concurrency=(1, 8)):
+        ref = ray.put(self.centroids)
+
+        class Assign:
+            def __init__(self, cent_ref, col):
+                self.cent = ray.get(cent_ref)
+                self.col = col
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                x = _normalize(_stack_embeddings(batch, self.col))
+                lists = np.argmax(x @ self.cent.T, axis=1)
+                return batch.append_column(
+                    "ivf_list", pa.array(lists.astype(np.int32)))
+
+        return ds.map_batches(Assign, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency,
+                              fn_constructor_kwargs={"cent_ref": ref,
+                                                     "col": emb_col})
+
+    def probe_lists(self, query: np.ndarray, nprobe: int = 4) -> list[int]:
+        q = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float64)))[0]
+        sims = self.centroids @ q
+        return np.argsort(-sims)[:nprobe].tolist()
+
+
+def ivf_topk(ds, query: np.ndarray, dim: int, k: int = 10, nlist: int = 16,
+             nprobe: int = 4, seed: int = 42,
+             emb_col: str = "embedding", id_col: str = "vec_id") -> pd.DataFrame:
+    """IVF ANN: fit (deterministic), assign, search only the probed lists."""
+    idx = IVFIndex.fit(ds, dim, nlist=nlist, seed=seed, emb_col=emb_col)
+    assigned = idx.assign_stage(ds, emb_col=emb_col)
+    lists = idx.probe_lists(query, nprobe)
+    expr = " or ".join(f"ivf_list == {int(li)}" for li in lists)
+    in_lists = assigned.filter(expr=expr)
+    res = cosine_topk(in_lists, np.atleast_2d(query), k=k,
+                      emb_col=emb_col, id_col=id_col)
+    return res[["vec_id", "score"]].reset_index(drop=True)
