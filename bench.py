@@ -21,7 +21,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_CORPUS_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "40000"))
+BENCH_CORPUS_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "160000"))
 CORPUS_DIR = f"/tmp/graft_bench_corpus_{BENCH_CORPUS_ROWS}"
 
 
@@ -101,8 +101,11 @@ def run_suite() -> dict:
     import ray
 
     if not ray.is_initialized():
+        # log_to_driver=False: worker prints must NOT interleave with the
+        # single JSON line this script's stdout contract promises.
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 log_to_driver=False)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
