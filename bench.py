@@ -25,7 +25,8 @@ BENCH_CORPUS_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "160000"))
 CORPUS_DIR = f"/tmp/graft_bench_corpus_{BENCH_CORPUS_ROWS}"
 
 
-BASE_ROWS = 160000  # largest corpus generated row-by-row; bigger ones replicate
+BASE_ROWS = 40000  # largest corpus generated row-by-row (~30 s cold);
+                   # bigger corpora replicate it with rewritten commit ids
 
 
 def ensure_corpus(n_rows: int | None = None) -> list[str]:
