@@ -160,13 +160,15 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """)
 def a4_q(sf_dir: str):
     from dataquality_ray.pipelines.dimensions import a4_chronology
-    from dataquality_ray.stages.joins import broadcast_join
+    from dataquality_ray.stages.joins import hash_join
 
+    # orders is O(dataset) — a large-large equi-join, so hash-shuffle both
+    # sides on the key instead of broadcasting the whole orders table
+    # (round-1 VERDICT item 1).
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).to_pandas()
-    orders = orders.rename(columns={"o_orderkey": "l_orderkey"})
-    joined = broadcast_join(li, orders, on="l_orderkey",
-                            value_cols=["o_orderdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       value_cols=["o_orderdate"], join_type="inner")
     res = a4_chronology(joined, [("o_orderdate", "l_shipdate")])
     t = res["table"].copy()
     t["score"] = t["score"].round(R)
@@ -460,13 +462,12 @@ def a4_report_q(sf_dir: str):
         chronology_columns,
         violating_rows,
     )
-    from dataquality_ray.stages.joins import broadcast_join
+    from dataquality_ray.stages.joins import hash_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).to_pandas()
-    orders = orders.rename(columns={"o_orderkey": "l_orderkey"})
-    joined = broadcast_join(li, orders, on="l_orderkey",
-                            value_cols=["o_orderdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       value_cols=["o_orderdate"], join_type="inner")
     rep = violating_rows(
         joined, lambda b: chronology_columns(b, [("o_orderdate", "l_shipdate")]),
         ["o_orderdate_after_l_shipdate"]).to_pandas()

@@ -5,18 +5,25 @@ once (dimensions/uniqueness/u1.py:33-39, ``duplicated(keep=False)``); the
 flagship pipeline additionally keeps one canonical copy per duplicate group
 (min row_id), like a training-data dedup would.
 
-Scale design: rows (with their wide ``content``) are NEVER shuffled.  Two
-index-build modes:
+Scale design — three index/mark modes:
 
 - ``combine`` (default): each batch pre-aggregates to (sha, min_id, count)
   per distinct sha — the map-side combiner pattern — and the driver merges
   the partials.  Driver memory is O(#distinct hashes) (~50 B each), fine to
-  ~10^8 distinct documents per run partition.
-- ``shuffle``: ``groupby(sha).aggregate`` for corpora whose distinct-hash
-  set exceeds driver memory; only 40-byte keys + int64 ids move.
+  ~10^8 distinct documents per run partition.  Rows never shuffle.
+- ``shuffle``: ``groupby(sha).aggregate`` runs distributed, and only the
+  groups with count > 1 come back to the driver for the broadcast index —
+  driver memory is O(#duplicate groups), usually ≪ #distinct hashes.
+- ``join`` (:func:`mark_duplicates_join`): NOTHING is ever collected
+  driver-side.  The dup-group table stays a Dataset and rows are marked via
+  a hash-partitioned ``Dataset.join`` on the sha key; per-worker memory is
+  bounded by partition size.  This trades one full-row shuffle for an
+  unbounded duplicate-group set — the escape hatch when even the dup-group
+  table exceeds driver/actor memory.
 
-Either way, only groups with count > 1 survive into the broadcast index that
-``MarkDuplicates`` resolves per batch.
+The broadcast index payload is a pair of aligned Arrow arrays
+(sha, canonical_id), probed per batch with ``pc.index_in`` — no Python dict,
+no per-row loop.
 """
 
 from __future__ import annotations
@@ -24,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -36,13 +44,26 @@ def _partial_agg(batch: pa.Table, sha_col: str, id_col: str) -> pa.Table:
     return g.rename_columns(["sha", "min_id", "count"])
 
 
+def dup_groups_dataset(ds, sha_col: str = "content_sha256",
+                       id_col: str = "row_id"):
+    """Distributed (sha, canonical_id) table of duplicate groups (count > 1)
+    as a Dataset — computed with a groupby shuffle of (sha, id) pairs only
+    and NEVER collected driver-side."""
+    from ray.data.aggregate import Count, Min
+
+    small = ds.select_columns([sha_col, id_col])
+    agg = small.groupby(sha_col).aggregate(
+        Count(id_col, alias_name="dup_n"),
+        Min(id_col, alias_name="canonical_id"))
+    return agg.filter(expr="dup_n > 1").select_columns(
+        [sha_col, "canonical_id"])
+
+
 def compute_dup_index(ds, sha_col: str = "content_sha256",
                       id_col: str = "row_id", mode: str = "combine"):
-    """Return a broadcast ref of {sha -> canonical row_id} for groups with
-    more than one member."""
+    """Return a broadcast ref of aligned (sha, canonical_id) Arrow arrays for
+    groups with more than one member."""
     if mode == "combine":
-        import pyarrow.compute as pc
-
         parts = pa.concat_tables(
             ds.map_batches(lambda b: _partial_agg(b, sha_col, id_col),
                            batch_format="pyarrow")
@@ -51,50 +72,80 @@ def compute_dup_index(ds, sha_col: str = "content_sha256",
              .aggregate([("min_id", "min"), ("count", "sum")])
              .rename_columns(["sha", "min_id", "count"]))
         dups = g.filter(pc.greater(g["count"], 1))
-        mapping = dict(zip(dups["sha"].to_pylist(),
-                           dups["min_id"].to_pylist()))
+        shas = dups["sha"].combine_chunks()
+        canon = dups["min_id"].combine_chunks()
     elif mode == "shuffle":
-        from ray.data.aggregate import Count, Min
-
-        small = ds.select_columns([sha_col, id_col])
-        agg = small.groupby(sha_col).aggregate(
-            Count(id_col, alias_name="dup_n"),
-            Min(id_col, alias_name="canonical_id"))
-        dups = agg.filter(expr="dup_n > 1")
-        parts = list(dups.iter_batches(batch_format="pyarrow"))
+        groups = dup_groups_dataset(ds, sha_col, id_col)
+        parts = list(groups.iter_batches(batch_format="pyarrow"))
         tbl = pa.concat_tables(parts) if parts else pa.table(
             {sha_col: pa.array([], pa.string()),
-             "dup_n": pa.array([], pa.int64()),
              "canonical_id": pa.array([], pa.int64())})
-        mapping = dict(zip(tbl[sha_col].to_pylist(),
-                           tbl["canonical_id"].to_pylist()))
+        shas = tbl[sha_col].combine_chunks()
+        canon = tbl["canonical_id"].combine_chunks()
     else:
         raise ValueError(f"unknown mode {mode!r}")
-    return ray.put(mapping)
+    return ray.put((shas, canon))
 
 
 class MarkDuplicates:
-    """Actor: given the broadcast dup index, append is_dup / dup_keep."""
+    """Actor: given the broadcast dup index, append is_dup / dup_keep.
+
+    Fully vectorized: one ``pc.index_in`` probe of the batch's sha column
+    against the broadcast sha array, one ``take`` for the canonical ids.
+    """
 
     def __init__(self, dup_index_ref, sha_col: str = "content_sha256",
                  id_col: str = "row_id"):
-        self.index: dict[str, int] = ray.get(dup_index_ref)
+        self.shas, self.canon = ray.get(dup_index_ref)
         self.sha_col = sha_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        shas = batch[self.sha_col].to_pylist()
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        is_dup = np.zeros(len(shas), dtype=bool)
-        keep = np.ones(len(shas), dtype=bool)
-        idx = self.index
-        for i, s in enumerate(shas):
-            canonical = idx.get(s)
-            if canonical is not None:
-                is_dup[i] = True
-                keep[i] = ids[i] == canonical
+        idx = pc.index_in(batch[self.sha_col].combine_chunks(),
+                          value_set=self.shas)
+        is_dup = pc.is_valid(idx)
+        if len(self.canon):
+            canon = self.canon.take(idx)
+            keep = pc.fill_null(pc.equal(batch[self.id_col], canon), True)
+        else:
+            keep = pa.array(np.ones(len(batch), dtype=bool))
         return (
             batch
-            .append_column("is_dup", pa.array(is_dup))
-            .append_column("dup_keep", pa.array(keep))
+            .append_column("is_dup", is_dup)
+            .append_column("dup_keep", keep)
         )
+
+
+def _mark_joined(batch: pa.Table, id_col: str) -> pa.Table:
+    canon = batch["_dedup_canonical"]
+    is_dup = pc.is_valid(canon)
+    keep = pc.fill_null(pc.equal(batch[id_col], canon), True)
+    return (batch.drop_columns(["_dedup_canonical"])
+                 .append_column("is_dup", is_dup)
+                 .append_column("dup_keep", keep))
+
+
+def mark_duplicates_join(ds, sha_col: str = "content_sha256",
+                         id_col: str = "row_id", dup_groups=None,
+                         num_partitions: int | None = None):
+    """Append is_dup / dup_keep with NO driver-side materialization.
+
+    The dup-group table (``dup_groups`` or derived from ``ds`` itself) stays
+    a Dataset; rows are marked via a hash-partitioned left-outer
+    ``Dataset.join`` on the sha key.  Per-worker memory is bounded by
+    ``rows / num_partitions``; use when the duplicate-group set itself is
+    too large to broadcast.
+    """
+    from dataquality_ray.stages.joins import resolve_join_partitions
+
+    if dup_groups is None:
+        dup_groups = dup_groups_dataset(ds, sha_col, id_col)
+    groups = (dup_groups
+              .map_batches(lambda b: b.rename_columns(
+                  [sha_col, "_dedup_canonical"]),
+                  batch_format="pyarrow"))
+    joined = ds.join(groups, "left_outer",
+                     num_partitions=resolve_join_partitions(num_partitions),
+                     on=(sha_col,))
+    return joined.map_batches(lambda b: _mark_joined(b, id_col),
+                              batch_format="pyarrow")

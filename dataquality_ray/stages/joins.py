@@ -1,10 +1,16 @@
 """Join / lookup stages.
 
-All reference joins are broadcast-small-side lookups (SURVEY §2.4): the
-small side is materialized once, ``ray.put`` into the object store, and each
-actor resolves it in ``__init__`` — never re-shipped per batch, never a
-shuffle.  For genuinely large-large joins the documented pattern is
-bucket-by-key-hash + per-bucket merge (not needed by any reference op).
+Two join shapes, auto-selected by :func:`smart_join`:
+
+- **broadcast** — the small side is materialized once, ``ray.put`` into the
+  object store, and each actor resolves it in ``__init__`` — never re-shipped
+  per batch, never a shuffle.  Right for reference lookups (provinces,
+  regions) whose size is O(1) in the dataset (SURVEY §2.4).
+- **hash-partitioned** (:func:`hash_join`) — both sides are hash-shuffled on
+  the key into ``num_partitions`` buckets and each bucket is joined
+  independently (Ray Data's native ``Dataset.join``); per-worker memory is
+  ``dataset / num_partitions``, so a large-large equi-join (e.g. lineitem ⋈
+  orders, both O(dataset)) never lands whole on the driver or in one actor.
 """
 
 from __future__ import annotations
@@ -55,3 +61,87 @@ def broadcast_join(ds, small_ds_or_df, on: str, value_cols: list[str],
         concurrency=concurrency,
         fn_constructor_kwargs={"ref": ref, "on": on, "value_cols": value_cols},
     )
+
+
+# Right sides at or below this estimated size are broadcast; above it they are
+# hash-partitioned.  64 MiB keeps the per-actor resident copy well under a
+# worker heap even at concurrency 8 on one node.
+BROADCAST_CAP_BYTES = 64 * 1024 * 1024
+
+
+def resolve_join_partitions(requested: int | None = None) -> int:
+    """Clamp join partition count to cluster CPUs.
+
+    Ray's hash join spawns one ``HashShuffleAggregator`` actor per partition,
+    each reserving a CPU — asking for more partitions than the cluster has
+    CPUs deadlocks the actor pool (verified on a 4-CPU local cluster).  On a
+    real multi-node cluster CPUs is large, so partitions scale with the
+    cluster; per-worker memory stays bounded at ``max(side)/partitions``.
+    """
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - ray not yet initialised
+        cpus = 8
+    cap = max(2, cpus)
+    return cap if requested is None else max(2, min(requested, cap))
+
+
+def hash_join(left, right, on: str, right_on: str | None = None,
+              value_cols: list[str] | None = None,
+              num_partitions: int | None = None,
+              join_type: str = "left_outer"):
+    """Large-large equi-join: hash-shuffle both sides on the key.
+
+    Uses Ray Data's native ``Dataset.join`` (present in this Ray version and
+    probed with ``hasattr`` so older Rays fall back to broadcast with a
+    loud warning).  ``num_partitions`` bounds per-worker memory at
+    ``max(side) / num_partitions`` — size it so a partition of the larger
+    side fits a worker heap; neither the driver nor any single actor ever
+    holds a whole side.
+
+    ``value_cols`` (optional) prunes the right side to ``[key] + value_cols``
+    before the shuffle so only needed bytes move.
+    """
+    right_on = right_on or on
+    if value_cols is not None:
+        right = right.select_columns([right_on] + list(value_cols))
+    if not hasattr(type(left), "join"):  # pragma: no cover - old Ray only
+        import warnings
+        warnings.warn("Dataset.join unavailable; falling back to broadcast "
+                      "join (whole right side per actor)")
+        small = right.to_pandas().rename(columns={right_on: on})
+        cols = [c for c in small.columns if c != on]
+        return broadcast_join(left, small, on=on, value_cols=cols)
+    return left.join(right, join_type,
+                     num_partitions=resolve_join_partitions(num_partitions),
+                     on=(on,), right_on=(right_on,))
+
+
+def smart_join(left, right, on: str, right_on: str | None = None,
+               value_cols: list[str] | None = None,
+               num_partitions: int | None = None,
+               join_type: str = "left_outer",
+               broadcast_cap_bytes: int = BROADCAST_CAP_BYTES):
+    """Equi-join that auto-selects broadcast vs hash-partitioned.
+
+    The right side's in-memory size is estimated from dataset metadata
+    (parquet stats when available — no execution is forced); at or below
+    ``broadcast_cap_bytes`` it is broadcast once via ``ray.put``, above it
+    both sides hash-shuffle (:func:`hash_join`).  Callers that *know* the
+    right side is O(dataset) should call :func:`hash_join` directly.
+    """
+    right_on = right_on or on
+    if value_cols is not None:
+        right = right.select_columns([right_on] + list(value_cols))
+    try:
+        est = right.size_bytes()
+    except Exception:  # pragma: no cover - metadata unavailable
+        est = None
+    if est is not None and est <= broadcast_cap_bytes:
+        small = right.to_pandas()
+        if right_on != on:
+            small = small.rename(columns={right_on: on})
+        cols = [c for c in small.columns if c != on]
+        return broadcast_join(left, small, on=on, value_cols=cols)
+    return hash_join(left, right, on=on, right_on=right_on,
+                     num_partitions=num_partitions, join_type=join_type)

@@ -100,13 +100,33 @@ def c1_near_dup(ds, columns: list[str], threshold: float = 0.91,
 
         combined = _combined_similarity(uniq, text_sim)
         masked = combined.copy()
+        # get_max_similarity_values (table_operations.py:30-56) sets the
+        # diagonal to -1 *in place* before argsort; on ties its
+        # argsort[::-1][0] picks the HIGHEST index, so mirror that instead
+        # of plain argmax (which picks the lowest).
         np.fill_diagonal(masked, -1.0)
-        best = masked.argmax(axis=1)
+        n = len(uniq)
+        best = (n - 1) - np.argmax(masked[:, ::-1], axis=1)
+        # Reference per-row selection (c1.py:85-134): the short-number-guarded
+        # best match ("Recommended <col>") and the "All Matches <col>" list of
+        # every candidate scoring > threshold — both over the diag=-1 matrix.
+        recommended = [
+            c1_best_match(uniq[i], uniq, masked[i], threshold)
+            for i in range(n)
+        ]
+        all_matches = [
+            ", ".join(f"{uniq[j]} ({masked[i, j]:.2f})"
+                      for j in np.where(masked[i] >= threshold)[0]
+                      if masked[i, j] > threshold)
+            for i in range(n)
+        ]
         reports.append(pd.DataFrame({
             "column_source": col,
             "names_tested": uniq,
             "highest_similarity_names": uniq[best],
-            "similarity_score": masked[np.arange(len(uniq)), best],
+            "similarity_score": masked[np.arange(n), best],
+            "recommended": recommended,
+            "all_matches": all_matches,
         }))
     score = float(np.mean(col_scores)) if col_scores else None
     return {"score": score, "table": pd.concat(reports, ignore_index=True)}

@@ -86,19 +86,77 @@ def test_lsh_topk_contains_self_and_subsets_bruteforce():
     assert len(res) <= 5
 
 
+def _index_as_dict(ref):
+    import ray
+
+    shas, canon = ray.get(ref)
+    return dict(zip(shas.to_pylist(), canon.to_pylist()))
+
+
 def test_dup_index_combine_equals_shuffle(ray_session):
     """Both index-build modes must produce the identical broadcast mapping."""
-    import ray
     import ray.data as rd
 
     from dataquality_ray.stages.dedup import compute_dup_index
 
     rows = [{"content_sha256": f"sha{i % 7}", "row_id": i} for i in range(50)]
     ds = rd.from_items(rows).repartition(4)
-    m1 = ray.get(compute_dup_index(ds, mode="combine"))
-    m2 = ray.get(compute_dup_index(rd.from_items(rows).repartition(4),
-                                   mode="shuffle"))
+    m1 = _index_as_dict(compute_dup_index(ds, mode="combine"))
+    m2 = _index_as_dict(compute_dup_index(rd.from_items(rows).repartition(4),
+                                          mode="shuffle"))
     assert m1 == m2 and len(m1) == 7  # every sha has >1 member
+
+
+def test_mark_duplicates_three_modes_agree(ray_session):
+    """Broadcast-mark (combine / shuffle index) and the no-driver-dict join
+    mode must emit identical is_dup / dup_keep columns."""
+    import ray.data as rd
+
+    from dataquality_ray.stages.dedup import (
+        MarkDuplicates,
+        compute_dup_index,
+        mark_duplicates_join,
+    )
+
+    # 40 rows, 10 sha groups; groups 0-4 have 4 members (dups), 5-9 unique
+    rows = ([{"content_sha256": f"dup{i % 5}", "row_id": i} for i in range(20)]
+            + [{"content_sha256": f"uniq{i}", "row_id": 100 + i}
+               for i in range(20)])
+
+    def marks(ds):
+        return (ds.to_pandas()
+                  .sort_values("row_id")
+                  .reset_index(drop=True)[["row_id", "is_dup", "dup_keep"]])
+
+    outs = []
+    for mode in ("combine", "shuffle"):
+        ds = rd.from_items(rows).repartition(4)
+        ref = compute_dup_index(ds, mode=mode)
+        outs.append(marks(ds.map_batches(
+            MarkDuplicates, batch_format="pyarrow", concurrency=2,
+            fn_constructor_kwargs={"dup_index_ref": ref})))
+    outs.append(marks(mark_duplicates_join(
+        rd.from_items(rows).repartition(4), num_partitions=4)))
+
+    for other in outs[1:]:
+        assert outs[0].equals(other)
+    got = outs[0].set_index("row_id")
+    assert bool(got.loc[0, "is_dup"]) and bool(got.loc[0, "dup_keep"])
+    assert bool(got.loc[5, "is_dup"]) and not bool(got.loc[5, "dup_keep"])
+    assert not bool(got.loc[100, "is_dup"]) and bool(got.loc[100, "dup_keep"])
+
+
+def test_mark_duplicates_empty_index(ray_session):
+    import ray.data as rd
+
+    from dataquality_ray.stages.dedup import MarkDuplicates, compute_dup_index
+
+    rows = [{"content_sha256": f"u{i}", "row_id": i} for i in range(10)]
+    ds = rd.from_items(rows).repartition(2)
+    ref = compute_dup_index(ds, mode="combine")
+    out = ds.map_batches(MarkDuplicates, batch_format="pyarrow", concurrency=2,
+                         fn_constructor_kwargs={"dup_index_ref": ref}).to_pandas()
+    assert not out["is_dup"].any() and out["dup_keep"].all()
 
 
 def test_connected_components_and_keep():

@@ -79,6 +79,54 @@ def test_c3_province_fuzzy_match():
     assert res["score"] == pytest.approx(n_ok / 5)
 
 
+def test_c1_report_short_number_guard():
+    """The report's `recommended` column applies the reference best-match
+    selection (c1.py:85-134): short-number mismatch kills a candidate even
+    when raw similarity clears the threshold; matching short numbers trigger
+    a re-score with short numbers removed."""
+    df = pd.DataFrame({"SITE": (
+        ["Area 12"] * 4 + ["Area 13"] * 3
+        + ["Area 12 North"] * 2 + ["Area 12 Nrth"] * 2)})
+    res = c1_near_dup(rd.from_pandas(df), ["SITE"], threshold=0.8)
+    t = res["table"].set_index("names_tested")
+
+    # area 12 vs area 13: SequenceMatcher 0.857 >= 0.8, so it IS the
+    # highest_similarity_names neighbour — but short numbers 12 != 13, so
+    # the guarded recommendation rejects every candidate.
+    assert t.loc["area 12", "similarity_score"] == pytest.approx(6 / 7)
+    assert t.loc["area 12", "recommended"] == "No significant match"
+    assert t.loc["area 13", "recommended"] == "No significant match"
+
+    # area 12 north vs area 12 nrth: short number 12 matches, so the pair is
+    # re-scored with short numbers removed: SequenceMatcher("area  north",
+    # "area  nrth") = 0.952 > 0.8 -> recommended with the re-score.
+    assert t.loc["area 12 north", "recommended"] == "area 12 nrth (0.95)"
+    assert t.loc["area 12 nrth", "recommended"] == "area 12 north (0.95)"
+
+    # all_matches joins every candidate scoring > threshold, unguarded.
+    assert "area 13 (0.86)" in t.loc["area 12", "all_matches"]
+
+
+def test_c1_tie_breaks_on_highest_index():
+    """get_max_similarity_values uses argsort[::-1][0], which on exact ties
+    picks the HIGHEST index in universe order — pin that."""
+    import numpy as np
+
+    from dataquality_ray.stages.similarity import c1_best_match
+
+    # direct matrix check: two identical similarity values
+    row = np.array([-1.0, 0.5, 0.5])
+    top = np.argsort(row)[::-1][0]          # the reference selection
+    n = len(row)
+    ours = (n - 1) - np.argmax(row[::-1])
+    assert top == ours == 2
+
+    # and the guard helper emits the sentinel below threshold
+    uniq = np.array(["alpha", "beta"], dtype=object)
+    assert c1_best_match("alpha", uniq, np.array([-1.0, 0.2]),
+                         threshold=0.9) == "No significant match"
+
+
 def test_c1_universe_cap():
     import numpy as np
 
