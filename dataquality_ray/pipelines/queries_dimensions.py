@@ -347,6 +347,53 @@ def i1_q(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# I1 mixed-type — correlation ratio η for nominal×numeric pairs (the dython
+# numeric↔nominal branch), oracle-checkable via SQL group sums
+# ---------------------------------------------------------------------------
+
+_ETA_PAIRS = [("l_returnflag", "l_quantity"),
+              ("l_returnflag", "l_extendedprice"),
+              ("l_linestatus", "l_quantity"),
+              ("l_linestatus", "l_extendedprice")]
+
+
+def _eta_sql(cat: str, y: str) -> str:
+    # η = sqrt(Σ_g n_g(ȳ_g − ȳ)² / Σ(y − ȳ)²); floor-truncate for float parity
+    return f"""
+SELECT '{cat}/{y}' AS features, floor(sqrt(
+  (SELECT sum(n * (m - gm) * (m - gm)) FROM
+     (SELECT count({y}) AS n, avg({y}) AS m FROM lineitem
+      WHERE {y} IS NOT NULL GROUP BY {cat}),
+     (SELECT avg({y}) AS gm FROM lineitem WHERE {y} IS NOT NULL))
+  /
+  (SELECT sum(({y} - gm) * ({y} - gm)) FROM lineitem,
+     (SELECT avg({y}) AS gm FROM lineitem WHERE {y} IS NOT NULL)
+   WHERE {y} IS NOT NULL)
+) * 1e6) / 1e6 AS eta"""
+
+
+@query("i1_mixed_corr",
+       sql=" UNION ALL ".join(_eta_sql(c, y) for c, y in _ETA_PAIRS)
+       + " ORDER BY features")
+def i1_mixed_q(sf_dir: str):
+    import math
+
+    from dataquality_ray.stages.corr import correlation_ratio_matrix
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+    eta = correlation_ratio_matrix(
+        ds, ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice"])
+    rows = [{"features": f"{c}/{y}",
+             "eta": math.floor(eta.loc[c, y] * 1e6) / 1e6}
+            for c, y in _ETA_PAIRS]
+    return (pd.DataFrame(rows).sort_values("features")
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # U1 — duplicate rows over documents union'd with a 10% copy of itself
 # ---------------------------------------------------------------------------
 

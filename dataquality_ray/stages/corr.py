@@ -132,6 +132,64 @@ def _cramers_v_from_counts(d: dict[tuple, int], bias_correction: bool) -> float:
     return float(np.sqrt(phi2 / denom)) if denom > 0 else np.nan
 
 
+def correlation_ratio_matrix(ds, nominal_columns: list[str],
+                             numeric_columns: list[str],
+                             max_categories: int = 10_000) -> pd.DataFrame:
+    """dython's correlation ratio η for every (nominal, numeric) pair —
+    the numeric↔nominal branch of ``associations`` the reference relies on
+    (dimensions/interdependency/i1.py:68) — from one streaming pass.
+
+    η = sqrt(Σ_g n_g (ȳ_g − ȳ)² / Σ (y − ȳ)²), computed exactly from
+    per-batch (category → n, Σy, Σy²) partials; rows with a null numeric
+    value are dropped per pair, null categories become the "nan" bucket
+    (matching :func:`cramers_v_matrix`'s astype(str)).
+    Returns a len(nominal) × len(numeric) frame.
+    """
+    pairs = list(itertools.product(range(len(nominal_columns)),
+                                   range(len(numeric_columns))))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for (i, j) in pairs:
+            cat = batch[nominal_columns[i]].astype(str)
+            y = pd.to_numeric(batch[numeric_columns[j]], errors="coerce")
+            ok = ~y.isna()
+            g = (pd.DataFrame({"cat": cat[ok], "y": y[ok],
+                               "y2": y[ok] ** 2})
+                 .groupby("cat", sort=False).agg(n=("y", "size"),
+                                                 s=("y", "sum"),
+                                                 ss=("y2", "sum"))
+                 .reset_index())
+            g.insert(0, "j", j)
+            g.insert(0, "i", i)
+            frames.append(g)
+        return pd.concat(frames, ignore_index=True)
+
+    cols = sorted(set(nominal_columns) | set(numeric_columns))
+    combined = (ds.select_columns(cols)
+                  .map_batches(partial, batch_format="pandas")
+                  .to_pandas()
+                  .groupby(["i", "j", "cat"], sort=False)
+                  .agg(n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")))
+    m = np.full((len(nominal_columns), len(numeric_columns)), np.nan)
+    for (i, j), g in combined.groupby(level=["i", "j"]):
+        if len(g) > max_categories:
+            raise ValueError(
+                f"category count for ({nominal_columns[i]},"
+                f"{numeric_columns[j]}) exceeds {max_categories}")
+        n = g["n"].to_numpy(dtype=np.float64)
+        s = g["s"].to_numpy(dtype=np.float64)
+        ss = g["ss"].to_numpy(dtype=np.float64)
+        n_tot, s_tot, ss_tot = n.sum(), s.sum(), ss.sum()
+        if n_tot == 0:
+            continue
+        mean = s_tot / n_tot
+        sst = ss_tot - n_tot * mean * mean          # Σ(y-ȳ)²
+        ssb = float(((s / n - mean) ** 2 * n).sum())  # Σ n_g(ȳ_g-ȳ)²
+        m[i, j] = 0.0 if sst == 0 else float(np.sqrt(max(0.0, ssb / sst)))
+    return pd.DataFrame(m, index=nominal_columns, columns=numeric_columns)
+
+
 def filter_corrs(corrs: pd.DataFrame, threshold: float,
                  subset: list[str] | None = None) -> pd.DataFrame:
     """Reference utils/table_operations.py:61-80 faithfully: melt pairs above

@@ -197,3 +197,56 @@ def test_scoring_rollup_reference_quirks():
         "Needs Improvement"
     assert calculate_dq_grade([{"dimension": "x", "score": None}]) == \
         "Needs Improvement"
+
+
+def test_correlation_ratio_matches_numpy_oracle(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dataquality_ray.stages.corr import correlation_ratio_matrix
+
+    rng = np.random.RandomState(3)
+    cats = rng.choice(["a", "b", "c"], 300)
+    # y strongly driven by category + noise; z independent
+    y = np.where(cats == "a", 0.0, np.where(cats == "b", 5.0, 10.0)) \
+        + rng.randn(300) * 0.5
+    z = rng.randn(300)
+    df = pd.DataFrame({"cat": cats, "y": y, "z": z})
+
+    got = correlation_ratio_matrix(rd.from_pandas(df).repartition(4),
+                                   ["cat"], ["y", "z"])
+
+    def eta(c, v):
+        gm = v.mean()
+        ssb = sum(len(v[c == g]) * (v[c == g].mean() - gm) ** 2
+                  for g in np.unique(c))
+        sst = ((v - gm) ** 2).sum()
+        return np.sqrt(ssb / sst)
+
+    assert got.loc["cat", "y"] == pytest.approx(eta(cats, y))
+    assert got.loc["cat", "z"] == pytest.approx(eta(cats, z))
+    assert got.loc["cat", "y"] > 0.95 and got.loc["cat", "z"] < 0.3
+
+
+def test_i1_flags_cross_type_proxy(ray_session):
+    """A nominal column that's a near-perfect proxy for a sensitive numeric
+    column must now be flagged (round-1 documented deviation closed)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dataquality_ray.pipelines.dimensions import i1_proxy_corr
+
+    rng = np.random.RandomState(5)
+    income = rng.uniform(1e4, 1e5, 400)
+    bracket = pd.cut(income, bins=4, labels=list("lmhx")).astype(str)
+    df = pd.DataFrame({"income": income, "bracket": bracket,
+                       "noise_cat": rng.choice(list("pq"), 400)})
+    res = i1_proxy_corr(rd.from_pandas(df).repartition(2),
+                        sensitive_columns=["income"], threshold=0.75,
+                        numeric_columns=["income"],
+                        nominal_columns=["bracket", "noise_cat"])
+    flagged = set(res["table"]["features"])
+    assert "bracket/income" in flagged
+    assert "income/noise_cat" not in flagged

@@ -103,3 +103,46 @@ def test_salted_partial_combine_is_exact(rows):
         s=("v", "sum"), n=("v", "count"), mn=("v", "min"), mx=("v", "max"))
     pd.testing.assert_frame_equal(combined, direct, check_exact=False,
                                   rtol=1e-12)
+
+
+# --- C4 strptime fidelity: the shared mask kernel must agree with CPython
+# strptime on every (format, value) pair, both whitelist and exotic paths ---
+
+_C4_FORMATS = ["%Y-%m-%d", "%Y-%m-%d %H:%M:%S", "%d/%m/%y", "%Y%j",
+               "%Y-%U-%w", "%B %d, %Y", "%I:%M %p", "%Y-%m-%dT%H:%M:%S.%f",
+               "%a %d %m %Y", "%Y %H:%M"]
+
+
+@given(st.sampled_from(_C4_FORMATS),
+       st.lists(
+           st.one_of(
+               st.datetimes(min_value=pd.Timestamp("1900-01-01").to_pydatetime(),
+                            max_value=pd.Timestamp("2100-01-01").to_pydatetime()),
+               st.text(alphabet="0123456789-:/. TAMPJanuyFebMarch",
+                       min_size=0, max_size=24)),
+           min_size=1, max_size=30))
+def test_strptime_mask_matches_cpython(fmt, raws):
+    from datetime import datetime
+
+    from dataquality_ray.functions.indicators import strptime_invalid_mask
+
+    # half the values are well-formed under fmt, half arbitrary garbage
+    vals = [v.strftime(fmt) if isinstance(v, datetime) else v for v in raws]
+    got = strptime_invalid_mask(pd.Series(vals), fmt)
+    for v, g in zip(vals, got):
+        try:
+            datetime.strptime(v, fmt)
+            want = False
+        except ValueError:
+            want = True
+        assert bool(g) == want, (fmt, v)
+
+
+def test_strptime_mask_fractional_digits_quirk():
+    """%f routes through real strptime: >6 fractional digits must be
+    invalid (pandas alone would accept them)."""
+    from dataquality_ray.functions.indicators import strptime_invalid_mask
+
+    s = pd.Series(["2020-01-02T03:04:05.123", "2020-01-02T03:04:05.1234567"])
+    got = strptime_invalid_mask(s, "%Y-%m-%dT%H:%M:%S.%f")
+    assert not got[0] and got[1]
