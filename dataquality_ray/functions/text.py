@@ -62,39 +62,59 @@ def quality_stats(batch: pa.Table, col: str = "text") -> pa.Table:
             .append_column("digit_frac", pc.divide(n_digit, safe)))
 
 
+_WORD_CLASS = "a-zàâäéèêëîïôöùûüñ"
+
+
 class NaturalLangId:
     """Actor: stopword-profile language scorer for prose text (the
-    documents-table analog of stages/langid.CodeLangId)."""
+    documents-table analog of stages/langid.CodeLangId).
+
+    Fully vectorized (round-1 VERDICT item 6): the text is rewritten so
+    every word token carries its OWN space on both sides (non-word runs →
+    two spaces), which makes ``" stopword "`` matches non-overlapping even
+    for consecutive stopwords; then ONE ``pc.count_substring_regex`` per
+    language counts stopword hits, and one more counts total tokens.
+    RE2 has no lookaround, hence the delimiter rewrite instead of \\b.
+    Semantics identical to per-token set membership.
+    """
 
     def __init__(self, col: str = "text"):
         self.col = col
-        self.langs = sorted(STOPWORDS)
-        self.word_re = re.compile(r"[a-zàâäéèêëîïôöùûüñ]+")
+        # argmax tie-break must match dict-iteration order of STOPWORDS
+        self.langs = list(STOPWORDS)
+        self.lang_res = [
+            " (?:" + "|".join(sorted(STOPWORDS[lang])) + ") "
+            for lang in self.langs
+        ]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[self.col].fillna("")
-        detected = []
-        confs = []
-        for t in texts:
-            toks = self.word_re.findall(t.lower())
-            if not toks:
-                detected.append("unknown")
-                confs.append(0.0)
-                continue
-            scores = {lang: sum(tok in sw for tok in toks) / len(toks)
-                      for lang, sw in STOPWORDS.items()}
-            best = max(scores, key=scores.get)
-            total = sum(scores.values())
-            if scores[best] == 0:
-                detected.append("unknown")
-                confs.append(0.0)
-            else:
-                detected.append(best)
-                confs.append(scores[best] / total if total else 0.0)
-        batch = batch.copy()
-        batch["detected_lang"] = detected
-        batch["langid_conf"] = confs
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(pc.fill_null(batch[self.col], ""))
+        padded = pc.binary_join_element_wise(
+            pa.scalar("  "),
+            pc.replace_substring_regex(lower, f"[^{_WORD_CLASS}]+", "  "),
+            pa.scalar("  "), "")
+        # every token in `padded` is preceded by a space (incl. the wrap), so
+        # token count == count of space-then-word-char bigrams — ~10% cheaper
+        # than scanning full [class]+ runs
+        n_tok = pc.count_substring_regex(
+            padded, f" [{_WORD_CLASS}]").to_numpy().astype(np.float64)
+        hits = np.stack([
+            pc.count_substring_regex(padded, rex).to_numpy()
+            for rex in self.lang_res
+        ]).astype(np.float64)                      # (n_langs, n_rows)
+        safe = np.maximum(n_tok, 1.0)
+        scores = hits / safe
+        best = scores.argmax(axis=0)               # first max wins, like max()
+        best_score = scores[best, np.arange(scores.shape[1])]
+        total = scores.sum(axis=0)
+        known = best_score > 0
+        detected = np.where(known, np.array(self.langs)[best], "unknown")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            conf = np.where(known & (total > 0), best_score / total, 0.0)
+        return (batch
+                .append_column("detected_lang",
+                               pa.array(detected.astype(object)))
+                .append_column("langid_conf", pa.array(conf)))
 
 
 FP_BASE = np.uint64(1099511628211)  # FNV-ish multiplier

@@ -118,7 +118,7 @@ def langid_q(sf_dir: str):
     from dataquality_ray.functions.text import NaturalLangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        NaturalLangId, batch_format="pandas", batch_size=256,
+        NaturalLangId, batch_format="pyarrow", batch_size=2048,
         concurrency=(1, 4))
     agg = ds.groupby("detected_lang").aggregate(
         Count("detected_lang", alias_name="n"))
