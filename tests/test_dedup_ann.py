@@ -173,3 +173,74 @@ def test_connected_components_and_keep():
     assert keep.loc[1, "keep"] and keep.loc[5, "keep"]
     assert not keep.loc[2, "keep"] and not keep.loc[9, "keep"]
     assert near_dup_keep(pd.DataFrame(columns=["id_a", "id_b"])).empty
+
+
+@pytest.fixture(scope="module")
+def clustered_vecs():
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 32) * 4
+    # deliberately SORTED by cluster: order-biased sampling would misfit
+    vecs = np.concatenate([c + rng.randn(250, 32) * 0.5 for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                       "embedding": [v.tolist() for v in vecs]})
+    return vecs, df
+
+
+def test_ivf_recall_at_10(clustered_vecs, ray_session):
+    from dataquality_ray.stages.ann import cosine_topk, ivf_topk
+
+    vecs, df = clustered_vecs
+    ds = rd.from_pandas(df).repartition(8)
+    recalls = []
+    for qi in (5, 700, 1500):
+        q = vecs[qi]
+        exact = set(cosine_topk(ds, q[None, :], k=10)["vec_id"])
+        approx = set(ivf_topk(ds, q, dim=32, k=10, nlist=16,
+                              nprobe=4)["vec_id"])
+        recalls.append(len(approx & exact) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_lsh_multiprobe_recall_at_10(clustered_vecs, ray_session):
+    from dataquality_ray.stages.ann import cosine_topk, lsh_topk
+
+    vecs, df = clustered_vecs
+    ds = rd.from_pandas(df).repartition(8)
+    recalls = []
+    for qi in (5, 700, 1500):
+        q = vecs[qi]
+        exact = set(cosine_topk(ds, q[None, :], k=10)["vec_id"])
+        approx = set(lsh_topk(ds, q, dim=32, k=10, bits=6,
+                              nprobe=4)["vec_id"])
+        recalls.append(len(approx & exact) / 10)
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_ivf_fit_is_row_order_invariant(clustered_vecs, ray_session):
+    """The hash-mod fit sample depends on ids only — shuffling row order
+    must produce byte-identical centroids (limit()-based sampling failed
+    this on cluster-sorted input)."""
+    from dataquality_ray.stages.ann import IVFIndex
+
+    _, df = clustered_vecs
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    a = IVFIndex.fit(rd.from_pandas(df).repartition(8), dim=32, nlist=8)
+    b = IVFIndex.fit(rd.from_pandas(shuffled).repartition(8), dim=32, nlist=8)
+    assert np.array_equal(a.centroids, b.centroids)
+
+
+def test_cosine_pairs_auto_routes_past_cap(ray_session):
+    from dataquality_ray.stages.ann import cosine_near_dup_pairs
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(120, 16)
+    vecs[100] = vecs[7]  # planted exact duplicate pair (7, 100)
+    df = pd.DataFrame({"vec_id": np.arange(120),
+                       "embedding": [v.tolist() for v in vecs]})
+    ds = rd.from_pandas(df).repartition(4)
+    exact = cosine_near_dup_pairs(ds, top_n=5)
+    routed = cosine_near_dup_pairs(ds, top_n=5, max_exact_n=10, dim=16)
+    assert (exact.iloc[0]["id_a"], exact.iloc[0]["id_b"]) == (7, 100)
+    # the LSH path must still surface the planted identical pair on top
+    assert (routed.iloc[0]["id_a"], routed.iloc[0]["id_b"]) == (7, 100)
+    assert routed.iloc[0]["cosine"] == pytest.approx(1.0)
