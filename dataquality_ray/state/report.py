@@ -36,6 +36,32 @@ def write_report(result, base_dir: str, run_id: str, test: str) -> str:
     return out
 
 
+# Reference report headers for the summary-style tables (the row-level
+# reports inherit the input's own columns + indicator suffixes and need no
+# mapping).  Keys are our internal snake_case names; values the exact golden
+# CSV headers (run_tests/example_reports/*_output_v1.csv).
+REFERENCE_HEADERS = {
+    "c1": {"column_source": "Column Source",
+           "names_tested": "Names Tested",
+           "highest_similarity_names": "Highest Similarity Names",
+           "similarity_score": "Similarity Score"},
+    # p2 / i1 golden headers are already var1,var2,corr_coeff,features
+    "p2": {}, "i1": {},
+}
+
+
+def reference_report(test: str, table):
+    """Rename/select a summary table's columns to the reference's exact
+    golden header so a reference user can read our reports unchanged.
+    Columns not in the golden header (our extras, e.g. c1's guarded
+    ``recommended``) are dropped from this view only."""
+    mapping = REFERENCE_HEADERS.get(test, {})
+    if not mapping:
+        return table
+    cols = [c for c in mapping if c in table.columns]
+    return table[cols].rename(columns=mapping)
+
+
 def append_log(base_dir: str, record: dict) -> str:
     """Append one run-log row (reference's output_log_score fields re-keyed)
     as JSONL — O(1) append, no read-modify-write."""

@@ -1,0 +1,140 @@
+"""Golden-report shape parity (round-1 VERDICT item 7).
+
+The reference ships golden CSVs (run_tests/example_reports/*_output_v1.csv)
+encoding the exact report shapes its users consume.  These tests read the
+REAL golden headers and assert our report pipelines reproduce them: the
+row-level reports must emit the original columns + the exact indicator
+suffix, in golden order; the summary reports (C1/P2/I1) must match the
+golden header via state/report.reference_report.
+"""
+
+import csv
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+GOLDEN_DIR = "/root/reference/run_tests/example_reports"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GOLDEN_DIR), reason="reference golden reports absent")
+
+
+def golden_header(tag: str) -> list[str]:
+    path = os.path.join(GOLDEN_DIR,
+                        f"DQS_Output_Log_Test.xlsx{tag}_output_v1.csv")
+    with open(path, newline="", encoding="utf-8-sig") as fh:
+        return next(csv.reader(fh))
+
+
+def _base_frame(cols: list[str]) -> pd.DataFrame:
+    """Synthetic 4-row frame with the golden base columns: plausible values
+    for the columns the kernels touch, filler elsewhere."""
+    n = 4
+    data = {}
+    for c in cols:
+        if "LATITUDE" in c:
+            data[c] = [52.3, -98.9, 49.0, 50.5]          # one out of range
+        elif "LONGITUDE" in c:
+            data[c] = [-128.2, -123.6, -125.0, 200.0]    # one out of range
+        elif c == "START_DTT":
+            data[c] = ["2001-02-03", "2009-12-31", "2001-02-01", "2001-05-06"]
+        elif c == "END_DTT":
+            data[c] = ["2001-03-03", "2001-01-01", "2001-02-02", "2001-06-06"]
+        elif "DATE" in c or "DTT" in c:
+            data[c] = ["2001-02-03", "bad-date", "2001-02-01", "2001-05-06"]
+        elif c == "AREA":
+            data[c] = ["12", "x7", "9", ""]              # one symbol value
+        elif "YEAR" in c:
+            data[c] = [2001.0, 2002.0, 2003.0, 2004.0]
+        else:
+            data[c] = [f"v{i}" for i in range(n)]
+    return pd.DataFrame(data)
+
+
+def _report_columns(tag, kernel, flag_cols, invert=None):
+    from dataquality_ray.functions.indicators import violating_rows
+
+    header = golden_header(tag)
+    base = [c for c in header if c not in flag_cols]
+    ds = rd.from_pandas(_base_frame(base))
+    rep = violating_rows(ds, kernel, flag_cols, invert=invert).to_pandas()
+    return header, list(rep.columns)
+
+
+def test_a1_report_matches_golden_header(ray_session):
+    from dataquality_ray.functions.indicators import only_numbers_columns
+
+    header, got = _report_columns(
+        "a1", lambda b: only_numbers_columns(b, ["AREA"]),
+        ["AREA_Only_Numbers"], invert=["AREA_Only_Numbers"])
+    assert got == header
+
+
+def test_a4_report_matches_golden_header(ray_session):
+    from dataquality_ray.functions.indicators import chronology_columns
+
+    header, got = _report_columns(
+        "a4", lambda b: chronology_columns(b, [("START_DTT", "END_DTT")]),
+        ["START_DTT_after_END_DTT"])
+    assert got == header
+
+
+def test_c4_report_matches_golden_header(ray_session):
+    from dataquality_ray.functions.indicators import datetime_format_columns
+
+    header, got = _report_columns(
+        "c4",
+        lambda b: datetime_format_columns(b, ["DATE_1", "DATE_2"],
+                                          fmt="%Y-%m-%d"),
+        ["DATE_1_inconsistent", "DATE_2_inconsistent"])
+    assert got == header
+
+
+def test_c5_report_matches_golden_header(ray_session):
+    from dataquality_ray.functions.indicators import coordinate_invalid_columns
+
+    header, got = _report_columns(
+        "c5",
+        lambda b: coordinate_invalid_columns(
+            b, ["STOCK_LATITUDE", "STOCK_LONGITUDE"]),
+        ["STOCK_LATITUDE_invalid", "STOCK_LONGITUDE_invalid"])
+    assert got == header
+
+
+def test_c2_report_matches_golden_header(ray_session):
+    from dataquality_ray.functions.indicators import comparison_columns
+
+    header = golden_header("c2")
+    flag = "STOCK_CU_INDEX_comparison"
+    base = [c for c in header if c != flag]
+    from dataquality_ray.functions.indicators import violating_rows
+
+    ds = rd.from_pandas(_base_frame(base))
+    rep = violating_rows(
+        ds, lambda b: comparison_columns(b, "STOCK_CU_INDEX", {"nothing"}),
+        [flag], invert=[flag]).to_pandas()
+    assert list(rep.columns) == header
+
+
+def test_c1_summary_matches_golden_header():
+    from dataquality_ray.state.report import reference_report
+
+    table = pd.DataFrame({
+        "column_source": ["X"], "names_tested": ["a"],
+        "highest_similarity_names": ["b"], "similarity_score": [0.5],
+        "recommended": ["b (0.50)"], "all_matches": [""],
+    })
+    assert list(reference_report("c1", table).columns) == golden_header("c1")
+
+
+@pytest.mark.parametrize("tag", ["p2", "i1"])
+def test_corr_summary_matches_golden_header(tag):
+    from dataquality_ray.stages.corr import filter_corrs
+
+    m = pd.DataFrame(np.array([[1.0, 0.9], [0.9, 1.0]]),
+                     index=["a", "b"], columns=["a", "b"])
+    out = filter_corrs(m, 0.5)
+    assert list(out.columns) == golden_header(tag)
