@@ -479,16 +479,31 @@ def c3_q(sf_dir: str):
 
 @query("dq_battery")
 def dq_battery_q(sf_dir: str):
-    from dataquality_ray.pipelines.battery import lineitem_battery, run_battery
+    """The full battery over lineitem + orders + documents: one row per
+    (battery, test) with its score, one per dimension roll-up, one grade row
+    per battery.  Reports + run-log land under /tmp/dq_battery_reports."""
+    import tempfile
 
-    res = run_battery(_read(sf_dir, "lineitem"), lineitem_battery(sf_dir))
-    rows = [{"dimension": d["dimension"], "score": round(d["score"], R)}
-            for d in res["dimension_scores"]]
-    rows.append({"dimension": "DQ_GRADE",
-                 "score": float("nan"), "grade": res["grade"]})
-    out = pd.DataFrame(rows)
-    out["grade"] = out.get("grade", pd.Series(dtype=object)).fillna("")
-    return out.sort_values("dimension").reset_index(drop=True)
+    from dataquality_ray.pipelines.battery import full_battery, run_battery
+
+    report_base = tempfile.mkdtemp(prefix="dq_battery_")
+    rows = []
+    for name, (table, tests) in sorted(full_battery(sf_dir).items()):
+        res = run_battery(_read(sf_dir, table), tests,
+                          report_base=report_base, run_id=name)
+        for test, score in sorted(res["tests"].items()):
+            rows.append({"battery": name, "entry": f"test:{test}",
+                         "score": round(score, R) if score is not None
+                         else float("nan"), "grade": ""})
+        for d in res["dimension_scores"]:
+            rows.append({"battery": name, "entry": f"dim:{d['dimension']}",
+                         "score": (round(d["score"], R)
+                                   if d.get("score") is not None
+                                   else float("nan")), "grade": ""})
+        rows.append({"battery": name, "entry": "DQ_GRADE",
+                     "score": float("nan"), "grade": res["grade"]})
+    return (pd.DataFrame(rows).sort_values(["battery", "entry"])
+            .reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,101 @@ def reference_report(test: str, table):
     return table[cols].rename(columns=mapping)
 
 
+def one_line_summary(test: str, df, selected_columns=None,
+                     threshold=None) -> str | None:
+    """The reference's per-test run-log sentence
+    (utils/core_operations.py:152-289), generated from the report table
+    directly instead of re-reading the written CSV.  ``df`` must carry the
+    reference-shaped columns (indicator suffixes / golden headers) — pass
+    summary tables through :func:`reference_report` first.
+    """
+    try:
+        cols = list(df.columns)
+        if test == "C1":
+            mx = df.groupby("Column Source")["Similarity Score"].max()
+            hits = ", ".join(mx[mx > threshold].index.tolist())
+            return ("The following columns contain a score above the "
+                    "threshold " + hits + ".")
+        if test == "C2":
+            bad = [c[:-len("_comparison")] for c in cols
+                   if c.endswith("_comparison") and (df[c] == False).sum() > 0]  # noqa: E712
+            return ("The following columns may have names that do not "
+                    "resemble a reference data column: " + ", ".join(bad) + ".")
+        if test == "C3":
+            bad = [c[len("Normalized "):-len("_comparison")] for c in cols
+                   if c.startswith("Normalized ") and c.endswith("_comparison")
+                   and (df[c] == False).sum() > 0]  # noqa: E712
+            return ("The following columns may have names that do not "
+                    "resemble a province/territory: " + ", ".join(bad) + ".")
+        if test == "C4":
+            bad = [c[:-len("_inconsistent")] for c in cols
+                   if c.endswith("_inconsistent") and (df[c] == True).sum() > 0]  # noqa: E712
+            return ("The following columns may have dates inconsistent with "
+                    "a date-time formatting: " + ", ".join(bad) + ".")
+        if test == "C5":
+            bad = [c[:-len("_invalid")] for c in cols
+                   if c.endswith("_invalid") and (df[c] == True).sum() > 0]  # noqa: E712
+            return ("The following columns may have invalid "
+                    "latitude/longitude coordinates: " + ", ".join(bad) + ".")
+        if test == "A1":
+            bad = [c[:-len("_Only_Numbers")] for c in cols
+                   if c.endswith("_Only_Numbers") and (df[c] == False).sum() > 0]  # noqa: E712
+            return "Columns that may contain symbols: " + ", ".join(bad) + "."
+        if test == "A2":
+            below = []
+            all_selected = len(cols) == len(selected_columns)
+            for c in selected_columns:
+                if df[c].min() < threshold:
+                    avg = round(df[c].mean() * 100, 2)
+                    below.append(c if all_selected
+                                 else f"{c} (Avg score: {avg})")
+            return ("There are at least 15% outliers existing in the "
+                    "following columns: " + ", ".join(below) + ".")
+        if test == "A3":
+            comp = ", ".join(selected_columns[:-1])
+            agg = selected_columns[-1]
+            if len(df) > 2:
+                return (f"The aggregated column {agg} may contain values not "
+                        f"equal to the sums of its component columns: "
+                        f"{comp}.")
+            return (f"The aggregated column {agg} equals the sum of its "
+                    f"component columns: {comp}.")
+        if test == "A4":
+            n_pairs = int(len(selected_columns) / 2)
+            pairs = [c for c in df.iloc[:, -n_pairs:].columns
+                     if (df[c] == True).sum() > 0]  # noqa: E712
+            tup = [tuple(s.split("_after_")) for s in pairs]
+            return ("Column pairs that may contain dates not in "
+                    "chronological order: "
+                    + ", ".join(f"({a}, {b})" for a, b in tup) + ".")
+        if test == "P1":
+            return ("Columns that exceed the threshold of non-null values: "
+                    + ", ".join(cols) + ".")
+        if test == "P2":
+            if threshold < 0.5:
+                strength = "little to no"
+            elif threshold == 0.5:
+                strength = "a possible"
+            elif threshold < 0.75:
+                strength = "a possibly moderate"
+            else:
+                strength = "a possibly strong"
+            return (f"There are {len(df['features'])} feature pair(s) with "
+                    + strength + " association in missingness, given a "
+                    f"correlation threshold of {threshold}.")
+        if test == "I1":
+            above = ", ".join(df["var1"].unique())
+            return (f"Proxy variables whose correlation with sensitive "
+                    f"features is higher than {threshold}: " + above + ".")
+        if test == "U1":
+            return ("Duplicate rows found in the dataset."
+                    if len(cols) > 0 else
+                    "No duplicate rows found in the dataset.")
+        return None
+    except Exception:
+        return None
+
+
 def append_log(base_dir: str, record: dict) -> str:
     """Append one run-log row (reference's output_log_score fields re-keyed)
     as JSONL — O(1) append, no read-modify-write."""
