@@ -242,14 +242,27 @@ def p1_completeness(ds, exclude_columns: list[str] | None = None,
     exclude.add("Comment")
     cols = [c for c in ds.schema().names if c not in exclude]
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame([{"column_name": c,
-                              "n": len(batch),
-                              "nulls": int(batch[c].isna().sum())}
-                             for c in cols])
+    def partial(batch: pa.Table) -> pa.Table:
+        # Arrow arrays carry null counts in metadata — O(#cols), no scan,
+        # no pandas conversion.  NaN floats are physical values, not Arrow
+        # nulls, so count them explicitly for pandas-isna parity.
+        import pyarrow.compute as pc
+        import pyarrow.types as pt
+
+        nulls = []
+        for c in cols:
+            arr = batch[c]
+            n = arr.null_count
+            if pt.is_floating(arr.type):
+                n += pc.sum(pc.is_nan(pc.drop_null(arr))).as_py() or 0
+            nulls.append(n)
+        return pa.table({"column_name": pa.array(cols),
+                         "n": pa.array([len(batch)] * len(cols),
+                                       pa.int64()),
+                         "nulls": pa.array(nulls, pa.int64())})
 
     parts = (ds.select_columns(cols)
-               .map_batches(partial, batch_format="pandas").take_all())
+               .map_batches(partial, batch_format="pyarrow").take_all())
     df = (pd.DataFrame(parts).groupby("column_name", as_index=False).sum()
           .sort_values("column_name").reset_index(drop=True))
     df["null_frac"] = df["nulls"] / df["n"]

@@ -3,13 +3,21 @@
 Parquet is the primary scale format (``ray.data.read_parquet`` with column
 pruning).  CSV support mirrors the reference's ``read_data``
 (utils/core_operations.py:50-70): header row is the schema, utf-8-sig first
-with a cp1252 fallback for legacy exports.  XLSX is intentionally out of
-scope at scale (SURVEY §2.1); a CSV conversion is the documented migration.
+with a cp1252 fallback for legacy exports.  XLSX (the reference UI's primary
+input) reads driver-side via pandas when an engine (openpyxl) is importable
+— XLSX is a single-machine format by nature, so a driver read + from_pandas
+is the honest shape; at scale the documented migration is CSV/parquet.
 """
 
 from __future__ import annotations
 
 import os
+
+
+def get_dataset_name(dataset_path: str) -> str:
+    """Basename without extension (utils/core_operations.py:142-147) — the
+    run-id / report-prefix the reference derives from the input path."""
+    return os.path.splitext(os.path.basename(dataset_path))[0]
 
 
 def read_table(path: str, columns: list[str] | None = None,
@@ -26,7 +34,27 @@ def read_table(path: str, columns: list[str] | None = None,
     if ext == ".csv":
         ds = read_csv_fallback(path, **kwargs)
         return ds.select_columns(columns) if columns else ds
+    if ext == ".xlsx":
+        ds = read_xlsx(path)
+        return ds.select_columns(columns) if columns else ds
     raise ValueError(f"unsupported source extension {ext!r} ({path})")
+
+
+def read_xlsx(path: str):
+    """XLSX -> Dataset via a driver-side pandas read (the format is
+    single-file/single-machine; there is nothing to parallelize at read
+    time).  Requires an excel engine; raises ImportError with the CSV
+    migration hint when absent (openpyxl is not in this container)."""
+    import pandas as pd
+    import ray.data as rd
+
+    try:
+        df = pd.read_excel(path)
+    except ImportError as exc:
+        raise ImportError(
+            "reading .xlsx requires an excel engine (openpyxl); convert the "
+            "workbook to CSV/parquet for this environment") from exc
+    return rd.from_pandas(df)
 
 
 def read_csv_fallback(path: str, **kwargs):

@@ -136,7 +136,7 @@ def mark_duplicates_join(ds, sha_col: str = "content_sha256",
     ``rows / num_partitions``; use when the duplicate-group set itself is
     too large to broadcast.
     """
-    from dataquality_ray.stages.joins import resolve_join_partitions
+    from dataquality_ray.stages.joins import _est_size, resolve_join_partitions
 
     if dup_groups is None:
         dup_groups = dup_groups_dataset(ds, sha_col, id_col)
@@ -145,7 +145,8 @@ def mark_duplicates_join(ds, sha_col: str = "content_sha256",
                   [sha_col, "_dedup_canonical"]),
                   batch_format="pyarrow"))
     joined = ds.join(groups, "left_outer",
-                     num_partitions=resolve_join_partitions(num_partitions),
+                     num_partitions=resolve_join_partitions(
+                         num_partitions, _est_size(ds)),
                      on=(sha_col,))
     return joined.map_batches(lambda b: _mark_joined(b, id_col),
                               batch_format="pyarrow")

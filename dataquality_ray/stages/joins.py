@@ -69,21 +69,41 @@ def broadcast_join(ds, small_ds_or_df, on: str, value_cols: list[str],
 BROADCAST_CAP_BYTES = 64 * 1024 * 1024
 
 
-def resolve_join_partitions(requested: int | None = None) -> int:
-    """Clamp join partition count to cluster CPUs.
+# Target bytes per join partition: small enough to fit a worker heap with
+# headroom, large enough that tiny inputs don't pay for idle aggregators.
+JOIN_PARTITION_BYTES = 256 * 1024 * 1024
+
+
+def resolve_join_partitions(requested: int | None = None,
+                            est_bytes: int | None = None) -> int:
+    """Pick/clamp the join partition count.
 
     Ray's hash join spawns one ``HashShuffleAggregator`` actor per partition,
     each reserving a CPU — asking for more partitions than the cluster has
-    CPUs deadlocks the actor pool (verified on a 4-CPU local cluster).  On a
-    real multi-node cluster CPUs is large, so partitions scale with the
-    cluster; per-worker memory stays bounded at ``max(side)/partitions``.
+    CPUs deadlocks the actor pool (verified on a 4-CPU local cluster), and
+    spinning 32 aggregators for a 20 MB join wastes seconds of actor
+    startup.  So: partitions = ceil(est_bytes / 256 MiB) clamped to
+    [2, cluster CPUs]; with no size estimate, all CPUs.  On a real
+    multi-node cluster CPUs is large, so partitions scale with the cluster
+    and per-worker memory stays bounded at ``max(side)/partitions``.
     """
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # pragma: no cover - ray not yet initialised
         cpus = 8
     cap = max(2, cpus)
-    return cap if requested is None else max(2, min(requested, cap))
+    if requested is not None:
+        return max(2, min(requested, cap))
+    if est_bytes is not None:
+        return max(2, min(cap, -(-est_bytes // JOIN_PARTITION_BYTES)))
+    return cap
+
+
+def _est_size(ds) -> int | None:
+    try:
+        return ds.size_bytes()
+    except Exception:  # pragma: no cover - size unknown pre-execution
+        return None
 
 
 def hash_join(left, right, on: str, right_on: str | None = None,
@@ -112,8 +132,15 @@ def hash_join(left, right, on: str, right_on: str | None = None,
         small = right.to_pandas().rename(columns={right_on: on})
         cols = [c for c in small.columns if c != on]
         return broadcast_join(left, small, on=on, value_cols=cols)
+    if num_partitions is None:
+        sizes = [s for s in (_est_size(left), _est_size(right))
+                 if s is not None]
+        est = sum(sizes) if sizes else None
+    else:
+        est = None
     return left.join(right, join_type,
-                     num_partitions=resolve_join_partitions(num_partitions),
+                     num_partitions=resolve_join_partitions(num_partitions,
+                                                            est),
                      on=(on,), right_on=(right_on,))
 
 

@@ -230,3 +230,26 @@ def test_full_battery_reports_and_summaries(ray_session, tmp_path):
     assert by_test[("documents", "C3")]["one_line_summary"].startswith(
         "The following columns may have names that do not resemble a "
         "province/territory")
+
+
+def test_get_dataset_name():
+    from dataquality_ray.sources.readers import get_dataset_name
+
+    assert get_dataset_name("/a/b/Dataset_A.csv") == "Dataset_A"
+    assert get_dataset_name("Data.Set.xlsx") == "Data.Set"
+
+
+def test_read_xlsx_raises_with_migration_hint(tmp_path):
+    import pytest as _pytest
+
+    from dataquality_ray.sources.readers import read_table
+
+    p = tmp_path / "book.xlsx"
+    p.write_bytes(b"PK\x03\x04 not a real workbook")
+    # openpyxl is absent in this container: the ImportError must carry the
+    # CSV migration hint.  (With an engine installed the path is a plain
+    # pandas read -> from_pandas.)
+    with _pytest.raises(Exception) as ei:
+        read_table(str(p))
+    if isinstance(ei.value, ImportError):
+        assert "convert the workbook" in str(ei.value)
