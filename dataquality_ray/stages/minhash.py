@@ -27,6 +27,14 @@ def _hash64(s: str) -> int:
                           "big")
 
 
+def _splitmix64_arr(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over a uint64 array (band-hash mixing)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def word_shingle_set(text: str, k: int = 3) -> set[str]:
     """Distinct word k-gram shingles as raw strings (exact-Jaccard path;
     ``shingle_hashes`` is the hashed variant the MinHash sketch consumes)."""
@@ -83,23 +91,26 @@ class MinHasher:
         return np.ascontiguousarray(mins.T)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Explode each doc into one row per LSH band."""
+        """Explode each doc into one row per LSH band.
+
+        Band hashing is a vectorized splitmix64 chain over the band's
+        signature rows (BAND_ROWS iterations over the whole (n, n_bands)
+        matrix) — no per-doc Python loop, no per-band blake2b call; the
+        64-bit mix keeps accidental bucket collisions negligible."""
         ids = np.asarray(batch[self.id_col].to_pylist())
         texts = batch[self.text_col].to_pylist()
         sigs = self.signatures(texts)  # (n, 64)
         n = len(ids)
         n_bands = N_PERM // BAND_ROWS
-        out_hash = []
-        for i in range(n):
-            row = sigs[i]
-            for band in range(n_bands):
-                chunk = row[band * BAND_ROWS:(band + 1) * BAND_ROWS]
-                out_hash.append(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
+        v = sigs.reshape(n, n_bands, BAND_ROWS)
+        acc = np.full((n, n_bands), np.uint64(0x9E3779B97F4A7C15))
+        with np.errstate(over="ignore"):
+            for r in range(BAND_ROWS):
+                acc = _splitmix64_arr(acc ^ v[:, :, r])
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, n_bands)),
             "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
-            "band_hash": pa.array(out_hash, pa.string()),
+            "band_hash": pa.array(acc.reshape(-1).view(np.int64)),
         })
 
 
@@ -141,14 +152,18 @@ def minhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     hot = counts[counts["n"] > 1]
     if not len(hot):
         return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
-    hot_keys = set(zip(hot["band"], hot["band_hash"]))
+    hot_keys = np.unique(
+        hot["band_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        ^ hot["band"].to_numpy(dtype=np.int64).astype(np.uint64))
 
-    # 2. fetch members of hot buckets only (broadcast key-set filter).
+    # 2. fetch members of hot buckets only (broadcast key-set filter;
+    #    composite (band, hash) key folded to one uint64 for np.isin).
     def in_hot(batch: pa.Table) -> pa.Table:
-        mask = [(b, h) in hot_keys
-                for b, h in zip(batch["band"].to_pylist(),
-                                batch["band_hash"].to_pylist())]
-        return batch.filter(pa.array(mask))
+        bh = (batch["band_hash"].to_numpy(zero_copy_only=False)
+              .astype(np.int64).view(np.uint64))
+        b = (batch["band"].to_numpy(zero_copy_only=False)
+             .astype(np.uint64))
+        return batch.filter(pa.array(np.isin(bh ^ b, hot_keys)))
 
     members = sigs.map_batches(in_hot, batch_format="pyarrow").to_pandas()
     cand_rows = []
@@ -163,10 +178,12 @@ def minhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
 
     # verify: fetch candidate docs only
-    cand_ids = set(cand["id_a"]) | set(cand["id_b"])
+    cand_ids = pa.array(sorted(set(cand["id_a"]) | set(cand["id_b"])))
 
     def pick(batch: pa.Table) -> pa.Table:
-        mask = pa.array([i in cand_ids for i in batch[id_col].to_pylist()])
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch[id_col], value_set=cand_ids)
         return batch.filter(mask).select([id_col, text_col])
 
     docs = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
@@ -262,11 +279,11 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     hot = counts[counts["n"] > 1]
     pairs = []
     if len(hot):
-        hot_vals = set(hot["bucket"])
+        hot_vals = np.unique(hot["bucket"].to_numpy(dtype=np.int64))
 
         def in_hot(batch: pa.Table) -> pa.Table:
-            mask = [v in hot_vals for v in batch["bucket"].to_pylist()]
-            return batch.filter(pa.array(mask))
+            b = batch["bucket"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(b, hot_vals)))
 
         members = exploded.map_batches(in_hot,
                                        batch_format="pyarrow").to_pandas()
