@@ -244,20 +244,20 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
         labeled = labeled.materialize()
         if dedup and single_chunk:
             from dataquality_ray.stages.dedup import (
-                MarkDuplicates,
                 compute_dup_index,
+                make_mark_fn,
             )
 
             post_ref = compute_dup_index(
                 labeled.select_columns(["content_sha256", "row_id"]))
+            mark_fn = make_mark_fn(post_ref)
 
             def _mark(ds_in):
+                # task pool, not actors: the mark is a stateless vectorized
+                # probe of a broadcast index — actor spin-up would dominate
                 return (ds_in
-                        .map_batches(MarkDuplicates, batch_format="pyarrow",
-                                     batch_size=batch_size,
-                                     concurrency=(1, 8),
-                                     fn_constructor_kwargs={
-                                         "dup_index_ref": post_ref})
+                        .map_batches(mark_fn, batch_format="pyarrow",
+                                     batch_size=batch_size)
                         .map_batches(_apply_dup_batch, batch_format="pyarrow",
                                      batch_size=batch_size))
 

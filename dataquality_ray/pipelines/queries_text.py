@@ -175,6 +175,46 @@ def dedup_exact_q(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Exact dedup via the JOIN mark path (zero driver-side materialization:
+# dup groups stay a Dataset, marks via hash-partitioned Dataset.join) —
+# same oracle as a SQL window over the duplicated corpus
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact_join", sql="""
+SELECT cast(doc_id AS bigint) AS doc_id,
+       (cnt > 1) AS is_dup,
+       (cnt = 1 OR doc_id = mn) AS dup_keep
+FROM (SELECT doc_id, count(*) OVER (PARTITION BY text) AS cnt,
+             min(doc_id) OVER (PARTITION BY text) AS mn
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents))
+ORDER BY doc_id
+""")
+def dedup_exact_join_q(sf_dir: str):
+    import hashlib
+
+    from dataquality_ray.stages.dedup import mark_duplicates_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    shifted = docs.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("doc_id"), "doc_id",
+                               pc.add(t["doc_id"], 1000000)),
+        batch_format="pyarrow")
+    both = docs.union(shifted)
+
+    def sha(batch: pa.Table) -> pa.Table:
+        hashes = [hashlib.sha256(t.encode()).hexdigest()
+                  for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "content_sha256": pa.array(hashes)})
+
+    hashed = both.map_batches(sha, batch_format="pyarrow")
+    marked = mark_duplicates_join(hashed, id_col="doc_id").to_pandas()
+    return (marked[["doc_id", "is_dup", "dup_keep"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # MinHash-LSH near-dup over documents + mutated copies — rows-only
 # ---------------------------------------------------------------------------
 

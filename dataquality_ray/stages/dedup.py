@@ -87,12 +87,23 @@ def compute_dup_index(ds, sha_col: str = "content_sha256",
     return ray.put((shas, canon))
 
 
-class MarkDuplicates:
-    """Actor: given the broadcast dup index, append is_dup / dup_keep.
+def _mark_batch(batch: pa.Table, shas, canon, sha_col: str,
+                id_col: str) -> pa.Table:
+    """Vectorized mark: one ``pc.index_in`` probe of the batch's sha column
+    against the broadcast sha array, one ``take`` for the canonical ids."""
+    idx = pc.index_in(batch[sha_col].combine_chunks(), value_set=shas)
+    is_dup = pc.is_valid(idx)
+    if len(canon):
+        canon_ids = canon.take(idx)
+        keep = pc.fill_null(pc.equal(batch[id_col], canon_ids), True)
+    else:
+        keep = pa.array(np.ones(len(batch), dtype=bool))
+    return (batch.append_column("is_dup", is_dup)
+                 .append_column("dup_keep", keep))
 
-    Fully vectorized: one ``pc.index_in`` probe of the batch's sha column
-    against the broadcast sha array, one ``take`` for the canonical ids.
-    """
+
+class MarkDuplicates:
+    """Actor: given the broadcast dup index, append is_dup / dup_keep."""
 
     def __init__(self, dup_index_ref, sha_col: str = "content_sha256",
                  id_col: str = "row_id"):
@@ -101,19 +112,20 @@ class MarkDuplicates:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        idx = pc.index_in(batch[self.sha_col].combine_chunks(),
-                          value_set=self.shas)
-        is_dup = pc.is_valid(idx)
-        if len(self.canon):
-            canon = self.canon.take(idx)
-            keep = pc.fill_null(pc.equal(batch[self.id_col], canon), True)
-        else:
-            keep = pa.array(np.ones(len(batch), dtype=bool))
-        return (
-            batch
-            .append_column("is_dup", is_dup)
-            .append_column("dup_keep", keep)
-        )
+        return _mark_batch(batch, self.shas, self.canon, self.sha_col,
+                           self.id_col)
+
+
+def make_mark_fn(dup_index_ref, sha_col: str = "content_sha256",
+                 id_col: str = "row_id"):
+    """Task-pool variant of :class:`MarkDuplicates`: a plain function for
+    ``map_batches`` without an actor pool (no per-stage actor spin-up).
+    ``ray.get`` of the broadcast index inside the task is a zero-copy plasma
+    read of Arrow arrays — cheap per batch, no reship."""
+    def mark(batch: pa.Table) -> pa.Table:
+        shas, canon = ray.get(dup_index_ref)
+        return _mark_batch(batch, shas, canon, sha_col, id_col)
+    return mark
 
 
 def _mark_joined(batch: pa.Table, id_col: str) -> pa.Table:
