@@ -276,6 +276,8 @@ def documents_battery(sf_dir: str) -> list[tuple]:
             ds, exclude_columns=["text"])),
         ("U1", "Uniqueness",
          lambda ds: dq.u1_duplicate_rows(ds, ["doc_id"])),
+        ("S1", "Accessibility",
+         lambda ds: dq.s1_accessibility(has_metadata=True)),
     ]
 
 

@@ -373,6 +373,34 @@ def i1_proxy_corr(ds, sensitive_columns: list[str], threshold: float = 0.75,
 
 
 # ---------------------------------------------------------------------------
+# S1 — accessibility: metadata-file existence (dimensions/accessibility/
+# s1.py:35-50).  R1/T1 are TODO templates in the reference (relevance/r1.py,
+# timeliness/t1.py return a None placeholder score) — mirrored as honest
+# stubs so a reference battery config referencing them behaves identically.
+# ---------------------------------------------------------------------------
+
+
+def s1_accessibility(has_metadata: bool | None = None) -> dict:
+    """Score 1 iff a metadata file exists for the dataset (user-declared,
+    like the reference's s1_has_metadata checkbox); report is the one-cell
+    ``Score`` frame the golden s1 CSV encodes."""
+    score = 1 if has_metadata is True else 0
+    return {"score": score, "table": pd.DataFrame({"Score": [score]})}
+
+
+def r1_relevance(ds=None) -> dict:
+    """Reference r1.py:44-47 is an unimplemented template: score is a None
+    placeholder and the runner treats it as 0.  Kept as a faithful stub."""
+    return {"score": None, "table": None}
+
+
+def t1_timeliness(ds=None) -> dict:
+    """Reference t1.py:44-47 is an unimplemented template — see
+    :func:`r1_relevance`."""
+    return {"score": None, "table": None}
+
+
+# ---------------------------------------------------------------------------
 # U1 — exact duplicate rows (dimensions/uniqueness/u1.py:30-60)
 # ---------------------------------------------------------------------------
 
@@ -425,11 +453,3 @@ def u1_duplicate_rows(ds, columns: list[str] | None = None,
                                     "score": score}])}
 
 
-# ---------------------------------------------------------------------------
-# S1 — metadata exists (dimensions/accessibility/s1.py:34-39): trivial flag
-# ---------------------------------------------------------------------------
-
-
-def s1_accessibility(has_metadata: bool) -> dict:
-    score = 1 if has_metadata is True else 0
-    return {"score": score, "table": pd.DataFrame([{"score": score}])}

@@ -102,6 +102,10 @@ def one_line_summary(test: str, df, selected_columns=None,
             bad = [c[:-len("_Only_Numbers")] for c in cols
                    if c.endswith("_Only_Numbers") and (df[c] == False).sum() > 0]  # noqa: E712
             return "Columns that may contain symbols: " + ", ".join(bad) + "."
+        if test == "S1":
+            return ("Metadata exists for given dataset"
+                    if df.iloc[0, 0] > 0 else
+                    "Metadata does not exist for given dataset")
         if test == "A2":
             below = []
             all_selected = len(cols) == len(selected_columns)

@@ -138,3 +138,25 @@ def test_corr_summary_matches_golden_header(tag):
                      index=["a", "b"], columns=["a", "b"])
     out = filter_corrs(m, 0.5)
     assert list(out.columns) == golden_header(tag)
+
+
+def test_s1_summary_matches_golden_header():
+    from dataquality_ray.pipelines.dimensions import s1_accessibility
+    from dataquality_ray.state.report import one_line_summary
+
+    res = s1_accessibility(has_metadata=True)
+    assert list(res["table"].columns) == golden_header("s1")
+    assert res["score"] == 1
+    assert one_line_summary("S1", res["table"]) == \
+        "Metadata exists for given dataset"
+    off = s1_accessibility(has_metadata=False)
+    assert off["score"] == 0
+    assert one_line_summary("S1", off["table"]) == \
+        "Metadata does not exist for given dataset"
+
+
+def test_r1_t1_reference_template_stubs():
+    from dataquality_ray.pipelines.dimensions import r1_relevance, t1_timeliness
+
+    assert r1_relevance()["score"] is None
+    assert t1_timeliness()["score"] is None
