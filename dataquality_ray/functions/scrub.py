@@ -107,6 +107,33 @@ def scrub_batch(batch: pa.Table, col: str = "content") -> pa.Table:
     )
 
 
+# Toxicity term list (north-star "PII/toxicity scrubber"): a deliberately
+# small default of common profanity — deployment configs swap in their full
+# blocklist via the ``terms`` argument.  Scoring is NON-decisional: the
+# flagship's keep/drop rule is unchanged; tox_count/tox_flag are label
+# columns a downstream policy can filter on.
+TOXICITY_TERMS = ["fuck", "shit", "bitch", "asshole", "bastard", "damn"]
+
+
+def toxicity_pattern(terms: list[str] | None = None) -> str:
+    """Case-insensitive whole-word alternation (RE2 supports ASCII \\b)."""
+    terms = terms or TOXICITY_TERMS
+    return r"(?i)\b(?:" + "|".join(sorted(terms)) + r")\b"
+
+
+def toxicity_batch(batch: pa.Table, col: str = "content",
+                   terms: list[str] | None = None) -> pa.Table:
+    """Append tox_count (whole-word profanity hits) and tox_flag — one
+    vectorized ``pc.count_substring_regex`` pass, no Python loop."""
+    import pyarrow.compute as pc
+
+    counts = pc.fill_null(
+        pc.count_substring_regex(batch[col], toxicity_pattern(terms)), 0)
+    counts = pc.cast(counts, pa.int64())
+    return (batch.append_column("tox_count", counts)
+                 .append_column("tox_flag", pc.greater(counts, 0)))
+
+
 def sha256_batch(batch: pa.Table, col: str = "content",
                  out_col: str = "content_sha256") -> pa.Table:
     """Append the per-row sha256 hex digest of ``col`` (pass-through

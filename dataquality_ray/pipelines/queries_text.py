@@ -175,6 +175,33 @@ def dedup_exact_q(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Toxicity scan over documents: whole-word profanity counts (vectorized
+# count_substring_regex) vs a DuckDB regexp_extract_all oracle
+# ---------------------------------------------------------------------------
+
+from dataquality_ray.functions.scrub import toxicity_pattern as _tox_pat
+
+@query("toxicity_scan", sql=f"""
+SELECT len(regexp_extract_all(text, '{_tox_pat()}')) AS tox_count,
+       count(*) AS n_docs
+FROM documents
+GROUP BY tox_count
+ORDER BY tox_count
+""")
+def toxicity_q(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from dataquality_ray.functions.scrub import toxicity_batch
+
+    ds = _read(sf_dir, "documents", ["text"]).map_batches(
+        lambda b: toxicity_batch(b, col="text"), batch_format="pyarrow")
+    agg = ds.groupby("tox_count").aggregate(Count("tox_count",
+                                                  alias_name="n_docs"))
+    return (agg.to_pandas().sort_values("tox_count")
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # Exact dedup via the JOIN mark path (zero driver-side materialization:
 # dup groups stay a Dataset, marks via hash-partitioned Dataset.join) —
 # same oracle as a SQL window over the duplicated corpus

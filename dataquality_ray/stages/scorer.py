@@ -41,7 +41,9 @@ class FilterStage:
 
     def __init__(self, content_col: str = "content",
                  claimed_col: str = "lang", logp_ref=None, dup_index_ref=None):
-        from dataquality_ray.functions.scrub import scrub_batch
+        import functools
+
+        from dataquality_ray.functions.scrub import scrub_batch, toxicity_batch
         from dataquality_ray.pipelines.quality_filter import (
             _apply_dup_batch,
             _decide_batch,
@@ -49,6 +51,7 @@ class FilterStage:
 
         self.scorer = ContentScorer(content_col, claimed_col, logp_ref)
         self.scrub = scrub_batch
+        self.toxicity = functools.partial(toxicity_batch, col=content_col)
         self.decide = _decide_batch
         self.apply_dup = _apply_dup_batch
         if dup_index_ref is not None:
@@ -60,7 +63,7 @@ class FilterStage:
         self._out_schema: pa.Schema | None = None
 
     def _chain(self, batch: pa.Table) -> pa.Table:
-        batch = self.decide(self.scrub(self.scorer(batch)))
+        batch = self.decide(self.toxicity(self.scrub(self.scorer(batch))))
         if self.mark is not None:
             batch = self.apply_dup(self.mark(batch))
         return batch
