@@ -193,6 +193,7 @@ def _expand_files(input_path: str | list[str]) -> list[str]:
 def run_quality_filter(input_path: str | list[str], run_dir: str, *,
                        chunk_files: int | None = None,
                        dedup: bool = True,
+                       dedup_mode: str = "broadcast",
                        batch_size: int = 2048) -> dict:
     """End-to-end resumable run: label + scrub + write + lineage.
 
@@ -206,6 +207,14 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
     file whose chunk committed and reprocesses the rest.  ``chunk_files``
     bounds both resume granularity and the object-store footprint of the
     materialized chunk at scale.
+
+    ``dedup_mode``: ``'broadcast'`` (default) builds the dup index with the
+    map-side combiner and broadcasts it (driver memory O(#distinct shas),
+    fine to ~10^8); ``'join'`` never materializes anything driver-side —
+    dup groups stay a Dataset and rows are marked by a hash-partitioned
+    ``Dataset.join`` (the escape hatch for corpora whose distinct-hash set
+    exceeds driver memory; costs one full-row shuffle).  Outputs are
+    identical (tested).
     """
     import ray.data as rd
 
@@ -242,7 +251,21 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
         # blocks (no recompute, no disk re-read).  Bounded by chunk_files at
         # scale; the object store spills if a chunk exceeds memory.
         labeled = labeled.materialize()
-        if dedup and single_chunk:
+        if dedup and single_chunk and dedup_mode == "join":
+            # The beyond-broadcast escape hatch end-to-end: the dup-group
+            # table never lands on the driver; rows are marked via a
+            # hash-partitioned join and pinned once for write + stats.
+            from dataquality_ray.stages.dedup import mark_duplicates_join
+
+            marked = (mark_duplicates_join(labeled)
+                      .map_batches(_apply_dup_batch, batch_format="pyarrow",
+                                   batch_size=batch_size)
+                      .materialize())
+            del labeled  # release the pre-mark blocks
+            marked.write_parquet(out_dir)
+            rec = _chunk_stats(marked.select_columns(
+                ["keep", "scrubbed", "pii_count", "is_dup"]), dedup)
+        elif dedup and single_chunk:
             from dataquality_ray.stages.dedup import (
                 compute_dup_index,
                 make_mark_fn,

@@ -187,3 +187,32 @@ def test_null_and_empty_content_rows(ray_session):
     assert "null_content" in out.loc["b.py", "drop_reasons"]
     assert out.loc["b.py", "content_sha256"] is None
     assert not bool(out.loc["c.py", "keep"])
+
+
+def test_dedup_mode_join_matches_broadcast(ray_session, tmp_path):
+    """dedup_mode='join' (no driver-side index at all) must produce the
+    identical summary and identical per-row keep/is_dup marks."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from dataquality_ray.fixtures import write_code_files
+    from dataquality_ray.pipelines.quality_filter import run_quality_filter
+
+    src = str(tmp_path / "in")
+    write_code_files(src, n_rows=600, seed=11, rows_per_file=200)
+
+    outs = {}
+    for mode in ("broadcast", "join"):
+        run_dir = str(tmp_path / f"run_{mode}")
+        summary = run_quality_filter(src, run_dir, dedup=True,
+                                     dedup_mode=mode)
+        rows = (pads.dataset(f"{run_dir}/data").to_table(
+            columns=["row_id", "keep", "is_dup", "dup_keep"]).to_pandas()
+            .sort_values("row_id").reset_index(drop=True))
+        outs[mode] = (summary, rows)
+
+    s_b, r_b = outs["broadcast"]
+    s_j, r_j = outs["join"]
+    assert s_b == s_j
+    pd.testing.assert_frame_equal(r_b, r_j)
+    assert r_b["is_dup"].any()  # fixture plants duplicates
