@@ -119,6 +119,28 @@ def comparison_columns(batch: pd.DataFrame, col: str,
     return batch
 
 
+def c3_comparison_columns(batch: pd.DataFrame, columns: list[str],
+                          ref_names=None) -> pd.DataFrame:
+    """C3 report flags (c3.py:46-63): ``Normalized {col}_comparison`` is
+    EXACT membership of the normalized value in the lowercased reference
+    names (the fuzzy Levenshtein ratio feeds only the score); the temporary
+    ``Normalized {col}`` column is dropped from the report, and nulls count
+    True (compare_datasets semantics)."""
+    from dataquality_ray.functions.textnorm import (
+        PROVINCE_ABBREVIATIONS,
+        normalize_text,
+    )
+
+    refs = {str(r).lower() for r in (ref_names
+                                     or PROVINCE_ABBREVIATIONS.values())}
+    for col in columns:
+        s = batch[col]
+        norm = s.map(lambda v: normalize_text(v) if pd.notna(v) else v)
+        batch[f"Normalized {col}_comparison"] = np.where(
+            s.isna(), True, norm.isin(refs))
+    return batch
+
+
 def violating_rows(ds, kernel, flag_cols: list[str],
                    invert: list[str] | None = None):
     """The reference report shape: original rows (plus indicators) filtered

@@ -160,3 +160,27 @@ def test_r1_t1_reference_template_stubs():
 
     assert r1_relevance()["score"] is None
     assert t1_timeliness()["score"] is None
+
+
+def test_c3_report_matches_golden_header(ray_session):
+    from dataquality_ray.functions.indicators import (
+        c3_comparison_columns,
+        violating_rows,
+    )
+
+    header = golden_header("c3")
+    flags = ["Normalized PROVINCE_comparison",
+             "Normalized PROVINCE_OTHER_comparison"]
+    base = [c for c in header if c not in flags]
+    df = _base_frame(base)
+    df["PROVINCE"] = ["BC", "Notaprovince", "Ontario", "albert"]
+    df["PROVINCE_OTHER"] = ["Alberta", "Yukon", "xx", None]
+    ds = rd.from_pandas(df)
+    rep = violating_rows(
+        ds, lambda b: c3_comparison_columns(b, ["PROVINCE", "PROVINCE_OTHER"]),
+        flags, invert=flags).to_pandas()
+    assert list(rep.columns) == header
+    # exact membership, not fuzzy: 'albert' (0.92 Levenshtein) still flags
+    flagged = set(rep["PROVINCE"])
+    assert "Notaprovince" in flagged and "albert" in flagged
+    assert "BC" not in flagged  # expands to the full name -> member
