@@ -453,3 +453,41 @@ def u1_duplicate_rows(ds, columns: list[str] | None = None,
                                     "score": score}])}
 
 
+def u1_violations_report(ds, columns: list[str] | None = None):
+    """The golden U1 report shape (u1.py ``duplicated(keep=False)`` rows):
+    original rows whose full content appears more than once.
+
+    Scale shape: canonical row hash per batch (combiner counts), the >1-count
+    hash set broadcast, rows filtered by membership — rows never shuffle and
+    only the dup-hash set (O(#duplicate groups)) is broadcast.
+    """
+    import hashlib
+
+    import ray
+
+    cols = columns or ds.schema().names
+
+    def rowhash_col(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        payload = df.astype(str).agg("\x00".join, axis=1)
+        hashes = [hashlib.sha256(p.encode()).hexdigest() for p in payload]
+        return batch.append_column("_row_hash", pa.array(hashes))
+
+    hashed = ds.map_batches(rowhash_col, batch_format="pyarrow")
+    from dataquality_ray.stages.combine import combine_groupby
+
+    counts = combine_groupby(
+        hashed.select_columns(["_row_hash"]), ["_row_hash"],
+        {"c": ("_row_hash", "size")})
+    dup_hashes = pa.array(sorted(counts.loc[counts["c"] > 1, "_row_hash"]))
+    ref = ray.put(dup_hashes)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch["_row_hash"], value_set=ray.get(ref))
+        return batch.filter(mask).drop_columns(["_row_hash"])
+
+    return hashed.map_batches(pick, batch_format="pyarrow")
+
+

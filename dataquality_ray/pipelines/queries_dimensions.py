@@ -347,6 +347,40 @@ def i1_q(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# U1 violating-row REPORT: the golden report shape (original rows with
+# duplicated full content, duplicated(keep=False)) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("u1_violations_report", sql="""
+WITH u AS (
+  SELECT * FROM documents
+  UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id, lang, source, n_chars
+FROM (SELECT *, count(*) OVER (PARTITION BY doc_id, text, lang, source,
+                               n_chars) AS c FROM u)
+WHERE c > 1
+ORDER BY doc_id
+""")
+def u1_report_q(sf_dir: str):
+    from dataquality_ray.pipelines.dimensions import u1_violations_report
+
+    docs = _read(sf_dir, "documents")
+
+    def mod10(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rem = pc.subtract(t["doc_id"],
+                          pc.multiply(pc.divide(t["doc_id"], 10), 10))
+        return t.filter(pc.equal(rem, 0))
+
+    extra = docs.map_batches(mod10, batch_format="pyarrow")
+    rep = u1_violations_report(docs.union(extra)).to_pandas()
+    return (rep[["doc_id", "lang", "source", "n_chars"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # I1 mixed-type — correlation ratio η for nominal×numeric pairs (the dython
 # numeric↔nominal branch), oracle-checkable via SQL group sums
 # ---------------------------------------------------------------------------
