@@ -408,6 +408,43 @@ def multimodal_audio_q(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+@query("multimodal_video_frames")
+def multimodal_video_q(sf_dir: str):
+    import ray.data as rd
+
+    from dataquality_ray.stages.multimodal import (
+        sample_video_frames,
+        synthesize_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_media_table(64, seed=42)).repartition(4)
+    video = media.filter(expr="mime_type == 'video/mp4'")
+    sampled = sample_video_frames(video, fake=True, k=4)
+    out = sampled.select_columns(
+        ["media_id", "mime_type", "duration_s", "fps", "n_frames"]).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+@query("multimodal_resize_plan")
+def multimodal_resize_q(sf_dir: str):
+    import ray.data as rd
+
+    from dataquality_ray.stages.multimodal import (
+        decode_images,
+        resize_plan_batch,
+        synthesize_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_media_table(64, seed=42)).repartition(4)
+    images = media.filter(expr="mime_type == 'image/png'")
+    planned = decode_images(images, fake=True).map_batches(
+        resize_plan_batch, batch_format="pyarrow")
+    out = planned.select_columns(
+        ["media_id", "height", "width", "target_height",
+         "target_width"]).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # n-gram (word-trigram) Jaccard similarity — exact, SQL-checkable on fixed
 # pairs (doc i vs i+1); the LSH-candidate variant is dedup_minhash

@@ -132,3 +132,73 @@ def sample_audio(ds, fake: bool = False, batch_size: int = 32,
     return ds.map_batches(AudioFrameSampler, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency,
                           fn_constructor_kwargs={"fake": fake})
+
+
+class VideoFrameSampler:
+    """Actor: decode video payloads -> (duration_s, fps, n_frames) metadata
+    plus ``k`` uniformly-sampled per-frame feature vectors.  Real decode
+    needs ffmpeg/decord (absent here) — ``fake=True`` derives deterministic
+    pseudo-video from the payload hash; the Ray-side plumbing (binary
+    column in, small batch, list<list<float>> frame features out) is the
+    real, tested part."""
+
+    def __init__(self, fake: bool = False, k: int = 4, feature_dim: int = 8):
+        self.fake = fake
+        self.k = k
+        self.feature_dim = feature_dim
+        if not fake:
+            raise NotImplementedError(
+                "video decoding requires ffmpeg/decord, not available in "
+                "this environment; construct with fake=True for the stub")
+
+    def _fake_decode(self, payload: bytes):
+        h = hashlib.blake2b(payload, digest_size=16).digest()
+        fps = [24, 25, 30][h[0] % 3]
+        duration = 1 + h[1] % 30
+        n_frames = fps * duration
+        rng = np.random.RandomState(int.from_bytes(h[2:6], "big"))
+        # k uniformly-spaced sample positions; one feature vector per frame
+        feats = rng.rand(self.k, self.feature_dim).astype(np.float32)
+        return float(duration), fps, n_frames, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        durs, fpss, counts, frames = [], [], [], []
+        for p in batch["payload"].to_pylist():
+            d, f, n, feats = self._fake_decode(p or b"")
+            durs.append(d)
+            fpss.append(f)
+            counts.append(n)
+            frames.append([fv.tolist() for fv in feats])
+        return (batch.drop_columns(["payload"])
+                .append_column("duration_s", pa.array(durs, pa.float32()))
+                .append_column("fps", pa.array(fpss, pa.int32()))
+                .append_column("n_frames", pa.array(counts, pa.int64()))
+                .append_column("frame_features",
+                               pa.array(frames,
+                                        pa.list_(pa.list_(pa.float32())))))
+
+
+def sample_video_frames(ds, fake: bool = False, k: int = 4,
+                        batch_size: int = 16, concurrency=(1, 4)):
+    """Actor-pool video frame-sampling stage; batch_size smaller still —
+    video payloads are the widest rows in the pipeline."""
+    return ds.map_batches(VideoFrameSampler, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"fake": fake, "k": k})
+
+
+def resize_plan_batch(batch: pa.Table, max_side: int = 224) -> pa.Table:
+    """Vectorized resize planning over DECODED image metadata: target dims
+    preserving aspect ratio with the long side clamped to ``max_side``.
+    The pixel resample itself needs the codec (PIL, absent here); planning
+    is pure Arrow/numpy and is what the distributed layer owns — at scale
+    the plan rides to the same actor that holds the decoder."""
+    h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+    w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+    scale = np.minimum(1.0, max_side / np.maximum(h, w))
+    return (batch
+            .append_column("target_height",
+                           pa.array(np.rint(h * scale).astype(np.int32)))
+            .append_column("target_width",
+                           pa.array(np.rint(w * scale).astype(np.int32)))
+            .append_column("resize_scale", pa.array(scale)))

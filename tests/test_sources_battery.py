@@ -253,3 +253,42 @@ def test_read_xlsx_raises_with_migration_hint(tmp_path):
         read_table(str(p))
     if isinstance(ei.value, ImportError):
         assert "convert the workbook" in str(ei.value)
+
+
+def test_video_frame_sampler_and_resize_plan(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from dataquality_ray.stages.multimodal import (
+        VideoFrameSampler,
+        decode_images,
+        resize_plan_batch,
+        sample_video_frames,
+        synthesize_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_media_table(32, seed=3)).repartition(2)
+    video = media.filter(expr="mime_type == 'video/mp4'")
+    out = sample_video_frames(video, fake=True, k=4).to_pandas()
+    assert len(out) > 0
+    assert (out["n_frames"] == out["fps"] * out["duration_s"]).all()
+    assert all(len(f) == 4 for f in out["frame_features"])
+    # deterministic across instances
+    a = sample_video_frames(video, fake=True, k=4).to_pandas()
+    assert (a.sort_values("media_id")["n_frames"].to_numpy()
+            == out.sort_values("media_id")["n_frames"].to_numpy()).all()
+    # codec guard without fake
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        VideoFrameSampler(fake=False)
+
+    # resize plan: aspect preserved, long side clamped
+    planned = decode_images(
+        media.filter(expr="mime_type == 'image/png'"), fake=True).map_batches(
+        resize_plan_batch, batch_format="pyarrow").to_pandas()
+    long_side = np.maximum(planned["target_height"], planned["target_width"])
+    assert (long_side <= 224).all()
+    big = planned[np.maximum(planned["height"], planned["width"]) > 224]
+    if len(big):
+        assert (np.maximum(big["target_height"], big["target_width"])
+                == 224).all()
