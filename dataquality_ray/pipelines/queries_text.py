@@ -313,6 +313,32 @@ def ann_q(sf_dir: str):
     return res[["vec_id"]].reset_index(drop=True)
 
 
+@query("similarity_join_topk", sql="""
+WITH l AS (SELECT vec_id AS lid, embedding AS le FROM embeddings
+           WHERE vec_id < 20),
+     r AS (SELECT vec_id AS rid, embedding AS re FROM embeddings
+           WHERE vec_id >= 20),
+     s AS (SELECT lid, rid, list_cosine_similarity(le, re) AS sim
+           FROM l CROSS JOIN r),
+     rk AS (SELECT lid, rid,
+                   row_number() OVER (PARTITION BY lid
+                                      ORDER BY sim DESC, rid) AS rn
+            FROM s)
+SELECT lid AS left_id, rid AS right_id FROM rk
+WHERE rn <= 3
+ORDER BY left_id, right_id
+""")
+def similarity_join_q(sf_dir: str):
+    from dataquality_ray.stages.ann import similarity_join
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    left = emb.filter(expr="vec_id < 20")
+    right = emb.filter(expr="vec_id >= 20")
+    out = similarity_join(left, right, k=3, mode="broadcast")
+    return (out[["left_id", "right_id"]]
+            .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+
+
 @query("dedup_embedding_cosine", sql="""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -283,6 +283,137 @@ def lsh_topk(ds, query: np.ndarray, dim: int, k: int = 10, bits: int = 8,
     return res[["vec_id", "score"]].reset_index(drop=True)
 
 
+def similarity_join(left, right, k: int = 5, dim: int | None = None,
+                    emb_col: str = "embedding", id_col: str = "vec_id",
+                    mode: str = "auto", bits: int = 6, nprobe: int = 2,
+                    seed: int = 42, broadcast_cap_n: int = 1_000_000,
+                    batch_size: int = 2048,
+                    concurrency=(1, 8)) -> pd.DataFrame:
+    """For each row of ``left``, the top-``k`` cosine neighbours in
+    ``right`` — the cross-corpus near-dup / retrieval join.
+
+    Modes: ``broadcast`` (exact) — the right matrix is ``ray.put`` once and
+    every left batch does one matmul + local top-k; right for right sides to
+    ~10^6 × 128-d.  ``lsh`` — both sides are hyperplane-bucketed, tagged,
+    and joined WITHIN buckets via one groupby (multi-probe on the left side
+    via ``nprobe`` bit flips); recall < 1, the beyond-cap path.  ``auto``
+    picks broadcast when ``right.count() <= broadcast_cap_n``.
+    Returns (left_id, right_id, rank, score).
+    """
+    if mode == "auto":
+        mode = "broadcast" if right.count() <= broadcast_cap_n else "lsh"
+    if dim is None:
+        dim = len(right.take(1)[0][emb_col])
+
+    if mode == "broadcast":
+        rows = right.select_columns([id_col, emb_col]).take_all()
+        rids = np.array([r[id_col] for r in rows], dtype=np.int64)
+        rmat = _normalize(np.array([np.asarray(r[emb_col], dtype=np.float64)
+                                    for r in rows]))
+        rids_ref, rmat_ref = ray.put(rids), ray.put(rmat)
+
+        class JoinTopK:
+            def __init__(self, rids_ref, rmat_ref):
+                self.rids = ray.get(rids_ref)
+                self.rmat = ray.get(rmat_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                x = _normalize(_stack_embeddings(batch, emb_col))
+                lids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+                sims = x @ self.rmat.T          # (batch, n_right)
+                kk = min(k, sims.shape[1])
+                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                out_l, out_r, out_rank, out_s = [], [], [], []
+                for i in range(len(lids)):
+                    idx = top[i][np.argsort(-sims[i, top[i]])]
+                    out_l.extend([lids[i]] * kk)
+                    out_r.extend(self.rids[idx].tolist())
+                    out_rank.extend(range(kk))
+                    out_s.extend(sims[i, idx].tolist())
+                return pa.table({
+                    "left_id": pa.array(out_l, pa.int64()),
+                    "right_id": pa.array(out_r, pa.int64()),
+                    "rank": pa.array(out_rank, pa.int32()),
+                    "score": pa.array(out_s, pa.float64())})
+
+        cand = left.select_columns([id_col, emb_col]).map_batches(
+            JoinTopK, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"rids_ref": rids_ref,
+                                   "rmat_ref": rmat_ref}).to_pandas()
+        return (cand.sort_values(["left_id", "rank"])
+                .reset_index(drop=True))
+
+    # lsh mode: tag both sides with bucket ids (left rows replicated into
+    # their nprobe probe buckets), union with a side marker, ONE groupby,
+    # per-bucket exact top-k, then a global per-left merge.
+    bucketer = HyperplaneBucketer(dim, bits, seed, emb_col)
+
+    def tag(side: int, probes: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            x = _stack_embeddings(batch, emb_col)
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            if probes <= 1:
+                buckets = bucketer.bucket_of(x).astype(np.int64)[:, None]
+            else:
+                proj = x @ bucketer.planes
+                base = ((proj > 0).astype(np.uint32)
+                        << np.arange(proj.shape[1],
+                                     dtype=np.uint32)).sum(axis=1)
+                order = np.argsort(np.abs(proj), axis=1)
+                cols = [base.astype(np.int64)]
+                for j in range(probes - 1):
+                    cols.append((base ^ (1 << order[:, j].astype(np.uint32)))
+                                .astype(np.int64))
+                buckets = np.stack(cols, axis=1)
+            n, p = buckets.shape
+            embs = batch[emb_col].to_pylist()
+            rep = [embs[i] for i in np.repeat(np.arange(n), p)]
+            return pa.table({
+                "bucket": pa.array(buckets.reshape(-1)),
+                "side": pa.array(np.full(n * p, side, dtype=np.int8)),
+                "bid": pa.array(np.repeat(ids, p)),
+                "emb": pa.array(rep, pa.list_(pa.float64())),
+            })
+        return fn
+
+    lt = left.select_columns([id_col, emb_col]).map_batches(
+        tag(1, nprobe), batch_format="pyarrow", batch_size=batch_size)
+    rt = right.select_columns([id_col, emb_col]).map_batches(
+        tag(0, 1), batch_format="pyarrow", batch_size=batch_size)
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        rsub = g[g["side"] == 0]
+        lsub = g[g["side"] == 1]
+        if not len(rsub) or not len(lsub):
+            return pd.DataFrame(columns=["left_id", "right_id", "score"])
+        rmat = _normalize(np.array(rsub["emb"].tolist(), dtype=np.float64))
+        lmat = _normalize(np.array(lsub["emb"].tolist(), dtype=np.float64))
+        sims = lmat @ rmat.T
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk] \
+            if kk < sims.shape[1] else np.tile(np.arange(sims.shape[1]),
+                                               (len(lsub), 1))
+        rids = rsub["bid"].to_numpy()
+        lids = lsub["bid"].to_numpy()
+        rows = []
+        for i in range(len(lids)):
+            for j in top[i]:
+                rows.append((lids[i], rids[j], sims[i, j]))
+        return pd.DataFrame(rows, columns=["left_id", "right_id", "score"])
+
+    cand = (lt.union(rt).groupby("bucket")
+            .map_groups(bucket_join, batch_format="pandas").to_pandas())
+    if not len(cand):
+        return pd.DataFrame(columns=["left_id", "right_id", "rank", "score"])
+    cand = (cand.drop_duplicates(["left_id", "right_id"])
+            .sort_values(["left_id", "score"], ascending=[True, False]))
+    cand["rank"] = cand.groupby("left_id").cumcount().astype(np.int32)
+    cand = cand[cand["rank"] < k]
+    return cand.reset_index(drop=True)[["left_id", "right_id", "rank",
+                                        "score"]]
+
+
 class IVFIndex:
     """IVF (inverted-file) coarse quantizer: deterministic Lloyd k-means
     (fixed seed, fixed iterations, driver-side fit on a bounded sample),

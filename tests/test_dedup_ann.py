@@ -244,3 +244,48 @@ def test_cosine_pairs_auto_routes_past_cap(ray_session):
     # the LSH path must still surface the planted identical pair on top
     assert (routed.iloc[0]["id_a"], routed.iloc[0]["id_b"]) == (7, 100)
     assert routed.iloc[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_similarity_join_broadcast_matches_numpy(ray_session):
+    from dataquality_ray.stages.ann import similarity_join
+
+    rng = np.random.RandomState(21)
+    lv = rng.randn(60, 16)
+    rv = rng.randn(200, 16)
+    left = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(60), "embedding": [v.tolist() for v in lv]}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(200), "embedding": [v.tolist() for v in rv]}))
+    out = similarity_join(left.repartition(3), right.repartition(3), k=5,
+                          mode="broadcast")
+    assert len(out) == 60 * 5
+    ln = lv / np.linalg.norm(lv, axis=1, keepdims=True)
+    rn = rv / np.linalg.norm(rv, axis=1, keepdims=True)
+    sims = ln @ rn.T
+    for lid in (0, 17, 59):
+        want = set(np.argsort(-sims[lid])[:5].tolist())
+        got = set(out[out["left_id"] == lid]["right_id"])
+        assert got == want
+        # rank 0 is the argmax
+        top = out[(out["left_id"] == lid) & (out["rank"] == 0)]
+        assert int(top["right_id"].iloc[0]) == int(np.argmax(sims[lid]))
+
+
+def test_similarity_join_lsh_finds_planted_neighbors(ray_session):
+    from dataquality_ray.stages.ann import similarity_join
+
+    rng = np.random.RandomState(22)
+    rv = rng.randn(300, 16)
+    # left vectors are noisy copies of right vectors 3, 50, 200
+    picks = [3, 50, 200]
+    lv = np.array([rv[p] + rng.randn(16) * 0.01 for p in picks])
+    left = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(len(picks)),
+         "embedding": [v.tolist() for v in lv]}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(300), "embedding": [v.tolist() for v in rv]}))
+    out = similarity_join(left, right.repartition(4), k=3, dim=16,
+                          mode="lsh", bits=5, nprobe=2)
+    for i, p in enumerate(picks):
+        mine = out[(out["left_id"] == i) & (out["rank"] == 0)]
+        assert len(mine) == 1 and int(mine["right_id"].iloc[0]) == p
