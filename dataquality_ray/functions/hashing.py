@@ -1,0 +1,31 @@
+"""Stable vectorized hashing utilities.
+
+Python's builtin ``hash()`` is per-process salted and must never key
+anything that crosses a process or a run; these helpers are deterministic
+everywhere.  splitmix64 is the workhorse: IVF fit sampling, MinHash band
+hashes, hash-mod dataset sampling and train/val splits all route through
+it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+UINT64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over a uint64 array."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def hash_fraction(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Map ids to uniform [0, 1) deterministically (seed-xor then mix)."""
+    h = splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+    return h.astype(np.float64) / float(2**64)

@@ -434,6 +434,20 @@ def multimodal_audio_q(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+@query("train_val_split")
+def split_q(sf_dir: str):
+    """Deterministic hash-mod train/val split over documents — rows-only
+    (the splitmix64 selection is not SQL-expressible); the property suite
+    pins disjoint/exhaustive/deterministic in tests/test_properties.py."""
+    from dataquality_ray.stages.sampling import split_by_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    train, val = split_by_hash(ds, "doc_id", val_frac=0.2, seed=13)
+    n_train, n_val = train.count(), val.count()
+    return pd.DataFrame({"side": ["train", "val"],
+                         "n": [n_train, n_val]})
+
+
 @query("multimodal_video_frames")
 def multimodal_video_q(sf_dir: str):
     import ray.data as rd

@@ -17,16 +17,7 @@ import pyarrow as pa
 import ray
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 — a stable 64-bit mix for hash-mod sampling
-    (never Python hash(): per-process salted)."""
-    x = x.astype(np.uint64, copy=True)
-    with np.errstate(over="ignore"):
-        x += np.uint64(0x9E3779B97F4A7C15)
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        x ^= x >> np.uint64(31)
-    return x
+from dataquality_ray.functions.hashing import splitmix64 as _splitmix64
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

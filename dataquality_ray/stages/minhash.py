@@ -27,12 +27,7 @@ def _hash64(s: str) -> int:
                           "big")
 
 
-def _splitmix64_arr(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 over a uint64 array (band-hash mixing)."""
-    x = x + np.uint64(0x9E3779B97F4A7C15)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
+from dataquality_ray.functions.hashing import splitmix64 as _splitmix64_arr
 
 
 def word_shingle_set(text: str, k: int = 3) -> set[str]:

@@ -1,0 +1,52 @@
+"""Deterministic sampling / splitting over a Dataset.
+
+Training-data staples built on hash-mod selection (functions/hashing.py):
+order-invariant, resumable (same ids → same side on every run and every
+partitioning), and embarrassingly parallel — each batch decides its own
+rows with no shuffle, no driver state, no RNG.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dataquality_ray.functions.hashing import hash_fraction
+
+
+def _fractions(batch: pa.Table, key: str, seed: int) -> np.ndarray:
+    ids = np.asarray(batch[key].to_pylist(), dtype=np.uint64)
+    return hash_fraction(ids, seed)
+
+
+def hash_sample(ds, rate: float, key: str, seed: int = 0):
+    """Keep rows whose hash-fraction falls under ``rate`` — a deterministic
+    Bernoulli(rate) sample keyed by ``key`` (expected size rate·n; exact
+    membership is a pure function of (key, seed))."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(_fractions(batch, key, seed) < rate))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def split_by_hash(ds, key: str, val_frac: float = 0.1, seed: int = 0):
+    """Deterministic (train, val) split: a row is val iff its hash-fraction
+    < ``val_frac``.  The two sides are disjoint and exhaustive by
+    construction; a document keeps its side across reruns, repartitions and
+    resumes — the property a training pipeline needs to avoid train/val
+    leakage when data is re-ingested."""
+    if not 0.0 <= val_frac <= 1.0:
+        raise ValueError(f"val_frac must be in [0, 1], got {val_frac}")
+
+    def side(is_val: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            f = _fractions(batch, key, seed)
+            mask = f < val_frac if is_val else f >= val_frac
+            return batch.filter(pa.array(mask))
+        return fn
+
+    return (ds.map_batches(side(False), batch_format="pyarrow"),
+            ds.map_batches(side(True), batch_format="pyarrow"))

@@ -289,3 +289,24 @@ def test_similarity_join_lsh_finds_planted_neighbors(ray_session):
     for i, p in enumerate(picks):
         mine = out[(out["left_id"] == i) & (out["rank"] == 0)]
         assert len(mine) == 1 and int(mine["right_id"].iloc[0]) == p
+
+
+def test_sampling_split_over_dataset(ray_session):
+    from dataquality_ray.stages.sampling import hash_sample, split_by_hash
+
+    df = pd.DataFrame({"doc_id": np.arange(2000), "v": np.arange(2000) * 2})
+    ds = rd.from_pandas(df).repartition(4)
+    train, val = split_by_hash(ds, "doc_id", val_frac=0.2, seed=5)
+    t = train.to_pandas()
+    v = val.to_pandas()
+    assert len(t) + len(v) == 2000
+    assert set(t["doc_id"]).isdisjoint(set(v["doc_id"]))
+    assert 0.15 < len(v) / 2000 < 0.25
+    # order/partitioning invariant: shuffled input gives identical sides
+    shuffled = rd.from_pandas(df.sample(frac=1, random_state=1)).repartition(7)
+    _, v2 = split_by_hash(shuffled, "doc_id", val_frac=0.2, seed=5)
+    assert set(v2.to_pandas()["doc_id"]) == set(v["doc_id"])
+    # hash_sample: subset relationship at nested rates
+    s10 = set(hash_sample(ds, 0.1, "doc_id", seed=5).to_pandas()["doc_id"])
+    s30 = set(hash_sample(ds, 0.3, "doc_id", seed=5).to_pandas()["doc_id"])
+    assert s10 <= s30

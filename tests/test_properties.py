@@ -146,3 +146,30 @@ def test_strptime_mask_fractional_digits_quirk():
     s = pd.Series(["2020-01-02T03:04:05.123", "2020-01-02T03:04:05.1234567"])
     got = strptime_invalid_mask(s, "%Y-%m-%dT%H:%M:%S.%f")
     assert not got[0] and got[1]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**12),
+                min_size=1, max_size=300, unique=True),
+       st.floats(min_value=0.0, max_value=1.0),
+       st.integers(min_value=0, max_value=100))
+def test_split_by_hash_disjoint_exhaustive_deterministic(ids, frac, seed):
+    from dataquality_ray.functions.hashing import hash_fraction
+
+    arr = np.array(ids, dtype=np.uint64)
+    f1 = hash_fraction(arr, seed)
+    f2 = hash_fraction(arr, seed)
+    assert np.array_equal(f1, f2)            # deterministic
+    val = f1 < frac
+    train = f1 >= frac
+    assert not np.any(val & train)           # disjoint
+    assert np.all(val | train)               # exhaustive
+    assert np.all((f1 >= 0) & (f1 < 1))
+
+
+def test_hash_fraction_is_roughly_uniform():
+    from dataquality_ray.functions.hashing import hash_fraction
+
+    f = hash_fraction(np.arange(200000, dtype=np.uint64), seed=7)
+    # 10 buckets within 5% of expected mass
+    hist, _ = np.histogram(f, bins=10, range=(0, 1))
+    assert np.all(np.abs(hist - 20000) < 1000)
