@@ -313,6 +313,25 @@ def ann_q(sf_dir: str):
     return res[["vec_id"]].reset_index(drop=True)
 
 
+@query("dedup_embedding_groups")
+def dedup_embedding_groups_q(sf_dir: str):
+    """Embedding near-dup GROUPS: exact top pairs above a cosine gate ->
+    connected components -> canonical keep (min id per group).  Rows-only
+    (component labeling is iterative, not SQL-expressible here)."""
+    from dataquality_ray.stages.ann import cosine_near_dup_pairs
+    from dataquality_ray.stages.minhash import near_dup_keep
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # plant duplicate groups: an id-shifted exact copy of every vector
+    shifted = emb.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("vec_id"), "vec_id",
+                               pc.add(t["vec_id"], 1000000)),
+        batch_format="pyarrow")
+    pairs = cosine_near_dup_pairs(emb.union(shifted), top_n=0, min_sim=0.999999)
+    keep = near_dup_keep(pairs.rename(columns={"cosine": "score"}))
+    return keep.sort_values("doc_id").reset_index(drop=True)
+
+
 @query("similarity_join_topk", sql="""
 WITH l AS (SELECT vec_id AS lid, embedding AS le FROM embeddings
            WHERE vec_id < 20),

@@ -156,6 +156,8 @@ def cosine_near_dup_pairs(ds, top_n: int = 50, min_sim: float = -1.0,
                                "top_n": top_n, "min_sim": min_sim,
                                "emb_col": emb_col, "id_col": id_col},
     ).to_pandas()
+    if not len(cand):  # zero-row Dataset -> pandas may drop the columns
+        return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
     out = cand.sort_values(["cosine", "id_a", "id_b"],
                            ascending=[False, True, True])
     if top_n:
