@@ -1,0 +1,212 @@
+"""Typed-parameter metadata for every test — the reference's UI config
+surface (ui_tool/metadata.py) re-expressed as plain dataclasses.
+
+The reference Streamlit UI generates its input widgets from each test
+module's ``create_metadata()``; a battery config built against that schema
+can be validated here without the UI.  Parameter names, titles, types,
+defaults, step sizes and hints reproduce the reference definitions
+(dimensions/*/​*.py ``create_metadata``, cited per entry).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any
+
+
+class ParameterType(Enum):
+    # ui_tool/metadata.py:8-18
+    MULTI_SELECT = "multi-select"
+    SINGLE_SELECT = "single-select"
+    DECIMAL = "decimal"
+    TEXT_INPUT = "text"
+    STRING = "string"
+    CHECKBOX = "checkbox"
+    FILE_UPLOAD = "file-upload"
+    STRING_LIST = "string-list"
+    PAIRS = "pairs"
+    WEIGHTS = "weights"
+
+
+@dataclass
+class ParameterMetadata:
+    name: str
+    title: str
+    type: ParameterType
+    value: Any = ""
+    default: Any = None
+    placeholder: str | None = None
+    accept_new_options: bool = False
+    suggestions: list = field(default_factory=list)
+    step: float = 0.01
+    hint: str | None = None
+
+    def __post_init__(self):
+        # ui_tool/metadata.py:62 quirk: PAIRS with empty value becomes []
+        if self.type is ParameterType.PAIRS and self.value == "":
+            self.value = []
+
+
+@dataclass
+class TestMetadata:
+    dimension_name: str
+    name: str
+    parameters: list[ParameterMetadata] = field(default_factory=list)
+
+    def add_parameter(self, name: str, title: str, type: ParameterType,
+                      **kwargs) -> None:
+        self.parameters.append(ParameterMetadata(name, title, type, **kwargs))
+
+    def parameter(self, name: str) -> ParameterMetadata:
+        for p in self.parameters:
+            if p.name == name:
+                return p
+        raise KeyError(name)
+
+
+_C4_FORMATS = {
+    "2001 (YYYY)": "%Y",
+    "2001-03-14 (YYYY-MM-DD)": "%Y-%m-%d",
+    "14-Mar-01 (DD-MMM-YY)": "%d-%b-%y",
+    "03/14/2001 (MM/DD/YYYY)": "%m/%d/%Y",
+    "14/03/2001 (DD/MM/YYYY)": "%d/%m/%Y",
+    "20010314 (YYYYMMDD)": "%Y%m%d",
+    "2001-03-14 13:30:55 (YYYY-MM-DD HH:MM:SS)": "%Y-%m-%d %H:%M:%S",
+    "14-Mar-01 13:30:55 (DD-MMM-YY HH:MM:SS)": "%d-%b-%y %H:%M:%S",
+    "03/14/2001 13:30:55 (MM/DD/YYYY HH:MM:SS)": "%m/%d/%Y %H:%M:%S",
+    "14/03/2001 13:30:55 (DD/MM/YYYY HH:MM:SS)": "%d/%m/%Y %H:%M:%S",
+    "20010314 13:30:55 (YYYYMMDD HH:MM:SS)": "%Y%m%d %H:%M:%S",
+}
+
+
+def create_all_metadata() -> dict[str, TestMetadata]:
+    """One TestMetadata per test, parameter-for-parameter with the
+    reference's create_metadata() functions."""
+    out: dict[str, TestMetadata] = {}
+
+    def new(dim: str, test: str) -> TestMetadata:
+        m = TestMetadata(dim, test)
+        out[test] = m
+        return m
+
+    # dimensions/accuracy/a1.py
+    m = new("Accuracy", "A1")
+    m.add_parameter("a1_column_names", "A1 Column Names",
+                    ParameterType.MULTI_SELECT, default=[])
+    # dimensions/accuracy/a2.py
+    m = new("Accuracy", "A2")
+    m.add_parameter("a2_column_names", "A2 Column Names",
+                    ParameterType.MULTI_SELECT, default=[])
+    m.add_parameter("a2_groupby_column", "A2 Groupby Column(s)",
+                    ParameterType.MULTI_SELECT,
+                    hint="Groupby data from selected_columns by each unique "
+                         "a2_groupby_column entry. Score is calculated for "
+                         "each groupby then averaged for a2_groupby_column. "
+                         "If multiple groupby columns are provided, "
+                         "calculations are done on using each individual "
+                         "column then averaged together.")
+    m.add_parameter("a2_threshold", "A2 Threshold", ParameterType.DECIMAL,
+                    value="1.5", step=0.1)
+    m.add_parameter("a2_minimum_score", "A2 Minimum Score",
+                    ParameterType.DECIMAL, value="0.85", step=0.05)
+    # dimensions/accuracy/a3.py
+    m = new("Accuracy", "A3")
+    m.add_parameter("a3_column_names", "A3 Column Names",
+                    ParameterType.MULTI_SELECT, default=[])
+    m.add_parameter("a3_agg_column", "A3 Aggregate Column",
+                    ParameterType.SINGLE_SELECT)
+    # dimensions/accuracy/a4.py
+    m = new("Accuracy", "A4")
+    m.add_parameter("a4_column_pairs", "A4 Column Pairs",
+                    ParameterType.PAIRS, value=[])
+    # dimensions/consistency/c1.py
+    m = new("Consistency", "C1")
+    m.add_parameter("c1_column_names", "C1 Column Names",
+                    ParameterType.MULTI_SELECT, default=[])
+    m.add_parameter("c1_threshold", "C1 Threshold", ParameterType.DECIMAL,
+                    value="0.91", step=0.01)
+    m.add_parameter("c1_stop_words", "C1 Stop Words",
+                    ParameterType.STRING_LIST, value=["the", "and"],
+                    suggestions=["the", "and"])
+    # dimensions/consistency/c2.py
+    m = new("Consistency", "C2")
+    m.add_parameter("c2_threshold", "C2 Threshold", ParameterType.DECIMAL,
+                    value="1.00", step=0.01)
+    m.add_parameter("c2_stop_words", "C2 Stop Words",
+                    ParameterType.STRING_LIST, value=["activity"],
+                    suggestions=["activity"])
+    m.add_parameter("c2_ref_dataset_path", "C2 Reference Dataset File",
+                    ParameterType.FILE_UPLOAD)
+    m.add_parameter("c2_column_mapping", "C2 Column Mapping",
+                    ParameterType.TEXT_INPUT,
+                    placeholder="e.g., {'Column1': 'Reference1', "
+                                "'Column2': 'Reference2'}")
+    # dimensions/consistency/c3.py
+    m = new("Consistency", "C3")
+    m.add_parameter("c3_column_names", "C3 Column Names",
+                    ParameterType.MULTI_SELECT, default=[])
+    m.add_parameter("c3_threshold", "C3 Threshold", ParameterType.DECIMAL,
+                    value="0.91", step=0.01)
+    # dimensions/consistency/c4.py
+    m = new("Consistency", "C4")
+    m.add_parameter("c4_column_names", "C4 Column Names",
+                    ParameterType.MULTI_SELECT, default=[])
+    m.add_parameter("c4_format", "C4 Format", ParameterType.SINGLE_SELECT,
+                    placeholder="Choose option or enter custom date-time "
+                                "format...",
+                    value=dict(_C4_FORMATS), accept_new_options=True,
+                    hint="Enter a Python date-time format string using "
+                         "strftime codes (e.g., %Y-%m-%d %H:%M:%S).")
+    # dimensions/consistency/c5.py
+    m = new("Consistency", "C5")
+    m.add_parameter("c5_column_names", "C5 Column Names",
+                    ParameterType.MULTI_SELECT, default=[])
+    m.add_parameter("c5_region", "C5 Region", ParameterType.SINGLE_SELECT,
+                    value=["All", "Pacific"],
+                    hint="Restricts geographic coordinates to specified "
+                         "DFO region.")
+    # dimensions/completeness/p1.py
+    m = new("Completeness", "P1")
+    m.add_parameter("p1_exclude_columns", "P1 Exclude Columns",
+                    ParameterType.MULTI_SELECT, default=[])
+    m.add_parameter("p1_threshold", "P1 Threshold", ParameterType.DECIMAL,
+                    value="0.75", step=0.05)
+    # dimensions/completeness/p2.py
+    m = new("Completeness", "P2")
+    m.add_parameter("p2_threshold", "P2 Threshold", ParameterType.DECIMAL,
+                    value="0.5", step=0.05)
+    # dimensions/interdependency/i1.py
+    m = new("Interdependency", "I1")
+    m.add_parameter("i1_sensitive_columns", "I1 Sensitive Columns",
+                    ParameterType.MULTI_SELECT, default=[])
+    m.add_parameter("i1_threshold", "I1 Threshold", ParameterType.DECIMAL,
+                    value="0.75", step=0.05)
+    # dimensions/uniqueness/u1.py (no parameters)
+    new("Uniqueness", "U1")
+    # dimensions/accessibility/s1.py
+    m = new("Accessibility", "S1")
+    m.add_parameter("s1_has_metadata", "S1 Has Metadata",
+                    ParameterType.CHECKBOX, value=False)
+    return out
+
+
+def validate_config(test: str, params: dict[str, Any]) -> list[str]:
+    """Validate a user battery config against a test's schema; returns a
+    list of problems (empty = valid).  Unknown parameter names and
+    non-castable DECIMAL values are flagged — the checks the reference UI
+    performs implicitly through its widgets."""
+    meta = create_all_metadata().get(test.upper())
+    if meta is None:
+        return [f"unknown test {test!r}"]
+    known = {p.name for p in meta.parameters}
+    problems = [f"unknown parameter {k!r} for {test}" for k in params
+                if k not in known]
+    for p in meta.parameters:
+        if p.name in params and p.type is ParameterType.DECIMAL:
+            try:
+                float(params[p.name])
+            except (TypeError, ValueError):
+                problems.append(
+                    f"{p.name} must be numeric, got {params[p.name]!r}")
+    return problems

@@ -292,3 +292,33 @@ def test_video_frame_sampler_and_resize_plan(ray_session):
     if len(big):
         assert (np.maximum(big["target_height"], big["target_width"])
                 == 224).all()
+
+
+def test_metadata_registry_matches_reference_schema():
+    """Parameter-for-parameter parity with the reference create_metadata()
+    definitions (names, types, defaults)."""
+    from dataquality_ray.pipelines.metadata import (
+        ParameterType,
+        create_all_metadata,
+        validate_config,
+    )
+
+    meta = create_all_metadata()
+    assert set(meta) == {"A1", "A2", "A3", "A4", "C1", "C2", "C3", "C4",
+                         "C5", "P1", "P2", "I1", "U1", "S1"}
+    a2 = meta["A2"]
+    assert a2.parameter("a2_threshold").value == "1.5"
+    assert a2.parameter("a2_minimum_score").step == 0.05
+    assert meta["C1"].parameter("c1_stop_words").value == ["the", "and"]
+    assert meta["C4"].parameter("c4_format").value[
+        "2001-03-14 (YYYY-MM-DD)"] == "%Y-%m-%d"
+    assert meta["A4"].parameter("a4_column_pairs").value == []  # PAIRS quirk
+    assert meta["S1"].parameter("s1_has_metadata").type is \
+        ParameterType.CHECKBOX
+    assert meta["U1"].parameters == []
+
+    # config validation
+    assert validate_config("C1", {"c1_threshold": 0.9}) == []
+    assert validate_config("C1", {"bogus": 1}) != []
+    assert validate_config("A2", {"a2_threshold": "abc"}) != []
+    assert validate_config("ZZ", {}) != []
