@@ -235,6 +235,18 @@ def orders_battery(sf_dir: str) -> list[tuple]:
               .map_batches(derive, batch_format="pyarrow"),
             ["order_str"], fmt="%Y-%m-%d")
 
+    def c5(ds):
+        # testdata has no geo columns: derive a pseudo-latitude from
+        # o_totalprice that straddles [-90, 90] so the C5 bounds kernel,
+        # score, report and one-line summary run end-to-end
+        def derive(batch: pa.Table) -> pa.Table:
+            lat = pc.subtract(pc.divide(batch["o_totalprice"], 2000.0), 45.0)
+            return pa.table({"order_latitude": lat})
+        return dq.c5_coordinate_bounds(
+            ds.select_columns(["o_totalprice"])
+              .map_batches(derive, batch_format="pyarrow"),
+            ["order_latitude"])
+
     return [
         ("A1", "Accuracy",
          lambda ds: dq.a1_symbols_in_numerics(ds, ["o_totalprice"])),
@@ -243,6 +255,7 @@ def orders_battery(sf_dir: str) -> list[tuple]:
                                       group_col="o_orderstatus"),
          {"selected_columns": ["o_totalprice"], "threshold": 0.85}),
         ("C4", "Consistency", c4),
+        ("C5", "Consistency", c5),
         ("P1", "Completeness", lambda ds: dq.p1_completeness(ds)),
         ("I1", "Interdependency",
          lambda ds: dq.i1_proxy_corr(
