@@ -332,6 +332,55 @@ def dedup_embedding_groups_q(sf_dir: str):
     return keep.sort_values("doc_id").reset_index(drop=True)
 
 
+@query("contamination_scan", sql="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+  FROM toks
+), bench AS (
+  SELECT list_distinct(flatten(list(g))) AS bg FROM grams WHERE doc_id < 5
+)
+SELECT doc_id, len(list_intersect(g, bg)) AS contam_ngrams,
+       len(g) AS total_ngrams
+FROM grams, bench ORDER BY doc_id
+""")
+def contamination_q(sf_dir: str):
+    """Benchmark-contamination: docs 0-4 act as the benchmark set; every
+    document's distinct word-8-gram overlap with it is counted (hash-set
+    membership Ray-side vs exact string lists in the oracle)."""
+    from dataquality_ray.stages.contamination import contamination_scan
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = [r["text"] for r in
+             ds.filter(expr="doc_id < 5").take_all()]
+    out = (contamination_scan(ds, bench, n=8)
+           .select_columns(["doc_id", "contam_ngrams", "total_ngrams"])
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+@query("sequence_packing")
+def packing_q(sf_dir: str):
+    """Greedy context-window packing summary — rows-only (pack assignment
+    is an iterative first-fit; budget/overflow invariants are pinned in
+    tests/test_contamination.py)."""
+    from dataquality_ray.stages.contamination import pack_sequences
+
+    packed = pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            max_tokens=2048).to_pandas()
+    loads = packed.groupby("pack_id")["n_tokens"].sum()
+    return pd.DataFrame({
+        "n_docs": [len(packed)],
+        "n_packs": [int(packed["pack_id"].nunique())],
+        "total_tokens": [int(packed["n_tokens"].sum())],
+        "overflow_docs": [int(packed["pack_overflow"].sum())],
+        "max_pack_load": [int(loads.max())],
+    })
+
+
 @query("similarity_join_topk", sql="""
 WITH l AS (SELECT vec_id AS lid, embedding AS le FROM embeddings
            WHERE vec_id < 20),

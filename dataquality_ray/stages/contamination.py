@@ -1,0 +1,132 @@
+"""Benchmark-contamination scan: flag training documents that overlap an
+evaluation/benchmark set.
+
+The standard pretraining hygiene op: every benchmark text is decomposed
+into word n-gram hashes ONCE driver-side (benchmarks are small by
+definition), the hash set is ``ray.put`` as a sorted uint64 array, and each
+document batch computes its shingles' membership with one ``np.isin``
+(binary search against the broadcast array) — documents never shuffle and
+the benchmark never re-ships.
+
+Emits per document: ``contam_ngrams`` (matching n-grams), ``total_ngrams``,
+``contam_frac`` and ``contaminated`` (frac ≥ threshold).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from dataquality_ray.stages.minhash import shingle_hashes
+
+
+def build_benchmark_index(benchmark_texts: list[str], n: int = 8):
+    """Sorted uint64 array of the benchmark set's word n-gram hashes,
+    placed once in the object store."""
+    hashes = [shingle_hashes(t or "", n) for t in benchmark_texts]
+    merged = (np.unique(np.concatenate(hashes)) if hashes
+              else np.array([], dtype=np.uint64))
+    return ray.put(merged)
+
+
+class ContaminationScanner:
+    """Actor: per-doc n-gram overlap fraction vs the broadcast benchmark
+    index (loaded once in ``__init__``)."""
+
+    def __init__(self, index_ref, text_col: str = "text", n: int = 8,
+                 threshold: float = 0.05):
+        self.index: np.ndarray = ray.get(index_ref)
+        self.text_col = text_col
+        self.n = n
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        per_doc = [shingle_hashes(t or "", self.n) for t in texts]
+        sizes = np.array([len(p) for p in per_doc], dtype=np.int64)
+        flat = (np.concatenate(per_doc) if len(per_doc)
+                else np.array([], dtype=np.uint64))
+        hits = np.isin(flat, self.index, assume_unique=False)
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        contam = np.array([int(hits[offsets[i]:offsets[i + 1]].sum())
+                           for i in range(len(texts))], dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(sizes > 0, contam / np.maximum(sizes, 1), 0.0)
+        return (batch
+                .append_column("contam_ngrams", pa.array(contam))
+                .append_column("total_ngrams", pa.array(sizes))
+                .append_column("contam_frac", pa.array(frac))
+                .append_column("contaminated",
+                               pa.array(frac >= self.threshold)))
+
+
+def contamination_scan(ds, benchmark_texts: list[str],
+                       text_col: str = "text", n: int = 8,
+                       threshold: float = 0.05, batch_size: int = 1024,
+                       concurrency=(1, 8)):
+    """Tag every document with its benchmark-overlap stats."""
+    ref = build_benchmark_index(benchmark_texts, n)
+    return ds.map_batches(
+        ContaminationScanner, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"index_ref": ref, "text_col": text_col,
+                               "n": n, "threshold": threshold})
+
+
+def pack_sequences(ds, max_tokens: int, text_col: str = "text",
+                   id_col: str = "doc_id", batch_size: int = 4096):
+    """Greedy context-window packing: assign each document a ``pack_id`` so
+    every pack's whitespace-token total stays ≤ ``max_tokens`` (docs longer
+    than the window get a pack of their own, flagged ``pack_overflow``).
+
+    Packing is per BATCH (first-fit-decreasing within each batch) and pack
+    ids are globally unique via a per-batch hash prefix — the documented
+    locality trade: a global optimum would need a full sort by length
+    (all-to-all); per-batch packing wastes a few percent of capacity and
+    needs no shuffle at any scale.
+    """
+    import hashlib
+
+    def pack(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        trimmed = pc.utf8_trim_whitespace(batch[text_col])
+        runs = pc.count_substring_regex(trimmed, r"\s+")
+        n_tok = pc.if_else(pc.equal(pc.utf8_length(trimmed), 0),
+                           pa.scalar(0), pc.add(runs, 1))
+        toks = n_tok.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_pylist()
+        # globally-unique batch prefix from the batch's own ids (40-bit
+        # hash << 20 stays inside int64; 2^20 packs per batch is plenty)
+        prefix = int.from_bytes(
+            hashlib.blake2b(repr(ids[:4]).encode(),
+                            digest_size=5).digest(), "big") << 20
+        order = np.argsort(-toks)  # first-fit-decreasing
+        pack_of = np.empty(len(toks), dtype=np.int64)
+        overflow = np.zeros(len(toks), dtype=bool)
+        loads: list[int] = []
+        for i in order:
+            t = int(toks[i])
+            if t > max_tokens:
+                loads.append(max_tokens)  # its own (overflowing) pack
+                pack_of[i] = prefix + len(loads) - 1
+                overflow[i] = True
+                continue
+            for p, load in enumerate(loads):
+                if load + t <= max_tokens:
+                    loads[p] = load + t
+                    pack_of[i] = prefix + p
+                    break
+            else:
+                loads.append(t)
+                pack_of[i] = prefix + len(loads) - 1
+        return (batch
+                .append_column("n_tokens", pa.array(toks))
+                .append_column("pack_id", pa.array(pack_of))
+                .append_column("pack_overflow", pa.array(overflow)))
+
+    return ds.map_batches(pack, batch_format="pyarrow",
+                          batch_size=batch_size)

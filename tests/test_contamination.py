@@ -1,0 +1,64 @@
+"""Contamination scan + sequence packing on planted fixtures."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from dataquality_ray.stages.contamination import (
+    contamination_scan,
+    pack_sequences,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.RandomState(17)
+    vocab = [f"tok{i}" for i in range(300)]
+    docs = [" ".join(rng.choice(vocab, 60)) for _ in range(40)]
+    benchmark = [" ".join(rng.choice(vocab, 40)) for _ in range(5)]
+    # doc 0 contains benchmark[0] verbatim (full contamination span)
+    docs[0] = docs[0] + " " + benchmark[0]
+    # doc 1 contains a 10-token benchmark excerpt
+    docs[1] = " ".join(benchmark[1].split()[:10]) + " " + docs[1]
+    df = pd.DataFrame({"doc_id": np.arange(40), "text": docs})
+    return df, benchmark
+
+
+def test_contamination_flags_planted_overlap(ray_session, corpus):
+    df, benchmark = corpus
+    out = (contamination_scan(rd.from_pandas(df).repartition(4), benchmark,
+                              n=8, threshold=0.04)
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[0, "contaminated"]
+    assert out.loc[0, "contam_ngrams"] >= 33  # 40-token insert -> 33 8-grams
+    assert out.loc[1, "contaminated"]  # 10-token excerpt -> 3/63 = 0.048 >= 0.04
+    clean = out.drop(index=[0, 1])
+    assert not clean["contaminated"].any()
+    assert (clean["contam_ngrams"] == 0).all()
+
+
+def test_contamination_empty_benchmark(ray_session, corpus):
+    df, _ = corpus
+    out = contamination_scan(rd.from_pandas(df), [], n=8).to_pandas()
+    assert not out["contaminated"].any()
+
+
+def test_pack_sequences_respects_budget(ray_session):
+    rng = np.random.RandomState(23)
+    lens = rng.randint(10, 900, size=300)
+    docs = [" ".join(["w"] * n) for n in lens]
+    docs.append(" ".join(["w"] * 5000))  # overflow doc
+    df = pd.DataFrame({"doc_id": np.arange(len(docs)), "text": docs})
+    out = pack_sequences(rd.from_pandas(df).repartition(3),
+                         max_tokens=2048).to_pandas()
+    assert (out["n_tokens"].to_numpy()
+            == np.concatenate([lens, [5000]])[out["doc_id"]]).all()
+    loads = out[~out["pack_overflow"]].groupby("pack_id")["n_tokens"].sum()
+    assert (loads <= 2048).all()
+    ov = out[out["pack_overflow"]]
+    assert len(ov) == 1 and int(ov["doc_id"].iloc[0]) == 300
+    # overflow doc is alone in its pack
+    assert (out["pack_id"] == ov["pack_id"].iloc[0]).sum() == 1
+    # packing efficiency: mean non-final pack load comfortably high
+    assert loads.mean() > 1024
