@@ -97,3 +97,59 @@ def test_hash_and_broadcast_paths_agree():
     b = via_bcast.sort_values(key).reset_index(drop=True)
     assert (a["rv"].fillna(-1).to_numpy()
             == b["rv"].fillna(-1).to_numpy()).all()
+
+
+def test_hash_join_skewed_hot_key():
+    """50% of left rows share one key: the hash join must still produce the
+    exact multiplicity (skew slows a partition, never corrupts it)."""
+    rng = np.random.default_rng(31)
+    hot = np.zeros(500, dtype=np.int64)            # key 0 = hot
+    cold = rng.integers(1, 200, size=500)
+    left = pd.DataFrame({"k": np.concatenate([hot, cold]),
+                         "lv": np.arange(1000)})
+    right = pd.DataFrame({"rk": np.arange(200), "rv": np.arange(200) * 7})
+    got = hash_join(ray.data.from_pandas(left).repartition(6),
+                    ray.data.from_pandas(right), on="k", right_on="rk",
+                    value_cols=["rv"], num_partitions=4).to_pandas()
+    want = left.merge(right.rename(columns={"rk": "k"}), on="k", how="left")
+    assert len(got) == len(want) == 1000
+    assert (got[got["k"] == 0]["rv"] == 0).all()
+    assert got["rv"].sum() == want["rv"].sum()
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_query_results_partition_invariant(parts, ray_session):
+    """Key operators must give identical results regardless of input
+    partitioning (catches accidental order/partition dependence)."""
+    import ray.data as rd
+
+    from dataquality_ray.pipelines.dimensions import (
+        p1_completeness,
+        u1_duplicate_rows,
+    )
+    from dataquality_ray.stages.corr import pearson_matrix
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"a": rng.normal(size=400),
+                       "b": rng.normal(size=400),
+                       "c": rng.integers(0, 5, size=400)})
+    df.loc[5, "a"] = None
+    ds = rd.from_pandas(df).repartition(parts)
+
+    p1 = p1_completeness(ds)
+    u1 = u1_duplicate_rows(ds)
+    pm = pearson_matrix(ds, ["a", "b"])
+
+    # stash first-seen results on the function object; second param run
+    # must match exactly
+    stash = test_query_results_partition_invariant.__dict__.setdefault(
+        "results", {})
+    key = "r"
+    if key not in stash:
+        stash[key] = (p1, u1, pm)
+    else:
+        p1_0, u1_0, pm_0 = stash[key]
+        assert p1["score"] == p1_0["score"]
+        pd.testing.assert_frame_equal(p1["table"], p1_0["table"])
+        assert u1["score"] == u1_0["score"]
+        pd.testing.assert_frame_equal(pm, pm_0)
