@@ -294,6 +294,117 @@ def documents_battery(sf_dir: str) -> list[tuple]:
     ]
 
 
+def battery_from_config(config: dict[str, dict]) -> list[tuple]:
+    """Build battery entries from a reference-style config: one entry per
+    test keyed by its reference parameter names (the same names the UI's
+    ``create_metadata`` schema defines — validated against
+    pipelines/metadata.py before anything runs).
+
+    Example::
+
+        battery_from_config({
+            "A1": {"a1_column_names": ["qty", "tax"]},
+            "A2": {"a2_column_names": ["qty"], "a2_groupby_column": ["flag"],
+                   "a2_threshold": 1.5, "a2_minimum_score": 0.85},
+            "U1": {},
+        })
+
+    I1 numeric/nominal roles are inferred from the Dataset schema at run
+    time (numeric Arrow types → numeric, everything else nominal), matching
+    the reference's dtype-based inference.
+    """
+    from dataquality_ray.pipelines import dimensions as dq
+    from dataquality_ray.pipelines.metadata import (
+        create_all_metadata,
+        validate_config,
+    )
+
+    meta = create_all_metadata()
+    problems = []
+    for test, params in config.items():
+        problems += validate_config(test, params)
+    if problems:
+        raise ValueError("invalid battery config: " + "; ".join(problems))
+
+    def i1(params):
+        import pyarrow.types as pt
+
+        def run(ds):
+            schema = ds.schema()
+            numeric, nominal = [], []
+            for name, typ in zip(schema.names, schema.types):
+                (numeric if (pt.is_integer(typ) or pt.is_floating(typ)
+                             or pt.is_decimal(typ)) else nominal).append(name)
+            return dq.i1_proxy_corr(
+                ds, sensitive_columns=params["i1_sensitive_columns"],
+                threshold=float(params.get("i1_threshold", 0.75)),
+                numeric_columns=numeric, nominal_columns=nominal)
+        return run
+
+    builders = {
+        "A1": lambda p: lambda ds: dq.a1_symbols_in_numerics(
+            ds, p["a1_column_names"]),
+        "A2": lambda p: (
+            (lambda ds: dq.a2_iqr_grouped(
+                ds, p["a2_column_names"],
+                group_col=p["a2_groupby_column"][0],
+                threshold=float(p.get("a2_threshold", 1.5)),
+                minimum_score=float(p.get("a2_minimum_score", 0.85))))
+            if p.get("a2_groupby_column") else
+            (lambda ds: dq.a2_iqr_global(
+                ds, p["a2_column_names"],
+                threshold=float(p.get("a2_threshold", 1.5))))),
+        "A3": lambda p: lambda ds: dq.a3_sum_check(
+            ds, p["a3_column_names"], p["a3_agg_column"]),
+        "A4": lambda p: lambda ds: dq.a4_chronology(
+            ds, [tuple(pair) for pair in p["a4_column_pairs"]]),
+        "C1": lambda p: lambda ds: __import__(
+            "dataquality_ray.stages.similarity", fromlist=["c1_near_dup"]
+        ).c1_near_dup(ds, p["c1_column_names"],
+                      threshold=float(p.get("c1_threshold", 0.91)),
+                      stop_words=tuple(p.get("c1_stop_words",
+                                             ("the", "and")))),
+        "C2": lambda p: lambda ds: __import__(
+            "dataquality_ray.stages.similarity",
+            fromlist=["c2_reference_lookup"]
+        ).c2_reference_lookup(ds, p["c2_column_mapping"],
+                              threshold=float(p.get("c2_threshold", 1.0)),
+                              stop_words=tuple(p.get("c2_stop_words",
+                                                     ("activity",)))),
+        "C3": lambda p: lambda ds: __import__(
+            "dataquality_ray.stages.similarity",
+            fromlist=["c3_fuzzy_reference"]
+        ).c3_fuzzy_reference(ds, p["c3_column_names"],
+                             threshold=float(p.get("c3_threshold", 0.91))),
+        "C4": lambda p: lambda ds: dq.c4_datetime_format(
+            ds, p["c4_column_names"],
+            fmt=p.get("c4_format", "%Y-%m-%d")),
+        "C5": lambda p: lambda ds: dq.c5_coordinate_bounds(
+            ds, p["c5_column_names"],
+            region=None if p.get("c5_region", "All") == "All"
+            else p["c5_region"]),
+        "P1": lambda p: lambda ds: dq.p1_completeness(
+            ds, exclude_columns=p.get("p1_exclude_columns"),
+            threshold=float(p.get("p1_threshold", 0.75))),
+        "P2": lambda p: lambda ds: dq.p2_missingness_corr(
+            ds, threshold=float(p.get("p2_threshold", 0.5))),
+        "I1": i1,
+        "U1": lambda p: lambda ds: dq.u1_duplicate_rows(ds),
+        "S1": lambda p: lambda ds: dq.s1_accessibility(
+            has_metadata=bool(p.get("s1_has_metadata", False))),
+    }
+    entries = []
+    for test, params in config.items():
+        t = test.upper()
+        fn = builders[t](params)
+        m = {"threshold": next((float(v) for k, v in params.items()
+                                if k.endswith("_threshold")), None),
+             "selected_columns": next((v for k, v in params.items()
+                                       if k.endswith("_column_names")), None)}
+        entries.append((t, meta[t].dimension_name, fn, m))
+    return entries
+
+
 def full_battery(sf_dir: str) -> dict[str, tuple[str, list[tuple]]]:
     """All batteries keyed by name: (table_name, entries)."""
     return {

@@ -322,3 +322,51 @@ def test_metadata_registry_matches_reference_schema():
     assert validate_config("C1", {"bogus": 1}) != []
     assert validate_config("A2", {"a2_threshold": "abc"}) != []
     assert validate_config("ZZ", {}) != []
+
+
+def test_battery_from_config_runs_reference_style_config(ray_session):
+    """A reference user's config (reference parameter names, as the UI
+    schema defines them) runs unchanged through battery_from_config."""
+    import pytest as _pytest
+
+    from dataquality_ray.pipelines.battery import (
+        battery_from_config,
+        run_battery,
+    )
+    from dataquality_ray.sources.readers import read_table
+
+    cfg = {
+        "A1": {"a1_column_names": ["l_quantity", "l_tax"]},
+        "A2": {"a2_column_names": ["l_quantity"],
+               "a2_groupby_column": ["l_returnflag"],
+               "a2_threshold": 1.5, "a2_minimum_score": 0.85},
+        "A3": {"a3_column_names": ["l_discount", "l_tax"],
+               "a3_agg_column": "l_quantity"},
+        "P1": {"p1_threshold": 0.75},
+        "P2": {"p2_threshold": 0.5},
+        "I1": {"i1_sensitive_columns": ["l_quantity"],
+               "i1_threshold": 0.75},
+        "U1": {},
+        "S1": {"s1_has_metadata": True},
+    }
+    entries = battery_from_config(cfg)
+    res = run_battery(
+        read_table("/root/testdata/sf0.001/lineitem.parquet"), entries)
+    assert res["errors"] == {}, res["errors"]
+    assert res["tests"]["A1"] == 1.0
+    assert res["tests"]["S1"] == 1
+    assert 0.0 <= res["tests"]["A2"] <= 1.0
+    assert res["summaries"]["A3"].startswith("The aggregated column")
+
+    # A2 without a groupby column takes the GLOBAL IQR path
+    g = run_battery(
+        read_table("/root/testdata/sf0.001/lineitem.parquet"),
+        battery_from_config({"A2": {"a2_column_names": ["l_quantity"]}}))
+    assert g["errors"] == {}, g["errors"]
+    assert 0.0 <= g["tests"]["A2"] <= 1.0
+
+    # unknown parameter names are rejected up front
+    with _pytest.raises(ValueError, match="invalid battery config"):
+        battery_from_config({"A1": {"bogus_param": 1}})
+    with _pytest.raises(ValueError, match="unknown test"):
+        battery_from_config({"ZZ": {}})
