@@ -59,7 +59,13 @@ class MinHasher:
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  k: int = 3, seed: int = 42):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, MERSENNE, N_PERM, dtype=np.int64).astype(np.uint64)
+        # odd multipliers: x -> a*x + b (mod 2^64) is then a BIJECTION on
+        # uint64, i.e. a true permutation — the min-wise property minhash
+        # needs with no modular reduction at all (the old `% MERSENNE` after
+        # uint64 overflow wasn't a clean universal hash anyway, and the
+        # 64-bit modulo was ~2.5x the whole signature cost).
+        self.a = (rng.randint(1, MERSENNE, N_PERM, dtype=np.int64)
+                  .astype(np.uint64) | np.uint64(1))
         self.b = rng.randint(0, MERSENNE, N_PERM, dtype=np.int64).astype(np.uint64)
         self.text_col = text_col
         self.id_col = id_col
@@ -80,7 +86,7 @@ class MinHasher:
             [p if len(p) else np.array([MERSENNE], dtype=np.uint64)
              for p in per_doc])
         with np.errstate(over="ignore"):
-            vals = (self.a[:, None] * flat[None, :] + self.b[:, None]) % MERSENNE
+            vals = self.a[:, None] * flat[None, :] + self.b[:, None]
         offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
         mins = np.minimum.reduceat(vals, offsets, axis=1)  # (N_PERM, n_docs)
         return np.ascontiguousarray(mins.T)
