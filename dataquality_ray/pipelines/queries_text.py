@@ -502,18 +502,44 @@ def multimodal_audio_q(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
-@query("train_val_split")
+_M64 = 2**64
+
+# 64-bit modular multiply in HUGEINT without INT128 overflow: the constant
+# is split into 32-bit halves so every partial product stays under 2^96.
+
+
+@query("train_val_split", sql=f"""
+WITH s1 AS (SELECT doc_id,
+                   xor(doc_id::UBIGINT, 13::UBIGINT)::HUGEINT AS x
+            FROM documents),
+s2 AS (SELECT doc_id, (x + 11400714819323198485) % 18446744073709551616 AS x FROM s1),
+s2b AS (SELECT doc_id,
+               xor(x::UBIGINT, (x // 1073741824)::UBIGINT)::HUGEINT AS x
+        FROM s2),
+s3 AS (SELECT doc_id, ((x * 484763065) % 18446744073709551616 + (((x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM s2b),
+s3b AS (SELECT doc_id,
+               xor(x::UBIGINT, (x // 134217728)::UBIGINT)::HUGEINT AS x
+        FROM s3),
+s4 AS (SELECT doc_id, ((x * 321982955) % 18446744073709551616 + (((x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM s3b),
+s5 AS (SELECT doc_id,
+              xor(x::UBIGINT, (x // 2147483648)::UBIGINT) AS h FROM s4)
+SELECT doc_id,
+       CASE WHEN h::DOUBLE / 18446744073709551616.0 < 0.2
+            THEN 'val' ELSE 'train' END AS side
+FROM s5 ORDER BY doc_id
+""")
 def split_q(sf_dir: str):
-    """Deterministic hash-mod train/val split over documents — rows-only
-    (the splitmix64 selection is not SQL-expressible); the property suite
-    pins disjoint/exhaustive/deterministic in tests/test_properties.py."""
+    """Deterministic hash-mod train/val split over documents — per-row side
+    assignments verified against a DuckDB HUGEINT re-implementation of the
+    exact splitmix64 chain (seed 13, val_frac 0.2)."""
     from dataquality_ray.stages.sampling import split_by_hash
 
     ds = _read(sf_dir, "documents", ["doc_id"])
     train, val = split_by_hash(ds, "doc_id", val_frac=0.2, seed=13)
-    n_train, n_val = train.count(), val.count()
-    return pd.DataFrame({"side": ["train", "val"],
-                         "n": [n_train, n_val]})
+    t = train.to_pandas(); t["side"] = "train"
+    v = val.to_pandas(); v["side"] = "val"
+    return (pd.concat([t, v], ignore_index=True)
+            .sort_values("doc_id").reset_index(drop=True))
 
 
 @query("multimodal_video_frames")
