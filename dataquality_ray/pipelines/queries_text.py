@@ -111,7 +111,40 @@ def normalize_q(sf_dir: str):
 # Language ID over documents — rows-only (model-based)
 # ---------------------------------------------------------------------------
 
-@query("lang_id_documents")
+def _langid_sql() -> str:
+    """DuckDB re-implementation of NaturalLangId's stopword-profile argmax
+    (list_filter membership counts per language, first-max tie-break in
+    STOPWORDS insertion order) — makes the language-ID output hash-checked
+    rather than rows-only."""
+    from dataquality_ray.functions.text import STOPWORDS
+
+    langs = list(STOPWORDS)
+    lists = {l: "[" + ",".join(f"'{w}'" for w in sorted(STOPWORDS[l])) + "]"
+             for l in langs}
+    cnt = ", ".join(
+        f"len(list_filter(t, x -> list_contains({lists[l]}, x))) AS c_{l}"
+        for l in langs)
+    gmax = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    case = f"CASE WHEN n = 0 OR {gmax} = 0 THEN 'unknown' "
+    for i, l in enumerate(langs):
+        rest = [f"c_{l} >= c_{o}" for o in langs[i + 1:]]
+        case += (f"WHEN {' AND '.join(rest)} THEN '{l}' " if rest
+                 else f"ELSE '{l}' END")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '[^a-zàâäéèêëîïôöùûüñ]+'), x -> x <> '') AS t
+  FROM documents
+), counts AS (
+  SELECT doc_id, len(t) AS n, {cnt} FROM toks
+)
+SELECT {case} AS detected_lang, count(*) AS n
+FROM counts GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("lang_id_documents", sql=_langid_sql())
 def langid_q(sf_dir: str):
     from ray.data.aggregate import Count
 
