@@ -184,3 +184,25 @@ def test_c3_report_matches_golden_header(ray_session):
     flagged = set(rep["PROVINCE"])
     assert "Notaprovince" in flagged and "albert" in flagged
     assert "BC" not in flagged  # expands to the full name -> member
+
+
+def test_a2_summary_matches_golden_header(ray_session):
+    """Golden A2 report = groupby column + one score column per selected
+    column; our battery summary adapter pivots to exactly that shape."""
+    from dataquality_ray.pipelines.battery import _summary_frame
+    from dataquality_ray.pipelines.dimensions import a2_iqr_grouped
+
+    header = golden_header("a2")          # SPECIES, TOTAL_RETURN_TO_RIVER
+    group_col, value_col = header[0], header[1]
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        group_col: rng.choice(["Chinook", "Coho"], 200),
+        value_col: rng.normal(100, 10, 200),
+    })
+    res = a2_iqr_grouped(rd.from_pandas(df), [value_col],
+                         group_col=group_col)
+    frame = _summary_frame("A2", res["table"], {})
+    # golden header columns, with the group column under its value-agnostic
+    # name slot (the reference writes the groupby column first)
+    assert list(frame.columns) == ["group_name", value_col]
+    assert len(frame) == 2
