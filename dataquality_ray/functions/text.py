@@ -117,6 +117,62 @@ class NaturalLangId:
                 .append_column("langid_conf", pa.array(conf)))
 
 
+def clean_text_batch(batch: pa.Table, col: str = "text",
+                     out_col: str = "text_clean") -> pa.Table:
+    """Unicode hygiene for a text column: CRLF → LF, NFC normalization, and
+    C0/C1 control characters stripped (tab/newline kept) — the ftfy-tier
+    fixes a corpus pipeline needs before tokenization.
+
+    CRLF + control stripping are vectorized Arrow passes.  True NFC needs
+    canonical COMPOSITION, which pyarrow 16's ``utf8_normalize`` does not
+    perform (verified: e+COMBINING ACUTE stays decomposed), so NFC runs via
+    ``unicodedata`` ONLY on non-ASCII rows — ASCII (the overwhelming common
+    case in code corpora) is NFC by construction and skips the Python pass.
+    """
+    import unicodedata
+
+    t = pc.replace_substring(batch[col], "\r\n", "\n")
+    t = pc.replace_substring_regex(
+        t, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", "")
+    non_ascii = pc.fill_null(
+        pc.match_substring_regex(t, r"[^\x00-\x7F]"), False) \
+        .to_numpy(zero_copy_only=False)
+    if non_ascii.any():
+        vals = t.to_pylist()
+        for i in np.nonzero(non_ascii)[0]:
+            vals[i] = unicodedata.normalize("NFC", vals[i])
+        t = pa.chunked_array([pa.array(vals, pa.string())])
+    return batch.append_column(out_col, t)
+
+
+def dedupe_lines_batch(batch: pa.Table, col: str = "text",
+                       out_col: str = "text_deduped") -> pa.Table:
+    """Remove repeated lines WITHIN each document (order-preserving first
+    occurrence) — the line-level self-dedup step web/corpus pipelines run
+    before cross-doc dedup.  Appends the cleaned text plus
+    ``lines_removed``.  Per-doc seen-set is inherently row-wise; the split
+    and set ops are C-level."""
+    texts = batch[col].to_pylist()
+    out, removed = [], np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            out.append(None)
+            continue
+        seen: set[str] = set()
+        kept = []
+        for line in t.split("\n"):
+            key = line.strip()
+            if key and key in seen:
+                removed[i] += 1
+                continue
+            if key:
+                seen.add(key)
+            kept.append(line)
+        out.append("\n".join(kept))
+    return (batch.append_column(out_col, pa.array(out, pa.string()))
+                 .append_column("lines_removed", pa.array(removed)))
+
+
 FP_BASE = np.uint64(1099511628211)  # FNV-ish multiplier
 
 

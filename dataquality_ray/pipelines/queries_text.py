@@ -108,6 +108,38 @@ def normalize_q(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Unicode text cleaning (CRLF, NFC, control strip) — SQL-checkable; line
+# self-dedup — rows-only (order-preserving seen-set)
+# ---------------------------------------------------------------------------
+
+@query("text_clean_unicode", sql="""
+SELECT doc_id,
+       regexp_replace(nfc_normalize(replace(text, chr(13) || chr(10),
+                                            chr(10))),
+                      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '',
+                      'g') AS text_clean
+FROM documents ORDER BY doc_id
+""")
+def clean_unicode_q(sf_dir: str):
+    from dataquality_ray.functions.text import clean_text_batch
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(clean_text_batch, batch_format="pyarrow")
+          .select_columns(["doc_id", "text_clean"]))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+@query("text_dedupe_lines")
+def dedupe_lines_q(sf_dir: str):
+    from dataquality_ray.functions.text import dedupe_lines_batch
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(dedupe_lines_batch, batch_format="pyarrow")
+          .select_columns(["doc_id", "lines_removed"]))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Language ID over documents — rows-only (model-based)
 # ---------------------------------------------------------------------------
 
