@@ -200,6 +200,20 @@ def supplier_stats_salted(sf_dir: str):
 # SQL-checkable via the two-offset union
 # ---------------------------------------------------------------------------
 
+@query("hll_distinct_counts")
+def hll_q(sf_dir: str):
+    """HyperLogLog distinct estimates per column — rows-only (a sketch
+    can't hash-match exact SQL counts; the <=3-sigma accuracy bound and
+    merge-exactness are pinned in tests/test_sketch.py)."""
+    from dataquality_ray.stages.sketch import hll_distinct
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_returnflag"])
+    out = hll_distinct(ds, ["l_orderkey", "l_suppkey", "l_returnflag"])
+    out["distinct_estimate"] = out["distinct_estimate"].round(1)
+    return out
+
+
 @query("sliding_window_counts", sql="""
 WITH e AS (
   SELECT cast(floor(epoch(ts)) AS bigint) AS ep, event_type, value FROM events

@@ -1,0 +1,126 @@
+"""Distributed sketches: HyperLogLog distinct-count estimation.
+
+The canonical mergeable sketch for "how many distinct values does this
+100 TB column have" without a shuffle: every batch folds its values into a
+2^p-register HLL (vectorized numpy), the tiny register arrays are the ONLY
+thing that moves, and the driver merges them with an elementwise max.
+Standard error ≈ 1.04/√(2^p) (~1.6 % at p=12, 4 KiB per partial).
+
+Values are hashed with blake2b (strings/bytes) or splitmix64 (ints) —
+never Python ``hash()`` (per-process salted).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dataquality_ray.functions.hashing import splitmix64
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _hash_values(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """uint64 hashes of a column's non-null values."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.drop_null()
+    t = arr.type
+    if pa.types.is_integer(t):
+        return splitmix64(arr.to_numpy(zero_copy_only=False)
+                          .astype(np.uint64))
+    vals = arr.to_pylist()
+    out = np.empty(len(vals), dtype=np.uint64)
+    for i, v in enumerate(vals):
+        b = v if isinstance(v, bytes) else str(v).encode()
+        out[i] = int.from_bytes(
+            hashlib.blake2b(b, digest_size=8).digest(), "big")
+    return out
+
+
+class HyperLogLog:
+    """Dense HLL with 2^p registers; fold/merge/estimate are all
+    vectorized."""
+
+    def __init__(self, p: int = 12):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def fold_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        if not len(h):
+            return self
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        # low bits padded with ones so rho is capped at 64-p+1
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rho = leading zeros + 1, via 6-step vectorized binary search
+        cur = rest.copy()
+        acc = np.zeros(len(h), dtype=np.uint8)
+        shift = 32
+        while shift:
+            mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+            acc[mask] += shift
+            cur[mask] = cur[mask] << np.uint64(shift)
+            shift //= 2
+        np.maximum.at(self.registers, idx, acc + 1)
+        return self
+
+    def fold_column(self, arr) -> "HyperLogLog":
+        return self.fold_hashes(_hash_values(arr))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge HLLs with different p")
+        np.maximum.at(self.registers, np.arange(self.m), other.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
+        raw = _alpha(self.m) * m * m / inv.sum()
+        if raw <= 2.5 * m:  # small-range correction
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * np.log(m / zeros)
+        return float(raw)
+
+
+def hll_distinct(ds, columns: list[str], p: int = 12) -> pd.DataFrame:
+    """Approximate distinct counts per column: per-batch HLL partials (one
+    2^p register array per column per batch — a few KiB), merged on the
+    driver.  One streaming pass, no shuffle, no driver value set."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = []
+        for c in columns:
+            h = HyperLogLog(p).fold_column(batch[c])
+            regs.append(h.registers.tobytes())
+        return pa.table({"column_name": pa.array(columns),
+                         "registers": pa.array(regs, pa.binary())})
+
+    parts = (ds.select_columns(columns)
+               .map_batches(partial, batch_format="pyarrow")
+               .to_pandas())
+    rows = []
+    for c in columns:
+        merged = HyperLogLog(p)
+        for blob in parts.loc[parts["column_name"] == c, "registers"]:
+            other = HyperLogLog(p)
+            other.registers = np.frombuffer(blob, dtype=np.uint8).copy()
+            merged.merge(other)
+        rows.append({"column_name": c,
+                     "distinct_estimate": merged.estimate()})
+    return pd.DataFrame(rows).sort_values("column_name").reset_index(drop=True)

@@ -1,0 +1,50 @@
+"""HyperLogLog distinct-count sketch: accuracy, mergeability, determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from dataquality_ray.stages.sketch import HyperLogLog, hll_distinct
+
+
+@pytest.mark.parametrize("n_distinct", [50, 5000, 200000])
+def test_hll_estimate_within_error_bound(n_distinct):
+    rng = np.random.RandomState(n_distinct)
+    vals = rng.randint(0, n_distinct, size=n_distinct * 2).astype(np.uint64)
+    import pyarrow as pa
+
+    h = HyperLogLog(p=12).fold_column(pa.array(vals.astype(np.int64)))
+    exact = len(np.unique(vals))
+    err = abs(h.estimate() - exact) / exact
+    assert err < 3 * 1.04 / np.sqrt(1 << 12), (exact, h.estimate())
+
+
+def test_hll_merge_equals_single_pass():
+    import pyarrow as pa
+
+    rng = np.random.RandomState(3)
+    a = pa.array(rng.randint(0, 10000, 5000).astype(np.int64))
+    b = pa.array(rng.randint(5000, 15000, 5000).astype(np.int64))
+    one = HyperLogLog(12).fold_column(pa.concat_arrays([a, b]))
+    merged = HyperLogLog(12).fold_column(a).merge(
+        HyperLogLog(12).fold_column(b))
+    assert np.array_equal(one.registers, merged.registers)
+
+
+def test_hll_distinct_over_dataset(ray_session):
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "ints": rng.randint(0, 1000, 20000),
+        "strs": [f"v{x}" for x in rng.randint(0, 100, 20000)],
+        "const": ["same"] * 20000,
+    })
+    out = hll_distinct(rd.from_pandas(df).repartition(6),
+                       ["ints", "strs", "const"]).set_index("column_name")
+    assert abs(out.loc["ints", "distinct_estimate"] - 1000) / 1000 < 0.1
+    assert abs(out.loc["strs", "distinct_estimate"] - 100) / 100 < 0.1
+    assert out.loc["const", "distinct_estimate"] == pytest.approx(1.0, abs=0.5)
+    # deterministic across runs and partitionings
+    out2 = hll_distinct(rd.from_pandas(df).repartition(2),
+                        ["ints", "strs", "const"]).set_index("column_name")
+    pd.testing.assert_frame_equal(out.sort_index(), out2.sort_index())
