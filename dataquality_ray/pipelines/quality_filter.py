@@ -244,10 +244,13 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
     dup_ref = (build_dup_index(files)
                if dedup and not single_chunk else None)
 
+    import time as _time
+
     for chunk in chunks:
         chunk_key = hashlib.sha1("\x00".join(chunk).encode()).hexdigest()[:12]
         partition = f"chunk-{chunk_key}"
         out_dir = os.path.join(run_dir, "data", partition)
+        _t0 = _time.monotonic()
         ds = rd.read_parquet(chunk, override_num_blocks=_target_blocks(chunk))
         ds = ds.map_batches(_make_srcfile_tagger(partition),
                             batch_format="pyarrow", batch_size=batch_size)
@@ -257,6 +260,8 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
         # blocks (no recompute, no disk re-read).  Bounded by chunk_files at
         # scale; the object store spills if a chunk exceeds memory.
         labeled = labeled.materialize()
+        _t_label = _time.monotonic() - _t0
+        _t0 = _time.monotonic()
         if dedup and single_chunk and dedup_mode == "join":
             # The beyond-broadcast escape hatch end-to-end: the dup-group
             # table never lands on the driver; rows are marked via a
@@ -302,7 +307,11 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
             labeled.write_parquet(out_dir)
             rec = _chunk_stats(labeled, dedup)
         rec.update({"partition": partition, "input_shards": chunk,
-                    "rule_version": RULE_VERSION})
+                    "rule_version": RULE_VERSION,
+                    # per-phase walls: where did this chunk's time go
+                    # (label+materialize vs mark+write+stats)?
+                    "label_sec": round(_t_label, 3),
+                    "finish_sec": round(_time.monotonic() - _t0, 3)})
         store.write_records([rec])
         store.commit(chunk)
 
