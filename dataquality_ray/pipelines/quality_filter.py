@@ -218,31 +218,40 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
     ``'join'`` applies to single-chunk runs; chunked runs need the GLOBAL
     upfront index for resume determinism and always use the broadcast path
     (a chunked join variant would have to re-join every prior chunk on each
-    resume).
+    resume).  ``'sidecar'`` removes the chunked runs' double content read:
+    chunks are labeled and written WITHOUT dup columns (content read once),
+    then one resumable post-pass reads back only (sha, row_id, keep) from
+    the written output — column-pruned, tiny — and writes a dup SIDECAR
+    (duplicate rows only) under ``run_dir/dedup``; consumers apply it via
+    :func:`load_run_output`.  Summaries match the inline modes exactly.
     """
-    if dedup_mode not in ("broadcast", "join"):
+    if dedup_mode not in ("broadcast", "join", "sidecar"):
         raise ValueError(f"unknown dedup_mode {dedup_mode!r}")
     import ray.data as rd
 
+    sidecar = dedup and dedup_mode == "sidecar"
     files = _expand_files(input_path)
     store = LineageStore(run_dir)
     done = store.completed_partitions()
     todo = [f for f in files if f not in done]
-    if not todo:
+    if not todo and (not sidecar or SIDECAR_PARTITION in done):
         return summarize_run(run_dir)
 
-    chunks = ([todo] if not chunk_files else
+    chunks = ([] if not todo else [todo] if not chunk_files else
               [todo[i:i + chunk_files] for i in range(0, len(todo), chunk_files)])
 
     # Dedup index strategy: the index must be GLOBAL (canonical picks
     # identical regardless of chunking/resume order).  Multi-chunk runs
-    # build it with an upfront hash-only pass over the FULL input.  A
-    # single-chunk run (the default) instead derives it from the labeled
-    # blocks' own content_sha256 column AFTER labeling — the corpus is
-    # read and hashed exactly once.
+    # build it with an upfront hash-only pass over the FULL input — unless
+    # sidecar mode, which defers dedup to the post-pass.  A single-chunk
+    # run (the default) instead derives it from the labeled blocks' own
+    # content_sha256 column AFTER labeling — the corpus is read and hashed
+    # exactly once.
     single_chunk = len(chunks) == 1 and not done
     dup_ref = (build_dup_index(files)
-               if dedup and not single_chunk else None)
+               if dedup and not single_chunk and not sidecar else None)
+    if sidecar:
+        single_chunk = False  # chunks write plain labels; dedup is deferred
 
     import time as _time
 
@@ -305,7 +314,7 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
             rec = _chunk_stats(stats_src, dedup)
         else:
             labeled.write_parquet(out_dir)
-            rec = _chunk_stats(labeled, dedup)
+            rec = _chunk_stats(labeled, dedup and not sidecar)
         rec.update({"partition": partition, "input_shards": chunk,
                     "rule_version": RULE_VERSION,
                     # per-phase walls: where did this chunk's time go
@@ -315,7 +324,103 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
         store.write_records([rec])
         store.commit(chunk)
 
+    if sidecar and SIDECAR_PARTITION not in store.completed_partitions():
+        _build_dedup_sidecar(run_dir, store, batch_size)
+
     return summarize_run(run_dir)
+
+
+SIDECAR_PARTITION = "__dedup_sidecar__"
+
+
+def _build_dedup_sidecar(run_dir: str, store: LineageStore,
+                         batch_size: int) -> None:
+    """Resumable post-pass for dedup_mode='sidecar': read ONLY
+    (content_sha256, row_id, keep) back from the written chunks (pruned
+    parquet read — a few bytes/row where the label pass moved whole
+    documents), mark duplicates against the combiner index, and write the
+    duplicate rows (is_dup only — unique rows need no entry) as a sidecar
+    table.  A lineage record with compensating totals keeps
+    ``summarize_run`` identical to the inline modes: kept -= rows newly
+    dropped as non-canonical duplicates."""
+    import pyarrow.compute as _pc
+
+    import ray.data as rd
+
+    from dataquality_ray.stages.dedup import compute_dup_index, make_mark_fn
+
+    data_dir = os.path.join(run_dir, "data")
+    pruned = rd.read_parquet(data_dir,
+                             columns=["content_sha256", "row_id", "keep"])
+    post_ref = compute_dup_index(pruned)
+    mark_fn = make_mark_fn(post_ref)
+
+    def dup_rows_only(batch: pa.Table) -> pa.Table:
+        marked = mark_fn(batch)
+        dups = marked.filter(marked["is_dup"])
+        return dups.select(["row_id", "dup_keep", "keep"])
+
+    sidecar = (pruned.map_batches(dup_rows_only, batch_format="pyarrow",
+                                  batch_size=batch_size)
+               .materialize())
+    out = os.path.join(run_dir, "dedup")
+    os.makedirs(out, exist_ok=True)
+    sidecar.write_parquet(out)
+
+    # compensating totals: rows that phase 1 kept but dedup now drops
+    def counts(batch: pa.Table) -> pa.Table:
+        newly_dropped = _pc.and_(batch["keep"],
+                                 _pc.invert(batch["dup_keep"]))
+        return pa.table({
+            "dup_rows": [len(batch)],
+            "newly_dropped": [int(_pc.sum(_pc.cast(newly_dropped, pa.int64()))
+                              .as_py() or 0)],
+        })
+
+    parts = sidecar.map_batches(counts, batch_format="pyarrow").take_all()
+    dup_rows = sum(int(p["dup_rows"]) for p in parts)
+    dropped = sum(int(p["newly_dropped"]) for p in parts)
+    store.write_records([{
+        "partition": SIDECAR_PARTITION, "rows_in": 0, "kept": -dropped,
+        "dropped": dropped, "scrubbed": 0, "pii_rows": 0,
+        "dup_rows": dup_rows, "rule_version": RULE_VERSION,
+    }])
+    store.commit([SIDECAR_PARTITION])
+
+
+def load_run_output(run_dir: str, columns: list[str] | None = None):
+    """Read a run's output with dedup applied regardless of mode.
+
+    Inline modes wrote is_dup/dup_keep/final keep directly; sidecar runs
+    wrote plain labels plus a duplicate-row sidecar — here the sidecar's
+    (row_id → dup_keep) pairs are broadcast (duplicate rows only, small by
+    construction) and folded into keep/drop_reasons per batch, yielding the
+    same schema and values as an inline run."""
+    import pyarrow.compute as _pc
+
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(run_dir, "data"), columns=columns)
+    side_dir = os.path.join(run_dir, "dedup")
+    if "is_dup" in ds.schema().names or not os.path.isdir(side_dir):
+        return ds
+    side = rd.read_parquet(side_dir, columns=["row_id", "dup_keep"]).to_pandas()
+    ids_ref = ray.put(pa.array(side["row_id"].to_numpy()))
+    keep_ref = ray.put(pa.array(side["dup_keep"].to_numpy()))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        ids, keeps = ray.get(ids_ref), ray.get(keep_ref)
+        idx = _pc.index_in(batch["row_id"].combine_chunks(), value_set=ids)
+        is_dup = _pc.is_valid(idx)
+        if len(keeps):
+            dup_keep = _pc.fill_null(keeps.take(idx), True)
+        else:
+            dup_keep = pa.array(np.ones(len(batch), dtype=bool))
+        return _apply_dup_batch(batch.append_column("is_dup", is_dup)
+                                     .append_column("dup_keep", dup_keep))
+
+    return ds.map_batches(apply, batch_format="pyarrow")
 
 
 def _make_srcfile_tagger(srcfile: str):

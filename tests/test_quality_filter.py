@@ -216,3 +216,82 @@ def test_dedup_mode_join_matches_broadcast(ray_session, tmp_path):
     assert s_b == s_j
     pd.testing.assert_frame_equal(r_b, r_j)
     assert r_b["is_dup"].any()  # fixture plants duplicates
+
+
+def test_dedup_mode_sidecar_matches_broadcast(ray_session, tmp_path):
+    """Sidecar mode (single content read for chunked runs, dedup deferred
+    to a pruned post-pass) must produce the identical summary, and
+    load_run_output must yield the same per-row keep/is_dup/drop_reasons
+    as an inline broadcast run."""
+    import pandas as pd
+
+    from dataquality_ray.fixtures import write_code_files
+    from dataquality_ray.pipelines.quality_filter import (
+        load_run_output,
+        run_quality_filter,
+        summarize_run,
+    )
+
+    src = str(tmp_path / "in")
+    write_code_files(src, n_rows=600, seed=19, rows_per_file=200)
+
+    b_dir = str(tmp_path / "run_b")
+    s_dir = str(tmp_path / "run_s")
+    sum_b = run_quality_filter(src, b_dir, dedup=True)
+    sum_s = run_quality_filter(src, s_dir, dedup=True, dedup_mode="sidecar",
+                               chunk_files=1)
+    # chunking differs by construction (3 chunks + sidecar record); every
+    # COUNT must match exactly
+    drop = {"partitions"}
+    assert {k: v for k, v in sum_b.items() if k not in drop}         == {k: v for k, v in sum_s.items() if k not in drop}
+
+    cols = ["row_id", "keep", "drop_reasons", "is_dup", "dup_keep"]
+    a = (load_run_output(b_dir).to_pandas()[cols]
+         .sort_values("row_id").reset_index(drop=True))
+    b = (load_run_output(s_dir).to_pandas()[cols]
+         .sort_values("row_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert b["is_dup"].any()
+
+    # resume: re-invocation is a no-op with the same summary
+    assert run_quality_filter(src, s_dir, dedup=True,
+                              dedup_mode="sidecar", chunk_files=1) == sum_s
+
+
+def test_sidecar_resumes_after_phase1_crash(ray_session, tmp_path):
+    """Crash between the last chunk commit and the sidecar build: the next
+    invocation must build the sidecar without re-reading any chunk."""
+    import os
+    import shutil
+
+    from dataquality_ray.fixtures import write_code_files
+    from dataquality_ray.pipelines.quality_filter import (
+        SIDECAR_PARTITION,
+        run_quality_filter,
+    )
+    from dataquality_ray.state.lineage import LineageStore
+
+    src = str(tmp_path / "in")
+    write_code_files(src, n_rows=400, seed=23, rows_per_file=200)
+    run_dir = str(tmp_path / "run")
+    full = run_quality_filter(src, run_dir, dedup=True,
+                              dedup_mode="sidecar", chunk_files=1)
+    # simulate the crash: remove the sidecar output + its manifest entry
+    shutil.rmtree(os.path.join(run_dir, "dedup"))
+    import json
+
+    store = LineageStore(run_dir)
+    done_before = store.completed_partitions()
+    assert SIDECAR_PARTITION in done_before
+    # rewrite the manifest without the sidecar partition
+    mpath = os.path.join(run_dir, "manifest.json")
+    manifest = json.load(open(mpath))
+    manifest["completed"] = [p for p in manifest["completed"]
+                             if p != SIDECAR_PARTITION]
+    json.dump(manifest, open(mpath, "w"))
+    store2 = LineageStore(run_dir)
+    assert SIDECAR_PARTITION not in store2.completed_partitions()
+    again = run_quality_filter(src, run_dir, dedup=True,
+                               dedup_mode="sidecar", chunk_files=1)
+    assert again == full
+    assert os.path.isdir(os.path.join(run_dir, "dedup"))
