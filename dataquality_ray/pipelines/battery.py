@@ -294,6 +294,44 @@ def documents_battery(sf_dir: str) -> list[tuple]:
     ]
 
 
+def events_battery(sf_dir: str) -> list[tuple]:
+    """Battery over the events stream table: timestamp-format consistency,
+    value outliers per event type, completeness, uniqueness, proxy."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from dataquality_ray.pipelines import dimensions as dq
+
+    def c4(ds):
+        def derive(batch: pa.Table) -> pa.Table:
+            return pa.table({"ts_str": pc.strftime(batch["ts"],
+                                                   format="%Y-%m-%d %H:%M:%S")})
+        return dq.c4_datetime_format(
+            ds.select_columns(["ts"]).map_batches(derive,
+                                                  batch_format="pyarrow"),
+            ["ts_str"], fmt="%Y-%m-%d %H:%M:%S")
+
+    return [
+        ("A1", "Accuracy",
+         lambda ds: dq.a1_symbols_in_numerics(ds, ["value"])),
+        ("A2", "Accuracy",
+         lambda ds: dq.a2_iqr_grouped(ds, ["value"],
+                                      group_col="event_type"),
+         {"selected_columns": ["value"], "threshold": 0.85}),
+        ("C4", "Consistency", c4),
+        ("P1", "Completeness", lambda ds: dq.p1_completeness(
+            ds, exclude_columns=["props"])),
+        ("I1", "Interdependency",
+         lambda ds: dq.i1_proxy_corr(
+             ds, sensitive_columns=["value"], threshold=0.75,
+             numeric_columns=["value"],
+             nominal_columns=["event_type"]),
+         {"threshold": 0.75}),
+        ("U1", "Uniqueness",
+         lambda ds: dq.u1_duplicate_rows(ds, ["event_id"])),
+    ]
+
+
 def battery_from_config(config: dict[str, dict]) -> list[tuple]:
     """Build battery entries from a reference-style config: one entry per
     test keyed by its reference parameter names (the same names the UI's
@@ -411,4 +449,5 @@ def full_battery(sf_dir: str) -> dict[str, tuple[str, list[tuple]]]:
         "lineitem": ("lineitem", lineitem_battery(sf_dir)),
         "orders": ("orders", orders_battery(sf_dir)),
         "documents": ("documents", documents_battery(sf_dir)),
+        "events": ("events", events_battery(sf_dir)),
     }

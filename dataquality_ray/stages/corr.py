@@ -198,7 +198,11 @@ def filter_corrs(corrs: pd.DataFrame, threshold: float,
     np.fill_diagonal(corrs.values, np.nan)
     if subset is not None:
         corrs = corrs[subset].drop(index=subset)
-    thr = corrs[abs(corrs) > threshold].melt(ignore_index=False).reset_index().dropna()
+    # explicit melt names: the default value_name="value" collides when a
+    # data column is itself called "value" (e.g. events.value)
+    thr = (corrs[abs(corrs) > threshold]
+           .melt(ignore_index=False, var_name="_c2_", value_name="_cc_")
+           .reset_index().dropna())
     thr.columns = ["var1", "var2", "corr_coeff"]
     thr["features"] = ["/".join(sorted((r.var1, r.var2))) for r in thr.itertuples()]
     thr = thr.drop_duplicates("features")
