@@ -100,12 +100,9 @@ def create_all_metadata() -> dict[str, TestMetadata]:
                     ParameterType.MULTI_SELECT, default=[])
     m.add_parameter("a2_groupby_column", "A2 Groupby Column(s)",
                     ParameterType.MULTI_SELECT,
-                    hint="Groupby data from selected_columns by each unique "
-                         "a2_groupby_column entry. Score is calculated for "
-                         "each groupby then averaged for a2_groupby_column. "
-                         "If multiple groupby columns are provided, "
-                         "calculations are done on using each individual "
-                         "column then averaged together.")
+                    hint="per-group outlier scores, averaged across groups "
+                         "(and across groupby columns when several are "
+                         "given)")
     m.add_parameter("a2_threshold", "A2 Threshold", ParameterType.DECIMAL,
                     value="1.5", step=0.1)
     m.add_parameter("a2_minimum_score", "A2 Minimum Score",
@@ -156,16 +153,15 @@ def create_all_metadata() -> dict[str, TestMetadata]:
                     placeholder="Choose option or enter custom date-time "
                                 "format...",
                     value=dict(_C4_FORMATS), accept_new_options=True,
-                    hint="Enter a Python date-time format string using "
-                         "strftime codes (e.g., %Y-%m-%d %H:%M:%S).")
+                    hint="Python strftime format string, e.g. "
+                         "%Y-%m-%d %H:%M:%S")
     # dimensions/consistency/c5.py
     m = new("Consistency", "C5")
     m.add_parameter("c5_column_names", "C5 Column Names",
                     ParameterType.MULTI_SELECT, default=[])
     m.add_parameter("c5_region", "C5 Region", ParameterType.SINGLE_SELECT,
                     value=["All", "Pacific"],
-                    hint="Restricts geographic coordinates to specified "
-                         "DFO region.")
+                    hint="restrict coordinate bounds to the named region")
     # dimensions/completeness/p1.py
     m = new("Completeness", "P1")
     m.add_parameter("p1_exclude_columns", "P1 Exclude Columns",
