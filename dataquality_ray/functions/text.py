@@ -186,8 +186,10 @@ def fingerprint_batch(batch: pa.Table, col: str = "text",
         for i, t in enumerate(texts):
             acc = np.uint64(14695981039346656037)
             for tok in (t or "").split():
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+                # sha256[:8] (not blake2b): DuckDB exposes sha256, so the
+                # fingerprint is SQL-replicable and oracle-checked
+                h = int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8],
+                                   "big")
                 acc = (acc * FP_BASE) ^ np.uint64(h)
             fps[i] = acc
     return batch.append_column(out_col,

@@ -129,11 +129,44 @@ def clean_unicode_q(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-@query("text_dedupe_lines")
+@query("text_dedupe_lines", sql="""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 50 AND text IS NOT NULL
+              THEN text || chr(10) || text ELSE text END AS text
+  FROM documents
+), keyed AS (
+  SELECT doc_id,
+         trim(unnest(string_split(text, chr(10))),
+              ' ' || chr(9) || chr(13) || chr(11) || chr(12)) AS key
+  FROM planted
+), agg AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE key <> '') AS cnt,
+         count(DISTINCT key) FILTER (WHERE key <> '') AS dcnt
+  FROM keyed GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(cnt - dcnt, 0)::BIGINT AS lines_removed
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+""")
 def dedupe_lines_q(sf_dir: str):
+    """In-document line dedup counts, with planted duplicate lines (docs
+    0..49 doubled) so the oracle exercises actual removal; removed = (#
+    non-blank lines) - (# distinct stripped keys), which the SQL computes
+    directly."""
     from dataquality_ray.functions.text import dedupe_lines_batch
 
+    def plant(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        out = [t if (t is None or i >= 50) else t + "\n" + t
+               for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
     ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(plant, batch_format="pyarrow")
           .map_batches(dedupe_lines_batch, batch_format="pyarrow")
           .select_columns(["doc_id", "lines_removed"]))
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -194,8 +227,32 @@ def langid_q(sf_dir: str):
 # Document fingerprint — rows-only (rolling hash)
 # ---------------------------------------------------------------------------
 
-@query("doc_fingerprint")
+@query("doc_fingerprint", sql="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(14695981039346656037::UBIGINT,
+             list_transform(t, s -> ('0x' || substr(sha256(s),1,16))::UBIGINT)),
+           (acc, x) -> xor(((acc::HUGEINT * 1099511628211)
+                            % 18446744073709551616)::UBIGINT, x)
+         ) AS fp
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN fp >= 9223372036854775808::UBIGINT
+            THEN ((fp::HUGEINT) - 18446744073709551616)::BIGINT
+            ELSE fp::BIGINT END AS fingerprint
+FROM h ORDER BY doc_id
+""")
 def fingerprint_q(sf_dir: str):
+    """Order-sensitive rolling token fingerprint — hash-checked against a
+    DuckDB list_reduce over the same FNV-multiply/sha256-xor chain (the
+    UBIGINT->BIGINT CASE is two's-complement, matching numpy's int64 view)."""
     from dataquality_ray.functions.text import fingerprint_batch
 
     ds = (_read(sf_dir, "documents", ["doc_id", "text"])
@@ -310,7 +367,145 @@ def dedup_exact_join_q(sf_dir: str):
 # MinHash-LSH near-dup over documents + mutated copies — rows-only
 # ---------------------------------------------------------------------------
 
-@query("dedup_minhash")
+# --- DuckDB re-implementation of the FULL MinHash-LSH chain -----------------
+# sha256-derived shingle hashes, the 64 odd-multiplier permutations (same
+# RandomState(42) coefficients as stages/minhash.MinHasher), the 16x4 banded
+# splitmix64 bucket hash, candidate pairs from shared buckets, and exact
+# Jaccard verification — so the driver hash-checks the whole LSH pipeline
+# INCLUDING its probabilistic misses, not just an idealized all-pairs answer.
+# 64-bit multiplies run in HUGEINT with constants split into 32-bit halves
+# (full 64x64 products overflow INT128) — same trick as train_val_split.
+
+_M64S = "18446744073709551616"
+_GOLD = "11400714819323198485"
+
+
+def _mulmod64(x: str, lo: int, hi: int) -> str:
+    """SQL for (x * const) % 2**64 with const = hi*2**32 + lo, x HUGEINT."""
+    return (f"(({x} * {lo}) % {_M64S}"
+            f" + ((({x} % 4294967296) * {hi}) % 4294967296) * 4294967296)"
+            f" % {_M64S}")
+
+
+def _sm64_exprs(x: str) -> list[str]:
+    """splitmix64 on column `x` (HUGEINT in [0, 2**64)) as 6 chained steps."""
+    return [
+        f"({x} + {_GOLD}) % {_M64S}",
+        f"xor({x}::UBIGINT, ({x} // 1073741824)::UBIGINT)::HUGEINT",   # >>30
+        _mulmod64(x, 484763065, 3210233709),    # * 0xBF58476D1CE4E5B9
+        f"xor({x}::UBIGINT, ({x} // 134217728)::UBIGINT)::HUGEINT",    # >>27
+        _mulmod64(x, 321982955, 2496678331),    # * 0x94D049BB133111EB
+        f"xor({x}::UBIGINT, ({x} // 2147483648)::UBIGINT)::HUGEINT",   # >>31
+    ]
+
+
+def _band_chain_ctes() -> tuple[str, str]:
+    """CTE chain applying the banded hash (acc = sm64(acc ^ v_r), r=0..3)
+    to the pivoted per-band signature rows v0..v3 of CTE `pb`."""
+    ctes = [("c_init",
+             "SELECT doc_id, band, v1, v2, v3, "
+             f"xor({_GOLD}::UBIGINT, v0::UBIGINT)::HUGEINT AS x FROM pb")]
+    prev, n = "c_init", 0
+    for r in range(4):
+        for expr in _sm64_exprs("x"):
+            n += 1
+            keep = ["doc_id", "band"] + [f"v{i}" for i in range(r + 1, 4)]
+            ctes.append((f"c{n}",
+                         f"SELECT {', '.join(keep)}, {expr} AS x FROM {prev}"))
+            prev = f"c{n}"
+        if r < 3:
+            n += 1
+            keep = ["doc_id", "band"] + [f"v{i}" for i in range(r + 2, 4)]
+            ctes.append((f"c{n}",
+                         f"SELECT {', '.join(keep)}, "
+                         f"xor(x::UBIGINT, v{r + 1}::UBIGINT)::HUGEINT AS x"
+                         f" FROM {prev}"))
+            prev = f"c{n}"
+    return ",\n".join(f"{nm} AS ({sql})" for nm, sql in ctes), prev
+
+
+def _minhash_perm_values() -> str:
+    """The exact MinHasher(seed=42) permutation coefficients as SQL VALUES."""
+    from dataquality_ray.stages.minhash import MinHasher
+
+    mh = MinHasher()
+    return ", ".join(f"({j}, {int(mh.a[j])}, {int(mh.b[j])})"
+                     for j in range(len(mh.a)))
+
+
+_TOKS = ("list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),"
+         " x -> x <> '')")
+
+
+def _minhash_pairs_body(corpus_sql: str, threshold: float) -> str:
+    """WITH-body (no leading WITH) ending in pairs(id_a, id_b, jaccard)."""
+    chain, last = _band_chain_ctes()
+    return f"""corpus AS ({corpus_sql}), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' ')))
+         END AS sg
+  FROM corpus
+), hs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(sg,
+             s -> ('0x' || substr(sha256(s), 1, 16))::UBIGINT)) AS hl
+  FROM sh
+), perms(j, a, b) AS (VALUES {_minhash_perm_values()}),
+sigs AS (
+  SELECT u.doc_id, p.j,
+         min(((p.a::HUGEINT * u.h) % {_M64S} + p.b) % {_M64S}) AS sig
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(hl) = 0
+                           THEN [2305843009213693951::UBIGINT] ELSE hl END)
+               ::HUGEINT AS h
+        FROM hs) u
+  CROSS JOIN perms p
+  GROUP BY u.doc_id, p.j
+), pb AS (
+  SELECT doc_id, j // 4 AS band,
+         max(CASE WHEN j % 4 = 0 THEN sig END) AS v0,
+         max(CASE WHEN j % 4 = 1 THEN sig END) AS v1,
+         max(CASE WHEN j % 4 = 2 THEN sig END) AS v2,
+         max(CASE WHEN j % 4 = 3 THEN sig END) AS v3
+  FROM sigs GROUP BY doc_id, j // 4
+),
+{chain},
+bh AS (SELECT doc_id, band, x AS bhash FROM {last}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bh a JOIN bh b ON a.band = b.band AND a.bhash = b.bhash
+                     AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(ha.hl, hb.hl)) AS inter,
+         len(ha.hl) + len(hb.hl) - len(list_intersect(ha.hl, hb.hl)) AS uni
+  FROM cand c
+  JOIN hs ha ON ha.doc_id = c.id_a
+  JOIN hs hb ON hb.doc_id = c.id_b
+), pairs AS (
+  SELECT id_a, id_b,
+         floor((CASE WHEN uni = 0 THEN 1.0 ELSE inter * 1.0 / uni END)
+               * 1000000) / 1000000 AS jaccard
+  FROM scored
+  WHERE (CASE WHEN uni = 0 THEN 1.0 ELSE inter * 1.0 / uni END)
+        >= {threshold}
+)"""
+
+
+_MINHASH_CORPUS = f"""
+  SELECT doc_id, {_TOKS} AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, {_TOKS}[2:] AS t
+  FROM documents WHERE doc_id < 20
+"""
+
+
+@query("dedup_minhash", sql=(
+    "WITH " + _minhash_pairs_body(_MINHASH_CORPUS, 0.5)
+    + " SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"))
 def minhash_q(sf_dir: str):
     from dataquality_ray.stages.minhash import minhash_near_dup_pairs
 
@@ -329,15 +524,61 @@ def minhash_q(sf_dir: str):
     mutated = docs.map_batches(mutate, batch_format="pyarrow")
     pairs = minhash_near_dup_pairs(docs.union(mutated),
                                    jaccard_threshold=0.5)
-    pairs["jaccard"] = pairs["jaccard"].round(R)
+    # floor-truncate: round-half ties diverge between numpy (half-even)
+    # and DuckDB round() (half-away)
+    pairs["jaccard"] = np.floor(pairs["jaccard"] * 1e6) / 1e6
     return pairs
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup — rows-only
+# SimHash near-dup — hash-checked: the DuckDB oracle recomputes the 64-bit
+# majority-vote fingerprint (per-token sha256 hash, count-weighted ±1 bit
+# votes), the 4x16-bit band buckets, and candidate pairs verified by exact
+# hamming distance — the same shared-band-AND-hamming<=6 semantics as the
+# engine, not an idealized all-pairs scan.
 # ---------------------------------------------------------------------------
 
-@query("dedup_simhash")
+@query("dedup_simhash", sql=r"""
+WITH corpus AS (
+  SELECT doc_id, coalesce(text,'') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, coalesce(text,'') || ' extra' FROM documents
+  WHERE doc_id < 10
+), toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> t <> '')) AS tok
+  FROM corpus
+), tc AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+), th AS (
+  SELECT doc_id, ('0x' || substr(sha256(tok),1,16))::UBIGINT AS h, cnt FROM tc
+), bitpos AS (SELECT unnest(range(0, 64)) AS b),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+  FROM th CROSS JOIN bitpos GROUP BY doc_id, b
+), fp0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS fp
+  FROM votes GROUP BY doc_id
+), fps AS (
+  SELECT c.doc_id, coalesce(f.fp, 0)::HUGEINT AS fp
+  FROM (SELECT DISTINCT doc_id FROM corpus) c LEFT JOIN fp0 f USING (doc_id)
+), bandpos AS (SELECT unnest(range(0, 4)) AS band),
+bands AS (
+  SELECT doc_id, band,
+         ((fp::UBIGINT >> (16*band)) & 65535)::INT AS val, fp
+  FROM fps CROSS JOIN bandpos
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(fa::UBIGINT, fb::UBIGINT))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(fa::UBIGINT, fb::UBIGINT)) <= 6
+ORDER BY id_a, id_b
+""")
 def simhash_q(sf_dir: str):
     from dataquality_ray.stages.minhash import simhash_candidates
 
@@ -694,10 +935,35 @@ def ngram_jaccard_q(sf_dir: str):
     return pd.DataFrame(out)
 
 
-@query("dedup_minhash_groups")
+_GROUPS_CORPUS = f"""
+  SELECT doc_id, {_TOKS} AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, {_TOKS}[2:] AS t
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT doc_id + 2000000, list_append({_TOKS}[2:], 'tail') AS t
+  FROM documents WHERE doc_id < 20
+"""
+
+
+@query("dedup_minhash_groups", sql=(
+    "WITH RECURSIVE " + _minhash_pairs_body(_GROUPS_CORPUS, 0.5) + """,
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS group_id,
+       a = least(a, min(b)) AS keep
+FROM reach GROUP BY a ORDER BY doc_id"""))
 def minhash_groups_q(sf_dir: str):
     """Near-dup GROUPS: MinHash-LSH pairs -> connected components ->
-    canonical keep per group (min doc_id)."""
+    canonical keep per group (min doc_id).  The oracle reuses the full SQL
+    LSH chain and resolves components with a recursive transitive-closure
+    CTE (component min == union-find root because components are tiny)."""
     from dataquality_ray.stages.minhash import (
         minhash_near_dup_pairs,
         near_dup_keep,

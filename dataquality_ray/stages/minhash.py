@@ -3,8 +3,9 @@
 Ray shape (ray_guide pattern): shingle+minhash per batch -> explode to
 (band_id, band_hash, doc_id) rows -> groupby bands -> candidate pairs ->
 verify true Jaccard on the (small) candidate set.  Only signatures and ids
-shuffle; documents never do.  All hashes are blake2b-derived (deterministic
-across processes — python's builtin hash() is salted and never used).
+shuffle; documents never do.  All hashes are sha256-derived (deterministic
+across processes — python's builtin hash() is salted and never used — and
+SQL-replicable, so the driver oracle-checks the full LSH chain).
 """
 
 from __future__ import annotations
@@ -23,8 +24,10 @@ MAX_BUCKET = 200  # cap pairs per bucket; larger buckets are logged, not silent
 
 
 def _hash64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                          "big")
+    """First 8 bytes of sha256 as uint64 — chosen over blake2b because DuckDB
+    exposes sha256, so the whole MinHash/SimHash chain is SQL-replicable and
+    the driver can hash-check it (oracle in pipelines/queries_text.py)."""
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
 
 
 from dataquality_ray.functions.hashing import splitmix64 as _splitmix64_arr
