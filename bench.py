@@ -133,7 +133,13 @@ def run_suite() -> dict:
                  "dedup_exact", "dedup_minhash", "ann_cosine_topk",
                  "text_quality_stats", "u1_duplicate_rows", "sessionize",
                  "supplier_stats_salted", "top_customers",
-                 "dedup_embedding_cosine", "dq_battery"):
+                 "dedup_embedding_cosine",
+                 # round-2 additions: hash join, model stage, broadcast
+                 # n-gram membership, LSH similarity join, sketches
+                 "a4_chronological", "lang_id_documents",
+                 "contamination_scan", "similarity_join_topk",
+                 "train_val_split", "hll_distinct_counts", "toxicity_scan",
+                 "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 
     total = time.perf_counter() - t_total0

