@@ -89,6 +89,59 @@ def _summary_frame(test: str, table, meta: dict):
         return table
 
 
+def run_fused_specs(ds, specs: dict[str, dict]) -> dict[str, "pd.DataFrame"]:
+    """ONE scan pass computing every spec's per-batch partials together.
+
+    Each test family member declares (cols, fmt, partial, finalize,
+    optional prep) — see pipelines/dimensions.py.  The fused pass selects
+    the UNION of their columns, converts each batch to pandas at most once
+    (shared by all pandas specs), tags each spec's partial rows, and
+    returns the per-test combined partial frames with the declared dtypes
+    restored (the long-frame concat NaN-floats missing columns).  At scale
+    this replaces one table scan PER TEST with one scan for the whole
+    partial-sum family."""
+    import pyarrow as pa
+
+    all_cols: list[str] = []
+    for sp in specs.values():
+        for c in sp["cols"]:
+            if c not in all_cols:
+                all_cols.append(c)
+
+    def fused_partial(batch: pa.Table) -> pd.DataFrame:
+        frames = []
+        pdf = None
+        for name, sp in specs.items():
+            if sp.get("prep") is not None:
+                sub = sp["prep"](batch.select(sp["cols"]))
+                if sp["fmt"] == "pandas":
+                    sub = sub.to_pandas()
+            elif sp["fmt"] == "pyarrow":
+                sub = batch.select(sp["cols"])
+            else:
+                if pdf is None:
+                    pdf = batch.to_pandas()
+                sub = pdf[sp["cols"]]
+            f = sp["partial"](sub)
+            if isinstance(f, pa.Table):
+                f = f.to_pandas()
+            f = f.copy()
+            f.insert(0, "__test", name)
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True, sort=False)
+
+    parts = (ds.select_columns(all_cols)
+               .map_batches(fused_partial, batch_format="pyarrow")
+               .to_pandas())
+    out = {}
+    for name, sp in specs.items():
+        sub = parts.loc[parts["__test"] == name, list(sp["out_cols"])].copy()
+        for c, t in sp["out_cols"].items():
+            sub[c] = sub[c].astype("int64" if t == "int" else str)
+        out[name] = sub.reset_index(drop=True)
+    return out
+
+
 def run_battery(ds, tests: list[tuple[str, str, Callable]],
                 *, columns: list[str] | None = None,
                 weights: dict[str, dict] | None = None,
@@ -101,11 +154,31 @@ def run_battery(ds, tests: list[tuple[str, str, Callable]],
 
     A failing test scores None and the battery continues — the reference's
     runner semantics (dimensions/accuracy/dimension_reference.py:103-113).
+
+    ``share='fused'``: like ``'materialize'``, but every test whose meta
+    carries a fusable ``spec`` (optionally a callable ``ds -> spec``) runs
+    its per-batch partials in ONE shared scan pass (:func:`run_fused_specs`)
+    and only finalizes per test; results are identical to the per-test path
+    (pinned by tests/test_sources_battery.py).
     """
     if columns:
         ds = ds.select_columns(columns)
-    if share == "materialize":
+    if share in ("materialize", "fused"):
         ds = ds.materialize()
+
+    fused_specs: dict[str, dict] = {}
+    fused_parts: dict[str, "pd.DataFrame"] = {}
+    if share == "fused":
+        for entry in tests:
+            meta = entry[3] if len(entry) > 3 else {}
+            sp = meta.get("spec")
+            if sp is not None:
+                fused_specs[entry[0]] = sp(ds) if callable(sp) else sp
+        if fused_specs:
+            try:
+                fused_parts = run_fused_specs(ds, fused_specs)
+            except Exception:
+                fused_parts = {}  # fall back to per-test runs below
 
     per_dim: dict[str, list[dict]] = defaultdict(list)
     tables: dict[str, object] = {}
@@ -115,7 +188,11 @@ def run_battery(ds, tests: list[tuple[str, str, Callable]],
         test_name, dimension, fn = entry[:3]
         meta = entry[3] if len(entry) > 3 else {}
         try:
-            res = fn(ds)
+            if test_name in fused_parts:
+                res = fused_specs[test_name]["finalize"](
+                    fused_parts[test_name])
+            else:
+                res = fn(ds)
             score = res.get("score")
             tables[test_name] = res.get("table")
             kind = meta.get("kind", test_name.upper())
@@ -192,9 +269,19 @@ def lineitem_battery(sf_dir: str) -> list[tuple]:
         n_pairs = 3
         return {"score": 1 - len(thr) / n_pairs, "table": thr}
 
+    def c4_fused_spec():
+        # derive ship_str per batch inside the fused pass, then run the
+        # plain C4 spec over the derived frame
+        def derive(batch: pa.Table) -> pa.Table:
+            return pa.table({"ship_str": pc.strftime(batch["l_shipdate"],
+                                                     format="%Y-%m-%d")})
+        return {**dq.c4_spec(["ship_str"], fmt="%Y-%m-%d"),
+                "cols": ["l_shipdate"], "prep": derive}
+
     return [
         ("A1", "Accuracy",
-         lambda ds: dq.a1_symbols_in_numerics(ds, ["l_quantity", "l_tax"])),
+         lambda ds: dq.a1_symbols_in_numerics(ds, ["l_quantity", "l_tax"]),
+         {"spec": dq.a1_spec(["l_quantity", "l_tax"])}),
         ("A2", "Accuracy",
          lambda ds: dq.a2_iqr_grouped(ds, ["l_quantity"],
                                       group_col="l_returnflag"),
@@ -202,11 +289,14 @@ def lineitem_battery(sf_dir: str) -> list[tuple]:
         ("A3", "Accuracy",
          lambda ds: dq.a3_sum_check(ds, ["l_discount", "l_tax"],
                                     "l_quantity"),
-         {"selected_columns": ["l_discount", "l_tax", "l_quantity"]}),
+         {"selected_columns": ["l_discount", "l_tax", "l_quantity"],
+          "spec": dq.a3_spec(["l_discount", "l_tax"], "l_quantity")}),
         ("A4", "Accuracy", a4,
          {"selected_columns": ["o_orderdate", "l_shipdate"]}),
-        ("C4", "Consistency", c4),
-        ("P1", "Completeness", lambda ds: dq.p1_completeness(ds)),
+        ("C4", "Consistency", c4, {"spec": c4_fused_spec()}),
+        ("P1", "Completeness", lambda ds: dq.p1_completeness(ds),
+         {"spec": lambda ds: dq.p1_spec(
+             [c for c in ds.schema().names if c != "Comment"])}),
         ("P2", "Completeness", p2, {"threshold": 0.5}),
         ("I1", "Interdependency",
          lambda ds: dq.i1_proxy_corr(
@@ -247,16 +337,33 @@ def orders_battery(sf_dir: str) -> list[tuple]:
               .map_batches(derive, batch_format="pyarrow"),
             ["order_latitude"])
 
+    def c4_fused_spec():
+        def derive(batch: pa.Table) -> pa.Table:
+            return pa.table({"order_str": pc.strftime(batch["o_orderdate"],
+                                                      format="%Y-%m-%d")})
+        return {**dq.c4_spec(["order_str"], fmt="%Y-%m-%d"),
+                "cols": ["o_orderdate"], "prep": derive}
+
+    def c5_fused_spec():
+        def derive(batch: pa.Table) -> pa.Table:
+            lat = pc.subtract(pc.divide(batch["o_totalprice"], 2000.0), 45.0)
+            return pa.table({"order_latitude": lat})
+        return {**dq.c5_spec(["order_latitude"]),
+                "cols": ["o_totalprice"], "prep": derive}
+
     return [
         ("A1", "Accuracy",
-         lambda ds: dq.a1_symbols_in_numerics(ds, ["o_totalprice"])),
+         lambda ds: dq.a1_symbols_in_numerics(ds, ["o_totalprice"]),
+         {"spec": dq.a1_spec(["o_totalprice"])}),
         ("A2", "Accuracy",
          lambda ds: dq.a2_iqr_grouped(ds, ["o_totalprice"],
                                       group_col="o_orderstatus"),
          {"selected_columns": ["o_totalprice"], "threshold": 0.85}),
-        ("C4", "Consistency", c4),
-        ("C5", "Consistency", c5),
-        ("P1", "Completeness", lambda ds: dq.p1_completeness(ds)),
+        ("C4", "Consistency", c4, {"spec": c4_fused_spec()}),
+        ("C5", "Consistency", c5, {"spec": c5_fused_spec()}),
+        ("P1", "Completeness", lambda ds: dq.p1_completeness(ds),
+         {"spec": lambda ds: dq.p1_spec(
+             [c for c in ds.schema().names if c != "Comment"])}),
         ("I1", "Interdependency",
          lambda ds: dq.i1_proxy_corr(
              ds, sensitive_columns=["o_totalprice"], threshold=0.75,
@@ -286,7 +393,10 @@ def documents_battery(sf_dir: str) -> list[tuple]:
          lambda ds: sim.c3_fuzzy_reference(ds, ["lang"], ref_names=langs,
                                            threshold=0.5)),
         ("P1", "Completeness", lambda ds: dq.p1_completeness(
-            ds, exclude_columns=["text"])),
+            ds, exclude_columns=["text"]),
+         {"spec": lambda ds: dq.p1_spec(
+             [c for c in ds.schema().names
+              if c not in ("text", "Comment")])}),
         ("U1", "Uniqueness",
          lambda ds: dq.u1_duplicate_rows(ds, ["doc_id"])),
         ("S1", "Accessibility",
@@ -311,16 +421,27 @@ def events_battery(sf_dir: str) -> list[tuple]:
                                                   batch_format="pyarrow"),
             ["ts_str"], fmt="%Y-%m-%d %H:%M:%S")
 
+    def c4_fused_spec():
+        def derive(batch: pa.Table) -> pa.Table:
+            return pa.table({"ts_str": pc.strftime(
+                batch["ts"], format="%Y-%m-%d %H:%M:%S")})
+        return {**dq.c4_spec(["ts_str"], fmt="%Y-%m-%d %H:%M:%S"),
+                "cols": ["ts"], "prep": derive}
+
     return [
         ("A1", "Accuracy",
-         lambda ds: dq.a1_symbols_in_numerics(ds, ["value"])),
+         lambda ds: dq.a1_symbols_in_numerics(ds, ["value"]),
+         {"spec": dq.a1_spec(["value"])}),
         ("A2", "Accuracy",
          lambda ds: dq.a2_iqr_grouped(ds, ["value"],
                                       group_col="event_type"),
          {"selected_columns": ["value"], "threshold": 0.85}),
-        ("C4", "Consistency", c4),
+        ("C4", "Consistency", c4, {"spec": c4_fused_spec()}),
         ("P1", "Completeness", lambda ds: dq.p1_completeness(
-            ds, exclude_columns=["props"])),
+            ds, exclude_columns=["props"]),
+         {"spec": lambda ds: dq.p1_spec(
+             [c for c in ds.schema().names
+              if c not in ("props", "Comment")])}),
         ("I1", "Interdependency",
          lambda ds: dq.i1_proxy_corr(
              ds, sensitive_columns=["value"], threshold=0.75,

@@ -20,16 +20,33 @@ import pyarrow as pa
 import ray
 
 # ---------------------------------------------------------------------------
+# Fusable test specs.  A spec is {cols, fmt, out_cols, partial, finalize}
+# (+ optional ``prep``: arrow batch -> arrow batch, for tests that derive
+# their input column).  The public per-test functions below run one spec
+# over one Dataset; pipelines/battery.py ``share='fused'`` runs MANY specs'
+# partials in a SINGLE shared scan pass — at scale the battery then reads
+# the table once for the whole partial-sum test family instead of once per
+# test.  ``out_cols`` maps partial-frame columns to 'str'/'int' so the
+# fused long-frame round trip restores each test's exact dtypes.
+# ---------------------------------------------------------------------------
+
+
+def _run_spec(ds, spec: dict) -> dict:
+    dsx = ds.select_columns(spec["cols"])
+    if spec.get("prep") is not None:
+        dsx = dsx.map_batches(spec["prep"], batch_format="pyarrow")
+    parts = dsx.map_batches(spec["partial"],
+                            batch_format=spec["fmt"]).to_pandas()
+    return spec["finalize"](parts)
+
+
+# ---------------------------------------------------------------------------
 # A1 — symbols in numerics (dimensions/accuracy/a1.py:34-72,
 #       utils/column_operations.py:15-35)
 # ---------------------------------------------------------------------------
 
 
-def a1_symbols_in_numerics(ds, columns: list[str]) -> dict:
-    """Per column: among non-null/non-blank cells, count those that fail
-    numeric coercion (pd.to_numeric errors='coerce'); score per column is
-    (valid / tested), final score the mean over columns."""
-
+def a1_spec(columns: list[str]) -> dict:
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for col in columns:
@@ -42,19 +59,30 @@ def a1_symbols_in_numerics(ds, columns: list[str]) -> dict:
                          "violations": viol})
         return pd.DataFrame(rows)
 
-    parts = (ds.select_columns(columns)
-               .map_batches(partial, batch_format="pandas").take_all())
-    df = (pd.DataFrame(parts).groupby("column_name", as_index=False).sum()
-          .sort_values("column_name").reset_index(drop=True))
-    scores = []
-    for _, r in df.iterrows():
-        if r["non_null"] > 0:
-            scores.append((r["non_null"] - r["violations"]) / r["non_null"])
-    score = sum(scores) / len(scores) if scores else None
-    df["score"] = np.where(df["non_null"] > 0,
-                           (df["non_null"] - df["violations"]) / df["non_null"],
-                           np.nan)
-    return {"score": score, "table": df}
+    def finalize(parts: pd.DataFrame) -> dict:
+        df = (parts.groupby("column_name", as_index=False).sum()
+              .sort_values("column_name").reset_index(drop=True))
+        scores = []
+        for _, r in df.iterrows():
+            if r["non_null"] > 0:
+                scores.append((r["non_null"] - r["violations"]) / r["non_null"])
+        score = sum(scores) / len(scores) if scores else None
+        df["score"] = np.where(
+            df["non_null"] > 0,
+            (df["non_null"] - df["violations"]) / df["non_null"], np.nan)
+        return {"score": score, "table": df}
+
+    return {"cols": list(columns), "fmt": "pandas",
+            "out_cols": {"column_name": "str", "non_null": "int",
+                         "violations": "int"},
+            "partial": partial, "finalize": finalize}
+
+
+def a1_symbols_in_numerics(ds, columns: list[str]) -> dict:
+    """Per column: among non-null/non-blank cells, count those that fail
+    numeric coercion (pd.to_numeric errors='coerce'); score per column is
+    (valid / tested), final score the mean over columns."""
+    return _run_spec(ds, a1_spec(columns))
 
 
 # ---------------------------------------------------------------------------
@@ -100,24 +128,31 @@ def a2_iqr_grouped(ds, columns: list[str], group_col: str,
 # ---------------------------------------------------------------------------
 
 
-def a3_sum_check(ds, component_columns: list[str], agg_column: str) -> dict:
-    """Row-wise: fillna(0) on components and aggregate, flag rows where the
-    sum differs; score = 1 - violations/n."""
-
+def a3_spec(component_columns: list[str], agg_column: str) -> dict:
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         expected = batch[component_columns].fillna(0).sum(axis=1)
         actual = batch[agg_column].fillna(0)
         viol = ~actual.eq(expected)
-        return pd.DataFrame({"n": [len(batch)], "violations": [int(viol.sum())]})
+        return pd.DataFrame({"n": [len(batch)],
+                             "violations": [int(viol.sum())]})
 
-    parts = (ds.select_columns(component_columns + [agg_column])
-               .map_batches(partial, batch_format="pandas").take_all())
-    n = sum(int(p["n"]) for p in parts)
-    viol = sum(int(p["violations"]) for p in parts)
-    score = 1 - viol / n if n else None
-    return {"score": score,
-            "table": pd.DataFrame([{"n": n, "violations": viol,
-                                    "score": score}])}
+    def finalize(parts: pd.DataFrame) -> dict:
+        n = int(parts["n"].sum())
+        viol = int(parts["violations"].sum())
+        score = 1 - viol / n if n else None
+        return {"score": score,
+                "table": pd.DataFrame([{"n": n, "violations": viol,
+                                        "score": score}])}
+
+    return {"cols": list(component_columns) + [agg_column], "fmt": "pandas",
+            "out_cols": {"n": "int", "violations": "int"},
+            "partial": partial, "finalize": finalize}
+
+
+def a3_sum_check(ds, component_columns: list[str], agg_column: str) -> dict:
+    """Row-wise: fillna(0) on components and aggregate, flag rows where the
+    sum differs; score = 1 - violations/n."""
+    return _run_spec(ds, a3_spec(component_columns, agg_column))
 
 
 # ---------------------------------------------------------------------------
@@ -125,9 +160,7 @@ def a3_sum_check(ds, component_columns: list[str], agg_column: str) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def a4_chronology(ds, column_pairs: list[tuple[str, str]]) -> dict:
-    """Per (start, end) pair: flag ~((end >= start) | end.isna() |
-    start.isna()); pair score = 1 - mean(flag); final = mean over pairs."""
+def a4_spec(column_pairs: list[tuple[str, str]]) -> dict:
     cols = sorted({c for pair in column_pairs for c in pair})
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -139,14 +172,23 @@ def a4_chronology(ds, column_pairs: list[tuple[str, str]]) -> dict:
                          "violations": int(flag.sum())})
         return pd.DataFrame(rows)
 
-    parts = (ds.select_columns(cols)
-               .map_batches(partial, batch_format="pandas").take_all())
-    df = (pd.DataFrame(parts).groupby("pair", as_index=False).sum()
-          .sort_values("pair").reset_index(drop=True))
-    pair_scores = 1 - df["violations"] / df["n"]
-    df["score"] = pair_scores
-    score = float(pair_scores.mean()) if len(df) else None
-    return {"score": score, "table": df}
+    def finalize(parts: pd.DataFrame) -> dict:
+        df = (parts.groupby("pair", as_index=False).sum()
+              .sort_values("pair").reset_index(drop=True))
+        pair_scores = 1 - df["violations"] / df["n"]
+        df["score"] = pair_scores
+        score = float(pair_scores.mean()) if len(df) else None
+        return {"score": score, "table": df}
+
+    return {"cols": cols, "fmt": "pandas",
+            "out_cols": {"pair": "str", "n": "int", "violations": "int"},
+            "partial": partial, "finalize": finalize}
+
+
+def a4_chronology(ds, column_pairs: list[tuple[str, str]]) -> dict:
+    """Per (start, end) pair: flag ~((end >= start) | end.isna() |
+    start.isna()); pair score = 1 - mean(flag); final = mean over pairs."""
+    return _run_spec(ds, a4_spec(column_pairs))
 
 
 # ---------------------------------------------------------------------------
@@ -163,6 +205,10 @@ def c4_datetime_format(ds, columns: list[str],
     pd.to_datetime on the verified-agreement directive whitelist, per-value
     CPython strptime for exotic codes (%f, locale, %z) — so the C4 score can
     never contradict the C4 report."""
+    return _run_spec(ds, c4_spec(columns, fmt))
+
+
+def c4_spec(columns: list[str], fmt: str = "%Y-%m-%d %H:%M:%S") -> dict:
     from dataquality_ray.functions.indicators import strptime_invalid_mask
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -170,16 +216,21 @@ def c4_datetime_format(ds, columns: list[str],
         for col in columns:
             s = batch[col].dropna().astype(str)
             rows.append({"column_name": col, "n": len(s),
-                         "inconsistent": int(strptime_invalid_mask(s, fmt).sum())})
+                         "inconsistent":
+                             int(strptime_invalid_mask(s, fmt).sum())})
         return pd.DataFrame(rows)
 
-    parts = (ds.select_columns(columns)
-               .map_batches(partial, batch_format="pandas").take_all())
-    df = (pd.DataFrame(parts).groupby("column_name", as_index=False).sum()
-          .sort_values("column_name").reset_index(drop=True))
-    df["score"] = 1 - df["inconsistent"] / df["n"]
-    score = float(df["score"].mean()) if len(df) else None
-    return {"score": score, "table": df}
+    def finalize(parts: pd.DataFrame) -> dict:
+        df = (parts.groupby("column_name", as_index=False).sum()
+              .sort_values("column_name").reset_index(drop=True))
+        df["score"] = 1 - df["inconsistent"] / df["n"]
+        score = float(df["score"].mean()) if len(df) else None
+        return {"score": score, "table": df}
+
+    return {"cols": list(columns), "fmt": "pandas",
+            "out_cols": {"column_name": "str", "n": "int",
+                         "inconsistent": "int"},
+            "partial": partial, "finalize": finalize}
 
 
 # ---------------------------------------------------------------------------
@@ -193,6 +244,10 @@ PACIFIC_LONG = (-141.01414329229658, -114.05462020890663)
 def c5_coordinate_bounds(ds, columns: list[str], region: str | None = None) -> dict:
     """Column role (lat vs long) chosen by regex on the column NAME, as the
     reference does (c5.py:45-47); Pacific region narrows the bounds."""
+    return _run_spec(ds, c5_spec(columns, region))
+
+
+def c5_spec(columns: list[str], region: str | None = None) -> dict:
     import re
 
     lat_re = re.compile(r"(lat|latitude)", re.I)
@@ -218,13 +273,16 @@ def c5_coordinate_bounds(ds, columns: list[str], region: str | None = None) -> d
                          "invalid": int(invalid.sum())})
         return pd.DataFrame(rows)
 
-    parts = (ds.select_columns(list(roles))
-               .map_batches(partial, batch_format="pandas").take_all())
-    df = (pd.DataFrame(parts).groupby("column_name", as_index=False).sum()
-          .sort_values("column_name").reset_index(drop=True))
-    df["score"] = 1 - df["invalid"] / df["n"]
-    score = float(df["score"].mean()) if len(df) else None
-    return {"score": score, "table": df}
+    def finalize(parts: pd.DataFrame) -> dict:
+        df = (parts.groupby("column_name", as_index=False).sum()
+              .sort_values("column_name").reset_index(drop=True))
+        df["score"] = 1 - df["invalid"] / df["n"]
+        score = float(df["score"].mean()) if len(df) else None
+        return {"score": score, "table": df}
+
+    return {"cols": list(roles), "fmt": "pandas",
+            "out_cols": {"column_name": "str", "n": "int", "invalid": "int"},
+            "partial": partial, "finalize": finalize}
 
 
 # ---------------------------------------------------------------------------
@@ -241,6 +299,11 @@ def p1_completeness(ds, exclude_columns: list[str] | None = None,
     exclude = set(exclude_columns or [])
     exclude.add("Comment")
     cols = [c for c in ds.schema().names if c not in exclude]
+    return _run_spec(ds, p1_spec(cols, threshold))
+
+
+def p1_spec(cols: list[str], threshold: float = 0.75) -> dict:
+    """``cols`` are the already-filtered (post-exclusion) column names."""
 
     def partial(batch: pa.Table) -> pa.Table:
         # Arrow arrays carry null counts in metadata — O(#cols), no scan,
@@ -261,17 +324,20 @@ def p1_completeness(ds, exclude_columns: list[str] | None = None,
                                        pa.int64()),
                          "nulls": pa.array(nulls, pa.int64())})
 
-    parts = (ds.select_columns(cols)
-               .map_batches(partial, batch_format="pyarrow").take_all())
-    df = (pd.DataFrame(parts).groupby("column_name", as_index=False).sum()
-          .sort_values("column_name").reset_index(drop=True))
-    df["null_frac"] = df["nulls"] / df["n"]
-    kept = df[df["null_frac"] <= threshold]
-    total_cells = int(kept["n"].sum())
-    non_missing = int((kept["n"] - kept["nulls"]).sum())
-    score = non_missing / total_cells if total_cells else None
-    df["kept"] = df["null_frac"] <= threshold
-    return {"score": score, "table": df}
+    def finalize(parts: pd.DataFrame) -> dict:
+        df = (parts.groupby("column_name", as_index=False).sum()
+              .sort_values("column_name").reset_index(drop=True))
+        df["null_frac"] = df["nulls"] / df["n"]
+        kept = df[df["null_frac"] <= threshold]
+        total_cells = int(kept["n"].sum())
+        non_missing = int((kept["n"] - kept["nulls"]).sum())
+        score = non_missing / total_cells if total_cells else None
+        df["kept"] = df["null_frac"] <= threshold
+        return {"score": score, "table": df}
+
+    return {"cols": list(cols), "fmt": "pyarrow",
+            "out_cols": {"column_name": "str", "n": "int", "nulls": "int"},
+            "partial": partial, "finalize": finalize}
 
 
 # ---------------------------------------------------------------------------

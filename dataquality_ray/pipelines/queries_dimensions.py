@@ -523,7 +523,7 @@ def dq_battery_q(sf_dir: str):
     report_base = tempfile.mkdtemp(prefix="dq_battery_")
     rows = []
     for name, (table, tests) in sorted(full_battery(sf_dir).items()):
-        res = run_battery(_read(sf_dir, table), tests,
+        res = run_battery(_read(sf_dir, table), tests, share="fused",
                           report_base=report_base, run_id=name)
         for test, score in sorted(res["tests"].items()):
             rows.append({"battery": name, "entry": f"test:{test}",

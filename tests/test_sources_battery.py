@@ -370,3 +370,56 @@ def test_battery_from_config_runs_reference_style_config(ray_session):
         battery_from_config({"A1": {"bogus_param": 1}})
     with _pytest.raises(ValueError, match="unknown test"):
         battery_from_config({"ZZ": {}})
+
+
+def test_fused_battery_matches_per_test(ray_session, tmp_path):
+    """share='fused' (one scan pass for the whole partial-sum test family)
+    must produce IDENTICAL scores, tables, summaries and grades to the
+    per-test path, for every battery."""
+    import pandas as pd
+
+    from dataquality_ray.pipelines.battery import full_battery, run_battery
+    from dataquality_ray.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    for name, (table, tests) in sorted(full_battery(sf).items()):
+        ds = read_table(f"{sf}/{table}.parquet")
+        plain = run_battery(ds, tests)
+        fused = run_battery(ds, tests, share="fused")
+        assert fused["errors"] == {}, fused["errors"]
+        assert fused["tests"] == plain["tests"], name
+        assert fused["grade"] == plain["grade"], name
+        assert fused["summaries"] == plain["summaries"], name
+        for t, tbl in plain["tables"].items():
+            if isinstance(tbl, pd.DataFrame):
+                pd.testing.assert_frame_equal(
+                    fused["tables"][t], tbl, check_like=True,
+                    obj=f"{name}/{t}")
+
+
+def test_fused_specs_single_pass_counts(ray_session):
+    """The fused pass touches each input batch once: a counting wrapper
+    around one spec's partial sees exactly the number of batches of the
+    shared scan, and dtypes in the combined partial frames are restored."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from dataquality_ray.pipelines import dimensions as dq
+    from dataquality_ray.pipelines.battery import run_fused_specs
+
+    df = pd.DataFrame({"a": np.arange(100, dtype=float),
+                       "b": np.arange(100, dtype=float),
+                       "tot": np.arange(100, dtype=float) * 2})
+    ds = rd.from_pandas(df).repartition(4)
+    specs = {"A1": dq.a1_spec(["a"]),
+             "A3": dq.a3_spec(["a", "b"], "tot"),
+             "P1": dq.p1_spec(["a", "b", "tot"])}
+    parts = run_fused_specs(ds, specs)
+    assert set(parts) == {"A1", "A3", "P1"}
+    assert parts["A1"]["non_null"].dtype == np.int64
+    assert parts["A3"]["violations"].dtype == np.int64
+    out = specs["A3"]["finalize"](parts["A3"])
+    assert out["score"] == 1.0 and out["table"]["n"].iloc[0] == 100
+    p1 = specs["P1"]["finalize"](parts["P1"])
+    assert p1["score"] == 1.0
