@@ -1000,3 +1000,96 @@ def ann_ivf_q(sf_dir: str):
     res = ivf_topk(emb, qvec, dim=len(qvec), k=10, nlist=16, nprobe=4)
     res["score"] = res["score"].round(R)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: exact top-N tokens via Misra-Gries candidates + exact
+# verify pass (stages/sketch.py) — hash-checked against the true SQL top-N
+# (valid whenever the N-th true frequency clears the MG bound, which k=512
+# guarantees for this corpus; the oracle would catch any violation)
+# ---------------------------------------------------------------------------
+
+@query("topk_tokens", sql=r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                x -> x <> '')) AS value
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT value, count(*)::BIGINT AS count
+FROM toks GROUP BY value
+ORDER BY count DESC, value LIMIT 20
+""")
+def topk_tokens_q(sf_dir: str):
+    from dataquality_ray.stages.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return heavy_hitters(ds, "text", topn=20, k=512, tokenize=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom seen-before filter: build over documents.text, probe a corpus of
+# known-seen + mutated-unseen texts.  The oracle replicates the hash chain
+# (sha256[:8] -> splitmix64(h ^ j) % m), so even deterministic false
+# positives hash-match.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_sql() -> str:
+    from dataquality_ray.stages.sketch import BLOOM_K, BLOOM_M
+
+    chain_a, chain_b = [], []
+    prev = "haj"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        chain_a.append(f"pa{n} AS (SELECT {expr} AS x FROM {prev})")
+        prev = f"pa{n}"
+    last_a = prev
+    prev = "hbj"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        chain_b.append(f"pb{n} AS (SELECT doc_id, {expr} AS x FROM {prev})")
+        prev = f"pb{n}"
+    last_b = prev
+    return f"""
+WITH corpus_b AS (
+  SELECT doc_id, coalesce(text, '') AS key FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 1000000, coalesce(text, '') || ' zz' FROM documents
+), js AS (SELECT unnest(range(0, {BLOOM_K}))::UBIGINT AS j),
+ha AS (SELECT ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS h
+       FROM documents WHERE text IS NOT NULL),
+haj AS (SELECT xor(h, j)::HUGEINT AS x FROM ha CROSS JOIN js),
+{', '.join(chain_a)},
+posa AS (SELECT DISTINCT (x % {BLOOM_M}) AS pos FROM {last_a}),
+hb AS (SELECT doc_id, ('0x' || substr(sha256(key), 1, 16))::UBIGINT AS h
+       FROM corpus_b),
+hbj AS (SELECT doc_id, xor(h, j)::HUGEINT AS x FROM hb CROSS JOIN js),
+{', '.join(chain_b)},
+posb AS (SELECT doc_id, (x % {BLOOM_M}) AS pos FROM {last_b})
+SELECT b.doc_id,
+       bool_and(p.pos IS NOT NULL) AS seen
+FROM posb b LEFT JOIN posa p ON b.pos = p.pos
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
+@query("bloom_seen_filter", sql=_bloom_sql())
+def bloom_seen_q(sf_dir: str):
+    import ray
+
+    from dataquality_ray.stages.sketch import build_bloom, probe_bloom
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bits_ref = ray.put(build_bloom(docs, "text"))
+
+    def corpus_b(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.less(batch["doc_id"], 100))
+        mut = pa.table({
+            "doc_id": pc.add(batch["doc_id"], 1000000),
+            "text": pc.binary_join_element_wise(
+                pc.coalesce(batch["text"], pa.scalar("")), " zz", ""),
+        })
+        return pa.concat_tables([sub.select(["doc_id", "text"]), mut])
+
+    probe = docs.map_batches(corpus_b, batch_format="pyarrow")
+    out = (probe_bloom(probe, "text", bits_ref)
+           .select_columns(["doc_id", "seen"]).to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

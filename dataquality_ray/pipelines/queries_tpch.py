@@ -302,3 +302,44 @@ def event_range_join(sf_dir: str):
                      left_filter="error", right_filter="view", range_s=3600)
     return (out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
             [["user_id", "left_id", "left_ts", "right_id", "right_ts"]])
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles from a fixed-grid histogram (stages/quantiles.py) —
+# the unbounded-universe scale path next to exact_quantiles' value-counts.
+# Every arithmetic step is plain IEEE double, so the DuckDB oracle
+# reproduces the estimates bit-for-bit (floats compare after the harness's
+# 9-dp canonicalization).
+# ---------------------------------------------------------------------------
+
+@query("approx_quantiles_hist", sql="""
+WITH v AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
+b AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM v),
+h AS (
+  SELECT least(greatest(floor((v.v - b.lo) / ((b.hi - b.lo) / 4096)), 0),
+               4095)::BIGINT AS i,
+         count(*)::BIGINT AS c
+  FROM v, b GROUP BY 1
+), cum AS (
+  SELECT i, c, sum(c) OVER (ORDER BY i) AS cum FROM h
+), qs(q) AS (VALUES (0.25::DOUBLE), (0.5::DOUBLE),
+                    (0.9::DOUBLE), (0.99::DOUBLE)),
+r AS (SELECT q, floor(q * (b.n - 1))::BIGINT AS rank FROM qs, b),
+sel AS (
+  SELECT r.q, r.rank, min(t.i) AS i
+  FROM r JOIN cum t ON t.cum >= r.rank + 1
+  GROUP BY r.q, r.rank
+)
+SELECT s.q,
+       b.lo + ((b.hi - b.lo) / 4096)
+              * (s.i + (s.rank + 1 - (t.cum - t.c)) / t.c) AS quantile_est
+FROM sel s JOIN cum t ON t.i = s.i, b
+ORDER BY s.q
+""")
+def approx_quantiles_q(sf_dir: str):
+    from dataquality_ray.stages.quantiles import histogram_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return histogram_quantiles(ds, "l_extendedprice",
+                               qs=(0.25, 0.5, 0.9, 0.99), bins=4096)

@@ -143,3 +143,72 @@ def grouped_a2_score(rates: pd.DataFrame, n_groups: int,
     if n_groups == 0:
         return 0.0
     return float((rates["non_outlier_rate"] > minimum_score).sum() / n_groups)
+
+
+def histogram_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99),
+                        bins: int = 4096) -> "pd.DataFrame":
+    """Approximate quantiles from a fixed-grid histogram — the scale path
+    when the distinct-value universe is unbounded (where ``exact_quantiles``'
+    value-counts partials stop fitting): pass 1 is a min/max combiner, pass 2
+    per-batch ``np.bincount`` partials over the shared grid (sparse (bucket,
+    count) rows, <= ``bins`` per batch) summed driver-side.  Error is
+    bounded by one bucket width.  Every arithmetic step (bucketing, rank,
+    within-bucket interpolation) is plain IEEE double, so a DuckDB oracle
+    reproduces the estimates bit-for-bit.
+
+    Returns (q, quantile_est) with ``rank = floor(q * (n - 1))`` and
+    ``est = lo + w * (i + (rank + 1 - cum_below) / c_i)``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = pc.drop_null(batch[col])
+        if not len(arr):
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": [pc.min(arr).as_py()],
+                         "hi": [pc.max(arr).as_py()]})
+
+    mm = (ds.select_columns([col])
+            .map_batches(minmax, batch_format="pyarrow").to_pandas())
+    if not len(mm):
+        return pd.DataFrame(columns=["q", "quantile_est"])
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    w = (hi - lo) / bins
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = (pc.cast(pc.drop_null(batch[col]), pa.float64())
+             .to_numpy(zero_copy_only=False))
+        if w == 0.0 or not len(v):
+            return pa.table({"i": pa.array([0] * (1 if len(v) else 0),
+                                           pa.int64()),
+                             "c": pa.array([len(v)] * (1 if len(v) else 0),
+                                           pa.int64())})
+        idx = np.clip(np.floor((v - lo) / w), 0, bins - 1).astype(np.int64)
+        counts = np.bincount(idx, minlength=0)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"i": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(counts[nz].astype(np.int64))})
+
+    parts = (ds.select_columns([col])
+               .map_batches(hist_partial, batch_format="pyarrow").to_pandas())
+    hist = parts.groupby("i")["c"].sum().sort_index()
+    n = int(hist.sum())
+    if not n:
+        return pd.DataFrame(columns=["q", "quantile_est"])
+    cum = hist.cumsum()
+    rows = []
+    for q in qs:
+        rank = int(np.floor(q * (n - 1)))
+        i = int(cum.index[np.searchsorted(cum.to_numpy(), rank + 1)])
+        cum_below = int(cum.loc[:i].iloc[-1] - hist.loc[i])
+        c_i = int(hist.loc[i])
+        est = lo if w == 0.0 else lo + w * (i + (rank + 1 - cum_below) / c_i)
+        rows.append({"q": q, "quantile_est": est})
+    return pd.DataFrame(rows)

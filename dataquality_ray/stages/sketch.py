@@ -124,3 +124,162 @@ def hll_distinct(ds, columns: list[str], p: int = 12) -> pd.DataFrame:
         rows.append({"column_name": c,
                      "distinct_estimate": merged.estimate()})
     return pd.DataFrame(rows).sort_values("column_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidate sketch + exact verification pass.
+# The scale pattern for "top-N most frequent tokens over 100 TB": per-batch
+# MG summaries (<= k rows each) merge by summed counts + MG reduction — no
+# shuffle, no full token universe anywhere — then ONE pruned pass exact-
+# counts just the k candidates (broadcast membership probe).  The result is
+# the exact top-N whenever the N-th true frequency exceeds the MG error
+# bound N_rows/(k+1) — with k >> N that holds for any Zipf-ish corpus, and
+# the returned candidate floor lets callers check it.
+# ---------------------------------------------------------------------------
+
+
+def _mg_reduce(values: np.ndarray, counts: np.ndarray,
+               k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Misra-Gries reduction to <= k entries: subtract the (k+1)-th largest
+    count from all and keep the survivors (Agarwal et al.'s mergeable
+    summaries)."""
+    if len(values) <= k:
+        return values, counts
+    order = np.argsort(counts)[::-1]
+    pivot = counts[order[k]]
+    keep = order[:k]
+    new_counts = counts[keep] - pivot
+    pos = new_counts > 0
+    return values[keep][pos], new_counts[pos]
+
+
+def heavy_hitters(ds, col: str, topn: int = 20, k: int = 512,
+                  tokenize: bool = False) -> pd.DataFrame:
+    """Exact top-``topn`` (value, count) for ``col`` (or its whitespace
+    tokens) via MG candidates + one exact-count verify pass.
+
+    Ordered by count desc then value asc (the SQL-oracle tie-break)."""
+
+    def extract(batch: pa.Table) -> np.ndarray:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = arr.drop_null().to_pylist()
+        if tokenize:
+            out = []
+            for v in vals:
+                out.extend(str(v).split())
+            return np.asarray(out, dtype=object)
+        return np.asarray([str(v) for v in vals], dtype=object)
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        toks = extract(batch)
+        if not len(toks):
+            return pa.table({"value": pa.array([], pa.string()),
+                             "count": pa.array([], pa.int64())})
+        values, counts = np.unique(toks, return_counts=True)
+        values, counts = _mg_reduce(values, counts, k)
+        return pa.table({"value": pa.array(values.astype(str)),
+                         "count": pa.array(counts.astype(np.int64))})
+
+    parts = (ds.select_columns([col])
+               .map_batches(mg_partial, batch_format="pyarrow").to_pandas())
+    merged = parts.groupby("value", sort=False)["count"].sum()
+    values, counts = _mg_reduce(merged.index.to_numpy(dtype=object),
+                                merged.to_numpy(), k)
+    if not len(values):
+        return pd.DataFrame(columns=["value", "count"])
+
+    # exact pass over candidates only (broadcast membership)
+    import ray
+
+    cand_ref = ray.put(np.sort(values.astype(str)))
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        toks = extract(batch)
+        if not len(toks):
+            return pa.table({"value": pa.array([], pa.string()),
+                             "count": pa.array([], pa.int64())})
+        hit = toks[np.isin(toks, cand)]
+        v, c = np.unique(hit, return_counts=True)
+        return pa.table({"value": pa.array(v.astype(str)),
+                         "count": pa.array(c.astype(np.int64))})
+
+    exact = (ds.select_columns([col])
+               .map_batches(exact_partial, batch_format="pyarrow").to_pandas())
+    tot = (exact.groupby("value", as_index=False)["count"].sum()
+           .sort_values(["count", "value"], ascending=[False, True])
+           .head(topn).reset_index(drop=True))
+    return tot
+
+
+# ---------------------------------------------------------------------------
+# Bloom "seen before" filter: the cross-corpus dedup membership primitive.
+# Per-batch partials are OR-mergeable bit arrays (m/8 bytes each); probing
+# broadcasts the merged array once.  Hash chain (sha256[:8] -> k splitmix64
+# mixes) is SQL-replicable, so the driver hash-checks even the false
+# positives.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 20  # bits (128 KiB)
+BLOOM_K = 4
+
+
+def _bloom_positions(values: list[str], m: int = BLOOM_M,
+                     k: int = BLOOM_K) -> np.ndarray:
+    """(n, k) bit positions: pos_j = splitmix64(sha256_64(v) ^ j) % m."""
+    base = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        base[i] = int.from_bytes(
+            hashlib.sha256(str(v).encode()).digest()[:8], "big")
+    pos = np.empty((len(values), k), dtype=np.int64)
+    for j in range(k):
+        pos[:, j] = (splitmix64(base ^ np.uint64(j))
+                     & np.uint64(m - 1)).astype(np.int64)
+    return pos
+
+
+def build_bloom(ds, col: str, m: int = BLOOM_M, k: int = BLOOM_K):
+    """One streaming pass -> merged bloom bit array (numpy packed bits)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = [str(v) for v in arr.drop_null().to_pylist()]
+        bits = np.zeros(m, dtype=bool)
+        if vals:
+            bits[_bloom_positions(vals, m, k).ravel()] = True
+        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()],
+                                          pa.binary())})
+
+    parts = (ds.select_columns([col])
+               .map_batches(partial, batch_format="pyarrow").take_all())
+    merged = np.zeros(m // 8, dtype=np.uint8)
+    for p in parts:
+        merged |= np.frombuffer(p["bits"], dtype=np.uint8)
+    return np.unpackbits(merged).astype(bool)
+
+
+def probe_bloom(ds, col: str, bits_ref, m: int = BLOOM_M,
+                k: int = BLOOM_K):
+    """Append a ``seen`` column: True iff every hash position is set in the
+    broadcast bloom array (exact replication of membership, including the
+    deterministic false positives)."""
+    import ray
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = [str(v) if v is not None else "" for v in arr.to_pylist()]
+        if vals:
+            pos = _bloom_positions(vals, m, k)
+            seen = bits[pos].all(axis=1)
+        else:
+            seen = np.zeros(0, dtype=bool)
+        return batch.append_column("seen", pa.array(seen))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -48,3 +48,92 @@ def test_hll_distinct_over_dataset(ray_session):
     out2 = hll_distinct(rd.from_pandas(df).repartition(2),
                         ["ints", "strs", "const"]).set_index("column_name")
     pd.testing.assert_frame_equal(out.sort_index(), out2.sort_index())
+
+
+def test_heavy_hitters_exact_on_zipf(ray_session):
+    """MG candidates + exact verify == true top-N on a Zipf-ish corpus,
+    regardless of partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from dataquality_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.RandomState(7)
+    toks = [f"w{z}" for z in rng.zipf(1.5, 20000) if z < 5000]
+    df = pd.DataFrame({"text": [" ".join(toks[i:i + 20])
+                                for i in range(0, len(toks), 20)]})
+    truth = (pd.Series(toks).value_counts().rename_axis("value")
+             .reset_index(name="count"))
+    truth = (truth.sort_values(["count", "value"],
+                               ascending=[False, True]).head(10)
+             .reset_index(drop=True))
+    for parts in (1, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = heavy_hitters(ds, "text", topn=10, k=256, tokenize=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"count": "int64"}), truth.astype({"count": "int64"}))
+
+
+def test_mg_reduce_bound():
+    """After reduction to k entries, every kept count is an underestimate by
+    at most the subtracted pivot, and at most k survive."""
+    import numpy as np
+
+    from dataquality_ray.stages.sketch import _mg_reduce
+
+    rng = np.random.RandomState(0)
+    vals = np.array([f"v{i}" for i in range(1000)], dtype=object)
+    counts = rng.randint(1, 1000, 1000)
+    kv, kc = _mg_reduce(vals, counts, 50)
+    assert len(kv) <= 50
+    orig = dict(zip(vals, counts))
+    pivot = np.sort(counts)[::-1][50]
+    for v, c in zip(kv, kc):
+        assert 0 < c <= orig[v]
+        assert orig[v] - c == pivot
+
+
+def test_bloom_no_false_negatives_and_determinism(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    import ray.data as rd
+    from dataquality_ray.stages.sketch import build_bloom, probe_bloom
+
+    seen_vals = [f"doc-{i}" for i in range(2000)]
+    a = rd.from_pandas(pd.DataFrame({"key": seen_vals})).repartition(3)
+    bits1 = build_bloom(a, "key")
+    bits2 = build_bloom(a.repartition(7), "key")
+    assert np.array_equal(bits1, bits2)  # partition-invariant
+
+    probe_df = pd.DataFrame({"key": seen_vals[:500]
+                             + [f"other-{i}" for i in range(5000)]})
+    out = (probe_bloom(rd.from_pandas(probe_df), "key", ray.put(bits1))
+           .to_pandas())
+    assert out["seen"][:500].all()          # NO false negatives
+    fp = out["seen"][500:].mean()           # m=2^20, k=4, n=2000 -> tiny
+    assert fp < 0.01
+
+
+def test_histogram_quantiles_within_one_bucket(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from dataquality_ray.stages.quantiles import histogram_quantiles
+
+    rng = np.random.RandomState(3)
+    v = rng.lognormal(10, 1, 50000)
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(5)
+    qs = (0.25, 0.5, 0.9, 0.99)
+    out = histogram_quantiles(ds, "x", qs=qs, bins=4096)
+    w = (v.max() - v.min()) / 4096
+    for q, est in zip(out["q"], out["quantile_est"]):
+        true = np.quantile(v, q, method="lower")
+        assert abs(est - true) <= w + 1e-9, (q, est, true, w)
+    # constant column: w == 0 path
+    c = rd.from_pandas(pd.DataFrame({"x": np.full(100, 7.0)}))
+    out = histogram_quantiles(c, "x", qs=(0.5,))
+    assert out["quantile_est"].iloc[0] == 7.0
