@@ -619,11 +619,33 @@ def ann_q(sf_dir: str):
     return res[["vec_id"]].reset_index(drop=True)
 
 
-@query("dedup_embedding_groups")
+@query("dedup_embedding_groups", sql="""
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.999999
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS group_id,
+       a = least(a, min(b)) AS keep
+FROM reach GROUP BY a ORDER BY doc_id
+""")
 def dedup_embedding_groups_q(sf_dir: str):
-    """Embedding near-dup GROUPS: exact top pairs above a cosine gate ->
-    connected components -> canonical keep (min id per group).  Rows-only
-    (component labeling is iterative, not SQL-expressible here)."""
+    """Embedding near-dup GROUPS: exact pairs above a cosine gate ->
+    connected components -> canonical keep (min id per group).  The oracle
+    recomputes the gated pair set (the 0.999999 gate has no borderline
+    values: planted copies score 1.0, random pairs score far below) and
+    resolves components with a recursive transitive-closure CTE."""
     from dataquality_ray.stages.ann import cosine_near_dup_pairs
     from dataquality_ray.stages.minhash import near_dup_keep
 
