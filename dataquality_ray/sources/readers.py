@@ -34,6 +34,12 @@ def read_table(path: str, columns: list[str] | None = None,
     if ext == ".csv":
         ds = read_csv_fallback(path, **kwargs)
         return ds.select_columns(columns) if columns else ds
+    if ext in (".json", ".jsonl"):
+        # newline-delimited JSON (the common crawl/export interchange format)
+        # parallelizes per file/block natively; JSON has no column pruning at
+        # the read, so the projection applies immediately after.
+        ds = rd.read_json(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     if ext == ".xlsx":
         ds = read_xlsx(path)
         return ds.select_columns(columns) if columns else ds

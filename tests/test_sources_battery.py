@@ -423,3 +423,19 @@ def test_fused_specs_single_pass_counts(ray_session):
     assert out["score"] == 1.0 and out["table"]["n"].iloc[0] == 100
     p1 = specs["P1"]["finalize"](parts["P1"])
     assert p1["score"] == 1.0
+
+
+def test_read_jsonl(ray_session, tmp_path):
+    import json as _json
+
+    from dataquality_ray.sources.readers import read_table
+
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as fh:
+        for i in range(10):
+            fh.write(_json.dumps({"doc_id": i, "text": f"t{i}",
+                                  "extra": i * 2}) + "\n")
+    ds = read_table(str(p), columns=["doc_id", "text"])
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df.columns) == ["doc_id", "text"]
+    assert len(df) == 10 and df["text"].iloc[3] == "t3"
