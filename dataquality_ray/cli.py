@@ -1,0 +1,107 @@
+"""Job entrypoints — the ``ray job submit`` surface of the engine.
+
+On a real cluster the flagship run is::
+
+    ray job submit --working-dir . -- \
+        python -m dataquality_ray.cli filter \
+            --input s3://bucket/corpus/ --run-dir s3://bucket/runs/r1 \
+            --chunk-files 256 --dedup-mode sidecar
+
+and the battery::
+
+    ray job submit --working-dir . -- \
+        python -m dataquality_ray.cli battery --table data.parquet \
+            --report-base reports/ --run-id nightly
+
+The script owns the Ray session (guarded init — under ``ray job submit``
+the cluster address comes from the environment); library code never calls
+``ray.init``.  Exit code 0 iff the run completed and committed its
+manifest, so schedulers can retry safely — a re-submitted job resumes from
+the per-file lineage manifest and skips completed chunks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(ignore_reinit_error=True)
+
+
+def cmd_filter(args: argparse.Namespace) -> int:
+    from dataquality_ray.pipelines.quality_filter import run_quality_filter
+
+    _ensure_ray()
+    summary = run_quality_filter(
+        args.input, args.run_dir,
+        chunk_files=args.chunk_files,
+        dedup=not args.no_dedup,
+        dedup_mode=args.dedup_mode,
+        batch_size=args.batch_size)
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_battery(args: argparse.Namespace) -> int:
+    from dataquality_ray.pipelines.battery import (
+        battery_from_config,
+        run_battery,
+    )
+    from dataquality_ray.sources.readers import get_dataset_name, read_table
+
+    _ensure_ray()
+    with open(args.config) as fh:
+        config = json.load(fh)
+    ds = read_table(args.table)
+    res = run_battery(
+        ds, battery_from_config(config), share=args.share,
+        report_base=args.report_base,
+        run_id=args.run_id or get_dataset_name(args.table))
+    print(json.dumps({"tests": res["tests"], "grade": res["grade"],
+                      "errors": res["errors"]}))
+    return 0 if not res["errors"] else 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dataquality_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("filter", help="corpus quality-filter run (resumable)")
+    f.add_argument("--input", required=True,
+                   help="parquet file, directory, or comma-separated list")
+    f.add_argument("--run-dir", required=True)
+    f.add_argument("--chunk-files", type=int, default=None,
+                   help="files per resumable chunk (default: one chunk)")
+    f.add_argument("--dedup-mode", default="broadcast",
+                   choices=["broadcast", "join", "sidecar"])
+    f.add_argument("--no-dedup", action="store_true")
+    f.add_argument("--batch-size", type=int, default=2048)
+    f.set_defaults(fn=cmd_filter)
+
+    b = sub.add_parser("battery", help="DQ test battery over one table")
+    b.add_argument("--table", required=True)
+    b.add_argument("--config", required=True,
+                   help="JSON: {test: {reference-style params}}")
+    b.add_argument("--report-base", default=None)
+    b.add_argument("--run-id", default=None)
+    b.add_argument("--share", default="fused",
+                   choices=["materialize", "fused", "rescan"])
+    b.set_defaults(fn=cmd_battery)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "filter" and "," in args.input:
+        args.input = args.input.split(",")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

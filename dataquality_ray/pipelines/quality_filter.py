@@ -218,12 +218,17 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
     ``'join'`` applies to single-chunk runs; chunked runs need the GLOBAL
     upfront index for resume determinism and always use the broadcast path
     (a chunked join variant would have to re-join every prior chunk on each
-    resume).  ``'sidecar'`` removes the chunked runs' double content read:
-    chunks are labeled and written WITHOUT dup columns (content read once),
-    then one resumable post-pass reads back only (sha, row_id, keep) from
-    the written output — column-pruned, tiny — and writes a dup SIDECAR
-    (duplicate rows only) under ``run_dir/dedup``; consumers apply it via
-    :func:`load_run_output`.  Summaries match the inline modes exactly.
+    resume).  ``'sidecar'`` is the fully-streaming shape: each chunk runs
+    label -> write in ONE pass with NO materialize barrier (nothing pinned
+    in the object store, content crosses it exactly once), chunk stats come
+    from a pruned read of the written output, then one resumable post-pass
+    reads back only (sha, row_id, keep) — column-pruned, tiny — and writes
+    a dup SIDECAR (duplicate rows only) under ``run_dir/dedup``; consumers
+    apply it via :func:`load_run_output`.  Summaries match the inline modes
+    exactly.  On this page-cached box broadcast wins wall clock (the
+    re-reads are free and the post-pass is extra fixed work); at cold
+    100 TB storage sidecar's single content read and zero plasma pinning
+    dominate.
     """
     if dedup_mode not in ("broadcast", "join", "sidecar"):
         raise ValueError(f"unknown dedup_mode {dedup_mode!r}")
@@ -265,6 +270,28 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
                             batch_format="pyarrow", batch_size=batch_size)
         labeled = label_pipeline(ds, dup_index_ref=dup_ref,
                                  batch_size=batch_size)
+        if sidecar:
+            # Fully streaming: label -> write in ONE pass with no
+            # materialize barrier (write tasks consume labeled blocks as
+            # the actor pool emits them; nothing is pinned in the object
+            # store).  Chunk stats come from a pruned read of the written
+            # output — a few bytes/row against the page cache / local SSD,
+            # vs holding the whole labeled chunk in plasma.  This is the
+            # 100 TB shape: content crosses the object store exactly once.
+            labeled.write_parquet(out_dir)
+            _t_label = _time.monotonic() - _t0
+            _t0 = _time.monotonic()
+            rec = _chunk_stats(
+                rd.read_parquet(out_dir,
+                                columns=["keep", "scrubbed", "pii_count"]),
+                dedup=False)
+            rec.update({"partition": partition, "input_shards": chunk,
+                        "rule_version": RULE_VERSION,
+                        "label_sec": round(_t_label, 3),
+                        "finish_sec": round(_time.monotonic() - _t0, 3)})
+            store.write_records([rec])
+            store.commit(chunk)
+            continue
         # Pin the labeled chunk once so write + lineage both consume the same
         # blocks (no recompute, no disk re-read).  Bounded by chunk_files at
         # scale; the object store spills if a chunk exceeds memory.
@@ -314,7 +341,7 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
             rec = _chunk_stats(stats_src, dedup)
         else:
             labeled.write_parquet(out_dir)
-            rec = _chunk_stats(labeled, dedup and not sidecar)
+            rec = _chunk_stats(labeled, dedup)
         rec.update({"partition": partition, "input_shards": chunk,
                     "rule_version": RULE_VERSION,
                     # per-phase walls: where did this chunk's time go

@@ -439,3 +439,28 @@ def test_read_jsonl(ray_session, tmp_path):
     df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert list(df.columns) == ["doc_id", "text"]
     assert len(df) == 10 and df["text"].iloc[3] == "t3"
+
+
+def test_cli_filter_and_battery(ray_session, tmp_path):
+    """The ray-job-submit entrypoints run end to end and resume cleanly."""
+    import json as _json
+
+    from dataquality_ray.cli import main
+    from dataquality_ray.fixtures import write_code_files
+
+    src = str(tmp_path / "in"); run = str(tmp_path / "run")
+    write_code_files(src, n_rows=400, seed=1, rows_per_file=200)
+    rc = main(["filter", "--input", src, "--run-dir", run,
+               "--dedup-mode", "broadcast"])
+    assert rc == 0
+    rc = main(["filter", "--input", src, "--run-dir", run])  # resume no-op
+    assert rc == 0
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(_json.dumps({
+        "A1": {"a1_column_names": ["l_quantity", "l_tax"]},
+        "U1": {},
+    }))
+    rc = main(["battery", "--table", "/root/testdata/sf0.001/lineitem.parquet",
+               "--config", str(cfg), "--report-base", str(tmp_path / "rep")])
+    assert rc == 0
