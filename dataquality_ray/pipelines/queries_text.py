@@ -509,21 +509,19 @@ _MINHASH_CORPUS = f"""
 def minhash_q(sf_dir: str):
     from dataquality_ray.stages.minhash import minhash_near_dup_pairs
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    # plant near-dups: copies of docs 0..19 with the first word dropped
-    def mutate(batch: pa.Table) -> pa.Table:
-        mask = pc.less(batch["doc_id"], 20)
-        sub = batch.filter(mask)
+    # plant near-dups IN the read pass (copies of docs 0..19 with the first
+    # word dropped): one read, no union — a union of two tiny reads costs
+    # seconds of pure operator overhead
+    def with_mutants(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.less(batch["doc_id"], 20))
         texts = [" ".join(t.split()[1:]) for t in sub["text"].to_pylist()]
-        return pa.table({
-            "doc_id": pc.add(sub["doc_id"], 1000000),
-            "text": pa.array(texts, pa.string()),
-        })
+        mut = pa.table({"doc_id": pc.add(sub["doc_id"], 1000000),
+                        "text": pa.array(texts, pa.string())})
+        return pa.concat_tables([batch.select(["doc_id", "text"]), mut])
 
-    mutated = docs.map_batches(mutate, batch_format="pyarrow")
-    pairs = minhash_near_dup_pairs(docs.union(mutated),
-                                   jaccard_threshold=0.5)
+    corpus = (_read(sf_dir, "documents", ["doc_id", "text"])
+              .map_batches(with_mutants, batch_format="pyarrow"))
+    pairs = minhash_near_dup_pairs(corpus, jaccard_threshold=0.5)
     # floor-truncate: round-half ties diverge between numpy (half-even)
     # and DuckDB round() (half-away)
     pairs["jaccard"] = np.floor(pairs["jaccard"] * 1e6) / 1e6
@@ -582,17 +580,16 @@ ORDER BY id_a, id_b
 def simhash_q(sf_dir: str):
     from dataquality_ray.stages.minhash import simhash_candidates
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def mutate(batch: pa.Table) -> pa.Table:
-        mask = pc.less(batch["doc_id"], 10)
-        sub = batch.filter(mask)
+    def with_mutants(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.less(batch["doc_id"], 10))
         texts = [t + " extra" for t in sub["text"].to_pylist()]
-        return pa.table({"doc_id": pc.add(sub["doc_id"], 1000000),
-                         "text": pa.array(texts, pa.string())})
+        mut = pa.table({"doc_id": pc.add(sub["doc_id"], 1000000),
+                        "text": pa.array(texts, pa.string())})
+        return pa.concat_tables([batch.select(["doc_id", "text"]), mut])
 
-    mutated = docs.map_batches(mutate, batch_format="pyarrow")
-    return simhash_candidates(docs.union(mutated), max_hamming=6)
+    corpus = (_read(sf_dir, "documents", ["doc_id", "text"])
+              .map_batches(with_mutants, batch_format="pyarrow"))
+    return simhash_candidates(corpus, max_hamming=6)
 
 
 # ---------------------------------------------------------------------------
@@ -991,22 +988,25 @@ def minhash_groups_q(sf_dir: str):
         near_dup_keep,
     )
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def mutate(batch: pa.Table) -> pa.Table:
-        mask = pc.less(batch["doc_id"], 20)
-        sub = batch.filter(mask)
+    def with_mutants(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.less(batch["doc_id"], 20))
         texts = [" ".join(t.split()[1:]) for t in sub["text"].to_pylist()]
         tagged = [t + " tail" for t in texts]
+        ids = sub["doc_id"].to_numpy(zero_copy_only=False)
         # two mutated copies per base doc -> 3-member groups via transitivity
-        return pa.table({
-            "doc_id": pa.chunked_array([pc.add(sub["doc_id"], 1000000),
-                                        pc.add(sub["doc_id"], 2000000)]),
+        mut = pa.table({
+            "doc_id": pa.array(
+                np.concatenate([ids + 1000000, ids + 2000000])
+                .astype(np.int64)),
             "text": pa.array(texts + tagged, pa.string()),
         })
+        base = (batch.select(["doc_id", "text"])
+                .replace_schema_metadata(None))
+        return pa.concat_tables([base, mut])
 
-    mutated = docs.map_batches(mutate, batch_format="pyarrow")
-    pairs = minhash_near_dup_pairs(docs.union(mutated), jaccard_threshold=0.5)
+    corpus = (_read(sf_dir, "documents", ["doc_id", "text"])
+              .map_batches(with_mutants, batch_format="pyarrow"))
+    pairs = minhash_near_dup_pairs(corpus, jaccard_threshold=0.5)
     return near_dup_keep(pairs)
 
 

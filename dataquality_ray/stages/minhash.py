@@ -126,8 +126,7 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 def minhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                            k: int = 3, jaccard_threshold: float = 0.7,
-                           batch_size: int = 1024,
-                           concurrency=(1, 8)) -> pd.DataFrame:
+                           batch_size: int = 1024) -> pd.DataFrame:
     """Full MinHash-LSH pipeline; returns verified pairs
     (id_a, id_b, jaccard) with id_a < id_b.
 
@@ -139,11 +138,14 @@ def minhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     # Signatures are consumed twice (bucket counting, then hot-bucket member
     # fetch); the (doc_id, band, band_hash) projection is tiny, so pin it.
-    sigs = ds.map_batches(
-        MinHasher, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
-                               "k": k}).materialize()
+    # Task pool, not actors: MinHasher's only state is the 64 permutation
+    # coefficients (microseconds to rebuild per task), and a task stage
+    # skips the 1-2 s actor-pool spin-up that dominates small inputs.
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        return MinHasher(text_col=text_col, id_col=id_col, k=k)(batch)
+
+    sigs = ds.map_batches(hash_batch, batch_format="pyarrow",
+                          batch_size=batch_size).materialize()
 
     # 1. count per bucket via map-side combine (no shuffle; the combined
     #    (band, hash, n) table is ~16 rows/doc of a few bytes); only buckets
@@ -256,10 +258,14 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                        max_hamming: int = 3) -> pd.DataFrame:
     """SimHash fingerprints + candidate near-dup pairs via band buckets,
     verified by exact hamming distance."""
-    sigs = ds.map_batches(SimHasher, batch_format="pyarrow",
-                          concurrency=(1, 4),
-                          fn_constructor_kwargs={"text_col": text_col,
-                                                 "id_col": id_col})
+    # task pool: SimHasher's token-bit cache is per-batch-useful already
+    # (tokens repeat within a batch), and skipping actor spin-up wins on
+    # small inputs; at corpus scale each task still amortizes over a full
+    # batch of documents
+    def fingerprint_batch(batch: pa.Table) -> pa.Table:
+        return SimHasher(text_col=text_col, id_col=id_col)(batch)
+
+    sigs = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
     # one exploded (band, value) keyspace -> ONE groupby instead of four
     # sequential shuffles (each Ray all-to-all has seconds of fixed cost)
