@@ -215,9 +215,11 @@ def langid_q(sf_dir: str):
 
     from dataquality_ray.functions.text import NaturalLangId
 
+    # task pool: the stopword profiles are module constants, nothing to
+    # amortize in an actor; spin-up dominated this 500-row input
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        NaturalLangId, batch_format="pyarrow", batch_size=2048,
-        concurrency=(1, 4))
+        lambda b: NaturalLangId()(b), batch_format="pyarrow",
+        batch_size=2048)
     agg = ds.groupby("detected_lang").aggregate(
         Count("detected_lang", alias_name="n"))
     return agg.to_pandas().sort_values("detected_lang").reset_index(drop=True)

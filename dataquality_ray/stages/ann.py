@@ -65,12 +65,16 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10,
     (query_idx, vec_id, score) sorted by score desc within query."""
     qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     ref = ray.put(qn)
-    cand = ds.map_batches(
-        BruteForceTopK, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"query_ref": ref, "k": k,
-                               "emb_col": emb_col, "id_col": id_col},
-    ).to_pandas()
+
+    # task pool (concurrency arg kept for API compat, unused): the only
+    # per-task setup is ray.get of the broadcast queries — zero-copy from
+    # the worker-local plasma cache — and tasks skip actor-pool spin-up
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        return BruteForceTopK(query_ref=ref, k=k, emb_col=emb_col,
+                              id_col=id_col)(batch)
+
+    cand = ds.map_batches(topk_batch, batch_format="pyarrow",
+                          batch_size=batch_size).to_pandas()
     if exclude_ids:
         cand = cand[~cand["vec_id"].isin(exclude_ids)]
     out = (cand.sort_values(["query_idx", "score"], ascending=[True, False])
@@ -89,7 +93,6 @@ class PairwiseCosineTopK:
                  emb_col: str, id_col: str):
         self.mat = ray.get(mat_ref)          # (n, d) normalized
         self.ids = ray.get(ids_ref)          # (n,) global ids, same order
-        self.pos = {int(i): p for p, i in enumerate(self.ids)}
         self.top_n = top_n
         self.min_sim = min_sim
         self.emb_col = emb_col
@@ -149,13 +152,15 @@ def cosine_near_dup_pairs(ds, top_n: int = 50, min_sim: float = -1.0,
     mat = _normalize(np.array([np.asarray(r[emb_col], dtype=np.float64)
                                for r in rows]))
     mat_ref, ids_ref = ray.put(mat), ray.put(ids)
-    cand = ds.map_batches(
-        PairwiseCosineTopK, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"mat_ref": mat_ref, "ids_ref": ids_ref,
-                               "top_n": top_n, "min_sim": min_sim,
-                               "emb_col": emb_col, "id_col": id_col},
-    ).to_pandas()
+
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        # per-task setup = two zero-copy ray.gets; task pool skips spin-up
+        return PairwiseCosineTopK(mat_ref=mat_ref, ids_ref=ids_ref,
+                                  top_n=top_n, min_sim=min_sim,
+                                  emb_col=emb_col, id_col=id_col)(batch)
+
+    cand = ds.map_batches(pairs_batch, batch_format="pyarrow",
+                          batch_size=batch_size).to_pandas()
     if not len(cand):  # zero-row Dataset -> pandas may drop the columns
         return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
     out = cand.sort_values(["cosine", "id_a", "id_b"],
@@ -177,10 +182,13 @@ def cosine_near_dup_pairs_lsh(ds, top_n: int = 50, min_sim: float = -1.0,
     unseen, a ~2^bits reduction in comparisons."""
     if dim is None:
         dim = len(ds.take(1)[0][emb_col])
+    def bucket_batch(batch: pa.Table) -> pa.Table:
+        # task pool: bucketer state is a seeded randn matrix, microseconds
+        # to rebuild per task — no actor spin-up
+        return HyperplaneBucketer(dim, bits, seed, emb_col)(batch)
+
     bucketed = ds.select_columns([id_col, emb_col]).map_batches(
-        HyperplaneBucketer, batch_format="pyarrow", concurrency=concurrency,
-        fn_constructor_kwargs={"dim": dim, "bits": bits, "seed": seed,
-                               "emb_col": emb_col})
+        bucket_batch, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
@@ -265,10 +273,10 @@ def lsh_topk(ds, query: np.ndarray, dim: int, k: int = 10, bits: int = 8,
     bucketer = HyperplaneBucketer(dim, bits, seed, emb_col)
     probes = bucketer.probe_buckets(np.asarray(query, dtype=np.float64),
                                     nprobe)
-    bucketed = ds.map_batches(
-        HyperplaneBucketer, batch_format="pyarrow", concurrency=(1, 8),
-        fn_constructor_kwargs={"dim": dim, "bits": bits, "seed": seed,
-                               "emb_col": emb_col})
+    def bucket_batch(batch: pa.Table) -> pa.Table:
+        return HyperplaneBucketer(dim, bits, seed, emb_col)(batch)
+
+    bucketed = ds.map_batches(bucket_batch, batch_format="pyarrow")
     expr = " or ".join(f"lsh_bucket == {b}" for b in probes)
     in_bucket = bucketed.filter(expr=expr)
     res = cosine_topk(in_bucket, np.atleast_2d(query), k=k,
@@ -329,11 +337,13 @@ def similarity_join(left, right, k: int = 5, dim: int | None = None,
                     "rank": pa.array(out_rank, pa.int32()),
                     "score": pa.array(out_s, pa.float64())})
 
+        def join_batch(batch: pa.Table) -> pa.Table:
+            # task pool; per-task setup = two zero-copy ray.gets
+            return JoinTopK(rids_ref, rmat_ref)(batch)
+
         cand = left.select_columns([id_col, emb_col]).map_batches(
-            JoinTopK, batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency,
-            fn_constructor_kwargs={"rids_ref": rids_ref,
-                                   "rmat_ref": rmat_ref}).to_pandas()
+            join_batch, batch_format="pyarrow",
+            batch_size=batch_size).to_pandas()
         return (cand.sort_values(["left_id", "rank"])
                 .reset_index(drop=True))
 
@@ -472,10 +482,11 @@ class IVFIndex:
                 return batch.append_column(
                     "ivf_list", pa.array(lists.astype(np.int32)))
 
-        return ds.map_batches(Assign, batch_format="pyarrow",
-                              batch_size=batch_size, concurrency=concurrency,
-                              fn_constructor_kwargs={"cent_ref": ref,
-                                                     "col": emb_col})
+        def assign_batch(batch: pa.Table) -> pa.Table:
+            return Assign(ref, emb_col)(batch)
+
+        return ds.map_batches(assign_batch, batch_format="pyarrow",
+                              batch_size=batch_size)
 
     def probe_lists(self, query: np.ndarray, nprobe: int = 4) -> list[int]:
         q = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float64)))[0]

@@ -69,11 +69,15 @@ def contamination_scan(ds, benchmark_texts: list[str],
                        concurrency=(1, 8)):
     """Tag every document with its benchmark-overlap stats."""
     ref = build_benchmark_index(benchmark_texts, n)
-    return ds.map_batches(
-        ContaminationScanner, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"index_ref": ref, "text_col": text_col,
-                               "n": n, "threshold": threshold})
+
+    # task pool (concurrency kept for API compat): per-task setup is one
+    # zero-copy ray.get of the broadcast n-gram index — no actor spin-up
+    def scan_batch(batch):
+        return ContaminationScanner(index_ref=ref, text_col=text_col,
+                                    n=n, threshold=threshold)(batch)
+
+    return ds.map_batches(scan_batch, batch_format="pyarrow",
+                          batch_size=batch_size)
 
 
 def pack_sequences(ds, max_tokens: int, text_col: str = "text",
