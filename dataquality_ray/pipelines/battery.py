@@ -137,7 +137,14 @@ def run_fused_specs(ds, specs: dict[str, dict]) -> dict[str, "pd.DataFrame"]:
     for name, sp in specs.items():
         sub = parts.loc[parts["__test"] == name, list(sp["out_cols"])].copy()
         for c, t in sp["out_cols"].items():
-            sub[c] = sub[c].astype("int64" if t == "int" else str)
+            if t == "int":
+                sub[c] = sub[c].astype("int64")
+            elif t == "float":
+                sub[c] = sub[c].astype("float64")
+            elif t == "str":
+                sub[c] = sub[c].astype(str)
+            # "obj": leave untouched (heterogeneous/list columns; the
+            # spec's finalize slices and casts its own rows)
         out[name] = sub.reset_index(drop=True)
     return out
 
@@ -232,13 +239,16 @@ def lineitem_battery(sf_dir: str) -> list[tuple]:
 
     def a4(ds):
         from dataquality_ray.sources.readers import read_table
-        from dataquality_ray.stages.joins import hash_join
+        from dataquality_ray.stages.joins import smart_join
 
         orders = read_table(f"{sf_dir}/orders.parquet",
                             columns=["o_orderkey", "o_orderdate"])
-        joined = hash_join(ds.select_columns(["l_orderkey", "l_shipdate"]),
-                           orders, on="l_orderkey", right_on="o_orderkey",
-                           value_cols=["o_orderdate"], join_type="inner")
+        # auto-select: broadcast while orders fits the 64 MiB cap, the
+        # hash-partitioned join beyond it (the forced hash path stays
+        # exercised by the a4_chronological / a4_violations_report queries)
+        joined = smart_join(ds.select_columns(["l_orderkey", "l_shipdate"]),
+                            orders, on="l_orderkey", right_on="o_orderkey",
+                            value_cols=["o_orderdate"], join_type="inner")
         return dq.a4_chronology(joined, [("o_orderdate", "l_shipdate")])
 
     def c4(ds):
@@ -269,6 +279,29 @@ def lineitem_battery(sf_dir: str) -> list[tuple]:
         n_pairs = 3
         return {"score": 1 - len(thr) / n_pairs, "table": thr}
 
+    def p2_fused_spec():
+        from dataquality_ray.stages.corr import filter_corrs, pearson_parts
+
+        ind_cols = ["m_q25", "m_q30", "m_price"]
+        partial, fin, ccols = pearson_parts(ind_cols)
+
+        def derive(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "m_q25": pc.cast(pc.less(batch["l_quantity"], 25.0),
+                                 pa.int8()),
+                "m_q30": pc.cast(pc.less(batch["l_quantity"], 30.0),
+                                 pa.int8()),
+                "m_price": pc.cast(pc.less(batch["l_extendedprice"],
+                                           25000.0), pa.int8())})
+
+        def finalize(parts):
+            thr = filter_corrs(fin(parts), 0.5)
+            return {"score": 1 - len(thr) / 3, "table": thr}
+
+        return {"cols": ["l_quantity", "l_extendedprice"], "fmt": "pandas",
+                "prep": derive, "out_cols": ccols,
+                "partial": partial, "finalize": finalize}
+
     def c4_fused_spec():
         # derive ship_str per batch inside the fused pass, then run the
         # plain C4 spec over the derived frame
@@ -285,7 +318,9 @@ def lineitem_battery(sf_dir: str) -> list[tuple]:
         ("A2", "Accuracy",
          lambda ds: dq.a2_iqr_grouped(ds, ["l_quantity"],
                                       group_col="l_returnflag"),
-         {"selected_columns": ["l_quantity"], "threshold": 0.85}),
+         {"selected_columns": ["l_quantity"], "threshold": 0.85,
+          "spec": dq.a2_grouped_spec(["l_quantity"],
+                                     group_col="l_returnflag")}),
         ("A3", "Accuracy",
          lambda ds: dq.a3_sum_check(ds, ["l_discount", "l_tax"],
                                     "l_quantity"),
@@ -297,15 +332,22 @@ def lineitem_battery(sf_dir: str) -> list[tuple]:
         ("P1", "Completeness", lambda ds: dq.p1_completeness(ds),
          {"spec": lambda ds: dq.p1_spec(
              [c for c in ds.schema().names if c != "Comment"])}),
-        ("P2", "Completeness", p2, {"threshold": 0.5}),
+        ("P2", "Completeness", p2,
+         {"threshold": 0.5, "spec": p2_fused_spec()}),
         ("I1", "Interdependency",
          lambda ds: dq.i1_proxy_corr(
              ds, sensitive_columns=["l_quantity"], threshold=0.75,
              numeric_columns=["l_quantity", "l_extendedprice"],
              nominal_columns=["l_returnflag", "l_linestatus"]),
-         {"threshold": 0.75}),
+         {"threshold": 0.75,
+          "spec": dq.i1_spec(["l_quantity"], threshold=0.75,
+                             numeric_columns=["l_quantity",
+                                              "l_extendedprice"],
+                             nominal_columns=["l_returnflag",
+                                              "l_linestatus"])}),
         ("U1", "Uniqueness", lambda ds: dq.u1_duplicate_rows(
-            ds, ["l_orderkey", "l_linenumber"])),
+            ds, ["l_orderkey", "l_linenumber"]),
+         {"spec": dq.u1_spec(["l_orderkey", "l_linenumber"])}),
     ]
 
 
@@ -358,7 +400,9 @@ def orders_battery(sf_dir: str) -> list[tuple]:
         ("A2", "Accuracy",
          lambda ds: dq.a2_iqr_grouped(ds, ["o_totalprice"],
                                       group_col="o_orderstatus"),
-         {"selected_columns": ["o_totalprice"], "threshold": 0.85}),
+         {"selected_columns": ["o_totalprice"], "threshold": 0.85,
+          "spec": dq.a2_grouped_spec(["o_totalprice"],
+                                     group_col="o_orderstatus")}),
         ("C4", "Consistency", c4, {"spec": c4_fused_spec()}),
         ("C5", "Consistency", c5, {"spec": c5_fused_spec()}),
         ("P1", "Completeness", lambda ds: dq.p1_completeness(ds),
@@ -369,9 +413,14 @@ def orders_battery(sf_dir: str) -> list[tuple]:
              ds, sensitive_columns=["o_totalprice"], threshold=0.75,
              numeric_columns=["o_totalprice"],
              nominal_columns=["o_orderstatus", "o_orderpriority"]),
-         {"threshold": 0.75}),
+         {"threshold": 0.75,
+          "spec": dq.i1_spec(["o_totalprice"], threshold=0.75,
+                             numeric_columns=["o_totalprice"],
+                             nominal_columns=["o_orderstatus",
+                                              "o_orderpriority"])}),
         ("U1", "Uniqueness",
-         lambda ds: dq.u1_duplicate_rows(ds, ["o_orderkey"])),
+         lambda ds: dq.u1_duplicate_rows(ds, ["o_orderkey"]),
+         {"spec": dq.u1_spec(["o_orderkey"])}),
     ]
 
 
@@ -385,20 +434,24 @@ def documents_battery(sf_dir: str) -> list[tuple]:
     return [
         ("C1", "Consistency",
          lambda ds: sim.c1_near_dup(ds, ["source"], threshold=0.5),
-         {"threshold": 0.5}),
+         {"threshold": 0.5,
+          "spec": sim.c1_spec(["source"], threshold=0.5)}),
         ("C2", "Consistency",
          lambda ds: sim.c2_reference_lookup(ds, {"lang": "lang"},
-                                            threshold=1.0)),
+                                            threshold=1.0),
+         {"spec": sim.c2_spec({"lang": "lang"}, threshold=1.0)}),
         ("C3", "Consistency",
          lambda ds: sim.c3_fuzzy_reference(ds, ["lang"], ref_names=langs,
-                                           threshold=0.5)),
+                                           threshold=0.5),
+         {"spec": sim.c3_spec(["lang"], ref_names=langs, threshold=0.5)}),
         ("P1", "Completeness", lambda ds: dq.p1_completeness(
             ds, exclude_columns=["text"]),
          {"spec": lambda ds: dq.p1_spec(
              [c for c in ds.schema().names
               if c not in ("text", "Comment")])}),
         ("U1", "Uniqueness",
-         lambda ds: dq.u1_duplicate_rows(ds, ["doc_id"])),
+         lambda ds: dq.u1_duplicate_rows(ds, ["doc_id"]),
+         {"spec": dq.u1_spec(["doc_id"])}),
         ("S1", "Accessibility",
          lambda ds: dq.s1_accessibility(has_metadata=True)),
     ]
@@ -435,7 +488,8 @@ def events_battery(sf_dir: str) -> list[tuple]:
         ("A2", "Accuracy",
          lambda ds: dq.a2_iqr_grouped(ds, ["value"],
                                       group_col="event_type"),
-         {"selected_columns": ["value"], "threshold": 0.85}),
+         {"selected_columns": ["value"], "threshold": 0.85,
+          "spec": dq.a2_grouped_spec(["value"], group_col="event_type")}),
         ("C4", "Consistency", c4, {"spec": c4_fused_spec()}),
         ("P1", "Completeness", lambda ds: dq.p1_completeness(
             ds, exclude_columns=["props"]),
@@ -447,9 +501,13 @@ def events_battery(sf_dir: str) -> list[tuple]:
              ds, sensitive_columns=["value"], threshold=0.75,
              numeric_columns=["value"],
              nominal_columns=["event_type"]),
-         {"threshold": 0.75}),
+         {"threshold": 0.75,
+          "spec": dq.i1_spec(["value"], threshold=0.75,
+                             numeric_columns=["value"],
+                             nominal_columns=["event_type"])}),
         ("U1", "Uniqueness",
-         lambda ds: dq.u1_duplicate_rows(ds, ["event_id"])),
+         lambda ds: dq.u1_duplicate_rows(ds, ["event_id"]),
+         {"spec": dq.u1_spec(["event_id"])}),
     ]
 
 

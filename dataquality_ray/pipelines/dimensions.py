@@ -123,6 +123,64 @@ def a2_iqr_grouped(ds, columns: list[str], group_col: str,
     return {"score": score, "table": pd.concat(tables, ignore_index=True)}
 
 
+def a2_grouped_spec(columns: list[str], group_col: str,
+                    threshold: float = 1.5,
+                    minimum_score: float = 0.85) -> dict:
+    """Fusable A2-grouped (counts mode): per-batch (column, group, value,
+    count) partials; the finalize computes exact per-group weighted
+    quantiles from the combined histogram — same math and quirks as
+    :func:`a2_iqr_grouped`."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col in columns:
+            v = pd.to_numeric(batch[col], errors="coerce")
+            df = pd.DataFrame({"a2_g": batch[group_col],
+                               "a2_v": v}).dropna(subset=["a2_v"])
+            c = (df.groupby(["a2_g", "a2_v"], sort=False).size()
+                 .rename("a2_c").reset_index())
+            c.insert(0, "a2_col", col)
+            frames.append(c)
+        return pd.concat(frames, ignore_index=True)
+
+    def finalize(parts: pd.DataFrame) -> dict:
+        from dataquality_ray.stages.combine import weighted_quantile
+        from dataquality_ray.stages.quantiles import grouped_a2_score
+
+        tables, col_scores = [], {}
+        for col in columns:
+            sub = (parts[parts["a2_col"] == col]
+                   .groupby(["a2_g", "a2_v"], sort=False)["a2_c"].sum()
+                   .reset_index())
+            rows = []
+            for gname, g in sub.groupby("a2_g", sort=True):
+                v = g["a2_v"].to_numpy(dtype=np.float64)
+                c = g["a2_c"].to_numpy(dtype=np.int64)
+                q1, q3 = weighted_quantile(v, c, (0.25, 0.75))
+                iqr = q3 - q1
+                lo, hi = q1 - threshold * iqr, q3 + threshold * iqr
+                n = c.sum()
+                out = c[(v < lo) | (v > hi)].sum()
+                rows.append({"group_name": gname,
+                             "non_outlier_rate": 1.0 - out / n})
+            rates = (pd.DataFrame(rows,
+                                  columns=["group_name", "non_outlier_rate"])
+                     .sort_values("group_name").reset_index(drop=True))
+            rates.insert(0, "column_name", col)
+            tables.append(rates)
+            col_scores[col] = grouped_a2_score(rates, len(rates),
+                                               minimum_score)
+        score = sum(col_scores.values()) / len(columns) if columns else None
+        return {"score": score, "table": pd.concat(tables,
+                                                   ignore_index=True)}
+
+    return {"cols": list(dict.fromkeys(columns + [group_col])),
+            "fmt": "pandas",
+            "out_cols": {"a2_col": "str", "a2_g": "obj", "a2_v": "float",
+                         "a2_c": "int"},
+            "partial": partial, "finalize": finalize}
+
+
 # ---------------------------------------------------------------------------
 # A3 — aggregate equals sum of components (dimensions/accuracy/a3.py:35-66)
 # ---------------------------------------------------------------------------
@@ -386,6 +444,50 @@ def p2_missingness_corr(ds, threshold: float = 0.5,
     return {"score": score, "table": thr}
 
 
+def p2_spec(ds, threshold: float = 0.5,
+            exclude_columns: list[str] | None = None) -> dict:
+    """Fusable P2: pass 1 (which columns have nulls) joins the fused scan;
+    the indicator-correlation pass 2 — needed only when >=2 columns
+    actually have nulls — runs from the captured shared Dataset inside
+    finalize, over just the null columns (pruned)."""
+    exclude = set(exclude_columns or []) | {"Comment", "Comments"}
+    cols = [c for c in ds.schema().names if c not in exclude]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"p2_col": c,
+                              "p2_nulls": int(batch[c].isna().sum())}
+                             for c in cols])
+
+    def finalize(parts: pd.DataFrame) -> dict:
+        from dataquality_ray.stages.corr import filter_corrs, pearson_matrix
+
+        nulls = parts.groupby("p2_col")["p2_nulls"].sum()
+        null_cols = sorted(nulls[nulls > 0].index)
+        if len(null_cols) < 2:
+            return {"score": None,
+                    "table": pd.DataFrame(columns=["var1", "var2",
+                                                   "corr_coeff",
+                                                   "features"])}
+
+        def indicators(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({c: pc.cast(pc.is_null(batch[c]), pa.int8())
+                             for c in null_cols})
+
+        ind = ds.select_columns(null_cols).map_batches(
+            indicators, batch_format="pyarrow")
+        corrs = pearson_matrix(ind, null_cols)
+        n_pairs = len(corrs) * (len(corrs) - 1) / 2
+        thr = filter_corrs(corrs, threshold)
+        score = (1 - len(thr) / n_pairs) if n_pairs else None
+        return {"score": score, "table": thr}
+
+    return {"cols": cols, "fmt": "pandas",
+            "out_cols": {"p2_col": "str", "p2_nulls": "int"},
+            "partial": partial, "finalize": finalize}
+
+
 # ---------------------------------------------------------------------------
 # I1 — proxy correlation (dimensions/interdependency/i1.py:40-91)
 # ---------------------------------------------------------------------------
@@ -427,6 +529,13 @@ def i1_proxy_corr(ds, sensitive_columns: list[str], threshold: float = 0.75,
         m.loc[eta.index, eta.columns] = eta
         m.loc[eta.columns, eta.index] = eta.T
 
+    return _i1_assemble(m, sensitive_columns, threshold, k)
+
+
+def _i1_assemble(m: pd.DataFrame, sensitive_columns: list[str],
+                 threshold: float, k: int) -> dict:
+    from dataquality_ray.stages.corr import filter_corrs
+
     n_non_sensitive = k - len(sensitive_columns)
     thr = filter_corrs(m, threshold, subset=sensitive_columns)
     sub = m[sensitive_columns].drop(index=sensitive_columns)
@@ -436,6 +545,62 @@ def i1_proxy_corr(ds, sensitive_columns: list[str], threshold: float = 0.75,
         scores[col] = 1 - flagged / n_non_sensitive
     score = sum(scores.values()) / len(scores) if scores else None
     return {"score": score, "table": thr}
+
+
+def i1_spec(sensitive_columns: list[str], threshold: float = 0.75,
+            numeric_columns: list[str] | None = None,
+            nominal_columns: list[str] | None = None) -> dict:
+    """Fusable I1: one per-batch partial emits the Pearson moment sums,
+    Cramér's V contingency cells, and correlation-ratio category sums
+    together (disjoint ``p_``/``c_``/``e_`` column prefixes); the finalize
+    rebuilds the three matrices from the slices and assembles the same
+    mixed-type matrix + score as :func:`i1_proxy_corr`."""
+    from dataquality_ray.stages.corr import (
+        corr_ratio_parts,
+        cramers_parts,
+        pearson_parts,
+    )
+
+    numeric_columns = numeric_columns or []
+    nominal_columns = nominal_columns or []
+    all_cols = sorted(set(numeric_columns) | set(nominal_columns))
+    k = len(all_cols)
+    subs = []  # (marker_col, partial, finalize, place)
+    if len(numeric_columns) >= 2:
+        p, f, c = pearson_parts(sorted(numeric_columns))
+        subs.append(("p_n", p, f, "pearson", c))
+    if len(nominal_columns) >= 2:
+        p, f, c = cramers_parts(sorted(nominal_columns))
+        subs.append(("c_c", p, f, "cramers", c))
+    if numeric_columns and nominal_columns:
+        p, f, c = corr_ratio_parts(sorted(nominal_columns),
+                                   sorted(numeric_columns))
+        subs.append(("e_n", p, f, "eta", c))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = [p(batch) for _, p, _, _, _ in subs]
+        return pd.concat(frames, ignore_index=True, sort=False)
+
+    def finalize(parts: pd.DataFrame) -> dict:
+        m = pd.DataFrame(np.zeros((k, k)), index=all_cols, columns=all_cols)
+        np.fill_diagonal(m.values, 1.0)
+        for marker, _, fin, place, ccols in subs:
+            sub = parts[parts[marker].notna()][list(ccols)]
+            mat = fin(sub)
+            if place == "eta":
+                m.loc[mat.index, mat.columns] = mat
+                m.loc[mat.columns, mat.index] = mat.T
+            else:
+                m.loc[mat.index, mat.columns] = mat
+        return _i1_assemble(m, sensitive_columns, threshold, k)
+
+    out_cols: dict[str, str] = {}
+    for _, _, _, _, ccols in subs:
+        # no dtype coercion: rows from the other sub-partials are NaN in
+        # these columns; each finalize slices its own rows first
+        out_cols.update({c: "obj" for c in ccols})
+    return {"cols": all_cols, "fmt": "pandas", "out_cols": out_cols,
+            "partial": partial, "finalize": finalize}
 
 
 # ---------------------------------------------------------------------------
@@ -517,6 +682,35 @@ def u1_duplicate_rows(ds, columns: list[str] | None = None,
             "table": pd.DataFrame([{"total_rows": total,
                                     "duplicate_rows": dups,
                                     "score": score}])}
+
+
+def u1_spec(columns: list[str]) -> dict:
+    """Fusable U1: per-batch canonical row-hash value counts (driver memory
+    O(#distinct rows), the same contract as ``mode='combine'``)."""
+    import hashlib
+
+    cols = list(columns)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        payload = batch[cols].astype(str).agg("\x00".join, axis=1)
+        hashes = pd.Series([hashlib.sha256(p.encode()).hexdigest()
+                            for p in payload])
+        vc = hashes.value_counts()
+        return pd.DataFrame({"u1_h": vc.index, "u1_c": vc.values})
+
+    def finalize(parts: pd.DataFrame) -> dict:
+        counts = parts.groupby("u1_h")["u1_c"].sum()
+        total = int(counts.sum())
+        dups = int(counts[counts > 1].sum())
+        score = 1 - dups / total if total else None
+        return {"score": score,
+                "table": pd.DataFrame([{"total_rows": total,
+                                        "duplicate_rows": dups,
+                                        "score": score}])}
+
+    return {"cols": cols, "fmt": "pandas",
+            "out_cols": {"u1_h": "str", "u1_c": "int"},
+            "partial": partial, "finalize": finalize}
 
 
 def u1_violations_report(ds, columns: list[str] | None = None):

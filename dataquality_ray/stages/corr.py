@@ -5,6 +5,13 @@ Cramér's V for nominal-nominal) on the whole in-memory frame
 (dimensions/completeness/p2.py:46, dimensions/interdependency/i1.py:68).
 Here each batch emits moment sums / contingency counts; the driver combines
 them into the tiny k×k matrix — one streaming pass, no shuffle.
+
+Each matrix exposes a (partial, finalize) pair so the battery's fused
+single-scan pass (pipelines/battery.py) can compute several tests'
+partials in one pass; the public ``*_matrix`` functions run the pair over
+one Dataset.  Partial column names are prefixed (``p_``/``c_``/``e_``) so
+heterogeneous partials survive the fused long-frame concat without type
+collisions.
 """
 
 from __future__ import annotations
@@ -15,8 +22,8 @@ import numpy as np
 import pandas as pd
 
 
-def pearson_matrix(ds, columns: list[str]) -> pd.DataFrame:
-    """Exact Pearson correlation matrix from one streaming pass.
+def pearson_parts(columns: list[str]):
+    """(partial, finalize) for the exact Pearson matrix.
 
     NaNs are treated as pandas.DataFrame.corr would NOT (corr does pairwise
     deletion); for parity with dython's associations (which fills/"drops
@@ -32,43 +39,53 @@ def pearson_matrix(ds, columns: list[str]) -> pd.DataFrame:
         s_ = x.sum(axis=0) if len(x) else np.zeros(k)
         ss_ = x.T @ x if len(x) else np.zeros((k, k))
         return pd.DataFrame({
-            "n": [float(len(x))],
-            "s": [s_.tolist()],
-            "ss": [ss_.ravel().tolist()],
+            "p_n": [float(len(x))],
+            "p_s": [s_.tolist()],
+            "p_ss": [ss_.ravel().tolist()],
         })
 
+    def finalize(parts: pd.DataFrame) -> pd.DataFrame:
+        n = 0
+        s = np.zeros(k)
+        ss = np.zeros((k, k))
+        for _, p in parts.iterrows():
+            n += int(p["p_n"])
+            s += np.asarray(p["p_s"])
+            ss += np.asarray(p["p_ss"]).reshape(k, k)
+        if n < 2:
+            return pd.DataFrame(np.full((k, k), np.nan), index=columns,
+                                columns=columns)
+        mean = s / n
+        cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+        sd = np.sqrt(np.diag(cov))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = cov / np.outer(sd, sd)
+        corr[~np.isfinite(corr)] = np.nan
+        np.fill_diagonal(corr, 1.0)
+        return pd.DataFrame(corr, index=columns, columns=columns)
+
+    cols = {"p_n": "float", "p_s": "obj", "p_ss": "obj"}
+    return partial, finalize, cols
+
+
+def pearson_matrix(ds, columns: list[str]) -> pd.DataFrame:
+    """Exact Pearson correlation matrix from one streaming pass (see
+    :func:`pearson_parts`)."""
+    partial, finalize, _ = pearson_parts(columns)
     # Per-batch moment sums (tiny rows) combined on the driver — the data
     # itself never leaves the workers.
-    partials = (ds.select_columns(columns)
-                  .map_batches(partial, batch_format="pandas")
-                  .take_all())
-    n = 0
-    s = np.zeros(k)
-    ss = np.zeros((k, k))
-    for p in partials:
-        n += int(p["n"])
-        s += np.asarray(p["s"])
-        ss += np.asarray(p["ss"]).reshape(k, k)
-    if n < 2:
-        return pd.DataFrame(np.full((k, k), np.nan), index=columns, columns=columns)
-    mean = s / n
-    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
-    sd = np.sqrt(np.diag(cov))
-    with np.errstate(divide="ignore", invalid="ignore"):
-        corr = cov / np.outer(sd, sd)
-    corr[~np.isfinite(corr)] = np.nan
-    np.fill_diagonal(corr, 1.0)
-    return pd.DataFrame(corr, index=columns, columns=columns)
+    parts = (ds.select_columns(columns)
+               .map_batches(partial, batch_format="pandas").to_pandas())
+    return finalize(parts)
 
 
-def cramers_v_matrix(ds, columns: list[str], bias_correction: bool = False,
-                     max_categories: int = 10_000) -> pd.DataFrame:
-    """Cramér's V for nominal column pairs from distributed contingency
-    tables (per-batch pair-count dicts combined on the driver).
+def cramers_parts(columns: list[str], bias_correction: bool = False,
+                  max_categories: int = 10_000):
+    """(partial, finalize) for the Cramér's V matrix: per-batch contingency
+    partials (tiny: distinct (a,b) cells only) combined on the driver.
 
     ``max_categories`` bounds contingency explosion on high-cardinality
-    columns (overflow values collapse into one bucket, logged by raising);
-    the reference has no such bound because it is single-machine.
+    columns; the reference has no such bound because it is single-machine.
     """
     pairs = list(itertools.combinations(range(len(columns)), 2))
 
@@ -76,33 +93,46 @@ def cramers_v_matrix(ds, columns: list[str], bias_correction: bool = False,
         cols = [batch[c].astype(str) for c in columns]
         frames = []
         for (i, j) in pairs:
-            g = (pd.DataFrame({"a": cols[i], "b": cols[j]})
-                   .groupby(["a", "b"], sort=False).size().rename("c")
+            g = (pd.DataFrame({"c_a": cols[i], "c_b": cols[j]})
+                   .groupby(["c_a", "c_b"], sort=False).size().rename("c_c")
                    .reset_index())
-            g.insert(0, "j", j)
-            g.insert(0, "i", i)
+            g.insert(0, "c_j", j)
+            g.insert(0, "c_i", i)
             frames.append(g)
         return pd.concat(frames, ignore_index=True)
 
-    # per-batch contingency partials (tiny: distinct (a,b) cells only) are
-    # combined on the driver — the rows themselves never move
-    combined = (ds.select_columns(columns)
-                  .map_batches(partial, batch_format="pandas")
-                  .to_pandas()
-                  .groupby(["i", "j", "a", "b"], sort=False)["c"].sum())
-    counts: dict[tuple[int, int], dict[tuple, int]] = {p: {} for p in pairs}
-    for (i, j, a, b), v in combined.items():
-        d = counts[(i, j)]
-        d[(a, b)] = int(v)
-        if len(d) > max_categories:
-            raise ValueError(
-                f"contingency table for ({columns[i]},{columns[j]}) "
-                f"exceeds {max_categories} cells")
-    k = len(columns)
-    m = np.eye(k)
-    for (i, j), d in counts.items():
-        m[i, j] = m[j, i] = _cramers_v_from_counts(d, bias_correction)
-    return pd.DataFrame(m, index=columns, columns=columns)
+    def finalize(parts: pd.DataFrame) -> pd.DataFrame:
+        combined = parts.groupby(["c_i", "c_j", "c_a", "c_b"],
+                                 sort=False)["c_c"].sum()
+        counts: dict[tuple[int, int], dict[tuple, int]] = {p: {}
+                                                           for p in pairs}
+        for (i, j, a, b), v in combined.items():
+            d = counts[(int(i), int(j))]
+            d[(a, b)] = int(v)
+            if len(d) > max_categories:
+                raise ValueError(
+                    f"contingency table for ({columns[int(i)]},"
+                    f"{columns[int(j)]}) exceeds {max_categories} cells")
+        k = len(columns)
+        m = np.eye(k)
+        for (i, j), d in counts.items():
+            m[i, j] = m[j, i] = _cramers_v_from_counts(d, bias_correction)
+        return pd.DataFrame(m, index=columns, columns=columns)
+
+    cols = {"c_i": "int", "c_j": "int", "c_a": "str", "c_b": "str",
+            "c_c": "int"}
+    return partial, finalize, cols
+
+
+def cramers_v_matrix(ds, columns: list[str], bias_correction: bool = False,
+                     max_categories: int = 10_000) -> pd.DataFrame:
+    """Cramér's V for nominal column pairs from distributed contingency
+    tables (see :func:`cramers_parts`)."""
+    partial, finalize, _ = cramers_parts(columns, bias_correction,
+                                         max_categories)
+    parts = (ds.select_columns(columns)
+               .map_batches(partial, batch_format="pandas").to_pandas())
+    return finalize(parts)
 
 
 def _cramers_v_from_counts(d: dict[tuple, int], bias_correction: bool) -> float:
@@ -132,18 +162,16 @@ def _cramers_v_from_counts(d: dict[tuple, int], bias_correction: bool) -> float:
     return float(np.sqrt(phi2 / denom)) if denom > 0 else np.nan
 
 
-def correlation_ratio_matrix(ds, nominal_columns: list[str],
-                             numeric_columns: list[str],
-                             max_categories: int = 10_000) -> pd.DataFrame:
-    """dython's correlation ratio η for every (nominal, numeric) pair —
-    the numeric↔nominal branch of ``associations`` the reference relies on
-    (dimensions/interdependency/i1.py:68) — from one streaming pass.
+def corr_ratio_parts(nominal_columns: list[str], numeric_columns: list[str],
+                     max_categories: int = 10_000):
+    """(partial, finalize) for dython's correlation ratio η for every
+    (nominal, numeric) pair — the numeric↔nominal branch of
+    ``associations`` (dimensions/interdependency/i1.py:68).
 
     η = sqrt(Σ_g n_g (ȳ_g − ȳ)² / Σ (y − ȳ)²), computed exactly from
     per-batch (category → n, Σy, Σy²) partials; rows with a null numeric
     value are dropped per pair, null categories become the "nan" bucket
     (matching :func:`cramers_v_matrix`'s astype(str)).
-    Returns a len(nominal) × len(numeric) frame.
     """
     pairs = list(itertools.product(range(len(nominal_columns)),
                                    range(len(numeric_columns))))
@@ -154,40 +182,57 @@ def correlation_ratio_matrix(ds, nominal_columns: list[str],
             cat = batch[nominal_columns[i]].astype(str)
             y = pd.to_numeric(batch[numeric_columns[j]], errors="coerce")
             ok = ~y.isna()
-            g = (pd.DataFrame({"cat": cat[ok], "y": y[ok],
+            g = (pd.DataFrame({"e_cat": cat[ok], "y": y[ok],
                                "y2": y[ok] ** 2})
-                 .groupby("cat", sort=False).agg(n=("y", "size"),
-                                                 s=("y", "sum"),
-                                                 ss=("y2", "sum"))
+                 .groupby("e_cat", sort=False).agg(e_n=("y", "size"),
+                                                   e_s=("y", "sum"),
+                                                   e_ss=("y2", "sum"))
                  .reset_index())
-            g.insert(0, "j", j)
-            g.insert(0, "i", i)
+            g.insert(0, "e_j", j)
+            g.insert(0, "e_i", i)
             frames.append(g)
         return pd.concat(frames, ignore_index=True)
 
+    def finalize(parts: pd.DataFrame) -> pd.DataFrame:
+        combined = (parts.groupby(["e_i", "e_j", "e_cat"], sort=False)
+                    .agg(n=("e_n", "sum"), s=("e_s", "sum"),
+                         ss=("e_ss", "sum")))
+        m = np.full((len(nominal_columns), len(numeric_columns)), np.nan)
+        for (i, j), g in combined.groupby(level=["e_i", "e_j"]):
+            if len(g) > max_categories:
+                raise ValueError(
+                    f"category count for ({nominal_columns[int(i)]},"
+                    f"{numeric_columns[int(j)]}) exceeds {max_categories}")
+            n = g["n"].to_numpy(dtype=np.float64)
+            s = g["s"].to_numpy(dtype=np.float64)
+            ss = g["ss"].to_numpy(dtype=np.float64)
+            n_tot, s_tot, ss_tot = n.sum(), s.sum(), ss.sum()
+            if n_tot == 0:
+                continue
+            mean = s_tot / n_tot
+            sst = ss_tot - n_tot * mean * mean          # Σ(y-ȳ)²
+            ssb = float(((s / n - mean) ** 2 * n).sum())  # Σ n_g(ȳ_g-ȳ)²
+            m[int(i), int(j)] = (0.0 if sst == 0
+                                 else float(np.sqrt(max(0.0, ssb / sst))))
+        return pd.DataFrame(m, index=nominal_columns,
+                            columns=numeric_columns)
+
+    cols = {"e_i": "int", "e_j": "int", "e_cat": "str", "e_n": "int",
+            "e_s": "float", "e_ss": "float"}
+    return partial, finalize, cols
+
+
+def correlation_ratio_matrix(ds, nominal_columns: list[str],
+                             numeric_columns: list[str],
+                             max_categories: int = 10_000) -> pd.DataFrame:
+    """Correlation ratio η matrix from one streaming pass (see
+    :func:`corr_ratio_parts`).  Returns len(nominal) × len(numeric)."""
+    partial, finalize, _ = corr_ratio_parts(nominal_columns, numeric_columns,
+                                            max_categories)
     cols = sorted(set(nominal_columns) | set(numeric_columns))
-    combined = (ds.select_columns(cols)
-                  .map_batches(partial, batch_format="pandas")
-                  .to_pandas()
-                  .groupby(["i", "j", "cat"], sort=False)
-                  .agg(n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum")))
-    m = np.full((len(nominal_columns), len(numeric_columns)), np.nan)
-    for (i, j), g in combined.groupby(level=["i", "j"]):
-        if len(g) > max_categories:
-            raise ValueError(
-                f"category count for ({nominal_columns[i]},"
-                f"{numeric_columns[j]}) exceeds {max_categories}")
-        n = g["n"].to_numpy(dtype=np.float64)
-        s = g["s"].to_numpy(dtype=np.float64)
-        ss = g["ss"].to_numpy(dtype=np.float64)
-        n_tot, s_tot, ss_tot = n.sum(), s.sum(), ss.sum()
-        if n_tot == 0:
-            continue
-        mean = s_tot / n_tot
-        sst = ss_tot - n_tot * mean * mean          # Σ(y-ȳ)²
-        ssb = float(((s / n - mean) ** 2 * n).sum())  # Σ n_g(ȳ_g-ȳ)²
-        m[i, j] = 0.0 if sst == 0 else float(np.sqrt(max(0.0, ssb / sst)))
-    return pd.DataFrame(m, index=nominal_columns, columns=numeric_columns)
+    parts = (ds.select_columns(cols)
+               .map_batches(partial, batch_format="pandas").to_pandas())
+    return finalize(parts)
 
 
 def filter_corrs(corrs: pd.DataFrame, threshold: float,

@@ -89,6 +89,18 @@ def c1_near_dup(ds, columns: list[str], threshold: float = 0.91,
     col_scores = []
     for col in columns:
         vc = value_counts(ds, col, normalize=True)
+        rep, sc = _c1_from_counts(vc, col, threshold, stop_words)
+        reports.append(rep)
+        col_scores.append(sc)
+    score = float(np.mean(col_scores)) if col_scores else None
+    return {"score": score, "table": pd.concat(reports, ignore_index=True)}
+
+
+def _c1_from_counts(vc: pd.Series, col: str, threshold: float = 0.91,
+                    stop_words=("the", "and")):
+    """Per-column C1 from a precomputed distinct-value counts Series
+    (driver-side; the universe is bounded by MAX_UNIVERSE)."""
+    if True:
         uniq = np.array(list(vc.index), dtype=object)
         model = TfidfModel(list(uniq), stop_words=stop_words)
         text_sim = model.ref_matrix @ model.ref_matrix.T
@@ -96,7 +108,6 @@ def c1_near_dup(ds, columns: list[str], threshold: float = 0.91,
 
         # score = average_c1_consistency_score (table_operations.py:86-92)
         inconsistent = int(np.any(text_sim > threshold, axis=1).sum())
-        col_scores.append((len(uniq) - inconsistent) / len(uniq))
 
         combined = _combined_similarity(uniq, text_sim)
         masked = combined.copy()
@@ -120,16 +131,15 @@ def c1_near_dup(ds, columns: list[str], threshold: float = 0.91,
                       if masked[i, j] > threshold)
             for i in range(n)
         ]
-        reports.append(pd.DataFrame({
+        rep = pd.DataFrame({
             "column_source": col,
             "names_tested": uniq,
             "highest_similarity_names": uniq[best],
             "similarity_score": masked[np.arange(n), best],
             "recommended": recommended,
             "all_matches": all_matches,
-        }))
-    score = float(np.mean(col_scores)) if col_scores else None
-    return {"score": score, "table": pd.concat(reports, ignore_index=True)}
+        })
+        return rep, (len(uniq) - inconsistent) / len(uniq)
 
 
 def c1_best_match(norm_value: str, unique_obs: np.ndarray,
@@ -175,20 +185,29 @@ def c2_reference_lookup(ds, column_mapping: dict[str, str],
     for col, ref_col in column_mapping.items():
         ref_universe = value_counts(ref_ds if ref_ds is not None else ds,
                                     ref_col if ref_ds is not None else col)
-        model = TfidfModel(list(ref_universe.index), stop_words=stop_words)
-        vc = value_counts(ds, col)
-        sims = model.cosine_vs_ref(list(vc.index))
-        max_sim = sims.max(axis=1) if sims.shape[1] else np.zeros(len(vc))
-        ok = max_sim >= threshold
-        rows = int(vc.sum())
-        ok_rows = int(vc[ok].sum())
-        col_scores.append(ok_rows / rows if rows else 0.0)
-        tables.append(pd.DataFrame({
-            "column_name": col, "value": list(vc.index), "n_rows": vc.values,
-            "max_similarity": max_sim, "consistent": ok,
-        }))
+        vc = (value_counts(ds, col) if ref_ds is not None else ref_universe)
+        tbl, sc = _c2_from_counts(vc, ref_universe, col, threshold,
+                                  stop_words)
+        tables.append(tbl)
+        col_scores.append(sc)
     score = (sum(col_scores) / len(col_scores)) if col_scores else None
     return {"score": score, "table": pd.concat(tables, ignore_index=True)}
+
+
+def _c2_from_counts(vc: pd.Series, ref_universe: pd.Series, col: str,
+                    threshold: float = 1.00, stop_words=("activity",)):
+    """Per-column C2 from precomputed distinct-value counts."""
+    model = TfidfModel(list(ref_universe.index), stop_words=stop_words)
+    sims = model.cosine_vs_ref(list(vc.index))
+    max_sim = sims.max(axis=1) if sims.shape[1] else np.zeros(len(vc))
+    ok = max_sim >= threshold
+    rows = int(vc.sum())
+    ok_rows = int(vc[ok].sum())
+    tbl = pd.DataFrame({
+        "column_name": col, "value": list(vc.index), "n_rows": vc.values,
+        "max_similarity": max_sim, "consistent": ok,
+    })
+    return tbl, (ok_rows / rows if rows else 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -208,16 +227,128 @@ def c3_fuzzy_reference(ds, columns: list[str], ref_names: list[str] | None = Non
     tables = []
     for col in columns:
         vc = value_counts(ds, col, normalize=True)
-        uniq = list(vc.index)
-        best = np.array([max(indel_ratio(u, r) for r in refs) for u in uniq]) \
-            if uniq else np.array([])
-        ok = best >= threshold
-        rows = int(vc.sum())
-        ok_rows = int(vc[ok].sum())
-        col_scores.append(ok_rows / rows if rows else 0.0)
-        tables.append(pd.DataFrame({
-            "column_name": col, "normalized_value": uniq, "n_rows": vc.values,
-            "best_ratio": best, "consistent": ok,
-        }))
+        tbl, sc = _c3_from_counts(vc, refs, col, threshold)
+        tables.append(tbl)
+        col_scores.append(sc)
     score = (sum(col_scores) / len(col_scores)) if col_scores else None
     return {"score": score, "table": pd.concat(tables, ignore_index=True)}
+
+
+def _c3_from_counts(vc: pd.Series, refs: list[str], col: str,
+                    threshold: float = 0.91):
+    """Per-column C3 from precomputed normalized-value counts."""
+    uniq = list(vc.index)
+    best = np.array([max(indel_ratio(u, r) for r in refs) for u in uniq]) \
+        if uniq else np.array([])
+    ok = best >= threshold
+    rows = int(vc.sum())
+    ok_rows = int(vc[ok].sum())
+    tbl = pd.DataFrame({
+        "column_name": col, "normalized_value": uniq, "n_rows": vc.values,
+        "best_ratio": best, "consistent": ok,
+    })
+    return tbl, (ok_rows / rows if rows else 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Fusable specs (pipelines/battery.py share='fused'): the C-family's only
+# distributed work is the distinct-value counts pass — fuse it with the
+# rest of the battery's partial-sum tests; everything downstream (TF-IDF,
+# fuzzy ratios, best-match selection) runs driver-side on the bounded
+# universe exactly as the per-test functions do.
+# ---------------------------------------------------------------------------
+
+
+def _vc_spec_partial(columns: list[str], normalize: bool):
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col in columns:
+            s = batch[col].dropna()
+            if normalize:
+                s = s.map(normalize_text)
+            vc = s.value_counts()
+            frames.append(pd.DataFrame({"s_col": col,
+                                        "s_val": vc.index.astype(str),
+                                        "s_n": vc.values}))
+        return pd.concat(frames, ignore_index=True)
+    return partial
+
+
+def _vc_from_parts(parts: pd.DataFrame, col: str) -> pd.Series:
+    sub = parts[parts["s_col"] == col]
+    combined = sub.groupby("s_val")["s_n"].sum()
+    if len(combined) > MAX_UNIVERSE:
+        raise ValueError(
+            f"distinct universe of {col} is {len(combined)} > {MAX_UNIVERSE}; "
+            "C1/C2/C3-family similarity requires a bounded universe")
+    combined.index.name = "value"
+    return combined
+
+
+_VC_OUT_COLS = {"s_col": "str", "s_val": "str", "s_n": "int"}
+
+
+def c1_spec(columns: list[str], threshold: float = 0.91,
+            stop_words=("the", "and")) -> dict:
+    def finalize(parts: pd.DataFrame) -> dict:
+        reports, col_scores = [], []
+        for col in columns:
+            rep, sc = _c1_from_counts(_vc_from_parts(parts, col), col,
+                                      threshold, stop_words)
+            reports.append(rep)
+            col_scores.append(sc)
+        score = float(np.mean(col_scores)) if col_scores else None
+        return {"score": score,
+                "table": pd.concat(reports, ignore_index=True)}
+
+    return {"cols": list(columns), "fmt": "pandas",
+            "out_cols": dict(_VC_OUT_COLS),
+            "partial": _vc_spec_partial(columns, normalize=True),
+            "finalize": finalize}
+
+
+def c2_spec(column_mapping: dict[str, str], threshold: float = 1.00,
+            stop_words=("activity",)) -> dict:
+    """Self-reference C2 (ref = the column's own distinct universe, the
+    battery configuration); cross-dataset refs need the per-test path."""
+    columns = list(column_mapping)
+
+    def finalize(parts: pd.DataFrame) -> dict:
+        tables, col_scores = [], []
+        for col in columns:
+            vc = _vc_from_parts(parts, col)
+            tbl, sc = _c2_from_counts(vc, vc, col, threshold, stop_words)
+            tables.append(tbl)
+            col_scores.append(sc)
+        score = (sum(col_scores) / len(col_scores)) if col_scores else None
+        return {"score": score,
+                "table": pd.concat(tables, ignore_index=True)}
+
+    return {"cols": columns, "fmt": "pandas",
+            "out_cols": dict(_VC_OUT_COLS),
+            "partial": _vc_spec_partial(columns, normalize=False),
+            "finalize": finalize}
+
+
+def c3_spec(columns: list[str], ref_names: list[str] | None = None,
+            threshold: float = 0.91) -> dict:
+    from dataquality_ray.functions.textnorm import PROVINCE_ABBREVIATIONS
+
+    refs = [r.lower() for r in (ref_names or
+                                PROVINCE_ABBREVIATIONS.values())]
+
+    def finalize(parts: pd.DataFrame) -> dict:
+        tables, col_scores = [], []
+        for col in columns:
+            tbl, sc = _c3_from_counts(_vc_from_parts(parts, col), refs,
+                                      col, threshold)
+            tables.append(tbl)
+            col_scores.append(sc)
+        score = (sum(col_scores) / len(col_scores)) if col_scores else None
+        return {"score": score,
+                "table": pd.concat(tables, ignore_index=True)}
+
+    return {"cols": list(columns), "fmt": "pandas",
+            "out_cols": dict(_VC_OUT_COLS),
+            "partial": _vc_spec_partial(columns, normalize=True),
+            "finalize": finalize}
