@@ -610,6 +610,64 @@ def battery_from_config(config: dict[str, dict]) -> list[tuple]:
         "S1": lambda p: lambda ds: dq.s1_accessibility(
             has_metadata=bool(p.get("s1_has_metadata", False))),
     }
+    import dataquality_ray.stages.similarity as sim
+
+    def i1_spec_builder(p):
+        import pyarrow.types as pt
+
+        def build(ds):
+            schema = ds.schema()
+            numeric, nominal = [], []
+            for name, typ in zip(schema.names, schema.types):
+                (numeric if (pt.is_integer(typ) or pt.is_floating(typ)
+                             or pt.is_decimal(typ)) else nominal).append(name)
+            return dq.i1_spec(
+                p["i1_sensitive_columns"],
+                threshold=float(p.get("i1_threshold", 0.75)),
+                numeric_columns=numeric, nominal_columns=nominal)
+        return build
+
+    # fusable-spec twins of the builders above: a config battery run with
+    # share='fused' computes every one of these in the shared scan pass
+    spec_builders = {
+        "A1": lambda p: dq.a1_spec(p["a1_column_names"]),
+        "A2": lambda p: (dq.a2_grouped_spec(
+            p["a2_column_names"], group_col=p["a2_groupby_column"][0],
+            threshold=float(p.get("a2_threshold", 1.5)),
+            minimum_score=float(p.get("a2_minimum_score", 0.85)))
+            if p.get("a2_groupby_column") else None),
+        "A3": lambda p: dq.a3_spec(p["a3_column_names"],
+                                   p["a3_agg_column"]),
+        "A4": lambda p: dq.a4_spec([tuple(pair)
+                                    for pair in p["a4_column_pairs"]]),
+        "C1": lambda p: sim.c1_spec(
+            p["c1_column_names"],
+            threshold=float(p.get("c1_threshold", 0.91)),
+            stop_words=tuple(p.get("c1_stop_words", ("the", "and")))),
+        "C2": lambda p: sim.c2_spec(
+            p["c2_column_mapping"],
+            threshold=float(p.get("c2_threshold", 1.0)),
+            stop_words=tuple(p.get("c2_stop_words", ("activity",)))),
+        "C3": lambda p: sim.c3_spec(
+            p["c3_column_names"],
+            threshold=float(p.get("c3_threshold", 0.91))),
+        "C4": lambda p: dq.c4_spec(p["c4_column_names"],
+                                   fmt=p.get("c4_format", "%Y-%m-%d")),
+        "C5": lambda p: dq.c5_spec(
+            p["c5_column_names"],
+            region=None if p.get("c5_region", "All") == "All"
+            else p["c5_region"]),
+        "P1": lambda p: (lambda ds, _p=p: dq.p1_spec(
+            [c for c in ds.schema().names
+             if c not in (set(_p.get("p1_exclude_columns") or [])
+                          | {"Comment"})],
+            threshold=float(_p.get("p1_threshold", 0.75)))),
+        "P2": lambda p: (lambda ds, _p=p: dq.p2_spec(
+            ds, threshold=float(_p.get("p2_threshold", 0.5)))),
+        "I1": i1_spec_builder,
+        "U1": lambda p: (lambda ds: dq.u1_spec(list(ds.schema().names))),
+    }
+
     entries = []
     for test, params in config.items():
         t = test.upper()
@@ -618,6 +676,11 @@ def battery_from_config(config: dict[str, dict]) -> list[tuple]:
                                 if k.endswith("_threshold")), None),
              "selected_columns": next((v for k, v in params.items()
                                        if k.endswith("_column_names")), None)}
+        sb = spec_builders.get(t)
+        if sb is not None:
+            spec = sb(params)
+            if spec is not None:
+                m["spec"] = spec
         entries.append((t, meta[t].dimension_name, fn, m))
     return entries
 

@@ -464,3 +464,37 @@ def test_cli_filter_and_battery(ray_session, tmp_path):
     rc = main(["battery", "--table", "/root/testdata/sf0.001/lineitem.parquet",
                "--config", str(cfg), "--report-base", str(tmp_path / "rep")])
     assert rc == 0
+
+
+def test_config_battery_fused_matches_per_test(ray_session):
+    """battery_from_config attaches fusable-spec twins: share='fused' must
+    match the per-test path for a config using every spec-covered test."""
+    import pandas as pd
+
+    from dataquality_ray.pipelines.battery import (
+        battery_from_config,
+        run_battery,
+    )
+    from dataquality_ray.sources.readers import read_table
+
+    config = {
+        "A1": {"a1_column_names": ["l_quantity", "l_tax"]},
+        "A2": {"a2_column_names": ["l_quantity"],
+               "a2_groupby_column": ["l_returnflag"]},
+        "A3": {"a3_column_names": ["l_discount", "l_tax"],
+               "a3_agg_column": "l_quantity"},
+        "P1": {},
+        "P2": {},
+        "I1": {"i1_sensitive_columns": ["l_quantity"]},
+        "U1": {},
+    }
+    ds = read_table("/root/testdata/sf0.001/lineitem.parquet")
+    plain = run_battery(ds, battery_from_config(config))
+    fused = run_battery(ds, battery_from_config(config), share="fused")
+    assert fused["errors"] == {}, fused["errors"]
+    assert fused["tests"] == plain["tests"]
+    assert fused["grade"] == plain["grade"]
+    for t, tbl in plain["tables"].items():
+        if isinstance(tbl, pd.DataFrame):
+            pd.testing.assert_frame_equal(fused["tables"][t], tbl,
+                                          check_like=True, obj=t)
