@@ -139,6 +139,9 @@ def run_suite() -> dict:
                  "a4_chronological", "lang_id_documents",
                  "contamination_scan", "similarity_join_topk",
                  "train_val_split", "hll_distinct_counts", "toxicity_scan",
+                 # sketch/membership family (all oracle-checked)
+                 "topk_tokens", "bloom_seen_filter", "approx_quantiles_hist",
+                 "dedup_simhash",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 
