@@ -82,7 +82,8 @@ def top_customers(sf_dir: str):
     # past ~10^7 customers switch to Dataset.groupby (stages/combine.py).
     agg = combine_groupby(orders, ["o_custkey"], {
         "total_spent": ("o_totalprice", "sum"),
-        "n_orders": ("o_totalprice", "count")})
+        "n_orders": ("o_totalprice", "count")},
+        tree=True)  # ~|customer| keys: pre-fold partials off the driver
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
     top = (agg.sort_values(["total_spent", "o_custkey"],

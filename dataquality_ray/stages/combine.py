@@ -29,12 +29,19 @@ _AGGS = {
 
 
 def combine_groupby(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
-                    batch_size: int | None = None) -> pd.DataFrame:
+                    batch_size: int | None = None,
+                    tree: bool = False) -> pd.DataFrame:
     """Grouped aggregation without a shuffle.
 
     ``aggs``: {out_col: (in_col, fn)} with fn in sum/count/size/min/max.
     Each batch emits one partial row per group; the driver merges partials
     with the matching combine fn.  Exact for these algebraic aggregates.
+
+    ``tree=True`` inserts one intermediate combine level (each merge task
+    folds ~64 partial frames with the COMBINE aggs) so the driver sees
+    O(keys x batches/64) rows instead of O(keys x batches) — the knob for
+    key spaces in the 10^5-10^7 range where per-batch partials would pile
+    up on the driver but the combined result still fits one node.
     """
     for out, (_, fn) in aggs.items():
         if fn not in _AGGS:
@@ -48,16 +55,24 @@ def combine_groupby(ds, keys: list[str], aggs: dict[str, tuple[str, str]],
             cols[out] = g.size() if pfn == "size" else g[col].agg(pfn)
         return pd.DataFrame(cols).reset_index()
 
-    parts = ds.map_batches(
+    def _combine(frame: pd.DataFrame) -> pd.DataFrame:
+        g = frame.groupby(keys, sort=False, dropna=False)
+        return pd.DataFrame(
+            {out_col: g[out_col].agg(_AGGS[fn][1])
+             for out_col, (_, fn) in aggs.items()}).reset_index()
+
+    stage = ds.map_batches(
         partial, batch_format="pandas",
-        **({"batch_size": batch_size} if batch_size else {})).to_pandas()
+        **({"batch_size": batch_size} if batch_size else {}))
+    if tree:
+        # fold up to 64k partial rows per merge task (many per-batch
+        # frames), shrinking what reaches the driver by that fan-in
+        stage = stage.map_batches(_combine, batch_format="pandas",
+                                  batch_size=65536)
+    parts = stage.to_pandas()
     if not len(parts):
         return pd.DataFrame(columns=keys + list(aggs))
-    g = parts.groupby(keys, sort=False, dropna=False)
-    out = pd.DataFrame(
-        {out_col: g[out_col].agg(_AGGS[fn][1])
-         for out_col, (_, fn) in aggs.items()}).reset_index()
-    return out
+    return _combine(parts)
 
 
 def grouped_value_counts(ds, group_col: str, val_col: str,

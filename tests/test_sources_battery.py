@@ -498,3 +498,23 @@ def test_config_battery_fused_matches_per_test(ray_session):
         if isinstance(tbl, pd.DataFrame):
             pd.testing.assert_frame_equal(fused["tables"][t], tbl,
                                           check_like=True, obj=t)
+
+
+def test_combine_groupby_tree_matches_flat(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from dataquality_ray.stages.combine import combine_groupby
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"k": rng.randint(0, 5000, 100000),
+                       "v": rng.randn(100000)})
+    ds = rd.from_pandas(df).repartition(16)
+    aggs = {"s": ("v", "sum"), "n": ("v", "count"),
+            "mn": ("v", "min"), "mx": ("v", "max")}
+    flat = (combine_groupby(ds, ["k"], aggs)
+            .sort_values("k").reset_index(drop=True))
+    tree = (combine_groupby(ds, ["k"], aggs, tree=True)
+            .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(flat, tree)
