@@ -54,7 +54,15 @@ DROP_RULES = [
 
 def _row_id_batch(batch: pa.Table) -> pa.Table:
     """Stable 63-bit row id from (repo, path, commit) — deterministic across
-    partitionings and runs (needed for exact resume + canonical dedup pick)."""
+    partitionings and runs (needed for exact resume + canonical dedup pick).
+
+    Collision note for 10^12-row corpora: ~5e4 expected 63-bit collisions
+    at that scale, and they are HARMLESS here — resume is keyed by input
+    FILE (not row id), content identity is the full sha256, and the
+    canonical dedup pick (min id within a sha group) stays deterministic
+    under equal ids; a collision could only matter if two rows of the SAME
+    content-sha group collided AND tied as the minimum (P ~ 1e-14 per
+    group), which flips the kept copy, never the keep/drop decision."""
     repo = batch["repo"].to_pylist()
     path = batch["path"].to_pylist()
     commit = batch["commit"].to_pylist()
