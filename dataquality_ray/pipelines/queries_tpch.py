@@ -344,3 +344,25 @@ def approx_quantiles_q(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
     return histogram_quantiles(ds, "l_extendedprice",
                                qs=(0.25, 0.5, 0.9, 0.99), bins=4096)
+
+
+# ---------------------------------------------------------------------------
+# Native global sort — the one all-to-all this suite otherwise avoids on
+# purpose; kept as a first-class op because "give me the corpus ordered by
+# X" is a real ask.  For plain top-N prefer the combiner/local-top-k paths
+# (top_customers, ann) — a full range-partitioned sort moves every block.
+# ---------------------------------------------------------------------------
+
+@query("orders_sorted_top100", sql="""
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""")
+def orders_sorted_q(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = (ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False])
+           .limit(100).to_pandas())
+    out["o_totalprice"] = out["o_totalprice"].round(R2)
+    return out[["o_orderkey", "o_totalprice"]].reset_index(drop=True)
