@@ -212,17 +212,79 @@ def supplier_stats_salted(sf_dir: str):
 # SQL-checkable via the two-offset union
 # ---------------------------------------------------------------------------
 
-@query("hll_distinct_counts")
+# --- DuckDB re-implementation of the HLL registers + estimator ------------
+# The oracle recomputes the SKETCH itself, not the true counts: same
+# hashes (splitmix64 for ints via the HUGEINT chain, sha256[:8] for
+# strings), same 2^12 registers (max rho per bucket, rho from bin()'s
+# leading-zero count), same harmonic estimator + small-range correction.
+# The register sum is exact (every term is a dyadic 2^-M_j and the value
+# window fits one float64 mantissa), so the estimate matches bit-for-bit.
+
+
+def _hll_col_sql(col: str, kind: str, table: str = "lineitem",
+                 p: int = 12) -> tuple[list[str], str]:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    m = 1 << p
+    shift = 1 << (64 - p)
+    ctes = []
+    if kind == "int":
+        ctes.append(f"{col}_in AS (SELECT {col}::UBIGINT::HUGEINT AS x "
+                    f"FROM {table} WHERE {col} IS NOT NULL)")
+        prev = f"{col}_in"
+        for n, expr in enumerate(_sm64_exprs("x")):
+            ctes.append(f"{col}_s{n} AS (SELECT {expr} AS x FROM {prev})")
+            prev = f"{col}_s{n}"
+        last = prev
+    else:
+        ctes.append(f"{col}_in AS (SELECT "
+                    f"('0x' || substr(sha256({col}),1,16))"
+                    f"::UBIGINT::HUGEINT AS x FROM {table} "
+                    f"WHERE {col} IS NOT NULL)")
+        last = f"{col}_in"
+    ctes.append(
+        f"{col}_regs AS (SELECT (x // {shift}) AS b, "
+        f"max(65 - length(bin((((x * {m}) % 18446744073709551616) "
+        f"+ {m} - 1)::UBIGINT))) AS mj FROM {last} GROUP BY 1)")
+    ctes.append(
+        f"{col}_est AS (SELECT '{col}' AS column_name, "
+        f"count(*) AS nonempty, "
+        f"sum(1.0 / (1::UBIGINT << mj)) AS s FROM {col}_regs)")
+    alpha = f"(0.7213 / (1 + 1.079 / {m}))"
+    raw = f"({alpha} * {m} * {m} / (s + ({m} - nonempty) * 1.0))"
+    zeros = f"({m} - nonempty)"
+    est = (f"CASE WHEN {raw} <= 2.5 * {m} AND {zeros} > 0 "
+           f"THEN {m} * ln({m} * 1.0 / {zeros}) ELSE {raw} END")
+    return ctes, (f"SELECT column_name, floor({est} * 10) / 10 "
+                  f"AS distinct_estimate FROM {col}_est")
+
+
+def _hll_sql() -> str:
+    all_ctes, selects = [], []
+    for col, kind in (("l_orderkey", "int"), ("l_suppkey", "int"),
+                      ("l_returnflag", "str")):
+        c, s = _hll_col_sql(col, kind)
+        all_ctes.extend(c)
+        selects.append(s)
+    return ("WITH " + ",\n".join(all_ctes) + "\n"
+            + "\nUNION ALL ".join(selects) + "\nORDER BY column_name")
+
+
+@query("hll_distinct_counts", sql=_hll_sql())
 def hll_q(sf_dir: str):
-    """HyperLogLog distinct estimates per column — rows-only (a sketch
-    can't hash-match exact SQL counts; the <=3-sigma accuracy bound and
-    merge-exactness are pinned in tests/test_sketch.py)."""
+    """HyperLogLog distinct estimates per column — hash-checked: the
+    DuckDB oracle recomputes the registers and estimator exactly (see
+    `_hll_col_sql`); the <=3-sigma accuracy bound and merge-exactness are
+    additionally pinned in tests/test_sketch.py."""
+    import numpy as np
+
     from dataquality_ray.stages.sketch import hll_distinct
 
     ds = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_returnflag"])
     out = hll_distinct(ds, ["l_orderkey", "l_suppkey", "l_returnflag"])
-    out["distinct_estimate"] = out["distinct_estimate"].round(1)
+    # floor-truncate (round-half ties diverge numpy vs DuckDB)
+    out["distinct_estimate"] = np.floor(out["distinct_estimate"] * 10) / 10
     return out
 
 

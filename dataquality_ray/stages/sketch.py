@@ -6,8 +6,9 @@ The canonical mergeable sketch for "how many distinct values does this
 thing that moves, and the driver merges them with an elementwise max.
 Standard error ≈ 1.04/√(2^p) (~1.6 % at p=12, 4 KiB per partial).
 
-Values are hashed with blake2b (strings/bytes) or splitmix64 (ints) —
-never Python ``hash()`` (per-process salted).
+Values are hashed with sha256[:8] (strings/bytes) or splitmix64 (ints) —
+never Python ``hash()`` (per-process salted); both are SQL-replicable so
+the DuckDB oracle recomputes the registers bit-for-bit.
 """
 
 from __future__ import annotations
@@ -44,8 +45,9 @@ def _hash_values(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     out = np.empty(len(vals), dtype=np.uint64)
     for i, v in enumerate(vals):
         b = v if isinstance(v, bytes) else str(v).encode()
-        out[i] = int.from_bytes(
-            hashlib.blake2b(b, digest_size=8).digest(), "big")
+        # sha256[:8] (not blake2b): DuckDB exposes sha256, so the whole
+        # HLL register computation is SQL-replicable and oracle-checked
+        out[i] = int.from_bytes(hashlib.sha256(b).digest()[:8], "big")
     return out
 
 
