@@ -480,13 +480,50 @@ def c1_q(sf_dir: str):
     return t.sort_values("names_tested").reset_index(drop=True)
 
 
-@query("c2_reference_lookup")
+@query("c2_reference_lookup", sql="""
+SELECT 'c_mktsegment' AS column_name, c_mktsegment AS value,
+       count(*) AS n_rows, 1.0 AS max_similarity, true AS consistent
+FROM customer GROUP BY c_mktsegment ORDER BY value
+""")
 def c2_q(sf_dir: str):
+    """Self-reference C2 (ref = the column's own universe): every value's
+    best TF-IDF cosine is itself, exactly 1.0 for single-token values
+    (the one nonzero of the L2-normalized vector is w/w = 1.0), so the
+    oracle is the distinct universe with the always-consistent invariant."""
     from dataquality_ray.stages.similarity import c2_reference_lookup
 
     # customer market segments vs the distinct segments of their own column
     res = c2_reference_lookup(_read(sf_dir, "customer", ["c_mktsegment"]),
                               {"c_mktsegment": "c_mktsegment"}, threshold=1.0)
+    t = res["table"].copy()
+    t["max_similarity"] = t["max_similarity"].round(R)
+    return t.sort_values("value").reset_index(drop=True)
+
+
+@query("c2_cross_reference", sql="""
+WITH ref(v) AS (VALUES ('BUILDING'), ('AUTOMOBILE'), ('MACHINERY'))
+SELECT 'c_mktsegment' AS column_name, c_mktsegment AS value,
+       count(*) AS n_rows,
+       CASE WHEN c_mktsegment IN (SELECT v FROM ref)
+            THEN 1.0 ELSE 0.0 END AS max_similarity,
+       c_mktsegment IN (SELECT v FROM ref) AS consistent
+FROM customer GROUP BY c_mktsegment ORDER BY value
+""")
+def c2_cross_q(sf_dir: str):
+    """Cross-dataset C2 against a reference list MISSING some segments: at
+    threshold 1.0 with single-token values, TF-IDF cosine is exactly 1.0
+    for vocabulary members and exactly 0.0 otherwise (disjoint one-hot
+    vectors), so the consistent flag reduces to exact membership — which
+    the oracle checks directly."""
+    import ray.data as rd
+
+    from dataquality_ray.stages.similarity import c2_reference_lookup
+
+    ref = rd.from_pandas(pd.DataFrame(
+        {"ref": ["BUILDING", "AUTOMOBILE", "MACHINERY"]}))
+    res = c2_reference_lookup(_read(sf_dir, "customer", ["c_mktsegment"]),
+                              {"c_mktsegment": "ref"}, ref_ds=ref,
+                              threshold=1.0)
     t = res["table"].copy()
     t["max_similarity"] = t["max_similarity"].round(R)
     return t.sort_values("value").reset_index(drop=True)
