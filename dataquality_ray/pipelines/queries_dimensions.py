@@ -529,8 +529,55 @@ def c2_cross_q(sf_dir: str):
     return t.sort_values("value").reset_index(drop=True)
 
 
-@query("c3_fuzzy_reference")
+def _c3_sql() -> str:
+    """DuckDB twin of the C3 fuzzy lookup INCLUDING the Levenshtein-indel
+    ratio: normalization via the shared normalize chain, then
+    2*LCS/(|a|+|b|) computed by a recursive-CTE DP whose row state is a
+    LIST column (each recursion step fills one DP row; the within-row
+    recurrence runs in a list_reduce whose accumulator is the growing
+    row).  Makes the C-family's fuzzy scoring hash-checked, not just its
+    membership flags."""
+    from dataquality_ray.pipelines.queries_text import normalize_sql_expr
+
+    return f"""
+WITH RECURSIVE vals AS (
+  SELECT {normalize_sql_expr('n_name')} AS u, count(*) AS n_rows
+  FROM nation GROUP BY 1
+), refs AS (SELECT lower(r_name) AS r FROM region),
+pairs AS (
+  SELECT u, r, length(u) AS lu, length(r) AS lr FROM vals CROSS JOIN refs
+), dp AS (
+  SELECT u, r, lu, lr, 0 AS i,
+         list_transform(range(0, lr + 1), x -> 0) AS row
+  FROM pairs
+  UNION ALL
+  SELECT u, r, lu, lr, i + 1,
+         list_reduce(
+           list_prepend([0], list_transform(range(1, lr + 1), j -> [j])),
+           (acc, x) -> list_append(acc,
+              CASE WHEN substring(u, i + 1, 1) = substring(r, x[1], 1)
+                   THEN row[x[1]] + 1
+                   ELSE greatest(acc[len(acc)], row[x[1] + 1]) END))
+  FROM dp WHERE i < lu AND lr > 0
+), ratios AS (
+  SELECT u, r,
+         CASE WHEN lu + lr = 0 THEN 1.0
+              WHEN lu = 0 OR lr = 0 THEN 0.0
+              ELSE 2.0 * row[lr + 1] / (lu + lr) END AS ratio
+  FROM dp WHERE i = lu OR (lr = 0 AND i = 0)
+), best AS (SELECT u, max(ratio) AS best_ratio FROM ratios GROUP BY u)
+SELECT 'n_name' AS column_name, v.u AS normalized_value, v.n_rows,
+       floor(b.best_ratio * 1000000) / 1000000 AS best_ratio,
+       b.best_ratio >= 0.6 AS consistent
+FROM vals v JOIN best b ON b.u = v.u
+ORDER BY normalized_value
+"""
+
+
+@query("c3_fuzzy_reference", sql=_c3_sql())
 def c3_q(sf_dir: str):
+    import numpy as np
+
     from dataquality_ray.stages.similarity import c3_fuzzy_reference
 
     # nation names fuzzily matched against region names
@@ -538,7 +585,8 @@ def c3_q(sf_dir: str):
     res = c3_fuzzy_reference(_read(sf_dir, "nation", ["n_name"]), ["n_name"],
                              ref_names=regions, threshold=0.6)
     t = res["table"].copy()
-    t["best_ratio"] = t["best_ratio"].round(R)
+    # floor-truncate (round-half ties diverge numpy vs DuckDB)
+    t["best_ratio"] = np.floor(t["best_ratio"] * 1e6) / 1e6
     return t.sort_values("normalized_value").reset_index(drop=True)
 
 

@@ -81,17 +81,25 @@ def quality_stats_q(sf_dir: str):
 # normalize_text (reference semantics incl. province expansion) — SQL chain
 # ---------------------------------------------------------------------------
 
-def _norm_sql() -> str:
+def normalize_sql_expr(col: str) -> str:
+    """The DuckDB twin of functions/textnorm.normalize_text for column
+    ``col`` (lower+trim, province expansion, alnum+space filter, whitespace
+    collapse) — shared by the text_normalize and c3 oracles."""
     from dataquality_ray.functions.textnorm import PROVINCE_ABBREVIATIONS
 
-    expr = "lower(trim(text))"
+    expr = f"lower(trim({col}))"
     for abbr, full in PROVINCE_ABBREVIATIONS.items():
         expr = (f"regexp_replace({expr}, '\\b{abbr.lower()}\\b', "
                 f"'{full.lower()}', 'g')")
     # keep alnum+space, collapse whitespace
     expr = f"regexp_replace({expr}, '[^0-9a-z\\s]', '', 'g')"
     expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
-    return f"SELECT doc_id, {expr} AS normalized FROM documents ORDER BY doc_id"
+    return expr
+
+
+def _norm_sql() -> str:
+    return (f"SELECT doc_id, {normalize_sql_expr('text')} AS normalized "
+            "FROM documents ORDER BY doc_id")
 
 
 @query("text_normalize", sql=_norm_sql())
