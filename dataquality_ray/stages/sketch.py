@@ -236,14 +236,31 @@ def heavy_hitters(ds, col: str, topn: int = 20, k: int = 512,
                              "count": pa.array([], pa.int64())})
         hit = toks[np.isin(toks, cand)]
         v, c = np.unique(hit, return_counts=True)
+        # one extra row per batch carries the TOTAL token count, so the
+        # driver can verify the MG guarantee actually held on this data
+        v = np.append(v, "\x00__total__")
+        c = np.append(c, len(toks))
         return pa.table({"value": pa.array(v.astype(str)),
                          "count": pa.array(c.astype(np.int64))})
 
     exact = (ds.select_columns([col])
                .map_batches(exact_partial, batch_format="pyarrow").to_pandas())
-    tot = (exact.groupby("value", as_index=False)["count"].sum()
-           .sort_values(["count", "value"], ascending=[False, True])
+    sums = exact.groupby("value", as_index=False)["count"].sum()
+    n_total = int(sums.loc[sums["value"] == "\x00__total__", "count"].sum())
+    sums = sums[sums["value"] != "\x00__total__"]
+    tot = (sums.sort_values(["count", "value"], ascending=[False, True])
            .head(topn).reset_index(drop=True))
+    # Exactness check: any value OUTSIDE the candidate set has true count
+    # <= n_total/(k+1) (the MG bound).  If the N-th kept count does not
+    # clear that bound the result may miss a true heavy hitter — log it
+    # loudly so the caller raises k instead of silently trusting top-N.
+    if len(tot) == topn and int(tot["count"].iloc[-1]) <= n_total // (k + 1):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "heavy_hitters: top-%d not provably exact (N-th count %d <= "
+            "MG bound %d); raise k above %d", topn,
+            int(tot["count"].iloc[-1]), n_total // (k + 1), k)
     return tot
 
 
