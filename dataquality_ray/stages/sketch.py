@@ -238,7 +238,9 @@ def heavy_hitters(ds, col: str, topn: int = 20, k: int = 512,
         v, c = np.unique(hit, return_counts=True)
         # one extra row per batch carries the TOTAL token count, so the
         # driver can verify the MG guarantee actually held on this data
-        v = np.append(v, "\x00__total__")
+        # (the sentinel contains a space, which no whitespace-split token
+        # can, so it cannot collide with a real value)
+        v = np.append(v.astype(object), "__ total __")
         c = np.append(c, len(toks))
         return pa.table({"value": pa.array(v.astype(str)),
                          "count": pa.array(c.astype(np.int64))})
@@ -246,8 +248,8 @@ def heavy_hitters(ds, col: str, topn: int = 20, k: int = 512,
     exact = (ds.select_columns([col])
                .map_batches(exact_partial, batch_format="pyarrow").to_pandas())
     sums = exact.groupby("value", as_index=False)["count"].sum()
-    n_total = int(sums.loc[sums["value"] == "\x00__total__", "count"].sum())
-    sums = sums[sums["value"] != "\x00__total__"]
+    n_total = int(sums.loc[sums["value"] == "__ total __", "count"].sum())
+    sums = sums[sums["value"] != "__ total __"]
     tot = (sums.sort_values(["count", "value"], ascending=[False, True])
            .head(topn).reset_index(drop=True))
     # Exactness check: any value OUTSIDE the candidate set has true count
