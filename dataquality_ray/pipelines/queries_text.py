@@ -1125,3 +1125,75 @@ def bloom_seen_q(sf_dir: str):
     out = (probe_bloom(probe, "text", bits_ref)
            .select_columns(["doc_id", "seen"]).to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# The flagship's heuristic keep/drop rules, hash-checked: line stats, alnum
+# ratio, dup-line fraction and the autogen marker are all SQL-expressible,
+# so the rule kernels that drive the north-rule decision get a DuckDB
+# oracle (langid/perplexity stay model-based and rows-only).
+# ---------------------------------------------------------------------------
+
+
+def _heuristic_sql() -> str:
+    from dataquality_ray.functions.heuristics import (
+        AUTOGEN_RE,
+        MAX_DUP_LINE_FRAC,
+        MAX_LINE_LEN,
+        MEAN_LINE_LEN,
+        MIN_ALNUM_RATIO,
+        MIN_DUP_LINES,
+    )
+
+    lines = "string_split(text, chr(10))"
+    lens = f"list_transform({lines}, l -> length(l))"
+    empty = "text IS NULL OR text = ''"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN {empty} THEN 0 ELSE len({lines}) END AS n_lines,
+         CASE WHEN {empty} THEN 0 ELSE list_max({lens}) END AS max_line_len,
+         CASE WHEN {empty} THEN 0.0
+              ELSE list_sum({lens}) * 1.0 / len({lines}) END AS mean_line_len,
+         CASE WHEN {empty} THEN 0.0
+              ELSE 1.0 - len(list_distinct({lines})) * 1.0 / len({lines})
+         END AS dup_line_frac,
+         CASE WHEN coalesce(length(text), 0) > 0
+              THEN length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g'))
+                   * 1.0 / length(text)
+              ELSE 0.0 END AS alnum_ratio,
+         coalesce(regexp_matches(text, '{AUTOGEN_RE}'), false) AS autogen
+  FROM documents
+)
+SELECT doc_id,
+       (max_line_len > {MAX_LINE_LEN}
+        OR mean_line_len > {MEAN_LINE_LEN}) AS rule_long_lines,
+       (dup_line_frac > {MAX_DUP_LINE_FRAC}
+        AND n_lines >= {MIN_DUP_LINES}) AS rule_repetitive,
+       autogen AS rule_autogen,
+       (alnum_ratio < {MIN_ALNUM_RATIO}) AS rule_low_alnum
+FROM s ORDER BY doc_id
+"""
+
+
+@query("heuristic_rules", sql=_heuristic_sql())
+def heuristic_rules_q(sf_dir: str):
+    from dataquality_ray.functions.heuristics import (
+        content_stats,
+        heuristic_violations,
+    )
+
+    def kern(batch: pa.Table) -> pa.Table:
+        b = content_stats(batch, col="text")
+        flags = heuristic_violations(b)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "rule_long_lines": flags["rule_long_lines"],
+            "rule_repetitive": flags["rule_repetitive"],
+            "rule_autogen": pc.fill_null(flags["rule_autogen"], False),
+            "rule_low_alnum": flags["rule_low_alnum"],
+        })
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
