@@ -173,3 +173,102 @@ def test_hash_fraction_is_roughly_uniform():
     # 10 buckets within 5% of expected mass
     hist, _ = np.histogram(f, bins=10, range=(0, 1))
     assert np.all(np.abs(hist - 20000) < 1000)
+
+
+def test_lcs_sql_matches_indel_ratio_on_random_strings():
+    """The recursive-CTE LCS DP used by the c3 oracle must agree with the
+    engine's indel_ratio on arbitrary short strings."""
+    import duckdb
+    import numpy as np
+
+    from dataquality_ray.functions.textnorm import indel_ratio
+
+    rng = np.random.RandomState(11)
+    alpha = list("abcde ")
+    strs = ["".join(rng.choice(alpha, rng.randint(0, 12)))
+            for _ in range(30)] + ["", "aaa", "abcabc"]
+    pairs = [(strs[i], strs[(i * 7 + 3) % len(strs)])
+             for i in range(len(strs))]
+    vals = ", ".join("(" + ", ".join("'" + s.replace("'", "''") + "'"
+                                     for s in p) + ")" for p in pairs)
+    sql = f"""
+WITH RECURSIVE pairs AS (
+  SELECT u, r, length(u) AS lu, length(r) AS lr
+  FROM (VALUES {vals}) t(u, r)
+), dp AS (
+  SELECT u, r, lu, lr, 0 AS i,
+         list_transform(range(0, lr + 1), x -> 0) AS row
+  FROM pairs
+  UNION ALL
+  SELECT u, r, lu, lr, i + 1,
+         list_reduce(
+           list_prepend([0], list_transform(range(1, lr + 1), j -> [j])),
+           (acc, x) -> list_append(acc,
+              CASE WHEN substring(u, i + 1, 1) = substring(r, x[1], 1)
+                   THEN row[x[1]] + 1
+                   ELSE greatest(acc[len(acc)], row[x[1] + 1]) END))
+  FROM dp WHERE i < lu AND lr > 0
+)
+SELECT u, r,
+       CASE WHEN lu + lr = 0 THEN 1.0
+            WHEN lu = 0 OR lr = 0 THEN 0.0
+            ELSE 2.0 * row[lr + 1] / (lu + lr) END AS ratio
+FROM dp WHERE i = lu OR (lr = 0 AND i = 0)
+"""
+    got = duckdb.connect().execute(sql).fetchdf()
+    for _, row in got.iterrows():
+        expect = indel_ratio(row["u"], row["r"])
+        assert abs(row["ratio"] - expect) < 1e-12, (row["u"], row["r"])
+
+
+def test_fused_battery_parity_with_nulls(ray_session):
+    """Fused specs must match per-test results on null-heavy data (NaN
+    groups, null strings, null numerics)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from dataquality_ray.pipelines import dimensions as dq
+    from dataquality_ray.pipelines.battery import run_battery
+
+    rng = np.random.RandomState(2)
+    n = 2000
+    df = pd.DataFrame({
+        "num": np.where(rng.rand(n) < 0.2, np.nan, rng.randn(n) * 10),
+        "grp": np.where(rng.rand(n) < 0.1, None,
+                        rng.choice(["a", "b", "c"], n)),
+        "txt": np.where(rng.rand(n) < 0.15, None,
+                        rng.choice(["x 1", "y 2", "z 3"], n)),
+        "qty": rng.randint(0, 5, n).astype(float),
+    })
+    ds = rd.from_pandas(df).repartition(5)
+    tests = [
+        ("A1", "Accuracy", lambda d: dq.a1_symbols_in_numerics(d, ["num"]),
+         {"spec": dq.a1_spec(["num"])}),
+        ("A2", "Accuracy",
+         lambda d: dq.a2_iqr_grouped(d, ["num"], group_col="grp"),
+         {"spec": dq.a2_grouped_spec(["num"], group_col="grp")}),
+        ("P1", "Completeness", lambda d: dq.p1_completeness(d),
+         {"spec": lambda d: dq.p1_spec(
+             [c for c in d.schema().names if c != "Comment"])}),
+        ("U1", "Uniqueness", lambda d: dq.u1_duplicate_rows(
+            d, ["grp", "txt", "qty"]),
+         {"spec": dq.u1_spec(["grp", "txt", "qty"])}),
+        ("I1", "Interdependency", lambda d: dq.i1_proxy_corr(
+            d, ["num"], threshold=0.5, numeric_columns=["num", "qty"],
+            nominal_columns=["grp", "txt"]),
+         {"spec": dq.i1_spec(["num"], threshold=0.5,
+                             numeric_columns=["num", "qty"],
+                             nominal_columns=["grp", "txt"])}),
+    ]
+    plain = run_battery(ds, tests)
+    fused = run_battery(ds, tests, share="fused")
+    assert fused["errors"] == {}, fused["errors"]
+    assert plain["errors"] == {}, plain["errors"]
+    for t, s in plain["tests"].items():
+        f = fused["tests"][t]
+        assert (s is None and f is None) or abs(f - s) < 1e-12, (t, s, f)
+    for t, tbl in plain["tables"].items():
+        if isinstance(tbl, pd.DataFrame):
+            pd.testing.assert_frame_equal(fused["tables"][t], tbl,
+                                          check_like=True, obj=t)
