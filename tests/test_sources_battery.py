@@ -518,3 +518,20 @@ def test_combine_groupby_tree_matches_flat(ray_session):
     tree = (combine_groupby(ds, ["k"], aggs, tree=True)
             .sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(flat, tree)
+
+
+def test_battery_share_rescan_matches_materialize(ray_session):
+    """share='rescan' (fully streaming, each test re-executes the read)
+    must match the materialized path."""
+    from dataquality_ray.pipelines.battery import (
+        battery_from_config,
+        run_battery,
+    )
+    from dataquality_ray.sources.readers import read_table
+
+    config = {"A1": {"a1_column_names": ["l_quantity"]}, "P1": {}, "U1": {}}
+    ds = read_table("/root/testdata/sf0.001/lineitem.parquet")
+    mat = run_battery(ds, battery_from_config(config))
+    res = run_battery(ds, battery_from_config(config), share="rescan")
+    assert res["errors"] == {} and res["tests"] == mat["tests"]
+    assert res["grade"] == mat["grade"]
