@@ -364,3 +364,93 @@ def near_dup_keep(pairs: pd.DataFrame) -> pd.DataFrame:
     out = pd.DataFrame({"doc_id": list(comp), "group_id": list(comp.values())})
     out["keep"] = out["doc_id"] == out["group_id"]
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def minhash_near_dup_pairs_distributed(ds, text_col: str = "text",
+                                       id_col: str = "doc_id", k: int = 3,
+                                       jaccard_threshold: float = 0.7,
+                                       batch_size: int = 1024):
+    """Beyond-cap MinHash-LSH: candidates AND exact verification stay
+    distributed — the bucket-count table, the pair set, the candidate
+    documents and the verdicts never land on the driver (returns a
+    Dataset of (id_a, id_b, jaccard)).
+
+    Shape: signatures -> Ray groupby-count per bucket (all-to-all over
+    tiny (doc_id, bucket) rows) -> inner hash-join keeps hot-bucket
+    members -> per-bucket pair emission (MAX_BUCKET capped, logged) ->
+    groupby pair dedup -> two hash-partitioned joins fetch both texts ->
+    per-row exact-Jaccard verify + threshold filter.  Each pair re-shingles
+    its two documents (duplicated per-doc work across pairs) — that is the
+    distributed trade; below driver scale prefer
+    :func:`minhash_near_dup_pairs`, whose bucket counts and pair set are
+    driver-held and measured ~3x faster on small corpora.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from dataquality_ray.stages.joins import hash_join
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        out = MinHasher(text_col=text_col, id_col=id_col, k=k)(batch)
+        # composite (band, hash) folded to ONE int64 key: single-key
+        # groupbys and joins, no two-column exchange
+        bh = (out["band_hash"].to_numpy(zero_copy_only=False)
+              .astype(np.int64).view(np.uint64))
+        b = out["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({"doc_id": out["doc_id"],
+                         "bkey": pa.array((bh ^ b).view(np.int64))})
+
+    sigs = ds.map_batches(hash_batch, batch_format="pyarrow",
+                          batch_size=batch_size).materialize()
+    hot = (sigs.groupby("bkey").aggregate(Count("doc_id", alias_name="_n"))
+           .filter(expr="_n >= 2").drop_columns(["_n"]))
+    members = hash_join(sigs, hot, on="bkey", join_type="inner")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        if len(ids) > MAX_BUCKET:
+            print(f"[minhash] bucket capped: {len(ids)} docs share a band")
+            ids = ids[:MAX_BUCKET]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        out = list(itertools.combinations(ids, 2))
+        return pd.DataFrame(out, columns=["id_a", "id_b"])
+
+    pairs = (members.groupby("bkey")
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    distinct = (pairs.groupby(["id_a", "id_b"])
+                .aggregate(Count("id_a", alias_name="_c"))
+                .drop_columns(["_c"]))
+
+    def rename_to(col_from: str, col_to: str):
+        def fn(b: pa.Table) -> pa.Table:
+            names = list(b.column_names)
+            names[names.index(col_from)] = col_to
+            return b.rename_columns(names)
+        return fn
+
+    docs = ds.select_columns([id_col, text_col])
+    a = (hash_join(distinct, docs, on="id_a", right_on=id_col,
+                   value_cols=[text_col], join_type="inner")
+         .map_batches(rename_to(text_col, "_text_a"),
+                      batch_format="pyarrow"))
+    both = (hash_join(a, docs, on="id_b", right_on=id_col,
+                      value_cols=[text_col], join_type="inner")
+            .map_batches(rename_to(text_col, "_text_b"),
+                         batch_format="pyarrow"))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch["_text_a"].to_pylist()
+        tb = batch["_text_b"].to_pylist()
+        js = np.empty(len(ta), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            js[i] = jaccard(shingle_hashes(x or "", k),
+                            shingle_hashes(y or "", k))
+        out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                        "jaccard": pa.array(js)})
+        return out.filter(pc.greater_equal(out["jaccard"],
+                                           jaccard_threshold))
+
+    return both.map_batches(verify, batch_format="pyarrow",
+                            batch_size=batch_size)

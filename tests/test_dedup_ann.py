@@ -310,3 +310,33 @@ def test_sampling_split_over_dataset(ray_session):
     s10 = set(hash_sample(ds, 0.1, "doc_id", seed=5).to_pandas()["doc_id"])
     s30 = set(hash_sample(ds, 0.3, "doc_id", seed=5).to_pandas()["doc_id"])
     assert s10 <= s30
+
+
+def test_minhash_distributed_matches_driver_mode(ray_session):
+    """The fully-distributed beyond-cap variant (Ray-groupby bucket counts,
+    joined text fetch, distributed verify) must produce the same verified
+    pair set and jaccard values as the driver-side path."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+    from dataquality_ray.stages.minhash import (
+        minhash_near_dup_pairs,
+        minhash_near_dup_pairs_distributed,
+    )
+
+    rng = np.random.RandomState(4)
+    vocab = [f"w{i}" for i in range(60)]
+    base = [" ".join(rng.choice(vocab, 30)) for _ in range(80)]
+    # plant near-dups: drop the first word of docs 0..14
+    docs = pd.DataFrame({
+        "doc_id": list(range(80)) + [1000 + i for i in range(15)],
+        "text": base + [" ".join(b.split()[1:]) for b in base[:15]],
+    })
+    ds = rd.from_pandas(docs).repartition(4)
+    want = minhash_near_dup_pairs(ds, jaccard_threshold=0.5)
+    got = (minhash_near_dup_pairs_distributed(ds, jaccard_threshold=0.5)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"id_a": "int64", "id_b": "int64"}),
+        want.astype({"id_a": "int64", "id_b": "int64"}))
