@@ -454,3 +454,78 @@ def minhash_near_dup_pairs_distributed(ds, text_col: str = "text",
 
     return both.map_batches(verify, batch_format="pyarrow",
                             batch_size=batch_size)
+
+
+def near_dup_keep_distributed(pairs_ds, id_a: str = "id_a",
+                              id_b: str = "id_b", max_rounds: int = 20):
+    """Distributed connected components over a PAIR Dataset via min-label
+    propagation — the beyond-cap twin of :func:`near_dup_keep` for pair
+    sets that outgrow the driver.  Each round every node takes the min of
+    its own label and its neighbours' (one groupby-min over the edge list
+    joined to current labels); near-dup components have tiny diameter, so
+    it converges in a few rounds (hard-capped at ``max_rounds``; one
+    driver-side SCALAR per round checks convergence).
+
+    Returns a Dataset of (doc_id, group_id, keep) like the driver version.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    from dataquality_ray.stages.joins import hash_join
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].to_numpy(zero_copy_only=False)
+        b = batch[id_b].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs_ds.map_batches(to_edges,
+                                 batch_format="pyarrow").materialize()
+    labels = (edges.groupby("src").aggregate(Min("dst", alias_name="nmin"))
+              .map_batches(lambda b: pa.table({
+                  "node": b["src"],
+                  "label": pc.min_element_wise(b["src"], b["nmin"])}),
+                  batch_format="pyarrow").materialize())
+
+    for _ in range(max_rounds):
+        # neighbour labels: edge (src, dst) joined to dst's current label
+        nbr = (hash_join(edges, labels, on="dst", right_on="node",
+                         value_cols=["label"], join_type="inner")
+               .map_batches(lambda b: pa.table({"node": b["src"],
+                                                "label": b["label"]}),
+                            batch_format="pyarrow"))
+        new_labels = (nbr.union(labels.select_columns(["node", "label"]))
+                      .groupby("node")
+                      .aggregate(Min("label", alias_name="label"))
+                      .materialize())
+        # convergence: did any label change?  (scalar partial sums only;
+        # the previous labels are renamed first — Dataset.join does not
+        # suffix colliding column names)
+        prev = labels.map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "label_old": b["label"]}),
+            batch_format="pyarrow")
+        joined = hash_join(new_labels, prev, on="node",
+                           value_cols=["label_old"], join_type="inner")
+
+        def diff(batch: pa.Table) -> pa.Table:
+            ne = pc.sum(pc.cast(pc.not_equal(batch["label"],
+                                             batch["label_old"]),
+                                pa.int64())).as_py() or 0
+            return pa.table({"changed": [int(ne)]})
+
+        changed = sum(int(r["changed"]) for r in
+                      joined.map_batches(diff,
+                                         batch_format="pyarrow").take_all())
+        labels = new_labels
+        if not changed:
+            break
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["node"],
+            "group_id": batch["label"],
+            "keep": pc.equal(batch["node"], batch["label"]),
+        })
+
+    return labels.map_batches(finish, batch_format="pyarrow")

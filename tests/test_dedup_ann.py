@@ -340,3 +340,26 @@ def test_minhash_distributed_matches_driver_mode(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"id_a": "int64", "id_b": "int64"}),
         want.astype({"id_a": "int64", "id_b": "int64"}))
+
+
+def test_near_dup_keep_distributed_matches_union_find(ray_session):
+    """Min-label propagation over a pair Dataset == driver union-find,
+    including multi-hop (transitive) components."""
+    import pandas as pd
+
+    import ray.data as rd
+    from dataquality_ray.stages.minhash import (
+        near_dup_keep,
+        near_dup_keep_distributed,
+    )
+
+    # chains + a star + isolated pair: exercises multi-round propagation
+    pairs = pd.DataFrame({
+        "id_a": [1, 2, 3, 10, 10, 20, 30, 31, 32, 33],
+        "id_b": [2, 3, 4, 11, 12, 21, 31, 32, 33, 34],
+    })
+    want = near_dup_keep(pairs)
+    got = (near_dup_keep_distributed(rd.from_pandas(pairs).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype(want.dtypes.to_dict()), want)
