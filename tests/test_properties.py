@@ -272,3 +272,32 @@ def test_fused_battery_parity_with_nulls(ray_session):
         if isinstance(tbl, pd.DataFrame):
             pd.testing.assert_frame_equal(fused["tables"][t], tbl,
                                           check_like=True, obj=t)
+
+
+def test_normalize_sql_chain_matches_python_on_fuzzed_ascii():
+    """The DuckDB normalize chain (shared by the text_normalize and c3
+    oracles) must agree with functions/textnorm.normalize_text on
+    adversarial ASCII inputs: abbreviation tokens at boundaries, repeated
+    whitespace, punctuation runs, empty strings.  (Unicode is out of scope:
+    RE2's \\b is ASCII while Python's is not — the engine's corpora are
+    ASCII-tokenized.)"""
+    import duckdb
+    import numpy as np
+
+    from dataquality_ray.functions.textnorm import normalize_text
+    from dataquality_ray.pipelines.queries_text import normalize_sql_expr
+
+    rng = np.random.RandomState(9)
+    pieces = ["bc", "on", "qc", "BC.", "bcx", "xon", "on,", "12", "a-b",
+              "Hello", "WORLD!", "  ", "\t", ",", "...", "ON", "nu",
+              "pe", "yt", "area 51", "(qc)"]
+    cases = ["", " ", "on", " bc ", "bc on qc"] + [
+        " ".join(rng.choice(pieces, rng.randint(1, 8))) for _ in range(60)]
+    vals = ", ".join(f"({i}, '" + c.replace("'", "''") + "')"
+                     for i, c in enumerate(cases))
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT i, {normalize_sql_expr('t')} AS n "
+        f"FROM (VALUES {vals}) v(i, t) ORDER BY i").fetchdf()
+    for i, c in enumerate(cases):
+        assert got["n"].iloc[i] == normalize_text(c), (c,)
