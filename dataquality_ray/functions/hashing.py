@@ -29,3 +29,55 @@ def hash_fraction(ids: np.ndarray, seed: int = 0) -> np.ndarray:
     """Map ids to uniform [0, 1) deterministically (seed-xor then mix)."""
     h = splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
     return h.astype(np.float64) / float(2**64)
+
+
+def u64pair_to_binary16(h1: np.ndarray, h2: np.ndarray):
+    """Pack two aligned uint64 arrays into one Arrow fixed_size_binary(16)
+    column, zero-copy from the interleaved numpy buffer.  16 raw bytes per
+    key where a sha256 hexdigest string costs 64 B + object overhead — the
+    dedup/U1 paths are the biggest shuffles in the engine, so key width is
+    directly network/plasma width (round-2 VERDICT item 3)."""
+    import pyarrow as pa
+
+    n = len(h1)
+    raw = np.empty((n, 2), dtype=">u8")  # big-endian: lexicographic sort ==
+    raw[:, 0] = h1                       # numeric sort, stable across libs
+    raw[:, 1] = h2
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(16), n, [None, pa.py_buffer(raw.tobytes())])
+
+
+def rowhash_batch(batch, out_col: str = "row_hash"):
+    """128-bit canonical row hash per row as ONE fixed_size_binary(16)
+    column — the engine-internal key for U1 duplicate counting
+    (reference ``duplicated(keep=False)``, dimensions/uniqueness/u1.py:33).
+
+    Fast path: two independently-seeded vectorized xxhash row passes
+    (polars ``hash_rows`` — no Python loop, no string materialization);
+    128 bits keeps birthday collisions negligible past 10^10 rows where a
+    single 64-bit key would start inventing duplicates.  Determinism is
+    per-installation (pinned polars), which is all a per-run duplicate
+    COUNT needs; anything persisted across runs keys on content sha256
+    instead (functions/scrub.py).  Fallback (nested/exotic dtypes polars
+    can't hash): per-row sha256 over the stringified row, truncated to 16
+    bytes — same key type, same semantics as the reference's stringify.
+    """
+    import pyarrow as pa
+
+    try:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        h1 = df.hash_rows(seed=0).to_numpy()
+        h2 = df.hash_rows(seed=0x9E3779B97F4A7C15).to_numpy()
+        arr = u64pair_to_binary16(h1.astype(np.uint64),
+                                  h2.astype(np.uint64))
+    except Exception:
+        import hashlib
+
+        pdf = batch.to_pandas()
+        payload = pdf.astype(str).agg("\x00".join, axis=1)
+        arr = pa.array(
+            [hashlib.sha256(p.encode()).digest()[:16] for p in payload],
+            type=pa.binary(16))
+    return pa.table({out_col: arr})

@@ -149,6 +149,12 @@ def run_fused_specs(ds, specs: dict[str, dict]) -> dict[str, "pd.DataFrame"]:
     return out
 
 
+# Max row count for which specs carrying a driver-combine contract
+# (``combine_cap_rows``) stay in the fused single scan; None defers to
+# autoroute.DRIVER_COMBINE_CAP.  Tests monkeypatch this to force un-fusing.
+FUSED_COMBINE_CAP_ROWS: int | None = None
+
+
 def run_battery(ds, tests: list[tuple[str, str, Callable]],
                 *, columns: list[str] | None = None,
                 weights: dict[str, dict] | None = None,
@@ -176,11 +182,32 @@ def run_battery(ds, tests: list[tuple[str, str, Callable]],
     fused_specs: dict[str, dict] = {}
     fused_parts: dict[str, "pd.DataFrame"] = {}
     if share == "fused":
+        est_rows = None
         for entry in tests:
             meta = entry[3] if len(entry) > 3 else {}
             sp = meta.get("spec")
             if sp is not None:
-                fused_specs[entry[0]] = sp(ds) if callable(sp) else sp
+                spec = sp(ds) if callable(sp) else sp
+                if spec.get("combine_cap_rows"):
+                    # driver-combine contract (e.g. U1's O(#distinct rows)
+                    # partials): a fused spec cannot re-route mid-scan, so
+                    # pre-check the row count (block metadata — free after
+                    # the materialize above) and fall back to the per-test
+                    # path, which IS auto-routed (u1 mode='auto').
+                    from dataquality_ray.stages import autoroute
+                    from dataquality_ray.stages.autoroute import record_route
+
+                    fused_cap = (FUSED_COMBINE_CAP_ROWS
+                                 if FUSED_COMBINE_CAP_ROWS is not None
+                                 else autoroute.DRIVER_COMBINE_CAP)
+                    if est_rows is None:
+                        est_rows = ds.count()
+                    if est_rows > fused_cap:
+                        record_route(f"battery:{entry[0]}", "unfused",
+                                     f"row count {est_rows} exceeds "
+                                     "driver-combine cap", est_rows)
+                        continue
+                fused_specs[entry[0]] = spec
         if fused_specs:
             try:
                 fused_parts = run_fused_specs(ds, fused_specs)

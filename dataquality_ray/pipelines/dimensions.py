@@ -637,30 +637,56 @@ def t1_timeliness(ds=None) -> dict:
 
 
 def u1_duplicate_rows(ds, columns: list[str] | None = None,
-                      mode: str = "combine") -> dict:
+                      mode: str = "auto", cap: int | None = None) -> dict:
     """duplicated(keep=False) over all columns at scale: canonical row hash
     per row, then count per hash.  Score = 1 - duplicated_rows/total.
 
-    ``combine`` (default): per-batch hash counts merged driver-side — no
-    shuffle; driver memory is O(#distinct rows), fine to ~10^8.  ``shuffle``:
-    ``groupby(row_hash)`` for corpora beyond that; only 32-byte hashes move.
+    ``auto`` (default): the combine runs GUARDED — if the distinct-row-hash
+    count crosses ``cap`` (a mostly-unique huge table, the case where the
+    combine's O(#distinct) driver memory dies) the operator re-routes to
+    the ``shuffle`` path (stages/autoroute.py).  ``combine``: unguarded
+    per-batch hash counts merged driver-side — no shuffle, O(#distinct
+    rows) driver memory.  ``shuffle``: ``groupby(row_hash)`` — any
+    cardinality; only 16-byte hashes move, and only scalar partial sums
+    reach the driver.
     """
-    import hashlib
+    from dataquality_ray.functions.hashing import rowhash_batch
 
     cols = columns or ds.schema().names
 
     def rowhash(batch: pa.Table) -> pa.Table:
-        df = batch.select(cols).to_pandas()
-        payload = df.astype(str).agg("\x00".join, axis=1)
-        hashes = [hashlib.sha256(p.encode()).hexdigest() for p in payload]
-        return pa.table({"row_hash": pa.array(hashes)})
+        return rowhash_batch(batch.select(cols))
 
     hashed = ds.select_columns(cols).map_batches(rowhash, batch_format="pyarrow")
-    if mode == "combine":
-        from dataquality_ray.stages.combine import combine_groupby
+    if mode in ("combine", "auto"):
+        from dataquality_ray.stages.autoroute import (
+            DRIVER_COMBINE_CAP,
+            guarded_partials,
+            record_route,
+        )
 
-        counts = combine_groupby(hashed, ["row_hash"],
-                                 {"c": ("row_hash", "size")})
+        cap = cap or DRIVER_COMBINE_CAP
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            c = batch.groupby("row_hash", sort=False).size().rename("c")
+            return c.reset_index()
+
+        def merge(frame: pd.DataFrame) -> pd.DataFrame:
+            return (frame.groupby("row_hash", sort=False)["c"].sum()
+                         .reset_index())
+
+        stage = hashed.map_batches(partial, batch_format="pandas")
+        counts, ok = guarded_partials(stage, merge,
+                                      cap if mode == "auto" else 2**62)
+        if not ok:
+            record_route("u1_duplicate_rows", "shuffle",
+                         f"distinct row hashes exceeded cap={cap}", cap)
+            return u1_duplicate_rows(ds, columns, mode="shuffle")
+        record_route("u1_duplicate_rows", "combine",
+                     "distinct row hashes within cap",
+                     0 if counts is None else len(counts))
+        if counts is None:
+            counts = pd.DataFrame({"c": pd.Series([], dtype="int64")})
         total = int(counts["c"].sum())
         dups = int(counts.loc[counts["c"] > 1, "c"].sum())
     else:
@@ -686,16 +712,17 @@ def u1_duplicate_rows(ds, columns: list[str] | None = None,
 
 def u1_spec(columns: list[str]) -> dict:
     """Fusable U1: per-batch canonical row-hash value counts (driver memory
-    O(#distinct rows), the same contract as ``mode='combine'``)."""
-    import hashlib
+    O(#distinct rows), the same contract as ``mode='combine'``; the battery
+    pre-checks the row count against that contract and un-fuses U1 onto the
+    auto-routed per-test path when the input is too big —
+    pipelines/battery.py)."""
+    from dataquality_ray.functions.hashing import rowhash_batch
 
     cols = list(columns)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        payload = batch[cols].astype(str).agg("\x00".join, axis=1)
-        hashes = pd.Series([hashlib.sha256(p.encode()).hexdigest()
-                            for p in payload])
-        vc = hashes.value_counts()
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        h = rowhash_batch(batch).to_pandas()["row_hash"]
+        vc = h.value_counts()
         return pd.DataFrame({"u1_h": vc.index, "u1_c": vc.values})
 
     def finalize(parts: pd.DataFrame) -> dict:
@@ -708,9 +735,12 @@ def u1_spec(columns: list[str]) -> dict:
                                         "duplicate_rows": dups,
                                         "score": score}])}
 
-    return {"cols": cols, "fmt": "pandas",
-            "out_cols": {"u1_h": "str", "u1_c": "int"},
-            "partial": partial, "finalize": finalize}
+    return {"cols": cols, "fmt": "pyarrow",
+            "out_cols": {"u1_h": "obj", "u1_c": "int"},
+            "partial": partial, "finalize": finalize,
+            # driver-combine contract: distinct row hashes must fit one
+            # node; run_battery un-fuses past this row count
+            "combine_cap_rows": True}
 
 
 def u1_violations_report(ds, columns: list[str] | None = None):
@@ -721,17 +751,15 @@ def u1_violations_report(ds, columns: list[str] | None = None):
     hash set broadcast, rows filtered by membership — rows never shuffle and
     only the dup-hash set (O(#duplicate groups)) is broadcast.
     """
-    import hashlib
-
     import ray
+
+    from dataquality_ray.functions.hashing import rowhash_batch
 
     cols = columns or ds.schema().names
 
     def rowhash_col(batch: pa.Table) -> pa.Table:
-        df = batch.select(cols).to_pandas()
-        payload = df.astype(str).agg("\x00".join, axis=1)
-        hashes = [hashlib.sha256(p.encode()).hexdigest() for p in payload]
-        return batch.append_column("_row_hash", pa.array(hashes))
+        h = rowhash_batch(batch.select(cols))["row_hash"]
+        return batch.append_column("_row_hash", h)
 
     hashed = ds.map_batches(rowhash_col, batch_format="pyarrow")
     from dataquality_ray.stages.combine import combine_groupby
@@ -739,7 +767,8 @@ def u1_violations_report(ds, columns: list[str] | None = None):
     counts = combine_groupby(
         hashed.select_columns(["_row_hash"]), ["_row_hash"],
         {"c": ("_row_hash", "size")})
-    dup_hashes = pa.array(sorted(counts.loc[counts["c"] > 1, "_row_hash"]))
+    dup_hashes = pa.array(sorted(counts.loc[counts["c"] > 1, "_row_hash"]),
+                          type=pa.binary(16))
     ref = ray.put(dup_hashes)
 
     def pick(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,91 @@
+"""Size-aware routing between driver-combine fast paths and their
+distributed twins.
+
+Several operators have a map-side-combine default that is exact and
+shuffle-free but accumulates one partial row per DISTINCT key on the driver
+(stages/combine.py scale contract).  That is the right default for bounded
+domains — and a silent driver-memory cliff on unbounded ones (an IQR over a
+continuous float column, a mostly-unique 10^10-row table).  This module is
+the guard rail: the combine runs as a GUARDED stream — partials are merged
+incrementally as they arrive, and the moment the merged distinct-key count
+crosses the cap the operator aborts the scan and re-routes to its
+distributed escape hatch (groupby shuffle, map_groups, histogram sketch, or
+hash join), exactly like ``cosine_near_dup_pairs`` auto-routes past
+``EXACT_PAIRS_MAX_N`` (stages/ann.py).
+
+Cost model of a miss: the abort fires after at most ``cap`` + one buffer of
+partial rows have reached the driver, so a 10^10-row input pays a bounded
+prefix scan (seconds), not an OOM.  The re-run then streams through the
+distributed path.  Every routing decision is recorded in ``ROUTE_EVENTS``
+so tests (and operators' callers) can assert which path actually ran.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+# Cap on DISTINCT keys a driver-side combine may accumulate before the
+# operator re-routes.  ~2M keys x ~50 B/key ≈ 100 MB of driver heap —
+# comfortable on one node, and far below the ~10^8-key hard ceiling, so the
+# route fires long before the driver is actually in danger.  Callers can
+# pass a per-call ``cap``; tests monkeypatch this to force the route.
+DRIVER_COMBINE_CAP = 2_000_000
+
+ROUTE_EVENTS: list[dict] = []
+_MAX_EVENTS = 1024
+
+
+def record_route(op: str, chosen: str, reason: str,
+                 cardinality: int | None = None) -> dict:
+    """Append a routing decision to the telemetry ring."""
+    if len(ROUTE_EVENTS) >= _MAX_EVENTS:
+        del ROUTE_EVENTS[: _MAX_EVENTS // 2]
+    evt = {"op": op, "chosen": chosen, "reason": reason,
+           "cardinality": cardinality}
+    ROUTE_EVENTS.append(evt)
+    return evt
+
+
+def last_route(op: str) -> dict | None:
+    """Most recent routing decision for ``op`` (test hook)."""
+    for evt in reversed(ROUTE_EVENTS):
+        if evt["op"] == op:
+            return evt
+    return None
+
+
+def guarded_partials(stage_ds, combine_fn, cap: int,
+                     *, buffer_rows: int = 262_144):
+    """Stream per-batch partial frames from ``stage_ds`` and merge them
+    driver-side with ``combine_fn`` (a full re-aggregation over a frame of
+    partial rows, idempotent — groupby-sum/min/max shaped).
+
+    Returns ``(merged_frame, True)`` when the merged distinct-key count
+    stayed within ``cap`` (``(None, True)`` for an empty input), or
+    ``(None, False)`` the moment it crossed the cap — the caller then
+    re-routes to its distributed twin.  Aborting the iterator tears down
+    the underlying streaming execution; the wasted work is bounded by the
+    prefix scanned before the cap fired.
+    """
+    buf: list[pd.DataFrame] = []
+    buffered = 0
+    acc: pd.DataFrame | None = None
+    for batch in stage_ds.iter_batches(batch_format="pandas",
+                                       batch_size=None):
+        if not len(batch):
+            continue
+        buf.append(batch)
+        buffered += len(batch)
+        if buffered >= buffer_rows:
+            frames = ([acc] if acc is not None else []) + buf
+            acc = combine_fn(pd.concat(frames, ignore_index=True))
+            buf, buffered = [], 0
+            if len(acc) > cap:
+                return None, False
+    frames = ([acc] if acc is not None else []) + buf
+    if not frames:
+        return None, True
+    acc = combine_fn(pd.concat(frames, ignore_index=True))
+    if len(acc) > cap:
+        return None, False
+    return acc, True

@@ -59,31 +59,88 @@ def dup_groups_dataset(ds, sha_col: str = "content_sha256",
         [sha_col, "canonical_id"])
 
 
+def _merge_dup_partials(tables: list[pa.Table]) -> pa.Table:
+    g = (pa.concat_tables(tables).group_by("sha")
+         .aggregate([("min_id", "min"), ("count", "sum")]))
+    return g.rename_columns(["sha", "min_id", "count"])
+
+
 def compute_dup_index(ds, sha_col: str = "content_sha256",
-                      id_col: str = "row_id", mode: str = "combine"):
+                      id_col: str = "row_id", mode: str = "auto",
+                      cap: int | None = None):
     """Return a broadcast ref of aligned (sha, canonical_id) Arrow arrays for
-    groups with more than one member."""
-    if mode == "combine":
-        parts = pa.concat_tables(
-            ds.map_batches(lambda b: _partial_agg(b, sha_col, id_col),
-                           batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow", batch_size=None))
-        g = (parts.group_by("sha")
-             .aggregate([("min_id", "min"), ("count", "sum")])
-             .rename_columns(["sha", "min_id", "count"]))
-        dups = g.filter(pc.greater(g["count"], 1))
-        shas = dups["sha"].combine_chunks()
-        canon = dups["min_id"].combine_chunks()
-    elif mode == "shuffle":
-        groups = dup_groups_dataset(ds, sha_col, id_col)
-        parts = list(groups.iter_batches(batch_format="pyarrow"))
-        tbl = pa.concat_tables(parts) if parts else pa.table(
-            {sha_col: pa.array([], pa.string()),
-             "canonical_id": pa.array([], pa.int64())})
-        shas = tbl[sha_col].combine_chunks()
-        canon = tbl["canonical_id"].combine_chunks()
-    else:
+    groups with more than one member.
+
+    ``auto`` (default): the map-side combine runs GUARDED — partials merge
+    incrementally as they stream in, and past ``cap`` distinct hashes
+    (stages/autoroute.py) the operator re-routes to ``shuffle``, whose
+    driver footprint is O(#duplicate groups) instead of O(#distinct).
+    Should even the DUP-GROUP set overflow (pathological: most of the
+    corpus is duplicated), the shuffle collection raises with a pointer at
+    :func:`mark_duplicates_join`, which never materializes anything
+    driver-side — an explicit error beats an OOM-killed driver.
+    """
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        record_route,
+    )
+
+    cap = cap or DRIVER_COMBINE_CAP
+    if mode in ("combine", "auto"):
+        stage = ds.map_batches(lambda b: _partial_agg(b, sha_col, id_col),
+                               batch_format="pyarrow")
+        bufs: list[pa.Table] = []
+        buffered, acc, overflow = 0, None, False
+        for batch in stage.iter_batches(batch_format="pyarrow",
+                                        batch_size=None):
+            if not batch.num_rows:
+                continue
+            bufs.append(batch)
+            buffered += batch.num_rows
+            if buffered >= 262_144:
+                acc = _merge_dup_partials(
+                    ([acc] if acc is not None else []) + bufs)
+                bufs, buffered = [], 0
+                if mode == "auto" and acc.num_rows > cap:
+                    overflow = True
+                    break
+        if not overflow:
+            tables = ([acc] if acc is not None else []) + bufs
+            if tables:
+                acc = _merge_dup_partials(tables)
+                overflow = mode == "auto" and acc.num_rows > cap
+        if not overflow:
+            record_route("compute_dup_index", "combine",
+                         "distinct hashes within cap",
+                         0 if acc is None else acc.num_rows)
+            if acc is None:
+                acc = pa.table({"sha": pa.array([], pa.string()),
+                                "min_id": pa.array([], pa.int64()),
+                                "count": pa.array([], pa.int64())})
+            dups = acc.filter(pc.greater(acc["count"], 1))
+            shas = dups["sha"].combine_chunks()
+            canon = dups["min_id"].combine_chunks()
+            return ray.put((shas, canon))
+        record_route("compute_dup_index", "shuffle",
+                     f"distinct hashes exceeded cap={cap}", cap)
+        mode = "shuffle"
+    if mode != "shuffle":
         raise ValueError(f"unknown mode {mode!r}")
+    groups = dup_groups_dataset(ds, sha_col, id_col)
+    parts, collected = [], 0
+    for t in groups.iter_batches(batch_format="pyarrow", batch_size=None):
+        parts.append(t)
+        collected += t.num_rows
+        if collected > 8 * cap:
+            raise RuntimeError(
+                f"dup-group set exceeds {8 * cap} rows — too large to "
+                "broadcast; use mark_duplicates_join (zero driver-side "
+                "materialization) instead of a broadcast index")
+    tbl = pa.concat_tables(parts) if parts else pa.table(
+        {sha_col: pa.array([], pa.string()),
+         "canonical_id": pa.array([], pa.int64())})
+    shas = tbl[sha_col].combine_chunks()
+    canon = tbl["canonical_id"].combine_chunks()
     return ray.put((shas, canon))
 
 

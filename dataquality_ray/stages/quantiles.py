@@ -22,20 +22,32 @@ import pandas as pd
 
 
 def exact_quantiles(ds, col: str, qs=(0.25, 0.75),
-                    mode: str = "counts") -> dict[float, float]:
+                    mode: str = "auto",
+                    cap: int | None = None) -> dict[float, float]:
     """Exact quantiles of one numeric column (pandas/numpy 'linear' method).
 
     Non-numeric values are coerced out first, mirroring
     pd.to_numeric(errors='coerce').dropna() (a2.py:72-73).
 
-    ``counts`` (default): per-batch (value, count) partials -> driver
-    weighted quantile — exact, and only distinct values move (bounded
-    domains: integers, currencies, bucketed floats).  ``gather``: ship the
-    raw column to the driver — the path for unbounded float domains; 8
-    bytes/row, so one column of 10^9 rows is 8 GB of driver memory.
+    ``auto`` (default): the ``counts`` combine runs GUARDED — partials
+    stream and merge incrementally, and if the distinct-value count crosses
+    ``cap`` (stages/autoroute.py ``DRIVER_COMBINE_CAP``) the operator
+    re-routes to :func:`histogram_quantiles` (bounded one-bucket error,
+    bounded memory at ANY cardinality) instead of melting the driver.
+    ``counts``: unguarded combine — exact, only distinct values move
+    (bounded domains: integers, currencies, bucketed floats).  ``gather``:
+    ship the raw column to the driver — exact on unbounded float domains but
+    8 bytes/row of driver memory (8 GB per 10^9 rows).
     """
-    if mode == "counts":
+    if mode in ("counts", "auto"):
+        from dataquality_ray.stages.autoroute import (
+            DRIVER_COMBINE_CAP,
+            guarded_partials,
+            record_route,
+        )
         from dataquality_ray.stages.combine import weighted_quantile
+
+        cap = cap or DRIVER_COMBINE_CAP
 
         def partial(batch: pd.DataFrame) -> pd.DataFrame:
             v = pd.to_numeric(batch[col], errors="coerce").dropna()
@@ -43,11 +55,25 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.75),
             return pd.DataFrame({"v": c.index.to_numpy(dtype=np.float64),
                                  "c": c.to_numpy(dtype=np.int64)})
 
-        parts = (ds.select_columns([col])
-                   .map_batches(partial, batch_format="pandas").to_pandas())
-        if not len(parts):
+        def merge(frame: pd.DataFrame) -> pd.DataFrame:
+            return frame.groupby("v", sort=False)["c"].sum().reset_index()
+
+        stage = ds.select_columns([col]).map_batches(
+            partial, batch_format="pandas")
+        g, ok = guarded_partials(stage, merge,
+                                 cap if mode == "auto" else 2**62)
+        if not ok:
+            # unbounded value domain: re-route to the histogram sketch
+            # (65536 buckets -> error <= range/65536, memory O(bins))
+            record_route("exact_quantiles", "histogram",
+                         f"distinct values exceeded cap={cap}", cap)
+            hist = histogram_quantiles(ds, col, qs, bins=65536)
+            return dict(zip(hist["q"], map(float, hist["quantile_est"])))
+        record_route("exact_quantiles", "counts",
+                     "distinct values within cap",
+                     0 if g is None else len(g))
+        if g is None or not len(g):
             return {q: float("nan") for q in qs}
-        g = parts.groupby("v", sort=False)["c"].sum().reset_index()
         res = weighted_quantile(g["v"].to_numpy(), g["c"].to_numpy(),
                                 list(qs))
         return dict(zip(qs, map(float, res)))
@@ -89,23 +115,53 @@ def iqr_outlier_stats(ds, col: str, threshold: float = 1.5) -> dict:
 
 def grouped_iqr_rates(ds, col: str, group_col: str,
                       threshold: float = 1.5,
-                      mode: str = "counts") -> pd.DataFrame:
+                      mode: str = "auto",
+                      cap: int | None = None) -> pd.DataFrame:
     """Grouped A2: per-group non-outlier rate (a2.py:54-67).
 
-    ``counts`` (default): per-batch (group, value, count) partials combined
-    driver-side, quantiles computed exactly from the histogram — NO shuffle.
-    Exact and fast whenever the distinct (group, value) universe is bounded
-    (integer-ish measures, bucketed floats).  ``shuffle``: groupby.map_groups
-    with pandas quantiles per group — the path for unbounded float domains;
-    only the (group, value) projection moves, never full rows.
+    ``auto`` (default): the (group, value, count) combine runs GUARDED —
+    if the distinct (group, value) universe crosses ``cap`` the operator
+    re-routes to the ``shuffle`` path, which is exact at any cardinality
+    (stages/autoroute.py).  ``counts``: unguarded combine, NO shuffle —
+    for domains known bounded (integer-ish measures, bucketed floats).
+    ``shuffle``: groupby.map_groups with pandas quantiles per group; only
+    the (group, value) projection moves, never full rows.
     """
-    if mode == "counts":
-        from dataquality_ray.stages.combine import (
-            grouped_value_counts,
-            weighted_quantile,
+    if mode in ("counts", "auto"):
+        from dataquality_ray.stages.autoroute import (
+            DRIVER_COMBINE_CAP,
+            guarded_partials,
+            record_route,
         )
+        from dataquality_ray.stages.combine import weighted_quantile
 
-        counts = grouped_value_counts(ds, group_col, col)
+        cap = cap or DRIVER_COMBINE_CAP
+
+        def gvc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            v = pd.to_numeric(batch[col], errors="coerce")
+            df = pd.DataFrame({"g": batch[group_col],
+                               "v": v}).dropna(subset=["v"])
+            return (df.groupby(["g", "v"], sort=False).size().rename("c")
+                      .reset_index())
+
+        def merge(frame: pd.DataFrame) -> pd.DataFrame:
+            return (frame.groupby(["g", "v"], sort=False)["c"].sum()
+                         .reset_index())
+
+        stage = ds.select_columns([group_col, col]).map_batches(
+            gvc_partial, batch_format="pandas")
+        counts, ok = guarded_partials(stage, merge,
+                                      cap if mode == "auto" else 2**62)
+        if not ok:
+            record_route("grouped_iqr_rates", "shuffle",
+                         f"distinct (group,value) exceeded cap={cap}", cap)
+            return grouped_iqr_rates(ds, col, group_col, threshold,
+                                     mode="shuffle")
+        record_route("grouped_iqr_rates", "counts",
+                     "distinct (group,value) within cap",
+                     0 if counts is None else len(counts))
+        if counts is None:
+            counts = pd.DataFrame(columns=["g", "v", "c"])
         rows = []
         for gname, sub in counts.groupby("g", sort=True):
             v = sub["v"].to_numpy(dtype=np.float64)

@@ -1,0 +1,134 @@
+"""Size-aware auto-routing (stages/autoroute.py): every driver-combine
+default re-routes to its distributed twin past the cardinality cap, with
+identical (or bounded-error, for the histogram sketch) results, and the
+routing decision is observable via ROUTE_EVENTS telemetry."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from dataquality_ray.stages.autoroute import last_route
+
+
+def _hicard_df(n=4000, seed=7):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        "v": rng.normal(100.0, 15.0, n),  # effectively all-distinct floats
+    })
+
+
+def test_exact_quantiles_auto_routes_to_histogram(ray_session):
+    from dataquality_ray.stages.quantiles import exact_quantiles
+
+    df = _hicard_df()
+    ds = rd.from_pandas(df).repartition(4)
+    exact = exact_quantiles(ds, "v", (0.25, 0.75), mode="counts")
+    assert last_route("exact_quantiles")["chosen"] == "counts"
+
+    routed = exact_quantiles(ds, "v", (0.25, 0.75), mode="auto", cap=500)
+    evt = last_route("exact_quantiles")
+    assert evt["chosen"] == "histogram" and "cap=500" in evt["reason"]
+    # histogram error bound: a couple of bucket widths of the 65536-bin
+    # grid (one for bucketing, one for the rank-vs-linear interpolation)
+    width = (df["v"].max() - df["v"].min()) / 65536
+    for q in (0.25, 0.75):
+        assert abs(routed[q] - exact[q]) <= 3 * width
+
+
+def test_exact_quantiles_auto_stays_exact_under_cap(ray_session):
+    from dataquality_ray.stages.quantiles import exact_quantiles
+
+    df = _hicard_df(800)
+    ds = rd.from_pandas(df).repartition(3)
+    auto = exact_quantiles(ds, "v", (0.25, 0.75), mode="auto")
+    assert last_route("exact_quantiles")["chosen"] == "counts"
+    want = np.quantile(df["v"].to_numpy(), [0.25, 0.75])
+    assert auto[0.25] == pytest.approx(want[0], abs=1e-12)
+    assert auto[0.75] == pytest.approx(want[1], abs=1e-12)
+
+
+def test_grouped_iqr_auto_routes_to_shuffle(ray_session):
+    from dataquality_ray.stages.quantiles import grouped_iqr_rates
+
+    df = _hicard_df()
+    ds = rd.from_pandas(df).repartition(4)
+    routed = grouped_iqr_rates(ds, "v", "g", mode="auto", cap=500)
+    evt = last_route("grouped_iqr_rates")
+    assert evt["chosen"] == "shuffle" and "cap=500" in evt["reason"]
+    forced = grouped_iqr_rates(ds, "v", "g", mode="shuffle")
+    pd.testing.assert_frame_equal(routed, forced)
+    # under the default cap the counts path runs — and is exactly equal
+    counts = grouped_iqr_rates(ds, "v", "g", mode="auto")
+    assert last_route("grouped_iqr_rates")["chosen"] == "counts"
+    pd.testing.assert_frame_equal(counts, forced)
+
+
+def test_u1_auto_routes_to_shuffle(ray_session):
+    from dataquality_ray.pipelines.dimensions import u1_duplicate_rows
+
+    df = _hicard_df(2000)
+    df = pd.concat([df, df.iloc[:37]], ignore_index=True)  # 37 dup rows
+    ds = rd.from_pandas(df).repartition(4)
+    combined = u1_duplicate_rows(ds, mode="combine")
+    assert last_route("u1_duplicate_rows")["chosen"] == "combine"
+    routed = u1_duplicate_rows(ds, mode="auto", cap=300)
+    assert last_route("u1_duplicate_rows")["chosen"] == "shuffle"
+    shuffled = u1_duplicate_rows(ds, mode="shuffle")
+    for res in (routed, shuffled):
+        assert res["score"] == combined["score"]
+        pd.testing.assert_frame_equal(res["table"], combined["table"])
+    assert combined["table"]["duplicate_rows"].iloc[0] == 74
+
+
+def test_dup_index_auto_routes_to_shuffle(ray_session):
+    from dataquality_ray.stages.dedup import compute_dup_index
+
+    import ray
+
+    rows = [{"content_sha256": f"s{i % 50}", "row_id": i}
+            for i in range(400)]
+    ds = rd.from_items(rows).repartition(4)
+
+    def as_dict(ref):
+        shas, canon = ray.get(ref)
+        return dict(zip(shas.to_pylist(), canon.to_pylist()))
+
+    combined = as_dict(compute_dup_index(ds, mode="combine"))
+    assert last_route("compute_dup_index")["chosen"] == "combine"
+    routed = as_dict(compute_dup_index(ds, mode="auto", cap=20))
+    assert last_route("compute_dup_index")["chosen"] == "shuffle"
+    assert routed == combined and len(combined) == 50
+
+
+def test_dup_index_shuffle_overflow_raises(ray_session):
+    from dataquality_ray.stages.dedup import compute_dup_index
+
+    rows = [{"content_sha256": f"s{i % 50}", "row_id": i}
+            for i in range(400)]
+    ds = rd.from_items(rows).repartition(4)
+    with pytest.raises(RuntimeError, match="mark_duplicates_join"):
+        compute_dup_index(ds, mode="shuffle", cap=4)
+
+
+def test_battery_unfuses_u1_past_cap(ray_session, tmp_path, monkeypatch):
+    """With the fused-combine cap forced below the row count, U1 leaves the
+    fused scan (telemetry records it) but the battery result is unchanged."""
+    import dataquality_ray.pipelines.battery as bat
+    from dataquality_ray.pipelines import dimensions as dq
+
+    df = pd.DataFrame({"k": [1, 2, 3, 3, 4, 5, 5, 5],
+                       "x": list("abccdeee")})
+    ds = rd.from_pandas(df).repartition(2)
+    tests = [("U1", "Uniqueness", lambda d: dq.u1_duplicate_rows(d),
+              {"spec": dq.u1_spec(["k", "x"])})]
+    base = bat.run_battery(ds, tests, share="fused")
+    monkeypatch.setattr(bat, "FUSED_COMBINE_CAP_ROWS", 4)
+    unfused = bat.run_battery(ds, tests, share="fused")
+    evt = last_route("battery:U1")
+    assert evt is not None and evt["chosen"] == "unfused"
+    assert unfused["tests"] == base["tests"]
+    pd.testing.assert_frame_equal(unfused["tables"]["U1"],
+                                  base["tables"]["U1"])
