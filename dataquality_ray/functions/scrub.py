@@ -137,12 +137,16 @@ def toxicity_batch(batch: pa.Table, col: str = "content",
 
 def sha256_batch(batch: pa.Table, col: str = "content",
                  out_col: str = "content_sha256") -> pa.Table:
-    """Append the per-row sha256 hex digest of ``col`` (pass-through
-    invariant key and exact-dedup key — reference U1 semantics,
-    dimensions/uniqueness/u1.py:33-39, re-keyed on content)."""
+    """Append the per-row sha256 digest of ``col`` as RAW 32-byte
+    fixed_size_binary (pass-through invariant key and exact-dedup key —
+    reference U1 semantics, dimensions/uniqueness/u1.py:33-39, re-keyed on
+    content).  Raw bytes, not hexdigest: the sha column is the widest key
+    in the engine's biggest broadcast/shuffle (the dedup index), so 32 B
+    beats 64 B + string overhead everywhere it moves; consumers that need
+    hex call ``.hex()`` on the value."""
     docs = batch[col].to_pylist()
     hashes = [
-        None if d is None else hashlib.sha256(d.encode("utf-8")).hexdigest()
+        None if d is None else hashlib.sha256(d.encode("utf-8")).digest()
         for d in docs
     ]
-    return batch.append_column(out_col, pa.array(hashes, type=pa.string()))
+    return batch.append_column(out_col, pa.array(hashes, type=pa.binary(32)))

@@ -62,14 +62,22 @@ def _row_id_batch(batch: pa.Table) -> pa.Table:
     canonical dedup pick (min id within a sha group) stays deterministic
     under equal ids; a collision could only matter if two rows of the SAME
     content-sha group collided AND tied as the minimum (P ~ 1e-14 per
-    group), which flips the kept copy, never the keep/drop decision."""
-    repo = batch["repo"].to_pylist()
-    path = batch["path"].to_pylist()
-    commit = batch["commit"].to_pylist()
-    ids = np.empty(len(repo), dtype=np.int64)
-    for i in range(len(repo)):
-        h = hashlib.sha1(f"{repo[i]}\x00{path[i]}\x00{commit[i]}".encode()).digest()
-        ids[i] = int.from_bytes(h[:8], "big") & 0x7FFFFFFFFFFFFFFF
+    group), which flips the kept copy, never the keep/drop decision.
+
+    The key string is assembled by one Arrow C++ kernel
+    (``binary_join_element_wise``); only the sha1 itself is a per-row
+    Python call (inherent to crypto hashing — id stability across runs and
+    installs rules out library-specific fast hashes here)."""
+    sep = pa.scalar("\x00")
+    none = pa.scalar("None")  # match f-string rendering of null fields
+    joined = pc.binary_join_element_wise(
+        pc.fill_null(batch["repo"], none), pc.fill_null(batch["path"], none),
+        pc.fill_null(batch["commit"], none), sep).to_pylist()
+    mask = 0x7FFFFFFFFFFFFFFF
+    ids = np.fromiter(
+        (int.from_bytes(hashlib.sha1(v.encode()).digest()[:8], "big") & mask
+         for v in joined),
+        dtype=np.int64, count=len(joined))
     return batch.append_column("row_id", pa.array(ids))
 
 

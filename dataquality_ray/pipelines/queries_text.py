@@ -531,9 +531,33 @@ def minhash_q(sf_dir: str):
 
     corpus = (_read(sf_dir, "documents", ["doc_id", "text"])
               .map_batches(with_mutants, batch_format="pyarrow"))
-    pairs = minhash_near_dup_pairs(corpus, jaccard_threshold=0.5)
+    pairs = minhash_near_dup_pairs(corpus, jaccard_threshold=0.5,
+                                   hasher="sha")  # SQL-replicable chain
     # floor-truncate: round-half ties diverge between numpy (half-even)
     # and DuckDB round() (half-away)
+    pairs["jaccard"] = np.floor(pairs["jaccard"] * 1e6) / 1e6
+    return pairs
+
+
+@query("dedup_minhash_fast")
+def minhash_fast_q(sf_dir: str):
+    """Same planted-mutant corpus as ``dedup_minhash`` through the
+    ENGINE-default vectorized shingle hasher (stages/minhash.py
+    shingle_hashes_fast_batch) — rows-only (xxhash+splitmix chain is not
+    SQL-replicable); pair-level equivalence with the sha chain is pinned in
+    tests/test_dedup_ann.py."""
+    from dataquality_ray.stages.minhash import minhash_near_dup_pairs
+
+    def with_mutants(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.less(batch["doc_id"], 20))
+        texts = [" ".join(t.split()[1:]) for t in sub["text"].to_pylist()]
+        mut = pa.table({"doc_id": pc.add(sub["doc_id"], 1000000),
+                        "text": pa.array(texts, pa.string())})
+        return pa.concat_tables([batch.select(["doc_id", "text"]), mut])
+
+    corpus = (_read(sf_dir, "documents", ["doc_id", "text"])
+              .map_batches(with_mutants, batch_format="pyarrow"))
+    pairs = minhash_near_dup_pairs(corpus, jaccard_threshold=0.5)
     pairs["jaccard"] = np.floor(pairs["jaccard"] * 1e6) / 1e6
     return pairs
 
@@ -1016,7 +1040,8 @@ def minhash_groups_q(sf_dir: str):
 
     corpus = (_read(sf_dir, "documents", ["doc_id", "text"])
               .map_batches(with_mutants, batch_format="pyarrow"))
-    pairs = minhash_near_dup_pairs(corpus, jaccard_threshold=0.5)
+    pairs = minhash_near_dup_pairs(corpus, jaccard_threshold=0.5,
+                                   hasher="sha")  # SQL-replicable chain
     return near_dup_keep(pairs)
 
 

@@ -26,7 +26,9 @@ CODE_FILES = pa.schema(
 LABEL_COLUMNS = pa.schema(
     [
         ("row_id", pa.int64()),          # stable input row id (order-independent joins)
-        ("content_sha256", pa.string()),  # pass-through invariant key (input_hint)
+        # pass-through invariant key (input_hint); raw 32-byte digest —
+        # half the bytes of a hexdigest string on the hottest dedup key
+        ("content_sha256", pa.binary(32)),
         ("n_chars", pa.int64()),
         ("n_lines", pa.int64()),
         ("max_line_len", pa.int64()),

@@ -148,13 +148,15 @@ def _mark_batch(batch: pa.Table, shas, canon, sha_col: str,
                 id_col: str) -> pa.Table:
     """Vectorized mark: one ``pc.index_in`` probe of the batch's sha column
     against the broadcast sha array, one ``take`` for the canonical ids."""
+    if not len(shas):  # empty index: skip the probe (and any placeholder-
+        is_dup = pa.array(np.zeros(len(batch), dtype=bool))  # type mismatch)
+        keep = pa.array(np.ones(len(batch), dtype=bool))
+        return (batch.append_column("is_dup", is_dup)
+                     .append_column("dup_keep", keep))
     idx = pc.index_in(batch[sha_col].combine_chunks(), value_set=shas)
     is_dup = pc.is_valid(idx)
-    if len(canon):
-        canon_ids = canon.take(idx)
-        keep = pc.fill_null(pc.equal(batch[id_col], canon_ids), True)
-    else:
-        keep = pa.array(np.ones(len(batch), dtype=bool))
+    canon_ids = canon.take(idx)
+    keep = pc.fill_null(pc.equal(batch[id_col], canon_ids), True)
     return (batch.append_column("is_dup", is_dup)
                  .append_column("dup_keep", keep))
 
@@ -207,12 +209,23 @@ def mark_duplicates_join(ds, sha_col: str = "content_sha256",
     """
     from dataquality_ray.stages.joins import _est_size, resolve_join_partitions
 
+    def _norm_sha(b: pa.Table) -> pa.Table:
+        # Ray's groupby shuffle rebuilds fixed_size_binary keys as variable
+        # binary; normalize BOTH join sides to variable binary so the
+        # per-partition pyarrow join sees one key type.
+        col = b[sha_col]
+        if pa.types.is_fixed_size_binary(col.type):
+            i = b.schema.get_field_index(sha_col)
+            b = b.set_column(i, sha_col, pc.cast(col, pa.binary()))
+        return b
+
     if dup_groups is None:
         dup_groups = dup_groups_dataset(ds, sha_col, id_col)
     groups = (dup_groups
-              .map_batches(lambda b: b.rename_columns(
-                  [sha_col, "_dedup_canonical"]),
+              .map_batches(lambda b: _norm_sha(b.rename_columns(
+                  [sha_col, "_dedup_canonical"])),
                   batch_format="pyarrow"))
+    ds = ds.map_batches(_norm_sha, batch_format="pyarrow")
     joined = ds.join(groups, "left_outer",
                      num_partitions=resolve_join_partitions(
                          num_partitions, _est_size(ds)),

@@ -52,6 +52,98 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.array(sorted({_hash64(s) for s in shingles}), dtype=np.uint64)
 
 
+# --- vectorized engine-path shingle hashing --------------------------------
+#
+# The sha256 chain above is one Python hashlib call per shingle per doc —
+# SQL-replicable (the oracle-checked queries keep it) but the hot kernel at
+# corpus scale.  The fast path below has NO per-shingle Python: one Arrow
+# C++ whitespace split for the whole batch, one vectorized xxhash over the
+# flat token array (polars), then a splitmix64 rolling chain of k token
+# hashes per shingle, all in numpy.  Hash family differs from the sha path
+# (deterministic per pinned install, not SQL-replicable), which is
+# irrelevant to minhash/Jaccard — both sides of any comparison just need
+# the SAME family; pair-level equivalence is pinned by
+# tests/test_dedup_ann.py.
+
+_CHAIN_SEED = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _token_hashes_flat(texts: list, k: int):
+    """Split every text on whitespace (Arrow kernel), drop the empty
+    boundary tokens utf8_split_whitespace emits, hash the flat token array
+    with one vectorized xxhash pass, and return (flat_hashes, counts):
+    per-doc token hash runs, concatenated."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    arr = pa.array([t or "" for t in texts], type=pa.string())
+    lists = pc.utf8_split_whitespace(arr)
+    flat = lists.flatten()
+    offs = np.asarray(lists.offsets)
+    raw_counts = np.diff(offs)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(texts)), raw_counts)
+    counts = np.bincount(doc_idx[nonempty], minlength=len(texts))
+    flat = flat.filter(pa.array(nonempty))
+    if len(flat):
+        h = pl.from_arrow(flat).hash(seed=0).to_numpy().astype(np.uint64)
+    else:
+        h = np.empty(0, dtype=np.uint64)
+    return h, counts.astype(np.int64)
+
+
+def shingle_hashes_fast_batch(texts: list, k: int = 3):
+    """Vectorized word-k-gram shingle hashes for a whole batch.
+
+    Returns ``(flat, sizes)``: per-doc shingle-hash runs concatenated, with
+    ``sizes[i]`` shingles for doc i.  Docs with 0 < m < k tokens yield one
+    chain over their m tokens (the " ".join(toks) analog); empty docs yield
+    one MERSENNE sentinel so downstream ``reduceat`` segments stay aligned
+    (same convention as :meth:`MinHasher.signatures`).  Shingles are NOT
+    deduplicated — minhash takes minima, where multiplicity is irrelevant;
+    the Jaccard-verify variant is :func:`shingle_hashes_fast`.
+    """
+    h, counts = _token_hashes_flat(texts, k)
+    n_flat = len(h)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    # rolling chain over every window of k consecutive flat positions
+    n_win = max(n_flat - k + 1, 0)
+    win = np.full(n_win, _CHAIN_SEED, dtype=np.uint64)
+    for r in range(k):
+        win = _splitmix64_arr(win ^ h[r:r + n_win])
+
+    sizes = np.where(counts >= k, counts - k + 1, 1).astype(np.int64)
+    out = np.empty(int(sizes.sum()), dtype=np.uint64)
+    pos = 0
+    for i in range(len(texts)):
+        m = int(counts[i])
+        s = int(starts[i])
+        if m >= k:
+            out[pos:pos + m - k + 1] = win[s:s + m - k + 1]
+            pos += m - k + 1
+        elif m > 0:
+            acc = np.full(1, _CHAIN_SEED, dtype=np.uint64)
+            for r in range(m):  # short docs only (rare)
+                acc = _splitmix64_arr(acc ^ h[s + r])
+            out[pos] = acc[0]
+            pos += 1
+        else:
+            out[pos] = np.uint64(MERSENNE)
+            pos += 1
+    return out, sizes
+
+
+def shingle_hashes_fast(text: str, k: int = 3) -> np.ndarray:
+    """Single-doc fast shingle hashes, unique-sorted for :func:`jaccard`
+    (the verify-side companion of :func:`shingle_hashes_fast_batch`)."""
+    toks = (text or "").split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    flat, sizes = shingle_hashes_fast_batch([text], k)
+    return np.unique(flat[: int(sizes[0])])
+
+
 class MinHasher:
     """Actor: per-doc 64-permutation MinHash signature + LSH band hashes.
 
@@ -60,7 +152,9 @@ class MinHasher:
     """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
-                 k: int = 3, seed: int = 42):
+                 k: int = 3, seed: int = 42, hasher: str = "fast"):
+        if hasher not in ("fast", "sha"):
+            raise ValueError(f"unknown hasher {hasher!r}")
         rng = np.random.RandomState(seed)
         # odd multipliers: x -> a*x + b (mod 2^64) is then a BIJECTION on
         # uint64, i.e. a true permutation — the min-wise property minhash
@@ -73,6 +167,7 @@ class MinHasher:
         self.text_col = text_col
         self.id_col = id_col
         self.k = k
+        self.hasher = hasher
 
     def signature(self, text: str) -> np.ndarray:
         return self.signatures([text])[0]
@@ -81,13 +176,21 @@ class MinHasher:
         """(n_docs, N_PERM) MinHash signatures, vectorized across the whole
         batch: all shingle hashes are concatenated, the permutation matrix is
         computed in one numpy expression, and per-doc minima come from
-        ``np.minimum.reduceat`` — no per-doc Python inner loop."""
-        per_doc = [shingle_hashes(t or "", self.k) for t in texts]
-        sizes = np.array([max(len(p), 1) for p in per_doc])
-        # empty docs get one sentinel shingle so reduceat segments align
-        flat = np.concatenate(
-            [p if len(p) else np.array([MERSENNE], dtype=np.uint64)
-             for p in per_doc])
+        ``np.minimum.reduceat`` — no per-doc Python inner loop.
+
+        ``hasher='fast'`` (engine default) sources the flat shingle-hash
+        array from :func:`shingle_hashes_fast_batch` — no per-shingle
+        Python at all; ``'sha'`` keeps the SQL-replicable sha256 chain the
+        oracle-checked query wrappers pin."""
+        if self.hasher == "fast":
+            flat, sizes = shingle_hashes_fast_batch(texts, self.k)
+        else:
+            per_doc = [shingle_hashes(t or "", self.k) for t in texts]
+            sizes = np.array([max(len(p), 1) for p in per_doc])
+            # empty docs get one sentinel shingle so reduceat segments align
+            flat = np.concatenate(
+                [p if len(p) else np.array([MERSENNE], dtype=np.uint64)
+                 for p in per_doc])
         with np.errstate(over="ignore"):
             vals = self.a[:, None] * flat[None, :] + self.b[:, None]
         offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
@@ -126,15 +229,23 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 def minhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                            k: int = 3, jaccard_threshold: float = 0.7,
-                           batch_size: int = 1024) -> pd.DataFrame:
+                           batch_size: int = 1024,
+                           hasher: str = "fast") -> pd.DataFrame:
     """Full MinHash-LSH pipeline; returns verified pairs
     (id_a, id_b, jaccard) with id_a < id_b.
 
     Verification re-reads ONLY candidate documents (broadcast id-set filter),
     so the heavy text never shuffles.  Candidate-set size is assumed driver-
     manageable (near-dup fraction is small in real corpora).
+
+    ``hasher='fast'`` (default): vectorized shingle hashing — the corpus-
+    scale path.  ``'sha'``: the SQL-replicable sha256 chain (oracle-checked
+    query wrappers).  Both verify Jaccard with the SAME family they
+    signed with.
     """
     from ray.data.aggregate import AggregateFn  # noqa: F401  (doc pointer)
+
+    shingler = shingle_hashes_fast if hasher == "fast" else shingle_hashes
 
     # Signatures are consumed twice (bucket counting, then hot-bucket member
     # fetch); the (doc_id, band, band_hash) projection is tiny, so pin it.
@@ -142,7 +253,8 @@ def minhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # coefficients (microseconds to rebuild per task), and a task stage
     # skips the 1-2 s actor-pool spin-up that dominates small inputs.
     def hash_batch(batch: pa.Table) -> pa.Table:
-        return MinHasher(text_col=text_col, id_col=id_col, k=k)(batch)
+        return MinHasher(text_col=text_col, id_col=id_col, k=k,
+                         hasher=hasher)(batch)
 
     sigs = ds.map_batches(hash_batch, batch_format="pyarrow",
                           batch_size=batch_size).materialize()
@@ -193,7 +305,7 @@ def minhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return batch.filter(mask).select([id_col, text_col])
 
     docs = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-    shingles = {row[id_col]: shingle_hashes(row[text_col] or "", k)
+    shingles = {row[id_col]: shingler(row[text_col] or "", k)
                 for _, row in docs.iterrows()}
     out = []
     for _, r in cand.iterrows():
@@ -369,7 +481,8 @@ def near_dup_keep(pairs: pd.DataFrame) -> pd.DataFrame:
 def minhash_near_dup_pairs_distributed(ds, text_col: str = "text",
                                        id_col: str = "doc_id", k: int = 3,
                                        jaccard_threshold: float = 0.7,
-                                       batch_size: int = 1024):
+                                       batch_size: int = 1024,
+                                       hasher: str = "fast"):
     """Beyond-cap MinHash-LSH: candidates AND exact verification stay
     distributed — the bucket-count table, the pair set, the candidate
     documents and the verdicts never land on the driver (returns a
@@ -390,8 +503,11 @@ def minhash_near_dup_pairs_distributed(ds, text_col: str = "text",
 
     from dataquality_ray.stages.joins import hash_join
 
+    shingler = shingle_hashes_fast if hasher == "fast" else shingle_hashes
+
     def hash_batch(batch: pa.Table) -> pa.Table:
-        out = MinHasher(text_col=text_col, id_col=id_col, k=k)(batch)
+        out = MinHasher(text_col=text_col, id_col=id_col, k=k,
+                        hasher=hasher)(batch)
         # composite (band, hash) folded to ONE int64 key: single-key
         # groupbys and joins, no two-column exchange
         bh = (out["band_hash"].to_numpy(zero_copy_only=False)
@@ -445,8 +561,7 @@ def minhash_near_dup_pairs_distributed(ds, text_col: str = "text",
         tb = batch["_text_b"].to_pylist()
         js = np.empty(len(ta), dtype=np.float64)
         for i, (x, y) in enumerate(zip(ta, tb)):
-            js[i] = jaccard(shingle_hashes(x or "", k),
-                            shingle_hashes(y or "", k))
+            js[i] = jaccard(shingler(x or "", k), shingler(y or "", k))
         out = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
                         "jaccard": pa.array(js)})
         return out.filter(pc.greater_equal(out["jaccard"],

@@ -52,6 +52,49 @@ def test_minhash_signature_deterministic_across_instances():
     assert np.array_equal(sig1, sig2)
 
 
+def test_minhash_sha_path_finds_planted_pairs(docs):
+    pairs = minhash_near_dup_pairs(rd.from_pandas(docs).repartition(4),
+                                   jaccard_threshold=0.7, hasher="sha")
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    for i in range(5):
+        assert (i, 100 + i) in found, f"missing planted pair {i}"
+
+
+def test_minhash_fast_equals_sha_at_pair_level(docs):
+    """The vectorized engine hasher and the SQL-replicable sha chain must
+    find the SAME verified pair set with the SAME Jaccard values (both
+    families' hashed-set Jaccard equals the true shingle-set Jaccard)."""
+    ds = rd.from_pandas(docs).repartition(4)
+    fast = minhash_near_dup_pairs(ds, jaccard_threshold=0.7, hasher="fast")
+    sha = minhash_near_dup_pairs(ds, jaccard_threshold=0.7, hasher="sha")
+    assert set(zip(fast["id_a"], fast["id_b"])) == \
+        set(zip(sha["id_a"], sha["id_b"]))
+    merged = fast.merge(sha, on=["id_a", "id_b"], suffixes=("_f", "_s"))
+    assert np.allclose(merged["jaccard_f"], merged["jaccard_s"])
+
+
+def test_fast_shingles_match_reference_tokenization():
+    """shingle_hashes_fast_batch segments/sizes must mirror str.split()
+    k-gram semantics: shingle COUNTS equal the sha path's distinct counts
+    on duplicate-free texts, short docs get one chain, empty docs one
+    sentinel — and identical texts hash identically across batches."""
+    from dataquality_ray.stages.minhash import (
+        shingle_hashes_fast,
+        shingle_hashes_fast_batch,
+    )
+
+    texts = ["a b c d e", "  lead trail  ", "one two", "", "x", "a b c d e"]
+    flat, sizes = shingle_hashes_fast_batch(texts, k=3)
+    assert sizes.tolist() == [3, 1, 1, 1, 1, 3]
+    # same text -> same shingle hashes (doc 0 vs doc 5)
+    assert flat[0:3].tolist() == flat[int(sizes[:5].sum()):].tolist()
+    # batch layout agrees with the single-doc verify-side variant
+    assert np.array_equal(np.unique(flat[0:3]), shingle_hashes_fast(texts[0]))
+    # empty doc sentinel differs from real shingles
+    start3 = int(sizes[:3].sum())
+    assert flat[start3] not in flat[0:3]
+
+
 def test_simhash_finds_planted_pairs(docs):
     cands = simhash_candidates(rd.from_pandas(docs).repartition(4),
                                max_hamming=8)

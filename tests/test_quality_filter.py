@@ -72,7 +72,7 @@ def test_passthrough_sha256(run):
     untouched = m[~m["scrubbed"]]
     assert len(untouched) > 0
     for _, row in untouched.iterrows():
-        out_sha = hashlib.sha256(row["content"].encode()).hexdigest()
+        out_sha = hashlib.sha256(row["content"].encode()).digest()
         assert out_sha == row["content_sha256"]
         assert row["content"] == row["content_t"]
 
