@@ -480,6 +480,35 @@ def c1_q(sf_dir: str):
     return t.sort_values("names_tested").reset_index(drop=True)
 
 
+@query("c1_near_dup_bucketed")
+def c1_bucketed_q(sf_dir: str):
+    """Beyond-cap C1 twin (distributed prefix-filtered all-pairs,
+    stages/similarity.py) over the p_name universe with planted mutants
+    (one word appended — cosine ~0.85 vs the original under word-1-2-gram
+    TF-IDF) — rows-only (TF-IDF cosine is not SQL-expressible);
+    equivalence with the exact driver path and beyond-cap recall are
+    pinned in tests/test_similarity.py."""
+    import pyarrow as pa
+
+    from dataquality_ray.stages.similarity import c1_near_dup_bucketed
+
+    def with_mutants(batch: pa.Table) -> pa.Table:
+        names = batch["p_name"].to_pylist()
+        mut = [n + " dq" for n in names[:20]]
+        return pa.table({"p_name": pa.array(names + mut, pa.string())})
+
+    corpus = (_read(sf_dir, "part", ["p_name"])
+              .map_batches(with_mutants, batch_format="pyarrow"))
+    res = c1_near_dup_bucketed(corpus, "p_name", threshold=0.5)
+    t = res["pairs"].to_pandas()
+    if "cosine" not in t.columns:
+        t = pd.DataFrame({"val_a": pd.Series([], dtype=str),
+                          "val_b": pd.Series([], dtype=str),
+                          "cosine": pd.Series([], dtype=float)})
+    t["cosine"] = t["cosine"].round(R)
+    return t.sort_values(["val_a", "val_b"]).reset_index(drop=True)
+
+
 @query("c2_reference_lookup", sql="""
 SELECT 'c_mktsegment' AS column_name, c_mktsegment AS value,
        count(*) AS n_rows, 1.0 AS max_similarity, true AS consistent

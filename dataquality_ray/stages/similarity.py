@@ -43,7 +43,9 @@ def value_counts(ds, col: str, normalize: bool = False) -> pd.Series:
     if len(combined) > MAX_UNIVERSE:
         raise ValueError(
             f"distinct universe of {col} is {len(combined)} > {MAX_UNIVERSE}; "
-            "C1/C2/C3-family similarity requires a bounded universe")
+            "the driver-side C1/C2/C3 family requires a bounded universe — "
+            "use c1_near_dup_bucketed (distributed prefix-filtered "
+            "all-pairs) beyond it")
     return combined
 
 
@@ -100,46 +102,45 @@ def _c1_from_counts(vc: pd.Series, col: str, threshold: float = 0.91,
                     stop_words=("the", "and")):
     """Per-column C1 from a precomputed distinct-value counts Series
     (driver-side; the universe is bounded by MAX_UNIVERSE)."""
-    if True:
-        uniq = np.array(list(vc.index), dtype=object)
-        model = TfidfModel(list(uniq), stop_words=stop_words)
-        text_sim = model.ref_matrix @ model.ref_matrix.T
-        np.fill_diagonal(text_sim, 0.0)
+    uniq = np.array(list(vc.index), dtype=object)
+    model = TfidfModel(list(uniq), stop_words=stop_words)
+    text_sim = model.ref_matrix @ model.ref_matrix.T
+    np.fill_diagonal(text_sim, 0.0)
 
-        # score = average_c1_consistency_score (table_operations.py:86-92)
-        inconsistent = int(np.any(text_sim > threshold, axis=1).sum())
+    # score = average_c1_consistency_score (table_operations.py:86-92)
+    inconsistent = int(np.any(text_sim > threshold, axis=1).sum())
 
-        combined = _combined_similarity(uniq, text_sim)
-        masked = combined.copy()
-        # get_max_similarity_values (table_operations.py:30-56) sets the
-        # diagonal to -1 *in place* before argsort; on ties its
-        # argsort[::-1][0] picks the HIGHEST index, so mirror that instead
-        # of plain argmax (which picks the lowest).
-        np.fill_diagonal(masked, -1.0)
-        n = len(uniq)
-        best = (n - 1) - np.argmax(masked[:, ::-1], axis=1)
-        # Reference per-row selection (c1.py:85-134): the short-number-guarded
-        # best match ("Recommended <col>") and the "All Matches <col>" list of
-        # every candidate scoring > threshold — both over the diag=-1 matrix.
-        recommended = [
-            c1_best_match(uniq[i], uniq, masked[i], threshold)
-            for i in range(n)
-        ]
-        all_matches = [
-            ", ".join(f"{uniq[j]} ({masked[i, j]:.2f})"
-                      for j in np.where(masked[i] >= threshold)[0]
-                      if masked[i, j] > threshold)
-            for i in range(n)
-        ]
-        rep = pd.DataFrame({
-            "column_source": col,
-            "names_tested": uniq,
-            "highest_similarity_names": uniq[best],
-            "similarity_score": masked[np.arange(n), best],
-            "recommended": recommended,
-            "all_matches": all_matches,
-        })
-        return rep, (len(uniq) - inconsistent) / len(uniq)
+    combined = _combined_similarity(uniq, text_sim)
+    masked = combined.copy()
+    # get_max_similarity_values (table_operations.py:30-56) sets the
+    # diagonal to -1 *in place* before argsort; on ties its
+    # argsort[::-1][0] picks the HIGHEST index, so mirror that instead
+    # of plain argmax (which picks the lowest).
+    np.fill_diagonal(masked, -1.0)
+    n = len(uniq)
+    best = (n - 1) - np.argmax(masked[:, ::-1], axis=1)
+    # Reference per-row selection (c1.py:85-134): the short-number-guarded
+    # best match ("Recommended <col>") and the "All Matches <col>" list of
+    # every candidate scoring > threshold — both over the diag=-1 matrix.
+    recommended = [
+        c1_best_match(uniq[i], uniq, masked[i], threshold)
+        for i in range(n)
+    ]
+    all_matches = [
+        ", ".join(f"{uniq[j]} ({masked[i, j]:.2f})"
+                  for j in np.where(masked[i] >= threshold)[0]
+                  if masked[i, j] > threshold)
+        for i in range(n)
+    ]
+    rep = pd.DataFrame({
+        "column_source": col,
+        "names_tested": uniq,
+        "highest_similarity_names": uniq[best],
+        "similarity_score": masked[np.arange(n), best],
+        "recommended": recommended,
+        "all_matches": all_matches,
+    })
+    return rep, (len(uniq) - inconsistent) / len(uniq)
 
 
 def c1_best_match(norm_value: str, unique_obs: np.ndarray,
@@ -280,7 +281,9 @@ def _vc_from_parts(parts: pd.DataFrame, col: str) -> pd.Series:
     if len(combined) > MAX_UNIVERSE:
         raise ValueError(
             f"distinct universe of {col} is {len(combined)} > {MAX_UNIVERSE}; "
-            "C1/C2/C3-family similarity requires a bounded universe")
+            "the driver-side C1/C2/C3 family requires a bounded universe — "
+            "use c1_near_dup_bucketed (distributed prefix-filtered "
+            "all-pairs) beyond it")
     combined.index.name = "value"
     return combined
 
@@ -328,6 +331,166 @@ def c2_spec(column_mapping: dict[str, str], threshold: float = 1.00,
             "out_cols": dict(_VC_OUT_COLS),
             "partial": _vc_spec_partial(columns, normalize=False),
             "finalize": finalize}
+
+
+# ---------------------------------------------------------------------------
+# Beyond-cap C1: exact prefix-filtered all-pairs similarity over an
+# UNBOUNDED distinct universe.  The driver-side C1 above raises past
+# MAX_UNIVERSE; this twin keeps the whole chain distributed — distinct
+# universe, document frequencies, TF-IDF weights, candidate generation and
+# exact cosine verification are all Dataset programs, and the driver sees
+# only scalars.  Candidate generation is the prefix filter of Bayardo,
+# Ma & Srikant, "Scaling Up All Pairs Similarity Search" (WWW 2007):
+# order each value's terms rarest-first; the PREFIX is the minimal head
+# whose removal drops the remaining l2 norm below the threshold, so any
+# pair with cosine >= threshold must share a term that is in at least one
+# side's prefix.  Bucketing every value by its prefix terms (index role)
+# plus all terms (probe role) therefore has EXACT recall — no LSH misses —
+# while common terms (rarely in any prefix) generate no index entries and
+# prune away.  Covers the C1 SCORE semantics (TF-IDF text similarity,
+# strict >, c1.py:137 quirk); the driver path's combined-matrix report
+# (numeric/SequenceMatcher merges) remains exact-path-only.
+# ---------------------------------------------------------------------------
+
+
+def c1_universe_dataset(ds, col: str):
+    """Distinct normalized values of ``col`` with row counts, as a Dataset
+    (one groupby shuffle of bare value strings; never collected)."""
+    from ray.data.aggregate import Count
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[col].dropna().map(normalize_text)
+        return pd.DataFrame({"value": s.astype(str)})
+
+    vals = ds.select_columns([col]).map_batches(norm, batch_format="pandas")
+    return vals.groupby("value").aggregate(Count("value", alias_name="n"))
+
+
+def c1_near_dup_bucketed(ds, col: str, threshold: float = 0.91,
+                         stop_words=("the", "and"),
+                         max_bucket: int = 500) -> dict:
+    """Distributed C1 for universes beyond ``MAX_UNIVERSE``.
+
+    Returns ``{"score", "n_values", "n_inconsistent", "pairs"}`` where
+    ``pairs`` is a Dataset of (val_a, val_b, cosine) with cosine STRICTLY
+    above the threshold (the score quirk's comparison) and val_a < val_b.
+    Equivalence with the driver path under the cap and planted-pair recall
+    above it are pinned in tests/test_similarity.py.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Max
+
+    from dataquality_ray.functions.tfidf import _analyze
+    from dataquality_ray.stages.joins import hash_join
+
+    stop = set(stop_words or [])
+    universe = c1_universe_dataset(ds, col).materialize()
+    n_values = universe.count()
+    if n_values == 0:
+        import ray.data as rd
+
+        return {"score": None, "n_values": 0, "n_inconsistent": 0,
+                "pairs": rd.from_items([])}
+
+    # (value, term, tf) — one row per DISTINCT term per value
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        vals, terms, tfs = [], [], []
+        for v in batch["value"]:
+            toks = _analyze(v, stop)
+            if not toks:
+                continue
+            cnt: dict[str, int] = {}
+            for t in toks:
+                cnt[t] = cnt.get(t, 0) + 1
+            vals.extend([v] * len(cnt))
+            terms.extend(cnt.keys())
+            tfs.extend(cnt.values())
+        return pd.DataFrame({"value": vals, "term": terms, "tf": tfs})
+
+    exploded = universe.map_batches(explode,
+                                    batch_format="pandas").materialize()
+    # document frequency = #distinct values containing the term
+    df_tbl = exploded.groupby("term").aggregate(
+        Count("value", alias_name="df"))
+    weighted = hash_join(exploded, df_tbl, on="term", value_cols=["df"],
+                         join_type="inner")
+
+    t2 = threshold * threshold
+
+    def vec_and_buckets(g: pd.DataFrame) -> pd.DataFrame:
+        """One value's full TF-IDF vector -> normalized weights, prefix
+        selection, and its bucket entries (every term; is_idx marks prefix
+        membership)."""
+        g = g.sort_values(["df", "term"], kind="mergesort")  # rarest first
+        w = (g["tf"].to_numpy(dtype=np.float64)
+             * (np.log((1 + n_values) / (1 + g["df"].to_numpy(np.float64)))
+                + 1.0))
+        norm = np.sqrt((w * w).sum())
+        if norm == 0.0:
+            return pd.DataFrame(columns=["bucket", "value", "is_idx",
+                                         "terms", "weights"])
+        w /= norm
+        # prefix = minimal head with remaining suffix norm^2 < threshold^2
+        head_mass = np.cumsum(w * w)
+        k = int(np.searchsorted(head_mass, 1.0 - t2, side="right")) + 1
+        k = min(k, len(w))
+        terms = g["term"].tolist()
+        return pd.DataFrame({
+            "bucket": terms,
+            "value": g["value"].iloc[0],
+            "is_idx": [i < k for i in range(len(terms))],
+            "terms": [terms] * len(terms),
+            "weights": [w.tolist()] * len(terms),
+        })
+
+    entries = weighted.groupby("value").map_groups(
+        vec_and_buckets, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g[g["is_idx"]]
+        if not len(idx) or len(g) < 2:
+            return pd.DataFrame({"val_a": pd.Series([], dtype=str),
+                                 "val_b": pd.Series([], dtype=str),
+                                 "cosine": pd.Series([], dtype=float)})
+        if len(g) > max_bucket:
+            print(f"[c1-bucketed] bucket capped: {len(g)} values share "
+                  f"term {g['bucket'].iloc[0]!r}")
+            g = g.sort_values("value", kind="mergesort").head(max_bucket)
+            idx = g[g["is_idx"]]
+        vecs = {r.value: dict(zip(r.terms, r.weights))
+                for r in g.itertuples()}
+        out = []
+        probe_vals = g["value"].tolist()
+        for a in idx["value"]:
+            va = vecs[a]
+            for b in probe_vals:
+                if a == b:
+                    continue
+                lo, hi = (a, b) if a < b else (b, a)
+                vb = vecs[b]
+                small, big = (va, vb) if len(va) <= len(vb) else (vb, va)
+                cos = sum(w * big.get(t, 0.0) for t, w in small.items())
+                if cos > threshold:
+                    out.append((lo, hi, cos))
+        return pd.DataFrame(out, columns=["val_a", "val_b", "cosine"]) \
+            .drop_duplicates(["val_a", "val_b"])
+
+    pairs = (entries.groupby("bucket")
+             .map_groups(bucket_pairs, batch_format="pandas")
+             .groupby(["val_a", "val_b"])
+             .aggregate(Max("cosine", alias_name="cosine")))
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([batch["val_a"].combine_chunks(),
+                                 batch["val_b"].combine_chunks()])
+        return pa.table({"value": both})
+
+    incons = (pairs.map_batches(flatten, batch_format="pyarrow")
+              .groupby("value").aggregate(Count("value", alias_name="_c")))
+    n_inconsistent = incons.count()
+    return {"score": (n_values - n_inconsistent) / n_values,
+            "n_values": n_values, "n_inconsistent": n_inconsistent,
+            "pairs": pairs}
 
 
 def c3_spec(columns: list[str], ref_names: list[str] | None = None,

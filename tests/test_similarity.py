@@ -140,3 +140,82 @@ def test_c1_universe_cap():
             c1_near_dup(rd.from_pandas(df), ["x"])
     finally:
         similarity.MAX_UNIVERSE = old
+
+
+def test_c1_bucketed_matches_exact_under_cap(ray_session):
+    """The distributed prefix-filtered twin must reproduce the driver
+    path's score and its strict-> inconsistent pair set exactly."""
+    import numpy as np
+
+    from dataquality_ray.functions.textnorm import normalize_text
+    from dataquality_ray.functions.tfidf import TfidfModel
+    from dataquality_ray.stages.similarity import (
+        c1_near_dup_bucketed,
+        value_counts,
+    )
+
+    rng = np.random.RandomState(3)
+    vocab = ["survey", "harbour", "assessment", "pacific", "coastal",
+             "benthic", "trawl", "salmon", "sockeye", "chinook"]
+    base = [" ".join(rng.choice(vocab, 4)) + f" site {i}" for i in range(40)]
+    near = [b.replace("site", "station") for b in base[:6]]   # near dups
+    rows = base + near + ["zz distinct alpha", "qq unrelated beta"]
+    df = pd.DataFrame({"x": rows * 3})  # repeated rows: distinct-vs-row split
+    ds = rd.from_pandas(df).repartition(4)
+
+    # exact text-sim pair set (score quirk: strictly > threshold)
+    vc = value_counts(ds, "x", normalize=True)
+    uniq = list(vc.index)
+    model = TfidfModel(uniq, stop_words=("the", "and"))
+    sim = model.ref_matrix @ model.ref_matrix.T
+    np.fill_diagonal(sim, 0.0)
+    thr = 0.5
+    ii, jj = np.where(np.triu(sim > thr, k=1))
+    want_pairs = {(min(uniq[i], uniq[j]), max(uniq[i], uniq[j]))
+                  for i, j in zip(ii, jj)}
+    want_incons = int(np.any(sim > thr, axis=1).sum())
+
+    res = c1_near_dup_bucketed(ds, "x", threshold=thr)
+    got = res["pairs"].to_pandas()
+    got_pairs = set(zip(got["val_a"], got["val_b"]))
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+    assert res["n_values"] == len(uniq)
+    assert res["n_inconsistent"] == want_incons
+    assert res["score"] == pytest.approx((len(uniq) - want_incons) / len(uniq))
+    # exact cosine verification, not an LSH estimate
+    for _, r in got.iterrows():
+        i, j = uniq.index(r["val_a"]), uniq.index(r["val_b"])
+        assert r["cosine"] == pytest.approx(sim[i, j], abs=1e-9)
+
+
+def test_c1_bucketed_recall_beyond_cap(ray_session):
+    """Above MAX_UNIVERSE the driver path refuses; the distributed twin
+    still finds every planted near-duplicate (prefix filter = exact
+    recall, no LSH misses)."""
+    import numpy as np
+
+    from dataquality_ray.stages import similarity
+    from dataquality_ray.stages.similarity import c1_near_dup_bucketed
+
+    rng = np.random.RandomState(11)
+    vocab = [f"word{i}" for i in range(300)]
+    base = [" ".join(rng.choice(vocab, 6)) + f" tag{i}" for i in range(120)]
+    planted = [b.replace("tag", "label") for b in base[:10]]
+    df = pd.DataFrame({"x": base + planted})
+    ds = rd.from_pandas(df).repartition(4)
+
+    old = similarity.MAX_UNIVERSE
+    similarity.MAX_UNIVERSE = 100
+    try:
+        with pytest.raises(ValueError, match="bucketed"):
+            similarity.value_counts(ds, "x", normalize=True)
+        res = c1_near_dup_bucketed(ds, "x", threshold=0.5)
+    finally:
+        similarity.MAX_UNIVERSE = old
+    pairs = set(map(tuple, res["pairs"].to_pandas()[["val_a", "val_b"]]
+                    .itertuples(index=False)))
+    from dataquality_ray.functions.textnorm import normalize_text
+    for b, p in zip(base[:10], planted):
+        key = (min(normalize_text(b), normalize_text(p)),
+               max(normalize_text(b), normalize_text(p)))
+        assert key in pairs, f"missing planted pair {key}"
