@@ -1,0 +1,247 @@
+"""Pure-stdlib media codecs for the multimodal stages.
+
+The heavyweight codec libraries (PIL, ffmpeg, librosa) are optional; when
+absent, these built-in decoders keep the multimodal operators REAL for the
+formats a standard library can handle:
+
+- PNG (zlib inflate + the five standard scanline filters, 8-bit
+  gray/gray+alpha/RGB/RGBA, non-interlaced — the baseline of the PNG spec)
+- PPM/PGM binary (P6/P5)
+- WAV PCM (stdlib ``wave``; 8/16/32-bit integer PCM)
+
+Encoders for the same formats exist so tests and fixtures synthesize real
+payloads deterministically.  Anything beyond these formats needs the
+optional libraries and raises NotImplementedError naming the gap.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_format(data: bytes) -> str | None:
+    """Best-effort container sniff from magic bytes."""
+    if data[:8] == _PNG_MAGIC:
+        return "png"
+    if data[:2] in (b"P6", b"P5"):
+        return "ppm"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> channels
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a baseline PNG to (h, w, channels) uint8.
+
+    Supports bit depth 8, color types gray(0)/RGB(2)/gray+alpha(4)/RGBA(6),
+    no interlacing — i.e. what :func:`encode_png` and the vast majority of
+    real-world 8-bit PNGs use.  Palette/16-bit/interlaced need PIL.
+    """
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace} "
+                    "needs PIL (builtin decoder is baseline-8-bit only)")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG IDAT size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    c = channels
+    for y in range(height):
+        line = raw[y, 1:].astype(np.int32)
+        f = filters[y]
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub(1) / Average(3) / Paeth(4) need left-to-right scan
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0
+                b = prev[x]
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    cc = prev[x - c] if x >= c else 0
+                    p = a + b - cc
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                        (b if pb_ <= pc_ else cc)
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(height, width, channels)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode (h, w[, channels]) uint8 as a baseline PNG (filter 0)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# PPM / PGM (binary)
+# ---------------------------------------------------------------------------
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Decode binary PPM (P6) / PGM (P5) to (h, w, channels) uint8."""
+    if data[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    channels = 3 if data[:2] == b"P6" else 1
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while data[pos:pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("PPM maxval != 255 needs PIL")
+    pix = np.frombuffer(data, dtype=np.uint8, count=h * w * channels,
+                        offset=pos)
+    return pix.reshape(h, w, channels).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode (h, w[, 3|1]) uint8 as binary PPM/PGM."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# WAV (stdlib wave; integer PCM)
+# ---------------------------------------------------------------------------
+
+_PCM_DTYPES = {1: np.uint8, 2: np.int16, 4: np.int32}
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode PCM WAV to (sample_rate, mono float64 samples in [-1, 1])."""
+    import wave
+
+    with wave.open(io.BytesIO(data)) as wf:
+        rate = wf.getframerate()
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width not in _PCM_DTYPES:
+        raise NotImplementedError(f"{8 * width}-bit WAV needs soundfile")
+    x = np.frombuffer(frames, dtype=_PCM_DTYPES[width]).astype(np.float64)
+    if width == 1:
+        x = (x - 128.0) / 128.0
+    else:
+        x = x / float(2 ** (8 * width - 1))
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return rate, x
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """Encode mono float samples in [-1, 1] as 16-bit PCM WAV."""
+    import wave
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Shared feature kernels (post-decode, numpy-only)
+# ---------------------------------------------------------------------------
+
+
+def image_grid_features(pixels: np.ndarray, grid: int = 4) -> np.ndarray:
+    """Deterministic ``grid x grid`` grayscale-mean feature vector in
+    [0, 1] from a decoded (h, w, c) uint8 image — the codec-independent
+    feature the ImageDecoder stage emits."""
+    gray = np.asarray(pixels, dtype=np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h, grid + 1).astype(int)
+    xs = np.linspace(0, w, grid + 1).astype(int)
+    out = np.empty(grid * grid, dtype=np.float64)
+    for i in range(grid):
+        for j in range(grid):
+            cell = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out[i * grid + j] = cell.mean() / 255.0
+    return out
+
+
+def frame_rms_energies(samples: np.ndarray, n_frames: int) -> np.ndarray:
+    """RMS energy of ``n_frames`` equal segments of a mono signal."""
+    if not len(samples):
+        return np.zeros(n_frames, dtype=np.float32)
+    bounds = np.linspace(0, len(samples), n_frames + 1).astype(int)
+    out = np.empty(n_frames, dtype=np.float32)
+    for i in range(n_frames):
+        seg = samples[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]
+        out[i] = np.sqrt(np.mean(seg * seg))
+    return out

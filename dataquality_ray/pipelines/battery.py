@@ -243,8 +243,17 @@ def run_battery(ds, tests: list[tuple[str, str, Callable]],
             append_log(report_base, {
                 "dataset": run_id, "dimension": dimension, "test": test_name,
                 "score": score,
+                "selected_columns": meta.get("selected_columns"),
+                "threshold": meta.get("threshold"),
                 "one_line_summary": summaries.get(test_name),
                 "errors": errors.get(test_name, "")})
+
+    if report_base is not None:
+        # regenerate the reference-shaped XLSX run-log view from the JSONL
+        # source of truth (compatibility artifact; state/report.py)
+        from dataquality_ray.state.report import export_run_log_xlsx
+
+        export_run_log_xlsx(report_base)
 
     dim_scores = [calculate_dimension_score(
                       dim, scores, (weights or {}).get(dim))

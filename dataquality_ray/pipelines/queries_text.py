@@ -844,6 +844,34 @@ def multimodal_q(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+@query("multimodal_real_decode")
+def multimodal_real_q(sf_dir: str):
+    """REAL (non-fake) decode through the actor-pool stages: deterministic
+    PNG/PPM images and PCM WAVs synthesized as actual encoded payloads,
+    decoded by the builtin stdlib codecs (functions/codecs.py; PIL and
+    soundfile are preferred when importable).  Rows-only — roundtrip and
+    feature parity are pinned in tests/test_multimodal_codecs.py."""
+    import ray.data as rd
+
+    from dataquality_ray.stages.multimodal import (
+        decode_images,
+        sample_audio,
+        synthesize_real_media_table,
+    )
+
+    media = rd.from_arrow(synthesize_real_media_table(24, seed=42))
+    imgs = decode_images(
+        media.filter(expr="mime_type != 'audio/wav'").repartition(2),
+        fake=False, batch_size=8).select_columns(
+            ["media_id", "mime_type", "height", "width"]).to_pandas()
+    wavs = sample_audio(
+        media.filter(expr="mime_type == 'audio/wav'").repartition(2),
+        fake=False, batch_size=8).select_columns(
+            ["media_id", "mime_type", "sample_rate", "n_samples"]).to_pandas()
+    out = pd.concat([imgs, wavs], ignore_index=True)
+    return (out.fillna(-1).sort_values("media_id").reset_index(drop=True))
+
+
 @query("multimodal_audio_features")
 def multimodal_audio_q(sf_dir: str):
     import ray.data as rd

@@ -1,12 +1,19 @@
-"""Multimodal (image/audio/video) stages — real Ray plumbing, stubbed codecs.
+"""Multimodal (image/audio/video) stages — real Ray plumbing, layered codecs.
 
 Media travel as opaque ``binary`` columns with typed metadata columns
 (mime_type, width/height or sample_rate, n_bytes).  Decode / resize /
 feature-extract run as actor-pool ``map_batches`` stages with the codec
-pinned in ``__init__``.  The actual decode libraries (PIL/ffmpeg/librosa)
-are NOT in this container, so the codec layer is stubbed: by default it
-raises NotImplementedError; with ``fake=True`` it produces a deterministic
-fake decode so the schema / batch-size / actor plumbing is fully testable.
+pinned in ``__init__``.  Codec resolution is layered per stage:
+
+1. optional heavyweight library if importable (PIL for images, soundfile
+   for audio, av/imageio/decord for video),
+2. else the pure-stdlib decoders in functions/codecs.py — REAL decode for
+   baseline PNG, binary PPM/PGM and PCM WAV with no dependencies,
+3. else NotImplementedError naming the missing library, with ``fake=True``
+   as the deterministic plumbing-test stub.
+
+Video has no stdlib codec, so layer 2 is empty there: real video decode
+requires an optional library and the fake path remains the tested shape.
 """
 
 from __future__ import annotations
@@ -37,24 +44,97 @@ def synthesize_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     })
 
 
+def synthesize_real_media_table(n: int = 24, seed: int = 42) -> pa.Table:
+    """Deterministic REAL media rows: gradient/noise images encoded as
+    actual PNG and PPM payloads plus sine-wave PCM WAVs — decodable by the
+    builtin codecs (and by PIL/soundfile where present), so the non-fake
+    decode paths are exercised end-to-end with no optional libraries."""
+    from dataquality_ray.functions.codecs import (
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(seed)
+    ids, mimes, payloads = [], [], []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:  # PNG image
+            h, w = int(rng.randint(8, 48)), int(rng.randint(8, 48))
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            payloads.append(encode_png(img))
+            mimes.append("image/png")
+        elif kind == 1:  # PPM image
+            h, w = int(rng.randint(8, 48)), int(rng.randint(8, 48))
+            grad = (np.arange(h)[:, None] * np.arange(w)[None, :]) % 256
+            payloads.append(encode_ppm(
+                np.stack([grad] * 3, axis=2).astype(np.uint8)))
+            mimes.append("image/x-portable-pixmap")
+        else:  # WAV audio
+            rate = int(rng.choice([8000, 16000]))
+            t = np.arange(rate // 2) / rate
+            freq = float(rng.randint(100, 2000))
+            payloads.append(encode_wav(rate, 0.5 * np.sin(2 * np.pi * freq * t)))
+            mimes.append("audio/wav")
+        ids.append(i)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "mime_type": pa.array(mimes),
+        "payload": pa.array(payloads, pa.binary()),
+        "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+
+
 class ImageDecoder:
     """Actor: decode image payloads -> (height, width, channels) + a feature
-    vector.  batch_size MUST be small for large payloads (the caller sizes
-    it; see pipeline docstring) — payload bytes stay in Arrow buffers
-    (zero-copy) until the codec touches them."""
+    vector (grid of grayscale means — functions/codecs.py).  batch_size
+    MUST be small for large payloads (the caller sizes it; see pipeline
+    docstring) — payload bytes stay in Arrow buffers (zero-copy) until the
+    codec touches them.
+
+    Codec layering (module docstring): PIL when importable, else the
+    builtin PNG/PPM decoders — real decode either way; formats neither
+    layer handles (e.g. JPEG without PIL) raise NotImplementedError naming
+    the gap.
+    """
 
     def __init__(self, fake: bool = False, feature_dim: int = 16):
         self.fake = fake
         self.feature_dim = feature_dim
+        grid = int(np.sqrt(feature_dim))
+        if grid * grid != feature_dim:
+            raise ValueError("feature_dim must be a square (grid features)")
+        self.grid = grid
+        self.pil = None
         if not fake:
             try:
-                import PIL.Image  # noqa: F401
-                self.codec = "pil"
-            except ImportError as err:
+                import PIL.Image
+
+                self.pil = PIL.Image
+            except ImportError:
+                self.pil = None  # builtin PNG/PPM decoders still apply
+
+    def _real_decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        from dataquality_ray.functions import codecs
+
+        if self.pil is not None:
+            import io
+
+            img = self.pil.open(io.BytesIO(payload))
+            pixels = np.asarray(img.convert("RGB"))
+        else:
+            fmt = codecs.sniff_format(payload)
+            if fmt == "png":
+                pixels = codecs.decode_png(payload)
+            elif fmt == "ppm":
+                pixels = codecs.decode_ppm(payload)
+            else:
                 raise NotImplementedError(
-                    "image decoding requires PIL, which is not available in "
-                    "this environment; construct with fake=True for the "
-                    "deterministic stub") from err
+                    f"unsupported image payload (sniffed {fmt!r}); builtin "
+                    "codecs handle PNG/PPM — other formats need PIL, or "
+                    "construct with fake=True for the plumbing stub")
+        h, w = pixels.shape[:2]
+        return h, w, codecs.image_grid_features(pixels, self.grid)
 
     def _fake_decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         h = hashlib.blake2b(payload, digest_size=16).digest()
@@ -70,8 +150,8 @@ class ImageDecoder:
         for p in payloads:
             if self.fake:
                 h, w, f = self._fake_decode(p or b"")
-            else:  # pragma: no cover - no codec in this container
-                raise NotImplementedError
+            else:
+                h, w, f = self._real_decode(p or b"")
             hs.append(h)
             ws.append(w)
             feats.append(f.tolist())
@@ -91,18 +171,42 @@ def decode_images(ds, fake: bool = False, batch_size: int = 32,
 
 class AudioFrameSampler:
     """Actor: decode audio payloads -> (sample_rate, n_samples) metadata plus
-    K fixed-offset frame energies.  Real decode needs ffmpeg/librosa (absent
-    here) — ``fake=True`` derives deterministic pseudo-audio from the payload
-    hash so the plumbing (schema, batch sizing, actor pool) is fully tested.
-    """
+    K per-segment RMS energies.  Codec layering: soundfile when importable,
+    else the builtin PCM-WAV decoder (real decode either way); other
+    formats raise NotImplementedError.  ``fake=True`` remains the
+    deterministic plumbing stub."""
 
     def __init__(self, fake: bool = False, n_frames: int = 8):
         self.fake = fake
         self.n_frames = n_frames
+        self.soundfile = None
         if not fake:
+            try:
+                import soundfile
+
+                self.soundfile = soundfile
+            except ImportError:
+                self.soundfile = None  # builtin WAV decoder still applies
+
+    def _real_decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        from dataquality_ray.functions import codecs
+
+        if self.soundfile is not None:
+            import io
+
+            samples, rate = self.soundfile.read(io.BytesIO(payload))
+            samples = np.asarray(samples, dtype=np.float64)
+            if samples.ndim > 1:
+                samples = samples.mean(axis=1)
+        elif codecs.sniff_format(payload) == "wav":
+            rate, samples = codecs.decode_wav(payload)
+        else:
             raise NotImplementedError(
-                "audio decoding requires ffmpeg/librosa, not available in "
-                "this environment; construct with fake=True for the stub")
+                "unsupported audio payload; the builtin codec handles PCM "
+                "WAV — other formats need soundfile/ffmpeg, or construct "
+                "with fake=True for the plumbing stub")
+        return rate, len(samples), codecs.frame_rms_energies(
+            samples, self.n_frames)
 
     def _fake_decode(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         h = hashlib.blake2b(payload, digest_size=16).digest()
@@ -115,10 +219,13 @@ class AudioFrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rates, counts, frames = [], [], []
         for p in batch["payload"].to_pylist():
-            r, n, e = self._fake_decode(p or b"")
+            if self.fake:
+                r, n, e = self._fake_decode(p or b"")
+            else:
+                r, n, e = self._real_decode(p or b"")
             rates.append(r)
             counts.append(n)
-            frames.append(e.tolist())
+            frames.append(np.asarray(e, dtype=np.float32).tolist())
         return (batch.drop_columns(["payload"])
                 .append_column("sample_rate", pa.array(rates, pa.int32()))
                 .append_column("n_samples", pa.array(counts, pa.int64()))
@@ -147,9 +254,18 @@ class VideoFrameSampler:
         self.k = k
         self.feature_dim = feature_dim
         if not fake:
-            raise NotImplementedError(
-                "video decoding requires ffmpeg/decord, not available in "
-                "this environment; construct with fake=True for the stub")
+            for lib in ("av", "decord", "imageio"):
+                try:
+                    __import__(lib)
+                    self.codec = lib
+                    break
+                except ImportError:
+                    continue
+            else:
+                raise NotImplementedError(
+                    "video decoding requires av/decord/imageio (none "
+                    "importable here) — there is no stdlib video codec; "
+                    "construct with fake=True for the plumbing stub")
 
     def _fake_decode(self, payload: bytes):
         h = hashlib.blake2b(payload, digest_size=16).digest()

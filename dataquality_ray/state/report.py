@@ -178,3 +178,59 @@ def read_log(base_dir: str) -> list[dict]:
         return []
     with open(path) as fh:
         return [json.loads(line) for line in fh if line.strip()]
+
+
+# The reference's run-log XLSX header, in its exact column order
+# (utils/core_operations.py:110-131 — the DQS_Output_Log_Test.xlsx shape
+# downstream tooling reads).
+XLSX_LOG_COLUMNS = [
+    "Dataset", "Dimension", "Test", "Selected_Columns", "Threshold",
+    "Score", "Run_Time_and_Date", "New_or_Existing_Test",
+    "One_Line_Summary", "Errors", "Why_Did_the_Test_Fail",
+]
+
+
+def _columns_tested(selected, excluded) -> str:
+    """Reference formatting of the Selected_Columns cell
+    (core_operations.py:91-99)."""
+    if excluded and excluded != [""]:
+        return "All columns excluding " + ", ".join(excluded)
+    if selected is None or selected == [""] or selected == []:
+        return "All columns"
+    return ", ".join(selected)
+
+
+def export_run_log_xlsx(base_dir: str, path: str | None = None) -> str:
+    """Regenerate the reference-shaped ``DQS_Output_Log_Test.xlsx`` from
+    the JSONL run log — the compatibility artifact for consumers of the
+    reference's XLSX (core_operations.py:73-137).  The reference APPENDS by
+    re-reading and re-writing the whole workbook on every row (racy under
+    parallel writers); here the JSONL stays the append-only source of
+    truth and this exporter rebuilds the same ever-growing sheet from it,
+    one post-pass per call.  Reference quirks preserved: percentage score
+    with falsy-scores-as-'0%' (:78-80), "no threshold" sentinel (:87),
+    Standard/Custom flag (:102)."""
+    recs = read_log(base_dir)
+    rows = []
+    for r in recs:
+        score = r.get("score")
+        pct = f"{float(score) * 100:.2f}%" if score else "0%"
+        thr = r.get("threshold")
+        rows.append([
+            r.get("dataset", ""),
+            r.get("dimension", ""),
+            r.get("test", ""),
+            _columns_tested(r.get("selected_columns"),
+                            r.get("excluded_columns")),
+            "no threshold" if thr is None else thr,
+            pct,
+            r.get("run_time", ""),
+            "Standard" if r.get("standard", True) else "Custom",
+            r.get("one_line_summary") or "",
+            r.get("errors", ""),
+            r.get("fail_comment", ""),
+        ])
+    from dataquality_ray.state.xlsx import write_xlsx
+
+    out = path or os.path.join(base_dir, "DQS_Output_Log_Test.xlsx")
+    return write_xlsx(out, XLSX_LOG_COLUMNS, rows)

@@ -1,0 +1,105 @@
+"""Minimal XLSX writer (stdlib zipfile + hand-built OOXML, no openpyxl).
+
+Exists for ONE compatibility artifact: the reference appends run-log rows
+to ``DQS_Output_Log_Test.xlsx`` (utils/core_operations.py:73-137) and
+downstream tooling reads that file.  The engine's source of truth stays the
+append-only JSONL run log (state/report.py — safe under parallel writers);
+:func:`dataquality_ray.state.report.export_run_log_xlsx` regenerates the
+XLSX view from it.  All cells are written as inline strings — the reference
+file's values (scores are pre-formatted percentage strings) are strings
+already.
+"""
+
+from __future__ import annotations
+
+import zipfile
+from xml.sax.saxutils import escape
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+</Types>"""
+
+_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_WORKBOOK = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+</workbook>"""
+
+_WORKBOOK_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+
+
+def _col_letter(i: int) -> str:
+    """0-based column index -> A, B, ..., Z, AA, ..."""
+    out = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        out = chr(ord("A") + r) + out
+    return out
+
+
+def _row_xml(r: int, values: list) -> str:
+    cells = []
+    for j, v in enumerate(values):
+        txt = "" if v is None else str(v)
+        cells.append(
+            f'<c r="{_col_letter(j)}{r}" t="inlineStr">'
+            f"<is><t xml:space=\"preserve\">{escape(txt)}</t></is></c>")
+    return f'<row r="{r}">' + "".join(cells) + "</row>"
+
+
+def write_xlsx(path: str, columns: list[str], rows: list[list]) -> str:
+    """Write one-sheet XLSX with a header row + data rows, all inline
+    strings.  Deterministic bytes for deterministic inputs (fixed zip
+    timestamps)."""
+    body = [_row_xml(1, list(columns))]
+    for i, row in enumerate(rows, start=2):
+        body.append(_row_xml(i, list(row)))
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        + "".join(body) + "</sheetData></worksheet>")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in [
+            ("[Content_Types].xml", _CONTENT_TYPES),
+            ("_rels/.rels", _RELS),
+            ("xl/workbook.xml", _WORKBOOK),
+            ("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS),
+            ("xl/worksheets/sheet1.xml", sheet),
+        ]:
+            info = zipfile.ZipInfo(name, date_time=(2020, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            z.writestr(info, data)
+    return path
+
+
+def read_xlsx(path: str) -> tuple[list[str], list[list[str]]]:
+    """Read back a sheet written by :func:`write_xlsx` (test/consumer
+    helper): returns (columns, rows) of strings."""
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        root = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    rows = []
+    for row in root.iter(f"{ns}row"):
+        vals = []
+        for c in row.iter(f"{ns}c"):
+            t = c.find(f"{ns}is/{ns}t")
+            vals.append("" if t is None or t.text is None else t.text)
+        rows.append(vals)
+    if not rows:
+        return [], []
+    return rows[0], rows[1:]

@@ -206,3 +206,46 @@ def test_a2_summary_matches_golden_header(ray_session):
     # name slot (the reference writes the groupby column first)
     assert list(frame.columns) == ["group_name", value_col]
     assert len(frame) == 2
+
+
+def test_xlsx_run_log_export_golden_header(ray_session, tmp_path):
+    """The exported DQS_Output_Log_Test.xlsx must carry the reference's
+    exact column order (utils/core_operations.py:110-131) and its cell
+    formatting quirks (percentage score, falsy-score '0%', 'no threshold'
+    sentinel, All-columns wording)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dataquality_ray.pipelines import dimensions as dq
+    from dataquality_ray.pipelines.battery import run_battery
+    from dataquality_ray.state.report import XLSX_LOG_COLUMNS, append_log, \
+        export_run_log_xlsx
+    from dataquality_ray.state.xlsx import read_xlsx
+
+    df = pd.DataFrame({"k": [1, 2, 3, 3], "x": ["a", "b", "c", "c"]})
+    base = str(tmp_path / "out")
+    run_battery(rd.from_pandas(df),
+                [("U1", "Uniqueness", lambda d: dq.u1_duplicate_rows(d), {})],
+                report_base=base, run_id="ds1")
+    # a second appended run plus edge-case rows: regenerated view must grow
+    append_log(base, {"dataset": "ds2", "dimension": "Accuracy",
+                      "test": "A2", "score": 0.875,
+                      "selected_columns": ["x", "y"], "threshold": 0.85})
+    append_log(base, {"dataset": "ds3", "dimension": "Accuracy",
+                      "test": "A1", "score": 0.0})
+    out = export_run_log_xlsx(base)
+    cols, rows = read_xlsx(out)
+    assert cols == XLSX_LOG_COLUMNS == [
+        "Dataset", "Dimension", "Test", "Selected_Columns", "Threshold",
+        "Score", "Run_Time_and_Date", "New_or_Existing_Test",
+        "One_Line_Summary", "Errors", "Why_Did_the_Test_Fail"]
+    assert len(rows) == 3
+    by_ds = {r[0]: r for r in rows}
+    assert by_ds["ds1"][3] == "All columns"
+    assert by_ds["ds1"][4] == "no threshold"
+    assert by_ds["ds1"][5] == "100.00%" or by_ds["ds1"][5].endswith("%")
+    assert by_ds["ds2"][3] == "x, y"
+    assert by_ds["ds2"][4] == "0.85"
+    assert by_ds["ds2"][5] == "87.50%"
+    assert by_ds["ds3"][5] == "0%"  # falsy-score quirk (:78-80)
+    assert by_ds["ds1"][7] == "Standard"
