@@ -231,10 +231,11 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
     ``Dataset.join`` (the escape hatch for corpora whose distinct-hash set
     exceeds driver memory; costs one full-row shuffle, measured 2.75x the
     broadcast wall at 640k files).  Outputs are identical (tested).
-    ``'join'`` applies to single-chunk runs; chunked runs need the GLOBAL
-    upfront index for resume determinism and always use the broadcast path
-    (a chunked join variant would have to re-join every prior chunk on each
-    resume).  ``'sidecar'`` is the fully-streaming shape: each chunk runs
+    Chunked ``'join'`` runs persist the GLOBAL dup-group table as parquet
+    under ``run_dir/dup_groups`` in a resumable phase 0 (committed in the
+    manifest) and hash-join every chunk against it — resume-deterministic
+    with zero driver-held state at ANY corpus size.  ``'sidecar'`` is the
+    fully-streaming shape: each chunk runs
     label -> write in ONE pass with NO materialize barrier (nothing pinned
     in the object store, content crosses it exactly once), chunk stats come
     from a pruned read of the written output, then one resumable post-pass
@@ -264,13 +265,21 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
     # Dedup index strategy: the index must be GLOBAL (canonical picks
     # identical regardless of chunking/resume order).  Multi-chunk runs
     # build it with an upfront hash-only pass over the FULL input — unless
-    # sidecar mode, which defers dedup to the post-pass.  A single-chunk
-    # run (the default) instead derives it from the labeled blocks' own
-    # content_sha256 column AFTER labeling — the corpus is read and hashed
-    # exactly once.
+    # sidecar mode (dedup deferred to the post-pass) or join mode, whose
+    # chunked form persists the dup-group table as a PARQUET DATASET under
+    # the run dir instead of broadcasting an index: nothing global is ever
+    # driver-held, each chunk hash-joins against the persisted groups, and
+    # the phase is committed in the manifest so resume skips it.  A
+    # single-chunk run (the default) instead derives dedup from the
+    # labeled blocks' own content_sha256 column AFTER labeling — the
+    # corpus is read and hashed exactly once.
     single_chunk = len(chunks) == 1 and not done
+    chunked_join = dedup and dedup_mode == "join" and not single_chunk
     dup_ref = (build_dup_index(files)
-               if dedup and not single_chunk and not sidecar else None)
+               if dedup and not single_chunk and not sidecar
+               and not chunked_join else None)
+    if chunked_join and DUP_GROUPS_PARTITION not in done:
+        _persist_dup_groups(files, run_dir, store)
     if sidecar:
         single_chunk = False  # chunks write plain labels; dedup is deferred
 
@@ -314,13 +323,20 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
         labeled = labeled.materialize()
         _t_label = _time.monotonic() - _t0
         _t0 = _time.monotonic()
-        if dedup and single_chunk and dedup_mode == "join":
+        if dedup and dedup_mode == "join":
             # The beyond-broadcast escape hatch end-to-end: the dup-group
             # table never lands on the driver; rows are marked via a
             # hash-partitioned join and pinned once for write + stats.
+            # Single-chunk: groups derive from the labeled blocks' own
+            # sha column.  Chunked: groups come from the PERSISTED global
+            # table (phase 0), so every chunk and every resume joins the
+            # same canonical picks.
             from dataquality_ray.stages.dedup import mark_duplicates_join
 
-            marked = (mark_duplicates_join(labeled)
+            groups = (None if single_chunk
+                      else rd.read_parquet(os.path.join(run_dir,
+                                                        "dup_groups")))
+            marked = (mark_duplicates_join(labeled, dup_groups=groups)
                       .map_batches(_apply_dup_batch, batch_format="pyarrow",
                                    batch_size=batch_size)
                       .materialize())
@@ -374,6 +390,44 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
 
 
 SIDECAR_PARTITION = "__dedup_sidecar__"
+DUP_GROUPS_PARTITION = "__dup_groups__"
+
+
+def _persist_dup_groups(files: list[str], run_dir: str,
+                        store: LineageStore) -> None:
+    """Resumable phase 0 for chunked ``dedup_mode='join'``: ONE hash-only
+    pass over the full input computes the global dup-group table
+    (content_sha256 -> canonical row_id) as a Dataset — groupby shuffle of
+    (sha, id) pairs only, content never moves twice, NOTHING driver-held —
+    and persists it as parquet under ``run_dir/dup_groups``.  Each chunk
+    then hash-joins against the persisted table, so canonical picks are
+    identical across any chunking/resume order; the phase is committed in
+    the manifest (no lineage record — it contributes no row counts) so a
+    crash after it never recomputes the pass."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from dataquality_ray.stages.dedup import dup_groups_dataset
+
+    ds = rd.read_parquet(files,
+                         columns=["repo", "path", "commit", "content"],
+                         override_num_blocks=_target_blocks(files))
+    hashed = ds.map_batches(
+        lambda b: sha256_batch(_row_id_batch(b)).select(
+            ["content_sha256", "row_id"]),
+        batch_format="pyarrow")
+    out = os.path.join(run_dir, "dup_groups")
+    os.makedirs(out, exist_ok=True)
+    dup_groups_dataset(hashed).write_parquet(out)
+    if not any(f.endswith(".parquet") for f in os.listdir(out)):
+        # no duplicates at all: write an explicit empty table so the
+        # per-chunk read still sees the schema
+        pq.write_table(
+            pa.table({"content_sha256": pa.array([], pa.binary()),
+                      "canonical_id": pa.array([], pa.int64())}),
+            os.path.join(out, "empty.parquet"))
+    store.commit([DUP_GROUPS_PARTITION])
 
 
 def _build_dedup_sidecar(run_dir: str, store: LineageStore,
