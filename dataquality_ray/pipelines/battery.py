@@ -84,6 +84,23 @@ def _summary_frame(test: str, table, meta: dict):
             return pd.DataFrame(columns=kept)
         if t == "C1":
             return reference_report("c1", table)
+        if t == "U1":
+            # one_line_summary branches on column COUNT (the reference
+            # re-reads the violating-row CSV, empty when no dups); our U1
+            # table is a 1-row summary, so adapt: no columns <=> no dups
+            dups = int(table["duplicate_rows"].iloc[0]) \
+                if "duplicate_rows" in table.columns else 0
+            return pd.DataFrame() if dups == 0 else \
+                pd.DataFrame({"duplicate_rows": [dups]})
+        if t == "A3":
+            # reference checks len(report) > 2 on the violating-rows CSV;
+            # our A3 table is a 1-row summary — synthesize a frame whose
+            # LENGTH mirrors the violation count (capped at 3: the check
+            # only asks "more than 2?"), preserving the reference quirk
+            # that 1-2 violations still read as "equals the sum"
+            viol = int(table["violations"].iloc[0]) \
+                if "violations" in table.columns else 0
+            return pd.DataFrame({"violations": [viol] * min(viol, 3)})
         return table
     except Exception:
         return table

@@ -602,6 +602,7 @@ def near_dup_keep_distributed(pairs_ds, id_a: str = "id_a",
                   "label": pc.min_element_wise(b["src"], b["nmin"])}),
                   batch_format="pyarrow").materialize())
 
+    converged = False
     for _ in range(max_rounds):
         # neighbour labels: edge (src, dst) joined to dst's current label
         nbr = (hash_join(edges, labels, on="dst", right_on="node",
@@ -612,6 +613,25 @@ def near_dup_keep_distributed(pairs_ds, id_a: str = "id_a",
         new_labels = (nbr.union(labels.select_columns(["node", "label"]))
                       .groupby("node")
                       .aggregate(Min("label", alias_name="label"))
+                      .materialize())
+        # pointer jumping: label <- label(label) — composing the mapping
+        # with itself halves the remaining path length, so convergence is
+        # O(log diameter) rounds instead of O(diameter); every label value
+        # IS a node of the table (labels are mins over nodes), so the
+        # inner self-join is total
+        as_map = new_labels.map_batches(
+            lambda b: pa.table({"mid": b["node"], "label2": b["label"]}),
+            batch_format="pyarrow")
+        hop = new_labels.map_batches(
+            lambda b: pa.table({"node": b["node"], "mid": b["label"]}),
+            batch_format="pyarrow")
+        new_labels = (hash_join(hop, as_map, on="mid",
+                                value_cols=["label2"], join_type="inner")
+                      .map_batches(lambda b: pa.table(
+                          {"node": b["node"],
+                           "label": pc.min_element_wise(b["mid"],
+                                                        b["label2"])}),
+                          batch_format="pyarrow")
                       .materialize())
         # convergence: did any label change?  (scalar partial sums only;
         # the previous labels are renamed first — Dataset.join does not
@@ -634,7 +654,16 @@ def near_dup_keep_distributed(pairs_ds, id_a: str = "id_a",
                                          batch_format="pyarrow").take_all())
         labels = new_labels
         if not changed:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"near_dup_keep_distributed: min-label propagation still "
+            f"changing after {max_rounds} rounds — components with "
+            f"diameter > 2^{max_rounds} retain multiple labels "
+            "(under-dedup); raise max_rounds", RuntimeWarning)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({

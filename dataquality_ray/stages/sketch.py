@@ -233,23 +233,28 @@ def heavy_hitters(ds, col: str, topn: int = 20, k: int = 512,
         toks = extract(batch)
         if not len(toks):
             return pa.table({"value": pa.array([], pa.string()),
-                             "count": pa.array([], pa.int64())})
+                             "count": pa.array([], pa.int64()),
+                             "is_total": pa.array([], pa.bool_())})
         hit = toks[np.isin(toks, cand)]
         v, c = np.unique(hit, return_counts=True)
         # one extra row per batch carries the TOTAL token count, so the
-        # driver can verify the MG guarantee actually held on this data
-        # (the sentinel contains a space, which no whitespace-split token
-        # can, so it cannot collide with a real value)
-        v = np.append(v.astype(object), "__ total __")
+        # driver can verify the MG guarantee actually held on this data.
+        # The total travels OUT-OF-BAND in its own flag column — an
+        # in-band sentinel value could collide with a real whole-column
+        # value in tokenize=False mode.
+        v = np.append(v.astype(object), "")
         c = np.append(c, len(toks))
+        flags = np.zeros(len(v), dtype=bool)
+        flags[-1] = True
         return pa.table({"value": pa.array(v.astype(str)),
-                         "count": pa.array(c.astype(np.int64))})
+                         "count": pa.array(c.astype(np.int64)),
+                         "is_total": pa.array(flags)})
 
     exact = (ds.select_columns([col])
                .map_batches(exact_partial, batch_format="pyarrow").to_pandas())
-    sums = exact.groupby("value", as_index=False)["count"].sum()
-    n_total = int(sums.loc[sums["value"] == "__ total __", "count"].sum())
-    sums = sums[sums["value"] != "__ total __"]
+    n_total = int(exact.loc[exact["is_total"], "count"].sum())
+    sums = (exact[~exact["is_total"]]
+            .groupby("value", as_index=False)["count"].sum())
     tot = (sums.sort_values(["count", "value"], ascending=[False, True])
            .head(topn).reset_index(drop=True))
     # Exactness check: any value OUTSIDE the candidate set has true count

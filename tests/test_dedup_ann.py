@@ -406,3 +406,23 @@ def test_near_dup_keep_distributed_matches_union_find(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got.astype(want.dtypes.to_dict()), want)
+
+
+def test_near_dup_keep_distributed_pointer_jumping_long_path(ray_session):
+    """A diameter-40 path component must converge well inside 8 rounds
+    (pointer jumping gives O(log diameter)); the old pure min-propagation
+    needed 40 rounds and silently under-deduped past max_rounds."""
+    import pandas as pd
+
+    from dataquality_ray.stages.minhash import (
+        near_dup_keep,
+        near_dup_keep_distributed,
+    )
+
+    pairs = pd.DataFrame({"id_a": list(range(40)),
+                          "id_b": list(range(1, 41))})
+    got = (near_dup_keep_distributed(rd.from_pandas(pairs).repartition(4),
+                                     max_rounds=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (got["group_id"] == 0).all()
+    pd.testing.assert_frame_equal(got, near_dup_keep(pairs))

@@ -223,9 +223,11 @@ def test_full_battery_reports_and_summaries(ray_session, tmp_path):
     # reference-faithful sentences land in the log
     assert by_test[("lineitem", "A4")]["one_line_summary"].startswith(
         "Column pairs that may contain dates not in chronological order")
+    # lineitem violates the sum-check on (essentially) every row, so the
+    # reference's len(report) > 2 branch fires the violating sentence
     assert by_test[("lineitem", "A3")]["one_line_summary"] == (
-        "The aggregated column l_quantity equals the sum of its component "
-        "columns: l_discount, l_tax.")
+        "The aggregated column l_quantity may contain values not equal to "
+        "the sums of its component columns: l_discount, l_tax.")
     assert "feature pair(s)" in by_test[("lineitem", "P2")]["one_line_summary"]
     assert by_test[("documents", "C3")]["one_line_summary"].startswith(
         "The following columns may have names that do not resemble a "
@@ -535,3 +537,40 @@ def test_battery_share_rescan_matches_materialize(ray_session):
     res = run_battery(ds, battery_from_config(config), share="rescan")
     assert res["errors"] == {} and res["tests"] == mat["tests"]
     assert res["grade"] == mat["grade"]
+
+
+def test_u1_and_a3_summaries_branch_on_violations(ray_session):
+    """ADVICE round-2 items: the U1 sentence must flip to 'No duplicate
+    rows found' on a dup-free table, and A3 must flip to 'equals the sum'
+    only when violations <= 2 (the reference's len(report) > 2 check)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from dataquality_ray.pipelines import dimensions as dq
+    from dataquality_ray.pipelines.battery import run_battery
+
+    clean = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0],
+                          "tot": [5.0, 7.0, 9.0]})
+    res = run_battery(rd.from_pandas(clean), [
+        ("U1", "Uniqueness", lambda d: dq.u1_duplicate_rows(d), {}),
+        ("A3", "Accuracy",
+         lambda d: dq.a3_sum_check(d, ["a", "b"], "tot"),
+         {"selected_columns": ["a", "b", "tot"]}),
+    ])
+    assert res["summaries"]["U1"] == "No duplicate rows found in the dataset."
+    assert res["summaries"]["A3"] == (
+        "The aggregated column tot equals the sum of its component "
+        "columns: a, b.")
+
+    dirty = pd.DataFrame({"a": [1.0] * 4, "b": [1.0] * 4, "tot": [9.0] * 4})
+    dirty = pd.concat([dirty, dirty.iloc[:1]], ignore_index=True)  # dup row
+    res2 = run_battery(rd.from_pandas(dirty), [
+        ("U1", "Uniqueness", lambda d: dq.u1_duplicate_rows(d), {}),
+        ("A3", "Accuracy",
+         lambda d: dq.a3_sum_check(d, ["a", "b"], "tot"),
+         {"selected_columns": ["a", "b", "tot"]}),
+    ])
+    assert res2["summaries"]["U1"] == "Duplicate rows found in the dataset."
+    assert res2["summaries"]["A3"] == (
+        "The aggregated column tot may contain values not equal to the "
+        "sums of its component columns: a, b.")
