@@ -142,6 +142,11 @@ def run_suite() -> dict:
                  # sketch/membership family (all oracle-checked)
                  "topk_tokens", "bloom_seen_filter", "approx_quantiles_hist",
                  "dedup_simhash",
+                 # round-3 additions: vectorized engine minhash (delta vs
+                 # the sha-chain dedup_minhash above), distributed C1,
+                 # real-codec multimodal decode
+                 "dedup_minhash_fast", "c1_near_dup_bucketed",
+                 "multimodal_real_decode",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

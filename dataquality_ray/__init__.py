@@ -10,6 +10,17 @@ Nothing in this package calls ``ray.init()`` / ``ray.shutdown()`` — sessions a
 owned by the caller (driver, tests' conftest, bench.py).
 """
 
+import os as _os
+
+# Ray parallelizes ACROSS worker processes; polars (used for vectorized
+# row/token hashing inside map_batches kernels) would otherwise spawn its
+# own ncpu-thread pool in EVERY worker — 32 workers x 32 threads of
+# oversubscription on one box.  One thread per worker is the correct
+# degree; must be set before the first polars import in the process, hence
+# here (workers import this package before any kernel runs).  setdefault:
+# an operator who wants threaded polars can still override via env.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 __version__ = "0.1.0"
 
 RULE_VERSION = "dq-ray-0.1.0"  # stamped into lineage records
