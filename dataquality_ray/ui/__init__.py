@@ -1,0 +1,6 @@
+"""Browser UI for the engine — the reference's Streamlit workflow
+(ui_tool/dq_ui.py:63-182: upload -> pick dimensions/tests -> parameter
+widgets generated from each test's metadata -> run -> DQ grade render)
+re-expressed as a dependency-free stdlib HTTP app over the engine's
+config-driven battery.  Serve with ``python -m dataquality_ray.ui``.
+"""

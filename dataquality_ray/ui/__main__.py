@@ -1,0 +1,55 @@
+"""``python -m dataquality_ray.ui [--port N]`` — serve the battery UI.
+
+This entrypoint OWNS the Ray session (library code never calls
+ray.init); one local session serves every request, so repeated runs skip
+session spin-up exactly like the reference's long-lived Streamlit app.
+"""
+
+from __future__ import annotations
+
+import argparse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from dataquality_ray.ui.app import handle
+
+
+class Handler(BaseHTTPRequestHandler):
+    def _reply(self, status: int, body: str) -> None:
+        data = body.encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):  # noqa: N802 (stdlib naming)
+        self._reply(*handle("GET", self.path))
+
+    def do_POST(self):  # noqa: N802
+        n = int(self.headers.get("Content-Length", 0))
+        self._reply(*handle("POST", self.path, self.rfile.read(n)))
+
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8601)
+    ap.add_argument("--host", default="127.0.0.1")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    try:
+        srv = ThreadingHTTPServer((args.host, args.port), Handler)
+        print(f"serving on http://{args.host}:{args.port}")
+        srv.serve_forever()
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""Dependency-free HTTP app for the config-driven battery.
+
+Mirrors the reference Streamlit flow (ui_tool/dq_ui.py:63-182): the form
+is GENERATED from the typed test metadata (pipelines/metadata.py — the
+same schema the reference UI builds its widgets from), a submitted config
+is validated and compiled by ``battery_from_config``, and the run renders
+the DQ grade, per-dimension scores, per-test scores with their reference
+one-line summaries, and the paths of the written reports + XLSX run log.
+
+The handler owns no Ray session; the server entrypoint (``__main__``)
+guards ``ray.init``.  State is per-request — the battery itself is the
+engine's normal distributed path, so the UI adds no driver-side compute.
+"""
+
+from __future__ import annotations
+
+import html
+import os
+import time
+import urllib.parse
+
+from dataquality_ray.pipelines.metadata import (
+    ParameterType,
+    create_all_metadata,
+)
+
+RUN_BASE = "/tmp/dq_ui_runs"
+
+_STYLE = """<style>
+body{font-family:sans-serif;max-width:960px;margin:2em auto;padding:0 1em}
+fieldset{margin:1em 0;border:1px solid #ccc;border-radius:6px}
+legend{font-weight:bold}label{display:inline-block;min-width:14em}
+input[type=text]{width:24em}table{border-collapse:collapse;margin:1em 0}
+td,th{border:1px solid #ccc;padding:0.3em 0.8em;text-align:left}
+.grade{font-size:1.5em;font-weight:bold}.err{color:#a00}
+small{color:#666}</style>"""
+
+
+def _esc(s) -> str:
+    return html.escape(str(s))
+
+
+def render_form(dataset_path: str = "", error: str | None = None) -> str:
+    """The configure page: dataset path + per-dimension test expanders with
+    parameter inputs generated from the metadata schema."""
+    meta = create_all_metadata()
+    by_dim: dict[str, list] = {}
+    for test, m in meta.items():
+        by_dim.setdefault(m.dimension_name, []).append(m)
+
+    parts = [
+        "<!doctype html><html><head><title>Data Quality</title>",
+        _STYLE, "</head><body><h1>Data Quality</h1>",
+        "<p>Pick a dataset (parquet / CSV / XLSX path), select tests, "
+        "set parameters, run. Lists are comma-separated; pairs are "
+        "<code>a:b, c:d</code>.</p>",
+    ]
+    if error:
+        parts.append(f'<p class="err">{_esc(error)}</p>')
+    parts.append('<form method="post" action="/run">')
+    parts.append('<fieldset><legend>Dataset</legend>'
+                 '<label for="dataset">Dataset path</label>'
+                 f'<input type="text" name="dataset" '
+                 f'value="{_esc(dataset_path)}" required></fieldset>')
+    for dim in sorted(by_dim):
+        parts.append(f"<fieldset><legend>{_esc(dim)}</legend>")
+        for m in sorted(by_dim[dim], key=lambda m: m.name):
+            parts.append(
+                f'<p><input type="checkbox" name="include__{m.name}" '
+                f'id="inc_{m.name}">'
+                f'<label for="inc_{m.name}"><b>{m.name}</b></label></p>')
+            for p in m.parameters:
+                default = p.value if p.value not in ("", []) else \
+                    (p.default if p.default is not None else "")
+                if isinstance(default, (list, tuple)):
+                    default = ", ".join(
+                        ":".join(x) if isinstance(x, (list, tuple)) else
+                        str(x) for x in default)
+                hint = f" <small>{_esc(p.hint)}</small>" if p.hint else ""
+                parts.append(
+                    f'<p><label>{_esc(p.title)} '
+                    f'<small>({p.type.value})</small></label>'
+                    f'<input type="text" name="param__{m.name}__{p.name}" '
+                    f'value="{_esc(default)}">{hint}</p>')
+        parts.append("</fieldset>")
+    parts.append('<p><button type="submit">Calculate Data Quality</button>'
+                 "</p></form></body></html>")
+    return "".join(parts)
+
+
+def _parse_param(ptype: ParameterType, raw: str):
+    raw = raw.strip()
+    if raw == "":
+        return None
+    if ptype in (ParameterType.MULTI_SELECT, ParameterType.STRING_LIST):
+        return [x.strip() for x in raw.split(",") if x.strip()]
+    if ptype is ParameterType.PAIRS:
+        return [[y.strip() for y in x.split(":", 1)]
+                for x in raw.split(",") if ":" in x]
+    if ptype is ParameterType.WEIGHTS:
+        return {k.strip(): float(v)
+                for k, v in (x.split(":", 1) for x in raw.split(",")
+                             if ":" in x)}
+    if ptype is ParameterType.CHECKBOX:
+        return raw.lower() in ("on", "true", "1", "yes")
+    if ptype is ParameterType.DECIMAL:
+        return raw  # battery_from_config casts; validate_config checks
+    return raw  # TEXT / STRING / SINGLE_SELECT / FILE_UPLOAD (a path)
+
+
+def config_from_form(form: dict[str, list[str]]):
+    """(dataset_path, {test: {param: value}}) from the POSTed form."""
+    meta = create_all_metadata()
+    dataset = (form.get("dataset") or [""])[0].strip()
+    config: dict[str, dict] = {}
+    for test, m in meta.items():
+        if f"include__{test}" not in form:
+            continue
+        params = {}
+        for p in m.parameters:
+            raw = (form.get(f"param__{test}__{p.name}") or [""])[0]
+            val = _parse_param(p.type, raw)
+            if val is not None:
+                params[p.name] = val
+        config[test] = params
+    return dataset, config
+
+
+def run_from_form(form: dict[str, list[str]]) -> str:
+    """Validate + run the configured battery; return the result page."""
+    from dataquality_ray.pipelines.battery import (
+        battery_from_config,
+        run_battery,
+    )
+    from dataquality_ray.sources.readers import get_dataset_name, read_table
+
+    dataset, config = config_from_form(form)
+    if not dataset or not os.path.exists(dataset):
+        return render_form(dataset, error=f"dataset not found: {dataset!r}")
+    if not config:
+        return render_form(dataset, error="select at least one test")
+    try:
+        tests = battery_from_config(config)
+    except ValueError as exc:  # per-parameter validation problems
+        return render_form(dataset, error=str(exc))
+
+    run_id = f"{get_dataset_name(dataset)}-{int(time.time())}"
+    report_base = os.path.join(RUN_BASE, run_id)
+    res = run_battery(read_table(dataset), tests, report_base=report_base,
+                      run_id=run_id)
+
+    parts = ["<!doctype html><html><head><title>DQ Result</title>", _STYLE,
+             "</head><body><h1>Data Quality Result</h1>",
+             f"<p>Dataset: <code>{_esc(dataset)}</code></p>",
+             f'<p class="grade">Grade: {_esc(res["grade"])}</p>',
+             "<h2>Dimension scores</h2><table>"
+             "<tr><th>Dimension</th><th>Score</th></tr>"]
+    for d in res["dimension_scores"]:
+        score = d["score"]
+        parts.append(f"<tr><td>{_esc(d['dimension'])}</td>"
+                     f"<td>{score if score is None else round(score, 4)}"
+                     "</td></tr>")
+    parts.append("</table><h2>Tests</h2><table><tr><th>Test</th>"
+                 "<th>Score</th><th>Summary</th><th>Error</th></tr>")
+    for test, score in res["tests"].items():
+        summary = res["summaries"].get(test) or ""
+        err = res["errors"].get(test) or ""
+        parts.append(
+            f"<tr><td>{_esc(test)}</td>"
+            f"<td>{score if score is None else round(score, 4)}</td>"
+            f"<td>{_esc(summary)}</td>"
+            f'<td class="err">{_esc(err)}</td></tr>')
+    parts.append("</table>")
+    parts.append(f"<p>Reports: <code>{_esc(report_base)}/reports/"
+                 f"{_esc(run_id)}/</code><br>Run log: "
+                 f"<code>{_esc(report_base)}/run_log.jsonl</code> + "
+                 f"<code>{_esc(report_base)}/DQS_Output_Log_Test.xlsx"
+                 "</code></p>")
+    parts.append('<p><a href="/">Run another</a></p></body></html>')
+    return "".join(parts)
+
+
+def handle(method: str, path: str, body: bytes = b"") -> tuple[int, str]:
+    """Route one request; returns (status, html).  Framework-free so tests
+    can drive it directly and the server stays a 30-line stdlib loop."""
+    if method == "GET" and path.split("?")[0] == "/":
+        return 200, render_form()
+    if method == "POST" and path == "/run":
+        form = urllib.parse.parse_qs(body.decode(), keep_blank_values=True)
+        return 200, run_from_form(form)
+    return 404, "<h1>404</h1>"

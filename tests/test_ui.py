@@ -1,0 +1,82 @@
+"""Browser UI (dataquality_ray/ui): form generation from the metadata
+schema, config parsing, and an end-to-end run through the HTTP handler."""
+
+import urllib.parse
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_form_lists_every_test_and_parameter():
+    from dataquality_ray.pipelines.metadata import create_all_metadata
+    from dataquality_ray.ui.app import handle
+
+    status, page = handle("GET", "/")
+    assert status == 200
+    for test, m in create_all_metadata().items():
+        assert f"include__{test}" in page
+        for p in m.parameters:
+            assert f"param__{test}__{p.name}" in page
+
+
+def test_config_parsing_types():
+    from dataquality_ray.ui.app import config_from_form
+
+    form = urllib.parse.parse_qs(urllib.parse.urlencode({
+        "dataset": "/tmp/x.parquet",
+        "include__A2": "on",
+        "param__A2__a2_column_names": "qty, tax",
+        "param__A2__a2_groupby_column": "flag",
+        "param__A2__a2_threshold": "1.5",
+        "include__A4": "on",
+        "param__A4__a4_column_pairs": "ship:receipt, commit:receipt",
+    }), keep_blank_values=True)
+    dataset, config = config_from_form(form)
+    assert dataset == "/tmp/x.parquet"
+    assert config["A2"]["a2_column_names"] == ["qty", "tax"]
+    assert config["A2"]["a2_groupby_column"] == ["flag"]
+    assert config["A4"]["a4_column_pairs"] == [
+        ["ship", "receipt"], ["commit", "receipt"]]
+    assert "A1" not in config
+
+
+def test_end_to_end_run_renders_grade(ray_session, tmp_path):
+    from dataquality_ray.ui.app import handle
+
+    df = pd.DataFrame({
+        "qty": [1.0, 2.0, 3.0, 100.0] * 5,
+        "grp": ["a", "a", "b", "b"] * 5,
+        "k": list(range(20)),
+    })
+    p = str(tmp_path / "data.parquet")
+    pq.write_table(pa.Table.from_pandas(df), p)
+
+    body = urllib.parse.urlencode({
+        "dataset": p,
+        "include__A2": "on",
+        "param__A2__a2_column_names": "qty",
+        "param__A2__a2_groupby_column": "grp",
+        "param__A2__a2_threshold": "1.5",
+        "param__A2__a2_minimum_score": "0.85",
+        "include__U1": "on",
+    }).encode()
+    status, page = handle("POST", "/run", body)
+    assert status == 200
+    assert "Grade:" in page
+    assert "A2" in page and "U1" in page
+    assert "No duplicate rows found" in page
+
+    # validation error path: unknown decimal
+    bad = urllib.parse.urlencode({
+        "dataset": p,
+        "include__A2": "on",
+        "param__A2__a2_column_names": "qty",
+        "param__A2__a2_threshold": "not-a-number",
+    }).encode()
+    status, page = handle("POST", "/run", bad)
+    assert status == 200 and "must be numeric" in page
+
+    # missing dataset path
+    status, page = handle("POST", "/run", b"dataset=/nope&include__U1=on")
+    assert status == 200 and "dataset not found" in page
