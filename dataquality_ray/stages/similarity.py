@@ -368,7 +368,8 @@ def c1_universe_dataset(ds, col: str):
 
 def c1_near_dup_bucketed(ds, col: str, threshold: float = 0.91,
                          stop_words=("the", "and"),
-                         max_bucket: int = 500) -> dict:
+                         max_bucket: int = 500,
+                         df_broadcast_max: int | None = None) -> dict:
     """Distributed C1 for universes beyond ``MAX_UNIVERSE``.
 
     Returns ``{"score", "n_values", "n_inconsistent", "pairs"}`` where
@@ -376,14 +377,28 @@ def c1_near_dup_bucketed(ds, col: str, threshold: float = 0.91,
     above the threshold (the score quirk's comparison) and val_a < val_b.
     Equivalence with the driver path under the cap and planted-pair recall
     above it are pinned in tests/test_similarity.py.
+
+    The term-DF delivery is size-aware (stages/autoroute.py pattern):
+    a DF table within ``df_broadcast_max`` terms is broadcast once and
+    bucket entries are built per universe BATCH — no term join, no
+    per-value map_groups (three fewer exchanges).  Beyond the cap the
+    fully-distributed join + groupby(value) path runs instead; both paths
+    share the identical per-value prefix/weight math.
     """
     import pyarrow as pa
+
+    import ray
     from ray.data.aggregate import Count, Max
 
     from dataquality_ray.functions.tfidf import _analyze
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        record_route,
+    )
     from dataquality_ray.stages.joins import hash_join
 
     stop = set(stop_words or [])
+    df_broadcast_max = df_broadcast_max or DRIVER_COMBINE_CAP
     universe = c1_universe_dataset(ds, col).materialize()
     n_values = universe.count()
     if n_values == 0:
@@ -392,16 +407,53 @@ def c1_near_dup_bucketed(ds, col: str, threshold: float = 0.91,
         return {"score": None, "n_values": 0, "n_inconsistent": 0,
                 "pairs": rd.from_items([])}
 
+    t2 = threshold * threshold
+
+    def _entries_frame(out: dict) -> pd.DataFrame:
+        # typed empty frame: an all-object empty batch would otherwise
+        # infer null Arrow types and break schema unification downstream
+        df = pd.DataFrame(out)
+        if not len(df):
+            df = pd.DataFrame({"bucket": pd.Series([], dtype=str),
+                               "value": pd.Series([], dtype=str),
+                               "is_idx": pd.Series([], dtype=bool),
+                               "terms": pd.Series([], dtype=object),
+                               "weights": pd.Series([], dtype=object)})
+        return df
+
+    def _value_counts(v: str) -> dict[str, int]:
+        cnt: dict[str, int] = {}
+        for t in _analyze(v, stop):
+            cnt[t] = cnt.get(t, 0) + 1
+        return cnt
+
+    def _emit_value(value: str, terms: np.ndarray, tf: np.ndarray,
+                    dfv: np.ndarray, out: dict) -> None:
+        """Shared per-value math: rarest-first order, tf-idf weights, l2
+        norm, prefix head; appends this value's bucket-entry rows."""
+        order = np.lexsort((terms, dfv))  # df asc, term asc
+        terms, tf, dfv = terms[order], tf[order], dfv[order]
+        w = tf.astype(np.float64) * (
+            np.log((1 + n_values) / (1 + dfv.astype(np.float64))) + 1.0)
+        norm = np.sqrt((w * w).sum())
+        if norm == 0.0:
+            return
+        w /= norm
+        head_mass = np.cumsum(w * w)
+        k = int(np.searchsorted(head_mass, 1.0 - t2, side="right")) + 1
+        k = min(k, len(w))
+        tl, wl = terms.tolist(), w.tolist()
+        out["bucket"].extend(tl)
+        out["value"].extend([value] * len(tl))
+        out["is_idx"].extend([i < k for i in range(len(tl))])
+        out["terms"].extend([tl] * len(tl))
+        out["weights"].extend([wl] * len(tl))
+
     # (value, term, tf) — one row per DISTINCT term per value
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         vals, terms, tfs = [], [], []
         for v in batch["value"]:
-            toks = _analyze(v, stop)
-            if not toks:
-                continue
-            cnt: dict[str, int] = {}
-            for t in toks:
-                cnt[t] = cnt.get(t, 0) + 1
+            cnt = _value_counts(v)
             vals.extend([v] * len(cnt))
             terms.extend(cnt.keys())
             tfs.extend(cnt.values())
@@ -411,40 +463,59 @@ def c1_near_dup_bucketed(ds, col: str, threshold: float = 0.91,
                                     batch_format="pandas").materialize()
     # document frequency = #distinct values containing the term
     df_tbl = exploded.groupby("term").aggregate(
-        Count("value", alias_name="df"))
-    weighted = hash_join(exploded, df_tbl, on="term", value_cols=["df"],
-                         join_type="inner")
+        Count("value", alias_name="df")).materialize()
+    n_terms = df_tbl.count()
 
-    t2 = threshold * threshold
+    if n_terms <= df_broadcast_max:
+        record_route("c1_near_dup_bucketed", "broadcast-df",
+                     "term table within cap", n_terms)
+        df_pdf = df_tbl.to_pandas()
+        df_ref = ray.put((pa.array(df_pdf["term"].astype(str)),
+                          df_pdf["df"].to_numpy(np.int64)))
 
-    def vec_and_buckets(g: pd.DataFrame) -> pd.DataFrame:
-        """One value's full TF-IDF vector -> normalized weights, prefix
-        selection, and its bucket entries (every term; is_idx marks prefix
-        membership)."""
-        g = g.sort_values(["df", "term"], kind="mergesort")  # rarest first
-        w = (g["tf"].to_numpy(dtype=np.float64)
-             * (np.log((1 + n_values) / (1 + g["df"].to_numpy(np.float64)))
-                + 1.0))
-        norm = np.sqrt((w * w).sum())
-        if norm == 0.0:
-            return pd.DataFrame(columns=["bucket", "value", "is_idx",
-                                         "terms", "weights"])
-        w /= norm
-        # prefix = minimal head with remaining suffix norm^2 < threshold^2
-        head_mass = np.cumsum(w * w)
-        k = int(np.searchsorted(head_mass, 1.0 - t2, side="right")) + 1
-        k = min(k, len(w))
-        terms = g["term"].tolist()
-        return pd.DataFrame({
-            "bucket": terms,
-            "value": g["value"].iloc[0],
-            "is_idx": [i < k for i in range(len(terms))],
-            "terms": [terms] * len(terms),
-            "weights": [w.tolist()] * len(terms),
-        })
+        def batch_entries(batch: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.compute as pc
 
-    entries = weighted.groupby("value").map_groups(
-        vec_and_buckets, batch_format="pandas")
+            term_arr, df_arr = ray.get(df_ref)
+            per_val = [(_value_counts(v), v) for v in batch["value"]]
+            flat = [t for cnt, _ in per_val for t in cnt]
+            if flat:
+                idx = pc.index_in(pa.array(flat), value_set=term_arr) \
+                    .to_numpy(zero_copy_only=False)
+                dfs_flat = df_arr[idx.astype(np.int64)]
+            else:
+                dfs_flat = np.empty(0, dtype=np.int64)
+            out = {"bucket": [], "value": [], "is_idx": [],
+                   "terms": [], "weights": []}
+            pos = 0
+            for cnt, v in per_val:
+                m = len(cnt)
+                if m:
+                    _emit_value(
+                        v, np.array(list(cnt), dtype=object),
+                        np.fromiter(cnt.values(), dtype=np.int64, count=m),
+                        dfs_flat[pos:pos + m], out)
+                pos += m
+            return _entries_frame(out)
+
+        entries = universe.map_batches(batch_entries, batch_format="pandas")
+    else:
+        record_route("c1_near_dup_bucketed", "join-df",
+                     f"term table exceeds cap={df_broadcast_max}", n_terms)
+        weighted = hash_join(exploded, df_tbl, on="term",
+                             value_cols=["df"], join_type="inner")
+
+        def vec_and_buckets(g: pd.DataFrame) -> pd.DataFrame:
+            out = {"bucket": [], "value": [], "is_idx": [],
+                   "terms": [], "weights": []}
+            _emit_value(g["value"].iloc[0],
+                        g["term"].to_numpy(dtype=object),
+                        g["tf"].to_numpy(np.int64),
+                        g["df"].to_numpy(np.int64), out)
+            return _entries_frame(out)
+
+        entries = weighted.groupby("value").map_groups(
+            vec_and_buckets, batch_format="pandas")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         idx = g[g["is_idx"]]

@@ -219,3 +219,34 @@ def test_c1_bucketed_recall_beyond_cap(ray_session):
         key = (min(normalize_text(b), normalize_text(p)),
                max(normalize_text(b), normalize_text(p)))
         assert key in pairs, f"missing planted pair {key}"
+
+
+def test_c1_bucketed_join_df_path_matches_broadcast(ray_session):
+    """Force the beyond-cap DF-join path (df_broadcast_max=1) and check it
+    produces the identical pair set and score as the broadcast-DF route."""
+    import numpy as np
+
+    from dataquality_ray.stages.autoroute import last_route
+    from dataquality_ray.stages.similarity import c1_near_dup_bucketed
+
+    rng = np.random.RandomState(5)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    base = [" ".join(rng.choice(vocab, 4)) + f" id{i}" for i in range(30)]
+    near = [b.replace("id", "key") for b in base[:5]]
+    df = pd.DataFrame({"x": base + near})
+    ds = rd.from_pandas(df).repartition(3)
+
+    bc = c1_near_dup_bucketed(ds, "x", threshold=0.5)
+    assert last_route("c1_near_dup_bucketed")["chosen"] == "broadcast-df"
+    jn = c1_near_dup_bucketed(ds, "x", threshold=0.5, df_broadcast_max=1)
+    assert last_route("c1_near_dup_bucketed")["chosen"] == "join-df"
+
+    def pairset(res):
+        p = res["pairs"].to_pandas()
+        if "val_a" not in p.columns:
+            return set()
+        return set(zip(p["val_a"], p["val_b"]))
+
+    assert pairset(bc) == pairset(jn)
+    assert bc["score"] == jn["score"]
+    assert bc["n_inconsistent"] == jn["n_inconsistent"]
