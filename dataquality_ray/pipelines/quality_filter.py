@@ -149,12 +149,20 @@ def label_pipeline(ds, *, dup_index_ref=None, scorer_concurrency=None,
     actor pool (stages/scorer.py FilterStage) so each batch crosses the
     object store once and pool sizing is a single knob.
     """
-    from dataquality_ray.stages.perplexity import broadcast_model
     from dataquality_ray.stages.scorer import FilterStage, default_pool_size
 
     if scorer_concurrency is None:
         scorer_concurrency = default_pool_size()
-    logp_ref = broadcast_model()  # train once, share across all actors
+    # logp_ref=None: each actor trains the (deterministic, 0.24 s, 128 KB)
+    # bigram model in __init__ rather than loading a broadcast ObjectRef.
+    # A driver-put ref in constructor args cannot be re-resolved if its
+    # primary copy is lost, killing actor restarts on a real cluster;
+    # removing it takes the ENGINE out of that failure path (Ray Data
+    # still ships its own transform closure via plasma — upstream
+    # ray#53727 — so the restart warning remains, but our state no longer
+    # adds a dependency).  Training overlaps across the pool: one 0.24 s
+    # init of wall cost.
+    logp_ref = None
     ds = ds.map_batches(_prep_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(FilterStage, batch_format="pyarrow",
                         batch_size=batch_size, concurrency=scorer_concurrency,
