@@ -301,3 +301,64 @@ def test_normalize_sql_chain_matches_python_on_fuzzed_ascii():
         f"FROM (VALUES {vals}) v(i, t) ORDER BY i").fetchdf()
     for i, c in enumerate(cases):
         assert got["n"].iloc[i] == normalize_text(c), (c,)
+
+
+@given(st.lists(
+    st.tuples(st.integers(min_value=-5, max_value=5),
+              st.sampled_from(["a", "b", "c", None]),
+              st.one_of(st.just(float("nan")),
+                        st.floats(min_value=-2.0, max_value=2.0))),
+    min_size=1, max_size=60))
+def test_rowhash_respects_row_equality(rows):
+    """rowhash_batch (U1's 128-bit key): equal rows hash equal (nulls and
+    NaNs included), and unequal rows hash unequal on these tiny domains —
+    the invariant U1's duplicate counting rides on."""
+    import pyarrow as pa
+
+    from dataquality_ray.functions.hashing import rowhash_batch
+
+    tbl = pa.table({
+        "i": pa.array([r[0] for r in rows], pa.int64()),
+        "s": pa.array([r[1] for r in rows], pa.string()),
+        "f": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    hashes = rowhash_batch(tbl)["row_hash"].to_pylist()
+
+    def key(r):
+        f = r[2]
+        return (r[0], r[1], "nan" if f != f else f)
+
+    seen = {}
+    for r, h in zip(rows, hashes):
+        k = key(r)
+        if k in seen:
+            assert seen[k] == h, f"equal rows {k} hashed differently"
+        seen[k] = h
+    # unequal rows collide only with ~2^-128 probability
+    assert len(set(seen.values())) == len(seen)
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(1, 5)),
+                min_size=1, max_size=100),
+       st.integers(min_value=1, max_value=8))
+def test_guarded_partials_merge_is_split_invariant(pairs, n_chunks):
+    """The guarded streaming merge must equal a one-shot groupby no matter
+    how the partial stream is chunked (the combine-fn idempotence the
+    autoroute guard relies on)."""
+    df = pd.DataFrame(pairs, columns=["k", "c"])
+
+    def merge(frame):
+        return frame.groupby("k", sort=False)["c"].sum().reset_index()
+
+    want = merge(df).sort_values("k").reset_index(drop=True)
+    # emulate guarded_partials' incremental fold at tiny buffer sizes
+    chunks = np.array_split(df, n_chunks)
+    acc = None
+    for ch in chunks:
+        if not len(ch):
+            continue
+        frames = ([acc] if acc is not None else []) + [ch]
+        acc = merge(pd.concat(frames, ignore_index=True))
+    got = (acc if acc is not None else merge(df)) \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
