@@ -929,6 +929,74 @@ def split_q(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+# ---------------------------------------------------------------------------
+# Corpus mixture sampling: per-source Bernoulli rates (the data-mixture
+# primitive) — same splitmix64 HUGEINT oracle chain as train_val_split with
+# a per-group CASE rate
+# ---------------------------------------------------------------------------
+
+_MIX_RATES_SQL = ("CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 "
+                  "WHEN 'src2' THEN 0.25 ELSE 0.1 END")
+
+
+@query("corpus_mixture_sample", sql=f"""
+WITH s1 AS (SELECT doc_id, source,
+                   xor(doc_id::UBIGINT, 7::UBIGINT)::HUGEINT AS x
+            FROM documents),
+s2 AS (SELECT doc_id, source, (x + 11400714819323198485) % 18446744073709551616 AS x FROM s1),
+s2b AS (SELECT doc_id, source,
+               xor(x::UBIGINT, (x // 1073741824)::UBIGINT)::HUGEINT AS x
+        FROM s2),
+s3 AS (SELECT doc_id, source, ((x * 484763065) % 18446744073709551616 + (((x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM s2b),
+s3b AS (SELECT doc_id, source,
+               xor(x::UBIGINT, (x // 134217728)::UBIGINT)::HUGEINT AS x
+        FROM s3),
+s4 AS (SELECT doc_id, source, ((x * 321982955) % 18446744073709551616 + (((x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM s3b),
+s5 AS (SELECT doc_id, source,
+              xor(x::UBIGINT, (x // 2147483648)::UBIGINT) AS h FROM s4)
+SELECT doc_id, source FROM s5
+WHERE h::DOUBLE / 18446744073709551616.0 < {_MIX_RATES_SQL}
+ORDER BY doc_id
+""")
+def mixture_q(sf_dir: str):
+    """Deterministic per-source mixture sampling (keep 100% of src0, 50%
+    of src1, 25% of src2, 10% of the rest) — per-row membership verified
+    against the DuckDB splitmix64 chain with a per-group CASE rate."""
+    from dataquality_ray.stages.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = stratified_sample(
+        ds, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "source",
+        key="doc_id", seed=7, default_rate=0.1).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-group quota: at most n docs per source (highest n_chars first, ties
+# by doc_id) — SQL twin is the ROW_NUMBER window
+# ---------------------------------------------------------------------------
+
+@query("quota_per_source", sql="""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 7 ORDER BY doc_id
+""")
+def quota_q(sf_dir: str):
+    """Per-domain quota (\"no source contributes more than 7 docs, keep
+    the longest\"): local per-batch top-n prune + one grouped exact top-n
+    (stages/sampling.cap_per_group) vs the SQL window oracle."""
+    from dataquality_ray.stages.sampling import cap_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = cap_per_group(ds, "source", 7, id_col="doc_id",
+                        order_col="n_chars").to_pandas()
+    return (out[["doc_id", "source", "n_chars"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 @query("multimodal_video_frames")
 def multimodal_video_q(sf_dir: str):
     import ray.data as rd

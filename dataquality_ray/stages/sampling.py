@@ -50,3 +50,62 @@ def split_by_hash(ds, key: str, val_frac: float = 0.1, seed: int = 0):
 
     return (ds.map_batches(side(False), batch_format="pyarrow"),
             ds.map_batches(side(True), batch_format="pyarrow"))
+
+
+def stratified_sample(ds, rates: dict[str, float], group_col: str,
+                      key: str, seed: int = 0,
+                      default_rate: float = 0.0):
+    """Deterministic per-group Bernoulli sampling — the corpus MIXTURE
+    primitive (\"keep 100% of wiki, 10% of crawl, 50% of code\"): a row of
+    group g survives iff its hash-fraction < rates[g].
+
+    Same contract as :func:`hash_sample` (order-invariant, resumable,
+    no shuffle, no RNG) with the rate looked up per row from the tiny
+    ``rates`` config; groups absent from ``rates`` get ``default_rate``.
+    Because membership is a pure function of (key, seed), REVISING a
+    group's rate upward keeps every previously-sampled row and only ADDS
+    rows — mixtures can be retuned without resampling churn.
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for group {g!r} must be in [0,1]: {r}")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        f = _fractions(batch, key, seed)
+        row_rates = (pd.Series(batch[group_col].to_pylist())
+                     .map(rates).fillna(default_rate)
+                     .to_numpy(dtype=np.float64))
+        return batch.filter(pa.array(f < row_rates))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def cap_per_group(ds, group_col: str, n: int, id_col: str,
+                  order_col: str | None = None):
+    """Keep at most ``n`` rows per group — the per-domain quota op (\"no
+    domain contributes more than N documents\").  Deterministic selection:
+    rows ranked by (``order_col`` DESC, ``id_col`` ASC) — highest-scoring
+    first, ties broken by id — or by ``id_col`` ASC alone when no order
+    column is given.
+
+    Scale shape: a per-batch LOCAL top-n prune (task stage, no shuffle —
+    any row outside its batch's own top n can never be in the global top
+    n) caps what the exchange carries at n rows/group/batch, then one
+    ``groupby(group).map_groups`` finishes the exact global top-n.  The
+    SQL twin is ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY o DESC, id)
+    <= n``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    sort_cols = ([order_col, id_col] if order_col else [id_col])
+    ascending = ([False, True] if order_col else [True])
+
+    def topn(df):
+        return (df.sort_values(sort_cols, ascending=ascending,
+                               kind="mergesort")
+                  .groupby(group_col, sort=False).head(n))
+
+    pruned = ds.map_batches(topn, batch_format="pandas")
+    return pruned.groupby(group_col).map_groups(topn, batch_format="pandas")

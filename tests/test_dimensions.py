@@ -250,3 +250,55 @@ def test_i1_flags_cross_type_proxy(ray_session):
     flagged = set(res["table"]["features"])
     assert "bracket/income" in flagged
     assert "income/noise_cat" not in flagged
+
+
+def test_stratified_sample_rates_and_monotonicity(ray_session):
+    """Per-group mixture rates: rate-1.0 groups keep everything, rate-0
+    groups vanish, and raising a rate only ADDS rows (hash-threshold
+    monotonicity — retuning a mixture never resamples)."""
+    import numpy as np
+
+    from dataquality_ray.stages.sampling import stratified_sample
+
+    df = pd.DataFrame({"id": np.arange(3000),
+                       "g": [f"g{i % 3}" for i in range(3000)]})
+    ds = rd.from_pandas(df).repartition(4)
+
+    out = stratified_sample(ds, {"g0": 1.0, "g1": 0.4, "g2": 0.0}, "g",
+                            key="id", seed=3).to_pandas()
+    by_g = out.groupby("g").size()
+    assert by_g.get("g0", 0) == 1000
+    assert "g2" not in by_g.index
+    assert 300 < by_g["g1"] < 500  # ~0.4 of 1000
+
+    low = set(stratified_sample(ds, {"g1": 0.2}, "g", key="id",
+                                seed=3).to_pandas()["id"])
+    high = set(stratified_sample(ds, {"g1": 0.6}, "g", key="id",
+                                 seed=3).to_pandas()["id"])
+    assert low <= high
+
+
+def test_cap_per_group_matches_pandas_and_partitioning(ray_session):
+    """cap_per_group == the pandas window oracle, regardless of input
+    partitioning (the local-prune stage must never drop a global top-n
+    row)."""
+    import numpy as np
+
+    from dataquality_ray.stages.sampling import cap_per_group
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({
+        "id": np.arange(500),
+        "g": rng.choice(["a", "b", "c", "d"], 500),
+        "score": rng.randint(0, 40, 500),  # heavy ties
+    })
+    want = (df.sort_values(["score", "id"], ascending=[False, True],
+                           kind="mergesort")
+              .groupby("g", sort=False).head(5)
+              .sort_values("id").reset_index(drop=True))
+    for parts in (1, 3, 16):
+        got = (cap_per_group(rd.from_pandas(df).repartition(parts),
+                             "g", 5, id_col="id", order_col="score")
+               .to_pandas()[["id", "g", "score"]]
+               .sort_values("id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want[["id", "g", "score"]])
