@@ -764,11 +764,44 @@ def u1_violations_report(ds, columns: list[str] | None = None):
         return batch.append_column("_row_hash", h)
 
     hashed = ds.map_batches(rowhash_col, batch_format="pyarrow")
-    from dataquality_ray.stages.combine import combine_groupby
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
 
-    counts = combine_groupby(
-        hashed.select_columns(["_row_hash"]), ["_row_hash"],
-        {"c": ("_row_hash", "size")})
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select(["_row_hash"]).group_by("_row_hash")
+             .aggregate([("_row_hash", "count")]))
+        return g.rename_columns(["_row_hash", "c"])
+
+    def merge(frame):
+        return (frame.groupby("_row_hash", sort=False)["c"].sum()
+                     .reset_index())
+
+    counts, ok = guarded_partials(
+        hashed.map_batches(partial, batch_format="pyarrow"), merge,
+        DRIVER_COMBINE_CAP)
+    if not ok:
+        # same guard as u1_duplicate_rows: distinct hashes outgrew the
+        # driver combine — collect only the DUP hashes via a groupby
+        # shuffle (O(#duplicate groups) driver-side)
+        from ray.data.aggregate import Count
+
+        record_route("u1_violations_report", "shuffle",
+                     f"distinct row hashes exceeded "
+                     f"cap={DRIVER_COMBINE_CAP}", DRIVER_COMBINE_CAP)
+        dups_ds = (hashed.select_columns(["_row_hash"])
+                   .groupby("_row_hash")
+                   .aggregate(Count("_row_hash", alias_name="c"))
+                   .filter(expr="c > 1"))
+        counts = dups_ds.to_pandas()
+    else:
+        record_route("u1_violations_report", "combine",
+                     "distinct row hashes within cap",
+                     0 if counts is None else len(counts))
+        if counts is None:
+            counts = pd.DataFrame({"_row_hash": [], "c": []})
     dup_hashes = pa.array(sorted(counts.loc[counts["c"] > 1, "_row_hash"]),
                           type=pa.binary(16))
     ref = ray.put(dup_hashes)

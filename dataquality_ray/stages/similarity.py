@@ -29,7 +29,14 @@ MAX_UNIVERSE = 50_000
 
 def value_counts(ds, col: str, normalize: bool = False) -> pd.Series:
     """Distinct values of ``col`` with row counts, via per-batch value_counts
-    partials combined on the driver (no full-column shuffle)."""
+    partials combined on the driver (no full-column shuffle).
+
+    The combine is GUARDED (stages/autoroute.py): the merge aborts the
+    moment the distinct count crosses ``MAX_UNIVERSE`` — a too-big universe
+    raises after a bounded prefix scan instead of first accumulating the
+    whole distinct set on the driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[col].dropna()
         if normalize:
@@ -37,16 +44,25 @@ def value_counts(ds, col: str, normalize: bool = False) -> pd.Series:
         vc = s.value_counts()
         return pd.DataFrame({"value": vc.index.astype(str), "n": vc.values})
 
-    parts = (ds.select_columns([col])
-               .map_batches(partial, batch_format="pandas").to_pandas())
-    combined = parts.groupby("value")["n"].sum()
-    if len(combined) > MAX_UNIVERSE:
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby("value", sort=False)["n"].sum().reset_index()
+
+    stage = ds.select_columns([col]).map_batches(partial,
+                                                 batch_format="pandas")
+    combined, ok = guarded_partials(stage, merge, MAX_UNIVERSE)
+    if not ok:
         raise ValueError(
-            f"distinct universe of {col} is {len(combined)} > {MAX_UNIVERSE}; "
+            f"distinct universe of {col} exceeds {MAX_UNIVERSE}; "
             "the driver-side C1/C2/C3 family requires a bounded universe — "
             "use c1_near_dup_bucketed (distributed prefix-filtered "
             "all-pairs) beyond it")
-    return combined
+    if combined is None:
+        return pd.Series([], dtype="int64",
+                         index=pd.Index([], name="value"), name="n")
+    # sorted index: batch arrival order is nondeterministic, and the C1
+    # tie-break quirk depends on universe ORDER — sorting restores the old
+    # groupby(sort=True) determinism
+    return combined.set_index("value")["n"].sort_index()
 
 
 # ---------------------------------------------------------------------------

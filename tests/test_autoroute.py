@@ -132,3 +132,23 @@ def test_battery_unfuses_u1_past_cap(ray_session, tmp_path, monkeypatch):
     assert unfused["tests"] == base["tests"]
     pd.testing.assert_frame_equal(unfused["tables"]["U1"],
                                   base["tables"]["U1"])
+
+
+def test_u1_violations_report_routes_to_shuffle(ray_session, monkeypatch):
+    """Past the cap, the violations report collects only DUP hashes via a
+    groupby shuffle — identical rows to the combine route."""
+    import dataquality_ray.stages.autoroute as ar
+    from dataquality_ray.pipelines.dimensions import u1_violations_report
+
+    df = _hicard_df(1500)
+    df = pd.concat([df, df.iloc[:20]], ignore_index=True)
+    ds = rd.from_pandas(df).repartition(4)
+    base = (u1_violations_report(ds).to_pandas()
+            .sort_values(["g", "v"]).reset_index(drop=True))
+    assert last_route("u1_violations_report")["chosen"] == "combine"
+    monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 100)
+    routed = (u1_violations_report(ds).to_pandas()
+              .sort_values(["g", "v"]).reset_index(drop=True))
+    assert last_route("u1_violations_report")["chosen"] == "shuffle"
+    pd.testing.assert_frame_equal(routed, base)
+    assert len(base) == 40  # 20 dup pairs, keep=False semantics
