@@ -323,7 +323,11 @@ def c1_spec(columns: list[str], threshold: float = 0.91,
     return {"cols": list(columns), "fmt": "pandas",
             "out_cols": dict(_VC_OUT_COLS),
             "partial": _vc_spec_partial(columns, normalize=True),
-            "finalize": finalize}
+            "finalize": finalize,
+            # driver-combine contract: distinct universe must stay bounded;
+            # run_battery un-fuses past the cap (the per-test path then
+            # raises the guarded beyond-cap error naming the twin)
+            "combine_cap_rows": True}
 
 
 def c2_spec(column_mapping: dict[str, str], threshold: float = 1.00,
@@ -346,7 +350,8 @@ def c2_spec(column_mapping: dict[str, str], threshold: float = 1.00,
     return {"cols": columns, "fmt": "pandas",
             "out_cols": dict(_VC_OUT_COLS),
             "partial": _vc_spec_partial(columns, normalize=False),
-            "finalize": finalize}
+            "finalize": finalize,
+            "combine_cap_rows": True}
 
 
 # ---------------------------------------------------------------------------
@@ -601,4 +606,8 @@ def c3_spec(columns: list[str], ref_names: list[str] | None = None,
     return {"cols": list(columns), "fmt": "pandas",
             "out_cols": dict(_VC_OUT_COLS),
             "partial": _vc_spec_partial(columns, normalize=True),
-            "finalize": finalize}
+            "finalize": finalize,
+            # driver-combine contract: distinct universe must stay bounded;
+            # run_battery un-fuses past the cap (the per-test path then
+            # raises the guarded beyond-cap error naming the twin)
+            "combine_cap_rows": True}

@@ -152,3 +152,27 @@ def test_u1_violations_report_routes_to_shuffle(ray_session, monkeypatch):
     assert last_route("u1_violations_report")["chosen"] == "shuffle"
     pd.testing.assert_frame_equal(routed, base)
     assert len(base) == 40  # 20 dup pairs, keep=False semantics
+
+
+def test_battery_unfuses_c_family_past_cap(ray_session, monkeypatch):
+    """The C-family specs carry the same driver-combine contract as U1
+    (their value-count partials are O(#distinct)): past the fused cap they
+    leave the shared scan, and the per-test path gives identical scores."""
+    import dataquality_ray.pipelines.battery as bat
+    from dataquality_ray.stages import similarity as sim
+
+    df = pd.DataFrame({"name": ["Area 12", "Area 12 ", "Zone B",
+                                "Zone B", "Other", "Area 12", "Zone C",
+                                "Zone B"]})
+    ds = rd.from_pandas(df).repartition(2)
+    tests = [("C1", "Consistency",
+              lambda d: sim.c1_near_dup(d, ["name"], threshold=0.5),
+              {"spec": sim.c1_spec(["name"], threshold=0.5)})]
+    base = bat.run_battery(ds, tests, share="fused")
+    monkeypatch.setattr(bat, "FUSED_COMBINE_CAP_ROWS", 4)
+    unfused = bat.run_battery(ds, tests, share="fused")
+    evt = last_route("battery:C1")
+    assert evt is not None and evt["chosen"] == "unfused"
+    assert unfused["tests"] == base["tests"]
+    pd.testing.assert_frame_equal(unfused["tables"]["C1"],
+                                  base["tables"]["C1"])
