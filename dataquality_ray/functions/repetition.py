@@ -1,0 +1,139 @@
+"""Gopher-style repetition signals per document (Rae et al. 2021,
+"Scaling Language Models: Methods, Analysis & Insights from Training
+Gopher", Table A1 — the repetition-removal family also used by
+RefinedWeb/FineWeb).
+
+Per-doc signals, all INTEGER-valued so the DuckDB oracle hashes
+bit-identically (fractions are numerator/denominator pairs; the
+``repetitive`` flag compares integer cross-products, never floats):
+
+- ``n_lines`` / ``n_dup_lines``: lines = ``text.split("\\n")``;
+  dup lines = occurrences beyond the first of each distinct line.
+- ``dup_line_chars`` / ``line_chars``: characters inside lines whose
+  count > 1 (all occurrences), over total line characters
+  (= ``len(text)`` minus the newlines).
+- ``top2_cover``: max over distinct word 2-grams WITH count > 1 of
+  ``count * len(gram)`` — the characters covered by the most
+  repetitive 2-gram (tie-free, unlike "chars of THE most frequent
+  gram" which needs a tie-break; count-1 grams cover nothing, so a
+  long unique gram in a short doc is not "repetition").
+- ``dup5_chars``: sum over distinct word 5-grams with count > 1 of
+  ``count * len(gram)`` (may exceed ``n_chars`` for pathological
+  repetition — it is a coverage BOUND, compared cross-multiplied).
+- ``repetitive``: Gopher thresholds — dup-line fraction > 0.30,
+  dup-line-char fraction > 0.20, top-2-gram coverage > 0.20, dup
+  5-gram coverage > 0.15 (any one trips the flag).
+
+Words are split on the RE2 ``\\s`` class ``[\\t\\n\\f\\r ]`` exactly
+(NOT Python ``str.split``, whose Unicode whitespace set differs from
+DuckDB's RE2) so the SQL oracle tokenizes identically.
+
+The kernel is batch-vectorized: one flattened token/line array per
+batch, ``pd.factorize`` for interning, ``np.unique`` on stacked int
+columns for gram counting, ``np.add.at``/``np.maximum.at`` for the
+per-doc reductions. No per-gram Python objects are built.
+
+Scale shape: stateless ``map_batches`` — embarrassingly parallel, no
+shuffle, output one small row per document.
+"""
+
+from __future__ import annotations
+
+import re
+from itertools import chain
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# RE2's \s class, exactly (DuckDB regexp_split_to_array uses RE2).
+_WS = re.compile(r"[\t\n\f\r ]+")
+
+_OUT = ["n_chars", "n_words", "n_lines", "n_dup_lines", "dup_line_chars",
+        "line_chars", "top2_cover", "dup5_chars"]
+
+
+def _grams(doc: np.ndarray, code: np.ndarray, tlen: np.ndarray, k: int,
+           n_docs: int):
+    """Unique (doc, k-gram-of-token-codes) rows with counts and char
+    lengths.  ``doc`` is non-decreasing, so doc[i] == doc[i+k-1] implies
+    the whole window is in one doc."""
+    if len(doc) < k:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    m = len(doc) - k + 1
+    same = doc[:m] == doc[k - 1:]
+    cols = [doc[:m][same]]
+    glen = np.full(int(same.sum()), k - 1, dtype=np.int64)  # k-1 spaces
+    for j in range(k):
+        cols.append(code[j:j + m][same])
+        glen += tlen[j:j + m][same]
+    stacked = np.stack(cols, axis=1)
+    uniq, first, cnts = np.unique(stacked, axis=0, return_index=True,
+                                  return_counts=True)
+    return uniq[:, 0], cnts.astype(np.int64), glen[first]
+
+
+def repetition_stats(batch: pa.Table, col: str = "text") -> pa.Table:
+    texts = batch[col].to_pylist()
+    n = len(texts)
+    out = {name: np.zeros(n, dtype=np.int64) for name in _OUT}
+    if n == 0:
+        return _append(batch, out)
+    out["n_chars"] = np.fromiter((len(t or "") for t in texts), np.int64, n)
+
+    # ---- lines -----------------------------------------------------------
+    line_lists = [(t or "").split("\n") for t in texts]
+    line_cnt = np.fromiter((len(ls) for ls in line_lists), np.int64, n)
+    doc_of_line = np.repeat(np.arange(n, dtype=np.int64), line_cnt)
+    flat_lines = list(chain.from_iterable(line_lists))
+    codes, uniques = pd.factorize(pd.array(flat_lines), sort=False)
+    ulen = np.fromiter((len(u) for u in uniques), np.int64, len(uniques))
+    key = doc_of_line * np.int64(len(uniques)) + codes
+    uk, cnts = np.unique(key, return_counts=True)
+    kd = (uk // len(uniques)).astype(np.int64)
+    kl = ulen[(uk % len(uniques)).astype(np.int64)]
+    n_distinct = np.zeros(n, dtype=np.int64)
+    np.add.at(n_distinct, kd, 1)
+    dup = cnts > 1
+    np.add.at(out["dup_line_chars"], kd[dup], cnts[dup] * kl[dup])
+    out["n_lines"] = line_cnt
+    out["n_dup_lines"] = line_cnt - n_distinct
+    out["line_chars"] = out["n_chars"] - (line_cnt - 1)
+
+    # ---- words -----------------------------------------------------------
+    tok_lists = [_WS.split(t or "") for t in texts]
+    tok_cnt = np.fromiter((len(ts) for ts in tok_lists), np.int64, n)
+    t_doc = np.repeat(np.arange(n, dtype=np.int64), tok_cnt)
+    flat = np.array(list(chain.from_iterable(tok_lists)), dtype=object)
+    keep = flat != ""
+    t_doc = t_doc[keep]
+    t_code, t_uniq = pd.factorize(pd.array(flat[keep]), sort=False)
+    t_code = t_code.astype(np.int64)
+    t_ulen = np.fromiter((len(u) for u in t_uniq), np.int64, len(t_uniq))
+    t_len = t_ulen[t_code] if len(t_code) else np.zeros(0, np.int64)
+    np.add.at(out["n_words"], t_doc, 1)
+
+    gd2, gc2, gl2 = _grams(t_doc, t_code, t_len, 2, n)
+    d2 = gc2 > 1  # repetition signal: a gram seen once covers nothing
+    np.maximum.at(out["top2_cover"], gd2[d2], gc2[d2] * gl2[d2])
+
+    gd5, gc5, gl5 = _grams(t_doc, t_code, t_len, 5, n)
+    d5 = gc5 > 1
+    np.add.at(out["dup5_chars"], gd5[d5], gc5[d5] * gl5[d5])
+
+    return _append(batch, out)
+
+
+def _append(batch: pa.Table, out: dict[str, np.ndarray]) -> pa.Table:
+    for name in _OUT:
+        batch = batch.append_column(name, pa.array(out[name],
+                                                   type=pa.int64()))
+    # Gopher thresholds via integer cross-products (no float compare):
+    # dup-line frac > 0.30 | dup-line chars > 0.20 | top-2-gram > 0.20 |
+    # dup-5-gram coverage > 0.15.
+    flag = ((out["n_dup_lines"] * 10 > out["n_lines"] * 3)
+            | (out["dup_line_chars"] * 5 > out["line_chars"])
+            | (out["top2_cover"] * 5 > out["n_chars"])
+            | (out["dup5_chars"] * 20 > out["n_chars"] * 3))
+    return batch.append_column("repetitive", pa.array(flag))

@@ -1318,3 +1318,87 @@ def heuristic_rules_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021, Table A1) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("gopher_repetition", sql="""
+WITH src AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM src
+), lg AS (
+  SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY doc_id, line
+), ls AS (
+  SELECT doc_id,
+         sum(cnt)::BIGINT AS n_lines,
+         (sum(cnt) - count(*))::BIGINT AS n_dup_lines,
+         coalesce(sum(CASE WHEN cnt > 1 THEN cnt * length(line) END),
+                  0)::BIGINT AS dup_line_chars,
+         sum(cnt * length(line))::BIGINT AS line_chars
+  FROM lg GROUP BY doc_id
+), rawtok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '\\s+')) AS w,
+         generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS i
+  FROM src
+), tok AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS j
+  FROM rawtok WHERE w <> ''
+), nw AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words FROM tok GROUP BY doc_id
+), g2c AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2,
+         length(a.w) + 1 + length(b.w) AS glen, count(*) AS cnt
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+  GROUP BY ALL
+), g2s AS (
+  SELECT doc_id, max(cnt * glen)::BIGINT AS top2_cover
+  FROM g2c WHERE cnt > 1 GROUP BY doc_id
+), g5c AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3, d.w AS w4, e.w AS w5,
+         length(a.w) + length(b.w) + length(c.w) + length(d.w)
+           + length(e.w) + 4 AS glen,
+         count(*) AS cnt
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.j = a.j + 2
+  JOIN tok d ON d.doc_id = a.doc_id AND d.j = a.j + 3
+  JOIN tok e ON e.doc_id = a.doc_id AND e.j = a.j + 4
+  GROUP BY ALL
+), g5s AS (
+  SELECT doc_id, sum(cnt * glen)::BIGINT AS dup5_chars
+  FROM g5c WHERE cnt > 1 GROUP BY doc_id
+)
+SELECT s.doc_id,
+       length(s.text)::BIGINT AS n_chars,
+       coalesce(nw.n_words, 0)::BIGINT AS n_words,
+       ls.n_lines, ls.n_dup_lines, ls.dup_line_chars, ls.line_chars,
+       coalesce(g2s.top2_cover, 0)::BIGINT AS top2_cover,
+       coalesce(g5s.dup5_chars, 0)::BIGINT AS dup5_chars,
+       (ls.n_dup_lines * 10 > ls.n_lines * 3
+        OR ls.dup_line_chars * 5 > ls.line_chars
+        OR coalesce(g2s.top2_cover, 0) * 5 > length(s.text)
+        OR coalesce(g5s.dup5_chars, 0) * 20 > length(s.text) * 3)
+         AS repetitive
+FROM src s
+LEFT JOIN ls USING (doc_id) LEFT JOIN nw USING (doc_id)
+LEFT JOIN g2s USING (doc_id) LEFT JOIN g5s USING (doc_id)
+ORDER BY doc_id
+""")
+def gopher_repetition_q(sf_dir: str):
+    """Per-document Gopher repetition signals (duplicate lines / duplicate
+    line chars / top-2-gram coverage / duplicated 5-gram coverage), all
+    integer-valued, plus the threshold flag.  One stateless vectorized
+    map_batches pass — no shuffle, embarrassingly parallel at any scale."""
+    from dataquality_ray.functions.repetition import repetition_stats
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(repetition_stats, batch_format="pyarrow")
+          .select_columns(["doc_id", "n_chars", "n_words", "n_lines",
+                           "n_dup_lines", "dup_line_chars", "line_chars",
+                           "top2_cover", "dup5_chars", "repetitive"]))
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
