@@ -147,6 +147,10 @@ def run_suite() -> dict:
                  # real-codec multimodal decode
                  "dedup_minhash_fast", "c1_near_dup_bucketed",
                  "multimodal_real_decode",
+                 # round-3 additions: mixture sampling, per-group quotas,
+                 # Gopher repetition signals
+                 "corpus_mixture_sample", "quota_per_source",
+                 "gopher_repetition",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

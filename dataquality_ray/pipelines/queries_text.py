@@ -1402,3 +1402,74 @@ def gopher_repetition_q(sf_dir: str):
                            "n_dup_lines", "dup_line_chars", "line_chars",
                            "top2_cover", "dup5_chars", "repetitive"]))
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-document boilerplate line removal — SQL-checkable
+# ---------------------------------------------------------------------------
+
+_BOILER = "Subscribe to our newsletter for updates"
+_FOOTER = "(c) 2024 Example Corp - All rights reserved"
+_RARE = "This line appears in exactly two documents"
+
+
+@query("boilerplate_scrub", sql=f"""
+WITH src AS (
+  SELECT doc_id,
+         coalesce(text, '')
+           || CASE WHEN doc_id < 60
+                   THEN chr(10) || '{_BOILER}' || chr(10) || '  {_FOOTER}  '
+                   ELSE '' END
+           || CASE WHEN doc_id IN (3, 7)
+                   THEN chr(10) || '{_RARE}' ELSE '' END AS text
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS i
+  FROM src
+), strip AS (
+  SELECT doc_id, line, i,
+         trim(line, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) AS key
+  FROM pos
+), hot AS (
+  SELECT key FROM (
+    SELECT key, count(DISTINCT doc_id) AS nd
+    FROM strip WHERE key <> '' GROUP BY key)
+  WHERE nd >= 3
+), marked AS (
+  SELECT s.doc_id, s.line, s.i, (h.key IS NOT NULL) AS rm
+  FROM strip s LEFT JOIN hot h USING (key)
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY i)
+                  FILTER (WHERE NOT rm), '') AS text_scrubbed,
+       count(*) FILTER (WHERE rm)::BIGINT AS boiler_removed
+FROM marked GROUP BY doc_id ORDER BY doc_id
+""")
+def boilerplate_scrub_q(sf_dir: str):
+    """Cross-document boilerplate removal with planted boilerplate: docs
+    0..59 get a newsletter line + a padded footer (>= 3 distinct docs ->
+    removed, whitespace-insensitively), docs 3 and 7 share one line
+    (< min_docs -> kept).  The oracle replicates plant, distinct-doc
+    count, and line-level reconstruction."""
+    from dataquality_ray.stages.boilerplate import boilerplate_scrub
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = [(t or "") for t in batch["text"].to_pylist()]
+        out = []
+        for i, t in zip(ids, texts):
+            if i < 60:
+                t = t + "\n" + _BOILER + "\n  " + _FOOTER + "  "
+            if i in (3, 7):
+                t = t + "\n" + _RARE
+            out.append(t)
+        return batch.set_column(batch.schema.get_field_index("text"),
+                                "text", pa.array(out, type=pa.string()))
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(plant, batch_format="pyarrow"))
+    out = (boilerplate_scrub(ds, "text", min_docs=3)
+           .select_columns(["doc_id", "text_scrubbed", "boiler_removed"])
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,128 @@
+"""Cross-document boilerplate line removal (C4 / RefinedWeb style).
+
+C4 (Raffel et al. 2020, §2.2) drops every line that occurs three or more
+times in the corpus; RefinedWeb's line-level dedup is the same shape with
+distinct-document counts.  This implements the distinct-doc variant:
+a line (whitespace-stripped form, same key as ``dedupe_lines_batch``,
+functions/text.py:164) that appears in ``min_docs`` or more DISTINCT
+documents is boilerplate and is removed from every document.
+
+Distributed shape (two passes, one small broadcast):
+
+1. **Count** — ``map_batches`` emits per-batch partials of
+   ``(key, n_docs)`` with in-doc duplicates pre-collapsed, so counts are
+   distinct-doc counts and the partial is idempotently mergeable by
+   groupby-sum.  The merge runs through the guarded streaming combine
+   (``autoroute.guarded_partials``) and re-routes to a Ray groupby
+   shuffle past the distinct-key cap — same contract as U1/quantiles.
+2. **Scrub** — the hot set (keys crossing ``min_docs``) is ``ray.put``
+   once and every batch removes matching lines via one vectorized
+   ``np.isin`` over its flattened stripped-line array.
+
+The hot set itself is naturally small (lines repeated across >=
+``min_docs`` docs), but nothing guarantees that adversarially —
+``hot_cap`` bounds the broadcast and the operator raises past it rather
+than silently shipping an unbounded set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dataquality_ray.stages import autoroute
+from dataquality_ray.stages.autoroute import guarded_partials, record_route
+
+# Max lines in the broadcast hot set; past this the operator refuses
+# (broadcast-scrub is the wrong shape for a hot set this large).
+HOT_SET_MAX = 5_000_000
+
+
+def _line_partials(col: str):
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        texts = batch[col].to_pylist()
+        doc_ids = np.repeat(np.arange(len(texts), dtype=np.int64),
+                            [len((t or "").split("\n")) for t in texts])
+        flat = [ln.strip() for t in texts for ln in (t or "").split("\n")]
+        df = pd.DataFrame({"d": doc_ids, "key": flat})
+        df = df[df["key"] != ""].drop_duplicates(["d", "key"])
+        out = df.groupby("key", sort=False).size().reset_index(name="nd")
+        return out
+
+    return partial
+
+
+def _combine(frame: pd.DataFrame) -> pd.DataFrame:
+    return frame.groupby("key", as_index=False, sort=False)["nd"].sum()
+
+
+def hot_line_keys(ds, col: str = "text", min_docs: int = 3,
+                  *, mode: str = "auto", cap: int | None = None) -> np.ndarray:
+    """Stripped line keys appearing in >= ``min_docs`` distinct docs."""
+    cap = cap if cap is not None else autoroute.DRIVER_COMBINE_CAP
+    stage = ds.map_batches(_line_partials(col), batch_format="pyarrow")
+    if mode in ("auto", "combine"):
+        merged, ok = guarded_partials(stage, _combine, cap)
+        if ok:
+            record_route("boilerplate_scrub", "combine",
+                         "distinct line keys within cap",
+                         0 if merged is None else len(merged))
+            if merged is None:
+                return np.array([], dtype=object)
+            hot = merged.loc[merged["nd"] >= min_docs, "key"]
+            return hot.to_numpy(dtype=object)
+        if mode == "combine":
+            raise RuntimeError(
+                f"boilerplate_scrub: distinct line keys exceed cap={cap}; "
+                "use mode='shuffle'")
+    # shuffle twin: groupby-sum on the cluster; only keys that CROSS the
+    # threshold come back to the driver.
+    from ray.data.aggregate import Sum
+
+    record_route("boilerplate_scrub", "shuffle",
+                 "distinct line keys exceed driver-combine cap", None)
+    agg = stage.groupby("key").aggregate(Sum("nd", alias_name="nd"))
+    hot_ds = agg.filter(lambda r: r["nd"] >= min_docs)
+    keys = [r["key"] for r in hot_ds.iter_rows()]
+    if len(keys) > HOT_SET_MAX:
+        raise RuntimeError(
+            f"boilerplate_scrub: hot set {len(keys)} exceeds HOT_SET_MAX="
+            f"{HOT_SET_MAX}; broadcast-scrub is the wrong shape — raise "
+            "min_docs or scrub against a persisted hot-line table")
+    return np.array(keys, dtype=object)
+
+
+def boilerplate_scrub(ds, col: str = "text", min_docs: int = 3,
+                      *, mode: str = "auto", cap: int | None = None):
+    """Remove cross-document boilerplate lines; appends ``text_scrubbed``
+    and ``boiler_removed`` columns."""
+    import ray
+
+    hot = hot_line_keys(ds, col, min_docs, mode=mode, cap=cap)
+    hot_ref = ray.put(np.sort(hot))  # sorted: np.isin uses searchsorted
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        hot_arr = ray.get(hot_ref)
+        texts = batch[col].to_pylist()
+        line_lists = [(t or "").split("\n") for t in texts]
+        flat = np.array([ln.strip() for ls in line_lists for ln in ls],
+                        dtype=object)
+        rm = (np.isin(flat, hot_arr) if len(hot_arr) and len(flat)
+              else np.zeros(len(flat), dtype=bool))
+        out_texts: list[str] = []
+        removed = np.zeros(len(texts), dtype=np.int64)
+        pos = 0
+        for i, ls in enumerate(line_lists):
+            m = rm[pos:pos + len(ls)]
+            pos += len(ls)
+            k = int(m.sum())
+            removed[i] = k
+            out_texts.append("\n".join(
+                ln for ln, r in zip(ls, m) if not r) if k else (texts[i] or ""))
+        return (batch
+                .append_column("text_scrubbed", pa.array(out_texts,
+                                                         type=pa.string()))
+                .append_column("boiler_removed", pa.array(removed)))
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

@@ -176,3 +176,32 @@ def test_battery_unfuses_c_family_past_cap(ray_session, monkeypatch):
     assert unfused["tests"] == base["tests"]
     pd.testing.assert_frame_equal(unfused["tables"]["C1"],
                                   base["tables"]["C1"])
+
+
+def test_boilerplate_scrub_combine_shuffle_equivalence(ray_session,
+                                                       monkeypatch):
+    """Boilerplate removal: combine and shuffle routes produce identical
+    scrubbed text; whitespace-padded variants of a hot line match; a line
+    in < min_docs docs survives; blank lines are never hot."""
+    import dataquality_ray.stages.autoroute as ar
+    from dataquality_ray.stages.boilerplate import boilerplate_scrub
+
+    hot = "Subscribe now"
+    docs = [f"body {i}\n  {hot}  \nmore {i}" for i in range(5)]
+    docs += ["rare line\nunique a", "rare line\nunique b", "\n\nblanks\n\n"]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    ds = rd.from_pandas(df).repartition(3)
+
+    out = (boilerplate_scrub(ds, "text", min_docs=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert last_route("boilerplate_scrub")["chosen"] == "combine"
+    assert list(out["boiler_removed"]) == [1] * 5 + [0, 0, 0]
+    assert out.loc[0, "text_scrubbed"] == "body 0\nmore 0"
+    assert out.loc[5, "text_scrubbed"] == "rare line\nunique a"
+    assert out.loc[7, "text_scrubbed"] == "\n\nblanks\n\n"
+
+    monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 3)
+    routed = (boilerplate_scrub(ds, "text", min_docs=3)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert last_route("boilerplate_scrub")["chosen"] == "shuffle"
+    pd.testing.assert_frame_equal(routed, out)
