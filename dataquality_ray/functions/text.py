@@ -194,3 +194,43 @@ def fingerprint_batch(batch: pa.Table, col: str = "text",
             fps[i] = acc
     return batch.append_column(out_col,
                                pa.array(fps.astype(np.int64)))
+
+
+def chunk_texts_batch(batch: pa.Table, col: str = "text",
+                      id_col: str = "doc_id", size: int = 1200,
+                      overlap: int = 200) -> pa.Table:
+    """Split each document into fixed-size character windows with overlap
+    (pretraining context-prep; the char-window variant of packing).
+
+    stride = size - overlap; chunk k covers ``text[k*stride : k*stride +
+    size]``; n_chunks = max(1, ceil((len - overlap) / stride)) so every
+    character is covered and consecutive chunks share ``overlap`` chars.
+    A 1 -> N row expansion: output rows are (id, chunk_ix, chunk_text,
+    chunk_chars).  Stateless, no shuffle — chunk identity is (id,
+    chunk_ix), deterministic under any partitioning.
+    """
+    assert 0 <= overlap < size
+    stride = size - overlap
+    texts = batch[col].to_pylist()
+    ids = batch[id_col]
+    n = len(texts)
+    lens = np.fromiter((len(t or "") for t in texts), np.int64, n)
+    n_chunks = np.maximum(1, -((lens - overlap) // -stride))  # ceil div
+    out_ids = []
+    chunk_ix = np.empty(int(n_chunks.sum()), dtype=np.int64)
+    chunks: list[str] = []
+    pos = 0
+    for i, t in enumerate(texts):
+        t = t or ""
+        k = int(n_chunks[i])
+        chunk_ix[pos:pos + k] = np.arange(k)
+        chunks.extend(t[j * stride: j * stride + size] for j in range(k))
+        pos += k
+    rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_chunks))
+    return pa.table({
+        id_col: pc.take(ids, rep),
+        "chunk_ix": pa.array(chunk_ix),
+        "chunk_text": pa.array(chunks, type=pa.string()),
+        "chunk_chars": pc.cast(
+            pc.utf8_length(pa.array(chunks, type=pa.string())), pa.int64()),
+    })

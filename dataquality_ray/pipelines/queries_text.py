@@ -1473,3 +1473,41 @@ def boilerplate_scrub_q(sf_dir: str):
            .select_columns(["doc_id", "text_scrubbed", "boiler_removed"])
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (char windows with overlap) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("doc_chunk", sql="""
+WITH src AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), n AS (
+  SELECT doc_id, text,
+         greatest(1, (length(text) - 40 + 159) // 160) AS n_chunks
+  FROM src
+), ch AS (
+  SELECT doc_id,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_ix,
+         text
+  FROM n
+)
+SELECT doc_id, chunk_ix,
+       substr(text, chunk_ix * 160 + 1, 200) AS chunk_text,
+       length(substr(text, chunk_ix * 160 + 1, 200))::BIGINT AS chunk_chars
+FROM ch
+ORDER BY doc_id, chunk_ix
+""")
+def doc_chunk_q(sf_dir: str):
+    """Fixed-size character chunking with overlap (size=200, overlap=40,
+    stride=160 — sized so the synthetic docs genuinely split): a 1->N row
+    expansion per document, chunk identity (doc_id, chunk_ix)
+    deterministic under any partitioning."""
+    from dataquality_ray.functions.text import chunk_texts_batch
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(lambda b: chunk_texts_batch(b, size=200,
+                                                   overlap=40),
+                       batch_format="pyarrow"))
+    return (ds.to_pandas().sort_values(["doc_id", "chunk_ix"])
+            .reset_index(drop=True))
