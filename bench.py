@@ -150,7 +150,8 @@ def run_suite() -> dict:
                  # round-3 additions: mixture sampling, per-group quotas,
                  # Gopher repetition signals
                  "corpus_mixture_sample", "quota_per_source",
-                 "gopher_repetition",
+                 "gopher_repetition", "boilerplate_scrub", "doc_chunk",
+                 "dsir_importance",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

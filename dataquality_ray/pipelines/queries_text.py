@@ -1511,3 +1511,62 @@ def doc_chunk_q(sf_dir: str):
                        batch_format="pyarrow"))
     return (ds.to_pandas().sort_values(["doc_id", "chunk_ix"])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance sampling (Xie et al. 2023) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("dsir_importance", sql=f"""
+WITH corpus AS (
+  SELECT doc_id, lang, {_TOKS} AS t FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(t)),
+                i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM corpus WHERE len(t) >= 2
+), bb AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(sha256(g), 1, 16))::UBIGINT % 1024)::BIGINT
+           AS bucket
+  FROM bg
+), bc AS (
+  SELECT doc_id, lang, bucket, count(*) AS c FROM bb GROUP BY ALL
+), tot AS (
+  SELECT coalesce(sum(c) FILTER (WHERE lang = 'en'), 0) AS nt,
+         sum(c) AS nr
+  FROM bc
+), w AS (
+  SELECT bucket,
+         ln((coalesce(sum(c) FILTER (WHERE lang = 'en'), 0) + 1)
+            / (any_value(tot.nt) + 1024.0))
+           - ln((sum(c) + 1) / (any_value(tot.nr) + 1024.0)) AS w
+  FROM bc, tot GROUP BY bucket
+), score AS (
+  SELECT doc_id, sum(c * w.w) / sum(c) AS avg_lw,
+         sum(c)::BIGINT AS nb
+  FROM bc JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.nb, 0)::BIGINT AS n_bigrams,
+       floor(coalesce(s.avg_lw, 0) * 1000000) / 1000000 AS dsir_avg_logw,
+       coalesce(s.avg_lw, 0) > 0 AS selected
+FROM documents d LEFT JOIN score s USING (doc_id)
+ORDER BY d.doc_id
+""")
+def dsir_importance_q(sf_dir: str):
+    """DSIR hashed-bigram importance weights with lang='en' as the
+    target domain: fit the two hashed-ngram LMs in one streaming pass,
+    broadcast the 1024-float weight vector, score per doc in a second.
+    The oracle replays tokenize -> bigram -> sha256-bucket -> Laplace
+    log-ratio -> per-doc mean in SQL."""
+    from dataquality_ray.stages.dsir import dsir_score, fit_dsir_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    w = fit_dsir_weights(ds, "text", "lang", "en")
+    out = (dsir_score(ds, w, "text")
+           .select_columns(["doc_id", "n_bigrams", "dsir_avg_logw",
+                            "selected"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["dsir_avg_logw"] = np.floor(out["dsir_avg_logw"] * 1e6) / 1e6
+    return out

@@ -1,0 +1,121 @@
+"""DSIR-style importance sampling for target-domain data selection
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling", NeurIPS — hashed n-gram features, bag-of-bigrams unigram LM
+importance weights).
+
+Shape:
+
+1. **Fit** — one streaming pass counts hashed-bigram occurrences into
+   ``n_buckets`` for the target slice (rows where ``target_col ==
+   target_value``) and for the whole (raw) corpus.  The per-batch partial
+   is a BOUNDED ``n_buckets``-row frame, so the driver-side sum is safe
+   at any corpus size (bounded domain — the same contract that makes A2's
+   counts mode safe on categorical columns).
+2. **Weights** — ``w[b] = ln((tc[b]+1)/(Nt+B)) - ln((rc[b]+1)/(Nr+B))``
+   (Laplace-smoothed log-likelihood ratio of the two hashed-bigram
+   unigram LMs), ``ray.put`` once.
+3. **Score** — a second streaming pass computes each doc's mean
+   per-bigram log importance weight with one vectorized ``np.add.at``
+   over the batch's flattened bucket array.  ``selected = mean > 0``
+   (doc looks more target-like than raw-average).
+
+The bigram hash is the repo's SQL-replicable convention (first 8 bytes
+of sha256 → uint64 → ``% n_buckets``, hashed once per DISTINCT bigram
+per batch via factorize), so the DuckDB oracle replays the whole chain.
+At 100 TB scale the hasher is the hot kernel — swap in the vectorized
+splitmix64 token-hash chain (stages/minhash.py, ``hasher='fast'``)
+exactly as the MinHash path does; the sha chain stays for the
+oracle-checked query wrapper.
+
+Tokens split on the RE2 ``\\s`` class to match the oracle's
+``regexp_split_to_array(text, '\\s+')``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WS = re.compile(r"[\t\n\f\r ]+")
+
+N_BUCKETS = 1024
+
+
+def _bigram_buckets(texts: list, n_buckets: int):
+    """(doc_idx, bucket) for every bigram occurrence in the batch; the
+    sha256 runs once per DISTINCT bigram string."""
+    tok_lists = [[w for w in _WS.split(t or "") if w] for t in texts]
+    grams: list[str] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, ts in enumerate(tok_lists):
+        n = max(0, len(ts) - 1)
+        counts[i] = n
+        grams.extend(ts[j] + " " + ts[j + 1] for j in range(n))
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    if not grams:
+        return doc_idx, np.zeros(0, dtype=np.int64)
+    codes, uniq = pd.factorize(np.array(grams, dtype=object), sort=False)
+    h = np.fromiter(
+        (int.from_bytes(hashlib.sha256(u.encode()).digest()[:8], "big")
+         % n_buckets for u in uniq), np.int64, len(uniq))
+    return doc_idx, h[codes]
+
+
+def fit_dsir_weights(ds, col: str = "text", target_col: str = "lang",
+                     target_value: str = "en",
+                     n_buckets: int = N_BUCKETS) -> np.ndarray:
+    """Importance log-weight per hash bucket, from one streaming pass."""
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        texts = batch[col].to_pylist()
+        is_t = np.array([v == target_value
+                         for v in batch[target_col].to_pylist()])
+        d, b = _bigram_buckets(texts, n_buckets)
+        rc = np.bincount(b, minlength=n_buckets)
+        tc = (np.bincount(b[is_t[d]], minlength=n_buckets)
+              if len(b) else np.zeros(n_buckets, dtype=np.int64))
+        return pd.DataFrame({"bucket": np.arange(n_buckets), "tc": tc,
+                             "rc": rc})
+
+    tc = np.zeros(n_buckets, dtype=np.int64)
+    rc = np.zeros(n_buckets, dtype=np.int64)
+    stage = ds.select_columns([col, target_col]).map_batches(
+        part, batch_format="pyarrow")
+    for pb in stage.iter_batches(batch_format="pandas", batch_size=None):
+        # bounded n_buckets-row partials regardless of batch row count
+        np.add.at(tc, pb["bucket"].to_numpy(), pb["tc"].to_numpy())
+        np.add.at(rc, pb["bucket"].to_numpy(), pb["rc"].to_numpy())
+    nt, nr = int(tc.sum()), int(rc.sum())
+    return (np.log((tc + 1) / (nt + n_buckets))
+            - np.log((rc + 1) / (nr + n_buckets)))
+
+
+def dsir_score(ds, weights, col: str = "text",
+               n_buckets: int = N_BUCKETS):
+    """Append ``n_bigrams``, ``dsir_avg_logw`` (mean per-bigram log
+    importance weight; 0.0 for bigram-less docs) and ``selected``."""
+    import ray
+
+    w_ref = (weights if isinstance(weights, ray.ObjectRef)
+             else ray.put(np.asarray(weights, dtype=np.float64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        texts = batch[col].to_pylist()
+        d, b = _bigram_buckets(texts, n_buckets)
+        lw = np.zeros(len(texts), dtype=np.float64)
+        nb = np.zeros(len(texts), dtype=np.int64)
+        if len(b):
+            np.add.at(lw, d, w[b])
+            np.add.at(nb, d, 1)
+        avg = np.where(nb > 0, lw / np.maximum(nb, 1), 0.0)
+        return (batch
+                .append_column("n_bigrams", pa.array(nb))
+                .append_column("dsir_avg_logw", pa.array(avg))
+                .append_column("selected", pa.array(avg > 0)))
+
+    return ds.map_batches(score, batch_format="pyarrow")
