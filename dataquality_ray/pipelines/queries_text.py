@@ -1570,3 +1570,42 @@ def dsir_importance_q(sf_dir: str):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     out["dsir_avg_logw"] = np.floor(out["dsir_avg_logw"] * 1e6) / 1e6
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span) dedup stats — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("exact_substring_dedup", sql="""
+WITH w AS (
+  SELECT doc_id, substr(text, g.i, 32) AS win
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, greatest(length(text) - 32 + 2, 1),
+                                    16)) AS i) g
+  WHERE length(text) >= 32
+), owner AS (
+  SELECT win, min(doc_id) AS owner FROM w GROUP BY win
+), tot AS (
+  SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id
+), own AS (
+  SELECT owner AS doc_id, count(*) AS n_owned FROM owner GROUP BY owner
+)
+SELECT t.doc_id, t.n_windows,
+       coalesce(o.n_owned, 0) AS n_owned,
+       t.n_windows - coalesce(o.n_owned, 0) AS n_dup_windows
+FROM tot t LEFT JOIN own o USING (doc_id)
+ORDER BY t.doc_id
+""")
+def exact_substring_q(sf_dir: str):
+    """Lee-et-al-style span dedup stats (k=32, stride=16).  The oracle
+    uses raw substrings; the engine query runs key='text' for exact
+    value parity, and tests assert the default key='hash' scale path
+    produces identical per-doc counts."""
+    from dataquality_ray.stages.substring import duplicate_span_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (duplicate_span_stats(ds, k=32, stride=16, key="text")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for c in ("n_windows", "n_owned", "n_dup_windows"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -1,0 +1,173 @@
+"""Exact-substring (span) deduplication over a document corpus.
+
+Detects character windows of length ``k`` (sampled every ``stride``
+characters) whose exact content recurs anywhere else in the corpus — the
+hash-window formulation of suffix-array span dedup (Lee et al. 2021,
+"Deduplicating Training Data Makes Language Models Better"): every
+occurrence of a window except its canonical first occurrence is a
+removable duplicated span.
+
+Scale design (the whole point of the formulation used here):
+
+* The window table is ``~n_chars/stride`` rows — inherently large, as in
+  any span-dedup scheme — but it is consumed ONLY by vectorized
+  ``groupby().aggregate`` passes with map-side pre-combine; no join of
+  two corpus-sized tables, no ``map_groups`` over billions of tiny
+  groups, and nothing driver-side grows with corpus size.
+* Per-doc removable count needs no per-occurrence bookkeeping::
+
+      removable(d) = total_windows(d) - owned_keys(d)
+
+  ``total_windows(d)`` is pure arithmetic on the text length (no
+  shuffle); ``owned_keys(d)`` = number of distinct window keys whose
+  minimal ``doc_id`` is ``d``, i.e. one ``groupby(win).aggregate(Min)``
+  (the single unavoidable all-to-all) followed by a
+  ``groupby(owner).count`` whose output is one row per document.
+  The identity holds because summing ``n_occ(w, d) - [d == owner(w)]``
+  over keys telescopes: within-doc repeats of an owned key are counted
+  as removable, exactly matching "keep only the global first
+  occurrence".
+* ``key="hash"`` (default, the 100 TB path) keys windows by a
+  64-bit polynomial-rolling hash finalized with splitmix64 — 8 bytes
+  per window through the object store instead of ``k`` UTF-8 bytes.
+  ``key="text"`` ships the raw window string; it exists so the
+  DuckDB oracle (plain ``substr``) can check values exactly, and the
+  two modes are asserted equivalent in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dataquality_ray.functions.hashing import splitmix64
+
+DEFAULT_K = 32
+DEFAULT_STRIDE = 16
+
+# Polynomial base for the rolling window hash (odd, high-entropy).
+_POLY_B = np.uint64(0x100000001B3)
+
+
+def _win_count(n_chars: np.ndarray, k: int, stride: int) -> np.ndarray:
+    """Number of length-``k`` windows at ``stride`` for each text length.
+
+    Matches the extraction loop exactly: positions ``0, stride, ...``
+    with ``pos + k <= n_chars``; texts shorter than ``k`` yield zero.
+    """
+    n = np.asarray(n_chars, dtype=np.int64)
+    return np.where(n >= k, (n - k) // stride + 1, 0)
+
+
+def _hash_windows(text: str, k: int, stride: int) -> np.ndarray:
+    """All window hashes for one document, vectorized over characters.
+
+    Characters (code points, to mirror SQL ``substr`` semantics) become
+    a uint64 vector; each window's polynomial value is a dot product
+    against precomputed base powers with native 2^64 wraparound, then
+    splitmix64-finalized.
+    """
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    wins = np.lib.stride_tricks.sliding_window_view(codes, k)[::stride]
+    with np.errstate(over="ignore"):
+        powers = _POLY_B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        vals = (wins.astype(np.uint64) * powers).sum(
+            axis=1, dtype=np.uint64)
+    return splitmix64(vals)
+
+
+class WindowExtract:
+    """``map_batches`` callable: documents -> (doc_id, win) rows."""
+
+    def __init__(self, k: int = DEFAULT_K, stride: int = DEFAULT_STRIDE,
+                 key: str = "hash", text_col: str = "text",
+                 id_col: str = "doc_id"):
+        if key not in ("hash", "text"):
+            raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
+        self.k, self.stride, self.key = k, stride, key
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k, stride = self.k, self.stride
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        texts = batch[self.text_col].to_pylist()
+        out_ids: list[np.ndarray] = []
+        if self.key == "hash":
+            hashes: list[np.ndarray] = []
+            for d, t in zip(ids, texts):
+                if t is None or len(t) < k:
+                    continue
+                h = _hash_windows(t, k, stride)
+                hashes.append(h)
+                out_ids.append(np.full(len(h), d, dtype=np.int64))
+            if not out_ids:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "win": pa.array([], pa.uint64())})
+            return pa.table({"doc_id": np.concatenate(out_ids),
+                             "win": np.concatenate(hashes)})
+        wins: list[str] = []
+        for d, t in zip(ids, texts):
+            if t is None or len(t) < k:
+                continue
+            ws = [t[i:i + k] for i in range(0, len(t) - k + 1, stride)]
+            wins.extend(ws)
+            out_ids.append(np.full(len(ws), d, dtype=np.int64))
+        if not out_ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "win": pa.array([], pa.string())})
+        return pa.table({"doc_id": np.concatenate(out_ids),
+                         "win": pa.array(wins, pa.string())})
+
+
+def duplicate_span_stats(ds, k: int = DEFAULT_K, stride: int = DEFAULT_STRIDE,
+                         key: str = "hash", text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Per-document duplicated-span statistics.
+
+    Returns a Dataset with one row per document that has at least one
+    window: ``doc_id, n_windows, n_owned, n_dup_windows`` where
+    ``n_dup_windows`` is the count of window occurrences that would be
+    removed by keep-global-first span dedup.
+    """
+    from ray.data.aggregate import Count, Min
+
+    win_ds = ds.map_batches(
+        WindowExtract(k=k, stride=stride, key=key,
+                      text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
+
+    # Canonical owner per distinct window key: the one all-to-all pass.
+    owner = win_ds.groupby("win").aggregate(
+        Min("doc_id", alias_name="owner"))
+    # Keys owned per document: output is one row per doc (tiny).
+    owned = owner.groupby("owner").aggregate(
+        Count("owner", alias_name="n_owned"))
+
+    # Per-doc window totals: arithmetic on text length, no shuffle.
+    def totals(batch: pa.Table) -> pa.Table:
+        lens = np.asarray(
+            [len(t) if t is not None else 0
+             for t in batch[text_col].to_pylist()], dtype=np.int64)
+        nw = _win_count(lens, k, stride)
+        keep = nw > 0
+        return pa.table({
+            "doc_id": batch[id_col].to_numpy(zero_copy_only=False)[keep],
+            "n_windows": nw[keep]})
+
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+
+    from dataquality_ray.stages.joins import smart_join
+    joined = smart_join(tot, owned, on="doc_id", right_on="owner",
+                        value_cols=["n_owned"], join_type="left_outer")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_owned = batch["n_owned"].fill_null(0).cast(pa.int64())
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_windows": batch["n_windows"],
+            "n_owned": n_owned,
+            "n_dup_windows": pc.subtract(
+                batch["n_windows"].cast(pa.int64()), n_owned)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

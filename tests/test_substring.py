@@ -1,0 +1,107 @@
+"""Exact-substring (span) dedup: planted duplicates, the telescoping
+removable-count identity vs a brute-force pandas oracle, and
+hash-key/text-key path equivalence."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from dataquality_ray.stages.substring import (
+    WindowExtract, _hash_windows, _win_count, duplicate_span_stats)
+
+
+def _brute_stats(docs: dict[int, str], k: int, stride: int) -> pd.DataFrame:
+    """Reference implementation: enumerate every window occurrence,
+    keep the global first (min doc_id) per distinct content."""
+    rows = []
+    for d, t in docs.items():
+        for i in range(0, len(t) - k + 1, stride):
+            rows.append((d, t[i:i + k]))
+    w = pd.DataFrame(rows, columns=["doc_id", "win"])
+    if w.empty:
+        return pd.DataFrame(
+            columns=["doc_id", "n_windows", "n_owned", "n_dup_windows"])
+    owner = w.groupby("win")["doc_id"].min()
+    tot = w.groupby("doc_id").size().rename("n_windows")
+    own = owner.value_counts().rename("n_owned")
+    out = pd.concat([tot, own], axis=1).fillna(0).astype(int)
+    out["n_dup_windows"] = out["n_windows"] - out["n_owned"]
+    return (out.reset_index().rename(columns={"index": "doc_id"})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _run(docs: dict[int, str], k: int, stride: int, key: str) -> pd.DataFrame:
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(docs), "text": list(docs.values())}))
+    out = (duplicate_span_stats(ds, k=k, stride=stride, key=key)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return out.astype({c: "int64" for c in
+                       ["n_windows", "n_owned", "n_dup_windows"]})
+
+
+def test_planted_duplicate_spans():
+    shared = "the quick brown fox jumps over the lazy dog repeatedly " * 3
+    rng = np.random.default_rng(7)
+
+    def noise(n):
+        return "".join(rng.choice(list("abcdefghij "), n))
+
+    docs = {
+        0: noise(200) + shared + noise(100),
+        1: noise(150) + shared + noise(150),   # copies doc 0's span
+        2: noise(400),                          # unique
+        3: "tiny",                              # shorter than k -> no rows
+    }
+    got = _run(docs, k=32, stride=8, key="hash")
+    exp = _brute_stats(docs, 32, 8)
+    # hash mode must agree with content-exact brute force (no collisions
+    # at this size) — including doc 3 being absent entirely.
+    assert 3 not in set(got["doc_id"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    by = got.set_index("doc_id")
+    # doc 1 shares ~165 chars of span content with doc 0
+    assert by.loc[1, "n_dup_windows"] > 0
+    assert by.loc[2, "n_dup_windows"] == 0
+
+
+def test_hash_and_text_paths_identical():
+    rng = np.random.default_rng(11)
+    base = "".join(rng.choice(list("abcdefgh"), 500))
+    docs = {i: base[i * 7:i * 7 + 300] for i in range(20)}  # heavy overlap
+    a = _run(docs, k=16, stride=4, key="hash")
+    b = _run(docs, k=16, stride=4, key="text")
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_dup_windows"].sum() > 0
+
+
+def test_within_doc_repeats_count_as_removable():
+    docs = {0: "xyzw" * 32}  # k=8, stride=4: every window repeats
+    got = _run(docs, k=8, stride=4, key="hash")
+    by = got.set_index("doc_id")
+    # 31 window positions but only 4 distinct rotations of "xyzwxyzw"
+    # truncated to stride alignment -> tiny owned set, rest removable.
+    assert by.loc[0, "n_windows"] == (128 - 8) // 4 + 1
+    assert by.loc[0, "n_owned"] <= 4
+    assert (by.loc[0, "n_dup_windows"]
+            == by.loc[0, "n_windows"] - by.loc[0, "n_owned"])
+
+
+def test_win_count_matches_extraction():
+    for n in [0, 5, 16, 17, 31, 32, 33, 100]:
+        t = "a" * n
+        expect = len(range(0, n - 16 + 1, 8)) if n >= 16 else 0
+        assert _win_count(np.array([n]), 16, 8)[0] == expect
+        if n >= 16:
+            assert len(_hash_windows(t, 16, 8)) == expect
+
+
+def test_unicode_windows_are_character_based():
+    # multi-byte chars: window length must be in code points (SQL
+    # substr semantics), not bytes.
+    t = "é" * 40 + "日本語テキスト" * 10
+    ex = WindowExtract(k=16, stride=8, key="text")
+    out = ex(pa.table({"doc_id": [0], "text": [t]}))
+    wins = out["win"].to_pylist()
+    assert all(len(w) == 16 for w in wins)
+    assert len(wins) == _win_count(np.array([len(t)]), 16, 8)[0]
