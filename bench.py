@@ -151,7 +151,7 @@ def run_suite() -> dict:
                  # Gopher repetition signals
                  "corpus_mixture_sample", "quota_per_source",
                  "gopher_repetition", "boilerplate_scrub", "doc_chunk",
-                 "dsir_importance",
+                 "dsir_importance", "exact_substring_dedup",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -1609,3 +1609,48 @@ def exact_substring_q(sf_dir: str):
     for c in ("n_windows", "n_owned", "n_dup_windows"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup (cluster -> within-cluster cosine) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("semdedup_embeddings", sql="""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8
+), sims AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(e.embedding, c.cemb) AS sim
+  FROM embeddings e CROSS JOIN c
+), asg AS (
+  SELECT vec_id, cid AS cluster
+  FROM (SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid) AS rn
+        FROM sims)
+  WHERE rn = 1
+)
+SELECT r.vec_id, r.cluster,
+       coalesce(bool_or(
+         list_cosine_similarity(re.embedding, se.embedding) >= 0.35),
+         false) AS is_dup
+FROM asg r
+JOIN embeddings re ON re.vec_id = r.vec_id
+LEFT JOIN asg s ON s.cluster = r.cluster AND s.vec_id < r.vec_id
+LEFT JOIN embeddings se ON se.vec_id = s.vec_id
+GROUP BY r.vec_id, r.cluster
+ORDER BY r.vec_id
+""")
+def semdedup_q(sf_dir: str):
+    """SemDeDup chain with deterministic first-8 centroids and the
+    SQL-expressible 'pairs' duplicate rule (EXISTS earlier same-cluster
+    row with cosine >= 0.35 — the synthetic table's genuine top
+    similarity tail; max pairwise cosine is ~0.51); the default 'greedy' keep-set rule is
+    covered by pytest including a constructed divergence case."""
+    from dataquality_ray.stages.semdedup import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = (semdedup(ds, k=8, tau=0.35, mode="pairs")
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    out["cluster"] = out["cluster"].astype("int64")
+    return out[["vec_id", "cluster", "is_dup"]]

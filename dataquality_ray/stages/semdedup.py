@@ -1,0 +1,114 @@
+"""SemDeDup-style semantic deduplication over an embedding column
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication").
+
+Two-stage shape, which is the whole scale story: a cheap broadcast
+cluster assignment bounds the quadratic part to within-cluster blocks.
+
+1. **Assign**: centroids are broadcast once (``ray.put``); every batch
+   computes cosine to all centroids with one matmul and takes argmax.
+   No shuffle, no state beyond the (k × d) centroid matrix.
+2. **Dedup within cluster**: one ``groupby(cluster).map_groups`` — the
+   single all-to-all — where each cluster materializes its (c × c)
+   cosine matrix and flags duplicates.  Per-worker memory is O(c²); at
+   100 TB you size ``k`` so the largest cluster fits a worker (the
+   paper uses k in the tens of thousands), exactly the partitioning
+   assumption documented here.
+
+Duplicate rules (``mode``):
+
+* ``"greedy"`` (default, the paper's keep-one-per-duplicate-group
+  semantics): scan ids ascending, flag a row iff its cosine to an
+  already-KEPT earlier row ≥ tau.
+* ``"pairs"``: flag a row iff cosine to ANY earlier same-cluster row
+  ≥ tau (kept or not) — a plain EXISTS self-join, which is what the
+  DuckDB oracle replays exactly.  The two rules differ only when a
+  flagged row is the sole link in a similarity chain; tests cover both
+  a constructed divergence and their agreement on chain-free data.
+
+Centroids: pass an explicit ``(k, d)`` array (e.g. from the IVF k-means
+fit in :mod:`dataquality_ray.stages.ann`) or the default
+``centroids="first-k"`` — the embeddings of the ``k`` smallest ids,
+deterministic and SQL-expressible so the driver oracle can check the
+full chain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dataquality_ray.stages.ann import _normalize, _stack_embeddings
+
+
+class _AssignClusters:
+    """map_batches callable: adds ``cluster`` = argmax cosine centroid."""
+
+    def __init__(self, centroids_ref):
+        import ray
+
+        c = (ray.get(centroids_ref)
+             if not isinstance(centroids_ref, np.ndarray) else centroids_ref)
+        self.centroids = _normalize(np.asarray(c, dtype=np.float64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _normalize(_stack_embeddings(batch, self._col))
+        cluster = np.argmax(x @ self.centroids.T, axis=1).astype(np.int64)
+        return batch.append_column("cluster", pa.array(cluster))
+
+
+def semdedup(ds, id_col: str = "vec_id", emb_col: str = "embedding",
+             k: int = 8, tau: float = 0.8, centroids="first-k",
+             mode: str = "greedy"):
+    """Flag semantic duplicates; returns ``(id, cluster, is_dup)`` rows.
+
+    ``is_dup=True`` rows are the ones semantic dedup would drop.
+    """
+    import ray
+
+    if mode not in ("greedy", "pairs"):
+        raise ValueError(f"mode must be 'greedy' or 'pairs', got {mode!r}")
+    if isinstance(centroids, str):
+        if centroids != "first-k":
+            raise ValueError(f"unknown centroid policy {centroids!r}")
+        head = (ds.filter(expr=f"{id_col} < {k}")
+                .select_columns([id_col, emb_col]).to_pandas()
+                .sort_values(id_col))
+        cmat = np.array(list(head[emb_col]), dtype=np.float64)
+        if len(cmat) == 0:
+            raise ValueError(f"no rows with {id_col} < {k} to seed centroids")
+    else:
+        cmat = np.asarray(centroids, dtype=np.float64)
+    cref = ray.put(cmat)
+
+    class Assign(_AssignClusters):
+        def __init__(self):
+            super().__init__(cref)
+            self._col = emb_col
+
+    assigned = ds.select_columns([id_col, emb_col]).map_batches(
+        Assign, concurrency=(1, 4), batch_format="pyarrow")
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        e = _normalize(np.array(list(g[emb_col]), dtype=np.float64))
+        n = len(g)
+        sims = e @ e.T
+        hit = sims >= tau
+        dup = np.zeros(n, dtype=bool)
+        if mode == "pairs":
+            for i in range(1, n):
+                dup[i] = hit[i, :i].any()
+        else:
+            kept = [0] if n else []
+            for i in range(1, n):
+                if hit[i, kept].any():
+                    dup[i] = True
+                else:
+                    kept.append(i)
+        return pd.DataFrame({id_col: g[id_col], "cluster": g["cluster"],
+                             "is_dup": dup})
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_group, batch_format="pandas")

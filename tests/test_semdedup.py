@@ -1,0 +1,90 @@
+"""SemDeDup: planted semantic duplicates, greedy-vs-pairs rule
+divergence, brute-force parity, and explicit-centroid input."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from dataquality_ray.stages.semdedup import semdedup
+
+
+def _ds(vecs: np.ndarray, ids=None, blocks: int = 1):
+    ids = list(range(len(vecs))) if ids is None else list(ids)
+    tbl = pa.table({"vec_id": ids,
+                    "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                          pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def _run(vecs, tau, mode, k=4, blocks=1, centroids="first-k"):
+    out = (semdedup(_ds(np.asarray(vecs, dtype=np.float64), blocks=blocks),
+                    k=k, tau=tau, mode=mode, centroids=centroids)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    return out
+
+
+def test_planted_duplicates_flagged():
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(8, 16))
+    # ids 8 and 9 are near-copies of id 4; id 10 is unique
+    vecs = np.vstack([base,
+                      base[4] + rng.normal(scale=1e-3, size=16),
+                      base[4] + rng.normal(scale=1e-3, size=16),
+                      rng.normal(size=16)])
+    out = _run(vecs, tau=0.99, mode="greedy").set_index("vec_id")
+    assert not out.loc[4, "is_dup"]          # canonical copy kept
+    assert out.loc[8, "is_dup"] and out.loc[9, "is_dup"]
+    assert not out.loc[10, "is_dup"]
+    # all three copies land in the same cluster
+    assert len({out.loc[i, "cluster"] for i in (4, 8, 9)}) == 1
+
+
+def test_greedy_vs_pairs_chain_divergence():
+    # a--b similar, b--c similar, a--c NOT similar: greedy keeps c
+    # (b was dropped), pairs mode flags c (an earlier row matched it).
+    def at(deg):
+        r = np.deg2rad(deg)
+        return np.array([np.cos(r), np.sin(r)])
+
+    # cos(a,b)=cos25=0.906, cos(b,c)=cos25=0.906, cos(a,c)=cos50=0.643
+    vecs = np.vstack([at(0), at(25), at(50)])
+    g = _run(vecs, tau=0.9, mode="greedy", k=1).set_index("vec_id")
+    p = _run(vecs, tau=0.9, mode="pairs", k=1).set_index("vec_id")
+    assert list(g["is_dup"]) == [False, True, False]
+    assert list(p["is_dup"]) == [False, True, True]
+
+
+def test_pairs_matches_bruteforce_and_partition_invariant():
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(60, 8))
+    vecs[17] = vecs[3] * 2.0            # scale-invariant duplicate
+    vecs[41] = vecs[25] + 1e-6
+    one = _run(vecs, tau=0.995, mode="pairs", blocks=1)
+    many = _run(vecs, tau=0.995, mode="pairs", blocks=7)
+    pd.testing.assert_frame_equal(one, many)
+    by = one.set_index("vec_id")
+    assert by.loc[17, "is_dup"] and not by.loc[3, "is_dup"]
+    assert by.loc[41, "is_dup"] and not by.loc[25, "is_dup"]
+    # brute-force oracle for the pairs rule, scoped to clusters
+    e = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cl = by["cluster"].to_numpy()
+    sims = e @ e.T
+    for i in range(len(vecs)):
+        expect = any(sims[i, j] >= 0.995 for j in range(i) if cl[j] == cl[i])
+        assert bool(by.loc[i, "is_dup"]) == expect
+
+
+def test_explicit_centroids():
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(30, 8))
+    cents = rng.normal(size=(3, 8))
+    out = _run(vecs, tau=0.99, mode="greedy", centroids=cents)
+    assert set(out["cluster"]).issubset({0, 1, 2})
+    # assignment must be argmax cosine against the given centroids
+    e = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ce = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    np.testing.assert_array_equal(
+        out.sort_values("vec_id")["cluster"].to_numpy(),
+        np.argmax(e @ ce.T, axis=1))
