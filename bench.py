@@ -152,6 +152,9 @@ def run_suite() -> dict:
                  "corpus_mixture_sample", "quota_per_source",
                  "gopher_repetition", "boilerplate_scrub", "doc_chunk",
                  "dsir_importance", "exact_substring_dedup",
+                 "semdedup_embeddings", "ccnet_bucket",
+                 "quality_quantile_cut", "centroid_classify",
+                 "epoch_shuffle_head",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -1654,3 +1654,132 @@ def semdedup_q(sf_dir: str):
            .to_pandas().sort_values("vec_id").reset_index(drop=True))
     out["cluster"] = out["cluster"].astype("int64")
     return out[["vec_id", "cluster", "is_dup"]]
+
+
+# ---------------------------------------------------------------------------
+# CCNet per-group quantile partition / percentile cut — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("ccnet_bucket", sql="""
+WITH th AS (
+  SELECT lang,
+         quantile_cont(n_chars, 1.0/3) AS t1,
+         quantile_cont(n_chars, 2.0/3) AS t2
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CASE WHEN d.n_chars <= th.t1 THEN 'head'
+            WHEN d.n_chars <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM documents d JOIN th USING (lang)
+ORDER BY doc_id
+""")
+def ccnet_bucket_q(sf_dir: str):
+    """CCNet head/middle/tail partition (Wenzek et al. 2020 §4.3): per-lang
+    terciles of a numeric quality signal (n_chars here; perplexity in the
+    flagship — same machinery, SQL-expressible signal for the oracle)."""
+    from dataquality_ray.stages.bucketize import bucketize_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = (bucketize_per_group(ds, "n_chars", "lang")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return out[["doc_id", "lang", "n_chars", "bucket"]]
+
+
+@query("quality_quantile_cut", sql="""
+WITH th AS (
+  SELECT source, quantile_cont(n_chars, 0.75) AS t
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN th USING (source)
+WHERE d.n_chars >= th.t
+ORDER BY doc_id
+""")
+def quality_quantile_cut_q(sf_dir: str):
+    """Per-source percentile cut: keep the top 25% of documents by the
+    score column within each source (the FineWeb-style 'top-p% per
+    domain' selection)."""
+    from dataquality_ray.stages.bucketize import quantile_filter_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = (quantile_filter_per_group(ds, "n_chars", "source",
+                                     keep_frac=0.25, keep="highest")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return out[["doc_id", "source", "n_chars"]]
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classifier (fit = distributed per-label mean, score =
+# broadcast matmul argmax) — SQL-checkable end-to-end
+# ---------------------------------------------------------------------------
+
+@query("centroid_classify", sql="""
+WITH u AS (
+  SELECT vec_id, label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), c AS (
+  SELECT label AS clabel, dim, avg(v) AS m FROM u GROUP BY label, dim
+), cl AS (
+  SELECT clabel, list(m ORDER BY dim) AS centroid FROM c GROUP BY clabel
+), sims AS (
+  SELECT e.vec_id, e.label, cl.clabel,
+         list_cosine_similarity(e.embedding, cl.centroid) AS sim
+  FROM embeddings e CROSS JOIN cl
+)
+SELECT vec_id, label::BIGINT AS label, clabel::BIGINT AS pred
+FROM (SELECT vec_id, label, clabel,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, clabel) AS rn
+      FROM sims)
+WHERE rn = 1 ORDER BY vec_id
+""")
+def centroid_classify_q(sf_dir: str):
+    """Quality-classifier loop on the embeddings table: fit per-label
+    centroids in one streaming pass, broadcast, score by argmax cosine
+    (resubstitution on the same table so the oracle can replay the whole
+    fit+score chain in SQL)."""
+    from dataquality_ray.stages.classify import centroid_classify
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    out = (centroid_classify(ds).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    out["label"] = out["label"].astype("int64")
+    out["pred"] = out["pred"].astype("int64")
+    return out[["vec_id", "label", "pred"]]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle: sort by splitmix64(id ^ (seed+epoch)) —
+# order pinned by the top-100 head, same HUGEINT chain as train_val_split
+# ---------------------------------------------------------------------------
+
+@query("epoch_shuffle_head", sql="""
+WITH s1 AS (SELECT doc_id,
+                   xor(doc_id::UBIGINT, 42::UBIGINT)::HUGEINT AS x
+            FROM documents),
+s2 AS (SELECT doc_id, (x + 11400714819323198485) % 18446744073709551616 AS x FROM s1),
+s2b AS (SELECT doc_id,
+               xor(x::UBIGINT, (x // 1073741824)::UBIGINT)::HUGEINT AS x
+        FROM s2),
+s3 AS (SELECT doc_id, ((x * 484763065) % 18446744073709551616 + (((x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM s2b),
+s3b AS (SELECT doc_id,
+               xor(x::UBIGINT, (x // 134217728)::UBIGINT)::HUGEINT AS x
+        FROM s3),
+s4 AS (SELECT doc_id, ((x * 321982955) % 18446744073709551616 + (((x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM s3b),
+s5 AS (SELECT doc_id,
+              xor(x::UBIGINT, (x // 2147483648)::UBIGINT) AS shuffle_key
+       FROM s4)
+SELECT doc_id, shuffle_key FROM s5
+ORDER BY shuffle_key LIMIT 100
+""")
+def epoch_shuffle_q(sf_dir: str):
+    """First 100 rows of the epoch-1 deterministic shuffle (seed 41):
+    pins the global sort order at the head plus the exact key chain."""
+    from dataquality_ray.stages.sampling import epoch_shuffle
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = (epoch_shuffle(ds, "doc_id", epoch=1, seed=41, keep_key=True)
+           .limit(100).to_pandas())
+    return out[["doc_id", "shuffle_key"]]

@@ -1,0 +1,188 @@
+"""Per-group quantile bucketing / filtering (the CCNet head-middle-tail
+partition, Wenzek et al. 2020 §4.3: split each language's corpus into
+terciles of LM perplexity; downstream recipes train on "head" or drop the
+"tail").  Same shape serves "keep the top p% of documents per source by
+quality score" — the standard FineWeb/CCNet-style percentile cut.
+
+Two passes, no full-row shuffle:
+
+1. **Thresholds**: per-group exact quantiles of one numeric column.  Only
+   (group, value, count) partials move — guarded by the autoroute combine
+   cap, re-routing to a ``groupby.map_groups`` shuffle of the 2-column
+   projection when the distinct universe outgrows the driver
+   (stages/autoroute.py, same policy as ``grouped_iqr_rates``).
+2. **Apply**: the thresholds table is O(#groups x #quantiles) — tiny
+   (languages, domains, sources) — ``ray.put`` once and applied inside
+   ``map_batches`` with one vectorized comparison per bound.  No join, no
+   shuffle; the big table streams.
+
+Quantile semantics are pandas/numpy 'linear' (== DuckDB ``quantile_cont``),
+so a SQL oracle reproduces thresholds bit-for-bit; bucket membership is
+``value <= threshold`` so ties land in the lower bucket on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def grouped_quantile_thresholds(ds, value_col: str, group_col: str,
+                                qs=(1 / 3, 2 / 3), mode: str = "auto",
+                                cap: int | None = None) -> pd.DataFrame:
+    """Per-group exact quantiles -> long frame (group_name, q, threshold).
+
+    ``auto``: guarded (group, value, count) combine, re-routed to the
+    shuffle path past the cardinality cap.  ``counts``: unguarded combine.
+    ``shuffle``: groupby.map_groups over the (group, value) projection.
+    """
+    qs = list(qs)
+    if mode in ("counts", "auto"):
+        from dataquality_ray.stages.autoroute import (
+            DRIVER_COMBINE_CAP,
+            guarded_partials,
+            record_route,
+        )
+        from dataquality_ray.stages.combine import weighted_quantile
+
+        cap = cap or DRIVER_COMBINE_CAP
+
+        def gvc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            v = pd.to_numeric(batch[value_col], errors="coerce")
+            df = pd.DataFrame({"g": batch[group_col],
+                               "v": v}).dropna(subset=["v"])
+            return (df.groupby(["g", "v"], sort=False).size().rename("c")
+                      .reset_index())
+
+        def merge(frame: pd.DataFrame) -> pd.DataFrame:
+            return (frame.groupby(["g", "v"], sort=False)["c"].sum()
+                         .reset_index())
+
+        stage = ds.select_columns([group_col, value_col]).map_batches(
+            gvc_partial, batch_format="pandas")
+        counts, ok = guarded_partials(stage, merge,
+                                      cap if mode == "auto" else 2**62)
+        if not ok:
+            record_route("grouped_quantile_thresholds", "shuffle",
+                         f"distinct (group,value) exceeded cap={cap}", cap)
+            return grouped_quantile_thresholds(ds, value_col, group_col,
+                                               qs, mode="shuffle")
+        record_route("grouped_quantile_thresholds", "counts",
+                     "distinct (group,value) within cap",
+                     0 if counts is None else len(counts))
+        if counts is None:
+            counts = pd.DataFrame(columns=["g", "v", "c"])
+        rows = []
+        for gname, sub in counts.groupby("g", sort=True):
+            v = sub["v"].to_numpy(dtype=np.float64)
+            c = sub["c"].to_numpy(dtype=np.int64)
+            th = weighted_quantile(v, c, qs)
+            rows.extend({"group_name": gname, "q": float(q),
+                         "threshold": float(t)} for q, t in zip(qs, th))
+        res = pd.DataFrame(rows, columns=["group_name", "q", "threshold"])
+    else:
+        def per_group(g: pd.DataFrame) -> pd.DataFrame:
+            x = pd.to_numeric(g[value_col], errors="coerce").dropna()
+            return pd.DataFrame({
+                "group_name": g[group_col].iloc[0],
+                "q": [float(q) for q in qs],
+                "threshold": [float(x.quantile(q)) for q in qs],
+            })
+
+        res = (ds.select_columns([group_col, value_col])
+                 .groupby(group_col)
+                 .map_groups(per_group, batch_format="pandas")
+                 .to_pandas())
+    return (res.sort_values(["group_name", "q"]).reset_index(drop=True))
+
+
+class _ApplyThresholds:
+    """map_batches callable: bucket index = #(thresholds < value) per row.
+
+    Threshold dict {group: sorted ndarray} travels by object ref — fetched
+    once per actor/task, not re-shipped per batch.
+    """
+
+    def __init__(self, thresholds_ref, value_col: str, group_col: str,
+                 labels):
+        import ray
+
+        t = (ray.get(thresholds_ref)
+             if not isinstance(thresholds_ref, dict) else thresholds_ref)
+        self.thresholds = t
+        self.value_col, self.group_col = value_col, group_col
+        self.labels = list(labels)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = pd.to_numeric(
+            batch[self.value_col].to_pandas(), errors="coerce"
+        ).to_numpy(dtype=np.float64)
+        groups = batch[self.group_col].to_pandas().to_numpy()
+        bucket = np.zeros(len(v), dtype=np.int64)
+        # one searchsorted per group present in the batch (groups are few)
+        for gname in pd.unique(groups):
+            th = self.thresholds.get(gname)
+            if th is None:
+                continue
+            m = groups == gname
+            # side='left': value == threshold stays in the lower bucket,
+            # matching the SQL CASE v <= t chain.
+            bucket[m] = np.searchsorted(th, v[m], side="left")
+        out = np.asarray(self.labels, dtype=object)[bucket]
+        return batch.append_column("bucket", pa.array(out, pa.string()))
+
+
+def bucketize_per_group(ds, value_col: str, group_col: str,
+                        bounds=(1 / 3, 2 / 3),
+                        labels=("head", "middle", "tail"),
+                        mode: str = "auto"):
+    """Add ``bucket`` = per-group quantile bucket of ``value_col``.
+
+    ``bounds`` are the quantile cut points (len(labels) - 1 of them);
+    the CCNet default is terciles labelled head/middle/tail (low values
+    = head, as with perplexity: lower is better).
+    """
+    import ray
+
+    if len(labels) != len(bounds) + 1:
+        raise ValueError("need len(labels) == len(bounds) + 1")
+    th = grouped_quantile_thresholds(ds, value_col, group_col, bounds,
+                                     mode=mode)
+    tdict = {g: np.asarray(sorted(sub["threshold"]), dtype=np.float64)
+             for g, sub in th.groupby("group_name")}
+    tref = ray.put(tdict)
+    return ds.map_batches(
+        _ApplyThresholds,
+        fn_constructor_args=(tref, value_col, group_col, labels),
+        concurrency=(1, 8), batch_format="pyarrow")
+
+
+def quantile_filter_per_group(ds, value_col: str, group_col: str,
+                              keep_frac: float, keep: str = "lowest",
+                              mode: str = "auto"):
+    """Keep rows whose value is within the per-group ``keep_frac`` quantile
+    (``lowest``: value <= q(keep_frac); ``highest``: value >= q(1-keep_frac))
+    — "train on the head" / "keep the top p% per source"."""
+    import ray
+
+    if keep not in ("lowest", "highest"):
+        raise ValueError(f"keep must be 'lowest' or 'highest', got {keep!r}")
+    q = keep_frac if keep == "lowest" else 1.0 - keep_frac
+    th = grouped_quantile_thresholds(ds, value_col, group_col, (q,),
+                                     mode=mode)
+    tdict = dict(zip(th["group_name"], th["threshold"]))
+    tref = ray.put(tdict)
+    lowest = keep == "lowest"
+
+    def keep_batch(batch: pa.Table) -> pa.Table:
+        t = ray.get(tref)
+        v = pd.to_numeric(batch[value_col].to_pandas(),
+                          errors="coerce").to_numpy(dtype=np.float64)
+        groups = batch[group_col].to_pandas().to_numpy()
+        lim = np.array([t.get(g, np.nan) for g in groups], dtype=np.float64)
+        # NaN value or unknown group compares False -> dropped
+        m = (v <= lim) if lowest else (v >= lim)
+        return batch.filter(pa.array(m, pa.bool_()))
+
+    return ds.map_batches(keep_batch, batch_format="pyarrow")

@@ -1,0 +1,87 @@
+"""Nearest-class-centroid classifier over an embedding column — the
+simplest "train a quality classifier on labeled seed data, score the
+corpus" loop (the fastText-classifier role in CCNet/LLaMA-style data
+pipelines, Joulin et al. 2016, with the linear model reduced to class
+centroids so fit is a single distributed mean).
+
+Fit is one streaming pass: per-batch partial (label, sum-vector, count)
+rows — O(#labels x d) per batch regardless of batch size — summed
+driver-side (bounded: #labels is small by construction).  The (k x d)
+centroid matrix is ``ray.put`` once; scoring is one matmul + argmax per
+batch, no shuffle anywhere.  Cosine tie-break: smallest label wins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dataquality_ray.stages.ann import _normalize, _stack_embeddings
+
+MAX_CLASSES = 100_000  # driver holds #labels x d doubles; guard the combine
+
+
+def fit_centroids(ds, emb_col: str = "embedding",
+                  label_col: str = "label") -> pd.DataFrame:
+    """Per-label mean embedding -> frame (label, centroid ndarray)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _stack_embeddings(batch, emb_col)
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), x.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, x)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq),
+            "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+            "c": pa.array(counts),
+        })
+
+    parts = (ds.select_columns([label_col, emb_col])
+               .map_batches(partial, batch_format="pyarrow").to_pandas())
+    if len(parts) > MAX_CLASSES:
+        raise ValueError(
+            f"centroid fit saw >{MAX_CLASSES} (label x batch) partials; "
+            "a label column this wide is not a class variable")
+    rows = []
+    for label, sub in parts.groupby("label", sort=True):
+        s = np.sum(np.stack([np.asarray(v, dtype=np.float64)
+                             for v in sub["vsum"]]), axis=0)
+        rows.append({"label": label, "centroid": s / sub["c"].sum()})
+    return pd.DataFrame(rows)
+
+
+def centroid_classify(ds, emb_col: str = "embedding",
+                      label_col: str = "label",
+                      centroids: pd.DataFrame | None = None):
+    """Adds ``pred`` = argmax-cosine centroid label (ties -> smallest).
+
+    ``centroids`` defaults to fitting on ``ds`` itself (resubstitution —
+    the oracle-checkable demo); pass a frame from :func:`fit_centroids`
+    on held-out seed data for the real train/score split.
+    """
+    import ray
+
+    cents = fit_centroids(ds, emb_col, label_col) \
+        if centroids is None else centroids
+    labels = np.asarray(cents["label"])
+    cmat = _normalize(np.stack([np.asarray(c, dtype=np.float64)
+                                for c in cents["centroid"]]))
+    ref = ray.put((labels, cmat))
+
+    class Score:
+        def __init__(self):
+            self.labels, self.cmat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = _normalize(_stack_embeddings(batch, emb_col))
+            sims = x @ self.cmat.T
+            # argmax takes the FIRST max; labels are sorted ascending, so
+            # ties resolve to the smallest label (matches the SQL oracle's
+            # ORDER BY sim DESC, label).
+            pred = self.labels[np.argmax(sims, axis=1)]
+            return batch.append_column("pred", pa.array(pred))
+
+    return ds.map_batches(Score, concurrency=(1, 8), batch_format="pyarrow")

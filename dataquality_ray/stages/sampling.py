@@ -109,3 +109,28 @@ def cap_per_group(ds, group_col: str, n: int, id_col: str,
 
     pruned = ds.map_batches(topn, batch_format="pandas")
     return pruned.groupby(group_col).map_groups(topn, batch_format="pandas")
+
+
+def epoch_shuffle(ds, id_col: str, epoch: int, seed: int = 0,
+                  key_col: str = "shuffle_key", keep_key: bool = False):
+    """Deterministic global shuffle for a training epoch: sort by
+    ``splitmix64(id ^ (seed + epoch))``.
+
+    Versus ``random_shuffle()``: same all-to-all cost (a shuffle IS the
+    point), but the permutation is a pure function of (id, seed, epoch) —
+    every re-run and every resume sees the identical order, each epoch
+    gets an independent permutation, and the sort key is recomputable so
+    a failed run can skip finished output ranges.  Ray's range-partitioned
+    sort keeps per-worker memory at one block.
+    """
+    from dataquality_ray.functions.hashing import splitmix64
+
+    mix = np.uint64(seed) + np.uint64(epoch)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids ^ mix)
+        return batch.append_column(key_col, pa.array(h.astype(np.uint64)))
+
+    out = ds.map_batches(add_key, batch_format="pyarrow").sort(key_col)
+    return out if keep_key else out.drop_columns([key_col])

@@ -1,0 +1,116 @@
+"""Per-group quantile bucketing/filter: pandas-oracle parity, tie
+semantics, mode equivalence (counts vs shuffle), route telemetry, and
+edge groups."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dataquality_ray.stages.autoroute import ROUTE_EVENTS
+from dataquality_ray.stages.bucketize import (
+    bucketize_per_group,
+    grouped_quantile_thresholds,
+    quantile_filter_per_group,
+)
+
+
+def _ds(df: pd.DataFrame, blocks: int = 3):
+    return rd.from_arrow(pa.Table.from_pandas(df)).repartition(blocks)
+
+
+def _frame(seed=0, n=400, groups=("a", "b", "c")):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "rid": np.arange(n),
+        "g": rng.choice(groups, size=n),
+        "v": rng.integers(0, 50, size=n).astype(float),
+    })
+
+
+def test_thresholds_match_pandas_linear():
+    df = _frame()
+    th = grouped_quantile_thresholds(_ds(df), "v", "g", (0.25, 0.75))
+    for g, sub in df.groupby("g"):
+        got = th[th.group_name == g].set_index("q")["threshold"]
+        assert got[0.25] == pytest.approx(sub["v"].quantile(0.25), abs=0)
+        assert got[0.75] == pytest.approx(sub["v"].quantile(0.75), abs=0)
+
+
+def test_modes_equivalent_and_routed():
+    df = _frame(seed=1)
+    ROUTE_EVENTS.clear()
+    a = grouped_quantile_thresholds(_ds(df), "v", "g", (1 / 3, 2 / 3),
+                                    mode="auto")
+    assert any(e["op"] == "grouped_quantile_thresholds"
+               and e["chosen"] == "counts" for e in ROUTE_EVENTS)
+    ROUTE_EVENTS.clear()
+    # cap=1 forces the shuffle re-route
+    b = grouped_quantile_thresholds(_ds(df), "v", "g", (1 / 3, 2 / 3),
+                                    mode="auto", cap=1)
+    assert any(e["op"] == "grouped_quantile_thresholds"
+               and e["chosen"] == "shuffle" for e in ROUTE_EVENTS)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bucketize_matches_case_chain_with_ties():
+    # values land exactly ON thresholds: ties must go to the lower bucket
+    df = pd.DataFrame({"rid": range(9),
+                       "g": ["x"] * 9,
+                       "v": [1, 1, 1, 2, 2, 2, 3, 3, 3]})
+    out = (bucketize_per_group(_ds(df), "v", "g")
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    t1 = df["v"].quantile(1 / 3)
+    t2 = df["v"].quantile(2 / 3)
+    expect = np.where(df["v"] <= t1, "head",
+                      np.where(df["v"] <= t2, "middle", "tail"))
+    assert list(out["bucket"]) == list(expect)
+
+
+def test_bucketize_partition_invariant():
+    df = _frame(seed=2)
+    one = (bucketize_per_group(_ds(df, blocks=1), "v", "g")
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    many = (bucketize_per_group(_ds(df, blocks=11), "v", "g")
+            .to_pandas().sort_values("rid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, many)
+    # roughly balanced terciles per group
+    for g, sub in one.groupby("g"):
+        frac = (sub["bucket"] == "head").mean()
+        assert 0.2 < frac < 0.5
+
+
+def test_filter_lowest_and_highest():
+    df = _frame(seed=3)
+    lo = (quantile_filter_per_group(_ds(df), "v", "g", 0.3, keep="lowest")
+          .to_pandas())
+    hi = (quantile_filter_per_group(_ds(df), "v", "g", 0.25, keep="highest")
+          .to_pandas())
+    for g, sub in df.groupby("g"):
+        tlo = sub["v"].quantile(0.3)
+        thi = sub["v"].quantile(0.75)
+        assert set(lo[lo.g == g]["rid"]) == set(sub[sub["v"] <= tlo]["rid"])
+        assert set(hi[hi.g == g]["rid"]) == set(sub[sub["v"] >= thi]["rid"])
+
+
+def test_nan_values_dropped_single_row_group():
+    df = pd.DataFrame({"rid": [0, 1, 2],
+                       "g": ["a", "a", "solo"],
+                       "v": [1.0, np.nan, 7.0]})
+    out = (quantile_filter_per_group(_ds(df, blocks=1), "v", "g", 0.5)
+           .to_pandas())
+    assert 1 not in set(out["rid"])          # NaN row dropped
+    assert 2 in set(out["rid"])              # singleton group kept (v == q)
+    b = (bucketize_per_group(_ds(df, blocks=1), "v", "g")
+         .to_pandas().set_index("rid"))
+    assert b.loc[2, "bucket"] == "head"      # singleton -> lower bucket
+
+
+def test_label_bound_validation():
+    df = _frame()
+    with pytest.raises(ValueError):
+        bucketize_per_group(_ds(df), "v", "g", bounds=(0.5,),
+                            labels=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        quantile_filter_per_group(_ds(df), "v", "g", 0.5, keep="middle")

@@ -1,0 +1,99 @@
+"""Centroid classifier (fit parity, held-out centroids, tie-break) and
+deterministic epoch shuffle (permutation, epoch independence, resume
+determinism)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dataquality_ray.stages.classify import centroid_classify, fit_centroids
+from dataquality_ray.stages.sampling import epoch_shuffle
+
+
+def _emb_ds(vecs, labels, blocks=3):
+    tbl = pa.table({
+        "vec_id": list(range(len(vecs))),
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+def test_fit_centroids_matches_numpy_mean():
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(90, 12)).astype(np.float32)
+    labels = rng.integers(0, 3, size=90)
+    cents = fit_centroids(_emb_ds(vecs, labels)).set_index("label")
+    for lab in range(3):
+        np.testing.assert_allclose(
+            np.asarray(cents.loc[lab, "centroid"]),
+            vecs[labels == lab].astype(np.float64).mean(axis=0),
+            rtol=1e-12)
+
+
+def test_classify_separable_clusters():
+    rng = np.random.default_rng(1)
+    centers = rng.normal(size=(4, 8)) * 10
+    labels = rng.integers(0, 4, size=200)
+    vecs = centers[labels] + rng.normal(scale=0.1, size=(200, 8))
+    out = (centroid_classify(_emb_ds(vecs, labels)).to_pandas()
+           .sort_values("vec_id"))
+    assert (out["pred"].to_numpy() == labels).mean() > 0.99
+
+
+def test_classify_with_heldout_centroids():
+    rng = np.random.default_rng(2)
+    centers = np.eye(3, 6) * 5
+    train_labels = np.repeat([0, 1, 2], 20)
+    train = centers[train_labels] + rng.normal(scale=0.05, size=(60, 6))
+    cents = fit_centroids(_emb_ds(train, train_labels))
+    test_labels = np.array([2, 0, 1, 1])
+    test = centers[test_labels] + rng.normal(scale=0.05, size=(4, 6))
+    out = (centroid_classify(_emb_ds(test, test_labels, blocks=1),
+                             centroids=cents)
+           .to_pandas().sort_values("vec_id"))
+    assert list(out["pred"]) == list(test_labels)
+
+
+def test_classify_tie_breaks_to_smallest_label():
+    # two identical centroids (labels 1 and 5): every row ties -> pred 1
+    vecs = np.tile([1.0, 0.0], (6, 1))
+    labels = [1, 5] * 3
+    out = centroid_classify(_emb_ds(vecs, labels, blocks=1)).to_pandas()
+    assert set(out["pred"]) == {1}
+
+
+def _doc_ds(n=300, blocks=5):
+    return rd.from_arrow(pa.table({"doc_id": list(range(n))})) \
+             .repartition(blocks)
+
+
+def test_epoch_shuffle_is_permutation_and_deterministic():
+    a = epoch_shuffle(_doc_ds(), "doc_id", epoch=0, seed=7).to_pandas()
+    b = epoch_shuffle(_doc_ds(blocks=11), "doc_id", epoch=0,
+                      seed=7).to_pandas()
+    assert sorted(a["doc_id"]) == list(range(300))
+    pd.testing.assert_frame_equal(a, b)          # partitioning-invariant
+    assert list(a["doc_id"]) != list(range(300))  # actually shuffled
+
+
+def test_epoch_shuffle_epochs_differ():
+    e0 = epoch_shuffle(_doc_ds(), "doc_id", epoch=0, seed=7).to_pandas()
+    e1 = epoch_shuffle(_doc_ds(), "doc_id", epoch=1, seed=7).to_pandas()
+    assert list(e0["doc_id"]) != list(e1["doc_id"])
+    assert sorted(e1["doc_id"]) == list(range(300))
+    # seed+epoch identity: seed s, epoch e == seed s+e, epoch 0
+    alt = epoch_shuffle(_doc_ds(), "doc_id", epoch=0, seed=8).to_pandas()
+    pd.testing.assert_frame_equal(e1, alt)
+
+
+def test_epoch_shuffle_key_column_kept_or_dropped():
+    kept = epoch_shuffle(_doc_ds(), "doc_id", epoch=0, seed=1,
+                         keep_key=True).to_pandas()
+    assert "shuffle_key" in kept.columns
+    assert kept["shuffle_key"].is_monotonic_increasing
+    dropped = epoch_shuffle(_doc_ds(), "doc_id", epoch=0, seed=1).to_pandas()
+    assert list(dropped.columns) == ["doc_id"]
