@@ -154,7 +154,7 @@ def run_suite() -> dict:
                  "dsir_importance", "exact_substring_dedup",
                  "semdedup_embeddings", "ccnet_bucket",
                  "quality_quantile_cut", "centroid_classify",
-                 "epoch_shuffle_head",
+                 "epoch_shuffle_head", "corpus_drift_js",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -1783,3 +1783,57 @@ def epoch_shuffle_q(sf_dir: str):
     out = (epoch_shuffle(ds, "doc_id", epoch=1, seed=41, keep_key=True)
            .limit(100).to_pandas())
     return out[["doc_id", "shuffle_key"]]
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: pairwise JS divergence between per-source hashed-bigram
+# LMs (monitoring twin of DSIR) — SQL-checkable end-to-end
+# ---------------------------------------------------------------------------
+
+@query("corpus_drift_js", sql=f"""
+WITH corpus AS (
+  SELECT source, {_TOKS} AS t FROM documents
+), bg AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(t)),
+                i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM corpus WHERE len(t) >= 2
+), bb AS (
+  SELECT source,
+         (('0x' || substr(sha256(g), 1, 16))::UBIGINT % 1024)::BIGINT
+           AS bucket
+  FROM bg
+), bc AS (
+  SELECT source, bucket, count(*) AS c FROM bb GROUP BY ALL
+), grid AS (
+  SELECT s.source, gs.bucket, coalesce(bc.c, 0) AS c
+  FROM (SELECT DISTINCT source FROM bc) s
+  CROSS JOIN (SELECT unnest(range(0, 1024)) AS bucket) gs
+  LEFT JOIN bc ON bc.source = s.source AND bc.bucket = gs.bucket
+), tot AS (
+  SELECT source, sum(c) AS n FROM grid GROUP BY source
+), p AS (
+  SELECT g.source, g.bucket, (g.c + 1.0) / (t.n + 1024.0) AS p
+  FROM grid g JOIN tot t USING (source)
+)
+SELECT a.source AS group_a, b.source AS group_b,
+       floor(sum(0.5 * (a.p * ln(a.p / (0.5 * (a.p + b.p)))
+                      + b.p * ln(b.p / (0.5 * (a.p + b.p)))))
+             * 1000000) / 1000000 AS js_divergence
+FROM p a JOIN p b ON a.bucket = b.bucket AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY group_a, group_b
+""")
+def corpus_drift_q(sf_dir: str):
+    """Pairwise JS divergence between per-source hashed-bigram
+    distributions (groups with zero bigrams carry no distribution and are
+    omitted, matching the oracle's DISTINCT-from-bc grid)."""
+    import math
+
+    from dataquality_ray.stages.drift import corpus_drift
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    out = corpus_drift(ds, "text", "source")
+    out["js_divergence"] = [math.floor(v * 1e6) / 1e6
+                            for v in out["js_divergence"]]
+    return out.sort_values(["group_a", "group_b"]).reset_index(drop=True)

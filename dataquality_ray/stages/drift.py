@@ -1,0 +1,87 @@
+"""Corpus drift / mixture divergence: pairwise Jensen-Shannon divergence
+between per-group hashed-bigram unigram LMs (the monitoring twin of DSIR —
+same bounded-bucket feature space, Xie et al. 2023; JS-over-hashed-ngrams
+is the standard cheap corpus-shift detector for mixture rebalancing and
+crawl-snapshot regression checks).
+
+One streaming pass: per-batch (group, bucket, count) partials — bounded by
+``#groups-in-batch x n_buckets`` rows — summed driver-side (safe: the
+bucket domain is fixed at ``n_buckets`` and the group domain is guarded).
+Distributions are Laplace-smoothed over the FULL bucket grid, then the
+driver computes the O(#groups² x n_buckets) JS matrix locally — trivial
+for the tens-to-hundreds of sources a mixture has.
+
+The bigram->bucket chain is the repo's SQL-replicable sha256 convention
+(stages/dsir.py ``_bigram_buckets``) so a DuckDB oracle replays
+fit + smoothing + JS end-to-end; at 100 TB swap the hasher for the
+vectorized splitmix64 chain exactly as DSIR documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dataquality_ray.stages.dsir import N_BUCKETS, _bigram_buckets
+
+MAX_GROUPS = 10_000  # driver holds #groups x n_buckets int64 counts
+
+
+def group_bucket_counts(ds, col: str = "text", group_col: str = "source",
+                        n_buckets: int = N_BUCKETS) -> pd.DataFrame:
+    """Streaming per-group hashed-bigram bucket counts -> frame of
+    (group_name, counts ndarray[n_buckets])."""
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        texts = batch[col].to_pylist()
+        groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        d, b = _bigram_buckets(texts, n_buckets)
+        if not len(b):
+            return pd.DataFrame({"g": [], "bucket": [], "c": []})
+        gb = pd.DataFrame({"g": groups[d], "bucket": b})
+        out = gb.groupby(["g", "bucket"], sort=False).size().rename("c")
+        return out.reset_index()
+
+    counts: dict[object, np.ndarray] = {}
+    stage = ds.select_columns([col, group_col]).map_batches(
+        part, batch_format="pyarrow")
+    for pb in stage.iter_batches(batch_format="pandas", batch_size=None):
+        for g, sub in pb.groupby("g", sort=False):
+            arr = counts.setdefault(g, np.zeros(n_buckets, dtype=np.int64))
+            np.add.at(arr, sub["bucket"].to_numpy(dtype=np.int64),
+                      sub["c"].to_numpy(dtype=np.int64))
+        if len(counts) > MAX_GROUPS:
+            raise ValueError(
+                f"group_bucket_counts saw >{MAX_GROUPS} groups; "
+                f"{group_col!r} is not a mixture/source variable")
+    return pd.DataFrame({"group_name": list(counts),
+                         "counts": list(counts.values())})
+
+
+def js_divergence_matrix(counts: pd.DataFrame,
+                         n_buckets: int = N_BUCKETS) -> pd.DataFrame:
+    """Pairwise JS divergence (natural log) between Laplace-smoothed
+    bucket distributions -> (group_a, group_b, js_divergence), a < b."""
+    groups = sorted(counts["group_name"])
+    by = {g: np.asarray(c, dtype=np.float64)
+          for g, c in zip(counts["group_name"], counts["counts"])}
+    rows = []
+    for i, a in enumerate(groups):
+        pa_ = (by[a] + 1.0) / (by[a].sum() + n_buckets)
+        for b in groups[i + 1:]:
+            pb_ = (by[b] + 1.0) / (by[b].sum() + n_buckets)
+            m = 0.5 * (pa_ + pb_)
+            js = 0.5 * (np.sum(pa_ * np.log(pa_ / m))
+                        + np.sum(pb_ * np.log(pb_ / m)))
+            rows.append({"group_a": a, "group_b": b,
+                         "js_divergence": float(js)})
+    return pd.DataFrame(rows, columns=["group_a", "group_b",
+                                       "js_divergence"])
+
+
+def corpus_drift(ds, col: str = "text", group_col: str = "source",
+                 n_buckets: int = N_BUCKETS) -> pd.DataFrame:
+    """One-call drift report: JS divergence for every group pair."""
+    return js_divergence_matrix(
+        group_bucket_counts(ds, col, group_col, n_buckets), n_buckets)

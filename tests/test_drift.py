@@ -1,0 +1,83 @@
+"""Corpus drift JS divergence: identity, bounds, partition invariance,
+and agreement with a local numpy re-computation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dataquality_ray.stages.dsir import _bigram_buckets
+from dataquality_ray.stages.drift import (
+    corpus_drift,
+    group_bucket_counts,
+    js_divergence_matrix,
+)
+
+
+def _ds(texts, sources, blocks=3):
+    t = pa.table({"text": texts, "source": sources})
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_identical_corpora_zero_distance():
+    texts = ["the quick brown fox jumps", "over the lazy dog today"] * 5
+    ds = _ds(texts * 2, ["a"] * 10 + ["b"] * 10)
+    out = corpus_drift(ds)
+    assert len(out) == 1
+    assert out.loc[0, "js_divergence"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_bounds_and_ordering():
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(50)]
+    mk = lambda n: " ".join(rng.choice(words, size=20))
+    texts = [mk(20) for _ in range(30)]
+    ds = _ds(texts, ["a", "b", "c"] * 10)
+    out = corpus_drift(ds)
+    assert len(out) == 3
+    assert (out["group_a"] < out["group_b"]).all()
+    assert (out["js_divergence"] >= 0).all()
+    assert (out["js_divergence"] <= np.log(2)).all()
+
+
+def test_matches_local_recompute_and_partition_invariant():
+    rng = np.random.default_rng(1)
+    en = ["the cat sat on the mat again " * 3] * 8
+    de = ["der hund lief durch den park heute " * 3] * 8
+    texts, sources = en + de, ["en"] * 8 + ["de"] * 8
+    one = corpus_drift(_ds(texts, sources, blocks=1))
+    many = corpus_drift(_ds(texts, sources, blocks=7))
+    pd.testing.assert_frame_equal(one, many)
+
+    # local oracle: same bucket chain, numpy end-to-end
+    counts = {}
+    for t, s in zip(texts, sources):
+        d, b = _bigram_buckets([t], 1024)
+        arr = counts.setdefault(s, np.zeros(1024, dtype=np.int64))
+        np.add.at(arr, b, 1)
+    p = {s: (c + 1.0) / (c.sum() + 1024) for s, c in counts.items()}
+    m = 0.5 * (p["de"] + p["en"])
+    js = 0.5 * (np.sum(p["de"] * np.log(p["de"] / m))
+                + np.sum(p["en"] * np.log(p["en"] / m)))
+    assert one.loc[0, "js_divergence"] == pytest.approx(js, rel=1e-12)
+    assert js > 0.05  # genuinely divergent corpora register
+
+
+def test_empty_and_single_group():
+    # bigram-less docs contribute nothing; a single group yields no pairs
+    out = corpus_drift(_ds(["one", "", None, "two"], ["a"] * 4, blocks=1))
+    assert len(out) == 0
+    gc = group_bucket_counts(_ds(["only one doc here", ""],
+                                 ["a", "b"], blocks=1))
+    assert list(gc["group_name"]) == ["a"]   # "b" had no bigrams
+
+
+def test_guard_on_group_explosion(monkeypatch):
+    import dataquality_ray.stages.drift as drift
+
+    monkeypatch.setattr(drift, "MAX_GROUPS", 3)
+    texts = [f"alpha beta gamma {i}" for i in range(10)]
+    with pytest.raises(ValueError, match="not a mixture"):
+        group_bucket_counts(_ds(texts, [f"s{i}" for i in range(10)],
+                                blocks=1))
