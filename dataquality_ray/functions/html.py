@@ -1,0 +1,49 @@
+"""WET-style HTML -> text extraction (the CommonCrawl WARC->WET step a
+web-scale corpus builds on): drop comments and script/style blocks, strip
+tags, decode the common entities, collapse whitespace.
+
+Every regex runs through ``pyarrow.compute.replace_substring_regex`` —
+RE2, the same engine DuckDB's ``regexp_replace`` uses — so the SQL oracle
+replays the chain byte-for-byte, and the kernel is vectorized end-to-end
+(no Python per-row loop).  This is a heuristic extractor, not a DOM
+parser: malformed nesting degrades to over-stripping, never to leaked
+markup, which is the right failure mode for corpus cleaning.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# (pattern, replacement) applied in order; all RE2.
+_STRIP_STEPS = (
+    (r"(?is)<!--.*?-->", " "),               # comments
+    (r"(?is)<script[^>]*>.*?</script>", " "),  # script blocks w/ content
+    (r"(?is)<style[^>]*>.*?</style>", " "),    # style blocks w/ content
+    (r"<[^>]*>", " "),                        # any remaining tag
+)
+
+# literal entity decodes AFTER tag stripping (so &lt;b&gt; can never
+# resurrect as a tag); most-specific first.
+_ENTITIES = (
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+)
+
+
+def html_to_text(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Vectorized HTML->text over a string array (nulls pass through)."""
+    out = arr
+    for pat, rep in _STRIP_STEPS:
+        out = pc.replace_substring_regex(out, pattern=pat, replacement=rep)
+    for lit, rep in _ENTITIES:
+        out = pc.replace_substring(out, pattern=lit, replacement=rep)
+    out = pc.replace_substring_regex(out, pattern=r"[ \t\r\n\f]+",
+                                     replacement=" ")
+    return pc.utf8_trim(out, characters=" ")
+
+
+def html_extract_batch(batch: pa.Table, col: str = "text",
+                       out_col: str = "extracted") -> pa.Table:
+    """map_batches kernel: adds ``out_col`` = extracted text of ``col``."""
+    return batch.append_column(out_col, html_to_text(batch[col]))

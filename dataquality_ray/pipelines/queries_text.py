@@ -1837,3 +1837,42 @@ def corpus_drift_q(sf_dir: str):
     out["js_divergence"] = [math.floor(v * 1e6) / 1e6
                             for v in out["js_divergence"]]
     return out.sort_values(["group_a", "group_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# WET-style HTML -> text extraction — RE2 on both sides (pyarrow & DuckDB)
+# ---------------------------------------------------------------------------
+
+def _html_sql() -> str:
+    expr = "coalesce(text, '')"
+    for pat, rep in (
+        ("(?is)<!--.*?-->", " "),
+        ("(?is)<script[^>]*>.*?</script>", " "),
+        ("(?is)<style[^>]*>.*?</style>", " "),
+        ("<[^>]*>", " "),
+    ):
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    for lit, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "''"), ("&apos;", "''"),
+    ):
+        expr = f"replace({expr}, '{lit}', '{rep}')"
+    expr = f"trim(regexp_replace({expr}, '[ \\t\\r\\n\\f]+', ' ', 'g'), ' ')"
+    return f"SELECT doc_id, {expr} AS extracted FROM documents ORDER BY doc_id"
+
+
+@query("html_text_extract", sql=_html_sql())
+def html_extract_q(sf_dir: str):
+    """WET-style extraction over documents.text — RE2 chain identical on
+    both sides (pyarrow.compute and DuckDB regexp_replace are both RE2)."""
+    from dataquality_ray.functions.html import html_extract_batch
+
+    def kern(batch: pa.Table) -> pa.Table:
+        b = batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pc.fill_null(batch["text"], ""))
+        return html_extract_batch(b).select(["doc_id", "extracted"])
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(kern, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))

@@ -1,0 +1,81 @@
+"""HTML->text extraction: semantics on constructed markup, DuckDB RE2
+parity on the same fixtures, null handling, vectorized distribution."""
+
+import duckdb
+import pyarrow as pa
+import ray.data as rd
+
+from dataquality_ray.functions.html import html_extract_batch, html_to_text
+from dataquality_ray.pipelines.queries_text import _html_sql
+
+FIXTURES = [
+    "<html><body><p>Hello <b>world</b></p></body></html>",
+    "before <!-- secret comment --> after",
+    "<script type='text/javascript'>var x = '<p>not text</p>';</script>ok",
+    "<STYLE>body { color: red }</STYLE>visible",
+    "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end",
+    "line1\n\n\tline2   line3",
+    "<div class='x' data-y=\"z\">nested <span>deep</span></div>",
+    "unclosed <div markup",
+    "",
+    "plain text stays",
+    "<ScRiPt>mixed case();</sCrIpT>kept",
+    "multi<br/>line<hr>breaks",
+]
+
+
+def _extract(texts):
+    return html_to_text(pa.array(texts, pa.string())).to_pylist()
+
+
+def test_semantics():
+    got = _extract(FIXTURES)
+    assert got[0] == "Hello world"
+    assert got[1] == "before after"
+    assert got[2] == "ok"
+    assert got[3] == "visible"
+    assert got[4] == "a & b <tag> \"q\" 's' end"
+    assert got[5] == "line1 line2 line3"
+    assert got[6] == "nested deep"
+    assert got[8] == ""
+    assert got[9] == "plain text stays"
+    assert got[10] == "kept"
+    assert got[11] == "multi line breaks"
+
+
+def test_unclosed_tag_overstrips_not_leaks():
+    # heuristic failure mode: the dangling '<div markup' has no '>', so
+    # the tag regex can't fire; markup-free prefix is preserved.
+    assert _extract(["unclosed <div markup"])[0] == "unclosed <div markup"
+    # but a closing '>' later swallows the span — over-strip, never leak
+    assert _extract(["unclosed <div markup then > tail"])[0] == \
+        "unclosed tail"
+
+
+def test_duckdb_parity_on_markup_fixtures():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT "
+                "row_number() OVER () - 1 AS doc_id, * FROM "
+                "(SELECT unnest(?) AS text)", [FIXTURES])
+    oracle = [r[0] for r in
+              con.execute(_html_sql().replace("SELECT doc_id,",
+                                              "SELECT")).fetchall()]
+    assert _extract(FIXTURES) == oracle
+
+
+def test_null_passthrough_and_batch_kernel():
+    arr = pa.array(["<p>x</p>", None], pa.string())
+    out = html_to_text(arr).to_pylist()
+    assert out == ["x", None]
+    t = pa.table({"text": arr})
+    b = html_extract_batch(t)
+    assert b.column_names == ["text", "extracted"]
+
+
+def test_distributed_matches_local():
+    texts = FIXTURES * 20
+    ds = rd.from_arrow(pa.table({"i": list(range(len(texts))),
+                                 "text": texts})).repartition(6)
+    out = (ds.map_batches(html_extract_batch, batch_format="pyarrow")
+             .to_pandas().sort_values("i"))
+    assert list(out["extracted"]) == _extract(texts)
