@@ -195,6 +195,11 @@ def run_scaling() -> dict:
       Reported for transparency.
     """
     rows = int(os.environ.get("GRAFT_SCALING_ROWS", "640000"))
+    # 'tasks' = the fused per-block chain (per-worker-process cached model
+    # state, zero content bytes through plasma between stages) — the shape
+    # the engine would run at cluster scale and the one measured here by
+    # default; set GRAFT_SCALING_COMPUTE=actors for the explicit-pool shape.
+    compute = os.environ.get("GRAFT_SCALING_COMPUTE", "tasks")
 
     def run(ncpu: int) -> dict:
         code = (
@@ -209,7 +214,8 @@ def run_scaling() -> dict:
             f"run_dir = '/tmp/graft_scale_run_{ncpu}'\n"
             "shutil.rmtree(run_dir, ignore_errors=True)\n"
             "t0 = time.perf_counter()\n"
-            "s = run_quality_filter(files, run_dir, dedup=True)\n"
+            f"s = run_quality_filter(files, run_dir, dedup=True, "
+            f"compute={compute!r})\n"
             "dt = time.perf_counter() - t0\n"
             "shutil.rmtree(run_dir, ignore_errors=True)\n"
             "print(json.dumps({'sec': dt, 'files_per_sec': s['rows_in']/dt}))\n"
@@ -225,6 +231,7 @@ def run_scaling() -> dict:
     eff_cores = (r[32]["files_per_sec"] / r[8]["files_per_sec"]) / 4
     return {
         "metric": f"flagship filter scaling (fresh sessions, {rows} files)",
+        "compute": compute,
         "files_per_sec": {str(n): round(v["files_per_sec"], 1)
                           for n, v in r.items()},
         "sec": {str(n): round(v["sec"], 2) for n, v in r.items()},

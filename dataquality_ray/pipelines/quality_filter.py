@@ -140,17 +140,38 @@ def _apply_dup_batch(batch: pa.Table) -> pa.Table:
 
 
 def label_pipeline(ds, *, dup_index_ref=None, scorer_concurrency=None,
-                   batch_size: int = 2048):
+                   batch_size: int = 2048, compute: str = "actors"):
     """Attach all label columns to a (repo,path,commit,lang,content) Dataset.
 
     ``batch_size`` is moderate because ``content`` rows are wide (SURVEY §7.2).
     The cheap prep kernel is a task stage fused with the read; EVERYTHING
     else (langid + perplexity + scrub + decide + dedup-mark) runs as ONE
-    actor pool (stages/scorer.py FilterStage) so each batch crosses the
-    object store once and pool sizing is a single knob.
-    """
-    from dataquality_ray.stages.scorer import FilterStage, default_pool_size
+    scorer stage, in one of two computes:
 
+    - ``compute="actors"`` (default): an actor pool (stages/scorer.py
+      FilterStage) — explicit pool sizing, state pinned in ``__init__``,
+      each batch crosses the object store once between prep and scorer.
+    - ``compute="tasks"``: the same chain as a plain task function with
+      per-worker-process cached state (stages/scorer.py make_filter_fn).
+      Ray Data then FUSES read -> prep -> filter (-> write, in sidecar
+      mode) into ONE task per block, so content never crosses the object
+      store between stages at all — the shape that removes the shared
+      plasma path from the scaling bottleneck (see BASELINE.md scaling
+      notes).  Output is identical (tested).
+    """
+    from dataquality_ray.stages.scorer import (
+        FilterStage,
+        default_pool_size,
+        make_filter_fn,
+    )
+
+    if compute not in ("actors", "tasks"):
+        raise ValueError(f"unknown compute {compute!r}")
+    if compute == "tasks":
+        ds = ds.map_batches(_prep_batch, batch_format="pyarrow",
+                            batch_size=batch_size)
+        return ds.map_batches(make_filter_fn(dup_index_ref=dup_index_ref),
+                              batch_format="pyarrow", batch_size=batch_size)
     if scorer_concurrency is None:
         scorer_concurrency = default_pool_size()
     # logp_ref=None: each actor trains the (deterministic, 0.24 s, 128 KB)
@@ -218,7 +239,8 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
                        chunk_files: int | None = None,
                        dedup: bool = True,
                        dedup_mode: str = "broadcast",
-                       batch_size: int = 2048) -> dict:
+                       batch_size: int = 2048,
+                       compute: str = "actors") -> dict:
     """End-to-end resumable run: label + scrub + write + lineage.
 
     Partition/lineage unit = one CHUNK of input files (``chunk_files`` per
@@ -254,6 +276,11 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
     re-reads are free and the post-pass is extra fixed work); at cold
     100 TB storage sidecar's single content read and zero plasma pinning
     dominate.
+    ``compute``: scorer execution shape — ``'actors'`` (default, explicit
+    pool) or ``'tasks'`` (fused per-block chain with per-worker-process
+    cached state; combined with ``dedup_mode='sidecar'`` the whole chunk is
+    read -> label -> write in ONE fused task per block, zero content bytes
+    through the object store).  See :func:`label_pipeline`.
     """
     if dedup_mode not in ("broadcast", "join", "sidecar"):
         raise ValueError(f"unknown dedup_mode {dedup_mode!r}")
@@ -302,7 +329,7 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
         ds = ds.map_batches(_make_srcfile_tagger(partition),
                             batch_format="pyarrow", batch_size=batch_size)
         labeled = label_pipeline(ds, dup_index_ref=dup_ref,
-                                 batch_size=batch_size)
+                                 batch_size=batch_size, compute=compute)
         if sidecar:
             # Fully streaming: label -> write in ONE pass with no
             # materialize barrier (write tasks consume labeled blocks as

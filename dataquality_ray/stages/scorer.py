@@ -105,6 +105,43 @@ class FilterStage:
         return self._safe(batch)
 
 
+# Per-WORKER-PROCESS FilterStage cache for the task-pool twin below.  Ray
+# reuses worker processes across tasks, so each process pays the model
+# build exactly once — the same amortization an actor pool gets from
+# __init__ — while the stage stays a plain function, which lets Ray Data
+# FUSE ReadParquet -> prep -> filter (-> Write) into ONE task chain:
+# content never crosses the object store between stages at all.
+_TASK_STAGE_CACHE: dict[tuple, FilterStage] = {}
+
+
+def make_filter_fn(content_col: str = "content", claimed_col: str = "lang",
+                   dup_index_ref=None):
+    """Task-pool twin of :class:`FilterStage`.
+
+    Returns a plain batch function whose heavy state (langid tables, the
+    bigram perplexity model, compiled scrub regexes, optional broadcast dup
+    index) is built lazily on the first batch in each worker process and
+    cached at module level.  Use via
+    ``ds.map_batches(make_filter_fn(...), batch_format="pyarrow")`` when
+    operator fusion matters more than explicit pool sizing — the fused
+    chain is the zero-plasma shape for cold-storage scans (see
+    ``label_pipeline(compute="tasks")``).
+    """
+    key = (content_col, claimed_col,
+           dup_index_ref.hex() if dup_index_ref is not None else None)
+
+    def filter_fn(batch: pa.Table) -> pa.Table:
+        stage = _TASK_STAGE_CACHE.get(key)
+        if stage is None:
+            if len(_TASK_STAGE_CACHE) > 8:  # bound growth across many runs
+                _TASK_STAGE_CACHE.clear()
+            stage = FilterStage(content_col, claimed_col, None, dup_index_ref)
+            _TASK_STAGE_CACHE[key] = stage
+        return stage(batch)
+
+    return filter_fn
+
+
 def default_pool_size(fraction: float = 0.9) -> int:
     """Fixed actor-pool size from the session's CPUs.  Fixed (not
     autoscaling) because the ramp-up from min=1..2 actors serializes the

@@ -372,3 +372,49 @@ def test_chunked_join_mode_matches_broadcast_and_resumes(ray_session,
     m_j = json.load(open(f"{j_dir}/manifest.json"))
     m_r = json.load(open(f"{r_dir}/manifest.json"))
     assert sorted(m_r["completed"]) == sorted(m_j["completed"])
+
+
+def test_compute_tasks_matches_actors(ray_session, tmp_path):
+    """compute='tasks' (fused task chain, per-worker-process cached state)
+    must produce byte-identical output to the actor-pool default — full
+    schema including scrubbed content — and the same summary."""
+    import pyarrow.dataset as pads
+
+    src = str(tmp_path / "in")
+    write_code_files(src, n_rows=600, seed=23, rows_per_file=200)
+
+    outs = {}
+    for compute in ("actors", "tasks"):
+        run_dir = str(tmp_path / f"run_{compute}")
+        summary = run_quality_filter(src, run_dir, dedup=True,
+                                     compute=compute)
+        rows = (pads.dataset(f"{run_dir}/data").to_table().to_pandas()
+                .sort_values("row_id").reset_index(drop=True)
+                .drop(columns=["_srcfile"]))  # chunk tag differs by run dir
+        outs[compute] = (summary, rows)
+
+    s_a, r_a = outs["actors"]
+    s_t, r_t = outs["tasks"]
+    assert s_a == s_t
+    pd.testing.assert_frame_equal(
+        r_a[sorted(r_a.columns)], r_t[sorted(r_t.columns)])
+    assert r_a["is_dup"].any() and r_a["scrubbed"].any()
+
+
+def test_compute_tasks_poison_rows_isolated(ray_session, tmp_path):
+    """The per-row poison isolation of FilterStage must survive the task
+    wrapper: null-content rows come out keep=False, never a task error."""
+    src = str(tmp_path / "in")
+    write_code_files(src, n_rows=300, seed=5, rows_per_file=300)
+
+    run_dir = str(tmp_path / "run")
+    summary = run_quality_filter(src, run_dir, dedup=True, compute="tasks")
+    assert summary["rows_in"] == 300
+    assert summary["kept"] + summary["dropped"] == 300
+
+
+def test_compute_invalid_raises(ray_session, tmp_path):
+    from dataquality_ray.pipelines.quality_filter import label_pipeline
+
+    with pytest.raises(ValueError, match="unknown compute"):
+        label_pipeline(rd.range(1), compute="threads")
