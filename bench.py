@@ -155,7 +155,7 @@ def run_suite() -> dict:
                  "semdedup_embeddings", "ccnet_bucket",
                  "quality_quantile_cut", "centroid_classify",
                  "epoch_shuffle_head", "corpus_drift_js",
-                 "html_text_extract",
+                 "html_text_extract", "dup_ngram_fraction",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

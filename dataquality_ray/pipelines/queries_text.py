@@ -1876,3 +1876,45 @@ def html_extract_q(sf_dir: str):
     return (_read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(kern, batch_format="pyarrow")
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated n-gram fraction (RefinedWeb-style signal)
+# ---------------------------------------------------------------------------
+
+@query("dup_ngram_fraction", sql="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 7), ' '))) AS g
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams
+), df AS (
+  SELECT gram, count(*) AS df FROM ex GROUP BY gram
+), j AS (
+  SELECT e.doc_id,
+         CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_ngrams,
+         CAST(count(*) AS BIGINT) AS total_ngrams
+  FROM ex e JOIN df d USING (gram) GROUP BY e.doc_id
+)
+SELECT doc_id, dup_ngrams, total_ngrams,
+       floor(dup_ngrams * 1.0 / total_ngrams * 1000000) / 1000000 AS dup_frac
+FROM j ORDER BY doc_id
+""")
+def dup_ngram_fraction_q(sf_dir: str):
+    """Per-doc fraction of distinct word-8-grams shared with >= 1 other
+    document (doc frequency >= 2) — broadcast route Ray-side (guarded
+    driver combine of (gram, df) partials + one np.isin pass), exact
+    string lists in the oracle; the shuffle twin is equivalence-tested in
+    tests/test_contamination.py."""
+    from dataquality_ray.stages.contamination import dup_ngram_stats
+
+    out = (dup_ngram_stats(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           n=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["dup_frac"] = np.floor(out["dup_frac"] * 1e6) / 1e6
+    return out

@@ -134,3 +134,142 @@ def pack_sequences(ds, max_tokens: int, text_col: str = "text",
 
     return ds.map_batches(pack, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated n-gram stats (RefinedWeb-style dup_ngram signal)
+# ---------------------------------------------------------------------------
+
+DUP_NGRAM_CAP = None  # falls back to autoroute.DRIVER_COMBINE_CAP
+
+
+def dup_ngram_stats(ds, n: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text", min_df: int = 2,
+                    mode: str = "auto", cap: int | None = None,
+                    batch_size: int = 1024):
+    """Per-document fraction of word n-grams that also appear in OTHER
+    documents — the cross-corpus complement of the within-doc Gopher
+    repetition signals (a gram counts as duplicated when its document
+    frequency over DISTINCT per-doc grams is >= ``min_df``).
+
+    Routing (stages/autoroute.py contract):
+
+    - ``broadcast`` (auto default): pass A streams per-batch (gram, df)
+      partials through the GUARDED driver combine — aborts past ``cap``
+      distinct grams — then the duplicated-gram set is ``ray.put`` once as
+      a sorted uint64 array and pass B marks membership per batch with one
+      ``np.isin``.  Two reads of the text, ZERO shuffles.
+    - ``shuffle`` (escape hatch, auto past the cap): explode (id, gram)
+      pairs, groupby-count doc frequency, hash-join the duplicated grams
+      back, groupby per doc.  Nothing driver-held at any corpus size; two
+      all-to-all exchanges of 8-byte gram keys (content never shuffles).
+
+    Returns a Dataset of (id_col, dup_ngrams, total_ngrams, dup_frac).
+    """
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
+    cap = cap if cap is not None else (DUP_NGRAM_CAP or DRIVER_COMBINE_CAP)
+
+    def _doc_grams(texts):
+        return [shingle_hashes(t or "", n) for t in texts]
+
+    if mode in ("auto", "broadcast"):
+        def df_partial(batch: pa.Table) -> pd.DataFrame:
+            flat = np.concatenate(_doc_grams(batch[text_col].to_pylist())
+                                  or [np.array([], np.uint64)])
+            grams, counts = np.unique(flat, return_counts=True)
+            return pd.DataFrame({"gram": grams,
+                                 "df": counts.astype(np.int64)})
+
+        def combine(frame: pd.DataFrame) -> pd.DataFrame:
+            return frame.groupby("gram", as_index=False)["df"].sum()
+
+        stage = ds.map_batches(df_partial, batch_format="pyarrow",
+                               batch_size=batch_size)
+        merged, ok = guarded_partials(stage, combine, cap)
+        if ok:
+            record_route("dup_ngram_stats", "broadcast",
+                         "distinct grams within cap",
+                         0 if merged is None else len(merged))
+            if merged is None:
+                dup = np.array([], dtype=np.uint64)
+            else:
+                dup = np.sort(merged.loc[merged["df"] >= min_df, "gram"]
+                              .to_numpy().astype(np.uint64))
+            dup_ref = ray.put(dup)
+
+            def mark(batch: pa.Table) -> pa.Table:
+                per_doc = _doc_grams(batch[text_col].to_pylist())
+                sizes = np.array([len(p) for p in per_doc], dtype=np.int64)
+                flat = (np.concatenate(per_doc) if per_doc
+                        else np.array([], np.uint64))
+                hits = np.isin(flat, ray.get(dup_ref))
+                offs = np.concatenate([[0], np.cumsum(sizes)])
+                dups = np.array([int(hits[offs[i]:offs[i + 1]].sum())
+                                 for i in range(len(per_doc))], np.int64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    frac = np.where(sizes > 0, dups / np.maximum(sizes, 1),
+                                    0.0)
+                return pa.table({id_col: batch[id_col],
+                                 "dup_ngrams": pa.array(dups),
+                                 "total_ngrams": pa.array(sizes),
+                                 "dup_frac": pa.array(frac)})
+
+            return ds.map_batches(mark, batch_format="pyarrow",
+                                  batch_size=batch_size)
+        if mode == "broadcast":
+            raise MemoryError(
+                f"dup_ngram_stats: distinct grams exceed cap={cap}; "
+                "use mode='shuffle'")
+        record_route("dup_ngram_stats", "shuffle",
+                     f"distinct grams exceed cap={cap}", None)
+
+    # distributed twin: (id, gram) pairs only — 16 B/row — ever move
+    from ray.data.aggregate import Count, Sum
+
+    from dataquality_ray.stages.joins import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        per_doc = _doc_grams(batch[text_col].to_pylist())
+        sizes = [len(p) for p in per_doc]
+        ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), sizes)
+        flat = (np.concatenate(per_doc) if per_doc
+                else np.array([], np.uint64))
+        # int64 reinterpret: gram keys only need EQUALITY, and Ray's hash
+        # shuffle round-trips large uint64 through pandas into pickled
+        # objects (same pitfall as fixed_size_binary groupby keys)
+        return pa.table({id_col: pa.array(ids),
+                         "gram": pa.array(flat.view(np.int64), pa.int64())})
+
+    grams = ds.map_batches(explode, batch_format="pyarrow",
+                           batch_size=batch_size)
+    df = grams.groupby("gram").aggregate(Count(id_col, alias_name="df"))
+    dup = (df.filter(expr=f"df >= {min_df}")
+             .select_columns(["gram"])
+             .map_batches(lambda t: t.append_column(
+                 "is_dup", pa.array(np.ones(len(t), np.int64))),
+                 batch_format="pyarrow"))
+    joined = hash_join(grams, dup, on="gram", join_type="left_outer")
+    per_doc = joined.groupby(id_col).aggregate(
+        Count("gram", alias_name="total_ngrams"),
+        Sum("is_dup", alias_name="dup_ngrams"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        total = batch["total_ngrams"].to_numpy(zero_copy_only=False)
+        dups = np.nan_to_num(
+            batch["dup_ngrams"].to_numpy(zero_copy_only=False).astype(
+                np.float64)).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(total > 0, dups / np.maximum(total, 1), 0.0)
+        return pa.table({id_col: batch[id_col],
+                         "dup_ngrams": pa.array(dups),
+                         "total_ngrams": pa.array(total.astype(np.int64)),
+                         "dup_frac": pa.array(frac)})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

@@ -62,3 +62,69 @@ def test_pack_sequences_respects_budget(ray_session):
     assert (out["pack_id"] == ov["pack_id"].iloc[0]).sum() == 1
     # packing efficiency: mean non-final pack load comfortably high
     assert loads.mean() > 1024
+
+
+# --- cross-document duplicated n-gram stats --------------------------------
+
+def _dup_fixture():
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts, truth = [], []
+    for i in range(6):  # 6 docs sharing one 10-token run + unique tails
+        texts.append(shared + f" unique tail tokens for document {i} "
+                     + " ".join(f"w{i}_{j}" for j in range(8)))
+    for i in range(4):  # fully unique docs
+        texts.append(" ".join(f"solo{i}_{j}" for j in range(20)))
+    return pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+
+
+def _brute(df, n=8, min_df=2):
+    from dataquality_ray.stages.minhash import word_shingle_set
+
+    grams = {r.doc_id: word_shingle_set(r.text, n)
+             for r in df.itertuples()}
+    from collections import Counter
+
+    freq = Counter(g for s in grams.values() for g in s)
+    rows = []
+    for did, s in grams.items():
+        dup = sum(1 for g in s if freq[g] >= min_df)
+        rows.append({"doc_id": did, "dup_ngrams": dup,
+                     "total_ngrams": len(s),
+                     "dup_frac": dup / len(s) if s else 0.0})
+    return pd.DataFrame(rows)
+
+
+def test_dup_ngram_modes_match_and_brute(ray_session):
+    from dataquality_ray.stages.contamination import dup_ngram_stats
+
+    df = _dup_fixture()
+    ds = rd.from_pandas(df).repartition(4)
+    b = (dup_ngram_stats(ds, n=8, mode="broadcast").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    s = (dup_ngram_stats(ds, n=8, mode="shuffle").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, s)
+    pd.testing.assert_frame_equal(
+        b, _brute(df).astype(b.dtypes.to_dict()))
+    # planted semantics: the 6 sharers overlap on the common 15-token
+    # prefix ("alpha..kappa unique tail tokens for document") -> 8 shared
+    # 8-grams each; solos share nothing
+    assert (b.loc[b.doc_id < 6, "dup_ngrams"] == 8).all()
+    assert (b.loc[b.doc_id >= 6, "dup_frac"] == 0.0).all()
+
+
+def test_dup_ngram_auto_reroutes_past_cap(ray_session):
+    from dataquality_ray.stages.autoroute import last_route
+    from dataquality_ray.stages.contamination import dup_ngram_stats
+
+    df = _dup_fixture()
+    ds = rd.from_pandas(df).repartition(4)
+    base = (dup_ngram_stats(ds, n=8).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert last_route("dup_ngram_stats")["chosen"] == "broadcast"
+    routed = (dup_ngram_stats(ds, n=8, cap=5).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert last_route("dup_ngram_stats")["chosen"] == "shuffle"
+    pd.testing.assert_frame_equal(base, routed)
+    with pytest.raises(MemoryError):
+        dup_ngram_stats(ds, n=8, mode="broadcast", cap=5)
