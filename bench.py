@@ -156,7 +156,7 @@ def run_suite() -> dict:
                  "quality_quantile_cut", "centroid_classify",
                  "epoch_shuffle_head", "corpus_drift_js",
                  "html_text_extract", "dup_ngram_fraction",
-                 "keyword_search_topk",
+                 "keyword_search_topk", "corpus_snapshot_delta",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -1970,3 +1970,26 @@ def keyword_search_q(sf_dir: str):
     out = keyword_topk(_read(sf_dir, "documents", ["doc_id", "text"]),
                        _KW_QUERIES, k=10)
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+@query("corpus_snapshot_delta", sql="""
+SELECT doc_id, n_chars FROM documents
+WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 3 <> 0)
+ORDER BY doc_id
+""")
+def corpus_delta_q(sf_dir: str):
+    """Incremental-ingest delta: docs with doc_id % 3 == 0 play the 'new
+    crawl' rows absent from the prior snapshot (content identity =
+    sha256(text) Ray-side, exact text membership in the oracle)."""
+    from dataquality_ray.stages.dedup import corpus_delta
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    def not_mult3(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 != 0))
+
+    old = ds.map_batches(not_mult3, batch_format="pyarrow")
+    out = (corpus_delta(ds, old)
+           .select_columns(["doc_id", "n_chars"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return out

@@ -232,3 +232,107 @@ def mark_duplicates_join(ds, sha_col: str = "content_sha256",
                      on=(sha_col,))
     return joined.map_batches(lambda b: _mark_joined(b, id_col),
                               batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot delta: incremental-crawl anti-join against a prior corpus
+# ---------------------------------------------------------------------------
+
+def corpus_delta(new_ds, old_ds, text_col: str = "text",
+                 mode: str = "auto", cap: int | None = None,
+                 batch_size: int = 1024):
+    """Rows of ``new_ds`` whose content does NOT appear in ``old_ds`` — the
+    incremental-ingest primitive: re-crawls/re-snapshots only pay for what
+    actually changed.  Identity is sha256 of ``text_col`` (exact content).
+
+    - ``broadcast`` (auto default): the OLD side's distinct hashes stream
+      through the guarded driver combine; within the cap they are
+      ``ray.put`` once and each new batch drops matches with a single
+      vectorized ``pc.index_in`` probe.  New rows never move.
+    - ``shuffle`` twin (auto past the cap): distinct old hashes stay a
+      Dataset; a hash-partitioned left-outer join marks matches and the
+      unmatched rows stream out — nothing driver-held at any snapshot
+      size, one shuffle of the new side + 32 B/row of the old side.
+
+    Returns a Dataset with ``new_ds``'s schema (hash column dropped).
+    """
+    from dataquality_ray.functions.scrub import sha256_batch
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+    SHA = "_delta_sha"
+
+    def _hash(b: pa.Table) -> pa.Table:
+        return sha256_batch(b, col=text_col, out_col=SHA)
+
+    if mode in ("auto", "broadcast"):
+        def old_partial(batch: pa.Table) -> pd.DataFrame:
+            u = pc.unique(_hash(batch)[SHA])
+            return pd.DataFrame({"sha": u.to_pylist()})
+
+        def combine(frame: pd.DataFrame) -> pd.DataFrame:
+            return frame.drop_duplicates("sha")
+
+        stage = old_ds.map_batches(old_partial, batch_format="pyarrow",
+                                   batch_size=batch_size)
+        merged, ok = guarded_partials(stage, combine, cap)
+        if ok:
+            record_route("corpus_delta", "broadcast",
+                         "old-snapshot hashes within cap",
+                         0 if merged is None else len(merged))
+            old_ref = ray.put(pa.array(
+                [] if merged is None else merged["sha"].tolist(),
+                pa.binary()))
+
+            def drop_seen(batch: pa.Table) -> pa.Table:
+                hashed = _hash(batch)
+                idx = pc.index_in(pc.cast(hashed[SHA], pa.binary()),
+                                  value_set=ray.get(old_ref))
+                return batch.filter(pc.is_null(idx))
+
+            return new_ds.map_batches(drop_seen, batch_format="pyarrow",
+                                      batch_size=batch_size)
+        if mode == "broadcast":
+            raise MemoryError(
+                f"corpus_delta: old-snapshot hashes exceed cap={cap}; "
+                "use mode='shuffle'")
+        record_route("corpus_delta", "shuffle",
+                     f"old-snapshot hashes exceed cap={cap}", None)
+
+    def _norm(b: pa.Table) -> pa.Table:
+        col = b[SHA]
+        if pa.types.is_fixed_size_binary(col.type):
+            b = b.set_column(b.schema.get_field_index(SHA), SHA,
+                             pc.cast(col, pa.binary()))
+        return b
+
+    from ray.data.aggregate import Count
+
+    old_keys = (old_ds
+                .map_batches(lambda b: _norm(pa.table(
+                    {SHA: pc.unique(_hash(b)[SHA])})),
+                    batch_format="pyarrow")
+                .groupby(SHA).aggregate(Count(SHA, alias_name="_cnt"))
+                .map_batches(lambda b: _norm(b).drop_columns(["_cnt"])
+                             .append_column(
+                                 "_seen", pa.array(np.ones(len(b), np.int8))),
+                    batch_format="pyarrow"))
+    new_hashed = new_ds.map_batches(lambda b: _norm(_hash(b)),
+                                    batch_format="pyarrow",
+                                    batch_size=batch_size)
+    from dataquality_ray.stages.joins import _est_size, resolve_join_partitions
+
+    joined = new_hashed.join(
+        old_keys, "left_outer",
+        num_partitions=resolve_join_partitions(None, _est_size(new_ds)),
+        on=(SHA,))
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b["_seen"]))
+                   .drop_columns([SHA, "_seen"]),
+        batch_format="pyarrow")

@@ -205,3 +205,42 @@ def test_boilerplate_scrub_combine_shuffle_equivalence(ray_session,
               .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert last_route("boilerplate_scrub")["chosen"] == "shuffle"
     pd.testing.assert_frame_equal(routed, out)
+
+
+def test_corpus_delta_modes_and_route(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dataquality_ray.stages.dedup import corpus_delta
+
+    texts = [f"doc number {i} content" for i in range(20)]
+    # duplicate content across snapshots: doc 19 repeats doc 0's text, so
+    # it must be dropped even though its id is new
+    texts[19] = texts[0]
+    new = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(20), "text": texts})).repartition(3)
+    old = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(12), "text": texts[:12]})).repartition(2)
+
+    b = (corpus_delta(new, old, mode="broadcast").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    s = (corpus_delta(new, old, mode="shuffle").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert list(b["doc_id"]) == list(range(12, 19))  # 19 deduped by content
+    pd.testing.assert_frame_equal(b, s[b.columns])
+
+    a = (corpus_delta(new, old, cap=3).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert last_route("corpus_delta")["chosen"] == "shuffle"
+    pd.testing.assert_frame_equal(b, a[b.columns])
+
+    import pytest
+
+    with pytest.raises(MemoryError):
+        corpus_delta(new, old, mode="broadcast", cap=3)
+    # disjoint old snapshot: everything is new
+    other = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [0], "text": ["entirely different"]}))
+    full = corpus_delta(new, other).to_pandas()
+    assert len(full) == 20
