@@ -1993,3 +1993,49 @@ def corpus_delta_q(sf_dir: str):
            .select_columns(["doc_id", "n_chars"])
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis, deterministic)
+# ---------------------------------------------------------------------------
+
+@query("weighted_sample_topk", sql="""
+WITH s1 AS (SELECT doc_id, n_chars,
+                   xor(doc_id::UBIGINT, 7::UBIGINT)::HUGEINT AS x
+            FROM documents),
+s2 AS (SELECT doc_id, n_chars, (x + 11400714819323198485) % 18446744073709551616 AS x FROM s1),
+s2b AS (SELECT doc_id, n_chars,
+               xor(x::UBIGINT, (x // 1073741824)::UBIGINT)::HUGEINT AS x
+        FROM s2),
+s3 AS (SELECT doc_id, n_chars, ((x * 484763065) % 18446744073709551616 + (((x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM s2b),
+s3b AS (SELECT doc_id, n_chars,
+               xor(x::UBIGINT, (x // 134217728)::UBIGINT)::HUGEINT AS x
+        FROM s3),
+s4 AS (SELECT doc_id, n_chars, ((x * 321982955) % 18446744073709551616 + (((x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM s3b),
+s5 AS (SELECT doc_id, n_chars,
+              xor(x::UBIGINT, (x // 2147483648)::UBIGINT)::HUGEINT AS h
+       FROM s4),
+keyed AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         ln((h::DOUBLE + 0.5) / 18446744073709551616.0) / n_chars AS key
+  FROM s5 WHERE n_chars > 0
+), ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+           AS rank, doc_id, weight, key
+  FROM keyed
+)
+SELECT rank, doc_id, weight, floor(key * 1000000) / 1000000 AS key
+FROM ranked WHERE rank <= 20 ORDER BY rank
+""")
+def weighted_sample_q(sf_dir: str):
+    """Top-20 Efraimidis-Spirakis weighted sample (weight = n_chars,
+    seed 7): the exact splitmix64 chain runs in HUGEINT SQL, the ES key
+    ln(u)/w in doubles (continuous keys — adjacent gaps dwarf cross-libm
+    ln ulp drift; ties break by doc_id on both sides)."""
+    from dataquality_ray.stages.sampling import weighted_sample
+
+    out = weighted_sample(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+        k=20, weight_col="n_chars", seed=7)
+    out["key"] = np.floor(out["key"] * 1e6) / 1e6
+    return out

@@ -134,3 +134,49 @@ def epoch_shuffle(ds, id_col: str, epoch: int, seed: int = 0,
 
     out = ds.map_batches(add_key, batch_format="pyarrow").sort(key_col)
     return out if keep_key else out.drop_columns([key_col])
+
+
+def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
+                    seed: int = 0, batch_size: int = 4096):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row gets key ``ln(u) / w`` with
+    ``u = (splitmix64(id ^ seed) + 0.5) / 2^64``; the global top-k keys
+    are exactly a weighted sample without replacement, and the key is a
+    pure function of (id, seed) — re-runs and resumes pick the identical
+    sample at any parallelism.
+
+    Scale shape: each batch emits only its LOCAL top-k rows, the driver
+    merges ``#blocks x k`` candidates — no shuffle, no global sort, rows
+    never move.  Returns a pandas frame (rank, id, weight, key) sorted by
+    rank; rows with weight <= 0 or null never sample (P = 0).
+    """
+    import pandas as pd
+
+    from dataquality_ray.functions.hashing import splitmix64
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.nan_to_num(w, nan=0.0)
+        h = splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+        u = (h.astype(np.float64) + 0.5) / float(2**64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.where(w > 0, np.log(u) / np.maximum(w, 1e-300), -np.inf)
+        ok = np.isfinite(key)
+        ids, w, key = ids[ok], w[ok], key[ok]
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "weight": pa.array(w[order]),
+                         "key": pa.array(key[order])})
+
+    parts = (ds.map_batches(local_topk, batch_format="pyarrow",
+                            batch_size=batch_size).to_pandas())
+    if not len(parts):
+        return pd.DataFrame({"rank": pd.Series([], dtype=np.int64),
+                             id_col: pd.Series([], dtype=np.int64),
+                             "weight": pd.Series([], dtype=np.float64),
+                             "key": pd.Series([], dtype=np.float64)})
+    parts = (parts.sort_values(["key", id_col], ascending=[False, True])
+             .head(k).reset_index(drop=True))
+    parts.insert(0, "rank", np.arange(1, len(parts) + 1, dtype=np.int64))
+    return parts

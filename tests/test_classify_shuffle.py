@@ -97,3 +97,63 @@ def test_epoch_shuffle_key_column_kept_or_dropped():
     assert kept["shuffle_key"].is_monotonic_increasing
     dropped = epoch_shuffle(_doc_ds(), "doc_id", epoch=0, seed=1).to_pandas()
     assert list(dropped.columns) == ["doc_id"]
+
+
+# --- weighted sampling without replacement ---------------------------------
+
+def test_weighted_sample_deterministic_and_partition_invariant(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dataquality_ray.stages.sampling import weighted_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(200),
+                       "w": np.arange(200, dtype=float) + 1})
+    a = weighted_sample(rd.from_pandas(df).repartition(5), k=15,
+                        weight_col="w", seed=3)
+    b = weighted_sample(rd.from_pandas(df).repartition(1), k=15,
+                        weight_col="w", seed=3)
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a["rank"]) == list(range(1, 16))
+    assert a["doc_id"].is_unique  # without replacement
+    # a different seed picks a different sample
+    c = weighted_sample(rd.from_pandas(df).repartition(5), k=15,
+                        weight_col="w", seed=4)
+    assert set(a["doc_id"]) != set(c["doc_id"])
+
+
+def test_weighted_sample_respects_weights(ray_session):
+    """Heavy items must be sampled far more often across seeds: item group
+    with 100x the weight should dominate the sample."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dataquality_ray.stages.sampling import weighted_sample
+
+    w = np.where(np.arange(100) < 10, 1000.0, 1.0)  # 10 heavy, 90 light
+    df = pd.DataFrame({"doc_id": np.arange(100), "w": w})
+    ds = rd.from_pandas(df)
+    heavy_hits = 0
+    for seed in range(5):
+        out = weighted_sample(ds, k=10, weight_col="w", seed=seed)
+        heavy_hits += int((out["doc_id"] < 10).sum())
+    assert heavy_hits >= 40  # ~>=80% of 50 picks in expectation
+
+
+def test_weighted_sample_edge_cases(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dataquality_ray.stages.sampling import weighted_sample
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                       "w": [0.0, -2.0, np.nan, 5.0]})
+    out = weighted_sample(rd.from_pandas(df), k=10, weight_col="w")
+    # zero/negative/nan weights never sample; k > n truncates
+    assert list(out["doc_id"]) == [3]
+    empty = weighted_sample(rd.from_pandas(df.head(0)), k=5, weight_col="w")
+    assert len(empty) == 0
+    assert list(empty.columns) == ["rank", "doc_id", "weight", "key"]
