@@ -157,7 +157,7 @@ def run_suite() -> dict:
                  "epoch_shuffle_head", "corpus_drift_js",
                  "html_text_extract", "dup_ngram_fraction",
                  "keyword_search_topk", "corpus_snapshot_delta",
-                 "weighted_sample_topk",
+                 "weighted_sample_topk", "partitioned_export_counts",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -2039,3 +2039,35 @@ def weighted_sample_q(sf_dir: str):
         k=20, weight_col="n_chars", seed=7)
     out["key"] = np.floor(out["key"] * 1e6) / 1e6
     return out
+
+
+@query("partitioned_export_counts", sql="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def partitioned_export_q(sf_dir: str):
+    """Round-trip through the resumable hive-partitioned exporter: write
+    documents partitioned by lang (sources/writers.py), read the tree
+    back, aggregate — counts must equal a direct scan, proving the sink
+    lost/duplicated nothing."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from dataquality_ray.sources.writers import export_partitioned
+
+    out_dir = tempfile.mkdtemp(prefix="dq_export_")
+    try:
+        export_partitioned(
+            _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+            out_dir, "lang")
+        back = rd.read_parquet(f"{out_dir}/data")
+        agg = back.groupby("lang").aggregate(
+            Count("lang", alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars")).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return agg.sort_values("lang").reset_index(drop=True)

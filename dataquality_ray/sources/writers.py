@@ -1,0 +1,106 @@
+"""Resumable partitioned parquet export.
+
+The prompt-level output contract at 100 TB: never one giant file, one
+directory per partition key, and a crashed run must skip finished
+partitions on resume.  Ray's ``write_parquet(partition_cols=...)`` gives
+the hive layout in ONE streaming pass; this module adds the resume
+protocol around it:
+
+1. discover the key domain (groupby count — partition keys like
+   lang/source/date are small domains; a guard raises past ``max_keys``
+   rather than building a million-directory export),
+2. filter out keys already committed in the manifest (vectorized
+   ``pc.index_in`` per batch — skipped rows never leave the scan),
+3. write the remainder hive-partitioned into a STAGING dir in one pass,
+4. atomically rename each completed ``<by>=<value>`` directory into the
+   final location, then commit the keys to the manifest.
+
+A crash before step 4 leaves only staging garbage (removed on the next
+run); a crash mid-rename re-renames idempotently.  Partitions therefore
+appear in the final tree exactly once, fully written — APPEND-mode
+double-writes after a crash cannot happen.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import urllib.parse
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from dataquality_ray.state.lineage import LineageStore
+
+MAX_EXPORT_KEYS = 100_000
+
+
+def export_partitioned(ds, out_dir: str, by: str, *,
+                       max_keys: int = MAX_EXPORT_KEYS) -> dict:
+    """Export ``ds`` as hive-partitioned parquet under ``out_dir/data``
+    (one ``<by>=<value>`` directory per key), resumable per key.
+
+    Returns ``{"partitions", "rows", "skipped_partitions"}``.  Rows with a
+    NULL key raise (hive layout cannot address them — filter or fill
+    first).
+    """
+    from ray.data.aggregate import Count
+
+    store = LineageStore(out_dir)
+    done = store.completed_partitions()
+
+    counts = ds.groupby(by).aggregate(Count(by, alias_name="n")).to_pandas()
+    if len(counts) > max_keys:
+        raise ValueError(
+            f"export_partitioned: {len(counts)} distinct {by!r} keys exceed "
+            f"max_keys={max_keys}; partition by a coarser column")
+    if len(counts) and counts[by].isna().any():
+        raise ValueError(f"export_partitioned: NULL values in {by!r}")
+    all_keys = {str(k): int(n) for k, n in zip(counts[by], counts["n"])}
+    todo = sorted(k for k in all_keys if k not in done)
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    if not todo:
+        recs = store.read_records()
+        return {"partitions": len(recs),
+                "rows": sum(r.get("rows", 0) for r in recs),
+                "skipped_partitions": len(done)}
+
+    staging = os.path.join(out_dir, "_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+
+    if done:
+        todo_arr = ray.put(pa.array(sorted(todo)))
+
+        def keep_todo(batch: pa.Table) -> pa.Table:
+            keys = pc.cast(batch[by], pa.string())
+            return batch.filter(pc.is_valid(
+                pc.index_in(keys, value_set=ray.get(todo_arr))))
+
+        ds = ds.map_batches(keep_todo, batch_format="pyarrow")
+
+    ds.write_parquet(staging, partition_cols=[by])
+
+    moved = []
+    for name in sorted(os.listdir(staging)):
+        src = os.path.join(staging, name)
+        if not (os.path.isdir(src) and name.startswith(f"{by}=")):
+            continue
+        key = urllib.parse.unquote(name.split("=", 1)[1])
+        dst = os.path.join(data_dir, name)
+        shutil.rmtree(dst, ignore_errors=True)  # idempotent re-rename
+        os.rename(src, dst)
+        moved.append(key)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    store.write_records([
+        {"partition": k, "rows": all_keys.get(k, 0), "by": by}
+        for k in moved
+    ])
+    store.commit(moved)
+    recs = store.read_records()
+    return {"partitions": len(recs),
+            "rows": sum(r.get("rows", 0) for r in recs),
+            "skipped_partitions": len(done)}
