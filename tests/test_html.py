@@ -79,3 +79,27 @@ def test_distributed_matches_local():
     out = (ds.map_batches(html_extract_batch, batch_format="pyarrow")
              .to_pandas().sort_values("i"))
     assert list(out["extracted"]) == _extract(texts)
+
+
+# --- adversarial fuzz: pyarrow RE2 chain vs DuckDB RE2 chain ---------------
+
+from hypothesis import given, settings, strategies as st
+
+_MARKUP_ALPHABET = list("<>&/!-='\" \t\n\r\fabcXY;#39") + [
+    "<script", "</script>", "<style", "</style>", "<!--", "-->",
+    "&amp;", "&lt;", "&gt;", "&nbsp;", "&quot;", "&#39;", "&apos;", "<p>",
+]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(_MARKUP_ALPHABET), max_size=30)
+                .map("".join), min_size=1, max_size=8))
+def test_fuzz_matches_duckdb(texts):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT "
+                "row_number() OVER () - 1 AS doc_id, * FROM "
+                "(SELECT unnest(?) AS text)", [texts])
+    oracle = [r[0] for r in
+              con.execute(_html_sql().replace("SELECT doc_id,",
+                                              "SELECT")).fetchall()]
+    assert _extract(texts) == oracle
