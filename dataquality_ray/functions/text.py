@@ -234,3 +234,36 @@ def chunk_texts_batch(batch: pa.Table, col: str = "text",
         "chunk_chars": pc.cast(
             pc.utf8_length(pa.array(chunks, type=pa.string())), pa.int64()),
     })
+
+
+# Unicode script classes for script/charset detection — RE2 \p{Script}
+# classes, the same engine as DuckDB regexp_extract_all, so counts match
+# the SQL oracle exactly (verified incl. multi-codepoint text).
+SCRIPT_CLASSES = {
+    "latin": r"\p{Latin}",
+    "cyrillic": r"\p{Cyrillic}",
+    "han": r"\p{Han}",
+    "arabic": r"\p{Arabic}",
+    "kana": r"\p{Hiragana}|\p{Katakana}",
+}
+
+
+def script_stats(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Per-doc Unicode-script char counts + dominant script.
+
+    One vectorized RE2 count per script class (no per-row loop);
+    ``dominant`` = highest count, ties broken by script name ascending —
+    the deterministic rule the SQL oracle replays with a window function.
+    """
+    text = pc.fill_null(batch[col], "")
+    counts = {name: pc.count_substring_regex(text, rx)
+              for name, rx in SCRIPT_CLASSES.items()}
+    names = sorted(SCRIPT_CLASSES)  # tie-break order
+    mat = np.stack([counts[n].to_numpy(zero_copy_only=False)
+                    for n in names], axis=1)
+    dom = np.array(names, dtype=object)[
+        np.argmax(mat, axis=1)]  # argmax takes FIRST max -> name asc
+    out = batch
+    for n in names:
+        out = out.append_column(n, pc.cast(counts[n], pa.int64()))
+    return out.append_column("dominant", pa.array(dom, pa.string()))

@@ -2071,3 +2071,48 @@ def partitioned_export_q(sf_dir: str):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return agg.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Unicode script detection — RE2 \p{Script} classes on both sides
+# ---------------------------------------------------------------------------
+
+@query("script_detect", sql="""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\p{Arabic}')) AS arabic,
+         len(regexp_extract_all(text, '\\p{Cyrillic}')) AS cyrillic,
+         len(regexp_extract_all(text, '\\p{Han}')) AS han,
+         len(regexp_extract_all(text, '\\p{Hiragana}|\\p{Katakana}')) AS kana,
+         len(regexp_extract_all(text, '\\p{Latin}')) AS latin
+  FROM documents
+), u AS (
+  SELECT doc_id, 'arabic' AS script, arabic AS cnt FROM c
+  UNION ALL SELECT doc_id, 'cyrillic', cyrillic FROM c
+  UNION ALL SELECT doc_id, 'han', han FROM c
+  UNION ALL SELECT doc_id, 'kana', kana FROM c
+  UNION ALL SELECT doc_id, 'latin', latin FROM c
+), d AS (
+  SELECT doc_id, script AS dominant,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, script) AS rn
+  FROM u
+)
+SELECT c.doc_id, c.arabic, c.cyrillic, c.han, c.kana, c.latin, d.dominant
+FROM c JOIN d USING (doc_id) WHERE d.rn = 1 ORDER BY doc_id
+""")
+def script_detect_q(sf_dir: str):
+    """Unicode-script char counts + dominant script per document — the
+    charset-detection signal a multilingual corpus router needs; both
+    sides run identical RE2 \\p{Script} classes so the hash compare is
+    exact (see tests/test_kernels.py for non-Latin fixtures)."""
+    from dataquality_ray.functions.text import script_stats
+
+    def kern(b: pa.Table) -> pa.Table:
+        return script_stats(b).select(
+            ["doc_id", "arabic", "cyrillic", "han", "kana", "latin",
+             "dominant"])
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(kern, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
