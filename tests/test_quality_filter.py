@@ -418,3 +418,32 @@ def test_compute_invalid_raises(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="unknown compute"):
         label_pipeline(rd.range(1), compute="threads")
+
+
+def test_compute_tasks_multichunk_with_dup_ref(ray_session, tmp_path):
+    """Multi-chunk runs pass a broadcast dup-index ObjectRef into the
+    task-cached FilterStage (cache key includes the ref id); output must
+    equal the actor-pool multi-chunk run, and resume must still work."""
+    import pyarrow.dataset as pads
+
+    src = str(tmp_path / "in")
+    write_code_files(src, n_rows=600, seed=31, rows_per_file=200)
+
+    outs = {}
+    for compute in ("actors", "tasks"):
+        run_dir = str(tmp_path / f"run_{compute}")
+        summary = run_quality_filter(src, run_dir, dedup=True,
+                                     chunk_files=1, compute=compute)
+        rows = (pads.dataset(f"{run_dir}/data").to_table().to_pandas()
+                .sort_values("row_id").reset_index(drop=True)
+                .drop(columns=["_srcfile"]))
+        outs[compute] = (summary, rows)
+    s_a, r_a = outs["actors"]
+    s_t, r_t = outs["tasks"]
+    assert s_a == s_t and s_a["partitions"] == 3
+    pd.testing.assert_frame_equal(
+        r_a[sorted(r_a.columns)], r_t[sorted(r_t.columns)])
+    # resume in tasks mode is a no-op
+    again = run_quality_filter(src, str(tmp_path / "run_tasks"),
+                               dedup=True, chunk_files=1, compute="tasks")
+    assert again == s_t
