@@ -158,7 +158,7 @@ def run_suite() -> dict:
                  "html_text_extract", "dup_ngram_fraction",
                  "keyword_search_topk", "corpus_snapshot_delta",
                  "weighted_sample_topk", "partitioned_export_counts",
-                 "script_detect",
+                 "script_detect", "tokenizer_fertility",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

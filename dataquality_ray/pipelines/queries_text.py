@@ -2116,3 +2116,42 @@ def script_detect_q(sf_dir: str):
     return (_read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(kern, batch_format="pyarrow")
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+@query("tokenizer_fertility", sql="""
+SELECT lang,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS BIGINT)
+         AS total_bpe_tokens,
+       floor(sum(length(text)) * 1.0
+             / sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))
+             * 1000000) / 1000000 AS chars_per_token
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def tokenizer_fertility_q(sf_dir: str):
+    """Chars-per-BPE-ish-token per language (tokenizer fertility — the
+    budget planner's tokens-per-byte estimate): exercises the BPE_RE
+    tokenizer against the oracle (RE2 both sides), aggregated with
+    streaming groupby partials."""
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.functions.text import token_stats
+
+    def kern(b: pa.Table) -> pa.Table:
+        t = token_stats(b)
+        return pa.table({
+            "lang": t["lang"],
+            "n_chars_k": pc.cast(pc.utf8_length(pc.fill_null(b["text"], "")),
+                                 pa.int64()),
+            "n_bpe_tokens": t["n_bpe_tokens"]})
+
+    agg = (_read(sf_dir, "documents", ["lang", "text"])
+           .map_batches(kern, batch_format="pyarrow")
+           .groupby("lang").aggregate(
+               Sum("n_chars_k", alias_name="total_chars"),
+               Sum("n_bpe_tokens", alias_name="total_bpe_tokens"))
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    agg["chars_per_token"] = np.floor(
+        agg["total_chars"] / agg["total_bpe_tokens"] * 1e6) / 1e6
+    return agg[["lang", "total_chars", "total_bpe_tokens",
+                "chars_per_token"]]
