@@ -2155,3 +2155,38 @@ def tokenizer_fertility_q(sf_dir: str):
         agg["total_chars"] / agg["total_bpe_tokens"] * 1e6) / 1e6
     return agg[["lang", "total_chars", "total_bpe_tokens",
                 "chars_per_token"]]
+
+
+@query("image_phash_dedup")
+def image_phash_q(sf_dir: str):
+    """Perceptual-hash near-dup pairs over a deterministic real-PNG/PPM
+    corpus with planted noisy copies — rows-only (PNG decode has no SQL
+    twin); recall guarantee + brute-force parity pinned in
+    tests/test_multimodal_codecs.py."""
+    import ray.data as rd
+
+    from dataquality_ray.functions.codecs import decode_png, decode_ppm, \
+        encode_png, sniff_format
+    from dataquality_ray.stages.multimodal import (
+        image_phash_dedup,
+        synthesize_real_media_table,
+    )
+
+    t = synthesize_real_media_table(n=30, seed=11)
+    imgs = t.filter(pc.field("mime_type") != "audio/wav")
+    # plant noisy copies of every image (ids shifted by 1000)
+    rng = np.random.RandomState(5)
+    ids, payloads = list(imgs["media_id"].to_pylist()), \
+        list(imgs["payload"].to_pylist())
+    for i, p in zip(list(ids), list(payloads)):
+        pixels = (decode_png(p) if sniff_format(p) == "png"
+                  else decode_ppm(p))
+        noisy = np.clip(pixels.astype(np.int16)
+                        + rng.randint(-2, 3, pixels.shape),
+                        0, 255).astype(np.uint8)
+        ids.append(i + 1000)
+        payloads.append(encode_png(noisy))
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary())})).repartition(4)
+    return image_phash_dedup(ds, max_hamming=3)

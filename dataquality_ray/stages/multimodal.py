@@ -318,3 +318,113 @@ def resize_plan_batch(batch: pa.Table, max_side: int = 224) -> pa.Table:
             .append_column("target_width",
                            pa.array(np.rint(w * scale).astype(np.int32)))
             .append_column("resize_scale", pa.array(scale)))
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash dedup (aHash + banded hamming buckets)
+# ---------------------------------------------------------------------------
+
+def ahash64(pixels: np.ndarray) -> int:
+    """64-bit average hash: grayscale -> 8x8 block means -> bit = cell >
+    global mean.  Deterministic pure-numpy pooling (np.array_split blocks),
+    robust to re-encoding and small noise; near-duplicate images land
+    within a few hamming bits."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    cells = np.array([
+        [blk.mean() for blk in np.array_split(row_band, 8, axis=1)]
+        for row_band in np.array_split(gray, 8, axis=0)])
+    bits = (cells > cells.mean()).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImagePHasher(ImageDecoder):
+    """Decode (same codec layering as ImageDecoder) -> 64-bit aHash."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        from dataquality_ray.functions import codecs
+
+        hashes = []
+        for p in batch["payload"].to_pylist():
+            if self.fake:
+                h = hashlib.blake2b(p or b"", digest_size=8).digest()
+                hashes.append(int.from_bytes(h, "big") & 0x7FFFFFFFFFFFFFFF)
+                continue
+            if self.pil is not None:
+                import io
+
+                img = self.pil.open(io.BytesIO(p))
+                pixels = np.asarray(img.convert("RGB"))
+            else:
+                fmt = codecs.sniff_format(p or b"")
+                pixels = (codecs.decode_png(p) if fmt == "png"
+                          else codecs.decode_ppm(p))
+            # store the full 64 bits as WRAPPED signed int64 (Arrow has no
+            # uint64 pandas-safe path); consumers view back via uint64
+            hashes.append(int(np.uint64(ahash64(pixels)).astype(np.int64)))
+        return (batch.drop_columns(["payload"])
+                .append_column("phash", pa.array(hashes, pa.int64())))
+
+
+def image_phash_dedup(ds, max_hamming: int = 3, fake: bool = False,
+                      batch_size: int = 32):
+    """Near-duplicate image pairs by perceptual hash.
+
+    Scale shape: payloads are hashed once in an actor pool (64 bits/image
+    leave the decode stage — images never shuffle); the 64-bit hash is cut
+    into ``max_hamming + 1`` bands, so any pair within ``max_hamming``
+    bits shares at least one band EXACTLY (pigeonhole — banded recall is
+    guaranteed, not probabilistic).  One groupby on the exploded
+    (band, value) keys buckets candidates; buckets verify hamming
+    pairwise (popcount, vectorized) and emit (id_a, id_b, hamming).
+
+    Returns a pandas frame sorted by (id_a, id_b).
+    """
+    import pandas as pd
+
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+
+    hashed = ds.map_batches(ImagePHasher, batch_format="pyarrow",
+                            batch_size=batch_size, concurrency=(1, 4),
+                            fn_constructor_kwargs={"fake": fake})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        out_key, out_id, out_ph = [], [], []
+        for b in range(n_bands):
+            band = (ph >> np.uint64(b * band_bits)) & np.uint64(
+                (1 << band_bits) - 1)
+            key = (np.int64(b) << np.int64(band_bits)) | band.astype(np.int64)
+            out_key.append(key)
+            out_id.append(ids)
+            out_ph.append(ph.astype(np.int64))
+        return pa.table({"band_key": pa.array(np.concatenate(out_key)),
+                         "media_id": pa.array(np.concatenate(out_id)),
+                         "phash": pa.array(np.concatenate(out_ph))})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        g = g.sort_values("media_id")
+        ids = g["media_id"].to_numpy()
+        ph = g["phash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(g), k=1)
+        x = ph[ia] ^ ph[ib]
+        # vectorized popcount via byte view
+        bytes_view = x.view(np.uint8).reshape(len(x), 8)
+        ham = np.unpackbits(bytes_view, axis=1).sum(axis=1).astype(np.int64)
+        ok = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia[ok]], "id_b": ids[ib[ok]],
+                             "hamming": ham[ok]})
+
+    pairs = (hashed.map_batches(explode, batch_format="pyarrow")
+             .groupby("band_key").map_groups(bucket_pairs,
+                                             batch_format="pandas")
+             .to_pandas())
+    if not len(pairs):
+        return pairs
+    return (pairs.drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))

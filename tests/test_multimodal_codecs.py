@@ -168,3 +168,55 @@ def test_unsupported_formats_raise_named_errors():
     # no video codec in this container: constructor names the libraries
     with pytest.raises(NotImplementedError, match="av/decord/imageio"):
         VideoFrameSampler(fake=False)
+
+
+# --- perceptual-hash dedup -------------------------------------------------
+
+def test_ahash_stable_and_noise_tolerant():
+    import numpy as np
+
+    from dataquality_ray.stages.multimodal import ahash64
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (40, 28, 3), dtype=np.uint8)
+    h1 = ahash64(img)
+    assert h1 == ahash64(img.copy())  # deterministic
+    noisy = np.clip(img.astype(np.int16) + rng.randint(-2, 3, img.shape),
+                    0, 255).astype(np.uint8)
+    xor = np.uint64(h1) ^ np.uint64(ahash64(noisy))
+    ham = bin(int(xor)).count("1")
+    assert ham <= 3  # small noise stays within the banded guarantee
+    other = rng.randint(0, 256, (40, 28, 3), dtype=np.uint8)
+    xor2 = np.uint64(h1) ^ np.uint64(ahash64(other))
+    assert bin(int(xor2)).count("1") > 10  # unrelated images far apart
+
+
+def test_image_phash_dedup_recall_and_partition_invariance(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dataquality_ray.functions.codecs import encode_png
+    from dataquality_ray.stages.multimodal import image_phash_dedup
+
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+            for _ in range(10)]
+    payloads = [encode_png(im) for im in imgs]
+    for i in range(5):  # ids 10..14 = noisy copies of 0..4
+        noisy = np.clip(imgs[i].astype(np.int16)
+                        + rng.randint(-2, 3, imgs[i].shape),
+                        0, 255).astype(np.uint8)
+        payloads.append(encode_png(noisy))
+    t = pa.table({"media_id": pa.array(range(15), pa.int64()),
+                  "payload": pa.array(payloads, pa.binary())})
+
+    p3 = image_phash_dedup(rd.from_arrow(t).repartition(3), max_hamming=3)
+    p1 = image_phash_dedup(rd.from_arrow(t).repartition(1), max_hamming=3)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(p3, p1)
+    found = set(zip(p3.id_a, p3.id_b))
+    assert {(i, i + 10) for i in range(5)} <= found  # banded recall
+    # no unrelated pair sneaks in under the hamming cap
+    assert all(b - a == 10 for a, b in found)
