@@ -159,7 +159,7 @@ def run_suite() -> dict:
                  "keyword_search_topk", "corpus_snapshot_delta",
                  "weighted_sample_topk", "partitioned_export_counts",
                  "script_detect", "tokenizer_fertility",
-                 "image_phash_dedup",
+                 "image_phash_dedup", "audio_fingerprint_dedup",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -2190,3 +2190,34 @@ def image_phash_q(sf_dir: str):
         "media_id": pa.array(ids, pa.int64()),
         "payload": pa.array(payloads, pa.binary())})).repartition(4)
     return image_phash_dedup(ds, max_hamming=3)
+
+
+@query("audio_fingerprint_dedup")
+def audio_fp_q(sf_dir: str):
+    """Energy-contour fingerprint near-dup pairs over deterministic PCM
+    WAV clips with planted half-amplitude re-encodes — rows-only (WAV
+    decode has no SQL twin); amplitude-invariance + recall pinned in
+    tests/test_multimodal_codecs.py."""
+    import ray.data as rd
+
+    from dataquality_ray.functions.codecs import encode_wav
+    from dataquality_ray.stages.multimodal import audio_fingerprint_dedup
+
+    rng = np.random.RandomState(13)
+    ids, payloads, clips = [], [], []
+    for i in range(12):
+        rate = 8000
+        t = np.arange(rate) / rate
+        clip = (0.5 * np.sin(2 * np.pi * (150 + 230 * i) * t)
+                * (1 + 0.5 * np.sin(2 * np.pi * (1.5 + i) * t)))
+        clips.append(clip)
+        ids.append(i)
+        payloads.append(encode_wav(rate, clip))
+    for i in range(6):  # half-amplitude re-encodes with tiny noise
+        noisy = clips[i] * 0.5 + rng.normal(0, 1e-4, clips[i].shape)
+        ids.append(i + 1000)
+        payloads.append(encode_wav(8000, noisy))
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary())})).repartition(3)
+    return audio_fingerprint_dedup(ds, max_hamming=3)

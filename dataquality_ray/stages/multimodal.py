@@ -365,32 +365,26 @@ class ImagePHasher(ImageDecoder):
                 .append_column("phash", pa.array(hashes, pa.int64())))
 
 
-def image_phash_dedup(ds, max_hamming: int = 3, fake: bool = False,
-                      batch_size: int = 32):
-    """Near-duplicate image pairs by perceptual hash.
+def banded_hamming_pairs(hashed, max_hamming: int,
+                         id_col: str = "media_id",
+                         hash_col: str = "phash"):
+    """Shared banded near-dup machinery over a (id, 64-bit hash) Dataset.
 
-    Scale shape: payloads are hashed once in an actor pool (64 bits/image
-    leave the decode stage — images never shuffle); the 64-bit hash is cut
-    into ``max_hamming + 1`` bands, so any pair within ``max_hamming``
-    bits shares at least one band EXACTLY (pigeonhole — banded recall is
-    guaranteed, not probabilistic).  One groupby on the exploded
-    (band, value) keys buckets candidates; buckets verify hamming
-    pairwise (popcount, vectorized) and emit (id_a, id_b, hamming).
-
-    Returns a pandas frame sorted by (id_a, id_b).
+    The hash is cut into ``max_hamming + 1`` bands, so any pair within
+    ``max_hamming`` bits shares at least one band EXACTLY (pigeonhole —
+    banded recall is guaranteed, not probabilistic).  One groupby on the
+    exploded (band, value) keys buckets candidates; buckets verify
+    hamming pairwise (vectorized popcount) and emit (id_a, id_b,
+    hamming).  Returns a pandas frame sorted by (id_a, id_b).
     """
     import pandas as pd
 
     n_bands = max_hamming + 1
     band_bits = 64 // n_bands
 
-    hashed = ds.map_batches(ImagePHasher, batch_format="pyarrow",
-                            batch_size=batch_size, concurrency=(1, 4),
-                            fn_constructor_kwargs={"fake": fake})
-
     def explode(batch: pa.Table) -> pa.Table:
-        ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        ph = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         out_key, out_id, out_ph = [], [], []
         for b in range(n_bands):
             band = (ph >> np.uint64(b * band_bits)) & np.uint64(
@@ -400,17 +394,17 @@ def image_phash_dedup(ds, max_hamming: int = 3, fake: bool = False,
             out_id.append(ids)
             out_ph.append(ph.astype(np.int64))
         return pa.table({"band_key": pa.array(np.concatenate(out_key)),
-                         "media_id": pa.array(np.concatenate(out_id)),
-                         "phash": pa.array(np.concatenate(out_ph))})
+                         id_col: pa.array(np.concatenate(out_id)),
+                         hash_col: pa.array(np.concatenate(out_ph))})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                                  "id_b": pd.Series([], dtype=np.int64),
                                  "hamming": pd.Series([], dtype=np.int64)})
-        g = g.sort_values("media_id")
-        ids = g["media_id"].to_numpy()
-        ph = g["phash"].to_numpy().astype(np.uint64)
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        ph = g[hash_col].to_numpy().astype(np.uint64)
         ia, ib = np.triu_indices(len(g), k=1)
         x = ph[ia] ^ ph[ib]
         # vectorized popcount via byte view
@@ -428,3 +422,68 @@ def image_phash_dedup(ds, max_hamming: int = 3, fake: bool = False,
         return pairs
     return (pairs.drop_duplicates(["id_a", "id_b"])
             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def image_phash_dedup(ds, max_hamming: int = 3, fake: bool = False,
+                      batch_size: int = 32):
+    """Near-duplicate image pairs by perceptual hash: payloads are hashed
+    once in the decode actor pool (64 bits/image leave the stage — images
+    never shuffle), then :func:`banded_hamming_pairs`."""
+    hashed = ds.map_batches(ImagePHasher, batch_format="pyarrow",
+                            batch_size=batch_size, concurrency=(1, 4),
+                            fn_constructor_kwargs={"fake": fake})
+    return banded_hamming_pairs(hashed, max_hamming)
+
+
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """64-bit energy-contour fingerprint: RMS energies of 65 equal frames,
+    bit i = energy[i+1] > energy[i].  Amplitude-invariant (scaling
+    multiplies every frame equally, leaving the contour), so re-encoded or
+    re-normalized copies of a clip land within a few hamming bits."""
+    from dataquality_ray.functions.codecs import frame_rms_energies
+
+    e = frame_rms_energies(np.asarray(samples, dtype=np.float64), 65)
+    bits = e[1:] > e[:-1]
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class AudioFingerprinter(AudioFrameSampler):
+    """Decode (same codec layering as AudioFrameSampler) -> 64-bit contour
+    fingerprint."""
+
+    def __init__(self, fake: bool = False):
+        super().__init__(fake=fake, n_frames=65)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        from dataquality_ray.functions import codecs
+
+        fps = []
+        for p in batch["payload"].to_pylist():
+            if self.fake:
+                h = hashlib.blake2b(p or b"", digest_size=8).digest()
+                fps.append(int.from_bytes(h, "big") & 0x7FFFFFFFFFFFFFFF)
+                continue
+            if self.soundfile is not None:
+                import io
+
+                samples, _ = self.soundfile.read(io.BytesIO(p))
+                samples = np.asarray(samples, dtype=np.float64)
+                if samples.ndim > 1:
+                    samples = samples.mean(axis=1)
+            else:
+                _, samples = codecs.decode_wav(p)
+            fps.append(int(np.uint64(audio_fingerprint64(samples))
+                           .astype(np.int64)))
+        return (batch.drop_columns(["payload"])
+                .append_column("fingerprint", pa.array(fps, pa.int64())))
+
+
+def audio_fingerprint_dedup(ds, max_hamming: int = 3, fake: bool = False,
+                            batch_size: int = 32):
+    """Near-duplicate audio pairs by energy-contour fingerprint — the
+    audio twin of :func:`image_phash_dedup` (same banded guarantee)."""
+    hashed = ds.map_batches(AudioFingerprinter, batch_format="pyarrow",
+                            batch_size=batch_size, concurrency=(1, 4),
+                            fn_constructor_kwargs={"fake": fake})
+    return banded_hamming_pairs(hashed, max_hamming,
+                                hash_col="fingerprint")

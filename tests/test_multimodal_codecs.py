@@ -220,3 +220,46 @@ def test_image_phash_dedup_recall_and_partition_invariance(ray_session):
     assert {(i, i + 10) for i in range(5)} <= found  # banded recall
     # no unrelated pair sneaks in under the hamming cap
     assert all(b - a == 10 for a, b in found)
+
+
+def test_audio_fingerprint_amplitude_invariant_and_recall(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dataquality_ray.functions.codecs import encode_wav
+    from dataquality_ray.stages.multimodal import (
+        audio_fingerprint64,
+        audio_fingerprint_dedup,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    clip = 0.5 * np.sin(2 * np.pi * 440 * t) * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+    # amplitude scaling leaves the contour fingerprint IDENTICAL
+    assert audio_fingerprint64(clip) == audio_fingerprint64(clip * 0.25)
+
+    rng = np.random.RandomState(9)
+    ids, payloads, clips = [], [], []
+    for i in range(8):
+        c = (0.5 * np.sin(2 * np.pi * (150 + 220 * i) * t)
+             * (1 + 0.5 * np.sin(2 * np.pi * (1.5 + i) * t)))
+        clips.append(c)
+        ids.append(i)
+        payloads.append(encode_wav(rate, c))
+    for i in range(4):
+        noisy = clips[i] * 0.5 + rng.normal(0, 1e-4, clips[i].shape)
+        ids.append(i + 100)
+        payloads.append(encode_wav(rate, noisy))
+    tbl = pa.table({"media_id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(payloads, pa.binary())})
+
+    p3 = audio_fingerprint_dedup(rd.from_arrow(tbl).repartition(3),
+                                 max_hamming=3)
+    p1 = audio_fingerprint_dedup(rd.from_arrow(tbl).repartition(1),
+                                 max_hamming=3)
+    pd.testing.assert_frame_equal(p3, p1)
+    found = set(zip(p3.id_a, p3.id_b))
+    assert {(i, i + 100) for i in range(4)} <= found
+    assert all(b - a == 100 for a, b in found)  # no unrelated clips pair
