@@ -43,7 +43,58 @@ def cmd_filter(args: argparse.Namespace) -> int:
         chunk_files=args.chunk_files,
         dedup=not args.no_dedup,
         dedup_mode=args.dedup_mode,
-        batch_size=args.batch_size)
+        batch_size=args.batch_size,
+        compute=args.compute)
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_dedup(args: argparse.Namespace) -> int:
+    """Standalone dedup job: mark duplicates in a parquet table and write
+    the marked rows (exact) or the near-dup keep decisions (minhash)."""
+    import ray.data as rd
+
+    _ensure_ray()
+    ds = rd.read_parquet(args.input)
+    if args.method == "exact":
+        from dataquality_ray.functions.scrub import sha256_batch
+        from dataquality_ray.stages.dedup import mark_duplicates_join
+
+        hashed = ds.map_batches(
+            lambda b: sha256_batch(b, col=args.column), batch_format="pyarrow")
+        if args.id_column not in ds.schema().names:
+            raise SystemExit(f"--id-column {args.id_column!r} not in table")
+        marked = mark_duplicates_join(hashed, id_col=args.id_column)
+        marked.write_parquet(args.out)
+        n_dup = int(marked.map_batches(
+            lambda b: {"n": [int(sum(b["is_dup"]))]},
+            batch_format="numpy").sum("n") or 0)
+        print(json.dumps({"method": "exact", "dup_rows": n_dup}))
+    else:
+        from dataquality_ray.stages.minhash import (
+            minhash_near_dup_pairs,
+            near_dup_keep,
+        )
+
+        pairs = minhash_near_dup_pairs(
+            ds, args.column, id_col=args.id_column,
+            jaccard_threshold=args.threshold)
+        keep = near_dup_keep(pairs.rename(columns={"jaccard": "score"}))
+        rd.from_pandas(keep).write_parquet(args.out)
+        print(json.dumps({"method": "minhash", "pairs": len(pairs),
+                          "rows_marked": len(keep)}))
+    return 0
+
+
+def cmd_export(args: argparse.Namespace) -> int:
+    """Resumable hive-partitioned re-export of a parquet table."""
+    import ray.data as rd
+
+    from dataquality_ray.sources.writers import export_partitioned
+
+    _ensure_ray()
+    summary = export_partitioned(rd.read_parquet(args.input), args.out,
+                                 args.by)
     print(json.dumps(summary))
     return 0
 
@@ -82,7 +133,30 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["broadcast", "join", "sidecar"])
     f.add_argument("--no-dedup", action="store_true")
     f.add_argument("--batch-size", type=int, default=2048)
+    f.add_argument("--compute", default="actors",
+                   choices=["actors", "tasks"],
+                   help="scorer shape: explicit actor pool, or fused "
+                        "per-block task chain (see BASELINE.md scaling)")
     f.set_defaults(fn=cmd_filter)
+
+    d = sub.add_parser("dedup", help="standalone dedup over a parquet table")
+    d.add_argument("--input", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--method", default="exact",
+                   choices=["exact", "minhash"])
+    d.add_argument("--column", default="text",
+                   help="content column to dedup on")
+    d.add_argument("--id-column", default="doc_id")
+    d.add_argument("--threshold", type=float, default=0.7,
+                   help="minhash Jaccard threshold")
+    d.set_defaults(fn=cmd_dedup)
+
+    e = sub.add_parser("export",
+                       help="resumable hive-partitioned re-export")
+    e.add_argument("--input", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--by", required=True, help="partition column")
+    e.set_defaults(fn=cmd_export)
 
     b = sub.add_parser("battery", help="DQ test battery over one table")
     b.add_argument("--table", required=True)

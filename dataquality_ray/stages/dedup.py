@@ -224,7 +224,20 @@ def mark_duplicates_join(ds, sha_col: str = "content_sha256",
     groups = (dup_groups
               .map_batches(lambda b: _norm_sha(b.rename_columns(
                   [sha_col, "_dedup_canonical"])),
-                  batch_format="pyarrow"))
+                  batch_format="pyarrow")
+              .materialize())  # object-store pin, never driver-held
+    if groups.count() == 0:
+        # zero duplicate groups: an empty Ray dataset loses its schema, so
+        # the per-partition pyarrow join would fail to find the key on the
+        # right side — short-circuit to an all-unique marking instead
+        def mark_unique(b: pa.Table) -> pa.Table:
+            n = len(b)
+            return (b.append_column("is_dup",
+                                    pa.array(np.zeros(n, dtype=bool)))
+                     .append_column("dup_keep",
+                                    pa.array(np.ones(n, dtype=bool))))
+
+        return ds.map_batches(mark_unique, batch_format="pyarrow")
     ds = ds.map_batches(_norm_sha, batch_format="pyarrow")
     joined = ds.join(groups, "left_outer",
                      num_partitions=resolve_join_partitions(

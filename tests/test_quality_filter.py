@@ -447,3 +447,22 @@ def test_compute_tasks_multichunk_with_dup_ref(ray_session, tmp_path):
     again = run_quality_filter(src, str(tmp_path / "run_tasks"),
                                dedup=True, chunk_files=1, compute="tasks")
     assert again == s_t
+
+
+def test_mark_duplicates_join_zero_dup_groups(ray_session):
+    """A corpus with NO exact duplicates must mark every row unique via
+    the join path (an empty Ray dataset loses its schema, which used to
+    break the pyarrow join's right-side key lookup)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dataquality_ray.functions.scrub import sha256_batch
+    from dataquality_ray.stages.dedup import mark_duplicates_join
+
+    t = pa.table({"row_id": list(range(8)),
+                  "content": [f"unique text {i}" for i in range(8)]})
+    hashed = (rd.from_arrow(t).repartition(2)
+              .map_batches(sha256_batch, batch_format="pyarrow"))
+    out = mark_duplicates_join(hashed).to_pandas()
+    assert len(out) == 8
+    assert not out["is_dup"].any() and out["dup_keep"].all()

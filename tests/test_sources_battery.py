@@ -574,3 +574,31 @@ def test_u1_and_a3_summaries_branch_on_violations(ray_session):
     assert res2["summaries"]["A3"] == (
         "The aggregated column tot may contain values not equal to the "
         "sums of its component columns: a, b.")
+
+
+def test_cli_dedup_and_export(ray_session, tmp_path):
+    """New job-surface subcommands: standalone dedup (exact + minhash) and
+    resumable partitioned export."""
+    import ray.data as rd
+
+    from dataquality_ray.cli import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out_e = str(tmp_path / "dedup_exact")
+    assert main(["dedup", "--input", src, "--out", out_e,
+                 "--method", "exact", "--column", "text"]) == 0
+    marked = rd.read_parquet(out_e).to_pandas()
+    assert len(marked) == 500 and not marked["is_dup"].any()
+
+    out_m = str(tmp_path / "dedup_mh")
+    assert main(["dedup", "--input", src, "--out", out_m,
+                 "--method", "minhash", "--column", "text",
+                 "--threshold", "0.5"]) == 0
+    keep = rd.read_parquet(out_m).to_pandas()
+    assert {"doc_id", "keep"} <= set(keep.columns)
+
+    out_x = str(tmp_path / "export")
+    assert main(["export", "--input", src, "--out", out_x,
+                 "--by", "lang"]) == 0
+    back = rd.read_parquet(f"{out_x}/data")
+    assert back.count() == 500
