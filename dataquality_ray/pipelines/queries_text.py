@@ -2221,3 +2221,16 @@ def audio_fp_q(sf_dir: str):
         "media_id": pa.array(ids, pa.int64()),
         "payload": pa.array(payloads, pa.binary())})).repartition(3)
     return audio_fingerprint_dedup(ds, max_hamming=3)
+
+
+@query("ann_pq_topk")
+def ann_pq_q(sf_dir: str):
+    """PQ-compressed ANN top-10 (m=32 uint8 codes per 64-dim vector, ADC
+    lookup scan, streaming local-top-k merge) — rows-only like ann_ivf /
+    ann_lsh_bucketed; recall bound vs brute force pinned in
+    tests/test_dedup_ann.py."""
+    from dataquality_ray.stages.ann import pq_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)
+    return pq_topk(ds, q, dim=64, k=10, m=32, kcode=16)

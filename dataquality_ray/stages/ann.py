@@ -417,6 +417,33 @@ def similarity_join(left, right, k: int = 5, dim: int | None = None,
                                         "score"]]
 
 
+def _hash_mod_sample(ds, sample_n: int, emb_col: str = "embedding",
+                     id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic UNBIASED fit sample as a (n, dim) float64 matrix: keep
+    rows whose splitmix64(id) falls under ~sample_n/n of the hash space —
+    order-independent, so inputs sorted/clustered by write order can't
+    skew the fit (round-1 ADVICE: limit() took the FIRST rows).  Hash-mod,
+    not random(): reproducible across runs and processes.  Shared by the
+    IVF and PQ quantizer fits."""
+    n = max(1, ds.count())
+    rate = min(1.0, (2.0 * sample_n) / n)  # 2x target, then trim exact
+    threshold = np.uint64(min(2**64 - 1, int(rate * float(2**64))))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.uint64)
+        h = _splitmix64(ids)
+        return batch.filter(pa.array(h <= threshold))
+
+    rows = (ds.select_columns([id_col, emb_col])
+              .map_batches(keep, batch_format="pyarrow").take_all())
+    # trim to exactly sample_n by hash rank for size determinism
+    rows.sort(key=lambda r: int(_splitmix64(
+        np.array([r[id_col]], dtype=np.uint64))[0]))
+    rows = rows[:sample_n]
+    return np.array([np.asarray(r[emb_col], dtype=np.float64)
+                     for r in rows])
+
+
 class IVFIndex:
     """IVF (inverted-file) coarse quantizer: deterministic Lloyd k-means
     (fixed seed, fixed iterations, driver-side fit on a bounded sample),
@@ -432,28 +459,7 @@ class IVFIndex:
     def fit(cls, ds, dim: int, nlist: int = 16, sample_n: int = 4096,
             iters: int = 10, seed: int = 42, emb_col: str = "embedding",
             id_col: str = "vec_id") -> "IVFIndex":
-        # Deterministic UNBIASED sample: keep rows whose splitmix64(id) falls
-        # under sample_n/n of the hash space — order-independent, so inputs
-        # sorted/clustered by write order can't skew the centroids (round-1
-        # ADVICE: limit() took the FIRST rows).  Hash-mod, not random():
-        # reproducible across runs and processes.
-        n = max(1, ds.count())
-        rate = min(1.0, (2.0 * sample_n) / n)  # 2x target, then trim exact
-        threshold = np.uint64(min(2**64 - 1, int(rate * float(2**64))))
-
-        def keep(batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.uint64)
-            h = _splitmix64(ids)
-            return batch.filter(pa.array(h <= threshold))
-
-        rows = (ds.select_columns([id_col, emb_col])
-                  .map_batches(keep, batch_format="pyarrow").take_all())
-        # trim to exactly sample_n by hash rank for size determinism
-        rows.sort(key=lambda r: int(_splitmix64(
-            np.array([r[id_col]], dtype=np.uint64))[0]))
-        rows = rows[:sample_n]
-        x = _normalize(np.array([np.asarray(r[emb_col], dtype=np.float64)
-                                 for r in rows]))
+        x = _normalize(_hash_mod_sample(ds, sample_n, emb_col, id_col))
         rng = np.random.RandomState(seed)
         cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
         for _ in range(iters):
@@ -507,3 +513,121 @@ def ivf_topk(ds, query: np.ndarray, dim: int, k: int = 10, nlist: int = 16,
     res = cosine_topk(in_lists, np.atleast_2d(query), k=k,
                       emb_col=emb_col, id_col=id_col)
     return res[["vec_id", "score"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-compressed ADC scan
+# ---------------------------------------------------------------------------
+
+class PQIndex:
+    """Product quantizer: the vector space is split into ``m`` subspaces
+    and each gets a ``k``-centroid codebook (deterministic Lloyd k-means on
+    the shared unbiased hash-mod sample).  Vectors encode to ``m`` uint8
+    codes — dim×4 bytes shrink to m bytes (32× at dim=64, m=8), which is
+    what lets a 10^10-vector index live in cluster memory at all.  Queries
+    build an ADC lookup table (m × k partial inner products) once and scan
+    codes with table lookups + adds — no float matmul per vector.
+
+    Cosine semantics: vectors are l2-normalized BEFORE encoding and the
+    query before table build, so summed partial dots approximate cosine.
+    Recall < 1 by design; bounds pinned in tests/test_dedup_ann.py.
+    """
+
+    def __init__(self, codebooks: np.ndarray):
+        # (m, k, dsub) float64
+        self.codebooks = np.asarray(codebooks, dtype=np.float64)
+        self.m, self.k, self.dsub = self.codebooks.shape
+
+    @classmethod
+    def fit(cls, ds, dim: int, m: int = 8, k: int = 16,
+            sample_n: int = 4096, iters: int = 10, seed: int = 42,
+            emb_col: str = "embedding", id_col: str = "vec_id") -> "PQIndex":
+        if dim % m != 0:
+            raise ValueError(f"dim={dim} not divisible by m={m}")
+        x = _normalize(_hash_mod_sample(ds, sample_n, emb_col, id_col))
+        dsub = dim // m
+        rng = np.random.RandomState(seed)
+        books = np.empty((m, k, dsub), dtype=np.float64)
+        for j in range(m):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            cent = sub[rng.choice(len(sub), size=min(k, len(sub)),
+                                  replace=False)]
+            for _ in range(iters):
+                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                for c in range(len(cent)):
+                    sel = assign == c
+                    if sel.any():
+                        cent[c] = sub[sel].mean(axis=0)
+            books[j, :len(cent)] = cent
+            if len(cent) < k:  # degenerate tiny sample: repeat last centroid
+                books[j, len(cent):] = cent[-1]
+        return cls(books)
+
+    def encode_stage(self, ds, emb_col: str = "embedding",
+                     batch_size: int = 4096):
+        """Tag every vector with its ``pq_code`` (list<uint8> of length m);
+        the embedding column is DROPPED — codes are the index."""
+        ref = ray.put(self.codebooks)
+        m, dsub = self.m, self.dsub
+
+        def encode(batch: pa.Table) -> pa.Table:
+            books = ray.get(ref)
+            x = _normalize(_stack_embeddings(batch, emb_col))
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for j in range(m):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            return (batch.drop_columns([emb_col])
+                    .append_column("pq_code",
+                                   pa.array(codes.tolist(),
+                                            pa.list_(pa.uint8()))))
+
+        return ds.map_batches(encode, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def adc_table(self, query: np.ndarray) -> np.ndarray:
+        """(m, k) table of partial inner products for one query."""
+        q = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float64)))[0]
+        lut = np.empty((self.m, self.k), dtype=np.float64)
+        for j in range(self.m):
+            lut[j] = self.codebooks[j] @ q[j * self.dsub:(j + 1) * self.dsub]
+        return lut
+
+
+def pq_topk(ds, query: np.ndarray, dim: int, k: int = 10, m: int = 8,
+            kcode: int = 16, seed: int = 42, emb_col: str = "embedding",
+            id_col: str = "vec_id", index: PQIndex | None = None,
+            batch_size: int = 4096) -> pd.DataFrame:
+    """PQ ANN top-k: fit (deterministic) -> encode -> ADC scan.
+
+    The scan emits only each batch's LOCAL top-k (streaming merge on the
+    driver, no shuffle, no global sort) — same scale shape as the
+    retrieval/weighted-sample operators.  Returns (vec_id, score, rank).
+    """
+    index = index or PQIndex.fit(ds, dim, m=m, k=kcode, seed=seed,
+                                 emb_col=emb_col, id_col=id_col)
+    codes = index.encode_stage(ds, emb_col=emb_col, batch_size=batch_size)
+    lut_ref = ray.put(index.adc_table(query))
+    mm = index.m
+
+    def scan(batch: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        c = np.array(batch["pq_code"].to_pylist(), dtype=np.uint8)
+        if not len(c):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        score = lut[np.arange(mm)[None, :], c].sum(axis=1)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -score))[:k]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "score": pa.array(score[order])})
+
+    parts = codes.map_batches(scan, batch_format="pyarrow",
+                              batch_size=batch_size).to_pandas()
+    parts = (parts.sort_values(["score", id_col], ascending=[False, True])
+             .head(k).reset_index(drop=True))
+    parts.insert(len(parts.columns), "rank",
+                 np.arange(1, len(parts) + 1, dtype=np.int64))
+    return parts

@@ -426,3 +426,41 @@ def test_near_dup_keep_distributed_pointer_jumping_long_path(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert (got["group_id"] == 0).all()
     pd.testing.assert_frame_equal(got, near_dup_keep(pairs))
+
+
+# --- product quantization --------------------------------------------------
+
+def test_pq_recall_and_determinism(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dataquality_ray.stages.ann import cosine_topk, pq_topk
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)
+    pq1 = pq_topk(ds, q, dim=64, k=10, m=32, kcode=16)
+    pq2 = pq_topk(ds, q, dim=64, k=10, m=32, kcode=16)
+    pd.testing.assert_frame_equal(pq1, pq2)  # deterministic fit+scan
+    exact = cosine_topk(ds, q[None, :], k=10)
+    recall = len(set(pq1.vec_id) & set(exact.vec_id)) / 10
+    assert recall >= 0.6
+    assert list(pq1["rank"]) == list(range(1, 11))
+
+
+def test_pq_encode_compression_and_guards(ray_session):
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from dataquality_ray.stages.ann import PQIndex
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = PQIndex.fit(ds, dim=64, m=8, k=16)
+    assert idx.codebooks.shape == (8, 16, 8)
+    codes = idx.encode_stage(ds).take(5)
+    for r in codes:
+        assert len(r["pq_code"]) == 8  # 256 B vector -> 8 B code
+        assert "embedding" not in r
+    with pytest.raises(ValueError, match="not divisible"):
+        PQIndex.fit(ds, dim=64, m=7)
