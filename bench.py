@@ -160,7 +160,7 @@ def run_suite() -> dict:
                  "weighted_sample_topk", "partitioned_export_counts",
                  "script_detect", "tokenizer_fertility",
                  "image_phash_dedup", "audio_fingerprint_dedup",
-                 "ann_pq_topk",
+                 "ann_pq_topk", "psi_numeric_drift",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

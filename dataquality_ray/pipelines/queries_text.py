@@ -2234,3 +2234,64 @@ def ann_pq_q(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     q = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)
     return pq_topk(ds, q, dim=64, k=10, m=32, kcode=16)
+
+
+@query("psi_numeric_drift", sql="""
+WITH src AS (
+  SELECT o_totalprice AS v, o_orderkey % 2 AS snap FROM orders
+), mm AS (
+  SELECT min(v) AS lo, max(v) AS hi FROM src
+), binned AS (
+  SELECT snap,
+         least(greatest(CAST(floor((v - lo) / ((hi - lo) / 10.0)) AS BIGINT),
+                        0), 9) AS bin
+  FROM src, mm
+), c AS (
+  SELECT bin,
+         count(*) FILTER (WHERE snap = 0) AS count_a,
+         count(*) FILTER (WHERE snap = 1) AS count_b
+  FROM binned GROUP BY bin
+), grid AS (
+  SELECT unnest(range(0, 10)) AS bin
+), filled AS (
+  SELECT g.bin, coalesce(c.count_a, 0) AS count_a,
+         coalesce(c.count_b, 0) AS count_b
+  FROM grid g LEFT JOIN c USING (bin)
+), tot AS (
+  SELECT sum(count_a) AS na, sum(count_b) AS nb FROM filled
+), p AS (
+  SELECT bin, count_a, count_b,
+         (count_a + 1.0) / (na + 10.0) AS pa,
+         (count_b + 1.0) / (nb + 10.0) AS pb
+  FROM filled, tot
+), s AS (
+  SELECT sum((pa - pb) * ln(pa / pb)) AS psi FROM p
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(count_a AS BIGINT) AS count_a,
+       CAST(count_b AS BIGINT) AS count_b,
+       floor(psi * 1000000) / 1000000 AS psi
+FROM p, s ORDER BY bin
+""")
+def psi_drift_q(sf_dir: str):
+    """PSI of o_totalprice between even- and odd-keyed order snapshots:
+    exact combined min/max -> deterministic equal-width bins (identical
+    IEEE arithmetic both sides), streaming per-bin partial counts, Laplace
+    smoothing."""
+    from dataquality_ray.stages.drift import psi_numeric
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def side(parity):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    r = psi_numeric(side(0), side(1), "o_totalprice", n_bins=10)
+    psi = np.floor(r["psi"] * 1e6) / 1e6
+    return pd.DataFrame({
+        "bin": np.arange(10, dtype=np.int64),
+        "count_a": np.array(r["counts_a"], dtype=np.int64),
+        "count_b": np.array(r["counts_b"], dtype=np.int64),
+        "psi": [psi] * 10,
+    })

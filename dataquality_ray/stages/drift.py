@@ -85,3 +85,64 @@ def corpus_drift(ds, col: str = "text", group_col: str = "source",
     """One-call drift report: JS divergence for every group pair."""
     return js_divergence_matrix(
         group_bucket_counts(ds, col, group_col, n_buckets), n_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Numeric-feature drift: Population Stability Index between two snapshots
+# ---------------------------------------------------------------------------
+
+def psi_numeric(ds_a, ds_b, col: str, n_bins: int = 10,
+                batch_size: int = 4096) -> dict:
+    """PSI of ``col`` between snapshot A (expected) and B (actual).
+
+    Bin edges are ``n_bins`` equal-width bins over the COMBINED exact
+    [min, max] (two scalar aggregates — deterministic, so an SQL oracle
+    reproduces the exact same binning); per-bin counts are streaming
+    partial sums (one bounded (n_bins,) vector per batch, no shuffle);
+    Laplace +1 smoothing keeps empty bins finite.  Returns
+    ``{"psi", "bins": [(lo, hi, p_a, p_b), ...]}``.
+    PSI reading: < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 major.
+    """
+    import pyarrow.compute as pc
+
+    def minmax(ds):
+        parts = ds.select_columns([col]).map_batches(
+            lambda b: pa.table({
+                "lo": [pc.min(b[col]).as_py()],
+                "hi": [pc.max(b[col]).as_py()]}),
+            batch_format="pyarrow", batch_size=batch_size).take_all()
+        los = [p["lo"] for p in parts if p["lo"] is not None]
+        his = [p["hi"] for p in parts if p["hi"] is not None]
+        return (min(los) if los else None), (max(his) if his else None)
+
+    lo_a, hi_a = minmax(ds_a)
+    lo_b, hi_b = minmax(ds_b)
+    lo = min(x for x in (lo_a, lo_b) if x is not None)
+    hi = max(x for x in (hi_a, hi_b) if x is not None)
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+
+    def counts(ds) -> np.ndarray:
+        def part(b: pa.Table) -> pa.Table:
+            v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            idx = np.clip(((v - lo) / width).astype(np.int64), 0,
+                          n_bins - 1)
+            c = np.bincount(idx, minlength=n_bins)
+            return pa.table({"bin": np.arange(n_bins), "c": c})
+
+        parts = (ds.select_columns([col])
+                 .map_batches(part, batch_format="pyarrow",
+                              batch_size=batch_size).take_all())
+        total = np.zeros(n_bins, dtype=np.int64)
+        for p in parts:
+            total[int(p["bin"])] += int(p["c"])
+        return total
+
+    ca, cb = counts(ds_a), counts(ds_b)
+    pa_ = (ca + 1.0) / (ca.sum() + n_bins)
+    pb_ = (cb + 1.0) / (cb.sum() + n_bins)
+    psi = float(((pa_ - pb_) * np.log(pa_ / pb_)).sum())
+    bins = [(lo + i * width, lo + (i + 1) * width,
+             float(pa_[i]), float(pb_[i])) for i in range(n_bins)]
+    return {"psi": psi, "bins": bins,
+            "counts_a": ca.tolist(), "counts_b": cb.tolist()}

@@ -81,3 +81,51 @@ def test_guard_on_group_explosion(monkeypatch):
     with pytest.raises(ValueError, match="not a mixture"):
         group_bucket_counts(_ds(texts, [f"s{i}" for i in range(10)],
                                 blocks=1))
+
+
+# --- numeric PSI drift -----------------------------------------------------
+
+def test_psi_identity_and_shift(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dataquality_ray.stages.drift import psi_numeric
+
+    rng = np.random.RandomState(0)
+    a = pd.DataFrame({"v": rng.normal(0, 1, 4000)})
+    same = psi_numeric(rd.from_pandas(a).repartition(4),
+                       rd.from_pandas(a.copy()).repartition(2), "v")
+    assert same["psi"] < 1e-9  # identical snapshots -> ~0
+
+    b = pd.DataFrame({"v": rng.normal(2.0, 1, 4000)})  # shifted mean
+    shifted = psi_numeric(rd.from_pandas(a), rd.from_pandas(b), "v")
+    assert shifted["psi"] > 0.25  # major shift flagged
+    assert len(shifted["bins"]) == 10
+    assert sum(shifted["counts_a"]) == 4000
+
+
+def test_psi_numpy_parity_and_nan(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from dataquality_ray.stages.drift import psi_numeric
+
+    rng = np.random.RandomState(7)
+    va = rng.uniform(0, 10, 1000)
+    vb = rng.uniform(1, 11, 1000)
+    a = pd.DataFrame({"v": np.concatenate([va, [np.nan]])})
+    b = pd.DataFrame({"v": vb})
+    got = psi_numeric(rd.from_pandas(a).repartition(3),
+                      rd.from_pandas(b).repartition(3), "v", n_bins=8)
+
+    lo, hi = min(va.min(), vb.min()), max(va.max(), vb.max())
+    w = (hi - lo) / 8
+    ca = np.bincount(np.clip(((va - lo) / w).astype(int), 0, 7), minlength=8)
+    cb = np.bincount(np.clip(((vb - lo) / w).astype(int), 0, 7), minlength=8)
+    pa_ = (ca + 1.0) / (ca.sum() + 8)
+    pb_ = (cb + 1.0) / (cb.sum() + 8)
+    want = float(((pa_ - pb_) * np.log(pa_ / pb_)).sum())
+    assert got["psi"] == pytest.approx(want, rel=1e-12)  # NaN excluded
+    assert got["counts_a"] == ca.tolist()
