@@ -267,3 +267,32 @@ def script_stats(batch: pa.Table, col: str = "text") -> pa.Table:
     for n in names:
         out = out.append_column(n, pc.cast(counts[n], pa.int64()))
     return out.append_column("dominant", pa.array(dom, pa.string()))
+
+
+def lexical_stats(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Type-token ratio + zlib compressibility per document.
+
+    TTR (distinct tokens / tokens) is the classic lexical-diversity
+    signal; the zlib ratio (compressed/raw bytes) is the cheap
+    repetition detector — boilerplate and generated text compress far
+    below prose.  Tokenization = whitespace split (matches the SQL
+    oracle); compression is level-6 zlib on UTF-8 bytes (rows-only,
+    pinned by a direct-zlib parity test)."""
+    import zlib
+
+    texts = batch[col].to_pylist()
+    n_tok = np.empty(len(texts), dtype=np.int64)
+    n_types = np.empty(len(texts), dtype=np.int64)
+    ratio = np.empty(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        n_tok[i] = len(toks)
+        n_types[i] = len(set(toks))
+        raw = (t or "").encode("utf-8")
+        ratio[i] = (len(zlib.compress(raw, 6)) / len(raw)) if raw else 1.0
+    ttr = np.where(n_tok > 0, n_types / np.maximum(n_tok, 1), 0.0)
+    return (batch
+            .append_column("n_tokens_lex", pa.array(n_tok))
+            .append_column("n_types", pa.array(n_types))
+            .append_column("ttr", pa.array(ttr))
+            .append_column("zlib_ratio", pa.array(ratio)))

@@ -2295,3 +2295,54 @@ def psi_drift_q(sf_dir: str):
         "count_b": np.array(r["counts_b"], dtype=np.int64),
         "psi": [psi] * 10,
     })
+
+
+@query("type_token_ratio", sql="""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens_lex,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       floor(len(list_distinct(toks)) * 1.0 / len(toks) * 1000000)
+         / 1000000 AS ttr
+FROM t ORDER BY doc_id
+""")
+def ttr_q(sf_dir: str):
+    """Lexical diversity per doc (distinct/total whitespace tokens); the
+    zlib-compressibility twin from the same kernel is rows-only
+    (compression_ratio query) with a direct-zlib parity test."""
+    from dataquality_ray.functions.text import lexical_stats
+
+    def kern(b: pa.Table) -> pa.Table:
+        return lexical_stats(b).select(
+            ["doc_id", "n_tokens_lex", "n_types", "ttr"])
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["ttr"] = np.floor(out["ttr"] * 1e6) / 1e6
+    return out
+
+
+@query("compression_ratio")
+def compression_ratio_q(sf_dir: str):
+    """Per-source mean zlib compressibility (repetition/boilerplate
+    detector) — rows-only (no SQL zlib); direct-zlib parity pinned in
+    tests/test_kernels.py."""
+    from ray.data.aggregate import Count, Mean
+
+    from dataquality_ray.functions.text import lexical_stats
+
+    def kern(b: pa.Table) -> pa.Table:
+        return lexical_stats(b).select(["source", "zlib_ratio"])
+
+    agg = (_read(sf_dir, "documents", ["source", "text"])
+           .map_batches(kern, batch_format="pyarrow")
+           .groupby("source").aggregate(
+               Mean("zlib_ratio", alias_name="mean_zlib_ratio"),
+               Count("source", alias_name="n_docs"))
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    agg["mean_zlib_ratio"] = np.floor(agg["mean_zlib_ratio"] * 1e6) / 1e6
+    return agg
