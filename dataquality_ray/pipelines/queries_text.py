@@ -2346,3 +2346,37 @@ def compression_ratio_q(sf_dir: str):
            .to_pandas().sort_values("source").reset_index(drop=True))
     agg["mean_zlib_ratio"] = np.floor(agg["mean_zlib_ratio"] * 1e6) / 1e6
     return agg
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means over embeddings — iterative (rows-only; pytest holds
+# the numpy single-process Lloyd oracle, tests/test_dedup_ann.py)
+# ---------------------------------------------------------------------------
+
+@query("kmeans_embeddings")
+def kmeans_q(sf_dir: str):
+    """Full-data Lloyd k-means (stages/kmeans.py): per-iteration pass =
+    broadcast centroids + fixed-size partial reduce, zero shuffles.
+    Result: per-cluster size, mean loss and majority-label purity (the
+    synthetic embeddings carry a ground-truth label column)."""
+    from ray.data.aggregate import Count
+
+    from dataquality_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    emb = _read(sf_dir, "embeddings")
+    cent, info = kmeans_fit(emb, k=10, iters=8)
+    tagged = kmeans_assign(emb, cent)
+    counts = (tagged.groupby(["cluster", "label"])
+              .aggregate(Count("label", alias_name="n"))
+              .to_pandas())
+    total = counts.groupby("cluster", as_index=False)["n"].sum() \
+        .rename(columns={"n": "size"})
+    major = (counts.sort_values(["cluster", "n", "label"],
+                                ascending=[True, False, True])
+             .groupby("cluster", as_index=False).first()
+             .rename(columns={"label": "majority_label", "n": "n_major"}))
+    out = total.merge(major[["cluster", "majority_label", "n_major"]],
+                      on="cluster")
+    out["purity"] = np.floor(out["n_major"] / out["size"] * 1e6) / 1e6
+    out["iterations"] = info["iterations"]
+    return out.sort_values("cluster").reset_index(drop=True)

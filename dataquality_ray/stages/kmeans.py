@@ -1,0 +1,161 @@
+"""Distributed Lloyd k-means over an embedding column.
+
+``IVFIndex.fit`` / ``PQIndex.fit`` (stages/ann.py:459,542) fit their
+quantizers driver-side on a bounded hash-mod sample — the right call for
+a coarse quantizer, but not a general clustering operator.  This is the
+full-data scale path: every Lloyd iteration is ONE streaming pass over
+the Dataset that
+
+1. broadcasts the current ``(k, dim)`` centroid matrix via ``ray.put``
+   (read per task from plasma, never re-shipped per batch),
+2. reduces fixed-size per-batch partials — ``k`` rows of
+   ``(cluster, n, sum_vec, inertia)`` — on the driver via
+   ``iter_batches`` streaming accumulation,
+
+so driver memory is ``O(k * dim)`` regardless of corpus size and there
+is no shuffle at all.  Determinism: init is the unbiased hash-mod
+sample (``ann._hash_mod_sample``) + seeded choice, iteration count is
+fixed; float summation order varies with batch arrival, so cross-run
+equality is allclose-level, not bit-exact (the pytest oracle runs a
+single-process numpy Lloyd from the same init and checks assignment
+equality + centroid allclose).
+
+Reference parity: the reference has no clustering operator — this is a
+first-class addition for the training-data pipeline family (SemDeDup
+centroid fitting, IVF list training, corpus bucketing for mixture
+control).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from dataquality_ray.stages.ann import (_hash_mod_sample, _normalize,
+                                        _stack_embeddings)
+
+
+def _assign(x: np.ndarray, cent: np.ndarray, metric: str) -> tuple:
+    """(labels, per-point loss). cosine: loss = 1 - sim on normalized x;
+    l2: loss = squared euclidean distance."""
+    if metric == "cosine":
+        sims = x @ cent.T
+        lab = np.argmax(sims, axis=1)
+        return lab, 1.0 - sims[np.arange(len(x)), lab]
+    d2 = ((x ** 2).sum(1)[:, None] - 2.0 * (x @ cent.T)
+          + (cent ** 2).sum(1)[None, :])
+    lab = np.argmin(d2, axis=1)
+    return lab, np.maximum(d2[np.arange(len(x)), lab], 0.0)
+
+
+def _partial_stage(ds, cent_ref, emb_col: str, metric: str):
+    """One pass: per-batch (cluster, n, sum_vec, inertia) partials."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        x = _stack_embeddings(batch, emb_col)
+        if metric == "cosine":
+            x = _normalize(x)
+        lab, loss = _assign(x, cent, metric)
+        k, dim = cent.shape
+        n = np.bincount(lab, minlength=k).astype(np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        np.add.at(sums, lab, x)
+        inert = np.bincount(lab, weights=loss, minlength=k)
+        return pa.table({
+            "cluster": pa.array(np.arange(k, dtype=np.int64)),
+            "n": pa.array(n),
+            "sum_vec": pa.array(list(sums), pa.list_(pa.float64())),
+            "inertia": pa.array(inert),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def kmeanspp_init(x: np.ndarray, k: int, rng: np.random.RandomState,
+                  metric: str = "cosine") -> np.ndarray:
+    """k-means++ seeding (Arthur & Vassilvitskii, SODA'07) on the fit
+    sample: each next seed is drawn ∝ squared distance to the nearest
+    chosen seed — far fewer split/merge local minima than uniform init."""
+    k = min(k, len(x))
+    cent = np.empty((k, x.shape[1]), dtype=np.float64)
+    cent[0] = x[rng.randint(len(x))]
+    if metric == "cosine":
+        d2 = np.maximum(1.0 - x @ cent[0], 0.0) ** 2
+    else:
+        d2 = ((x - cent[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else np.full(len(x), 1 / len(x))
+        cent[j] = x[rng.choice(len(x), p=p)]
+        if metric == "cosine":
+            nd = np.maximum(1.0 - x @ cent[j], 0.0) ** 2
+        else:
+            nd = ((x - cent[j]) ** 2).sum(axis=1)
+        d2 = np.minimum(d2, nd)
+    return cent
+
+
+def kmeans_fit(ds, k: int = 8, *, emb_col: str = "embedding",
+               id_col: str = "vec_id", metric: str = "cosine",
+               iters: int = 10, tol: float = 1e-6, seed: int = 42,
+               sample_n: int = 4096):
+    """Fit k centroids over the full Dataset; returns
+    ``(centroids, info)`` where info has per-iteration inertia and the
+    final cluster sizes.  Driver memory O(k*dim); one streaming pass per
+    iteration, zero shuffles."""
+    import ray
+
+    x0 = _hash_mod_sample(ds, sample_n, emb_col, id_col)
+    if metric == "cosine":
+        x0 = _normalize(x0)
+    rng = np.random.RandomState(seed)
+    cent = kmeanspp_init(x0, k, rng, metric)
+    history, sizes = [], None
+    for it in range(iters):
+        cent_ref = ray.put(cent)
+        k_eff, dim = cent.shape
+        n = np.zeros(k_eff, dtype=np.int64)
+        sums = np.zeros((k_eff, dim), dtype=np.float64)
+        inert = 0.0
+        stage = _partial_stage(ds, cent_ref, emb_col, metric)
+        for b in stage.iter_batches(batch_format="pyarrow"):
+            idx = b["cluster"].to_numpy(zero_copy_only=False)
+            np.add.at(n, idx, b["n"].to_numpy(zero_copy_only=False))
+            sv = np.array(b["sum_vec"].to_pylist(), dtype=np.float64)
+            np.add.at(sums, idx, sv)
+            inert += float(np.sum(b["inertia"].to_numpy(
+                zero_copy_only=False)))
+        history.append(inert)
+        new = cent.copy()
+        nz = n > 0
+        new[nz] = sums[nz] / n[nz, None]
+        if metric == "cosine":
+            new = _normalize(new)
+        shift = float(np.abs(new - cent).max())
+        cent, sizes = new, n
+        if shift < tol:
+            break
+    return cent, {"inertia": history, "sizes": sizes,
+                  "iterations": len(history)}
+
+
+def kmeans_assign(ds, centroids: np.ndarray, *,
+                  emb_col: str = "embedding", metric: str = "cosine"):
+    """Tag every row with its nearest-centroid ``cluster`` and the
+    per-point ``loss`` (1-cos or squared L2) — broadcast-once stage."""
+    import ray
+
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        x = _stack_embeddings(batch, emb_col)
+        if metric == "cosine":
+            x = _normalize(x)
+        lab, loss = _assign(x, cent, metric)
+        return (batch.append_column("cluster",
+                                    pa.array(lab.astype(np.int64)))
+                     .append_column("loss", pa.array(loss)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -464,3 +464,81 @@ def test_pq_encode_compression_and_guards(ray_session):
         assert "embedding" not in r
     with pytest.raises(ValueError, match="not divisible"):
         PQIndex.fit(ds, dim=64, m=7)
+
+
+# --- distributed k-means ---------------------------------------------------
+
+def _numpy_lloyd(x, k, iters, seed=42, metric="cosine", tol=0.0):
+    """Single-process replica of stages/kmeans.kmeans_fit semantics."""
+    from dataquality_ray.stages.ann import _normalize
+    from dataquality_ray.stages.kmeans import kmeanspp_init
+    if metric == "cosine":
+        x = _normalize(x)
+    rng = np.random.RandomState(seed)
+    cent = kmeanspp_init(x, k, rng, metric)
+    for _ in range(iters):
+        if metric == "cosine":
+            lab = np.argmax(x @ cent.T, axis=1)
+        else:
+            d2 = ((x**2).sum(1)[:, None] - 2*(x @ cent.T)
+                  + (cent**2).sum(1)[None, :])
+            lab = np.argmin(d2, axis=1)
+        new = cent.copy()
+        for j in range(k):
+            m = lab == j
+            if m.any():
+                new[j] = x[m].mean(axis=0)
+        if metric == "cosine":
+            new = _normalize(new)
+        shift = float(np.abs(new - cent).max())
+        cent = new
+        if shift < tol:
+            break
+    return cent
+
+
+def test_kmeans_matches_numpy_lloyd(clustered_vecs, ray_session):
+    from dataquality_ray.stages.ann import _hash_mod_sample, _normalize
+    from dataquality_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    vecs, df = clustered_vecs
+    ds = rd.from_pandas(df).repartition(6)
+    cent, info = kmeans_fit(ds, k=8, iters=6, tol=0.0)
+    # oracle starts from the identical deterministic hash-mod init
+    x0 = _hash_mod_sample(ds, 4096)
+    want = _numpy_lloyd(x0, 8, 6)
+    assert np.allclose(cent, want, atol=1e-8), np.abs(cent - want).max()
+    # assignments against the fitted centroids match numpy argmax
+    out = (kmeans_assign(ds, cent).select_columns(["vec_id", "cluster"])
+           .to_pandas().sort_values("vec_id"))
+    xn = _normalize(vecs.astype(np.float64))
+    assert (out["cluster"].to_numpy()
+            == np.argmax(xn @ cent.T, axis=1)).all()
+    assert info["iterations"] == 6 and len(info["inertia"]) == 6
+    assert info["sizes"].sum() == len(vecs)
+
+
+def test_kmeans_partition_invariant(clustered_vecs, ray_session):
+    from dataquality_ray.stages.kmeans import kmeans_fit
+
+    _, df = clustered_vecs
+    a, _ = kmeans_fit(rd.from_pandas(df).repartition(3), k=5, iters=4)
+    b, _ = kmeans_fit(rd.from_pandas(df).repartition(11), k=5, iters=4)
+    assert np.allclose(a, b, atol=1e-8)
+
+
+def test_kmeans_recovers_planted_clusters(clustered_vecs, ray_session):
+    from dataquality_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    vecs, df = clustered_vecs
+    ds = rd.from_pandas(df).repartition(4)
+    cent, _ = kmeans_fit(ds, k=8, iters=10, metric="l2")
+    out = (kmeans_assign(ds, cent, metric="l2")
+           .select_columns(["vec_id", "cluster"]).to_pandas()
+           .sort_values("vec_id"))
+    truth = np.arange(len(vecs)) // 250
+    # majority-label purity over the 8 found clusters
+    dfm = pd.DataFrame({"c": out["cluster"].to_numpy(), "t": truth})
+    pur = (dfm.groupby("c")["t"]
+           .agg(lambda s: s.value_counts().iloc[0]).sum()) / len(dfm)
+    assert pur >= 0.9, pur
