@@ -2380,3 +2380,73 @@ def kmeans_q(sf_dir: str):
     out["purity"] = np.floor(out["n_major"] / out["size"] * 1e6) / 1e6
     out["iterations"] = info["iterations"]
     return out.sort_values("cluster").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus paragraph dedup (first-occurrence keep) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+_PARA_A = "DUP PARA ALPHA"
+_PARA_B = "DUP PARA BETA"
+
+
+@query("paragraph_dedup", sql=f"""
+WITH src AS (
+  SELECT doc_id,
+         coalesce(text, '')
+           || CASE WHEN doc_id % 10 = 0
+                   THEN chr(10)||chr(10)||'{_PARA_A}' ELSE '' END
+           || CASE WHEN doc_id IN (5, 15)
+                   THEN chr(10)||chr(10)||'  {_PARA_B}  '
+                        ||chr(10)||chr(10)||'{_PARA_B}' ELSE '' END AS text
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(string_split(text, chr(10)||chr(10))) AS para,
+         generate_subscripts(string_split(text, chr(10)||chr(10)), 1) - 1
+           AS i
+  FROM src
+), strip AS (
+  SELECT doc_id, para, i,
+         trim(para, ' ' || chr(9) || chr(10) || chr(13) || chr(11)
+                      || chr(12)) AS key,
+         doc_id * 1000000 + i AS rank
+  FROM pos
+), dupk AS (
+  SELECT key, min(rank) AS first_rank
+  FROM strip WHERE key <> '' GROUP BY key HAVING count(*) > 1
+), marked AS (
+  SELECT s.doc_id, s.para, s.i,
+         (d.key IS NOT NULL AND s.rank <> d.first_rank) AS rm
+  FROM strip s LEFT JOIN dupk d USING (key)
+)
+SELECT doc_id,
+       coalesce(string_agg(para, chr(10)||chr(10) ORDER BY i)
+                  FILTER (WHERE NOT rm), '') AS text_dedup,
+       count(*) FILTER (WHERE rm)::BIGINT AS paras_removed
+FROM marked GROUP BY doc_id ORDER BY doc_id
+""")
+def paragraph_dedup_q(sf_dir: str):
+    """CCNet-style corpus-wide paragraph dedup with planted dups: every
+    10th doc shares PARA_A (kept only at doc 0), docs 5/15 carry PARA_B
+    twice each (global first copy in doc 5 survives, including a
+    whitespace-padded variant matched on the stripped key).  The oracle
+    replicates plant, global min-rank, and ordered reassembly."""
+    from dataquality_ray.stages.boilerplate import paragraph_dedup
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            t = t or ""
+            if i % 10 == 0:
+                t += "\n\n" + _PARA_A
+            if i in (5, 15):
+                t += "\n\n  " + _PARA_B + "  \n\n" + _PARA_B
+            out.append(t)
+        return batch.set_column(batch.schema.get_field_index("text"),
+                                "text", pa.array(out, pa.string()))
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(plant, batch_format="pyarrow"))
+    return (paragraph_dedup(ds).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))

@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from dataquality_ray.stages import autoroute
 from dataquality_ray.stages.autoroute import guarded_partials, record_route
@@ -126,3 +127,106 @@ def boilerplate_scrub(ds, col: str = "text", min_docs: int = 3,
                 .append_column("boiler_removed", pa.array(removed)))
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus paragraph dedup (CCNet-style first-occurrence keep)
+# ---------------------------------------------------------------------------
+
+# Paragraph index must fit under this stride so (doc_id, idx) packs into
+# one int64 rank = doc_id * RANK_STRIDE + idx for the global argmin.
+RANK_STRIDE = 1_000_000
+
+
+def paragraph_dedup(ds, col: str = "text", sep: str = "\n\n",
+                    id_col: str = "doc_id"):
+    """Corpus-wide paragraph dedup, keeping only the FIRST occurrence of
+    each duplicated paragraph (CCNet, Wenzek et al. 2020 dedups at the
+    paragraph level; first-occurrence keep = lowest (doc_id, position)).
+
+    Differs from :func:`boilerplate_scrub` (which removes EVERY
+    occurrence of lines seen in >= min_docs distinct docs): here a
+    duplicated paragraph survives exactly once, at its earliest global
+    position, and within-doc repeats count too.
+
+    Fully distributed, no driver state:
+
+    1. explode docs into ``(doc_id, i, key, para)`` rows where
+       ``key = para.strip()`` and ``rank = doc_id*RANK_STRIDE + i``;
+    2. ``groupby(key)`` -> (min rank, occurrence count) — one shuffle;
+    3. ``smart_join`` the exploded rows against the duplicated keys
+       (auto broadcast-vs-hash; the dup-key table is O(#distinct
+       duplicated paragraphs), usually tiny);
+    4. ``groupby(doc_id).map_groups`` reassembles surviving paragraphs
+       in order — second shuffle, partitioned by the id key.
+
+    Empty (whitespace-only) paragraphs are never dedup keys — they are
+    kept verbatim, like the empty-line carve-out in boilerplate_scrub.
+    Returns ``(doc_id, text_dedup, paras_removed)`` one row per input
+    doc (docs whose every paragraph is removed still appear, with the
+    empty string)."""
+    from ray.data.aggregate import Count, Min
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[col].to_pylist()
+        paras = [(t or "").split(sep) for t in texts]
+        counts = [len(p) for p in paras]
+        if counts and max(counts) >= RANK_STRIDE:
+            raise ValueError(
+                f"paragraph_dedup: a doc has >= {RANK_STRIDE} paragraphs; "
+                "rank packing would collide")
+        d = np.repeat(ids.astype(np.int64), counts)
+        i = np.concatenate([np.arange(c, dtype=np.int64)
+                            for c in counts]) if counts else \
+            np.array([], dtype=np.int64)
+        flat = [p for ps in paras for p in ps]
+        keys = [p.strip() for p in flat]
+        return pa.table({
+            id_col: pa.array(d),
+            "i": pa.array(i),
+            "rank": pa.array(d * RANK_STRIDE + i),
+            "key": pa.array(keys, pa.string()),
+            "para": pa.array(flat, pa.string()),
+        })
+
+    exploded = ds.select_columns([id_col, col]) \
+                 .map_batches(explode, batch_format="pyarrow")
+
+    nonempty = exploded.filter(expr="key != ''")
+    agg = nonempty.groupby("key").aggregate(
+        Min("rank", alias_name="first_rank"),
+        Count("key", alias_name="n_occ"))
+    # Materialize the (small) dup-key table: an empty Ray groupby result
+    # loses its schema entirely (no columns), which breaks the join —
+    # same quirk/fix as dedup.mark_duplicates_join on dup-free corpora.
+    dups = agg.filter(expr="n_occ > 1").select_columns(
+        ["key", "first_rank"]).materialize()
+    if dups.count() == 0:
+        def passthrough(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: batch[id_col],
+                "text_dedup": pc.coalesce(batch[col], ""),
+                "paras_removed": pa.array(
+                    np.zeros(len(batch), dtype=np.int64)),
+            })
+        return ds.select_columns([id_col, col]).map_batches(
+            passthrough, batch_format="pyarrow")
+
+    from dataquality_ray.stages.joins import smart_join
+    marked = smart_join(exploded, dups, on="key",
+                        value_cols=["first_rank"], join_type="left_outer")
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("i")
+        fr = g["first_rank"]
+        rm = fr.notna() & (g["key"] != "") & (g["rank"] != fr)
+        kept = g.loc[~rm, "para"]
+        return pd.DataFrame({
+            id_col: [g[id_col].iloc[0]],
+            "text_dedup": [sep.join(kept.tolist())],
+            "paras_removed": np.array([int(rm.sum())], dtype=np.int64),
+        })
+
+    return marked.groupby(id_col).map_groups(reassemble,
+                                             batch_format="pandas")

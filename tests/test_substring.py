@@ -105,3 +105,34 @@ def test_unicode_windows_are_character_based():
     wins = out["win"].to_pylist()
     assert all(len(w) == 16 for w in wins)
     assert len(wins) == _win_count(np.array([len(t)]), 16, 8)[0]
+
+
+# --- cross-corpus paragraph dedup ------------------------------------------
+
+def test_paragraph_dedup_semantics(ray_session):
+    from dataquality_ray.stages.boilerplate import paragraph_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["unique zero\n\nSHARED P",      # first global occurrence
+                 "SHARED P\n\nunique one",       # later copy -> removed
+                 "TWICE\n\nTWICE",               # within-doc dup: keep 1st
+                 "  SHARED P  \n\nunique three",  # stripped-key match
+                 ""],                            # empty doc must survive
+    })
+    out = (paragraph_dedup(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["text_dedup"].tolist() == [
+        "unique zero\n\nSHARED P", "unique one", "TWICE",
+        "unique three", ""]
+    assert out["paras_removed"].tolist() == [0, 1, 1, 1, 0]
+
+
+def test_paragraph_dedup_dup_free_short_circuit(ray_session):
+    from dataquality_ray.stages.boilerplate import paragraph_dedup
+
+    df = pd.DataFrame({"doc_id": [7, 8], "text": ["a b", "c d"]})
+    out = (paragraph_dedup(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["text_dedup"].tolist() == ["a b", "c d"]
+    assert out["paras_removed"].tolist() == [0, 0]
