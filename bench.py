@@ -161,6 +161,9 @@ def run_suite() -> dict:
                  "script_detect", "tokenizer_fertility",
                  "image_phash_dedup", "audio_fingerprint_dedup",
                  "ann_pq_topk", "psi_numeric_drift",
+                 # round-3 continuation: lexical signals, paragraph-level
+                 # dedup, full-data k-means
+                 "type_token_ratio", "paragraph_dedup", "kmeans_embeddings",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

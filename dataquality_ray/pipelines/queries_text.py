@@ -2450,3 +2450,45 @@ def paragraph_dedup_q(sf_dir: str):
           .map_batches(plant, batch_format="pyarrow"))
     return (paragraph_dedup(ds).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF keyword extraction — SQL-checkable (integer-exact)
+# ---------------------------------------------------------------------------
+
+@query("doc_keywords", sql=r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM toks GROUP BY doc_id, token
+), dft AS (
+  SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+  FROM toks GROUP BY token
+), n AS (SELECT count(*)::BIGINT AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ((n.n * 1000000) // dft.df) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ((n.n * 1000000) // dft.df) DESC,
+                    tf.token) AS rank
+  FROM tf JOIN dft USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, score, CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
+""")
+def doc_keywords_q(sf_dir: str):
+    """Top-3 TF-IDF keywords per document (stages/retrieval.doc_keywords):
+    integer-exact idf-int weighting — the SQL window-function oracle
+    replays scores and the (score DESC, token ASC) order bit-for-bit."""
+    from dataquality_ray.stages.retrieval import doc_keywords
+
+    out = (doc_keywords(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        k=3)
+           .to_pandas().sort_values(["doc_id", "rank"])
+           .reset_index(drop=True))
+    return out

@@ -208,3 +208,58 @@ def keyword_topk(ds, queries: list[str], k: int = 10,
     top = parts.groupby("query_id", as_index=False).head(k).copy()
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return top.reset_index(drop=True)
+
+
+def doc_keywords(ds, k: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id", mode: str = "auto",
+                 cap: int | None = None):
+    """Per-document top-k TF-IDF keywords.
+
+    Same integer-exact weighting as ``scoring="idf-int"``:
+    ``w(t) = floor(N * IDF_SCALE / df(t))``, ``score = tf · w`` — all
+    int64, so the SQL oracle replays it exactly and the per-doc order
+    (score DESC, token ASC) is total (a token appears once per doc).
+
+    Distributed shape: one stats pass (guarded combine / shuffle twin,
+    :func:`corpus_token_stats`), then the token→weight table is
+    ``ray.put`` ONCE and every batch computes its own docs' tf via a
+    vectorized groupby-size and keeps only k rows per doc — no shuffle,
+    output is ``k × n_docs`` rows of ``(doc_id, token, score, rank)``.
+    """
+    df_frame, n_docs, _ = corpus_token_stats(ds, text_col, id_col,
+                                             mode=mode, cap=cap)
+    w = pd.Series(
+        (n_docs * IDF_SCALE) // df_frame["df"].to_numpy(np.int64),
+        index=df_frame["token"], dtype=np.int64)
+    w_ref = ray.put(w)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        wt = ray.get(w_ref)
+        ids: list[int] = []
+        toks: list[str] = []
+        for i, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            for tok in (t or "").split():
+                ids.append(i)
+                toks.append(tok)
+        if not ids:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "score": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        tf = (pd.DataFrame({id_col: ids, "token": toks})
+              .groupby([id_col, "token"], sort=False)
+              .size().reset_index(name="tf"))
+        tf["score"] = (tf["tf"].to_numpy(np.int64)
+                       * tf["token"].map(wt).to_numpy(np.int64))
+        tf = tf.sort_values([id_col, "score", "token"],
+                            ascending=[True, False, True])
+        tf["rank"] = (tf.groupby(id_col).cumcount() + 1).astype(np.int64)
+        top = tf[tf["rank"] <= k]
+        return pa.table({id_col: pa.array(top[id_col].to_numpy(np.int64)),
+                         "token": pa.array(top["token"], pa.string()),
+                         "score": pa.array(top["score"].to_numpy(np.int64)),
+                         "rank": pa.array(top["rank"].to_numpy(np.int64))})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score_batch, batch_format="pyarrow")

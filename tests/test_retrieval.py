@@ -136,3 +136,42 @@ def test_empty_query_and_no_hits(ray_session):
     assert len(out) == 0
     with pytest.raises(ValueError):
         keyword_topk(_ds(), ["x"], scoring="tfidf")
+
+
+# --- per-doc TF-IDF keywords -----------------------------------------------
+
+def _brute_doc_keywords(texts, k):
+    """Pandas replica of doc_keywords' integer-exact scoring."""
+    from collections import Counter
+    n = len(texts)
+    df = Counter(tok for t in texts for tok in set(t.split()))
+    rows = []
+    for d, t in enumerate(texts):
+        tf = Counter(t.split())
+        scored = sorted(((c * ((n * IDF_SCALE) // df[tok]), tok)
+                         for tok, c in tf.items()),
+                        key=lambda x: (-x[0], x[1]))[:k]
+        rows += [(d, tok, s, r + 1)
+                 for r, (s, tok) in enumerate(scored)]
+    return pd.DataFrame(rows, columns=["doc_id", "token", "score", "rank"])
+
+
+def test_doc_keywords_matches_brute(ray_session):
+    from dataquality_ray.stages.retrieval import doc_keywords
+
+    got = (doc_keywords(_ds(), k=2).to_pandas()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    want = (_brute_doc_keywords(TEXTS, 2)
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"score": "int64"}), want.astype({"score": "int64"}))
+
+
+def test_doc_keywords_shuffle_twin_matches(ray_session):
+    from dataquality_ray.stages.retrieval import doc_keywords
+
+    a = (doc_keywords(_ds(), k=3, mode="auto").to_pandas()
+         .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    b = (doc_keywords(_ds(), k=3, mode="shuffle").to_pandas()
+         .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
