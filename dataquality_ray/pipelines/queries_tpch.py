@@ -428,3 +428,48 @@ def orders_sorted_q(sf_dir: str):
            .limit(100).to_pandas())
     out["o_totalprice"] = out["o_totalprice"].round(R2)
     return out[["o_orderkey", "o_totalprice"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly scoring per user — SQL-checkable (window frame)
+# ---------------------------------------------------------------------------
+
+@query("event_anomaly_zscore", sql="""
+WITH c AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(round(value * 100) AS BIGINT) AS xc
+  FROM events
+), w AS (
+  SELECT event_id, user_id, value, xc,
+         sum(xc) OVER f AS s1,
+         sum(xc * xc) OVER f AS s2,
+         count(xc) OVER f AS n
+  FROM c
+  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), d AS (
+  SELECT event_id, user_id, value, xc, n,
+         CAST(s1 AS DOUBLE) / n AS mean_c,
+         sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))) AS sd_c
+  FROM w
+)
+SELECT event_id, user_id, value,
+       CASE WHEN n >= 5 THEN mean_c / 100 END AS mean_prev,
+       CASE WHEN n >= 5 THEN sd_c / 100 END AS sd_prev,
+       CASE WHEN n >= 5 AND sd_c > 0
+            THEN (xc - mean_c) / sd_c END AS z,
+       coalesce(n >= 5 AND sd_c > 0
+                AND abs((xc - mean_c) / sd_c) > 3, false) AS is_anomaly
+FROM d ORDER BY event_id
+""")
+def event_anomaly_zscore_q(sf_dir: str):
+    """Per-user rolling z-score (stages/windows.rolling_zscore, frame =
+    20 preceding rows excl. current, min 5).  Integer-cents arithmetic
+    makes every output double BIT-IDENTICAL to the SQL window-frame
+    replay — no floor-rounding fuzz anywhere."""
+    from dataquality_ray.stages.windows import rolling_zscore
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"])
+    return (rolling_zscore(ds, "user_id", "ts", "value", "event_id")
+            .to_pandas().sort_values("event_id").reset_index(drop=True))

@@ -135,3 +135,55 @@ def range_join(ds, key: str, ts_col: str,
     return (pruned.groupby(key)
                   .map_groups(per_key, batch_format="pandas")
                   .to_pandas())
+
+
+def rolling_zscore(ds, key: str, ts_col: str, val_col: str,
+                   order_col: str, window: int = 20,
+                   min_periods: int = 5, z_cut: float = 3.0):
+    """Per-key rolling z-score anomaly signal over an ordered event
+    stream: each row's value is scored against the mean/sample-std of
+    its ``window`` PRECEDING rows (current row excluded, frame =
+    ``ROWS BETWEEN window PRECEDING AND 1 PRECEDING``).
+
+    One shuffle (``groupby(key).map_groups``); inside a group the whole
+    computation is one vectorized pandas rolling pass.  ``z`` is null
+    until ``min_periods`` preceding rows exist or when the trailing std
+    is 0; ``is_anomaly`` is false (not null) in those rows.  Same
+    partitioning assumption as :func:`asof_join`: one key's rows fit a
+    task.
+
+    Numerics are REPLAY-EXACT, not merely close: values are scaled to
+    integer cents (``round(v*100)``, requires ~2-decimal inputs), the
+    rolling Σx/Σx²/n are exact integers (< 2^53, so float rolling sums
+    are lossless), and every derived float (mean, sample sd via
+    ``(nΣx²-(Σx)²)/(n(n-1))``, z) is a fixed chain of individually
+    correctly-rounded IEEE ops on those integers — a SQL engine running
+    the same formula produces bit-identical doubles, which is what lets
+    the oracle hash-match without floor-rounding fuzz."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, order_col])
+        xc = np.round(g[val_col].to_numpy(np.float64) * 100.0)
+        prev = pd.Series(xc).shift(1)
+        r = prev.rolling(window, min_periods=1)
+        s1 = r.sum().to_numpy()            # exact int sums in float64
+        s2 = (prev * prev).rolling(window, min_periods=1).sum().to_numpy()
+        n = r.count().to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_c = s1 / n
+            var_c = (n * s2 - s1 * s1) / (n * (n - 1))
+            sd_c = np.sqrt(var_c)
+            z = (xc - mean_c) / sd_c
+        enough = n >= min_periods
+        valid = enough & (sd_c > 0)
+        return pd.DataFrame({
+            order_col: g[order_col].to_numpy(),
+            key: g[key].to_numpy(),
+            val_col: g[val_col].to_numpy(),
+            "mean_prev": np.where(enough, mean_c / 100.0, np.nan),
+            "sd_prev": np.where(enough, sd_c / 100.0, np.nan),
+            "z": np.where(valid, z, np.nan),
+            "is_anomaly": valid & (np.abs(z) > z_cut),
+        })
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

@@ -1,0 +1,95 @@
+"""rolling_zscore: window-frame semantics vs a brute per-row oracle, and
+the bit-identity claim vs DuckDB's window-function replay."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from dataquality_ray.stages.windows import rolling_zscore
+
+
+def _brute(df, window=20, min_periods=5):
+    """O(n·w) literal re-read of the frame definition."""
+    rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        xc = np.round(g["value"].to_numpy() * 100.0)
+        for i in range(len(g)):
+            frame = xc[max(0, i - window):i]
+            n = len(frame)
+            if n >= min_periods:
+                mean_c = frame.sum() / n
+                var_c = (n * (frame ** 2).sum() - frame.sum() ** 2) \
+                    / (n * (n - 1))
+                sd_c = np.sqrt(var_c)
+                z = (xc[i] - mean_c) / sd_c if sd_c > 0 else np.nan
+                rows.append((int(g["event_id"][i]), mean_c / 100,
+                             sd_c / 100, z))
+            else:
+                rows.append((int(g["event_id"][i]), np.nan, np.nan,
+                             np.nan))
+    return (pd.DataFrame(rows, columns=["event_id", "mean_prev",
+                                        "sd_prev", "z"])
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def _fixture(n=400, users=7, seed=3):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.randint(0, users, n),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+        "value": np.round(rng.uniform(0, 500, n), 2),
+    })
+
+
+def test_rolling_zscore_matches_brute_frame(ray_session):
+    df = _fixture()
+    got = (rolling_zscore(rd.from_pandas(df).repartition(4), "user_id",
+                          "ts", "value", "event_id")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    want = _brute(df)
+    for c in ("mean_prev", "sd_prev", "z"):
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+    valid = ~np.isnan(want["z"].to_numpy())
+    assert (got["is_anomaly"].to_numpy()[valid]
+            == (np.abs(want["z"].to_numpy()[valid]) > 3)).all()
+    assert not got["is_anomaly"].to_numpy()[~valid].any()
+
+
+def test_rolling_zscore_bit_identical_to_duckdb(ray_session):
+    """The integer-cents design promises BIT-identical doubles vs a SQL
+    engine replaying the formula — assert strict equality, not allclose."""
+    df = _fixture(n=300, users=4, seed=11)
+    got = (rolling_zscore(rd.from_pandas(df), "user_id", "ts", "value",
+                          "event_id")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", df)
+    duck = con.execute("""
+        WITH c AS (
+          SELECT event_id, user_id, ts, value,
+                 CAST(round(value * 100) AS BIGINT) AS xc
+          FROM events
+        ), w AS (
+          SELECT event_id, xc,
+                 sum(xc) OVER f AS s1, sum(xc * xc) OVER f AS s2,
+                 count(xc) OVER f AS n
+          FROM c
+          WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id,
+               CASE WHEN n >= 5 AND sd_c > 0
+                    THEN (xc - mean_c) / sd_c END AS z
+        FROM (SELECT event_id, xc, n,
+                     CAST(s1 AS DOUBLE) / n AS mean_c,
+                     sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                          / (n * (n - 1))) AS sd_c FROM w)
+        ORDER BY event_id
+    """).fetchdf()
+    a, b = got["z"].to_numpy(), duck["z"].to_numpy()
+    assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
