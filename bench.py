@@ -164,7 +164,7 @@ def run_suite() -> dict:
                  # round-3 continuation: lexical signals, paragraph-level
                  # dedup, full-data k-means
                  "type_token_ratio", "paragraph_dedup", "kmeans_embeddings",
-                 "doc_keywords", "event_anomaly_zscore",
+                 "doc_keywords", "event_anomaly_zscore", "ks_drift",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -2492,3 +2492,50 @@ def doc_keywords_q(sf_dir: str):
            .to_pandas().sort_values(["doc_id", "rank"])
            .reset_index(drop=True))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample KS drift between sources — SQL-checkable (integer-exact)
+# ---------------------------------------------------------------------------
+
+_KS_PAIRS = [("src0", "src1"), ("src0", "src19"), ("src5", "src12")]
+
+
+def _ks_pair_sql(a: str, b: str) -> str:
+    return f"""
+SELECT '{a}' AS source_a, '{b}' AS source_b, n_a, n_b,
+       CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) AS d_num,
+       CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE) / (n_a * n_b) AS ks
+FROM (
+  SELECT sum(na_v) OVER (ORDER BY n_chars) AS ca,
+         sum(nb_v) OVER (ORDER BY n_chars) AS cb,
+         (SELECT count(*) FROM documents WHERE source = '{a}') AS n_a,
+         (SELECT count(*) FROM documents WHERE source = '{b}') AS n_b
+  FROM (
+    SELECT n_chars,
+           count(*) FILTER (WHERE source = '{a}') AS na_v,
+           count(*) FILTER (WHERE source = '{b}') AS nb_v
+    FROM documents WHERE source IN ('{a}', '{b}')
+    GROUP BY n_chars)
+)
+GROUP BY n_a, n_b"""
+
+
+@query("ks_drift", sql=" UNION ALL ".join(
+    _ks_pair_sql(a, b) for a, b in _KS_PAIRS) + " ORDER BY source_a, source_b")
+def ks_drift_q(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov distance on the doc-length
+    distribution for three source pairs (stages/drift.ks_two_sample):
+    the integer-numerator formulation makes the reported double
+    bit-identical to the SQL window replay."""
+    from dataquality_ray.stages.drift import ks_two_sample
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    rows = []
+    for a, b in _KS_PAIRS:
+        r = ks_two_sample(ds, "n_chars", "source", a, b)
+        rows.append({"source_a": a, "source_b": b, "n_a": r["n_a"],
+                     "n_b": r["n_b"], "d_num": r["d_num"],
+                     "ks": r["ks"]})
+    return pd.DataFrame(rows).sort_values(
+        ["source_a", "source_b"]).reset_index(drop=True)

@@ -146,3 +146,78 @@ def psi_numeric(ds_a, ds_b, col: str, n_bins: int = 10,
              float(pa_[i]), float(pb_[i])) for i in range(n_bins)]
     return {"psi": psi, "bins": bins,
             "counts_a": ca.tolist(), "counts_b": cb.tolist()}
+
+
+def ks_two_sample(ds, col: str, group_col: str, group_a: str,
+                  group_b: str, *, mode: str = "auto",
+                  cap: int | None = None) -> dict:
+    """Exact two-sample Kolmogorov–Smirnov distance between two groups'
+    distributions of an integer-valued column.
+
+    ``D = max_v |F_a(v) - F_b(v)|`` over the merged distinct-value grid,
+    computed as the INTEGER numerator ``max |c_a(v)·n_b - c_b(v)·n_a|``
+    (cumulative counts, exact int64) divided ONCE by ``n_a·n_b`` — so the
+    reported double is bit-identical to a SQL window-function replay,
+    like the cents trick in ``windows.rolling_zscore``.  Falls back to
+    exact arbitrary-precision Python ints when ``n_a·n_b`` nears 2^63.
+
+    Distributed shape: one pass of per-batch ``(group, value, count)``
+    partials through the guarded driver combine (cap = distinct values
+    of ``col``; re-routes to a groupby-shuffle twin past it, same
+    contract as corpus_token_stats).  Driver memory is O(#distinct
+    values), never O(rows)."""
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+    two = ds.select_columns([group_col, col]).filter(
+        expr=f"{group_col} == '{group_a}' or {group_col} == '{group_b}'")
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([group_col, col]).to_pandas()
+        return (df.groupby([group_col, col], sort=False)
+                .size().reset_index(name="n"))
+
+    stage = two.map_batches(part, batch_format="pyarrow")
+
+    def combine(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby([group_col, col], as_index=False,
+                             sort=False)["n"].sum()
+
+    merged, ok = guarded_partials(stage, combine, cap)
+    if ok and merged is not None:
+        record_route("ks_two_sample", "combine",
+                     "distinct (group,value) pairs within cap",
+                     len(merged))
+        counts = merged
+    else:
+        if merged is None:  # empty input
+            counts = pd.DataFrame({group_col: [], col: [], "n": []})
+        else:
+            record_route("ks_two_sample", "shuffle",
+                         f"distinct pairs exceed cap={cap}", None)
+            counts = (stage.groupby([group_col, col])
+                      .aggregate(Sum("n", alias_name="n")).to_pandas())
+
+    piv = (counts.pivot_table(index=col, columns=group_col, values="n",
+                              aggfunc="sum", fill_value=0)
+           .reindex(columns=[group_a, group_b], fill_value=0)
+           .sort_index())
+    ca = piv[group_a].to_numpy(np.int64).cumsum()
+    cb = piv[group_b].to_numpy(np.int64).cumsum()
+    n_a = int(ca[-1]) if len(ca) else 0
+    n_b = int(cb[-1]) if len(cb) else 0
+    if n_a == 0 or n_b == 0:
+        return {"n_a": n_a, "n_b": n_b, "d_num": 0, "ks": 0.0}
+    if n_a * n_b < 2 ** 62:
+        d_num = int(np.abs(ca * n_b - cb * n_a).max())
+    else:  # exact big-int path for astronomically large groups
+        d_num = max(abs(int(a) * n_b - int(b) * n_a)
+                    for a, b in zip(ca, cb))
+    return {"n_a": n_a, "n_b": n_b, "d_num": d_num,
+            "ks": d_num / (n_a * n_b)}

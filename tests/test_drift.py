@@ -129,3 +129,45 @@ def test_psi_numpy_parity_and_nan(ray_session):
     want = float(((pa_ - pb_) * np.log(pa_ / pb_)).sum())
     assert got["psi"] == pytest.approx(want, rel=1e-12)  # NaN excluded
     assert got["counts_a"] == ca.tolist()
+
+
+# --- exact two-sample KS ---------------------------------------------------
+
+def _brute_ks(xa, xb):
+    """Integer-numerator KS (the operator's exact definition): one
+    division total, so the double is the correctly-rounded true value."""
+    grid = np.unique(np.concatenate([xa, xb]))
+    ca = np.searchsorted(np.sort(xa), grid, side="right")
+    cb = np.searchsorted(np.sort(xb), grid, side="right")
+    return int(np.abs(ca * len(xb) - cb * len(xa)).max()) \
+        / (len(xa) * len(xb))
+
+
+def test_ks_two_sample_matches_brute_and_detects_shift(ray_session):
+    from dataquality_ray.stages.drift import ks_two_sample
+
+    rng = np.random.RandomState(5)
+    xa = rng.randint(0, 200, 800)
+    xb = rng.randint(50, 250, 700)   # shifted distribution
+    df = pd.DataFrame({
+        "g": ["a"] * len(xa) + ["b"] * len(xb),
+        "v": np.concatenate([xa, xb]),
+    })
+    got = ks_two_sample(rd.from_pandas(df).repartition(5), "v", "g",
+                        "a", "b")
+    assert got["n_a"] == 800 and got["n_b"] == 700
+    assert got["ks"] == pytest.approx(_brute_ks(xa, xb), abs=0)
+    assert got["ks"] > 0.2  # the planted shift is detected
+    # identical distributions -> ks == 0 exactly
+    same = pd.DataFrame({"g": ["a"] * 100 + ["b"] * 100,
+                         "v": list(range(100)) * 2})
+    assert ks_two_sample(rd.from_pandas(same), "v", "g", "a", "b")["ks"] \
+        == 0.0
+
+
+def test_ks_two_sample_empty_group(ray_session):
+    from dataquality_ray.stages.drift import ks_two_sample
+
+    df = pd.DataFrame({"g": ["a"] * 5, "v": [1, 2, 3, 4, 5]})
+    got = ks_two_sample(rd.from_pandas(df), "v", "g", "a", "b")
+    assert got["n_b"] == 0 and got["ks"] == 0.0
