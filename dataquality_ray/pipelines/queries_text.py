@@ -2539,3 +2539,49 @@ def ks_drift_q(sf_dir: str):
                      "ks": r["ks"]})
     return pd.DataFrame(rows).sort_values(
         ["source_a", "source_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: quality-gate the docs, join to their embeddings, ANN
+# over the surviving subset — SQL-checkable (ids only, like ann_cosine_topk)
+# ---------------------------------------------------------------------------
+
+@query("hybrid_quality_ann", sql=r"""
+WITH gated AS (
+  SELECT doc_id FROM documents
+  WHERE lang = 'en'
+    AND len(list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x <> '')) >= 30
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id
+FROM embeddings e JOIN gated g ON e.vec_id = g.doc_id
+     CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id
+LIMIT 10
+""")
+def hybrid_quality_ann_q(sf_dir: str):
+    """Composition pipeline: vectorized quality gate on documents (lang
+    = en, >= 30 tokens), smart_join to embeddings on doc_id = vec_id,
+    then cosine top-10 over the survivors — the filter-then-retrieve
+    shape of a curated-retrieval corpus build.  Ids-only result, same
+    tie-break contract as ann_cosine_topk."""
+    from dataquality_ray.functions.text import token_stats
+    from dataquality_ray.stages.ann import cosine_topk
+    from dataquality_ray.stages.joins import smart_join
+
+    docs = (_read(sf_dir, "documents", ["doc_id", "text", "lang"])
+            .filter(expr="lang == 'en'")
+            .map_batches(token_stats, batch_format="pyarrow")
+            .filter(expr="n_ws_tokens >= 30")
+            .select_columns(["doc_id"]))
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qvec = np.array(
+        emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0],
+        dtype=np.float64)
+    joined = smart_join(emb, docs, on="vec_id", right_on="doc_id",
+                        value_cols=[], join_type="inner")
+    res = cosine_topk(joined, qvec[None, :], k=11, exclude_ids={0})
+    res = res.sort_values(["score", "vec_id"],
+                          ascending=[False, True]).head(10)
+    return res[["vec_id"]].reset_index(drop=True)

@@ -32,34 +32,56 @@ def broadcast_table(small_ds_or_df) -> "ray.ObjectRef":
 
 
 class BroadcastLookup:
-    """Actor: left-join batches against a broadcast key->values table.
+    """Actor: join batches against a broadcast key->values table.
 
     fn_constructor_kwargs: ref (ObjectRef of a DataFrame), on (key column),
-    value_cols (columns to append).  Missing keys yield nulls.
+    value_cols (columns to append), join_type ("left_outer": missing keys
+    yield nulls; "inner": rows with missing keys are dropped — the
+    broadcast semi-join).  The broadcast table's keys must be unique
+    (it is a lookup table by contract).
     """
 
-    def __init__(self, ref, on: str, value_cols: list[str]):
+    def __init__(self, ref, on: str, value_cols: list[str],
+                 join_type: str = "left_outer"):
         df = ray.get(ref)
         self.on = on
         self.value_cols = value_cols
+        self.inner = join_type == "inner"
         self.index = df.set_index(on)[value_cols]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.on].to_pandas()
-        joined = self.index.reindex(keys)
+        pos = (self.index.index.get_indexer(keys) if len(self.index)
+               else np.full(len(keys), -1))
+        if self.inner:
+            mask = pos >= 0
+            batch = batch.filter(pa.array(mask))
+            pos = pos[mask]
+        hit = pos >= 0
         for col in self.value_cols:
-            batch = batch.append_column(
-                col, pa.Array.from_pandas(joined[col].reset_index(drop=True)))
+            if len(self.index):
+                vals = pd.Series(
+                    self.index[col].to_numpy()[np.where(hit, pos, 0)])
+                vals = vals.where(hit)
+            else:
+                vals = pd.Series([None] * len(pos), dtype="object")
+            batch = batch.append_column(col, pa.Array.from_pandas(vals))
         return batch
 
 
 def broadcast_join(ds, small_ds_or_df, on: str, value_cols: list[str],
-                   batch_size: int = 8192, concurrency=(1, 8)):
+                   batch_size: int = 8192, concurrency=(1, 8),
+                   join_type: str = "left_outer"):
+    if join_type not in ("left_outer", "inner"):
+        raise ValueError(
+            f"broadcast_join supports left_outer/inner, not {join_type!r}")
     ref = broadcast_table(small_ds_or_df)
     return ds.map_batches(
         BroadcastLookup, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"ref": ref, "on": on, "value_cols": value_cols},
+        fn_constructor_kwargs={"ref": ref, "on": on,
+                               "value_cols": value_cols,
+                               "join_type": join_type},
     )
 
 
@@ -164,11 +186,13 @@ def smart_join(left, right, on: str, right_on: str | None = None,
         est = right.size_bytes()
     except Exception:  # pragma: no cover - metadata unavailable
         est = None
-    if est is not None and est <= broadcast_cap_bytes:
+    if (est is not None and est <= broadcast_cap_bytes
+            and join_type in ("left_outer", "inner")):
         small = right.to_pandas()
         if right_on != on:
             small = small.rename(columns={right_on: on})
         cols = [c for c in small.columns if c != on]
-        return broadcast_join(left, small, on=on, value_cols=cols)
+        return broadcast_join(left, small, on=on, value_cols=cols,
+                              join_type=join_type)
     return hash_join(left, right, on=on, right_on=right_on,
                      num_partitions=num_partitions, join_type=join_type)

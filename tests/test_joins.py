@@ -153,3 +153,42 @@ def test_query_results_partition_invariant(parts, ray_session):
         pd.testing.assert_frame_equal(p1["table"], p1_0["table"])
         assert u1["score"] == u1_0["score"]
         pd.testing.assert_frame_equal(pm, pm_0)
+
+
+@pytest.mark.parametrize("how,join_type", [("left", "left_outer"),
+                                           ("inner", "inner")])
+def test_broadcast_join_semantics_match_pandas(how, join_type):
+    """The broadcast path must honor join_type: inner drops unmatched
+    left rows (the r3 bug: it silently stayed a left-outer lookup)."""
+    left, right = _sides()
+    got = (broadcast_join(ray.data.from_pandas(left),
+                          right.rename(columns={"rk": "k"})[["k", "rv"]],
+                          on="k", value_cols=["rv"], join_type=join_type)
+           .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+    want = _pandas_oracle(left, right, how)
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]].astype({"rv": "float64"}),
+        want[["k", "lv", "rv"]].astype({"rv": "float64"}))
+
+
+def test_smart_join_inner_broadcast_path():
+    left, right = _sides()
+    small = right.rename(columns={"rk": "k"})[["k", "rv"]]
+    got = (smart_join(ray.data.from_pandas(left),
+                      ray.data.from_pandas(small), on="k",
+                      value_cols=["rv"], join_type="inner")
+           .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+    want = _pandas_oracle(left, right, "inner")
+    assert len(got) == len(want) and (got["k"] == want["k"]).all()
+
+
+def test_broadcast_join_empty_lookup():
+    left, _ = _sides()
+    empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                          "rv": pd.Series([], dtype="int64")})
+    outer = broadcast_join(ray.data.from_pandas(left), empty, on="k",
+                           value_cols=["rv"]).to_pandas()
+    assert len(outer) == len(left) and outer["rv"].isna().all()
+    inner = broadcast_join(ray.data.from_pandas(left), empty, on="k",
+                           value_cols=["rv"], join_type="inner").to_pandas()
+    assert len(inner) == 0
