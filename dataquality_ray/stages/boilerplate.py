@@ -139,7 +139,8 @@ RANK_STRIDE = 1_000_000
 
 
 def paragraph_dedup(ds, col: str = "text", sep: str = "\n\n",
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id", *, mode: str = "auto",
+                    broadcast_cap_rows: int = 5_000_000):
     """Corpus-wide paragraph dedup, keeping only the FIRST occurrence of
     each duplicated paragraph (CCNet, Wenzek et al. 2020 dedups at the
     paragraph level; first-occurrence keep = lowest (doc_id, position)).
@@ -149,23 +150,33 @@ def paragraph_dedup(ds, col: str = "text", sep: str = "\n\n",
     duplicated paragraph survives exactly once, at its earliest global
     position, and within-doc repeats count too.
 
-    Fully distributed, no driver state:
+    Shape: pass 1 explodes docs into ``(rank = doc_id*RANK_STRIDE + i,
+    key = para.strip())`` rows and one ``groupby(key)`` produces the
+    DUPLICATED keys with their global min rank — the only shuffle, and
+    its payload is keys+ranks, never paragraph content.  Then:
 
-    1. explode docs into ``(doc_id, i, key, para)`` rows where
-       ``key = para.strip()`` and ``rank = doc_id*RANK_STRIDE + i``;
-    2. ``groupby(key)`` -> (min rank, occurrence count) — one shuffle;
-    3. ``smart_join`` the exploded rows against the duplicated keys
-       (auto broadcast-vs-hash; the dup-key table is O(#distinct
-       duplicated paragraphs), usually tiny);
-    4. ``groupby(doc_id).map_groups`` reassembles surviving paragraphs
-       in order — second shuffle, partitioned by the id key.
+    - **broadcast scrub** (default while the dup table fits
+      ``broadcast_cap_rows``): the (key → first_rank) table is
+      ``ray.put`` once and a second stateless pass over the ORIGINAL
+      docs re-splits, np.searchsorted-probes, and reassembles each doc
+      locally — no join, no per-doc shuffle.  (The join+map_groups
+      twin measured 23 s vs 3 s at sf0.1: 50k one-row map_groups calls
+      are pure overhead.)
+    - **join twin** (``mode='join'`` or past the cap): smart_join the
+      exploded rows against the dup keys, then
+      ``groupby(doc_id).map_groups`` ordered reassembly — nothing
+      driver-held at any dup-table size.
 
     Empty (whitespace-only) paragraphs are never dedup keys — they are
     kept verbatim, like the empty-line carve-out in boilerplate_scrub.
     Returns ``(doc_id, text_dedup, paras_removed)`` one row per input
     doc (docs whose every paragraph is removed still appear, with the
     empty string)."""
+    import ray
     from ray.data.aggregate import Count, Min
+
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown mode {mode!r}")
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -212,6 +223,60 @@ def paragraph_dedup(ds, col: str = "text", sep: str = "\n\n",
             })
         return ds.select_columns([id_col, col]).map_batches(
             passthrough, batch_format="pyarrow")
+
+    n_dup = dups.count()
+    if mode in ("auto", "broadcast") and n_dup <= broadcast_cap_rows:
+        record_route("paragraph_dedup", "broadcast",
+                     "dup-key table within broadcast cap", n_dup)
+        dup_df = dups.to_pandas()
+        order = np.argsort(dup_df["key"].to_numpy(dtype=object))
+        keys_ref = ray.put(dup_df["key"].to_numpy(dtype=object)[order])
+        fr_ref = ray.put(
+            dup_df["first_rank"].to_numpy(np.int64)[order])
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            keys_sorted, fr_sorted = ray.get(keys_ref), ray.get(fr_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            texts = batch[col].to_pylist()
+            para_lists = [(t or "").split(sep) for t in texts]
+            flat_keys = np.array(
+                [p.strip() for ps in para_lists for p in ps], dtype=object)
+            counts = np.array([len(ps) for ps in para_lists],
+                              dtype=np.int64)
+            d = np.repeat(ids.astype(np.int64), counts)
+            i = np.concatenate([np.arange(c, dtype=np.int64)
+                                for c in counts]) if len(counts) else \
+                np.array([], dtype=np.int64)
+            rank = d * RANK_STRIDE + i
+            pos = np.searchsorted(keys_sorted, flat_keys)
+            pos_c = np.minimum(pos, len(keys_sorted) - 1)
+            hit = keys_sorted[pos_c] == flat_keys
+            rm = hit & (flat_keys != "") & (rank != fr_sorted[pos_c])
+            out_texts, removed = [], np.zeros(len(texts), dtype=np.int64)
+            off = 0
+            for j, ps in enumerate(para_lists):
+                m = rm[off:off + len(ps)]
+                off += len(ps)
+                k = int(m.sum())
+                removed[j] = k
+                out_texts.append(sep.join(
+                    p for p, r in zip(ps, m) if not r) if k
+                    else (texts[j] or ""))
+            return pa.table({
+                id_col: pa.array(ids),
+                "text_dedup": pa.array(out_texts, pa.string()),
+                "paras_removed": pa.array(removed),
+            })
+
+        return ds.select_columns([id_col, col]).map_batches(
+            scrub, batch_format="pyarrow")
+    if mode == "broadcast":
+        raise RuntimeError(
+            f"paragraph_dedup: dup-key table {n_dup} exceeds "
+            f"broadcast_cap_rows={broadcast_cap_rows}; use mode='join'")
+    record_route("paragraph_dedup", "join",
+                 "dup-key table beyond broadcast cap" if mode == "auto"
+                 else "join mode requested", n_dup)
 
     from dataquality_ray.stages.joins import smart_join
     marked = smart_join(exploded, dups, on="key",

@@ -136,3 +136,25 @@ def test_paragraph_dedup_dup_free_short_circuit(ray_session):
            .sort_values("doc_id").reset_index(drop=True))
     assert out["text_dedup"].tolist() == ["a b", "c d"]
     assert out["paras_removed"].tolist() == [0, 0]
+
+
+def test_paragraph_dedup_modes_agree(ray_session):
+    from dataquality_ray.stages.autoroute import last_route
+    from dataquality_ray.stages.boilerplate import paragraph_dedup
+
+    rng = np.random.RandomState(2)
+    texts = [" ".join(rng.choice([f"w{i}" for i in range(50)], 12))
+             for _ in range(40)]
+    # plant shared paragraphs across docs
+    texts = [t + ("\n\nCOMMON BLOCK" if i % 4 == 0 else "")
+             for i, t in enumerate(texts)]
+    df = pd.DataFrame({"doc_id": np.arange(40), "text": texts})
+    ds = rd.from_pandas(df).repartition(5)
+    a = (paragraph_dedup(ds, mode="broadcast").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert last_route("paragraph_dedup")["chosen"] == "broadcast"
+    b = (paragraph_dedup(ds, mode="join").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert last_route("paragraph_dedup")["chosen"] == "join"
+    pd.testing.assert_frame_equal(a, b)
+    assert a["paras_removed"].sum() == 9  # 10 planted, first kept
