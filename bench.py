@@ -165,7 +165,7 @@ def run_suite() -> dict:
                  # dedup, full-data k-means
                  "type_token_ratio", "paragraph_dedup", "kmeans_embeddings",
                  "doc_keywords", "event_anomaly_zscore", "ks_drift",
-                 "hybrid_quality_ann",
+                 "hybrid_quality_ann", "token_budget_sample", "ngram_diversity",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -2585,3 +2585,72 @@ def hybrid_quality_ann_q(sf_dir: str):
     res = res.sort_values(["score", "vec_id"],
                           ascending=[False, True]).head(10)
     return res[["vec_id"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-budget fill — SQL-checkable (window cumsum)
+# ---------------------------------------------------------------------------
+
+@query("token_budget_sample", sql=r"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens - n_tokens < 500
+ORDER BY source, doc_id
+""")
+def token_budget_sample_q(sf_dir: str):
+    """Fill a 500-token budget per source in doc_id order
+    (stages/sampling.token_budget_sample); integer token counts, so the
+    SQL window-cumsum oracle replays the cut exactly."""
+    from dataquality_ray.stages.sampling import token_budget_sample
+
+    ds = _read(sf_dir, "documents", ["source", "doc_id", "text"])
+    return (token_budget_sample(ds, budget=500).to_pandas()
+            .sort_values(["source", "doc_id"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Distinct-bigram diversity per source — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("ngram_diversity", sql=r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(regexp_split_to_array(text,
+                '\s+'), x -> x <> ''), 1) AS i
+  FROM documents
+), big AS (
+  SELECT source,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i)
+           AS gram
+  FROM toks
+)
+SELECT source,
+       count(gram)::BIGINT AS n_grams,
+       count(DISTINCT gram)::BIGINT AS n_distinct,
+       floor(count(DISTINCT gram) * 1.0 / count(gram) * 1000000)
+         / 1000000 AS distinct_ratio
+FROM big GROUP BY source ORDER BY source
+""")
+def ngram_diversity_q(sf_dir: str):
+    """Distinct-bigram ratio per source (stages/contamination.
+    ngram_diversity) — the generation-diversity / template-collapse
+    signal; exact integer counts, ratio floor-scaled."""
+    from dataquality_ray.stages.contamination import ngram_diversity
+
+    out = ngram_diversity(
+        _read(sf_dir, "documents", ["source", "text"]), n=2)
+    out["distinct_ratio"] = np.floor(
+        out["n_distinct"] / out["n_grams"] * 1e6) / 1e6
+    return out.sort_values("source").reset_index(drop=True)

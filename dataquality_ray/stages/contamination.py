@@ -273,3 +273,103 @@ def dup_ngram_stats(ds, n: int = 8, id_col: str = "doc_id",
                          "dup_frac": pa.array(frac)})
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_diversity(ds, n: int = 2, group_col: str = "source",
+                    text_col: str = "text", *, mode: str = "auto",
+                    cap: int | None = None):
+    """Distinct-n diversity (Li et al. 2016 "distinct" metric): per
+    group, distinct n-grams / total n-grams — low values mean templated
+    or mode-collapsed text.  Returns a small pandas frame
+    ``(group, n_grams, n_distinct)``.
+
+    One streaming pass of per-batch (group, gram, count) partials
+    through the GUARDED driver combine (cap = distinct (group, gram)
+    pairs; same contract as dup_ngram_stats above).  Past the cap the
+    shuffle twin runs one groupby(group, gram) Sum and re-partials the
+    result — exact at any size, but note Ray's sort-aggregate cost
+    grows with group cardinality, which is exactly why the combine is
+    the default.  Grams stay strings for SQL-oracle exactness; the
+    hashed-int64 twin for 100 TB is the dup_ngram_stats convention."""
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    if mode not in ("auto", "combine", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+
+    def grams_of(t: str) -> list[str]:
+        toks = (t or "").split()
+        return [" ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)]
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        gs, grams = [], []
+        for g, t in zip(batch[group_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            for gram in grams_of(t):
+                gs.append(g)
+                grams.append(gram)
+        df = pd.DataFrame({"g": gs, "gram": grams})
+        return (df.groupby(["g", "gram"], sort=False)
+                .size().reset_index(name="c"))
+
+    stage = (ds.select_columns([group_col, text_col])
+             .map_batches(explode, batch_format="pyarrow"))
+
+    def combine(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby(["g", "gram"], as_index=False,
+                             sort=False)["c"].sum()
+
+    merged_df = None
+    if mode in ("auto", "combine"):
+        merged_df, ok = guarded_partials(stage, combine, cap)
+        if ok:
+            record_route("ngram_diversity", "combine",
+                         "distinct (group, gram) pairs within cap",
+                         0 if merged_df is None else len(merged_df))
+        else:
+            if mode == "combine":
+                raise RuntimeError(
+                    f"ngram_diversity: distinct pairs exceed cap={cap}; "
+                    "use mode='shuffle'")
+            merged_df = None
+    if merged_df is None and mode != "combine":
+        record_route("ngram_diversity", "shuffle",
+                     "shuffle requested" if mode == "shuffle"
+                     else "distinct pairs exceed cap", None)
+        merged = stage.groupby(["g", "gram"]).aggregate(
+            Sum("c", alias_name="c"))
+
+        def per_group(batch: pa.Table) -> pd.DataFrame:
+            df = batch.select(["g", "c"]).to_pandas()
+            agg = df.groupby("g", sort=False).agg(
+                n_grams=("c", "sum"), n_distinct=("c", "size"))
+            return agg.reset_index()
+
+        tot, dis = {}, {}
+        for b in (merged.map_batches(per_group, batch_format="pyarrow")
+                  .iter_batches(batch_format="pandas")):
+            for g, ng, nd in zip(b["g"], b["n_grams"], b["n_distinct"]):
+                tot[g] = tot.get(g, 0) + int(ng)
+                dis[g] = dis.get(g, 0) + int(nd)
+    else:
+        if merged_df is None:
+            merged_df = pd.DataFrame({"g": [], "gram": [], "c": []})
+        agg = merged_df.groupby("g", sort=False).agg(
+            n_grams=("c", "sum"), n_distinct=("c", "size"))
+        tot = {g: int(v) for g, v in agg["n_grams"].items()}
+        dis = {g: int(v) for g, v in agg["n_distinct"].items()}
+
+    groups = sorted(tot)
+    return pd.DataFrame({
+        group_col: groups,
+        "n_grams": np.array([tot[g] for g in groups], dtype=np.int64),
+        "n_distinct": np.array([dis.get(g, 0) for g in groups],
+                               dtype=np.int64),
+    })

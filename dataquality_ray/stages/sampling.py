@@ -180,3 +180,40 @@ def weighted_sample(ds, k: int, weight_col: str, id_col: str = "doc_id",
              .head(k).reset_index(drop=True))
     parts.insert(0, "rank", np.arange(1, len(parts) + 1, dtype=np.int64))
     return parts
+
+
+def token_budget_sample(ds, budget: int, group_col: str = "source",
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Fill a per-group TOKEN budget in deterministic id order: within
+    each group, docs are taken in ascending ``id_col`` order while the
+    running token total BEFORE the doc is under ``budget`` (so the doc
+    that crosses the budget is still included — the standard
+    fill-the-budget cut used when assembling a fixed-token-count
+    mixture; contrast ``cap_per_group``, which caps by DOC count).
+
+    One shuffle (``groupby(group_col).map_groups``, per-group ordered
+    cumsum vectorized); token counts are whitespace-split integers so a
+    SQL window-cumsum oracle replays the cut exactly.  Assumes one
+    group's rows fit a task — the same contract as sessionize/asof."""
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        toks = np.array(
+            [len((t or "").split()) for t in batch[text_col].to_pylist()],
+            dtype=np.int64)
+        return pa.table({group_col: batch[group_col],
+                         id_col: batch[id_col],
+                         "n_tokens": pa.array(toks)})
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        cum = g["n_tokens"].to_numpy(np.int64).cumsum()
+        prev = cum - g["n_tokens"].to_numpy(np.int64)
+        keep = prev < budget
+        out = g.loc[keep, [group_col, id_col, "n_tokens"]].copy()
+        out["cum_tokens"] = cum[keep]
+        return out
+
+    return (ds.select_columns([group_col, id_col, text_col])
+            .map_batches(count_tokens, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(per_group, batch_format="pandas"))

@@ -128,3 +128,37 @@ def test_dup_ngram_auto_reroutes_past_cap(ray_session):
     pd.testing.assert_frame_equal(base, routed)
     with pytest.raises(MemoryError):
         dup_ngram_stats(ds, n=8, mode="broadcast", cap=5)
+
+
+# --- distinct-n diversity --------------------------------------------------
+
+def test_ngram_diversity_modes_agree_and_match_brute(ray_session):
+    from collections import Counter
+
+    from dataquality_ray.stages.autoroute import last_route
+    from dataquality_ray.stages.contamination import ngram_diversity
+
+    texts = ["a b a b a b", "x y z x y", "a b c d", "p p p p p"]
+    groups = ["g1", "g1", "g2", "g2"]
+    df = pd.DataFrame({"source": groups, "text": texts})
+    ds = rd.from_pandas(df).repartition(3)
+
+    got = ngram_diversity(ds, n=2).sort_values("source")
+    assert last_route("ngram_diversity")["chosen"] == "combine"
+    shuf = ngram_diversity(ds, n=2, mode="shuffle").sort_values("source")
+    assert last_route("ngram_diversity")["chosen"] == "shuffle"
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  shuf.reset_index(drop=True))
+
+    # brute oracle
+    want = {}
+    for g in ("g1", "g2"):
+        grams = Counter()
+        for gg, t in zip(groups, texts):
+            if gg == g:
+                toks = t.split()
+                grams.update(" ".join(toks[i:i+2])
+                             for i in range(len(toks) - 1))
+        want[g] = (sum(grams.values()), len(grams))
+    for _, r in got.iterrows():
+        assert (r["n_grams"], r["n_distinct"]) == want[r["source"]]
