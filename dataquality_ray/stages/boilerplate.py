@@ -201,19 +201,65 @@ def paragraph_dedup(ds, col: str = "text", sep: str = "\n\n",
             "para": pa.array(flat, pa.string()),
         })
 
-    exploded = ds.select_columns([id_col, col]) \
-                 .map_batches(explode, batch_format="pyarrow")
+    # Dup-key discovery: guarded driver combine of per-batch
+    # (key, min rank, count) partials — Ray's sort-aggregate cost grows
+    # with group cardinality (measured 13 s for 14k string groups on
+    # 25k rows), so the shuffle is the beyond-cap twin, not the default.
+    # Partials come straight off the doc batches (split+strip inline);
+    # the full (para, i) explosion is built only for the join twin.
+    def key_partials(batch: pa.Table) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        rows_k, rows_r = [], []
+        for d, t in zip(ids, batch[col].to_pylist()):
+            base = int(d) * RANK_STRIDE
+            for i, p in enumerate((t or "").split(sep)):
+                k = p.strip()
+                if k:
+                    rows_k.append(k)
+                    rows_r.append(base + i)
+        df = pd.DataFrame({"key": rows_k, "rank": rows_r})
+        return (df.groupby("key", sort=False)
+                .agg(first_rank=("rank", "min"), n_occ=("rank", "size"))
+                .reset_index())
 
-    nonempty = exploded.filter(expr="key != ''")
-    agg = nonempty.groupby("key").aggregate(
-        Min("rank", alias_name="first_rank"),
-        Count("key", alias_name="n_occ"))
-    # Materialize the (small) dup-key table: an empty Ray groupby result
-    # loses its schema entirely (no columns), which breaks the join —
-    # same quirk/fix as dedup.mark_duplicates_join on dup-free corpora.
-    dups = agg.filter(expr="n_occ > 1").select_columns(
-        ["key", "first_rank"]).materialize()
-    if dups.count() == 0:
+    def key_combine(frame: pd.DataFrame) -> pd.DataFrame:
+        return (frame.groupby("key", as_index=False, sort=False)
+                .agg(first_rank=("first_rank", "min"),
+                     n_occ=("n_occ", "sum")))
+
+    docs2 = ds.select_columns([id_col, col])
+    merged, ok = guarded_partials(
+        docs2.map_batches(key_partials, batch_format="pyarrow"),
+        key_combine, autoroute.DRIVER_COMBINE_CAP)
+    if ok:
+        record_route("paragraph_dedup_keys", "combine",
+                     "distinct paragraph keys within cap",
+                     0 if merged is None else len(merged))
+        if merged is None:
+            merged = pd.DataFrame({"key": [], "first_rank": [],
+                                   "n_occ": []})
+        dup_df_all = merged[merged["n_occ"] > 1][["key", "first_rank"]]
+        import ray.data as _rd
+        dups = (_rd.from_pandas(
+            dup_df_all.reset_index(drop=True)).materialize()
+            if len(dup_df_all) else None)
+    else:
+        record_route("paragraph_dedup_keys", "shuffle",
+                     "distinct paragraph keys exceed driver cap", None)
+        nonempty = ds.select_columns([id_col, col]) \
+            .map_batches(explode, batch_format="pyarrow") \
+            .filter(expr="key != ''")
+        agg = nonempty.groupby("key").aggregate(
+            Min("rank", alias_name="first_rank"),
+            Count("key", alias_name="n_occ"))
+        # Materialize the dup-key table: an empty Ray groupby result
+        # loses its schema entirely (no columns), which breaks the join
+        # — same quirk/fix as dedup.mark_duplicates_join.
+        dups = agg.filter(expr="n_occ > 1").select_columns(
+            ["key", "first_rank"]).materialize()
+        if dups.count() == 0:
+            dups = None
+    if dups is None:
         def passthrough(batch: pa.Table) -> pa.Table:
             return pa.table({
                 id_col: batch[id_col],
@@ -279,6 +325,8 @@ def paragraph_dedup(ds, col: str = "text", sep: str = "\n\n",
                  else "join mode requested", n_dup)
 
     from dataquality_ray.stages.joins import smart_join
+    exploded = ds.select_columns([id_col, col]) \
+                 .map_batches(explode, batch_format="pyarrow")
     marked = smart_join(exploded, dups, on="key",
                         value_cols=["first_rank"], join_type="left_outer")
 
