@@ -470,27 +470,32 @@ def c1_near_dup_bucketed(ds, col: str, threshold: float = 0.91,
         out["terms"].extend([tl] * len(tl))
         out["weights"].extend([wl] * len(tl))
 
-    # (value, term, tf) — one row per DISTINCT term per value
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        vals, terms, tfs = [], [], []
-        for v in batch["value"]:
-            cnt = _value_counts(v)
-            vals.extend([v] * len(cnt))
-            terms.extend(cnt.keys())
-            tfs.extend(cnt.values())
-        return pd.DataFrame({"value": vals, "term": terms, "tf": tfs})
+    # Document frequency (#distinct values containing the term): guarded
+    # driver combine of per-batch term counts — Ray's sort-aggregate cost
+    # grows with group cardinality (see stages/contamination.py note), so
+    # the exploded groupby is the beyond-cap twin, not the default.
+    from dataquality_ray.stages.autoroute import guarded_partials
 
-    exploded = universe.map_batches(explode,
-                                    batch_format="pandas").materialize()
-    # document frequency = #distinct values containing the term
-    df_tbl = exploded.groupby("term").aggregate(
-        Count("value", alias_name="df")).materialize()
-    n_terms = df_tbl.count()
+    def df_partials(batch: pa.Table) -> pd.DataFrame:
+        cnt: dict[str, int] = {}
+        for v in batch["value"].to_pylist():
+            for t in _value_counts(v):
+                cnt[t] = cnt.get(t, 0) + 1
+        return pd.DataFrame({"term": list(cnt),
+                             "df": list(cnt.values())})
 
-    if n_terms <= df_broadcast_max:
+    def df_combine(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby("term", as_index=False, sort=False)["df"].sum()
+
+    df_merged, df_ok = guarded_partials(
+        universe.map_batches(df_partials, batch_format="pyarrow"),
+        df_combine, df_broadcast_max)
+
+    if df_ok:
+        df_pdf = (df_merged if df_merged is not None
+                  else pd.DataFrame({"term": [], "df": []}))
         record_route("c1_near_dup_bucketed", "broadcast-df",
-                     "term table within cap", n_terms)
-        df_pdf = df_tbl.to_pandas()
+                     "term table within cap", len(df_pdf))
         df_ref = ray.put((pa.array(df_pdf["term"].astype(str)),
                           df_pdf["df"].to_numpy(np.int64)))
 
@@ -522,7 +527,22 @@ def c1_near_dup_bucketed(ds, col: str, threshold: float = 0.91,
         entries = universe.map_batches(batch_entries, batch_format="pandas")
     else:
         record_route("c1_near_dup_bucketed", "join-df",
-                     f"term table exceeds cap={df_broadcast_max}", n_terms)
+                     f"term table exceeds cap={df_broadcast_max}", None)
+
+        # (value, term, tf) — one row per DISTINCT term per value
+        def explode(batch: pd.DataFrame) -> pd.DataFrame:
+            vals, terms, tfs = [], [], []
+            for v in batch["value"]:
+                cnt = _value_counts(v)
+                vals.extend([v] * len(cnt))
+                terms.extend(cnt.keys())
+                tfs.extend(cnt.values())
+            return pd.DataFrame({"value": vals, "term": terms, "tf": tfs})
+
+        exploded = universe.map_batches(explode,
+                                        batch_format="pandas").materialize()
+        df_tbl = exploded.groupby("term").aggregate(
+            Count("value", alias_name="df")).materialize()
         weighted = hash_join(exploded, df_tbl, on="term",
                              value_cols=["df"], join_type="inner")
 
@@ -567,19 +587,41 @@ def c1_near_dup_bucketed(ds, col: str, threshold: float = 0.91,
         return pd.DataFrame(out, columns=["val_a", "val_b", "cosine"]) \
             .drop_duplicates(["val_a", "val_b"])
 
-    pairs = (entries.groupby("bucket")
-             .map_groups(bucket_pairs, batch_format="pandas")
-             .groupby(["val_a", "val_b"])
-             .aggregate(Max("cosine", alias_name="cosine")))
+    raw_pairs = entries.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas")
 
-    def flatten(batch: pa.Table) -> pa.Table:
-        both = pa.concat_arrays([batch["val_a"].combine_chunks(),
-                                 batch["val_b"].combine_chunks()])
-        return pa.table({"value": both})
+    # Pair dedup: a pair found via several shared terms recomputes the
+    # SAME cosine each time, so dedup = groupby max.  Guarded driver
+    # combine first (near-dup pair sets are small); Ray groupby twin
+    # past the cap.
+    def pair_combine(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby(["val_a", "val_b"],
+                             as_index=False, sort=False)["cosine"].max()
 
-    incons = (pairs.map_batches(flatten, batch_format="pyarrow")
-              .groupby("value").aggregate(Count("value", alias_name="_c")))
-    n_inconsistent = incons.count()
+    p_merged, p_ok = guarded_partials(raw_pairs, pair_combine,
+                                      DRIVER_COMBINE_CAP)
+    if p_ok:
+        import ray.data as rd
+
+        pdfr = (p_merged if p_merged is not None
+                else pd.DataFrame({"val_a": pd.Series([], dtype=str),
+                                   "val_b": pd.Series([], dtype=str),
+                                   "cosine": pd.Series([], dtype=float)}))
+        n_inconsistent = len(set(pdfr["val_a"]) | set(pdfr["val_b"]))
+        pairs = rd.from_pandas(pdfr.reset_index(drop=True))
+    else:
+        pairs = raw_pairs.groupby(["val_a", "val_b"]).aggregate(
+            Max("cosine", alias_name="cosine"))
+
+        def flatten(batch: pa.Table) -> pa.Table:
+            both = pa.concat_arrays([batch["val_a"].combine_chunks(),
+                                     batch["val_b"].combine_chunks()])
+            return pa.table({"value": both})
+
+        incons = (pairs.map_batches(flatten, batch_format="pyarrow")
+                  .groupby("value")
+                  .aggregate(Count("value", alias_name="_c")))
+        n_inconsistent = incons.count()
     return {"score": (n_values - n_inconsistent) / n_values,
             "n_values": n_values, "n_inconsistent": n_inconsistent,
             "pairs": pairs}
