@@ -473,3 +473,39 @@ def event_anomaly_zscore_q(sf_dir: str):
                ["event_id", "user_id", "ts", "value"])
     return (rolling_zscore(ds, "user_id", "ts", "value", "event_id")
             .to_pandas().sort_values("event_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: signup -> click -> purchase — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("event_funnel", sql="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1::BIGINT AS stage, 'signup' AS step,
+         (SELECT count(*) FROM s1)::BIGINT AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+) ORDER BY stage
+""")
+def event_funnel_q(sf_dir: str):
+    """signup -> click -> purchase funnel (stages/windows.funnel_stages,
+    earliest-match subsequence with strict time ordering); integer user
+    counts, exact oracle replay via chained min-ts joins."""
+    from dataquality_ray.stages.windows import funnel_stages
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_stages(ds, ["signup", "click", "purchase"])

@@ -187,3 +187,39 @@ def rolling_zscore(ds, key: str, ts_col: str, val_col: str,
         })
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def funnel_stages(ds, steps: list[str], key: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type"):
+    """Ordered-funnel analysis: per key, how far through ``steps`` the
+    event stream progresses, where each next step must occur STRICTLY
+    after the matched timestamp of the previous one (subsequence match
+    on earliest-possible timestamps — the standard funnel definition).
+
+    One shuffle (``groupby(key).map_groups``); returns a small pandas
+    frame ``(stage, step, n_users)`` with ``n_users`` = keys reaching at
+    least that stage — monotonically non-increasing by construction."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        reached = 0
+        t_prev = None
+        for step in steps:
+            sub = g[g[type_col] == step]
+            if t_prev is not None:
+                sub = sub[sub[ts_col] > t_prev]
+            if not len(sub):
+                break
+            t_prev = sub[ts_col].iloc[0]
+            reached += 1
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "reached": [reached]})
+
+    per_user = (ds.select_columns([key, ts_col, type_col])
+                .groupby(key).map_groups(per_key, batch_format="pandas")
+                .to_pandas())
+    n = len(steps)
+    counts = np.array([(per_user["reached"] >= s).sum()
+                       for s in range(1, n + 1)], dtype=np.int64)
+    return pd.DataFrame({"stage": np.arange(1, n + 1, dtype=np.int64),
+                         "step": steps, "n_users": counts})

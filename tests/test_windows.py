@@ -93,3 +93,27 @@ def test_rolling_zscore_bit_identical_to_duckdb(ray_session):
     """).fetchdf()
     a, b = got["z"].to_numpy(), duck["z"].to_numpy()
     assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+
+def test_funnel_stages_ordering_semantics(ray_session):
+    """Steps must match strictly AFTER the previous matched timestamp."""
+    from dataquality_ray.stages.windows import funnel_stages
+
+    base = pd.to_datetime("2024-01-01")
+    rows = [
+        # user 1: full ordered funnel
+        (1, base, "signup"), (1, base + pd.Timedelta("1h"), "click"),
+        (1, base + pd.Timedelta("2h"), "purchase"),
+        # user 2: click BEFORE signup -> stops at stage 1
+        (2, base, "click"), (2, base + pd.Timedelta("1h"), "signup"),
+        # user 3: signup+click, purchase before click -> stage 2
+        (3, base, "signup"), (3, base + pd.Timedelta("30m"), "purchase"),
+        (3, base + pd.Timedelta("1h"), "click"),
+        # user 4: no signup at all
+        (4, base, "click"), (4, base + pd.Timedelta("1h"), "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    out = funnel_stages(rd.from_pandas(df).repartition(3),
+                        ["signup", "click", "purchase"])
+    assert out["n_users"].tolist() == [3, 2, 1]
+    assert out["step"].tolist() == ["signup", "click", "purchase"]
