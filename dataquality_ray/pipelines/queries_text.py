@@ -2654,3 +2654,49 @@ def ngram_diversity_q(sf_dir: str):
     out["distinct_ratio"] = np.floor(
         out["n_distinct"] / out["n_grams"] * 1e6) / 1e6
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Whole-table column profiler — SQL-checkable (per-column UNION ALL)
+# ---------------------------------------------------------------------------
+
+_PROF_COLS = [
+    ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+    ("l_linenumber", "num"), ("l_quantity", "num"),
+    ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
+    ("l_returnflag", "str"), ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def _prof_col_sql(c: str, k: str) -> str:
+    head = (f"SELECT '{c}' AS \"column\", count(*)::BIGINT AS n, "
+            f"(count(*) - count({c}))::BIGINT AS n_null, "
+            f"count(DISTINCT {c})::BIGINT AS n_distinct, ")
+    if k == "num":
+        tail = (f"CAST(min({c}) AS DOUBLE) AS min_num, "
+                f"CAST(max({c}) AS DOUBLE) AS max_num, "
+                "NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str, "
+                "NULL::DOUBLE AS min_ts_us, NULL::DOUBLE AS max_ts_us")
+    elif k == "str":
+        tail = ("NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, "
+                f"min({c}) AS min_str, max({c}) AS max_str, "
+                "NULL::DOUBLE AS min_ts_us, NULL::DOUBLE AS max_ts_us")
+    else:
+        tail = ("NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, "
+                "NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str, "
+                f"CAST(epoch_us(min({c})) AS DOUBLE) AS min_ts_us, "
+                f"CAST(epoch_us(max({c})) AS DOUBLE) AS max_ts_us")
+    return head + tail + " FROM lineitem"
+
+
+@query("profile_table", sql=" UNION ALL ".join(
+    _prof_col_sql(c, k) for c, k in _PROF_COLS) + ' ORDER BY "column"')
+def profile_table_q(sf_dir: str):
+    """Column profile of lineitem (stages/profile.profile_table): exact
+    per-column null/distinct counts + typed min/max; distinct counting
+    runs on repr(value) which is injective for doubles/timestamps so it
+    equals SQL count(DISTINCT col)."""
+    from dataquality_ray.stages.profile import profile_table
+
+    return profile_table(_read(sf_dir, "lineitem"))

@@ -1,0 +1,148 @@
+"""Whole-table column profiler — the classic data-quality first look
+(per column: row/null/distinct counts, min/max) as two streaming passes.
+
+Pass A: scalar per-column partials (n, n_null, typed min/max) — a few
+rows per batch, driver combine is O(#columns).  Pass B: exact distinct
+counts via per-batch distinct (column, repr(value)) pairs through the
+GUARDED driver combine (stages/autoroute.py contract; re-routes to a
+groupby-shuffle twin past the cap).  ``repr`` is injective for doubles
+(round-trips) and ISO timestamps, so distinct-on-repr equals
+SQL ``count(DISTINCT col)`` on the raw values.
+
+Typed min/max land in separate columns so an SQL oracle replays them
+without cross-type casts: numerics in ``min_num/max_num`` (float64 —
+ints up to 2^53 stay exact), strings in ``min_str/max_str`` (codepoint
+order == DuckDB's default binary collation for ASCII), timestamps in
+``min_ts_us/max_ts_us`` (epoch MICROSECONDS — integers, exact in
+float64 until year ~2255, avoiding the epoch-seconds ulp trap where a
+1e-9 comparison tolerance is finer than double resolution).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataquality_ray.stages.autoroute import (
+    DRIVER_COMBINE_CAP,
+    guarded_partials,
+    record_route,
+)
+
+
+def _kind(t) -> str:
+    if not isinstance(t, pa.DataType):  # non-arrow schema entries
+        return "other"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return "num"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    return "other"
+
+
+def profile_table(ds, columns: list[str] | None = None,
+                  mode: str = "auto", cap: int | None = None):
+    """One row per column: ``(column, n, n_null, n_distinct, min_num,
+    max_num, min_str, max_str, min_ts_us, max_ts_us)``."""
+    from ray.data.aggregate import Count
+
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+    names = columns or list(ds.schema().names)
+    sel = ds.select_columns(names)
+
+    # Column kinds come from each ARROW batch's schema, not ds.schema():
+    # pandas-block datasets (from_pandas) report pandas extension dtypes
+    # there, while map_batches(batch_format="pyarrow") always hands us
+    # real Arrow types.
+    def scalar_part(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for name in names:
+            arr = batch[name]
+            valid = arr.drop_null()
+            row = {"column": name, "n": len(arr),
+                   "n_null": arr.null_count,
+                   "min_num": np.nan, "max_num": np.nan,
+                   "min_str": None, "max_str": None,
+                   "min_ts_us": np.nan, "max_ts_us": np.nan}
+            if len(valid):
+                k = _kind(batch.schema.field(name).type)
+                if k == "num":
+                    mm = pc.min_max(valid).as_py()
+                    row["min_num"] = float(mm["min"])
+                    row["max_num"] = float(mm["max"])
+                elif k == "str":
+                    mm = pc.min_max(valid).as_py()
+                    row["min_str"] = mm["min"]
+                    row["max_str"] = mm["max"]
+                elif k == "ts":
+                    us = pc.cast(pc.cast(valid, pa.timestamp("us")),
+                                 pa.int64())
+                    iv = pc.min_max(us).as_py()
+                    row["min_ts_us"] = float(iv["min"])
+                    row["max_ts_us"] = float(iv["max"])
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    def scalar_combine(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby("column", as_index=False, sort=False).agg(
+            n=("n", "sum"), n_null=("n_null", "sum"),
+            min_num=("min_num", "min"), max_num=("max_num", "max"),
+            min_str=("min_str", "min"), max_str=("max_str", "max"),
+            min_ts_us=("min_ts_us", "min"),
+            max_ts_us=("max_ts_us", "max"))
+
+    scal, _ = guarded_partials(
+        sel.map_batches(scalar_part, batch_format="pyarrow"),
+        scalar_combine, max(cap, len(names) + 1))
+    if scal is None:
+        scal = pd.DataFrame({"column": []})
+
+    def distinct_part(batch: pa.Table) -> pd.DataFrame:
+        cols_out, vals_out = [], []
+        for name in names:
+            vals = {repr(v) for v in batch[name].drop_null().to_pylist()}
+            cols_out.extend([name] * len(vals))
+            vals_out.extend(vals)
+        return pd.DataFrame({"column": cols_out, "v": vals_out,
+                             "one": np.ones(len(cols_out), np.int8)})
+
+    def distinct_combine(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.drop_duplicates(["column", "v"])
+
+    stage = sel.map_batches(distinct_part, batch_format="pyarrow")
+    merged, ok = guarded_partials(stage, distinct_combine, cap)
+    if ok:
+        record_route("profile_table", "combine",
+                     "distinct (column, value) pairs within cap",
+                     0 if merged is None else len(merged))
+        if merged is None:
+            merged = pd.DataFrame({"column": [], "v": []})
+        nd = (merged.groupby("column")["v"].size()
+              .to_dict())
+    else:
+        if mode == "combine":
+            raise RuntimeError(
+                f"profile_table: distinct pairs exceed cap={cap}")
+        record_route("profile_table", "shuffle",
+                     "distinct pairs exceed driver cap", None)
+        agg = stage.groupby(["column", "v"]).aggregate(
+            Count("v", alias_name="_n"))
+        nd = {}
+        for b in agg.iter_batches(batch_format="pandas"):
+            for c in b["column"]:
+                nd[c] = nd.get(c, 0) + 1
+
+    out = scal.copy()
+    out["n_distinct"] = out["column"].map(
+        lambda c: nd.get(c, 0)).astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    out["n_null"] = out["n_null"].astype(np.int64)
+    for c in ("min_str", "max_str"):  # keep SQL-NULL shape, not NaN
+        out[c] = out[c].astype(object).where(out[c].notna(), None)
+    cols = ["column", "n", "n_null", "n_distinct", "min_num", "max_num",
+            "min_str", "max_str", "min_ts_us", "max_ts_us"]
+    return out[cols].sort_values("column").reset_index(drop=True)

@@ -1,0 +1,46 @@
+"""profile_table: typed min/max, null/distinct exactness, route twins."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _fixture():
+    return pd.DataFrame({
+        "i": pd.array([1, 2, 2, None, 5], dtype="Int64"),
+        "f": [1.5, np.nan, 2.5, 2.5, -3.0],
+        "s": ["b", None, "a", "a", "zz"],
+        "t": pd.to_datetime(
+            ["2024-01-02", None, "2024-01-01", "2024-01-01",
+             "2024-06-30"]),
+    })
+
+
+def test_profile_table_counts_and_typed_minmax(ray_session):
+    from dataquality_ray.stages.profile import profile_table
+
+    out = profile_table(rd.from_pandas(_fixture()).repartition(3))
+    out = out.set_index("column")
+    assert out.loc["i", "n"] == 5 and out.loc["i", "n_null"] == 1
+    assert out.loc["i", "n_distinct"] == 3
+    assert out.loc["f", "n_distinct"] == 3  # NaN is a missing value? no:
+    # np.nan arrives as a VALUE in float col via from_pandas -> null in
+    # arrow, so distinct {1.5, 2.5, -3.0}
+    assert out.loc["f", "min_num"] == -3.0
+    assert out.loc["f", "max_num"] == 2.5
+    assert out.loc["s", "min_str"] == "a" and out.loc["s", "max_str"] == "zz"
+    assert out.loc["s", "min_num"] is None or np.isnan(out.loc["s", "min_num"])
+    ts_min = pd.Timestamp("2024-01-01").value // 1000
+    assert out.loc["t", "min_ts_us"] == float(ts_min)
+
+
+def test_profile_table_shuffle_twin_matches(ray_session):
+    from dataquality_ray.stages.autoroute import last_route
+    from dataquality_ray.stages.profile import profile_table
+
+    ds = rd.from_pandas(_fixture()).repartition(2)
+    a = profile_table(ds)
+    assert last_route("profile_table")["chosen"] == "combine"
+    b = profile_table(ds, cap=2)  # force the beyond-cap distinct route
+    assert last_route("profile_table")["chosen"] == "shuffle"
+    pd.testing.assert_frame_equal(a, b)
