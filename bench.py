@@ -166,7 +166,7 @@ def run_suite() -> dict:
                  "type_token_ratio", "paragraph_dedup", "kmeans_embeddings",
                  "doc_keywords", "event_anomaly_zscore", "ks_drift",
                  "hybrid_quality_ann", "token_budget_sample", "ngram_diversity",
-                 "event_funnel", "profile_table",
+                 "event_funnel", "profile_table", "changelog_compact",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -509,3 +509,29 @@ def event_funnel_q(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
     return funnel_stages(ds, ["signup", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------------
+# Changelog compaction (latest row per user) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("changelog_compact", sql="""
+SELECT event_id, ts, user_id, event_type, value
+FROM (
+  SELECT event_id, ts, user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+""")
+def changelog_compact_q(sf_dir: str):
+    """Latest-wins compaction over the events changelog keyed by
+    user_id, ordered by (ts, event_id) — stages/dedup.changelog_compact,
+    the shuffle-free mergeable-aggregate shape."""
+    from dataquality_ray.stages.dedup import changelog_compact
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    out = changelog_compact(ds, "user_id", ["ts", "event_id"])
+    return (out[["event_id", "ts", "user_id", "event_type", "value"]]
+            .reset_index(drop=True))

@@ -349,3 +349,59 @@ def corpus_delta(new_ds, old_ds, text_col: str = "text",
         lambda b: b.filter(pc.is_null(b["_seen"]))
                    .drop_columns([SHA, "_seen"]),
         batch_format="pyarrow")
+
+
+def changelog_compact(ds, key: str, order_cols: list[str],
+                      *, mode: str = "auto", cap: int | None = None):
+    """Latest-wins compaction of a changelog: one surviving row per
+    ``key``, the row with the greatest ``order_cols`` tuple (e.g.
+    ``[ts, event_id]`` — the id breaks timestamp ties
+    deterministically).  The CDC / upsert-merge ingestion primitive.
+
+    Latest-wins is a MERGEABLE aggregate, so the default shape is
+    shuffle-free: each batch keeps its local latest row per key and the
+    guarded driver combine merges partials (driver memory O(#distinct
+    keys) full rows, cap-guarded).  Past the cap the shuffle twin runs
+    ``groupby(key).map_groups`` — nothing driver-held.
+    """
+    import pyarrow as pa
+
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    if mode not in ("auto", "combine", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+    by = [key] + list(order_cols)
+
+    def local_latest(frame: pd.DataFrame) -> pd.DataFrame:
+        return (frame.sort_values(by)
+                .drop_duplicates(key, keep="last"))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        return local_latest(batch.to_pandas())
+
+    stage = ds.map_batches(part, batch_format="pyarrow")
+    if mode in ("auto", "combine"):
+        merged, ok = guarded_partials(stage, local_latest, cap)
+        if ok:
+            record_route("changelog_compact", "combine",
+                         "distinct keys within cap",
+                         0 if merged is None else len(merged))
+            if merged is None:
+                return ds.to_pandas().head(0)
+            return merged.sort_values(key).reset_index(drop=True)
+        if mode == "combine":
+            raise RuntimeError(
+                f"changelog_compact: distinct keys exceed cap={cap}; "
+                "use mode='shuffle'")
+    record_route("changelog_compact", "shuffle",
+                 "shuffle requested" if mode == "shuffle"
+                 else "distinct keys exceed driver cap", None)
+    out = (stage.groupby(key)
+           .map_groups(lambda g: local_latest(g), batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(key).reset_index(drop=True)

@@ -542,3 +542,44 @@ def test_kmeans_recovers_planted_clusters(clustered_vecs, ray_session):
     pur = (dfm.groupby("c")["t"]
            .agg(lambda s: s.value_counts().iloc[0]).sum()) / len(dfm)
     assert pur >= 0.9, pur
+
+
+# --- changelog compaction --------------------------------------------------
+
+def test_changelog_compact_latest_wins_and_modes(ray_session):
+    from dataquality_ray.stages.autoroute import last_route
+    from dataquality_ray.stages.dedup import changelog_compact
+
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-03", "2024-01-02",
+                              "2024-01-03", "2024-01-01", "2024-01-01"]),
+        "user_id": [7, 7, 7, 8, 8, 9],
+        "value": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    got = changelog_compact(ds, "user_id", ["ts", "event_id"])
+    assert last_route("changelog_compact")["chosen"] == "combine"
+    # user 7: latest ts 01-03 -> event 2; user 8: 01-03 -> event 4
+    assert got.set_index("user_id")["event_id"].to_dict() == \
+        {7: 2, 8: 4, 9: 6}
+    shuf = changelog_compact(ds, "user_id", ["ts", "event_id"],
+                             mode="shuffle")
+    assert last_route("changelog_compact")["chosen"] == "shuffle"
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        shuf[got.columns].reset_index(drop=True))
+
+
+def test_changelog_compact_ts_tie_breaks_by_id(ray_session):
+    from dataquality_ray.stages.dedup import changelog_compact
+
+    df = pd.DataFrame({
+        "event_id": [1, 2],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+        "user_id": [5, 5],
+        "value": [1.0, 2.0],
+    })
+    got = changelog_compact(rd.from_pandas(df), "user_id",
+                            ["ts", "event_id"])
+    assert got["event_id"].tolist() == [2]
