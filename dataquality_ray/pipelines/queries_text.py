@@ -2700,3 +2700,39 @@ def profile_table_q(sf_dir: str):
     from dataquality_ray.stages.profile import profile_table
 
     return profile_table(_read(sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency checks — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("fd_check", sql="""
+SELECT * FROM (
+  SELECT 'p_partkey->p_brand' AS fd,
+         count(*)::BIGINT AS n_lhs,
+         count(*) FILTER (WHERE n_rhs > 1)::BIGINT AS n_violating
+  FROM (SELECT p_partkey, count(DISTINCT p_brand) AS n_rhs
+        FROM part GROUP BY p_partkey)
+  UNION ALL
+  SELECT 'p_type->p_size',
+         count(*)::BIGINT,
+         count(*) FILTER (WHERE n_rhs > 1)::BIGINT
+  FROM (SELECT p_type, count(DISTINCT p_size) AS n_rhs
+        FROM part GROUP BY p_type)
+) ORDER BY fd
+""")
+def fd_check_q(sf_dir: str):
+    """FD consistency probes on part (stages/profile.fd_check): the
+    key FD p_partkey->p_brand holds (0 violations) while p_type does
+    NOT determine p_size (violations expected) — one holding and one
+    failing dependency exercise both outcomes."""
+    from dataquality_ray.stages.profile import fd_check
+
+    ds = _read(sf_dir, "part",
+               ["p_partkey", "p_brand", "p_type", "p_size"])
+    rows = []
+    for lhs, rhs in (("p_partkey", "p_brand"), ("p_type", "p_size")):
+        r = fd_check(ds, lhs, rhs)
+        rows.append({"fd": f"{lhs}->{rhs}", "n_lhs": r["n_lhs"],
+                     "n_violating": r["n_violating"]})
+    return pd.DataFrame(rows).sort_values("fd").reset_index(drop=True)

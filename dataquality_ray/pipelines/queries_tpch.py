@@ -535,3 +535,39 @@ def changelog_compact_q(sf_dir: str):
     out = changelog_compact(ds, "user_id", ["ts", "event_id"])
     return (out[["event_id", "ts", "user_id", "event_type", "value"]]
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Session-level roll-up (start/end/duration per 30-min-gap session)
+# ---------------------------------------------------------------------------
+
+@query("session_stats", sql="""
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS e,
+         lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_e
+  FROM events
+), marked AS (
+  SELECT user_id, e,
+         sum(CASE WHEN prev_e IS NOT NULL AND e - prev_e > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY e
+                 ROWS UNBOUNDED PRECEDING) + 1 AS session_idx
+  FROM ordered
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*)::BIGINT AS n_events,
+       min(e) AS start_epoch, max(e) AS end_epoch,
+       (max(e) - min(e))::BIGINT AS duration_s
+FROM marked GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+""")
+def session_stats_q(sf_dir: str):
+    """Per-session roll-up (stages/windows.session_stats, 30-min gap);
+    integer epochs -> exact window replay."""
+    from dataquality_ray.stages.windows import session_stats
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return (session_stats(ds).to_pandas()
+            .sort_values(["user_id", "session_idx"])
+            .reset_index(drop=True))

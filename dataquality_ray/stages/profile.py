@@ -146,3 +146,60 @@ def profile_table(ds, columns: list[str] | None = None,
     cols = ["column", "n", "n_null", "n_distinct", "min_num", "max_num",
             "min_str", "max_str", "min_ts_us", "max_ts_us"]
     return out[cols].sort_values("column").reset_index(drop=True)
+
+
+def fd_check(ds, lhs: str, rhs: str, *, mode: str = "auto",
+             cap: int | None = None, examples: int = 5):
+    """Functional-dependency check ``lhs -> rhs``: a determinant value
+    violates the FD when it co-occurs with more than one distinct
+    dependent value — the classic consistency probe (does zip determine
+    city, does brand determine manufacturer).
+
+    One streaming pass of per-batch distinct ``(lhs, rhs)`` pairs
+    through the guarded combine (cap contract as everywhere; groupby
+    twin past it).  Returns ``{"n_lhs", "n_violating", "fd_holds",
+    "examples": DataFrame(lhs, n_rhs)}`` with the worst offenders
+    first."""
+    from ray.data.aggregate import Count
+
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+    sel = ds.select_columns([lhs, rhs])
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        return (batch.to_pandas().drop_duplicates([lhs, rhs]))
+
+    def comb(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.drop_duplicates([lhs, rhs])
+
+    stage = sel.map_batches(part, batch_format="pyarrow")
+    merged, ok = guarded_partials(stage, comb, cap)
+    if ok:
+        record_route("fd_check", "combine", "distinct pairs within cap",
+                     0 if merged is None else len(merged))
+        if merged is None:
+            merged = pd.DataFrame({lhs: [], rhs: []})
+        per = (merged.groupby(lhs, sort=False).size()
+               .reset_index(name="n_rhs"))
+    else:
+        if mode == "combine":
+            raise RuntimeError(f"fd_check: pairs exceed cap={cap}")
+        record_route("fd_check", "shuffle",
+                     "distinct pairs exceed driver cap", None)
+        agg = (stage.groupby([lhs, rhs])
+               .aggregate(Count(rhs, alias_name="_n")))
+        cnt: dict = {}
+        for b in agg.iter_batches(batch_format="pandas"):
+            for v in b[lhs]:
+                cnt[v] = cnt.get(v, 0) + 1
+        per = pd.DataFrame({lhs: list(cnt), "n_rhs": list(cnt.values())})
+    viol = (per[per["n_rhs"] > 1]
+            .sort_values(["n_rhs", lhs], ascending=[False, True]))
+    return {"n_lhs": int(len(per)), "n_violating": int(len(viol)),
+            "fd_holds": len(viol) == 0,
+            "examples": viol.head(examples).reset_index(drop=True)}

@@ -223,3 +223,40 @@ def funnel_stages(ds, steps: list[str], key: str = "user_id",
                        for s in range(1, n + 1)], dtype=np.int64)
     return pd.DataFrame({"stage": np.arange(1, n + 1, dtype=np.int64),
                          "step": steps, "n_users": counts})
+
+
+def session_stats(ds, key: str = "user_id", ts_col: str = "ts",
+                  gap_s: int = 1800):
+    """Per-session roll-up: split each key's ordered event stream at
+    gaps > ``gap_s`` seconds (same gap rule as the sessionize score) and
+    emit one row per session — ``(key, session_idx, n_events,
+    start_epoch, end_epoch, duration_s)``.  One
+    ``groupby(key).map_groups`` shuffle; integer epochs so a SQL
+    window-replay oracle is exact."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"]) \
+            if "event_id" in g.columns else g.sort_values(ts_col)
+        epoch = (g[ts_col].astype("int64") // 1_000_000).to_numpy()
+        new = np.zeros(len(g), dtype=np.int64)
+        new[1:] = (np.diff(epoch) > gap_s).astype(np.int64)
+        sid = new.cumsum()
+        df = pd.DataFrame({"sid": sid, "epoch": epoch})
+        agg = df.groupby("sid").agg(n_events=("epoch", "size"),
+                                    start_epoch=("epoch", "min"),
+                                    end_epoch=("epoch", "max"))
+        agg = agg.reset_index()
+        return pd.DataFrame({
+            key: g[key].iloc[0],
+            "session_idx": agg["sid"].to_numpy(np.int64) + 1,
+            "n_events": agg["n_events"].to_numpy(np.int64),
+            "start_epoch": agg["start_epoch"].to_numpy(np.int64),
+            "end_epoch": agg["end_epoch"].to_numpy(np.int64),
+            "duration_s": (agg["end_epoch"]
+                           - agg["start_epoch"]).to_numpy(np.int64),
+        })
+
+    cols = [key, ts_col] + (["event_id"]
+                            if "event_id" in ds.schema().names else [])
+    return (ds.select_columns(cols).groupby(key)
+            .map_groups(per_key, batch_format="pandas"))

@@ -44,3 +44,19 @@ def test_profile_table_shuffle_twin_matches(ray_session):
     b = profile_table(ds, cap=2)  # force the beyond-cap distinct route
     assert last_route("profile_table")["chosen"] == "shuffle"
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_fd_check_holds_and_violates(ray_session):
+    from dataquality_ray.stages.profile import fd_check
+
+    df = pd.DataFrame({
+        "zip": ["10", "10", "20", "20", "30"],
+        "city": ["A", "A", "B", "C", "D"],   # zip 20 -> {B, C} violates
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    r = fd_check(ds, "zip", "city")
+    assert r["n_lhs"] == 3 and r["n_violating"] == 1
+    assert not r["fd_holds"]
+    assert r["examples"]["zip"].tolist() == ["20"]
+    ok = fd_check(ds, "city", "zip")  # city -> zip holds here
+    assert ok["fd_holds"] and ok["n_violating"] == 0
