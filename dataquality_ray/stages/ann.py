@@ -27,7 +27,23 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _stack_embeddings(batch: pa.Table, col: str) -> np.ndarray:
-    return np.array(batch[col].to_pylist(), dtype=np.float64)
+    """(n, dim) float64 from a list<float> column — zero-copy flatten +
+    reshape when rows are equal-width (the embedding-table invariant),
+    falling back to the Python materialization for ragged/odd layouts."""
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    try:
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        if len(arr) and flat.size % len(arr) == 0:
+            dim = flat.size // len(arr)
+            widths = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+            if (widths == dim).all():
+                return flat.reshape(len(arr), dim).astype(
+                    np.float64, copy=False)
+    except (AttributeError, pa.ArrowInvalid):  # pragma: no cover
+        pass
+    return np.array(arr.to_pylist(), dtype=np.float64)
 
 
 class BruteForceTopK:
