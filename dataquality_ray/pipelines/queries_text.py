@@ -2736,3 +2736,44 @@ def fd_check_q(sf_dir: str):
         rows.append({"fd": f"{lhs}->{rhs}", "n_lhs": r["n_lhs"],
                      "n_violating": r["n_violating"]})
     return pd.DataFrame(rows).sort_values("fd").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced undersampling over labeled embeddings — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("class_balance_sample", sql="""
+WITH cnt AS (
+  SELECT min(c) AS m FROM (
+    SELECT count(*) AS c FROM embeddings GROUP BY label)
+), ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+  FROM embeddings
+)
+SELECT label, count(*)::BIGINT AS n_rows,
+       min(vec_id) AS min_id, max(vec_id) AS max_id
+FROM ranked, cnt WHERE rn <= m
+GROUP BY label ORDER BY label
+""")
+def class_balance_sample_q(sf_dir: str):
+    """Undersample every class to the minority-class size
+    (deterministic id order — stages/sampling.cap_per_group composed
+    with a per-class count pass); the balanced-classifier-training prep
+    step.  Summary per label so the result stays small."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from dataquality_ray.stages.sampling import cap_per_group
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    counts = (emb.groupby("label")
+              .aggregate(Count("label", alias_name="c")).to_pandas())
+    m = int(counts["c"].min())
+    balanced = cap_per_group(emb, "label", m, "vec_id")
+    out = (balanced.groupby("label").aggregate(
+        Count("label", alias_name="n_rows"),
+        Min("vec_id", alias_name="min_id"),
+        Max("vec_id", alias_name="max_id"))
+        .to_pandas().sort_values("label").reset_index(drop=True))
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out[["label", "n_rows", "min_id", "max_id"]]
