@@ -2777,3 +2777,81 @@ def class_balance_sample_q(sf_dir: str):
         .to_pandas().sort_values("label").reset_index(drop=True))
     out["n_rows"] = out["n_rows"].astype("int64")
     return out[["label", "n_rows", "min_id", "max_id"]]
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of keyword + vector retrieval — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("rrf_fusion", sql=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+), df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), n AS (SELECT count(*) AS n FROM documents),
+q(tok) AS (VALUES ('hash'), ('join'), ('table')),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), w AS (
+  SELECT q.tok, (n.n * 1000000) // df.df AS w
+  FROM q JOIN df USING (tok) CROSS JOIN n
+), sc AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf * w.w) AS BIGINT) AS score
+  FROM tf JOIN w ON tf.tok = w.tok GROUP BY tf.doc_id
+), kr AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+      AS rank FROM sc) WHERE rank <= 20
+), qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+ar AS (
+  SELECT doc_id, rank FROM (
+    SELECT e.vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY list_cosine_similarity(e.embedding, qv.v) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0)
+  WHERE rank <= 20
+), fused AS (
+  SELECT coalesce(kr.doc_id, ar.doc_id) AS doc_id,
+         CAST(coalesce(1000000000 // (60 + kr.rank), 0)
+              + coalesce(1000000000 // (60 + ar.rank), 0) AS BIGINT)
+           AS rrf_score
+  FROM kr FULL OUTER JOIN ar ON kr.doc_id = ar.doc_id
+)
+SELECT doc_id, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+""")
+def rrf_fusion_q(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the keyword
+    top-20 ('hash join table', integer-exact idf-int ranks) and the
+    cosine top-20 (query = vec 0's embedding): fused score =
+    sum floor(1e9/(60+rank)) — all-integer, so the SQL replay is exact.
+    Both input lists come from the distributed top-k operators; fusion
+    itself is O(k) driver work."""
+    from dataquality_ray.stages.ann import cosine_topk
+    from dataquality_ray.stages.retrieval import keyword_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    kw = keyword_topk(docs, ["hash join table"], k=20)
+    kr = dict(zip(kw["doc_id"], kw["rank"]))
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qvec = np.array(
+        emb.filter(expr="vec_id == 0").to_pandas()["embedding"].iloc[0],
+        dtype=np.float64)
+    ann = cosine_topk(emb, qvec[None, :], k=21, exclude_ids={0})
+    ann = (ann.sort_values(["score", "vec_id"],
+                           ascending=[False, True]).head(20)
+           .reset_index(drop=True))
+    ar = {int(d): r + 1 for r, d in enumerate(ann["vec_id"])}
+
+    ids = sorted(set(kr) | set(ar))
+    rrf = [(i, (10**9 // (60 + kr[i]) if i in kr else 0)
+            + (10**9 // (60 + ar[i]) if i in ar else 0)) for i in ids]
+    out = (pd.DataFrame(rrf, columns=["doc_id", "rrf_score"])
+           .sort_values(["rrf_score", "doc_id"],
+                        ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    out["rrf_score"] = out["rrf_score"].astype("int64")
+    return out
