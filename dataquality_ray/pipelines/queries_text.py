@@ -2855,3 +2855,42 @@ def rrf_fusion_q(sf_dir: str):
            .reset_index(drop=True))
     out["rrf_score"] = out["rrf_score"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Grouped robust outliers (MAD / modified z-score) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("mad_outliers", sql="""
+WITH t AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem
+), med AS (
+  SELECT g, quantile_cont(v, 0.5) AS median FROM t GROUP BY g
+), dev AS (
+  SELECT t.g, t.v, abs(t.v - med.median) AS d, med.median
+  FROM t JOIN med USING (g)
+), madt AS (
+  SELECT g, quantile_cont(d, 0.5) AS mad, any_value(median) AS median
+  FROM dev GROUP BY g
+)
+SELECT dev.g AS l_returnflag,
+       count(*)::BIGINT AS n,
+       any_value(madt.median) AS median,
+       any_value(madt.mad) AS mad,
+       CASE WHEN any_value(madt.mad) > 0 THEN
+         count(*) FILTER (WHERE dev.d > madt.mad * (3.5 / 0.6745))
+       ELSE 0 END::BIGINT AS n_outliers
+FROM dev JOIN madt USING (g)
+GROUP BY dev.g ORDER BY dev.g
+""")
+def mad_outliers_q(sf_dir: str):
+    """Per-returnflag robust outliers on l_extendedprice
+    (stages/quantiles.grouped_mad_outliers): median/MAD via the
+    pandas-linear == quantile_cont identity the quantile family already
+    pins, threshold constant computed by the same single division on
+    both sides."""
+    from dataquality_ray.stages.quantiles import grouped_mad_outliers
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = grouped_mad_outliers(ds, "l_extendedprice", "l_returnflag")
+    return out.rename(columns={"l_returnflag": "l_returnflag"})

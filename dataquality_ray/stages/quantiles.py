@@ -268,3 +268,79 @@ def histogram_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99),
         est = lo if w == 0.0 else lo + w * (i + (rank + 1 - cum_below) / c_i)
         rows.append({"q": q, "quantile_est": est})
     return pd.DataFrame(rows)
+
+
+def grouped_mad_outliers(ds, col: str, group_col: str,
+                         z_cut: float = 3.5, *, mode: str = "auto",
+                         cap: int | None = None) -> pd.DataFrame:
+    """Robust per-group outlier rates by the modified z-score
+    (Iglewicz & Hoaglin 1993): med = group median, MAD =
+    median(|x − med|), outlier when ``|x − med| > MAD · (z_cut/0.6745)``
+    — the heavy-tail-safe twin of the A2 IQR family.
+
+    ONE guarded (group, value, count) combine yields median, MAD *and*
+    the outlier counts driver-side (the |x−med| distribution derives
+    from the same count table — no second pass over the data); past the
+    cap the shuffle twin runs ``groupby(group).map_groups``.  A zero
+    MAD (>=50% of a group at one value) flags nothing, by definition.
+    Returns ``(group, n, median, mad, n_outliers)``."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+    from dataquality_ray.stages.combine import weighted_quantile
+
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+    k = z_cut / 0.6745
+
+    def from_counts(g: str, v: np.ndarray, c: np.ndarray) -> dict:
+        med = float(weighted_quantile(v, c, [0.5])[0])
+        dev = np.abs(v - med)
+        mad = float(weighted_quantile(dev, c, [0.5])[0])
+        n_out = int(c[dev > mad * k].sum()) if mad > 0 else 0
+        return {group_col: g, "n": int(c.sum()), "median": med,
+                "mad": mad, "n_outliers": n_out}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = pd.to_numeric(batch[col], errors="coerce")
+        df = pd.DataFrame({"g": batch[group_col], "v": v}).dropna()
+        return (df.groupby(["g", "v"], sort=False)
+                .size().reset_index(name="c"))
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby(["g", "v"], as_index=False,
+                             sort=False)["c"].sum()
+
+    stage = ds.select_columns([group_col, col]).map_batches(
+        partial, batch_format="pyarrow")
+    if mode in ("auto", "counts"):
+        merged, ok = guarded_partials(stage, merge, cap)
+        if ok:
+            record_route("grouped_mad", "counts",
+                         "distinct (group, value) pairs within cap",
+                         0 if merged is None else len(merged))
+            if merged is None:
+                return pd.DataFrame(columns=[group_col, "n", "median",
+                                             "mad", "n_outliers"])
+            rows = [from_counts(g, sub["v"].to_numpy(np.float64),
+                                sub["c"].to_numpy(np.int64))
+                    for g, sub in merged.groupby("g", sort=True)]
+            return pd.DataFrame(rows).reset_index(drop=True)
+        if mode == "counts":
+            raise RuntimeError(
+                f"grouped_mad: distinct pairs exceed cap={cap}")
+    record_route("grouped_mad", "shuffle",
+                 "shuffle requested" if mode == "shuffle"
+                 else "distinct pairs exceed driver cap", None)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("v", as_index=False)["c"].sum()
+        return pd.DataFrame([from_counts(
+            g["g"].iloc[0], m["v"].to_numpy(np.float64),
+            m["c"].to_numpy(np.int64))])
+
+    out = (stage.groupby("g").map_groups(per_group,
+                                         batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -114,3 +114,27 @@ def test_label_bound_validation():
                             labels=("a", "b", "c"))
     with pytest.raises(ValueError):
         quantile_filter_per_group(_ds(df), "v", "g", 0.5, keep="middle")
+
+
+# --- grouped MAD outliers --------------------------------------------------
+
+def test_grouped_mad_modes_and_planted_outlier(ray_session):
+    from dataquality_ray.stages.autoroute import last_route
+    from dataquality_ray.stages.quantiles import grouped_mad_outliers
+
+    rng = np.random.RandomState(8)
+    vals = np.round(rng.normal(100, 5, 500), 2)
+    vals[:3] = [500.0, -200.0, 400.0]  # planted extremes
+    df = pd.DataFrame({"g": ["a"] * 500 + ["b"] * 4,
+                       "v": np.concatenate([vals, [7, 7, 7, 7]])})
+    ds = rd.from_pandas(df).repartition(4)
+    got = grouped_mad_outliers(ds, "v", "g")
+    assert last_route("grouped_mad")["chosen"] == "counts"
+    a = got.set_index("g")
+    assert a.loc["a", "n_outliers"] >= 3      # planted extremes flagged
+    assert a.loc["b", "mad"] == 0.0           # constant group
+    assert a.loc["b", "n_outliers"] == 0      # zero-MAD flags nothing
+    shuf = grouped_mad_outliers(ds, "v", "g", mode="shuffle")
+    assert last_route("grouped_mad")["chosen"] == "shuffle"
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  shuf.reset_index(drop=True))
