@@ -2894,3 +2894,63 @@ def mad_outliers_q(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
     out = grouped_mad_outliers(ds, "l_extendedprice", "l_returnflag")
     return out.rename(columns={"l_returnflag": "l_returnflag"})
+
+
+# ---------------------------------------------------------------------------
+# Typed PII counts (emails / phones / IPs) — SQL-checkable (RE2 parity)
+# ---------------------------------------------------------------------------
+
+_PII_RES = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_phones": r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "n_ips": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+@query("pii_typed_counts", sql=f"""
+WITH src AS (
+  SELECT doc_id,
+         coalesce(text, '')
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact bob@example.com or 555-123-4567'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' host 192.168.1.100 admin@test.org'
+                   ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '{_PII_RES["n_emails"]}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text,
+           '{_PII_RES["n_phones"]}'))::BIGINT AS n_phones,
+       len(regexp_extract_all(text,
+           '{_PII_RES["n_ips"]}'))::BIGINT AS n_ips
+FROM src ORDER BY doc_id
+""")
+def pii_typed_counts_q(sf_dir: str):
+    """Typed PII detection counts per doc with planted emails/phones/IPs
+    (every 7th / 11th doc): both sides run the identical regexes on RE2
+    (pyarrow count_substring_regex == DuckDB regexp_extract_all), so
+    counts match byte-for-byte — the audit twin of the scrub stage."""
+
+    def plant_and_count(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            t = t or ""
+            if i % 7 == 0:
+                t += " contact bob@example.com or 555-123-4567"
+            if i % 11 == 0:
+                t += " host 192.168.1.100 admin@test.org"
+            out.append(t)
+        arr = pa.array(out, pa.string())
+        res = pa.table({"doc_id": batch["doc_id"]})
+        for name, rx in _PII_RES.items():
+            res = res.append_column(name, pc.cast(
+                pc.count_substring_regex(arr, rx), pa.int64()))
+        return res
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(plant_and_count, batch_format="pyarrow")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
