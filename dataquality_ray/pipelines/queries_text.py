@@ -2954,3 +2954,59 @@ def pii_typed_counts_q(sf_dir: str):
     return (_read(sf_dir, "documents", ["doc_id", "text"])
             .map_batches(plant_and_count, batch_format="pyarrow")
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Token co-occurrence mining (distinct-doc pair counts) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("token_cooccurrence", sql=r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS n_docs
+FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+GROUP BY a.tok, b.tok
+ORDER BY n_docs DESC, tok_a, tok_b
+LIMIT 20
+""")
+def token_cooccurrence_q(sf_dir: str):
+    """Top-20 co-occurring token pairs by distinct-doc count — the
+    association-mining primitive (PMI numerators).  Per-batch pair
+    counts are bounded by vocab² and merge through the guarded combine;
+    integer counts, deterministic (count DESC, pair ASC) order."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    from itertools import combinations
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        cnt: dict[tuple, int] = {}
+        for t in batch["text"].to_pylist():
+            toks = sorted(set((t or "").split()))
+            for a, b in combinations(toks, 2):
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+        if not cnt:
+            return pd.DataFrame({"tok_a": [], "tok_b": [], "n_docs": []})
+        ks = list(cnt)
+        return pd.DataFrame({"tok_a": [k[0] for k in ks],
+                             "tok_b": [k[1] for k in ks],
+                             "n_docs": list(cnt.values())})
+
+    def comb(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby(["tok_a", "tok_b"], as_index=False,
+                             sort=False)["n_docs"].sum()
+
+    stage = (_read(sf_dir, "documents", ["text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, comb, 2_000_000)
+    assert ok, "vocab-pair space exceeded the driver cap"
+    if merged is None:
+        return pd.DataFrame({"tok_a": [], "tok_b": [], "n_docs": []})
+    out = (merged.sort_values(["n_docs", "tok_a", "tok_b"],
+                              ascending=[False, True, True]).head(20)
+           .reset_index(drop=True))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
