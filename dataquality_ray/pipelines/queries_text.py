@@ -3010,3 +3010,50 @@ def token_cooccurrence_q(sf_dir: str):
            .reset_index(drop=True))
     out["n_docs"] = out["n_docs"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity checks — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("ri_check", sql="""
+SELECT * FROM (
+  SELECT 'lineitem.l_orderkey->orders' AS relation,
+         count(*)::BIGINT AS n_child,
+         count(*) FILTER (WHERE l_orderkey NOT IN (
+             SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0
+         ))::BIGINT AS n_orphans
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer.c_nationkey->nation',
+         count(*)::BIGINT,
+         count(*) FILTER (WHERE c_nationkey NOT IN (
+             SELECT n_nationkey FROM nation))::BIGINT
+  FROM customer
+) ORDER BY relation
+""")
+def ri_check_q(sf_dir: str):
+    """Orphaned-foreign-key checks (stages/profile.ri_check): customer->
+    nation holds; lineitem->orders runs against a parent with every
+    97th order key REMOVED, planting real orphans so both outcomes are
+    exercised."""
+    from dataquality_ray.stages.profile import ri_check
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def drop97(b: pa.Table) -> pa.Table:
+        v = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(v % 97 != 0))
+
+    parent = orders.map_batches(drop97, batch_format="pyarrow")
+    r1 = ri_check(li, "l_orderkey", parent, "o_orderkey")
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey"])
+    r2 = ri_check(cust, "c_nationkey", nat, "n_nationkey")
+    return pd.DataFrame([
+        {"relation": "customer.c_nationkey->nation",
+         "n_child": r2["n_child"], "n_orphans": r2["n_orphans"]},
+        {"relation": "lineitem.l_orderkey->orders",
+         "n_child": r1["n_child"], "n_orphans": r1["n_orphans"]},
+    ]).sort_values("relation").reset_index(drop=True)

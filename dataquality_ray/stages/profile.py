@@ -203,3 +203,86 @@ def fd_check(ds, lhs: str, rhs: str, *, mode: str = "auto",
     return {"n_lhs": int(len(per)), "n_violating": int(len(viol)),
             "fd_holds": len(viol) == 0,
             "examples": viol.head(examples).reset_index(drop=True)}
+
+
+def ri_check(child, child_key: str, parent, parent_key: str,
+             *, mode: str = "auto", cap: int | None = None) -> dict:
+    """Referential-integrity check: how many child rows reference a key
+    absent from the parent (orphaned foreign keys) — the cross-table
+    consistency probe next to :func:`fd_check`.
+
+    Default shape: the parent's DISTINCT key set streams through the
+    guarded combine and is ``ray.put`` once; each child batch counts
+    misses with one vectorized ``np.isin`` (child rows never move).
+    Past the cap the hash-join twin runs a left-outer
+    ``Dataset.join`` and counts null matches — nothing driver-held.
+    Returns ``{"n_child", "n_orphans", "ri_holds"}``."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+
+    def key_part(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": pd.unique(batch[parent_key].to_pandas())})
+
+    def key_comb(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.drop_duplicates("k")
+
+    stage = parent.select_columns([parent_key]).map_batches(
+        key_part, batch_format="pyarrow")
+    merged, ok = guarded_partials(stage, key_comb, cap)
+    if ok and mode in ("auto", "broadcast"):
+        record_route("ri_check", "broadcast",
+                     "parent key set within cap",
+                     0 if merged is None else len(merged))
+        keys = (np.sort(merged["k"].to_numpy())
+                if merged is not None else np.array([]))
+        keys_ref = ray.put(keys)
+
+        def count_orphans(batch: pa.Table) -> pd.DataFrame:
+            ks = ray.get(keys_ref)
+            v = batch[child_key].to_numpy(zero_copy_only=False)
+            miss = (~np.isin(v, ks)).sum() if len(ks) else len(v)
+            return pd.DataFrame({"n": [len(v)], "miss": [int(miss)]})
+
+        tot = n_orph = 0
+        for b in (child.select_columns([child_key])
+                  .map_batches(count_orphans, batch_format="pyarrow")
+                  .iter_batches(batch_format="pandas")):
+            tot += int(b["n"].sum())
+            n_orph += int(b["miss"].sum())
+    else:
+        if mode == "broadcast":
+            raise RuntimeError(
+                f"ri_check: parent keys exceed cap={cap}")
+        record_route("ri_check", "join",
+                     "parent key set beyond driver cap", None)
+        from dataquality_ray.stages.joins import hash_join
+
+        parent_keys = (parent.select_columns([parent_key])
+                       .map_batches(key_part, batch_format="pyarrow")
+                       .groupby("k").aggregate(
+                           Count("k", alias_name="_c")))
+        joined = hash_join(child.select_columns([child_key]),
+                           parent_keys, on=child_key, right_on="k",
+                           value_cols=["_c"], join_type="left_outer")
+
+        def miss_part(batch: pa.Table) -> pd.DataFrame:
+            c = batch["_c"].to_pandas()
+            return pd.DataFrame({"n": [len(batch)],
+                                 "miss": [int(c.isna().sum())]})
+
+        tot = n_orph = 0
+        for b in (joined.map_batches(miss_part, batch_format="pyarrow")
+                  .iter_batches(batch_format="pandas")):
+            tot += int(b["n"].sum())
+            n_orph += int(b["miss"].sum())
+    return {"n_child": tot, "n_orphans": n_orph,
+            "ri_holds": n_orph == 0}

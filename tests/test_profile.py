@@ -60,3 +60,22 @@ def test_fd_check_holds_and_violates(ray_session):
     assert r["examples"]["zip"].tolist() == ["20"]
     ok = fd_check(ds, "city", "zip")  # city -> zip holds here
     assert ok["fd_holds"] and ok["n_violating"] == 0
+
+
+def test_ri_check_broadcast_and_join_agree(ray_session):
+    from dataquality_ray.stages.autoroute import last_route
+    from dataquality_ray.stages.profile import ri_check
+
+    child = pd.DataFrame({"fk": [1, 2, 3, 9, 9, 2]})
+    parent = pd.DataFrame({"pk": [1, 2, 3, 4]})
+    c = rd.from_pandas(child).repartition(2)
+    p = rd.from_pandas(parent).repartition(2)
+    a = ri_check(c, "fk", p, "pk")
+    assert last_route("ri_check")["chosen"] == "broadcast"
+    assert a == {"n_child": 6, "n_orphans": 2, "ri_holds": False}
+    b = ri_check(c, "fk", p, "pk", cap=1, mode="auto")
+    assert last_route("ri_check")["chosen"] == "join"
+    assert b == a
+    ok = ri_check(c, "fk", rd.from_pandas(
+        pd.DataFrame({"pk": [1, 2, 3, 9]})), "pk")
+    assert ok["ri_holds"]
