@@ -659,6 +659,8 @@ def battery_from_config(config: dict[str, dict]) -> list[tuple]:
         "P2": lambda p: lambda ds: dq.p2_missingness_corr(
             ds, threshold=float(p.get("p2_threshold", 0.5))),
         "I1": i1,
+        "C6": lambda p: lambda ds: dq.c6_fd_consistency(
+            ds, p["c6_determinant"], p["c6_dependent"]),
         "U1": lambda p: lambda ds: dq.u1_duplicate_rows(ds),
         "S1": lambda p: lambda ds: dq.s1_accessibility(
             has_metadata=bool(p.get("s1_has_metadata", False))),
@@ -718,6 +720,8 @@ def battery_from_config(config: dict[str, dict]) -> list[tuple]:
         "P2": lambda p: (lambda ds, _p=p: dq.p2_spec(
             ds, threshold=float(_p.get("p2_threshold", 0.5)))),
         "I1": i1_spec_builder,
+        "C6": lambda p: dq.c6_spec(p["c6_determinant"],
+                                   p["c6_dependent"]),
         "U1": lambda p: (lambda ds: dq.u1_spec(list(ds.schema().names))),
     }
 

@@ -815,3 +815,42 @@ def u1_violations_report(ds, columns: list[str] | None = None):
     return hashed.map_batches(pick, batch_format="pyarrow")
 
 
+
+
+# ---------------------------------------------------------------------------
+# C6 — functional-dependency consistency (beyond-reference extension,
+#      registered via pipelines/metadata.py; scale twin with guarded
+#      combine + shuffle = stages/profile.fd_check)
+# ---------------------------------------------------------------------------
+
+
+def c6_spec(determinant: str, dependent: str) -> dict:
+    """Score = 1 - violating determinants / distinct determinants, where
+    a determinant violates when it maps to >1 distinct dependent value.
+    Fusable: per-batch partial = distinct (lhs, rhs) pairs (idempotently
+    mergeable by drop_duplicates); the fused-battery combine cap guards
+    the pair universe like every other C-family spec."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[determinant, dependent]].drop_duplicates()
+
+    def finalize(parts: pd.DataFrame) -> dict:
+        pairs = parts.drop_duplicates()
+        per = pairs.groupby(determinant, sort=True).size()
+        n_lhs = int(len(per))
+        viol = per[per > 1]
+        score = 1 - len(viol) / n_lhs if n_lhs else None
+        table = pd.DataFrame({
+            determinant: viol.index,
+            "n_dependent_values": viol.to_numpy(dtype="int64"),
+        }).reset_index(drop=True)
+        return {"score": score, "table": table,
+                "n_determinants": n_lhs, "n_violating": int(len(viol))}
+
+    return {"cols": [determinant, dependent], "fmt": "pandas",
+            "partial": partial, "finalize": finalize}
+
+
+def c6_fd_consistency(ds, determinant: str, dependent: str) -> dict:
+    """Battery-shaped FD check; see :func:`c6_spec`."""
+    return _run_spec(ds, c6_spec(determinant, dependent))

@@ -162,6 +162,16 @@ def create_all_metadata() -> dict[str, TestMetadata]:
     m.add_parameter("c5_region", "C5 Region", ParameterType.SINGLE_SELECT,
                     value=["All", "Pacific"],
                     hint="restrict coordinate bounds to the named region")
+    # beyond-reference extension: functional-dependency consistency
+    # (registered through the same typed-metadata surface the reference
+    # UI generates its widgets from — the extension-surface contract)
+    m = new("Consistency", "C6")
+    m.add_parameter("c6_determinant", "C6 Determinant Column",
+                    ParameterType.SINGLE_SELECT,
+                    hint="column expected to determine the dependent "
+                         "(lhs of the functional dependency)")
+    m.add_parameter("c6_dependent", "C6 Dependent Column",
+                    ParameterType.SINGLE_SELECT)
     # dimensions/completeness/p1.py
     m = new("Completeness", "P1")
     m.add_parameter("p1_exclude_columns", "P1 Exclude Columns",

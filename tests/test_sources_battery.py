@@ -306,8 +306,10 @@ def test_metadata_registry_matches_reference_schema():
     )
 
     meta = create_all_metadata()
+    # reference codes plus C6, the beyond-reference FD extension that
+    # exercises the same typed-metadata surface
     assert set(meta) == {"A1", "A2", "A3", "A4", "C1", "C2", "C3", "C4",
-                         "C5", "P1", "P2", "I1", "U1", "S1"}
+                         "C5", "C6", "P1", "P2", "I1", "U1", "S1"}
     a2 = meta["A2"]
     assert a2.parameter("a2_threshold").value == "1.5"
     assert a2.parameter("a2_minimum_score").step == 0.05
@@ -602,3 +604,34 @@ def test_cli_dedup_and_export(ray_session, tmp_path):
                  "--by", "lang"]) == 0
     back = rd.read_parquet(f"{out_x}/data")
     assert back.count() == 500
+
+
+# --- C6 extension test (functional dependency via the config surface) -----
+
+def test_c6_fd_through_battery_config(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from dataquality_ray.pipelines.battery import (
+        battery_from_config,
+        run_battery,
+    )
+
+    df = pd.DataFrame({
+        "zip": ["10", "10", "20", "20", "30", "30"],
+        "city": ["A", "A", "B", "C", "D", "D"],  # zip 20 violates
+        "x": [1, 2, 3, 4, 5, 6],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    entries = battery_from_config({
+        "C6": {"c6_determinant": "zip", "c6_dependent": "city"},
+        "U1": {},
+    })
+    res = run_battery(ds, entries, share="none")
+    assert res["tests"]["C6"] == pytest.approx(1 - 1 / 3)
+    assert res["errors"] == {}
+    tbl = res["tables"]["C6"]
+    assert tbl["zip"].tolist() == ["20"]
+    # fused path agrees (C6 spec is fusable)
+    fused = run_battery(ds, entries, share="fused")
+    assert fused["tests"]["C6"] == res["tests"]["C6"]
