@@ -99,6 +99,23 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    """Column profile of a table (stages/profile.py); prints CSV or JSON
+    and optionally writes a parquet profile next to reports."""
+    from dataquality_ray.sources.readers import read_table
+    from dataquality_ray.stages.profile import profile_table
+
+    _ensure_ray()
+    prof = profile_table(read_table(args.table),
+                         columns=args.columns.split(",")
+                         if args.columns else None)
+    if args.out:
+        prof.to_parquet(args.out, index=False)
+    print(prof.to_json(orient="records") if args.json
+          else prof.to_csv(index=False), end="")
+    return 0
+
+
 def cmd_battery(args: argparse.Namespace) -> int:
     from dataquality_ray.pipelines.battery import (
         battery_from_config,
@@ -157,6 +174,14 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--out", required=True)
     e.add_argument("--by", required=True, help="partition column")
     e.set_defaults(fn=cmd_export)
+
+    pr = sub.add_parser("profile", help="column profile of one table")
+    pr.add_argument("--table", required=True)
+    pr.add_argument("--columns", default=None,
+                    help="comma-separated subset (default: all)")
+    pr.add_argument("--out", default=None, help="optional parquet output")
+    pr.add_argument("--json", action="store_true")
+    pr.set_defaults(fn=cmd_profile)
 
     b = sub.add_parser("battery", help="DQ test battery over one table")
     b.add_argument("--table", required=True)
