@@ -3057,3 +3057,57 @@ def ri_check_q(sf_dir: str):
         {"relation": "lineitem.l_orderkey->orders",
          "n_child": r1["n_child"], "n_orphans": r1["n_orphans"]},
     ]).sort_values("relation").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroid drift between snapshots — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("embedding_centroid_drift", sql="""
+WITH u AS (
+  SELECT vec_id, label, vec_id % 2 AS snap, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), c AS (
+  SELECT snap, label, dim, avg(v) AS m FROM u GROUP BY snap, label, dim
+), cl AS (
+  SELECT snap, label, list(m ORDER BY dim) AS centroid
+  FROM c GROUP BY snap, label
+)
+SELECT a.label::BIGINT AS label,
+       floor(list_cosine_similarity(a.centroid, b.centroid) * 1000000)
+         / 1000000 AS centroid_cosine
+FROM cl a JOIN cl b ON a.label = b.label
+WHERE a.snap = 0 AND b.snap = 1
+ORDER BY label
+""")
+def embedding_centroid_drift_q(sf_dir: str):
+    """Embedding-space drift monitor: per-label centroid of snapshot A
+    (even vec_id) vs snapshot B (odd) compared by cosine — the
+    representation-shift twin of the token-space JS/PSI monitors
+    (stages/classify.fit_centroids runs once per snapshot; streaming
+    partial sums, no shuffle)."""
+    from dataquality_ray.stages.classify import fit_centroids
+
+    emb = _read(sf_dir, "embeddings")
+
+    def half(par: int):
+        def f(b: pa.Table) -> pa.Table:
+            v = b["vec_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(v % 2 == par))
+        return f
+
+    ca = fit_centroids(emb.map_batches(half(0), batch_format="pyarrow"))
+    cb = fit_centroids(emb.map_batches(half(1), batch_format="pyarrow"))
+    m = ca.merge(cb, on="label", suffixes=("_a", "_b"))
+
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    m["centroid_cosine"] = [
+        np.floor(cos(a, b) * 1e6) / 1e6
+        for a, b in zip(m["centroid_a"], m["centroid_b"])]
+    out = m[["label", "centroid_cosine"]].copy()
+    out["label"] = out["label"].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
