@@ -3111,3 +3111,63 @@ def embedding_centroid_drift_q(sf_dir: str):
     out = m[["label", "centroid_cosine"]].copy()
     out["label"] = out["label"].astype("int64")
     return out.sort_values("label").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling over a join (weight = join cardinality) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("weighted_sample_join", sql="""
+WITH w AS (
+  SELECT l_orderkey, count(*)::BIGINT AS n_items
+  FROM lineitem GROUP BY l_orderkey
+),
+s1 AS (SELECT l_orderkey, n_items,
+              xor(l_orderkey::UBIGINT, 7::UBIGINT)::HUGEINT AS x FROM w),
+s2 AS (SELECT l_orderkey, n_items, (x + 11400714819323198485) % 18446744073709551616 AS x FROM s1),
+s2b AS (SELECT l_orderkey, n_items,
+               xor(x::UBIGINT, (x // 1073741824)::UBIGINT)::HUGEINT AS x
+        FROM s2),
+s3 AS (SELECT l_orderkey, n_items, ((x * 484763065) % 18446744073709551616 + (((x % 4294967296) * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM s2b),
+s3b AS (SELECT l_orderkey, n_items,
+               xor(x::UBIGINT, (x // 134217728)::UBIGINT)::HUGEINT AS x
+        FROM s3),
+s4 AS (SELECT l_orderkey, n_items, ((x * 321982955) % 18446744073709551616 + (((x % 4294967296) * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM s3b),
+s5 AS (SELECT l_orderkey, n_items,
+              xor(x::UBIGINT, (x // 2147483648)::UBIGINT)::HUGEINT AS h
+       FROM s4),
+keyed AS (
+  SELECT l_orderkey, CAST(n_items AS DOUBLE) AS weight,
+         ln((h::DOUBLE + 0.5) / 18446744073709551616.0) / n_items AS key
+  FROM s5 WHERE n_items > 0
+), ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY key DESC, l_orderkey)
+           AS BIGINT) AS rank, l_orderkey, weight, key
+  FROM keyed
+)
+SELECT rank, l_orderkey, weight, floor(key * 1000000) / 1000000 AS key
+FROM ranked WHERE rank <= 20 ORDER BY rank
+""")
+def weighted_sample_join_q(sf_dir: str):
+    """Weighted sampling over a JOIN-derived weight (Streaming Weighted
+    Sampling over Join Queries, EDBT'23 shape): each order's sampling
+    weight is its lineitem fan-out (integer join cardinality — exact on
+    both sides), keys via the same splitmix64 ES chain as
+    weighted_sample_topk; per-batch local top-k, no shuffle after the
+    count combine."""
+    from dataquality_ray.stages.combine import combine_groupby
+    from dataquality_ray.stages.sampling import weighted_sample
+
+    import ray.data as rd
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    counts = combine_groupby(li, ["l_orderkey"],
+                             {"n_items": ("l_orderkey", "count")},
+                             tree=True)
+    ds = rd.from_pandas(counts.reset_index(drop=True))
+    out = weighted_sample(ds, k=20, weight_col="n_items",
+                          id_col="l_orderkey", seed=7)
+    out = out.rename(columns={"id": "l_orderkey"}) \
+        if "id" in out.columns else out
+    out["key"] = np.floor(out["key"] * 1e6) / 1e6
+    return out[["rank", "l_orderkey", "weight", "key"]]

@@ -571,3 +571,54 @@ def session_stats_q(sf_dir: str):
     return (session_stats(ds).to_pandas()
             .sort_values(["user_id", "session_idx"])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Multi-pattern sequence detection — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("event_patterns", sql="""
+WITH p1a AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p1b AS (
+  SELECT e.user_id FROM events e JOIN p1a USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > p1a.t GROUP BY e.user_id
+), p2a AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+), p2b AS (
+  SELECT e.user_id FROM events e JOIN p2a USING (user_id)
+  WHERE e.event_type = 'error' AND e.ts > p2a.t GROUP BY e.user_id
+), p3a AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), p3b AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN p3a USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > p3a.t GROUP BY e.user_id
+), p3c AS (
+  SELECT e.user_id FROM events e JOIN p3b USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > p3b.t GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 'click_error' AS pattern,
+         (SELECT count(*) FROM p2b)::BIGINT AS n_matched_keys
+  UNION ALL
+  SELECT 'signup_purchase', (SELECT count(*) FROM p1b)
+  UNION ALL
+  SELECT 'view_click_purchase', (SELECT count(*) FROM p3c)
+) ORDER BY pattern
+""")
+def event_patterns_q(sf_dir: str):
+    """Three ordered patterns evaluated in ONE shared per-user pass
+    (stages/windows.match_patterns — multi-pattern sharing a la
+    multi-query event detection); earliest-match strict-order semantics
+    identical to event_funnel's."""
+    from dataquality_ray.stages.windows import match_patterns
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return match_patterns(ds, {
+        "signup_purchase": ["signup", "purchase"],
+        "click_error": ["click", "error"],
+        "view_click_purchase": ["view", "click", "purchase"],
+    })

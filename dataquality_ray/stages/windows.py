@@ -260,3 +260,43 @@ def session_stats(ds, key: str = "user_id", ts_col: str = "ts",
                             if "event_id" in ds.schema().names else [])
     return (ds.select_columns(cols).groupby(key)
             .map_groups(per_key, batch_format="pandas"))
+
+
+def match_patterns(ds, patterns: dict[str, list[str]],
+                   key: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type") -> pd.DataFrame:
+    """Multi-pattern sequence detection over event streams (the
+    multi-query flavor of :func:`funnel_stages`): every pattern is an
+    ordered subsequence of event types (earliest-match, strictly
+    increasing timestamps), and ALL patterns are evaluated in the SAME
+    single ``groupby(key).map_groups`` pass — one shuffle total however
+    many patterns are registered, the point of multi-pattern sharing.
+    Returns ``(pattern, n_matched_keys)``."""
+    names = sorted(patterns)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        types = g[type_col].to_numpy()
+        ts = g[ts_col].to_numpy()
+        hits = []
+        for name in names:
+            t_prev = None
+            okc = 0
+            for step in patterns[name]:
+                m = (types == step) if t_prev is None else \
+                    (types == step) & (ts > t_prev)
+                idx = np.flatnonzero(m)
+                if not len(idx):
+                    break
+                t_prev = ts[idx[0]]
+                okc += 1
+            hits.append(okc == len(patterns[name]))
+        return pd.DataFrame({"pattern": names, "hit": hits})
+
+    per = (ds.select_columns([key, ts_col, type_col])
+           .groupby(key).map_groups(per_key, batch_format="pandas")
+           .to_pandas())
+    agg = (per.groupby("pattern")["hit"].sum().astype("int64")
+           .reindex(names, fill_value=0))
+    return pd.DataFrame({"pattern": names,
+                         "n_matched_keys": agg.to_numpy()})
