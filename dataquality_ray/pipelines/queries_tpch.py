@@ -622,3 +622,25 @@ def event_patterns_q(sf_dir: str):
         "click_error": ["click", "error"],
         "view_click_purchase": ["view", "click", "purchase"],
     })
+
+
+# ---------------------------------------------------------------------------
+# Per-window exact percentiles (streaming monitor) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("windowed_quantiles", sql="""
+SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start_epoch,
+       count(value)::BIGINT AS n,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.95) AS p95
+FROM events GROUP BY 1 ORDER BY 1
+""")
+def windowed_quantiles_q(sf_dir: str):
+    """Hourly p50/p95 of event value (stages/windows.windowed_quantiles):
+    guarded (window, value, count) combine + discrete quantiles
+    (quantile_disc convention) — actual data values, exact compare."""
+    from dataquality_ray.stages.windows import windowed_quantiles
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    out = windowed_quantiles(ds, "ts", "value", 3600, (0.5, 0.95))
+    return out.sort_values("window_start_epoch").reset_index(drop=True)

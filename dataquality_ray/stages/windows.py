@@ -300,3 +300,61 @@ def match_patterns(ds, patterns: dict[str, list[str]],
            .reindex(names, fill_value=0))
     return pd.DataFrame({"pattern": names,
                          "n_matched_keys": agg.to_numpy()})
+
+
+def windowed_quantiles(ds, ts_col: str, val_col: str, size_s: int,
+                       qs=(0.5, 0.95), *, cap: int | None = None):
+    """Exact per-tumbling-window quantiles of an event value — the
+    streaming-percentile monitor (p50/p95 per hour).  One pass of
+    per-batch ``(window, value, count)`` partials through the guarded
+    combine (value domains of monitored metrics are bounded — currency
+    cents, latencies; past the cap the caller should bucket first), then
+    DISCRETE quantiles per window from the count table — an actual data
+    value (``quantile_disc`` convention, index ``ceil(q·n)−1``), so the
+    oracle comparison is exact with zero float interpolation (linear
+    interpolation differs across engines in the last ulp and flips
+    floor-rounding at .xxx5 boundaries)."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        epoch = pc.divide(pc.cast(batch[ts_col], pa.int64()),
+                          1_000_000).to_numpy(zero_copy_only=False)
+        win = (epoch // size_s) * size_s
+        df = pd.DataFrame({
+            "w": win, "v": batch[val_col].to_numpy(zero_copy_only=False)})
+        return (df.dropna().groupby(["w", "v"], sort=False)
+                .size().reset_index(name="c"))
+
+    def comb(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby(["w", "v"], as_index=False,
+                             sort=False)["c"].sum()
+
+    stage = ds.select_columns([ts_col, val_col]).map_batches(
+        part, batch_format="pyarrow")
+    merged, ok = guarded_partials(stage, comb, cap)
+    if not ok:
+        raise RuntimeError(
+            f"windowed_quantiles: distinct (window, value) pairs exceed "
+            f"cap={cap}; pre-bucket the value domain")
+    record_route("windowed_quantiles", "counts",
+                 "distinct pairs within cap",
+                 0 if merged is None else len(merged))
+    if merged is None:
+        return pd.DataFrame({"window_start_epoch": []})
+    rows = []
+    for w, sub in merged.groupby("w", sort=True):
+        order = np.argsort(sub["v"].to_numpy(np.float64))
+        v = sub["v"].to_numpy(np.float64)[order]
+        cum = sub["c"].to_numpy(np.int64)[order].cumsum()
+        n = int(cum[-1])
+        row = {"window_start_epoch": int(w), "n": n}
+        for q in qs:
+            k = max(0, int(np.ceil(q * n)) - 1)  # quantile_disc index
+            row[f"p{int(q * 100)}"] = float(v[np.searchsorted(cum, k + 1)])
+        rows.append(row)
+    return pd.DataFrame(rows)
