@@ -3171,3 +3171,49 @@ def weighted_sample_join_q(sf_dir: str):
         if "id" in out.columns else out
     out["key"] = np.floor(out["key"] * 1e6) / 1e6
     return out[["rank", "l_orderkey", "weight", "key"]]
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — SQL-checkable (string digit extraction)
+# ---------------------------------------------------------------------------
+
+@query("benford_first_digit", sql="""
+WITH d AS (
+  SELECT substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS digit
+  FROM lineitem WHERE l_extendedprice > 0
+), n AS (SELECT count(*) AS n FROM d)
+SELECT CAST(digit AS BIGINT) AS digit,
+       count(*)::BIGINT AS n_obs,
+       floor(count(*) * 1.0 / n.n * 1000000) / 1000000 AS obs_frac,
+       floor(log10(1 + 1.0 / CAST(digit AS BIGINT)) * 1000000)
+         / 1000000 AS benford_frac
+FROM d CROSS JOIN n
+GROUP BY digit, n.n ORDER BY digit
+""")
+def benford_first_digit_q(sf_dir: str):
+    """Benford's-law first-digit audit of l_extendedprice (the classic
+    fabricated-data detector): digits extracted from the integer-cents
+    STRING (log10-based extraction misfires at exact powers of 10 where
+    IEEE log10 lands just under an integer), counts exact, fractions
+    floor-scaled."""
+
+    def digits(batch: pa.Table) -> pd.DataFrame:
+        v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        v = v[v > 0]
+        cents = np.round(v * 100.0).astype(np.int64)
+        first = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        cnt = np.bincount(first, minlength=10)[1:10]
+        return pd.DataFrame({"digit": np.arange(1, 10, dtype=np.int64),
+                             "n_obs": cnt.astype(np.int64)})
+
+    parts = (_read(sf_dir, "lineitem", ["l_extendedprice"])
+             .map_batches(digits, batch_format="pyarrow").to_pandas())
+    agg = parts.groupby("digit", as_index=False)["n_obs"].sum()
+    agg = agg[agg["n_obs"] > 0].reset_index(drop=True)
+    n = agg["n_obs"].sum()
+    agg["obs_frac"] = np.floor(agg["n_obs"] / n * 1e6) / 1e6
+    agg["benford_frac"] = np.floor(
+        np.log10(1 + 1.0 / agg["digit"].to_numpy(np.float64)) * 1e6) / 1e6
+    agg["n_obs"] = agg["n_obs"].astype("int64")
+    return agg.sort_values("digit").reset_index(drop=True)
