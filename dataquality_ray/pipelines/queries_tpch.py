@@ -644,3 +644,86 @@ def windowed_quantiles_q(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "value"])
     out = windowed_quantiles(ds, "ts", "value", 3600, (0.5, 0.95))
     return out.sort_values("window_start_epoch").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation of event-type time series — SQL-checkable (bit-exact)
+# ---------------------------------------------------------------------------
+
+_ETC_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query("event_type_correlation", sql="""
+WITH hours AS (
+  SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS h, event_type
+  FROM events
+), grid AS (
+  SELECT h,
+         count(*) FILTER (WHERE event_type = 'click')    AS c_click,
+         count(*) FILTER (WHERE event_type = 'error')    AS c_error,
+         count(*) FILTER (WHERE event_type = 'purchase') AS c_purchase,
+         count(*) FILTER (WHERE event_type = 'signup')   AS c_signup,
+         count(*) FILTER (WHERE event_type = 'view')     AS c_view
+  FROM hours GROUP BY h
+), pairs(type_a, type_b) AS (
+  VALUES ('click','error'), ('click','purchase'), ('click','signup'),
+         ('click','view'), ('error','purchase'), ('error','signup'),
+         ('error','view'), ('purchase','signup'), ('purchase','view'),
+         ('signup','view')
+), sums AS (
+  SELECT p.type_a, p.type_b, count(*)::BIGINT AS n,
+         sum(CASE p.type_a WHEN 'click' THEN c_click WHEN 'error' THEN c_error WHEN 'purchase' THEN c_purchase WHEN 'signup' THEN c_signup ELSE c_view END)::BIGINT AS sx,
+         sum(CASE p.type_b WHEN 'click' THEN c_click WHEN 'error' THEN c_error WHEN 'purchase' THEN c_purchase WHEN 'signup' THEN c_signup ELSE c_view END)::BIGINT AS sy,
+         sum((CASE p.type_a WHEN 'click' THEN c_click WHEN 'error' THEN c_error WHEN 'purchase' THEN c_purchase WHEN 'signup' THEN c_signup ELSE c_view END)
+             * (CASE p.type_b WHEN 'click' THEN c_click WHEN 'error' THEN c_error WHEN 'purchase' THEN c_purchase WHEN 'signup' THEN c_signup ELSE c_view END))::BIGINT AS sxy,
+         sum((CASE p.type_a WHEN 'click' THEN c_click WHEN 'error' THEN c_error WHEN 'purchase' THEN c_purchase WHEN 'signup' THEN c_signup ELSE c_view END)
+             * (CASE p.type_a WHEN 'click' THEN c_click WHEN 'error' THEN c_error WHEN 'purchase' THEN c_purchase WHEN 'signup' THEN c_signup ELSE c_view END))::BIGINT AS sxx,
+         sum((CASE p.type_b WHEN 'click' THEN c_click WHEN 'error' THEN c_error WHEN 'purchase' THEN c_purchase WHEN 'signup' THEN c_signup ELSE c_view END)
+             * (CASE p.type_b WHEN 'click' THEN c_click WHEN 'error' THEN c_error WHEN 'purchase' THEN c_purchase WHEN 'signup' THEN c_signup ELSE c_view END))::BIGINT AS syy
+  FROM grid CROSS JOIN pairs p GROUP BY p.type_a, p.type_b
+)
+SELECT type_a, type_b, n,
+       CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+         CAST(n*sxy - sx*sy AS DOUBLE)
+         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+            * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+       END AS r
+FROM sums ORDER BY type_a, type_b
+""")
+def event_type_correlation_q(sf_dir: str):
+    """Pearson correlation between event-type hourly count series: the
+    hour×type grid (zero-filled) comes from one combine_groupby pass;
+    Σx/Σy/Σxy/Σx²/Σy² are exact int64 so r is a fixed chain of
+    correctly-rounded IEEE ops — bit-identical to the SQL replay, no
+    rounding fuzz (the rolling_zscore/KS numeric convention)."""
+    from itertools import combinations
+
+    from dataquality_ray.stages.combine import combine_groupby
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def windowize(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        h = pc.multiply(pc.divide(us, 3_600_000_000), 3600)
+        return pa.table({"h": h, "event_type": batch["event_type"]})
+
+    counts = combine_groupby(
+        ds.map_batches(windowize, batch_format="pyarrow"),
+        ["h", "event_type"], {"c": ("event_type", "count")})
+    grid = (counts.pivot_table(index="h", columns="event_type",
+                               values="c", fill_value=0)
+            .reindex(columns=_ETC_TYPES, fill_value=0))
+    rows = []
+    n = np.int64(len(grid))
+    for a, b in combinations(_ETC_TYPES, 2):
+        x = grid[a].to_numpy(np.int64)
+        y = grid[b].to_numpy(np.int64)
+        sx, sy = x.sum(), y.sum()
+        sxy, sxx, syy = (x * y).sum(), (x * x).sum(), (y * y).sum()
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        r = (float(n * sxy - sx * sy)
+             / (np.sqrt(float(dx)) * np.sqrt(float(dy)))
+             if dx > 0 and dy > 0 else None)
+        rows.append({"type_a": a, "type_b": b, "n": int(n), "r": r})
+    return (pd.DataFrame(rows).sort_values(["type_a", "type_b"])
+            .reset_index(drop=True))
