@@ -727,3 +727,32 @@ def event_type_correlation_q(sf_dir: str):
         rows.append({"type_a": a, "type_b": b, "n": int(n), "r": r})
     return (pd.DataFrame(rows).sort_values(["type_a", "type_b"])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profile (count-of-counts) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("key_skew_profile", sql="""
+WITH per_key AS (
+  SELECT l_orderkey, count(*)::BIGINT AS sz
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT sz AS group_size, count(*)::BIGINT AS n_keys
+FROM per_key GROUP BY sz ORDER BY sz
+""")
+def key_skew_profile_q(sf_dir: str):
+    """Group-size histogram for a prospective shuffle key (how many
+    keys have 1, 2, ... rows) — the skew-planning probe behind the
+    salted-groupby decision.  One count combine (driver O(#keys),
+    cap-guarded) + a driver-side count-of-counts; integers exact."""
+    from dataquality_ray.stages.combine import combine_groupby
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    per_key = combine_groupby(li, ["l_orderkey"],
+                              {"sz": ("l_orderkey", "count")}, tree=True)
+    out = (per_key.groupby("sz").size().reset_index(name="n_keys")
+           .rename(columns={"sz": "group_size"}))
+    out["group_size"] = out["group_size"].astype("int64")
+    out["n_keys"] = out["n_keys"].astype("int64")
+    return out.sort_values("group_size").reset_index(drop=True)
