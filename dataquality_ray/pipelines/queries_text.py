@@ -3217,3 +3217,62 @@ def benford_first_digit_q(sf_dir: str):
         np.log10(1 + 1.0 / agg["digit"].to_numpy(np.float64)) * 1e6) / 1e6
     agg["n_obs"] = agg["n_obs"].astype("int64")
     return agg.sort_values("digit").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-language OLS fit chars ~ tokens — SQL-checkable (bit-exact)
+# ---------------------------------------------------------------------------
+
+@query("token_length_regression", sql=r"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                  x -> x <> '')) AS BIGINT) AS x,
+         CAST(length(text) AS BIGINT) AS y
+  FROM documents
+), s AS (
+  SELECT lang, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+  FROM t GROUP BY lang
+)
+SELECT lang, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n AS intercept
+FROM s WHERE n * sxx - sx * sx > 0 ORDER BY lang
+""")
+def token_length_regression_q(sf_dir: str):
+    """Per-language OLS fit of chars ~ whitespace tokens (the tokenizer
+    byte-budget model behind fertility): Σx/Σy/Σxy/Σx² are exact int64
+    from one streaming combine, slope/intercept a fixed chain of
+    correctly-rounded IEEE ops — bit-identical to the SQL replay."""
+    from dataquality_ray.stages.combine import combine_groupby
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        x = np.array([len((t or "").split()) for t in texts],
+                     dtype=np.int64)
+        y = np.array([len(t or "") for t in texts], dtype=np.int64)
+        return pa.table({"lang": batch["lang"], "x": x, "y": y,
+                         "xy": x * y, "xx": x * x})
+
+    s = combine_groupby(ds.map_batches(stats, batch_format="pyarrow"),
+                        ["lang"], {"n": ("x", "count"),
+                                   "sx": ("x", "sum"), "sy": ("y", "sum"),
+                                   "sxy": ("xy", "sum"),
+                                   "sxx": ("xx", "sum")})
+    n = s["n"].to_numpy(np.int64)
+    sx, sy = s["sx"].to_numpy(np.int64), s["sy"].to_numpy(np.int64)
+    sxy, sxx = s["sxy"].to_numpy(np.int64), s["sxx"].to_numpy(np.int64)
+    dx = n * sxx - sx * sx
+    keep = dx > 0
+    slope = (n * sxy - sx * sy).astype(np.float64) / dx.astype(np.float64)
+    intercept = (sy.astype(np.float64) - slope * sx) / n
+    out = pd.DataFrame({"lang": s["lang"], "n": n.astype("int64"),
+                        "slope": slope, "intercept": intercept})[keep]
+    return out.sort_values("lang").reset_index(drop=True)
