@@ -99,6 +99,16 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Score regression report between two battery run-log dirs."""
+    from dataquality_ray.state.report import battery_diff
+
+    d = battery_diff(args.a, args.b)
+    print(d.to_json(orient="records") if args.json
+          else d.to_csv(index=False), end="")
+    return 0 if not (d["status"] == "regressed").any() else 1
+
+
 def cmd_profile(args: argparse.Namespace) -> int:
     """Column profile of a table (stages/profile.py); prints CSV or JSON
     and optionally writes a parquet profile next to reports."""
@@ -174,6 +184,13 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--out", required=True)
     e.add_argument("--by", required=True, help="partition column")
     e.set_defaults(fn=cmd_export)
+
+    df_ = sub.add_parser("diff",
+                         help="battery score diff between two run dirs")
+    df_.add_argument("--a", required=True, help="baseline run dir")
+    df_.add_argument("--b", required=True, help="candidate run dir")
+    df_.add_argument("--json", action="store_true")
+    df_.set_defaults(fn=cmd_diff)
 
     pr = sub.add_parser("profile", help="column profile of one table")
     pr.add_argument("--table", required=True)

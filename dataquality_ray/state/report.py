@@ -234,3 +234,49 @@ def export_run_log_xlsx(base_dir: str, path: str | None = None) -> str:
 
     out = path or os.path.join(base_dir, "DQS_Output_Log_Test.xlsx")
     return write_xlsx(out, XLSX_LOG_COLUMNS, rows)
+
+
+def battery_diff(base_a: str, base_b: str,
+                 tolerance: float = 1e-9) -> "pd.DataFrame":
+    """Score regression report between two battery run-logs: one row per
+    (dataset, test) with both scores, the delta, and a status —
+    ``regressed`` / ``improved`` / ``unchanged`` / ``added`` /
+    ``removed`` / ``errored``.  The monitoring half of the battery: run
+    the same config on yesterday's and today's snapshot, diff the logs.
+    When a (dataset, test) appears multiple times in a log (reruns),
+    the LAST record wins — the log is append-only."""
+    import pandas as pd
+
+    def latest(base: str) -> dict:
+        out: dict[tuple, dict] = {}
+        for rec in read_log(base):
+            out[(rec.get("dataset"), rec.get("test"))] = rec
+        return out
+
+    a, b = latest(base_a), latest(base_b)
+    rows = []
+    for key in sorted(set(a) | set(b), key=lambda k: (str(k[0]),
+                                                      str(k[1]))):
+        ra, rb = a.get(key), b.get(key)
+        sa = ra.get("score") if ra else None
+        sb = rb.get("score") if rb else None
+        if ra is None:
+            status = "added"
+        elif rb is None:
+            status = "removed"
+        elif (rb.get("errors") or "") not in ("", None):
+            status = "errored"
+        elif sa is None or sb is None:
+            status = "errored" if sb is None else "improved"
+        elif sb < sa - tolerance:
+            status = "regressed"
+        elif sb > sa + tolerance:
+            status = "improved"
+        else:
+            status = "unchanged"
+        rows.append({"dataset": key[0], "test": key[1],
+                     "score_a": sa, "score_b": sb,
+                     "delta": (sb - sa) if (sa is not None
+                                            and sb is not None) else None,
+                     "status": status})
+    return pd.DataFrame(rows)

@@ -249,3 +249,28 @@ def test_xlsx_run_log_export_golden_header(ray_session, tmp_path):
     assert by_ds["ds2"][5] == "87.50%"
     assert by_ds["ds3"][5] == "0%"  # falsy-score quirk (:78-80)
     assert by_ds["ds1"][7] == "Standard"
+
+
+# --- battery run-log diff ---------------------------------------------------
+
+def test_battery_diff_statuses(tmp_path):
+    from dataquality_ray.state.report import append_log, battery_diff
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for base, scores in ((a, {"A1": 0.9, "U1": 1.0, "C4": 0.5,
+                              "P1": 0.7}),
+                         (b, {"A1": 0.8, "U1": 1.0, "C4": 0.9,
+                              "C5": 0.4})):
+        for t, s in scores.items():
+            append_log(base, {"dataset": "d1", "test": t, "score": s,
+                              "errors": ""})
+    # rerun in log b: LAST record wins
+    append_log(b, {"dataset": "d1", "test": "A1", "score": 0.95,
+                   "errors": ""})
+    d = battery_diff(a, b).set_index("test")
+    assert d.loc["A1", "status"] == "improved"   # 0.9 -> 0.95 (rerun)
+    assert d.loc["U1", "status"] == "unchanged"
+    assert d.loc["C4", "status"] == "improved"
+    assert d.loc["P1", "status"] == "removed"
+    assert d.loc["C5", "status"] == "added"
+    assert d.loc["C4", "delta"] == pytest.approx(0.4)
