@@ -170,7 +170,7 @@ def run_suite() -> dict:
                  "session_stats", "fd_check", "class_balance_sample", "rrf_fusion", "mad_outliers", "pii_typed_counts", "token_cooccurrence", "ri_check", "embedding_centroid_drift",
                  "event_patterns", "weighted_sample_join", "windowed_quantiles", "benford_first_digit",
                  "event_type_correlation", "key_skew_profile",
-                 "token_length_regression",
+                 "token_length_regression", "hll_group_distinct",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -3276,3 +3276,17 @@ def token_length_regression_q(sf_dir: str):
     out = pd.DataFrame({"lang": s["lang"], "n": n.astype("int64"),
                         "slope": slope, "intercept": intercept})[keep]
     return out.sort_values("lang").reset_index(drop=True)
+
+
+@query("hll_group_distinct")
+def hll_group_distinct_q(sf_dir: str):
+    """Approximate distinct text values per source (per-group HLL,
+    stages/sketch.hll_group_distinct) — the scale twin of
+    profile_table's exact distincts; rows-only (±~1.6% estimate at
+    p=12), error bound pinned in tests/test_sketch.py."""
+    from dataquality_ray.stages.sketch import hll_group_distinct
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    out = hll_group_distinct(ds, "text", "source")
+    out["approx_distinct"] = out["approx_distinct"].round(3)
+    return out.sort_values("source").reset_index(drop=True)

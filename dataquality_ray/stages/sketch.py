@@ -350,3 +350,63 @@ def probe_bloom(ds, col: str, bits_ref, m: int = BLOOM_M,
         return batch.append_column("seen", pa.array(seen))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def hll_group_distinct(ds, col: str, group_col: str,
+                       p: int = 12, max_groups: int = 100_000
+                       ) -> pd.DataFrame:
+    """Approximate distinct ``col`` values PER GROUP: one HLL register
+    array per group per batch, tree-merged like :func:`hll_distinct` —
+    the scale twin of profile_table's exact distincts when a group's
+    value universe outgrows the driver cap.  Driver memory is
+    ``O(#groups · 2^p)`` (4 KiB/group at p=12), guarded by
+    ``max_groups``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"g": batch[group_col].to_pandas(),
+                           "v": batch[col].to_pandas()})
+        gs, regs = [], []
+        for g, sub in df.groupby("g", sort=False):
+            h = HyperLogLog(p).fold_column(
+                pa.Array.from_pandas(sub["v"]))
+            gs.append(g)
+            regs.append(h.registers.tobytes())
+        return pa.table({"g": pa.array(gs),
+                         "registers": pa.array(regs, pa.binary())})
+
+    def tree_merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out_g, out_r = [], []
+        for g, grp in df.groupby("g", sort=False):
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            for blob in grp["registers"]:
+                np.maximum(regs, np.frombuffer(blob, dtype=np.uint8),
+                           out=regs)
+            out_g.append(g)
+            out_r.append(regs.tobytes())
+        return pa.table({"g": pa.array(out_g),
+                         "registers": pa.array(out_r, pa.binary())})
+
+    stage = (ds.select_columns([group_col, col])
+             .map_batches(partial, batch_format="pyarrow")
+             .map_batches(tree_merge, batch_format="pyarrow",
+                          batch_size=256))
+    merged: dict = {}
+    for b in stage.iter_batches(batch_format="pandas"):
+        for g, blob in zip(b["g"], b["registers"]):
+            regs = np.frombuffer(blob, dtype=np.uint8)
+            if g in merged:
+                np.maximum(merged[g], regs, out=merged[g])
+            else:
+                merged[g] = regs.copy()
+        if len(merged) > max_groups:
+            raise RuntimeError(
+                f"hll_group_distinct: >{max_groups} groups; group by a "
+                "coarser key or raise max_groups")
+    rows = []
+    for g in sorted(merged):
+        h = HyperLogLog(p)
+        h.registers = merged[g]
+        rows.append({group_col: g,
+                     "approx_distinct": float(h.estimate())})
+    return pd.DataFrame(rows)

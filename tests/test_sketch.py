@@ -137,3 +137,23 @@ def test_histogram_quantiles_within_one_bucket(ray_session):
     c = rd.from_pandas(pd.DataFrame({"x": np.full(100, 7.0)}))
     out = histogram_quantiles(c, "x", qs=(0.5,))
     assert out["quantile_est"].iloc[0] == 7.0
+
+
+# --- per-group HLL -----------------------------------------------------------
+
+def test_hll_group_distinct_within_error(ray_session):
+    from dataquality_ray.stages.sketch import hll_group_distinct
+
+    rng = np.random.RandomState(3)
+    gs, vs = [], []
+    truth = {"a": 500, "b": 2000, "c": 37}
+    for g, n in truth.items():
+        vals = [f"{g}-{i}" for i in range(n)]
+        picks = rng.randint(0, n, n * 3)  # repeats: distinct stays n
+        gs += [g] * len(picks)
+        vs += [vals[i] for i in picks]
+    ds = rd.from_pandas(pd.DataFrame({"g": gs, "v": vs})).repartition(5)
+    est = hll_group_distinct(ds, "v", "g").set_index("g")
+    for g, n in truth.items():
+        seen = len({v for gg, v in zip(gs, vs) if gg == g})
+        assert abs(est.loc[g, "approx_distinct"] - seen) / seen < 0.1, g
