@@ -175,3 +175,26 @@ def test_doc_keywords_shuffle_twin_matches(ray_session):
     b = (doc_keywords(_ds(), k=3, mode="shuffle").to_pandas()
          .sort_values(["doc_id", "rank"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_budget_sample_fill_semantics(ray_session):
+    from dataquality_ray.stages.sampling import token_budget_sample
+
+    df = pd.DataFrame({
+        "source": ["s1"] * 4 + ["s2"] * 2,
+        "doc_id": [3, 1, 2, 4, 10, 11],
+        "text": ["a b c", "d e", "f g h i", "j",      # s1: 3,2,4,1 tokens
+                 "k l m n o p", "q"],                 # s2: 6,1
+    })
+    out = (token_budget_sample(rd.from_pandas(df).repartition(3),
+                               budget=5, group_col="source")
+           .to_pandas().sort_values(["source", "doc_id"])
+           .reset_index(drop=True))
+    # s1 in id order: doc1(2) cum2, doc2(4) cum6 crosses -> included,
+    # doc3 prev=6 >= 5 -> excluded, doc4 excluded
+    s1 = out[out["source"] == "s1"]
+    assert s1["doc_id"].tolist() == [1, 2]
+    assert s1["cum_tokens"].tolist() == [2, 6]
+    # s2: doc10(6) crosses immediately; doc11 excluded
+    s2 = out[out["source"] == "s2"]
+    assert s2["doc_id"].tolist() == [10]
