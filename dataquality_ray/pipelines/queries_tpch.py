@@ -756,3 +756,54 @@ def key_skew_profile_q(sf_dir: str):
     out["group_size"] = out["group_size"].astype("int64")
     out["n_keys"] = out["n_keys"].astype("int64")
     return out.sort_values("group_size").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Group-median null imputation (remediation twin of P1) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("impute_group_median", sql="""
+WITH src AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CASE WHEN (l_orderkey * 10 + l_linenumber) % 13 = 0 THEN NULL
+              ELSE l_quantity END AS q
+  FROM lineitem
+), med AS (
+  SELECT l_returnflag, quantile_disc(q, 0.5) AS m
+  FROM src GROUP BY l_returnflag
+)
+SELECT s.l_orderkey, s.l_linenumber,
+       coalesce(s.q, med.m) AS q_imputed,
+       (s.q IS NULL) AS q_was_null
+FROM src s JOIN med USING (l_returnflag)
+ORDER BY s.l_orderkey, s.l_linenumber
+""")
+def impute_group_median_q(sf_dir: str):
+    """Fill planted nulls (every 13th (orderkey,linenumber) slot) with
+    the group's DISCRETE median (stages/quantiles.impute_group_median);
+    quantile_disc semantics -> the SQL replay fills identical values."""
+    from dataquality_ray.stages.quantiles import impute_group_median
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag",
+                "l_quantity"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = b["l_linenumber"].to_numpy(zero_copy_only=False)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False).copy()
+        mask = (ok * 10 + ln) % 13 == 0
+        arr = pa.array(np.where(mask, np.nan, q), pa.float64())
+        arr = pc.if_else(pa.array(mask), pa.nulls(len(b), pa.float64()),
+                         arr)
+        return (b.select(["l_orderkey", "l_linenumber", "l_returnflag"])
+                .append_column("q", arr))
+
+    out = (impute_group_median(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        "q", "l_returnflag")
+        .select_columns(["l_orderkey", "l_linenumber", "q_imputed",
+                         "q_was_null"])
+        .to_pandas().sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True))
+    return out

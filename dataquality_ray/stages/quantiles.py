@@ -344,3 +344,76 @@ def grouped_mad_outliers(ds, col: str, group_col: str,
                                          batch_format="pandas")
            .to_pandas())
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def impute_group_median(ds, col: str, group_col: str, *,
+                        cap: int | None = None):
+    """Remediation twin of the completeness checks: fill nulls in
+    ``col`` with their group's DISCRETE median (an actual observed
+    value — ``quantile_disc`` convention, index ``ceil(q·n)−1`` — so an
+    SQL oracle replays the fill exactly, no interpolation ulp).
+
+    One guarded (group, value, count) combine computes the medians; the
+    (group → median) table is ``ray.put`` once and a second stateless
+    pass fills — no shuffle, rows never move.  Groups that are entirely
+    null stay null (no global fallback — that's a policy decision the
+    caller should make explicitly).  Appends ``<col>_imputed`` and a
+    boolean ``<col>_was_null``."""
+    import ray
+
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"g": batch[group_col], "v": batch[col]}) \
+            .dropna(subset=["v"])
+        return (df.groupby(["g", "v"], sort=False)
+                .size().reset_index(name="c"))
+
+    def comb(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby(["g", "v"], as_index=False,
+                             sort=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        ds.select_columns([group_col, col]).map_batches(
+            part, batch_format="pyarrow"), comb, cap)
+    if not ok:
+        raise RuntimeError(
+            f"impute_group_median: distinct (group, value) pairs exceed "
+            f"cap={cap}; bucket the value domain first")
+    record_route("impute_group_median", "counts",
+                 "distinct pairs within cap",
+                 0 if merged is None else len(merged))
+    med: dict = {}
+    if merged is not None:
+        for g, sub in merged.groupby("g", sort=False):
+            order = np.argsort(sub["v"].to_numpy(np.float64))
+            v = sub["v"].to_numpy(np.float64)[order]
+            cum = sub["c"].to_numpy(np.int64)[order].cumsum()
+            n = int(cum[-1])
+            k = max(0, int(np.ceil(0.5 * n)) - 1)
+            med[g] = float(v[np.searchsorted(cum, k + 1)])
+    med_ref = ray.put(med)
+
+    def fill(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        m = ray.get(med_ref)
+        was_null = pc.is_null(batch[col]).to_numpy(zero_copy_only=False)
+        v = pc.cast(batch[col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        fills = pd.Series(batch[group_col].to_pylist()).map(m) \
+            .to_numpy(dtype=np.float64)
+        filled = np.where(was_null, fills, v)
+        return (batch
+                .append_column(f"{col}_imputed",
+                               pa.array(filled, pa.float64()))
+                .append_column(f"{col}_was_null", pa.array(was_null)))
+
+    return ds.map_batches(fill, batch_format="pyarrow")
