@@ -171,7 +171,7 @@ def run_suite() -> dict:
                  "event_patterns", "weighted_sample_join", "windowed_quantiles", "benford_first_digit",
                  "event_type_correlation", "key_skew_profile",
                  "token_length_regression", "hll_group_distinct",
-                 "impute_group_median",
+                 "impute_group_median", "text_ann_hashed_bow",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -296,3 +296,36 @@ def lexical_stats(batch: pa.Table, col: str = "text") -> pa.Table:
             .append_column("n_types", pa.array(n_types))
             .append_column("ttr", pa.array(ttr))
             .append_column("zlib_ratio", pa.array(ratio)))
+
+
+def hashed_bow_batch(batch: pa.Table, col: str = "text",
+                     dim: int = 128, seed: int = 0,
+                     out_col: str = "embedding") -> pa.Table:
+    """Feature-hashing text vectorizer (Weinberger et al. 2009): each
+    whitespace token hashes to a bucket (``h % dim``) with a ±1 sign
+    from the next hash bit, vectors l2-normalized — a deterministic,
+    vocabulary-free embedding that makes the whole ANN/near-dup family
+    usable on raw text without a model.  Fully vectorized: ONE polars
+    hash over the batch's flattened token array, one np.add.at
+    scatter."""
+    import polars as pl
+
+    texts = batch[col].to_pylist()
+    toks = [(t or "").split() for t in texts]
+    counts = np.array([len(ts) for ts in toks], dtype=np.int64)
+    flat = [tok for ts in toks for tok in ts]
+    vecs = np.zeros((len(texts), dim), dtype=np.float64)
+    if flat:
+        from dataquality_ray.functions.hashing import splitmix64
+
+        h = pl.Series(flat).hash(seed=seed).to_numpy().astype(np.uint64)
+        h = splitmix64(h)
+        bucket = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+        row = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        np.add.at(vecs, (row, bucket), sign)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    vecs /= norms
+    return batch.append_column(
+        out_col, pa.array(list(vecs), pa.list_(pa.float64())))

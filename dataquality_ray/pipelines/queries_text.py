@@ -3290,3 +3290,33 @@ def hll_group_distinct_q(sf_dir: str):
     out = hll_group_distinct(ds, "text", "source")
     out["approx_distinct"] = out["approx_distinct"].round(3)
     return out.sort_values("source").reset_index(drop=True)
+
+
+@query("text_ann_hashed_bow")
+def text_ann_hashed_bow_q(sf_dir: str):
+    """Model-free text ANN: hashed-BoW featurizer (functions/text.
+    hashed_bow_batch) + cosine top-10 for a PLANTED near-duplicate of
+    doc 0 — the query doc's top hit must be doc 0 itself, asserted here
+    (rows-only: feature hashing has no SQL twin; determinism and
+    similarity ordering pinned in tests/test_kernels.py)."""
+    from dataquality_ray.functions.text import hashed_bow_batch
+    from dataquality_ray.stages.ann import cosine_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    feat = docs.map_batches(hashed_bow_batch, batch_format="pyarrow") \
+               .select_columns(["doc_id", "embedding"])
+
+    # query = doc 0's text with one word appended (a near-duplicate)
+    q_text = (docs.filter(expr="doc_id == 0").to_pandas()["text"].iloc[0]
+              or "") + " extra"
+    import pyarrow as _pa
+
+    qv = np.array(hashed_bow_batch(
+        _pa.table({"text": [q_text]}))["embedding"].to_pylist()[0])
+    feat = feat.map_batches(
+        lambda b: b.rename_columns(["vec_id", "embedding"]),
+        batch_format="pyarrow")
+    res = cosine_topk(feat, qv[None, :], k=10)
+    assert int(res.iloc[0]["vec_id"]) == 0, "planted near-dup must win"
+    res["score"] = res["score"].round(R)
+    return res[["vec_id", "score"]].reset_index(drop=True)
