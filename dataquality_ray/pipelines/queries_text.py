@@ -3320,3 +3320,63 @@ def text_ann_hashed_bow_q(sf_dir: str):
     assert int(res.iloc[0]["vec_id"]) == 0, "planted near-dup must win"
     res["score"] = res["score"].round(R)
     return res[["vec_id", "score"]].reset_index(drop=True)
+
+
+@query("dedup_minhash_keep_best", sql=(
+    "WITH RECURSIVE " + _minhash_pairs_body(_GROUPS_CORPUS, 0.5) + """,
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS group_id FROM reach GROUP BY a
+), q AS (
+  SELECT doc_id, len(t)::BIGINT AS quality FROM corpus
+), best AS (
+  SELECT comp.doc_id, comp.group_id,
+         row_number() OVER (PARTITION BY comp.group_id
+                            ORDER BY q.quality DESC, comp.doc_id) AS rn
+  FROM comp JOIN q USING (doc_id)
+)
+SELECT doc_id, group_id, (rn = 1) AS keep FROM best ORDER BY doc_id"""))
+def minhash_keep_best_q(sf_dir: str):
+    """Quality-aware canonical keep: same LSH groups as
+    dedup_minhash_groups, but the SURVIVOR is the group's highest
+    token-count member (tie -> smallest id) — production dedup keeps the
+    best copy, not the first (near_dup_keep quality policy)."""
+    from dataquality_ray.stages.minhash import (
+        minhash_near_dup_pairs,
+        near_dup_keep,
+    )
+
+    def with_mutants(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.less(batch["doc_id"], 20))
+        texts = [" ".join(t.split()[1:]) for t in sub["text"].to_pylist()]
+        tagged = [t + " tail" for t in texts]
+        ids = sub["doc_id"].to_numpy(zero_copy_only=False)
+        mut = pa.table({
+            "doc_id": pa.array(
+                np.concatenate([ids + 1000000, ids + 2000000])
+                .astype(np.int64)),
+            "text": pa.array(texts + tagged, pa.string()),
+        })
+        base = (batch.select(["doc_id", "text"])
+                .replace_schema_metadata(None))
+        return pa.concat_tables([base, mut])
+
+    corpus = (_read(sf_dir, "documents", ["doc_id", "text"])
+              .map_batches(with_mutants, batch_format="pyarrow"))
+    pairs = minhash_near_dup_pairs(corpus, jaccard_threshold=0.5,
+                                   hasher="sha")
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        n = [len((t or "").split()) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "quality": pa.array(np.array(n, np.int64))})
+
+    quality = (corpus.map_batches(tok_counts, batch_format="pyarrow")
+               .to_pandas())
+    return near_dup_keep(pairs, quality, score_col="quality")

@@ -467,15 +467,35 @@ def connected_components(pairs: pd.DataFrame,
     return {x: find(x) for x in set(pairs[id_a]) | set(pairs[id_b])}
 
 
-def near_dup_keep(pairs: pd.DataFrame) -> pd.DataFrame:
-    """Canonical-keep decision per near-dup group: keep = (doc_id == group
-    minimum).  Docs not in any pair are implicitly kept by the caller."""
+def near_dup_keep(pairs: pd.DataFrame,
+                  quality: pd.DataFrame | None = None,
+                  id_col: str = "doc_id",
+                  score_col: str = "score") -> pd.DataFrame:
+    """Canonical-keep decision per near-dup group.
+
+    Default policy: keep = (doc_id == group minimum) — deterministic and
+    join-free.  With ``quality`` (a frame of ``(id_col, score_col)``),
+    policy becomes KEEP THE BEST copy: argmax score within the group,
+    ties broken by smallest id — what production dedup actually wants
+    (drop the truncated/boilerplated duplicates, keep the clean one).
+    Docs not in any pair are implicitly kept by the caller."""
     comp = connected_components(pairs)
     if not comp:
         return pd.DataFrame(columns=["doc_id", "group_id", "keep"])
     out = pd.DataFrame({"doc_id": list(comp), "group_id": list(comp.values())})
-    out["keep"] = out["doc_id"] == out["group_id"]
-    return out.sort_values("doc_id").reset_index(drop=True)
+    if quality is None:
+        out["keep"] = out["doc_id"] == out["group_id"]
+        return out.sort_values("doc_id").reset_index(drop=True)
+    q = quality.rename(columns={id_col: "doc_id", score_col: "_q"})
+    out = out.merge(q[["doc_id", "_q"]], on="doc_id", how="left")
+    out["_q"] = out["_q"].fillna(float("-inf"))
+    best = (out.sort_values(["group_id", "_q", "doc_id"],
+                            ascending=[True, False, True])
+            .groupby("group_id", sort=False).head(1)
+            .set_index("group_id")["doc_id"])
+    out["keep"] = out["doc_id"] == out["group_id"].map(best)
+    return (out.drop(columns="_q")
+            .sort_values("doc_id").reset_index(drop=True))
 
 
 def minhash_near_dup_pairs_distributed(ds, text_col: str = "text",

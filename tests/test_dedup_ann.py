@@ -583,3 +583,20 @@ def test_changelog_compact_ts_tie_breaks_by_id(ray_session):
     got = changelog_compact(rd.from_pandas(df), "user_id",
                             ["ts", "event_id"])
     assert got["event_id"].tolist() == [2]
+
+
+def test_near_dup_keep_quality_policy():
+    from dataquality_ray.stages.minhash import near_dup_keep
+
+    pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    quality = pd.DataFrame({"doc_id": [1, 2, 3, 10, 11],
+                            "score": [0.1, 0.9, 0.5, 0.7, 0.7]})
+    got = near_dup_keep(pairs, quality).set_index("doc_id")
+    # group {1,2,3}: best score is doc 2
+    assert bool(got.loc[2, "keep"]) and not bool(got.loc[1, "keep"])
+    assert not bool(got.loc[3, "keep"])
+    # group {10,11}: tie -> smallest id wins
+    assert bool(got.loc[10, "keep"]) and not bool(got.loc[11, "keep"])
+    # default policy unchanged: min id
+    d = near_dup_keep(pairs).set_index("doc_id")
+    assert bool(d.loc[1, "keep"]) and not bool(d.loc[2, "keep"])
