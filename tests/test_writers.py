@@ -67,3 +67,26 @@ def test_export_guards(ray_session, tmp_path):
     df.loc[0, "lang"] = None
     with pytest.raises(ValueError, match="NULL"):
         export_partitioned(rd.from_pandas(df), str(tmp_path / "b"), "lang")
+
+
+def test_export_verify_clean_and_corrupted(ray_session, tmp_path):
+    import shutil
+
+    import ray.data as rd
+
+    from dataquality_ray.sources.writers import (
+        export_partitioned,
+        export_verify,
+    )
+
+    df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 3, "v": range(8)})
+    out = str(tmp_path / "exp")
+    export_partitioned(rd.from_pandas(df), out, "k")
+    v = export_verify(out)
+    assert v["ok"] and v["partitions"] == 2 and v["rows"] == 8
+
+    # corrupt: delete one committed partition directory
+    shutil.rmtree(str(tmp_path / "exp" / "data" / "k=a"))
+    v2 = export_verify(out)
+    assert not v2["ok"]
+    assert any("missing directory" in p for p in v2["problems"])
