@@ -90,11 +90,23 @@ def cmd_export(args: argparse.Namespace) -> int:
     """Resumable hive-partitioned re-export of a parquet table."""
     import ray.data as rd
 
-    from dataquality_ray.sources.writers import export_partitioned
+    from dataquality_ray.sources.writers import (
+        export_partitioned,
+        export_verify,
+    )
 
+    if args.verify_only:
+        v = export_verify(args.out)
+        print(json.dumps(v))
+        return 0 if v["ok"] else 1
+    if not args.input or not args.by:
+        raise SystemExit("export: --input and --by are required "
+                         "unless --verify-only")
     _ensure_ray()
     summary = export_partitioned(rd.read_parquet(args.input), args.out,
                                  args.by)
+    if args.verify:
+        summary["verify"] = export_verify(args.out)
     print(json.dumps(summary))
     return 0
 
@@ -180,9 +192,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     e = sub.add_parser("export",
                        help="resumable hive-partitioned re-export")
-    e.add_argument("--input", required=True)
+    e.add_argument("--input", default=None,
+                   help="source parquet (required unless --verify-only)")
     e.add_argument("--out", required=True)
-    e.add_argument("--by", required=True, help="partition column")
+    e.add_argument("--by", default=None,
+                   help="partition column (required unless --verify-only)")
+    e.add_argument("--verify", action="store_true",
+                   help="read-back integrity check after the export")
+    e.add_argument("--verify-only", action="store_true",
+                   help="only verify an existing export dir (no write)")
     e.set_defaults(fn=cmd_export)
 
     df_ = sub.add_parser("diff",
