@@ -96,3 +96,63 @@ def read_csv_fallback(path: str, **kwargs):
             return rd.read_csv(tmp.name, **kwargs)
         except Exception:
             raise first_err
+
+
+def read_parquet_union(paths: list[str], columns: list[str] | None = None):
+    """Schema-evolution-tolerant parquet read: long-lived corpora add and
+    drop columns over snapshots, and a plain multi-file ``read_parquet``
+    breaks (or silently misbinds) on the mismatch.  This groups files by
+    their EXACT schema (footer metadata only — no data read), reads each
+    group as its own Dataset, aligns every group to the UNIFIED schema
+    (union of fields; a column missing from a group materializes as
+    nulls of the other group's type), and unions the aligned Datasets —
+    the streaming shape is preserved, nothing materializes.
+
+    Type conflicts for the SAME column name raise (silent casts corrupt
+    data); evolve types explicitly upstream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    by_schema: dict[tuple, list[str]] = {}
+    schemas: dict[tuple, "pa.Schema"] = {}
+    for p in paths:
+        sch = pq.read_schema(p)
+        key = tuple(sorted((f.name, str(f.type)) for f in sch))
+        by_schema.setdefault(key, []).append(p)
+        schemas[key] = sch
+
+    merged: dict[str, pa.DataType] = {}
+    for sch in schemas.values():
+        for f in sch:
+            if f.name in merged and merged[f.name] != f.type:
+                raise ValueError(
+                    f"read_parquet_union: column {f.name!r} has "
+                    f"conflicting types {merged[f.name]} vs {f.type}")
+            merged.setdefault(f.name, f.type)
+    names = sorted(merged)
+    if columns is not None:
+        unknown = set(columns) - set(names)
+        if unknown:
+            raise ValueError(f"unknown columns {sorted(unknown)}")
+        names = [n for n in sorted(columns)]
+
+    def align(have: set):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = []
+            for n in names:
+                cols.append(batch[n] if n in have
+                            else pa.nulls(len(batch), merged[n]))
+            return pa.table(dict(zip(names, cols)))
+        return fn
+
+    parts = []
+    for key, group in sorted(by_schema.items()):
+        have = {f.name for f in schemas[key]}
+        read_cols = [n for n in names if n in have] or None
+        ds = rd.read_parquet(group, columns=read_cols)
+        parts.append(ds.map_batches(align(have), batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

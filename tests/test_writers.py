@@ -90,3 +90,28 @@ def test_export_verify_clean_and_corrupted(ray_session, tmp_path):
     v2 = export_verify(out)
     assert not v2["ok"]
     assert any("missing directory" in p for p in v2["problems"])
+
+
+def test_read_parquet_union_schema_evolution(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataquality_ray.sources.readers import read_parquet_union
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"id": [1, 2], "x": [1.0, 2.0]}), a)
+    pq.write_table(pa.table({"id": [3], "x": [3.0],
+                             "y": ["new"]}), b)       # added column
+    out = (read_parquet_union([a, b]).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert list(out.columns) == ["id", "x", "y"]
+    assert out["y"].tolist() == [None, None, "new"]
+    # column pruning across groups
+    pruned = read_parquet_union([a, b], columns=["id", "y"]).to_pandas()
+    assert sorted(pruned.columns) == ["id", "y"]
+    # type conflict raises
+    c = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({"id": ["s"], "x": [1.0]}), c)
+    with pytest.raises(ValueError, match="conflicting types"):
+        read_parquet_union([a, c])
