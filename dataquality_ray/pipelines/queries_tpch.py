@@ -807,3 +807,67 @@ def impute_group_median_q(sf_dir: str):
         .to_pandas().sort_values(["l_orderkey", "l_linenumber"])
         .reset_index(drop=True))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Keyed snapshot diff (data regression test) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("table_diff", sql="""
+WITH b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice,
+         o_custkey
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, o_custkey
+  FROM orders WHERE o_orderkey % 31 = 0
+), j AS (
+  SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+         (a.o_totalprice = b.o_totalprice
+          AND a.o_custkey = b.o_custkey) AS same
+  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT * FROM (
+  SELECT 'added' AS status,
+         count(*) FILTER (WHERE ka IS NULL)::BIGINT AS n FROM j
+  UNION ALL
+  SELECT 'changed', count(*) FILTER (
+      WHERE ka IS NOT NULL AND kb IS NOT NULL AND NOT same) FROM j
+  UNION ALL
+  SELECT 'removed', count(*) FILTER (WHERE kb IS NULL) FROM j
+  UNION ALL
+  SELECT 'unchanged', count(*) FILTER (
+      WHERE ka IS NOT NULL AND kb IS NOT NULL AND same) FROM j
+) ORDER BY status
+""")
+def table_diff_q(sf_dir: str):
+    """Snapshot diff of orders vs a mutated copy (every 97th key
+    removed, every 13th price bumped, every 31st re-keyed as an
+    insert) — stages/dedup.table_diff counts
+    added/changed/removed/unchanged exactly."""
+    from dataquality_ray.stages.dedup import table_diff
+
+    a = _read(sf_dir, "orders",
+              ["o_orderkey", "o_totalprice", "o_custkey"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        keep = k % 97 != 0
+        kk, pp, cc = k[keep], p[keep].copy(), c[keep]
+        pp = np.where(kk % 13 == 0, pp + 1, pp)
+        ins = k % 31 == 0
+        return pa.table({
+            "o_orderkey": pa.array(np.concatenate(
+                [kk, k[ins] + 100000000]).astype(np.int64)),
+            "o_totalprice": pa.array(np.concatenate([pp, p[ins]])),
+            "o_custkey": pa.array(np.concatenate(
+                [cc, c[ins]]).astype(np.int64)),
+        })
+
+    b = a.map_batches(mutate, batch_format="pyarrow")
+    return table_diff(a, b, "o_orderkey",
+                      ["o_totalprice", "o_custkey"])

@@ -405,3 +405,73 @@ def changelog_compact(ds, key: str, order_cols: list[str],
            .map_groups(lambda g: local_latest(g), batch_format="pandas")
            .to_pandas())
     return out.sort_values(key).reset_index(drop=True)
+
+
+def table_diff(ds_a, ds_b, key: str, compare_cols: list[str],
+               *, cap: int | None = None) -> pd.DataFrame:
+    """Keyed diff of two table snapshots — the data-regression test:
+    ``added`` (key only in B), ``removed`` (only in A), ``changed``
+    (both, any compare column differs — NULL-safe), ``unchanged``.
+
+    Shape: both key sets stream through the guarded combine (driver
+    O(#distinct keys), cap contract); the changed/unchanged split runs
+    as a hash-partitioned inner join of the PRUNED (key + compare)
+    columns with one vectorized equality pass per batch — full rows
+    never move, nothing un-guarded lands on the driver.  Returns a
+     4-row frame ``(status, n)``."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+    from dataquality_ray.stages.joins import hash_join
+
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+
+    def keys_of(ds) -> set:
+        def part(batch: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"k": pd.unique(batch[key].to_pandas())})
+
+        merged, ok = guarded_partials(
+            ds.select_columns([key]).map_batches(
+                part, batch_format="pyarrow"),
+            lambda f: f.drop_duplicates("k"), cap)
+        if not ok:
+            raise RuntimeError(
+                f"table_diff: distinct keys exceed cap={cap}; diff "
+                "key ranges separately")
+        return set() if merged is None else set(merged["k"])
+
+    ka, kb = keys_of(ds_a), keys_of(ds_b)
+    record_route("table_diff", "combine", "key sets within cap",
+                 len(ka) + len(kb))
+    added, removed = len(kb - ka), len(ka - kb)
+
+    cols = [key] + list(compare_cols)
+    b_renamed = ds_b.select_columns(cols).map_batches(
+        lambda t: t.rename_columns(
+            [key] + [f"{c}__b" for c in compare_cols]),
+        batch_format="pyarrow")
+    joined = hash_join(ds_a.select_columns(cols), b_renamed, on=key,
+                       join_type="inner")
+
+    def count_changed(batch: pa.Table) -> pd.DataFrame:
+        same = np.ones(len(batch), dtype=bool)
+        for c in compare_cols:
+            a = batch[c].to_pandas()
+            b = batch[f"{c}__b"].to_pandas()
+            eq = (a == b) | (a.isna() & b.isna())
+            same &= eq.to_numpy()
+        return pd.DataFrame({"n": [len(batch)],
+                             "changed": [int((~same).sum())]})
+
+    tot = chg = 0
+    for b in (joined.map_batches(count_changed, batch_format="pyarrow")
+              .iter_batches(batch_format="pandas")):
+        tot += int(b["n"].sum())
+        chg += int(b["changed"].sum())
+    return pd.DataFrame({
+        "status": ["added", "changed", "removed", "unchanged"],
+        "n": np.array([added, chg, removed, tot - chg], dtype=np.int64),
+    })
