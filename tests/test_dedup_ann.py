@@ -600,3 +600,18 @@ def test_near_dup_keep_quality_policy():
     # default policy unchanged: min id
     d = near_dup_keep(pairs).set_index("doc_id")
     assert bool(d.loc[1, "keep"]) and not bool(d.loc[2, "keep"])
+
+
+def test_kmeans_l2_matches_numpy_lloyd(clustered_vecs, ray_session):
+    from dataquality_ray.stages.ann import _hash_mod_sample
+    from dataquality_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    vecs, df = clustered_vecs
+    ds = rd.from_pandas(df).repartition(5)
+    cent, _ = kmeans_fit(ds, k=6, iters=5, tol=0.0, metric="l2")
+    x0 = _hash_mod_sample(ds, 4096)
+    want = _numpy_lloyd(x0, 6, 5, metric="l2")
+    assert np.allclose(cent, want, atol=1e-7), np.abs(cent - want).max()
+    out = (kmeans_assign(ds, cent, metric="l2")
+           .select_columns(["vec_id", "loss"]).to_pandas())
+    assert (out["loss"].to_numpy() >= 0).all()
