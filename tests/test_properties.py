@@ -362,3 +362,55 @@ def test_guarded_partials_merge_is_split_invariant(pairs, n_chunks):
     got = (acc if acc is not None else merge(df)) \
         .sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50000),
+                min_size=2, max_size=200),
+       st.lists(st.integers(min_value=0, max_value=50000),
+                min_size=2, max_size=200))
+def test_ks_integer_numerator_is_exact(xa, xb):
+    """ks = max|ca*nb - cb*na| / (na*nb): the single-division double is
+    the correctly-rounded true value for ANY integer samples."""
+    import numpy as np
+
+    from fractions import Fraction
+
+    xa, xb = np.array(xa), np.array(xb)
+    grid = np.unique(np.concatenate([xa, xb]))
+    ca = np.searchsorted(np.sort(xa), grid, side="right")
+    cb = np.searchsorted(np.sort(xb), grid, side="right")
+    d_num = int(np.abs(ca * len(xb) - cb * len(xa)).max())
+    got = d_num / (len(xa) * len(xb))
+    true = Fraction(d_num, len(xa) * len(xb))
+    # got is the nearest double to the exact rational
+    import math
+    assert got == float(true)
+    assert math.isclose(got, float(true), rel_tol=0, abs_tol=0)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=5_000_000),
+                min_size=6, max_size=60))
+def test_rolling_cents_chain_is_reproducible(cents):
+    """The integer-cents rolling mean/sd/z chain is a pure function of
+    the ordered values — two independent evaluations (different array
+    layouts/copies) produce bit-identical doubles."""
+    import numpy as np
+    import pandas as pd
+
+    def chain(xs):
+        xc = np.asarray(xs, dtype=np.float64)
+        prev = pd.Series(xc).shift(1)
+        r = prev.rolling(20, min_periods=1)
+        s1, n = r.sum().to_numpy(), r.count().to_numpy()
+        s2 = (prev * prev).rolling(20, min_periods=1).sum().to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s1 / n
+            var = (n * s2 - s1 * s1) / (n * (n - 1))
+            sd = np.sqrt(var)
+            z = (xc - mean) / np.where(sd > 0, sd, np.nan)
+        return z
+
+    a = chain(cents)
+    b = chain(np.array(cents, dtype=np.int64)[::1].astype(np.float64))
+    same = (a == b) | (np.isnan(a) & np.isnan(b))
+    assert same.all()
