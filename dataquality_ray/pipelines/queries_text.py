@@ -3380,3 +3380,36 @@ def minhash_keep_best_q(sf_dir: str):
     quality = (corpus.map_batches(tok_counts, batch_format="pyarrow")
                .to_pandas())
     return near_dup_keep(pairs, quality, score_col="quality")
+
+
+@query("source_similarity")
+def source_similarity_q(sf_dir: str):
+    """Source-level near-dup matrix via MinHash UNION sketches
+    (stages/minhash.source_similarity_minhash) with a planted re-host:
+    docs of src0 are appended again under source 'rehost' — that pair
+    must estimate ~1.0 (asserted in-query); rows-only (sketch
+    estimate), detector property pinned in tests."""
+    from dataquality_ray.stages.minhash import source_similarity_minhash
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["source"], "src0")
+        sub = batch.filter(m)
+        extra = pa.table({
+            "source": pa.array(["rehost"] * len(sub), pa.string()),
+            "text": sub["text"],
+        })
+        return pa.concat_tables([
+            batch.select(["source", "text"]).replace_schema_metadata(None),
+            extra])
+
+    out = source_similarity_minhash(
+        ds.map_batches(plant, batch_format="pyarrow"))
+    pair = out[(out["source_a"] == "rehost") | (out["source_b"] == "rehost")]
+    top = pair.sort_values("jaccard_est", ascending=False).iloc[0]
+    assert {top["source_a"], top["source_b"]} == {"src0", "rehost"}
+    assert top["jaccard_est"] == 1.0
+    out["jaccard_est"] = out["jaccard_est"].round(R)
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))

@@ -693,3 +693,62 @@ def near_dup_keep_distributed(pairs_ds, id_a: str = "id_a",
         })
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def source_similarity_minhash(ds, group_col: str = "source",
+                              text_col: str = "text", k: int = 3,
+                              seed: int = 42,
+                              max_groups: int = 10_000) -> pd.DataFrame:
+    """SOURCE-level near-duplicate detection: one MinHash UNION sketch
+    per group (componentwise min of all member docs' signatures — the
+    sketch of the union of the group's shingle sets, mergeable by
+    construction), then the pairwise estimated Jaccard matrix between
+    groups — "is crawl-source A a re-host of B?" at a granularity doc
+    dedup can't see.
+
+    Per-batch partial = one 64-u64 signature per group present (KBs);
+    driver merge is componentwise min over O(#groups) sketches
+    (``max_groups`` guard).  Estimates carry the standard 1/√64 ≈ 0.125
+    std error — a detector, not a measurement."""
+    import ray
+
+    mh = MinHasher(text_col=text_col, k=k, seed=seed, hasher="fast")
+    a_ref, b_ref = ray.put(mh.a), ray.put(mh.b)
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        a, b = ray.get(a_ref), ray.get(b_ref)
+        texts = batch[text_col].to_pylist()
+        flat, sizes = shingle_hashes_fast_batch(texts, k=k)
+        groups = batch[group_col].to_pylist()
+        sigs: dict[str, np.ndarray] = {}
+        off = 0
+        for g, n in zip(groups, sizes):
+            h = flat[off:off + n]
+            off += n
+            with np.errstate(over="ignore"):
+                sig = (a[None, :] * h[:, None] + b[None, :]).min(axis=0)
+            cur = sigs.get(g)
+            sigs[g] = sig if cur is None else np.minimum(cur, sig)
+        return pd.DataFrame({"g": list(sigs),
+                             "sig": [s.tobytes() for s in sigs.values()]})
+
+    merged: dict[str, np.ndarray] = {}
+    for b2 in (ds.select_columns([group_col, text_col])
+               .map_batches(part, batch_format="pyarrow")
+               .iter_batches(batch_format="pandas")):
+        for g, blob in zip(b2["g"], b2["sig"]):
+            sig = np.frombuffer(blob, dtype=np.uint64)
+            cur = merged.get(g)
+            merged[g] = sig.copy() if cur is None \
+                else np.minimum(cur, sig)
+        if len(merged) > max_groups:
+            raise RuntimeError(
+                f"source_similarity_minhash: >{max_groups} groups")
+    names = sorted(merged)
+    rows = []
+    for i, ga in enumerate(names):
+        for gb in names[i + 1:]:
+            est = float((merged[ga] == merged[gb]).mean())
+            rows.append({"source_a": ga, "source_b": gb,
+                         "jaccard_est": est})
+    return pd.DataFrame(rows)

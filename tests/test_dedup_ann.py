@@ -615,3 +615,22 @@ def test_kmeans_l2_matches_numpy_lloyd(clustered_vecs, ray_session):
     out = (kmeans_assign(ds, cent, metric="l2")
            .select_columns(["vec_id", "loss"]).to_pandas())
     assert (out["loss"].to_numpy() >= 0).all()
+
+
+def test_source_similarity_minhash_detects_rehost(ray_session):
+    from dataquality_ray.stages.minhash import source_similarity_minhash
+
+    rng = np.random.RandomState(13)
+    vocab = [f"w{i}" for i in range(300)]
+    a_docs = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    c_docs = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    df = pd.DataFrame({
+        "source": ["A"] * 40 + ["B"] * 40 + ["C"] * 40,
+        "text": a_docs + a_docs + c_docs,   # B re-hosts A verbatim
+    })
+    out = source_similarity_minhash(
+        rd.from_pandas(df).repartition(5)).set_index(
+            ["source_a", "source_b"])
+    assert out.loc[("A", "B"), "jaccard_est"] == 1.0  # identical unions
+    assert out.loc[("A", "C"), "jaccard_est"] < 0.5
+    assert out.loc[("B", "C"), "jaccard_est"] < 0.5
