@@ -78,10 +78,11 @@ class NaturalLangId:
     Semantics identical to per-token set membership.
     """
 
-    def __init__(self, col: str = "text"):
+    def __init__(self, col: str = "text", emit_margin: bool = False):
         self.col = col
         # argmax tie-break must match dict-iteration order of STOPWORDS
         self.langs = list(STOPWORDS)
+        self.emit_margin = emit_margin
         self.lang_res = [
             " (?:" + "|".join(sorted(STOPWORDS[lang])) + ") "
             for lang in self.langs
@@ -111,10 +112,22 @@ class NaturalLangId:
         detected = np.where(known, np.array(self.langs)[best], "unknown")
         with np.errstate(divide="ignore", invalid="ignore"):
             conf = np.where(known & (total > 0), best_score / total, 0.0)
-        return (batch
-                .append_column("detected_lang",
-                               pa.array(detected.astype(object)))
-                .append_column("langid_conf", pa.array(conf)))
+        out = (batch
+               .append_column("detected_lang",
+                              pa.array(detected.astype(object)))
+               .append_column("langid_conf", pa.array(conf)))
+        if self.emit_margin:
+            # integer stopword-HIT margin top1−top2: same argmax as the
+            # score (shared per-doc denominator), but exactly replayable
+            # in SQL — the abstention signal for routing ambiguous docs
+            hi = np.sort(hits.astype(np.int64), axis=0)
+            top1 = hi[-1] if len(self.langs) else np.zeros(
+                hits.shape[1], np.int64)
+            top2 = hi[-2] if len(self.langs) > 1 else np.zeros_like(top1)
+            out = (out.append_column("lang_top_hits", pa.array(top1))
+                   .append_column("lang_margin",
+                                  pa.array(top1 - top2)))
+        return out
 
 
 def clean_text_batch(batch: pa.Table, col: str = "text",

@@ -3413,3 +3413,51 @@ def source_similarity_q(sf_dir: str):
     out["jaccard_est"] = out["jaccard_est"].round(R)
     return (out.sort_values(["source_a", "source_b"])
             .reset_index(drop=True))
+
+
+def _lang_margin_sql() -> str:
+    from dataquality_ray.functions.text import STOPWORDS
+
+    langs = list(STOPWORDS)
+    lists = {l: "[" + ",".join(f"'{w}'" for w in sorted(STOPWORDS[l]))
+             + "]" for l in langs}
+    cnt = ", ".join(
+        f"len(list_filter(t, x -> list_contains({lists[l]}, x))) AS c_{l}"
+        for l in langs)
+    unp = " UNION ALL ".join(
+        f"SELECT doc_id, c_{l}::BIGINT AS c FROM counts" for l in langs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text),
+                     '[^a-zàâäéèêëîïôöùûüñ]+'), x -> x <> '') AS t
+  FROM documents
+), counts AS (
+  SELECT doc_id, {cnt} FROM toks
+), unp AS ({unp}
+), r AS (
+  SELECT doc_id, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC) AS rn
+  FROM unp
+)
+SELECT doc_id,
+       max(CASE WHEN rn = 1 THEN c END)::BIGINT AS lang_top_hits,
+       (max(CASE WHEN rn = 1 THEN c END)
+        - max(CASE WHEN rn = 2 THEN c END))::BIGINT AS lang_margin
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("lang_confidence_margin", sql=_lang_margin_sql())
+def lang_confidence_margin_q(sf_dir: str):
+    """Language-ID abstention signal: integer stopword-hit margin
+    top1−top2 per doc (NaturalLangId(emit_margin=True)) — exactly
+    replayable in SQL, unlike the float confidence ratio; low-margin
+    docs are the ones to route to a heavier classifier."""
+    from dataquality_ray.functions.text import NaturalLangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: NaturalLangId(emit_margin=True)(b),
+        batch_format="pyarrow", batch_size=2048)
+    return (ds.select_columns(["doc_id", "lang_top_hits", "lang_margin"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
