@@ -173,6 +173,7 @@ def run_suite() -> dict:
                  "token_length_regression", "hll_group_distinct",
                  "impute_group_median", "text_ann_hashed_bow",
                  "dedup_minhash_keep_best", "table_diff", "source_similarity", "lang_confidence_margin",
+                 "quality_gate_funnel",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -3461,3 +3461,60 @@ def lang_confidence_margin_q(sf_dir: str):
         batch_format="pyarrow", batch_size=2048)
     return (ds.select_columns(["doc_id", "lang_top_hits", "lang_margin"])
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate funnel (cumulative pass counts) — SQL-checkable
+# ---------------------------------------------------------------------------
+
+@query("quality_gate_funnel", sql=r"""
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) >= 30 AS g1,
+         length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g')) * 1000
+           >= 450 * length(text) AS g2,
+         n_chars < 2000 AS g3
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 1::BIGINT AS gate, 'min_tokens' AS name,
+         count(*) FILTER (WHERE g1)::BIGINT AS n_pass FROM m
+  UNION ALL
+  SELECT 2, 'alnum_frac', count(*) FILTER (WHERE g1 AND g2) FROM m
+  UNION ALL
+  SELECT 3, 'max_chars', count(*) FILTER (WHERE g1 AND g2 AND g3) FROM m
+) ORDER BY gate
+""")
+def quality_gate_funnel_q(sf_dir: str):
+    """Cumulative quality-gate funnel (how many docs survive each
+    successive filter) — the acceptance-curve readout every filter
+    pipeline tuning session starts from; gates evaluated in ONE
+    vectorized pass, integer comparisons only (alnum fraction as a
+    cross-multiplication, no float division)."""
+
+    def gates(batch: pa.Table) -> pd.DataFrame:
+        texts = [(t or "") for t in batch["text"].to_pylist()]
+        n_tok = np.array([len(t.split()) for t in texts], np.int64)
+        alnum = np.array([sum(ch.isalnum() and ord(ch) < 128
+                              for ch in t) for t in texts], np.int64)
+        # ASCII-alnum count == the oracle's [^0-9A-Za-z] strip length
+        ln = np.array([len(t) for t in texts], np.int64)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        g1 = n_tok >= 30
+        g2 = alnum * 1000 >= 450 * ln
+        g3 = nc < 2000
+        return pd.DataFrame({
+            "p1": [int(g1.sum())],
+            "p2": [int((g1 & g2).sum())],
+            "p3": [int((g1 & g2 & g3).sum())],
+        })
+
+    parts = (_read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+             .map_batches(gates, batch_format="pyarrow").to_pandas())
+    return pd.DataFrame({
+        "gate": np.array([1, 2, 3], np.int64),
+        "name": ["min_tokens", "alnum_frac", "max_chars"],
+        "n_pass": np.array([parts["p1"].sum(), parts["p2"].sum(),
+                            parts["p3"].sum()], np.int64),
+    })
