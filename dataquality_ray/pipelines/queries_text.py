@@ -3518,3 +3518,44 @@ def quality_gate_funnel_q(sf_dir: str):
         "n_pass": np.array([parts["p1"].sum(), parts["p2"].sum(),
                             parts["p3"].sum()], np.int64),
     })
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary fit + OOV coverage (tokenizer-style vocab audit)
+# ---------------------------------------------------------------------------
+
+@query("vocab_oov_coverage", sql="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ORDER BY c DESC, tok LIMIT 12)
+), per_doc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM toks t LEFT JOIN vocab v USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_oov, 0) AS n_oov,
+       coalesce(p.n_oov, 0) * 1.0 / greatest(coalesce(p.n_tokens, 0), 1)
+         AS oov_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+""")
+def vocab_oov_q(sf_dir: str):
+    """Fit a top-12 occurrence-count vocabulary over the corpus (guarded
+    combine; shuffle twin), broadcast it once, score every document's
+    OOV fraction (single-division float — bit-exact vs the oracle)."""
+    from dataquality_ray.stages.vocab import oov_stats, vocab_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = vocab_topk(ds, v=12)
+    out = (oov_stats(ds, vocab).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    return out[["doc_id", "n_tokens", "n_oov", "oov_frac"]]

@@ -1,0 +1,150 @@
+"""Corpus vocabulary construction + out-of-vocabulary (OOV) coverage.
+
+A training-data pipeline fixes a tokenizer vocabulary from corpus
+statistics, then audits every document's coverage under it (high-OOV
+documents are mis-languaged, binary-ish, or boilerplate — standard
+pre-tokenizer quality gate).  Two passes, no shuffle on the default path:
+
+1. **vocab fit** — per-batch token OCCURRENCE counts (vectorized numpy
+   unique over the flattened token stream), merged with the guarded
+   driver combine (stages/autoroute.py); past ``cap`` distinct tokens it
+   re-routes to the groupby-shuffle twin.  Top-V selection is total-ordered
+   (count DESC, token ASC) so the result is deterministic and
+   SQL-replayable.
+2. **coverage score** — the V-token vocabulary is ``ray.put`` ONCE and
+   every batch membership-tests its own docs' tokens with ``np.isin``
+   against the broadcast sorted array — embarrassingly parallel, one scan.
+
+At 100 TB: pass 1 ships O(distinct-tokens) partials per batch (natural
+vocabularies are ~10^6-10^7 — inside the guarded cap; web-garbage token
+spaces blow past it and route to the shuffle twin automatically); pass 2
+broadcasts V tokens once per node, never per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _flat_tokens(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-split all texts; returns (flat tokens, doc sizes)."""
+    per_doc = [(t or "").split() for t in texts]
+    sizes = np.array([len(p) for p in per_doc], dtype=np.int64)
+    flat = np.array([tok for p in per_doc for tok in p], dtype=object)
+    return flat, sizes
+
+
+def vocab_topk(ds, v: int = 1024, text_col: str = "text",
+               mode: str = "auto", cap: int | None = None,
+               batch_size: int = 1024) -> pd.DataFrame:
+    """Top-``v`` tokens by total occurrence count (count DESC, token ASC).
+
+    Returns pandas ``(token, count)`` sorted by the selection order.
+    Guarded driver combine by default; groupby-shuffle twin past ``cap``
+    distinct tokens (route recorded in autoroute.ROUTE_EVENTS).
+    """
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    if mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown mode {mode!r}")
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+
+    def _top(frame: pd.DataFrame) -> pd.DataFrame:
+        frame = frame.sort_values(["count", "token"],
+                                  ascending=[False, True])
+        return frame.head(v).reset_index(drop=True)
+
+    if mode in ("auto", "broadcast"):
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            flat, _ = _flat_tokens(batch[text_col].to_pylist())
+            if not len(flat):
+                return pd.DataFrame({"token": [], "count": []})
+            toks, counts = np.unique(flat.astype(str), return_counts=True)
+            return pd.DataFrame({"token": toks,
+                                 "count": counts.astype(np.int64)})
+
+        def combine(frame: pd.DataFrame) -> pd.DataFrame:
+            return frame.groupby("token", as_index=False)["count"].sum()
+
+        stage = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=batch_size)
+        merged, ok = guarded_partials(stage, combine, cap)
+        if ok:
+            record_route("vocab_topk", "broadcast", "vocab within cap",
+                         0 if merged is None else len(merged))
+            if merged is None:
+                merged = pd.DataFrame({"token": [], "count": []})
+            merged["count"] = merged["count"].astype(np.int64)
+            return _top(merged)
+        if mode == "broadcast":
+            raise MemoryError(
+                f"vocab_topk: distinct tokens exceed cap={cap}; "
+                "use mode='shuffle'")
+        record_route("vocab_topk", "shuffle",
+                     f"distinct tokens exceed cap={cap}", None)
+
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(batch[text_col].to_pylist())
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        toks, counts = np.unique(flat.astype(str), return_counts=True)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "c": pa.array(counts, pa.int64())})
+
+    agg = (ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=batch_size)
+             .groupby("token").aggregate(Sum("c", alias_name="count"))
+             .to_pandas())
+    # the global top-V is a k-row reduction: sort the (already combined)
+    # token counts driver-side only after the shuffle shrank them to one
+    # row per distinct token; for vocabularies that STILL exceed driver
+    # memory the caller should lower v and pre-filter by a min count.
+    if not len(agg):
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "count": pd.Series([], dtype=np.int64)})
+    agg["count"] = agg["count"].astype(np.int64)
+    return _top(agg)
+
+
+def oov_stats(ds, vocab: pd.DataFrame | list[str],
+              text_col: str = "text", id_col: str = "doc_id",
+              batch_size: int = 1024):
+    """Per-document OOV coverage against a fixed vocabulary.
+
+    Returns a Dataset of ``(id_col, n_tokens, n_oov, oov_frac)``; docs
+    with zero tokens report ``oov_frac = 0.0``.  ``oov_frac`` is the one
+    float and is produced by a single division — bit-exact across engines.
+    """
+    toks = (vocab["token"] if isinstance(vocab, pd.DataFrame)
+            else pd.Series(list(vocab)))
+    vref = ray.put(np.sort(np.asarray(toks, dtype=object)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vs = ray.get(vref)
+        flat, sizes = _flat_tokens(batch[text_col].to_pylist())
+        n = len(sizes)
+        if len(flat):
+            doc_idx = np.repeat(np.arange(n), sizes)
+            inv = ~np.isin(flat.astype(str), vs)
+            n_oov = np.bincount(doc_idx[inv], minlength=n).astype(np.int64)
+        else:
+            n_oov = np.zeros(n, dtype=np.int64)
+        frac = n_oov / np.maximum(sizes, 1)
+        return pa.table({id_col: batch[id_col],
+                         "n_tokens": pa.array(sizes, pa.int64()),
+                         "n_oov": pa.array(n_oov, pa.int64()),
+                         "oov_frac": pa.array(frac, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -198,3 +198,48 @@ def test_token_budget_sample_fill_semantics(ray_session):
     # s2: doc10(6) crosses immediately; doc11 excluded
     s2 = out[out["source"] == "s2"]
     assert s2["doc_id"].tolist() == [10]
+
+
+# ---------------------------------------------------------------------------
+# vocab_topk / oov_stats (stages/vocab.py)
+# ---------------------------------------------------------------------------
+
+def _vocab_corpus():
+    return rd.from_items([
+        {"doc_id": 0, "text": "a b a c"},
+        {"doc_id": 1, "text": "a b x y"},
+        {"doc_id": 2, "text": "  "},
+        {"doc_id": 3, "text": "z z z q"},
+    ])
+
+
+def test_vocab_topk_order_and_counts(ray_session):
+    from dataquality_ray.stages.vocab import vocab_topk
+
+    v = vocab_topk(_vocab_corpus(), v=3)
+    # counts: a=3, z=3, b=2, rest 1 -> top3 = a, z (tie by token asc), b
+    assert v["token"].tolist() == ["a", "z", "b"]
+    assert v["count"].tolist() == [3, 3, 2]
+
+
+def test_vocab_topk_shuffle_twin_matches(ray_session):
+    from dataquality_ray.stages import autoroute
+    from dataquality_ray.stages.vocab import vocab_topk
+
+    ds = _vocab_corpus()
+    fast = vocab_topk(ds, v=4)
+    routed = vocab_topk(ds, v=4, cap=2)  # 6 distinct tokens > cap
+    assert autoroute.last_route("vocab_topk")["chosen"] == "shuffle"
+    pd.testing.assert_frame_equal(fast, routed)
+
+
+def test_oov_stats_zero_token_doc(ray_session):
+    from dataquality_ray.stages.vocab import oov_stats, vocab_topk
+
+    ds = _vocab_corpus()
+    out = (oov_stats(ds, vocab_topk(ds, v=2)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # vocab = {a, z}
+    assert out["n_tokens"].tolist() == [4, 4, 0, 4]
+    assert out["n_oov"].tolist() == [2, 3, 0, 1]
+    assert out.loc[2, "oov_frac"] == 0.0
