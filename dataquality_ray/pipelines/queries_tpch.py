@@ -871,3 +871,124 @@ def table_diff_q(sf_dir: str):
     b = a.map_batches(mutate, batch_format="pyarrow")
     return table_diff(a, b, "o_orderkey",
                       ["o_totalprice", "o_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# Q3-style shipping-priority revenue: segment semi-join + date filters +
+# large-large join + top-10 by exact integer-cents revenue
+# ---------------------------------------------------------------------------
+
+@query("q3_shipping_priority", sql="""
+WITH rev AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS units
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+    AND l_shipdate > TIMESTAMP '1997-01-01'
+  GROUP BY l_orderkey
+)
+SELECT r.l_orderkey,
+       r.units / 10000.0 AS revenue,
+       o.o_orderdate,
+       o.o_orderpriority
+FROM rev r JOIN orders o ON r.l_orderkey = o.o_orderkey
+ORDER BY r.units DESC, r.l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority_q(sf_dir: str):
+    """TPC-H Q3 shape, Ray-Data-first: customer is the small dim side
+    (filter -> broadcast semi-join into orders), orders x lineitem is the
+    large-large side (smart_join: broadcast under 64 MiB, hash-partitioned
+    above), revenue aggregates as integer cents x basis-points partials
+    (guarded driver combine; groupby-shuffle twin past the cap) so the
+    top-10 order and the one final division are bit-exact vs the oracle.
+    The winning 10 keys' (orderdate, priority) come from a pruned re-scan
+    of orders against a 10-key broadcast — the aggregate itself moves only
+    (int64 key, int64 units)."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+    from dataquality_ray.stages.joins import broadcast_join, smart_join
+
+    cut = pd.Timestamp("1997-01-01")
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .map_batches(lambda b: b.filter(
+                pc.equal(b["c_mktsegment"], "BUILDING"))
+                .select(["c_custkey"]), batch_format="pyarrow")
+            .to_pandas().rename(columns={"c_custkey": "o_custkey"}))
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["o_orderdate"], pa.scalar(cut))) \
+                .select(["o_custkey", "o_orderkey"])
+
+    orders_f = broadcast_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(ord_filter, batch_format="pyarrow"),
+        cust, on="o_custkey", value_cols=[], join_type="inner",
+    ).select_columns(["o_orderkey"])
+
+    def line_rev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cut)))
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+                  .cast(pa.int64())
+        bps = pc.subtract(
+            100, pc.round(pc.multiply(b["l_discount"], 100.0))
+                   .cast(pa.int64()))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "units": pc.multiply(cents, bps)})
+
+    joined = smart_join(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(line_rev, batch_format="pyarrow"),
+        orders_f, on="l_orderkey", right_on="o_orderkey",
+        value_cols=[], join_type="inner")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.groupby("l_orderkey", as_index=False)["units"].sum())
+
+    def combine(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby("l_orderkey", as_index=False)["units"].sum()
+
+    stage = joined.map_batches(partial, batch_format="pandas")
+    merged, ok = guarded_partials(stage, combine, DRIVER_COMBINE_CAP)
+    if ok:
+        record_route("q3_shipping_priority", "combine",
+                     "qualifying orders within cap",
+                     0 if merged is None else len(merged))
+        rev = merged if merged is not None else \
+            pd.DataFrame({"l_orderkey": [], "units": []})
+    else:  # pragma: no cover - requires >2M qualifying orders
+        record_route("q3_shipping_priority", "shuffle",
+                     "qualifying orders exceed cap", None)
+        from ray.data.aggregate import Sum
+        rev = (joined.groupby("l_orderkey")
+               .aggregate(Sum("units", alias_name="units")).to_pandas())
+    top = (rev.sort_values(["units", "l_orderkey"],
+                           ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    if not len(top):
+        return pd.DataFrame({"l_orderkey": pd.Series([], dtype=np.int64),
+                             "revenue": pd.Series([], dtype=np.float64),
+                             "o_orderdate": pd.Series(
+                                 [], dtype="datetime64[us]"),
+                             "o_orderpriority": pd.Series([], dtype=object)})
+    keys = set(top["l_orderkey"].tolist())
+    meta = (_read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate", "o_orderpriority"])
+            .map_batches(lambda b: b.filter(pa.array(np.isin(
+                b["o_orderkey"].to_numpy(zero_copy_only=False),
+                list(keys)))), batch_format="pyarrow")
+            .to_pandas())
+    out = top.merge(meta, left_on="l_orderkey", right_on="o_orderkey")
+    out["revenue"] = out["units"] / 10000.0
+    out = out.sort_values(["units", "l_orderkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
