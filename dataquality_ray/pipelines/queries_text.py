@@ -3559,3 +3559,30 @@ def vocab_oov_q(sf_dir: str):
     out = (oov_stats(ds, vocab).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     return out[["doc_id", "n_tokens", "n_oov", "oov_frac"]]
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k without a shuffle (mergeable per-batch top-k)
+# ---------------------------------------------------------------------------
+
+@query("topk_docs_per_lang", sql="""
+SELECT lang, doc_id, n_chars, rank FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM documents)
+WHERE rank <= 3
+ORDER BY lang, rank
+""")
+def topk_docs_per_lang_q(sf_dir: str):
+    """Top-3 documents per language by size (tie: doc_id): per-batch local
+    top-k partials merged driver-side (top-k is mergeable — no shuffle);
+    guarded with a groupby().map_groups twin past the cap."""
+    from dataquality_ray.stages.combine import grouped_topk
+
+    out = grouped_topk(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        "lang", ["n_chars", "doc_id"], [False, True], k=3)
+    out["rank"] = (out.groupby("lang").cumcount() + 1).astype(np.int64)
+    return out[["lang", "doc_id", "n_chars", "rank"]]

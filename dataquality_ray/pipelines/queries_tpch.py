@@ -992,3 +992,37 @@ def q3_shipping_priority_q(sf_dir: str):
     out = out.sort_values(["units", "l_orderkey"],
                           ascending=[False, True]).reset_index(drop=True)
     return out[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+
+# ---------------------------------------------------------------------------
+# Per-group winsorization audit (discrete-quantile clamp, exact sums)
+# ---------------------------------------------------------------------------
+
+@query("winsorize_group", sql="""
+WITH q AS (
+  SELECT l_returnflag AS grp,
+         quantile_disc(l_extendedprice, 0.05) AS lo,
+         quantile_disc(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT q.grp AS "group", q.lo, q.hi,
+       CAST(sum(CASE WHEN l.l_extendedprice < q.lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lo,
+       CAST(sum(CASE WHEN l.l_extendedprice > q.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hi,
+       sum(CAST(round(least(greatest(l.l_extendedprice, q.lo), q.hi) * 100)
+                AS BIGINT)) / 100.0 AS sum_winsorized
+FROM lineitem l JOIN q ON l.l_returnflag = q.grp
+GROUP BY q.grp, q.lo, q.hi
+ORDER BY "group"
+""")
+def winsorize_group_q(sf_dir: str):
+    """p05/p95 winsorization of extended price per return flag
+    (stages/quantiles.winsorize_group_stats): guarded (group,value,count)
+    combine fixes discrete bounds, then one broadcast clamp pass folds
+    integer-cents partials — the sum is one final division, bit-exact."""
+    from dataquality_ray.stages.quantiles import winsorize_group_stats
+
+    return winsorize_group_stats(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]),
+        "l_extendedprice", "l_returnflag", 0.05, 0.95)

@@ -116,3 +116,50 @@ def weighted_quantile(values: np.ndarray, counts: np.ndarray,
         hi_v = v[np.searchsorted(cum, hi_i + 1)]
         out.append(lo_v + (hi_v - lo_v) * (pos - lo_i))
     return np.asarray(out)
+
+
+def grouped_topk(ds, group_col: str, sort_cols: list[str],
+                 ascending: list[bool], k: int,
+                 cap: int | None = None) -> pd.DataFrame:
+    """Top-k rows per group WITHOUT a shuffle.
+
+    Per-group top-k is mergeable (top-k of a union = top-k of the
+    concatenated per-part top-ks), so each batch keeps at most
+    ``k × groups-in-batch`` rows and the driver merges partials with the
+    same kernel — guarded (stages/autoroute.py): if distinct groups × k
+    crosses ``cap`` the operator re-routes to the groupby().map_groups
+    twin, which is exact at any group cardinality.  Ties must be broken
+    by the trailing sort columns (pass a unique id last) or the result is
+    nondeterministic.
+    """
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+
+    def local_topk(frame: pd.DataFrame) -> pd.DataFrame:
+        return (frame.sort_values(sort_cols, ascending=ascending)
+                     .groupby(group_col, sort=False).head(k))
+
+    stage = ds.map_batches(local_topk, batch_format="pandas")
+    merged, ok = guarded_partials(stage, local_topk, cap)
+    if ok:
+        record_route("grouped_topk", "combine", "groups x k within cap",
+                     0 if merged is None else len(merged))
+        if merged is None:
+            return pd.DataFrame(columns=[group_col] + sort_cols)
+        return (merged.sort_values([group_col] + sort_cols,
+                                   ascending=[True] + list(ascending))
+                      .reset_index(drop=True))
+    record_route("grouped_topk", "shuffle",
+                 f"groups x k exceeded cap={cap}", None)
+
+    out = (ds.groupby(group_col)
+             .map_groups(local_topk, batch_format="pandas")
+             .to_pandas())
+    return (out.sort_values([group_col] + sort_cols,
+                            ascending=[True] + list(ascending))
+               .reset_index(drop=True))

@@ -417,3 +417,120 @@ def impute_group_median(ds, col: str, group_col: str, *,
                 .append_column(f"{col}_was_null", pa.array(was_null)))
 
     return ds.map_batches(fill, batch_format="pyarrow")
+
+
+def _disc_bound_from_counts(v: np.ndarray, c: np.ndarray, q: float) -> float:
+    """``quantile_disc`` (index ``ceil(q·n)−1`` of the expanded sorted
+    column) evaluated on a (value, count) histogram without expanding."""
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    k = max(0, int(np.ceil(q * cum[-1])) - 1)
+    return float(v[np.searchsorted(cum, k + 1)])
+
+
+def winsorize_group_stats(ds, col: str, group_col: str,
+                          q_lo: float = 0.05, q_hi: float = 0.95,
+                          mode: str = "auto",
+                          cap: int | None = None) -> pd.DataFrame:
+    """Per-group winsorization audit: discrete ``[q_lo, q_hi]`` bounds
+    (quantile_disc semantics — actual data values, so the clamp compare
+    is float-exact), counts clamped at each side, and the post-clamp sum
+    (integer cents, one final division — bit-exact for 2-decimal inputs).
+
+    Two passes, zero shuffles on the default path: (1) a GUARDED
+    (group, value, count) combine fixes the bounds (shuffle/map_groups
+    twin past ``cap``, like :func:`grouped_iqr_rates`); (2) bounds are
+    ``ray.put`` once and every batch clamps vectorized, emitting per-group
+    integer partials the driver folds.  Returns
+    ``(group, lo, hi, n_lo, n_hi, sum_winsorized)``.
+    """
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    import ray
+
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+
+    def gvc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"g": batch[group_col],
+                           "v": pd.to_numeric(batch[col], errors="coerce")}
+                          ).dropna(subset=["v"])
+        return (df.groupby(["g", "v"], sort=False).size().rename("c")
+                  .reset_index())
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return (frame.groupby(["g", "v"], sort=False)["c"].sum()
+                     .reset_index())
+
+    proj = ds.select_columns([group_col, col])
+    stage = proj.map_batches(gvc_partial, batch_format="pandas")
+    counts, ok = guarded_partials(stage, merge,
+                                  cap if mode == "auto" else 2**62)
+    if not ok:
+        record_route("winsorize_group_stats", "map_groups",
+                     f"distinct (group,value) exceeded cap={cap}", cap)
+
+        def per_group(g: pd.DataFrame) -> pd.DataFrame:
+            x = np.sort(g[col].to_numpy(dtype=np.float64))
+            n = len(x)
+            lo = x[max(0, int(np.ceil(q_lo * n)) - 1)]
+            hi = x[max(0, int(np.ceil(q_hi * n)) - 1)]
+            w = np.clip(x, lo, hi)
+            return pd.DataFrame({
+                "group": [g[group_col].iloc[0]], "lo": [lo], "hi": [hi],
+                "n_lo": [int((x < lo).sum())],
+                "n_hi": [int((x > hi).sum())],
+                "sum_winsorized": [
+                    np.round(w * 100.0).astype(np.int64).sum() / 100.0],
+            })
+
+        out = (proj.groupby(group_col)
+                   .map_groups(per_group, batch_format="pandas")
+                   .to_pandas())
+        return out.sort_values("group").reset_index(drop=True)
+
+    record_route("winsorize_group_stats", "counts",
+                 "distinct (group,value) within cap",
+                 0 if counts is None else len(counts))
+    if counts is None or not len(counts):
+        return pd.DataFrame(columns=["group", "lo", "hi", "n_lo", "n_hi",
+                                     "sum_winsorized"])
+    bounds = {}
+    for gname, sub in counts.groupby("g", sort=True):
+        v = sub["v"].to_numpy(dtype=np.float64)
+        c = sub["c"].to_numpy(dtype=np.int64)
+        bounds[gname] = (_disc_bound_from_counts(v, c, q_lo),
+                         _disc_bound_from_counts(v, c, q_hi))
+    bref = ray.put(bounds)
+
+    def clamp_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bmap = ray.get(bref)
+        g = batch[group_col]
+        v = pd.to_numeric(batch[col], errors="coerce").to_numpy(
+            dtype=np.float64)
+        lo = g.map(lambda x: bmap[x][0]).to_numpy(dtype=np.float64)
+        hi = g.map(lambda x: bmap[x][1]).to_numpy(dtype=np.float64)
+        w = np.clip(v, lo, hi)
+        return pd.DataFrame({
+            "g": g,
+            "n_lo": (v < lo).astype(np.int64),
+            "n_hi": (v > hi).astype(np.int64),
+            "units": np.round(w * 100.0).astype(np.int64),
+        }).groupby("g", as_index=False).sum()
+
+    def fold(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby("g", as_index=False).sum()
+
+    parts = (proj.map_batches(clamp_partial, batch_format="pandas")
+                 .to_pandas())
+    agg = fold(parts)
+    agg["lo"] = agg["g"].map(lambda x: bounds[x][0])
+    agg["hi"] = agg["g"].map(lambda x: bounds[x][1])
+    agg["sum_winsorized"] = agg["units"] / 100.0
+    agg = agg.rename(columns={"g": "group"})
+    return (agg[["group", "lo", "hi", "n_lo", "n_hi", "sum_winsorized"]]
+            .sort_values("group").reset_index(drop=True))

@@ -244,3 +244,48 @@ def test_corpus_delta_modes_and_route(ray_session):
         {"doc_id": [0], "text": ["entirely different"]}))
     full = corpus_delta(new, other).to_pandas()
     assert len(full) == 20
+
+
+def test_grouped_topk_route_equivalence(ray_session):
+    from dataquality_ray.stages.combine import grouped_topk
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 7, 400),
+        "x": rng.integers(0, 50, 400),
+        "id": np.arange(400, dtype=np.int64),
+    })
+    ds = rd.from_pandas(df)
+    fast = grouped_topk(ds, "g", ["x", "id"], [False, True], k=4)
+    assert last_route("grouped_topk")["chosen"] == "combine"
+    routed = grouped_topk(ds, "g", ["x", "id"], [False, True], k=4, cap=3)
+    assert last_route("grouped_topk")["chosen"] == "shuffle"
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  routed.reset_index(drop=True))
+    # brute-force check on one group
+    want = (df[df.g == 3].sort_values(["x", "id"],
+                                      ascending=[False, True]).head(4))
+    got = fast[fast.g == 3]
+    assert got["id"].tolist() == want["id"].tolist()
+
+
+def test_winsorize_route_equivalence(ray_session):
+    from dataquality_ray.stages.quantiles import winsorize_group_stats
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 500),
+        # 2-decimal values (cents-exact domain)
+        "v": np.round(rng.uniform(1, 100, 500), 2),
+    })
+    ds = rd.from_pandas(df)
+    fast = winsorize_group_stats(ds, "v", "g")
+    assert last_route("winsorize_group_stats")["chosen"] == "counts"
+    routed = winsorize_group_stats(ds, "v", "g", cap=10)
+    assert last_route("winsorize_group_stats")["chosen"] == "map_groups"
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  routed.reset_index(drop=True))
+    # bounds are actual data values (quantile_disc semantics)
+    for _, row in fast.iterrows():
+        vals = df[df.g == row["group"]]["v"].to_numpy()
+        assert row["lo"] in vals and row["hi"] in vals
