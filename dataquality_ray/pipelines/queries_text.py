@@ -3586,3 +3586,69 @@ def topk_docs_per_lang_q(sf_dir: str):
         "lang", ["n_chars", "doc_id"], [False, True], k=3)
     out["rank"] = (out.groupby("lang").cumcount() + 1).astype(np.int64)
     return out[["lang", "doc_id", "n_chars", "rank"]]
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the oracle recomputes the SKETCH itself (sha256[:8]
+# value hash, two splitmix64 chains, Kirsch–Mitzenmacher cells, min over
+# rows), so the estimates compare bit-for-bit like the HLL oracle.
+# ---------------------------------------------------------------------------
+
+def _cms_sql(width: int = 1024) -> str:
+    from dataquality_ray.stages.sketch import CMS_SEED_B
+
+    ctes = [
+        ("toks", "SELECT unnest(regexp_split_to_array(trim(text), "
+                 "'\\s+')) AS tok FROM documents "
+                 "WHERE length(trim(text)) > 0"),
+        ("dtoks", "SELECT DISTINCT tok FROM toks"),
+        ("h0", "SELECT tok, "
+               "('0x' || substr(sha256(tok),1,16))::UBIGINT::HUGEINT AS xa, "
+               "xor(('0x' || substr(sha256(tok),1,16))::UBIGINT, "
+               f"{CMS_SEED_B}::UBIGINT)::HUGEINT AS xb FROM dtoks"),
+    ]
+    prev = "h0"
+    for n, expr in enumerate(_sm64_exprs("xa")):
+        ctes.append((f"ca{n}", f"SELECT tok, {expr} AS xa, xb FROM {prev}"))
+        prev = f"ca{n}"
+    for n, expr in enumerate(_sm64_exprs("xb")):
+        ctes.append((f"cb{n}", f"SELECT tok, xa, {expr} AS xb FROM {prev}"))
+        prev = f"cb{n}"
+    ctes += [
+        ("tokc", "SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok"),
+        ("cells", f"SELECT h.tok, t.c, rs.r, "
+                  f"((h.xa + rs.r * h.xb) % {_M64S}) % {width} AS cell "
+                  f"FROM {prev} h JOIN tokc t USING (tok) "
+                  "CROSS JOIN (VALUES (0),(1),(2),(3)) rs(r)"),
+        ("cnts", "SELECT r, cell, sum(c)::BIGINT AS cc "
+                 "FROM cells GROUP BY 1, 2"),
+        ("probes", "SELECT tok, c AS exact_count FROM tokc "
+                   "ORDER BY c DESC, tok LIMIT 10"),
+    ]
+    body = ",\n".join(f"{n} AS ({s})" for n, s in ctes)
+    return (f"WITH {body}\n"
+            "SELECT p.tok AS token, p.exact_count, "
+            "min(cnt.cc) AS cms_estimate\n"
+            "FROM probes p JOIN cells pc ON pc.tok = p.tok\n"
+            "JOIN cnts cnt ON cnt.r = pc.r AND cnt.cell = pc.cell\n"
+            "GROUP BY 1, 2 ORDER BY exact_count DESC, token")
+
+
+@query("cms_token_counts", sql=_cms_sql())
+def cms_token_counts_q(sf_dir: str):
+    """Count-min sketch over the token stream (stages/sketch.py): per-batch
+    4x1024 int64 partials (32 KiB — the ONLY thing that moves), tree-summed
+    (CMS is linear); probes = exact top-10 tokens from the guarded vocab
+    combine.  Estimates never undercount; the oracle replays the sketch."""
+    from dataquality_ray.stages.sketch import _hash_values, cms_token_sketch
+    from dataquality_ray.stages.vocab import vocab_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+    cms = cms_token_sketch(ds)
+    probes = vocab_topk(ds, v=10)
+    h = _hash_values(pa.array(probes["token"].astype(str), pa.string()))
+    return pd.DataFrame({
+        "token": probes["token"],
+        "exact_count": probes["count"].astype(np.int64),
+        "cms_estimate": cms.estimate_hashes(h),
+    })

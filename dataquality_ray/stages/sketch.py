@@ -410,3 +410,99 @@ def hll_group_distinct(ds, col: str, group_col: str,
         rows.append({group_col: g,
                      "approx_distinct": float(h.estimate())})
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable (LINEAR — merge is elementwise sum) frequency
+# sketch.  Point estimates never undercount; overcount <= e/width * N with
+# probability 1 - e^-depth (Cormode & Muthukrishnan 2005).  Cells use
+# Kirsch–Mitzenmacher double hashing cell_r = (h1 + r*h2) mod width with a
+# power-of-two width, so uint64 wraparound == mod 2^64 and the whole sketch
+# is SQL-replicable (sha256[:8] value hash + two splitmix64 chains).
+# ---------------------------------------------------------------------------
+
+CMS_SEED_B = 0xA5A5A5A5A5A5A5A5
+
+
+class CountMinSketch:
+    def __init__(self, width: int = 1024, depth: int = 4):
+        if width & (width - 1):
+            raise ValueError("width must be a power of two "
+                             "(uint64-wraparound == mod-2^64 identity)")
+        self.width = width
+        self.depth = depth
+        self.table = np.zeros((depth, width), dtype=np.int64)
+
+    @staticmethod
+    def _h12(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        return (splitmix64(h),
+                splitmix64(h ^ np.uint64(CMS_SEED_B)))
+
+    def fold_hashes(self, h: np.ndarray,
+                    counts: np.ndarray | None = None) -> "CountMinSketch":
+        if not len(h):
+            return self
+        if counts is None:
+            counts = np.ones(len(h), dtype=np.int64)
+        h1, h2 = self._h12(h)
+        with np.errstate(over="ignore"):
+            for r in range(self.depth):
+                cells = ((h1 + np.uint64(r) * h2)
+                         % np.uint64(self.width)).astype(np.int64)
+                np.add.at(self.table[r], cells, counts)
+        return self
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (other.width, other.depth) != (self.width, self.depth):
+            raise ValueError("cannot merge CMS of different geometry")
+        self.table += other.table
+        return self
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Point estimates (min over rows) for pre-hashed values."""
+        h1, h2 = self._h12(h)
+        est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for r in range(self.depth):
+                cells = ((h1 + np.uint64(r) * h2)
+                         % np.uint64(self.width)).astype(np.int64)
+                np.minimum(est, self.table[r][cells], out=est)
+        return est
+
+
+def cms_token_sketch(ds, text_col: str = "text", width: int = 1024,
+                     depth: int = 4) -> CountMinSketch:
+    """CMS over the whitespace-token stream: each batch folds its UNIQUE
+    tokens weighted by occurrence count (one sha256 per distinct token per
+    batch, not per occurrence), ships a fixed depth x width x 8 B blob,
+    tree-merged by summation before the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch[text_col].to_pylist():
+            toks.extend((t or "").split())
+        cms = CountMinSketch(width, depth)
+        if toks:
+            uniq, counts = np.unique(np.array(toks, dtype=object)
+                                     .astype(str), return_counts=True)
+            h = _hash_values(pa.array(uniq, pa.string()))
+            cms.fold_hashes(h, counts.astype(np.int64))
+        return pa.table({"sketch": pa.array([cms.table.tobytes()],
+                                            pa.binary())})
+
+    def tree_merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros((depth, width), dtype=np.int64)
+        for blob in batch["sketch"].to_pylist():
+            acc += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+        return pa.table({"sketch": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = (ds.select_columns([text_col])
+               .map_batches(partial, batch_format="pyarrow")
+               .map_batches(tree_merge, batch_format="pyarrow",
+                            batch_size=256)
+               .to_pandas())
+    cms = CountMinSketch(width, depth)
+    for blob in parts["sketch"]:
+        cms.table += np.frombuffer(blob, dtype=np.int64).reshape(depth,
+                                                                 width)
+    return cms

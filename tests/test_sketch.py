@@ -157,3 +157,67 @@ def test_hll_group_distinct_within_error(ray_session):
     for g, n in truth.items():
         seen = len({v for gg, v in zip(gs, vs) if gg == g})
         assert abs(est.loc[g, "approx_distinct"] - seen) / seen < 0.1, g
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_merge_equals_single_fold():
+    import pyarrow as pa
+
+    from dataquality_ray.stages.sketch import CountMinSketch, _hash_values
+
+    rng = np.random.default_rng(3)
+    vals = [f"t{int(i)}" for i in rng.zipf(1.5, 5000) if i < 500]
+    h = _hash_values(pa.array(vals, pa.string()))
+    whole = CountMinSketch(width=64, depth=4).fold_hashes(h)
+    a = CountMinSketch(width=64, depth=4).fold_hashes(h[: len(h) // 2])
+    b = CountMinSketch(width=64, depth=4).fold_hashes(h[len(h) // 2:])
+    assert (a.merge(b).table == whole.table).all()
+
+
+def test_cms_never_undercounts_and_bounds():
+    import pyarrow as pa
+
+    from dataquality_ray.stages.sketch import CountMinSketch, _hash_values
+
+    rng = np.random.default_rng(7)
+    vals = [f"t{int(i)}" for i in rng.zipf(1.3, 20000) if i < 2000]
+    uniq, counts = np.unique(np.array(vals), return_counts=True)
+    h = _hash_values(pa.array(uniq, pa.string()))
+    # width 64 << 2000 distinct -> collisions guaranteed
+    cms = CountMinSketch(width=64, depth=4).fold_hashes(
+        h, counts.astype(np.int64))
+    est = cms.estimate_hashes(h)
+    assert (est >= counts).all()          # CMS never undercounts
+    assert (est > counts).any()           # collisions actually exercised
+    # total mass conserved in every row (linearity)
+    assert (cms.table.sum(axis=1) == counts.sum()).all()
+
+
+def test_cms_width_must_be_power_of_two():
+    from dataquality_ray.stages.sketch import CountMinSketch
+
+    with pytest.raises(ValueError):
+        CountMinSketch(width=1000)
+
+
+def test_cms_token_sketch_matches_local_fold(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dataquality_ray.stages.sketch import (
+        CountMinSketch,
+        _hash_values,
+        cms_token_sketch,
+    )
+
+    texts = ["a b b c", "c c d", "", None, "a e"]
+    ds = rd.from_items([{"text": t} for t in texts])
+    dist = cms_token_sketch(ds, width=128, depth=4)
+    toks = [t for s in texts for t in (s or "").split()]
+    uniq, counts = np.unique(np.array(toks), return_counts=True)
+    local = CountMinSketch(width=128, depth=4).fold_hashes(
+        _hash_values(pa.array(uniq, pa.string())), counts.astype(np.int64))
+    assert (dist.table == local.table).all()
