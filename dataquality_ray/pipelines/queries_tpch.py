@@ -1026,3 +1026,181 @@ def winsorize_group_q(sf_dir: str):
     return winsorize_group_stats(
         _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]),
         "l_extendedprice", "l_returnflag", 0.05, 0.95)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP hierarchy from ONE finest-level pass (exact integer re-aggregation)
+# ---------------------------------------------------------------------------
+
+@query("rollup_revenue", sql="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""")
+def rollup_revenue_q(sf_dir: str):
+    """GROUPING SETS / ROLLUP without re-scanning: ONE map-side combine at
+    the finest (flag, status) level (6 int partial rows move), coarser
+    levels derived by exact integer re-aggregation driver-side — each
+    revenue float is one final division, bit-exact."""
+    from dataquality_ray.stages.combine import combine_groupby
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_extendedprice",
+                "l_discount"])
+
+    def units(batch: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(batch["l_extendedprice"], 100.0)) \
+                  .cast(pa.int64())
+        bps = pc.subtract(100, pc.round(pc.multiply(batch["l_discount"],
+                                                    100.0)).cast(pa.int64()))
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "l_linestatus": batch["l_linestatus"],
+                         "units": pc.multiply(cents, bps)})
+
+    fine = combine_groupby(
+        ds.map_batches(units, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"units": ("units", "sum"), "n_items": ("units", "count")})
+
+    levels = [fine.rename(columns={"l_returnflag": "returnflag",
+                                   "l_linestatus": "linestatus"})]
+    mid = (fine.groupby("l_returnflag", as_index=False)
+               [["units", "n_items"]].sum()
+               .rename(columns={"l_returnflag": "returnflag"}))
+    mid["linestatus"] = "ALL"
+    levels.append(mid)
+    total = pd.DataFrame({"returnflag": ["ALL"], "linestatus": ["ALL"],
+                          "units": [fine["units"].sum()],
+                          "n_items": [fine["n_items"].sum()]})
+    levels.append(total)
+    out = pd.concat(levels, ignore_index=True)
+    out["revenue"] = out["units"] / 10000.0
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return (out.sort_values(["returnflag", "linestatus"])
+               .reset_index(drop=True)
+            [["returnflag", "linestatus", "revenue", "n_items"]])
+
+
+# ---------------------------------------------------------------------------
+# Percent-rank CDF over a bounded-domain measure (guarded counts combine)
+# ---------------------------------------------------------------------------
+
+@query("percent_rank_values", sql="""
+WITH r AS (
+  SELECT l_quantity AS value,
+         percent_rank() OVER (ORDER BY l_quantity) AS pr
+  FROM lineitem
+)
+SELECT value, CAST(count(*) AS BIGINT) AS n, min(pr) AS percent_rank
+FROM r GROUP BY value ORDER BY value
+""")
+def percent_rank_values_q(sf_dir: str):
+    """Distributed percent_rank without a global sort: the (value, count)
+    guarded combine yields the exact CDF; percent_rank(v) =
+    (#rows < v)/(n-1) — integers plus one division, bit-exact.  At scale
+    this moves one partial row per distinct value instead of sorting the
+    table (the quantiles counts-mode shape, same auto-route guard)."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.groupby("l_quantity", sort=False).size()
+                     .rename("c").reset_index())
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return (frame.groupby("l_quantity", sort=False)["c"].sum()
+                     .reset_index())
+
+    stage = ds.map_batches(partial, batch_format="pandas")
+    counts, ok = guarded_partials(stage, merge, DRIVER_COMBINE_CAP)
+    if not ok:  # pragma: no cover - >2M distinct values
+        record_route("percent_rank_values", "shuffle",
+                     "distinct values exceed cap", None)
+        from ray.data.aggregate import Count
+        counts = (ds.groupby("l_quantity")
+                    .aggregate(Count("l_quantity", alias_name="c"))
+                    .to_pandas())
+    else:
+        record_route("percent_rank_values", "counts",
+                     "distinct values within cap",
+                     0 if counts is None else len(counts))
+    counts = counts.sort_values("l_quantity").reset_index(drop=True)
+    c = counts["c"].to_numpy(dtype=np.int64)
+    n = c.sum()
+    before = np.concatenate([[0], np.cumsum(c)[:-1]])
+    return pd.DataFrame({
+        "value": counts["l_quantity"],
+        "n": c,
+        "percent_rank": before / max(n - 1, 1),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long -> wide): per-user event-type count matrix
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query("pivot_event_counts", sql="""
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       count(*) AS n_total
+FROM events GROUP BY user_id ORDER BY user_id
+""")
+def pivot_event_counts_q(sf_dir: str):
+    """Long->wide pivot: each batch crosstabs locally (users x 5 int
+    columns), the guarded driver combine folds partials; groupby-shuffle
+    twin past the cap (pivoted partials are already one row per user, so
+    the shuffle moves 6 ints per user, never raw events)."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _PIVOT_TYPES]
+
+    def pivot_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(batch["user_id"], batch["event_type"])
+        ct = ct.reindex(columns=_PIVOT_TYPES, fill_value=0)
+        ct.columns = cols
+        return ct.reset_index()
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby("user_id", as_index=False)[cols].sum()
+
+    stage = ds.map_batches(pivot_partial, batch_format="pandas")
+    wide, ok = guarded_partials(stage, merge, DRIVER_COMBINE_CAP)
+    if not ok:  # pragma: no cover - >2M users
+        record_route("pivot_event_counts", "shuffle",
+                     "distinct users exceed cap", None)
+        from ray.data.aggregate import Sum
+        wide = (stage.groupby("user_id")
+                .aggregate(*[Sum(c, alias_name=c) for c in cols])
+                .to_pandas())
+    else:
+        record_route("pivot_event_counts", "combine",
+                     "distinct users within cap",
+                     0 if wide is None else len(wide))
+    for c in cols:
+        wide[c] = wide[c].astype(np.int64)
+    wide["n_total"] = wide[cols].sum(axis=1).astype(np.int64)
+    return (wide.sort_values("user_id").reset_index(drop=True)
+            [["user_id"] + cols + ["n_total"]])
