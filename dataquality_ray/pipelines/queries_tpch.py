@@ -1204,3 +1204,50 @@ def pivot_event_counts_q(sf_dir: str):
     wide["n_total"] = wide[cols].sum(axis=1).astype(np.int64)
     return (wide.sort_values("user_id").reset_index(drop=True)
             [["user_id"] + cols + ["n_total"]])
+
+
+# ---------------------------------------------------------------------------
+# Skew-isolating join: hot keys broadcast, cold keys hash-partitioned
+# ---------------------------------------------------------------------------
+
+@query("skew_join_supplier_revenue", sql="""
+SELECT s_nationkey,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""")
+def skew_join_supplier_revenue_q(sf_dir: str):
+    """Revenue per supplier nation through stages/joins.skew_join: keys
+    above 0.8% of rows take the broadcast leg, the rest hash-join — both
+    legs run in this query (adaptive threshold = 1.05x the mean key
+    frequency over exact guarded counts — deterministic split); integer-
+    cents revenue, one final division."""
+    from dataquality_ray.stages.combine import combine_groupby
+    from dataquality_ray.stages.joins import skew_join
+
+    def units(batch: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(batch["l_extendedprice"], 100.0)) \
+                  .cast(pa.int64())
+        bps = pc.subtract(100, pc.round(pc.multiply(batch["l_discount"],
+                                                    100.0)).cast(pa.int64()))
+        return pa.table({"l_suppkey": batch["l_suppkey"],
+                         "units": pc.multiply(cents, bps)})
+
+    line = (_read(sf_dir, "lineitem",
+                  ["l_suppkey", "l_extendedprice", "l_discount"])
+            .map_batches(units, batch_format="pyarrow"))
+    joined = skew_join(
+        line, _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        on="l_suppkey", right_on="s_suppkey", value_cols=["s_nationkey"],
+        join_type="inner", hot_threshold_frac=None)  # adaptive split
+    out = combine_groupby(joined, ["s_nationkey"], {
+        "units": ("units", "sum"), "n_items": ("units", "count")})
+    out["revenue"] = out["units"] / 10000.0
+    out["n_items"] = out["n_items"].astype(np.int64)
+    out["s_nationkey"] = out["s_nationkey"].astype(np.int32)
+    return (out.sort_values("s_nationkey").reset_index(drop=True)
+            [["s_nationkey", "revenue", "n_items"]])

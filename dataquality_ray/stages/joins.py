@@ -196,3 +196,113 @@ def smart_join(left, right, on: str, right_on: str | None = None,
                               join_type=join_type)
     return hash_join(left, right, on=on, right_on=right_on,
                      num_partitions=num_partitions, join_type=join_type)
+
+
+def skew_join(left, right, on: str, right_on: str | None = None,
+              value_cols: list[str] | None = None,
+              join_type: str = "inner",
+              hot_threshold_frac: float = 0.01,
+              hot_keys: list | None = None,
+              num_partitions: int | None = None,
+              cap: int | None = None):
+    """Equi-join with hot-key isolation — the skew-safe large-large join.
+
+    A hash-partitioned join sends every row of a hot key to ONE aggregator;
+    a key holding 10% of a 100 TB table stalls the whole exchange.  This
+    operator splits the left side: keys above ``hot_threshold_frac`` of
+    rows take a broadcast map-side leg (their few right-side rows are
+    ``ray.put`` once — no shuffle, perfectly parallel), everything else
+    takes the normal hash join; the two legs union.  Result is row-identical
+    to :func:`hash_join` for ``inner`` / ``left_outer``.
+
+    Hot keys come from a GUARDED key-count combine; past ``cap`` distinct
+    keys detection is skipped (falls back to plain hash_join, route
+    recorded) — at that scale pass ``hot_keys`` explicitly from
+    ``key_skew_profile``'s output.  The right side must be unique on the
+    key (lookup contract, as :func:`broadcast_join`).
+    """
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    right_on = right_on or on
+    if value_cols is None:
+        raise ValueError("skew_join needs explicit value_cols "
+                         "(schema alignment across the two legs)")
+    if join_type not in ("inner", "left_outer"):
+        raise ValueError(f"skew_join supports inner/left_outer, "
+                         f"not {join_type!r}")
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+    out_cols = list(left.schema().names) + list(value_cols)
+    right = right.select_columns([right_on] + list(value_cols))
+
+    cold_rows = None
+    if hot_keys is None:
+        def kpart(batch: pd.DataFrame) -> pd.DataFrame:
+            return (batch.groupby(on, sort=False).size().rename("c")
+                         .reset_index())
+
+        def kmerge(frame: pd.DataFrame) -> pd.DataFrame:
+            return frame.groupby(on, as_index=False)["c"].sum()
+
+        counts, ok = guarded_partials(
+            left.select_columns([on]).map_batches(kpart,
+                                                  batch_format="pandas"),
+            kmerge, cap)
+        if not ok:
+            record_route("skew_join", "hash_join",
+                         f"distinct keys exceed cap={cap}; pass hot_keys "
+                         "from key_skew_profile", None)
+            return hash_join(left, right, on=on, right_on=right_on,
+                             num_partitions=num_partitions,
+                             join_type=join_type)
+        if counts is None or not len(counts):
+            hot_keys = []
+        else:
+            total = counts["c"].sum()
+            if hot_threshold_frac is None:
+                # adaptive: hot = >5% above the mean key frequency
+                thr = 1.05 * total / len(counts)
+            else:
+                thr = hot_threshold_frac * total
+            hot = counts["c"] > thr
+            hot_keys = counts.loc[hot, on].tolist()
+            cold_rows = int(counts.loc[~hot, "c"].sum())
+    record_route("skew_join", "split" if hot_keys else "hash_join",
+                 f"{len(hot_keys)} hot keys", len(hot_keys))
+    if not hot_keys:
+        return hash_join(left, right, on=on, right_on=right_on,
+                         num_partitions=num_partitions, join_type=join_type)
+
+    href = ray.put(np.asarray(sorted(hot_keys)))
+
+    def _split(keep_hot: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            hk = ray.get(href)
+            mask = np.isin(batch[on].to_numpy(zero_copy_only=False), hk)
+            return batch.filter(pa.array(mask if keep_hot else ~mask))
+        return f
+
+    # hot right rows: one per hot key (unique-key contract) -> tiny
+    right_hot = (right.map_batches(
+        lambda b: b.filter(pa.array(np.isin(
+            b[right_on].to_numpy(zero_copy_only=False), ray.get(href)))),
+        batch_format="pyarrow").to_pandas()
+        .rename(columns={right_on: on}))
+    hot_leg = broadcast_join(
+        left.map_batches(_split(True), batch_format="pyarrow"),
+        right_hot, on=on, value_cols=list(value_cols),
+        join_type=join_type).select_columns(out_cols)
+    if cold_rows == 0:
+        # a fully-empty Dataset loses its schema and crashes the hash
+        # shuffle aggregator (pitfall shared with mark_duplicates_join) —
+        # and an empty hash leg is pure overhead anyway
+        return hot_leg
+    cold_leg = hash_join(
+        left.map_batches(_split(False), batch_format="pyarrow"),
+        right, on=on, right_on=right_on,
+        num_partitions=num_partitions,
+        join_type=join_type).select_columns(out_cols)
+    return cold_leg.union(hot_leg)

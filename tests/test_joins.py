@@ -9,6 +9,7 @@ import numpy as np
 import pandas as pd
 import pytest
 import ray
+import ray.data as rd
 
 from dataquality_ray.stages.joins import (
     broadcast_join,
@@ -192,3 +193,78 @@ def test_broadcast_join_empty_lookup():
     inner = broadcast_join(ray.data.from_pandas(left), empty, on="k",
                            value_cols=["rv"], join_type="inner").to_pandas()
     assert len(inner) == 0
+
+
+# ---------------------------------------------------------------------------
+# skew_join (hot-key isolation)
+# ---------------------------------------------------------------------------
+
+def _skewed_sides():
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    # key 7 holds ~60% of rows; keys 0-9 exist, key 99 has no right match
+    keys = np.where(rng.random(3000) < 0.6, 7, rng.integers(0, 10, 3000))
+    keys[:5] = 99
+    left = pd.DataFrame({"k": keys.astype(np.int64),
+                         "x": np.arange(3000, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(10, dtype=np.int64),
+                          "v": np.arange(10, dtype=np.int64) * 100})
+    return left, right
+
+
+def test_skew_join_matches_hash_join_inner(ray_session):
+    from dataquality_ray.stages.autoroute import last_route
+    from dataquality_ray.stages.joins import hash_join, skew_join
+
+    left, right = _skewed_sides()
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    sj = (skew_join(lds, rds, on="k", right_on="rk", value_cols=["v"],
+                    join_type="inner", hot_threshold_frac=0.3)
+          .to_pandas().sort_values("x").reset_index(drop=True))
+    evt = last_route("skew_join")
+    assert evt["chosen"] == "split" and evt["cardinality"] == 1
+    hj = (hash_join(lds, rds, on="k", right_on="rk",
+                    join_type="inner")
+          .to_pandas().sort_values("x").reset_index(drop=True))
+    pd.testing.assert_frame_equal(sj, hj[sj.columns.tolist()])
+
+
+def test_skew_join_left_outer_nulls_unmatched(ray_session):
+    from dataquality_ray.stages.joins import skew_join
+
+    left, right = _skewed_sides()
+    out = (skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="k", right_on="rk", value_cols=["v"],
+                     join_type="left_outer", hot_threshold_frac=0.3)
+           .to_pandas())
+    assert len(out) == len(left)
+    assert out.loc[out.k == 99, "v"].isna().all()
+    assert out.loc[out.k == 7, "v"].eq(700).all()
+
+
+def test_skew_join_all_hot_skips_empty_hash_leg(ray_session):
+    from dataquality_ray.stages.joins import skew_join
+
+    left = pd.DataFrame({"k": np.repeat(np.int64(1), 50),
+                         "x": np.arange(50, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.array([1], dtype=np.int64),
+                          "v": np.array([10], dtype=np.int64)})
+    out = (skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                     on="k", right_on="rk", value_cols=["v"],
+                     join_type="inner", hot_threshold_frac=0.5)
+           .to_pandas())
+    assert len(out) == 50 and out["v"].eq(10).all()
+
+
+def test_skew_join_explicit_hot_keys(ray_session):
+    from dataquality_ray.stages.joins import hash_join, skew_join
+
+    left, right = _skewed_sides()
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    sj = (skew_join(lds, rds, on="k", right_on="rk", value_cols=["v"],
+                    join_type="inner", hot_keys=[7, 3])
+          .to_pandas().sort_values("x").reset_index(drop=True))
+    hj = (hash_join(lds, rds, on="k", right_on="rk", join_type="inner")
+          .to_pandas().sort_values("x").reset_index(drop=True))
+    pd.testing.assert_frame_equal(sj, hj[sj.columns.tolist()])
