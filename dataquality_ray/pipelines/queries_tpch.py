@@ -1251,3 +1251,124 @@ def skew_join_supplier_revenue_q(sf_dir: str):
     out["s_nationkey"] = out["s_nationkey"].astype(np.int32)
     return (out.sort_values("s_nationkey").reset_index(drop=True)
             [["s_nationkey", "revenue", "n_items"]])
+
+
+# ---------------------------------------------------------------------------
+# Streaming watermark: late-event accounting via ordered prefix max
+# ---------------------------------------------------------------------------
+
+@query("watermark_late_events", sql="""
+WITH w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN pm IS NOT NULL
+                      AND ts < pm - INTERVAL 1 HOUR
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       count(*) AS n_events
+FROM w GROUP BY event_type ORDER BY event_type
+""")
+def watermark_late_events_q(sf_dir: str):
+    """Events later than (watermark − 1 h), watermark = max event-time seen
+    so far in ARRIVAL order (stages/windows.ordered_prefix_max: record-
+    point staircase broadcast once, one searchsorted per row — no sort, no
+    shuffle, global order verified at runtime).  Timestamp comparisons are
+    integer microseconds — exact."""
+    from dataquality_ray.stages.combine import combine_groupby
+    from dataquality_ray.stages.windows import ordered_prefix_max
+
+    ds = ordered_prefix_max(
+        _read(sf_dir, "events", ["event_id", "ts", "event_type"]),
+        "event_id", "ts", out_col="pm")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        pm = batch["pm"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        late = (~pd.isna(pm)) & (ts < pm - np.timedelta64(3600, "s"))
+        return pa.table({"event_type": batch["event_type"],
+                         "late": pa.array(late.astype(np.int64))})
+
+    out = combine_groupby(
+        ds.map_batches(flag, batch_format="pyarrow"), ["event_type"],
+        {"n_late": ("late", "sum"), "n_events": ("late", "count")})
+    for c in ("n_late", "n_events"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values("event_type").reset_index(drop=True)
+            [["event_type", "n_late", "n_events"]])
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users by day (first-seen decomposition — exact, no
+# distinct-over-window)
+# ---------------------------------------------------------------------------
+
+@query("cumulative_distinct_users", sql="""
+WITH fs AS (
+  SELECT user_id, min(epoch_us(ts) // 1000000 // 86400) AS d
+  FROM events GROUP BY user_id
+), nd AS (
+  SELECT d, count(*)::BIGINT AS c FROM fs GROUP BY d
+), days AS (
+  SELECT unnest(generate_series(
+    (SELECT min(epoch_us(ts) // 1000000 // 86400) FROM events),
+    (SELECT max(epoch_us(ts) // 1000000 // 86400) FROM events))) AS d
+)
+SELECT days.d AS day,
+       CAST(sum(coalesce(nd.c, 0)) OVER (ORDER BY days.d) AS BIGINT)
+         AS cum_users
+FROM days LEFT JOIN nd USING (d)
+ORDER BY day
+""")
+def cumulative_distinct_users_q(sf_dir: str):
+    """Cumulative distinct users per day — the first-seen decomposition
+    (min day per user from a guarded combine, then a cumsum over new-user
+    counts) that replaces an intractable distinct-over-growing-window with
+    one grouped min: the standard exact trick for growth curves at scale."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 1_000_000 // 86_400)
+        df = pd.DataFrame({"user_id": batch["user_id"].to_numpy(
+            zero_copy_only=False), "d": day})
+        g = df.groupby("user_id", as_index=False)["d"]
+        out = g.min().rename(columns={"d": "fd"})
+        out["maxd"] = g.max()["d"]
+        return out
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        g = frame.groupby("user_id", as_index=False)
+        out = g["fd"].min()
+        out["maxd"] = g["maxd"].max()["maxd"]
+        return out
+
+    stage = ds.map_batches(partial, batch_format="pyarrow")
+    fs, ok = guarded_partials(stage, merge, DRIVER_COMBINE_CAP)
+    if not ok:  # pragma: no cover - >2M users
+        record_route("cumulative_distinct_users", "shuffle",
+                     "distinct users exceed cap", None)
+        from ray.data.aggregate import Max, Min
+        fs = (stage.groupby("user_id")
+              .aggregate(Min("fd", alias_name="fd"),
+                         Max("maxd", alias_name="maxd")).to_pandas())
+    else:
+        record_route("cumulative_distinct_users", "combine",
+                     "distinct users within cap",
+                     0 if fs is None else len(fs))
+    # day universe: every day any event touches (min/max carried in the
+    # same partials; days are contiguous epoch-day ints in between)
+    days = np.arange(fs["fd"].min(), fs["maxd"].max() + 1, dtype=np.int64)
+    nd = fs.groupby("fd").size()
+    new_per_day = nd.reindex(days, fill_value=0).to_numpy()
+    return pd.DataFrame({"day": days,
+                         "cum_users": np.cumsum(new_per_day)})

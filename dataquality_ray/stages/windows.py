@@ -358,3 +358,83 @@ def windowed_quantiles(ds, ts_col: str, val_col: str, size_s: int,
             row[f"p{int(q * 100)}"] = float(v[np.searchsorted(cum, k + 1)])
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Ordered prefix max (streaming watermark): two passes, no sort, no shuffle
+# ---------------------------------------------------------------------------
+
+PREFIX_STAIRCASE_CAP = 100_000
+
+
+def ordered_prefix_max(ds, order_col: str, value_col: str,
+                       out_col: str = "prefix_max"):
+    """Running ``max(value)`` over all rows STRICTLY before each row in
+    ``order_col`` order — the watermark primitive of streaming engines.
+
+    Requires the dataset to be globally ordered by ``order_col`` across
+    blocks (true for append-ordered event logs); VERIFIED at runtime from
+    the pass-1 partials (batch ranges must not overlap — raises otherwise).
+
+    Shape: pass 1 collects each batch's RECORD POINTS (the strictly
+    increasing running-max staircase — expected O(ln n) points for
+    exchangeable arrivals, Rényi 1962); the merged global staircase is
+    broadcast once and pass 2 resolves every row with one searchsorted —
+    no sort, no shuffle, two streaming scans.  A value column that arrives
+    already ascending degenerates to an O(n) staircase; the
+    ``PREFIX_STAIRCASE_CAP`` guard raises before the driver is at risk
+    (such inputs have no late data to find anyway).
+    """
+    import ray
+
+    def pass1(batch: pa.Table) -> pd.DataFrame:
+        o = batch[order_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        if len(o) > 1 and not (o[1:] > o[:-1]).all():
+            raise ValueError(
+                f"ordered_prefix_max: {order_col} not strictly "
+                "increasing within a block")
+        run = np.maximum.accumulate(v)
+        keep = np.concatenate([[True], run[1:] > run[:-1]])
+        return pd.DataFrame({
+            "o": o[keep], "v": run[keep],
+            "lo": np.repeat(o[0], keep.sum()),
+            "hi": np.repeat(o[-1], keep.sum()),
+        })
+
+    parts = (ds.select_columns([order_col, value_col])
+               .map_batches(pass1, batch_format="pyarrow").to_pandas())
+    if len(parts):
+        rng = (parts.groupby("lo", as_index=False)["hi"].max()
+                    .sort_values("lo"))
+        if (rng["lo"].to_numpy()[1:] <= rng["hi"].to_numpy()[:-1]).any():
+            raise ValueError(
+                f"ordered_prefix_max: blocks overlap in {order_col}; "
+                "input must be globally ordered")
+        pts = parts.sort_values("o")
+        run = np.maximum.accumulate(pts["v"].to_numpy())
+        keep = np.concatenate([[True], run[1:] > run[:-1]])
+        os_ = pts["o"].to_numpy()[keep]
+        vs_ = run[keep]
+    else:
+        os_ = np.array([], dtype=np.int64)
+        vs_ = np.array([], dtype=np.int64)
+    if len(os_) > PREFIX_STAIRCASE_CAP:
+        raise MemoryError(
+            f"ordered_prefix_max: staircase has {len(os_)} record points "
+            f"(cap {PREFIX_STAIRCASE_CAP}) — the value column is "
+            "near-ascending in arrival order; a prefix max over it is "
+            "degenerate (nothing is late)")
+    sref = ray.put((os_, vs_))
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        steps_o, steps_v = ray.get(sref)
+        o = batch[order_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(steps_o, o, side="left") - 1
+        vals = pd.Series(steps_v[np.maximum(idx, 0)])
+        vals = vals.where(idx >= 0)  # rows before the first record: null
+        return batch.append_column(
+            out_col, pa.Array.from_pandas(
+                vals, type=batch.schema.field(value_col).type))
+
+    return ds.map_batches(pass2, batch_format="pyarrow")

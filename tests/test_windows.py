@@ -3,6 +3,7 @@ the bit-identity claim vs DuckDB's window-function replay."""
 
 import duckdb
 import numpy as np
+import pytest
 import pandas as pd
 import ray.data as rd
 
@@ -117,3 +118,49 @@ def test_funnel_stages_ordering_semantics(ray_session):
                         ["signup", "click", "purchase"])
     assert out["n_users"].tolist() == [3, 2, 1]
     assert out["step"].tolist() == ["signup", "click", "purchase"]
+
+
+# ---------------------------------------------------------------------------
+# ordered_prefix_max (streaming watermark primitive)
+# ---------------------------------------------------------------------------
+
+def test_prefix_max_matches_brute(ray_session):
+    import ray.data as rd
+
+    from dataquality_ray.stages.windows import ordered_prefix_max
+
+    rng = np.random.default_rng(4)
+    v = rng.integers(0, 1000, 500).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({
+        "o": np.arange(500, dtype=np.int64), "v": v}))
+    out = (ordered_prefix_max(ds, "o", "v").to_pandas()
+           .sort_values("o").reset_index(drop=True))
+    brute = np.concatenate([[np.iinfo(np.int64).min],
+                            np.maximum.accumulate(v)[:-1]])
+    got = out["prefix_max"].to_numpy()
+    assert pd.isna(got[0])
+    assert (got[1:] == brute[1:]).all()
+
+
+def test_prefix_max_rejects_unsorted_blocks(ray_session):
+    import ray.data as rd
+
+    from dataquality_ray.stages.windows import ordered_prefix_max
+
+    df = pd.DataFrame({"o": [3, 1, 2], "v": [1, 2, 3]})
+    with pytest.raises(Exception, match="strictly increasing|overlap"):
+        ordered_prefix_max(rd.from_pandas(df), "o", "v").to_pandas()
+
+
+def test_prefix_max_staircase_cap(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from dataquality_ray.stages import windows
+
+    monkeypatch.setattr(windows, "PREFIX_STAIRCASE_CAP", 10)
+    n = 100  # ascending values -> staircase of length n
+    ds = rd.from_pandas(pd.DataFrame({
+        "o": np.arange(n, dtype=np.int64),
+        "v": np.arange(n, dtype=np.int64)}))
+    with pytest.raises(MemoryError, match="record points"):
+        windows.ordered_prefix_max(ds, "o", "v").to_pandas()
