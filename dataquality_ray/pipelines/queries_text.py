@@ -3652,3 +3652,59 @@ def cms_token_counts_q(sf_dir: str):
         "exact_count": probes["count"].astype(np.int64),
         "cms_estimate": cms.estimate_hashes(h),
     })
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit over the token frequency spectrum (bit-exact integer-log OLS)
+# ---------------------------------------------------------------------------
+
+@query("zipf_token_fit", sql="""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), tokc AS (
+  SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok
+), top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+  FROM tokc ORDER BY c DESC, tok LIMIT 100
+), xy AS (
+  SELECT CAST(floor(ln(r) * 1000000) AS BIGINT) AS x,
+         CAST(floor(ln(c) * 1000000) AS BIGINT) AS y
+  FROM top
+), s AS (
+  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+), fit AS (
+  SELECT n, sx, sy,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+  FROM s
+)
+SELECT n AS n_ranks, slope AS zipf_slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n
+         AS zipf_intercept
+FROM fit
+""")
+def zipf_token_fit_q(sf_dir: str):
+    """OLS fit of ln(count) ~ ln(rank) over the top-100 token spectrum
+    (Zipf's law audit — a healthy natural corpus fits slope ≈ −1; flat or
+    cliff-shaped spectra flag boilerplate/templated text).  Per-term logs
+    are floored to 1e-6 ints (one libm ln each — bit-identical across
+    engines), all sums exact int64, slope/intercept a fixed short float op
+    chain — hash-exact like the rolling_zscore/KS family."""
+    from dataquality_ray.stages.vocab import vocab_topk
+
+    top = vocab_topk(_read(sf_dir, "documents", ["text"]), v=100)
+    n = len(top)
+    r = np.arange(1, n + 1, dtype=np.float64)
+    c = top["count"].to_numpy(dtype=np.float64)
+    x = np.floor(np.log(r) * 1e6).astype(np.int64)
+    y = np.floor(np.log(c) * 1e6).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    intercept = (float(sy) - slope * float(sx)) / n
+    return pd.DataFrame({"n_ranks": np.array([n], np.int64),
+                         "zipf_slope": [slope],
+                         "zipf_intercept": [intercept]})
