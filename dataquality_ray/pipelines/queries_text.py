@@ -3708,3 +3708,228 @@ def zipf_token_fit_q(sf_dir: str):
     return pd.DataFrame({"n_ranks": np.array([n], np.int64),
                          "zipf_slope": [slope],
                          "zipf_intercept": [intercept]})
+
+
+# ---------------------------------------------------------------------------
+# Per-source token entropy (corpus diversity audit) — integer-floored logs
+# ---------------------------------------------------------------------------
+
+@query("source_token_entropy", sql="""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), tc AS (
+  SELECT source, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), tn AS (
+  SELECT source, sum(c)::BIGINT AS n FROM tc GROUP BY source
+), terms AS (
+  SELECT tc.source, tc.c,
+         CAST(floor(ln(CAST(tc.c AS DOUBLE) / CAST(tn.n AS DOUBLE))
+                    * 1000000) AS BIGINT) AS q
+  FROM tc JOIN tn USING (source)
+)
+SELECT t.source, tn.n AS n_tokens,
+       CAST(-sum(t.c * t.q) AS DOUBLE) / tn.n / 1000000.0
+         AS entropy_nats
+FROM terms t JOIN tn ON t.source = tn.source
+GROUP BY t.source, tn.n
+ORDER BY t.source
+""")
+def source_token_entropy_q(sf_dir: str):
+    """Shannon entropy of each source's token distribution — low entropy
+    flags templated/boilerplate sources.  Per-term ln(p) floored to 1e-6
+    ints (single division + single libm ln, bit-identical), Σc·q exact
+    int64, final value a fixed two-division chain — hash-exact."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        srcs, toks = [], []
+        for s, t in zip(batch["source"].to_pylist(),
+                        batch["text"].to_pylist()):
+            for tok in (t or "").split():
+                srcs.append(s)
+                toks.append(tok)
+        df = pd.DataFrame({"source": srcs, "tok": toks})
+        return (df.groupby(["source", "tok"], sort=False).size()
+                  .rename("c").reset_index())
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return (frame.groupby(["source", "tok"], sort=False)["c"].sum()
+                     .reset_index())
+
+    stage = ds.map_batches(partial, batch_format="pyarrow")
+    tc, ok = guarded_partials(stage, merge, DRIVER_COMBINE_CAP)
+    if not ok:  # pragma: no cover - vocab x sources beyond cap
+        record_route("source_token_entropy", "shuffle",
+                     "(source,token) exceeds cap", None)
+        from ray.data.aggregate import Sum
+
+        def explode(batch: pa.Table) -> pd.DataFrame:
+            return partial(batch)
+
+        tc = (ds.map_batches(explode, batch_format="pyarrow")
+                .groupby(["source", "tok"])
+                .aggregate(Sum("c", alias_name="c")).to_pandas())
+    else:
+        record_route("source_token_entropy", "combine",
+                     "(source,token) within cap",
+                     0 if tc is None else len(tc))
+    rows = []
+    for src, sub in tc.groupby("source", sort=True):
+        c = sub["c"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        q = np.floor(np.log(c.astype(np.float64) / float(n))
+                     * 1e6).astype(np.int64)
+        h = float(-(c * q).sum()) / n / 1e6
+        rows.append({"source": src, "n_tokens": n, "entropy_nats": h})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of document length (corpus concentration) — all-integer
+# ---------------------------------------------------------------------------
+
+@query("doc_length_gini", sql="""
+WITH s AS (
+  SELECT n_chars AS v, count(*)::BIGINT AS c FROM documents GROUP BY 1
+), o AS (
+  SELECT v, c,
+         coalesce(sum(c) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::BIGINT AS b
+  FROM s
+), tot AS (
+  SELECT sum(c)::BIGINT AS n, sum(v * c)::BIGINT AS s1 FROM s
+), num AS (
+  SELECT sum(o.v * o.c * (2 * o.b + o.c - tot.n))::BIGINT AS g
+  FROM o CROSS JOIN tot
+)
+SELECT tot.n AS n_docs,
+       CAST(num.g AS DOUBLE)
+         / (CAST(tot.n AS DOUBLE) * CAST(tot.s1 AS DOUBLE)) AS gini
+FROM num CROSS JOIN tot
+""")
+def doc_length_gini_q(sf_dir: str):
+    """Gini coefficient of the document-length distribution (is corpus
+    mass concentrated in a few giant docs?) from the guarded (value,count)
+    CDF — the expanded-rank sum collapses to v·c·(2B+c−n) per distinct
+    value, all int64, one final division — bit-exact."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.groupby("n_chars", sort=False).size().rename("c")
+                     .reset_index())
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby("n_chars", as_index=False)["c"].sum()
+
+    counts, ok = guarded_partials(
+        ds.map_batches(partial, batch_format="pandas"), merge,
+        DRIVER_COMBINE_CAP)
+    if not ok:  # pragma: no cover - >2M distinct lengths
+        record_route("doc_length_gini", "shuffle",
+                     "distinct lengths exceed cap", None)
+        from ray.data.aggregate import Count
+        counts = (ds.groupby("n_chars")
+                  .aggregate(Count("n_chars", alias_name="c")).to_pandas())
+    else:
+        record_route("doc_length_gini", "combine",
+                     "distinct lengths within cap",
+                     0 if counts is None else len(counts))
+    counts = counts.sort_values("n_chars").reset_index(drop=True)
+    v = counts["n_chars"].to_numpy(dtype=np.int64)
+    c = counts["c"].to_numpy(dtype=np.int64)
+    n = int(c.sum())
+    b = np.concatenate([[0], np.cumsum(c)[:-1]])
+    g = int((v * c * (2 * b + c - n)).sum())
+    s1 = int((v * c).sum())
+    return pd.DataFrame({"n_docs": np.array([n], np.int64),
+                         "gini": [float(g) / (float(n) * float(s1))]})
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram (dedup planning probe)
+# ---------------------------------------------------------------------------
+
+@query("dup_cluster_histogram", sql="""
+WITH corpus AS (
+  SELECT text FROM documents
+  UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT text FROM documents WHERE doc_id % 100 = 0
+), g AS (
+  SELECT text, count(*)::BIGINT AS sz FROM corpus GROUP BY text
+)
+SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs
+FROM g WHERE sz >= 2 GROUP BY sz ORDER BY sz
+""")
+def dup_cluster_histogram_q(sf_dir: str):
+    """Distribution of exact-duplicate cluster sizes (how much does dedup
+    save, and is it a few mega-clusters or a long tail?) over a corpus
+    with planted dup clusters of size 2 and 3.  Per-batch (sha256, count)
+    partials, guarded combine (shuffle twin) — count-of-counts is the
+    dedup-planning probe shape of key_skew_profile."""
+    import hashlib
+
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep_mod(m):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % m == 0)).select(["text"])
+        return f
+
+    corpus = (docs.select_columns(["text"])
+              .union(docs.map_batches(keep_mod(10), batch_format="pyarrow"))
+              .union(docs.map_batches(keep_mod(100),
+                                      batch_format="pyarrow")))
+
+    def sha_counts(batch: pa.Table) -> pd.DataFrame:
+        hs = [hashlib.sha256((t or "").encode()).digest()
+              for t in batch["text"].to_pylist()]
+        return (pd.DataFrame({"h": hs}).groupby("h", sort=False).size()
+                  .rename("c").reset_index())
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby("h", as_index=False)["c"].sum()
+
+    counts, ok = guarded_partials(
+        corpus.map_batches(sha_counts, batch_format="pyarrow"), merge,
+        DRIVER_COMBINE_CAP)
+    if not ok:  # pragma: no cover - >2M distinct docs
+        record_route("dup_cluster_histogram", "shuffle",
+                     "distinct hashes exceed cap", None)
+        from ray.data.aggregate import Sum
+        counts = (corpus.map_batches(sha_counts, batch_format="pyarrow")
+                  .groupby("h").aggregate(Sum("c", alias_name="c"))
+                  .to_pandas())
+    else:
+        record_route("dup_cluster_histogram", "combine",
+                     "distinct hashes within cap",
+                     0 if counts is None else len(counts))
+    sizes = counts.loc[counts["c"] >= 2, "c"]
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame({
+        "cluster_size": hist.index.to_numpy(dtype=np.int64),
+        "n_clusters": hist.to_numpy(dtype=np.int64),
+        "n_docs": (hist.index.to_numpy(dtype=np.int64)
+                   * hist.to_numpy(dtype=np.int64)),
+    })
