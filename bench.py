@@ -174,6 +174,16 @@ def run_suite() -> dict:
                  "impute_group_median", "text_ann_hashed_bow",
                  "dedup_minhash_keep_best", "table_diff", "source_similarity", "lang_confidence_margin",
                  "quality_gate_funnel",
+                 # round-3 continuation (this session): vocab/OOV, multi-join
+                 # analytics, CMS, skew join, watermark scan, grouped top-k,
+                 # winsorize, rollup/pivot/percent-rank, growth/entropy/Gini
+                 "vocab_oov_coverage", "q3_shipping_priority",
+                 "cms_token_counts", "skew_join_supplier_revenue",
+                 "watermark_late_events", "topk_docs_per_lang",
+                 "winsorize_group", "rollup_revenue", "percent_rank_values",
+                 "pivot_event_counts", "cumulative_distinct_users",
+                 "zipf_token_fit", "source_token_entropy",
+                 "doc_length_gini", "dup_cluster_histogram",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -3933,3 +3933,59 @@ def dup_cluster_histogram_q(sf_dir: str):
         "n_docs": (hist.index.to_numpy(dtype=np.int64)
                    * hist.to_numpy(dtype=np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# Top token per source (grouped argmax over the guarded token counts)
+# ---------------------------------------------------------------------------
+
+@query("top_token_per_source", sql="""
+WITH tc AS (
+  SELECT source, tok, count(*)::BIGINT AS n FROM (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents WHERE length(trim(text)) > 0)
+  GROUP BY 1, 2
+), r AS (
+  SELECT source, tok, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, tok) AS k
+  FROM tc
+)
+SELECT source, tok AS top_token, n FROM r WHERE k = 1 ORDER BY source
+""")
+def top_token_per_source_q(sf_dir: str):
+    """Most frequent token per source — grouped argmax over the same
+    guarded (source, token) combine as the entropy audit; ties break
+    token-ascending like the oracle window."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+    )
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        srcs, toks = [], []
+        for s, t in zip(batch["source"].to_pylist(),
+                        batch["text"].to_pylist()):
+            for tok in (t or "").split():
+                srcs.append(s)
+                toks.append(tok)
+        df = pd.DataFrame({"source": srcs, "tok": toks})
+        return (df.groupby(["source", "tok"], sort=False).size()
+                  .rename("n").reset_index())
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return (frame.groupby(["source", "tok"], sort=False)["n"].sum()
+                     .reset_index())
+
+    tc, ok = guarded_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge,
+        DRIVER_COMBINE_CAP)
+    assert ok, "vocab x sources beyond cap; see source_token_entropy twin"
+    top = (tc.sort_values(["source", "n", "tok"],
+                          ascending=[True, False, True])
+             .groupby("source", as_index=False).head(1))
+    top = top.rename(columns={"tok": "top_token"})
+    top["n"] = top["n"].astype(np.int64)
+    return top.reset_index(drop=True)[["source", "top_token", "n"]]

@@ -1372,3 +1372,145 @@ def cumulative_distinct_users_q(sf_dir: str):
     new_per_day = nd.reindex(days, fill_value=0).to_numpy()
     return pd.DataFrame({"day": days,
                          "cum_users": np.cumsum(new_per_day)})
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest same-type run per user (ordered by ts, event_id)
+# ---------------------------------------------------------------------------
+
+@query("event_islands", sql="""
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rt
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS run_len
+  FROM o GROUP BY user_id, event_type, rn - rt
+), best AS (
+  SELECT user_id, event_type, run_len,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY run_len DESC, event_type) AS k
+  FROM runs
+)
+SELECT user_id, event_type AS longest_run_type, run_len AS longest_run
+FROM best WHERE k = 1 ORDER BY user_id
+""")
+def event_islands_q(sf_dir: str):
+    """Longest consecutive same-type run per user (gaps-and-islands):
+    groupby(user).map_groups with a vectorized run-length encoding — the
+    shuffle moves only (user, ts, type); ties break (run DESC, type ASC)
+    like the oracle's window."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["event_type"].to_numpy()
+        new_run = np.concatenate([[True], t[1:] != t[:-1]])
+        run_id = np.cumsum(new_run) - 1
+        lens = np.bincount(run_id)
+        types = t[new_run]
+        order = np.lexsort((types, -lens))
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "longest_run_type": [types[order[0]]],
+            "longest_run": np.array([lens[order[0]]], np.int64),
+        })
+
+    out = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+             .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts per user order)
+# ---------------------------------------------------------------------------
+
+@query("event_transition_matrix", sql="""
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type,
+       count(*)::BIGINT AS n
+FROM o WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def event_transition_matrix_q(sf_dir: str):
+    """First-order transition counts between consecutive events of each
+    user: per-group vectorized shift inside map_groups emits (from, to)
+    partial counts (25 rows/user max), folded by a driver combine."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["event_type"].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({"from_type": [], "to_type": [], "n": []})
+        df = pd.DataFrame({"from_type": t[:-1], "to_type": t[1:]})
+        return (df.groupby(["from_type", "to_type"], sort=False).size()
+                  .rename("n").reset_index())
+
+    parts = (ds.groupby("user_id")
+               .map_groups(per_user, batch_format="pandas").to_pandas())
+    out = (parts.groupby(["from_type", "to_type"], as_index=False)["n"]
+           .sum())
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["from_type", "to_type"])
+               .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered join: selective urgent-orders revenue
+# ---------------------------------------------------------------------------
+
+@query("bloom_join_urgent", sql="""
+SELECT l_returnflag,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def bloom_join_urgent_q(sf_dir: str):
+    """Revenue from lineitems of URGENT orders via stages/joins.bloom_join:
+    the right side's qualifying orderkeys are Bloom-summarized in one pass
+    (128 KiB broadcast), ~80% of lineitem rows are dropped BEFORE the hash
+    shuffle, and the exact join removes the false positives — row-identical
+    to a plain join, a fraction of the exchange bytes."""
+    from dataquality_ray.stages.combine import combine_groupby
+    from dataquality_ray.stages.joins import bloom_join
+
+    orders_u = (_read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+                .map_batches(lambda b: b.filter(pc.equal(
+                    b["o_orderpriority"], "1-URGENT"))
+                    .select(["o_orderkey"]), batch_format="pyarrow"))
+
+    def units(batch: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(batch["l_extendedprice"], 100.0)) \
+                  .cast(pa.int64())
+        bps = pc.subtract(100, pc.round(pc.multiply(batch["l_discount"],
+                                                    100.0)).cast(pa.int64()))
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_returnflag": batch["l_returnflag"],
+                         "units": pc.multiply(cents, bps)})
+
+    joined = bloom_join(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_extendedprice",
+               "l_discount"]).map_batches(units, batch_format="pyarrow"),
+        orders_u, on="l_orderkey", right_on="o_orderkey", value_cols=[])
+    out = combine_groupby(joined, ["l_returnflag"], {
+        "units": ("units", "sum"), "n_items": ("units", "count")})
+    out["revenue"] = out["units"] / 10000.0
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return (out.sort_values("l_returnflag").reset_index(drop=True)
+            [["l_returnflag", "revenue", "n_items"]])

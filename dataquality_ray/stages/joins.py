@@ -306,3 +306,49 @@ def skew_join(left, right, on: str, right_on: str | None = None,
         num_partitions=num_partitions,
         join_type=join_type).select_columns(out_cols)
     return cold_leg.union(hot_leg)
+
+
+def bloom_join(left, right, on: str, right_on: str | None = None,
+               value_cols: list[str] | None = None,
+               num_partitions: int | None = None,
+               m: int | None = None, k: int | None = None):
+    """Bloom-prefiltered inner hash join — the shuffle-byte reducer for
+    selective joins.
+
+    One streaming pass builds a Bloom filter over the right side's keys
+    (OR-mergeable 128 KiB bit-array partials, stages/sketch.py), the array
+    is ``ray.put`` ONCE, and left rows whose key cannot be on the right are
+    dropped BEFORE the all-to-all — at a 1% join selectivity the exchange
+    moves ~1% (+fpr) of the left side instead of all of it.  False
+    positives pass the prefilter and are dropped by the exact hash join,
+    so the result is row-identical to :func:`hash_join`.  Inner joins
+    only (an outer join must keep non-matching rows, so there is nothing
+    to prefilter)."""
+    from dataquality_ray.stages.sketch import (
+        BLOOM_K,
+        BLOOM_M,
+        _bloom_positions,
+        build_bloom,
+    )
+
+    right_on = right_on or on
+    m = m or BLOOM_M
+    k = k or BLOOM_K
+    bits = build_bloom(right, right_on, m, k)
+    bref = ray.put(bits)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bb = ray.get(bref)
+        arr = batch[on]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = [str(v) if v is not None else "" for v in arr.to_pylist()]
+        if not vals:
+            return batch
+        pos = _bloom_positions(vals, m, k)
+        return batch.filter(pa.array(bb[pos].all(axis=1)))
+
+    return hash_join(left.map_batches(prefilter, batch_format="pyarrow"),
+                     right, on=on, right_on=right_on,
+                     value_cols=value_cols,
+                     num_partitions=num_partitions, join_type="inner")

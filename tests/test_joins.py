@@ -268,3 +268,38 @@ def test_skew_join_explicit_hot_keys(ray_session):
     hj = (hash_join(lds, rds, on="k", right_on="rk", join_type="inner")
           .to_pandas().sort_values("x").reset_index(drop=True))
     pd.testing.assert_frame_equal(sj, hj[sj.columns.tolist()])
+
+
+def test_bloom_join_matches_hash_join(ray_session):
+    from dataquality_ray.stages.joins import bloom_join, hash_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({"k": rng.integers(0, 1000, 2000).astype(np.int64),
+                         "x": np.arange(2000, dtype=np.int64)})
+    # selective right side: only 3% of the key space joins
+    right = pd.DataFrame({"rk": np.arange(0, 1000, 33, dtype=np.int64),
+                          "v": np.arange(0, 1000, 33, dtype=np.int64) * 7})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    bj = (bloom_join(lds, rds, on="k", right_on="rk", value_cols=["v"])
+          .to_pandas().sort_values("x").reset_index(drop=True))
+    hj = (hash_join(lds, rds, on="k", right_on="rk", join_type="inner")
+          .to_pandas().sort_values("x").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bj, hj[bj.columns.tolist()])
+
+
+def test_bloom_join_tiny_filter_stays_exact(ray_session):
+    # m=64 bits forces heavy false positives; join result must stay exact
+    from dataquality_ray.stages.joins import bloom_join, hash_join
+
+    rng = np.random.default_rng(10)
+    left = pd.DataFrame({"k": rng.integers(0, 500, 1000).astype(np.int64),
+                         "x": np.arange(1000, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.array([5, 77], dtype=np.int64),
+                          "v": np.array([1, 2], dtype=np.int64)})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    bj = (bloom_join(lds, rds, on="k", right_on="rk", value_cols=["v"],
+                     m=64, k=2)
+          .to_pandas().sort_values("x").reset_index(drop=True))
+    hj = (hash_join(lds, rds, on="k", right_on="rk", join_type="inner")
+          .to_pandas().sort_values("x").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bj, hj[bj.columns.tolist()])
