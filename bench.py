@@ -184,6 +184,8 @@ def run_suite() -> dict:
                  "pivot_event_counts", "cumulative_distinct_users",
                  "zipf_token_fit", "source_token_entropy",
                  "doc_length_gini", "dup_cluster_histogram",
+                 "event_islands", "event_transition_matrix",
+                 "bloom_join_urgent", "top_token_per_source",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 
