@@ -186,6 +186,7 @@ def run_suite() -> dict:
                  "doc_length_gini", "dup_cluster_histogram",
                  "event_islands", "event_transition_matrix",
                  "bloom_join_urgent", "top_token_per_source",
+                 "retention_cohorts", "target_encode_loo",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

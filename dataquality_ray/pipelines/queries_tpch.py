@@ -1514,3 +1514,126 @@ def bloom_join_urgent_q(sf_dir: str):
     out["n_items"] = out["n_items"].astype(np.int64)
     return (out.sort_values("l_returnflag").reset_index(drop=True)
             [["l_returnflag", "revenue", "n_items"]])
+
+
+# ---------------------------------------------------------------------------
+# Retention cohort matrix (first-seen cohort × activity-day offset)
+# ---------------------------------------------------------------------------
+
+@query("retention_cohorts", sql="""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 86400 AS d
+  FROM events
+), fs AS (
+  SELECT user_id, min(d) AS cohort FROM ud GROUP BY user_id
+)
+SELECT fs.cohort, (ud.d - fs.cohort) AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM ud JOIN fs USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def retention_cohorts_q(sf_dir: str):
+    """Classic retention triangle: distinct (user, active-day) pairs from
+    one guarded combine; cohort = each user's min day (derived from the
+    SAME partials, no second scan); matrix = count per (cohort, offset) —
+    all driver arithmetic on the deduplicated pair set."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 1_000_000 // 86_400)
+        return (pd.DataFrame({"user_id": batch["user_id"].to_numpy(
+            zero_copy_only=False), "d": day})
+            .drop_duplicates())
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.drop_duplicates()
+
+    ud, ok = guarded_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge,
+        DRIVER_COMBINE_CAP)
+    if not ok:  # pragma: no cover - users x days beyond cap
+        record_route("retention_cohorts", "shuffle",
+                     "(user, day) pairs exceed cap", None)
+        ud = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(["user_id", "d"])
+                .map_groups(lambda g: g.head(1), batch_format="pandas")
+                .to_pandas())
+    else:
+        record_route("retention_cohorts", "combine",
+                     "(user, day) pairs within cap",
+                     0 if ud is None else len(ud))
+    fs = ud.groupby("user_id")["d"].min().rename("cohort")
+    ud = ud.merge(fs, on="user_id")
+    ud["day_offset"] = ud["d"] - ud["cohort"]
+    out = (ud.groupby(["cohort", "day_offset"]).size().rename("n_users")
+             .reset_index())
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return (out.sort_values(["cohort", "day_offset"])
+               .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (exact, leakage-free categorical feature)
+# ---------------------------------------------------------------------------
+
+@query("target_encode_loo", sql="""
+WITH g AS (
+  SELECT l_returnflag,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS s,
+         count(*)::BIGINT AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       CASE WHEN g.n > 1 THEN
+         CAST(g.s - CAST(round(l.l_quantity * 100) AS BIGINT) AS DOUBLE)
+           / (100.0 * (g.n - 1))
+       END AS loo_mean_qty
+FROM lineitem l JOIN g USING (l_returnflag)
+ORDER BY 1, 2
+""")
+def target_encode_loo_q(sf_dir: str):
+    """Leave-one-out target encoding of return flag by mean quantity —
+    the leakage-free categorical encoder: per-category (Σcents, n) from
+    one combine (tiny), broadcast once, each row computes
+    (S−x)/(100·(n−1)) — exact ints and one division, bit-exact."""
+    from dataquality_ray.stages.combine import combine_groupby
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "qc", pc.round(pc.multiply(batch["l_quantity"], 100.0))
+                    .cast(pa.int64()))
+
+    prepped = ds.map_batches(cents, batch_format="pyarrow")
+    g = combine_groupby(prepped, ["l_returnflag"], {
+        "s": ("qc", "sum"), "n": ("qc", "count")})
+    import ray
+    gref = ray.put({r["l_returnflag"]: (int(r["s"]), int(r["n"]))
+                    for _, r in g.iterrows()})
+
+    def encode(batch: pa.Table) -> pa.Table:
+        gm = ray.get(gref)
+        flags = batch["l_returnflag"].to_pylist()
+        x = batch["qc"].to_numpy(zero_copy_only=False)
+        s = np.array([gm[f][0] for f in flags], dtype=np.int64)
+        n = np.array([gm[f][1] for f in flags], dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            loo = (s - x).astype(np.float64) / (100.0 * (n - 1))
+        vals = pd.Series(loo).where(n > 1)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_linenumber": batch["l_linenumber"],
+                         "loo_mean_qty": pa.Array.from_pandas(vals)})
+
+    out = (prepped.map_batches(encode, batch_format="pyarrow").to_pandas()
+           .sort_values(["l_orderkey", "l_linenumber"])
+           .reset_index(drop=True))
+    return out
