@@ -1637,3 +1637,51 @@ def target_encode_loo_q(sf_dir: str):
            .sort_values(["l_orderkey", "l_linenumber"])
            .reset_index(drop=True))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value per user (irregular time series)
+# ---------------------------------------------------------------------------
+
+@query("time_weighted_avg", sql="""
+WITH o AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS tn
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(cents * (tn - t)) AS DOUBLE) / (100.0 * sum(tn - t))
+         AS twa,
+       count(*)::BIGINT AS n_intervals
+FROM o WHERE tn IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+""")
+def time_weighted_avg_q(sf_dir: str):
+    """Time-weighted mean of an irregularly-sampled value per user (each
+    reading weighted by its holding interval): vectorized diff inside
+    groupby(user).map_groups; integer cents × integer microseconds, one
+    final division — bit-exact."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        if len(g) < 2:
+            return pd.DataFrame({"user_id": [], "twa": [],
+                                 "n_intervals": []})
+        t = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        dt = np.diff(t)
+        num = int((cents[:-1] * dt).sum())
+        den = int(dt.sum())
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "twa": [float(num) / (100.0 * den)],
+            "n_intervals": np.array([len(dt)], np.int64),
+        })
+
+    out = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+             .to_pandas())
+    out["n_intervals"] = out["n_intervals"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
