@@ -187,7 +187,7 @@ def run_suite() -> dict:
                  "event_islands", "event_transition_matrix",
                  "bloom_join_urgent", "top_token_per_source",
                  "retention_cohorts", "target_encode_loo",
-                 "time_weighted_avg",
+                 "time_weighted_avg", "interval_merge",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -1685,3 +1685,60 @@ def time_weighted_avg_q(sf_dir: str):
              .to_pandas())
     out["n_intervals"] = out["n_intervals"].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Interval merge (union of fixed-duration activity intervals per user)
+# ---------------------------------------------------------------------------
+
+@query("interval_merge", sql="""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t, epoch_us(ts) + 600000000 AS e
+  FROM events
+), m AS (
+  SELECT user_id, t, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY t, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM o
+), isl AS (
+  SELECT user_id, t, e,
+         sum(CASE WHEN pm IS NULL OR t > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t, e) AS gid
+  FROM m
+), per AS (
+  SELECT user_id, gid, max(e) - min(t) AS dur
+  FROM isl GROUP BY user_id, gid
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dur) AS BIGINT) AS busy_us
+FROM per GROUP BY user_id ORDER BY user_id
+""")
+def interval_merge_q(sf_dir: str):
+    """Merged busy time per user: each event opens a 10-minute interval;
+    overlapping/touching intervals union (interval-merge sweep inside
+    map_groups — running max of interval ends, vectorized).  All integer
+    microseconds — exact."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DUR = 600_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["ts"].astype("datetime64[us]").astype(np.int64)
+                    .to_numpy())
+        e = t + DUR
+        run_end = np.maximum.accumulate(e)
+        new = np.concatenate([[True], t[1:] > run_end[:-1]])
+        gid = np.cumsum(new) - 1
+        starts = t[new]
+        ends = np.maximum.reduceat(e, np.flatnonzero(new))
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_intervals": np.array([gid[-1] + 1], np.int64),
+            "busy_us": np.array([(ends - starts).sum()], np.int64),
+        })
+
+    out = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+             .to_pandas())
+    for c in ("n_intervals", "busy_us"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
