@@ -3989,3 +3989,81 @@ def top_token_per_source_q(sf_dir: str):
     top = top.rename(columns={"tok": "top_token"})
     top["n"] = top["n"].astype(np.int64)
     return top.reset_index(drop=True)[["source", "top_token", "n"]]
+
+
+# ---------------------------------------------------------------------------
+# Normalization-aware exact dedup (case/whitespace-insensitive canonical)
+# ---------------------------------------------------------------------------
+
+@query("dedup_normalized", sql="""
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM (SELECT doc_id,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             lower(trim(regexp_replace(upper(text), '\\s+', ' ', 'g')))
+      FROM documents WHERE doc_id % 7 = 0)
+GROUP BY norm HAVING count(*) > 1
+ORDER BY doc_id
+""")
+def dedup_normalized_q(sf_dir: str):
+    """Case/whitespace-insensitive exact dedup: normalize (collapse runs of
+    whitespace, trim, lowercase — all RE2/pyarrow kernels, byte-parity with
+    the oracle) then keep min id per normalized key.  Planted variants:
+    every 7th doc re-enters UPPERCASED — caught only by normalization."""
+    import hashlib
+
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm_col(upper: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"]
+            txt = b["text"]
+            if upper:
+                keep = pa.array(
+                    ids.to_numpy(zero_copy_only=False) % 7 == 0)
+                b2 = pa.table({"doc_id": ids, "text": txt}).filter(keep)
+                ids, txt = pc.add(b2["doc_id"], 1000000), b2["text"]
+            if upper:  # the planted variant is the UPPERCASED text
+                txt = pc.utf8_upper(txt)
+            norm = pc.utf8_lower(pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(txt, r"\s+", " ")))
+            return pa.table({"doc_id": ids, "norm": norm})
+        return f
+
+    corpus = (docs.map_batches(norm_col(False), batch_format="pyarrow")
+              .union(docs.map_batches(norm_col(True),
+                                      batch_format="pyarrow")))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        hs = [hashlib.sha256(t.encode()).digest()
+              for t in batch["norm"].to_pylist()]
+        df = pd.DataFrame({"h": hs,
+                           "doc_id": batch["doc_id"].to_numpy(
+                               zero_copy_only=False)})
+        g = df.groupby("h", as_index=False)
+        out = g["doc_id"].min()
+        out["c"] = g.size()["size"]
+        return out
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        g = frame.groupby("h", as_index=False)
+        out = g["doc_id"].min()
+        out["c"] = g["c"].sum()["c"]
+        return out
+
+    idx, ok = guarded_partials(
+        corpus.map_batches(partial, batch_format="pyarrow"), merge,
+        DRIVER_COMBINE_CAP)
+    assert ok, "use mark_duplicates_join for corpora beyond the cap"
+    dups = idx[idx["c"] > 1]
+    return (pd.DataFrame({"doc_id": dups["doc_id"].astype(np.int64),
+                          "n_variants": dups["c"].astype(np.int64)})
+            .sort_values("doc_id").reset_index(drop=True))
