@@ -188,7 +188,7 @@ def run_suite() -> dict:
                  "bloom_join_urgent", "top_token_per_source",
                  "retention_cohorts", "target_encode_loo",
                  "time_weighted_avg", "interval_merge",
-                 "dedup_normalized",
+                 "dedup_normalized", "range_partition_balance",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -1742,3 +1742,65 @@ def interval_merge_q(sf_dir: str):
     for c in ("n_intervals", "busy_us"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Range-partition balance probe (sort/shuffle planning): quartile boundaries
+# from the exact CDF, bucket counts + skew ratio
+# ---------------------------------------------------------------------------
+
+@query("range_partition_balance", sql="""
+WITH b AS (
+  SELECT quantile_disc(l_extendedprice, 0.25) AS q1,
+         quantile_disc(l_extendedprice, 0.50) AS q2,
+         quantile_disc(l_extendedprice, 0.75) AS q3
+  FROM lineitem
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows
+FROM (
+  SELECT CASE WHEN l_extendedprice <= b.q1 THEN 0
+              WHEN l_extendedprice <= b.q2 THEN 1
+              WHEN l_extendedprice <= b.q3 THEN 2
+              ELSE 3 END AS bucket
+  FROM lineitem CROSS JOIN b)
+GROUP BY bucket ORDER BY bucket
+""")
+def range_partition_balance_q(sf_dir: str):
+    """The planning probe behind a range partitioner (Ray's sort shape):
+    quartile boundaries from the guarded (value, count) CDF
+    (quantile_disc — actual data values, float-exact compares), then
+    per-bucket row counts from the SAME counts frame, no second scan.
+    Balanced buckets == a balanced range shuffle; the probe is what a
+    sorted-write/range-repartition stage sizes its partitions from."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+    )
+    from dataquality_ray.stages.quantiles import _disc_bound_from_counts
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.groupby("l_extendedprice", sort=False).size()
+                     .rename("c").reset_index())
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return (frame.groupby("l_extendedprice", as_index=False)["c"]
+                     .sum())
+
+    counts, ok = guarded_partials(
+        ds.map_batches(partial, batch_format="pandas"), merge,
+        DRIVER_COMBINE_CAP)
+    assert ok, "use histogram_quantiles boundaries beyond the cap"
+    counts = counts.sort_values("l_extendedprice").reset_index(drop=True)
+    v = counts["l_extendedprice"].to_numpy(dtype=np.float64)
+    c = counts["c"].to_numpy(dtype=np.int64)
+    qs = [_disc_bound_from_counts(v, c, q) for q in (0.25, 0.50, 0.75)]
+    edges = np.searchsorted(v, qs, side="right")
+    cum = np.concatenate([[0], np.cumsum(c)])
+    n0 = cum[edges[0]]
+    n1 = cum[edges[1]] - cum[edges[0]]
+    n2 = cum[edges[2]] - cum[edges[1]]
+    n3 = cum[-1] - cum[edges[2]]
+    return pd.DataFrame({"bucket": np.arange(4, dtype=np.int64),
+                         "n_rows": np.array([n0, n1, n2, n3], np.int64)})
