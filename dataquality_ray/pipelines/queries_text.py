@@ -184,7 +184,7 @@ def dedupe_lines_q(sf_dir: str):
 # Language ID over documents — rows-only (model-based)
 # ---------------------------------------------------------------------------
 
-def _langid_sql() -> str:
+def _langid_sql(confusion: bool = False) -> str:
     """DuckDB re-implementation of NaturalLangId's stopword-profile argmax
     (list_filter membership counts per language, first-max tie-break in
     STOPWORDS insertion order) — makes the language-ID output hash-checked
@@ -203,6 +203,13 @@ def _langid_sql() -> str:
         rest = [f"c_{l} >= c_{o}" for o in langs[i + 1:]]
         case += (f"WHEN {' AND '.join(rest)} THEN '{l}' " if rest
                  else f"ELSE '{l}' END")
+    final = f"""SELECT {case} AS detected_lang, count(*) AS n
+FROM counts GROUP BY 1 ORDER BY 1"""
+    if confusion:
+        final = f"""SELECT d.lang, {case} AS detected_lang,
+       count(*)::BIGINT AS n
+FROM counts JOIN documents d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -212,8 +219,7 @@ WITH toks AS (
 ), counts AS (
   SELECT doc_id, len(t) AS n, {cnt} FROM toks
 )
-SELECT {case} AS detected_lang, count(*) AS n
-FROM counts GROUP BY 1 ORDER BY 1
+{final}
 """
 
 
@@ -4067,3 +4073,26 @@ def dedup_normalized_q(sf_dir: str):
     return (pd.DataFrame({"doc_id": dups["doc_id"].astype(np.int64),
                           "n_variants": dups["c"].astype(np.int64)})
             .sort_values("doc_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Language confusion matrix (declared lang column vs detected language)
+# ---------------------------------------------------------------------------
+
+@query("lang_confusion_matrix", sql=_langid_sql(confusion=True))
+def lang_confusion_matrix_q(sf_dir: str):
+    """Declared-vs-detected language confusion matrix — the mislabel audit
+    a multilingual corpus runs before trusting its metadata; detection is
+    the same stopword-argmax kernel as lang_id_documents (oracle replays
+    it), aggregated per (declared, detected) with a tiny combine."""
+    from dataquality_ray.functions.text import NaturalLangId
+    from dataquality_ray.stages.combine import combine_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"]) \
+        .map_batches(lambda b: NaturalLangId()(b), batch_format="pyarrow",
+                     batch_size=2048)
+    out = combine_groupby(ds, ["lang", "detected_lang"],
+                          {"n": ("lang", "size")})
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["lang", "detected_lang"])
+               .reset_index(drop=True)[["lang", "detected_lang", "n"]])
