@@ -189,7 +189,8 @@ def run_suite() -> dict:
                  "retention_cohorts", "target_encode_loo",
                  "time_weighted_avg", "interval_merge",
                  "dedup_normalized", "range_partition_balance",
-                 "lang_confusion_matrix",
+                 "lang_confusion_matrix", "json_extract_stats",
+                 "ab_srm_check",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

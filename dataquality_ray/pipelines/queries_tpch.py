@@ -1804,3 +1804,104 @@ def range_partition_balance_q(sf_dir: str):
     n3 = cum[-1] - cum[edges[2]]
     return pd.DataFrame({"bucket": np.arange(4, dtype=np.int64),
                          "n_rows": np.array([n0, n1, n2, n3], np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: JSON props -> typed column -> grouped stats
+# ---------------------------------------------------------------------------
+
+@query("json_extract_stats", sql="""
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(nullif(regexp_extract(props, '"k": (-?\\d+)', 1), '')
+              AS BIGINT) AS k
+  FROM events)
+GROUP BY event_type ORDER BY event_type
+""")
+def json_extract_stats_q(sf_dir: str):
+    """Typed extraction from a semi-structured JSON column: one RE2
+    regexp (pyarrow extract == DuckDB regexp_extract byte-for-byte — both
+    RE2, the html_text_extract precedent) pulls props.k as int64, grouped
+    integer stats via map-side combine."""
+    from dataquality_ray.stages.combine import combine_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k": (?P<k>-?\d+)')
+        k = pc.struct_field(m, "k")
+        return pa.table({"event_type": batch["event_type"],
+                         "k": pc.cast(k, pa.int64())})
+
+    prepped = ds.map_batches(extract, batch_format="pyarrow")
+    out = combine_groupby(prepped, ["event_type"], {
+        "n_with_k": ("k", "count"), "sum_k": ("k", "sum"),
+        "min_k": ("k", "min"), "max_k": ("k", "max")})
+    for c in ("n_with_k", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values("event_type").reset_index(drop=True)
+            [["event_type", "n_with_k", "sum_k", "min_k", "max_k"]])
+
+
+# ---------------------------------------------------------------------------
+# A/B bucketing + sample-ratio-mismatch check (deterministic hash split)
+# ---------------------------------------------------------------------------
+
+def _srm_sql(seed: int = 12345) -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    ctes = ["u AS (SELECT DISTINCT user_id FROM events)",
+            f"h0 AS (SELECT xor(user_id::UBIGINT, {seed}::UBIGINT)"
+            "::HUGEINT AS x FROM u)"]
+    prev = "h0"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append(f"s{n} AS (SELECT {expr} AS x FROM {prev})")
+        prev = f"s{n}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+b AS (SELECT (x % 2)::BIGINT AS bucket FROM {prev})
+SELECT CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END)
+            - sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / sqrt(CAST(count(*) AS DOUBLE)) AS srm_z
+FROM b
+"""
+
+
+@query("ab_srm_check", sql=_srm_sql())
+def ab_srm_check_q(sf_dir: str):
+    """Deterministic A/B assignment (splitmix64(user ^ seed) mod 2 — the
+    train_val_split hash family) plus the sample-ratio-mismatch z-score
+    every experimentation pipeline gates on; integer counts, one sqrt,
+    one division — bit-exact vs the HUGEINT chain oracle."""
+    from dataquality_ray.functions.hashing import splitmix64
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    users, ok = guarded_partials(
+        ds.map_batches(partial, batch_format="pandas"), partial,
+        DRIVER_COMBINE_CAP)
+    assert ok, "distinct users beyond cap; bucket inside map_batches"
+    u = users["user_id"].to_numpy(dtype=np.uint64)
+    bucket = (splitmix64(u ^ np.uint64(12345)) % np.uint64(2)).astype(
+        np.int64)
+    n_a = int((bucket == 0).sum())
+    n_b = int((bucket == 1).sum())
+    z = float(n_a - n_b) / np.sqrt(float(n_a + n_b))
+    return pd.DataFrame({"n_a": np.array([n_a], np.int64),
+                         "n_b": np.array([n_b], np.int64),
+                         "srm_z": [z]})
