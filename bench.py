@@ -190,7 +190,7 @@ def run_suite() -> dict:
                  "time_weighted_avg", "interval_merge",
                  "dedup_normalized", "range_partition_balance",
                  "lang_confusion_matrix", "json_extract_stats",
-                 "ab_srm_check",
+                 "ab_srm_check", "exact_median_bisect",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

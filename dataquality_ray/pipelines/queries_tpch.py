@@ -1905,3 +1905,33 @@ def ab_srm_check_q(sf_dir: str):
     return pd.DataFrame({"n_a": np.array([n_a], np.int64),
                          "n_b": np.array([n_b], np.int64),
                          "srm_z": [z]})
+
+
+# ---------------------------------------------------------------------------
+# Exact order statistics with NO cardinality cap (histogram-bisect selection)
+# ---------------------------------------------------------------------------
+
+@query("exact_median_bisect", sql="""
+SELECT quantile_disc(l_extendedprice, 0.5) AS median_price,
+       quantile_disc(l_extendedprice, 0.99) AS p99_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+""")
+def exact_median_bisect_q(sf_dir: str):
+    """Exact median and p99 of an UNBOUNDED float column via
+    stages/quantiles.exact_kth_twopass — histogram-bisect selection
+    (3 streaming scans, O(bins) driver memory, no distinct-value cap):
+    the exact twin the counts-mode quantiles route to when a 100 TB
+    continuous domain blows the combine cap."""
+    import math
+
+    from dataquality_ray.stages.quantiles import exact_kth_twopass
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    n = ds.count()
+    med = exact_kth_twopass(ds, "l_extendedprice",
+                            max(1, math.ceil(0.5 * n)))
+    p99 = exact_kth_twopass(ds, "l_extendedprice",
+                            max(1, math.ceil(0.99 * n)))
+    return pd.DataFrame({"median_price": [med], "p99_price": [p99],
+                         "n": np.array([n], np.int64)})

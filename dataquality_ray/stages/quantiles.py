@@ -534,3 +534,83 @@ def winsorize_group_stats(ds, col: str, group_col: str,
     agg = agg.rename(columns={"g": "group"})
     return (agg[["group", "lo", "hi", "n_lo", "n_hi", "sum_winsorized"]]
             .sort_values("group").reset_index(drop=True))
+
+
+def exact_kth_twopass(ds, col: str, k: int, bins: int = 1 << 16,
+                      cap: int = 4_000_000) -> float:
+    """EXACT k-th smallest value (1-based) with NO distinct-value cap —
+    the unbounded-domain exact twin of the counts-mode quantiles.
+
+    Pass 0 finds [min, max] (scalar partials); pass 1 histograms the
+    column into ``bins`` equal-width buckets (one int64[bins] partial per
+    batch, tree-summed) and locates the bucket holding rank ``k``; pass 2
+    collects ONLY that bucket's values (expected n/bins of the data —
+    guarded by ``cap``) and selects the residual rank exactly.  Bucket
+    membership is recomputed with the SAME float expression in both
+    passes, so boundary rounding cannot misroute a value.  Three streaming
+    scans, O(bins) driver memory, exact at any cardinality — the
+    selection-by-bisection shape of distributed order statistics.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        v = batch[col].drop_null()
+        if not len(v):
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": [pc.min(v).as_py()],
+                         "hi": [pc.max(v).as_py()]})
+
+    mm = (ds.select_columns([col])
+            .map_batches(minmax, batch_format="pyarrow").to_pandas())
+    if not len(mm):
+        raise ValueError("exact_kth_twopass: empty input")
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    if lo == hi:
+        return lo
+    width = (hi - lo) / bins
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        h = np.bincount(bin_of(v), minlength=bins).astype(np.int64)
+        return pa.table({"h": pa.array([h.tobytes()], pa.binary())})
+
+    def tree(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(bins, dtype=np.int64)
+        for blob in batch["h"].to_pylist():
+            acc += np.frombuffer(blob, dtype=np.int64)
+        return pa.table({"h": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = (ds.select_columns([col])
+               .map_batches(hist_partial, batch_format="pyarrow")
+               .map_batches(tree, batch_format="pyarrow", batch_size=64)
+               .to_pandas())
+    h = np.zeros(bins, dtype=np.int64)
+    for blob in parts["h"]:
+        h += np.frombuffer(blob, dtype=np.int64)
+    n = int(h.sum())
+    if not 1 <= k <= n:
+        raise ValueError(f"k={k} out of range 1..{n}")
+    cum = np.cumsum(h)
+    b = int(np.searchsorted(cum, k))
+    below = int(cum[b - 1]) if b else 0
+    if h[b] > cap:
+        raise MemoryError(
+            f"exact_kth_twopass: target bucket holds {h[b]} values "
+            f"(cap {cap}) — a single point mass; rerun with more bins "
+            "or accept the bucket midpoint")
+
+    def collect(batch: pa.Table) -> pa.Table:
+        v = batch[col].drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({"v": pa.array(v[bin_of(v) == b], pa.float64())})
+
+    vals = (ds.select_columns([col])
+              .map_batches(collect, batch_format="pyarrow")
+              .to_pandas()["v"].to_numpy())
+    return float(np.partition(vals, k - below - 1)[k - below - 1])

@@ -289,3 +289,29 @@ def test_winsorize_route_equivalence(ray_session):
     for _, row in fast.iterrows():
         vals = df[df.g == row["group"]]["v"].to_numpy()
         assert row["lo"] in vals and row["hi"] in vals
+
+
+def test_exact_kth_twopass_matches_numpy(ray_session):
+    from dataquality_ray.stages.quantiles import exact_kth_twopass
+
+    rng = np.random.default_rng(21)
+    v = rng.normal(50, 20, 5000)  # continuous: every value distinct
+    ds = rd.from_pandas(pd.DataFrame({"x": v}))
+    sv = np.sort(v)
+    for k in (1, 7, 2500, 4999, 5000):
+        assert exact_kth_twopass(ds, "x", k) == sv[k - 1]
+    with pytest.raises(ValueError):
+        exact_kth_twopass(ds, "x", 0)
+    with pytest.raises(ValueError):
+        exact_kth_twopass(ds, "x", 5001)
+
+
+def test_exact_kth_twopass_point_mass_cap(ray_session):
+    from dataquality_ray.stages.quantiles import exact_kth_twopass
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"x": np.concatenate([np.zeros(1000), np.ones(10)])}))
+    # all-zero bucket exceeds a tiny cap -> loud error, not silent melt
+    with pytest.raises(MemoryError, match="point mass"):
+        exact_kth_twopass(ds, "x", 500, cap=100)
+    assert exact_kth_twopass(ds, "x", 500, cap=2000) == 0.0
