@@ -37,8 +37,31 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.75),
     ``counts``: unguarded combine — exact, only distinct values move
     (bounded domains: integers, currencies, bucketed floats).  ``gather``:
     ship the raw column to the driver — exact on unbounded float domains but
-    8 bytes/row of driver memory (8 GB per 10^9 rows).
+    8 bytes/row of driver memory (8 GB per 10^9 rows).  ``bisect``: EXACT
+    at any cardinality AND bounded memory — linear interpolation between
+    the two bracketing order statistics, each selected by
+    :func:`exact_kth_twopass` (≈3 streaming scans per distinct rank; the
+    right choice when the domain is unbounded and approximation is not
+    acceptable).
     """
+    if mode == "bisect":
+        n = ds.count()
+        if n == 0:
+            return {q: float("nan") for q in qs}
+        cache: dict[int, float] = {}
+
+        def kth(k: int) -> float:
+            if k not in cache:
+                cache[k] = exact_kth_twopass(ds, col, k)
+            return cache[k]
+
+        out = {}
+        for q in qs:
+            pos = q * (n - 1)
+            lo_v = kth(int(np.floor(pos)) + 1)
+            hi_v = kth(int(np.ceil(pos)) + 1)
+            out[q] = lo_v + (hi_v - lo_v) * (pos - np.floor(pos))
+        return out
     if mode in ("counts", "auto"):
         from dataquality_ray.stages.autoroute import (
             DRIVER_COMBINE_CAP,

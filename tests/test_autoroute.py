@@ -315,3 +315,15 @@ def test_exact_kth_twopass_point_mass_cap(ray_session):
     with pytest.raises(MemoryError, match="point mass"):
         exact_kth_twopass(ds, "x", 500, cap=100)
     assert exact_kth_twopass(ds, "x", 500, cap=2000) == 0.0
+
+
+def test_exact_quantiles_bisect_mode_matches_counts(ray_session):
+    from dataquality_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(31)
+    v = rng.normal(0, 5, 3000)
+    ds = rd.from_pandas(pd.DataFrame({"x": v}))
+    exact = exact_quantiles(ds, "x", (0.25, 0.5, 0.9), mode="counts")
+    bisect = exact_quantiles(ds, "x", (0.25, 0.5, 0.9), mode="bisect")
+    for q in exact:
+        assert abs(exact[q] - bisect[q]) < 1e-12
