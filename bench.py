@@ -191,6 +191,8 @@ def run_suite() -> dict:
                  "dedup_normalized", "range_partition_balance",
                  "lang_confusion_matrix", "json_extract_stats",
                  "ab_srm_check", "exact_median_bisect",
+                 "monthly_order_stats", "event_seq_3gram",
+                 "supplier_share_of_wallet",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

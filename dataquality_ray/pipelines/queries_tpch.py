@@ -1935,3 +1935,132 @@ def exact_median_bisect_q(sf_dir: str):
                             max(1, math.ceil(0.99 * n)))
     return pd.DataFrame({"median_price": [med], "p99_price": [p99],
                          "n": np.array([n], np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Calendar-month order stats (calendar bucketing, not epoch arithmetic)
+# ---------------------------------------------------------------------------
+
+@query("monthly_order_stats", sql="""
+SELECT CAST(date_part('year', o_orderdate) * 12
+            + date_part('month', o_orderdate) - 1 AS BIGINT) AS ym,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+         AS total_revenue
+FROM orders GROUP BY ym ORDER BY ym
+""")
+def monthly_order_stats_q(sf_dir: str):
+    """Orders per calendar month (year*12+month−1 — calendar buckets, not
+    epoch division: months are irregular) with integer-cents revenue; one
+    map-side combine, months are bounded."""
+    from dataquality_ray.stages.combine import combine_groupby
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["o_orderdate"].dt
+        return pd.DataFrame({
+            "ym": (d.year * 12 + d.month - 1).astype(np.int64),
+            "cents": np.round(batch["o_totalprice"].to_numpy() * 100.0)
+                       .astype(np.int64),
+        })
+
+    out = combine_groupby(
+        ds.map_batches(prep, batch_format="pandas"), ["ym"],
+        {"n_orders": ("cents", "count"), "units": ("cents", "sum")})
+    out["total_revenue"] = out["units"] / 100.0
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return (out.sort_values("ym").reset_index(drop=True)
+            [["ym", "n_orders", "total_revenue"]])
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining: global top-10 event-type 3-grams (per-user order)
+# ---------------------------------------------------------------------------
+
+@query("event_seq_3gram", sql="""
+WITH o AS (
+  SELECT user_id, event_type AS a,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS b,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS c
+  FROM events
+)
+SELECT a, b, c, count(*)::BIGINT AS n
+FROM o WHERE c IS NOT NULL
+GROUP BY a, b, c
+ORDER BY n DESC, a, b, c LIMIT 10
+""")
+def event_seq_3gram_q(sf_dir: str):
+    """Most common 3-step behavior sequences: per-user vectorized shift
+    trigram counts inside map_groups (≤125 partial rows per user), driver
+    fold + deterministic top-10 (n DESC, gram ASC)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["event_type"].to_numpy()
+        if len(t) < 3:
+            return pd.DataFrame({"a": [], "b": [], "c": [], "n": []})
+        df = pd.DataFrame({"a": t[:-2], "b": t[1:-1], "c": t[2:]})
+        return (df.groupby(["a", "b", "c"], sort=False).size().rename("n")
+                  .reset_index())
+
+    parts = (ds.groupby("user_id")
+               .map_groups(per_user, batch_format="pandas").to_pandas())
+    out = parts.groupby(["a", "b", "c"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["n", "a", "b", "c"],
+                            ascending=[False, True, True, True])
+               .head(10).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical revenue share (supplier share within nation)
+# ---------------------------------------------------------------------------
+
+@query("supplier_share_of_wallet", sql="""
+WITH rev AS (
+  SELECT s_nationkey, l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS units
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), nat AS (
+  SELECT s_nationkey, sum(units) AS nunits FROM rev GROUP BY 1
+)
+SELECT r.s_nationkey, r.l_suppkey,
+       CAST(r.units AS DOUBLE) / CAST(n.nunits AS DOUBLE) AS share
+FROM rev r JOIN nat n USING (s_nationkey)
+ORDER BY 1, 2
+""")
+def supplier_share_of_wallet_q(sf_dir: str):
+    """Supplier revenue share within its nation: supplier-level integer
+    partials from ONE combine (nation resolved by broadcast lookup),
+    nation totals derived driver-side from the SAME partials (no second
+    scan), share = one division — bit-exact."""
+    from dataquality_ray.stages.combine import combine_groupby
+    from dataquality_ray.stages.joins import broadcast_join
+
+    line = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .to_pandas().rename(columns={"s_suppkey": "l_suppkey"})
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": batch["l_suppkey"],
+            "units": pc.round(pc.multiply(batch["l_extendedprice"], 100.0))
+                       .cast(pa.int64())})
+
+    joined = broadcast_join(
+        line.map_batches(cents, batch_format="pyarrow"), sup,
+        on="l_suppkey", value_cols=["s_nationkey"], join_type="inner")
+    rev = combine_groupby(joined, ["s_nationkey", "l_suppkey"],
+                          {"units": ("units", "sum")})
+    nat = rev.groupby("s_nationkey")["units"].transform("sum")
+    rev["share"] = rev["units"].astype(np.float64) / nat.astype(np.float64)
+    rev["s_nationkey"] = rev["s_nationkey"].astype(np.int32)
+    return (rev.sort_values(["s_nationkey", "l_suppkey"])
+               .reset_index(drop=True)
+            [["s_nationkey", "l_suppkey", "share"]])
