@@ -192,7 +192,7 @@ def run_suite() -> dict:
                  "lang_confusion_matrix", "json_extract_stats",
                  "ab_srm_check", "exact_median_bisect",
                  "monthly_order_stats", "event_seq_3gram",
-                 "supplier_share_of_wallet",
+                 "supplier_share_of_wallet", "nb_lang_classify",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -4096,3 +4096,74 @@ def lang_confusion_matrix_q(sf_dir: str):
     out["n"] = out["n"].astype(np.int64)
     return (out.sort_values(["lang", "detected_lang"])
                .reset_index(drop=True)[["lang", "detected_lang", "n"]])
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes language classifier — training AND scoring oracle-replayed
+# ---------------------------------------------------------------------------
+
+@query("nb_lang_classify", sql="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), dtok AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tc FROM toks GROUP BY 1, 2
+), nlt AS (
+  SELECT d.lang, t.tok, sum(t.tc)::BIGINT AS n
+  FROM dtok t JOIN documents d USING (doc_id) GROUP BY 1, 2
+), nl AS (
+  SELECT lang, sum(n)::BIGINT AS nl FROM nlt GROUP BY 1
+), vocab AS (SELECT DISTINCT tok FROM toks),
+vsize AS (SELECT count(*)::BIGINT AS v FROM vocab),
+langs AS (SELECT DISTINCT lang FROM documents),
+dl AS (SELECT lang, count(*)::BIGINT AS d FROM documents GROUP BY 1),
+dd AS (SELECT count(*)::BIGINT AS d FROM documents),
+w AS (
+  SELECT langs.lang, vocab.tok,
+         CAST(floor(ln((coalesce(nlt.n, 0) + 1)
+                       * 1.0 / (nl.nl + vsize.v)) * 1000000) AS BIGINT)
+           AS w
+  FROM langs CROSS JOIN vocab CROSS JOIN vsize
+  JOIN nl ON nl.lang = langs.lang
+  LEFT JOIN nlt ON nlt.lang = langs.lang AND nlt.tok = vocab.tok
+), prior AS (
+  SELECT dl.lang,
+         CAST(floor(ln(dl.d * 1.0 / dd.d) * 1000000) AS BIGINT) AS p
+  FROM dl CROSS JOIN dd
+), contrib AS (
+  SELECT dt.doc_id, w.lang, sum(dt.tc * w.w)::BIGINT AS s
+  FROM dtok dt JOIN w ON w.tok = dt.tok GROUP BY 1, 2
+), scored AS (
+  SELECT d.doc_id, d.lang AS true_lang, pr.lang AS cand,
+         pr.p + coalesce(c.s, 0) AS score
+  FROM documents d CROSS JOIN prior pr
+  LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.lang = pr.lang
+), pred AS (
+  SELECT doc_id, true_lang, cand,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS k
+  FROM scored
+)
+SELECT true_lang AS lang, cand AS predicted, count(*)::BIGINT AS n
+FROM pred WHERE k = 1 GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def nb_lang_classify_q(sf_dir: str):
+    """Multinomial naive Bayes over tokens, trained AND scored as data
+    pipeline stages (stages/classify.naive_bayes_*): fit is one guarded
+    (label, token) combine; weights floor(ln·1e6) int64 so the argmax —
+    and the full SQL replay — is exact integer arithmetic.  Output:
+    self-classification confusion matrix per declared language."""
+    from dataquality_ray.stages.classify import (
+        naive_bayes_fit,
+        naive_bayes_predict,
+    )
+    from dataquality_ray.stages.combine import combine_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    model = naive_bayes_fit(ds)
+    scored = naive_bayes_predict(ds, model)
+    out = combine_groupby(scored.select_columns(["lang", "predicted"]),
+                          ["lang", "predicted"], {"n": ("lang", "size")})
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["lang", "predicted"]).reset_index(drop=True)
+            [["lang", "predicted", "n"]])

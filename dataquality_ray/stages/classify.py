@@ -85,3 +85,108 @@ def centroid_classify(ds, emb_col: str = "embedding",
             return batch.append_column("pred", pa.array(pred))
 
     return ds.map_batches(Score, concurrency=(1, 8), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Multinomial naive Bayes over tokens — model FIT and SCORE both as data
+# pipeline stages, integer-exact (the "training is just aggregation" shape)
+# ---------------------------------------------------------------------------
+
+NB_SCALE = 1_000_000
+
+
+def naive_bayes_fit(ds, label_col: str = "lang", text_col: str = "text",
+                    cap: int | None = None):
+    """Fit = ONE guarded (label, token, occurrences) combine plus label doc
+    counts; weights are ``floor(ln((n+1)/(N_l+V))·1e6)`` int64 (Laplace
+    smoothing) so scoring — and the SQL oracle — is exact integer
+    arithmetic.  Returns (labels, priors, token_index, weight_matrix)."""
+    import pyarrow as pa
+
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+    )
+
+    cap = cap if cap is not None else DRIVER_COMBINE_CAP
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        rows = []
+        for lab, t in zip(batch[label_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            for tok in (t or "").split():
+                rows.append((lab, tok))
+        df = pd.DataFrame(rows, columns=["lab", "tok"])
+        out = (df.groupby(["lab", "tok"], sort=False).size().rename("n")
+                 .reset_index())
+        docs = pd.DataFrame({"lab": batch[label_col].to_pylist()}) \
+            .groupby("lab", sort=False).size().rename("n").reset_index()
+        docs["tok"] = ""  # in-band doc-count rows (token "" never splits)
+        return pd.concat([out, docs[["lab", "tok", "n"]]],
+                         ignore_index=True)
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return (frame.groupby(["lab", "tok"], sort=False)["n"].sum()
+                     .reset_index())
+
+    counts, ok = guarded_partials(
+        ds.select_columns([label_col, text_col])
+          .map_batches(partial, batch_format="pyarrow"), merge, cap)
+    if not ok:
+        raise MemoryError("naive_bayes_fit: label x vocab exceeds cap; "
+                          "shard the vocabulary or raise cap")
+    doc_counts = (counts[counts["tok"] == ""]
+                  .set_index("lab")["n"].sort_index())
+    tok_counts = counts[counts["tok"] != ""]
+    labels = sorted(doc_counts.index)
+    vocab = np.sort(tok_counts["tok"].unique())
+    v = len(vocab)
+    d_total = int(doc_counts.sum())
+    priors = np.array([
+        int(np.floor(np.log(doc_counts[l] / d_total) * NB_SCALE))
+        for l in labels], dtype=np.int64)
+    tok_idx = pd.Index(vocab)
+    w = np.empty((v, len(labels)), dtype=np.int64)
+    for j, l in enumerate(labels):
+        sub = tok_counts[tok_counts["lab"] == l]
+        n = np.zeros(v, dtype=np.int64)
+        pos = tok_idx.get_indexer(sub["tok"])
+        n[pos] = sub["n"].to_numpy(dtype=np.int64)
+        n_l = int(n.sum())
+        w[:, j] = np.floor(
+            np.log((n + 1).astype(np.float64) / (n_l + v))
+            * NB_SCALE).astype(np.int64)
+    return labels, priors, tok_idx, w
+
+
+def naive_bayes_predict(ds, model, label_col: str = "lang",
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Score every document against the broadcast weight matrix (ray.put
+    ONCE): per-batch vectorized token lookup + integer dot product; argmax
+    ties break label-ascending.  Returns a Dataset with ``predicted``."""
+    import pyarrow as pa
+
+    import ray
+
+    labels, priors, tok_idx, w = model
+    mref = ray.put((labels, priors, np.asarray(tok_idx), w))
+
+    def score(batch: pa.Table) -> pa.Table:
+        labs, pri, vocab, wm = ray.get(mref)
+        preds = []
+        for t in batch[text_col].to_pylist():
+            toks = (t or "").split()
+            s = pri.copy()
+            if toks:
+                uniq, cnt = np.unique(np.array(toks, dtype=object)
+                                      .astype(str), return_counts=True)
+                pos = np.searchsorted(vocab, uniq)
+                hit = (pos < len(vocab))
+                hit[hit] = vocab[pos[hit]] == uniq[hit]
+                s = s + (cnt[hit][:, None]
+                         * wm[pos[hit]]).sum(axis=0).astype(np.int64)
+            preds.append(labs[int(np.argmax(s))])  # first max = label asc
+        return batch.append_column("predicted",
+                                   pa.array(preds, pa.string()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
