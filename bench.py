@@ -193,6 +193,7 @@ def run_suite() -> dict:
                  "ab_srm_check", "exact_median_bisect",
                  "monthly_order_stats", "event_seq_3gram",
                  "supplier_share_of_wallet", "nb_lang_classify",
+                 "customers_without_urgent", "distinct_suppliers_per_brand",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -2064,3 +2064,120 @@ def supplier_share_of_wallet_q(sf_dir: str):
     return (rev.sort_values(["s_nationkey", "l_suppkey"])
                .reset_index(drop=True)
             [["s_nationkey", "l_suppkey", "share"]])
+
+
+# ---------------------------------------------------------------------------
+# Anti-join: customers with no urgent orders (broadcast NOT-IN + join twin)
+# ---------------------------------------------------------------------------
+
+@query("customers_without_urgent", sql="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+""")
+def customers_without_urgent_q(sf_dir: str):
+    """Relational anti-join: the qualifying right-side key set comes from
+    a guarded distinct-key combine, is ray.put ONCE, and each left batch
+    drops members with np.isin — no shuffle (the corpus_snapshot_delta
+    shape on relational keys).  Beyond the cap the twin is a left-outer
+    hash join + null filter."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+    import ray
+
+    urgent = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+              .map_batches(lambda b: b.filter(pc.equal(
+                  b["o_orderpriority"], "1-URGENT"))
+                  .select(["o_custkey"]), batch_format="pyarrow"))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    keys, ok = guarded_partials(
+        urgent.map_batches(partial, batch_format="pandas"), partial,
+        DRIVER_COMBINE_CAP)
+    if not ok:  # pragma: no cover - >2M distinct custkeys
+        record_route("customers_without_urgent", "join",
+                     "key set exceeds cap", None)
+        from dataquality_ray.stages.joins import hash_join
+        marked = hash_join(
+            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+            urgent.map_batches(
+                lambda b: b.append_column(
+                    "hit", pa.array(np.ones(len(b), np.int64))),
+                batch_format="pyarrow"),
+            on="c_custkey", right_on="o_custkey",
+            join_type="left_outer")
+        out = (marked.to_pandas())
+        out = out[out["hit"].isna()]
+    else:
+        record_route("customers_without_urgent", "broadcast",
+                     "key set within cap", 0 if keys is None else len(keys))
+        kref = ray.put(np.asarray(
+            [] if keys is None else keys["o_custkey"], dtype=np.int64))
+
+        def anti(batch: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            mask = ~np.isin(batch["c_custkey"].to_numpy(
+                zero_copy_only=False), ks)
+            return batch.filter(pa.array(mask))
+
+        out = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+               .map_batches(anti, batch_format="pyarrow").to_pandas())
+    return (out[["c_custkey", "c_mktsegment"]]
+            .sort_values("c_custkey").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct count per group (dedup-combine; HLL twin = hll_group_distinct)
+# ---------------------------------------------------------------------------
+
+@query("distinct_suppliers_per_brand", sql="""
+SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+""")
+def distinct_suppliers_per_brand_q(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group: brand resolved by broadcast lookup
+    (part is the dim side), then ONE guarded combine carries both the
+    deduplicated (brand, suppkey) pair set AND the plain item counts —
+    `hll_group_distinct` is the registered approximate twin past the cap."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+    )
+    from dataquality_ray.stages.joins import broadcast_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]) \
+        .to_pandas().rename(columns={"p_partkey": "l_partkey"})
+    joined = broadcast_join(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]), part,
+        on="l_partkey", value_cols=["p_brand"], join_type="inner")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = (batch.groupby(["p_brand", "l_suppkey"], sort=False)
+                      .size().rename("c").reset_index())
+        return pairs
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return (frame.groupby(["p_brand", "l_suppkey"], sort=False)["c"]
+                     .sum().reset_index())
+
+    pairs, ok = guarded_partials(
+        joined.select_columns(["p_brand", "l_suppkey"])
+              .map_batches(partial, batch_format="pandas"), merge,
+        DRIVER_COMBINE_CAP)
+    assert ok, "use hll_group_distinct beyond the cap"
+    out = pairs.groupby("p_brand").agg(
+        n_suppliers=("l_suppkey", "size"), n_items=("c", "sum"))
+    out = out.reset_index()
+    for c in ("n_suppliers", "n_items"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("p_brand").reset_index(drop=True)
