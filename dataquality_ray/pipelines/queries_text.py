@@ -4167,3 +4167,108 @@ def nb_lang_classify_q(sf_dir: str):
     out["n"] = out["n"].astype(np.int64)
     return (out.sort_values(["lang", "predicted"]).reset_index(drop=True)
             [["lang", "predicted", "n"]])
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: token-bigram overlap between two sources (sketch union =
+# elementwise max -> inclusion-exclusion intersection estimate)
+# ---------------------------------------------------------------------------
+
+def _hll_overlap_sql(src_a: str = "src0", src_b: str = "src1",
+                     p: int = 12) -> str:
+    m = 1 << p
+    shift = 1 << (64 - p)
+    alpha = f"(0.7213 / (1 + 1.079 / {m}))"
+
+    def est_cte(name: str, where: str) -> str:
+        return f"""{name}_h AS (
+  SELECT ('0x' || substr(sha256(bg), 1, 16))::UBIGINT::HUGEINT AS x
+  FROM big WHERE {where}
+), {name}_regs AS (
+  SELECT (x // {shift}) AS b,
+         max(65 - length(bin((((x * {m}) % 18446744073709551616)
+             + {m} - 1)::UBIGINT))) AS mj
+  FROM {name}_h GROUP BY 1
+), {name}_est AS (
+  SELECT count(*) AS nonempty, sum(1.0 / (1::UBIGINT << mj)) AS s
+  FROM {name}_regs
+), {name}_v AS (
+  SELECT floor(CASE WHEN ({alpha} * {m} * {m} / (s + ({m} - nonempty)
+                   * 1.0)) <= 2.5 * {m} AND ({m} - nonempty) > 0
+               THEN {m} * ln({m} * 1.0 / ({m} - nonempty))
+               ELSE ({alpha} * {m} * {m} / (s + ({m} - nonempty) * 1.0))
+               END * 10) / 10 AS v
+  FROM {name}_est
+)"""
+
+    return f"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+  WHERE length(trim(text)) > 0 AND source IN ('{src_a}', '{src_b}')
+), big AS (
+  SELECT source,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM toks
+),
+{est_cte("a", f"source = '{src_a}'")},
+{est_cte("b", f"source = '{src_b}'")},
+{est_cte("u", "true")}
+SELECT a_v.v AS est_a, b_v.v AS est_b, u_v.v AS est_union,
+       a_v.v + b_v.v - u_v.v AS est_overlap
+FROM a_v CROSS JOIN b_v CROSS JOIN u_v
+"""
+
+
+@query("hll_source_overlap", sql=_hll_overlap_sql())
+def hll_source_overlap_q(sf_dir: str):
+    """Sketch set algebra: token-BIGRAM distinct estimates for two sources
+    and their union (HLL union = elementwise register max — exact sketch
+    identity), overlap by inclusion–exclusion.  The oracle recomputes all
+    three registers (hll_distinct_counts precedent); estimates floored to
+    0.1 before the arithmetic on both sides."""
+    import pyarrow as pa
+
+    from dataquality_ray.stages.sketch import HyperLogLog, _hash_values
+
+    src_a, src_b = "src0", "src1"
+    ds = _read(sf_dir, "documents", ["source", "text"]).map_batches(
+        lambda b: b.filter(pa.array(np.isin(
+            b["source"].to_numpy(zero_copy_only=False), [src_a, src_b]))),
+        batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_s, out_r = [], []
+        for src in (src_a, src_b):
+            bgs: list[str] = []
+            for s, t in zip(batch["source"].to_pylist(),
+                            batch["text"].to_pylist()):
+                if s != src:
+                    continue
+                toks = (t or "").split()
+                bgs.extend(f"{a} {b2}" for a, b2 in zip(toks, toks[1:]))
+            h = HyperLogLog(12)
+            if bgs:
+                h.fold_hashes(_hash_values(pa.array(bgs, pa.string())))
+            out_s.append(src)
+            out_r.append(h.registers.tobytes())
+        return pa.table({"src": pa.array(out_s),
+                         "regs": pa.array(out_r, pa.binary())})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow").to_pandas())
+    hlls = {s: HyperLogLog(12) for s in (src_a, src_b)}
+    for _, row in parts.iterrows():
+        other = HyperLogLog(12)
+        other.registers = np.frombuffer(row["regs"], dtype=np.uint8).copy()
+        hlls[row["src"]].merge(other)
+    union = HyperLogLog(12)
+    union.merge(hlls[src_a]).merge(hlls[src_b])
+
+    def f10(x: float) -> float:
+        return np.floor(x * 10) / 10
+
+    ea, eb, eu = (f10(hlls[src_a].estimate()), f10(hlls[src_b].estimate()),
+                  f10(union.estimate()))
+    return pd.DataFrame({"est_a": [ea], "est_b": [eb], "est_union": [eu],
+                         "est_overlap": [ea + eb - eu]})
