@@ -414,3 +414,84 @@ def test_rolling_cents_chain_is_reproducible(cents):
     b = chain(np.array(cents, dtype=np.int64)[::1].astype(np.float64))
     same = (a == b) | (np.isnan(a) & np.isnan(b))
     assert same.all()
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(-50, 50)),
+                min_size=1, max_size=120),
+       st.integers(min_value=1, max_value=5),
+       st.data())
+def test_grouped_topk_local_merge_invariance(rows, k, data):
+    """Top-k of a union == top-k over concatenated per-part top-ks, for ANY
+    partition of the rows — the algebraic fact grouped_topk relies on."""
+    df = pd.DataFrame(rows, columns=["g", "x"])
+    df["id"] = np.arange(len(df), dtype=np.int64)
+
+    def local_topk(frame):
+        return (frame.sort_values(["x", "id"], ascending=[False, True])
+                     .groupby("g", sort=False).head(k))
+
+    cut = data.draw(st.integers(min_value=0, max_value=len(df)))
+    merged = local_topk(pd.concat([local_topk(df.iloc[:cut]),
+                                   local_topk(df.iloc[cut:])]))
+    whole = local_topk(df)
+    key = ["g", "x", "id"]
+    assert (merged.sort_values(key).reset_index(drop=True)[key]
+            .equals(whole.sort_values(key).reset_index(drop=True)[key]))
+
+
+@given(st.lists(st.integers(0, 30), min_size=2, max_size=150),
+       st.data())
+def test_prefix_max_staircase_split_invariance(vals, data):
+    """The merged record-point staircase resolves every row to the same
+    prefix max regardless of where the block boundary falls."""
+    v = np.array(vals, dtype=np.int64)
+    cut = data.draw(st.integers(min_value=1, max_value=len(v) - 1))
+
+    def staircase(off, arr):
+        run = np.maximum.accumulate(arr)
+        keep = np.concatenate([[True], run[1:] > run[:-1]])
+        return np.flatnonzero(keep) + off, run[keep]
+
+    o1, v1 = staircase(0, v[:cut])
+    o2, v2 = staircase(cut, v[cut:])
+    os_ = np.concatenate([o1, o2])
+    vs_ = np.maximum.accumulate(np.concatenate([v1, v2]))
+    keep = np.concatenate([[True], vs_[1:] > vs_[:-1]])
+    os_, vs_ = os_[keep], vs_[keep]
+    brute = np.concatenate([[np.iinfo(np.int64).min],
+                            np.maximum.accumulate(v)[:-1]])
+    for i in range(1, len(v)):
+        idx = np.searchsorted(os_, i, side="left") - 1
+        assert vs_[idx] == brute[i]
+
+
+@given(st.lists(st.floats(min_value=0, max_value=1000), min_size=1,
+                max_size=300))
+def test_disc_bound_matches_expanded_index(vals):
+    """quantile_disc from (value, count) histogram == the ceil(q·n)−1
+    element of the expanded sorted column."""
+    from dataquality_ray.stages.quantiles import _disc_bound_from_counts
+
+    arr = np.round(np.array(vals, dtype=np.float64), 2)
+    uniq, counts = np.unique(arr, return_counts=True)
+    sv = np.sort(arr)
+    for q in (0.05, 0.5, 0.95):
+        k = max(0, int(np.ceil(q * len(arr))) - 1)
+        assert _disc_bound_from_counts(uniq, counts, q) == sv[k]
+
+
+@given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=3),
+                min_size=1, max_size=200))
+def test_cms_linearity_any_split(tokens):
+    """CMS tables are linear: fold(A) + fold(B) == fold(A ++ B) for every
+    split — the property tree-merging relies on."""
+    import pyarrow as pa
+
+    from dataquality_ray.stages.sketch import CountMinSketch, _hash_values
+
+    h = _hash_values(pa.array(tokens, pa.string()))
+    whole = CountMinSketch(width=32, depth=3).fold_hashes(h)
+    for cut in {0, len(h) // 3, len(h) // 2, len(h)}:
+        a = CountMinSketch(width=32, depth=3).fold_hashes(h[:cut])
+        b = CountMinSketch(width=32, depth=3).fold_hashes(h[cut:])
+        assert (a.merge(b).table == whole.table).all()
