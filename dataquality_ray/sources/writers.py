@@ -163,3 +163,60 @@ def export_verify(out_dir: str) -> dict:
                 "will be rewritten on resume)")
     return {"partitions": len(done), "rows": total_rows,
             "ok": not problems, "problems": problems}
+
+
+def compact_files(input_paths, out_dir: str, *,
+                  target_bytes: int = 256 * 1024 * 1024) -> dict:
+    """Small-file compaction — the standing ops chore of any long-lived
+    lake: N tiny parquet files become ceil(total/target) right-sized ones.
+
+    Metadata-only planning: file sizes come from the filesystem (no data
+    read), files are first-fit packed into output groups, and each group
+    is ONE `read_parquet(group).write_parquet()` task-chain — groups
+    compact in parallel, nothing is ever whole in one process, and the
+    write streams.  Returns {files_in, files_out, rows, bytes_in}.
+    Output correctness = row-count conservation, checked from parquet
+    FOOTERS (no second data scan).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if isinstance(input_paths, str):
+        input_paths = sorted(
+            os.path.join(input_paths, f) for f in os.listdir(input_paths)
+            if f.endswith(".parquet"))
+    sizes = [(p, os.path.getsize(p)) for p in input_paths]
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_b = 0
+    for p, b in sizes:
+        if cur and cur_b + b > target_bytes:
+            groups.append(cur)
+            cur, cur_b = [], 0
+        cur.append(p)
+        cur_b += b
+    if cur:
+        groups.append(cur)
+    os.makedirs(out_dir, exist_ok=True)
+    rows_in = sum(pq.read_metadata(p).num_rows for p in input_paths)
+    for i, grp in enumerate(groups):
+        gdir = os.path.join(out_dir, f"group={i:05d}")
+        # one block per output group -> exactly one file per group
+        (rd.read_parquet(grp, override_num_blocks=1)
+           .write_parquet(gdir))
+    rows_out = 0
+    files_out = 0
+    for root, _, fs in os.walk(out_dir):
+        for f in fs:
+            if f.endswith(".parquet"):
+                files_out += 1
+                rows_out += pq.read_metadata(
+                    os.path.join(root, f)).num_rows
+    if rows_out != rows_in:
+        raise RuntimeError(
+            f"compaction lost rows: {rows_in} in, {rows_out} out")
+    return {"files_in": len(input_paths), "files_out": files_out,
+            "rows": rows_in, "bytes_in": sum(b for _, b in sizes),
+            "groups": len(groups)}

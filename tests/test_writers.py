@@ -115,3 +115,28 @@ def test_read_parquet_union_schema_evolution(ray_session, tmp_path):
     pq.write_table(pa.table({"id": ["s"], "x": [1.0]}), c)
     with pytest.raises(ValueError, match="conflicting types"):
         read_parquet_union([a, c])
+
+
+def test_compact_files_conserves_rows(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataquality_ray.sources.writers import compact_files
+
+    src = tmp_path / "small"
+    src.mkdir()
+    for i in range(12):
+        pq.write_table(pa.table({"x": list(range(i * 10, i * 10 + 10))}),
+                       src / f"f{i:03d}.parquet")
+    out = tmp_path / "compact"
+    # target fits ~4 input files per group
+    one = os.path.getsize(src / "f000.parquet")
+    res = compact_files(str(src), str(out), target_bytes=one * 4)
+    assert res["rows"] == 120 and res["files_in"] == 12
+    assert res["groups"] < 12 and res["files_out"] == res["groups"]
+    # values intact
+    import ray.data as rd
+    vals = sorted(r["x"] for r in rd.read_parquet(str(out)).take_all())
+    assert vals == list(range(120))
