@@ -194,7 +194,8 @@ def run_suite() -> dict:
                  "monthly_order_stats", "event_seq_3gram",
                  "supplier_share_of_wallet", "nb_lang_classify",
                  "customers_without_urgent", "distinct_suppliers_per_brand",
-                 "hll_source_overlap",
+                 "hll_source_overlap", "sequence_gap_check",
+                 "chi2_independence",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

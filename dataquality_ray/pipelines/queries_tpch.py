@@ -2181,3 +2181,112 @@ def distinct_suppliers_per_brand_q(sf_dir: str):
     for c in ("n_suppliers", "n_items"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-gap integrity check (append-log completeness)
+# ---------------------------------------------------------------------------
+
+@query("sequence_gap_check", sql="""
+SELECT CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(max(event_id) - min(event_id) + 1
+            - count(DISTINCT event_id) AS BIGINT) AS n_gaps,
+       CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dupes
+FROM events
+""")
+def sequence_gap_check_q(sf_dir: str):
+    """Append-log completeness: missing ids (gaps) and replayed ids
+    (dupes) from min/max/count/distinct — distinct via a guarded id-set
+    combine (ids are unique by contract, so partials are near-free)."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+    )
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("event_id", sort=False).size().rename("c")
+        return g.reset_index()
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby("event_id", as_index=False)["c"].sum()
+
+    idx, ok = guarded_partials(
+        ds.map_batches(partial, batch_format="pandas"), merge,
+        DRIVER_COMBINE_CAP)
+    assert ok, "id space beyond cap: use the min/max/count scalar partials"
+    ids = idx["event_id"].to_numpy(dtype=np.int64)
+    c = idx["c"].to_numpy(dtype=np.int64)
+    lo, hi, n, nd = int(ids.min()), int(ids.max()), int(c.sum()), len(ids)
+    return pd.DataFrame({
+        "min_id": np.array([lo], np.int64),
+        "max_id": np.array([hi], np.int64),
+        "n": np.array([n], np.int64),
+        "n_distinct": np.array([nd], np.int64),
+        "n_gaps": np.array([hi - lo + 1 - nd], np.int64),
+        "n_dupes": np.array([n - nd], np.int64),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence (event type vs day-of-week) — ALL-INTEGER terms:
+# (O·n − r·c)² · 1e9 // (r·c·n) per cell, one final division
+# ---------------------------------------------------------------------------
+
+@query("chi2_independence", sql="""
+WITH cells AS (
+  SELECT event_type AS t, (epoch_us(ts) // 1000000 // 86400) % 7 AS wd,
+         count(*)::HUGEINT AS o
+  FROM events GROUP BY 1, 2
+), r AS (SELECT t, sum(o) AS rt FROM cells GROUP BY t),
+c AS (SELECT wd, sum(o) AS ct FROM cells GROUP BY wd),
+tot AS (SELECT sum(o) AS n FROM cells),
+grid AS (
+  SELECT r.t, c.wd, r.rt, c.ct, coalesce(cells.o, 0) AS o
+  FROM r CROSS JOIN c
+  LEFT JOIN cells ON cells.t = r.t AND cells.wd = c.wd
+), terms AS (
+  SELECT ((grid.o * tot.n - grid.rt * grid.ct)
+          * (grid.o * tot.n - grid.rt * grid.ct) * 1000000000)
+           // (grid.rt * grid.ct * tot.n) AS ti
+  FROM grid CROSS JOIN tot
+)
+SELECT CAST((SELECT count(*) FROM grid) AS BIGINT) AS n_cells,
+       CAST(sum(ti) AS DOUBLE) / 1000000000.0 AS chi2
+FROM terms
+""")
+def chi2_independence_q(sf_dir: str):
+    """Chi-square independence of event type × day-of-week with NO float
+    accumulation: each cell's term is the exact integer
+    ⌊(O·n − r·c)²·1e9 / (r·c·n)⌋ (arbitrary-precision on both engines),
+    summed exactly, ONE final division — bit-exact where a naive Σ(O−E)²/E
+    float sum is summation-order-dependent across engines."""
+    from dataquality_ray.stages.combine import combine_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        wd = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+              // 1_000_000 // 86_400) % 7
+        return pa.table({"t": batch["event_type"],
+                         "wd": pa.array(wd, pa.int64())})
+
+    cells = combine_groupby(ds.map_batches(prep, batch_format="pyarrow"),
+                            ["t", "wd"], {"o": ("t", "size")})
+    piv = (cells.pivot_table(index="t", columns="wd", values="o",
+                             fill_value=0, aggfunc="sum"))
+    o = piv.to_numpy().astype(object)  # python ints: no overflow
+    rt = o.sum(axis=1, keepdims=True)
+    ct = o.sum(axis=0, keepdims=True)
+    n = int(o.sum())
+    total = 0
+    for i in range(o.shape[0]):
+        for j in range(o.shape[1]):
+            d = int(o[i, j]) * n - int(rt[i, 0]) * int(ct[0, j])
+            total += (d * d * 10**9) // (int(rt[i, 0]) * int(ct[0, j]) * n)
+    return pd.DataFrame({"n_cells": np.array([o.size], np.int64),
+                         "chi2": [float(total) / 1e9]})
