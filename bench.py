@@ -195,7 +195,7 @@ def run_suite() -> dict:
                  "supplier_share_of_wallet", "nb_lang_classify",
                  "customers_without_urgent", "distinct_suppliers_per_brand",
                  "hll_source_overlap", "sequence_gap_check",
-                 "chi2_independence",
+                 "chi2_independence", "cdc_apply",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -4272,3 +4272,109 @@ def hll_source_overlap_q(sf_dir: str):
                   f10(union.estimate()))
     return pd.DataFrame({"est_a": [ea], "est_b": [eb], "est_union": [eu],
                          "est_overlap": [ea + eb - eu]})
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: merge an insert/update/delete changelog into a base snapshot
+# ---------------------------------------------------------------------------
+
+@query("cdc_apply", sql="""
+WITH log AS (
+  SELECT doc_id, 'U' AS op, text || ' v2' AS text, lang, 1 AS seq
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id, 'D', NULL, lang, 2 FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 100000, 'I', text || ' new', lang, 3
+  FROM documents WHERE doc_id % 29 = 0
+), latest AS (
+  SELECT doc_id, op, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY seq DESC) AS k
+    FROM log) WHERE k = 1
+), final AS (
+  SELECT d.doc_id, d.text, d.lang FROM documents d
+  LEFT JOIN latest l USING (doc_id) WHERE l.doc_id IS NULL
+  UNION ALL
+  SELECT doc_id, text, lang FROM latest WHERE op IN ('U', 'I')
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM final GROUP BY lang ORDER BY lang
+""")
+def cdc_apply_q(sf_dir: str):
+    """CDC merge (the lakehouse MERGE INTO): latest op per key via a
+    guarded argmax-by-seq combine; apply = base anti-join touched keys ∪
+    changelog upserts — base content moves at most once, the changelog is
+    the broadcast side.  Deterministic planted log: updates (%13),
+    deletes (%17 — beats the update at seq order), inserts (%29)."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+    )
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def build_log(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        out = []
+        u = df[df.doc_id % 13 == 0].copy()
+        u["op"], u["seq"] = "U", 1
+        u["text"] = u["text"] + " v2"
+        out.append(u)
+        d = df[df.doc_id % 17 == 0].copy()
+        d["op"], d["seq"] = "D", 2
+        d["text"] = None
+        out.append(d)
+        i = df[df.doc_id % 29 == 0].copy()
+        i["op"], i["seq"] = "I", 3
+        i["doc_id"] = i["doc_id"] + 100000
+        i["text"] = i["text"] + " new"
+        out.append(i)
+        return pd.concat(out, ignore_index=True)[
+            ["doc_id", "op", "text", "lang", "seq"]]
+
+    def latest(frame: pd.DataFrame) -> pd.DataFrame:
+        return (frame.sort_values(["doc_id", "seq"],
+                                  ascending=[True, False])
+                     .groupby("doc_id", sort=False).head(1))
+
+    log, ok = guarded_partials(
+        docs.map_batches(build_log, batch_format="pyarrow"), latest,
+        DRIVER_COMBINE_CAP)
+    assert ok, "changelog beyond cap: hash-join apply per key partition"
+    touched = ray.put(np.sort(log["doc_id"].to_numpy(dtype=np.int64)))
+
+    def drop_touched(batch: pa.Table) -> pa.Table:
+        ks = ray.get(touched)
+        mask = ~np.isin(batch["doc_id"].to_numpy(zero_copy_only=False), ks)
+        return batch.filter(pa.array(mask))
+
+    kept = docs.map_batches(drop_touched, batch_format="pyarrow")
+    upserts = log[log["op"].isin(["U", "I"])]
+
+    def stats_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_pylist(),
+            "chars": [len(t) for t in batch["text"].to_pylist()]})
+        g = df.groupby("lang", as_index=False)
+        out = g["chars"].sum().rename(columns={"chars": "total_chars"})
+        out["n_docs"] = g.size()["size"]
+        return out
+
+    def fold(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby("lang", as_index=False)[
+            ["total_chars", "n_docs"]].sum()
+
+    base_stats = (kept.map_batches(stats_partial, batch_format="pyarrow")
+                  .to_pandas())
+    up_stats = pd.DataFrame({
+        "lang": upserts["lang"],
+        "total_chars": upserts["text"].str.len().astype(np.int64),
+        "n_docs": 1})
+    out = fold(pd.concat([base_stats, up_stats], ignore_index=True))
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    return (out.sort_values("lang").reset_index(drop=True)
+            [["lang", "n_docs", "total_chars"]])
