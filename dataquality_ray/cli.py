@@ -111,6 +111,17 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Small-file compaction into target-size parquet groups."""
+    from dataquality_ray.sources.writers import compact_files
+
+    _ensure_ray()
+    summary = compact_files(args.input, args.out,
+                            target_bytes=args.target_mb * 1024 * 1024)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_diff(args: argparse.Namespace) -> int:
     """Score regression report between two battery run-log dirs."""
     from dataquality_ray.state.report import battery_diff
@@ -202,6 +213,13 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--verify-only", action="store_true",
                    help="only verify an existing export dir (no write)")
     e.set_defaults(fn=cmd_export)
+
+    cp = sub.add_parser("compact",
+                        help="compact small parquet files to target size")
+    cp.add_argument("--input", required=True, help="dir of small files")
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--target-mb", type=int, default=256)
+    cp.set_defaults(fn=cmd_compact)
 
     df_ = sub.add_parser("diff",
                          help="battery score diff between two run dirs")
