@@ -196,6 +196,7 @@ def run_suite() -> dict:
                  "customers_without_urgent", "distinct_suppliers_per_brand",
                  "hll_source_overlap", "sequence_gap_check",
                  "chi2_independence", "cdc_apply",
+                 "freshness_check", "daily_volume_change",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -2290,3 +2290,73 @@ def chi2_independence_q(sf_dir: str):
             total += (d * d * 10**9) // (int(rt[i, 0]) * int(ct[0, j]) * n)
     return pd.DataFrame({"n_cells": np.array([o.size], np.int64),
                          "chi2": [float(total) / 1e9]})
+
+
+# ---------------------------------------------------------------------------
+# Freshness audit (per-stream lag behind the corpus watermark)
+# ---------------------------------------------------------------------------
+
+@query("freshness_check", sql="""
+WITH g AS (SELECT max(ts) AS wm FROM events)
+SELECT event_type, max(ts) AS latest,
+       CAST((epoch_us(g.wm) - epoch_us(max(ts))) // 1000000 AS BIGINT)
+         AS lag_seconds
+FROM events CROSS JOIN g
+GROUP BY event_type, g.wm ORDER BY event_type
+""")
+def freshness_check_q(sf_dir: str):
+    """Per-stream freshness: each event type's latest timestamp and its
+    lag behind the global watermark — min/max partials only, no shuffle."""
+    from dataquality_ray.stages.combine import combine_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    out = combine_groupby(ds, ["event_type"], {"latest": ("ts", "max")})
+    out["latest"] = out["latest"].astype("datetime64[us]")
+    lat_us = out["latest"].astype(np.int64)
+    out["lag_seconds"] = ((lat_us.max() - lat_us) // 1_000_000) \
+        .astype(np.int64)
+    return (out.sort_values("event_type").reset_index(drop=True)
+            [["event_type", "latest", "lag_seconds"]])
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day volume change (pipeline health monitor)
+# ---------------------------------------------------------------------------
+
+@query("daily_volume_change", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT day, n, delta, pct_change FROM (
+  SELECT day, n,
+         CAST(n - lag(n) OVER (ORDER BY day) AS BIGINT) AS delta,
+         CAST(n - lag(n) OVER (ORDER BY day) AS DOUBLE)
+           / lag(n) OVER (ORDER BY day) AS pct_change
+  FROM d)
+WHERE delta IS NOT NULL ORDER BY day
+""")
+def daily_volume_change_q(sf_dir: str):
+    """Day-over-day ingest volume deltas — the first alarm of a broken
+    upstream feed; daily counts from one combine, the lag/delta chain is
+    driver arithmetic (days are bounded), pct = one division."""
+    from dataquality_ray.stages.combine import combine_groupby
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 1_000_000 // 86_400)
+        return pa.table({"day": pa.array(day, pa.int64())})
+
+    out = combine_groupby(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["day"], {"n": ("day", "size")})
+    out = out.sort_values("day").reset_index(drop=True)
+    n = out["n"].to_numpy(dtype=np.int64)
+    delta = np.diff(n)
+    pct = delta.astype(np.float64) / n[:-1]
+    # the first day has no predecessor -> excluded on both sides
+    return pd.DataFrame({"day": out["day"].astype(np.int64)[1:].to_numpy(),
+                         "n": n[1:], "delta": delta,
+                         "pct_change": pct})
