@@ -2360,3 +2360,63 @@ def daily_volume_change_q(sf_dir: str):
     return pd.DataFrame({"day": out["day"].astype(np.int64)[1:].to_numpy(),
                          "n": n[1:], "delta": delta,
                          "pct_change": pct})
+
+
+# ---------------------------------------------------------------------------
+# Burstiness: variance-to-mean ratio of hourly arrival counts per type
+# ---------------------------------------------------------------------------
+
+@query("event_burstiness", sql="""
+WITH hours AS (
+  SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(h) AS h0, max(h) AS h1 FROM hours
+), grid AS (
+  SELECT t.event_type, g.h, coalesce(hours.x, 0) AS x
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(
+      (SELECT h0 FROM bounds), (SELECT h1 FROM bounds))) AS h) g
+  LEFT JOIN hours ON hours.event_type = t.event_type AND hours.h = g.h
+), s AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(x * x)::BIGINT AS sxx
+  FROM grid GROUP BY event_type
+)
+SELECT event_type, n, sx AS total,
+       CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * sx)
+         AS vmr
+FROM s ORDER BY event_type
+""")
+def event_burstiness_q(sf_dir: str):
+    """Arrival burstiness per stream: variance-to-mean ratio of the
+    ZERO-FILLED hourly count series (VMR≈1 = Poisson, >1 = bursty) —
+    the hour×type grid from one combine, VMR = (n·Σx²−(Σx)²)/(n·Σx),
+    exact ints and one division."""
+    from dataquality_ray.stages.combine import combine_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        h = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 1_000_000 // 3_600)
+        return pa.table({"event_type": batch["event_type"],
+                         "h": pa.array(h, pa.int64())})
+
+    hours = combine_groupby(ds.map_batches(prep, batch_format="pyarrow"),
+                            ["event_type", "h"], {"x": ("h", "size")})
+    h0, h1 = int(hours["h"].min()), int(hours["h"].max())
+    n = h1 - h0 + 1
+    rows = []
+    for t, sub in hours.groupby("event_type", sort=True):
+        x = np.zeros(n, dtype=np.int64)
+        x[sub["h"].to_numpy(dtype=np.int64) - h0] = \
+            sub["x"].to_numpy(dtype=np.int64)
+        sx, sxx = int(x.sum()), int((x * x).sum())
+        rows.append({"event_type": t, "n": n, "total": sx,
+                     "vmr": float(n * sxx - sx * sx) / (float(n) * sx)})
+    out = pd.DataFrame(rows)
+    for c in ("n", "total"):
+        out[c] = out[c].astype(np.int64)
+    return out
