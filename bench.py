@@ -197,7 +197,7 @@ def run_suite() -> dict:
                  "hll_source_overlap", "sequence_gap_check",
                  "chi2_independence", "cdc_apply",
                  "freshness_check", "daily_volume_change",
-                 "event_burstiness",
+                 "event_burstiness", "pca_embeddings",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

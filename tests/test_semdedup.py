@@ -88,3 +88,51 @@ def test_explicit_centroids():
     np.testing.assert_array_equal(
         out.sort_values("vec_id")["cluster"].to_numpy(),
         np.argmax(e @ ce.T, axis=1))
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (stages/pca.py)
+# ---------------------------------------------------------------------------
+
+def test_pca_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from dataquality_ray.stages.pca import pca_fit, pca_transform
+
+    rng = np.random.default_rng(17)
+    # anisotropic data so components are well-separated
+    base = rng.normal(0, 1, (600, 3)) @ rng.normal(0, 1, (3, 16))
+    x = base + rng.normal(0, 0.01, (600, 16))
+    ds = rd.from_items([{"embedding": row.astype(np.float32).tolist()}
+                        for row in x])
+    mean, comps, evals, ratio = pca_fit(ds, n_components=4)
+    xf = x.astype(np.float32).astype(np.float64)
+    np.testing.assert_allclose(mean, xf.mean(axis=0), atol=1e-9)
+    cov = np.cov(xf, rowvar=False)
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:4]
+    np.testing.assert_allclose(evals, ev[order], rtol=1e-8)
+    for i, j in enumerate(order):
+        v = evec[:, j]
+        k = int(np.argmax(np.abs(v)))
+        if v[k] < 0:
+            v = -v
+        np.testing.assert_allclose(comps[i], v, atol=1e-7)
+    # projection: variance along component 0 equals its eigenvalue
+    z = np.array(pca_transform(ds, mean, comps).to_pandas()["pca"].tolist())
+    np.testing.assert_allclose(z.var(axis=0, ddof=1)[0], evals[0],
+                               rtol=1e-6)
+
+
+def test_pca_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from dataquality_ray.stages.pca import pca_fit
+
+    rng = np.random.default_rng(23)
+    x = rng.normal(0, 1, (400, 8))
+    rows = [{"embedding": r.tolist()} for r in x]
+    a = pca_fit(rd.from_items(rows).repartition(1), n_components=3)
+    b = pca_fit(rd.from_items(rows).repartition(13), n_components=3)
+    np.testing.assert_allclose(a[1], b[1], atol=1e-9)
+    np.testing.assert_allclose(a[2], b[2], rtol=1e-9)
