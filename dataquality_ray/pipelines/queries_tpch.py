@@ -2420,3 +2420,52 @@ def event_burstiness_q(sf_dir: str):
     for c in ("n", "total"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q6-style forecasting revenue change: pure filter + sum (pushdown shape)
+# ---------------------------------------------------------------------------
+
+@query("q6_forecast_revenue", sql="""
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0
+         AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue_q(sf_dir: str):
+    """TPC-H Q6 shape: the pure filter+sum pipeline — column-pruned read,
+    one vectorized predicate batch kernel, two scalar int partials;
+    the canonical predicate-pushdown measurement.  Integer cents×bps,
+    one division."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        keep = ((batch["l_shipdate"].to_numpy(zero_copy_only=False)
+                 >= lo.to_datetime64())
+                & (batch["l_shipdate"].to_numpy(zero_copy_only=False)
+                   < hi.to_datetime64())
+                & (np.round(disc * 100).astype(np.int64) >= 5)
+                & (np.round(disc * 100).astype(np.int64) <= 7)
+                & (batch["l_quantity"].to_numpy(zero_copy_only=False)
+                   < 24))
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        bps = np.round(disc[keep] * 100.0).astype(np.int64)
+        return pa.table({"units": pa.array([int((cents * bps).sum())],
+                                           pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue_delta": [int(parts["units"].sum()) / 10000.0],
+        "n_items": np.array([int(parts["n"].sum())], np.int64)})
