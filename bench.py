@@ -198,7 +198,7 @@ def run_suite() -> dict:
                  "chi2_independence", "cdc_apply",
                  "freshness_check", "daily_volume_change",
                  "event_burstiness", "pca_embeddings",
-                 "q6_forecast_revenue",
+                 "q6_forecast_revenue", "volume_autocorrelation",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -2469,3 +2469,65 @@ def q6_forecast_revenue_q(sf_dir: str):
     return pd.DataFrame({
         "revenue_delta": [int(parts["units"].sum()) / 10000.0],
         "n_items": np.array([int(parts["n"].sum())], np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of daily ingest volume (seasonality probe)
+# ---------------------------------------------------------------------------
+
+@query("volume_autocorrelation", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 1000000 // 86400 AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+grid AS (
+  SELECT g.day, coalesce(d.n, 0) AS n
+  FROM (SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                      (SELECT d1 FROM bounds))) AS day) g
+  LEFT JOIN d USING (day)
+), pairs AS (
+  SELECT n AS x, lead(n) OVER (ORDER BY day) AS y FROM grid
+), s AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+         sum(y * y)::BIGINT AS syy
+  FROM pairs WHERE y IS NOT NULL
+)
+SELECT n AS n_pairs,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS lag1_autocorr
+FROM s
+""")
+def volume_autocorrelation_q(sf_dir: str):
+    """Lag-1 Pearson autocorrelation of the zero-filled daily volume
+    series — trend/seasonality probe; exact int sums over (x, next-x)
+    pairs, the bit-exact event_type_correlation float convention."""
+    from dataquality_ray.stages.combine import combine_groupby
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 1_000_000 // 86_400)
+        return pa.table({"day": pa.array(day, pa.int64())})
+
+    daily = combine_groupby(ds.map_batches(prep, batch_format="pyarrow"),
+                            ["day"], {"n": ("day", "size")})
+    daily = daily.sort_values("day").reset_index(drop=True)
+    d0, d1 = int(daily["day"].min()), int(daily["day"].max())
+    series = np.zeros(d1 - d0 + 1, dtype=np.int64)
+    series[daily["day"].to_numpy(dtype=np.int64) - d0] = \
+        daily["n"].to_numpy(dtype=np.int64)
+    x, y = series[:-1], series[1:]
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx, syy = int((x * x).sum()), int((y * y).sum())
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    r = (float(n * sxy - sx * sy) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+         if vx > 0 and vy > 0 else None)
+    return pd.DataFrame({"n_pairs": np.array([n], np.int64),
+                         "lag1_autocorr": [r]})
