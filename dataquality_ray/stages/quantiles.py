@@ -637,3 +637,65 @@ def exact_kth_twopass(ds, col: str, k: int, bins: int = 1 << 16,
               .map_batches(collect, batch_format="pyarrow")
               .to_pandas()["v"].to_numpy())
     return float(np.partition(vals, k - below - 1)[k - below - 1])
+
+
+def grouped_histogram_quantiles(ds, col: str, group_col: str,
+                                qs=(0.5, 0.95), bins: int = 4096,
+                                max_groups: int = 100_000) -> pd.DataFrame:
+    """Approximate per-group quantiles at ANY value cardinality: global
+    [min, max] from scalar partials, then one pass of per-(group, bin)
+    counts (each batch emits at most groups-in-batch × touched-bins rows);
+    per-group quantiles read off the merged histograms.  Error ≤ one bin
+    width (range/bins).  Driver memory O(groups × touched bins), guarded
+    by ``max_groups`` — the beyond-cap twin when a group's VALUE universe
+    outgrows the exact (group, value, count) combine."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        v = batch[col].drop_null()
+        if not len(v):
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": [pc.min(v).as_py()],
+                         "hi": [pc.max(v).as_py()]})
+
+    mm = (ds.select_columns([col])
+            .map_batches(minmax, batch_format="pyarrow").to_pandas())
+    if not len(mm):
+        return pd.DataFrame(columns=["group", "q", "quantile_est"])
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    width = (hi - lo) / bins if hi > lo else 1.0
+
+    def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = pd.to_numeric(batch[col], errors="coerce")
+        df = pd.DataFrame({"g": batch[group_col], "v": v}).dropna(
+            subset=["v"])
+        df["b"] = np.clip(((df["v"] - lo) / width).astype(np.int64),
+                          0, bins - 1)
+        return (df.groupby(["g", "b"], sort=False).size().rename("c")
+                  .reset_index())
+
+    parts = (ds.select_columns([group_col, col])
+               .map_batches(hist_partial, batch_format="pandas")
+               .to_pandas())
+    merged = parts.groupby(["g", "b"], as_index=False)["c"].sum()
+    n_groups = merged["g"].nunique()
+    if n_groups > max_groups:
+        raise MemoryError(
+            f"grouped_histogram_quantiles: {n_groups} groups exceed "
+            f"max_groups={max_groups}")
+    rows = []
+    for g, sub in merged.groupby("g", sort=True):
+        b = sub["b"].to_numpy(dtype=np.int64)
+        c = sub["c"].to_numpy(dtype=np.int64)
+        order = np.argsort(b)
+        b, c = b[order], c[order]
+        cum = np.cumsum(c)
+        n = cum[-1]
+        for q in qs:
+            k = max(0, int(np.ceil(q * n)) - 1)
+            bq = b[np.searchsorted(cum, k + 1)]
+            rows.append({"group": g, "q": q,
+                         "quantile_est": lo + (bq + 0.5) * width})
+    return pd.DataFrame(rows)

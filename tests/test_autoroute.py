@@ -327,3 +327,30 @@ def test_exact_quantiles_bisect_mode_matches_counts(ray_session):
     bisect = exact_quantiles(ds, "x", (0.25, 0.5, 0.9), mode="bisect")
     for q in exact:
         assert abs(exact[q] - bisect[q]) < 1e-12
+
+
+def test_grouped_histogram_quantiles_error_bound(ray_session):
+    from dataquality_ray.stages.quantiles import grouped_histogram_quantiles
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 6000),
+        "v": rng.normal(100, 25, 6000),
+    })
+    ds = rd.from_pandas(df)
+    est = grouped_histogram_quantiles(ds, "v", "g", qs=(0.5, 0.95),
+                                      bins=4096)
+    width = (df.v.max() - df.v.min()) / 4096
+    for _, row in est.iterrows():
+        vals = np.sort(df[df.g == row["group"]]["v"].to_numpy())
+        k = max(0, int(np.ceil(row["q"] * len(vals))) - 1)
+        assert abs(row["quantile_est"] - vals[k]) <= width + 1e-9
+
+
+def test_grouped_histogram_quantiles_group_cap(ray_session):
+    from dataquality_ray.stages.quantiles import grouped_histogram_quantiles
+
+    df = pd.DataFrame({"g": np.arange(50), "v": np.arange(50.0)})
+    with pytest.raises(MemoryError, match="groups exceed"):
+        grouped_histogram_quantiles(rd.from_pandas(df), "v", "g",
+                                    max_groups=10)
