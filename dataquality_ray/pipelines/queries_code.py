@@ -1,0 +1,251 @@
+"""Code-payload analysis operators over a deterministically derived
+"code view" of the documents table.
+
+The driver's testdata documents are single-line word soup, so the code-shaped
+signals (comment lines, indentation, license headers) are PLANTED by a
+deterministic RE2 rewrite applied identically on the Ray side
+(``pyarrow.compute.replace_substring_regex``) and in the DuckDB oracle
+(``regexp_replace`` — DuckDB also uses RE2, so the rewrite and the detection
+regexes are byte-identical across engines; same precedent as
+``html_text_extract``).  The rewrite turns each doc into a newline-separated
+pseudo-source file: word 'the' becomes a ``#`` comment line, 'join' a ``//``
+comment line, 'agg' a tab-indented line, 'data' a 4-space-indented line, and
+docs with ``doc_id % 11 in (0,1,2)`` get an MIT / Apache / SPDX license
+header prepended.
+
+These model the code-corpus heuristics the north rule's quality filter needs
+(reference analog: the per-column indicator kernels in
+``/root/reference/utils/table_operations.py`` — here re-expressed as
+vectorized Arrow regex kernels over a content column).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataquality_ray.pipelines.registry import query
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# The shared code-view rewrite (Ray kernel + SQL twin)
+# ---------------------------------------------------------------------------
+
+_LICENSES = ["MIT License", "Apache-2.0", "SPDX-License-Identifier: GPL-3.0"]
+
+
+def code_view_batch(batch: pa.Table, *, plant_license: bool = False) -> pa.Table:
+    """Derive the pseudo-source 'code' column from documents.text.
+
+    One vectorized RE2 chain per batch; no Python per-row work except the
+    license prepend (three fixed headers selected by doc_id % 11).
+    """
+    code = pc.replace_substring_regex(
+        pc.coalesce(batch["text"], pa.scalar("")), " ", "\n")
+    code = pc.replace_substring_regex(code, "(?m)^join$", "// join")
+    code = pc.replace_substring_regex(code, "(?m)^the$", "# the")
+    code = pc.replace_substring_regex(code, "(?m)^agg$", "\tagg")
+    code = pc.replace_substring_regex(code, "(?m)^data$", "    data")
+    if plant_license:
+        mod = pc.mod if hasattr(pc, "mod") else None
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % 11
+        heads = np.where(
+            sel == 0, _LICENSES[0] + "\n",
+            np.where(sel == 1, _LICENSES[1] + "\n",
+                     np.where(sel == 2, _LICENSES[2] + "\n", "")))
+        code = pc.binary_join_element_wise(pa.array(heads), code, "")
+    return pa.table({"doc_id": batch["doc_id"], "code": code})
+
+
+def _code_view_sql(plant_license: bool = False) -> str:
+    base = ("regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "regexp_replace(coalesce(text,''), ' ', chr(10), 'g'),"
+            " '(?m)^join$', '// join', 'g'),"
+            " '(?m)^the$', '# the', 'g'),"
+            " '(?m)^agg$', chr(9)||'agg', 'g'),"
+            " '(?m)^data$', '    data', 'g')")
+    if plant_license:
+        head = (f"CASE doc_id % 11 WHEN 0 THEN '{_LICENSES[0]}'||chr(10)"
+                f" WHEN 1 THEN '{_LICENSES[1]}'||chr(10)"
+                f" WHEN 2 THEN '{_LICENSES[2]}'||chr(10) ELSE '' END")
+        base = f"{head} || {base}"
+    return f"SELECT doc_id, {base} AS code FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Comment-line stats per document
+# ---------------------------------------------------------------------------
+
+@query("code_comment_stats", sql=f"""
+WITH cv AS ({_code_view_sql()})
+SELECT doc_id,
+       CASE WHEN code = '' THEN 0
+            ELSE len(string_split(code, chr(10))) END AS n_lines,
+       len(regexp_extract_all(code, '(?m)^[ '||chr(9)||']*(#|//)'))
+         AS n_comment_lines,
+       CASE WHEN code = '' THEN 0.0
+            ELSE floor(len(regexp_extract_all(code,
+                    '(?m)^[ '||chr(9)||']*(#|//)')) * 1000000.0
+                 / len(string_split(code, chr(10)))) / 1000000.0
+       END AS comment_frac
+FROM cv ORDER BY doc_id
+""")
+def code_comment_stats_q(sf_dir: str):
+    """Per-file comment-line count and fraction — a core code-quality
+    heuristic (auto-generated / low-doc files).  One RE2 count kernel per
+    batch; the fraction is a single floor-scaled division so it is
+    bit-identical to the DuckDB replay."""
+    def kern(batch: pa.Table) -> pa.Table:
+        cv = code_view_batch(batch)
+        code = cv["code"]
+        nonempty = pc.not_equal(code, "")
+        n_lines = pc.if_else(
+            nonempty,
+            pc.add(pc.count_substring(code, "\n"), 1),
+            pa.scalar(0, pa.int32())).cast(pa.int64())
+        n_comment = pc.count_substring_regex(
+            code, r"(?m)^[ \t]*(#|//)").cast(pa.int64())
+        nl = n_lines.to_numpy(zero_copy_only=False).astype(np.float64)
+        ncm = n_comment.to_numpy(zero_copy_only=False).astype(np.float64)
+        frac = np.where(nl > 0, np.floor(ncm * 1e6 / np.maximum(nl, 1)) / 1e6,
+                        0.0)
+        return pa.table({"doc_id": cv["doc_id"], "n_lines": n_lines,
+                         "n_comment_lines": n_comment,
+                         "comment_frac": pa.array(frac)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Indentation profile per document (tabs vs spaces)
+# ---------------------------------------------------------------------------
+
+@query("indentation_profile", sql=f"""
+WITH cv AS ({_code_view_sql()})
+SELECT doc_id,
+       len(regexp_extract_all(code, '(?m)^'||chr(9))) AS n_tab_lines,
+       len(regexp_extract_all(code, '(?m)^    ')) AS n_space_lines,
+       CASE WHEN len(regexp_extract_all(code, '(?m)^'||chr(9)))
+                 > len(regexp_extract_all(code, '(?m)^    ')) THEN 'tabs'
+            WHEN len(regexp_extract_all(code, '(?m)^    '))
+                 > len(regexp_extract_all(code, '(?m)^'||chr(9))) THEN 'spaces'
+            WHEN len(regexp_extract_all(code, '(?m)^'||chr(9))) > 0
+                 THEN 'mixed'
+            ELSE 'none' END AS indent_style
+FROM cv ORDER BY doc_id
+""")
+def indentation_profile_q(sf_dir: str):
+    """Tab-vs-space indentation profile per file (style-consistency
+    heuristic for code corpora)."""
+    def kern(batch: pa.Table) -> pa.Table:
+        cv = code_view_batch(batch)
+        code = cv["code"]
+        n_tab = pc.count_substring_regex(code, r"(?m)^\t").cast(pa.int64())
+        n_sp = pc.count_substring_regex(code, r"(?m)^    ").cast(pa.int64())
+        t = n_tab.to_numpy(zero_copy_only=False)
+        s = n_sp.to_numpy(zero_copy_only=False)
+        style = np.where(t > s, "tabs",
+                         np.where(s > t, "spaces",
+                                  np.where(t > 0, "mixed", "none")))
+        return pa.table({"doc_id": cv["doc_id"], "n_tab_lines": n_tab,
+                         "n_space_lines": n_sp,
+                         "indent_style": pa.array(style)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# License-header detection (planted headers)
+# ---------------------------------------------------------------------------
+
+@query("license_detect", sql=f"""
+WITH cv AS ({_code_view_sql(plant_license=True)})
+SELECT doc_id,
+       CASE WHEN regexp_matches(code, '(?m)^MIT License$') THEN 'mit'
+            WHEN regexp_matches(code, '(?m)^Apache-2\\.0$') THEN 'apache-2.0'
+            WHEN regexp_matches(code, 'SPDX-License-Identifier: ([A-Za-z0-9.-]+)')
+                 THEN lower(regexp_extract(code,
+                        'SPDX-License-Identifier: ([A-Za-z0-9.-]+)', 1))
+            ELSE 'unknown' END AS license
+FROM cv ORDER BY doc_id
+""")
+def license_detect_q(sf_dir: str):
+    """SPDX / license-header detection over file heads — the standard
+    compliance gate in code-corpus pipelines (planted headers; the detect
+    regexes are the real operator)."""
+    def kern(batch: pa.Table) -> pa.Table:
+        cv = code_view_batch(batch, plant_license=True)
+        code = cv["code"]
+        mit = pc.match_substring_regex(code, r"(?m)^MIT License$")
+        apa = pc.match_substring_regex(code, r"(?m)^Apache-2\.0$")
+        spdx = pc.extract_regex(
+            code, r"SPDX-License-Identifier: (?P<lic>[A-Za-z0-9.-]+)")
+        spdx_valid = spdx.is_valid()
+        spdx_lic = pc.utf8_lower(pc.struct_field(spdx, "lic"))
+        lic = pc.if_else(
+            mit, pa.scalar("mit"),
+            pc.if_else(apa, pa.scalar("apache-2.0"),
+                       pc.if_else(spdx_valid,
+                                  pc.coalesce(spdx_lic, pa.scalar("unknown")),
+                                  pa.scalar("unknown"))))
+        return pa.table({"doc_id": cv["doc_id"], "license": lic})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Identifier stats (runs on the raw text — the word soup IS the identifier
+# stream)
+# ---------------------------------------------------------------------------
+
+@query("identifier_stats", sql="""
+WITH idents AS (
+  SELECT doc_id,
+         regexp_extract_all(coalesce(text, ''), '[a-z_][a-z0-9_]{3,}')
+           AS ids
+  FROM documents
+)
+SELECT doc_id,
+       len(ids) AS n_idents,
+       len(list_distinct(ids)) AS n_distinct_idents,
+       CASE WHEN len(ids) = 0 THEN 0
+            ELSE list_sum(list_transform(ids, x -> length(x))) * 1000000
+                 // len(ids) END AS avg_ident_len_ppm
+FROM idents ORDER BY doc_id
+""")
+def identifier_stats_q(sf_dir: str):
+    """Identifier extraction + vocabulary stats per file (identifier
+    entropy / obfuscation heuristic).  Average length is carried as an
+    integer ppm (floor(total*1e6/n)) so the comparison is exact."""
+    def kern(batch: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        pat = re.compile(r"[a-z_][a-z0-9_]{3,}")
+        txt = batch["text"].fillna("")
+        ids = txt.map(pat.findall)
+        n = ids.map(len).astype(np.int64)
+        nd = ids.map(lambda xs: len(set(xs))).astype(np.int64)
+        tot = ids.map(lambda xs: sum(map(len, xs))).astype(np.int64)
+        avg = np.where(n > 0, tot * 1000000 // np.maximum(n, 1), 0)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_idents": n,
+                             "n_distinct_idents": nd,
+                             "avg_ident_len_ppm": avg.astype(np.int64)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pandas").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -45,6 +45,7 @@ def _load():
     if _LOADED:
         return
     from dataquality_ray.pipelines import (  # noqa: F401
+        queries_code,
         queries_dimensions,
         queries_text,
         queries_tpch,

@@ -1,0 +1,46 @@
+"""Semantic checks for the code-payload operators (beyond oracle parity)."""
+
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_comment_stats_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_code import code_comment_stats_q
+
+    df = code_comment_stats_q(SF)
+    assert (df["n_comment_lines"] <= df["n_lines"]).all()
+    assert df["comment_frac"].between(0.0, 1.0).all()
+    # word soup contains 'the' and 'join' often: comments must exist
+    assert df["n_comment_lines"].sum() > 0
+
+
+def test_indentation_profile_styles(ray_session):
+    from dataquality_ray.pipelines.queries_code import indentation_profile_q
+
+    df = indentation_profile_q(SF)
+    assert set(df["indent_style"].unique()) <= {"tabs", "spaces", "mixed",
+                                                "none"}
+    tabs = df[df["indent_style"] == "tabs"]
+    assert (tabs["n_tab_lines"] > tabs["n_space_lines"]).all()
+
+
+def test_license_detect_matches_plant(ray_session):
+    from dataquality_ray.pipelines.queries_code import license_detect_q
+
+    df = license_detect_q(SF)
+    mod = df["doc_id"].to_numpy() % 11
+    expect = np.where(mod == 0, "mit",
+                      np.where(mod == 1, "apache-2.0",
+                               np.where(mod == 2, "gpl-3.0", "unknown")))
+    assert (df["license"].to_numpy() == expect).all()
+
+
+def test_identifier_stats_exact_ppm(ray_session):
+    from dataquality_ray.pipelines.queries_code import identifier_stats_q
+
+    df = identifier_stats_q(SF)
+    assert (df["n_distinct_idents"] <= df["n_idents"]).all()
+    nz = df[df["n_idents"] > 0]
+    # avg ident length must be >= 4 chars (the regex minimum) in ppm
+    assert (nz["avg_ident_len_ppm"] >= 4_000_000).all()
