@@ -4408,3 +4408,36 @@ def pca_embeddings_q(sf_dir: str):
         "explained_var": np.round(evals, 9),
         "explained_ratio": np.round(ratio, 9),
     })
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) exact-size uniform sample — shuffle-free, O(k) driver
+# ---------------------------------------------------------------------------
+
+def _bottom_k_sql(k: int, seed: int) -> str:
+    ctes = [("bk0",
+             f"SELECT doc_id, xor(doc_id::UBIGINT, {seed}::UBIGINT)"
+             "::HUGEINT AS x FROM documents")]
+    prev = "bk0"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append((f"bk{n + 1}",
+                     f"SELECT doc_id, {expr} AS x FROM {prev}"))
+        prev = f"bk{n + 1}"
+    chain = ", ".join(f"{nm} AS ({sql})" for nm, sql in ctes)
+    return f"""
+WITH {chain}
+SELECT row_number() OVER (ORDER BY x, doc_id) AS rank, doc_id
+FROM {prev} ORDER BY x, doc_id LIMIT {k}
+"""
+
+
+@query("bottom_k_sample", sql=_bottom_k_sql(50, 7))
+def bottom_k_sample_q(sf_dir: str):
+    """Exactly-50 uniform sample of documents via bottom-k splitmix64
+    hashes (stages/sampling.bottom_k_sample) — per-row selection verified
+    against the DuckDB HUGEINT replay of the hash chain."""
+    from dataquality_ray.stages.sampling import bottom_k_sample
+
+    out = bottom_k_sample(_read(sf_dir, "documents", ["doc_id"]),
+                          50, "doc_id", seed=7)
+    return out[["rank", "doc_id"]]

@@ -2531,3 +2531,199 @@ def volume_autocorrelation_q(sf_dir: str):
          if vx > 0 and vy > 0 else None)
     return pd.DataFrame({"n_pairs": np.array([n], np.int64),
                          "lag1_autocorr": [r]})
+
+
+# ---------------------------------------------------------------------------
+# Idempotency dedup: first event per (user, type, day) — the streaming-shaped
+# "drop retransmits" operator
+# ---------------------------------------------------------------------------
+
+@query("event_dedup_daily", sql="""
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) // 86400000000 AS day_idx,
+         epoch_us(ts) AS ts_us, event_id
+  FROM events
+), r AS (
+  SELECT user_id, event_type, day_idx, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type, day_idx
+                            ORDER BY ts_us, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type, day_idx)
+           AS n_events
+  FROM e
+)
+SELECT user_id, event_type, day_idx, event_id AS first_event_id, n_events
+FROM r WHERE rn = 1
+ORDER BY user_id, event_type, day_idx
+""")
+def event_dedup_daily_q(sf_dir: str):
+    """Keep the FIRST event per (user, type, UTC day) — idempotency /
+    retransmit dedup.  First-by-(ts, id) with a per-key count is a
+    mergeable reduction, so it runs as per-batch partials + guarded driver
+    combine (O(#distinct keys) driver memory, zero shuffles) with the
+    multi-key ``groupby().map_groups`` twin past the cap.  Day index is
+    integer epoch-microseconds // 86.4e9 — exact, no timezone/round
+    ambiguity vs the SQL replay."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    keys = ["user_id", "event_type", "day_idx"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].cast(pa.int64())
+        day = pc.divide(ts_us, 86400000000).cast(pa.int64())
+        return pa.table({"user_id": b["user_id"],
+                         "event_type": b["event_type"],
+                         "day_idx": day, "ts_us": ts_us,
+                         "event_id": b["event_id"],
+                         "n_events": pa.array(
+                             np.ones(len(b), dtype=np.int64))})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        f = f.sort_values(["ts_us", "event_id"])
+        g = f.groupby(keys, as_index=False, sort=False)
+        return g.agg(ts_us=("ts_us", "first"),
+                     event_id=("event_id", "first"),
+                     n_events=("n_events", "sum"))
+
+    stage = (_read(sf_dir, "events",
+                   ["event_id", "ts", "user_id", "event_type"])
+             .map_batches(prep, batch_format="pyarrow")
+             .map_batches(fold, batch_format="pandas"))
+    merged, ok = guarded_partials(stage, fold, DRIVER_COMBINE_CAP)
+    if ok:
+        record_route("event_dedup_daily", "combine", "keys within cap",
+                     0 if merged is None else len(merged))
+        out = merged if merged is not None else pd.DataFrame(
+            columns=keys + ["ts_us", "event_id", "n_events"])
+    else:  # pragma: no cover - requires >2M distinct keys
+        record_route("event_dedup_daily", "shuffle", "keys exceed cap", None)
+        ds2 = (_read(sf_dir, "events",
+                     ["event_id", "ts", "user_id", "event_type"])
+               .map_batches(prep, batch_format="pyarrow"))
+        out = (ds2.groupby(keys).map_groups(fold, batch_format="pandas")
+               .to_pandas())
+    out = out.rename(columns={"event_id": "first_event_id"})
+    out = out.sort_values(keys).reset_index(drop=True)
+    return out[["user_id", "event_type", "day_idx", "first_event_id",
+                "n_events"]]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: local-supplier revenue per nation within one region
+# ---------------------------------------------------------------------------
+
+@query("q5_regional_revenue", sql="""
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+         AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_nationkey = c_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""")
+def q5_regional_revenue_q(sf_dir: str):
+    """TPC-H Q5 shape, Ray-Data-first: region->nation prune the two dim
+    legs; customer and supplier collapse to key->nationkey lookup maps
+    (smart_join broadcast under the cap, hash-partitioned join above it —
+    at 100 TB customer is O(corpus) and auto-routes); the only
+    large-large exchange is lineitem x filtered-orders.  Revenue is
+    integer cents x basis points summed per nation (25 keys — tiny
+    groupby), divided once at the end, so it is bit-exact vs the oracle.
+    """
+    from dataquality_ray.stages.joins import smart_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    nat = (_read(sf_dir, "nation",
+                 ["n_nationkey", "n_regionkey", "n_name"]).to_pandas())
+    reg = (_read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas())
+    asia = nat.merge(reg[reg["r_name"] == "ASIA"], left_on="n_regionkey",
+                     right_on="r_regionkey")
+    nat_names = dict(zip(asia["n_nationkey"], asia["n_name"]))
+    asia_keys = set(nat_names)
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        m = pa.array(np.isin(
+            b["c_nationkey"].to_numpy(zero_copy_only=False),
+            list(asia_keys)))
+        b = b.filter(m)
+        return pa.table({"o_custkey": b["c_custkey"],
+                         "c_nationkey": b["c_nationkey"]})
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .map_batches(cust_prep, batch_format="pyarrow"))
+
+    def supp_prep(b: pa.Table) -> pa.Table:
+        m = pa.array(np.isin(
+            b["s_nationkey"].to_numpy(zero_copy_only=False),
+            list(asia_keys)))
+        b = b.filter(m)
+        return pa.table({"l_suppkey": b["s_suppkey"],
+                         "s_nationkey": b["s_nationkey"]})
+
+    supp = (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .map_batches(supp_prep, batch_format="pyarrow"))
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)))
+        b = b.filter(m)
+        return pa.table({"l_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"]})
+
+    orders_f = (_read(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_orderdate"])
+                .map_batches(ord_prep, batch_format="pyarrow"))
+
+    def line_prep(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+                  .cast(pa.int64())
+        bps = pc.subtract(100, pc.round(
+            pc.multiply(b["l_discount"], 100.0)).cast(pa.int64()))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "units": pc.multiply(cents, bps)})
+
+    line = (_read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_extendedprice",
+                   "l_discount"])
+            .map_batches(line_prep, batch_format="pyarrow"))
+
+    j = smart_join(line, orders_f, on="l_orderkey",
+                   value_cols=["o_custkey"], join_type="inner")
+    j = smart_join(j, cust, on="o_custkey",
+                   value_cols=["c_nationkey"], join_type="inner")
+    j = smart_join(j, supp, on="l_suppkey",
+                   value_cols=["s_nationkey"], join_type="inner")
+
+    def local_same_nation(b: pa.Table) -> pd.DataFrame:
+        b = b.filter(pc.equal(b["c_nationkey"], b["s_nationkey"]))
+        f = pd.DataFrame({"n_nationkey": b["c_nationkey"].to_pandas(),
+                          "units": b["units"].to_pandas()})
+        return f.groupby("n_nationkey", as_index=False)["units"].sum()
+
+    parts = j.map_batches(local_same_nation, batch_format="pyarrow") \
+             .to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                             "revenue": pd.Series([], dtype=np.float64)})
+    rev = parts.groupby("n_nationkey", as_index=False)["units"].sum()
+    rev["n_name"] = rev["n_nationkey"].map(nat_names)
+    rev["revenue"] = rev["units"] / 10000.0
+    rev = rev.sort_values(["units", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return rev[["n_name", "revenue"]]

@@ -217,3 +217,52 @@ def token_budget_sample(ds, budget: int, group_col: str = "source",
             .map_batches(count_tokens, batch_format="pyarrow")
             .groupby(group_col)
             .map_groups(per_group, batch_format="pandas"))
+
+
+def bottom_k_sample(ds, k: int, key: str, seed: int = 0) -> "pd.DataFrame":
+    """Exactly-k uniform random sample WITHOUT a shuffle: keep the k rows
+    whose splitmix64(key ^ seed) hash is smallest (the classic bottom-k /
+    KMV sample — Bar-Yossef et al. 2002).
+
+    Bottom-k is mergeable (bottom-k of a union = bottom-k of concatenated
+    per-part bottom-ks), so every block contributes at most k candidate
+    rows and the driver folds partials incrementally over ``iter_batches``
+    — driver memory is O(k), independent of corpus size, and the selected
+    set is a pure function of (ids, seed): order-invariant, resumable,
+    and consistent across partitionings (the properties hash_sample has,
+    plus an EXACT sample size).
+    """
+    import pandas as pd
+
+    from dataquality_ray.functions.hashing import splitmix64
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[key].to_pylist(), dtype=np.uint64)
+        h = splitmix64(ids ^ np.uint64(seed))
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+        else:
+            idx = np.arange(len(h))
+        return pa.table({key: batch[key].take(pa.array(idx)),
+                         "__h": pa.array(h[idx])})
+
+    stage = ds.map_batches(local, batch_format="pyarrow")
+    best_ids = np.empty(0, dtype=np.int64)
+    best_h = np.empty(0, dtype=np.uint64)
+    for part in stage.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+        ids = np.concatenate(
+            [best_ids, np.asarray(part[key].to_pylist(), dtype=np.int64)])
+        h = np.concatenate([best_h, part["__h"].to_numpy(
+            zero_copy_only=False).astype(np.uint64)])
+        if len(h) > k:
+            sel = np.argpartition(h, k)[:k]
+            ids, h = ids[sel], h[sel]
+        best_ids, best_h = ids, h
+    order = np.lexsort((best_ids, best_h))
+    out = pd.DataFrame({key: best_ids[order]})
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out

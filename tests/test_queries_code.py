@@ -44,3 +44,37 @@ def test_identifier_stats_exact_ppm(ray_session):
     nz = df[df["n_idents"] > 0]
     # avg ident length must be >= 4 chars (the regex minimum) in ppm
     assert (nz["avg_ident_len_ppm"] >= 4_000_000).all()
+
+
+def test_bottom_k_merge_invariance(ray_session):
+    """Same sample regardless of partitioning (bottom-k mergeability)."""
+    import ray.data as rd
+
+    from dataquality_ray.stages.sampling import bottom_k_sample
+
+    ds = rd.read_parquet(SF + "/documents.parquet", columns=["doc_id"])
+    a = bottom_k_sample(ds, 25, "doc_id", seed=3)
+    b = bottom_k_sample(ds.repartition(7), 25, "doc_id", seed=3)
+    assert a.equals(b)
+    assert len(a) == 25
+
+
+def test_event_dedup_daily_route_and_firstness(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import event_dedup_daily_q
+    from dataquality_ray.stages.autoroute import last_route
+
+    df = event_dedup_daily_q(SF)
+    assert last_route("event_dedup_daily")["chosen"] == "combine"
+    assert (df["n_events"] >= 1).all()
+    assert not df.duplicated(["user_id", "event_type", "day_idx"]).any()
+
+
+def test_q5_regional_revenue_shape(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import q5_regional_revenue_q
+
+    df = q5_regional_revenue_q(SF)
+    assert list(df.columns) == ["n_name", "revenue"]
+    assert (df["revenue"] > 0).all()
+    # descending revenue order
+    assert (df["revenue"].to_numpy()[:-1]
+            >= df["revenue"].to_numpy()[1:]).all()
