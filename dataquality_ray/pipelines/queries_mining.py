@@ -1,0 +1,321 @@
+"""Graph / sequence-mining operators: integer-exact PageRank over the token
+bigram graph, bigram LM fit, user path signatures, EWMA anomaly gate, and
+stratified bottom-k sampling.
+
+The common scale shape: the EDGE/COUNT aggregation is the O(corpus) part and
+runs as per-batch partials through the guarded driver combine (vocab- or
+key-bounded, with the groupby twin past the cap); the model state that
+iterates (rank vector, LM table, EWMA scan) is vocab- or day-bounded and
+driver-held — the same contract as stages/kmeans.py (broadcast-small-state
+iteration) and stages/perplexity.py (driver-fit model).
+
+All arithmetic that crosses the oracle boundary is integer (counts, scaled
+ranks, ppm probabilities) or a single correctly-rounded float op chain, so
+every value is bit-identical to the DuckDB replay.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataquality_ray.pipelines.registry import query
+
+_S = 10**12  # PageRank fixed-point scale
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Bigram edge aggregation (shared by pagerank / bigram LM)
+# ---------------------------------------------------------------------------
+
+def bigram_edges(ds, text_col: str = "text",
+                 cap: int = 2_000_000) -> pd.DataFrame:
+    """(src, dst, cnt) counts of consecutive-token pairs across the corpus.
+
+    Per-batch dict counts are bounded by vocab² and merge through the
+    guarded combine — O(vocab²) driver memory, zero shuffles.  Past the
+    cap the caller should bucket by src hash (not needed for any corpus
+    with a bounded vocabulary)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        cnt: dict[tuple, int] = {}
+        for t in batch[text_col].to_pylist():
+            toks = (t or "").split()
+            for a, b in zip(toks, toks[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+        if not cnt:
+            return pd.DataFrame({"src": [], "dst": [], "cnt": []})
+        ks = list(cnt)
+        return pd.DataFrame({"src": [k[0] for k in ks],
+                             "dst": [k[1] for k in ks],
+                             "cnt": list(cnt.values())})
+
+    def comb(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby(["src", "dst"], as_index=False,
+                             sort=False)["cnt"].sum()
+
+    stage = ds.map_batches(part, batch_format="pyarrow")
+    merged, ok = guarded_partials(stage, comb, cap)
+    assert ok, "bigram keyspace exceeded the driver cap"
+    if merged is None:
+        return pd.DataFrame({"src": [], "dst": [], "cnt": []})
+    merged["cnt"] = merged["cnt"].astype("int64")
+    return merged.reset_index(drop=True)
+
+
+_BIGRAM_SQL = r"""
+toks AS (SELECT list_filter(regexp_split_to_array(coalesce(text,''),
+                  '\s+'), x -> x <> '') AS ts FROM documents),
+pairs AS (SELECT unnest(range(1, len(ts))) AS i, ts FROM toks),
+edges AS (SELECT ts[i] AS src, ts[i+1] AS dst, count(*)::HUGEINT AS cnt
+          FROM pairs GROUP BY 1, 2)
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the token bigram graph — integer fixed-point, 3 iterations
+# ---------------------------------------------------------------------------
+
+def pagerank_int(edges: pd.DataFrame, iters: int = 3,
+                 scale: int = _S) -> pd.DataFrame:
+    """Fixed-point PageRank (d=0.85) with pure-integer arithmetic: ranks
+    are ints scaled by ``scale``; each edge contributes
+    floor(r_src·cnt / out_weight_src) and the damped update is
+    base + floor(85·Σcontrib / 100) — every step exact, so the result is
+    engine-independent (Python bigints == DuckDB HUGEINT)."""
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"tok": [], "rank_scaled": []})
+    outw = edges.groupby("src")["cnt"].sum().to_dict()
+    r = {t: scale // n for t in nodes}
+    base = (15 * scale) // (100 * n)
+    es = list(zip(edges["src"], edges["dst"], edges["cnt"]))
+    for _ in range(iters):
+        contrib = {t: 0 for t in nodes}
+        for s, d, c in es:
+            contrib[d] += (r[s] * int(c)) // int(outw[s])
+        r = {t: base + (85 * contrib[t]) // 100 for t in nodes}
+    out = pd.DataFrame({"tok": nodes,
+                        "rank_scaled": [r[t] for t in nodes]})
+    return (out.sort_values(["rank_scaled", "tok"],
+                            ascending=[False, True])
+               .reset_index(drop=True))
+
+
+def _pagerank_sql(iters: int = 3, scale: int = _S) -> str:
+    ctes = [_BIGRAM_SQL.strip().rstrip(","),
+            "outs AS (SELECT src, sum(cnt) AS w FROM edges GROUP BY src)",
+            "nodes AS (SELECT src AS tok FROM edges UNION "
+            "SELECT dst FROM edges)",
+            "nn AS (SELECT count(*)::HUGEINT AS n FROM nodes)",
+            f"r0 AS (SELECT tok, ({scale}::HUGEINT // nn.n) AS r "
+            "FROM nodes, nn)"]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT n.tok, "
+            f"(15 * {scale}::HUGEINT) // (100 * nn.n)"
+            " + (85 * coalesce(sum((p.r * e.cnt) // o.w), 0)) // 100 AS r "
+            f"FROM nodes n CROSS JOIN nn "
+            f"LEFT JOIN edges e ON e.dst = n.tok "
+            f"LEFT JOIN {prev} p ON p.tok = e.src "
+            "LEFT JOIN outs o ON o.src = e.src "
+            "GROUP BY n.tok, nn.n)")
+        prev = f"r{i}"
+    chain = ",\n".join(ctes)
+    return (f"WITH {chain}\nSELECT tok, r::BIGINT AS rank_scaled "
+            f"FROM {prev} ORDER BY rank_scaled DESC, tok")
+
+
+@query("pagerank_tokens", sql=_pagerank_sql())
+def pagerank_tokens_q(sf_dir: str):
+    """PageRank over the token-transition graph: distributed edge-count
+    aggregation + vocab-sized driver iteration (the kmeans contract).
+    Integer fixed-point so all three iterations replay bit-exactly in
+    SQL."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    return pagerank_int(edges)
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM fit: conditional next-token probabilities (ppm)
+# ---------------------------------------------------------------------------
+
+@query("bigram_lm_fit", sql=f"""
+WITH {_BIGRAM_SQL.strip().rstrip(',')},
+outs AS (SELECT src, sum(cnt) AS w FROM edges GROUP BY src)
+SELECT e.src AS tok_a, e.dst AS tok_b, e.cnt::BIGINT AS cnt,
+       (e.cnt * 1000000 // o.w)::BIGINT AS p_ppm
+FROM edges e JOIN outs o ON o.src = e.src
+ORDER BY cnt DESC, tok_a, tok_b LIMIT 50
+""")
+def bigram_lm_fit_q(sf_dir: str):
+    """Count-based bigram LM fit AS a pipeline op (the distributed twin
+    of the driver-fit model in stages/perplexity.py): P(b|a) as exact
+    integer ppm, top-50 bigrams."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    if not len(edges):
+        return pd.DataFrame({"tok_a": [], "tok_b": [], "cnt": [],
+                             "p_ppm": []})
+    outw = edges.groupby("src")["cnt"].transform("sum")
+    edges = edges.assign(
+        p_ppm=(edges["cnt"].astype(object) * 1000000 // outw).astype(
+            "int64"))
+    out = (edges.sort_values(["cnt", "src", "dst"],
+                             ascending=[False, True, True]).head(50)
+           .reset_index(drop=True))
+    return out.rename(columns={"src": "tok_a", "dst": "tok_b"})[
+        ["tok_a", "tok_b", "cnt", "p_ppm"]]
+
+
+# ---------------------------------------------------------------------------
+# User path signatures: ordered head-8 event-type path per user
+# ---------------------------------------------------------------------------
+
+@query("user_path_signature", sql="""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), p AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 8 GROUP BY user_id
+)
+SELECT path, count(*)::BIGINT AS n_users
+FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20
+""")
+def user_path_signature_q(sf_dir: str):
+    """Ordered event-type journey signature (first 8 events per user),
+    then signature frequency — funnel-mining primitive.  One shuffle
+    (groupby user), per-group vectorized sort+join; signature counts
+    merge via the tiny driver combine."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).head(8)
+        return pd.DataFrame({"path": [">".join(g["event_type"])]})
+
+    paths = (_read(sf_dir, "events", ["user_id", "ts", "event_type",
+                                      "event_id"])
+             .groupby("user_id")
+             .map_groups(per_user, batch_format="pandas")
+             .to_pandas())
+    out = (paths.value_counts("path").rename("n_users").reset_index()
+           .sort_values(["n_users", "path"], ascending=[False, True])
+           .head(20).reset_index(drop=True))
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# EWMA of daily ingest volume (α = 1/4 — dyadic, so the float chain is a
+# single correctly-rounded op sequence on both engines)
+# ---------------------------------------------------------------------------
+
+@query("ewma_daily_volume", sql="""
+WITH RECURSIVE d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), ds AS (
+  SELECT day_idx, n, row_number() OVER (ORDER BY day_idx) AS i FROM d
+), e AS (
+  SELECT day_idx, n, i, n::DOUBLE AS ewma FROM ds WHERE i = 1
+  UNION ALL
+  SELECT ds.day_idx, ds.n, ds.i, 0.25 * ds.n + 0.75 * e.ewma
+  FROM ds JOIN e ON ds.i = e.i + 1
+)
+SELECT day_idx, n AS n_events, ewma FROM e ORDER BY day_idx
+""")
+def ewma_daily_volume_q(sf_dir: str):
+    """EWMA control line over daily event volume (ops anomaly gate).
+    Daily counts aggregate distributedly (guarded combine over ~#days
+    keys); the EWMA scan is inherently sequential and runs driver-side
+    over the tiny day axis.  α=0.25 and exact int counts make each step
+    one rounded multiply-add — bit-identical to the recursive-CTE
+    replay."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        s = pd.Series(day.to_pandas()).value_counts()
+        return pd.DataFrame({"day_idx": s.index, "n": s.to_numpy()})
+
+    def comb(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, comb, 2_000_000)
+    assert ok
+    if merged is None:
+        return pd.DataFrame({"day_idx": [], "n_events": [], "ewma": []})
+    d = merged.sort_values("day_idx").reset_index(drop=True)
+    ns = d["n"].to_numpy(np.int64)
+    ewma = np.empty(len(ns), dtype=np.float64)
+    prev = float(ns[0])
+    ewma[0] = prev
+    for i in range(1, len(ns)):
+        prev = 0.25 * float(ns[i]) + 0.75 * prev
+        ewma[i] = prev
+    return pd.DataFrame({"day_idx": d["day_idx"].astype("int64"),
+                         "n_events": ns, "ewma": ewma})
+
+
+# ---------------------------------------------------------------------------
+# Stratified bottom-k: exact k-per-group deterministic sample
+# ---------------------------------------------------------------------------
+
+def _stratified_bottom_k_sql(k: int, seed: int) -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    ctes = [("sb0",
+             f"SELECT source, doc_id, xor(doc_id::UBIGINT, {seed}::UBIGINT)"
+             "::HUGEINT AS x FROM documents")]
+    prev = "sb0"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append((f"sb{n + 1}",
+                     f"SELECT source, doc_id, {expr} AS x FROM {prev}"))
+        prev = f"sb{n + 1}"
+    chain = ", ".join(f"{nm} AS ({sql})" for nm, sql in ctes)
+    return f"""
+WITH {chain}, rk AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS rank
+  FROM {prev}
+)
+SELECT source, rank, doc_id FROM rk WHERE rank <= {k}
+ORDER BY source, rank
+"""
+
+
+@query("stratified_bottom_k", sql=_stratified_bottom_k_sql(5, 11))
+def stratified_bottom_k_q(sf_dir: str):
+    """Exactly-k-per-stratum uniform sample (bottom-k hash per group) —
+    shuffle-free via grouped_topk's mergeable partials, deterministic and
+    partitioning-invariant."""
+    from dataquality_ray.functions.hashing import splitmix64
+    from dataquality_ray.stages.combine import grouped_topk
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"].to_pylist(), dtype=np.uint64)
+        h = splitmix64(ids ^ np.uint64(11))
+        return pa.table({"source": b["source"], "doc_id": b["doc_id"],
+                         "h": pa.array(h)})
+
+    ds = (_read(sf_dir, "documents", ["source", "doc_id"])
+          .map_batches(prep, batch_format="pyarrow"))
+    out = grouped_topk(ds, "source", ["h", "doc_id"], [True, True], k=5)
+    out = out.sort_values(["source", "h", "doc_id"]).reset_index(drop=True)
+    out["rank"] = out.groupby("source").cumcount() + 1
+    out["rank"] = out["rank"].astype("int64")
+    return out[["source", "rank", "doc_id"]]

@@ -1,0 +1,68 @@
+"""Semantic checks for the graph/sequence-mining operators."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pagerank_properties(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        bigram_edges,
+        pagerank_int,
+        pagerank_tokens_q,
+    )
+
+    df = pagerank_tokens_q(SF)
+    assert (df["rank_scaled"] > 0).all()
+    # floor arithmetic only loses mass: total <= scale
+    assert df["rank_scaled"].sum() <= 10**12
+    # a hand-checkable two-node chain: a->b twice, b->a once
+    edges = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "a"],
+                          "cnt": [2, 1]})
+    r = pagerank_int(edges, iters=1, scale=100)
+    # r0 = 50 each; contrib(b) = 50*2//2 = 50, contrib(a) = 50*1//1 = 50
+    # r1 = 15*100//200 + 85*50//100 = 7 + 42 = 49 for both
+    assert sorted(r["rank_scaled"]) == [49, 49]
+
+
+def test_bigram_lm_probabilities(ray_session):
+    from dataquality_ray.pipelines.queries_mining import bigram_lm_fit_q
+
+    df = bigram_lm_fit_q(SF)
+    assert (df["p_ppm"] > 0).all() and (df["p_ppm"] <= 1_000_000).all()
+    assert (df["cnt"].to_numpy()[:-1] >= df["cnt"].to_numpy()[1:]).all()
+
+
+def test_user_path_signature_heads(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        user_path_signature_q,
+    )
+
+    df = user_path_signature_q(SF)
+    assert len(df) <= 20
+    # head-8 cap: at most 8 segments per path
+    assert df["path"].str.split(">").map(len).le(8).all()
+
+
+def test_ewma_matches_pandas(ray_session):
+    from dataquality_ray.pipelines.queries_mining import ewma_daily_volume_q
+
+    df = ewma_daily_volume_q(SF)
+    ref = (pd.Series(df["n_events"].to_numpy(np.float64))
+           .ewm(alpha=0.25, adjust=False).mean().to_numpy())
+    assert np.allclose(df["ewma"].to_numpy(), ref, rtol=1e-12)
+    assert df["ewma"].iloc[0] == df["n_events"].iloc[0]
+
+
+def test_stratified_bottom_k_invariance(ray_session):
+    import ray.data as rd
+
+    from dataquality_ray.pipelines.queries_mining import (
+        stratified_bottom_k_q,
+    )
+
+    df = stratified_bottom_k_q(SF)
+    per = df.groupby("source").size()
+    assert (per == 5).all()
+    assert (df.groupby("source")["rank"].max() == 5).all()
