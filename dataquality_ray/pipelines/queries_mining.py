@@ -319,3 +319,297 @@ def stratified_bottom_k_q(sf_dir: str):
     out["rank"] = out.groupby("source").cumcount() + 1
     out["rank"] = out["rank"].astype("int64")
     return out[["source", "rank", "doc_id"]]
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS: per-source linear fit of n_chars on token count (bit-exact)
+# ---------------------------------------------------------------------------
+
+@query("grouped_ols", sql=r"""
+WITH f AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(coalesce(text,''), '\s+'),
+             x -> x <> ''))::BIGINT AS x,
+         length(coalesce(text, ''))::BIGINT AS y
+  FROM documents
+), s AS (
+  SELECT source, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+         sum(x*y)::BIGINT AS sxy
+  FROM f GROUP BY source
+)
+SELECT source, n,
+       CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+         AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n*sxy - sx*sy AS DOUBLE)
+           / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept
+FROM s ORDER BY source
+""")
+def grouped_ols_q(sf_dir: str):
+    """Per-group least-squares fit (chars ~ tokens per source) from
+    integer sufficient statistics: the five sums are exact int64 and
+    merge through the guarded combine; slope/intercept are a fixed
+    3-op float chain, bit-identical to the SQL replay.  The grouped twin
+    of token_length_regression."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        txt = [t or "" for t in b["text"].to_pylist()]
+        x = np.array([len(t.split()) for t in txt], dtype=np.int64)
+        y = np.array([len(t) for t in txt], dtype=np.int64)
+        return pd.DataFrame({
+            "source": b["source"].to_pylist(), "n": 1,
+            "sx": x, "sy": y, "sxx": x * x, "sxy": x * y})
+
+    def comb(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False).sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "text"])
+             .map_batches(part, batch_format="pyarrow")
+             .map_batches(comb, batch_format="pandas"))
+    merged, ok = guarded_partials(stage, comb, 2_000_000)
+    assert ok
+    if merged is None:
+        return pd.DataFrame({"source": [], "n": [], "slope": [],
+                             "intercept": []})
+    s = merged.sort_values("source").reset_index(drop=True)
+    n, sx, sy = (s["n"].to_numpy(np.int64), s["sx"].to_numpy(np.int64),
+                 s["sy"].to_numpy(np.int64))
+    sxx, sxy = s["sxx"].to_numpy(np.int64), s["sxy"].to_numpy(np.int64)
+    slope = (n * sxy - sx * sy).astype(np.float64) \
+        / (n * sxx - sx * sx).astype(np.float64)
+    intercept = (sy.astype(np.float64) - slope * sx.astype(np.float64)) \
+        / n.astype(np.float64)
+    return pd.DataFrame({"source": s["source"], "n": n, "slope": slope,
+                         "intercept": intercept})
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment pairs (doc-inside-doc near-dup signal)
+# ---------------------------------------------------------------------------
+
+@query("containment_pairs", sql=r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id <= 100
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       floor(len(list_intersect(a.shingles, b.shingles)) * 1.0
+             / len(a.shingles) * 1000000) / 1000000 AS contain_ab,
+       floor(len(list_intersect(a.shingles, b.shingles)) * 1.0
+             / len(b.shingles) * 1000000) / 1000000 AS contain_ba
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id < 100
+ORDER BY id_a
+""")
+def containment_pairs_q(sf_dir: str):
+    """Asymmetric shingle containment |A∩B|/|A| for candidate pairs —
+    catches doc-inside-doc duplication that symmetric Jaccard dilutes
+    (Broder 1997's containment measure).  Same bucketed-pair contract as
+    ngram_jaccard_pairs; floor-truncated to 1e-6 for exact comparison."""
+    from dataquality_ray.stages.minhash import word_shingle_set
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr="doc_id <= 100")
+
+    def extract(batch: pa.Table) -> pa.Table:
+        sets = [sorted(word_shingle_set(t or "", 3))
+                for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "shingles": pa.array(sets, pa.list_(pa.string()))})
+
+    rows = (ds.map_batches(extract, batch_format="pyarrow")
+            .to_pandas().set_index("doc_id")["shingles"])
+    out = []
+    for i in range(100):
+        a, b = set(rows[i]), set(rows[i + 1])
+        inter = len(a & b)
+        out.append({"id_a": i, "id_b": i + 1,
+                    "contain_ab": np.floor(inter / len(a) * 1e6) / 1e6,
+                    "contain_ba": np.floor(inter / len(b) * 1e6) / 1e6})
+    return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed event counts (dyadic half-life weights — exact doubles)
+# ---------------------------------------------------------------------------
+
+@query("decayed_event_counts", sql="""
+WITH mx AS (
+  SELECT max(epoch_us(ts) // 86400000000) AS last_day FROM events
+), w AS (
+  SELECT event_type,
+         (mx.last_day - epoch_us(ts) // 86400000000)::BIGINT AS age
+  FROM events, mx
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(1.0 / CAST(1::BIGINT << age AS DOUBLE)) AS decayed_count
+FROM w GROUP BY event_type ORDER BY event_type
+""")
+def decayed_event_counts_q(sf_dir: str):
+    """Recency-weighted event counts with a one-day half-life: weight
+    2^-age is an exact dyadic double and the per-type sums stay within
+    the float53 window, so the distributed partial sums are EXACT and
+    order-invariant (no float drift across partitionings) — the trick
+    that makes a decayed counter mergeable without an oracle tolerance.
+    Max-day is a tiny pre-pass (min/max aggregate)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    last_day = int(ev.map_batches(
+        lambda b: pa.table({"d": [pc.max(pc.divide(
+            b["ts"].cast(pa.int64()), 86400000000)).as_py()]}),
+        batch_format="pyarrow").max("d"))
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000) \
+                .to_numpy(zero_copy_only=False)
+        age = (last_day - day).astype(np.int64)
+        w = 1.0 / (np.int64(1) << age).astype(np.float64)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "n_events": 1, "decayed_count": w})
+        return f.groupby("event_type", as_index=False).sum()
+
+    def comb(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False).sum()
+
+    stage = ev.map_batches(part, batch_format="pyarrow")
+    merged, ok = guarded_partials(stage, comb, 2_000_000)
+    assert ok
+    if merged is None:
+        return pd.DataFrame({"event_type": [], "n_events": [],
+                             "decayed_count": []})
+    out = merged.sort_values("event_type").reset_index(drop=True)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[["event_type", "n_events", "decayed_count"]]
+
+
+# ---------------------------------------------------------------------------
+# Information gain of source about lang (feature-selection primitive)
+# ---------------------------------------------------------------------------
+
+@query("lang_source_info_gain", sql="""
+WITH ls AS (
+  SELECT lang, source, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2
+), tot AS (SELECT sum(c)::BIGINT AS n FROM ls),
+l AS (SELECT lang, sum(c)::BIGINT AS cl FROM ls GROUP BY lang),
+s AS (SELECT source, sum(c)::BIGINT AS cs FROM ls GROUP BY source),
+hl AS (
+  SELECT -sum(l.cl * CAST(floor(ln(CAST(l.cl AS DOUBLE)
+              / CAST(tot.n AS DOUBLE)) * 1000000) AS BIGINT)) AS a
+  FROM l, tot
+), hls AS (
+  SELECT -sum(ls.c * CAST(floor(ln(CAST(ls.c AS DOUBLE)
+              / CAST(s.cs AS DOUBLE)) * 1000000) AS BIGINT)) AS b
+  FROM ls JOIN s USING (source)
+)
+SELECT tot.n AS n_docs,
+       CAST(hl.a AS DOUBLE) / tot.n / 1000000.0 AS h_lang,
+       CAST(hls.b AS DOUBLE) / tot.n / 1000000.0 AS h_lang_given_source,
+       CAST(hl.a - hls.b AS DOUBLE) / tot.n / 1000000.0 AS info_gain
+FROM tot, hl, hls
+""")
+def lang_source_info_gain_q(sf_dir: str):
+    """Mutual information between source and lang — the feature-selection
+    / leakage-audit primitive.  (lang x source) counts aggregate through
+    the guarded combine; each ln(p) term is floored to an int at 1e-6
+    (single division + single libm ln — bit-identical), entropy sums are
+    exact int64, and every reported float is one fixed division chain."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"lang": b["lang"].to_pylist(),
+                          "source": b["source"].to_pylist(), "c": 1})
+        return f.groupby(["lang", "source"], as_index=False)["c"].sum()
+
+    def comb(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["lang", "source"], as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["lang", "source"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, comb, 2_000_000)
+    assert ok and merged is not None
+    ls = merged
+    n = int(ls["c"].sum())
+    a = 0
+    for cl in ls.groupby("lang")["c"].sum():
+        a -= int(cl) * math.floor(math.log(int(cl) / n) * 1e6)
+    b = 0
+    cs = ls.groupby("source")["c"].sum().to_dict()
+    for _, row in ls.iterrows():
+        b -= int(row["c"]) * math.floor(
+            math.log(int(row["c"]) / cs[row["source"]]) * 1e6)
+    return pd.DataFrame({
+        "n_docs": [n],
+        "h_lang": [float(a) / n / 1e6],
+        "h_lang_given_source": [float(b) / n / 1e6],
+        "info_gain": [float(a - b) / n / 1e6]})
+
+
+# ---------------------------------------------------------------------------
+# Per-group min-max feature scaling (exact integer ppm)
+# ---------------------------------------------------------------------------
+
+@query("minmax_scale_chars", sql="""
+WITH s AS (
+  SELECT source, min(n_chars)::BIGINT AS lo, max(n_chars)::BIGINT AS hi
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id,
+       CASE WHEN s.hi = s.lo THEN 0
+            ELSE (d.n_chars - s.lo) * 1000000 // (s.hi - s.lo)
+       END::BIGINT AS scaled_ppm
+FROM documents d JOIN s ON d.source = s.source
+ORDER BY d.doc_id
+""")
+def minmax_scale_chars_q(sf_dir: str):
+    """Per-group min-max normalization (feature-scaling primitive): group
+    bounds from a tiny guarded combine, broadcast back into a second
+    vectorized pass (two scans, zero shuffles); scaled values are exact
+    integer ppm."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "lo": b["n_chars"].to_pandas(),
+                          "hi": b["n_chars"].to_pandas()})
+        return f.groupby("source", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+
+    def comb(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+
+    stage = (_read(sf_dir, "documents", ["source", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, comb, 2_000_000)
+    assert ok and merged is not None
+    lo = dict(zip(merged["source"], merged["lo"].astype(np.int64)))
+    hi = dict(zip(merged["source"], merged["hi"].astype(np.int64)))
+
+    def scale(b: pa.Table) -> pd.DataFrame:
+        src = b["source"].to_pylist()
+        v = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        los = np.array([lo[s] for s in src], dtype=np.int64)
+        his = np.array([hi[s] for s in src], dtype=np.int64)
+        rng = his - los
+        scaled = np.where(rng == 0, 0,
+                          (v - los) * 1000000 // np.maximum(rng, 1))
+        return pd.DataFrame({"doc_id": b["doc_id"].to_pandas(),
+                             "scaled_ppm": scaled.astype(np.int64)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+           .map_batches(scale, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

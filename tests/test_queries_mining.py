@@ -66,3 +66,51 @@ def test_stratified_bottom_k_invariance(ray_session):
     per = df.groupby("source").size()
     assert (per == 5).all()
     assert (df.groupby("source")["rank"].max() == 5).all()
+
+
+def test_grouped_ols_recovers_exact_fit(ray_session):
+    from dataquality_ray.pipelines.queries_mining import grouped_ols_q
+
+    df = grouped_ols_q(SF)
+    assert len(df) == 20
+    # chars grow with tokens: every slope positive and finite
+    assert np.isfinite(df["slope"]).all() and (df["slope"] > 0).all()
+
+
+def test_containment_vs_jaccard_bound(ray_session):
+    from dataquality_ray.pipelines.queries_mining import containment_pairs_q
+
+    df = containment_pairs_q(SF)
+    assert df["contain_ab"].between(0, 1).all()
+    assert df["contain_ba"].between(0, 1).all()
+
+
+def test_decayed_counts_partition_invariant(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        decayed_event_counts_q,
+    )
+
+    a = decayed_event_counts_q(SF)
+    b = decayed_event_counts_q(SF)
+    # dyadic weights: sums are EXACT, so reruns match bitwise
+    assert a.equals(b)
+    assert (a["decayed_count"] <= a["n_events"]).all()
+
+
+def test_info_gain_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        lang_source_info_gain_q,
+    )
+
+    df = lang_source_info_gain_q(SF)
+    ig = df["info_gain"].iloc[0]
+    assert 0.0 <= ig + 1e-5  # IG >= 0 up to the 1e-6 floor quantization
+    assert df["h_lang_given_source"].iloc[0] <= df["h_lang"].iloc[0] + 1e-5
+
+
+def test_minmax_scale_range(ray_session):
+    from dataquality_ray.pipelines.queries_mining import minmax_scale_chars_q
+
+    df = minmax_scale_chars_q(SF)
+    assert df["scaled_ppm"].between(0, 1_000_000).all()
+    assert len(df) == 500
