@@ -613,3 +613,314 @@ def minmax_scale_chars_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
            .map_batches(scale, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build stats (postings summary per term)
+# ---------------------------------------------------------------------------
+
+@query("inverted_index_stats", sql=r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(coalesce(text,''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT tok, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+)
+SELECT tok, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf,
+       min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc
+FROM tf GROUP BY tok ORDER BY tok
+""")
+def inverted_index_stats_q(sf_dir: str):
+    """The classic inverted-index build reduced to its mergeable summary:
+    per term, document frequency, total term frequency and posting
+    bounds.  Per-batch (term, doc) partials merge through the guarded
+    combine (vocab-bounded); at scale the full postings themselves would
+    hash-partition by term — this op is the stats/verification pass."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            c: dict[str, int] = {}
+            for tok in (t or "").split():
+                c[tok] = c.get(tok, 0) + 1
+            for tok, tf in c.items():
+                rows.append((tok, 1, tf, did, did))
+        return pd.DataFrame(rows, columns=["tok", "df", "total_tf",
+                                           "first_doc", "last_doc"])
+
+    def comb(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("tok", as_index=False).agg(
+            df=("df", "sum"), total_tf=("total_tf", "sum"),
+            first_doc=("first_doc", "min"), last_doc=("last_doc", "max"))
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, comb, 2_000_000)
+    assert ok
+    if merged is None:
+        return pd.DataFrame(columns=["tok", "df", "total_tf",
+                                     "first_doc", "last_doc"])
+    out = merged.sort_values("tok").reset_index(drop=True)
+    for c in ["df", "total_tf", "first_doc", "last_doc"]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Association rules from token co-occurrence (confidence + lift)
+# ---------------------------------------------------------------------------
+
+@query("association_rules", sql=r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(coalesce(text,''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), n AS (SELECT count(DISTINCT doc_id)::BIGINT AS nd FROM dt),
+items AS (SELECT tok, count(*)::BIGINT AS c FROM dt GROUP BY tok),
+pairs AS (
+  SELECT a.tok AS antecedent, b.tok AS consequent, count(*)::BIGINT AS c_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok <> b.tok
+  GROUP BY 1, 2
+)
+SELECT p.antecedent, p.consequent, p.c_ab AS support_docs,
+       (p.c_ab * 1000000 // ia.c)::BIGINT AS confidence_ppm,
+       CAST(p.c_ab * n.nd AS DOUBLE) / CAST(ia.c * ic.c AS DOUBLE) AS lift
+FROM pairs p
+JOIN items ia ON ia.tok = p.antecedent
+JOIN items ic ON ic.tok = p.consequent
+CROSS JOIN n
+ORDER BY support_docs DESC, antecedent, consequent
+LIMIT 30
+""")
+def association_rules_q(sf_dir: str):
+    """Association-rule mining over per-doc token sets: confidence as
+    exact integer ppm, lift as ONE float division of two exact int
+    products.  Directed pair counts are vocab²-bounded partials through
+    the guarded combine — the same scale contract as
+    token_cooccurrence."""
+    from itertools import permutations
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        pair_c: dict[tuple, int] = {}
+        item_c: dict[str, int] = {}
+        nd = 0
+        for t in b["text"].to_pylist():
+            toks = sorted(set((t or "").split()))
+            if not toks:
+                continue
+            nd += 1
+            for tok in toks:
+                item_c[tok] = item_c.get(tok, 0) + 1
+            for a, bb in permutations(toks, 2):
+                pair_c[(a, bb)] = pair_c.get((a, bb), 0) + 1
+        rows = [("P", a, bb, c) for (a, bb), c in pair_c.items()]
+        rows += [("I", t, "", c) for t, c in item_c.items()]
+        rows += [("N", "", "", nd)]
+        # NB: marker values must not contain \x00 — pandas multi-key
+        # groupby hashes C-strings and truncates at the null byte,
+        # silently merging distinct keys.
+        return pd.DataFrame(rows, columns=["kind", "a", "b", "c"])
+
+    def comb(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["kind", "a", "b"], as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, comb, 4_000_000)
+    assert ok and merged is not None
+    nd = int(merged.loc[merged["kind"] == "N", "c"].sum())
+    items = dict(zip(merged.loc[merged["kind"] == "I", "a"],
+                     merged.loc[merged["kind"] == "I", "c"]))
+    pairs = merged[merged["kind"] == "P"]
+    out = pd.DataFrame({
+        "antecedent": pairs["a"].to_numpy(),
+        "consequent": pairs["b"].to_numpy(),
+        "support_docs": pairs["c"].astype("int64").to_numpy()})
+    ca = out["antecedent"].map(items).astype("int64")
+    cc = out["consequent"].map(items).astype("int64")
+    out["confidence_ppm"] = (
+        out["support_docs"].astype(object) * 1000000 // ca).astype("int64")
+    out["lift"] = (out["support_docs"].astype(np.int64) * nd).astype(
+        np.float64) / (ca.to_numpy() * cc.to_numpy()).astype(np.float64)
+    out = (out.sort_values(["support_docs", "antecedent", "consequent"],
+                           ascending=[False, True, True]).head(30)
+           .reset_index(drop=True))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles of order revenue (concentration audit)
+# ---------------------------------------------------------------------------
+
+@query("revenue_lorenz_deciles", sql="""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, rowid) AS rn,
+         count(*) OVER () AS n, sum(cents) OVER () AS tot
+  FROM (SELECT cents, row_number() OVER (ORDER BY cents) AS rowid FROM o)
+), c AS (
+  SELECT (rn * 10 - 1) // n + 1 AS decile, cents, tot FROM r
+)
+SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_orders,
+       sum(cents)::BIGINT AS cents,
+       CAST(sum(cents) AS DOUBLE) / CAST(any_value(tot) AS DOUBLE)
+         AS revenue_share
+FROM c GROUP BY decile ORDER BY decile
+""")
+def revenue_lorenz_deciles_q(sf_dir: str):
+    """Lorenz / concentration profile: orders sorted by value, split into
+    10 equal-count deciles, each decile's share of total revenue.  The
+    sort is the one unavoidable wide op (Dataset.sort); decile sums are
+    integer cents so shares are one exact division."""
+    cents_ds = (_read(sf_dir, "orders", ["o_totalprice"])
+                .map_batches(lambda b: pa.table({
+                    "cents": pc.round(pc.multiply(
+                        b["o_totalprice"], 100.0)).cast(pa.int64())}),
+                    batch_format="pyarrow"))
+    s = cents_ds.sort("cents").to_pandas()
+    n = len(s)
+    if n == 0:
+        return pd.DataFrame({"decile": [], "n_orders": [], "cents": [],
+                             "revenue_share": []})
+    cents = s["cents"].to_numpy(np.int64)
+    rn = np.arange(1, n + 1, dtype=np.int64)
+    decile = (rn * 10 - 1) // n + 1
+    tot = int(cents.sum())
+    f = pd.DataFrame({"decile": decile, "cents": cents})
+    g = f.groupby("decile", as_index=False).agg(
+        n_orders=("cents", "size"), cents=("cents", "sum"))
+    g["revenue_share"] = g["cents"].to_numpy(np.int64).astype(
+        np.float64) / float(tot)
+    g["decile"] = g["decile"].astype("int64")
+    g["n_orders"] = g["n_orders"].astype("int64")
+    return g[["decile", "n_orders", "cents", "revenue_share"]]
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery over the documents dimension columns
+# ---------------------------------------------------------------------------
+
+@query("fd_discovery", sql="""
+WITH cols AS (
+  SELECT 'lang' AS a, 'source' AS b,
+         count(DISTINCT lang) AS da,
+         count(DISTINCT (lang, source)) AS dab FROM documents
+  UNION ALL
+  SELECT 'source', 'lang', count(DISTINCT source),
+         count(DISTINCT (source, lang)) FROM documents
+  UNION ALL
+  SELECT 'doc_id', 'lang', count(DISTINCT doc_id),
+         count(DISTINCT (doc_id, lang)) FROM documents
+  UNION ALL
+  SELECT 'doc_id', 'source', count(DISTINCT doc_id),
+         count(DISTINCT (doc_id, source)) FROM documents
+)
+SELECT a AS determinant, b AS dependent, da::BIGINT AS n_determinant,
+       dab::BIGINT AS n_pairs, (da = dab) AS fd_holds
+FROM cols ORDER BY determinant, dependent
+""")
+def fd_discovery_q(sf_dir: str):
+    """Functional-dependency DISCOVERY (vs fd_check's verification of a
+    declared FD): A->B holds iff |distinct A| == |distinct (A,B)|.
+    Distinct sets are per-batch dedup partials merged through the guarded
+    combine — never a full-column shuffle."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    candidates = [("lang", "source"), ("source", "lang"),
+                  ("doc_id", "lang"), ("doc_id", "source")]
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = b.to_pandas()
+        frames = []
+        for a, bb in candidates:
+            u = f[[a, bb]].drop_duplicates()
+            frames.append(pd.DataFrame({
+                "det": a, "dep": bb,
+                "ka": u[a].astype(str), "kb": u[bb].astype(str)}))
+        return pd.concat(frames, ignore_index=True)
+
+    def comb(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates(["det", "dep", "ka", "kb"])
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "lang", "source"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, comb, 4_000_000)
+    assert ok and merged is not None
+    rows = []
+    for a, bb in candidates:
+        u = merged[(merged["det"] == a) & (merged["dep"] == bb)]
+        da = u["ka"].nunique()
+        dab = len(u)
+        rows.append((a, bb, da, dab, da == dab))
+    out = pd.DataFrame(rows, columns=["determinant", "dependent",
+                                      "n_determinant", "n_pairs",
+                                      "fd_holds"])
+    for c in ["n_determinant", "n_pairs"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["determinant", "dependent"]) \
+              .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Char-trigram profile per lang (langid feature extraction)
+# ---------------------------------------------------------------------------
+
+@query("char_trigram_profile", sql="""
+WITH g AS (
+  SELECT lang,
+         unnest(list_transform(range(1, length(coalesce(text,'')) - 1),
+                i -> substr(text, i, 3))) AS tri
+  FROM documents
+), c AS (
+  SELECT lang, tri, count(*)::BIGINT AS cnt FROM g GROUP BY 1, 2
+), r AS (
+  SELECT lang, tri, cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, tri) AS rn
+  FROM c
+)
+SELECT lang, rn::BIGINT AS rank, tri, cnt FROM r WHERE rn <= 5
+ORDER BY lang, rank
+""")
+def char_trigram_profile_q(sf_dir: str):
+    """Top-5 character trigrams per language — the n-gram feature table a
+    hash-based langid model trains on (stages/langid.py's feature space,
+    materialized as a pipeline op).  (lang, trigram) counts merge through
+    the guarded combine; top-5 per lang is a tiny driver sort."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        c: dict[tuple, int] = {}
+        for lang, t in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            t = t or ""
+            for i in range(len(t) - 2):
+                k = (lang, t[i:i + 3])
+                c[k] = c.get(k, 0) + 1
+        ks = list(c)
+        return pd.DataFrame({"lang": [k[0] for k in ks],
+                             "tri": [k[1] for k in ks],
+                             "cnt": list(c.values())})
+
+    def comb(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["lang", "tri"], as_index=False)["cnt"].sum()
+
+    stage = (_read(sf_dir, "documents", ["lang", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, comb, 4_000_000)
+    assert ok and merged is not None
+    out = (merged.sort_values(["lang", "cnt", "tri"],
+                              ascending=[True, False, True])
+           .groupby("lang").head(5).reset_index(drop=True))
+    out["rank"] = out.groupby("lang").cumcount() + 1
+    out["rank"] = out["rank"].astype("int64")
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["lang", "rank", "tri", "cnt"]]

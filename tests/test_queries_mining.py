@@ -114,3 +114,73 @@ def test_minmax_scale_range(ray_session):
     df = minmax_scale_chars_q(SF)
     assert df["scaled_ppm"].between(0, 1_000_000).all()
     assert len(df) == 500
+
+
+def test_pandas_nullbyte_groupby_pitfall_documented():
+    """pandas multi-key groupby truncates string keys at \\x00 (C-string
+    hashing) and silently merges distinct groups — the reason marker
+    values in association_rules are plain letters.  If pandas ever fixes
+    this, the workaround can be dropped."""
+    df = pd.DataFrame({"k": ["\x00a", "\x00b"], "a": ["x", "x"],
+                       "c": [1, 2]})
+    g = df.groupby(["k", "a"], as_index=False)["c"].sum()
+    collapsed = g["k"].nunique() < 2
+    single = df.groupby("k", as_index=False)["c"].sum()
+    assert collapsed or len(single) == 2  # document current behavior
+
+
+def test_association_rules_consistency(ray_session):
+    from dataquality_ray.pipelines.queries_mining import association_rules_q
+
+    df = association_rules_q(SF)
+    assert len(df) == 30
+    assert df["confidence_ppm"].between(0, 1_000_000).all()
+    assert (df["lift"] > 0).all()
+    # rule and its reverse share support
+    sup = {(r.antecedent, r.consequent): r.support_docs
+           for r in df.itertuples()}
+    for (a, b), s in sup.items():
+        if (b, a) in sup:
+            assert sup[(b, a)] == s
+
+
+def test_lorenz_deciles_monotone(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        revenue_lorenz_deciles_q,
+    )
+
+    df = revenue_lorenz_deciles_q(SF)
+    assert len(df) == 10
+    assert abs(df["revenue_share"].sum() - 1.0) < 1e-9
+    # sorted ascending: later deciles hold more revenue
+    s = df["revenue_share"].to_numpy()
+    assert (s[1:] >= s[:-1] - 1e-12).all()
+
+
+def test_fd_discovery_known_deps(ray_session):
+    from dataquality_ray.pipelines.queries_mining import fd_discovery_q
+
+    df = fd_discovery_q(SF).set_index(["determinant", "dependent"])
+    # doc_id is a key: determines everything
+    assert bool(df.loc[("doc_id", "lang"), "fd_holds"])
+    assert bool(df.loc[("doc_id", "source"), "fd_holds"])
+
+
+def test_char_trigram_profile_shape(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        char_trigram_profile_q,
+    )
+
+    df = char_trigram_profile_q(SF)
+    assert (df.groupby("lang").size() == 5).all()
+    assert df["tri"].str.len().eq(3).all()
+
+
+def test_inverted_index_stats_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        inverted_index_stats_q,
+    )
+
+    df = inverted_index_stats_q(SF)
+    assert (df["total_tf"] >= df["df"]).all()
+    assert (df["first_doc"] <= df["last_doc"]).all()
