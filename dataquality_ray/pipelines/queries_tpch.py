@@ -2727,3 +2727,224 @@ def q5_regional_revenue_q(sf_dir: str):
     rev = rev.sort_values(["units", "n_name"],
                           ascending=[False, True]).reset_index(drop=True)
     return rev[["n_name", "revenue"]]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: top returned-item customers by lost revenue
+# ---------------------------------------------------------------------------
+
+@query("q10_returned_items", sql="""
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS units
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       r.units / 10000.0 AS revenue
+FROM rev r
+JOIN customer c ON c.c_custkey = r.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY r.units DESC, c.c_custkey LIMIT 20
+""")
+def q10_returned_items_q(sf_dir: str):
+    """TPC-H Q10 shape: revenue lost to returned items per customer.
+    lineitem filters on returnflag at the read, joins filtered orders via
+    smart_join, aggregates integer units through the guarded combine
+    (customer-bounded), and only the 20 winners' names ship back from a
+    pruned re-scan — the big exchange moves (int64 key, int64 units)
+    only."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+    from dataquality_ray.stages.joins import smart_join
+
+    def line_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+                  .cast(pa.int64())
+        bps = pc.subtract(100, pc.round(
+            pc.multiply(b["l_discount"], 100.0)).cast(pa.int64()))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "units": pc.multiply(cents, bps)})
+
+    line = (_read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_returnflag", "l_extendedprice",
+                   "l_discount"])
+            .map_batches(line_prep, batch_format="pyarrow"))
+    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+              .map_batches(lambda b: pa.table(
+                  {"l_orderkey": b["o_orderkey"],
+                   "o_custkey": b["o_custkey"]}), batch_format="pyarrow"))
+    j = smart_join(line, orders, on="l_orderkey",
+                   value_cols=["o_custkey"], join_type="inner")
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("o_custkey", as_index=False)["units"].sum()
+
+    stage = j.map_batches(
+        lambda b: fold(pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_pandas(),
+            "units": b["units"].to_pandas()})),
+        batch_format="pyarrow")
+    merged, ok = guarded_partials(stage, fold, DRIVER_COMBINE_CAP)
+    record_route("q10_returned_items", "combine" if ok else "shuffle",
+                 "customers within cap" if ok else "cap exceeded",
+                 0 if merged is None else len(merged))
+    if not ok:  # pragma: no cover
+        from ray.data.aggregate import Sum
+        merged = (j.groupby("o_custkey")
+                  .aggregate(Sum("units", alias_name="units")).to_pandas())
+    if merged is None or not len(merged):
+        return pd.DataFrame({"c_custkey": [], "c_name": [], "n_name": [],
+                             "revenue": []})
+    top = (merged.sort_values(["units", "o_custkey"],
+                              ascending=[False, True]).head(20))
+    keys = set(top["o_custkey"].tolist())
+    cust = (_read(sf_dir, "customer",
+                  ["c_custkey", "c_name", "c_nationkey"])
+            .map_batches(lambda b: b.filter(pa.array(np.isin(
+                b["c_custkey"].to_numpy(zero_copy_only=False),
+                list(keys)))), batch_format="pyarrow").to_pandas())
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = (top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(nat, left_on="c_nationkey", right_on="n_nationkey"))
+    out["revenue"] = out["units"] / 10000.0
+    out = out.sort_values(["units", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "n_name", "revenue"]]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share (one exact division)
+# ---------------------------------------------------------------------------
+
+@query("q14_promo_share", sql="""
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS units,
+         (p_type LIKE 'PROMO%') AS promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN promo THEN units ELSE 0 END)::BIGINT AS promo_units,
+       sum(units)::BIGINT AS total_units,
+       CAST(100 * sum(CASE WHEN promo THEN units ELSE 0 END) AS DOUBLE)
+         / CAST(sum(units) AS DOUBLE) AS promo_pct
+FROM j
+""")
+def q14_promo_share_q(sf_dir: str):
+    """TPC-H Q14 shape: share of revenue from promo parts.  The part
+    side collapses to a (partkey -> promo flag) lookup (smart_join:
+    broadcast under cap, hash join beyond); both sums are exact int64
+    partials and the percentage is one division."""
+    from dataquality_ray.stages.joins import smart_join
+
+    part_flag = (_read(sf_dir, "part", ["p_partkey", "p_type"])
+                 .map_batches(lambda b: pa.table({
+                     "l_partkey": b["p_partkey"],
+                     "promo": pc.starts_with(b["p_type"], "PROMO")}),
+                     batch_format="pyarrow"))
+
+    def line_prep(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+                  .cast(pa.int64())
+        bps = pc.subtract(100, pc.round(
+            pc.multiply(b["l_discount"], 100.0)).cast(pa.int64()))
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "units": pc.multiply(cents, bps)})
+
+    line = (_read(sf_dir, "lineitem",
+                  ["l_partkey", "l_extendedprice", "l_discount"])
+            .map_batches(line_prep, batch_format="pyarrow"))
+    j = smart_join(line, part_flag, on="l_partkey",
+                   value_cols=["promo"], join_type="inner")
+
+    def part_sums(b: pa.Table) -> pd.DataFrame:
+        u = b["units"].to_numpy(zero_copy_only=False)
+        p = b["promo"].to_numpy(zero_copy_only=False).astype(bool)
+        return pd.DataFrame({"n_lines": [len(u)],
+                             "promo_units": [int(u[p].sum())],
+                             "total_units": [int(u.sum())]})
+
+    sums = (j.map_batches(part_sums, batch_format="pyarrow")
+            .to_pandas().sum())
+    promo_u, total_u = int(sums["promo_units"]), int(sums["total_units"])
+    return pd.DataFrame({
+        "n_lines": [int(sums["n_lines"])],
+        "promo_units": [promo_u], "total_units": [total_u],
+        "promo_pct": [float(100 * promo_u) / float(total_u)]})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-quantity orders (HAVING sum > threshold)
+# ---------------------------------------------------------------------------
+
+@query("q18_large_orders", sql="""
+WITH q AS (
+  SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 30
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, q.qty::BIGINT AS qty
+FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+ORDER BY q.qty DESC, o.o_orderkey LIMIT 50
+""")
+def q18_large_orders_q(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold.
+    Integer quantity partials merge through the guarded combine (groupby
+    twin past the cap); the HAVING filter drops survivors to a tiny set
+    that joins back against a pruned orders re-scan."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_pandas(),
+            "qty": pc.round(b["l_quantity"]).cast(pa.int64()).to_pandas()})
+        return f.groupby("l_orderkey", as_index=False)["qty"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("l_orderkey", as_index=False)["qty"].sum()
+
+    stage = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+             .map_batches(prep, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, DRIVER_COMBINE_CAP)
+    record_route("q18_large_orders", "combine" if ok else "shuffle",
+                 "orders within cap" if ok else "cap exceeded",
+                 0 if merged is None else len(merged))
+    if not ok:  # pragma: no cover
+        from ray.data.aggregate import Sum
+
+        ds = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+              .map_batches(lambda b: pa.table({
+                  "l_orderkey": b["l_orderkey"],
+                  "qty": pc.round(b["l_quantity"]).cast(pa.int64())}),
+                  batch_format="pyarrow"))
+        merged = (ds.groupby("l_orderkey")
+                  .aggregate(Sum("qty", alias_name="qty")).to_pandas())
+    if merged is None:
+        merged = pd.DataFrame({"l_orderkey": [], "qty": []})
+    big = merged[merged["qty"] > 30]
+    if not len(big):
+        return pd.DataFrame({"o_orderkey": [], "o_custkey": [],
+                             "o_totalprice": [], "qty": []})
+    keys = set(big["l_orderkey"].tolist())
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_totalprice"])
+              .map_batches(lambda b: b.filter(pa.array(np.isin(
+                  b["o_orderkey"].to_numpy(zero_copy_only=False),
+                  list(keys)))), batch_format="pyarrow").to_pandas())
+    out = big.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    out["qty"] = out["qty"].astype("int64")
+    out = (out.sort_values(["qty", "o_orderkey"],
+                           ascending=[False, True]).head(50)
+           .reset_index(drop=True))
+    return out[["o_orderkey", "o_custkey", "o_totalprice", "qty"]]

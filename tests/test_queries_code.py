@@ -78,3 +78,19 @@ def test_q5_regional_revenue_shape(ray_session):
     # descending revenue order
     assert (df["revenue"].to_numpy()[:-1]
             >= df["revenue"].to_numpy()[1:]).all()
+
+
+def test_q10_q14_q18_shapes(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        q10_returned_items_q,
+        q14_promo_share_q,
+        q18_large_orders_q,
+    )
+
+    q10 = q10_returned_items_q(SF)
+    assert len(q10) == 20 and (q10["revenue"] > 0).all()
+    q14 = q14_promo_share_q(SF)
+    assert 0.0 < q14["promo_pct"].iloc[0] < 100.0
+    assert q14["promo_units"].iloc[0] <= q14["total_units"].iloc[0]
+    q18 = q18_large_orders_q(SF)
+    assert (q18["qty"] > 30).all()
