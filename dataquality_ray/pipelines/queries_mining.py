@@ -924,3 +924,190 @@ def char_trigram_profile_q(sf_dir: str):
     out["rank"] = out["rank"].astype("int64")
     out["cnt"] = out["cnt"].astype("int64")
     return out[["lang", "rank", "tri", "cnt"]]
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation via CMS inner product (query-planner statistic)
+# ---------------------------------------------------------------------------
+
+def _cms_join_sql(width: int = 1024) -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+    from dataquality_ray.stages.sketch import CMS_SEED_B
+
+    def chain(tbl: str, key: str, tag: str) -> tuple[list[tuple], str]:
+        ctes = [(f"{tag}k",
+                 f"SELECT {key}::UBIGINT::HUGEINT AS x, "
+                 f"count(*)::BIGINT AS c FROM {tbl} GROUP BY 1")]
+        prev = f"{tag}k"
+        for n, expr in enumerate(_sm64_exprs("x")):
+            ctes.append((f"{tag}h{n}",
+                         f"SELECT {expr} AS x, c FROM {prev}"))
+            prev = f"{tag}h{n}"
+        ctes.append((f"{tag}ab",
+                     f"SELECT x AS h, xor(x::UBIGINT, {CMS_SEED_B}::UBIGINT)"
+                     f"::HUGEINT AS xb, c FROM {prev}"))
+        prev = f"{tag}ab"
+        for n, expr in enumerate(_sm64_exprs("h")):
+            ctes.append((f"{tag}a{n}",
+                         f"SELECT {expr} AS h, xb, c FROM {prev}"))
+            prev = f"{tag}a{n}"
+        for n, expr in enumerate(_sm64_exprs("xb")):
+            ctes.append((f"{tag}b{n}",
+                         f"SELECT h, {expr} AS xb, c FROM {prev}"))
+            prev = f"{tag}b{n}"
+        ctes.append((f"{tag}cells",
+                     f"SELECT rs.r, ((h + rs.r * xb) % {_SM_M}) % {width} "
+                     f"AS cell, sum(c)::BIGINT AS cc FROM {prev} "
+                     "CROSS JOIN (VALUES (0),(1),(2),(3)) rs(r) "
+                     "GROUP BY 1, 2"))
+        return ctes, f"{tag}cells"
+
+    lc, ltab = chain("lineitem", "l_orderkey", "l")
+    oc, otab = chain("orders", "o_orderkey", "o")
+    body = ",\n".join(f"{n} AS ({s})" for n, s in lc + oc)
+    return f"""
+WITH {body},
+ip AS (
+  SELECT a.r, sum(a.cc * b.cc)::BIGINT AS prod
+  FROM {ltab} a JOIN {otab} b ON a.r = b.r AND a.cell = b.cell
+  GROUP BY a.r
+),
+exact AS (
+  SELECT count(*)::BIGINT AS n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT exact.n AS exact_join_size, (SELECT min(prod) FROM ip)
+         AS cms_estimate
+FROM exact
+"""
+
+
+_SM_M = "18446744073709551616"
+
+
+@query("cms_join_size_estimate", sql=_cms_join_sql())
+def cms_join_size_estimate_q(sf_dir: str):
+    """Equi-join cardinality estimation WITHOUT running the join: CMS
+    sketches of both key columns (4x1024 int64 blobs, tree-merged — the
+    only bytes that move) and their inner product (AGMS/CM estimate,
+    Cormode & Muthukrishnan 2005).  The oracle replays both hash chains
+    in HUGEINT and compares the exact join count too — estimate is
+    always >= exact."""
+    from dataquality_ray.stages.sketch import (
+        cms_inner_product,
+        cms_int_sketch,
+    )
+
+    a = cms_int_sketch(_read(sf_dir, "lineitem", ["l_orderkey"]),
+                       "l_orderkey")
+    b = cms_int_sketch(_read(sf_dir, "orders", ["o_orderkey"]),
+                       "o_orderkey")
+    est = cms_inner_product(a, b)
+
+    # exact join size = sum over keys of cnt_l * cnt_o; both sides'
+    # per-key counts merge through the guarded combine
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def cnt(col):
+        def part(bt: pa.Table) -> pd.DataFrame:
+            f = pd.DataFrame({"k": bt[col].to_pandas(), "c": 1})
+            return f.groupby("k", as_index=False)["c"].sum()
+        return part
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("k", as_index=False)["c"].sum()
+
+    la, ok1 = guarded_partials(
+        _read(sf_dir, "lineitem", ["l_orderkey"])
+        .map_batches(cnt("l_orderkey"), batch_format="pyarrow"),
+        fold, 4_000_000)
+    ob, ok2 = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(cnt("o_orderkey"), batch_format="pyarrow"),
+        fold, 4_000_000)
+    assert ok1 and ok2
+    m = la.merge(ob, on="k", suffixes=("_l", "_o"))
+    exact = int((m["c_l"].to_numpy(np.int64)
+                 * m["c_o"].to_numpy(np.int64)).sum())
+    return pd.DataFrame({"exact_join_size": [exact],
+                         "cms_estimate": [est]})
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+@query("k_anonymity_check", sql="""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS sz
+  FROM customer GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_groups,
+       min(sz)::BIGINT AS min_group_size,
+       count(*) FILTER (WHERE sz < 5)::BIGINT AS n_small_groups,
+       coalesce(sum(sz) FILTER (WHERE sz < 5), 0)::BIGINT
+         AS n_rows_at_risk
+FROM g
+""")
+def k_anonymity_check_q(sf_dir: str):
+    """k-anonymity audit (k=5) over the quasi-identifier pair
+    (nationkey, mktsegment): group sizes via guarded combine, then the
+    tiny risk summary — the privacy-release gate for exported tables."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"n": b["c_nationkey"].to_pandas(),
+                          "m": b["c_mktsegment"].to_pandas(), "sz": 1})
+        return f.groupby(["n", "m"], as_index=False)["sz"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["n", "m"], as_index=False)["sz"].sum()
+
+    stage = (_read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    sz = merged["sz"].to_numpy(np.int64)
+    small = sz < 5
+    return pd.DataFrame({
+        "n_groups": [len(sz)],
+        "min_group_size": [int(sz.min())],
+        "n_small_groups": [int(small.sum())],
+        "n_rows_at_risk": [int(sz[small].sum())]})
+
+
+# ---------------------------------------------------------------------------
+# SCD2 state intervals from the event stream
+# ---------------------------------------------------------------------------
+
+@query("scd2_user_state", sql="""
+SELECT user_id,
+       row_number() OVER w AS seq,
+       event_type,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER w AS valid_to_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, seq
+""")
+def scd2_user_state_q(sf_dir: str):
+    """Slowly-changing-dimension (type 2) history build: each user's
+    event stream becomes validity intervals [valid_from, valid_to) with
+    an open-ended current row — one groupby(user) shuffle, per-group
+    vectorized sort+shift (the sessionize partitioning contract)."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = g["ts"].astype("int64")
+        return pd.DataFrame({
+            "user_id": g["user_id"],
+            "seq": np.arange(1, len(g) + 1, dtype=np.int64),
+            "event_type": g["event_type"],
+            "valid_from_us": us,
+            "valid_to_us": us.shift(-1)})
+
+    out = (_read(sf_dir, "events",
+                 ["user_id", "ts", "event_type", "event_id"])
+           .groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["user_id", "seq"]).reset_index(drop=True)

@@ -506,3 +506,47 @@ def cms_token_sketch(ds, text_col: str = "text", width: int = 1024,
         cms.table += np.frombuffer(blob, dtype=np.int64).reshape(depth,
                                                                  width)
     return cms
+
+
+def cms_int_sketch(ds, col: str, width: int = 1024,
+                   depth: int = 4) -> CountMinSketch:
+    """CMS over an int64 key column: h = splitmix64(key) then the standard
+    double-hash fold — fully replayable in SQL via the HUGEINT splitmix
+    chain.  Per-batch unique+count keeps the fold O(distinct-in-batch)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cms = CountMinSketch(width, depth)
+        if len(keys):
+            uniq, counts = np.unique(keys, return_counts=True)
+            h = splitmix64(uniq.astype(np.uint64))
+            cms.fold_hashes(h, counts.astype(np.int64))
+        return pa.table({"sketch": pa.array([cms.table.tobytes()],
+                                            pa.binary())})
+
+    def tree_merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros((depth, width), dtype=np.int64)
+        for blob in batch["sketch"].to_pylist():
+            acc += np.frombuffer(blob, dtype=np.int64).reshape(depth, width)
+        return pa.table({"sketch": pa.array([acc.tobytes()], pa.binary())})
+
+    parts = (ds.select_columns([col])
+               .map_batches(partial, batch_format="pyarrow")
+               .map_batches(tree_merge, batch_format="pyarrow",
+                            batch_size=256)
+               .to_pandas())
+    cms = CountMinSketch(width, depth)
+    for blob in parts["sketch"]:
+        cms.table += np.frombuffer(blob, dtype=np.int64).reshape(depth,
+                                                                 width)
+    return cms
+
+
+def cms_inner_product(a: CountMinSketch, b: CountMinSketch) -> int:
+    """Join-size (self/equi-join cardinality) estimate: the classic CMS
+    inner product — min over rows of Σ_cell a[r][c]·b[r][c].  Always an
+    OVERestimate of Σ_k cnt_a(k)·cnt_b(k) (collisions only add)."""
+    if (a.width, a.depth) != (b.width, b.depth):
+        raise ValueError("geometry mismatch")
+    prods = (a.table.astype(object) * b.table.astype(object)).sum(axis=1)
+    return int(min(prods))

@@ -184,3 +184,35 @@ def test_inverted_index_stats_bounds(ray_session):
     df = inverted_index_stats_q(SF)
     assert (df["total_tf"] >= df["df"]).all()
     assert (df["first_doc"] <= df["last_doc"]).all()
+
+
+def test_cms_join_estimate_upper_bound(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        cms_join_size_estimate_q,
+    )
+
+    df = cms_join_size_estimate_q(SF)
+    exact = df["exact_join_size"].iloc[0]
+    est = df["cms_estimate"].iloc[0]
+    assert est >= exact  # CMS collisions only inflate
+    assert est <= exact * 3  # and stay sane at this width
+
+
+def test_k_anonymity_consistency(ray_session):
+    from dataquality_ray.pipelines.queries_mining import k_anonymity_check_q
+
+    df = k_anonymity_check_q(SF)
+    assert df["n_small_groups"].iloc[0] <= df["n_groups"].iloc[0]
+    assert (df["n_rows_at_risk"].iloc[0] == 0) == \
+        (df["n_small_groups"].iloc[0] == 0)
+
+
+def test_scd2_intervals_cover_stream(ray_session):
+    from dataquality_ray.pipelines.queries_mining import scd2_user_state_q
+
+    df = scd2_user_state_q(SF)
+    # exactly one open-ended (current) row per user
+    open_rows = df[df["valid_to_us"].isna()]
+    assert open_rows.groupby("user_id").size().eq(1).all()
+    closed = df.dropna(subset=["valid_to_us"])
+    assert (closed["valid_to_us"] >= closed["valid_from_us"]).all()
