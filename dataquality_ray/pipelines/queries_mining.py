@@ -1111,3 +1111,193 @@ def scd2_user_state_q(sf_dir: str):
            .map_groups(per_user, batch_format="pandas")
            .to_pandas())
     return out.sort_values(["user_id", "seq"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Golden-record merge (survivorship rules over duplicate entities)
+# ---------------------------------------------------------------------------
+
+@query("golden_record_merge", sql="""
+WITH corpus AS (
+  SELECT c_custkey, c_custkey AS entity_id, c_name, c_acctbal, c_mktsegment
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 100000, c_custkey, lower(c_name), NULL, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT entity_id, count(*)::BIGINT AS n_records,
+       min(c_custkey)::BIGINT AS canonical_id,
+       max(c_acctbal) AS acctbal,
+       min(c_name) AS name,
+       min(c_mktsegment) AS mktsegment
+FROM corpus GROUP BY entity_id ORDER BY entity_id
+""")
+def golden_record_merge_q(sf_dir: str):
+    """Entity consolidation with survivorship rules (golden record):
+    duplicate records (planted: lower-cased name, null balance) collapse
+    per entity via mergeable column rules — min id, max non-null balance,
+    lexicographic-min name — through the guarded combine (groupby twin
+    past the cap).  The MDM/record-linkage merge step downstream of the
+    fuzzy-match operators (C2/C3)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def plant(b: pa.Table) -> pa.Table:
+        base = pa.table({
+            "c_custkey": b["c_custkey"], "entity_id": b["c_custkey"],
+            "c_name": b["c_name"], "c_acctbal": b["c_acctbal"],
+            "c_mktsegment": b["c_mktsegment"]})
+        keys = b["c_custkey"].to_numpy(zero_copy_only=False)
+        dup = b.filter(pa.array(keys % 10 == 0))
+        dup = pa.table({
+            "c_custkey": pc.add(dup["c_custkey"], 100000),
+            "entity_id": dup["c_custkey"],
+            "c_name": pc.utf8_lower(dup["c_name"]),
+            "c_acctbal": pa.nulls(len(dup), pa.float64()),
+            "c_mktsegment": dup["c_mktsegment"]})
+        return pa.concat_tables([base, dup])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("entity_id", as_index=False).agg(
+            n_records=("n_records", "sum"),
+            canonical_id=("canonical_id", "min"),
+            acctbal=("acctbal", "max"),
+            name=("name", "min"),
+            mktsegment=("mktsegment", "min"))
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = b.to_pandas().rename(columns={
+            "c_custkey": "canonical_id", "c_name": "name",
+            "c_acctbal": "acctbal", "c_mktsegment": "mktsegment"})
+        f["n_records"] = 1
+        return fold(f)
+
+    stage = (_read(sf_dir, "customer",
+                   ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+             .map_batches(plant, batch_format="pyarrow")
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    out = merged.sort_values("entity_id").reset_index(drop=True)
+    out["n_records"] = out["n_records"].astype("int64")
+    out["canonical_id"] = out["canonical_id"].astype("int64")
+    return out[["entity_id", "n_records", "canonical_id", "acctbal",
+                "name", "mktsegment"]]
+
+
+# ---------------------------------------------------------------------------
+# Token-graph degree profile + triangle count (graph health metrics)
+# ---------------------------------------------------------------------------
+
+@query("token_graph_degrees", sql=f"""
+WITH {_BIGRAM_SQL.strip().rstrip(',')},
+outs AS (SELECT src AS tok, count(*)::BIGINT AS out_degree,
+         sum(cnt)::BIGINT AS out_weight FROM edges GROUP BY src),
+ins AS (SELECT dst AS tok, count(*)::BIGINT AS in_degree FROM edges
+        GROUP BY dst)
+SELECT coalesce(o.tok, i.tok) AS tok,
+       coalesce(o.out_degree, 0)::BIGINT AS out_degree,
+       coalesce(i.in_degree, 0)::BIGINT AS in_degree,
+       coalesce(o.out_weight, 0)::BIGINT AS out_weight
+FROM outs o FULL OUTER JOIN ins i ON o.tok = i.tok
+ORDER BY tok
+""")
+def token_graph_degrees_q(sf_dir: str):
+    """Degree profile of the token-transition graph (graph-health
+    companion to pagerank_tokens): distinct out/in neighbors and total
+    out weight per node, from the same distributed edge aggregation."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    if not len(edges):
+        return pd.DataFrame({"tok": [], "out_degree": [], "in_degree": [],
+                             "out_weight": []})
+    outs = edges.groupby("src").agg(
+        out_degree=("dst", "size"), out_weight=("cnt", "sum"))
+    ins = edges.groupby("dst").agg(in_degree=("src", "size"))
+    out = (outs.join(ins, how="outer").fillna(0)
+           .rename_axis("tok").reset_index())
+    for c in ["out_degree", "in_degree", "out_weight"]:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values("tok").reset_index(drop=True)
+            [["tok", "out_degree", "in_degree", "out_weight"]])
+
+
+@query("token_triangle_count", sql=f"""
+WITH {_BIGRAM_SQL.strip().rstrip(',')},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+)
+SELECT count(*)::BIGINT AS n_triangles,
+       (SELECT count(*) FROM und)::BIGINT AS n_edges
+FROM und e1
+JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+""")
+def token_triangle_count_q(sf_dir: str):
+    """Triangle count of the undirected token graph (clustering /
+    cohesion metric; the canonical 3-way self-join benchmark).  Edges
+    come from the distributed aggregation; the triangle join runs on the
+    vocab-bounded edge set with the standard a<b<c orientation so each
+    triangle counts once."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    und = set()
+    for s, d in zip(edges["src"], edges["dst"]):
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    adj: dict[str, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+    tri = 0
+    for a, b in und:
+        for c in adj.get(a, ()):  # c > b guaranteed by set order check
+            if c > b and c in adj.get(b, set()):
+                tri += 1
+    return pd.DataFrame({"n_triangles": [tri], "n_edges": [len(und)]})
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning stats (data-skipping planner statistic)
+# ---------------------------------------------------------------------------
+
+@query("zone_map_prune_stats", sql="""
+WITH s AS (
+  SELECT l_shipdate,
+         row_number() OVER (ORDER BY l_shipdate, l_orderkey,
+                            l_linenumber) - 1 AS rn
+  FROM lineitem
+), g AS (
+  SELECT rn // 8192 AS rg, max(l_shipdate) AS mx, count(*)::BIGINT AS c
+  FROM s GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_row_groups,
+       count(*) FILTER (WHERE mx <= TIMESTAMP '1997-06-01')::BIGINT
+         AS n_prunable,
+       coalesce(sum(c) FILTER (WHERE mx > TIMESTAMP '1997-06-01'), 0)
+         ::BIGINT AS rows_scanned,
+       (SELECT count(*) FROM lineitem
+        WHERE l_shipdate > TIMESTAMP '1997-06-01')::BIGINT AS rows_matched
+FROM g
+""")
+def zone_map_prune_stats_q(sf_dir: str):
+    """Data-skipping audit: cluster lineitem on shipdate, build 8192-row
+    zone maps, and report how many row groups a `shipdate > cutoff` scan
+    prunes — the planner-side statistic that makes a 100 TB range scan
+    read only the tail.  Sort is the one wide op; the zone-map pass is
+    O(#groups) driver memory (a production writer gets the same stats
+    from parquet footers — see the physical-footer twin test)."""
+    import pandas as pd
+
+    from dataquality_ray.stages.profile import prune_stats, zone_map_stats
+
+    cutoff = pd.Timestamp("1997-06-01")
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_orderkey", "l_linenumber"])
+    zones = zone_map_stats(
+        ds, ["l_shipdate", "l_orderkey", "l_linenumber"], "l_shipdate")
+    out = prune_stats(zones, cutoff)
+    matched = int(_read(sf_dir, "lineitem", ["l_shipdate"])
+                  .map_batches(lambda b: pa.table({"m": [
+                      pc.sum(pc.greater(b["l_shipdate"],
+                                        pa.scalar(cutoff))).as_py() or 0]}),
+                      batch_format="pyarrow").sum("m"))
+    out["rows_matched"] = matched
+    return out

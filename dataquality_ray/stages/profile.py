@@ -286,3 +286,58 @@ def ri_check(child, child_key: str, parent, parent_key: str,
             n_orph += int(b["miss"].sum())
     return {"n_child": tot, "n_orphans": n_orph,
             "ri_holds": n_orph == 0}
+
+
+def zone_map_stats(ds, sort_keys: list[str], value_col: str,
+                   rows_per_group: int = 8192):
+    """Zone maps (per-row-group min/max) for a table clustered on
+    ``sort_keys`` — the data-skipping statistic a lakehouse writer emits
+    so a predicate on ``value_col`` can prune whole row groups at plan
+    time.
+
+    The clustered order comes from ``Dataset.sort`` (the one wide op);
+    group stats then stream through the driver in O(#groups) memory.
+    In a production writer the same stats fall out of each parquet
+    file's footer for free (see tests/test_queries_code.py's physical
+    twin, which writes a real multi-row-group file and asserts footer
+    stats == these logical stats).
+    """
+    import pandas as pd
+
+    srt = ds.sort(sort_keys)
+    groups: list[tuple] = []
+    idx = 0
+    cur_min = cur_max = None
+    cur_n = 0
+    for b in srt.iter_batches(batch_format="pandas", batch_size=None):
+        vals = b[value_col]
+        for v in vals:
+            if cur_n == 0:
+                cur_min = cur_max = v
+            else:
+                if v < cur_min:
+                    cur_min = v
+                if v > cur_max:
+                    cur_max = v
+            cur_n += 1
+            idx += 1
+            if cur_n == rows_per_group:
+                groups.append((len(groups), cur_min, cur_max, cur_n))
+                cur_n = 0
+    if cur_n:
+        groups.append((len(groups), cur_min, cur_max, cur_n))
+    return pd.DataFrame(groups, columns=["rg", "mn", "mx", "n_rows"])
+
+
+def prune_stats(zones, cutoff, *, op: str = "gt"):
+    """How much a `value > cutoff` scan skips given zone maps: groups
+    whose max <= cutoff never contain a match and are pruned."""
+    import pandas as pd
+
+    if op != "gt":
+        raise ValueError("only 'gt' predicates supported")
+    prunable = zones["mx"] <= cutoff
+    return pd.DataFrame({
+        "n_row_groups": [len(zones)],
+        "n_prunable": [int(prunable.sum())],
+        "rows_scanned": [int(zones.loc[~prunable, "n_rows"].sum())]})

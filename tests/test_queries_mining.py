@@ -216,3 +216,68 @@ def test_scd2_intervals_cover_stream(ray_session):
     assert open_rows.groupby("user_id").size().eq(1).all()
     closed = df.dropna(subset=["valid_to_us"])
     assert (closed["valid_to_us"] >= closed["valid_from_us"]).all()
+
+
+def test_golden_record_survivorship(ray_session):
+    from dataquality_ray.pipelines.queries_mining import golden_record_merge_q
+
+    df = golden_record_merge_q(SF)
+    dup = df[df["entity_id"] % 10 == 0]
+    assert (dup["n_records"] == 2).all()
+    # canonical id is the original (min) key; balance survives the null dup
+    assert (dup["canonical_id"] == dup["entity_id"]).all()
+    assert dup["acctbal"].notna().all()
+    # lowercased dup name wins min() only when it sorts lower
+    solo = df[df["entity_id"] % 10 != 0]
+    assert (solo["n_records"] == 1).all()
+
+
+def test_token_graph_degree_conservation(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        token_graph_degrees_q,
+        token_triangle_count_q,
+    )
+
+    deg = token_graph_degrees_q(SF)
+    # every edge contributes one out-degree and one in-degree
+    assert deg["out_degree"].sum() == deg["in_degree"].sum()
+    tri = token_triangle_count_q(SF)
+    n_e = tri["n_edges"].iloc[0]
+    assert tri["n_triangles"].iloc[0] <= n_e * (n_e - 1) // 6 + 1
+
+
+def test_zone_map_logical_matches_physical_footer(ray_session, tmp_path):
+    """Write a REAL multi-row-group parquet file in the zone-map order and
+    assert parquet footer min/max statistics equal the logical zone maps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dataquality_ray.stages.profile import prune_stats, zone_map_stats
+
+    ds = rd.read_parquet(SF + "/lineitem.parquet",
+                         columns=["l_shipdate", "l_orderkey",
+                                  "l_linenumber"])
+    keys = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    zones = zone_map_stats(ds, keys, "l_shipdate", rows_per_group=1000)
+
+    # physical twin: single sorted file, 1000-row row groups
+    df = ds.sort(keys).to_pandas()
+    path = str(tmp_path / "clustered.parquet")
+    pq.write_table(pa.Table.from_pandas(df), path, row_group_size=1000)
+    f = pq.ParquetFile(path)
+    assert f.metadata.num_row_groups == len(zones)
+    col_idx = f.schema_arrow.names.index("l_shipdate")
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(col_idx).statistics
+        assert st.min == zones.loc[rg, "mn"].to_pydatetime()
+        assert st.max == zones.loc[rg, "mx"].to_pydatetime()
+
+    # pruning stats agree with a brute-force scan
+    import pandas as pd
+
+    cutoff = pd.Timestamp("1997-06-01")
+    ps = prune_stats(zones, cutoff)
+    brute = (df.groupby(np.arange(len(df)) // 1000)["l_shipdate"]
+             .max() <= cutoff)
+    assert ps["n_prunable"].iloc[0] == int(brute.sum())
