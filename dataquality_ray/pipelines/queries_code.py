@@ -55,7 +55,6 @@ def code_view_batch(batch: pa.Table, *, plant_license: bool = False) -> pa.Table
     code = pc.replace_substring_regex(code, "(?m)^agg$", "\tagg")
     code = pc.replace_substring_regex(code, "(?m)^data$", "    data")
     if plant_license:
-        mod = pc.mod if hasattr(pc, "mod") else None
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sel = ids % 11
         heads = np.where(
@@ -249,3 +248,141 @@ def identifier_stats_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pandas").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Rule overlap / ablation matrix for the heuristic gate
+# ---------------------------------------------------------------------------
+
+def _heur_flags_sql() -> str:
+    from dataquality_ray.functions.heuristics import (
+        AUTOGEN_RE,
+        MAX_DUP_LINE_FRAC,
+        MAX_LINE_LEN,
+        MEAN_LINE_LEN,
+        MIN_ALNUM_RATIO,
+        MIN_DUP_LINES,
+    )
+
+    lines = "string_split(text, chr(10))"
+    lens = f"list_transform({lines}, l -> length(l))"
+    empty = "text IS NULL OR text = ''"
+    return f"""
+SELECT doc_id,
+     (CASE WHEN {empty} THEN 0 ELSE list_max({lens}) END > {MAX_LINE_LEN}
+      OR CASE WHEN {empty} THEN 0.0
+              ELSE list_sum({lens}) * 1.0 / len({lines}) END
+         > {MEAN_LINE_LEN}) AS rule_long_lines,
+     (CASE WHEN {empty} THEN 0.0
+           ELSE 1.0 - len(list_distinct({lines})) * 1.0 / len({lines})
+      END > {MAX_DUP_LINE_FRAC}
+      AND CASE WHEN {empty} THEN 0 ELSE len({lines}) END
+          >= {MIN_DUP_LINES}) AS rule_repetitive,
+     coalesce(regexp_matches(text, '{AUTOGEN_RE}'), false) AS rule_autogen,
+     (CASE WHEN coalesce(length(text), 0) > 0
+           THEN length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g'))
+                * 1.0 / length(text) ELSE 0.0 END
+      < {MIN_ALNUM_RATIO}) AS rule_low_alnum
+FROM documents
+"""
+
+
+@query("rule_overlap_matrix", sql=f"""
+WITH f AS ({_heur_flags_sql()})
+SELECT rule_long_lines, rule_repetitive, rule_autogen, rule_low_alnum,
+       count(*)::BIGINT AS n_docs
+FROM f
+GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2, 3, 4
+""")
+def rule_overlap_matrix_q(sf_dir: str):
+    """Ablation / overlap audit of the heuristic gate: document counts
+    per RULE COMBINATION — shows which rules fire alone (removing them
+    changes the corpus) vs always co-fire (redundant).  The per-rule
+    kernels are the flagship's own (functions/heuristics.py); the 2⁴
+    combination counts merge through a tiny driver combine."""
+    from dataquality_ray.functions.heuristics import (
+        content_stats,
+        heuristic_violations,
+    )
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    cols = ["rule_long_lines", "rule_repetitive", "rule_autogen",
+            "rule_low_alnum"]
+
+    def kern(batch: pa.Table) -> pd.DataFrame:
+        b = content_stats(batch, col="text")
+        flags = heuristic_violations(b)
+        f = pd.DataFrame({c: pc.fill_null(flags[c], False).to_pandas()
+                          for c in cols})
+        f["n_docs"] = 1
+        return f.groupby(cols, as_index=False)["n_docs"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(cols, as_index=False)["n_docs"].sum()
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(kern, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    out = merged.sort_values(cols).reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[cols + ["n_docs"]]
+
+
+# ---------------------------------------------------------------------------
+# Threshold sensitivity sweep for the alnum-ratio rule
+# ---------------------------------------------------------------------------
+
+_SWEEP_PPM = [100000, 200000, 300000, 400000, 500000, 600000, 700000]
+
+
+@query("threshold_sensitivity", sql=f"""
+WITH r AS (
+  SELECT CASE WHEN coalesce(length(text), 0) > 0
+              THEN length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g'))
+                   * 1000000 // length(text)
+              ELSE 0 END AS alnum_ppm
+  FROM documents
+)
+SELECT t.threshold_ppm::BIGINT AS threshold_ppm,
+       count(*) FILTER (WHERE r.alnum_ppm < t.threshold_ppm)::BIGINT
+         AS n_dropped
+FROM r CROSS JOIN (VALUES {", ".join(f"({p})" for p in _SWEEP_PPM)})
+       t(threshold_ppm)
+GROUP BY 1 ORDER BY 1
+""")
+def threshold_sensitivity_q(sf_dir: str):
+    """Parameter-sweep audit: how many documents each candidate
+    alnum-ratio threshold would drop — ONE pass computes the per-doc
+    ratio (exact integer ppm), a vectorized searchsorted bins it against
+    every threshold at once, and the K counters merge as partials.  The
+    calibration tool for choosing gate thresholds without re-scanning
+    per candidate."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    th = np.array(_SWEEP_PPM, dtype=np.int64)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        txt = b["text"]
+        n = pc.coalesce(pc.utf8_length(txt), pa.scalar(0)) \
+              .to_numpy(zero_copy_only=False).astype(np.int64)
+        alnum = pc.utf8_length(pc.replace_substring_regex(
+            pc.coalesce(txt, pa.scalar("")), "[^0-9A-Za-z]", "")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = np.where(n > 0, alnum * 1000000 // np.maximum(n, 1), 0)
+        # count rows with ppm < threshold for every threshold at once
+        counts = np.searchsorted(np.sort(ppm), th, side="left")
+        return pd.DataFrame({"threshold_ppm": th, "n_dropped": counts})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("threshold_ppm", as_index=False)["n_dropped"].sum()
+
+    stage = (_read(sf_dir, "documents", ["text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1000)
+    assert ok and merged is not None
+    out = merged.sort_values("threshold_ppm").reset_index(drop=True)
+    out["threshold_ppm"] = out["threshold_ppm"].astype("int64")
+    out["n_dropped"] = out["n_dropped"].astype("int64")
+    return out

@@ -94,3 +94,23 @@ def test_q10_q14_q18_shapes(ray_session):
     assert q14["promo_units"].iloc[0] <= q14["total_units"].iloc[0]
     q18 = q18_large_orders_q(SF)
     assert (q18["qty"] > 30).all()
+
+
+def test_rule_overlap_matrix_partitions_corpus(ray_session):
+    from dataquality_ray.pipelines.queries_code import rule_overlap_matrix_q
+
+    df = rule_overlap_matrix_q(SF)
+    assert df["n_docs"].sum() == 500  # combinations partition the corpus
+    assert not df.duplicated(["rule_long_lines", "rule_repetitive",
+                              "rule_autogen", "rule_low_alnum"]).any()
+
+
+def test_threshold_sensitivity_monotone(ray_session):
+    from dataquality_ray.pipelines.queries_code import (
+        threshold_sensitivity_q,
+    )
+
+    df = threshold_sensitivity_q(SF)
+    d = df["n_dropped"].to_numpy()
+    assert (d[1:] >= d[:-1]).all()  # higher threshold drops weakly more
+    assert (df["n_dropped"] <= 500).all()
