@@ -199,6 +199,23 @@ def run_suite() -> dict:
                  "freshness_check", "daily_volume_change",
                  "event_burstiness", "pca_embeddings",
                  "q6_forecast_revenue", "volume_autocorrelation",
+                 # round-3 continuation (session 5): code-payload heuristics,
+                 # KMV sampling, TPC-H join shapes, token-graph mining,
+                 # sketch-based planning, survivorship, SCD2
+                 "code_comment_stats", "license_detect", "bottom_k_sample",
+                 "event_dedup_daily", "q5_regional_revenue",
+                 "q10_returned_items", "q14_promo_share", "q18_large_orders",
+                 "pagerank_tokens", "bigram_lm_fit", "user_path_signature",
+                 "ewma_daily_volume", "stratified_bottom_k", "grouped_ols",
+                 "decayed_event_counts", "lang_source_info_gain",
+                 "minmax_scale_chars", "inverted_index_stats",
+                 "association_rules", "revenue_lorenz_deciles",
+                 "fd_discovery", "char_trigram_profile",
+                 "cms_join_size_estimate", "k_anonymity_check",
+                 "scd2_user_state", "golden_record_merge",
+                 "token_graph_degrees", "token_triangle_count",
+                 "zone_map_prune_stats", "rule_overlap_matrix",
+                 "threshold_sensitivity",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 
