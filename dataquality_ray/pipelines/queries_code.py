@@ -386,3 +386,220 @@ def threshold_sensitivity_q(sf_dir: str):
     out["threshold_ppm"] = out["threshold_ppm"].astype("int64")
     out["n_dropped"] = out["n_dropped"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Data-contract validation (expectation suite over a table)
+# ---------------------------------------------------------------------------
+
+@query("schema_contract_check", sql="""
+SELECT * FROM (
+  SELECT 'doc_id_unique' AS expectation,
+         (count(*) = count(DISTINCT doc_id)) AS passed,
+         (count(*) - count(DISTINCT doc_id))::BIGINT AS n_violations
+  FROM documents
+  UNION ALL
+  SELECT 'doc_id_not_null', count(*) FILTER (WHERE doc_id IS NULL) = 0,
+         count(*) FILTER (WHERE doc_id IS NULL)::BIGINT FROM documents
+  UNION ALL
+  SELECT 'lang_in_domain',
+         count(*) FILTER (WHERE lang NOT IN
+             ('en', 'de', 'fr', 'es', 'zh')) = 0,
+         count(*) FILTER (WHERE lang NOT IN
+             ('en', 'de', 'fr', 'es', 'zh'))::BIGINT FROM documents
+  UNION ALL
+  SELECT 'n_chars_nonnegative', count(*) FILTER (WHERE n_chars < 0) = 0,
+         count(*) FILTER (WHERE n_chars < 0)::BIGINT FROM documents
+  UNION ALL
+  SELECT 'n_chars_matches_text',
+         count(*) FILTER (WHERE n_chars <> length(coalesce(text, ''))) = 0,
+         count(*) FILTER (WHERE n_chars <> length(coalesce(text, '')))
+           ::BIGINT
+  FROM documents
+) ORDER BY expectation
+""")
+def schema_contract_check_q(sf_dir: str):
+    """Data-contract / expectation-suite validation (the
+    Great-Expectations shape): uniqueness, nullability, domain membership
+    and cross-field consistency checks evaluated in ONE pass of mergeable
+    partials — each expectation reduces to a violation count, so the
+    whole suite is a tiny driver combine regardless of corpus size."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    LANGS = {"en", "de", "fr", "es", "zh"}
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_pandas()
+        lang = b["lang"].to_pandas()
+        nc = b["n_chars"].to_numpy(zero_copy_only=False)
+        txtlen = pc.utf8_length(pc.coalesce(b["text"], pa.scalar("")))\
+            .to_numpy(zero_copy_only=False)
+        # doc_id uniqueness needs the distinct set, not a count — ship the
+        # per-batch distinct ids under a reserved expectation row
+        dup_local = int(ids.duplicated().sum())
+        rows = [
+            ("doc_id_not_null", int(ids.isna().sum()), None),
+            ("lang_in_domain", int((~lang.isin(LANGS)).sum()), None),
+            ("n_chars_nonnegative", int((nc < 0).sum()), None),
+            ("n_chars_matches_text", int((nc != txtlen).sum()), None),
+        ]
+        f = pd.DataFrame(rows, columns=["expectation", "n_violations",
+                                        "ids"])
+        u = pd.DataFrame({"expectation": "__ids__",
+                          "n_violations": dup_local,
+                          "ids": ids.drop_duplicates().astype("int64")})
+        return pd.concat([f, u], ignore_index=True)
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        plain = f[f["expectation"] != "__ids__"]
+        plain = plain.groupby("expectation", as_index=False).agg(
+            n_violations=("n_violations", "sum"), ids=("ids", "first"))
+        u = f[f["expectation"] == "__ids__"]
+        cross = int(u["ids"].duplicated().sum()) + int(
+            u["n_violations"].sum())
+        uu = pd.DataFrame({"expectation": "__ids__",
+                           "n_violations": cross,
+                           "ids": u["ids"].drop_duplicates()})
+        return pd.concat([plain, uu], ignore_index=True)
+
+    stage = (_read(sf_dir, "documents",
+                   ["doc_id", "lang", "n_chars", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    dup = int(merged.loc[merged["expectation"] == "__ids__",
+                         "n_violations"].iloc[0])
+    plain = merged[merged["expectation"] != "__ids__"][
+        ["expectation", "n_violations"]]
+    out = pd.concat([plain, pd.DataFrame(
+        {"expectation": ["doc_id_unique"], "n_violations": [dup]})],
+        ignore_index=True)
+    out["passed"] = out["n_violations"] == 0
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return (out.sort_values("expectation").reset_index(drop=True)
+            [["expectation", "passed", "n_violations"]])
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (one-row corpus documentation summary)
+# ---------------------------------------------------------------------------
+
+@query("dataset_card", sql=r"""
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       sum(length(coalesce(text, '')))::BIGINT AS total_chars,
+       sum(len(list_filter(regexp_split_to_array(coalesce(text,''),
+           '\s+'), x -> x <> '')))::BIGINT AS total_tokens,
+       count(*) FILTER (WHERE text IS NULL OR text = '')::BIGINT
+         AS n_empty,
+       (count(*) - count(DISTINCT coalesce(text, '')))::BIGINT
+         AS n_exact_dups
+FROM documents
+""")
+def dataset_card_q(sf_dir: str):
+    """The dataset-card summary block (corpus documentation): doc/lang/
+    source counts, token and char volume, empty and exact-duplicate
+    counts — all mergeable aggregates in one scan (distinct text via
+    per-batch hash dedup partials)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        txt = [t or "" for t in b["text"].to_pylist()]
+        import hashlib
+
+        hashes = [hashlib.sha256(t.encode()).digest()[:16] for t in txt]
+        return pd.DataFrame({
+            "kind": (["lang"] * len(b) + ["source"] * len(b)
+                     + ["hash"] * len(b)),
+            "val": (b["lang"].to_pylist() + b["source"].to_pylist()
+                    + hashes),
+            "n_docs": [1] * len(b) + [0] * (2 * len(b)),
+            "chars": [len(t) for t in txt] + [0] * (2 * len(b)),
+            "toks": [len(t.split()) for t in txt] + [0] * (2 * len(b)),
+            "empty": [int(not t) for t in txt] + [0] * (2 * len(b)),
+        }).groupby(["kind", "val"], as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["kind", "val"], as_index=False).sum()
+
+    stage = (_read(sf_dir, "documents", ["lang", "source", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    h = merged[merged["kind"] == "hash"]
+    n_docs = int(merged["n_docs"].sum())
+    return pd.DataFrame({
+        "n_docs": [n_docs],
+        "n_langs": [int((merged["kind"] == "lang").sum())],
+        "n_sources": [int((merged["kind"] == "source").sum())],
+        "total_chars": [int(merged["chars"].sum())],
+        "total_tokens": [int(merged["toks"].sum())],
+        "n_empty": [int(merged["empty"].sum())],
+        "n_exact_dups": [n_docs - len(h)]})
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall audit vs exact ground truth (rows-only — the exact
+# all-pairs side is O(n²) and runs on the distinct-text universe only)
+# ---------------------------------------------------------------------------
+
+@query("minhash_recall_audit")
+def minhash_recall_audit_q(sf_dir: str):
+    """Quality audit of the LSH near-dup detector: exact all-pairs
+    Jaccard ground truth (planted mutated corpus, distinct-universe
+    bounded) vs the banded-MinHash pipeline's verified pairs — reports
+    true/detected/matched pair counts per threshold.  The measurement a
+    dedup rollout needs before trusting LSH at scale (recall is the
+    silent failure mode: missed dups stay in the corpus)."""
+    import ray.data as rd
+
+    from dataquality_ray.stages.minhash import (
+        minhash_near_dup_pairs,
+        word_shingle_set,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr="doc_id < 200")
+
+    def mutate(b: pa.Table) -> pa.Table:
+        # plant near-dups: doc_id+1000000 copies with the first token
+        # dropped (high-Jaccard pair) for doc_id % 4 == 0
+        keys = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = b.filter(pa.array(keys % 4 == 0))
+        txt = [" ".join((t or "").split()[1:]) for t in
+               m["text"].to_pylist()]
+        mut = pa.table({"doc_id": pc.add(m["doc_id"], 1000000),
+                        "text": pa.array(txt)})
+        return pa.concat_tables([b.select(["doc_id", "text"]), mut])
+
+    corpus = ds.map_batches(mutate, batch_format="pyarrow")
+    threshold = 0.7
+
+    lsh = minhash_near_dup_pairs(corpus, jaccard_threshold=threshold)
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"])) if len(lsh) else set()
+
+    # exact ground truth on the collected (small, planted) universe
+    rows = corpus.to_pandas()
+    sh = {r.doc_id: word_shingle_set(r.text or "", 3)
+          for r in rows.itertuples()}
+    ids = sorted(sh)
+    true_pairs = set()
+    for i, a in enumerate(ids):
+        sa = sh[a]
+        if not sa:
+            continue
+        for b2 in ids[i + 1:]:
+            sb = sh[b2]
+            if not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / len(sa | sb) >= threshold:
+                true_pairs.add((a, b2))
+    matched = len(true_pairs & lsh_pairs)
+    return pd.DataFrame({
+        "n_true_pairs": [len(true_pairs)],
+        "n_lsh_pairs": [len(lsh_pairs)],
+        "n_matched": [matched],
+        "recall_ppm": [matched * 1000000 // max(len(true_pairs), 1)],
+        "precision_ppm": [matched * 1000000 // max(len(lsh_pairs), 1)]})

@@ -114,3 +114,32 @@ def test_threshold_sensitivity_monotone(ray_session):
     d = df["n_dropped"].to_numpy()
     assert (d[1:] >= d[:-1]).all()  # higher threshold drops weakly more
     assert (df["n_dropped"] <= 500).all()
+
+
+def test_schema_contract_all_pass(ray_session):
+    from dataquality_ray.pipelines.queries_code import (
+        schema_contract_check_q,
+    )
+
+    df = schema_contract_check_q(SF)
+    assert df["passed"].all()  # driver testdata satisfies its contract
+    assert (df["n_violations"] == 0).all()
+    assert len(df) == 5
+
+
+def test_dataset_card_consistency(ray_session):
+    from dataquality_ray.pipelines.queries_code import dataset_card_q
+
+    df = dataset_card_q(SF)
+    assert df["n_docs"].iloc[0] == 500
+    assert df["total_chars"].iloc[0] > df["total_tokens"].iloc[0]
+    assert df["n_exact_dups"].iloc[0] >= 0
+
+
+def test_minhash_recall_audit(ray_session):
+    from dataquality_ray.pipelines.queries_code import minhash_recall_audit_q
+
+    df = minhash_recall_audit_q(SF)
+    assert df["n_true_pairs"].iloc[0] >= 40  # planted ~50 near-dup pairs
+    assert df["recall_ppm"].iloc[0] >= 900_000  # LSH catches >=90%
+    assert df["precision_ppm"].iloc[0] == 1_000_000  # verified pairs exact
