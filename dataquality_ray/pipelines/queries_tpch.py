@@ -2948,3 +2948,178 @@ def q18_large_orders_q(sf_dir: str):
                            ascending=[False, True]).head(50)
            .reset_index(drop=True))
     return out[["o_orderkey", "o_custkey", "o_totalprice", "qty"]]
+
+
+# ---------------------------------------------------------------------------
+# Multi-granularity rollup in one pass (GROUPING SETS)
+# ---------------------------------------------------------------------------
+
+@query("multi_granularity_rollup", sql="""
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type FROM events
+)
+SELECT CASE WHEN grouping(day_idx) = 0 AND grouping(event_type) = 0
+            THEN 'day_type'
+            WHEN grouping(day_idx) = 0 THEN 'day'
+            WHEN grouping(event_type) = 0 THEN 'type'
+            ELSE 'total' END AS level,
+       CASE WHEN grouping(day_idx) = 0 THEN day_idx END::BIGINT AS day_idx,
+       CASE WHEN grouping(event_type) = 0 THEN event_type END
+         AS event_type,
+       count(*)::BIGINT AS n
+FROM e
+GROUP BY GROUPING SETS ((day_idx, event_type), (day_idx), (event_type), ())
+ORDER BY level, day_idx NULLS FIRST, event_type NULLS FIRST
+""")
+def multi_granularity_rollup_q(sf_dir: str):
+    """GROUPING SETS in one scan: the finest (day x type) counts
+    aggregate distributedly ONCE; every coarser level (day, type, total)
+    derives from those partials driver-side — four result granularities
+    for the price of one pass, the standard OLAP cube trick."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"day_idx": day.to_pandas(),
+                          "event_type": b["event_type"].to_pylist(),
+                          "n": 1})
+        return f.groupby(["day_idx", "event_type"], as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["day_idx", "event_type"], as_index=False).sum()
+
+    stage = (_read(sf_dir, "events", ["ts", "event_type"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    fine = merged.copy()
+    fine["level"] = "day_type"
+    day = merged.groupby("day_idx", as_index=False)["n"].sum()
+    day["level"] = "day"
+    typ = merged.groupby("event_type", as_index=False)["n"].sum()
+    typ["level"] = "type"
+    tot = pd.DataFrame({"level": ["total"], "n": [int(merged["n"].sum())]})
+    out = pd.concat([fine, day, typ, tot], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["day_idx"] = out["day_idx"].astype("Int64").astype("float64")
+    out["event_type"] = out["event_type"].astype(object).where(
+        out["event_type"].notna(), None)
+    out = (out.sort_values(["level", "day_idx", "event_type"],
+                           na_position="first")
+           .reset_index(drop=True))
+    return out[["level", "day_idx", "event_type", "n"]]
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users
+# ---------------------------------------------------------------------------
+
+@query("rolling_distinct_users", sql="""
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx, user_id
+  FROM events
+), days AS (SELECT DISTINCT day_idx FROM du)
+SELECT d.day_idx::BIGINT AS day_idx,
+       count(DISTINCT u.user_id)::BIGINT AS wau
+FROM days d JOIN du u
+  ON u.day_idx BETWEEN d.day_idx - 6 AND d.day_idx
+GROUP BY d.day_idx ORDER BY d.day_idx
+""")
+def rolling_distinct_users_q(sf_dir: str):
+    """Rolling 7-day active users (the WAU metric): the O(corpus) part
+    reduces to DISTINCT (day, user) pairs through the guarded combine;
+    the windowed distinct union runs over the tiny day x user grid
+    driver-side.  COUNT(DISTINCT) over a sliding frame is exactly the
+    aggregation SQL windows cannot do natively — the partial-distinct
+    shape is how it distributes."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        return pd.DataFrame({"day_idx": day.to_pandas(),
+                             "user_id": b["user_id"].to_pandas()}) \
+            .drop_duplicates()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    stage = (_read(sf_dir, "events", ["ts", "user_id"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    days = np.sort(merged["day_idx"].unique())
+    rows = []
+    for d in days:
+        w = merged[(merged["day_idx"] >= d - 6) & (merged["day_idx"] <= d)]
+        rows.append((int(d), int(w["user_id"].nunique())))
+    return pd.DataFrame(rows, columns=["day_idx", "wau"])
+
+
+# ---------------------------------------------------------------------------
+# Token trend shift between corpus halves
+# ---------------------------------------------------------------------------
+
+@query("token_trend_shift", sql=r"""
+WITH h AS (
+  SELECT CASE WHEN doc_id * 2 < (SELECT max(doc_id) + 1 FROM documents)
+              THEN 0 ELSE 1 END AS half,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), c AS (
+  SELECT tok,
+         sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c2
+  FROM h GROUP BY tok
+)
+SELECT tok, c1, c2,
+       (CASE WHEN c2 >= c1 THEN (c2 - c1) * 1000000 // (c1 + c2)
+             ELSE -((c1 - c2) * 1000000 // (c1 + c2)) END)::BIGINT
+         AS shift_ppm
+FROM c
+ORDER BY CASE WHEN c2 >= c1 THEN (c2 - c1) * 1000000 // (c1 + c2)
+              ELSE (c1 - c2) * 1000000 // (c1 + c2) END DESC, tok
+LIMIT 20
+""")
+def token_trend_shift_q(sf_dir: str):
+    """Trending-token detection: token counts in the first vs second
+    corpus half (by doc_id), ranked by normalized shift (c2-c1)/(c1+c2)
+    as exact integer ppm — the drift-alarm primitive for vocabulary
+    composition.  One combine over (half, token) counts."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    cut_max = int(_read(sf_dir, "documents", ["doc_id"]).max("doc_id")) + 1
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        c: dict[tuple, int] = {}
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            half = 0 if did * 2 < cut_max else 1
+            for tok in (t or "").split():
+                c[(half, tok)] = c.get((half, tok), 0) + 1
+        ks = list(c)
+        return pd.DataFrame({"half": [k[0] for k in ks],
+                             "tok": [k[1] for k in ks],
+                             "n": list(c.values())})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["half", "tok"], as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    p = merged.pivot_table(index="tok", columns="half", values="n",
+                           aggfunc="sum", fill_value=0)
+    c1 = p.get(0, pd.Series(0, index=p.index)).astype("int64")
+    c2 = p.get(1, pd.Series(0, index=p.index)).astype("int64")
+    # sign-symmetric: floor on |delta| then apply sign (Python floors
+    # toward -inf, DuckDB truncates toward 0 — they agree on positives)
+    mag = ((c2 - c1).abs().astype(object) * 1000000 // (c1 + c2)).astype(
+        "int64")
+    shift = np.where(c2 >= c1, mag, -mag)
+    out = pd.DataFrame({"tok": p.index, "c1": c1.to_numpy(),
+                        "c2": c2.to_numpy(), "shift_ppm": shift})
+    out["absx"] = out["shift_ppm"].abs()
+    out = (out.sort_values(["absx", "tok"], ascending=[False, True])
+           .head(20).drop(columns="absx").reset_index(drop=True))
+    return out

@@ -281,3 +281,34 @@ def test_zone_map_logical_matches_physical_footer(ray_session, tmp_path):
     brute = (df.groupby(np.arange(len(df)) // 1000)["l_shipdate"]
              .max() <= cutoff)
     assert ps["n_prunable"].iloc[0] == int(brute.sum())
+
+
+def test_rollup_levels_consistent(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        multi_granularity_rollup_q,
+    )
+
+    df = multi_granularity_rollup_q(SF)
+    tot = df.loc[df["level"] == "total", "n"].iloc[0]
+    assert df.loc[df["level"] == "day", "n"].sum() == tot
+    assert df.loc[df["level"] == "type", "n"].sum() == tot
+    assert df.loc[df["level"] == "day_type", "n"].sum() == tot
+
+
+def test_rolling_wau_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        rolling_distinct_users_q,
+    )
+
+    df = rolling_distinct_users_q(SF)
+    assert (df["wau"] >= 1).all()
+    assert (df["wau"] <= 150).all()  # user universe size
+
+
+def test_token_trend_shift_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import token_trend_shift_q
+
+    df = token_trend_shift_q(SF)
+    assert df["shift_ppm"].abs().le(1_000_000).all()
+    # half counts cover the full corpus occurrence of each token
+    assert ((df["c1"] + df["c2"]) > 0).all()
