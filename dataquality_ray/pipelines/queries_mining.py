@@ -1301,3 +1301,157 @@ def zone_map_prune_stats_q(sf_dir: str):
                       batch_format="pyarrow").sum("m"))
     out["rows_matched"] = matched
     return out
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile (pure integer calendar arithmetic)
+# ---------------------------------------------------------------------------
+
+@query("weekday_seasonality", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT ((day_idx + 4) % 7)::BIGINT AS weekday,
+       count(*)::BIGINT AS n_days,
+       sum(n)::BIGINT AS total_events,
+       (sum(n) * 1000000 // count(*))::BIGINT AS avg_per_day_ppm
+FROM d GROUP BY 1 ORDER BY 1
+""")
+def weekday_seasonality_q(sf_dir: str):
+    """Day-of-week traffic profile: weekday = (epoch_day + 4) % 7 (epoch
+    day 0 = Thursday) — pure integer calendar arithmetic, no timezone/
+    locale library on either engine.  Daily counts merge through the
+    guarded combine; averages are exact integer ppm."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"day_idx": day.to_pandas(), "n": 1})
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    merged["weekday"] = (merged["day_idx"] + 4) % 7
+    g = merged.groupby("weekday", as_index=False).agg(
+        n_days=("n", "size"), total_events=("n", "sum"))
+    g["avg_per_day_ppm"] = (g["total_events"].astype(object) * 1000000
+                            // g["n_days"]).astype("int64")
+    for c in ["weekday", "n_days", "total_events"]:
+        g[c] = g[c].astype("int64")
+    return g.sort_values("weekday").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t statistic between two sources (bit-exact chain)
+# ---------------------------------------------------------------------------
+
+@query("welch_t_test", sql="""
+WITH s AS (
+  SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sx,
+         sum(n_chars * n_chars)::BIGINT AS sxx
+  FROM documents WHERE source IN ('src0', 'src1') GROUP BY source
+), w AS (
+  SELECT
+    (SELECT n FROM s WHERE source = 'src0') AS n1,
+    (SELECT sx FROM s WHERE source = 'src0') AS sx1,
+    (SELECT sxx FROM s WHERE source = 'src0') AS sxx1,
+    (SELECT n FROM s WHERE source = 'src1') AS n2,
+    (SELECT sx FROM s WHERE source = 'src1') AS sx2,
+    (SELECT sxx FROM s WHERE source = 'src1') AS sxx2
+)
+SELECT n1, n2,
+       CAST(sx1 AS DOUBLE) / n1 AS mean1,
+       CAST(sx2 AS DOUBLE) / n2 AS mean2,
+       (CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
+       / sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+              / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+              + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
+                / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))) AS t_stat
+FROM w
+""")
+def welch_t_test_q(sf_dir: str):
+    """Welch's two-sample t statistic (src0 vs src1 doc lengths) from
+    exact integer sufficient statistics — the A/B significance primitive.
+    Each reported float is one fixed chain (two divisions, one sqrt) over
+    exact int64 sums, so it is bit-identical to the SQL replay
+    (the event_type_correlation convention)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "x": b["n_chars"].to_pandas().astype("int64")})
+        f = f[f["source"].isin(["src0", "src1"])]
+        f["n"] = 1
+        f["sxx"] = f["x"] * f["x"]
+        return f.groupby("source", as_index=False).agg(
+            n=("n", "sum"), sx=("x", "sum"), sxx=("sxx", "sum"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False).sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1000)
+    assert ok and merged is not None
+    r = merged.set_index("source")
+    n1, sx1, sxx1 = (int(r.loc["src0", "n"]), int(r.loc["src0", "sx"]),
+                     int(r.loc["src0", "sxx"]))
+    n2, sx2, sxx2 = (int(r.loc["src1", "n"]), int(r.loc["src1", "sx"]),
+                     int(r.loc["src1", "sxx"]))
+    mean1 = float(sx1) / n1
+    mean2 = float(sx2) / n2
+    v1 = float(n1 * sxx1 - sx1 * sx1) / (float(n1) * n1 * (n1 - 1))
+    v2 = float(n2 * sxx2 - sx2 * sx2) / (float(n2) * n2 * (n2 - 1))
+    t = (mean1 - mean2) / np.sqrt(v1 + v2)
+    return pd.DataFrame({"n1": [n1], "n2": [n2], "mean1": [mean1],
+                         "mean2": [mean2], "t_stat": [t]})
+
+
+# ---------------------------------------------------------------------------
+# 2D histogram (chars x tokens density grid)
+# ---------------------------------------------------------------------------
+
+@query("hist2d_chars_tokens", sql=r"""
+WITH f AS (
+  SELECT n_chars // 50 AS bin_chars,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''),
+             '\s+'), x -> x <> '')) // 10 AS bin_tokens
+  FROM documents
+)
+SELECT bin_chars::BIGINT AS bin_chars, bin_tokens::BIGINT AS bin_tokens,
+       count(*)::BIGINT AS n_docs
+FROM f GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def hist2d_chars_tokens_q(sf_dir: str):
+    """2D density grid of (doc length in chars) x (token count) — the
+    joint-distribution profile behind length-based quality cuts.  Bin
+    pairs are integer floors; counts merge through the guarded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        nch = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = np.array([len((t or "").split())
+                         for t in b["text"].to_pylist()], dtype=np.int64)
+        f = pd.DataFrame({"bin_chars": nch // 50, "bin_tokens": ntok // 10,
+                          "n_docs": 1})
+        return f.groupby(["bin_chars", "bin_tokens"],
+                         as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["bin_chars", "bin_tokens"], as_index=False).sum()
+
+    stage = (_read(sf_dir, "documents", ["n_chars", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    out = merged.sort_values(["bin_chars", "bin_tokens"]) \
+                .reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

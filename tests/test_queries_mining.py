@@ -312,3 +312,43 @@ def test_token_trend_shift_bounds(ray_session):
     assert df["shift_ppm"].abs().le(1_000_000).all()
     # half counts cover the full corpus occurrence of each token
     assert ((df["c1"] + df["c2"]) > 0).all()
+
+
+def test_weekday_seasonality_partition(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        weekday_seasonality_q,
+    )
+
+    df = weekday_seasonality_q(SF)
+    assert len(df) == 7
+    assert df["n_days"].sum() == 30  # Jan 2024 test window
+    assert df["total_events"].sum() == 1000
+
+
+def test_welch_t_matches_scipy_formula(ray_session):
+    from dataquality_ray.pipelines.queries_mining import welch_t_test_q
+
+    df = welch_t_test_q(SF)
+    t = df["t_stat"].iloc[0]
+    assert np.isfinite(t)
+    # recompute from raw data
+    import duckdb
+
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT source, n_chars FROM read_parquet('{SF}/documents.parquet')"
+        " WHERE source IN ('src0','src1')").fetchdf()
+    a = raw[raw.source == "src0"]["n_chars"].to_numpy(float)
+    b = raw[raw.source == "src1"]["n_chars"].to_numpy(float)
+    se = np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+    assert abs(t - (a.mean() - b.mean()) / se) < 1e-9
+
+
+def test_hist2d_covers_corpus(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        hist2d_chars_tokens_q,
+    )
+
+    df = hist2d_chars_tokens_q(SF)
+    assert df["n_docs"].sum() == 500
+    assert (df["bin_chars"] >= 0).all() and (df["bin_tokens"] >= 0).all()
