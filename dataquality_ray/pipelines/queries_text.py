@@ -4441,3 +4441,48 @@ def bottom_k_sample_q(sf_dir: str):
     out = bottom_k_sample(_read(sf_dir, "documents", ["doc_id"]),
                           50, "doc_id", seed=7)
     return out[["rank", "doc_id"]]
+
+
+# ---------------------------------------------------------------------------
+# JL random-projection featurizer (rows-only: float matmul is not SQL)
+# ---------------------------------------------------------------------------
+
+@query("jl_projection_ann")
+def jl_projection_ann_q(sf_dir: str):
+    """ANN over JL-projected embeddings (64 -> 16 dims): the projection
+    is a deterministic splitmix sign matrix (stages/ann.jl_project_batch,
+    rebuilt in microseconds per task — nothing broadcast), cutting ANN
+    distance work 4x; top-1 neighbors for the first 50 docs.  Distance
+    preservation is asserted by the paired pytest."""
+    import ray.data as rd
+
+    from dataquality_ray.stages.ann import jl_project_batch
+
+    def project(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from dataquality_ray.stages.ann import _stack_embeddings
+
+        emb = _stack_embeddings(b, "embedding")
+        proj = jl_project_batch(emb, 16)
+        norm = np.linalg.norm(proj, axis=1, keepdims=True)
+        proj = proj / np.maximum(norm, 1e-12)
+        return pa.table({"vec_id": b["vec_id"],
+                         "embedding": pa.array(list(proj.astype(
+                             np.float32)))})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet") \
+        .map_batches(project, batch_format="pyarrow")
+    rows = ds.to_pandas()
+    import numpy as np
+
+    m = np.stack(rows["embedding"].to_numpy())
+    ids = rows["vec_id"].to_numpy()
+    q = m[:50]
+    sims = q @ m.T
+    for i in range(len(q)):
+        sims[i, i] = -2.0
+    nn = sims.argmax(axis=1)
+    return pd.DataFrame({"vec_id": ids[:50], "neighbor_id": ids[nn],
+                         "sim_bp": (sims[np.arange(len(q)), nn]
+                                    * 10000).astype(np.int64)})

@@ -3123,3 +3123,115 @@ def token_trend_shift_q(sf_dir: str):
     out = (out.sort_values(["absx", "tok"], ascending=[False, True])
            .head(20).drop(columns="absx").reset_index(drop=True))
     return out
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification of suppliers by revenue
+# ---------------------------------------------------------------------------
+
+@query("abc_supplier_classification", sql="""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM lineitem GROUP BY l_suppkey
+), tot AS (SELECT sum(cents)::BIGINT AS t FROM rev),
+r AS (
+  SELECT l_suppkey, cents,
+         sum(cents) OVER (ORDER BY cents DESC, l_suppkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS cum_before
+  FROM rev
+)
+SELECT l_suppkey, cents,
+       CASE WHEN coalesce(cum_before, 0) * 10 < 8 * tot.t THEN 'A'
+            WHEN coalesce(cum_before, 0) * 100 < 95 * tot.t THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r, tot ORDER BY cents DESC, l_suppkey
+""")
+def abc_supplier_classification_q(sf_dir: str):
+    """ABC / Pareto classification: suppliers ranked by revenue; class A
+    while the revenue accumulated BEFORE a supplier is under 80% of
+    total, B under 95%, else C.  Revenue sums are exact integer cents
+    (guarded combine; supplier-bounded) and the class cuts are integer
+    cross-multiplications — no float thresholds to drift.  The cumulative
+    scan runs over the supplier-level rollup (small), not the fact
+    table."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "l_suppkey": b["l_suppkey"].to_pandas(),
+            "cents": pc.round(pc.multiply(b["l_extendedprice"], 100.0))
+                        .cast(pa.int64()).to_pandas()})
+        return f.groupby("l_suppkey", as_index=False)["cents"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("l_suppkey", as_index=False)["cents"].sum()
+
+    stage = (_read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    r = merged.sort_values(["cents", "l_suppkey"],
+                           ascending=[False, True]).reset_index(drop=True)
+    cents = r["cents"].to_numpy(np.int64)
+    total = int(cents.sum())
+    cum_before = np.concatenate([[0], cents.cumsum()[:-1]])
+    cls = np.where(cum_before * 10 < 8 * total, "A",
+                   np.where(cum_before * 100 < 95 * total, "B", "C"))
+    r["abc_class"] = cls
+    r["cents"] = r["cents"].astype("int64")
+    return r[["l_suppkey", "cents", "abc_class"]]
+
+
+# ---------------------------------------------------------------------------
+# Quarantine routing (valid rows pass, malformed rows quarantined)
+# ---------------------------------------------------------------------------
+
+@query("quarantine_split", sql=r"""
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(*) FILTER (WHERE props IS NULL
+           OR NOT regexp_matches(props, '^\{.*\}$'))::BIGINT
+         AS n_quarantined,
+       count(*) FILTER (WHERE value IS NULL OR value < 0)::BIGINT
+         AS n_bad_value
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def quarantine_split_q(sf_dir: str):
+    """Dead-letter routing audit: rows whose props payload is not a JSON
+    object (RE2 shape check — byte-identical engines) or whose value
+    violates the domain get quarantined instead of crashing the
+    pipeline; the per-type counts are the routing report.  In the
+    flagship this is a filter fork writing two outputs — here the
+    mergeable count view."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        props = b["props"]
+        bad_props = pc.or_kleene(
+            pc.is_null(props),
+            pc.invert(pc.match_substring_regex(
+                pc.coalesce(props, pa.scalar("")), r"^\{.*\}$")))
+        val = b["value"]
+        bad_val = pc.or_kleene(pc.is_null(val), pc.less(val, 0.0))
+        f = pd.DataFrame({
+            "event_type": b["event_type"].to_pylist(),
+            "n_events": 1,
+            "n_quarantined": pc.fill_null(bad_props, True).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n_bad_value": pc.fill_null(bad_val, True).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        return f.groupby("event_type", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False).sum()
+
+    stage = (_read(sf_dir, "events", ["event_type", "props", "value"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1000)
+    assert ok and merged is not None
+    out = merged.sort_values("event_type").reset_index(drop=True)
+    for c in ["n_events", "n_quarantined", "n_bad_value"]:
+        out[c] = out[c].astype("int64")
+    return out

@@ -647,3 +647,23 @@ def pq_topk(ds, query: np.ndarray, dim: int, k: int = 10, m: int = 8,
     parts.insert(len(parts.columns), "rank",
                  np.arange(1, len(parts) + 1, dtype=np.int64))
     return parts
+
+
+def jl_project_batch(emb: "np.ndarray", out_dim: int,
+                     seed: int = 17) -> "np.ndarray":
+    """Johnson-Lindenstrauss random projection with a DETERMINISTIC
+    sign matrix derived from splitmix64 (no RNG state to ship): each
+    (i, j) sign is +-1 from bit 0 of splitmix64(i * out_dim + j ^ seed),
+    scaled by 1/sqrt(out_dim).  The same (dim, out_dim, seed) always
+    yields the same projection on every worker — the broadcast-free
+    dimensionality reducer in front of ANN / clustering stages."""
+    import numpy as np
+
+    from dataquality_ray.functions.hashing import splitmix64
+
+    d = emb.shape[1]
+    idx = (np.arange(d, dtype=np.uint64)[:, None] * np.uint64(out_dim)
+           + np.arange(out_dim, dtype=np.uint64)[None, :])
+    signs = (splitmix64(idx.ravel() ^ np.uint64(seed)) & np.uint64(1)) \
+        .astype(np.float64).reshape(d, out_dim) * 2.0 - 1.0
+    return emb.astype(np.float64) @ (signs / np.sqrt(out_dim))

@@ -352,3 +352,51 @@ def test_hist2d_covers_corpus(ray_session):
     df = hist2d_chars_tokens_q(SF)
     assert df["n_docs"].sum() == 500
     assert (df["bin_chars"] >= 0).all() and (df["bin_tokens"] >= 0).all()
+
+
+def test_abc_classification_pareto(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        abc_supplier_classification_q,
+    )
+
+    df = abc_supplier_classification_q(SF)
+    # classes appear in rank order A..B..C
+    order = {"A": 0, "B": 1, "C": 2}
+    codes = df["abc_class"].map(order).to_numpy()
+    assert (codes[1:] >= codes[:-1]).all()
+    a_share = df.loc[df["abc_class"] == "A", "cents"].sum() \
+        / df["cents"].sum()
+    assert a_share >= 0.5  # A block carries the bulk of revenue
+
+
+def test_quarantine_split_counts(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import quarantine_split_q
+
+    df = quarantine_split_q(SF)
+    assert (df["n_quarantined"] <= df["n_events"]).all()
+    assert df["n_events"].sum() == 1000
+
+
+def test_jl_projection_preserves_neighbors(ray_session):
+    import duckdb
+
+    from dataquality_ray.pipelines.queries_text import jl_projection_ann_q
+    from dataquality_ray.stages.ann import jl_project_batch
+
+    df = jl_projection_ann_q(SF)
+    assert len(df) == 50
+    assert (df["vec_id"] != df["neighbor_id"]).all()
+
+    # JL property: pairwise distances roughly preserved
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT embedding FROM read_parquet('{SF}/embeddings.parquet')"
+        " LIMIT 200").fetchdf()
+    emb = np.stack(raw["embedding"].to_numpy())
+    proj = jl_project_batch(emb, 16)
+    d0 = np.linalg.norm(emb[:50, None] - emb[None, 60:80], axis=2)
+    d1 = np.linalg.norm(proj[:50, None] - proj[None, 60:80], axis=2)
+    ratio = d1 / np.maximum(d0, 1e-12)
+    assert 0.5 < np.median(ratio) < 1.5
+    # determinism: same seed -> same matrix
+    assert np.array_equal(proj, jl_project_batch(emb, 16))
