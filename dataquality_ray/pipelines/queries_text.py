@@ -4486,3 +4486,70 @@ def jl_projection_ann_q(sf_dir: str):
     return pd.DataFrame({"vec_id": ids[:50], "neighbor_id": ids[nn],
                          "sim_bp": (sims[np.arange(len(q)), nn]
                                     * 10000).astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse top-k retrieval (rows-only: greedy float scan)
+# ---------------------------------------------------------------------------
+
+@query("mmr_diverse_topk")
+def mmr_diverse_topk_q(sf_dir: str):
+    """Maximal-Marginal-Relevance reranking: from the 50 nearest
+    neighbors of a fixed query embedding, greedily pick 10 that trade
+    off relevance against similarity to already-picked items
+    (lambda=0.7) — the diversity-aware retrieval head over the ANN
+    stage.  Candidate fetch is the distributed part (brute-force cosine
+    top-50 per batch, merged); the greedy rerank is O(k·candidates) on
+    the driver."""
+    import ray.data as rd
+
+    from dataquality_ray.stages.ann import _stack_embeddings
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    # deterministic query: the embedding of vec_id 0
+    def grab_query(b: pa.Table) -> pa.Table:
+        m = b.filter(pc.equal(b["vec_id"], 0))
+        return m.select(["vec_id", "embedding"])
+
+    qrow = ds.map_batches(grab_query, batch_format="pyarrow").to_pandas()
+    qv = np.asarray(qrow["embedding"].iloc[0], dtype=np.float64)
+    qv /= np.linalg.norm(qv)
+
+    def topk_part(b: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(b, "embedding")
+        emb = emb / np.maximum(
+            np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        sims = emb @ qv
+        k = min(50, len(sims))
+        idx = np.argpartition(-sims, k - 1)[:k]
+        return pa.table({"vec_id": b["vec_id"].take(pa.array(idx)),
+                         "sim": pa.array(sims[idx]),
+                         "embedding": b["embedding"].take(pa.array(idx))})
+
+    parts = ds.map_batches(topk_part, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["sim", "vec_id"],
+                              ascending=[False, True]).head(50)
+    cand = np.stack([np.asarray(e, dtype=np.float64)
+                     for e in parts["embedding"]])
+    cand = cand / np.maximum(
+        np.linalg.norm(cand, axis=1, keepdims=True), 1e-12)
+    rel = cand @ qv
+    ids = parts["vec_id"].to_numpy()
+    lam = 0.7
+    picked: list[int] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(picked) < 10:
+        if not picked:
+            best = max(remaining, key=lambda i: (rel[i], -ids[i]))
+        else:
+            pm = cand[picked] @ cand[remaining].T
+            scores = lam * rel[remaining] - (1 - lam) * pm.max(axis=0)
+            j = int(np.argmax(scores))
+            best = remaining[j]
+        picked.append(best)
+        remaining.remove(best)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(picked) + 1, dtype=np.int64),
+        "vec_id": ids[picked],
+        "rel_bp": (rel[picked] * 10000).astype(np.int64)})

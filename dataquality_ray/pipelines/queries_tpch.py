@@ -3235,3 +3235,46 @@ def quarantine_split_q(sf_dir: str):
     for c in ["n_events", "n_quarantined", "n_bad_value"]:
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window rate-limit audit (max events per user in any 60 s window)
+# ---------------------------------------------------------------------------
+
+@query("rate_limit_audit", sql="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), w AS (
+  SELECT a.user_id, a.ts_us, count(*)::BIGINT AS in_window
+  FROM e a JOIN e b ON b.user_id = a.user_id
+       AND b.ts_us >= a.ts_us AND b.ts_us < a.ts_us + 60000000
+  GROUP BY a.user_id, a.ts_us
+)
+SELECT user_id, max(in_window)::BIGINT AS max_per_minute
+FROM w GROUP BY user_id
+HAVING max(in_window) >= 2
+ORDER BY max_per_minute DESC, user_id
+""")
+def rate_limit_audit_q(sf_dir: str):
+    """Sliding-window rate audit: each user's maximum event count in any
+    60-second window (anchored at events — the exact sliding maximum).
+    One groupby(user) shuffle; per group a vectorized two-pointer
+    searchsorted pass, O(n) per user instead of the oracle's O(n²)
+    self-join — the shape difference that matters at scale."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        # for each anchor i: events in [ts[i], ts[i]+60s)
+        hi = np.searchsorted(ts, ts + 60_000_000, side="left")
+        mx = int((hi - np.arange(len(ts))).max()) if len(ts) else 0
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "max_per_minute": [mx]})
+
+    out = (_read(sf_dir, "events", ["user_id", "ts"])
+           .groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .to_pandas())
+    out = out[out["max_per_minute"] >= 2]
+    out["max_per_minute"] = out["max_per_minute"].astype("int64")
+    return (out.sort_values(["max_per_minute", "user_id"],
+                            ascending=[False, True])
+            .reset_index(drop=True))

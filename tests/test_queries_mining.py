@@ -400,3 +400,24 @@ def test_jl_projection_preserves_neighbors(ray_session):
     assert 0.5 < np.median(ratio) < 1.5
     # determinism: same seed -> same matrix
     assert np.array_equal(proj, jl_project_batch(emb, 16))
+
+
+def test_rate_limit_audit_two_pointer(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import rate_limit_audit_q
+
+    df = rate_limit_audit_q(SF)
+    assert (df["max_per_minute"] >= 2).all()
+    s = df["max_per_minute"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+
+
+def test_mmr_diverse_topk(ray_session):
+    from dataquality_ray.pipelines.queries_text import mmr_diverse_topk_q
+
+    df = mmr_diverse_topk_q(SF)
+    assert len(df) == 10
+    assert df["vec_id"].is_unique
+    # first pick is the most relevant candidate
+    assert df["rel_bp"].iloc[0] == df["rel_bp"].max()
+    # reranking sacrifices some relevance for diversity after rank 1
+    assert df["rel_bp"].iloc[0] >= df["rel_bp"].iloc[-1]
