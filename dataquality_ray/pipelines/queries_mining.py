@@ -1455,3 +1455,175 @@ def hist2d_chars_tokens_q(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Otsu automatic threshold over the doc-length histogram (integer argmax)
+# ---------------------------------------------------------------------------
+
+@query("otsu_length_threshold", sql="""
+WITH h AS (
+  SELECT n_chars // 10 AS bin, count(*)::BIGINT AS c,
+         sum(n_chars)::HUGEINT AS s
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT sum(c)::HUGEINT AS n, sum(s)::HUGEINT AS st FROM h
+), cum AS (
+  SELECT bin,
+         sum(c) OVER (ORDER BY bin)::HUGEINT AS c0,
+         sum(s) OVER (ORDER BY bin)::HUGEINT AS s0
+  FROM h
+), scored AS (
+  SELECT cum.bin, cum.c0, (tot.n - cum.c0) AS c1,
+         -- between-class variance comparator: (s0*c1 - (st-s0)*c0)^2
+         -- scaled by nothing common — compare v/(c0*c1) via v * other
+         -- denominators; with ONE shared denominator layout
+         -- score = (s0*(n-c0) - (st-s0)*c0)^2 / (c0*(n-c0)); all ints
+         (cum.s0 * (tot.n - cum.c0) - (tot.st - cum.s0) * cum.c0) AS num,
+         (cum.c0 * (tot.n - cum.c0)) AS den
+  FROM cum, tot WHERE cum.c0 > 0 AND cum.c0 < tot.n
+)
+SELECT bin::BIGINT AS threshold_bin,
+       ((bin + 1) * 10)::BIGINT AS threshold_chars
+FROM scored
+ORDER BY (num * num) // den DESC, bin
+LIMIT 1
+""")
+def otsu_length_threshold_q(sf_dir: str):
+    """Otsu's automatic threshold over the document-length histogram —
+    the data-driven way to pick a min-length quality cut instead of a
+    magic number.  Histogram (count, sum) partials merge distributedly;
+    the argmax scan runs over the tiny bin axis with PURE INTEGER
+    between-class-variance comparators (num²/den in bigints), so the
+    selected bin is engine-exact."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        nc = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = pd.DataFrame({"bin": nc // 10, "c": 1, "s": nc})
+        return f.groupby("bin", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("bin", as_index=False).sum()
+
+    stage = (_read(sf_dir, "documents", ["n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    h = merged.sort_values("bin").reset_index(drop=True)
+    n = int(h["c"].sum())
+    st = int(h["s"].sum())
+    c0 = s0 = 0
+    best = None  # (score_num, score_den, -bin) maximized
+    best_bin = None
+    for _, row in h.iterrows():
+        c0 += int(row["c"])
+        s0 += int(row["s"])
+        if c0 <= 0 or c0 >= n:
+            continue
+        num = s0 * (n - c0) - (st - s0) * c0
+        den = c0 * (n - c0)
+        score = (num * num) // den
+        if best is None or score > best or (
+                score == best and int(row["bin"]) < best_bin):
+            best, best_bin = score, int(row["bin"])
+    return pd.DataFrame({"threshold_bin": [best_bin],
+                         "threshold_chars": [(best_bin + 1) * 10]})
+
+
+# ---------------------------------------------------------------------------
+# Per-document KL divergence vs the corpus token distribution
+# ---------------------------------------------------------------------------
+
+@query("doc_kl_divergence", sql=r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents WHERE doc_id < 100
+), alltoks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), q AS (
+  SELECT tok, count(*)::BIGINT AS cq FROM alltoks GROUP BY tok
+), qn AS (SELECT sum(cq)::BIGINT AS nq FROM q),
+p AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS cp FROM toks GROUP BY 1, 2
+), pn AS (
+  SELECT doc_id, sum(cp)::BIGINT AS np FROM p GROUP BY doc_id
+), terms AS (
+  SELECT p.doc_id, p.cp,
+         CAST(floor(ln(CAST(p.cp AS DOUBLE) * qn.nq
+                       / (pn.np * CAST(q.cq AS DOUBLE)))
+                    * 1000000) AS BIGINT) AS t
+  FROM p JOIN pn USING (doc_id) JOIN q USING (tok) CROSS JOIN qn
+)
+SELECT t.doc_id, pn.np AS n_tokens,
+       CAST(sum(t.cp * t.t) AS DOUBLE) / pn.np / 1000000.0 AS kl_nats
+FROM terms t JOIN pn ON t.doc_id = pn.doc_id
+GROUP BY t.doc_id, pn.np ORDER BY t.doc_id
+""")
+def doc_kl_divergence_q(sf_dir: str):
+    """Per-document KL divergence from the corpus token distribution —
+    the 'how unrepresentative is this doc' score (DSIR's cousin, exact).
+    Corpus counts come from one guarded combine and BROADCAST into a
+    second per-doc pass; each ln term is floored to 1e-6 ints (source_
+    token_entropy convention) so the exact int sums replay in SQL.
+    Scored docs capped at doc_id < 100 to keep the oracle join tractable
+    — the engine path has no such cap."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def cpart(b: pa.Table) -> pd.DataFrame:
+        c: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for tok in (t or "").split():
+                c[tok] = c.get(tok, 0) + 1
+        return pd.DataFrame({"tok": list(c), "cq": list(c.values())})
+
+    def cfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("tok", as_index=False)["cq"].sum()
+
+    stage = (_read(sf_dir, "documents", ["text"])
+             .map_batches(cpart, batch_format="pyarrow"))
+    corpus, ok = guarded_partials(stage, cfold, 4_000_000)
+    assert ok and corpus is not None
+    q = dict(zip(corpus["tok"], corpus["cq"].astype(int)))
+    nq = int(corpus["cq"].sum())
+
+    import ray
+
+    q_ref = ray.put((q, nq))
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        qd, nqv = ray.get(q_ref)
+        rows = []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if did >= 100:
+                continue
+            c: dict[str, int] = {}
+            for tok in (t or "").split():
+                c[tok] = c.get(tok, 0) + 1
+            np_ = sum(c.values())
+            if not np_:
+                continue
+            acc = 0
+            for tok, cp in c.items():
+                acc += cp * math.floor(math.log(
+                    cp * nqv / (np_ * float(qd[tok]))) * 1e6)
+            rows.append((did, np_, float(acc) / np_ / 1e6))
+        if not rows:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "kl_nats": pd.Series([], dtype="float64")})
+        return pd.DataFrame(rows, columns=["doc_id", "n_tokens",
+                                           "kl_nats"])
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(score, batch_format="pyarrow").to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

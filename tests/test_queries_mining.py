@@ -421,3 +421,31 @@ def test_mmr_diverse_topk(ray_session):
     assert df["rel_bp"].iloc[0] == df["rel_bp"].max()
     # reranking sacrifices some relevance for diversity after rank 1
     assert df["rel_bp"].iloc[0] >= df["rel_bp"].iloc[-1]
+
+
+def test_otsu_threshold_separates_classes(ray_session):
+    import duckdb
+
+    from dataquality_ray.pipelines.queries_mining import (
+        otsu_length_threshold_q,
+    )
+
+    df = otsu_length_threshold_q(SF)
+    th = df["threshold_chars"].iloc[0]
+    con = duckdb.connect()
+    lens = con.execute(
+        f"SELECT n_chars FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchdf()["n_chars"].to_numpy(float)
+    lo, hi = lens[lens <= th], lens[lens > th]
+    assert len(lo) and len(hi)
+    # Otsu picks a cut where class means separate
+    assert hi.mean() - lo.mean() > lens.std() / 2
+
+
+def test_doc_kl_nonneg_and_scored(ray_session):
+    from dataquality_ray.pipelines.queries_mining import doc_kl_divergence_q
+
+    df = doc_kl_divergence_q(SF)
+    assert len(df) == 100
+    # KL >= 0 up to the 1e-6 per-term floor quantization
+    assert (df["kl_nats"] >= -1e-4).all()
