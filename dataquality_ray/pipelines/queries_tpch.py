@@ -3278,3 +3278,221 @@ def rate_limit_audit_q(sf_dir: str):
     return (out.sort_values(["max_per_minute", "user_id"],
                             ascending=[False, True])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling (linear interpolation over missing days)
+# ---------------------------------------------------------------------------
+
+@query("gap_fill_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), kept AS (
+  SELECT * FROM d WHERE day_idx % 5 <> 2   -- planted gaps
+), bounds AS (
+  SELECT min(day_idx) AS lo, max(day_idx) AS hi FROM kept
+), axis AS (
+  SELECT unnest(range(lo, hi + 1)) AS day_idx FROM bounds
+), nb AS (
+  SELECT a.day_idx, k.n AS n_obs,
+         (SELECT max(k2.day_idx) FROM kept k2
+          WHERE k2.day_idx <= a.day_idx) AS prev_day,
+         (SELECT min(k3.day_idx) FROM kept k3
+          WHERE k3.day_idx >= a.day_idx) AS next_day
+  FROM axis a LEFT JOIN kept k USING (day_idx)
+)
+SELECT nb.day_idx::BIGINT AS day_idx,
+       (nb.n_obs IS NULL) AS filled,
+       coalesce(nb.n_obs,
+         -- weighted mean with POSITIVE numerator: floor == trunc, so
+         -- Python // and DuckDB // agree (they differ on negatives)
+         (kp.n * (nb.next_day - nb.day_idx)
+          + kn.n * (nb.day_idx - nb.prev_day))
+         // (nb.next_day - nb.prev_day))::BIGINT AS n_filled
+FROM nb
+LEFT JOIN kept kp ON kp.day_idx = nb.prev_day
+LEFT JOIN kept kn ON kn.day_idx = nb.next_day
+ORDER BY nb.day_idx
+""")
+def gap_fill_daily_q(sf_dir: str):
+    """Time-series gap filling: the daily-count series with planted gaps
+    (every day_idx % 5 == 2 removed) is re-gridded onto a contiguous day
+    axis and missing points are linearly interpolated between observed
+    neighbors — integer floor interpolation so the filled values are
+    engine-exact.  Counts aggregate distributedly; the fill scan runs on
+    the tiny day axis."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"day_idx": day.to_pandas(), "n": 1})
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    kept = merged[merged["day_idx"] % 5 != 2].sort_values("day_idx")
+    days = kept["day_idx"].to_numpy(np.int64)
+    vals = kept["n"].to_numpy(np.int64)
+    axis = np.arange(days.min(), days.max() + 1, dtype=np.int64)
+    obs = dict(zip(days, vals))
+    rows = []
+    for d in axis:
+        if int(d) in obs:
+            rows.append((int(d), False, int(obs[int(d)])))
+        else:
+            pi = days[days <= d].max()
+            ni = days[days >= d].min()
+            v = (int(obs[int(pi)]) * (int(ni) - int(d))
+                 + int(obs[int(ni)]) * (int(d) - int(pi))) \
+                // (int(ni) - int(pi))
+            rows.append((int(d), True, v))
+    return pd.DataFrame(rows, columns=["day_idx", "filled", "n_filled"])
+
+
+# ---------------------------------------------------------------------------
+# Moving-average residual outliers over daily volume
+# ---------------------------------------------------------------------------
+
+@query("residual_volume_outliers", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), m AS (
+  SELECT day_idx, n,
+         sum(n) OVER w AS wsum, count(*) OVER w AS wcnt
+  FROM d WINDOW w AS (ORDER BY day_idx ROWS BETWEEN 3 PRECEDING
+                      AND 3 FOLLOWING)
+)
+SELECT day_idx::BIGINT AS day_idx, n,
+       CAST(wsum AS DOUBLE) / wcnt AS ma7,
+       n - CAST(wsum AS DOUBLE) / wcnt AS residual
+FROM m ORDER BY day_idx
+""")
+def residual_volume_outliers_q(sf_dir: str):
+    """Detrended daily volume: centered 7-day moving average (shrinking
+    at the edges, the SQL ROWS-frame convention) and the residual — the
+    seasonality-robust anomaly signal.  MA is one division of exact int
+    window sums; the window scan runs on the day axis driver-side."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"day_idx": day.to_pandas(), "n": 1})
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    d = merged.sort_values("day_idx").reset_index(drop=True)
+    n = d["n"].to_numpy(np.int64)
+    k = len(n)
+    ma = np.empty(k, dtype=np.float64)
+    for i in range(k):
+        lo, hi = max(0, i - 3), min(k, i + 4)
+        ma[i] = float(int(n[lo:hi].sum())) / (hi - lo)
+    return pd.DataFrame({"day_idx": d["day_idx"].astype("int64"),
+                         "n": n, "ma7": ma,
+                         "residual": n - ma})
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event model: train on first half, eval accuracy on second
+# ---------------------------------------------------------------------------
+
+@query("markov_next_event_accuracy", sql="""
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         epoch_us(ts) // 86400000000 AS day_idx,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type,
+         lead(epoch_us(ts) // 86400000000)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_day
+  FROM events
+), cut AS (
+  SELECT (min(epoch_us(ts) // 86400000000)
+          + max(epoch_us(ts) // 86400000000)) // 2 AS mid FROM events
+), train AS (
+  SELECT event_type AS prev, next_type, count(*)::BIGINT AS c
+  FROM e, cut WHERE next_type IS NOT NULL AND next_day <= cut.mid
+  GROUP BY 1, 2
+), model AS (
+  SELECT prev, next_type AS pred,
+         row_number() OVER (PARTITION BY prev
+                            ORDER BY c DESC, next_type) AS rn
+  FROM train
+), test AS (
+  SELECT event_type AS prev, next_type
+  FROM e, cut WHERE next_type IS NOT NULL AND next_day > cut.mid
+)
+SELECT count(*)::BIGINT AS n_test,
+       count(*) FILTER (WHERE m.pred = t.next_type)::BIGINT AS n_correct,
+       (count(*) FILTER (WHERE m.pred = t.next_type) * 1000000
+        // count(*))::BIGINT AS accuracy_ppm
+FROM test t JOIN model m ON m.prev = t.prev AND m.rn = 1
+""")
+def markov_next_event_accuracy_q(sf_dir: str):
+    """Model-eval AS a pipeline: a first-order Markov next-event
+    predictor (argmax transition, trained on the first half of the time
+    range) scored on the second half — train counts and eval pairs each
+    reduce to mergeable aggregates, so fit AND eval are one pass each
+    with a tiny broadcast model in between (the nb_lang_classify
+    contract, temporal split edition)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type",
+                                  "event_id"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        day = (g["ts"].astype("int64") // 86400000000).to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({"prev": [], "nxt": [], "next_day": []})
+        return pd.DataFrame({"prev": et[:-1], "nxt": et[1:],
+                             "next_day": day[1:]})
+
+    pr = ev.groupby("user_id").map_groups(pairs, batch_format="pandas")
+
+    lohi = _read(sf_dir, "events", ["ts"]).map_batches(
+        lambda b: pa.table({
+            "lo": [pc.min(pc.divide(b["ts"].cast(pa.int64()),
+                                    86400000000)).as_py()],
+            "hi": [pc.max(pc.divide(b["ts"].cast(pa.int64()),
+                                    86400000000)).as_py()]}),
+        batch_format="pyarrow").to_pandas()
+    mid = (int(lohi["lo"].min()) + int(lohi["hi"].max())) // 2
+
+    def agg(f: pd.DataFrame) -> pd.DataFrame:
+        f = f.copy()
+        f["split"] = np.where(f["next_day"] <= mid, "train", "test")
+        return f.groupby(["split", "prev", "nxt"]).size() \
+                .rename("c").reset_index()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["split", "prev", "nxt"], as_index=False)["c"] \
+                .sum()
+
+    stage = pr.map_batches(agg, batch_format="pandas")
+    merged, ok = guarded_partials(stage, fold, 1_000_000)
+    assert ok and merged is not None
+    train = merged[merged["split"] == "train"]
+    model = (train.sort_values(["prev", "c", "nxt"],
+                               ascending=[True, False, True])
+             .groupby("prev").head(1).set_index("prev")["nxt"].to_dict())
+    test = merged[merged["split"] == "test"]
+    n_test = int(test["c"].sum())
+    n_correct = int(test[test.apply(
+        lambda r: model.get(r["prev"]) == r["nxt"], axis=1)]["c"].sum())
+    return pd.DataFrame({
+        "n_test": [n_test], "n_correct": [n_correct],
+        "accuracy_ppm": [n_correct * 1000000 // max(n_test, 1)]})

@@ -449,3 +449,38 @@ def test_doc_kl_nonneg_and_scored(ray_session):
     assert len(df) == 100
     # KL >= 0 up to the 1e-6 per-term floor quantization
     assert (df["kl_nats"] >= -1e-4).all()
+
+
+def test_gap_fill_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import gap_fill_daily_q
+
+    df = gap_fill_daily_q(SF)
+    filled = df[df["filled"]]
+    assert len(filled) >= 4  # planted every day_idx % 5 == 2
+    obs = df[~df["filled"]].set_index("day_idx")["n_filled"]
+    for _, r in filled.iterrows():
+        lo = obs[obs.index < r["day_idx"]].iloc[-1]
+        hi = obs[obs.index > r["day_idx"]].iloc[0]
+        assert min(lo, hi) <= r["n_filled"] <= max(lo, hi)
+
+
+def test_residual_outliers_sum_zero_ish(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        residual_volume_outliers_q,
+    )
+
+    df = residual_volume_outliers_q(SF)
+    assert len(df) == 30
+    # centered MA: residuals roughly cancel
+    assert abs(df["residual"].mean()) < df["n"].std()
+
+
+def test_markov_accuracy_beats_uniform(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        markov_next_event_accuracy_q,
+    )
+
+    df = markov_next_event_accuracy_q(SF)
+    acc = df["accuracy_ppm"].iloc[0] / 1e6
+    assert df["n_test"].iloc[0] > 100
+    assert acc >= 1 / 5 * 0.5  # at least half of uniform-over-5-types
