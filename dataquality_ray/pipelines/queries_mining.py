@@ -1627,3 +1627,153 @@ def doc_kl_divergence_q(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_tokens"] = out["n_tokens"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks over the token graph (node2vec-style corpus
+# prep with a splitmix64 choice function — no RNG state, SQL-replayable)
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 4
+_WALK_MIX = 1000003
+
+
+def _walks_sql() -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    ctes = [_BIGRAM_SQL.strip().rstrip(","),
+            "nodes AS (SELECT tok, row_number() OVER (ORDER BY tok) AS nid"
+            " FROM (SELECT src AS tok FROM edges UNION SELECT dst"
+            " FROM edges))",
+            "eidx AS (SELECT src, dst, row_number() OVER (PARTITION BY src"
+            " ORDER BY dst) AS rn FROM (SELECT DISTINCT src, dst"
+            " FROM edges))",
+            "outd AS (SELECT src, count(*)::HUGEINT AS deg FROM eidx"
+            " GROUP BY src)",
+            "w0 AS (SELECT tok AS start_tok, tok AS cur, CAST(tok AS"
+            " VARCHAR) AS walk FROM nodes)"]
+    prev = "w0"
+    for step in range(1, _WALK_STEPS + 1):
+        hx = (f"h{step}_in")
+        ctes.append(
+            f"{hx} AS (SELECT w.start_tok, w.cur, w.walk, n.nid, o.deg, "
+            f"((n.nid * {_WALK_MIX} + {step})::UBIGINT)::HUGEINT AS x "
+            f"FROM {prev} w JOIN nodes n ON n.tok = w.cur "
+            f"LEFT JOIN outd o ON o.src = w.cur)")
+        hprev = hx
+        for n, expr in enumerate(_sm64_exprs("x")):
+            nm = f"h{step}_{n}"
+            ctes.append(f"{nm} AS (SELECT start_tok, cur, walk, deg, "
+                        f"{expr} AS x FROM {hprev})")
+            hprev = nm
+        nm = f"w{step}"
+        ctes.append(
+            f"{nm} AS (SELECT h.start_tok, "
+            "CASE WHEN h.deg IS NULL THEN h.cur ELSE e.dst END AS cur, "
+            "CASE WHEN h.deg IS NULL THEN h.walk "
+            "     ELSE h.walk || '>' || e.dst END AS walk "
+            f"FROM {hprev} h LEFT JOIN eidx e "
+            "ON e.src = h.cur AND e.rn = (h.x % h.deg) + 1)")
+        prev = nm
+    chain = ",\n".join(ctes)
+    return (f"WITH {chain}\nSELECT start_tok, walk FROM {prev} "
+            "ORDER BY start_tok")
+
+
+@query("deterministic_random_walks", sql=_walks_sql())
+def deterministic_random_walks_q(sf_dir: str):
+    """Fixed-length random walks from every node of the token graph with
+    a DETERMINISTIC choice function (splitmix64(nid·p + step) mod
+    out-degree) — the node2vec/DeepWalk corpus-prep stage made
+    reproducible and shuffle-free: edges aggregate once, the walk table
+    is node-bounded, and every walk replays bit-exactly in SQL."""
+    from dataquality_ray.functions.hashing import splitmix64
+
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    und = edges[["src", "dst"]].drop_duplicates()
+    nodes = sorted(set(und["src"]) | set(und["dst"]))
+    nid = {t: i + 1 for i, t in enumerate(nodes)}
+    adj: dict[str, list] = {}
+    for s, d in zip(und["src"], und["dst"]):
+        adj.setdefault(s, []).append(d)
+    for s in adj:
+        adj[s].sort()
+    rows = []
+    for start in nodes:
+        cur = start
+        walk = [start]
+        for step in range(1, _WALK_STEPS + 1):
+            outs = adj.get(cur)
+            if not outs:
+                continue
+            h = int(splitmix64(np.array(
+                [nid[cur] * _WALK_MIX + step], dtype=np.uint64))[0])
+            cur = outs[h % len(outs)]
+            walk.append(cur)
+        rows.append((start, ">".join(walk)))
+    return pd.DataFrame(rows, columns=["start_tok", "walk"])
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (integer fixed-point, 2 iterations)
+# ---------------------------------------------------------------------------
+
+def _hits_sql(iters: int = 2, scale: int = 10**9) -> str:
+    ctes = [_BIGRAM_SQL.strip().rstrip(","),
+            "ue AS (SELECT DISTINCT src, dst FROM edges)",
+            "nodes AS (SELECT src AS tok FROM ue UNION SELECT dst FROM ue)",
+            f"h0 AS (SELECT tok, {scale}::HUGEINT AS h FROM nodes)"]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i}r AS (SELECT n.tok, coalesce(sum(p.h), 0) AS a "
+            f"FROM nodes n LEFT JOIN ue e ON e.dst = n.tok "
+            f"LEFT JOIN {prev_h} p ON p.tok = e.src GROUP BY n.tok)")
+        ctes.append(f"a{i}m AS (SELECT max(a) AS mx FROM a{i}r)")
+        ctes.append(f"a{i} AS (SELECT tok, (a * {scale}) // a{i}m.mx AS a "
+                    f"FROM a{i}r, a{i}m)")
+        ctes.append(
+            f"h{i}r AS (SELECT n.tok, coalesce(sum(p.a), 0) AS h "
+            f"FROM nodes n LEFT JOIN ue e ON e.src = n.tok "
+            f"LEFT JOIN a{i} p ON p.tok = e.dst GROUP BY n.tok)")
+        ctes.append(f"h{i}m AS (SELECT max(h) AS mx FROM h{i}r)")
+        ctes.append(f"h{i} AS (SELECT tok, (h * {scale}) // h{i}m.mx AS h "
+                    f"FROM h{i}r, h{i}m)")
+        prev_h = f"h{i}"
+    chain = ",\n".join(ctes)
+    return (f"WITH {chain}\n"
+            f"SELECT h.tok, h.h::BIGINT AS hub_scaled, "
+            f"a.a::BIGINT AS authority_scaled "
+            f"FROM h{iters} h JOIN a{iters} a USING (tok) "
+            "ORDER BY hub_scaled DESC, tok")
+
+
+@query("hits_tokens", sql=_hits_sql())
+def hits_tokens_q(sf_dir: str):
+    """HITS hubs-and-authorities over the (deduplicated) token graph —
+    the second classic link-analysis algorithm beside pagerank_tokens,
+    with max-normalized INTEGER fixed-point updates so both iterations
+    replay exactly (floor-scaled by max, never a float norm)."""
+    scale = 10**9
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    ue = edges[["src", "dst"]].drop_duplicates()
+    nodes = sorted(set(ue["src"]) | set(ue["dst"]))
+    h = {t: scale for t in nodes}
+    a = {}
+    for _ in range(2):
+        a = {t: 0 for t in nodes}
+        for s, d in zip(ue["src"], ue["dst"]):
+            a[d] += h[s]
+        mx = max(a.values())
+        a = {t: (v * scale) // mx for t, v in a.items()}
+        h = {t: 0 for t in nodes}
+        for s, d in zip(ue["src"], ue["dst"]):
+            h[s] += a[d]
+        mx = max(h.values())
+        h = {t: (v * scale) // mx for t, v in h.items()}
+    out = pd.DataFrame({"tok": nodes,
+                        "hub_scaled": [h[t] for t in nodes],
+                        "authority_scaled": [a[t] for t in nodes]})
+    return (out.sort_values(["hub_scaled", "tok"],
+                            ascending=[False, True])
+            .reset_index(drop=True))

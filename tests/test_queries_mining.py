@@ -484,3 +484,32 @@ def test_markov_accuracy_beats_uniform(ray_session):
     acc = df["accuracy_ppm"].iloc[0] / 1e6
     assert df["n_test"].iloc[0] > 100
     assert acc >= 1 / 5 * 0.5  # at least half of uniform-over-5-types
+
+
+def test_random_walks_deterministic_and_valid(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        bigram_edges,
+        deterministic_random_walks_q,
+    )
+    import ray.data as rd
+
+    df = deterministic_random_walks_q(SF)
+    df2 = deterministic_random_walks_q(SF)
+    assert df.equals(df2)  # fully deterministic
+    # every consecutive pair in a walk is a real edge
+    edges = bigram_edges(rd.read_parquet(SF + "/documents.parquet",
+                                         columns=["text"]))
+    eset = set(zip(edges["src"], edges["dst"]))
+    for w in df["walk"]:
+        hops = w.split(">")
+        for a, b in zip(hops, hops[1:]):
+            assert (a, b) in eset
+
+
+def test_hits_normalization(ray_session):
+    from dataquality_ray.pipelines.queries_mining import hits_tokens_q
+
+    df = hits_tokens_q(SF)
+    assert df["hub_scaled"].max() == 10**9  # max-normalized
+    assert df["authority_scaled"].max() == 10**9
+    assert (df["hub_scaled"] >= 0).all()
