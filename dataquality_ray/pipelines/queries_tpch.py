@@ -3496,3 +3496,184 @@ def markov_next_event_accuracy_q(sf_dir: str):
     return pd.DataFrame({
         "n_test": [n_test], "n_correct": [n_correct],
         "accuracy_ppm": [n_correct * 1000000 // max(n_test, 1)]})
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation between two event types' daily series
+# ---------------------------------------------------------------------------
+
+@query("lagged_cross_correlation", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
+         count(*)::BIGINT AS n
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+), days AS (
+  SELECT min(day_idx) AS lo, max(day_idx) AS hi FROM d
+), axis AS (SELECT unnest(range(lo, hi + 1)) AS day_idx FROM days),
+x AS (
+  SELECT a.day_idx, coalesce(dc.n, 0) AS xa, coalesce(dv.n, 0) AS xb
+  FROM axis a
+  LEFT JOIN d dc ON dc.day_idx = a.day_idx AND dc.event_type = 'click'
+  LEFT JOIN d dv ON dv.day_idx = a.day_idx AND dv.event_type = 'view'
+), lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+pairs AS (
+  SELECT l.lag, a.xa, b.xb
+  FROM lags l JOIN x a ON true
+  JOIN x b ON b.day_idx = a.day_idx + l.lag
+), s AS (
+  SELECT lag, count(*)::BIGINT AS n, sum(xa)::BIGINT AS sa,
+         sum(xb)::BIGINT AS sb, sum(xa * xa)::BIGINT AS saa,
+         sum(xb * xb)::BIGINT AS sbb, sum(xa * xb)::BIGINT AS sab
+  FROM pairs GROUP BY lag
+)
+SELECT lag::BIGINT AS lag, n,
+       (CAST(n * sab - sa * sb AS DOUBLE))
+       / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+              * CAST(n * sbb - sb * sb AS DOUBLE)) AS corr
+FROM s ORDER BY lag
+""")
+def lagged_cross_correlation_q(sf_dir: str):
+    """Lead-lag scan: Pearson correlation of click-vs-view daily volumes
+    at lags -3..+3 — 'does A lead B?'.  Daily counts aggregate once; all
+    seven lag alignments reuse the same tiny day-axis series driver-side,
+    each correlation a bit-exact chain over int sums (the
+    event_type_correlation convention, multi-lag edition)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        m = b.filter(pc.is_in(b["event_type"],
+                              pa.array(["click", "view"])))
+        day = pc.divide(m["ts"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"day_idx": day.to_pandas(),
+                          "event_type": m["event_type"].to_pylist(),
+                          "n": 1})
+        return f.groupby(["day_idx", "event_type"], as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["day_idx", "event_type"], as_index=False).sum()
+
+    stage = (_read(sf_dir, "events", ["ts", "event_type"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    lo, hi = int(merged["day_idx"].min()), int(merged["day_idx"].max())
+    axis = np.arange(lo, hi + 1, dtype=np.int64)
+    xa = np.zeros(len(axis), dtype=np.int64)
+    xb = np.zeros(len(axis), dtype=np.int64)
+    for _, r in merged.iterrows():
+        i = int(r["day_idx"]) - lo
+        if r["event_type"] == "click":
+            xa[i] = int(r["n"])
+        else:
+            xb[i] = int(r["n"])
+    rows = []
+    for lag in [-3, -2, -1, 0, 1, 2, 3]:
+        if lag >= 0:
+            a, b2 = xa[:len(axis) - lag], xb[lag:]
+        else:
+            a, b2 = xa[-lag:], xb[:len(axis) + lag]
+        n = len(a)
+        sa, sb = int(a.sum()), int(b2.sum())
+        saa = int((a * a).sum())
+        sbb = int((b2 * b2).sum())
+        sab = int((a * b2).sum())
+        corr = float(n * sab - sa * sb) / np.sqrt(
+            float(n * saa - sa * sa) * float(n * sbb - sb * sb))
+        rows.append((lag, n, corr))
+    return pd.DataFrame(rows, columns=["lag", "n", "corr"])
+
+
+# ---------------------------------------------------------------------------
+# CEP-lite: regex over each user's event-type sequence
+# ---------------------------------------------------------------------------
+
+@query("sequence_regex_match", sql="""
+WITH r AS (
+  SELECT user_id,
+         string_agg(upper(substr(event_type, 1, 1)), ''
+                    ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT count(*)::BIGINT AS n_users,
+       count(*) FILTER (WHERE regexp_matches(seq, 'VC*P'))::BIGINT
+         AS n_matching,
+       count(*) FILTER (WHERE regexp_matches(seq, 'P.*P.*P'))::BIGINT
+         AS n_triple_purchase
+FROM r
+""")
+def sequence_regex_match_q(sf_dir: str):
+    """Complex-event-processing lite: each user's journey compressed to
+    an initial-letter string, then RE2 patterns count behavioral motifs
+    (view->cart*->purchase; three purchases).  One groupby(user) shuffle
+    builds the sequences; the regex pass is vectorized and byte-identical
+    across engines."""
+    import re
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        seq = "".join(t[0].upper() for t in g["event_type"])
+        return pd.DataFrame({"seq": [seq]})
+
+    seqs = (_read(sf_dir, "events", ["user_id", "ts", "event_type",
+                                     "event_id"])
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas")
+            .to_pandas())
+    p1 = re.compile("VC*P")
+    p2 = re.compile("P.*P.*P")
+    return pd.DataFrame({
+        "n_users": [len(seqs)],
+        "n_matching": [int(seqs["seq"].map(
+            lambda s: bool(p1.search(s))).sum())],
+        "n_triple_purchase": [int(seqs["seq"].map(
+            lambda s: bool(p2.search(s))).sum())]})
+
+
+# ---------------------------------------------------------------------------
+# Burst-day detection per event type (integer cross-multiplication)
+# ---------------------------------------------------------------------------
+
+@query("event_type_burst_days", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, sum(n)::BIGINT AS total,
+         count(*)::BIGINT AS n_days
+  FROM d GROUP BY event_type
+)
+SELECT d.event_type, d.day_idx::BIGINT AS day_idx, d.n,
+       (d.n * t.n_days * 10 > t.total * 13) AS is_burst
+FROM d JOIN t USING (event_type)
+ORDER BY event_type, day_idx
+""")
+def event_type_burst_days_q(sf_dir: str):
+    """Burst flags: a day is bursty for a type when its count exceeds
+    1.3x the type's daily average — compared by integer
+    cross-multiplication (n·days·10 > total·13), no float threshold to
+    drift.  One combine over (type, day) counts."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "day_idx": day.to_pandas(), "n": 1})
+        return f.groupby(["event_type", "day_idx"], as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "day_idx"], as_index=False).sum()
+
+    stage = (_read(sf_dir, "events", ["ts", "event_type"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    t = merged.groupby("event_type").agg(
+        total=("n", "sum"), n_days=("n", "size"))
+    m = merged.join(t, on="event_type")
+    m["is_burst"] = (m["n"].astype(np.int64) * m["n_days"].astype(np.int64)
+                     * 10) > (m["total"].astype(np.int64) * 13)
+    m["day_idx"] = m["day_idx"].astype("int64")
+    m["n"] = m["n"].astype("int64")
+    return (m.sort_values(["event_type", "day_idx"]).reset_index(drop=True)
+            [["event_type", "day_idx", "n", "is_burst"]])

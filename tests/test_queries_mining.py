@@ -513,3 +513,41 @@ def test_hits_normalization(ray_session):
     assert df["hub_scaled"].max() == 10**9  # max-normalized
     assert df["authority_scaled"].max() == 10**9
     assert (df["hub_scaled"] >= 0).all()
+
+
+def test_lagged_correlation_symmetric_window(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        lagged_cross_correlation_q,
+    )
+
+    df = lagged_cross_correlation_q(SF)
+    assert len(df) == 7
+    assert df["corr"].abs().le(1.0 + 1e-12).all()
+    # shorter overlap at larger |lag|
+    n0 = df.loc[df["lag"] == 0, "n"].iloc[0]
+    n3 = df.loc[df["lag"] == 3, "n"].iloc[0]
+    assert n3 == n0 - 3
+
+
+def test_sequence_regex_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import sequence_regex_match_q
+
+    df = sequence_regex_match_q(SF)
+    assert df["n_matching"].iloc[0] <= df["n_users"].iloc[0]
+    import duckdb
+
+    nu = duckdb.sql(f"SELECT count(DISTINCT user_id) FROM "
+                    f"read_parquet('{SF}/events.parquet')").fetchone()[0]
+    assert df["n_users"].iloc[0] == nu
+
+
+def test_burst_days_threshold(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        event_type_burst_days_q,
+    )
+
+    df = event_type_burst_days_q(SF)
+    for et, g in df.groupby("event_type"):
+        avg = g["n"].sum() / len(g)
+        bursts = g[g["is_burst"]]
+        assert (bursts["n"] > 1.3 * avg - 1).all()
