@@ -1777,3 +1777,180 @@ def hits_tokens_q(sf_dir: str):
     return (out.sort_values(["hub_scaled", "tok"],
                             ascending=[False, True])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash ring balance (placement planning)
+# ---------------------------------------------------------------------------
+
+_RING_NODES = 8
+_RING_VNODES = 16
+
+
+def _ring_sql() -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    ctes = [
+        ("vn", "SELECT n.node, v.vn, (n.node * 1000 + v.vn)::UBIGINT"
+               "::HUGEINT AS x FROM "
+               f"(SELECT unnest(range(0, {_RING_NODES})) AS node) n, "
+               f"(SELECT unnest(range(0, {_RING_VNODES})) AS vn) v"),
+    ]
+    prev = "vn"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append((f"vh{n}", f"SELECT node, vn, {expr} AS x FROM {prev}"))
+        prev = f"vh{n}"
+    ctes.append(("ring", f"SELECT node, x AS pos FROM {prev}"))
+    ctes.append(("dk", "SELECT doc_id, doc_id::UBIGINT::HUGEINT AS x "
+                       "FROM documents"))
+    prev = "dk"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append((f"kh{n}", f"SELECT doc_id, {expr} AS x FROM {prev}"))
+        prev = f"kh{n}"
+    ctes.append(("keyh", f"SELECT doc_id, x AS kpos FROM {prev}"))
+    ctes.append(("assign",
+                 "SELECT k.doc_id, coalesce("
+                 "  (SELECT r.node FROM ring r WHERE r.pos >= k.kpos"
+                 "   ORDER BY r.pos, r.node LIMIT 1),"
+                 "  (SELECT r2.node FROM ring r2"
+                 "   ORDER BY r2.pos, r2.node LIMIT 1)) AS node "
+                 "FROM keyh k"))
+    chain = ",\n".join(f"{n} AS ({s})" for n, s in ctes)
+    return (f"WITH {chain}\n"
+            "SELECT node::BIGINT AS node, count(*)::BIGINT AS n_keys "
+            "FROM assign GROUP BY node ORDER BY node")
+
+
+@query("consistent_hash_balance", sql=_ring_sql())
+def consistent_hash_balance_q(sf_dir: str):
+    """Consistent-hash ring placement audit: 8 nodes x 16 vnodes on a
+    splitmix64 ring, every doc assigned to the first vnode clockwise
+    from its key hash — the balance report that predicts per-node load
+    before deploying a partitioning scheme.  Assignment is a pure
+    function of ids; the per-batch kernel is a vectorized searchsorted
+    against the broadcast 128-entry ring."""
+    from dataquality_ray.functions.hashing import splitmix64
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    vids = (np.arange(_RING_NODES, dtype=np.uint64)[:, None] * np.uint64(
+        1000) + np.arange(_RING_VNODES, dtype=np.uint64)[None, :]).ravel()
+    pos = splitmix64(vids)
+    nodes = np.repeat(np.arange(_RING_NODES, dtype=np.int64),
+                      _RING_VNODES)
+    order = np.lexsort((nodes, pos))
+    ring_pos, ring_node = pos[order], nodes[order]
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(b["doc_id"].to_pylist(), dtype=np.uint64)
+        kpos = splitmix64(ids)
+        idx = np.searchsorted(ring_pos, kpos, side="left")
+        idx = np.where(idx == len(ring_pos), 0, idx)  # wrap
+        f = pd.DataFrame({"node": ring_node[idx], "n_keys": 1})
+        return f.groupby("node", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("node", as_index=False).sum()
+
+    stage = (_read(sf_dir, "documents", ["doc_id"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1000)
+    assert ok and merged is not None
+    out = merged.sort_values("node").reset_index(drop=True)
+    out["node"] = out["node"].astype("int64")
+    out["n_keys"] = out["n_keys"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exemplar selection: one representative doc per (lang, source) cell
+# ---------------------------------------------------------------------------
+
+@query("cell_exemplars", sql="""
+WITH r AS (
+  SELECT lang, source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT lang, source, doc_id AS exemplar_id, n_chars
+FROM r WHERE rn = 1 ORDER BY lang, source
+""")
+def cell_exemplars_q(sf_dir: str):
+    """Stratification exemplars: the lowest-id document of every
+    (lang, source) cell — the 'show me one of each' inspection sample.
+    Min-by-key is mergeable, so the combine holds one row per cell and
+    no shuffle runs."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"lang": b["lang"].to_pylist(),
+                          "source": b["source"].to_pylist(),
+                          "doc_id": b["doc_id"].to_pandas(),
+                          "n_chars": b["n_chars"].to_pandas()})
+        return f.sort_values("doc_id").groupby(
+            ["lang", "source"], as_index=False, sort=False).first()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.sort_values("doc_id").groupby(
+            ["lang", "source"], as_index=False, sort=False).first()
+
+    stage = (_read(sf_dir, "documents",
+                   ["lang", "source", "doc_id", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1_000_000)
+    assert ok and merged is not None
+    out = (merged.rename(columns={"doc_id": "exemplar_id"})
+           .sort_values(["lang", "source"]).reset_index(drop=True))
+    out["exemplar_id"] = out["exemplar_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out[["lang", "source", "exemplar_id", "n_chars"]]
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index summary over logical blocks
+# ---------------------------------------------------------------------------
+
+@query("bitmap_index_stats", sql="""
+WITH b AS (
+  SELECT event_type, event_id // 1000 AS block
+  FROM events GROUP BY 1, 2
+), nb AS (
+  SELECT count(DISTINCT event_id // 1000)::BIGINT AS total_blocks
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_present_blocks,
+       nb.total_blocks,
+       (count(*) * 1000000 // nb.total_blocks)::BIGINT AS density_ppm
+FROM b, nb GROUP BY event_type, nb.total_blocks ORDER BY event_type
+""")
+def bitmap_index_stats_q(sf_dir: str):
+    """Bitmap-index planning stats: for each event type, how many
+    1000-row logical blocks contain at least one row (presence bitmap
+    density) — predicts how much a bitmap/zone index would prune for a
+    type-equality scan.  Per-batch (type, block) distinct partials merge
+    through the combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "event_type": b["event_type"].to_pylist(),
+            "block": b["event_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64) // 1000})
+        return f.drop_duplicates()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    stage = (_read(sf_dir, "events", ["event_type", "event_id"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    total = merged["block"].nunique()
+    g = merged.groupby("event_type").size().rename("n_present_blocks") \
+        .reset_index()
+    g["total_blocks"] = total
+    g["density_ppm"] = (g["n_present_blocks"].astype(object) * 1000000
+                        // total).astype("int64")
+    for c in ["n_present_blocks", "total_blocks"]:
+        g[c] = g[c].astype("int64")
+    return g.sort_values("event_type").reset_index(drop=True)
