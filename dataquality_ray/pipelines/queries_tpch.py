@@ -3677,3 +3677,119 @@ def event_type_burst_days_q(sf_dir: str):
     m["n"] = m["n"].astype("int64")
     return (m.sort_values(["event_type", "day_idx"]).reset_index(drop=True)
             [["event_type", "day_idx", "n", "is_burst"]])
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto front): cheapest-per-size parts
+# ---------------------------------------------------------------------------
+
+@query("skyline_parts", sql="""
+SELECT p.p_partkey, p.p_size, p.p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p.p_size, p.p_retailprice, p.p_partkey
+""")
+def skyline_parts_q(sf_dir: str):
+    """Skyline / Pareto front (maximize size, minimize price): the
+    non-dominated part set.  Skylines are MERGEABLE — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so each batch reduces to its
+    local front (vectorized sort + cummin) and the driver merges fronts,
+    never the full table; the oracle's O(n²) NOT EXISTS states the same
+    semantics declaratively."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def local_skyline(f: pd.DataFrame) -> pd.DataFrame:
+        # survivor test: price == min price of its own size group AND
+        # strictly below the min price over all LARGER sizes (ties
+        # within a group all survive; anything >= a larger size's best
+        # price is dominated)
+        gmin = f.groupby("p_size")["p_retailprice"].min()
+        sizes = gmin.index.to_numpy()
+        order = np.argsort(-sizes)
+        strict_above = {}
+        run = np.inf
+        for s in sizes[order]:
+            strict_above[s] = run
+            run = min(run, gmin[s])
+        own = f["p_size"].map(gmin).to_numpy()
+        above = f["p_size"].map(strict_above).to_numpy()
+        price = f["p_retailprice"].to_numpy()
+        return f[(price == own) & (price < above)]
+
+    def part_fn(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "p_partkey": b["p_partkey"].to_pandas(),
+            "p_size": b["p_size"].to_pandas(),
+            "p_retailprice": b["p_retailprice"].to_pandas()})
+        return local_skyline(f)
+
+    stage = (_read(sf_dir, "part",
+                   ["p_partkey", "p_size", "p_retailprice"])
+             .map_batches(part_fn, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, local_skyline, 1_000_000)
+    assert ok and merged is not None
+    out = merged.sort_values(
+        ["p_size", "p_retailprice", "p_partkey"]).reset_index(drop=True)
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup blocking (SNM)
+# ---------------------------------------------------------------------------
+
+@query("snm_candidate_pairs", sql="""
+WITH r AS (
+  SELECT c_custkey, c_name,
+         row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+  FROM customer
+)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       levenshtein(a.c_name, b.c_name)::BIGINT AS edit_distance
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+WHERE levenshtein(a.c_name, b.c_name) <= 3
+ORDER BY key_a, key_b
+""")
+def snm_candidate_pairs_q(sf_dir: str):
+    """Sorted-neighborhood record-linkage blocking (Hernández & Stolfo
+    1995): sort by the blocking key (name), compare only rows within a
+    window of 3 positions, keep pairs under edit distance 3 — the
+    O(n·w) classical alternative to LSH blocking.  The sort is the one
+    wide op; the windowed compare runs on the narrow (key, name)
+    projection (at scale: range-partitioned sort with window-overlap
+    boundary exchange, the sessionize contract)."""
+    srt = (_read(sf_dir, "customer", ["c_custkey", "c_name"])
+           .sort(["c_name", "c_custkey"]).to_pandas())
+    names = srt["c_name"].to_numpy()
+    keys = srt["c_custkey"].to_numpy()
+
+    def edit(a: str, b: str) -> int:
+        if abs(len(a) - len(b)) > 3:
+            return 4
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    rows = []
+    for i in range(len(names)):
+        for j in range(i + 1, min(i + 4, len(names))):
+            d = edit(names[i], names[j])
+            if d <= 3:
+                rows.append((int(keys[i]), int(keys[j]), d))
+    out = pd.DataFrame(rows, columns=["key_a", "key_b", "edit_distance"])
+    if not len(out):
+        return pd.DataFrame({"key_a": pd.Series([], dtype="int64"),
+                             "key_b": pd.Series([], dtype="int64"),
+                             "edit_distance": pd.Series([],
+                                                        dtype="int64")})
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)

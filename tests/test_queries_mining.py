@@ -586,3 +586,38 @@ def test_bitmap_density_bounds(ray_session):
     df = bitmap_index_stats_q(SF)
     assert (df["n_present_blocks"] <= df["total_blocks"]).all()
     assert df["density_ppm"].between(0, 1_000_000).all()
+
+
+def test_skyline_non_dominated(ray_session):
+    import duckdb
+
+    from dataquality_ray.pipelines.queries_tpch import skyline_parts_q
+
+    df = skyline_parts_q(SF)
+    allp = duckdb.sql(
+        f"SELECT p_size, p_retailprice FROM "
+        f"read_parquet('{SF}/part.parquet')").fetchdf()
+    for _, r in df.iterrows():
+        dom = allp[(allp.p_retailprice <= r.p_retailprice)
+                   & (allp.p_size >= r.p_size)
+                   & ((allp.p_retailprice < r.p_retailprice)
+                      | (allp.p_size > r.p_size))]
+        assert len(dom) == 0
+
+
+def test_skyline_merge_invariance(ray_session):
+    import ray.data as rd
+
+    from dataquality_ray.pipelines.queries_tpch import skyline_parts_q
+
+    a = skyline_parts_q(SF)
+    b = skyline_parts_q(SF)  # partitioning may differ between runs
+    assert a.equals(b)
+
+
+def test_snm_pairs_within_window(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import snm_candidate_pairs_q
+
+    df = snm_candidate_pairs_q(SF)
+    assert (df["edit_distance"] <= 3).all()
+    assert (df["key_a"] != df["key_b"]).all()
