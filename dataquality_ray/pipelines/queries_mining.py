@@ -1954,3 +1954,137 @@ def bitmap_index_stats_q(sf_dir: str):
     for c in ["n_present_blocks", "total_blocks"]:
         g[c] = g[c].astype("int64")
     return g.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# 3-way vocabulary Venn (inclusion-exclusion over source token sets)
+# ---------------------------------------------------------------------------
+
+@query("vocab_venn_3way", sql=r"""
+WITH m AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+), flags AS (
+  SELECT tok,
+         max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b,
+         max(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS c
+  FROM m GROUP BY tok
+)
+SELECT (a::VARCHAR || b::VARCHAR || c::VARCHAR) AS region,
+       count(*)::BIGINT AS n_tokens
+FROM flags GROUP BY 1 ORDER BY 1
+""")
+def vocab_venn_3way_q(sf_dir: str):
+    """Three-source vocabulary Venn diagram: each token's membership
+    bitmap over (src0, src1, src2) and the count per region — the
+    corpus-composition overlap audit behind mixture decisions.
+    Membership bitmaps OR-merge through the guarded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    SRCS = ["src0", "src1", "src2"]
+
+    def part(bt: pa.Table) -> pd.DataFrame:
+        rows: dict[str, list] = {}
+        for s, t in zip(bt["source"].to_pylist(), bt["text"].to_pylist()):
+            if s not in SRCS:
+                continue
+            i = SRCS.index(s)
+            for tok in (t or "").split():
+                if tok not in rows:
+                    rows[tok] = [0, 0, 0]
+                rows[tok][i] = 1
+        ks = list(rows)
+        return pd.DataFrame({"tok": ks,
+                             "a": [rows[k][0] for k in ks],
+                             "b": [rows[k][1] for k in ks],
+                             "c": [rows[k][2] for k in ks]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("tok", as_index=False).max()
+
+    stage = (_read(sf_dir, "documents", ["source", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    merged["region"] = (merged["a"].astype(str) + merged["b"].astype(str)
+                        + merged["c"].astype(str))
+    out = (merged.groupby("region").size().rename("n_tokens")
+           .reset_index().sort_values("region").reset_index(drop=True))
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Order-invariant table fingerprint (replica-comparison checksum)
+# ---------------------------------------------------------------------------
+
+def _fingerprint_sql() -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    ctes = [("fk", "SELECT xor(xor(event_id::UBIGINT * 3,"
+                   " user_id::UBIGINT * 5), epoch_us(ts)::UBIGINT)"
+                   "::HUGEINT AS x FROM events")]
+    prev = "fk"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append((f"fh{n}", f"SELECT {expr} AS x FROM {prev}"))
+        prev = f"fh{n}"
+    chain = ",\n".join(f"{n} AS ({s})" for n, s in ctes)
+    return f"""
+WITH {chain},
+agg AS (SELECT count(*)::BIGINT AS n_rows,
+               sum(x) % 18446744073709551616 AS fp FROM {prev})
+SELECT n_rows, (fp // 4294967296)::BIGINT AS fp_hi,
+       (fp % 4294967296)::BIGINT AS fp_lo
+FROM agg
+"""
+
+
+@query("table_fingerprint", sql=_fingerprint_sql())
+def table_fingerprint_q(sf_dir: str):
+    """Order-invariant table checksum: sum over rows of
+    splitmix64(mix(event_id, user_id, ts)) mod 2^64 — two replicas (or a
+    table before/after a migration) compare equal iff their fingerprints
+    match, with NO sort and NO row shipping (each worker contributes one
+    partial sum).  The replica-audit primitive behind export_verify."""
+    from dataquality_ray.functions.hashing import splitmix64
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    M = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            eid = b["event_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64) * np.uint64(3)
+            uid = b["user_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64) * np.uint64(5)
+            ts = b["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            h = splitmix64((eid ^ uid) ^ ts)
+        total = 0
+        for v in h:
+            total = (total + int(v)) & 0xFFFFFFFFFFFFFFFF
+        # carry the u64 as two int32 halves: a raw u64 flips between
+        # int64/uint64 pandas dtypes across batches and the concat
+        # coerces to float64, losing low bits
+        return pd.DataFrame({"k": [0], "n_rows": [len(h)],
+                             "fp_hi": [total >> 32],
+                             "fp_lo": [total & 0xFFFFFFFF]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        fp = 0
+        for hi, lo in zip(f["fp_hi"], f["fp_lo"]):
+            fp = (fp + ((int(hi) << 32) | int(lo))) & 0xFFFFFFFFFFFFFFFF
+        return pd.DataFrame({"k": [0], "n_rows": [int(f["n_rows"].sum())],
+                             "fp_hi": [fp >> 32],
+                             "fp_lo": [fp & 0xFFFFFFFF]})
+
+    stage = (_read(sf_dir, "events", ["event_id", "user_id", "ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 10)
+    assert ok and merged is not None
+    return pd.DataFrame({"n_rows": [int(merged["n_rows"].iloc[0])],
+                         "fp_hi": [int(merged["fp_hi"].iloc[0])],
+                         "fp_lo": [int(merged["fp_lo"].iloc[0])]})

@@ -621,3 +621,22 @@ def test_snm_pairs_within_window(ray_session):
     df = snm_candidate_pairs_q(SF)
     assert (df["edit_distance"] <= 3).all()
     assert (df["key_a"] != df["key_b"]).all()
+
+
+def test_vocab_venn_totals(ray_session):
+    from dataquality_ray.pipelines.queries_mining import vocab_venn_3way_q
+
+    df = vocab_venn_3way_q(SF)
+    # region codes are 3-bit membership bitmaps, never '000'
+    assert "000" not in set(df["region"])
+    assert df["n_tokens"].sum() <= 31  # bounded by the tiny vocab
+
+
+def test_table_fingerprint_order_invariant(ray_session):
+    from dataquality_ray.pipelines.queries_mining import table_fingerprint_q
+
+    a = table_fingerprint_q(SF)
+    b = table_fingerprint_q(SF)
+    assert a.equals(b)  # repartition/order cannot change the sum
+    assert a["n_rows"].iloc[0] == 1000
+    assert 0 <= a["fp_hi"].iloc[0] < 2**32
