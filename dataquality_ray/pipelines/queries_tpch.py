@@ -3793,3 +3793,157 @@ def snm_candidate_pairs_q(sf_dir: str):
                              "edit_distance": pd.Series([],
                                                         dtype="int64")})
     return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Month-over-year-ago order growth
+# ---------------------------------------------------------------------------
+
+@query("monthly_yoy_growth", sql="""
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS month_idx,
+         count(*)::BIGINT AS n
+  FROM orders GROUP BY 1
+)
+SELECT cur.month_idx::BIGINT AS month_idx, cur.n AS n_orders,
+       prev.n AS n_year_ago,
+       (CASE WHEN cur.n >= prev.n
+             THEN (cur.n - prev.n) * 1000000 // prev.n
+             ELSE -((prev.n - cur.n) * 1000000 // prev.n)
+        END)::BIGINT AS yoy_growth_ppm
+FROM m cur JOIN m prev ON prev.month_idx = cur.month_idx - 12
+ORDER BY cur.month_idx
+""")
+def monthly_yoy_growth_q(sf_dir: str):
+    """Year-over-year monthly order growth: month counts merge through
+    the guarded combine, the YoY self-alignment runs on the tiny month
+    axis, growth is sign-symmetric integer ppm (the floor-vs-trunc
+    convention)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        d = b["o_orderdate"].to_pandas()
+        midx = d.dt.year * 12 + (d.dt.month - 1)
+        f = pd.DataFrame({"month_idx": midx, "n": 1})
+        return f.groupby("month_idx", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("month_idx", as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "orders", ["o_orderdate"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    m = merged.set_index("month_idx")["n"]
+    rows = []
+    for midx in sorted(m.index):
+        if midx - 12 in m.index:
+            cur, prev = int(m[midx]), int(m[midx - 12])
+            mag = abs(cur - prev) * 1000000 // prev
+            rows.append((int(midx), cur, prev,
+                         mag if cur >= prev else -mag))
+    return pd.DataFrame(rows, columns=["month_idx", "n_orders",
+                                       "n_year_ago", "yoy_growth_ppm"])
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintile codes)
+# ---------------------------------------------------------------------------
+
+def _rfm_bounds_sql(col: str, src: str) -> str:
+    qs = ", ".join(f"quantile_disc({col}, {q/100.0}) AS b{q}"
+                   for q in (20, 40, 60, 80))
+    return f"SELECT {qs} FROM {src}"
+
+
+@query("rfm_segmentation", sql=f"""
+WITH base AS (
+  SELECT o_custkey,
+         (SELECT max(epoch_us(o_orderdate)) FROM orders) // 86400000000
+           - max(epoch_us(o_orderdate)) // 86400000000 AS recency_days,
+         count(*)::BIGINT AS frequency,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), rb AS ({_rfm_bounds_sql('recency_days', 'base')}),
+fb AS ({_rfm_bounds_sql('frequency', 'base')}),
+mb AS ({_rfm_bounds_sql('monetary_cents', 'base')}),
+scored AS (
+  SELECT
+    -- recency: LOWER is better, so score reversed
+    5 - ((b.recency_days > rb.b20)::INT + (b.recency_days > rb.b40)::INT
+         + (b.recency_days > rb.b60)::INT
+         + (b.recency_days > rb.b80)::INT) AS r_score,
+    1 + ((b.frequency > fb.b20)::INT + (b.frequency > fb.b40)::INT
+         + (b.frequency > fb.b60)::INT + (b.frequency > fb.b80)::INT)
+      AS f_score,
+    1 + ((b.monetary_cents > mb.b20)::INT
+         + (b.monetary_cents > mb.b40)::INT
+         + (b.monetary_cents > mb.b60)::INT
+         + (b.monetary_cents > mb.b80)::INT) AS m_score
+  FROM base b, rb, fb, mb
+)
+SELECT (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm_code,
+       count(*)::BIGINT AS n_customers
+FROM scored GROUP BY 1 ORDER BY 1
+""")
+def rfm_segmentation_q(sf_dir: str):
+    """RFM segmentation: per-customer recency/frequency/monetary stats
+    reduce through the guarded combine; quintile bounds are
+    quantile_disc (actual data values — exact across engines); scores
+    are integer comparisons against the four broadcast bounds.  The
+    classic CRM segmentation as a two-pass distributed pipeline."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        d = b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86400000000
+        f = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_pandas(),
+            "last_day": d, "frequency": 1,
+            "monetary_cents": pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)).cast(pa.int64()).to_pandas()})
+        return f.groupby("o_custkey", as_index=False).agg(
+            last_day=("last_day", "max"), frequency=("frequency", "sum"),
+            monetary_cents=("monetary_cents", "sum"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("o_custkey", as_index=False).agg(
+            last_day=("last_day", "max"), frequency=("frequency", "sum"),
+            monetary_cents=("monetary_cents", "sum"))
+
+    stage = (_read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    max_day = int(merged["last_day"].max())
+    merged["recency_days"] = max_day - merged["last_day"].astype(np.int64)
+
+    def disc_bounds(v: np.ndarray) -> list:
+        s = np.sort(v)
+        n = len(s)
+        # quantile_disc index = ceil(q*n) - 1 (DuckDB convention)
+        return [int(s[int(np.ceil(q * n)) - 1])
+                for q in (0.2, 0.4, 0.6, 0.8)]
+
+    rbs = disc_bounds(merged["recency_days"].to_numpy(np.int64))
+    fbs = disc_bounds(merged["frequency"].to_numpy(np.int64))
+    mbs = disc_bounds(merged["monetary_cents"].to_numpy(np.int64))
+
+    def score(v: np.ndarray, bounds: list) -> np.ndarray:
+        s = np.ones(len(v), dtype=np.int64)
+        for b2 in bounds:
+            s += (v > b2).astype(np.int64)
+        return s
+
+    r = 6 - score(merged["recency_days"].to_numpy(np.int64), rbs)
+    f = score(merged["frequency"].to_numpy(np.int64), fbs)
+    m = score(merged["monetary_cents"].to_numpy(np.int64), mbs)
+    code = r * 100 + f * 10 + m
+    out = (pd.Series(code).value_counts().rename("n_customers")
+           .reset_index().rename(columns={"index": "rfm_code"}))
+    out.columns = ["rfm_code", "n_customers"]
+    out["rfm_code"] = out["rfm_code"].astype("int64")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values("rfm_code").reset_index(drop=True)

@@ -640,3 +640,31 @@ def test_table_fingerprint_order_invariant(ray_session):
     assert a.equals(b)  # repartition/order cannot change the sum
     assert a["n_rows"].iloc[0] == 1000
     assert 0 <= a["fp_hi"].iloc[0] < 2**32
+
+
+def test_yoy_growth_sign_consistency(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import monthly_yoy_growth_q
+
+    df = monthly_yoy_growth_q(SF)
+    assert len(df) > 12
+    up = df[df["n_orders"] > df["n_year_ago"]]
+    assert (up["yoy_growth_ppm"] > 0).all()
+    down = df[df["n_orders"] < df["n_year_ago"]]
+    assert (down["yoy_growth_ppm"] < 0).all()
+
+
+def test_rfm_codes_valid(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import rfm_segmentation_q
+
+    df = rfm_segmentation_q(SF)
+    r = df["rfm_code"] // 100
+    f = (df["rfm_code"] // 10) % 10
+    m = df["rfm_code"] % 10
+    assert r.between(1, 5).all() and f.between(1, 5).all() \
+        and m.between(1, 5).all()
+    # all customers with orders are segmented
+    import duckdb
+
+    nc = duckdb.sql(f"SELECT count(DISTINCT o_custkey) FROM "
+                    f"read_parquet('{SF}/orders.parquet')").fetchone()[0]
+    assert df["n_customers"].sum() == nc
