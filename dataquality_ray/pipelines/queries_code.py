@@ -603,3 +603,177 @@ def minhash_recall_audit_q(sf_dir: str):
         "n_matched": [matched],
         "recall_ppm": [matched * 1000000 // max(len(true_pairs), 1)],
         "precision_ppm": [matched * 1000000 // max(len(lsh_pairs), 1)]})
+
+
+# ---------------------------------------------------------------------------
+# Nesting-depth proxy from indentation (code complexity heuristic)
+# ---------------------------------------------------------------------------
+
+@query("code_nesting_depth", sql=f"""
+WITH cv AS ({_code_view_sql()}),
+runs AS (
+  SELECT doc_id,
+         regexp_extract_all(code, '(?m)^[ '||chr(9)||']+') AS indents
+  FROM cv
+)
+SELECT doc_id,
+       CASE WHEN len(indents) = 0 THEN 0
+            ELSE list_max(list_transform(indents, x -> length(x)))
+       END::BIGINT AS max_indent_chars,
+       CASE WHEN len(indents) = 0 THEN 0
+            ELSE list_max(list_transform(indents, x -> length(x))) // 4 + 1
+       END::BIGINT AS max_depth
+FROM runs ORDER BY doc_id
+""")
+def code_nesting_depth_q(sf_dir: str):
+    """Max indentation run per file as a nesting-depth/complexity proxy
+    (deeply nested code correlates with generated or low-quality files).
+    One RE2 extract per batch; depth = chars // 4 + 1."""
+    def kern(batch: pa.Table) -> pd.DataFrame:
+        import re
+
+        cv = code_view_batch(batch)
+        pat = re.compile(r"(?m)^[ \t]+")
+        rows = []
+        for did, code in zip(cv["doc_id"].to_pylist(),
+                             cv["code"].to_pylist()):
+            runs = pat.findall(code or "")
+            mx = max((len(r) for r in runs), default=0)
+            rows.append((did, mx, mx // 4 + 1 if mx else 0))
+        return pd.DataFrame(rows, columns=["doc_id", "max_indent_chars",
+                                           "max_depth"])
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    for c in ["doc_id", "max_indent_chars", "max_depth"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-encoding layout advisor
+# ---------------------------------------------------------------------------
+
+@query("dict_encoding_advisor", sql="""
+WITH stats AS (
+  SELECT 'lang' AS column_name, count(*)::BIGINT AS n_rows,
+         count(DISTINCT lang)::BIGINT AS n_distinct,
+         sum(length(lang))::BIGINT AS plain_bytes,
+         ((SELECT sum(length(d)) FROM
+            (SELECT DISTINCT lang AS d FROM documents))
+          + count(*) * 4)::BIGINT AS dict_bytes
+  FROM documents
+  UNION ALL
+  SELECT 'source', count(*), count(DISTINCT source),
+         sum(length(source))::BIGINT,
+         ((SELECT sum(length(d)) FROM
+            (SELECT DISTINCT source AS d FROM documents))
+          + count(*) * 4)::BIGINT
+  FROM documents
+)
+SELECT column_name, n_rows, n_distinct, plain_bytes, dict_bytes,
+       (dict_bytes < plain_bytes) AS dict_wins
+FROM stats ORDER BY column_name
+""")
+def dict_encoding_advisor_q(sf_dir: str):
+    """Storage-layout advisor: per string column, the byte cost of plain
+    encoding vs dictionary encoding (distinct values + 4-byte codes) —
+    the decision input for parquet/Arrow layout at 100 TB, computed from
+    mergeable (distinct-set, length-sum) partials in one pass."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    COLS = ["lang", "source"]
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        frames = []
+        for c in COLS:
+            vals = pd.Series(b[c].to_pylist())
+            u = vals.drop_duplicates()
+            frames.append(pd.DataFrame({
+                "column_name": c, "val": u,
+                "n_rows": [len(vals)] + [0] * (len(u) - 1),
+                "plain_bytes": [int(vals.str.len().sum())]
+                + [0] * (len(u) - 1)}))
+        return pd.concat(frames, ignore_index=True)
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["column_name", "val"], as_index=False).sum()
+
+    stage = (_read(sf_dir, "documents", COLS)
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    rows = []
+    for c in COLS:
+        g = merged[merged["column_name"] == c]
+        n_rows = int(g["n_rows"].sum())
+        plain = int(g["plain_bytes"].sum())
+        dict_b = int(g["val"].str.len().sum()) + n_rows * 4
+        rows.append((c, n_rows, len(g), plain, dict_b, dict_b < plain))
+    return pd.DataFrame(rows, columns=["column_name", "n_rows",
+                                       "n_distinct", "plain_bytes",
+                                       "dict_bytes", "dict_wins"])
+
+
+# ---------------------------------------------------------------------------
+# High-entropy secret scanner (planted credentials beyond regex shape)
+# ---------------------------------------------------------------------------
+
+@query("entropy_secret_scan", sql="""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0
+              THEN coalesce(text, '') || ' tok_'
+                   || substr(sha256(doc_id::VARCHAR), 1, 24)
+              ELSE coalesce(text, '') END AS text2
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text2, '[a-z0-9_]{20,}'))
+           AS tok
+  FROM planted
+), scored AS (
+  SELECT doc_id, tok,
+         len(list_distinct(string_split_regex(tok, ''))) AS n_uniq,
+         length(tok) AS ln
+  FROM toks
+)
+SELECT doc_id, count(*)::BIGINT AS n_secret_tokens
+FROM scored WHERE n_uniq * 2 >= ln
+GROUP BY doc_id ORDER BY doc_id
+""")
+def entropy_secret_scan_q(sf_dir: str):
+    """High-entropy token scanner — catches credentials/keys that no
+    fixed regex prefix knows about: long [a-z0-9_] tokens whose distinct-
+    char count is at least half their length (planted: a sha-derived
+    token on every 17th doc; plant replayed in SQL via sha256 —
+    identical digests both engines).  Complements the pattern-based
+    scrubber in functions/scrub.py."""
+    import hashlib
+    import re
+
+    pat = re.compile(r"[a-z0-9_]{20,}")
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            t = t or ""
+            if did % 17 == 0:
+                t = t + " tok_" + hashlib.sha256(
+                    str(did).encode()).hexdigest()[:24]
+            n = 0
+            for tok in pat.findall(t):
+                if len(set(tok)) * 2 >= len(tok):
+                    n += 1
+            if n:
+                rows.append((did, n))
+        if not rows:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_secret_tokens": pd.Series([], dtype="int64")})
+        return pd.DataFrame(rows, columns=["doc_id", "n_secret_tokens"])
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_secret_tokens"] = out["n_secret_tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -143,3 +143,33 @@ def test_minhash_recall_audit(ray_session):
     assert df["n_true_pairs"].iloc[0] >= 40  # planted ~50 near-dup pairs
     assert df["recall_ppm"].iloc[0] >= 900_000  # LSH catches >=90%
     assert df["precision_ppm"].iloc[0] == 1_000_000  # verified pairs exact
+
+
+def test_nesting_depth_consistency(ray_session):
+    from dataquality_ray.pipelines.queries_code import code_nesting_depth_q
+
+    df = code_nesting_depth_q(SF)
+    deep = df[df["max_indent_chars"] > 0]
+    assert (deep["max_depth"] == deep["max_indent_chars"] // 4 + 1).all()
+    assert (df.loc[df["max_indent_chars"] == 0, "max_depth"] == 0).all()
+
+
+def test_dict_advisor_recommends_dictionary(ray_session):
+    from dataquality_ray.pipelines.queries_code import (
+        dict_encoding_advisor_q,
+    )
+
+    df = dict_encoding_advisor_q(SF)
+    # lang/source are tiny-cardinality: dictionary cannot lose badly
+    assert (df["n_distinct"] < df["n_rows"]).all()
+    assert (df["dict_bytes"] > 0).all()
+
+
+def test_entropy_scan_finds_planted_secrets(ray_session):
+    from dataquality_ray.pipelines.queries_code import entropy_secret_scan_q
+
+    df = entropy_secret_scan_q(SF)
+    # every 17th doc carries a planted sha-derived token
+    assert set(df["doc_id"] % 17) == {0}
+    assert (df["n_secret_tokens"] >= 1).all()
+    assert len(df) == 30  # ceil(500/17)
