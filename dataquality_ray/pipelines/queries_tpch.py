@@ -3947,3 +3947,190 @@ def rfm_segmentation_q(sf_dir: str):
     out["rfm_code"] = out["rfm_code"].astype("int64")
     out["n_customers"] = out["n_customers"].astype("int64")
     return out.sort_values("rfm_code").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-type linear trend of daily volume (bit-exact grouped OLS on time)
+# ---------------------------------------------------------------------------
+
+@query("daily_trend_slopes", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+         sum(x * y)::BIGINT AS sxy
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_day
+FROM s ORDER BY event_type
+""")
+def daily_trend_slopes_q(sf_dir: str):
+    """Volume trend per event type: OLS slope of daily counts against
+    the day index, from exact integer sufficient sums (is this stream
+    growing or shrinking, and how fast) — one combine, one exact float
+    division per type."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "x": day.to_pandas(), "y": 1})
+        return f.groupby(["event_type", "x"], as_index=False)["y"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "x"], as_index=False)["y"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts", "event_type"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    rows = []
+    for et, g in merged.groupby("event_type"):
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, sxy = int((x * x).sum()), int((x * y).sum())
+        rows.append((et, n,
+                     float(n * sxy - sx * sy) / float(n * sxx - sx * sx)))
+    return pd.DataFrame(rows, columns=["event_type", "n",
+                                       "slope_per_day"])
+
+
+# ---------------------------------------------------------------------------
+# Anomaly ensemble vote (burst x p90 x global-peak flags)
+# ---------------------------------------------------------------------------
+
+@query("anomaly_ensemble_vote", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, sum(n)::BIGINT AS total, count(*)::BIGINT AS n_days,
+         quantile_disc(n, 0.9) AS p90
+  FROM d GROUP BY event_type
+), g AS (
+  SELECT day_idx, sum(n)::BIGINT AS day_total FROM d GROUP BY day_idx
+), gt AS (
+  SELECT day_idx, row_number() OVER (ORDER BY day_total DESC, day_idx)
+           AS rk
+  FROM g
+)
+SELECT d.event_type, d.day_idx::BIGINT AS day_idx, d.n,
+       ((d.n * t.n_days * 10 > t.total * 13)::INT
+        + (d.n > t.p90)::INT + (gt.rk <= 3)::INT)::BIGINT AS votes
+FROM d JOIN t USING (event_type) JOIN gt USING (day_idx)
+ORDER BY event_type, day_idx
+""")
+def anomaly_ensemble_vote_q(sf_dir: str):
+    """Ensemble anomaly voting: three independent integer-exact
+    detectors (1.3x-average burst, above per-type p90 discrete quantile,
+    membership in the global top-3 volume days) summed into a vote per
+    (type, day) — the agreement-based alarm that suppresses
+    single-detector noise.  All three detectors share ONE (type, day)
+    combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "day_idx": day.to_pandas(), "n": 1})
+        return f.groupby(["event_type", "day_idx"], as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "day_idx"], as_index=False).sum()
+
+    stage = (_read(sf_dir, "events", ["ts", "event_type"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    d = merged.copy()
+    t = d.groupby("event_type").agg(total=("n", "sum"),
+                                    n_days=("n", "size"))
+
+    def p90_disc(v: np.ndarray) -> int:
+        s = np.sort(v)
+        return int(s[int(np.ceil(0.9 * len(s))) - 1])
+
+    p90 = d.groupby("event_type")["n"].apply(
+        lambda v: p90_disc(v.to_numpy(np.int64))).rename("p90")
+    g = d.groupby("day_idx")["n"].sum().sort_values(
+        ascending=False)
+    # top-3 with day_idx tiebreak matching ORDER BY day_total DESC, day
+    gd = pd.DataFrame({"day_idx": g.index, "day_total": g.to_numpy()})
+    gd = gd.sort_values(["day_total", "day_idx"],
+                        ascending=[False, True]).reset_index(drop=True)
+    top3 = set(gd.head(3)["day_idx"])
+    d = d.join(t, on="event_type").join(p90, on="event_type")
+    burst = (d["n"].astype(np.int64) * d["n_days"].astype(np.int64) * 10
+             > d["total"].astype(np.int64) * 13).astype(int)
+    over_p90 = (d["n"].astype(np.int64) > d["p90"].astype(np.int64)) \
+        .astype(int)
+    peak = d["day_idx"].isin(top3).astype(int)
+    d["votes"] = (burst + over_p90 + peak).astype("int64")
+    d["day_idx"] = d["day_idx"].astype("int64")
+    d["n"] = d["n"].astype("int64")
+    return (d.sort_values(["event_type", "day_idx"]).reset_index(drop=True)
+            [["event_type", "day_idx", "n", "votes"]])
+
+
+# ---------------------------------------------------------------------------
+# Mixture rate solver (per-source sampling rates to hit a uniform target)
+# ---------------------------------------------------------------------------
+
+@query("mixture_rate_solver", sql="""
+WITH s AS (
+  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source
+), t AS (
+  SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_sources FROM s
+)
+SELECT s.source, s.n,
+       (t.total // t.n_sources)::BIGINT AS target_n,
+       CASE WHEN s.n <= t.total // t.n_sources THEN 1000000
+            ELSE (t.total // t.n_sources) * 1000000 // s.n
+       END::BIGINT AS rate_ppm,
+       CASE WHEN s.n <= t.total // t.n_sources THEN s.n
+            ELSE s.n * ((t.total // t.n_sources) * 1000000 // s.n)
+                 // 1000000
+       END::BIGINT AS expected_n
+FROM s, t ORDER BY s.source
+""")
+def mixture_rate_solver_q(sf_dir: str):
+    """Mixture planning: the per-source Bernoulli rate that equalizes
+    source contributions at total/n_sources docs each (rate capped at 1
+    for under-represented sources) — the config generator that feeds
+    stratified_sample/corpus_mixture_sample.  Pure integer ppm so the
+    plan is engine-exact."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(), "n": 1})
+        return f.groupby("source", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "documents", ["source"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1_000_000)
+    assert ok and merged is not None
+    total = int(merged["n"].sum())
+    ns = len(merged)
+    target = total // ns
+    rows = []
+    for _, r in merged.sort_values("source").iterrows():
+        n = int(r["n"])
+        if n <= target:
+            rate, exp = 1000000, n
+        else:
+            rate = target * 1000000 // n
+            exp = n * rate // 1000000
+        rows.append((r["source"], n, target, rate, exp))
+    return pd.DataFrame(rows, columns=["source", "n", "target_n",
+                                       "rate_ppm", "expected_n"])

@@ -668,3 +668,37 @@ def test_rfm_codes_valid(ray_session):
     nc = duckdb.sql(f"SELECT count(DISTINCT o_custkey) FROM "
                     f"read_parquet('{SF}/orders.parquet')").fetchone()[0]
     assert df["n_customers"].sum() == nc
+
+
+def test_trend_slopes_finite(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import daily_trend_slopes_q
+
+    df = daily_trend_slopes_q(SF)
+    assert len(df) == 5
+    assert np.isfinite(df["slope_per_day"]).all()
+
+
+def test_anomaly_votes_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        anomaly_ensemble_vote_q,
+    )
+
+    df = anomaly_ensemble_vote_q(SF)
+    assert df["votes"].between(0, 3).all()
+    # the three global peak days contribute a vote to every type that day
+    peak_days = (df.groupby("day_idx")["n"].sum()
+                 .sort_values(ascending=False).head(3).index)
+    assert (df[df["day_idx"].isin(peak_days)]["votes"] >= 1).all()
+
+
+def test_mixture_solver_equalizes(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import mixture_rate_solver_q
+
+    df = mixture_rate_solver_q(SF)
+    assert (df["rate_ppm"] <= 1_000_000).all()
+    assert (df["expected_n"] <= df["target_n"]
+            ).all() or (df["rate_ppm"] == 1_000_000).any()
+    # over-represented sources get downsampled toward the target
+    over = df[df["n"] > df["target_n"]]
+    assert ((over["expected_n"] - over["target_n"]).abs()
+            <= over["n"] // 100 + 1).all()
