@@ -4553,3 +4553,46 @@ def mmr_diverse_topk_q(sf_dir: str):
         "rank": np.arange(1, len(picked) + 1, dtype=np.int64),
         "vec_id": ids[picked],
         "rel_bp": (rel[picked] * 10000).astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# PQ distortion report (rows-only: float codebook math)
+# ---------------------------------------------------------------------------
+
+@query("pq_distortion_report")
+def pq_distortion_report_q(sf_dir: str):
+    """Quantization-quality report for the product quantizer: per
+    subquantizer, the mean squared reconstruction error over the corpus
+    (distortion partials merge as exact counts + float sums per
+    subspace).  The measurement that decides m/k before trusting PQ
+    recall at scale."""
+    import ray.data as rd
+
+    from dataquality_ray.stages.ann import PQIndex, _stack_embeddings
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
+    pq = PQIndex.fit(ds, dim=dim, m=8, k=16)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        emb = _stack_embeddings(b, "embedding").astype(np.float64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(norms, 1e-12)
+        dsub = pq.dsub
+        rows = []
+        for j in range(pq.m):
+            sub = emb[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - pq.codebooks[j][None, :, :]) ** 2
+                  ).sum(axis=2)
+            best = d2.min(axis=1)
+            rows.append((j, len(sub), float(best.sum())))
+        return pd.DataFrame(rows, columns=["subq", "n", "sq_err"])
+
+    parts = (ds.map_batches(part, batch_format="pyarrow")
+             .to_pandas().groupby("subq", as_index=False).sum())
+    parts["mse"] = parts["sq_err"] / parts["n"]
+    parts["subq"] = parts["subq"].astype("int64")
+    parts["n"] = parts["n"].astype("int64")
+    return parts[["subq", "n", "mse"]].sort_values("subq") \
+        .reset_index(drop=True)

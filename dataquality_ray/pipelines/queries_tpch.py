@@ -4134,3 +4134,110 @@ def mixture_rate_solver_q(sf_dir: str):
         rows.append((r["source"], n, target, rate, exp))
     return pd.DataFrame(rows, columns=["source", "n", "target_n",
                                        "rate_ppm", "expected_n"])
+
+
+# ---------------------------------------------------------------------------
+# Relational division: customers present in EVERY order priority
+# ---------------------------------------------------------------------------
+
+@query("relational_division", sql="""
+WITH np AS (SELECT count(DISTINCT o_orderpriority) AS n FROM orders),
+c AS (
+  SELECT o_custkey, count(DISTINCT o_orderpriority)::BIGINT AS n_prio
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.o_custkey, c.n_prio
+FROM c, np WHERE c.n_prio = np.n
+ORDER BY c.o_custkey
+""")
+def relational_division_q(sf_dir: str):
+    """Relational division (the 'for all' query): customers who have
+    placed orders in EVERY priority class.  Distinct (customer,
+    priority) pairs merge through the combine; the universal
+    quantification collapses to a count comparison against the
+    priority-universe size."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_pandas(),
+            "prio": b["o_orderpriority"].to_pylist()}).drop_duplicates()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    stage = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    n_universe = merged["prio"].nunique()
+    g = merged.groupby("o_custkey").size().rename("n_prio").reset_index()
+    out = g[g["n_prio"] == n_universe].sort_values("o_custkey") \
+        .reset_index(drop=True)
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    out["n_prio"] = out["n_prio"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Above-group-average filter (theta comparison against broadcast stats)
+# ---------------------------------------------------------------------------
+
+@query("above_average_customers", sql="""
+WITH s AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n,
+         sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS cents
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_nationkey::BIGINT AS c_nationkey,
+       count(*)::BIGINT AS n_above
+FROM customer c JOIN s ON s.c_nationkey = c.c_nationkey
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * s.n > s.cents
+GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+""")
+def above_average_customers_q(sf_dir: str):
+    """Theta-filter against a group aggregate: customers whose balance
+    exceeds their nation's average — compared as bal·n > sum (integer
+    cross-multiplication, no float average) with the tiny per-nation
+    stats broadcast into a second vectorized pass.  Two scans, zero
+    shuffles."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cents = pc.round(pc.multiply(b["c_acctbal"], 100.0)) \
+            .cast(pa.int64())
+        f = pd.DataFrame({"c_nationkey": b["c_nationkey"].to_pandas(),
+                          "n": 1, "cents": cents.to_pandas()})
+        return f.groupby("c_nationkey", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("c_nationkey", as_index=False).sum()
+
+    stage = (_read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1_000_000)
+    assert ok and merged is not None
+    nmap = dict(zip(merged["c_nationkey"],
+                    zip(merged["n"].astype(int),
+                        merged["cents"].astype(int))))
+
+    def above(b: pa.Table) -> pd.DataFrame:
+        cents = pc.round(pc.multiply(b["c_acctbal"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        ns = np.array([nmap[k][0] for k in nk], dtype=np.int64)
+        sums = np.array([nmap[k][1] for k in nk], dtype=np.int64)
+        keep = cents * ns > sums
+        f = pd.DataFrame({"c_nationkey": nk[keep], "n_above": 1})
+        return f.groupby("c_nationkey", as_index=False).sum()
+
+    out, ok2 = guarded_partials(
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(above, batch_format="pyarrow"),
+        lambda f: f.groupby("c_nationkey", as_index=False).sum(),
+        1_000_000)
+    assert ok2 and out is not None
+    out = out.sort_values("c_nationkey").reset_index(drop=True)
+    out["c_nationkey"] = out["c_nationkey"].astype("int64")
+    out["n_above"] = out["n_above"].astype("int64")
+    return out

@@ -702,3 +702,34 @@ def test_mixture_solver_equalizes(ray_session):
     over = df[df["n"] > df["target_n"]]
     assert ((over["expected_n"] - over["target_n"]).abs()
             <= over["n"] // 100 + 1).all()
+
+
+def test_relational_division_universal(ray_session):
+    import duckdb
+
+    from dataquality_ray.pipelines.queries_tpch import relational_division_q
+
+    df = relational_division_q(SF)
+    np_ = duckdb.sql(f"SELECT count(DISTINCT o_orderpriority) FROM "
+                     f"read_parquet('{SF}/orders.parquet')").fetchone()[0]
+    assert (df["n_prio"] == np_).all()
+
+
+def test_above_average_is_minority(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        above_average_customers_q,
+    )
+
+    df = above_average_customers_q(SF)
+    assert (df["n_above"] >= 1).all()
+    assert df["n_above"].sum() < 150  # strictly-above is never everyone
+
+
+def test_pq_distortion_positive_and_bounded(ray_session):
+    from dataquality_ray.pipelines.queries_text import pq_distortion_report_q
+
+    df = pq_distortion_report_q(SF)
+    assert len(df) == 8
+    assert (df["mse"] > 0).all()
+    # normalized vectors: per-subspace MSE far below the unit norm
+    assert (df["mse"] < 1.0).all()
