@@ -4241,3 +4241,100 @@ def above_average_customers_q(sf_dir: str):
     out["c_nationkey"] = out["c_nationkey"].astype("int64")
     out["n_above"] = out["n_above"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time state lookup over SCD2 intervals
+# ---------------------------------------------------------------------------
+
+@query("as_of_state_lookup", sql="""
+WITH r AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_us
+  FROM events
+)
+SELECT user_id, event_type AS state_at_t
+FROM r
+WHERE ts_us <= 1705320000000000
+  AND (next_us IS NULL OR next_us > 1705320000000000)
+ORDER BY user_id
+""")
+def as_of_state_lookup_q(sf_dir: str):
+    """Point-in-time query: every user's active state (their latest
+    event) AS OF a fixed timestamp, from the SCD2 validity intervals —
+    the temporal-table read that makes training-data snapshots
+    reproducible.  One groupby(user); per group a vectorized
+    searchsorted picks the covering interval."""
+    T = 1705320000000000  # 2024-01-15 12:00:00 UTC in epoch micros
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        i = np.searchsorted(us, T, side="right") - 1
+        if i < 0:
+            return pd.DataFrame({"user_id": [], "state_at_t": []})
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "state_at_t": [g["event_type"].iloc[i]]})
+
+    out = (_read(sf_dir, "events",
+                 ["user_id", "ts", "event_type", "event_id"])
+           .groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .to_pandas())
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day active-user churn
+# ---------------------------------------------------------------------------
+
+@query("daily_user_churn", sql="""
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx, user_id
+  FROM events
+), days AS (SELECT DISTINCT day_idx FROM du)
+SELECT d.day_idx::BIGINT AS day_idx,
+       (SELECT count(*) FROM du a WHERE a.day_idx = d.day_idx)::BIGINT
+         AS n_active,
+       (SELECT count(*) FROM du a WHERE a.day_idx = d.day_idx
+        AND NOT EXISTS (SELECT 1 FROM du b
+                        WHERE b.day_idx = d.day_idx - 1
+                          AND b.user_id = a.user_id))::BIGINT AS n_new,
+       (SELECT count(*) FROM du b WHERE b.day_idx = d.day_idx - 1
+        AND NOT EXISTS (SELECT 1 FROM du a
+                        WHERE a.day_idx = d.day_idx
+                          AND a.user_id = b.user_id))::BIGINT
+         AS n_churned
+FROM days d ORDER BY d.day_idx
+""")
+def daily_user_churn_q(sf_dir: str):
+    """Day-over-day churn: per day, active users, users not active the
+    previous day (new/returning), and yesterday's users who went silent
+    (churned) — from DISTINCT (day, user) pairs merged through the
+    combine, with the consecutive-day set algebra on the tiny grid."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        return pd.DataFrame({"day_idx": day.to_pandas(),
+                             "user_id": b["user_id"].to_pandas()}) \
+            .drop_duplicates()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    stage = (_read(sf_dir, "events", ["ts", "user_id"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    sets = {int(d): set(g["user_id"])
+            for d, g in merged.groupby("day_idx")}
+    rows = []
+    for d in sorted(sets):
+        cur = sets[d]
+        prev = sets.get(d - 1, set())
+        rows.append((d, len(cur), len(cur - prev), len(prev - cur)))
+    return pd.DataFrame(rows, columns=["day_idx", "n_active", "n_new",
+                                       "n_churned"])

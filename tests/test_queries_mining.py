@@ -733,3 +733,23 @@ def test_pq_distortion_positive_and_bounded(ray_session):
     assert (df["mse"] > 0).all()
     # normalized vectors: per-subspace MSE far below the unit norm
     assert (df["mse"] < 1.0).all()
+
+
+def test_as_of_lookup_one_state_per_user(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import as_of_state_lookup_q
+
+    df = as_of_state_lookup_q(SF)
+    assert df["user_id"].is_unique
+    assert len(df) >= 1
+
+
+def test_daily_churn_identity(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import daily_user_churn_q
+
+    df = daily_user_churn_q(SF)
+    # active(d) = active(d-1) + new(d) - churned(d)
+    for i in range(1, len(df)):
+        assert (df["n_active"].iloc[i]
+                == df["n_active"].iloc[i - 1] + df["n_new"].iloc[i]
+                - df["n_churned"].iloc[i])
+    assert df["n_new"].iloc[0] == df["n_active"].iloc[0]
