@@ -2088,3 +2088,117 @@ def table_fingerprint_q(sf_dir: str):
     return pd.DataFrame({"n_rows": [int(merged["n_rows"].iloc[0])],
                          "fp_hi": [int(merged["fp_hi"].iloc[0])],
                          "fp_lo": [int(merged["fp_lo"].iloc[0])]})
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over daily volume (pure integer)
+# ---------------------------------------------------------------------------
+
+@query("cusum_change_detection", sql="""
+WITH RECURSIVE d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), t AS (
+  SELECT sum(n) // count(*) AS target FROM d
+), ds AS (
+  SELECT day_idx, n, row_number() OVER (ORDER BY day_idx) AS i FROM d
+), c AS (
+  SELECT ds.day_idx, ds.n, ds.i,
+         greatest(0, ds.n - t.target)::BIGINT AS cusum
+  FROM ds, t WHERE ds.i = 1
+  UNION ALL
+  SELECT ds.day_idx, ds.n, ds.i,
+         greatest(0, c.cusum + ds.n - t.target)::BIGINT
+  FROM ds JOIN c ON ds.i = c.i + 1 CROSS JOIN t
+)
+SELECT day_idx::BIGINT AS day_idx, n, cusum,
+       (cusum > 3 * (SELECT target FROM t)) AS alarm
+FROM c ORDER BY day_idx
+""")
+def cusum_change_detection_q(sf_dir: str):
+    """One-sided CUSUM change-point detector over daily volume: the
+    cumulative excess over the integer mean target, clamped at zero,
+    alarming past 3x target — drift detection with PURE INTEGER state so
+    the recursive replay is engine-exact.  Counts aggregate
+    distributedly; the scan is day-axis sequential (inherent to
+    CUSUM)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"day_idx": day.to_pandas(), "n": 1})
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    d = merged.sort_values("day_idx").reset_index(drop=True)
+    ns = d["n"].to_numpy(np.int64)
+    target = int(ns.sum()) // len(ns)
+    cusum = np.empty(len(ns), dtype=np.int64)
+    s = 0
+    for i, n in enumerate(ns):
+        s = max(0, s + int(n) - target)
+        cusum[i] = s
+    return pd.DataFrame({"day_idx": d["day_idx"].astype("int64"),
+                         "n": ns, "cusum": cusum,
+                         "alarm": cusum > 3 * target})
+
+
+# ---------------------------------------------------------------------------
+# Delta-encoding bit-width advisor for sorted integer blocks
+# ---------------------------------------------------------------------------
+
+@query("delta_encoding_advisor", sql="""
+WITH s AS (
+  SELECT event_id, event_id // 1000 AS block,
+         event_id - lag(event_id) OVER (PARTITION BY event_id // 1000
+                                        ORDER BY event_id) AS delta
+  FROM events
+)
+SELECT block::BIGINT AS block, count(*)::BIGINT AS n_rows,
+       max(delta)::BIGINT AS max_delta,
+       length(bin(max(delta)))::BIGINT AS delta_bits
+FROM s WHERE delta IS NOT NULL
+GROUP BY block ORDER BY block
+""")
+def delta_encoding_advisor_q(sf_dir: str):
+    """Delta-encoding layout advisor: per 1000-id block of the sorted
+    event_id column, the maximum gap between consecutive ids and the
+    bits needed to store it — predicts the delta-bitpacked size of an
+    integer column (the parquet DELTA_BINARY_PACKED decision).  Per-block
+    (min, max, count, max-gap) partials merge through the combine; gaps
+    at block boundaries are excluded on both engines by partitioning the
+    window."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = np.sort(b["event_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        blocks = ids // 1000
+        f = pd.DataFrame({"block": blocks, "event_id": ids})
+        # per-batch, per-block sorted id list partials: ship the ids of
+        # each block (bounded by block size) and merge exactly
+        return f
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates().sort_values(["block", "event_id"])
+
+    stage = (_read(sf_dir, "events", ["event_id"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    rows = []
+    for blk, g in merged.groupby("block"):
+        ids = g["event_id"].to_numpy(np.int64)
+        if len(ids) < 2:
+            continue
+        deltas = np.diff(ids)
+        mx = int(deltas.max())
+        rows.append((int(blk), len(deltas), mx, mx.bit_length()))
+    return pd.DataFrame(rows, columns=["block", "n_rows", "max_delta",
+                                       "delta_bits"])

@@ -753,3 +753,26 @@ def test_daily_churn_identity(ray_session):
                 == df["n_active"].iloc[i - 1] + df["n_new"].iloc[i]
                 - df["n_churned"].iloc[i])
     assert df["n_new"].iloc[0] == df["n_active"].iloc[0]
+
+
+def test_cusum_nonnegative_clamped(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        cusum_change_detection_q,
+    )
+
+    df = cusum_change_detection_q(SF)
+    assert (df["cusum"] >= 0).all()
+    # cusum grows at most by that day's n
+    dc = df["cusum"].diff().dropna()
+    assert (dc <= df["n"].iloc[1:].to_numpy()).all()
+
+
+def test_delta_bits_sane(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        delta_encoding_advisor_q,
+    )
+
+    df = delta_encoding_advisor_q(SF)
+    assert (df["delta_bits"] == df["max_delta"].map(int.bit_length)).all()
+    # dense sequential ids: tiny deltas
+    assert (df["max_delta"] <= 1000).all()
