@@ -216,6 +216,30 @@ def run_suite() -> dict:
                  "token_graph_degrees", "token_triangle_count",
                  "zone_map_prune_stats", "rule_overlap_matrix",
                  "threshold_sensitivity",
+                 # session-5 later batches: stats/ts/graph/relational/code
+                 "schema_contract_check", "dataset_card",
+                 "minhash_recall_audit", "multi_granularity_rollup",
+                 "rolling_distinct_users", "token_trend_shift",
+                 "weekday_seasonality", "welch_t_test",
+                 "hist2d_chars_tokens", "abc_supplier_classification",
+                 "quarantine_split", "jl_projection_ann",
+                 "mmr_diverse_topk", "rate_limit_audit",
+                 "otsu_length_threshold", "doc_kl_divergence",
+                 "gap_fill_daily", "residual_volume_outliers",
+                 "markov_next_event_accuracy",
+                 "deterministic_random_walks", "hits_tokens",
+                 "lagged_cross_correlation", "sequence_regex_match",
+                 "event_type_burst_days", "consistent_hash_balance",
+                 "cell_exemplars", "bitmap_index_stats", "skyline_parts",
+                 "snm_candidate_pairs", "vocab_venn_3way",
+                 "table_fingerprint", "monthly_yoy_growth",
+                 "rfm_segmentation", "code_nesting_depth",
+                 "dict_encoding_advisor", "entropy_secret_scan",
+                 "daily_trend_slopes", "anomaly_ensemble_vote",
+                 "mixture_rate_solver", "relational_division",
+                 "above_average_customers", "pq_distortion_report",
+                 "as_of_state_lookup", "daily_user_churn",
+                 "cusum_change_detection", "delta_encoding_advisor",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 
