@@ -2202,3 +2202,137 @@ def delta_encoding_advisor_q(sf_dir: str):
         rows.append((int(blk), len(deltas), mx, mx.bit_length()))
     return pd.DataFrame(rows, columns=["block", "n_rows", "max_delta",
                                        "delta_bits"])
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering locality audit
+# ---------------------------------------------------------------------------
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(8):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query("zorder_locality_audit", sql=f"""
+WITH f AS (
+  SELECT doc_id, least(n_chars // 2, 255) AS xb,
+         least(doc_id // 2, 255) AS yb
+  FROM documents
+), m AS (
+  SELECT doc_id, xb, ({_morton_sql('xb', 'yb')}) AS morton FROM f
+), r AS (
+  SELECT doc_id, xb,
+         (row_number() OVER (ORDER BY morton, doc_id) - 1) // 64
+           AS zblock,
+         (row_number() OVER (ORDER BY doc_id) - 1) // 64 AS idblock
+  FROM m
+)
+SELECT count(DISTINCT zblock) FILTER (WHERE xb BETWEEN 60 AND 80)::BIGINT
+         AS zorder_blocks_touched,
+       count(DISTINCT idblock) FILTER (WHERE xb BETWEEN 60 AND 80)::BIGINT
+         AS rowid_blocks_touched,
+       count(DISTINCT zblock)::BIGINT AS total_blocks
+FROM r
+""")
+def zorder_locality_audit_q(sf_dir: str):
+    """Z-order clustering audit: interleave (length-bucket, id-bucket)
+    into a Morton code, lay rows out in 64-row blocks in Morton vs
+    row-id order, and count how many blocks a length-band predicate
+    touches under each layout — the measurement that justifies Z-order
+    writes for multi-dimensional pruning at 100 TB.  Pure integer bit
+    interleaving; the sort is the one wide op."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        nch = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xb = np.minimum(nch // 2, 255)
+        yb = np.minimum(did // 2, 255)
+        morton = np.zeros(len(xb), dtype=np.int64)
+        for i in range(8):
+            morton |= ((xb >> i) & 1) << (2 * i)
+            morton |= ((yb >> i) & 1) << (2 * i + 1)
+        return pd.DataFrame({"doc_id": did, "xb": xb, "morton": morton})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates("doc_id")
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    z = merged.sort_values(["morton", "doc_id"]).reset_index(drop=True)
+    z["zblock"] = np.arange(len(z)) // 64
+    r = merged.sort_values("doc_id").reset_index(drop=True)
+    r["idblock"] = np.arange(len(r)) // 64
+    band_z = z[(z["xb"] >= 60) & (z["xb"] <= 80)]
+    band_r = r[(r["xb"] >= 60) & (r["xb"] <= 80)]
+    return pd.DataFrame({
+        "zorder_blocks_touched": [band_z["zblock"].nunique()],
+        "rowid_blocks_touched": [band_r["idblock"].nunique()],
+        "total_blocks": [z["zblock"].nunique()]})
+
+
+# ---------------------------------------------------------------------------
+# Fagin's Threshold Algorithm top-k over two ranked attributes
+# ---------------------------------------------------------------------------
+
+@query("threshold_algorithm_topk", sql=r"""
+WITH f AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''),
+             '\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       (n_chars + 5 * n_tokens)::BIGINT AS score
+FROM f ORDER BY score DESC, doc_id LIMIT 5
+""")
+def threshold_algorithm_topk_q(sf_dir: str):
+    """Top-k by an aggregated score over two ranked attribute lists via
+    Fagin's Threshold Algorithm: walk both sorted lists in parallel,
+    random-access the other attribute for each new id, and STOP when the
+    k-th best seen score >= the threshold of the current list frontiers
+    — touching a prefix instead of the whole corpus (the oracle's full
+    sort states the same semantics).  The engine materializes the two
+    narrow (id, attr) projections once; termination depth is logged."""
+    from dataquality_ray.stages.autoroute import record_route
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        txt = [t or "" for t in b["text"].to_pylist()]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_pandas(),
+            "n_chars": b["n_chars"].to_pandas(),
+            "n_tokens": [len(t.split()) for t in txt]})
+
+    f = (_read(sf_dir, "documents", ["doc_id", "n_chars", "text"])
+         .map_batches(prep, batch_format="pyarrow").to_pandas())
+    chars = dict(zip(f["doc_id"], f["n_chars"].astype(int)))
+    toks = dict(zip(f["doc_id"], f["n_tokens"].astype(int)))
+    by_chars = f.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True])["doc_id"].tolist()
+    by_toks = f.sort_values(["n_tokens", "doc_id"],
+                            ascending=[False, True])["doc_id"].tolist()
+    seen: dict[int, int] = {}
+    k = 5
+    depth = 0
+    for i in range(len(f)):
+        depth = i + 1
+        for did in (by_chars[i], by_toks[i]):
+            if did not in seen:
+                seen[did] = chars[did] + 5 * toks[did]
+        threshold = chars[by_chars[i]] + 5 * toks[by_toks[i]]
+        best = sorted(seen.values(), reverse=True)[:k]
+        if len(best) >= k and best[-1] >= threshold:
+            break
+    record_route("threshold_algorithm_topk", "early_stop",
+                 f"TA terminated at depth {depth}/{len(f)}", depth)
+    top = sorted(seen.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pd.DataFrame({
+        "doc_id": [t[0] for t in top],
+        "n_chars": [chars[t[0]] for t in top],
+        "n_tokens": [toks[t[0]] for t in top],
+        "score": [t[1] for t in top]})

@@ -776,3 +776,29 @@ def test_delta_bits_sane(ray_session):
     assert (df["delta_bits"] == df["max_delta"].map(int.bit_length)).all()
     # dense sequential ids: tiny deltas
     assert (df["max_delta"] <= 1000).all()
+
+
+def test_zorder_beats_rowid_layout(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        zorder_locality_audit_q,
+    )
+
+    df = zorder_locality_audit_q(SF)
+    # Z-order clusters the length band into no more blocks than the
+    # unclustered row-id layout (usually fewer)
+    assert (df["zorder_blocks_touched"].iloc[0]
+            <= df["rowid_blocks_touched"].iloc[0])
+    assert df["total_blocks"].iloc[0] >= 1
+
+
+def test_threshold_algorithm_early_stops(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        threshold_algorithm_topk_q,
+    )
+    from dataquality_ray.stages.autoroute import last_route
+
+    df = threshold_algorithm_topk_q(SF)
+    assert len(df) == 5
+    assert (df["score"].to_numpy()[:-1] >= df["score"].to_numpy()[1:]).all()
+    evt = last_route("threshold_algorithm_topk")
+    assert evt["cardinality"] < 500  # stopped before scanning everything
