@@ -2336,3 +2336,154 @@ def threshold_algorithm_topk_q(sf_dir: str):
         "n_chars": [chars[t[0]] for t in top],
         "n_tokens": [toks[t[0]] for t in top],
         "score": [t[1] for t in top]})
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet synopsis of the daily-volume series (integer, unnormalized)
+# ---------------------------------------------------------------------------
+
+def _haar_sql(n_pad: int = 32, top: int = 6) -> str:
+    ctes = ["""d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), lo AS (SELECT min(day_idx) AS lo FROM d),
+axis AS (SELECT unnest(range(0, %d)) AS i),
+d2 AS (SELECT day_idx - (SELECT lo FROM lo) AS i, n FROM d),
+v0 AS (
+  SELECT a.i, coalesce(d2.n, 0)::BIGINT AS v
+  FROM axis a LEFT JOIN d2 USING (i)
+)""" % n_pad]
+    coeffs = []
+    lvl = 0
+    size = n_pad
+    while size > 1:
+        nxt = lvl + 1
+        ctes.append(
+            f"v{nxt} AS (SELECT i // 2 AS i, "
+            f"sum(CASE WHEN i % 2 = 0 THEN v ELSE 0 END)"
+            f" + sum(CASE WHEN i % 2 = 1 THEN v ELSE 0 END) AS v, "
+            f"sum(CASE WHEN i % 2 = 0 THEN v ELSE 0 END)"
+            f" - sum(CASE WHEN i % 2 = 1 THEN v ELSE 0 END) AS w "
+            f"FROM v{lvl} GROUP BY 1)")
+        coeffs.append(
+            f"SELECT {nxt} AS level, i::BIGINT AS pos, w::BIGINT AS coeff "
+            f"FROM v{nxt}")
+        lvl = nxt
+        size //= 2
+    coeffs.append(f"SELECT 0 AS level, 0::BIGINT, v::BIGINT FROM v{lvl}")
+    chain = ",\n".join(ctes)
+    union = " UNION ALL ".join(coeffs)
+    return f"""
+WITH {chain}, allc AS ({union})
+SELECT level::BIGINT AS level, pos, coeff FROM allc
+ORDER BY abs(coeff) DESC, level, pos LIMIT {top}
+"""
+
+
+@query("haar_wavelet_synopsis", sql=_haar_sql())
+def haar_wavelet_synopsis_q(sf_dir: str):
+    """Haar wavelet synopsis of daily volume: the 6 largest-magnitude
+    unnormalized Haar coefficients (pairwise sums/differences — exact
+    integers at every level) — the classic sketch for range-sum
+    approximation and seasonality localization.  Daily counts aggregate
+    distributedly; the 32-point transform is driver-side."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    N_PAD, TOP = 32, 6
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"day_idx": day.to_pandas(), "n": 1})
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    lo = int(merged["day_idx"].min())
+    v = np.zeros(N_PAD, dtype=np.int64)
+    for _, r in merged.iterrows():
+        i = int(r["day_idx"]) - lo
+        if 0 <= i < N_PAD:
+            v[i] = int(r["n"])
+    rows = []
+    level = 0
+    cur = v
+    while len(cur) > 1:
+        level += 1
+        ev, od = cur[0::2], cur[1::2]
+        w = ev - od
+        cur = ev + od
+        for pos, c in enumerate(w):
+            rows.append((level, pos, int(c)))
+    rows.append((0, 0, int(cur[0])))
+    out = pd.DataFrame(rows, columns=["level", "pos", "coeff"])
+    out["absc"] = out["coeff"].abs()
+    out = (out.sort_values(["absc", "level", "pos"],
+                           ascending=[False, True, True]).head(TOP)
+           .drop(columns="absc").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Log2-bucket (HDR-style) inter-event latency histogram
+# ---------------------------------------------------------------------------
+
+@query("log2_latency_histogram", sql="""
+WITH g AS (
+  SELECT epoch_us(ts)
+         - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT length(bin(gap_us))::BIGINT AS log2_bucket,
+       count(*)::BIGINT AS n_gaps,
+       min(gap_us)::BIGINT AS min_gap_us,
+       max(gap_us)::BIGINT AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+GROUP BY 1 ORDER BY 1
+""")
+def log2_latency_histogram_q(sf_dir: str):
+    """HDR-style latency histogram: per-user inter-event gaps bucketed
+    by bit length (log2) — constant relative error across nine decades
+    with ~60 buckets, the standard shape for latency SLO reporting.
+    One groupby(user) computes gaps; bucket counts merge exactly."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        gaps = np.diff(us)
+        gaps = gaps[gaps > 0]
+        if not len(gaps):
+            return pd.DataFrame({"log2_bucket": pd.Series([], dtype=int),
+                                 "n_gaps": pd.Series([], dtype=int),
+                                 "min_gap_us": pd.Series([], dtype=int),
+                                 "max_gap_us": pd.Series([], dtype=int)})
+        buckets = np.array([int(x).bit_length() for x in gaps],
+                           dtype=np.int64)
+        f = pd.DataFrame({"log2_bucket": buckets, "gap": gaps})
+        out = f.groupby("log2_bucket").agg(
+            n_gaps=("gap", "size"), min_gap_us=("gap", "min"),
+            max_gap_us=("gap", "max")).reset_index()
+        return out
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("log2_bucket", as_index=False).agg(
+            n_gaps=("n_gaps", "sum"), min_gap_us=("min_gap_us", "min"),
+            max_gap_us=("max_gap_us", "max"))
+
+    stage = (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
+             .groupby("user_id")
+             .map_groups(per_user, batch_format="pandas"))
+    merged, ok = guarded_partials(stage, fold, 1000)
+    assert ok and merged is not None
+    out = merged.sort_values("log2_bucket").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

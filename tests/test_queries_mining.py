@@ -802,3 +802,31 @@ def test_threshold_algorithm_early_stops(ray_session):
     assert (df["score"].to_numpy()[:-1] >= df["score"].to_numpy()[1:]).all()
     evt = last_route("threshold_algorithm_topk")
     assert evt["cardinality"] < 500  # stopped before scanning everything
+
+
+def test_haar_total_coefficient(ray_session):
+    import duckdb
+
+    from dataquality_ray.pipelines.queries_mining import (
+        haar_wavelet_synopsis_q,
+    )
+
+    df = haar_wavelet_synopsis_q(SF)
+    assert len(df) == 6
+    # the level-0 coefficient (if selected) equals the total event count
+    total = duckdb.sql(f"SELECT count(*) FROM "
+                       f"read_parquet('{SF}/events.parquet')").fetchone()[0]
+    lvl0 = df[df["level"] == 0]
+    if len(lvl0):
+        assert lvl0["coeff"].iloc[0] == total
+
+
+def test_log2_histogram_bucket_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        log2_latency_histogram_q,
+    )
+
+    df = log2_latency_histogram_q(SF)
+    # every gap in bucket b satisfies 2^(b-1) <= gap < 2^b
+    assert (df["min_gap_us"] >= 2 ** (df["log2_bucket"] - 1)).all()
+    assert (df["max_gap_us"] < 2 ** df["log2_bucket"].astype(object)).all()
