@@ -2487,3 +2487,147 @@ def log2_latency_histogram_q(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Keyness: tokens over-represented in one language vs the rest
+# ---------------------------------------------------------------------------
+
+@query("lang_keyness", sql=r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), c AS (
+  SELECT tok,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_in,
+         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS c_out
+  FROM toks GROUP BY tok
+), n AS (
+  SELECT sum(c_in)::BIGINT AS n_in, sum(c_out)::BIGINT AS n_out FROM c
+)
+SELECT c.tok, c.c_in, c.c_out,
+       (c.c_in * n.n_out * 1000000
+        // greatest(c.c_out * n.n_in, 1))::BIGINT AS keyness_ppm
+FROM c, n
+ORDER BY keyness_ppm DESC, c.tok LIMIT 15
+""")
+def lang_keyness_q(sf_dir: str):
+    """Keyness / distinctiveness analysis: tokens whose relative
+    frequency in 'en' most exceeds the rest of the corpus — the
+    characteristic-vocabulary extractor (corpus-linguistics log-ratio,
+    integer cross-multiplied so ranking is exact).  One combine over
+    (token, in/out) counts."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        c: dict[tuple, int] = {}
+        for lang, t in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            inside = 1 if lang == "en" else 0
+            for tok in (t or "").split():
+                k = (tok, inside)
+                c[k] = c.get(k, 0) + 1
+        ks = list(c)
+        return pd.DataFrame({"tok": [k[0] for k in ks],
+                             "inside": [k[1] for k in ks],
+                             "n": list(c.values())})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["tok", "inside"], as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "documents", ["lang", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    p = merged.pivot_table(index="tok", columns="inside", values="n",
+                           aggfunc="sum", fill_value=0)
+    c_in = p.get(1, pd.Series(0, index=p.index)).astype("int64")
+    c_out = p.get(0, pd.Series(0, index=p.index)).astype("int64")
+    n_in, n_out = int(c_in.sum()), int(c_out.sum())
+    key = (c_in.astype(object) * n_out * 1000000
+           // np.maximum(c_out.astype(object) * n_in, 1)).astype("int64")
+    out = pd.DataFrame({"tok": p.index, "c_in": c_in.to_numpy(),
+                        "c_out": c_out.to_numpy(),
+                        "keyness_ppm": key.to_numpy()})
+    return (out.sort_values(["keyness_ppm", "tok"],
+                            ascending=[False, True]).head(15)
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Greedy set cover: fewest sources covering every language
+# ---------------------------------------------------------------------------
+
+def _set_cover_sql(max_steps: int = 5) -> str:
+    ctes = ["m AS (SELECT DISTINCT source, lang FROM documents)"]
+    covered = "SELECT lang FROM m WHERE 1=0"
+    picks = []
+    for s in range(1, max_steps + 1):
+        ctes.append(
+            f"gain{s} AS (SELECT source, count(*) AS g FROM m "
+            f"WHERE lang NOT IN ({covered}) GROUP BY source)")
+        ctes.append(
+            f"pick{s} AS (SELECT source FROM gain{s} WHERE g > 0 "
+            "ORDER BY g DESC, source LIMIT 1)")
+        picks.append(f"SELECT {s} AS step, source FROM pick{s}")
+        covered += (f" UNION SELECT lang FROM m "
+                    f"WHERE source IN (SELECT source FROM pick{s})")
+        if s > 1:
+            prevs = ", ".join(f"(SELECT source FROM pick{i})"
+                              for i in range(1, s))
+            # exclude already-picked sources from later gains
+            ctes[-2] = (
+                f"gain{s} AS (SELECT source, count(*) AS g FROM m "
+                f"WHERE lang NOT IN ({covered.rsplit(' UNION', 1)[0]}) "
+                f"AND source NOT IN ({prevs}) GROUP BY source)")
+    chain = ",\n".join(ctes)
+    union = " UNION ALL ".join(picks)
+    return (f"WITH {chain}\nSELECT step::BIGINT AS step, source "
+            f"FROM ({union}) ORDER BY step")
+
+
+@query("greedy_set_cover", sql=_set_cover_sql())
+def greedy_set_cover_q(sf_dir: str):
+    """Greedy set cover: the minimal-ish source subset whose documents
+    span every language (pick the source covering the most uncovered
+    langs, ties by name, repeat) — the acquisition-planning primitive
+    ('which feeds do I need for full language coverage').  The
+    (source, lang) membership grid comes from one distinct combine; the
+    greedy loop runs on the tiny grid and replays step-by-step in
+    chained CTEs."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"source": b["source"].to_pylist(),
+                             "lang": b["lang"].to_pylist()}) \
+            .drop_duplicates()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    stage = (_read(sf_dir, "documents", ["source", "lang"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1_000_000)
+    assert ok and merged is not None
+    sets = {s: set(g["lang"]) for s, g in merged.groupby("source")}
+    uncovered = set(merged["lang"])
+    picked = []
+    used = set()
+    step = 0
+    while uncovered and step < 5:
+        step += 1
+        best = None
+        best_gain = 0
+        for s in sorted(sets):
+            if s in used:
+                continue
+            gain = len(sets[s] & uncovered)
+            if gain > best_gain:
+                best, best_gain = s, gain
+        if best is None:
+            break
+        picked.append((step, best))
+        used.add(best)
+        uncovered -= sets[best]
+    return pd.DataFrame(picked, columns=["step", "source"])

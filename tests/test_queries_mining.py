@@ -830,3 +830,26 @@ def test_log2_histogram_bucket_bounds(ray_session):
     # every gap in bucket b satisfies 2^(b-1) <= gap < 2^b
     assert (df["min_gap_us"] >= 2 ** (df["log2_bucket"] - 1)).all()
     assert (df["max_gap_us"] < 2 ** df["log2_bucket"].astype(object)).all()
+
+
+def test_keyness_order_and_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_mining import lang_keyness_q
+
+    df = lang_keyness_q(SF)
+    k = df["keyness_ppm"].to_numpy()
+    assert (k[:-1] >= k[1:]).all()
+    assert (df["c_in"] > 0).all()  # top keyness needs in-corpus presence
+
+
+def test_greedy_cover_is_complete(ray_session):
+    import duckdb
+
+    from dataquality_ray.pipelines.queries_mining import greedy_set_cover_q
+
+    df = greedy_set_cover_q(SF)
+    grid = duckdb.sql(
+        f"SELECT DISTINCT source, lang FROM "
+        f"read_parquet('{SF}/documents.parquet')").fetchdf()
+    covered = set(grid[grid["source"].isin(df["source"])]["lang"])
+    assert covered == set(grid["lang"])
+    assert df["step"].tolist() == list(range(1, len(df) + 1))
