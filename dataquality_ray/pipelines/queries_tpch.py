@@ -4338,3 +4338,56 @@ def daily_user_churn_q(sf_dir: str):
         rows.append((d, len(cur), len(cur - prev), len(prev - cur)))
     return pd.DataFrame(rows, columns=["day_idx", "n_active", "n_new",
                                        "n_churned"])
+
+
+# ---------------------------------------------------------------------------
+# Retention-policy apply (governance purge report)
+# ---------------------------------------------------------------------------
+
+@query("retention_policy_apply", sql="""
+WITH c AS (
+  SELECT min(epoch_us(ts)) // 86400000000 + 10 AS cutoff_day FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(*) FILTER (WHERE epoch_us(ts) // 86400000000
+                        < c.cutoff_day)::BIGINT AS n_purged,
+       count(*) FILTER (WHERE epoch_us(ts) // 86400000000
+                        >= c.cutoff_day)::BIGINT AS n_retained
+FROM events, c GROUP BY event_type, c.cutoff_day ORDER BY event_type
+""")
+def retention_policy_apply_q(sf_dir: str):
+    """Retention-policy (TTL) application report: rows older than the
+    cutoff (min day + 10) are purged, the rest retained, reported per
+    type — the governance op that precedes a compliant delete.  In the
+    engine this is a filter fork writing the retained partition
+    (partitioned_export's shape); here the mergeable count view the
+    deletion job logs."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    lo = int(_read(sf_dir, "events", ["ts"]).map_batches(
+        lambda b: pa.table({"d": [pc.min(pc.divide(
+            b["ts"].cast(pa.int64()), 86400000000)).as_py()]}),
+        batch_format="pyarrow").min("d"))
+    cutoff = lo + 10
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000) \
+            .to_numpy(zero_copy_only=False)
+        purged = (day < cutoff).astype(np.int64)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "n_events": 1, "n_purged": purged,
+                          "n_retained": 1 - purged})
+        return f.groupby("event_type", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False).sum()
+
+    stage = (_read(sf_dir, "events", ["ts", "event_type"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1000)
+    assert ok and merged is not None
+    out = merged.sort_values("event_type").reset_index(drop=True)
+    for c in ["n_events", "n_purged", "n_retained"]:
+        out[c] = out[c].astype("int64")
+    return out

