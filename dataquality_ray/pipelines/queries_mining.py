@@ -2631,3 +2631,56 @@ def greedy_set_cover_q(sf_dir: str):
         used.add(best)
         uncovered -= sets[best]
     return pd.DataFrame(picked, columns=["step", "source"])
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (top-k token cumulative coverage)
+# ---------------------------------------------------------------------------
+
+@query("vocab_coverage_curve", sql=r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+         '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), c AS (SELECT tok, count(*)::BIGINT AS n FROM toks GROUP BY tok),
+t AS (SELECT sum(n)::BIGINT AS total FROM c),
+r AS (
+  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS k,
+         sum(n) OVER (ORDER BY n DESC, tok)::BIGINT AS cum
+  FROM c
+)
+SELECT k::BIGINT AS k, r.tok, r.n,
+       (r.cum * 1000000 // t.total)::BIGINT AS coverage_ppm
+FROM r, t WHERE k <= 10 ORDER BY k
+""")
+def vocab_coverage_curve_q(sf_dir: str):
+    """Vocabulary coverage curve: cumulative share of all token
+    occurrences covered by the top-k tokens (the 'how big must the
+    tokenizer vocab be' curve) — exact integer ppm from one combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        c: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for tok in (t or "").split():
+                c[tok] = c.get(tok, 0) + 1
+        return pd.DataFrame({"tok": list(c), "n": list(c.values())})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("tok", as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "documents", ["text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    total = int(merged["n"].sum())
+    r = merged.sort_values(["n", "tok"],
+                           ascending=[False, True]).reset_index(drop=True)
+    r["k"] = np.arange(1, len(r) + 1, dtype=np.int64)
+    r["cum"] = r["n"].astype(np.int64).cumsum()
+    r["coverage_ppm"] = (r["cum"].astype(object) * 1000000
+                         // total).astype("int64")
+    out = r.head(10)[["k", "tok", "n", "coverage_ppm"]] \
+        .reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out

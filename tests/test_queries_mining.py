@@ -882,3 +882,56 @@ def test_retention_counts_partition(ray_session):
     df = retention_policy_apply_q(SF)
     assert (df["n_purged"] + df["n_retained"] == df["n_events"]).all()
     assert df["n_purged"].sum() > 0 and df["n_retained"].sum() > 0
+
+
+def test_vocab_coverage_monotone(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        vocab_coverage_curve_q,
+    )
+
+    df = vocab_coverage_curve_q(SF)
+    cov = df["coverage_ppm"].to_numpy()
+    assert (cov[1:] > cov[:-1]).all()
+    assert cov[-1] <= 1_000_000
+
+
+def test_incremental_equals_batch(ray_session):
+    """Mergeable-aggregate contract: processing the corpus in two halves
+    and folding the partials gives the SAME answer as one batch run —
+    the invariant that makes micro-batch/incremental ingest safe."""
+    import ray.data as rd
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def daily(ds):
+        import pyarrow.compute as pc
+
+        def part(b):
+            day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+            f = pd.DataFrame({"day_idx": day.to_pandas(), "n": 1})
+            return f.groupby("day_idx", as_index=False)["n"].sum()
+
+        def fold(f):
+            return f.groupby("day_idx", as_index=False)["n"].sum()
+
+        m, ok = guarded_partials(
+            ds.map_batches(part, batch_format="pyarrow"), fold, 10**6)
+        assert ok
+        return m.sort_values("day_idx").reset_index(drop=True)
+
+    import pyarrow as pa
+
+    full = rd.read_parquet(SF + "/events.parquet", columns=["ts",
+                                                            "event_id"])
+    batch_result = daily(full)
+    def half(rem):
+        def fn(b):
+            ids = b["event_id"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == rem))
+        return full.map_batches(fn, batch_format="pyarrow")
+
+    h1, h2 = half(0), half(1)
+    inc = (pd.concat([daily(h1), daily(h2)])
+           .groupby("day_idx", as_index=False)["n"].sum()
+           .sort_values("day_idx").reset_index(drop=True))
+    assert batch_result.equals(inc)
