@@ -4391,3 +4391,126 @@ def retention_policy_apply_q(sf_dir: str):
     for c in ["n_events", "n_purged", "n_retained"]:
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Double aggregation: nations whose average balance beats the global average
+# ---------------------------------------------------------------------------
+
+@query("nations_above_global_avg", sql="""
+WITH n AS (
+  SELECT c_nationkey, count(*)::BIGINT AS cnt,
+         sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS cents
+  FROM customer GROUP BY c_nationkey
+), g AS (SELECT sum(cnt)::BIGINT AS n_all, sum(cents)::BIGINT AS c_all
+         FROM n)
+SELECT n.c_nationkey::BIGINT AS c_nationkey, n.cnt AS n_customers,
+       CAST(n.cents AS DOUBLE) / n.cnt / 100.0 AS avg_balance
+FROM n, g
+WHERE n.cents * g.n_all > g.c_all * n.cnt
+ORDER BY n.c_nationkey
+""")
+def nations_above_global_avg_q(sf_dir: str):
+    """Aggregate-of-aggregate HAVING: nations whose mean customer
+    balance exceeds the GLOBAL mean — compared as cents·N_all >
+    C_all·cnt (integer cross-multiplication, no float means on the
+    predicate path); the reported average is one exact division chain.
+    Per-nation partials feed both levels from one combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cents = pc.round(pc.multiply(b["c_acctbal"], 100.0)) \
+            .cast(pa.int64())
+        f = pd.DataFrame({"c_nationkey": b["c_nationkey"].to_pandas(),
+                          "cnt": 1, "cents": cents.to_pandas()})
+        return f.groupby("c_nationkey", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("c_nationkey", as_index=False).sum()
+
+    stage = (_read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1_000_000)
+    assert ok and merged is not None
+    n_all = int(merged["cnt"].sum())
+    c_all = int(merged["cents"].sum())
+    m = merged[merged["cents"].astype(np.int64) * n_all
+               > c_all * merged["cnt"].astype(np.int64)]
+    m = m.sort_values("c_nationkey").reset_index(drop=True)
+    out = pd.DataFrame({
+        "c_nationkey": m["c_nationkey"].astype("int64"),
+        "n_customers": m["cnt"].astype("int64"),
+        "avg_balance": m["cents"].astype(np.float64).to_numpy()
+        / m["cnt"].astype(np.float64).to_numpy() / 100.0})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: cheapest supplier per brand (correlated min join)
+# ---------------------------------------------------------------------------
+
+@query("q2_style_min_supplier", sql="""
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), b AS (
+  SELECT p.p_brand, s.s_suppkey, s.s_acctbal
+  FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+), r AS (
+  SELECT p_brand, s_suppkey, s_acctbal,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY s_acctbal, s_suppkey) AS rn
+  FROM b
+)
+SELECT p_brand, s_suppkey AS best_suppkey, s_acctbal AS best_acctbal
+FROM r WHERE rn = 1 ORDER BY p_brand
+""")
+def q2_style_min_supplier_q(sf_dir: str):
+    """TPC-H Q2 shape: per brand, the supplier with the lowest balance
+    among suppliers that actually ship the brand's parts.  The
+    correlated min collapses to an argmin reduction: distinct
+    (part, supplier) pairs from the fact table, brand/balance attached
+    by two broadcast lookups (smart_join auto-routes if they outgrow the
+    cap), and per-brand (acctbal, suppkey) minima merging through the
+    combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import smart_join
+
+    pairs = (_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+             .map_batches(lambda b: pa.table({
+                 "l_partkey": b["l_partkey"],
+                 "l_suppkey": b["l_suppkey"]}).group_by(
+                 ["l_partkey", "l_suppkey"]).aggregate([]),
+                 batch_format="pyarrow"))
+    brand = (_read(sf_dir, "part", ["p_partkey", "p_brand"])
+             .map_batches(lambda b: pa.table({
+                 "l_partkey": b["p_partkey"], "p_brand": b["p_brand"]}),
+                 batch_format="pyarrow"))
+    supp = (_read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+            .map_batches(lambda b: pa.table({
+                "l_suppkey": b["s_suppkey"],
+                "s_acctbal": b["s_acctbal"]}), batch_format="pyarrow"))
+    j = smart_join(pairs, brand, on="l_partkey",
+                   value_cols=["p_brand"], join_type="inner")
+    j = smart_join(j, supp, on="l_suppkey",
+                   value_cols=["s_acctbal"], join_type="inner")
+
+    def argmin(f: pd.DataFrame) -> pd.DataFrame:
+        f = f.sort_values(["s_acctbal", "l_suppkey"])
+        return f.groupby("p_brand", as_index=False, sort=False).first()
+
+    def part_fn(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"p_brand": b["p_brand"].to_pylist(),
+                          "l_suppkey": b["l_suppkey"].to_pandas(),
+                          "s_acctbal": b["s_acctbal"].to_pandas()})
+        f = f.drop_duplicates()
+        return argmin(f)
+
+    stage = j.map_batches(part_fn, batch_format="pyarrow")
+    merged, ok = guarded_partials(stage, argmin, 1_000_000)
+    assert ok and merged is not None
+    out = merged.sort_values("p_brand").reset_index(drop=True)
+    out = out.rename(columns={"l_suppkey": "best_suppkey",
+                              "s_acctbal": "best_acctbal"})
+    out["best_suppkey"] = out["best_suppkey"].astype("int64")
+    return out[["p_brand", "best_suppkey", "best_acctbal"]]

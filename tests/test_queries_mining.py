@@ -935,3 +935,26 @@ def test_incremental_equals_batch(ray_session):
            .groupby("day_idx", as_index=False)["n"].sum()
            .sort_values("day_idx").reset_index(drop=True))
     assert batch_result.equals(inc)
+
+
+def test_nations_above_avg_strictness(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        nations_above_global_avg_q,
+    )
+
+    df = nations_above_global_avg_q(SF)
+    assert 0 < len(df) < 25  # strictly-above is a proper subset
+
+
+def test_q2_min_supplier_valid(ray_session):
+    import duckdb
+
+    from dataquality_ray.pipelines.queries_tpch import (
+        q2_style_min_supplier_q,
+    )
+
+    df = q2_style_min_supplier_q(SF)
+    bal = duckdb.sql(f"SELECT s_suppkey, s_acctbal FROM "
+                     f"read_parquet('{SF}/supplier.parquet')").fetchdf()
+    m = df.merge(bal, left_on="best_suppkey", right_on="s_suppkey")
+    assert (m["best_acctbal"] == m["s_acctbal"]).all()
