@@ -2684,3 +2684,142 @@ def vocab_coverage_curve_q(sf_dir: str):
         .reset_index(drop=True)
     out["n"] = out["n"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Range-partition split planner (disc-quantile boundaries)
+# ---------------------------------------------------------------------------
+
+@query("range_split_planner", sql="""
+WITH b AS (
+  SELECT 1 AS split_no,
+         (SELECT quantile_disc(n_chars, 0.125) FROM documents) AS upper_bound
+  UNION ALL
+  SELECT 2 AS split_no,
+         (SELECT quantile_disc(n_chars, 0.25) FROM documents) AS upper_bound
+  UNION ALL
+  SELECT 3 AS split_no,
+         (SELECT quantile_disc(n_chars, 0.375) FROM documents) AS upper_bound
+  UNION ALL
+  SELECT 4 AS split_no,
+         (SELECT quantile_disc(n_chars, 0.5) FROM documents) AS upper_bound
+  UNION ALL
+  SELECT 5 AS split_no,
+         (SELECT quantile_disc(n_chars, 0.625) FROM documents) AS upper_bound
+  UNION ALL
+  SELECT 6 AS split_no,
+         (SELECT quantile_disc(n_chars, 0.75) FROM documents) AS upper_bound
+  UNION ALL
+  SELECT 7 AS split_no,
+         (SELECT quantile_disc(n_chars, 0.875) FROM documents) AS upper_bound
+)
+SELECT split_no::BIGINT AS split_no, upper_bound::BIGINT AS upper_bound,
+       (SELECT count(*) FROM documents d
+        WHERE d.n_chars <= b.upper_bound)::BIGINT AS rows_cum
+FROM b ORDER BY split_no
+""")
+def range_split_planner_q(sf_dir: str):
+    """Range-partitioner planning: the 7 discrete-quantile split points
+    that carve n_chars into 8 near-equal partitions, with the cumulative
+    row count below each bound — the planner input for a balanced range
+    shuffle (range_partition_balance is the post-hoc audit; this is the
+    plan).  quantile_disc = actual data values, exact across engines."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pd.DataFrame({"v": u, "c": c})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("v", as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    s = merged.sort_values("v").reset_index(drop=True)
+    vals = s["v"].to_numpy(np.int64)
+    cnts = s["c"].to_numpy(np.int64)
+    cum = cnts.cumsum()
+    n = int(cum[-1])
+    rows = []
+    for k in range(1, 8):
+        # quantile_disc index = ceil(q*n) - 1 over the expanded multiset
+        idx = int(np.ceil(k / 8.0 * n)) - 1
+        pos = int(np.searchsorted(cum, idx + 1, side="left"))
+        bound = int(vals[pos])
+        below = int(cum[np.searchsorted(vals, bound, side="right") - 1])
+        rows.append((k, bound, below))
+    return pd.DataFrame(rows, columns=["split_no", "upper_bound",
+                                       "rows_cum"])
+
+
+# ---------------------------------------------------------------------------
+# Per-source top-p (nucleus) vocabulary cut
+# ---------------------------------------------------------------------------
+
+@query("top_p_vocab_cut", sql=r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), c AS (
+  SELECT source, tok, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2
+), t AS (SELECT source, sum(n)::BIGINT AS total FROM c GROUP BY source),
+r AS (
+  SELECT c.source, c.tok, c.n, t.total,
+         sum(c.n) OVER (PARTITION BY c.source
+                        ORDER BY c.n DESC, c.tok)::BIGINT AS cum
+  FROM c JOIN t USING (source)
+), kept AS (
+  SELECT source, tok, n, total, cum,
+         (cum - n) * 10 < total * 8 AS keep
+  FROM r
+)
+SELECT source, count(*) FILTER (WHERE keep)::BIGINT AS n_kept_tokens,
+       (max(CASE WHEN keep THEN cum ELSE 0 END) * 1000000
+        // any_value(total))::BIGINT AS coverage_ppm
+FROM kept GROUP BY source ORDER BY source
+""")
+def top_p_vocab_cut_q(sf_dir: str):
+    """Nucleus (top-p, p=0.8) vocabulary cut per source: tokens are kept
+    in frequency order while the mass accumulated BEFORE them is under
+    80% of the source total (integer cross-multiplication cut) — the
+    per-domain vocab truncation used to size tokenizers and prune
+    long-tail noise.  One (source, token) combine feeds the tiny
+    per-source scan."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        c: dict[tuple, int] = {}
+        for s, t in zip(b["source"].to_pylist(), b["text"].to_pylist()):
+            for tok in (t or "").split():
+                k = (s, tok)
+                c[k] = c.get(k, 0) + 1
+        ks = list(c)
+        return pd.DataFrame({"source": [k[0] for k in ks],
+                             "tok": [k[1] for k in ks],
+                             "n": list(c.values())})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "tok"], as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    rows = []
+    for src, g in merged.groupby("source"):
+        g = g.sort_values(["n", "tok"], ascending=[False, True])
+        ns = g["n"].to_numpy(np.int64)
+        total = int(ns.sum())
+        cum = ns.cumsum()
+        before = cum - ns
+        keep = before * 10 < total * 8
+        n_kept = int(keep.sum())
+        cov = int(cum[keep][-1]) * 1000000 // total if n_kept else 0
+        rows.append((src, n_kept, cov))
+    return pd.DataFrame(rows, columns=["source", "n_kept_tokens",
+                                       "coverage_ppm"])

@@ -958,3 +958,25 @@ def test_q2_min_supplier_valid(ray_session):
                      f"read_parquet('{SF}/supplier.parquet')").fetchdf()
     m = df.merge(bal, left_on="best_suppkey", right_on="s_suppkey")
     assert (m["best_acctbal"] == m["s_acctbal"]).all()
+
+
+def test_range_split_planner_balanced(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        range_split_planner_q,
+    )
+
+    df = range_split_planner_q(SF)
+    assert len(df) == 7
+    b = df["upper_bound"].to_numpy()
+    assert (b[1:] >= b[:-1]).all()
+    # each split's cumulative count is close to k/8 of 500
+    for _, r in df.iterrows():
+        assert r["rows_cum"] >= r["split_no"] * 500 // 8
+
+
+def test_top_p_cut_coverage(ray_session):
+    from dataquality_ray.pipelines.queries_mining import top_p_vocab_cut_q
+
+    df = top_p_vocab_cut_q(SF)
+    assert (df["coverage_ppm"] >= 800_000).all()  # cut includes crosser
+    assert (df["n_kept_tokens"] >= 1).all()
