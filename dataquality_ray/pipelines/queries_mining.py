@@ -2823,3 +2823,81 @@ def top_p_vocab_cut_q(sf_dir: str):
         rows.append((src, n_kept, cov))
     return pd.DataFrame(rows, columns=["source", "n_kept_tokens",
                                        "coverage_ppm"])
+
+
+# ---------------------------------------------------------------------------
+# Windowed PMI (±2-token association strength, floor-ln integer terms)
+# ---------------------------------------------------------------------------
+
+@query("windowed_pmi", sql=r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), pos AS (
+  SELECT unnest(range(1, len(ts) + 1)) AS i, ts FROM toks
+), pairs AS (
+  SELECT least(ts[i], ts[i + d]) AS a, greatest(ts[i], ts[i + d]) AS b
+  FROM pos, (SELECT unnest([1, 2]) AS d) ds
+  WHERE i + d <= len(ts)
+), pc_ AS (SELECT a, b, count(*)::BIGINT AS c_ab FROM pairs GROUP BY 1, 2),
+uni AS (
+  SELECT tok, count(*)::BIGINT AS c FROM (
+    SELECT unnest(ts) AS tok FROM toks) GROUP BY tok
+), n AS (SELECT sum(c_ab)::BIGINT AS total FROM pc_)
+SELECT p.a AS tok_a, p.b AS tok_b, p.c_ab,
+       CAST(floor(ln(CAST(p.c_ab AS DOUBLE) * n.total
+                     / (CAST(ua.c AS DOUBLE) * ub.c)) * 1000000)
+            AS BIGINT) AS pmi_micro
+FROM pc_ p JOIN uni ua ON ua.tok = p.a JOIN uni ub ON ub.tok = p.b
+CROSS JOIN n
+ORDER BY pmi_micro DESC, tok_a, tok_b LIMIT 15
+""")
+def windowed_pmi_q(sf_dir: str):
+    """Pointwise mutual information over a ±2-token window — collocation
+    strength (which words co-occur more than chance).  Window pair and
+    unigram counts merge through the combine; each PMI is ONE floored
+    libm-ln term over exact integer ratios (the floor-ln convention), so
+    the ranking is engine-exact."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        pc2: dict[tuple, int] = {}
+        uni: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            ts = (t or "").split()
+            for tok in ts:
+                uni[tok] = uni.get(tok, 0) + 1
+            for i in range(len(ts)):
+                for d in (1, 2):
+                    if i + d < len(ts):
+                        a, bb = sorted((ts[i], ts[i + d]))
+                        pc2[(a, bb)] = pc2.get((a, bb), 0) + 1
+        rows = [("P", a, bb, c) for (a, bb), c in pc2.items()]
+        rows += [("U", t, "", c) for t, c in uni.items()]
+        return pd.DataFrame(rows, columns=["kind", "a", "b", "c"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["kind", "a", "b"], as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    uni = dict(zip(merged.loc[merged["kind"] == "U", "a"],
+                   merged.loc[merged["kind"] == "U", "c"].astype(int)))
+    pairs = merged[merged["kind"] == "P"]
+    total = int(pairs["c"].sum())
+    rows = []
+    for _, r in pairs.iterrows():
+        a, bb, c_ab = r["a"], r["b"], int(r["c"])
+        pmi = math.floor(math.log(
+            c_ab * total / (float(uni[a]) * uni[bb])) * 1e6)
+        rows.append((a, bb, c_ab, pmi))
+    out = pd.DataFrame(rows, columns=["tok_a", "tok_b", "c_ab",
+                                      "pmi_micro"])
+    return (out.sort_values(["pmi_micro", "tok_a", "tok_b"],
+                            ascending=[False, True, True]).head(15)
+            .reset_index(drop=True))

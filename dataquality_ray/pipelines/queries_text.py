@@ -4596,3 +4596,74 @@ def pq_distortion_report_q(sf_dir: str):
     parts["n"] = parts["n"].astype("int64")
     return parts[["subq", "n", "mse"]].sort_values("subq") \
         .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom false-positive-rate audit on known-absent keys
+# ---------------------------------------------------------------------------
+
+def _bloom_fpr_sql(n_probes: int = 5000) -> str:
+    from dataquality_ray.stages.sketch import BLOOM_K, BLOOM_M
+
+    chain_a, chain_b = [], []
+    prev = "haj"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        chain_a.append(f"fa{n} AS (SELECT {expr} AS x FROM {prev})")
+        prev = f"fa{n}"
+    last_a = prev
+    prev = "hbj"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        chain_b.append(f"fb{n} AS (SELECT pid, {expr} AS x FROM {prev})")
+        prev = f"fb{n}"
+    last_b = prev
+    return f"""
+WITH probes AS (
+  SELECT i AS pid, 'absent-' || i AS key
+  FROM (SELECT unnest(range(0, {n_probes})) AS i)
+), js AS (SELECT unnest(range(0, {BLOOM_K}))::UBIGINT AS j),
+ha AS (SELECT ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS h
+       FROM documents WHERE text IS NOT NULL),
+haj AS (SELECT xor(h, j)::HUGEINT AS x FROM ha CROSS JOIN js),
+{', '.join(chain_a)},
+posa AS (SELECT DISTINCT (x % {BLOOM_M}) AS pos FROM {last_a}),
+hb AS (SELECT pid, ('0x' || substr(sha256(key), 1, 16))::UBIGINT AS h
+       FROM probes),
+hbj AS (SELECT pid, xor(h, j)::HUGEINT AS x FROM hb CROSS JOIN js),
+{', '.join(chain_b)},
+posb AS (SELECT pid, (x % {BLOOM_M}) AS pos FROM {last_b}),
+verdicts AS (
+  SELECT b.pid, bool_and(p.pos IS NOT NULL) AS hit
+  FROM posb b LEFT JOIN posa p ON b.pos = p.pos GROUP BY b.pid
+)
+SELECT count(*)::BIGINT AS n_probes,
+       count(*) FILTER (WHERE hit)::BIGINT AS n_false_positives
+FROM verdicts
+"""
+
+
+@query("bloom_fpr_audit", sql=_bloom_fpr_sql())
+def bloom_fpr_audit_q(sf_dir: str):
+    """Empirical false-positive audit of the Bloom membership filter:
+    probe 5000 keys that are certainly NOT in the corpus and count hits
+    — the measured FPR a dedup rollout checks against the filter's
+    design point before trusting 'unseen' verdicts.  The oracle replays
+    both hash chains, so even the specific false positives match."""
+    import ray
+    import ray.data as rd
+
+    from dataquality_ray.stages.sketch import build_bloom, probe_bloom
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bits_ref = ray.put(build_bloom(docs, "text"))
+    n_probes = 5000
+    probes = rd.range(n_probes).map_batches(
+        lambda b: pa.table({
+            "pid": b["id"],
+            "key": pa.array([f"absent-{i}"
+                             for i in b["id"].to_pylist()])}),
+        batch_format="pyarrow")
+    verdicts = (probe_bloom(probes, "key", bits_ref)
+                .select_columns(["pid", "seen"]).to_pandas())
+    return pd.DataFrame({
+        "n_probes": [len(verdicts)],
+        "n_false_positives": [int(verdicts["seen"].sum())]})

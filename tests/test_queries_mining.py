@@ -980,3 +980,20 @@ def test_top_p_cut_coverage(ray_session):
     df = top_p_vocab_cut_q(SF)
     assert (df["coverage_ppm"] >= 800_000).all()  # cut includes crosser
     assert (df["n_kept_tokens"] >= 1).all()
+
+
+def test_bloom_fpr_within_design(ray_session):
+    from dataquality_ray.pipelines.queries_text import bloom_fpr_audit_q
+
+    df = bloom_fpr_audit_q(SF)
+    fpr = df["n_false_positives"].iloc[0] / df["n_probes"].iloc[0]
+    assert fpr < 0.05  # filter sized for ~1% at corpus scale
+
+
+def test_windowed_pmi_symmetric_pairs(ray_session):
+    from dataquality_ray.pipelines.queries_mining import windowed_pmi_q
+
+    df = windowed_pmi_q(SF)
+    assert (df["tok_a"] <= df["tok_b"]).all()  # canonical orientation
+    p = df["pmi_micro"].to_numpy()
+    assert (p[:-1] >= p[1:]).all()
