@@ -240,6 +240,13 @@ def run_suite() -> dict:
                  "above_average_customers", "pq_distortion_report",
                  "as_of_state_lookup", "daily_user_churn",
                  "cusum_change_detection", "delta_encoding_advisor",
+                 "zorder_locality_audit", "threshold_algorithm_topk",
+                 "haar_wavelet_synopsis", "log2_latency_histogram",
+                 "lang_keyness", "greedy_set_cover",
+                 "retention_policy_apply", "vocab_coverage_curve",
+                 "nations_above_global_avg", "q2_style_min_supplier",
+                 "range_split_planner", "top_p_vocab_cut",
+                 "bloom_fpr_audit", "windowed_pmi",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 
