@@ -4514,3 +4514,98 @@ def q2_style_min_supplier_q(sf_dir: str):
                               "s_acctbal": "best_acctbal"})
     out["best_suppkey"] = out["best_suppkey"].astype("int64")
     return out[["p_brand", "best_suppkey", "best_acctbal"]]
+
+
+# ---------------------------------------------------------------------------
+# Dense-rank within group: each customer's two largest orders
+# ---------------------------------------------------------------------------
+
+@query("customer_order_ranks", sql="""
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         dense_rank() OVER (PARTITION BY o_custkey
+                            ORDER BY round(o_totalprice * 100) DESC)
+           AS rnk
+  FROM orders
+)
+SELECT o_custkey, rnk::BIGINT AS rnk, o_orderkey, cents
+FROM r WHERE rnk <= 2
+ORDER BY o_custkey, rnk, o_orderkey
+""")
+def customer_order_ranks_q(sf_dir: str):
+    """Dense-rank window per customer: the top-2 order VALUES per
+    customer including ties (dense_rank, not row_number — equal-value
+    orders share a rank and all surface).  One groupby(customer)
+    shuffle; per group a vectorized rank over integer cents."""
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "o_orderkey"],
+                          ascending=[False, True])
+        vals = g["cents"].to_numpy()
+        rnk = np.ones(len(vals), dtype=np.int64)
+        for i in range(1, len(vals)):
+            rnk[i] = rnk[i - 1] + (1 if vals[i] < vals[i - 1] else 0)
+        g = g.assign(rnk=rnk)
+        return g[g["rnk"] <= 2]
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_pandas(),
+            "o_orderkey": b["o_orderkey"].to_pandas(),
+            "cents": pc.round(pc.multiply(b["o_totalprice"], 100.0))
+                       .cast(pa.int64()).to_pandas()})
+
+    out = (_read(sf_dir, "orders",
+                 ["o_custkey", "o_orderkey", "o_totalprice"])
+           .map_batches(prep, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .map_groups(per_cust, batch_format="pandas")
+           .to_pandas())
+    out = out.sort_values(["o_custkey", "rnk", "o_orderkey"]) \
+             .reset_index(drop=True)
+    for c in ["o_custkey", "rnk", "o_orderkey", "cents"]:
+        out[c] = out[c].astype("int64")
+    return out[["o_custkey", "rnk", "o_orderkey", "cents"]]
+
+
+# ---------------------------------------------------------------------------
+# Cumulative revenue curve over order days (exact integer running sum)
+# ---------------------------------------------------------------------------
+
+@query("cumulative_revenue_curve", sql="""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day_idx,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+)
+SELECT day_idx::BIGINT AS day_idx, cents,
+       sum(cents) OVER (ORDER BY day_idx)::BIGINT AS cum_cents
+FROM d ORDER BY day_idx LIMIT 100
+""")
+def cumulative_revenue_curve_q(sf_dir: str):
+    """Running revenue total over order days (first 100 days): daily
+    integer-cent sums merge distributedly, the prefix sum runs on the
+    day axis — the bookings-curve report with zero float drift."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["o_orderdate"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"day_idx": day.to_pandas(),
+                          "cents": pc.round(pc.multiply(
+                              b["o_totalprice"], 100.0))
+                          .cast(pa.int64()).to_pandas()})
+        return f.groupby("day_idx", as_index=False)["cents"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day_idx", as_index=False)["cents"].sum()
+
+    stage = (_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    d = merged.sort_values("day_idx").reset_index(drop=True)
+    d["cum_cents"] = d["cents"].astype(np.int64).cumsum()
+    d = d.head(100)
+    for c in d.columns:
+        d[c] = d[c].astype("int64")
+    return d[["day_idx", "cents", "cum_cents"]]

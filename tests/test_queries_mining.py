@@ -997,3 +997,27 @@ def test_windowed_pmi_symmetric_pairs(ray_session):
     assert (df["tok_a"] <= df["tok_b"]).all()  # canonical orientation
     p = df["pmi_micro"].to_numpy()
     assert (p[:-1] >= p[1:]).all()
+
+
+def test_dense_rank_includes_ties(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        customer_order_ranks_q,
+    )
+
+    df = customer_order_ranks_q(SF)
+    assert df["rnk"].isin([1, 2]).all()
+    # rank-1 cents >= rank-2 cents per customer
+    p = df.pivot_table(index="o_custkey", columns="rnk", values="cents",
+                       aggfunc="max")
+    both = p.dropna()
+    assert (both[1] > both[2]).all()
+
+
+def test_cumulative_revenue_monotone(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        cumulative_revenue_curve_q,
+    )
+
+    df = cumulative_revenue_curve_q(SF)
+    c = df["cum_cents"].to_numpy()
+    assert (np.diff(c) == df["cents"].to_numpy()[1:]).all()
