@@ -4609,3 +4609,122 @@ def cumulative_revenue_curve_q(sf_dir: str):
     for c in d.columns:
         d[c] = d[c].astype("int64")
     return d[["day_idx", "cents", "cum_cents"]]
+
+
+# ---------------------------------------------------------------------------
+# JSON schema inference over the props payload (planted key variety)
+# ---------------------------------------------------------------------------
+
+@query("json_schema_infer", sql="""
+WITH p AS (
+  SELECT CASE WHEN event_id % 3 = 0
+              THEN replace(props, '"k"', '"v"') ELSE props END AS props
+  FROM events WHERE props IS NOT NULL
+), ks AS (
+  SELECT props, unnest(json_keys(props)) AS key FROM p
+)
+SELECT key, count(*)::BIGINT AS n_present,
+       count(*) FILTER (WHERE json_type(json_extract(props,
+           '$.' || key)) IN ('UBIGINT', 'BIGINT', 'INTEGER'))::BIGINT
+         AS n_int
+FROM ks GROUP BY key ORDER BY key
+""")
+def json_schema_infer_q(sf_dir: str):
+    """Schema inference over a semi-structured JSON column: discover
+    every key and its integer-typed share (planted variety: a third of
+    rows carry 'v' instead of 'k' via a deterministic rewrite replayed
+    in SQL).  Per-batch key/type counts merge through the combine — the
+    discovery pass that precedes typed extraction
+    (json_extract_stats)."""
+    import json
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        c: dict[tuple, list] = {}
+        for eid, p in zip(b["event_id"].to_pylist(),
+                          b["props"].to_pylist()):
+            if p is None:
+                continue
+            if eid % 3 == 0:
+                p = p.replace('"k"', '"v"')
+            try:
+                obj = json.loads(p)
+            except ValueError:
+                continue
+            for k, v in obj.items():
+                cur = c.setdefault((k,), [0, 0])
+                cur[0] += 1
+                if isinstance(v, int) and not isinstance(v, bool):
+                    cur[1] += 1
+        ks = list(c)
+        return pd.DataFrame({"key": [k[0] for k in ks],
+                             "n_present": [c[k][0] for k in ks],
+                             "n_int": [c[k][1] for k in ks]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("key", as_index=False).sum()
+
+    stage = (_read(sf_dir, "events", ["event_id", "props"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1_000_000)
+    assert ok and merged is not None
+    out = merged.sort_values("key").reset_index(drop=True)
+    out["n_present"] = out["n_present"].astype("int64")
+    out["n_int"] = out["n_int"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-arrival within the same user-minute
+# ---------------------------------------------------------------------------
+
+@query("type_coarrival_minute", sql="""
+WITH m AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 60000000 AS minute_idx,
+         event_type
+  FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*)::BIGINT AS n_cominutes
+FROM m a JOIN m b
+  ON a.user_id = b.user_id AND a.minute_idx = b.minute_idx
+ AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY n_cominutes DESC, type_a, type_b
+""")
+def type_coarrival_minute_q(sf_dir: str):
+    """Event-type co-arrival: pairs of types observed from the SAME user
+    within the SAME minute — the tight-coupling signal behind
+    session-level association rules.  Distinct (user, minute, type)
+    triples reduce through the combine; pair expansion runs on the
+    per-(user, minute) type sets (bounded by the 5-type universe)."""
+    from itertools import combinations
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        minute = pc.divide(b["ts"].cast(pa.int64()), 60000000)
+        return pd.DataFrame({"user_id": b["user_id"].to_pandas(),
+                             "minute_idx": minute.to_pandas(),
+                             "event_type": b["event_type"].to_pylist()}) \
+            .drop_duplicates()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    stage = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    c: dict[tuple, int] = {}
+    for _, g in merged.groupby(["user_id", "minute_idx"]):
+        for a, bb in combinations(sorted(set(g["event_type"])), 2):
+            c[(a, bb)] = c.get((a, bb), 0) + 1
+    ks = list(c)
+    out = pd.DataFrame({"type_a": [k[0] for k in ks],
+                        "type_b": [k[1] for k in ks],
+                        "n_cominutes": list(c.values())})
+    out["n_cominutes"] = out["n_cominutes"].astype("int64")
+    return (out.sort_values(["n_cominutes", "type_a", "type_b"],
+                            ascending=[False, True, True])
+            .reset_index(drop=True))

@@ -1021,3 +1021,24 @@ def test_cumulative_revenue_monotone(ray_session):
     df = cumulative_revenue_curve_q(SF)
     c = df["cum_cents"].to_numpy()
     assert (np.diff(c) == df["cents"].to_numpy()[1:]).all()
+
+
+def test_json_schema_infer_planted_split(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import json_schema_infer_q
+
+    df = json_schema_infer_q(SF).set_index("key")
+    assert set(df.index) == {"k", "v"}
+    # every value in the synthetic props is an int
+    assert (df["n_int"] == df["n_present"]).all()
+    # v carries roughly a third of rows
+    assert df.loc["v", "n_present"] < df.loc["k", "n_present"]
+
+
+def test_coarrival_pairs_canonical(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        type_coarrival_minute_q,
+    )
+
+    df = type_coarrival_minute_q(SF)
+    assert (df["type_a"] < df["type_b"]).all()
+    assert (df["n_cominutes"] >= 1).all()
