@@ -4667,3 +4667,44 @@ def bloom_fpr_audit_q(sf_dir: str):
     return pd.DataFrame({
         "n_probes": [len(verdicts)],
         "n_false_positives": [int(verdicts["seen"].sum())]})
+
+
+# ---------------------------------------------------------------------------
+# Jaccard histogram of verified near-dup pairs (dedup threshold tuning)
+# ---------------------------------------------------------------------------
+
+@query("near_dup_jaccard_histogram", sql=(
+    "WITH " + _minhash_pairs_body(_MINHASH_CORPUS, 0.5) + """
+SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bin,
+       count(*)::BIGINT AS n_pairs,
+       min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+FROM pairs GROUP BY 1 ORDER BY 1
+"""))
+def near_dup_jaccard_histogram_q(sf_dir: str):
+    """Similarity histogram of the LSH-verified near-dup pairs (0.05-wide
+    bins) — the distribution a dedup rollout inspects to place the
+    keep/drop threshold away from a mass of borderline pairs.  Reuses
+    the full sha-chain MinHash pipeline; binning is floor(j·20) applied
+    to the identical float on both engines."""
+    from dataquality_ray.stages.minhash import minhash_near_dup_pairs
+
+    def with_mutants(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.less(batch["doc_id"], 20))
+        texts = [" ".join(t.split()[1:]) for t in sub["text"].to_pylist()]
+        mut = pa.table({"doc_id": pc.add(sub["doc_id"], 1000000),
+                        "text": pa.array(texts, pa.string())})
+        return pa.concat_tables([batch.select(["doc_id", "text"]), mut])
+
+    corpus = (_read(sf_dir, "documents", ["doc_id", "text"])
+              .map_batches(with_mutants, batch_format="pyarrow"))
+    pairs = minhash_near_dup_pairs(corpus, jaccard_threshold=0.5,
+                                   hasher="sha")
+    j = np.floor(pairs["jaccard"].to_numpy(np.float64) * 1e6) / 1e6
+    bins = np.floor(j * 20).astype(np.int64)
+    f = pd.DataFrame({"bin": bins, "j": j})
+    out = f.groupby("bin").agg(n_pairs=("j", "size"),
+                               min_jaccard=("j", "min"),
+                               max_jaccard=("j", "max")).reset_index()
+    out["bin"] = out["bin"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)

@@ -1042,3 +1042,15 @@ def test_coarrival_pairs_canonical(ray_session):
     df = type_coarrival_minute_q(SF)
     assert (df["type_a"] < df["type_b"]).all()
     assert (df["n_cominutes"] >= 1).all()
+
+
+def test_jaccard_histogram_bins(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        near_dup_jaccard_histogram_q,
+    )
+
+    df = near_dup_jaccard_histogram_q(SF)
+    assert (df["bin"] >= 10).all()  # threshold 0.5 -> bins >= 10
+    assert (df["min_jaccard"] >= df["bin"] / 20).all()
+    assert (df["max_jaccard"] < (df["bin"] + 1) / 20 + 1e-12).all()
+    assert df["n_pairs"].sum() >= 20  # planted mutants all survive
