@@ -2901,3 +2901,110 @@ def windowed_pmi_q(sf_dir: str):
     return (out.sort_values(["pmi_micro", "tok_a", "tok_b"],
                             ascending=[False, True, True]).head(15)
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law data)
+# ---------------------------------------------------------------------------
+
+@query("vocab_growth_curve", sql=r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), first_seen AS (
+  SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok
+), b AS (
+  SELECT fd // 50 AS bucket, count(*)::BIGINT AS n_new FROM first_seen
+  GROUP BY 1
+), axis AS (
+  SELECT unnest(range(0, (SELECT max(doc_id) FROM documents) // 50 + 1))
+    AS bucket
+)
+SELECT a.bucket::BIGINT AS bucket, coalesce(b.n_new, 0)::BIGINT AS n_new,
+       sum(coalesce(b.n_new, 0)) OVER (ORDER BY a.bucket)::BIGINT
+         AS vocab_size
+FROM axis a LEFT JOIN b USING (bucket) ORDER BY a.bucket
+""")
+def vocab_growth_curve_q(sf_dir: str):
+    """Heaps-law vocabulary growth: how many NEW tokens each 50-doc
+    bucket introduces and the cumulative vocabulary size — the curve
+    that predicts tokenizer OOV rates as the corpus grows.  Per-token
+    first-appearance (min doc_id) is a mergeable argmin through the
+    combine; the growth scan runs on the tiny bucket axis."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        first: dict[str, int] = {}
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            for tok in (t or "").split():
+                if tok not in first or did < first[tok]:
+                    first[tok] = did
+        return pd.DataFrame({"tok": list(first),
+                             "fd": list(first.values())})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("tok", as_index=False)["fd"].min()
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    max_doc = int(_read(sf_dir, "documents", ["doc_id"]).max("doc_id"))
+    buckets = np.arange(0, max_doc // 50 + 1, dtype=np.int64)
+    n_new = np.zeros(len(buckets), dtype=np.int64)
+    for fd in merged["fd"].astype(int):
+        n_new[fd // 50] += 1
+    return pd.DataFrame({"bucket": buckets, "n_new": n_new,
+                         "vocab_size": n_new.cumsum()})
+
+
+# ---------------------------------------------------------------------------
+# Expected shortfall (CVaR): mean of the top-5% order values
+# ---------------------------------------------------------------------------
+
+@query("expected_shortfall_orders", sql="""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), cut AS (SELECT quantile_disc(cents, 0.95) AS q95 FROM o)
+SELECT cut.q95::BIGINT AS var95_cents,
+       count(*)::BIGINT AS n_tail,
+       sum(o.cents)::BIGINT AS tail_cents,
+       CAST(sum(o.cents) AS DOUBLE) / count(*) / 100.0 AS cvar95
+FROM o, cut WHERE o.cents > cut.q95 GROUP BY cut.q95
+""")
+def expected_shortfall_orders_q(sf_dir: str):
+    """Expected shortfall (CVaR₉₅): the mean order value beyond the 95th
+    discrete percentile — the tail-risk KPI.  The VaR cut is
+    quantile_disc (an actual data value, exact across engines) from
+    value-count partials; the tail mean is one exact division over
+    integer cents."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cents = pc.round(pc.multiply(b["o_totalprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u, c = np.unique(cents, return_counts=True)
+        return pd.DataFrame({"v": u, "c": c})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("v", as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "orders", ["o_totalprice"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    s = merged.sort_values("v").reset_index(drop=True)
+    vals = s["v"].to_numpy(np.int64)
+    cnts = s["c"].to_numpy(np.int64)
+    cum = cnts.cumsum()
+    n = int(cum[-1])
+    idx = int(np.ceil(0.95 * n)) - 1
+    q95 = int(vals[np.searchsorted(cum, idx + 1, side="left")])
+    tail = vals > q95
+    n_tail = int(cnts[tail].sum())
+    tail_cents = int((vals[tail] * cnts[tail]).sum())
+    return pd.DataFrame({"var95_cents": [q95], "n_tail": [n_tail],
+                         "tail_cents": [tail_cents],
+                         "cvar95": [float(tail_cents) / n_tail / 100.0]})

@@ -1054,3 +1054,24 @@ def test_jaccard_histogram_bins(ray_session):
     assert (df["min_jaccard"] >= df["bin"] / 20).all()
     assert (df["max_jaccard"] < (df["bin"] + 1) / 20 + 1e-12).all()
     assert df["n_pairs"].sum() >= 20  # planted mutants all survive
+
+
+def test_vocab_growth_saturates(ray_session):
+    from dataquality_ray.pipelines.queries_mining import vocab_growth_curve_q
+
+    df = vocab_growth_curve_q(SF)
+    assert df["vocab_size"].iloc[-1] <= 31  # bounded synthetic vocab
+    v = df["vocab_size"].to_numpy()
+    assert (v[1:] >= v[:-1]).all()
+    # first bucket introduces nearly everything (saturation)
+    assert df["n_new"].iloc[0] >= df["n_new"].iloc[1:].sum()
+
+
+def test_cvar_above_var(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        expected_shortfall_orders_q,
+    )
+
+    df = expected_shortfall_orders_q(SF)
+    assert df["cvar95"].iloc[0] * 100 > df["var95_cents"].iloc[0]
+    assert df["n_tail"].iloc[0] <= 1500 * 0.05 + 1
