@@ -4728,3 +4728,118 @@ def type_coarrival_minute_q(sf_dir: str):
     return (out.sort_values(["n_cominutes", "type_a", "type_b"],
                             ascending=[False, True, True])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion-latency quantiles (first view -> first later purchase)
+# ---------------------------------------------------------------------------
+
+@query("funnel_latency_quantiles", sql="""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_buy
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.t_view
+  GROUP BY e.user_id
+), lat AS (
+  SELECT p.t_buy - v.t_view AS latency_us
+  FROM p JOIN v USING (user_id)
+)
+SELECT count(*)::BIGINT AS n_converted,
+       quantile_disc(latency_us, 0.5)::BIGINT AS p50_us,
+       quantile_disc(latency_us, 0.9)::BIGINT AS p90_us
+FROM lat
+""")
+def funnel_latency_quantiles_q(sf_dir: str):
+    """Conversion-latency distribution: per user, the gap between the
+    first 'view' and the first 'purchase' at-or-after it, summarized as
+    discrete p50/p90 — the time-to-convert KPI.  One groupby(user)
+    computes both firsts; the quantiles are quantile_disc over the tiny
+    per-user latency set (actual data values, exact)."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        us = g["ts"].astype("int64").to_numpy()
+        et = g["event_type"].to_numpy()
+        views = us[et == "view"]
+        if not len(views):
+            return pd.DataFrame({"latency_us": pd.Series([], dtype=int)})
+        t0 = views.min()
+        buys = us[(et == "purchase") & (us >= t0)]
+        if not len(buys):
+            return pd.DataFrame({"latency_us": pd.Series([], dtype=int)})
+        return pd.DataFrame({"latency_us": [int(buys.min() - t0)]})
+
+    lat = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
+           .groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .to_pandas())
+    v = np.sort(lat["latency_us"].to_numpy(np.int64))
+    n = len(v)
+
+    def disc(q: float) -> int:
+        return int(v[int(np.ceil(q * n)) - 1])
+
+    return pd.DataFrame({"n_converted": [n], "p50_us": [disc(0.5)],
+                         "p90_us": [disc(0.9)]})
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-cadence regularity (integer-exact CV² of gaps)
+# ---------------------------------------------------------------------------
+
+@query("purchase_regularity", sql="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT user_id, count(*)::BIGINT AS n, sum(gap)::BIGINT AS sg,
+         sum(gap::HUGEINT * gap) AS sgg
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+  HAVING count(*) >= 5
+)
+SELECT user_id, n,
+       ((n * sgg - sg::HUGEINT * sg) * 1000000
+        // (sg::HUGEINT * sg))::BIGINT AS cv2_ppm
+FROM s ORDER BY cv2_ppm, user_id LIMIT 10
+""")
+def purchase_regularity_q(sf_dir: str):
+    """Cadence regularity: the 10 users whose purchase inter-arrival
+    gaps have the lowest squared coefficient of variation — bot/subscription
+    detection (too-regular cadence is non-human).  CV² = (n·Σg²−(Σg)²)/(Σg)²
+    as exact integer ppm (Σg² runs in bigints); gap stats reduce per user
+    through one groupby."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["event_type"] == "purchase"].sort_values(
+            ["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        gaps = np.diff(us)
+        if len(gaps) < 5:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=int),
+                                 "n": pd.Series([], dtype=int),
+                                 "sg": pd.Series([], dtype=object),
+                                 "sgg": pd.Series([], dtype=object)})
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n": [len(gaps)],
+                             "sg": [int(gaps.sum())],
+                             "sgg": [int((gaps.astype(object)
+                                          ** 2).sum())]})
+
+    stats = (_read(sf_dir, "events",
+                   ["user_id", "ts", "event_type", "event_id"])
+             .groupby("user_id")
+             .map_groups(per_user, batch_format="pandas")
+             .to_pandas())
+    rows = []
+    for _, r in stats.iterrows():
+        n, sg, sgg = int(r["n"]), int(r["sg"]), int(r["sgg"])
+        cv2 = (n * sgg - sg * sg) * 1000000 // (sg * sg)
+        rows.append((int(r["user_id"]), n, cv2))
+    out = pd.DataFrame(rows, columns=["user_id", "n", "cv2_ppm"])
+    return (out.sort_values(["cv2_ppm", "user_id"]).head(10)
+            .reset_index(drop=True))

@@ -1075,3 +1075,22 @@ def test_cvar_above_var(ray_session):
     df = expected_shortfall_orders_q(SF)
     assert df["cvar95"].iloc[0] * 100 > df["var95_cents"].iloc[0]
     assert df["n_tail"].iloc[0] <= 1500 * 0.05 + 1
+
+
+def test_funnel_latency_positive(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        funnel_latency_quantiles_q,
+    )
+
+    df = funnel_latency_quantiles_q(SF)
+    assert df["n_converted"].iloc[0] >= 1
+    assert 0 <= df["p50_us"].iloc[0] <= df["p90_us"].iloc[0]
+
+
+def test_regularity_ranked_ascending(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import purchase_regularity_q
+
+    df = purchase_regularity_q(SF)
+    c = df["cv2_ppm"].to_numpy()
+    assert (c[1:] >= c[:-1]).all()
+    assert (df["n"] >= 5).all()
