@@ -3008,3 +3008,131 @@ def expected_shortfall_orders_q(sf_dir: str):
     return pd.DataFrame({"var95_cents": [q95], "n_tail": [n_tail],
                          "tail_cents": [tail_cents],
                          "cvar95": [float(tail_cents) / n_tail / 100.0]})
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope of daily volume (exact integer slope ordering)
+# ---------------------------------------------------------------------------
+
+@query("theil_sen_slope", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS x, count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), pr AS (
+  SELECT CASE WHEN b.y >= a.y
+              THEN (b.y - a.y) * 1000000 // (b.x - a.x)
+              ELSE -((a.y - b.y) * 1000000 // (b.x - a.x))
+         END AS slope_ppm
+  FROM d a JOIN d b ON b.x > a.x
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       quantile_disc(slope_ppm, 0.5)::BIGINT AS median_slope_ppm
+FROM pr
+""")
+def theil_sen_slope_q(sf_dir: str):
+    """Theil-Sen robust trend estimate: the median of all pairwise
+    slopes of the daily-volume series — outlier-days cannot drag it the
+    way they drag OLS.  Slopes are sign-symmetric integer ppm so the
+    median (quantile_disc — an actual slope) is engine-exact; the O(d²)
+    pair set lives on the tiny day axis, the counts reduce
+    distributedly."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"x": day.to_pandas(), "y": 1})
+        return f.groupby("x", as_index=False)["y"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("x", as_index=False)["y"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    d = merged.sort_values("x").reset_index(drop=True)
+    xs = d["x"].to_numpy(np.int64)
+    ys = d["y"].to_numpy(np.int64)
+    slopes = []
+    for i in range(len(xs)):
+        for j in range(i + 1, len(xs)):
+            dy = int(ys[j] - ys[i])
+            dx = int(xs[j] - xs[i])
+            mag = abs(dy) * 1000000 // dx
+            slopes.append(mag if dy >= 0 else -mag)
+    s = np.sort(np.array(slopes, dtype=np.int64))
+    med = int(s[int(np.ceil(0.5 * len(s))) - 1])
+    return pd.DataFrame({"n_pairs": [len(s)],
+                         "median_slope_ppm": [med]})
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the undirected token graph (fixed-round peel)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_sql() -> str:
+    ctes = [_BIGRAM_SQL.strip().rstrip(","),
+            "ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+            " greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+            "alive0 AS MATERIALIZED (SELECT a AS tok FROM ue"
+            " UNION SELECT b FROM ue)"]
+    prev = "alive0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        # MATERIALIZED: each round references the previous one twice;
+        # inlined CTEs would duplicate the whole upstream tree per
+        # reference (2^rounds blowup)
+        ctes.append(
+            f"er{r} AS MATERIALIZED (SELECT a, b FROM ue "
+            f"WHERE a IN (SELECT tok FROM {prev}) "
+            f"AND b IN (SELECT tok FROM {prev}))")
+        ctes.append(
+            f"deg{r} AS (SELECT tok, count(*) AS d FROM "
+            f"(SELECT a AS tok FROM er{r} UNION ALL "
+            f"SELECT b FROM er{r}) GROUP BY tok)")
+        ctes.append(f"alive{r} AS MATERIALIZED (SELECT tok FROM deg{r} "
+                    f"WHERE d >= {_KCORE_K})")
+        prev = f"alive{r}"
+    chain = ",\n".join(ctes)
+    return (f"WITH {chain}\nSELECT tok FROM {prev} ORDER BY tok")
+
+
+@query("k_core_membership", sql=_kcore_sql())
+def k_core_membership_q(sf_dir: str):
+    """3-core of the undirected token graph: iteratively peel nodes with
+    degree < 3 until stable — the dense-backbone extraction behind graph
+    summarization.  Edge aggregation is distributed; peeling runs on the
+    vocab-bounded graph with a FIXED round budget replayed identically
+    in SQL (the engine asserts convergence inside the budget, so both
+    sides report the fixed point)."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    ue = set()
+    for s, d in zip(edges["src"], edges["dst"]):
+        if s != d:
+            ue.add((min(s, d), max(s, d)))
+    alive = set()
+    for a, b in ue:
+        alive.add(a)
+        alive.add(b)
+    for _ in range(_KCORE_ROUNDS):
+        deg: dict[str, int] = {t: 0 for t in alive}
+        for a, b in ue:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        nxt = {t for t in alive if deg[t] >= _KCORE_K}
+        if nxt == alive:
+            break
+        alive = nxt
+    # convergence check: one more peel must be a no-op
+    deg = {t: 0 for t in alive}
+    for a, b in ue:
+        if a in alive and b in alive:
+            deg[a] += 1
+            deg[b] += 1
+    assert all(deg[t] >= _KCORE_K for t in alive), \
+        "k-core did not converge within the fixed round budget"
+    return pd.DataFrame({"tok": sorted(alive)})

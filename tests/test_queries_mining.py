@@ -1094,3 +1094,33 @@ def test_regularity_ranked_ascending(ray_session):
     c = df["cv2_ppm"].to_numpy()
     assert (c[1:] >= c[:-1]).all()
     assert (df["n"] >= 5).all()
+
+
+def test_theil_sen_within_slope_range(ray_session):
+    from dataquality_ray.pipelines.queries_mining import theil_sen_slope_q
+
+    df = theil_sen_slope_q(SF)
+    n = df["n_pairs"].iloc[0]
+    assert n == 30 * 29 // 2  # all day pairs
+    assert abs(df["median_slope_ppm"].iloc[0]) < 50_000_000
+
+
+def test_k_core_is_stable(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        bigram_edges,
+        k_core_membership_q,
+    )
+    import ray.data as rd
+
+    df = k_core_membership_q(SF)
+    core = set(df["tok"])
+    edges = bigram_edges(rd.read_parquet(SF + "/documents.parquet",
+                                         columns=["text"]))
+    ue = {(min(a, b), max(a, b))
+          for a, b in zip(edges["src"], edges["dst"]) if a != b}
+    deg = {t: 0 for t in core}
+    for a, b in ue:
+        if a in core and b in core:
+            deg[a] += 1
+            deg[b] += 1
+    assert all(d >= 3 for d in deg.values())
