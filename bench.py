@@ -247,6 +247,12 @@ def run_suite() -> dict:
                  "nations_above_global_avg", "q2_style_min_supplier",
                  "range_split_planner", "top_p_vocab_cut",
                  "bloom_fpr_audit", "windowed_pmi",
+                 "customer_order_ranks", "cumulative_revenue_curve",
+                 "json_schema_infer", "type_coarrival_minute",
+                 "near_dup_jaccard_histogram", "vocab_growth_curve",
+                 "expected_shortfall_orders", "funnel_latency_quantiles",
+                 "purchase_regularity", "theil_sen_slope",
+                 "k_core_membership",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 
