@@ -3136,3 +3136,81 @@ def k_core_membership_q(sf_dir: str):
     assert all(deg[t] >= _KCORE_K for t in alive), \
         "k-core did not converge within the fixed round budget"
     return pd.DataFrame({"tok": sorted(alive)})
+
+
+# ---------------------------------------------------------------------------
+# Per-source document-length percentile profile (discrete quantiles)
+# ---------------------------------------------------------------------------
+
+@query("source_length_profile", sql="""
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       quantile_disc(n_chars, 0.1)::BIGINT AS p10,
+       quantile_disc(n_chars, 0.5)::BIGINT AS p50,
+       quantile_disc(n_chars, 0.9)::BIGINT AS p90
+FROM documents GROUP BY source ORDER BY source
+""")
+def source_length_profile_q(sf_dir: str):
+    """Per-source length distribution profile (p10/p50/p90 discrete
+    quantiles — actual data values, exact across engines): the
+    feed-health snapshot that catches a source whose docs suddenly
+    shrink.  Per-source value-count partials merge through the combine;
+    quantile selection runs per source on the tiny histograms."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "v": b["n_chars"].to_pandas(), "c": 1})
+        return f.groupby(["source", "v"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "v"], as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    rows = []
+    for src, g in merged.groupby("source"):
+        g = g.sort_values("v")
+        vals = g["v"].to_numpy(np.int64)
+        cnts = g["c"].to_numpy(np.int64)
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+
+        def disc(q: float) -> int:
+            idx = int(np.ceil(q * n)) - 1
+            return int(vals[np.searchsorted(cum, idx + 1, side="left")])
+
+        rows.append((src, n, disc(0.1), disc(0.5), disc(0.9)))
+    return pd.DataFrame(rows, columns=["source", "n_docs", "p10", "p50",
+                                       "p90"])
+
+
+# ---------------------------------------------------------------------------
+# Directed-graph reciprocity of token transitions
+# ---------------------------------------------------------------------------
+
+@query("graph_reciprocity", sql=f"""
+WITH {_BIGRAM_SQL.strip().rstrip(',')},
+de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)
+SELECT count(*)::BIGINT AS n_edges,
+       count(*) FILTER (WHERE EXISTS (
+           SELECT 1 FROM de r WHERE r.src = de.dst AND r.dst = de.src
+       ))::BIGINT AS n_reciprocal,
+       (count(*) FILTER (WHERE EXISTS (
+           SELECT 1 FROM de r WHERE r.src = de.dst AND r.dst = de.src
+       )) * 1000000 // count(*))::BIGINT AS reciprocity_ppm
+FROM de
+""")
+def graph_reciprocity_q(sf_dir: str):
+    """Reciprocity of the token-transition graph: the share of directed
+    edges whose reverse also occurs — high reciprocity means transitions
+    are order-symmetric (bag-like text), low means strong sequential
+    structure.  Exact integer ppm over the distributed edge set."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    de = {(s, d) for s, d in zip(edges["src"], edges["dst"]) if s != d}
+    recip = sum(1 for (s, d) in de if (d, s) in de)
+    return pd.DataFrame({
+        "n_edges": [len(de)], "n_reciprocal": [recip],
+        "reciprocity_ppm": [recip * 1000000 // max(len(de), 1)]})

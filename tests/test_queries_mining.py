@@ -1124,3 +1124,21 @@ def test_k_core_is_stable(ray_session):
             deg[a] += 1
             deg[b] += 1
     assert all(d >= 3 for d in deg.values())
+
+
+def test_source_length_profile_ordered(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        source_length_profile_q,
+    )
+
+    df = source_length_profile_q(SF)
+    assert (df["p10"] <= df["p50"]).all() and (df["p50"] <= df["p90"]).all()
+    assert df["n_docs"].sum() == 500
+
+
+def test_reciprocity_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_mining import graph_reciprocity_q
+
+    df = graph_reciprocity_q(SF)
+    assert 0 <= df["reciprocity_ppm"].iloc[0] <= 1_000_000
+    assert df["n_reciprocal"].iloc[0] % 2 == 0  # reciprocal pairs count twice
