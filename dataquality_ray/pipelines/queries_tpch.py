@@ -4843,3 +4843,65 @@ def purchase_regularity_q(sf_dir: str):
     out = pd.DataFrame(rows, columns=["user_id", "n", "cv2_ppm"])
     return (out.sort_values(["cv2_ppm", "user_id"]).head(10)
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Per-user journey entropy (lowest-entropy = most mechanical behavior)
+# ---------------------------------------------------------------------------
+
+@query("user_path_entropy", sql="""
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS k
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT user_id, sum(k)::BIGINT AS n FROM c GROUP BY user_id
+  HAVING sum(k) >= 20
+), terms AS (
+  SELECT c.user_id, c.k,
+         CAST(floor(ln(CAST(c.k AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    * 1000000) AS BIGINT) AS q
+  FROM c JOIN t USING (user_id)
+)
+SELECT tm.user_id, t.n AS n_events,
+       (-sum(tm.k * tm.q) // t.n)::BIGINT AS entropy_micro
+FROM terms tm JOIN t ON tm.user_id = t.user_id
+GROUP BY tm.user_id, t.n
+ORDER BY entropy_micro, tm.user_id LIMIT 10
+""")
+def user_path_entropy_q(sf_dir: str):
+    """Behavioral entropy per user: Shannon entropy of each user's
+    event-type distribution (floor-ln integer terms, entropy as floored
+    micro-nats) — the 10 LOWEST-entropy heavy users are the most
+    mechanical actors (single-action bots).  (user, type) counts merge
+    through the combine; the entropy fold runs on the tiny per-user
+    grids."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"user_id": b["user_id"].to_pandas(),
+                          "event_type": b["event_type"].to_pylist(),
+                          "k": 1})
+        return f.groupby(["user_id", "event_type"], as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["user_id", "event_type"], as_index=False).sum()
+
+    stage = (_read(sf_dir, "events", ["user_id", "event_type"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    rows = []
+    for uid, g in merged.groupby("user_id"):
+        n = int(g["k"].sum())
+        if n < 20:
+            continue
+        acc = 0
+        for k in g["k"].astype(int):
+            acc += k * math.floor(math.log(k / n) * 1e6)
+        rows.append((int(uid), n, (-acc) // n))
+    out = pd.DataFrame(rows, columns=["user_id", "n_events",
+                                      "entropy_micro"])
+    return (out.sort_values(["entropy_micro", "user_id"]).head(10)
+            .reset_index(drop=True))

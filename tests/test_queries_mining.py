@@ -1142,3 +1142,15 @@ def test_reciprocity_bounds(ray_session):
     df = graph_reciprocity_q(SF)
     assert 0 <= df["reciprocity_ppm"].iloc[0] <= 1_000_000
     assert df["n_reciprocal"].iloc[0] % 2 == 0  # reciprocal pairs count twice
+
+
+def test_user_entropy_bounds(ray_session):
+    import math
+
+    from dataquality_ray.pipelines.queries_tpch import user_path_entropy_q
+
+    df = user_path_entropy_q(SF)
+    assert (df["entropy_micro"] >= 0).all()
+    # entropy over 5 types bounded by ln(5)
+    assert (df["entropy_micro"] <= math.log(5) * 1e6 + 1).all()
+    assert (df["n_events"] >= 20).all()
