@@ -252,7 +252,8 @@ def run_suite() -> dict:
                  "near_dup_jaccard_histogram", "vocab_growth_curve",
                  "expected_shortfall_orders", "funnel_latency_quantiles",
                  "purchase_regularity", "theil_sen_slope",
-                 "k_core_membership",
+                 "k_core_membership", "source_length_profile",
+                 "graph_reciprocity", "user_path_entropy",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 
