@@ -3214,3 +3214,75 @@ def graph_reciprocity_q(sf_dir: str):
     return pd.DataFrame({
         "n_edges": [len(de)], "n_reciprocal": [recip],
         "reciprocity_ppm": [recip * 1000000 // max(len(de), 1)]})
+
+
+# ---------------------------------------------------------------------------
+# Length-distribution drift chi-square between corpus halves
+# ---------------------------------------------------------------------------
+
+@query("length_drift_chi2", sql="""
+WITH cells AS (
+  SELECT CASE WHEN doc_id * 2 < (SELECT max(doc_id) + 1 FROM documents)
+              THEN 0 ELSE 1 END AS half,
+         n_chars // 40 AS bin, count(*)::HUGEINT AS o
+  FROM documents GROUP BY 1, 2
+), r AS (SELECT half, sum(o) AS rt FROM cells GROUP BY half),
+c AS (SELECT bin, sum(o) AS ct FROM cells GROUP BY bin),
+tot AS (SELECT sum(o) AS n FROM cells),
+grid AS (
+  SELECT r.half, c.bin, r.rt, c.ct, coalesce(cells.o, 0) AS o
+  FROM r CROSS JOIN c
+  LEFT JOIN cells ON cells.half = r.half AND cells.bin = c.bin
+), terms AS (
+  SELECT ((grid.o * tot.n - grid.rt * grid.ct)
+          * (grid.o * tot.n - grid.rt * grid.ct) * 1000000000)
+           // (grid.rt * grid.ct * tot.n) AS ti
+  FROM grid CROSS JOIN tot
+)
+SELECT CAST((SELECT count(*) FROM grid) AS BIGINT) AS n_cells,
+       CAST(sum(ti) AS DOUBLE) / 1000000000.0 AS chi2
+FROM terms
+""")
+def length_drift_chi2_q(sf_dir: str):
+    """Distribution-drift chi-square: the n_chars histogram of the first
+    corpus half against the second (40-char bins) — the detect-before-
+    train gate for length drift.  Each term is the exact integer
+    ⌊(O·n − r·c)²·1e9/(r·c·n)⌋ (chi2_independence convention) so the
+    statistic is bit-exact."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    cut_max = int(_read(sf_dir, "documents", ["doc_id"]).max("doc_id")) + 1
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = pd.DataFrame({"half": (did * 2 >= cut_max).astype(np.int64),
+                          "bin": nch // 40, "o": 1})
+        return f.groupby(["half", "bin"], as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["half", "bin"], as_index=False).sum()
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    halves = sorted(merged["half"].unique())
+    bins = sorted(merged["bin"].unique())
+    o = {(int(r["half"]), int(r["bin"])): int(r["o"])
+         for _, r in merged.iterrows()}
+    rt = {h: sum(v for (hh, _), v in o.items() if hh == h)
+          for h in halves}
+    ct = {bn: sum(v for (_, bb), v in o.items() if bb == bn)
+          for bn in bins}
+    n = sum(o.values())
+    acc = 0
+    cells = 0
+    for h in halves:
+        for bn in bins:
+            cells += 1
+            ov = o.get((h, bn), 0)
+            num = (ov * n - rt[h] * ct[bn])
+            acc += (num * num * 1000000000) // (rt[h] * ct[bn] * n)
+    return pd.DataFrame({"n_cells": [cells],
+                         "chi2": [float(acc) / 1e9]})

@@ -1154,3 +1154,12 @@ def test_user_entropy_bounds(ray_session):
     # entropy over 5 types bounded by ln(5)
     assert (df["entropy_micro"] <= math.log(5) * 1e6 + 1).all()
     assert (df["n_events"] >= 20).all()
+
+
+def test_length_drift_chi2_small_for_iid_halves(ray_session):
+    from dataquality_ray.pipelines.queries_mining import length_drift_chi2_q
+
+    df = length_drift_chi2_q(SF)
+    # halves are iid draws: chi2 should be O(n_cells), not huge
+    assert df["chi2"].iloc[0] < 10 * df["n_cells"].iloc[0]
+    assert df["chi2"].iloc[0] >= 0
