@@ -254,6 +254,7 @@ def run_suite() -> dict:
                  "purchase_regularity", "theil_sen_slope",
                  "k_core_membership", "source_length_profile",
                  "graph_reciprocity", "user_path_entropy",
+                 "length_drift_chi2",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 
