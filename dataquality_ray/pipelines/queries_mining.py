@@ -3286,3 +3286,125 @@ def length_drift_chi2_q(sf_dir: str):
             acc += (num * num * 1000000000) // (rt[h] * ct[bn] * n)
     return pd.DataFrame({"n_cells": [cells],
                          "chi2": [float(acc) / 1e9]})
+
+
+# ---------------------------------------------------------------------------
+# Weighted Jaccard similarity between source token multisets
+# ---------------------------------------------------------------------------
+
+@query("source_weighted_jaccard", sql=r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), c AS (
+  SELECT source, tok, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2
+), t AS (SELECT source, sum(n)::BIGINT AS total FROM c GROUP BY source),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2,
+         sum(least(a.n, b.n))::BIGINT AS sum_min
+  FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.s1, i.s2,
+       (i.sum_min * 1000000
+        // (ta.total + tb.total - i.sum_min))::BIGINT AS wjaccard_ppm
+FROM inter i JOIN t ta ON ta.source = i.s1 JOIN t tb ON tb.source = i.s2
+ORDER BY wjaccard_ppm DESC, s1, s2 LIMIT 10
+""")
+def source_weighted_jaccard_q(sf_dir: str):
+    """Weighted (multiset) Jaccard between source token distributions:
+    Σmin / (|A|+|B|−Σmin) as exact integer ppm — the frequency-aware
+    source-overlap measure (set Jaccard saturates when vocabularies
+    coincide; weighted Jaccard still separates usage profiles).  One
+    (source, token) combine feeds the pairwise fold."""
+    from itertools import combinations
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        c: dict[tuple, int] = {}
+        for s, t in zip(b["source"].to_pylist(), b["text"].to_pylist()):
+            for tok in (t or "").split():
+                c[(s, tok)] = c.get((s, tok), 0) + 1
+        ks = list(c)
+        return pd.DataFrame({"source": [k[0] for k in ks],
+                             "tok": [k[1] for k in ks],
+                             "n": list(c.values())})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "tok"], as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    counts = {s: dict(zip(g["tok"], g["n"].astype(int)))
+              for s, g in merged.groupby("source")}
+    totals = {s: sum(d.values()) for s, d in counts.items()}
+    rows = []
+    for s1, s2 in combinations(sorted(counts), 2):
+        a, b2 = counts[s1], counts[s2]
+        sum_min = sum(min(v, b2[k]) for k, v in a.items() if k in b2)
+        wj = sum_min * 1000000 // (totals[s1] + totals[s2] - sum_min)
+        rows.append((s1, s2, wj))
+    out = pd.DataFrame(rows, columns=["s1", "s2", "wjaccard_ppm"])
+    return (out.sort_values(["wjaccard_ppm", "s1", "s2"],
+                            ascending=[False, True, True]).head(10)
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Timestamp-uniformity chi-square (synthetic/forged-timestamp forensics)
+# ---------------------------------------------------------------------------
+
+@query("timestamp_uniformity_chi2", sql="""
+WITH m AS (
+  SELECT (epoch_us(ts) // 60000000) % 60 AS minute,
+         count(*)::HUGEINT AS o
+  FROM events GROUP BY 1
+), tot AS (SELECT sum(o) AS n FROM m),
+axis AS (SELECT unnest(range(0, 60)) AS minute),
+grid AS (
+  SELECT a.minute, coalesce(m.o, 0) AS o FROM axis a
+  LEFT JOIN m USING (minute)
+), terms AS (
+  SELECT ((grid.o * 60 - tot.n) * (grid.o * 60 - tot.n) * 1000000000)
+           // (60 * tot.n) AS ti
+  FROM grid CROSS JOIN tot
+)
+SELECT 60::BIGINT AS n_bins,
+       CAST(sum(ti) AS DOUBLE) / 1000000000.0 AS chi2
+FROM terms
+""")
+def timestamp_uniformity_chi2_q(sf_dir: str):
+    """Timestamp forensics: chi-square of the minute-of-hour histogram
+    against uniform — machine-generated or coarsely-bucketed timestamps
+    light this up while organic traffic stays near the 59-df expectation.
+    Integer terms ⌊(60·O − n)²·1e9/(60·n)⌋ summed exactly, one final
+    division (the chi2_independence convention, goodness-of-fit
+    edition)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        mins = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 60000000) % 60
+        f = pd.DataFrame({"minute": mins, "o": 1})
+        return f.groupby("minute", as_index=False)["o"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("minute", as_index=False)["o"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1000)
+    assert ok and merged is not None
+    o = dict(zip(merged["minute"].astype(int), merged["o"].astype(int)))
+    n = sum(o.values())
+    acc = 0
+    for minute in range(60):
+        ov = o.get(minute, 0)
+        num = ov * 60 - n
+        acc += (num * num * 1000000000) // (60 * n)
+    return pd.DataFrame({"n_bins": [60], "chi2": [float(acc) / 1e9]})

@@ -1163,3 +1163,24 @@ def test_length_drift_chi2_small_for_iid_halves(ray_session):
     # halves are iid draws: chi2 should be O(n_cells), not huge
     assert df["chi2"].iloc[0] < 10 * df["n_cells"].iloc[0]
     assert df["chi2"].iloc[0] >= 0
+
+
+def test_weighted_jaccard_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        source_weighted_jaccard_q,
+    )
+
+    df = source_weighted_jaccard_q(SF)
+    assert df["wjaccard_ppm"].between(0, 1_000_000).all()
+    w = df["wjaccard_ppm"].to_numpy()
+    assert (w[:-1] >= w[1:]).all()
+
+
+def test_timestamp_uniformity_near_df(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        timestamp_uniformity_chi2_q,
+    )
+
+    df = timestamp_uniformity_chi2_q(SF)
+    # organic-looking synthetic stream: chi2 within a loose band of 59 df
+    assert 10 < df["chi2"].iloc[0] < 200
