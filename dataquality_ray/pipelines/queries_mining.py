@@ -3408,3 +3408,116 @@ def timestamp_uniformity_chi2_q(sf_dir: str):
         num = ov * 60 - n
         acc += (num * num * 1000000000) // (60 * n)
     return pd.DataFrame({"n_bins": [60], "chi2": [float(acc) / 1e9]})
+
+
+# ---------------------------------------------------------------------------
+# Longest identical-token run per document (stutter detection)
+# ---------------------------------------------------------------------------
+
+@query("max_token_run", sql=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents WHERE doc_id < 200
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM t
+), tok AS (
+  SELECT doc_id, i, ts[i] AS tok FROM pos
+), grp AS (
+  SELECT doc_id, tok,
+         i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS g
+  FROM tok
+), runs AS (
+  SELECT doc_id, count(*)::BIGINT AS run_len
+  FROM grp GROUP BY doc_id, tok, g
+)
+SELECT doc_id, max(run_len)::BIGINT AS max_run
+FROM runs GROUP BY doc_id ORDER BY doc_id
+""")
+def max_token_run_q(sf_dir: str):
+    """Longest consecutive identical-token run per document — the
+    stutter/repetition-burst signal (generation loops produce long runs
+    that dup-line fractions miss inside a single line).  Vectorized
+    per-batch run detection; the oracle states it via the classic
+    gaps-and-islands window."""
+    def kern(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if did >= 200:
+                continue
+            ts = (t or "").split()
+            if not ts:
+                continue
+            a = np.array(ts, dtype=object)
+            # run boundaries where neighbor differs
+            new_run = np.concatenate([[True], a[1:] != a[:-1]])
+            run_id = np.cumsum(new_run)
+            _, counts = np.unique(run_id, return_counts=True)
+            rows.append((did, int(counts.max())))
+        if not rows:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "max_run": pd.Series([], dtype="int64")})
+        return pd.DataFrame(rows, columns=["doc_id", "max_run"])
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["max_run"] = out["max_run"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sub-second repeat events (duplicate-click audit)
+# ---------------------------------------------------------------------------
+
+@query("subsecond_repeat_clicks", sql="""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_gaps,
+       count(*) FILTER (WHERE gap < 1000000)::BIGINT AS n_subsecond
+FROM g WHERE gap IS NOT NULL GROUP BY event_type ORDER BY event_type
+""")
+def subsecond_repeat_clicks_q(sf_dir: str):
+    """Duplicate-click audit: per type, how many same-user repeats
+    arrive under one second after the previous one — the
+    client-side-retry / double-submit signal the idempotency dedup
+    (event_dedup_daily) quantifies its benefit with.  One groupby
+    (user); per-group vectorized gaps per type."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, gg in g.groupby("event_type"):
+            gg = gg.sort_values(["ts", "event_id"])
+            us = gg["ts"].astype("int64").to_numpy()
+            gaps = np.diff(us)
+            if len(gaps):
+                out.append((et, len(gaps), int((gaps < 1_000_000).sum())))
+        if not out:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "n_subsecond": pd.Series([], dtype="int64")})
+        return pd.DataFrame(out, columns=["event_type", "n_gaps",
+                                          "n_subsecond"])
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    stage = (_read(sf_dir, "events",
+                   ["user_id", "ts", "event_type", "event_id"])
+             .groupby("user_id")
+             .map_groups(per_user, batch_format="pandas"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False).sum()
+
+    merged, ok = guarded_partials(stage, fold, 1000)
+    assert ok and merged is not None
+    out = merged.sort_values("event_type").reset_index(drop=True)
+    out["n_gaps"] = out["n_gaps"].astype("int64")
+    out["n_subsecond"] = out["n_subsecond"].astype("int64")
+    return out

@@ -1184,3 +1184,21 @@ def test_timestamp_uniformity_near_df(ray_session):
     df = timestamp_uniformity_chi2_q(SF)
     # organic-looking synthetic stream: chi2 within a loose band of 59 df
     assert 10 < df["chi2"].iloc[0] < 200
+
+
+def test_max_token_run_at_least_one(ray_session):
+    from dataquality_ray.pipelines.queries_mining import max_token_run_q
+
+    df = max_token_run_q(SF)
+    assert (df["max_run"] >= 1).all()
+    assert len(df) == 200
+
+
+def test_subsecond_repeats_bounded(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        subsecond_repeat_clicks_q,
+    )
+
+    df = subsecond_repeat_clicks_q(SF)
+    assert (df["n_subsecond"] <= df["n_gaps"]).all()
+    assert len(df) == 5
