@@ -4905,3 +4905,128 @@ def user_path_entropy_q(sf_dir: str):
                                       "entropy_micro"])
     return (out.sort_values(["entropy_micro", "user_id"]).head(10)
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# User-base overlap between event types (pairwise Jaccard)
+# ---------------------------------------------------------------------------
+
+@query("type_user_overlap", sql="""
+WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_both
+  FROM m a JOIN m b ON a.user_id = b.user_id
+       AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), u AS (
+  SELECT event_type, count(*)::BIGINT AS n_users FROM m GROUP BY 1
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       (p.n_both * 1000000
+        // (ua.n_users + ub.n_users - p.n_both))::BIGINT AS jaccard_ppm
+FROM p JOIN u ua ON ua.event_type = p.type_a
+JOIN u ub ON ub.event_type = p.type_b
+ORDER BY type_a, type_b
+""")
+def type_user_overlap_q(sf_dir: str):
+    """Audience overlap: pairwise Jaccard of the user bases behind each
+    event type (exact integer ppm) — the cross-sell / feature-adoption
+    overlap matrix.  Distinct (type, user) pairs merge through the
+    combine; the pairwise fold runs on the tiny type-set grid."""
+    from itertools import combinations
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                             "user_id": b["user_id"].to_pandas()}) \
+            .drop_duplicates()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    stage = (_read(sf_dir, "events", ["event_type", "user_id"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    sets = {t: set(g["user_id"]) for t, g in merged.groupby("event_type")}
+    rows = []
+    for a, b2 in combinations(sorted(sets), 2):
+        nb = len(sets[a] & sets[b2])
+        j = nb * 1000000 // (len(sets[a]) + len(sets[b2]) - nb)
+        rows.append((a, b2, nb, j))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "n_both",
+                                       "jaccard_ppm"])
+
+
+# ---------------------------------------------------------------------------
+# Cross-table correlation: customer balance vs total spend (bit-exact)
+# ---------------------------------------------------------------------------
+
+@query("balance_spend_correlation", sql="""
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sp
+  FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+         coalesce(s.sp, 0) AS y
+  FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+), s2 AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx,
+         sum(y)::HUGEINT AS sy, sum(x::HUGEINT * x) AS sxx,
+         sum(y::HUGEINT * y) AS syy, sum(x::HUGEINT * y) AS sxy
+  FROM j
+)
+SELECT n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)) AS pearson_r
+FROM s2
+""")
+def balance_spend_correlation_q(sf_dir: str):
+    """Cross-table Pearson: does account balance predict total spend?
+    Per-customer spend reduces through the combine, joins customers via
+    a broadcast map (smart_join past the cap), and the correlation is
+    one exact float chain over huge-int sufficient sums (cents² exceeds
+    int64 — the sums run in arbitrary precision on both engines)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def spart(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_pandas(),
+            "sp": pc.round(pc.multiply(b["o_totalprice"], 100.0))
+            .cast(pa.int64()).to_pandas()})
+        return f.groupby("o_custkey", as_index=False)["sp"].sum()
+
+    def sfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("o_custkey", as_index=False)["sp"].sum()
+
+    spend_stage = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+                   .map_batches(spart, batch_format="pyarrow"))
+    spend, ok = guarded_partials(spend_stage, sfold, 2_000_000)
+    assert ok and spend is not None
+    smap = dict(zip(spend["o_custkey"].astype(int),
+                    spend["sp"].astype(int)))
+
+    n = 0
+    sx = sy = sxx = syy = sxy = 0
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+            .map_batches(lambda b: pd.DataFrame({
+                "k": b["c_custkey"].to_pandas(),
+                "x": pc.round(pc.multiply(b["c_acctbal"], 100.0))
+                .cast(pa.int64()).to_pandas()}),
+                batch_format="pyarrow"))
+    for b in cust.iter_batches(batch_format="pandas", batch_size=None):
+        for k, x in zip(b["k"].astype(int), b["x"].astype(int)):
+            y = smap.get(k, 0)
+            n += 1
+            sx += x
+            sy += y
+            sxx += x * x
+            syy += y * y
+            sxy += x * y
+    r = float(n * sxy - sx * sy) / np.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    return pd.DataFrame({"n": [n], "pearson_r": [r]})

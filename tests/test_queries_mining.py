@@ -1202,3 +1202,21 @@ def test_subsecond_repeats_bounded(ray_session):
     df = subsecond_repeat_clicks_q(SF)
     assert (df["n_subsecond"] <= df["n_gaps"]).all()
     assert len(df) == 5
+
+
+def test_type_overlap_jaccard_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import type_user_overlap_q
+
+    df = type_user_overlap_q(SF)
+    assert len(df) == 10  # C(5,2)
+    assert df["jaccard_ppm"].between(0, 1_000_000).all()
+
+
+def test_balance_spend_r_in_range(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        balance_spend_correlation_q,
+    )
+
+    df = balance_spend_correlation_q(SF)
+    assert -1.0 <= df["pearson_r"].iloc[0] <= 1.0
+    assert df["n"].iloc[0] == 150
