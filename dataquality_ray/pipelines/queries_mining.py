@@ -3521,3 +3521,122 @@ def subsecond_repeat_clicks_q(sf_dir: str):
     out["n_gaps"] = out["n_gaps"].astype("int64")
     out["n_subsecond"] = out["n_subsecond"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Two-sided trimmed mean of doc length per source (robust center)
+# ---------------------------------------------------------------------------
+
+@query("trimmed_mean_chars", sql="""
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS i,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, any_value(n)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_kept,
+       sum(n_chars)::BIGINT AS kept_chars,
+       (sum(n_chars) * 1000000 // count(*))::BIGINT
+         AS trimmed_mean_ppm
+FROM r WHERE i > n // 10 AND i <= n - n // 10
+GROUP BY source ORDER BY source
+""")
+def trimmed_mean_chars_q(sf_dir: str):
+    """10% two-sided trimmed mean of document length per source: drop
+    the floor(n/10) smallest and largest values by rank and average the
+    middle — the robust center that a handful of giant or empty docs
+    cannot move.  Rank cuts are integer (deterministic with the doc_id
+    tie-break); the mean is exact integer ppm.  Per-source value counts
+    merge through the combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({"source": b["source"].to_pylist(),
+                             "n_chars": b["n_chars"].to_pandas(),
+                             "doc_id": b["doc_id"].to_pandas()})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates("doc_id")
+
+    stage = (_read(sf_dir, "documents",
+                   ["source", "n_chars", "doc_id"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    rows = []
+    for src, g in merged.groupby("source"):
+        g = g.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        n = len(g)
+        cut = n // 10
+        kept = g.iloc[cut:n - cut]
+        ks = int(kept["n_chars"].sum())
+        rows.append((src, n, len(kept), ks,
+                     ks * 1000000 // len(kept)))
+    return pd.DataFrame(rows, columns=["source", "n_docs", "n_kept",
+                                       "kept_chars",
+                                       "trimmed_mean_ppm"])
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings report (bytes removable by exact text dedup)
+# ---------------------------------------------------------------------------
+
+@query("dedup_savings_report", sql="""
+WITH d AS (
+  SELECT coalesce(text, '') AS t, length(coalesce(text, '')) AS ln,
+         row_number() OVER (PARTITION BY coalesce(text, '')
+                            ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT count(*)::BIGINT AS n_docs,
+       count(*) FILTER (WHERE rn > 1)::BIGINT AS n_dup_docs,
+       sum(ln)::BIGINT AS total_chars,
+       coalesce(sum(ln) FILTER (WHERE rn > 1), 0)::BIGINT
+         AS chars_saved
+FROM d
+""")
+def dedup_savings_report_q(sf_dir: str):
+    """Capacity-planning view of exact dedup: how many documents and
+    bytes disappear when only the first copy of each text survives —
+    the number that justifies running the dedup stage at all.  Per-text
+    (first-id, count, length) partials merge through the combine; no
+    text ever ships, only its hash and length."""
+    import hashlib
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows: dict[bytes, list] = {}
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            t = t or ""
+            h = hashlib.sha256(t.encode()).digest()[:16]
+            cur = rows.setdefault(h, [did, 0, len(t)])
+            cur[1] += 1
+            if did < cur[0]:
+                cur[0] = did
+        ks = list(rows)
+        return pd.DataFrame({"h": ks,
+                             "first_id": [rows[k][0] for k in ks],
+                             "cnt": [rows[k][1] for k in ks],
+                             "ln": [rows[k][2] for k in ks]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("h", as_index=False).agg(
+            first_id=("first_id", "min"), cnt=("cnt", "sum"),
+            ln=("ln", "first"))
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    n_docs = int(merged["cnt"].sum())
+    dups = merged["cnt"].astype(int) - 1
+    total_chars = int((merged["cnt"].astype(int)
+                       * merged["ln"].astype(int)).sum())
+    chars_saved = int((dups * merged["ln"].astype(int)).sum())
+    return pd.DataFrame({"n_docs": [n_docs],
+                         "n_dup_docs": [int(dups.sum())],
+                         "total_chars": [total_chars],
+                         "chars_saved": [chars_saved]})

@@ -1220,3 +1220,29 @@ def test_balance_spend_r_in_range(ray_session):
     df = balance_spend_correlation_q(SF)
     assert -1.0 <= df["pearson_r"].iloc[0] <= 1.0
     assert df["n"].iloc[0] == 150
+
+
+def test_trimmed_mean_within_minmax(ray_session):
+    import duckdb
+
+    from dataquality_ray.pipelines.queries_mining import trimmed_mean_chars_q
+
+    df = trimmed_mean_chars_q(SF)
+    mm = duckdb.sql(f"SELECT source, min(n_chars) mn, max(n_chars) mx "
+                    f"FROM read_parquet('{SF}/documents.parquet') "
+                    "GROUP BY source").fetchdf()
+    m = df.merge(mm, on="source")
+    assert (m["trimmed_mean_ppm"] / 1e6 >= m["mn"]).all()
+    assert (m["trimmed_mean_ppm"] / 1e6 <= m["mx"]).all()
+    assert (df["n_kept"] <= df["n_docs"]).all()
+
+
+def test_dedup_savings_consistent(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        dedup_savings_report_q,
+    )
+
+    df = dedup_savings_report_q(SF)
+    assert df["n_docs"].iloc[0] == 500
+    assert df["chars_saved"].iloc[0] <= df["total_chars"].iloc[0]
+    assert df["n_dup_docs"].iloc[0] >= 0
