@@ -3640,3 +3640,112 @@ def dedup_savings_report_q(sf_dir: str):
                          "n_dup_docs": [int(dups.sum())],
                          "total_chars": [total_chars],
                          "chars_saved": [chars_saved]})
+
+
+# ---------------------------------------------------------------------------
+# Frequent token triples (3-itemsets by document support)
+# ---------------------------------------------------------------------------
+
+@query("frequent_triples", sql=r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                '\s+'), x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT a.tok AS tok_a, b.tok AS tok_b, c.tok AS tok_c,
+       count(*)::BIGINT AS support_docs
+FROM dt a
+JOIN dt b ON b.doc_id = a.doc_id AND b.tok > a.tok
+JOIN dt c ON c.doc_id = a.doc_id AND c.tok > b.tok
+GROUP BY 1, 2, 3
+ORDER BY support_docs DESC, tok_a, tok_b, tok_c LIMIT 10
+""")
+def frequent_triples_q(sf_dir: str):
+    """Frequent 3-itemsets over per-doc token sets (the Apriori step
+    beyond association_rules' pairs): top-10 triples by document
+    support.  Per-batch triple counts are vocab³-bounded but pruned by
+    per-doc set size; they merge through the guarded combine — the
+    oracle states the same count via a 3-way self-join."""
+    from itertools import combinations
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        c: dict[tuple, int] = {}
+        for t in b["text"].to_pylist():
+            toks = sorted(set((t or "").split()))
+            for tri in combinations(toks, 3):
+                c[tri] = c.get(tri, 0) + 1
+        ks = list(c)
+        return pd.DataFrame({"tok_a": [k[0] for k in ks],
+                             "tok_b": [k[1] for k in ks],
+                             "tok_c": [k[2] for k in ks],
+                             "support_docs": list(c.values())})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["tok_a", "tok_b", "tok_c"],
+                         as_index=False)["support_docs"].sum()
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 8_000_000)
+    assert ok and merged is not None
+    out = (merged.sort_values(
+        ["support_docs", "tok_a", "tok_b", "tok_c"],
+        ascending=[False, True, True, True]).head(10)
+        .reset_index(drop=True))
+    out["support_docs"] = out["support_docs"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Template clusters by shared 3-token prefix
+# ---------------------------------------------------------------------------
+
+@query("prefix_template_clusters", sql=r"""
+WITH p AS (
+  SELECT doc_id,
+         array_to_string(list_filter(regexp_split_to_array(
+             coalesce(text, ''), '\s+'), x -> x <> '')[1:3], ' ')
+           AS prefix
+  FROM documents
+)
+SELECT prefix, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS exemplar_id
+FROM p GROUP BY prefix HAVING count(*) > 1
+ORDER BY n_docs DESC, prefix LIMIT 15
+""")
+def prefix_template_clusters_q(sf_dir: str):
+    """Template detection by shared opening: documents grouped by their
+    first-3-token prefix, clusters with >1 member reported — the cheap
+    boilerplate-family finder that runs before any expensive similarity
+    pass.  Prefix counts (plus min-id exemplar) merge through the
+    combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            toks = (t or "").split()
+            rows.append((" ".join(toks[:3]), 1, did))
+        f = pd.DataFrame(rows, columns=["prefix", "n_docs",
+                                        "exemplar_id"])
+        return f.groupby("prefix", as_index=False).agg(
+            n_docs=("n_docs", "sum"), exemplar_id=("exemplar_id", "min"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("prefix", as_index=False).agg(
+            n_docs=("n_docs", "sum"), exemplar_id=("exemplar_id", "min"))
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    out = merged[merged["n_docs"] > 1]
+    out = (out.sort_values(["n_docs", "prefix"],
+                           ascending=[False, True]).head(15)
+           .reset_index(drop=True))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["exemplar_id"] = out["exemplar_id"].astype("int64")
+    return out

@@ -1246,3 +1246,22 @@ def test_dedup_savings_consistent(ray_session):
     assert df["n_docs"].iloc[0] == 500
     assert df["chars_saved"].iloc[0] <= df["total_chars"].iloc[0]
     assert df["n_dup_docs"].iloc[0] >= 0
+
+
+def test_frequent_triples_support(ray_session):
+    from dataquality_ray.pipelines.queries_mining import frequent_triples_q
+
+    df = frequent_triples_q(SF)
+    assert (df["tok_a"] < df["tok_b"]).all()
+    assert (df["tok_b"] < df["tok_c"]).all()
+    assert (df["support_docs"] <= 500).all()
+
+
+def test_prefix_clusters_multi_member(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        prefix_template_clusters_q,
+    )
+
+    df = prefix_template_clusters_q(SF)
+    assert (df["n_docs"] > 1).all()
+    assert df["prefix"].str.split(" ").map(len).le(3).all()
