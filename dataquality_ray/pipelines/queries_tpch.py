@@ -5030,3 +5030,129 @@ def balance_spend_correlation_q(sf_dir: str):
     r = float(n * sxy - sx * sy) / np.sqrt(
         float(n * sxx - sx * sx) * float(n * syy - sy * sy))
     return pd.DataFrame({"n": [n], "pearson_r": [r]})
+
+
+# ---------------------------------------------------------------------------
+# Order-to-first-ship latency distribution (supply-chain KPI)
+# ---------------------------------------------------------------------------
+
+@query("order_to_ship_latency", sql="""
+WITH first_ship AS (
+  SELECT l_orderkey, min(epoch_us(l_shipdate)) AS t_ship
+  FROM lineitem GROUP BY l_orderkey
+), lat AS (
+  SELECT (first_ship.t_ship - epoch_us(o.o_orderdate)) // 86400000000
+           AS days
+  FROM first_ship JOIN orders o ON o.o_orderkey = first_ship.l_orderkey
+)
+SELECT count(*)::BIGINT AS n_orders,
+       min(days)::BIGINT AS min_days,
+       quantile_disc(days, 0.5)::BIGINT AS p50_days,
+       quantile_disc(days, 0.9)::BIGINT AS p90_days,
+       max(days)::BIGINT AS max_days
+FROM lat
+""")
+def order_to_ship_latency_q(sf_dir: str):
+    """Order-to-first-shipment latency: per order, days from order date
+    to the earliest lineitem ship date, summarized by discrete
+    quantiles — the fulfilment KPI.  The per-order min reduces through
+    the combine, joins orders via smart_join, and the day histogram
+    collapses to value counts before quantile selection."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import smart_join
+
+    def lpart(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_pandas(),
+            "t_ship": b["l_shipdate"].cast(pa.int64()).to_pandas()})
+        return f.groupby("l_orderkey", as_index=False)["t_ship"].min()
+
+    def lfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("l_orderkey", as_index=False)["t_ship"].min()
+
+    stage = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+             .map_batches(lpart, batch_format="pyarrow"))
+    first_ship, ok = guarded_partials(stage, lfold, 2_000_000)
+    assert ok and first_ship is not None
+    smap = dict(zip(first_ship["l_orderkey"].astype(int),
+                    first_ship["t_ship"].astype(int)))
+
+    def days_part(b: pa.Table) -> pd.DataFrame:
+        ok_keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        od = b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ds_ = []
+        for k, o in zip(ok_keys, od):
+            t = smap.get(int(k))
+            if t is not None:
+                ds_.append((int(t) - int(o)) // 86400000000)
+        u, c = np.unique(np.array(ds_, dtype=np.int64),
+                         return_counts=True)
+        return pd.DataFrame({"days": u, "c": c})
+
+    def dfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("days", as_index=False)["c"].sum()
+
+    stage2 = (_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+              .map_batches(days_part, batch_format="pyarrow"))
+    hist, ok2 = guarded_partials(stage2, dfold, 2_000_000)
+    assert ok2 and hist is not None
+    h = hist.sort_values("days").reset_index(drop=True)
+    vals = h["days"].to_numpy(np.int64)
+    cnts = h["c"].to_numpy(np.int64)
+    cum = cnts.cumsum()
+    n = int(cum[-1])
+
+    def disc(q: float) -> int:
+        idx = int(np.ceil(q * n)) - 1
+        return int(vals[np.searchsorted(cum, idx + 1, side="left")])
+
+    return pd.DataFrame({"n_orders": [n], "min_days": [int(vals[0])],
+                         "p50_days": [disc(0.5)],
+                         "p90_days": [disc(0.9)],
+                         "max_days": [int(vals[-1])]})
+
+
+# ---------------------------------------------------------------------------
+# Character-set profile per language
+# ---------------------------------------------------------------------------
+
+@query("charset_profile", sql="""
+WITH ch AS (
+  SELECT lang, unnest(string_split_regex(coalesce(text, ''), '')) AS c
+  FROM documents
+)
+SELECT lang, count(DISTINCT c)::BIGINT AS n_distinct_chars,
+       count(*)::BIGINT AS n_chars
+FROM ch WHERE c <> '' GROUP BY lang ORDER BY lang
+""")
+def charset_profile_q(sf_dir: str):
+    """Character-set profile per language: alphabet size and character
+    volume — the encoding-sanity check that catches mojibake (a sudden
+    alphabet explosion) before it poisons tokenization.  Per-batch
+    (lang, char) distinct+count partials merge through the combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        c: dict[tuple, int] = {}
+        for lang, t in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            for ch in (t or ""):
+                c[(lang, ch)] = c.get((lang, ch), 0) + 1
+        ks = list(c)
+        return pd.DataFrame({"lang": [k[0] for k in ks],
+                             "ch": [k[1] for k in ks],
+                             "n": list(c.values())})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["lang", "ch"], as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "documents", ["lang", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    g = merged.groupby("lang").agg(
+        n_distinct_chars=("ch", "size"), n_chars=("n", "sum")) \
+        .reset_index()
+    g["n_distinct_chars"] = g["n_distinct_chars"].astype("int64")
+    g["n_chars"] = g["n_chars"].astype("int64")
+    return g.sort_values("lang").reset_index(drop=True)

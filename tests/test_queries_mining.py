@@ -1265,3 +1265,21 @@ def test_prefix_clusters_multi_member(ray_session):
     df = prefix_template_clusters_q(SF)
     assert (df["n_docs"] > 1).all()
     assert df["prefix"].str.split(" ").map(len).le(3).all()
+
+
+def test_ship_latency_ordering(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import order_to_ship_latency_q
+
+    df = order_to_ship_latency_q(SF)
+    r = df.iloc[0]
+    assert r["min_days"] <= r["p50_days"] <= r["p90_days"] <= r["max_days"]
+
+
+def test_charset_profile_sane(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import charset_profile_q
+
+    df = charset_profile_q(SF)
+    assert len(df) == 5
+    # word-soup alphabet: lowercase + space only
+    assert (df["n_distinct_chars"] < 40).all()
+    assert (df["n_chars"] > df["n_distinct_chars"]).all()
