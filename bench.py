@@ -254,7 +254,13 @@ def run_suite() -> dict:
                  "purchase_regularity", "theil_sen_slope",
                  "k_core_membership", "source_length_profile",
                  "graph_reciprocity", "user_path_entropy",
-                 "length_drift_chi2",
+                 "length_drift_chi2", "source_weighted_jaccard",
+                 "timestamp_uniformity_chi2", "max_token_run",
+                 "subsecond_repeat_clicks", "type_user_overlap",
+                 "balance_spend_correlation", "trimmed_mean_chars",
+                 "dedup_savings_report", "frequent_triples",
+                 "prefix_template_clusters", "order_to_ship_latency",
+                 "charset_profile",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 
