@@ -260,7 +260,7 @@ def run_suite() -> dict:
                  "balance_spend_correlation", "trimmed_mean_chars",
                  "dedup_savings_report", "frequent_triples",
                  "prefix_template_clusters", "order_to_ship_latency",
-                 "charset_profile",
+                 "charset_profile", "order_total_consistency",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -5156,3 +5156,82 @@ def charset_profile_q(sf_dir: str):
     g["n_distinct_chars"] = g["n_distinct_chars"].astype("int64")
     g["n_chars"] = g["n_chars"].astype("int64")
     return g.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Cross-table total consistency (order header vs lineitem detail)
+# ---------------------------------------------------------------------------
+
+@query("order_total_consistency", sql="""
+WITH detail AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+           AS line_cents
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT abs(CAST(round(o.o_totalprice * 100) AS BIGINT)
+             - d.line_cents)::BIGINT AS diff_cents
+  FROM orders o JOIN detail d ON d.l_orderkey = o.o_orderkey
+)
+SELECT count(*)::BIGINT AS n_orders,
+       count(*) FILTER (WHERE diff_cents = 0)::BIGINT AS n_exact,
+       quantile_disc(diff_cents, 0.5)::BIGINT AS median_diff_cents,
+       max(diff_cents)::BIGINT AS max_diff_cents
+FROM j
+""")
+def order_total_consistency_q(sf_dir: str):
+    """Header-vs-detail reconciliation: per order, |header total −
+    Σ lineitem price| in exact integer cents, summarized by match count
+    and discrete quantiles — the cross-table integrity check (the A3
+    sum-check generalized across a join).  Detail sums reduce through
+    the combine and broadcast into the header scan; the diff histogram
+    collapses to value counts."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def dpart(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_pandas(),
+            "line_cents": pc.round(pc.multiply(
+                b["l_extendedprice"], 100.0)).cast(pa.int64())
+            .to_pandas()})
+        return f.groupby("l_orderkey", as_index=False)["line_cents"].sum()
+
+    def dfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("l_orderkey", as_index=False)["line_cents"].sum()
+
+    stage = (_read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice"])
+             .map_batches(dpart, batch_format="pyarrow"))
+    detail, ok = guarded_partials(stage, dfold, 2_000_000)
+    assert ok and detail is not None
+    dmap = dict(zip(detail["l_orderkey"].astype(int),
+                    detail["line_cents"].astype(int)))
+
+    def diff_part(b: pa.Table) -> pd.DataFrame:
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        tot = pc.round(pc.multiply(b["o_totalprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ds_ = [abs(int(t) - dmap[int(k)]) for k, t in zip(keys, tot)
+               if int(k) in dmap]
+        u, c = np.unique(np.array(ds_, dtype=np.int64),
+                         return_counts=True)
+        return pd.DataFrame({"d": u, "c": c})
+
+    def hfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("d", as_index=False)["c"].sum()
+
+    stage2 = (_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+              .map_batches(diff_part, batch_format="pyarrow"))
+    hist, ok2 = guarded_partials(stage2, hfold, 2_000_000)
+    assert ok2 and hist is not None
+    h = hist.sort_values("d").reset_index(drop=True)
+    vals = h["d"].to_numpy(np.int64)
+    cnts = h["c"].to_numpy(np.int64)
+    cum = cnts.cumsum()
+    n = int(cum[-1])
+    idx = int(np.ceil(0.5 * n)) - 1
+    med = int(vals[np.searchsorted(cum, idx + 1, side="left")])
+    n_exact = int(cnts[vals == 0].sum()) if (vals == 0).any() else 0
+    return pd.DataFrame({"n_orders": [n], "n_exact": [n_exact],
+                         "median_diff_cents": [med],
+                         "max_diff_cents": [int(vals[-1])]})

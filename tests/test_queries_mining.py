@@ -1283,3 +1283,14 @@ def test_charset_profile_sane(ray_session):
     # word-soup alphabet: lowercase + space only
     assert (df["n_distinct_chars"] < 40).all()
     assert (df["n_chars"] > df["n_distinct_chars"]).all()
+
+
+def test_order_total_consistency_shape(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        order_total_consistency_q,
+    )
+
+    df = order_total_consistency_q(SF)
+    r = df.iloc[0]
+    assert r["n_exact"] <= r["n_orders"]
+    assert 0 <= r["median_diff_cents"] <= r["max_diff_cents"]
