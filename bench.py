@@ -261,6 +261,7 @@ def run_suite() -> dict:
                  "dedup_savings_report", "frequent_triples",
                  "prefix_template_clusters", "order_to_ship_latency",
                  "charset_profile", "order_total_consistency",
+                 "last_touch_attribution", "ab_sample_size_planner",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -5235,3 +5235,114 @@ def order_total_consistency_q(sf_dir: str):
     return pd.DataFrame({"n_orders": [n], "n_exact": [n_exact],
                          "median_diff_cents": [med],
                          "max_diff_cents": [int(vals[-1])]})
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: the event immediately preceding each purchase
+# ---------------------------------------------------------------------------
+
+@query("last_touch_attribution", sql="""
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT coalesce(prev_type, '(none)') AS touch_type,
+       count(*)::BIGINT AS n_purchases
+FROM s WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY n_purchases DESC, touch_type
+""")
+def last_touch_attribution_q(sf_dir: str):
+    """Last-touch attribution: which event type immediately precedes a
+    purchase (first-session purchases attribute to '(none)') — the
+    credit-assignment distribution marketing reads.  One groupby(user);
+    per-group vectorized shift; the tiny type histogram merges through
+    the combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        prev = g["event_type"].shift(1)
+        buys = g["event_type"] == "purchase"
+        touch = prev[buys].fillna("(none)")
+        if not len(touch):
+            return pd.DataFrame({"touch_type": pd.Series([], dtype=object),
+                                 "n_purchases": pd.Series([], dtype=int)})
+        vc = touch.value_counts()
+        return pd.DataFrame({"touch_type": vc.index,
+                             "n_purchases": vc.to_numpy()})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("touch_type", as_index=False)["n_purchases"].sum()
+
+    stage = (_read(sf_dir, "events",
+                   ["user_id", "ts", "event_type", "event_id"])
+             .groupby("user_id")
+             .map_groups(per_user, batch_format="pandas"))
+    merged, ok = guarded_partials(stage, fold, 1000)
+    assert ok and merged is not None
+    out = (merged.sort_values(["n_purchases", "touch_type"],
+                              ascending=[False, True])
+           .reset_index(drop=True))
+    out["n_purchases"] = out["n_purchases"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A/B sample-size planner from measured variance (one exact float chain)
+# ---------------------------------------------------------------------------
+
+@query("ab_sample_size_planner", sql="""
+WITH s AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CAST(round(value * 100) AS BIGINT))::HUGEINT AS sx,
+         sum(CAST(round(value * 100) AS BIGINT)::HUGEINT
+             * CAST(round(value * 100) AS BIGINT)) AS sxx
+  FROM events WHERE value IS NOT NULL
+)
+SELECT n,
+       CAST(sx AS DOUBLE) / n / 100.0 AS mean_value,
+       ceil(16.0 * (CAST(n * sxx - sx * sx AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * n))
+            / ((CAST(sx AS DOUBLE) / n * 0.05)
+               * (CAST(sx AS DOUBLE) / n * 0.05)))::BIGINT
+         AS n_per_arm
+FROM s
+""")
+def ab_sample_size_planner_q(sf_dir: str):
+    """Experiment-design planner: the per-arm sample size for detecting
+    a 5% lift of the mean event value at ~80% power / 5% alpha
+    (n = 16·σ²/δ², the standard rule of thumb) — computed from exact
+    integer-cent sufficient sums in one pass, final value one fixed
+    float chain.  The measurement that sizes an A/B test BEFORE running
+    it (ab_srm_check audits it after)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        cents = np.round(v * 100).astype(np.int64)
+        return pd.DataFrame({
+            "n": [len(cents)], "sx": [int(cents.sum())],
+            "sxx": [int((cents.astype(object) ** 2).sum())]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n": [int(f["n"].sum())],
+            "sx": [int(sum(int(x) for x in f["sx"]))],
+            "sxx": [int(sum(int(x) for x in f["sxx"]))]})
+
+    stage = (_read(sf_dir, "events", ["value"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100)
+    assert ok and merged is not None
+    n = int(merged["n"].iloc[0])
+    sx = int(merged["sx"].iloc[0])
+    sxx = int(merged["sxx"].iloc[0])
+    mean_value = float(sx) / n / 100.0
+    var = float(n * sxx - sx * sx) / (float(n) * n)
+    delta = float(sx) / n * 0.05
+    n_per_arm = int(np.ceil(16.0 * var / (delta * delta)))
+    return pd.DataFrame({"n": [n], "mean_value": [mean_value],
+                         "n_per_arm": [n_per_arm]})

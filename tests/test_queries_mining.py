@@ -1294,3 +1294,27 @@ def test_order_total_consistency_shape(ray_session):
     r = df.iloc[0]
     assert r["n_exact"] <= r["n_orders"]
     assert 0 <= r["median_diff_cents"] <= r["max_diff_cents"]
+
+
+def test_last_touch_covers_all_purchases(ray_session):
+    import duckdb
+
+    from dataquality_ray.pipelines.queries_tpch import (
+        last_touch_attribution_q,
+    )
+
+    df = last_touch_attribution_q(SF)
+    total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+        " WHERE event_type = 'purchase'").fetchone()[0]
+    assert df["n_purchases"].sum() == total
+
+
+def test_ab_planner_positive(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        ab_sample_size_planner_q,
+    )
+
+    df = ab_sample_size_planner_q(SF)
+    assert df["n_per_arm"].iloc[0] > 0
+    assert df["mean_value"].iloc[0] > 0
