@@ -262,6 +262,7 @@ def run_suite() -> dict:
                  "prefix_template_clusters", "order_to_ship_latency",
                  "charset_profile", "order_total_consistency",
                  "last_touch_attribution", "ab_sample_size_planner",
+                 "supplier_ship_latency", "urgent_share_by_nation",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -5346,3 +5346,135 @@ def ab_sample_size_planner_q(sf_dir: str):
     n_per_arm = int(np.ceil(16.0 * var / (delta * delta)))
     return pd.DataFrame({"n": [n], "mean_value": [mean_value],
                          "n_per_arm": [n_per_arm]})
+
+
+# ---------------------------------------------------------------------------
+# Supplier shipping-latency ranking (per-supplier median days)
+# ---------------------------------------------------------------------------
+
+@query("supplier_ship_latency", sql="""
+WITH lat AS (
+  SELECT l.l_suppkey,
+         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+           // 86400000000 AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT l_suppkey, count(*)::BIGINT AS n_lines,
+       quantile_disc(days, 0.5)::BIGINT AS p50_days
+FROM lat GROUP BY l_suppkey
+ORDER BY p50_days DESC, l_suppkey LIMIT 15
+""")
+def supplier_ship_latency_q(sf_dir: str):
+    """Slowest suppliers by median order-to-ship latency: the per-entity
+    twin of order_to_ship_latency (who, not just how bad).  Order dates
+    broadcast into the lineitem scan (smart_join past the cap);
+    per-supplier day histograms merge through the combine; medians are
+    discrete quantiles."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    odates, ok0 = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+        .map_batches(lambda b: pd.DataFrame({
+            "k": b["o_orderkey"].to_pandas(),
+            "d": b["o_orderdate"].cast(pa.int64()).to_pandas()}),
+            batch_format="pyarrow"),
+        lambda f: f.drop_duplicates("k"), 2_000_000)
+    assert ok0 and odates is not None
+    omap = dict(zip(odates["k"].astype(int), odates["d"].astype(int)))
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        keys = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        supp = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        ship = b["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        rows = []
+        for k, s, sh in zip(keys, supp, ship):
+            od = omap.get(int(k))
+            if od is not None:
+                rows.append((int(s), (int(sh) - od) // 86400000000))
+        f = pd.DataFrame(rows, columns=["l_suppkey", "days"])
+        f["c"] = 1
+        return f.groupby(["l_suppkey", "days"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["l_suppkey", "days"], as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_suppkey", "l_shipdate"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    rows = []
+    for sk, g in merged.groupby("l_suppkey"):
+        g = g.sort_values("days")
+        vals = g["days"].to_numpy(np.int64)
+        cnts = g["c"].to_numpy(np.int64)
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+        idx = int(np.ceil(0.5 * n)) - 1
+        p50 = int(vals[np.searchsorted(cum, idx + 1, side="left")])
+        rows.append((int(sk), n, p50))
+    out = pd.DataFrame(rows, columns=["l_suppkey", "n_lines",
+                                      "p50_days"])
+    return (out.sort_values(["p50_days", "l_suppkey"],
+                            ascending=[False, True]).head(15)
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Urgent-order share by nation (2D share, integer ppm)
+# ---------------------------------------------------------------------------
+
+@query("urgent_share_by_nation", sql="""
+WITH j AS (
+  SELECT c.c_nationkey,
+         (o.o_orderpriority = '1-URGENT') AS urgent
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT c_nationkey::BIGINT AS c_nationkey,
+       count(*)::BIGINT AS n_orders,
+       count(*) FILTER (WHERE urgent)::BIGINT AS n_urgent,
+       (count(*) FILTER (WHERE urgent) * 1000000 // count(*))::BIGINT
+         AS urgent_ppm
+FROM j GROUP BY c_nationkey ORDER BY c_nationkey
+""")
+def urgent_share_by_nation_q(sf_dir: str):
+    """Urgent-order share per nation: the 2D mix report behind
+    prioritization capacity planning — customer nation broadcast into
+    the orders scan, per-nation counts merging through the combine,
+    shares as exact integer ppm."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    cmap_df, ok0 = guarded_partials(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(lambda b: pd.DataFrame({
+            "k": b["c_custkey"].to_pandas(),
+            "n": b["c_nationkey"].to_pandas()}),
+            batch_format="pyarrow"),
+        lambda f: f.drop_duplicates("k"), 2_000_000)
+    assert ok0 and cmap_df is not None
+    cmap = dict(zip(cmap_df["k"].astype(int), cmap_df["n"].astype(int)))
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cust = b["o_custkey"].to_numpy(zero_copy_only=False)
+        urg = pc.equal(b["o_orderpriority"], "1-URGENT").to_numpy(
+            zero_copy_only=False)
+        f = pd.DataFrame({
+            "c_nationkey": [cmap[int(k)] for k in cust],
+            "n_orders": 1,
+            "n_urgent": urg.astype(np.int64)})
+        return f.groupby("c_nationkey", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("c_nationkey", as_index=False).sum()
+
+    stage = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1000)
+    assert ok and merged is not None
+    out = merged.sort_values("c_nationkey").reset_index(drop=True)
+    out["urgent_ppm"] = (out["n_urgent"].astype(object) * 1000000
+                         // out["n_orders"]).astype("int64")
+    for c in ["c_nationkey", "n_orders", "n_urgent"]:
+        out[c] = out[c].astype("int64")
+    return out[["c_nationkey", "n_orders", "n_urgent", "urgent_ppm"]]

@@ -1318,3 +1318,24 @@ def test_ab_planner_positive(ray_session):
     df = ab_sample_size_planner_q(SF)
     assert df["n_per_arm"].iloc[0] > 0
     assert df["mean_value"].iloc[0] > 0
+
+
+def test_supplier_latency_descending(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        supplier_ship_latency_q,
+    )
+
+    df = supplier_ship_latency_q(SF)
+    p = df["p50_days"].to_numpy()
+    assert (p[:-1] >= p[1:]).all()
+    assert (df["p50_days"] >= 0).all()
+
+
+def test_urgent_share_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        urgent_share_by_nation_q,
+    )
+
+    df = urgent_share_by_nation_q(SF)
+    assert df["urgent_ppm"].between(0, 1_000_000).all()
+    assert (df["n_urgent"] <= df["n_orders"]).all()
