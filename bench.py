@@ -263,6 +263,7 @@ def run_suite() -> dict:
                  "charset_profile", "order_total_consistency",
                  "last_touch_attribution", "ab_sample_size_planner",
                  "supplier_ship_latency", "urgent_share_by_nation",
+                 "rolling_7day_max", "rle_encoding_advisor",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

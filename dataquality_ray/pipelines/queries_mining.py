@@ -3749,3 +3749,101 @@ def prefix_template_clusters_q(sf_dir: str):
     out["n_docs"] = out["n_docs"].astype("int64")
     out["exemplar_id"] = out["exemplar_id"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Trailing 7-day maximum of daily volume (monotonic-deque scan)
+# ---------------------------------------------------------------------------
+
+@query("rolling_7day_max", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT day_idx::BIGINT AS day_idx, n,
+       max(n) OVER (ORDER BY day_idx
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+         AS max7
+FROM d ORDER BY day_idx
+""")
+def rolling_7day_max_q(sf_dir: str):
+    """Trailing 7-day maximum of daily volume — the capacity-planning
+    envelope.  The engine scan is the O(n) monotonic-deque algorithm
+    (each day pushed/popped once) where the SQL window restates it
+    declaratively; daily counts reduce distributedly first."""
+    from collections import deque
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"day_idx": day.to_pandas(), "n": 1})
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None
+    d = merged.sort_values("day_idx").reset_index(drop=True)
+    ns = d["n"].to_numpy(np.int64)
+    dq: deque = deque()  # indices, values decreasing
+    max7 = np.empty(len(ns), dtype=np.int64)
+    for i, v in enumerate(ns):
+        while dq and ns[dq[-1]] <= v:
+            dq.pop()
+        dq.append(i)
+        if dq[0] <= i - 7:
+            dq.popleft()
+        max7[i] = ns[dq[0]]
+    return pd.DataFrame({"day_idx": d["day_idx"].astype("int64"),
+                         "n": ns, "max7": max7})
+
+
+# ---------------------------------------------------------------------------
+# Run-length-encoding advisor for a low-cardinality column
+# ---------------------------------------------------------------------------
+
+@query("rle_encoding_advisor", sql="""
+WITH s AS (
+  SELECT l_returnflag,
+         lag(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber)
+           AS prev
+  FROM lineitem
+)
+SELECT count(*)::BIGINT AS n_rows,
+       count(*) FILTER (WHERE prev IS NULL
+                        OR l_returnflag <> prev)::BIGINT AS n_runs,
+       (count(*) FILTER (WHERE prev IS NULL OR l_returnflag <> prev)
+        * 1000000 // count(*))::BIGINT AS run_ratio_ppm
+FROM s
+""")
+def rle_encoding_advisor_q(sf_dir: str):
+    """Run-length-encoding advisor: run count of l_returnflag in the
+    table's natural (orderkey, linenumber) order — the decision input
+    for RLE (low run ratio = big win; near-1 ratio = skip), completing
+    the dictionary/delta/RLE layout-advisor trio.  Per-batch runs plus
+    block-boundary values merge exactly (a run spanning two blocks is
+    detected when the right block's first value equals the left's
+    last)."""
+    srt = (_read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_returnflag"])
+           .sort(["l_orderkey", "l_linenumber"]))
+    n_rows = 0
+    n_runs = 0
+    prev_last = None
+    for b in srt.iter_batches(batch_format="pandas", batch_size=None):
+        flags = b["l_returnflag"].to_numpy()
+        if not len(flags):
+            continue
+        n_rows += len(flags)
+        internal = int((flags[1:] != flags[:-1]).sum())
+        boundary = 1 if (prev_last is None or flags[0] != prev_last) \
+            else 0
+        n_runs += internal + boundary
+        prev_last = flags[-1]
+    return pd.DataFrame({
+        "n_rows": [n_rows], "n_runs": [n_runs],
+        "run_ratio_ppm": [n_runs * 1000000 // max(n_rows, 1)]})

@@ -1342,3 +1342,25 @@ def test_urgent_share_bounds(ray_session):
     df = urgent_share_by_nation_q(SF)
     assert df["urgent_ppm"].between(0, 1_000_000).all()
     assert (df["n_urgent"] <= df["n_orders"]).all()
+
+
+def test_rolling_max_envelope(ray_session):
+    from dataquality_ray.pipelines.queries_mining import rolling_7day_max_q
+
+    df = rolling_7day_max_q(SF)
+    assert (df["max7"] >= df["n"]).all()
+    # envelope equals brute-force trailing max
+    ns = df["n"].to_numpy()
+    brute = [ns[max(0, i - 6):i + 1].max() for i in range(len(ns))]
+    assert (df["max7"].to_numpy() == np.array(brute)).all()
+
+
+def test_rle_ratio_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        rle_encoding_advisor_q,
+    )
+
+    df = rle_encoding_advisor_q(SF)
+    r = df.iloc[0]
+    assert 1 <= r["n_runs"] <= r["n_rows"]
+    assert 0 < r["run_ratio_ppm"] <= 1_000_000
