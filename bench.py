@@ -264,6 +264,7 @@ def run_suite() -> dict:
                  "last_touch_attribution", "ab_sample_size_planner",
                  "supplier_ship_latency", "urgent_share_by_nation",
                  "rolling_7day_max", "rle_encoding_advisor",
+                 "dedup_rate_by_source",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -3847,3 +3847,59 @@ def rle_encoding_advisor_q(sf_dir: str):
     return pd.DataFrame({
         "n_rows": [n_rows], "n_runs": [n_runs],
         "run_ratio_ppm": [n_runs * 1000000 // max(n_rows, 1)]})
+
+
+# ---------------------------------------------------------------------------
+# Dup-rate attribution by source (which feeds bring the duplicates)
+# ---------------------------------------------------------------------------
+
+@query("dedup_rate_by_source", sql="""
+WITH d AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY coalesce(text, '')
+                            ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       count(*) FILTER (WHERE rn > 1)::BIGINT AS n_dups,
+       (count(*) FILTER (WHERE rn > 1) * 1000000 // count(*))::BIGINT
+         AS dup_ppm
+FROM d GROUP BY source ORDER BY source
+""")
+def dedup_rate_by_source_q(sf_dir: str):
+    """Dup-rate attribution: per source, how many of its documents are
+    non-first copies of a text seen elsewhere (global first-occurrence
+    by doc_id) — the feed-accountability view that tells you WHICH
+    upstream to fix, not just how much dedup removes.  Per-text
+    (min-id, per-source counts) partials merge through the combine; no
+    text ships, only hashes."""
+    import hashlib
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for did, src, t in zip(b["doc_id"].to_pylist(),
+                               b["source"].to_pylist(),
+                               b["text"].to_pylist()):
+            h = hashlib.sha256((t or "").encode()).digest()[:16]
+            rows.append((h, src, did))
+        return pd.DataFrame(rows, columns=["h", "source", "doc_id"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates(["h", "doc_id"])
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "source", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 4_000_000)
+    assert ok and merged is not None
+    first = merged.groupby("h")["doc_id"].min().rename("first_id")
+    m = merged.join(first, on="h")
+    m["is_dup"] = (m["doc_id"] > m["first_id"]).astype(np.int64)
+    g = m.groupby("source").agg(n_docs=("doc_id", "size"),
+                                n_dups=("is_dup", "sum")).reset_index()
+    g["dup_ppm"] = (g["n_dups"].astype(object) * 1000000
+                    // g["n_docs"]).astype("int64")
+    for c in ["n_docs", "n_dups"]:
+        g[c] = g[c].astype("int64")
+    return g.sort_values("source").reset_index(drop=True)

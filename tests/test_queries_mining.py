@@ -1364,3 +1364,16 @@ def test_rle_ratio_bounds(ray_session):
     r = df.iloc[0]
     assert 1 <= r["n_runs"] <= r["n_rows"]
     assert 0 < r["run_ratio_ppm"] <= 1_000_000
+
+
+def test_dedup_rate_by_source_consistent(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        dedup_rate_by_source_q,
+        dedup_savings_report_q,
+    )
+
+    per_src = dedup_rate_by_source_q(SF)
+    total = dedup_savings_report_q(SF)
+    # per-source dup counts sum to the global dup count
+    assert per_src["n_dups"].sum() == total["n_dup_docs"].iloc[0]
+    assert per_src["n_docs"].sum() == total["n_docs"].iloc[0]
