@@ -222,9 +222,9 @@ WITH idents AS (
 SELECT doc_id,
        len(ids) AS n_idents,
        len(list_distinct(ids)) AS n_distinct_idents,
-       CASE WHEN len(ids) = 0 THEN 0
+       CAST(CASE WHEN len(ids) = 0 THEN 0
             ELSE list_sum(list_transform(ids, x -> length(x))) * 1000000
-                 // len(ids) END AS avg_ident_len_ppm
+                 // len(ids) END AS BIGINT) AS avg_ident_len_ppm
 FROM idents ORDER BY doc_id
 """)
 def identifier_stats_q(sf_dir: str):
@@ -235,11 +235,30 @@ def identifier_stats_q(sf_dir: str):
         import re
 
         pat = re.compile(r"[a-z_][a-z0-9_]{3,}")
-        txt = batch["text"].fillna("")
-        ids = txt.map(pat.findall)
-        n = ids.map(len).astype(np.int64)
-        nd = ids.map(lambda xs: len(set(xs))).astype(np.int64)
-        tot = ids.map(lambda xs: sum(map(len, xs))).astype(np.int64)
+        txts = batch["text"].fillna("").tolist()
+        # One flattened regex pass: join docs with '\x01' (cannot occur in a
+        # match), map every match back to its doc via searchsorted on the
+        # cumulative doc-start offsets, then aggregate with bincount.
+        nrows = len(txts)
+        mega = "\x01".join(txts)
+        starts = np.zeros(nrows, dtype=np.int64)
+        if nrows > 1:
+            lens = np.fromiter((len(t) for t in txts), np.int64, nrows)
+            starts[1:] = np.cumsum(lens[:-1] + 1)
+        pos = []
+        toks = []
+        for m in pat.finditer(mega):
+            pos.append(m.start())
+            toks.append(m.group())
+        doc_idx = np.searchsorted(starts, np.asarray(pos, np.int64),
+                                  side="right") - 1
+        tok_len = np.fromiter(map(len, toks), np.int64, len(toks))
+        n = np.bincount(doc_idx, minlength=nrows).astype(np.int64)
+        tot = np.bincount(doc_idx, weights=tok_len,
+                          minlength=nrows).astype(np.int64)
+        uniq = pd.DataFrame({"d": doc_idx, "t": toks}).drop_duplicates()
+        nd = np.bincount(uniq["d"].to_numpy(), minlength=nrows).astype(
+            np.int64)
         avg = np.where(n > 0, tot * 1000000 // np.maximum(n, 1), 0)
         return pd.DataFrame({"doc_id": batch["doc_id"], "n_idents": n,
                              "n_distinct_idents": nd,

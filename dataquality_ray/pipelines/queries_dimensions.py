@@ -61,7 +61,8 @@ SELECT '{col}' AS column_name,
        round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
        s.n, s.outliers,
        round(1.0 - s.outliers * 1.0 / s.n, 6) AS non_outlier_rate,
-       CASE WHEN 1.0 - s.outliers * 1.0 / s.n > 0.85 THEN 1 ELSE 0 END AS passes
+       CAST(CASE WHEN 1.0 - s.outliers * 1.0 / s.n > 0.85
+                 THEN 1 ELSE 0 END AS BIGINT) AS passes
 FROM (SELECT quantile_cont({col}, 0.25) AS q1,
              quantile_cont({col}, 0.75) AS q3 FROM lineitem) q,
      LATERAL (SELECT count(*) AS n,

@@ -1960,7 +1960,8 @@ WITH toks AS (
       PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
   FROM sc
 )
-SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
+FROM r WHERE rank <= 10
 ORDER BY query_id, rank
 """
 
@@ -2757,7 +2758,7 @@ WITH cnt AS (
          row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
   FROM embeddings
 )
-SELECT label, count(*)::BIGINT AS n_rows,
+SELECT CAST(label AS BIGINT) AS label, count(*)::BIGINT AS n_rows,
        min(vec_id) AS min_id, max(vec_id) AS max_id
 FROM ranked, cnt WHERE rn <= m
 GROUP BY label ORDER BY label

@@ -1756,7 +1756,7 @@ WITH b AS (
          quantile_disc(l_extendedprice, 0.75) AS q3
   FROM lineitem
 )
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_rows
 FROM (
   SELECT CASE WHEN l_extendedprice <= b.q1 THEN 0
               WHEN l_extendedprice <= b.q2 THEN 1
@@ -3684,7 +3684,7 @@ def event_type_burst_days_q(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 @query("skyline_parts", sql="""
-SELECT p.p_partkey, p.p_size, p.p_retailprice
+SELECT p.p_partkey, CAST(p.p_size AS BIGINT) AS p_size, p.p_retailprice
 FROM part p
 WHERE NOT EXISTS (
   SELECT 1 FROM part q
@@ -4543,8 +4543,9 @@ def customer_order_ranks_q(sf_dir: str):
                           ascending=[False, True])
         vals = g["cents"].to_numpy()
         rnk = np.ones(len(vals), dtype=np.int64)
-        for i in range(1, len(vals)):
-            rnk[i] = rnk[i - 1] + (1 if vals[i] < vals[i - 1] else 0)
+        if len(vals) > 1:
+            # dense rank over a descending sort: +1 at every strict drop
+            rnk[1:] += np.cumsum(np.diff(vals) < 0)
         g = g.assign(rnk=rnk)
         return g[g["rnk"] <= 2]
 
@@ -4696,11 +4697,16 @@ def type_coarrival_minute_q(sf_dir: str):
     """Event-type co-arrival: pairs of types observed from the SAME user
     within the SAME minute — the tight-coupling signal behind
     session-level association rules.  Distinct (user, minute, type)
-    triples reduce through the combine; pair expansion runs on the
-    per-(user, minute) type sets (bounded by the 5-type universe)."""
+    triples reduce through the combine; pair expansion is a vectorized
+    bitmask pass (one int64 type-set per user-minute via
+    np.bitwise_or.at, one count_nonzero per type pair — the type
+    universe is tiny).  Past the combine cap the operator re-routes to
+    a groupby(user, minute).map_groups twin whose pair-count output is
+    bounded by ntypes², never the (user × minute) keyspace."""
     from itertools import combinations
 
-    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.autoroute import (guarded_partials,
+                                                  record_route)
 
     def part(b: pa.Table) -> pd.DataFrame:
         minute = pc.divide(b["ts"].cast(pa.int64()), 60000000)
@@ -4712,18 +4718,60 @@ def type_coarrival_minute_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.drop_duplicates()
 
-    stage = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
-             .map_batches(part, batch_format="pyarrow"))
+    def pair_counts_vec(triples: pd.DataFrame) -> pd.DataFrame:
+        """Distinct triples -> pair co-minute counts, no Python loop over
+        groups: one bitmask per (user, minute), one popcount per pair."""
+        types = np.sort(triples["event_type"].unique())
+        tcode = pd.Categorical(triples["event_type"],
+                               categories=types).codes.astype(np.int64)
+        gkey = triples.groupby(["user_id", "minute_idx"],
+                               sort=False).ngroup().to_numpy()
+        mask = np.zeros(int(gkey.max()) + 1 if len(gkey) else 0,
+                        dtype=np.int64)
+        np.bitwise_or.at(mask, gkey, np.int64(1) << tcode)
+        rows = []
+        for i in range(len(types)):
+            for j in range(i + 1, len(types)):
+                both = (np.int64(1) << i) | (np.int64(1) << j)
+                n = int(np.count_nonzero((mask & both) == both))
+                if n:
+                    rows.append((str(types[i]), str(types[j]), n))
+        return pd.DataFrame(rows,
+                            columns=["type_a", "type_b", "n_cominutes"])
+
+    base = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    stage = base.map_batches(part, batch_format="pyarrow")
     merged, ok = guarded_partials(stage, fold, 4_000_000)
-    assert ok and merged is not None
-    c: dict[tuple, int] = {}
-    for _, g in merged.groupby(["user_id", "minute_idx"]):
-        for a, bb in combinations(sorted(set(g["event_type"])), 2):
-            c[(a, bb)] = c.get((a, bb), 0) + 1
-    ks = list(c)
-    out = pd.DataFrame({"type_a": [k[0] for k in ks],
-                        "type_b": [k[1] for k in ks],
-                        "n_cominutes": list(c.values())})
+    if ok and merged is not None and \
+            merged["event_type"].nunique() <= 63:
+        record_route("type_coarrival_minute", "driver_bitmask",
+                     "triples within cap", len(merged))
+        out = pair_counts_vec(merged)
+    else:
+        # Distributed twin: shuffle on (user, minute); each group emits
+        # its local type pairs (set size = types-per-user-minute, tiny),
+        # then a bounded combine sums per-pair counts (≤ ntypes² rows).
+        record_route("type_coarrival_minute", "groupby_twin",
+                     "triples over cap" if not ok else ">63 types",
+                     None if not ok else len(merged))
+
+        def per_group(g: pd.DataFrame) -> pd.DataFrame:
+            pairs = list(combinations(sorted(set(g["event_type"])), 2))
+            return pd.DataFrame(
+                [(a, bb, 1) for a, bb in pairs],
+                columns=["type_a", "type_b", "n_cominutes"])
+
+        def fold_pairs(f: pd.DataFrame) -> pd.DataFrame:
+            return f.groupby(["type_a", "type_b"],
+                             as_index=False)["n_cominutes"].sum()
+
+        pair_ds = (stage.groupby(["user_id", "minute_idx"])
+                   .map_groups(per_group, batch_format="pandas"))
+        out, ok2 = guarded_partials(pair_ds, fold_pairs, 1_000_000)
+        if out is None:
+            assert ok2, "pair-type universe exceeded 1M — not co-arrival data"
+            out = pd.DataFrame(
+                columns=["type_a", "type_b", "n_cominutes"])
     out["n_cominutes"] = out["n_cominutes"].astype("int64")
     return (out.sort_values(["n_cominutes", "type_a", "type_b"],
                             ascending=[False, True, True])

@@ -354,3 +354,32 @@ def test_grouped_histogram_quantiles_group_cap(ray_session):
     with pytest.raises(MemoryError, match="groups exceed"):
         grouped_histogram_quantiles(rd.from_pandas(df), "v", "g",
                                     max_groups=10)
+
+
+def test_type_coarrival_twin_equivalence(ray_session, monkeypatch):
+    """type_coarrival_minute: the groupby(user, minute).map_groups twin
+    (forced by aborting the triple combine) matches the driver-bitmask
+    default exactly, and the route telemetry records which path ran."""
+    import dataquality_ray.stages.autoroute as ar
+    from dataquality_ray.pipelines.registry import queries
+
+    q = queries()["type_coarrival_minute"]
+    sf = "/root/testdata/sf0.001"
+
+    default = q(sf)
+    assert last_route("type_coarrival_minute")["chosen"] == "driver_bitmask"
+
+    orig = ar.guarded_partials
+    calls = {"n": 0}
+
+    def abort_first(stage, fn, cap, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None, False
+        return orig(stage, fn, cap, **kw)
+
+    monkeypatch.setattr(ar, "guarded_partials", abort_first)
+    routed = q(sf)
+    assert last_route("type_coarrival_minute")["chosen"] == "groupby_twin"
+    assert calls["n"] >= 2
+    pd.testing.assert_frame_equal(routed, default)

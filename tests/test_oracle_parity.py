@@ -59,8 +59,16 @@ def test_query_matches_oracle(name):
         f"schema mismatch: {list(ray_df.columns)} vs {list(duck_df.columns)}"
     assert len(ray_df) == len(duck_df), \
         f"row count {len(ray_df)} vs {len(duck_df)}"
+    # Driver's hash is dtype-sensitive: an int64 4565217 vs a DuckDB
+    # HUGEINT landing as float64 4565217.0 hash-differ even though the
+    # values are equal (CORRECTNESS_r03 identifier_stats).  Pin exact
+    # dtype parity so representation drift can never reach the driver.
+    dt_bad = [(c, str(ray_df[c].dtype), str(duck_df[c].dtype))
+              for c in ray_df.columns
+              if str(ray_df[c].dtype) != str(duck_df[c].dtype)]
+    assert not dt_bad, f"dtype drift (engine vs oracle): {dt_bad}"
     for c in ray_df.columns:
-        a, b = ray_df[c], duck_df[c].astype(ray_df[c].dtype)
+        a, b = ray_df[c], duck_df[c]
         if pd.api.types.is_float_dtype(a):
             ok = ((a - b).abs() < 1e-9) | (a.isna() & b.isna())
         else:

@@ -1,0 +1,183 @@
+"""Driver-semantics oracle sweep (VERDICT r03 next-round item 8).
+
+Runs every queries() entry that has an oracle_sql() twin and compares the
+two frames the way the correctness driver does: columns sorted by name,
+rows sorted, and a value hash that is **dtype-sensitive** (an int64
+4565217 vs a float64 4565217.0 is a mismatch, exactly the class of bug
+that made identifier_stats hash-red in CORRECTNESS_r03 despite being
+value-identical).
+
+Usage:
+    python tools/sweep_driver.py [--sf /root/testdata/sf0.001] [--only name,..]
+    python tools/sweep_driver.py --two-scale     # sf0.001 + sf0.01
+
+Exit code 0 iff every pair is green at every scale swept.
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical frame: columns sorted by name, rows sorted."""
+    df = df[sorted(df.columns)].copy()
+    sort_cols = []
+    for c in df.columns:
+        # bytes/object columns sort fine; lists/dicts do not — stringify a
+        # shadow key instead of mutating the value we hash.
+        if df[c].map(lambda v: isinstance(v, (list, dict, np.ndarray)),
+                     na_action="ignore").any():
+            df[f"__k_{c}"] = df[c].map(repr)
+            sort_cols.append(f"__k_{c}")
+        else:
+            sort_cols.append(c)
+    df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    return df[[c for c in df.columns if not c.startswith("__k_")]]
+
+
+def frame_hash(df: pd.DataFrame) -> str:
+    """Dtype-sensitive value hash of an already-canonical frame."""
+    h = hashlib.sha256()
+    for c in df.columns:
+        s = df[c]
+        h.update(c.encode())
+        h.update(str(s.dtype).encode())
+        if pd.api.types.is_float_dtype(s):
+            # round like the local gate so a last-ulp difference in a
+            # genuinely float column doesn't flap; dtype is already hashed.
+            vals = s.round(9).astype("float64").to_numpy()
+            h.update(vals.tobytes())
+        elif pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
+            h.update(s.to_numpy().tobytes())
+        else:
+            for v in s:
+                h.update(repr(v).encode())
+                h.update(b"\x1f")
+    return h.hexdigest()
+
+
+def compare(name: str, ray_df: pd.DataFrame, duck_df: pd.DataFrame) -> dict:
+    out = {"query": name,
+           "rows_match": len(ray_df) == len(duck_df),
+           "schema_match": sorted(ray_df.columns) == sorted(duck_df.columns)}
+    if not (out["rows_match"] and out["schema_match"]):
+        out.update(dtype_match=False, hash_match=False,
+                   detail=f"rows {len(ray_df)}/{len(duck_df)} "
+                          f"cols {sorted(ray_df.columns)}/"
+                          f"{sorted(duck_df.columns)}")
+        return out
+    a, b = canon(ray_df), canon(duck_df)
+    dt_bad = [(c, str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+              if str(a[c].dtype) != str(b[c].dtype)]
+    out["dtype_match"] = not dt_bad
+    out["hash_match"] = frame_hash(a) == frame_hash(b)
+    if dt_bad:
+        out["detail"] = f"dtype drift: {dt_bad}"
+    elif not out["hash_match"]:
+        bad_cols = []
+        for c in a.columns:
+            if frame_hash(a[[c]]) != frame_hash(b[[c]]):
+                bad_cols.append(c)
+        out["detail"] = f"value drift in {bad_cols}"
+    return out
+
+
+def sweep(sf_dir: str, only: set[str] | None = None) -> list[dict]:
+    import __ray_entry__ as entrymod
+
+    qs, orc = entrymod.queries(), entrymod.oracle_sql()
+    pairs = sorted(set(qs) & set(orc))
+    if only:
+        pairs = [p for p in pairs if p in only]
+    results = []
+    t_all = time.time()
+    for i, name in enumerate(pairs):
+        t0 = time.time()
+        try:
+            ray_df = _to_pandas(qs[name](sf_dir))
+            with _duck(sf_dir) as con:
+                duck_df = con.execute(orc[name]).fetchdf()
+            row = compare(name, ray_df, duck_df)
+        except Exception as exc:  # noqa: BLE001 - sweep must not die mid-run
+            row = {"query": name, "rows_match": False, "schema_match": False,
+                   "dtype_match": False, "hash_match": False,
+                   "detail": f"{type(exc).__name__}: {exc}"}
+        row["sec"] = round(time.time() - t0, 2)
+        ok = row["hash_match"] and row["dtype_match"]
+        print(f"[{i + 1}/{len(pairs)}] {'ok ' if ok else 'RED'} "
+              f"{name} ({row['sec']}s)"
+              + ("" if ok else f"  <- {row.get('detail', '?')}"),
+              flush=True)
+        results.append(row)
+    reds = [r for r in results
+            if not (r["hash_match"] and r["dtype_match"])]
+    print(f"\n{sf_dir}: {len(results) - len(reds)}/{len(results)} green "
+          f"({time.time() - t_all:.0f}s)")
+    for r in reds:
+        print(f"  RED {r['query']}: {r.get('detail')}")
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--two-scale", action="store_true")
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--out", default=None, help="write JSON results here")
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+                 include_dashboard=False, ignore_reinit_error=True)
+
+    only = set(args.only.split(",")) if args.only else None
+    dirs = (["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+            if args.two_scale else [args.sf])
+    all_res = {}
+    rc = 0
+    for d in dirs:
+        res = sweep(d, only)
+        all_res[d] = res
+        if any(not (r["hash_match"] and r["dtype_match"]) for r in res):
+            rc = 1
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(all_res, f, indent=1)
+    ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
