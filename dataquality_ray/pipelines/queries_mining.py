@@ -3601,11 +3601,14 @@ def dedup_savings_report_q(sf_dir: str):
     """Capacity-planning view of exact dedup: how many documents and
     bytes disappear when only the first copy of each text survives —
     the number that justifies running the dedup stage at all.  Per-text
-    (first-id, count, length) partials merge through the combine; no
-    text ever ships, only its hash and length."""
+    (first-id, count, length) partials merge through the combine — or,
+    past the cap, shuffle through a groupby(hash) twin whose per-hash
+    rows reduce to four scalars streamingly; no text ever ships, only
+    its hash and length."""
     import hashlib
 
-    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
 
     def part(b: pa.Table) -> pd.DataFrame:
         rows: dict[bytes, list] = {}
@@ -3629,13 +3632,35 @@ def dedup_savings_report_q(sf_dir: str):
 
     stage = (_read(sf_dir, "documents", ["doc_id", "text"])
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 4_000_000)
-    assert ok and merged is not None
-    n_docs = int(merged["cnt"].sum())
-    dups = merged["cnt"].astype(int) - 1
-    total_chars = int((merged["cnt"].astype(int)
-                       * merged["ln"].astype(int)).sum())
-    chars_saved = int((dups * merged["ln"].astype(int)).sum())
+    merged, twin = combine_or_groupby_twin(
+        "dedup_savings_report", stage, fold, 4_000_000, ["h"])
+    if twin is None:
+        assert merged is not None
+        n_docs = int(merged["cnt"].sum())
+        dups = merged["cnt"].astype(int) - 1
+        total_chars = int((merged["cnt"].astype(int)
+                           * merged["ln"].astype(int)).sum())
+        chars_saved = int((dups * merged["ln"].astype(int)).sum())
+    else:
+        def scal(b: pd.DataFrame) -> pd.DataFrame:
+            cnt = b["cnt"].astype("int64")
+            ln = b["ln"].astype("int64")
+            return pd.DataFrame({
+                "n_docs": [int(cnt.sum())],
+                "n_dup_docs": [int((cnt - 1).sum())],
+                "total_chars": [int((cnt * ln).sum())],
+                "chars_saved": [int(((cnt - 1) * ln).sum())]})
+
+        def sfold(f: pd.DataFrame) -> pd.DataFrame:
+            return f.sum().to_frame().T
+
+        s, ok2 = guarded_partials(
+            twin.map_batches(scal, batch_format="pandas"), sfold, 10)
+        assert ok2 and s is not None
+        n_docs = int(s["n_docs"].iloc[0])
+        dups = pd.Series([int(s["n_dup_docs"].iloc[0])])
+        total_chars = int(s["total_chars"].iloc[0])
+        chars_saved = int(s["chars_saved"].iloc[0])
     return pd.DataFrame({"n_docs": [n_docs],
                          "n_dup_docs": [int(dups.sum())],
                          "total_chars": [total_chars],
@@ -3871,11 +3896,14 @@ def dedup_rate_by_source_q(sf_dir: str):
     non-first copies of a text seen elsewhere (global first-occurrence
     by doc_id) — the feed-accountability view that tells you WHICH
     upstream to fix, not just how much dedup removes.  Per-text
-    (min-id, per-source counts) partials merge through the combine; no
+    (min-id, per-source counts) partials merge through the combine —
+    or, past the cap, a groupby(hash) shuffle resolves each text's
+    first copy per group and emits bounded per-source partials; no
     text ships, only hashes."""
     import hashlib
 
-    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.autoroute import (guarded_partials,
+                                                  record_route)
 
     def part(b: pa.Table) -> pd.DataFrame:
         rows = []
@@ -3892,12 +3920,42 @@ def dedup_rate_by_source_q(sf_dir: str):
     stage = (_read(sf_dir, "documents", ["doc_id", "source", "text"])
              .map_batches(part, batch_format="pyarrow"))
     merged, ok = guarded_partials(stage, fold, 4_000_000)
-    assert ok and merged is not None
-    first = merged.groupby("h")["doc_id"].min().rename("first_id")
-    m = merged.join(first, on="h")
-    m["is_dup"] = (m["doc_id"] > m["first_id"]).astype(np.int64)
-    g = m.groupby("source").agg(n_docs=("doc_id", "size"),
-                                n_dups=("is_dup", "sum")).reset_index()
+    if ok and merged is None:  # empty input
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "n_dups": pd.Series([], dtype="int64"),
+                             "dup_ppm": pd.Series([], dtype="int64")})
+    if ok:
+        record_route("dedup_rate_by_source", "combine", "within cap",
+                     len(merged))
+        first = merged.groupby("h")["doc_id"].min().rename("first_id")
+        m = merged.join(first, on="h")
+        m["is_dup"] = (m["doc_id"] > m["first_id"]).astype(np.int64)
+        g = (m.groupby("source")
+             .agg(n_docs=("doc_id", "size"), n_dups=("is_dup", "sum"))
+             .reset_index())
+    else:
+        # Distributed twin: shuffle on the content hash; each group
+        # resolves its own first copy and emits per-source (n_docs,
+        # n_dups) partials — bounded by the source universe.
+        record_route("dedup_rate_by_source", "groupby_twin", "over cap")
+
+        def per_hash(gr: pd.DataFrame) -> pd.DataFrame:
+            gr = gr.drop_duplicates(["doc_id"])
+            first = gr["doc_id"].min()
+            gr = gr.assign(
+                is_dup=(gr["doc_id"] > first).astype(np.int64))
+            return (gr.groupby("source")
+                    .agg(n_docs=("doc_id", "size"),
+                         n_dups=("is_dup", "sum")).reset_index())
+
+        def src_fold(f: pd.DataFrame) -> pd.DataFrame:
+            return f.groupby("source", as_index=False).sum()
+
+        twin = stage.groupby("h").map_groups(per_hash,
+                                             batch_format="pandas")
+        g, ok2 = guarded_partials(twin, src_fold, 1_000_000)
+        assert ok2 and g is not None, "source universe beyond cap"
     g["dup_ppm"] = (g["n_dups"].astype(object) * 1000000
                     // g["n_docs"]).astype("int64")
     for c in ["n_docs", "n_dups"]:

@@ -2200,9 +2200,12 @@ FROM events
 def sequence_gap_check_q(sf_dir: str):
     """Append-log completeness: missing ids (gaps) and replayed ids
     (dupes) from min/max/count/distinct — distinct via a guarded id-set
-    combine (ids are unique by contract, so partials are near-free)."""
+    combine (ids are unique by contract, so partials are near-free);
+    past the cap the id set shuffles through a groupby(event_id) twin
+    whose per-key rows reduce to four scalars streamingly."""
     from dataquality_ray.stages.autoroute import (
         DRIVER_COMBINE_CAP,
+        combine_or_groupby_twin,
         guarded_partials,
     )
 
@@ -2215,13 +2218,36 @@ def sequence_gap_check_q(sf_dir: str):
     def merge(frame: pd.DataFrame) -> pd.DataFrame:
         return frame.groupby("event_id", as_index=False)["c"].sum()
 
-    idx, ok = guarded_partials(
+    idx, twin = combine_or_groupby_twin(
+        "sequence_gap_check",
         ds.map_batches(partial, batch_format="pandas"), merge,
-        DRIVER_COMBINE_CAP)
-    assert ok, "id space beyond cap: use the min/max/count scalar partials"
-    ids = idx["event_id"].to_numpy(dtype=np.int64)
-    c = idx["c"].to_numpy(dtype=np.int64)
-    lo, hi, n, nd = int(ids.min()), int(ids.max()), int(c.sum()), len(ids)
+        DRIVER_COMBINE_CAP, ["event_id"])
+    if twin is None:
+        assert idx is not None
+        ids = idx["event_id"].to_numpy(dtype=np.int64)
+        c = idx["c"].to_numpy(dtype=np.int64)
+        lo, hi, n, nd = (int(ids.min()), int(ids.max()), int(c.sum()),
+                         len(ids))
+    else:
+        # per-key (event_id, c) rows are globally unique after the
+        # shuffle; four scalars reduce through a tiny guarded fold
+        def scal(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"lo": [int(b["event_id"].min())],
+                                 "hi": [int(b["event_id"].max())],
+                                 "n": [int(b["c"].sum())],
+                                 "nd": [len(b)]})
+
+        def sfold(f: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"lo": [int(f["lo"].min())],
+                                 "hi": [int(f["hi"].max())],
+                                 "n": [int(f["n"].sum())],
+                                 "nd": [int(f["nd"].sum())]})
+
+        s, ok2 = guarded_partials(
+            twin.map_batches(scal, batch_format="pandas"), sfold, 10)
+        assert ok2 and s is not None
+        lo, hi, n, nd = (int(s["lo"][0]), int(s["hi"][0]),
+                         int(s["n"][0]), int(s["nd"][0]))
     return pd.DataFrame({
         "min_id": np.array([lo], np.int64),
         "max_id": np.array([hi], np.int64),
@@ -5104,9 +5130,11 @@ def order_to_ship_latency_q(sf_dir: str):
     """Order-to-first-shipment latency: per order, days from order date
     to the earliest lineitem ship date, summarized by discrete
     quantiles — the fulfilment KPI.  The per-order min reduces through
-    the combine, joins orders via smart_join, and the day histogram
-    collapses to value counts before quantile selection."""
-    from dataquality_ray.stages.autoroute import guarded_partials
+    the combine (broadcast into the header scan), or past the cap
+    through a groupby(l_orderkey) twin joined to orders via smart_join;
+    either way the day histogram collapses to bounded value counts."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
     from dataquality_ray.stages.joins import smart_join
 
     def lpart(b: pa.Table) -> pd.DataFrame:
@@ -5120,29 +5148,46 @@ def order_to_ship_latency_q(sf_dir: str):
 
     stage = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
              .map_batches(lpart, batch_format="pyarrow"))
-    first_ship, ok = guarded_partials(stage, lfold, 2_000_000)
-    assert ok and first_ship is not None
-    smap = dict(zip(first_ship["l_orderkey"].astype(int),
-                    first_ship["t_ship"].astype(int)))
-
-    def days_part(b: pa.Table) -> pd.DataFrame:
-        ok_keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
-        od = b["o_orderdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        ds_ = []
-        for k, o in zip(ok_keys, od):
-            t = smap.get(int(k))
-            if t is not None:
-                ds_.append((int(t) - int(o)) // 86400000000)
-        u, c = np.unique(np.array(ds_, dtype=np.int64),
-                         return_counts=True)
-        return pd.DataFrame({"days": u, "c": c})
+    first_ship, twin = combine_or_groupby_twin(
+        "order_to_ship_latency", stage, lfold, 2_000_000, ["l_orderkey"])
 
     def dfold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("days", as_index=False)["c"].sum()
 
-    stage2 = (_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
-              .map_batches(days_part, batch_format="pyarrow"))
+    if twin is None:
+        assert first_ship is not None
+        smap = dict(zip(first_ship["l_orderkey"].astype(int),
+                        first_ship["t_ship"].astype(int)))
+
+        def days_part(b: pa.Table) -> pd.DataFrame:
+            keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            od = b["o_orderdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            ds_ = []
+            for k, o in zip(keys, od):
+                t = smap.get(int(k))
+                if t is not None:
+                    ds_.append((int(t) - int(o)) // 86400000000)
+            u, c = np.unique(np.array(ds_, dtype=np.int64),
+                             return_counts=True)
+            return pd.DataFrame({"days": u, "c": c})
+
+        stage2 = (_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+                  .map_batches(days_part, batch_format="pyarrow"))
+    else:
+        joined = smart_join(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]),
+            twin, on="o_orderkey", right_on="l_orderkey",
+            value_cols=["t_ship"], join_type="inner")
+
+        def days_join(b: pd.DataFrame) -> pd.DataFrame:
+            od = b["o_orderdate"].astype("int64").to_numpy()
+            t = b["t_ship"].astype("int64").to_numpy()
+            u, c = np.unique((t - od) // 86400000000,
+                             return_counts=True)
+            return pd.DataFrame({"days": u.astype(np.int64), "c": c})
+
+        stage2 = joined.map_batches(days_join, batch_format="pandas")
     hist, ok2 = guarded_partials(stage2, dfold, 2_000_000)
     assert ok2 and hist is not None
     h = hist.sort_values("days").reset_index(drop=True)
@@ -5232,9 +5277,12 @@ def order_total_consistency_q(sf_dir: str):
     Σ lineitem price| in exact integer cents, summarized by match count
     and discrete quantiles — the cross-table integrity check (the A3
     sum-check generalized across a join).  Detail sums reduce through
-    the combine and broadcast into the header scan; the diff histogram
-    collapses to value counts."""
-    from dataquality_ray.stages.autoroute import guarded_partials
+    the combine and broadcast into the header scan, or past the cap
+    through a groupby(l_orderkey) twin joined via smart_join; the diff
+    histogram collapses to bounded value counts either way."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+    from dataquality_ray.stages.joins import smart_join
 
     def dpart(b: pa.Table) -> pd.DataFrame:
         f = pd.DataFrame({
@@ -5250,26 +5298,44 @@ def order_total_consistency_q(sf_dir: str):
     stage = (_read(sf_dir, "lineitem",
                    ["l_orderkey", "l_extendedprice"])
              .map_batches(dpart, batch_format="pyarrow"))
-    detail, ok = guarded_partials(stage, dfold, 2_000_000)
-    assert ok and detail is not None
-    dmap = dict(zip(detail["l_orderkey"].astype(int),
-                    detail["line_cents"].astype(int)))
-
-    def diff_part(b: pa.Table) -> pd.DataFrame:
-        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
-        tot = pc.round(pc.multiply(b["o_totalprice"], 100.0)) \
-            .cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ds_ = [abs(int(t) - dmap[int(k)]) for k, t in zip(keys, tot)
-               if int(k) in dmap]
-        u, c = np.unique(np.array(ds_, dtype=np.int64),
-                         return_counts=True)
-        return pd.DataFrame({"d": u, "c": c})
+    detail, twin = combine_or_groupby_twin(
+        "order_total_consistency", stage, dfold, 2_000_000,
+        ["l_orderkey"])
 
     def hfold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("d", as_index=False)["c"].sum()
 
-    stage2 = (_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-              .map_batches(diff_part, batch_format="pyarrow"))
+    if twin is None:
+        assert detail is not None
+        dmap = dict(zip(detail["l_orderkey"].astype(int),
+                        detail["line_cents"].astype(int)))
+
+        def diff_part(b: pa.Table) -> pd.DataFrame:
+            keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            tot = pc.round(pc.multiply(b["o_totalprice"], 100.0)) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ds_ = [abs(int(t) - dmap[int(k)]) for k, t in zip(keys, tot)
+                   if int(k) in dmap]
+            u, c = np.unique(np.array(ds_, dtype=np.int64),
+                             return_counts=True)
+            return pd.DataFrame({"d": u, "c": c})
+
+        stage2 = (_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+                  .map_batches(diff_part, batch_format="pyarrow"))
+    else:
+        joined = smart_join(
+            _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+            twin, on="o_orderkey", right_on="l_orderkey",
+            value_cols=["line_cents"], join_type="inner")
+
+        def diff_join(b: pd.DataFrame) -> pd.DataFrame:
+            tot = np.round(b["o_totalprice"].to_numpy() * 100.0) \
+                .astype(np.int64)
+            lc = b["line_cents"].astype("int64").to_numpy()
+            u, c = np.unique(np.abs(tot - lc), return_counts=True)
+            return pd.DataFrame({"d": u.astype(np.int64), "c": c})
+
+        stage2 = joined.map_batches(diff_join, batch_format="pandas")
     hist, ok2 = guarded_partials(stage2, hfold, 2_000_000)
     assert ok2 and hist is not None
     h = hist.sort_values("d").reset_index(drop=True)

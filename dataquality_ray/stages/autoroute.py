@@ -89,3 +89,32 @@ def guarded_partials(stage_ds, combine_fn, cap: int,
     if len(acc) > cap:
         return None, False
     return acc, True
+
+
+def combine_or_groupby_twin(op: str, stage_ds, fold_fn, cap: int, keys,
+                            *, buffer_rows: int = 262_144):
+    """``guarded_partials`` with an automatic distributed twin.
+
+    ``fold_fn`` must be an idempotent re-aggregation keyed on ``keys``
+    (groupby-sum/min/max shaped), so applying it per key group yields
+    exactly the rows the driver combine would have produced for that key.
+
+    Returns ``(merged_frame, None)`` when the combine stayed within
+    ``cap`` (``merged_frame`` may be ``None`` for an empty input), or
+    ``(None, twin_dataset)`` past the cap — ``twin_dataset`` is a lazy
+    ``groupby(keys).map_groups(fold_fn)`` over the SAME stage, one exact
+    row set per key, which the caller then reduces streamingly (its
+    final aggregate must itself be bounded).  Every decision lands in
+    ``ROUTE_EVENTS``.
+    """
+    merged, ok = guarded_partials(stage_ds, fold_fn, cap,
+                                  buffer_rows=buffer_rows)
+    if ok:
+        record_route(op, "combine", "within cap",
+                     0 if merged is None else len(merged))
+        return merged, None
+    record_route(op, "groupby_twin", "over cap", None)
+    key = list(keys) if len(keys) > 1 else keys[0]
+    twin = stage_ds.groupby(key).map_groups(fold_fn,
+                                            batch_format="pandas")
+    return None, twin

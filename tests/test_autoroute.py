@@ -383,3 +383,36 @@ def test_type_coarrival_twin_equivalence(ray_session, monkeypatch):
     assert last_route("type_coarrival_minute")["chosen"] == "groupby_twin"
     assert calls["n"] >= 2
     pd.testing.assert_frame_equal(routed, default)
+
+
+@pytest.mark.parametrize("qname", [
+    "order_to_ship_latency", "order_total_consistency",
+    "sequence_gap_check", "dedup_savings_report", "dedup_rate_by_source",
+])
+def test_unbounded_combine_twin_equivalence(ray_session, monkeypatch,
+                                            qname):
+    """Every row-scaling combine site has a distributed twin: forcing
+    the first guarded combine to abort must route to the groupby twin
+    and produce the identical frame."""
+    import dataquality_ray.stages.autoroute as ar
+    from dataquality_ray.pipelines.registry import queries
+
+    q = queries()[qname]
+    sf = "/root/testdata/sf0.001"
+    default = q(sf)
+    assert last_route(qname)["chosen"] == "combine"
+
+    orig = ar.guarded_partials
+    calls = {"n": 0}
+
+    def abort_first(stage, fn, cap, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None, False
+        return orig(stage, fn, cap, **kw)
+
+    monkeypatch.setattr(ar, "guarded_partials", abort_first)
+    routed = q(sf)
+    assert last_route(qname)["chosen"] == "groupby_twin"
+    pd.testing.assert_frame_equal(
+        routed.reset_index(drop=True), default.reset_index(drop=True))
