@@ -545,13 +545,19 @@ def minhash_q(sf_dir: str):
     return pairs
 
 
-@query("dedup_minhash_fast")
+@query("dedup_minhash_fast", sql=(
+    "WITH " + _minhash_pairs_body(_MINHASH_CORPUS, 0.5)
+    + " SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"))
 def minhash_fast_q(sf_dir: str):
     """Same planted-mutant corpus as ``dedup_minhash`` through the
     ENGINE-default vectorized shingle hasher (stages/minhash.py
-    shingle_hashes_fast_batch) — rows-only (xxhash+splitmix chain is not
-    SQL-replicable); pair-level equivalence with the sha chain is pinned in
-    tests/test_dedup_ann.py."""
+    shingle_hashes_fast_batch).  The splitmix chain itself is not
+    SQL-replicable, but its OUTPUT is: shingle sets are in bijection
+    with the sha chain's (64-bit hashes over distinct shingles —
+    collision-free at any realistic corpus), so the banded+verified
+    pair set and every exact Jaccard value equal the sha path's, and
+    the sha-chain SQL serves as the oracle.  Pair-level equivalence is
+    additionally pinned in tests/test_dedup_ann.py."""
     from dataquality_ray.stages.minhash import minhash_near_dup_pairs
 
     def with_mutants(batch: pa.Table) -> pa.Table:
