@@ -65,6 +65,9 @@ def cmd_dedup(args: argparse.Namespace) -> int:
         if args.id_column not in ds.schema().names:
             raise SystemExit(f"--id-column {args.id_column!r} not in table")
         marked = mark_duplicates_join(hashed, id_col=args.id_column)
+        # materialize once: counting from the lazy pipeline after the
+        # write would re-execute the whole hash-join dedup a second time
+        marked = marked.materialize()
         marked.write_parquet(args.out)
         n_dup = int(marked.map_batches(
             lambda b: {"n": [int(sum(b["is_dup"]))]},

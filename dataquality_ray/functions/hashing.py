@@ -76,7 +76,12 @@ def rowhash_batch(batch, out_col: str = "row_hash"):
         import hashlib
 
         pdf = batch.to_pandas()
-        payload = pdf.astype(str).agg("\x00".join, axis=1)
+        # length-prefix every field so boundaries are unambiguous —
+        # joining with a bare separator would hash ('a\x00b', 'c') and
+        # ('a', 'b\x00c') identically and invent duplicates
+        svals = pdf.astype(str)
+        payload = svals.apply(
+            lambda row: "".join(f"{len(v)}:{v}" for v in row), axis=1)
         arr = pa.array(
             [hashlib.sha256(p.encode()).digest()[:16] for p in payload],
             type=pa.binary(16))

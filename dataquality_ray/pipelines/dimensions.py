@@ -669,9 +669,12 @@ def u1_duplicate_rows(ds, columns: list[str] | None = None,
 
         def partial(batch: pa.Table) -> pa.Table:
             # Arrow C++ hash agg — pandas would groupby Python bytes
-            # objects (hash-per-object), ~5x slower on the 16-byte keys
+            # objects (hash-per-object), ~5x slower on the 16-byte keys.
+            # Select by NAME: keys-first column order of
+            # TableGroupBy.aggregate has differed across pyarrow releases.
             g = batch.group_by("row_hash").aggregate([("row_hash", "count")])
-            return g.rename_columns(["row_hash", "c"])
+            return (g.select(["row_hash", "row_hash_count"])
+                    .rename_columns(["row_hash", "c"]))
 
         def merge(frame: pd.DataFrame) -> pd.DataFrame:
             return (frame.groupby("row_hash", sort=False)["c"].sum()
@@ -773,7 +776,8 @@ def u1_violations_report(ds, columns: list[str] | None = None):
     def partial(batch: pa.Table) -> pa.Table:
         g = (batch.select(["_row_hash"]).group_by("_row_hash")
              .aggregate([("_row_hash", "count")]))
-        return g.rename_columns(["_row_hash", "c"])
+        return (g.select(["_row_hash", "_row_hash_count"])
+                .rename_columns(["_row_hash", "c"]))
 
     def merge(frame):
         return (frame.groupby("_row_hash", sort=False)["c"].sum()

@@ -63,5 +63,9 @@ def cached_query(name: str, fn, sf_dir: str, *, table: str,
     res = fn(sf_dir)
     if hasattr(res, "to_pandas") and not isinstance(res, pd.DataFrame):
         res = res.to_pandas()
-    res.to_parquet(path, index=False)
+    # write-then-rename so a crash or concurrent writer can never leave a
+    # truncated parquet behind the final fingerprint-keyed path
+    tmp = path + f".tmp.{os.getpid()}"
+    res.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
     return res, False

@@ -37,7 +37,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8601)
     ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--allow-remote", action="store_true",
+                    help="required to bind a non-loopback host")
     args = ap.parse_args()
+    if args.host not in ("127.0.0.1", "localhost", "::1"):
+        if not args.allow_remote:
+            raise SystemExit(
+                f"refusing to bind {args.host}: the UI triggers reads of "
+                "arbitrary local file paths and battery compute with NO "
+                "authentication. Pass --allow-remote only on a trusted "
+                "network.")
+        print(f"WARNING: binding {args.host} exposes an unauthenticated "
+              "local-file/compute endpoint — trusted networks only.")
 
     import ray
 
