@@ -8,6 +8,9 @@ formats a standard library can handle:
   gray/gray+alpha/RGB/RGBA, non-interlaced — the baseline of the PNG spec)
 - PPM/PGM binary (P6/P5)
 - WAV PCM (stdlib ``wave``; 8/16/32-bit integer PCM)
+- Y4M / YUV4MPEG2 video (ASCII stream header + raw uncompressed frame
+  planes; C420*, C422, C444 and Cmono colorspaces — the uncompressed
+  interchange format every ffmpeg pipeline can emit)
 
 Encoders for the same formats exist so tests and fixtures synthesize real
 payloads deterministically.  Anything beyond these formats needs the
@@ -33,6 +36,8 @@ def sniff_format(data: bytes) -> str | None:
         return "ppm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:9] == b"YUV4MPEG2":
+        return "y4m"
     return None
 
 
@@ -245,3 +250,98 @@ def frame_rms_energies(samples: np.ndarray, n_frames: int) -> np.ndarray:
         seg = samples[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]
         out[i] = np.sqrt(np.mean(seg * seg))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Y4M / YUV4MPEG2 — uncompressed video (stream header + raw frame planes).
+# Reference semantics: /root/reference has no video path at all; this is the
+# engine's real-decode layer for the video modality (stages/multimodal.py).
+# ---------------------------------------------------------------------------
+
+def _y4m_chroma_bytes(colorspace: str, w: int, h: int) -> int:
+    """Bytes of chroma data per frame for a Y4M colorspace tag."""
+    if colorspace.startswith("420"):
+        if w % 2 or h % 2:
+            raise ValueError("C420 needs even dimensions")
+        return (w // 2) * (h // 2) * 2
+    if colorspace.startswith("422"):
+        if w % 2:
+            raise ValueError("C422 needs even width")
+        return (w // 2) * h * 2
+    if colorspace.startswith("444"):
+        return w * h * 2
+    if colorspace.startswith("mono"):
+        return 0
+    raise NotImplementedError(f"Y4M colorspace C{colorspace}")
+
+
+def decode_y4m(data: bytes) -> tuple[tuple[int, int], np.ndarray]:
+    """Parse a YUV4MPEG2 stream.
+
+    Returns ``((fps_num, fps_den), frames)`` where ``frames`` is a
+    ``uint8 (n, h, w)`` array of LUMA planes (chroma is parsed for its
+    size and skipped — grid features and frame stats are luma-only).
+    Supports C420 / C420jpeg / C420paldv / C420mpeg2, C422, C444 and
+    Cmono; anything else raises NotImplementedError naming the tag.
+    """
+    if data[:9] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    w = h = None
+    num, den = 25, 1  # Y4M default when F is absent
+    cs = "420"
+    for tok in data[9:nl].decode("ascii", "strict").split():
+        tag, val = tok[0], tok[1:]
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            a, b = val.split(":")
+            num, den = int(a), int(b)
+        elif tag == "C":
+            cs = val
+        # I (interlace), A (aspect), X (extensions) don't affect plane math
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    ysz = w * h
+    csz = _y4m_chroma_bytes(cs, w, h)
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fe = data.index(b"\n", pos)
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = fe + 1
+        if pos + ysz + csz > len(data):
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(data, np.uint8, ysz,
+                                    pos).reshape(h, w))
+        pos += ysz + csz
+    if frames:
+        return (num, den), np.stack(frames)
+    return (num, den), np.zeros((0, h, w), np.uint8)
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1),
+               colorspace: str = "mono") -> bytes:
+    """Encode ``uint8 (n, h, w)`` luma frames as a YUV4MPEG2 stream.
+
+    ``colorspace='mono'`` writes luma only; ``'420'`` pads each frame
+    with neutral (128) chroma planes so any standard player accepts it.
+    """
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 3:
+        raise ValueError("frames must be (n, h, w)")
+    n, h, w = frames.shape
+    csz = _y4m_chroma_bytes(colorspace, w, h)
+    out = io.BytesIO()
+    cs_tag = "mono" if colorspace.startswith("mono") else colorspace
+    out.write(f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
+              f"C{cs_tag}\n".encode("ascii"))
+    chroma = b"\x80" * csz
+    for i in range(n):
+        out.write(b"FRAME\n")
+        out.write(frames[i].tobytes())
+        out.write(chroma)
+    return out.getvalue()

@@ -1011,16 +1011,22 @@ def quota_q(sf_dir: str):
 
 @query("multimodal_video_frames")
 def multimodal_video_q(sf_dir: str):
+    """REAL video decode end-to-end: deterministic Y4M clips (actual
+    YUV4MPEG2 streams, mono + C420) decoded by the builtin parser inside
+    the actor-pool stage — duration/fps/frame-count from real stream
+    headers, features from real luma planes.  Rows-only; frame-feature
+    parity vs direct numpy decode is pinned in
+    tests/test_multimodal_codecs.py."""
     import ray.data as rd
 
     from dataquality_ray.stages.multimodal import (
         sample_video_frames,
-        synthesize_media_table,
+        synthesize_real_video_table,
     )
 
-    media = rd.from_arrow(synthesize_media_table(64, seed=42)).repartition(4)
-    video = media.filter(expr="mime_type == 'video/mp4'")
-    sampled = sample_video_frames(video, fake=True, k=4)
+    media = rd.from_arrow(
+        synthesize_real_video_table(12, seed=42)).repartition(2)
+    sampled = sample_video_frames(media, fake=False, k=4)
     out = sampled.select_columns(
         ["media_id", "mime_type", "duration_s", "fps", "n_frames"]).to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)

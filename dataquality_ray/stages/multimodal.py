@@ -85,6 +85,37 @@ def synthesize_real_media_table(n: int = 24, seed: int = 42) -> pa.Table:
     })
 
 
+def synthesize_real_video_table(n: int = 12, seed: int = 42) -> pa.Table:
+    """Deterministic REAL video rows: moving-square-over-gradient clips
+    encoded as actual Y4M streams (functions/codecs.encode_y4m), decodable
+    by the builtin parser — so the non-fake video path is exercised
+    end-to-end with no optional libraries."""
+    from dataquality_ray.functions.codecs import encode_y4m
+
+    rng = np.random.RandomState(seed)
+    ids, mimes, payloads = [], [], []
+    for i in range(n):
+        h, w = 16, 16
+        fps = int(rng.choice([24, 25, 30]))
+        n_frames = int(rng.randint(4, 20))
+        base = ((np.arange(h)[:, None] + np.arange(w)[None, :])
+                * 8 % 256).astype(np.uint8)
+        frames = np.broadcast_to(base, (n_frames, h, w)).copy()
+        for t in range(n_frames):  # a bright 4x4 square sweeping right
+            x = (2 * t) % (w - 4)
+            frames[t, 4:8, x:x + 4] = 255
+        cs = "mono" if i % 2 else "420"
+        payloads.append(encode_y4m(frames, (fps, 1), cs))
+        mimes.append("video/x-yuv4mpeg")
+        ids.append(i)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "mime_type": pa.array(mimes),
+        "payload": pa.array(payloads, pa.binary()),
+        "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+
+
 class ImageDecoder:
     """Actor: decode image payloads -> (height, width, channels) + a feature
     vector (grid of grayscale means — functions/codecs.py).  batch_size
@@ -243,16 +274,23 @@ def sample_audio(ds, fake: bool = False, batch_size: int = 32,
 
 class VideoFrameSampler:
     """Actor: decode video payloads -> (duration_s, fps, n_frames) metadata
-    plus ``k`` uniformly-sampled per-frame feature vectors.  Real decode
-    needs ffmpeg/decord (absent here) — ``fake=True`` derives deterministic
-    pseudo-video from the payload hash; the Ray-side plumbing (binary
-    column in, small batch, list<list<float>> frame features out) is the
-    real, tested part."""
+    plus ``k`` uniformly-sampled per-frame feature vectors (4x4 luma grid
+    means, same features as ImageDecoder).
 
-    def __init__(self, fake: bool = False, k: int = 4, feature_dim: int = 8):
+    Real decode layering: Y4M/YUV4MPEG2 payloads decode via the builtin
+    parser (functions/codecs.decode_y4m — raw planes, no compression);
+    compressed containers (mp4/webm/...) need av/decord/imageio and raise
+    NotImplementedError naming the gap when none is importable.
+    ``fake=True`` keeps the deterministic payload-hash pseudo-video for
+    plumbing tests."""
+
+    def __init__(self, fake: bool = False, k: int = 4, feature_dim: int = 8,
+                 grid: int = 4):
         self.fake = fake
         self.k = k
         self.feature_dim = feature_dim
+        self.grid = grid
+        self.codec = None
         if not fake:
             for lib in ("av", "decord", "imageio"):
                 try:
@@ -261,11 +299,6 @@ class VideoFrameSampler:
                     break
                 except ImportError:
                     continue
-            else:
-                raise NotImplementedError(
-                    "video decoding requires av/decord/imageio (none "
-                    "importable here) — there is no stdlib video codec; "
-                    "construct with fake=True for the plumbing stub")
 
     def _fake_decode(self, payload: bytes):
         h = hashlib.blake2b(payload, digest_size=16).digest()
@@ -277,10 +310,38 @@ class VideoFrameSampler:
         feats = rng.rand(self.k, self.feature_dim).astype(np.float32)
         return float(duration), fps, n_frames, feats
 
+    def _real_decode(self, payload: bytes):
+        from dataquality_ray.functions.codecs import (
+            decode_y4m,
+            image_grid_features,
+            sniff_format,
+        )
+
+        fmt = sniff_format(payload)
+        if fmt != "y4m":
+            raise NotImplementedError(
+                f"video format {fmt or 'unknown'} needs av/decord/imageio "
+                f"(importable: {self.codec}) — the builtin codec handles "
+                "Y4M/YUV4MPEG2 only")
+        (num, den), frames = decode_y4m(payload)
+        n_frames = len(frames)
+        fps = num / den
+        duration = n_frames * den / num if num else 0.0
+        if n_frames:
+            idx = np.linspace(0, n_frames - 1,
+                              min(self.k, n_frames)).astype(int)
+            feats = np.stack([
+                image_grid_features(frames[i][:, :, None], grid=self.grid)
+                for i in idx]).astype(np.float32)
+        else:
+            feats = np.zeros((0, self.grid * self.grid), np.float32)
+        return float(duration), int(round(fps)), n_frames, feats
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         durs, fpss, counts, frames = [], [], [], []
+        decode = self._fake_decode if self.fake else self._real_decode
         for p in batch["payload"].to_pylist():
-            d, f, n, feats = self._fake_decode(p or b"")
+            d, f, n, feats = decode(p or b"")
             durs.append(d)
             fpss.append(f)
             counts.append(n)

@@ -165,9 +165,11 @@ def test_unsupported_formats_raise_named_errors():
         ImageDecoder(fake=False)._real_decode(b"\xff\xd8\xff jpeg-ish")
     with pytest.raises(NotImplementedError, match="soundfile"):
         AudioFrameSampler(fake=False)._real_decode(b"ID3 mp3-ish")
-    # no video codec in this container: constructor names the libraries
+    # builtin Y4M decode means the constructor no longer raises; a
+    # COMPRESSED container without av/decord/imageio names the gap
+    # per-payload instead
     with pytest.raises(NotImplementedError, match="av/decord/imageio"):
-        VideoFrameSampler(fake=False)
+        VideoFrameSampler(fake=False)._real_decode(b"\x1aE\xdf\xa3 webm-ish")
 
 
 # --- perceptual-hash dedup -------------------------------------------------
@@ -263,3 +265,91 @@ def test_audio_fingerprint_amplitude_invariant_and_recall(ray_session):
     found = set(zip(p3.id_a, p3.id_b))
     assert {(i, i + 100) for i in range(4)} <= found
     assert all(b - a == 100 for a, b in found)  # no unrelated clips pair
+
+
+# ---------------------------------------------------------------------------
+# Y4M video (round 4: real video decode)
+# ---------------------------------------------------------------------------
+
+def test_y4m_roundtrip_all_colorspaces():
+    from dataquality_ray.functions.codecs import (decode_y4m, encode_y4m,
+                                                  sniff_format)
+
+    rng = np.random.RandomState(3)
+    fr = rng.randint(0, 256, (5, 12, 20), dtype=np.uint8)
+    for cs in ["mono", "420", "422", "444"]:
+        data = encode_y4m(fr, (30, 1), cs)
+        assert sniff_format(data) == "y4m"
+        (num, den), dec = decode_y4m(data)
+        assert (num, den) == (30, 1)
+        assert np.array_equal(dec, fr), cs
+
+
+def test_y4m_chroma_skip_handmade_stream():
+    """Hand-built C420 stream with NON-neutral varying chroma: the parser
+    must skip exactly the right number of chroma bytes per frame or the
+    second frame's luma would be misaligned."""
+    from dataquality_ray.functions.codecs import decode_y4m
+
+    w, h = 4, 2
+    f0 = bytes(range(8))
+    f1 = bytes(range(100, 108))
+    chroma0 = b"\x01\x02\x03\x04"  # (w//2)*(h//2)*2 = 4 bytes
+    chroma1 = b"\xfe\xfd\xfc\xfb"
+    data = (b"YUV4MPEG2 W4 H2 F24:1 C420jpeg\n"
+            + b"FRAME\n" + f0 + chroma0
+            + b"FRAME\n" + f1 + chroma1)
+    (num, den), frames = decode_y4m(data)
+    assert (num, den) == (24, 1)
+    assert frames.shape == (2, 2, 4)
+    assert frames[0].tobytes() == f0 and frames[1].tobytes() == f1
+
+
+def test_y4m_rejects_unknown_colorspace_and_truncation():
+    from dataquality_ray.functions.codecs import decode_y4m
+
+    with pytest.raises(NotImplementedError, match="C411"):
+        decode_y4m(b"YUV4MPEG2 W4 H2 F24:1 C411\nFRAME\n" + bytes(8))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(b"YUV4MPEG2 W4 H2 F24:1 Cmono\nFRAME\n" + bytes(4))
+
+
+def test_video_sampler_real_feature_parity(ray_session):
+    """The actor-pool stage's real Y4M path emits exactly the features a
+    direct numpy decode computes: duration/fps/n_frames from the stream
+    header, 4x4 luma grid means of k uniformly-sampled frames."""
+    import ray.data as rd
+
+    from dataquality_ray.functions.codecs import (decode_y4m,
+                                                  image_grid_features)
+    from dataquality_ray.stages.multimodal import (
+        sample_video_frames,
+        synthesize_real_video_table,
+    )
+
+    tbl = synthesize_real_video_table(8, seed=7)
+    out = (sample_video_frames(rd.from_arrow(tbl).repartition(2),
+                               fake=False, k=3)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    payloads = {i: p for i, p in zip(tbl["media_id"].to_pylist(),
+                                     tbl["payload"].to_pylist())}
+    for _, row in out.iterrows():
+        (num, den), frames = decode_y4m(payloads[int(row["media_id"])])
+        assert row["n_frames"] == len(frames)
+        assert row["fps"] == round(num / den)
+        assert abs(row["duration_s"] - len(frames) * den / num) < 1e-6
+        idx = np.linspace(0, len(frames) - 1,
+                          min(3, len(frames))).astype(int)
+        want = np.stack([image_grid_features(frames[i][:, :, None])
+                         for i in idx]).astype(np.float32)
+        got = np.array([list(f) for f in row["frame_features"]],
+                       dtype=np.float32)
+        assert np.allclose(got, want, atol=1e-6)
+
+
+def test_video_sampler_real_rejects_non_y4m(ray_session):
+    from dataquality_ray.stages.multimodal import VideoFrameSampler
+
+    s = VideoFrameSampler(fake=False)
+    with pytest.raises(NotImplementedError, match="av/decord/imageio"):
+        s._real_decode(b"\x00\x00\x00 ftypisom fake mp4")
