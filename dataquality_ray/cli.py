@@ -186,7 +186,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["broadcast", "join", "sidecar"])
     f.add_argument("--no-dedup", action="store_true")
     f.add_argument("--batch-size", type=int, default=2048)
-    f.add_argument("--compute", default="actors",
+    f.add_argument("--compute", default="tasks",
                    choices=["actors", "tasks"],
                    help="scorer shape: explicit actor pool, or fused "
                         "per-block task chain (see BASELINE.md scaling)")

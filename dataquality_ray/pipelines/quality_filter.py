@@ -140,7 +140,7 @@ def _apply_dup_batch(batch: pa.Table) -> pa.Table:
 
 
 def label_pipeline(ds, *, dup_index_ref=None, scorer_concurrency=None,
-                   batch_size: int = 2048, compute: str = "actors"):
+                   batch_size: int = 2048, compute: str = "tasks"):
     """Attach all label columns to a (repo,path,commit,lang,content) Dataset.
 
     ``batch_size`` is moderate because ``content`` rows are wide (SURVEY §7.2).
@@ -148,16 +148,21 @@ def label_pipeline(ds, *, dup_index_ref=None, scorer_concurrency=None,
     else (langid + perplexity + scrub + decide + dedup-mark) runs as ONE
     scorer stage, in one of two computes:
 
-    - ``compute="actors"`` (default): an actor pool (stages/scorer.py
-      FilterStage) — explicit pool sizing, state pinned in ``__init__``,
-      each batch crosses the object store once between prep and scorer.
-    - ``compute="tasks"``: the same chain as a plain task function with
-      per-worker-process cached state (stages/scorer.py make_filter_fn).
-      Ray Data then FUSES read -> prep -> filter (-> write, in sidecar
-      mode) into ONE task per block, so content never crosses the object
-      store between stages at all — the shape that removes the shared
-      plasma path from the scaling bottleneck (see BASELINE.md scaling
-      notes).  Output is identical (tested).
+    - ``compute="tasks"`` (default): the whole chain as a plain task
+      function with per-worker-process cached state (stages/scorer.py
+      make_filter_fn).  Ray Data FUSES read -> prep -> filter (-> write,
+      in sidecar mode) into ONE task per block, so content never crosses
+      the object store between stages at all — measured +31% at 32 CPUs
+      and byte-identical output (tested; BASELINE.md scaling notes).
+      The scorer state here is lightweight (langid tables + a 128 KB
+      bigram LM + compiled regexes, ~0.25 s to build once per worker
+      process), which is exactly when task-fusion wins.
+    - ``compute="actors"`` (opt-in): an explicit actor pool
+      (stages/scorer.py FilterStage) — state pinned in ``__init__``,
+      pool sizing under caller control.  Choose this when the stage
+      state is genuinely heavy (a GPU model, a multi-GB index) and
+      per-process duplication or lazy re-init would hurt more than the
+      extra object-store hop.
     """
     from dataquality_ray.stages.scorer import (
         FilterStage,
@@ -240,7 +245,7 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
                        dedup: bool = True,
                        dedup_mode: str = "broadcast",
                        batch_size: int = 2048,
-                       compute: str = "actors") -> dict:
+                       compute: str = "tasks") -> dict:
     """End-to-end resumable run: label + scrub + write + lineage.
 
     Partition/lineage unit = one CHUNK of input files (``chunk_files`` per
@@ -276,11 +281,12 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
     re-reads are free and the post-pass is extra fixed work); at cold
     100 TB storage sidecar's single content read and zero plasma pinning
     dominate.
-    ``compute``: scorer execution shape — ``'actors'`` (default, explicit
-    pool) or ``'tasks'`` (fused per-block chain with per-worker-process
-    cached state; combined with ``dedup_mode='sidecar'`` the whole chunk is
-    read -> label -> write in ONE fused task per block, zero content bytes
-    through the object store).  See :func:`label_pipeline`.
+    ``compute``: scorer execution shape — ``'tasks'`` (default: fused
+    per-block chain with per-worker-process cached state; combined with
+    ``dedup_mode='sidecar'`` the whole chunk is read -> label -> write in
+    ONE fused task per block, zero content bytes through the object
+    store) or ``'actors'`` (explicit pool — opt in for genuinely heavy
+    per-worker state).  See :func:`label_pipeline`.
     """
     if dedup_mode not in ("broadcast", "join", "sidecar"):
         raise ValueError(f"unknown dedup_mode {dedup_mode!r}")
