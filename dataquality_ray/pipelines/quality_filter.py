@@ -218,14 +218,28 @@ def build_dup_index(files_or_ds):
 
 
 def _target_blocks(files) -> int:
-    """Block count sized so every CPU has work even when the input is a few
-    big files: at least 2 blocks per CPU.  With thousands of input files the
-    file count dominates and reads parallelize naturally."""
+    """Block count for the fused read->label->write chain: 2 blocks per
+    CPU, raised only when that would push a block past ~128 MB of input.
+
+    Measured on the 640k-file bench corpus (128 input files, 3 reps,
+    best-of): one-block-per-file (the old ``max(n_files, 2*cpus)`` rule)
+    pays per-task launch + plasma-metadata overhead that 2/CPU does not —
+    32 CPUs 52.5k -> 58.0k files/s (+10%), 8 CPUs 20.1k -> 26.6k (+32%),
+    2 CPUs 5.3k -> 6.0k; 1/CPU is no better than 2/CPU (54.9k) and halves
+    pipelining slack.  ``read_parquet`` packs many files into one block
+    fine; the size guard keeps blocks bounded when a chunk is huge."""
     import ray
 
-    n_files = len(files) if isinstance(files, list) else 1
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(n_files, 2 * cpus)
+    base = 2 * cpus
+    total = 0
+    if isinstance(files, list):
+        try:
+            total = sum(os.path.getsize(f) for f in files)
+        except OSError:  # remote paths — let Ray's planner size the read
+            total = 0
+    by_size = -(-total // (128 << 20)) if total else 0
+    return max(base, by_size)
 
 
 def _expand_files(input_path: str | list[str]) -> list[str]:
