@@ -336,7 +336,7 @@ def event_asof_join(sf_dir: str):
     out = asof_join(ds, key="user_id", ts_col="ts",
                     left_filter="purchase", right_filter="click",
                     right_value_cols={"value": "click_value"},
-                    left_cols=["event_id"])
+                    left_cols=["event_id"]).to_pandas()
     out = out.rename(columns={"click_ts": "click_ts"})
     out["click_value"] = out["click_value"].round(R)
     return (out.sort_values("event_id").reset_index(drop=True)
@@ -362,7 +362,8 @@ def event_range_join(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
     out = range_join(ds, key="user_id", ts_col="ts",
-                     left_filter="error", right_filter="view", range_s=3600)
+                     left_filter="error", right_filter="view",
+                     range_s=3600).to_pandas()
     return (out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
             [["user_id", "left_id", "left_ts", "right_id", "right_ts"]])
 

@@ -88,9 +88,10 @@ def asof_join(ds, key: str, ts_col: str,
                             direction="backward", allow_exact_matches=True)
         return out.rename(columns={"_r_ts": f"{right_filter}_ts"})
 
-    return (pruned.groupby(key)
-                  .map_groups(per_key, batch_format="pandas")
-                  .to_pandas())
+    # Returns the joined Dataset (one row per left event) — at scale the
+    # result is as big as the left side, so the frame conversion belongs in
+    # the caller, not here.
+    return pruned.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
 def range_join(ds, key: str, ts_col: str,
@@ -132,9 +133,10 @@ def range_join(ds, key: str, ts_col: str,
             "right_ts": rts[ri],
         })
 
-    return (pruned.groupby(key)
-                  .map_groups(per_key, batch_format="pandas")
-                  .to_pandas())
+    # Dataset out — range joins fan out (every left x in-window rights),
+    # so materializing here would hold the largest frame of the pipeline
+    # on the driver.  Callers that need a frame call .to_pandas().
+    return pruned.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
 def rolling_zscore(ds, key: str, ts_col: str, val_col: str,
@@ -216,11 +218,23 @@ def funnel_stages(ds, steps: list[str], key: str = "user_id",
                              "reached": [reached]})
 
     per_user = (ds.select_columns([key, ts_col, type_col])
-                .groupby(key).map_groups(per_key, batch_format="pandas")
-                .to_pandas())
+                .groupby(key).map_groups(per_key, batch_format="pandas"))
     n = len(steps)
-    counts = np.array([(per_user["reached"] >= s).sum()
-                       for s in range(1, n + 1)], dtype=np.int64)
+
+    # Reduce per-user rows to n-row count partials inside map_batches so
+    # only O(n_blocks * n_steps) rows ever reach the driver — the per-user
+    # frame itself is corpus-sized and stays distributed.
+    def partial(b: pa.Table) -> pa.Table:
+        reached = b["reached"].to_numpy(zero_copy_only=False)
+        cnt = np.array([(reached >= s).sum() for s in range(1, n + 1)],
+                       dtype=np.int64)
+        return pa.table({"stage": np.arange(1, n + 1, dtype=np.int64),
+                         "n": cnt})
+
+    parts = per_user.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = (parts.groupby("stage")["n"].sum()
+              .reindex(range(1, n + 1), fill_value=0)
+              .to_numpy(np.int64))
     return pd.DataFrame({"stage": np.arange(1, n + 1, dtype=np.int64),
                          "step": steps, "n_users": counts})
 
@@ -294,9 +308,19 @@ def match_patterns(ds, patterns: dict[str, list[str]],
         return pd.DataFrame({"pattern": names, "hit": hits})
 
     per = (ds.select_columns([key, ts_col, type_col])
-           .groupby(key).map_groups(per_key, batch_format="pandas")
-           .to_pandas())
-    agg = (per.groupby("pattern")["hit"].sum().astype("int64")
+           .groupby(key).map_groups(per_key, batch_format="pandas"))
+
+    # Same driver-protection shape as funnel_stages: collapse the
+    # (key x pattern) hit rows to per-block pattern sums before anything
+    # crosses to the driver.
+    def partial(b: pa.Table) -> pa.Table:
+        pdf = b.to_pandas()
+        s = (pdf.groupby("pattern")["hit"].sum().astype("int64")
+             .reindex(names, fill_value=0))
+        return pa.table({"pattern": names, "n": s.to_numpy(np.int64)})
+
+    parts = per.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("pattern")["n"].sum().astype("int64")
            .reindex(names, fill_value=0))
     return pd.DataFrame({"pattern": names,
                          "n_matched_keys": agg.to_numpy()})
