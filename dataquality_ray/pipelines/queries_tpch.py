@@ -5593,3 +5593,422 @@ def urgent_share_by_nation_q(sf_dir: str):
     for c in ["c_nationkey", "n_orders", "n_urgent"]:
         out[c] = out[c].astype("int64")
     return out[["c_nationkey", "n_orders", "n_urgent", "urgent_ppm"]]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority check via EXISTS semi-join — orders in a
+# 6-month window with at least one lineitem shipped >30 days after order
+# ---------------------------------------------------------------------------
+
+@query("q4_order_priority", sql="""
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+)
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders JOIN late ON o_orderkey = late.l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def q4_order_priority_q(sf_dir: str):
+    """TPC-H Q4 shape (cf. reference dimensions' A4 chronology checks):
+    the EXISTS semi-join becomes one smart_join of lineitem against the
+    date-pruned orders slice (broadcast while the slice is small,
+    hash-partitioned past the cap), a vectorized lateness filter, and a
+    per-orderkey DISTINCT through the guarded combine — or, past 2M
+    surviving orderkeys, its groupby(l_orderkey) twin.  The final
+    priority histogram is bounded (5 keys) either way."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+    from dataquality_ray.stages.joins import smart_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-07-01")
+    late_us = 30 * 86400 * 1_000_000
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)))
+        b = b.filter(m)
+        return pa.table({"l_orderkey": b["o_orderkey"],
+                         "o_orderdate_us":
+                             b["o_orderdate"].cast(pa.int64()),
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    orders_f = (_read(sf_dir, "orders",
+                      ["o_orderkey", "o_orderdate", "o_orderpriority"])
+                .map_batches(ord_prep, batch_format="pyarrow"))
+    j = smart_join(_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]),
+                   orders_f, on="l_orderkey",
+                   value_cols=["o_orderdate_us", "o_orderpriority"],
+                   join_type="inner")
+
+    def late_part(g: pd.DataFrame) -> pd.DataFrame:
+        ship = g["l_shipdate"].astype("int64").to_numpy()
+        od = g["o_orderdate_us"].astype("int64").to_numpy()
+        return (g.loc[ship > od + late_us,
+                      ["l_orderkey", "o_orderpriority"]]
+                 .drop_duplicates("l_orderkey"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates("l_orderkey")
+
+    stage = j.map_batches(late_part, batch_format="pandas")
+    merged, twin = combine_or_groupby_twin(
+        "q4_order_priority", stage, fold, 2_000_000, ["l_orderkey"])
+
+    if twin is None:
+        if merged is None or not len(merged):
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype=object),
+                "order_count": pd.Series([], dtype=np.int64)})
+        cnt = (merged.groupby("o_orderpriority", as_index=False)
+               .agg(order_count=("l_orderkey", "size")))
+    else:
+        def cpart(f: pd.DataFrame) -> pd.DataFrame:
+            return (f.groupby("o_orderpriority", as_index=False)
+                    .agg(order_count=("l_orderkey", "size")))
+
+        def cfold(f: pd.DataFrame) -> pd.DataFrame:
+            return (f.groupby("o_orderpriority", as_index=False)
+                    ["order_count"].sum())
+
+        parts = twin.map_batches(cpart, batch_format="pandas")
+        cnt, ok = guarded_partials(parts, cfold, 1000)
+        assert ok  # priority domain is 5 values
+        if cnt is None:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype=object),
+                "order_count": pd.Series([], dtype=np.int64)})
+    cnt["order_count"] = cnt["order_count"].astype("int64")
+    return (cnt.sort_values("o_orderpriority").reset_index(drop=True)
+            [["o_orderpriority", "order_count"]])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral trade volume between two nations by ship year
+# ---------------------------------------------------------------------------
+
+@query("q7_nation_trade", sql="""
+WITH vol AS (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         year(l.l_shipdate)::BIGINT AS l_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS units
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_18')
+     OR (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_3')
+)
+SELECT supp_nation, cust_nation, l_year,
+       sum(units) / 10000.0 AS revenue
+FROM vol
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""")
+def q7_nation_trade_q(sf_dir: str):
+    """TPC-H Q7 shape: both nation legs prune their dimension early —
+    customer and supplier collapse to key->nationkey maps restricted to
+    the two nations of interest (smart_join broadcasts them under the
+    cap, hash-partitions above), orders prune to customers of those
+    nations BEFORE the lineitem exchange, and the only large-large join
+    is lineitem x pruned-orders.  Revenue is integer cents x basis
+    points summed per (supp_nation, cust_nation, year) — a bounded
+    2 x n_years group universe — divided once at the end."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import smart_join
+
+    n1, n2 = "NATION_3", "NATION_18"
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    keys = [k for k, v in nmap.items() if v in (n1, n2)]
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        m = pa.array(np.isin(
+            b["c_nationkey"].to_numpy(zero_copy_only=False), keys))
+        b = b.filter(m)
+        return pa.table({"o_custkey": b["c_custkey"],
+                         "c_nationkey": b["c_nationkey"]})
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .map_batches(cust_prep, batch_format="pyarrow"))
+
+    def supp_prep(b: pa.Table) -> pa.Table:
+        m = pa.array(np.isin(
+            b["s_nationkey"].to_numpy(zero_copy_only=False), keys))
+        b = b.filter(m)
+        return pa.table({"l_suppkey": b["s_suppkey"],
+                         "s_nationkey": b["s_nationkey"]})
+
+    supp = (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .map_batches(supp_prep, batch_format="pyarrow"))
+
+    orders_p = smart_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust, on="o_custkey", value_cols=["c_nationkey"],
+        join_type="inner")
+
+    def ord_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": b["o_orderkey"].to_numpy(),
+            "c_nationkey": b["c_nationkey"].astype("int64").to_numpy()})
+
+    orders_p = orders_p.map_batches(ord_prep, batch_format="pandas")
+
+    def line_prep(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+                  .cast(pa.int64())
+        bps = pc.subtract(100, pc.round(
+            pc.multiply(b["l_discount"], 100.0)).cast(pa.int64()))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "l_year": pc.year(b["l_shipdate"])
+                                     .cast(pa.int64()),
+                         "units": pc.multiply(cents, bps)})
+
+    line = (_read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate",
+                   "l_extendedprice", "l_discount"])
+            .map_batches(line_prep, batch_format="pyarrow"))
+
+    j = smart_join(line, orders_p, on="l_orderkey",
+                   value_cols=["c_nationkey"], join_type="inner")
+    j = smart_join(j, supp, on="l_suppkey",
+                   value_cols=["s_nationkey"], join_type="inner")
+
+    def vol_part(g: pd.DataFrame) -> pd.DataFrame:
+        sn = g["s_nationkey"].astype("int64").to_numpy()
+        cn = g["c_nationkey"].astype("int64").to_numpy()
+        cross = sn != cn  # both ends already restricted to {n1, n2}
+        f = g.loc[cross, ["l_year", "units"]].copy()
+        f["s_nationkey"] = sn[cross]
+        f["c_nationkey"] = cn[cross]
+        return (f.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                          as_index=False)["units"].sum())
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return (f.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                          as_index=False)["units"].sum())
+
+    parts = j.map_batches(vol_part, batch_format="pandas")
+    merged, ok = guarded_partials(parts, fold, 10_000)
+    assert ok  # 2 directed pairs x ship-year span
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype=object),
+            "cust_nation": pd.Series([], dtype=object),
+            "l_year": pd.Series([], dtype=np.int64),
+            "revenue": pd.Series([], dtype=np.float64)})
+    out = pd.DataFrame({
+        "supp_nation": merged["s_nationkey"].map(nmap),
+        "cust_nation": merged["c_nationkey"].map(nmap),
+        "l_year": merged["l_year"].astype("int64"),
+        "revenue": merged["units"].astype("int64") / 10000.0})
+    return (out.sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: distribution of per-customer order counts (zero included)
+# ---------------------------------------------------------------------------
+
+@query("q13_customer_distribution", sql="""
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def q13_customer_distribution_q(sf_dir: str):
+    """TPC-H Q13 shape without shipping the LEFT JOIN: per-customer
+    non-urgent order counts reduce through the guarded combine (or its
+    groupby(o_custkey) twin past 2M customers), collapse to the bounded
+    count-value histogram, and the zero bucket is arithmetic — total
+    customers minus customers that appear at all.  No row of the
+    customer table ever joins anything."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        b = b.filter(pc.not_equal(b["o_orderpriority"], "1-URGENT"))
+        f = pd.DataFrame({"o_custkey": b["o_custkey"].to_pandas()})
+        f["c_count"] = 1
+        return f.groupby("o_custkey", as_index=False)["c_count"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("o_custkey", as_index=False)["c_count"].sum()
+
+    stage = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, twin = combine_or_groupby_twin(
+        "q13_customer_distribution", stage, fold, 2_000_000,
+        ["o_custkey"])
+
+    def hfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("c_count", as_index=False)["custdist"].sum()
+
+    if twin is None:
+        if merged is None or not len(merged):
+            hist = pd.DataFrame({"c_count": pd.Series([], dtype=np.int64),
+                                 "custdist": pd.Series([], dtype=np.int64)})
+        else:
+            u, c = np.unique(merged["c_count"].to_numpy(np.int64),
+                             return_counts=True)
+            hist = pd.DataFrame({"c_count": u,
+                                 "custdist": c.astype(np.int64)})
+    else:
+        def hpart(f: pd.DataFrame) -> pd.DataFrame:
+            u, c = np.unique(f["c_count"].to_numpy(np.int64),
+                             return_counts=True)
+            return pd.DataFrame({"c_count": u,
+                                 "custdist": c.astype(np.int64)})
+
+        parts = twin.map_batches(hpart, batch_format="pandas")
+        hist, ok = guarded_partials(parts, hfold, 100_000)
+        assert ok  # count-value domain: max orders per customer
+        if hist is None:
+            hist = pd.DataFrame({"c_count": pd.Series([], dtype=np.int64),
+                                 "custdist": pd.Series([], dtype=np.int64)})
+
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_nonzero = int(hist["custdist"].sum()) if len(hist) else 0
+    zero = n_customers - n_nonzero
+    if zero > 0:
+        hist = pd.concat([hist, pd.DataFrame({"c_count": [0],
+                                              "custdist": [zero]})],
+                         ignore_index=True)
+    hist["c_count"] = hist["c_count"].astype("int64")
+    hist["custdist"] = hist["custdist"].astype("int64")
+    return (hist.sort_values(["custdist", "c_count"],
+                             ascending=[False, False])
+            .reset_index(drop=True)[["c_count", "custdist"]])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: revenue lost to small-quantity orders of one brand
+# ---------------------------------------------------------------------------
+
+@query("q17_small_quantity", sql="""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'),
+agg AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS sum_q,
+         count(*)::BIGINT AS cnt
+  FROM lineitem JOIN bp ON l_partkey = p_partkey
+  GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / 700.0 AS avg_yearly
+FROM lineitem JOIN agg ON lineitem.l_partkey = agg.l_partkey
+WHERE CAST(round(l_quantity) AS BIGINT) * 5 * cnt < sum_q
+""")
+def q17_small_quantity_q(sf_dir: str):
+    """TPC-H Q17 shape: the correlated per-part average becomes one
+    pruned pass over the brand's lineitems producing (sum_q, cnt)
+    partials — through the guarded combine, or a groupby(l_partkey)
+    twin + smart_join past the cap — then a second pruned pass filters
+    with the all-integer inequality q*5*cnt < sum_q (exactly the
+    oracle's arithmetic, no float threshold) and sums cents.  Quantity
+    domains are whole numbers, so the integer comparison is exact."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+    from dataquality_ray.stages.joins import smart_join
+
+    brand = "Brand#12"
+
+    def brand_prep(b: pa.Table) -> pa.Table:
+        return (b.filter(pc.equal(b["p_brand"], brand))
+                 .select(["p_partkey"]))
+
+    bp = (_read(sf_dir, "part", ["p_partkey", "p_brand"])
+          .map_batches(brand_prep, batch_format="pyarrow").to_pandas())
+    bkeys = bp["p_partkey"].to_numpy()
+
+    def qpart(b: pa.Table) -> pd.DataFrame:
+        m = pa.array(np.isin(
+            b["l_partkey"].to_numpy(zero_copy_only=False), bkeys))
+        b = b.filter(m)
+        f = pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_pandas(),
+            "sum_q": pc.round(b["l_quantity"]).cast(pa.int64())
+                       .to_pandas()})
+        f["cnt"] = 1
+        return f.groupby("l_partkey", as_index=False).sum()
+
+    def qfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("l_partkey", as_index=False).sum()
+
+    stage = (_read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+             .map_batches(qpart, batch_format="pyarrow"))
+    agg, twin = combine_or_groupby_twin(
+        "q17_small_quantity", stage, qfold, 2_000_000, ["l_partkey"])
+
+    def line2(b: pa.Table) -> pa.Table:
+        m = pa.array(np.isin(
+            b["l_partkey"].to_numpy(zero_copy_only=False), bkeys))
+        b = b.filter(m)
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "q": pc.round(b["l_quantity"]).cast(pa.int64()),
+            "cents": pc.round(pc.multiply(b["l_extendedprice"], 100.0))
+                       .cast(pa.int64())})
+
+    pruned = (_read(sf_dir, "lineitem",
+                    ["l_partkey", "l_quantity", "l_extendedprice"])
+              .map_batches(line2, batch_format="pyarrow"))
+
+    if twin is None:
+        sum_q = ({} if agg is None else
+                 dict(zip(agg["l_partkey"].astype(int),
+                          agg["sum_q"].astype(int))))
+        cnt = ({} if agg is None else
+               dict(zip(agg["l_partkey"].astype(int),
+                        agg["cnt"].astype(int))))
+
+        def spart(g: pd.DataFrame) -> pd.DataFrame:
+            k = g["l_partkey"].astype("int64")
+            sq = k.map(sum_q).to_numpy(np.int64)
+            c = k.map(cnt).to_numpy(np.int64)
+            keep = g["q"].to_numpy(np.int64) * 5 * c < sq
+            return pd.DataFrame(
+                {"total": [int(g.loc[keep, "cents"].sum())],
+                 "n": [int(keep.sum())]})
+
+        parts = pruned.map_batches(spart, batch_format="pandas")
+    else:
+        joined = smart_join(pruned, twin, on="l_partkey",
+                            value_cols=["sum_q", "cnt"],
+                            join_type="inner")
+
+        def spart(g: pd.DataFrame) -> pd.DataFrame:
+            keep = (g["q"].astype("int64").to_numpy() * 5
+                    * g["cnt"].astype("int64").to_numpy()
+                    < g["sum_q"].astype("int64").to_numpy())
+            return pd.DataFrame(
+                {"total": [int(g.loc[keep, "cents"].sum())],
+                 "n": [int(keep.sum())]})
+
+        parts = joined.map_batches(spart, batch_format="pandas")
+
+    def sfold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"total": [int(f["total"].sum())],
+                             "n": [int(f["n"].sum())]})
+
+    tot, ok = guarded_partials(parts, sfold, 100)
+    assert ok
+    if tot is None or not int(tot["n"].iloc[0]):
+        return pd.DataFrame({"avg_yearly": [np.nan]})
+    return pd.DataFrame(
+        {"avg_yearly": [int(tot["total"].iloc[0]) / 700.0]})

@@ -47,6 +47,15 @@ class BroadcastLookup:
         self.on = on
         self.value_cols = value_cols
         self.inner = join_type == "inner"
+        if not len(df):
+            # A Dataset whose blocks are all empty loses its schema on
+            # to_pandas(); rebuild the columns the lookup contract needs
+            # so an empty right side joins as "no keys" instead of a
+            # KeyError (inner -> drops everything, left_outer -> nulls).
+            need = [on] + list(value_cols)
+            if not set(need) <= set(df.columns):
+                df = pd.DataFrame(
+                    {c: pd.Series([], dtype="object") for c in need})
         self.index = df.set_index(on)[value_cols]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
