@@ -6012,3 +6012,475 @@ def q17_small_quantity_q(sf_dir: str):
         return pd.DataFrame({"avg_yearly": [np.nan]})
     return pd.DataFrame(
         {"avg_yearly": [int(tot["total"].iloc[0]) / 700.0]})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: one nation's market share of a region's customer revenue
+# ---------------------------------------------------------------------------
+
+@query("q8_market_share", sql="""
+WITH vol AS (
+  SELECT year(l.l_shipdate)::BIGINT AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS units,
+         CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_nation
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  JOIN region r   ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(CAST(sum(units * is_nation) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(units) AS BIGINT) AS DOUBLE) AS mkt_share
+FROM vol
+GROUP BY o_year
+ORDER BY o_year
+""")
+def q8_market_share_q(sf_dir: str):
+    """TPC-H Q8 shape: NATION_3 suppliers' share of ASIA-customer
+    revenue by ship year.  Customer prunes to the ASIA key set before
+    orders join it; supplier collapses to a key->is_nation lookup; the
+    one large-large exchange is lineitem x pruned-orders.  Shares are a
+    single division of two exact integer sums per year (bounded group
+    universe), so the doubles are bit-identical to the oracle's."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import smart_join
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_regionkey", "n_name"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = nat.merge(reg[reg["r_name"] == "ASIA"], left_on="n_regionkey",
+                     right_on="r_regionkey")
+    asia_keys = asia["n_nationkey"].to_numpy()
+    nation_key = int(nat.loc[nat["n_name"] == "NATION_3",
+                             "n_nationkey"].iloc[0])
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        m = pa.array(np.isin(
+            b["c_nationkey"].to_numpy(zero_copy_only=False), asia_keys))
+        return pa.table({"o_custkey": b.filter(m)["c_custkey"]})
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .map_batches(cust_prep, batch_format="pyarrow"))
+
+    orders_p = smart_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust.map_batches(lambda b: b.append_column(
+            "in_asia", pa.array(np.ones(len(b), dtype=np.int64))),
+            batch_format="pyarrow"),
+        on="o_custkey", value_cols=["in_asia"], join_type="inner")
+
+    def ord_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"l_orderkey": b["o_orderkey"].to_numpy()})
+
+    orders_p = orders_p.map_batches(ord_prep, batch_format="pandas")
+
+    supp = (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .map_batches(lambda b: pa.table({
+                "l_suppkey": b["s_suppkey"],
+                "is_nation": pc.cast(pc.equal(
+                    b["s_nationkey"], nation_key), pa.int64())}),
+                batch_format="pyarrow"))
+
+    def line_prep(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+                  .cast(pa.int64())
+        bps = pc.subtract(100, pc.round(
+            pc.multiply(b["l_discount"], 100.0)).cast(pa.int64()))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "o_year": pc.year(b["l_shipdate"])
+                                     .cast(pa.int64()),
+                         "units": pc.multiply(cents, bps)})
+
+    line = (_read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate",
+                   "l_extendedprice", "l_discount"])
+            .map_batches(line_prep, batch_format="pyarrow"))
+
+    j = smart_join(line, orders_p, on="l_orderkey",
+                   value_cols=[], join_type="inner")
+    j = smart_join(j, supp, on="l_suppkey",
+                   value_cols=["is_nation"], join_type="inner")
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["units"].astype("int64")
+        f = pd.DataFrame({
+            "o_year": g["o_year"].astype("int64").to_numpy(),
+            "nation_units": (u * g["is_nation"].astype("int64"))
+                .to_numpy(),
+            "units": u.to_numpy()})
+        return f.groupby("o_year", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("o_year", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        j.map_batches(part, batch_format="pandas"), fold, 10_000)
+    assert ok  # ship-year span is bounded
+    if merged is None or not len(merged):
+        return pd.DataFrame({"o_year": pd.Series([], dtype=np.int64),
+                             "mkt_share": pd.Series([], dtype=np.float64)})
+    out = pd.DataFrame({
+        "o_year": merged["o_year"].astype("int64"),
+        "mkt_share": merged["nation_units"].astype("int64").to_numpy()
+            .astype(np.float64)
+            / merged["units"].astype("int64").to_numpy()
+            .astype(np.float64)})
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: parts whose revenue exceeds a fraction of the global total
+# ---------------------------------------------------------------------------
+
+@query("q11_part_concentration", sql="""
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS units
+  FROM lineitem GROUP BY l_partkey
+), tot AS (SELECT CAST(sum(units) AS HUGEINT) AS t FROM pr)
+SELECT l_partkey, units / 10000.0 AS revenue
+FROM pr, tot
+WHERE CAST(units AS HUGEINT) * 2000 > t
+ORDER BY revenue DESC, l_partkey
+""")
+def q11_part_concentration_q(sf_dir: str):
+    """TPC-H Q11 shape (value concentration): per-part revenue reduces
+    through the guarded combine (groupby(l_partkey) twin past 2M parts),
+    the global total is one more scalar reduction over the SAME per-part
+    rows, and the filter keeps parts above 1/2000 of the total — so the
+    output is bounded at 2000 rows however large the part universe is.
+    The threshold comparison runs in arbitrary-precision Python ints
+    (the oracle's HUGEINT), immune to int64 overflow at scale."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+                  .cast(pa.int64())
+        bps = pc.subtract(100, pc.round(
+            pc.multiply(b["l_discount"], 100.0)).cast(pa.int64()))
+        f = pd.DataFrame({"l_partkey": b["l_partkey"].to_pandas(),
+                          "units": pc.multiply(cents, bps).to_pandas()})
+        return f.groupby("l_partkey", as_index=False)["units"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("l_partkey", as_index=False)["units"].sum()
+
+    stage = (_read(sf_dir, "lineitem",
+                   ["l_partkey", "l_extendedprice", "l_discount"])
+             .map_batches(part, batch_format="pyarrow"))
+    pr, twin = combine_or_groupby_twin(
+        "q11_part_concentration", stage, fold, 2_000_000, ["l_partkey"])
+
+    if twin is None:
+        if pr is None or not len(pr):
+            return pd.DataFrame({
+                "l_partkey": pd.Series([], dtype=np.int64),
+                "revenue": pd.Series([], dtype=np.float64)})
+        total = int(pr["units"].astype(object).sum())
+        units = pr["units"].to_numpy(np.int64)
+        keep = np.array([int(u) * 2000 > total for u in units])
+        out = pr.loc[keep, ["l_partkey", "units"]]
+    else:
+        # pass A: exact global total from the twin's per-part rows
+        def tpart(f: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"t": [int(f["units"].astype(object).sum())]})
+
+        def tfold(f: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"t": [int(f["t"].astype(object).sum())]})
+
+        tot, ok = guarded_partials(
+            twin.map_batches(tpart, batch_format="pandas"), tfold, 100)
+        assert ok and tot is not None
+        total = int(tot["t"].iloc[0])
+
+        # pass B: stream the same per-part rows, keep the bounded
+        # above-threshold survivors (<= 2000 by construction)
+        def keep_part(f: pd.DataFrame) -> pd.DataFrame:
+            m = np.array([int(u) * 2000 > total
+                          for u in f["units"].to_numpy(np.int64)])
+            return f.loc[m, ["l_partkey", "units"]]
+
+        def keep_fold(f: pd.DataFrame) -> pd.DataFrame:
+            return f.drop_duplicates("l_partkey")
+
+        out, ok2 = guarded_partials(
+            twin.map_batches(keep_part, batch_format="pandas"),
+            keep_fold, 10_000)
+        assert ok2  # <= 2000 parts can each exceed 1/2000 of the total
+        if out is None or not len(out):
+            return pd.DataFrame({
+                "l_partkey": pd.Series([], dtype=np.int64),
+                "revenue": pd.Series([], dtype=np.float64)})
+    res = pd.DataFrame({
+        "l_partkey": out["l_partkey"].astype("int64"),
+        "revenue": out["units"].astype("int64") / 10000.0})
+    return (res.sort_values(["revenue", "l_partkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: priority-class counts by order shipping-lateness bucket
+# ---------------------------------------------------------------------------
+
+@query("q12_late_shipment_priority", sql="""
+WITH ms AS (
+  SELECT l_orderkey, max(epoch_us(l_shipdate)) AS m
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT CASE WHEN ms.m > epoch_us(o_orderdate) + 60 * 86400000000
+              THEN 'late' ELSE 'ontime' END AS bucket,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS high
+  FROM ms JOIN orders ON o_orderkey = ms.l_orderkey
+)
+SELECT bucket,
+       CAST(sum(high) AS BIGINT) AS high_priority_count,
+       CAST(sum(1 - high) AS BIGINT) AS low_priority_count
+FROM j GROUP BY bucket ORDER BY bucket
+""")
+def q12_late_shipment_priority_q(sf_dir: str):
+    """TPC-H Q12 shape on this schema (no shipmode column): orders
+    bucket into late/ontime by whether their LAST lineitem shipped more
+    than 60 days after the order date, crossed with the urgent/other
+    priority split.  Per-order max-shipdate reduces through the guarded
+    combine and broadcasts into the orders scan — or, past 2M orders,
+    the groupby(l_orderkey) twin smart_joins orders instead.  The final
+    2x2 table is a bounded partial sum either way."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+    from dataquality_ray.stages.joins import smart_join
+
+    late_us = 60 * 86400 * 1_000_000
+    hi_pri = ("1-URGENT", "2-HIGH")
+
+    def lpart(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_pandas(),
+            "m": b["l_shipdate"].cast(pa.int64()).to_pandas()})
+        return f.groupby("l_orderkey", as_index=False)["m"].max()
+
+    def lfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("l_orderkey", as_index=False)["m"].max()
+
+    stage = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+             .map_batches(lpart, batch_format="pyarrow"))
+    ms, twin = combine_or_groupby_twin(
+        "q12_late_shipment_priority", stage, lfold, 2_000_000,
+        ["l_orderkey"])
+
+    def cfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("bucket", as_index=False).sum()
+
+    if twin is None:
+        mmap = ({} if ms is None else
+                dict(zip(ms["l_orderkey"].astype(int),
+                         ms["m"].astype(int))))
+
+        def opart(g: pd.DataFrame) -> pd.DataFrame:
+            k = g["o_orderkey"].astype("int64")
+            m = k.map(mmap)
+            hit = m.notna().to_numpy()
+            if not hit.any():
+                return pd.DataFrame({
+                    "bucket": pd.Series([], dtype=object),
+                    "high_priority_count": pd.Series([], dtype=np.int64),
+                    "low_priority_count": pd.Series([], dtype=np.int64)})
+            od = g["o_orderdate"].astype("int64").to_numpy()[hit]
+            mv = m.to_numpy()[hit].astype(np.int64)
+            high = g["o_orderpriority"].isin(hi_pri).to_numpy()[hit]
+            late = mv > od + late_us
+            f = pd.DataFrame({
+                "bucket": np.where(late, "late", "ontime"),
+                "high_priority_count": high.astype(np.int64),
+                "low_priority_count": (~high).astype(np.int64)})
+            return f.groupby("bucket", as_index=False).sum()
+
+        stage2 = (_read(sf_dir, "orders",
+                        ["o_orderkey", "o_orderdate", "o_orderpriority"])
+                  .map_batches(opart, batch_format="pandas"))
+    else:
+        joined = smart_join(
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+            twin, on="o_orderkey", right_on="l_orderkey",
+            value_cols=["m"], join_type="inner")
+
+        def opart(g: pd.DataFrame) -> pd.DataFrame:
+            od = g["o_orderdate"].astype("int64").to_numpy()
+            mv = g["m"].astype("int64").to_numpy()
+            high = g["o_orderpriority"].isin(hi_pri).to_numpy()
+            late = mv > od + late_us
+            f = pd.DataFrame({
+                "bucket": np.where(late, "late", "ontime"),
+                "high_priority_count": high.astype(np.int64),
+                "low_priority_count": (~high).astype(np.int64)})
+            return f.groupby("bucket", as_index=False).sum()
+
+        stage2 = joined.map_batches(opart, batch_format="pandas")
+
+    cnt, ok = guarded_partials(stage2, cfold, 100)
+    assert ok  # two buckets
+    if cnt is None or not len(cnt):
+        return pd.DataFrame({
+            "bucket": pd.Series([], dtype=object),
+            "high_priority_count": pd.Series([], dtype=np.int64),
+            "low_priority_count": pd.Series([], dtype=np.int64)})
+    for c in ["high_priority_count", "low_priority_count"]:
+        cnt[c] = cnt[c].astype("int64")
+    return (cnt.sort_values("bucket").reset_index(drop=True)
+            [["bucket", "high_priority_count", "low_priority_count"]])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: wealthy customers with no recent orders, by segment
+# ---------------------------------------------------------------------------
+
+@query("q22_sales_opportunity", sql="""
+WITH s AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS HUGEINT)
+           AS sc,
+         count(*)::BIGINT AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_custs,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS total_bal
+FROM customer, s
+WHERE CAST(round(c_acctbal * 100) AS HUGEINT) * s.n > s.sc
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""")
+def q22_sales_opportunity_q(sf_dir: str):
+    """TPC-H Q22 shape: customers whose balance beats the positive-
+    balance average and who placed no order since 2000, rolled up by
+    market segment.  The average is never materialized as a float —
+    the filter is the all-integer cross-multiplication cents*n > sum
+    (the oracle's HUGEINT arithmetic, Python ints here).  The NOT
+    EXISTS is the broadcast anti-join of customers_without_urgent:
+    recent-orderer keys reduce through the guarded combine and ship
+    once via ray.put; past the cap the twin is a left-outer hash join
+    + null filter.  The segment roll-up is bounded."""
+    from dataquality_ray.stages.autoroute import (DRIVER_COMBINE_CAP,
+                                                  guarded_partials,
+                                                  record_route)
+    import ray
+
+    cutoff = pd.Timestamp("2000-01-01")
+
+    # global positive-balance sufficient stats (one streaming scan)
+    def bal_part(b: pa.Table) -> pd.DataFrame:
+        cents = pc.round(pc.multiply(b["c_acctbal"], 100.0)) \
+                  .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = cents[cents > 0]
+        return pd.DataFrame({"sc": [int(pos.sum())],
+                             "n": [int(len(pos))]})
+
+    def bal_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"sc": [int(f["sc"].astype(object).sum())],
+                             "n": [int(f["n"].sum())]})
+
+    stats, ok = guarded_partials(
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(bal_part, batch_format="pyarrow"), bal_fold, 100)
+    assert ok and stats is not None
+    sc, n = int(stats["sc"].iloc[0]), int(stats["n"].iloc[0])
+
+    recent = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+              .map_batches(lambda b: b.filter(pc.greater_equal(
+                  b["o_orderdate"], pa.scalar(cutoff)))
+                  .select(["o_custkey"]), batch_format="pyarrow"))
+
+    def dedup(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    keys, ok2 = guarded_partials(
+        recent.map_batches(dedup, batch_format="pandas"), dedup,
+        DRIVER_COMBINE_CAP)
+
+    def seg_part(b: pa.Table) -> pd.DataFrame:
+        cents = pc.round(pc.multiply(b["c_acctbal"], 100.0)) \
+                  .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rich = np.array([int(c) * n > sc for c in cents])
+        f = pd.DataFrame({
+            "c_mktsegment": b["c_mktsegment"].to_pandas()[rich],
+            "n_custs": 1,
+            "cents": cents[rich]})
+        return f.groupby("c_mktsegment", as_index=False).sum()
+
+    def seg_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("c_mktsegment", as_index=False).sum()
+
+    if ok2:
+        record_route("q22_sales_opportunity", "broadcast",
+                     "recent-orderer keys within cap",
+                     0 if keys is None else len(keys))
+        kref = ray.put(np.asarray(
+            [] if keys is None else keys["o_custkey"], dtype=np.int64))
+
+        def anti(batch: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            mask = ~np.isin(batch["c_custkey"].to_numpy(
+                zero_copy_only=False), ks)
+            return batch.filter(pa.array(mask))
+
+        survivors = (_read(sf_dir, "customer",
+                           ["c_custkey", "c_mktsegment", "c_acctbal"])
+                     .map_batches(anti, batch_format="pyarrow"))
+        stage = survivors.map_batches(seg_part, batch_format="pyarrow")
+    else:  # pragma: no cover - >2M distinct recent orderers
+        record_route("q22_sales_opportunity", "join",
+                     "recent-orderer keys exceed cap", None)
+        from dataquality_ray.stages.joins import hash_join
+
+        marked = hash_join(
+            _read(sf_dir, "customer",
+                  ["c_custkey", "c_mktsegment", "c_acctbal"]),
+            recent.map_batches(
+                lambda b: pa.table({
+                    "o_custkey": b["o_custkey"],
+                    "hit": pa.array(np.ones(len(b), np.int64))}),
+                batch_format="pyarrow").map_batches(
+                    dedup, batch_format="pandas"),
+            on="c_custkey", right_on="o_custkey", join_type="left_outer")
+
+        def seg_part_pd(g: pd.DataFrame) -> pd.DataFrame:
+            g = g[g["hit"].isna()]
+            cents = np.round(g["c_acctbal"].to_numpy(np.float64)
+                             * 100.0).astype(np.int64)
+            rich = np.array([int(c) * n > sc for c in cents],
+                            dtype=bool) if len(cents) else \
+                np.zeros(0, dtype=bool)
+            f = pd.DataFrame({"c_mktsegment":
+                              g["c_mktsegment"].to_numpy()[rich],
+                              "n_custs": 1, "cents": cents[rich]})
+            return f.groupby("c_mktsegment", as_index=False).sum()
+
+        stage = marked.map_batches(seg_part_pd, batch_format="pandas")
+
+    out, ok3 = guarded_partials(stage, seg_fold, 1000)
+    assert ok3  # bounded segment universe
+    if out is None or not len(out):
+        return pd.DataFrame({
+            "c_mktsegment": pd.Series([], dtype=object),
+            "n_custs": pd.Series([], dtype=np.int64),
+            "total_bal": pd.Series([], dtype=np.float64)})
+    res = pd.DataFrame({
+        "c_mktsegment": out["c_mktsegment"],
+        "n_custs": out["n_custs"].astype("int64"),
+        "total_bal": out["cents"].astype("int64") / 100.0})
+    return res.sort_values("c_mktsegment").reset_index(drop=True)
