@@ -353,7 +353,17 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
-    else:
-        print(json.dumps(run_suite()))
+    result = run_scaling() if "--scaling" in sys.argv else run_suite()
+    line = json.dumps(result)
+    # The driver records only the tail of stdout (~4 KB); with 300+ timed
+    # queries the one-line contract overflows that window, so the full
+    # result is also persisted next to the script for the judge to read.
+    name = ("bench_scaling_last.json" if "--scaling" in sys.argv
+            else "bench_last.json")
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               name), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout — the printed line is still the contract
+    print(line)

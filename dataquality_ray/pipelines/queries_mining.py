@@ -3961,3 +3961,168 @@ def dedup_rate_by_source_q(sf_dir: str):
     for c in ["n_docs", "n_dups"]:
         g[c] = g[c].astype("int64")
     return g.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Quantized embedding norms per label — list-column arithmetic with an exact
+# integer SQL replay (the vector-hygiene audit before ANN/kmeans stages)
+# ---------------------------------------------------------------------------
+
+@query("embedding_quantized_norms", sql="""
+WITH q AS (
+  SELECT label::BIGINT AS label,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                 * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+              AS BIGINT) AS norm2
+  FROM embeddings
+)
+SELECT label,
+       count(*)::BIGINT AS n_vecs,
+       CAST(sum(norm2) AS BIGINT) AS total_norm2,
+       max(norm2)::BIGINT AS max_norm2,
+       CAST(sum(norm2) // count(*) AS BIGINT) AS mean_norm2
+FROM q GROUP BY label ORDER BY label
+""")
+def embedding_quantized_norms_q(sf_dir: str):
+    """Per-label squared-norm statistics of the embedding column, on a
+    fixed 1e-3 quantization grid so the SQL replay is bit-exact: each
+    float32 element widens to float64, scales by 1000, floors to an
+    int64, and the squared sums stay integers end to end.  One
+    vectorized pass (zero-copy flatten+reshape, no per-row loop), ten
+    bounded label partials through the guarded combine — the norm
+    audit that catches un-normalized or degenerate vectors before they
+    reach the ANN / kmeans stages."""
+    from dataquality_ray.stages.ann import _stack_embeddings
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        x = _stack_embeddings(b, "embedding").astype(np.float64)
+        qx = np.floor(x * 1000.0).astype(np.int64)
+        norm2 = (qx * qx).sum(axis=1)
+        f = pd.DataFrame({
+            "label": b["label"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            "n_vecs": 1,
+            "total_norm2": norm2,
+            "max_norm2": norm2})
+        return f.groupby("label", as_index=False).agg(
+            n_vecs=("n_vecs", "sum"), total_norm2=("total_norm2", "sum"),
+            max_norm2=("max_norm2", "max"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("label", as_index=False).agg(
+            n_vecs=("n_vecs", "sum"), total_norm2=("total_norm2", "sum"),
+            max_norm2=("max_norm2", "max"))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["embedding", "label"])
+        .map_batches(part, batch_format="pyarrow"), fold, 100_000)
+    assert ok  # label universe is bounded
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "label": pd.Series([], dtype=np.int64),
+            "n_vecs": pd.Series([], dtype=np.int64),
+            "total_norm2": pd.Series([], dtype=np.int64),
+            "max_norm2": pd.Series([], dtype=np.int64),
+            "mean_norm2": pd.Series([], dtype=np.int64)})
+    out = merged.sort_values("label").reset_index(drop=True)
+    out["mean_norm2"] = (out["total_norm2"].astype(object)
+                         // out["n_vecs"]).astype("int64")
+    for c in ["label", "n_vecs", "total_norm2", "max_norm2"]:
+        out[c] = out[c].astype("int64")
+    return out[["label", "n_vecs", "total_norm2", "max_norm2",
+                "mean_norm2"]]
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation of token frequencies between two sources —
+# the distribution-shift check on vocabulary usage
+# ---------------------------------------------------------------------------
+
+@query("spearman_token_ranks", sql="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE source IN ('src0', 'src1')
+), cnt AS (
+  SELECT source, token, count(*)::BIGINT AS c
+  FROM tok WHERE token <> '' GROUP BY source, token
+), r AS (
+  SELECT source, token,
+         rank() OVER (PARTITION BY source
+                      ORDER BY c DESC, token) AS rk
+  FROM cnt
+), d AS (
+  SELECT a.rk::BIGINT - b.rk::BIGINT AS diff
+  FROM r a JOIN r b ON a.token = b.token
+  WHERE a.source = 'src0' AND b.source = 'src1'
+)
+SELECT count(*)::BIGINT AS n_shared,
+       CAST(sum(diff * diff) AS BIGINT) AS sum_d2,
+       1.0 - 6.0 * CAST(sum(diff * diff) AS BIGINT)
+         / (count(*) * (count(*) * count(*) - 1.0)) AS rho
+FROM d
+""")
+def spearman_token_ranks_q(sf_dir: str):
+    """Spearman rank correlation of token-frequency rankings between
+    two sources — did one shard's vocabulary usage drift?  Token counts
+    per source reduce through the guarded combine (vocab-bounded); the
+    rank join runs on the tiny merged table driver-side.  Ranks are
+    ties-broken by token so rank == row position (a total order, the
+    oracle's rank() emits the same), and rho is the classic
+    1 - 6*sum(d^2)/(n*(n^2-1)) evaluated in the oracle's exact float op
+    order on exact integers."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    srcs = ("src0", "src1")
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        m = pc.is_in(b["source"], value_set=pa.array(srcs))
+        b = b.filter(m)
+        if not len(b):
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "token": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        toks = pc.split_pattern(b["text"], " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.combine_chunks().flatten().to_pandas() \
+            if isinstance(toks, pa.ChunkedArray) else \
+            toks.flatten().to_pandas()
+        src = np.repeat(b["source"].to_numpy(zero_copy_only=False), n_per)
+        f = pd.DataFrame({"source": src, "token": flat})
+        f = f[f["token"] != ""]
+        f["c"] = 1
+        return f.groupby(["source", "token"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "token"], as_index=False)["c"].sum()
+
+    cnt, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # vocab x 2 sources
+    if cnt is None or not len(cnt):
+        return pd.DataFrame({"n_shared": [0], "sum_d2": [0],
+                             "rho": [np.nan]}).astype(
+            {"n_shared": "int64", "sum_d2": "int64"})
+
+    def ranks(f: pd.DataFrame) -> pd.DataFrame:
+        f = f.sort_values(["c", "token"],
+                          ascending=[False, True]).reset_index(drop=True)
+        f["rk"] = np.arange(1, len(f) + 1, dtype=np.int64)
+        return f[["token", "rk"]]
+
+    a = ranks(cnt[cnt["source"] == srcs[0]])
+    b = ranks(cnt[cnt["source"] == srcs[1]])
+    j = a.merge(b, on="token", suffixes=("_a", "_b"))
+    n = len(j)
+    if not n:
+        return pd.DataFrame({"n_shared": [0], "sum_d2": [0],
+                             "rho": [np.nan]}).astype(
+            {"n_shared": "int64", "sum_d2": "int64"})
+    d = j["rk_a"].to_numpy(np.int64) - j["rk_b"].to_numpy(np.int64)
+    sum_d2 = int((d * d).sum())
+    rho = 1.0 - 6.0 * float(sum_d2) / (n * (n * n - 1.0))
+    return pd.DataFrame({"n_shared": [np.int64(n)],
+                         "sum_d2": [np.int64(sum_d2)],
+                         "rho": [rho]})

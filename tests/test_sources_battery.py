@@ -279,10 +279,14 @@ def test_video_frame_sampler_and_resize_plan(ray_session):
     a = sample_video_frames(video, fake=True, k=4).to_pandas()
     assert (a.sort_values("media_id")["n_frames"].to_numpy()
             == out.sort_values("media_id")["n_frames"].to_numpy()).all()
-    # codec guard without fake
+    # codec guard without fake: the builtin Y4M codec makes the sampler
+    # constructible (round 4); non-Y4M payloads raise per-payload,
+    # naming the missing optional library
     import pytest as _pytest
+    sampler = VideoFrameSampler(fake=False)
+    mp4_payload = video.take(1)[0]["payload"]
     with _pytest.raises(NotImplementedError):
-        VideoFrameSampler(fake=False)
+        sampler._real_decode(mp4_payload)
 
     # resize plan: aspect preserved, long side clamped
     planned = decode_images(
