@@ -6484,3 +6484,299 @@ def q22_sales_opportunity_q(sf_dir: str):
         "n_custs": out["n_custs"].astype("int64"),
         "total_bal": out["cents"].astype("int64") / 100.0})
     return res.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) by revenue in a quarter, ties kept
+# ---------------------------------------------------------------------------
+
+@query("q15_top_supplier", sql="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, units / 10000.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE units = (SELECT max(units) FROM rev)
+ORDER BY s_suppkey
+""")
+def q15_top_supplier_q(sf_dir: str):
+    """TPC-H Q15 shape: quarter revenue per supplier reduces through the
+    guarded combine (groupby(l_suppkey) twin past the cap), the max is a
+    scalar, and only the tie set — at most a handful of rows — ever
+    joins the supplier dimension for names.  The revenue view is never
+    materialized anywhere but as bounded per-supplier partials."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi)))
+        b = b.filter(m)
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+                  .cast(pa.int64())
+        bps = pc.subtract(100, pc.round(
+            pc.multiply(b["l_discount"], 100.0)).cast(pa.int64()))
+        f = pd.DataFrame({"l_suppkey": b["l_suppkey"].to_pandas(),
+                          "units": pc.multiply(cents, bps).to_pandas()})
+        return f.groupby("l_suppkey", as_index=False)["units"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("l_suppkey", as_index=False)["units"].sum()
+
+    rev, twin = combine_or_groupby_twin(
+        "q15_top_supplier",
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_shipdate", "l_extendedprice",
+               "l_discount"])
+        .map_batches(part, batch_format="pyarrow"),
+        fold, 2_000_000, ["l_suppkey"])
+
+    empty = pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                          "s_name": pd.Series([], dtype=object),
+                          "total_revenue": pd.Series([],
+                                                     dtype=np.float64)})
+    if twin is None:
+        if rev is None or not len(rev):
+            return empty
+        best = int(rev["units"].max())
+        top = rev[rev["units"] == best]
+    else:
+        def mpart(f: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"m": [int(f["units"].max())]})
+
+        def mfold(f: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"m": [int(f["m"].max())]})
+
+        mx, ok = guarded_partials(
+            twin.map_batches(mpart, batch_format="pandas"), mfold, 100)
+        assert ok and mx is not None
+        best = int(mx["m"].iloc[0])
+
+        def keep(f: pd.DataFrame) -> pd.DataFrame:
+            return f[f["units"] == best]
+
+        top, ok2 = guarded_partials(
+            twin.map_batches(keep, batch_format="pandas"),
+            lambda f: f.drop_duplicates("l_suppkey"), 10_000)
+        assert ok2  # tie set is tiny by construction
+        if top is None or not len(top):
+            return empty
+
+    tkeys = top["l_suppkey"].to_numpy(np.int64)
+
+    def name_prep(b: pa.Table) -> pa.Table:
+        m = pa.array(np.isin(
+            b["s_suppkey"].to_numpy(zero_copy_only=False), tkeys))
+        return b.filter(m)
+
+    names = (_read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+             .map_batches(name_prep, batch_format="pyarrow").to_pandas())
+    out = names.merge(top.rename(columns={"l_suppkey": "s_suppkey"}),
+                      on="s_suppkey")
+    out["total_revenue"] = out["units"].astype("int64") / 10000.0
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return (out.sort_values("s_suppkey").reset_index(drop=True)
+            [["s_suppkey", "s_name", "total_revenue"]])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive brand/size/quantity band revenue
+# ---------------------------------------------------------------------------
+
+@query("q19_disjunctive_revenue", sql="""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) / 10000.0 AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+""")
+def q19_disjunctive_revenue_q(sf_dir: str):
+    """TPC-H Q19 shape: the three-way OR across part attributes and
+    lineitem quantity becomes a part-side band id (which disjunct a
+    part can satisfy, resolved once in the dimension scan) carried
+    through one smart_join, plus a vectorized per-band quantity window
+    check — no row-wise predicate evaluation, no OR re-evaluated per
+    lineitem."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import smart_join
+
+    bands = [("Brand#12", 1, 5, 1, 11),
+             ("Brand#23", 1, 10, 10, 20),
+             ("Brand#34", 1, 15, 20, 30)]
+    qlo = np.array([b[3] for b in bands], dtype=np.int64)
+    qhi = np.array([b[4] for b in bands], dtype=np.int64)
+
+    def part_prep(b: pa.Table) -> pa.Table:
+        brand = b["p_brand"].to_numpy(zero_copy_only=False)
+        size = b["p_size"].to_numpy(zero_copy_only=False)
+        band = np.full(len(b), -1, dtype=np.int64)
+        for i, (br, slo, shi, _, _) in enumerate(bands):
+            band = np.where((brand == br) & (size >= slo)
+                            & (size <= shi), i, band)
+        keep = band >= 0
+        return pa.table({
+            "l_partkey": pa.array(
+                b["p_partkey"].to_numpy(zero_copy_only=False)[keep]),
+            "band": pa.array(band[keep])})
+
+    parts = (_read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+             .map_batches(part_prep, batch_format="pyarrow"))
+
+    def line_prep(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+                  .cast(pa.int64())
+        bps = pc.subtract(100, pc.round(
+            pc.multiply(b["l_discount"], 100.0)).cast(pa.int64()))
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "q": pc.round(b["l_quantity"]).cast(pa.int64()),
+                         "units": pc.multiply(cents, bps)})
+
+    line = (_read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice",
+                   "l_discount"])
+            .map_batches(line_prep, batch_format="pyarrow"))
+    j = smart_join(line, parts, on="l_partkey",
+                   value_cols=["band"], join_type="inner")
+
+    def spart(g: pd.DataFrame) -> pd.DataFrame:
+        band = g["band"].astype("int64").to_numpy()
+        q = g["q"].astype("int64").to_numpy()
+        keep = (q >= qlo[band]) & (q <= qhi[band])
+        return pd.DataFrame(
+            {"total": [int(g.loc[keep, "units"].sum())],
+             "n": [int(keep.sum())]})
+
+    def sfold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"total": [int(f["total"].sum())],
+                             "n": [int(f["n"].sum())]})
+
+    tot, ok = guarded_partials(
+        j.map_batches(spart, batch_format="pandas"), sfold, 100)
+    assert ok
+    if tot is None or not int(tot["n"].iloc[0]):
+        return pd.DataFrame({"revenue": [np.nan]})
+    return pd.DataFrame(
+        {"revenue": [int(tot["total"].iloc[0]) / 10000.0]})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-line profit by supplier nation and year
+# ---------------------------------------------------------------------------
+
+@query("q9_product_profit", sql="""
+WITH pr AS (
+  SELECT s.s_nationkey, year(l.l_shipdate)::BIGINT AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+         - CAST(round(l_quantity) AS BIGINT)
+           * CAST(round(p_retailprice * 100) AS BIGINT) * 100
+           AS profit_units
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE p.p_name LIKE '%red%'
+)
+SELECT n_name AS nation, o_year,
+       CAST(sum(profit_units) AS BIGINT) / 10000.0 AS profit
+FROM pr JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+""")
+def q9_product_profit_q(sf_dir: str):
+    """TPC-H Q9 shape on this schema (retail price stands in for the
+    missing partsupp supply cost): profit = revenue units minus
+    quantity x retail cents x 100, all integers.  The part dimension
+    prunes to the '%red%' product line and rides one smart_join into
+    the lineitem scan; supplier collapses to a key->nationkey lookup;
+    the (nation, year) group universe is bounded so the profit roll-up
+    is one guarded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import smart_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    def part_prep(b: pa.Table) -> pa.Table:
+        m = pc.match_substring(b["p_name"], "red")
+        b = b.filter(m)
+        return pa.table({"l_partkey": b["p_partkey"],
+                         "retail_cents":
+                             pc.round(pc.multiply(b["p_retailprice"],
+                                                  100.0))
+                             .cast(pa.int64())})
+
+    parts = (_read(sf_dir, "part",
+                   ["p_partkey", "p_name", "p_retailprice"])
+             .map_batches(part_prep, batch_format="pyarrow"))
+
+    supp = (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .map_batches(lambda b: pa.table({
+                "l_suppkey": b["s_suppkey"],
+                "s_nationkey": pc.cast(b["s_nationkey"], pa.int64())}),
+                batch_format="pyarrow"))
+
+    def line_prep(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)) \
+                  .cast(pa.int64())
+        bps = pc.subtract(100, pc.round(
+            pc.multiply(b["l_discount"], 100.0)).cast(pa.int64()))
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "o_year": pc.year(b["l_shipdate"])
+                                     .cast(pa.int64()),
+                         "q": pc.round(b["l_quantity"]).cast(pa.int64()),
+                         "rev_units": pc.multiply(cents, bps)})
+
+    line = (_read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+                   "l_extendedprice", "l_discount"])
+            .map_batches(line_prep, batch_format="pyarrow"))
+    j = smart_join(line, parts, on="l_partkey",
+                   value_cols=["retail_cents"], join_type="inner")
+    j = smart_join(j, supp, on="l_suppkey",
+                   value_cols=["s_nationkey"], join_type="inner")
+
+    def ppart(g: pd.DataFrame) -> pd.DataFrame:
+        profit = (g["rev_units"].astype("int64").to_numpy()
+                  - g["q"].astype("int64").to_numpy()
+                  * g["retail_cents"].astype("int64").to_numpy() * 100)
+        f = pd.DataFrame({
+            "s_nationkey": g["s_nationkey"].astype("int64").to_numpy(),
+            "o_year": g["o_year"].astype("int64").to_numpy(),
+            "profit_units": profit})
+        return f.groupby(["s_nationkey", "o_year"],
+                         as_index=False)["profit_units"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["s_nationkey", "o_year"],
+                         as_index=False)["profit_units"].sum()
+
+    merged, ok = guarded_partials(
+        j.map_batches(ppart, batch_format="pandas"), fold, 10_000)
+    assert ok  # 25 nations x ship-year span
+    if merged is None or not len(merged):
+        return pd.DataFrame({"nation": pd.Series([], dtype=object),
+                             "o_year": pd.Series([], dtype=np.int64),
+                             "profit": pd.Series([], dtype=np.float64)})
+    out = pd.DataFrame({
+        "nation": merged["s_nationkey"].map(nmap),
+        "o_year": merged["o_year"].astype("int64"),
+        "profit": merged["profit_units"].astype("int64") / 10000.0})
+    return (out.sort_values(["nation", "o_year"],
+                            ascending=[True, False])
+            .reset_index(drop=True))

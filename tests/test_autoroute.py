@@ -390,7 +390,7 @@ def test_type_coarrival_twin_equivalence(ray_session, monkeypatch):
     "sequence_gap_check", "dedup_savings_report", "dedup_rate_by_source",
     "q4_order_priority", "q13_customer_distribution",
     "q17_small_quantity", "q11_part_concentration",
-    "q12_late_shipment_priority",
+    "q12_late_shipment_priority", "q15_top_supplier",
 ])
 def test_unbounded_combine_twin_equivalence(ray_session, monkeypatch,
                                             qname):
