@@ -265,6 +265,15 @@ def run_suite() -> dict:
                  "supplier_ship_latency", "urgent_share_by_nation",
                  "rolling_7day_max", "rle_encoding_advisor",
                  "dedup_rate_by_source",
+                 # round-4 additions: the remaining SQL-expressible TPC-H
+                 # shapes, vector-norm audit, Spearman rank drift
+                 "q4_order_priority", "q7_nation_trade",
+                 "q8_market_share", "q9_product_profit",
+                 "q11_part_concentration", "q12_late_shipment_priority",
+                 "q13_customer_distribution", "q15_top_supplier",
+                 "q17_small_quantity", "q19_disjunctive_revenue",
+                 "q22_sales_opportunity", "embedding_quantized_norms",
+                 "spearman_token_ranks",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

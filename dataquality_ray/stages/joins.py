@@ -78,20 +78,82 @@ class BroadcastLookup:
         return batch
 
 
+# Per-worker-process cache of resolved lookup indexes, keyed by the
+# broadcast ObjectRef hex: the table crosses plasma once per worker
+# PROCESS (not per task, not per batch), and a plain task function lets
+# Ray Data fuse the lookup with the adjacent map operators instead of
+# paying an actor-pool spin-up per join (measured ~1-2 s fixed cost per
+# BroadcastLookup pool at 32 CPUs — see BASELINE.md round 4).
+_LOOKUP_CACHE: dict = {}
+_LOOKUP_CACHE_MAX = 16
+
+
+def _resolve_lookup(ref, on: str, value_cols: list[str]) -> pd.DataFrame:
+    key = ref.hex()
+    idx = _LOOKUP_CACHE.get(key)
+    if idx is None:
+        df = ray.get(ref)
+        if not len(df):
+            need = [on] + list(value_cols)
+            if not set(need) <= set(df.columns):
+                df = pd.DataFrame(
+                    {c: pd.Series([], dtype="object") for c in need})
+        idx = df.set_index(on)[value_cols]
+        if len(_LOOKUP_CACHE) >= _LOOKUP_CACHE_MAX:
+            _LOOKUP_CACHE.pop(next(iter(_LOOKUP_CACHE)))
+        _LOOKUP_CACHE[key] = idx
+    return idx
+
+
+def _lookup_batch(batch: pa.Table, *, ref, on: str,
+                  value_cols: list[str], inner: bool) -> pa.Table:
+    index = _resolve_lookup(ref, on, value_cols)
+    keys = batch[on].to_pandas()
+    pos = (index.index.get_indexer(keys) if len(index)
+           else np.full(len(keys), -1))
+    if inner:
+        mask = pos >= 0
+        batch = batch.filter(pa.array(mask))
+        pos = pos[mask]
+    hit = pos >= 0
+    for col in value_cols:
+        if len(index):
+            vals = pd.Series(index[col].to_numpy()[np.where(hit, pos, 0)])
+            vals = vals.where(hit)
+        else:
+            vals = pd.Series([None] * len(pos), dtype="object")
+        batch = batch.append_column(col, pa.Array.from_pandas(vals))
+    return batch
+
+
 def broadcast_join(ds, small_ds_or_df, on: str, value_cols: list[str],
                    batch_size: int = 8192, concurrency=(1, 8),
-                   join_type: str = "left_outer"):
+                   join_type: str = "left_outer",
+                   compute: str = "tasks"):
+    """``compute='tasks'`` (default) runs the lookup as a fusable task
+    function with the index cached per worker process; ``'actors'``
+    keeps the explicit :class:`BroadcastLookup` pool (the right shape
+    when the lookup side is so large that pinning it in long-lived
+    actors beats per-process copies)."""
     if join_type not in ("left_outer", "inner"):
         raise ValueError(
             f"broadcast_join supports left_outer/inner, not {join_type!r}")
     ref = broadcast_table(small_ds_or_df)
-    return ds.map_batches(
-        BroadcastLookup, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"ref": ref, "on": on,
-                               "value_cols": value_cols,
-                               "join_type": join_type},
-    )
+    if compute == "actors":
+        return ds.map_batches(
+            BroadcastLookup, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"ref": ref, "on": on,
+                                   "value_cols": value_cols,
+                                   "join_type": join_type},
+        )
+    import functools
+
+    fn = functools.partial(_lookup_batch, ref=ref, on=on,
+                           value_cols=list(value_cols),
+                           inner=join_type == "inner")
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=batch_size)
 
 
 # Right sides at or below this estimated size are broadcast; above it they are

@@ -7,6 +7,7 @@ through the hash-shuffle path.
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray
 import ray.data as rd
@@ -303,3 +304,27 @@ def test_bloom_join_tiny_filter_stays_exact(ray_session):
     hj = (hash_join(lds, rds, on="k", right_on="rk", join_type="inner")
           .to_pandas().sort_values("x").reset_index(drop=True))
     pd.testing.assert_frame_equal(bj, hj[bj.columns.tolist()])
+
+
+def test_broadcast_join_all_empty_right_side_loses_schema(ray_session):
+    """A right side whose every block filtered to zero rows loses its
+    column names in to_pandas; the lookup must still join (inner drops
+    everything, left_outer appends nulls) instead of raising KeyError."""
+    from dataquality_ray.stages.joins import broadcast_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(6, dtype=np.int64),
+         "x": np.arange(6, dtype=np.int64)}))
+    right = (rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(3, dtype=np.int64),
+         "v": np.arange(3, dtype=np.int64)}))
+        .map_batches(lambda b: b.filter(pa.array(np.zeros(len(b), bool))),
+                     batch_format="pyarrow"))
+
+    inner = broadcast_join(left, right, on="k", value_cols=["v"],
+                           join_type="inner").to_pandas()
+    assert len(inner) == 0
+
+    outer = broadcast_join(left, right, on="k", value_cols=["v"],
+                           join_type="left_outer").to_pandas()
+    assert len(outer) == 6 and outer["v"].isna().all()
