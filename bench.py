@@ -363,16 +363,29 @@ def run_scaling() -> dict:
 
 if __name__ == "__main__":
     result = run_scaling() if "--scaling" in sys.argv else run_suite()
-    line = json.dumps(result)
     # The driver records only the tail of stdout (~4 KB); with 300+ timed
-    # queries the one-line contract overflows that window, so the full
-    # result is also persisted next to the script for the judge to read.
+    # queries the one-line contract overflows that window (BENCH_r03's
+    # stored line was head-truncated and unparseable), so the FULL result
+    # is persisted next to the script, and the printed line keeps every
+    # headline metric but truncates the per-query dict to the slowest
+    # entries that fit, flagging the truncation and pointing at the file.
     name = ("bench_scaling_last.json" if "--scaling" in sys.argv
             else "bench_last.json")
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                name), "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(result) + "\n")
     except OSError:
         pass  # read-only checkout — the printed line is still the contract
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 3500 and "queries" in result:
+        qs = result["queries"]
+        keep = dict(sorted(qs.items(), key=lambda kv: -kv[1]))
+        while len(line) > 3500 and keep:
+            keep.popitem()
+            trimmed = dict(result, queries=keep,
+                           queries_total=len(qs),
+                           queries_shown=len(keep),
+                           queries_full=name)
+            line = json.dumps(trimmed, separators=(",", ":"))
     print(line)
