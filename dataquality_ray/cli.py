@@ -152,6 +152,46 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Run one registry query and print its routing trace: which
+    combine/broadcast/groupby-twin decisions fired (``ROUTE_EVENTS``),
+    how many driver-held rows each produced, result shape, and wall
+    time — the operability view of the auto-routing layer before a run
+    is scaled up."""
+    import time
+
+    from dataquality_ray.pipelines.registry import queries
+    from dataquality_ray.stages import autoroute
+
+    q = queries()
+    if args.query not in q:
+        print(f"unknown query {args.query!r}; {len(q)} registered",
+              file=sys.stderr)
+        return 2
+    _ensure_ray()
+    n0 = len(autoroute.ROUTE_EVENTS)
+    t0 = time.perf_counter()
+    res = q[args.query](args.sf_dir)
+    dt = time.perf_counter() - t0
+    if hasattr(res, "to_pandas"):
+        res = res.to_pandas()
+    out = {
+        "query": args.query,
+        "sec": round(dt, 3),
+        "rows": int(len(res)),
+        "columns": list(map(str, res.columns)),
+        "routes": autoroute.ROUTE_EVENTS[n0:],
+    }
+    print(json.dumps(out) if args.json else
+          "\n".join([f"{args.query}: {out['rows']} rows x "
+                     f"{len(out['columns'])} cols in {out['sec']}s"]
+                    + [f"  route[{e.get('op')}] -> {e.get('chosen')} "
+                       f"({e.get('reason')}; cardinality="
+                       f"{e.get('cardinality')})"
+                       for e in out["routes"]]))
+    return 0
+
+
 def cmd_battery(args: argparse.Namespace) -> int:
     from dataquality_ray.pipelines.battery import (
         battery_from_config,
@@ -238,6 +278,14 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--out", default=None, help="optional parquet output")
     pr.add_argument("--json", action="store_true")
     pr.set_defaults(fn=cmd_profile)
+
+    ex = sub.add_parser("explain",
+                        help="run one registry query and print its "
+                             "routing trace (combine vs twin decisions)")
+    ex.add_argument("query")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument("--json", action="store_true")
+    ex.set_defaults(fn=cmd_explain)
 
     b = sub.add_parser("battery", help="DQ test battery over one table")
     b.add_argument("--table", required=True)

@@ -639,3 +639,23 @@ def test_c6_fd_through_battery_config(ray_session):
     # fused path agrees (C6 spec is fusable)
     fused = run_battery(ds, entries, share="fused")
     assert fused["tests"]["C6"] == res["tests"]["C6"]
+
+
+def test_cli_explain_routing_trace(ray_session, capsys):
+    """`explain <query>` runs a registry query and prints its routing
+    decisions; --json round-trips and names the combine route."""
+    import json as _json
+
+    from dataquality_ray.cli import main
+
+    rc = main(["explain", "q13_customer_distribution",
+               "--sf-dir", "/root/testdata/sf0.001", "--json"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["query"] == "q13_customer_distribution"
+    assert out["rows"] > 0 and out["sec"] > 0
+    assert any(e["op"] == "q13_customer_distribution"
+               and e["chosen"] in ("combine", "groupby_twin")
+               for e in out["routes"])
+
+    assert main(["explain", "no_such_query"]) == 2
