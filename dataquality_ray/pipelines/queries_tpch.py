@@ -6780,3 +6780,24 @@ def q9_product_profit_q(sf_dir: str):
     return (out.sort_values(["nation", "o_year"],
                             ascending=[True, False])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# One-pass KLL rank-sketch quantiles — the unbounded/heavy-tailed scale
+# path next to approx_quantiles_hist's two-pass fixed grid
+# ---------------------------------------------------------------------------
+
+@query("kll_quantiles")
+def kll_quantiles_q(sf_dir: str):
+    """Approximate order-price quantiles from the mergeable KLL-style
+    sketch (stages/sketch.kll_quantiles): one streaming pass, only
+    (level, value) items move, rank error O(n/k) independent of the
+    value range — the estimator a uniform histogram grid cannot match
+    on heavy-tailed columns.  Rows-only (an approximation has no SQL
+    twin); accuracy is pinned by tests/test_sketch.py against exact
+    quantiles."""
+    from dataquality_ray.stages.sketch import kll_quantiles
+
+    out = kll_quantiles(_read(sf_dir, "orders", ["o_totalprice"]),
+                        "o_totalprice", qs=(0.1, 0.5, 0.9, 0.99), k=256)
+    return out.reset_index(drop=True)

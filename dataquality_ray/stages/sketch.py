@@ -550,3 +550,123 @@ def cms_inner_product(a: CountMinSketch, b: CountMinSketch) -> int:
         raise ValueError("geometry mismatch")
     prods = (a.table.astype(object) * b.table.astype(object)).sum(axis=1)
     return int(min(prods))
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable rank sketch — one-pass quantiles for unbounded,
+# heavy-tailed value domains (where histogram_quantiles' uniform grid
+# wastes all its buckets on the outlier-stretched range and
+# exact_quantiles' value-counts stop fitting the combine)
+# ---------------------------------------------------------------------------
+
+def _kll_caps(n_levels: int, k: int) -> list[int]:
+    """Per-level capacities: ~k at the top, geometrically (2/3) smaller
+    toward level 0, floor 8 — the standard KLL schedule."""
+    return [max(8, int(np.ceil(k * (2.0 / 3.0) ** (n_levels - 1 - h))))
+            for h in range(n_levels)]
+
+
+def _kll_compact(frame: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Deterministically compact a (level, value) item frame until every
+    level fits its capacity.  Compaction sorts a level and promotes
+    alternating items to level+1 (each surviving item doubles its
+    weight); the parity alternates per (level, pass) so adjacent
+    compactions cancel rather than accumulate rank drift.  Worst-case
+    rank error after any merge order is O(n/k) with small constant —
+    asserted empirically in tests rather than assumed."""
+    if not len(frame):
+        return frame
+    out = {int(h): g["value"].to_numpy(np.float64)
+           for h, g in frame.groupby("level")}
+    passes = 0
+    while True:
+        n_levels = max(out) + 1 if out else 1
+        caps = _kll_caps(n_levels, k)
+        over = [h for h, vals in out.items() if len(vals) > caps[h]]
+        if not over:
+            break
+        h = min(over)
+        vals = np.sort(out[h])
+        start = (h + passes) % 2
+        promoted = vals[start::2]
+        # compaction empties the level: half promote (weight doubles),
+        # the alternating half is discarded
+        out[h] = np.array([], dtype=np.float64)
+        out[h + 1] = (np.concatenate([out.get(h + 1,
+                                              np.array([], np.float64)),
+                                      promoted])
+                      if len(promoted) else
+                      out.get(h + 1, np.array([], np.float64)))
+        passes += 1
+    levels = []
+    values = []
+    for h, vals in sorted(out.items()):
+        if len(vals):
+            levels.append(np.full(len(vals), h, dtype=np.int64))
+            values.append(vals)
+    if not levels:
+        return pd.DataFrame({"level": pd.Series([], dtype=np.int64),
+                             "value": pd.Series([], dtype=np.float64)})
+    return pd.DataFrame({"level": np.concatenate(levels),
+                         "value": np.concatenate(values)})
+
+
+def kll_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99), k: int = 256):
+    """One-pass approximate quantiles via a mergeable KLL-style sketch:
+    each batch contributes its values at level 0 (compacted locally to
+    O(k log(n/k)) items), partial item frames merge through the guarded
+    combine with the same compaction as the fold — only (level, value)
+    rows ever move, never the column.  Returns (q, quantile_est, n,
+    sketch_items).  Rank error is O(n/k); with k=256 the observed error
+    on heavy-tailed data is <2% of n (tests/test_sketch.py)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        arr = b[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        v = arr.drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        f = pd.DataFrame({"level": np.zeros(len(v), dtype=np.int64),
+                          "value": v,
+                          "n": np.ones(len(v), dtype=np.int64)})
+        c = _kll_compact(f[["level", "value"]], k)
+        c["n"] = 0
+        if len(c):
+            c.loc[c.index[0], "n"] = len(v)
+        elif len(v):  # all compacted away (cannot happen: caps >= 8)
+            c = pd.DataFrame({"level": [0], "value": [v[0]], "n": [0]})
+        return c
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        n = int(f["n"].sum())
+        c = _kll_compact(f[["level", "value"]], k)
+        c["n"] = 0
+        if len(c):
+            c.loc[c.index[0], "n"] = n
+        return c
+
+    merged, ok = guarded_partials(
+        ds.select_columns([col]).map_batches(part, batch_format="pyarrow"),
+        fold, 1_000_000)
+    assert ok  # sketch size is O(k log n), never near the cap
+    if merged is None or not len(merged):
+        return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
+                             "quantile_est": np.nan, "n": 0,
+                             "sketch_items": 0})
+    n = int(merged["n"].sum())
+    w = np.power(2.0, merged["level"].to_numpy(np.int64)).astype(np.int64)
+    v = merged["value"].to_numpy(np.float64)
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    total = int(cum[-1])
+    out = []
+    for q in qs:
+        rank = min(max(int(np.floor(q * (total - 1))), 0), total - 1)
+        i = int(np.searchsorted(cum, rank + 1, side="left"))
+        out.append(v[i])
+    return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
+                         "quantile_est": np.asarray(out, np.float64),
+                         "n": np.int64(n),
+                         "sketch_items": np.int64(len(v))})

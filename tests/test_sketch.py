@@ -221,3 +221,38 @@ def test_cms_token_sketch_matches_local_fold(ray_session):
     local = CountMinSketch(width=128, depth=4).fold_hashes(
         _hash_values(pa.array(uniq, pa.string())), counts.astype(np.int64))
     assert (dist.table == local.table).all()
+
+
+def test_kll_quantiles_heavy_tail_rank_error(ray_session):
+    """One-pass KLL sketch: rank error < 2% of n on lognormal data at
+    k=256, sketch stays O(k log n) items, merge across partitions."""
+    import numpy as np
+
+    from dataquality_ray.stages.sketch import kll_quantiles
+
+    rng = np.random.RandomState(7)
+    vals = np.exp(rng.normal(0.0, 2.0, 50_000))
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(8)
+    out = kll_quantiles(ds, "x", qs=(0.1, 0.5, 0.9, 0.99), k=256)
+    assert int(out["n"].iloc[0]) == 50_000
+    assert int(out["sketch_items"].iloc[0]) < 4096
+    sv = np.sort(vals)
+    for _, r in out.iterrows():
+        rank_est = int(np.searchsorted(sv, r["quantile_est"]))
+        rank_true = int(r["q"] * (len(sv) - 1))
+        assert abs(rank_est - rank_true) < 0.02 * len(sv), r["q"]
+
+
+def test_kll_quantiles_constant_and_empty(ray_session):
+    import numpy as np
+
+    from dataquality_ray.stages.sketch import kll_quantiles
+
+    const = rd.from_pandas(pd.DataFrame({"x": np.full(1000, 5.0)}))
+    out = kll_quantiles(const, "x", qs=(0.5, 0.99), k=64)
+    assert (out["quantile_est"] == 5.0).all()
+    assert int(out["n"].iloc[0]) == 1000
+
+    empty = rd.from_pandas(pd.DataFrame({"x": np.array([], np.float64)}))
+    out2 = kll_quantiles(empty, "x", qs=(0.5,), k=64)
+    assert np.isnan(out2["quantile_est"]).all()
