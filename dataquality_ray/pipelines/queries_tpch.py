@@ -6801,3 +6801,18 @@ def kll_quantiles_q(sf_dir: str):
     out = kll_quantiles(_read(sf_dir, "orders", ["o_totalprice"]),
                         "o_totalprice", qs=(0.1, 0.5, 0.9, 0.99), k=256)
     return out.reset_index(drop=True)
+
+
+@query("kll_group_quantiles")
+def kll_group_quantiles_q(sf_dir: str):
+    """Per-source document-length quantiles from the grouped KLL sketch
+    (stages/sketch.kll_group_quantiles): one streaming pass, per-group
+    item frames compacted in the combine, no shuffle and no per-group
+    exact pass — the per-shard length-profile monitor at corpus scale.
+    Rows-only; accuracy pinned vs exact in tests/test_sketch.py."""
+    from dataquality_ray.stages.sketch import kll_group_quantiles
+
+    out = kll_group_quantiles(
+        _read(sf_dir, "documents", ["source", "n_chars"]),
+        "n_chars", "source", qs=(0.5, 0.9), k=128)
+    return (out.sort_values(["source", "q"]).reset_index(drop=True))

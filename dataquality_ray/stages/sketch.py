@@ -670,3 +670,71 @@ def kll_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99), k: int = 256):
                          "quantile_est": np.asarray(out, np.float64),
                          "n": np.int64(n),
                          "sketch_items": np.int64(len(v))})
+
+
+def kll_group_quantiles(ds, col: str, group_col: str,
+                        qs=(0.5, 0.9), k: int = 128):
+    """Per-group one-pass sketch quantiles: each batch compacts one KLL
+    item frame PER GROUP, the (group, level, value) rows merge through
+    the guarded combine with per-group compaction as the fold, and the
+    driver never holds more than O(groups * k log n) items.  The
+    per-group quantile of a heavy-tailed metric (chars per doc by
+    source, price by segment) without a shuffle or a per-group exact
+    pass.  Returns (group, q, quantile_est, n)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def compact_groups(f: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for g, sub in f.groupby(group_col, sort=False):
+            n = int(sub["n"].sum()) if "n" in sub.columns else len(sub)
+            c = _kll_compact(sub[["level", "value"]], k)
+            c["n"] = 0
+            if len(c):
+                c.loc[c.index[0], "n"] = n
+            c[group_col] = g
+            outs.append(c)
+        if not outs:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "level": pd.Series([], dtype=np.int64),
+                                 "value": pd.Series([], dtype=np.float64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)[
+            [group_col, "level", "value", "n"]]
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            group_col: b[group_col].to_numpy(zero_copy_only=False),
+            "level": np.int64(0),
+            "value": b[col].to_numpy(zero_copy_only=False)
+                .astype(np.float64)})
+        f = f.dropna(subset=["value"])
+        f["n"] = 1
+        return compact_groups(f)
+
+    merged, ok = guarded_partials(
+        ds.select_columns([group_col, col])
+        .map_batches(part, batch_format="pyarrow"),
+        compact_groups, 2_000_000)
+    assert ok  # O(groups * k log n) items
+    if merged is None or not len(merged):
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "q": pd.Series([], dtype=np.float64),
+                             "quantile_est": pd.Series([],
+                                                       dtype=np.float64),
+                             "n": pd.Series([], dtype=np.int64)})
+    rows = []
+    for g, sub in merged.groupby(group_col, sort=True):
+        n = int(sub["n"].sum())
+        w = np.power(2.0, sub["level"].to_numpy(np.int64)) \
+            .astype(np.int64)
+        v = sub["value"].to_numpy(np.float64)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        total = int(cum[-1])
+        for q in qs:
+            rank = min(max(int(np.floor(q * (total - 1))), 0), total - 1)
+            i = int(np.searchsorted(cum, rank + 1, side="left"))
+            rows.append((g, float(q), float(v[i]), n))
+    return pd.DataFrame(rows, columns=[group_col, "q", "quantile_est",
+                                       "n"])

@@ -256,3 +256,28 @@ def test_kll_quantiles_constant_and_empty(ray_session):
     empty = rd.from_pandas(pd.DataFrame({"x": np.array([], np.float64)}))
     out2 = kll_quantiles(empty, "x", qs=(0.5,), k=64)
     assert np.isnan(out2["quantile_est"]).all()
+
+
+def test_kll_group_quantiles_accuracy(ray_session):
+    """Per-group sketch medians stay within 3% rank error per group."""
+    import numpy as np
+
+    from dataquality_ray.stages.sketch import kll_group_quantiles
+
+    rng = np.random.RandomState(11)
+    n = 30_000
+    grp = rng.choice(list("abc"), n)
+    # different scale per group so a shared grid would fail
+    scale = np.where(grp == "a", 1.0, np.where(grp == "b", 100.0, 0.01))
+    vals = np.exp(rng.normal(0.0, 1.5, n)) * scale
+    ds = rd.from_pandas(pd.DataFrame({"g": grp, "x": vals})).repartition(6)
+    out = kll_group_quantiles(ds, "x", "g", qs=(0.5, 0.9), k=128)
+    assert set(out["g"]) == {"a", "b", "c"}
+    for g in "abc":
+        sv = np.sort(vals[grp == g])
+        sub = out[out["g"] == g]
+        assert int(sub["n"].iloc[0]) == len(sv)
+        for _, r in sub.iterrows():
+            rank_est = int(np.searchsorted(sv, r["quantile_est"]))
+            rank_true = int(r["q"] * (len(sv) - 1))
+            assert abs(rank_est - rank_true) < 0.03 * len(sv), (g, r["q"])
