@@ -680,8 +680,11 @@ def kll_group_quantiles(ds, col: str, group_col: str,
     driver never holds more than O(groups * k log n) items.  The
     per-group quantile of a heavy-tailed metric (chars per doc by
     source, price by segment) without a shuffle or a per-group exact
-    pass.  Returns (group, q, quantile_est, n)."""
-    from dataquality_ray.stages.autoroute import guarded_partials
+    pass.  Past the driver cap (group universe x sketch items > 2M,
+    i.e. an unbounded key like user_id) the combine auto-routes to a
+    groupby(group) twin whose per-group fold is the same compaction —
+    see ROUTE_EVENTS.  Returns (group, q, quantile_est, n)."""
+    from dataquality_ray.stages.autoroute import combine_or_groupby_twin
 
     def compact_groups(f: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -711,19 +714,8 @@ def kll_group_quantiles(ds, col: str, group_col: str,
         f["n"] = 1
         return compact_groups(f)
 
-    merged, ok = guarded_partials(
-        ds.select_columns([group_col, col])
-        .map_batches(part, batch_format="pyarrow"),
-        compact_groups, 2_000_000)
-    assert ok  # O(groups * k log n) items
-    if merged is None or not len(merged):
-        return pd.DataFrame({group_col: pd.Series([], dtype=object),
-                             "q": pd.Series([], dtype=np.float64),
-                             "quantile_est": pd.Series([],
-                                                       dtype=np.float64),
-                             "n": pd.Series([], dtype=np.int64)})
-    rows = []
-    for g, sub in merged.groupby(group_col, sort=True):
+    def extract(sub: pd.DataFrame) -> list[tuple]:
+        g = sub[group_col].iloc[0]
         n = int(sub["n"].sum())
         w = np.power(2.0, sub["level"].to_numpy(np.int64)) \
             .astype(np.int64)
@@ -732,9 +724,48 @@ def kll_group_quantiles(ds, col: str, group_col: str,
         v, w = v[order], w[order]
         cum = np.cumsum(w)
         total = int(cum[-1])
+        rows = []
         for q in qs:
             rank = min(max(int(np.floor(q * (total - 1))), 0), total - 1)
             i = int(np.searchsorted(cum, rank + 1, side="left"))
             rows.append((g, float(q), float(v[i]), n))
-    return pd.DataFrame(rows, columns=[group_col, "q", "quantile_est",
-                                       "n"])
+        return rows
+
+    cols = [group_col, "q", "quantile_est", "n"]
+    empty = pd.DataFrame({group_col: pd.Series([], dtype=object),
+                          "q": pd.Series([], dtype=np.float64),
+                          "quantile_est": pd.Series([], dtype=np.float64),
+                          "n": pd.Series([], dtype=np.int64)})
+
+    merged, twin = combine_or_groupby_twin(
+        "kll_group_quantiles",
+        ds.select_columns([group_col, col])
+        .map_batches(part, batch_format="pyarrow"),
+        compact_groups, 2_000_000, [group_col])
+    if twin is None:
+        if merged is None or not len(merged):
+            return empty
+        rows = []
+        for _, sub in merged.groupby(group_col, sort=True):
+            rows.extend(extract(sub))
+        return pd.DataFrame(rows, columns=cols)
+
+    # twin path: each map_groups output is one group's compacted sketch;
+    # resolve quantiles inside the stream so only len(qs) rows per group
+    # reach the driver
+    def qpart(f: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, sub in f.groupby(group_col, sort=False):
+            rows.extend(extract(sub))
+        return pd.DataFrame(rows, columns=cols)
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    out, ok = guarded_partials(
+        twin.map_batches(qpart, batch_format="pandas"),
+        lambda f: f.drop_duplicates([group_col, "q"]), 4_000_000)
+    assert ok
+    if out is None or not len(out):
+        return empty
+    return (out.sort_values([group_col, "q"])
+            .reset_index(drop=True)[cols])

@@ -281,3 +281,50 @@ def test_kll_group_quantiles_accuracy(ray_session):
             rank_est = int(np.searchsorted(sv, r["quantile_est"]))
             rank_true = int(r["q"] * (len(sv) - 1))
             assert abs(rank_est - rank_true) < 0.03 * len(sv), (g, r["q"])
+
+
+def test_kll_group_quantiles_twin_within_error(ray_session, monkeypatch):
+    """Forcing the combine to abort must route kll_group_quantiles
+    through the groupby twin; compaction is fold-order dependent, so
+    the twin's estimates agree within the sketch's rank-error bound
+    rather than bit-for-bit."""
+    import numpy as np
+
+    import dataquality_ray.stages.autoroute as ar
+    from dataquality_ray.stages.autoroute import last_route
+    from dataquality_ray.stages.sketch import kll_group_quantiles
+
+    rng = np.random.RandomState(3)
+    n = 20_000
+    grp = rng.choice(list("pq"), n)
+    vals = np.exp(rng.normal(0.0, 1.5, n))
+    ds = rd.from_pandas(pd.DataFrame({"g": grp, "x": vals})).repartition(4)
+
+    default = kll_group_quantiles(ds, "x", "g", qs=(0.5, 0.9), k=128)
+    assert last_route("kll_group_quantiles")["chosen"] == "combine"
+
+    orig = ar.guarded_partials
+    calls = {"n": 0}
+
+    def abort_first(stage, fn, cap, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None, False
+        return orig(stage, fn, cap, **kw)
+
+    monkeypatch.setattr(ar, "guarded_partials", abort_first)
+    routed = kll_group_quantiles(ds, "x", "g", qs=(0.5, 0.9), k=128)
+    assert last_route("kll_group_quantiles")["chosen"] == "groupby_twin"
+
+    for g in "pq":
+        sv = np.sort(vals[grp == g])
+        for q in (0.5, 0.9):
+            a = float(default[(default["g"] == g)
+                              & (default["q"] == q)]["quantile_est"])
+            b = float(routed[(routed["g"] == g)
+                             & (routed["q"] == q)]["quantile_est"])
+            ra = int(np.searchsorted(sv, a))
+            rb = int(np.searchsorted(sv, b))
+            rt = int(q * (len(sv) - 1))
+            assert abs(ra - rt) < 0.03 * len(sv)
+            assert abs(rb - rt) < 0.03 * len(sv)
