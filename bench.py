@@ -274,6 +274,7 @@ def run_suite() -> dict:
                  "q17_small_quantity", "q19_disjunctive_revenue",
                  "q22_sales_opportunity", "embedding_quantized_norms",
                  "spearman_token_ranks", "kll_quantiles", "kll_group_quantiles",
+                 "q21_waiting_suppliers",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -6816,3 +6816,126 @@ def kll_group_quantiles_q(sf_dir: str):
         _read(sf_dir, "documents", ["source", "n_chars"]),
         "n_chars", "source", qs=(0.5, 0.9), k=128)
     return (out.sort_values(["source", "q"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+# multi-supplier orders — the double-EXISTS / anti-join capstone
+# ---------------------------------------------------------------------------
+
+@query("q21_waiting_suppliers", sql="""
+WITH pairs AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+             THEN 1 ELSE 0 END)::BIGINT AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_orderkey, l.l_suppkey
+), per_order AS (
+  SELECT l_orderkey, count(*)::BIGINT AS n_supp,
+         sum(late)::BIGINT AS n_late,
+         max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM pairs GROUP BY l_orderkey
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM per_order JOIN supplier ON s_suppkey = late_supp
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""")
+def q21_waiting_suppliers_q(sf_dir: str):
+    """TPC-H Q21 shape: EXISTS(another supplier on the order) AND NOT
+    EXISTS(another LATE supplier) collapses to per-(order, supplier)
+    late flags — deduped pair partials through the guarded combine with
+    a groupby twin — then a per-order reduction (supplier count, late
+    count, the sole late supplier) and a bounded per-supplier wait
+    count.  No order's lineitems ever co-locate except in the twin's
+    groupby; the blame aggregation is map-side both ways."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+    from dataquality_ray.stages.joins import smart_join
+
+    late_us = 60 * 86400 * 1_000_000
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["o_orderkey"],
+                         "o_orderdate_us":
+                             b["o_orderdate"].cast(pa.int64())})
+
+    orders_k = (_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+                .map_batches(ord_prep, batch_format="pyarrow"))
+    j = smart_join(_read(sf_dir, "lineitem",
+                         ["l_orderkey", "l_suppkey", "l_shipdate"]),
+                   orders_k, on="l_orderkey",
+                   value_cols=["o_orderdate_us"], join_type="inner")
+
+    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
+        late = (g["l_shipdate"].astype("int64").to_numpy()
+                > g["o_orderdate_us"].astype("int64").to_numpy()
+                + late_us).astype(np.int64)
+        f = pd.DataFrame({"l_orderkey": g["l_orderkey"].to_numpy(),
+                          "l_suppkey": g["l_suppkey"].to_numpy(),
+                          "late": late})
+        return f.groupby(["l_orderkey", "l_suppkey"],
+                         as_index=False)["late"].max()
+
+    def pair_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["l_orderkey", "l_suppkey"],
+                         as_index=False)["late"].max()
+
+    pairs, twin = combine_or_groupby_twin(
+        "q21_waiting_suppliers",
+        j.map_batches(pair_part, batch_format="pandas"),
+        pair_fold, 2_000_000, ["l_orderkey", "l_suppkey"])
+
+    def per_order(f: pd.DataFrame) -> pd.DataFrame:
+        g = f.groupby("l_orderkey")
+        out = g.agg(n_supp=("l_suppkey", "size"),
+                    n_late=("late", "sum")).reset_index()
+        blame = (f[f["late"] == 1].groupby("l_orderkey")["l_suppkey"]
+                 .max().rename("late_supp"))
+        out = out.merge(blame, on="l_orderkey", how="left")
+        hit = out[(out["n_supp"] > 1) & (out["n_late"] == 1)]
+        w = pd.DataFrame({"late_supp":
+                          hit["late_supp"].astype("int64").to_numpy()})
+        w["numwait"] = 1
+        return w.groupby("late_supp", as_index=False)["numwait"].sum()
+
+    def wait_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("late_supp", as_index=False)["numwait"].sum()
+
+    empty = pd.DataFrame({"s_name": pd.Series([], dtype=object),
+                          "numwait": pd.Series([], dtype=np.int64)})
+    if twin is None:
+        if pairs is None or not len(pairs):
+            return empty
+        waits = per_order(pairs)
+    else:
+        # the pair twin is keyed by (order, supplier); per-order logic
+        # needs one order's pairs together -> one more bounded-output
+        # groupby(order), then map-side wait counts
+        per = (twin.groupby("l_orderkey")
+               .map_groups(per_order, batch_format="pandas"))
+        waits, ok = guarded_partials(per, wait_fold, 2_000_000)
+        assert ok  # one row per supplier with waits (dimension-bounded)
+        if waits is None or not len(waits):
+            return empty
+    if not len(waits):
+        return empty
+
+    skeys = waits["late_supp"].astype("int64").to_numpy()
+
+    def name_prep(b: pa.Table) -> pa.Table:
+        m = pa.array(np.isin(
+            b["s_suppkey"].to_numpy(zero_copy_only=False), skeys))
+        return b.filter(m)
+
+    names = (_read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+             .map_batches(name_prep, batch_format="pyarrow").to_pandas())
+    out = (names.merge(waits.rename(columns={"late_supp": "s_suppkey"}),
+                       on="s_suppkey")
+           .groupby("s_name", as_index=False)["numwait"].sum())
+    out["numwait"] = out["numwait"].astype("int64")
+    return (out.sort_values(["numwait", "s_name"],
+                            ascending=[False, True])
+            .head(20).reset_index(drop=True)[["s_name", "numwait"]])

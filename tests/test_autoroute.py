@@ -391,6 +391,7 @@ def test_type_coarrival_twin_equivalence(ray_session, monkeypatch):
     "q4_order_priority", "q13_customer_distribution",
     "q17_small_quantity", "q11_part_concentration",
     "q12_late_shipment_priority", "q15_top_supplier",
+    "q21_waiting_suppliers",
 ])
 def test_unbounded_combine_twin_equivalence(ray_session, monkeypatch,
                                             qname):
