@@ -275,6 +275,9 @@ def run_suite() -> dict:
                  "q22_sales_opportunity", "embedding_quantized_norms",
                  "spearman_token_ranks", "kll_quantiles", "kll_group_quantiles",
                  "q21_waiting_suppliers",
+                 # round-4 session-3: model-evaluation / sampling design
+                 "quality_score_auc", "score_calibration_bins",
+                 "neyman_allocation",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

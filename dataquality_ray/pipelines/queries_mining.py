@@ -4126,3 +4126,197 @@ def spearman_token_ranks_q(sf_dir: str):
     return pd.DataFrame({"n_shared": [np.int64(n)],
                          "sum_d2": [np.int64(sum_d2)],
                          "rho": [rho]})
+
+
+# ---------------------------------------------------------------------------
+# Model-evaluation operators: exact AUC from the rank-sum identity and a
+# binned reliability (calibration) table — the scoring-side audit a
+# quality-filter pipeline needs before a threshold goes to production.
+# ---------------------------------------------------------------------------
+
+@query("quality_score_auc", sql="""
+WITH h AS (
+  SELECT n_chars AS s,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS neg
+  FROM documents GROUP BY n_chars
+), w AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+  FROM h
+)
+SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+       CAST(sum(pos::HUGEINT * (2 * cum_neg + neg)) * 1000000
+            // (2 * sum(pos)::HUGEINT * sum(neg)) AS BIGINT) AS auc_ppm
+FROM w
+""")
+def quality_score_auc_q(sf_dir: str):
+    """Exact ROC-AUC of a score column (n_chars) against a binary label
+    (lang = 'en') via the Mann-Whitney rank-sum identity with tie credit:
+    AUC * 2*P*N = 2*#(pos>neg) + #(pos==neg).  The corpus collapses to a
+    per-score (pos, neg) histogram through the guarded combine (distinct
+    scores are value-bounded by the document length range, with the
+    groupby twin past the cap); the pair counting is a single cumulative
+    pass over the sorted histogram — no O(P*N) pair materialization.
+    All-integer, so auc_ppm is bit-identical to the SQL replay."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        s = b["n_chars"].to_numpy(zero_copy_only=False)
+        p = (np.asarray(b["lang"]) == "en").astype(np.int64)
+        f = pd.DataFrame({"s": s, "pos": p, "neg": 1 - p})
+        return f.groupby("s", as_index=False)[["pos", "neg"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("s", as_index=False)[["pos", "neg"]].sum()
+
+    hist, twin = combine_or_groupby_twin(
+        "quality_score_auc",
+        _read(sf_dir, "documents", ["n_chars", "lang"])
+        .map_batches(part, batch_format="pyarrow"),
+        fold, 2_000_000, ["s"])
+    if twin is not None:
+        hist, ok = guarded_partials(twin, fold, 2_000_000)
+        assert ok  # value-bounded: one row per distinct document length
+    empty = pd.DataFrame({"n_pos": pd.Series([], dtype=np.int64),
+                          "n_neg": pd.Series([], dtype=np.int64),
+                          "auc_ppm": pd.Series([], dtype=np.int64)})
+    if hist is None or not len(hist):
+        return empty
+    hist = hist.sort_values("s").reset_index(drop=True)
+    pos = hist["pos"].to_numpy(np.int64)
+    neg = hist["neg"].to_numpy(np.int64)
+    cum_neg = np.concatenate(([0], np.cumsum(neg)[:-1]))
+    n_pos, n_neg = int(pos.sum()), int(neg.sum())
+    if n_pos == 0 or n_neg == 0:
+        return empty
+    numer = int((pos * (2 * cum_neg + neg)).sum())
+    auc_ppm = numer * 1_000_000 // (2 * n_pos * n_neg)
+    return pd.DataFrame({"n_pos": [np.int64(n_pos)],
+                         "n_neg": [np.int64(n_neg)],
+                         "auc_ppm": [np.int64(auc_ppm)]})
+
+
+@query("score_calibration_bins", sql="""
+SELECT (n_chars // 64)::BIGINT AS bin,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::HUGEINT
+            * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY 1 ORDER BY 1
+""")
+def score_calibration_bins_q(sf_dir: str):
+    """Reliability (calibration) table: fixed-width score bins
+    (n_chars // 64) with observed positive rate per bin — the diagram
+    that tells you whether a score's MAGNITUDE is trustworthy, not just
+    its ranking (quality_score_auc).  Bin domain is value-bounded, so
+    the per-bin partials flow through the guarded combine with a groupby
+    twin; rates are integer ppm (floor), bit-identical to SQL."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        s = b["n_chars"].to_numpy(zero_copy_only=False)
+        p = (np.asarray(b["lang"]) == "en").astype(np.int64)
+        f = pd.DataFrame({"bin": s // 64, "n": 1, "pos": p,
+                          "sum_chars": s})
+        return f.groupby("bin", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("bin", as_index=False).sum()
+
+    hist, twin = combine_or_groupby_twin(
+        "score_calibration_bins",
+        _read(sf_dir, "documents", ["n_chars", "lang"])
+        .map_batches(part, batch_format="pyarrow"),
+        fold, 2_000_000, ["bin"])
+    if twin is not None:
+        hist, ok = guarded_partials(twin, fold, 2_000_000)
+        assert ok  # value-bounded: one row per 64-char length bin
+    if hist is None or not len(hist):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("bin", "n", "pos", "pos_rate_ppm",
+                                       "sum_chars")})
+    hist = hist.sort_values("bin").reset_index(drop=True)
+    rate = [p * 1_000_000 // n for p, n in
+            zip(hist["pos"].tolist(), hist["n"].tolist())]
+    out = pd.DataFrame({"bin": hist["bin"].astype("int64"),
+                        "n": hist["n"].astype("int64"),
+                        "pos": hist["pos"].astype("int64"),
+                        "pos_rate_ppm": pd.Series(rate, dtype=np.int64),
+                        "sum_chars": hist["sum_chars"].astype("int64")})
+    return out.reset_index(drop=True)
+
+
+@query("neyman_allocation", sql="""
+WITH st AS (
+  SELECT source, count(*)::HUGEINT AS n,
+         sum(n_chars)::HUGEINT AS sy,
+         sum(n_chars::HUGEINT * n_chars) AS syy
+  FROM documents GROUP BY source
+), m AS (
+  SELECT source, n, (n * syy - sy * sy) AS mvar FROM st
+), r AS (
+  SELECT source, n, mvar,
+         CAST(floor(sqrt(CAST(mvar AS DOUBLE))) AS HUGEINT) AS s0
+  FROM m
+), s AS (
+  SELECT source, n, mvar,
+         CASE WHEN (s0 + 1) * (s0 + 1) <= mvar THEN s0 + 1
+              WHEN s0 * s0 > mvar THEN s0 - 1 ELSE s0 END AS sq
+  FROM r
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       CAST(mvar AS BIGINT) AS m_var,
+       CAST(sq AS BIGINT) AS nh_sigma_floor,
+       CAST(sq * 1000000 // (SELECT sum(sq) FROM s) AS BIGINT) AS alloc_ppm,
+       CAST(sq * 10000 // (SELECT sum(sq) FROM s) AS BIGINT) AS alloc_budget
+FROM s ORDER BY source
+""")
+def neyman_allocation_q(sf_dir: str):
+    """Variance-optimal (Neyman) stratified-sample allocation: each
+    stratum's share of a 10k-row budget is proportional to N_h * sigma_h.
+    One streaming pass collects per-source (n, sum, sum-of-squares)
+    partials (dimension-bounded combine); N_h*sigma_h = sqrt(n*syy - sy^2)
+    is taken as the EXACT integer floor-sqrt on both sides (the SQL
+    corrects the double sqrt by +-1), so shares are pure integer ratios —
+    no float summation order to disagree on."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        y = b["n_chars"].to_numpy(zero_copy_only=False).astype(object)
+        f = pd.DataFrame({"source": np.asarray(b["source"]),
+                          "n": 1, "sy": y, "syy": y * y})
+        return f.groupby("source", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False).sum()
+
+    st, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # dimension-bounded: one row per source
+    cols = ("source", "n_docs", "m_var", "nh_sigma_floor", "alloc_ppm",
+            "alloc_budget")
+    if st is None or not len(st):
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "source" else np.int64)
+            for c in cols})
+    st = st.sort_values("source").reset_index(drop=True)
+    rows = []
+    for _, r in st.iterrows():
+        n, sy, syy = int(r["n"]), int(r["sy"]), int(r["syy"])
+        mvar = n * syy - sy * sy
+        rows.append((str(r["source"]), n, mvar, math.isqrt(mvar)))
+    tot = sum(sq for _, _, _, sq in rows)
+    out = pd.DataFrame(
+        [(src, n, mvar, sq, sq * 1_000_000 // tot, sq * 10_000 // tot)
+         for src, n, mvar, sq in rows], columns=list(cols))
+    for c in cols[1:]:
+        out[c] = out[c].astype("int64")
+    return out
