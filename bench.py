@@ -277,7 +277,8 @@ def run_suite() -> dict:
                  "q21_waiting_suppliers",
                  # round-4 session-3: model-evaluation / sampling design
                  "quality_score_auc", "score_calibration_bins",
-                 "neyman_allocation",
+                 "neyman_allocation", "kaplan_meier_retention",
+                 "rolling_median_7day", "holt_linear_trend",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

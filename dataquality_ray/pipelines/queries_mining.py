@@ -4320,3 +4320,244 @@ def neyman_allocation_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Survival / time-series operators: Kaplan-Meier retention, rolling median,
+# Holt double exponential smoothing
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+@query("kaplan_meier_retention", sql="""
+WITH RECURSIVE u AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id
+), hz AS (SELECT max(last_us) AS h FROM u),
+lt AS (
+  SELECT (last_us - first_us) // 86400000000 AS t_day,
+         CASE WHEN last_us <= (SELECT h FROM hz) - 3600000000
+              THEN 1 ELSE 0 END AS ev
+  FROM u
+), agg AS (
+  SELECT t_day, sum(ev)::BIGINT AS d, count(*)::BIGINT AS c
+  FROM lt GROUP BY t_day
+), r AS (
+  SELECT t_day, d,
+         sum(c) OVER (ORDER BY t_day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+  FROM agg
+), dd AS (
+  SELECT t_day, d, n, row_number() OVER (ORDER BY t_day) AS i
+  FROM r WHERE d > 0
+), km AS (
+  SELECT t_day, d, n, i, (1.0 * (n - d)) / n AS s FROM dd WHERE i = 1
+  UNION ALL
+  SELECT dd.t_day, dd.d, dd.n, dd.i,
+         km.s * ((1.0 * (dd.n - dd.d)) / dd.n)
+  FROM dd JOIN km ON dd.i = km.i + 1
+)
+SELECT t_day::BIGINT AS t_day, d AS n_deaths, n::BIGINT AS n_at_risk,
+       s AS survival
+FROM km ORDER BY t_day
+""")
+def kaplan_meier_retention_q(sf_dir: str):
+    """Kaplan-Meier product-limit retention curve over user lifetimes
+    (first event -> last event, in days).  A user is a churn EVENT if
+    their last activity is >= 1 hour before the corpus horizon, else
+    right-CENSORED (the synthetic users are minute-level active, so an
+    hour of silence at the horizon is the churn signal).  Per-user (first, last) partials flow through the
+    guarded combine with a groupby twin past the cap (user keyspace is
+    unbounded); the (lifetime-day, event) histogram that KM actually
+    needs is time-span-bounded.  The survival product is a left fold in
+    t order mirroring the recursive-CTE replay op for op, so the DOUBLE
+    column is bit-identical."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    ev_ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def span_part(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"user_id":
+                          b["user_id"].to_numpy(zero_copy_only=False),
+                          "first_us": us, "last_us": us})
+        return f.groupby("user_id", as_index=False).agg(
+            first_us=("first_us", "min"), last_us=("last_us", "max"))
+
+    def span_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("user_id", as_index=False).agg(
+            first_us=("first_us", "min"), last_us=("last_us", "max"))
+
+    spans, twin = combine_or_groupby_twin(
+        "kaplan_meier_retention",
+        ev_ds.map_batches(span_part, batch_format="pyarrow"),
+        span_fold, 2_000_000, ["user_id"])
+
+    def lt_hist(f: pd.DataFrame, horizon_us: int) -> pd.DataFrame:
+        t = ((f["last_us"].to_numpy(np.int64)
+              - f["first_us"].to_numpy(np.int64)) // _DAY_US)
+        ev = (f["last_us"].to_numpy(np.int64)
+              <= horizon_us - 3_600_000_000).astype(np.int64)
+        g = pd.DataFrame({"t_day": t, "d": ev, "c": 1})
+        return g.groupby("t_day", as_index=False).sum()
+
+    def hist_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("t_day", as_index=False).sum()
+
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                          for c in ("t_day", "n_deaths", "n_at_risk")}
+                         ).assign(survival=pd.Series([], dtype=np.float64))
+    if twin is None:
+        if spans is None or not len(spans):
+            return empty
+        horizon = int(spans["last_us"].max())
+        hist = lt_hist(spans, horizon)
+    else:
+        # horizon needs a global max over the per-user twin rows first;
+        # the (day, event) histogram is time-span-bounded afterwards
+        horizon = int(twin.max("last_us"))
+        hist, ok = guarded_partials(
+            twin.map_batches(lambda f: lt_hist(f, horizon),
+                             batch_format="pandas"),
+            hist_fold, 2_000_000)
+        assert ok  # one row per lifetime day: bounded by the time span
+        if hist is None or not len(hist):
+            return empty
+    hist = hist.sort_values("t_day").reset_index(drop=True)
+    c = hist["c"].to_numpy(np.int64)
+    n_at_risk = np.cumsum(c[::-1])[::-1]
+    d = hist["d"].to_numpy(np.int64)
+    keep = d > 0
+    t_day = hist["t_day"].to_numpy(np.int64)[keep]
+    d, n = d[keep], n_at_risk[keep]
+    if not len(t_day):
+        return empty
+    surv = np.empty(len(t_day), dtype=np.float64)
+    s = (1.0 * float(n[0] - d[0])) / float(n[0])
+    surv[0] = s
+    for i in range(1, len(t_day)):
+        s = s * ((1.0 * float(n[i] - d[i])) / float(n[i]))
+        surv[i] = s
+    return pd.DataFrame({"t_day": t_day, "n_deaths": d,
+                         "n_at_risk": n, "survival": surv})
+
+
+@query("rolling_median_7day", sql="""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day_idx,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+)
+SELECT day_idx::BIGINT AS day_idx, cents,
+       median(cents) OVER (ORDER BY day_idx
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+FROM d ORDER BY day_idx
+""")
+def rolling_median_7day_q(sf_dir: str):
+    """Rolling 7-observed-day MEDIAN of daily revenue — the robust twin
+    of rolling_7day_max (a median shrugs off the single-day spikes that
+    drag a mean).  Daily cent totals aggregate distributedly (guarded
+    combine over the bounded day axis); the windowed median runs on the
+    tiny day series driver-side.  Integer cents make each median either
+    an exact int or an exact midpoint, so the DOUBLE column matches the
+    SQL window replay bit for bit."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = (b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // _DAY_US)
+        cents = pc.round(pc.multiply(b["o_totalprice"], 100.0)).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day_idx": day, "cents": cents})
+        return f.groupby("day_idx", as_index=False)["cents"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day_idx", as_index=False)["cents"].sum()
+
+    d, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # one row per calendar day: time-span-bounded
+    if d is None or not len(d):
+        return pd.DataFrame({"day_idx": pd.Series([], dtype=np.int64),
+                             "cents": pd.Series([], dtype=np.int64),
+                             "med7": pd.Series([], dtype=np.float64)})
+    d = d.sort_values("day_idx").reset_index(drop=True)
+    cents = d["cents"].to_numpy(np.int64)
+    med = np.empty(len(cents), dtype=np.float64)
+    for i in range(len(cents)):
+        w = np.sort(cents[max(0, i - 6):i + 1])
+        m = len(w)
+        if m % 2:
+            med[i] = float(w[m // 2])
+        else:
+            med[i] = (float(w[m // 2 - 1]) + float(w[m // 2])) / 2.0
+    return pd.DataFrame({"day_idx": d["day_idx"].astype("int64"),
+                         "cents": cents, "med7": med})
+
+
+@query("holt_linear_trend", sql="""
+WITH RECURSIVE d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), ds AS (
+  SELECT day_idx, n, row_number() OVER (ORDER BY day_idx) AS i FROM d
+), h AS (
+  SELECT day_idx, n, i, n::DOUBLE AS l, 0.0::DOUBLE AS b FROM ds WHERE i = 1
+  UNION ALL
+  SELECT ds.day_idx, ds.n, ds.i,
+         0.25 * ds.n + 0.75 * (h.l + h.b),
+         0.5 * ((0.25 * ds.n + 0.75 * (h.l + h.b)) - h.l) + 0.5 * h.b
+  FROM ds JOIN h ON ds.i = h.i + 1
+)
+SELECT day_idx::BIGINT AS day_idx, n AS n_events, l AS level, b AS trend,
+       l + b AS forecast_next
+FROM h ORDER BY day_idx
+""")
+def holt_linear_trend_q(sf_dir: str):
+    """Holt double exponential smoothing (level + trend) over daily event
+    volume — the next step up from ewma_daily_volume when the series has
+    drift.  alpha=1/4, beta=1/2; the sequential state scan runs on the
+    bounded day axis driver-side after a distributed daily-count combine.
+    Every float step mirrors the recursive-CTE replay's expression tree
+    exactly (the recomputed level inside the trend update included), so
+    level/trend/forecast are bit-identical."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = b["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // _DAY_US
+        s = pd.Series(day).value_counts()
+        return pd.DataFrame({"day_idx": s.index, "n": s.to_numpy()})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    d, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # one row per calendar day: time-span-bounded
+    if d is None or not len(d):
+        return pd.DataFrame(
+            {"day_idx": pd.Series([], dtype=np.int64),
+             "n_events": pd.Series([], dtype=np.int64),
+             "level": pd.Series([], dtype=np.float64),
+             "trend": pd.Series([], dtype=np.float64),
+             "forecast_next": pd.Series([], dtype=np.float64)})
+    d = d.sort_values("day_idx").reset_index(drop=True)
+    ns = d["n"].to_numpy(np.int64)
+    level = np.empty(len(ns), dtype=np.float64)
+    trend = np.empty(len(ns), dtype=np.float64)
+    l, b = float(ns[0]), 0.0
+    level[0], trend[0] = l, b
+    for i in range(1, len(ns)):
+        y = float(ns[i])
+        l_new = 0.25 * y + 0.75 * (l + b)
+        b = 0.5 * ((0.25 * y + 0.75 * (l + b)) - l) + 0.5 * b
+        l = l_new
+        level[i], trend[i] = l, b
+    return pd.DataFrame({"day_idx": d["day_idx"].astype("int64"),
+                         "n_events": ns, "level": level, "trend": trend,
+                         "forecast_next": level + trend})

@@ -392,6 +392,8 @@ def test_type_coarrival_twin_equivalence(ray_session, monkeypatch):
     "q17_small_quantity", "q11_part_concentration",
     "q12_late_shipment_priority", "q15_top_supplier",
     "q21_waiting_suppliers",
+    "quality_score_auc", "score_calibration_bins",
+    "kaplan_meier_retention",
 ])
 def test_unbounded_combine_twin_equivalence(ray_session, monkeypatch,
                                             qname):
