@@ -279,6 +279,8 @@ def run_suite() -> dict:
                  "quality_score_auc", "score_calibration_bins",
                  "neyman_allocation", "kaplan_meier_retention",
                  "rolling_median_7day", "holt_linear_trend",
+                 "q16_part_supplier_variety", "q20_dominant_supplier",
+                 "reciprocal_best_match",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -6939,3 +6939,300 @@ def q21_waiting_suppliers_q(sf_dir: str):
     return (out.sort_values(["numwait", "s_name"],
                             ascending=[False, True])
             .head(20).reset_index(drop=True)[["s_name", "numwait"]])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16/Q20 shapes without partsupp: supplier variety per part class,
+# dominant-supplier detection from shipped volume
+# ---------------------------------------------------------------------------
+
+_Q16_SIZES = (1, 4, 9, 16, 25, 36, 49)
+
+
+@query("q16_part_supplier_variety", sql=f"""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN {_Q16_SIZES}
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""")
+def q16_part_supplier_variety_q(sf_dir: str):
+    """TPC-H Q16 shape (partsupp replaced by shipped lineitems): how many
+    distinct suppliers serve each qualifying (brand, type, size) class.
+    part is the dimension side (filtered broadcast); the fact scan emits
+    deduped (partkey, suppkey) pairs through the guarded combine, the
+    attr-level dedup (brand, type, size, suppkey) gets its own guarded
+    level, and the final count per class is dimension-bounded.  Every
+    level past the cap re-routes to a groupby twin, so no driver state
+    scales with the corpus."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    part_f = (_read(sf_dir, "part",
+                    ["p_partkey", "p_brand", "p_type", "p_size"])
+              .to_pandas())
+    part_f = part_f[(part_f["p_brand"] != "Brand#1")
+                    & (part_f["p_type"] != "PROMO")
+                    & (part_f["p_size"].isin(_Q16_SIZES))]
+    pkeys = part_f["p_partkey"].to_numpy(np.int64)
+
+    def pair_part(b: pa.Table) -> pd.DataFrame:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        m = np.isin(pk, pkeys)
+        f = pd.DataFrame({"l_partkey": pk[m],
+                          "l_suppkey":
+                          b["l_suppkey"].to_numpy(zero_copy_only=False)[m]})
+        return f.drop_duplicates()
+
+    def pair_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates(["l_partkey", "l_suppkey"])
+
+    pairs, twin = combine_or_groupby_twin(
+        "q16_part_supplier_variety",
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pair_part, batch_format="pyarrow"),
+        pair_fold, 2_000_000, ["l_partkey", "l_suppkey"])
+
+    attrs = part_f.rename(columns={"p_partkey": "l_partkey"})
+    quad = ["p_brand", "p_type", "p_size", "l_suppkey"]
+
+    def to_quad(f: pd.DataFrame) -> pd.DataFrame:
+        return f.merge(attrs, on="l_partkey")[quad].drop_duplicates()
+
+    def quad_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates(quad)
+
+    def count_part(f: pd.DataFrame) -> pd.DataFrame:
+        g = f.groupby(["p_brand", "p_type", "p_size"], as_index=False)
+        return g.agg(supplier_cnt=("l_suppkey", "nunique"))
+
+    def count_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["p_brand", "p_type", "p_size"],
+                         as_index=False)["supplier_cnt"].sum()
+
+    empty = pd.DataFrame({"p_brand": pd.Series([], dtype=object),
+                          "p_type": pd.Series([], dtype=object),
+                          "p_size": pd.Series([], dtype=np.int32),
+                          "supplier_cnt": pd.Series([], dtype=np.int64)})
+    if twin is None:
+        if pairs is None or not len(pairs):
+            return empty
+        cnt = count_part(to_quad(pairs))
+    else:
+        q2, twin2 = combine_or_groupby_twin(
+            "q16_part_supplier_variety_quad",
+            twin.map_batches(to_quad, batch_format="pandas"),
+            quad_fold, 2_000_000, quad)
+        if twin2 is None:
+            if q2 is None or not len(q2):
+                return empty
+            cnt = count_part(q2)
+        else:
+            # twin2 emits one row per distinct quad -> per-class counts
+            # are dimension-bounded (brands x types x sizes)
+            cnt, ok = guarded_partials(
+                twin2.map_batches(count_part, batch_format="pandas"),
+                count_fold, 2_000_000)
+            assert ok
+            if cnt is None or not len(cnt):
+                return empty
+    cnt["supplier_cnt"] = cnt["supplier_cnt"].astype("int64")
+    cnt["p_size"] = cnt["p_size"].astype("int32")
+    return (cnt.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+        [["p_brand", "p_type", "p_size", "supplier_cnt"]])
+
+
+@query("q20_dominant_supplier", sql="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem GROUP BY 1, 2
+), pt AS (
+  SELECT l_partkey, sum(qty) AS tot, count(*) AS ns FROM ps GROUP BY 1
+)
+SELECT s_name, count(*)::BIGINT AS n_parts_dominated
+FROM ps JOIN pt USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE qty * ns > 2 * tot AND ns >= 2
+GROUP BY s_name ORDER BY s_name
+""")
+def q20_dominant_supplier_q(sf_dir: str):
+    """TPC-H Q20 shape (availqty replaced by shipped volume): suppliers
+    that shipped MORE THAN 2x THE FAIR SHARE of a multi-supplier part's
+    total quantity (share > 2/n_suppliers — scale-invariant where a fixed
+    50% cut empties out as supplier fan-out grows), counted per supplier.
+    Per-(part, supplier) quantity sums flow through the
+    guarded combine with a groupby twin; past the cap the dominance test
+    runs inside groupby(part).map_groups so no part's lineage ever lands
+    on the driver; the per-supplier wait count is dimension-bounded."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    def pair_part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "l_suppkey": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "qty": b["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        return f.groupby(["l_partkey", "l_suppkey"],
+                         as_index=False)["qty"].sum()
+
+    def pair_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["l_partkey", "l_suppkey"],
+                         as_index=False)["qty"].sum()
+
+    pairs, twin = combine_or_groupby_twin(
+        "q20_dominant_supplier",
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(pair_part, batch_format="pyarrow"),
+        pair_fold, 2_000_000, ["l_partkey", "l_suppkey"])
+
+    def dominant(f: pd.DataFrame) -> pd.DataFrame:
+        g = f.groupby("l_partkey")["qty"]
+        tot = g.transform("sum").to_numpy(np.int64)
+        ns = g.transform("size").to_numpy(np.int64)
+        q = f["qty"].to_numpy(np.int64)
+        hit = f[(q * ns > 2 * tot) & (ns >= 2)]
+        w = pd.DataFrame({"l_suppkey":
+                          hit["l_suppkey"].astype("int64").to_numpy()})
+        w["n_parts_dominated"] = 1
+        return w.groupby("l_suppkey",
+                         as_index=False)["n_parts_dominated"].sum()
+
+    def supp_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("l_suppkey",
+                         as_index=False)["n_parts_dominated"].sum()
+
+    empty = pd.DataFrame({"s_name": pd.Series([], dtype=object),
+                          "n_parts_dominated":
+                          pd.Series([], dtype=np.int64)})
+    if twin is None:
+        if pairs is None or not len(pairs):
+            return empty
+        waits = dominant(pairs)
+    else:
+        per = (twin.groupby("l_partkey")
+               .map_groups(dominant, batch_format="pandas"))
+        waits, ok = guarded_partials(per, supp_fold, 2_000_000)
+        assert ok  # dimension-bounded: one row per supplier
+        if waits is None or not len(waits):
+            return empty
+    if not len(waits):
+        return empty
+    skeys = waits["l_suppkey"].to_numpy(np.int64)
+
+    def name_prep(b: pa.Table) -> pa.Table:
+        m = pa.array(np.isin(
+            b["s_suppkey"].to_numpy(zero_copy_only=False), skeys))
+        return b.filter(m)
+
+    names = (_read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+             .map_batches(name_prep, batch_format="pyarrow").to_pandas())
+    out = (names.merge(waits.rename(columns={"l_suppkey": "s_suppkey"}),
+                       on="s_suppkey")
+           .groupby("s_name", as_index=False)["n_parts_dominated"].sum())
+    out["n_parts_dominated"] = out["n_parts_dominated"].astype("int64")
+    return (out.sort_values("s_name").reset_index(drop=True)
+            [["s_name", "n_parts_dominated"]])
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal best match: mutual argmax over the customer x supplier
+# spend matrix
+# ---------------------------------------------------------------------------
+
+@query("reciprocal_best_match", sql="""
+WITH pair AS (
+  SELECT o_custkey AS custkey, l_suppkey AS suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS spend_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), cb AS (
+  SELECT custkey, suppkey, spend_cents, row_number() OVER (
+    PARTITION BY custkey ORDER BY spend_cents DESC, suppkey) AS rc
+  FROM pair
+), sb AS (
+  SELECT custkey, suppkey, spend_cents, row_number() OVER (
+    PARTITION BY suppkey ORDER BY spend_cents DESC, custkey) AS rs
+  FROM pair
+)
+SELECT cb.custkey AS custkey, cb.suppkey AS suppkey,
+       cb.spend_cents::BIGINT AS spend_cents
+FROM cb JOIN sb ON cb.custkey = sb.custkey AND cb.suppkey = sb.suppkey
+WHERE cb.rc = 1 AND sb.rs = 1
+ORDER BY custkey
+""")
+def reciprocal_best_match_q(sf_dir: str):
+    """Mutual argmax (stable-pairing seed): pairs where the supplier is
+    the customer's top spend partner AND the customer is the supplier's
+    top account, ties broken by the smaller key.  Pair spend sums flow
+    through the guarded combine with a groupby twin; past the cap both
+    argmax sides run as groupby().map_groups and the mutual check is a
+    union + two-row groupby — no spend matrix ever co-locates."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+    from dataquality_ray.stages.joins import smart_join
+
+    j = smart_join(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                   "l_extendedprice"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(lambda b: pa.table(
+            {"l_orderkey": b["o_orderkey"], "custkey": b["o_custkey"]}),
+            batch_format="pyarrow"),
+        on="l_orderkey", value_cols=["custkey"], join_type="inner")
+
+    def pair_part(b: pa.Table) -> pd.DataFrame:
+        cents = pc.round(pc.multiply(b["l_extendedprice"], 100.0)).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({
+            "custkey": b["custkey"].to_numpy(zero_copy_only=False),
+            "suppkey": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "spend_cents": cents})
+        return f.groupby(["custkey", "suppkey"],
+                         as_index=False)["spend_cents"].sum()
+
+    def pair_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["custkey", "suppkey"],
+                         as_index=False)["spend_cents"].sum()
+
+    pairs, twin = combine_or_groupby_twin(
+        "reciprocal_best_match",
+        j.map_batches(pair_part, batch_format="pyarrow"),
+        pair_fold, 2_000_000, ["custkey", "suppkey"])
+
+    def top1(f: pd.DataFrame, by: str, tie: str) -> pd.DataFrame:
+        f = f.sort_values(["spend_cents", tie],
+                          ascending=[False, True], kind="mergesort")
+        return f.groupby(by, as_index=False).head(1)
+
+    cols = ["custkey", "suppkey", "spend_cents"]
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    if twin is None:
+        if pairs is None or not len(pairs):
+            return empty
+        bc = top1(pairs, "custkey", "suppkey")[cols]
+        bs = top1(pairs, "suppkey", "custkey")[cols]
+        out = bc.merge(bs, on=cols)
+    else:
+        bc = twin.groupby("custkey").map_groups(
+            lambda f: top1(f, "custkey", "suppkey")[cols],
+            batch_format="pandas")
+        bs = twin.groupby("suppkey").map_groups(
+            lambda f: top1(f, "suppkey", "custkey")[cols],
+            batch_format="pandas")
+        mutual = bc.union(bs).groupby(cols).map_groups(
+            lambda f: f.head(1) if len(f) == 2 else f.iloc[0:0],
+            batch_format="pandas")
+        out, ok = guarded_partials(mutual, lambda f: f, 2_000_000)
+        assert ok  # <= one row per supplier after the mutual filter
+        if out is None or not len(out):
+            return empty
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("custkey").reset_index(drop=True)[cols]

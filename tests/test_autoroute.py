@@ -393,7 +393,8 @@ def test_type_coarrival_twin_equivalence(ray_session, monkeypatch):
     "q12_late_shipment_priority", "q15_top_supplier",
     "q21_waiting_suppliers",
     "quality_score_auc", "score_calibration_bins",
-    "kaplan_meier_retention",
+    "kaplan_meier_retention", "q16_part_supplier_variety",
+    "q20_dominant_supplier", "reciprocal_best_match",
 ])
 def test_unbounded_combine_twin_equivalence(ray_session, monkeypatch,
                                             qname):
