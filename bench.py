@@ -280,7 +280,8 @@ def run_suite() -> dict:
                  "neyman_allocation", "kaplan_meier_retention",
                  "rolling_median_7day", "holt_linear_trend",
                  "q16_part_supplier_variety", "q20_dominant_supplier",
-                 "reciprocal_best_match",
+                 "reciprocal_best_match", "markov_stationary",
+                 "simpson_paradox_audit", "l_diversity_check",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -4561,3 +4561,235 @@ def holt_linear_trend_q(sf_dir: str):
     return pd.DataFrame({"day_idx": d["day_idx"].astype("int64"),
                          "n_events": ns, "level": level, "trend": trend,
                          "forecast_next": level + trend})
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution, Simpson's-paradox audit, l-diversity
+# ---------------------------------------------------------------------------
+
+_MKV_S = 10**12  # stationary fixed-point scale
+
+
+@query("markov_stationary", sql="""
+WITH o AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), c AS (
+  SELECT event_type AS f, nxt AS t, count(*)::HUGEINT AS n
+  FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+), r AS (SELECT f, sum(n) AS tot FROM c GROUP BY f),
+x0 AS (SELECT f AS ty,
+              (1000000000000::HUGEINT // (SELECT count(*) FROM r)) AS v
+       FROM r),
+x1 AS (SELECT c.t AS ty, sum(x0.v * c.n // r.tot) AS v
+       FROM c JOIN r USING (f) JOIN x0 ON x0.ty = c.f GROUP BY c.t),
+x2 AS (SELECT c.t AS ty, sum(x1.v * c.n // r.tot) AS v
+       FROM c JOIN r USING (f) JOIN x1 ON x1.ty = c.f GROUP BY c.t),
+x3 AS (SELECT c.t AS ty, sum(x2.v * c.n // r.tot) AS v
+       FROM c JOIN r USING (f) JOIN x2 ON x2.ty = c.f GROUP BY c.t)
+SELECT ty AS event_type, CAST(v AS BIGINT) AS stationary_scaled
+FROM x3 ORDER BY ty
+""")
+def markov_stationary_q(sf_dir: str):
+    """Stationary distribution of the user-journey Markov chain: three
+    power-iteration steps x <- xP from uniform, in integer fixed-point
+    (scale 1e12, per-edge floor division) exactly like pagerank_tokens —
+    every step is replayable in SQL so the result is bit-identical.
+    Transition counts come from per-user vectorized shifts (bounded
+    type-pair partials through the driver combine); the iteration state
+    is O(#event types) driver-held."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["event_type"].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({"f": pd.Series([], dtype=object),
+                                 "t": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        df = pd.DataFrame({"f": t[:-1], "t": t[1:]})
+        return (df.groupby(["f", "t"], sort=False).size()
+                  .rename("n").reset_index())
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["f", "t"], as_index=False)["n"].sum()
+
+    cnt, ok = guarded_partials(
+        ds.groupby("user_id").map_groups(per_user, batch_format="pandas"),
+        fold, 2_000_000)
+    assert ok  # bounded: event-type pairs
+    empty = pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                          "stationary_scaled":
+                          pd.Series([], dtype=np.int64)})
+    if cnt is None or not len(cnt):
+        return empty
+    tot = {f: int(s) for f, s in cnt.groupby("f")["n"].sum().items()}
+    edges = [(r["f"], r["t"], int(r["n"])) for _, r in cnt.iterrows()]
+    x = {f: _MKV_S // len(tot) for f in tot}
+    for _ in range(3):
+        nxt: dict[str, int] = {}
+        for f, t, n in edges:
+            if f in x:
+                nxt[t] = nxt.get(t, 0) + x[f] * n // tot[f]
+        x = nxt
+    out = pd.DataFrame(sorted(x.items()),
+                       columns=["event_type", "stationary_scaled"])
+    out["stationary_scaled"] = out["stationary_scaled"].astype("int64")
+    return out
+
+
+@query("simpson_paradox_audit", sql="""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), g AS (
+  SELECT event_type, count(*)::HUGEINT AS n,
+         sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         sum(x::HUGEINT * y) AS sxy
+  FROM b GROUP BY event_type
+), tot AS (
+  SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy, sum(sxy) AS sxy
+  FROM g
+), sg AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         CASE WHEN n * sxy > sx * sy THEN 1
+              WHEN n * sxy < sx * sy THEN -1 ELSE 0 END AS cov_sign
+  FROM g
+), st AS (
+  SELECT CASE WHEN n * sxy > sx * sy THEN 1
+              WHEN n * sxy < sx * sy THEN -1 ELSE 0 END AS global_sign
+  FROM tot
+)
+SELECT event_type, n, cov_sign::BIGINT AS cov_sign,
+       global_sign::BIGINT AS global_sign,
+       (cov_sign <> 0 AND global_sign <> 0
+        AND cov_sign <> global_sign) AS simpson_flip
+FROM sg, st ORDER BY event_type
+""")
+def simpson_paradox_audit_q(sf_dir: str):
+    """Simpson's-paradox screen: the sign of the (day, value-cents)
+    covariance per event_type vs pooled over all types — a flipped sign
+    means the aggregate trend reverses inside every stratum, the classic
+    confounding trap in corpus-level dashboards.  One streaming pass of
+    exact-integer (n, sx, sy, sxy) partials per type (dimension-bounded
+    combine); signs come from cross-multiplied integers, so no float
+    enters the comparison."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        x = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // _DAY_US).astype(object)
+        y = pc.round(pc.multiply(b["value"], 100.0)).cast(
+            pa.int64()).to_numpy(zero_copy_only=False).astype(object)
+        f = pd.DataFrame({"event_type": np.asarray(b["event_type"]),
+                          "n": 1, "sx": x, "sy": y, "sxy": x * y})
+        return f.groupby("event_type", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False).sum()
+
+    g, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # dimension-bounded: one row per event type
+    cols = ("event_type", "n", "cov_sign", "global_sign", "simpson_flip")
+    if g is None or not len(g):
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "cov_sign": pd.Series([], dtype=np.int64),
+            "global_sign": pd.Series([], dtype=np.int64),
+            "simpson_flip": pd.Series([], dtype=bool)})
+    g = g.sort_values("event_type").reset_index(drop=True)
+
+    def sign(n, sxy, sx, sy):
+        lhs, rhs = n * sxy, sx * sy
+        return 1 if lhs > rhs else (-1 if lhs < rhs else 0)
+
+    tn = int(g["n"].sum())
+    tsx, tsy = int(g["sx"].sum()), int(g["sy"].sum())
+    tsxy = int(g["sxy"].sum())
+    gsign = sign(tn, tsxy, tsx, tsy)
+    rows = [(str(r["event_type"]), int(r["n"]),
+             sign(int(r["n"]), int(r["sxy"]), int(r["sx"]), int(r["sy"])),
+             gsign)
+            for _, r in g.iterrows()]
+    out = pd.DataFrame(rows, columns=list(cols[:4]))
+    out["simpson_flip"] = ((out["cov_sign"] != 0) & (gsign != 0)
+                           & (out["cov_sign"] != gsign))
+    for c in ("n", "cov_sign", "global_sign"):
+        out[c] = out[c].astype("int64")
+    return out[list(cols)]
+
+
+@query("l_diversity_check", sql="""
+SELECT lang, source, count(*)::BIGINT AS n,
+       count(DISTINCT n_chars // 256)::BIGINT AS distinct_sensitive,
+       (count(DISTINCT n_chars // 256) >= 3) AS meets_l
+FROM documents GROUP BY lang, source ORDER BY lang, source
+""")
+def l_diversity_check_q(sf_dir: str):
+    """l-diversity audit (the release gate k_anonymity_check alone
+    misses): every quasi-identifier group (lang, source) must contain at
+    least l=3 distinct sensitive values (length bucket n_chars // 256) or
+    a group member's attribute is inferable.  Deduped
+    (lang, source, bucket) triples flow through the guarded combine with
+    a groupby twin; the per-group distinct count is dimension-bounded."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    trip = ["lang", "source", "bucket"]
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "lang": np.asarray(b["lang"]),
+            "source": np.asarray(b["source"]),
+            "bucket": b["n_chars"].to_numpy(zero_copy_only=False) // 256,
+            "n": 1})
+        return f.groupby(trip, as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(trip, as_index=False)["n"].sum()
+
+    def finish(f: pd.DataFrame) -> pd.DataFrame:
+        g = f.groupby(["lang", "source"], as_index=False).agg(
+            n=("n", "sum"), distinct_sensitive=("bucket", "nunique"))
+        return g
+
+    def fin_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["lang", "source"], as_index=False).agg(
+            n=("n", "sum"), distinct_sensitive=("distinct_sensitive",
+                                                "sum"))
+
+    t, twin = combine_or_groupby_twin(
+        "l_diversity_check",
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"),
+        fold, 2_000_000, trip)
+    if twin is None:
+        if t is None or not len(t):
+            return pd.DataFrame({
+                "lang": pd.Series([], dtype=object),
+                "source": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "distinct_sensitive": pd.Series([], dtype=np.int64),
+                "meets_l": pd.Series([], dtype=bool)})
+        out = finish(t)
+    else:
+        # twin emits one row per distinct triple; per-pair rollup is
+        # dimension-bounded (langs x sources)
+        out, ok = guarded_partials(
+            twin.map_batches(finish, batch_format="pandas"),
+            fin_fold, 2_000_000)
+        assert ok
+    out["meets_l"] = out["distinct_sensitive"] >= 3
+    for c in ("n", "distinct_sensitive"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["lang", "source"]).reset_index(drop=True)
+            [["lang", "source", "n", "distinct_sensitive", "meets_l"]])
