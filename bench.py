@@ -282,6 +282,8 @@ def run_suite() -> dict:
                  "q16_part_supplier_variety", "q20_dominant_supplier",
                  "reciprocal_best_match", "markov_stationary",
                  "simpson_paradox_audit", "l_diversity_check",
+                 "hapax_ratio", "blocking_quality_audit",
+                 "isotonic_monthly_trend",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -4793,3 +4793,90 @@ def l_diversity_check_q(sf_dir: str):
         out[c] = out[c].astype("int64")
     return (out.sort_values(["lang", "source"]).reset_index(drop=True)
             [["lang", "source", "n", "distinct_sensitive", "meets_l"]])
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (monotone) trend fit via the exact minimax identity
+# ---------------------------------------------------------------------------
+
+@query("isotonic_monthly_trend", sql="""
+WITH p AS (
+  SELECT epoch_us(o_orderdate) // (30 * 86400000000::HUGEINT) AS idx,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::HUGEINT AS s,
+         count(*)::HUGEINT AS c
+  FROM orders GROUP BY 1
+), o AS (
+  SELECT idx, s, c, row_number() OVER (ORDER BY idx) AS i,
+         sum(s) OVER (ORDER BY idx) AS cs,
+         sum(c) OVER (ORDER BY idx) AS cc
+  FROM p
+), m AS (
+  SELECT a.i AS j, b.i AS k,
+         CAST(b.cs - a.cs + a.s AS DOUBLE)
+           / CAST(b.cc - a.cc + a.c AS DOUBLE) AS mu
+  FROM o a JOIN o b ON a.i <= b.i
+), t AS (
+  SELECT o.i AS i, m.j AS j, min(m.mu) AS mn
+  FROM o JOIN m ON m.j <= o.i AND m.k >= o.i
+  GROUP BY 1, 2
+), fit AS (
+  SELECT i, max(mn) AS iso FROM t GROUP BY i
+)
+SELECT CAST(o.idx AS BIGINT) AS period,
+       CAST(o.s AS BIGINT) AS cents, CAST(o.c AS BIGINT) AS n_orders,
+       CAST(o.s AS DOUBLE) / CAST(o.c AS DOUBLE) AS mean_cents,
+       fit.iso AS iso_fit
+FROM o JOIN fit ON fit.i = o.i ORDER BY period
+""")
+def isotonic_monthly_trend_q(sf_dir: str):
+    """Isotonic (nondecreasing) regression of mean order value over
+    30-day periods via the exact minimax identity
+    fit_i = max_{j<=i} min_{k>=i} mean(j..k) — the PAVA solution without
+    the iterative pooling, so it replays in SQL.  Period (sum, count)
+    partials aggregate distributedly over the bounded period axis; every
+    candidate mean is ONE double division of exact integers and the
+    min/max lattice does no further arithmetic, so the fit is
+    bit-identical to the oracle."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        idx = (b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // (30 * _DAY_US))
+        cents = pc.round(pc.multiply(b["o_totalprice"], 100.0)).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"idx": idx, "s": cents, "c": 1})
+        return f.groupby("idx", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("idx", as_index=False).sum()
+
+    p, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # one row per 30-day period: time-span-bounded
+    if p is None or not len(p):
+        return pd.DataFrame(
+            {"period": pd.Series([], dtype=np.int64),
+             "cents": pd.Series([], dtype=np.int64),
+             "n_orders": pd.Series([], dtype=np.int64),
+             "mean_cents": pd.Series([], dtype=np.float64),
+             "iso_fit": pd.Series([], dtype=np.float64)})
+    p = p.sort_values("idx").reset_index(drop=True)
+    s = p["s"].to_numpy(np.int64)
+    c = p["c"].to_numpy(np.int64)
+    cs = np.cumsum(s)
+    cc = np.cumsum(c)
+    n = len(p)
+    # mu[j, k] = mean over periods j..k (0-based, j <= k)
+    num = cs[None, :] - cs[:, None] + s[:, None]
+    den = cc[None, :] - cc[:, None] + c[:, None]
+    mu = num.astype(np.float64) / den.astype(np.float64)
+    iso = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        # min over k >= i for each j <= i, then max over j
+        iso[i] = np.min(mu[:i + 1, i:], axis=1).max()
+    return pd.DataFrame({
+        "period": p["idx"].astype("int64"),
+        "cents": s, "n_orders": c,
+        "mean_cents": s.astype(np.float64) / c.astype(np.float64),
+        "iso_fit": iso})

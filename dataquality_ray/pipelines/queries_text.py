@@ -4721,3 +4721,209 @@ def near_dup_jaccard_histogram_q(sf_dir: str):
     out["bin"] = out["bin"].astype("int64")
     out["n_pairs"] = out["n_pairs"].astype("int64")
     return out.sort_values("bin").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena profile and record-linkage blocking-quality audit
+# ---------------------------------------------------------------------------
+
+@query("hapax_ratio", sql=r"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), tc AS (
+  SELECT source, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS vocab,
+       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::HUGEINT * 1000000
+            // count(*) AS BIGINT) AS hapax_ppm
+FROM tc GROUP BY source ORDER BY source
+""")
+def hapax_ratio_q(sf_dir: str):
+    """Hapax legomena share per source: the fraction of a source's
+    vocabulary seen exactly once — high hapax flags noisy/OCR-damaged
+    text, near-zero flags templated boilerplate (the tail-side companion
+    to source_token_entropy's head-side view).  Per-(source, token)
+    counts flow through the guarded combine with a groupby twin; the
+    per-source rollup is dimension-bounded."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        srcs, toks = [], []
+        for s, t in zip(batch["source"].to_pylist(),
+                        batch["text"].to_pylist()):
+            for tok in (t or "").split():
+                srcs.append(s)
+                toks.append(tok)
+        df = pd.DataFrame({"source": srcs, "tok": toks})
+        return (df.groupby(["source", "tok"], sort=False).size()
+                  .rename("c").reset_index())
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "tok"], as_index=False)["c"].sum()
+
+    def finish(f: pd.DataFrame) -> pd.DataFrame:
+        c = f["c"].to_numpy(np.int64)
+        g = pd.DataFrame({"source": f["source"], "vocab": 1,
+                          "hapax": (c == 1).astype(np.int64)})
+        return g.groupby("source", as_index=False).sum()
+
+    def fin_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False).sum()
+
+    tc, twin = combine_or_groupby_twin(
+        "hapax_ratio",
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        fold, 2_000_000, ["source", "tok"])
+    if twin is None:
+        if tc is None or not len(tc):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "vocab": pd.Series([], dtype=np.int64),
+                "hapax": pd.Series([], dtype=np.int64),
+                "hapax_ppm": pd.Series([], dtype=np.int64)})
+        out = finish(tc)
+    else:
+        out, ok = guarded_partials(
+            twin.map_batches(finish, batch_format="pandas"),
+            fin_fold, 2_000_000)
+        assert ok  # dimension-bounded: one row per source
+    out["hapax_ppm"] = pd.Series(
+        [h * 1_000_000 // v for h, v in
+         zip(out["hapax"].tolist(), out["vocab"].tolist())],
+        dtype=np.int64)
+    for c in ("vocab", "hapax"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values("source").reset_index(drop=True)
+            [["source", "vocab", "hapax", "hapax_ppm"]])
+
+
+@query("blocking_quality_audit", sql=r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+), planted AS (
+  SELECT text FROM base
+  UNION ALL
+  SELECT upper(text) FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT array_to_string(
+           list_filter(regexp_split_to_array(text, '\s+'),
+                       x -> x <> '')[2:]
+           || [list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')[1]], ' ')
+  FROM base WHERE doc_id % 11 = 0
+), t AS (
+  SELECT array_to_string(list_sort(list_filter(
+           regexp_split_to_array(lower(text), '\s+'), x -> x <> '')),
+           ' ') AS canon,
+         lower(substr(text, 1, 8)) AS blk
+  FROM planted
+), tp AS (
+  SELECT coalesce(sum(c * (c - 1) // 2), 0) AS true_pairs
+  FROM (SELECT count(*)::HUGEINT AS c FROM t GROUP BY canon)
+), cp AS (
+  SELECT coalesce(sum(c * (c - 1) // 2), 0) AS cand_pairs
+  FROM (SELECT count(*)::HUGEINT AS c FROM t GROUP BY blk)
+), cap AS (
+  SELECT coalesce(sum(c * (c - 1) // 2), 0) AS caught
+  FROM (SELECT count(*)::HUGEINT AS c FROM t GROUP BY canon, blk)
+), nn AS (SELECT count(*)::HUGEINT AS n FROM t)
+SELECT CAST(true_pairs AS BIGINT) AS true_pairs,
+       CAST(cand_pairs AS BIGINT) AS cand_pairs,
+       CAST(caught AS BIGINT) AS caught_pairs,
+       CAST(caught * 1000000 // true_pairs AS BIGINT) AS completeness_ppm,
+       CAST((n * (n - 1) // 2 - cand_pairs) * 1000000
+            // (n * (n - 1) // 2) AS BIGINT) AS reduction_ppm
+FROM tp, cp, cap, nn
+""")
+def blocking_quality_audit_q(sf_dir: str):
+    """Record-linkage blocking QA over a deterministically planted
+    near-duplicate corpus: every doc_id % 7 gets a CASE twin (caught by
+    the lowercased 8-char-prefix block) and every doc_id % 11 a ROTATION
+    twin (same token bag, different prefix — missed), so pair
+    completeness (true bag-equal pairs whose members share a block) lands
+    strictly between 0 and 1, next to the reduction ratio (candidate
+    pairs admitted vs the full cross product).  The pre-flight before
+    trusting snm_candidate_pairs' blocking key.  Each term is a sum of
+    C(group, 2) over a grouped count — three guarded combines with
+    groupby twins, pair counts as exact Python ints."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        rows = []
+        for i, txt in zip(ids, texts):
+            if txt is None:
+                continue
+            rows.append(txt)
+            if i % 7 == 0:
+                rows.append(txt.upper())
+            if i % 11 == 0:
+                toks = txt.split()
+                if toks:
+                    rows.append(" ".join(toks[1:] + [toks[0]]))
+        canon = [" ".join(sorted(r.lower().split())) for r in rows]
+        blk = [r[:8].lower() for r in rows]
+        return pd.DataFrame({"canon": canon, "blk": blk})
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(prep, batch_format="pyarrow"))
+
+    def counts_for(keys: list[str]):
+        def part(f: pd.DataFrame) -> pd.DataFrame:
+            f = f.copy()
+            f["c"] = 1
+            return f.groupby(keys, as_index=False)["c"].sum()
+
+        def fold(f: pd.DataFrame) -> pd.DataFrame:
+            return f.groupby(keys, as_index=False)["c"].sum()
+
+        op = ("blocking_quality_audit" if keys == ["canon"]
+              else "blocking_quality_audit:" + "+".join(keys))
+        merged, twin = combine_or_groupby_twin(
+            op,
+            stage.map_batches(part, batch_format="pandas"),
+            fold, 2_000_000, keys)
+        if twin is None:
+            if merged is None or not len(merged):
+                return 0, 0
+            c = merged["c"].to_numpy(np.int64)
+            return int(c.sum()), sum(int(x) * (int(x) - 1) // 2
+                                     for x in c)
+
+        def pair_part(f: pd.DataFrame) -> pd.DataFrame:
+            c = f["c"].to_numpy(np.int64)
+            return pd.DataFrame({"n": [int(c.sum())],
+                                 "pairs": [sum(int(x) * (int(x) - 1) // 2
+                                               for x in c)]})
+
+        tot, ok = guarded_partials(
+            twin.map_batches(pair_part, batch_format="pandas"),
+            lambda f: pd.DataFrame({"n": [f["n"].sum()],
+                                    "pairs": [f["pairs"].sum()]}),
+            2_000_000)
+        assert ok  # two scalar accumulators
+        if tot is None or not len(tot):
+            return 0, 0
+        return int(tot["n"].iloc[0]), int(tot["pairs"].iloc[0])
+
+    n, true_pairs = counts_for(["canon"])
+    _, cand_pairs = counts_for(["blk"])
+    _, caught = counts_for(["canon", "blk"])
+    all_pairs = n * (n - 1) // 2
+    out = pd.DataFrame({
+        "true_pairs": [true_pairs], "cand_pairs": [cand_pairs],
+        "caught_pairs": [caught],
+        "completeness_ppm": [caught * 1_000_000 // true_pairs
+                             if true_pairs else 0],
+        "reduction_ppm": [(all_pairs - cand_pairs) * 1_000_000
+                          // all_pairs if all_pairs else 0]})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -395,7 +395,7 @@ def test_type_coarrival_twin_equivalence(ray_session, monkeypatch):
     "quality_score_auc", "score_calibration_bins",
     "kaplan_meier_retention", "q16_part_supplier_variety",
     "q20_dominant_supplier", "reciprocal_best_match",
-    "l_diversity_check",
+    "l_diversity_check", "hapax_ratio", "blocking_quality_audit",
 ])
 def test_unbounded_combine_twin_equivalence(ray_session, monkeypatch,
                                             qname):
