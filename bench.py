@@ -283,7 +283,8 @@ def run_suite() -> dict:
                  "reciprocal_best_match", "markov_stationary",
                  "simpson_paradox_audit", "l_diversity_check",
                  "hapax_ratio", "blocking_quality_audit",
-                 "isotonic_monthly_trend",
+                 "isotonic_monthly_trend", "one_rule_classifier",
+                 "bigram_entropy_rate", "lsh_parameter_planner",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

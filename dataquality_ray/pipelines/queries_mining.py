@@ -4870,7 +4870,10 @@ def isotonic_monthly_trend_q(sf_dir: str):
     # mu[j, k] = mean over periods j..k (0-based, j <= k)
     num = cs[None, :] - cs[:, None] + s[:, None]
     den = cc[None, :] - cc[:, None] + c[:, None]
-    mu = num.astype(np.float64) / den.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # cells with j > k are never read (the minimax scan below only
+        # touches the upper triangle)
+        mu = num.astype(np.float64) / den.astype(np.float64)
     iso = np.empty(n, dtype=np.float64)
     for i in range(n):
         # min over k >= i for each j <= i, then max over j
@@ -4880,3 +4883,170 @@ def isotonic_monthly_trend_q(sf_dir: str):
         "cents": s, "n_orders": c,
         "mean_cents": s.astype(np.float64) / c.astype(np.float64),
         "iso_fit": iso})
+
+
+# ---------------------------------------------------------------------------
+# 1R baseline classifier, bigram entropy rate, MinHash-LSH band planner
+# ---------------------------------------------------------------------------
+
+@query("one_rule_classifier", sql="""
+WITH d AS (SELECT source, n_chars // 128 AS lb, lang FROM documents),
+s1 AS (SELECT source AS g, lang, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+b1 AS (SELECT g, max(c) AS best, sum(c) AS tot FROM s1 GROUP BY g),
+s2 AS (SELECT lb AS g, lang, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+b2 AS (SELECT g, max(c) AS best, sum(c) AS tot FROM s2 GROUP BY g),
+u AS (
+  SELECT 'source' AS feature, count(*)::BIGINT AS n_groups,
+         sum(tot)::BIGINT AS n, (sum(tot) - sum(best))::BIGINT AS errors
+  FROM b1
+  UNION ALL
+  SELECT 'len_bucket', count(*)::BIGINT, sum(tot)::BIGINT,
+         (sum(tot) - sum(best))::BIGINT
+  FROM b2
+)
+SELECT feature, n_groups, n, errors,
+       CAST((n - errors)::HUGEINT * 1000000 // n AS BIGINT) AS accuracy_ppm
+FROM u ORDER BY feature
+""")
+def one_rule_classifier_q(sf_dir: str):
+    """Holte's 1R baseline: for each candidate feature (source, 128-char
+    length bucket) predict the majority lang per feature value and count
+    the errors — the sanity floor every learned quality classifier must
+    beat.  One bounded (feature value, lang) count combine per feature;
+    the error arithmetic is all-integer."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def feature_counts(col_expr):
+        def part(b: pa.Table) -> pd.DataFrame:
+            f = pd.DataFrame({"g": col_expr(b),
+                              "lang": np.asarray(b["lang"]), "c": 1})
+            return f.groupby(["g", "lang"], as_index=False)["c"].sum()
+
+        def fold(f: pd.DataFrame) -> pd.DataFrame:
+            return f.groupby(["g", "lang"], as_index=False)["c"].sum()
+
+        m, ok = guarded_partials(
+            _read(sf_dir, "documents", ["source", "n_chars", "lang"])
+            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+        assert ok  # dimension-bounded: feature values x langs
+        return m
+
+    rows = []
+    for feat, expr in (
+            ("len_bucket",
+             lambda b: b["n_chars"].to_numpy(zero_copy_only=False)
+             // 128),
+            ("source", lambda b: np.asarray(b["source"]))):
+        m = feature_counts(expr)
+        if m is None or not len(m):
+            continue
+        per = m.groupby("g")["c"].agg(["max", "sum"])
+        n = int(per["sum"].sum())
+        errors = n - int(per["max"].sum())
+        rows.append((feat, len(per), n, errors,
+                     (n - errors) * 1_000_000 // n))
+    out = pd.DataFrame(rows, columns=["feature", "n_groups", "n",
+                                      "errors", "accuracy_ppm"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("feature").reset_index(drop=True)
+
+
+@query("bigram_entropy_rate", sql=f"""
+WITH {_BIGRAM_SQL.strip().rstrip(',')},
+outs AS (SELECT src, sum(cnt) AS w FROM edges GROUP BY src),
+terms AS (
+  SELECT -sum(e.cnt * CAST(floor(ln(CAST(e.cnt AS DOUBLE)
+              / CAST(o.w AS DOUBLE)) * 1000000) AS BIGINT)) AS h,
+         sum(e.cnt) AS n
+  FROM edges e JOIN outs o ON o.src = e.src
+)
+SELECT CAST(n AS BIGINT) AS n_bigrams,
+       CAST(h AS DOUBLE) / CAST(n AS BIGINT) / 1000000.0
+         AS entropy_rate_nats
+FROM terms
+""")
+def bigram_entropy_rate_q(sf_dir: str):
+    """Conditional entropy H(next token | token) of the corpus bigram
+    model — the sequence-level predictability signal (boilerplate scores
+    near zero, shuffled noise near H(unigram)) that single-token entropy
+    (source_token_entropy) can't see.  Bigram counts merge through the
+    guarded combine (vocab²-bounded); each ln term is floored to 1e-6
+    ints, so the sum is exact and the final value one fixed division
+    chain."""
+    import math
+
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    if not len(edges):
+        return pd.DataFrame({"n_bigrams": pd.Series([], dtype=np.int64),
+                             "entropy_rate_nats":
+                             pd.Series([], dtype=np.float64)})
+    outw = edges.groupby("src")["cnt"].sum().to_dict()
+    h = 0
+    n = 0
+    for _, r in edges.iterrows():
+        c, w = int(r["cnt"]), int(outw[r["src"]])
+        h -= c * math.floor(math.log(c / w) * 1e6)
+        n += c
+    return pd.DataFrame({"n_bigrams": [np.int64(n)],
+                         "entropy_rate_nats": [float(h) / n / 1e6]})
+
+
+_LSH_PAIRS = ((1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2),
+              (64, 1))
+_LSH_TS = (300000, 500000, 700000, 800000, 900000)
+
+
+@query("lsh_parameter_planner", sql=f"""
+WITH RECURSIVE pr AS (
+  SELECT * FROM (VALUES {', '.join(str(p) for p in _LSH_PAIRS)})
+    AS v(b, r)
+), ts AS (SELECT unnest({list(_LSH_TS)}) AS t),
+powr AS (
+  SELECT b, r, t, 1 AS i, t::HUGEINT AS p FROM pr, ts
+  UNION ALL
+  SELECT b, r, t, i + 1, p * t // 1000000 FROM powr WHERE i < r
+), tr AS (
+  SELECT b, r, t, (1000000::HUGEINT - p) AS q0 FROM powr WHERE i = r
+), powb AS (
+  SELECT b, r, t, 1 AS i, q0, q0 AS q FROM tr
+  UNION ALL
+  SELECT b, r, t, i + 1, q0, q * q0 // 1000000 FROM powb WHERE i < b
+), coll AS (
+  SELECT b, r, t, (1000000::HUGEINT - q) AS collide FROM powb WHERE i = b
+), nd AS (SELECT count(*)::HUGEINT AS n FROM documents)
+SELECT b::BIGINT AS n_bands, r::BIGINT AS rows_per_band,
+       t::BIGINT AS jaccard_ppm, CAST(collide AS BIGINT) AS collide_ppm,
+       CAST(n * (n - 1) // 2 * collide // 1000000 AS BIGINT)
+         AS est_candidate_pairs
+FROM coll, nd ORDER BY n_bands, jaccard_ppm
+""")
+def lsh_parameter_planner_q(sf_dir: str):
+    """MinHash-LSH band planner: the s-curve collision probability
+    1 - (1 - t^r)^b for every (bands, rows) factorization of 64 hashes
+    at five Jaccard levels, in ppm FIXED POINT (floor at every multiply,
+    so the SQL recursion replays it bit for bit), plus the implied
+    candidate-pair workload at corpus size.  The tuning table one reads
+    BEFORE paying for a dedup_minhash run; only the corpus count touches
+    data."""
+    n = _read(sf_dir, "documents", ["doc_id"]).count()
+    rows = []
+    for b_, r_ in _LSH_PAIRS:
+        for t in _LSH_TS:
+            p = t
+            for _ in range(r_ - 1):
+                p = p * t // 1_000_000
+            q0 = 1_000_000 - p
+            q = q0
+            for _ in range(b_ - 1):
+                q = q * q0 // 1_000_000
+            collide = 1_000_000 - q
+            rows.append((b_, r_, t, collide,
+                         n * (n - 1) // 2 * collide // 1_000_000))
+    out = pd.DataFrame(rows, columns=["n_bands", "rows_per_band",
+                                      "jaccard_ppm", "collide_ppm",
+                                      "est_candidate_pairs"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["n_bands", "jaccard_ppm"])
+            .reset_index(drop=True))
