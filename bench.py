@@ -285,6 +285,8 @@ def run_suite() -> dict:
                  "hapax_ratio", "blocking_quality_audit",
                  "isotonic_monthly_trend", "one_rule_classifier",
                  "bigram_entropy_rate", "lsh_parameter_planner",
+                 "moments_profile", "hill_tail_index",
+                 "negative_sample_pairs",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -5050,3 +5050,140 @@ def lsh_parameter_planner_q(sf_dir: str):
         out[c] = out[c].astype("int64")
     return (out.sort_values(["n_bands", "jaccard_ppm"])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Higher-moment profile and Hill tail-index estimator
+# ---------------------------------------------------------------------------
+
+@query("moments_profile", sql="""
+WITH b AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+), g AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(c)::HUGEINT AS s1,
+         sum(c::HUGEINT * c) AS s2,
+         sum(c::HUGEINT * c * c) AS s3,
+         sum(c::HUGEINT * c * c * c) AS s4
+  FROM b GROUP BY event_type
+), d AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         CAST(s2 AS DOUBLE) / n AS ex2,
+         CAST(s3 AS DOUBLE) / n AS ex3,
+         CAST(s4 AS DOUBLE) / n AS ex4
+  FROM g
+), m AS (
+  SELECT event_type, n, mean,
+         ex2 - mean * mean AS m2,
+         ex3 - 3.0 * mean * ex2 + 2.0 * (mean * mean * mean) AS m3,
+         ex4 - 4.0 * mean * ex3 + 6.0 * (mean * mean) * ex2
+             - 3.0 * (mean * mean) * (mean * mean) AS m4
+  FROM d
+)
+SELECT event_type, n, mean, m2 AS variance,
+       m3 / (m2 * sqrt(m2)) AS skewness,
+       m4 / (m2 * m2) AS kurtosis
+FROM m ORDER BY event_type
+""")
+def moments_profile_q(sf_dir: str):
+    """Per-event-type mean/variance/skewness/kurtosis from EXACT integer
+    power sums S1..S4 of value cents (one streaming pass, dimension-
+    bounded combine).  Every float is derived from the correctly-rounded
+    int->double casts through the SAME expression tree as the SQL (raw-
+    moment cancellation loses precision identically on both sides), so
+    all four moments hash-match."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        c = pc.round(pc.multiply(b["value"], 100.0)).cast(
+            pa.int64()).to_numpy(zero_copy_only=False).astype(object)
+        f = pd.DataFrame({"event_type": np.asarray(b["event_type"]),
+                          "n": 1, "s1": c, "s2": c * c, "s3": c * c * c,
+                          "s4": c * c * c * c})
+        return f.groupby("event_type", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False).sum()
+
+    g, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # dimension-bounded: one row per event type
+    cols = ("event_type", "n", "mean", "variance", "skewness", "kurtosis")
+    if g is None or not len(g):
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype=np.int64),
+             **{c: pd.Series([], dtype=np.float64) for c in cols[2:]}})
+    rows = []
+    for _, r in g.sort_values("event_type").iterrows():
+        n = int(r["n"])
+        mean = float(int(r["s1"])) / n
+        ex2 = float(int(r["s2"])) / n
+        ex3 = float(int(r["s3"])) / n
+        ex4 = float(int(r["s4"])) / n
+        m2 = ex2 - mean * mean
+        m3 = ex3 - 3.0 * mean * ex2 + 2.0 * (mean * mean * mean)
+        m4 = (ex4 - 4.0 * mean * ex3 + 6.0 * (mean * mean) * ex2
+              - 3.0 * (mean * mean) * (mean * mean))
+        rows.append((str(r["event_type"]), n, mean, m2,
+                     m3 / (m2 * math.sqrt(m2)), m4 / (m2 * m2)))
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+@query("hill_tail_index", sql="""
+WITH top AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars DESC) AS i
+  FROM documents ORDER BY n_chars DESC LIMIT 101
+), ref AS (SELECT n_chars AS xk FROM top WHERE i = 101)
+SELECT count(*)::BIGINT AS k,
+       sum(CAST(floor(ln(CAST(t.n_chars AS DOUBLE)
+             / CAST(r.xk AS DOUBLE)) * 1000000) AS BIGINT))::BIGINT
+         AS sum_lnr_u,
+       CAST(sum(CAST(floor(ln(CAST(t.n_chars AS DOUBLE)
+             / CAST(r.xk AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE)
+         / count(*) / 1000000.0 AS hill_alpha_inv
+FROM top t, ref r WHERE t.i <= 100
+""")
+def hill_tail_index_q(sf_dir: str):
+    """Hill estimator of the document-length tail index: mean
+    ln(x_(i)/x_(k+1)) over the top k=100 order statistics (the inverse
+    tail exponent — heavy-tailed corpora blow past fixed-bucket
+    assumptions, the scale-planning signal behind kll_quantiles).  The
+    top 101 values merge as bounded per-block top-k partials (no sort,
+    no shuffle); each ln ratio is floored to 1e-6 ints so the sum is
+    exact."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = b["n_chars"].to_numpy(zero_copy_only=False)
+        top = np.sort(v)[-101:][::-1]
+        return pd.DataFrame({"n_chars": top})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.nlargest(101, "n_chars", keep="first")
+
+    top, ok = guarded_partials(
+        _read(sf_dir, "documents", ["n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 101 rows
+    empty = pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                          "sum_lnr_u": pd.Series([], dtype=np.int64),
+                          "hill_alpha_inv":
+                          pd.Series([], dtype=np.float64)})
+    if top is None or len(top) < 101:
+        return empty
+    v = np.sort(top["n_chars"].to_numpy(np.int64))[::-1]
+    xk = int(v[100])
+    terms = [math.floor(math.log(int(x) / xk) * 1e6) for x in v[:100]]
+    s = sum(terms)
+    return pd.DataFrame({"k": [np.int64(100)],
+                         "sum_lnr_u": [np.int64(s)],
+                         "hill_alpha_inv": [float(s) / 100 / 1e6]})

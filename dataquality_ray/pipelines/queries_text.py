@@ -4927,3 +4927,66 @@ def blocking_quality_audit_q(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive-training pair generator)
+# ---------------------------------------------------------------------------
+
+def _negative_sample_sql(seed: int) -> str:
+    ctes = [("ns0",
+             "SELECT doc_id, slot, xor((doc_id * 4 + slot)::UBIGINT, "
+             f"{seed}::UBIGINT)::HUGEINT AS x "
+             "FROM documents, (SELECT unnest([1, 2]) AS slot)")]
+    prev = "ns0"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append((f"ns{n + 1}",
+                     f"SELECT doc_id, slot, {expr} AS x FROM {prev}"))
+        prev = f"ns{n + 1}"
+    chain = ", ".join(f"{nm} AS ({sql})" for nm, sql in ctes)
+    return f"""
+WITH {chain}, nn AS (SELECT count(*)::HUGEINT AS n FROM documents),
+raw AS (
+  SELECT doc_id, slot, CAST(x % (SELECT n FROM nn) AS BIGINT) AS neg0
+  FROM {prev}
+)
+SELECT doc_id, slot::BIGINT AS slot,
+       CASE WHEN neg0 = doc_id
+            THEN CAST((neg0 + 1) % (SELECT n FROM nn) AS BIGINT)
+            ELSE neg0 END AS neg_id
+FROM raw ORDER BY doc_id, slot
+"""
+
+
+@query("negative_sample_pairs", sql=_negative_sample_sql(1337))
+def negative_sample_pairs_q(sf_dir: str):
+    """Deterministic negative sampling for contrastive training: each
+    document draws 2 pseudo-random partner ids via splitmix64 over
+    (doc_id * 4 + slot) ^ seed, mod corpus size, bumping self-pairs —
+    a pure function of (id, seed) so resharding/resume regenerates the
+    SAME pairs (the ES06 sampling contract).  Stateless vectorized
+    map_batches; only the corpus count is global."""
+    from dataquality_ray.functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        frames = []
+        for slot in (1, 2):
+            h = splitmix64((ids * np.uint64(4) + np.uint64(slot))
+                           ^ np.uint64(1337))
+            neg = (h % np.uint64(n)).astype(np.int64)
+            neg = np.where(neg == ids.astype(np.int64),
+                           (neg + 1) % n, neg)
+            frames.append(pd.DataFrame({
+                "doc_id": ids.astype(np.int64),
+                "slot": np.int64(slot), "neg_id": neg}))
+        return pd.concat(frames, ignore_index=True)
+
+    out = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["doc_id", "slot"]).reset_index(drop=True)
+            [["doc_id", "slot", "neg_id"]])
