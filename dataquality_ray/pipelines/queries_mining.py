@@ -5058,13 +5058,13 @@ def lsh_parameter_planner_q(sf_dir: str):
 
 @query("moments_profile", sql="""
 WITH b AS (
-  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+  SELECT event_type, CAST(round(value) AS BIGINT) AS c FROM events
 ), g AS (
   SELECT event_type, count(*)::BIGINT AS n,
-         sum(c)::HUGEINT AS s1,
-         sum(c::HUGEINT * c) AS s2,
-         sum(c::HUGEINT * c * c) AS s3,
-         sum(c::HUGEINT * c * c * c) AS s4
+         sum(c)::BIGINT AS s1,
+         sum(c * c)::BIGINT AS s2,
+         sum(c * c * c)::BIGINT AS s3,
+         sum(c * c * c * c)::BIGINT AS s4
   FROM b GROUP BY event_type
 ), d AS (
   SELECT event_type, n,
@@ -5088,17 +5088,19 @@ FROM m ORDER BY event_type
 """)
 def moments_profile_q(sf_dir: str):
     """Per-event-type mean/variance/skewness/kurtosis from EXACT integer
-    power sums S1..S4 of value cents (one streaming pass, dimension-
-    bounded combine).  Every float is derived from the correctly-rounded
-    int->double casts through the SAME expression tree as the SQL (raw-
-    moment cancellation loses precision identically on both sides), so
-    all four moments hash-match."""
+    power sums S1..S4 of whole currency units (one streaming pass,
+    dimension-bounded combine).  Every sum stays inside BIGINT so each
+    int->double cast is the single correctly-rounded hardware conversion
+    on BOTH sides (DuckDB's HUGEINT->DOUBLE cast is NOT correctly
+    rounded — cents^4 sums hit it, whole units don't), and the moment
+    expression trees mirror exactly, so all four floats hash-match."""
     import math
 
     from dataquality_ray.stages.autoroute import guarded_partials
 
     def part(b: pa.Table) -> pd.DataFrame:
-        c = pc.round(pc.multiply(b["value"], 100.0)).cast(
+        c = pc.round(b["value"],
+                     round_mode="half_towards_infinity").cast(
             pa.int64()).to_numpy(zero_copy_only=False).astype(object)
         f = pd.DataFrame({"event_type": np.asarray(b["event_type"]),
                           "n": 1, "s1": c, "s2": c * c, "s3": c * c * c,
