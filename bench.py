@@ -286,7 +286,8 @@ def run_suite() -> dict:
                  "isotonic_monthly_trend", "one_rule_classifier",
                  "bigram_entropy_rate", "lsh_parameter_planner",
                  "moments_profile", "hill_tail_index",
-                 "negative_sample_pairs",
+                 "negative_sample_pairs", "feature_hash_collisions",
+                 "dedup_threshold_roc",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -4990,3 +4990,203 @@ def negative_sample_pairs_q(sf_dir: str):
         out[c] = out[c].astype("int64")
     return (out.sort_values(["doc_id", "slot"]).reset_index(drop=True)
             [["doc_id", "slot", "neg_id"]])
+
+
+# ---------------------------------------------------------------------------
+# Feature-hash collision audit and dedup-detector threshold ROC
+# ---------------------------------------------------------------------------
+
+@query("feature_hash_collisions", sql=r"""
+WITH toks AS (
+  SELECT DISTINCT unnest(list_filter(
+    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), h AS (
+  SELECT tok,
+         (('0x' || substr(sha256(tok), 1, 16))::UBIGINT % 16)::BIGINT AS b
+  FROM toks
+), lb AS (
+  SELECT b, count(*)::BIGINT AS load FROM h GROUP BY b
+)
+SELECT (SELECT count(*) FROM h)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_buckets_used,
+       sum(CASE WHEN load > 1 THEN load ELSE 0 END)::BIGINT
+         AS collided_tokens,
+       max(load)::BIGINT AS max_load,
+       CAST(sum(CASE WHEN load > 1 THEN load ELSE 0 END)::HUGEINT
+            * 1000000 // (SELECT count(*) FROM h) AS BIGINT)
+         AS collision_ppm
+FROM lb
+""")
+def feature_hash_collisions_q(sf_dir: str):
+    """Hashing-trick collision audit for the 16-bucket feature space the
+    hashed-BoW featurizer (text_ann_hashed_bow) would use: how much of
+    the vocabulary shares a bucket, and the worst bucket load — the
+    bias-vs-width tradeoff read before committing to a hash dimension.
+    Distinct tokens merge through the guarded combine (vocab-bounded);
+    buckets use the same sha256[:8] token hash the sketches use, so the
+    SQL replays it exactly."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.sketch import _hash_values
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = set()
+        for t in b["text"].to_pylist():
+            toks.update((t or "").split())
+        return pd.DataFrame({"tok": sorted(toks)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates("tok")
+
+    vocab, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # vocab-bounded
+    cols = ("n_tokens", "n_buckets_used", "collided_tokens", "max_load",
+            "collision_ppm")
+    if vocab is None or not len(vocab):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    h = _hash_values(pa.array(vocab["tok"].astype(str), pa.string()))
+    b = (h % np.uint64(16)).astype(np.int64)
+    load = np.bincount(b, minlength=16)
+    used = load[load > 0]
+    n = len(vocab)
+    collided = int(used[used > 1].sum())
+    out = pd.DataFrame({"n_tokens": [n], "n_buckets_used": [len(used)],
+                        "collided_tokens": [collided],
+                        "max_load": [int(used.max())],
+                        "collision_ppm": [collided * 1_000_000 // n]})
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_ROC_TS = (400000, 700000, 950000)
+
+
+@query("dedup_threshold_roc", sql=f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+), pairs AS (
+  SELECT text AS a, upper(text) AS b FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT text,
+         array_to_string(
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '')[2:]
+           || [list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '')[1]], ' ')
+  FROM base WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT x.text, y.text FROM base x JOIN base y
+    ON y.doc_id = x.doc_id + 1 WHERE x.doc_id < 100
+), sh AS (
+  SELECT a, b,
+         (SELECT CASE WHEN len(t) >= 3
+            THEN list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> array_to_string(t[i:i+2], ' ')))
+            ELSE [array_to_string(t, ' ')] END
+          FROM (SELECT list_filter(regexp_split_to_array(lower(a),
+                '\\s+'), x -> x <> '') AS t)) AS sa,
+         (SELECT CASE WHEN len(t) >= 3
+            THEN list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> array_to_string(t[i:i+2], ' ')))
+            ELSE [array_to_string(t, ' ')] END
+          FROM (SELECT list_filter(regexp_split_to_array(lower(b),
+                '\\s+'), x -> x <> '') AS t)) AS sb
+  FROM pairs
+), j AS (
+  SELECT (len(list_intersect(sa, sb))::BIGINT * 1000000
+          // len(list_distinct(list_concat(sa, sb)))) AS jacc_ppm,
+         (array_to_string(list_sort(list_filter(regexp_split_to_array(
+            lower(a), '\\s+'), x -> x <> '')), ' ')
+          = array_to_string(list_sort(list_filter(regexp_split_to_array(
+            lower(b), '\\s+'), x -> x <> '')), ' ')) AS truth
+  FROM sh
+), t AS (SELECT unnest({list(_ROC_TS)}) AS thr)
+SELECT thr::BIGINT AS threshold_ppm,
+       sum(CASE WHEN jacc_ppm >= thr AND truth THEN 1 ELSE 0 END)::BIGINT
+         AS tp,
+       sum(CASE WHEN jacc_ppm >= thr AND NOT truth THEN 1 ELSE 0 END)
+         ::BIGINT AS fp,
+       sum(CASE WHEN jacc_ppm < thr AND truth THEN 1 ELSE 0 END)::BIGINT
+         AS fn,
+       sum(CASE WHEN jacc_ppm < thr AND NOT truth THEN 1 ELSE 0 END)
+         ::BIGINT AS tn
+FROM j, t GROUP BY thr ORDER BY threshold_ppm
+""")
+def dedup_threshold_roc_q(sf_dir: str):
+    """Threshold ROC for the lowercased 3-gram Jaccard near-dup detector
+    against planted ground truth: CASE twins (jaccard 1.0 after
+    lowercasing), ROTATION twins (same token bag, boundary shingles
+    shifted — high-but-not-1 jaccard), and adjacent-doc negative pairs.
+    The confusion counts per threshold tell you where to cut before a
+    corpus-wide dedup_minhash run.  Twin pairs are computed IN-ROW
+    inside map_batches (no join); jaccard is integer ppm."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.minhash import word_shingle_set
+
+    def jacc_truth(a: str, b: str) -> tuple[int, bool]:
+        sa = word_shingle_set(a.lower(), 3)
+        sb = word_shingle_set(b.lower(), 3)
+        jacc = len(sa & sb) * 1_000_000 // len(sa | sb)
+        truth = sorted(a.lower().split()) == sorted(b.lower().split())
+        return jacc, truth
+
+    def twin_part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        counts = {t: [0, 0, 0, 0] for t in _ROC_TS}
+        for i, txt in zip(ids, texts):
+            if txt is None:
+                continue
+            cands = []
+            if i % 7 == 0:
+                cands.append(txt.upper())
+            if i % 11 == 0:
+                toks = txt.split()
+                if toks:
+                    cands.append(" ".join(toks[1:] + [toks[0]]))
+            for other in cands:
+                jacc, truth = jacc_truth(txt, other)
+                for t in _ROC_TS:
+                    pred = jacc >= t
+                    k = (0 if pred and truth else 1 if pred
+                         else 2 if truth else 3)
+                    counts[t][k] += 1
+        return pd.DataFrame(
+            [(t, *counts[t]) for t in _ROC_TS],
+            columns=["threshold_ppm", "tp", "fp", "fn", "tn"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("threshold_ppm", as_index=False).sum()
+
+    twins, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(twin_part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # three threshold rows
+
+    # negative pairs: doc i vs i+1 for i < 100 (bounded evaluation set)
+    neg = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .filter(expr="doc_id <= 100").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    rows = {t: [0, 0, 0, 0] for t in _ROC_TS}
+    texts = neg.set_index("doc_id")["text"].to_dict()
+    for i in range(100):
+        a, b = texts.get(i), texts.get(i + 1)
+        if a is None or b is None:
+            continue
+        jacc, truth = jacc_truth(a, b)
+        for t in _ROC_TS:
+            pred = jacc >= t
+            k = (0 if pred and truth else 1 if pred
+                 else 2 if truth else 3)
+            rows[t][k] += 1
+    negf = pd.DataFrame([(t, *rows[t]) for t in _ROC_TS],
+                        columns=["threshold_ppm", "tp", "fp", "fn", "tn"])
+    frames = [negf] if twins is None else [twins, negf]
+    out = fold(pd.concat(frames, ignore_index=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("threshold_ppm").reset_index(drop=True)
