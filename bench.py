@@ -287,7 +287,7 @@ def run_suite() -> dict:
                  "bigram_entropy_rate", "lsh_parameter_planner",
                  "moments_profile", "hill_tail_index",
                  "negative_sample_pairs", "feature_hash_collisions",
-                 "dedup_threshold_roc",
+                 "dedup_threshold_roc", "event_precedence_layers",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

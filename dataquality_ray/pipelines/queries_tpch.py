@@ -7236,3 +7236,98 @@ def reciprocal_best_match_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype("int64")
     return out.sort_values("custkey").reset_index(drop=True)[cols]
+
+
+# ---------------------------------------------------------------------------
+# Event-type precedence DAG layering (journey-stage inference)
+# ---------------------------------------------------------------------------
+
+def _prec_layer_sql() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, 6):
+        rounds.append(
+            f"r{i} AS (SELECT r.ty, greatest(r.l, coalesce("
+            f"(SELECT max(p.l) + 1 FROM edges e JOIN {prev} p "
+            f"ON p.ty = e.a WHERE e.b = r.ty), r.l)) AS l "
+            f"FROM {prev} r)")
+        prev = f"r{i}"
+    return f"""
+WITH firsts AS (
+  SELECT user_id, event_type, min(ts) AS fts FROM events GROUP BY 1, 2
+), pc AS (
+  SELECT x.event_type AS a, y.event_type AS b,
+         sum(CASE WHEN x.fts < y.fts THEN 1 ELSE 0 END)::BIGINT AS fwd,
+         sum(CASE WHEN y.fts < x.fts THEN 1 ELSE 0 END)::BIGINT AS rev
+  FROM firsts x JOIN firsts y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+), edges AS (
+  SELECT a, b FROM pc WHERE fwd > rev
+  UNION ALL
+  SELECT b, a FROM pc WHERE rev > fwd
+), r0 AS (SELECT DISTINCT event_type AS ty, 0 AS l FROM events),
+{', '.join(rounds)}
+SELECT ty AS event_type,
+       CASE WHEN l > 4 THEN 99 ELSE l END::BIGINT AS layer
+FROM {prev} ORDER BY event_type
+"""
+
+
+@query("event_precedence_layers", sql=_prec_layer_sql())
+def event_precedence_layers_q(sf_dir: str):
+    """Journey-stage inference: an edge a->b exists when a's FIRST
+    occurrence precedes b's for a strict majority of users who do both
+    (ties drop the edge);
+    node layers are longest-path depths after 5 relaxation rounds
+    (layer 99 = cycle, the order never stabilizes).  Per-user first-
+    occurrence pairs reduce inside groupby(user).map_groups to bounded
+    type-pair counts; the 5-round relaxation is O(types²) driver work
+    mirrored round for round by the SQL replay."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("event_type")["ts"].min()
+        tys = sorted(f.index)
+        rows = []
+        for i, a in enumerate(tys):
+            for b in tys[i + 1:]:
+                if f[a] < f[b]:
+                    rows.append((a, b, 1, 0))
+                elif f[b] < f[a]:
+                    rows.append((a, b, 0, 1))
+        return pd.DataFrame(rows, columns=["a", "b", "fwd", "rev"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["a", "b"], as_index=False)[["fwd", "rev"]].sum()
+
+    pc_, ok = guarded_partials(
+        ds.groupby("user_id").map_groups(per_user, batch_format="pandas"),
+        fold, 2_000_000)
+    assert ok  # bounded: event-type pairs
+    types = sorted(set(ds.unique("event_type")))
+    if pc_ is None or not len(pc_):
+        return pd.DataFrame({"event_type": types,
+                             "layer": np.zeros(len(types), np.int64)})
+    edges = []
+    for _, r in pc_.iterrows():
+        fwd, rev = int(r["fwd"]), int(r["rev"])
+        if fwd > rev:
+            edges.append((r["a"], r["b"]))
+        elif rev > fwd:
+            edges.append((r["b"], r["a"]))
+    layer = {t: 0 for t in types}
+    for _ in range(5):
+        nxt = dict(layer)
+        for t in types:
+            preds = [layer[a] + 1 for a, b in edges if b == t]
+            if preds:
+                nxt[t] = max(layer[t], max(preds))
+        layer = nxt
+    out = pd.DataFrame({"event_type": types,
+                        "layer": [99 if layer[t] > 4 else layer[t]
+                                  for t in types]})
+    out["layer"] = out["layer"].astype("int64")
+    return out

@@ -65,6 +65,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df[[c for c in df.columns if not c.startswith("__k_")]]
 
 
+EXACT_FLOATS = False  # --exact: hash raw float bits (ulp-drift finder)
+
+
 def frame_hash(df: pd.DataFrame) -> str:
     """Dtype-sensitive value hash of an already-canonical frame."""
     h = hashlib.sha256()
@@ -75,7 +78,9 @@ def frame_hash(df: pd.DataFrame) -> str:
         if pd.api.types.is_float_dtype(s):
             # round like the local gate so a last-ulp difference in a
             # genuinely float column doesn't flap; dtype is already hashed.
-            vals = s.round(9).astype("float64").to_numpy()
+            # --exact skips the rounding to FIND such drift proactively.
+            vals = (s.astype("float64") if EXACT_FLOATS
+                    else s.round(9).astype("float64")).to_numpy()
             h.update(vals.tobytes())
         elif pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
             h.update(s.to_numpy().tobytes())
@@ -154,7 +159,12 @@ def main() -> int:
     ap.add_argument("--two-scale", action="store_true")
     ap.add_argument("--only", default=None)
     ap.add_argument("--out", default=None, help="write JSON results here")
+    ap.add_argument("--exact", action="store_true",
+                    help="bit-exact float comparison (ulp-drift finder)")
     args = ap.parse_args()
+    if args.exact:
+        global EXACT_FLOATS
+        EXACT_FLOATS = True
 
     import ray
     if not ray.is_initialized():
