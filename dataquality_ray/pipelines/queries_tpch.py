@@ -7331,3 +7331,272 @@ def event_precedence_layers_q(sf_dir: str):
                                   for t in types]})
     out["layer"] = out["layer"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Temporal path novelty, capture-recapture size estimate, SPRT monitor
+# ---------------------------------------------------------------------------
+
+def _ts_bounds_us(sf_dir: str) -> tuple[int, int]:
+    """(min, max) event timestamp in MICROSECONDS via per-batch extrema
+    partials (Dataset.min on a timestamp column yields ns-based pandas
+    Timestamps — an off-by-1000 trap)."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def part(b: pa.Table) -> pa.Table:
+        i = b["ts"].cast(pa.int64())
+        return pa.table({"lo": [pc.min(i).as_py()],
+                         "hi": [pc.max(i).as_py()]})
+
+    bounds = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    return int(bounds["lo"].min()), int(bounds["hi"].max())
+
+
+@query("path_novelty_rate", sql="""
+WITH bounds AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+), seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         lead(event_type) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tri AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS tri,
+         CASE WHEN us < (SELECT (lo + hi) // 2 FROM bounds)
+              THEN 'train' ELSE 'test' END AS split
+  FROM seq WHERE e3 IS NOT NULL
+), tr AS (SELECT DISTINCT tri FROM tri WHERE split = 'train'),
+te AS (SELECT tri, count(*)::BIGINT AS c FROM tri
+       WHERE split = 'test' GROUP BY tri)
+SELECT sum(c)::BIGINT AS test_trigrams,
+       coalesce(sum(CASE WHEN tr.tri IS NULL THEN c ELSE 0 END),
+                0)::BIGINT AS novel_trigrams,
+       CAST(coalesce(sum(CASE WHEN tr.tri IS NULL THEN c ELSE 0 END),
+                     0)::HUGEINT * 1000000 // sum(c) AS BIGINT)
+         AS novelty_ppm
+FROM te LEFT JOIN tr USING (tri)
+""")
+def path_novelty_rate_q(sf_dir: str):
+    """Temporal generalization check: the share of user path 3-grams in
+    the LATE half of the corpus never seen in the early half — near-zero
+    means a behavioral model trained on the head will not be surprised
+    by the tail; high means drift (the sequence-level analogue of
+    corpus_drift_js).  The 3-gram is assigned to a split by its FIRST
+    event's timestamp.  Per-user trigram extraction reduces inside
+    groupby(user).map_groups to bounded (trigram, split) counts."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    lo, hi = _ts_bounds_us(sf_dir)
+    mid = (lo + hi) // 2
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["event_type"].to_numpy()
+        us = g["ts"].astype("int64").to_numpy()
+        if len(t) < 3:
+            return pd.DataFrame({"tri": pd.Series([], dtype=object),
+                                 "split": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        tri = [f"{a}>{b}>{c}" for a, b, c in zip(t, t[1:], t[2:])]
+        split = np.where(us[:-2] < mid, "train", "test")
+        f = pd.DataFrame({"tri": tri, "split": split, "c": 1})
+        return f.groupby(["tri", "split"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["tri", "split"], as_index=False)["c"].sum()
+
+    cnt, ok = guarded_partials(
+        ds.groupby("user_id").map_groups(per_user, batch_format="pandas"),
+        fold, 2_000_000)
+    assert ok  # bounded: event-type trigrams x 2 splits
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                          for c in ("test_trigrams", "novel_trigrams",
+                                    "novelty_ppm")})
+    if cnt is None or not len(cnt):
+        return empty
+    train = set(cnt[cnt["split"] == "train"]["tri"])
+    te = cnt[cnt["split"] == "test"]
+    if not len(te):
+        return empty
+    test_n = int(te["c"].sum())
+    novel = int(te[~te["tri"].isin(train)]["c"].sum())
+    return pd.DataFrame({"test_trigrams": [np.int64(test_n)],
+                         "novel_trigrams": [np.int64(novel)],
+                         "novelty_ppm":
+                         [np.int64(novel * 1_000_000 // test_n)]})
+
+
+@query("capture_recapture_users", sql="""
+WITH bounds AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+), w1 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE epoch_us(ts) < (SELECT (lo + hi) // 2 FROM bounds)
+), w2 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE epoch_us(ts) >= (SELECT (lo + hi) // 2 FROM bounds)
+)
+SELECT (SELECT count(*) FROM w1)::BIGINT AS n_first,
+       (SELECT count(*) FROM w2)::BIGINT AS n_second,
+       (SELECT count(*) FROM w1 JOIN w2 USING (user_id))::BIGINT
+         AS n_both,
+       CAST((SELECT count(*) FROM w1)::HUGEINT
+            * (SELECT count(*) FROM w2)
+            // (SELECT count(*) FROM w1 JOIN w2 USING (user_id))
+            AS BIGINT) AS lincoln_petersen_estimate
+""")
+def capture_recapture_users_q(sf_dir: str):
+    """Lincoln-Petersen capture-recapture estimate of the true user
+    population from two time windows: N ~ n1*n2/m (m = users seen in
+    both).  The audit for 'how many users does the raw stream under-
+    count' when events are sampled.  Distinct-per-window sets flow
+    through ONE guarded combine of (user, w1, w2) flags with a groupby
+    twin; the estimate is exact integer division."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    lo, hi = _ts_bounds_us(sf_dir)
+    mid = (lo + hi) // 2
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"user_id":
+                          b["user_id"].to_numpy(zero_copy_only=False),
+                          "w1": (us < mid).astype(np.int64),
+                          "w2": (us >= mid).astype(np.int64)})
+        return f.groupby("user_id", as_index=False)[["w1", "w2"]].max()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("user_id", as_index=False)[["w1", "w2"]].max()
+
+    flags, twin = combine_or_groupby_twin(
+        "capture_recapture_users",
+        ds.map_batches(part, batch_format="pyarrow"),
+        fold, 2_000_000, ["user_id"])
+
+    def reduce_flags(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_first": [int(f["w1"].sum())],
+            "n_second": [int(f["w2"].sum())],
+            "n_both": [int((f["w1"] * f["w2"]).sum())]})
+
+    if twin is None:
+        if flags is None or not len(flags):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("n_first", "n_second", "n_both",
+                                           "lincoln_petersen_estimate")})
+        tot = reduce_flags(flags)
+    else:
+        tot, ok = guarded_partials(
+            twin.map_batches(reduce_flags, batch_format="pandas"),
+            lambda f: pd.DataFrame({c: [f[c].sum()] for c in f.columns}),
+            2_000_000)
+        assert ok  # three scalar accumulators
+    n1 = int(tot["n_first"].iloc[0])
+    n2 = int(tot["n_second"].iloc[0])
+    m = int(tot["n_both"].iloc[0])
+    return pd.DataFrame({
+        "n_first": pd.Series([n1], dtype=np.int64),
+        "n_second": pd.Series([n2], dtype=np.int64),
+        "n_both": pd.Series([m], dtype=np.int64),
+        "lincoln_petersen_estimate":
+        pd.Series([n1 * n2 // m if m else 0], dtype=np.int64)})
+
+
+_SPRT_LLR_POS = 693147    # floor(ln(0.08/0.04) * 1e6)
+_SPRT_LLR_NEG = -42560    # floor(ln(0.92/0.96) * 1e6)
+_SPRT_BOUND = 2944439     # floor(ln(19) * 1e6): alpha = beta = 0.05
+
+
+@query("sprt_conversion_monitor", sql=f"""
+WITH arm AS (
+  SELECT user_id % 2 AS arm,
+         epoch_us(ts) // 86400000000 AS day,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+), daily AS (
+  SELECT arm, day, count(*)::BIGINT AS n, sum(conv)::BIGINT AS k
+  FROM arm GROUP BY 1, 2
+), walk AS (
+  SELECT arm, day,
+         sum(k * {_SPRT_LLR_POS} + (n - k) * {_SPRT_LLR_NEG})
+           OVER (PARTITION BY arm ORDER BY day) AS llr_u,
+         sum(n) OVER (PARTITION BY arm ORDER BY day) AS cum_n
+  FROM daily
+), crossed AS (
+  SELECT arm, min(day) AS first_day
+  FROM walk WHERE llr_u >= {_SPRT_BOUND} OR llr_u <= -{_SPRT_BOUND}
+  GROUP BY arm
+), final AS (
+  SELECT arm, max(cum_n)::BIGINT AS n_events,
+         arg_max(llr_u, day)::BIGINT AS final_llr_u
+  FROM walk GROUP BY arm
+)
+SELECT f.arm::BIGINT AS arm, f.n_events, f.final_llr_u,
+       coalesce(c.first_day, -1)::BIGINT AS decision_day,
+       CASE WHEN c.first_day IS NOT NULL AND f.final_llr_u > 0
+            THEN 'accept_h1'
+            WHEN c.first_day IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM final f LEFT JOIN crossed c USING (arm) ORDER BY arm
+""")
+def sprt_conversion_monitor_q(sf_dir: str):
+    """Wald sequential probability ratio test over the event stream,
+    evaluated at DAY granularity: each arm (user_id parity) walks an
+    integer LLR (floor-ln 1e-6 steps for H1: 8% vs H0: 4% purchase
+    rate) and stops the first day it crosses +-ln(19) — the always-
+    valid alternative to peeking at a fixed-horizon A/B test
+    (ab_srm_check / welch_t_test).  Day-level (n, conversions)
+    histograms are a bounded guarded combine; the walk itself is
+    O(#days) driver arithmetic, all-integer, bit-identical to the SQL
+    window replay."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "arm": b["user_id"].to_numpy(zero_copy_only=False) % 2,
+            "day": b["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // 86_400_000_000,
+            "n": 1,
+            "k": (np.asarray(b["event_type"]) == "purchase"
+                  ).astype(np.int64)})
+        return f.groupby(["arm", "day"], as_index=False)[["n", "k"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["arm", "day"], as_index=False)[["n", "k"]].sum()
+
+    daily, ok = guarded_partials(
+        ds.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 2 arms x calendar days
+    cols = ("arm", "n_events", "final_llr_u", "decision_day", "decision")
+    if daily is None or not len(daily):
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "decision" else np.int64)
+            for c in cols})
+    out = []
+    for arm, g in daily.groupby("arm"):
+        g = g.sort_values("day")
+        n = g["n"].to_numpy(np.int64)
+        k = g["k"].to_numpy(np.int64)
+        llr = np.cumsum(k * _SPRT_LLR_POS + (n - k) * _SPRT_LLR_NEG)
+        cum_n = np.cumsum(n)
+        day = g["day"].to_numpy(np.int64)
+        crossed = np.nonzero((llr >= _SPRT_BOUND)
+                             | (llr <= -_SPRT_BOUND))[0]
+        if len(crossed):
+            dec_day = int(day[crossed[0]])
+            decision = "accept_h1" if llr[-1] > 0 else "accept_h0"
+        else:
+            dec_day, decision = -1, "continue"
+        out.append((int(arm), int(cum_n[-1]), int(llr[-1]), dec_day,
+                    decision))
+    f = pd.DataFrame(out, columns=list(cols))
+    for c in cols[:4]:
+        f[c] = f[c].astype("int64")
+    return f.sort_values("arm").reset_index(drop=True)
