@@ -288,6 +288,11 @@ def run_suite() -> dict:
                  "moments_profile", "hill_tail_index",
                  "negative_sample_pairs", "feature_hash_collisions",
                  "dedup_threshold_roc", "event_precedence_layers",
+                 "path_novelty_rate", "capture_recapture_users",
+                 "sprt_conversion_monitor", "minified_detect",
+                 "cyclomatic_proxy", "todo_fixme_density",
+                 "case_style_profile", "string_literal_ratio",
+                 "import_fanin", "shebang_profile",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

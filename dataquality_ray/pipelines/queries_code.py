@@ -796,3 +796,549 @@ def entropy_secret_scan_q(sf_dir: str):
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_secret_tokens"] = out["n_secret_tokens"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Minified-file detection per source
+# ---------------------------------------------------------------------------
+
+@query("minified_detect", sql="""
+WITH v AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0
+              THEN replace(coalesce(text, ''), ' ', '')
+              ELSE replace(coalesce(text, ''), ' ', chr(10)) END AS v
+  FROM documents
+), s AS (
+  SELECT source,
+         CASE WHEN v = '' THEN 0
+              ELSE len(string_split(v, chr(10))) END AS n_lines,
+         len(v) AS n
+  FROM v
+), d AS (
+  SELECT source,
+         CASE WHEN n_lines = 0 THEN 0
+              ELSE (n - (n_lines - 1)) * 1000000 // n_lines END AS avg_ppm
+  FROM s
+)
+SELECT source, count(*)::BIGINT AS n_files,
+       sum(CASE WHEN avg_ppm > 40000000 THEN 1 ELSE 0 END)::BIGINT
+         AS n_minified,
+       CAST(sum(CASE WHEN avg_ppm > 40000000 THEN 1 ELSE 0 END)::HUGEINT
+            * 1000000 // count(*) AS BIGINT) AS minified_ppm
+FROM d GROUP BY source ORDER BY source
+""")
+def minified_detect_q(sf_dir: str):
+    """Minified / single-line-blob detection per source: files whose
+    average line length exceeds 40 chars (docs with doc_id % 7 == 0 get
+    their whitespace stripped — the deterministic stand-in for a
+    minified bundle; the rest are the normal one-token-per-line code
+    view).  The detector itself is generic: avg chars/line in scaled
+    integer ppm, no reference to the planting rule.  One Arrow kernel
+    per batch; per-source sums flow through the guarded combine
+    (bounded: #sources)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = pc.coalesce(b["text"], pa.scalar(""))
+        despaced = pc.replace_substring(txt, " ", "")
+        lined = pc.replace_substring(txt, " ", "\n")
+        minsel = (ids % 7) == 0
+        v_len = np.where(
+            minsel,
+            pc.utf8_length(despaced).to_numpy(zero_copy_only=False),
+            pc.utf8_length(lined).to_numpy(zero_copy_only=False),
+        ).astype(np.int64)
+        n_nl = np.where(
+            minsel, 0,
+            pc.count_substring(lined, "\n").to_numpy(
+                zero_copy_only=False)).astype(np.int64)
+        n_lines = np.where(v_len > 0, n_nl + 1, 0)
+        avg_ppm = np.where(
+            n_lines > 0,
+            (v_len - (n_lines - 1)) * 1_000_000 // np.maximum(n_lines, 1),
+            0)
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "n_files": 1,
+                          "n_minified":
+                          (avg_ppm > 40_000_000).astype(np.int64)})
+        return f.groupby("source", as_index=False)[
+            ["n_files", "n_minified"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)[
+            ["n_files", "n_minified"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text", "source"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok  # bounded: #sources
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_files": pd.Series([], dtype=np.int64),
+            "n_minified": pd.Series([], dtype=np.int64),
+            "minified_ppm": pd.Series([], dtype=np.int64)})
+    merged["minified_ppm"] = (
+        merged["n_minified"].astype(object) * 1_000_000
+        // merged["n_files"]).astype("int64")
+    for c in ("n_files", "n_minified"):
+        merged[c] = merged[c].astype("int64")
+    return merged.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Cyclomatic-complexity proxy per source (branch-keyword density)
+# ---------------------------------------------------------------------------
+
+_BRANCH_VIEW_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace("
+    "replace(coalesce(text,''), ' ', chr(10)),"
+    " '(?m)^filter$', 'if filter:', 'g'),"
+    " '(?m)^scan$', 'for scan:', 'g'),"
+    " '(?m)^window$', 'while window:', 'g')")
+
+
+@query("cyclomatic_proxy", sql=f"""
+WITH v AS (
+  SELECT doc_id, source, {_BRANCH_VIEW_SQL} AS v FROM documents
+), d AS (
+  SELECT source,
+         1 + len(regexp_extract_all(v, '(?m)^(if|for|while) '))
+           AS complexity
+  FROM v
+)
+SELECT source, count(*)::BIGINT AS n_files,
+       CAST(sum(complexity)::HUGEINT * 1000000 // count(*) AS BIGINT)
+         AS avg_complexity_ppm,
+       max(complexity)::BIGINT AS max_complexity
+FROM d GROUP BY source ORDER BY source
+""")
+def cyclomatic_proxy_q(sf_dir: str):
+    """McCabe-style complexity proxy: 1 + branch-keyword count per file
+    (if/for/while planted onto the code view via filter/scan/window),
+    aggregated per source as integer-ppm mean and max.  The branch
+    detector is the generic '^(if|for|while) ' RE2 — byte-identical in
+    pyarrow and DuckDB.  Per-source (sum, max, count) partials merge
+    through the guarded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = pc.replace_substring(pc.coalesce(b["text"], pa.scalar("")),
+                                 " ", "\n")
+        v = pc.replace_substring_regex(v, "(?m)^filter$", "if filter:")
+        v = pc.replace_substring_regex(v, "(?m)^scan$", "for scan:")
+        v = pc.replace_substring_regex(v, "(?m)^window$", "while window:")
+        cplx = 1 + pc.count_substring_regex(
+            v, r"(?m)^(if|for|while) ").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "n_files": 1, "sum_cplx": cplx,
+                          "max_cplx": cplx})
+        return f.groupby("source", as_index=False).agg(
+            n_files=("n_files", "sum"), sum_cplx=("sum_cplx", "sum"),
+            max_cplx=("max_cplx", "max"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False).agg(
+            n_files=("n_files", "sum"), sum_cplx=("sum_cplx", "sum"),
+            max_cplx=("max_cplx", "max"))
+
+    stage = (_read(sf_dir, "documents", ["text", "source"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok  # bounded: #sources
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_files": pd.Series([], dtype=np.int64),
+            "avg_complexity_ppm": pd.Series([], dtype=np.int64),
+            "max_complexity": pd.Series([], dtype=np.int64)})
+    out = pd.DataFrame({
+        "source": merged["source"],
+        "n_files": merged["n_files"].astype("int64"),
+        "avg_complexity_ppm": (
+            merged["sum_cplx"].astype(object) * 1_000_000
+            // merged["n_files"]).astype("int64"),
+        "max_complexity": merged["max_cplx"].astype("int64")})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TODO/FIXME marker density: top-20 worst files
+# ---------------------------------------------------------------------------
+
+_TODO_VIEW_SQL = (
+    "regexp_replace(regexp_replace("
+    "replace(coalesce(text,''), ' ', chr(10)),"
+    " '(?m)^row$', '# TODO row', 'g'),"
+    " '(?m)^slow$', '// FIXME slow', 'g')")
+
+
+@query("todo_fixme_density", sql=f"""
+WITH v AS (
+  SELECT doc_id, {_TODO_VIEW_SQL} AS v FROM documents
+), d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(v, '(?m)^# TODO')) AS n_todo,
+         len(regexp_extract_all(v, '(?m)^// FIXME')) AS n_fixme,
+         CASE WHEN v = '' THEN 0
+              ELSE len(string_split(v, chr(10))) END AS n_lines
+  FROM v
+)
+SELECT doc_id, n_todo::BIGINT AS n_todo, n_fixme::BIGINT AS n_fixme,
+       CASE WHEN n_lines = 0 THEN 0
+            ELSE (n_todo + n_fixme) * 1000000 // n_lines
+       END::BIGINT AS density_ppm
+FROM d ORDER BY density_ppm DESC, doc_id LIMIT 20
+""")
+def todo_fixme_density_q(sf_dir: str):
+    """Tech-debt marker density: the 20 files with the highest TODO+FIXME
+    markers per line (integer ppm, doc_id tie-break).  Markers are
+    planted onto the code view (row -> '# TODO', slow -> '// FIXME');
+    the detector is the generic line-anchored RE2.  Each batch emits its
+    local top-20 and the fold keeps the global top-20 — the monotone
+    top-k merge, O(batches x 20) driver-side."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def topk(f: pd.DataFrame) -> pd.DataFrame:
+        return f.sort_values(["density_ppm", "doc_id"],
+                             ascending=[False, True]).head(20)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = pc.replace_substring(pc.coalesce(b["text"], pa.scalar("")),
+                                 " ", "\n")
+        v = pc.replace_substring_regex(v, "(?m)^row$", "# TODO row")
+        v = pc.replace_substring_regex(v, "(?m)^slow$", "// FIXME slow")
+        n_todo = pc.count_substring_regex(v, r"(?m)^# TODO").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_fixme = pc.count_substring_regex(v, r"(?m)^// FIXME").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v_len = pc.utf8_length(v).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_nl = pc.count_substring(v, "\n").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_lines = np.where(v_len > 0, n_nl + 1, 0)
+        dens = np.where(n_lines > 0,
+                        (n_todo + n_fixme) * 1_000_000
+                        // np.maximum(n_lines, 1), 0)
+        f = pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n_todo": n_todo, "n_fixme": n_fixme, "density_ppm": dens})
+        return topk(f)
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, topk, 2_000_000)
+    assert ok  # fold output is always <= 20 rows
+    cols = ("doc_id", "n_todo", "n_fixme", "density_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    out = topk(merged).reset_index(drop=True)
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Identifier case-style profile per source
+# ---------------------------------------------------------------------------
+
+_CASE_VIEW_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace("
+    "replace(coalesce(text,''), ' ', chr(10)),"
+    " '(?m)^sort$', 'sortKey', 'g'),"
+    " '(?m)^merge$', 'merge_all', 'g'),"
+    " '(?m)^vector$', 'VectorBase', 'g')")
+
+
+@query("case_style_profile", sql=f"""
+WITH v AS (
+  SELECT source, {_CASE_VIEW_SQL} AS v FROM documents
+), d AS (
+  SELECT source,
+         len(regexp_extract_all(v, '(?m)^[a-z]+[A-Z][A-Za-z]*$'))
+           AS camel,
+         len(regexp_extract_all(v, '(?m)^[a-z]+_[a-z]+$')) AS snake,
+         len(regexp_extract_all(v, '(?m)^[A-Z][a-z]+[A-Z][A-Za-z]*$'))
+           AS pascal
+  FROM v
+)
+SELECT source, sum(camel)::BIGINT AS camel_tokens,
+       sum(snake)::BIGINT AS snake_tokens,
+       sum(pascal)::BIGINT AS pascal_tokens,
+       CASE WHEN sum(camel) >= sum(snake)
+             AND sum(camel) >= sum(pascal) THEN 'camel'
+            WHEN sum(snake) >= sum(pascal) THEN 'snake'
+            ELSE 'pascal' END AS dominant_style
+FROM d GROUP BY source ORDER BY source
+""")
+def case_style_profile_q(sf_dir: str):
+    """Identifier naming-convention profile per source: camelCase vs
+    snake_case vs PascalCase token counts (planted via sort/merge/vector
+    rewrites) and the dominant style — the style-consistency signal a
+    code-corpus curator uses to spot machine-translated or mixed-origin
+    repos.  Three anchored RE2 counts per batch; per-source sums through
+    the guarded combine; the dominant pick is the same >=-ordered CASE
+    on both sides."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = pc.replace_substring(pc.coalesce(b["text"], pa.scalar("")),
+                                 " ", "\n")
+        v = pc.replace_substring_regex(v, "(?m)^sort$", "sortKey")
+        v = pc.replace_substring_regex(v, "(?m)^merge$", "merge_all")
+        v = pc.replace_substring_regex(v, "(?m)^vector$", "VectorBase")
+        f = pd.DataFrame({
+            "source": b["source"].to_pylist(),
+            "camel": pc.count_substring_regex(
+                v, r"(?m)^[a-z]+[A-Z][A-Za-z]*$").to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+            "snake": pc.count_substring_regex(
+                v, r"(?m)^[a-z]+_[a-z]+$").to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+            "pascal": pc.count_substring_regex(
+                v, r"(?m)^[A-Z][a-z]+[A-Z][A-Za-z]*$").to_numpy(
+                    zero_copy_only=False).astype(np.int64)})
+        return f.groupby("source", as_index=False)[
+            ["camel", "snake", "pascal"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)[
+            ["camel", "snake", "pascal"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["text", "source"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok  # bounded: #sources
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "camel_tokens": pd.Series([], dtype=np.int64),
+            "snake_tokens": pd.Series([], dtype=np.int64),
+            "pascal_tokens": pd.Series([], dtype=np.int64),
+            "dominant_style": pd.Series([], dtype=object)})
+    cm = merged["camel"].to_numpy(np.int64)
+    sn = merged["snake"].to_numpy(np.int64)
+    ps = merged["pascal"].to_numpy(np.int64)
+    dom = np.where((cm >= sn) & (cm >= ps), "camel",
+                   np.where(sn >= ps, "snake", "pascal"))
+    out = pd.DataFrame({
+        "source": merged["source"],
+        "camel_tokens": merged["camel"].astype("int64"),
+        "snake_tokens": merged["snake"].astype("int64"),
+        "pascal_tokens": merged["pascal"].astype("int64"),
+        "dominant_style": dom})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# String-literal share of file bytes per source
+# ---------------------------------------------------------------------------
+
+_LIT_VIEW_SQL = (
+    "regexp_replace(regexp_replace("
+    "replace(coalesce(text,''), ' ', chr(10)),"
+    " '(?m)^query$', '\"query\"', 'g'),"
+    " '(?m)^value$', '\"value\"', 'g')")
+
+
+@query("string_literal_ratio", sql=f"""
+WITH v AS (
+  SELECT source, {_LIT_VIEW_SQL} AS v FROM documents
+), d AS (
+  SELECT source, len(v) AS total,
+         len(v) - len(regexp_replace(v, '"[^"]*"', '', 'g')) AS lit
+  FROM v
+)
+SELECT source, sum(total)::BIGINT AS total_chars,
+       sum(lit)::BIGINT AS literal_chars,
+       CASE WHEN sum(total) = 0 THEN 0
+            ELSE CAST(sum(lit)::HUGEINT * 1000000 // sum(total) AS BIGINT)
+       END AS literal_ppm
+FROM d GROUP BY source ORDER BY source
+""")
+def string_literal_ratio_q(sf_dir: str):
+    """Share of file bytes inside double-quoted string literals per
+    source (literals planted via query/value rewrites) — a high share
+    flags data-dump or template files masquerading as code.  The
+    measurement trick is fully vectorized on both sides: literal bytes =
+    len(v) - len(v with every '"[^"]*"' match deleted); RE2 matches are
+    leftmost non-overlapping so each literal is excised exactly once."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = pc.replace_substring(pc.coalesce(b["text"], pa.scalar("")),
+                                 " ", "\n")
+        v = pc.replace_substring_regex(v, "(?m)^query$", '"query"')
+        v = pc.replace_substring_regex(v, "(?m)^value$", '"value"')
+        total = pc.utf8_length(v).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        stripped = pc.utf8_length(pc.replace_substring_regex(
+            v, '"[^"]*"', "")).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "total": total, "lit": total - stripped})
+        return f.groupby("source", as_index=False)[["total", "lit"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)[["total", "lit"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["text", "source"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok  # bounded: #sources
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "total_chars": pd.Series([], dtype=np.int64),
+            "literal_chars": pd.Series([], dtype=np.int64),
+            "literal_ppm": pd.Series([], dtype=np.int64)})
+    tot = merged["total"].astype(object)
+    lit = merged["lit"].astype(object)
+    ppm = [(int(l) * 1_000_000 // int(t)) if int(t) else 0
+           for l, t in zip(lit, tot)]
+    out = pd.DataFrame({
+        "source": merged["source"],
+        "total_chars": merged["total"].astype("int64"),
+        "literal_chars": merged["lit"].astype("int64"),
+        "literal_ppm": pd.Series(ppm, dtype="int64")})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Import fan-in per module
+# ---------------------------------------------------------------------------
+
+_IMPORT_VIEW_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace("
+    "replace(coalesce(text,''), ' ', chr(10)),"
+    " '(?m)^table$', 'import lib_table', 'g'),"
+    " '(?m)^part$', 'import lib_part', 'g'),"
+    " '(?m)^key$', 'import lib_key', 'g')")
+
+_IMPORT_MODULES = ["lib_key", "lib_part", "lib_table"]
+
+
+@query("import_fanin", sql=f"""
+WITH v AS (
+  SELECT doc_id, {_IMPORT_VIEW_SQL} AS v FROM documents
+), d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(v, '(?m)^import lib_key$')) AS c_key,
+         len(regexp_extract_all(v, '(?m)^import lib_part$')) AS c_part,
+         len(regexp_extract_all(v, '(?m)^import lib_table$')) AS c_table
+  FROM v
+)
+SELECT 'lib_key' AS module,
+       sum(CASE WHEN c_key > 0 THEN 1 ELSE 0 END)::BIGINT AS fan_in,
+       sum(c_key)::BIGINT AS total_imports FROM d
+UNION ALL
+SELECT 'lib_part', sum(CASE WHEN c_part > 0 THEN 1 ELSE 0 END)::BIGINT,
+       sum(c_part)::BIGINT FROM d
+UNION ALL
+SELECT 'lib_table', sum(CASE WHEN c_table > 0 THEN 1 ELSE 0 END)::BIGINT,
+       sum(c_table)::BIGINT FROM d
+ORDER BY module
+""")
+def import_fanin_q(sf_dir: str):
+    """Dependency fan-in: for each module (imports planted via
+    table/part/key rewrites), how many files import it at least once
+    and how many import statements exist in total — the
+    hub-dependency census a repo-level curator runs before deciding
+    what a dedup pass may safely drop.  Three anchored RE2 counts per
+    batch collapse to a 3-row partial; the fold sums them."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = pc.replace_substring(pc.coalesce(b["text"], pa.scalar("")),
+                                 " ", "\n")
+        v = pc.replace_substring_regex(v, "(?m)^table$",
+                                       "import lib_table")
+        v = pc.replace_substring_regex(v, "(?m)^part$", "import lib_part")
+        v = pc.replace_substring_regex(v, "(?m)^key$", "import lib_key")
+        rows = []
+        for mod in _IMPORT_MODULES:
+            c = pc.count_substring_regex(
+                v, rf"(?m)^import {mod}$").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            rows.append((mod, int((c > 0).sum()), int(c.sum())))
+        return pd.DataFrame(rows,
+                            columns=["module", "fan_in", "total_imports"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("module", as_index=False)[
+            ["fan_in", "total_imports"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok  # bounded: 3 modules
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "module": pd.Series([], dtype=object),
+            "fan_in": pd.Series([], dtype=np.int64),
+            "total_imports": pd.Series([], dtype=np.int64)})
+    for c in ("fan_in", "total_imports"):
+        merged[c] = merged[c].astype("int64")
+    return merged.sort_values("module").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Shebang / interpreter profile
+# ---------------------------------------------------------------------------
+
+@query("shebang_profile", sql="""
+WITH v AS (
+  SELECT CASE doc_id % 9
+           WHEN 0 THEN '#!/usr/bin/env python' || chr(10)
+                       || coalesce(text, '')
+           WHEN 1 THEN '#!/bin/sh' || chr(10) || coalesce(text, '')
+           ELSE coalesce(text, '') END AS v
+  FROM documents
+)
+SELECT CASE WHEN v LIKE '#!/usr/bin/env python%' THEN 'python'
+            WHEN v LIKE '#!/bin/sh%' THEN 'sh'
+            ELSE 'none' END AS interpreter,
+       count(*)::BIGINT AS n_files
+FROM v GROUP BY 1 ORDER BY interpreter
+""")
+def shebang_profile_q(sf_dir: str):
+    """Interpreter census from shebang lines (planted on doc_id % 9 in
+    {0, 1}) — the executable-script share of a code corpus.  Vectorized
+    prefix tests per batch; a 3-row bounded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % 9
+        head = np.where(sel == 0, "#!/usr/bin/env python\n",
+                        np.where(sel == 1, "#!/bin/sh\n", ""))
+        v = pc.binary_join_element_wise(
+            pa.array(head), pc.coalesce(b["text"], pa.scalar("")), "")
+        # detect from the text itself (same prefix test as the oracle),
+        # not from the planting rule
+        is_py = pc.starts_with(v, "#!/usr/bin/env python").to_numpy(
+            zero_copy_only=False)
+        is_sh = pc.starts_with(v, "#!/bin/sh").to_numpy(
+            zero_copy_only=False)
+        interp = np.where(is_py, "python", np.where(is_sh, "sh", "none"))
+        f = pd.DataFrame({"interpreter": interp, "n_files": 1})
+        return f.groupby("interpreter", as_index=False)["n_files"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("interpreter", as_index=False)["n_files"].sum()
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok  # bounded: 3 interpreter classes
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "interpreter": pd.Series([], dtype=object),
+            "n_files": pd.Series([], dtype=np.int64)})
+    merged["n_files"] = merged["n_files"].astype("int64")
+    return merged.sort_values("interpreter").reset_index(drop=True)
