@@ -293,6 +293,9 @@ def run_suite() -> dict:
                  "cyclomatic_proxy", "todo_fixme_density",
                  "case_style_profile", "string_literal_ratio",
                  "import_fanin", "shebang_profile",
+                 "mann_kendall_trend", "cusum_changepoint",
+                 "autocov_lags", "chao1_vocab_estimate",
+                 "hits_hubs_authorities",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -5189,3 +5189,347 @@ def hill_tail_index_q(sf_dir: str):
     return pd.DataFrame({"k": [np.int64(100)],
                          "sum_lnr_u": [np.int64(s)],
                          "hill_alpha_inv": [float(s) / 100 / 1e6]})
+
+
+# ---------------------------------------------------------------------------
+# Daily-count helper for the trend/changepoint family
+# ---------------------------------------------------------------------------
+
+def _daily_counts(sf_dir: str) -> pd.DataFrame:
+    """(day_idx, n) daily event counts via the guarded combine (bounded:
+    #calendar days)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        s = pd.Series(day.to_pandas()).value_counts()
+        return pd.DataFrame({"day_idx": s.index, "n": s.to_numpy()})
+
+    def comb(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, comb, 2_000_000)
+    assert ok  # bounded: calendar days
+    if merged is None or not len(merged):
+        return pd.DataFrame({"day_idx": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64)})
+    return merged.sort_values("day_idx").reset_index(drop=True)
+
+
+_DAILY_SQL = """
+d AS (SELECT epoch_us(ts) // 86400000000 AS day_idx,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1)
+"""
+
+
+@query("mann_kendall_trend", sql=f"""
+WITH {_DAILY_SQL.strip()}
+SELECT count(*)::BIGINT AS n_days,
+       (count(*) * (count(*) - 1) / 2)::BIGINT AS n_pairs,
+       coalesce((SELECT sum(CASE WHEN b.n > a.n THEN 1
+                                 WHEN b.n < a.n THEN -1 ELSE 0 END)
+                 FROM d a JOIN d b ON b.day_idx > a.day_idx),
+                0)::BIGINT AS s_statistic,
+       CASE WHEN coalesce((SELECT sum(CASE WHEN b.n > a.n THEN 1
+                                 WHEN b.n < a.n THEN -1 ELSE 0 END)
+                 FROM d a JOIN d b ON b.day_idx > a.day_idx), 0) > 0
+              THEN 'increasing'
+            WHEN coalesce((SELECT sum(CASE WHEN b.n > a.n THEN 1
+                                 WHEN b.n < a.n THEN -1 ELSE 0 END)
+                 FROM d a JOIN d b ON b.day_idx > a.day_idx), 0) < 0
+              THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM d
+""")
+def mann_kendall_trend_q(sf_dir: str):
+    """Mann-Kendall monotone-trend test over daily event volume: the
+    non-parametric S statistic (sum of pairwise count-comparison signs
+    across all day pairs) — the standard drift detector when the series
+    is non-Gaussian.  Daily counts reduce distributedly; the O(days²)
+    pair sign sum runs on the tiny day axis driver-side, all-integer, so
+    it replays bit-exactly as a SQL self-join."""
+    d = _daily_counts(sf_dir)
+    m = len(d)
+    cols = ("n_days", "n_pairs", "s_statistic", "trend")
+    if m == 0:
+        return pd.DataFrame({"n_days": pd.Series([], dtype=np.int64),
+                             "n_pairs": pd.Series([], dtype=np.int64),
+                             "s_statistic": pd.Series([], dtype=np.int64),
+                             "trend": pd.Series([], dtype=object)})
+    x = d["n"].to_numpy(np.int64)
+    diff = np.sign(x[None, :] - x[:, None])
+    s = int(np.triu(diff, 1).sum())
+    trend = "increasing" if s > 0 else ("decreasing" if s < 0
+                                        else "no_trend")
+    return pd.DataFrame({"n_days": pd.Series([m], dtype="int64"),
+                         "n_pairs": pd.Series([m * (m - 1) // 2],
+                                              dtype="int64"),
+                         "s_statistic": pd.Series([s], dtype="int64"),
+                         "trend": [trend]})
+
+
+@query("cusum_changepoint", sql=f"""
+WITH {_DAILY_SQL.strip()}, o AS (
+  SELECT day_idx, n, row_number() OVER (ORDER BY day_idx) AS k,
+         sum(n) OVER (ORDER BY day_idx) AS s
+  FROM d
+), t AS (
+  SELECT count(*)::HUGEINT AS m, sum(n)::HUGEINT AS tot FROM d
+), dev AS (
+  SELECT o.day_idx, o.k, o.s,
+         abs(t.m * o.s - o.k * t.tot) AS dev, t.m, t.tot
+  FROM o, t
+)
+SELECT day_idx AS change_day, dev::BIGINT AS max_deviation,
+       CAST(s * 1000000 // k AS BIGINT) AS mean_before_ppm,
+       CASE WHEN m = k THEN 0
+            ELSE CAST((tot - s) * 1000000 // (m - k) AS BIGINT)
+       END AS mean_after_ppm
+FROM dev ORDER BY dev DESC, k LIMIT 1
+""")
+def cusum_changepoint_q(sf_dir: str):
+    """CUSUM changepoint locator over daily event volume: the day k*
+    maximizing |m·S_k − k·T| (the integer cross-multiplied form of the
+    classic cumulative-deviation statistic, so no division happens until
+    the final ppm means) — where the level of the series shifted.
+    Daily counts reduce distributedly; the scan is O(days)
+    driver-side."""
+    d = _daily_counts(sf_dir)
+    cols = ("change_day", "max_deviation", "mean_before_ppm",
+            "mean_after_ppm")
+    if not len(d):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    x = d["n"].to_numpy(np.int64)
+    m = len(x)
+    s = np.cumsum(x.astype(object))
+    tot = int(s[-1])
+    k = np.arange(1, m + 1, dtype=object)
+    dev = np.abs(m * s - k * tot)
+    best = int(np.argmax(dev))  # argmax takes the FIRST max (min k)
+    kb = best + 1
+    before = int(s[best]) * 1_000_000 // kb
+    after = (0 if kb == m
+             else (tot - int(s[best])) * 1_000_000 // (m - kb))
+    return pd.DataFrame({
+        "change_day": pd.Series([int(d["day_idx"].iloc[best])],
+                                dtype="int64"),
+        "max_deviation": pd.Series([int(dev[best])], dtype="int64"),
+        "mean_before_ppm": pd.Series([before], dtype="int64"),
+        "mean_after_ppm": pd.Series([after], dtype="int64")})
+
+
+@query("autocov_lags", sql=f"""
+WITH {_DAILY_SQL.strip()}, o AS (
+  SELECT n, row_number() OVER (ORDER BY day_idx) AS i FROM d
+), p AS (
+  SELECT (b.i - a.i) AS lag, a.n AS xa, b.n AS xb
+  FROM o a JOIN o b ON b.i - a.i BETWEEN 1 AND 7
+)
+SELECT lag::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
+       CAST(count(*)::HUGEINT * sum(xa::HUGEINT * xb)
+            - sum(xa)::HUGEINT * sum(xb) AS BIGINT) AS cov_num,
+       CASE WHEN count(*)::HUGEINT * sum(xa::HUGEINT * xb)
+                 - sum(xa)::HUGEINT * sum(xb) > 0 THEN 'positive'
+            WHEN count(*)::HUGEINT * sum(xa::HUGEINT * xb)
+                 - sum(xa)::HUGEINT * sum(xb) < 0 THEN 'negative'
+            ELSE 'zero' END AS direction
+FROM p GROUP BY lag ORDER BY lag
+""")
+def autocov_lags_q(sf_dir: str):
+    """Integer autocovariance numerators of daily volume at lags 1..7:
+    cov_num(k) = n·Σx_i·x_{i+k} − Σx_i·Σx_{i+k} over the overlapping
+    windows — the periodicity fingerprint (a weekly cycle shows as a
+    lag-7 positive spike).  Exact integer cross-multiplication, no
+    division at all, so the engine and the SQL replay agree bit-for-
+    bit."""
+    d = _daily_counts(sf_dir)
+    cols = ("lag", "n_pairs", "cov_num", "direction")
+    if not len(d):
+        return pd.DataFrame({
+            "lag": pd.Series([], dtype=np.int64),
+            "n_pairs": pd.Series([], dtype=np.int64),
+            "cov_num": pd.Series([], dtype=np.int64),
+            "direction": pd.Series([], dtype=object)})
+    x = [int(v) for v in d["n"]]
+    m = len(x)
+    rows = []
+    for lag in range(1, 8):
+        if m - lag < 1:
+            continue
+        a = x[:m - lag]
+        b = x[lag:]
+        npairs = len(a)
+        cov = npairs * sum(i * j for i, j in zip(a, b)) \
+            - sum(a) * sum(b)
+        rows.append((lag, npairs, cov,
+                     "positive" if cov > 0
+                     else ("negative" if cov < 0 else "zero")))
+    return pd.DataFrame(rows, columns=list(cols)).astype(
+        {"lag": "int64", "n_pairs": "int64", "cov_num": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Chao1 species-richness estimate of per-source vocabulary
+# ---------------------------------------------------------------------------
+
+@query("chao1_vocab_estimate", sql=r"""
+WITH tok AS (
+  SELECT source, unnest(list_filter(
+           regexp_split_to_array(coalesce(text, ''), '\s+'),
+           x -> x <> '')) AS tok
+  FROM documents
+), tc AS (
+  SELECT source, tok, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS vocab_observed,
+       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1_singletons,
+       sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2_doubletons,
+       (count(*)
+        + sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+          * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+          // (2 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))
+       )::BIGINT AS chao1_estimate
+FROM tc GROUP BY source ORDER BY source
+""")
+def chao1_vocab_estimate_q(sf_dir: str):
+    """Chao1 bias-corrected species-richness estimator per source:
+    V + f1(f1−1)/(2(f2+1)) from singleton/doubleton token counts — the
+    'how much vocabulary have we NOT crawled yet' companion to the Heaps
+    growth curve (vocab_growth_curve) and capture_recapture_users.
+    Per-source token counts flow through the guarded combine (bounded:
+    vocab × sources); the estimator is exact integer floor division."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cnt: dict[tuple, int] = {}
+        for src, t in zip(b["source"].to_pylist(),
+                          b["text"].to_pylist()):
+            for tok in (t or "").split():
+                cnt[(src, tok)] = cnt.get((src, tok), 0) + 1
+        if not cnt:
+            return pd.DataFrame({"source": [], "tok": [], "c": []})
+        ks = list(cnt)
+        return pd.DataFrame({"source": [k[0] for k in ks],
+                             "tok": [k[1] for k in ks],
+                             "c": list(cnt.values())})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "tok"], as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok  # bounded: vocab x sources
+    cols = ("source", "vocab_observed", "f1_singletons", "f2_doubletons",
+            "chao1_estimate")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    rows = []
+    for src, g in merged.groupby("source"):
+        v = len(g)
+        f1 = int((g["c"] == 1).sum())
+        f2 = int((g["c"] == 2).sum())
+        rows.append((src, v, f1, f2, v + f1 * (f1 - 1) // (2 * (f2 + 1))))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities over the token bigram graph
+# ---------------------------------------------------------------------------
+
+def hits_int(edges: pd.DataFrame, iters: int = 2,
+             scale: int = _S) -> pd.DataFrame:
+    """Weighted HITS with integer fixed-point max-normalization: each
+    round h(u) = Σ cnt(u,v)·a(v) then h ← floor(h·scale/max h), and
+    symmetrically for authorities — every step exact integer arithmetic
+    (Python bigints == DuckDB HUGEINT), so 2 rounds replay bit-exactly
+    in SQL."""
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"tok": [], "hub_scaled": [],
+                             "auth_scaled": []})
+    es = [(s, d, int(c)) for s, d, c in
+          zip(edges["src"], edges["dst"], edges["cnt"])]
+    a = {t: scale // n for t in nodes}
+    h = dict(a)
+    for _ in range(iters):
+        h = {t: 0 for t in nodes}
+        for s, d, c in es:
+            h[s] += c * a[d]
+        mx = max(h.values())
+        if mx > 0:
+            h = {t: v * scale // mx for t, v in h.items()}
+        a = {t: 0 for t in nodes}
+        for s, d, c in es:
+            a[d] += c * h[s]
+        mx = max(a.values())
+        if mx > 0:
+            a = {t: v * scale // mx for t, v in a.items()}
+    out = pd.DataFrame({"tok": nodes,
+                        "hub_scaled": [h[t] for t in nodes],
+                        "auth_scaled": [a[t] for t in nodes]})
+    out["hub_scaled"] = out["hub_scaled"].astype("int64")
+    out["auth_scaled"] = out["auth_scaled"].astype("int64")
+    return (out.sort_values(["auth_scaled", "tok"],
+                            ascending=[False, True])
+               .reset_index(drop=True))
+
+
+def _hits_sql(iters: int = 2, scale: int = _S) -> str:
+    ctes = [_BIGRAM_SQL.strip().rstrip(","),
+            "nodes AS (SELECT src AS tok FROM edges UNION "
+            "SELECT dst FROM edges)",
+            "nn AS (SELECT count(*)::HUGEINT AS n FROM nodes)",
+            f"a0 AS (SELECT tok, ({scale}::HUGEINT // nn.n) AS v "
+            "FROM nodes, nn)"]
+    prev_a = "a0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT n.tok, "
+            "coalesce(sum(e.cnt * p.v), 0) AS v "
+            "FROM nodes n LEFT JOIN edges e ON e.src = n.tok "
+            f"LEFT JOIN {prev_a} p ON p.tok = e.dst GROUP BY n.tok)")
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT tok, "
+            f"CASE WHEN (SELECT max(v) FROM hr{i}) > 0 "
+            f"THEN v * {scale}::HUGEINT // (SELECT max(v) FROM hr{i}) "
+            f"ELSE v END AS v FROM hr{i})")
+        ctes.append(
+            f"ar{i} AS MATERIALIZED (SELECT n.tok, "
+            "coalesce(sum(e.cnt * p.v), 0) AS v "
+            "FROM nodes n LEFT JOIN edges e ON e.dst = n.tok "
+            f"LEFT JOIN h{i} p ON p.tok = e.src GROUP BY n.tok)")
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT tok, "
+            f"CASE WHEN (SELECT max(v) FROM ar{i}) > 0 "
+            f"THEN v * {scale}::HUGEINT // (SELECT max(v) FROM ar{i}) "
+            f"ELSE v END AS v FROM ar{i})")
+        prev_a = f"a{i}"
+    chain = ",\n".join(ctes)
+    return (f"WITH {chain}\n"
+            f"SELECT h.tok, h.v::BIGINT AS hub_scaled, "
+            f"a.v::BIGINT AS auth_scaled "
+            f"FROM h{iters} h JOIN a{iters} a USING (tok) "
+            "ORDER BY auth_scaled DESC, tok")
+
+
+@query("hits_hubs_authorities", sql=_hits_sql())
+def hits_hubs_authorities_q(sf_dir: str):
+    """HITS hubs/authorities over the token-transition graph (the
+    companion to pagerank_tokens): a token is a strong hub when it
+    precedes strong authorities and vice versa.  Distributed edge-count
+    aggregation + vocab-sized driver iteration; integer fixed-point
+    max-normalization keeps both rounds bit-exact vs the materialized
+    SQL CTE replay."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    return hits_int(edges)
