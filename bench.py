@@ -295,7 +295,7 @@ def run_suite() -> dict:
                  "import_fanin", "shebang_profile",
                  "mann_kendall_trend", "cusum_changepoint",
                  "autocov_lags", "chao1_vocab_estimate",
-                 "hits_hubs_authorities",
+                 "token_graph_closeness",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -5442,94 +5442,86 @@ def chao1_vocab_estimate_q(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+
 # ---------------------------------------------------------------------------
-# HITS hubs/authorities over the token bigram graph
+# Truncated-BFS closeness centrality over the token bigram graph
 # ---------------------------------------------------------------------------
 
-def hits_int(edges: pd.DataFrame, iters: int = 2,
-             scale: int = _S) -> pd.DataFrame:
-    """Weighted HITS with integer fixed-point max-normalization: each
-    round h(u) = Σ cnt(u,v)·a(v) then h ← floor(h·scale/max h), and
-    symmetrically for authorities — every step exact integer arithmetic
-    (Python bigints == DuckDB HUGEINT), so 2 rounds replay bit-exactly
-    in SQL."""
-    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
-    n = len(nodes)
-    if n == 0:
-        return pd.DataFrame({"tok": [], "hub_scaled": [],
-                             "auth_scaled": []})
-    es = [(s, d, int(c)) for s, d, c in
-          zip(edges["src"], edges["dst"], edges["cnt"])]
-    a = {t: scale // n for t in nodes}
-    h = dict(a)
-    for _ in range(iters):
-        h = {t: 0 for t in nodes}
-        for s, d, c in es:
-            h[s] += c * a[d]
-        mx = max(h.values())
-        if mx > 0:
-            h = {t: v * scale // mx for t, v in h.items()}
-        a = {t: 0 for t in nodes}
-        for s, d, c in es:
-            a[d] += c * h[s]
-        mx = max(a.values())
-        if mx > 0:
-            a = {t: v * scale // mx for t, v in a.items()}
-    out = pd.DataFrame({"tok": nodes,
-                        "hub_scaled": [h[t] for t in nodes],
-                        "auth_scaled": [a[t] for t in nodes]})
-    out["hub_scaled"] = out["hub_scaled"].astype("int64")
-    out["auth_scaled"] = out["auth_scaled"].astype("int64")
-    return (out.sort_values(["auth_scaled", "tok"],
-                            ascending=[False, True])
-               .reset_index(drop=True))
+_BFS_HOPS = 6
 
 
-def _hits_sql(iters: int = 2, scale: int = _S) -> str:
+def _closeness_sql(hops: int = _BFS_HOPS) -> str:
     ctes = [_BIGRAM_SQL.strip().rstrip(","),
             "nodes AS (SELECT src AS tok FROM edges UNION "
             "SELECT dst FROM edges)",
-            "nn AS (SELECT count(*)::HUGEINT AS n FROM nodes)",
-            f"a0 AS (SELECT tok, ({scale}::HUGEINT // nn.n) AS v "
-            "FROM nodes, nn)"]
-    prev_a = "a0"
-    for i in range(1, iters + 1):
+            "d0 AS (SELECT tok AS root, tok AS node, 0 AS dist "
+            "FROM nodes)"]
+    prev = "d0"
+    for i in range(1, hops + 1):
         ctes.append(
-            f"hr{i} AS MATERIALIZED (SELECT n.tok, "
-            "coalesce(sum(e.cnt * p.v), 0) AS v "
-            "FROM nodes n LEFT JOIN edges e ON e.src = n.tok "
-            f"LEFT JOIN {prev_a} p ON p.tok = e.dst GROUP BY n.tok)")
-        ctes.append(
-            f"h{i} AS MATERIALIZED (SELECT tok, "
-            f"CASE WHEN (SELECT max(v) FROM hr{i}) > 0 "
-            f"THEN v * {scale}::HUGEINT // (SELECT max(v) FROM hr{i}) "
-            f"ELSE v END AS v FROM hr{i})")
-        ctes.append(
-            f"ar{i} AS MATERIALIZED (SELECT n.tok, "
-            "coalesce(sum(e.cnt * p.v), 0) AS v "
-            "FROM nodes n LEFT JOIN edges e ON e.dst = n.tok "
-            f"LEFT JOIN h{i} p ON p.tok = e.src GROUP BY n.tok)")
-        ctes.append(
-            f"a{i} AS MATERIALIZED (SELECT tok, "
-            f"CASE WHEN (SELECT max(v) FROM ar{i}) > 0 "
-            f"THEN v * {scale}::HUGEINT // (SELECT max(v) FROM ar{i}) "
-            f"ELSE v END AS v FROM ar{i})")
-        prev_a = f"a{i}"
+            f"d{i} AS MATERIALIZED (SELECT root, node, min(dist) AS dist "
+            f"FROM (SELECT root, node, dist FROM {prev} "
+            f"UNION ALL SELECT p.root, e.dst AS node, p.dist + 1 "
+            f"FROM {prev} p JOIN edges e ON e.src = p.node) "
+            "GROUP BY root, node)")
+        prev = f"d{i}"
     chain = ",\n".join(ctes)
     return (f"WITH {chain}\n"
-            f"SELECT h.tok, h.v::BIGINT AS hub_scaled, "
-            f"a.v::BIGINT AS auth_scaled "
-            f"FROM h{iters} h JOIN a{iters} a USING (tok) "
-            "ORDER BY auth_scaled DESC, tok")
+            "SELECT root AS tok, (count(*) - 1)::BIGINT AS reach,\n"
+            "       sum(dist)::BIGINT AS sum_dist,\n"
+            "       max(dist)::BIGINT AS eccentricity,\n"
+            "       CASE WHEN sum(dist) = 0 THEN 0\n"
+            "            ELSE (count(*) - 1) * 1000000 // sum(dist)\n"
+            "       END::BIGINT AS closeness_ppm\n"
+            f"FROM {prev} GROUP BY root "
+            "ORDER BY closeness_ppm DESC, tok")
 
 
-@query("hits_hubs_authorities", sql=_hits_sql())
-def hits_hubs_authorities_q(sf_dir: str):
-    """HITS hubs/authorities over the token-transition graph (the
-    companion to pagerank_tokens): a token is a strong hub when it
-    precedes strong authorities and vice versa.  Distributed edge-count
-    aggregation + vocab-sized driver iteration; integer fixed-point
-    max-normalization keeps both rounds bit-exact vs the materialized
-    SQL CTE replay."""
+@query("token_graph_closeness", sql=_closeness_sql())
+def token_graph_closeness_q(sf_dir: str):
+    """Truncated (6-hop) closeness centrality + eccentricity per token
+    over the directed bigram graph — the distance-based centrality that
+    complements pagerank_tokens/hits_tokens (which are flow-based): a
+    token reaching the whole vocabulary in few hops is a syntactic
+    connector.  Distributed edge aggregation + vocab²-sized driver BFS;
+    closeness = reach·1e6 // Σdist in exact integers, and the 6-round
+    truncation matches the unrolled materialized-CTE SQL replay
+    hop-for-hop."""
     edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
-    return hits_int(edges)
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    if not nodes:
+        return pd.DataFrame({
+            "tok": pd.Series([], dtype=object),
+            "reach": pd.Series([], dtype=np.int64),
+            "sum_dist": pd.Series([], dtype=np.int64),
+            "eccentricity": pd.Series([], dtype=np.int64),
+            "closeness_ppm": pd.Series([], dtype=np.int64)})
+    adj: dict[str, list[str]] = {}
+    for s, d in zip(edges["src"], edges["dst"]):
+        adj.setdefault(s, []).append(d)
+    rows = []
+    for root in nodes:
+        dist = {root: 0}
+        frontier = [root]
+        for depth in range(1, _BFS_HOPS + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = depth
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        reach = len(dist) - 1
+        sd = sum(dist.values())
+        ecc = max(dist.values())
+        rows.append((root, reach, sd, ecc,
+                     reach * 1_000_000 // sd if sd else 0))
+    out = pd.DataFrame(rows, columns=["tok", "reach", "sum_dist",
+                                      "eccentricity", "closeness_ppm"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["closeness_ppm", "tok"],
+                            ascending=[False, True])
+               .reset_index(drop=True))
