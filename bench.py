@@ -295,7 +295,9 @@ def run_suite() -> dict:
                  "import_fanin", "shebang_profile",
                  "mann_kendall_trend", "cusum_changepoint",
                  "autocov_lags", "chao1_vocab_estimate",
-                 "token_graph_closeness",
+                 "token_graph_closeness", "t_closeness_check",
+                 "fellegi_sunter_linkage", "cdc_token_chunks",
+                 "bootstrap_ci_median",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

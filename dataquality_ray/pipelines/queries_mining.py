@@ -5525,3 +5525,386 @@ def token_graph_closeness_q(sf_dir: str):
     return (out.sort_values(["closeness_ppm", "tok"],
                             ascending=[False, True])
                .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# t-closeness check (privacy battery: k-anonymity, l-diversity, t-closeness)
+# ---------------------------------------------------------------------------
+
+@query("t_closeness_check", sql="""
+WITH g AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS seg,
+         count(*)::BIGINT AS g
+  FROM customer GROUP BY 1, 2
+), tot AS (SELECT seg, sum(g)::BIGINT AS c FROM g GROUP BY seg),
+ng AS (SELECT nation, sum(g)::BIGINT AS n FROM g GROUP BY nation),
+nn AS (SELECT sum(c)::BIGINT AS nt FROM tot),
+grid AS (
+  SELECT ng.nation, t.seg, coalesce(g.g, 0) AS g, t.c, ng.n, nn.nt
+  FROM ng CROSS JOIN tot t CROSS JOIN nn
+  LEFT JOIN g ON g.nation = ng.nation AND g.seg = t.seg
+), cum AS (
+  SELECT nation, n, nt,
+         sum(g) OVER (PARTITION BY nation ORDER BY seg) AS gcum,
+         sum(c) OVER (PARTITION BY nation ORDER BY seg) AS ccum
+  FROM grid
+)
+SELECT nation::BIGINT AS nation, n AS n_rows,
+       sum(abs(nt::HUGEINT * gcum - n::HUGEINT * ccum))::BIGINT AS emd_num,
+       CAST(sum(abs(nt::HUGEINT * gcum - n::HUGEINT * ccum))::HUGEINT
+            * 1000000 // (n::HUGEINT * nt) AS BIGINT) AS emd_ppm,
+       CAST(sum(abs(nt::HUGEINT * gcum - n::HUGEINT * ccum))::HUGEINT
+            * 1000000 // (n::HUGEINT * nt) AS BIGINT) > 200000
+         AS t_violation
+FROM cum GROUP BY nation, n, nt ORDER BY nation
+""")
+def t_closeness_check_q(sf_dir: str):
+    """t-closeness over (quasi-id = nation, sensitive = market segment):
+    per equivalence class, the ordered earth-mover distance between the
+    class's sensitive distribution and the global one — completing the
+    privacy battery beside k_anonymity_check and l_diversity_check.
+    EMD over ordered categories = Σ|cumulative diffs|, computed in the
+    cross-multiplied integer form N·Gcum − n·Ccum so no division happens
+    before the final ppm.  The (nation, segment) contingency table is a
+    bounded guarded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"nation": b["c_nationkey"].to_pandas(),
+                          "seg": b["c_mktsegment"].to_pylist(), "g": 1})
+        return f.groupby(["nation", "seg"], as_index=False)["g"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["nation", "seg"], as_index=False)["g"].sum()
+
+    stage = (_read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok  # bounded: nations x segments
+    cols = ("nation", "n_rows", "emd_num", "emd_ppm", "t_violation")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            **{c: pd.Series([], dtype=np.int64) for c in cols[:4]},
+            "t_violation": pd.Series([], dtype=bool)})
+    segs = sorted(merged["seg"].unique())
+    glob = merged.groupby("seg")["g"].sum()
+    c = np.array([int(glob.get(s, 0)) for s in segs], dtype=object)
+    ccum = np.cumsum(c)
+    N = int(c.sum())
+    rows = []
+    for nation, grp in merged.groupby("nation"):
+        by = grp.set_index("seg")["g"]
+        g = np.array([int(by.get(s, 0)) for s in segs], dtype=object)
+        gcum = np.cumsum(g)
+        n = int(g.sum())
+        emd = int(sum(abs(N * int(a) - n * int(b))
+                      for a, b in zip(gcum, ccum)))
+        ppm = emd * 1_000_000 // (n * N)
+        rows.append((int(nation), n, emd, ppm, ppm > 200_000))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for col in cols[:4]:
+        out[col] = out[col].astype("int64")
+    return out.sort_values("nation").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage scoring over nation-blocked customer pairs
+# ---------------------------------------------------------------------------
+
+_FS_SEG_A = 1504077    # floor(ln(0.9/0.2) * 1e6)
+_FS_SEG_D = -2079442   # floor(ln(0.1/0.8) * 1e6)
+_FS_BAL_A = 2079441    # floor(ln(0.8/0.1) * 1e6)
+_FS_BAL_D = -1504078   # floor(ln(0.2/0.9) * 1e6)
+_FS_LINK = 2_500_000
+_FS_POSSIBLE = 0
+
+
+@query("fellegi_sunter_linkage", sql=f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,c_mktsegment,
+         floor(round(c_acctbal * 100) / 100000.0)::BIGINT AS bal_band
+  FROM customer
+), scored AS (
+  SELECT (CASE WHEN a.c_mktsegment = b.c_mktsegment
+               THEN {_FS_SEG_A} ELSE {_FS_SEG_D} END
+          + CASE WHEN a.bal_band = b.bal_band
+                 THEN {_FS_BAL_A} ELSE {_FS_BAL_D} END) AS w
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+)
+SELECT CASE WHEN w >= {_FS_LINK} THEN 'link'
+            WHEN w >= {_FS_POSSIBLE} THEN 'possible' ELSE 'nonlink'
+       END AS link_class,
+       count(*)::BIGINT AS n_pairs,
+       min(w)::BIGINT AS min_weight, max(w)::BIGINT AS max_weight
+FROM scored GROUP BY 1 ORDER BY link_class
+""")
+def fellegi_sunter_linkage_q(sf_dir: str):
+    """Fellegi-Sunter probabilistic record linkage over nation-blocked
+    customer pairs: each pair accumulates integer log-likelihood
+    agreement weights (floor-ln·1e6 for fixed m/u probabilities) on
+    market segment and $1000 account-balance band, then classifies
+    link / possible / nonlink at the classic two-threshold rule — the
+    scoring step that follows blocking_quality_audit / snm_candidate
+    pairs.  Pair expansion runs inside groupby(nation).map_groups
+    (vectorized triu comparison per block; blocks are the skew unit —
+    salt hot nations before this stage at scale); only ntypes-bounded
+    class counts cross the combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["c_acctbal"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5)
+        band = np.floor(cents / 100000.0).astype(np.int64)
+        return pa.table({"nation": b["c_nationkey"],
+                         "custkey": b["c_custkey"],
+                         "seg": b["c_mktsegment"],
+                         "band": pa.array(band)})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("custkey")
+        seg = g["seg"].to_numpy()
+        band = g["band"].to_numpy(np.int64)
+        i, j = np.triu_indices(len(g), k=1)
+        if not len(i):
+            return pd.DataFrame({"link_class": pd.Series([], dtype=object),
+                                 "n_pairs": pd.Series([], dtype=np.int64),
+                                 "min_w": pd.Series([], dtype=np.int64),
+                                 "max_w": pd.Series([], dtype=np.int64)})
+        w = (np.where(seg[i] == seg[j], _FS_SEG_A, _FS_SEG_D)
+             + np.where(band[i] == band[j], _FS_BAL_A, _FS_BAL_D))
+        cls = np.where(w >= _FS_LINK, "link",
+                       np.where(w >= _FS_POSSIBLE, "possible", "nonlink"))
+        f = pd.DataFrame({"link_class": cls, "w": w})
+        return f.groupby("link_class", as_index=False).agg(
+            n_pairs=("w", "size"), min_w=("w", "min"), max_w=("w", "max"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("link_class", as_index=False).agg(
+            n_pairs=("n_pairs", "sum"), min_w=("min_w", "min"),
+            max_w=("max_w", "max"))
+
+    stage = (_read(sf_dir, "customer",
+                   ["c_custkey", "c_nationkey", "c_mktsegment",
+                    "c_acctbal"])
+             .map_batches(prep, batch_format="pyarrow")
+             .groupby("nation")
+             .map_groups(pairs, batch_format="pandas"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok  # bounded: 3 classes
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "link_class": pd.Series([], dtype=object),
+            "n_pairs": pd.Series([], dtype=np.int64),
+            "min_weight": pd.Series([], dtype=np.int64),
+            "max_weight": pd.Series([], dtype=np.int64)})
+    out = pd.DataFrame({
+        "link_class": merged["link_class"],
+        "n_pairs": merged["n_pairs"].astype("int64"),
+        "min_weight": merged["min_w"].astype("int64"),
+        "max_weight": merged["max_w"].astype("int64")})
+    return out.sort_values("link_class").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (token-level CDC) + cross-doc chunk dedup rate
+# ---------------------------------------------------------------------------
+
+_CDC_MOD = 8  # expected chunk length in tokens
+
+
+@query("cdc_token_chunks", sql=rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''),
+           '\s+'), x -> x <> '') AS ts
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(ts) + 1)) AS i, ts FROM toks
+), tk AS (
+  SELECT doc_id, i, ts[i] AS tok,
+         CASE WHEN ('0x' || substr(sha256(ts[i]), 1, 16))::UBIGINT
+                   % {_CDC_MOD} = 0 THEN 1 ELSE 0 END AS b
+  FROM pos
+), ch AS (
+  SELECT doc_id, i, tok,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_idx
+  FROM tk
+), chunks AS (
+  SELECT doc_id, chunk_idx, string_agg(tok, ' ' ORDER BY i) AS chunk,
+         count(*)::BIGINT AS ntok
+  FROM ch GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS total_chunks,
+       count(DISTINCT chunk)::BIGINT AS distinct_chunks,
+       sum(ntok)::BIGINT AS total_tokens,
+       CAST((count(*) - count(DISTINCT chunk))::HUGEINT * 1000000
+            // count(*) AS BIGINT) AS dup_chunk_ppm,
+       CAST(sum(ntok)::HUGEINT * 1000000 // count(*) AS BIGINT)
+         AS avg_chunk_tokens_ppm
+FROM chunks
+""")
+def cdc_token_chunks_q(sf_dir: str):
+    """Content-defined chunking at token granularity (the storage-dedup
+    primitive behind rsync/LBFS-style delta compression, here over a
+    text corpus): a chunk boundary falls after any token whose 64-bit
+    sha hash ≡ 0 (mod 8), so boundaries depend only on local content and
+    survive insertions — unlike doc_chunk's fixed-size windows.  Reports
+    the cross-document chunk dedup rate (how many chunk instances a CDC
+    store would NOT have to keep).  Per-batch chunking is a local pass;
+    (chunk, count, tokens) partials flow through the guarded combine
+    with a groupby twin past the cap (chunk keyspace is unbounded at
+    100 TB)."""
+    import hashlib
+
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cnt: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            toks = (t or "").split()
+            cur: list[str] = []
+            for tok in toks:
+                cur.append(tok)
+                h = int(hashlib.sha256(tok.encode()).hexdigest()[:16], 16)
+                if h % _CDC_MOD == 0:
+                    key = " ".join(cur)
+                    cnt[key] = cnt.get(key, 0) + 1
+                    cur = []
+            if cur:
+                key = " ".join(cur)
+                cnt[key] = cnt.get(key, 0) + 1
+        if not cnt:
+            return pd.DataFrame({"chunk": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"chunk": list(cnt),
+                             "c": list(cnt.values())})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("chunk", as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, twin = combine_or_groupby_twin(
+        "cdc_token_chunks", stage, fold, 2_000_000, ["chunk"])
+
+    def reduce_chunks(f: pd.DataFrame) -> pd.DataFrame:
+        ntok = f["chunk"].str.count(" ").to_numpy(np.int64) + 1
+        return pd.DataFrame({
+            "total_chunks": [int(f["c"].sum())],
+            "distinct_chunks": [len(f)],
+            "total_tokens": [int((ntok * f["c"].to_numpy(np.int64)).sum())]})
+
+    cols = ("total_chunks", "distinct_chunks", "total_tokens",
+            "dup_chunk_ppm", "avg_chunk_tokens_ppm")
+    if twin is None:
+        if merged is None or not len(merged):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        tot = reduce_chunks(merged)
+    else:
+        tot, ok = guarded_partials(
+            twin.map_batches(reduce_chunks, batch_format="pandas"),
+            lambda f: pd.DataFrame({c: [f[c].sum()] for c in f.columns}),
+            2_000_000)
+        assert ok  # three scalar accumulators
+    total = int(tot["total_chunks"].iloc[0])
+    distinct = int(tot["distinct_chunks"].iloc[0])
+    tokens = int(tot["total_tokens"].iloc[0])
+    return pd.DataFrame({
+        "total_chunks": pd.Series([total], dtype="int64"),
+        "distinct_chunks": pd.Series([distinct], dtype="int64"),
+        "total_tokens": pd.Series([tokens], dtype="int64"),
+        "dup_chunk_ppm": pd.Series(
+            [(total - distinct) * 1_000_000 // total if total else 0],
+            dtype="int64"),
+        "avg_chunk_tokens_ppm": pd.Series(
+            [tokens * 1_000_000 // total if total else 0],
+            dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap CI for the median of daily volume
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+_BOOT_SEED = 7
+_BOOT_STRIDE = 4294967311  # prime > 2^32: disjoint (b, j) input streams
+
+
+def _bootstrap_sql() -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    ctes = [_DAILY_SQL.strip().rstrip(","),
+            "cnt AS (SELECT count(*)::BIGINT AS n FROM d)",
+            "dd AS (SELECT n AS v, (row_number() OVER (ORDER BY day_idx)"
+            " - 1) AS idx FROM d)",
+            f"bj AS (SELECT t.b, dd.idx AS j FROM "
+            f"generate_series(0, {_BOOT_B - 1}) t(b) CROSS JOIN dd)",
+            f"r0 AS (SELECT b, xor((b * {_BOOT_STRIDE} + j)::UBIGINT, "
+            f"{_BOOT_SEED}::UBIGINT)::HUGEINT AS x FROM bj)"]
+    prev = "r0"
+    for k, expr in enumerate(_sm64_exprs("x")):
+        ctes.append(f"r{k + 1} AS (SELECT b, {expr} AS x FROM {prev})")
+        prev = f"r{k + 1}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {chain},
+sample AS (
+  SELECT {prev}.b, dd.v
+  FROM {prev} JOIN dd ON dd.idx = {prev}.x % (SELECT n FROM cnt)
+), ranked AS (
+  SELECT b, v, row_number() OVER (PARTITION BY b ORDER BY v) AS rn
+  FROM sample
+), meds AS (
+  SELECT b, v AS med FROM ranked JOIN cnt ON rn = (cnt.n + 1) // 2
+), point AS (
+  SELECT v AS med
+  FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM dd)
+  JOIN cnt ON rn = (cnt.n + 1) // 2
+)
+SELECT (SELECT n FROM cnt) AS n_days,
+       {_BOOT_B}::BIGINT AS b_resamples,
+       (SELECT med FROM point)::BIGINT AS point_median,
+       min(med)::BIGINT AS boot_lo, max(med)::BIGINT AS boot_hi
+FROM meds
+"""
+
+
+@query("bootstrap_ci_median", sql=_bootstrap_sql())
+def bootstrap_ci_median_q(sf_dir: str):
+    """Deterministic bootstrap confidence band for the median daily
+    event volume: 32 resamples whose indices come from the shared
+    splitmix64 chain (seed ^ (b·stride + j)), each yielding a discrete
+    median; the band is [min, max] over resample medians — resampling
+    inference with zero randomness, so the engine and the unrolled-hash
+    SQL replay agree bit-for-bit.  Daily counts reduce distributedly;
+    the resampling runs on the tiny day axis driver-side."""
+    from dataquality_ray.functions.hashing import splitmix64
+
+    d = _daily_counts(sf_dir)
+    cols = ("n_days", "b_resamples", "point_median", "boot_lo", "boot_hi")
+    n = len(d)
+    if n == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    vals = d["n"].to_numpy(np.int64)  # ordered by day_idx
+    rank = (n + 1) // 2 - 1  # 0-based discrete-median index
+
+    def disc_median(x: np.ndarray) -> int:
+        return int(np.sort(x)[rank])
+
+    j = np.arange(n, dtype=np.uint64)
+    meds = []
+    for b in range(_BOOT_B):
+        h = splitmix64(
+            (np.uint64(b * _BOOT_STRIDE) + j) ^ np.uint64(_BOOT_SEED))
+        meds.append(disc_median(vals[(h % np.uint64(n)).astype(np.int64)]))
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype="int64"),
+        "b_resamples": pd.Series([_BOOT_B], dtype="int64"),
+        "point_median": pd.Series([disc_median(vals)], dtype="int64"),
+        "boot_lo": pd.Series([min(meds)], dtype="int64"),
+        "boot_hi": pd.Series([max(meds)], dtype="int64")})
