@@ -297,7 +297,8 @@ def run_suite() -> dict:
                  "autocov_lags", "chao1_vocab_estimate",
                  "token_graph_closeness", "t_closeness_check",
                  "fellegi_sunter_linkage", "cdc_token_chunks",
-                 "bootstrap_ci_median",
+                 "bootstrap_ci_median", "good_turing_estimate",
+                 "ams_f2_sketch", "bpe_merge_sim",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -5908,3 +5908,302 @@ def bootstrap_ci_median_q(sf_dir: str):
         "point_median": pd.Series([disc_median(vals)], dtype="int64"),
         "boot_lo": pd.Series([min(meds)], dtype="int64"),
         "boot_hi": pd.Series([max(meds)], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing smoothing estimate over token trigrams
+# ---------------------------------------------------------------------------
+
+@query("good_turing_estimate", sql=r"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), pos AS (
+  SELECT unnest(range(1, len(ts) - 1)) AS i, ts FROM toks
+), tc AS (
+  SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tri,
+         count(*)::BIGINT AS c
+  FROM pos GROUP BY 1
+), freq AS (
+  SELECT c AS r, count(*)::BIGINT AS n_r FROM tc GROUP BY c
+), tot AS (SELECT sum(c)::BIGINT AS n FROM tc),
+grid AS (
+  SELECT g.r, coalesce(f.n_r, 0)::BIGINT AS n_r,
+         coalesce(f2.n_r, 0)::BIGINT AS n_r1
+  FROM (SELECT unnest(range(0, 6)) AS r) g
+  LEFT JOIN freq f ON f.r = g.r
+  LEFT JOIN freq f2 ON f2.r = g.r + 1
+)
+SELECT grid.r::BIGINT AS r, grid.n_r,
+       CASE WHEN grid.r = 0
+              THEN CAST(grid.n_r1::HUGEINT * 1000000 // tot.n AS BIGINT)
+            WHEN grid.n_r = 0 THEN 0
+            ELSE CAST((grid.r + 1)::HUGEINT * grid.n_r1 * 1000000
+                      // grid.n_r AS BIGINT)
+       END AS r_star_ppm
+FROM grid, tot ORDER BY r
+""")
+def good_turing_estimate_q(sf_dir: str):
+    """Good-Turing frequency smoothing over token trigrams: for each
+    observed count r ≤ 5, the adjusted count r* = (r+1)·N_{r+1}/N_r in
+    integer ppm, and at r = 0 the unseen-probability mass N_1/N — the
+    classic LM-smoothing companion to chao1_vocab_estimate (how much
+    probability a corpus-trained n-gram model must reserve for unseen
+    trigrams).  Trigram counts flow through the guarded combine (the
+    bounded-vocab path; the count-of-counts table itself is 6 rows)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cnt: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            toks = (t or "").split()
+            for a, m, z in zip(toks, toks[1:], toks[2:]):
+                k = f"{a} {m} {z}"
+                cnt[k] = cnt.get(k, 0) + 1
+        if not cnt:
+            return pd.DataFrame({"tri": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"tri": list(cnt), "c": list(cnt.values())})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("tri", as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok  # bounded: vocab^3 trigram space
+    if merged is None or not len(merged):
+        return pd.DataFrame({"r": pd.Series([], dtype=np.int64),
+                             "n_r": pd.Series([], dtype=np.int64),
+                             "r_star_ppm": pd.Series([], dtype=np.int64)})
+    c = merged["c"].to_numpy(np.int64)
+    n_total = int(c.sum())
+    freq = pd.Series(c).value_counts()
+    rows = []
+    for r in range(0, 6):
+        n_r = int(freq.get(r, 0))
+        n_r1 = int(freq.get(r + 1, 0))
+        if r == 0:
+            star = n_r1 * 1_000_000 // n_total if n_total else 0
+        elif n_r == 0:
+            star = 0
+        else:
+            star = (r + 1) * n_r1 * 1_000_000 // n_r
+        rows.append((r, n_r, star))
+    return pd.DataFrame(rows, columns=["r", "n_r", "r_star_ppm"]).astype(
+        {"r": "int64", "n_r": "int64", "r_star_ppm": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) F2 sketch vs exact second frequency moment
+# ---------------------------------------------------------------------------
+
+_AMS_K = 16
+
+
+def _ams_sql(k: int = _AMS_K) -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    ctes = [r"""toks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), pos AS (SELECT unnest(ts) AS tok FROM toks),
+tc AS (SELECT tok, count(*)::BIGINT AS c FROM pos GROUP BY tok)""",
+            f"ks AS (SELECT unnest(range(0, {k})) AS k)",
+            "x0 AS (SELECT tc.tok, tc.c, ks.k, "
+            "xor(('0x' || substr(sha256(tc.tok), 1, 16))::UBIGINT, "
+            "ks.k::UBIGINT)::HUGEINT AS x FROM tc CROSS JOIN ks)"]
+    prev = "x0"
+    for i, expr in enumerate(_sm64_exprs("x")):
+        ctes.append(f"x{i + 1} AS (SELECT tok, c, k, {expr} AS x "
+                    f"FROM {prev})")
+        prev = f"x{i + 1}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {chain},
+counters AS (
+  SELECT k, sum(c::HUGEINT * CASE WHEN x % 2 = 1 THEN 1 ELSE -1 END)
+           AS s
+  FROM {prev} GROUP BY k
+), exact AS (
+  SELECT sum(c::HUGEINT * c) AS f2, sum(c)::BIGINT AS n,
+         count(*)::BIGINT AS d
+  FROM tc
+)
+SELECT n AS n_tokens, d AS distinct_tokens, f2::BIGINT AS f2_exact,
+       CAST((SELECT sum(s * s) // {k} FROM counters) AS BIGINT)
+         AS f2_est,
+       CAST(abs((SELECT sum(s * s) // {k} FROM counters) - f2)::HUGEINT
+            * 1000000 // f2 AS BIGINT) AS err_ppm
+FROM exact
+"""
+
+
+@query("ams_f2_sketch", sql=_ams_sql())
+def ams_f2_sketch_q(sf_dir: str):
+    """AMS F2 sketch audit: 16 deterministic ±1-hash counters estimate
+    the second frequency moment of the token stream (the self-join size
+    / skew proxy behind join planning and repeat-rate estimation) next
+    to the exact Σc² — the tug-of-war sketch that completes the sketch
+    family beside HLL/CMS/KLL/Misra-Gries.  Each counter is a fully
+    mergeable per-batch partial (16 ints, no key space at all — THE
+    100 TB path); the exact side uses the vocab-bounded token-count
+    combine only to report the estimator's error."""
+    import hashlib
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.functions.hashing import splitmix64
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cnt: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for tok in (t or "").split():
+                cnt[tok] = cnt.get(tok, 0) + 1
+        if not cnt:
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"tok": list(cnt), "c": list(cnt.values())})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("tok", as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok  # bounded: vocab
+    cols = ("n_tokens", "distinct_tokens", "f2_exact", "f2_est",
+            "err_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    toks = merged["tok"].tolist()
+    c = merged["c"].to_numpy(np.int64)
+    h0 = np.array([int(hashlib.sha256(t.encode()).hexdigest()[:16], 16)
+                   for t in toks], dtype=np.uint64)
+    est_sum = 0
+    for k in range(_AMS_K):
+        x = splitmix64(h0 ^ np.uint64(k))
+        sign = np.where((x & np.uint64(1)) == 1, 1, -1).astype(object)
+        s = int((c.astype(object) * sign).sum())
+        est_sum += s * s
+    f2_exact = int((c.astype(object) * c.astype(object)).sum())
+    f2_est = est_sum // _AMS_K
+    return pd.DataFrame({
+        "n_tokens": pd.Series([int(c.sum())], dtype="int64"),
+        "distinct_tokens": pd.Series([len(c)], dtype="int64"),
+        "f2_exact": pd.Series([f2_exact], dtype="int64"),
+        "f2_est": pd.Series([f2_est], dtype="int64"),
+        "err_ppm": pd.Series(
+            [abs(f2_est - f2_exact) * 1_000_000 // f2_exact
+             if f2_exact else 0], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# BPE merge simulation: first 3 greedy pair merges over the corpus vocab
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_sql(rounds: int = _BPE_ROUNDS) -> str:
+    ctes = [r"""toks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), wc AS (
+  SELECT tok AS word, count(*)::BIGINT AS c
+  FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY 1
+), rep1 AS (
+  SELECT word, c,
+         '|' || list_aggregate(string_split(word, ''), 'string_agg', '|')
+             || '|' AS repr
+  FROM wc
+)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"u{r} AS (SELECT c, string_split(substr(repr, 2, "
+            f"len(repr) - 2), '|') AS us FROM rep{r})")
+        ctes.append(
+            f"p{r} AS (SELECT us[i] AS l, us[i+1] AS rgt, "
+            "sum(c)::BIGINT AS pc FROM "
+            f"(SELECT c, unnest(range(1, len(us))) AS i, us FROM u{r}) "
+            "GROUP BY 1, 2)")
+        ctes.append(
+            f"ch{r} AS MATERIALIZED (SELECT l, rgt, pc FROM p{r} "
+            "ORDER BY pc DESC, l, rgt LIMIT 1)")
+        if r < rounds:
+            ctes.append(
+                f"rep{r + 1} AS MATERIALIZED (SELECT word, c, "
+                f"replace(repr, '|' || ch.l || '|' || ch.rgt || '|', "
+                f"'|' || ch.l || ch.rgt || '|') AS repr "
+                f"FROM rep{r}, ch{r} ch)")
+    chain = ",\n".join(ctes)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r}::BIGINT AS merge_round, l AS left_unit, "
+        "rgt AS right_unit, "
+        f"pc AS pair_count FROM ch{r}" for r in range(1, rounds + 1))
+    return f"WITH {chain}\n{sel}\nORDER BY merge_round"
+
+
+@query("bpe_merge_sim", sql=_bpe_sql())
+def bpe_merge_sim_q(sf_dir: str):
+    """First 3 BPE tokenizer-training merges over the corpus vocabulary:
+    each round counts frequency-weighted adjacent unit pairs, merges the
+    most frequent pair (ties broken lexicographically), and re-segments
+    — the deterministic core of byte-pair-encoding vocabulary
+    construction (the companion to tokenizer_fertility, which measures
+    an EXISTING tokenizer).  Merges apply as greedy non-overlapping
+    left-to-right string replaces over a '|'-delimited unit
+    representation, a semantics Python str.replace and DuckDB replace()
+    share exactly.  Word counts reduce through the guarded combine; the
+    merge loop runs on the vocab-sized table driver-side (real BPE
+    trainers bound the vocab by a frequency cutoff first)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cnt: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for tok in (t or "").split():
+                cnt[tok] = cnt.get(tok, 0) + 1
+        if not cnt:
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"word": list(cnt), "c": list(cnt.values())})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("word", as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok  # bounded: vocab
+    cols = ("merge_round", "left_unit", "right_unit", "pair_count")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "merge_round": pd.Series([], dtype=np.int64),
+            "left_unit": pd.Series([], dtype=object),
+            "right_unit": pd.Series([], dtype=object),
+            "pair_count": pd.Series([], dtype=np.int64)})
+    reprs = {w: "|" + "|".join(w) + "|" for w in merged["word"]}
+    counts = dict(zip(merged["word"], (int(v) for v in merged["c"])))
+    rows = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pc: dict[tuple, int] = {}
+        for w, rep in reprs.items():
+            us = rep[1:-1].split("|")
+            for a, b2 in zip(us, us[1:]):
+                pc[(a, b2)] = pc.get((a, b2), 0) + counts[w]
+        if not pc:
+            break
+        (left, right), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        rows.append((rnd, left, right, n))
+        pat = f"|{left}|{right}|"
+        sub = f"|{left}{right}|"
+        reprs = {w: rep.replace(pat, sub) for w, rep in reprs.items()}
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["merge_round"] = out["merge_round"].astype("int64")
+    out["pair_count"] = out["pair_count"].astype("int64")
+    return out
