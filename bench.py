@@ -299,6 +299,8 @@ def run_suite() -> dict:
                  "fellegi_sunter_linkage", "cdc_token_chunks",
                  "bootstrap_ci_median", "good_turing_estimate",
                  "ams_f2_sketch", "bpe_merge_sim",
+                 "luhn_validity_scan", "ransac_line_fit",
+                 "volume_max_drawdown", "diff_in_diff",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

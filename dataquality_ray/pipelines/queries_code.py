@@ -1342,3 +1342,104 @@ def shebang_profile_q(sf_dir: str):
             "n_files": pd.Series([], dtype=np.int64)})
     merged["n_files"] = merged["n_files"].astype("int64")
     return merged.sort_values("interpreter").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Luhn checksum validity scan (PII-scrub precision companion)
+# ---------------------------------------------------------------------------
+
+@query("luhn_validity_scan", sql="""
+WITH v AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0
+              THEN coalesce(text, '') || ' '
+                   || lpad(((doc_id * 7919) % 10000000000000000)::VARCHAR,
+                           16, '0')
+              ELSE coalesce(text, '') END AS v
+  FROM documents
+), cand AS (
+  SELECT doc_id, source, regexp_extract(v, '[0-9]{16}') AS num FROM v
+), lu AS (
+  SELECT doc_id, source, num,
+         CASE WHEN num = '' THEN NULL
+              ELSE (SELECT sum(CASE WHEN (17 - i) % 2 = 0
+                        THEN CASE WHEN 2 * d > 9 THEN 2 * d - 9
+                                  ELSE 2 * d END
+                        ELSE d END)
+                    FROM (SELECT unnest(range(1, 17)) AS i,
+                                 try_cast(substr(num, unnest(range(1, 17)),
+                                                 1) AS BIGINT) AS d))
+                   % 10 = 0
+         END AS valid
+  FROM cand
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN num <> '' THEN 1 ELSE 0 END)::BIGINT
+         AS n_candidates,
+       sum(CASE WHEN valid THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       CASE WHEN sum(CASE WHEN num <> '' THEN 1 ELSE 0 END) = 0 THEN 0
+            ELSE sum(CASE WHEN valid THEN 1 ELSE 0 END) * 1000000
+                 // sum(CASE WHEN num <> '' THEN 1 ELSE 0 END)
+       END::BIGINT AS valid_ppm
+FROM lu GROUP BY source ORDER BY source
+""")
+def luhn_validity_scan_q(sf_dir: str):
+    """Luhn checksum validation over candidate 16-digit card-like
+    numbers (planted deterministically on doc_id % 5): a PII scrubber
+    that checks the Luhn digit redacts real card numbers without nuking
+    random digit runs — the precision companion to pii_typed_counts'
+    recall-only regexes.  Candidate extraction is one vectorized RE2
+    pass; the checksum is a numpy digit-matrix computation (no per-row
+    Python)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = np.where(
+            ids % 5 == 0,
+            np.char.zfill(((ids * 7919) % 10**16).astype("U16"), 16),
+            "")
+        txt = pc.coalesce(b["text"], pa.scalar(""))
+        v = pc.binary_join_element_wise(
+            txt, pa.array([f" {n}" if n else "" for n in num]), "")
+        ext = pc.extract_regex(v, r"(?P<num>[0-9]{16})")
+        cand = np.array([m["num"] if m is not None else ""
+                         for m in ext.to_pylist()])
+        has = cand != ""
+        valid = np.zeros(len(cand), dtype=bool)
+        if has.any():
+            digits = (np.frombuffer(
+                "".join(cand[has]).encode(), dtype=np.uint8)
+                .reshape(-1, 16).astype(np.int64) - 48)
+            # double every second digit from the right (check digit
+            # excluded), subtract 9 past 9 — the Luhn convention
+            r = 16 - np.arange(16)
+            dbl = np.where(r % 2 == 0, digits * 2, digits)
+            dbl = np.where(dbl > 9, dbl - 9, dbl)
+            valid[has] = dbl.sum(axis=1) % 10 == 0
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "n_docs": 1,
+                          "n_candidates": has.astype(np.int64),
+                          "n_valid": valid.astype(np.int64)})
+        return f.groupby("source", as_index=False)[
+            ["n_docs", "n_candidates", "n_valid"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)[
+            ["n_docs", "n_candidates", "n_valid"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text", "source"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok  # bounded: #sources
+    cols = ("source", "n_docs", "n_candidates", "n_valid", "valid_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    merged["valid_ppm"] = [
+        int(v) * 1_000_000 // int(c) if int(c) else 0
+        for v, c in zip(merged["n_valid"], merged["n_candidates"])]
+    for c in cols[1:]:
+        merged[c] = merged[c].astype("int64")
+    return merged.sort_values("source").reset_index(drop=True)

@@ -6207,3 +6207,298 @@ def bpe_merge_sim_q(sf_dir: str):
     out["merge_round"] = out["merge_round"].astype("int64")
     out["pair_count"] = out["pair_count"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# RANSAC consensus line fit (chars ~ tokens), deterministic candidates
+# ---------------------------------------------------------------------------
+
+_RANSAC_SEED = 13
+_RANSAC_K = 64   # KMV sample size -> 32 candidate lines
+_RANSAC_TOL = 5  # inlier tolerance in chars
+
+
+def _ransac_sql() -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    ctes = [r"""f AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''),
+             '\s+'), t -> t <> ''))::BIGINT AS x,
+         length(coalesce(text, ''))::BIGINT AS y
+  FROM documents
+)""",
+            f"h0 AS (SELECT doc_id, x, y, xor(doc_id::UBIGINT, "
+            f"{_RANSAC_SEED}::UBIGINT)::HUGEINT AS h FROM f)"]
+    prev = "h0"
+    for i, expr in enumerate(_sm64_exprs("h")):
+        ctes.append(f"h{i + 1} AS (SELECT doc_id, x, y, "
+                    f"{expr} AS h FROM {prev})")
+        prev = f"h{i + 1}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {chain},
+s AS (
+  SELECT doc_id, x, y,
+         row_number() OVER (ORDER BY h, doc_id) AS rn
+  FROM {prev} QUALIFY rn <= {_RANSAC_K}
+), cands AS (
+  SELECT o.b, o.x AS x0, o.y AS y0, e.x AS x1, e.y AS y1
+  FROM (SELECT (rn - 1) // 2 AS b, x, y FROM s WHERE rn % 2 = 1) o
+  JOIN (SELECT (rn - 1) // 2 AS b, x, y FROM s WHERE rn % 2 = 0) e
+    USING (b)
+), inl AS (
+  SELECT c.b, c.x0, c.y0, (c.x1 - c.x0) AS dx, (c.y1 - c.y0) AS dy,
+         sum(CASE WHEN c.x1 <> c.x0
+                   AND abs((c.x1 - c.x0) * (f.y - c.y0)
+                           - (c.y1 - c.y0) * (f.x - c.x0))
+                       <= {_RANSAC_TOL} * abs(c.x1 - c.x0)
+                  THEN 1 ELSE 0 END)::BIGINT AS n_inliers
+  FROM cands c CROSS JOIN f GROUP BY 1, 2, 3, 4, 5
+)
+SELECT b::BIGINT AS cand_idx, x0, y0, dx, dy, n_inliers,
+       (SELECT count(*) FROM f)::BIGINT AS n_docs
+FROM inl ORDER BY n_inliers DESC, b LIMIT 1
+"""
+
+
+@query("ransac_line_fit", sql=_ransac_sql())
+def ransac_line_fit_q(sf_dir: str):
+    """RANSAC consensus line fit of chars ~ tokens: 32 candidate lines
+    from a deterministic KMV sample (the 64 smallest splitmix64 doc
+    hashes, paired in hash order), each scored by its exact integer
+    inlier count |dx·(y−y0) − dy·(x−x0)| ≤ tol·|dx| over EVERY document
+    — the outlier-immune alternative to grouped_ols when a corpus has a
+    contaminating subpopulation.  Two streaming passes: a mergeable
+    bottom-k sample, then a broadcast-candidates inlier count (32 ints
+    per batch)."""
+    from dataquality_ray.functions.hashing import splitmix64
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def xy(b: pa.Table) -> pd.DataFrame:
+        txt = [t or "" for t in b["text"].to_pylist()]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "x": np.array([len(t.split()) for t in txt], dtype=np.int64),
+            "y": np.array([len(t) for t in txt], dtype=np.int64)})
+
+    def bottomk(f: pd.DataFrame) -> pd.DataFrame:
+        return f.sort_values(["h", "doc_id"]).head(_RANSAC_K)
+
+    def part1(b: pa.Table) -> pd.DataFrame:
+        f = xy(b)
+        f["h"] = splitmix64(
+            f["doc_id"].to_numpy(np.int64).astype(np.uint64)
+            ^ np.uint64(_RANSAC_SEED))
+        return bottomk(f)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sample, ok = guarded_partials(
+        ds.map_batches(part1, batch_format="pyarrow"), bottomk, 2_000_000)
+    assert ok  # fold output is always <= 64 rows
+    cols = ("cand_idx", "x0", "y0", "dx", "dy", "n_inliers", "n_docs")
+    if sample is None or len(sample) < 2:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    sample = bottomk(sample).reset_index(drop=True)
+    n_pairs = len(sample) // 2
+    cands = [(b, int(sample["x"][2 * b]), int(sample["y"][2 * b]),
+              int(sample["x"][2 * b + 1]) - int(sample["x"][2 * b]),
+              int(sample["y"][2 * b + 1]) - int(sample["y"][2 * b]))
+             for b in range(n_pairs)]
+
+    def part2(b: pa.Table) -> pd.DataFrame:
+        f = xy(b)
+        x = f["x"].to_numpy(np.int64)
+        y = f["y"].to_numpy(np.int64)
+        rows = []
+        for cb, x0, y0, dx, dy in cands:
+            if dx == 0:
+                rows.append((cb, 0, len(f)))
+                continue
+            resid = np.abs(dx * (y - y0) - dy * (x - x0))
+            rows.append((cb, int((resid <= _RANSAC_TOL * abs(dx)).sum()),
+                         len(f)))
+        return pd.DataFrame(rows, columns=["b", "n_inliers", "n_docs"])
+
+    def fold2(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("b", as_index=False)[["n_inliers", "n_docs"]].sum()
+
+    scored, ok = guarded_partials(
+        ds.map_batches(part2, batch_format="pyarrow"), fold2, 2_000_000)
+    assert ok  # bounded: 32 candidates
+    scored = scored.sort_values(["n_inliers", "b"],
+                                ascending=[False, True])
+    top = scored.iloc[0]
+    cb, x0, y0, dx, dy = cands[int(top["b"])]
+    return pd.DataFrame({
+        "cand_idx": pd.Series([cb], dtype="int64"),
+        "x0": pd.Series([x0], dtype="int64"),
+        "y0": pd.Series([y0], dtype="int64"),
+        "dx": pd.Series([dx], dtype="int64"),
+        "dy": pd.Series([dy], dtype="int64"),
+        "n_inliers": pd.Series([int(top["n_inliers"])], dtype="int64"),
+        "n_docs": pd.Series([int(top["n_docs"])], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of the daily-volume series
+# ---------------------------------------------------------------------------
+
+@query("volume_max_drawdown", sql=f"""
+WITH {_DAILY_SQL.strip()}, o AS (
+  SELECT day_idx, n,
+         max(n) OVER (ORDER BY day_idx) AS peak
+  FROM d
+), dd AS (SELECT day_idx, n, peak, peak - n AS drawdown FROM o)
+SELECT day_idx AS trough_day, n AS trough_value,
+       peak AS peak_value, drawdown AS max_drawdown,
+       CAST(drawdown::HUGEINT * 1000000 // peak AS BIGINT)
+         AS drawdown_ppm
+FROM dd ORDER BY drawdown DESC, day_idx LIMIT 1
+""")
+def volume_max_drawdown_q(sf_dir: str):
+    """Maximum drawdown of daily event volume: the largest drop from a
+    running peak (first trough day on ties) — the 'how bad did the feed
+    dip' ops metric beside ewma_daily_volume and cusum_changepoint.
+    Daily counts reduce distributedly; running max + argmax is an
+    O(days) driver scan, exact integers throughout."""
+    d = _daily_counts(sf_dir)
+    cols = ("trough_day", "trough_value", "peak_value", "max_drawdown",
+            "drawdown_ppm")
+    if not len(d):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    x = d["n"].to_numpy(np.int64)
+    peak = np.maximum.accumulate(x)
+    dd = peak - x
+    best = int(np.argmax(dd))  # first max = smallest day on ties
+    return pd.DataFrame({
+        "trough_day": pd.Series([int(d["day_idx"].iloc[best])],
+                                dtype="int64"),
+        "trough_value": pd.Series([int(x[best])], dtype="int64"),
+        "peak_value": pd.Series([int(peak[best])], dtype="int64"),
+        "max_drawdown": pd.Series([int(dd[best])], dtype="int64"),
+        "drawdown_ppm": pd.Series(
+            [int(dd[best]) * 1_000_000 // int(peak[best])],
+            dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator over the event stream
+# ---------------------------------------------------------------------------
+
+@query("diff_in_diff", sql="""
+WITH bounds AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+), cells AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN epoch_us(ts)
+                   < (SELECT (lo + hi) // 2 FROM bounds)
+              THEN 0 ELSE 1 END AS period,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+), agg AS (
+  SELECT arm, period, count(*)::HUGEINT AS n, sum(conv)::HUGEINT AS s
+  FROM cells GROUP BY 1, 2
+), w AS (
+  SELECT max(CASE WHEN arm = 1 AND period = 1 THEN s END) AS s11,
+         max(CASE WHEN arm = 1 AND period = 1 THEN n END) AS n11,
+         max(CASE WHEN arm = 1 AND period = 0 THEN s END) AS s10,
+         max(CASE WHEN arm = 1 AND period = 0 THEN n END) AS n10,
+         max(CASE WHEN arm = 0 AND period = 1 THEN s END) AS s01,
+         max(CASE WHEN arm = 0 AND period = 1 THEN n END) AS n01,
+         max(CASE WHEN arm = 0 AND period = 0 THEN s END) AS s00,
+         max(CASE WHEN arm = 0 AND period = 0 THEN n END) AS n00
+  FROM agg
+), num AS (
+  SELECT (s11 * n10 - s10 * n11) * (n01 * n00)
+         - (s01 * n00 - s00 * n01) * (n11 * n10) AS nm,
+         n11 * n10 * n01 * n00 AS den,
+         s11, n11, s10, n10, s01, n01, s00, n00
+  FROM w
+)
+SELECT (n11 + n10 + n01 + n00)::BIGINT AS n_events,
+       CAST(s11 * 1000000 // n11 AS BIGINT) AS treat_post_ppm,
+       CAST(s10 * 1000000 // n10 AS BIGINT) AS treat_pre_ppm,
+       CAST(s01 * 1000000 // n01 AS BIGINT) AS control_post_ppm,
+       CAST(s00 * 1000000 // n00 AS BIGINT) AS control_pre_ppm,
+       CAST(CASE WHEN nm >= 0 THEN (nm * 1000000) // den
+                 ELSE -((-nm * 1000000) // den) END AS BIGINT)
+         AS did_ppm
+FROM num
+""")
+def diff_in_diff_q(sf_dir: str):
+    """Difference-in-differences estimate of the treatment effect on
+    purchase rate: arms by user parity, periods split at the corpus
+    time midpoint; DiD = (p̂11 − p̂10) − (p̂01 − p̂00) computed as ONE
+    exact rational over the common denominator n11·n10·n01·n00 and
+    floored toward zero in ppm on both sides (Python // floors toward
+    −inf, DuckDB // truncates — the signed form sign·(|num|//den) keeps
+    them identical).  Four (n, conversions) cells cross the combine —
+    nothing else."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    lo, hi = _ts_bounds_us_mining(sf_dir)
+    mid = (lo + hi) // 2
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({
+            "arm": b["user_id"].to_numpy(zero_copy_only=False) % 2,
+            "period": (us >= mid).astype(np.int64),
+            "n": 1,
+            "s": (np.asarray(b["event_type"]) == "purchase"
+                  ).astype(np.int64)})
+        return f.groupby(["arm", "period"], as_index=False)[
+            ["n", "s"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["arm", "period"], as_index=False)[
+            ["n", "s"]].sum()
+
+    merged, ok = guarded_partials(
+        ds.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 4 cells
+    cols = ("n_events", "treat_post_ppm", "treat_pre_ppm",
+            "control_post_ppm", "control_pre_ppm", "did_ppm")
+    if merged is None or len(merged) < 4:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    cell = {(int(r["arm"]), int(r["period"])): (int(r["s"]), int(r["n"]))
+            for _, r in merged.iterrows()}
+    s11, n11 = cell[(1, 1)]
+    s10, n10 = cell[(1, 0)]
+    s01, n01 = cell[(0, 1)]
+    s00, n00 = cell[(0, 0)]
+    nm = (s11 * n10 - s10 * n11) * (n01 * n00) \
+        - (s01 * n00 - s00 * n01) * (n11 * n10)
+    den = n11 * n10 * n01 * n00
+    did = (nm * 1_000_000) // den if nm >= 0 \
+        else -((-nm * 1_000_000) // den)
+    return pd.DataFrame({
+        "n_events": pd.Series([n11 + n10 + n01 + n00], dtype="int64"),
+        "treat_post_ppm": pd.Series([s11 * 1_000_000 // n11],
+                                    dtype="int64"),
+        "treat_pre_ppm": pd.Series([s10 * 1_000_000 // n10],
+                                   dtype="int64"),
+        "control_post_ppm": pd.Series([s01 * 1_000_000 // n01],
+                                      dtype="int64"),
+        "control_pre_ppm": pd.Series([s00 * 1_000_000 // n00],
+                                     dtype="int64"),
+        "did_ppm": pd.Series([did], dtype="int64")})
+
+
+def _ts_bounds_us_mining(sf_dir: str) -> tuple[int, int]:
+    """(min, max) event timestamp in microseconds via extrema partials."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def part(b: pa.Table) -> pa.Table:
+        i = b["ts"].cast(pa.int64())
+        return pa.table({"lo": [pc.min(i).as_py()],
+                         "hi": [pc.max(i).as_py()]})
+
+    bounds = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    return int(bounds["lo"].min()), int(bounds["hi"].max())
