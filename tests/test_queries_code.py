@@ -173,3 +173,98 @@ def test_entropy_scan_finds_planted_secrets(ray_session):
     assert set(df["doc_id"] % 17) == {0}
     assert (df["n_secret_tokens"] >= 1).all()
     assert len(df) == 30  # ceil(500/17)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session additions (code-payload batch)
+# ---------------------------------------------------------------------------
+
+def test_minified_plant_rate(ray_session):
+    from dataquality_ray.pipelines.queries_code import minified_detect_q
+
+    df = minified_detect_q(SF)
+    # ~1/7 of docs are despaced and single-line word soup is way past
+    # the 40-char avg-line threshold
+    frac = df["n_minified"].sum() / df["n_files"].sum()
+    assert 0.10 <= frac <= 0.18
+    assert (df["minified_ppm"]
+            == df["n_minified"] * 1_000_000 // df["n_files"]).all()
+
+
+def test_cyclomatic_floor_is_one(ray_session):
+    from dataquality_ray.pipelines.queries_code import cyclomatic_proxy_q
+
+    df = cyclomatic_proxy_q(SF)
+    assert (df["avg_complexity_ppm"] >= 1_000_000).all()
+    assert (df["max_complexity"] >= 1).all()
+
+
+def test_todo_density_topk_sorted(ray_session):
+    from dataquality_ray.pipelines.queries_code import todo_fixme_density_q
+
+    df = todo_fixme_density_q(SF)
+    assert len(df) <= 20
+    d = df["density_ppm"].to_numpy()
+    assert (d[:-1] >= d[1:]).all()
+
+
+def test_case_style_dominant_consistency(ray_session):
+    from dataquality_ray.pipelines.queries_code import case_style_profile_q
+
+    df = case_style_profile_q(SF)
+    for _, r in df.iterrows():
+        best = max(r["camel_tokens"], r["snake_tokens"],
+                   r["pascal_tokens"])
+        assert {"camel": r["camel_tokens"], "snake": r["snake_tokens"],
+                "pascal": r["pascal_tokens"]}[r["dominant_style"]] == best
+
+
+def test_string_literal_ppm_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_code import (
+        string_literal_ratio_q,
+    )
+
+    df = string_literal_ratio_q(SF)
+    assert (df["literal_chars"] <= df["total_chars"]).all()
+    assert (df["literal_ppm"] <= 1_000_000).all()
+
+
+def test_import_fanin_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_code import import_fanin_q
+
+    df = import_fanin_q(SF)
+    assert list(df["module"]) == ["lib_key", "lib_part", "lib_table"]
+    assert (df["fan_in"] <= df["total_imports"]).all()
+
+
+def test_shebang_census_total(ray_session):
+    import ray.data as rd
+    from dataquality_ray.pipelines.queries_code import shebang_profile_q
+
+    df = shebang_profile_q(SF)
+    n = rd.read_parquet(f"{SF}/documents.parquet").count()
+    assert int(df["n_files"].sum()) == n
+    assert set(df["interpreter"]) == {"python", "sh", "none"}
+
+
+def test_luhn_known_vectors(ray_session):
+    import numpy as np
+
+    # the vectorized kernel's convention on a known-valid card number
+    def luhn_ok(num: str) -> bool:
+        digits = np.frombuffer(num.encode(), dtype=np.uint8) - 48
+        r = 16 - np.arange(16)
+        dbl = np.where(r % 2 == 0, digits * 2, digits)
+        dbl = np.where(dbl > 9, dbl - 9, dbl)
+        return int(dbl.sum()) % 10 == 0
+
+    assert luhn_ok("4539578763621486")   # valid test number
+    assert not luhn_ok("4539578763621487")
+
+    from dataquality_ray.pipelines.queries_code import luhn_validity_scan_q
+
+    df = luhn_validity_scan_q(SF)
+    assert (df["n_valid"] <= df["n_candidates"]).all()
+    assert (df["n_candidates"] <= df["n_docs"]).all()
+    # plant rate: exactly the doc_id % 5 == 0 rows carry a candidate
+    assert df["n_candidates"].sum() > 0

