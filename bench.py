@@ -301,6 +301,7 @@ def run_suite() -> dict:
                  "ams_f2_sketch", "bpe_merge_sim",
                  "luhn_validity_scan", "ransac_line_fit",
                  "volume_max_drawdown", "diff_in_diff",
+                 "graph_percolation_curve", "nelson_aalen_hazard",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -6502,3 +6502,175 @@ def _ts_bounds_us_mining(sf_dir: str) -> tuple[int, int]:
 
     bounds = ds.map_batches(part, batch_format="pyarrow").to_pandas()
     return int(bounds["lo"].min()), int(bounds["hi"].max())
+
+
+# ---------------------------------------------------------------------------
+# Percolation curve of the token bigram graph under edge-weight thresholds
+# ---------------------------------------------------------------------------
+
+_PERC_THRESHOLDS = [1, 2, 4, 8, 16]
+
+
+@query("graph_percolation_curve", sql=f"""
+WITH RECURSIVE {_BIGRAM_SQL.strip().rstrip(',')},
+th AS (SELECT unnest({_PERC_THRESHOLDS}) AS t),
+ge AS (
+  SELECT th.t, e.src AS a, e.dst AS b
+  FROM edges e JOIN th ON e.cnt >= th.t
+  UNION
+  SELECT th.t, e.dst, e.src FROM edges e JOIN th ON e.cnt >= th.t
+), nt AS (
+  -- ge is symmetrized, so the a-side alone covers every endpoint
+  SELECT DISTINCT t, a AS n FROM ge
+), reach AS (
+  SELECT t, n AS a, n AS b FROM nt
+  UNION
+  SELECT r.t, r.a, g.b FROM reach r JOIN ge g ON g.t = r.t AND g.a = r.b
+), lab AS (
+  SELECT t, a, min(b) AS lbl FROM reach GROUP BY t, a
+), cc AS (
+  SELECT t, lbl, count(*)::BIGINT AS sz FROM lab GROUP BY t, lbl
+), ue AS (
+  SELECT DISTINCT t, least(a, b) AS x, greatest(a, b) AS y FROM ge
+)
+SELECT cc.t::BIGINT AS threshold,
+       (SELECT count(*) FROM nt WHERE nt.t = cc.t)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM ue WHERE ue.t = cc.t)::BIGINT AS n_edges,
+       count(*)::BIGINT AS n_components,
+       max(sz)::BIGINT AS largest_cc
+FROM cc GROUP BY cc.t ORDER BY threshold
+""")
+def graph_percolation_curve_q(sf_dir: str):
+    """Percolation curve of the token-transition graph: for edge-weight
+    thresholds 1/2/4/8/16, drop edges below the threshold and report
+    surviving nodes, edges, weakly-connected components and the giant
+    component size — how quickly corpus syntax fragments as rare
+    transitions are pruned (the robustness companion to
+    token_graph_closeness).  Distributed edge aggregation; union-find
+    over the vocab-sized edge list driver-side, replayed in SQL as a
+    recursive transitive closure per threshold."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    cols = ("threshold", "n_nodes", "n_edges", "n_components",
+            "largest_cc")
+    if not len(edges):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    rows = []
+    for t in _PERC_THRESHOLDS:
+        sub = edges[edges["cnt"] >= t]
+        pairs = {(min(a, b), max(a, b))
+                 for a, b in zip(sub["src"], sub["dst"])}
+        nodes = sorted({x for p in pairs for x in p}
+                       | set(sub["src"]) | set(sub["dst"]))
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(sub["src"], sub["dst"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        sizes: dict[str, int] = {}
+        for n in nodes:
+            r = find(n)
+            sizes[r] = sizes.get(r, 0) + 1
+        rows.append((t, len(nodes), len(pairs), len(sizes),
+                     max(sizes.values()) if sizes else 0))
+    return pd.DataFrame(rows, columns=list(cols)).astype(
+        {c: "int64" for c in cols})
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard of user lifetime
+# ---------------------------------------------------------------------------
+
+@query("nelson_aalen_hazard", sql="""
+WITH life AS (
+  SELECT user_id,
+         (max(epoch_us(ts)) // 86400000000
+          - min(epoch_us(ts)) // 86400000000) AS span
+  FROM events GROUP BY user_id
+), ev AS (
+  SELECT span AS offset_day, count(*)::BIGINT AS d FROM life GROUP BY 1
+), risk AS (
+  SELECT e.offset_day, e.d,
+         (SELECT count(*) FROM life WHERE span >= e.offset_day)::BIGINT
+           AS n_risk
+  FROM ev e
+), steps AS (
+  SELECT offset_day, n_risk, d,
+         d * 1000000 // n_risk AS hazard_step_ppm
+  FROM risk
+)
+SELECT offset_day::BIGINT AS offset_day, n_risk, d AS n_events,
+       hazard_step_ppm::BIGINT AS hazard_step_ppm,
+       sum(hazard_step_ppm) OVER (ORDER BY offset_day)::BIGINT
+         AS cum_hazard_ppm
+FROM steps ORDER BY offset_day
+""")
+def nelson_aalen_hazard_q(sf_dir: str):
+    """Nelson-Aalen cumulative-hazard estimate of user lifetime (days
+    from first to last observed event): H(t) = Σ d_i/n_i over distinct
+    lifetime lengths — the hazard-domain sibling of
+    kaplan_meier_retention (which multiplies survival; NA sums hazard
+    and is the better-behaved estimator at small risk sets).  Each step
+    is floored to ppm BEFORE the cumulative sum, so the running total
+    replays bit-exactly as a SQL window.  Per-user (first, last) day
+    extrema reduce through the guarded combine with the usual groupby
+    twin past the cap."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"user_id": b["user_id"].to_pandas(),
+                          "lo": day.to_pandas(), "hi": day.to_pandas()})
+        return f.groupby("user_id", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("user_id", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+
+    life, twin = combine_or_groupby_twin(
+        "nelson_aalen_hazard", ds.map_batches(part, batch_format="pyarrow"),
+        fold, 2_000_000, ["user_id"])
+
+    def spans_hist(f: pd.DataFrame) -> pd.DataFrame:
+        s = (f["hi"] - f["lo"]).astype(np.int64)
+        vc = s.value_counts()
+        return pd.DataFrame({"offset_day": vc.index.astype(np.int64),
+                             "d": vc.to_numpy(np.int64)})
+
+    def fold_hist(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("offset_day", as_index=False)["d"].sum()
+
+    if twin is None:
+        hist = spans_hist(life) if life is not None and len(life) else None
+    else:
+        hist, ok = guarded_partials(
+            twin.map_batches(spans_hist, batch_format="pandas"),
+            fold_hist, 2_000_000)
+        assert ok  # bounded: distinct lifetime lengths (calendar days)
+    cols = ("offset_day", "n_risk", "n_events", "hazard_step_ppm",
+            "cum_hazard_ppm")
+    if hist is None or not len(hist):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    hist = fold_hist(hist).sort_values("offset_day").reset_index(drop=True)
+    d = hist["d"].to_numpy(np.int64)
+    # risk set = users with span >= offset  (suffix sums in offset order)
+    n_risk = d[::-1].cumsum()[::-1]
+    step = d * 1_000_000 // n_risk
+    return pd.DataFrame({
+        "offset_day": hist["offset_day"].astype("int64"),
+        "n_risk": pd.Series(n_risk, dtype="int64"),
+        "n_events": pd.Series(d, dtype="int64"),
+        "hazard_step_ppm": pd.Series(step, dtype="int64"),
+        "cum_hazard_ppm": pd.Series(step.cumsum(), dtype="int64")})

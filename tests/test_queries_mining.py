@@ -1559,3 +1559,31 @@ def test_diff_in_diff_identity(ray_session):
               - int(df["control_post_ppm"].iloc[0])
               + int(df["control_pre_ppm"].iloc[0]))
     assert abs(approx - int(df["did_ppm"].iloc[0])) <= 4
+
+
+def test_percolation_monotone(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        graph_percolation_curve_q,
+    )
+
+    df = graph_percolation_curve_q(SF)
+    # raising the threshold can only remove nodes/edges and shrink the
+    # giant component
+    for c in ("n_nodes", "n_edges", "largest_cc"):
+        v = df[c].to_numpy()
+        assert (v[:-1] >= v[1:]).all()
+    assert (df["largest_cc"] <= df["n_nodes"]).all()
+
+
+def test_nelson_aalen_monotone(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        nelson_aalen_hazard_q,
+    )
+
+    df = nelson_aalen_hazard_q(SF)
+    cum = df["cum_hazard_ppm"].to_numpy()
+    assert (cum[1:] >= cum[:-1]).all()
+    # risk sets shrink as lifetime grows; every event leaves the risk set
+    nr = df["n_risk"].to_numpy()
+    assert (nr[:-1] >= nr[1:]).all()
+    assert int(df["n_events"].sum()) == int(nr[0])
