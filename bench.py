@@ -302,6 +302,7 @@ def run_suite() -> dict:
                  "luhn_validity_scan", "ransac_line_fit",
                  "volume_max_drawdown", "diff_in_diff",
                  "graph_percolation_curve", "nelson_aalen_hazard",
+                 "epsilon_greedy_replay", "friedman_seasonality",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

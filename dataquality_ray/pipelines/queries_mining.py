@@ -6674,3 +6674,229 @@ def nelson_aalen_hazard_q(sf_dir: str):
         "n_events": pd.Series(d, dtype="int64"),
         "hazard_step_ppm": pd.Series(step, dtype="int64"),
         "cum_hazard_ppm": pd.Series(step.cumsum(), dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Offline epsilon-greedy bandit replay over daily reward aggregates
+# ---------------------------------------------------------------------------
+
+_EG_SEED = 23
+
+
+def _eps_greedy_sql() -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    ctes = ["""cells AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx,
+         user_id % 2 AS arm,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           ::BIGINT AS k
+  FROM events GROUP BY 1, 2
+), wd0 AS (
+  SELECT day_idx,
+         row_number() OVER (ORDER BY day_idx) AS i,
+         coalesce(max(CASE WHEN arm = 0 THEN n END), 0) AS dn0,
+         coalesce(max(CASE WHEN arm = 0 THEN k END), 0) AS dk0,
+         coalesce(max(CASE WHEN arm = 1 THEN n END), 0) AS dn1,
+         coalesce(max(CASE WHEN arm = 1 THEN k END), 0) AS dk1
+  FROM cells GROUP BY day_idx
+)""",
+            f"e0 AS (SELECT *, xor(day_idx::UBIGINT, "
+            f"{_EG_SEED}::UBIGINT)::HUGEINT AS x FROM wd0)"]
+    prev = "e0"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append(f"e{n + 1} AS (SELECT * REPLACE ({expr} AS x) "
+                    f"FROM {prev})")
+        prev = f"e{n + 1}"
+    ctes.append(f"wd AS (SELECT day_idx, i, dn0, dk0, dn1, dk1, "
+                f"(x % 4 = 0) AS explore FROM {prev})")
+    chain = ",\n".join(ctes)
+    return f"""
+WITH RECURSIVE {chain},
+st AS (
+  SELECT 0::BIGINT AS i, 0::HUGEINT AS n0, 0::HUGEINT AS s0,
+         0::HUGEINT AS n1, 0::HUGEINT AS s1,
+         0::BIGINT AS d0, 0::BIGINT AS d1
+  UNION ALL
+  SELECT wd.i,
+         st.n0 + CASE WHEN ch = 0 THEN wd.dn0 ELSE 0 END,
+         st.s0 + CASE WHEN ch = 0 THEN wd.dk0 ELSE 0 END,
+         st.n1 + CASE WHEN ch = 1 THEN wd.dn1 ELSE 0 END,
+         st.s1 + CASE WHEN ch = 1 THEN wd.dk1 ELSE 0 END,
+         st.d0 + CASE WHEN ch = 0 THEN 1 ELSE 0 END,
+         st.d1 + CASE WHEN ch = 1 THEN 1 ELSE 0 END
+  FROM st JOIN wd ON wd.i = st.i + 1,
+  LATERAL (SELECT CASE
+             WHEN wd.explore THEN wd.day_idx % 2
+             WHEN st.n0 = 0 THEN 0
+             WHEN st.n1 = 0 THEN 1
+             WHEN st.s1 * st.n0 > st.s0 * st.n1 THEN 1
+             ELSE 0 END AS ch) t
+), fin AS (
+  SELECT * FROM st WHERE i = (SELECT max(i) FROM wd)
+)
+SELECT 0::BIGINT AS arm, d0 AS days_chosen, n0::BIGINT AS pulls,
+       s0::BIGINT AS rewards,
+       CASE WHEN n0 = 0 THEN 0
+            ELSE CAST(s0 * 1000000 // n0 AS BIGINT) END AS mean_ppm
+FROM fin
+UNION ALL
+SELECT 1::BIGINT, d1, n1::BIGINT, s1::BIGINT,
+       CASE WHEN n1 = 0 THEN 0
+            ELSE CAST(s1 * 1000000 // n1 AS BIGINT) END
+FROM fin ORDER BY arm
+"""
+
+
+@query("epsilon_greedy_replay", sql=_eps_greedy_sql())
+def epsilon_greedy_replay_q(sf_dir: str):
+    """Offline epsilon-greedy bandit replay at day granularity: each day
+    the policy explores with p=1/4 (splitmix64 of the day index — fully
+    deterministic) or exploits the arm with the higher empirical
+    purchase rate (exact cross-multiplied integer comparison, arm 0 on
+    ties), then observes ONLY the chosen arm's daily (pulls, rewards)
+    aggregate — the counterfactual-policy evaluation harness that sits
+    beside sprt_conversion_monitor and diff_in_diff.  Day×arm cells
+    reduce through the bounded guarded combine; the replay itself is an
+    O(days) driver recursion replayed bit-exactly as a recursive SQL
+    CTE."""
+    from dataquality_ray.functions.hashing import splitmix64
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "day_idx": (b["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // 86_400_000_000),
+            "arm": b["user_id"].to_numpy(zero_copy_only=False) % 2,
+            "n": 1,
+            "k": (np.asarray(b["event_type"]) == "purchase"
+                  ).astype(np.int64)})
+        return f.groupby(["day_idx", "arm"], as_index=False)[
+            ["n", "k"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["day_idx", "arm"], as_index=False)[
+            ["n", "k"]].sum()
+
+    cells, ok = guarded_partials(
+        ds.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: days x 2 arms
+    cols = ("arm", "days_chosen", "pulls", "rewards", "mean_ppm")
+    if cells is None or not len(cells):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    wide = (cells.pivot_table(index="day_idx", columns="arm",
+                              values=["n", "k"], aggfunc="sum",
+                              fill_value=0).sort_index())
+    n0 = s0 = n1 = s1 = d0 = d1 = 0
+    for day_idx, row in wide.iterrows():
+        dn0 = int(row.get(("n", 0), 0))
+        dk0 = int(row.get(("k", 0), 0))
+        dn1 = int(row.get(("n", 1), 0))
+        dk1 = int(row.get(("k", 1), 0))
+        explore = int(splitmix64(
+            np.array([int(day_idx)], dtype=np.uint64)
+            ^ np.uint64(_EG_SEED))[0]) % 4 == 0
+        if explore:
+            ch = int(day_idx) % 2
+        elif n0 == 0:
+            ch = 0
+        elif n1 == 0:
+            ch = 1
+        else:
+            ch = 1 if s1 * n0 > s0 * n1 else 0
+        if ch == 0:
+            n0, s0, d0 = n0 + dn0, s0 + dk0, d0 + 1
+        else:
+            n1, s1, d1 = n1 + dn1, s1 + dk1, d1 + 1
+    return pd.DataFrame({
+        "arm": pd.Series([0, 1], dtype="int64"),
+        "days_chosen": pd.Series([d0, d1], dtype="int64"),
+        "pulls": pd.Series([n0, n1], dtype="int64"),
+        "rewards": pd.Series([s0, s1], dtype="int64"),
+        "mean_ppm": pd.Series(
+            [s0 * 1_000_000 // n0 if n0 else 0,
+             s1 * 1_000_000 // n1 if n1 else 0], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Friedman blocked rank test for weekday seasonality
+# ---------------------------------------------------------------------------
+
+@query("friedman_seasonality", sql=f"""
+WITH {_DAILY_SQL.strip()}, base AS (
+  SELECT day_idx, n, day_idx - (SELECT min(day_idx) FROM d) AS off
+  FROM d
+), wk AS (
+  SELECT off // 7 AS week, off % 7 AS pos, n FROM base
+), full_weeks AS (
+  SELECT week FROM wk GROUP BY week HAVING count(*) = 7
+), ranked AS (
+  SELECT w.week, w.pos,
+         2 * rank() OVER (PARTITION BY w.week ORDER BY w.n)
+           + count(*) OVER (PARTITION BY w.week, w.n) - 1 AS r2
+  FROM wk w JOIN full_weeks USING (week)
+), colsum AS (
+  SELECT pos, sum(r2)::HUGEINT AS r2j FROM ranked GROUP BY pos
+), agg AS (
+  SELECT sum(r2j * r2j) AS sum_r2_sq,
+         (SELECT count(*)::HUGEINT FROM full_weeks) AS nw
+  FROM colsum
+)
+SELECT nw::BIGINT AS n_weeks, 7::BIGINT AS k,
+       sum_r2_sq::BIGINT AS sum_r2_sq,
+       CAST((3 * (sum_r2_sq - nw * nw * 7 * 64)) * 1000
+            // (nw * 7 * 8) AS BIGINT) AS q_milli,
+       (3 * (sum_r2_sq - nw * nw * 7 * 64)) * 1000
+         // (nw * 7 * 8) > 12590 AS significant
+FROM agg
+""")
+def friedman_seasonality_q(sf_dir: str):
+    """Friedman blocked rank test for weekday seasonality: complete
+    7-day weeks are blocks, weekday positions are treatments, daily
+    volumes are rank-transformed within each week (doubled average
+    ranks 2R̄ = 2·min_rank + ties − 1 keep everything integer), and
+    Q = 12/(nk(k+1))·ΣR_j² − 3n(k+1) reduces to the single exact
+    rational 3(Σ(2R_j)² − n²k(k+1)²)/(nk·2(k+1)) — the non-parametric
+    companion to weekday_seasonality (means) and
+    timestamp_uniformity_chi2 (counts), significant past the χ²(6)
+    5% bound 12.59.  Daily counts reduce distributedly; ranking runs
+    on the tiny week×7 grid driver-side."""
+    d = _daily_counts(sf_dir)
+    cols = ("n_weeks", "k", "sum_r2_sq", "q_milli", "significant")
+    empty = pd.DataFrame({
+        **{c: pd.Series([], dtype=np.int64) for c in cols[:4]},
+        "significant": pd.Series([], dtype=bool)})
+    if not len(d):
+        return empty
+    off = d["day_idx"].to_numpy(np.int64)
+    off = off - off.min()
+    f = pd.DataFrame({"week": off // 7, "pos": off % 7,
+                      "n": d["n"].to_numpy(np.int64)})
+    sizes = f.groupby("week")["week"].transform("size")
+    f = f[sizes == 7]
+    if not len(f):
+        return empty
+    nw = f["week"].nunique()
+    r2j = np.zeros(7, dtype=object)
+    for _, g in f.groupby("week"):
+        x = g["n"].to_numpy(np.int64)
+        # doubled average rank: 2*(count smaller + 1) + ties - 1
+        smaller = (x[:, None] > x[None, :]).sum(axis=1)
+        ties = (x[:, None] == x[None, :]).sum(axis=1)
+        r2 = 2 * (smaller + 1) + ties - 1
+        for p, v in zip(g["pos"].to_numpy(np.int64), r2):
+            r2j[p] += int(v)
+    sum_r2_sq = int(sum(int(v) * int(v) for v in r2j))
+    num = 3 * (sum_r2_sq - nw * nw * 7 * 64)
+    den = nw * 7 * 8
+    q_milli = num * 1000 // den
+    return pd.DataFrame({
+        "n_weeks": pd.Series([nw], dtype="int64"),
+        "k": pd.Series([7], dtype="int64"),
+        "sum_r2_sq": pd.Series([sum_r2_sq], dtype="int64"),
+        "q_milli": pd.Series([q_milli], dtype="int64"),
+        "significant": pd.Series([q_milli > 12590], dtype=bool)})

@@ -1587,3 +1587,30 @@ def test_nelson_aalen_monotone(ray_session):
     nr = df["n_risk"].to_numpy()
     assert (nr[:-1] >= nr[1:]).all()
     assert int(df["n_events"].sum()) == int(nr[0])
+
+
+def test_epsilon_greedy_partitions_days(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        _daily_counts,
+        epsilon_greedy_replay_q,
+    )
+
+    df = epsilon_greedy_replay_q(SF)
+    assert list(df["arm"]) == [0, 1]
+    n_days = len(_daily_counts(SF))
+    # every day chooses exactly one arm
+    assert int(df["days_chosen"].sum()) == n_days
+    assert (df["rewards"] <= df["pulls"]).all()
+
+
+def test_friedman_stat_nonnegative(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        friedman_seasonality_q,
+    )
+
+    df = friedman_seasonality_q(SF)
+    assert int(df["q_milli"].iloc[0]) >= 0
+    # each complete week contributes rank-sum 2*(1+..+7) = 56 total
+    assert int(df["sum_r2_sq"].iloc[0]) >= 0
+    assert bool(df["significant"].iloc[0]) == \
+        (int(df["q_milli"].iloc[0]) > 12590)
