@@ -303,6 +303,7 @@ def run_suite() -> dict:
                  "volume_max_drawdown", "diff_in_diff",
                  "graph_percolation_curve", "nelson_aalen_hazard",
                  "epsilon_greedy_replay", "friedman_seasonality",
+                 "effective_corpus_size", "split_leakage_audit",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

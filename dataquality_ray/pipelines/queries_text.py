@@ -5190,3 +5190,221 @@ def dedup_threshold_roc_q(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("threshold_ppm").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Effective corpus size (ESS over duplicate-cluster weights)
+# ---------------------------------------------------------------------------
+
+_DUP_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 100 = 0
+"""
+
+
+def _dup_corpus(sf_dir: str):
+    """documents plus planted exact duplicates (the %10 / %100 replicas —
+    same shape as the dedup-family fixtures)."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = [b]
+        m10 = ids % 10 == 0
+        if m10.any():
+            t = b.filter(pa.array(m10))
+            parts.append(t.set_column(
+                t.schema.get_field_index("doc_id"), "doc_id",
+                pc.add(t["doc_id"], 1000000)))
+        m100 = ids % 100 == 0
+        if m100.any():
+            t = b.filter(pa.array(m100))
+            parts.append(t.set_column(
+                t.schema.get_field_index("doc_id"), "doc_id",
+                pc.add(t["doc_id"], 2000000)))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+@query("effective_corpus_size", sql=f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+cl AS (SELECT text, count(*)::BIGINT AS c FROM corpus GROUP BY text),
+agg AS (
+  SELECT sum(c)::HUGEINT AS n, count(*)::BIGINT AS k,
+         sum(c::HUGEINT * c) AS sq
+  FROM cl
+)
+SELECT n::BIGINT AS n_rows, k AS n_clusters, sq::BIGINT AS sum_c_sq,
+       CAST(n * n // sq AS BIGINT) AS ess_docs,
+       CAST((n - k) * 1000000 // n AS BIGINT) AS dedup_gain_ppm
+FROM agg
+""")
+def effective_corpus_size_q(sf_dir: str):
+    """Effective sample size of a duplicated corpus: ESS = (Σc)²/Σc²
+    over exact-duplicate cluster sizes — the single number that says how
+    many INDEPENDENT documents a model actually sees when training on
+    the raw (un-deduplicated) stream, the quantitative justification for
+    the dedup pass (companion to dedup_savings_report, which counts
+    bytes; ESS counts statistical information).  Cluster sizes flow
+    through the guarded combine keyed by content (groupby twin past the
+    cap); the ESS division is exact integer floor."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        s = pd.Series([t or "" for t in b["text"].to_pylist()])
+        vc = s.value_counts()
+        return pd.DataFrame({"text": vc.index, "c": vc.to_numpy(np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("text", as_index=False)["c"].sum()
+
+    cl, twin = combine_or_groupby_twin(
+        "effective_corpus_size",
+        _dup_corpus(sf_dir).map_batches(part, batch_format="pyarrow"),
+        fold, 2_000_000, ["text"])
+
+    def reduce_cl(f: pd.DataFrame) -> pd.DataFrame:
+        c = f["c"].to_numpy(np.int64).astype(object)
+        return pd.DataFrame({"n": [int(c.sum())], "k": [len(f)],
+                             "sq": [int((c * c).sum())]})
+
+    cols = ("n_rows", "n_clusters", "sum_c_sq", "ess_docs",
+            "dedup_gain_ppm")
+    if twin is None:
+        if cl is None or not len(cl):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        tot = reduce_cl(cl)
+    else:
+        tot, ok = guarded_partials(
+            twin.map_batches(reduce_cl, batch_format="pandas"),
+            lambda f: pd.DataFrame({c: [f[c].sum()] for c in f.columns}),
+            2_000_000)
+        assert ok  # three scalar accumulators
+    n = int(tot["n"].iloc[0])
+    k = int(tot["k"].iloc[0])
+    sq = int(tot["sq"].iloc[0])
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype="int64"),
+        "n_clusters": pd.Series([k], dtype="int64"),
+        "sum_c_sq": pd.Series([sq], dtype="int64"),
+        "ess_docs": pd.Series([n * n // sq if sq else 0], dtype="int64"),
+        "dedup_gain_ppm": pd.Series(
+            [(n - k) * 1_000_000 // n if n else 0], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Train/val split leakage audit (duplicates straddling the split)
+# ---------------------------------------------------------------------------
+
+def _split_leakage_sql() -> str:
+    ctes = [f"corpus AS ({_DUP_CORPUS_SQL})",
+            "s0 AS (SELECT doc_id, text, xor(doc_id::UBIGINT, "
+            "13::UBIGINT)::HUGEINT AS x FROM corpus)"]
+    prev = "s0"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append(f"s{n + 1} AS (SELECT doc_id, text, {expr} AS x "
+                    f"FROM {prev})")
+        prev = f"s{n + 1}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {chain},
+sided AS (
+  SELECT text,
+         CASE WHEN x::DOUBLE / 18446744073709551616.0 < 0.2
+              THEN 1 ELSE 0 END AS is_val
+  FROM {prev}
+), per_text AS (
+  SELECT text, max(is_val) AS any_val, min(is_val) AS all_val,
+         count(*)::BIGINT AS c
+  FROM sided GROUP BY text
+), agg AS (
+  SELECT sum(CASE WHEN any_val = 0 THEN c ELSE 0 END)::BIGINT
+           AS n_train_only_rows,
+         sum(CASE WHEN all_val = 1 THEN c ELSE 0 END)::BIGINT
+           AS n_val_only_rows,
+         count(*)::BIGINT AS n_texts,
+         sum(CASE WHEN any_val = 1 AND all_val = 0 THEN 1 ELSE 0 END)
+           ::BIGINT AS n_leaked_texts
+  FROM per_text
+)
+SELECT n_texts, n_leaked_texts, n_train_only_rows, n_val_only_rows,
+       CAST(n_leaked_texts::HUGEINT * 1000000 // n_texts AS BIGINT)
+         AS leak_ppm
+FROM agg
+"""
+
+
+@query("split_leakage_audit", sql=_split_leakage_sql())
+def split_leakage_audit_q(sf_dir: str):
+    """Train/val contamination audit: after the deterministic hash split
+    (seed 13, val 20%), how many distinct document texts appear on BOTH
+    sides because exact duplicates carry different doc_ids — the classic
+    'dedup BEFORE you split' failure that silently inflates eval scores.
+    Run on the planted-duplicate corpus (%10/%100 replicas), the audit
+    catches ~2·p·(1−p) of dup clusters straddling the boundary.
+    Per-text side flags flow through the guarded combine keyed by
+    content with a groupby twin past the cap."""
+    from dataquality_ray.functions.hashing import hash_fraction
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_val = (hash_fraction(ids, seed=13) < 0.2).astype(np.int64)
+        f = pd.DataFrame({"text": [t or "" for t in b["text"].to_pylist()],
+                          "any_val": is_val, "all_val": is_val, "c": 1})
+        return f.groupby("text", as_index=False).agg(
+            any_val=("any_val", "max"), all_val=("all_val", "min"),
+            c=("c", "sum"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("text", as_index=False).agg(
+            any_val=("any_val", "max"), all_val=("all_val", "min"),
+            c=("c", "sum"))
+
+    per_text, twin = combine_or_groupby_twin(
+        "split_leakage_audit",
+        _dup_corpus(sf_dir).map_batches(part, batch_format="pyarrow"),
+        fold, 2_000_000, ["text"])
+
+    def reduce_pt(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_texts": [len(f)],
+            "n_leaked_texts": [int(((f["any_val"] == 1)
+                                    & (f["all_val"] == 0)).sum())],
+            "n_train_only_rows": [int(f.loc[f["any_val"] == 0, "c"].sum())],
+            "n_val_only_rows": [int(f.loc[f["all_val"] == 1, "c"].sum())]})
+
+    cols = ("n_texts", "n_leaked_texts", "n_train_only_rows",
+            "n_val_only_rows", "leak_ppm")
+    if twin is None:
+        if per_text is None or not len(per_text):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        tot = reduce_pt(per_text)
+    else:
+        tot, ok = guarded_partials(
+            twin.map_batches(reduce_pt, batch_format="pandas"),
+            lambda f: pd.DataFrame({c: [f[c].sum()] for c in f.columns}),
+            2_000_000)
+        assert ok  # four scalar accumulators
+    n_texts = int(tot["n_texts"].iloc[0])
+    leaked = int(tot["n_leaked_texts"].iloc[0])
+    return pd.DataFrame({
+        "n_texts": pd.Series([n_texts], dtype="int64"),
+        "n_leaked_texts": pd.Series([leaked], dtype="int64"),
+        "n_train_only_rows": pd.Series(
+            [int(tot["n_train_only_rows"].iloc[0])], dtype="int64"),
+        "n_val_only_rows": pd.Series(
+            [int(tot["n_val_only_rows"].iloc[0])], dtype="int64"),
+        "leak_ppm": pd.Series(
+            [leaked * 1_000_000 // n_texts if n_texts else 0],
+            dtype="int64")})

@@ -1614,3 +1614,32 @@ def test_friedman_stat_nonnegative(ray_session):
     assert int(df["sum_r2_sq"].iloc[0]) >= 0
     assert bool(df["significant"].iloc[0]) == \
         (int(df["q_milli"].iloc[0]) > 12590)
+
+
+def test_effective_corpus_size_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        effective_corpus_size_q,
+    )
+
+    df = effective_corpus_size_q(SF)
+    n = int(df["n_rows"].iloc[0])
+    k = int(df["n_clusters"].iloc[0])
+    ess = int(df["ess_docs"].iloc[0])
+    # planted replicas: %10 adds 50, %100 adds 5 on the 500-doc table
+    assert n == 555 and k == 500
+    # Sigma c^2 = 450*1 + 45*4 + 5*9 = 675 -> ESS = 555^2 // 675 = 456
+    assert ess == 555 * 555 // 675 == 456
+    assert int(df["sum_c_sq"].iloc[0]) == 675
+
+
+def test_split_leakage_detects_planted_dups(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        split_leakage_audit_q,
+    )
+
+    df = split_leakage_audit_q(SF)
+    # duplicates with independent doc_ids MUST leak across the split
+    assert int(df["n_leaked_texts"].iloc[0]) > 0
+    assert int(df["leak_ppm"].iloc[0]) <= 1_000_000
+    assert (int(df["n_train_only_rows"].iloc[0])
+            + int(df["n_val_only_rows"].iloc[0])) <= 555
