@@ -1443,3 +1443,351 @@ def luhn_validity_scan_q(sf_dir: str):
     for c in cols[1:]:
         merged[c] = merged[c].astype("int64")
     return merged.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Copyright-year scan (license/provenance companion to license_detect)
+# ---------------------------------------------------------------------------
+
+@query("copyright_year_scan", sql="""
+WITH v AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'Copyright (c) ' || (2000 + doc_id % 25)::VARCHAR
+                   || ' Authors' || chr(10)
+              ELSE '' END || coalesce(text, '') AS v
+  FROM documents
+), y AS (
+  SELECT source,
+         try_cast(regexp_extract(v, 'Copyright \\(c\\) ([0-9]{4})', 1)
+                  AS BIGINT) AS yr
+  FROM v
+)
+SELECT source, count(*)::BIGINT AS n_docs, count(yr)::BIGINT AS n_copyright,
+       coalesce(min(yr), 0)::BIGINT AS min_year,
+       coalesce(max(yr), 0)::BIGINT AS max_year,
+       coalesce(max(yr) - min(yr), 0)::BIGINT AS year_span
+FROM y GROUP BY source ORDER BY source
+""")
+def copyright_year_scan_q(sf_dir: str):
+    """Copyright-header year census per source: headers are planted
+    deterministically (doc_id % 7, year 2000 + doc_id % 25) the same way
+    on both sides, then detected with one vectorized RE2 extract — the
+    provenance-freshness companion to license_detect (a corpus whose
+    newest copyright year is stale signals abandoned vendored code).
+    Per-source (count, min, max) partials reduce distributedly."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % 7 == 0
+        yrs = 2000 + ids % 25
+        heads = np.where(
+            sel, np.char.add(np.char.add("Copyright (c) ",
+                                         yrs.astype("U4")), " Authors\n"),
+            "")
+        v = pc.binary_join_element_wise(
+            pa.array(heads), pc.coalesce(b["text"], pa.scalar("")), "")
+        ext = pc.extract_regex(v, r"Copyright \(c\) (?P<yr>[0-9]{4})")
+        got = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+        yr = np.where(got, yrs, 0)
+        f = pd.DataFrame({
+            "source": b["source"].to_pylist(), "n_docs": 1,
+            "n_copyright": got.astype(np.int64),
+            "min_year": np.where(got, yr, np.iinfo(np.int64).max),
+            "max_year": np.where(got, yr, np.iinfo(np.int64).min)})
+        return f.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_copyright=("n_copyright", "sum"),
+            min_year=("min_year", "min"), max_year=("max_year", "max"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_copyright=("n_copyright", "sum"),
+            min_year=("min_year", "min"), max_year=("max_year", "max"))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #sources
+    cols = ("source", "n_docs", "n_copyright", "min_year", "max_year",
+            "year_span")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    has = merged["n_copyright"].to_numpy() > 0
+    merged["min_year"] = np.where(has, merged["min_year"], 0)
+    merged["max_year"] = np.where(has, merged["max_year"], 0)
+    merged["year_span"] = merged["max_year"] - merged["min_year"]
+    for c in cols[1:]:
+        merged[c] = merged[c].astype("int64")
+    return merged[list(cols)].sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Halstead complexity metrics per source
+# ---------------------------------------------------------------------------
+
+_HALSTEAD_OPS = ("agg", "filter", "group", "hash", "join", "merge",
+                 "scan", "sort", "window")
+
+
+@query("halstead_metrics", sql=f"""
+WITH t AS (
+  SELECT source, string_split(coalesce(text, ''), ' ') AS l FROM documents
+), u AS (
+  SELECT source, unnest(l) AS tok FROM t
+), c AS (
+  SELECT source, tok,
+         tok IN {_HALSTEAD_OPS!r} AS is_op,
+         count(*)::BIGINT AS n
+  FROM u WHERE tok <> '' GROUP BY source, tok
+), agg AS (
+  SELECT source,
+         sum(CASE WHEN is_op THEN n ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN is_op THEN 0 ELSE n END)::BIGINT AS n2,
+         sum(CASE WHEN is_op THEN 1 ELSE 0 END)::BIGINT AS eta1,
+         sum(CASE WHEN is_op THEN 0 ELSE 1 END)::BIGINT AS eta2
+  FROM c GROUP BY source
+)
+SELECT source, n1, n2, eta1, eta2,
+       (n1 + n2)::BIGINT AS length,
+       (eta1 + eta2)::BIGINT AS vocabulary,
+       CAST(floor((n1 + n2) * ln(eta1 + eta2) / ln(2) * 1000) AS BIGINT)
+         AS volume_milli,
+       CASE WHEN eta2 = 0 THEN 0
+            ELSE eta1 * n2 * 1000 // (2 * eta2) END::BIGINT
+         AS difficulty_milli
+FROM agg ORDER BY source
+""")
+def halstead_metrics_q(sf_dir: str):
+    """Halstead software-science metrics per source over the token
+    stream: the nine query-verb tokens are 'operators', the rest
+    'operands'; volume = N*log2(eta) lands as a floor-milli integer via
+    the identical libm op chain on both engines (the floor-ln precedent
+    from zipf_token_fit), difficulty = eta1*N2/(2*eta2) stays exact
+    integer.  (source, token) count partials reduce distributedly under
+    the guarded combine — the keyspace is vocab x sources."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        src = np.repeat(b["source"].to_numpy(zero_copy_only=False), n_per)
+        f = pd.DataFrame({"source": src, "tok": flat})
+        f = f[f["tok"] != ""]
+        f["n"] = 1
+        return f.groupby(["source", "tok"], as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "tok"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text", "source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: vocab x sources
+    cols = ("source", "n1", "n2", "eta1", "eta2", "length", "vocabulary",
+            "volume_milli", "difficulty_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    is_op = merged["tok"].isin(_HALSTEAD_OPS)
+    g = merged.assign(
+        n1=merged["n"].where(is_op, 0), n2=merged["n"].where(~is_op, 0),
+        e1=is_op.astype(np.int64), e2=(~is_op).astype(np.int64)).groupby(
+        "source", as_index=False)[["n1", "n2", "e1", "e2"]].sum()
+    out = []
+    for _, r in g.iterrows():
+        n1, n2 = int(r["n1"]), int(r["n2"])
+        e1, e2 = int(r["e1"]), int(r["e2"])
+        length, vocab = n1 + n2, e1 + e2
+        vol = (math.floor(length * math.log(vocab) / math.log(2) * 1000)
+               if vocab > 0 else 0)
+        diff = e1 * n2 * 1000 // (2 * e2) if e2 else 0
+        out.append((r["source"], n1, n2, e1, e2, length, vocab, vol, diff))
+    f = pd.DataFrame(out, columns=cols)
+    for c in cols[1:]:
+        f[c] = f[c].astype("int64")
+    return f.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Docstring coverage (token-adjacency def/doc pairing)
+# ---------------------------------------------------------------------------
+
+@query("docstring_coverage", sql="""
+WITH t AS (
+  SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS l
+  FROM documents
+), u AS (
+  SELECT doc_id, source, unnest(l) AS tok,
+         unnest(range(1, len(l) + 1)) AS i
+  FROM t
+), j AS (
+  SELECT a.source, count(*)::BIGINT AS n_defs,
+         sum(CASE WHEN b.tok = 'value' THEN 1 ELSE 0 END)::BIGINT
+           AS n_documented
+  FROM u a LEFT JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE a.tok = 'filter' GROUP BY a.source
+)
+SELECT s.source, coalesce(j.n_defs, 0)::BIGINT AS n_defs,
+       coalesce(j.n_documented, 0)::BIGINT AS n_documented,
+       CASE WHEN coalesce(j.n_defs, 0) = 0 THEN 0
+            ELSE coalesce(j.n_documented, 0) * 1000000 // j.n_defs
+       END::BIGINT AS coverage_ppm
+FROM (SELECT DISTINCT source FROM documents) s
+LEFT JOIN j ON s.source = j.source ORDER BY s.source
+""")
+def docstring_coverage_q(sf_dir: str):
+    """Docstring coverage over the pseudo-source view: a 'filter' token
+    models a def line and an immediately following 'value' token its
+    docstring — the fraction of definitions that are documented, per
+    source.  The adjacency test is one vectorized shift over the
+    flattened token stream (a doc is a single row, so adjacency never
+    crosses a batch); per-source partials reduce distributedly."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        is_def = flat == "filter"
+        # last token of each doc has no intra-doc successor
+        ends = np.cumsum(n_per)
+        has_next = np.ones(len(flat), dtype=bool)
+        if len(ends):
+            has_next[ends - 1] = False
+        nxt = np.empty(len(flat), dtype=flat.dtype)
+        if len(flat):
+            nxt[:-1] = flat[1:]
+            nxt[-1] = ""
+        documented = is_def & has_next & (nxt == "value")
+        f = pd.DataFrame({
+            "source": np.repeat(src, n_per),
+            "n_defs": is_def.astype(np.int64),
+            "n_documented": documented.astype(np.int64)})
+        g = f.groupby("source", as_index=False)[
+            ["n_defs", "n_documented"]].sum()
+        # keep zero-def sources so every source appears in the output
+        missing = set(src) - set(g["source"])
+        if missing:
+            g = pd.concat([g, pd.DataFrame({
+                "source": sorted(missing), "n_defs": 0,
+                "n_documented": 0})], ignore_index=True)
+        return g
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)[
+            ["n_defs", "n_documented"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text", "source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #sources
+    cols = ("source", "n_defs", "n_documented", "coverage_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    merged["coverage_ppm"] = [
+        int(d) * 1_000_000 // int(n) if int(n) else 0
+        for d, n in zip(merged["n_documented"], merged["n_defs"])]
+    for c in cols[1:]:
+        merged[c] = merged[c].astype("int64")
+    return merged[list(cols)].sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Function-length profile (span between consecutive def tokens)
+# ---------------------------------------------------------------------------
+
+@query("function_length_profile", sql="""
+WITH t AS (
+  SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS l
+  FROM documents
+), u AS (
+  SELECT doc_id, source, len(l) AS n_tok, unnest(l) AS tok,
+         unnest(range(1, len(l) + 1)) AS i
+  FROM t
+), p AS (
+  SELECT source, doc_id, i, n_tok,
+         lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM u WHERE tok = 'filter'
+), f AS (
+  SELECT source, coalesce(nxt, n_tok + 1) - i AS flen FROM p
+)
+SELECT source, count(*)::BIGINT AS n_funcs,
+       sum(flen)::BIGINT AS sum_len, max(flen)::BIGINT AS max_len,
+       CAST(sum(flen) * 1000000 // count(*) AS BIGINT) AS mean_len_ppm
+FROM f GROUP BY source ORDER BY source
+""")
+def function_length_profile_q(sf_dir: str):
+    """Function-length profile: each 'filter' token opens a function
+    whose body runs to the next 'filter' in the same document (or the
+    document end) — the long-function smell detector of the code-quality
+    family.  Span extraction is a vectorized shift over per-doc def
+    positions (docs are single rows, batch-safe); per-source
+    (count, sum, max) partials reduce distributedly."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        empty = pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_funcs": pd.Series([], dtype=np.int64),
+            "sum_len": pd.Series([], dtype=np.int64),
+            "max_len": pd.Series([], dtype=np.int64)})
+        mask = flat == "filter"
+        if not mask.any():
+            return empty
+        gidx = np.flatnonzero(mask)
+        doc_of = np.repeat(np.arange(len(n_per)), n_per)
+        starts = np.concatenate(([0], np.cumsum(n_per)[:-1]))
+        d = doc_of[gidx]
+        pos = gidx - starts[d] + 1  # 1-based position within doc
+        # successor def in the same doc, else doc end + 1
+        nxt = np.empty(len(gidx), dtype=np.int64)
+        same = np.zeros(len(gidx), dtype=bool)
+        if len(gidx) > 1:
+            same[:-1] = d[1:] == d[:-1]
+            nxt[:-1] = pos[1:]
+        flen = np.where(same, nxt - pos, n_per[d] + 1 - pos)
+        f = pd.DataFrame({"source": src[d], "flen": flen})
+        return f.groupby("source", as_index=False).agg(
+            n_funcs=("flen", "size"), sum_len=("flen", "sum"),
+            max_len=("flen", "max"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False).agg(
+            n_funcs=("n_funcs", "sum"), sum_len=("sum_len", "sum"),
+            max_len=("max_len", "max"))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text", "source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #sources
+    cols = ("source", "n_funcs", "sum_len", "max_len", "mean_len_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    merged["mean_len_ppm"] = [
+        int(s) * 1_000_000 // int(n)
+        for s, n in zip(merged["sum_len"], merged["n_funcs"])]
+    for c in cols[1:]:
+        merged[c] = merged[c].astype("int64")
+    return merged[list(cols)].sort_values("source").reset_index(drop=True)

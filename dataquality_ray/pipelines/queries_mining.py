@@ -6900,3 +6900,214 @@ def friedman_seasonality_q(sf_dir: str):
         "sum_r2_sq": pd.Series([sum_r2_sq], dtype="int64"),
         "q_milli": pd.Series([q_milli], dtype="int64"),
         "significant": pd.Series([q_milli > 12590], dtype=bool)})
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis rank test: does value distribution differ by event type?
+# ---------------------------------------------------------------------------
+
+@query("kruskal_wallis_value", sql="""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), cnt AS (
+  SELECT event_type, cents, count(*)::HUGEINT AS n_cv FROM v GROUP BY 1, 2
+), tot AS (
+  SELECT cents, sum(n_cv) AS t_v FROM cnt GROUP BY 1
+), cum AS (
+  SELECT cents, t_v,
+         coalesce(sum(t_v) OVER (ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_v
+  FROM tot
+), s AS (
+  SELECT c.event_type,
+         sum(c.n_cv * (2 * u.c_v + u.t_v + 1)) AS s_c,
+         sum(c.n_cv) AS n_c
+  FROM cnt c JOIN cum u USING (cents) GROUP BY 1
+), g AS (
+  SELECT sum(s_c * s_c * 250000 // n_c) AS t,
+         sum(n_c) AS n, count(*)::HUGEINT AS k
+  FROM s
+), ties AS (
+  SELECT coalesce(sum(t_v * t_v * t_v - t_v), 0) AS tie_sum FROM tot
+), h AS (
+  SELECT n, k,
+         12 * t // (n * (n + 1)) - 3 * (n + 1) * 1000000 AS h_micro,
+         (n * n * n - n) - tie_sum AS den,
+         n * n * n - n AS num_scale
+  FROM g, ties
+), adj AS (
+  SELECT n, k, h_micro,
+         CASE WHEN den <= 0 THEN 0
+              WHEN h_micro < 0 THEN -((-h_micro) * num_scale // den)
+              ELSE h_micro * num_scale // den END AS h_adj_micro
+  FROM h
+)
+SELECT n::BIGINT AS n, k::BIGINT AS k, h_micro::BIGINT AS h_micro,
+       h_adj_micro::BIGINT AS h_adj_micro,
+       h_adj_micro > CASE k - 1
+         WHEN 1 THEN 3841459 WHEN 2 THEN 5991465 WHEN 3 THEN 7814728
+         WHEN 4 THEN 9487729 WHEN 5 THEN 11070498 WHEN 6 THEN 12591587
+         WHEN 7 THEN 14067140 ELSE 15507313 END AS significant
+FROM adj
+""")
+def kruskal_wallis_value_q(sf_dir: str):
+    """Kruskal-Wallis H test across event types over value: the k-group
+    extension of the rank-sum AUC (quality_score_auc), non-parametric
+    sibling of one-way ANOVA.  Doubled average ranks 2R = 2*below +
+    ties + 1 keep every rank integer; per-group terms floor at micro
+    scale ((S_c/2)^2*1e6/n_c = S_c^2*250000//n_c) and the tie
+    correction multiplies by (n^3-n)/((n^3-n)-sum(t^3-t)) in the same
+    exact integer chain on both engines (sign-split floor division —
+    DuckDB // truncates toward 0).  (event_type, cents) count partials
+    reduce distributedly under the guarded combine; the rank math runs
+    on the merged histogram driver-side."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v)
+        cents = np.round(v[keep] * 100).astype(np.int64)
+        f = pd.DataFrame({
+            "event_type": np.asarray(b["event_type"].to_pylist(),
+                                     dtype=object)[keep],
+            "cents": cents, "n_cv": 1})
+        return f.groupby(["event_type", "cents"], as_index=False)[
+            "n_cv"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "cents"], as_index=False)[
+            "n_cv"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: event types x distinct cents
+    cols = ("n", "k", "h_micro", "h_adj_micro")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            **{c: pd.Series([], dtype=np.int64) for c in cols},
+            "significant": pd.Series([], dtype=bool)})
+    tot = merged.groupby("cents", as_index=False)["n_cv"].sum() \
+        .sort_values("cents").reset_index(drop=True)
+    t_v = tot["n_cv"].to_numpy(np.int64)
+    c_v = np.concatenate(([0], np.cumsum(t_v)[:-1]))
+    r2 = {int(c): (2 * int(b) + int(t) + 1)
+          for c, t, b in zip(tot["cents"], t_v, c_v)}
+    n = int(t_v.sum())
+    big_t = 0
+    k = 0
+    for _, g in merged.groupby("event_type"):
+        s_c = sum(int(cnt) * r2[int(c)]
+                  for c, cnt in zip(g["cents"], g["n_cv"]))
+        n_c = int(g["n_cv"].sum())
+        big_t += s_c * s_c * 250000 // n_c
+        k += 1
+    h_micro = 12 * big_t // (n * (n + 1)) - 3 * (n + 1) * 1_000_000
+    tie_sum = int(sum(int(t) ** 3 - int(t) for t in t_v))
+    den = (n ** 3 - n) - tie_sum
+    num_scale = n ** 3 - n
+    if den <= 0:
+        h_adj = 0
+    elif h_micro < 0:
+        h_adj = -((-h_micro) * num_scale // den)
+    else:
+        h_adj = h_micro * num_scale // den
+    crit = {1: 3841459, 2: 5991465, 3: 7814728, 4: 9487729,
+            5: 11070498, 6: 12591587, 7: 14067140}.get(k - 1, 15507313)
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype="int64"),
+        "k": pd.Series([k], dtype="int64"),
+        "h_micro": pd.Series([h_micro], dtype="int64"),
+        "h_adj_micro": pd.Series([h_adj], dtype="int64"),
+        "significant": pd.Series([h_adj > crit], dtype=bool)})
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa agreement between two quality rules
+# ---------------------------------------------------------------------------
+
+@query("cohens_kappa_rules", sql="""
+WITH r AS (
+  SELECT list_contains(string_split(coalesce(text, ''), ' '), 'the')
+           AS rule_a,
+         n_chars > 300 AS rule_b
+  FROM documents
+), c AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(CASE WHEN rule_a AND rule_b THEN 1 ELSE 0 END)::HUGEINT
+           AS n11,
+         sum(CASE WHEN rule_a AND NOT rule_b THEN 1 ELSE 0 END)::HUGEINT
+           AS n10,
+         sum(CASE WHEN NOT rule_a AND rule_b THEN 1 ELSE 0 END)::HUGEINT
+           AS n01,
+         sum(CASE WHEN NOT rule_a AND NOT rule_b THEN 1 ELSE 0 END)
+           ::HUGEINT AS n00
+  FROM r
+), e AS (
+  SELECT n, n11, n10, n01, n00,
+         (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS ev
+  FROM c
+)
+SELECT n::BIGINT AS n, n11::BIGINT AS n11, n10::BIGINT AS n10,
+       n01::BIGINT AS n01, n00::BIGINT AS n00,
+       ((n11 + n00) * 1000000 // n)::BIGINT AS po_ppm,
+       (ev * 1000000 // (n * n))::BIGINT AS pe_ppm,
+       CASE WHEN n * n - ev = 0 THEN 0
+            WHEN n * (n11 + n00) - ev < 0
+              THEN -((ev - n * (n11 + n00)) * 1000000 // (n * n - ev))
+            ELSE (n * (n11 + n00) - ev) * 1000000 // (n * n - ev)
+       END::BIGINT AS kappa_ppm
+FROM e
+""")
+def cohens_kappa_rules_q(sf_dir: str):
+    """Cohen's kappa chance-corrected agreement between two quality
+    rules (rule A: document uses the token 'the'; rule B: n_chars >
+    300) — the rule-redundancy audit companion to rule_overlap_matrix:
+    high kappa means one rule is informationally redundant.  kappa =
+    (po - pe)/(1 - pe) evaluated as one exact integer chain
+    ((n*agree - E)*1e6 // (n^2 - E), sign-split floor) from the four
+    confusion cells, which reduce distributedly as a 4-counter
+    partial."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        a = pc.match_substring_regex(
+            pc.coalesce(b["text"], pa.scalar("")),
+            r"(?:^| )the(?: |$)").to_numpy(zero_copy_only=False)
+        rb = b["n_chars"].to_numpy(zero_copy_only=False) > 300
+        return pd.DataFrame({
+            "n": [len(rb)],
+            "n11": [int(np.sum(a & rb))], "n10": [int(np.sum(a & ~rb))],
+            "n01": [int(np.sum(~a & rb))],
+            "n00": [int(np.sum(~a & ~rb))]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([f[["n", "n11", "n10", "n01", "n00"]]
+                             .sum(axis=0)])
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: single 5-counter row
+    cols = ("n", "n11", "n10", "n01", "n00", "po_ppm", "pe_ppm",
+            "kappa_ppm")
+    if merged is None or not len(merged) or int(merged["n"].sum()) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64) for c in cols})
+    n = int(merged["n"].sum())
+    n11, n10 = int(merged["n11"].sum()), int(merged["n10"].sum())
+    n01, n00 = int(merged["n01"].sum()), int(merged["n00"].sum())
+    ev = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    po_ppm = (n11 + n00) * 1_000_000 // n
+    pe_ppm = ev * 1_000_000 // (n * n)
+    num = n * (n11 + n00) - ev
+    den = n * n - ev
+    if den == 0:
+        kappa = 0
+    elif num < 0:
+        kappa = -((-num) * 1_000_000 // den)
+    else:
+        kappa = num * 1_000_000 // den
+    return pd.DataFrame({c: pd.Series([v], dtype="int64") for c, v in zip(
+        cols, (n, n11, n10, n01, n00, po_ppm, pe_ppm, kappa))})

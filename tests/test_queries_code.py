@@ -268,3 +268,60 @@ def test_luhn_known_vectors(ray_session):
     assert (df["n_candidates"] <= df["n_docs"]).all()
     # plant rate: exactly the doc_id % 5 == 0 rows carry a candidate
     assert df["n_candidates"].sum() > 0
+
+
+def test_copyright_year_scan_plant(ray_session):
+    from dataquality_ray.pipelines.queries_code import (
+        copyright_year_scan_q,
+    )
+
+    df = copyright_year_scan_q(SF)
+    # headers planted on doc_id % 7 == 0 -> 72 of 500 docs overall
+    assert int(df["n_copyright"].sum()) == 72
+    assert int(df["n_docs"].sum()) == 500
+    has = df[df["n_copyright"] > 0]
+    assert (has["min_year"] >= 2000).all()
+    assert (has["max_year"] <= 2024).all()
+    assert (has["year_span"] == has["max_year"] - has["min_year"]).all()
+
+
+def test_halstead_volume_monotone_in_length(ray_session):
+    import math
+
+    from dataquality_ray.pipelines.queries_code import halstead_metrics_q
+
+    df = halstead_metrics_q(SF)
+    assert (df["length"] == df["n1"] + df["n2"]).all()
+    assert (df["vocabulary"] == df["eta1"] + df["eta2"]).all()
+    # volume recomputes from length and vocabulary exactly
+    for _, r in df.iterrows():
+        v = math.floor(int(r["length"]) * math.log(int(r["vocabulary"]))
+                       / math.log(2) * 1000)
+        assert int(r["volume_milli"]) == v
+    # the 31-token vocab contains 9 operator verbs; every source uses some
+    assert (df["eta1"] > 0).all() and (df["eta2"] > 0).all()
+
+
+def test_docstring_coverage_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_code import docstring_coverage_q
+
+    df = docstring_coverage_q(SF)
+    assert (df["n_documented"] <= df["n_defs"]).all()
+    assert df["coverage_ppm"].between(0, 1_000_000).all()
+    # ~100-token soup over 31 tokens: 'filter' appears in every source
+    assert (df["n_defs"] > 0).all()
+
+
+def test_function_length_partition(ray_session):
+    from dataquality_ray.pipelines.queries_code import (
+        docstring_coverage_q,
+        function_length_profile_q,
+    )
+
+    df = function_length_profile_q(SF)
+    cov = docstring_coverage_q(SF)
+    m = df.merge(cov, on="source")
+    # one function per def token
+    assert (m["n_funcs"] == m["n_defs"]).all()
+    assert (df["max_len"] >= 1).all()
+    assert (df["sum_len"] >= df["n_funcs"]).all()

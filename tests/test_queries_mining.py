@@ -1643,3 +1643,32 @@ def test_split_leakage_detects_planted_dups(ray_session):
     assert int(df["leak_ppm"].iloc[0]) <= 1_000_000
     assert (int(df["n_train_only_rows"].iloc[0])
             + int(df["n_val_only_rows"].iloc[0])) <= 555
+
+
+def test_kruskal_wallis_matches_scipy_shape(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        kruskal_wallis_value_q,
+    )
+
+    df = kruskal_wallis_value_q(SF)
+    assert len(df) == 1
+    assert int(df["k"].iloc[0]) == 5
+    assert int(df["n"].iloc[0]) == 1000
+    # tie-corrected H can only grow: denominator shrinks
+    assert int(df["h_adj_micro"].iloc[0]) >= int(df["h_micro"].iloc[0])
+    # values are uniform across types -> H stays far below ~50
+    assert int(df["h_adj_micro"].iloc[0]) < 50_000_000
+
+
+def test_cohens_kappa_identity_and_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        cohens_kappa_rules_q,
+    )
+
+    df = cohens_kappa_rules_q(SF)
+    r = df.iloc[0]
+    assert int(r["n"]) == int(r["n11"] + r["n10"] + r["n01"] + r["n00"])
+    assert -1_000_000 <= int(r["kappa_ppm"]) <= 1_000_000
+    # independent-ish planted rules: |kappa| well below perfect agreement
+    assert abs(int(r["kappa_ppm"])) < 500_000
+    assert 0 <= int(r["po_ppm"]) <= 1_000_000
