@@ -5408,3 +5408,154 @@ def split_leakage_audit_q(sf_dir: str):
         "leak_ppm": pd.Series(
             [leaked * 1_000_000 // n_texts if n_texts else 0],
             dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance pairs over the token vocabulary
+# ---------------------------------------------------------------------------
+
+@query("token_edit_distance_pairs", sql="""
+WITH v AS (
+  SELECT DISTINCT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+  FROM documents
+), t AS (SELECT tok FROM v WHERE tok <> '')
+SELECT a.tok AS tok_a, b.tok AS tok_b,
+       levenshtein(a.tok, b.tok)::BIGINT AS dist
+FROM t a JOIN t b ON a.tok < b.tok
+WHERE abs(len(a.tok) - len(b.tok)) <= 2
+  AND levenshtein(a.tok, b.tok) <= 2
+ORDER BY tok_a, tok_b
+""")
+def token_edit_distance_pairs_q(sf_dir: str):
+    """Blocked edit-distance self-join over the distinct token
+    vocabulary: candidate pairs are length-blocked (|len(a)-len(b)| <= 2
+    — an edit-distance-2 match cannot differ by more) before the DP runs
+    — the fuzzy-vocabulary/typo-clustering primitive behind spelling
+    normalization.  The distinct universe reduces through the guarded
+    combine; at corpus scale the same length-band key (plus a first-char
+    band) becomes the shuffle key of a blocked join, with each band's
+    all-pairs DP running inside map_groups."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        u = np.unique(flat[flat != ""])
+        return pd.DataFrame({"tok": u})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates("tok")
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: vocab
+    cols = ("tok_a", "tok_b", "dist")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "tok_a": pd.Series([], dtype=object),
+            "tok_b": pd.Series([], dtype=object),
+            "dist": pd.Series([], dtype=np.int64)})
+
+    def lev(a: str, bb: str) -> int:
+        # classic DP, early-bandable; vocab pairs are driver-tiny
+        prev = list(range(len(bb) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(bb, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    toks = sorted(merged["tok"])
+    out = []
+    for i, a in enumerate(toks):
+        for bb in toks[i + 1:]:
+            if abs(len(a) - len(bb)) > 2:
+                continue
+            d = lev(a, bb)
+            if d <= 2:
+                out.append((a, bb, d))
+    f = pd.DataFrame(out, columns=cols)
+    f["dist"] = f["dist"].astype("int64") if len(f) else pd.Series(
+        [], dtype=np.int64)
+    return f.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Flesch-style readability per source (integer chain)
+# ---------------------------------------------------------------------------
+
+@query("readability_flesch", sql="""
+WITH a AS (
+  SELECT source,
+         len(list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> x <> '')) AS w,
+         len(regexp_extract_all(coalesce(text, ''), '[aeiou]+')) AS syl,
+         len(list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> x = 'the')) + 1 AS s
+  FROM documents
+)
+SELECT source, sum(w)::BIGINT AS n_words, sum(s)::BIGINT AS n_sentences,
+       sum(syl)::BIGINT AS n_syllables,
+       (206835 - (1015 * sum(w)) // sum(s)
+        - (84600 * sum(syl)) // sum(w))::BIGINT AS flesch_milli
+FROM a GROUP BY source ORDER BY source
+""")
+def readability_flesch_q(sf_dir: str):
+    """Flesch reading-ease per source with the classic 206.835 -
+    1.015*(words/sentences) - 84.6*(syllables/words) formula evaluated
+    as a floor-milli integer chain (each ratio floors once, identically
+    on both engines).  Syllables are vowel runs (one vectorized RE2
+    count over the raw text — spaces break runs so no per-token work),
+    sentences are 'the' occurrences + 1 per doc; the three per-source
+    counters reduce distributedly."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        txt = pc.coalesce(b["text"], pa.scalar(""))
+        syl = pc.count_substring_regex(txt, "[aeiou]+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(txt, " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        src_rep = np.repeat(np.arange(len(n_per)), n_per)
+        w_per = np.bincount(src_rep, weights=(flat != "").astype(np.int64),
+                            minlength=len(n_per)).astype(np.int64)
+        the_per = np.bincount(
+            src_rep, weights=(flat == "the").astype(np.int64),
+            minlength=len(n_per)).astype(np.int64)
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "w": w_per, "syl": syl, "s": the_per + 1})
+        return f.groupby("source", as_index=False)[["w", "syl", "s"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)[["w", "syl", "s"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text", "source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #sources
+    cols = ("source", "n_words", "n_sentences", "n_syllables",
+            "flesch_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    w = merged["w"].astype("int64")
+    s = merged["s"].astype("int64")
+    syl = merged["syl"].astype("int64")
+    f = pd.DataFrame({
+        "source": merged["source"], "n_words": w, "n_sentences": s,
+        "n_syllables": syl,
+        "flesch_milli": [
+            206835 - (1015 * int(wi)) // int(si)
+            - (84600 * int(yi)) // int(wi)
+            for wi, si, yi in zip(w, s, syl)]})
+    f["flesch_milli"] = f["flesch_milli"].astype("int64")
+    return f.sort_values("source").reset_index(drop=True)
