@@ -7111,3 +7111,90 @@ def cohens_kappa_rules_q(sf_dir: str):
         kappa = num * 1_000_000 // den
     return pd.DataFrame({c: pd.Series([v], dtype="int64") for c, v in zip(
         cols, (n, n11, n10, n01, n00, po_ppm, pe_ppm, kappa))})
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa across three quality rules (multi-rater agreement)
+# ---------------------------------------------------------------------------
+
+@query("fleiss_kappa_rules", sql="""
+WITH r AS (
+  SELECT (CASE WHEN list_contains(string_split(coalesce(text, ''), ' '),
+                                  'the') THEN 1 ELSE 0 END
+        + CASE WHEN n_chars > 300 THEN 1 ELSE 0 END
+        + CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::HUGEINT AS n1
+  FROM documents
+), c AS (
+  SELECT count(*)::HUGEINT AS n, sum(n1) AS a, sum(n1 * n1) AS s FROM r
+), e AS (
+  SELECT n, a,
+         2 * s - 6 * a + 6 * n AS nump,
+         a * a + (3 * n - a) * (3 * n - a) AS nume
+  FROM c
+)
+SELECT n::BIGINT AS n, a::BIGINT AS pos_ratings,
+       (nump * 1000000 // (6 * n))::BIGINT AS po_ppm,
+       (nume * 1000000 // (9 * n * n))::BIGINT AS pe_ppm,
+       (CASE WHEN 9 * n * n - nume = 0 THEN 0
+             WHEN 3 * n * nump - 2 * nume < 0
+               THEN -((2 * nume - 3 * n * nump) * 1000000
+                      // (2 * (9 * n * n - nume)))
+             ELSE (3 * n * nump - 2 * nume) * 1000000
+                  // (2 * (9 * n * n - nume))
+        END)::BIGINT AS kappa_ppm
+FROM e
+""")
+def fleiss_kappa_rules_q(sf_dir: str):
+    """Fleiss' kappa agreement among THREE binary quality raters (rule
+    A: document uses the token 'the'; rule B: n_chars > 300; rule C:
+    lang == 'en') — the multi-rater generalization of
+    cohens_kappa_rules.  With r = 3 raters and 2 categories the whole
+    statistic is a function of three counters (N docs, A = total
+    positive ratings, S = sum of per-doc positive-count squares):
+    per-doc agreement sums to 2S - 6A + 6N over 6N, chance agreement is
+    (A^2 + (3N - A)^2) / 9N^2, and kappa reduces to
+    (3N*nump - 2*nume) / (2*(9N^2 - nume)), evaluated as one exact
+    big-integer chain with the same sign-split floor as the SQL.  The
+    three counters reduce distributedly; nothing else leaves the
+    workers."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ra = pc.match_substring_regex(
+            pc.coalesce(b["text"], pa.scalar("")),
+            r"(?:^| )the(?: |$)").to_numpy(zero_copy_only=False)
+        rb = b["n_chars"].to_numpy(zero_copy_only=False) > 300
+        rc = np.asarray(b["lang"]) == "en"
+        n1 = ra.astype(np.int64) + rb.astype(np.int64) + rc.astype(np.int64)
+        return pd.DataFrame({"n": [len(n1)], "a": [int(n1.sum())],
+                             "s": [int((n1 * n1).sum())]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([f[["n", "a", "s"]].sum(axis=0)])
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text", "lang", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: one row
+    cols = ("n", "pos_ratings", "po_ppm", "pe_ppm", "kappa_ppm")
+    if merged is None or not len(merged) or int(merged["n"].iloc[0]) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    n = int(merged["n"].iloc[0])
+    a = int(merged["a"].iloc[0])
+    s = int(merged["s"].iloc[0])
+    nump = 2 * s - 6 * a + 6 * n
+    nume = a * a + (3 * n - a) * (3 * n - a)
+    den = 2 * (9 * n * n - nume)
+    knum = 3 * n * nump - 2 * nume
+    if den == 0:
+        kappa = 0
+    elif knum < 0:
+        kappa = -((-knum) * 1_000_000 // den)
+    else:
+        kappa = knum * 1_000_000 // den
+    return pd.DataFrame({
+        "n": [np.int64(n)], "pos_ratings": [np.int64(a)],
+        "po_ppm": [np.int64(nump * 1_000_000 // (6 * n))],
+        "pe_ppm": [np.int64(nume * 1_000_000 // (9 * n * n))],
+        "kappa_ppm": [np.int64(kappa)]})

@@ -5559,3 +5559,222 @@ def readability_flesch_q(sf_dir: str):
             for wi, si, yi in zip(w, s, syl)]})
     f["flesch_milli"] = f["flesch_milli"].astype("int64")
     return f.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 of a length-based ranking, per source (harmonic discount)
+# ---------------------------------------------------------------------------
+
+# Cumulative ideal gain H(k) = sum_{i=1..k} 1e6 // i (harmonic discount,
+# per-term ppm floor) — 11 values, shared by the engine and the SQL CASE.
+_NDCG_H = [0, 1000000, 1500000, 1833333, 2083333, 2283333,
+           2449999, 2592856, 2717856, 2828967, 2928967]
+
+
+@query("ndcg_source_ranking", sql="""
+WITH r AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+), g AS (
+  SELECT source,
+         sum(CASE WHEN rk <= 10 THEN rel * (1000000 // rk)
+                  ELSE 0 END)::BIGINT AS dcg,
+         sum(rel)::BIGINT AS n_pos
+  FROM r GROUP BY source
+)
+SELECT source, n_pos, dcg,
+       (CASE WHEN n_pos = 0 THEN 0 ELSE
+         dcg * 1000000 // (CASE least(n_pos, 10)
+            WHEN 1 THEN 1000000 WHEN 2 THEN 1500000 WHEN 3 THEN 1833333
+            WHEN 4 THEN 2083333 WHEN 5 THEN 2283333 WHEN 6 THEN 2449999
+            WHEN 7 THEN 2592856 WHEN 8 THEN 2717856 WHEN 9 THEN 2828967
+            ELSE 2928967 END)
+       END)::BIGINT AS ndcg_ppm
+FROM g ORDER BY source
+""")
+def ndcg_source_ranking_q(sf_dir: str):
+    """NDCG@10 of the 'longer is better' ranking heuristic per source,
+    with relevance = (lang == 'en') and a harmonic rank discount whose
+    per-term gain floors once to ppm (rel * 1e6 // rank) so the whole
+    chain is integer-exact.  The distributed shape is local-top-k +
+    merge: each batch keeps its own per-source top-10 (by n_chars desc,
+    doc_id asc) plus a per-source positive count; the fold re-ranks the
+    union and keeps 10 — only O(sources * 10) rows ever reach the
+    driver, never the corpus.  The ideal gain is a closed-form 11-entry
+    table shared with the SQL CASE."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    COLS = ["source", "n_chars", "doc_id", "rel", "npos", "kind"]
+
+    def _top(f: pd.DataFrame) -> pd.DataFrame:
+        return (f.sort_values(["source", "n_chars", "doc_id"],
+                              ascending=[True, False, True])
+                 .groupby("source", sort=False).head(10))
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "source": b["source"].to_pylist(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False),
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            "rel": (np.asarray(b["lang"]) == "en").astype(np.int64)})
+        cand = _top(f).assign(npos=0, kind=0)
+        cnt = (f.groupby("source", as_index=False)["rel"].sum()
+                .rename(columns={"rel": "npos"})
+                .assign(n_chars=0, doc_id=-1, rel=0, kind=1))
+        return pd.concat([cand[COLS], cnt[COLS]], ignore_index=True)
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        cand = _top(f[f["kind"] == 0])
+        cnt = (f[f["kind"] == 1]
+               .groupby("source", as_index=False)["npos"].sum()
+               .assign(n_chars=0, doc_id=-1, rel=0, kind=1))
+        return pd.concat([cand[COLS], cnt[COLS]], ignore_index=True)
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: O(sources * 11) after every fold
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64)
+               for c in ("n_pos", "dcg", "ndcg_ppm")}})
+    cand = _top(merged[merged["kind"] == 0]).copy()
+    cand["rk"] = cand.groupby("source", sort=False).cumcount() + 1
+    cand["g"] = cand["rel"].astype("int64") * (1_000_000 // cand["rk"])
+    dcg = cand.groupby("source")["g"].sum()
+    npos = (merged[merged["kind"] == 1]
+            .groupby("source")["npos"].sum())
+    f = pd.DataFrame({"dcg": dcg, "n_pos": npos}).reset_index()
+    f["ndcg_ppm"] = [
+        0 if p == 0 else int(d) * 1_000_000 // _NDCG_H[min(int(p), 10)]
+        for d, p in zip(f["dcg"], f["n_pos"])]
+    f = f[["source", "n_pos", "dcg", "ndcg_ppm"]]
+    for c in ("n_pos", "dcg", "ndcg_ppm"):
+        f[c] = f[c].astype("int64")
+    return f.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Brier score of a naive length-based probability forecast, per source
+# ---------------------------------------------------------------------------
+
+@query("brier_score_by_source", sql="""
+WITH b AS (
+  SELECT source,
+         least(n_chars, 2000) * 1000 // 2000 AS p,
+         CASE WHEN lang = 'en' THEN 1000 ELSE 0 END AS y
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n,
+       sum((p - y) * (p - y))::BIGINT AS sum_sq,
+       (sum((p - y) * (p - y)) // count(*))::BIGINT AS brier_micro
+FROM b GROUP BY source ORDER BY source
+""")
+def brier_score_by_source_q(sf_dir: str):
+    """Brier score (mean squared error of a probability forecast) of
+    the naive calibration 'p = min(n_chars, 2000) / 2000' against the
+    label lang == 'en', per source — the scoring-rule companion to
+    score_calibration_bins.  Forecast and label live on a milli grid
+    (0..1000) so the squared error is an exact integer <= 1e6 per row;
+    per-source (n, sum_sq) partials reduce distributedly and stay
+    int64-safe to ~9e12 rows.  brier_micro = sum_sq // n is the mean
+    squared error in micro units (milli^2)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        n_chars = b["n_chars"].to_numpy(zero_copy_only=False)
+        p = np.minimum(n_chars, 2000) * 1000 // 2000
+        y = (np.asarray(b["lang"]) == "en").astype(np.int64) * 1000
+        sq = (p - y) ** 2
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "n": np.ones(len(sq), dtype=np.int64),
+                          "sum_sq": sq})
+        return f.groupby("source", as_index=False)[["n", "sum_sq"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)[["n", "sum_sq"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #sources
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64)
+               for c in ("n", "sum_sq", "brier_micro")}})
+    f = merged.copy()
+    f["brier_micro"] = f["sum_sq"].astype("int64") // f["n"].astype("int64")
+    for c in ("n", "sum_sq", "brier_micro"):
+        f[c] = f[c].astype("int64")
+    return f.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe dispersion ingredients: absolute deviation from the
+# per-source lower median
+# ---------------------------------------------------------------------------
+
+@query("absdev_dispersion_by_source", sql="""
+WITH m AS (
+  SELECT source, quantile_disc(n_chars, 0.5)::BIGINT AS med
+  FROM documents GROUP BY source
+)
+SELECT d.source, count(*)::BIGINT AS n,
+       any_value(m.med)::BIGINT AS median,
+       sum(abs(d.n_chars - m.med))::BIGINT AS sum_absdev,
+       (sum(abs(d.n_chars - m.med)) * 1000 // count(*))::BIGINT
+         AS mean_absdev_milli
+FROM documents d JOIN m ON d.source = m.source
+GROUP BY d.source ORDER BY d.source
+""")
+def absdev_dispersion_by_source_q(sf_dir: str):
+    """Brown-Forsythe variance-equality ingredients per source: the
+    discrete (lower) median of n_chars and the total/mean absolute
+    deviation around it — the robust dispersion profile that feeds a
+    Levene-style spread test without assuming normality.  One pass
+    builds per-(source, value) histograms (value-bounded by the
+    document length range) through the guarded combine; median and
+    deviations then come exactly from the histogram, never a second
+    data pass.  The lower-median convention (first value whose
+    cumulative count reaches ceil(n/2)) matches DuckDB's
+    quantile_disc(0.5)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "source": b["source"].to_pylist(),
+            "v": b["n_chars"].to_numpy(zero_copy_only=False)})
+        return (f.groupby(["source", "v"], sort=False).size()
+                 .rename("c").reset_index())
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return (f.groupby(["source", "v"], sort=False, as_index=False)["c"]
+                 .sum())
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # value-bounded: sources x distinct lengths
+    cols = ("n", "median", "sum_absdev", "mean_absdev_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols}})
+    rows = []
+    for src, g in merged.groupby("source"):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        med = int(v[np.searchsorted(np.cumsum(c), (n + 1) // 2)])
+        sad = int((c * np.abs(v - med)).sum())
+        rows.append((src, n, med, sad, sad * 1000 // n))
+    f = pd.DataFrame(rows, columns=["source", *cols])
+    for c2 in cols:
+        f[c2] = f[c2].astype("int64")
+    return f.sort_values("source").reset_index(drop=True)

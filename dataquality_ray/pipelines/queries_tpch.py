@@ -7600,3 +7600,111 @@ def sprt_conversion_monitor_q(sf_dir: str):
     for c in cols[:4]:
         f[c] = f[c].astype("int64")
     return f.sort_values("arm").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Market-basket brand pairs: brands co-purchased within one order
+# ---------------------------------------------------------------------------
+
+@query("order_brand_basket_pairs", sql="""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       count(*)::BIGINT AS n_orders
+FROM ob a JOIN ob b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def order_brand_basket_pairs_q(sf_dir: str):
+    """Market-basket pair mining over orders: for every unordered brand
+    pair, the number of orders containing BOTH brands — the support
+    table behind association rules at the basket (order) granularity.
+    Scale shape: brand resolves via the part dim broadcast and becomes a
+    BIT in a per-order brand bitmask (brand universe is small and known
+    up front), so the per-order reduction is an integer OR — vectorized
+    with np.bitwise_or.reduceat per batch, reduced across batches by the
+    guarded combine keyed on orderkey with an automatic
+    groupby(map_groups) twin past the cap (orderkeys are unbounded).
+    Pair expansion then runs over DISTINCT masks only (np.unique), never
+    per order, and the final brand-pair counts are a C(brands, 2)-
+    bounded universe."""
+    from itertools import combinations
+
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+    from dataquality_ray.stages.joins import broadcast_join
+
+    dim = (_read(sf_dir, "part", ["p_partkey", "p_brand"])
+           .to_pandas().rename(columns={"p_partkey": "l_partkey"}))
+    brands = sorted(dim["p_brand"].unique())
+    bit = {b: i for i, b in enumerate(brands)}
+    joined = broadcast_join(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_orderkey"]), dim,
+        on="l_partkey", value_cols=["p_brand"], join_type="inner")
+
+    def _or_by_key(k: np.ndarray, m: np.ndarray) -> pd.DataFrame:
+        order = np.argsort(k, kind="mergesort")
+        k, m = k[order], m[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        return pd.DataFrame({"l_orderkey": k[starts],
+                             "mask": np.bitwise_or.reduceat(m, starts)})
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["l_orderkey"].to_numpy(np.int64)
+        m = (np.int64(1) << b["p_brand"].map(bit).to_numpy(np.int64))
+        return _or_by_key(k, m)
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return _or_by_key(f["l_orderkey"].to_numpy(np.int64),
+                          f["mask"].to_numpy(np.int64))
+
+    def _pair_counts(masks: np.ndarray,
+                     weights: np.ndarray) -> pd.DataFrame:
+        um, inv = np.unique(masks, return_inverse=True)
+        uc = np.bincount(inv, weights=weights).astype(np.int64)
+        acc: dict[tuple, int] = {}
+        for mask, c in zip(um.tolist(), uc.tolist()):
+            bits = [i for i in range(len(brands)) if mask >> i & 1]
+            for a, b2 in combinations(bits, 2):
+                acc[(a, b2)] = acc.get((a, b2), 0) + c
+        ks = list(acc)
+        return pd.DataFrame({
+            "brand_a": [brands[k[0]] for k in ks],
+            "brand_b": [brands[k[1]] for k in ks],
+            "n_orders": pd.Series(list(acc.values()), dtype=np.int64)})
+
+    merged, twin = combine_or_groupby_twin(
+        "order_brand_basket_pairs",
+        joined.select_columns(["l_orderkey", "p_brand"])
+              .map_batches(part, batch_format="pandas"),
+        fold, 2_000_000, ["l_orderkey"])
+    if twin is None:
+        if merged is None or not len(merged):
+            return pd.DataFrame({
+                "brand_a": pd.Series([], dtype=object),
+                "brand_b": pd.Series([], dtype=object),
+                "n_orders": pd.Series([], dtype=np.int64)})
+        f = _pair_counts(merged["mask"].to_numpy(np.int64),
+                         np.ones(len(merged), dtype=np.int64))
+    else:
+        def cnt(b: pd.DataFrame) -> pd.DataFrame:
+            return _pair_counts(b["mask"].to_numpy(np.int64),
+                                np.ones(len(b), dtype=np.int64))
+
+        def foldc(f2: pd.DataFrame) -> pd.DataFrame:
+            return (f2.groupby(["brand_a", "brand_b"], sort=False,
+                               as_index=False)["n_orders"].sum())
+
+        f, ok = guarded_partials(
+            twin.map_batches(cnt, batch_format="pandas"), foldc,
+            2_000_000)
+        assert ok  # bounded: brand-pair universe (C(brands, 2))
+        if f is None or not len(f):
+            return pd.DataFrame({
+                "brand_a": pd.Series([], dtype=object),
+                "brand_b": pd.Series([], dtype=object),
+                "n_orders": pd.Series([], dtype=np.int64)})
+    f["n_orders"] = f["n_orders"].astype("int64")
+    return f.sort_values(["brand_a", "brand_b"]).reset_index(drop=True)

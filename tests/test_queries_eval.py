@@ -1,0 +1,141 @@
+"""Semantic checks for the evaluation-metric / agreement / basket batch
+(ndcg_source_ranking, brier_score_by_source, absdev_dispersion_by_source,
+fleiss_kappa_rules, order_brand_basket_pairs)."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ndcg_bounds_and_ideal_table(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        _NDCG_H,
+        ndcg_source_ranking_q,
+    )
+
+    # the shared ideal-gain table is the cumulative harmonic ppm series
+    acc = 0
+    for i in range(1, 11):
+        acc += 1_000_000 // i
+        assert _NDCG_H[i] == acc
+
+    df = ndcg_source_ranking_q(SF)
+    assert len(df) > 0
+    assert (df["ndcg_ppm"] >= 0).all() and (df["ndcg_ppm"] <= 1_000_000).all()
+    # dcg can never exceed the ideal for the same positive count
+    ideal = df["n_pos"].clip(upper=10).map(lambda p: _NDCG_H[int(p)])
+    assert (df["dcg"] <= ideal).all()
+    # a source whose top-10 is all-relevant scores exactly 1e6 iff
+    # n_pos >= 10 and dcg == H(10)
+    full = df[(df["n_pos"] >= 10) & (df["dcg"] == _NDCG_H[10])]
+    assert (full["ndcg_ppm"] == 1_000_000).all()
+
+
+def test_brier_matches_pandas_oracle(ray_session):
+    from dataquality_ray.pipelines.queries_text import brier_score_by_source_q
+
+    df = brier_score_by_source_q(SF)
+    raw = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["source", "lang", "n_chars"])
+    p = np.minimum(raw["n_chars"].to_numpy(), 2000) * 1000 // 2000
+    y = (raw["lang"].to_numpy() == "en").astype(np.int64) * 1000
+    raw = raw.assign(sq=(p - y) ** 2)
+    want = raw.groupby("source")["sq"].agg(["count", "sum"])
+    got = df.set_index("source")
+    assert (got["n"] == want["count"]).all()
+    assert (got["sum_sq"] == want["sum"]).all()
+    assert (got["brier_micro"] == want["sum"] // want["count"]).all()
+    # milli^2 grid: mean squared error can never exceed 1000^2
+    assert (df["brier_micro"] <= 1_000_000).all()
+
+
+def test_absdev_median_is_lower_median(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        absdev_dispersion_by_source_q,
+    )
+
+    df = absdev_dispersion_by_source_q(SF)
+    raw = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["source", "n_chars"])
+    for _, row in df.iterrows():
+        vals = np.sort(raw.loc[raw["source"] == row["source"],
+                               "n_chars"].to_numpy())
+        n = len(vals)
+        assert row["n"] == n
+        assert row["median"] == vals[(n + 1) // 2 - 1]  # lower median
+        sad = int(np.abs(vals - row["median"]).sum())
+        assert row["sum_absdev"] == sad
+        assert row["mean_absdev_milli"] == sad * 1000 // n
+
+
+def test_fleiss_kappa_identities(ray_session):
+    from dataquality_ray.pipelines.queries_mining import fleiss_kappa_rules_q
+
+    df = fleiss_kappa_rules_q(SF)
+    assert len(df) == 1
+    n = int(df["n"].iloc[0])
+    a = int(df["pos_ratings"].iloc[0])
+    assert 0 <= a <= 3 * n
+    # po and pe are probabilities on the ppm grid
+    assert 0 <= df["po_ppm"].iloc[0] <= 1_000_000
+    assert 0 <= df["pe_ppm"].iloc[0] <= 1_000_000
+    # kappa <= 1 always; perfect agreement would need po == 1
+    assert df["kappa_ppm"].iloc[0] <= 1_000_000
+
+
+def test_fleiss_kappa_degenerate_cases():
+    # all three raters always agree (every doc rated 3) -> po = 1,
+    # kappa formula: nump = 6N, nume = 9N^2 -> den = 0 -> defined as 0
+    n, a, s = 5, 15, 45
+    nump = 2 * s - 6 * a + 6 * n
+    nume = a * a + (3 * n - a) * (3 * n - a)
+    assert nump == 6 * n and nume == 9 * n * n
+    # split ratings (a = 3N/2 with maximal disagreement) gives kappa < 0:
+    # N=2 docs, one doc 1 positive, other 2 positives -> a=3, s=5
+    n, a, s = 2, 3, 5
+    nump = 2 * s - 6 * a + 6 * n  # 4
+    nume = a * a + (3 * n - a) * (3 * n - a)  # 18
+    knum = 3 * n * nump - 2 * nume  # 24 - 36 = -12
+    assert knum < 0
+
+
+def test_basket_pairs_match_pandas_and_twin_route(ray_session, monkeypatch):
+    from itertools import combinations
+
+    import dataquality_ray.stages.autoroute as ar
+    from dataquality_ray.pipelines.queries_tpch import (
+        order_brand_basket_pairs_q,
+    )
+
+    got = order_brand_basket_pairs_q(SF)
+    assert ar.last_route("order_brand_basket_pairs")["chosen"] == "combine"
+
+    line = pd.read_parquet(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"])
+    part = pd.read_parquet(f"{SF}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    j = line.merge(part, left_on="l_partkey", right_on="p_partkey")
+    acc = {}
+    for _, g in j.groupby("l_orderkey"):
+        for a, b in combinations(sorted(g["p_brand"].unique()), 2):
+            acc[(a, b)] = acc.get((a, b), 0) + 1
+    want = (pd.DataFrame(
+        [(a, b, c) for (a, b), c in acc.items()],
+        columns=["brand_a", "brand_b", "n_orders"])
+        .sort_values(["brand_a", "brand_b"]).reset_index(drop=True))
+    want["n_orders"] = want["n_orders"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+    # force the per-orderkey combine past a tiny cap: the groupby twin
+    # must produce the identical pair table
+    orig = ar.combine_or_groupby_twin
+
+    def tiny_cap(op, ds, fold, cap, keys, **kw):
+        return orig(op, ds, fold, 10, keys, **kw)
+
+    monkeypatch.setattr(ar, "combine_or_groupby_twin", tiny_cap)
+    routed = order_brand_basket_pairs_q(SF)
+    assert ar.last_route("order_brand_basket_pairs")["chosen"] == \
+        "groupby_twin"
+    pd.testing.assert_frame_equal(routed, want)
