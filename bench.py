@@ -304,6 +304,14 @@ def run_suite() -> dict:
                  "graph_percolation_curve", "nelson_aalen_hazard",
                  "epsilon_greedy_replay", "friedman_seasonality",
                  "effective_corpus_size", "split_leakage_audit",
+                 "copyright_year_scan", "docstring_coverage",
+                 "function_length_profile", "halstead_metrics",
+                 "kruskal_wallis_value", "cohens_kappa_rules",
+                 "readability_flesch", "token_edit_distance_pairs",
+                 "ndcg_source_ranking", "brier_score_by_source",
+                 "absdev_dispersion_by_source", "fleiss_kappa_rules",
+                 "order_brand_basket_pairs", "mase_weekly_naive",
+                 "cochran_q_rules", "mcnemar_rules", "cmh_pooled_odds",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -7198,3 +7198,277 @@ def fleiss_kappa_rules_q(sf_dir: str):
         "po_ppm": [np.int64(nump * 1_000_000 // (6 * n))],
         "pe_ppm": [np.int64(nume * 1_000_000 // (9 * n * n))],
         "kappa_ppm": [np.int64(kappa)]})
+
+
+# ---------------------------------------------------------------------------
+# MASE: weekly-naive forecast error on daily event volume
+# ---------------------------------------------------------------------------
+
+@query("mase_weekly_naive", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::HUGEINT AS n
+  FROM events GROUP BY 1
+), s AS (
+  SELECT n,
+         lag(n, 7) OVER (ORDER BY day_idx) AS n7,
+         lag(n, 1) OVER (ORDER BY day_idx) AS n1
+  FROM d
+), e AS (
+  SELECT count(*)::HUGEINT AS t,
+         sum(CASE WHEN n7 IS NULL THEN 0 ELSE abs(n - n7) END) AS e7,
+         sum(CASE WHEN n1 IS NULL THEN 0 ELSE abs(n - n1) END) AS e1
+  FROM s
+)
+SELECT t::BIGINT AS n_days, e7::BIGINT AS abs_err_naive7,
+       e1::BIGINT AS abs_err_naive1,
+       (CASE WHEN e1 = 0 OR t <= 7 THEN 0
+             ELSE (e7 * (t - 1) * 1000000) // (e1 * (t - 7))
+        END)::BIGINT AS mase_ppm
+FROM e
+""")
+def mase_weekly_naive_q(sf_dir: str):
+    """MASE (mean absolute scaled error) of the seasonal-naive weekly
+    forecast on daily event volume: how much better 'same day last
+    week' predicts volume than 'same as yesterday' — the
+    scale-free seasonality-strength check that pairs with
+    weekday_seasonality.  Lags are positional over the observed day
+    axis (matching SQL's lag over ORDER BY day_idx).  Daily counts
+    reduce distributedly through the day-bounded combine; the two
+    absolute-error sums and the ppm ratio (mean scaling folded in as
+    exact integer cross-multiplication) are a driver pass over the tiny
+    day axis."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        s = pd.Series(day.to_pandas()).value_counts()
+        return pd.DataFrame({"day_idx": s.index.to_numpy(np.int64),
+                             "n": s.to_numpy(np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #days
+    cols = ("n_days", "abs_err_naive7", "abs_err_naive1", "mase_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    n = (merged.sort_values("day_idx")["n"].to_numpy(np.int64))
+    t = len(n)
+    e7 = int(np.abs(n[7:] - n[:-7]).sum()) if t > 7 else 0
+    e1 = int(np.abs(n[1:] - n[:-1]).sum()) if t > 1 else 0
+    mase = 0 if (e1 == 0 or t <= 7) else (e7 * (t - 1) * 1_000_000
+                                          ) // (e1 * (t - 7))
+    return pd.DataFrame({"n_days": [np.int64(t)],
+                         "abs_err_naive7": [np.int64(e7)],
+                         "abs_err_naive1": [np.int64(e1)],
+                         "mase_ppm": [np.int64(mase)]})
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q test across the three binary quality rules
+# ---------------------------------------------------------------------------
+
+@query("cochran_q_rules", sql="""
+WITH r AS (
+  SELECT CASE WHEN list_contains(string_split(coalesce(text, ''), ' '),
+                                 'the') THEN 1 ELSE 0 END::HUGEINT AS ra,
+         CASE WHEN n_chars > 300 THEN 1 ELSE 0 END::HUGEINT AS rb,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END::HUGEINT AS rc
+  FROM documents
+), c AS (
+  SELECT count(*)::HUGEINT AS n, sum(ra) AS a1, sum(rb) AS a2,
+         sum(rc) AS a3, sum(ra + rb + rc) AS t,
+         sum((ra + rb + rc) * (ra + rb + rc)) AS s
+  FROM r
+)
+SELECT n::BIGINT AS n, a1::BIGINT AS pos_a, a2::BIGINT AS pos_b,
+       a3::BIGINT AS pos_c,
+       (CASE WHEN 3 * t - s = 0 THEN 0
+             ELSE (2 * (3 * (a1 * a1 + a2 * a2 + a3 * a3) - t * t)
+                   * 1000) // (3 * t - s)
+        END)::BIGINT AS q_milli
+FROM c
+""")
+def cochran_q_rules_q(sf_dir: str):
+    """Cochran's Q test: do the three binary quality raters of
+    fleiss_kappa_rules (token 'the' / n_chars > 300 / lang == 'en')
+    flag at the SAME rate?  Q = (k-1)(k*sum(G_j^2) - T^2) /
+    (k*T - sum(L_i^2)) with k = 3 raters, G_j the per-rater positive
+    totals and L_i the per-doc positive counts — entirely a function of
+    five integer counters that reduce distributedly, evaluated as one
+    exact big-int chain (q_milli floors once).  Under H0 Q ~ chi^2 with
+    2 df, so q_milli >> 5991 rejects equal flag rates."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ra = pc.match_substring_regex(
+            pc.coalesce(b["text"], pa.scalar("")),
+            r"(?:^| )the(?: |$)").to_numpy(zero_copy_only=False)
+        rb = b["n_chars"].to_numpy(zero_copy_only=False) > 300
+        rc = np.asarray(b["lang"]) == "en"
+        li = (ra.astype(np.int64) + rb.astype(np.int64)
+              + rc.astype(np.int64))
+        return pd.DataFrame({
+            "n": [len(li)], "a1": [int(ra.sum())], "a2": [int(rb.sum())],
+            "a3": [int(rc.sum())], "t": [int(li.sum())],
+            "s": [int((li * li).sum())]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([f[["n", "a1", "a2", "a3", "t", "s"]]
+                             .sum(axis=0)])
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text", "lang", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: one row
+    cols = ("n", "pos_a", "pos_b", "pos_c", "q_milli")
+    if merged is None or not len(merged) or int(merged["n"].iloc[0]) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    n, a1, a2, a3, t, s = (int(merged[c].iloc[0])
+                           for c in ("n", "a1", "a2", "a3", "t", "s"))
+    den = 3 * t - s
+    q = 0 if den == 0 else (2 * (3 * (a1 * a1 + a2 * a2 + a3 * a3)
+                                 - t * t) * 1000) // den
+    return pd.DataFrame({"n": [np.int64(n)], "pos_a": [np.int64(a1)],
+                         "pos_b": [np.int64(a2)],
+                         "pos_c": [np.int64(a3)],
+                         "q_milli": [np.int64(q)]})
+
+
+# ---------------------------------------------------------------------------
+# McNemar test between two quality rules (paired disagreement)
+# ---------------------------------------------------------------------------
+
+@query("mcnemar_rules", sql="""
+WITH r AS (
+  SELECT list_contains(string_split(coalesce(text, ''), ' '), 'the')
+           AS rule_a,
+         lang = 'en' AS rule_c
+  FROM documents
+), c AS (
+  SELECT sum(CASE WHEN rule_a AND NOT rule_c THEN 1 ELSE 0 END)::HUGEINT
+           AS n10,
+         sum(CASE WHEN NOT rule_a AND rule_c THEN 1 ELSE 0 END)::HUGEINT
+           AS n01
+  FROM r
+)
+SELECT n10::BIGINT AS n10, n01::BIGINT AS n01,
+       (CASE WHEN n10 + n01 = 0 THEN 0
+             ELSE ((n10 - n01) * (n10 - n01) * 1000) // (n10 + n01)
+        END)::BIGINT AS chi2_milli
+FROM c
+""")
+def mcnemar_rules_q(sf_dir: str):
+    """McNemar's paired test on the two discordant cells of rule A
+    (document uses the token 'the') vs rule C (lang == 'en'): is one
+    rule systematically stricter than the other?  chi2 =
+    (n10 - n01)^2 / (n10 + n01) on the milli grid — the marginal-
+    homogeneity companion to cohens_kappa_rules (which scores
+    agreement, not direction).  Two counters reduce distributedly;
+    the squared term keeps the chain sign-free."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ra = pc.match_substring_regex(
+            pc.coalesce(b["text"], pa.scalar("")),
+            r"(?:^| )the(?: |$)").to_numpy(zero_copy_only=False)
+        rc = np.asarray(b["lang"]) == "en"
+        return pd.DataFrame({"n10": [int(np.sum(ra & ~rc))],
+                             "n01": [int(np.sum(~ra & rc))]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([f[["n10", "n01"]].sum(axis=0)])
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text", "lang"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: one row
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("n10", "n01", "chi2_milli")})
+    n10 = int(merged["n10"].iloc[0])
+    n01 = int(merged["n01"].iloc[0])
+    chi2 = 0 if n10 + n01 == 0 else ((n10 - n01) * (n10 - n01) * 1000
+                                     ) // (n10 + n01)
+    return pd.DataFrame({"n10": [np.int64(n10)], "n01": [np.int64(n01)],
+                         "chi2_milli": [np.int64(chi2)]})
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel pooled odds ratio across source strata
+# ---------------------------------------------------------------------------
+
+@query("cmh_pooled_odds", sql="""
+WITH s AS (
+  SELECT source,
+         sum(CASE WHEN n_chars > 300 AND lang = 'en'
+                  THEN 1 ELSE 0 END)::HUGEINT AS a,
+         sum(CASE WHEN n_chars > 300 AND lang <> 'en'
+                  THEN 1 ELSE 0 END)::HUGEINT AS b,
+         sum(CASE WHEN n_chars <= 300 AND lang = 'en'
+                  THEN 1 ELSE 0 END)::HUGEINT AS c,
+         sum(CASE WHEN n_chars <= 300 AND lang <> 'en'
+                  THEN 1 ELSE 0 END)::HUGEINT AS d
+  FROM documents GROUP BY source
+), m AS (
+  SELECT count(*)::BIGINT AS n_strata,
+         sum(a * d * 1000000 // (a + b + c + d))::HUGEINT AS num,
+         sum(b * c * 1000000 // (a + b + c + d))::HUGEINT AS den
+  FROM s
+)
+SELECT n_strata, num::BIGINT AS mh_num_ppm, den::BIGINT AS mh_den_ppm,
+       (CASE WHEN den = 0 THEN 0 ELSE num * 1000000 // den END)::BIGINT
+         AS or_mh_ppm
+FROM m
+""")
+def cmh_pooled_odds_q(sf_dir: str):
+    """Cochran-Mantel-Haenszel pooled odds ratio of the length rule
+    (n_chars > 300) vs the label (lang == 'en'), STRATIFIED by source —
+    the confounding-aware companion to simpson_paradox_audit: the MH
+    estimator pools per-stratum odds without letting source mix ratios
+    masquerade as association.  Each stratum's a*d/n and b*c/n terms
+    floor once to ppm (identical on both engines), so the whole
+    estimator is an exact integer chain over per-source 2x2 cells that
+    reduce distributedly."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(bt: pa.Table) -> pd.DataFrame:
+        long = bt["n_chars"].to_numpy(zero_copy_only=False) > 300
+        en = np.asarray(bt["lang"]) == "en"
+        f = pd.DataFrame({"source": bt["source"].to_pylist(),
+                          "a": (long & en).astype(np.int64),
+                          "b": (long & ~en).astype(np.int64),
+                          "c": (~long & en).astype(np.int64),
+                          "d": (~long & ~en).astype(np.int64)})
+        return f.groupby("source", as_index=False)[
+            ["a", "b", "c", "d"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)[
+            ["a", "b", "c", "d"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #sources
+    cols = ("n_strata", "mh_num_ppm", "mh_den_ppm", "or_mh_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    num = den = 0
+    for _, r in merged.iterrows():
+        a, b, c, d = (int(r[k]) for k in ("a", "b", "c", "d"))
+        n = a + b + c + d
+        if n:
+            num += a * d * 1_000_000 // n
+            den += b * c * 1_000_000 // n
+    or_ppm = 0 if den == 0 else num * 1_000_000 // den
+    return pd.DataFrame({"n_strata": [np.int64(len(merged))],
+                         "mh_num_ppm": [np.int64(num)],
+                         "mh_den_ppm": [np.int64(den)],
+                         "or_mh_ppm": [np.int64(or_ppm)]})

@@ -139,3 +139,74 @@ def test_basket_pairs_match_pandas_and_twin_route(ray_session, monkeypatch):
     assert ar.last_route("order_brand_basket_pairs")["chosen"] == \
         "groupby_twin"
     pd.testing.assert_frame_equal(routed, want)
+
+
+def test_mase_identities(ray_session):
+    from dataquality_ray.pipelines.queries_mining import mase_weekly_naive_q
+
+    df = mase_weekly_naive_q(SF)
+    assert len(df) == 1
+    t = int(df["n_days"].iloc[0])
+    e7, e1 = int(df["abs_err_naive7"].iloc[0]), \
+        int(df["abs_err_naive1"].iloc[0])
+    assert t > 7 and e1 > 0
+    # replay the ratio from the emitted sums
+    assert df["mase_ppm"].iloc[0] == (e7 * (t - 1) * 1_000_000
+                                      ) // (e1 * (t - 7))
+    # pandas replay of the error sums from raw daily counts
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    day = (ev["ts"].astype("int64") // 86_400_000_000)
+    n = day.value_counts().sort_index().to_numpy()
+    assert e7 == int(np.abs(n[7:] - n[:-7]).sum())
+    assert e1 == int(np.abs(n[1:] - n[:-1]).sum())
+
+
+def test_cochran_q_nonnegative_and_counts(ray_session):
+    from dataquality_ray.pipelines.queries_mining import cochran_q_rules_q
+
+    df = cochran_q_rules_q(SF)
+    assert len(df) == 1 and df["q_milli"].iloc[0] >= 0
+    raw = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["lang", "n_chars"])
+    assert df["pos_b"].iloc[0] == int((raw["n_chars"] > 300).sum())
+    assert df["pos_c"].iloc[0] == int((raw["lang"] == "en").sum())
+
+
+def test_mcnemar_counts(ray_session):
+    from dataquality_ray.pipelines.queries_mining import mcnemar_rules_q
+
+    df = mcnemar_rules_q(SF)
+    raw = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["text", "lang"])
+    ra = raw["text"].fillna("").map(
+        lambda t: "the" in t.split())
+    rc = raw["lang"] == "en"
+    assert df["n10"].iloc[0] == int((ra & ~rc).sum())
+    assert df["n01"].iloc[0] == int((~ra & rc).sum())
+    n10, n01 = int(df["n10"].iloc[0]), int(df["n01"].iloc[0])
+    assert df["chi2_milli"].iloc[0] == \
+        ((n10 - n01) ** 2 * 1000) // (n10 + n01)
+
+
+def test_cmh_pooled_odds_identity(ray_session):
+    from dataquality_ray.pipelines.queries_mining import cmh_pooled_odds_q
+
+    df = cmh_pooled_odds_q(SF)
+    assert len(df) == 1
+    num, den = int(df["mh_num_ppm"].iloc[0]), int(df["mh_den_ppm"].iloc[0])
+    assert df["or_mh_ppm"].iloc[0] == (0 if den == 0
+                                       else num * 1_000_000 // den)
+    # pandas replay of the per-stratum floored terms
+    raw = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["source", "lang", "n_chars"])
+    n2, d2 = 0, 0
+    for _, g in raw.groupby("source"):
+        long = g["n_chars"] > 300
+        en = g["lang"] == "en"
+        a, b = int((long & en).sum()), int((long & ~en).sum())
+        c, d = int((~long & en).sum()), int((~long & ~en).sum())
+        n = a + b + c + d
+        if n:
+            n2 += a * d * 1_000_000 // n
+            d2 += b * c * 1_000_000 // n
+    assert (num, den) == (n2, d2)
