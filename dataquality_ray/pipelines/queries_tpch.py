@@ -2149,9 +2149,12 @@ def distinct_suppliers_per_brand_q(sf_dir: str):
     """Exact COUNT(DISTINCT) per group: brand resolved by broadcast lookup
     (part is the dim side), then ONE guarded combine carries both the
     deduplicated (brand, suppkey) pair set AND the plain item counts —
-    `hll_group_distinct` is the registered approximate twin past the cap."""
+    past the cap the combine re-routes to an exact groupby twin over the
+    pair keyspace (`hll_group_distinct` stays the approximate sketch
+    alternative)."""
     from dataquality_ray.stages.autoroute import (
         DRIVER_COMBINE_CAP,
+        combine_or_groupby_twin,
         guarded_partials,
     )
     from dataquality_ray.stages.joins import broadcast_join
@@ -2171,14 +2174,34 @@ def distinct_suppliers_per_brand_q(sf_dir: str):
         return (frame.groupby(["p_brand", "l_suppkey"], sort=False)["c"]
                      .sum().reset_index())
 
-    pairs, ok = guarded_partials(
+    def _per_brand(pairs: pd.DataFrame) -> pd.DataFrame:
+        out = pairs.groupby("p_brand").agg(
+            n_suppliers=("l_suppkey", "size"), n_items=("c", "sum"))
+        return out.reset_index()
+
+    pairs, twin = combine_or_groupby_twin(
+        "distinct_suppliers_per_brand",
         joined.select_columns(["p_brand", "l_suppkey"])
               .map_batches(partial, batch_format="pandas"), merge,
-        DRIVER_COMBINE_CAP)
-    assert ok, "use hll_group_distinct beyond the cap"
-    out = pairs.groupby("p_brand").agg(
-        n_suppliers=("l_suppkey", "size"), n_items=("c", "sum"))
-    out = out.reset_index()
+        DRIVER_COMBINE_CAP, ["p_brand", "l_suppkey"])
+    if twin is None:
+        if pairs is None:
+            return pd.DataFrame({
+                "p_brand": pd.Series([], dtype=object),
+                "n_suppliers": pd.Series([], dtype=np.int64),
+                "n_items": pd.Series([], dtype=np.int64)})
+        out = _per_brand(pairs)
+    else:
+        # the groupby twin emits every distinct (brand, suppkey) pair
+        # EXACTLY once, so per-brand distinct counts reduce as plain
+        # sums of per-block row counts — brand-bounded combine
+        # (hll_group_distinct remains the approximate sketch twin)
+        out, ok = guarded_partials(
+            twin.map_batches(_per_brand, batch_format="pandas"),
+            lambda f: f.groupby("p_brand", as_index=False)[
+                ["n_suppliers", "n_items"]].sum(),
+            DRIVER_COMBINE_CAP)
+        assert ok and out is not None  # bounded: #brands
     for c in ("n_suppliers", "n_items"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("p_brand").reset_index(drop=True)
@@ -4952,7 +4975,8 @@ def user_path_entropy_q(sf_dir: str):
     grids."""
     import math
 
-    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
 
     def part(b: pa.Table) -> pd.DataFrame:
         f = pd.DataFrame({"user_id": b["user_id"].to_pandas(),
@@ -4963,23 +4987,45 @@ def user_path_entropy_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby(["user_id", "event_type"], as_index=False).sum()
 
+    def _entropy_rows(merged: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in merged.groupby("user_id"):
+            n = int(g["k"].sum())
+            if n < 20:
+                continue
+            acc = 0
+            for k in g["k"].astype(int):
+                acc += k * math.floor(math.log(k / n) * 1e6)
+            rows.append((int(uid), n, (-acc) // n))
+        out = pd.DataFrame(rows, columns=["user_id", "n_events",
+                                          "entropy_micro"])
+        return out.astype({"user_id": "int64", "n_events": "int64",
+                           "entropy_micro": "int64"})
+
+    def _top10(f: pd.DataFrame) -> pd.DataFrame:
+        return (f.sort_values(["entropy_micro", "user_id"]).head(10)
+                .reset_index(drop=True))
+
     stage = (_read(sf_dir, "events", ["user_id", "event_type"])
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 2_000_000)
-    assert ok and merged is not None
-    rows = []
-    for uid, g in merged.groupby("user_id"):
-        n = int(g["k"].sum())
-        if n < 20:
-            continue
-        acc = 0
-        for k in g["k"].astype(int):
-            acc += k * math.floor(math.log(k / n) * 1e6)
-        rows.append((int(uid), n, (-acc) // n))
-    out = pd.DataFrame(rows, columns=["user_id", "n_events",
-                                      "entropy_micro"])
-    return (out.sort_values(["entropy_micro", "user_id"]).head(10)
-            .reset_index(drop=True))
+    merged, twin = combine_or_groupby_twin(
+        "user_path_entropy", stage, fold, 2_000_000, ["user_id"])
+    if twin is None:
+        if merged is None:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("user_id", "n_events",
+                                           "entropy_micro")})
+        return _top10(_entropy_rows(merged))
+    # twin path: per-user grids stay distributed; each block emits its
+    # own top-10 and only O(10 x blocks) candidate rows reach the driver
+    top, ok = guarded_partials(
+        twin.map_batches(lambda g: _top10(_entropy_rows(g)),
+                         batch_format="pandas", batch_size=None),
+        _top10, 1_000)
+    assert ok  # bounded: 10 rows after every fold
+    return _top10(top if top is not None else pd.DataFrame(
+        {c: pd.Series([], dtype="int64")
+         for c in ("user_id", "n_events", "entropy_micro")}))
 
 
 # ---------------------------------------------------------------------------
@@ -5062,11 +5108,19 @@ FROM s2
 """)
 def balance_spend_correlation_q(sf_dir: str):
     """Cross-table Pearson: does account balance predict total spend?
-    Per-customer spend reduces through the combine, joins customers via
-    a broadcast map (smart_join past the cap), and the correlation is
-    one exact float chain over huge-int sufficient sums (cents² exceeds
-    int64 — the sums run in arbitrary precision on both engines)."""
-    from dataquality_ray.stages.autoroute import guarded_partials
+    Per-customer spend reduces through the guarded combine with an
+    automatic groupby twin past the cap (custkeys are unbounded), joins
+    customers via the broadcast lookup (hash join on the twin path),
+    and the five sufficient sums (n, Sx, Sy, Sxx, Syy, Sxy) are
+    computed INSIDE map_batches — vectorized int64 partials with the
+    spend column bit-split at 2^20 so per-batch squares never overflow,
+    recombined into exact Python big ints — then reduced to one row.
+    Only the final correlation is a float, evaluated with the identical
+    op order as the SQL (cents^2 exceeds int64 — both engines carry the
+    sums in arbitrary precision)."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+    from dataquality_ray.stages.joins import broadcast_join, hash_join
 
     def spart(b: pa.Table) -> pd.DataFrame:
         f = pd.DataFrame({
@@ -5080,28 +5134,56 @@ def balance_spend_correlation_q(sf_dir: str):
 
     spend_stage = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
                    .map_batches(spart, batch_format="pyarrow"))
-    spend, ok = guarded_partials(spend_stage, sfold, 2_000_000)
-    assert ok and spend is not None
-    smap = dict(zip(spend["o_custkey"].astype(int),
-                    spend["sp"].astype(int)))
+    spend, twin = combine_or_groupby_twin(
+        "balance_spend_correlation", spend_stage, sfold, 2_000_000,
+        ["o_custkey"])
 
-    n = 0
-    sx = sy = sxx = syy = sxy = 0
     cust = (_read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
             .map_batches(lambda b: pd.DataFrame({
-                "k": b["c_custkey"].to_pandas(),
+                "o_custkey": b["c_custkey"].to_pandas(),
                 "x": pc.round(pc.multiply(b["c_acctbal"], 100.0))
                 .cast(pa.int64()).to_pandas()}),
                 batch_format="pyarrow"))
-    for b in cust.iter_batches(batch_format="pandas", batch_size=None):
-        for k, x in zip(b["k"].astype(int), b["x"].astype(int)):
-            y = smap.get(k, 0)
-            n += 1
-            sx += x
-            sy += y
-            sxx += x * x
-            syy += y * y
-            sxy += x * y
+    if twin is None:
+        side = spend if spend is not None else pd.DataFrame(
+            {"o_custkey": pd.Series([], dtype="int64"),
+             "sp": pd.Series([], dtype="int64")})
+        joined = broadcast_join(cust, side, on="o_custkey",
+                                value_cols=["sp"], join_type="left_outer")
+    else:
+        joined = hash_join(cust, twin, on="o_custkey",
+                           value_cols=["sp"], join_type="left_outer")
+
+    LO = np.int64(1) << 20
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["x"].to_numpy(np.int64)
+        y = b["sp"].fillna(0).to_numpy(np.int64)
+        hi, lo = y // LO, y % LO
+        # exact big-int recombination of int64-safe per-batch sums:
+        # y^2 = hi^2*2^40 + 2*hi*lo*2^20 + lo^2; x*y = x*hi*2^20 + x*lo
+        syy = (int((hi * hi).sum()) << 40) \
+            + (int((hi * lo).sum()) << 21) + int((lo * lo).sum())
+        sxy = (int((x * hi).sum()) << 20) + int((x * lo).sum())
+        return pd.DataFrame({
+            "g": [0], "n": [len(x)], "sx": [int(x.sum())],
+            "sy": [int(y.sum())], "sxx": [int((x * x).sum())],
+            "syy": [syy], "sxy": [sxy]}, dtype=object)
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        out = {c: [sum(int(v) for v in f[c])]
+               for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+        return pd.DataFrame({"g": [0], **out}, dtype=object)
+
+    merged, ok = guarded_partials(
+        joined.map_batches(stats, batch_format="pandas"), fold, 16)
+    assert ok  # bounded: one row of sufficient statistics
+    if merged is None or not len(merged) or int(merged["n"].iloc[0]) == 0:
+        return pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                             "pearson_r": pd.Series([], dtype="float64")})
+    n, sx, sy, sxx, syy, sxy = (int(merged[c].iloc[0])
+                                for c in ("n", "sx", "sy", "sxx",
+                                          "syy", "sxy"))
     r = float(n * sxy - sx * sy) / np.sqrt(
         float(n * sxx - sx * sx) * float(n * syy - sy * sy))
     return pd.DataFrame({"n": [n], "pearson_r": [r]})
@@ -5482,58 +5564,86 @@ ORDER BY p50_days DESC, l_suppkey LIMIT 15
 def supplier_ship_latency_q(sf_dir: str):
     """Slowest suppliers by median order-to-ship latency: the per-entity
     twin of order_to_ship_latency (who, not just how bad).  Order dates
-    broadcast into the lineitem scan (smart_join past the cap);
-    per-supplier day histograms merge through the combine; medians are
-    discrete quantiles."""
-    from dataquality_ray.stages.autoroute import guarded_partials
+    reach the lineitem scan through the broadcast lookup (hash join on
+    the past-cap twin — orderkeys are unbounded); latency days are one
+    vectorized arrow/numpy chain; per-(supplier, day) histograms reduce
+    through the guarded combine with a groupby twin past the cap, on
+    which each block emits only its local top-15 medians — O(15 x
+    blocks) rows reach the driver either way.  Medians are discrete
+    quantiles (lower median), matching quantile_disc."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
+    from dataquality_ray.stages.joins import broadcast_join, hash_join
 
-    odates, ok0 = guarded_partials(
+    odates_stage = (
         _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
         .map_batches(lambda b: pd.DataFrame({
-            "k": b["o_orderkey"].to_pandas(),
+            "l_orderkey": b["o_orderkey"].to_pandas(),
             "d": b["o_orderdate"].cast(pa.int64()).to_pandas()}),
-            batch_format="pyarrow"),
-        lambda f: f.drop_duplicates("k"), 2_000_000)
-    assert ok0 and odates is not None
-    omap = dict(zip(odates["k"].astype(int), odates["d"].astype(int)))
+            batch_format="pyarrow"))
+    odates, otwin = combine_or_groupby_twin(
+        "supplier_ship_latency.odates", odates_stage,
+        lambda f: f.drop_duplicates("l_orderkey"), 2_000_000,
+        ["l_orderkey"])
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_shipdate"])
+    if otwin is None:
+        side = odates if odates is not None else pd.DataFrame(
+            {"l_orderkey": pd.Series([], dtype="int64"),
+             "d": pd.Series([], dtype="int64")})
+        joined = broadcast_join(line, side, on="l_orderkey",
+                                value_cols=["d"], join_type="inner")
+    else:
+        joined = hash_join(line, otwin, on="l_orderkey",
+                           value_cols=["d"], join_type="inner")
 
-    def part(b: pa.Table) -> pd.DataFrame:
-        keys = b["l_orderkey"].to_numpy(zero_copy_only=False)
-        supp = b["l_suppkey"].to_numpy(zero_copy_only=False)
-        ship = b["l_shipdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        rows = []
-        for k, s, sh in zip(keys, supp, ship):
-            od = omap.get(int(k))
-            if od is not None:
-                rows.append((int(s), (int(sh) - od) // 86400000000))
-        f = pd.DataFrame(rows, columns=["l_suppkey", "days"])
-        f["c"] = 1
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        ship = b["l_shipdate"].astype("int64").to_numpy()
+        d = b["d"].astype("int64").to_numpy()
+        f = pd.DataFrame({"l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+                          "days": (ship - d) // 86400000000, "c": 1})
         return f.groupby(["l_suppkey", "days"], as_index=False)["c"].sum()
 
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby(["l_suppkey", "days"], as_index=False)["c"].sum()
 
-    stage = (_read(sf_dir, "lineitem",
-                   ["l_orderkey", "l_suppkey", "l_shipdate"])
-             .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 2_000_000)
-    assert ok and merged is not None
-    rows = []
-    for sk, g in merged.groupby("l_suppkey"):
-        g = g.sort_values("days")
-        vals = g["days"].to_numpy(np.int64)
-        cnts = g["c"].to_numpy(np.int64)
-        cum = cnts.cumsum()
-        n = int(cum[-1])
-        idx = int(np.ceil(0.5 * n)) - 1
-        p50 = int(vals[np.searchsorted(cum, idx + 1, side="left")])
-        rows.append((int(sk), n, p50))
-    out = pd.DataFrame(rows, columns=["l_suppkey", "n_lines",
-                                      "p50_days"])
-    return (out.sort_values(["p50_days", "l_suppkey"],
-                            ascending=[False, True]).head(15)
-            .reset_index(drop=True))
+    def _medians(merged: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sk, g in merged.groupby("l_suppkey"):
+            g = g.sort_values("days")
+            vals = g["days"].to_numpy(np.int64)
+            cnts = g["c"].to_numpy(np.int64)
+            cum = cnts.cumsum()
+            n = int(cum[-1])
+            idx = int(np.ceil(0.5 * n)) - 1
+            p50 = int(vals[np.searchsorted(cum, idx + 1, side="left")])
+            rows.append((int(sk), n, p50))
+        return pd.DataFrame(rows, columns=["l_suppkey", "n_lines",
+                                           "p50_days"]).astype("int64")
+
+    def _top15(f: pd.DataFrame) -> pd.DataFrame:
+        return (f.sort_values(["p50_days", "l_suppkey"],
+                              ascending=[False, True]).head(15)
+                .reset_index(drop=True))
+
+    stage = joined.map_batches(part, batch_format="pandas")
+    merged, twin = combine_or_groupby_twin(
+        "supplier_ship_latency", stage, fold, 2_000_000, ["l_suppkey"])
+    if twin is None:
+        if merged is None or not len(merged):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("l_suppkey", "n_lines",
+                                           "p50_days")})
+        return _top15(_medians(merged))
+    top, ok = guarded_partials(
+        twin.map_batches(lambda g: _top15(_medians(g)),
+                         batch_format="pandas", batch_size=None),
+        _top15, 1_000)
+    assert ok  # bounded: 15 rows after every fold
+    return _top15(top if top is not None else pd.DataFrame(
+        {c: pd.Series([], dtype="int64")
+         for c in ("l_suppkey", "n_lines", "p50_days")}))
+
 
 
 # ---------------------------------------------------------------------------

@@ -210,3 +210,67 @@ def test_cmh_pooled_odds_identity(ray_session):
             n2 += a * d * 1_000_000 // n
             d2 += b * c * 1_000_000 // n
     assert (num, den) == (n2, d2)
+
+
+def _force_twin(monkeypatch, cap=10):
+    import dataquality_ray.stages.autoroute as ar
+
+    orig = ar.combine_or_groupby_twin
+
+    def tiny(op, ds, fold, _cap, keys, **kw):
+        return orig(op, ds, fold, cap, keys, **kw)
+
+    monkeypatch.setattr(ar, "combine_or_groupby_twin", tiny)
+    return ar
+
+
+def test_user_path_entropy_twin_equivalence(ray_session, monkeypatch):
+    from dataquality_ray.pipelines.queries_tpch import user_path_entropy_q
+
+    want = user_path_entropy_q(SF)
+    ar = _force_twin(monkeypatch)
+    routed = user_path_entropy_q(SF)
+    assert ar.last_route("user_path_entropy")["chosen"] == "groupby_twin"
+    pd.testing.assert_frame_equal(routed, want)
+
+
+def test_supplier_ship_latency_twin_equivalence(ray_session, monkeypatch):
+    from dataquality_ray.pipelines.queries_tpch import (
+        supplier_ship_latency_q,
+    )
+
+    want = supplier_ship_latency_q(SF)
+    ar = _force_twin(monkeypatch, cap=50)
+    routed = supplier_ship_latency_q(SF)
+    assert ar.last_route("supplier_ship_latency")["chosen"] == \
+        "groupby_twin"
+    assert ar.last_route("supplier_ship_latency.odates")["chosen"] == \
+        "groupby_twin"
+    pd.testing.assert_frame_equal(routed, want)
+
+
+def test_distinct_suppliers_twin_equivalence(ray_session, monkeypatch):
+    from dataquality_ray.pipelines.queries_tpch import (
+        distinct_suppliers_per_brand_q,
+    )
+
+    want = distinct_suppliers_per_brand_q(SF)
+    ar = _force_twin(monkeypatch, cap=100)
+    routed = distinct_suppliers_per_brand_q(SF)
+    assert ar.last_route("distinct_suppliers_per_brand")["chosen"] == \
+        "groupby_twin"
+    pd.testing.assert_frame_equal(routed, want)
+
+
+def test_balance_spend_correlation_twin_equivalence(ray_session,
+                                                    monkeypatch):
+    from dataquality_ray.pipelines.queries_tpch import (
+        balance_spend_correlation_q,
+    )
+
+    want = balance_spend_correlation_q(SF)
+    ar = _force_twin(monkeypatch)
+    routed = balance_spend_correlation_q(SF)
+    assert ar.last_route("balance_spend_correlation")["chosen"] == \
+        "groupby_twin"
+    pd.testing.assert_frame_equal(routed, want)
