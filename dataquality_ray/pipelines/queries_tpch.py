@@ -5239,20 +5239,20 @@ def order_to_ship_latency_q(sf_dir: str):
 
     if twin is None:
         assert first_ship is not None
-        smap = dict(zip(first_ship["l_orderkey"].astype(int),
-                        first_ship["t_ship"].astype(int)))
+        sframe = pd.DataFrame({
+            "l_orderkey": first_ship["l_orderkey"].astype("int64"),
+            "t_ship": first_ship["t_ship"].astype("int64")})
 
         def days_part(b: pa.Table) -> pd.DataFrame:
-            keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
-            od = b["o_orderdate"].cast(pa.int64()).to_numpy(
-                zero_copy_only=False)
-            ds_ = []
-            for k, o in zip(keys, od):
-                t = smap.get(int(k))
-                if t is not None:
-                    ds_.append((int(t) - int(o)) // 86400000000)
-            u, c = np.unique(np.array(ds_, dtype=np.int64),
-                             return_counts=True)
+            f = pd.DataFrame({
+                "l_orderkey": b["o_orderkey"].to_numpy(
+                    zero_copy_only=False),
+                "od": b["o_orderdate"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False)})
+            j = f.merge(sframe, on="l_orderkey", how="inner")
+            days = (j["t_ship"].to_numpy(np.int64)
+                    - j["od"].to_numpy(np.int64)) // 86400000000
+            u, c = np.unique(days, return_counts=True)
             return pd.DataFrame({"days": u, "c": c})
 
         stage2 = (_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
@@ -5390,17 +5390,20 @@ def order_total_consistency_q(sf_dir: str):
 
     if twin is None:
         assert detail is not None
-        dmap = dict(zip(detail["l_orderkey"].astype(int),
-                        detail["line_cents"].astype(int)))
+        dframe = pd.DataFrame({
+            "l_orderkey": detail["l_orderkey"].astype("int64"),
+            "line_cents": detail["line_cents"].astype("int64")})
 
         def diff_part(b: pa.Table) -> pd.DataFrame:
-            keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
-            tot = pc.round(pc.multiply(b["o_totalprice"], 100.0)) \
-                .cast(pa.int64()).to_numpy(zero_copy_only=False)
-            ds_ = [abs(int(t) - dmap[int(k)]) for k, t in zip(keys, tot)
-                   if int(k) in dmap]
-            u, c = np.unique(np.array(ds_, dtype=np.int64),
-                             return_counts=True)
+            f = pd.DataFrame({
+                "l_orderkey": b["o_orderkey"].to_numpy(
+                    zero_copy_only=False),
+                "tot": pc.round(pc.multiply(b["o_totalprice"], 100.0))
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)})
+            j = f.merge(dframe, on="l_orderkey", how="inner")
+            d = np.abs(j["tot"].to_numpy(np.int64)
+                       - j["line_cents"].to_numpy(np.int64))
+            u, c = np.unique(d, return_counts=True)
             return pd.DataFrame({"d": u, "c": c})
 
         stage2 = (_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -5665,36 +5668,31 @@ FROM j GROUP BY c_nationkey ORDER BY c_nationkey
 """)
 def urgent_share_by_nation_q(sf_dir: str):
     """Urgent-order share per nation: the 2D mix report behind
-    prioritization capacity planning — customer nation broadcast into
-    the orders scan, per-nation counts merging through the combine,
+    prioritization capacity planning — customer nation reaches the
+    orders scan via the broadcast lookup (ray.put once, vectorized
+    merge per batch), per-nation counts merging through the combine,
     shares as exact integer ppm."""
     from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import broadcast_join
 
-    cmap_df, ok0 = guarded_partials(
-        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-        .map_batches(lambda b: pd.DataFrame({
-            "k": b["c_custkey"].to_pandas(),
-            "n": b["c_nationkey"].to_pandas()}),
-            batch_format="pyarrow"),
-        lambda f: f.drop_duplicates("k"), 2_000_000)
-    assert ok0 and cmap_df is not None
-    cmap = dict(zip(cmap_df["k"].astype(int), cmap_df["n"].astype(int)))
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .to_pandas().rename(columns={"c_custkey": "o_custkey"}))
+    joined = broadcast_join(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]), cust,
+        on="o_custkey", value_cols=["c_nationkey"], join_type="inner")
 
-    def part(b: pa.Table) -> pd.DataFrame:
-        cust = b["o_custkey"].to_numpy(zero_copy_only=False)
-        urg = pc.equal(b["o_orderpriority"], "1-URGENT").to_numpy(
-            zero_copy_only=False)
+    def part(b: pd.DataFrame) -> pd.DataFrame:
         f = pd.DataFrame({
-            "c_nationkey": [cmap[int(k)] for k in cust],
+            "c_nationkey": b["c_nationkey"].to_numpy(np.int64),
             "n_orders": 1,
-            "n_urgent": urg.astype(np.int64)})
+            "n_urgent": (b["o_orderpriority"].to_numpy()
+                         == "1-URGENT").astype(np.int64)})
         return f.groupby("c_nationkey", as_index=False).sum()
 
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("c_nationkey", as_index=False).sum()
 
-    stage = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-             .map_batches(part, batch_format="pyarrow"))
+    stage = joined.map_batches(part, batch_format="pandas")
     merged, ok = guarded_partials(stage, fold, 1000)
     assert ok and merged is not None
     out = merged.sort_values("c_nationkey").reset_index(drop=True)
