@@ -3942,8 +3942,11 @@ def rfm_segmentation_q(sf_dir: str):
     reduce through the guarded combine; quintile bounds are
     quantile_disc (actual data values — exact across engines); scores
     are integer comparisons against the four broadcast bounds.  The
-    classic CRM segmentation as a two-pass distributed pipeline."""
-    from dataquality_ray.stages.autoroute import guarded_partials
+    classic CRM segmentation as a two-pass distributed pipeline (per-
+    customer rollup auto-routes to a groupby twin past the cap, with
+    exact_kth_twopass supplying the quantile_disc bounds there)."""
+    from dataquality_ray.stages.autoroute import (combine_or_groupby_twin,
+                                                  guarded_partials)
 
     def part(b: pa.Table) -> pd.DataFrame:
         d = b["o_orderdate"].cast(pa.int64()).to_numpy(
@@ -3962,41 +3965,80 @@ def rfm_segmentation_q(sf_dir: str):
             last_day=("last_day", "max"), frequency=("frequency", "sum"),
             monetary_cents=("monetary_cents", "sum"))
 
-    stage = (_read(sf_dir, "orders",
-                   ["o_custkey", "o_orderdate", "o_totalprice"])
-             .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 2_000_000)
-    assert ok and merged is not None
-    max_day = int(merged["last_day"].max())
-    merged["recency_days"] = max_day - merged["last_day"].astype(np.int64)
-
-    def disc_bounds(v: np.ndarray) -> list:
-        s = np.sort(v)
-        n = len(s)
-        # quantile_disc index = ceil(q*n) - 1 (DuckDB convention)
-        return [int(s[int(np.ceil(q * n)) - 1])
-                for q in (0.2, 0.4, 0.6, 0.8)]
-
-    rbs = disc_bounds(merged["recency_days"].to_numpy(np.int64))
-    fbs = disc_bounds(merged["frequency"].to_numpy(np.int64))
-    mbs = disc_bounds(merged["monetary_cents"].to_numpy(np.int64))
-
     def score(v: np.ndarray, bounds: list) -> np.ndarray:
         s = np.ones(len(v), dtype=np.int64)
         for b2 in bounds:
             s += (v > b2).astype(np.int64)
         return s
 
-    r = 6 - score(merged["recency_days"].to_numpy(np.int64), rbs)
-    f = score(merged["frequency"].to_numpy(np.int64), fbs)
-    m = score(merged["monetary_cents"].to_numpy(np.int64), mbs)
-    code = r * 100 + f * 10 + m
-    out = (pd.Series(code).value_counts().rename("n_customers")
-           .reset_index().rename(columns={"index": "rfm_code"}))
-    out.columns = ["rfm_code", "n_customers"]
-    out["rfm_code"] = out["rfm_code"].astype("int64")
-    out["n_customers"] = out["n_customers"].astype("int64")
-    return out.sort_values("rfm_code").reset_index(drop=True)
+    def _codes(base: pd.DataFrame, rbs, fbs, mbs) -> pd.DataFrame:
+        r = 6 - score(base["recency_days"].to_numpy(np.int64), rbs)
+        f = score(base["frequency"].to_numpy(np.int64), fbs)
+        m = score(base["monetary_cents"].to_numpy(np.int64), mbs)
+        s = pd.Series(r * 100 + f * 10 + m).value_counts()
+        return pd.DataFrame({
+            "rfm_code": s.index.to_numpy(np.int64),
+            "n_customers": s.to_numpy(np.int64)})
+
+    def _finish(out: pd.DataFrame) -> pd.DataFrame:
+        out["rfm_code"] = out["rfm_code"].astype("int64")
+        out["n_customers"] = out["n_customers"].astype("int64")
+        return out.sort_values("rfm_code").reset_index(drop=True)
+
+    stage = (_read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, twin = combine_or_groupby_twin(
+        "rfm_segmentation", stage, fold, 2_000_000, ["o_custkey"])
+    if twin is None:
+        assert merged is not None
+        max_day = int(merged["last_day"].max())
+        merged["recency_days"] = (max_day
+                                  - merged["last_day"].astype(np.int64))
+
+        def disc_bounds(v: np.ndarray) -> list:
+            s = np.sort(v)
+            n = len(s)
+            # quantile_disc index = ceil(q*n) - 1 (DuckDB convention)
+            return [int(s[int(np.ceil(q * n)) - 1])
+                    for q in (0.2, 0.4, 0.6, 0.8)]
+
+        rbs = disc_bounds(merged["recency_days"].to_numpy(np.int64))
+        fbs = disc_bounds(merged["frequency"].to_numpy(np.int64))
+        mbs = disc_bounds(merged["monetary_cents"].to_numpy(np.int64))
+        return _finish(_codes(merged, rbs, fbs, mbs))
+
+    # twin path: the per-customer rollup stays distributed.  It is
+    # multi-scanned (count, max, 12 exact order statistics, one scoring
+    # pass), so materialize the ROLLUP — orders of magnitude smaller
+    # than the fact table — and select each quantile_disc bound with
+    # exact_kth_twopass (exact at any cardinality, bounded memory).
+    from dataquality_ray.stages.quantiles import exact_kth_twopass
+
+    base = twin.materialize()
+    n = base.count()
+    if n == 0:
+        return _finish(pd.DataFrame({"rfm_code": [], "n_customers": []}))
+    max_day = int(base.max("last_day"))
+    base = base.map_batches(
+        lambda f: f.assign(
+            recency_days=max_day - f["last_day"].astype("int64")),
+        batch_format="pandas").materialize()
+
+    def disc_bounds_ds(col: str) -> list:
+        return [int(exact_kth_twopass(base, col, int(np.ceil(q * n))))
+                for q in (0.2, 0.4, 0.6, 0.8)]
+
+    rbs = disc_bounds_ds("recency_days")
+    fbs = disc_bounds_ds("frequency")
+    mbs = disc_bounds_ds("monetary_cents")
+    out, ok = guarded_partials(
+        base.map_batches(lambda f: _codes(f, rbs, fbs, mbs),
+                         batch_format="pandas"),
+        lambda f: f.groupby("rfm_code", as_index=False)[
+            "n_customers"].sum(), 1_000)
+    assert ok and out is not None  # bounded: 125 rfm codes
+    return _finish(out)
 
 
 # ---------------------------------------------------------------------------

@@ -274,3 +274,13 @@ def test_balance_spend_correlation_twin_equivalence(ray_session,
     assert ar.last_route("balance_spend_correlation")["chosen"] == \
         "groupby_twin"
     pd.testing.assert_frame_equal(routed, want)
+
+
+def test_rfm_segmentation_twin_equivalence(ray_session, monkeypatch):
+    from dataquality_ray.pipelines.queries_tpch import rfm_segmentation_q
+
+    want = rfm_segmentation_q(SF)
+    ar = _force_twin(monkeypatch, cap=50)
+    routed = rfm_segmentation_q(SF)
+    assert ar.last_route("rfm_segmentation")["chosen"] == "groupby_twin"
+    pd.testing.assert_frame_equal(routed, want)
