@@ -311,6 +311,8 @@ def run_suite() -> dict:
                  "ndcg_source_ranking", "brier_score_by_source",
                  "absdev_dispersion_by_source", "fleiss_kappa_rules",
                  "order_brand_basket_pairs", "mase_weekly_naive",
+                 "token_anagram_groups", "stylometry_l1_matrix",
+                 "runs_test_daily",
                  "cochran_q_rules", "mcnemar_rules", "cmh_pooled_odds",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)

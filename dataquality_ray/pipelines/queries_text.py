@@ -5778,3 +5778,211 @@ def absdev_dispersion_by_source_q(sf_dir: str):
     for c2 in cols:
         f[c2] = f[c2].astype("int64")
     return f.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Anagram confusion groups over the token vocabulary
+# ---------------------------------------------------------------------------
+
+@query("token_anagram_groups", sql="""
+WITH v AS (
+  SELECT DISTINCT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+  FROM documents
+), t AS (
+  SELECT tok,
+         array_to_string(list_sort(string_split(tok, '')), '') AS sig
+  FROM v WHERE tok <> ''
+)
+SELECT sig, count(*)::BIGINT AS n_tokens, min(tok) AS exemplar
+FROM t GROUP BY sig HAVING count(*) > 1
+ORDER BY n_tokens DESC, sig LIMIT 20
+""")
+def token_anagram_groups_q(sf_dir: str):
+    """Anagram confusion sets: distinct vocabulary tokens grouped by
+    their sorted-character signature; groups holding more than one
+    token are letter-permutation collisions (transposition typos,
+    scrambled-field detection).  The distinct-token universe reduces
+    through the vocab-bounded combine; signatures and grouping run on
+    the tiny vocabulary, never the corpus."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        u = np.unique(flat[flat != ""])
+        return pd.DataFrame({"tok": u})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates("tok")
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: vocab
+    if merged is None or not len(merged):
+        return pd.DataFrame({"sig": pd.Series([], dtype=object),
+                             "n_tokens": pd.Series([], dtype=np.int64),
+                             "exemplar": pd.Series([], dtype=object)})
+    f = pd.DataFrame({"tok": merged["tok"]})
+    f["sig"] = f["tok"].map(lambda t: "".join(sorted(t)))
+    g = f.groupby("sig").agg(n_tokens=("tok", "size"),
+                             exemplar=("tok", "min")).reset_index()
+    g = g[g["n_tokens"] > 1]
+    g["n_tokens"] = g["n_tokens"].astype("int64")
+    return (g.sort_values(["n_tokens", "sig"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Stylometry: pairwise L1 distance of top-token frequency profiles
+# ---------------------------------------------------------------------------
+
+@query("stylometry_l1_matrix", sql="""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                            x -> x <> '')) AS tok
+  FROM documents
+), tot AS (
+  SELECT source, count(*)::HUGEINT AS t FROM tok GROUP BY source
+), gc AS (
+  SELECT tok, count(*) AS c FROM tok GROUP BY tok
+  ORDER BY c DESC, tok LIMIT 30
+), f AS (
+  SELECT s.source, g.tok, coalesce(x.c, 0) * 1000000 // t.t AS ppm
+  FROM (SELECT DISTINCT source FROM tok) s
+  CROSS JOIN gc g
+  LEFT JOIN (SELECT source, tok, count(*)::HUGEINT AS c
+             FROM tok GROUP BY 1, 2) x
+    ON x.source = s.source AND x.tok = g.tok
+  JOIN tot t ON t.source = s.source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       sum(abs(a.ppm - b.ppm))::BIGINT AS l1_ppm
+FROM f a JOIN f b ON a.tok = b.tok AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def stylometry_l1_matrix_q(sf_dir: str):
+    """Burrows-style stylometry distance matrix: every source gets a
+    frequency profile over the 30 globally most frequent tokens
+    (frequency = token count * 1e6 // source token total, exact ppm),
+    and each source pair is scored by the L1 distance between profiles
+    — the integer-exact cousin of Burrows' Delta used for authorship /
+    template-farm detection.  ONE (source, token) count combine
+    (vocab x sources bounded) feeds the global top-30 cut, the per-
+    source totals, and the pairwise distances — all driver-side over
+    a 30 x #sources grid."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        n_per = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        src = np.repeat(np.asarray(b["source"].to_pylist(), dtype=object),
+                        n_per)
+        keep = flat != ""
+        f = pd.DataFrame({"source": src[keep], "tok": flat[keep], "c": 1})
+        return f.groupby(["source", "tok"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "tok"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text", "source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 4_000_000)
+    assert ok  # bounded: vocab x sources
+    cols = ("source_a", "source_b", "l1_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source_a": pd.Series([], dtype=object),
+                             "source_b": pd.Series([], dtype=object),
+                             "l1_ppm": pd.Series([], dtype=np.int64)})
+    gc = (merged.groupby("tok", as_index=False)["c"].sum()
+          .sort_values(["c", "tok"], ascending=[False, True]).head(30))
+    top = gc["tok"].tolist()
+    tot = merged.groupby("source")["c"].sum()
+    piv = (merged[merged["tok"].isin(top)]
+           .pivot_table(index="source", columns="tok", values="c",
+                        aggfunc="sum", fill_value=0)
+           .reindex(columns=top, fill_value=0))
+    piv = piv.reindex(index=tot.index, fill_value=0)
+    ppm = (piv.to_numpy(np.int64) * 1_000_000
+           // tot.to_numpy(np.int64)[:, None])
+    srcs = list(piv.index)
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b2 = sorted((srcs[i], srcs[j]))
+            ii, jj = (i, j) if srcs[i] == a else (j, i)
+            rows.append((a, b2, int(np.abs(ppm[ii] - ppm[jj]).sum())))
+    f = pd.DataFrame(rows, columns=cols)
+    f["l1_ppm"] = f["l1_ppm"].astype("int64")
+    return f.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily volume (above/below median)
+# ---------------------------------------------------------------------------
+
+@query("runs_test_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), m AS (SELECT quantile_disc(n, 0.5) AS med FROM d),
+s AS (
+  SELECT day_idx, CASE WHEN n > m.med THEN 1 ELSE 0 END AS sgn
+  FROM d, m
+), r AS (
+  SELECT sgn, lag(sgn) OVER (ORDER BY day_idx) AS prev FROM s
+)
+SELECT count(*)::BIGINT AS n_days,
+       sum(sgn)::BIGINT AS n_above,
+       (sum(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END)
+       )::BIGINT AS n_runs,
+       (2 * sum(sgn) * (count(*) - sum(sgn)) * 1000000 // count(*)
+        + 1000000)::BIGINT AS expected_runs_ppm
+FROM r
+""")
+def runs_test_daily_q(sf_dir: str):
+    """Wald-Wolfowitz runs test ingredients on daily event volume:
+    days are labeled above/at-or-below the (discrete lower) median
+    daily count, and the number of RUNS of equal labels is compared
+    with its null expectation 2ab/n + 1 (exact integer ppm) — far
+    fewer runs than expected means volume drifts in long regimes, far
+    more means oscillation.  Daily counts reduce distributedly; the
+    run scan is a driver pass over the tiny day axis."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        s = pd.Series(day.to_pandas()).value_counts()
+        return pd.DataFrame({"day_idx": s.index.to_numpy(np.int64),
+                             "n": s.to_numpy(np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day_idx", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #days
+    cols = ("n_days", "n_above", "n_runs", "expected_runs_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = merged.sort_values("day_idx")
+    n = g["n"].to_numpy(np.int64)
+    cnt = np.sort(n)
+    med = int(cnt[(len(cnt) + 1) // 2 - 1])  # quantile_disc(0.5)
+    sgn = (n > med).astype(np.int64)
+    runs = int(1 + (sgn[1:] != sgn[:-1]).sum()) if len(sgn) else 0
+    a = int(sgn.sum())
+    t = len(sgn)
+    exp_ppm = 2 * a * (t - a) * 1_000_000 // t + 1_000_000
+    return pd.DataFrame({"n_days": [np.int64(t)],
+                         "n_above": [np.int64(a)],
+                         "n_runs": [np.int64(runs)],
+                         "expected_runs_ppm": [np.int64(exp_ppm)]})

@@ -284,3 +284,36 @@ def test_rfm_segmentation_twin_equivalence(ray_session, monkeypatch):
     routed = rfm_segmentation_q(SF)
     assert ar.last_route("rfm_segmentation")["chosen"] == "groupby_twin"
     pd.testing.assert_frame_equal(routed, want)
+
+
+def test_anagram_groups_are_real_anagrams(ray_session):
+    from dataquality_ray.pipelines.queries_text import token_anagram_groups_q
+
+    df = token_anagram_groups_q(SF)
+    assert (df["n_tokens"] > 1).all()
+    # the exemplar's sorted characters reproduce the signature
+    for _, r in df.iterrows():
+        assert "".join(sorted(r["exemplar"])) == r["sig"]
+
+
+def test_stylometry_symmetric_triangle(ray_session):
+    from dataquality_ray.pipelines.queries_text import stylometry_l1_matrix_q
+
+    df = stylometry_l1_matrix_q(SF)
+    n_src = len(set(df["source_a"]) | set(df["source_b"]))
+    assert len(df) == n_src * (n_src - 1) // 2  # full upper triangle
+    assert (df["l1_ppm"] >= 0).all()
+    # L1 over 30 ppm profiles is bounded by 2 * 1e6 * ... loose sanity:
+    assert (df["l1_ppm"] <= 60_000_000).all()
+
+
+def test_runs_test_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_text import runs_test_daily_q
+
+    df = runs_test_daily_q(SF)
+    t = int(df["n_days"].iloc[0])
+    a = int(df["n_above"].iloc[0])
+    r = int(df["n_runs"].iloc[0])
+    assert 1 <= r <= t and 0 <= a < t  # median split: above is minority-ish
+    assert df["expected_runs_ppm"].iloc[0] == \
+        2 * a * (t - a) * 1_000_000 // t + 1_000_000
