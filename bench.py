@@ -312,7 +312,8 @@ def run_suite() -> dict:
                  "absdev_dispersion_by_source", "fleiss_kappa_rules",
                  "order_brand_basket_pairs", "mase_weekly_naive",
                  "token_anagram_groups", "stylometry_l1_matrix",
-                 "runs_test_daily",
+                 "runs_test_daily", "order_backlog_curve",
+                 "brand_type_chi2", "supplier_hhi_concentration",
                  "cochran_q_rules", "mcnemar_rules", "cmh_pooled_odds",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)

@@ -7858,3 +7858,179 @@ def order_brand_basket_pairs_q(sf_dir: str):
                 "n_orders": pd.Series([], dtype=np.int64)})
     f["n_orders"] = f["n_orders"].astype("int64")
     return f.sort_values(["brand_a", "brand_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog curve by month
+# ---------------------------------------------------------------------------
+
+@query("order_backlog_curve", sql="""
+WITH m AS (
+  SELECT (extract(year FROM o_orderdate) * 12
+          + extract(month FROM o_orderdate) - 1)::BIGINT AS month_idx,
+         count(*)::BIGINT AS n_orders,
+         sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT
+           AS n_open
+  FROM orders GROUP BY 1
+)
+SELECT month_idx, n_orders, n_open,
+       sum(n_open) OVER (ORDER BY month_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)::BIGINT AS backlog
+FROM m ORDER BY month_idx
+""")
+def order_backlog_curve_q(sf_dir: str):
+    """Open-order backlog over time: monthly order volume, the slice
+    still in status 'O', and the cumulative open backlog — the ops
+    capacity curve.  Month buckets reduce distributedly (month-bounded
+    combine); the cumulative scan is a driver pass over the tiny month
+    axis."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["o_orderdate"].to_pandas()
+        month = (ts.dt.year * 12 + ts.dt.month - 1).to_numpy(np.int64)
+        is_open = (np.asarray(b["o_orderstatus"]) == "O").astype(np.int64)
+        f = pd.DataFrame({"month_idx": month, "n_orders": 1,
+                          "n_open": is_open})
+        return f.groupby("month_idx", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("month_idx", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate", "o_orderstatus"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #months
+    cols = ("month_idx", "n_orders", "n_open", "backlog")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    f = merged.sort_values("month_idx").reset_index(drop=True)
+    f["backlog"] = f["n_open"].cumsum()
+    for c in cols:
+        f[c] = f[c].astype("int64")
+    return f[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Brand x type association: exact integer chi-square
+# ---------------------------------------------------------------------------
+
+@query("brand_type_chi2", sql="""
+WITH c AS (
+  SELECT p_brand, p_type, count(*)::HUGEINT AS o
+  FROM part GROUP BY 1, 2
+), rt AS (SELECT p_brand, sum(o) AS r FROM c GROUP BY 1),
+ct AS (SELECT p_type, sum(o) AS t FROM c GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM c)
+SELECT count(*)::BIGINT AS n_cells,
+       (SELECT count(*) FROM rt)::BIGINT AS n_brands,
+       (SELECT count(*) FROM ct)::BIGINT AS n_types,
+       sum((c.o * n.n - rt.r * ct.t) * (c.o * n.n - rt.r * ct.t)
+           * 1000000 // (n.n * rt.r * ct.t))::BIGINT AS chi2_micro_sum
+FROM c JOIN rt USING (p_brand) JOIN ct USING (p_type), n
+""")
+def brand_type_chi2_q(sf_dir: str):
+    """Brand-type independence: Pearson chi-square over the OCCUPIED
+    cells of the brand x type contingency table, each cell's term
+    ((o*n - r*t)^2 / (n*r*t), the (o - e)^2/e identity cleared of
+    fractions) floored once to micro units so both engines produce the
+    identical big-integer sum.  Cell counts reduce distributedly
+    (brand x type bounded); marginals and the sum are driver-side over
+    the tiny grid.  NOTE: unoccupied cells contribute e exactly, i.e.
+    (0*n - r*t)^2/(n*r*t) = r*t/n — by convention this statistic scans
+    occupied cells only (sparse-table chi-square)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"p_brand": b["p_brand"].to_pylist(),
+                          "p_type": b["p_type"].to_pylist(), "o": 1})
+        return f.groupby(["p_brand", "p_type"], as_index=False)["o"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["p_brand", "p_type"], as_index=False)["o"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "part", ["p_brand", "p_type"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: brands x types
+    cols = ("n_cells", "n_brands", "n_types", "chi2_micro_sum")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    r = merged.groupby("p_brand")["o"].sum()
+    t = merged.groupby("p_type")["o"].sum()
+    n = int(merged["o"].sum())
+    acc = 0
+    for _, row in merged.iterrows():
+        o = int(row["o"])
+        rr = int(r[row["p_brand"]])
+        tt = int(t[row["p_type"]])
+        d = o * n - rr * tt
+        acc += d * d * 1_000_000 // (n * rr * tt)
+    return pd.DataFrame({"n_cells": [np.int64(len(merged))],
+                         "n_brands": [np.int64(len(r))],
+                         "n_types": [np.int64(len(t))],
+                         "chi2_micro_sum": [np.int64(acc)]})
+
+
+# ---------------------------------------------------------------------------
+# Market concentration: revenue HHI by supplier nation
+# ---------------------------------------------------------------------------
+
+@query("supplier_hhi_concentration", sql="""
+WITH rev AS (
+  SELECT s.s_nationkey,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::HUGEINT
+           AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1
+), tot AS (SELECT sum(cents) AS t FROM rev)
+SELECT count(*)::BIGINT AS n_nations,
+       sum(rev.cents * rev.cents * 1000000 // (tot.t * tot.t))::BIGINT
+         AS hhi_ppm,
+       max(rev.cents * 1000000 // tot.t)::BIGINT AS top_share_ppm
+FROM rev, tot
+""")
+def supplier_hhi_concentration_q(sf_dir: str):
+    """Herfindahl-Hirschman market concentration of revenue across
+    supplier nations: HHI = sum of squared revenue shares (per-nation
+    term c^2 * 1e6 // T^2, floored once — exact on both engines) plus
+    the single largest share.  HHI near 1e6/n_nations means an even
+    market; near 1e6 means a monopoly nation.  Supplier nation reaches
+    the lineitem scan via the broadcast lookup; per-nation cents reduce
+    through the nation-bounded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import broadcast_join
+
+    dim = (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+           .to_pandas().rename(columns={"s_suppkey": "l_suppkey"}))
+    joined = broadcast_join(
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"]), dim,
+        on="l_suppkey", value_cols=["s_nationkey"], join_type="inner")
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "s_nationkey": b["s_nationkey"].to_numpy(np.int64),
+            "cents": np.round(b["l_extendedprice"].to_numpy()
+                              * 100.0).astype(np.int64)})
+        return f.groupby("s_nationkey", as_index=False)["cents"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("s_nationkey", as_index=False)["cents"].sum()
+
+    merged, ok = guarded_partials(
+        joined.map_batches(part, batch_format="pandas"), fold, 2_000_000)
+    assert ok  # bounded: #nations
+    cols = ("n_nations", "hhi_ppm", "top_share_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    c = [int(v) for v in merged["cents"]]
+    t = sum(c)
+    hhi = sum(ci * ci * 1_000_000 // (t * t) for ci in c)
+    top = max(ci * 1_000_000 // t for ci in c)
+    return pd.DataFrame({"n_nations": [np.int64(len(c))],
+                         "hhi_ppm": [np.int64(hhi)],
+                         "top_share_ppm": [np.int64(top)]})

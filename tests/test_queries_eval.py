@@ -317,3 +317,44 @@ def test_runs_test_bounds(ray_session):
     assert 1 <= r <= t and 0 <= a < t  # median split: above is minority-ish
     assert df["expected_runs_ppm"].iloc[0] == \
         2 * a * (t - a) * 1_000_000 // t + 1_000_000
+
+
+def test_backlog_curve_monotone_cumsum(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import order_backlog_curve_q
+
+    df = order_backlog_curve_q(SF)
+    assert (df["month_idx"].diff().dropna() > 0).all()
+    assert (df["backlog"] == df["n_open"].cumsum()).all()
+    assert (df["n_open"] <= df["n_orders"]).all()
+
+
+def test_brand_type_chi2_pandas_replay(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import brand_type_chi2_q
+
+    df = brand_type_chi2_q(SF)
+    raw = pd.read_parquet(f"{SF}/part.parquet",
+                          columns=["p_brand", "p_type"])
+    c = raw.groupby(["p_brand", "p_type"]).size()
+    r = raw.groupby("p_brand").size()
+    t = raw.groupby("p_type").size()
+    n = len(raw)
+    acc = 0
+    for (br, ty), o in c.items():
+        d = int(o) * n - int(r[br]) * int(t[ty])
+        acc += d * d * 1_000_000 // (n * int(r[br]) * int(t[ty]))
+    assert int(df["chi2_micro_sum"].iloc[0]) == acc
+    assert int(df["n_cells"].iloc[0]) == len(c)
+
+
+def test_hhi_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        supplier_hhi_concentration_q,
+    )
+
+    df = supplier_hhi_concentration_q(SF)
+    n = int(df["n_nations"].iloc[0])
+    hhi = int(df["hhi_ppm"].iloc[0])
+    top = int(df["top_share_ppm"].iloc[0])
+    # 1e6/n <= HHI <= 1e6 (floor slack allows a tiny undershoot)
+    assert 1_000_000 // n - n <= hhi <= 1_000_000
+    assert top * top // 1_000_000 <= hhi  # top share alone bounds HHI below
