@@ -314,6 +314,8 @@ def run_suite() -> dict:
                  "token_anagram_groups", "stylometry_l1_matrix",
                  "runs_test_daily", "order_backlog_curve",
                  "brand_type_chi2", "supplier_hhi_concentration",
+                 "cvm_drift", "code_switching_detect",
+                 "monthly_seasonal_index",
                  "cochran_q_rules", "mcnemar_rules", "cmh_pooled_odds",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)

@@ -5986,3 +5986,263 @@ def runs_test_daily_q(sf_dir: str):
                          "n_above": [np.int64(a)],
                          "n_runs": [np.int64(runs)],
                          "expected_runs_ppm": [np.int64(exp_ppm)]})
+
+
+# ---------------------------------------------------------------------------
+# Cramér-von Mises two-sample drift (companion to ks_drift)
+# ---------------------------------------------------------------------------
+
+def _cvm_pair_sql(a: str, b: str) -> str:
+    return f"""
+SELECT '{a}' AS source_a, '{b}' AS source_b,
+       n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       CAST(sum((na_v + nb_v)::HUGEINT
+                * (ca * n_b - cb * n_a) * (ca * n_b - cb * n_a))
+            * 1000000
+            // ((n_a + n_b)::HUGEINT * (n_a + n_b) * n_a * n_b)
+            AS BIGINT) AS t_ppm
+FROM (
+  SELECT na_v, nb_v,
+         sum(na_v) OVER (ORDER BY n_chars)::HUGEINT AS ca,
+         sum(nb_v) OVER (ORDER BY n_chars)::HUGEINT AS cb,
+         (SELECT count(*) FROM documents WHERE source = '{a}')::HUGEINT
+           AS n_a,
+         (SELECT count(*) FROM documents WHERE source = '{b}')::HUGEINT
+           AS n_b
+  FROM (
+    SELECT n_chars,
+           count(*) FILTER (WHERE source = '{a}') AS na_v,
+           count(*) FILTER (WHERE source = '{b}') AS nb_v
+    FROM documents WHERE source IN ('{a}', '{b}')
+    GROUP BY n_chars)
+)
+GROUP BY n_a, n_b"""
+
+
+@query("cvm_drift", sql=" UNION ALL ".join(
+    _cvm_pair_sql(a, b) for a, b in _KS_PAIRS)
+    + " ORDER BY source_a, source_b")
+def cvm_drift_q(sf_dir: str):
+    """Exact two-sample Cramér-von Mises statistic on the doc-length
+    distribution for the same three source pairs as ks_drift — CvM
+    integrates the WHOLE squared CDF gap instead of taking its max, so
+    it catches broad middle-of-distribution drift KS underweights.
+    T = sum_v (a_v + b_v) * (A_v*m - B_v*n)^2 / (N^2 * n * m) over the
+    merged distinct-value histogram (cumulative counts A, B), floored
+    once to ppm — an exact big-integer chain on both engines.  Same
+    distributed shape as ks_drift: one (source, value, count) combine
+    (value-bounded), driver scan over the tiny merged grid."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    rows = []
+    for a, b in _KS_PAIRS:
+        def part(bt: pa.Table, a=a, b=b) -> pd.DataFrame:
+            src = np.asarray(bt["source"])
+            keep = (src == a) | (src == b)
+            f = pd.DataFrame({
+                "v": bt["n_chars"].to_numpy(zero_copy_only=False)[keep],
+                "is_a": (src[keep] == a).astype(np.int64)})
+            f["na_v"] = f["is_a"]
+            f["nb_v"] = 1 - f["is_a"]
+            return f.groupby("v", as_index=False)[["na_v", "nb_v"]].sum()
+
+        def fold(f: pd.DataFrame) -> pd.DataFrame:
+            return f.groupby("v", as_index=False)[["na_v", "nb_v"]].sum()
+
+        merged, ok = guarded_partials(
+            _read(sf_dir, "documents", ["source", "n_chars"])
+            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+        assert ok  # value-bounded: distinct doc lengths
+        if merged is None or not len(merged):
+            continue
+        g = merged.sort_values("v")
+        av = g["na_v"].to_numpy(np.int64)
+        bv = g["nb_v"].to_numpy(np.int64)
+        n = int(av.sum())
+        m = int(bv.sum())
+        if n == 0 or m == 0:
+            continue
+        ca = cb = 0
+        num = 0
+        for a_i, b_i in zip(av.tolist(), bv.tolist()):
+            ca += a_i
+            cb += b_i
+            d = ca * m - cb * n
+            num += (a_i + b_i) * d * d
+        t_ppm = num * 1_000_000 // ((n + m) * (n + m) * n * m)
+        rows.append({"source_a": a, "source_b": b,
+                     "n_a": np.int64(n), "n_b": np.int64(m),
+                     "t_ppm": np.int64(t_ppm)})
+    out = pd.DataFrame(rows, columns=["source_a", "source_b",
+                                      "n_a", "n_b", "t_ppm"])
+    for c in ("n_a", "n_b", "t_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Code-switching / mixed-language document detection
+# ---------------------------------------------------------------------------
+
+@query("code_switching_detect", sql="""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                            x -> x <> '')) AS tok
+  FROM documents
+), lc AS (
+  SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2
+), v AS (
+  SELECT lang AS vlang, tok FROM (
+    SELECT lang, tok,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY c DESC, tok) AS rn
+    FROM lc) WHERE rn <= 20
+), hits AS (
+  SELECT t.doc_id,
+         sum(CASE WHEN v.vlang = t.lang THEN 1 ELSE 0 END) AS own_hits,
+         sum(CASE WHEN v.vlang <> t.lang THEN 1 ELSE 0 END) AS other_hits
+  FROM tok t JOIN v ON v.tok = t.tok
+  GROUP BY t.doc_id
+)
+SELECT d.lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN coalesce(h.other_hits, 0) > coalesce(h.own_hits, 0)
+                THEN 1 ELSE 0 END)::BIGINT AS n_mixed,
+       (sum(CASE WHEN coalesce(h.other_hits, 0)
+                      > coalesce(h.own_hits, 0)
+                 THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+         AS mixed_ppm
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang
+""")
+def code_switching_detect_q(sf_dir: str):
+    """Code-switching detection: each language gets a 20-token
+    characteristic vocabulary (top per-lang token counts, deterministic
+    ties); a document is MIXED when its tokens hit other languages'
+    vocabularies more often than its own (a token shared by k
+    vocabularies votes once per membership, identically on both
+    engines).  Two distributed passes: the (lang, token) count combine
+    (vocab x langs bounded) builds the vocabulary driver-side, which
+    broadcasts into a vectorized per-batch merge that scores every
+    document; per-lang mixed counts reduce through the lang-bounded
+    combine.  The standard mixed-language cleanup gate for multilingual
+    corpora."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def _flat(bt: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(bt["text"], pa.scalar("")),
+                                " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        n_per = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(len(n_per)), n_per)
+        keep = flat != ""
+        return pd.DataFrame({"row": rep[keep], "tok": flat[keep]})
+
+    def vpart(bt: pa.Table) -> pd.DataFrame:
+        f = _flat(bt)
+        f["lang"] = np.asarray(bt["lang"].to_pylist(),
+                               dtype=object)[f["row"].to_numpy()]
+        f["c"] = 1
+        return f.groupby(["lang", "tok"], as_index=False)["c"].sum()
+
+    def vfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["lang", "tok"], as_index=False)["c"].sum()
+
+    lc, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text", "lang"])
+        .map_batches(vpart, batch_format="pyarrow"), vfold, 4_000_000)
+    assert ok  # bounded: vocab x langs
+    cols = ("lang", "n_docs", "n_mixed", "mixed_ppm")
+    if lc is None or not len(lc):
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    vocab = (lc.sort_values(["lang", "c", "tok"],
+                            ascending=[True, False, True])
+             .groupby("lang").head(20)[["lang", "tok"]]
+             .rename(columns={"lang": "vlang"}))
+
+    def spart(bt: pa.Table) -> pd.DataFrame:
+        langs = np.asarray(bt["lang"].to_pylist(), dtype=object)
+        f = _flat(bt)
+        f["lang"] = langs[f["row"].to_numpy()]
+        j = f.merge(vocab, on="tok", how="inner")
+        own = (j.assign(h=(j["vlang"] == j["lang"]).astype(np.int64))
+               .groupby("row")["h"].agg(["sum", "size"]))
+        n_rows = len(langs)
+        own_hits = np.zeros(n_rows, dtype=np.int64)
+        all_hits = np.zeros(n_rows, dtype=np.int64)
+        idx = own.index.to_numpy()
+        own_hits[idx] = own["sum"].to_numpy(np.int64)
+        all_hits[idx] = own["size"].to_numpy(np.int64)
+        mixed = (all_hits - own_hits) > own_hits
+        g = pd.DataFrame({"lang": langs, "n_docs": 1,
+                          "n_mixed": mixed.astype(np.int64)})
+        return g.groupby("lang", as_index=False).sum()
+
+    def sfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("lang", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text", "lang"])
+        .map_batches(spart, batch_format="pyarrow"), sfold, 2_000_000)
+    assert ok  # bounded: #langs
+    f = merged.copy()
+    f["mixed_ppm"] = (f["n_mixed"].astype("int64") * 1_000_000
+                      // f["n_docs"].astype("int64"))
+    for c in cols[1:]:
+        f[c] = f[c].astype("int64")
+    return f.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Monthly seasonal index of order revenue
+# ---------------------------------------------------------------------------
+
+@query("monthly_seasonal_index", sql="""
+WITH m AS (
+  SELECT extract(month FROM o_orderdate)::BIGINT AS month_of_year,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::HUGEINT AS cents
+  FROM orders GROUP BY 1
+), t AS (SELECT sum(cents) AS total FROM m)
+SELECT month_of_year, cents::BIGINT AS cents,
+       (m.cents * 12 * 1000000 // t.total)::BIGINT AS seasonal_index_ppm
+FROM m, t ORDER BY month_of_year
+""")
+def monthly_seasonal_index_q(sf_dir: str):
+    """Month-of-year seasonal index of order revenue: each calendar
+    month's share of total revenue scaled by 12, so 1e6 means a
+    perfectly flat month and the deviation from 1e6 is the seasonal
+    swing — the classical ratio-to-moving-average index with the
+    all-year base, as one exact integer chain.  Month buckets (12 keys)
+    reduce distributedly."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["o_orderdate"].to_pandas()
+        f = pd.DataFrame({
+            "month_of_year": ts.dt.month.to_numpy(np.int64),
+            "cents": np.round(b["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64)})
+        return f.groupby("month_of_year", as_index=False)["cents"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("month_of_year", as_index=False)["cents"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 12 months
+    cols = ("month_of_year", "cents", "seasonal_index_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    f = merged.sort_values("month_of_year").reset_index(drop=True)
+    total = int(f["cents"].sum())
+    f["seasonal_index_ppm"] = [
+        int(c) * 12 * 1_000_000 // total for c in f["cents"]]
+    for c in cols:
+        f[c] = f[c].astype("int64")
+    return f[list(cols)]

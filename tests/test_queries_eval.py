@@ -358,3 +358,40 @@ def test_hhi_bounds(ray_session):
     # 1e6/n <= HHI <= 1e6 (floor slack allows a tiny undershoot)
     assert 1_000_000 // n - n <= hhi <= 1_000_000
     assert top * top // 1_000_000 <= hhi  # top share alone bounds HHI below
+
+
+def test_cvm_nonnegative_and_pairs(ray_session):
+    from dataquality_ray.pipelines.queries_text import _KS_PAIRS, cvm_drift_q
+
+    df = cvm_drift_q(SF)
+    assert len(df) == len(_KS_PAIRS)
+    assert (df["t_ppm"] >= 0).all()
+    # identical samples would give 0; distinct sources give > 0 here
+    assert (df["n_a"] > 0).all() and (df["n_b"] > 0).all()
+
+
+def test_code_switching_rates(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        code_switching_detect_q,
+    )
+
+    df = code_switching_detect_q(SF)
+    assert (df["n_mixed"] <= df["n_docs"]).all()
+    assert (df["mixed_ppm"]
+            == df["n_mixed"] * 1_000_000 // df["n_docs"]).all()
+    raw = pd.read_parquet(f"{SF}/documents.parquet", columns=["lang"])
+    want = raw["lang"].value_counts().sort_index()
+    got = df.set_index("lang")["n_docs"]
+    assert (got == want).all()
+
+
+def test_seasonal_index_sums_to_12e6(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        monthly_seasonal_index_q,
+    )
+
+    df = monthly_seasonal_index_q(SF)
+    assert len(df) == 12
+    # floors only lose mass: sum <= 12e6, within 12 ulps
+    s = int(df["seasonal_index_ppm"].sum())
+    assert 12_000_000 - 12 <= s <= 12_000_000
