@@ -317,6 +317,10 @@ def run_suite() -> dict:
                  "cvm_drift", "code_switching_detect",
                  "monthly_seasonal_index",
                  "cochran_q_rules", "mcnemar_rules", "cmh_pooled_odds",
+                 # round-4 session-4: web-crawl pipeline (URL canonical
+                 # dedup, domain gate, compaction planner)
+                 "url_canonical_dedup", "domain_quality_filter",
+                 "compaction_bin_packing",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -1,0 +1,290 @@
+"""Web-crawl pipeline operators: URL canonicalization + canonical-URL dedup,
+domain-level quality gating, and a compaction bin-packing planner.
+
+These are the crawl-side companions to the document-side dedup family
+(stages/dedup.py, stages/minhash.py): a CommonCrawl/C4-style pipeline
+dedups by *canonical URL* before it ever hashes content, gates whole
+domains on aggregate quality, and compacts small per-day output files
+into target-size bins for the next stage's readers.
+
+The URL column is PLANTED deterministically from (doc_id, source) with
+scheme / www / case / trailing-slash / query / fragment variations, the
+same both in the Arrow kernel and in the DuckDB oracle — the planted
+string is the *input*; the canonicalizer then parses the URL column with
+RE2 (`pc.extract_regex` / `regexp_extract`, identical engines) so the
+operator under test is a real URL parser, not an arithmetic shortcut.
+
+Scale shape: canonical-URL keys are unbounded in a real crawl, so the
+per-batch partial counts flow through ``combine_or_groupby_twin`` (driver
+combine within cap, exact ``groupby(canonical).map_groups`` twin past
+it).  Domain keys and day keys are bounded (domains, calendar days) and
+use the plain guarded combine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataquality_ray.pipelines.registry import query
+
+# next-fit target bin size for the compaction planner, in integer cents
+# of o_totalprice (a deterministic stand-in for file bytes)
+_COMPACT_TARGET = 500_000_000
+
+_DOMAIN_KEEP_MIN_CHARS = 305  # per-domain mean n_chars gate
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Planted URL column + canonicalizer (shared by the URL queries)
+# ---------------------------------------------------------------------------
+
+def plant_url_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, url) with deterministic scheme/www/case/slash/query/fragment
+    variants; collisions by construction: canonical = f(source, doc_id%100),
+    so ~5 raw variants share a canonical at every scale."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = np.asarray(batch["source"].to_pylist(), dtype=object).astype(str)
+    scheme = np.where(ids % 2 == 0, "https://", "http://")
+    www = np.where(ids % 3 == 0, "www.", "")
+    host_src = np.where(ids % 5 == 0, np.char.upper(src), src)
+    host = np.char.add(np.char.add(host_src, (ids % 20).astype(str)),
+                       ".com")
+    path = np.char.add("/p", (ids % 100).astype(str))
+    trail = np.where(ids % 4 == 0, "/", "")
+    qs = np.where(ids % 7 == 0,
+                  np.char.add("?utm_source=feed&ref=", src), "")
+    frag = np.where(ids % 11 == 0, "#section-2", "")
+    url = np.char.add(np.char.add(np.char.add(scheme, www), host),
+                      np.char.add(np.char.add(path, trail),
+                                  np.char.add(qs, frag)))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "url": pa.array(url.tolist(), type=pa.string())})
+
+
+_URL_SQL = ("(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)"
+            " || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)"
+            " || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source"
+            " END) || (doc_id % 20)::VARCHAR || '.com/p'"
+            " || (doc_id % 100)::VARCHAR"
+            " || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)"
+            " || (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&ref=' ||"
+            " source ELSE '' END)"
+            " || (CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END)")
+
+
+def canonicalize_url_batch(url: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(canonical_url, domain) from a raw URL column.
+
+    Rules (all RE2, byte-identical in DuckDB): drop query + fragment,
+    normalize scheme to http, lowercase the host, strip a leading
+    ``www.``, strip trailing slashes (empty path -> '/')."""
+    ext = pc.extract_regex(
+        url, r"^(?P<scheme>https?)://(?P<host>[^/?#]*)(?P<path>[^?#]*)")
+    host = pc.replace_substring_regex(
+        pc.utf8_lower(pc.struct_field(ext, "host")), r"^www\.", "")
+    path = pc.replace_substring_regex(
+        pc.struct_field(ext, "path"), "/+$", "")
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+    canonical = pc.binary_join_element_wise(
+        pa.scalar("http://"), host, path, "")
+    return canonical, host
+
+
+_CANON_SQL = ("'http://' || regexp_replace(lower(regexp_extract(url,"
+              " '^https?://([^/?#]*)', 1)), '^www\\.', '') ||"
+              " (CASE WHEN regexp_replace(regexp_extract(url,"
+              " '^https?://[^/?#]*([^?#]*)', 1), '/+$', '') = ''"
+              " THEN '/' ELSE regexp_replace(regexp_extract(url,"
+              " '^https?://[^/?#]*([^?#]*)', 1), '/+$', '') END)")
+
+_DOMAIN_SQL = ("regexp_replace(lower(regexp_extract(url,"
+               " '^https?://([^/?#]*)', 1)), '^www\\.', '')")
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL dedup census
+# ---------------------------------------------------------------------------
+
+@query("url_canonical_dedup", sql=f"""
+WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+c AS (SELECT doc_id, {_CANON_SQL} AS canonical_url FROM u)
+SELECT canonical_url, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS keep_doc_id, (count(*) - 1)::BIGINT AS n_dups
+FROM c GROUP BY canonical_url ORDER BY canonical_url
+""")
+def url_canonical_dedup_q(sf_dir: str):
+    """Canonical-URL dedup census: plant raw URL variants, parse +
+    canonicalize them with one RE2 kernel per batch, and keep the
+    first (min doc_id) per canonical.  Canonical keys are unbounded in
+    a real crawl, so the count/min partials flow through
+    ``combine_or_groupby_twin`` — driver combine within the cap, exact
+    ``groupby(canonical_url)`` twin past it."""
+    from dataquality_ray.stages.autoroute import combine_or_groupby_twin
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        u = plant_url_batch(batch)
+        canonical, _ = canonicalize_url_batch(u["url"])
+        f = pd.DataFrame({
+            "canonical_url": canonical.to_pylist(),
+            "doc_id": u["doc_id"].to_numpy(zero_copy_only=False)})
+        g = f.groupby("canonical_url", as_index=False).agg(
+            n_docs=("doc_id", "size"), keep_doc_id=("doc_id", "min"))
+        return g
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("canonical_url", as_index=False).agg(
+            n_docs=("n_docs", "sum"), keep_doc_id=("keep_doc_id", "min"))
+
+    stage = _read(sf_dir, "documents", ["doc_id", "source"]) \
+        .map_batches(part, batch_format="pyarrow")
+    merged, twin = combine_or_groupby_twin(
+        "url_canonical_dedup", stage, fold, 2_000_000, ["canonical_url"])
+    if merged is None and twin is not None:
+        merged = twin.to_pandas()
+    cols = ("canonical_url", "n_docs", "keep_doc_id", "n_dups")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "canonical_url": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype=np.int64),
+            "keep_doc_id": pd.Series([], dtype=np.int64),
+            "n_dups": pd.Series([], dtype=np.int64)})
+    merged = merged.sort_values("canonical_url").reset_index(drop=True)
+    merged["n_docs"] = merged["n_docs"].astype(np.int64)
+    merged["keep_doc_id"] = merged["keep_doc_id"].astype(np.int64)
+    merged["n_dups"] = (merged["n_docs"] - 1).astype(np.int64)
+    return merged[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Domain-level quality gate (RefinedWeb-style host filtering)
+# ---------------------------------------------------------------------------
+
+@query("domain_quality_filter", sql=f"""
+WITH u AS (SELECT doc_id, n_chars, {_URL_SQL} AS url FROM documents),
+d AS (SELECT {_DOMAIN_SQL} AS domain, doc_id, n_chars FROM u)
+SELECT domain, count(*)::BIGINT AS n_docs,
+       (sum(n_chars::HUGEINT) // count(*))::BIGINT AS mean_chars,
+       (CASE WHEN sum(n_chars::HUGEINT) // count(*)
+                  >= {_DOMAIN_KEEP_MIN_CHARS}
+             THEN 1 ELSE 0 END)::BIGINT AS kept
+FROM d GROUP BY domain ORDER BY domain
+""")
+def domain_quality_filter_q(sf_dir: str):
+    """Domain-level quality gate: aggregate mean document length per
+    (lowercased, de-www'd) host and keep domains whose mean clears the
+    bar — hosts whose pages are consistently thin get dropped wholesale,
+    the RefinedWeb/C4 pattern that removes boilerplate farms cheaper
+    than any per-document score.  Domain keys are bounded (hosts), so
+    the (n, sum) partials use the plain guarded combine; the mean is one
+    integer floor-division on both engines."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        u = plant_url_batch(batch)
+        _, domain = canonicalize_url_batch(u["url"])
+        f = pd.DataFrame({
+            "domain": domain.to_pylist(),
+            "n": 1,
+            "chars": batch["n_chars"].to_numpy(zero_copy_only=False)})
+        return f.groupby("domain", as_index=False).agg(
+            n=("n", "sum"), chars=("chars", "sum"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("domain", as_index=False).agg(
+            n=("n", "sum"), chars=("chars", "sum"))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: one row per domain
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "domain": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype=np.int64),
+            "mean_chars": pd.Series([], dtype=np.int64),
+            "kept": pd.Series([], dtype=np.int64)})
+    merged = merged.sort_values("domain").reset_index(drop=True)
+    n = merged["n"].astype(np.int64)
+    mean = (merged["chars"].astype(object).map(int)
+            .combine(n.astype(object).map(int), lambda a, b: a // b))
+    return pd.DataFrame({
+        "domain": merged["domain"],
+        "n_docs": n,
+        "mean_chars": mean.astype(np.int64),
+        "kept": (mean.astype(np.int64)
+                 >= _DOMAIN_KEEP_MIN_CHARS).astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Compaction bin-packing planner
+# ---------------------------------------------------------------------------
+
+@query("compaction_bin_packing", sql=f"""
+WITH d AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS bytes
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT day, bytes,
+         sum(bytes) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT ((cum - bytes) // {_COMPACT_TARGET})::BIGINT AS bin_id,
+       count(*)::BIGINT AS n_files, sum(bytes)::BIGINT AS bin_bytes,
+       min(day) AS first_day, max(day) AS last_day
+FROM w GROUP BY 1 ORDER BY 1
+""")
+def compaction_bin_packing_q(sf_dir: str):
+    """Small-file compaction planner: one 'file' per order day (bytes =
+    integer-cents revenue as the deterministic stand-in), packed in day
+    order into target-size bins with the cumulative-fill rule
+    ``bin = floor(bytes_before / target)`` — the same assignment a
+    next-fit compactor makes when every file is smaller than the
+    target.  Day keys are calendar-bounded; the cumsum + binning is a
+    driver-side O(days) vectorized pass, all integer."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = pc.strftime(batch["o_orderdate"], format="%Y-%m-%d")
+        cents = pc.cast(pc.round(pc.multiply(
+            batch["o_totalprice"], 100.0)), pa.int64())
+        f = pd.DataFrame({"day": day.to_pylist(),
+                          "bytes": cents.to_numpy(zero_copy_only=False)})
+        return f.groupby("day", as_index=False)["bytes"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["bytes"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("bin_id", "n_files", "bin_bytes", "first_day", "last_day")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "bin_id": pd.Series([], dtype=np.int64),
+            "n_files": pd.Series([], dtype=np.int64),
+            "bin_bytes": pd.Series([], dtype=np.int64),
+            "first_day": pd.Series([], dtype=object),
+            "last_day": pd.Series([], dtype=object)})
+    merged = merged.sort_values("day").reset_index(drop=True)
+    b = merged["bytes"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(b)
+    bin_id = (cum - b) // _COMPACT_TARGET
+    out = pd.DataFrame({"bin_id": bin_id.astype(np.int64),
+                        "day": merged["day"], "bytes": b})
+    g = out.groupby("bin_id", as_index=False).agg(
+        n_files=("day", "size"), bin_bytes=("bytes", "sum"),
+        first_day=("day", "min"), last_day=("day", "max"))
+    g["n_files"] = g["n_files"].astype(np.int64)
+    g["bin_bytes"] = g["bin_bytes"].astype(np.int64)
+    return g.sort_values("bin_id").reset_index(drop=True)[list(cols)]

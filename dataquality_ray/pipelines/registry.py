@@ -50,5 +50,6 @@ def _load():
         queries_dimensions,
         queries_text,
         queries_tpch,
+        queries_web,
     )
     _LOADED = True

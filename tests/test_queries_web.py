@@ -1,0 +1,138 @@
+"""Semantic tests for the web-crawl pipeline batch (queries_web.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_url_canonicalizer_rules():
+    """Unit-level: every canonicalization rule on a hand-built URL set."""
+    from dataquality_ray.pipelines.queries_web import canonicalize_url_batch
+
+    urls = pa.array([
+        "https://WWW.Example7.COM/p1?utm_source=feed#x",
+        "http://example7.com/p1/",
+        "http://www.example7.com/p1",
+        "https://example7.com/p1",
+        "http://host.com",            # empty path -> '/'
+        "http://host.com///",         # all-slash path -> '/'
+    ])
+    canonical, domain = canonicalize_url_batch(urls)
+    c = canonical.to_pylist()
+    # the first four are all the same logical page
+    assert len(set(c[:4])) == 1
+    assert c[0] == "http://example7.com/p1"
+    assert c[4] == "http://host.com/"
+    assert c[5] == "http://host.com/"
+    assert domain.to_pylist()[:2] == ["example7.com", "example7.com"]
+
+
+def test_url_canonical_dedup_first_kept(ray_session):
+    """keep_doc_id is the min doc_id of its group; n_dups = n_docs - 1;
+    group sizes reconstruct the corpus size."""
+    from dataquality_ray.pipelines.queries_web import (
+        plant_url_batch,
+        canonicalize_url_batch,
+        url_canonical_dedup_q,
+    )
+
+    df = url_canonical_dedup_q(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "source"])
+    assert int(df["n_docs"].sum()) == len(docs)
+    assert (df["n_dups"] == df["n_docs"] - 1).all()
+    # independent per-row recomputation of the canonical for every doc
+    u = plant_url_batch(pa.Table.from_pandas(docs))
+    canonical, _ = canonicalize_url_batch(u["url"])
+    ref = pd.DataFrame({"canonical_url": canonical.to_pylist(),
+                        "doc_id": docs["doc_id"]})
+    first = ref.groupby("canonical_url")["doc_id"].min()
+    got = df.set_index("canonical_url")["keep_doc_id"]
+    pd.testing.assert_series_equal(
+        got.sort_index(), first.sort_index(),
+        check_names=False, check_dtype=False)
+    # the plant guarantees real collisions
+    assert (df["n_docs"] > 1).any()
+
+
+def test_url_canonical_dedup_twin_route(ray_session, monkeypatch):
+    """Past the combine cap the groupby twin yields identical rows."""
+    import dataquality_ray.stages.autoroute as ar
+    from dataquality_ray.pipelines.queries_web import url_canonical_dedup_q
+
+    base = url_canonical_dedup_q(SF)
+    orig = ar.combine_or_groupby_twin
+
+    def tiny_cap(op, stage_ds, fold_fn, cap, keys, **kw):
+        return orig(op, stage_ds, fold_fn, 1, keys, **kw)
+
+    monkeypatch.setattr(ar, "combine_or_groupby_twin", tiny_cap)
+    import dataquality_ray.pipelines.queries_web as qw
+    monkeypatch.setattr(qw, "combine_or_groupby_twin", tiny_cap,
+                        raising=False)
+    routed = url_canonical_dedup_q(SF)
+    pd.testing.assert_frame_equal(
+        base.reset_index(drop=True), routed.reset_index(drop=True))
+
+
+def test_domain_quality_filter_means(ray_session):
+    """Per-domain mean equals an exact pandas recomputation and the kept
+    flag is the threshold comparison."""
+    from dataquality_ray.pipelines.queries_web import (
+        _DOMAIN_KEEP_MIN_CHARS,
+        domain_quality_filter_q,
+        plant_url_batch,
+        canonicalize_url_batch,
+    )
+
+    df = domain_quality_filter_q(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    u = plant_url_batch(pa.Table.from_pandas(docs[["doc_id", "source"]]))
+    _, domain = canonicalize_url_batch(u["url"])
+    ref = pd.DataFrame({"domain": domain.to_pylist(),
+                        "n_chars": docs["n_chars"]})
+    g = ref.groupby("domain")["n_chars"].agg(["sum", "size"])
+    mean = (g["sum"] // g["size"]).astype(np.int64)
+    got = df.set_index("domain")
+    assert (got["mean_chars"].sort_index() == mean.sort_index()).all()
+    assert (got["kept"] ==
+            (got["mean_chars"] >= _DOMAIN_KEEP_MIN_CHARS)
+            .astype(np.int64)).all()
+    # domains are lowercase and de-www'd
+    assert not got.index.str.startswith("www.").any()
+    assert (got.index == got.index.str.lower()).all()
+
+
+def test_compaction_bins_conserve_and_fill(ray_session):
+    """Bins partition all files, bytes are conserved, bins appear in
+    day order, and every bin except possibly the last starts before the
+    target boundary it fills toward."""
+    from dataquality_ray.pipelines.queries_web import (
+        _COMPACT_TARGET,
+        compaction_bin_packing_q,
+    )
+
+    df = compaction_bin_packing_q(SF)
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(
+        np.int64)
+    days = orders["o_orderdate"].dt.strftime("%Y-%m-%d")
+    daily = pd.DataFrame({"day": days, "b": cents}).groupby("day")["b"] \
+        .sum().sort_index()
+    assert int(df["bin_bytes"].sum()) == int(daily.sum())
+    assert int(df["n_files"].sum()) == len(daily)
+    # cumulative-fill rule: bin_id of each bin's first day matches
+    cum = daily.cumsum().to_numpy()
+    b = daily.to_numpy()
+    expect_bins = (cum - b) // _COMPACT_TARGET
+    ref = pd.DataFrame({"bin_id": expect_bins, "day": daily.index}) \
+        .groupby("bin_id")["day"].agg(["min", "max"])
+    got = df.set_index("bin_id")
+    assert (got["first_day"].sort_index() == ref["min"].sort_index()).all()
+    assert (got["last_day"].sort_index() == ref["max"].sort_index()).all()
+    assert df["bin_id"].is_monotonic_increasing
+    assert len(df) > 1  # target actually splits the corpus
