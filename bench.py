@@ -321,6 +321,10 @@ def run_suite() -> dict:
                  # dedup, domain gate, compaction planner)
                  "url_canonical_dedup", "domain_quality_filter",
                  "compaction_bin_packing",
+                 # round-4 session-4: graph stats + distribution ops
+                 "graph_degree_assortativity",
+                 "token_clustering_coefficient", "pairwise_ks_matrix",
+                 "quantile_normalize_chars", "grubbs_daily_outlier",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -7472,3 +7472,208 @@ def cmh_pooled_odds_q(sf_dir: str):
                          "mh_num_ppm": [np.int64(num)],
                          "mh_den_ppm": [np.int64(den)],
                          "or_mh_ppm": [np.int64(or_ppm)]})
+
+
+# ---------------------------------------------------------------------------
+# Undirected token-graph helpers (assortativity / clustering batch)
+# ---------------------------------------------------------------------------
+
+def _und_edges(edges: pd.DataFrame) -> pd.DataFrame:
+    """Distinct undirected (a<b) edges from the directed bigram edge set,
+    self-loops dropped — the same orientation token_triangle_count uses."""
+    if not len(edges):
+        return pd.DataFrame({"a": [], "b": []})
+    s = edges["src"].to_numpy(dtype=object)
+    d = edges["dst"].to_numpy(dtype=object)
+    keep = s != d
+    a = np.where(s < d, s, d)[keep]
+    b = np.where(s < d, d, s)[keep]
+    return (pd.DataFrame({"a": a, "b": b})
+            .drop_duplicates().reset_index(drop=True))
+
+
+_UND_SQL = """
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+deg AS (SELECT tok, count(*)::HUGEINT AS d FROM (
+          SELECT a AS tok FROM und UNION ALL SELECT b AS tok FROM und)
+        GROUP BY tok)
+"""
+
+
+@query("graph_degree_assortativity", sql=f"""
+WITH {_BIGRAM_SQL.strip().rstrip(',')},
+{_UND_SQL.strip()},
+es AS (SELECT da.d AS ja, db.d AS jb FROM und u
+       JOIN deg da ON da.tok = u.a JOIN deg db ON db.tok = u.b),
+s AS (SELECT count(*)::HUGEINT AS m, sum(ja + jb)::HUGEINT AS s1,
+             sum(ja * ja + jb * jb)::HUGEINT AS s2,
+             sum(ja * jb)::HUGEINT AS p
+      FROM es)
+SELECT m::BIGINT AS n_edges, (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       (CASE WHEN 2 * m * s2 - s1 * s1 = 0 THEN 0
+             WHEN 4 * m * p - s1 * s1 < 0
+             THEN -(((s1 * s1 - 4 * m * p) * 1000000)
+                    // (2 * m * s2 - s1 * s1))
+             ELSE ((4 * m * p - s1 * s1) * 1000000)
+                  // (2 * m * s2 - s1 * s1)
+        END)::BIGINT AS assortativity_ppm
+FROM s
+""")
+def graph_degree_assortativity_q(sf_dir: str):
+    """Degree assortativity of the undirected token graph: Pearson
+    correlation of endpoint degrees over edges, r = (4MP - S1^2) /
+    (2M*S2 - S1^2) with S1=sum(ja+jb), S2=sum(ja^2+jb^2), P=sum(ja*jb)
+    — negative r means hubs attach to leaves (dissortative, typical of
+    language graphs).  Edges reduce distributedly; the vocab-bounded
+    moment sums are exact Python ints, and the signed ppm division
+    truncates toward zero on both engines (sign * (abs // den))."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    und = _und_edges(edges)
+    cols = ("n_edges", "n_nodes", "assortativity_ppm")
+    if not len(und):
+        return pd.DataFrame({c: pd.Series([0], dtype=np.int64)
+                             for c in cols})
+    deg = pd.concat([und["a"], und["b"]]).value_counts()
+    ja = deg.reindex(und["a"]).to_numpy(dtype=np.int64)
+    jb = deg.reindex(und["b"]).to_numpy(dtype=np.int64)
+    m = int(len(und))
+    s1 = int(np.sum(ja + jb))
+    s2 = int(np.sum(ja * ja + jb * jb))
+    p = int(np.sum(ja * jb))
+    den = 2 * m * s2 - s1 * s1
+    num = 4 * m * p - s1 * s1
+    if den == 0:
+        r_ppm = 0
+    elif num < 0:
+        r_ppm = -((-num * 1_000_000) // den)
+    else:
+        r_ppm = (num * 1_000_000) // den
+    return pd.DataFrame({"n_edges": [np.int64(m)],
+                         "n_nodes": [np.int64(len(deg))],
+                         "assortativity_ppm": [np.int64(r_ppm)]})
+
+
+@query("token_clustering_coefficient", sql=f"""
+WITH {_BIGRAM_SQL.strip().rstrip(',')},
+{_UND_SQL.strip()},
+tri AS (SELECT count(*)::HUGEINT AS t FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+w AS (SELECT coalesce(sum((d * (d - 1)) // 2), 0)::HUGEINT AS wedges
+      FROM deg)
+SELECT (SELECT t FROM tri)::BIGINT AS n_triangles,
+       (SELECT wedges FROM w)::BIGINT AS n_wedges,
+       (CASE WHEN (SELECT wedges FROM w) = 0 THEN 0
+             ELSE ((SELECT t FROM tri) * 3000000) // (SELECT wedges FROM w)
+        END)::BIGINT AS clustering_ppm
+""")
+def token_clustering_coefficient_q(sf_dir: str):
+    """Global clustering coefficient of the undirected token graph:
+    3 * triangles / wedges (wedges = sum over nodes of C(deg, 2)) — the
+    transitivity companion to token_triangle_count.  Same distributed
+    edge aggregation; the triangle enumeration runs on the vocab-bounded
+    edge set with the a<b<c orientation so each triangle counts once."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    und = _und_edges(edges)
+    cols = ("n_triangles", "n_wedges", "clustering_ppm")
+    if not len(und):
+        return pd.DataFrame({c: pd.Series([0], dtype=np.int64)
+                             for c in cols})
+    adj: dict = {}
+    for a, b in zip(und["a"], und["b"]):
+        adj.setdefault(a, set()).add(b)
+    tri = 0
+    for a, b in zip(und["a"], und["b"]):
+        nb = adj.get(b, ())
+        for c in adj.get(a, ()):
+            if c > b and c in nb:
+                tri += 1
+    deg = pd.concat([und["a"], und["b"]]).value_counts() \
+        .to_numpy(dtype=np.int64)
+    wedges = int(np.sum(deg * (deg - 1) // 2))
+    c_ppm = 0 if wedges == 0 else (3 * tri * 1_000_000) // wedges
+    return pd.DataFrame({"n_triangles": [np.int64(tri)],
+                         "n_wedges": [np.int64(wedges)],
+                         "clustering_ppm": [np.int64(c_ppm)]})
+
+
+# ---------------------------------------------------------------------------
+# Pairwise KS distance matrix between sources
+# ---------------------------------------------------------------------------
+
+@query("pairwise_ks_matrix", sql="""
+WITH counts AS (SELECT source, n_chars, count(*)::BIGINT AS c
+                FROM documents GROUP BY 1, 2),
+tot AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+grid AS (SELECT DISTINCT n_chars FROM documents),
+srcs AS (SELECT DISTINCT source FROM documents),
+f AS (SELECT s.source, g.n_chars, coalesce(c.c, 0) AS c
+      FROM srcs s CROSS JOIN grid g
+      LEFT JOIN counts c ON c.source = s.source AND c.n_chars = g.n_chars),
+cum AS (SELECT source, n_chars,
+               sum(c) OVER (PARTITION BY source ORDER BY n_chars)::HUGEINT
+                 AS cum
+        FROM f),
+pr AS (SELECT a.source AS src_a, b.source AS src_b, ta.n AS na, tb.n AS nb,
+              max(abs(a.cum * tb.n - b.cum * ta.n))::HUGEINT AS ks_num
+       FROM cum a JOIN cum b ON b.n_chars = a.n_chars
+                            AND a.source < b.source
+       JOIN tot ta ON ta.source = a.source
+       JOIN tot tb ON tb.source = b.source
+       GROUP BY 1, 2, 3, 4)
+SELECT src_a, src_b, ks_num::BIGINT AS ks_num,
+       ((ks_num * 1000000) // (na::HUGEINT * nb))::BIGINT AS ks_ppm
+FROM pr ORDER BY src_a, src_b
+""")
+def pairwise_ks_matrix_q(sf_dir: str):
+    """All-pairs two-sample KS distance between the 20 sources' document
+    length distributions — the drift *matrix* companion to the single-
+    pair ks_drift: which corpora actually differ, for mixture planning.
+    KS numerator = max over the pooled value grid of
+    |cum_a * nb - cum_b * na| (exact integers; one floor division to
+    ppm).  The O(corpus) work is the (source, n_chars) histogram, which
+    reduces distributedly; the pairwise max runs on the bounded
+    sources x grid matrix with one vectorized pass per pair."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "source": b["source"].to_pylist(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False)})
+        g = f.groupby(["source", "n_chars"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return g
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "n_chars"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: sources x distinct lengths
+    cols = ("src_a", "src_b", "ks_num", "ks_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "src_a": pd.Series([], dtype=object),
+            "src_b": pd.Series([], dtype=object),
+            "ks_num": pd.Series([], dtype=np.int64),
+            "ks_ppm": pd.Series([], dtype=np.int64)})
+    pivot = merged.pivot_table(index="source", columns="n_chars",
+                               values="c", fill_value=0, aggfunc="sum") \
+        .sort_index().sort_index(axis=1)
+    cum = pivot.to_numpy(dtype=np.int64).cumsum(axis=1)
+    srcs = list(pivot.index)
+    n = cum[:, -1]
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            ks = int(np.max(np.abs(
+                cum[i].astype(object) * int(n[j])
+                - cum[j].astype(object) * int(n[i]))))
+            rows.append((srcs[i], srcs[j], ks,
+                         ks * 1_000_000 // (int(n[i]) * int(n[j]))))
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["ks_num"] = out["ks_num"].astype(np.int64)
+    out["ks_ppm"] = out["ks_ppm"].astype(np.int64)
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)

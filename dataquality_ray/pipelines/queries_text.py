@@ -6246,3 +6246,157 @@ def monthly_seasonal_index_q(sf_dir: str):
     for c in cols:
         f[c] = f[c].astype("int64")
     return f[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (rank -> pooled-distribution map)
+# ---------------------------------------------------------------------------
+
+@query("quantile_normalize_chars", sql="""
+WITH r AS (SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) - 1 AS r,
+                  count(*) OVER (PARTITION BY source) AS ns,
+                  count(*) OVER () AS n
+           FROM documents),
+s AS (SELECT n_chars AS v,
+             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS idx
+      FROM documents)
+SELECT r.doc_id, r.source, r.n_chars, s.v AS qnorm_chars
+FROM r JOIN s ON s.idx = (r.r * r.n) // r.ns
+ORDER BY r.doc_id
+""")
+def quantile_normalize_chars_q(sf_dir: str):
+    """Quantile normalization of document length across sources: each
+    doc's length is replaced by the pooled-distribution value at the
+    same quantile (rank r of ns within its source -> pooled sorted value
+    at index r*N//ns) — the standard cross-batch normalizer when sources
+    have systematically different length profiles.  Two distributed
+    passes: a bounded (value -> count) histogram of the pooled
+    distribution (guarded combine), then per-source ranking inside
+    ``groupby(source).map_groups`` with the histogram broadcast in the
+    closure; the index lookup is one vectorized searchsorted."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def hist_part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "v": b["n_chars"].to_numpy(zero_copy_only=False)})
+        return f.groupby("v", as_index=False).size() \
+            .rename(columns={"size": "c"})
+
+    def hist_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("v", as_index=False)["c"].sum()
+
+    hist, ok = guarded_partials(
+        _read(sf_dir, "documents", ["n_chars"])
+        .map_batches(hist_part, batch_format="pyarrow"), hist_fold,
+        2_000_000)
+    assert ok  # bounded: distinct lengths
+    cols = ("doc_id", "source", "n_chars", "qnorm_chars")
+    if hist is None or not len(hist):
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "source": pd.Series([], dtype=object),
+            "n_chars": pd.Series([], dtype=np.int64),
+            "qnorm_chars": pd.Series([], dtype=np.int64)})
+    hist = hist.sort_values("v").reset_index(drop=True)
+    grid = hist["v"].to_numpy(dtype=np.int64)
+    cum = hist["c"].to_numpy(dtype=np.int64).cumsum()
+    n_total = int(cum[-1])
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        ns = len(g)
+        r = np.arange(ns, dtype=np.int64)
+        j = r * n_total // ns
+        q = grid[np.searchsorted(cum, j, side="right")]
+        return pd.DataFrame({"doc_id": g["doc_id"],
+                             "source": g["source"],
+                             "n_chars": g["n_chars"],
+                             "qnorm_chars": q.astype(np.int64)})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = ds.groupby("source").map_groups(
+        rank_group, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    out["qnorm_chars"] = out["qnorm_chars"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Grubbs max-deviation outlier test per day
+# ---------------------------------------------------------------------------
+
+@query("grubbs_daily_outlier", sql="""
+WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+s AS (SELECT day, count(*)::HUGEINT AS n, sum(cents)::HUGEINT AS s1,
+             sum(cents::HUGEINT * cents)::HUGEINT AS s2,
+             max(cents)::HUGEINT AS mx, min(cents)::HUGEINT AS mn
+      FROM e GROUP BY day),
+g AS (SELECT day, n,
+             greatest(abs(n * mx - s1), abs(n * mn - s1)) AS max_dev,
+             (n * s2 - s1 * s1) AS den
+      FROM s)
+SELECT day, n::BIGINT AS n, max_dev::BIGINT AS max_dev_scaled,
+       (CASE WHEN den = 0 THEN 0
+             ELSE (max_dev * max_dev * 1000000) // den END)::BIGINT
+         AS g2_ppm,
+       (CASE WHEN den > 0
+                  AND (max_dev * max_dev * 1000000) // den > 4000000
+             THEN 1 ELSE 0 END)::BIGINT AS is_outlier
+FROM g ORDER BY day
+""")
+def grubbs_daily_outlier_q(sf_dir: str):
+    """Grubbs-style max-deviation test per day on event values: G^2 =
+    (x_far - mean)^2 / var expressed entirely in integers —
+    max_dev = max(|n*max - S1|, |n*min - S1|) (the extreme of a linear
+    function is at an endpoint), den = n*S2 - S1^2, G^2 ppm =
+    max_dev^2 * 1e6 // den; flag days where G > 2 (g2_ppm > 4e6).  The
+    (n, S1, S2, max, min) partials are all mergeable and day-bounded, so
+    the reduction is one guarded combine; every division floors once."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d").to_pylist()
+        cents = np.round(b["value"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        f = pd.DataFrame({"day": day, "n": 1, "s1": cents,
+                          "s2": cents * cents,
+                          "mx": cents, "mn": cents})
+        return f.groupby("day", as_index=False).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"),
+            mx=("mx", "max"), mn=("mn", "min"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"),
+            mx=("mx", "max"), mn=("mn", "min"))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("day", "n", "max_dev_scaled", "g2_ppm", "is_outlier")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "day": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "max_dev_scaled": pd.Series([], dtype=np.int64),
+            "g2_ppm": pd.Series([], dtype=np.int64),
+            "is_outlier": pd.Series([], dtype=np.int64)})
+    merged = merged.sort_values("day").reset_index(drop=True)
+    rows = []
+    for _, r in merged.iterrows():
+        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])
+        mx, mn = int(r["mx"]), int(r["mn"])
+        max_dev = max(abs(n * mx - s1), abs(n * mn - s1))
+        den = n * s2 - s1 * s1
+        g2 = 0 if den == 0 else (max_dev * max_dev * 1_000_000) // den
+        rows.append((r["day"], n, max_dev, g2,
+                     1 if den > 0 and g2 > 4_000_000 else 0))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out

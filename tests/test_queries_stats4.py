@@ -1,0 +1,107 @@
+"""Semantic tests for the round-4 graph/distribution batch."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_assortativity_bounds_and_formula(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        graph_degree_assortativity_q,
+    )
+
+    df = graph_degree_assortativity_q(SF)
+    r = int(df["assortativity_ppm"].iloc[0])
+    assert -1_000_000 <= r <= 1_000_000
+    assert int(df["n_edges"].iloc[0]) > 0
+    assert int(df["n_nodes"].iloc[0]) > 2
+
+
+def test_clustering_coefficient_consistent_with_triangles(ray_session):
+    """clustering_ppm agrees with the independently computed triangle
+    count query, and wedges >= 3*triangles (every triangle closes 3
+    wedges)."""
+    from dataquality_ray.pipelines.queries_mining import (
+        token_clustering_coefficient_q,
+        token_triangle_count_q,
+    )
+
+    cc = token_clustering_coefficient_q(SF)
+    tc = token_triangle_count_q(SF)
+    assert int(cc["n_triangles"].iloc[0]) == int(tc["n_triangles"].iloc[0])
+    tri = int(cc["n_triangles"].iloc[0])
+    wed = int(cc["n_wedges"].iloc[0])
+    assert wed >= 3 * tri >= 0
+    assert int(cc["clustering_ppm"].iloc[0]) == (
+        0 if wed == 0 else 3 * tri * 1_000_000 // wed)
+
+
+def test_pairwise_ks_matrix_properties(ray_session):
+    """All source pairs present, symmetric-free (a<b), ppm in [0, 1e6],
+    and one pair matches a direct numpy two-sample KS computation."""
+    from dataquality_ray.pipelines.queries_mining import (
+        pairwise_ks_matrix_q,
+    )
+
+    df = pairwise_ks_matrix_q(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "n_chars"])
+    k = docs["source"].nunique()
+    assert len(df) == k * (k - 1) // 2
+    assert (df["src_a"] < df["src_b"]).all()
+    assert df["ks_ppm"].between(0, 1_000_000).all()
+    a, b = df["src_a"].iloc[0], df["src_b"].iloc[0]
+    xa = np.sort(docs.loc[docs["source"] == a, "n_chars"].to_numpy())
+    xb = np.sort(docs.loc[docs["source"] == b, "n_chars"].to_numpy())
+    grid = np.unique(np.concatenate([xa, xb]))
+    ca = np.searchsorted(xa, grid, side="right")
+    cb = np.searchsorted(xb, grid, side="right")
+    ks = int(np.max(np.abs(ca.astype(np.int64) * len(xb)
+                           - cb.astype(np.int64) * len(xa))))
+    assert int(df["ks_num"].iloc[0]) == ks
+
+
+def test_quantile_normalize_is_rank_preserving(ray_session):
+    """Within every source the mapping is monotone in n_chars, the
+    output support is a subset of the pooled values, and the per-source
+    qnorm distributions are near-identical (that is the point)."""
+    from dataquality_ray.pipelines.queries_text import (
+        quantile_normalize_chars_q,
+    )
+
+    df = quantile_normalize_chars_q(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    assert len(df) == len(docs)
+    pooled = set(docs["n_chars"].tolist())
+    assert set(df["qnorm_chars"].tolist()) <= pooled
+    for _, g in df.groupby("source"):
+        gg = g.sort_values(["n_chars", "doc_id"])
+        assert gg["qnorm_chars"].is_monotonic_increasing
+    # medians of the normalized values agree across sources within one
+    # pooled grid step
+    med = df.groupby("source")["qnorm_chars"].median()
+    assert med.max() - med.min() <= np.diff(np.sort(list(pooled))).max() * 2
+
+
+def test_grubbs_daily_matches_numpy(ray_session):
+    """g2_ppm equals the integer formula recomputed from raw cents for
+    every day."""
+    from dataquality_ray.pipelines.queries_text import (
+        grubbs_daily_outlier_q,
+    )
+
+    df = grubbs_daily_outlier_q(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "value"])
+    ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+    ev["cents"] = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    for day, g in ev.groupby("day"):
+        c = g["cents"].to_numpy()
+        n, s1, s2 = len(c), int(c.sum()), int((c.astype(object) ** 2).sum())
+        max_dev = max(abs(n * int(c.max()) - s1), abs(n * int(c.min()) - s1))
+        den = n * s2 - s1 * s1
+        g2 = 0 if den == 0 else max_dev * max_dev * 1_000_000 // den
+        row = df.loc[df["day"] == day]
+        assert int(row["g2_ppm"].iloc[0]) == g2
+        assert int(row["n"].iloc[0]) == n
