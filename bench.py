@@ -325,6 +325,8 @@ def run_suite() -> dict:
                  "graph_degree_assortativity",
                  "token_clustering_coefficient", "pairwise_ks_matrix",
                  "quantile_normalize_chars", "grubbs_daily_outlier",
+                 "k_anon_generalization_ladder", "ht_sample_estimate",
+                 "weighted_median_price", "bitpack_width_advisor",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -8034,3 +8034,292 @@ def supplier_hhi_concentration_q(sf_dir: str):
     return pd.DataFrame({"n_nations": [np.int64(len(c))],
                          "hhi_ppm": [np.int64(hhi)],
                          "top_share_ppm": [np.int64(top)]})
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization ladder over customer quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_K = 25
+
+# (level, nation->region?, balance bucket cents divisor or 0=suppressed)
+_KANON_LEVELS = ((0, False, 10_000), (1, False, 100_000),
+                 (2, True, 100_000), (3, True, 0), (4, None, 0))
+
+
+def _kanon_level_sql(level: int, use_region, div: int) -> str:
+    if use_region is None:
+        key = "'*'"
+    else:
+        geo = ("n.n_regionkey::VARCHAR" if use_region
+               else "c.c_nationkey::VARCHAR")
+        if div:
+            bal = (f"(CASE WHEN CAST(round(c.c_acctbal * 100) AS BIGINT)"
+                   f" >= 0 THEN CAST(round(c.c_acctbal * 100) AS BIGINT)"
+                   f" // {div} ELSE -((-CAST(round(c.c_acctbal * 100)"
+                   f" AS BIGINT)) // {div}) END)::VARCHAR")
+        else:
+            bal = "'*'"
+        key = f"{geo} || '|' || {bal}"
+    return f"""
+  SELECT {level}::BIGINT AS level, count(*)::BIGINT AS n_groups,
+         min(sz)::BIGINT AS min_group_size,
+         (CASE WHEN min(sz) >= {_KANON_K} THEN 1 ELSE 0 END)::BIGINT
+           AS satisfies_k
+  FROM (SELECT {key} AS qkey, count(*)::BIGINT AS sz
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1)"""
+
+
+@query("k_anon_generalization_ladder", sql="""
+SELECT * FROM (
+""" + "\nUNION ALL\n".join(
+    _kanon_level_sql(lv, ur, dv) for lv, ur, dv in _KANON_LEVELS) + """
+) ORDER BY level
+""")
+def k_anon_generalization_ladder_q(sf_dir: str):
+    """Generalization ladder for k-anonymity (k=25) on the customer
+    quasi-identifiers (geography, account balance): each level coarsens
+    one attribute — $100 balance buckets -> $1000 -> nation -> region ->
+    suppressed — and reports the minimum equivalence-class size, the
+    minimal-distortion release level being the first that satisfies k.
+    One distributed pass computes all five levels' class counts (the
+    keyspaces are nations x balance buckets, all bounded); balance
+    bucketing truncates toward zero on both engines."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    # nation -> region is a 25-row reference table: read once on the
+    # driver and ship the dict inside the batch closure (broadcast)
+    n2r = (_read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+           .to_pandas().set_index("n_nationkey")["n_regionkey"].to_dict())
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(b["c_acctbal"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        rk = pd.Series(nk).map(n2r).to_numpy()
+        frames = []
+        for lv, use_region, div in _KANON_LEVELS:
+            if use_region is None:
+                key = np.full(len(nk), "*", dtype=object)
+            else:
+                geo = (rk if use_region else nk).astype(str)
+                if div:
+                    bal = (np.sign(cents) * (np.abs(cents) // div)) \
+                        .astype(np.int64).astype(str)
+                else:
+                    bal = np.full(len(nk), "*", dtype=object)
+                key = np.char.add(np.char.add(geo.astype(str), "|"),
+                                  bal.astype(str))
+            f = pd.DataFrame({"level": lv, "qkey": key})
+            frames.append(f.groupby(["level", "qkey"], as_index=False)
+                          .size().rename(columns={"size": "sz"}))
+        return pd.concat(frames, ignore_index=True)
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["level", "qkey"], as_index=False)["sz"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: nations x balance buckets per level
+    cols = ("level", "n_groups", "min_group_size", "satisfies_k")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = merged.groupby("level").agg(
+        n_groups=("qkey", "size"), min_group_size=("sz", "min"))
+    g["satisfies_k"] = (g["min_group_size"] >= _KANON_K).astype(np.int64)
+    g = g.reset_index()
+    for c in cols:
+        g[c] = g[c].astype(np.int64)
+    return g.sort_values("level").reset_index(drop=True)[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Horvitz-Thompson estimate from a deterministic hash sample
+# ---------------------------------------------------------------------------
+
+@query("ht_sample_estimate", sql="""
+WITH o AS (SELECT o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  ((o_orderkey * 2654435761) % 4294967296) % 100 AS h
+           FROM orders),
+s AS (SELECT count(*)::BIGINT AS n_total, sum(cents)::HUGEINT AS true_cents,
+             sum(CASE WHEN h < 10 THEN 1 ELSE 0 END)::BIGINT AS n_sample,
+             sum(CASE WHEN h < 10 THEN cents ELSE 0 END)::HUGEINT
+               AS sample_cents
+      FROM o)
+SELECT n_total, n_sample, true_cents::BIGINT AS true_cents,
+       (sample_cents * 10)::BIGINT AS est_cents,
+       (CASE WHEN true_cents = 0 THEN 0
+             WHEN sample_cents * 10 >= true_cents
+             THEN ((sample_cents * 10 - true_cents) * 1000000)
+                  // true_cents
+             ELSE -(((true_cents - sample_cents * 10) * 1000000)
+                    // true_cents)
+        END)::BIGINT AS err_ppm
+FROM s
+""")
+def ht_sample_estimate_q(sf_dir: str):
+    """Horvitz-Thompson total-revenue estimate from a deterministic 10%
+    hash sample (Knuth multiplicative hash of the order key — identical
+    integers on both engines, and resume-stable like every sampler in
+    stages/sampling.py): est = sample_sum / pi with pi = 0.1, reported
+    next to the true total and the signed ppm error (truncating toward
+    zero on both engines).  One distributed pass computes the sample and
+    the truth together — the pattern for validating a sampler's design
+    weights before trusting it at 100 TB."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        h = ((k * 2654435761) % 4294967296) % 100
+        sel = h < 10
+        return pd.DataFrame({
+            "n_total": [len(k)], "true_cents": [int(cents.sum())],
+            "n_sample": [int(sel.sum())],
+            "sample_cents": [int(cents[sel].sum())]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([f.sum(axis=0)])
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: one row
+    cols = ("n_total", "n_sample", "true_cents", "est_cents", "err_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    n_total = int(merged["n_total"].iloc[0])
+    true_c = int(merged["true_cents"].iloc[0])
+    n_sample = int(merged["n_sample"].iloc[0])
+    est = int(merged["sample_cents"].iloc[0]) * 10
+    if true_c == 0:
+        err = 0
+    elif est >= true_c:
+        err = (est - true_c) * 1_000_000 // true_c
+    else:
+        err = -((true_c - est) * 1_000_000 // true_c)
+    return pd.DataFrame({"n_total": [np.int64(n_total)],
+                         "n_sample": [np.int64(n_sample)],
+                         "true_cents": [np.int64(true_c)],
+                         "est_cents": [np.int64(est)],
+                         "err_ppm": [np.int64(err)]})
+
+
+# ---------------------------------------------------------------------------
+# Weighted median price per return flag
+# ---------------------------------------------------------------------------
+
+@query("weighted_median_price", sql="""
+WITH c AS (SELECT l_returnflag AS flag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+g AS (SELECT flag, cents, sum(w)::BIGINT AS w FROM c GROUP BY 1, 2),
+cw AS (SELECT flag, cents,
+              sum(w) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+              sum(w) OVER (PARTITION BY flag) AS tot
+       FROM g)
+SELECT flag, min(cents)::BIGINT AS wmedian_cents,
+       any_value(tot)::BIGINT AS total_weight
+FROM cw WHERE 2 * cum >= tot GROUP BY flag ORDER BY flag
+""")
+def weighted_median_price_q(sf_dir: str):
+    """Quantity-weighted median of the extended price per return flag:
+    the first price (ascending) whose cumulative weight reaches half the
+    total — lower-weighted-median convention, exact integers end to end.
+    The (flag, price) -> weight histogram reduces distributedly (price
+    grid is cents-bounded); past the combine cap the scale path is the
+    KLL rank sketch (stages/sketch.py) with rank = weight."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "flag": b["l_returnflag"].to_pylist(),
+            "cents": np.round(b["l_extendedprice"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64),
+            "w": b["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        return f.groupby(["flag", "cents"], as_index=False)["w"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["flag", "cents"], as_index=False)["w"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_extendedprice", "l_quantity"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: flags x cents grid; KLL twin past cap
+    cols = ("flag", "wmedian_cents", "total_weight")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "flag": pd.Series([], dtype=object),
+            "wmedian_cents": pd.Series([], dtype=np.int64),
+            "total_weight": pd.Series([], dtype=np.int64)})
+    rows = []
+    for flag, g in merged.groupby("flag"):
+        g = g.sort_values("cents")
+        w = g["w"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(w)
+        tot = int(cum[-1])
+        i = int(np.searchsorted(2 * cum, tot, side="left"))
+        rows.append((flag, int(g["cents"].iloc[i]), tot))
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["wmedian_cents"] = out["wmedian_cents"].astype(np.int64)
+    out["total_weight"] = out["total_weight"].astype(np.int64)
+    return out.sort_values("flag").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bit-packing width advisor over clustered row groups
+# ---------------------------------------------------------------------------
+
+@query("bitpack_width_advisor", sql="""
+WITH s AS (SELECT l_partkey,
+                  row_number() OVER (ORDER BY l_shipdate, l_orderkey,
+                                     l_linenumber) - 1 AS rn
+           FROM lineitem),
+g AS (SELECT rn // 8192 AS rg, min(l_partkey) AS mn, max(l_partkey) AS mx,
+             count(*)::BIGINT AS n_rows FROM s GROUP BY 1),
+w AS (SELECT rg, n_rows,
+             CASE WHEN mx = mn THEN 0
+                  ELSE length(bin(mx - mn)) END AS width
+      FROM g)
+SELECT width::BIGINT AS width_bits, count(*)::BIGINT AS n_row_groups,
+       sum(n_rows)::BIGINT AS n_rows,
+       sum(n_rows * width)::BIGINT AS est_bits
+FROM w GROUP BY 1 ORDER BY 1
+""")
+def bitpack_width_advisor_q(sf_dir: str):
+    """Frame-of-reference bit-packing advisor: cluster lineitem on
+    (shipdate, orderkey, linenumber), cut 8192-row groups, and report
+    the bit width each group needs to store l_partkey as offsets from
+    the group minimum — the encoding-selection statistic a columnar
+    writer uses (companion to delta/dict/rle advisors).  The sort is the
+    one wide op; group stats stream vectorized in O(#groups) driver
+    memory (zone_map_stats)."""
+    from dataquality_ray.stages.profile import zone_map_stats
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"])
+    zones = zone_map_stats(
+        ds, ["l_shipdate", "l_orderkey", "l_linenumber"], "l_partkey")
+    cols = ("width_bits", "n_row_groups", "n_rows", "est_bits")
+    if not len(zones):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    rng = (zones["mx"].astype(np.int64)
+           - zones["mn"].astype(np.int64)).to_numpy()
+    width = np.array([int(r).bit_length() for r in rng], dtype=np.int64)
+    f = pd.DataFrame({"width_bits": width,
+                      "n_rows": zones["n_rows"].astype(np.int64)})
+    g = f.groupby("width_bits", as_index=False).agg(
+        n_row_groups=("n_rows", "size"), n_rows=("n_rows", "sum"))
+    g["est_bits"] = (g["n_rows"] * g["width_bits"]).astype(np.int64)
+    for c in cols:
+        g[c] = g[c].astype(np.int64)
+    return g.sort_values("width_bits").reset_index(drop=True)[list(cols)]

@@ -304,29 +304,38 @@ def zone_map_stats(ds, sort_keys: list[str], value_col: str,
     """
     import pandas as pd
 
+    import numpy as np
+
     srt = ds.sort(sort_keys)
-    groups: list[tuple] = []
+    mins: dict = {}
+    maxs: dict = {}
+    ns: dict = {}
     idx = 0
-    cur_min = cur_max = None
-    cur_n = 0
     for b in srt.iter_batches(batch_format="pandas", batch_size=None):
-        vals = b[value_col]
-        for v in vals:
-            if cur_n == 0:
-                cur_min = cur_max = v
+        v = b[value_col].to_numpy()
+        if not len(v):
+            continue
+        # vectorized per-batch group stats; only the O(groups-per-batch)
+        # merge below runs in Python (a group can span batch boundaries)
+        g = (idx + np.arange(len(v), dtype=np.int64)) // rows_per_group
+        agg = (pd.DataFrame({"g": g, "v": v}).groupby("g")["v"]
+               .agg(["min", "max", "size"]))
+        for gid, row in agg.iterrows():
+            gid = int(gid)
+            if gid in ns:
+                mins[gid] = min(mins[gid], row["min"])
+                maxs[gid] = max(maxs[gid], row["max"])
+                ns[gid] += int(row["size"])
             else:
-                if v < cur_min:
-                    cur_min = v
-                if v > cur_max:
-                    cur_max = v
-            cur_n += 1
-            idx += 1
-            if cur_n == rows_per_group:
-                groups.append((len(groups), cur_min, cur_max, cur_n))
-                cur_n = 0
-    if cur_n:
-        groups.append((len(groups), cur_min, cur_max, cur_n))
-    return pd.DataFrame(groups, columns=["rg", "mn", "mx", "n_rows"])
+                mins[gid] = row["min"]
+                maxs[gid] = row["max"]
+                ns[gid] = int(row["size"])
+        idx += len(v)
+    gids = sorted(ns)
+    return pd.DataFrame({"rg": gids,
+                         "mn": [mins[g] for g in gids],
+                         "mx": [maxs[g] for g in gids],
+                         "n_rows": [ns[g] for g in gids]})
 
 
 def prune_stats(zones, cutoff, *, op: str = "gt"):

@@ -1,0 +1,91 @@
+"""Semantic tests for the round-4 relational batch (k-anon ladder, HT
+sample estimate, weighted median, bitpack advisor)."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kanon_ladder_monotone(ray_session):
+    """Coarser levels can only merge groups: n_groups non-increasing,
+    min group size non-decreasing, and the top (fully suppressed) level
+    is one group of the whole table."""
+    from dataquality_ray.pipelines.queries_tpch import (
+        k_anon_generalization_ladder_q,
+    )
+
+    df = k_anon_generalization_ladder_q(SF).sort_values("level")
+    cust = pd.read_parquet(f"{SF}/customer.parquet",
+                           columns=["c_custkey"])
+    assert list(df["level"]) == [0, 1, 2, 3, 4]
+    assert df["n_groups"].is_monotonic_decreasing
+    assert df["min_group_size"].is_monotonic_increasing
+    top = df[df["level"] == 4].iloc[0]
+    assert int(top["n_groups"]) == 1
+    assert int(top["min_group_size"]) == len(cust)
+    assert int(top["satisfies_k"]) == 1
+
+
+def test_ht_estimate_identities(ray_session):
+    """Sample is the deterministic hash subset; estimate = 10x its sum;
+    err_ppm recomputes from the two totals."""
+    from dataquality_ray.pipelines.queries_tpch import ht_sample_estimate_q
+
+    df = ht_sample_estimate_q(SF)
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    k = orders["o_orderkey"].to_numpy().astype(np.int64)
+    cents = np.round(orders["o_totalprice"].to_numpy() * 100).astype(
+        np.int64)
+    sel = ((k * 2654435761) % 4294967296) % 100 < 10
+    assert int(df["n_total"].iloc[0]) == len(orders)
+    assert int(df["n_sample"].iloc[0]) == int(sel.sum())
+    assert int(df["est_cents"].iloc[0]) == int(cents[sel].sum()) * 10
+    true_c = int(cents.sum())
+    est = int(df["est_cents"].iloc[0])
+    err = ((est - true_c) * 1_000_000 // true_c if est >= true_c
+           else -((true_c - est) * 1_000_000 // true_c))
+    assert int(df["err_ppm"].iloc[0]) == err
+    # a 10% hash sample of thousands of orders should land within 20%
+    assert abs(err) < 200_000
+
+
+def test_weighted_median_is_lower_weighted_median(ray_session):
+    """For each flag: weights below the median < half total, weights up
+    to and including it >= half total."""
+    from dataquality_ray.pipelines.queries_tpch import (
+        weighted_median_price_q,
+    )
+
+    df = weighted_median_price_q(SF)
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    li["cents"] = np.round(li["l_extendedprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    li["w"] = li["l_quantity"].astype(np.int64)
+    for _, row in df.iterrows():
+        g = li[li["l_returnflag"] == row["flag"]]
+        tot = int(g["w"].sum())
+        assert int(row["total_weight"]) == tot
+        med = int(row["wmedian_cents"])
+        below = int(g.loc[g["cents"] < med, "w"].sum())
+        upto = int(g.loc[g["cents"] <= med, "w"].sum())
+        assert 2 * below < tot <= 2 * upto
+
+
+def test_bitpack_widths_cover_all_groups(ray_session):
+    """Width histogram covers every 8192-row group, widths are sane
+    (0..64), and est_bits = n_rows * width per class."""
+    from dataquality_ray.pipelines.queries_tpch import (
+        bitpack_width_advisor_q,
+    )
+
+    df = bitpack_width_advisor_q(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_partkey"])
+    n = len(li)
+    assert int(df["n_rows"].sum()) == n
+    assert int(df["n_row_groups"].sum()) == (n + 8191) // 8192
+    assert df["width_bits"].between(0, 64).all()
+    assert (df["est_bits"] == df["n_rows"] * df["width_bits"]).all()
