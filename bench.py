@@ -327,6 +327,8 @@ def run_suite() -> dict:
                  "quantile_normalize_chars", "grubbs_daily_outlier",
                  "k_anon_generalization_ladder", "ht_sample_estimate",
                  "weighted_median_price", "bitpack_width_advisor",
+                 "merkle_bucket_diff", "cumulative_gains_deciles",
+                 "shard_snake_balancer",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -7677,3 +7677,77 @@ def pairwise_ks_matrix_q(sf_dir: str):
     out["ks_num"] = out["ks_num"].astype(np.int64)
     out["ks_ppm"] = out["ks_ppm"].astype(np.int64)
     return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style bucket diff between two replicas
+# ---------------------------------------------------------------------------
+
+@query("merkle_bucket_diff", sql="""
+WITH h AS (SELECT event_id % 256 AS bucket,
+                  (event_id::HUGEINT * 11400714819323198485)
+                    % 18446744073709551616 AS rh,
+                  (CASE WHEN event_id % 997 <> 0 THEN 1 ELSE 0 END) AS in_b
+           FROM events),
+s AS (SELECT bucket, count(*)::BIGINT AS n_a,
+             sum(rh) % 18446744073709551616 AS ha,
+             sum(in_b)::BIGINT AS n_b,
+             sum(rh * in_b) % 18446744073709551616 AS hb
+      FROM h GROUP BY bucket)
+SELECT bucket::BIGINT AS bucket, n_a, n_b,
+       (CASE WHEN n_a = n_b AND ha = hb THEN 1 ELSE 0 END)::BIGINT
+         AS match
+FROM s ORDER BY bucket
+""")
+def merkle_bucket_diff_q(sf_dir: str):
+    """Merkle-style replica consistency check: hash every row with one
+    64-bit multiplicative hash, fold buckets (key % 256) with an
+    order-independent sum mod 2^64, and compare replica A (all events)
+    against replica B (a planted loss: event_id % 997 == 0 missing) —
+    only differing buckets then need row-level repair, the
+    anti-entropy pattern Dynamo/Cassandra use, here as one distributed
+    pass computing both replicas' digests together.  The mod-2^64 sums
+    travel as exact (hi<<32 | lo) int64 halves because pandas silently
+    coerces mixed u64 frames to float64 (documented pitfall)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    M64 = (1 << 64) - 1
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ev = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        rh = ev * np.uint64(11400714819323198485)  # wraps == mod 2^64
+        bucket = (ev % np.uint64(256)).astype(np.int64)
+        in_b = (ev % np.uint64(997) != 0)
+        hi = (rh >> np.uint64(32)).astype(np.int64)
+        lo = (rh & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        f = pd.DataFrame({"bucket": bucket, "n_a": 1,
+                          "hi_a": hi, "lo_a": lo,
+                          "n_b": in_b.astype(np.int64),
+                          "hi_b": np.where(in_b, hi, 0),
+                          "lo_b": np.where(in_b, lo, 0)})
+        return f.groupby("bucket", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("bucket", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_id"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 256 buckets
+    cols = ("bucket", "n_a", "n_b", "match")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    merged = merged.sort_values("bucket").reset_index(drop=True)
+    ha = [(int(h) * (1 << 32) + int(lo)) & M64
+          for h, lo in zip(merged["hi_a"], merged["lo_a"])]
+    hb = [(int(h) * (1 << 32) + int(lo)) & M64
+          for h, lo in zip(merged["hi_b"], merged["lo_b"])]
+    match = [1 if (na == nb and a == b) else 0
+             for na, nb, a, b in zip(merged["n_a"], merged["n_b"],
+                                     ha, hb)]
+    return pd.DataFrame({
+        "bucket": merged["bucket"].astype(np.int64),
+        "n_a": merged["n_a"].astype(np.int64),
+        "n_b": merged["n_b"].astype(np.int64),
+        "match": pd.Series(match, dtype=np.int64)})

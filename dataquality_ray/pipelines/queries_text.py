@@ -6400,3 +6400,146 @@ def grubbs_daily_outlier_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains table (classifier lift deciles)
+# ---------------------------------------------------------------------------
+
+@query("cumulative_gains_deciles", sql="""
+WITH r AS (SELECT doc_id,
+                  (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+                  row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
+                    AS rn,
+                  count(*) OVER () AS n
+           FROM documents),
+d AS (SELECT (rn * 10) // n AS decile, count(*)::BIGINT AS n_docs,
+             sum(pos)::BIGINT AS n_pos
+      FROM r GROUP BY 1),
+t AS (SELECT sum(n_pos)::BIGINT AS tot FROM d)
+SELECT decile::BIGINT AS decile, n_docs, n_pos,
+       (CASE WHEN (SELECT tot FROM t) = 0 THEN 0
+             ELSE (sum(n_pos) OVER (ORDER BY decile) * 1000000)
+                  // (SELECT tot FROM t) END)::BIGINT AS cum_gain_ppm
+FROM d ORDER BY decile
+""")
+def cumulative_gains_deciles_q(sf_dir: str):
+    """Cumulative gains table for the length-as-score classifier
+    (score = n_chars desc, response = lang == 'en'): docs are ranked,
+    cut into 10 population deciles, and each decile reports its share of
+    all positives captured so far — the model-eval readout product teams
+    plot before trusting a ranking model.  Global ranks come from the
+    bounded (n_chars -> count) histogram (guarded combine) for the
+    decile offsets plus per-value doc ordering inside
+    ``groupby(n_chars).map_groups`` — no global sort materialized on the
+    driver; the decile rollup is ten rows."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def hist_part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "v": b["n_chars"].to_numpy(zero_copy_only=False)})
+        return f.groupby("v", as_index=False).size() \
+            .rename(columns={"size": "c"})
+
+    def hist_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("v", as_index=False)["c"].sum()
+
+    hist, ok = guarded_partials(
+        _read(sf_dir, "documents", ["n_chars"])
+        .map_batches(hist_part, batch_format="pyarrow"), hist_fold,
+        2_000_000)
+    assert ok  # bounded: distinct lengths
+    cols = ("decile", "n_docs", "n_pos", "cum_gain_ppm")
+    if hist is None or not len(hist):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    # global offset of each value in descending-score order
+    hist = hist.sort_values("v", ascending=False).reset_index(drop=True)
+    csum = hist["c"].to_numpy(dtype=np.int64).cumsum()
+    n_total = int(csum[-1])
+    offset = {int(v): int(s - c) for v, s, c in
+              zip(hist["v"], csum, hist["c"])}
+
+    def per_value(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        v = int(g["n_chars"].iloc[0])
+        rn = offset[v] + np.arange(len(g), dtype=np.int64)
+        dec = rn * 10 // n_total
+        f = pd.DataFrame({
+            "decile": dec,
+            "n_docs": 1,
+            "n_pos": (g["lang"] == "en").to_numpy().astype(np.int64)})
+        return f.groupby("decile", as_index=False).sum()
+
+    parts = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]) \
+        .groupby("n_chars").map_groups(per_value, batch_format="pandas") \
+        .to_pandas()
+    d = parts.groupby("decile", as_index=False).sum() \
+        .sort_values("decile").reset_index(drop=True)
+    tot = int(d["n_pos"].sum())
+    cum = d["n_pos"].to_numpy(dtype=np.int64).cumsum()
+    d["cum_gain_ppm"] = (0 if tot == 0 else 1) * (
+        cum * 1_000_000 // max(tot, 1))
+    for c in cols:
+        d[c] = d[c].astype(np.int64)
+    return d[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Snake-order shard balancer
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 4
+
+
+@query("shard_snake_balancer", sql=f"""
+WITH s AS (SELECT source, sum(n_chars)::BIGINT AS bytes
+           FROM documents GROUP BY source),
+r AS (SELECT source, bytes,
+             row_number() OVER (ORDER BY bytes DESC, source) - 1 AS rk
+      FROM s),
+a AS (SELECT source, bytes,
+             (CASE WHEN rk % {2 * _N_SHARDS} < {_N_SHARDS}
+                   THEN rk % {2 * _N_SHARDS}
+                   ELSE {2 * _N_SHARDS} - 1 - rk % {2 * _N_SHARDS}
+              END)::BIGINT AS shard
+      FROM r)
+SELECT shard, count(*)::BIGINT AS n_sources, sum(bytes)::BIGINT AS bytes
+FROM a GROUP BY shard ORDER BY shard
+""")
+def shard_snake_balancer_q(sf_dir: str):
+    """Static shard planner: rank sources by total bytes descending and
+    deal them to shards in snake (boustrophedon) order — 0,1,2,3,3,2,1,0
+    — the deterministic balancer that bounds shard skew without the
+    iterative LPT loop, used to pin source->worker assignments before a
+    run.  Source totals reduce distributedly; ranking and dealing are
+    O(#sources) on the driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "source": b["source"].to_pylist(),
+            "bytes": b["n_chars"].to_numpy(zero_copy_only=False)})
+        return f.groupby("source", as_index=False)["bytes"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)["bytes"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #sources
+    cols = ("shard", "n_sources", "bytes")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    merged = merged.sort_values(
+        ["bytes", "source"], ascending=[False, True]).reset_index(drop=True)
+    rk = np.arange(len(merged), dtype=np.int64) % (2 * _N_SHARDS)
+    shard = np.where(rk < _N_SHARDS, rk, 2 * _N_SHARDS - 1 - rk)
+    merged["shard"] = shard.astype(np.int64)
+    g = merged.groupby("shard", as_index=False).agg(
+        n_sources=("source", "size"), bytes=("bytes", "sum"))
+    for c in cols:
+        g[c] = g[c].astype(np.int64)
+    return g.sort_values("shard").reset_index(drop=True)[list(cols)]

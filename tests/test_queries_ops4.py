@@ -1,0 +1,74 @@
+"""Semantic tests for the round-4 ops batch (merkle diff, gains
+deciles, shard balancer)."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_merkle_diff_localizes_planted_loss(ray_session):
+    """Buckets mismatch exactly where a % 997 == 0 event id lands, and
+    the per-replica counts reconstruct the planted loss."""
+    from dataquality_ray.pipelines.queries_mining import (
+        merkle_bucket_diff_q,
+    )
+
+    df = merkle_bucket_diff_q(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+    ids = ev["event_id"].to_numpy().astype(np.int64)
+    lost = ids[ids % 997 == 0]
+    assert int(df["n_a"].sum()) == len(ids)
+    assert int(df["n_b"].sum()) == len(ids) - len(lost)
+    bad_buckets = set((lost % 256).tolist())
+    got_bad = set(df.loc[df["match"] == 0, "bucket"].tolist())
+    assert got_bad == bad_buckets
+    # equal-count buckets with no loss all match
+    assert (df.loc[~df["bucket"].isin(bad_buckets), "match"] == 1).all()
+
+
+def test_gains_deciles_monotone_and_total(ray_session):
+    """Ten deciles of near-equal size; cumulative gain is monotone,
+    ends at 1e6, and decile sizes sum to the corpus."""
+    from dataquality_ray.pipelines.queries_text import (
+        cumulative_gains_deciles_q,
+    )
+
+    df = cumulative_gains_deciles_q(SF).sort_values("decile")
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    assert list(df["decile"]) == list(range(10))
+    assert int(df["n_docs"].sum()) == len(docs)
+    assert df["n_docs"].max() - df["n_docs"].min() <= 1
+    assert df["cum_gain_ppm"].is_monotonic_increasing
+    assert int(df["cum_gain_ppm"].iloc[-1]) == 1_000_000
+    assert int(df["n_pos"].sum()) == int((docs["lang"] == "en").sum())
+    # pandas replay of the whole table
+    r = docs.sort_values(["n_chars", "doc_id"],
+                         ascending=[False, True]).reset_index(drop=True)
+    dec = np.arange(len(r), dtype=np.int64) * 10 // len(r)
+    ref = pd.DataFrame({
+        "decile": dec,
+        "pos": (r["lang"] == "en").astype(np.int64)}).groupby(
+        "decile")["pos"].sum()
+    assert (df.set_index("decile")["n_pos"].sort_index()
+            == ref.sort_index()).all()
+
+
+def test_shard_snake_balances(ray_session):
+    """All bytes assigned; snake dealing keeps the spread below one
+    max-source weight."""
+    from dataquality_ray.pipelines.queries_text import (
+        _N_SHARDS,
+        shard_snake_balancer_q,
+    )
+
+    df = shard_snake_balancer_q(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "n_chars"])
+    per_src = docs.groupby("source")["n_chars"].sum()
+    assert len(df) == min(_N_SHARDS, len(per_src))
+    assert int(df["bytes"].sum()) == int(per_src.sum())
+    assert int(df["n_sources"].sum()) == len(per_src)
+    spread = int(df["bytes"].max() - df["bytes"].min())
+    assert spread <= int(per_src.max())
