@@ -328,7 +328,8 @@ def run_suite() -> dict:
                  "k_anon_generalization_ladder", "ht_sample_estimate",
                  "weighted_median_price", "bitpack_width_advisor",
                  "merkle_bucket_diff", "cumulative_gains_deciles",
-                 "shard_snake_balancer",
+                 "shard_snake_balancer", "nearest_event_join",
+                 "holt_winters_monthly",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -7751,3 +7751,109 @@ def merkle_bucket_diff_q(sf_dir: str):
         "n_a": merged["n_a"].astype(np.int64),
         "n_b": merged["n_b"].astype(np.int64),
         "match": pd.Series(match, dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Nearest-event join (bidirectional as-of with tolerance)
+# ---------------------------------------------------------------------------
+
+_NEAREST_TOL_US = 48 * 3600 * 1_000_000  # 48h
+_ENC = 10_000_000_000  # event_id < 1e10: enc = ts_us * _ENC + event_id
+
+
+@query("nearest_event_join", sql=f"""
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+         (CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS is_p
+  FROM events WHERE event_type IN ('purchase', 'click')),
+w AS (
+  SELECT user_id, tsu, event_id, is_p,
+    max(CASE WHEN is_p = 0 THEN tsu::HUGEINT * {_ENC} + event_id END)
+      OVER (PARTITION BY user_id ORDER BY tsu, is_p, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_enc,
+    min(CASE WHEN is_p = 0 THEN tsu::HUGEINT * {_ENC} + event_id END)
+      OVER (PARTITION BY user_id ORDER BY tsu, is_p, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_enc
+  FROM u),
+m AS (
+  SELECT event_id AS purchase_id, user_id, tsu,
+         prev_enc // {_ENC} AS pts, prev_enc % {_ENC} AS pid,
+         next_enc // {_ENC} AS nts, next_enc % {_ENC} AS nid
+  FROM w WHERE is_p = 1),
+ch AS (
+  SELECT purchase_id, user_id,
+         (CASE WHEN pts IS NOT NULL
+                    AND (nts IS NULL OR (tsu - pts) <= (nts - tsu))
+               THEN pid ELSE nid END)::BIGINT AS click_id,
+         (CASE WHEN pts IS NOT NULL
+                    AND (nts IS NULL OR (tsu - pts) <= (nts - tsu))
+               THEN pts - tsu ELSE nts - tsu END)::BIGINT AS delta_us
+  FROM m WHERE pts IS NOT NULL OR nts IS NOT NULL)
+SELECT purchase_id, user_id, click_id, delta_us
+FROM ch WHERE abs(delta_us) <= {_NEAREST_TOL_US}
+ORDER BY purchase_id
+""")
+def nearest_event_join_q(sf_dir: str):
+    """Bidirectional nearest join with tolerance: each purchase gets the
+    temporally closest click of the same user within 48 h (ties go to
+    the earlier click; equal-timestamp clicks count as 'before') — the
+    attribution join backward-only as-of can't express.  One
+    groupby(user) shuffle; per group the match is two vectorized
+    searchsorted probes over the sorted click timeline.  The oracle
+    replays it with (ts, id)-encoded min/max windows so the tie-break is
+    deterministic on both engines."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"] \
+            .sort_values(["tsu", "event_id"]).reset_index(drop=True)
+        purch = g[g["event_type"] == "purchase"]
+        if not len(purch):
+            return pd.DataFrame({"purchase_id": [], "user_id": [],
+                                 "click_id": [], "delta_us": []})
+        if not len(clicks):
+            return pd.DataFrame({"purchase_id": [], "user_id": [],
+                                 "click_id": [], "delta_us": []})
+        cts = clicks["tsu"].to_numpy(dtype=np.int64)
+        cid = clicks["event_id"].to_numpy(dtype=np.int64)
+        pts = purch["tsu"].to_numpy(dtype=np.int64)
+        # first click strictly after the purchase; equal-ts clicks sort
+        # before the purchase, matching the oracle's window order
+        nxt = np.searchsorted(cts, pts, side="right")
+        prv = nxt - 1
+        has_p = prv >= 0
+        has_n = nxt < len(cts)
+        d_prev = np.where(has_p, cts[np.clip(prv, 0, None)] - pts,
+                          np.int64(-(1 << 62)))
+        d_next = np.where(has_n,
+                          cts[np.clip(nxt, None, len(cts) - 1)] - pts,
+                          np.int64(1 << 62))
+        take_prev = has_p & (~has_n | (-d_prev <= d_next))
+        click_id = np.where(take_prev, cid[np.clip(prv, 0, None)],
+                            cid[np.clip(nxt, None, len(cts) - 1)])
+        delta = np.where(take_prev, d_prev, d_next)
+        keep = (has_p | has_n) & (np.abs(delta) <= _NEAREST_TOL_US)
+        return pd.DataFrame({
+            "purchase_id": purch["event_id"].to_numpy(np.int64)[keep],
+            "user_id": purch["user_id"].to_numpy(np.int64)[keep],
+            "click_id": click_id[keep].astype(np.int64),
+            "delta_us": delta[keep].astype(np.int64)})
+
+    import pyarrow.compute as _pc
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "tsu", _pc.cast(b["ts"], pa.int64())).drop_columns(["ts"]),
+        batch_format="pyarrow")
+    ds = ds.filter(expr="event_type == 'purchase' or "
+                        "event_type == 'click'")
+    out = ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").to_pandas()
+    cols = ("purchase_id", "user_id", "click_id", "delta_us")
+    if not len(out):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("purchase_id").reset_index(drop=True)[
+        list(cols)]

@@ -8323,3 +8323,97 @@ def bitpack_width_advisor_q(sf_dir: str):
     for c in cols:
         g[c] = g[c].astype(np.int64)
     return g.sort_values("width_bits").reset_index(drop=True)[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive monthly forecast (dyadic coefficients)
+# ---------------------------------------------------------------------------
+
+@query("holt_winters_monthly", sql="""
+WITH RECURSIVE m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*)::BIGINT AS y
+  FROM orders GROUP BY 1
+), mi AS (
+  SELECT month, y, row_number() OVER (ORDER BY month) - 1 AS t FROM m
+), init AS (
+  SELECT (SELECT sum(y) FROM mi WHERE t BETWEEN 0 AND 11) / 12.0 AS l,
+         ((SELECT sum(y) FROM mi WHERE t BETWEEN 12 AND 23) / 12.0
+          - (SELECT sum(y) FROM mi WHERE t BETWEEN 0 AND 11) / 12.0)
+           / 12.0 AS b,
+         (SELECT list(y ORDER BY t) FROM mi WHERE t BETWEEN 0 AND 11)
+           AS ys
+), rec AS (
+  SELECT 11::BIGINT AS t, l, b,
+         list_transform(ys, x -> x - l) AS seas,
+         CAST(NULL AS DOUBLE) AS fitted, CAST(NULL AS BIGINT) AS y
+  FROM init
+  UNION ALL
+  SELECT mi.t,
+         0.25 * (mi.y - rec.seas[1]) + 0.75 * (rec.l + rec.b),
+         0.25 * ((0.25 * (mi.y - rec.seas[1])
+                  + 0.75 * (rec.l + rec.b)) - rec.l) + 0.75 * rec.b,
+         list_concat(rec.seas[2:12],
+                     [0.5 * (mi.y - (0.25 * (mi.y - rec.seas[1])
+                                     + 0.75 * (rec.l + rec.b)))
+                      + 0.5 * rec.seas[1]]),
+         rec.l + rec.b + rec.seas[1],
+         mi.y
+  FROM rec JOIN mi ON mi.t = rec.t + 1
+)
+SELECT mi.month, rec.y, rec.fitted, rec.l AS level, rec.b AS trend
+FROM rec JOIN mi ON mi.t = rec.t
+WHERE rec.t >= 12 ORDER BY mi.month
+""")
+def holt_winters_monthly_q(sf_dir: str):
+    """Additive Holt-Winters (season 12) over monthly order counts with
+    dyadic smoothing (alpha=1/4, beta=1/4, gamma=1/2): every update is a
+    short chain of exactly-representable multiplies and correctly-
+    rounded adds evaluated in the same order on both engines, so level /
+    trend / one-step-ahead fitted values are BIT-identical to the
+    DuckDB recursive-CTE replay (the ewma_daily_volume technique,
+    extended to three coupled recurrences and a 12-slot season ring).
+    Month counts reduce distributedly; the recursion is O(months) driver
+    work on a calendar-bounded series."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        mon = pc.strftime(b["o_orderdate"], format="%Y-%m").to_pylist()
+        f = pd.DataFrame({"month": mon, "y": 1})
+        return f.groupby("month", as_index=False)["y"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("month", as_index=False)["y"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: calendar months
+    cols = ("month", "y", "fitted", "level", "trend")
+    if merged is None or len(merged) < 24:
+        return pd.DataFrame({
+            "month": pd.Series([], dtype=object),
+            "y": pd.Series([], dtype=np.int64),
+            "fitted": pd.Series([], dtype=np.float64),
+            "level": pd.Series([], dtype=np.float64),
+            "trend": pd.Series([], dtype=np.float64)})
+    merged = merged.sort_values("month").reset_index(drop=True)
+    ys = merged["y"].to_numpy(dtype=np.int64)
+    months = merged["month"].tolist()
+    l = float(int(ys[:12].sum())) / 12.0
+    b = (float(int(ys[12:24].sum())) / 12.0
+         - float(int(ys[:12].sum())) / 12.0) / 12.0
+    seas = [float(y) - l for y in ys[:12]]
+    rows = []
+    for t in range(12, len(ys)):
+        y = float(ys[t])
+        s1 = seas[0]
+        fitted = l + b + s1
+        l_new = 0.25 * (y - s1) + 0.75 * (l + b)
+        b_new = 0.25 * (l_new - l) + 0.75 * b
+        s_new = 0.5 * (y - l_new) + 0.5 * s1
+        seas = seas[1:] + [s_new]
+        l, b = l_new, b_new
+        rows.append((months[t], int(ys[t]), fitted, l, b))
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["y"] = out["y"].astype(np.int64)
+    return out

@@ -1,0 +1,84 @@
+"""Semantic tests for the round-4 time-series batch (nearest-event
+join, Holt-Winters monthly)."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_nearest(ev: pd.DataFrame, tol_us: int) -> pd.DataFrame:
+    rows = []
+    for _, p in ev[ev["event_type"] == "purchase"].iterrows():
+        c = ev[(ev["event_type"] == "click")
+               & (ev["user_id"] == p["user_id"])]
+        if not len(c):
+            continue
+        d = c["tsu"].to_numpy(np.int64) - np.int64(p["tsu"])
+        # prefer earlier on ties: sort candidates by (|d|, d) — a
+        # negative delta of equal magnitude wins; among equal (ts),
+        # prev side takes max event_id, next side min event_id
+        cand = pd.DataFrame({"click_id": c["event_id"].to_numpy(np.int64),
+                             "d": d})
+        cand["absd"] = np.abs(cand["d"])
+        prev = cand[cand["d"] <= 0]
+        nxt = cand[cand["d"] > 0]
+        best = None
+        if len(prev):
+            pbest = prev.sort_values(["absd", "click_id"],
+                                     ascending=[True, False]).iloc[0]
+            best = pbest
+        if len(nxt):
+            nbest = nxt.sort_values(["absd", "click_id"]).iloc[0]
+            if best is None or nbest["absd"] < best["absd"]:
+                best = nbest
+        if best is not None and best["absd"] <= tol_us:
+            rows.append((int(p["event_id"]), int(p["user_id"]),
+                         int(best["click_id"]), int(best["d"])))
+    return pd.DataFrame(
+        rows, columns=["purchase_id", "user_id", "click_id", "delta_us"])
+
+
+def test_nearest_event_join_matches_bruteforce(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        _NEAREST_TOL_US,
+        nearest_event_join_q,
+    )
+
+    got = nearest_event_join_q(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    ev["tsu"] = ev["ts"].astype("int64")
+    ref = _brute_nearest(ev, _NEAREST_TOL_US) \
+        .sort_values("purchase_id").reset_index(drop=True)
+    got = got.sort_values("purchase_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    assert (got["delta_us"].abs() <= _NEAREST_TOL_US).all()
+    assert len(got) > 0
+
+
+def test_holt_winters_init_and_counts(ray_session):
+    """Output covers months 12..end; y equals the true monthly counts;
+    the first fitted value replays the documented initialization."""
+    from dataquality_ray.pipelines.queries_tpch import (
+        holt_winters_monthly_q,
+    )
+
+    df = holt_winters_monthly_q(SF)
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderdate"])
+    monthly = orders["o_orderdate"].dt.strftime("%Y-%m") \
+        .value_counts().sort_index()
+    assert list(df["month"]) == list(monthly.index[12:])
+    assert (df["y"].to_numpy() == monthly.to_numpy()[12:]).all()
+    ys = monthly.to_numpy().astype(np.int64)
+    l0 = float(int(ys[:12].sum())) / 12.0
+    b0 = (float(int(ys[12:24].sum())) / 12.0
+          - float(int(ys[:12].sum())) / 12.0) / 12.0
+    s0 = float(ys[0]) - l0
+    assert df["fitted"].iloc[0] == l0 + b0 + s0
+    # fitted one-step errors should be finite and bounded by the data
+    assert np.isfinite(df["fitted"]).all()
+    assert np.isfinite(df["level"]).all()
+    assert np.isfinite(df["trend"]).all()
