@@ -329,7 +329,8 @@ def run_suite() -> dict:
                  "weighted_median_price", "bitpack_width_advisor",
                  "merkle_bucket_diff", "cumulative_gains_deciles",
                  "shard_snake_balancer", "nearest_event_join",
-                 "holt_winters_monthly",
+                 "holt_winters_monthly", "doc_ngram_repetition",
+                 "mixture_waterfill_allocation",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -6543,3 +6543,155 @@ def shard_snake_balancer_q(sf_dir: str):
     for c in cols:
         g[c] = g[c].astype(np.int64)
     return g.sort_values("shard").reset_index(drop=True)[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Within-doc top-bigram repetition (Gopher-style signal)
+# ---------------------------------------------------------------------------
+
+@query("doc_ngram_repetition", sql=r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''),
+                 '\s+'), x -> x <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS gram
+  FROM (SELECT doc_id, unnest(range(1, len(ts))) AS i, ts FROM toks)),
+per AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_grams,
+         max(c)::BIGINT AS top_count
+  FROM (SELECT doc_id, gram, count(*)::BIGINT AS c
+        FROM grams GROUP BY 1, 2)
+  GROUP BY doc_id)
+SELECT doc_id, n_grams, top_count,
+       (top_count * 1000000 // n_grams)::BIGINT AS top_gram_ppm,
+       (CASE WHEN top_count * 5 > n_grams THEN 1 ELSE 0 END)::BIGINT
+         AS flagged
+FROM per ORDER BY doc_id
+""")
+def doc_ngram_repetition_q(sf_dir: str):
+    """Within-document top-bigram repetition (the Gopher 'fraction of
+    n-grams in the most common n-gram' rule, n=2): docs whose dominant
+    bigram exceeds 20% of all bigrams are flagged as repetitive.  The
+    kernel is one vectorized pandas pass per batch — explode tokens,
+    shift-within-doc to form bigrams, two hash aggregations — no
+    per-document Python loop; per-doc outputs need no cross-batch state
+    because a document never spans batches."""
+    def kern(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        toks = [(t or "").split() for t in texts]
+        n_tok = np.array([len(t) for t in toks], dtype=np.int64)
+        doc = np.repeat(ids, n_tok)
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks]) if len(doc) else \
+            np.array([], dtype=object)
+        f = pd.DataFrame({"doc": doc, "tok": flat})
+        f["nxt"] = f["tok"].shift(-1)
+        f["same"] = f["doc"] == f["doc"].shift(-1)
+        g = f[f["same"]].copy()
+        out_cols = ("doc_id", "n_grams", "top_count")
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 if c != "doc_id" else
+                                 pd.Series([], dtype=np.int64)
+                                 for c in out_cols})
+        g["gram"] = g["tok"] + " " + g["nxt"]
+        cnt = g.groupby(["doc", "gram"], as_index=False).size()
+        per = cnt.groupby("doc").agg(
+            n_grams=("size", "sum"), top_count=("size", "max"))
+        per = per.rename_axis("doc_id").reset_index()
+        for c in out_cols:
+            per[c] = per[c].astype(np.int64)
+        return per[list(out_cols)]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(kern, batch_format="pyarrow").to_pandas()
+    cols = ("doc_id", "n_grams", "top_count", "top_gram_ppm", "flagged")
+    if not len(out):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    out["top_gram_ppm"] = (out["top_count"] * 1_000_000
+                           // out["n_grams"]).astype(np.int64)
+    out["flagged"] = (out["top_count"] * 5
+                      > out["n_grams"]).astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Water-filling mixture allocation across sources
+# ---------------------------------------------------------------------------
+
+@query("mixture_waterfill_allocation", sql="""
+WITH s AS (SELECT source, sum(n_chars)::BIGINT AS bytes
+           FROM documents GROUP BY 1),
+o AS (SELECT source, bytes,
+             row_number() OVER (ORDER BY bytes, source) - 1 AS j,
+             sum(bytes) OVER (ORDER BY bytes, source
+                              ROWS UNBOUNDED PRECEDING) - bytes AS prefix,
+             count(*) OVER () AS n,
+             (SELECT sum(bytes) FROM s) // 2 AS budget
+      FROM s),
+k AS (SELECT (SELECT count(*) FROM o
+              WHERE prefix + (n - j) * bytes <= budget)::BIGINT AS n_full,
+             (SELECT any_value(n) FROM o)::BIGINT AS n,
+             (SELECT any_value(budget) FROM o)::BIGINT AS budget),
+cap AS (SELECT (CASE WHEN k.n_full >= k.n THEN (SELECT max(bytes) FROM s)
+                     ELSE (k.budget - (SELECT coalesce(sum(bytes), 0)
+                                       FROM o WHERE o.j < k.n_full))
+                          // (k.n - k.n_full) END)::BIGINT AS c
+        FROM k)
+SELECT o.source, o.bytes,
+       least(o.bytes, (SELECT c FROM cap))::BIGINT AS alloc,
+       (CASE WHEN o.bytes <= (SELECT c FROM cap) THEN 1 ELSE 0 END)
+         ::BIGINT AS fully_funded
+FROM o ORDER BY o.source
+""")
+def mixture_waterfill_allocation_q(sf_dir: str):
+    """Water-filling mixture allocator: given per-source byte totals and
+    a token budget (half the corpus), fund every source up to a common
+    cap c with sum(min(bytes, c)) <= budget — small sources keep
+    everything, large sources are truncated at the water line; the
+    standard planner for balancing a training mixture without starving
+    minority sources.  Source totals reduce distributedly; the closed-
+    form cap (sorted prefix sums, one floor division) is O(#sources)
+    driver arithmetic, exact integers on both engines."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "source": b["source"].to_pylist(),
+            "bytes": b["n_chars"].to_numpy(zero_copy_only=False)})
+        return f.groupby("source", as_index=False)["bytes"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)["bytes"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #sources
+    cols = ("source", "bytes", "alloc", "fully_funded")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "bytes": pd.Series([], dtype=np.int64),
+            "alloc": pd.Series([], dtype=np.int64),
+            "fully_funded": pd.Series([], dtype=np.int64)})
+    merged = merged.sort_values(["bytes", "source"]).reset_index(drop=True)
+    b = merged["bytes"].to_numpy(dtype=np.int64)
+    n = len(b)
+    budget = int(b.sum()) // 2
+    prefix = np.cumsum(b) - b
+    feasible = prefix + (n - np.arange(n, dtype=np.int64)) * b <= budget
+    n_full = int(feasible.sum())
+    if n_full >= n:
+        cap = int(b.max())
+    else:
+        cap = (budget - int(prefix[n_full])) // (n - n_full)
+    out = pd.DataFrame({
+        "source": merged["source"],
+        "bytes": merged["bytes"].astype(np.int64),
+        "alloc": np.minimum(b, cap).astype(np.int64),
+        "fully_funded": (b <= cap).astype(np.int64)})
+    return out.sort_values("source").reset_index(drop=True)[list(cols)]

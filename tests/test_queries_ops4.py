@@ -72,3 +72,47 @@ def test_shard_snake_balances(ray_session):
     assert int(df["n_sources"].sum()) == len(per_src)
     spread = int(df["bytes"].max() - df["bytes"].min())
     assert spread <= int(per_src.max())
+
+
+def test_doc_ngram_repetition_pandas_replay(ray_session):
+    """Per-doc bigram totals and top counts replay exactly in pandas."""
+    from dataquality_ray.pipelines.queries_text import (
+        doc_ngram_repetition_q,
+    )
+
+    df = doc_ngram_repetition_q(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    from collections import Counter
+    for _, r in docs.head(25).iterrows():
+        toks = (r["text"] or "").split()
+        grams = Counter(zip(toks, toks[1:]))
+        row = df[df["doc_id"] == r["doc_id"]]
+        if not grams:
+            assert len(row) == 0
+            continue
+        assert int(row["n_grams"].iloc[0]) == sum(grams.values())
+        assert int(row["top_count"].iloc[0]) == max(grams.values())
+
+
+def test_waterfill_budget_and_caps(ray_session):
+    """Allocation never exceeds the budget, wastes less than one cap
+    step, small sources are fully funded, truncated sources share one
+    water line."""
+    from dataquality_ray.pipelines.queries_text import (
+        mixture_waterfill_allocation_q,
+    )
+
+    df = mixture_waterfill_allocation_q(SF)
+    budget = int(df["bytes"].sum()) // 2
+    total_alloc = int(df["alloc"].sum())
+    assert total_alloc <= budget
+    trunc = df[df["fully_funded"] == 0]
+    full = df[df["fully_funded"] == 1]
+    assert (full["alloc"] == full["bytes"]).all()
+    if len(trunc):
+        caps = trunc["alloc"].unique()
+        assert len(caps) == 1
+        # within one cap step of the budget (floor division remainder)
+        assert budget - total_alloc < len(trunc)
+        assert (full["bytes"] <= caps[0]).all()
