@@ -331,6 +331,8 @@ def run_suite() -> dict:
                  "shard_snake_balancer", "nearest_event_join",
                  "holt_winters_monthly", "doc_ngram_repetition",
                  "mixture_waterfill_allocation",
+                 "label_centroid_cosine_matrix",
+                 "revenue_proration_monthly",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

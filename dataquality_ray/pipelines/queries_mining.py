@@ -7857,3 +7857,81 @@ def nearest_event_join_q(sf_dir: str):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("purchase_id").reset_index(drop=True)[
         list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Pairwise label-centroid cosine matrix (quantized-integer embeddings)
+# ---------------------------------------------------------------------------
+
+@query("label_centroid_cosine_matrix", sql="""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT e.label::BIGINT AS label, idx.i AS i,
+             sum(CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000)
+                      AS BIGINT))::BIGINT AS s
+      FROM embeddings e, idx GROUP BY 1, 2),
+p AS (SELECT a.label AS label_a, b.label AS label_b,
+             sum(a.s::HUGEINT * b.s) AS dot
+      FROM q a JOIN q b ON a.i = b.i AND a.label < b.label
+      GROUP BY 1, 2),
+n AS (SELECT label, sum(s::HUGEINT * s) AS nrm FROM q GROUP BY 1)
+SELECT label_a, label_b, dot::BIGINT AS dot,
+       CAST(floor(CAST(dot AS DOUBLE) * 1000000
+                  / (sqrt(CAST(na.nrm AS DOUBLE))
+                     * sqrt(CAST(nb.nrm AS DOUBLE)))) AS BIGINT)
+         AS cos_ppm
+FROM p JOIN n na ON na.label = p.label_a
+JOIN n nb ON nb.label = p.label_b
+ORDER BY label_a, label_b
+""")
+def label_centroid_cosine_matrix_q(sf_dir: str):
+    """Pairwise cosine similarity between the 10 label centroid-sum
+    vectors on the 1e-3 quantization grid (the embedding_quantized_norms
+    technique): component sums are exact int64, pairwise dots exact
+    integers, and the final cosine is one floor(double-mul / (sqrt *
+    sqrt)) chain evaluated in the same order on both engines — the
+    cluster-separation readout that tells you whether labels are even
+    distinguishable before training a classifier on them.  One
+    vectorized pass produces a 10 x 64 integer partial per batch; the
+    pairwise matrix is driver arithmetic on 10 rows."""
+    import math
+
+    from dataquality_ray.stages.ann import _stack_embeddings
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        x = _stack_embeddings(b, "embedding").astype(np.float64)
+        qx = np.floor(x * 1000.0).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = pd.DataFrame(qx, columns=[f"s{i}" for i in range(qx.shape[1])])
+        f.insert(0, "label", lab)
+        return f.groupby("label", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("label", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["embedding", "label"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #labels rows
+    cols = ("label_a", "label_b", "dot", "cos_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    merged = merged.sort_values("label").reset_index(drop=True)
+    labels = merged["label"].astype(np.int64).tolist()
+    s = merged[[c for c in merged.columns if c != "label"]] \
+        .to_numpy(dtype=np.int64)
+    rows = []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            dot = int(np.dot(s[i].astype(object), s[j].astype(object)))
+            na = int(np.dot(s[i].astype(object), s[i].astype(object)))
+            nb = int(np.dot(s[j].astype(object), s[j].astype(object)))
+            cos = math.floor(float(dot) * 1000000.0
+                             / (math.sqrt(float(na))
+                                * math.sqrt(float(nb))))
+            rows.append((labels[i], labels[j], dot, cos))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["label_a", "label_b"]).reset_index(drop=True)

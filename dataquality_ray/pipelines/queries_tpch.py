@@ -8417,3 +8417,122 @@ def holt_winters_monthly_q(sf_dir: str):
     out = pd.DataFrame(rows, columns=list(cols))
     out["y"] = out["y"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Monthly revenue proration across the order->ship interval
+# ---------------------------------------------------------------------------
+
+@query("revenue_proration_monthly", sql="""
+WITH li AS (
+  SELECT l.l_orderkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(o.o_orderdate AS DATE) AS od,
+         CAST(l.l_shipdate AS DATE) AS sd
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+fwd AS (
+  SELECT cents, od, sd, date_diff('day', od, sd) + 1 AS d
+  FROM li WHERE sd >= od
+),
+spread AS (
+  SELECT strftime(g.m, '%Y-%m') AS month,
+         cents * least(d, date_diff('day', od,
+             CAST(g.m + INTERVAL 1 MONTH AS DATE)))
+           // d
+         - cents * greatest(0, date_diff('day', od, CAST(g.m AS DATE)))
+           // d AS alloc
+  FROM fwd, unnest(generate_series(date_trunc('month', od),
+                                   date_trunc('month', sd),
+                                   INTERVAL 1 MONTH)) AS g(m)
+),
+back AS (
+  SELECT strftime(date_trunc('month', od), '%Y-%m') AS month,
+         cents AS alloc
+  FROM li WHERE sd < od
+)
+SELECT month, sum(alloc)::BIGINT AS alloc_cents,
+       count(*)::BIGINT AS n_slices
+FROM (SELECT * FROM spread UNION ALL SELECT * FROM back)
+GROUP BY month ORDER BY month
+""")
+def revenue_proration_monthly_q(sf_dir: str):
+    """Revenue recognition: prorate each line item's price over the
+    calendar months its order->ship interval covers, day-weighted, with
+    the telescoping split alloc_k = cents*cd_k//D - cents*cd_{k-1}//D so
+    the per-month integer allocations sum to the cents exactly (no
+    largest-remainder pass).  Ship-before-order rows (the planted A4
+    anomalies) book fully in the order month.  One hash join
+    (smart_join) plus a vectorized per-month-offset expansion inside
+    map_batches; month totals are calendar-bounded partials."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import smart_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    joined = smart_join(li, orders, on="l_orderkey",
+                        right_on="o_orderkey",
+                        value_cols=["o_orderdate"], join_type="inner")
+
+    def expand(b: pa.Table) -> pd.DataFrame:
+        cents = np.round(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        od = b["o_orderdate"].to_numpy(
+            zero_copy_only=False).astype("datetime64[D]")
+        sd = b["l_shipdate"].to_numpy(
+            zero_copy_only=False).astype("datetime64[D]")
+        frames = []
+        back = sd < od
+        if back.any():
+            frames.append(pd.DataFrame({
+                "month": np.datetime_as_string(
+                    od[back].astype("datetime64[M]"), unit="M"),
+                "alloc": cents[back], "n": 1}))
+        fwd = ~back
+        if fwd.any():
+            c, o, s = cents[fwd], od[fwd], sd[fwd]
+            d = (s - o).astype(np.int64) + 1
+            om = o.astype("datetime64[M]")
+            sm = s.astype("datetime64[M]")
+            max_k = int((sm - om).astype(np.int64).max()) + 1
+            prev_cd = np.zeros(len(c), dtype=np.int64)
+            for k in range(max_k):
+                mk = om + k
+                live = mk <= sm
+                if not live.any():
+                    break
+                month_end_days = ((mk + 1).astype("datetime64[D]")
+                                  - o).astype(np.int64)
+                cd = np.minimum(d, month_end_days)
+                alloc = c * cd // d - c * prev_cd // d
+                sel = live
+                frames.append(pd.DataFrame({
+                    "month": np.datetime_as_string(mk[sel], unit="M"),
+                    "alloc": alloc[sel], "n": 1}))
+                prev_cd = cd
+        if not frames:
+            return pd.DataFrame({"month": [], "alloc": [], "n": []})
+        f = pd.concat(frames, ignore_index=True)
+        return f.groupby("month", as_index=False).agg(
+            alloc=("alloc", "sum"), n=("n", "sum"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("month", as_index=False).agg(
+            alloc=("alloc", "sum"), n=("n", "sum"))
+
+    merged, ok = guarded_partials(
+        joined.map_batches(expand, batch_format="pyarrow"), fold,
+        2_000_000)
+    assert ok  # bounded: calendar months
+    cols = ("month", "alloc_cents", "n_slices")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "month": pd.Series([], dtype=object),
+            "alloc_cents": pd.Series([], dtype=np.int64),
+            "n_slices": pd.Series([], dtype=np.int64)})
+    out = merged.rename(columns={"alloc": "alloc_cents",
+                                 "n": "n_slices"})
+    out["alloc_cents"] = out["alloc_cents"].astype(np.int64)
+    out["n_slices"] = out["n_slices"].astype(np.int64)
+    return out.sort_values("month").reset_index(drop=True)[list(cols)]

@@ -105,3 +105,43 @@ def test_grubbs_daily_matches_numpy(ray_session):
         row = df.loc[df["day"] == day]
         assert int(row["g2_ppm"].iloc[0]) == g2
         assert int(row["n"].iloc[0]) == n
+
+
+def test_centroid_cosine_matrix_bounds_and_selfcheck(ray_session):
+    """45 pairs, cos in [-1e6, 1e6], and one pair matches a float64
+    numpy recomputation to within 1 ppm."""
+    from dataquality_ray.pipelines.queries_mining import (
+        label_centroid_cosine_matrix_q,
+    )
+
+    df = label_centroid_cosine_matrix_q(SF)
+    assert len(df) == 45
+    assert df["cos_ppm"].between(-1_000_000, 1_000_000).all()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["embedding", "label"])
+    x = np.stack(emb["embedding"].to_numpy())
+    q = np.floor(x.astype(np.float64) * 1000.0)
+    s0 = q[emb["label"].to_numpy() == 0].sum(axis=0)
+    s1 = q[emb["label"].to_numpy() == 1].sum(axis=0)
+    cos = float(s0 @ s1) / (np.linalg.norm(s0) * np.linalg.norm(s1))
+    got = int(df[(df["label_a"] == 0) & (df["label_b"] == 1)]
+              ["cos_ppm"].iloc[0])
+    assert abs(got - cos * 1_000_000) <= 1.5
+
+
+def test_revenue_proration_conserves_cents(ray_session):
+    """Monthly allocations sum exactly to total line-item cents, and the
+    month span covers order dates through ship dates."""
+    from dataquality_ray.pipelines.queries_tpch import (
+        revenue_proration_monthly_q,
+    )
+
+    df = revenue_proration_monthly_q(SF)
+    import duckdb
+    con = duckdb.connect()
+    total = con.execute(f"""
+        SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        FROM '{SF}/lineitem.parquet'""").fetchone()[0]
+    assert int(df["alloc_cents"].sum()) == int(total)
+    assert df["month"].is_monotonic_increasing
+    assert len(df) > 24
