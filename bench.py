@@ -333,6 +333,7 @@ def run_suite() -> dict:
                  "mixture_waterfill_allocation",
                  "label_centroid_cosine_matrix",
                  "revenue_proration_monthly",
+                 "hamilton_apportionment", "column_match_profile",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

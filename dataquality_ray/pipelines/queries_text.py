@@ -6695,3 +6695,67 @@ def mixture_waterfill_allocation_q(sf_dir: str):
         "alloc": np.minimum(b, cap).astype(np.int64),
         "fully_funded": (b <= cap).astype(np.int64)})
     return out.sort_values("source").reset_index(drop=True)[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Hamilton largest-remainder apportionment of sample slots
+# ---------------------------------------------------------------------------
+
+_APPORTION_SLOTS = 1000
+
+
+@query("hamilton_apportionment", sql=f"""
+WITH s AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS tot FROM s),
+q AS (SELECT source, n,
+             (n * {_APPORTION_SLOTS}) // (SELECT tot FROM t) AS fl,
+             (n * {_APPORTION_SLOTS}) % (SELECT tot FROM t) AS rem
+      FROM s),
+base AS (SELECT sum(fl)::BIGINT AS fl_sum FROM q),
+rk AS (SELECT source, n, fl, rem,
+              row_number() OVER (ORDER BY rem DESC, source) AS r FROM q)
+SELECT source, n,
+       (fl + CASE WHEN r <= {_APPORTION_SLOTS} - (SELECT fl_sum FROM base)
+                  THEN 1 ELSE 0 END)::BIGINT AS seats
+FROM rk ORDER BY source
+""")
+def hamilton_apportionment_q(sf_dir: str):
+    """Largest-remainder (Hamilton) apportionment of 1000 sample slots
+    across sources proportional to document counts: floor quotas first,
+    leftover seats to the largest remainders (ties to the
+    lexicographically first source) — the proportional companion to
+    neyman_allocation (which weights by variance), and the exact-total
+    sampler quota_per_source needs when quotas must sum to the budget.
+    Source counts reduce distributedly; seats are exact integer
+    arithmetic on #sources rows."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(), "n": 1})
+        return f.groupby("source", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #sources
+    cols = ("source", "n", "seats")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "seats": pd.Series([], dtype=np.int64)})
+    merged = merged.sort_values("source").reset_index(drop=True)
+    n = merged["n"].to_numpy(dtype=np.int64)
+    tot = int(n.sum())
+    fl = n * _APPORTION_SLOTS // tot
+    rem = n * _APPORTION_SLOTS % tot
+    leftover = _APPORTION_SLOTS - int(fl.sum())
+    order = np.lexsort((merged["source"].to_numpy(), -rem))
+    bonus = np.zeros(len(n), dtype=np.int64)
+    bonus[order[:leftover]] = 1
+    return pd.DataFrame({"source": merged["source"],
+                         "n": n.astype(np.int64),
+                         "seats": (fl + bonus).astype(np.int64)})

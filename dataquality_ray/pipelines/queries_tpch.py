@@ -8536,3 +8536,87 @@ def revenue_proration_monthly_q(sf_dir: str):
     out["alloc_cents"] = out["alloc_cents"].astype(np.int64)
     out["n_slices"] = out["n_slices"].astype(np.int64)
     return out.sort_values("month").reset_index(drop=True)[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Cross-table column match profile (join-key discovery)
+# ---------------------------------------------------------------------------
+
+_COLMATCH_PAIRS = (
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _colmatch_pair_sql(lt, lc, rt, rc) -> str:
+    return f"""
+  SELECT '{lt}.{lc}' AS left_col, '{rt}.{rc}' AS right_col,
+         (SELECT count(DISTINCT {lc}) FROM {lt})::BIGINT AS n_left,
+         (SELECT count(DISTINCT {rc}) FROM {rt})::BIGINT AS n_right,
+         (SELECT count(*) FROM
+            (SELECT DISTINCT {lc} AS v FROM {lt}) a
+            JOIN (SELECT DISTINCT {rc} AS v FROM {rt}) b
+            ON a.v = b.v)::BIGINT AS n_inter"""
+
+
+@query("column_match_profile", sql="""
+WITH pairs AS (
+""" + "\nUNION ALL\n".join(
+    _colmatch_pair_sql(*p) for p in _COLMATCH_PAIRS) + """
+)
+SELECT left_col, right_col, n_left, n_right, n_inter,
+       (n_inter * 1000000 // n_left)::BIGINT AS containment_l_ppm,
+       (n_inter * 1000000 // (n_left + n_right - n_inter))::BIGINT
+         AS jaccard_ppm
+FROM pairs ORDER BY left_col, right_col
+""")
+def column_match_profile_q(sf_dir: str):
+    """Join-key discovery: for candidate column pairs across tables,
+    the distinct-value containment and Jaccard overlap — the schema-
+    matching statistic a data catalog computes to propose joins (high
+    left-containment = likely foreign key).  Each side's distinct set
+    reduces as map-side distinct partials through the guarded combine
+    (key-cardinality bounded; the beyond-cap path is the KMV bottom-k
+    sketch in bottom_k_sample); the intersection is one vectorized
+    np.intersect1d per pair."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def distinct_vals(table: str, col: str) -> np.ndarray:
+        def part(b: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame({
+                "v": np.unique(b[col].to_numpy(zero_copy_only=False))})
+
+        def fold(f: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"v": f["v"].unique()})
+
+        merged, ok = guarded_partials(
+            _read(sf_dir, table, [col])
+            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+        assert ok  # key-cardinality bounded; KMV sketch past cap
+        if merged is None or not len(merged):
+            return np.array([], dtype=np.int64)
+        return merged["v"].to_numpy(dtype=np.int64)
+
+    cache: dict[tuple, np.ndarray] = {}
+    rows = []
+    for lt, lc, rt, rc in _COLMATCH_PAIRS:
+        for t, c in ((lt, lc), (rt, rc)):
+            if (t, c) not in cache:
+                cache[(t, c)] = distinct_vals(t, c)
+        a, b = cache[(lt, lc)], cache[(rt, rc)]
+        ni = int(len(np.intersect1d(a, b, assume_unique=True)))
+        nl, nr = len(a), len(b)
+        rows.append((f"{lt}.{lc}", f"{rt}.{rc}", nl, nr, ni,
+                     ni * 1_000_000 // nl if nl else 0,
+                     ni * 1_000_000 // (nl + nr - ni)
+                     if nl + nr - ni else 0))
+    cols = ("left_col", "right_col", "n_left", "n_right", "n_inter",
+            "containment_l_ppm", "jaccard_ppm")
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[2:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["left_col", "right_col"]) \
+        .reset_index(drop=True)

@@ -116,3 +116,37 @@ def test_waterfill_budget_and_caps(ray_session):
         # within one cap step of the budget (floor division remainder)
         assert budget - total_alloc < len(trunc)
         assert (full["bytes"] <= caps[0]).all()
+
+
+def test_hamilton_seats_sum_and_quota_bounds(ray_session):
+    """Seats sum exactly to the slot budget and each source's seats is
+    its floor or ceiling quota (the Hamilton property)."""
+    from dataquality_ray.pipelines.queries_text import (
+        _APPORTION_SLOTS,
+        hamilton_apportionment_q,
+    )
+
+    df = hamilton_apportionment_q(SF)
+    assert int(df["seats"].sum()) == _APPORTION_SLOTS
+    tot = int(df["n"].sum())
+    fl = df["n"].to_numpy(np.int64) * _APPORTION_SLOTS // tot
+    seats = df["seats"].to_numpy(np.int64)
+    assert ((seats == fl) | (seats == fl + 1)).all()
+
+
+def test_column_match_finds_foreign_keys(ray_session):
+    """Known FK pairs show full left-containment; the planted events
+    pair shows partial overlap."""
+    from dataquality_ray.pipelines.queries_tpch import (
+        column_match_profile_q,
+    )
+
+    df = column_match_profile_q(SF).set_index("left_col")
+    assert int(df.loc["lineitem.l_partkey", "containment_l_ppm"]) \
+        == 1_000_000
+    assert int(df.loc["lineitem.l_orderkey", "containment_l_ppm"]) \
+        == 1_000_000
+    assert int(df.loc["orders.o_custkey", "containment_l_ppm"]) \
+        == 1_000_000
+    ev = df.loc["events.user_id"]
+    assert 0 < int(ev["jaccard_ppm"]) < 1_000_000
