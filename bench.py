@@ -334,6 +334,8 @@ def run_suite() -> dict:
                  "label_centroid_cosine_matrix",
                  "revenue_proration_monthly",
                  "hamilton_apportionment", "column_match_profile",
+                 "kendall_tau_token_ranks", "vocab_containment_matrix",
+                 "slo_attainment_by_priority",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -7935,3 +7935,182 @@ def label_centroid_cosine_matrix_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["label_a", "label_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau between token-frequency rankings of two sources
+# ---------------------------------------------------------------------------
+
+@query("kendall_tau_token_ranks", sql="""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE source IN ('src0', 'src1')
+), cnt AS (
+  SELECT source, token, count(*)::BIGINT AS c
+  FROM tok WHERE token <> '' GROUP BY source, token
+), r AS (
+  SELECT source, token,
+         rank() OVER (PARTITION BY source ORDER BY c DESC, token) AS rk
+  FROM cnt
+), j AS (
+  SELECT a.token, a.rk::BIGINT AS ra, b.rk::BIGINT AS rb
+  FROM r a JOIN r b ON a.token = b.token
+  WHERE a.source = 'src0' AND b.source = 'src1'
+), pairs AS (
+  SELECT sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                  THEN 1 ELSE 0 END)::BIGINT AS conc,
+         sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0
+                  THEN 1 ELSE 0 END)::BIGINT AS disc,
+         count(*)::BIGINT AS n_pairs
+  FROM j x JOIN j y ON x.token < y.token
+)
+SELECT conc, disc, n_pairs,
+       (CASE WHEN n_pairs = 0 THEN 0
+             WHEN conc >= disc
+             THEN ((conc - disc) * 1000000) // n_pairs
+             ELSE -(((disc - conc) * 1000000) // n_pairs)
+        END)::BIGINT AS tau_ppm
+FROM pairs
+""")
+def kendall_tau_token_ranks_q(sf_dir: str):
+    """Kendall tau-a between the token-frequency rankings of src0 and
+    src1 (the concordant/discordant-pairs companion to
+    spearman_token_ranks — tau is robust to single large rank jumps that
+    square into Spearman's rho): tau = (C - D) / C(n,2), exact integers
+    with a sign-safe truncating ppm division.  Per-source token counts
+    reduce distributedly (vocab-bounded); ranks and the O(vocab^2) pair
+    scan are driver arithmetic."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        keep = (src == "src0") | (src == "src1")
+        if not keep.any():
+            return pd.DataFrame({"source": [], "token": [], "c": []})
+        rows = []
+        for s, t in zip(src[keep],
+                        np.asarray(b["text"].to_pylist(),
+                                   dtype=object)[keep]):
+            for tok in (t or "").split(" "):
+                if tok:
+                    rows.append((s, tok))
+        f = pd.DataFrame(rows, columns=["source", "token"])
+        if not len(f):
+            return pd.DataFrame({"source": [], "token": [], "c": []})
+        return f.groupby(["source", "token"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "token"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 2 sources x vocab
+    cols = ("conc", "disc", "n_pairs", "tau_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([0], dtype=np.int64)
+                             for c in cols})
+
+    def ranks(g: pd.DataFrame) -> dict:
+        g = g.sort_values(["c", "token"],
+                          ascending=[False, True]).reset_index(drop=True)
+        # rank() semantics with (c desc, token) total order = row number
+        return {t: i + 1 for i, t in enumerate(g["token"])}
+
+    ra = ranks(merged[merged["source"] == "src0"])
+    rb = ranks(merged[merged["source"] == "src1"])
+    shared = sorted(set(ra) & set(rb))
+    va = np.array([ra[t] for t in shared], dtype=np.int64)
+    vb = np.array([rb[t] for t in shared], dtype=np.int64)
+    n = len(shared)
+    if n < 2:
+        return pd.DataFrame({c: pd.Series([0], dtype=np.int64)
+                             for c in cols})
+    da = va[:, None] - va[None, :]
+    db = vb[:, None] - vb[None, :]
+    iu = np.triu_indices(n, k=1)
+    prod = da[iu] * db[iu]
+    conc = int((prod > 0).sum())
+    disc = int((prod < 0).sum())
+    n_pairs = n * (n - 1) // 2
+    diff = conc - disc
+    tau = ((diff * 1_000_000) // n_pairs if diff >= 0
+           else -(((-diff) * 1_000_000) // n_pairs))
+    return pd.DataFrame({"conc": [np.int64(conc)],
+                         "disc": [np.int64(disc)],
+                         "n_pairs": [np.int64(n_pairs)],
+                         "tau_ppm": [np.int64(tau)]})
+
+
+# ---------------------------------------------------------------------------
+# Pairwise vocabulary containment matrix between sources
+# ---------------------------------------------------------------------------
+
+@query("vocab_containment_matrix", sql="""
+WITH tok AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), v AS (SELECT source, token FROM tok WHERE token <> ''),
+n AS (SELECT source, count(*)::BIGINT AS nv FROM v GROUP BY source),
+i AS (SELECT a.source AS src_a, b.source AS src_b,
+             count(*)::BIGINT AS n_inter
+      FROM v a JOIN v b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, na.nv AS n_a, nb.nv AS n_b, i.n_inter,
+       (i.n_inter * 1000000 // na.nv)::BIGINT AS contain_a_ppm,
+       (i.n_inter * 1000000 // nb.nv)::BIGINT AS contain_b_ppm
+FROM i JOIN n na ON na.source = i.src_a
+JOIN n nb ON nb.source = i.src_b
+ORDER BY i.src_a, i.src_b
+""")
+def vocab_containment_matrix_q(sf_dir: str):
+    """Pairwise vocabulary containment between all sources: what share
+    of source A's distinct tokens also occur in B (and vice versa) — the
+    asymmetric companion to source_weighted_jaccard that distinguishes
+    'A is a subset-dialect of B' from 'A and B merely overlap'.  The
+    per-source token sets reduce as distinct partials (vocab-bounded);
+    the pairwise intersections are one vectorized membership matrix on
+    the driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows = set()
+        for s, t in zip(b["source"].to_pylist(), b["text"].to_pylist()):
+            for tok in (t or "").split(" "):
+                if tok:
+                    rows.add((s, tok))
+        return pd.DataFrame(sorted(rows), columns=["source", "token"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates(["source", "token"])
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: sources x vocab
+    cols = ("src_a", "src_b", "n_a", "n_b", "n_inter",
+            "contain_a_ppm", "contain_b_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "src_a": pd.Series([], dtype=object),
+            "src_b": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[2:]}})
+    pv = merged.assign(one=1).pivot_table(
+        index="source", columns="token", values="one", fill_value=0,
+        aggfunc="max").sort_index()
+    m = pv.to_numpy(dtype=np.int64)
+    srcs = list(pv.index)
+    inter = m @ m.T
+    nv = m.sum(axis=1)
+    rows = []
+    for a in range(len(srcs)):
+        for b2 in range(a + 1, len(srcs)):
+            ni = int(inter[a, b2])
+            rows.append((srcs[a], srcs[b2], int(nv[a]), int(nv[b2]), ni,
+                         ni * 1_000_000 // int(nv[a]),
+                         ni * 1_000_000 // int(nv[b2])))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[2:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)

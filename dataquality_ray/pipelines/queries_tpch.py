@@ -8620,3 +8620,86 @@ def column_match_profile_q(sf_dir: str):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["left_col", "right_col"]) \
         .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Shipping SLO attainment by order priority
+# ---------------------------------------------------------------------------
+
+@query("slo_attainment_by_priority", sql="""
+WITH lat AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority, count(*)::BIGINT AS n_lines,
+       (sum(CASE WHEN days BETWEEN 0 AND 30 THEN 1 ELSE 0 END)
+        * 1000000 // count(*))::BIGINT AS within_30d_ppm,
+       (sum(CASE WHEN days BETWEEN 0 AND 60 THEN 1 ELSE 0 END)
+        * 1000000 // count(*))::BIGINT AS within_60d_ppm,
+       (sum(CASE WHEN days BETWEEN 0 AND 90 THEN 1 ELSE 0 END)
+        * 1000000 // count(*))::BIGINT AS within_90d_ppm,
+       sum(CASE WHEN days < 0 THEN 1 ELSE 0 END)::BIGINT AS n_anomalous
+FROM lat GROUP BY priority ORDER BY priority
+""")
+def slo_attainment_by_priority_q(sf_dir: str):
+    """Shipping SLO attainment: per order priority, the ppm of line
+    items shipped within 30/60/90 days of the order — the ops
+    scoreboard; ship-before-order rows (planted A4 anomalies) are
+    counted separately, not inside any SLO band.  One hash join
+    (smart_join) then priority-bounded counter partials through the
+    guarded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import smart_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = smart_join(li, orders, on="l_orderkey",
+                        right_on="o_orderkey",
+                        value_cols=["o_orderdate", "o_orderpriority"],
+                        join_type="inner")
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        od = b["o_orderdate"].to_numpy(
+            zero_copy_only=False).astype("datetime64[D]")
+        sd = b["l_shipdate"].to_numpy(
+            zero_copy_only=False).astype("datetime64[D]")
+        days = (sd - od).astype(np.int64)
+        f = pd.DataFrame({
+            "priority": b["o_orderpriority"].to_pylist(),
+            "n": 1,
+            "w30": ((days >= 0) & (days <= 30)).astype(np.int64),
+            "w60": ((days >= 0) & (days <= 60)).astype(np.int64),
+            "w90": ((days >= 0) & (days <= 90)).astype(np.int64),
+            "neg": (days < 0).astype(np.int64)})
+        return f.groupby("priority", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("priority", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        joined.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 5 priorities
+    cols = ("priority", "n_lines", "within_30d_ppm", "within_60d_ppm",
+            "within_90d_ppm", "n_anomalous")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "priority": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    merged = merged.sort_values("priority").reset_index(drop=True)
+    n = merged["n"].astype(np.int64)
+    out = pd.DataFrame({
+        "priority": merged["priority"],
+        "n_lines": n,
+        "within_30d_ppm": (merged["w30"].astype(np.int64)
+                           * 1_000_000 // n),
+        "within_60d_ppm": (merged["w60"].astype(np.int64)
+                           * 1_000_000 // n),
+        "within_90d_ppm": (merged["w90"].astype(np.int64)
+                           * 1_000_000 // n),
+        "n_anomalous": merged["neg"].astype(np.int64)})
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out

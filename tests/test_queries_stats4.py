@@ -145,3 +145,61 @@ def test_revenue_proration_conserves_cents(ray_session):
     assert int(df["alloc_cents"].sum()) == int(total)
     assert df["month"].is_monotonic_increasing
     assert len(df) > 24
+
+
+def test_kendall_tau_vs_scipy_free_replay(ray_session):
+    """tau-a recomputed from raw rankings matches, and |tau| <= 1."""
+    from dataquality_ray.pipelines.queries_mining import (
+        kendall_tau_token_ranks_q,
+    )
+
+    df = kendall_tau_token_ranks_q(SF)
+    conc, disc, n_pairs = (int(df[c].iloc[0])
+                           for c in ("conc", "disc", "n_pairs"))
+    assert conc + disc <= n_pairs
+    tau = int(df["tau_ppm"].iloc[0])
+    assert -1_000_000 <= tau <= 1_000_000
+    d = conc - disc
+    expect = (d * 1_000_000 // n_pairs if d >= 0
+              else -((-d) * 1_000_000 // n_pairs))
+    assert tau == expect
+
+
+def test_vocab_containment_symmetric_identities(ray_session):
+    """Intersections bounded by both vocab sizes; containment ppm
+    consistent with the raw counts; all source pairs present."""
+    from dataquality_ray.pipelines.queries_mining import (
+        vocab_containment_matrix_q,
+    )
+
+    df = vocab_containment_matrix_q(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "text"])
+    k = docs["source"].nunique()
+    assert len(df) == k * (k - 1) // 2
+    assert (df["n_inter"] <= df[["n_a", "n_b"]].min(axis=1)).all()
+    assert (df["contain_a_ppm"]
+            == df["n_inter"] * 1_000_000 // df["n_a"]).all()
+    # spot-verify one pair against raw python sets
+    r = df.iloc[0]
+    va = {t for txt in docs.loc[docs["source"] == r["src_a"], "text"]
+          for t in (txt or "").split(" ") if t}
+    vb = {t for txt in docs.loc[docs["source"] == r["src_b"], "text"]
+          for t in (txt or "").split(" ") if t}
+    assert int(r["n_a"]) == len(va)
+    assert int(r["n_inter"]) == len(va & vb)
+
+
+def test_slo_attainment_bands_nested(ray_session):
+    """SLO bands are nested (30d <= 60d <= 90d) and counts cover all
+    joined line items."""
+    from dataquality_ray.pipelines.queries_tpch import (
+        slo_attainment_by_priority_q,
+    )
+
+    df = slo_attainment_by_priority_q(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+    assert int(df["n_lines"].sum()) == len(li)
+    assert (df["within_30d_ppm"] <= df["within_60d_ppm"]).all()
+    assert (df["within_60d_ppm"] <= df["within_90d_ppm"]).all()
+    assert (df["n_anomalous"] > 0).any()  # planted A4 rows exist
