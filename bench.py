@@ -335,7 +335,7 @@ def run_suite() -> dict:
                  "revenue_proration_monthly",
                  "hamilton_apportionment", "column_match_profile",
                  "kendall_tau_token_ranks", "vocab_containment_matrix",
-                 "slo_attainment_by_priority",
+                 "slo_attainment_by_priority", "k_truss_edges",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

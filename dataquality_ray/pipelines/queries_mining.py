@@ -8114,3 +8114,73 @@ def vocab_containment_matrix_q(sf_dir: str):
     for c in cols[2:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# k-truss edge peeling (k=4: every surviving edge in >= 2 triangles)
+# ---------------------------------------------------------------------------
+
+_KTRUSS_K = 4
+_KTRUSS_ROUNDS = 6
+
+
+def _ktruss_sql() -> str:
+    ctes = [_BIGRAM_SQL.strip().rstrip(","),
+            "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+            " greatest(src, dst) AS b FROM edges WHERE src <> dst)"]
+    prev = "e0"
+    for r in range(1, _KTRUSS_ROUNDS + 1):
+        # MATERIALIZED: each round references the previous edge set three
+        # times; inlining would duplicate the upstream tree per reference
+        ctes.append(
+            f"sym{r} AS MATERIALIZED (SELECT a, b FROM {prev} "
+            f"UNION ALL SELECT b, a FROM {prev})")
+        ctes.append(
+            f"sup{r} AS (SELECT e.a, e.b, count(s2.a)::BIGINT AS sup "
+            f"FROM {prev} e "
+            f"LEFT JOIN sym{r} s1 ON s1.a = e.a "
+            f"LEFT JOIN sym{r} s2 ON s2.a = e.b AND s2.b = s1.b "
+            f"GROUP BY e.a, e.b)")
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT a, b FROM sup{r} "
+            f"WHERE sup >= {_KTRUSS_K - 2})")
+        prev = f"e{r}"
+    chain = ",\n".join(ctes)
+    return f"WITH {chain}\nSELECT a, b FROM {prev} ORDER BY a, b"
+
+
+@query("k_truss_edges", sql=_ktruss_sql())
+def k_truss_edges_q(sf_dir: str):
+    """4-truss of the undirected token graph: iteratively drop edges
+    supported by fewer than 2 triangles until stable — the edge-level
+    strengthening of k-core (every surviving tie is corroborated by two
+    common neighbors), the community-backbone extraction used in graph
+    cleaning.  Edge aggregation is distributed; peeling runs on the
+    vocab-bounded edge set with a FIXED round budget replayed
+    identically in SQL, and the engine asserts convergence inside the
+    budget so both sides report the fixed point."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    ue = set()
+    for s, d in zip(edges["src"], edges["dst"]):
+        if s != d:
+            ue.add((min(s, d), max(s, d)))
+
+    def support(es: set) -> dict:
+        adj: dict = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {(a, b): len(adj[a] & adj[b]) for a, b in es}
+
+    cur = ue
+    for _ in range(_KTRUSS_ROUNDS):
+        sup = support(cur)
+        nxt = {e for e in cur if sup[e] >= _KTRUSS_K - 2}
+        if nxt == cur:
+            break
+        cur = nxt
+    sup = support(cur)
+    assert all(v >= _KTRUSS_K - 2 for v in sup.values()), \
+        "k-truss did not converge within the fixed round budget"
+    out = pd.DataFrame(sorted(cur), columns=["a", "b"])
+    return out

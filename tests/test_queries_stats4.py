@@ -203,3 +203,29 @@ def test_slo_attainment_bands_nested(ray_session):
     assert (df["within_30d_ppm"] <= df["within_60d_ppm"]).all()
     assert (df["within_60d_ppm"] <= df["within_90d_ppm"]).all()
     assert (df["n_anomalous"] > 0).any()  # planted A4 rows exist
+
+
+def test_k_truss_is_subset_with_min_support(ray_session):
+    """Every surviving edge has >= k-2 triangles within the truss, and
+    the truss is a subset of the undirected edge set."""
+    from dataquality_ray.pipelines.queries_mining import (
+        _KTRUSS_K,
+        bigram_edges,
+        k_truss_edges_q,
+    )
+    import ray.data as rd
+
+    df = k_truss_edges_q(SF)
+    edges = bigram_edges(
+        rd.read_parquet(f"{SF}/documents.parquet", columns=["text"]))
+    ue = {(min(s, d), max(s, d))
+          for s, d in zip(edges["src"], edges["dst"]) if s != d}
+    truss = set(zip(df["a"], df["b"]))
+    assert truss <= ue
+    adj = {}
+    for a, b in truss:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for a, b in truss:
+        assert len(adj[a] & adj[b]) >= _KTRUSS_K - 2
+    assert len(truss) > 0
