@@ -336,6 +336,7 @@ def run_suite() -> dict:
                  "hamilton_apportionment", "column_match_profile",
                  "kendall_tau_token_ranks", "vocab_containment_matrix",
                  "slo_attainment_by_priority", "k_truss_edges",
+                 "stratified_kfold_counts", "dow_hour_heatmap",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -8184,3 +8184,55 @@ def k_truss_edges_q(sf_dir: str):
         "k-truss did not converge within the fixed round budget"
     out = pd.DataFrame(sorted(cur), columns=["a", "b"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week x hour traffic heatmap
+# ---------------------------------------------------------------------------
+
+@query("dow_hour_heatmap", sql="""
+WITH e AS (
+  SELECT (((epoch_us(ts) // 86400000000) + 4) % 7)::BIGINT AS weekday,
+         ((epoch_us(ts) % 86400000000) // 3600000000)::BIGINT AS hour
+  FROM events)
+SELECT weekday, hour, count(*)::BIGINT AS n_events,
+       (count(*) * 1000000 //
+        (SELECT count(*) FROM events))::BIGINT AS share_ppm
+FROM e GROUP BY weekday, hour ORDER BY weekday, hour
+""")
+def dow_hour_heatmap_q(sf_dir: str):
+    """Traffic heatmap over (day-of-week, hour-of-day): pure integer
+    calendar arithmetic (epoch day 0 = Thursday, the
+    weekday_seasonality convention) so no timezone/locale library on
+    either engine.  The 168-cell census reduces distributedly; shares
+    are exact integer ppm of the total."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({
+            "weekday": ((us // 86_400_000_000) + 4) % 7,
+            "hour": (us % 86_400_000_000) // 3_600_000_000,
+            "n": 1})
+        return f.groupby(["weekday", "hour"], as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["weekday", "hour"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 168 cells
+    cols = ("weekday", "hour", "n_events", "share_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    total = int(merged["n"].sum())
+    out = pd.DataFrame({
+        "weekday": merged["weekday"].astype(np.int64),
+        "hour": merged["hour"].astype(np.int64),
+        "n_events": merged["n"].astype(np.int64),
+        "share_ppm": (merged["n"].astype(np.int64) * 1_000_000
+                      // total)})
+    return out.sort_values(["weekday", "hour"]).reset_index(drop=True)[
+        list(cols)]

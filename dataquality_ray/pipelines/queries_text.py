@@ -6759,3 +6759,58 @@ def hamilton_apportionment_q(sf_dir: str):
     return pd.DataFrame({"source": merged["source"],
                          "n": n.astype(np.int64),
                          "seats": (fl + bonus).astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment (deterministic hash order within stratum)
+# ---------------------------------------------------------------------------
+
+_KFOLD = 5
+
+
+@query("stratified_kfold_counts", sql=f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         ((doc_id * 2654435761) % 4294967296) AS hk
+  FROM documents),
+r AS (
+  SELECT lang,
+         (row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) - 1)
+           % {_KFOLD} AS fold
+  FROM h)
+SELECT lang, fold::BIGINT AS fold, count(*)::BIGINT AS n_docs
+FROM r GROUP BY lang, fold ORDER BY lang, fold
+""")
+def stratified_kfold_counts_q(sf_dir: str):
+    """Stratified k-fold assignment (k=5): within each language stratum,
+    docs are ordered by a deterministic multiplicative hash (so the
+    split is resume-stable, like every sampler here) and dealt
+    round-robin to folds — fold sizes within a stratum differ by at most
+    one, the property cross-validation needs.  Ranking runs inside
+    ``groupby(lang).map_groups``; the output is the bounded
+    (lang, fold) census that validates the split."""
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        hk = (ids * 2654435761) % 4294967296
+        order = np.lexsort((ids, hk))
+        fold = np.empty(len(ids), dtype=np.int64)
+        fold[order] = np.arange(len(ids), dtype=np.int64) % _KFOLD
+        f = pd.DataFrame({"lang": g["lang"].iloc[0], "fold": fold,
+                          "n_docs": 1})
+        return f.groupby(["lang", "fold"], as_index=False)["n_docs"] \
+            .sum()
+
+    out = _read(sf_dir, "documents", ["doc_id", "lang"]) \
+        .groupby("lang").map_groups(per_lang, batch_format="pandas") \
+        .to_pandas()
+    cols = ("lang", "fold", "n_docs")
+    if not len(out):
+        return pd.DataFrame({
+            "lang": pd.Series([], dtype=object),
+            "fold": pd.Series([], dtype=np.int64),
+            "n_docs": pd.Series([], dtype=np.int64)})
+    out = out.groupby(["lang", "fold"], as_index=False)["n_docs"].sum()
+    out["fold"] = out["fold"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values(["lang", "fold"]).reset_index(drop=True)[
+        list(cols)]

@@ -150,3 +150,38 @@ def test_column_match_finds_foreign_keys(ray_session):
         == 1_000_000
     ev = df.loc["events.user_id"]
     assert 0 < int(ev["jaccard_ppm"]) < 1_000_000
+
+
+def test_stratified_kfold_balance(ray_session):
+    """Fold sizes within each language stratum differ by at most 1 and
+    total to the stratum size."""
+    from dataquality_ray.pipelines.queries_text import (
+        _KFOLD,
+        stratified_kfold_counts_q,
+    )
+
+    df = stratified_kfold_counts_q(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["lang"])
+    per_lang = docs["lang"].value_counts()
+    for lang, g in df.groupby("lang"):
+        assert int(g["n_docs"].sum()) == int(per_lang[lang])
+        assert g["n_docs"].max() - g["n_docs"].min() <= 1
+        assert set(g["fold"]) <= set(range(_KFOLD))
+
+
+def test_dow_hour_heatmap_covers_all_events(ray_session):
+    from dataquality_ray.pipelines.queries_mining import dow_hour_heatmap_q
+
+    df = dow_hour_heatmap_q(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    assert int(df["n_events"].sum()) == len(ev)
+    assert df["weekday"].between(0, 6).all()
+    assert df["hour"].between(0, 23).all()
+    assert len(df) <= 168
+    # spot check one cell against pandas calendar arithmetic
+    us = ev["ts"].astype("int64")
+    wd = ((us // 86_400_000_000) + 4) % 7
+    hr = (us % 86_400_000_000) // 3_600_000_000
+    cell = int(((wd == 0) & (hr == 12)).sum())
+    row = df[(df["weekday"] == 0) & (df["hour"] == 12)]
+    assert (int(row["n_events"].iloc[0]) if len(row) else 0) == cell
