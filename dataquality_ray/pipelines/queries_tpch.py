@@ -8703,3 +8703,144 @@ def slo_attainment_by_priority_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# NDV correlation audit (optimizer cardinality statistic)
+# ---------------------------------------------------------------------------
+
+_NDV_PAIRS = (
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_brand", "p_size"),
+)
+
+
+def _ndv_pair_sql(t, a, b) -> str:
+    return f"""
+  SELECT '{t}.{a}|{b}' AS pair,
+         (SELECT count(DISTINCT {a}) FROM {t})::BIGINT AS ndv_a,
+         (SELECT count(DISTINCT {b}) FROM {t})::BIGINT AS ndv_b,
+         (SELECT count(*) FROM
+            (SELECT DISTINCT {a}, {b} FROM {t}))::BIGINT AS ndv_ab"""
+
+
+@query("ndv_correlation_audit", sql="""
+WITH p AS (
+""" + "\nUNION ALL\n".join(_ndv_pair_sql(*p) for p in _NDV_PAIRS) + """
+)
+SELECT pair, ndv_a, ndv_b, ndv_ab,
+       (ndv_ab * 1000000 // least(ndv_a * ndv_b,
+          (SELECT count(*) FROM lineitem) + (SELECT count(*) FROM orders)
+          + (SELECT count(*) FROM part)))::BIGINT AS independence_ppm
+FROM p ORDER BY pair
+""")
+def ndv_correlation_audit_q(sf_dir: str):
+    """Column-correlation audit for the optimizer: joint distinct count
+    NDV(a,b) vs the independence assumption NDV(a)*NDV(b) — the
+    statistic that tells a planner its selectivity product is wrong
+    (independence_ppm << 1e6 means the columns are correlated and
+    multi-column stats are needed).  Per-pair distinct sets reduce as
+    map-side distinct partials through the guarded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    sizes = {}
+    for t in ("lineitem", "orders", "part"):
+        sizes[t] = _read(sf_dir, t).count()
+    cap_bound = sizes["lineitem"] + sizes["orders"] + sizes["part"]
+
+    rows = []
+    for t, a, b in _NDV_PAIRS:
+        def part(bt: pa.Table, a=a, b=b) -> pd.DataFrame:
+            f = pd.DataFrame({
+                "a": bt[a].to_pandas(), "b": bt[b].to_pandas()})
+            return f.drop_duplicates()
+
+        def fold(f: pd.DataFrame) -> pd.DataFrame:
+            return f.drop_duplicates()
+
+        merged, ok = guarded_partials(
+            _read(sf_dir, t, [a, b])
+            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+        assert ok  # key-cardinality bounded; HLL sketch past cap
+        if merged is None:
+            merged = pd.DataFrame({"a": [], "b": []})
+        ndv_a = int(merged["a"].nunique())
+        ndv_b = int(merged["b"].nunique())
+        ndv_ab = int(len(merged))
+        ind = ndv_ab * 1_000_000 // min(ndv_a * ndv_b, cap_bound) \
+            if ndv_a and ndv_b else 0
+        rows.append((f"{t}.{a}|{b}", ndv_a, ndv_b, ndv_ab, ind))
+    cols = ("pair", "ndv_a", "ndv_b", "ndv_ab", "independence_ppm")
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("pair").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sort-key what-if advisor (zone-map prunability under candidate keys)
+# ---------------------------------------------------------------------------
+
+def _whatif_sql(key: str) -> str:
+    return f"""
+  SELECT '{key}' AS sort_key, count(*)::BIGINT AS n_row_groups,
+         count(*) FILTER (WHERE mx <= TIMESTAMP '1997-06-01')::BIGINT
+           AS n_prunable,
+         coalesce(sum(c) FILTER (WHERE mx > TIMESTAMP '1997-06-01'), 0)
+           ::BIGINT AS rows_scanned
+  FROM (
+    SELECT rn // 1024 AS rg, max(l_shipdate) AS mx, count(*)::BIGINT AS c
+    FROM (SELECT l_shipdate,
+                 row_number() OVER (ORDER BY {key}, l_orderkey,
+                                    l_linenumber) - 1 AS rn
+          FROM lineitem)
+    GROUP BY 1)"""
+
+
+@query("sort_key_whatif_advisor", sql="""
+WITH w AS (
+""" + "\nUNION ALL\n".join(
+    _whatif_sql(k) for k in ("l_shipdate", "l_partkey", "l_suppkey")
+) + """
+)
+SELECT sort_key, n_row_groups, n_prunable, rows_scanned,
+       (n_prunable * 1000000 // n_row_groups)::BIGINT AS prune_ppm
+FROM w ORDER BY sort_key
+""")
+def sort_key_whatif_advisor_q(sf_dir: str):
+    """Sort-key what-if: how many 1024-row zone-map groups would a
+    `shipdate > cutoff` scan prune if the table were clustered on each
+    candidate key — the advisor that justifies (or kills) a re-sort
+    before anyone pays for the shuffle.  Clustering on shipdate prunes
+    almost everything; clustering on an unrelated key prunes nothing.
+    One Dataset.sort per candidate (the honest cost), then the
+    vectorized zone_map_stats group scan."""
+    import pandas as _pd
+
+    from dataquality_ray.stages.profile import prune_stats, zone_map_stats
+
+    cutoff = _pd.Timestamp("1997-06-01")
+    rows = []
+    for key in ("l_shipdate", "l_partkey", "l_suppkey"):
+        ds = _read(sf_dir, "lineitem",
+                   [key, "l_orderkey", "l_linenumber", "l_shipdate"]
+                   if key != "l_shipdate"
+                   else ["l_shipdate", "l_orderkey", "l_linenumber"])
+        zones = zone_map_stats(
+            ds, [key, "l_orderkey", "l_linenumber"], "l_shipdate",
+            rows_per_group=1024)
+        st = prune_stats(zones, cutoff)
+        rows.append((key, int(st["n_row_groups"].iloc[0]),
+                     int(st["n_prunable"].iloc[0]),
+                     int(st["rows_scanned"].iloc[0])))
+    cols = ("sort_key", "n_row_groups", "n_prunable", "rows_scanned",
+            "prune_ppm")
+    out = pd.DataFrame(rows, columns=list(cols[:4]))
+    out["prune_ppm"] = (out["n_prunable"].astype(np.int64) * 1_000_000
+                        // out["n_row_groups"].astype(np.int64))
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("sort_key").reset_index(drop=True)

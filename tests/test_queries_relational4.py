@@ -89,3 +89,38 @@ def test_bitpack_widths_cover_all_groups(ray_session):
     assert int(df["n_row_groups"].sum()) == (n + 8191) // 8192
     assert df["width_bits"].between(0, 64).all()
     assert (df["est_bits"] == df["n_rows"] * df["width_bits"]).all()
+
+
+def test_ndv_correlation_flags_dependent_pairs(ray_session):
+    """brand|type is near-independent in the planted catalog while the
+    joint NDV never exceeds either marginal product bound."""
+    from dataquality_ray.pipelines.queries_tpch import (
+        ndv_correlation_audit_q,
+    )
+
+    df = ndv_correlation_audit_q(SF).set_index("pair")
+    assert (df["ndv_ab"] <= df["ndv_a"] * df["ndv_b"]).all()
+    assert (df["ndv_ab"] >= df[["ndv_a", "ndv_b"]].max(axis=1)).all()
+    assert df["independence_ppm"].between(0, 1_000_000).all()
+    # verify one pair against duckdb-free pandas
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus"])
+    assert int(df.loc["lineitem.l_returnflag|l_linestatus", "ndv_ab"]) \
+        == len(li.drop_duplicates())
+
+
+def test_sort_key_whatif_orders_candidates(ray_session):
+    """Clustering on shipdate must prune (strictly) more than clustering
+    on an unrelated key; totals are consistent."""
+    from dataquality_ray.pipelines.queries_tpch import (
+        sort_key_whatif_advisor_q,
+    )
+
+    df = sort_key_whatif_advisor_q(SF).set_index("sort_key")
+    assert int(df.loc["l_shipdate", "prune_ppm"]) \
+        > int(df.loc["l_partkey", "prune_ppm"])
+    n = pd.read_parquet(f"{SF}/lineitem.parquet",
+                        columns=["l_orderkey"]).shape[0]
+    groups = (n + 1023) // 1024
+    assert (df["n_row_groups"] == groups).all()
+    assert (df["rows_scanned"] <= n).all()
