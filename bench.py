@@ -337,6 +337,8 @@ def run_suite() -> dict:
                  "kendall_tau_token_ranks", "vocab_containment_matrix",
                  "slo_attainment_by_priority", "k_truss_edges",
                  "stratified_kfold_counts", "dow_hour_heatmap",
+                 "ndv_correlation_audit", "sort_key_whatif_advisor",
+                 "position_based_attribution", "wasserstein_daily_drift",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

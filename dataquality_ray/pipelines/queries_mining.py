@@ -8236,3 +8236,191 @@ def dow_hour_heatmap_q(sf_dir: str):
                       // total)})
     return out.sort_values(["weekday", "hour"]).reset_index(drop=True)[
         list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+@query("position_based_attribution", sql="""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsu, event_id % 4 AS channel
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS ptsu
+  FROM events WHERE event_type = 'purchase'),
+tc AS (
+  SELECT p.purchase_id, c.channel, c.tsu, c.event_id,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.tsu, c.event_id) AS rk,
+         count(*) OVER (PARTITION BY p.purchase_id) AS m
+  FROM p JOIN c ON c.user_id = p.user_id AND c.tsu <= p.ptsu),
+credit AS (
+  SELECT purchase_id, channel,
+         (CASE
+            WHEN m = 1 THEN 10000
+            WHEN m = 2 THEN 5000
+            WHEN rk = 1 THEN 4000 + 2000 - (m - 2) * (2000 // (m - 2))
+            WHEN rk = m THEN 4000
+            ELSE 2000 // (m - 2) END)::BIGINT AS bps
+  FROM tc)
+SELECT channel::BIGINT AS channel,
+       sum(bps)::BIGINT AS credit_bps,
+       count(DISTINCT purchase_id)::BIGINT AS n_purchases_touched
+FROM credit GROUP BY channel ORDER BY channel
+""")
+def position_based_attribution_q(sf_dir: str):
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution:
+    every purchase distributes exactly 10000 bps of credit over the
+    user's prior clicks — 40% to the first touch, 40% to the last, 20%
+    split across the middles (integer floor, remainder to the first
+    touch so the total is exact) — the marketing-standard alternative to
+    last_touch_attribution.  One groupby(user) shuffle; per group the
+    prefix structure is two searchsorted probes plus a bincount per
+    purchase; channels are the bounded output."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"] \
+            .sort_values(["tsu", "event_id"]).reset_index(drop=True)
+        purch = g[g["event_type"] == "purchase"]
+        if not len(purch) or not len(clicks):
+            return pd.DataFrame({"channel": [], "bps": [], "pid": []})
+        cts = clicks["tsu"].to_numpy(dtype=np.int64)
+        chan = (clicks["event_id"].to_numpy(dtype=np.int64) % 4)
+        rows = []
+        for pid, pts in zip(purch["event_id"].to_numpy(np.int64),
+                            purch["tsu"].to_numpy(np.int64)):
+            m = int(np.searchsorted(cts, pts, side="right"))
+            if m == 0:
+                continue
+            if m == 1:
+                rows.append((int(chan[0]), 10000, pid))
+            elif m == 2:
+                rows.append((int(chan[0]), 5000, pid))
+                rows.append((int(chan[1]), 5000, pid))
+            else:
+                mid = 2000 // (m - 2)
+                rem = 2000 - (m - 2) * mid
+                rows.append((int(chan[0]), 4000 + rem, pid))
+                rows.append((int(chan[m - 1]), 4000, pid))
+                cb = np.bincount(chan[1:m - 1], minlength=4)
+                for ch in range(4):
+                    if cb[ch]:
+                        rows.append((ch, int(cb[ch]) * mid, pid))
+        return pd.DataFrame(rows, columns=["channel", "bps", "pid"])
+
+    import pyarrow.compute as _pc
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "tsu", _pc.cast(b["ts"], pa.int64())).drop_columns(["ts"]),
+        batch_format="pyarrow")
+    ds = ds.filter(expr="event_type == 'purchase' or "
+                        "event_type == 'click'")
+    out = ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").to_pandas()
+    cols = ("channel", "credit_bps", "n_purchases_touched")
+    if not len(out):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = out.groupby("channel").agg(
+        credit_bps=("bps", "sum"),
+        n_purchases_touched=("pid", "nunique")).reset_index()
+    for c in cols:
+        g[c] = g[c].astype(np.int64)
+    return g.sort_values("channel").reset_index(drop=True)[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day Wasserstein-1 drift of event values
+# ---------------------------------------------------------------------------
+
+@query("wasserstein_daily_drift", sql="""
+WITH e AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+counts AS (SELECT day, cents, count(*)::BIGINT AS c
+           FROM e GROUP BY 1, 2),
+tot AS (SELECT day, count(*)::BIGINT AS n FROM e GROUP BY 1),
+grid AS (SELECT DISTINCT cents FROM e),
+gw AS (SELECT cents,
+              lead(cents) OVER (ORDER BY cents) - cents AS w
+       FROM grid),
+days AS (SELECT DISTINCT day FROM e),
+f AS (SELECT d.day, g.cents, coalesce(c.c, 0) AS c
+      FROM days d CROSS JOIN grid g
+      LEFT JOIN counts c ON c.day = d.day AND c.cents = g.cents),
+cum AS (SELECT day, cents,
+               sum(c) OVER (PARTITION BY day ORDER BY cents)::HUGEINT
+                 AS cum
+        FROM f),
+pairs AS (
+  SELECT a.day AS day_a, b.day AS day_b, ta.n AS na, tb.n AS nb,
+         sum(abs(a.cum * tb.n - b.cum * ta.n) * gw.w)::HUGEINT AS w1_num
+  FROM cum a
+  JOIN cum b ON b.cents = a.cents
+  JOIN days da ON da.day = a.day
+  JOIN gw ON gw.cents = a.cents
+  JOIN tot ta ON ta.day = a.day
+  JOIN tot tb ON tb.day = b.day
+  WHERE b.day = (SELECT min(d2.day) FROM days d2 WHERE d2.day > a.day)
+    AND gw.w IS NOT NULL
+  GROUP BY 1, 2, 3, 4)
+SELECT day_a, day_b, w1_num::BIGINT AS w1_num,
+       ((w1_num * 1000) // (na::HUGEINT * nb))::BIGINT AS w1_milli_cents
+FROM pairs ORDER BY day_a
+""")
+def wasserstein_daily_drift_q(sf_dir: str):
+    """Wasserstein-1 (earth-mover) distance between consecutive days'
+    event-value distributions: W1 = sum over the pooled value grid of
+    |F_a - F_b| x grid-step, all exact integers (|cum_a*nb - cum_b*na|
+    x step, one milli-cents division at the end) — the magnitude-aware
+    drift metric KS/CvM can't give (it knows HOW FAR mass moved, not
+    just that it moved).  The (day, cents) histogram reduces
+    distributedly; consecutive-day L1 sums are one vectorized pass over
+    the bounded grid."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d").to_pylist(),
+            "cents": np.round(b["value"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64),
+            "c": 1})
+        return f.groupby(["day", "cents"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["day", "cents"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: days x cents grid
+    cols = ("day_a", "day_b", "w1_num", "w1_milli_cents")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "day_a": pd.Series([], dtype=object),
+            "day_b": pd.Series([], dtype=object),
+            "w1_num": pd.Series([], dtype=np.int64),
+            "w1_milli_cents": pd.Series([], dtype=np.int64)})
+    pivot = merged.pivot_table(index="day", columns="cents", values="c",
+                               fill_value=0, aggfunc="sum") \
+        .sort_index().sort_index(axis=1)
+    grid = pivot.columns.to_numpy(dtype=np.int64)
+    w = np.diff(grid)
+    cum = pivot.to_numpy(dtype=np.int64).cumsum(axis=1)
+    days = list(pivot.index)
+    n = cum[:, -1]
+    rows = []
+    for i in range(len(days) - 1):
+        na, nb = int(n[i]), int(n[i + 1])
+        d = np.abs(cum[i][:-1].astype(object) * nb
+                   - cum[i + 1][:-1].astype(object) * na)
+        w1 = int(np.sum(d * w.astype(object)))
+        rows.append((days[i], days[i + 1], w1,
+                     w1 * 1000 // (na * nb)))
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["w1_num"] = out["w1_num"].astype(np.int64)
+    out["w1_milli_cents"] = out["w1_milli_cents"].astype(np.int64)
+    return out

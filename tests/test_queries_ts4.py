@@ -82,3 +82,48 @@ def test_holt_winters_init_and_counts(ray_session):
     assert np.isfinite(df["fitted"]).all()
     assert np.isfinite(df["level"]).all()
     assert np.isfinite(df["trend"]).all()
+
+
+def test_attribution_credit_conserved(ray_session):
+    """Every purchase with at least one prior click distributes exactly
+    10000 bps."""
+    from dataquality_ray.pipelines.queries_mining import (
+        position_based_attribution_q,
+    )
+
+    df = position_based_attribution_q(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    ev["tsu"] = ev["ts"].astype("int64")
+    n_credited = 0
+    for _, p in ev[ev["event_type"] == "purchase"].iterrows():
+        prior = ev[(ev["event_type"] == "click")
+                   & (ev["user_id"] == p["user_id"])
+                   & (ev["tsu"] <= p["tsu"])]
+        if len(prior):
+            n_credited += 1
+    assert int(df["credit_bps"].sum()) == 10000 * n_credited
+    assert set(df["channel"]) <= {0, 1, 2, 3}
+
+
+def test_wasserstein_daily_zero_iff_identical(ray_session):
+    """W1 is nonnegative, and one pair matches a direct numpy EMD."""
+    from dataquality_ray.pipelines.queries_mining import (
+        wasserstein_daily_drift_q,
+    )
+
+    df = wasserstein_daily_drift_q(SF)
+    assert (df["w1_num"] >= 0).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "value"])
+    ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+    ev["cents"] = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    r = df.iloc[0]
+    xa = np.sort(ev.loc[ev["day"] == r["day_a"], "cents"].to_numpy())
+    xb = np.sort(ev.loc[ev["day"] == r["day_b"], "cents"].to_numpy())
+    grid = np.unique(ev["cents"].to_numpy())
+    ca = np.searchsorted(xa, grid, side="right").astype(object)
+    cb = np.searchsorted(xb, grid, side="right").astype(object)
+    w = np.diff(grid).astype(object)
+    w1 = int(np.sum(np.abs(ca[:-1] * len(xb) - cb[:-1] * len(xa)) * w))
+    assert int(r["w1_num"]) == w1
