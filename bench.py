@@ -339,6 +339,7 @@ def run_suite() -> dict:
                  "stratified_kfold_counts", "dow_hour_heatmap",
                  "ndv_correlation_audit", "sort_key_whatif_advisor",
                  "position_based_attribution", "wasserstein_daily_drift",
+                 "rare_category_collapse", "embedding_dim_health",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

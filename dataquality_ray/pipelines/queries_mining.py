@@ -8424,3 +8424,69 @@ def wasserstein_daily_drift_q(sf_dir: str):
     out["w1_num"] = out["w1_num"].astype(np.int64)
     out["w1_milli_cents"] = out["w1_milli_cents"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding dimension health audit (quantized-grid mean/spread per dim)
+# ---------------------------------------------------------------------------
+
+@query("embedding_dim_health", sql="""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT idx.i AS dim,
+             CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM embeddings e, idx),
+s AS (SELECT dim, count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s1,
+             sum(v::HUGEINT * v) AS s2
+      FROM q GROUP BY dim)
+SELECT dim::BIGINT AS dim,
+       (CASE WHEN s1 >= 0 THEN (s1 * 1000) // n
+             ELSE -(((-s1) * 1000) // n) END)::BIGINT AS mean_milli,
+       ((n * s2 - s1 * s1) // (n * n))::BIGINT AS var_grid,
+       (CASE WHEN (n * s2 - s1 * s1) // (n * n) = 0
+             THEN 1 ELSE 0 END)::BIGINT AS is_dead
+FROM s ORDER BY dim
+""")
+def embedding_dim_health_q(sf_dir: str):
+    """Per-dimension embedding health on the 1e-3 quantization grid:
+    scaled mean (should hover near 0 for normalized embeddings),
+    integer variance, and a dead-dimension flag (zero variance on the
+    grid = the dimension carries no signal) — the hygiene check before
+    PCA / ANN trusts all 64 dims.  The (n, S1, S2) partials per
+    dimension are mergeable and bounded (64 rows); signed divisions
+    truncate toward zero on both engines."""
+    from dataquality_ray.stages.ann import _stack_embeddings
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        x = _stack_embeddings(b, "embedding").astype(np.float64)
+        qx = np.floor(x * 1000.0).astype(np.int64)
+        dims = np.arange(1, qx.shape[1] + 1, dtype=np.int64)
+        return pd.DataFrame({
+            "dim": dims, "n": qx.shape[0],
+            "s1": qx.sum(axis=0),
+            "s2": (qx.astype(object) * qx.astype(object)).sum(axis=0)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("dim", as_index=False).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["embedding"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 64 dims
+    cols = ("dim", "mean_milli", "var_grid", "is_dead")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    rows = []
+    for _, r in merged.sort_values("dim").iterrows():
+        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])
+        mean = ((s1 * 1000) // n if s1 >= 0
+                else -(((-s1) * 1000) // n))
+        var = (n * s2 - s1 * s1) // (n * n)
+        rows.append((int(r["dim"]), mean, var, 1 if var == 0 else 0))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

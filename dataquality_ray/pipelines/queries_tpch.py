@@ -8844,3 +8844,61 @@ def sort_key_whatif_advisor_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("sort_key").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Rare-category collapsing (feature-engineering re-bucketing)
+# ---------------------------------------------------------------------------
+
+_RARE_MIN_PPM = 10_000  # categories under 1% collapse into OTHER
+
+
+@query("rare_category_collapse", sql=f"""
+WITH c AS (SELECT p_type AS cat, count(*)::BIGINT AS n FROM part
+           GROUP BY 1),
+t AS (SELECT sum(n)::BIGINT AS tot FROM c),
+m AS (SELECT (CASE WHEN n * 1000000 // (SELECT tot FROM t)
+                        >= {_RARE_MIN_PPM}
+              THEN cat ELSE 'OTHER' END) AS bucket, n
+      FROM c)
+SELECT bucket, sum(n)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_source_cats,
+       (sum(n) * 1000000 // (SELECT tot FROM t))::BIGINT AS share_ppm
+FROM m GROUP BY bucket ORDER BY bucket
+""")
+def rare_category_collapse_q(sf_dir: str):
+    """Rare-category collapsing: part types under 1% of rows re-bucket
+    into OTHER — the feature-engineering step that keeps one-hot /
+    target encodings from exploding on long-tail categories, reported as
+    the post-collapse census (rows, source categories merged, exact ppm
+    share).  Category counts reduce distributedly; the collapse is
+    O(#categories) driver arithmetic."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"cat": b["p_type"].to_pylist(), "n": 1})
+        return f.groupby("cat", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("cat", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "part", ["p_type"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: category vocabulary
+    cols = ("bucket", "n_rows", "n_source_cats", "share_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "bucket": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    tot = int(merged["n"].sum())
+    n = merged["n"].astype(np.int64)
+    merged = merged.assign(
+        bucket=np.where(n * 1_000_000 // tot >= _RARE_MIN_PPM,
+                        merged["cat"], "OTHER"))
+    g = merged.groupby("bucket", as_index=False).agg(
+        n_rows=("n", "sum"), n_source_cats=("cat", "size"))
+    g["share_ppm"] = g["n_rows"].astype(np.int64) * 1_000_000 // tot
+    for c in cols[1:]:
+        g[c] = g[c].astype(np.int64)
+    return g.sort_values("bucket").reset_index(drop=True)[list(cols)]

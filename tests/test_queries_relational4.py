@@ -124,3 +124,47 @@ def test_sort_key_whatif_orders_candidates(ray_session):
     groups = (n + 1023) // 1024
     assert (df["n_row_groups"] == groups).all()
     assert (df["rows_scanned"] <= n).all()
+
+
+def test_rare_category_collapse_census(ray_session):
+    """OTHER absorbs exactly the sub-threshold categories and shares
+    cover the whole table."""
+    from dataquality_ray.pipelines.queries_tpch import (
+        _RARE_MIN_PPM,
+        rare_category_collapse_q,
+    )
+
+    df = rare_category_collapse_q(SF)
+    part = pd.read_parquet(f"{SF}/part.parquet", columns=["p_type"])
+    vc = part["p_type"].value_counts()
+    tot = len(part)
+    rare = vc[vc * 1_000_000 // tot < _RARE_MIN_PPM]
+    assert int(df["n_rows"].sum()) == tot
+    if len(rare):
+        other = df[df["bucket"] == "OTHER"].iloc[0]
+        assert int(other["n_rows"]) == int(rare.sum())
+        assert int(other["n_source_cats"]) == len(rare)
+    kept = df[df["bucket"] != "OTHER"]
+    assert (kept["n_source_cats"] == 1).all()
+
+
+def test_embedding_dim_health_vs_numpy(ray_session):
+    """Quantized per-dim means/vars replay in numpy; no dims are dead in
+    the synthetic embeddings."""
+    from dataquality_ray.pipelines.queries_mining import (
+        embedding_dim_health_q,
+    )
+
+    df = embedding_dim_health_q(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["embedding"])
+    x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(x * 1000.0).astype(np.int64)
+    assert len(df) == q.shape[1]
+    n = q.shape[0]
+    s1 = int(q[:, 0].sum())
+    s2 = int((q[:, 0].astype(object) ** 2).sum())
+    mean = (s1 * 1000 // n if s1 >= 0 else -((-s1) * 1000 // n))
+    assert int(df["mean_milli"].iloc[0]) == mean
+    assert int(df["var_grid"].iloc[0]) == (n * s2 - s1 * s1) // (n * n)
+    assert int(df["is_dead"].sum()) == 0
