@@ -340,6 +340,7 @@ def run_suite() -> dict:
                  "ndv_correlation_audit", "sort_key_whatif_advisor",
                  "position_based_attribution", "wasserstein_daily_drift",
                  "rare_category_collapse", "embedding_dim_health",
+                 "quantile_treatment_effect", "hodges_lehmann_daily",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

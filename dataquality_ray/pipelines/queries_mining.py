@@ -8490,3 +8490,197 @@ def embedding_dim_health_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effect (per-decile gap between two event types)
+# ---------------------------------------------------------------------------
+
+@query("quantile_treatment_effect", sql="""
+WITH v AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type IN ('purchase', 'click')),
+q AS (
+  SELECT 1::BIGINT AS decile,
+         quantile_disc(CASE WHEN event_type = 'purchase'
+                            THEN cents END, 0.1)::BIGINT AS qa,
+         quantile_disc(CASE WHEN event_type = 'click'
+                            THEN cents END, 0.1)::BIGINT AS qb
+  FROM v
+UNION ALL
+  SELECT 2::BIGINT AS decile,
+         quantile_disc(CASE WHEN event_type = 'purchase'
+                            THEN cents END, 0.2)::BIGINT AS qa,
+         quantile_disc(CASE WHEN event_type = 'click'
+                            THEN cents END, 0.2)::BIGINT AS qb
+  FROM v
+UNION ALL
+  SELECT 3::BIGINT AS decile,
+         quantile_disc(CASE WHEN event_type = 'purchase'
+                            THEN cents END, 0.3)::BIGINT AS qa,
+         quantile_disc(CASE WHEN event_type = 'click'
+                            THEN cents END, 0.3)::BIGINT AS qb
+  FROM v
+UNION ALL
+  SELECT 4::BIGINT AS decile,
+         quantile_disc(CASE WHEN event_type = 'purchase'
+                            THEN cents END, 0.4)::BIGINT AS qa,
+         quantile_disc(CASE WHEN event_type = 'click'
+                            THEN cents END, 0.4)::BIGINT AS qb
+  FROM v
+UNION ALL
+  SELECT 5::BIGINT AS decile,
+         quantile_disc(CASE WHEN event_type = 'purchase'
+                            THEN cents END, 0.5)::BIGINT AS qa,
+         quantile_disc(CASE WHEN event_type = 'click'
+                            THEN cents END, 0.5)::BIGINT AS qb
+  FROM v
+UNION ALL
+  SELECT 6::BIGINT AS decile,
+         quantile_disc(CASE WHEN event_type = 'purchase'
+                            THEN cents END, 0.6)::BIGINT AS qa,
+         quantile_disc(CASE WHEN event_type = 'click'
+                            THEN cents END, 0.6)::BIGINT AS qb
+  FROM v
+UNION ALL
+  SELECT 7::BIGINT AS decile,
+         quantile_disc(CASE WHEN event_type = 'purchase'
+                            THEN cents END, 0.7)::BIGINT AS qa,
+         quantile_disc(CASE WHEN event_type = 'click'
+                            THEN cents END, 0.7)::BIGINT AS qb
+  FROM v
+UNION ALL
+  SELECT 8::BIGINT AS decile,
+         quantile_disc(CASE WHEN event_type = 'purchase'
+                            THEN cents END, 0.8)::BIGINT AS qa,
+         quantile_disc(CASE WHEN event_type = 'click'
+                            THEN cents END, 0.8)::BIGINT AS qb
+  FROM v
+UNION ALL
+  SELECT 9::BIGINT AS decile,
+         quantile_disc(CASE WHEN event_type = 'purchase'
+                            THEN cents END, 0.9)::BIGINT AS qa,
+         quantile_disc(CASE WHEN event_type = 'click'
+                            THEN cents END, 0.9)::BIGINT AS qb
+  FROM v
+)
+SELECT decile, qa AS purchase_cents, qb AS click_cents,
+       (qa - qb)::BIGINT AS qte_cents
+FROM q ORDER BY decile
+""")
+def quantile_treatment_effect_q(sf_dir: str):
+    """Quantile treatment effect: the gap between the purchase and click
+    value distributions at each decile (discrete quantiles — actual data
+    values, the cross-engine-stable convention from windowed_quantiles)
+    — the distributional readout a mean difference hides: an effect
+    concentrated in the top decile shows up here and nowhere else.
+    Both groups' (cents -> count) histograms reduce distributedly;
+    disc-quantile extraction is a searchsorted over the bounded grid
+    (quantile_disc index = ceil(q*n) - 1)."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        keep = (et == "purchase") | (et == "click")
+        cents = np.round(b["value"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        f = pd.DataFrame({"grp": et[keep], "cents": cents[keep], "c": 1})
+        return f.groupby(["grp", "cents"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["grp", "cents"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 2 groups x cents grid
+    cols = ("decile", "purchase_cents", "click_cents", "qte_cents")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+
+    def disc_quantiles(g: pd.DataFrame) -> list[int]:
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy(dtype=np.int64)
+        cum = g["c"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        out = []
+        for dec in range(1, 10):
+            k = math.ceil(dec / 10.0 * n)  # 1-based rank
+            out.append(int(vals[np.searchsorted(cum, k, side="left")]))
+        return out
+
+    qa = disc_quantiles(merged[merged["grp"] == "purchase"])
+    qb = disc_quantiles(merged[merged["grp"] == "click"])
+    return pd.DataFrame({
+        "decile": pd.Series(range(1, 10), dtype=np.int64),
+        "purchase_cents": pd.Series(qa, dtype=np.int64),
+        "click_cents": pd.Series(qb, dtype=np.int64),
+        "qte_cents": pd.Series([a - b for a, b in zip(qa, qb)],
+                               dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann pseudomedian per day
+# ---------------------------------------------------------------------------
+
+@query("hodges_lehmann_daily", sql="""
+WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+n AS (SELECT day, count(*)::BIGINT AS n FROM e GROUP BY day),
+p AS (SELECT a.day, a.cents + b.cents AS s
+      FROM (SELECT day, cents,
+                   row_number() OVER (PARTITION BY day
+                                      ORDER BY cents) AS i
+            FROM e) a
+      JOIN (SELECT day, cents,
+                   row_number() OVER (PARTITION BY day
+                                      ORDER BY cents) AS i
+            FROM e) b
+      ON b.day = a.day AND b.i >= a.i)
+SELECT p.day, n.n, quantile_disc(p.s, 0.5)::BIGINT AS hl2_cents
+FROM p JOIN n ON n.day = p.day
+GROUP BY p.day, n.n ORDER BY p.day
+""")
+def hodges_lehmann_daily_q(sf_dir: str):
+    """Hodges-Lehmann pseudomedian per day (x2 to stay integer): the
+    discrete median of all pairwise Walsh sums (x_i + x_j, i <= j) of
+    the day's event values — the robust location estimator between the
+    median (50% breakdown, low efficiency) and the mean (efficient,
+    0% breakdown).  Day histograms reduce distributedly; each day's
+    O(n^2) Walsh-sum median runs vectorized inside
+    ``groupby(day).map_groups`` — the same per-group quadratic contract
+    as rate_limit_audit's oracle."""
+    import math
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(g["cents"].to_numpy(dtype=np.int64))
+        n = len(c)
+        s = (c[:, None] + c[None, :])
+        iu = np.triu_indices(n, k=0)
+        walsh = np.sort(s[iu])
+        k = math.ceil(0.5 * len(walsh))  # disc-quantile 1-based rank
+        return pd.DataFrame({"day": [g["day"].iloc[0]],
+                             "n": [n], "hl2_cents": [int(walsh[k - 1])]})
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    ds = ds.map_batches(
+        lambda b: pa.table({
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["value"], 100.0)), pa.int64())}),
+        batch_format="pyarrow")
+    out = ds.groupby("day").map_groups(
+        per_day, batch_format="pandas").to_pandas()
+    cols = ("day", "n", "hl2_cents")
+    if not len(out):
+        return pd.DataFrame({
+            "day": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "hl2_cents": pd.Series([], dtype=np.int64)})
+    out["n"] = out["n"].astype(np.int64)
+    out["hl2_cents"] = out["hl2_cents"].astype(np.int64)
+    return out.sort_values("day").reset_index(drop=True)[list(cols)]

@@ -229,3 +229,50 @@ def test_k_truss_is_subset_with_min_support(ray_session):
     for a, b in truss:
         assert len(adj[a] & adj[b]) >= _KTRUSS_K - 2
     assert len(truss) > 0
+
+
+def test_qte_deciles_monotone_within_group(ray_session):
+    """Disc quantiles are nondecreasing across deciles and are actual
+    data values."""
+    from dataquality_ray.pipelines.queries_mining import (
+        quantile_treatment_effect_q,
+    )
+
+    df = quantile_treatment_effect_q(SF)
+    assert list(df["decile"]) == list(range(1, 10))
+    assert df["purchase_cents"].is_monotonic_increasing
+    assert df["click_cents"].is_monotonic_increasing
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    cents = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    pv = set(cents[(ev["event_type"] == "purchase").to_numpy()].tolist())
+    cv = set(cents[(ev["event_type"] == "click").to_numpy()].tolist())
+    assert set(df["purchase_cents"].tolist()) <= pv
+    assert set(df["click_cents"].tolist()) <= cv
+    assert (df["qte_cents"]
+            == df["purchase_cents"] - df["click_cents"]).all()
+
+
+def test_hodges_lehmann_between_min_and_max(ray_session):
+    """HL x2 lies within [2*min, 2*max] per day and matches a brute
+    recomputation for the first day."""
+    from dataquality_ray.pipelines.queries_mining import (
+        hodges_lehmann_daily_q,
+    )
+    import math
+
+    df = hodges_lehmann_daily_q(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts", "value"])
+    ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+    ev["cents"] = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    per = ev.groupby("day")["cents"]
+    lo, hi = per.min(), per.max()
+    got = df.set_index("day")
+    assert (got["hl2_cents"] >= 2 * lo.reindex(got.index)).all()
+    assert (got["hl2_cents"] <= 2 * hi.reindex(got.index)).all()
+    d0 = df["day"].iloc[0]
+    c = np.sort(ev.loc[ev["day"] == d0, "cents"].to_numpy())
+    iu = np.triu_indices(len(c), k=0)
+    walsh = np.sort((c[:, None] + c[None, :])[iu])
+    k = math.ceil(0.5 * len(walsh))
+    assert int(got.loc[d0, "hl2_cents"]) == int(walsh[k - 1])
