@@ -341,6 +341,7 @@ def run_suite() -> dict:
                  "position_based_attribution", "wasserstein_daily_drift",
                  "rare_category_collapse", "embedding_dim_health",
                  "quantile_treatment_effect", "hodges_lehmann_daily",
+                 "column_entropy_profile", "error_budget_burn",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -8902,3 +8902,142 @@ def rare_category_collapse_q(sf_dir: str):
     for c in cols[1:]:
         g[c] = g[c].astype(np.int64)
     return g.sort_values("bucket").reset_index(drop=True)[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Categorical column entropy profile (catalog statistic)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_COLS = (
+    ("lineitem", "l_returnflag"), ("lineitem", "l_linestatus"),
+    ("orders", "o_orderpriority"), ("orders", "o_orderstatus"),
+    ("customer", "c_mktsegment"), ("part", "p_brand"),
+    ("documents", "lang"), ("events", "event_type"),
+)
+
+
+def _entropy_col_sql(t, c) -> str:
+    return f"""
+  SELECT '{t}.{c}' AS col, sum(cc)::BIGINT AS n_rows,
+         count(*)::BIGINT AS n_distinct,
+         CAST(-sum(cc * CAST(floor(ln(CAST(cc AS DOUBLE)
+              / CAST(tot AS DOUBLE)) * 1000000) AS BIGINT))
+              AS DOUBLE) / sum(cc) / 1000000.0 AS entropy_nats
+  FROM (SELECT cc, sum(cc) OVER () AS tot FROM
+        (SELECT count(*)::BIGINT AS cc FROM {t} GROUP BY {c}))"""
+
+
+@query("column_entropy_profile", sql="""
+WITH e AS (
+""" + "\nUNION ALL\n".join(
+    _entropy_col_sql(t, c) for t, c in _ENTROPY_COLS) + """
+)
+SELECT col, n_rows, n_distinct, entropy_nats FROM e ORDER BY col
+""")
+def column_entropy_profile_q(sf_dir: str):
+    """Shannon entropy of every categorical column in the catalog (the
+    source_token_entropy floor-ln chain applied per column): low entropy
+    + high distinct count flags skew; entropy near ln(n_distinct) means
+    uniform — the statistic that picks dictionary-encoding and
+    partition-key candidates.  Each column's value counts reduce
+    distributedly; the entropy is one exact-int weighted sum and a
+    two-division float chain, identical on both engines."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    rows = []
+    for t, c in _ENTROPY_COLS:
+        def part(b: pa.Table, c=c) -> pd.DataFrame:
+            f = pd.DataFrame({"v": b[c].to_pylist(), "cc": 1})
+            return f.groupby("v", as_index=False)["cc"].sum()
+
+        def fold(f: pd.DataFrame) -> pd.DataFrame:
+            return f.groupby("v", as_index=False)["cc"].sum()
+
+        merged, ok = guarded_partials(
+            _read(sf_dir, t, [c])
+            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+        assert ok  # bounded: categorical vocabulary
+        if merged is None or not len(merged):
+            rows.append((f"{t}.{c}", 0, 0, 0.0))
+            continue
+        cc = merged["cc"].to_numpy(dtype=np.int64)
+        n = int(cc.sum())
+        q = np.floor(np.log(cc.astype(np.float64) / float(n))
+                     * 1e6).astype(np.int64)
+        h = float(-(cc * q).sum()) / n / 1e6
+        rows.append((f"{t}.{c}", n, len(cc), h))
+    cols = ("col", "n_rows", "n_distinct", "entropy_nats")
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    return out.sort_values("col").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SRE error-budget burn per day
+# ---------------------------------------------------------------------------
+
+_ERROR_BUDGET_PPM = 250_000  # SLO: at most 25% of events may be errors
+
+
+@query("error_budget_burn", sql=f"""
+WITH d AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+           AS n_err
+  FROM events GROUP BY 1
+), b AS (
+  SELECT day, n, n_err,
+         (n_err * 1000000 // n)::BIGINT AS err_ppm,
+         (n_err * 1000000 // n * 1000 // {_ERROR_BUDGET_PPM})::BIGINT
+           AS burn_milli
+  FROM d
+)
+SELECT day, n, n_err, err_ppm, burn_milli,
+       (sum(n_err) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        * 1000000 //
+        sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))::BIGINT
+         AS cum_err_ppm
+FROM b ORDER BY day
+""")
+def error_budget_burn_q(sf_dir: str):
+    """SRE error-budget burn: per day, the error-event rate against a
+    fixed SLO budget (burn_milli = 1000 means burning the budget exactly
+    at rate; >1000 means the month will blow the SLO) plus the running
+    cumulative rate — the alerting arithmetic from the SRE workbook,
+    exact integers end to end.  Daily (n, n_err) counters are mergeable,
+    day-bounded partials; the cumulative pass is O(days) on the
+    driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        f = pd.DataFrame({
+            "day": pc.strftime(b["ts"], format="%Y-%m-%d").to_pylist(),
+            "n": 1, "n_err": (et == "error").astype(np.int64)})
+        return f.groupby("day", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("day", "n", "n_err", "err_ppm", "burn_milli", "cum_err_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "day": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    merged = merged.sort_values("day").reset_index(drop=True)
+    n = merged["n"].to_numpy(dtype=np.int64)
+    ne = merged["n_err"].to_numpy(dtype=np.int64)
+    err_ppm = ne * 1_000_000 // n
+    burn = err_ppm * 1000 // _ERROR_BUDGET_PPM
+    cum_ppm = np.cumsum(ne) * 1_000_000 // np.cumsum(n)
+    out = pd.DataFrame({
+        "day": merged["day"], "n": n, "n_err": ne,
+        "err_ppm": err_ppm.astype(np.int64),
+        "burn_milli": burn.astype(np.int64),
+        "cum_err_ppm": cum_ppm.astype(np.int64)})
+    return out

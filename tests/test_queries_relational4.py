@@ -168,3 +168,46 @@ def test_embedding_dim_health_vs_numpy(ray_session):
     assert int(df["mean_milli"].iloc[0]) == mean
     assert int(df["var_grid"].iloc[0]) == (n * s2 - s1 * s1) // (n * n)
     assert int(df["is_dead"].sum()) == 0
+
+
+def test_column_entropy_bounds(ray_session):
+    """0 <= H <= ln(n_distinct) + grid slack for every column; replay
+    one column in numpy."""
+    from dataquality_ray.pipelines.queries_tpch import (
+        column_entropy_profile_q,
+    )
+
+    df = column_entropy_profile_q(SF)
+    assert (df["entropy_nats"] >= 0).all()
+    assert (df["entropy_nats"]
+            <= np.log(df["n_distinct"].to_numpy()) + 1e-5).all()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag"])
+    cc = li["l_returnflag"].value_counts().to_numpy().astype(np.int64)
+    n = int(cc.sum())
+    q = np.floor(np.log(cc.astype(np.float64) / float(n))
+                 * 1e6).astype(np.int64)
+    h = float(-(cc * q).sum()) / n / 1e6
+    got = df.set_index("col").loc["lineitem.l_returnflag"]
+    assert got["entropy_nats"] == h
+    assert int(got["n_distinct"]) == len(cc)
+
+
+def test_error_budget_burn_identities(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        _ERROR_BUDGET_PPM,
+        error_budget_burn_q,
+    )
+
+    df = error_budget_burn_q(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "event_type"])
+    assert int(df["n"].sum()) == len(ev)
+    assert int(df["n_err"].sum()) == int((ev["event_type"]
+                                          == "error").sum())
+    assert (df["err_ppm"] == df["n_err"] * 1_000_000 // df["n"]).all()
+    assert (df["burn_milli"]
+            == df["err_ppm"] * 1000 // _ERROR_BUDGET_PPM).all()
+    # final cumulative rate equals the global rate
+    glob = int(df["n_err"].sum()) * 1_000_000 // int(df["n"].sum())
+    assert int(df["cum_err_ppm"].iloc[-1]) == glob
