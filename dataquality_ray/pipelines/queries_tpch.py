@@ -9041,3 +9041,74 @@ def error_budget_burn_q(sf_dir: str):
         "burn_milli": burn.astype(np.int64),
         "cum_err_ppm": cum_ppm.astype(np.int64)})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Primary-key candidate scan (uniqueness census)
+# ---------------------------------------------------------------------------
+
+_PK_COLS = (
+    ("customer", "c_custkey"), ("customer", "c_name"),
+    ("customer", "c_nationkey"),
+    ("orders", "o_orderkey"), ("orders", "o_custkey"),
+    ("part", "p_partkey"), ("part", "p_name"),
+    ("supplier", "s_suppkey"),
+    ("documents", "doc_id"), ("documents", "source"),
+    ("embeddings", "vec_id"), ("events", "event_id"),
+    ("events", "user_id"),
+)
+
+
+def _pk_col_sql(t, c) -> str:
+    return f"""
+  SELECT '{t}.{c}' AS col, count(*)::BIGINT AS n_rows,
+         count(DISTINCT {c})::BIGINT AS n_distinct
+  FROM {t}"""
+
+
+@query("pk_candidate_scan", sql="""
+WITH u AS (
+""" + "\nUNION ALL\n".join(_pk_col_sql(t, c) for t, c in _PK_COLS) + """
+)
+SELECT col, n_rows, n_distinct,
+       (n_distinct * 1000000 // n_rows)::BIGINT AS uniqueness_ppm,
+       (CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END)::BIGINT AS is_pk
+FROM u ORDER BY col
+""")
+def pk_candidate_scan_q(sf_dir: str):
+    """Primary-key candidate discovery: per (table, column) the
+    distinct-to-row ratio; uniqueness_ppm == 1e6 flags a key — the first
+    statistic a catalog crawler computes on an unknown table, and the
+    prerequisite for choosing dedup ids and join keys.  Distinct sets
+    reduce as map-side distinct partials through the guarded combine
+    (cardinality-bounded; the KMV/HLL sketches are the beyond-cap
+    path)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    rows = []
+    for t, c in _PK_COLS:
+        def part(b: pa.Table, c=c) -> pd.DataFrame:
+            col = b[c]
+            vals = pd.unique(pd.Series(col.to_pandas()))
+            return pd.DataFrame({"v": vals, "n": 0}).assign(
+                n=[len(col)] + [0] * (len(vals) - 1)
+                if len(vals) else [])
+
+        def fold(f: pd.DataFrame) -> pd.DataFrame:
+            g = f.groupby("v", as_index=False)["n"].sum()
+            return g
+
+        merged, ok = guarded_partials(
+            _read(sf_dir, t, [c])
+            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+        assert ok  # cardinality bounded; sketch twin past cap
+        n_rows = int(merged["n"].sum()) if merged is not None else 0
+        n_distinct = int(len(merged)) if merged is not None else 0
+        rows.append((f"{t}.{c}", n_rows, n_distinct,
+                     n_distinct * 1_000_000 // n_rows if n_rows else 0,
+                     1 if n_rows and n_distinct == n_rows else 0))
+    cols = ("col", "n_rows", "n_distinct", "uniqueness_ppm", "is_pk")
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("col").reset_index(drop=True)

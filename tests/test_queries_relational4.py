@@ -211,3 +211,16 @@ def test_error_budget_burn_identities(ray_session):
     # final cumulative rate equals the global rate
     glob = int(df["n_err"].sum()) * 1_000_000 // int(df["n"].sum())
     assert int(df["cum_err_ppm"].iloc[-1]) == glob
+
+
+def test_pk_candidate_scan_flags_keys(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import pk_candidate_scan_q
+
+    df = pk_candidate_scan_q(SF).set_index("col")
+    for key in ("customer.c_custkey", "orders.o_orderkey",
+                "part.p_partkey", "documents.doc_id",
+                "events.event_id", "embeddings.vec_id"):
+        assert int(df.loc[key, "is_pk"]) == 1, key
+    assert int(df.loc["customer.c_nationkey", "is_pk"]) == 0
+    assert int(df.loc["documents.source", "is_pk"]) == 0
+    assert (df["n_distinct"] <= df["n_rows"]).all()
