@@ -342,7 +342,8 @@ def run_suite() -> dict:
                  "rare_category_collapse", "embedding_dim_health",
                  "quantile_treatment_effect", "hodges_lehmann_daily",
                  "column_entropy_profile", "error_budget_burn",
-                 "pk_candidate_scan",
+                 "pk_candidate_scan", "cohort_ltv_curve",
+                 "source_lang_purity",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

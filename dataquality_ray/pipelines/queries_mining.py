@@ -8684,3 +8684,151 @@ def hodges_lehmann_daily_q(sf_dir: str):
     out["n"] = out["n"].astype(np.int64)
     out["hl2_cents"] = out["hl2_cents"].astype(np.int64)
     return out.sort_values("day").reset_index(drop=True)[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (cumulative value by signup cohort and age)
+# ---------------------------------------------------------------------------
+
+@query("cohort_ltv_curve", sql="""
+WITH f AS (
+  SELECT user_id,
+         min(epoch_us(ts) // 86400000000) AS cohort_day
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT e.user_id, f.cohort_day,
+         (epoch_us(e.ts) // 86400000000 - f.cohort_day)::BIGINT AS age,
+         CAST(round(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+), d AS (
+  SELECT cohort_day, age, sum(cents)::BIGINT AS cents,
+         count(*)::BIGINT AS n_purchases
+  FROM v GROUP BY 1, 2
+)
+SELECT cohort_day::BIGINT AS cohort_day, age, n_purchases, cents,
+       sum(cents) OVER (PARTITION BY cohort_day ORDER BY age
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+FROM d ORDER BY cohort_day, age
+""")
+def cohort_ltv_curve_q(sf_dir: str):
+    """Cohort LTV curve: users grouped by first-seen day, purchase value
+    accumulated by account age in days — the growth readout behind every
+    payback-period decision, exact integer cents.  Two distributed
+    passes: per-user first-seen day (a groupby-min that broadcasts back
+    into the purchase scan) and (cohort, age)-bounded value partials;
+    the cumulative pass is O(cells) on the driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def first_part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "d": b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000})
+        return f.groupby("user_id", as_index=False)["d"].min()
+
+    def first_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("user_id", as_index=False)["d"].min()
+
+    first, ok = guarded_partials(
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(first_part, batch_format="pyarrow"), first_fold,
+        2_000_000)
+    assert ok  # bounded: #users; groupby twin is the scale path
+    cols = ("cohort_day", "age", "n_purchases", "cents", "cum_cents")
+    if first is None or not len(first):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    cohort = dict(zip(first["user_id"].astype(np.int64),
+                      first["d"].astype(np.int64)))
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        keep = et == "purchase"
+        if not keep.any():
+            return pd.DataFrame({"cohort_day": [], "age": [],
+                                 "n_purchases": [], "cents": []})
+        uid = b["user_id"].to_numpy(zero_copy_only=False)[keep]
+        day = (b["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[keep] // 86_400_000_000)
+        cents = np.round(b["value"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        cd = pd.Series(uid).map(cohort).to_numpy(dtype=np.int64)
+        f = pd.DataFrame({"cohort_day": cd, "age": day - cd,
+                          "n_purchases": 1, "cents": cents})
+        return f.groupby(["cohort_day", "age"], as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["cohort_day", "age"], as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: cohorts x ages (calendar^2)
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    merged = merged.sort_values(["cohort_day", "age"]) \
+        .reset_index(drop=True)
+    merged["cum_cents"] = merged.groupby("cohort_day")["cents"].cumsum()
+    for c in cols:
+        merged[c] = merged[c].astype(np.int64)
+    return merged[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Source language purity
+# ---------------------------------------------------------------------------
+
+@query("source_lang_purity", sql="""
+WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT source, sum(n)::BIGINT AS tot,
+             count(*)::BIGINT AS n_langs FROM c GROUP BY source),
+m AS (SELECT source, max(n)::BIGINT AS top_n FROM c GROUP BY source),
+d AS (SELECT c.source, min(c.lang) AS top_lang, m.top_n
+      FROM c JOIN m ON m.source = c.source AND c.n = m.top_n
+      GROUP BY c.source, m.top_n)
+SELECT d.source, d.top_lang, t.n_langs, d.top_n, t.tot,
+       (d.top_n * 1000000 // t.tot)::BIGINT AS purity_ppm
+FROM d JOIN t ON t.source = d.source ORDER BY d.source
+""")
+def source_lang_purity_q(sf_dir: str):
+    """Language purity per source: the dominant language's share (ties
+    broken to the lexicographically first language) and the language
+    count — the mixture QA that decides whether a source needs
+    per-document language routing or can be bulk-labeled.  The
+    (source, lang) census reduces distributedly; the argmax is
+    O(cells) driver arithmetic."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "lang": b["lang"].to_pylist(), "n": 1})
+        return f.groupby(["source", "lang"], as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "lang"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "lang"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: sources x langs
+    cols = ("source", "top_lang", "n_langs", "top_n", "tot",
+            "purity_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "top_lang": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[2:]}})
+    rows = []
+    for src, g in merged.groupby("source"):
+        tot = int(g["n"].sum())
+        top_n = int(g["n"].max())
+        top_lang = g.loc[g["n"] == top_n, "lang"].min()
+        rows.append((src, top_lang, len(g), top_n, tot,
+                     top_n * 1_000_000 // tot))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[2:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)

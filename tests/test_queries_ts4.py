@@ -127,3 +127,37 @@ def test_wasserstein_daily_zero_iff_identical(ray_session):
     w = np.diff(grid).astype(object)
     w1 = int(np.sum(np.abs(ca[:-1] * len(xb) - cb[:-1] * len(xa)) * w))
     assert int(r["w1_num"]) == w1
+
+
+def test_cohort_ltv_conserves_revenue(ray_session):
+    from dataquality_ray.pipelines.queries_mining import cohort_ltv_curve_q
+
+    df = cohort_ltv_curve_q(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_type", "value"])
+    purch = ev[ev["event_type"] == "purchase"]
+    total = int(np.round(purch["value"].to_numpy() * 100)
+                .astype(np.int64).sum())
+    assert int(df["cents"].sum()) == total
+    assert int(df["n_purchases"].sum()) == len(purch)
+    assert (df["age"] >= 0).all()
+    # cum_cents is a within-cohort running sum
+    for _, g in df.groupby("cohort_day"):
+        assert (g["cum_cents"].to_numpy()
+                == g["cents"].cumsum().to_numpy()).all()
+
+
+def test_source_lang_purity_identities(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        source_lang_purity_q,
+    )
+
+    df = source_lang_purity_q(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "lang"])
+    assert int(df["tot"].sum()) == len(docs)
+    assert df["purity_ppm"].between(0, 1_000_000).all()
+    r = df.iloc[0]
+    vc = docs.loc[docs["source"] == r["source"], "lang"].value_counts()
+    assert int(r["top_n"]) == int(vc.max())
+    assert int(r["n_langs"]) == len(vc)
