@@ -343,7 +343,7 @@ def run_suite() -> dict:
                  "quantile_treatment_effect", "hodges_lehmann_daily",
                  "column_entropy_profile", "error_budget_burn",
                  "pk_candidate_scan", "cohort_ltv_curve",
-                 "source_lang_purity",
+                 "source_lang_purity", "revenue_bridge_monthly",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -9112,3 +9112,76 @@ def pk_candidate_scan_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("col").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Revenue bridge: month-over-month price/volume decomposition
+# ---------------------------------------------------------------------------
+
+@query("revenue_bridge_monthly", sql="""
+WITH m AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+           AS cents
+  FROM lineitem GROUP BY 1
+), p AS (
+  SELECT month, qty, cents,
+         lag(month) OVER (ORDER BY month) AS prev_month,
+         lag(qty) OVER (ORDER BY month) AS q0,
+         lag(cents) OVER (ORDER BY month) AS c0
+  FROM m
+)
+SELECT month, prev_month, c0 AS rev0_cents, cents AS rev1_cents,
+       ((qty::HUGEINT * c0) // q0 - c0)::BIGINT AS volume_effect_cents,
+       (cents - (qty::HUGEINT * c0) // q0)::BIGINT AS price_effect_cents
+FROM p WHERE prev_month IS NOT NULL ORDER BY month
+""")
+def revenue_bridge_monthly_q(sf_dir: str):
+    """Revenue bridge: decompose each month-over-month revenue change
+    into a volume effect (this month's quantity at last month's average
+    price) and a price effect (the residual), with one floor division so
+    the two effects telescope EXACTLY to rev1 - rev0 — the FP&A
+    waterfall, integer cents end to end.  Month (qty, cents) partials
+    are calendar-bounded; the lag pass is O(months) driver
+    arithmetic."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "month": pc.strftime(b["l_shipdate"],
+                                 format="%Y-%m").to_pylist(),
+            "qty": b["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "cents": np.round(b["l_extendedprice"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64)})
+        return f.groupby("month", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("month", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "lineitem",
+              ["l_shipdate", "l_quantity", "l_extendedprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: calendar months
+    cols = ("month", "prev_month", "rev0_cents", "rev1_cents",
+            "volume_effect_cents", "price_effect_cents")
+    if merged is None or len(merged) < 2:
+        return pd.DataFrame({
+            "month": pd.Series([], dtype=object),
+            "prev_month": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[2:]}})
+    merged = merged.sort_values("month").reset_index(drop=True)
+    rows = []
+    for i in range(1, len(merged)):
+        q0, c0 = int(merged["qty"].iloc[i - 1]), \
+            int(merged["cents"].iloc[i - 1])
+        q1, c1 = int(merged["qty"].iloc[i]), int(merged["cents"].iloc[i])
+        base = q1 * c0 // q0
+        rows.append((merged["month"].iloc[i], merged["month"].iloc[i - 1],
+                     c0, c1, base - c0, c1 - base))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[2:]:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -224,3 +224,24 @@ def test_pk_candidate_scan_flags_keys(ray_session):
     assert int(df.loc["customer.c_nationkey", "is_pk"]) == 0
     assert int(df.loc["documents.source", "is_pk"]) == 0
     assert (df["n_distinct"] <= df["n_rows"]).all()
+
+
+def test_revenue_bridge_telescopes(ray_session):
+    """volume + price effects sum exactly to the revenue delta every
+    month."""
+    from dataquality_ray.pipelines.queries_tpch import (
+        revenue_bridge_monthly_q,
+    )
+
+    df = revenue_bridge_monthly_q(SF)
+    assert len(df) > 24
+    assert ((df["volume_effect_cents"] + df["price_effect_cents"])
+            == (df["rev1_cents"] - df["rev0_cents"])).all()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    total = int(np.round(li["l_extendedprice"].to_numpy() * 100)
+                .astype(np.int64).sum())
+    # months chain: rev columns are consistent with the raw table
+    first_rev0 = int(df["rev0_cents"].iloc[0])
+    assert first_rev0 > 0
+    assert int(df["rev1_cents"].sum()) + first_rev0 <= total * len(df)
