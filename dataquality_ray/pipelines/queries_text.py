@@ -6814,3 +6814,104 @@ def stratified_kfold_counts_q(sf_dir: str):
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out.sort_values(["lang", "fold"]).reset_index(drop=True)[
         list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information-value feature binning
+# ---------------------------------------------------------------------------
+
+@query("woe_iv_binning", sql="""
+WITH src AS (
+  SELECT n_chars AS v,
+         (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS good
+  FROM documents
+), mm AS (SELECT min(v) AS lo, max(v) AS hi FROM src),
+binned AS (
+  SELECT least(greatest(CAST(floor((v - lo) / ((hi - lo) / 10.0))
+                             AS BIGINT), 0), 9) AS bin, good
+  FROM src, mm
+), c AS (
+  SELECT bin, sum(good)::BIGINT AS g,
+         (count(*) - sum(good))::BIGINT AS b
+  FROM binned GROUP BY bin
+), t AS (SELECT sum(g)::BIGINT AS tg, sum(b)::BIGINT AS tb FROM c),
+w AS (
+  SELECT bin, g, b,
+         (CASE WHEN g = 0 OR b = 0 THEN 0
+               ELSE CAST(floor(ln(CAST(g * (SELECT tb FROM t) AS DOUBLE)
+                    / CAST(b * (SELECT tg FROM t) AS DOUBLE)) * 1000000)
+                    AS BIGINT) END) AS woe_micro
+  FROM c)
+SELECT bin, g AS n_good, b AS n_bad, woe_micro,
+       ((g * (SELECT tb FROM t) - b * (SELECT tg FROM t)) * woe_micro
+        // ((SELECT tg FROM t)::HUGEINT * (SELECT tb FROM t)))::BIGINT
+         AS iv_term_micro
+FROM w ORDER BY bin
+""")
+def woe_iv_binning_q(sf_dir: str):
+    """Weight-of-evidence / information-value binning of document length
+    against the lang=='en' target (10 equal-width bins, the
+    psi_numeric_drift convention): woe = ln(good-share / bad-share) on
+    the floor-micro grid, and each IV term = (share gap) x woe — the
+    credit-scoring feature-screening statistic.  The per-bin (good, bad)
+    counters reduce distributedly after a broadcast min/max pass; every
+    IV term is a nonnegative exact-integer product with one floor
+    division (gap and woe always share sign)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def mm_part(bt: pa.Table) -> pd.DataFrame:
+        v = bt["n_chars"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"lo": [int(v.min())], "hi": [int(v.max())]})
+
+    def mm_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lo": [f["lo"].min()], "hi": [f["hi"].max()]})
+
+    mm, ok = guarded_partials(
+        _read(sf_dir, "documents", ["n_chars"])
+        .map_batches(mm_part, batch_format="pyarrow"), mm_fold, 2_000_000)
+    assert ok
+    cols = ("bin", "n_good", "n_bad", "woe_micro", "iv_term_micro")
+    if mm is None or not len(mm):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    lo, hi = int(mm["lo"].iloc[0]), int(mm["hi"].iloc[0])
+    width = (hi - lo) / 10.0
+
+    def part(bt: pa.Table) -> pd.DataFrame:
+        v = bt["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        bins = np.clip(np.floor((v - lo) / width).astype(np.int64), 0, 9)
+        good = (np.asarray(bt["lang"].to_pylist(), dtype=object)
+                == "en").astype(np.int64)
+        f = pd.DataFrame({"bin": bins, "g": good, "b": 1 - good})
+        return f.groupby("bin", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("bin", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["n_chars", "lang"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 10 bins
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    import math
+
+    merged = merged.sort_values("bin").reset_index(drop=True)
+    tg = int(merged["g"].sum())
+    tb = int(merged["b"].sum())
+    rows = []
+    for _, r in merged.iterrows():
+        g, b = int(r["g"]), int(r["b"])
+        if g == 0 or b == 0:
+            woe = 0
+        else:
+            woe = math.floor(math.log(float(g * tb) / float(b * tg))
+                             * 1_000_000)
+        iv = (g * tb - b * tg) * woe // (tg * tb)
+        rows.append((int(r["bin"]), g, b, woe, iv))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

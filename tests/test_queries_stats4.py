@@ -276,3 +276,23 @@ def test_hodges_lehmann_between_min_and_max(ray_session):
     walsh = np.sort((c[:, None] + c[None, :])[iu])
     k = math.ceil(0.5 * len(walsh))
     assert int(got.loc[d0, "hl2_cents"]) == int(walsh[k - 1])
+
+
+def test_woe_iv_terms_nonnegative_and_consistent(ray_session):
+    """IV terms are nonnegative (gap and woe share sign), counts cover
+    the corpus, woe replays in numpy for a nonzero bin."""
+    import math
+
+    from dataquality_ray.pipelines.queries_text import woe_iv_binning_q
+
+    df = woe_iv_binning_q(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["n_chars", "lang"])
+    assert int(df["n_good"].sum()) == int((docs["lang"] == "en").sum())
+    assert int((df["n_good"] + df["n_bad"]).sum()) == len(docs)
+    assert (df["iv_term_micro"] >= 0).all()
+    tg, tb = int(df["n_good"].sum()), int(df["n_bad"].sum())
+    r = df[(df["n_good"] > 0) & (df["n_bad"] > 0)].iloc[0]
+    woe = math.floor(math.log(float(int(r["n_good"]) * tb)
+                              / float(int(r["n_bad"]) * tg)) * 1_000_000)
+    assert int(r["woe_micro"]) == woe
