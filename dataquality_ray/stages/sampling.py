@@ -92,10 +92,12 @@ def cap_per_group(ds, group_col: str, n: int, id_col: str,
 
     Scale shape: a per-batch LOCAL top-n prune (task stage, no shuffle —
     any row outside its batch's own top n can never be in the global top
-    n) caps what the exchange carries at n rows/group/batch, then one
-    ``groupby(group).map_groups`` finishes the exact global top-n.  The
-    SQL twin is ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY o DESC, id)
-    <= n``.
+    n) caps what the exchange carries at n rows/group/batch; the exact
+    global top-n then finishes through the guarded driver combine (the
+    pruned stream holds at most n rows per group per block), with the
+    ``groupby(group).map_groups`` shuffle as the automatic twin past the
+    cap.  The SQL twin is ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY o
+    DESC, id) <= n``.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -107,8 +109,21 @@ def cap_per_group(ds, group_col: str, n: int, id_col: str,
                                kind="mergesort")
                   .groupby(group_col, sort=False).head(n))
 
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        combine_or_groupby_twin,
+    )
+
     pruned = ds.map_batches(topn, batch_format="pandas")
-    return pruned.groupby(group_col).map_groups(topn, batch_format="pandas")
+    merged, twin = combine_or_groupby_twin(
+        "cap_per_group", pruned, topn, DRIVER_COMBINE_CAP, [group_col])
+    if twin is not None:
+        return twin
+    if merged is None or not len(merged):
+        return pruned  # empty input: preserves the schema lazily
+    import ray.data as rd
+
+    return rd.from_pandas(merged.reset_index(drop=True))
 
 
 def epoch_shuffle(ds, id_col: str, epoch: int, seed: int = 0,
