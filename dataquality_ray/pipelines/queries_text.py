@@ -3297,17 +3297,37 @@ def token_length_regression_q(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
-@query("hll_group_distinct")
+@query("hll_group_distinct", sql="""
+WITH x AS (SELECT source,
+                  ('0x' || substr(sha256(text), 1, 16))::UBIGINT::HUGEINT
+                    AS x
+           FROM documents WHERE text IS NOT NULL),
+regs AS (SELECT source, (x // 4503599627370496) AS b,
+                max(65 - length(bin((((x * 4096)
+                    % 18446744073709551616) + 4096 - 1)::UBIGINT))) AS mj
+         FROM x GROUP BY 1, 2),
+est AS (SELECT source, count(*) AS nonempty,
+               sum(1.0 / (1::UBIGINT << mj)) AS s
+        FROM regs GROUP BY source)
+SELECT source, floor((CASE WHEN ((0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 / (s + (4096 - nonempty) * 1.0)) <= 2.5 * 4096 AND (4096 - nonempty) > 0 THEN 4096 * ln(4096 * 1.0 / (4096 - nonempty)) ELSE ((0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 / (s + (4096 - nonempty) * 1.0)) END) * 1000) / 1000 AS approx_distinct
+FROM est ORDER BY source
+""")
 def hll_group_distinct_q(sf_dir: str):
     """Approximate distinct text values per source (per-group HLL,
     stages/sketch.hll_group_distinct) — the scale twin of
-    profile_table's exact distincts; rows-only (±~1.6% estimate at
-    p=12), error bound pinned in tests/test_sketch.py."""
+    profile_table's exact distincts.  Now oracle-checked: the DuckDB
+    replay recomputes every group's registers and estimator exactly (the
+    _hll_col_sql chain with a GROUP BY), floor-truncated to 1e-3 (round
+    half-ties diverge across engines); the ±1.6%-accuracy bound stays
+    pinned in tests/test_sketch.py."""
+    import numpy as np
+
     from dataquality_ray.stages.sketch import hll_group_distinct
 
     ds = _read(sf_dir, "documents", ["source", "text"])
     out = hll_group_distinct(ds, "text", "source")
-    out["approx_distinct"] = out["approx_distinct"].round(3)
+    out["approx_distinct"] = np.floor(
+        out["approx_distinct"] * 1000) / 1000
     return out.sort_values("source").reset_index(drop=True)
 
 
