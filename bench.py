@@ -344,7 +344,7 @@ def run_suite() -> dict:
                  "column_entropy_profile", "error_budget_burn",
                  "pk_candidate_scan", "cohort_ltv_curve",
                  "source_lang_purity", "revenue_bridge_monthly",
-                 "woe_iv_binning",
+                 "woe_iv_binning", "source_similarity_sha",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -6935,3 +6935,114 @@ def woe_iv_binning_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Source-level MinHash union similarity, sha chain (oracle-checked twin of
+# the rows-only fast-hasher source_similarity detector)
+# ---------------------------------------------------------------------------
+
+@query("source_similarity_sha", sql=f"""
+WITH corpus AS (
+  SELECT source, {_TOKS} AS t FROM documents
+  UNION ALL
+  SELECT 'rehost', {_TOKS} FROM documents WHERE source = 'src0'
+), sh AS (
+  SELECT source,
+         CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' ')))
+         END AS sg
+  FROM corpus
+), hs AS (
+  SELECT source,
+         list_distinct(list_transform(sg,
+             s -> ('0x' || substr(sha256(s), 1, 16))::UBIGINT)) AS hl
+  FROM sh
+), perms(j, a, b) AS (VALUES {{PERMS}}),
+sigs AS (
+  SELECT u.source, p.j,
+         min(((p.a::HUGEINT * u.h) % {_M64S} + p.b) % {_M64S}) AS sig
+  FROM (SELECT source,
+               unnest(CASE WHEN len(hl) = 0
+                           THEN [2305843009213693951::UBIGINT] ELSE hl END)
+               ::HUGEINT AS h
+        FROM hs) u
+  CROSS JOIN perms p
+  GROUP BY u.source, p.j
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)::BIGINT AS n_eq
+  FROM sigs a JOIN sigs b ON b.j = a.j AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_eq,
+       (n_eq * 1000000 // 64)::BIGINT AS jaccard_est_ppm
+FROM pairs ORDER BY source_a, source_b
+""".replace("{PERMS}", _minhash_perm_values()))
+def source_similarity_sha_q(sf_dir: str):
+    """Source-level union-MinHash similarity on the SQL-replicable sha
+    chain (the oracle-checked twin of the rows-only fast-hasher
+    source_similarity detector): one 64-component union signature per
+    source (componentwise min over every member doc's signature —
+    mergeable by construction), pairwise estimate = equal components /
+    64, with the planted 'rehost' copy of src0 as the detection target.
+    Per-batch partials are one signature row per source present; the
+    driver fold is a componentwise min over #sources rows (signatures
+    travel as Python ints — u64 frames coerce to float64 under concat,
+    the documented pandas pitfall)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.minhash import MinHasher
+
+    mh = MinHasher(text_col="text", k=3, seed=42, hasher="sha")
+
+    def plant(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["source"], "src0")
+        sub = batch.filter(m)
+        extra = pa.table({
+            "source": pa.array(["rehost"] * len(sub), pa.string()),
+            "text": sub["text"]})
+        return pa.concat_tables([
+            batch.select(["source", "text"]).replace_schema_metadata(None),
+            extra])
+
+    sig_cols = [f"s{j}" for j in range(64)]
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pylist()
+        sigs = mh.signatures(texts)  # (n, 64) uint64
+        src = batch["source"].to_pylist()
+        f = pd.DataFrame({c: [int(v) for v in sigs[:, j]]
+                          for j, c in enumerate(sig_cols)}, dtype=object)
+        f.insert(0, "source", src)
+        return f.groupby("source", as_index=False).min()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False).min()
+
+    ds = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(plant, batch_format="pyarrow")
+    merged, ok = guarded_partials(
+        ds.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #sources signature rows
+    cols = ("source_a", "source_b", "n_eq", "jaccard_est_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source_a": pd.Series([], dtype=object),
+            "source_b": pd.Series([], dtype=object),
+            "n_eq": pd.Series([], dtype=np.int64),
+            "jaccard_est_ppm": pd.Series([], dtype=np.int64)})
+    merged = merged.sort_values("source").reset_index(drop=True)
+    srcs = merged["source"].tolist()
+    sig = merged[sig_cols].to_numpy(dtype=object)
+    rows = []
+    for i in range(len(srcs)):
+        for j2 in range(i + 1, len(srcs)):
+            n_eq = int(sum(1 for a, b in zip(sig[i], sig[j2]) if a == b))
+            rows.append((srcs[i], srcs[j2], n_eq,
+                         n_eq * 1_000_000 // 64))
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["n_eq"] = out["n_eq"].astype(np.int64)
+    out["jaccard_est_ppm"] = out["jaccard_est_ppm"].astype(np.int64)
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)

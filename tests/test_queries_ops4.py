@@ -185,3 +185,19 @@ def test_dow_hour_heatmap_covers_all_events(ray_session):
     cell = int(((wd == 0) & (hr == 12)).sum())
     row = df[(df["weekday"] == 0) & (df["hour"] == 12)]
     assert (int(row["n_events"].iloc[0]) if len(row) else 0) == cell
+
+
+def test_source_similarity_sha_detects_rehost(ray_session):
+    """The planted rehost of src0 must be (src0, rehost)'s near-1.0
+    estimate, far above every other pair."""
+    from dataquality_ray.pipelines.queries_text import (
+        source_similarity_sha_q,
+    )
+
+    df = source_similarity_sha_q(SF)
+    hit = df[((df["source_a"] == "rehost") & (df["source_b"] == "src0"))
+             | ((df["source_a"] == "src0") & (df["source_b"] == "rehost"))]
+    assert len(hit) == 1
+    assert int(hit["n_eq"].iloc[0]) == 64  # identical shingle sets
+    others = df.drop(hit.index)
+    assert int(others["n_eq"].max()) < 64
