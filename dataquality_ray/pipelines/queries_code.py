@@ -563,7 +563,41 @@ def dataset_card_q(sf_dir: str):
 # all-pairs side is O(n²) and runs on the distinct-text universe only)
 # ---------------------------------------------------------------------------
 
-@query("minhash_recall_audit")
+_RECALL_CORPUS_SQL = """
+  SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text,''),
+           '\\s+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000, list_filter(regexp_split_to_array(
+           coalesce(text,''), '\\s+'), x -> x <> '')[2:] AS t
+  FROM documents WHERE doc_id < 200 AND doc_id % 4 = 0
+"""
+
+
+def _recall_audit_sql() -> str:
+    from dataquality_ray.pipelines.queries_text import _minhash_pairs_body
+
+    return ("WITH " + _minhash_pairs_body(_RECALL_CORPUS_SQL, 0.7) + """,
+tp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+  WHERE len(a.sg) > 0 AND len(b.sg) > 0
+    AND len(list_intersect(a.sg, b.sg)) * 1.0
+        / len(list_distinct(list_concat(a.sg, b.sg))) >= 0.7
+), mm AS (
+  SELECT (SELECT count(*) FROM tp)::BIGINT AS n_true_pairs,
+         (SELECT count(*) FROM pairs)::BIGINT AS n_lsh_pairs,
+         (SELECT count(*) FROM tp t JOIN pairs p
+            ON p.id_a = t.id_a AND p.id_b = t.id_b)::BIGINT AS n_matched)
+SELECT n_true_pairs, n_lsh_pairs, n_matched,
+       (n_matched * 1000000 // greatest(n_true_pairs, 1))::BIGINT
+         AS recall_ppm,
+       (n_matched * 1000000 // greatest(n_lsh_pairs, 1))::BIGINT
+         AS precision_ppm
+FROM mm""")
+
+
+@query("minhash_recall_audit", sql=_recall_audit_sql())
 def minhash_recall_audit_q(sf_dir: str):
     """Quality audit of the LSH near-dup detector: exact all-pairs
     Jaccard ground truth (planted mutated corpus, distinct-universe
