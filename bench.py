@@ -345,6 +345,8 @@ def run_suite() -> dict:
                  "pk_candidate_scan", "cohort_ltv_curve",
                  "source_lang_purity", "revenue_bridge_monthly",
                  "woe_iv_binning", "source_similarity_sha",
+                 "transition_dwell_times", "stickiness_dau_mau",
+                 "mcv_stats",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

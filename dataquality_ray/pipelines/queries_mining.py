@@ -8832,3 +8832,133 @@ def source_lang_purity_q(sf_dir: str):
     for c in cols[2:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Transition dwell times (mean gap per event-type transition)
+# ---------------------------------------------------------------------------
+
+@query("transition_dwell_times", sql="""
+WITH s AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id)
+           AS next_type,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)
+           AS next_tsu
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+       count(*)::BIGINT AS n,
+       (sum(next_tsu - tsu) // count(*))::BIGINT AS mean_gap_us
+FROM s WHERE next_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def transition_dwell_times_q(sf_dir: str):
+    """Dwell time per event-type transition: for consecutive events of
+    the same user (ordered by ts, id), the count and exact mean gap per
+    (from, to) pair — the duration layer event_transition_matrix's pure
+    counts can't see (where do users stall?).  One groupby(user)
+    shuffle; per group the lead is a vectorized shift; the (type x type)
+    cells are bounded partials."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tsu", "event_id"]).reset_index(drop=True)
+        if len(g) < 2:
+            return pd.DataFrame({"from_type": [], "to_type": [],
+                                 "n": [], "gap": []})
+        f = pd.DataFrame({
+            "from_type": g["event_type"].to_numpy()[:-1],
+            "to_type": g["event_type"].to_numpy()[1:],
+            "n": 1,
+            "gap": np.diff(g["tsu"].to_numpy(dtype=np.int64))})
+        return f.groupby(["from_type", "to_type"], as_index=False).sum()
+
+    import pyarrow.compute as _pc
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "tsu", _pc.cast(b["ts"], pa.int64())).drop_columns(["ts"]),
+        batch_format="pyarrow")
+    out = ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").to_pandas()
+    cols = ("from_type", "to_type", "n", "mean_gap_us")
+    if not len(out):
+        return pd.DataFrame({
+            "from_type": pd.Series([], dtype=object),
+            "to_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "mean_gap_us": pd.Series([], dtype=np.int64)})
+    g = out.groupby(["from_type", "to_type"], as_index=False).sum()
+    g["mean_gap_us"] = (g["gap"].astype(np.int64)
+                        // g["n"].astype(np.int64))
+    g["n"] = g["n"].astype(np.int64)
+    g["mean_gap_us"] = g["mean_gap_us"].astype(np.int64)
+    return g.sort_values(["from_type", "to_type"]).reset_index(
+        drop=True)[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness per month
+# ---------------------------------------------------------------------------
+
+@query("stickiness_dau_mau", sql="""
+WITH d AS (
+  SELECT strftime(ts, '%Y-%m') AS month,
+         epoch_us(ts) // 86400000000 AS day, user_id
+  FROM events),
+dau AS (SELECT month, day, count(DISTINCT user_id)::BIGINT AS dau
+        FROM d GROUP BY 1, 2),
+mau AS (SELECT month, count(DISTINCT user_id)::BIGINT AS mau
+        FROM d GROUP BY 1),
+agg AS (SELECT month, sum(dau)::BIGINT AS dau_sum,
+               count(*)::BIGINT AS n_days FROM dau GROUP BY month)
+SELECT a.month, a.n_days, a.dau_sum, m.mau,
+       (a.dau_sum * 1000000 // (a.n_days * m.mau))::BIGINT
+         AS stickiness_ppm
+FROM agg a JOIN mau m ON m.month = a.month ORDER BY a.month
+""")
+def stickiness_dau_mau_q(sf_dir: str):
+    """DAU/MAU stickiness per month: average daily active users over
+    monthly active users (exact integer ppm) — the engagement ratio
+    product teams track; 1e6 means every monthly user shows up every
+    day.  Distinct (day, user) and (month, user) sets reduce as
+    distinct partials through the guarded combine (user-cardinality
+    bounded; HLL is the beyond-cap twin)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        month = pc.strftime(b["ts"], format="%Y-%m").to_pylist()
+        f = pd.DataFrame({
+            "month": month, "day": day,
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False)})
+        return f.drop_duplicates()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: days x users; HLL twin past cap
+    cols = ("month", "n_days", "dau_sum", "mau", "stickiness_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "month": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    dau = merged.groupby(["month", "day"])["user_id"].nunique()
+    rows = []
+    for month, sub in merged.groupby("month"):
+        mau = int(sub["user_id"].nunique())
+        dsub = dau.loc[month]
+        n_days = len(dsub)
+        dau_sum = int(dsub.sum())
+        rows.append((month, n_days, dau_sum, mau,
+                     dau_sum * 1_000_000 // (n_days * mau)))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("month").reset_index(drop=True)

@@ -9185,3 +9185,80 @@ def revenue_bridge_monthly_q(sf_dir: str):
     for c in cols[2:]:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Most-common-value (MCV) statistics per categorical column
+# ---------------------------------------------------------------------------
+
+_MCV_COLS = (
+    ("lineitem", "l_returnflag"), ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"), ("part", "p_brand"),
+    ("documents", "lang"), ("events", "event_type"),
+)
+
+
+def _mcv_col_sql(t, c) -> str:
+    return f"""
+  SELECT '{t}.{c}' AS col, val, n, rk FROM (
+    SELECT {c}::VARCHAR AS val, count(*)::BIGINT AS n,
+           row_number() OVER (ORDER BY count(*) DESC, {c}::VARCHAR)
+             ::BIGINT AS rk
+    FROM {t} GROUP BY {c}) WHERE rk <= 3"""
+
+
+@query("mcv_stats", sql="""
+WITH m AS (
+""" + "\nUNION ALL\n".join(_mcv_col_sql(t, c) for t, c in _MCV_COLS) + """
+), tot AS (
+  SELECT col, sum_n FROM (VALUES
+    ('lineitem.l_returnflag', (SELECT count(*) FROM lineitem)),
+    ('orders.o_orderpriority', (SELECT count(*) FROM orders)),
+    ('customer.c_mktsegment', (SELECT count(*) FROM customer)),
+    ('part.p_brand', (SELECT count(*) FROM part)),
+    ('documents.lang', (SELECT count(*) FROM documents)),
+    ('events.event_type', (SELECT count(*) FROM events))
+  ) v(col, sum_n)
+)
+SELECT m.col, m.rk, m.val, m.n,
+       (m.n * 1000000 // t.sum_n)::BIGINT AS freq_ppm
+FROM m JOIN tot t ON t.col = m.col ORDER BY m.col, m.rk
+""")
+def mcv_stats_q(sf_dir: str):
+    """Most-common-value lists (the pg_stats MCV statistic): top-3
+    values per categorical column with exact frequencies — what a
+    cost-based planner uses to estimate equality-predicate selectivity
+    beyond the uniform NDV assumption (companion to
+    ndv_correlation_audit and column_entropy_profile).  Value counts
+    reduce distributedly; the top-3 cut is driver arithmetic with the
+    (count desc, value) total order."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    rows = []
+    for t, c in _MCV_COLS:
+        def part(b: pa.Table, c=c) -> pd.DataFrame:
+            f = pd.DataFrame({"val": [str(v) for v in b[c].to_pylist()],
+                              "n": 1})
+            return f.groupby("val", as_index=False)["n"].sum()
+
+        def fold(f: pd.DataFrame) -> pd.DataFrame:
+            return f.groupby("val", as_index=False)["n"].sum()
+
+        merged, ok = guarded_partials(
+            _read(sf_dir, t, [c])
+            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+        assert ok  # bounded: categorical vocabulary
+        if merged is None or not len(merged):
+            continue
+        tot = int(merged["n"].sum())
+        top = merged.sort_values(["n", "val"],
+                                 ascending=[False, True]).head(3)
+        for rk, (_, r) in enumerate(top.iterrows(), start=1):
+            n = int(r["n"])
+            rows.append((f"{t}.{c}", rk, r["val"], n,
+                         n * 1_000_000 // tot))
+    cols = ("col", "rk", "val", "n", "freq_ppm")
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in ("rk", "n", "freq_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["col", "rk"]).reset_index(drop=True)

@@ -245,3 +245,35 @@ def test_revenue_bridge_telescopes(ray_session):
     first_rev0 = int(df["rev0_cents"].iloc[0])
     assert first_rev0 > 0
     assert int(df["rev1_cents"].sum()) + first_rev0 <= total * len(df)
+
+
+def test_mcv_stats_top3_replay(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import mcv_stats_q
+
+    df = mcv_stats_q(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag"])
+    vc = li["l_returnflag"].value_counts()
+    got = df[df["col"] == "lineitem.l_returnflag"].set_index("rk")
+    assert int(got.loc[1, "n"]) == int(vc.max())
+    assert (df.groupby("col")["rk"].max() <= 3).all()
+    assert df["freq_ppm"].between(0, 1_000_000).all()
+
+
+def test_transition_dwell_and_stickiness(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        stickiness_dau_mau_q,
+        transition_dwell_times_q,
+    )
+
+    dw = transition_dwell_times_q(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    n_users = ev["user_id"].nunique()
+    assert int(dw["n"].sum()) == len(ev) - n_users
+    assert (dw["mean_gap_us"] >= 0).all()
+
+    st = stickiness_dau_mau_q(SF)
+    assert st["stickiness_ppm"].between(0, 1_000_000).all()
+    assert int(st["mau"].max()) <= n_users
