@@ -346,7 +346,8 @@ def run_suite() -> dict:
                  "source_lang_purity", "revenue_bridge_monthly",
                  "woe_iv_binning", "source_similarity_sha",
                  "transition_dwell_times", "stickiness_dau_mau",
-                 "mcv_stats",
+                 "mcv_stats", "mode_chars_by_source",
+                 "order_dormancy_stats",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

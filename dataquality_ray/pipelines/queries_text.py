@@ -7046,3 +7046,54 @@ def source_similarity_sha_q(sf_dir: str):
     out["n_eq"] = out["n_eq"].astype(np.int64)
     out["jaccard_est_ppm"] = out["jaccard_est_ppm"].astype(np.int64)
     return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Mode (modal value) per group — the missing classic aggregate
+# ---------------------------------------------------------------------------
+
+@query("mode_chars_by_source", sql="""
+WITH c AS (SELECT source, n_chars, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1, 2),
+m AS (SELECT source, max(n)::BIGINT AS top_n FROM c GROUP BY source)
+SELECT c.source, min(c.n_chars)::BIGINT AS mode_chars,
+       any_value(m.top_n) AS mode_count
+FROM c JOIN m ON m.source = c.source AND c.n = m.top_n
+GROUP BY c.source ORDER BY c.source
+""")
+def mode_chars_by_source_q(sf_dir: str):
+    """Exact mode of document length per source (ties broken to the
+    smallest value) — the classic aggregate SQL lacks natively, built
+    the mergeable way: the (source, value) histogram reduces
+    distributedly and the argmax is O(cells) driver arithmetic."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "source": b["source"].to_pylist(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False),
+            "n": 1})
+        return f.groupby(["source", "n_chars"], as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "n_chars"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: sources x distinct lengths
+    cols = ("source", "mode_chars", "mode_count")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "mode_chars": pd.Series([], dtype=np.int64),
+            "mode_count": pd.Series([], dtype=np.int64)})
+    rows = []
+    for src, g in merged.groupby("source"):
+        top = int(g["n"].max())
+        rows.append((src, int(g.loc[g["n"] == top, "n_chars"].min()),
+                     top))
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["mode_chars"] = out["mode_chars"].astype(np.int64)
+    out["mode_count"] = out["mode_count"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)

@@ -9262,3 +9262,63 @@ def mcv_stats_q(sf_dir: str):
     for c in ("rk", "n", "freq_ppm"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["col", "rk"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Order dormancy: max inter-order gap per customer, bucketed
+# ---------------------------------------------------------------------------
+
+@query("order_dormancy_stats", sql="""
+WITH o AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         lag(epoch_us(o_orderdate) // 86400000000)
+           OVER (PARTITION BY o_custkey
+                 ORDER BY epoch_us(o_orderdate) // 86400000000,
+                          o_orderkey) AS prev_day
+  FROM orders),
+g AS (SELECT o_custkey, max(day - prev_day)::BIGINT AS max_gap
+      FROM o WHERE prev_day IS NOT NULL GROUP BY o_custkey),
+b AS (SELECT least(max_gap // 90, 8)::BIGINT AS gap_bucket_q FROM g)
+SELECT gap_bucket_q, count(*)::BIGINT AS n_customers
+FROM b GROUP BY 1 ORDER BY 1
+""")
+def order_dormancy_stats_q(sf_dir: str):
+    """Dormancy profile: each repeat customer's LONGEST gap between
+    consecutive orders, bucketed in quarters (capped at 2 years+) — the
+    churn-risk segmentation behind win-back campaigns.  Per-customer
+    max-gap reduces inside ``groupby(custkey).map_groups`` (a vectorized
+    diff over each customer's sorted days); the quarter histogram is
+    bounded."""
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({
+                "gap_bucket_q": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64)})
+        d = np.sort(g[["day", "o_orderkey"]].to_records(index=False),
+                    order=["day", "o_orderkey"])["day"]
+        mg = int(np.diff(d).max())
+        return pd.DataFrame({"gap_bucket_q": [min(mg // 90, 8)],
+                             "n": [1]})
+
+    import pyarrow.compute as _pc
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                  "o_orderkey"])
+    ds = ds.map_batches(
+        lambda b: b.append_column(
+            "day", _pc.divide(_pc.cast(b["o_orderdate"], pa.int64()),
+                              86_400_000_000))
+        .drop_columns(["o_orderdate"]),
+        batch_format="pyarrow")
+    out = ds.groupby("o_custkey").map_groups(
+        per_cust, batch_format="pandas").to_pandas()
+    cols = ("gap_bucket_q", "n_customers")
+    if not len(out):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = out.groupby("gap_bucket_q", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_customers"})
+    g["gap_bucket_q"] = g["gap_bucket_q"].astype(np.int64)
+    g["n_customers"] = g["n_customers"].astype(np.int64)
+    return g.sort_values("gap_bucket_q").reset_index(drop=True)

@@ -277,3 +277,27 @@ def test_transition_dwell_and_stickiness(ray_session):
     st = stickiness_dau_mau_q(SF)
     assert st["stickiness_ppm"].between(0, 1_000_000).all()
     assert int(st["mau"].max()) <= n_users
+
+
+def test_mode_and_dormancy(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        mode_chars_by_source_q,
+    )
+    from dataquality_ray.pipelines.queries_tpch import (
+        order_dormancy_stats_q,
+    )
+
+    md = mode_chars_by_source_q(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "n_chars"])
+    r = md.iloc[0]
+    vc = docs.loc[docs["source"] == r["source"], "n_chars"].value_counts()
+    assert int(r["mode_count"]) == int(vc.max())
+    assert int(r["mode_chars"]) in vc[vc == vc.max()].index
+
+    dd = order_dormancy_stats_q(SF)
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_custkey"])
+    repeat = (orders["o_custkey"].value_counts() >= 2).sum()
+    assert int(dd["n_customers"].sum()) == int(repeat)
+    assert dd["gap_bucket_q"].between(0, 8).all()
