@@ -347,7 +347,8 @@ def run_suite() -> dict:
                  "woe_iv_binning", "source_similarity_sha",
                  "transition_dwell_times", "stickiness_dau_mau",
                  "mcv_stats", "mode_chars_by_source",
-                 "order_dormancy_stats",
+                 "order_dormancy_stats", "simpson_diversity_by_source",
+                 "doc_length_n50",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

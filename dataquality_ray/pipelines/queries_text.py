@@ -7097,3 +7097,128 @@ def mode_chars_by_source_q(sf_dir: str):
     out["mode_chars"] = out["mode_chars"].astype(np.int64)
     out["mode_count"] = out["mode_count"].astype(np.int64)
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity index per source (token-level)
+# ---------------------------------------------------------------------------
+
+@query("simpson_diversity_by_source", sql=r"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(regexp_split_to_array(
+           coalesce(text, ''), '\s+'), x -> x <> '')) AS tok
+  FROM documents),
+c AS (SELECT source, tok, count(*)::BIGINT AS n FROM toks GROUP BY 1, 2),
+s AS (SELECT source, sum(n)::HUGEINT AS tot,
+             sum(n::HUGEINT * (n - 1)) AS coll
+      FROM c GROUP BY source)
+SELECT source, tot::BIGINT AS n_tokens,
+       (CASE WHEN tot < 2 THEN 0
+             ELSE 1000000 - (coll * 1000000) // (tot * (tot - 1))
+        END)::BIGINT AS simpson_ppm
+FROM s ORDER BY source
+""")
+def simpson_diversity_by_source_q(sf_dir: str):
+    """Simpson diversity index per source: 1 - sum n_i(n_i-1)/(N(N-1))
+    — the probability two randomly drawn tokens differ, exact integers
+    end to end (the unbiased finite-sample form, so no squared-share
+    floats) — the concentration-robust companion to
+    source_token_entropy.  The (source, token) census reduces
+    distributedly; the collision sum is O(vocab) driver arithmetic."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows: list = []
+        for s, t in zip(b["source"].to_pylist(), b["text"].to_pylist()):
+            for tok in (t or "").split():
+                rows.append((s, tok))
+        if not rows:
+            return pd.DataFrame({"source": [], "tok": [], "n": []})
+        f = pd.DataFrame(rows, columns=["source", "tok"])
+        f["n"] = 1
+        return f.groupby(["source", "tok"], as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "tok"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: sources x vocab
+    cols = ("source", "n_tokens", "simpson_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_tokens": pd.Series([], dtype=np.int64),
+            "simpson_ppm": pd.Series([], dtype=np.int64)})
+    rows = []
+    for src, g in merged.groupby("source"):
+        n = g["n"].to_numpy(dtype=np.int64)
+        tot = int(n.sum())
+        coll = int((n.astype(object) * (n.astype(object) - 1)).sum())
+        sp = 0 if tot < 2 else 1_000_000 - coll * 1_000_000 \
+            // (tot * (tot - 1))
+        rows.append((src, tot, sp))
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    out["simpson_ppm"] = out["simpson_ppm"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# N50 / N90 of document lengths
+# ---------------------------------------------------------------------------
+
+@query("doc_length_n50", sql="""
+WITH c AS (SELECT n_chars, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1),
+w AS (SELECT n_chars, n,
+             sum(n_chars::HUGEINT * n) OVER (ORDER BY n_chars DESC)
+               AS cum_chars,
+             (SELECT sum(n_chars::HUGEINT) FROM documents) AS tot
+      FROM c)
+SELECT
+  (SELECT max(n_chars) FROM w WHERE 2 * cum_chars >= tot)::BIGINT AS n50,
+  (SELECT max(n_chars) FROM w
+   WHERE 10 * cum_chars >= 9 * tot)::BIGINT AS n90,
+  (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+  (SELECT tot FROM w LIMIT 1)::BIGINT AS total_chars
+""")
+def doc_length_n50_q(sf_dir: str):
+    """N50/N90 of document lengths (the assembly-contiguity statistic
+    applied to a corpus): the length L such that documents of length
+    >= L hold at least 50% (90%) of all characters — a size-weighted
+    'how big are the docs that actually carry the corpus' readout that
+    median length can't give.  The length histogram reduces
+    distributedly; the weighted cumulative cut is one vectorized pass
+    over the bounded grid."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False),
+            "n": 1})
+        return f.groupby("n_chars", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("n_chars", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: distinct lengths
+    cols = ("n50", "n90", "n_docs", "total_chars")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    merged = merged.sort_values("n_chars", ascending=False) \
+        .reset_index(drop=True)
+    v = merged["n_chars"].to_numpy(dtype=np.int64)
+    n = merged["n"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(v.astype(object) * n.astype(object))
+    tot = int(cum[-1])
+    n50 = int(v[np.argmax(2 * cum >= tot)])
+    n90 = int(v[np.argmax(10 * cum >= 9 * tot)])
+    return pd.DataFrame({"n50": [np.int64(n50)], "n90": [np.int64(n90)],
+                         "n_docs": [np.int64(int(n.sum()))],
+                         "total_chars": [np.int64(tot)]})

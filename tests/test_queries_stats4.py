@@ -296,3 +296,34 @@ def test_woe_iv_terms_nonnegative_and_consistent(ray_session):
     woe = math.floor(math.log(float(int(r["n_good"]) * tb)
                               / float(int(r["n_bad"]) * tg)) * 1_000_000)
     assert int(r["woe_micro"]) == woe
+
+
+def test_simpson_and_n50(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        doc_length_n50_q,
+        simpson_diversity_by_source_q,
+    )
+
+    sp = simpson_diversity_by_source_q(SF)
+    assert sp["simpson_ppm"].between(0, 1_000_000).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "text", "n_chars"])
+    r = sp.iloc[0]
+    toks = [t for txt in docs.loc[docs["source"] == r["source"], "text"]
+            for t in (txt or "").split()]
+    assert int(r["n_tokens"]) == len(toks)
+    from collections import Counter
+    n = np.array(list(Counter(toks).values()), dtype=object)
+    tot = len(toks)
+    expect = 1_000_000 - int((n * (n - 1)).sum()) * 1_000_000 \
+        // (tot * (tot - 1))
+    assert int(r["simpson_ppm"]) == expect
+
+    n50 = doc_length_n50_q(SF)
+    v = np.sort(docs["n_chars"].to_numpy())[::-1].astype(object)
+    cum = np.cumsum(v)
+    tot_c = int(cum[-1])
+    assert int(n50["total_chars"].iloc[0]) == tot_c
+    l50 = int(v[np.argmax(2 * cum >= tot_c)])
+    assert int(n50["n50"].iloc[0]) == l50
+    assert int(n50["n90"].iloc[0]) <= l50
