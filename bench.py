@@ -348,7 +348,7 @@ def run_suite() -> dict:
                  "transition_dwell_times", "stickiness_dau_mau",
                  "mcv_stats", "mode_chars_by_source",
                  "order_dormancy_stats", "simpson_diversity_by_source",
-                 "doc_length_n50",
+                 "doc_length_n50", "business_days_latency",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -9322,3 +9322,102 @@ def order_dormancy_stats_q(sf_dir: str):
     g["gap_bucket_q"] = g["gap_bucket_q"].astype(np.int64)
     g["n_customers"] = g["n_customers"].astype(np.int64)
     return g.sort_values("gap_bucket_q").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Business-days shipping latency per priority
+# ---------------------------------------------------------------------------
+
+# epoch day 0 = Thursday; weekday-prefix of the base week
+# [Thu,Fri,Sat,Sun,Mon,Tue,Wed] -> flags [1,1,0,0,1,1,1]
+_BD_PREFIX = (1, 2, 2, 2, 3, 4, 5)
+_BD_CASE = ("CASE x % 7 "
+            + " ".join(f"WHEN {i} THEN {v}"
+                       for i, v in enumerate(_BD_PREFIX))
+            + " END")
+
+
+def _bd_w_sql(col: str) -> str:
+    """SQL for W(x) = #weekdays in epoch days [0..x]."""
+    return (f"((({col}) // 7) * 5 + ({_BD_CASE.replace('x', f'({col})')}"
+            f"))")
+
+
+@query("business_days_latency", sql=f"""
+WITH j AS (
+  SELECT o.o_orderpriority AS priority,
+         epoch_us(o.o_orderdate) // 86400000000 AS od,
+         epoch_us(l.l_shipdate) // 86400000000 AS sd
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+), bd AS (
+  SELECT priority,
+         {_bd_w_sql('sd')} - {_bd_w_sql('od')} AS b
+  FROM j
+)
+SELECT priority, count(*)::BIGINT AS n_lines,
+       sum(b)::BIGINT AS total_bd,
+       (sum(b) * 1000000 // count(*))::BIGINT AS mean_bd_ppm,
+       max(b)::BIGINT AS max_bd
+FROM bd GROUP BY priority ORDER BY priority
+""")
+def business_days_latency_q(sf_dir: str):
+    """Order-to-ship latency in BUSINESS days per priority (weekends
+    excluded via the closed-form weekday-counting function W(x) =
+    5*(x//7) + prefix[x%7] on epoch days — no calendar library, epoch
+    day 0 = Thursday) — the SLA arithmetic ops teams actually quote.
+    Ship-before-order rows (planted A4 anomalies) are excluded as in
+    slo_attainment.  One hash join then priority-bounded integer
+    partials."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import smart_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = smart_join(li, orders, on="l_orderkey",
+                        right_on="o_orderkey",
+                        value_cols=["o_orderdate", "o_orderpriority"],
+                        join_type="inner")
+    prefix = np.array(_BD_PREFIX, dtype=np.int64)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        od = (b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        sd = (b["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        keep = sd >= od
+        od, sd = od[keep], sd[keep]
+        w = lambda x: (x // 7) * 5 + prefix[x % 7]  # noqa: E731
+        bd = w(sd) - w(od)
+        f = pd.DataFrame({
+            "priority": np.asarray(
+                b["o_orderpriority"].to_pylist(), dtype=object)[keep],
+            "n": 1, "total_bd": bd, "max_bd": bd})
+        return f.groupby("priority", as_index=False).agg(
+            n=("n", "sum"), total_bd=("total_bd", "sum"),
+            max_bd=("max_bd", "max"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("priority", as_index=False).agg(
+            n=("n", "sum"), total_bd=("total_bd", "sum"),
+            max_bd=("max_bd", "max"))
+
+    merged, ok = guarded_partials(
+        joined.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 5 priorities
+    cols = ("priority", "n_lines", "total_bd", "mean_bd_ppm", "max_bd")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "priority": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    merged = merged.sort_values("priority").reset_index(drop=True)
+    n = merged["n"].astype(np.int64)
+    out = pd.DataFrame({
+        "priority": merged["priority"],
+        "n_lines": n,
+        "total_bd": merged["total_bd"].astype(np.int64),
+        "mean_bd_ppm": (merged["total_bd"].astype(np.int64)
+                        * 1_000_000 // n),
+        "max_bd": merged["max_bd"].astype(np.int64)})
+    return out

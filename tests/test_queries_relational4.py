@@ -301,3 +301,32 @@ def test_mode_and_dormancy(ray_session):
     repeat = (orders["o_custkey"].value_counts() >= 2).sum()
     assert int(dd["n_customers"].sum()) == int(repeat)
     assert dd["gap_bucket_q"].between(0, 8).all()
+
+
+def test_business_days_latency_vs_numpy_calendar(ray_session):
+    """Business-day counts match a brute per-day weekday scan for a
+    sample of rows."""
+    from dataquality_ray.pipelines.queries_tpch import (
+        business_days_latency_q,
+    )
+
+    df = business_days_latency_q(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j = j[j["l_shipdate"] >= j["o_orderdate"]]
+    od = (j["o_orderdate"].astype("int64") // 86_400_000_000).to_numpy()
+    sd = (j["l_shipdate"].astype("int64") // 86_400_000_000).to_numpy()
+    assert int(df["n_lines"].sum()) == len(j)
+    # brute scan on the first 50 rows: count weekdays in (od, sd]
+    total = 0
+    for a, b in list(zip(od, sd))[:50]:
+        days = np.arange(a + 1, b + 1)
+        total += int(np.sum(((days + 4) % 7 != 6)
+                            & ((days + 4) % 7 != 0)))
+    prefix = np.array([1, 2, 2, 2, 3, 4, 5], dtype=np.int64)
+    w = lambda x: (x // 7) * 5 + prefix[x % 7]  # noqa: E731
+    assert int(np.sum(w(sd[:50]) - w(od[:50]))) == total
