@@ -9421,3 +9421,155 @@ def business_days_latency_q(sf_dir: str):
                         * 1_000_000 // n),
         "max_bd": merged["max_bd"].astype(np.int64)})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Rolling 30-day customer spend (value-based RANGE window)
+# ---------------------------------------------------------------------------
+
+@query("rolling_30d_customer_spend", sql="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_orderkey,
+       coalesce(sum(cents) OVER (
+         PARTITION BY o_custkey ORDER BY day
+         RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         AS spend30_cents
+FROM o ORDER BY o_orderkey
+""")
+def rolling_30d_customer_spend_q(sf_dir: str):
+    """Per order: the same customer's spend over the PREVIOUS 30 days —
+    a value-based RANGE window (two orders on the same day see the same
+    lookback, unlike a ROWS frame), the fraud/velocity feature pattern.
+    One groupby(custkey) shuffle; per customer the window is two
+    vectorized searchsorted probes over the day-sorted prefix sums —
+    exact integer cents."""
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["day", "o_orderkey"]).reset_index(drop=True)
+        days = g["day"].to_numpy(dtype=np.int64)
+        cents = g["cents"].to_numpy(dtype=np.int64)
+        # prefix[i] = total cents of rows with day < some bound
+        order = np.argsort(days, kind="mergesort")
+        cum = np.concatenate([[0], np.cumsum(cents[order])])
+        lo = np.searchsorted(days[order], days - 30, side="left")
+        hi = np.searchsorted(days[order], days, side="left")
+        spend = cum[hi] - cum[lo]
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+            "spend30_cents": spend.astype(np.int64)})
+
+    import pyarrow.compute as _pc
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "day": _pc.divide(_pc.cast(b["o_orderdate"], pa.int64()),
+                              86_400_000_000),
+            "cents": _pc.cast(_pc.round(_pc.multiply(
+                b["o_totalprice"], 100.0)), pa.int64())}),
+        batch_format="pyarrow")
+    out = ds.groupby("o_custkey").map_groups(
+        per_cust, batch_format="pandas").to_pandas()
+    cols = ("o_orderkey", "spend30_cents")
+    if not len(out):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    out["spend30_cents"] = out["spend30_cents"].astype(np.int64)
+    return out.sort_values("o_orderkey").reset_index(drop=True)[
+        list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# New vs returning revenue per month
+# ---------------------------------------------------------------------------
+
+@query("new_vs_returning_revenue", sql="""
+WITH o AS (
+  SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+f AS (SELECT o_custkey, min(month) AS first_month FROM o
+      GROUP BY o_custkey)
+SELECT o.month,
+       sum(CASE WHEN o.month = f.first_month THEN o.cents ELSE 0 END)
+         ::BIGINT AS new_cents,
+       sum(CASE WHEN o.month <> f.first_month THEN o.cents ELSE 0 END)
+         ::BIGINT AS returning_cents,
+       sum(CASE WHEN o.month = f.first_month THEN 1 ELSE 0 END)::BIGINT
+         AS n_new_orders,
+       sum(CASE WHEN o.month <> f.first_month THEN 1 ELSE 0 END)::BIGINT
+         AS n_returning_orders
+FROM o JOIN f ON f.o_custkey = o.o_custkey
+GROUP BY o.month ORDER BY o.month
+""")
+def new_vs_returning_revenue_q(sf_dir: str):
+    """Monthly revenue split by customer tenure: orders in a customer's
+    FIRST month count as new, everything later as returning — the
+    acquisition-vs-retention decomposition every growth dashboard leads
+    with, exact integer cents.  Per-customer first month is a
+    groupby-min that broadcasts back into the order scan (bounded:
+    #customers through the guarded combine); the monthly split is
+    calendar-bounded partials."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def f_part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
+            "m": pc.strftime(b["o_orderdate"],
+                             format="%Y-%m").to_pylist()})
+        return f.groupby("o_custkey", as_index=False)["m"].min()
+
+    def f_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("o_custkey", as_index=False)["m"].min()
+
+    first, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(f_part, batch_format="pyarrow"), f_fold, 2_000_000)
+    assert ok  # bounded: #customers; groupby twin is the scale path
+    cols = ("month", "new_cents", "returning_cents", "n_new_orders",
+            "n_returning_orders")
+    if first is None or not len(first):
+        return pd.DataFrame({
+            "month": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    fm = dict(zip(first["o_custkey"].astype(np.int64), first["m"]))
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        month = np.asarray(pc.strftime(
+            b["o_orderdate"], format="%Y-%m").to_pylist(), dtype=object)
+        cents = np.round(b["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        is_new = np.asarray(
+            [fm[int(k)] == m for k, m in zip(ck, month)])
+        f = pd.DataFrame({
+            "month": month,
+            "new_cents": np.where(is_new, cents, 0),
+            "returning_cents": np.where(is_new, 0, cents),
+            "n_new_orders": is_new.astype(np.int64),
+            "n_returning_orders": (~is_new).astype(np.int64)})
+        return f.groupby("month", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("month", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: calendar months
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "month": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    merged = merged.sort_values("month").reset_index(drop=True)
+    for c in cols[1:]:
+        merged[c] = merged[c].astype(np.int64)
+    return merged[list(cols)]

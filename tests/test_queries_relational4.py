@@ -330,3 +330,40 @@ def test_business_days_latency_vs_numpy_calendar(ray_session):
     prefix = np.array([1, 2, 2, 2, 3, 4, 5], dtype=np.int64)
     w = lambda x: (x // 7) * 5 + prefix[x % 7]  # noqa: E731
     assert int(np.sum(w(sd[:50]) - w(od[:50]))) == total
+
+
+def test_rolling_30d_spend_bruteforce(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        rolling_30d_customer_spend_q,
+    )
+
+    df = rolling_30d_customer_spend_q(SF).set_index("o_orderkey")
+    orders = pd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    orders["day"] = orders["o_orderdate"].astype("int64") // 86_400_000_000
+    orders["cents"] = np.round(
+        orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    for _, r in orders.head(40).iterrows():
+        prior = orders[(orders["o_custkey"] == r["o_custkey"])
+                       & (orders["day"] < r["day"])
+                       & (orders["day"] >= r["day"] - 30)]
+        assert int(df.loc[int(r["o_orderkey"]), "spend30_cents"]) \
+            == int(prior["cents"].sum())
+
+
+def test_new_vs_returning_conserves(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        new_vs_returning_revenue_q,
+    )
+
+    df = new_vs_returning_revenue_q(SF)
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    total = int(np.round(orders["o_totalprice"].to_numpy() * 100)
+                .astype(np.int64).sum())
+    assert int((df["new_cents"] + df["returning_cents"]).sum()) == total
+    assert int((df["n_new_orders"] + df["n_returning_orders"]).sum()) \
+        == len(orders)
+    # first month overall must be all-new
+    assert int(df["n_returning_orders"].iloc[0]) == 0
