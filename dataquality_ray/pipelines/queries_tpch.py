@@ -9573,3 +9573,86 @@ def new_vs_returning_revenue_q(sf_dir: str):
     for c in cols[1:]:
         merged[c] = merged[c].astype(np.int64)
     return merged[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# XYZ demand-variability classification by brand
+# ---------------------------------------------------------------------------
+
+@query("xyz_demand_by_brand", sql="""
+WITH d AS (
+  SELECT p.p_brand AS brand, strftime(l.l_shipdate, '%Y-%m') AS month,
+         sum(CAST(l.l_quantity AS BIGINT))::BIGINT AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), s AS (
+  SELECT brand, count(*)::HUGEINT AS n, sum(qty)::HUGEINT AS s1,
+         sum(qty::HUGEINT * qty) AS s2
+  FROM d GROUP BY brand
+), v AS (
+  SELECT brand, n::BIGINT AS n_months, s1::BIGINT AS total_qty,
+         (CASE WHEN s1 = 0 THEN 0
+               ELSE ((n * s2 - s1 * s1) * 1000000) // (s1 * s1) END)
+           ::BIGINT AS cv2_ppm
+  FROM s
+)
+SELECT brand, n_months, total_qty, cv2_ppm,
+       (CASE WHEN cv2_ppm < 10000 THEN 'X'
+             WHEN cv2_ppm < 40000 THEN 'Y' ELSE 'Z' END) AS xyz_class
+FROM v ORDER BY brand
+""")
+def xyz_demand_by_brand_q(sf_dir: str):
+    """XYZ demand-variability classification: per brand, the squared
+    coefficient of variation of MONTHLY demand, CV^2 = n*(n*S2 - S1^2)
+    / S1^2 / n = (n*S2 - S1^2)/(S1^2/n)... expressed as the exact
+    integer (n*S2 - S1^2)*1e6 // S1^2 — X (steady) / Y / Z (erratic)
+    cutoffs at 1%/4% — the forecastability triage inventory planners
+    pair with ABC volume analysis (abc_supplier_classification).  One
+    hash join, (brand, month)-bounded partials, O(brands) driver
+    arithmetic."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import smart_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_quantity"])
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = smart_join(li, parts, on="l_partkey",
+                        right_on="p_partkey",
+                        value_cols=["p_brand"], join_type="inner")
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "brand": b["p_brand"].to_pylist(),
+            "month": pc.strftime(b["l_shipdate"],
+                                 format="%Y-%m").to_pylist(),
+            "qty": b["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        return f.groupby(["brand", "month"], as_index=False)["qty"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["brand", "month"], as_index=False)["qty"].sum()
+
+    merged, ok = guarded_partials(
+        joined.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: brands x months
+    cols = ("brand", "n_months", "total_qty", "cv2_ppm", "xyz_class")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "brand": pd.Series([], dtype=object),
+            "n_months": pd.Series([], dtype=np.int64),
+            "total_qty": pd.Series([], dtype=np.int64),
+            "cv2_ppm": pd.Series([], dtype=np.int64),
+            "xyz_class": pd.Series([], dtype=object)})
+    rows = []
+    for brand, g in merged.groupby("brand"):
+        q = g["qty"].to_numpy(dtype=np.int64)
+        n, s1 = len(q), int(q.sum())
+        s2 = int((q.astype(object) * q.astype(object)).sum())
+        cv2 = 0 if s1 == 0 else (n * s2 - s1 * s1) * 1_000_000 \
+            // (s1 * s1)
+        cls = "X" if cv2 < 10_000 else ("Y" if cv2 < 40_000 else "Z")
+        rows.append((brand, n, s1, cv2, cls))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in ("n_months", "total_qty", "cv2_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("brand").reset_index(drop=True)

@@ -367,3 +367,25 @@ def test_new_vs_returning_conserves(ray_session):
         == len(orders)
     # first month overall must be all-new
     assert int(df["n_returning_orders"].iloc[0]) == 0
+
+
+def test_xyz_cv2_replay(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        xyz_demand_by_brand_q,
+    )
+
+    df = xyz_demand_by_brand_q(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_partkey", "l_shipdate", "l_quantity"])
+    part = pd.read_parquet(f"{SF}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    j["month"] = j["l_shipdate"].dt.strftime("%Y-%m")
+    r = df.iloc[0]
+    q = j.loc[j["p_brand"] == r["brand"]].groupby("month")[
+        "l_quantity"].sum().astype(np.int64).to_numpy()
+    n, s1 = len(q), int(q.sum())
+    s2 = int((q.astype(object) ** 2).sum())
+    assert int(r["cv2_ppm"]) == (n * s2 - s1 * s1) * 1_000_000 \
+        // (s1 * s1)
+    assert set(df["xyz_class"]) <= {"X", "Y", "Z"}
