@@ -8962,3 +8962,59 @@ def stickiness_dau_mau_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("month").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient of the token graph
+# ---------------------------------------------------------------------------
+
+_RICH_KS = (1, 2, 3, 5, 8)
+
+
+def _rich_club_arm(k: int) -> str:
+    return f"""
+  SELECT {k}::BIGINT AS k,
+         (SELECT count(*) FROM deg WHERE d > {k})::BIGINT AS n_nodes,
+         (SELECT count(*) FROM und u
+          JOIN deg da ON da.tok = u.a AND da.d > {k}
+          JOIN deg db ON db.tok = u.b AND db.d > {k})::BIGINT AS n_edges"""
+
+
+@query("rich_club_coefficient", sql=f"""
+WITH {_BIGRAM_SQL.strip().rstrip(',')},
+{_UND_SQL.strip()},
+arms AS (
+{chr(10).join(_rich_club_arm(k) + (" UNION ALL" if i < len(_RICH_KS) - 1 else "") for i, k in enumerate(_RICH_KS))}
+)
+SELECT k, n_nodes, n_edges,
+       (CASE WHEN n_nodes < 2 THEN 0
+             ELSE (2 * n_edges * 1000000) // (n_nodes * (n_nodes - 1))
+        END)::BIGINT AS phi_ppm
+FROM arms ORDER BY k
+""")
+def rich_club_coefficient_q(sf_dir: str):
+    """Rich-club coefficient phi(k): the edge density among nodes of
+    degree > k — rising phi with k means the hubs of the token graph
+    preferentially wire to each other (a 'rich club'), the structural
+    signature behind hub-based graph summarization.  Exact integers:
+    phi = 2*E_k / (n_k*(n_k-1)) in ppm over the distributed-aggregated,
+    vocab-bounded undirected edge set."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    und = _und_edges(edges)
+    cols = ("k", "n_nodes", "n_edges", "phi_ppm")
+    if not len(und):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    deg = pd.concat([und["a"], und["b"]]).value_counts()
+    rows = []
+    for k in _RICH_KS:
+        rich = set(deg[deg > k].index)
+        nk = len(rich)
+        ek = int(sum(1 for a, b in zip(und["a"], und["b"])
+                     if a in rich and b in rich))
+        phi = 0 if nk < 2 else 2 * ek * 1_000_000 // (nk * (nk - 1))
+        rows.append((k, nk, ek, phi))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -327,3 +327,16 @@ def test_simpson_and_n50(ray_session):
     l50 = int(v[np.argmax(2 * cum >= tot_c)])
     assert int(n50["n50"].iloc[0]) == l50
     assert int(n50["n90"].iloc[0]) <= l50
+
+
+def test_rich_club_monotone_membership(ray_session):
+    """n_nodes and n_edges shrink as k grows; phi within [0, 1e6]."""
+    from dataquality_ray.pipelines.queries_mining import (
+        rich_club_coefficient_q,
+    )
+
+    df = rich_club_coefficient_q(SF).sort_values("k")
+    assert df["n_nodes"].is_monotonic_decreasing
+    assert df["n_edges"].is_monotonic_decreasing
+    assert df["phi_ppm"].between(0, 1_000_000).all()
+    assert int(df["n_nodes"].iloc[0]) > 0
