@@ -9656,3 +9656,71 @@ def xyz_demand_by_brand_q(sf_dir: str):
     for c in ("n_months", "total_qty", "cv2_ppm"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("brand").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter size planner
+# ---------------------------------------------------------------------------
+
+_BLOOM_PLAN_COLS = (("lineitem", "l_partkey"), ("orders", "o_custkey"),
+                    ("documents", "source"))
+_BLOOM_TARGET_FPR_PPM = 10_000  # 1%
+
+
+def _bloom_plan_arm(t, c) -> str:
+    return f"""
+  SELECT '{t}.{c}' AS col,
+         (SELECT count(DISTINCT {c}) FROM {t})::BIGINT AS ndv"""
+
+
+@query("bloom_size_planner", sql=f"""
+WITH n AS (
+{" UNION ALL".join(_bloom_plan_arm(t, c) for t, c in _BLOOM_PLAN_COLS)}
+)
+SELECT col, ndv,
+       CAST(ceil(ndv * ln(1000000.0 / {_BLOOM_TARGET_FPR_PPM})
+                 / (ln(2) * ln(2))) AS BIGINT) AS m_bits,
+       CAST(floor(ceil(ndv * ln(1000000.0 / {_BLOOM_TARGET_FPR_PPM})
+                       / (ln(2) * ln(2))) * ln(2) / ndv) AS BIGINT)
+         AS k_hashes
+FROM n ORDER BY col
+""")
+def bloom_size_planner_q(sf_dir: str):
+    """Bloom filter sizing: for each join/filter column, the classic
+    m = ceil(n ln(1/p) / ln(2)^2) bits and k = floor(m ln2 / n) hash
+    functions for a 1% target FPR — the planning arithmetic
+    bloom_seen_filter/bloom_join consumers need before allocating;
+    the measured-FPR audit (bloom_fpr_audit) closes the loop.  Distinct
+    counts reduce as map-side distinct partials; the float chain
+    (ln, /, ceil) is evaluated in the same order on both engines."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    rows = []
+    for t, c in _BLOOM_PLAN_COLS:
+        def part(b: pa.Table, c=c) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"v": pd.unique(pd.Series(b[c].to_pandas()))})
+
+        def fold(f: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"v": f["v"].unique()})
+
+        merged, ok = guarded_partials(
+            _read(sf_dir, t, [c])
+            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+        assert ok  # cardinality bounded; HLL twin past cap
+        ndv = int(len(merged)) if merged is not None else 0
+        if ndv == 0:
+            rows.append((f"{t}.{c}", 0, 0, 0))
+            continue
+        m_bits = math.ceil(ndv * math.log(1_000_000.0
+                                          / _BLOOM_TARGET_FPR_PPM)
+                           / (math.log(2) * math.log(2)))
+        k = math.floor(m_bits * math.log(2) / ndv)
+        rows.append((f"{t}.{c}", ndv, m_bits, k))
+    cols = ("col", "ndv", "m_bits", "k_hashes")
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("col").reset_index(drop=True)

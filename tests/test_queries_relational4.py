@@ -389,3 +389,23 @@ def test_xyz_cv2_replay(ray_session):
     assert int(r["cv2_ppm"]) == (n * s2 - s1 * s1) * 1_000_000 \
         // (s1 * s1)
     assert set(df["xyz_class"]) <= {"X", "Y", "Z"}
+
+
+def test_bloom_size_planner_formula(ray_session):
+    import math
+
+    from dataquality_ray.pipelines.queries_tpch import (
+        _BLOOM_TARGET_FPR_PPM,
+        bloom_size_planner_q,
+    )
+
+    df = bloom_size_planner_q(SF).set_index("col")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_partkey"])
+    ndv = int(li["l_partkey"].nunique())
+    r = df.loc["lineitem.l_partkey"]
+    assert int(r["ndv"]) == ndv
+    m = math.ceil(ndv * math.log(1_000_000.0 / _BLOOM_TARGET_FPR_PPM)
+                  / (math.log(2) ** 2))
+    assert int(r["m_bits"]) == m
+    # ~9.6 bits per key at 1% FPR
+    assert 9 <= m / ndv <= 10
