@@ -351,7 +351,8 @@ def run_suite() -> dict:
                  "doc_length_n50", "business_days_latency",
                  "rolling_30d_customer_spend", "new_vs_returning_revenue",
                  "xyz_demand_by_brand", "rich_club_coefficient",
-                 "bloom_size_planner",
+                 "bloom_size_planner", "context_length_planner",
+                 "length_sort_padding_audit",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

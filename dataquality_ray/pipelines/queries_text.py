@@ -7222,3 +7222,146 @@ def doc_length_n50_q(sf_dir: str):
     return pd.DataFrame({"n50": [np.int64(n50)], "n90": [np.int64(n90)],
                          "n_docs": [np.int64(int(n.sum()))],
                          "total_chars": [np.int64(tot)]})
+
+
+# ---------------------------------------------------------------------------
+# Context-length planner (chunking waste at candidate window sizes)
+# ---------------------------------------------------------------------------
+
+_CTX_LENGTHS = (16, 32, 64, 128)
+
+
+def _ctx_arm(length: int) -> str:
+    return f"""
+  SELECT {length}::BIGINT AS ctx_len, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN ntok <= {length} THEN 1 ELSE 0 END)::BIGINT
+           AS fits_whole,
+         sum((ntok + {length} - 1) // {length})::BIGINT AS n_chunks,
+         sum(((ntok + {length} - 1) // {length}) * {length} - ntok)
+           ::BIGINT AS waste_tokens,
+         (sum(ntok) * 1000000 //
+          (sum((ntok + {length} - 1) // {length}) * {length}))::BIGINT
+           AS utilization_ppm
+  FROM t"""
+
+
+@query("context_length_planner", sql=f"""
+WITH t AS (SELECT len({_TOKS}) AS ntok FROM documents)
+{" UNION ALL".join(_ctx_arm(k) for k in _CTX_LENGTHS)}
+ORDER BY ctx_len
+""")
+def context_length_planner_q(sf_dir: str):
+    """Context-window planner: for candidate window sizes, how many
+    documents fit whole, how many chunks the corpus shreds into, and the
+    exact token utilization (tokens / chunks*window) — the packing
+    arithmetic that picks a training context length before
+    sequence_packing runs; all integers from the token-count
+    histogram, which reduces distributedly."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ntok = np.array([len((t or "").split()) for t
+                         in b["text"].to_pylist()], dtype=np.int64)
+        f = pd.DataFrame({"ntok": ntok, "n": 1})
+        return f.groupby("ntok", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("ntok", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: distinct token counts
+    cols = ("ctx_len", "n_docs", "fits_whole", "n_chunks",
+            "waste_tokens", "utilization_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    ntok = merged["ntok"].to_numpy(dtype=np.int64)
+    n = merged["n"].to_numpy(dtype=np.int64)
+    rows = []
+    for L in _CTX_LENGTHS:
+        chunks = (ntok + L - 1) // L
+        n_docs = int(n.sum())
+        fits = int(n[ntok <= L].sum())
+        n_chunks = int((chunks * n).sum())
+        waste = int(((chunks * L - ntok) * n).sum())
+        util = int((ntok * n).sum()) * 1_000_000 // (n_chunks * L)
+        rows.append((L, n_docs, fits, n_chunks, waste, util))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Length-sorted batching padding audit
+# ---------------------------------------------------------------------------
+
+_PAD_BATCH = 32
+
+
+@query("length_sort_padding_audit", sql=f"""
+WITH base AS (SELECT doc_id, len({_TOKS}) AS ntok FROM documents),
+a AS (SELECT ntok, (row_number() OVER (ORDER BY doc_id) - 1)
+        // {_PAD_BATCH} AS batch FROM base),
+b AS (SELECT ntok, (row_number() OVER (ORDER BY ntok, doc_id) - 1)
+        // {_PAD_BATCH} AS batch FROM base),
+pa AS (SELECT sum(mx * c - s)::BIGINT AS pad, sum(s)::BIGINT AS toks
+       FROM (SELECT batch, max(ntok) AS mx, sum(ntok) AS s,
+                    count(*) AS c FROM a GROUP BY batch)),
+pb AS (SELECT sum(mx * c - s)::BIGINT AS pad, sum(s)::BIGINT AS toks
+       FROM (SELECT batch, max(ntok) AS mx, sum(ntok) AS s,
+                    count(*) AS c FROM b GROUP BY batch))
+SELECT 'arrival' AS order_mode, pad AS pad_tokens,
+       (pad * 1000000 // (pad + toks))::BIGINT AS pad_share_ppm FROM pa
+UNION ALL
+SELECT 'length_sorted', pad, (pad * 1000000 // (pad + toks))::BIGINT
+FROM pb
+ORDER BY order_mode
+""")
+def length_sort_padding_audit_q(sf_dir: str):
+    """Padding-waste audit for batch-{_PAD_BATCH} training: total pad
+    tokens (batch_max - doc_len summed) under arrival (doc_id) order vs
+    length-sorted order — the measured justification for length-bucketed
+    batching (sorted batching typically cuts padding by an order of
+    magnitude).  Each ordering is one Dataset.sort; per-batch max/sum
+    stats stream vectorized in O(#batches) driver memory (the
+    zone_map_stats scan shape)."""
+    def batch_stats(sorted_ds) -> tuple[int, int]:
+        pad = toks = 0
+        idx = 0
+        carry = np.array([], dtype=np.int64)
+        for b in sorted_ds.iter_batches(batch_format="pandas",
+                                        batch_size=None):
+            v = np.concatenate([carry,
+                                b["ntok"].to_numpy(dtype=np.int64)])
+            n_full = len(v) // _PAD_BATCH * _PAD_BATCH
+            full, carry = v[:n_full], v[n_full:]
+            if len(full):
+                g = full.reshape(-1, _PAD_BATCH)
+                pad += int((g.max(axis=1) * _PAD_BATCH - g.sum(axis=1))
+                           .sum())
+                toks += int(full.sum())
+            idx += len(v)
+        if len(carry):
+            pad += int(carry.max() * len(carry) - carry.sum())
+            toks += int(carry.sum())
+        return pad, toks
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "ntok": pa.array([len((t or "").split())
+                              for t in b["text"].to_pylist()],
+                             pa.int64())}),
+        batch_format="pyarrow")
+    pad_a, toks_a = batch_stats(ds.sort("doc_id"))
+    pad_b, toks_b = batch_stats(ds.sort(["ntok", "doc_id"]))
+    out = pd.DataFrame({
+        "order_mode": ["arrival", "length_sorted"],
+        "pad_tokens": pd.Series([pad_a, pad_b], dtype=np.int64),
+        "pad_share_ppm": pd.Series(
+            [pad_a * 1_000_000 // (pad_a + toks_a),
+             pad_b * 1_000_000 // (pad_b + toks_b)], dtype=np.int64)})
+    return out.sort_values("order_mode").reset_index(drop=True)

@@ -201,3 +201,42 @@ def test_source_similarity_sha_detects_rehost(ray_session):
     assert int(hit["n_eq"].iloc[0]) == 64  # identical shingle sets
     others = df.drop(hit.index)
     assert int(others["n_eq"].max()) < 64
+
+
+def test_context_planner_identities(ray_session):
+    """Utilization rises with smaller windows on short docs; chunks and
+    waste are exact."""
+    from dataquality_ray.pipelines.queries_text import (
+        context_length_planner_q,
+    )
+
+    df = context_length_planner_q(SF).set_index("ctx_len")
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    ntok = np.array([len((t or "").split())
+                     for t in docs["text"]], dtype=np.int64)
+    for L in df.index:
+        chunks = (ntok + L - 1) // L
+        assert int(df.loc[L, "n_chunks"]) == int(chunks.sum())
+        assert int(df.loc[L, "waste_tokens"]) \
+            == int((chunks * L - ntok).sum())
+        assert int(df.loc[L, "fits_whole"]) == int((ntok <= L).sum())
+    assert df["utilization_ppm"].between(0, 1_000_000).all()
+
+
+def test_length_sorted_padding_beats_arrival(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        length_sort_padding_audit_q,
+    )
+
+    df = length_sort_padding_audit_q(SF).set_index("order_mode")
+    assert int(df.loc["length_sorted", "pad_tokens"]) \
+        < int(df.loc["arrival", "pad_tokens"])
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ntok = docs.sort_values("doc_id")["text"].map(
+        lambda t: len((t or "").split())).to_numpy(np.int64)
+    pad = 0
+    for i in range(0, len(ntok), 32):
+        g = ntok[i:i + 32]
+        pad += int(g.max() * len(g) - g.sum())
+    assert int(df.loc["arrival", "pad_tokens"]) == pad
