@@ -352,7 +352,8 @@ def run_suite() -> dict:
                  "rolling_30d_customer_spend", "new_vs_returning_revenue",
                  "xyz_demand_by_brand", "rich_club_coefficient",
                  "bloom_size_planner", "context_length_planner",
-                 "length_sort_padding_audit",
+                 "length_sort_padding_audit", "fiscal_445_quarters",
+                 "suppression_budget_for_k",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

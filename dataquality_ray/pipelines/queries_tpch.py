@@ -9724,3 +9724,144 @@ def bloom_size_planner_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("col").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# 4-4-5 fiscal calendarization of revenue
+# ---------------------------------------------------------------------------
+
+_FISCAL_ANCHOR_DAY = 9132  # 1995-01-02, a Monday (epoch days)
+
+
+@query("fiscal_445_quarters", sql=f"""
+WITH o AS (
+  SELECT (epoch_us(o_orderdate) // 86400000000 - {_FISCAL_ANCHOR_DAY})
+           // 7 AS w,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE epoch_us(o_orderdate) // 86400000000 >= {_FISCAL_ANCHOR_DAY}
+)
+SELECT (w // 52)::BIGINT AS fiscal_year,
+       ((w % 52) // 13)::BIGINT AS fiscal_quarter,
+       count(*)::BIGINT AS n_orders, sum(cents)::BIGINT AS revenue_cents
+FROM o GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def fiscal_445_quarters_q(sf_dir: str):
+    """Revenue on the retail 4-4-5 fiscal calendar: weeks since the
+    Monday anchor (1995-01-02), 52-week fiscal years, 13-week quarters
+    — the calendarization every retail finance team runs because fiscal
+    quarters contain equal week counts (unlike calendar quarters);
+    pure integer day arithmetic, no calendar library.  (53rd weeks roll
+    into the next fiscal year — the simplified convention, documented.)
+    Quarter cells are calendar-bounded partials."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = (b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        keep = day >= _FISCAL_ANCHOR_DAY
+        day = day[keep]
+        cents = np.round(b["o_totalprice"].to_numpy(
+            zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+        w = (day - _FISCAL_ANCHOR_DAY) // 7
+        f = pd.DataFrame({"fiscal_year": w // 52,
+                          "fiscal_quarter": (w % 52) // 13,
+                          "n_orders": 1, "revenue_cents": cents})
+        return f.groupby(["fiscal_year", "fiscal_quarter"],
+                         as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["fiscal_year", "fiscal_quarter"],
+                         as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: years x 4 quarters
+    cols = ("fiscal_year", "fiscal_quarter", "n_orders", "revenue_cents")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    merged = merged.sort_values(["fiscal_year", "fiscal_quarter"]) \
+        .reset_index(drop=True)
+    for c in cols:
+        merged[c] = merged[c].astype(np.int64)
+    return merged[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Suppression budget to reach k-anonymity
+# ---------------------------------------------------------------------------
+
+_SUPPRESS_KS = (5, 25, 100)
+
+
+def _suppress_arm(k: int) -> str:
+    return f"""
+  SELECT {k}::BIGINT AS k,
+         count(*) FILTER (WHERE sz < {k})::BIGINT AS n_small_groups,
+         coalesce(sum(sz) FILTER (WHERE sz < {k}), 0)::BIGINT
+           AS rows_suppressed
+  FROM g"""
+
+
+@query("suppression_budget_for_k", sql=f"""
+WITH g AS (
+  SELECT c_nationkey::VARCHAR || '|' ||
+         (CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) >= 0
+               THEN CAST(round(c_acctbal * 100) AS BIGINT) // 10000
+               ELSE -((-CAST(round(c_acctbal * 100) AS BIGINT)) // 10000)
+          END)::VARCHAR AS qkey,
+         count(*)::BIGINT AS sz
+  FROM customer GROUP BY 1
+), tot AS (SELECT sum(sz)::BIGINT AS n FROM g),
+arms AS (
+{" UNION ALL".join(_suppress_arm(k) for k in _SUPPRESS_KS)}
+)
+SELECT k, n_small_groups, rows_suppressed,
+       (rows_suppressed * 1000000 // (SELECT n FROM tot))::BIGINT
+         AS suppressed_ppm
+FROM arms ORDER BY k
+""")
+def suppression_budget_for_k_q(sf_dir: str):
+    """Suppression budget: how many rows sit in quasi-identifier classes
+    (nation, $100 balance bucket — the k_anon_generalization_ladder's
+    finest level) smaller than k and would have to be withheld to
+    publish at that k — the release-cost curve privacy officers weigh
+    against generalizing instead.  The class census reduces
+    distributedly; the budget per k is O(classes) driver arithmetic."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(b["c_acctbal"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        bal = (np.sign(cents) * (np.abs(cents) // 10_000)).astype(
+            np.int64)
+        key = np.char.add(np.char.add(nk.astype(str), "|"),
+                          bal.astype(str))
+        f = pd.DataFrame({"qkey": key, "sz": 1})
+        return f.groupby("qkey", as_index=False)["sz"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("qkey", as_index=False)["sz"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: nations x balance buckets
+    cols = ("k", "n_small_groups", "rows_suppressed", "suppressed_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    sz = merged["sz"].to_numpy(dtype=np.int64)
+    n = int(sz.sum())
+    rows = []
+    for k in _SUPPRESS_KS:
+        small = sz[sz < k]
+        rows.append((k, len(small), int(small.sum()),
+                     int(small.sum()) * 1_000_000 // n))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

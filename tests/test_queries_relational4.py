@@ -409,3 +409,27 @@ def test_bloom_size_planner_formula(ray_session):
     assert int(r["m_bits"]) == m
     # ~9.6 bits per key at 1% FPR
     assert 9 <= m / ndv <= 10
+
+
+def test_fiscal_and_suppression(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        _FISCAL_ANCHOR_DAY,
+        fiscal_445_quarters_q,
+        suppression_budget_for_k_q,
+    )
+
+    fq = fiscal_445_quarters_q(SF)
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+    day = (orders["o_orderdate"].astype("int64")
+           // 86_400_000_000).to_numpy()
+    keep = day >= _FISCAL_ANCHOR_DAY
+    assert int(fq["n_orders"].sum()) == int(keep.sum())
+    assert fq["fiscal_quarter"].between(0, 3).all()
+    cents = np.round(orders["o_totalprice"].to_numpy()[keep] * 100) \
+        .astype(np.int64)
+    assert int(fq["revenue_cents"].sum()) == int(cents.sum())
+
+    sb = suppression_budget_for_k_q(SF).sort_values("k")
+    assert sb["rows_suppressed"].is_monotonic_increasing
+    assert sb["suppressed_ppm"].between(0, 1_000_000).all()
