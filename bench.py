@@ -353,7 +353,7 @@ def run_suite() -> dict:
                  "xyz_demand_by_brand", "rich_club_coefficient",
                  "bloom_size_planner", "context_length_planner",
                  "length_sort_padding_audit", "fiscal_445_quarters",
-                 "suppression_budget_for_k",
+                 "suppression_budget_for_k", "median_of_means_value",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

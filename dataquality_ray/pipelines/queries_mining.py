@@ -9018,3 +9018,70 @@ def rich_club_coefficient_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Median-of-means robust location estimator
+# ---------------------------------------------------------------------------
+
+_MOM_GROUPS = 16
+
+
+@query("median_of_means_value", sql=f"""
+WITH e AS (
+  SELECT ((event_id * 2654435761) % 4294967296) % {_MOM_GROUPS} AS g,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+m AS (SELECT g, count(*)::BIGINT AS n,
+             (sum(cents) // count(*))::BIGINT AS mean_floor
+      FROM e GROUP BY g)
+SELECT count(*)::BIGINT AS n_groups,
+       min(n)::BIGINT AS min_group_n,
+       quantile_disc(mean_floor, 0.5)::BIGINT AS mom_cents,
+       (sum(n * mean_floor) // sum(n))::BIGINT AS weighted_mean_cents
+FROM m
+""")
+def median_of_means_value_q(sf_dir: str):
+    """Median-of-means: hash events into {_MOM_GROUPS} deterministic
+    groups (the Knuth multiplicative hash every sampler here uses),
+    floor-mean each group, take the discrete median — the
+    heavy-tail-robust location estimator with exponential concentration
+    that a plain mean lacks and a plain median pays efficiency for.
+    Group (n, sum) partials are mergeable and bounded; everything is
+    exact integer arithmetic."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ev = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = ((ev * 2654435761) % 4294967296) % _MOM_GROUPS
+        cents = np.round(b["value"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        f = pd.DataFrame({"g": g, "n": 1, "s": cents})
+        return f.groupby("g", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("g", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_id", "value"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 16 groups
+    cols = ("n_groups", "min_group_n", "mom_cents",
+            "weighted_mean_cents")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    n = merged["n"].to_numpy(dtype=np.int64)
+    s = merged["s"].to_numpy(dtype=np.int64)
+    means = s // n
+    srt = np.sort(means)
+    k = math.ceil(0.5 * len(srt))  # quantile_disc rank
+    mom = int(srt[k - 1])
+    wmean = int((n * means).sum()) // int(n.sum())
+    return pd.DataFrame({
+        "n_groups": [np.int64(len(n))],
+        "min_group_n": [np.int64(int(n.min()))],
+        "mom_cents": [np.int64(mom)],
+        "weighted_mean_cents": [np.int64(wmean)]})

@@ -340,3 +340,25 @@ def test_rich_club_monotone_membership(ray_session):
     assert df["n_edges"].is_monotonic_decreasing
     assert df["phi_ppm"].between(0, 1_000_000).all()
     assert int(df["n_nodes"].iloc[0]) > 0
+
+
+def test_median_of_means_replay(ray_session):
+    import math
+
+    from dataquality_ray.pipelines.queries_mining import (
+        _MOM_GROUPS,
+        median_of_means_value_q,
+    )
+
+    df = median_of_means_value_q(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "value"])
+    g = ((ev["event_id"].to_numpy(np.int64) * 2654435761)
+         % 4294967296) % _MOM_GROUPS
+    cents = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    f = pd.DataFrame({"g": g, "c": cents}).groupby("g")["c"] \
+        .agg(["sum", "size"])
+    means = np.sort((f["sum"] // f["size"]).to_numpy(np.int64))
+    k = math.ceil(0.5 * len(means))
+    assert int(df["mom_cents"].iloc[0]) == int(means[k - 1])
+    assert int(df["n_groups"].iloc[0]) == len(means)
