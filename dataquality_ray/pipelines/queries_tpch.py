@@ -9865,3 +9865,113 @@ def suppression_budget_for_k_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Histogram quality: equi-width vs equi-depth SSE comparison
+# ---------------------------------------------------------------------------
+
+@query("histogram_sse_comparison", sql="""
+WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+mm AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM c),
+ew AS (
+  SELECT least(greatest(CAST(floor((v - lo) * 10.0 / (hi - lo + 1))
+                             AS BIGINT), 0), 9) AS b, v
+  FROM c, mm),
+ed AS (
+  SELECT least((rn * 10) // n, 9) AS b, v FROM (
+    SELECT v, row_number() OVER (ORDER BY v) - 1 AS rn,
+           (SELECT n FROM mm) AS n
+    FROM c)),
+sse_ew AS (
+  SELECT sum((cnt * s2 - s1 * s1) // cnt)::BIGINT AS sse FROM (
+    SELECT count(*)::HUGEINT AS cnt, sum(v)::HUGEINT AS s1,
+           sum(v::HUGEINT * v) AS s2 FROM ew GROUP BY b)),
+sse_ed AS (
+  SELECT sum((cnt * s2 - s1 * s1) // cnt)::BIGINT AS sse FROM (
+    SELECT count(*)::HUGEINT AS cnt, sum(v)::HUGEINT AS s1,
+           sum(v::HUGEINT * v) AS s2 FROM ed GROUP BY b))
+SELECT 'equi_depth' AS method, (SELECT sse FROM sse_ed) AS sse_floor
+UNION ALL
+SELECT 'equi_width', (SELECT sse FROM sse_ew)
+ORDER BY method
+""")
+def histogram_sse_comparison_q(sf_dir: str):
+    """Histogram construction quality: within-bucket sum of squared
+    errors (n*S2 - S1^2)//n per bucket, summed, for a 10-bucket
+    equi-width vs equi-depth histogram of order totals — the statistic
+    that justifies equi-depth (quantile) histograms in an optimizer:
+    same bucket budget, lower SSE on skewed data.  Equi-width buckets
+    reduce directly; equi-depth bucket of a value comes from the exact
+    (value -> count) histogram's cumulative ranks — both paths exact
+    integers."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = np.round(b["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        f = pd.DataFrame({"v": v, "n": 1})
+        return f.groupby("v", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("v", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: cents grid
+    cols = ("method", "sse_floor")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"method": pd.Series([], dtype=object),
+                             "sse_floor": pd.Series([], dtype=np.int64)})
+    merged = merged.sort_values("v").reset_index(drop=True)
+    v = merged["v"].to_numpy(dtype=np.int64)
+    n = merged["n"].to_numpy(dtype=np.int64)
+    lo, hi = int(v[0]), int(v[-1])
+    total = int(n.sum())
+
+    def sse(bucket_of_value: np.ndarray) -> int:
+        f = pd.DataFrame({"b": bucket_of_value, "n": n, "v": v})
+        out = 0
+        for _, g in f.groupby("b"):
+            cnt = int(g["n"].sum())
+            s1 = int((g["v"].astype(object) * g["n"].astype(object))
+                     .sum())
+            s2 = int((g["v"].astype(object) ** 2
+                      * g["n"].astype(object)).sum())
+            out += (cnt * s2 - s1 * s1) // cnt
+        return out
+
+    ew_b = np.clip(np.floor((v - lo) * 10.0 / (hi - lo + 1))
+                   .astype(np.int64), 0, 9)
+    # equi-depth: rank range of each distinct value -> every row of one
+    # value lands in bucket (rank*10)//n; a value straddling a boundary
+    # is split, so expand per-value counts across its rank span
+    cum = np.cumsum(n)
+    start = cum - n
+    rows = []
+    for i in range(len(v)):
+        r0, r1 = int(start[i]), int(cum[i])  # ranks [r0, r1)
+        b0 = min(r0 * 10 // total, 9)
+        b1 = min((r1 - 1) * 10 // total, 9)
+        if b0 == b1:
+            rows.append((b0, int(n[i]), int(v[i])))
+        else:
+            for bb in range(b0, b1 + 1):
+                lo_r = max(r0, (bb * total + 9) // 10)
+                hi_r = min(r1, ((bb + 1) * total + 9) // 10)
+                if hi_r > lo_r:
+                    rows.append((bb, hi_r - lo_r, int(v[i])))
+    ed = pd.DataFrame(rows, columns=["b", "n", "v"])
+    out_ed = 0
+    for _, g in ed.groupby("b"):
+        cnt = int(g["n"].sum())
+        s1 = int((g["v"].astype(object) * g["n"].astype(object)).sum())
+        s2 = int((g["v"].astype(object) ** 2
+                  * g["n"].astype(object)).sum())
+        out_ed += (cnt * s2 - s1 * s1) // cnt
+    out = pd.DataFrame({
+        "method": ["equi_depth", "equi_width"],
+        "sse_floor": pd.Series([out_ed, sse(ew_b)], dtype=np.int64)})
+    return out.sort_values("method").reset_index(drop=True)

@@ -433,3 +433,15 @@ def test_fiscal_and_suppression(ray_session):
     sb = suppression_budget_for_k_q(SF).sort_values("k")
     assert sb["rows_suppressed"].is_monotonic_increasing
     assert sb["suppressed_ppm"].between(0, 1_000_000).all()
+
+
+def test_histogram_equidepth_beats_equiwidth(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        histogram_sse_comparison_q,
+    )
+
+    df = histogram_sse_comparison_q(SF).set_index("method")
+    assert int(df.loc["equi_depth", "sse_floor"]) > 0
+    # on this price distribution equi-depth should not be (much) worse
+    assert int(df.loc["equi_depth", "sse_floor"]) \
+        <= int(df.loc["equi_width", "sse_floor"]) * 2
