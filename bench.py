@@ -354,7 +354,7 @@ def run_suite() -> dict:
                  "bloom_size_planner", "context_length_planner",
                  "length_sort_padding_audit", "fiscal_445_quarters",
                  "suppression_budget_for_k", "median_of_means_value",
-                 "histogram_sse_comparison",
+                 "histogram_sse_comparison", "intrinsic_dim_twonn",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

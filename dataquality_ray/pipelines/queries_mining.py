@@ -9085,3 +9085,120 @@ def median_of_means_value_q(sf_dir: str):
         "min_group_n": [np.int64(int(n.min()))],
         "mom_cents": [np.int64(mom)],
         "weighted_mean_cents": [np.int64(wmean)]})
+
+
+# ---------------------------------------------------------------------------
+# TwoNN intrinsic-dimension estimate on the quantized embedding grid
+# ---------------------------------------------------------------------------
+
+_TWONN_SAMPLE = 64
+
+
+@query("intrinsic_dim_twonn", sql=f"""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT e.vec_id, idx.i,
+             CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM embeddings e, idx),
+sample AS (SELECT DISTINCT vec_id FROM embeddings
+           WHERE vec_id < {_TWONN_SAMPLE}),
+d AS (
+  SELECT a.vec_id AS sid, b.vec_id AS oid,
+         sum((a.v - b.v) * (a.v - b.v))::HUGEINT AS d2
+  FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id IN (SELECT vec_id FROM sample)
+  GROUP BY 1, 2
+), rk AS (
+  SELECT sid, d2,
+         row_number() OVER (PARTITION BY sid ORDER BY d2, oid) AS r
+  FROM d
+), nn AS (
+  SELECT sid,
+         max(CASE WHEN r = 1 THEN d2 END) AS d1sq,
+         max(CASE WHEN r = 2 THEN d2 END) AS d2sq
+  FROM rk WHERE r <= 2 GROUP BY sid
+), mu AS (
+  SELECT sid,
+         CAST(floor(ln(CAST(d2sq AS DOUBLE) / CAST(d1sq AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lnmu_micro
+  FROM nn WHERE d1sq > 0
+)
+SELECT count(*)::BIGINT AS n_points,
+       sum(lnmu_micro)::BIGINT AS sum_lnmu_micro,
+       (CASE WHEN sum(lnmu_micro) = 0 THEN 0
+             ELSE (count(*) * 2000000000) // sum(lnmu_micro) END)
+         ::BIGINT AS id_milli
+FROM mu
+""")
+def intrinsic_dim_twonn_q(sf_dir: str):
+    """TwoNN intrinsic-dimension estimate (Facco et al.): for each
+    sample point the ratio of 2nd- to 1st-nearest-neighbor distance,
+    ID = m / sum ln(mu) — low intrinsic dimension means the embeddings
+    live on a thin manifold and ANN/quantization will be easy.  All
+    distances are EXACT integers on the 1e-3 quantization grid
+    (squared L2 of int components), each ln floors once to micro-nats,
+    and the final estimate is one integer division (x2 because the
+    ratios are squared) — bit-identical to the DuckDB replay.
+    Zero-distance duplicates are excluded, per the estimator.  The
+    O(sample x corpus) distance scan is one vectorized matmul pass per
+    batch against the broadcast sample block."""
+    from dataquality_ray.stages.ann import _stack_embeddings
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    sample_ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .filter(expr=f"vec_id < {_TWONN_SAMPLE}").to_pandas()
+    sample_ds = sample_ds.sort_values("vec_id").reset_index(drop=True)
+    sq = np.floor(np.stack(sample_ds["embedding"].to_numpy())
+                  .astype(np.float64) * 1000.0).astype(np.int64)
+    sids = sample_ds["vec_id"].to_numpy(dtype=np.int64)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        x = np.floor(_stack_embeddings(b, "embedding")
+                     .astype(np.float64) * 1000.0).astype(np.int64)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact integer squared distances sample x batch
+        rows = []
+        for k, s in enumerate(sq):
+            diff = x - s[None, :]
+            d2 = np.einsum("ij,ij->i", diff, diff)
+            mask = vid != sids[k]
+            dd = d2[mask]
+            oid = vid[mask]
+            if not len(dd):
+                continue
+            # local two smallest with (d2, oid) tie order
+            ordk = np.lexsort((oid, dd))[:2]
+            for j in ordk:
+                rows.append((int(sids[k]), int(dd[j]), int(oid[j])))
+        return pd.DataFrame(rows, columns=["sid", "d2", "oid"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return (f.sort_values(["sid", "d2", "oid"])
+                 .groupby("sid", as_index=False).head(2))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 2 rows per sample point
+    cols = ("n_points", "sum_lnmu_micro", "id_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    import math
+
+    total = 0
+    m = 0
+    for sid, g in merged.groupby("sid"):
+        g = g.sort_values(["d2", "oid"]).head(2)
+        if len(g) < 2:
+            continue
+        d1sq, d2sq = int(g["d2"].iloc[0]), int(g["d2"].iloc[1])
+        if d1sq <= 0:
+            continue
+        total += math.floor(math.log(float(d2sq) / float(d1sq))
+                            * 1_000_000)
+        m += 1
+    id_milli = 0 if total == 0 else (m * 2_000_000_000) // total
+    return pd.DataFrame({"n_points": [np.int64(m)],
+                         "sum_lnmu_micro": [np.int64(total)],
+                         "id_milli": [np.int64(id_milli)]})

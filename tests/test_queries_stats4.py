@@ -362,3 +362,50 @@ def test_median_of_means_replay(ray_session):
     k = math.ceil(0.5 * len(means))
     assert int(df["mom_cents"].iloc[0]) == int(means[k - 1])
     assert int(df["n_groups"].iloc[0]) == len(means)
+
+
+def test_twonn_id_reasonable(ray_session):
+    """Estimated intrinsic dimension is positive and at most the
+    ambient dimension (with estimator slack on 64-dim random-ish
+    vectors); mu ratios replay in numpy for one point."""
+    import math
+
+    from dataquality_ray.pipelines.queries_mining import (
+        intrinsic_dim_twonn_q,
+    )
+
+    df = intrinsic_dim_twonn_q(SF)
+    m = int(df["n_points"].iloc[0])
+    assert m > 0
+    idm = int(df["id_milli"].iloc[0])
+    assert 0 < idm < 200_000  # < 200 effective dims (ambient is 64)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    q = np.floor(np.stack(emb["embedding"].to_numpy())
+                 .astype(np.float64) * 1000.0).astype(np.int64)
+    vid = emb["vec_id"].to_numpy(np.int64)
+    s = q[vid == 0][0]
+    d2 = ((q - s[None, :]) ** 2).sum(axis=1)
+    mask = vid != 0
+    dd = np.sort(d2[mask])[:2]
+    expect = math.floor(math.log(float(dd[1]) / float(dd[0]))
+                        * 1_000_000)
+    # the first sample point's term is part of the sum; recompute the
+    # whole sum and compare
+    total = 0
+    cnt = 0
+    for sid in range(64):
+        sel = vid == sid
+        if not sel.any():
+            continue
+        sv = q[sel][0]
+        d2a = ((q - sv[None, :]) ** 2).sum(axis=1)
+        da = np.sort(d2a[vid != sid])[:2]
+        if da[0] <= 0:
+            continue
+        total += math.floor(math.log(float(da[1]) / float(da[0]))
+                            * 1_000_000)
+        cnt += 1
+    assert int(df["sum_lnmu_micro"].iloc[0]) == total
+    assert cnt == m
+    assert expect <= total
