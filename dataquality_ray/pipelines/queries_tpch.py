@@ -9975,3 +9975,94 @@ def histogram_sse_comparison_q(sf_dir: str):
         "method": ["equi_depth", "equi_width"],
         "sse_floor": pd.Series([out_ed, sse(ew_b)], dtype=np.int64)})
     return out.sort_values("method").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Longest drawdown duration of daily cumulative revenue vs trend peak
+# ---------------------------------------------------------------------------
+
+@query("drawdown_duration_days", sql="""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY 1
+), c AS (
+  SELECT day, cents,
+         max(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS run_max
+  FROM d
+), u AS (
+  SELECT day, (cents < run_max) AS under,
+         row_number() OVER (ORDER BY day) AS rn
+  FROM c
+), isl AS (
+  SELECT day, rn - row_number() OVER (PARTITION BY under ORDER BY day)
+           AS grp
+  FROM u WHERE under
+), runs AS (
+  SELECT grp, count(*)::BIGINT AS len_days,
+         min(day)::BIGINT AS start_day
+  FROM isl GROUP BY grp
+)
+SELECT count(*)::BIGINT AS n_underwater_spells,
+       coalesce(max(len_days), 0)::BIGINT AS longest_days,
+       coalesce(min(start_day), 0)::BIGINT AS first_spell_day,
+       (SELECT count(*) FROM u WHERE under)::BIGINT
+         AS total_underwater_days
+FROM runs
+""")
+def drawdown_duration_days_q(sf_dir: str):
+    """Drawdown DURATION: the longest consecutive-day spell where daily
+    revenue sits below its running maximum — the recovery-time metric
+    volume_max_drawdown's magnitude number can't give (a shallow but
+    month-long slump reads worse here).  Daily totals reduce
+    distributedly; the running max + islands pass is O(days) vectorized
+    driver arithmetic.  Day indices are row positions in the daily
+    series (consecutive observed days), matching the SQL islands
+    replay."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "day": b["o_orderdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // 86_400_000_000,
+            "cents": np.round(b["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64)})
+        return f.groupby("day", as_index=False)["cents"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["cents"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("n_underwater_spells", "longest_days", "first_spell_day",
+            "total_underwater_days")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([0], dtype=np.int64)
+                             for c in cols})
+    merged = merged.sort_values("day").reset_index(drop=True)
+    cents = merged["cents"].to_numpy(dtype=np.int64)
+    days = merged["day"].to_numpy(dtype=np.int64)
+    run_max = np.maximum.accumulate(cents)
+    under = cents < run_max
+    # islands over consecutive OBSERVED days (row positions)
+    spells = []
+    start = None
+    for i, u in enumerate(under):
+        if u and start is None:
+            start = i
+        elif not u and start is not None:
+            spells.append((start, i - start))
+            start = None
+    if start is not None:
+        spells.append((start, len(under) - start))
+    n_spells = len(spells)
+    longest = max((ln for _, ln in spells), default=0)
+    first_day = int(days[spells[0][0]]) if spells else 0
+    return pd.DataFrame({
+        "n_underwater_spells": [np.int64(n_spells)],
+        "longest_days": [np.int64(longest)],
+        "first_spell_day": [np.int64(first_day)],
+        "total_underwater_days": [np.int64(int(under.sum()))]})

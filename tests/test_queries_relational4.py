@@ -445,3 +445,25 @@ def test_histogram_equidepth_beats_equiwidth(ray_session):
     # on this price distribution equi-depth should not be (much) worse
     assert int(df.loc["equi_depth", "sse_floor"]) \
         <= int(df.loc["equi_width", "sse_floor"]) * 2
+
+
+def test_drawdown_duration_islands(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        drawdown_duration_days_q,
+    )
+
+    df = drawdown_duration_days_q(SF)
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+    daily = pd.DataFrame({
+        "day": orders["o_orderdate"].astype("int64") // 86_400_000_000,
+        "cents": np.round(orders["o_totalprice"].to_numpy() * 100)
+        .astype(np.int64)}).groupby("day")["cents"].sum().sort_index()
+    under = (daily < daily.cummax()).to_numpy()
+    assert int(df["total_underwater_days"].iloc[0]) == int(under.sum())
+    # longest run replay
+    best = cur = 0
+    for u in under:
+        cur = cur + 1 if u else 0
+        best = max(best, cur)
+    assert int(df["longest_days"].iloc[0]) == best
