@@ -355,7 +355,7 @@ def run_suite() -> dict:
                  "length_sort_padding_audit", "fiscal_445_quarters",
                  "suppression_budget_for_k", "median_of_means_value",
                  "histogram_sse_comparison", "intrinsic_dim_twonn",
-                 "drawdown_duration_days",
+                 "drawdown_duration_days", "fano_factor_by_type",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

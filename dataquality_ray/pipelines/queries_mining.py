@@ -9202,3 +9202,67 @@ def intrinsic_dim_twonn_q(sf_dir: str):
     return pd.DataFrame({"n_points": [np.int64(m)],
                          "sum_lnmu_micro": [np.int64(total)],
                          "id_milli": [np.int64(id_milli)]})
+
+
+# ---------------------------------------------------------------------------
+# Fano factor (dispersion index) of daily counts per event type
+# ---------------------------------------------------------------------------
+
+@query("fano_factor_by_type", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, count(*)::HUGEINT AS k, sum(n)::HUGEINT AS s1,
+         sum(n::HUGEINT * n) AS s2
+  FROM d GROUP BY event_type
+)
+SELECT event_type, k::BIGINT AS n_days, s1::BIGINT AS total_events,
+       (CASE WHEN s1 = 0 THEN 0
+             ELSE ((k * s2 - s1 * s1) * 1000000) // (k * s1) END)
+         ::BIGINT AS fano_ppm
+FROM s ORDER BY event_type
+""")
+def fano_factor_by_type_q(sf_dir: str):
+    """Fano factor of daily event counts per type: variance / mean =
+    (k*S2 - S1^2) / (k*S1) in exact integer ppm — 1e6 means Poisson
+    (memoryless arrivals), above means clumping/bursts, below means
+    regularity — the arrival-process diagnostic behind burst detection
+    thresholds (companion to event_burstiness, which scores windows,
+    not the process).  Daily (type, day) cells are calendar-bounded
+    partials; the moments are O(types) driver arithmetic."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "event_type": b["event_type"].to_pylist(),
+            "day": b["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // 86_400_000_000,
+            "n": 1})
+        return f.groupby(["event_type", "day"], as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "day"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: types x days
+    cols = ("event_type", "n_days", "total_events", "fano_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    rows = []
+    for et, g in merged.groupby("event_type"):
+        n = g["n"].to_numpy(dtype=np.int64)
+        k, s1 = len(n), int(n.sum())
+        s2 = int((n.astype(object) * n.astype(object)).sum())
+        fano = 0 if s1 == 0 else (k * s2 - s1 * s1) * 1_000_000 \
+            // (k * s1)
+        rows.append((et, k, s1, fano))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)

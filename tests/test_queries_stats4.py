@@ -409,3 +409,22 @@ def test_twonn_id_reasonable(ray_session):
     assert int(df["sum_lnmu_micro"].iloc[0]) == total
     assert cnt == m
     assert expect <= total
+
+
+def test_fano_factor_replay(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        fano_factor_by_type_q,
+    )
+
+    df = fano_factor_by_type_q(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "ts"])
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    r = df.iloc[0]
+    n = ev[ev["event_type"] == r["event_type"]].groupby("day").size() \
+        .to_numpy(np.int64)
+    k, s1 = len(n), int(n.sum())
+    s2 = int((n.astype(object) ** 2).sum())
+    assert int(r["fano_ppm"]) == (k * s2 - s1 * s1) * 1_000_000 \
+        // (k * s1)
+    assert (df["fano_ppm"] >= 0).all()
