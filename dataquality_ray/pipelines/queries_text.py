@@ -7365,3 +7365,66 @@ def length_sort_padding_audit_q(sf_dir: str):
             [pad_a * 1_000_000 // (pad_a + toks_a),
              pad_b * 1_000_000 // (pad_b + toks_b)], dtype=np.int64)})
     return out.sort_values("order_mode").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness profile (collection frequency vs document frequency)
+# ---------------------------------------------------------------------------
+
+@query("token_burstiness_profile", sql=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+           coalesce(text, ''), '\s+'), x -> x <> '')) AS tok
+  FROM documents),
+c AS (SELECT tok, count(*)::BIGINT AS cf,
+             count(DISTINCT doc_id)::BIGINT AS df
+      FROM toks GROUP BY tok)
+SELECT tok, cf, df,
+       (cf * 1000000 // df)::BIGINT AS burstiness_ppm
+FROM c ORDER BY tok
+""")
+def token_burstiness_profile_q(sf_dir: str):
+    """Church-Gale burstiness per token: collection frequency over
+    document frequency — the mean occurrences per CONTAINING document;
+    near 1e6 means a token appears once wherever it appears (function-
+    word behavior), far above means topical clumping — the signal
+    behind burstiness-aware term weighting.  Per-batch (token, cf) and
+    distinct (token, doc) partials reduce through the guarded combine
+    (vocab x docs-bounded because a doc contributes each token once to
+    df)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cf: dict = {}
+        dfs: set = set()
+        for did, t in zip(b["doc_id"].to_pylist(),
+                          b["text"].to_pylist()):
+            seen = set()
+            for tok in (t or "").split():
+                cf[tok] = cf.get(tok, 0) + 1
+                if tok not in seen:
+                    seen.add(tok)
+                    dfs.add((tok, did))
+        rows = [(t, n, 0) for t, n in cf.items()]
+        rows += [(t, 0, 1) for t, _ in dfs]
+        f = pd.DataFrame(rows, columns=["tok", "cf", "df"])
+        return f.groupby("tok", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("tok", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: vocab
+    cols = ("tok", "cf", "df", "burstiness_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "tok": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    merged["burstiness_ppm"] = (merged["cf"].astype(np.int64)
+                                * 1_000_000
+                                // merged["df"].astype(np.int64))
+    for c in cols[1:]:
+        merged[c] = merged[c].astype(np.int64)
+    return merged.sort_values("tok").reset_index(drop=True)[list(cols)]

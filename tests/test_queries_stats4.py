@@ -428,3 +428,17 @@ def test_fano_factor_replay(ray_session):
     assert int(r["fano_ppm"]) == (k * s2 - s1 * s1) * 1_000_000 \
         // (k * s1)
     assert (df["fano_ppm"] >= 0).all()
+
+
+def test_token_burstiness_identities(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        token_burstiness_profile_q,
+    )
+
+    df = token_burstiness_profile_q(SF)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    total_tokens = sum(len((t or "").split()) for t in docs["text"])
+    assert int(df["cf"].sum()) == total_tokens
+    assert (df["df"] <= len(docs)).all()
+    assert (df["cf"] >= df["df"]).all()
+    assert (df["burstiness_ppm"] >= 1_000_000).all()
