@@ -356,7 +356,7 @@ def run_suite() -> dict:
                  "suppression_budget_for_k", "median_of_means_value",
                  "histogram_sse_comparison", "intrinsic_dim_twonn",
                  "drawdown_duration_days", "fano_factor_by_type",
-                 "token_burstiness_profile",
+                 "token_burstiness_profile", "tenure_activity_correlation",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

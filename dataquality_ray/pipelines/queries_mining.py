@@ -9266,3 +9266,76 @@ def fano_factor_by_type_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Tenure vs activity correlation across users
+# ---------------------------------------------------------------------------
+
+@query("tenure_activity_correlation", sql="""
+WITH u AS (
+  SELECT user_id,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS tenure,
+         count(*)::BIGINT AS activity
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT count(*)::BIGINT AS n, sum(tenure)::BIGINT AS sx,
+         sum(activity)::BIGINT AS sy,
+         sum(tenure * activity)::BIGINT AS sxy,
+         sum(tenure * tenure)::BIGINT AS sxx,
+         sum(activity * activity)::BIGINT AS syy
+  FROM u
+)
+SELECT n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS r
+FROM s
+""")
+def tenure_activity_correlation_q(sf_dir: str):
+    """Pearson correlation between user tenure (days between first and
+    last event) and activity (event count) — do long-lived users
+    actually do more? — with the exact-int-sums / one-float-chain
+    convention (event_type_correlation), so r is bit-identical to the
+    SQL replay.  Per-user (min, max, count) partials are mergeable and
+    user-bounded through the guarded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "mn": us, "mx": us, "n": 1})
+        return f.groupby("user_id", as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"), n=("n", "sum"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("user_id", as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"), n=("n", "sum"))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #users; groupby twin is the scale path
+    if merged is None or not len(merged):
+        return pd.DataFrame({"n": pd.Series([], dtype=np.int64),
+                             "r": pd.Series([], dtype=np.float64)})
+    tenure = ((merged["mx"].astype(np.int64)
+               - merged["mn"].astype(np.int64))
+              // 86_400_000_000).to_numpy(dtype=np.int64)
+    act = merged["n"].to_numpy(dtype=np.int64)
+    n = len(merged)
+    sx, sy = int(tenure.sum()), int(act.sum())
+    sxy = int((tenure * act).sum())
+    sxx = int((tenure * tenure).sum())
+    syy = int((act * act).sum())
+    import math
+
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    r = (float(n * sxy - sx * sy)
+         / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+         if vx > 0 and vy > 0 else None)
+    return pd.DataFrame({"n": [np.int64(n)],
+                         "r": pd.Series([r], dtype=np.float64)})
