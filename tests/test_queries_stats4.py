@@ -442,3 +442,30 @@ def test_token_burstiness_identities(ray_session):
     assert (df["df"] <= len(docs)).all()
     assert (df["cf"] >= df["df"]).all()
     assert (df["burstiness_ppm"] >= 1_000_000).all()
+
+
+def test_tenure_activity_correlation_replay(ray_session):
+    import math
+
+    from dataquality_ray.pipelines.queries_mining import (
+        tenure_activity_correlation_q,
+    )
+
+    df = tenure_activity_correlation_q(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts"])
+    us = ev["ts"].astype("int64")
+    g = ev.assign(us=us).groupby("user_id")["us"].agg(
+        ["min", "max", "size"])
+    tenure = ((g["max"] - g["min"]) // 86_400_000_000).to_numpy(np.int64)
+    act = g["size"].to_numpy(np.int64)
+    n = len(g)
+    sx, sy = int(tenure.sum()), int(act.sum())
+    sxy = int((tenure * act).sum())
+    sxx = int((tenure ** 2).sum())
+    syy = int((act ** 2).sum())
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    expect = (float(n * sxy - sx * sy)
+              / (math.sqrt(float(vx)) * math.sqrt(float(vy))))
+    assert int(df["n"].iloc[0]) == n
+    assert df["r"].iloc[0] == expect
