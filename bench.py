@@ -357,6 +357,9 @@ def run_suite() -> dict:
                  "histogram_sse_comparison", "intrinsic_dim_twonn",
                  "drawdown_duration_days", "fano_factor_by_type",
                  "token_burstiness_profile", "tenure_activity_correlation",
+                 "winnowing_fingerprints", "temperature_mixture_weights",
+                 "kmv_intersection_estimate",
+                 "selectivity_independence_audit",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -1,0 +1,389 @@
+"""Corpus-engineering operators, round-4 continuation batch: MOSS-style
+winnowing fingerprints, temperature-scaled mixture weights, KMV set-
+intersection sketch, and an optimizer-style selectivity-independence audit.
+
+House rules (same as the other queries_* modules): every operator is a
+Ray Data pipeline whose result is bit-identical to its DuckDB oracle —
+exact integer arithmetic everywhere, floats only as a single
+correctly-rounded op chain; per-batch partials flow through the guarded
+driver combine with the key-space boundedness stated at the assert.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataquality_ray.pipelines.registry import query
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _sha64(s: str) -> int:
+    """First 8 bytes of sha256 as an unsigned 64-bit int — the
+    SQL-replicable token hash convention shared with doc_fingerprint
+    (('0x' || substr(sha256(s),1,16))::UBIGINT on the DuckDB side)."""
+    return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm): k-gram hashes, then the minimum of each sliding window of w
+# consecutive hashes; the distinct window-minima are the document's
+# fingerprint set.  Guarantees every shared substring of >= w+k-1 tokens
+# produces a shared fingerprint — the plagiarism/dup-span detector that
+# needs ~1/w the storage of full k-gram shingling.
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  # tokens per gram
+_WIN_W = 4  # grams per window
+
+
+@query("winnowing_fingerprints", sql=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, len(t) - {_WIN_K - 1} AS ng, u.i,
+         ('0x' || substr(sha256(t[u.i] || ' ' || t[u.i+1] || ' ' ||
+                                 t[u.i+2]), 1, 16))::UBIGINT AS h
+  FROM toks, unnest(range(1, len(t) - {_WIN_K - 2})) AS u(i)
+), wmin AS (
+  SELECT doc_id, ng, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW
+                      AND {_WIN_W - 1} FOLLOWING) AS fp
+  FROM grams
+), sel AS (
+  SELECT doc_id, fp FROM wmin WHERE i <= greatest(ng - {_WIN_W - 1}, 1)
+), per AS (
+  SELECT doc_id, count(DISTINCT fp)::BIGINT AS n_fps, min(fp) AS mfp
+  FROM sel GROUP BY doc_id
+)
+SELECT t.doc_id,
+       greatest(len(t.t) - {_WIN_K - 1}, 0)::BIGINT AS n_grams,
+       coalesce(p.n_fps, 0)::BIGINT AS n_fps,
+       coalesce(CASE WHEN p.mfp >= 9223372036854775808::UBIGINT
+                     THEN ((p.mfp::HUGEINT) - 18446744073709551616)::BIGINT
+                     ELSE p.mfp::BIGINT END, 0)::BIGINT AS min_fp
+FROM toks t LEFT JOIN per p USING (doc_id)
+ORDER BY doc_id
+""")
+def winnowing_q(sf_dir: str):
+    """MOSS winnowing over whitespace tokens: sha64 3-gram hashes, window
+    min over w=4 consecutive grams (a document shorter than one window
+    contributes the min of all its grams — 'robust winnowing').  The
+    window-min pass is a vectorized numpy sliding_window_view; the sha
+    hashing is the oracle-pinned chain (the splitmix64 rolling kernel in
+    stages/minhash.py is the same shape's scale path).  Stateless
+    map_batches, no shuffle; output is one row per document."""
+    sw = np.lib.stride_tricks.sliding_window_view
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        out = []
+        for did, txt in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+            toks = (txt or "").split()
+            ng = max(len(toks) - (_WIN_K - 1), 0)
+            if ng == 0:
+                out.append((did, 0, 0, 0))
+                continue
+            hs = np.fromiter(
+                (_sha64(" ".join(toks[i:i + _WIN_K])) for i in range(ng)),
+                dtype=np.uint64, count=ng)
+            if ng <= _WIN_W:
+                mins = hs.min(keepdims=True)
+            else:
+                mins = sw(hs, _WIN_W).min(axis=1)
+            fps = np.unique(mins)
+            out.append((did, ng, len(fps),
+                        int(fps.min().astype(np.int64))))
+        return pd.DataFrame(out, columns=["doc_id", "n_grams", "n_fps",
+                                          "min_fp"])
+
+    df = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(part, batch_format="pyarrow")
+          .to_pandas())
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_grams", "n_fps", "min_fp"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (multilingual-LM data mixing: weight
+# each source by count^(1/T), T=2, so small sources are up-weighted
+# relative to proportional sampling).  All integer: floor(sqrt(n)) is
+# exact for BIGINT counts (a correctly-rounded double sqrt of a non-square
+# integer can never land on an integer), ppm shares are floor divisions.
+# ---------------------------------------------------------------------------
+
+@query("temperature_mixture_weights", sql="""
+WITH c AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+), s AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(n_docs)) AS BIGINT) AS sqrt_n
+  FROM c
+)
+SELECT source, n_docs, sqrt_n,
+       (n_docs * 1000000 // (SELECT sum(n_docs) FROM s))::BIGINT
+         AS prop_ppm,
+       (sqrt_n * 1000000 // (SELECT sum(sqrt_n) FROM s))::BIGINT
+         AS weight_ppm
+FROM s ORDER BY source
+""")
+def temperature_mixture_q(sf_dir: str):
+    """Per-source sampling weights at temperature T=2 (w_s ∝ sqrt(n_s)),
+    next to the proportional baseline — the knob that decides how hard a
+    pretraining mixture up-samples small sources.  One bounded-key
+    guarded combine (sources), integer sqrt via math.isqrt, two floor
+    divisions; zero shuffles."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": batch["source"].to_pylist(), "n": 1})
+        return f.groupby("source", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: source universe
+    cols = ("source", "n_docs", "sqrt_n", "prop_ppm", "weight_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    merged = merged.sort_values("source").reset_index(drop=True)
+    n = merged["n"].to_numpy(dtype=np.int64)
+    sq = np.array([math.isqrt(int(v)) for v in n], dtype=np.int64)
+    tot_n, tot_sq = int(n.sum()), int(sq.sum())
+    return pd.DataFrame({
+        "source": merged["source"],
+        "n_docs": n,
+        "sqrt_n": sq,
+        "prop_ppm": np.array([int(v) * 1000000 // tot_n for v in n],
+                             dtype=np.int64),
+        "weight_ppm": np.array([int(v) * 1000000 // tot_sq for v in sq],
+                               dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) set-intersection sketch between the
+# even-doc and odd-doc token-bigram sets: the mergeable sketch that
+# estimates |A ∪ B|, |A ∩ B| and Jaccard from 2×k hashes instead of the
+# full sets (Beyer et al., SIGMOD'07).  Exact counts run alongside so the
+# row is also its own accuracy audit.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+@query("kmv_intersection_estimate", sql=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, t[u.i] || ' ' || t[u.i+1] AS bg
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), e AS (
+  SELECT bg, ('0x' || substr(sha256(bg), 1, 16))::UBIGINT AS h,
+         max((doc_id % 2 = 0)::INT) AS ina,
+         max((doc_id % 2 = 1)::INT) AS inb
+  FROM g GROUP BY bg
+), ku AS (
+  SELECT h, ina, inb, row_number() OVER (ORDER BY h) AS r FROM e
+), ka AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS r FROM e WHERE ina = 1
+), kb AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS r FROM e WHERE inb = 1
+), dims AS (
+  SELECT least({_KMV_K}, (SELECT count(*) FROM e)) AS k_eff,
+         (SELECT h FROM ku WHERE r = least({_KMV_K},
+                                           (SELECT count(*) FROM e))) AS kth,
+         (SELECT count(*) FROM ku
+           WHERE r <= least({_KMV_K}, (SELECT count(*) FROM e))
+             AND h IN (SELECT h FROM ka WHERE r <= {_KMV_K})
+             AND h IN (SELECT h FROM kb WHERE r <= {_KMV_K})) AS matches,
+         (SELECT count(*) FROM e) AS exact_union,
+         (SELECT count(*) FROM e WHERE ina = 1 AND inb = 1) AS exact_inter
+)
+SELECT k_eff::BIGINT AS k_eff, matches::BIGINT AS matches,
+       (matches * 1000000 // k_eff)::BIGINT AS jaccard_ppm,
+       (((k_eff - 1)::HUGEINT * 18446744073709551616)
+          // kth::HUGEINT)::BIGINT AS union_est,
+       ((((k_eff - 1)::HUGEINT * 18446744073709551616) // kth::HUGEINT)
+          * matches // k_eff)::BIGINT AS inter_est,
+       exact_union::BIGINT AS exact_union,
+       exact_inter::BIGINT AS exact_inter,
+       (exact_inter * 1000000 // exact_union)::BIGINT AS exact_jaccard_ppm
+FROM dims
+""")
+def kmv_intersection_q(sf_dir: str):
+    """Bottom-k sketch intersection: X = k smallest hashes of A ∪ B,
+    matches = |{h ∈ X : h ∈ sketch(A) ∧ h ∈ sketch(B)}|, Jaccard ≈
+    matches/k, |A ∪ B| ≈ (k-1)·2^64/h_(k), |A ∩ B| ≈ union_est ·
+    matches/k — all floor-division integer arithmetic on sha64 hashes.
+    The per-batch partial emits distinct (bigram, side-flags); the
+    guarded combine is bounded by the bigram vocabulary."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        rows = {}
+        for did, txt in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+            toks = (txt or "").split()
+            a = did % 2 == 0
+            for i in range(len(toks) - 1):
+                bg = toks[i] + " " + toks[i + 1]
+                fa, fb = rows.get(bg, (0, 0))
+                rows[bg] = (fa | int(a), fb | int(not a))
+        return pd.DataFrame(
+            [(bg, fa, fb) for bg, (fa, fb) in rows.items()],
+            columns=["bg", "ina", "inb"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("bg", as_index=False)[["ina", "inb"]].max()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: token-bigram vocabulary
+    cols = ("k_eff", "matches", "jaccard_ppm", "union_est", "inter_est",
+            "exact_union", "exact_inter", "exact_jaccard_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    h = np.fromiter((_sha64(bg) for bg in merged["bg"]),
+                    dtype=np.uint64, count=len(merged))
+    ina = merged["ina"].to_numpy(dtype=np.int64)
+    inb = merged["inb"].to_numpy(dtype=np.int64)
+    order = np.argsort(h, kind="stable")
+    k_eff = min(_KMV_K, len(h))
+    union_sk = h[order[:k_eff]]
+    kth = int(union_sk[-1])
+    a_sk = set(np.sort(h[ina == 1])[:_KMV_K].tolist())
+    b_sk = set(np.sort(h[inb == 1])[:_KMV_K].tolist())
+    matches = sum(1 for v in union_sk.tolist() if v in a_sk and v in b_sk)
+    exact_union = len(h)
+    exact_inter = int(((ina == 1) & (inb == 1)).sum())
+    union_est = (k_eff - 1) * (1 << 64) // kth
+    return pd.DataFrame({
+        "k_eff": [np.int64(k_eff)],
+        "matches": [np.int64(matches)],
+        "jaccard_ppm": [np.int64(matches * 1000000 // k_eff)],
+        "union_est": [np.int64(union_est)],
+        "inter_est": [np.int64(union_est * matches // k_eff)],
+        "exact_union": [np.int64(exact_union)],
+        "exact_inter": [np.int64(exact_inter)],
+        "exact_jaccard_ppm": [np.int64(
+            exact_inter * 1000000 // exact_union)]})
+
+
+# ---------------------------------------------------------------------------
+# Selectivity-independence audit: the optimizer assumption sel(p∧q) =
+# sel(p)·sel(q) checked against the true conjunction counts — the per-pair
+# error is exactly what a cardinality estimator's correlated-predicate
+# bias looks like.  One streaming pass, eight integer counters.
+# ---------------------------------------------------------------------------
+
+_SEL_PRICE = 150000.0
+
+
+@query("selectivity_independence_audit", sql=f"""
+WITH f AS (
+  SELECT (o_orderstatus = 'F') AS a,
+         (o_orderpriority = '1-URGENT') AS b,
+         (o_totalprice > {_SEL_PRICE}) AS c
+  FROM orders
+), agg AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(a::INT)::HUGEINT AS n1, sum(b::INT)::HUGEINT AS n2,
+         sum(c::INT)::HUGEINT AS n3,
+         sum((a AND b)::INT)::HUGEINT AS n12,
+         sum((a AND c)::INT)::HUGEINT AS n13,
+         sum((b AND c)::INT)::HUGEINT AS n23,
+         sum((a AND b AND c)::INT)::HUGEINT AS n123
+  FROM f
+)
+SELECT * FROM (
+  SELECT 'p1p2' AS pred_set,
+         (n1 * n2 * 1000000 // (n * n))::BIGINT AS est_ppm,
+         (n12 * 1000000 // n)::BIGINT AS act_ppm FROM agg
+  UNION ALL SELECT 'p1p3',
+         (n1 * n3 * 1000000 // (n * n))::BIGINT,
+         (n13 * 1000000 // n)::BIGINT FROM agg
+  UNION ALL SELECT 'p2p3',
+         (n2 * n3 * 1000000 // (n * n))::BIGINT,
+         (n23 * 1000000 // n)::BIGINT FROM agg
+  UNION ALL SELECT 'p1p2p3',
+         (n1 * n2 * n3 * 1000000 // (n * n * n))::BIGINT,
+         (n123 * 1000000 // n)::BIGINT FROM agg
+) t
+ORDER BY pred_set
+""")
+def selectivity_audit_q(sf_dir: str):
+    """Independence-assumption audit over three orders predicates
+    (status='F', priority='1-URGENT', totalprice>150000): estimated
+    conjunction selectivity under independence vs the actual, in ppm.
+    Python ints carry the n1·n2·n3·1e6 products exactly (the SQL twin
+    uses HUGEINT); the whole operator is one map_batches counter pass."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        a = pc.equal(batch["o_orderstatus"], "F").to_numpy(
+            zero_copy_only=False)
+        b = pc.equal(batch["o_orderpriority"], "1-URGENT").to_numpy(
+            zero_copy_only=False)
+        c = pc.greater(batch["o_totalprice"], _SEL_PRICE).to_numpy(
+            zero_copy_only=False)
+        return pd.DataFrame({
+            "n": [len(a)], "n1": [int(a.sum())], "n2": [int(b.sum())],
+            "n3": [int(c.sum())], "n12": [int((a & b).sum())],
+            "n13": [int((a & c).sum())], "n23": [int((b & c).sum())],
+            "n123": [int((a & b & c).sum())]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.sum().to_frame().T
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders",
+              ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: one counter row per batch
+    if merged is None or not len(merged):
+        return pd.DataFrame({"pred_set": pd.Series([], dtype=object),
+                             "est_ppm": pd.Series([], dtype=np.int64),
+                             "act_ppm": pd.Series([], dtype=np.int64)})
+    t = merged.sum()
+    n = int(t["n"])
+    n1, n2, n3 = int(t["n1"]), int(t["n2"]), int(t["n3"])
+    n12, n13, n23, n123 = (int(t["n12"]), int(t["n13"]), int(t["n23"]),
+                           int(t["n123"]))
+    rows = [
+        ("p1p2", n1 * n2 * 1000000 // (n * n), n12 * 1000000 // n),
+        ("p1p2p3", n1 * n2 * n3 * 1000000 // (n * n * n),
+         n123 * 1000000 // n),
+        ("p1p3", n1 * n3 * 1000000 // (n * n), n13 * 1000000 // n),
+        ("p2p3", n2 * n3 * 1000000 // (n * n), n23 * 1000000 // n),
+    ]
+    out = pd.DataFrame(rows, columns=["pred_set", "est_ppm", "act_ppm"])
+    out["est_ppm"] = out["est_ppm"].astype(np.int64)
+    out["act_ppm"] = out["act_ppm"].astype(np.int64)
+    return out.sort_values("pred_set").reset_index(drop=True)

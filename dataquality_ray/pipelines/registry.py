@@ -46,6 +46,7 @@ def _load():
         return
     from dataquality_ray.pipelines import (  # noqa: F401
         queries_code,
+        queries_corpus,
         queries_mining,
         queries_dimensions,
         queries_text,
