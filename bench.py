@@ -360,6 +360,8 @@ def run_suite() -> dict:
                  "winnowing_fingerprints", "temperature_mixture_weights",
                  "kmv_intersection_estimate",
                  "selectivity_independence_audit",
+                 "kneser_ney_bigram", "linear_counting_distinct",
+                 "url_dedup_inflation", "knn_outlier_scores",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

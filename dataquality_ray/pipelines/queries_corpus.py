@@ -387,3 +387,315 @@ def selectivity_audit_q(sf_dir: str):
     out["est_ppm"] = out["est_ppm"].astype(np.int64)
     out["act_ppm"] = out["act_ppm"].astype(np.int64)
     return out.sort_values("pred_set").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram probabilities (d = 3/4): the interpolated-KN
+# estimate every modern n-gram LM uses — discounted bigram evidence plus a
+# continuation-probability backoff.  With the discount fixed at 3/4 the
+# whole probability is one exact rational: scale by 4, put everything over
+# the common denominator 4 * c(w1) * n_types.
+# ---------------------------------------------------------------------------
+
+@query("kneser_ney_bigram", sql="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT t[u.i] AS w1, t[u.i+1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), c AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2
+), l AS (
+  SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1w1
+  FROM c GROUP BY 1
+), r AS (
+  SELECT w2, count(*)::BIGINT AS ncont FROM c GROUP BY 1
+), t AS (
+  SELECT count(*)::BIGINT AS ntypes FROM c
+)
+SELECT w1, w2, c12,
+       ((((4 * c12 - 3)::HUGEINT * ntypes + 3 * n1w1 * ncont) * 1000000)
+         // (4::HUGEINT * c1 * ntypes))::BIGINT AS pkn_ppm
+FROM c JOIN l USING (w1) JOIN r USING (w2), t
+ORDER BY pkn_ppm DESC, w1, w2 LIMIT 50
+""")
+def kneser_ney_q(sf_dir: str):
+    """Top-50 bigrams by interpolated Kneser-Ney probability:
+    P_KN(w2|w1) = max(c12-d,0)/c1 + d*N1+(w1.)/c1 * N1+(.w2)/n_types with
+    d=3/4 — ppm = floor(1e6*((4*c12-3)*n_types + 3*N1w1*Ncont_w2) /
+    (4*c1*n_types)), all Python-int exact (HUGEINT in the twin).  One
+    guarded combine bounded by the bigram vocabulary; the left/right
+    marginals and continuation counts are driver-side frame ops."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        rows = {}
+        for txt in batch["text"].to_pylist():
+            toks = (txt or "").split()
+            for i in range(len(toks) - 1):
+                k = (toks[i], toks[i + 1])
+                rows[k] = rows.get(k, 0) + 1
+        return pd.DataFrame(
+            [(w1, w2, c) for (w1, w2), c in rows.items()],
+            columns=["w1", "w2", "c12"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["w1", "w2"], as_index=False)["c12"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: token-bigram vocabulary
+    cols = ("w1", "w2", "c12", "pkn_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                             "w2": pd.Series([], dtype=object),
+                             "c12": pd.Series([], dtype=np.int64),
+                             "pkn_ppm": pd.Series([], dtype=np.int64)})
+    c1 = merged.groupby("w1")["c12"].sum().to_dict()
+    n1w1 = merged.groupby("w1")["w2"].size().to_dict()
+    ncont = merged.groupby("w2")["w1"].size().to_dict()
+    ntypes = len(merged)
+    ppm = [
+        ((4 * int(c) - 3) * ntypes
+         + 3 * int(n1w1[w1]) * int(ncont[w2])) * 1000000
+        // (4 * int(c1[w1]) * ntypes)
+        for w1, w2, c in zip(merged["w1"], merged["w2"], merged["c12"])]
+    out = pd.DataFrame({"w1": merged["w1"], "w2": merged["w2"],
+                        "c12": merged["c12"].astype(np.int64),
+                        "pkn_ppm": np.array(ppm, dtype=np.int64)})
+    out = out.sort_values(["pkn_ppm", "w1", "w2"],
+                          ascending=[False, True, True]).head(50)
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Linear counting (Whang et al. '90): the small-cardinality distinct
+# sketch — hash every element into an m-slot bitmap and estimate
+# n ≈ m * ln(m / empty_slots).  The regime where HLL's estimator is
+# biased is exactly where linear counting is near-exact.
+# ---------------------------------------------------------------------------
+
+_LC_M = 1024
+
+
+@query("linear_counting_distinct", sql=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT DISTINCT t[u.i] || ' ' || t[u.i+1] AS bg
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), slots AS (
+  SELECT count(DISTINCT ('0x' || substr(sha256(bg), 1, 16))::UBIGINT
+                        % {_LC_M}) AS occupied,
+         count(*) AS exact_distinct
+  FROM g
+)
+SELECT {_LC_M}::BIGINT AS m, occupied::BIGINT AS occupied,
+       ({_LC_M} - occupied)::BIGINT AS empty_slots,
+       CAST(floor({_LC_M} * ln({_LC_M}::DOUBLE / ({_LC_M} - occupied))
+                  * 1000) AS BIGINT) AS lc_est_milli,
+       exact_distinct::BIGINT AS exact_distinct,
+       (CAST(floor({_LC_M} * ln({_LC_M}::DOUBLE / ({_LC_M} - occupied))
+                   * 1000) AS BIGINT) - exact_distinct * 1000)::BIGINT
+         AS err_milli
+FROM slots
+""")
+def linear_counting_q(sf_dir: str):
+    """Linear-counting distinct estimate of the token-bigram vocabulary
+    (m=1024 slots, sha64 hash mod m) next to the exact count — the
+    mergeable bitmap is a per-batch bool[m] OR-reduce, so the partial is
+    m bits regardless of input size.  lc_est_milli floors the single
+    ln(m/empty) op chain once (the floor-ln convention used across this
+    repo's estimators)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        seen = set()
+        for txt in batch["text"].to_pylist():
+            toks = (txt or "").split()
+            for i in range(len(toks) - 1):
+                seen.add(toks[i] + " " + toks[i + 1])
+        return pd.DataFrame({"bg": sorted(seen)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates("bg")
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: token-bigram vocabulary
+    cols = ("m", "occupied", "empty_slots", "lc_est_milli",
+            "exact_distinct", "err_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    slots = np.zeros(_LC_M, dtype=bool)
+    for bg in merged["bg"]:
+        slots[_sha64(bg) % _LC_M] = True
+    occupied = int(slots.sum())
+    exact = len(merged)
+    empty = _LC_M - occupied
+    est = math.floor(_LC_M * math.log(_LC_M / empty) * 1000)
+    return pd.DataFrame({
+        "m": [np.int64(_LC_M)], "occupied": [np.int64(occupied)],
+        "empty_slots": [np.int64(empty)],
+        "lc_est_milli": [np.int64(est)],
+        "exact_distinct": [np.int64(exact)],
+        "err_milli": [np.int64(est - exact * 1000)]})
+
+
+# ---------------------------------------------------------------------------
+# Per-domain URL dedup inflation: raw URL variants vs canonical URLs per
+# domain — the crawl-frontier health metric that says which hosts multiply
+# into scheme/www/slash/query variants worst.
+# ---------------------------------------------------------------------------
+
+from dataquality_ray.pipelines.queries_web import (  # noqa: E402
+    _CANON_SQL,
+    _DOMAIN_SQL,
+    _URL_SQL,
+)
+
+
+@query("url_dedup_inflation", sql=f"""
+WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+c AS (SELECT {_DOMAIN_SQL} AS domain, url AS raw,
+             {_CANON_SQL} AS canonical
+      FROM u)
+SELECT domain, count(DISTINCT raw)::BIGINT AS n_raw,
+       count(DISTINCT canonical)::BIGINT AS n_canonical,
+       (count(DISTINCT raw) * 1000000
+          // count(DISTINCT canonical))::BIGINT AS inflation_ppm
+FROM c GROUP BY domain ORDER BY domain
+""")
+def url_dedup_inflation_q(sf_dir: str):
+    """Per-domain raw-vs-canonical URL counts and the inflation ratio in
+    ppm (raw*1e6 // canonical) over the planted URL column, sharing the
+    RE2 canonicalizer with url_canonical_dedup.  Domain keys are
+    crawl-bounded; the distinct-URL partials are per-domain sets folded
+    through the guarded combine."""
+    from dataquality_ray.pipelines.queries_web import (
+        canonicalize_url_batch,
+        plant_url_batch,
+    )
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        u = plant_url_batch(batch)
+        canonical, domain = canonicalize_url_batch(u["url"])
+        f = pd.DataFrame({"domain": domain.to_pylist(),
+                          "raw": u["url"].to_pylist(),
+                          "canonical": canonical.to_pylist()})
+        return f.drop_duplicates()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: planted URL universe (doc_id%100 x source x 20)
+    if merged is None or not len(merged):
+        return pd.DataFrame({"domain": pd.Series([], dtype=object),
+                             "n_raw": pd.Series([], dtype=np.int64),
+                             "n_canonical": pd.Series([], dtype=np.int64),
+                             "inflation_ppm": pd.Series([], dtype=np.int64)})
+    g = merged.groupby("domain").agg(
+        n_raw=("raw", "nunique"), n_canonical=("canonical", "nunique"))
+    g = g.reset_index().sort_values("domain").reset_index(drop=True)
+    g["n_raw"] = g["n_raw"].astype(np.int64)
+    g["n_canonical"] = g["n_canonical"].astype(np.int64)
+    g["inflation_ppm"] = (
+        g["n_raw"].astype(object).map(int) * 1000000
+        // g["n_canonical"].astype(object).map(int)).astype(np.int64)
+    return g
+
+
+# ---------------------------------------------------------------------------
+# kNN-distance outlier scores on the quantized embedding grid: each
+# point's squared distance to its 3rd nearest neighbor (the classic
+# Ramaswamy/Rastogi/Shim top-n outlier score), top 20 by score.  Exact
+# integer distances on the floor(x*1000) grid, the same convention as
+# intrinsic_dim_twonn.
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+_KNN_TOP = 20
+
+
+@query("knn_outlier_scores", sql=f"""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT e.vec_id, idx.i,
+             CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM embeddings e, idx),
+d AS (
+  SELECT a.vec_id AS sid, b.vec_id AS oid,
+         sum((a.v - b.v) * (a.v - b.v))::HUGEINT AS d2
+  FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+), rk AS (
+  SELECT sid, d2,
+         row_number() OVER (PARTITION BY sid ORDER BY d2, oid) AS r
+  FROM d
+)
+SELECT sid AS vec_id, d2::BIGINT AS knn_d2
+FROM rk WHERE r = {_KNN_K}
+ORDER BY knn_d2 DESC, vec_id LIMIT {_KNN_TOP}
+""")
+def knn_outlier_q(sf_dir: str):
+    """Top-{_KNN_TOP} outliers by 3rd-NN squared distance.  The engine
+    broadcasts the full quantized matrix once (ray.put) and each batch
+    computes its rows' exact integer distance profile with one
+    |a|^2+|b|^2-2ab int64 matmul + np.partition — the brute-force
+    baseline; stages/ann.py's IVF/LSH variants are the beyond-memory
+    scale path for the same score.  The 3rd order statistic of the d2
+    multiset is tie-order independent, so numpy's partition and the
+    SQL (d2, oid) row_number agree exactly."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    g = np.floor(np.stack(emb["embedding"].to_numpy())
+                 .astype(np.float64) * 1000.0).astype(np.int64)
+    gids = emb["vec_id"].to_numpy(dtype=np.int64)
+    ref = ray.put((g, gids, (g * g).sum(axis=1)))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        from dataquality_ray.stages.ann import _stack_embeddings
+        gm, gid, gsq = ray.get(ref)
+        x = np.floor(_stack_embeddings(batch, "embedding")
+                     .astype(np.float64) * 1000.0).astype(np.int64)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = ((x * x).sum(axis=1)[:, None] + gsq[None, :]
+              - 2 * (x @ gm.T))
+        d2[vid[:, None] == gid[None, :]] = np.iinfo(np.int64).max
+        kth = np.partition(d2, _KNN_K - 1, axis=1)[:, _KNN_K - 1]
+        return pd.DataFrame({"vec_id": vid, "knn_d2": kth})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return (f.sort_values(["knn_d2", "vec_id"],
+                              ascending=[False, True]).head(_KNN_TOP))
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: top-k rows per batch survive the fold
+    if merged is None or not len(merged):
+        return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                             "knn_d2": pd.Series([], dtype=np.int64)})
+    out = (merged.sort_values(["knn_d2", "vec_id"],
+                              ascending=[False, True])
+           .head(_KNN_TOP).reset_index(drop=True))
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["knn_d2"] = out["knn_d2"].astype(np.int64)
+    return out
