@@ -362,6 +362,8 @@ def run_suite() -> dict:
                  "selectivity_independence_audit",
                  "kneser_ney_bigram", "linear_counting_distinct",
                  "url_dedup_inflation", "knn_outlier_scores",
+                 "weekly_dft_power", "hampel_outlier_days",
+                 "time_decay_attribution", "jaro_winkler_token_pairs",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

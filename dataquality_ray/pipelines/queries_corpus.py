@@ -699,3 +699,323 @@ def knn_outlier_q(sf_dir: str):
     out["vec_id"] = out["vec_id"].astype(np.int64)
     out["knn_d2"] = out["knn_d2"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Weekly DFT power of the order-arrival series — the single-bin discrete
+# Fourier transform at period 7 computed from day-of-week residue sums, so
+# the whole spectral statistic is EXACT integer arithmetic: the cos/sin
+# coefficients are pinned dyadic rationals (round(f(2*pi*r/7) * 2^20)),
+# every product and the squared magnitude stay in Python ints / HUGEINT.
+# ---------------------------------------------------------------------------
+
+_DFT_COS = [1048576, 653776, -233330, -944734, -944734, -233330, 653776]
+_DFT_SIN = [0, 819810, 1022286, 454960, -454960, -1022286, -819810]
+
+
+def _dft_terms(col: str) -> tuple[str, str]:
+    re = " + ".join(f"({_DFT_COS[r]} * s{r})" for r in range(7))
+    im = " + ".join(f"({_DFT_SIN[r]} * s{r})" for r in range(7))
+    return re, im
+
+
+_DFT_RE, _DFT_IM = _dft_terms("s")
+
+
+@query("weekly_dft_power", sql=f"""
+WITH d AS (
+  SELECT (o_orderdate::DATE - DATE '1970-01-01') % 7 AS r,
+         count(*)::BIGINT AS n
+  FROM orders GROUP BY 1
+), piv AS (
+  SELECT {', '.join(f"coalesce(sum(CASE WHEN r = {r} THEN n END), 0)"
+                    f"::BIGINT AS s{r}" for r in range(7))}
+  FROM d
+)
+SELECT s0, s1, s2, s3, s4, s5, s6,
+       ({_DFT_RE})::BIGINT AS re_q20,
+       ({_DFT_IM})::BIGINT AS im_q20,
+       ((({_DFT_RE})::HUGEINT * ({_DFT_RE}) +
+         ({_DFT_IM})::HUGEINT * ({_DFT_IM})) // 1099511627776)::BIGINT
+         AS power_q20
+FROM piv
+""")
+def weekly_dft_power_q(sf_dir: str):
+    """Power of the 7-day spectral line in order arrivals: bucket orders
+    by epoch-day mod 7 (seven bounded keys through the guarded combine),
+    then Re/Im = sum of residue counts x dyadic cos/sin constants in a
+    FIXED summation order — every term is an exact int64 product, the
+    squared magnitude is a Python int (HUGEINT in the twin) floored back
+    to Q20 fixed point.  No floats anywhere."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        us = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        f = pd.DataFrame({"r": (us // 86_400_000_000) % 7, "n": 1})
+        return f.groupby("r", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("r", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 7 residues
+    s = [0] * 7
+    if merged is not None and len(merged):
+        for r, n in zip(merged["r"], merged["n"]):
+            s[int(r)] = int(n)
+    re = sum(_DFT_COS[r] * s[r] for r in range(7))
+    im = sum(_DFT_SIN[r] * s[r] for r in range(7))
+    power = (re * re + im * im) // (1 << 40)
+    out = {f"s{r}": [np.int64(s[r])] for r in range(7)}
+    out["re_q20"] = [np.int64(re)]
+    out["im_q20"] = [np.int64(im)]
+    out["power_q20"] = [np.int64(power)]
+    return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# Hampel filter over the daily order-count series: flag days where
+# |x - rolling_median| > 3 * rolling_MAD, both statistics discrete
+# (quantile_disc) over the +-3-row window of observed days — the robust
+# despiking filter, all integer comparisons.
+# ---------------------------------------------------------------------------
+
+_HAMPEL_K = 3
+
+
+@query("hampel_outlier_days", sql=f"""
+WITH d AS (
+  SELECT o_orderdate AS day, count(*)::BIGINT AS x FROM orders GROUP BY 1
+), o AS (
+  SELECT day, x, row_number() OVER (ORDER BY day) AS r FROM d
+), w AS (
+  SELECT a.r, a.day, a.x, quantile_disc(b.x, 0.5) AS med
+  FROM o a JOIN o b ON b.r BETWEEN a.r - 3 AND a.r + 3
+  GROUP BY a.r, a.day, a.x
+), m AS (
+  SELECT w.r, w.day, w.x, w.med,
+         quantile_disc(abs(b.x - w.med), 0.5) AS mad
+  FROM w JOIN o b ON b.r BETWEEN w.r - 3 AND w.r + 3
+  GROUP BY w.r, w.day, w.x, w.med
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, x,
+       med::BIGINT AS med, mad::BIGINT AS mad
+FROM m WHERE abs(x - med) > {_HAMPEL_K} * mad
+ORDER BY day
+""")
+def hampel_outlier_days_q(sf_dir: str):
+    """Hampel spike filter on daily order counts (window = 7 observed
+    days centered, truncated at the edges; discrete medians via the
+    ceil(q*n)-1 rank convention shared with the other quantile_disc
+    oracles).  Day counts are a bounded guarded combine; the rolling
+    medians run driver-side over the <=2.5k-day series."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = pc.strftime(batch["o_orderdate"], format="%Y-%m-%d")
+        f = pd.DataFrame({"day": day.to_pylist(), "x": 1})
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("day", "x", "med", "mad")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"day": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    merged = merged.sort_values("day").reset_index(drop=True)
+    x = merged["x"].to_numpy(dtype=np.int64)
+    n = len(x)
+
+    def disc(vals: np.ndarray) -> int:
+        v = np.sort(vals)
+        return int(v[math.ceil(0.5 * len(v)) - 1])
+
+    rows = []
+    for i in range(n):
+        w = x[max(0, i - 3):i + 4]
+        med = disc(w)
+        mad = disc(np.abs(w - med))
+        if abs(int(x[i]) - med) > _HAMPEL_K * mad:
+            rows.append((merged["day"].iloc[i], int(x[i]), med, mad))
+    out = pd.DataFrame(rows, columns=["day", "x", "med", "mad"])
+    for c in ("x", "med", "mad"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Time-decay attribution: every event preceding a purchase conversion by
+# the same user earns credit 2^(-days_between) — dyadic weights, so the
+# per-type credit totals are EXACT integers in Q30 fixed point.  The
+# engine shape is the real distributed one: groupby(user).map_groups.
+# ---------------------------------------------------------------------------
+
+@query("time_decay_attribution", sql="""
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) // 86400000000 AS d, epoch_us(ts) AS us
+  FROM events
+), conv AS (
+  SELECT user_id, d AS cd, us AS cus FROM e WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT a.event_type, (c.cd - a.d)::BIGINT AS dd
+  FROM e a JOIN conv c ON c.user_id = a.user_id AND a.us < c.cus
+)
+SELECT event_type, count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN dd <= 30 THEN (1::BIGINT << (30 - dd))
+                ELSE 0 END)::BIGINT AS credit_q30
+FROM pairs GROUP BY 1 ORDER BY 1
+""")
+def time_decay_attribution_q(sf_dir: str):
+    """Per-event-type time-decay conversion credit (half-life one day,
+    weight 2^-days, Q30 fixed point — exact dyadic integers; the events
+    table spans one month so no clamping in practice).  Pairs are
+    expanded per user inside ``groupby(user_id).map_groups`` — a real
+    hash shuffle, with per-user work one vectorized outer-subtract —
+    then five bounded type keys fold on the driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"].to_pylist(),
+            "d": us // 86400000000, "us": us})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        conv = g[g["event_type"] == "purchase"]
+        if not len(conv) or not len(g):
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "n_pairs": pd.Series([], dtype=np.int64),
+                                 "credit_q30": pd.Series([], dtype=np.int64)})
+        dd = conv["d"].to_numpy()[:, None] - g["d"].to_numpy()[None, :]
+        mask = g["us"].to_numpy()[None, :] < conv["us"].to_numpy()[:, None]
+        w = np.where(mask & (dd <= 30),
+                     np.left_shift(np.int64(1),
+                                   np.maximum(30 - dd, 0).astype(np.int64)),
+                     np.int64(0))
+        npairs = mask.sum(axis=0).astype(np.int64)
+        credit = w.sum(axis=0).astype(np.int64)
+        f = pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                          "n_pairs": npairs, "credit_q30": credit})
+        return f.groupby("event_type", as_index=False).sum()
+
+    ds = (_read(sf_dir, "events", ["user_id", "event_type", "ts"])
+          .map_batches(prep, batch_format="pyarrow")
+          .groupby("user_id")
+          .map_groups(per_user, batch_format="pandas"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False)[
+            ["n_pairs", "credit_q30"]].sum()
+
+    merged, ok = guarded_partials(ds, fold, 2_000_000)
+    assert ok  # bounded: event-type universe
+    if merged is None or not len(merged):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n_pairs": pd.Series([], dtype=np.int64),
+                             "credit_q30": pd.Series([], dtype=np.int64)})
+    merged = merged.sort_values("event_type").reset_index(drop=True)
+    merged["n_pairs"] = merged["n_pairs"].astype(np.int64)
+    merged["credit_q30"] = merged["credit_q30"].astype(np.int64)
+    return merged[["event_type", "n_pairs", "credit_q30"]]
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler similarity over the token vocabulary: record-linkage's
+# default string comparator, verified bit-identical to DuckDB's
+# jaro_winkler_similarity on every pair (same matching-window, transposition
+# and prefix-boost semantics), floored to micro-units.
+# ---------------------------------------------------------------------------
+
+def _jaro_winkler(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    md = max(la, lb) // 2 - 1
+    fa = [False] * la
+    fb = [False] * lb
+    for i in range(la):
+        for j in range(max(0, i - md), min(lb, i + md + 1)):
+            if not fb[j] and b[j] == a[i]:
+                fa[i] = True
+                fb[j] = True
+                break
+    sa = [a[i] for i in range(la) if fa[i]]
+    sb = [b[j] for j in range(lb) if fb[j]]
+    m = len(sa)
+    if m == 0:
+        return 0.0
+    t = sum(1 for x, y in zip(sa, sb) if x != y) / 2
+    j = (m / la + m / lb + (m - t) / m) / 3
+    if j > 0.7:
+        l = 0
+        for x, y in zip(a[:4], b[:4]):
+            if x != y:
+                break
+            l += 1
+        j = j + l * 0.1 * (1 - j)
+    return j
+
+
+@query("jaro_winkler_token_pairs", sql="""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), tok AS (
+  SELECT DISTINCT u.x AS tok FROM toks, unnest(t) AS u(x)
+)
+SELECT a.tok AS w1, b.tok AS w2,
+       CAST(floor(jaro_winkler_similarity(a.tok, b.tok) * 1000000)
+            AS BIGINT) AS jw_micro
+FROM tok a JOIN tok b ON a.tok < b.tok
+ORDER BY jw_micro DESC, w1, w2 LIMIT 50
+""")
+def jaro_winkler_pairs_q(sf_dir: str):
+    """Top-50 most-similar vocabulary token pairs by Jaro-Winkler — the
+    blocking comparator for fuzzy record linkage.  The vocabulary is
+    discovered with a guarded combine (vocab-bounded); the O(V^2)
+    comparison runs driver-side on the distinct tokens, which is the
+    correct cost model (compare distinct VALUES, never rows).  The
+    Python comparator is pinned bit-identical to DuckDB's
+    jaro_winkler_similarity by the parity oracle itself."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        seen = set()
+        for txt in batch["text"].to_pylist():
+            seen.update((txt or "").split())
+        return pd.DataFrame({"tok": sorted(seen)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates("tok")
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: token vocabulary
+    if merged is None or not len(merged):
+        return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                             "w2": pd.Series([], dtype=object),
+                             "jw_micro": pd.Series([], dtype=np.int64)})
+    toks = sorted(merged["tok"])
+    rows = [(a, b, math.floor(_jaro_winkler(a, b) * 1000000))
+            for i, a in enumerate(toks) for b in toks[i + 1:]]
+    out = pd.DataFrame(rows, columns=["w1", "w2", "jw_micro"])
+    out["jw_micro"] = out["jw_micro"].astype(np.int64)
+    out = out.sort_values(["jw_micro", "w1", "w2"],
+                          ascending=[False, True, True]).head(50)
+    return out.reset_index(drop=True)
