@@ -364,6 +364,8 @@ def run_suite() -> dict:
                  "url_dedup_inflation", "knn_outlier_scores",
                  "weekly_dft_power", "hampel_outlier_days",
                  "time_decay_attribution", "jaro_winkler_token_pairs",
+                 "dp_noisy_counts", "cuped_variance_reduction",
+                 "conformal_interval_coverage", "embedding_cosine_histogram",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

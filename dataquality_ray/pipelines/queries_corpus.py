@@ -1019,3 +1019,344 @@ def jaro_winkler_pairs_q(sf_dir: str):
     out = out.sort_values(["jw_micro", "w1", "w2"],
                           ascending=[False, True, True]).head(50)
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private counts with a SEEDED two-sided geometric
+# (discrete Laplace) mechanism at epsilon = ln 2: P(noise=j) proportional
+# to 2^-|j|, sampled by inverse CDF from u = sha64(event_type)/2^64.
+# Every CDF comparison is exact integer (scale by 3*2^40), so the noise
+# draw replays bit-identically in SQL — a deterministic test harness for
+# a DP release pipeline.
+# ---------------------------------------------------------------------------
+
+_DP_T = 3 * (1 << 40)  # total probability mass scaled: sum_j 2^(40-|j|)
+
+
+@query("dp_noisy_counts", sql=f"""
+WITH ks AS (SELECT unnest(range(-40, 41)) AS j),
+w AS (SELECT j, (1::HUGEINT << (40 - abs(j))) AS wj FROM ks),
+c AS (SELECT j, sum(wj) OVER (ORDER BY j) AS cj FROM w),
+t AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         ('0x' || substr(sha256(event_type), 1, 16))::UBIGINT AS h
+  FROM events GROUP BY 1
+), pick AS (
+  SELECT t.event_type, t.n,
+         coalesce(min(c.j) FILTER (
+           WHERE t.h::HUGEINT * {_DP_T}
+                 < c.cj * 18446744073709551616::HUGEINT), 40)::BIGINT
+           AS noise
+  FROM t CROSS JOIN c GROUP BY 1, 2
+)
+SELECT event_type, n AS true_count, noise,
+       (n + noise)::BIGINT AS dp_count
+FROM pick ORDER BY event_type
+""")
+def dp_noisy_counts_q(sf_dir: str):
+    """Per-event-type counts released through a seeded discrete-Laplace
+    mechanism (epsilon = ln 2, two-sided geometric with ratio 1/2):
+    noise = min j with u < CDF(j), u derived from the key's sha64 —
+    deterministic so the oracle can replay it, integer-exact so the
+    floor can't drift.  Counts come off one bounded guarded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"event_type": batch["event_type"].to_pylist(),
+                          "n": 1})
+        return f.groupby("event_type", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: event-type universe
+    if merged is None or not len(merged):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "true_count": pd.Series([], dtype=np.int64),
+                             "noise": pd.Series([], dtype=np.int64),
+                             "dp_count": pd.Series([], dtype=np.int64)})
+    cum = []
+    acc = 0
+    for j in range(-40, 41):
+        acc += 1 << (40 - abs(j))
+        cum.append((j, acc))
+
+    def draw(key: str) -> int:
+        u_scaled = _sha64(key) * _DP_T
+        for j, cj in cum:
+            if u_scaled < cj * (1 << 64):
+                return j
+        return 40
+
+    merged = merged.sort_values("event_type").reset_index(drop=True)
+    noise = np.array([draw(k) for k in merged["event_type"]],
+                     dtype=np.int64)
+    n = merged["n"].to_numpy(dtype=np.int64)
+    return pd.DataFrame({"event_type": merged["event_type"],
+                         "true_count": n, "noise": noise,
+                         "dp_count": n + noise})
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction: how much experiment variance a pre-period
+# covariate removes — reduction = rho^2 between each user's first-half
+# and second-half event counts, computed bit-exactly from integer sums
+# (the Pearson machinery shared with event_type_correlation).
+# ---------------------------------------------------------------------------
+
+@query("cuped_variance_reduction", sql="""
+WITH e AS (
+  SELECT user_id,
+         sum(CASE WHEN epoch_us(ts) // 86400000000 < 19738
+                  THEN 1 ELSE 0 END)::BIGINT AS x,
+         sum(CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+                  THEN 1 ELSE 0 END)::BIGINT AS y
+  FROM events GROUP BY 1
+), s AS (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(y)::HUGEINT AS sy, sum(x*x)::HUGEINT AS sxx,
+         sum(y*y)::HUGEINT AS syy, sum(x*y)::HUGEINT AS sxy
+  FROM e
+)
+SELECT n::BIGINT AS n_users, sx::BIGINT AS sum_x, sy::BIGINT AS sum_y,
+       (CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0
+             ELSE ((n*sxy - sx*sy) * (n*sxy - sx*sy) * 1000000)
+                  // ((n*sxx - sx*sx) * (n*syy - sy*sy)) END)::BIGINT
+         AS rho2_ppm
+FROM s
+""")
+def cuped_variance_reduction_q(sf_dir: str):
+    """CUPED pre-period covariate strength: x = user's event count before
+    2024-01-16 (epoch day 19738), y = count after; variance reduction =
+    rho^2(x, y) in ppm from the six exact integer sums.  Per-user counts
+    are one groupby-free guarded combine keyed by user."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        first = (us // 86400000000) < 19738
+        f = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "x": first.astype(np.int64),
+            "y": (~first).astype(np.int64)})
+        return f.groupby("user_id", as_index=False)[["x", "y"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("user_id", as_index=False)[["x", "y"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: user universe (routes to groupby twin past cap)
+    cols = ("n_users", "sum_x", "sum_y", "rho2_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    x = merged["x"].astype(object).map(int)
+    y = merged["y"].astype(object).map(int)
+    n = len(merged)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = int((x * x).sum())
+    syy = int((y * y).sum())
+    sxy = int((x * y).sum())
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    rho2 = 0 if vx == 0 or vy == 0 else cov * cov * 1000000 // (vx * vy)
+    return pd.DataFrame({"n_users": [np.int64(n)],
+                         "sum_x": [np.int64(sx)],
+                         "sum_y": [np.int64(sy)],
+                         "rho2_ppm": [np.int64(rho2)]})
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal interval coverage: calibrate a 90% nonconformity
+# quantile on even event_ids, measure empirical coverage on odd ones —
+# the distribution-free interval check, all integer (cents scores,
+# explicit ceil(0.9*(n+1)) rank, ppm coverage).
+# ---------------------------------------------------------------------------
+
+@query("conformal_interval_coverage", sql="""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), mu AS (
+  SELECT event_type,
+         (sum(cents) // count(*))::BIGINT AS mu_cents,
+         count(*)::BIGINT AS n_calib
+  FROM e WHERE event_id % 2 = 0 GROUP BY 1
+), scored AS (
+  SELECT e.event_type, abs(e.cents - mu.mu_cents) AS score,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY abs(e.cents - mu.mu_cents),
+                                     e.event_id) AS r,
+         mu.n_calib
+  FROM e JOIN mu USING (event_type) WHERE e.event_id % 2 = 0
+), qhat AS (
+  SELECT event_type, n_calib, score AS qhat_cents
+  FROM scored
+  WHERE r = least(CAST(ceil(0.9 * (n_calib + 1)) AS BIGINT), n_calib)
+), test AS (
+  SELECT e.event_type,
+         count(*)::BIGINT AS n_test,
+         sum((abs(e.cents - mu.mu_cents) <= q.qhat_cents)::INT)::BIGINT
+           AS covered
+  FROM e JOIN mu USING (event_type) JOIN qhat q USING (event_type)
+  WHERE e.event_id % 2 = 1
+  GROUP BY 1
+)
+SELECT t.event_type, q.n_calib, t.n_test,
+       q.qhat_cents::BIGINT AS qhat_cents,
+       (t.covered * 1000000 // t.n_test)::BIGINT AS coverage_ppm
+FROM test t JOIN qhat q USING (event_type)
+ORDER BY t.event_type
+""")
+def conformal_interval_coverage_q(sf_dir: str):
+    """Split-conformal 90% interval audit per event type: the predictor
+    is the floored calibration mean (integer cents), the radius is the
+    ceil(0.9*(n+1))-th smallest |residual| (k-th order statistic — tie
+    order can't change it), coverage is an integer ppm on the held-out
+    half.  Residual partials flow through the guarded combine keyed by
+    (type, score) — bounded by the 2-decimal value grid."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({
+            "event_type": batch["event_type"].to_pylist(),
+            "calib": (batch["event_id"].to_numpy(zero_copy_only=False)
+                      % 2 == 0),
+            "cents": cents, "n": 1})
+        return f.groupby(["event_type", "calib", "cents"],
+                         as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "calib", "cents"],
+                         as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: types x 2 x cents grid (<=100k values)
+    cols = ("event_type", "n_calib", "n_test", "qhat_cents",
+            "coverage_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    rows = []
+    for et, g in merged.groupby("event_type"):
+        cal = g[g["calib"]]
+        tst = g[~g["calib"]]
+        if not len(cal) or not len(tst):
+            continue
+        nc = int(cal["n"].sum())
+        mu = int((cal["cents"] * cal["n"]).sum()) // nc
+        scores = np.abs(cal["cents"].to_numpy(dtype=np.int64) - mu)
+        counts = cal["n"].to_numpy(dtype=np.int64)
+        order = np.argsort(scores, kind="stable")
+        rank = min(math.ceil(0.9 * (nc + 1)), nc)
+        csum = np.cumsum(counts[order])
+        qhat = int(scores[order][np.searchsorted(csum, rank)])
+        nt = int(tst["n"].sum())
+        cov = int(tst["n"][np.abs(
+            tst["cents"].to_numpy(dtype=np.int64) - mu) <= qhat].sum())
+        rows.append((et, nc, nt, qhat, cov * 1000000 // nt))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Cosine-similarity histogram over consecutive embedding pairs (vec_id,
+# vec_id+1): the corpus-geometry sanity profile — exact integer dots on
+# the 1e-3 grid, one sqrt*sqrt division chain per pair (the
+# label_centroid_cosine_matrix convention), decile buckets.
+# ---------------------------------------------------------------------------
+
+@query("embedding_cosine_histogram", sql="""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT e.vec_id, idx.i,
+             CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM embeddings e, idx),
+d AS (
+  SELECT a.vec_id AS sid,
+         sum(a.v * b.v)::BIGINT AS dot,
+         sum(a.v * a.v)::BIGINT AS na,
+         sum(b.v * b.v)::BIGINT AS nb
+  FROM q a JOIN q b ON b.i = a.i AND b.vec_id = a.vec_id + 1
+  GROUP BY 1
+), c AS (
+  SELECT CAST(floor(dot * 1000000 /
+              (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
+              AS BIGINT) AS cos_micro
+  FROM d WHERE na > 0 AND nb > 0
+)
+SELECT (CASE WHEN cos_micro >= 0 THEN cos_micro // 100000
+             ELSE -((-cos_micro + 99999) // 100000) END)::BIGINT
+         AS decile,
+       count(*)::BIGINT AS n
+FROM c GROUP BY 1 ORDER BY 1
+""")
+def embedding_cosine_histogram_q(sf_dir: str):
+    """Decile histogram of cosine similarity between consecutive
+    embeddings: integer dots/norms on the quantized grid, cosine floored
+    once to micro-units, then floor-toward-minus-infinity decile binning
+    (spelled out in the SQL so DuckDB's truncating division matches
+    Python's floor).  The engine broadcasts the grid once and streams
+    batches against it — each batch's rows pair with their +1 neighbor
+    from the broadcast, so block boundaries don't lose pairs."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    g = np.floor(np.stack(emb["embedding"].to_numpy())
+                 .astype(np.float64) * 1000.0).astype(np.int64)
+    gids = emb["vec_id"].to_numpy(dtype=np.int64)
+    ref = ray.put((gids, g))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        from dataquality_ray.stages.ann import _stack_embeddings
+        gid, gm = ray.get(ref)
+        x = np.floor(_stack_embeddings(batch, "embedding")
+                     .astype(np.float64) * 1000.0).astype(np.int64)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(gid, vid + 1)
+        ok = (pos < len(gid)) & (gid[np.minimum(pos, len(gid) - 1)]
+                                 == vid + 1)
+        a = x[ok]
+        b = gm[pos[ok]]
+        dot = np.einsum("ij,ij->i", a, b)
+        na = np.einsum("ij,ij->i", a, a)
+        nb = np.einsum("ij,ij->i", b, b)
+        m = (na > 0) & (nb > 0)
+        cos = np.floor(dot[m] * 1000000
+                       / (np.sqrt(na[m].astype(np.float64))
+                          * np.sqrt(nb[m].astype(np.float64))))
+        dec = np.floor_divide(cos.astype(np.int64), 100000)
+        f = pd.DataFrame({"decile": dec, "n": 1})
+        return f.groupby("decile", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("decile", as_index=False)["n"].sum()
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 21 deciles
+    if merged is None or not len(merged):
+        return pd.DataFrame({"decile": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64)})
+    merged = merged.sort_values("decile").reset_index(drop=True)
+    merged["decile"] = merged["decile"].astype(np.int64)
+    merged["n"] = merged["n"].astype(np.int64)
+    return merged
