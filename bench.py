@@ -366,6 +366,8 @@ def run_suite() -> dict:
                  "time_decay_attribution", "jaro_winkler_token_pairs",
                  "dp_noisy_counts", "cuped_variance_reduction",
                  "conformal_interval_coverage", "embedding_cosine_histogram",
+                 "motif_discovery_daily", "lru_hit_rate",
+                 "pii_cooccurrence_matrix",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -1360,3 +1360,266 @@ def embedding_cosine_histogram_q(sf_dir: str):
     merged["decile"] = merged["decile"].astype(np.int64)
     merged["n"] = merged["n"].astype(np.int64)
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Matrix-profile-style motif discovery on the daily order-count series:
+# the closest pair of non-overlapping 7-day windows by exact integer
+# squared Euclidean distance — the time-series "find the repeated week"
+# primitive.  All distances are int64; the engine pass is one n x n
+# int matmul over the sliding-window matrix.
+# ---------------------------------------------------------------------------
+
+_MOTIF_W = 7
+_MOTIF_TOP = 5
+
+
+@query("motif_discovery_daily", sql=f"""
+WITH d AS (
+  SELECT o_orderdate AS day, count(*)::BIGINT AS x FROM orders GROUP BY 1
+), o AS (
+  SELECT x, row_number() OVER (ORDER BY day) AS r FROM d
+), w AS (
+  SELECT r, list(x) OVER (ORDER BY r ROWS BETWEEN CURRENT ROW
+                          AND {_MOTIF_W - 1} FOLLOWING) AS v
+  FROM o
+), ww AS (
+  SELECT r, v FROM w WHERE len(v) = {_MOTIF_W}
+), dist AS (
+  SELECT a.r AS i, b.r AS j,
+         list_sum(list_transform(range(1, {_MOTIF_W + 1}),
+                  k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k])))::BIGINT
+           AS d2
+  FROM ww a JOIN ww b ON b.r >= a.r + {_MOTIF_W}
+)
+SELECT i::BIGINT AS i, j::BIGINT AS j, d2
+FROM dist ORDER BY d2, i, j LIMIT {_MOTIF_TOP}
+""")
+def motif_discovery_q(sf_dir: str):
+    """Top-{_MOTIF_TOP} motif pairs: 1-based window start rows (i, j) of
+    the most similar non-overlapping (|i-j| >= w) 7-day windows and
+    their exact integer distance.  Daily counts fold through the
+    bounded guarded combine; the all-pairs distance is one
+    |a|^2+|b|^2-2ab int64 matmul over the sliding-window matrix on the
+    driver (n_days x 7 — megabytes even for decades of days)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = pc.strftime(batch["o_orderdate"], format="%Y-%m-%d")
+        f = pd.DataFrame({"day": day.to_pylist(), "x": 1})
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("i", "j", "d2")
+    if merged is None or len(merged) < 2 * _MOTIF_W:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    x = (merged.sort_values("day")["x"]
+         .to_numpy(dtype=np.int64))
+    w = np.lib.stride_tricks.sliding_window_view(x, _MOTIF_W)
+    nw = len(w)
+    sq = np.einsum("ij,ij->i", w, w)
+    d2 = sq[:, None] + sq[None, :] - 2 * (w @ w.T)
+    ii, jj = np.meshgrid(np.arange(nw), np.arange(nw), indexing="ij")
+    mask = jj >= ii + _MOTIF_W
+    flat = pd.DataFrame({"i": ii[mask] + 1, "j": jj[mask] + 1,
+                         "d2": d2[mask]})
+    out = (flat.sort_values(["d2", "i", "j"]).head(_MOTIF_TOP)
+           .reset_index(drop=True))
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LRU hit-rate via stack distance: an access hits an LRU cache of size c
+# iff fewer than c distinct OTHER keys were touched since its previous
+# access.  Simulated exactly per user over the event stream — the cache
+# sizing primitive, and a pure integer computation.
+# ---------------------------------------------------------------------------
+
+_LRU_C = 3
+
+
+@query("lru_hit_rate", sql=f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+), o AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS r
+  FROM e
+), p AS (
+  SELECT *, lag(r) OVER (PARTITION BY user_id, event_type
+                         ORDER BY r) AS prev_r
+  FROM o
+), btw AS (
+  SELECT p.user_id, p.r, p.event_type,
+         count(DISTINCT b.event_type)::BIGINT AS sd
+  FROM p LEFT JOIN o b
+    ON b.user_id = p.user_id AND b.r > p.prev_r AND b.r < p.r
+  WHERE p.prev_r IS NOT NULL
+  GROUP BY p.user_id, p.r, p.event_type
+), agg AS (
+  SELECT o.event_type,
+         count(*)::BIGINT AS n_accesses,
+         coalesce(sum((btw.sd <= {_LRU_C - 1})::INT), 0)::BIGINT AS n_hits
+  FROM o LEFT JOIN btw ON btw.user_id = o.user_id AND btw.r = o.r
+  GROUP BY 1
+)
+SELECT event_type, n_accesses, n_hits,
+       (n_hits * 1000000 // n_accesses)::BIGINT AS hit_ppm
+FROM agg ORDER BY event_type
+""")
+def lru_hit_rate_q(sf_dir: str):
+    """Exact LRU(c={_LRU_C}) hit rate per event type, keyed per user:
+    stack distance = distinct other types since the previous access of
+    the same type; cold accesses are misses.  The engine simulates each
+    user's stream inside ``groupby(user_id).map_groups`` with an O(|key
+    universe|) last-seen table per access — sequential by nature, but
+    embarrassingly parallel across users (the shuffle key)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"].to_pylist(),
+            "us": pc.cast(batch["ts"], pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "event_id": batch["event_id"].to_numpy(zero_copy_only=False)})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["us", "event_id"])
+        last: dict[str, int] = {}
+        acc: dict[str, list[int]] = {}
+        for i, t in enumerate(g["event_type"].to_numpy()):
+            a = acc.setdefault(t, [0, 0])
+            a[0] += 1
+            prev = last.get(t)
+            if prev is not None:
+                sd = sum(1 for t2, r2 in last.items()
+                         if t2 != t and r2 > prev)
+                if sd <= _LRU_C - 1:
+                    a[1] += 1
+            last[t] = i
+        return pd.DataFrame(
+            [(t, v[0], v[1]) for t, v in acc.items()],
+            columns=["event_type", "n_accesses", "n_hits"])
+
+    ds = (_read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                   "event_id"])
+          .map_batches(prep, batch_format="pyarrow")
+          .groupby("user_id")
+          .map_groups(per_user, batch_format="pandas"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False)[
+            ["n_accesses", "n_hits"]].sum()
+
+    merged, ok = guarded_partials(ds, fold, 2_000_000)
+    assert ok  # bounded: event-type universe
+    if merged is None or not len(merged):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n_accesses": pd.Series([], dtype=np.int64),
+                             "n_hits": pd.Series([], dtype=np.int64),
+                             "hit_ppm": pd.Series([], dtype=np.int64)})
+    merged = merged.sort_values("event_type").reset_index(drop=True)
+    na = merged["n_accesses"].astype(np.int64)
+    nh = merged["n_hits"].astype(np.int64)
+    return pd.DataFrame({
+        "event_type": merged["event_type"],
+        "n_accesses": na, "n_hits": nh,
+        "hit_ppm": (nh.astype(object).map(int) * 1000000
+                    // na.astype(object).map(int)).astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# PII-type co-occurrence matrix: how often email/phone/IP hits land in
+# the SAME document — the signal that separates contact-page boilerplate
+# from genuinely leaky documents.  Shares the planted rows and RE2
+# patterns with pii_typed_counts.
+# ---------------------------------------------------------------------------
+
+from dataquality_ray.pipelines.queries_text import _PII_RES  # noqa: E402
+
+_PII_KINDS = [("email", "n_emails"), ("phone", "n_phones"),
+              ("ip", "n_ips")]
+
+
+@query("pii_cooccurrence_matrix", sql=f"""
+WITH src AS (
+  SELECT doc_id,
+         coalesce(text, '')
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact bob@example.com or 555-123-4567'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' host 192.168.1.100 admin@test.org'
+                   ELSE '' END AS text
+  FROM documents
+), flags AS (
+  SELECT doc_id,
+         {', '.join(f"(len(regexp_extract_all(text, '{_PII_RES[col]}'))"
+                    f" > 0)::INT AS {kind}"
+                    for kind, col in _PII_KINDS)}
+  FROM src
+)
+SELECT * FROM (
+  {' UNION ALL '.join(
+      f"SELECT '{a}' AS kind_a, '{b}' AS kind_b, "
+      f"sum(({a} = 1 AND {b} = 1)::INT)::BIGINT AS n_docs FROM flags"
+      for i, (a, _) in enumerate(_PII_KINDS)
+      for (b, _) in _PII_KINDS[i:])}
+) t ORDER BY kind_a, kind_b
+""")
+def pii_cooccurrence_q(sf_dir: str):
+    """Upper-triangle co-occurrence counts of PII types per document
+    (diagonal = per-type document frequency), over the same planted
+    rows as pii_typed_counts.  One vectorized count_substring_regex
+    pass per type per batch; six bounded counters."""
+    import re as _re
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            t = t or ""
+            if i % 7 == 0:
+                t += " contact bob@example.com or 555-123-4567"
+            if i % 11 == 0:
+                t += " host 192.168.1.100 admin@test.org"
+            out.append(t)
+        arr = pa.array(out, pa.string())
+        flags = {}
+        for kind, col in _PII_KINDS:
+            flags[kind] = pc.greater(
+                pc.count_substring_regex(arr, _PII_RES[col]), 0
+            ).to_numpy(zero_copy_only=False)
+        rows = []
+        for i, (a, _) in enumerate(_PII_KINDS):
+            for (b, _) in _PII_KINDS[i:]:
+                rows.append((a, b, int((flags[a] & flags[b]).sum())))
+        return pd.DataFrame(rows, columns=["kind_a", "kind_b", "n_docs"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["kind_a", "kind_b"], as_index=False)[
+            "n_docs"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 6 type pairs
+    if merged is None or not len(merged):
+        return pd.DataFrame({"kind_a": pd.Series([], dtype=object),
+                             "kind_b": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype=np.int64)})
+    merged = merged.sort_values(["kind_a", "kind_b"]).reset_index(drop=True)
+    merged["n_docs"] = merged["n_docs"].astype(np.int64)
+    return merged
