@@ -368,6 +368,7 @@ def run_suite() -> dict:
                  "conformal_interval_coverage", "embedding_cosine_histogram",
                  "motif_discovery_daily", "lru_hit_rate",
                  "pii_cooccurrence_matrix",
+                 "rendezvous_hash_balance", "v_optimal_histogram_dp",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

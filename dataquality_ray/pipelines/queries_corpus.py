@@ -1623,3 +1623,191 @@ def pii_cooccurrence_q(sf_dir: str):
     merged = merged.sort_values(["kind_a", "kind_b"]).reset_index(drop=True)
     merged["n_docs"] = merged["n_docs"].astype(np.int64)
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) hashing balance audit: owner(doc) =
+# argmax_node sha64(node || '|' || doc_id); adding a node must steal only
+# ~1/(n+1) of the keys, each from its rendezvous loser — the minimal-
+# disruption sharding scheme.  Both the 8-node owners and the 9-node
+# re-owners replay exactly in SQL from the shared sha64 chain.
+# ---------------------------------------------------------------------------
+
+_RDV_NODES = 8
+
+
+@query("rendezvous_hash_balance", sql=f"""
+WITH n AS (SELECT unnest(range(0, {_RDV_NODES + 1})) AS node),
+h AS (
+  SELECT d.doc_id, n.node,
+         ('0x' || substr(sha256('n' || n.node || '|' || d.doc_id),
+                         1, 16))::UBIGINT AS hw
+  FROM documents d, n
+), o8 AS (
+  SELECT doc_id, node AS owner8
+  FROM (SELECT doc_id, node,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY hw DESC, node) AS r
+        FROM h WHERE node < {_RDV_NODES})
+  WHERE r = 1
+), o9 AS (
+  SELECT doc_id, node AS owner9
+  FROM (SELECT doc_id, node,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY hw DESC, node) AS r
+        FROM h)
+  WHERE r = 1
+)
+SELECT o8.owner8::BIGINT AS node, count(*)::BIGINT AS n_docs,
+       (count(*) * 1000000 // (SELECT count(*) FROM documents))::BIGINT
+         AS share_ppm,
+       sum((o9.owner9 <> o8.owner8)::INT)::BIGINT AS n_moved
+FROM o8 JOIN o9 USING (doc_id)
+GROUP BY 1 ORDER BY 1
+""")
+def rendezvous_hash_balance_q(sf_dir: str):
+    """Per-node key counts under 8-node rendezvous hashing, plus how
+    many keys each node loses when a 9th node joins (every moved key
+    must move TO the new node — asserted by the property test).  The
+    owner computation is stateless per row inside map_batches; the
+    per-node counts are a bounded guarded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        rows = []
+        for did in ids:
+            hs = [(_sha64(f"n{j}|{did}"), -j) for j in
+                  range(_RDV_NODES + 1)]
+            owner8 = max(hs[:_RDV_NODES])
+            owner9 = max(hs)
+            rows.append((-owner8[1], int(owner9 != owner8)))
+        f = pd.DataFrame(rows, columns=["node", "moved"])
+        g = f.groupby("node", as_index=False).agg(
+            n_docs=("moved", "size"), n_moved=("moved", "sum"))
+        return g
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("node", as_index=False)[
+            ["n_docs", "n_moved"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: node universe
+    cols = ("node", "n_docs", "share_ppm", "n_moved")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    merged = merged.sort_values("node").reset_index(drop=True)
+    total = int(merged["n_docs"].sum())
+    return pd.DataFrame({
+        "node": merged["node"].astype(np.int64),
+        "n_docs": merged["n_docs"].astype(np.int64),
+        "share_ppm": (merged["n_docs"].astype(object).map(int)
+                      .map(lambda v: v * 1000000 // total)
+                      .astype(np.int64)),
+        "n_moved": merged["n_moved"].astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# V-optimal histogram via exact dynamic programming: partition the
+# monthly order-count sequence into k contiguous buckets minimizing the
+# scaled dispersion J_b = n_b * sum(x^2) - (sum x)^2  (= n_b^2 * variance
+# — integer-exact, so DP comparisons can't drift).  The synopsis-
+# construction primitive behind query optimizers' histograms.
+# ---------------------------------------------------------------------------
+
+_VOPT_K = 5
+
+
+@query("v_optimal_histogram_dp", sql=f"""
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         count(*)::BIGINT AS x
+  FROM orders GROUP BY 1
+), o AS (
+  SELECT x, row_number() OVER (ORDER BY month) AS r FROM m
+), p AS (
+  SELECT r, sum(x) OVER (ORDER BY r) AS s,
+         sum(x * x) OVER (ORDER BY r) AS ss
+  FROM o
+), seg AS (          -- J(i, j) for segment rows i..j (1-based, inclusive)
+  SELECT a.r AS i, b.r AS j,
+         ((b.r - a.r + 1) * (b.ss - coalesce(pa.ss, 0))
+          - (b.s - coalesce(pa.s, 0)) * (b.s - coalesce(pa.s, 0)))
+           ::BIGINT AS cost
+  FROM p a JOIN p b ON b.r >= a.r
+  LEFT JOIN p pa ON pa.r = a.r - 1
+), c1 AS (SELECT j, cost FROM seg WHERE i = 1),
+c2 AS (SELECT s.j, min(c1.cost + s.cost) AS cost
+       FROM c1 JOIN seg s ON s.i = c1.j + 1 GROUP BY s.j),
+c3 AS (SELECT s.j, min(c2.cost + s.cost) AS cost
+       FROM c2 JOIN seg s ON s.i = c2.j + 1 GROUP BY s.j),
+c4 AS (SELECT s.j, min(c3.cost + s.cost) AS cost
+       FROM c3 JOIN seg s ON s.i = c3.j + 1 GROUP BY s.j),
+c5 AS (SELECT s.j, min(c4.cost + s.cost) AS cost
+       FROM c4 JOIN seg s ON s.i = c4.j + 1 GROUP BY s.j),
+n AS (SELECT max(r) AS nr FROM o)
+SELECT 1::BIGINT AS k, (SELECT cost FROM c1, n WHERE j = nr) AS min_cost
+UNION ALL SELECT 2, (SELECT cost FROM c2, n WHERE j = nr)
+UNION ALL SELECT 3, (SELECT cost FROM c3, n WHERE j = nr)
+UNION ALL SELECT 4, (SELECT cost FROM c4, n WHERE j = nr)
+UNION ALL SELECT 5, (SELECT cost FROM c5, n WHERE j = nr)
+ORDER BY k
+""")
+def v_optimal_histogram_q(sf_dir: str):
+    """Optimal k-bucket cost curve (k = 1..{_VOPT_K}) of the V-optimal
+    DP over monthly order counts — min total J where J is the
+    integer-scaled within-bucket dispersion.  Monthly counts are a
+    bounded guarded combine; the O(k n^2) DP runs on the driver over
+    the <=100-month sequence with Python-int exactness."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        mo = pc.strftime(batch["o_orderdate"], format="%Y-%m")
+        f = pd.DataFrame({"month": mo.to_pylist(), "x": 1})
+        return f.groupby("month", as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("month", as_index=False)["x"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: calendar months
+    if merged is None or not len(merged):
+        return pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                             "min_cost": pd.Series([], dtype=np.int64)})
+    x = [int(v) for v in
+         merged.sort_values("month")["x"].to_numpy(dtype=np.int64)]
+    n = len(x)
+    ps = [0]
+    pss = [0]
+    for v in x:
+        ps.append(ps[-1] + v)
+        pss.append(pss[-1] + v * v)
+
+    def seg(i: int, j: int) -> int:  # 1-based inclusive
+        cnt = j - i + 1
+        s = ps[j] - ps[i - 1]
+        ss = pss[j] - pss[i - 1]
+        return cnt * ss - s * s
+
+    INF = float("inf")
+    prev = [seg(1, j) for j in range(1, n + 1)]
+    curve = [prev[n - 1]]
+    for _ in range(2, _VOPT_K + 1):
+        cur = [INF] * n
+        for j in range(1, n + 1):
+            best = INF
+            for i in range(1, j):
+                c = prev[i - 1] + seg(i + 1, j)
+                if c < best:
+                    best = c
+            cur[j - 1] = best
+        curve.append(cur[n - 1])
+        prev = cur
+    return pd.DataFrame({
+        "k": np.arange(1, _VOPT_K + 1, dtype=np.int64),
+        "min_cost": np.array(curve, dtype=np.int64)})

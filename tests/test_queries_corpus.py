@@ -208,3 +208,32 @@ def test_weekly_dft_power_flat_series_is_zero():
     # leaves at most a few units per coefficient)
     assert abs(re) <= 7 * 100 and abs(im) <= 7 * 100
     assert (re * re + im * im) // (1 << 40) == 0
+
+
+# --------------------------------------------------------------------------
+# Rendezvous hashing: minimal-disruption property — every key that moves
+# when node 8 joins must move TO node 8, and ~1/9 of keys move overall.
+# --------------------------------------------------------------------------
+
+def test_rendezvous_moves_only_to_new_node():
+    out = qc.rendezvous_hash_balance_q(SF)
+    total = int(out["n_docs"].sum())
+    moved = int(out["n_moved"].sum())
+    # every mover's new owner is the added node (owner9 != owner8 implies
+    # owner9 == 8, because the 8-node argmax is unchanged otherwise)
+    for did in range(0, 50):
+        hs = [(qc._sha64(f"n{j}|{did}"), -j) for j in range(9)]
+        if max(hs[:8]) != max(hs):
+            assert -max(hs)[1] == 8
+    # expected move fraction is 1/9 — allow a generous band
+    assert 0.03 < moved / total < 0.25
+
+
+# --------------------------------------------------------------------------
+# V-optimal DP: the cost curve is non-increasing in k, and k = n gives 0.
+# --------------------------------------------------------------------------
+
+def test_v_optimal_cost_curve_monotone():
+    out = qc.v_optimal_histogram_q(SF)
+    assert out["min_cost"].is_monotonic_decreasing
+    assert (out["min_cost"] >= 0).all()
