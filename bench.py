@@ -369,6 +369,8 @@ def run_suite() -> dict:
                  "motif_discovery_daily", "lru_hit_rate",
                  "pii_cooccurrence_matrix",
                  "rendezvous_hash_balance", "v_optimal_histogram_dp",
+                 "vocab_shapley_sources", "roaring_container_advisor",
+                 "topk_merge_audit",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -1811,3 +1811,218 @@ def v_optimal_histogram_q(sf_dir: str):
     return pd.DataFrame({
         "k": np.arange(1, _VOPT_K + 1, dtype=np.int64),
         "min_cost": np.array(curve, dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley data valuation of sources for vocabulary coverage: the
+# game v(S) = |tokens covered by S| is a sum of OR-games, whose Shapley
+# value has the closed form phi_i = sum over tokens i supports of
+# 1/|supporters| — scaled by 120 (lcm 1..5) it is exact integer.  The
+# "which source is worth keeping" primitive of data markets.
+# ---------------------------------------------------------------------------
+
+_SHAP_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
+
+
+@query("vocab_shapley_sources", sql=f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+  WHERE source IN ({', '.join(f"'{s}'" for s in _SHAP_SOURCES)})
+), pres AS (
+  SELECT DISTINCT source, u.x AS tok FROM toks, unnest(t) AS u(x)
+), supp AS (
+  SELECT tok, count(*)::BIGINT AS n_supp FROM pres GROUP BY 1
+)
+SELECT p.source, count(*)::BIGINT AS n_tokens,
+       sum((s.n_supp = 1)::INT)::BIGINT AS n_exclusive,
+       sum(120 // s.n_supp)::BIGINT AS shapley_q120
+FROM pres p JOIN supp s USING (tok)
+GROUP BY 1 ORDER BY 1
+""")
+def vocab_shapley_q(sf_dir: str):
+    """Shapley value of each of five sources for token-vocabulary
+    coverage, in 1/120 units (exact: a token supported by k of the five
+    sources gives each supporter 120/k — the closed-form Shapley of an
+    OR-game; verified against brute-force subset enumeration in the
+    property test).  Presence pairs come off one vocab-bounded guarded
+    combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    srcs = set(_SHAP_SOURCES)
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        seen = set()
+        for src, txt in zip(batch["source"].to_pylist(),
+                            batch["text"].to_pylist()):
+            if src not in srcs:
+                continue
+            for tok in (txt or "").split():
+                seen.add((src, tok))
+        return pd.DataFrame(sorted(seen), columns=["source", "tok"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates(["source", "tok"])
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 5 sources x token vocabulary
+    cols = ("source", "n_tokens", "n_exclusive", "shapley_q120")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    supp = merged.groupby("tok")["source"].size().to_dict()
+    rows = []
+    for src, g in merged.groupby("source"):
+        ns = len(g)
+        nex = sum(1 for t in g["tok"] if supp[t] == 1)
+        phi = sum(120 // supp[t] for t in g["tok"])
+        rows.append((src, ns, nex, phi))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Roaring-bitmap container advisor: chunk the o_orderkey id universe into
+# 2^16-wide containers and pick array (2 bytes/id, < 4096 ids) vs bitmap
+# (fixed 8 KiB) per chunk — the storage planner for bitmap indexes.
+# ---------------------------------------------------------------------------
+
+@query("roaring_container_advisor", sql="""
+WITH c AS (
+  SELECT (o_orderkey // 65536)::BIGINT AS chunk,
+         count(DISTINCT o_orderkey)::BIGINT AS n_ids
+  FROM orders GROUP BY 1
+)
+SELECT chunk, n_ids,
+       (CASE WHEN n_ids < 4096 THEN 'array' ELSE 'bitmap' END)
+         AS container,
+       (CASE WHEN n_ids < 4096 THEN 2 * n_ids ELSE 8192 END)::BIGINT
+         AS bytes_est
+FROM c ORDER BY chunk
+""")
+def roaring_container_q(sf_dir: str):
+    """Per-2^16-chunk container choice for a Roaring bitmap over order
+    keys: array containers below 4096 members, bitmap containers above
+    — with the byte estimate that drives the crossover.  Chunk counts
+    are a bounded guarded combine (id-universe / 65536 chunks)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"chunk": keys // 65536, "key": keys})
+        return f.drop_duplicates()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: order-key universe at test scale; the
+    # distinct-count per chunk routes to the groupby twin past cap
+    if merged is None or not len(merged):
+        return pd.DataFrame({"chunk": pd.Series([], dtype=np.int64),
+                             "n_ids": pd.Series([], dtype=np.int64),
+                             "container": pd.Series([], dtype=object),
+                             "bytes_est": pd.Series([], dtype=np.int64)})
+    g = (merged.groupby("chunk")["key"].nunique().reset_index()
+         .rename(columns={"key": "n_ids"}))
+    g = g.sort_values("chunk").reset_index(drop=True)
+    g["chunk"] = g["chunk"].astype(np.int64)
+    g["n_ids"] = g["n_ids"].astype(np.int64)
+    g["container"] = np.where(g["n_ids"] < 4096, "array", "bitmap")
+    g["bytes_est"] = np.where(g["n_ids"] < 4096, 2 * g["n_ids"],
+                              8192).astype(np.int64)
+    return g
+
+
+# ---------------------------------------------------------------------------
+# Scatter-gather top-k merge audit: does merging each source's local
+# top-m token lists reproduce the global top-k?  The correctness check
+# every distributed top-k (and every federated leaderboard) depends on.
+# ---------------------------------------------------------------------------
+
+_TKM_GLOBAL = 10
+_TKM_LOCAL = 3
+
+
+@query("topk_merge_audit", sql=f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), tf AS (
+  SELECT source, u.x AS tok, count(*)::BIGINT AS c
+  FROM toks, unnest(t) AS u(x) GROUP BY 1, 2
+), gtop AS (
+  SELECT tok, sum(c)::BIGINT AS c,
+         row_number() OVER (ORDER BY sum(c) DESC, tok) AS r
+  FROM tf GROUP BY 1
+), local_top AS (
+  SELECT tok FROM (
+    SELECT source, tok,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY c DESC, tok) AS lr
+    FROM tf) WHERE lr <= {_TKM_LOCAL}
+  GROUP BY tok
+), audit AS (
+  SELECT g.tok, g.c, g.r,
+         (g.tok IN (SELECT tok FROM local_top))::INT AS found
+  FROM gtop g WHERE g.r <= {_TKM_GLOBAL}
+)
+SELECT count(*)::BIGINT AS k,
+       sum(found)::BIGINT AS recovered,
+       (sum(found) * 1000000 // count(*))::BIGINT AS recall_ppm
+FROM audit
+""")
+def topk_merge_audit_q(sf_dir: str):
+    """Recall of the global top-{_TKM_GLOBAL} tokens when each source
+    ships only its local top-{_TKM_LOCAL} — the scatter-gather merge
+    error every distributed top-k has to bound.  Per-(source, token)
+    counts come off one vocab-bounded guarded combine; the audit is a
+    driver-side set comparison.  Exact counts, deterministic (count
+    DESC, token) tie order on both paths."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        rows = {}
+        for src, txt in zip(batch["source"].to_pylist(),
+                            batch["text"].to_pylist()):
+            for tok in (txt or "").split():
+                k = (src, tok)
+                rows[k] = rows.get(k, 0) + 1
+        return pd.DataFrame([(s, t, c) for (s, t), c in rows.items()],
+                            columns=["source", "tok", "c"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "tok"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: sources x token vocabulary
+    cols = ("k", "recovered", "recall_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    glob = (merged.groupby("tok", as_index=False)["c"].sum()
+            .sort_values(["c", "tok"], ascending=[False, True])
+            .head(_TKM_GLOBAL))
+    local = set()
+    for _, g in merged.groupby("source"):
+        top = g.sort_values(["c", "tok"], ascending=[False, True]) \
+               .head(_TKM_LOCAL)
+        local.update(top["tok"])
+    k = len(glob)
+    rec = sum(1 for t in glob["tok"] if t in local)
+    return pd.DataFrame({"k": [np.int64(k)],
+                         "recovered": [np.int64(rec)],
+                         "recall_ppm": [np.int64(rec * 1000000 // k)]})

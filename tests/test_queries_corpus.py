@@ -237,3 +237,71 @@ def test_v_optimal_cost_curve_monotone():
     out = qc.v_optimal_histogram_q(SF)
     assert out["min_cost"].is_monotonic_decreasing
     assert (out["min_cost"] >= 0).all()
+
+
+# --------------------------------------------------------------------------
+# Shapley closed form vs brute-force subset enumeration over the 5
+# sources: phi_i(120) computed from 1/|supp| must equal the full
+# 2^5-subset marginal-contribution sum.
+# --------------------------------------------------------------------------
+
+def test_shapley_closed_form_equals_bruteforce():
+    import duckdb
+    from itertools import combinations
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    pres = con.execute("""
+        WITH toks AS (
+          SELECT source, list_filter(regexp_split_to_array(
+            coalesce(text,''), '\\s+'), x -> x <> '') AS t
+          FROM documents WHERE source IN
+            ('src0','src1','src2','src3','src4'))
+        SELECT DISTINCT source, u.x FROM toks, unnest(t) AS u(x)
+    """).fetchall()
+    by_src = {}
+    for s, t in pres:
+        by_src.setdefault(s, set()).add(t)
+    srcs = sorted(by_src)
+    n = len(srcs)
+    fact = [1, 1, 2, 6, 24, 120]
+
+    def v(S):
+        u = set()
+        for s in S:
+            u |= by_src[s]
+        return len(u)
+
+    for i, si in enumerate(srcs):
+        others = [s for s in srcs if s != si]
+        phi120 = 0
+        for r in range(n):
+            for S in combinations(others, r):
+                w = fact[r] * fact[n - 1 - r]  # x n!/n! scaling = /120
+                phi120 += w * (v(S + (si,)) - v(S))
+        closed = qc.vocab_shapley_q(SF).set_index("source")
+        assert phi120 == int(closed.loc[si, "shapley_q120"])
+
+
+# --------------------------------------------------------------------------
+# Roaring advisor: byte estimates follow the 4096 crossover exactly.
+# --------------------------------------------------------------------------
+
+def test_roaring_crossover():
+    out = qc.roaring_container_q(SF)
+    arr = out[out["container"] == "array"]
+    bm = out[out["container"] == "bitmap"]
+    assert (arr["n_ids"] < 4096).all()
+    assert (arr["bytes_est"] == 2 * arr["n_ids"]).all()
+    assert (bm["n_ids"] >= 4096).all() if len(bm) else True
+    assert (bm["bytes_est"] == 8192).all() if len(bm) else True
+
+
+# --------------------------------------------------------------------------
+# Top-k merge audit: recall is in (0, 1] and recovered <= k.
+# --------------------------------------------------------------------------
+
+def test_topk_merge_audit_bounds():
+    out = qc.topk_merge_audit_q(SF).iloc[0]
+    assert 0 < out["recovered"] <= out["k"]
+    assert out["recall_ppm"] == out["recovered"] * 1000000 // out["k"]
