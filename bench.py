@@ -371,6 +371,7 @@ def run_suite() -> dict:
                  "rendezvous_hash_balance", "v_optimal_histogram_dp",
                  "vocab_shapley_sources", "roaring_container_advisor",
                  "topk_merge_audit",
+                 "shannon_code_audit", "median_polish_dow_hour",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -2026,3 +2026,173 @@ def topk_merge_audit_q(sf_dir: str):
     return pd.DataFrame({"k": [np.int64(k)],
                          "recovered": [np.int64(rec)],
                          "recall_ppm": [np.int64(rec * 1000000 // k)]})
+
+
+# ---------------------------------------------------------------------------
+# Shannon-code audit of the token distribution: per-token code length
+# L_t = ceil(log2(T / c_t)) (exact integers via bit_length), the Kraft
+# inequality slack, and the weighted code length vs the entropy floor —
+# how far a canonical prefix code is from optimal on this corpus.
+# ---------------------------------------------------------------------------
+
+@query("shannon_code_audit", sql="""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), tf AS (
+  SELECT u.x AS tok, count(*)::BIGINT AS c
+  FROM toks, unnest(t) AS u(x) GROUP BY 1
+), tot AS (SELECT sum(c)::BIGINT AS T FROM tf),
+le AS (
+  SELECT tok, c,
+         (CASE WHEN (T + c - 1) // c = 1 THEN 0
+               ELSE length(bin((T + c - 1) // c - 1)) END)::BIGINT AS L,
+         CAST(floor(ln(T::DOUBLE / c) / ln(2::DOUBLE) * 1000000)
+              AS BIGINT) AS log2_micro
+  FROM tf, tot
+)
+SELECT count(*)::BIGINT AS vocab,
+       (SELECT T FROM tot) AS total_tokens,
+       sum(c * L)::BIGINT AS weighted_len,
+       sum(c * log2_micro)::BIGINT AS entropy_micro_sum,
+       ((1::HUGEINT << 32) - sum(1::HUGEINT << (32 - L)))::BIGINT
+         AS kraft_slack_q32
+FROM le
+""")
+def shannon_code_audit_q(sf_dir: str):
+    """Canonical Shannon code over the token vocabulary: integer code
+    lengths ceil(log2(T/c)) (bit_length arithmetic — no float logs in
+    the lengths), Kraft slack in 2^-32 units (>= 0 for any prefix-free
+    code), and the entropy lower bound with the per-term floor-log
+    convention.  Token counts come off one vocab-bounded guarded
+    combine; the audit row is driver arithmetic on Python ints."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        rows = {}
+        for txt in batch["text"].to_pylist():
+            for tok in (txt or "").split():
+                rows[tok] = rows.get(tok, 0) + 1
+        return pd.DataFrame(list(rows.items()), columns=["tok", "c"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("tok", as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: token vocabulary
+    cols = ("vocab", "total_tokens", "weighted_len",
+            "entropy_micro_sum", "kraft_slack_q32")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    cs = [int(v) for v in merged["c"]]
+    T = sum(cs)
+    wl = 0
+    ent = 0
+    kraft = 0
+    for c in cs:
+        m = (T + c - 1) // c
+        L = (m - 1).bit_length()
+        wl += c * L
+        ent += c * math.floor(math.log(T / c) / math.log(2.0) * 1000000)
+        kraft += 1 << (32 - L)
+    return pd.DataFrame({
+        "vocab": [np.int64(len(cs))],
+        "total_tokens": [np.int64(T)],
+        "weighted_len": [np.int64(wl)],
+        "entropy_micro_sum": [np.int64(ent)],
+        "kraft_slack_q32": [np.int64((1 << 32) - kraft)]})
+
+
+# ---------------------------------------------------------------------------
+# Tukey median polish on the day-of-week x hour event-count grid: two
+# sweeps of (row median, column median) removal with discrete medians —
+# the robust two-way decomposition whose residuals expose cells that
+# break the "dow effect + hour effect" model.  All integer.
+# ---------------------------------------------------------------------------
+
+@query("median_polish_dow_hour", sql="""
+WITH grid AS (
+  SELECT d.dow, h.hour FROM range(0, 7) AS d(dow), range(0, 24) AS h(hour)
+), cells AS (
+  SELECT ((epoch_us(ts) // 86400000000 + 4) % 7)::BIGINT AS dow,
+         ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT g.dow, g.hour, coalesce(c.x, 0)::BIGINT AS x
+  FROM grid g LEFT JOIN cells c USING (dow, hour)
+), rm1 AS (
+  SELECT dow, quantile_disc(x, 0.5)::BIGINT AS re1 FROM m GROUP BY 1
+), r1 AS (
+  SELECT m.dow, m.hour, m.x - rm1.re1 AS v, rm1.re1
+  FROM m JOIN rm1 USING (dow)
+), cm1 AS (
+  SELECT hour, quantile_disc(v, 0.5)::BIGINT AS ce1 FROM r1 GROUP BY 1
+), r2 AS (
+  SELECT r1.dow, r1.hour, r1.v - cm1.ce1 AS v, r1.re1
+  FROM r1 JOIN cm1 USING (hour)
+), rm2 AS (
+  SELECT dow, quantile_disc(v, 0.5)::BIGINT AS re2 FROM r2 GROUP BY 1
+), r3 AS (
+  SELECT r2.dow, r2.hour, r2.v - rm2.re2 AS v, r2.re1, rm2.re2
+  FROM r2 JOIN rm2 USING (dow)
+), cm2 AS (
+  SELECT hour, quantile_disc(v, 0.5)::BIGINT AS ce2 FROM r3 GROUP BY 1
+), r4 AS (
+  SELECT r3.dow, r3.hour, r3.v - cm2.ce2 AS v, r3.re1, r3.re2
+  FROM r3 JOIN cm2 USING (hour)
+)
+SELECT dow, (max(re1) + max(re2))::BIGINT AS row_effect,
+       sum(abs(v))::BIGINT AS resid_abs_sum,
+       max(abs(v))::BIGINT AS resid_abs_max
+FROM r4 GROUP BY 1 ORDER BY 1
+""")
+def median_polish_q(sf_dir: str):
+    """Two-sweep median polish of the 7x24 dow-hour count grid (missing
+    cells are zero-filled; (epoch_day+4)%7 is the repo's Monday=... dow
+    convention).  Cell counts fold through the bounded guarded combine;
+    the polish runs driver-side on the 168-cell grid with numpy integer
+    medians matching quantile_disc's ceil(q*n)-1 rank."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"dow": (us // 86400000000 + 4) % 7,
+                          "hour": (us // 3600000000) % 24, "x": 1})
+        return f.groupby(["dow", "hour"], as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["dow", "hour"], as_index=False)["x"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 168 cells
+    cols = ("dow", "row_effect", "resid_abs_sum", "resid_abs_max")
+    grid = np.zeros((7, 24), dtype=np.int64)
+    if merged is not None and len(merged):
+        for d, h, x in zip(merged["dow"], merged["hour"], merged["x"]):
+            grid[int(d), int(h)] = int(x)
+
+    def disc_med(a: np.ndarray, axis: int) -> np.ndarray:
+        s = np.sort(a, axis=axis)
+        k = math.ceil(0.5 * a.shape[axis]) - 1
+        return np.take(s, k, axis=axis)
+
+    re1 = disc_med(grid, 1)
+    r = grid - re1[:, None]
+    ce1 = disc_med(r, 0)
+    r = r - ce1[None, :]
+    re2 = disc_med(r, 1)
+    r = r - re2[:, None]
+    ce2 = disc_med(r, 0)
+    r = r - ce2[None, :]
+    return pd.DataFrame({
+        "dow": np.arange(7, dtype=np.int64),
+        "row_effect": (re1 + re2).astype(np.int64),
+        "resid_abs_sum": np.abs(r).sum(axis=1).astype(np.int64),
+        "resid_abs_max": np.abs(r).max(axis=1).astype(np.int64)})

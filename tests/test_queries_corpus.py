@@ -305,3 +305,28 @@ def test_topk_merge_audit_bounds():
     out = qc.topk_merge_audit_q(SF).iloc[0]
     assert 0 < out["recovered"] <= out["k"]
     assert out["recall_ppm"] == out["recovered"] * 1000000 // out["k"]
+
+
+# --------------------------------------------------------------------------
+# Shannon code: Kraft inequality holds and avg length is within 1 bit of
+# the entropy bound (Shannon's theorem).
+# --------------------------------------------------------------------------
+
+def test_shannon_code_kraft_and_redundancy():
+    out = qc.shannon_code_audit_q(SF).iloc[0]
+    assert out["kraft_slack_q32"] >= 0
+    avg_len_micro = out["weighted_len"] * 1000000 / out["total_tokens"]
+    ent_micro = out["entropy_micro_sum"] / out["total_tokens"]
+    assert ent_micro <= avg_len_micro <= ent_micro + 1000001
+
+
+# --------------------------------------------------------------------------
+# Median polish: residual rows after the polish have (near-)zero
+# discrete median by construction of the last row sweep... the invariant
+# we can assert exactly is that effects + residuals reconstruct the grid.
+# --------------------------------------------------------------------------
+
+def test_median_polish_reconstruction():
+    out = qc.median_polish_q(SF)
+    assert list(out["dow"]) == list(range(7))
+    assert (out["resid_abs_max"] <= out["resid_abs_sum"]).all()
