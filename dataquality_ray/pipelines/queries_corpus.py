@@ -2196,3 +2196,434 @@ def median_polish_q(sf_dir: str):
         "row_effect": (re1 + re2).astype(np.int64),
         "resid_abs_sum": np.abs(r).sum(axis=1).astype(np.int64),
         "resid_abs_max": np.abs(r).max(axis=1).astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Wedge-sampling triangle estimator audit (Seshadhri et al.): sample
+# wedges by a deterministic hash rule, measure the closed fraction, and
+# scale to a triangle estimate — next to the exact 3-way-join count.
+# The estimator a 10^12-edge graph needs, audited where exact truth is
+# cheap.
+# ---------------------------------------------------------------------------
+
+from dataquality_ray.pipelines.queries_mining import (  # noqa: E402
+    _BIGRAM_SQL,
+    bigram_edges,
+)
+
+_WEDGE_MOD = 4
+
+
+@query("wedge_sampling_triangles", sql=f"""
+WITH {_BIGRAM_SQL.strip().rstrip(',')},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+), adj AS (
+  SELECT a AS c, b AS x FROM und UNION ALL SELECT b AS c, a AS x FROM und
+), wedges AS (
+  SELECT l.c, l.x AS u, r.x AS v
+  FROM adj l JOIN adj r ON r.c = l.c AND r.x > l.x
+), flagged AS (
+  SELECT c, u, v,
+         (('0x' || substr(sha256(u || '|' || c || '|' || v), 1, 16))
+            ::UBIGINT % {_WEDGE_MOD} = 0)::INT AS sampled,
+         (EXISTS (SELECT 1 FROM und w
+                  WHERE w.a = least(u, v) AND w.b = greatest(u, v)))::INT
+           AS closed
+  FROM wedges
+), tri AS (
+  SELECT count(*)::BIGINT AS n
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT count(*)::BIGINT AS n_wedges,
+       sum(sampled)::BIGINT AS n_sampled,
+       sum(sampled * closed)::BIGINT AS n_sampled_closed,
+       (CASE WHEN sum(sampled) = 0 THEN 0
+             ELSE (sum(sampled * closed)::HUGEINT * count(*))
+                  // (3 * sum(sampled)) END)::BIGINT AS tri_est,
+       (SELECT n FROM tri) AS tri_exact
+FROM flagged
+""")
+def wedge_sampling_q(sf_dir: str):
+    """Wedge-sampling triangle estimate on the undirected token-bigram
+    graph: every wedge (u-c-v, u<v) is kept iff sha64('u|c|v') % 4 == 0,
+    tri_est = closed_fraction x wedges / 3 in floor-integer arithmetic,
+    reported next to the exact count.  Edges come off the vocab-bounded
+    guarded combine; the wedge pass is driver-side over the distinct
+    token graph (values, never rows)."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    und = set()
+    for s, d in zip(edges["src"], edges["dst"]):
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    adj: dict[str, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_w = n_s = n_sc = 0
+    for c, nb in adj.items():
+        ns = sorted(nb)
+        for i, u in enumerate(ns):
+            for v in ns[i + 1:]:
+                n_w += 1
+                if _sha64(f"{u}|{c}|{v}") % _WEDGE_MOD == 0:
+                    n_s += 1
+                    if (min(u, v), max(u, v)) in und:
+                        n_sc += 1
+    tri_exact = 0
+    for a, b in und:
+        for c in adj.get(a, ()):
+            if c > b and c in adj.get(b, set()):
+                tri_exact += 1
+    est = 0 if n_s == 0 else n_sc * n_w // (3 * n_s)
+    return pd.DataFrame({
+        "n_wedges": [np.int64(n_w)], "n_sampled": [np.int64(n_s)],
+        "n_sampled_closed": [np.int64(n_sc)],
+        "tri_est": [np.int64(est)], "tri_exact": [np.int64(tri_exact)]})
+
+
+# ---------------------------------------------------------------------------
+# Embedding triplet-violation rate: for each anchor, the next same-label
+# vector must be closer than the next different-label vector — exact
+# integer distances on the quantized grid; the metric-learning health
+# check for a labeled embedding table.
+# ---------------------------------------------------------------------------
+
+@query("triplet_violation_rate", sql="""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT e.vec_id, idx.i,
+             CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM embeddings e, idx),
+lab AS (SELECT vec_id, label FROM embeddings),
+pos AS (
+  SELECT a.vec_id, min(b.vec_id) AS p
+  FROM lab a JOIN lab b ON b.label = a.label AND b.vec_id > a.vec_id
+  GROUP BY 1
+), neg AS (
+  SELECT a.vec_id, min(b.vec_id) AS n
+  FROM lab a JOIN lab b ON b.label <> a.label AND b.vec_id > a.vec_id
+  GROUP BY 1
+), tri AS (
+  SELECT pos.vec_id, pos.p, neg.n FROM pos JOIN neg USING (vec_id)
+), d AS (
+  SELECT t.vec_id,
+         sum((qa.v - qp.v) * (qa.v - qp.v))::BIGINT AS d2_ap,
+         sum((qa.v - qn.v) * (qa.v - qn.v))::BIGINT AS d2_an
+  FROM tri t
+  JOIN q qa ON qa.vec_id = t.vec_id
+  JOIN q qp ON qp.vec_id = t.p AND qp.i = qa.i
+  JOIN q qn ON qn.vec_id = t.n AND qn.i = qa.i
+  GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_triples,
+       sum((d2_ap >= d2_an)::INT)::BIGINT AS violations,
+       (sum((d2_ap >= d2_an)::INT) * 1000000 // count(*))::BIGINT
+         AS violation_ppm
+FROM d
+""")
+def triplet_violation_q(sf_dir: str):
+    """Triplet audit (anchor, next same-label by vec_id, next
+    other-label by vec_id): violation iff d2(a,p) >= d2(a,n) on the
+    integer grid.  The engine broadcasts (ids, labels, grid) once,
+    computes the next-same/next-different indices with two vectorized
+    reverse scans, and streams batches for the distance gathers."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings",
+                ["vec_id", "embedding", "label"]).to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    g = np.floor(np.stack(emb["embedding"].to_numpy())
+                 .astype(np.float64) * 1000.0).astype(np.int64)
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    labels = emb["label"].to_numpy()
+    n = len(ids)
+    nxt_same = np.full(n, -1, dtype=np.int64)
+    nxt_diff = np.full(n, -1, dtype=np.int64)
+    last_same: dict = {}
+    # reverse scans: next same-label via per-label last index; next
+    # different-label via the chain rule nd[i] = i+1 if label differs
+    # else nd[i+1]
+    for i in range(n - 1, -1, -1):
+        l = labels[i]
+        if l in last_same:
+            nxt_same[i] = last_same[l]
+        last_same[l] = i
+        if i < n - 1:
+            nxt_diff[i] = i + 1 if labels[i + 1] != l else nxt_diff[i + 1]
+    ref = ray.put((ids, g, nxt_same, nxt_diff))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        gid, gm, ns, nd = ray.get(ref)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(gid, vid)
+        ok = (ns[pos] >= 0) & (nd[pos] >= 0)
+        a = gm[pos[ok]]
+        p = gm[ns[pos[ok]]]
+        q_ = gm[nd[pos[ok]]]
+        d2ap = np.einsum("ij,ij->i", a - p, a - p)
+        d2an = np.einsum("ij,ij->i", a - q_, a - q_)
+        return pd.DataFrame({"n": [int(ok.sum())],
+                             "viol": [int((d2ap >= d2an).sum())]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.sum().to_frame().T
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["vec_id"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: one counter row per batch
+    if merged is None or not len(merged):
+        return pd.DataFrame({"n_triples": pd.Series([], dtype=np.int64),
+                             "violations": pd.Series([], dtype=np.int64),
+                             "violation_ppm": pd.Series([], dtype=np.int64)})
+    t = merged.sum()
+    nt, nv = int(t["n"]), int(t["viol"])
+    return pd.DataFrame({
+        "n_triples": [np.int64(nt)],
+        "violations": [np.int64(nv)],
+        "violation_ppm": [np.int64(0 if nt == 0
+                                   else nv * 1000000 // nt)]})
+
+
+# ---------------------------------------------------------------------------
+# Instrumental-variable Wald estimator: effect of per-user click volume
+# on purchase volume instrumented by user-id parity — the two-stage
+# ratio from exact integer group sums, with explicit truncating sign
+# handling so Python and DuckDB agree on negative ratios.
+# ---------------------------------------------------------------------------
+
+@query("iv_wald_estimate", sql="""
+WITH u AS (
+  SELECT user_id, (user_id % 2)::BIGINT AS z,
+         sum((event_type = 'click')::INT)::BIGINT AS x,
+         sum((event_type = 'purchase')::INT)::BIGINT AS y
+  FROM events GROUP BY 1
+), s AS (
+  SELECT sum(CASE WHEN z = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN z = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN z = 0 THEN x ELSE 0 END)::BIGINT AS sx0,
+         sum(CASE WHEN z = 1 THEN x ELSE 0 END)::BIGINT AS sx1,
+         sum(CASE WHEN z = 0 THEN y ELSE 0 END)::BIGINT AS sy0,
+         sum(CASE WHEN z = 1 THEN y ELSE 0 END)::BIGINT AS sy1
+  FROM u
+)
+SELECT n0, n1, sx0, sx1, sy0, sy1,
+       (CASE WHEN (sx1 * n0 - sx0 * n1) = 0 THEN 0
+             ELSE (CASE WHEN (sy1 * n0 - sy0 * n1)
+                             * (sx1 * n0 - sx0 * n1) < 0
+                        THEN -1 ELSE 1 END)
+                  * (abs(sy1 * n0 - sy0 * n1) * 1000000
+                     // abs(sx1 * n0 - sx0 * n1)) END)::BIGINT
+         AS wald_ppm
+FROM s
+""")
+def iv_wald_q(sf_dir: str):
+    """Wald IV estimate (dy/dz over dx/dz with the common 1/(n0 n1)
+    factors cancelled): wald_ppm = sign * (|Sy1 n0 - Sy0 n1| * 1e6 //
+    |Sx1 n0 - Sx0 n1|) — the sign*(abs//abs) form both engines compute
+    identically.  Per-user counts fold through the guarded combine
+    (groupby twin past cap)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        f = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "x": (et == "click").astype(np.int64),
+            "y": (et == "purchase").astype(np.int64)})
+        return f.groupby("user_id", as_index=False)[["x", "y"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("user_id", as_index=False)[["x", "y"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: user universe
+    cols = ("n0", "n1", "sx0", "sx1", "sy0", "sy1", "wald_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    z = (merged["user_id"].to_numpy(dtype=np.int64) % 2)
+    x = merged["x"].to_numpy(dtype=np.int64)
+    y = merged["y"].to_numpy(dtype=np.int64)
+    n0, n1 = int((z == 0).sum()), int((z == 1).sum())
+    sx0, sx1 = int(x[z == 0].sum()), int(x[z == 1].sum())
+    sy0, sy1 = int(y[z == 0].sum()), int(y[z == 1].sum())
+    num = sy1 * n0 - sy0 * n1
+    den = sx1 * n0 - sx0 * n1
+    wald = 0 if den == 0 else (
+        (-1 if num * den < 0 else 1) * (abs(num) * 1000000 // abs(den)))
+    return pd.DataFrame({
+        "n0": [np.int64(n0)], "n1": [np.int64(n1)],
+        "sx0": [np.int64(sx0)], "sx1": [np.int64(sx1)],
+        "sy0": [np.int64(sy0)], "sy1": [np.int64(sy1)],
+        "wald_ppm": [np.int64(wald)]})
+
+
+# ---------------------------------------------------------------------------
+# Secretary-rule (optimal stopping) audit: per user, skip the first
+# floor(n/3) event values, then hire the first value exceeding the
+# skipped maximum; success iff the hired value is the user's overall
+# maximum.  A deterministic replay of the classic 1/e-rule with the
+# repo's integer-cents values.
+# ---------------------------------------------------------------------------
+
+@query("secretary_rule_audit", sql="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), o AS (
+  SELECT user_id, cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS r,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         max(cents) OVER (PARTITION BY user_id) AS best
+  FROM e
+), skipmax AS (
+  SELECT user_id, max(cents) AS sm
+  FROM o WHERE r <= n // 3 GROUP BY 1
+), hire AS (
+  SELECT o.user_id, min(o.r) AS hr
+  FROM o JOIN skipmax s USING (user_id)
+  WHERE o.r > o.n // 3 AND o.cents > s.sm
+  GROUP BY 1
+), outcome AS (
+  SELECT o.user_id, (o.cents = o.best)::INT AS success
+  FROM hire h JOIN o ON o.user_id = h.user_id AND o.r = h.hr
+)
+SELECT (SELECT count(*) FROM skipmax)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_hired,
+       sum(success)::BIGINT AS n_success,
+       (sum(success) * 1000000
+          // (SELECT count(*) FROM skipmax))::BIGINT AS success_ppm
+FROM outcome
+""")
+def secretary_rule_q(sf_dir: str):
+    """Optimal-stopping success rate over per-user event-value streams
+    (skip n//3, hire first strict improvement; users whose maximum sits
+    in the skip prefix never hire).  Each user's replay is one
+    vectorized cummax pass inside groupby(user).map_groups; three
+    bounded counters fold on the driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "us": pc.cast(batch["ts"], pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+            "cents": pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                             pa.int64()).to_numpy(zero_copy_only=False)})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["us", "event_id"])
+        c = g["cents"].to_numpy(dtype=np.int64)
+        n = len(c)
+        k = n // 3
+        if k == 0:
+            return pd.DataFrame({"users": [1], "hired": [0],
+                                 "success": [0]})
+        sm = int(c[:k].max())
+        rest = c[k:]
+        idx = np.nonzero(rest > sm)[0]
+        if not len(idx):
+            return pd.DataFrame({"users": [1], "hired": [0],
+                                 "success": [0]})
+        hired = int(rest[idx[0]])
+        return pd.DataFrame({"users": [1], "hired": [1],
+                             "success": [int(hired == int(c.max()))]})
+
+    ds = (_read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+          .map_batches(prep, batch_format="pyarrow")
+          .groupby("user_id")
+          .map_groups(per_user, batch_format="pandas"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.sum().to_frame().T
+
+    merged, ok = guarded_partials(ds, fold, 2_000_000)
+    assert ok  # bounded: three counters
+    cols = ("n_users", "n_hired", "n_success", "success_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    t = merged.sum()
+    nu, nh, nsu = int(t["users"]), int(t["hired"]), int(t["success"])
+    return pd.DataFrame({
+        "n_users": [np.int64(nu)], "n_hired": [np.int64(nh)],
+        "n_success": [np.int64(nsu)],
+        "success_ppm": [np.int64(0 if nu == 0
+                                 else nsu * 1000000 // nu)]})
+
+
+# ---------------------------------------------------------------------------
+# Join-order cost audit: the textbook cardinality estimate
+# |A join B| ~= nA * nB / max(ndv_A(k), ndv_B(k)) for both left-deep
+# 3-way plans over lineitem-orders-customer, next to the ACTUAL
+# intermediate sizes from the engine's distributed joins — the
+# estimator-vs-reality gap every optimizer lives with.
+# ---------------------------------------------------------------------------
+
+@query("join_order_cost_audit", sql="""
+WITH s AS (
+  SELECT (SELECT count(*) FROM lineitem) AS nl,
+         (SELECT count(*) FROM orders) AS no_,
+         (SELECT count(*) FROM customer) AS nc,
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS ndv_l_ok,
+         (SELECT count(DISTINCT o_orderkey) FROM orders) AS ndv_o_ok,
+         (SELECT count(DISTINCT o_custkey) FROM orders) AS ndv_o_ck,
+         (SELECT count(DISTINCT c_custkey) FROM customer) AS ndv_c_ck,
+         (SELECT count(*) FROM lineitem JOIN orders
+            ON l_orderkey = o_orderkey) AS act_lo,
+         (SELECT count(*) FROM orders JOIN customer
+            ON o_custkey = c_custkey) AS act_oc
+)
+SELECT * FROM (
+  SELECT 'lineitem_orders_first' AS plan,
+         (nl::HUGEINT * no_ // greatest(ndv_l_ok, ndv_o_ok))::BIGINT
+           AS est_intermediate,
+         act_lo::BIGINT AS act_intermediate
+  FROM s
+  UNION ALL
+  SELECT 'orders_customer_first',
+         (no_::HUGEINT * nc // greatest(ndv_o_ck, ndv_c_ck))::BIGINT,
+         act_oc::BIGINT
+  FROM s
+) t ORDER BY plan
+""")
+def join_order_cost_q(sf_dir: str):
+    """Estimated vs actual intermediate cardinality for the two
+    left-deep plans of lineitem-orders-customer.  The stats pass (row
+    counts + exact NDVs) and both probe joins run fully distributed:
+    NDV via groupby(key).count() row counts, actuals via smart_join —
+    no driver key state at any point."""
+    from dataquality_ray.stages.joins import smart_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cu = _read(sf_dir, "customer", ["c_custkey"])
+    nl, no_, nc = li.count(), od.count(), cu.count()
+    ndv_l_ok = li.groupby("l_orderkey").count().count()
+    ndv_o_ok = od.groupby("o_orderkey").count().count()
+    ndv_o_ck = od.groupby("o_custkey").count().count()
+    ndv_c_ck = cu.groupby("c_custkey").count().count()
+    act_lo = smart_join(li, od.select_columns(["o_orderkey"]),
+                        on="l_orderkey", right_on="o_orderkey",
+                        join_type="inner").count()
+    act_oc = smart_join(od.select_columns(["o_custkey"]), cu,
+                        on="o_custkey", right_on="c_custkey",
+                        join_type="inner").count()
+    est_lo = nl * no_ // max(ndv_l_ok, ndv_o_ok)
+    est_oc = no_ * nc // max(ndv_o_ck, ndv_c_ck)
+    return pd.DataFrame({
+        "plan": ["lineitem_orders_first", "orders_customer_first"],
+        "est_intermediate": np.array([est_lo, est_oc], dtype=np.int64),
+        "act_intermediate": np.array([act_lo, act_oc], dtype=np.int64)})

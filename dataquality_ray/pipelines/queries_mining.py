@@ -8657,14 +8657,30 @@ def hodges_lehmann_daily_q(sf_dir: str):
     import math
 
     def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        # k-th smallest Walsh sum (i <= j) WITHOUT materializing the
+        # O(n^2) matrix: binary-search the sum value, counting pairs
+        # with c_i + c_j <= t in O(n log n) by searchsorted — exact,
+        # and ~18 probes cover the full cents range (the previous
+        # matrix build was 3 GB/group at 20k events/day).
         c = np.sort(g["cents"].to_numpy(dtype=np.int64))
         n = len(c)
-        s = (c[:, None] + c[None, :])
-        iu = np.triu_indices(n, k=0)
-        walsh = np.sort(s[iu])
-        k = math.ceil(0.5 * len(walsh))  # disc-quantile 1-based rank
+        total = n * (n + 1) // 2
+        k = math.ceil(0.5 * total)  # disc-quantile 1-based rank
+        idx = np.arange(n)
+
+        def count_leq(t: int) -> int:
+            pos = np.searchsorted(c, t - c, side="right")
+            return int(np.maximum(pos - idx, 0).sum())
+
+        lo, hi = int(2 * c[0]), int(2 * c[-1])
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if count_leq(mid) >= k:
+                hi = mid
+            else:
+                lo = mid + 1
         return pd.DataFrame({"day": [g["day"].iloc[0]],
-                             "n": [n], "hl2_cents": [int(walsh[k - 1])]})
+                             "n": [n], "hl2_cents": [int(lo)]})
 
     ds = _read(sf_dir, "events", ["ts", "value"])
     ds = ds.map_batches(

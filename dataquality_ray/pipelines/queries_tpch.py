@@ -8942,30 +8942,43 @@ def column_entropy_profile_q(sf_dir: str):
     partition-key candidates.  Each column's value counts reduce
     distributedly; the entropy is one exact-int weighted sum and a
     two-division float chain, identical on both engines."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from dataquality_ray.stages.autoroute import guarded_partials
 
-    rows = []
-    for t, c in _ENTROPY_COLS:
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("v", as_index=False)["cc"].sum()
+
+    def make_stage(tc):
+        t, c = tc
+
         def part(b: pa.Table, c=c) -> pd.DataFrame:
             f = pd.DataFrame({"v": b[c].to_pylist(), "cc": 1})
             return f.groupby("v", as_index=False)["cc"].sum()
 
-        def fold(f: pd.DataFrame) -> pd.DataFrame:
-            return f.groupby("v", as_index=False)["cc"].sum()
+        return _read(sf_dir, t, [c]).map_batches(
+            part, batch_format="pyarrow")
 
-        merged, ok = guarded_partials(
-            _read(sf_dir, t, [c])
-            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    def col_entropy(args):
+        (t, c), stage = args
+        merged, ok = guarded_partials(stage, fold, 2_000_000)
         assert ok  # bounded: categorical vocabulary
         if merged is None or not len(merged):
-            rows.append((f"{t}.{c}", 0, 0, 0.0))
-            continue
+            return (f"{t}.{c}", 0, 0, 0.0)
         cc = merged["cc"].to_numpy(dtype=np.int64)
         n = int(cc.sum())
         q = np.floor(np.log(cc.astype(np.float64) / float(n))
                      * 1e6).astype(np.int64)
         h = float(-(cc * q).sum()) / n / 1e6
-        rows.append((f"{t}.{c}", n, len(cc), h))
+        return (f"{t}.{c}", n, len(cc), h)
+
+    # each column is its own small Dataset program whose wall-time is
+    # dominated by fixed pipeline overhead — PLAN serially (filesystem
+    # resolution has a lazy-import race under threads) but EXECUTE the
+    # eight streams concurrently; the work stays in Ray tasks
+    stages = [make_stage(tc) for tc in _ENTROPY_COLS]
+    with ThreadPoolExecutor(max_workers=len(_ENTROPY_COLS)) as ex:
+        rows = list(ex.map(col_entropy, zip(_ENTROPY_COLS, stages)))
     cols = ("col", "n_rows", "n_distinct", "entropy_nats")
     out = pd.DataFrame(rows, columns=list(cols))
     out["n_rows"] = out["n_rows"].astype(np.int64)
@@ -9083,10 +9096,16 @@ def pk_candidate_scan_q(sf_dir: str):
     reduce as map-side distinct partials through the guarded combine
     (cardinality-bounded; the KMV/HLL sketches are the beyond-cap
     path)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from dataquality_ray.stages.autoroute import guarded_partials
 
-    rows = []
-    for t, c in _PK_COLS:
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("v", as_index=False)["n"].sum()
+
+    def make_stage(tc):
+        t, c = tc
+
         def part(b: pa.Table, c=c) -> pd.DataFrame:
             col = b[c]
             vals = pd.unique(pd.Series(col.to_pandas()))
@@ -9094,19 +9113,25 @@ def pk_candidate_scan_q(sf_dir: str):
                 n=[len(col)] + [0] * (len(vals) - 1)
                 if len(vals) else [])
 
-        def fold(f: pd.DataFrame) -> pd.DataFrame:
-            g = f.groupby("v", as_index=False)["n"].sum()
-            return g
+        return _read(sf_dir, t, [c]).map_batches(
+            part, batch_format="pyarrow")
 
-        merged, ok = guarded_partials(
-            _read(sf_dir, t, [c])
-            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    def col_stats(args):
+        (t, c), stage = args
+        merged, ok = guarded_partials(stage, fold, 2_000_000)
         assert ok  # cardinality bounded; sketch twin past cap
         n_rows = int(merged["n"].sum()) if merged is not None else 0
         n_distinct = int(len(merged)) if merged is not None else 0
-        rows.append((f"{t}.{c}", n_rows, n_distinct,
-                     n_distinct * 1_000_000 // n_rows if n_rows else 0,
-                     1 if n_rows and n_distinct == n_rows else 0))
+        return (f"{t}.{c}", n_rows, n_distinct,
+                n_distinct * 1_000_000 // n_rows if n_rows else 0,
+                1 if n_rows and n_distinct == n_rows else 0)
+
+    # thirteen tiny per-column Dataset programs: fixed overhead, not
+    # kernels, dominates — plan serially (lazy-import race under
+    # threads), then stream them concurrently from driver threads
+    stages = [make_stage(tc) for tc in _PK_COLS]
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        rows = list(ex.map(col_stats, zip(_PK_COLS, stages)))
     cols = ("col", "n_rows", "n_distinct", "uniqueness_ppm", "is_pk")
     out = pd.DataFrame(rows, columns=list(cols))
     for c in cols[1:]:
