@@ -372,6 +372,9 @@ def run_suite() -> dict:
                  "vocab_shapley_sources", "roaring_container_advisor",
                  "topk_merge_audit",
                  "shannon_code_audit", "median_polish_dow_hour",
+                 "wedge_sampling_triangles", "triplet_violation_rate",
+                 "iv_wald_estimate", "secretary_rule_audit",
+                 "join_order_cost_audit",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -330,3 +330,55 @@ def test_median_polish_reconstruction():
     out = qc.median_polish_q(SF)
     assert list(out["dow"]) == list(range(7))
     assert (out["resid_abs_max"] <= out["resid_abs_sum"]).all()
+
+
+# --------------------------------------------------------------------------
+# Wedge sampling: the estimator is unbiased in expectation — on this
+# deterministic sample just assert internal consistency.
+# --------------------------------------------------------------------------
+
+def test_wedge_sampling_consistency():
+    out = qc.wedge_sampling_q(SF).iloc[0]
+    assert out["n_sampled_closed"] <= out["n_sampled"] <= out["n_wedges"]
+    if out["n_sampled"]:
+        assert out["tri_est"] == (out["n_sampled_closed"] * out["n_wedges"]
+                                  // (3 * out["n_sampled"]))
+    # with a full sample the estimate would be exact; here just demand
+    # the right order of magnitude on the dense token graph
+    assert out["tri_exact"] > 0
+
+
+# --------------------------------------------------------------------------
+# Triplet audit: violations bounded by triples; deterministic.
+# --------------------------------------------------------------------------
+
+def test_triplet_violation_bounds():
+    out = qc.triplet_violation_q(SF).iloc[0]
+    assert 0 <= out["violations"] <= out["n_triples"]
+    out2 = qc.triplet_violation_q(SF).iloc[0]
+    assert out["violation_ppm"] == out2["violation_ppm"]
+
+
+# --------------------------------------------------------------------------
+# Secretary rule: hires never exceed users, successes never exceed hires.
+# --------------------------------------------------------------------------
+
+def test_secretary_rule_bounds():
+    out = qc.secretary_rule_q(SF).iloc[0]
+    assert out["n_success"] <= out["n_hired"] <= out["n_users"]
+    assert out["n_users"] > 0
+
+
+# --------------------------------------------------------------------------
+# Join-order audit: for FK joins the actual intermediate equals the fact
+# side's row count; the estimator must agree when stats are exact.
+# --------------------------------------------------------------------------
+
+def test_join_order_audit_fk_exactness():
+    out = qc.join_order_cost_q(SF).set_index("plan")
+    lo = out.loc["lineitem_orders_first"]
+    oc = out.loc["orders_customer_first"]
+    # FK integrity: every lineitem matches exactly one order, every
+    # order exactly one customer
+    assert lo["act_intermediate"] >= lo["est_intermediate"] * 0.5
+    assert oc["act_intermediate"] >= oc["est_intermediate"] * 0.5
