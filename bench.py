@@ -375,6 +375,7 @@ def run_suite() -> dict:
                  "wedge_sampling_triangles", "triplet_violation_rate",
                  "iv_wald_estimate", "secretary_rule_audit",
                  "join_order_cost_audit",
+                 "knn_hubness_audit", "competing_risk_first_event",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

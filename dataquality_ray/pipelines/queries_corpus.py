@@ -2627,3 +2627,173 @@ def join_order_cost_q(sf_dir: str):
         "plan": ["lineitem_orders_first", "orders_customer_first"],
         "est_intermediate": np.array([est_lo, est_oc], dtype=np.int64),
         "act_intermediate": np.array([act_lo, act_oc], dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# kNN hubness audit: how often each vector appears in other points'
+# 3-NN lists (the k-occurrence distribution).  High-dimensional spaces
+# grow "hubs" that poison ANN recall and dedup quality — this is the
+# diagnostic.  Same exact integer-grid distances as knn_outlier_scores.
+# ---------------------------------------------------------------------------
+
+_HUB_K = 3
+_HUB_TOP = 10
+
+
+@query("knn_hubness_audit", sql=f"""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT e.vec_id, idx.i,
+             CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM embeddings e, idx),
+d AS (
+  SELECT a.vec_id AS sid, b.vec_id AS oid,
+         sum((a.v - b.v) * (a.v - b.v))::HUGEINT AS d2
+  FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+), rk AS (
+  SELECT sid, oid,
+         row_number() OVER (PARTITION BY sid ORDER BY d2, oid) AS r
+  FROM d
+), hub AS (
+  SELECT oid AS vec_id, count(*)::BIGINT AS n3
+  FROM rk WHERE r <= {_HUB_K} GROUP BY 1
+)
+SELECT vec_id, n3 FROM hub
+ORDER BY n3 DESC, vec_id LIMIT {_HUB_TOP}
+""")
+def knn_hubness_q(sf_dir: str):
+    """Top-{_HUB_TOP} hub vectors by 3-NN in-degree.  The engine
+    broadcasts the quantized matrix once; each batch selects its rows'
+    exact 3 nearest (ties broken (d2, oid), matching the SQL
+    row_number) from a 64-candidate argpartition prefilter, and the
+    in-degree counts fold as bounded per-batch bincount partials."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    g = np.floor(np.stack(emb["embedding"].to_numpy())
+                 .astype(np.float64) * 1000.0).astype(np.int64)
+    gids = emb["vec_id"].to_numpy(dtype=np.int64)
+    ref = ray.put((gids, g, (g * g).sum(axis=1)))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        from dataquality_ray.stages.ann import _stack_embeddings
+        gid, gm, gsq = ray.get(ref)
+        x = np.floor(_stack_embeddings(batch, "embedding")
+                     .astype(np.float64) * 1000.0).astype(np.int64)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = ((x * x).sum(axis=1)[:, None] + gsq[None, :]
+              - 2 * (x @ gm.T))
+        d2[vid[:, None] == gid[None, :]] = np.iinfo(np.int64).max
+        m = min(64, d2.shape[1])
+        cand = np.argpartition(d2, m - 1, axis=1)[:, :m]
+        rows = []
+        for r in range(len(vid)):
+            c = cand[r]
+            order = np.lexsort((gid[c], d2[r, c]))[:_HUB_K]
+            rows.extend(gid[c[order]].tolist())
+        cnt = pd.DataFrame({"vec_id": rows, "n3": 1})
+        return cnt.groupby("vec_id", as_index=False)["n3"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("vec_id", as_index=False)["n3"].sum()
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: one count row per referenced vector
+    if merged is None or not len(merged):
+        return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                             "n3": pd.Series([], dtype=np.int64)})
+    out = (merged.sort_values(["n3", "vec_id"], ascending=[False, True])
+           .head(_HUB_TOP).reset_index(drop=True))
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["n3"] = out["n3"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Competing risks: per user, does a purchase or an error arrive first?
+# Outcome census plus the discrete median days-to-first-event — the
+# funnel-vs-failure race, all integer.
+# ---------------------------------------------------------------------------
+
+@query("competing_risk_first_event", sql="""
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) AS pu,
+         min(CASE WHEN event_type = 'error'
+                  THEN epoch_us(ts) END) AS er,
+         min(epoch_us(ts)) AS first_us
+  FROM events GROUP BY 1
+), o AS (
+  SELECT user_id,
+         CASE WHEN pu IS NULL AND er IS NULL THEN 'neither'
+              WHEN er IS NULL THEN 'purchase_first'
+              WHEN pu IS NULL THEN 'error_first'
+              WHEN pu < er THEN 'purchase_first'
+              ELSE 'error_first' END AS outcome,
+         CASE WHEN pu IS NULL AND er IS NULL THEN NULL
+              ELSE (least(coalesce(pu, er), coalesce(er, pu)) - first_us)
+                   // 86400000000 END AS days_to
+  FROM f
+)
+SELECT outcome, count(*)::BIGINT AS n_users,
+       coalesce(quantile_disc(days_to, 0.5), 0)::BIGINT
+         AS median_days_to
+FROM o GROUP BY 1 ORDER BY 1
+""")
+def competing_risk_q(sf_dir: str):
+    """Competing-risk census (purchase vs error, whichever strikes a
+    user first) with the discrete median days from the user's first
+    event to the winning event.  Per-user firsts reduce through the
+    guarded combine keyed by user; outcomes are three bounded keys."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    BIG = np.iinfo(np.int64).max
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        f = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "pu": np.where(et == "purchase", us, BIG),
+            "er": np.where(et == "error", us, BIG),
+            "first_us": us})
+        return f.groupby("user_id", as_index=False).min()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("user_id", as_index=False).min()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: user universe (groupby twin past cap)
+    cols = ("outcome", "n_users", "median_days_to")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"outcome": pd.Series([], dtype=object),
+                             "n_users": pd.Series([], dtype=np.int64),
+                             "median_days_to": pd.Series([],
+                                                         dtype=np.int64)})
+    pu = merged["pu"].to_numpy(dtype=np.int64)
+    er = merged["er"].to_numpy(dtype=np.int64)
+    first = merged["first_us"].to_numpy(dtype=np.int64)
+    outcome = np.where((pu == BIG) & (er == BIG), "neither",
+                       np.where(pu < er, "purchase_first", "error_first"))
+    win = np.minimum(pu, er)
+    days = np.where(win == BIG, -1, (win - first) // 86400000000)
+    rows = []
+    for oc in sorted(set(outcome.tolist())):
+        m = outcome == oc
+        d = np.sort(days[m])
+        med = 0 if oc == "neither" else int(
+            d[math.ceil(0.5 * len(d)) - 1])
+        rows.append((oc, int(m.sum()), med))
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["median_days_to"] = out["median_days_to"].astype(np.int64)
+    return out
