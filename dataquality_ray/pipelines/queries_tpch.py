@@ -3818,24 +3818,54 @@ def snm_candidate_pairs_q(sf_dir: str):
     names = srt["c_name"].to_numpy()
     keys = srt["c_custkey"].to_numpy()
 
-    def edit(a: str, b: str) -> int:
-        if abs(len(a) - len(b)) > 3:
-            return 4
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i] + [0] * len(b)
-            for j, cb in enumerate(b, 1):
-                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
-                             prev[j - 1] + (ca != cb))
+    # All window pairs at once: vectorized Levenshtein DP across the
+    # pair axis (the i/j loops run over CHARACTER positions — ~la*lb
+    # numpy steps total — not over pairs; the previous per-pair Python
+    # DP was the whole query's cost at sf0.1).  Pairs are grouped by
+    # (len_a, len_b) so each group DPs over a rectangular byte matrix.
+    ii, jj = [], []
+    for w in range(1, 4):
+        ii.append(np.arange(0, max(len(names) - w, 0)))
+        jj.append(ii[-1] + w)
+    ia = np.concatenate(ii) if ii else np.array([], dtype=np.int64)
+    ja = np.concatenate(jj) if jj else np.array([], dtype=np.int64)
+
+    def lev_block(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+        A = np.frombuffer("".join(sa).encode("utf-8"),
+                          dtype=np.uint8).reshape(len(sa), -1)
+        B = np.frombuffer("".join(sb).encode("utf-8"),
+                          dtype=np.uint8).reshape(len(sb), -1)
+        la, lb = A.shape[1], B.shape[1]
+        prev = np.tile(np.arange(lb + 1, dtype=np.int32), (len(sa), 1))
+        for i in range(1, la + 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            for j in range(1, lb + 1):
+                cost = (A[:, i - 1] != B[:, j - 1]).astype(np.int32)
+                cur[:, j] = np.minimum(
+                    np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                    prev[:, j - 1] + cost)
             prev = cur
-        return prev[-1]
+        return prev[:, lb]
 
     rows = []
-    for i in range(len(names)):
-        for j in range(i + 1, min(i + 4, len(names))):
-            d = edit(names[i], names[j])
-            if d <= 3:
-                rows.append((int(keys[i]), int(keys[j]), d))
+    if len(ia):
+        sa = names[ia]
+        sb = names[ja]
+        la = np.fromiter((len(s.encode()) for s in sa), np.int64,
+                         len(sa))
+        lb = np.fromiter((len(s.encode()) for s in sb), np.int64,
+                         len(sb))
+        for (wa, wb) in sorted(set(zip(la.tolist(), lb.tolist()))):
+            m = (la == wa) & (lb == wb)
+            if abs(wa - wb) > 3:
+                continue
+            d = lev_block(sa[m], sb[m])
+            keep = d <= 3
+            for ki, kj, kd in zip(keys[ia[m][keep]], keys[ja[m][keep]],
+                                  d[keep]):
+                a, b = int(ki), int(kj)
+                rows.append((min(a, b), max(a, b), int(kd)))
     out = pd.DataFrame(rows, columns=["key_a", "key_b", "edit_distance"])
     if not len(out):
         return pd.DataFrame({"key_a": pd.Series([], dtype="int64"),
@@ -8582,30 +8612,44 @@ def column_match_profile_q(sf_dir: str):
     (key-cardinality bounded; the beyond-cap path is the KMV bottom-k
     sketch in bottom_k_sample); the intersection is one vectorized
     np.intersect1d per pair."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from dataquality_ray.stages.autoroute import guarded_partials
 
-    def distinct_vals(table: str, col: str) -> np.ndarray:
-        def part(b: pa.Table) -> pd.DataFrame:
+    def make_stage(tc):
+        table, col = tc
+
+        def part(b: pa.Table, col=col) -> pd.DataFrame:
             return pd.DataFrame({
                 "v": np.unique(b[col].to_numpy(zero_copy_only=False))})
 
-        def fold(f: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"v": f["v"].unique()})
+        return _read(sf_dir, table, [col]).map_batches(
+            part, batch_format="pyarrow")
 
-        merged, ok = guarded_partials(
-            _read(sf_dir, table, [col])
-            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": f["v"].unique()})
+
+    def distinct_vals(stage) -> np.ndarray:
+        merged, ok = guarded_partials(stage, fold, 2_000_000)
         assert ok  # key-cardinality bounded; KMV sketch past cap
         if merged is None or not len(merged):
             return np.array([], dtype=np.int64)
         return merged["v"].to_numpy(dtype=np.int64)
 
-    cache: dict[tuple, np.ndarray] = {}
-    rows = []
+    # plan the per-column distinct scans serially (filesystem
+    # resolution has a lazy-import race under threads), stream them
+    # concurrently — the per-pipeline fixed overhead dominates
+    uniq_cols = []
     for lt, lc, rt, rc in _COLMATCH_PAIRS:
         for t, c in ((lt, lc), (rt, rc)):
-            if (t, c) not in cache:
-                cache[(t, c)] = distinct_vals(t, c)
+            if (t, c) not in uniq_cols:
+                uniq_cols.append((t, c))
+    stages = [make_stage(tc) for tc in uniq_cols]
+    with ThreadPoolExecutor(max_workers=len(stages)) as ex:
+        vals = list(ex.map(distinct_vals, stages))
+    cache = dict(zip(uniq_cols, vals))
+    rows = []
+    for lt, lc, rt, rc in _COLMATCH_PAIRS:
         a, b = cache[(lt, lc)], cache[(rt, rc)]
         ni = int(len(np.intersect1d(a, b, assume_unique=True)))
         nl, nr = len(a), len(b)
@@ -9257,31 +9301,45 @@ def mcv_stats_q(sf_dir: str):
     ndv_correlation_audit and column_entropy_profile).  Value counts
     reduce distributedly; the top-3 cut is driver arithmetic with the
     (count desc, value) total order."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from dataquality_ray.stages.autoroute import guarded_partials
 
-    rows = []
-    for t, c in _MCV_COLS:
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("val", as_index=False)["n"].sum()
+
+    def make_stage(tc):
+        t, c = tc
+
         def part(b: pa.Table, c=c) -> pd.DataFrame:
             f = pd.DataFrame({"val": [str(v) for v in b[c].to_pylist()],
                               "n": 1})
             return f.groupby("val", as_index=False)["n"].sum()
 
-        def fold(f: pd.DataFrame) -> pd.DataFrame:
-            return f.groupby("val", as_index=False)["n"].sum()
+        return _read(sf_dir, t, [c]).map_batches(
+            part, batch_format="pyarrow")
 
-        merged, ok = guarded_partials(
-            _read(sf_dir, t, [c])
-            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    def col_mcv(args):
+        (t, c), stage = args
+        merged, ok = guarded_partials(stage, fold, 2_000_000)
         assert ok  # bounded: categorical vocabulary
+        out = []
         if merged is None or not len(merged):
-            continue
+            return out
         tot = int(merged["n"].sum())
         top = merged.sort_values(["n", "val"],
                                  ascending=[False, True]).head(3)
         for rk, (_, r) in enumerate(top.iterrows(), start=1):
             n = int(r["n"])
-            rows.append((f"{t}.{c}", rk, r["val"], n,
-                         n * 1_000_000 // tot))
+            out.append((f"{t}.{c}", rk, r["val"], n,
+                        n * 1_000_000 // tot))
+        return out
+
+    # plan serially, execute the six per-column streams concurrently
+    stages = [make_stage(tc) for tc in _MCV_COLS]
+    with ThreadPoolExecutor(max_workers=len(stages)) as ex:
+        rows = [r for chunk in ex.map(col_mcv, zip(_MCV_COLS, stages))
+                for r in chunk]
     cols = ("col", "rk", "val", "n", "freq_ppm")
     out = pd.DataFrame(rows, columns=list(cols))
     for c in ("rk", "n", "freq_ppm"):
@@ -9538,66 +9596,54 @@ def new_vs_returning_revenue_q(sf_dir: str):
     """Monthly revenue split by customer tenure: orders in a customer's
     FIRST month count as new, everything later as returning — the
     acquisition-vs-retention decomposition every growth dashboard leads
-    with, exact integer cents.  Per-customer first month is a
-    groupby-min that broadcasts back into the order scan (bounded:
-    #customers through the guarded combine); the monthly split is
-    calendar-bounded partials."""
+    with, exact integer cents.  ONE scan: per-(customer, month) partials
+    (bounded by the customer x active-month grid) carry order counts and
+    cents; the driver derives each customer's first month and splits —
+    the old two-pass version paid a second full read for the
+    first-month broadcast."""
     from dataquality_ray.stages.autoroute import guarded_partials
 
-    def f_part(b: pa.Table) -> pd.DataFrame:
-        f = pd.DataFrame({
-            "o_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
-            "m": pc.strftime(b["o_orderdate"],
-                             format="%Y-%m").to_pylist()})
-        return f.groupby("o_custkey", as_index=False)["m"].min()
-
-    def f_fold(f: pd.DataFrame) -> pd.DataFrame:
-        return f.groupby("o_custkey", as_index=False)["m"].min()
-
-    first, ok = guarded_partials(
-        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-        .map_batches(f_part, batch_format="pyarrow"), f_fold, 2_000_000)
-    assert ok  # bounded: #customers; groupby twin is the scale path
     cols = ("month", "new_cents", "returning_cents", "n_new_orders",
             "n_returning_orders")
-    if first is None or not len(first):
-        return pd.DataFrame({
-            "month": pd.Series([], dtype=object),
-            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
-    fm = dict(zip(first["o_custkey"].astype(np.int64), first["m"]))
 
     def part(b: pa.Table) -> pd.DataFrame:
-        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
-        month = np.asarray(pc.strftime(
-            b["o_orderdate"], format="%Y-%m").to_pylist(), dtype=object)
-        cents = np.round(b["o_totalprice"].to_numpy(
-            zero_copy_only=False) * 100.0).astype(np.int64)
-        is_new = np.asarray(
-            [fm[int(k)] == m for k, m in zip(ck, month)])
         f = pd.DataFrame({
-            "month": month,
-            "new_cents": np.where(is_new, cents, 0),
-            "returning_cents": np.where(is_new, 0, cents),
-            "n_new_orders": is_new.astype(np.int64),
-            "n_returning_orders": (~is_new).astype(np.int64)})
-        return f.groupby("month", as_index=False).sum()
+            "o_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
+            "month": pc.strftime(b["o_orderdate"],
+                                 format="%Y-%m").to_pylist(),
+            "cents": np.round(b["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100.0).astype(np.int64),
+            "n": 1})
+        return f.groupby(["o_custkey", "month"], as_index=False).sum()
 
     def fold(f: pd.DataFrame) -> pd.DataFrame:
-        return f.groupby("month", as_index=False).sum()
+        return f.groupby(["o_custkey", "month"], as_index=False).sum()
 
     merged, ok = guarded_partials(
         _read(sf_dir, "orders",
               ["o_custkey", "o_orderdate", "o_totalprice"])
         .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok  # bounded: calendar months
+    assert ok  # bounded: customer x active-month pairs; groupby twin
+    # on (custkey) is the scale path
     if merged is None or not len(merged):
         return pd.DataFrame({
             "month": pd.Series([], dtype=object),
             **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
-    merged = merged.sort_values("month").reset_index(drop=True)
+    first = merged.groupby("o_custkey")["month"].transform("min")
+    is_new = (merged["month"] == first).to_numpy()
+    cents = merged["cents"].to_numpy(dtype=np.int64)
+    n = merged["n"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame({
+        "month": merged["month"],
+        "new_cents": np.where(is_new, cents, 0),
+        "returning_cents": np.where(is_new, 0, cents),
+        "n_new_orders": np.where(is_new, n, 0),
+        "n_returning_orders": np.where(is_new, 0, n)})
+    out = out.groupby("month", as_index=False).sum()
+    out = out.sort_values("month").reset_index(drop=True)
     for c in cols[1:]:
-        merged[c] = merged[c].astype(np.int64)
-    return merged[list(cols)]
+        out[c] = out[c].astype(np.int64)
+    return out[list(cols)]
 
 
 # ---------------------------------------------------------------------------

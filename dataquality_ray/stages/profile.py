@@ -102,11 +102,24 @@ def profile_table(ds, columns: list[str] | None = None,
         scal = pd.DataFrame({"column": []})
 
     def distinct_part(batch: pa.Table) -> pd.DataFrame:
+        # vectorized per-column distinct: pc.unique + an INJECTIVE
+        # cast-to-string (Arrow float/int formatting is shortest
+        # round-trip, timestamps go through int64), so the unioned
+        # string sets have exactly SQL's count(DISTINCT col) size —
+        # the previous per-value Python repr() pass was the kernel
+        # cost of the whole profile at sf0.1
         cols_out, vals_out = [], []
         for name in names:
-            vals = {repr(v) for v in batch[name].drop_null().to_pylist()}
-            cols_out.extend([name] * len(vals))
-            vals_out.extend(vals)
+            arr = batch[name].drop_null()
+            if not len(arr):
+                continue
+            u = pc.unique(arr.combine_chunks()
+                          if isinstance(arr, pa.ChunkedArray) else arr)
+            if pa.types.is_timestamp(u.type):
+                u = pc.cast(u, pa.int64())
+            s = pc.cast(u, pa.string()).to_pylist()
+            cols_out.extend([name] * len(s))
+            vals_out.extend(s)
         return pd.DataFrame({"column": cols_out, "v": vals_out,
                              "one": np.ones(len(cols_out), np.int8)})
 
