@@ -2601,28 +2601,54 @@ SELECT * FROM (
 """)
 def join_order_cost_q(sf_dir: str):
     """Estimated vs actual intermediate cardinality for the two
-    left-deep plans of lineitem-orders-customer.  The stats pass (row
-    counts + exact NDVs) and both probe joins run fully distributed:
-    NDV via groupby(key).count() row counts, actuals via smart_join —
-    no driver key state at any point."""
-    from dataquality_ray.stages.joins import smart_join
+    left-deep plans of lineitem-orders-customer.  ONE per-key count
+    pass per join column (four bounded guarded combines, streamed
+    concurrently): ndv = frame length, actual join size = the exact
+    sum over keys of count_left(k) * count_right(k) — no shuffle join
+    and no high-cardinality Ray groupby (the first version spent 15 s
+    at sf0.1 in groupby(key).count()).  Past the cap the per-key
+    counts route to the groupby twin / KMV sketch path."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey"])
-    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    cu = _read(sf_dir, "customer", ["c_custkey"])
-    nl, no_, nc = li.count(), od.count(), cu.count()
-    ndv_l_ok = li.groupby("l_orderkey").count().count()
-    ndv_o_ok = od.groupby("o_orderkey").count().count()
-    ndv_o_ck = od.groupby("o_custkey").count().count()
-    ndv_c_ck = cu.groupby("c_custkey").count().count()
-    act_lo = smart_join(li, od.select_columns(["o_orderkey"]),
-                        on="l_orderkey", right_on="o_orderkey",
-                        join_type="inner").count()
-    act_oc = smart_join(od.select_columns(["o_custkey"]), cu,
-                        on="o_custkey", right_on="c_custkey",
-                        join_type="inner").count()
-    est_lo = nl * no_ // max(ndv_l_ok, ndv_o_ok)
-    est_oc = no_ * nc // max(ndv_o_ck, ndv_c_ck)
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("k", as_index=False)["n"].sum()
+
+    def make_stage(tc):
+        t, c = tc
+
+        def part(b: pa.Table, c=c) -> pd.DataFrame:
+            f = pd.DataFrame({
+                "k": b[c].to_numpy(zero_copy_only=False), "n": 1})
+            return f.groupby("k", as_index=False)["n"].sum()
+
+        return _read(sf_dir, t, [c]).map_batches(
+            part, batch_format="pyarrow")
+
+    def key_counts(stage) -> pd.DataFrame:
+        merged, ok = guarded_partials(stage, fold, 2_000_000)
+        assert ok  # key-cardinality bounded; sketch twin past cap
+        return (merged if merged is not None
+                else pd.DataFrame({"k": [], "n": []}))
+
+    cols = [("lineitem", "l_orderkey"), ("orders", "o_orderkey"),
+            ("orders", "o_custkey"), ("customer", "c_custkey")]
+    stages = [make_stage(tc) for tc in cols]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        lok, ook, ock, cck = list(ex.map(key_counts, stages))
+
+    def join_size(a: pd.DataFrame, b: pd.DataFrame) -> int:
+        m = a.merge(b, on="k", how="inner", suffixes=("_a", "_b"))
+        return int((m["n_a"].astype(object).map(int)
+                    * m["n_b"].astype(object).map(int)).sum())
+
+    nl, no_, nc = (int(lok["n"].sum()), int(ook["n"].sum()),
+                   int(cck["n"].sum()))
+    act_lo = join_size(lok, ook)
+    act_oc = join_size(ock, cck)
+    est_lo = nl * no_ // max(len(lok), len(ook))
+    est_oc = no_ * nc // max(len(ock), len(cck))
     return pd.DataFrame({
         "plan": ["lineitem_orders_first", "orders_customer_first"],
         "est_intermediate": np.array([est_lo, est_oc], dtype=np.int64),
