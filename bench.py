@@ -376,6 +376,7 @@ def run_suite() -> dict:
                  "iv_wald_estimate", "secretary_rule_audit",
                  "join_order_cost_audit",
                  "knn_hubness_audit", "competing_risk_first_event",
+                 "inventory_ss_policy_replay", "centroid_cv_accuracy",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

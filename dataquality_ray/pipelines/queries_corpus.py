@@ -2823,3 +2823,256 @@ def competing_risk_q(sf_dir: str):
     out["n_users"] = out["n_users"].astype(np.int64)
     out["median_days_to"] = out["median_days_to"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# (s, S) inventory-policy replay per brand: deterministic order-up-to
+# simulation over the monthly demand series — inv -= demand; below the
+# reorder point s, replenish to S and count the order.  The ops-planning
+# simulation primitive, exact integers, with a linear recursive-CTE twin.
+# ---------------------------------------------------------------------------
+
+@query("inventory_ss_policy_replay", sql="""
+WITH RECURSIVE d0 AS (
+  SELECT p.p_brand AS brand, strftime(l.l_shipdate, '%Y-%m') AS month,
+         sum(CAST(l.l_quantity AS BIGINT))::BIGINT AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), mons AS (
+  SELECT month, row_number() OVER (ORDER BY month) AS mi
+  FROM (SELECT DISTINCT month FROM d0)
+), nm AS (SELECT count(*)::BIGINT AS nm FROM mons),
+d AS (
+  SELECT d0.brand, mons.mi, d0.qty FROM d0 JOIN mons USING (month)
+), params AS (
+  SELECT brand, sum(qty)::BIGINT AS tot,
+         (2 * (sum(qty) // (SELECT nm FROM nm) + 1))::BIGINT AS cap_s
+  FROM d GROUP BY 1
+), sim AS (
+  SELECT brand, 0::BIGINT AS mi, cap_s AS inv, 0::BIGINT AS reorders
+  FROM params
+  UNION ALL
+  SELECT s1.brand, s1.mi + 1,
+         CASE WHEN s1.inv - coalesce(dd.qty, 0) < p.cap_s // 2
+              THEN p.cap_s
+              ELSE s1.inv - coalesce(dd.qty, 0) END,
+         s1.reorders
+           + (s1.inv - coalesce(dd.qty, 0) < p.cap_s // 2)::INT
+  FROM sim s1
+  JOIN params p ON p.brand = s1.brand
+  LEFT JOIN d dd ON dd.brand = s1.brand AND dd.mi = s1.mi + 1
+  WHERE s1.mi < (SELECT nm FROM nm)
+)
+SELECT sim.brand, p.cap_s AS order_up_to, (p.cap_s // 2) AS reorder_pt,
+       p.tot AS total_demand, sim.reorders AS n_reorders,
+       sim.inv AS final_inv
+FROM sim JOIN params p ON p.brand = sim.brand
+WHERE sim.mi = (SELECT nm FROM nm)
+ORDER BY sim.brand
+""")
+def inventory_ss_policy_q(sf_dir: str):
+    """Order-up-to-S / reorder-below-s replay per brand over the
+    observed monthly demand axis (S = 2*(mean monthly demand + 1),
+    s = S/2, immediate replenishment).  Demand cells come off a
+    (brand x month)-bounded guarded combine; the replay is a 25 x
+    ~84 integer scan on the driver — sequential by definition (each
+    month's state depends on the last), parallel across brands at
+    scale via groupby(brand).map_groups."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "brand": b["brand"].to_pylist(),
+            "month": b["month"].to_pylist(),
+            "qty": b["qty"].to_numpy(zero_copy_only=False)}).groupby(
+            ["brand", "month"], as_index=False)["qty"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["brand", "month"], as_index=False)["qty"].sum()
+
+    from dataquality_ray.stages.joins import smart_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_shipdate", "l_quantity"])
+    pt = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = smart_join(li, pt, on="l_partkey", right_on="p_partkey",
+                        value_cols=["p_brand"], join_type="inner")
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "brand": b["p_brand"],
+            "month": pc.strftime(b["l_shipdate"], format="%Y-%m"),
+            "qty": pc.cast(b["l_quantity"], pa.int64())})
+
+    merged, ok = guarded_partials(
+        joined.map_batches(prep, batch_format="pyarrow")
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: brands x calendar months
+    cols = ("brand", "order_up_to", "reorder_pt", "total_demand",
+            "n_reorders", "final_inv")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"brand": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    months = sorted(merged["month"].unique())
+    nm = len(months)
+    mi = {m: i for i, m in enumerate(months)}
+    rows = []
+    for brand, g in merged.groupby("brand"):
+        dem = np.zeros(nm, dtype=np.int64)
+        for m, q in zip(g["month"], g["qty"]):
+            dem[mi[m]] = int(q)
+        tot = int(dem.sum())
+        S = 2 * (tot // nm + 1)
+        s = S // 2
+        inv = S
+        reorders = 0
+        for q in dem:
+            inv -= int(q)
+            if inv < s:
+                inv = S
+                reorders += 1
+        rows.append((brand, S, s, tot, reorders, inv))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("brand").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validated nearest-centroid accuracy on the quantized
+# embedding grid: per held-out fold, train centroids are the FLOORED
+# per-label means (exact: an int/int ratio is > 1e-5 from any integer
+# it doesn't hit, far beyond double ulp), distances are exact integers,
+# ties break to the smaller label.  The honest eval loop for the
+# centroid quality classifier.
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 3
+
+
+@query("centroid_cv_accuracy", sql=f"""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT e.vec_id, e.label, e.vec_id % {_CV_FOLDS} AS fold, idx.i,
+             CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM embeddings e, idx),
+cent AS (
+  SELECT f.fold AS test_fold, q.label, q.i,
+         CAST(floor(sum(q.v)::DOUBLE / count(*)) AS BIGINT) AS c
+  FROM q, (SELECT unnest(range(0, {_CV_FOLDS})) AS fold) f
+  WHERE q.fold <> f.fold
+  GROUP BY 1, 2, 3
+), d AS (
+  SELECT t.vec_id, t.fold, t.label AS true_label, c.label AS cand,
+         sum((t.v - c.c) * (t.v - c.c))::HUGEINT AS d2
+  FROM q t JOIN cent c ON c.test_fold = t.fold AND c.i = t.i
+  GROUP BY 1, 2, 3, 4
+), pick AS (
+  SELECT vec_id, fold, true_label, cand,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cand) AS r
+  FROM d
+)
+SELECT fold::BIGINT AS fold, count(*)::BIGINT AS n_test,
+       sum((cand = true_label)::INT)::BIGINT AS n_correct,
+       (sum((cand = true_label)::INT) * 1000000 // count(*))::BIGINT
+         AS acc_ppm
+FROM pick WHERE r = 1
+GROUP BY 1 ORDER BY 1
+""")
+def centroid_cv_q(sf_dir: str):
+    """{_CV_FOLDS}-fold CV accuracy of nearest-centroid classification
+    (folds = vec_id % {_CV_FOLDS}).  The engine computes per-fold label
+    sums in one bounded guarded combine (folds x labels x 64 dims),
+    then streams test batches against the broadcast centroid tensor
+    with one int matmul per batch — train state never leaves the
+    combine, test never materializes."""
+    import ray
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        from dataquality_ray.stages.ann import _stack_embeddings
+        x = np.floor(_stack_embeddings(batch, "embedding")
+                     .astype(np.float64) * 1000.0).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fold = (batch["vec_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) % _CV_FOLDS)
+        rows = []
+        for f in np.unique(fold):
+            for l in np.unique(lab[fold == f]):
+                m = (fold == f) & (lab == l)
+                rows.append((int(f), int(l), int(m.sum()),
+                             x[m].sum(axis=0).tolist()))
+        return pd.DataFrame(rows, columns=["fold", "label", "n", "s"])
+
+    def fold_fn(f: pd.DataFrame) -> pd.DataFrame:
+        def agg(g):
+            return pd.Series({
+                "n": g["n"].sum(),
+                "s": np.sum(np.stack(g["s"].to_numpy()), axis=0)
+                       .tolist()})
+        return (f.groupby(["fold", "label"]).apply(agg, include_groups=False)
+                .reset_index())
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        .map_batches(part, batch_format="pyarrow"), fold_fn, 2_000_000)
+    assert ok  # bounded: folds x labels
+    cols = ("fold", "n_test", "n_correct", "acc_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    labels = sorted(merged["label"].unique())
+    # per test fold: centroid = floored mean over the OTHER folds
+    cent = {}
+    for tf in range(_CV_FOLDS):
+        for l in labels:
+            sub = merged[(merged["fold"] != tf) & (merged["label"] == l)]
+            if not len(sub):
+                continue
+            n = int(sub["n"].sum())
+            s = np.sum(np.stack(sub["s"].to_numpy()), axis=0)
+            cent[(tf, l)] = np.array([int(v) // n for v in s],
+                                     dtype=np.int64)
+    cmat = np.stack([np.stack([cent[(tf, l)] for l in labels])
+                     for tf in range(_CV_FOLDS)])
+    ref = ray.put((np.array(labels, dtype=np.int64), cmat))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        from dataquality_ray.stages.ann import _stack_embeddings
+        labs, cm = ray.get(ref)
+        x = np.floor(_stack_embeddings(batch, "embedding")
+                     .astype(np.float64) * 1000.0).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fold = (batch["vec_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) % _CV_FOLDS)
+        rows = []
+        for f in np.unique(fold):
+            m = fold == f
+            xf = x[m]
+            c = cm[f]
+            d2 = ((xf * xf).sum(axis=1)[:, None]
+                  + (c * c).sum(axis=1)[None, :] - 2 * (xf @ c.T))
+            pred = labs[np.argmin(d2, axis=1)]  # ties: first = min label
+            rows.append((int(f), int(m.sum()),
+                         int((pred == lab[m]).sum())))
+        return pd.DataFrame(rows, columns=["fold", "n", "ok"])
+
+    def fold2(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("fold", as_index=False)[["n", "ok"]].sum()
+
+    res, ok2 = guarded_partials(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        .map_batches(score, batch_format="pyarrow"), fold2, 2_000_000)
+    assert ok2  # bounded: folds
+    res = res.groupby("fold", as_index=False)[["n", "ok"]].sum()
+    res = res.sort_values("fold").reset_index(drop=True)
+    return pd.DataFrame({
+        "fold": res["fold"].astype(np.int64),
+        "n_test": res["n"].astype(np.int64),
+        "n_correct": res["ok"].astype(np.int64),
+        "acc_ppm": (res["ok"].astype(object).map(int) * 1000000
+                    // res["n"].astype(object).map(int)
+                    ).astype(np.int64)})
