@@ -377,6 +377,7 @@ def run_suite() -> dict:
                  "join_order_cost_audit",
                  "knn_hubness_audit", "competing_risk_first_event",
                  "inventory_ss_policy_replay", "centroid_cv_accuracy",
+                 "ts_id_inversion_count", "randomized_response_audit",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -3076,3 +3076,170 @@ def centroid_cv_q(sf_dir: str):
         "acc_ppm": (res["ok"].astype(object).map(int) * 1000000
                     // res["n"].astype(object).map(int)
                     ).astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order delivery metric: per user, the number of event pairs
+# whose event_id order contradicts their timestamp order (Kendall
+# inversions between the two orderings) — what a streaming engine's
+# watermark policy is sized against.  Exact integers.
+# ---------------------------------------------------------------------------
+
+@query("ts_id_inversion_count", sql="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+)
+SELECT a.user_id, count(*) FILTER (WHERE a.event_id > b.event_id)
+         ::BIGINT AS inversions,
+       count(*)::BIGINT AS n_pairs
+FROM e a JOIN e b ON b.user_id = a.user_id AND a.us < b.us
+GROUP BY 1 ORDER BY 1
+""")
+def ts_id_inversion_q(sf_dir: str):
+    """Per-user inversion count between event_id order and timestamp
+    order, with the total comparable-pair count.  The oracle is the
+    O(n^2) per-user self-join; the engine counts inversions in
+    O(n log n) per user with a Fenwick tree inside
+    groupby(user).map_groups — sequential per user, parallel across
+    the shuffle key."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+            "us": pc.cast(batch["ts"], pa.int64()).to_numpy(
+                zero_copy_only=False)})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("us")
+        ids = g["event_id"].to_numpy(dtype=np.int64)
+        n = len(ids)
+        # Fenwick-tree inversion count over the rank-compressed ids
+        ranks = np.argsort(np.argsort(ids, kind="stable"),
+                           kind="stable") + 1
+        tree = np.zeros(n + 1, dtype=np.int64)
+        inv = 0
+        for k, r in enumerate(ranks):
+            # count ids already seen with rank > r
+            i = r
+            seen_leq = 0
+            while i > 0:
+                seen_leq += tree[i]
+                i -= i & (-i)
+            inv += k - int(seen_leq)
+            i = r
+            while i <= n:
+                tree[i] += 1
+                i += i & (-i)
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "inversions": [inv],
+                             "n_pairs": [n * (n - 1) // 2]})
+
+    ds = (_read(sf_dir, "events", ["user_id", "event_id", "ts"])
+          .map_batches(prep, batch_format="pyarrow")
+          .groupby("user_id")
+          .map_groups(per_user, batch_format="pandas"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("user_id", as_index=False)[
+            ["inversions", "n_pairs"]].sum()
+
+    merged, ok = guarded_partials(ds, fold, 2_000_000)
+    assert ok  # bounded: user universe
+    if merged is None or not len(merged):
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "inversions": pd.Series([], dtype=np.int64),
+                             "n_pairs": pd.Series([], dtype=np.int64)})
+    merged = merged.sort_values("user_id").reset_index(drop=True)
+    for c in ("user_id", "inversions", "n_pairs"):
+        merged[c] = merged[c].astype(np.int64)
+    return merged[["user_id", "inversions", "n_pairs"]]
+
+
+# ---------------------------------------------------------------------------
+# Local-DP randomized response audit: each event reports its true type
+# w.p. 3/4, else a hash-uniform type; the aggregate debiases back via
+# est = (20*obs - n) / 15.  Coins are seeded from sha64(event_id) so the
+# whole mechanism replays bit-identically — the local-DP companion to
+# dp_noisy_counts' central mechanism.
+# ---------------------------------------------------------------------------
+
+@query("randomized_response_audit", sql="""
+WITH types AS (
+  SELECT list_sort(list(DISTINCT event_type)) AS tl FROM events
+), e AS (
+  SELECT event_type,
+         ('0x' || substr(sha256(event_id::VARCHAR), 1, 16))::UBIGINT AS h
+  FROM events
+), rr AS (
+  SELECT CASE WHEN h % 4 < 3 THEN event_type
+              ELSE tl[1 + CAST((h // 4) % len(tl) AS INT)] END AS rep
+  FROM e, types
+), obs AS (
+  SELECT rep AS event_type, count(*)::BIGINT AS obs_count FROM rr
+  GROUP BY 1
+), tru AS (
+  SELECT event_type, count(*)::BIGINT AS true_count FROM events
+  GROUP BY 1
+), n AS (SELECT count(*)::BIGINT AS n FROM events)
+SELECT t.event_type, t.true_count, coalesce(o.obs_count, 0) AS obs_count,
+       (CASE WHEN 20 * coalesce(o.obs_count, 0) - n.n < 0
+             THEN -((n.n - 20 * coalesce(o.obs_count, 0)) // 15)
+             ELSE (20 * coalesce(o.obs_count, 0) - n.n) // 15
+        END)::BIGINT AS debiased_est
+FROM tru t LEFT JOIN obs o USING (event_type), n
+ORDER BY t.event_type
+""")
+def randomized_response_q(sf_dir: str):
+    """Randomized response (p_keep = 3/4, uniform over the sorted type
+    list otherwise, coins from sha64(event_id)) with the unbiased
+    inverse estimator in truncating sign*(abs//15) form — both engines
+    compute the identical integers.  Per-batch partials carry
+    (true_type, reported_type) counts; the type list is the bounded
+    key set."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    # types are data-derived but bounded; discover them with the same
+    # combine that carries the counts (two columns: true and reported
+    # need the SAME sorted list, so plant the list after the combine)
+    def part(batch: pa.Table) -> pd.DataFrame:
+        et = batch["event_type"].to_pylist()
+        hs = [_sha64(str(i))
+              for i in batch["event_id"].to_pylist()]
+        f = pd.DataFrame({"event_type": et, "h": hs, "n": 1})
+        return f.groupby(["event_type", "h"], as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "h"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_id", "event_type"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded at audit scale; (type,h) collapses to the
+    # reported-type census under the groupby twin past cap
+    cols = ("event_type", "true_count", "obs_count", "debiased_est")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    tl = sorted(merged["event_type"].unique())
+    k = len(tl)
+    h = merged["h"].astype(object).map(int)
+    keep = (h % 4) < 3
+    alt = (h // 4 % k).map(lambda i: tl[int(i)])
+    rep = np.where(keep, merged["event_type"], alt)
+    n = int(merged["n"].sum())
+    obs = (pd.DataFrame({"rep": rep, "n": merged["n"]})
+           .groupby("rep")["n"].sum().to_dict())
+    tru = merged.groupby("event_type")["n"].sum().to_dict()
+    rows = []
+    for t in tl:
+        o = int(obs.get(t, 0))
+        num = 20 * o - n
+        est = -((-num) // 15) if num < 0 else num // 15
+        rows.append((t, int(tru[t]), o, est))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
