@@ -3243,3 +3243,125 @@ def randomized_response_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact betweenness centrality on the undirected token graph: BFS
+# distances AND shortest-path counts per root, then the Brandes pair
+# dependency sum(sigma_sv * sigma_vt / sigma_st) over all ordered pairs
+# with d(s,v) + d(v,t) = d(s,t) — each term floored to micro-units so
+# the sum is engine-independent.  The "which tokens broker the graph"
+# centrality the flow- and distance-based ones can't see.
+# ---------------------------------------------------------------------------
+
+_BC_HOPS = 6
+
+
+def _betweenness_sql(hops: int = _BC_HOPS) -> str:
+    ctes = [_BIGRAM_SQL.strip().rstrip(","),
+            "und AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+            "adj AS (SELECT a AS u, b AS v FROM und "
+            "UNION ALL SELECT b, a FROM und)",
+            "nodes AS (SELECT DISTINCT u AS tok FROM adj)",
+            "d0 AS (SELECT tok AS root, tok AS node, 0 AS dist "
+            "FROM nodes)"]
+    prev = "d0"
+    for i in range(1, hops + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT root, node, min(dist) AS dist "
+            f"FROM (SELECT root, node, dist FROM {prev} "
+            f"UNION ALL SELECT p.root, e.v AS node, p.dist + 1 "
+            f"FROM {prev} p JOIN adj e ON e.u = p.node) "
+            "GROUP BY root, node)")
+        prev = f"d{i}"
+    ctes.append("s0 AS (SELECT root, node, 1::HUGEINT AS sig "
+                f"FROM {prev} WHERE dist = 0)")
+    sig_parts = ["SELECT * FROM s0"]
+    for k in range(1, hops + 1):
+        ctes.append(
+            f"s{k} AS MATERIALIZED ("
+            f"SELECT d.root, d.node, sum(su.sig) AS sig "
+            f"FROM {prev} d JOIN adj e ON e.v = d.node "
+            f"JOIN s{k-1} su ON su.root = d.root AND su.node = e.u "
+            f"JOIN {prev} du ON du.root = d.root AND du.node = e.u "
+            f"AND du.dist = d.dist - 1 "
+            f"WHERE d.dist = {k} GROUP BY 1, 2)")
+        sig_parts.append(f"SELECT * FROM s{k}")
+    ctes.append("sigall AS (" + " UNION ALL ".join(sig_parts) + ")")
+    ctes.append(
+        f"g AS (SELECT d.root, d.node, d.dist, s.sig FROM {prev} d "
+        "JOIN sigall s ON s.root = d.root AND s.node = d.node)")
+    ctes.append(
+        "bc AS (SELECT a.node AS tok, "
+        "sum((a.sig * b.sig * 1000000) // c.sig)::BIGINT AS bc_micro "
+        "FROM g a JOIN g b ON b.root = a.node "
+        "JOIN g c ON c.root = a.root AND c.node = b.node "
+        "WHERE a.node <> a.root AND b.node <> b.root "
+        "AND c.node <> c.root AND a.dist + b.dist = c.dist "
+        "GROUP BY 1)")
+    chain = ",\n".join(ctes)
+    return (f"WITH {chain}\n"
+            "SELECT n.tok, coalesce(bc.bc_micro, 0)::BIGINT AS bc_micro\n"
+            "FROM nodes n LEFT JOIN bc ON bc.tok = n.tok\n"
+            "ORDER BY bc_micro DESC, n.tok")
+
+
+@query("betweenness_centrality_exact", sql=_betweenness_sql())
+def betweenness_q(sf_dir: str):
+    """Betweenness over ordered reachable pairs within {_BC_HOPS} hops:
+    distances and path counts from per-root BFS (the closeness BFS plus
+    sigma accumulation), dependency terms floor(1e6*sigma_sv*sigma_vt /
+    sigma_st) summed per middle token.  Edges aggregate distributedly;
+    the O(V^2)-state BFS and the O(V^3) dependency sum run driver-side
+    over the vocabulary graph (values, never rows)."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    und = set()
+    for s, d in zip(edges["src"], edges["dst"]):
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    adj: dict[str, list[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    nodes = sorted(adj)
+    if not nodes:
+        return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                             "bc_micro": pd.Series([], dtype=np.int64)})
+    dist: dict[str, dict[str, int]] = {}
+    sig: dict[str, dict[str, int]] = {}
+    for root in nodes:
+        dd = {root: 0}
+        ss = {root: 1}
+        frontier = [root]
+        for depth in range(1, _BC_HOPS + 1):
+            counts: dict[str, int] = {}
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dd:
+                        counts[v] = counts.get(v, 0) + ss[u]
+            if not counts:
+                break
+            for v, c in counts.items():
+                dd[v] = depth
+                ss[v] = c
+            frontier = list(counts)
+        dist[root] = dd
+        sig[root] = ss
+    bc = {v: 0 for v in nodes}
+    for s in nodes:
+        ds, ssig = dist[s], sig[s]
+        for v, dsv in ds.items():
+            if v == s:
+                continue
+            dv, vsig = dist[v], sig[v]
+            for t, dvt in dv.items():
+                if t == v or t == s:
+                    continue
+                if ds.get(t) == dsv + dvt:
+                    bc[v] += ssig[v] * vsig[t] * 1000000 // ssig[t]
+    out = pd.DataFrame(sorted(bc.items()), columns=["tok", "bc_micro"])
+    out["bc_micro"] = out["bc_micro"].astype(np.int64)
+    return (out.sort_values(["bc_micro", "tok"],
+                            ascending=[False, True])
+            .reset_index(drop=True))

@@ -416,3 +416,47 @@ def test_centroid_cv_bounds_and_determinism():
     assert (out["n_correct"] <= out["n_test"]).all()
     out2 = qc.centroid_cv_q(SF)
     pd.testing.assert_frame_equal(out, out2)
+
+
+# --------------------------------------------------------------------------
+# Betweenness: endpoints earn nothing; a path graph's middle node gets
+# the expected exact score (2 ordered pairs x 1e6).
+# --------------------------------------------------------------------------
+
+def test_betweenness_path_graph_reference():
+    # replicate the engine's kernel on a tiny known graph a-b-c
+    adj = {"a": ["b"], "b": ["a", "c"], "c": ["b"]}
+    nodes = sorted(adj)
+    dist, sig = {}, {}
+    for root in nodes:
+        dd, ss = {root: 0}, {root: 1}
+        frontier = [root]
+        for depth in range(1, 7):
+            counts = {}
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dd:
+                        counts[v] = counts.get(v, 0) + ss[u]
+            if not counts:
+                break
+            for v, c in counts.items():
+                dd[v], ss[v] = depth, c
+            frontier = list(counts)
+        dist[root], sig[root] = dd, ss
+    bc = {v: 0 for v in nodes}
+    for s in nodes:
+        for v, dsv in dist[s].items():
+            if v == s:
+                continue
+            for t, dvt in dist[v].items():
+                if t in (v, s):
+                    continue
+                if dist[s].get(t) == dsv + dvt:
+                    bc[v] += sig[s][v] * sig[v][t] * 1000000 // sig[s][t]
+    assert bc == {"a": 0, "b": 2000000, "c": 0}
+
+
+def test_betweenness_engine_nonnegative_sorted():
+    out = qc.betweenness_q(SF)
+    assert (out["bc_micro"] >= 0).all()
+    assert out["bc_micro"].is_monotonic_decreasing
