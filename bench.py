@@ -378,7 +378,7 @@ def run_suite() -> dict:
                  "knn_hubness_audit", "competing_risk_first_event",
                  "inventory_ss_policy_replay", "centroid_cv_accuracy",
                  "ts_id_inversion_count", "randomized_response_audit",
-                 "betweenness_centrality_exact",
+                 "betweenness_centrality_exact", "map_retrieval_eval",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -3365,3 +3365,101 @@ def betweenness_q(sf_dir: str):
     return (out.sort_values(["bc_micro", "tok"],
                             ascending=[False, True])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Mean-average-precision retrieval eval: for the five most frequent
+# query tokens, rank documents by term frequency and score AP against
+# "relevant = tf >= 2" labels — the order-sensitive IR metric next to
+# ndcg_source_ranking's graded one.  Every AP term is floored to
+# micro-units so the sum replays exactly.
+# ---------------------------------------------------------------------------
+
+_MAP_QUERIES = 5
+_MAP_REL_TF = 2
+
+
+@query("map_retrieval_eval", sql=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), tf AS (
+  SELECT u.x AS tok, doc_id, count(*)::BIGINT AS tf
+  FROM toks, unnest(t) AS u(x) GROUP BY 1, 2
+), qs AS (
+  SELECT tok, sum(tf) AS total,
+         row_number() OVER (ORDER BY sum(tf) DESC, tok) AS qr
+  FROM tf GROUP BY 1
+), ranked AS (
+  SELECT tf.tok, tf.doc_id, tf.tf,
+         (tf.tf >= {_MAP_REL_TF})::INT AS rel,
+         row_number() OVER (PARTITION BY tf.tok
+                            ORDER BY tf.tf DESC, tf.doc_id) AS k
+  FROM tf JOIN qs ON qs.tok = tf.tok AND qs.qr <= {_MAP_QUERIES}
+), cum AS (
+  SELECT tok, k, rel,
+         sum(rel) OVER (PARTITION BY tok ORDER BY k
+                        ROWS UNBOUNDED PRECEDING) AS relcum
+  FROM ranked
+)
+SELECT tok AS query_tok, count(*)::BIGINT AS n_retrieved,
+       sum(rel)::BIGINT AS n_relevant,
+       (CASE WHEN sum(rel) = 0 THEN 0
+             ELSE sum(CASE WHEN rel = 1
+                           THEN (1000000 * relcum) // k
+                           ELSE 0 END) // sum(rel) END)::BIGINT
+         AS ap_micro
+FROM cum GROUP BY tok ORDER BY tok
+""")
+def map_retrieval_q(sf_dir: str):
+    """AP per query token (retrieved = tf >= 1 ranked by (tf desc,
+    doc_id), relevant = tf >= {_MAP_REL_TF}); ap_micro = floor-per-term
+    precision sum // n_relevant.  The (token, doc) tf partials fold
+    through the guarded combine (vocab x docs at test scale; the
+    groupby(tok) twin is the scale path)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        rows = {}
+        for did, txt in zip(batch["doc_id"].to_pylist(),
+                            batch["text"].to_pylist()):
+            for tok in (txt or "").split():
+                k = (tok, did)
+                rows[k] = rows.get(k, 0) + 1
+        return pd.DataFrame(
+            [(t, d, c) for (t, d), c in rows.items()],
+            columns=["tok", "doc_id", "tf"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["tok", "doc_id"], as_index=False)["tf"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # vocab x docs at audited scale; groupby twin past cap
+    cols = ("query_tok", "n_retrieved", "n_relevant", "ap_micro")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"query_tok": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    totals = (merged.groupby("tok", as_index=False)["tf"].sum()
+              .sort_values(["tf", "tok"], ascending=[False, True])
+              .head(_MAP_QUERIES))
+    rows = []
+    for q in totals["tok"]:
+        g = (merged[merged["tok"] == q]
+             .sort_values(["tf", "doc_id"], ascending=[False, True]))
+        tfv = g["tf"].to_numpy(dtype=np.int64)
+        rel = (tfv >= _MAP_REL_TF).astype(np.int64)
+        relcum = np.cumsum(rel)
+        k = np.arange(1, len(rel) + 1, dtype=np.int64)
+        terms = np.where(rel == 1, 1000000 * relcum // k, 0)
+        nr = int(rel.sum())
+        rows.append((q, len(rel), nr,
+                     0 if nr == 0 else int(terms.sum()) // nr))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("query_tok").reset_index(drop=True)
