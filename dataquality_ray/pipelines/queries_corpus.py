@@ -1100,6 +1100,27 @@ def dp_noisy_counts_q(sf_dir: str):
                          "dp_count": n + noise})
 
 
+
+
+def _frames_or_twin(stage_ds, fold_fn, keys, cap: int = 2_000_000):
+    """Iterate result frames for a keyed partial stage: ONE merged frame
+    when the driver combine stays within cap, else the exact
+    ``groupby(keys).map_groups(fold)`` twin's batches — so callers with
+    an incremental (streaming) final reduce never hold the keyspace on
+    the driver.  Thin wrapper over stages.autoroute.combine_or_groupby_twin."""
+    from dataquality_ray.stages.autoroute import combine_or_groupby_twin
+
+    merged, twin = combine_or_groupby_twin(
+        "queries_corpus", stage_ds, fold_fn, cap, keys)
+    if twin is None:
+        if merged is not None and len(merged):
+            yield merged
+        return
+    for b in twin.iter_batches(batch_format="pandas"):
+        if len(b):
+            yield b
+
+
 # ---------------------------------------------------------------------------
 # CUPED variance reduction: how much experiment variance a pre-period
 # covariate removes — reduction = rho^2 between each user's first-half
@@ -1147,21 +1168,26 @@ def cuped_variance_reduction_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("user_id", as_index=False)[["x", "y"]].sum()
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "events", ["user_id", "ts"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok  # bounded: user universe (routes to groupby twin past cap)
     cols = ("n_users", "sum_x", "sum_y", "rho2_ppm")
-    if merged is None or not len(merged):
+    n = sx = sy = sxx = syy = sxy = 0
+    # streaming final reduce: within cap this sees ONE merged frame;
+    # past it, the exact groupby(user) twin's batches — either way the
+    # driver holds six integers, never the user keyspace
+    for f in _frames_or_twin(
+            _read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(part, batch_format="pyarrow"),
+            fold, ["user_id"]):
+        x = f["x"].astype(object).map(int)
+        y = f["y"].astype(object).map(int)
+        n += len(f)
+        sx += int(x.sum())
+        sy += int(y.sum())
+        sxx += int((x * x).sum())
+        syy += int((y * y).sum())
+        sxy += int((x * y).sum())
+    if n == 0:
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
                              for c in cols})
-    x = merged["x"].astype(object).map(int)
-    y = merged["y"].astype(object).map(int)
-    n = len(merged)
-    sx, sy = int(x.sum()), int(y.sum())
-    sxx = int((x * x).sum())
-    syy = int((y * y).sum())
-    sxy = int((x * y).sum())
     vx = n * sxx - sx * sx
     vy = n * syy - sy * sy
     cov = n * sxy - sx * sy
@@ -2442,20 +2468,26 @@ def iv_wald_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("user_id", as_index=False)[["x", "y"]].sum()
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "events", ["user_id", "event_type"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok  # bounded: user universe
     cols = ("n0", "n1", "sx0", "sx1", "sy0", "sy1", "wald_ppm")
-    if merged is None or not len(merged):
+    n0 = n1 = sx0 = sx1 = sy0 = sy1 = 0
+    # streaming final reduce over the combine-or-twin frames: six
+    # integers on the driver, never the user keyspace
+    for f in _frames_or_twin(
+            _read(sf_dir, "events", ["user_id", "event_type"])
+            .map_batches(part, batch_format="pyarrow"),
+            fold, ["user_id"]):
+        z = (f["user_id"].to_numpy(dtype=np.int64) % 2)
+        x = f["x"].to_numpy(dtype=np.int64)
+        y = f["y"].to_numpy(dtype=np.int64)
+        n0 += int((z == 0).sum())
+        n1 += int((z == 1).sum())
+        sx0 += int(x[z == 0].sum())
+        sx1 += int(x[z == 1].sum())
+        sy0 += int(y[z == 0].sum())
+        sy1 += int(y[z == 1].sum())
+    if n0 + n1 == 0:
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
                              for c in cols})
-    z = (merged["user_id"].to_numpy(dtype=np.int64) % 2)
-    x = merged["x"].to_numpy(dtype=np.int64)
-    y = merged["y"].to_numpy(dtype=np.int64)
-    n0, n1 = int((z == 0).sum()), int((z == 1).sum())
-    sx0, sx1 = int(x[z == 0].sum()), int(x[z == 1].sum())
-    sy0, sy1 = int(y[z == 0].sum()), int(y[z == 1].sum())
     num = sy1 * n0 - sy0 * n1
     den = sx1 * n0 - sx0 * n1
     wald = 0 if den == 0 else (
@@ -2795,30 +2827,46 @@ def competing_risk_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("user_id", as_index=False).min()
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "events", ["user_id", "event_type", "ts"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok  # bounded: user universe (groupby twin past cap)
     cols = ("outcome", "n_users", "median_days_to")
-    if merged is None or not len(merged):
+    # streaming final reduce: accumulate (outcome, days) counts — the
+    # day axis is calendar-bounded, so the driver state is tiny even
+    # when the user keyspace routes to the groupby twin
+    counts: dict[tuple, int] = {}
+    for f in _frames_or_twin(
+            _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+            .map_batches(part, batch_format="pyarrow"),
+            fold, ["user_id"]):
+        pu = f["pu"].to_numpy(dtype=np.int64)
+        er = f["er"].to_numpy(dtype=np.int64)
+        first = f["first_us"].to_numpy(dtype=np.int64)
+        outcome = np.where(
+            (pu == BIG) & (er == BIG), "neither",
+            np.where(pu < er, "purchase_first", "error_first"))
+        win = np.minimum(pu, er)
+        days = np.where(win == BIG, -1, (win - first) // 86400000000)
+        for oc, d in zip(outcome.tolist(), days.tolist()):
+            counts[(oc, int(d))] = counts.get((oc, int(d)), 0) + 1
+    if not counts:
         return pd.DataFrame({"outcome": pd.Series([], dtype=object),
                              "n_users": pd.Series([], dtype=np.int64),
                              "median_days_to": pd.Series([],
                                                          dtype=np.int64)})
-    pu = merged["pu"].to_numpy(dtype=np.int64)
-    er = merged["er"].to_numpy(dtype=np.int64)
-    first = merged["first_us"].to_numpy(dtype=np.int64)
-    outcome = np.where((pu == BIG) & (er == BIG), "neither",
-                       np.where(pu < er, "purchase_first", "error_first"))
-    win = np.minimum(pu, er)
-    days = np.where(win == BIG, -1, (win - first) // 86400000000)
     rows = []
-    for oc in sorted(set(outcome.tolist())):
-        m = outcome == oc
-        d = np.sort(days[m])
-        med = 0 if oc == "neither" else int(
-            d[math.ceil(0.5 * len(d)) - 1])
-        rows.append((oc, int(m.sum()), med))
+    for oc in sorted({k[0] for k in counts}):
+        items = sorted((d, c) for (o, d), c in counts.items() if o == oc)
+        tot = sum(c for _, c in items)
+        if oc == "neither":
+            med = 0
+        else:
+            rank = math.ceil(0.5 * tot)
+            run = 0
+            med = items[-1][0]
+            for d, c in items:
+                run += c
+                if run >= rank:
+                    med = d
+                    break
+        rows.append((oc, tot, med))
     out = pd.DataFrame(rows, columns=list(cols))
     out["n_users"] = out["n_users"].astype(np.int64)
     out["median_days_to"] = out["median_days_to"].astype(np.int64)

@@ -460,3 +460,34 @@ def test_betweenness_engine_nonnegative_sorted():
     out = qc.betweenness_q(SF)
     assert (out["bc_micro"] >= 0).all()
     assert out["bc_micro"].is_monotonic_decreasing
+
+
+# --------------------------------------------------------------------------
+# _frames_or_twin: past the cap the groupby twin must yield exactly the
+# rows the driver combine would have produced (streamed in pieces), and
+# the route lands in ROUTE_EVENTS.
+# --------------------------------------------------------------------------
+
+def test_frames_or_twin_equivalence_and_route():
+    import ray.data as rd
+
+    from dataquality_ray.stages.autoroute import ROUTE_EVENTS
+
+    df = pd.DataFrame({"k": [f"u{i % 7}" for i in range(100)],
+                       "x": np.arange(100, dtype=np.int64)})
+    ds = rd.from_pandas(df)
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("k", as_index=False)["x"].sum()
+
+    within = pd.concat(list(qc._frames_or_twin(ds, fold, ["k"])),
+                       ignore_index=True)
+    ROUTE_EVENTS.clear()
+    ds2 = rd.from_pandas(df)
+    past = pd.concat(list(qc._frames_or_twin(ds2, fold, ["k"], cap=2)),
+                     ignore_index=True)
+    a = within.sort_values("k").reset_index(drop=True)
+    b = past.sort_values("k").reset_index(drop=True)
+    assert list(a["k"]) == list(b["k"])
+    assert list(a["x"].astype(int)) == list(b["x"].astype(int))
+    assert any(e.get("chosen") == "groupby_twin" for e in ROUTE_EVENTS)
