@@ -379,6 +379,8 @@ def run_suite() -> dict:
                  "inventory_ss_policy_replay", "centroid_cv_accuracy",
                  "ts_id_inversion_count", "randomized_response_audit",
                  "betweenness_centrality_exact", "map_retrieval_eval",
+                 "self_excitation_ratio", "regression_discontinuity_price",
+                 "edf_feasibility_audit",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

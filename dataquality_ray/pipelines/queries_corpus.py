@@ -3511,3 +3511,267 @@ def map_retrieval_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("query_tok").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Self-excitation ratio (Hawkes-flavored burst diagnostic): fraction of
+# events arriving within 60 s of the SAME user's previous same-type
+# event — high ratio means the process is self-exciting (retry storms,
+# double-clicks), low means Poisson-ish.
+# ---------------------------------------------------------------------------
+
+_EXCITE_US = 60_000_000
+
+
+@query("self_excitation_ratio", sql=f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+), l AS (
+  SELECT event_type, us,
+         lag(us) OVER (PARTITION BY user_id, event_type
+                       ORDER BY us, event_id) AS prev_us
+  FROM e
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum((prev_us IS NOT NULL
+            AND us - prev_us <= {_EXCITE_US})::INT)::BIGINT AS n_excited,
+       (sum((prev_us IS NOT NULL AND us - prev_us <= {_EXCITE_US})::INT)
+        * 1000000 // count(*))::BIGINT AS excited_ppm
+FROM l GROUP BY 1 ORDER BY 1
+""")
+def self_excitation_q(sf_dir: str):
+    """Per-type share of events within 60 s of the same user's previous
+    same-type event.  One sort per (user, type) group inside
+    groupby(user).map_groups (vectorized diff over each user's
+    per-type streams); five bounded counters fold on the driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"].to_pylist(),
+            "us": pc.cast(batch["ts"], pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "event_id": batch["event_id"].to_numpy(zero_copy_only=False)})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, s in g.groupby("event_type"):
+            us = np.sort(s.sort_values(["us", "event_id"])["us"]
+                         .to_numpy(dtype=np.int64))
+            exc = int((np.diff(us) <= _EXCITE_US).sum()) if len(us) > 1 \
+                else 0
+            rows.append((et, len(us), exc))
+        return pd.DataFrame(rows, columns=["event_type", "n_events",
+                                           "n_excited"])
+
+    ds = (_read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                   "event_id"])
+          .map_batches(prep, batch_format="pyarrow")
+          .groupby("user_id")
+          .map_groups(per_user, batch_format="pandas"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False)[
+            ["n_events", "n_excited"]].sum()
+
+    merged, ok = guarded_partials(ds, fold, 2_000_000)
+    assert ok  # bounded: event types
+    if merged is None or not len(merged):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n_events": pd.Series([], dtype=np.int64),
+                             "n_excited": pd.Series([], dtype=np.int64),
+                             "excited_ppm": pd.Series([], dtype=np.int64)})
+    merged = merged.sort_values("event_type").reset_index(drop=True)
+    ne = merged["n_events"].astype(np.int64)
+    nx = merged["n_excited"].astype(np.int64)
+    return pd.DataFrame({
+        "event_type": merged["event_type"],
+        "n_events": ne, "n_excited": nx,
+        "excited_ppm": (nx.astype(object).map(int) * 1000000
+                        // ne.astype(object).map(int)).astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Regression discontinuity at a price threshold: difference of local
+# means in the bands just below/above the cutoff, plus each side's
+# exact-integer OLS slope — the quasi-experimental estimator, all
+# cross-multiplied integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_RD_CUT = 150000.0
+_RD_BAND = 25000.0
+
+
+@query("regression_discontinuity_price", sql=f"""
+WITH w AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+           - {int(_RD_CUT * 100)} AS x,
+         (o_orderpriority = '1-URGENT')::INT::BIGINT AS y
+  FROM orders
+  WHERE o_totalprice > {_RD_CUT - _RD_BAND}
+    AND o_totalprice <= {_RD_CUT + _RD_BAND}
+), s AS (
+  SELECT (x > 0)::INT AS above, count(*)::HUGEINT AS n,
+         sum(y)::HUGEINT AS sy, sum(x)::HUGEINT AS sx,
+         sum(x * y)::HUGEINT AS sxy, sum(x * x)::HUGEINT AS sxx
+  FROM w GROUP BY 1
+)
+SELECT a.n::BIGINT AS n_above, b.n::BIGINT AS n_below,
+       ((a.sy * b.n - b.sy * a.n) * 1000000 // (a.n * b.n))::BIGINT
+         AS mean_jump_ppm,
+       (CASE WHEN (b.n * b.sxx - b.sx * b.sx) = 0 THEN 0
+             ELSE (CASE WHEN (b.n * b.sxy - b.sx * b.sy) < 0
+                        THEN -1 ELSE 1 END)
+                  * (abs(b.n * b.sxy - b.sx * b.sy) * 1000000000000
+                     // abs(b.n * b.sxx - b.sx * b.sx)) END)::BIGINT
+         AS slope_below_e12,
+       (CASE WHEN (a.n * a.sxx - a.sx * a.sx) = 0 THEN 0
+             ELSE (CASE WHEN (a.n * a.sxy - a.sx * a.sy) < 0
+                        THEN -1 ELSE 1 END)
+                  * (abs(a.n * a.sxy - a.sx * a.sy) * 1000000000000
+                     // abs(a.n * a.sxx - a.sx * a.sx)) END)::BIGINT
+         AS slope_above_e12
+FROM (SELECT * FROM s WHERE above = 1) a,
+     (SELECT * FROM s WHERE above = 0) b
+""")
+def regression_discontinuity_q(sf_dir: str):
+    """Sharp-RD readout at o_totalprice = {_RD_CUT:.0f}: urgency-rate
+    jump across the cutoff (ppm, exact cross-multiplied means) and the
+    within-band OLS slopes on integer cents (sign*(abs//den) truncation
+    on both engines).  One bounded two-group counter combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    lo_c = int((_RD_CUT - _RD_BAND) * 100)
+    hi_c = int((_RD_CUT + _RD_BAND) * 100)
+    cut_c = int(_RD_CUT * 100)
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch["o_totalprice"], 100.0)), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = (cents > lo_c) & (cents <= hi_c)
+        x = cents[m] - cut_c
+        y = (np.asarray(batch["o_orderpriority"].to_pylist(),
+                        dtype=object)[m] == "1-URGENT").astype(np.int64)
+        rows = []
+        for above in (0, 1):
+            g = x > 0 if above else x <= 0
+            xs = x[g].astype(object)
+            ys = y[g].astype(object)
+            rows.append((above, int(g.sum()), int(ys.sum()),
+                         int(xs.sum()), int((xs * ys).sum()),
+                         int((xs * xs).sum())))
+        return pd.DataFrame(rows, columns=["above", "n", "sy", "sx",
+                                           "sxy", "sxx"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("above", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_totalprice", "o_orderpriority"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: two groups
+    cols = ("n_above", "n_below", "mean_jump_ppm", "slope_below_e12",
+            "slope_above_e12")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    st = {int(r["above"]): r for _, r in
+          merged.groupby("above", as_index=False).sum().iterrows()}
+
+    def slope(r) -> int:
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx = int(r["sxy"]), int(r["sxx"])
+        den = n * sxx - sx * sx
+        if den == 0:
+            return 0
+        num = n * sxy - sx * sy
+        return (-1 if num < 0 else 1) * (
+            abs(num) * 1000000000000 // abs(den))
+
+    a, b = st[1], st[0]
+    na, nb = int(a["n"]), int(b["n"])
+    jump = ((int(a["sy"]) * nb - int(b["sy"]) * na) * 1000000
+            // (na * nb))
+    return pd.DataFrame({
+        "n_above": [np.int64(na)], "n_below": [np.int64(nb)],
+        "mean_jump_ppm": [np.int64(jump)],
+        "slope_below_e12": [np.int64(slope(b))],
+        "slope_above_e12": [np.int64(slope(a))]})
+
+
+# ---------------------------------------------------------------------------
+# EDF schedulability audit: orders become jobs with deadline =
+# orderdate + 30 days and unit work; with capacity C jobs/day the
+# earliest-deadline-first demand-bound check is "for every deadline d,
+# jobs due by d <= C * days elapsed" — the violation census and the
+# peak backlog, exact integers.
+# ---------------------------------------------------------------------------
+
+_EDF_CAP_PER_DAY = 9
+
+
+@query("edf_feasibility_audit", sql=f"""
+WITH j AS (
+  SELECT (o_orderdate::DATE - DATE '1970-01-01') + 30 AS deadline
+  FROM orders
+), t0 AS (
+  SELECT min(o_orderdate::DATE - DATE '1970-01-01') AS d0 FROM orders
+), dem AS (
+  SELECT deadline, count(*)::BIGINT AS due FROM j GROUP BY 1
+), cum AS (
+  SELECT deadline,
+         sum(due) OVER (ORDER BY deadline
+                        ROWS UNBOUNDED PRECEDING) AS cum_due,
+         {_EDF_CAP_PER_DAY} * (deadline - (SELECT d0 FROM t0))
+           AS supply
+  FROM dem
+)
+SELECT count(*)::BIGINT AS n_deadlines,
+       sum((cum_due > supply)::INT)::BIGINT AS n_violations,
+       max(CASE WHEN cum_due > supply THEN cum_due - supply
+                ELSE 0 END)::BIGINT AS max_backlog
+FROM cum
+""")
+def edf_feasibility_q(sf_dir: str):
+    """Demand-bound EDF feasibility over order deadlines (+30 days,
+    capacity {_EDF_CAP_PER_DAY}/day from the first order date): count
+    of deadline points whose cumulative due-work exceeds elapsed
+    capacity, and the worst shortfall.  Deadline-day counts fold
+    through the bounded guarded combine; the cumulative check is an
+    O(days) driver pass."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        days = (pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        f = pd.DataFrame({"deadline": days + 30, "due": 1,
+                          "d0": days})
+        g = f.groupby("deadline", as_index=False).agg(
+            due=("due", "sum"), d0=("d0", "min"))
+        return g
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("deadline", as_index=False).agg(
+            due=("due", "sum"), d0=("d0", "min"))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("n_deadlines", "n_violations", "max_backlog")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    merged = merged.sort_values("deadline").reset_index(drop=True)
+    d0 = int(merged["d0"].min())
+    cum = merged["due"].astype(np.int64).cumsum().to_numpy()
+    supply = _EDF_CAP_PER_DAY * (
+        merged["deadline"].to_numpy(dtype=np.int64) - d0)
+    over = cum > supply
+    backlog = np.where(over, cum - supply, 0)
+    return pd.DataFrame({
+        "n_deadlines": [np.int64(len(merged))],
+        "n_violations": [np.int64(int(over.sum()))],
+        "max_backlog": [np.int64(int(backlog.max()))]})
