@@ -380,7 +380,7 @@ def run_suite() -> dict:
                  "ts_id_inversion_count", "randomized_response_audit",
                  "betweenness_centrality_exact", "map_retrieval_eval",
                  "self_excitation_ratio", "regression_discontinuity_price",
-                 "edf_feasibility_audit",
+                 "edf_feasibility_audit", "rule_ablation_impact",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

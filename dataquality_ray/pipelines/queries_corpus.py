@@ -3775,3 +3775,98 @@ def edf_feasibility_q(sf_dir: str):
         "n_deadlines": [np.int64(len(merged))],
         "n_violations": [np.int64(int(over.sum()))],
         "max_backlog": [np.int64(int(backlog.max()))]})
+
+
+# ---------------------------------------------------------------------------
+# Rule-ablation impact: for each heuristic quality rule, how many
+# documents would survive if ONLY that rule were dropped — the marginal
+# keep-rate cost of each rule, i.e. which rule is doing the condemning.
+# Reuses the flagship heuristic flags (and their SQL twin) verbatim.
+# ---------------------------------------------------------------------------
+
+from dataquality_ray.pipelines.queries_text import (  # noqa: E402
+    _heuristic_sql,
+)
+
+_ABL_RULES = ("rule_long_lines", "rule_repetitive", "rule_autogen",
+              "rule_low_alnum")
+
+
+def _ablation_sql() -> str:
+    body = _heuristic_sql().strip().rstrip()
+    body = body[:body.rindex("ORDER BY")]  # reuse as a CTE
+    others = {
+        r: " OR ".join(o for o in _ABL_RULES if o != r)
+        for r in _ABL_RULES}
+    rows = " UNION ALL ".join(
+        f"SELECT '{r}' AS rule, sum({r}::INT)::BIGINT AS n_flagged, "
+        f"sum((NOT ({others[r]}))::INT)::BIGINT AS kept_without "
+        f"FROM flags"
+        for r in _ABL_RULES)
+    return f"""
+WITH flags AS ({body})
+SELECT rule, n_flagged, kept_without,
+       (SELECT sum((NOT (rule_long_lines OR rule_repetitive OR
+                         rule_autogen OR rule_low_alnum))::INT)
+        FROM flags)::BIGINT AS kept_baseline,
+       (kept_without
+        - (SELECT sum((NOT (rule_long_lines OR rule_repetitive OR
+                            rule_autogen OR rule_low_alnum))::INT)
+           FROM flags))::BIGINT AS delta_docs
+FROM ({rows}) t ORDER BY rule
+"""
+
+
+@query("rule_ablation_impact", sql=_ablation_sql())
+def rule_ablation_q(sf_dir: str):
+    """Leave-one-rule-out keep counts over the flagship heuristic
+    flags: delta_docs is exactly the documents condemned ONLY by that
+    rule.  One stateless flag pass (the heuristic kernels), sixteen
+    bounded counters through the guarded combine."""
+    from dataquality_ray.functions.heuristics import (
+        content_stats,
+        heuristic_violations,
+    )
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        b = content_stats(batch, col="text")
+        flags = heuristic_violations(b)
+        f = {r: pc.fill_null(flags[r], False).to_numpy(
+            zero_copy_only=False) for r in _ABL_RULES}
+        any_f = np.zeros(len(batch), dtype=bool)
+        for r in _ABL_RULES:
+            any_f |= f[r]
+        rows = [("__baseline__", 0, int((~any_f).sum()))]
+        for r in _ABL_RULES:
+            others = np.zeros(len(batch), dtype=bool)
+            for o in _ABL_RULES:
+                if o != r:
+                    others |= f[o]
+            rows.append((r, int(f[r].sum()), int((~others).sum())))
+        return pd.DataFrame(rows, columns=["rule", "n_flagged",
+                                           "kept_without"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("rule", as_index=False)[
+            ["n_flagged", "kept_without"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: rules + baseline
+    cols = ("rule", "n_flagged", "kept_without", "kept_baseline",
+            "delta_docs")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"rule": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    base = int(merged.loc[merged["rule"] == "__baseline__",
+                          "kept_without"].sum())
+    out = merged[merged["rule"] != "__baseline__"].copy()
+    out = out.sort_values("rule").reset_index(drop=True)
+    out["kept_baseline"] = base
+    out["delta_docs"] = out["kept_without"].astype(np.int64) - base
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out[list(cols)]
