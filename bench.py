@@ -381,6 +381,7 @@ def run_suite() -> dict:
                  "betweenness_centrality_exact", "map_retrieval_eval",
                  "self_excitation_ratio", "regression_discontinuity_price",
                  "edf_feasibility_audit", "rule_ablation_impact",
+                 "soundex_blocking_census",
                  "dq_battery"):
         queries[name] = round(bench_query(q[name], SF_DIR), 3)
 

@@ -3870,3 +3870,86 @@ def rule_ablation_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Phonetic blocking census (simplified Soundex, h/w treated as vowels
+# and no first-letter merge — both engines implement this exact spec):
+# tokens sharing a code are phonetic-collision candidates for fuzzy
+# record linkage, the cheap blocking key before Jaro-Winkler scoring.
+# ---------------------------------------------------------------------------
+
+_SDX_CLASSES = [("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+                ("L", "4"), ("MN", "5"), ("R", "6"),
+                ("AEIOUYHW", "0")]
+
+
+def _soundex_py(tok: str) -> str:
+    u = tok.upper()
+    t = u[1:]
+    for cls, d in _SDX_CLASSES:
+        t = "".join(d if ch in cls else ch for ch in t)
+    for d in "123456":
+        while d + d in t:
+            t = t.replace(d + d, d)
+    t = t.replace("0", "")
+    return (u[:1] + (t + "000")[:3]) if u else ""
+
+
+def _soundex_sql(col: str) -> str:
+    expr = f"substr(upper({col}), 2)"
+    for cls, d in _SDX_CLASSES:
+        expr = f"regexp_replace({expr}, '[{cls}]', '{d}', 'g')"
+    for d in "123456":
+        expr = f"regexp_replace({expr}, '{d}{{2,}}', '{d}', 'g')"
+    expr = f"replace({expr}, '0', '')"
+    return f"substr(upper({col}), 1, 1) || substr({expr} || '000', 1, 3)"
+
+
+@query("soundex_blocking_census", sql=f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), tok AS (
+  SELECT DISTINCT u.x AS tok FROM toks, unnest(t) AS u(x)
+), coded AS (
+  SELECT tok, {_soundex_sql('tok')} AS code FROM tok
+)
+SELECT code, count(*)::BIGINT AS n_tokens,
+       min(tok) AS min_tok, max(tok) AS max_tok
+FROM coded GROUP BY code ORDER BY code
+""")
+def soundex_census_q(sf_dir: str):
+    """Distinct tokens per simplified-Soundex code with the lexical
+    extremes of each block — codes holding >1 token are the candidate
+    pairs a linkage pass scores.  The encoder is six class replaces +
+    run squeezing + zero strip, identical RE2 on both engines; the
+    vocabulary census folds through the guarded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        seen = set()
+        for txt in batch["text"].to_pylist():
+            seen.update((txt or "").split())
+        return pd.DataFrame({"tok": sorted(seen)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates("tok")
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: token vocabulary
+    if merged is None or not len(merged):
+        return pd.DataFrame({"code": pd.Series([], dtype=object),
+                             "n_tokens": pd.Series([], dtype=np.int64),
+                             "min_tok": pd.Series([], dtype=object),
+                             "max_tok": pd.Series([], dtype=object)})
+    f = pd.DataFrame({"tok": sorted(merged["tok"].unique())})
+    f["code"] = f["tok"].map(_soundex_py)
+    g = f.groupby("code").agg(
+        n_tokens=("tok", "size"), min_tok=("tok", "min"),
+        max_tok=("tok", "max")).reset_index()
+    g["n_tokens"] = g["n_tokens"].astype(np.int64)
+    return g.sort_values("code").reset_index(drop=True)

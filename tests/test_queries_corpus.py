@@ -491,3 +491,21 @@ def test_frames_or_twin_equivalence_and_route():
     assert list(a["k"]) == list(b["k"])
     assert list(a["x"].astype(int)) == list(b["x"].astype(int))
     assert any(e.get("chosen") == "groupby_twin" for e in ROUTE_EVENTS)
+
+
+# --------------------------------------------------------------------------
+# Soundex (simplified spec): reference encodings + block properties.
+# --------------------------------------------------------------------------
+
+def test_soundex_reference_values():
+    # simplified spec: h/w are vowels, no first-letter merge
+    assert qc._soundex_py("robert") == "R163"
+    assert qc._soundex_py("rupert") == "R163"
+    assert qc._soundex_py("sort") == "S630"
+    assert qc._soundex_py("a") == "A000"
+
+
+def test_soundex_census_blocks():
+    out = qc.soundex_census_q(SF)
+    assert (out["n_tokens"] >= 1).all()
+    assert (out["min_tok"] <= out["max_tok"]).all()
