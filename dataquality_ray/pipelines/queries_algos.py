@@ -1,0 +1,538 @@
+"""Algorithm-replay and evaluation operators, round-4 late batch:
+clustering-agreement metrics, per-doc LM perplexity ranking, retrieval
+eval (MRR / precision@k), a catalog inclusion-dependency scan, and
+classic deterministic algorithm replays (Huffman, Johnson scheduling,
+knapsack DP) whose SQL oracles re-run the identical recurrence.
+
+House rules (same as the other queries_* modules): every operator is a
+Ray Data pipeline whose result is bit-identical to its DuckDB oracle —
+exact integer arithmetic everywhere, floats only as a single
+correctly-rounded op chain; per-batch partials flow through the guarded
+driver combine with the key-space boundedness stated at the assert, or
+through combine_or_groupby_twin when the keyspace is unbounded.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataquality_ray.pipelines.registry import query
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _lnf(k) -> int:
+    """floor(ln(k) * 1e6) — the integer-log convention shared with
+    lang_source_info_gain / zipf_token_fit (SQL twin:
+    CAST(floor(ln(CAST(k AS DOUBLE)) * 1000000) AS BIGINT))."""
+    return int(math.floor(math.log(k) * 1e6))
+
+
+# ---------------------------------------------------------------------------
+# Partition agreement: pair-counting Rand / adjusted-Rand between the
+# lang partition and the source partition of the documents table — the
+# standard external-clustering-evaluation machinery (Hubert & Arabie
+# 1985), run catalog-side to answer "does source predict lang?".
+# All four pair counts are exact integers from the (lang, source)
+# contingency table; RI and ARI land as one floor division each.
+# ---------------------------------------------------------------------------
+
+@query("partition_agreement_lang_source", sql="""
+WITH cell AS (
+  SELECT lang, source, count(*)::HUGEINT AS n
+  FROM documents GROUP BY lang, source
+), tp AS (
+  SELECT sum(n * (n - 1) / 2)::HUGEINT AS tp FROM cell
+), pa_ AS (
+  SELECT sum(t * (t - 1) / 2)::HUGEINT AS p FROM (
+    SELECT sum(n) AS t FROM cell GROUP BY lang)
+), pb AS (
+  SELECT sum(t * (t - 1) / 2)::HUGEINT AS p FROM (
+    SELECT sum(n) AS t FROM cell GROUP BY source)
+), tot AS (
+  SELECT (sum(n) * (sum(n) - 1) / 2)::HUGEINT AS allp,
+         sum(n)::BIGINT AS n_docs FROM cell
+)
+SELECT tot.n_docs,
+       tp.tp::BIGINT AS tp_pairs,
+       pa_.p::BIGINT AS pairs_lang,
+       pb.p::BIGINT AS pairs_source,
+       tot.allp::BIGINT AS total_pairs,
+       ((tot.allp - pa_.p - pb.p + 2 * tp.tp) * 1000000 // tot.allp)
+         ::BIGINT AS rand_ppm,
+       (CASE WHEN (pa_.p + pb.p) * tot.allp = 2 * pa_.p * pb.p THEN 0
+             ELSE (2 * (tp.tp * tot.allp - pa_.p * pb.p) * 1000000)
+                  // ((pa_.p + pb.p) * tot.allp - 2 * pa_.p * pb.p)
+        END)::BIGINT AS ari_ppm
+FROM tp, pa_, pb, tot
+""")
+def partition_agreement_q(sf_dir: str):
+    """Rand index and adjusted Rand between the ``lang`` and ``source``
+    partitions of documents.  TP = same-lang & same-source pairs from
+    the contingency cells; RI = (agreeing pairs)/(all pairs); ARI uses
+    the permutation-model expectation — both as exact-integer ppm
+    floors (ARI's half is cleared by doubling numerator and
+    denominator).  The contingency combine is bounded: |langs| ×
+    |sources| cells."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        f = batch.select(["lang", "source"]).to_pandas()
+        g = f.groupby(["lang", "source"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["lang", "source"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["lang", "source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: lang x source cells
+    cols = ["n_docs", "tp_pairs", "pairs_lang", "pairs_source",
+            "total_pairs", "rand_ppm", "ari_ppm"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    n_cell = [int(v) for v in merged["n"]]
+    n = sum(n_cell)
+    tp = sum(c * (c - 1) // 2 for c in n_cell)
+    p_a = sum(int(t) * (int(t) - 1) // 2
+              for t in merged.groupby("lang")["n"].sum())
+    p_b = sum(int(t) * (int(t) - 1) // 2
+              for t in merged.groupby("source")["n"].sum())
+    allp = n * (n - 1) // 2
+    rand_ppm = (allp - p_a - p_b + 2 * tp) * 1_000_000 // allp
+    den = (p_a + p_b) * allp - 2 * p_a * p_b
+    ari_ppm = 0 if den == 0 else (
+        2 * (tp * allp - p_a * p_b) * 1_000_000) // den
+    return pd.DataFrame([[n, tp, p_a, p_b, allp, rand_ppm, ari_ppm]],
+                        columns=cols).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Per-doc bigram perplexity ranking — the KenLM-style scorer of the
+# north rule as a driver-checkable query: fit an add-1-smoothed bigram
+# LM on the whole corpus (vocab is bounded), then score every document
+# with integer floor-log terms so the NLL is bit-identical in SQL.
+# score(u,v) = lnf(c(u)+V) - lnf(c(u,v)+1), NLL = sum over positions.
+# ---------------------------------------------------------------------------
+
+@query("doc_perplexity_bigram", sql="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t[u.i] AS u, t[u.i + 1] AS v
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), uni AS (
+  SELECT u, count(*)::BIGINT AS cu FROM pos GROUP BY u
+), bi AS (
+  SELECT u, v, count(*)::BIGINT AS cuv FROM pos GROUP BY u, v
+), vocab AS (
+  SELECT count(DISTINCT x)::BIGINT AS V FROM (
+    SELECT u.x FROM toks, unnest(t) AS u(x))
+), scored AS (
+  SELECT p.doc_id,
+         CAST(floor(ln(CAST(uni.cu + vocab.V AS DOUBLE)) * 1000000)
+              AS BIGINT)
+         - CAST(floor(ln(CAST(bi.cuv + 1 AS DOUBLE)) * 1000000)
+              AS BIGINT) AS term
+  FROM pos p
+  JOIN uni ON p.u = uni.u
+  JOIN bi ON p.u = bi.u AND p.v = bi.v, vocab
+)
+SELECT t.doc_id,
+       greatest(len(t.t) - 1, 0)::BIGINT AS n_bigrams,
+       coalesce(s.nll, 0)::BIGINT AS nll_sum,
+       (CASE WHEN len(t.t) > 1
+             THEN coalesce(s.nll, 0) // (len(t.t) - 1)
+             ELSE 0 END)::BIGINT AS avg_nll
+FROM toks t LEFT JOIN (
+  SELECT doc_id, sum(term)::BIGINT AS nll FROM scored GROUP BY doc_id
+) s USING (doc_id)
+ORDER BY doc_id
+""")
+def doc_perplexity_q(sf_dir: str):
+    """Per-document NLL under the corpus's add-1 bigram LM — the query
+    twin of stages/perplexity.py's scorer, made driver-checkable with
+    integer floor-log terms.  The LM fit is one bounded combine
+    (|vocab|^2 bigram cells); scoring broadcasts the count maps and is
+    a vectorized lookup per batch."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        rows: dict[tuple[str, str], int] = {}
+        for txt in batch["text"].to_pylist():
+            t = (txt or "").split()
+            for i in range(len(t) - 1):
+                k = (t[i], t[i + 1])
+                rows[k] = rows.get(k, 0) + 1
+        if not rows:
+            return pd.DataFrame({"u": pd.Series([], dtype=object),
+                                 "v": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        ks = sorted(rows)
+        return pd.DataFrame({"u": [k[0] for k in ks],
+                             "v": [k[1] for k in ks],
+                             "c": np.array([rows[k] for k in ks],
+                                           dtype=np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["u", "v"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: vocab^2 bigram cells
+    if merged is None or not len(merged):
+        cuv: dict[tuple[str, str], int] = {}
+        cu: dict[str, int] = {}
+        vocab_n = 1
+    else:
+        cuv = {(u, v): int(c) for u, v, c in
+               zip(merged["u"], merged["v"], merged["c"])}
+        cu = {u: int(c) for u, c in
+              merged.groupby("u")["c"].sum().items()}
+        vocab = set(merged["u"]) | set(merged["v"])
+
+    # vocab must match the SQL twin: distinct tokens anywhere in the
+    # corpus, including docs of length 1 that produce no bigram.
+    def vpart(batch: pa.Table) -> pd.DataFrame:
+        seen = set()
+        for txt in batch["text"].to_pylist():
+            seen.update((txt or "").split())
+        return pd.DataFrame({"tok": sorted(seen)})
+
+    vmerged, vok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(vpart, batch_format="pyarrow"),
+        lambda f: f.drop_duplicates("tok"), 2_000_000)
+    assert vok  # bounded: vocabulary
+    vocab_n = 0 if vmerged is None else int(vmerged["tok"].nunique())
+    vocab_n = max(vocab_n, 1)
+
+    # precomputed integer term per observed bigram, keyed "u v" — every
+    # pair a doc can produce was observed by the fit on the same corpus.
+    term_map = {f"{u} {v}": _lnf(cu[u] + vocab_n) - _lnf(c + 1)
+                for (u, v), c in cuv.items()}
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        f = batch.select(["doc_id", "text"]).to_pandas()
+        toks = f["text"].fillna("").str.split()
+        nlen = toks.str.len().to_numpy()
+        nb = np.maximum(nlen - 1, 0)
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks] or
+                              [np.array([], dtype=object)])
+        did = np.repeat(f["doc_id"].to_numpy(), nlen)
+        ex = pd.DataFrame({"doc_id": did, "u": flat})
+        ex["v"] = ex["u"].shift(-1)
+        same = ex["doc_id"].to_numpy() == np.roll(
+            ex["doc_id"].to_numpy(), -1)
+        if len(same):
+            same[-1] = False
+        ex = ex[same]
+        terms = (ex["u"] + " " + ex["v"]).map(term_map)
+        nll = terms.groupby(ex["doc_id"]).sum()
+        out = pd.DataFrame({"doc_id": f["doc_id"].to_numpy(),
+                            "n_bigrams": nb.astype(np.int64)})
+        out["nll_sum"] = (out["doc_id"].map(nll).fillna(0)
+                          .astype(np.int64))
+        out["avg_nll"] = np.where(
+            out["n_bigrams"] > 0,
+            out["nll_sum"] // np.maximum(out["n_bigrams"], 1),
+            0).astype(np.int64)
+        return out
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(score, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval eval: MRR and precision/recall@5 per source over the
+# deterministic ranking "n_chars DESC, doc_id ASC", with planted
+# relevance doc_id % 10 == 0 — the eval harness a search pipeline runs
+# after each index build.  1/rank lands as floor(1e9 / rank).
+# ---------------------------------------------------------------------------
+
+@query("mrr_pr_at_k", sql="""
+WITH ranked AS (
+  SELECT source, doc_id, (doc_id % 10 = 0) AS rel,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents
+), per AS (
+  SELECT source,
+         count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS n_rel,
+         coalesce(min(CASE WHEN rel THEN rnk END), 0)::BIGINT
+           AS first_rel_rank,
+         sum(CASE WHEN rel AND rnk <= 5 THEN 1 ELSE 0 END)::BIGINT
+           AS rel_at_5
+  FROM ranked GROUP BY source
+)
+SELECT source, n_docs, n_rel, first_rel_rank,
+       (CASE WHEN first_rel_rank > 0 THEN 1000000000 // first_rel_rank
+             ELSE 0 END)::BIGINT AS rr_ppb,
+       (rel_at_5 * 1000000 // 5)::BIGINT AS p_at_5_ppm,
+       (CASE WHEN n_rel > 0 THEN rel_at_5 * 1000000 // n_rel
+             ELSE 0 END)::BIGINT AS r_at_5_ppm
+FROM per ORDER BY source
+""")
+def mrr_pr_at_k_q(sf_dir: str):
+    """Per-source reciprocal rank of the first relevant doc plus
+    precision/recall at 5, on the length-descending ranking.  The
+    combine holds one row per (source, relevant-doc rank extremes) —
+    folded per batch as partial top-lists keyed by source (bounded)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        f = batch.select(["source", "doc_id", "n_chars"]).to_pandas()
+        return f
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f
+
+    # The ranking needs a per-source total order; sources are bounded,
+    # and per-source doc lists at test scale fit the driver combine.
+    # Past the cap the twin re-sorts per source group exactly.
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+        rel = (g["doc_id"] % 10 == 0).to_numpy()
+        n_docs = len(g)
+        n_rel = int(rel.sum())
+        idx = np.flatnonzero(rel)
+        first = int(idx[0]) + 1 if len(idx) else 0
+        rel5 = int(rel[:5].sum())
+        rr = 1_000_000_000 // first if first else 0
+        return pd.DataFrame([[g["source"].iloc[0], n_docs, n_rel, first,
+                              rr, rel5 * 1_000_000 // 5,
+                              rel5 * 1_000_000 // n_rel if n_rel else 0]],
+                            columns=["source", "n_docs", "n_rel",
+                                     "first_rel_rank", "rr_ppb",
+                                     "p_at_5_ppm", "r_at_5_ppm"])
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    if ok:
+        if merged is None or not len(merged):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                **{c: pd.Series([], dtype=np.int64)
+                   for c in ["n_docs", "n_rel", "first_rel_rank",
+                             "rr_ppb", "p_at_5_ppm", "r_at_5_ppm"]}})
+        out = pd.concat([per_source(g) for _, g in
+                         merged.groupby("source")], ignore_index=True)
+    else:  # distributed twin: per-source groups sorted inside workers
+        ds = (_read(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+              .groupby("source").map_groups(per_source,
+                                            batch_format="pandas"))
+        out = ds.to_pandas()
+    for c in ["n_docs", "n_rel", "first_rel_rank", "rr_ppb",
+              "p_at_5_ppm", "r_at_5_ppm"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Inclusion-dependency scan — the catalog audit that discovers FK-able
+# column pairs: for each candidate (child, parent), how many distinct
+# child values are missing from the parent (0 missing = a valid IND).
+# Distinct sets stream through the guarded combine with a per-pair
+# anti-probe; child key spaces here are FK domains (bounded by the
+# parent's key count), so the combine is the right default.
+# ---------------------------------------------------------------------------
+
+_IND_PAIRS = [
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("documents", "doc_id", "embeddings", "vec_id"),
+]
+
+
+def _ind_pair_sql(child, ccol, parent, pcol):
+    return f"""
+  SELECT '{child}.{ccol}' AS child_col, '{parent}.{pcol}' AS parent_col,
+         (SELECT count(DISTINCT {ccol}) FROM {child})::BIGINT
+           AS n_distinct_child,
+         (SELECT count(*) FROM (
+            SELECT DISTINCT {ccol} AS v FROM {child}) c
+          WHERE v IS NOT NULL AND NOT EXISTS (
+            SELECT 1 FROM {parent} p WHERE p.{pcol} = c.v))::BIGINT
+           AS n_missing"""
+
+
+@query("inclusion_dependency_scan", sql="""
+WITH pairs AS (
+""" + "\n  UNION ALL\n".join(_ind_pair_sql(*p) for p in _IND_PAIRS) + """
+)
+SELECT child_col, parent_col, n_distinct_child, n_missing,
+       (n_missing = 0) AS is_ind
+FROM pairs ORDER BY child_col, parent_col
+""")
+def inclusion_dependency_q(sf_dir: str):
+    """IND discovery over the fixed candidate catalog: distinct child
+    values per pair via the guarded combine (FK domains are bounded by
+    the parent table's key count), parent key set broadcast once per
+    pair for the anti-probe."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    # one distinct-set pass per table, covering every column any pair
+    # needs — 9 candidate pairs cost 9 table scans, not 18.
+    need: dict[str, set[str]] = {}
+    for child, ccol, parent, pcol in _IND_PAIRS:
+        need.setdefault(child, set()).add(ccol)
+        need.setdefault(parent, set()).add(pcol)
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates(["col", "v"])
+
+    distinct: dict[tuple[str, str], np.ndarray] = {}
+    for table, cols in need.items():
+        cols_l = sorted(cols)
+
+        def part(batch: pa.Table, cols_l=cols_l) -> pd.DataFrame:
+            frames = [pd.DataFrame({
+                "col": c,
+                "v": pc.unique(pc.drop_null(batch[c])).to_pandas()})
+                for c in cols_l]
+            return pd.concat(frames, ignore_index=True)
+
+        merged, ok = guarded_partials(
+            _read(sf_dir, table, cols_l)
+            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+        assert ok  # bounded: FK / dimension key domains
+        for c in cols_l:
+            if merged is None or not len(merged):
+                distinct[(table, c)] = np.array([], dtype=np.int64)
+            else:
+                distinct[(table, c)] = (
+                    merged.loc[merged["col"] == c, "v"].to_numpy())
+
+    rows = []
+    for child, ccol, parent, pcol in _IND_PAIRS:
+        child_vals = distinct[(child, ccol)]
+        parent_vals = distinct[(parent, pcol)]
+        missing = int((~np.isin(child_vals, parent_vals)).sum())
+        rows.append([f"{child}.{ccol}", f"{parent}.{pcol}",
+                     len(child_vals), missing, missing == 0])
+    out = pd.DataFrame(rows, columns=["child_col", "parent_col",
+                                      "n_distinct_child", "n_missing",
+                                      "is_ind"])
+    out["n_distinct_child"] = out["n_distinct_child"].astype(np.int64)
+    out["n_missing"] = out["n_missing"].astype(np.int64)
+    return out.sort_values(["child_col", "parent_col"]
+                           ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Peak order concurrency — sweep-line max overlap of order lifetime
+# intervals [o_orderdate, max(l_shipdate)]: +1 at start, -1 the day
+# after the end, running sum; the peak and its earliest day.  The
+# staircase lives on a bounded day axis (the TPC-H date range), so the
+# day-delta combine is bounded regardless of row count.
+# ---------------------------------------------------------------------------
+
+@query("max_concurrent_orders", sql="""
+WITH life AS (
+  SELECT o.o_orderkey,
+         epoch_us(o.o_orderdate) // 86400000000 AS d0,
+         max(epoch_us(l.l_shipdate) // 86400000000) AS d1
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), delta AS (
+  SELECT d0 AS day, count(*)::BIGINT AS dv FROM life GROUP BY d0
+  UNION ALL
+  SELECT d1 + 1 AS day, -count(*)::BIGINT FROM life GROUP BY d1
+), stair AS (
+  SELECT day, sum(sum(dv)) OVER (ORDER BY day)::BIGINT AS open
+  FROM delta GROUP BY day
+)
+SELECT (SELECT count(*) FROM life)::BIGINT AS n_orders,
+       max(open)::BIGINT AS peak_open,
+       min(day) FILTER (WHERE open = (SELECT max(open) FROM stair))
+         ::BIGINT AS peak_day
+FROM stair
+""")
+def max_concurrent_orders_q(sf_dir: str):
+    """Maximum number of simultaneously-open orders (order date through
+    last shipment) via the classic sweep line.  Shape: smart_join
+    attaches the order date to lineitem rows, per-order interval ends
+    fold through combine_or_groupby_twin keyed by orderkey (unbounded
+    at corpus scale — twin past cap), and each per-order row streams
+    two +1/-1 deltas onto the bounded date axis; nothing keyed by
+    order ever sits whole on the driver."""
+    from dataquality_ray.pipelines.queries_corpus import _frames_or_twin
+    from dataquality_ray.stages.joins import smart_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def oprep(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": batch["o_orderkey"].to_numpy(
+                zero_copy_only=False),
+            "d0": pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+                zero_copy_only=False) // 86_400_000_000})
+
+    def lprep(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"].to_numpy(
+                zero_copy_only=False),
+            "d1": pc.cast(batch["l_shipdate"], pa.int64()).to_numpy(
+                zero_copy_only=False) // 86_400_000_000})
+
+    joined = smart_join(
+        line.map_batches(lprep, batch_format="pyarrow"),
+        orders.map_batches(oprep, batch_format="pyarrow"),
+        on="l_orderkey", join_type="inner")
+
+    def part(f: pd.DataFrame) -> pd.DataFrame:
+        g = f.groupby("l_orderkey", as_index=False).agg(
+            d0=("d0", "min"), d1=("d1", "max"))
+        return g
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("l_orderkey", as_index=False).agg(
+            d0=("d0", "min"), d1=("d1", "max"))
+
+    start_delta: dict[int, int] = {}
+    end_delta: dict[int, int] = {}
+    n_orders = 0
+    for f in _frames_or_twin(
+            joined.map_batches(part, batch_format="pandas"),
+            fold, ["l_orderkey"]):
+        n_orders += len(f)
+        for d, c in f.groupby("d0").size().items():
+            start_delta[int(d)] = start_delta.get(int(d), 0) + int(c)
+        for d, c in f.groupby("d1").size().items():
+            end_delta[int(d) + 1] = end_delta.get(int(d) + 1, 0) - int(c)
+    days = sorted(set(start_delta) | set(end_delta))
+    open_now, peak, peak_day = 0, 0, 0
+    for d in days:
+        open_now += start_delta.get(d, 0) + end_delta.get(d, 0)
+        if open_now > peak:
+            peak, peak_day = open_now, d
+    return pd.DataFrame([[n_orders, peak, peak_day]],
+                        columns=["n_orders", "peak_open", "peak_day"]
+                        ).astype(np.int64)

@@ -45,6 +45,7 @@ def _load():
     if _LOADED:
         return
     from dataquality_ray.pipelines import (  # noqa: F401
+        queries_algos,
         queries_code,
         queries_corpus,
         queries_mining,
