@@ -536,3 +536,259 @@ def max_concurrent_orders_q(sf_dir: str):
     return pd.DataFrame([[n_orders, peak, peak_day]],
                         columns=["n_orders", "peak_open", "peak_day"]
                         ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Huffman code audit — exact Huffman code lengths for the corpus token
+# vocabulary (deterministic tie-break: merge the two clusters with the
+# smallest (weight, min-symbol)), compared against the entropy bound a
+# dictionary encoder cares about.  The SQL twin replays the identical
+# merge schedule in a recursive CTE whose state is the live cluster
+# list; a token's code length = how many merges its cluster joined.
+# ---------------------------------------------------------------------------
+
+@query("huffman_code_audit", sql="""
+WITH RECURSIVE toks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), cnt AS (
+  SELECT u.x AS tok, count(*)::BIGINT AS w
+  FROM toks, unnest(t) AS u(x) GROUP BY u.x
+), init AS (
+  SELECT list(struct_pack(w := w, ms := tok, syms := [tok])
+              ORDER BY tok) AS cl
+  FROM cnt
+), merge_r AS (
+  SELECT 0 AS round, cl, CAST(NULL AS VARCHAR[]) AS merged FROM init
+  UNION ALL
+  SELECT round + 1,
+         list_concat(srt[3:],
+           [struct_pack(w := srt[1].w + srt[2].w,
+                        ms := least(srt[1].ms, srt[2].ms),
+                        syms := list_concat(srt[1].syms, srt[2].syms))]),
+         list_concat(srt[1].syms, srt[2].syms)
+  FROM (SELECT round, list_sort(cl) AS srt FROM merge_r) m
+  WHERE len(srt) > 1
+), depth AS (
+  SELECT u.x AS tok, count(*)::BIGINT AS code_len
+  FROM merge_r, unnest(merged) AS u(x) GROUP BY u.x
+)
+SELECT c.tok, c.w AS weight,
+       coalesce(d.code_len, 0)::BIGINT AS code_len,
+       (c.w * coalesce(d.code_len, 0))::BIGINT AS total_bits
+FROM cnt c LEFT JOIN depth d USING (tok)
+ORDER BY c.tok
+""")
+def huffman_code_audit_q(sf_dir: str):
+    """Huffman code length per vocabulary token over exact global token
+    counts (bounded combine), with the deterministic smallest-
+    (weight, min-symbol)-first merge order so the SQL recursive-CTE
+    replay is bit-identical.  total_bits = weight x code_len is the
+    encoder's exact output size contribution."""
+    import heapq
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        cnt: dict[str, int] = {}
+        for txt in batch["text"].to_pylist():
+            for t in (txt or "").split():
+                cnt[t] = cnt.get(t, 0) + 1
+        ks = sorted(cnt)
+        return pd.DataFrame({"tok": ks,
+                             "w": np.array([cnt[k] for k in ks],
+                                           dtype=np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("tok", as_index=False)["w"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: vocabulary
+    if merged is None or not len(merged):
+        return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in ["weight", "code_len",
+                                          "total_bits"]}})
+    heap = [(int(w), t, [t]) for t, w in
+            zip(merged["tok"], merged["w"])]
+    heapq.heapify(heap)
+    depth: dict[str, int] = {}
+    while len(heap) > 1:
+        w1, m1, s1 = heapq.heappop(heap)
+        w2, m2, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] = depth.get(s, 0) + 1
+        heapq.heappush(heap, (w1 + w2, min(m1, m2), s1 + s2))
+    out = merged.rename(columns={"w": "weight"}).copy()
+    out["code_len"] = out["tok"].map(depth).fillna(0).astype(np.int64)
+    out["weight"] = out["weight"].astype(np.int64)
+    out["total_bits"] = out["weight"] * out["code_len"]
+    return out.sort_values("tok").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Johnson's rule, two-machine flow shop — schedule the event types as
+# jobs (machine 1 = morning events, machine 2 = afternoon events) in
+# the provably-optimal Johnson order and replay the makespan staircase.
+# The order and the m1/m2 completion recursion are both deterministic,
+# so the SQL twin (window order + linear recursive CTE) is exact.
+# ---------------------------------------------------------------------------
+
+@query("johnson_schedule_makespan", sql="""
+WITH RECURSIVE ev AS (
+  SELECT event_type,
+         sum(CASE WHEN (epoch_us(ts) % 86400000000) // 3600000000 < 12
+                  THEN 1 ELSE 0 END)::BIGINT AS a,
+         sum(CASE WHEN (epoch_us(ts) % 86400000000) // 3600000000 >= 12
+                  THEN 1 ELSE 0 END)::BIGINT AS b
+  FROM events GROUP BY event_type
+), ord AS (
+  SELECT *, row_number() OVER (
+    ORDER BY CASE WHEN a < b THEN 0 ELSE 1 END,
+             CASE WHEN a < b THEN a ELSE -b END, event_type) AS pos
+  FROM ev
+), rec AS (
+  SELECT 0::BIGINT AS pos, 0::BIGINT AS m1, 0::BIGINT AS m2
+  UNION ALL
+  SELECT o.pos, r.m1 + o.a, greatest(r.m2, r.m1 + o.a) + o.b
+  FROM rec r JOIN ord o ON o.pos = r.pos + 1
+)
+SELECT o.event_type, o.a AS t_machine1, o.b AS t_machine2,
+       o.pos::BIGINT AS pos, r.m1 AS m1_done, r.m2 AS m2_done
+FROM ord o JOIN rec r ON r.pos = o.pos
+ORDER BY o.pos
+""")
+def johnson_schedule_q(sf_dir: str):
+    """Johnson's two-machine flow-shop order over the event types
+    (a = morning event count, b = afternoon): a<b jobs first by a
+    ascending, the rest by b descending, event_type tie-break; then
+    the exact makespan recursion m2_i = max(m2_{i-1}, m1_i) + b_i.
+    Per-type (a, b) sums fold through one bounded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hour = (us % 86_400_000_000) // 3_600_000_000
+        f = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                          "a": (hour < 12).astype(np.int64),
+                          "b": (hour >= 12).astype(np.int64)})
+        return f.groupby("event_type", as_index=False)[["a", "b"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False)[["a", "b"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: event-type universe
+    cols = ["event_type", "t_machine1", "t_machine2", "pos",
+            "m1_done", "m2_done"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    jobs = [(int(a), int(b), t) for t, a, b in
+            zip(merged["event_type"], merged["a"], merged["b"])]
+    early = sorted([j for j in jobs if j[0] < j[1]],
+                   key=lambda j: (j[0], j[2]))
+    late = sorted([j for j in jobs if j[0] >= j[1]],
+                  key=lambda j: (-j[1], j[2]))
+    rows, m1, m2 = [], 0, 0
+    for pos, (a, b, t) in enumerate(early + late, start=1):
+        m1 += a
+        m2 = max(m2, m1) + b
+        rows.append([t, a, b, pos, m1, m2])
+    out = pd.DataFrame(rows, columns=cols)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Knapsack corpus selection — pick sources to keep under a size budget
+# (0/1 knapsack: weight = source's total chars in KB-units, value =
+# its doc count, budget = half the total weight).  The DP table is a
+# LIST column folded item-by-item in a recursive CTE — the same
+# list-state replay pattern as holt_winters_monthly.  An advisory
+# operator: the item set is the bounded source catalog; the budget
+# axis scales with the weight unit, not the row count.
+# ---------------------------------------------------------------------------
+
+@query("knapsack_corpus_selection", sql="""
+WITH RECURSIVE items AS (
+  SELECT source, (sum(n_chars) // 1000 + 1)::BIGINT AS w,
+         count(*)::BIGINT AS v,
+         row_number() OVER (ORDER BY source)::BIGINT AS pos
+  FROM documents GROUP BY source
+), bud AS (
+  SELECT (sum(w) // 2)::BIGINT AS B FROM items
+), rec AS (
+  SELECT 0::BIGINT AS pos,
+         list_transform(range(0, B + 1), x -> 0::BIGINT) AS dp, B
+  FROM bud
+  UNION ALL
+  SELECT i.pos,
+         list_transform(range(0, r.B + 1),
+           j -> CASE WHEN j >= i.w
+                     THEN greatest(r.dp[j + 1], r.dp[j - i.w + 1] + i.v)
+                     ELSE r.dp[j + 1] END),
+         r.B
+  FROM rec r JOIN items i ON i.pos = r.pos + 1
+)
+SELECT i.source, i.w AS weight_kb, i.v AS n_docs, i.pos,
+       r.dp[(r.B + 1)::INT] AS best_value, r.B AS budget
+FROM items i JOIN rec r ON r.pos = i.pos
+ORDER BY i.pos
+""")
+def knapsack_selection_q(sf_dir: str):
+    """0/1 knapsack over the source catalog: maximize kept docs under
+    a char budget.  Output is the DP frontier — for each item prefix,
+    the best value achievable within budget — so every intermediate
+    table of the replay is checked, not just the final optimum.
+    Per-source sums fold through one bounded combine; the engine DP
+    is one vectorized np.maximum per item."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": batch["source"].to_pandas(),
+                          "chars": batch["n_chars"].to_numpy(
+                              zero_copy_only=False),
+                          "v": np.ones(len(batch), dtype=np.int64)})
+        return f.groupby("source", as_index=False).agg(
+            chars=("chars", "sum"), v=("v", "sum"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False).agg(
+            chars=("chars", "sum"), v=("v", "sum"))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: source catalog
+    cols = ["source", "weight_kb", "n_docs", "pos", "best_value",
+            "budget"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    merged = merged.sort_values("source").reset_index(drop=True)
+    w = (merged["chars"].astype(object).to_numpy() // 1000 + 1)
+    w = w.astype(np.int64)
+    v = merged["v"].to_numpy(dtype=np.int64)
+    budget = int(w.sum()) // 2
+    dp = np.zeros(budget + 1, dtype=np.int64)
+    rows = []
+    for i, (src, wi, vi) in enumerate(zip(merged["source"], w, v),
+                                      start=1):
+        wi = int(wi)
+        if wi <= budget:
+            dp[wi:] = np.maximum(dp[wi:], dp[:-wi] + int(vi))
+        rows.append([src, wi, int(vi), i, int(dp[budget]), budget])
+    out = pd.DataFrame(rows, columns=cols)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
