@@ -792,3 +792,289 @@ def knapsack_selection_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-based Levene) homogeneity-of-variance test over
+# order totals by priority — the guard a stratified sampler runs before
+# assuming equal spread across strata.  z = |value - group disc-median|
+# is integer (whole dollars), SSB/SSW land as per-group integer floors
+# and F as one ppm floor division — bit-identical in SQL.
+# ---------------------------------------------------------------------------
+
+@query("levene_brown_forsythe", sql="""
+WITH x AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
+  FROM orders
+), med AS (
+  SELECT g, quantile_disc(v, 0.5) AS m FROM x GROUP BY g
+), z AS (
+  SELECT x.g, abs(x.v - med.m)::HUGEINT AS z
+  FROM x JOIN med USING (g)
+), grp AS (
+  SELECT g, count(*)::HUGEINT AS n, sum(z)::HUGEINT AS s,
+         sum(z * z)::HUGEINT AS q
+  FROM z GROUP BY g
+), tot AS (
+  SELECT sum(n)::HUGEINT AS N, sum(s)::HUGEINT AS S,
+         count(*)::HUGEINT AS k
+  FROM grp
+), terms AS (
+  SELECT sum((grp.s * tot.N - tot.S * grp.n)
+             * (grp.s * tot.N - tot.S * grp.n)
+             // (grp.n * tot.N * tot.N))::HUGEINT AS ssb,
+         sum((grp.n * grp.q - grp.s * grp.s)
+             // grp.n)::HUGEINT AS ssw
+  FROM grp, tot
+)
+SELECT tot.N::BIGINT AS n_total, tot.k::BIGINT AS k_groups,
+       terms.ssb::BIGINT AS ssb_floor, terms.ssw::BIGINT AS ssw_floor,
+       (CASE WHEN terms.ssw = 0 THEN 0
+             ELSE (tot.N - tot.k) * terms.ssb * 1000000
+                  // ((tot.k - 1) * terms.ssw) END)::BIGINT AS f_ppm
+FROM tot, terms
+""")
+def levene_brown_forsythe_q(sf_dir: str):
+    """Brown-Forsythe F on |value − group median| with the disc-median
+    convention (index ceil(q·n)−1).  One histogram combine keyed
+    (priority, dollar value) — bounded by the price grid — gives the
+    medians AND every z-moment without a second scan."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.quantiles import _disc_bound_from_counts
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        f = pd.DataFrame({"g": batch["o_orderpriority"].to_pandas(),
+                          "v": cents // 100})
+        g = f.groupby(["g", "v"], as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["g", "v"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: priority x dollar-price grid
+    cols = ["n_total", "k_groups", "ssb_floor", "ssw_floor", "f_ppm"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    stats = []  # (n_g, S_g, Q_g) per group, exact python ints
+    for _, gf in merged.groupby("g"):
+        v = gf["v"].to_numpy(dtype=np.int64)
+        c = gf["c"].to_numpy(dtype=np.int64)
+        m = int(_disc_bound_from_counts(v, c, 0.5))
+        z = np.abs(v - m)
+        n_g = int(c.sum())
+        s_g = int((z.astype(object) * c).sum())
+        q_g = int((z.astype(object) * z * c).sum())
+        stats.append((n_g, s_g, q_g))
+    n = sum(s[0] for s in stats)
+    s_tot = sum(s[1] for s in stats)
+    k = len(stats)
+    ssb = sum((s_g * n - s_tot * n_g) ** 2
+              // (n_g * n * n) for n_g, s_g, _ in stats)
+    ssw = sum((n_g * q_g - s_g * s_g) // n_g
+              for n_g, s_g, q_g in stats)
+    f_ppm = 0 if ssw == 0 else (n - k) * ssb * 1_000_000 // ((k - 1) * ssw)
+    return pd.DataFrame([[n, k, ssb, ssw, f_ppm]],
+                        columns=cols).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Energy-distance drift between pre-1998 and 1998+ order totals —
+# Szekely's E-statistic 2·E|X−Y| − E|X−X'| − E|X−X''| computed EXACTLY
+# from integer pair-distance sums: for a sorted column the all-pairs
+# |difference| sum is Σ v·(2·rank − n − 1), and the cross-sum falls out
+# of the union minus the two sides (S_xy = S_all − S_xx − S_yy).
+# ---------------------------------------------------------------------------
+
+@query("energy_distance_drift", sql="""
+WITH x AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+              THEN 'pre' ELSE 'post' END AS side,
+         CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS v
+  FROM orders
+), rs AS (
+  SELECT side, v,
+         row_number() OVER (PARTITION BY side ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY side) AS n
+  FROM x
+), sides AS (
+  SELECT side, max(n)::HUGEINT AS n,
+         sum(v::HUGEINT * (2 * rn - n - 1))::HUGEINT AS s
+  FROM rs GROUP BY side
+), ra AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         count(*) OVER () AS n
+  FROM x
+), alls AS (
+  SELECT sum(v::HUGEINT * (2 * rn - n - 1))::HUGEINT AS s FROM ra
+), piv AS (
+  SELECT max(CASE WHEN side = 'pre' THEN n END) AS n1,
+         max(CASE WHEN side = 'post' THEN n END) AS n2,
+         max(CASE WHEN side = 'pre' THEN s END) AS sxx,
+         max(CASE WHEN side = 'post' THEN s END) AS syy
+  FROM sides
+)
+SELECT piv.n1::BIGINT AS n_pre, piv.n2::BIGINT AS n_post,
+       piv.sxx::BIGINT AS pairs_pre, piv.syy::BIGINT AS pairs_post,
+       (alls.s - piv.sxx - piv.syy)::BIGINT AS pairs_cross,
+       (CASE WHEN piv.n1 = 0 OR piv.n2 = 0 THEN 0
+             ELSE (2 * (alls.s - piv.sxx - piv.syy) * piv.n1 * piv.n2
+                   - 2 * piv.sxx * piv.n2 * piv.n2
+                   - 2 * piv.syy * piv.n1 * piv.n1) * 1000000
+                  // (piv.n1 * piv.n1 * piv.n2 * piv.n2)
+        END)::BIGINT AS energy_ppm
+FROM piv, alls
+""")
+def energy_distance_drift_q(sf_dir: str):
+    """Exact energy distance between the pre-1998 and 1998+ total-price
+    distributions (whole dollars).  One histogram combine keyed
+    (side, value) — the pair sums use the Gini-style run formula
+    Σ v·c·(2·cum_before + c − n) so nothing is ever expanded."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    cut_us = int(pd.Timestamp("1998-01-01").value // 1000)
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        cents = np.round(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        dt = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        f = pd.DataFrame({
+            "side": np.where(dt < cut_us, "pre", "post"),
+            "v": cents // 100})
+        g = f.groupby(["side", "v"], as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["side", "v"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 2 x dollar-price grid
+    cols = ["n_pre", "n_post", "pairs_pre", "pairs_post",
+            "pairs_cross", "energy_ppm"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+
+    def pair_sum(v: np.ndarray, c: np.ndarray) -> tuple[int, int]:
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        n = int(c.sum())
+        before = np.concatenate([[0], np.cumsum(c)[:-1]])
+        tot = sum(int(vv) * int(cc) * (2 * int(b) + int(cc) - n)
+                  for vv, cc, b in zip(v, c, before))
+        return tot, n
+
+    pre = merged[merged["side"] == "pre"]
+    post = merged[merged["side"] == "post"]
+    sxx, n1 = pair_sum(pre["v"].to_numpy(np.int64),
+                       pre["c"].to_numpy(np.int64)) if len(pre) else (0, 0)
+    syy, n2 = pair_sum(post["v"].to_numpy(np.int64),
+                       post["c"].to_numpy(np.int64)) if len(post) else (0, 0)
+    allh = merged.groupby("v", as_index=False)["c"].sum()
+    s_all, _ = pair_sum(allh["v"].to_numpy(np.int64),
+                        allh["c"].to_numpy(np.int64))
+    sxy = s_all - sxx - syy
+    if n1 == 0 or n2 == 0:
+        e_ppm = 0
+    else:
+        e_num = (2 * sxy * n1 * n2 - 2 * sxx * n2 * n2
+                 - 2 * syy * n1 * n1)
+        e_ppm = e_num * 1_000_000 // (n1 * n1 * n2 * n2)
+    return pd.DataFrame([[n1, n2, sxx, syy, sxy, e_ppm]],
+                        columns=cols).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test between the even- and odd-user retention curves (death
+# = a user's last active day, all observed).  O/E/V accumulate with
+# one ppm floor per event time — the Mantel-Haenszel machinery next to
+# the Kaplan-Meier / Nelson-Aalen estimators already in the registry.
+# ---------------------------------------------------------------------------
+
+@query("logrank_retention_test", sql="""
+WITH lastd AS (
+  SELECT user_id, user_id % 2 AS grp,
+         max(epoch_us(ts) // 86400000000)::BIGINT AS d
+  FROM events GROUP BY user_id
+), deaths AS (
+  SELECT d, sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::HUGEINT AS d1,
+         count(*)::HUGEINT AS dt
+  FROM lastd GROUP BY d
+), atrisk AS (
+  SELECT d, d1, dt,
+         sum(dt) OVER (ORDER BY d DESC)::HUGEINT AS nt,
+         sum(d1) OVER (ORDER BY d DESC)::HUGEINT AS n1t
+  FROM deaths
+), agg AS (
+  SELECT sum(d1)::HUGEINT AS o1,
+         sum(dt * n1t * 1000000 // nt)::HUGEINT AS e1,
+         sum(CASE WHEN nt > 1
+                  THEN dt * (nt - dt) * n1t * (nt - n1t) * 1000000
+                       // (nt * nt * (nt - 1))
+                  ELSE 0 END)::HUGEINT AS v
+  FROM atrisk
+)
+SELECT o1::BIGINT AS o1_deaths, e1::BIGINT AS e1_ppm, v::BIGINT AS v_ppm,
+       (CASE WHEN v = 0 THEN 0
+             ELSE (o1 * 1000000 - e1) * (o1 * 1000000 - e1)
+                  // (v * 1000000) END)::BIGINT AS chi2_ppm
+FROM agg
+""")
+def logrank_retention_q(sf_dir: str):
+    """Log-rank chi-square comparing even vs odd users' last-active-day
+    distributions.  Per-user last day folds through the keyed combine
+    (groupby twin past cap); the streaming final reduce lands on the
+    bounded day axis, then O/E/V are exact per-day integer terms."""
+    from dataquality_ray.pipelines.queries_corpus import _frames_or_twin
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        f = pd.DataFrame({"user_id": batch["user_id"].to_numpy(
+            zero_copy_only=False), "d": us // 86_400_000_000})
+        return f.groupby("user_id", as_index=False)["d"].max()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("user_id", as_index=False)["d"].max()
+
+    d1_cnt: dict[int, int] = {}
+    dt_cnt: dict[int, int] = {}
+    for f in _frames_or_twin(
+            _read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(part, batch_format="pyarrow"),
+            fold, ["user_id"]):
+        grp0 = (f["user_id"].to_numpy() % 2 == 0)
+        for d, c in f.groupby("d").size().items():
+            dt_cnt[int(d)] = dt_cnt.get(int(d), 0) + int(c)
+        for d, c in f[grp0].groupby("d").size().items():
+            d1_cnt[int(d)] = d1_cnt.get(int(d), 0) + int(c)
+    cols = ["o1_deaths", "e1_ppm", "v_ppm", "chi2_ppm"]
+    if not dt_cnt:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    days = sorted(dt_cnt, reverse=True)
+    o1, e1, var = 0, 0, 0
+    nt, n1t = 0, 0
+    for d in days:
+        dt = dt_cnt[d]
+        d1 = d1_cnt.get(d, 0)
+        nt += dt
+        n1t += d1
+        o1 += d1
+        e1 += dt * n1t * 1_000_000 // nt
+        if nt > 1:
+            var += (dt * (nt - dt) * n1t * (nt - n1t) * 1_000_000
+                    // (nt * nt * (nt - 1)))
+    chi2 = 0 if var == 0 else ((o1 * 1_000_000 - e1) ** 2
+                               // (var * 1_000_000))
+    return pd.DataFrame([[o1, e1, var, chi2]],
+                        columns=cols).astype(np.int64)
