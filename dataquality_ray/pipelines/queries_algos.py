@@ -1078,3 +1078,269 @@ def logrank_retention_q(sf_dir: str):
                                // (var * 1_000_000))
     return pd.DataFrame([[o1, e1, var, chi2]],
                         columns=cols).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Online perceptron replay — the classic mistake-bound learner run once
+# over the corpus in doc_id order on four integer features, predicting
+# "is this an English doc".  Weights and the mistake count are exact
+# integers, so the SQL twin replays the identical update sequence in a
+# linear recursive CTE.  A diagnostic operator: the replay is
+# inherently sequential, so it runs on the driver over the (bounded)
+# feature frame the distributed feature pass produces.
+# ---------------------------------------------------------------------------
+
+@query("perceptron_online_replay", sql="""
+WITH RECURSIVE feat AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         1::BIGINT AS x0,
+         len(list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                         t -> t <> ''))::BIGINT AS x1,
+         len(list_distinct(list_filter(
+             regexp_split_to_array(coalesce(text,''), '\\s+'),
+             t -> t <> '')))::BIGINT AS x2,
+         (CASE WHEN regexp_matches(coalesce(text,''), '[0-9]')
+               THEN 1 ELSE 0 END)::BIGINT AS x3,
+         row_number() OVER (ORDER BY doc_id)::BIGINT AS pos
+  FROM documents
+), rec AS (
+  SELECT 0::BIGINT AS pos, 0::BIGINT AS w0, 0::BIGINT AS w1,
+         0::BIGINT AS w2, 0::BIGINT AS w3, 0::BIGINT AS mistakes
+  UNION ALL
+  SELECT f.pos,
+         r.w0 + CASE WHEN f.y * (r.w0*f.x0 + r.w1*f.x1 + r.w2*f.x2
+                                 + r.w3*f.x3) <= 0
+                     THEN f.y * f.x0 ELSE 0 END,
+         r.w1 + CASE WHEN f.y * (r.w0*f.x0 + r.w1*f.x1 + r.w2*f.x2
+                                 + r.w3*f.x3) <= 0
+                     THEN f.y * f.x1 ELSE 0 END,
+         r.w2 + CASE WHEN f.y * (r.w0*f.x0 + r.w1*f.x1 + r.w2*f.x2
+                                 + r.w3*f.x3) <= 0
+                     THEN f.y * f.x2 ELSE 0 END,
+         r.w3 + CASE WHEN f.y * (r.w0*f.x0 + r.w1*f.x1 + r.w2*f.x2
+                                 + r.w3*f.x3) <= 0
+                     THEN f.y * f.x3 ELSE 0 END,
+         r.mistakes + CASE WHEN f.y * (r.w0*f.x0 + r.w1*f.x1
+                                       + r.w2*f.x2 + r.w3*f.x3) <= 0
+                           THEN 1 ELSE 0 END
+  FROM rec r JOIN feat f ON f.pos = r.pos + 1
+)
+SELECT (SELECT count(*) FROM feat)::BIGINT AS n_docs,
+       mistakes, w0, w1, w2, w3
+FROM rec ORDER BY pos DESC LIMIT 1
+""")
+def perceptron_replay_q(sf_dir: str):
+    """One-pass perceptron on (bias, n_tokens, n_distinct_tokens,
+    has_digit) with label +1 iff lang='en', docs visited in doc_id
+    order; returns the final weights and mistake count.  Features are
+    computed in a vectorized distributed pass; the sequential update
+    replay folds the (guarded, capped) feature frame on the driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        f = batch.select(["doc_id", "lang", "text"]).to_pandas()
+        toks = f["text"].fillna("").str.split()
+        return pd.DataFrame({
+            "doc_id": f["doc_id"].to_numpy(),
+            "y": np.where(f["lang"].to_numpy() == "en", 1, -1
+                          ).astype(np.int64),
+            "x1": toks.str.len().to_numpy().astype(np.int64),
+            "x2": toks.map(lambda t: len(set(t))).to_numpy(
+                ).astype(np.int64),
+            "x3": f["text"].fillna("").str.contains(
+                r"[0-9]", regex=True).to_numpy().astype(np.int64)})
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.drop_duplicates("doc_id"), 2_000_000)
+    assert ok  # bounded: replay prefix capped by the combine guard
+    cols = ["n_docs", "mistakes", "w0", "w1", "w2", "w3"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    merged = merged.sort_values("doc_id").reset_index(drop=True)
+    w = [0, 0, 0, 0]
+    mistakes = 0
+    feats = merged[["y", "x1", "x2", "x3"]].to_numpy(dtype=np.int64)
+    for y, x1, x2, x3 in feats:
+        x = (1, int(x1), int(x2), int(x3))
+        y = int(y)
+        if y * sum(wi * xi for wi, xi in zip(w, x)) <= 0:
+            w = [wi + y * xi for wi, xi in zip(w, x)]
+            mistakes += 1
+    return pd.DataFrame([[len(merged), mistakes, *w]],
+                        columns=cols).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Token-graph eccentricity — BFS from every node of the undirected
+# bigram-adjacency graph: per-token eccentricity and reachable-set
+# size, the diameter/radius census of the co-occurrence graph.  The
+# vocabulary is bounded, so the edge census is one combine and the
+# all-pairs BFS is driver-side; the SQL twin expands a depth-bounded
+# recursive walk and takes min distance per pair.
+# ---------------------------------------------------------------------------
+
+@query("token_graph_eccentricity", sql="""
+WITH RECURSIVE toks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT t[u.i] AS u, t[u.i + 1] AS v
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), edges AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM pos WHERE u <> v
+), bi AS (
+  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+), nodes AS (
+  SELECT DISTINCT a AS nd FROM bi
+), walk AS (
+  SELECT nd AS src, nd AS dst, 0 AS d FROM nodes
+  UNION
+  SELECT w.src, bi.b, w.d + 1
+  FROM walk w JOIN bi ON bi.a = w.dst
+  WHERE w.d < 40
+), dist AS (
+  SELECT src, dst, min(d) AS d FROM walk GROUP BY src, dst
+)
+SELECT src AS token, count(*)::BIGINT AS n_reached,
+       max(d)::BIGINT AS ecc
+FROM dist GROUP BY src ORDER BY src
+""")
+def token_eccentricity_q(sf_dir: str):
+    """Eccentricity (max BFS distance to any reachable node) and
+    reachable-set size per token of the undirected bigram graph.
+    Distinct edges fold through one bounded combine; BFS runs per node
+    over the broadcast adjacency (vocab-bounded)."""
+    from collections import deque
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        seen = set()
+        for txt in batch["text"].to_pylist():
+            t = (txt or "").split()
+            for i in range(len(t) - 1):
+                if t[i] != t[i + 1]:
+                    seen.add((min(t[i], t[i + 1]),
+                              max(t[i], t[i + 1])))
+        ks = sorted(seen)
+        return pd.DataFrame({"a": [k[0] for k in ks],
+                             "b": [k[1] for k in ks]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates(["a", "b"])
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: vocab^2 edge census
+    if merged is None or not len(merged):
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "n_reached": pd.Series([], dtype=np.int64),
+                             "ecc": pd.Series([], dtype=np.int64)})
+    adj: dict[str, set[str]] = {}
+    for a, b in zip(merged["a"], merged["b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = []
+    for src in sorted(adj):
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if dist[u] >= 40:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        rows.append([src, len(dist), max(dist.values())])
+    out = pd.DataFrame(rows, columns=["token", "n_reached", "ecc"])
+    out["n_reached"] = out["n_reached"].astype(np.int64)
+    out["ecc"] = out["ecc"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DP exponential mechanism — pick the "most active event type" under
+# differential privacy with a DETERMINISTIC replayable draw: utilities
+# are count-proportional integers in [0, 60], weights the exact dyadic
+# 2^u, and the selection point is a sha256-derived uniform mapped onto
+# the cumulative weight axis with 128-bit integer arithmetic.  Sibling
+# of dp_noisy_counts (discrete-Laplace) in the privacy family.
+# ---------------------------------------------------------------------------
+
+@query("dp_exponential_mechanism", sql="""
+WITH cnt AS (
+  SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(n)::BIGINT AS total FROM cnt
+), util AS (
+  SELECT event_type, n, (n * 60 // tot.total)::BIGINT AS u
+  FROM cnt, tot
+), w AS (
+  SELECT event_type, n, u, (1::BIGINT << u)::HUGEINT AS wt
+  FROM util
+), cum AS (
+  SELECT event_type, n, u, wt,
+         sum(wt) OVER (ORDER BY event_type)::HUGEINT AS cw,
+         sum(wt) OVER ()::HUGEINT AS tw
+  FROM w
+), draw AS (
+  SELECT (('0x' || substr(sha256('expmech'), 1, 16))::UBIGINT::HUGEINT
+          * cum.tw) // 18446744073709551616::HUGEINT AS r,
+         cum.event_type, cum.n, cum.u, cum.wt, cum.cw
+  FROM cum
+)
+SELECT event_type, n, u AS utility,
+       (cw > r AND cw - wt <= r) AS chosen
+FROM draw ORDER BY event_type
+""")
+def dp_exponential_q(sf_dir: str):
+    """Exponential-mechanism selection of the top event type with a
+    deterministic sha256 draw (exact 128-bit scaling of the uniform
+    onto the cumulative dyadic-weight axis) — per-category counts from
+    one bounded combine, the whole draw replayed in integers."""
+    import hashlib
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"event_type":
+                          batch["event_type"].to_pandas()})
+        g = f.groupby("event_type", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: event-type universe
+    if merged is None or not len(merged):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64),
+                             "utility": pd.Series([], dtype=np.int64),
+                             "chosen": pd.Series([], dtype=bool)})
+    merged = merged.sort_values("event_type").reset_index(drop=True)
+    total = int(merged["n"].sum())
+    n_arr = [int(v) for v in merged["n"]]
+    u_arr = [v * 60 // total for v in n_arr]
+    wt = [1 << u for u in u_arr]
+    tw = sum(wt)
+    h = int.from_bytes(hashlib.sha256(b"expmech").digest()[:8], "big")
+    r = h * tw // (1 << 64)
+    cw, chosen = 0, []
+    for w_i in wt:
+        prev = cw
+        cw += w_i
+        chosen.append(cw > r and prev <= r)
+    return pd.DataFrame({"event_type": merged["event_type"],
+                         "n": np.array(n_arr, dtype=np.int64),
+                         "utility": np.array(u_arr, dtype=np.int64),
+                         "chosen": chosen})
