@@ -1344,3 +1344,341 @@ def dp_exponential_q(sf_dir: str):
                          "n": np.array(n_arr, dtype=np.int64),
                          "utility": np.array(u_arr, dtype=np.int64),
                          "chosen": chosen})
+
+
+# ---------------------------------------------------------------------------
+# SimHash pairwise-distance histogram — the signature-space profile a
+# near-dup threshold is tuned against: all-pairs 64-bit hamming
+# distances between document fingerprints, bucketed by distance.  The
+# fingerprint chain is the SQL-replicated one dedup_simhash already
+# verifies (per-token sha256 u64, count-weighted majority vote).
+# ---------------------------------------------------------------------------
+
+@query("simhash_hamming_histogram", sql=r"""
+WITH corpus AS (
+  SELECT doc_id, coalesce(text,'') AS text FROM documents
+), toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            t -> t <> '')) AS tok
+  FROM corpus
+), tc AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok
+), th AS (
+  SELECT doc_id, ('0x' || substr(sha256(tok),1,16))::UBIGINT AS h, cnt
+  FROM tc
+), bitpos AS (SELECT unnest(range(0, 64)) AS b),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+  FROM th CROSS JOIN bitpos GROUP BY doc_id, b
+), fp0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b)::HUGEINT
+                  ELSE 0 END) AS fp
+  FROM votes GROUP BY doc_id
+), fps AS (
+  SELECT c.doc_id, coalesce(f.fp, 0)::UBIGINT AS fp
+  FROM (SELECT DISTINCT doc_id FROM corpus) c
+  LEFT JOIN fp0 f USING (doc_id)
+)
+SELECT bit_count(xor(a.fp, b.fp))::BIGINT AS hamming,
+       count(*)::BIGINT AS n_pairs
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+GROUP BY 1 ORDER BY 1
+""")
+def simhash_histogram_q(sf_dir: str):
+    """Histogram of pairwise hamming distances between SimHash
+    fingerprints of all documents.  Fingerprints are computed in the
+    distributed SimHasher pass; the O(n^2) distance census runs on the
+    collected signature frame (8 bytes/doc through the guarded
+    combine), vectorized as XOR outer product + byte popcount."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.minhash import SimHasher
+
+    def fp_batch(batch: pa.Table) -> pd.DataFrame:
+        t = SimHasher()(batch)
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "fp": t["simhash"].to_numpy(zero_copy_only=False)})
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(fp_batch, batch_format="pyarrow"),
+        lambda f: f.drop_duplicates("doc_id"), 2_000_000)
+    assert ok  # bounded: 8 bytes per doc through the combine guard
+    if merged is None or len(merged) < 2:
+        return pd.DataFrame({"hamming": pd.Series([], dtype=np.int64),
+                             "n_pairs": pd.Series([], dtype=np.int64)})
+    fps = merged["fp"].to_numpy().astype(np.uint64)
+    xor = np.bitwise_xor.outer(fps, fps)
+    ham = np.unpackbits(
+        xor.view(np.uint8).reshape(len(fps), len(fps), 8),
+        axis=2).sum(axis=2)
+    iu = np.triu_indices(len(fps), k=1)
+    vals, cnts = np.unique(ham[iu], return_counts=True)
+    return pd.DataFrame({"hamming": vals.astype(np.int64),
+                         "n_pairs": cnts.astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Stratified ATE — the observational-causal estimate next to CUPED /
+# diff-in-diff / IV in the registry: treatment = user_id % 3 == 0,
+# outcome = the user's event count, stratum = the user's FIRST event
+# type (min ts, event_type tie-break).  Each stratum contributes
+# (mean_treat − mean_ctrl) weighted by its share, as one signed ppm
+# floor per stratum (sign-split so Python floor == DuckDB truncate).
+# ---------------------------------------------------------------------------
+
+@query("stratified_ate_estimate", sql="""
+WITH peru AS (
+  SELECT user_id, count(*)::BIGINT AS y, min(ts) AS t0
+  FROM events GROUP BY user_id
+), first_e AS (
+  SELECT e.user_id, min(e.event_type) AS s
+  FROM events e JOIN peru p
+    ON e.user_id = p.user_id AND e.ts = p.t0
+  GROUP BY e.user_id
+), u AS (
+  SELECT p.user_id, p.y, f.s, (p.user_id % 3 = 0) AS t
+  FROM peru p JOIN first_e f USING (user_id)
+), cell AS (
+  SELECT s, count(*)::HUGEINT AS n,
+         sum(CASE WHEN t THEN 1 ELSE 0 END)::HUGEINT AS n1,
+         sum(CASE WHEN t THEN y ELSE 0 END)::HUGEINT AS s1,
+         sum(CASE WHEN NOT t THEN y ELSE 0 END)::HUGEINT AS s0
+  FROM u GROUP BY s
+), tot AS (SELECT sum(n)::HUGEINT AS N FROM cell),
+num AS (
+  SELECT cell.s, cell.n, cell.n1, cell.s1, cell.s0,
+         (cell.s1 * (cell.n - cell.n1) - cell.s0 * cell.n1) * cell.n AS nm,
+         cell.n1 * (cell.n - cell.n1) * tot.N AS dn
+  FROM cell, tot
+)
+SELECT s AS stratum, n::BIGINT AS n_users, n1::BIGINT AS n_treat,
+       s1::BIGINT AS sum_y_treat, s0::BIGINT AS sum_y_ctrl,
+       (CASE WHEN dn = 0 THEN 0
+             WHEN nm >= 0 THEN nm * 1000000 // dn
+             ELSE -((-nm) * 1000000 // dn) END)::BIGINT AS ate_term_ppm
+FROM num ORDER BY s
+""")
+def stratified_ate_q(sf_dir: str):
+    """Per-stratum ATE terms with exact integer cross-multiplication.
+    Per-user (count, first-event) partials are mergeable — sum for y,
+    lexicographic min on (ts, event_type) for the stratum — and fold
+    through the keyed combine (groupby twin past cap); the final
+    reduce lands on the bounded (stratum, treated) grid."""
+    from dataquality_ray.pipelines.queries_corpus import _frames_or_twin
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "ts": pc.cast(batch["ts"], pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "event_type": batch["event_type"].to_pandas()})
+        f = f.sort_values(["user_id", "ts", "event_type"])
+        g = f.groupby("user_id", as_index=False).agg(
+            y=("ts", "size"), t0=("ts", "min"),
+            ft=("event_type", "first"))
+        return g
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        f = f.sort_values(["user_id", "t0", "ft"])
+        return f.groupby("user_id", as_index=False).agg(
+            y=("y", "sum"), t0=("t0", "min"), ft=("ft", "first"))
+
+    cells: dict[tuple[str, bool], list[int]] = {}
+    for f in _frames_or_twin(
+            _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+            .map_batches(part, batch_format="pyarrow"),
+            fold, ["user_id"]):
+        treat = (f["user_id"].to_numpy() % 3 == 0)
+        for (s, t), g in f.groupby([f["ft"], treat]):
+            c = cells.setdefault((s, bool(t)), [0, 0])
+            c[0] += len(g)
+            c[1] += int(g["y"].sum())
+    cols = ["stratum", "n_users", "n_treat", "sum_y_treat",
+            "sum_y_ctrl", "ate_term_ppm"]
+    if not cells:
+        return pd.DataFrame({"stratum": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    total_n = sum(c[0] for c in cells.values())
+    rows = []
+    for s in sorted({k[0] for k in cells}):
+        n1, s1 = cells.get((s, True), [0, 0])
+        n0, s0 = cells.get((s, False), [0, 0])
+        n = n1 + n0
+        nm = (s1 * n0 - s0 * n1) * n
+        dn = n1 * n0 * total_n
+        if dn == 0:
+            term = 0
+        elif nm >= 0:
+            term = nm * 1_000_000 // dn
+        else:
+            term = -((-nm) * 1_000_000 // dn)
+        rows.append([s, n, n1, s1, s0, term])
+    out = pd.DataFrame(rows, columns=cols)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Interval scheduling per customer — the maximum number of
+# non-overlapping orders (order date → last ship date) a customer
+# could process serially, via the provably-optimal earliest-end greedy.
+# The greedy chain is sequential PER CUSTOMER only, so it parallelizes
+# as map_groups; the SQL twin replays it in a per-customer recursive
+# CTE marching down the (d1, d0, orderkey) order.
+# ---------------------------------------------------------------------------
+
+@query("interval_scheduling_orders", sql="""
+WITH RECURSIVE life AS (
+  SELECT o.o_custkey AS c, o.o_orderkey AS k,
+         epoch_us(o.o_orderdate) // 86400000000 AS d0,
+         max(epoch_us(l.l_shipdate) // 86400000000) AS d1
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2, o.o_orderdate
+), ord AS (
+  SELECT c, k, d0, d1,
+         row_number() OVER (PARTITION BY c
+                            ORDER BY d1, d0, k)::BIGINT AS pos,
+         count(*) OVER (PARTITION BY c)::BIGINT AS n
+  FROM life
+), rec AS (
+  SELECT c, 0::BIGINT AS pos, (-1000000)::BIGINT AS last_end,
+         0::BIGINT AS kept
+  FROM (SELECT DISTINCT c FROM ord)
+  UNION ALL
+  SELECT o.c, o.pos,
+         CASE WHEN o.d0 > r.last_end THEN o.d1 ELSE r.last_end END,
+         r.kept + CASE WHEN o.d0 > r.last_end THEN 1 ELSE 0 END
+  FROM rec r JOIN ord o ON o.c = r.c AND o.pos = r.pos + 1
+), fin AS (
+  SELECT c, kept,
+         row_number() OVER (PARTITION BY c ORDER BY pos DESC) AS rr
+  FROM rec
+)
+SELECT f.c AS custkey, n.n AS n_orders, f.kept AS max_nonoverlap
+FROM fin f JOIN (SELECT DISTINCT c, n FROM ord) n ON n.c = f.c
+WHERE f.rr = 1 ORDER BY f.c
+""")
+def interval_scheduling_q(sf_dir: str):
+    """Earliest-end greedy count of non-overlapping order intervals per
+    customer.  Per-order (min start, max end) partials fold through
+    combine_or_groupby_twin keyed (custkey, orderkey); the greedy
+    finisher runs per customer — on the driver within cap, as a
+    distributed map_groups past it."""
+    from dataquality_ray.stages.autoroute import combine_or_groupby_twin
+    from dataquality_ray.stages.joins import smart_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def oprep(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": batch["o_orderkey"].to_numpy(
+                zero_copy_only=False),
+            "c": batch["o_custkey"].to_numpy(zero_copy_only=False),
+            "d0": pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+                zero_copy_only=False) // 86_400_000_000})
+
+    def lprep(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"].to_numpy(
+                zero_copy_only=False),
+            "d1": pc.cast(batch["l_shipdate"], pa.int64()).to_numpy(
+                zero_copy_only=False) // 86_400_000_000})
+
+    joined = smart_join(
+        line.map_batches(lprep, batch_format="pyarrow"),
+        orders.map_batches(oprep, batch_format="pyarrow"),
+        on="l_orderkey", join_type="inner")
+
+    def part(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["c", "l_orderkey"], as_index=False).agg(
+            d0=("d0", "min"), d1=("d1", "max"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["c", "l_orderkey"], as_index=False).agg(
+            d0=("d0", "min"), d1=("d1", "max"))
+
+    def greedy(f: pd.DataFrame) -> pd.DataFrame:
+        f = f.sort_values(["d1", "d0", "l_orderkey"])
+        last_end, kept = None, 0
+        for d0, d1 in zip(f["d0"].to_numpy(), f["d1"].to_numpy()):
+            if last_end is None or d0 > last_end:
+                kept += 1
+                last_end = d1
+        return pd.DataFrame([[int(f["c"].iloc[0]), len(f), kept]],
+                            columns=["custkey", "n_orders",
+                                     "max_nonoverlap"])
+
+    merged, twin = combine_or_groupby_twin(
+        "interval_scheduling_orders",
+        joined.map_batches(part, batch_format="pandas"),
+        fold, 2_000_000, ["c", "l_orderkey"])
+    if twin is None:
+        if merged is None or not len(merged):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ["custkey", "n_orders",
+                                           "max_nonoverlap"]})
+        out = pd.concat([greedy(g) for _, g in merged.groupby("c")],
+                        ignore_index=True)
+    else:
+        out = (twin.groupby("c")
+               .map_groups(greedy, batch_format="pandas").to_pandas())
+    for c in ["custkey", "n_orders", "max_nonoverlap"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("custkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Distinct-substring saturation — count of distinct substrings of
+# length <= 8 per document, the classic repetitiveness/complexity
+# signal (a low count at a given length means heavy internal
+# repetition).  Bounded per-doc work (8 x n_chars slices) inside
+# map_batches; the SQL twin enumerates the same slice grid.
+# ---------------------------------------------------------------------------
+
+@query("distinct_substring_count", sql="""
+WITH d AS (
+  SELECT doc_id, coalesce(text,'') AS s FROM documents
+), subs AS (
+  SELECT doc_id, substr(s, i.i::INT, L.l::INT) AS sub
+  FROM d, unnest(range(1, length(s) + 1)) AS i(i),
+       unnest(range(1, 9)) AS L(l)
+  WHERE i.i + L.l <= length(s) + 1
+), per AS (
+  SELECT doc_id, count(DISTINCT sub)::BIGINT AS n_subs FROM subs
+  GROUP BY doc_id
+)
+SELECT d.doc_id, length(d.s)::BIGINT AS n_chars,
+       coalesce(p.n_subs, 0)::BIGINT AS n_distinct_subs
+FROM d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+""")
+def distinct_substring_q(sf_dir: str):
+    """Distinct substrings of length 1..8 per doc — each row costs
+    O(8·n_chars) set inserts inside the batch kernel, no shuffle."""
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        n_chars, n_subs = [], []
+        for txt in texts:
+            s = txt or ""
+            n = len(s)
+            seen = {s[i:i + l] for i in range(n)
+                    for l in range(1, 9) if i + l <= n}
+            n_chars.append(n)
+            n_subs.append(len(seen))
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_chars": np.array(n_chars, dtype=np.int64),
+            "n_distinct_subs": np.array(n_subs, dtype=np.int64)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(part, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
