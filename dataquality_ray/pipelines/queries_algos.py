@@ -1682,3 +1682,384 @@ def distinct_substring_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(part, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate-limiter replay — per user, capacity 3 tokens,
+# refill 2 tokens/day, one token per event, all in integer micro-token
+# arithmetic so the accept/reject sequence replays bit-identically.
+# Sequential PER USER only (map_groups past the combine cap); the SQL
+# twin is a per-user linear recursive CTE.
+# ---------------------------------------------------------------------------
+
+_TB_CAP = 3_000_000   # micro-tokens
+_TB_RATE = 2          # tokens per day
+
+
+@query("token_bucket_replay", sql=f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id)::BIGINT AS pos,
+         count(*) OVER (PARTITION BY user_id)::BIGINT AS n
+  FROM events
+), rec AS (
+  SELECT user_id, 0::BIGINT AS pos, {_TB_CAP}::BIGINT AS tok,
+         0::BIGINT AS prev_us, 0::BIGINT AS acc
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT e.user_id, e.pos,
+         least({_TB_CAP}, r.tok + (e.us - r.prev_us) * {_TB_RATE}
+               // 86400000000)
+         - CASE WHEN least({_TB_CAP}, r.tok + (e.us - r.prev_us)
+                           * {_TB_RATE} // 86400000000) >= 1000000
+                THEN 1000000 ELSE 0 END,
+         e.us,
+         r.acc + CASE WHEN least({_TB_CAP}, r.tok + (e.us - r.prev_us)
+                              * {_TB_RATE} // 86400000000) >= 1000000
+                      THEN 1 ELSE 0 END
+  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.pos = r.pos + 1
+), fin AS (
+  SELECT user_id, acc,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY pos DESC) AS rr
+  FROM rec
+)
+SELECT f.user_id, n.n AS n_events, f.acc AS accepted,
+       (n.n - f.acc)::BIGINT AS rejected
+FROM fin f JOIN (SELECT DISTINCT user_id, n FROM ev) n USING (user_id)
+WHERE f.rr = 1 ORDER BY f.user_id
+""")
+def token_bucket_replay_q(sf_dir: str):
+    """Accept/reject census of a 3-token, 2/day token bucket replayed
+    over each user's event stream in (ts, event_id) order.  The event
+    frame folds through the guarded combine within cap; past it the
+    identical replay runs as a per-user map_groups."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "us": pc.cast(batch["ts"], pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "event_id": batch["event_id"].to_numpy(
+                zero_copy_only=False)})
+
+    def replay(f: pd.DataFrame) -> pd.DataFrame:
+        f = f.sort_values(["us", "event_id"])
+        tok, prev, acc = _TB_CAP, 0, 0
+        for us in f["us"].to_numpy():
+            us = int(us)
+            tok = min(_TB_CAP, tok + (us - prev) * _TB_RATE
+                      // 86_400_000_000)
+            if tok >= 1_000_000:
+                tok -= 1_000_000
+                acc += 1
+            prev = us
+        return pd.DataFrame([[int(f["user_id"].iloc[0]), len(f), acc,
+                              len(f) - acc]],
+                            columns=["user_id", "n_events", "accepted",
+                                     "rejected"])
+
+    stage = (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
+             .map_batches(prep, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, lambda f: f, 2_000_000)
+    if ok:
+        if merged is None or not len(merged):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ["user_id", "n_events",
+                                           "accepted", "rejected"]})
+        out = pd.concat([replay(g) for _, g in
+                         merged.groupby("user_id")], ignore_index=True)
+    else:
+        out = (stage.groupby("user_id")
+               .map_groups(replay, batch_format="pandas").to_pandas())
+    return (out.astype(np.int64).sort_values("user_id")
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths over the token co-occurrence graph — edge
+# weight 10 − min(count, 9) (frequent transitions are cheap), source =
+# the lexicographically smallest token.  Weights are small bounded
+# ints, so the SQL twin's depth-bounded relaxation walk stays finite
+# and min(d) per node is the exact distance.
+# ---------------------------------------------------------------------------
+
+@query("weighted_shortest_paths_tokens", sql=r"""
+WITH RECURSIVE toks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text,''), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT t[u.i] AS u, t[u.i + 1] AS v
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), ec AS (
+  SELECT least(u, v) AS a, greatest(u, v) AS b, count(*)::BIGINT AS c
+  FROM pos WHERE u <> v GROUP BY 1, 2
+), edges AS (
+  SELECT a, b, (10 - least(c, 9))::BIGINT AS w FROM ec
+  UNION ALL
+  SELECT b, a, (10 - least(c, 9))::BIGINT FROM ec
+), src AS (
+  SELECT min(a) AS s FROM edges
+), walk AS (
+  SELECT s AS dst, 0::BIGINT AS d, 0 AS r FROM src
+  UNION
+  SELECT e.b, w.d + e.w, w.r + 1
+  FROM walk w JOIN edges e ON e.a = w.dst
+  WHERE w.r < 31
+)
+SELECT dst AS token, min(d)::BIGINT AS dist
+FROM walk GROUP BY dst ORDER BY dst
+""")
+def weighted_sp_tokens_q(sf_dir: str):
+    """Exact Dijkstra distances from the smallest token over the
+    bounded co-occurrence graph (edge census = one combine; the graph
+    fits every worker, so the driver solve is O(V^2) on ~vocab
+    nodes)."""
+    import heapq
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        cnt: dict[tuple[str, str], int] = {}
+        for txt in batch["text"].to_pylist():
+            t = (txt or "").split()
+            for i in range(len(t) - 1):
+                if t[i] != t[i + 1]:
+                    k = (min(t[i], t[i + 1]), max(t[i], t[i + 1]))
+                    cnt[k] = cnt.get(k, 0) + 1
+        ks = sorted(cnt)
+        return pd.DataFrame({"a": [k[0] for k in ks],
+                             "b": [k[1] for k in ks],
+                             "c": np.array([cnt[k] for k in ks],
+                                           dtype=np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["a", "b"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: vocab^2 edge census
+    if merged is None or not len(merged):
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "dist": pd.Series([], dtype=np.int64)})
+    adj: dict[str, list[tuple[str, int]]] = {}
+    for a, b, c in zip(merged["a"], merged["b"], merged["c"]):
+        w = 10 - min(int(c), 9)
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    src = min(adj)
+    dist = {src: 0}
+    heap = [(0, src)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj[u]:
+            nd = d + w
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    out = pd.DataFrame(sorted(dist.items()), columns=["token", "dist"])
+    out["dist"] = out["dist"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoint — the best single split of the daily
+# event-count series: SSE reduction n_l·n_r·(mean_l − mean_r)^2 / n as
+# an exact integer floor per candidate split, argmax flagged.  The
+# first step of the binseg recursion, next to cusum_changepoint.
+# ---------------------------------------------------------------------------
+
+@query("binseg_changepoint_daily", sql="""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::HUGEINT AS c
+  FROM events GROUP BY 1
+), pre AS (
+  SELECT day, c,
+         sum(c) OVER (ORDER BY day)::HUGEINT AS sl,
+         row_number() OVER (ORDER BY day)::HUGEINT AS nl,
+         sum(c) OVER ()::HUGEINT AS s,
+         count(*) OVER ()::HUGEINT AS n
+  FROM daily
+), gain AS (
+  SELECT day, nl::BIGINT AS n_left,
+         ((sl * (n - nl) - (s - sl) * nl)
+          * (sl * (n - nl) - (s - sl) * nl)
+          // (nl * (n - nl) * n))::BIGINT AS gain_floor
+  FROM pre WHERE nl < n
+)
+, best AS (
+  SELECT max(gain_floor) AS bg FROM gain
+), bestday AS (
+  SELECT min(day) AS bd FROM gain, best WHERE gain_floor = best.bg
+)
+SELECT g.day::BIGINT AS day, g.n_left, g.gain_floor,
+       (g.gain_floor = best.bg AND g.day = bestday.bd) AS is_best
+FROM gain g, best, bestday ORDER BY g.day
+""")
+def binseg_changepoint_q(sf_dir: str):
+    """Gain of every single-split candidate over the daily volume
+    series (bounded day axis — one combine), exact integers; is_best
+    marks the earliest argmax split."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        f = pd.DataFrame({"day": us // 86_400_000_000})
+        g = f.groupby("day", as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: day axis
+    cols = ["day", "n_left", "gain_floor", "is_best"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                             "n_left": pd.Series([], dtype=np.int64),
+                             "gain_floor": pd.Series([], dtype=np.int64),
+                             "is_best": pd.Series([], dtype=bool)})
+    merged = merged.sort_values("day").reset_index(drop=True)
+    c = [int(v) for v in merged["c"]]
+    days = [int(v) for v in merged["day"]]
+    n = len(c)
+    s = sum(c)
+    rows, sl = [], 0
+    for i in range(n - 1):
+        sl += c[i]
+        nl = i + 1
+        num = sl * (n - nl) - (s - sl) * nl
+        rows.append([days[i], nl, num * num // (nl * (n - nl) * n)])
+    best_gain = max(r[2] for r in rows)
+    best_day = min(r[0] for r in rows if r[2] == best_gain)
+    out = pd.DataFrame(rows, columns=cols[:3])
+    out["is_best"] = (out["gain_floor"] == best_gain) & \
+        (out["day"] == best_day)
+    for col in cols[:3]:
+        out[col] = out[col].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Successive halving over sources — the hyperband-style tournament:
+# five rounds, each doubling the evaluation budget (the doc_id %
+# 2^(5−r) == 0 sample) and keeping the top half of the surviving
+# sources by integer mean-chars metric (sum·1e6 // n, rank by metric
+# DESC then source ASC, keep ceil(k/2): 20→10→5→3→2→1).  Output: the
+# round each source was eliminated in (0 = tournament winner) and its
+# metric at that round.
+# ---------------------------------------------------------------------------
+
+_SH_KEEP = {1: 10, 2: 5, 3: 3, 4: 2, 5: 1}
+
+
+def _sh_metric_sql(r: int, surv: str | None) -> str:
+    mod = 1 << (5 - r)
+    where = f"WHERE doc_id % {mod} = 0" if mod > 1 else ""
+    surv_f = (f"AND source IN (SELECT source FROM {surv})"
+              if surv else "")
+    return f"""
+  SELECT source,
+         (sum(n_chars) * 1000000 // count(*))::BIGINT AS metric
+  FROM documents {where or 'WHERE 1=1'} {surv_f} GROUP BY source"""
+
+
+def _sh_sql() -> str:
+    parts = []
+    surv = None
+    for r in range(1, 6):
+        parts.append(f"m{r} AS ({_sh_metric_sql(r, surv)})")
+        parts.append(f"""r{r} AS (
+  SELECT source, metric,
+         row_number() OVER (ORDER BY metric DESC, source) AS rk
+  FROM m{r})""")
+        parts.append(
+            f"s{r} AS (SELECT source FROM r{r} "
+            f"WHERE rk <= {_SH_KEEP[r]})")
+        surv = f"s{r}"
+    elim = "\nUNION ALL\n".join(
+        f"SELECT source, {r} AS round_eliminated, metric "
+        f"FROM r{r} WHERE rk > {_SH_KEEP[r]}" for r in range(1, 6))
+    return ("WITH " + ",\n".join(parts) + f""",
+elim AS (
+{elim}
+UNION ALL
+SELECT r5.source, 0, r5.metric FROM r5 WHERE r5.rk <= 1
+)
+SELECT source, round_eliminated::BIGINT AS round_eliminated, metric
+FROM elim ORDER BY source""")
+
+
+@query("successive_halving_sources", sql=_sh_sql())
+def successive_halving_q(sf_dir: str):
+    """Successive-halving replay.  One distributed pass folds the
+    (source, round) sample sums — 5 bounded cells per source — and the
+    five elimination rounds replay on the driver with exact integer
+    metrics."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_pandas()
+        ch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        frames = []
+        for r in range(1, 6):
+            mod = 1 << (5 - r)
+            m = ids % mod == 0
+            if not m.any():
+                continue
+            f = pd.DataFrame({"source": src[m], "r": r, "ch": ch[m]})
+            g = f.groupby(["source", "r"], as_index=False).agg(
+                n=("ch", "size"), sc=("ch", "sum"))
+            frames.append(g)
+        if not frames:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "r": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "sc": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "r"], as_index=False)[
+            ["n", "sc"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: source catalog x 5 rounds
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             "round_eliminated": pd.Series(
+                                 [], dtype=np.int64),
+                             "metric": pd.Series([], dtype=np.int64)})
+    metric: dict[tuple[str, int], int] = {
+        (s, int(r)): int(sc) * 1_000_000 // int(n)
+        for s, r, n, sc in zip(merged["source"], merged["r"],
+                               merged["n"], merged["sc"])}
+    alive = sorted({s for s, _ in metric})
+    rows = []
+    for r in range(1, 6):
+        scored = sorted(((s, metric[(s, r)]) for s in alive
+                         if (s, r) in metric),
+                        key=lambda kv: (-kv[1], kv[0]))
+        keep = _SH_KEEP[r]
+        for s, m in scored[keep:]:
+            rows.append([s, r, m])
+        alive = [s for s, _ in scored[:keep]]
+        if r == 5:
+            for s, m in scored[:keep]:
+                rows.append([s, 0, m])
+    out = pd.DataFrame(rows, columns=["source", "round_eliminated",
+                                      "metric"])
+    out["round_eliminated"] = out["round_eliminated"].astype(np.int64)
+    out["metric"] = out["metric"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
