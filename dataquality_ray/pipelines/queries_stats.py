@@ -1,0 +1,389 @@
+"""Statistical-testing, privacy-audit and allocation operators
+(round-4 session-6 batch): Mann-Whitney U with tie correction, daily
+autocorrelation, D'Hondt seat apportionment, l-diversity and
+t-closeness privacy profiles.
+
+House rules (same as the other queries_* modules): every operator is a
+Ray Data pipeline whose result is bit-identical to its DuckDB oracle —
+exact integer arithmetic everywhere, floats only as a single
+correctly-rounded op chain; per-batch partials flow through the guarded
+driver combine with the key-space boundedness stated at the assert.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dataquality_ray.pipelines.registry import query
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _trunc_div(num: int, den: int) -> int:
+    """Truncate-toward-zero division — DuckDB's // on signed ints
+    (Python // floors toward -inf, so compute sign * (abs // den))."""
+    if num < 0:
+        return -((-num) // den)
+    return num // den
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum), src0 vs src1 doc lengths — the
+# nonparametric two-sample test the parametric welch_t_test twin can't
+# replace under skew.  Midranks over ties are half-integers, so the
+# statistic is carried as 2*U (exact int); the tie-corrected variance
+# numerator n1*n2*((N+1)*N*(N-1) - sum(t^3 - t)) is an exact integer
+# (HUGEINT in SQL, Python int here) and the z-score is one fixed
+# float chain: divide, sqrt, scale, divide.
+# ---------------------------------------------------------------------------
+
+@query("mann_whitney_u", sql="""
+WITH f AS (
+  SELECT n_chars AS v,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS g1
+  FROM documents WHERE source IN ('src0', 'src1')
+), cnt AS (
+  SELECT v, sum(g1)::BIGINT AS c1, count(*)::BIGINT AS c
+  FROM f GROUP BY v
+), cum AS (
+  SELECT v, c1, c,
+         coalesce(sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0)::BIGINT AS before
+  FROM cnt
+), agg AS (
+  SELECT sum(c1 * (2 * before + c + 1))::BIGINT AS r1x2,
+         sum(c1)::BIGINT AS n1,
+         sum(c - c1)::BIGINT AS n2,
+         sum(c::HUGEINT * c * c - c)::HUGEINT AS tie_sum
+  FROM cum
+)
+SELECT n1, n2,
+       (r1x2 - n1 * (n1 + 1))::BIGINT AS u1_x2,
+       tie_sum::BIGINT AS tie_sum,
+       CAST(u1_x2_i - n1 * n2 AS DOUBLE)
+       / (2 * sqrt(CAST(n1::HUGEINT * n2
+                        * ((n1 + n2 + 1)::HUGEINT
+                           * (n1 + n2) * (n1 + n2 - 1) - tie_sum)
+                        AS DOUBLE)
+                   / CAST(12::HUGEINT * (n1 + n2)
+                          * (n1 + n2 - 1) AS DOUBLE))) AS z_stat
+FROM (SELECT *, (r1x2 - n1 * (n1 + 1)) AS u1_x2_i FROM agg)
+""")
+def mann_whitney_q(sf_dir: str):
+    """Mann-Whitney U over src0 vs src1 doc lengths; see module note for
+    the 2*U / integer-variance-numerator convention."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        src = b["source"].to_pandas()
+        m = src.isin(["src0", "src1"]).to_numpy()
+        v = b["n_chars"].to_numpy(zero_copy_only=False)[m]
+        g1 = (src.to_numpy()[m] == "src0").astype(np.int64)
+        f = pd.DataFrame({"v": v, "c1": g1, "c": 1})
+        return f.groupby("v", as_index=False)[["c1", "c"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("v", as_index=False)[["c1", "c"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: distinct doc lengths
+    merged = merged.sort_values("v").reset_index(drop=True)
+    c = merged["c"].to_numpy()
+    c1 = merged["c1"].to_numpy()
+    before = np.concatenate([[0], np.cumsum(c)[:-1]])
+    r1x2 = int(np.sum(c1 * (2 * before + c + 1)))
+    n1 = int(c1.sum())
+    n2 = int((c - c1).sum())
+    tie_sum = int(sum(int(x) ** 3 - int(x) for x in c))
+    u1_x2 = r1x2 - n1 * (n1 + 1)
+    nn = n1 + n2
+    var_num = n1 * n2 * ((nn + 1) * nn * (nn - 1) - tie_sum)
+    var_den = 12 * nn * (nn - 1)
+    z = float(u1_x2 - n1 * n2) / (
+        2 * np.sqrt(float(var_num) / float(var_den)))
+    return pd.DataFrame({"n1": [n1], "n2": [n2], "u1_x2": [u1_x2],
+                         "tie_sum": [tie_sum], "z_stat": [z]})
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily event-count series at lags 1..3 — the
+# seasonality probe behind shard-by-time decisions.  With S = sum x,
+# A_k = sum x_t*x_{t+k}, B_k/C_k the lagged partial sums, the exact
+# integer numerator is N^2*A_k - N*S*(B_k+C_k) + (N-k)*S^2 and the
+# denominator is N^2*sum(x^2) - N*S^2; acf_ppm truncates toward zero
+# on both sides (DuckDB // convention).
+# ---------------------------------------------------------------------------
+
+@query("acf_daily_volume", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS x
+  FROM events GROUP BY 1
+), o AS (
+  SELECT x, row_number() OVER (ORDER BY day) AS t FROM d
+), tot AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+         sum(x::HUGEINT * x)::HUGEINT AS sxx
+  FROM o
+), lagk AS (
+  SELECT g.k AS k, sum(a.x::HUGEINT * b.x)::HUGEINT AS ak,
+         sum(a.x)::BIGINT AS bk, sum(b.x)::BIGINT AS ck
+  FROM generate_series(1, 3) g(k)
+  JOIN o a ON TRUE JOIN o b ON b.t = a.t + g.k
+  GROUP BY g.k
+), terms AS (
+  SELECT k,
+    (n::HUGEINT * n * ak - n::HUGEINT * s * (bk + ck)
+     + (n - k)::HUGEINT * s * s) AS num,
+    (n::HUGEINT * n * sxx - n::HUGEINT * s * s) AS den
+  FROM lagk, tot
+)
+SELECT k::BIGINT AS lag, num::BIGINT AS num, den::BIGINT AS den,
+  (CASE WHEN num < 0 THEN -((-num) * 1000000 // den)
+        ELSE num * 1000000 // den END)::BIGINT AS acf_ppm
+FROM terms ORDER BY lag
+""")
+def acf_daily_q(sf_dir: str):
+    """Daily-volume autocorrelation; see module note for the exact
+    integer numerator/denominator algebra."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        f = pd.DataFrame({"day": day, "x": 1})
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100_000)
+    assert ok and merged is not None  # bounded: distinct days
+    x = [int(v) for v in
+         merged.sort_values("day")["x"].to_numpy()]
+    n = len(x)
+    s = sum(x)
+    sxx = sum(v * v for v in x)
+    den = n * n * sxx - n * s * s
+    rows = []
+    for k in (1, 2, 3):
+        ak = sum(x[t] * x[t + k] for t in range(n - k))
+        bk = sum(x[: n - k])
+        ck = sum(x[k:])
+        num = n * n * ak - n * s * (bk + ck) + (n - k) * s * s
+        rows.append([k, num, den, _trunc_div(num * 1_000_000, den)])
+    out = pd.DataFrame(rows, columns=["lag", "num", "den", "acf_ppm"])
+    return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# D'Hondt highest-averages apportionment of 20 shard slots across
+# sources proportional to doc counts — the deterministic "how many
+# output shards does each source get" planner.  Quotients v/d are
+# compared exactly by scaling with lcm(1..20) = 232792560 (d divides
+# it, so votes * (lcm // d) is the exact quotient times a constant);
+# ties break by (source ASC, d ASC).
+# ---------------------------------------------------------------------------
+
+_DHONDT_SEATS = 20
+_LCM20 = 232792560
+
+
+@query("dhondt_shard_allocation", sql=f"""
+WITH v AS (
+  SELECT source, count(*)::BIGINT AS votes FROM documents GROUP BY source
+), q AS (
+  SELECT source, votes,
+         (votes * ({_LCM20} // d.d))::BIGINT AS qs, d.d AS d
+  FROM v, generate_series(1, {_DHONDT_SEATS}) d(d)
+), r AS (
+  SELECT source,
+         row_number() OVER (ORDER BY qs DESC, source, d) AS rk
+  FROM q
+)
+SELECT v.source, v.votes,
+       coalesce(s.seats, 0)::BIGINT AS seats
+FROM v LEFT JOIN (
+  SELECT source, count(*)::BIGINT AS seats FROM r
+  WHERE rk <= {_DHONDT_SEATS} GROUP BY source) s USING (source)
+ORDER BY source
+""")
+def dhondt_q(sf_dir: str):
+    """D'Hondt seat allocation over source doc counts; exact-rational
+    quotient ordering via the lcm(1..20) scaling in the module note."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pandas(), "n": 1})
+        return f.groupby("source", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "documents", ["source"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1_000_000)
+    assert ok and merged is not None  # bounded: source catalog
+    votes = {s: int(n) for s, n in zip(merged["source"], merged["n"])}
+    quot = [(v * (_LCM20 // d), s, d)
+            for s, v in votes.items()
+            for d in range(1, _DHONDT_SEATS + 1)]
+    quot.sort(key=lambda t: (-t[0], t[1], t[2]))
+    seats: dict[str, int] = {}
+    for _, s, _d in quot[:_DHONDT_SEATS]:
+        seats[s] = seats.get(s, 0) + 1
+    out = pd.DataFrame(
+        {"source": sorted(votes),
+         "votes": [votes[s] for s in sorted(votes)],
+         "seats": [seats.get(s, 0) for s in sorted(votes)]})
+    out["votes"] = out["votes"].astype(np.int64)
+    out["seats"] = out["seats"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# l-diversity profile: per (lang, source) quasi-identifier class, the
+# number of distinct sensitive values (n_chars // 100 length bucket)
+# and the class size — the re-identification audit run before export.
+# ---------------------------------------------------------------------------
+
+@query("l_diversity_profile", sql="""
+SELECT lang, source,
+       count(DISTINCT n_chars // 100)::BIGINT AS l_distinct,
+       count(*)::BIGINT AS class_n
+FROM documents GROUP BY lang, source ORDER BY lang, source
+""")
+def l_diversity_q(sf_dir: str):
+    """l-diversity per (lang, source) QI class over length buckets;
+    distinct-sensitive counts fold exactly through the guarded
+    (lang, source, bucket) combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "lang": b["lang"].to_pandas(),
+            "source": b["source"].to_pandas(),
+            "sens": b["n_chars"].to_numpy(zero_copy_only=False) // 100,
+            "n": 1})
+        return f.groupby(["lang", "source", "sens"],
+                         as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["lang", "source", "sens"],
+                         as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "documents", ["lang", "source", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: langs x sources x buckets
+    out = merged.groupby(["lang", "source"], as_index=False).agg(
+        l_distinct=("sens", "nunique"), class_n=("n", "sum"))
+    out["l_distinct"] = out["l_distinct"].astype(np.int64)
+    out["class_n"] = out["class_n"].astype(np.int64)
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# t-closeness profile: ordered-EMD between each (lang, source) class's
+# length-bucket distribution and the global one, the companion audit to
+# l_diversity_profile.  EMD over an ordered domain with B buckets is
+# (1/(B-1)) * sum_b |cumP - cumQ|; carried exactly as
+# sum_b |cum_c*N - cum_g*n_c| (HUGEINT) then one ppm floor over
+# n_c*N*(B-1).
+# ---------------------------------------------------------------------------
+
+@query("t_closeness_profile", sql="""
+WITH f AS (
+  SELECT lang, source, n_chars // 200 AS b FROM documents
+), buckets AS (
+  SELECT DISTINCT b FROM f
+), g AS (
+  SELECT b, count(*)::BIGINT AS ng FROM f GROUP BY b
+), cls AS (
+  SELECT DISTINCT lang, source FROM f
+), cell AS (
+  SELECT lang, source, b, count(*)::BIGINT AS nc
+  FROM f GROUP BY lang, source, b
+), grid AS (
+  SELECT c.lang, c.source, u.b,
+         coalesce(cell.nc, 0)::BIGINT AS nc, g.ng
+  FROM cls c CROSS JOIN buckets u
+  JOIN g ON g.b = u.b
+  LEFT JOIN cell ON cell.lang = c.lang AND cell.source = c.source
+                AND cell.b = u.b
+), cum AS (
+  SELECT lang, source, b, ng,
+         sum(nc) OVER (PARTITION BY lang, source ORDER BY b)
+           ::BIGINT AS cum_c,
+         sum(ng) OVER (PARTITION BY lang, source ORDER BY b)
+           ::BIGINT AS cum_g,
+         sum(nc) OVER (PARTITION BY lang, source)::BIGINT AS n_c,
+         sum(ng) OVER (PARTITION BY lang, source)::BIGINT AS n_all,
+         count(*) OVER (PARTITION BY lang, source)::BIGINT AS n_b
+  FROM grid
+)
+SELECT lang, source,
+       max(n_c)::BIGINT AS class_n,
+       (sum(abs(cum_c::HUGEINT * max_nall - cum_g::HUGEINT * n_c))
+        * 1000000
+        // (max(n_c)::HUGEINT * max_nall * (max(n_b) - 1)))::BIGINT
+         AS emd_ppm
+FROM (SELECT *, n_all AS max_nall FROM cum)
+GROUP BY lang, source, max_nall
+ORDER BY lang, source
+""")
+def t_closeness_q(sf_dir: str):
+    """t-closeness (ordered EMD, ppm) per (lang, source) class over
+    n_chars//200 buckets; exact integer cumulative terms."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "lang": b["lang"].to_pandas(),
+            "source": b["source"].to_pandas(),
+            "b": b["n_chars"].to_numpy(zero_copy_only=False) // 200,
+            "n": 1})
+        return f.groupby(["lang", "source", "b"],
+                         as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["lang", "source", "b"],
+                         as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "documents", ["lang", "source", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: langs x sources x buckets
+    buckets = sorted(int(v) for v in merged["b"].unique())
+    glob = merged.groupby("b")["n"].sum()
+    ng = [int(glob.get(b, 0)) for b in buckets]
+    n_all = sum(ng)
+    nb = len(buckets)
+    rows = []
+    for (lang, source), grp in merged.groupby(["lang", "source"]):
+        per = grp.set_index("b")["n"]
+        nc = [int(per.get(b, 0)) for b in buckets]
+        n_c = sum(nc)
+        cum_c = cum_g = 0
+        acc = 0
+        for i in range(nb):
+            cum_c += nc[i]
+            cum_g += ng[i]
+            acc += abs(cum_c * n_all - cum_g * n_c)
+        emd_ppm = acc * 1_000_000 // (n_c * n_all * (nb - 1))
+        rows.append([lang, source, n_c, emd_ppm])
+    out = pd.DataFrame(
+        rows, columns=["lang", "source", "class_n", "emd_ppm"])
+    out["class_n"] = out["class_n"].astype(np.int64)
+    out["emd_ppm"] = out["emd_ppm"].astype(np.int64)
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)

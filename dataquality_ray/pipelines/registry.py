@@ -49,6 +49,7 @@ def _load():
         queries_code,
         queries_corpus,
         queries_mining,
+        queries_stats,
         queries_dimensions,
         queries_text,
         queries_tpch,

@@ -1,0 +1,59 @@
+"""Invariant tests for the stats/privacy/allocation query batch.
+
+SQL parity is covered by tools/sweep_driver.py (dtype-sensitive, both
+scales); these pin the statistical invariants the oracle can't express.
+"""
+
+import numpy as np
+
+from dataquality_ray.pipelines import queries_stats as qs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_mann_whitney_bounds():
+    out = qs.mann_whitney_q(SF)
+    n1 = int(out["n1"].iloc[0])
+    n2 = int(out["n2"].iloc[0])
+    u1_x2 = int(out["u1_x2"].iloc[0])
+    # 0 <= U1 <= n1*n2 (scaled by 2)
+    assert 0 <= u1_x2 <= 2 * n1 * n2
+    assert np.isfinite(out["z_stat"].iloc[0])
+    # tie_sum >= 0 and bounded by N^3 - N
+    nn = n1 + n2
+    assert 0 <= int(out["tie_sum"].iloc[0]) <= nn ** 3 - nn
+
+
+def test_acf_bounds_and_lag0_identity():
+    out = qs.acf_daily_q(SF)
+    assert list(out["lag"]) == [1, 2, 3]
+    # |acf| <= 1 (ppm scale); den positive
+    assert (out["den"] > 0).all()
+    assert (out["acf_ppm"].abs() <= 1_000_000).all()
+
+
+def test_dhondt_total_and_monotonicity():
+    out = qs.dhondt_q(SF)
+    assert int(out["seats"].sum()) == qs._DHONDT_SEATS
+    # a source with strictly more votes never gets fewer seats
+    s = out.sort_values("votes").reset_index(drop=True)
+    for i in range(1, len(s)):
+        if int(s["votes"].iloc[i]) > int(s["votes"].iloc[i - 1]):
+            assert int(s["seats"].iloc[i]) >= int(s["seats"].iloc[i - 1])
+
+
+def test_l_diversity_bounds():
+    out = qs.l_diversity_q(SF)
+    assert (out["l_distinct"] >= 1).all()
+    assert (out["l_distinct"] <= out["class_n"]).all()
+
+
+def test_t_closeness_bounds():
+    out = qs.t_closeness_q(SF)
+    # EMD over normalized ordered domain lies in [0, 1]
+    assert (out["emd_ppm"] >= 0).all()
+    assert (out["emd_ppm"] <= 1_000_000).all()
+    # classes match l_diversity classes
+    ld = qs.l_diversity_q(SF)
+    assert len(out) == len(ld)
+    assert (out["class_n"].to_numpy() == ld["class_n"].to_numpy()).all()
