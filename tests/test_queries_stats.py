@@ -57,3 +57,28 @@ def test_t_closeness_bounds():
     ld = qs.l_diversity_q(SF)
     assert len(out) == len(ld)
     assert (out["class_n"].to_numpy() == ld["class_n"].to_numpy()).all()
+
+
+def test_flesch_terms_positive():
+    out = qs.readability_flesch_q(SF)
+    assert (out["words"] > 0).all()
+    assert (out["sentences"] > 0).all()
+    assert (out["syllables"] > 0).all()
+
+
+def test_neyman_budget_conserved():
+    out = qs.neyman_allocation_q(SF)
+    assert int(out["alloc"].sum()) == qs._NEYMAN_BUDGET
+    assert (out["wgt"] >= 0).all()
+
+
+def test_cochran_armitage_finite():
+    out = qs.cochran_armitage_q(SF)
+    assert np.isfinite(out["z_stat"].iloc[0])
+    assert 0 < int(out["n_success"].iloc[0]) < int(out["n_total"].iloc[0])
+
+
+def test_mase_positive():
+    out = qs.mase_seasonal_q(SF)
+    assert int(out["n_days"].iloc[0]) > 7
+    assert int(out["mase_ppm"].iloc[0]) > 0
