@@ -1,7 +1,7 @@
 """Statistical-testing, privacy-audit and allocation operators
 (round-4 session-6 batch): Mann-Whitney U with tie correction, daily
-autocorrelation, D'Hondt seat apportionment, l-diversity and
-t-closeness privacy profiles.
+autocorrelation, D'Hondt seat apportionment, Flesch readability,
+Neyman sample allocation and the Cochran-Armitage trend test.
 
 House rules (same as the other queries_* modules): every operator is a
 Ray Data pipeline whose result is bit-identical to its DuckDB oracle —
@@ -252,144 +252,6 @@ def dhondt_q(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# l-diversity profile: per (lang, source) quasi-identifier class, the
-# number of distinct sensitive values (n_chars // 100 length bucket)
-# and the class size — the re-identification audit run before export.
-# ---------------------------------------------------------------------------
-
-@query("l_diversity_profile", sql="""
-SELECT lang, source,
-       count(DISTINCT n_chars // 100)::BIGINT AS l_distinct,
-       count(*)::BIGINT AS class_n
-FROM documents GROUP BY lang, source ORDER BY lang, source
-""")
-def l_diversity_q(sf_dir: str):
-    """l-diversity per (lang, source) QI class over length buckets;
-    distinct-sensitive counts fold exactly through the guarded
-    (lang, source, bucket) combine."""
-    from dataquality_ray.stages.autoroute import guarded_partials
-
-    def part(b: pa.Table) -> pd.DataFrame:
-        f = pd.DataFrame({
-            "lang": b["lang"].to_pandas(),
-            "source": b["source"].to_pandas(),
-            "sens": b["n_chars"].to_numpy(zero_copy_only=False) // 100,
-            "n": 1})
-        return f.groupby(["lang", "source", "sens"],
-                         as_index=False)["n"].sum()
-
-    def fold(f: pd.DataFrame) -> pd.DataFrame:
-        return f.groupby(["lang", "source", "sens"],
-                         as_index=False)["n"].sum()
-
-    stage = (_read(sf_dir, "documents", ["lang", "source", "n_chars"])
-             .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 2_000_000)
-    assert ok and merged is not None  # bounded: langs x sources x buckets
-    out = merged.groupby(["lang", "source"], as_index=False).agg(
-        l_distinct=("sens", "nunique"), class_n=("n", "sum"))
-    out["l_distinct"] = out["l_distinct"].astype(np.int64)
-    out["class_n"] = out["class_n"].astype(np.int64)
-    return out.sort_values(["lang", "source"]).reset_index(drop=True)
-
-
-# ---------------------------------------------------------------------------
-# t-closeness profile: ordered-EMD between each (lang, source) class's
-# length-bucket distribution and the global one, the companion audit to
-# l_diversity_profile.  EMD over an ordered domain with B buckets is
-# (1/(B-1)) * sum_b |cumP - cumQ|; carried exactly as
-# sum_b |cum_c*N - cum_g*n_c| (HUGEINT) then one ppm floor over
-# n_c*N*(B-1).
-# ---------------------------------------------------------------------------
-
-@query("t_closeness_profile", sql="""
-WITH f AS (
-  SELECT lang, source, n_chars // 200 AS b FROM documents
-), buckets AS (
-  SELECT DISTINCT b FROM f
-), g AS (
-  SELECT b, count(*)::BIGINT AS ng FROM f GROUP BY b
-), cls AS (
-  SELECT DISTINCT lang, source FROM f
-), cell AS (
-  SELECT lang, source, b, count(*)::BIGINT AS nc
-  FROM f GROUP BY lang, source, b
-), grid AS (
-  SELECT c.lang, c.source, u.b,
-         coalesce(cell.nc, 0)::BIGINT AS nc, g.ng
-  FROM cls c CROSS JOIN buckets u
-  JOIN g ON g.b = u.b
-  LEFT JOIN cell ON cell.lang = c.lang AND cell.source = c.source
-                AND cell.b = u.b
-), cum AS (
-  SELECT lang, source, b, ng,
-         sum(nc) OVER (PARTITION BY lang, source ORDER BY b)
-           ::BIGINT AS cum_c,
-         sum(ng) OVER (PARTITION BY lang, source ORDER BY b)
-           ::BIGINT AS cum_g,
-         sum(nc) OVER (PARTITION BY lang, source)::BIGINT AS n_c,
-         sum(ng) OVER (PARTITION BY lang, source)::BIGINT AS n_all,
-         count(*) OVER (PARTITION BY lang, source)::BIGINT AS n_b
-  FROM grid
-)
-SELECT lang, source,
-       max(n_c)::BIGINT AS class_n,
-       (sum(abs(cum_c::HUGEINT * max_nall - cum_g::HUGEINT * n_c))
-        * 1000000
-        // (max(n_c)::HUGEINT * max_nall * (max(n_b) - 1)))::BIGINT
-         AS emd_ppm
-FROM (SELECT *, n_all AS max_nall FROM cum)
-GROUP BY lang, source, max_nall
-ORDER BY lang, source
-""")
-def t_closeness_q(sf_dir: str):
-    """t-closeness (ordered EMD, ppm) per (lang, source) class over
-    n_chars//200 buckets; exact integer cumulative terms."""
-    from dataquality_ray.stages.autoroute import guarded_partials
-
-    def part(b: pa.Table) -> pd.DataFrame:
-        f = pd.DataFrame({
-            "lang": b["lang"].to_pandas(),
-            "source": b["source"].to_pandas(),
-            "b": b["n_chars"].to_numpy(zero_copy_only=False) // 200,
-            "n": 1})
-        return f.groupby(["lang", "source", "b"],
-                         as_index=False)["n"].sum()
-
-    def fold(f: pd.DataFrame) -> pd.DataFrame:
-        return f.groupby(["lang", "source", "b"],
-                         as_index=False)["n"].sum()
-
-    stage = (_read(sf_dir, "documents", ["lang", "source", "n_chars"])
-             .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 2_000_000)
-    assert ok and merged is not None  # bounded: langs x sources x buckets
-    buckets = sorted(int(v) for v in merged["b"].unique())
-    glob = merged.groupby("b")["n"].sum()
-    ng = [int(glob.get(b, 0)) for b in buckets]
-    n_all = sum(ng)
-    nb = len(buckets)
-    rows = []
-    for (lang, source), grp in merged.groupby(["lang", "source"]):
-        per = grp.set_index("b")["n"]
-        nc = [int(per.get(b, 0)) for b in buckets]
-        n_c = sum(nc)
-        cum_c = cum_g = 0
-        acc = 0
-        for i in range(nb):
-            cum_c += nc[i]
-            cum_g += ng[i]
-            acc += abs(cum_c * n_all - cum_g * n_c)
-        emd_ppm = acc * 1_000_000 // (n_c * n_all * (nb - 1))
-        rows.append([lang, source, n_c, emd_ppm])
-    out = pd.DataFrame(
-        rows, columns=["lang", "source", "class_n", "emd_ppm"])
-    out["class_n"] = out["class_n"].astype(np.int64)
-    out["emd_ppm"] = out["emd_ppm"].astype(np.int64)
-    return out.sort_values(["lang", "source"]).reset_index(drop=True)
-
-
-# ---------------------------------------------------------------------------
 # Flesch-style readability per source — the classic quality-scoring
 # heuristic over (words, sentences, syllable-proxy) counts.  Tokens are
 # RE2 matches on both sides (pc.count_substring_regex == DuckDB
@@ -621,62 +483,3 @@ def cochran_armitage_q(sf_dir: str):
     z = float(a) / np.sqrt(float(bterm) / float(nn))
     return pd.DataFrame({"n_total": [nn], "n_success": [rr],
                          "trend_num": [a], "z_stat": [z]})
-
-
-# ---------------------------------------------------------------------------
-# MASE of the seasonal-naive (m=7) forecast over the daily event-count
-# series: mase_ppm = 1e6 * (n-1) * sum_{t>=7}|x_t - x_{t-7}|
-#                    // ((n-7) * sum_{t>=1}|x_t - x_{t-1}|).
-# Pure integers end to end — the "is weekly seasonality worth modeling"
-# gate for volume forecasting.
-# ---------------------------------------------------------------------------
-
-@query("mase_seasonal_naive", sql="""
-WITH d AS (
-  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS x
-  FROM events GROUP BY 1
-), o AS (
-  SELECT x, row_number() OVER (ORDER BY day) AS t FROM d
-), lags AS (
-  SELECT t, x,
-         lag(x, 1) OVER (ORDER BY t) AS x1,
-         lag(x, 7) OVER (ORDER BY t) AS x7
-  FROM o
-), agg AS (
-  SELECT count(*)::BIGINT AS n,
-         sum(CASE WHEN x7 IS NOT NULL THEN abs(x - x7) END)::BIGINT
-           AS sae7,
-         sum(CASE WHEN x1 IS NOT NULL THEN abs(x - x1) END)::BIGINT
-           AS sae1
-  FROM lags
-)
-SELECT n AS n_days, sae7, sae1,
-       (sae7::HUGEINT * (n - 1) * 1000000
-        // (sae1::HUGEINT * (n - 7)))::BIGINT AS mase_ppm
-FROM agg
-""")
-def mase_seasonal_q(sf_dir: str):
-    """Seasonal-naive MASE (ppm) over the daily event-count series;
-    integer-exact per the module note."""
-    from dataquality_ray.stages.autoroute import guarded_partials
-
-    def part(b: pa.Table) -> pd.DataFrame:
-        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        f = pd.DataFrame({"day": ts // 86_400_000_000, "x": 1})
-        return f.groupby("day", as_index=False)["x"].sum()
-
-    def fold(f: pd.DataFrame) -> pd.DataFrame:
-        return f.groupby("day", as_index=False)["x"].sum()
-
-    stage = (_read(sf_dir, "events", ["ts"])
-             .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 100_000)
-    assert ok and merged is not None  # bounded: distinct days
-    x = [int(v) for v in merged.sort_values("day")["x"].to_numpy()]
-    n = len(x)
-    sae7 = sum(abs(x[t] - x[t - 7]) for t in range(7, n))
-    sae1 = sum(abs(x[t] - x[t - 1]) for t in range(1, n))
-    mase_ppm = sae7 * (n - 1) * 1_000_000 // (sae1 * (n - 7))
-    return pd.DataFrame({"n_days": [n], "sae7": [sae7],
-                         "sae1": [sae1],
-                         "mase_ppm": [mase_ppm]}).astype(np.int64)

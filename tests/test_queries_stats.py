@@ -42,23 +42,6 @@ def test_dhondt_total_and_monotonicity():
             assert int(s["seats"].iloc[i]) >= int(s["seats"].iloc[i - 1])
 
 
-def test_l_diversity_bounds():
-    out = qs.l_diversity_q(SF)
-    assert (out["l_distinct"] >= 1).all()
-    assert (out["l_distinct"] <= out["class_n"]).all()
-
-
-def test_t_closeness_bounds():
-    out = qs.t_closeness_q(SF)
-    # EMD over normalized ordered domain lies in [0, 1]
-    assert (out["emd_ppm"] >= 0).all()
-    assert (out["emd_ppm"] <= 1_000_000).all()
-    # classes match l_diversity classes
-    ld = qs.l_diversity_q(SF)
-    assert len(out) == len(ld)
-    assert (out["class_n"].to_numpy() == ld["class_n"].to_numpy()).all()
-
-
 def test_flesch_terms_positive():
     out = qs.readability_flesch_q(SF)
     assert (out["words"] > 0).all()
@@ -78,7 +61,3 @@ def test_cochran_armitage_finite():
     assert 0 < int(out["n_success"].iloc[0]) < int(out["n_total"].iloc[0])
 
 
-def test_mase_positive():
-    out = qs.mase_seasonal_q(SF)
-    assert int(out["n_days"].iloc[0]) > 7
-    assert int(out["mase_ppm"].iloc[0]) > 0
