@@ -483,3 +483,417 @@ def cochran_armitage_q(sf_dir: str):
     z = float(a) / np.sqrt(float(bterm) / float(nn))
     return pd.DataFrame({"n_total": [nn], "n_success": [rr],
                          "trend_num": [a], "z_stat": [z]})
+
+# ---------------------------------------------------------------------------
+# Lindley single-server queue replay: each event_type is a FIFO server
+# with a constant 30 s service time; the wait of the k-th arrival obeys
+# W_k = max(0, W_{k-1} + S - (A_k - A_{k-1})).  The recursion unrolls to
+# the closed form W_k = max(0, max_{j<k} C_j - C_k) with C_j = A_j - j*S,
+# a plain running-window max — so the "inherently sequential" replay is
+# one vectorized cummax per partition (and a window max in SQL), no
+# recursion anywhere.  Exact integer microseconds throughout.
+# ---------------------------------------------------------------------------
+
+_LINDLEY_SERVICE_US = 30_000_000  # 30 s constant service time
+
+
+@query("lindley_queue_waits", sql=f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS a,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS k
+  FROM events
+), c AS (
+  SELECT event_type, k, a - k * {_LINDLEY_SERVICE_US} AS cj
+  FROM e
+), w AS (
+  SELECT event_type,
+         greatest(0, coalesce(
+             max(cj) OVER (PARTITION BY event_type ORDER BY k
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), cj) - cj) AS wait
+  FROM c
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       max(wait)::BIGINT AS max_wait_us,
+       sum(wait)::BIGINT AS sum_wait_us,
+       sum(CASE WHEN wait = 0 THEN 1 ELSE 0 END)::BIGINT AS n_no_wait
+FROM w GROUP BY event_type ORDER BY event_type
+""")
+def lindley_queue_q(sf_dir: str):
+    """Constant-service FIFO queue waits per event_type via the
+    closed-form Lindley recursion (window max over C_j = A_j - j*S).
+    The partition key IS the server — each group's replay is a single
+    sort + cummax inside map_groups, parallel across servers."""
+    import ray.data as rd  # noqa: F401
+
+    svc = _LINDLEY_SERVICE_US
+
+    def replay(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, a))
+        a = a[order]
+        n = len(a)
+        c = a - (np.arange(1, n + 1, dtype=np.int64)) * svc
+        prevmax = np.empty(n, dtype=np.int64)
+        prevmax[0] = np.iinfo(np.int64).min
+        if n > 1:
+            np.maximum.accumulate(c[:-1], out=prevmax[1:])
+        w = np.maximum(prevmax - c, 0)
+        w[0] = 0
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": [np.int64(n)],
+            "max_wait_us": [np.int64(w.max())],
+            "sum_wait_us": [np.int64(int(w.sum()))],
+            "n_no_wait": [np.int64(int((w == 0).sum()))]})
+
+    out = (_read(sf_dir, "events", ["event_type", "ts", "event_id"])
+           .groupby("event_type").map_groups(replay, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# HBOS (histogram-based outlier score, Goldstein & Dengel 2012): per
+# dimension, a 10-bin equal-width histogram; a row's score is the sum of
+# -ln(bin density) over dimensions, carried as exact micro-nats via the
+# floor-ln-of-integer trick (ln of the SAME integer on both engines is
+# the same correctly-rounded double).  Two bounded passes (min/max, then
+# bin counts) plus a per-batch local top-10 merge — no shuffle.
+# ---------------------------------------------------------------------------
+
+_HBOS_BINS = 10
+_HBOS_TOP = 10
+
+
+@query("hbos_outlier_scores", sql=f"""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_quantity::BIGINT AS q,
+         round(l_extendedprice * 100)::BIGINT AS p
+  FROM lineitem
+), s AS (
+  SELECT count(*)::BIGINT AS n, min(q) AS qmin, max(q) AS qmax,
+         min(p) AS pmin, max(p) AS pmax FROM li
+), b AS (
+  SELECT l_orderkey, l_linenumber,
+         (q - qmin) * {_HBOS_BINS} // (qmax - qmin + 1) AS qbin,
+         (p - pmin) * {_HBOS_BINS} // (pmax - pmin + 1) AS pbin
+  FROM li CROSS JOIN s
+), qc AS (SELECT qbin, count(*)::BIGINT AS cq FROM b GROUP BY qbin),
+pcnt AS (SELECT pbin, count(*)::BIGINT AS cp FROM b GROUP BY pbin)
+SELECT b.l_orderkey, b.l_linenumber, b.qbin::BIGINT AS qbin,
+       b.pbin::BIGINT AS pbin,
+       (2 * floor(ln(s.n) * 1e6)::BIGINT
+        - floor(ln(qc.cq) * 1e6)::BIGINT
+        - floor(ln(pcnt.cp) * 1e6)::BIGINT) AS score_micro
+FROM b CROSS JOIN s
+JOIN qc USING (qbin) JOIN pcnt USING (pbin)
+ORDER BY score_micro DESC, b.l_orderkey, b.l_linenumber
+LIMIT {_HBOS_TOP}
+""")
+def hbos_outlier_q(sf_dir: str):
+    """Top-10 HBOS outliers over (quantity, price-cents) lineitem dims.
+    Pass 1: exact global min/max/N (one-row partials).  Pass 2: per-dim
+    bin counts (<= 20 keys).  Pass 3: score per batch against the
+    broadcast histograms, local top-10 per batch, driver merges
+    #blocks x 10 rows."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def lnf(x: int) -> int:
+        return int(math.floor(math.log(x) * 1e6))
+
+    def qp(b: pa.Table):
+        q = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = np.round(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return q, p
+
+    def mm_part(b: pa.Table) -> pd.DataFrame:
+        q, p = qp(b)
+        return pd.DataFrame({
+            "n": [len(q)], "qmin": [q.min()], "qmax": [q.max()],
+            "pmin": [p.min()], "pmax": [p.max()]})
+
+    def mm_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n": [f["n"].sum()], "qmin": [f["qmin"].min()],
+            "qmax": [f["qmax"].max()], "pmin": [f["pmin"].min()],
+            "pmax": [f["pmax"].max()]})
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    mm, ok = guarded_partials(
+        _read(sf_dir, "lineitem", cols[2:]).map_batches(
+            mm_part, batch_format="pyarrow"), mm_fold, 10)
+    assert ok and mm is not None  # one-row partials
+    n = int(mm["n"].iloc[0])
+    qmin, qmax = int(mm["qmin"].iloc[0]), int(mm["qmax"].iloc[0])
+    pmin, pmax = int(mm["pmin"].iloc[0]), int(mm["pmax"].iloc[0])
+
+    def bins(q: np.ndarray, p: np.ndarray):
+        qb = (q - qmin) * _HBOS_BINS // (qmax - qmin + 1)
+        pb = (p - pmin) * _HBOS_BINS // (pmax - pmin + 1)
+        return qb, pb
+
+    def cnt_part(b: pa.Table) -> pd.DataFrame:
+        qb, pb = bins(*qp(b))
+        f = pd.DataFrame({"dim": ["q"] * len(qb) + ["p"] * len(pb),
+                          "bin": np.concatenate([qb, pb]), "c": 1})
+        return f.groupby(["dim", "bin"], as_index=False)["c"].sum()
+
+    def cnt_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["dim", "bin"], as_index=False)["c"].sum()
+
+    cnts, ok = guarded_partials(
+        _read(sf_dir, "lineitem", cols[2:]).map_batches(
+            cnt_part, batch_format="pyarrow"), cnt_fold, 100)
+    assert ok and cnts is not None  # bounded: 2 dims x 10 bins
+    qcnt = np.zeros(_HBOS_BINS, dtype=np.int64)
+    pcnt = np.zeros(_HBOS_BINS, dtype=np.int64)
+    for _, r in cnts.iterrows():
+        (qcnt if r["dim"] == "q" else pcnt)[int(r["bin"])] = int(r["c"])
+    ln_n2 = 2 * lnf(n)
+    qln = np.array([lnf(c) if c else 0 for c in qcnt], dtype=np.int64)
+    pln = np.array([lnf(c) if c else 0 for c in pcnt], dtype=np.int64)
+
+    def score_part(b: pa.Table) -> pd.DataFrame:
+        q, p = qp(b)
+        qb, pb = bins(q, p)
+        sc = ln_n2 - qln[qb] - pln[pb]
+        f = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "l_linenumber": b["l_linenumber"].to_numpy(
+                zero_copy_only=False).astype(np.int32),
+            "qbin": qb, "pbin": pb, "score_micro": sc})
+        return f.sort_values(
+            ["score_micro", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True]).head(_HBOS_TOP)
+
+    def top_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.sort_values(
+            ["score_micro", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True]).head(_HBOS_TOP)
+
+    top, ok = guarded_partials(
+        _read(sf_dir, "lineitem", cols).map_batches(
+            score_part, batch_format="pyarrow"), top_fold, 1000)
+    assert ok and top is not None  # <= 10 rows after every fold
+    return top.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Theil T inequality index of document lengths per source —
+# T = (1/n) sum (x/mu) ln(x/mu) = (sum x ln x)/(sum x) - ln(mu).  Both
+# terms land on integers: sum(x * lnf(x)) is exact (lnf = floored
+# micro-ln of an integer), and ln(mu) is DEFINED as lnf(sum_x) - lnf(n)
+# so no non-integer ever reaches a libm call.
+# ---------------------------------------------------------------------------
+
+@query("theil_index_by_source", sql="""
+WITH f AS (
+  SELECT source, n_chars AS x FROM documents WHERE n_chars > 0
+), d AS (
+  SELECT source, x, count(*)::BIGINT AS c FROM f GROUP BY source, x
+), t AS (
+  SELECT source, sum(c)::BIGINT AS n, sum(x * c)::BIGINT AS sum_x,
+         sum(c * x * floor(ln(x) * 1e6)::BIGINT)::BIGINT AS sxl
+  FROM d GROUP BY source
+)
+SELECT source, n, sum_x AS sum_chars,
+       (sxl // sum_x
+        - (floor(ln(sum_x) * 1e6)::BIGINT
+           - floor(ln(n) * 1e6)::BIGINT))::BIGINT AS theil_micro
+FROM t ORDER BY source
+""")
+def theil_index_q(sf_dir: str):
+    """Theil T index (micro-nats) of n_chars inequality per source; see
+    module note for the all-integer ln convention."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        x = b["n_chars"].to_numpy(zero_copy_only=False)
+        src = b["source"].to_pandas().to_numpy()
+        m = x > 0
+        f = pd.DataFrame({"source": src[m], "x": x[m], "c": 1})
+        return f.groupby(["source", "x"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "x"], as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # sources x char-length domain
+    rows = []
+    for src, g in merged.groupby("source", sort=True):
+        x = g["x"].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        n = int(c.sum())
+        sum_x = int((x * c).sum())
+        sxl = sum(int(ci) * int(xi) * int(math.floor(math.log(int(xi))
+                                                     * 1e6))
+                  for xi, ci in zip(x, c))
+        theil = (sxl // sum_x
+                 - (int(math.floor(math.log(sum_x) * 1e6))
+                    - int(math.floor(math.log(n) * 1e6))))
+        rows.append((src, n, sum_x, theil))
+    return pd.DataFrame(rows, columns=["source", "n", "sum_chars",
+                                       "theil_micro"]).astype(
+        {"n": np.int64, "sum_chars": np.int64, "theil_micro": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# Sessionization gap-sensitivity: how many sessions the corpus splits
+# into at 30 s / 5 min / 1 h idle thresholds, in ONE sorted pass —
+# per-block internal gap counts plus first/last boundary rows, stitched
+# on the driver (#blocks rows).  The tuning sweep behind every
+# sessionize() parameter choice.
+# ---------------------------------------------------------------------------
+
+_GAP_THRESHOLDS_S = (30, 300, 3600)
+
+
+@query("session_gap_sensitivity", sql="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+), u AS (SELECT count(DISTINCT user_id)::BIGINT AS nu FROM events),
+t(thr) AS (VALUES (30), (300), (3600))
+SELECT t.thr::BIGINT AS threshold_s, max(u.nu) AS n_users,
+       sum(CASE WHEN g.gap > t.thr::BIGINT * 1000000
+                THEN 1 ELSE 0 END)::BIGINT AS n_gaps_over,
+       (max(u.nu) + sum(CASE WHEN g.gap > t.thr::BIGINT * 1000000
+                             THEN 1 ELSE 0 END))::BIGINT AS n_sessions
+FROM t CROSS JOIN g CROSS JOIN u
+GROUP BY t.thr ORDER BY t.thr
+""")
+def session_gap_sensitivity_q(sf_dir: str):
+    """Session counts at three idle-gap thresholds from one sorted scan:
+    sessions(T) = distinct users + #(same-user gaps > T).  Per-block
+    summaries carry internal counts + boundary rows; the driver stitches
+    block seams (#blocks rows, not #events)."""
+    thr_us = [t * 1_000_000 for t in _GAP_THRESHOLDS_S]
+
+    def block_summary(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = u[1:] == u[:-1]
+        gaps = t[1:] - t[:-1]
+        row = {"first_user": [u[0]], "first_ts": [t[0]],
+               "last_user": [u[-1]], "last_ts": [t[-1]],
+               "changes": [int((~same).sum())], "n_rows": [len(u)]}
+        for s, tu in zip(_GAP_THRESHOLDS_S, thr_us):
+            row[f"over_{s}"] = [int((gaps[same] > tu).sum())]
+        return pd.DataFrame(row)
+
+    summaries = (_read(sf_dir, "events", ["user_id", "ts"])
+                 .sort(["user_id", "ts"])
+                 .map_batches(block_summary, batch_format="pandas",
+                              batch_size=None)
+                 .to_pandas())
+    summaries = summaries.sort_values(
+        ["first_user", "first_ts", "last_user", "last_ts"]
+    ).reset_index(drop=True)
+    changes = int(summaries["changes"].sum())
+    over = {s: int(summaries[f"over_{s}"].sum())
+            for s in _GAP_THRESHOLDS_S}
+    # stitch block seams
+    for i in range(1, len(summaries)):
+        pu, pt = (summaries["last_user"].iloc[i - 1],
+                  summaries["last_ts"].iloc[i - 1])
+        cu, ct = (summaries["first_user"].iloc[i],
+                  summaries["first_ts"].iloc[i])
+        if pu == cu:
+            gap = int(ct) - int(pt)
+            for s, tu in zip(_GAP_THRESHOLDS_S, thr_us):
+                if gap > tu:
+                    over[s] += 1
+        else:
+            changes += 1
+    n_users = changes + 1 if len(summaries) else 0
+    return pd.DataFrame({
+        "threshold_s": np.array(_GAP_THRESHOLDS_S, dtype=np.int64),
+        "n_users": np.int64(n_users),
+        "n_gaps_over": np.array([over[s] for s in _GAP_THRESHOLDS_S],
+                                dtype=np.int64),
+        "n_sessions": np.array([n_users + over[s]
+                                for s in _GAP_THRESHOLDS_S],
+                               dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# CUSUM alarm replay over daily event volume per type: S_k =
+# max(0, S_{k-1} + x_k - target) with target = floor(mean daily count).
+# Like Lindley above, the recursion is really S_k = P_k - min(0,
+# running-min P_j) over the prefix sums P of (x - target) — a window
+# min, fully vectorized / SQL-window expressible.  Alarm fires when
+# S >= 2 * target.
+# ---------------------------------------------------------------------------
+
+@query("cusum_alarm_replay", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, (sum(x) // count(*))::BIGINT AS target
+  FROM d GROUP BY 1
+), p AS (
+  SELECT d.event_type, day, t.target,
+         sum(x - t.target) OVER (PARTITION BY d.event_type
+                                 ORDER BY day)::BIGINT AS pk
+  FROM d JOIN t USING (event_type)
+), s AS (
+  SELECT event_type, day, target,
+         pk - least(0, min(pk) OVER (PARTITION BY event_type
+                                     ORDER BY day)) AS sk
+  FROM p
+)
+SELECT event_type, max(target)::BIGINT AS target,
+       max(sk)::BIGINT AS max_cusum,
+       coalesce(min(CASE WHEN sk >= 2 * target THEN day END),
+                -1)::BIGINT AS first_alarm_day
+FROM s GROUP BY event_type ORDER BY event_type
+""")
+def cusum_alarm_q(sf_dir: str):
+    """CUSUM peak + first alarm day per event_type via the prefix-sum /
+    running-min closed form (no sequential recursion)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = ts // 86_400_000_000
+        et = b["event_type"].to_pandas().to_numpy()
+        f = pd.DataFrame({"event_type": et, "day": day, "x": 1})
+        return f.groupby(["event_type", "day"], as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "day"], as_index=False)["x"].sum()
+
+    stage = (_read(sf_dir, "events", ["event_type", "ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # types x days bounded
+    rows = []
+    for et, g in merged.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        x = g["x"].to_numpy().astype(np.int64)
+        day = g["day"].to_numpy().astype(np.int64)
+        target = int(x.sum()) // len(x)
+        pk = np.cumsum(x - target)
+        runmin = np.minimum(np.minimum.accumulate(pk), 0)
+        sk = pk - runmin
+        alarm = day[sk >= 2 * target]
+        rows.append((et, target, int(sk.max()),
+                     int(alarm[0]) if len(alarm) else -1))
+    return pd.DataFrame(rows, columns=[
+        "event_type", "target", "max_cusum", "first_alarm_day"]).astype(
+        {"target": np.int64, "max_cusum": np.int64,
+         "first_alarm_day": np.int64})

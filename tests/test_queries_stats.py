@@ -61,3 +61,46 @@ def test_cochran_armitage_finite():
     assert 0 < int(out["n_success"].iloc[0]) < int(out["n_total"].iloc[0])
 
 
+
+
+def test_lindley_queue_invariants():
+    out = qs.lindley_queue_q(SF)
+    # first arrival per server always waits 0; waits are nonnegative
+    assert (out["n_no_wait"] >= 1).all()
+    assert (out["n_no_wait"] <= out["n"]).all()
+    assert (out["max_wait_us"] >= 0).all()
+    assert (out["sum_wait_us"] >= out["max_wait_us"]).all()
+
+
+def test_hbos_topk_shape_and_order():
+    out = qs.hbos_outlier_q(SF)
+    assert len(out) == qs._HBOS_TOP
+    s = out["score_micro"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+    assert out["qbin"].between(0, qs._HBOS_BINS - 1).all()
+    assert out["pbin"].between(0, qs._HBOS_BINS - 1).all()
+
+
+def test_theil_nonnegative_up_to_floor_slack():
+    out = qs.theil_index_q(SF)
+    # Theil T >= 0 exactly; the floored-ln carriers can undershoot by a
+    # few micro-nats at most
+    assert (out["theil_micro"] >= -3).all()
+    assert (out["n"] > 0).all()
+
+
+def test_session_gap_monotone_in_threshold():
+    out = qs.session_gap_sensitivity_q(SF)
+    assert list(out["threshold_s"]) == list(qs._GAP_THRESHOLDS_S)
+    ns = out["n_sessions"].to_numpy()
+    assert (ns[:-1] >= ns[1:]).all()  # larger gap => fewer sessions
+    assert (out["n_sessions"] >= out["n_users"]).all()
+    assert (out["n_sessions"] == out["n_users"] + out["n_gaps_over"]).all()
+
+
+def test_cusum_alarm_invariants():
+    out = qs.cusum_alarm_q(SF)
+    assert (out["max_cusum"] >= 0).all()
+    fired = out[out["first_alarm_day"] >= 0]
+    # an alarm implies the peak reached the threshold
+    assert (fired["max_cusum"] >= 2 * fired["target"]).all()
