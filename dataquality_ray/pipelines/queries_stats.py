@@ -897,3 +897,586 @@ def cusum_alarm_q(sf_dir: str):
         "event_type", "target", "max_cusum", "first_alarm_day"]).astype(
         {"target": np.int64, "max_cusum": np.int64,
          "first_alarm_day": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier product-limit retention over user activity spans: a user's
+# duration is last_day - first_day + 1; churn (event=1) if the user's last
+# day precedes the corpus max day, else censored.  log S(t) is carried as
+# exact micro-nats: each factor ln(1 - d/n) = lnf(n-d) - lnf(n) is a
+# difference of floored-ln-of-integer terms (same correctly-rounded double
+# on both engines), cumulated by a window sum.  A step that exhausts the
+# risk set (n == d) drives survival to 0; both sides emit the same
+# -1e12 sentinel from that step on.
+# ---------------------------------------------------------------------------
+
+_KM_SENTINEL = -1_000_000_000_000
+
+
+@query("kaplan_meier_retention", sql=f"""
+WITH u AS (
+  SELECT user_id, min(epoch_us(ts) // 86400000000) AS d0,
+         max(epoch_us(ts) // 86400000000) AS d1
+  FROM events GROUP BY user_id
+), mx AS (SELECT max(d1) AS dm FROM u),
+s AS (
+  SELECT (d1 - d0 + 1)::BIGINT AS dur,
+         CASE WHEN d1 < dm THEN 1 ELSE 0 END AS ev
+  FROM u CROSS JOIN mx
+), t AS (
+  SELECT dur, sum(ev)::BIGINT AS d, count(*)::BIGINT AS c
+  FROM s GROUP BY dur
+), r AS (
+  SELECT dur, d,
+         (SELECT sum(c) FROM t t2 WHERE t2.dur >= t.dur)::BIGINT AS n
+  FROM t WHERE d > 0
+)
+SELECT dur, n, d,
+       sum(CASE WHEN n > d
+                THEN floor(ln(n - d) * 1e6)::BIGINT
+                     - floor(ln(n) * 1e6)::BIGINT
+                ELSE {_KM_SENTINEL} END)
+         OVER (ORDER BY dur)::BIGINT AS log_surv_micro
+FROM r ORDER BY dur
+""")
+def kaplan_meier_q(sf_dir: str):
+    """KM retention curve at churn times; see module note for the exact
+    micro-nat log-survival convention."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"user_id": uid, "d0": day, "d1": day})
+        return f.groupby("user_id", as_index=False).agg(
+            d0=("d0", "min"), d1=("d1", "max"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("user_id", as_index=False).agg(
+            d0=("d0", "min"), d1=("d1", "max"))
+
+    stage = (_read(sf_dir, "events", ["user_id", "ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: distinct users
+    dm = int(merged["d1"].max())
+    dur = (merged["d1"] - merged["d0"] + 1).to_numpy().astype(np.int64)
+    ev = (merged["d1"] < dm).to_numpy().astype(np.int64)
+    f = pd.DataFrame({"dur": dur, "d": ev, "c": 1})
+    t = f.groupby("dur", as_index=False).agg(
+        d=("d", "sum"), c=("c", "sum")).sort_values("dur")
+    # risk set = users with duration >= t (suffix sum)
+    n_at = np.cumsum(t["c"].to_numpy()[::-1])[::-1]
+    t["n"] = n_at
+    t = t[t["d"] > 0].reset_index(drop=True)
+
+    def lnf(x: int) -> int:
+        return int(math.floor(math.log(x) * 1e6))
+
+    terms = [lnf(int(n) - int(d)) - lnf(int(n)) if n > d else _KM_SENTINEL
+             for n, d in zip(t["n"], t["d"])]
+    t["log_surv_micro"] = np.cumsum(np.array(terms, dtype=np.int64))
+    return t[["dur", "n", "d", "log_surv_micro"]].astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank over paired daily click/view volumes — the paired
+# twin of mann_whitney_u.  Midranks over tied |diff| are half-integers so
+# the statistic is carried as 2*W+; the tie-corrected variance scaled by
+# 48 is exact: 48*Var = 2n(n+1)(2n+1) - sum(t^3 - t).
+# ---------------------------------------------------------------------------
+
+@query("wilcoxon_signed_rank_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+           - sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+           AS diff
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+), nz AS (
+  SELECT abs(diff) AS a, CASE WHEN diff > 0 THEN 1 ELSE 0 END AS pos
+  FROM d WHERE diff <> 0
+), cnt AS (
+  SELECT a, sum(pos)::BIGINT AS np, count(*)::BIGINT AS t
+  FROM nz GROUP BY a
+), cum AS (
+  SELECT a, np, t,
+         coalesce(sum(t) OVER (ORDER BY a
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS before
+  FROM cnt
+), agg AS (
+  SELECT sum(np * (2 * before + t + 1))::BIGINT AS w2,
+         sum(t)::BIGINT AS n,
+         sum(t::HUGEINT * t * t - t)::BIGINT AS tie_sum
+  FROM cum
+)
+SELECT n, w2, tie_sum,
+       CAST(w2 - n * (n + 1) / 2 AS DOUBLE)
+       / (2 * sqrt(CAST(2::HUGEINT * n * (n + 1) * (2 * n + 1) - tie_sum
+                        AS DOUBLE) / 48)) AS z_stat
+FROM agg
+""")
+def wilcoxon_signed_rank_q(sf_dir: str):
+    """Paired signed-rank test on daily click-minus-view volume; see
+    module note for the 2*W+ / 48*Var integer carriers."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        et = b["event_type"].to_pandas().to_numpy()
+        m = (et == "click") | (et == "view")
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[m]
+        day = ts // 86_400_000_000
+        sgn = np.where(et[m] == "click", 1, -1).astype(np.int64)
+        f = pd.DataFrame({"day": day, "diff": sgn})
+        return f.groupby("day", as_index=False)["diff"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["diff"].sum()
+
+    stage = (_read(sf_dir, "events", ["event_type", "ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100_000)
+    assert ok and merged is not None  # bounded: distinct days
+    diff = merged["diff"].to_numpy().astype(np.int64)
+    diff = diff[diff != 0]
+    a = np.abs(diff)
+    pos = (diff > 0).astype(np.int64)
+    f = pd.DataFrame({"a": a, "np": pos, "t": 1})
+    g = f.groupby("a", as_index=False).agg(
+        np=("np", "sum"), t=("t", "sum")).sort_values("a")
+    t = g["t"].to_numpy()
+    before = np.concatenate([[0], np.cumsum(t)[:-1]])
+    w2 = int(np.sum(g["np"].to_numpy() * (2 * before + t + 1)))
+    n = int(t.sum())
+    tie_sum = int(sum(int(x) ** 3 - int(x) for x in t))
+    var48 = 2 * n * (n + 1) * (2 * n + 1) - tie_sum
+    z = float(w2 - n * (n + 1) // 2) / (2 * np.sqrt(float(var48) / 48))
+    return pd.DataFrame({"n": [n], "w2": [w2], "tie_sum": [tie_sum],
+                         "z_stat": [z]})
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b between daily click and view volumes — rank correlation
+# robust to the monotone-but-nonlinear volume relationships Pearson
+# misses.  Concordant/discordant counts and both tie terms are exact
+# integers; days are bounded so the O(days^2) pair scan is a driver-side
+# numpy broadcast over the combined (day, x, y) frame.
+# ---------------------------------------------------------------------------
+
+@query("kendall_tau_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS x,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS y
+  FROM events GROUP BY 1
+), p AS (
+  SELECT sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                  THEN 1 ELSE 0 END)::BIGINT AS conc,
+         sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                  THEN 1 ELSE 0 END)::BIGINT AS disc
+  FROM d a JOIN d b ON a.day < b.day
+), n AS (
+  SELECT count(*)::BIGINT AS nd FROM d
+), tx AS (
+  SELECT coalesce(sum(c * (c - 1) / 2), 0)::BIGINT AS t1
+  FROM (SELECT count(*)::BIGINT AS c FROM d GROUP BY x)
+), ty AS (
+  SELECT coalesce(sum(c * (c - 1) / 2), 0)::BIGINT AS t2
+  FROM (SELECT count(*)::BIGINT AS c FROM d GROUP BY y)
+)
+SELECT nd AS n_days, conc, disc,
+       CAST(conc - disc AS DOUBLE)
+       / sqrt(CAST((nd * (nd - 1) / 2 - t1)::HUGEINT
+                   * (nd * (nd - 1) / 2 - t2) AS DOUBLE)) AS tau_b
+FROM p, n, tx, ty
+""")
+def kendall_tau_q(sf_dir: str):
+    """Kendall tau-b of daily click vs view counts; exact integer
+    concordance and tie terms, one float division at the end."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        et = b["event_type"].to_pandas().to_numpy()
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        f = pd.DataFrame({"day": day,
+                          "x": (et == "click").astype(np.int64),
+                          "y": (et == "view").astype(np.int64)})
+        return f.groupby("day", as_index=False)[["x", "y"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)[["x", "y"]].sum()
+
+    stage = (_read(sf_dir, "events", ["event_type", "ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100_000)
+    assert ok and merged is not None  # bounded: distinct days
+    x = merged["x"].to_numpy().astype(np.int64)
+    y = merged["y"].to_numpy().astype(np.int64)
+    nd = len(x)
+    sx = np.sign(x[:, None] - x[None, :])
+    sy = np.sign(y[:, None] - y[None, :])
+    prod = sx * sy
+    iu = np.triu_indices(nd, k=1)
+    conc = int((prod[iu] > 0).sum())
+    disc = int((prod[iu] < 0).sum())
+    n0 = nd * (nd - 1) // 2
+    t1 = int(sum(c * (c - 1) // 2
+                 for c in pd.Series(x).value_counts().to_numpy()))
+    t2 = int(sum(c * (c - 1) // 2
+                 for c in pd.Series(y).value_counts().to_numpy()))
+    tau = float(conc - disc) / np.sqrt(float((n0 - t1) * (n0 - t2)))
+    return pd.DataFrame({"n_days": [nd], "conc": [conc], "disc": [disc],
+                         "tau_b": [tau]})
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor matching ATT: BUILDING-segment customers (treated)
+# matched 1-NN to other segments (control) on account balance (cents),
+# ties broken by (distance, control balance, control custkey); the effect
+# is the exact integer sum of spend differences.  Engine side is a sorted
+# searchsorted probe (left/right nearest control per treated), not an
+# O(T*C) pair scan.
+# ---------------------------------------------------------------------------
+
+@query("nn_matching_att", sql="""
+WITH spend AS (
+  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+  FROM orders GROUP BY o_custkey
+), c AS (
+  SELECT c_custkey, round(c_acctbal * 100)::BIGINT AS bal,
+         coalesce(y, 0)::BIGINT AS y,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS tr
+  FROM customer LEFT JOIN spend ON o_custkey = c_custkey
+), m AS (
+  SELECT t.c_custkey, t.y AS yt, ct.y AS yc,
+         row_number() OVER (PARTITION BY t.c_custkey
+             ORDER BY abs(t.bal - ct.bal), ct.bal, ct.c_custkey) AS rn
+  FROM c t JOIN c ct ON t.tr = 1 AND ct.tr = 0
+)
+SELECT count(*)::BIGINT AS n_treated,
+       (SELECT count(*) FROM c WHERE tr = 0)::BIGINT AS n_control,
+       sum(yt - yc)::BIGINT AS att_num_cents,
+       (CASE WHEN sum(yt - yc) < 0
+             THEN -((-sum(yt - yc)) // count(*))
+             ELSE sum(yt - yc) // count(*) END)::BIGINT AS att_cents
+FROM m WHERE rn = 1
+""")
+def nn_matching_att_q(sf_dir: str):
+    """1-NN covariate-matching treatment-effect estimate; engine probes a
+    sorted control array with searchsorted (left/right nearest), exactly
+    reproducing the SQL (distance, balance, custkey) argmin."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def spend_part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "k": b["o_custkey"].to_numpy(zero_copy_only=False),
+            "y": np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                          * 100).astype(np.int64)})
+        return f.groupby("k", as_index=False)["y"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("k", as_index=False)["y"].sum()
+
+    spend, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(spend_part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and spend is not None  # bounded: distinct customers
+    cust = (_read(sf_dir, "customer",
+                  ["c_custkey", "c_acctbal", "c_mktsegment"])
+            .to_pandas())
+    cust["bal"] = np.round(cust["c_acctbal"].to_numpy()
+                           * 100).astype(np.int64)
+    ymap = dict(zip(spend["k"], spend["y"]))
+    cust["y"] = np.array([int(ymap.get(k, 0))
+                          for k in cust["c_custkey"]], dtype=np.int64)
+    tr = cust[cust["c_mktsegment"] == "BUILDING"]
+    ct = (cust[cust["c_mktsegment"] != "BUILDING"]
+          .sort_values(["bal", "c_custkey"]).reset_index(drop=True))
+    cb = ct["bal"].to_numpy()
+    cy = ct["y"].to_numpy()
+    # first occurrence index of each balance value (min custkey per bal)
+    first_idx = np.searchsorted(cb, cb, side="left")
+    att_num = 0
+    for bt, yt in zip(tr["bal"].to_numpy(), tr["y"].to_numpy()):
+        ir = int(np.searchsorted(cb, bt, side="right"))
+        il = ir - 1
+        cand = []
+        if il >= 0:
+            j = int(first_idx[il])
+            cand.append((abs(int(bt) - int(cb[j])), int(cb[j]), j))
+        if ir < len(cb):
+            # side='right' lands on the first (min-custkey) row of the
+            # nearest strictly-greater balance
+            cand.append((abs(int(bt) - int(cb[ir])), int(cb[ir]), ir))
+        _, _, jbest = min(cand)
+        att_num += int(yt) - int(cy[jbest])
+    n_t = len(tr)
+    att = _trunc_div(att_num, n_t)
+    return pd.DataFrame({"n_treated": [n_t], "n_control": [len(ct)],
+                         "att_num_cents": [att_num], "att_cents": [att]})
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift distances of each source's doc-length histogram vs
+# the global corpus, over 10 equal-width bins: total variation distance
+# (exact-integer cross-multiplied numerator) and the Hellinger affinity
+# (per-bin floor(sqrt(q)) where q = cs*cg*1e12 // (ns*N) <= 1e12 is an
+# exact integer, so the double conversion, sqrt and floor are identical
+# on both engines).  The per-source drift ranking that decides which
+# shards need re-sampling.
+# ---------------------------------------------------------------------------
+
+_DRIFT_BINS = 10
+
+
+@query("tvd_length_drift", sql=f"""
+WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+b AS (
+  SELECT source,
+         (n_chars - mn) * {_DRIFT_BINS} // (mx - mn + 1) AS bin
+  FROM documents CROSS JOIN s
+), g AS (SELECT bin, count(*)::BIGINT AS cg FROM b GROUP BY bin),
+n AS (SELECT count(*)::BIGINT AS nt FROM documents),
+sb AS (
+  SELECT source, bin, count(*)::BIGINT AS cs FROM b GROUP BY source, bin
+), ns AS (SELECT source, count(*)::BIGINT AS nsrc FROM b GROUP BY source),
+x AS (
+  SELECT ns.source, ns.nsrc,
+         sum(abs(coalesce(cs, 0)::HUGEINT * nt
+                 - cg::HUGEINT * ns.nsrc))::HUGEINT AS num
+  FROM ns CROSS JOIN n
+  JOIN g ON TRUE
+  LEFT JOIN sb ON sb.source = ns.source AND sb.bin = g.bin
+  GROUP BY ns.source, ns.nsrc
+)
+SELECT source, nsrc AS n_docs,
+       (num * 1000000 // (2::HUGEINT * nsrc
+                          * (SELECT nt FROM n)))::BIGINT AS tvd_ppm
+FROM x ORDER BY source
+""")
+def tvd_length_drift_q(sf_dir: str):
+    """Per-source total-variation distance (ppm) of the doc-length
+    histogram vs the global one; see module note."""
+    merged, mn, mx, nt = _length_bin_counts(sf_dir)
+    g = merged.groupby("bin")["c"].sum()
+    rows = []
+    for src, sg in merged.groupby("source", sort=True):
+        ns = int(sg["c"].sum())
+        cs = dict(zip(sg["bin"], sg["c"]))
+        num = sum(abs(int(cs.get(b, 0)) * nt - int(cg) * ns)
+                  for b, cg in g.items())
+        rows.append((src, ns, num * 1_000_000 // (2 * ns * nt)))
+    return pd.DataFrame(rows, columns=["source", "n_docs", "tvd_ppm"]) \
+        .astype({"n_docs": np.int64, "tvd_ppm": np.int64})
+
+
+def _length_bin_counts(sf_dir: str):
+    """Shared (source, bin) count combine for the drift-distance pair."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def mm_part(b: pa.Table) -> pd.DataFrame:
+        x = b["n_chars"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"mn": [int(x.min())], "mx": [int(x.max())]})
+
+    def mm_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"mn": [f["mn"].min()], "mx": [f["mx"].max()]})
+
+    mm, ok = guarded_partials(
+        _read(sf_dir, "documents", ["n_chars"])
+        .map_batches(mm_part, batch_format="pyarrow"), mm_fold, 10)
+    assert ok and mm is not None  # one-row partials
+    mn, mx = int(mm["mn"].iloc[0]), int(mm["mx"].iloc[0])
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        x = b["n_chars"].to_numpy(zero_copy_only=False)
+        src = b["source"].to_pandas().to_numpy()
+        f = pd.DataFrame({
+            "source": src,
+            "bin": (x - mn) * _DRIFT_BINS // (mx - mn + 1), "c": 1})
+        return f.groupby(["source", "bin"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "bin"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 100_000)
+    assert ok and merged is not None  # bounded: sources x 10 bins
+    nt = int(merged["c"].sum())
+    return merged, mn, mx, nt
+
+
+@query("hellinger_length_drift", sql=f"""
+WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+b AS (
+  SELECT source,
+         (n_chars - mn) * {_DRIFT_BINS} // (mx - mn + 1) AS bin
+  FROM documents CROSS JOIN s
+), g AS (SELECT bin, count(*)::BIGINT AS cg FROM b GROUP BY bin),
+n AS (SELECT count(*)::BIGINT AS nt FROM documents),
+sb AS (
+  SELECT source, bin, count(*)::BIGINT AS cs FROM b GROUP BY source, bin
+), ns AS (SELECT source, count(*)::BIGINT AS nsrc FROM b GROUP BY source),
+x AS (
+  SELECT ns.source, ns.nsrc,
+         sum(floor(sqrt(CAST(coalesce(cs, 0)::HUGEINT * cg * 1000000000000
+                             // (ns.nsrc::HUGEINT
+                                 * (SELECT nt FROM n)) AS DOUBLE)))
+             )::BIGINT AS bc
+  FROM ns JOIN g ON TRUE
+  LEFT JOIN sb ON sb.source = ns.source AND sb.bin = g.bin
+  GROUP BY ns.source, ns.nsrc
+)
+SELECT source, nsrc AS n_docs, bc AS bc_micro,
+       (1000000 - bc)::BIGINT AS h2_micro
+FROM x ORDER BY source
+""")
+def hellinger_length_drift_q(sf_dir: str):
+    """Per-source Hellinger affinity (Bhattacharyya coefficient, micro
+    scale) of the doc-length histogram vs the global one."""
+    merged, mn, mx, nt = _length_bin_counts(sf_dir)
+    g = merged.groupby("bin")["c"].sum()
+    rows = []
+    for src, sg in merged.groupby("source", sort=True):
+        ns = int(sg["c"].sum())
+        cs = dict(zip(sg["bin"], sg["c"]))
+        bc = 0
+        for b, cg in g.items():
+            q = int(cs.get(b, 0)) * int(cg) * 10 ** 12 // (ns * nt)
+            bc += int(np.floor(np.sqrt(np.float64(q))))
+        rows.append((src, ns, bc, 1_000_000 - bc))
+    return pd.DataFrame(rows, columns=[
+        "source", "n_docs", "bc_micro", "h2_micro"]).astype(
+        {"n_docs": np.int64, "bc_micro": np.int64, "h2_micro": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# Yule's K vocabulary-richness characteristic per source:
+# K = 1e4 * (sum_m m^2 V_m - N) / N^2 over the token-frequency spectrum
+# (V_m = #types with frequency m).  sum m^2 V_m = sum over types of
+# freq^2, so one (source, token) count combine feeds the whole statistic;
+# carried at micro resolution (K * 100) as an exact integer.
+# ---------------------------------------------------------------------------
+
+@query("yule_k_by_source", sql="""
+WITH tk AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                  '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), f AS (
+  SELECT source, tok, count(*)::BIGINT AS m FROM tk GROUP BY source, tok
+)
+SELECT source, sum(m)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+       ((sum(m::HUGEINT * m) - sum(m)) * 10000000000
+        // (sum(m)::HUGEINT * sum(m)))::BIGINT AS yule_k_micro
+FROM f GROUP BY source ORDER BY source
+""")
+def yule_k_q(sf_dir: str):
+    """Yule's K per source (micro scale = K*100); the repetitiveness
+    signature that separates template-generated from organic text."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        src = b["source"].to_pylist()
+        txt = b["text"].to_pylist()
+        recs = {}
+        for s, t in zip(src, txt):
+            for tok in (t or "").split():
+                k = (s, tok)
+                recs[k] = recs.get(k, 0) + 1
+        if not recs:
+            return pd.DataFrame({"source": [], "tok": [], "m": []})
+        ks = list(recs.keys())
+        return pd.DataFrame({"source": [k[0] for k in ks],
+                             "tok": [k[1] for k in ks],
+                             "m": np.fromiter(recs.values(), np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "tok"], as_index=False)["m"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: sources x vocab
+    rows = []
+    for src, g in merged.groupby("source", sort=True):
+        m = g["m"].to_numpy().astype(np.int64)
+        n = int(m.sum())
+        s2 = int(sum(int(v) * int(v) for v in m))
+        rows.append((src, n, len(m), (s2 - n) * 10 ** 10 // (n * n)))
+    return pd.DataFrame(rows, columns=[
+        "source", "n_tokens", "n_types", "yule_k_micro"]).astype(
+        {"n_tokens": np.int64, "n_types": np.int64,
+         "yule_k_micro": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# Varint (LEB128) encoding-size audit over the orders key/price columns —
+# the storage-planner companion to the bitpack/delta/dict advisors.
+# bytes(x) = (bit_length(x) + 6) // 7 for x > 0 (1 for x = 0); engine
+# side counts threshold crossings (x >= 2^7k) so the kernel is nine
+# vectorized comparisons, no log.
+# ---------------------------------------------------------------------------
+
+@query("varint_size_audit", sql="""
+WITH v AS (
+  SELECT (length(bin(o_orderkey)) + 6) // 7 AS b_ok,
+         (length(bin(o_custkey)) + 6) // 7 AS b_ck,
+         (length(bin(round(o_totalprice * 100)::BIGINT)) + 6) // 7 AS b_pr
+  FROM orders
+)
+SELECT count(*)::BIGINT AS n_rows,
+       sum(b_ok)::BIGINT AS okey_bytes,
+       sum(b_ck)::BIGINT AS ckey_bytes,
+       sum(b_pr)::BIGINT AS price_bytes,
+       (count(*) * 24)::BIGINT AS fixed_bytes,
+       ((count(*) * 24 - sum(b_ok) - sum(b_ck) - sum(b_pr)) * 1000000
+        // (count(*) * 24))::BIGINT AS savings_ppm
+FROM v
+""")
+def varint_size_audit_q(sf_dir: str):
+    """LEB128 size audit of orders key/price columns vs fixed int64;
+    see module note for the vectorized byte-count kernel."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def vbytes(x: np.ndarray) -> np.ndarray:
+        b = np.ones(len(x), dtype=np.int64)
+        for k in range(1, 10):
+            b += (x >= (1 << (7 * k))).astype(np.int64)
+        return b
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        pr = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                      * 100).astype(np.int64)
+        return pd.DataFrame({
+            "n": [len(ok)], "okey": [int(vbytes(ok).sum())],
+            "ckey": [int(vbytes(ck).sum())],
+            "price": [int(vbytes(pr).sum())]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({c: [f[c].sum()]
+                             for c in ("n", "okey", "ckey", "price")})
+
+    mm, ok_flag = guarded_partials(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 10)
+    assert ok_flag and mm is not None  # one-row partials
+    n = int(mm["n"].iloc[0])
+    b_ok, b_ck, b_pr = (int(mm[c].iloc[0])
+                        for c in ("okey", "ckey", "price"))
+    fixed = n * 24
+    sav = (fixed - b_ok - b_ck - b_pr) * 1_000_000 // fixed
+    return pd.DataFrame({
+        "n_rows": [n], "okey_bytes": [b_ok], "ckey_bytes": [b_ck],
+        "price_bytes": [b_pr], "fixed_bytes": [fixed],
+        "savings_ppm": [sav]}).astype(np.int64)

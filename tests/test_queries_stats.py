@@ -104,3 +104,62 @@ def test_cusum_alarm_invariants():
     fired = out[out["first_alarm_day"] >= 0]
     # an alarm implies the peak reached the threshold
     assert (fired["max_cusum"] >= 2 * fired["target"]).all()
+
+
+def test_kaplan_meier_monotone_nonincreasing():
+    out = qs.kaplan_meier_q(SF)
+    ls = out["log_surv_micro"].to_numpy()
+    assert (np.diff(ls) <= 0).all()  # survival never increases
+    assert (out["d"] >= 1).all()
+    assert (out["n"] >= out["d"]).all()
+    # risk sets shrink as duration grows
+    assert (np.diff(out["n"].to_numpy()) < 0).all()
+
+
+def test_wilcoxon_bounds():
+    out = qs.wilcoxon_signed_rank_q(SF)
+    n = int(out["n"].iloc[0])
+    w2 = int(out["w2"].iloc[0])
+    assert 0 <= w2 <= n * (n + 1)  # 2*W+ in [0, n(n+1)]
+    assert np.isfinite(out["z_stat"].iloc[0])
+
+
+def test_kendall_tau_in_range():
+    out = qs.kendall_tau_q(SF)
+    nd = int(out["n_days"].iloc[0])
+    assert int(out["conc"].iloc[0]) + int(out["disc"].iloc[0]) \
+        <= nd * (nd - 1) // 2
+    assert -1.0 <= float(out["tau_b"].iloc[0]) <= 1.0
+
+
+def test_nn_matching_att_consistency():
+    out = qs.nn_matching_att_q(SF)
+    n_t = int(out["n_treated"].iloc[0])
+    assert n_t > 0 and int(out["n_control"].iloc[0]) > 0
+    num = int(out["att_num_cents"].iloc[0])
+    att = int(out["att_cents"].iloc[0])
+    assert att == qs._trunc_div(num, n_t)
+
+
+def test_tvd_and_hellinger_ranges():
+    tvd = qs.tvd_length_drift_q(SF)
+    assert tvd["tvd_ppm"].between(0, 1_000_000).all()
+    hel = qs.hellinger_length_drift_q(SF)
+    assert hel["bc_micro"].between(0, 1_000_000).all()
+    assert (hel["bc_micro"] + hel["h2_micro"] == 1_000_000).all()
+    # identical frames -> same doc totals
+    assert int(tvd["n_docs"].sum()) == int(hel["n_docs"].sum())
+
+
+def test_yule_k_nonnegative():
+    out = qs.yule_k_q(SF)
+    assert (out["yule_k_micro"] >= 0).all()
+    assert (out["n_types"] <= out["n_tokens"]).all()
+
+
+def test_varint_bytes_bounds():
+    out = qs.varint_size_audit_q(SF)
+    n = int(out["n_rows"].iloc[0])
+    for c in ("okey_bytes", "ckey_bytes", "price_bytes"):
+        assert n <= int(out[c].iloc[0]) <= 10 * n
+    assert 0 <= int(out["savings_ppm"].iloc[0]) <= 1_000_000
