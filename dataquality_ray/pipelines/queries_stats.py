@@ -251,171 +251,6 @@ def dhondt_q(sf_dir: str):
     return out
 
 
-# ---------------------------------------------------------------------------
-# Flesch-style readability per source — the classic quality-scoring
-# heuristic over (words, sentences, syllable-proxy) counts.  Tokens are
-# RE2 matches on both sides (pc.count_substring_regex == DuckDB
-# regexp_extract_all length): words = \S+ runs, syllables = [aeiouy]+
-# groups in the lowercased text, sentences = [.!?]+ runs floored at 1
-# per doc.  score_milli = 206835 - (1015*W)//SE - (84600*SY)//W, every
-# term an exact integer (two truncations, defined metric).
-# ---------------------------------------------------------------------------
-
-@query("readability_flesch", sql=r"""
-WITH per AS (
-  SELECT source,
-         len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT
-           AS w,
-         len(regexp_extract_all(lower(coalesce(text, '')),
-             '[aeiouy]+'))::BIGINT AS sy,
-         greatest(len(regexp_extract_all(coalesce(text, ''),
-             '[.!?]+')), 1)::BIGINT AS se
-  FROM documents
-), agg AS (
-  SELECT source, sum(w)::BIGINT AS words, sum(se)::BIGINT AS sentences,
-         sum(sy)::BIGINT AS syllables
-  FROM per GROUP BY source
-)
-SELECT source, words, sentences, syllables,
-       (206835 - (1015 * words) // sentences
-               - (84600 * syllables) // words)::BIGINT AS flesch_milli
-FROM agg ORDER BY source
-""")
-def readability_flesch_q(sf_dir: str):
-    """Per-source Flesch reading-ease (milli-points) from exact integer
-    word/sentence/syllable-proxy counts; see module note."""
-    import pyarrow.compute as pc
-
-    from dataquality_ray.stages.autoroute import guarded_partials
-
-    def part(b: pa.Table) -> pd.DataFrame:
-        txt = pc.coalesce(b["text"], pa.scalar(""))
-        w = pc.count_substring_regex(txt, r"\S+").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        sy = pc.count_substring_regex(
-            pc.utf8_lower(txt), "[aeiouy]+").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        se = pc.count_substring_regex(txt, "[.!?]+").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        se = np.maximum(se, 1)
-        f = pd.DataFrame({"source": b["source"].to_pandas(),
-                          "w": w, "se": se, "sy": sy})
-        return f.groupby("source", as_index=False)[
-            ["w", "se", "sy"]].sum()
-
-    def fold(f: pd.DataFrame) -> pd.DataFrame:
-        return f.groupby("source", as_index=False)[
-            ["w", "se", "sy"]].sum()
-
-    stage = (_read(sf_dir, "documents", ["source", "text"])
-             .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 1_000_000)
-    assert ok and merged is not None  # bounded: source catalog
-    rows = []
-    for s, w, se, sy in zip(merged["source"], merged["w"],
-                            merged["se"], merged["sy"]):
-        w, se, sy = int(w), int(se), int(sy)
-        rows.append([s, w, se, sy,
-                     206835 - (1015 * w) // se - (84600 * sy) // w])
-    out = pd.DataFrame(rows, columns=["source", "words", "sentences",
-                                      "syllables", "flesch_milli"])
-    for c in out.columns[1:]:
-        out[c] = out[c].astype(np.int64)
-    return out.sort_values("source").reset_index(drop=True)
-
-
-# ---------------------------------------------------------------------------
-# Neyman optimal allocation of a 1000-row sample budget across sources,
-# proportional to N_h * S_h.  The n^2-scaled variance
-# S2 = n*sum(x^2) - (sum x)^2 is an exact integer, so isqrt(S2) = n*sd
-# is exactly N_h*S_h's ordering weight; the floor(sqrt(double)) in SQL
-# carries a +-1 correction to equal math.isqrt exactly.  Seats assign
-# by floor share + largest remainder (Hamilton), ties by source ASC.
-# ---------------------------------------------------------------------------
-
-_NEYMAN_BUDGET = 1000
-
-
-@query("neyman_allocation", sql=f"""
-WITH s AS (
-  SELECT source, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sx,
-         sum(n_chars::HUGEINT * n_chars)::HUGEINT AS sxx
-  FROM documents GROUP BY source
-), v AS (
-  SELECT source, n, (n * sxx - sx::HUGEINT * sx) AS s2 FROM s
-), r0 AS (
-  SELECT source, n, s2,
-         CAST(floor(sqrt(CAST(s2 AS DOUBLE))) AS HUGEINT) AS g
-  FROM v
-), w AS (
-  SELECT source, n,
-         (CASE WHEN g * g > s2 THEN g - 1
-               WHEN (g + 1) * (g + 1) <= s2 THEN g + 1
-               ELSE g END)::BIGINT AS wgt
-  FROM r0
-), tot AS (SELECT sum(wgt)::BIGINT AS tw FROM w),
-base AS (
-  SELECT source, n, wgt,
-         ({_NEYMAN_BUDGET}::HUGEINT * wgt // tw)::BIGINT AS base_n,
-         ({_NEYMAN_BUDGET}::HUGEINT * wgt % tw)::BIGINT AS rem
-  FROM w, tot
-), extra AS (
-  SELECT source,
-         row_number() OVER (ORDER BY rem DESC, source) AS rk
-  FROM base
-), left_n AS (
-  SELECT ({_NEYMAN_BUDGET} - sum(base_n))::BIGINT AS k FROM base
-)
-SELECT b.source, b.n, b.wgt,
-       (b.base_n + CASE WHEN e.rk <= (SELECT k FROM left_n)
-                        THEN 1 ELSE 0 END)::BIGINT AS alloc
-FROM base b JOIN extra e USING (source)
-ORDER BY source
-""")
-def neyman_allocation_q(sf_dir: str):
-    """Neyman sample allocation over sources; exact-integer weights and
-    Hamilton remainder assignment per the module note."""
-    import math
-
-    from dataquality_ray.stages.autoroute import guarded_partials
-
-    def part(b: pa.Table) -> pd.DataFrame:
-        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        f = pd.DataFrame({"source": b["source"].to_pandas(),
-                          "n": 1, "sx": x, "sxx": x * x})
-        return f.groupby("source", as_index=False)[
-            ["n", "sx", "sxx"]].sum()
-
-    def fold(f: pd.DataFrame) -> pd.DataFrame:
-        return f.groupby("source", as_index=False)[
-            ["n", "sx", "sxx"]].sum()
-
-    stage = (_read(sf_dir, "documents", ["source", "n_chars"])
-             .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 1_000_000)
-    assert ok and merged is not None  # bounded: source catalog
-    rows = []
-    for s, n, sx, sxx in zip(merged["source"], merged["n"],
-                             merged["sx"], merged["sxx"]):
-        n, sx, sxx = int(n), int(sx), int(sxx)
-        rows.append([s, n, math.isqrt(n * sxx - sx * sx)])
-    rows.sort()
-    tw = sum(r[2] for r in rows)
-    base = [(_NEYMAN_BUDGET * r[2]) // tw for r in rows]
-    rem = [(_NEYMAN_BUDGET * r[2]) % tw for r in rows]
-    k = _NEYMAN_BUDGET - sum(base)
-    order = sorted(range(len(rows)), key=lambda i: (-rem[i], rows[i][0]))
-    alloc = list(base)
-    for i in order[:k]:
-        alloc[i] += 1
-    out = pd.DataFrame(
-        {"source": [r[0] for r in rows],
-         "n": [r[1] for r in rows],
-         "wgt": [r[2] for r in rows],
-         "alloc": alloc})
-    for c in out.columns[1:]:
-        out[c] = out[c].astype(np.int64)
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -913,7 +748,7 @@ def cusum_alarm_q(sf_dir: str):
 _KM_SENTINEL = -1_000_000_000_000
 
 
-@query("kaplan_meier_retention", sql=f"""
+@query("kaplan_meier_log_survival", sql=f"""
 WITH u AS (
   SELECT user_id, min(epoch_us(ts) // 86400000000) AS d0,
          max(epoch_us(ts) // 86400000000) AS d1

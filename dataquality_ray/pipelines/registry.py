@@ -20,6 +20,11 @@ _SQL: dict[str, str] = {}
 
 def query(name: str, sql: str | None = None):
     def deco(fn):
+        if name in _QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already bound to {_QUERIES[name].__module__}."
+                f"{_QUERIES[name].__qualname__})")
         _QUERIES[name] = fn
         if sql is not None:
             _SQL[name] = sql

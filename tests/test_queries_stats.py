@@ -42,19 +42,6 @@ def test_dhondt_total_and_monotonicity():
             assert int(s["seats"].iloc[i]) >= int(s["seats"].iloc[i - 1])
 
 
-def test_flesch_terms_positive():
-    out = qs.readability_flesch_q(SF)
-    assert (out["words"] > 0).all()
-    assert (out["sentences"] > 0).all()
-    assert (out["syllables"] > 0).all()
-
-
-def test_neyman_budget_conserved():
-    out = qs.neyman_allocation_q(SF)
-    assert int(out["alloc"].sum()) == qs._NEYMAN_BUDGET
-    assert (out["wgt"] >= 0).all()
-
-
 def test_cochran_armitage_finite():
     out = qs.cochran_armitage_q(SF)
     assert np.isfinite(out["z_stat"].iloc[0])
