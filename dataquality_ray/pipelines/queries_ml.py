@@ -1,0 +1,456 @@
+"""Density / graph-learning / sequence operators, round-4 batch:
+DBSCAN over the embedding table, Adamic-Adar link prediction and
+Dunning log-likelihood-ratio collocations over the token bigram graph,
+and per-user longest-increasing-subsequence profiling over event values.
+
+House rules (same as every other queries_* module): each operator is a
+Ray Data pipeline whose result is bit-identical to its DuckDB oracle —
+exact integer arithmetic everywhere; any float enters only as a single
+correctly-rounded IEEE op chain replicated verbatim on both engines.
+Per-batch partials flow through the guarded driver combine with the
+key-space boundedness stated at the assert, or route to a distributed
+twin past the cap.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataquality_ray.pipelines.registry import query
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over the quantized embedding grid (Ester et al., KDD'96) — the
+# density clustering every near-dup/quality pipeline reaches for when
+# centroid counts are unknown.  Distances are exact integers on the
+# floor(x*1000) grid (the knn_outlier_scores / intrinsic_dim_twonn
+# convention); a point is CORE iff it has >= _DB_MINNB neighbors within
+# eps (self excluded), clusters are connected components of the
+# core-core adjacency labeled by min vec_id, and border points join the
+# minimum-labeled cluster among their core neighbors (the deterministic
+# tie-break — classic DBSCAN leaves border assignment scan-order
+# dependent, which no distributed engine should reproduce).
+# ---------------------------------------------------------------------------
+
+_DB_EPS2 = 1_350_000  # squared eps on the x1000 int grid (~1.16 real)
+_DB_MINNB = 4
+
+
+@query("dbscan_embeddings", sql=f"""
+WITH RECURSIVE idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS MATERIALIZED (SELECT e.vec_id, idx.i,
+             CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM embeddings e, idx),
+nb AS MATERIALIZED (
+  SELECT a.vec_id AS sid, b.vec_id AS oid
+  FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+  HAVING sum((a.v - b.v) * (a.v - b.v)) <= {_DB_EPS2}
+), core AS MATERIALIZED (
+  SELECT sid FROM nb GROUP BY sid HAVING count(*) >= {_DB_MINNB}
+), ce AS MATERIALIZED (
+  SELECT n.sid AS a, n.oid AS b FROM nb n
+  JOIN core x ON x.sid = n.sid JOIN core y ON y.sid = n.oid
+), reach AS (
+  SELECT a, b FROM ce
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN ce e ON r.b = e.a
+), clab AS (
+  SELECT c.sid, least(c.sid, coalesce(min(r.b), c.sid)) AS cl
+  FROM core c LEFT JOIN reach r ON r.a = c.sid GROUP BY c.sid
+), border AS (
+  SELECT n.sid, min(c.cl) AS cl
+  FROM nb n JOIN clab c ON c.sid = n.oid
+  WHERE n.sid NOT IN (SELECT sid FROM core)
+  GROUP BY n.sid
+)
+SELECT e.vec_id,
+       CASE WHEN k.cl IS NOT NULL THEN 'core'
+            WHEN b.cl IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(k.cl, b.cl, -1)::BIGINT AS cluster
+FROM embeddings e
+LEFT JOIN clab k ON k.sid = e.vec_id
+LEFT JOIN border b ON b.sid = e.vec_id
+ORDER BY e.vec_id
+""")
+def dbscan_embeddings_q(sf_dir: str):
+    """DBSCAN assignment (role + cluster label) for every embedding.
+
+    The engine broadcasts the quantized matrix once (ray.put) and each
+    batch emits its exact-integer eps-neighbor pairs with one
+    |a|^2+|b|^2-2ab int64 matmul — the same brute-force kernel as
+    knn_outlier_scores; stages/ann.py's LSH/IVF bucketing is the
+    beyond-memory path for the neighbor join.  Pair partials fold
+    through the guarded combine (cap = pair count; past it the
+    component step is stages/minhash.py's pointer-jumping min-label
+    propagation over the pair Dataset).  Core/border/noise and the
+    min-vec_id component labels are order-free, so the driver
+    union-find and the oracle's transitive-closure CTE agree exactly.
+    """
+    import ray
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    emb = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    g = np.floor(np.stack(emb["embedding"].to_numpy())
+                 .astype(np.float64) * 1000.0).astype(np.int64)
+    gids = emb["vec_id"].to_numpy(dtype=np.int64)
+    ref = ray.put((g, gids, (g * g).sum(axis=1)))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        from dataquality_ray.stages.ann import _stack_embeddings
+        gm, gid, gsq = ray.get(ref)
+        x = np.floor(_stack_embeddings(batch, "embedding")
+                     .astype(np.float64) * 1000.0).astype(np.int64)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = ((x * x).sum(axis=1)[:, None] + gsq[None, :]
+              - 2 * (x @ gm.T))
+        adj = (d2 <= _DB_EPS2) & (vid[:, None] != gid[None, :])
+        si, oi = np.nonzero(adj)
+        return pd.DataFrame({"sid": vid[si], "oid": gid[oi]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates(["sid", "oid"])
+
+    pairs, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    # bounded: eps-neighbor pairs; past cap -> minhash.components twin
+    assert ok, "eps-pair keyspace over cap: route stages/minhash components"
+    out = pd.DataFrame({"vec_id": gids})
+    if pairs is None or not len(pairs):
+        out["role"] = "noise"
+        out["cluster"] = np.int64(-1)
+        return out
+
+    deg = pairs.groupby("sid").size()
+    core = set(deg[deg >= _DB_MINNB].index)
+    parent: dict[int, int] = {c: c for c in core}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, o in zip(pairs["sid"].to_numpy(), pairs["oid"].to_numpy()):
+        s, o = int(s), int(o)
+        if s in core and o in core:
+            rs, ro = find(s), find(o)
+            if rs != ro:
+                parent[max(rs, ro)] = min(rs, ro)
+    clab = {c: find(c) for c in core}
+    border: dict[int, int] = {}
+    for s, o in zip(pairs["sid"].to_numpy(), pairs["oid"].to_numpy()):
+        s, o = int(s), int(o)
+        if s not in core and o in core:
+            lab = clab[o]
+            if s not in border or lab < border[s]:
+                border[s] = lab
+    roles, labels = [], []
+    for v in gids:
+        v = int(v)
+        if v in clab:
+            roles.append("core")
+            labels.append(clab[v])
+        elif v in border:
+            roles.append("border")
+            labels.append(border[v])
+        else:
+            roles.append("noise")
+            labels.append(-1)
+    out["role"] = roles
+    out["cluster"] = pd.Series(labels, dtype=np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over the undirected token bigram graph
+# (Adamic & Adar, Social Networks'03): for each non-adjacent pair the
+# score sums 1/ln(deg(v)) over common neighbors v.  Each neighbor's
+# contribution is the exact integer 10^12 // floor(ln(deg)*1e6) (pico
+# units; a common neighbor has deg >= 2 so the log is positive), making
+# the pair score an order-free integer sum.
+# ---------------------------------------------------------------------------
+
+_AA_TOP = 20
+
+
+def _aa_weight(deg: int) -> int:
+    return 10 ** 12 // math.floor(math.log(deg) * 1e6)
+
+
+@query("adamic_adar_linkpred", sql="""
+WITH toks AS (SELECT list_filter(regexp_split_to_array(coalesce(text,''),
+                  '\\s+'), x -> x <> '') AS ts FROM documents),
+pairs AS (SELECT unnest(range(1, len(ts))) AS i, ts FROM toks),
+edges AS (SELECT ts[i] AS src, ts[i+1] AS dst FROM pairs),
+ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM edges WHERE src <> dst),
+und AS (SELECT a AS x, b AS y FROM ue UNION ALL SELECT b, a FROM ue),
+deg AS (SELECT x, count(*)::BIGINT AS c FROM und GROUP BY x),
+w AS (SELECT x, 1000000000000 // CAST(floor(ln(c::DOUBLE) * 1e6)
+                                      AS BIGINT) AS wt
+      FROM deg WHERE c >= 2),
+cand AS (
+  SELECT u1.y AS tok_a, u2.y AS tok_b, sum(w.wt)::HUGEINT AS sc
+  FROM und u1 JOIN und u2 ON u2.x = u1.x AND u1.y < u2.y
+  JOIN w ON w.x = u1.x
+  GROUP BY 1, 2
+)
+SELECT c.tok_a, c.tok_b, CAST(c.sc AS BIGINT) AS aa_score_pico
+FROM cand c LEFT JOIN ue e ON e.a = c.tok_a AND e.b = c.tok_b
+WHERE e.a IS NULL
+ORDER BY aa_score_pico DESC, tok_a, tok_b
+LIMIT 20
+""")
+def adamic_adar_q(sf_dir: str):
+    """Top-20 predicted links (non-adjacent token pairs) by Adamic-Adar
+    score.  The bigram edge census folds through the guarded combine
+    (vocab-bounded; past the cap the same score is a
+    groupby(neighbor-pair) sum over per-node pair expansions); the
+    wedge expansion itself runs on the driver over the bounded vocab."""
+    from dataquality_ray.pipelines.queries_mining import bigram_edges
+
+    e = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    cols = ("tok_a", "tok_b", "aa_score_pico")
+    if not len(e):
+        return pd.DataFrame({c: pd.Series([], dtype=object if c != cols[2]
+                                          else np.int64) for c in cols})
+    und: dict[str, set] = {}
+    edge_set = set()
+    for s, d in zip(e["src"], e["dst"]):
+        if s == d:
+            continue
+        und.setdefault(s, set()).add(d)
+        und.setdefault(d, set()).add(s)
+        edge_set.add((min(s, d), max(s, d)))
+    score: dict[tuple, int] = {}
+    for v, nbrs in und.items():
+        if len(nbrs) < 2:
+            continue
+        wt = _aa_weight(len(nbrs))
+        ns = sorted(nbrs)
+        for i, u in enumerate(ns):
+            for w2 in ns[i + 1:]:
+                score[(u, w2)] = score.get((u, w2), 0) + wt
+    rows = [(u, w2, s) for (u, w2), s in score.items()
+            if (u, w2) not in edge_set]
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    out = pd.DataFrame(rows[:_AA_TOP], columns=list(cols))
+    out["aa_score_pico"] = out["aa_score_pico"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dunning log-likelihood-ratio collocations (Dunning, CL'93) — the
+# classic surprise score for bigram collocation mining, far better
+# behaved than PMI at low counts.  G^2 = 2 * sum over the 2x2
+# contingency of k_ij * ln(k_ij N / (row_i col_j)); each log term is
+# floored at micro precision so the statistic is an exact integer.
+# All products stay < 2^53, so the Python big-int division and the
+# SQL DOUBLE-cast division are the same correctly-rounded op.
+# ---------------------------------------------------------------------------
+
+_LLR_TERM = ("CASE WHEN {k} > 0 THEN {k} * CAST(floor(ln("
+             "CAST({k} * n AS DOUBLE) / CAST({r} * {c} AS DOUBLE)"
+             ") * 1e6) AS BIGINT) ELSE 0 END")
+
+
+@query("dunning_llr_bigrams", sql=f"""
+WITH toks AS (SELECT list_filter(regexp_split_to_array(coalesce(text,''),
+                  '\\s+'), x -> x <> '') AS ts FROM documents),
+pairs AS (SELECT unnest(range(1, len(ts))) AS i, ts FROM toks),
+edges AS (SELECT ts[i] AS src, ts[i+1] AS dst, count(*)::BIGINT AS cnt
+          FROM pairs GROUP BY 1, 2),
+tot AS (SELECT sum(cnt)::BIGINT AS n FROM edges),
+ra AS (SELECT src, sum(cnt)::BIGINT AS r1 FROM edges GROUP BY src),
+cb AS (SELECT dst, sum(cnt)::BIGINT AS c1 FROM edges GROUP BY dst),
+k AS (SELECT e.src, e.dst, e.cnt AS k11, ra.r1, cb.c1, tot.n
+      FROM edges e JOIN ra ON ra.src = e.src
+      JOIN cb ON cb.dst = e.dst CROSS JOIN tot),
+t AS (SELECT src, dst, n, r1, c1, k11,
+             r1 - k11 AS k12, c1 - k11 AS k21,
+             n - r1 - c1 + k11 AS k22
+      FROM k)
+SELECT src AS tok_a, dst AS tok_b, k11 AS n_pair,
+       (2 * ({_LLR_TERM.format(k='k11', r='r1', c='c1')}
+           + {_LLR_TERM.format(k='k12', r='r1', c='(n - c1)')}
+           + {_LLR_TERM.format(k='k21', r='(n - r1)', c='c1')}
+           + {_LLR_TERM.format(k='k22', r='(n - r1)', c='(n - c1)')}
+       ))::BIGINT AS llr_micro
+FROM t ORDER BY llr_micro DESC, tok_a, tok_b
+LIMIT 20
+""")
+def dunning_llr_q(sf_dir: str):
+    """Top-20 bigram collocations by Dunning G^2 (micro-nats).  Reuses
+    the guarded bigram census; margins and the four contingency terms
+    are driver arithmetic over the vocab-bounded count frame."""
+    from dataquality_ray.pipelines.queries_mining import bigram_edges
+
+    e = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    cols = ("tok_a", "tok_b", "n_pair", "llr_micro")
+    if not len(e):
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c in cols[:2] else np.int64)
+            for c in cols})
+    n = int(e["cnt"].sum())
+    ra = e.groupby("src")["cnt"].sum().to_dict()
+    cb = e.groupby("dst")["cnt"].sum().to_dict()
+
+    def term(k: int, r: int, c: int) -> int:
+        if k <= 0:
+            return 0
+        return k * math.floor(math.log((k * n) / (r * c)) * 1e6)
+
+    rows = []
+    for s, d, k11 in zip(e["src"], e["dst"], e["cnt"]):
+        k11 = int(k11)
+        r1, c1 = int(ra[s]), int(cb[d])
+        llr = 2 * (term(k11, r1, c1)
+                   + term(r1 - k11, r1, n - c1)
+                   + term(c1 - k11, n - r1, c1)
+                   + term(n - r1 - c1 + k11, n - r1, n - c1))
+        rows.append((s, d, k11, llr))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    out = pd.DataFrame(rows[:20], columns=list(cols))
+    out["n_pair"] = out["n_pair"].astype(np.int64)
+    out["llr_micro"] = out["llr_micro"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Longest strictly-increasing subsequence of event values per
+# (user, event_type) — the monotone-engagement profile (and the classic
+# O(n log n) patience-sorting kernel).  Values quantize to exact cents
+# via floor(v*100 + 0.5), one shared double chain.  The oracle replays
+# the DP len[i] = 1 + max(len[j] : j < i, v_j < v_i) with _LIS_ROUNDS
+# unrolled MATERIALIZED relaxation rounds (each round extends the
+# longest chain by >= 1, so R rounds are exact for every LIS <= R; the
+# engine asserts the bound).
+# ---------------------------------------------------------------------------
+
+_LIS_ROUNDS = 20
+
+
+def _lis_sql() -> str:
+    ctes = [
+        """seq AS MATERIALIZED (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS i,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+)""",
+        """prs AS MATERIALIZED (
+  SELECT a.user_id, a.event_type, a.i AS i, b.i AS j
+  FROM seq a JOIN seq b
+    ON b.user_id = a.user_id AND b.event_type = a.event_type
+   AND b.i < a.i AND b.v < a.v
+)""",
+        "l0 AS MATERIALIZED (SELECT user_id, event_type, i, "
+        "1::BIGINT AS ln FROM seq)",
+    ]
+    for r in range(1, _LIS_ROUNDS + 1):
+        ctes.append(f"""l{r} AS MATERIALIZED (
+  SELECT c.user_id, c.event_type, c.i,
+         greatest(c.ln, coalesce(max(p2.ln) + 1, 1)) AS ln
+  FROM l{r - 1} c
+  LEFT JOIN prs pr ON pr.user_id = c.user_id
+   AND pr.event_type = c.event_type AND pr.i = c.i
+  LEFT JOIN l{r - 1} p2 ON p2.user_id = pr.user_id
+   AND p2.event_type = pr.event_type AND p2.i = pr.j
+  GROUP BY c.user_id, c.event_type, c.i, c.ln
+)""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT user_id, event_type, count(*)::BIGINT AS n_events,\n"
+            f"       max(ln)::BIGINT AS lis_len\n"
+            f"FROM l{_LIS_ROUNDS} GROUP BY user_id, event_type\n"
+            f"ORDER BY user_id, event_type")
+
+
+def _lis_len(vals: np.ndarray) -> int:
+    from bisect import bisect_left
+
+    tails: list[int] = []
+    for v in vals:
+        v = int(v)
+        p = bisect_left(tails, v)
+        if p == len(tails):
+            tails.append(v)
+        else:
+            tails[p] = v
+    return len(tails)
+
+
+def _lis_group(f: pd.DataFrame) -> pd.DataFrame:
+    f = f.sort_values(["ts", "event_id"])
+    g = (f.groupby(["user_id", "event_type"], sort=True)["v"]
+         .agg([("n_events", "size"), ("lis_len", _lis_len)])
+         .reset_index())
+    g["n_events"] = g["n_events"].astype(np.int64)
+    g["lis_len"] = g["lis_len"].astype(np.int64)
+    return g
+
+
+@query("lis_user_values", sql=_lis_sql())
+def lis_user_values_q(sf_dir: str):
+    """LIS length + event count per (user, event_type).  Raw (ts,
+    event_id, cents) rows stream through the guarded combine (cap =
+    event rows); past the cap the identical per-group patience kernel
+    runs inside groupby(user, type).map_groups — the route lands in
+    ROUTE_EVENTS either way."""
+    from dataquality_ray.stages.autoroute import (guarded_partials,
+                                                  record_route)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False)[keep],
+            "event_type": np.asarray(b["event_type"])[keep],
+            "ts": b["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)[keep],
+            "event_id": b["event_id"].to_numpy(zero_copy_only=False)[keep],
+            "v": np.floor(v[keep] * 100.0 + 0.5).astype(np.int64),
+        })
+
+    stage = (_read(sf_dir, "events",
+                   ["event_id", "ts", "user_id", "event_type", "value"])
+             .map_batches(part, batch_format="pyarrow"))
+    rows, ok = guarded_partials(stage, lambda f: f, 2_000_000)
+    if ok:
+        record_route("lis_user_values", "combine", "within cap",
+                     0 if rows is None else len(rows))
+        if rows is None or not len(rows):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "event_type": pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype=np.int64),
+                "lis_len": pd.Series([], dtype=np.int64)})
+        out = _lis_group(rows)
+    else:
+        record_route("lis_user_values", "groupby_twin", "over cap", None)
+        twin = stage.groupby(["user_id", "event_type"]).map_groups(
+            _lis_group, batch_format="pandas")
+        out = (twin.to_pandas()
+               .sort_values(["user_id", "event_type"])
+               .reset_index(drop=True))
+    assert int(out["lis_len"].max()) < _LIS_ROUNDS, \
+        "LIS exceeds the oracle's unrolled relaxation rounds"
+    return (out.sort_values(["user_id", "event_type"])
+            .reset_index(drop=True))

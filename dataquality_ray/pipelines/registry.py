@@ -54,6 +54,7 @@ def _load():
         queries_code,
         queries_corpus,
         queries_mining,
+        queries_ml,
         queries_stats,
         queries_dimensions,
         queries_text,

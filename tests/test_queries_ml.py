@@ -1,0 +1,124 @@
+"""Tests for pipelines/queries_ml.py — DBSCAN, Adamic-Adar, Dunning LLR,
+and per-user LIS (invariants + brute-force parity + route twins)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataquality_ray.pipelines import queries_ml as qm
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_grid(sf=SF):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    f = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    g = np.floor(np.stack(f["embedding"].to_numpy())
+                 .astype(np.float64) * 1000.0).astype(np.int64)
+    return f["vec_id"].to_numpy(np.int64), g
+
+
+def test_dbscan_roles_match_bruteforce(ray_session):
+    out = qm.dbscan_embeddings_q(SF)
+    ids, g = _brute_grid()
+    sq = (g * g).sum(axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2 * (g @ g.T)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    adj = d2 <= qm._DB_EPS2
+    core = adj.sum(axis=1) >= qm._DB_MINNB
+    roles = out.set_index("vec_id")["role"]
+    for i, v in enumerate(ids):
+        if core[i]:
+            assert roles[v] == "core"
+        else:
+            has_core_nb = bool((adj[i] & core).any())
+            assert roles[v] == ("border" if has_core_nb else "noise")
+
+
+def test_dbscan_cluster_labels_are_component_minima(ray_session):
+    out = qm.dbscan_embeddings_q(SF)
+    cores = out[out["role"] == "core"]
+    # every cluster label is itself a core vec_id and <= all members
+    labs = set(cores["cluster"])
+    core_ids = set(cores["vec_id"])
+    assert labs <= core_ids
+    for lab, grp in cores.groupby("cluster"):
+        assert lab == grp["vec_id"].min()
+    assert (out.loc[out["role"] == "noise", "cluster"] == -1).all()
+    # border labels point at an existing core cluster
+    bl = set(out.loc[out["role"] == "border", "cluster"])
+    assert bl <= labs
+
+
+def test_adamic_adar_pairs_nonadjacent_and_sorted(ray_session):
+    out = qm.adamic_adar_q(SF)
+    assert len(out)
+    assert (out["aa_score_pico"] > 0).all()
+    assert out["aa_score_pico"].dtype == np.int64
+    s = out["aa_score_pico"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+    assert (out["tok_a"] < out["tok_b"]).all()
+
+
+def test_dunning_top_pairs_positive_and_ordered(ray_session):
+    out = qm.dunning_llr_q(SF)
+    assert len(out)
+    assert (out["n_pair"] > 0).all()
+    v = out["llr_micro"].to_numpy()
+    assert (v[:-1] >= v[1:]).all()
+
+
+def test_lis_len_brute_force_parity():
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 5, 17, 40):
+        vals = rng.integers(0, 12, size=n)
+        # O(n^2) DP reference
+        dp = [1] * n
+        for i in range(n):
+            for j in range(i):
+                if vals[j] < vals[i]:
+                    dp[i] = max(dp[i], dp[j] + 1)
+        assert qm._lis_len(vals) == max(dp)
+
+
+def test_lis_query_bounds(ray_session):
+    out = qm.lis_user_values_q(SF)
+    assert len(out)
+    assert (out["lis_len"] >= 1).all()
+    assert (out["lis_len"] <= out["n_events"]).all()
+    assert out["lis_len"].max() < qm._LIS_ROUNDS
+
+
+def test_lis_twin_route_equivalence(ray_session, monkeypatch):
+    import dataquality_ray.stages.autoroute as ar
+    from dataquality_ray.stages.autoroute import last_route
+
+    default = qm.lis_user_values_q(SF)
+    assert last_route("lis_user_values")["chosen"] == "combine"
+
+    orig = ar.guarded_partials
+    calls = {"n": 0}
+
+    def abort_first(stage, fn, cap, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None, False
+        return orig(stage, fn, cap, **kw)
+
+    monkeypatch.setattr(ar, "guarded_partials", abort_first)
+    routed = qm.lis_user_values_q(SF)
+    assert last_route("lis_user_values")["chosen"] == "groupby_twin"
+    pd.testing.assert_frame_equal(routed.reset_index(drop=True),
+                                  default.reset_index(drop=True))
+
+
+def test_dbscan_pair_cap_abort_names_twin(ray_session, monkeypatch):
+    import dataquality_ray.stages.autoroute as ar
+
+    monkeypatch.setattr(ar, "guarded_partials",
+                        lambda *a, **k: (None, False))
+    with pytest.raises(AssertionError, match="minhash components"):
+        qm.dbscan_embeddings_q(SF)
