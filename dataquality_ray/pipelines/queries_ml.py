@@ -454,3 +454,386 @@ def lis_user_values_q(sf_dir: str):
         "LIS exceeds the oracle's unrolled relaxation rounds"
     return (out.sort_values(["user_id", "event_type"])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Maximum spanning tree of the token bigram graph (Chow-Liu-style
+# strongest-links skeleton).  Edge comparison is the total order
+# (weight DESC, tok_a ASC, tok_b ASC), so the tree is unique and
+# Kruskal (engine) == Prim (oracle) edge-for-edge.  The oracle grows
+# Prim from the lexicographically smallest token via a linear recursive
+# CTE whose step picks the best crossing edge with a LATERAL
+# ORDER-BY-LIMIT-1; the engine runs Kruskal over the guarded bigram
+# census and keeps the component containing that same start token
+# (identical to Prim's reach on a disconnected graph).
+# ---------------------------------------------------------------------------
+
+_MST_MAX_STEPS = 200
+
+
+@query("max_spanning_tree_tokens", sql=f"""
+WITH RECURSIVE toks AS (SELECT list_filter(regexp_split_to_array(
+                  coalesce(text,''), '\\s+'), x -> x <> '') AS ts
+                FROM documents),
+pairs AS (SELECT unnest(range(1, len(ts))) AS i, ts FROM toks),
+edges AS (SELECT ts[i] AS src, ts[i+1] AS dst, count(*)::BIGINT AS cnt
+          FROM pairs GROUP BY 1, 2),
+ue AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         sum(cnt)::BIGINT AS w
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+start AS (SELECT min(a) AS s FROM ue),
+prim AS (
+  SELECT [(SELECT s FROM start)] AS vis, CAST(NULL AS VARCHAR) AS ea,
+         CAST(NULL AS VARCHAR) AS eb, 0::BIGINT AS ew, 0 AS step
+  UNION ALL
+  SELECT list_append(p.vis, CASE WHEN list_contains(p.vis, e.a)
+                                 THEN e.b ELSE e.a END),
+         e.a, e.b, e.w, p.step + 1
+  FROM prim p JOIN LATERAL (
+    SELECT a, b, w FROM ue
+    WHERE list_contains(p.vis, a) <> list_contains(p.vis, b)
+    ORDER BY w DESC, a, b LIMIT 1
+  ) e ON TRUE
+  WHERE p.step < {_MST_MAX_STEPS}
+)
+SELECT ea AS tok_a, eb AS tok_b, ew AS weight
+FROM prim WHERE step > 0
+ORDER BY weight DESC, tok_a, tok_b
+""")
+def max_spanning_tree_q(sf_dir: str):
+    """Unique maximum spanning tree edges (weight DESC, tok order).
+    Kruskal over the vocab-bounded undirected census; for vocabularies
+    past the driver cap the same tree falls out of Boruvka rounds
+    (per-component argmax edge via groupby + pointer-jumping merge,
+    the stages/minhash.py components machinery)."""
+    from dataquality_ray.pipelines.queries_mining import bigram_edges
+
+    e = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    cols = ("tok_a", "tok_b", "weight")
+    if not len(e):
+        return pd.DataFrame({"tok_a": pd.Series([], dtype=object),
+                             "tok_b": pd.Series([], dtype=object),
+                             "weight": pd.Series([], dtype=np.int64)})
+    e = e[e["src"] != e["dst"]].copy()
+    e["a"] = np.minimum(e["src"], e["dst"])
+    e["b"] = np.maximum(e["src"], e["dst"])
+    ue = (e.groupby(["a", "b"], as_index=False)["cnt"].sum()
+          .rename(columns={"cnt": "w"}))
+    start = min(ue["a"].min(), ue["b"].min())
+    order = sorted(ue.itertuples(index=False),
+                   key=lambda r: (-int(r.w), r.a, r.b))
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen = []
+    for r in order:
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            chosen.append((r.a, r.b, int(r.w)))
+    chosen = [c for c in chosen if find(c[0]) == find(start)]
+    assert len(chosen) < _MST_MAX_STEPS, \
+        "tree exceeds the oracle's Prim step bound"
+    chosen.sort(key=lambda c: (-c[2], c[0], c[1]))
+    out = pd.DataFrame(chosen, columns=list(cols))
+    out["weight"] = out["weight"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Croston's method for intermittent demand (Croston, OR'72) — the
+# standard forecast for sparse per-type daily event counts.  Demand
+# size z and inter-demand interval p smooth with alpha = 1/4 only on
+# demand days: z' = (q + 3z)/4, p' = (gap + 3p)/4 — the identical
+# IEEE double chain in the engine replay and the recursive-CTE oracle,
+# so z/p/forecast are bit-equal.  Initialization: z = first demand,
+# p = first demand day's 1-based offset from the corpus start day.
+# ---------------------------------------------------------------------------
+
+@query("croston_demand_forecast", sql="""
+WITH RECURSIVE dem AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000
+           - (SELECT min(epoch_us(ts) // 86400000000) FROM events) + 1
+           AS day_off,
+         count(*)::BIGINT AS q
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, day_off, q,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY day_off) AS i
+  FROM dem
+), cro AS (
+  SELECT event_type, i, day_off,
+         CAST(q AS DOUBLE) AS z, CAST(day_off AS DOUBLE) AS p
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.event_type, s.i, s.day_off,
+         (s.q + 3 * c.z) / 4,
+         ((s.day_off - c.day_off) + 3 * c.p) / 4
+  FROM cro c JOIN seq s
+    ON s.event_type = c.event_type AND s.i = c.i + 1
+), last AS (
+  SELECT event_type, max(i) AS n FROM cro GROUP BY event_type
+)
+SELECT c.event_type, l.n AS n_demand_days, c.z, c.p,
+       CAST(floor(c.z / c.p * 1e6) AS BIGINT) AS forecast_micro
+FROM cro c JOIN last l ON l.event_type = c.event_type AND c.i = l.n
+ORDER BY c.event_type
+""")
+def croston_forecast_q(sf_dir: str):
+    """Croston demand-rate forecast per event type; (type, day) counts
+    fold through the guarded combine (time-span x type bounded) and the
+    smoothing replays on the driver in day order."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        f = pd.DataFrame({"event_type": np.asarray(b["event_type"]),
+                          "day": day, "q": 1})
+        return f.groupby(["event_type", "day"], as_index=False)["q"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "day"], as_index=False)["q"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: event types x corpus days
+    cols = ("event_type", "n_demand_days", "z", "p", "forecast_micro")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n_demand_days": pd.Series([], dtype=np.int64),
+            "z": pd.Series([], dtype=np.float64),
+            "p": pd.Series([], dtype=np.float64),
+            "forecast_micro": pd.Series([], dtype=np.int64)})
+    d0 = int(merged["day"].min())
+    merged = merged.sort_values(["event_type", "day"])
+    rows = []
+    for et, grp in merged.groupby("event_type", sort=True):
+        offs = (grp["day"].to_numpy(np.int64) - d0 + 1)
+        qs = grp["q"].to_numpy(np.int64)
+        z = float(qs[0])
+        p = float(offs[0])
+        for j in range(1, len(offs)):
+            z = (qs[j] + 3 * z) / 4
+            p = ((offs[j] - offs[j - 1]) + 3 * p) / 4
+        rows.append((et, len(offs), z, p,
+                     math.floor(z / p * 1e6)))
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["n_demand_days"] = out["n_demand_days"].astype(np.int64)
+    out["forecast_micro"] = out["forecast_micro"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling uniformity test of event timestamps within each
+# type's [min, max] span — heavier-tailed than KS against edge
+# clustering.  u_i = (ts - min + 1) / (max - min + 2) keeps every value
+# in (0,1); each log is floored at micro precision so
+# S = sum (2i-1) * (lnf(u_i) + lnf(1 - u_{n+1-i})) is an exact integer
+# and A^2*1e6 = -n*1e6 - trunc(S/n) (sign-aware truncation, the DuckDB
+# // convention, mirrored in Python).
+# ---------------------------------------------------------------------------
+
+@query("anderson_darling_uniform", sql="""
+WITH b AS (
+  SELECT event_type, min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+  FROM events GROUP BY event_type
+), r AS (
+  SELECT e.event_type, epoch_us(e.ts) - b.mn + 1 AS off,
+         b.mx - b.mn + 2 AS den,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY epoch_us(e.ts), e.event_id) AS i,
+         count(*) OVER (PARTITION BY e.event_type) AS n
+  FROM events e JOIN b ON b.event_type = e.event_type
+), t AS (
+  SELECT a.event_type, a.n,
+         (2 * a.i - 1)
+         * (CAST(floor(ln(CAST(a.off AS DOUBLE) / a.den) * 1e6)
+                 AS BIGINT)
+          + CAST(floor(ln(CAST(z.den - z.off AS DOUBLE) / z.den) * 1e6)
+                 AS BIGINT)) AS term
+  FROM r a JOIN r z
+    ON z.event_type = a.event_type AND z.i = a.n + 1 - a.i
+), s AS (
+  SELECT event_type, max(n)::BIGINT AS n, sum(term)::BIGINT AS s_micro
+  FROM t GROUP BY event_type
+)
+SELECT event_type, n, s_micro,
+       (-1000000 * n
+        - (CASE WHEN s_micro < 0 THEN -((-s_micro) // n)
+                ELSE s_micro // n END))::BIGINT AS a2_micro
+FROM s ORDER BY event_type
+""")
+def anderson_darling_q(sf_dir: str):
+    """A-D uniformity statistic per event type.  Raw (type, ts,
+    event_id) rows stream through the guarded combine; past the cap the
+    identical rank kernel runs per group inside
+    groupby(event_type).map_groups."""
+    from dataquality_ray.stages.autoroute import (guarded_partials,
+                                                  record_route)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": np.asarray(b["event_type"]),
+            "us": b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "event_id": b["event_id"].to_numpy(zero_copy_only=False)})
+
+    def _ad_group(f: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in f.groupby("event_type", sort=True):
+            us = g.sort_values(["us", "event_id"])["us"].to_numpy(np.int64)
+            n = len(us)
+            mn, mx = int(us[0]), int(us[-1])
+            den = mx - mn + 2
+            off = us - mn + 1
+            lo = np.floor(np.log(off.astype(np.float64) / den)
+                          * 1e6).astype(np.int64)
+            hi = np.floor(np.log((den - off[::-1]).astype(np.float64)
+                                 / den) * 1e6).astype(np.int64)
+            wi = 2 * np.arange(1, n + 1, dtype=np.int64) - 1
+            s = int((wi * (lo + hi)).sum())
+            trunc = -((-s) // n) if s < 0 else s // n
+            rows.append((et, n, s, -1_000_000 * n - trunc))
+        out = pd.DataFrame(rows, columns=["event_type", "n", "s_micro",
+                                          "a2_micro"])
+        for c in out.columns[1:]:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    stage = (_read(sf_dir, "events", ["event_id", "ts", "event_type"])
+             .map_batches(part, batch_format="pyarrow"))
+    rows, ok = guarded_partials(stage, lambda f: f, 2_000_000)
+    if ok:
+        record_route("anderson_darling_uniform", "combine", "within cap",
+                     0 if rows is None else len(rows))
+        if rows is None or not len(rows):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                **{c: pd.Series([], dtype=np.int64)
+                   for c in ("n", "s_micro", "a2_micro")}})
+        return _ad_group(rows).reset_index(drop=True)
+    record_route("anderson_darling_uniform", "groupby_twin", "over cap",
+                 None)
+    twin = stage.groupby("event_type").map_groups(
+        _ad_group, batch_format="pandas")
+    return (twin.to_pandas().sort_values("event_type")
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Local Outlier Factor (Breunig et al., SIGMOD'00) with k = 3 on the
+# quantized embedding grid.  reach-dist and lrd stay exact rationals:
+# with per-point reach sums s_p and the 3 neighbor sums s_1..s_3,
+# LOF(p) = s_p/3 * (1/s_1 + 1/s_2 + 1/s_3)
+#        = s_p * (s_1 s_2 + s_1 s_3 + s_2 s_3) / (3 s_1 s_2 s_3),
+# emitted as the exact floor-micro integer (HUGEINT in SQL, big ints in
+# Python).  Neighbor sets order by (d2, oid) so ties break identically.
+# ---------------------------------------------------------------------------
+
+_LOF_K = 3
+_LOF_TOP = 20
+
+
+@query("lof_scores", sql=f"""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS MATERIALIZED (SELECT e.vec_id, idx.i,
+       CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000)
+            AS BIGINT) AS v
+     FROM embeddings e, idx),
+d AS MATERIALIZED (
+  SELECT a.vec_id AS sid, b.vec_id AS oid,
+         sum((a.v - b.v) * (a.v - b.v))::BIGINT AS d2
+  FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+), rk AS MATERIALIZED (
+  SELECT sid, oid, d2,
+         row_number() OVER (PARTITION BY sid ORDER BY d2, oid) AS r
+  FROM d
+), nn AS MATERIALIZED (SELECT sid, oid, d2 FROM rk WHERE r <= {_LOF_K}),
+kd AS MATERIALIZED (SELECT sid, max(d2) AS kdist FROM nn GROUP BY sid),
+sr AS MATERIALIZED (
+  SELECT n.sid, sum(greatest(k.kdist, n.d2))::HUGEINT AS s
+  FROM nn n JOIN kd k ON k.sid = n.oid GROUP BY n.sid
+), l AS (
+  SELECT n.sid, list(o.s ORDER BY n.oid) AS ls
+  FROM nn n JOIN sr o ON o.sid = n.oid GROUP BY n.sid
+)
+SELECT l.sid AS vec_id,
+       CAST(p.s * (l.ls[1]*l.ls[2] + l.ls[1]*l.ls[3] + l.ls[2]*l.ls[3])
+            * 1000000 // ({_LOF_K} * l.ls[1]*l.ls[2]*l.ls[3]) AS BIGINT)
+         AS lof_micro
+FROM l JOIN sr p ON p.sid = l.sid
+ORDER BY lof_micro DESC, vec_id LIMIT {_LOF_TOP}
+""")
+def lof_scores_q(sf_dir: str):
+    """Top-{_LOF_TOP} LOF outliers.  Per batch the broadcast int matmul
+    yields each point's (d2, oid)-ordered 3-NN profile; the per-point
+    rows fold through the guarded combine (cap = corpus rows; the
+    beyond-cap path is the pure-join formulation the oracle spells out,
+    each stage a groupby/join over the pair Dataset) and the exact
+    rational LOF assembles on the driver."""
+    import ray
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    emb = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    g = np.floor(np.stack(emb["embedding"].to_numpy())
+                 .astype(np.float64) * 1000.0).astype(np.int64)
+    gids = emb["vec_id"].to_numpy(dtype=np.int64)
+    ref = ray.put((g, gids, (g * g).sum(axis=1)))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        from dataquality_ray.stages.ann import _stack_embeddings
+        gm, gid, gsq = ray.get(ref)
+        x = np.floor(_stack_embeddings(batch, "embedding")
+                     .astype(np.float64) * 1000.0).astype(np.int64)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = ((x * x).sum(axis=1)[:, None] + gsq[None, :]
+              - 2 * (x @ gm.T))
+        d2[vid[:, None] == gid[None, :]] = np.iinfo(np.int64).max
+        ordi = np.lexsort((np.broadcast_to(gid, d2.shape), d2), axis=1)
+        top = ordi[:, :_LOF_K]
+        rows = {"vec_id": np.repeat(vid, _LOF_K),
+                "oid": gid[top].ravel(),
+                "d2": np.take_along_axis(d2, top, axis=1).ravel()}
+        return pd.DataFrame(rows)
+
+    prof, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f, 2_000_000)
+    # bounded: k rows per corpus point; past cap -> join twin (oracle shape)
+    assert ok, "kNN profile over cap: route the join-stage twin"
+    cols = ("vec_id", "lof_micro")
+    if prof is None or not len(prof):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    kdist = prof.groupby("vec_id")["d2"].max().to_dict()
+    reach = {v: 0 for v in kdist}
+    for v, o, dd in zip(prof["vec_id"].to_numpy(),
+                        prof["oid"].to_numpy(), prof["d2"].to_numpy()):
+        reach[int(v)] += max(int(kdist[int(o)]), int(dd))
+    nb: dict[int, list] = {}
+    for v, o in zip(prof["vec_id"].to_numpy(), prof["oid"].to_numpy()):
+        nb.setdefault(int(v), []).append(int(o))
+    rows = []
+    for v, os_ in nb.items():
+        s1, s2, s3 = (reach[o] for o in sorted(os_))
+        num = reach[v] * (s1 * s2 + s1 * s3 + s2 * s3) * 1_000_000
+        rows.append((v, num // (_LOF_K * s1 * s2 * s3)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    out = pd.DataFrame(rows[:_LOF_TOP], columns=list(cols))
+    return out.astype(np.int64)

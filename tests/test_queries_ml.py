@@ -122,3 +122,122 @@ def test_dbscan_pair_cap_abort_names_twin(ray_session, monkeypatch):
                         lambda *a, **k: (None, False))
     with pytest.raises(AssertionError, match="minhash components"):
         qm.dbscan_embeddings_q(SF)
+
+
+def test_mst_is_spanning_tree_and_prim_parity(ray_session):
+    out = qm.max_spanning_tree_q(SF)
+    assert len(out)
+    # acyclic + connected over its own vertex set (tree property)
+    nodes = set(out["tok_a"]) | set(out["tok_b"])
+    assert len(out) == len(nodes) - 1
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(out["tok_a"], out["tok_b"]):
+        ra, rb = find(a), find(b)
+        assert ra != rb  # no cycle
+        parent[ra] = rb
+    # independent Prim replay over the same census
+    from dataquality_ray.pipelines.queries_mining import bigram_edges
+    from dataquality_ray.pipelines.queries_ml import _read
+    e = bigram_edges(_read(SF, "documents", ["text"]))
+    e = e[e["src"] != e["dst"]]
+    ue = {}
+    for s, d, c in zip(e["src"], e["dst"], e["cnt"]):
+        k = (min(s, d), max(s, d))
+        ue[k] = ue.get(k, 0) + int(c)
+    start = min(min(a, b) for a, b in ue)
+    vis = {start}
+    chosen = set()
+    while True:
+        cand = [(-w, a, b) for (a, b), w in ue.items()
+                if (a in vis) != (b in vis)]
+        if not cand:
+            break
+        w, a, b = min(cand)
+        chosen.add((a, b, -w))
+        vis |= {a, b}
+    assert chosen == set(map(tuple, out.itertuples(index=False)))
+
+
+def test_croston_replay_one_type(ray_session):
+    out = qm.croston_forecast_q(SF)
+    assert len(out)
+    assert (out["forecast_micro"] > 0).all()
+    assert (out["p"] > 0).all()
+    # explicit replay for the first type from raw parquet
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type"])
+    f = t.to_pandas()
+    f["day"] = f["ts"].astype("int64") // 86_400_000_000
+    d0 = int(f["day"].min())
+    et = out["event_type"].iloc[0]
+    g = (f[f["event_type"] == et].groupby("day").size()
+         .sort_index())
+    offs = g.index.to_numpy() - d0 + 1
+    z, p = float(g.iloc[0]), float(offs[0])
+    for j in range(1, len(g)):
+        z = (g.iloc[j] + 3 * z) / 4
+        p = ((offs[j] - offs[j - 1]) + 3 * p) / 4
+    assert out["z"].iloc[0] == z and out["p"].iloc[0] == p
+
+
+def test_anderson_darling_twin_route(ray_session, monkeypatch):
+    import dataquality_ray.stages.autoroute as ar
+    from dataquality_ray.stages.autoroute import last_route
+
+    default = qm.anderson_darling_q(SF)
+    assert last_route("anderson_darling_uniform")["chosen"] == "combine"
+    assert (default["s_micro"] < 0).all()
+
+    orig = ar.guarded_partials
+    calls = {"n": 0}
+
+    def abort_first(stage, fn, cap, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None, False
+        return orig(stage, fn, cap, **kw)
+
+    monkeypatch.setattr(ar, "guarded_partials", abort_first)
+    routed = qm.anderson_darling_q(SF)
+    assert last_route("anderson_darling_uniform")["chosen"] == \
+        "groupby_twin"
+    pd.testing.assert_frame_equal(routed.reset_index(drop=True),
+                                  default.reset_index(drop=True))
+
+
+def test_lof_bruteforce_parity(ray_session):
+    out = qm.lof_scores_q(SF)
+    assert len(out) == qm._LOF_TOP
+    ids, g = _brute_grid()
+    sq = (g * g).sum(axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2 * (g @ g.T)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    k = qm._LOF_K
+    ordi = np.lexsort((np.broadcast_to(ids, d2.shape), d2), axis=1)
+    top = ordi[:, :k]
+    kdist = {int(ids[i]): int(d2[i, top[i, -1]]) for i in range(len(ids))}
+    pos = {int(v): i for i, v in enumerate(ids)}
+    reach = {}
+    nbs = {}
+    for i, v in enumerate(ids):
+        v = int(v)
+        os_ = [int(ids[j]) for j in top[i]]
+        nbs[v] = os_
+        reach[v] = sum(max(kdist[o], int(d2[i, pos[o]])) for o in os_)
+    rows = []
+    for v, os_ in nbs.items():
+        s1, s2, s3 = (reach[o] for o in sorted(os_))
+        num = reach[v] * (s1 * s2 + s1 * s3 + s2 * s3) * 1_000_000
+        rows.append((v, num // (k * s1 * s2 * s3)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    expect = pd.DataFrame(rows[:qm._LOF_TOP],
+                          columns=["vec_id", "lof_micro"]).astype(np.int64)
+    pd.testing.assert_frame_equal(out, expect)
