@@ -1,0 +1,105 @@
+"""Interchange-format roundtrip operators: the ORC and Arrow-IPC
+sources/sinks (sources/columnar.py) exercised end-to-end — distributed
+write from the parquet Dataset, distributed re-read, then a per-source
+aggregate the driver hash-checks against DuckDB over the original
+parquet.  Any decode/encode defect (dropped rows, mangled strings,
+wrong column binding) breaks the hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dataquality_ray.pipelines.registry import query
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+_RT_SQL = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id,
+       sum(length(coalesce(text, '')))::BIGINT AS sum_text_len
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def _roundtrip(sf_dir: str, fmt: str) -> pd.DataFrame:
+    from dataquality_ray.sources.columnar import (read_ipc, read_orc,
+                                                  write_ipc, write_orc)
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = f"/tmp/dq_io/{key}/documents_{fmt}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "source", "n_chars", "text"])
+    if fmt == "orc":
+        write_orc(ds, out_dir)
+        back = read_orc(out_dir)
+    else:
+        write_ipc(ds, out_dir)
+        back = read_ipc(out_dir)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        txt_len = pc.utf8_length(
+            pc.coalesce(b["text"], pa.scalar(""))).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        f = pd.DataFrame({
+            "source": np.asarray(b["source"]),
+            "n_docs": 1,
+            "sum_chars": b["n_chars"].to_numpy(zero_copy_only=False),
+            "min_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            "max_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            "sum_text_len": txt_len})
+        return f.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
+            min_id=("min_id", "min"), max_id=("max_id", "max"),
+            sum_text_len=("sum_text_len", "sum"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
+            min_id=("min_id", "min"), max_id=("max_id", "max"),
+            sum_text_len=("sum_text_len", "sum"))
+
+    merged, ok = guarded_partials(
+        back.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: source catalog
+    cols = ("source", "n_docs", "sum_chars", "min_id", "max_id",
+            "sum_text_len")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "source" else np.int64)
+            for c in cols})
+    out = merged.sort_values("source").reset_index(drop=True)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out[list(cols)]
+
+
+@query("orc_roundtrip_stats", sql=_RT_SQL)
+def orc_roundtrip_q(sf_dir: str):
+    """documents -> distributed ORC write (one file per block, stripe-
+    streaming re-read) -> per-source aggregate; hash-equal to DuckDB
+    over the original parquet iff the ORC encode/decode is lossless."""
+    return _roundtrip(sf_dir, "orc")
+
+
+@query("ipc_roundtrip_stats", sql=_RT_SQL)
+def ipc_roundtrip_q(sf_dir: str):
+    """documents -> Arrow IPC FILE-format write -> record-batch-
+    streaming re-read -> per-source aggregate (Feather v2 parity)."""
+    return _roundtrip(sf_dir, "ipc")

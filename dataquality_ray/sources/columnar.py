@@ -1,0 +1,120 @@
+"""ORC and Arrow IPC (Feather v2) sources/sinks for Ray Data.
+
+Ray ships parquet/CSV/JSON readers but no ORC or Arrow-IPC ones; both
+formats are common interchange outputs of warehouse exports (ORC) and
+single-machine feature pipelines (Feather), so the engine accepts them
+natively.  Reads stream per ORC stripe / IPC record batch through
+``FileBasedDatasource`` (zero-copy Arrow blocks, column pruning at the
+decode); writes go through ``BlockBasedFileDatasink`` — one file per
+block, the same resumable layout as the parquet writers.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pyarrow as pa
+
+from ray.data.datasource import BlockBasedFileDatasink, FileBasedDatasource
+
+
+class OrcDatasource(FileBasedDatasource):
+    """Stripe-streaming ORC reader (pyarrow.orc)."""
+
+    _FILE_EXTENSIONS = ["orc"]
+
+    def __init__(self, paths, columns: Optional[list] = None, **kwargs):
+        super().__init__(paths, **kwargs)
+        self._columns = columns
+
+    def _read_stream(self, f: "pa.NativeFile",
+                     path: str) -> Iterator[pa.Table]:
+        from pyarrow import orc
+
+        # ORC needs random access; the datasource hands us a readable
+        # NativeFile — buffer it if the underlying stream can't seek.
+        try:
+            f.seek(0)
+            src = f
+        except OSError:
+            src = pa.BufferReader(f.readall())
+        o = orc.ORCFile(src)
+        if o.nstripes == 0:
+            yield o.read(columns=self._columns)
+            return
+        for i in range(o.nstripes):
+            yield pa.Table.from_batches(
+                [o.read_stripe(i, columns=self._columns)])
+
+
+class OrcDatasink(BlockBasedFileDatasink):
+    """One ORC file per block."""
+
+    def __init__(self, path: str, **kwargs):
+        super().__init__(path, file_format="orc", **kwargs)
+
+    def write_block_to_file(self, block, file: "pa.NativeFile"):
+        from pyarrow import orc
+
+        orc.write_table(block.to_arrow(), file)
+
+
+class IpcDatasource(FileBasedDatasource):
+    """Arrow IPC reader — accepts both the FILE format (magic ``ARROW1``,
+    what Feather v2 writes) and the STREAM format, per-record-batch."""
+
+    _FILE_EXTENSIONS = ["arrow", "feather", "ipc", "arrows"]
+
+    def __init__(self, paths, columns: Optional[list] = None, **kwargs):
+        super().__init__(paths, **kwargs)
+        self._columns = columns
+
+    def _read_stream(self, f: "pa.NativeFile",
+                     path: str) -> Iterator[pa.Table]:
+        buf = pa.BufferReader(f.readall())
+        head = bytes(buf.read(8))
+        buf.seek(0)
+        rd = (pa.ipc.open_file(buf) if head.startswith(b"ARROW1")
+              else pa.ipc.open_stream(buf))
+        if hasattr(rd, "num_record_batches"):
+            batches = (rd.get_batch(i)
+                       for i in range(rd.num_record_batches))
+        else:
+            batches = rd
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            yield t.select(self._columns) if self._columns else t
+
+
+class IpcDatasink(BlockBasedFileDatasink):
+    """One Arrow IPC FILE-format (Feather v2-compatible) file per block."""
+
+    def __init__(self, path: str, **kwargs):
+        super().__init__(path, file_format="arrow", **kwargs)
+
+    def write_block_to_file(self, block, file: "pa.NativeFile"):
+        t = block.to_arrow()
+        with pa.ipc.new_file(file, t.schema) as w:
+            w.write_table(t)
+
+
+def read_orc(paths, columns: Optional[list] = None, **kwargs):
+    import ray.data as rd
+
+    return rd.read_datasource(OrcDatasource(paths, columns=columns),
+                              **kwargs)
+
+
+def read_ipc(paths, columns: Optional[list] = None, **kwargs):
+    import ray.data as rd
+
+    return rd.read_datasource(IpcDatasource(paths, columns=columns),
+                              **kwargs)
+
+
+def write_orc(ds, path: str, **kwargs):
+    ds.write_datasink(OrcDatasink(path, **kwargs))
+
+
+def write_ipc(ds, path: str, **kwargs):
+    ds.write_datasink(IpcDatasink(path, **kwargs))

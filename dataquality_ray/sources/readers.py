@@ -43,6 +43,14 @@ def read_table(path: str, columns: list[str] | None = None,
     if ext == ".xlsx":
         ds = read_xlsx(path)
         return ds.select_columns(columns) if columns else ds
+    if ext == ".orc":
+        from dataquality_ray.sources.columnar import read_orc
+
+        return read_orc(path, columns=columns, **kwargs)
+    if ext in (".arrow", ".feather", ".ipc", ".arrows"):
+        from dataquality_ray.sources.columnar import read_ipc
+
+        return read_ipc(path, columns=columns, **kwargs)
     raise ValueError(f"unsupported source extension {ext!r} ({path})")
 
 

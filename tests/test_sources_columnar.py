@@ -1,0 +1,76 @@
+"""ORC / Arrow-IPC source+sink tests: lossless roundtrip, column
+pruning at the decode, both IPC container formats, read_table dispatch."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dataquality_ray.sources.columnar import (read_ipc, read_orc,
+                                              write_ipc, write_orc)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+def _sorted_pdf(ds):
+    return (ds.to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+@pytest.mark.parametrize("fmt", ["orc", "ipc"])
+def test_roundtrip_lossless(ray_session, fmt, tmp_path):
+    import ray.data as rd
+
+    src = rd.read_parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / fmt)
+    (write_orc if fmt == "orc" else write_ipc)(src, out)
+    back = (read_orc if fmt == "orc" else read_ipc)(out)
+    expect = _docs().to_pandas().sort_values("doc_id").reset_index(
+        drop=True)
+    got = _sorted_pdf(back)[expect.columns.tolist()]
+    assert got.equals(expect)
+
+
+@pytest.mark.parametrize("fmt", ["orc", "ipc"])
+def test_column_pruning(ray_session, fmt, tmp_path):
+    import ray.data as rd
+
+    src = rd.read_parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / fmt)
+    (write_orc if fmt == "orc" else write_ipc)(src, out)
+    back = (read_orc if fmt == "orc" else read_ipc)(
+        out, columns=["doc_id", "source"])
+    assert set(back.schema().names) == {"doc_id", "source"}
+    assert back.count() == 500
+
+
+def test_ipc_stream_format_also_reads(ray_session, tmp_path):
+    t = _docs()
+    p = str(tmp_path / "docs.arrows")
+    with pa.OSFile(p, "wb") as f, pa.ipc.new_stream(f, t.schema) as w:
+        w.write_table(t)
+    back = read_ipc(p)
+    assert back.count() == len(t)
+    got = _sorted_pdf(back)
+    assert got["doc_id"].tolist() == sorted(t["doc_id"].to_pylist())
+
+
+def test_read_table_dispatch(ray_session, tmp_path):
+    from dataquality_ray.sources.readers import read_table
+
+    t = _docs()
+    po = str(tmp_path / "docs.orc")
+    from pyarrow import orc
+    orc.write_table(t, po)
+    ds = read_table(po, columns=["doc_id", "n_chars"])
+    assert set(ds.schema().names) == {"doc_id", "n_chars"}
+    pf = str(tmp_path / "docs.feather")
+    import pyarrow.feather as fe
+    fe.write_feather(t, pf)
+    ds2 = read_table(pf)
+    assert ds2.count() == len(t)
