@@ -837,3 +837,469 @@ def lof_scores_q(sf_dir: str):
     rows.sort(key=lambda r: (-r[1], r[0]))
     out = pd.DataFrame(rows[:_LOF_TOP], columns=list(cols))
     return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# UCB1 policy audit (Auer et al., ML'02) replayed at daily granularity:
+# arms = event types, reward = 1 iff the event's value exceeds 50.00.
+# Because UCB1's state is only each arm's cumulative (plays, wins), the
+# replay needs no recursion — day-d scores come from prefix sums over
+# days < d.  score_micro = (wins*1e6)//plays + floor(sqrt(2.0*ln(d)/
+# plays)*1e6) (exact integer mean term + one shared double chain);
+# unplayed arms take priority (min name first), ties break by arm name.
+# ---------------------------------------------------------------------------
+
+@query("ucb1_daily_policy_audit", sql="""
+WITH d AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000
+           - (SELECT min(epoch_us(ts) // 86400000000) FROM events) + 1
+           AS day_off,
+         count(*)::BIGINT AS n,
+         sum(CASE WHEN floor(value * 100 + 0.5) > 5000
+                  THEN 1 ELSE 0 END)::BIGINT AS w
+  FROM events GROUP BY 1, 2
+), days AS (SELECT DISTINCT day_off FROM d),
+arms AS (SELECT DISTINCT event_type FROM d),
+cum AS (
+  SELECT dy.day_off, a.event_type,
+         coalesce(sum(d.n), 0)::BIGINT AS plays,
+         coalesce(sum(d.w), 0)::BIGINT AS wins
+  FROM days dy CROSS JOIN arms a
+  LEFT JOIN d ON d.event_type = a.event_type AND d.day_off < dy.day_off
+  GROUP BY 1, 2
+), sc AS (
+  SELECT day_off, event_type, plays,
+         CASE WHEN plays = 0 THEN NULL
+              ELSE (wins * 1000000) // plays
+                 + CAST(floor(sqrt(2.0 * ln(CAST(day_off AS DOUBLE))
+                                   / plays) * 1e6) AS BIGINT) END
+           AS score_micro
+  FROM cum
+), srk AS (
+  SELECT day_off, event_type, plays,
+         row_number() OVER (PARTITION BY day_off
+           ORDER BY score_micro DESC, event_type) AS rk
+  FROM sc WHERE plays > 0
+), rec AS (
+  SELECT s.day_off,
+         coalesce((SELECT min(u.event_type) FROM sc u
+                   WHERE u.day_off = s.day_off AND u.plays = 0),
+                  min(s.event_type) FILTER (WHERE s.rk = 1))
+           AS recommended
+  FROM srk s WHERE s.day_off > 1 GROUP BY s.day_off
+), act AS (
+  SELECT day_off, min(event_type) AS actual_top
+  FROM d x WHERE n = (SELECT max(n) FROM d y
+                      WHERE y.day_off = x.day_off)
+  GROUP BY day_off
+), vol AS (SELECT day_off, sum(n)::BIGINT AS n_events FROM d GROUP BY 1)
+SELECT r.day_off::BIGINT AS day_off, r.recommended, a.actual_top,
+       v.n_events,
+       CAST(r.recommended = a.actual_top AS BIGINT) AS match
+FROM rec r JOIN act a ON a.day_off = r.day_off
+JOIN vol v ON v.day_off = r.day_off
+ORDER BY r.day_off
+""")
+def ucb1_policy_audit_q(sf_dir: str):
+    """Per day >= 2: the arm UCB1 would recommend from history vs the
+    day's actual modal event type.  (type, day) play/win partials fold
+    through the guarded combine (types x corpus days bounded); prefix
+    sums replay the policy on the driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        win = (np.floor(v * 100.0 + 0.5) > 5000).astype(np.int64)
+        f = pd.DataFrame({"event_type": np.asarray(b["event_type"]),
+                          "day": day, "n": 1, "w": win})
+        return f.groupby(["event_type", "day"],
+                         as_index=False)[["n", "w"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "day"],
+                         as_index=False)[["n", "w"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: event types x corpus days
+    cols = ("day_off", "recommended", "actual_top", "n_events", "match")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "day_off": pd.Series([], dtype=np.int64),
+            "recommended": pd.Series([], dtype=object),
+            "actual_top": pd.Series([], dtype=object),
+            "n_events": pd.Series([], dtype=np.int64),
+            "match": pd.Series([], dtype=np.int64)})
+    d0 = int(merged["day"].min())
+    merged = merged.assign(day_off=merged["day"] - d0 + 1)
+    arms = sorted(merged["event_type"].unique())
+    days = sorted(merged["day_off"].unique())
+    byday = {d: g for d, g in merged.groupby("day_off")}
+    plays = {a: 0 for a in arms}
+    wins = {a: 0 for a in arms}
+    rows = []
+    for d in days:
+        # state holds exactly the days before d (updated at loop end)
+        if d > 1:
+            unplayed = [a for a in arms if plays[a] == 0]
+            if unplayed:
+                recommended = min(unplayed)
+            else:
+                best = None
+                for a in arms:
+                    sc = (wins[a] * 1_000_000 // plays[a]
+                          + math.floor(math.sqrt(
+                              2.0 * math.log(d) / plays[a]) * 1e6))
+                    k = (-sc, a)
+                    if best is None or k < best[0]:
+                        best = (k, a)
+                recommended = best[1]
+            g = byday[d]
+            mx = int(g["n"].max())
+            actual = min(g.loc[g["n"] == mx, "event_type"])
+            rows.append((d, recommended, actual, int(g["n"].sum()),
+                         int(recommended == actual)))
+        for _, r in byday[d].iterrows():
+            plays[r["event_type"]] += int(r["n"])
+            wins[r["event_type"]] += int(r["w"])
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in ("day_off", "n_events", "match"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Page's trend test (Page, JASA'63) for a monotone weekly trend in user
+# activity: subjects = users active in all 4 complete weeks, conditions
+# = weeks 1..4, values = weekly event counts.  Within-subject midranks
+# are carried x2 (2*midrank = 2*#less + #tied + 1, an integer), so
+# L_x2 = sum_u sum_w rank2(u,w) * w is exact; under H0
+# E[L]_x2 = n * k*(k+1)^2 / 2.
+# ---------------------------------------------------------------------------
+
+_PAGE_K = 4
+
+
+@query("page_trend_weekly", sql=f"""
+WITH base AS (
+  SELECT user_id,
+         (epoch_us(ts) // 86400000000
+          - (SELECT min(epoch_us(ts) // 86400000000) FROM events))
+           AS doff
+  FROM events
+), wk AS (
+  SELECT user_id, doff // 7 + 1 AS w, count(*)::BIGINT AS c
+  FROM base WHERE doff < {7 * _PAGE_K} GROUP BY 1, 2
+), full_u AS (
+  SELECT user_id FROM wk GROUP BY user_id
+  HAVING count(*) = {_PAGE_K}
+), r AS (
+  SELECT a.user_id, a.w,
+         (2 * (SELECT count(*) FROM wk b
+               WHERE b.user_id = a.user_id AND b.c < a.c)
+          + (SELECT count(*) FROM wk b
+             WHERE b.user_id = a.user_id AND b.c = a.c)
+          + 1)::BIGINT AS rank2
+  FROM wk a JOIN full_u f ON f.user_id = a.user_id
+)
+SELECT (SELECT count(*) FROM full_u)::BIGINT AS n_subjects,
+       {_PAGE_K}::BIGINT AS k,
+       sum(rank2 * w)::BIGINT AS l_x2,
+       ((SELECT count(*) FROM full_u)
+        * {_PAGE_K * (_PAGE_K + 1) ** 2} / 2)::BIGINT AS e_l_x2
+FROM r
+""")
+def page_trend_q(sf_dir: str):
+    """Page's L (x2-scaled midranks) over weekly per-user activity;
+    (user, week) count partials fold through the guarded combine with a
+    user-keyed groupby twin past the cap."""
+    from dataquality_ray.stages.autoroute import combine_or_groupby_twin
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        f = pd.DataFrame({"user_id":
+                          b["user_id"].to_numpy(zero_copy_only=False),
+                          "day": day, "c": 1})
+        return f.groupby(["user_id", "day"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["user_id", "day"], as_index=False)["c"].sum()
+
+    merged, twin = combine_or_groupby_twin(
+        "page_trend_weekly",
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(part, batch_format="pyarrow"),
+        fold, 2_000_000, ["user_id"])
+    if twin is not None:
+        merged = pd.concat(list(twin.iter_batches(batch_format="pandas")),
+                           ignore_index=True)
+    cols = ("n_subjects", "k", "l_x2", "e_l_x2")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    d0 = int(merged["day"].min())
+    merged = merged.assign(w=(merged["day"] - d0) // 7 + 1)
+    merged = merged[(merged["day"] - d0) < 7 * _PAGE_K]
+    wk = merged.groupby(["user_id", "w"], as_index=False)["c"].sum()
+    cntw = wk.groupby("user_id")["w"].nunique()
+    keep = set(cntw[cntw == _PAGE_K].index)
+    wk = wk[wk["user_id"].isin(keep)]
+    l_x2 = 0
+    for _, g in wk.groupby("user_id"):
+        cs = g["c"].to_numpy(np.int64)
+        ws = g["w"].to_numpy(np.int64)
+        for cv, wv in zip(cs, ws):
+            rank2 = 2 * int((cs < cv).sum()) + int((cs == cv).sum()) + 1
+            l_x2 += rank2 * int(wv)
+    n = len(keep)
+    return pd.DataFrame({
+        "n_subjects": pd.Series([n], dtype=np.int64),
+        "k": pd.Series([_PAGE_K], dtype=np.int64),
+        "l_x2": pd.Series([l_x2], dtype=np.int64),
+        "e_l_x2": pd.Series([n * _PAGE_K * (_PAGE_K + 1) ** 2 // 2],
+                            dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# kNN label accuracy on the quantized embedding grid: leave-one-out
+# 5-NN majority vote against the stored cluster label — the standard
+# embedding-quality eval (is local structure label-consistent?).
+# Neighbors order by (d2, oid); vote ties break to the smallest label.
+# ---------------------------------------------------------------------------
+
+_KNNC_K = 5
+
+
+@query("knn_label_accuracy", sql=f"""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS MATERIALIZED (SELECT e.vec_id, idx.i,
+       CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000)
+            AS BIGINT) AS v
+     FROM embeddings e, idx),
+d AS MATERIALIZED (
+  SELECT a.vec_id AS sid, b.vec_id AS oid,
+         sum((a.v - b.v) * (a.v - b.v))::BIGINT AS d2
+  FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+), rk AS (
+  SELECT sid, oid, row_number() OVER (PARTITION BY sid
+                                      ORDER BY d2, oid) AS r
+  FROM d
+), nn AS (SELECT sid, oid FROM rk WHERE r <= {_KNNC_K}),
+votes AS (
+  SELECT n.sid, e.label::BIGINT AS label, count(*)::BIGINT AS c
+  FROM nn n JOIN embeddings e ON e.vec_id = n.oid
+  GROUP BY 1, 2
+), vrk AS (
+  SELECT sid, label,
+         row_number() OVER (PARTITION BY sid
+                            ORDER BY c DESC, label) AS rk
+  FROM votes
+), pred AS (SELECT sid, label AS pred FROM vrk WHERE rk = 1)
+SELECT e.label::BIGINT AS label, count(*)::BIGINT AS n,
+       sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END)::BIGINT
+         AS n_correct,
+       (sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) * 1000000
+        // count(*))::BIGINT AS acc_ppm
+FROM embeddings e JOIN pred p ON p.sid = e.vec_id
+GROUP BY e.label ORDER BY e.label
+""")
+def knn_label_accuracy_q(sf_dir: str):
+    """Leave-one-out 5-NN vote accuracy per label.  Per batch the
+    broadcast int matmul yields (d2, oid)-ordered neighbor labels; the
+    per-point prediction rows fold through the guarded combine (cap =
+    corpus rows; the join-stage oracle shape is the beyond-cap twin)."""
+    import ray
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    emb = (_read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    g = np.floor(np.stack(emb["embedding"].to_numpy())
+                 .astype(np.float64) * 1000.0).astype(np.int64)
+    gids = emb["vec_id"].to_numpy(dtype=np.int64)
+    glab = emb["label"].to_numpy(dtype=np.int64)
+    ref = ray.put((g, gids, glab, (g * g).sum(axis=1)))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        from dataquality_ray.stages.ann import _stack_embeddings
+        gm, gid, glb, gsq = ray.get(ref)
+        x = np.floor(_stack_embeddings(batch, "embedding")
+                     .astype(np.float64) * 1000.0).astype(np.int64)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = ((x * x).sum(axis=1)[:, None] + gsq[None, :]
+              - 2 * (x @ gm.T))
+        d2[vid[:, None] == gid[None, :]] = np.iinfo(np.int64).max
+        ordi = np.lexsort((np.broadcast_to(gid, d2.shape), d2), axis=1)
+        top_lab = glb[ordi[:, :_KNNC_K]]
+        pred = np.empty(len(vid), dtype=np.int64)
+        for r in range(len(vid)):
+            vals, cnts = np.unique(top_lab[r], return_counts=True)
+            best = cnts.max()
+            pred[r] = vals[cnts == best].min()
+        return pd.DataFrame({"label": lab,
+                             "n": 1,
+                             "n_correct": (pred == lab).astype(np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("label", as_index=False)[
+            ["n", "n_correct"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: label catalog
+    cols = ("label", "n", "n_correct", "acc_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    out = merged.sort_values("label").reset_index(drop=True)
+    out["acc_ppm"] = [c * 1_000_000 // n for c, n in
+                      zip(out["n_correct"], out["n"])]
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Silhouette score per label cluster (Rousseeuw, JCAM'87) with exact
+# rational means: a(i) = intra-sum/(n_c - 1), b(i) = the minimum
+# other-cluster mean, selected by the scaled-integer key
+# (sum*10^12 // cnt, label) so both engines pick the same cluster even
+# under floor collisions; s(i)*1e6 materializes from the cross-
+# multiplied big-int formulas and singleton clusters score 0.
+# ---------------------------------------------------------------------------
+
+@query("silhouette_by_label", sql="""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS MATERIALIZED (SELECT e.vec_id, idx.i,
+       CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000)
+            AS BIGINT) AS v
+     FROM embeddings e, idx),
+d AS MATERIALIZED (
+  SELECT a.vec_id AS sid, b.vec_id AS oid,
+         sum((a.v - b.v) * (a.v - b.v))::BIGINT AS d2
+  FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+), sums AS MATERIALIZED (
+  SELECT d.sid, e.label::BIGINT AS ol,
+         sum(d.d2)::HUGEINT AS s, count(*)::HUGEINT AS c
+  FROM d JOIN embeddings e ON e.vec_id = d.oid
+  GROUP BY 1, 2
+), own AS (
+  SELECT e.vec_id AS sid, e.label::BIGINT AS lab,
+         coalesce(s.s, 0::HUGEINT) AS p, coalesce(s.c, 0::HUGEINT) AS qq
+  FROM embeddings e LEFT JOIN sums s
+    ON s.sid = e.vec_id AND s.ol = e.label::BIGINT
+), btab AS (
+  SELECT o.sid, s.s AS r, s.c AS t,
+         row_number() OVER (PARTITION BY o.sid
+           ORDER BY s.s * 1000000000000 // s.c, s.ol) AS rk
+  FROM own o JOIN sums s ON s.sid = o.sid AND s.ol <> o.lab
+), b1 AS (SELECT sid, r, t FROM btab WHERE rk = 1),
+sm AS (
+  SELECT o.sid, o.lab,
+         CASE WHEN o.qq = 0 THEN 0
+              WHEN b.r * o.qq > o.p * b.t
+                THEN (b.r * o.qq - o.p * b.t) * 1000000 // (b.r * o.qq)
+              WHEN b.r * o.qq < o.p * b.t
+                THEN -((o.p * b.t - b.r * o.qq) * 1000000
+                       // (o.p * b.t))
+              ELSE 0 END AS s_micro
+  FROM own o JOIN b1 b ON b.sid = o.sid
+)
+SELECT lab AS label, count(*)::BIGINT AS n,
+       sum(s_micro)::BIGINT AS sum_s_micro,
+       (CASE WHEN sum(s_micro) < 0
+             THEN -((-sum(s_micro)) // count(*))
+             ELSE sum(s_micro) // count(*) END)::BIGINT AS mean_s_micro
+FROM sm GROUP BY lab ORDER BY lab
+""")
+def silhouette_by_label_q(sf_dir: str):
+    """Mean silhouette per label from exact integer distance sums; the
+    per-point (sid, other-label) sum rows fold through the guarded
+    combine (points x labels bounded) and the rational arithmetic runs
+    in Python big ints on the driver."""
+    import ray
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    emb = (_read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    g = np.floor(np.stack(emb["embedding"].to_numpy())
+                 .astype(np.float64) * 1000.0).astype(np.int64)
+    gids = emb["vec_id"].to_numpy(dtype=np.int64)
+    glab = emb["label"].to_numpy(dtype=np.int64)
+    ref = ray.put((g, gids, glab, (g * g).sum(axis=1)))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        from dataquality_ray.stages.ann import _stack_embeddings
+        gm, gid, glb, gsq = ray.get(ref)
+        x = np.floor(_stack_embeddings(batch, "embedding")
+                     .astype(np.float64) * 1000.0).astype(np.int64)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = ((x * x).sum(axis=1)[:, None] + gsq[None, :]
+              - 2 * (x @ gm.T)).astype(object)
+        self_mask = vid[:, None] == gid[None, :]
+        d2[self_mask] = 0
+        rows = []
+        labs = np.unique(glb)
+        for li in labs:
+            sel = glb == li
+            s = d2[:, sel].sum(axis=1)
+            c = int(sel.sum()) - 0
+            cc = sel.sum() - self_mask[:, sel].sum(axis=1)
+            for j in range(len(vid)):
+                if cc[j]:
+                    rows.append((int(vid[j]), int(li), int(s[j]),
+                                 int(cc[j])))
+        return pd.DataFrame(rows, columns=["sid", "ol", "s", "c"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["sid", "ol"], as_index=False)[["s", "c"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: points x label catalog
+    cols = ("label", "n", "sum_s_micro", "mean_s_micro")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    own_lab = dict(zip(gids.tolist(), glab.tolist()))
+    per_sid: dict[int, dict[int, tuple]] = {}
+    for sid, ol, s, c in zip(merged["sid"], merged["ol"],
+                             merged["s"], merged["c"]):
+        per_sid.setdefault(int(sid), {})[int(ol)] = (int(s), int(c))
+    agg: dict[int, list] = {}
+    for sid in gids.tolist():
+        lab = own_lab[sid]
+        sums = per_sid.get(sid, {})
+        p, qq = sums.get(lab, (0, 0))
+        others = [(s * 10 ** 12 // c, ol, s, c)
+                  for ol, (s, c) in sums.items() if ol != lab]
+        if qq == 0 or not others:
+            s_micro = 0
+        else:
+            _, _, r, t = min(others)
+            if r * qq > p * t:
+                s_micro = (r * qq - p * t) * 1_000_000 // (r * qq)
+            elif r * qq < p * t:
+                s_micro = -((p * t - r * qq) * 1_000_000 // (p * t))
+            else:
+                s_micro = 0
+        agg.setdefault(lab, []).append(s_micro)
+    rows = []
+    for lab in sorted(agg):
+        vals = agg[lab]
+        tot = sum(vals)
+        mean = -((-tot) // len(vals)) if tot < 0 else tot // len(vals)
+        rows.append((lab, len(vals), tot, mean))
+    out = pd.DataFrame(rows, columns=list(cols))
+    return out.astype(np.int64)

@@ -241,3 +241,59 @@ def test_lof_bruteforce_parity(ray_session):
     expect = pd.DataFrame(rows[:qm._LOF_TOP],
                           columns=["vec_id", "lof_micro"]).astype(np.int64)
     pd.testing.assert_frame_equal(out, expect)
+
+
+def test_ucb1_audit_shape_and_state(ray_session):
+    out = qm.ucb1_policy_audit_q(SF)
+    assert len(out) >= 25  # 30-day corpus, one row per day >= 2
+    assert set(out["match"].unique()) <= {0, 1}
+    assert (out["day_off"].to_numpy()[1:]
+            > out["day_off"].to_numpy()[:-1]).all()
+    assert (out["n_events"] > 0).all()
+
+
+def test_page_trend_l_bounds(ray_session):
+    out = qm.page_trend_q(SF)
+    n = int(out["n_subjects"].iloc[0])
+    k = int(out["k"].iloc[0])
+    l2 = int(out["l_x2"].iloc[0])
+    # L ranges between the perfectly decreasing and increasing layouts
+    lo = 2 * n * sum(w * (k + 1 - w) for w in range(1, k + 1))
+    hi = 2 * n * sum(w * w for w in range(1, k + 1))
+    assert lo <= l2 <= hi
+    assert int(out["e_l_x2"].iloc[0]) == n * k * (k + 1) ** 2 // 2
+
+
+def test_knn_label_accuracy_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    out = qm.knn_label_accuracy_q(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    ids, g = _brute_grid()
+    lab = t["label"].to_numpy(np.int64)
+    sq = (g * g).sum(axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2 * (g @ g.T)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    ordi = np.lexsort((np.broadcast_to(ids, d2.shape), d2), axis=1)
+    correct = {}
+    total = {}
+    for i in range(len(ids)):
+        votes = lab[ordi[i, :qm._KNNC_K]]
+        vals, cnts = np.unique(votes, return_counts=True)
+        pred = vals[cnts == cnts.max()].min()
+        li = int(lab[i])
+        total[li] = total.get(li, 0) + 1
+        correct[li] = correct.get(li, 0) + int(pred == li)
+    for _, r in out.iterrows():
+        li = int(r["label"])
+        assert int(r["n"]) == total[li]
+        assert int(r["n_correct"]) == correct[li]
+        assert int(r["acc_ppm"]) == correct[li] * 1_000_000 // total[li]
+
+
+def test_silhouette_range_and_labels(ray_session):
+    out = qm.silhouette_by_label_q(SF)
+    assert len(out) >= 2
+    assert (out["mean_s_micro"].abs() <= 1_000_000).all()
+    assert (out["sum_s_micro"].abs() <= out["n"] * 1_000_000).all()
