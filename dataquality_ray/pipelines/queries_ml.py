@@ -1303,3 +1303,433 @@ def silhouette_by_label_q(sf_dir: str):
         rows.append((lab, len(vals), tot, mean))
     out = pd.DataFrame(rows, columns=list(cols))
     return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Kleinberg 2-state burst detection (Kleinberg, KDD'02) over the daily
+# 'click' share: state 0 emits at the corpus rate p0 = cx/ct, state 1
+# at the doubled rate p1 = 2*cx/ct; switching up costs 1e6 micro-nats.
+# Emission costs are exact integers (count-weighted floored logs), so
+# Viterbi minimization and its backtrack are pure integer comparisons —
+# the oracle carries (v0, v1) plus both path lists through a linear
+# recursive CTE and unnests the winner.
+# ---------------------------------------------------------------------------
+
+_BURST_TYPE = "click"
+_BURST_GAMMA = 1_000_000
+
+
+@query("kleinberg_burst_days", sql=f"""
+WITH RECURSIVE d AS (
+  SELECT epoch_us(ts) // 86400000000
+         - (SELECT min(epoch_us(ts) // 86400000000) FROM events) + 1
+           AS day_off,
+         count(*)::BIGINT AS t,
+         sum(CASE WHEN event_type = '{_BURST_TYPE}'
+                  THEN 1 ELSE 0 END)::BIGINT AS x
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(x)::BIGINT AS cx, sum(t)::BIGINT AS ct FROM d
+), lc AS (
+  SELECT CAST(floor(ln(CAST(cx AS DOUBLE) / ct) * 1e6) AS BIGINT) AS l0,
+         CAST(floor(ln(CAST(ct - cx AS DOUBLE) / ct) * 1e6)
+              AS BIGINT) AS m0,
+         CAST(floor(ln(CAST(2 * cx AS DOUBLE) / ct) * 1e6)
+              AS BIGINT) AS l1,
+         CAST(floor(ln(CAST(ct - 2 * cx AS DOUBLE) / ct) * 1e6)
+              AS BIGINT) AS m1
+  FROM tot
+), seq AS (
+  SELECT day_off, x, t, -(x * l0 + (t - x) * m0) AS c0,
+         -(x * l1 + (t - x) * m1) AS c1,
+         row_number() OVER (ORDER BY day_off) AS i
+  FROM d, lc
+), vit AS (
+  SELECT i, day_off, c0 AS v0, c1 + {_BURST_GAMMA} AS v1,
+         [0] AS p0, [1] AS p1
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.i, s.day_off,
+         s.c0 + least(v.v0, v.v1),
+         s.c1 + least(v.v0 + {_BURST_GAMMA}, v.v1),
+         list_append(CASE WHEN v.v0 <= v.v1 THEN v.p0 ELSE v.p1 END, 0),
+         list_append(CASE WHEN v.v0 + {_BURST_GAMMA} <= v.v1
+                          THEN v.p0 ELSE v.p1 END, 1)
+  FROM vit v JOIN seq s ON s.i = v.i + 1
+), fin AS (
+  SELECT CASE WHEN v0 <= v1 THEN p0 ELSE p1 END AS path
+  FROM vit WHERE i = (SELECT max(i) FROM vit)
+)
+SELECT s.day_off::BIGINT AS day_off, s.x, s.t,
+       f.path[s.i]::BIGINT AS state
+FROM seq s, fin f ORDER BY s.day_off
+""")
+def kleinberg_burst_q(sf_dir: str):
+    """Optimal 2-state burst labeling of the daily click share; the
+    (day, x, t) histogram folds through the guarded combine and the
+    integer Viterbi replays on the driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        et = np.asarray(b["event_type"])
+        f = pd.DataFrame({"day": day, "t": 1,
+                          "x": (et == _BURST_TYPE).astype(np.int64)})
+        return f.groupby("day", as_index=False)[["t", "x"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)[["t", "x"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: corpus days
+    cols = ("day_off", "x", "t", "state")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    merged = merged.sort_values("day").reset_index(drop=True)
+    d0 = int(merged["day"].min())
+    xs = merged["x"].to_numpy(np.int64)
+    ts = merged["t"].to_numpy(np.int64)
+    cx, ct = int(xs.sum()), int(ts.sum())
+    l0 = math.floor(math.log(cx / ct) * 1e6)
+    m0 = math.floor(math.log((ct - cx) / ct) * 1e6)
+    l1 = math.floor(math.log((2 * cx) / ct) * 1e6)
+    m1 = math.floor(math.log((ct - 2 * cx) / ct) * 1e6)
+    c0 = [-(int(x) * l0 + int(t - x) * m0) for x, t in zip(xs, ts)]
+    c1 = [-(int(x) * l1 + int(t - x) * m1) for x, t in zip(xs, ts)]
+    v0, v1 = c0[0], c1[0] + _BURST_GAMMA
+    p0, p1 = [0], [1]
+    for i in range(1, len(c0)):
+        n0 = c0[i] + min(v0, v1)
+        np0 = (p0 if v0 <= v1 else p1) + [0]
+        n1 = c1[i] + min(v0 + _BURST_GAMMA, v1)
+        np1 = (p0 if v0 + _BURST_GAMMA <= v1 else p1) + [1]
+        v0, v1, p0, p1 = n0, n1, np0, np1
+    path = p0 if v0 <= v1 else p1
+    return pd.DataFrame({
+        "day_off": (merged["day"] - d0 + 1).astype(np.int64),
+        "x": xs, "t": ts,
+        "state": pd.Series(path, dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Mondrian k-anonymity partitioning (LeFevre et al., ICDE'06) over the
+# per-user quasi-identifier pair (event count, total spend in cents):
+# 4 rounds of alternating-dimension median cuts (quantile_disc medians,
+# the ceil(q*n)-1 order statistic — identical on both engines), boxes
+# relabel as box*2 + (val > median).  Output: per-box population and
+# bounds, i.e. the generalization each user group would publish.
+# ---------------------------------------------------------------------------
+
+_MONDRIAN_ROUNDS = 4
+
+
+def _mondrian_sql() -> str:
+    ctes = ["""u AS MATERIALIZED (
+  SELECT user_id, count(*)::BIGINT AS x,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS y
+  FROM events GROUP BY user_id
+)""",
+            "b0 AS (SELECT user_id, x, y, 0::BIGINT AS box FROM u)"]
+    for r in range(1, _MONDRIAN_ROUNDS + 1):
+        dim = "x" if r % 2 == 1 else "y"
+        ctes.append(f"""m{r} AS MATERIALIZED (
+  SELECT box, quantile_disc({dim}, 0.5) AS med
+  FROM b{r - 1} GROUP BY box
+)""")
+        ctes.append(f"""b{r} AS MATERIALIZED (
+  SELECT b.user_id, b.x, b.y,
+         b.box * 2 + CASE WHEN b.{dim} > m.med THEN 1 ELSE 0 END AS box
+  FROM b{r - 1} b JOIN m{r} m ON m.box = b.box
+)""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT box AS box_id, count(*)::BIGINT AS n,\n"
+            f"       min(x)::BIGINT AS x_min, max(x)::BIGINT AS x_max,\n"
+            f"       min(y)::BIGINT AS y_min, max(y)::BIGINT AS y_max\n"
+            f"FROM b{_MONDRIAN_ROUNDS} GROUP BY box ORDER BY box")
+
+
+@query("mondrian_kanon_boxes", sql=_mondrian_sql())
+def mondrian_kanon_q(sf_dir: str):
+    """Mondrian boxes after {_MONDRIAN_ROUNDS} alternating median cuts.
+    Per-user (count, spend) partials fold through the guarded combine
+    keyed by user; each round's <= 2^r medians broadcast back — the
+    distributed shape is r passes of groupby-median + map_batches
+    relabel (stages/bucketize machinery) past the cap."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        f = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "x": 1,
+            "y": np.floor(v * 100.0 + 0.5).astype(np.int64)})
+        return f.groupby("user_id", as_index=False)[["x", "y"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("user_id", as_index=False)[["x", "y"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["user_id", "value"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok, "user keyspace over cap: route per-round groupby medians"
+    cols = ("box_id", "n", "x_min", "x_max", "y_min", "y_max")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    f = merged.copy()
+    f["box"] = np.int64(0)
+    for r in range(1, _MONDRIAN_ROUNDS + 1):
+        dim = "x" if r % 2 == 1 else "y"
+        med = {}
+        for box, g in f.groupby("box"):
+            v = np.sort(g[dim].to_numpy(np.int64))
+            med[box] = int(v[math.ceil(0.5 * len(v)) - 1])
+        f["box"] = (f["box"] * 2
+                    + (f[dim] > f["box"].map(med)).astype(np.int64))
+    out = f.groupby("box").agg(
+        n=("user_id", "size"), x_min=("x", "min"), x_max=("x", "max"),
+        y_min=("y", "min"), y_max=("y", "max")).reset_index()
+    out = out.rename(columns={"box": "box_id"}).sort_values("box_id")
+    return out.reset_index(drop=True).astype(np.int64)[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Weighted interval scheduling per user: events define intervals
+# [ts, ts + cents * 600000us) (value in minutes) weighted by cents;
+# the optimum non-overlapping subset value is the classic end-sorted DP
+# dp_i = max(dp_{i-1}, w_i + dp_{p(i)}), p(i) = last interval ending
+# <= start_i.  The oracle advances every user in lockstep through a
+# linear recursive CTE whose state carries the (ends, dp) staircase as
+# lists, so it is exact at any chain depth; the engine runs the same
+# O(n log n) bisect kernel per user.
+# ---------------------------------------------------------------------------
+
+_WIS_SQL = """
+WITH RECURSIVE iv AS MATERIALIZED (
+  SELECT user_id, event_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 100 + 0.5) AS BIGINT)
+           * 600000 AS e,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS w
+  FROM events WHERE value IS NOT NULL
+), seq AS MATERIALIZED (
+  SELECT user_id, s, e, w,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY e, s, event_id) AS i
+  FROM iv
+), mx AS (SELECT user_id, max(i) AS n FROM seq GROUP BY user_id),
+dp AS (
+  SELECT user_id, 1::BIGINT AS i, [e] AS ends, [0::BIGINT, w] AS dps
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT d.user_id, s.i, list_append(d.ends, s.e),
+         list_append(d.dps,
+           greatest(d.dps[s.i],
+                    s.w + d.dps[len(list_filter(d.ends,
+                                                x -> x <= s.s)) + 1]))
+  FROM dp d JOIN seq s ON s.user_id = d.user_id AND s.i = d.i + 1
+)
+SELECT d.user_id, m.n::BIGINT AS n_intervals,
+       d.dps[m.n + 1]::BIGINT AS best_value_cents
+FROM dp d JOIN mx m ON m.user_id = d.user_id AND d.i = m.n
+ORDER BY d.user_id
+"""
+
+
+def _wis_group(f: pd.DataFrame) -> pd.DataFrame:
+    import bisect
+
+    rows = []
+    for uid, g in f.groupby("user_id", sort=True):
+        g = g.sort_values(["e", "s", "event_id"])
+        ends: list = []
+        dps = [0]
+        for s, e, w in zip(g["s"].to_numpy(np.int64),
+                           g["e"].to_numpy(np.int64),
+                           g["w"].to_numpy(np.int64)):
+            j = bisect.bisect_right(ends, int(s))
+            cand = int(w) + dps[j]
+            dps.append(max(dps[-1], cand))
+            ends.append(int(e))
+        rows.append((uid, len(g), dps[-1]))
+    out = pd.DataFrame(rows, columns=["user_id", "n_intervals",
+                                      "best_value_cents"])
+    return out.astype(np.int64)
+
+
+@query("weighted_interval_schedule", sql=_WIS_SQL)
+def weighted_interval_q(sf_dir: str):
+    """Max-value non-overlapping interval subset per user.  Raw
+    interval rows stream through the guarded combine with the identical
+    per-group kernel as the groupby(user).map_groups twin."""
+    from dataquality_ray.stages.autoroute import (guarded_partials,
+                                                  record_route)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        cents = np.floor(v[keep] * 100.0 + 0.5).astype(np.int64)
+        s = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(
+                zero_copy_only=False)[keep],
+            "event_id": b["event_id"].to_numpy(
+                zero_copy_only=False)[keep],
+            "s": s, "e": s + cents * 600_000, "w": cents})
+
+    stage = (_read(sf_dir, "events",
+                   ["event_id", "ts", "user_id", "value"])
+             .map_batches(part, batch_format="pyarrow"))
+    rows, ok = guarded_partials(stage, lambda f: f, 2_000_000)
+    if ok:
+        record_route("weighted_interval_schedule", "combine",
+                     "within cap", 0 if rows is None else len(rows))
+        if rows is None or not len(rows):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("user_id", "n_intervals",
+                                           "best_value_cents")})
+        return _wis_group(rows).reset_index(drop=True)
+    record_route("weighted_interval_schedule", "groupby_twin",
+                 "over cap", None)
+    twin = stage.groupby("user_id").map_groups(
+        _wis_group, batch_format="pandas")
+    return (twin.to_pandas().sort_values("user_id")
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Gale-Shapley stable matching (Gale & Shapley, AMM'62): languages
+# propose to the four contended sources src0..src3 (5 proposers, 4
+# seats — rejections and one final non-match are guaranteed).  Both
+# sides rank by (shared doc count DESC, name ASC); proposals replay
+# serially, always the lexicographically-first free language next
+# (McVitie-Wilson order — the resulting matching is the proposer-
+# optimal one and order-invariant, and fixing the order also pins the
+# per-language proposal counts).  The oracle drives the identical
+# replay through a linear recursive CTE whose state is the (ptr,
+# match) lists.
+# ---------------------------------------------------------------------------
+
+_GS_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+@query("gale_shapley_lang_source", sql=f"""
+WITH RECURSIVE cnt AS MATERIALIZED (
+  SELECT lang, source, count(*)::BIGINT AS n FROM documents
+  WHERE source IN {_GS_SOURCES!r}
+  GROUP BY 1, 2
+), lp AS MATERIALIZED (
+  SELECT lang, source,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, source)
+           AS rl
+  FROM cnt
+), sp AS MATERIALIZED (
+  SELECT source, lang,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, lang)
+           AS rs
+  FROM cnt
+), init AS (
+  SELECT (SELECT list(DISTINCT lang ORDER BY lang) FROM cnt) AS ls,
+         (SELECT list(np ORDER BY lang)
+          FROM (SELECT lang, count(*)::BIGINT AS np FROM lp
+                GROUP BY lang)) AS npref
+), gs AS (
+  SELECT 0 AS step, ls, npref,
+         list_transform(range(1, len(ls) + 1), x -> 1::BIGINT) AS ptr,
+         list_transform(range(1, len(ls) + 1), x -> '') AS mt
+  FROM init
+  UNION ALL
+  SELECT g.step + 1, g.ls, g.npref,
+         list_transform(range(1, len(g.ls) + 1),
+           ix -> g.ptr[ix] + CASE WHEN ix = a.f THEN 1 ELSE 0 END),
+         list_transform(range(1, len(g.ls) + 1),
+           ix -> CASE WHEN ix = a.f AND dd.acc THEN b.cand
+                      WHEN ix = c.h AND dd.acc THEN ''
+                      ELSE g.mt[ix] END)
+  FROM gs g,
+  LATERAL (SELECT min(t.x) AS f
+           FROM unnest(range(1, len(g.ls) + 1)) AS t(x)
+           WHERE g.mt[t.x] = '' AND g.ptr[t.x] <= g.npref[t.x]) a,
+  LATERAL (SELECT (SELECT source FROM lp
+                   WHERE lang = g.ls[a.f] AND rl = g.ptr[a.f]) AS cand) b,
+  LATERAL (SELECT coalesce(list_position(g.mt, b.cand), 0) AS h) c,
+  LATERAL (SELECT CASE WHEN c.h = 0 THEN TRUE
+                       ELSE (SELECT rs FROM sp WHERE source = b.cand
+                             AND lang = g.ls[a.f])
+                          < (SELECT rs FROM sp WHERE source = b.cand
+                             AND lang = g.ls[c.h]) END AS acc) dd
+  WHERE g.step < 400 AND a.f IS NOT NULL
+), fin AS (
+  SELECT * FROM gs WHERE step = (SELECT max(step) FROM gs)
+)
+SELECT ls[t.x] AS lang, coalesce(nullif(mt[t.x], ''), '<none>')
+         AS matched_source,
+       (ptr[t.x] - 1)::BIGINT AS n_proposals
+FROM fin, unnest(range(1, len(ls) + 1)) AS t(x)
+ORDER BY lang
+""")
+def gale_shapley_q(sf_dir: str):
+    """Proposer-optimal stable matching of languages to the contended
+    sources; the (lang, source) count census folds through the guarded
+    combine (catalog-bounded) and the serial replay runs driver-side."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"lang": np.asarray(b["lang"]),
+                          "source": np.asarray(b["source"]), "n": 1})
+        f = f[f["source"].isin(_GS_SOURCES)]
+        return f.groupby(["lang", "source"], as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["lang", "source"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["lang", "source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: lang x source catalog
+    cols = ("lang", "matched_source", "n_proposals")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "lang": pd.Series([], dtype=object),
+            "matched_source": pd.Series([], dtype=object),
+            "n_proposals": pd.Series([], dtype=np.int64)})
+    langs = sorted(merged["lang"].unique())
+    prefs = {
+        lg: [s for s, _ in sorted(
+            ((r["source"], int(r["n"]))
+             for _, r in merged[merged["lang"] == lg].iterrows()),
+            key=lambda t: (-t[1], t[0]))]
+        for lg in langs}
+    srank = {}
+    for src, g in merged.groupby("source"):
+        order = sorted(((int(n), lg) for lg, n in
+                        zip(g["lang"], g["n"])),
+                       key=lambda t: (-t[0], t[1]))
+        srank[src] = {lg: i for i, (_, lg) in enumerate(order)}
+    ptr = {lg: 0 for lg in langs}
+    match: dict[str, str] = {}
+    holder: dict[str, str] = {}
+    while True:
+        free = [lg for lg in langs
+                if lg not in match and ptr[lg] < len(prefs[lg])]
+        if not free:
+            break
+        lg = min(free)
+        cand = prefs[lg][ptr[lg]]
+        ptr[lg] += 1
+        if cand not in holder:
+            match[lg] = cand
+            holder[cand] = lg
+        elif srank[cand][lg] < srank[cand][holder[cand]]:
+            del match[holder[cand]]
+            match[lg] = cand
+            holder[cand] = lg
+    out = pd.DataFrame({
+        "lang": langs,
+        "matched_source": [match.get(lg, "<none>") for lg in langs],
+        "n_proposals": pd.Series([ptr[lg] for lg in langs],
+                                 dtype=np.int64)})
+    return out
