@@ -1,0 +1,705 @@
+"""Regression-diagnostics / systems-audit operators (round-4 session-6
+batch): Durbin-Watson serial-correlation test, Chow structural-break
+test, Matthews correlation of the flagship's heuristic rules against a
+label, Gorilla XOR timestamp-compression audit, a fixed-floor one-way
+ANOVA across weekdays, a learned-index (RMI-style) error audit, Katz
+centrality over the token bigram graph, and the spectral entropy of the
+weekly order-arrival line.
+
+House rules (same as every other queries_* module): each operator is a
+Ray Data pipeline whose result is bit-identical to its DuckDB oracle —
+exact integer arithmetic everywhere; any float enters only as a single
+correctly-rounded IEEE op chain replicated verbatim on both engines.
+Per-batch partials flow through the guarded driver combine with the
+key-space boundedness stated at the assert, or route to a distributed
+twin past the cap.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataquality_ray.pipelines.registry import query
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _daily_type_counts(sf_dir: str) -> pd.DataFrame:
+    """(event_type, day, y) daily event counts through the guarded
+    combine — keyspace bounded by types x corpus days."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "day": day, "y": 1})
+        return f.groupby(["event_type", "day"], as_index=False)["y"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "day"], as_index=False)["y"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: event types x corpus days
+    if merged is None:
+        return pd.DataFrame({"event_type": [], "day": [], "y": []})
+    return merged
+
+
+def _ols_scaled_residuals(x: list[int], y: list[int]):
+    """Exact D-scaled OLS residuals: E_i = D*y_i - A - B*x_i where
+    D = n*sxx - sx^2, B = n*sxy - sx*sy, A = sy*sxx - sx*sxy, so that
+    e_i = E_i / D.  Pure Python ints — numpy int64 would overflow on
+    epoch-day x values."""
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    d = n * sxx - sx * sx
+    b = n * sxy - sx * sy
+    a = sy * sxx - sx * sxy
+    es = [d * yi - a - b * xi for xi, yi in zip(x, y)]
+    return d, b, a, es
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson serial-correlation test on the per-type daily-volume
+# trend residuals.  The OLS residuals are carried as exact D-scaled
+# integers (the grouped_ols convention), so DW = sum((E_i-E_{i-1})^2) /
+# sum(E_i^2) is a ratio of exact ints and dw_ppm is a single floor
+# division — bit-identical across engines.  DW ~ 2 means no serial
+# correlation; ~0 strong positive; ~4 strong negative.
+# ---------------------------------------------------------------------------
+
+@query("durbin_watson_daily", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+         sum(x * y)::BIGINT AS sxy
+  FROM d GROUP BY event_type
+), c AS (
+  SELECT event_type, n,
+         (n::HUGEINT * sxx - sx::HUGEINT * sx) AS dd,
+         (n::HUGEINT * sxy - sx::HUGEINT * sy) AS bb,
+         (sy::HUGEINT * sxx - sx::HUGEINT * sxy) AS aa
+  FROM s
+), r AS (
+  SELECT d.event_type, c.n, d.x,
+         (c.dd * d.y - c.aa - c.bb * d.x) AS e
+  FROM d JOIN c USING (event_type) WHERE c.dd > 0 AND c.n >= 3
+), w AS (
+  SELECT event_type, n, e,
+         lag(e) OVER (PARTITION BY event_type ORDER BY x) AS ep
+  FROM r
+)
+SELECT event_type, n,
+       CAST(sum(CASE WHEN ep IS NOT NULL
+                     THEN (e - ep) * (e - ep) END) * 1000000
+            // sum(e * e) AS BIGINT) AS dw_ppm
+FROM w GROUP BY event_type, n
+HAVING sum(e * e) > 0
+ORDER BY event_type
+""")
+def durbin_watson_daily_q(sf_dir: str):
+    """Durbin-Watson statistic (x1e6) of the residuals of each event
+    type's daily-volume-vs-time OLS fit — the classic lag-1
+    autocorrelation diagnostic for 'is the trend model missing a serial
+    pattern'.  One bounded (type, day) combine; residuals are exact
+    D-scaled integers so the statistic replays bit-identically in SQL."""
+    merged = _daily_type_counts(sf_dir)
+    rows = []
+    for et, g in merged.groupby("event_type"):
+        g = g.sort_values("day")
+        x = [int(v) for v in g["day"]]
+        y = [int(v) for v in g["y"]]
+        n = len(x)
+        if n < 3:
+            continue
+        d, _, _, es = _ols_scaled_residuals(x, y)
+        if d <= 0:
+            continue
+        den = sum(e * e for e in es)
+        if den == 0:
+            continue
+        num = sum((a - b) ** 2 for a, b in zip(es[1:], es))
+        rows.append((et, n, num * 1_000_000 // den))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "dw_ppm"])
+    out = out.sort_values("event_type").reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["dw_ppm"] = out["dw_ppm"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Chow structural-break test on the global daily-volume series, split at
+# the midpoint day.  Each segment's SSR is the exact rational
+# (Syy*D - B^2) / (n*D); the F statistic is one fixed float chain over
+# the three exact numerators — identical textually in both engines.
+# ---------------------------------------------------------------------------
+
+@query("chow_break_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS x, count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), mid AS (
+  SELECT (min(x) + max(x)) // 2 AS m FROM d
+), seg AS (
+  SELECT CASE WHEN x <= m THEN 0 ELSE 1 END AS s, x, y FROM d, mid
+), st AS (
+  SELECT s, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(y)::HUGEINT AS sy, sum(x * x)::HUGEINT AS sxx,
+         sum(x * y)::HUGEINT AS sxy, sum(y * y)::HUGEINT AS syy
+  FROM seg GROUP BY s
+), pool AS (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(y)::HUGEINT AS sy, sum(x * x)::HUGEINT AS sxx,
+         sum(x * y)::HUGEINT AS sxy, sum(y * y)::HUGEINT AS syy
+  FROM seg
+), ssr AS (
+  SELECT s,
+         CAST((n * syy - sy * sy) * (n * sxx - sx * sx)
+              - (n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+           / CAST(n * (n * sxx - sx * sx) * n AS DOUBLE) AS v,
+         n
+  FROM st
+), ssrp AS (
+  SELECT CAST((n * syy - sy * sy) * (n * sxx - sx * sx)
+              - (n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+           / CAST(n * (n * sxx - sx * sx) * n AS DOUBLE) AS v,
+         n
+  FROM pool
+)
+SELECT p.n::BIGINT AS n, mid.m::BIGINT AS break_day,
+       p.v AS ssr_pooled,
+       (s0.v + s1.v) AS ssr_within,
+       ((p.v - s0.v - s1.v) / 2.0)
+         / ((s0.v + s1.v) / CAST(p.n - 4 AS DOUBLE)) AS f_stat
+FROM ssrp p, mid,
+     (SELECT v FROM ssr WHERE s = 0) s0,
+     (SELECT v FROM ssr WHERE s = 1) s1
+""")
+def chow_break_daily_q(sf_dir: str):
+    """Chow test for a structural break in the daily event-volume trend
+    at the midpoint day: F = ((SSR_pooled - SSR_1 - SSR_2)/2) /
+    ((SSR_1+SSR_2)/(n-4)).  Each SSR enters as the exact integer rational
+    (Syy*D - B^2)/(n^2*D) evaluated with ONE float division; the F
+    composition is the same op chain on both engines."""
+    merged = _daily_type_counts(sf_dir)
+    empty = pd.DataFrame({
+        "n": pd.Series([], dtype=np.int64),
+        "break_day": pd.Series([], dtype=np.int64),
+        "ssr_pooled": pd.Series([], dtype=float),
+        "ssr_within": pd.Series([], dtype=float),
+        "f_stat": pd.Series([], dtype=float)})
+    if not len(merged):
+        return empty
+    g = (merged.groupby("day", as_index=False)["y"].sum()
+         .sort_values("day"))
+    xs = [int(v) for v in g["day"]]
+    ys = [int(v) for v in g["y"]]
+    m = (min(xs) + max(xs)) // 2
+
+    def ssr(px, py):
+        n = len(px)
+        sx, sy = sum(px), sum(py)
+        sxx = sum(v * v for v in px)
+        sxy = sum(a * b for a, b in zip(px, py))
+        syy = sum(v * v for v in py)
+        dd = n * sxx - sx * sx
+        num = (n * syy - sy * sy) * dd - (n * sxy - sx * sy) ** 2
+        return float(num) / float(n * dd * n), n
+
+    seg0 = [(x, y) for x, y in zip(xs, ys) if x <= m]
+    seg1 = [(x, y) for x, y in zip(xs, ys) if x > m]
+    if len(seg0) < 3 or len(seg1) < 3:
+        return empty
+    v0, _ = ssr([p[0] for p in seg0], [p[1] for p in seg0])
+    v1, _ = ssr([p[0] for p in seg1], [p[1] for p in seg1])
+    vp, n = ssr(xs, ys)
+    f = ((vp - v0 - v1) / 2.0) / ((v0 + v1) / float(n - 4))
+    return pd.DataFrame({"n": [np.int64(n)], "break_day": [np.int64(m)],
+                         "ssr_pooled": [vp], "ssr_within": [v0 + v1],
+                         "f_stat": [f]})
+
+
+# ---------------------------------------------------------------------------
+# Matthews correlation of each flagship heuristic rule against the
+# lang='en' label (the quality_score_auc label convention): per rule a
+# full confusion matrix from ONE bounded combine, mcc via the
+# label_centroid_cosine_matrix sqrt-chain (floor(num*1e6/sqrt(prod))).
+# ---------------------------------------------------------------------------
+
+_MCC_RULES = ["rule_long_lines", "rule_repetitive", "rule_autogen",
+              "rule_low_alnum"]
+
+
+def _mcc_sql() -> str:
+    from dataquality_ray.pipelines.queries_text import _heuristic_sql
+
+    base = _heuristic_sql().strip().rstrip()
+    # reuse the rule CTE body; wrap it with the label and unpivot
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{r}' AS rule, {r} AS pred, label FROM flags"
+        for r in _MCC_RULES)
+    return f"""
+WITH flags AS (
+  SELECT f.*, (d.lang = 'en') AS label
+  FROM ({base}) f JOIN documents d USING (doc_id)
+), arms AS (
+{arms}
+), cm AS (
+  SELECT rule,
+         sum(CASE WHEN pred AND label THEN 1 ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END)::BIGINT
+           AS fp,
+         sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END)::BIGINT
+           AS fn,
+         sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END)::BIGINT
+           AS tn
+  FROM arms GROUP BY rule
+)
+SELECT rule, tp, fp, fn, tn,
+       CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0
+            THEN 0
+            ELSE CAST(floor(CAST(tp::HUGEINT * tn - fp::HUGEINT * fn
+                                 AS DOUBLE) * 1000000
+                 / sqrt(CAST((tp + fp)::HUGEINT * (tp + fn) * (tn + fp)
+                             * (tn + fn) AS DOUBLE))) AS BIGINT)
+       END AS mcc_ppm
+FROM cm ORDER BY rule
+"""
+
+
+@query("mcc_rules_vs_label", sql=_mcc_sql())
+def mcc_rules_vs_label_q(sf_dir: str):
+    """Per-rule Matthews correlation against the lang='en' label: which
+    of the flagship's keep/drop heuristics actually tracks the corpus
+    partition it is meant to protect.  Confusion counts fold through one
+    16-cell combine; mcc_ppm is the floor(int*1e6/sqrt(double)) chain."""
+    from dataquality_ray.functions.heuristics import (
+        content_stats,
+        heuristic_violations,
+    )
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        b = content_stats(batch, col="text")
+        flags = heuristic_violations(b)
+        label = pc.equal(batch["lang"], "en").to_numpy(
+            zero_copy_only=False)
+        recs = []
+        for r in _MCC_RULES:
+            arr = flags[r]
+            if r == "rule_autogen":
+                arr = pc.fill_null(arr, False)
+            p = arr.to_numpy(zero_copy_only=False)
+            recs.append((r,
+                         int(np.sum(p & label)),
+                         int(np.sum(p & ~label)),
+                         int(np.sum(~p & label)),
+                         int(np.sum(~p & ~label))))
+        return pd.DataFrame(recs,
+                            columns=["rule", "tp", "fp", "fn", "tn"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("rule", as_index=False)[
+            ["tp", "fp", "fn", "tn"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(part, batch_format="pyarrow"), fold, 1_000)
+    assert ok  # bounded: 4 rules
+    cols = ["rule", "tp", "fp", "fn", "tn", "mcc_ppm"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "rule" else np.int64) for c in cols})
+    rows = []
+    for _, r in merged.iterrows():
+        tp, fp, fn, tn = (int(r["tp"]), int(r["fp"]),
+                          int(r["fn"]), int(r["tn"]))
+        prod = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+        mcc = 0 if prod == 0 else math.floor(
+            float(tp * tn - fp * fn) * 1_000_000 / math.sqrt(float(prod)))
+        rows.append((str(r["rule"]), tp, fp, fn, tn, mcc))
+    out = pd.DataFrame(rows, columns=cols).sort_values(
+        "rule").reset_index(drop=True)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Gorilla XOR compression audit (Pelkonen et al., VLDB'15) of the daily
+# per-type volume stream: cost 1 bit for a zero XOR with the previous
+# value, else 2 control + 5 leading-zero + 6 length + meaningful bits —
+# the simplified upper-bound cost model.  Everything is int64 bit math.
+# ---------------------------------------------------------------------------
+
+@query("gorilla_xor_compression_audit", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, y,
+         lag(y) OVER (PARTITION BY event_type ORDER BY day) AS yp
+  FROM d
+), c AS (
+  SELECT event_type,
+         CASE WHEN yp IS NULL THEN 64
+              WHEN xor(y, yp) = 0 THEN 1
+              ELSE 13 + length(bin(xor(y, yp))) END AS bits,
+         CASE WHEN yp IS NOT NULL AND xor(y, yp) = 0
+              THEN 1 ELSE 0 END AS z
+  FROM w
+)
+SELECT event_type, count(*)::BIGINT AS n_days,
+       sum(z)::BIGINT AS zero_xor_days,
+       sum(bits)::BIGINT AS total_bits,
+       (sum(bits) * 1000000 // (64 * count(*)))::BIGINT
+         AS compression_ppm
+FROM c GROUP BY event_type ORDER BY event_type
+""")
+def gorilla_xor_q(sf_dir: str):
+    """Would Gorilla-style XOR delta encoding pay off on each event
+    type's daily-volume stream: bits under the simplified Gorilla cost
+    model (64 for the first value; 1 for a zero XOR; 13+meaningful bits
+    otherwise) vs raw 64-bit storage, as an exact ppm ratio."""
+    merged = _daily_type_counts(sf_dir)
+    cols = ["event_type", "n_days", "zero_xor_days", "total_bits",
+            "compression_ppm"]
+    rows = []
+    for et, g in merged.groupby("event_type"):
+        ys = [int(v) for v in g.sort_values("day")["y"]]
+        bits, zero = 64, 0
+        for prev, cur in zip(ys, ys[1:]):
+            x = prev ^ cur
+            if x == 0:
+                bits += 1
+                zero += 1
+            else:
+                bits += 13 + x.bit_length()
+        rows.append((et, len(ys), zero, bits,
+                     bits * 1_000_000 // (64 * len(ys))))
+    out = pd.DataFrame(rows, columns=cols).sort_values(
+        "event_type").reset_index(drop=True)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA of daily volume across weekdays — parametric twin of
+# kruskal_wallis_value.  Per-group rational terms S_h^2/n_h are floored
+# at x1e6 scale on BOTH engines (the documented fixed-floor convention),
+# so SSB/SSW and the F ratio are pure integer arithmetic.
+# ---------------------------------------------------------------------------
+
+@query("weekday_volume_anova", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), g AS (
+  SELECT (day + 4) % 7 AS dow, count(*)::BIGINT AS nh,
+         sum(y)::BIGINT AS sh, sum(y * y)::HUGEINT AS qh
+  FROM d GROUP BY 1
+), t AS (
+  SELECT count(*)::BIGINT AS k, sum(nh)::BIGINT AS n,
+         sum(sh)::HUGEINT AS s, sum(qh)::HUGEINT AS q,
+         sum(sh::HUGEINT * sh * 1000000 // nh)::HUGEINT AS gterm
+  FROM g
+)
+SELECT k, n,
+       CAST(gterm - s * s * 1000000 // n AS BIGINT) AS ssb_e6,
+       CAST(q * 1000000 - gterm AS BIGINT) AS ssw_e6,
+       CAST((gterm - s * s * 1000000 // n) * (n - k) * 1000000
+            // ((q * 1000000 - gterm) * (k - 1)) AS BIGINT) AS f_ppm
+FROM t WHERE n > k AND q * 1000000 > gterm
+""")
+def weekday_volume_anova_q(sf_dir: str):
+    """One-way ANOVA F of daily event volume across the 7 weekdays:
+    between/within sums of squares from exact integer group sums, with
+    each rational S_h^2/n_h floored at x1e6 on both engines so the
+    statistic replays bit-identically.  Complements the nonparametric
+    kruskal_wallis_value."""
+    merged = _daily_type_counts(sf_dir)
+    cols = ["k", "n", "ssb_e6", "ssw_e6", "f_ppm"]
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    if not len(merged):
+        return empty
+    g = merged.groupby("day", as_index=False)["y"].sum()
+    g["dow"] = (g["day"] + 4) % 7
+    k = g["dow"].nunique()
+    n = len(g)
+    s = int(g["y"].sum())
+    q = sum(int(v) ** 2 for v in g["y"])
+    gterm = 0
+    for _, grp in g.groupby("dow"):
+        sh = int(grp["y"].sum())
+        gterm += sh * sh * 1_000_000 // len(grp)
+    ssb = gterm - s * s * 1_000_000 // n
+    ssw = q * 1_000_000 - gterm
+    if n <= k or ssw <= 0:
+        return empty
+    f_ppm = ssb * (n - k) * 1_000_000 // (ssw * (k - 1))
+    return pd.DataFrame({"k": [np.int64(k)], "n": [np.int64(n)],
+                         "ssb_e6": [np.int64(ssb)],
+                         "ssw_e6": [np.int64(ssw)],
+                         "f_ppm": [np.int64(f_ppm)]})
+
+
+# ---------------------------------------------------------------------------
+# Learned-index error audit (Kraska et al., SIGMOD'18 RMI, stage 0): fit
+# position ~ key by OLS over the sorted distinct key set and report the
+# max absolute prediction error per key decile — the page-search bound a
+# learned index would need.  Residuals are exact D-scaled ints; the
+# per-row error floors |E|/D before the decile max on both engines.
+# ---------------------------------------------------------------------------
+
+@query("learned_index_error_audit", sql="""
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders
+), p AS (
+  SELECT key, row_number() OVER (ORDER BY key) AS pos,
+         count(*) OVER () AS n
+  FROM k
+), s AS (
+  SELECT count(*)::HUGEINT AS n, sum(key)::HUGEINT AS sx,
+         sum(pos)::HUGEINT AS sy,
+         sum(key::HUGEINT * key)::HUGEINT AS sxx,
+         sum(key::HUGEINT * pos)::HUGEINT AS sxy
+  FROM p
+), c AS (
+  SELECT n, (n * sxx - sx * sx) AS dd, (n * sxy - sx * sy) AS bb,
+         (sy * sxx - sx * sxy) AS aa
+  FROM s
+), e AS (
+  SELECT ((p.pos - 1) * 10) // p.n AS decile,
+         abs(c.dd * p.pos - c.aa - c.bb * p.key) // c.dd AS err
+  FROM p, c WHERE c.dd > 0
+)
+SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_keys,
+       max(err)::BIGINT AS max_abs_err
+FROM e GROUP BY decile ORDER BY decile
+""")
+def learned_index_error_q(sf_dir: str):
+    """Max |predicted - true| position error of a single linear model
+    over the sorted o_orderkey universe, per key decile — the stage-0
+    audit that says how big an RMI's last-mile search window must be.
+    Keys fold through the guarded combine (bounded by the orders key
+    universe; a sort-based rank twin is the beyond-cap path)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        u = pc.unique(b["o_orderkey"]).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"key": u})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates("key")
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: distinct order keys (sort-rank twin past cap)
+    cols = ["decile", "n_keys", "max_abs_err"]
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    if merged is None or not len(merged):
+        return empty
+    keys = sorted(int(v) for v in merged["key"])
+    n = len(keys)
+    pos = list(range(1, n + 1))
+    d, b, a, es = _ols_scaled_residuals(keys, pos)
+    if d <= 0:
+        return empty
+    rows: dict[int, list] = {}
+    for i, e in enumerate(es):
+        dec = (i * 10) // n
+        err = abs(e) // d
+        ent = rows.setdefault(dec, [0, 0])
+        ent[0] += 1
+        ent[1] = max(ent[1], err)
+    out = pd.DataFrame(
+        [(k, v[0], v[1]) for k, v in sorted(rows.items())], columns=cols)
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality over the UNWEIGHTED token bigram graph: x <- 1 + A^T x
+# / (dmax_in + 1), 3 iterations in scaled integer fixed point — the
+# walk-counting centrality beside flow-based pagerank_tokens /
+# hits_tokens.  alpha = 1/(max indegree + 1) guarantees convergence and
+# is itself integer data.
+# ---------------------------------------------------------------------------
+
+_KATZ_S = 10**9
+_KATZ_ITERS = 3
+
+
+def _katz_sql() -> str:
+    from dataquality_ray.pipelines.queries_mining import _BIGRAM_SQL
+
+    ctes = [
+        _BIGRAM_SQL.strip().rstrip(","),
+        "ue AS (SELECT DISTINCT src, dst FROM edges)",
+        "nodes AS (SELECT src AS tok FROM ue UNION SELECT dst FROM ue)",
+        "ad AS (SELECT (max(cnt) + 1)::HUGEINT AS den FROM "
+        "(SELECT dst, count(*)::HUGEINT AS cnt FROM ue GROUP BY dst))",
+        f"r0 AS (SELECT tok, {_KATZ_S}::HUGEINT AS r FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, _KATZ_ITERS + 1):
+        ctes.append(
+            f"r{i} AS (SELECT n.tok, {_KATZ_S}::HUGEINT "
+            "+ coalesce(sum(p.r), 0) // ad.den AS r "
+            "FROM nodes n CROSS JOIN ad "
+            "LEFT JOIN ue e ON e.dst = n.tok "
+            f"LEFT JOIN {prev} p ON p.tok = e.src "
+            "GROUP BY n.tok, ad.den)")
+        prev = f"r{i}"
+    chain = ",\n".join(ctes)
+    return (f"WITH {chain}\nSELECT tok, r::BIGINT AS katz_scaled "
+            f"FROM {prev} ORDER BY katz_scaled DESC, tok")
+
+
+@query("katz_centrality_tokens", sql=_katz_sql())
+def katz_centrality_q(sf_dir: str):
+    """Katz centrality of each vocabulary token in the bigram graph:
+    counts attenuated walks of length <= 3 ending at the token, with
+    attenuation 1/(max indegree + 1) so the series contracts.  Runs on
+    the driver over the guarded-combine edge list (vocab-bounded), all
+    scaled-integer — bit-identical to the unrolled SQL replay."""
+    from dataquality_ray.pipelines.queries_mining import bigram_edges
+
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    cols = ["tok", "katz_scaled"]
+    if not len(edges):
+        return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                             "katz_scaled": pd.Series([],
+                                                      dtype=np.int64)})
+    ue = edges[["src", "dst"]].drop_duplicates()
+    nodes = sorted(set(ue["src"]) | set(ue["dst"]))
+    indeg = ue.groupby("dst").size()
+    den = int(indeg.max()) + 1
+    preds: dict[str, list] = {}
+    for s, d in zip(ue["src"], ue["dst"]):
+        preds.setdefault(d, []).append(s)
+    r = {t: _KATZ_S for t in nodes}
+    for _ in range(_KATZ_ITERS):
+        r = {t: _KATZ_S + sum(r[s] for s in preds.get(t, ())) // den
+             for t in nodes}
+    out = pd.DataFrame({"tok": nodes,
+                        "katz_scaled": [r[t] for t in nodes]})
+    out["katz_scaled"] = out["katz_scaled"].astype(np.int64)
+    return (out.sort_values(["katz_scaled", "tok"],
+                            ascending=[False, True])
+               .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Spectral entropy of the weekly order-arrival spectrum: powers of the
+# k=1..3 DFT lines (conjugates folded) from dyadic Q20 cos/sin tables,
+# entropy via the floor-ln trick — all integer, extends weekly_dft_power
+# from one line to the normalized spectrum shape.
+# ---------------------------------------------------------------------------
+
+_SPEC_COS = {
+    1: [1048576, 653776, -233330, -944734, -944734, -233330, 653776],
+    2: [1048576, -233330, -944734, 653776, 653776, -944734, -233330],
+    3: [1048576, -944734, 653776, -233330, -233330, 653776, -944734],
+}
+_SPEC_SIN = {
+    1: [0, 819810, 1022286, 454960, -454960, -1022286, -819810],
+    2: [0, 1022286, -454960, -819810, 819810, 454960, -1022286],
+    3: [0, 454960, -819810, 1022286, -1022286, 819810, -454960],
+}
+
+
+def _spec_sql() -> str:
+    piv = ", ".join(
+        f"coalesce(sum(CASE WHEN r = {r} THEN n END), 0)::BIGINT AS s{r}"
+        for r in range(7))
+    pw = []
+    for k in (1, 2, 3):
+        re = " + ".join(f"({_SPEC_COS[k][r]} * s{r})" for r in range(7))
+        im = " + ".join(f"({_SPEC_SIN[k][r]} * s{r})" for r in range(7))
+        pw.append(f"((({re})::HUGEINT * ({re}) + ({im})::HUGEINT * ({im}))"
+                  f" // 1099511627776) AS p{k}")
+    terms = " + ".join(
+        f"(CASE WHEN p{k} > 0 THEN p{k} * CAST(floor(ln(CAST(p1 + p2 + p3"
+        f" AS DOUBLE) / p{k}) * 1000000) AS HUGEINT) ELSE 0 END)"
+        for k in (1, 2, 3))
+    return f"""
+WITH d AS (
+  SELECT (o_orderdate::DATE - DATE '1970-01-01') % 7 AS r,
+         count(*)::BIGINT AS n
+  FROM orders GROUP BY 1
+), piv AS (SELECT {piv} FROM d),
+pw AS (SELECT {', '.join(pw)} FROM piv)
+SELECT p1::BIGINT AS p1, p2::BIGINT AS p2, p3::BIGINT AS p3,
+       CAST(({terms}) // (p1 + p2 + p3) AS BIGINT) AS entropy_e6
+FROM pw WHERE p1 + p2 + p3 > 0
+"""
+
+
+@query("spectral_entropy_weekly", sql=_spec_sql())
+def spectral_entropy_weekly_q(sf_dir: str):
+    """Shannon entropy of the normalized weekly spectrum of order
+    arrivals (DFT lines k=1..3 over day-of-week residue sums): low
+    entropy = one dominant periodicity, high = flat/noisy.  Residue sums
+    are 7 bounded keys; powers are exact Q20 ints; each -p*ln(p) term
+    uses one floored ln on both engines."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        us = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        f = pd.DataFrame({"r": (us // 86_400_000_000) % 7, "n": 1})
+        return f.groupby("r", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("r", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 7 residues
+    s = [0] * 7
+    if merged is not None and len(merged):
+        for r, n in zip(merged["r"], merged["n"]):
+            s[int(r)] = int(n)
+    ps = []
+    for k in (1, 2, 3):
+        re = sum(_SPEC_COS[k][r] * s[r] for r in range(7))
+        im = sum(_SPEC_SIN[k][r] * s[r] for r in range(7))
+        ps.append((re * re + im * im) // (1 << 40))
+    tot = sum(ps)
+    cols = ["p1", "p2", "p3", "entropy_e6"]
+    if tot <= 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    acc = 0
+    for p in ps:
+        if p > 0:
+            acc += p * math.floor(math.log(tot / p) * 1_000_000)
+    ent = acc // tot
+    return pd.DataFrame({"p1": [np.int64(ps[0])],
+                         "p2": [np.int64(ps[1])],
+                         "p3": [np.int64(ps[2])],
+                         "entropy_e6": [np.int64(ent)]})

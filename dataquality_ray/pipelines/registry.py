@@ -53,6 +53,7 @@ def _load():
         queries_algos,
         queries_code,
         queries_corpus,
+        queries_diag,
         queries_io,
         queries_mining,
         queries_ml,
