@@ -703,3 +703,475 @@ def spectral_entropy_weekly_q(sf_dir: str):
                          "p2": [np.int64(ps[1])],
                          "p3": [np.int64(ps[2])],
                          "entropy_e6": [np.int64(ent)]})
+
+
+# ---------------------------------------------------------------------------
+# Banzhaf power index of each language in the doc-count weighted voting
+# game (quota = majority of documents): which language strata actually
+# control corpus-level majority votes.  5 players -> 2^4 subset
+# enumeration per player, exact integers on both engines.
+# ---------------------------------------------------------------------------
+
+@query("banzhaf_lang_power", sql="""
+WITH w AS (
+  SELECT lang, count(*)::BIGINT AS wt FROM documents GROUP BY lang
+), ws AS (
+  SELECT list(wt ORDER BY lang) AS v, list(lang ORDER BY lang) AS ls,
+         count(*)::BIGINT AS k, sum(wt)::BIGINT AS t
+  FROM w
+), m AS (
+  SELECT unnest(range(0, 1 << (k - 1)::INT)) AS mask, v, ls, k, t
+  FROM ws
+), e AS (
+  SELECT unnest(range(1, k + 1)) AS i, mask, v, ls, k, t FROM m
+), s AS (
+  SELECT i, ls[i] AS lang, v[i] AS wt, k, t, t // 2 + 1 AS q,
+         list_sum(list_transform(range(1, k + 1),
+           j -> CASE WHEN j <> i AND
+                ((CASE WHEN j < i THEN mask >> (j - 1)
+                       ELSE mask >> (j - 2) END) & 1) = 1
+                THEN v[j] ELSE 0 END)) AS ssum
+  FROM e
+)
+SELECT lang, max(wt)::BIGINT AS weight,
+       sum(CASE WHEN ssum < q AND ssum + wt >= q
+                THEN 1 ELSE 0 END)::BIGINT AS swings,
+       (sum(CASE WHEN ssum < q AND ssum + wt >= q THEN 1 ELSE 0 END)
+        * 1000000 // (1 << (max(k) - 1)::INT))::BIGINT AS banzhaf_ppm
+FROM s GROUP BY lang ORDER BY lang
+""")
+def banzhaf_lang_power_q(sf_dir: str):
+    """Banzhaf voting power of each language stratum when strata vote
+    with weight = document count and quota = simple majority: the count
+    of coalitions each stratum swings, over all 2^(k-1) subsets of the
+    other strata.  Weights fold through one k-key combine; the subset
+    enumeration is exact integer on both engines (the SQL packs the
+    other players' bits around index i)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"lang": b["lang"].to_pylist(), "wt": 1})
+        return f.groupby("lang", as_index=False)["wt"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("lang", as_index=False)["wt"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["lang"])
+        .map_batches(part, batch_format="pyarrow"), fold, 1_000)
+    assert ok  # bounded: language strata
+    cols = ["lang", "weight", "swings", "banzhaf_ppm"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    merged = merged.sort_values("lang").reset_index(drop=True)
+    langs = list(merged["lang"])
+    wts = [int(v) for v in merged["wt"]]
+    k, t = len(wts), sum(wts)
+    q = t // 2 + 1
+    rows = []
+    for i, (lg, wi) in enumerate(zip(langs, wts)):
+        others = [w for j, w in enumerate(wts) if j != i]
+        swings = 0
+        for mask in range(1 << (k - 1)):
+            ssum = sum(w for j, w in enumerate(others)
+                       if (mask >> j) & 1)
+            if ssum < q <= ssum + wi:
+                swings += 1
+        rows.append((lg, wi, swings, swings * 1_000_000 // (1 << (k - 1))))
+    out = pd.DataFrame(rows, columns=cols)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dorfman pooled-testing planner (Dorfman 1943): per source, the pool
+# size k in 1..10 minimizing expected tests per item when screening for
+# non-English contamination.  (1-p)^k is an ITERATED floor sequence
+# r_j = r_{j-1}*(n-d)//n replicated by a linear recursive CTE, so every
+# candidate cost is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+@query("dorfman_pool_planner", sql="""
+WITH RECURSIVE s AS (
+  SELECT source, count(*)::BIGINT AS n,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS d
+  FROM documents GROUP BY source
+), r AS (
+  SELECT source, n, d, 1 AS j, 1000000 * (n - d) // n AS rj FROM s
+  UNION ALL
+  SELECT source, n, d, j + 1, rj * (n - d) // n
+  FROM r WHERE j < 10
+), cost AS (
+  SELECT source, n, d, 1::BIGINT AS k, 1000000::BIGINT AS t_ppm FROM s
+  UNION ALL
+  SELECT source, n, d, j::BIGINT,
+         (1000000 // j + 1000000 - rj)::BIGINT
+  FROM r WHERE j >= 2
+), best AS (
+  SELECT source, n, d, k, t_ppm,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY t_ppm, k) AS rk
+  FROM cost
+)
+SELECT source, n, d, k AS best_k, t_ppm
+FROM best WHERE rk = 1 ORDER BY source
+""")
+def dorfman_pool_planner_q(sf_dir: str):
+    """Optimal Dorfman pool size per source for screening non-English
+    docs: expected tests per item 1/k + 1 - (1-p)^k with p = d/n, the
+    power term as an iterated integer floor chain — pick the k in 1..10
+    with the smallest cost (tie -> smaller k).  One bounded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        en = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "n": 1, "d": (~en).astype(np.int64)})
+        return f.groupby("source", as_index=False)[["n", "d"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)[["n", "d"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "lang"])
+        .map_batches(part, batch_format="pyarrow"), fold, 10_000)
+    assert ok  # bounded: sources
+    cols = ["source", "n", "d", "best_k", "t_ppm"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    rows = []
+    for _, r in merged.sort_values("source").iterrows():
+        n, d = int(r["n"]), int(r["d"])
+        best = (1_000_000, 1)
+        rj = 1_000_000 * (n - d) // n  # r_1
+        for k in range(2, 11):
+            rj = rj * (n - d) // n  # advance r_{k-1} -> r_k
+            cost = 1_000_000 // k + 1_000_000 - rj
+            if (cost, k) < best:
+                best = (cost, k)
+        rows.append((str(r["source"]), n, d, best[1], best[0]))
+    out = pd.DataFrame(rows, columns=cols)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Goh-Barabasi memory coefficient of the event stream: the Pearson
+# correlation between consecutive inter-event gaps pooled across users
+# (burstiness M).  Per-user gap-pair sums are exact Python/HUGEINT
+# integers (microsecond gaps square past int64); the final r is the
+# standard one-chain float (division over sqrt of a product).
+# ---------------------------------------------------------------------------
+
+@query("interevent_memory_coefficient", sql="""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pus
+  FROM events
+), g AS (
+  SELECT user_id, us - pus AS gap,
+         lead(us - pus) OVER (PARTITION BY user_id ORDER BY us) AS ngap
+  FROM o WHERE pus IS NOT NULL
+), p AS (
+  SELECT gap AS x, ngap AS y FROM g WHERE ngap IS NOT NULL
+), s AS (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(y)::HUGEINT AS sy, sum(x::HUGEINT * x) AS sxx,
+         sum(y::HUGEINT * y) AS syy, sum(x::HUGEINT * y) AS sxy
+  FROM p
+)
+SELECT n::BIGINT AS n_pairs, sx::BIGINT AS sum_gap,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS memory_coef
+FROM s WHERE n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy
+""")
+def interevent_memory_q(sf_dir: str):
+    """Memory coefficient M of the event process (Goh & Barabasi 2008):
+    Pearson correlation of consecutive inter-event gaps pooled over
+    users.  M>0 = long gaps follow long gaps (clustering), M<0 =
+    alternation.  Per-user sums reduce in one map_groups (exact object
+    ints — microsecond squares overflow int64); the driver does one
+    float chain."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        gaps = np.diff(us)
+        if len(gaps) < 2:
+            return pd.DataFrame({c: pd.Series([], dtype=object)
+                                 for c in ("n", "sx", "sy", "sxx",
+                                           "syy", "sxy")})
+        x = [int(v) for v in gaps[:-1]]
+        y = [int(v) for v in gaps[1:]]
+        return pd.DataFrame({
+            "n": [len(x)], "sx": [sum(x)], "sy": [sum(y)],
+            "sxx": [sum(v * v for v in x)],
+            "syy": [sum(v * v for v in y)],
+            "sxy": [sum(a * b for a, b in zip(x, y))]})
+
+    stats = (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
+             .groupby("user_id")
+             .map_groups(per_user, batch_format="pandas")
+             .to_pandas())
+    cols = ["n_pairs", "sum_gap", "memory_coef"]
+    if not len(stats):
+        return pd.DataFrame({"n_pairs": pd.Series([], dtype=np.int64),
+                             "sum_gap": pd.Series([], dtype=np.int64),
+                             "memory_coef": pd.Series([], dtype=float)})
+    n = sum(int(v) for v in stats["n"])
+    sx = sum(int(v) for v in stats["sx"])
+    sy = sum(int(v) for v in stats["sy"])
+    sxx = sum(int(v) for v in stats["sxx"])
+    syy = sum(int(v) for v in stats["syy"])
+    sxy = sum(int(v) for v in stats["sxy"])
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if n < 2 or vx <= 0 or vy <= 0:
+        return pd.DataFrame({"n_pairs": pd.Series([], dtype=np.int64),
+                             "sum_gap": pd.Series([], dtype=np.int64),
+                             "memory_coef": pd.Series([], dtype=float)})
+    r = float(n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+    return pd.DataFrame({"n_pairs": [np.int64(n)],
+                         "sum_gap": [np.int64(sx)],
+                         "memory_coef": [r]})
+
+
+# ---------------------------------------------------------------------------
+# Elias-Fano posting-list size advisor: exact EF bit cost n*l + n +
+# (u >> l) with l = floor(log2(u//n)) per token posting list, vs raw
+# 32-bit ids — the succinct-encoding sibling of the varint/roaring/
+# bitpack advisors.  floor-log2 is bit_length - 1 on both engines.
+# ---------------------------------------------------------------------------
+
+@query("elias_fano_advisor", sql=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+           regexp_split_to_array(coalesce(text, ''), '\s+'),
+           x -> x <> ''))) AS tok
+  FROM documents
+), pl AS (
+  SELECT tok, count(*)::BIGINT AS df,
+         (max(doc_id) - min(doc_id) + 1)::BIGINT AS u
+  FROM toks GROUP BY tok
+), lb AS (
+  SELECT tok, df, u,
+         CASE WHEN u // df >= 2
+              THEN length(bin(u // df)) - 1 ELSE 0 END AS l
+  FROM pl
+)
+SELECT tok, df, u, l::BIGINT AS low_bits,
+       (df * l + df + (u >> l::INT))::BIGINT AS ef_bits,
+       ((df * l + df + (u >> l::INT)) * 1000000
+        // (32 * df))::BIGINT AS vs_raw32_ppm
+FROM lb ORDER BY tok
+""")
+def elias_fano_advisor_q(sf_dir: str):
+    """Exact Elias-Fano compressed size of each token's document
+    posting list (low bits l = floor(log2(u/n)), total n*l + n + u/2^l)
+    against raw 32-bit postings — says which index columns the succinct
+    layout pays for.  Per-batch partials carry (df, min, max) per token
+    (documents are row-unique, so within-batch distinct is global);
+    vocab-bounded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        recs: dict[str, list] = {}
+        for did, txt in zip(b["doc_id"].to_pylist(),
+                            b["text"].to_pylist()):
+            for tok in set((txt or "").split()):
+                e = recs.setdefault(tok, [0, did, did])
+                e[0] += 1
+                e[1] = min(e[1], did)
+                e[2] = max(e[2], did)
+        if not recs:
+            return pd.DataFrame({"tok": [], "df": [], "lo": [],
+                                 "hi": []})
+        ks = sorted(recs)
+        return pd.DataFrame({"tok": ks,
+                             "df": [recs[k][0] for k in ks],
+                             "lo": [recs[k][1] for k in ks],
+                             "hi": [recs[k][2] for k in ks]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("tok", as_index=False).agg(
+            df=("df", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: vocabulary
+    cols = ["tok", "df", "u", "low_bits", "ef_bits", "vs_raw32_ppm"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    rows = []
+    for _, r in merged.sort_values("tok").iterrows():
+        df, u = int(r["df"]), int(r["hi"]) - int(r["lo"]) + 1
+        quot = u // df
+        l = quot.bit_length() - 1 if quot >= 2 else 0
+        ef = df * l + df + (u >> l)
+        rows.append((str(r["tok"]), df, u, l, ef,
+                     ef * 1_000_000 // (32 * df)))
+    out = pd.DataFrame(rows, columns=cols)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimRank (Jeh & Widom, KDD'02) over the token bigram graph, two exact
+# fixed-point iterations at scale 1e9 with C = 4/5: "two tokens are
+# similar if similar tokens precede them" — structural similarity, a
+# different axis from the flow centralities (pagerank/hits/katz).
+# ---------------------------------------------------------------------------
+
+_SR_S = 10**9
+
+
+def _simrank_sql() -> str:
+    from dataquality_ray.pipelines.queries_mining import _BIGRAM_SQL
+
+    return f"""
+WITH {_BIGRAM_SQL.strip().rstrip(',')},
+ue AS (SELECT DISTINCT src, dst FROM edges),
+ind AS (SELECT dst, count(*)::HUGEINT AS n FROM ue GROUP BY dst),
+s1 AS (
+  SELECT e1.dst AS a, e2.dst AS b, count(*)::HUGEINT AS c
+  FROM ue e1 JOIN ue e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+  GROUP BY 1, 2
+), s1v AS (
+  SELECT a, b, 4 * c * {_SR_S} // (5 * ia.n * ib.n) AS v
+  FROM s1 JOIN ind ia ON ia.dst = a JOIN ind ib ON ib.dst = b
+), t AS (
+  SELECT e1.dst AS a, e2.dst AS b,
+         sum(CASE WHEN e1.src = e2.src THEN {_SR_S}::HUGEINT
+                  ELSE coalesce(v, 0) END) AS tsum
+  FROM ue e1 JOIN ue e2 ON e1.dst < e2.dst
+  LEFT JOIN s1v ON s1v.a = e1.src AND s1v.b = e2.src
+  GROUP BY 1, 2
+), s2 AS (
+  SELECT a, b, 4 * tsum * {_SR_S} // (5 * ia.n * ib.n * {_SR_S}) AS v
+  FROM t JOIN ind ia ON ia.dst = a JOIN ind ib ON ib.dst = b
+)
+SELECT a AS tok_a, b AS tok_b, v::BIGINT AS simrank_q9
+FROM s2 WHERE v > 0 ORDER BY tok_a, tok_b
+"""
+
+
+@query("simrank_token_pairs", sql=_simrank_sql())
+def simrank_token_pairs_q(sf_dir: str):
+    """Two SimRank iterations (C=0.8, scale 1e9) over the distinct
+    bigram in-neighbor graph: s2(a,b) = C * mean over I(a) x I(b) of
+    s1(i,j), with s1 the one-step common-in-neighbor similarity and the
+    diagonal pinned at the scale.  Driver-exact over the vocab-bounded
+    edge list; every division floors identically in SQL."""
+    from dataquality_ray.pipelines.queries_mining import bigram_edges
+
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    cols = ["tok_a", "tok_b", "simrank_q9"]
+    empty = pd.DataFrame({"tok_a": pd.Series([], dtype=object),
+                          "tok_b": pd.Series([], dtype=object),
+                          "simrank_q9": pd.Series([], dtype=np.int64)})
+    if not len(edges):
+        return empty
+    ue = edges[["src", "dst"]].drop_duplicates()
+    preds: dict[str, list] = {}
+    for s, d in zip(ue["src"], ue["dst"]):
+        preds.setdefault(d, []).append(s)
+    nd = {k: len(v) for k, v in preds.items()}
+    s1: dict[tuple, int] = {}
+    for a, ia in preds.items():
+        sa = set(ia)
+        for b, ib in preds.items():
+            if a == b:
+                continue
+            c = len(sa.intersection(ib))
+            if c:
+                s1[(a, b)] = 4 * c * _SR_S // (5 * nd[a] * nd[b])
+    rows = []
+    toks = sorted(preds)
+    for ai, a in enumerate(toks):
+        for b in toks[ai + 1:]:
+            tsum = 0
+            for i in preds[a]:
+                for j in preds[b]:
+                    tsum += _SR_S if i == j else s1.get((i, j), 0)
+            v = 4 * tsum * _SR_S // (5 * nd[a] * nd[b] * _SR_S)
+            if v > 0:
+                rows.append((a, b, v))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=cols).sort_values(
+        ["tok_a", "tok_b"]).reset_index(drop=True)
+    out["simrank_q9"] = out["simrank_q9"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Inverse-propensity-scored policy value: what the mean event value (in
+# cents) WOULD be under a uniform-over-types target policy, estimated
+# from the logged stream with the empirical type frequencies as the
+# behavior policy.  Per-type floored terms keep everything integer.
+# ---------------------------------------------------------------------------
+
+@query("ips_policy_value_estimate", sql="""
+WITH c AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(CAST(round(value * 100) AS BIGINT))::HUGEINT AS sv
+  FROM events GROUP BY event_type
+), t AS (
+  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n_total,
+         sum(sv)::HUGEINT AS sv_total
+  FROM c
+)
+SELECT t.n_total AS n, t.k,
+       CAST(max(t.sv_total) * 1000000 // t.n_total AS BIGINT)
+         AS behavior_mean_e6,
+       CAST(sum(c.sv * 1000000 // (t.k * c.n)) AS BIGINT)
+         AS ips_uniform_e6
+FROM c, t GROUP BY t.n_total, t.k
+""")
+def ips_policy_value_q(sf_dir: str):
+    """Off-policy evaluation by inverse propensity scoring: the
+    estimated mean value-per-event (cents x1e6) if event types were
+    chosen uniformly, reweighting each logged type by (1/k)/(n_t/N) —
+    against the logged behavior mean.  One k-key combine; each type's
+    term floors identically on both engines."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cents = np.round(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "n": 1, "sv": cents.astype(np.int64)})
+        return f.groupby("event_type", as_index=False)[
+            ["n", "sv"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False)[
+            ["n", "sv"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(part, batch_format="pyarrow"), fold, 10_000)
+    assert ok  # bounded: event types
+    cols = ["n", "k", "behavior_mean_e6", "ips_uniform_e6"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    k = len(merged)
+    n = sum(int(v) for v in merged["n"])
+    svt = sum(int(v) for v in merged["sv"])
+    ips = sum(int(r["sv"]) * 1_000_000 // (k * int(r["n"]))
+              for _, r in merged.iterrows())
+    return pd.DataFrame({"n": [np.int64(n)], "k": [np.int64(k)],
+                         "behavior_mean_e6": [np.int64(
+                             svt * 1_000_000 // n)],
+                         "ips_uniform_e6": [np.int64(ips)]})

@@ -1,0 +1,160 @@
+"""Sanity/property tests for the diagnostics-batch operators in
+pipelines/queries_diag.py (oracle parity is covered globally by
+tests/test_oracle_parity.py; these pin semantic invariants)."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_durbin_watson_in_range(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        durbin_watson_daily_q,
+    )
+
+    out = durbin_watson_daily_q(SF)
+    assert len(out) >= 1
+    # DW statistic lies in [0, 4] by construction
+    assert (out["dw_ppm"] >= 0).all()
+    assert (out["dw_ppm"] <= 4_000_000).all()
+
+
+def test_weekday_anova_nonnegative(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        weekday_volume_anova_q,
+    )
+
+    out = weekday_volume_anova_q(SF)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["k"] <= 7 and r["n"] >= r["k"]
+    assert r["ssb_e6"] >= 0 and r["ssw_e6"] > 0 and r["f_ppm"] >= 0
+
+
+def test_mcc_bounds_and_totals(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        mcc_rules_vs_label_q,
+    )
+
+    out = mcc_rules_vs_label_q(SF)
+    assert set(out["rule"]) == {"rule_long_lines", "rule_repetitive",
+                                "rule_autogen", "rule_low_alnum"}
+    tot = out[["tp", "fp", "fn", "tn"]].sum(axis=1)
+    assert tot.nunique() == 1  # every rule saw every document
+    assert (out["mcc_ppm"].abs() <= 1_000_000).all()
+
+
+def test_gorilla_bits_lower_bound(ray_session):
+    from dataquality_ray.pipelines.queries_diag import gorilla_xor_q
+
+    out = gorilla_xor_q(SF)
+    assert len(out) >= 1
+    # at least the 64-bit header plus 1 bit per subsequent value
+    assert (out["total_bits"] >= 64 + (out["n_days"] - 1)).all()
+    assert (out["zero_xor_days"] <= out["n_days"] - 1).all()
+
+
+def test_learned_index_deciles(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        learned_index_error_q,
+    )
+
+    out = learned_index_error_q(SF)
+    assert list(out["decile"]) == sorted(out["decile"])
+    assert out["decile"].between(0, 9).all()
+    assert (out["max_abs_err"] >= 0).all()
+    # deciles partition the key universe
+    assert int(out["n_keys"].sum()) > 0
+
+
+def test_katz_floor_is_scale(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        _KATZ_S,
+        katz_centrality_q,
+    )
+
+    out = katz_centrality_q(SF)
+    assert len(out) > 0
+    # every node gets the base mass; sinks get exactly the base
+    assert (out["katz_scaled"] >= _KATZ_S).all()
+    assert (out["katz_scaled"].to_numpy()[:-1]
+            >= out["katz_scaled"].to_numpy()[1:]).all()
+
+
+def test_banzhaf_swing_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        banzhaf_lang_power_q,
+    )
+
+    out = banzhaf_lang_power_q(SF)
+    k = len(out)
+    assert k >= 2
+    assert (out["swings"] <= (1 << (k - 1))).all()
+    # heavier strata never have fewer swings
+    srt = out.sort_values("weight")
+    assert (np.diff(srt["swings"].to_numpy()) >= 0).all()
+
+
+def test_dorfman_beats_or_matches_individual(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        dorfman_pool_planner_q,
+    )
+
+    out = dorfman_pool_planner_q(SF)
+    assert len(out) >= 1
+    # the planner never returns something worse than testing everyone
+    assert (out["t_ppm"] <= 1_000_000).all()
+    assert out["best_k"].between(1, 10).all()
+
+
+def test_memory_coefficient_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        interevent_memory_q,
+    )
+
+    out = interevent_memory_q(SF)
+    assert len(out) == 1
+    assert -1.0 <= float(out["memory_coef"].iloc[0]) <= 1.0
+
+
+def test_elias_fano_bits_sane(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        elias_fano_advisor_q,
+    )
+
+    out = elias_fano_advisor_q(SF)
+    assert len(out) > 0
+    # EF lower bound: at least n + n*l bits, and universe >= df
+    assert (out["u"] >= out["df"]).all()
+    assert (out["ef_bits"] >= out["df"]).all()
+    # canonical EF is within a constant of the information bound;
+    # here just pin that the advisor beats raw 32-bit for dense lists
+    dense = out[out["u"] <= 2 * out["df"]]
+    if len(dense):
+        assert (dense["vs_raw32_ppm"] < 1_000_000).all()
+
+
+def test_simrank_in_unit_range(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        _SR_S,
+        simrank_token_pairs_q,
+    )
+
+    out = simrank_token_pairs_q(SF)
+    if len(out):
+        assert (out["simrank_q9"] > 0).all()
+        assert (out["simrank_q9"] <= _SR_S).all()
+        # unordered pairs reported once
+        assert (out["tok_a"] < out["tok_b"]).all()
+
+
+def test_ips_uniform_vs_behavior(ray_session):
+    from dataquality_ray.pipelines.queries_diag import ips_policy_value_q
+
+    out = ips_policy_value_q(SF)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n"] > 0 and r["k"] >= 2
+    # both estimates are positive mean cents for this corpus
+    assert r["behavior_mean_e6"] > 0 and r["ips_uniform_e6"] > 0
