@@ -174,13 +174,13 @@ WITH d AS (
   SELECT s,
          CAST((n * syy - sy * sy) * (n * sxx - sx * sx)
               - (n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
-           / CAST(n * (n * sxx - sx * sx) * n AS DOUBLE) AS v,
+           / CAST(n * (n * sxx - sx * sx) AS DOUBLE) AS v,
          n
   FROM st
 ), ssrp AS (
   SELECT CAST((n * syy - sy * sy) * (n * sxx - sx * sx)
               - (n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
-           / CAST(n * (n * sxx - sx * sx) * n AS DOUBLE) AS v,
+           / CAST(n * (n * sxx - sx * sx) AS DOUBLE) AS v,
          n
   FROM pool
 )
@@ -222,7 +222,7 @@ def chow_break_daily_q(sf_dir: str):
         syy = sum(v * v for v in py)
         dd = n * sxx - sx * sx
         num = (n * syy - sy * sy) * dd - (n * sxy - sx * sy) ** 2
-        return float(num) / float(n * dd * n), n
+        return float(num) / float(n * dd), n
 
     seg0 = [(x, y) for x, y in zip(xs, ys) if x <= m]
     seg1 = [(x, y) for x, y in zip(xs, ys) if x > m]
@@ -1175,3 +1175,521 @@ def ips_policy_value_q(sf_dir: str):
                          "behavior_mean_e6": [np.int64(
                              svt * 1_000_000 // n)],
                          "ips_uniform_e6": [np.int64(ips)]})
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (lag 1): does daily click volume predict next-day
+# purchase volume beyond purchase's own history?  Unrestricted model
+# y_t ~ 1 + y_{t-1} + x_{t-1} solved by Cramer determinants over exact
+# integer sums; SSR_u * det = det*y'y - sum(det_i * (X'y)_i) stays an
+# exact integer, so the F statistic is one fixed float chain.
+# ---------------------------------------------------------------------------
+
+_GRANGER_X = "click"
+_GRANGER_Y = "purchase"
+
+
+@query("granger_causality_lag1", sql=f"""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         sum(CASE WHEN event_type = '{_GRANGER_X}'
+                  THEN 1 ELSE 0 END)::BIGINT AS x,
+         sum(CASE WHEN event_type = '{_GRANGER_Y}'
+                  THEN 1 ELSE 0 END)::BIGINT AS y
+  FROM events GROUP BY 1
+), o AS (
+  SELECT y AS y0, lag(y) OVER (ORDER BY day) AS y1,
+         lag(x) OVER (ORDER BY day) AS x1
+  FROM d
+), r AS (
+  SELECT y0::HUGEINT AS y0, y1::HUGEINT AS y1, x1::HUGEINT AS x1
+  FROM o WHERE y1 IS NOT NULL
+), s AS (
+  SELECT count(*)::HUGEINT AS n, sum(y1) AS a1, sum(x1) AS a2,
+         sum(y1 * y1) AS a11, sum(y1 * x1) AS a12, sum(x1 * x1) AS a22,
+         sum(y0) AS b0, sum(y0 * y1) AS b1, sum(y0 * x1) AS b2,
+         sum(y0 * y0) AS yy
+  FROM r
+), det AS (
+  SELECT n, yy, b0, b1, b2,
+         n * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * a12 - a11 * a2) AS dt,
+         b0 * (a11 * a22 - a12 * a12) - a1 * (b1 * a22 - a12 * b2)
+           + a2 * (b1 * a12 - a11 * b2) AS d0,
+         n * (b1 * a22 - b2 * a12) - b0 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * b2 - b1 * a2) AS d1,
+         n * (a11 * b2 - a12 * b1) - a1 * (a1 * b2 - b1 * a2)
+           + b0 * (a1 * a12 - a11 * a2) AS d2,
+         (n * yy - b0 * b0) * (n * a11 - a1 * a1)
+           - (n * b1 - a1 * b0) * (n * b1 - a1 * b0) AS rnum,
+         n * (n * a11 - a1 * a1) AS rden
+  FROM s
+)
+SELECT n::BIGINT AS n,
+       CAST(rnum AS DOUBLE) / CAST(rden AS DOUBLE) AS ssr_restricted,
+       CAST(dt * yy - d0 * b0 - d1 * b1 - d2 * b2 AS DOUBLE)
+         / CAST(dt AS DOUBLE) AS ssr_unrestricted,
+       (CAST(rnum AS DOUBLE) / CAST(rden AS DOUBLE)
+        - CAST(dt * yy - d0 * b0 - d1 * b1 - d2 * b2 AS DOUBLE)
+          / CAST(dt AS DOUBLE))
+         * CAST(n - 3 AS DOUBLE)
+         / (CAST(dt * yy - d0 * b0 - d1 * b1 - d2 * b2 AS DOUBLE)
+            / CAST(dt AS DOUBLE)) AS f_stat
+FROM det WHERE dt <> 0 AND n > 3
+""")
+def granger_causality_q(sf_dir: str):
+    """Lag-1 Granger test of click -> purchase daily volume: F compares
+    the restricted AR(1) SSR against the SSR with yesterday's clicks
+    added.  Both SSRs enter as exact integer numerators over exact
+    determinant denominators (Cramer), each converted with ONE float
+    division; the F composition replays the identical op chain in SQL."""
+    merged = _daily_type_counts(sf_dir)
+    cols = ["n", "ssr_restricted", "ssr_unrestricted", "f_stat"]
+    empty = pd.DataFrame({"n": pd.Series([], dtype=np.int64),
+                          **{c: pd.Series([], dtype=float)
+                             for c in cols[1:]}})
+    if not len(merged):
+        return empty
+    piv = (merged.pivot_table(index="day", columns="event_type",
+                              values="y", aggfunc="sum", fill_value=0)
+           .sort_index())
+    if _GRANGER_X not in piv.columns or _GRANGER_Y not in piv.columns:
+        return empty
+    xs = [int(v) for v in piv[_GRANGER_X]]
+    ys = [int(v) for v in piv[_GRANGER_Y]]
+    y0 = ys[1:]
+    y1 = ys[:-1]
+    x1 = xs[:-1]
+    n = len(y0)
+    if n <= 3:
+        return empty
+    a1, a2 = sum(y1), sum(x1)
+    a11 = sum(v * v for v in y1)
+    a12 = sum(a * b for a, b in zip(y1, x1))
+    a22 = sum(v * v for v in x1)
+    b0 = sum(y0)
+    b1 = sum(a * b for a, b in zip(y0, y1))
+    b2 = sum(a * b for a, b in zip(y0, x1))
+    yy = sum(v * v for v in y0)
+    dt = (n * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)
+          + a2 * (a1 * a12 - a11 * a2))
+    if dt == 0:
+        return empty
+    d0 = (b0 * (a11 * a22 - a12 * a12) - a1 * (b1 * a22 - a12 * b2)
+          + a2 * (b1 * a12 - a11 * b2))
+    d1 = (n * (b1 * a22 - b2 * a12) - b0 * (a1 * a22 - a12 * a2)
+          + a2 * (a1 * b2 - b1 * a2))
+    d2 = (n * (a11 * b2 - a12 * b1) - a1 * (a1 * b2 - b1 * a2)
+          + b0 * (a1 * a12 - a11 * a2))
+    rnum = ((n * yy - b0 * b0) * (n * a11 - a1 * a1)
+            - (n * b1 - a1 * b0) ** 2)
+    rden = n * (n * a11 - a1 * a1)
+    ssr_r = float(rnum) / float(rden)
+    ssr_u = float(dt * yy - d0 * b0 - d1 * b1 - d2 * b2) / float(dt)
+    f = (ssr_r - ssr_u) * float(n - 3) / ssr_u
+    return pd.DataFrame({"n": [np.int64(n)], "ssr_restricted": [ssr_r],
+                         "ssr_unrestricted": [ssr_u], "f_stat": [f]})
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation at lag 2 of daily total volume, by the
+# Durbin-Levinson closed form phi22 = (r2 - r1^2)/(1 - r1^2) expressed
+# over exact n-scaled autocovariance integers: phi22 = (C2*C0 - C1^2) /
+# (C0^2 - C1^2), one signed truncating division at x1e6.
+# ---------------------------------------------------------------------------
+
+@query("pacf_lag2_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), t AS (
+  SELECT count(*)::HUGEINT AS n, sum(y)::HUGEINT AS s FROM d
+), c AS (
+  SELECT (t.n * y - t.s) AS yc,
+         lead(t.n * y - t.s) OVER (ORDER BY day) AS y1,
+         lead(t.n * y - t.s, 2) OVER (ORDER BY day) AS y2
+  FROM d, t
+), k AS (
+  SELECT sum(yc * yc) AS c0,
+         sum(CASE WHEN y1 IS NOT NULL THEN yc * y1 END) AS c1,
+         sum(CASE WHEN y2 IS NOT NULL THEN yc * y2 END) AS c2
+  FROM c
+)
+SELECT c0::HUGEINT::VARCHAR AS c0_str,
+       ((c2 * c0 - c1 * c1) * 1000000 // (c0 * c0 - c1 * c1))::BIGINT
+         AS pacf2_ppm
+FROM k WHERE c0 > 0 AND c0 * c0 > c1 * c1
+""")
+def pacf_lag2_daily_q(sf_dir: str):
+    """Durbin-Levinson partial autocorrelation at lag 2 of the daily
+    volume series: the direct day-before-yesterday effect with
+    yesterday's partialled out.  Autocovariances are exact n-scaled
+    integers; the single signed division truncates toward zero on both
+    engines (DuckDB // semantics)."""
+    merged = _daily_type_counts(sf_dir)
+    cols = ["c0_str", "pacf2_ppm"]
+    empty = pd.DataFrame({"c0_str": pd.Series([], dtype=object),
+                          "pacf2_ppm": pd.Series([], dtype=np.int64)})
+    if not len(merged):
+        return empty
+    g = (merged.groupby("day", as_index=False)["y"].sum()
+         .sort_values("day"))
+    ys = [int(v) for v in g["y"]]
+    n, s = len(ys), sum(ys)
+    yc = [n * v - s for v in ys]
+    c0 = sum(v * v for v in yc)
+    c1 = sum(a * b for a, b in zip(yc, yc[1:]))
+    c2 = sum(a * b for a, b in zip(yc, yc[2:]))
+    den = c0 * c0 - c1 * c1
+    if c0 <= 0 or den <= 0:
+        return empty
+    num = (c2 * c0 - c1 * c1) * 1_000_000
+    ppm = -((-num) // den) if num < 0 else num // den
+    return pd.DataFrame({"c0_str": [str(c0)],
+                         "pacf2_ppm": [np.int64(ppm)]})
+
+
+# ---------------------------------------------------------------------------
+# SAX shape distance between event types: each type's daily-volume
+# series is symbolized against its own discrete quartiles (a<=q1, b<=q2,
+# c<=q3, d above) and type pairs are compared by plain Levenshtein over
+# the symbol strings — time-series shape similarity with an exact
+# integer/string oracle (DuckDB levenshtein).
+# ---------------------------------------------------------------------------
+
+@query("sax_shape_distance", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), q AS (
+  SELECT event_type,
+         quantile_disc(y, 0.25) AS q1, quantile_disc(y, 0.5) AS q2,
+         quantile_disc(y, 0.75) AS q3
+  FROM d GROUP BY event_type
+), s AS (
+  SELECT d.event_type,
+         string_agg(CASE WHEN y <= q1 THEN 'a' WHEN y <= q2 THEN 'b'
+                         WHEN y <= q3 THEN 'c' ELSE 'd' END,
+                    '' ORDER BY day) AS sax
+  FROM d JOIN q USING (event_type) GROUP BY d.event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       levenshtein(a.sax, b.sax)::BIGINT AS sax_dist
+FROM s a JOIN s b ON a.event_type < b.event_type
+ORDER BY type_a, type_b
+""")
+def sax_shape_distance_q(sf_dir: str):
+    """Pairwise shape distance between event types' daily-volume curves:
+    symbolize each series against its own discrete quartiles (SAX with a
+    4-letter alphabet) and take the Levenshtein distance between symbol
+    strings.  One bounded (type, day) combine; quartiles use the
+    quantile_disc index convention, so the strings — and the DP distance
+    — match the SQL byte for byte."""
+    merged = _daily_type_counts(sf_dir)
+    cols = ["type_a", "type_b", "sax_dist"]
+    empty = pd.DataFrame({"type_a": pd.Series([], dtype=object),
+                          "type_b": pd.Series([], dtype=object),
+                          "sax_dist": pd.Series([], dtype=np.int64)})
+    if not len(merged):
+        return empty
+
+    def disc(vals, q):
+        sv = sorted(vals)
+        return sv[max(0, math.ceil(q * len(sv)) - 1)]
+
+    def lev(s1: str, s2: str) -> int:
+        prev = list(range(len(s2) + 1))
+        for i, c1 in enumerate(s1, 1):
+            cur = [i]
+            for j, c2 in enumerate(s2, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (c1 != c2)))
+            prev = cur
+        return prev[-1]
+
+    sax = {}
+    for et, g in merged.groupby("event_type"):
+        g = g.sort_values("day")
+        ys = [int(v) for v in g["y"]]
+        q1, q2, q3 = disc(ys, 0.25), disc(ys, 0.5), disc(ys, 0.75)
+        sax[et] = "".join(
+            "a" if y <= q1 else "b" if y <= q2 else "c" if y <= q3
+            else "d" for y in ys)
+    ts = sorted(sax)
+    rows = [(a, b, lev(sax[a], sax[b]))
+            for i, a in enumerate(ts) for b in ts[i + 1:]]
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=cols)
+    out["sax_dist"] = out["sax_dist"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Ramer-Douglas-Peucker simplification of the daily-volume polyline with
+# a variance-relative tolerance: split the segment at the point of max
+# perpendicular deviation while 4*n^2*cross^2 > Syy_c*len2 (exact
+# integer comparison — tol^2 = var/4).  The SQL replays the recursion as
+# a segment-splitting recursive CTE with the same (cross^2 desc, day
+# asc) argmax tie-break.
+# ---------------------------------------------------------------------------
+
+@query("rdp_simplify_daily", sql="""
+WITH RECURSIVE d AS (
+  SELECT epoch_us(ts) // 86400000000 AS x, count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), v AS (
+  SELECT count(*)::HUGEINT AS n,
+         (count(*)::HUGEINT * sum(y * y) - sum(y)::HUGEINT * sum(y))
+           AS syyc
+  FROM d
+), seg AS (
+  SELECT min(x) AS lo, max(x) AS hi FROM d
+  UNION ALL
+  SELECT s.lo, s.hi
+  FROM (
+    SELECT sg.lo AS plo, sg.hi AS phi, p.x,
+           ((b.x - a.x) * (p.y - a.y)
+            - (b.y - a.y) * (p.x - a.x))::HUGEINT AS cross,
+           ((b.x - a.x) * (b.x - a.x)
+            + (b.y - a.y) * (b.y - a.y))::HUGEINT AS len2,
+           row_number() OVER (
+             PARTITION BY sg.lo, sg.hi
+             ORDER BY ((b.x - a.x) * (p.y - a.y)
+                       - (b.y - a.y) * (p.x - a.x))::HUGEINT
+                      * ((b.x - a.x) * (p.y - a.y)
+                         - (b.y - a.y) * (p.x - a.x)) DESC, p.x) AS rk
+    FROM seg sg
+    JOIN d a ON a.x = sg.lo JOIN d b ON b.x = sg.hi
+    JOIN d p ON p.x > sg.lo AND p.x < sg.hi
+  ) t, v,
+  LATERAL (SELECT t.plo AS lo, t.x AS hi
+           UNION ALL SELECT t.x, t.phi) s
+  WHERE t.rk = 1 AND 4 * v.n * v.n * t.cross * t.cross
+                     > v.syyc * t.len2
+)
+SELECT DISTINCT p.x::BIGINT AS day, p.y
+FROM (SELECT lo AS x FROM seg UNION SELECT hi FROM seg) e
+JOIN d p ON p.x = e.x
+ORDER BY day
+""")
+def rdp_simplify_daily_q(sf_dir: str):
+    """Douglas-Peucker sketch of the daily-volume curve: the minimal
+    polyline whose every omitted day deviates less than half a standard
+    deviation (tol^2 = var/4) from its segment — change-shape
+    compression for dashboards.  Exact integer cross products; the
+    driver recursion over the bounded day series matches the SQL
+    segment recursion split for split."""
+    merged = _daily_type_counts(sf_dir)
+    cols = ["day", "y"]
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                          for c in cols})
+    if not len(merged):
+        return empty
+    g = (merged.groupby("day", as_index=False)["y"].sum()
+         .sort_values("day").reset_index(drop=True))
+    pts = [(int(a), int(b)) for a, b in zip(g["day"], g["y"])]
+    n = len(pts)
+    if n < 2:
+        return g.astype(np.int64)[cols].rename(columns={"day": "day"})
+    syyc = n * sum(p[1] ** 2 for p in pts) - sum(p[1] for p in pts) ** 2
+    by_x = dict(pts)
+    keep = {pts[0][0], pts[-1][0]}
+    stack = [(pts[0][0], pts[-1][0])]
+    xs = [p[0] for p in pts]
+    while stack:
+        lo, hi = stack.pop()
+        ax, ay = lo, by_x[lo]
+        bx, by = hi, by_x[hi]
+        len2 = (bx - ax) ** 2 + (by - ay) ** 2
+        best = None
+        for x in xs:
+            if not (lo < x < hi):
+                continue
+            cr = (bx - ax) * (by_x[x] - ay) - (by - ay) * (x - ax)
+            key = (-(cr * cr), x)
+            if best is None or key < best[0]:
+                best = (key, x, cr)
+        if best is None:
+            continue
+        _, x, cr = best
+        if 4 * n * n * cr * cr > syyc * len2:
+            keep.add(x)
+            stack.append((lo, x))
+            stack.append((x, hi))
+    rows = sorted((x, by_x[x]) for x in keep)
+    out = pd.DataFrame(rows, columns=cols)
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LZ78 complexity of each document's 128-char prefix: the number of
+# phrases the incremental dictionary parse emits — an exact-integer
+# compressibility score (the oracle-checkable sibling of the zlib
+# compression_ratio, which is codec-bound and rows-only).  The SQL
+# replays the parse char-by-char in a linear recursive CTE carrying the
+# dictionary as a list.
+# ---------------------------------------------------------------------------
+
+_LZ_PREFIX = 128
+
+
+@query("lz78_complexity", sql=f"""
+WITH RECURSIVE src AS (
+  SELECT doc_id, substr(coalesce(text, ''), 1, {_LZ_PREFIX}) AS t
+  FROM documents
+), step AS (
+  SELECT doc_id, t, 1 AS pos, '' AS cur,
+         []::VARCHAR[] AS dict, 0 AS cnt
+  FROM src
+  UNION ALL
+  SELECT doc_id, t, pos + 1,
+         CASE WHEN list_contains(dict, cur || substr(t, pos, 1))
+              THEN cur || substr(t, pos, 1) ELSE '' END,
+         CASE WHEN list_contains(dict, cur || substr(t, pos, 1))
+              THEN dict
+              ELSE list_append(dict, cur || substr(t, pos, 1)) END,
+         CASE WHEN list_contains(dict, cur || substr(t, pos, 1))
+              THEN cnt ELSE cnt + 1 END
+  FROM step WHERE pos <= length(t)
+), fin AS (
+  SELECT doc_id,
+         cnt + CASE WHEN cur <> '' THEN 1 ELSE 0 END AS phrases,
+         length(t) AS n_chars,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos DESC)
+           AS rk
+  FROM step
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars, phrases::BIGINT AS phrases
+FROM fin WHERE rk = 1 ORDER BY doc_id
+""")
+def lz78_complexity_q(sf_dir: str):
+    """LZ78 phrase count of each document's first 128 chars: low phrase
+    counts flag templated/repetitive text the way gzip ratio does, but
+    with an exact cross-engine integer answer.  The per-doc parse is a
+    dictionary algorithm (inherently sequential), run vectorized-free
+    inside map_batches like the jaro_winkler kernel."""
+    def kern(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_pylist()
+        txts = batch["text"].to_pylist()
+        rows = []
+        for did, t in zip(ids, txts):
+            t = (t or "")[:_LZ_PREFIX]
+            dic: set = set()
+            cur = ""
+            cnt = 0
+            for ch in t:
+                cur += ch
+                if cur not in dic:
+                    dic.add(cur)
+                    cnt += 1
+                    cur = ""
+            if cur:
+                cnt += 1
+            rows.append((did, len(t), cnt))
+        return pd.DataFrame(rows,
+                            columns=["doc_id", "n_chars", "phrases"])
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_chars", "phrases"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Brute-force optimal assignment of the 5 languages to the top-5
+# sources maximizing total co-occurrence (min-cost perfect matching on
+# negated counts): the exact 120-permutation answer the Hungarian
+# algorithm would return, with a lexicographic tie-break.  The SQL
+# builds permutations in a recursive CTE and orders by (cost, perm).
+# ---------------------------------------------------------------------------
+
+@query("optimal_assignment_brute", sql="""
+WITH RECURSIVE langs AS (
+  SELECT lang, row_number() OVER (ORDER BY lang) AS li
+  FROM (SELECT DISTINCT lang FROM documents)
+), top5 AS (
+  SELECT source, row_number() OVER
+           (ORDER BY count(*) DESC, source) AS si
+  FROM documents GROUP BY source
+  ORDER BY count(*) DESC, source LIMIT 5
+), cm AS (
+  SELECT l.li, t.si,
+         coalesce(sum(CASE WHEN d.lang = l.lang
+                           AND d.source = t.source
+                      THEN 1 ELSE 0 END), 0)::BIGINT AS c
+  FROM langs l CROSS JOIN top5 t
+  LEFT JOIN documents d ON d.lang = l.lang AND d.source = t.source
+  GROUP BY l.li, t.si
+), nl AS (SELECT count(*)::INT AS k FROM langs),
+perm AS (
+  SELECT 0 AS lvl, []::INT[] AS ass, 0::BIGINT AS gain FROM nl
+  UNION ALL
+  SELECT p.lvl + 1, list_append(p.ass, c.si), p.gain + c.c
+  FROM perm p JOIN cm c
+    ON c.li = p.lvl + 1 AND NOT list_contains(p.ass, c.si)
+), best AS (
+  SELECT ass FROM perm, nl WHERE lvl = k
+  ORDER BY gain DESC, ass LIMIT 1
+)
+SELECT l.lang, t.source, cm.c AS n_docs
+FROM best, langs l
+JOIN cm ON cm.li = l.li AND cm.si = best.ass[l.li]
+JOIN top5 t ON t.si = cm.si
+ORDER BY l.lang
+""")
+def optimal_assignment_q(sf_dir: str):
+    """Exact max-weight perfect matching between languages and the five
+    biggest sources by shared document count (the routing table a
+    per-stratum pipeline would pin), solved by full 120-permutation
+    enumeration with a deterministic lexicographic tie-break — the
+    ground truth a Hungarian solver must reproduce.  One bounded
+    (lang, source) combine."""
+    from itertools import permutations
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"lang": b["lang"].to_pylist(),
+                          "source": b["source"].to_pylist(), "c": 1})
+        return f.groupby(["lang", "source"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["lang", "source"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["lang", "source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 100_000)
+    assert ok  # bounded: langs x sources
+    cols = ["lang", "source", "n_docs"]
+    empty = pd.DataFrame({"lang": pd.Series([], dtype=object),
+                          "source": pd.Series([], dtype=object),
+                          "n_docs": pd.Series([], dtype=np.int64)})
+    if merged is None or not len(merged):
+        return empty
+    langs = sorted(merged["lang"].unique())
+    src_tot = (merged.groupby("source")["c"].sum()
+               .reset_index()
+               .sort_values(["c", "source"], ascending=[False, True]))
+    top5 = list(src_tot["source"].head(5))
+    cmat = {(r["lang"], r["source"]): int(r["c"])
+            for _, r in merged.iterrows()}
+    k = len(langs)
+    best = None
+    for perm in permutations(range(len(top5)), k):
+        gain = sum(cmat.get((l, top5[si]), 0)
+                   for l, si in zip(langs, perm))
+        key = (-gain, [s + 1 for s in perm])
+        if best is None or key < best:
+            best = key
+    ass = best[1]
+    rows = [(l, top5[si - 1], cmat.get((l, top5[si - 1]), 0))
+            for l, si in zip(langs, ass)]
+    out = pd.DataFrame(rows, columns=cols)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out

@@ -158,3 +158,121 @@ def test_ips_uniform_vs_behavior(ray_session):
     assert r["n"] > 0 and r["k"] >= 2
     # both estimates are positive mean cents for this corpus
     assert r["behavior_mean_e6"] > 0 and r["ips_uniform_e6"] > 0
+
+
+def test_granger_f_and_ssrs(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        granger_causality_q,
+    )
+
+    out = granger_causality_q(SF)
+    assert len(out) == 1
+    r = out.iloc[0]
+    # adding a regressor can only shrink SSR
+    assert r["ssr_unrestricted"] <= r["ssr_restricted"] + 1e-9
+    assert r["f_stat"] >= -1e-9
+
+
+def test_pacf_lag2_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_diag import pacf_lag2_daily_q
+
+    out = pacf_lag2_daily_q(SF)
+    assert len(out) == 1
+    assert abs(int(out["pacf2_ppm"].iloc[0])) <= 1_000_000
+
+
+def test_sax_distance_symmetric_pairs(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        sax_shape_distance_q,
+    )
+
+    out = sax_shape_distance_q(SF)
+    assert (out["type_a"] < out["type_b"]).all()
+    assert (out["sax_dist"] >= 0).all()
+
+
+def test_rdp_keeps_endpoints_subset(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        _daily_type_counts,
+        rdp_simplify_daily_q,
+    )
+
+    out = rdp_simplify_daily_q(SF)
+    full = (_daily_type_counts(SF).groupby("day", as_index=False)["y"]
+            .sum().sort_values("day"))
+    assert 2 <= len(out) <= len(full)
+    assert int(out["day"].iloc[0]) == int(full["day"].iloc[0])
+    assert int(out["day"].iloc[-1]) == int(full["day"].iloc[-1])
+    # kept points carry the original values
+    merged = out.merge(full, on="day", suffixes=("", "_orig"))
+    assert (merged["y"] == merged["y_orig"]).all()
+
+
+def test_lz78_phrase_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_diag import lz78_complexity_q
+
+    out = lz78_complexity_q(SF)
+    assert len(out) > 0
+    # phrases <= chars; and >= ~sqrt bound for nonempty prefixes
+    nz = out[out["n_chars"] > 0]
+    assert (nz["phrases"] >= 1).all()
+    assert (nz["phrases"] <= nz["n_chars"]).all()
+    # repetitive string sanity: parse of 'aaaa...' has O(sqrt(n)) phrases
+    aaa = "a" * 128
+    dic, cur, cnt = set(), "", 0
+    for ch in aaa:
+        cur += ch
+        if cur not in dic:
+            dic.add(cur)
+            cnt += 1
+            cur = ""
+    assert cnt <= 20
+
+
+def test_optimal_assignment_is_permutation(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        optimal_assignment_q,
+    )
+
+    out = optimal_assignment_q(SF)
+    assert len(out) == out["lang"].nunique()
+    assert out["source"].nunique() == len(out)
+    assert (out["n_docs"] >= 0).all()
+
+
+def test_granger_and_chow_ssr_match_numpy(ray_session):
+    import numpy as np
+
+    from dataquality_ray.pipelines.queries_diag import (
+        _daily_type_counts,
+        chow_break_daily_q,
+        granger_causality_q,
+    )
+
+    m = _daily_type_counts(SF)
+    piv = (m.pivot_table(index="day", columns="event_type", values="y",
+                         aggfunc="sum", fill_value=0).sort_index())
+    xs = piv["click"].to_numpy(float)
+    ys = piv["purchase"].to_numpy(float)
+    y0, y1, x1 = ys[1:], ys[:-1], xs[:-1]
+    n = len(y0)
+    Xu = np.column_stack([np.ones(n), y1, x1])
+    Xr = np.column_stack([np.ones(n), y1])
+    bu = np.linalg.lstsq(Xu, y0, rcond=None)[0]
+    br = np.linalg.lstsq(Xr, y0, rcond=None)[0]
+    ssr_u = float(((y0 - Xu @ bu) ** 2).sum())
+    ssr_r = float(((y0 - Xr @ br) ** 2).sum())
+    out = granger_causality_q(SF).iloc[0]
+    assert abs(out["ssr_unrestricted"] - ssr_u) < 1e-6 * max(ssr_u, 1)
+    assert abs(out["ssr_restricted"] - ssr_r) < 1e-6 * max(ssr_r, 1)
+    assert out["ssr_unrestricted"] <= out["ssr_restricted"] + 1e-9
+
+    # chow pooled SSR equals the numpy OLS SSR over the full series
+    days = piv.index.to_numpy(float)
+    tot = piv.sum(axis=1).to_numpy(float)
+    Xp = np.column_stack([np.ones(len(days)), days])
+    bp = np.linalg.lstsq(Xp, tot, rcond=None)[0]
+    ssr_p = float(((tot - Xp @ bp) ** 2).sum())
+    ch = chow_break_daily_q(SF).iloc[0]
+    assert abs(ch["ssr_pooled"] - ssr_p) < 1e-6 * max(ssr_p, 1)
+    assert ch["ssr_within"] <= ch["ssr_pooled"] + 1e-9
