@@ -1693,3 +1693,560 @@ def optimal_assignment_q(sf_dir: str):
     out = pd.DataFrame(rows, columns=cols)
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty,
+# SIGIR'01): score(d) = sum over query terms of
+# ln((tf*|C| + mu*cf) / ((|d|+mu)*|C|)), each ln taken once on an exact
+# integer ratio and floored at x1e6 — the third retrieval model beside
+# BM25-style keyword_search_topk and tf-idf doc_keywords.
+# ---------------------------------------------------------------------------
+
+_DIR_MU = 1000
+_DIR_QUERY = ("scan", "column", "join")
+_DIR_TOPK = 10
+
+
+def _dirichlet_sql() -> str:
+    qlist = ", ".join(f"'{t}'" for t in _DIR_QUERY)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(coalesce(text, ''), '\s+'),
+           x -> x <> '')) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dlen FROM toks GROUP BY doc_id
+), cf AS (
+  SELECT tok, count(*)::BIGINT AS cf FROM toks GROUP BY tok
+), tot AS (SELECT sum(cf)::BIGINT AS csz FROM cf),
+qt AS (SELECT unnest([{qlist}]) AS tok),
+tf AS (
+  SELECT t.doc_id, t.tok, count(*)::BIGINT AS tf
+  FROM toks t JOIN qt USING (tok) GROUP BY 1, 2
+), scored AS (
+  SELECT dl.doc_id,
+         CAST(sum(CAST(floor(ln(
+           CAST(coalesce(tf.tf, 0) * tot.csz + {_DIR_MU} * cf.cf
+                AS DOUBLE)
+           / CAST((dl.dlen + {_DIR_MU}) * tot.csz AS DOUBLE)) * 1000000)
+           AS BIGINT)) AS BIGINT) AS score_e6
+  FROM dl CROSS JOIN tot
+  JOIN qt ON true
+  JOIN cf ON cf.tok = qt.tok
+  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.tok = qt.tok
+  GROUP BY dl.doc_id
+)
+SELECT doc_id, score_e6 FROM scored
+ORDER BY score_e6 DESC, doc_id LIMIT {_DIR_TOPK}
+"""
+
+
+@query("lm_dirichlet_topk", sql=_dirichlet_sql())
+def lm_dirichlet_topk_q(sf_dir: str):
+    """Top-10 documents for a fixed 3-term query under the Dirichlet-
+    smoothed query-likelihood language model (mu=1000).  Collection
+    frequencies fold through the vocab-bounded combine and broadcast;
+    each term's log enters once as floor(ln(int/int)*1e6), so the
+    ranking ties out exactly against SQL."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def stats(b: pa.Table) -> pd.DataFrame:
+        cnt: dict[str, int] = {}
+        rows = []
+        for did, t in zip(b["doc_id"].to_pylist(),
+                          b["text"].to_pylist()):
+            toks = (t or "").split()
+            rows.append((did, len(toks),
+                         *(toks.count(q) for q in _DIR_QUERY)))
+            for tok in toks:
+                cnt[tok] = cnt.get(tok, 0) + 1
+        f = pd.DataFrame(rows, columns=["doc_id", "dlen",
+                                        *(f"tf{i}" for i in
+                                          range(len(_DIR_QUERY)))])
+        cf = pd.DataFrame({"tok": list(cnt), "cf": list(cnt.values())})
+        f["__kind"] = "doc"
+        cf["__kind"] = "cf"
+        return pd.concat([f, cf], ignore_index=True)
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        docs = f[f["__kind"] == "doc"]
+        cf = (f[f["__kind"] == "cf"]
+              .groupby("tok", as_index=False)["cf"].sum())
+        cf["__kind"] = "cf"
+        return pd.concat([docs, cf], ignore_index=True)
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(stats, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: docs-per-batch rows + vocab
+    cols = ["doc_id", "score_e6"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    docs = merged[merged["__kind"] == "doc"]
+    cfm = merged[merged["__kind"] == "cf"].set_index("tok")["cf"]
+    csz = int(cfm.sum())
+    rows = []
+    for _, r in docs.iterrows():
+        dlen = int(r["dlen"])
+        s = 0
+        skip = False
+        for i, q in enumerate(_DIR_QUERY):
+            cf = int(cfm.get(q, 0))
+            if cf == 0:
+                skip = True
+                break
+            tf = int(r[f"tf{i}"])
+            num = tf * csz + _DIR_MU * cf
+            den = (dlen + _DIR_MU) * csz
+            s += math.floor(math.log(num / den) * 1_000_000)
+        if not skip:
+            rows.append((int(r["doc_id"]), s))
+    out = pd.DataFrame(rows, columns=cols)
+    out = (out.sort_values(["score_e6", "doc_id"],
+                           ascending=[False, True])
+           .head(_DIR_TOPK).reset_index(drop=True))
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Directed modularity of the first-character partition of the token
+# bigram graph: per class, Q contribution (e_c*m - aout_c*bin_c)/m^2 as
+# an exact signed truncating division at x1e6 — do tokens link within
+# their lexical neighborhood more than degree chance predicts.
+# ---------------------------------------------------------------------------
+
+def _modularity_sql() -> str:
+    from dataquality_ray.pipelines.queries_mining import _BIGRAM_SQL
+
+    return f"""
+WITH {_BIGRAM_SQL.strip().rstrip(',')},
+ue AS (SELECT DISTINCT src, dst FROM edges),
+m AS (SELECT count(*)::HUGEINT AS m FROM ue),
+cl AS (
+  SELECT substr(src, 1, 1) AS cs, substr(dst, 1, 1) AS cd FROM ue
+), ec AS (
+  SELECT cs AS c, count(*)::HUGEINT AS e_in
+  FROM cl WHERE cs = cd GROUP BY 1
+), aout AS (SELECT cs AS c, count(*)::HUGEINT AS a FROM cl GROUP BY 1),
+bin AS (SELECT cd AS c, count(*)::HUGEINT AS b FROM cl GROUP BY 1),
+cls AS (SELECT c FROM aout UNION SELECT c FROM bin)
+SELECT cls.c AS cls, coalesce(ec.e_in, 0)::BIGINT AS e_within,
+       coalesce(aout.a, 0)::BIGINT AS out_deg,
+       coalesce(bin.b, 0)::BIGINT AS in_deg,
+       ((coalesce(ec.e_in, 0) * m.m
+         - coalesce(aout.a, 0) * coalesce(bin.b, 0))
+        * 1000000 // (m.m * m.m))::BIGINT AS q_contrib_ppm
+FROM cls LEFT JOIN ec USING (c) LEFT JOIN aout USING (c)
+LEFT JOIN bin USING (c), m
+ORDER BY cls
+"""
+
+
+@query("token_modularity_first_char", sql=_modularity_sql())
+def token_modularity_q(sf_dir: str):
+    """Directed-graph modularity contribution of each first-letter token
+    class over the distinct bigram edge set: e_c/m - (aout_c/m)(bin_c/m)
+    as one exact signed truncating division per class — a null-model
+    check on lexical clustering.  Vocab-bounded edge combine."""
+    from dataquality_ray.pipelines.queries_mining import bigram_edges
+
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    cols = ["cls", "e_within", "out_deg", "in_deg", "q_contrib_ppm"]
+    if not len(edges):
+        return pd.DataFrame({"cls": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    ue = edges[["src", "dst"]].drop_duplicates()
+    m = len(ue)
+    cs = ue["src"].str[:1]
+    cd = ue["dst"].str[:1]
+    classes = sorted(set(cs) | set(cd))
+    rows = []
+    for c in classes:
+        e_in = int(((cs == c) & (cd == c)).sum())
+        a = int((cs == c).sum())
+        b = int((cd == c).sum())
+        num = (e_in * m - a * b) * 1_000_000
+        den = m * m
+        q = -((-num) // den) if num < 0 else num // den
+        rows.append((c, e_in, a, b, q))
+    out = pd.DataFrame(rows, columns=cols)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-style dimension-truncation recall audit: exact top-10
+# neighbors on the first 16 embedding dims vs the full 64, overlap per
+# query — how much recall a truncated index would keep.  Integer-grid
+# distances, mergeable per-block top-k partials.
+# ---------------------------------------------------------------------------
+
+_TRUNC_D = 16
+_TRUNC_K = 10
+_TRUNC_NQ = 10
+
+
+@query("dim_truncation_recall_audit", sql=f"""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT e.vec_id, idx.i,
+             CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM embeddings e, idx),
+d AS (
+  SELECT a.vec_id AS qid, b.vec_id AS oid,
+         sum(CASE WHEN a.i <= {_TRUNC_D}
+                  THEN (a.v - b.v) * (a.v - b.v) END)::HUGEINT AS d16,
+         sum((a.v - b.v) * (a.v - b.v))::HUGEINT AS d64
+  FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < {_TRUNC_NQ}
+  GROUP BY 1, 2
+), r16 AS (
+  SELECT qid, oid,
+         row_number() OVER (PARTITION BY qid ORDER BY d16, oid) AS r
+  FROM d
+), r64 AS (
+  SELECT qid, oid,
+         row_number() OVER (PARTITION BY qid ORDER BY d64, oid) AS r
+  FROM d
+)
+SELECT a.qid::BIGINT AS qid, count(b.oid)::BIGINT AS overlap,
+       (count(b.oid) * 1000000 // {_TRUNC_K})::BIGINT AS recall_ppm
+FROM r16 a LEFT JOIN r64 b
+  ON b.qid = a.qid AND b.oid = a.oid AND b.r <= {_TRUNC_K}
+WHERE a.r <= {_TRUNC_K}
+GROUP BY a.qid ORDER BY qid
+""")
+def dim_truncation_recall_q(sf_dir: str):
+    """Recall@10 of exact search on the first 16 embedding dimensions
+    against the full 64, for the 10 smallest vec_ids as queries — the
+    measurement behind 'can we serve a truncated index'.  Distances are
+    exact ints on the x1000 grid; per-block top-k partials merge on the
+    driver (top-k is mergeable, no shuffle)."""
+    import ray
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    qds = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .filter(lambda r: r["vec_id"] < _TRUNC_NQ))
+    qdf = qds.to_pandas().sort_values("vec_id")
+    qmat = np.floor(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+        * 1000).astype(np.int64)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qref = ray.put((qids, qmat))
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        qi, qm = ray.get(qref)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        emb = np.floor(np.stack(
+            [np.asarray(v, dtype=np.float64)
+             for v in b["embedding"].to_pylist()]) * 1000).astype(
+            np.int64)
+        rows = []
+        for qrow, qid in zip(qm, qi):
+            diff = emb - qrow[None, :]
+            mask = ids != qid
+            d64 = (diff * diff).sum(axis=1)[mask]
+            d16 = (diff[:, :_TRUNC_D] ** 2).sum(axis=1)[mask]
+            oid = ids[mask]
+            for tag, dv in (("d16", d16), ("d64", d64)):
+                order = np.lexsort((oid, dv))[:_TRUNC_K]
+                for j in order:
+                    rows.append((qid, tag, int(oid[j]), int(dv[j])))
+        return pd.DataFrame(rows,
+                            columns=["qid", "metric", "oid", "d2"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return (f.sort_values(["qid", "metric", "d2", "oid"])
+                .groupby(["qid", "metric"], as_index=False)
+                .head(_TRUNC_K))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 2 * k rows per query survive the fold
+    cols = ["qid", "overlap", "recall_ppm"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    rows = []
+    for qid, g in merged.groupby("qid"):
+        t16 = set(g[g["metric"] == "d16"]["oid"])
+        t64 = set(g[g["metric"] == "d64"]["oid"])
+        ov = len(t16 & t64)
+        rows.append((int(qid), ov, ov * 1_000_000 // _TRUNC_K))
+    out = pd.DataFrame(rows, columns=cols).sort_values(
+        "qid").reset_index(drop=True)
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# LPT (longest processing time) greedy makespan over the 64 longest
+# documents on 8 machines, vs the ceil(total/8) lower bound — the
+# classic 4/3-approximation whose trace is a deterministic 64-step
+# recursion (argmin load, tie -> lowest machine index) on both engines.
+# ---------------------------------------------------------------------------
+
+_LPT_M = 8
+_LPT_TOP = 64
+
+
+@query("lpt_makespan_audit", sql=f"""
+WITH RECURSIVE docs AS (
+  SELECT n_chars::BIGINT AS w,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS i
+  FROM documents ORDER BY n_chars DESC, doc_id LIMIT {_LPT_TOP}
+), nd AS (SELECT count(*)::INT AS n FROM docs),
+sim AS (
+  SELECT 0 AS step,
+         list_transform(range(1, {_LPT_M} + 1), x -> 0::BIGINT)
+           AS loads,
+         list_transform(range(1, {_LPT_M} + 1), x -> 0::BIGINT)
+           AS cnts
+  UNION ALL
+  SELECT s.step + 1,
+         list_transform(range(1, {_LPT_M} + 1),
+           j -> CASE WHEN j = list_position(s.loads,
+                                            list_min(s.loads))
+                     THEN s.loads[j] + d.w ELSE s.loads[j] END),
+         list_transform(range(1, {_LPT_M} + 1),
+           j -> CASE WHEN j = list_position(s.loads,
+                                            list_min(s.loads))
+                     THEN s.cnts[j] + 1 ELSE s.cnts[j] END)
+  FROM sim s JOIN docs d ON d.i = s.step + 1
+), fin AS (
+  SELECT loads, cnts FROM sim, nd WHERE step = nd.n
+), tot AS (SELECT sum(w)::BIGINT AS t FROM docs)
+, mach AS (SELECT unnest(range(1, {_LPT_M} + 1)) AS i)
+SELECT mach.i::BIGINT AS machine,
+       fin.loads[mach.i::INT]::BIGINT AS load,
+       fin.cnts[mach.i::INT]::BIGINT AS n_docs,
+       list_max(fin.loads)::BIGINT AS makespan,
+       ((tot.t + {_LPT_M} - 1) // {_LPT_M})::BIGINT AS lower_bound
+FROM fin, tot, mach ORDER BY machine
+""")
+def lpt_makespan_q(sf_dir: str):
+    """LPT greedy schedule of the 64 longest documents across 8
+    machines: per-machine load and count, the resulting makespan, and
+    the ceil(total/m) lower bound — the partitioning-quality audit for
+    length-skewed shard assignment.  Top-64 selection is a mergeable
+    per-block top-k; the 64-step greedy replays identically in the
+    recursive SQL (argmin load, lowest index on ties)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"doc_id": b["doc_id"].to_pylist(),
+                          "w": b["n_chars"].to_pylist()})
+        return (f.sort_values(["w", "doc_id"],
+                              ascending=[False, True])
+                .head(_LPT_TOP))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return (f.sort_values(["w", "doc_id"],
+                              ascending=[False, True])
+                .head(_LPT_TOP))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 1_000)
+    assert ok  # bounded: top-64 rows survive the fold
+    cols = ["machine", "load", "n_docs", "makespan", "lower_bound"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    ws = [int(v) for v in
+          merged.sort_values(["w", "doc_id"],
+                             ascending=[False, True])["w"]]
+    loads = [0] * _LPT_M
+    cnts = [0] * _LPT_M
+    for w in ws:
+        j = loads.index(min(loads))
+        loads[j] += w
+        cnts[j] += 1
+    tot = sum(ws)
+    lb = (tot + _LPT_M - 1) // _LPT_M
+    mk = max(loads)
+    out = pd.DataFrame({
+        "machine": np.arange(1, _LPT_M + 1, dtype=np.int64),
+        "load": np.array(loads, dtype=np.int64),
+        "n_docs": np.array(cnts, dtype=np.int64),
+        "makespan": np.full(_LPT_M, mk, dtype=np.int64),
+        "lower_bound": np.full(_LPT_M, lb, dtype=np.int64)})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Expected Reciprocal Rank (Chapelle et al., CIKM'09) of each source's
+# length-ranked top-10: graded relevance g = min(3, n_chars // 500),
+# stop probability R = (2^g - 1)/8 — every term is a dyadic rational,
+# floored once per rank at x1e9 on both engines.
+# ---------------------------------------------------------------------------
+
+@query("err_ranking_metric", sql="""
+WITH RECURSIVE ranked AS (
+  SELECT source,
+         least(3, n_chars // 500)::BIGINT AS g,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents
+), top AS (SELECT * FROM ranked WHERE r <= 10),
+walk AS (
+  SELECT source, 1::BIGINT AS r,
+         (8 - ((1 << g) - 1))::HUGEINT AS snum, 8::HUGEINT AS sden,
+         CAST(((1 << g) - 1) * 1000000000 // 8 AS HUGEINT) AS err_acc
+  FROM top WHERE r = 1
+  UNION ALL
+  SELECT t.source, t.r,
+         w.snum * (8 - ((1 << t.g) - 1)),
+         w.sden * 8,
+         w.err_acc + ((1 << t.g) - 1) * w.snum * 1000000000
+           // (w.sden * 8 * t.r)
+  FROM walk w JOIN top t ON t.source = w.source AND t.r = w.r + 1
+)
+SELECT source, max(r)::BIGINT AS depth,
+       max(err_acc)::BIGINT AS err_e9
+FROM walk GROUP BY source ORDER BY source
+""")
+def err_ranking_metric_q(sf_dir: str):
+    """Expected Reciprocal Rank of each source's documents ranked by
+    length (graded relevance min(3, chars//500), cascade stop model):
+    term_r = (1/r) * R_r * prod(1-R_i).  The survival product stays an
+    exact dyadic rational (num/den with den = 8^r) and each term floors
+    once at x1e9 — identical in the linear recursive SQL."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "doc_id": b["doc_id"].to_pylist(),
+                          "n_chars": b["n_chars"].to_pylist()})
+        return (f.sort_values(["source", "n_chars", "doc_id"],
+                              ascending=[True, False, True])
+                .groupby("source", as_index=False).head(10))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return (f.sort_values(["source", "n_chars", "doc_id"],
+                              ascending=[True, False, True])
+                .groupby("source", as_index=False).head(10))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "doc_id", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 100_000)
+    assert ok  # bounded: 10 rows per source survive the fold
+    cols = ["source", "depth", "err_e9"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    rows = []
+    for src, g in merged.groupby("source"):
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).head(10)
+        num, den = 0, 1  # survival prob = 1 - num/den (num=stopped mass)
+        surv_num, surv_den = 1, 1
+        err = 0
+        depth = 0
+        for r, (_, row) in enumerate(g.iterrows(), 1):
+            gr = min(3, int(row["n_chars"]) // 500)
+            rnum = (1 << gr) - 1
+            # term = (1/r) * (rnum/8) * surv
+            err += rnum * surv_num * 1_000_000_000 // (
+                surv_den * 8 * r)
+            # surv *= (1 - rnum/8)
+            surv_num *= (8 - rnum)
+            surv_den *= 8
+            depth = r
+        rows.append((str(src), depth, err))
+    out = pd.DataFrame(rows, columns=cols).sort_values(
+        "source").reset_index(drop=True)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Borda-count fusion of three source rankings (doc count, exact floored
+# mean length, language diversity): ranks are row_numbers with the
+# source name as the universal tie-break, so the fused score is a pure
+# integer on both engines.
+# ---------------------------------------------------------------------------
+
+@query("borda_fusion_sources", sql="""
+WITH s AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         (sum(n_chars)::HUGEINT * 1000000 // count(*))::BIGINT
+           AS mean_chars_e6,
+         count(DISTINCT lang)::BIGINT AS n_langs
+  FROM documents GROUP BY source
+), r AS (
+  SELECT source, n_docs, mean_chars_e6, n_langs,
+         row_number() OVER (ORDER BY n_docs DESC, source) AS r1,
+         row_number() OVER (ORDER BY mean_chars_e6 DESC, source) AS r2,
+         row_number() OVER (ORDER BY n_langs DESC, source) AS r3,
+         count(*) OVER () AS k
+  FROM s
+)
+SELECT source, r1::BIGINT AS rank_docs, r2::BIGINT AS rank_len,
+       r3::BIGINT AS rank_langs,
+       (3 * k - r1 - r2 - r3)::BIGINT AS borda
+FROM r ORDER BY borda DESC, source
+""")
+def borda_fusion_sources_q(sf_dir: str):
+    """Borda-count fusion of three source quality rankings (volume,
+    floored mean document length, language diversity) into one integer
+    consensus score — the rank-aggregation sibling of rrf_fusion.  One
+    bounded per-source combine with exact distinct-lang sets."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "lang": b["lang"].to_pylist(),
+                          "n_chars": b["n_chars"].to_pylist()})
+        g = f.groupby(["source", "lang"], as_index=False).agg(
+            n=("n_chars", "size"), sc=("n_chars", "sum"))
+        return g
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "lang"], as_index=False)[
+            ["n", "sc"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 100_000)
+    assert ok  # bounded: sources x langs
+    cols = ["source", "rank_docs", "rank_len", "rank_langs", "borda"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    g = merged.groupby("source").agg(
+        n_docs=("n", "sum"), sum_chars=("sc", "sum"),
+        n_langs=("lang", "nunique")).reset_index()
+    g["mean_e6"] = [int(s) * 1_000_000 // int(n)
+                    for s, n in zip(g["sum_chars"], g["n_docs"])]
+    k = len(g)
+
+    def ranks(col, frame):
+        srt = frame.sort_values([col, "source"],
+                                ascending=[False, True])
+        return {s: i + 1 for i, s in enumerate(srt["source"])}
+
+    r1 = ranks("n_docs", g)
+    r2 = ranks("mean_e6", g)
+    r3 = ranks("n_langs", g)
+    rows = [(s, r1[s], r2[s], r3[s], 3 * k - r1[s] - r2[s] - r3[s])
+            for s in g["source"]]
+    out = pd.DataFrame(rows, columns=cols).sort_values(
+        ["borda", "source"], ascending=[False, True]).reset_index(
+        drop=True)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -276,3 +276,87 @@ def test_granger_and_chow_ssr_match_numpy(ray_session):
     ch = chow_break_daily_q(SF).iloc[0]
     assert abs(ch["ssr_pooled"] - ssr_p) < 1e-6 * max(ssr_p, 1)
     assert ch["ssr_within"] <= ch["ssr_pooled"] + 1e-9
+
+
+def test_lm_dirichlet_topk_sorted(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        _DIR_TOPK,
+        lm_dirichlet_topk_q,
+    )
+
+    out = lm_dirichlet_topk_q(SF)
+    assert 1 <= len(out) <= _DIR_TOPK
+    s = out["score_e6"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+    assert (s < 0).all()  # log-probabilities are negative
+
+
+def test_modularity_contributions_bounded(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        token_modularity_q,
+    )
+
+    out = token_modularity_q(SF)
+    assert len(out) > 0
+    assert (out["e_within"] <= out["out_deg"]).all()
+    assert (out["q_contrib_ppm"].abs() <= 1_000_000).all()
+
+
+def test_dim_truncation_recall(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        _TRUNC_K,
+        _TRUNC_NQ,
+        dim_truncation_recall_q,
+    )
+
+    out = dim_truncation_recall_q(SF)
+    assert len(out) == _TRUNC_NQ
+    assert out["overlap"].between(0, _TRUNC_K).all()
+    assert (out["recall_ppm"] == out["overlap"] * 1_000_000
+            // _TRUNC_K).all()
+
+
+def test_lpt_makespan_invariants(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        _LPT_M,
+        _LPT_TOP,
+        lpt_makespan_q,
+    )
+
+    out = lpt_makespan_q(SF)
+    assert len(out) == _LPT_M
+    assert int(out["n_docs"].sum()) == min(
+        _LPT_TOP, int(out["n_docs"].sum()))
+    mk = int(out["makespan"].iloc[0])
+    lb = int(out["lower_bound"].iloc[0])
+    assert mk == int(out["load"].max())
+    assert lb <= mk <= (4 * lb) // 3 + max(
+        1, int(out["load"].max()))  # LPT 4/3 bound w/ slack
+
+
+def test_err_metric_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        err_ranking_metric_q,
+    )
+
+    out = err_ranking_metric_q(SF)
+    assert len(out) > 0
+    # ERR is in [0, 1]
+    assert (out["err_e9"] >= 0).all()
+    assert (out["err_e9"] <= 1_000_000_000).all()
+    assert out["depth"].between(1, 10).all()
+
+
+def test_borda_is_consensus(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        borda_fusion_sources_q,
+    )
+
+    out = borda_fusion_sources_q(SF)
+    k = len(out)
+    assert k > 0
+    # ranks are permutations of 1..k
+    for c in ("rank_docs", "rank_len", "rank_langs"):
+        assert sorted(out[c]) == list(range(1, k + 1))
+    assert (out["borda"] == 3 * k - out["rank_docs"] - out["rank_len"]
+            - out["rank_langs"]).all()
