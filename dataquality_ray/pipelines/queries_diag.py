@@ -2250,3 +2250,548 @@ def borda_fusion_sources_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower confidence bound (z=2) on each source's English share —
+# the ranking that cannot be gamed by tiny samples.  One sqrt chain per
+# source, everything else exact integers.
+# ---------------------------------------------------------------------------
+
+@query("wilson_lower_bound_ranking", sql="""
+WITH s AS (
+  SELECT source, count(*)::BIGINT AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS s
+  FROM documents GROUP BY source
+)
+SELECT source, n, s,
+       CAST(floor((s + 2 - 2 * sqrt(CAST(s * (n - s) + n AS DOUBLE)
+                                    / n)) * 1000000 / (n + 4))
+            AS BIGINT) AS wilson_lb_e6
+FROM s ORDER BY wilson_lb_e6 DESC, source
+""")
+def wilson_lower_bound_q(sf_dir: str):
+    """Sources ranked by the Wilson score lower bound (z=2) of their
+    English-document share: the small-sample-safe ordering (a 3/3 source
+    ranks below a 90/100 source).  Per-source (n, s) fold through one
+    bounded combine; the bound is a single fixed float chain per row."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        en = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "n": 1, "s": en.astype(np.int64)})
+        return f.groupby("source", as_index=False)[["n", "s"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)[["n", "s"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "lang"])
+        .map_batches(part, batch_format="pyarrow"), fold, 10_000)
+    assert ok  # bounded: sources
+    cols = ["source", "n", "s", "wilson_lb_e6"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    rows = []
+    for _, r in merged.iterrows():
+        n, s = int(r["n"]), int(r["s"])
+        lb = math.floor((s + 2 - 2 * math.sqrt(
+            (s * (n - s) + n) / n)) * 1000000 / (n + 4))
+        rows.append((str(r["source"]), n, s, lb))
+    out = pd.DataFrame(rows, columns=cols).sort_values(
+        ["wilson_lb_e6", "source"],
+        ascending=[False, True]).reset_index(drop=True)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# AR model-order choice by BIC on the daily-volume series: AR(1) vs
+# AR(2) fitted on the SAME two-lag-conditioned sample, SSRs via the
+# exact 2-var / Cramer-3x3 integer machinery, each BIC term a floored
+# ln on both engines.
+# ---------------------------------------------------------------------------
+
+@query("ar_order_bic_choice", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), o AS (
+  SELECT y::HUGEINT AS y0,
+         lag(y) OVER (ORDER BY day)::HUGEINT AS y1,
+         lag(y, 2) OVER (ORDER BY day)::HUGEINT AS y2
+  FROM d
+), r AS (SELECT y0, y1, y2 FROM o WHERE y2 IS NOT NULL),
+s AS (
+  SELECT count(*)::HUGEINT AS n, sum(y1) AS a1, sum(y2) AS a2,
+         sum(y1 * y1) AS a11, sum(y1 * y2) AS a12, sum(y2 * y2) AS a22,
+         sum(y0) AS b0, sum(y0 * y1) AS b1, sum(y0 * y2) AS b2,
+         sum(y0 * y0) AS yy
+  FROM r
+), det AS (
+  SELECT n, yy, b0, b1, b2,
+         n * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * a12 - a11 * a2) AS dt,
+         b0 * (a11 * a22 - a12 * a12) - a1 * (b1 * a22 - a12 * b2)
+           + a2 * (b1 * a12 - a11 * b2) AS d0,
+         n * (b1 * a22 - b2 * a12) - b0 * (a1 * a22 - a12 * a2)
+           + a2 * (a1 * b2 - b1 * a2) AS d1,
+         n * (a11 * b2 - a12 * b1) - a1 * (a1 * b2 - b1 * a2)
+           + b0 * (a1 * a12 - a11 * a2) AS d2,
+         (n * yy - b0 * b0) * (n * a11 - a1 * a1)
+           - (n * b1 - a1 * b0) * (n * b1 - a1 * b0) AS rnum,
+         n * (n * a11 - a1 * a1) AS rden
+  FROM s
+), ssr AS (
+  SELECT n,
+         CAST(rnum AS DOUBLE) / CAST(rden AS DOUBLE) AS ssr1,
+         CAST(dt * yy - d0 * b0 - d1 * b1 - d2 * b2 AS DOUBLE)
+           / CAST(dt AS DOUBLE) AS ssr2
+  FROM det WHERE dt <> 0 AND rden > 0
+)
+SELECT n::BIGINT AS n, ssr1, ssr2,
+       (n * CAST(floor(ln(ssr1 / n) * 1000000) AS BIGINT)
+        + 2 * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
+         ::BIGINT AS bic1_e6,
+       (n * CAST(floor(ln(ssr2 / n) * 1000000) AS BIGINT)
+        + 3 * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
+         ::BIGINT AS bic2_e6,
+       CASE WHEN (n * CAST(floor(ln(ssr2 / n) * 1000000) AS BIGINT)
+                  + 3 * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000)
+                             AS BIGINT))
+                 < (n * CAST(floor(ln(ssr1 / n) * 1000000) AS BIGINT)
+                    + 2 * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000)
+                               AS BIGINT))
+            THEN 2 ELSE 1 END::BIGINT AS chosen_order
+FROM ssr
+""")
+def ar_order_bic_q(sf_dir: str):
+    """BIC choice between AR(1) and AR(2) for the daily volume series,
+    both fitted on the same two-lag sample: SSRs come from exact integer
+    normal equations (2-var identity / Cramer 3x3) with ONE division
+    each; BIC = n*floor(ln(SSR/n)*1e6) + k*floor(ln(n)*1e6), ties ->
+    the smaller model."""
+    merged = _daily_type_counts(sf_dir)
+    cols = ["n", "ssr1", "ssr2", "bic1_e6", "bic2_e6", "chosen_order"]
+    empty = pd.DataFrame({
+        "n": pd.Series([], dtype=np.int64),
+        "ssr1": pd.Series([], dtype=float),
+        "ssr2": pd.Series([], dtype=float),
+        "bic1_e6": pd.Series([], dtype=np.int64),
+        "bic2_e6": pd.Series([], dtype=np.int64),
+        "chosen_order": pd.Series([], dtype=np.int64)})
+    if not len(merged):
+        return empty
+    g = (merged.groupby("day", as_index=False)["y"].sum()
+         .sort_values("day"))
+    ys = [int(v) for v in g["y"]]
+    if len(ys) < 6:
+        return empty
+    y0 = ys[2:]
+    y1 = ys[1:-1]
+    y2 = ys[:-2]
+    n = len(y0)
+    a1, a2 = sum(y1), sum(y2)
+    a11 = sum(v * v for v in y1)
+    a12 = sum(a * b for a, b in zip(y1, y2))
+    a22 = sum(v * v for v in y2)
+    b0 = sum(y0)
+    b1 = sum(a * b for a, b in zip(y0, y1))
+    b2 = sum(a * b for a, b in zip(y0, y2))
+    yy = sum(v * v for v in y0)
+    dt = (n * (a11 * a22 - a12 * a12) - a1 * (a1 * a22 - a12 * a2)
+          + a2 * (a1 * a12 - a11 * a2))
+    rden = n * (n * a11 - a1 * a1)
+    if dt == 0 or rden <= 0:
+        return empty
+    d0 = (b0 * (a11 * a22 - a12 * a12) - a1 * (b1 * a22 - a12 * b2)
+          + a2 * (b1 * a12 - a11 * b2))
+    d1 = (n * (b1 * a22 - b2 * a12) - b0 * (a1 * a22 - a12 * a2)
+          + a2 * (a1 * b2 - b1 * a2))
+    d2 = (n * (a11 * b2 - a12 * b1) - a1 * (a1 * b2 - b1 * a2)
+          + b0 * (a1 * a12 - a11 * a2))
+    rnum = ((n * yy - b0 * b0) * (n * a11 - a1 * a1)
+            - (n * b1 - a1 * b0) ** 2)
+    ssr1 = float(rnum) / float(rden)
+    ssr2 = float(dt * yy - d0 * b0 - d1 * b1 - d2 * b2) / float(dt)
+    lnn = math.floor(math.log(float(n)) * 1_000_000)
+    bic1 = n * math.floor(math.log(ssr1 / n) * 1_000_000) + 2 * lnn
+    bic2 = n * math.floor(math.log(ssr2 / n) * 1_000_000) + 3 * lnn
+    return pd.DataFrame({"n": [np.int64(n)], "ssr1": [ssr1],
+                         "ssr2": [ssr2],
+                         "bic1_e6": [np.int64(bic1)],
+                         "bic2_e6": [np.int64(bic2)],
+                         "chosen_order": [np.int64(
+                             2 if bic2 < bic1 else 1)]})
+
+
+# ---------------------------------------------------------------------------
+# Cronbach's alpha of the four heuristic rules as a 4-item binary test
+# battery: do the rules measure one underlying "low quality" construct?
+# alpha = k/(k-1) * (1 - sum(var_i)/var_total), every variance an exact
+# n^2-scaled integer from item sums and the per-doc total distribution.
+# ---------------------------------------------------------------------------
+
+def _cronbach_sql() -> str:
+    from dataquality_ray.pipelines.queries_text import _heuristic_sql
+
+    base = _heuristic_sql().strip()
+    return f"""
+WITH t AS (
+  SELECT (rule_long_lines::INT + rule_repetitive::INT
+          + rule_autogen::INT + rule_low_alnum::INT)::BIGINT AS tot,
+         rule_long_lines::INT::BIGINT AS i1,
+         rule_repetitive::INT::BIGINT AS i2,
+         rule_autogen::INT::BIGINT AS i3,
+         rule_low_alnum::INT::BIGINT AS i4
+  FROM ({base})
+), s AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(i1) AS s1, sum(i2) AS s2, sum(i3) AS s3, sum(i4) AS s4,
+         sum(tot)::HUGEINT AS st, sum(tot * tot)::HUGEINT AS st2
+  FROM t
+)
+SELECT n::BIGINT AS n, st::BIGINT AS sum_total,
+       CAST((n * s1 - s1 * s1) + (n * s2 - s2 * s2)
+            + (n * s3 - s3 * s3) + (n * s4 - s4 * s4) AS BIGINT)
+         AS item_var_n2,
+       CAST(n * st2 - st * st AS BIGINT) AS total_var_n2,
+       CAST(4 * ((n * st2 - st * st)
+                 - ((n * s1 - s1 * s1) + (n * s2 - s2 * s2)
+                    + (n * s3 - s3 * s3) + (n * s4 - s4 * s4)))
+            * 1000000 // (3 * (n * st2 - st * st)) AS BIGINT)
+         AS alpha_ppm
+FROM s WHERE n * st2 > st * st
+"""
+
+
+@query("cronbach_alpha_rules", sql=_cronbach_sql())
+def cronbach_alpha_rules_q(sf_dir: str):
+    """Internal-consistency reliability (Cronbach's alpha) of the four
+    flagship heuristic rules treated as a binary test battery: one pass
+    folds item sums and the per-doc total's first two moments; alpha is
+    a single exact integer division (k/(k-1) * (1 - sum var_i /
+    var_total), all n^2-scaled)."""
+    from dataquality_ray.functions.heuristics import (
+        content_stats,
+        heuristic_violations,
+    )
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        b = content_stats(batch, col="text")
+        flags = heuristic_violations(b)
+        arrs = []
+        for r in ("rule_long_lines", "rule_repetitive", "rule_autogen",
+                  "rule_low_alnum"):
+            arr = flags[r]
+            if r == "rule_autogen":
+                arr = pc.fill_null(arr, False)
+            arrs.append(arr.to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        tot = arrs[0] + arrs[1] + arrs[2] + arrs[3]
+        return pd.DataFrame({
+            "n": [len(tot)],
+            "s1": [int(arrs[0].sum())], "s2": [int(arrs[1].sum())],
+            "s3": [int(arrs[2].sum())], "s4": [int(arrs[3].sum())],
+            "st": [int(tot.sum())], "st2": [int((tot * tot).sum())]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.sum().to_frame().T
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 1_000)
+    assert ok  # bounded: one scalar row
+    cols = ["n", "sum_total", "item_var_n2", "total_var_n2",
+            "alpha_ppm"]
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                          for c in cols})
+    if merged is None or not len(merged):
+        return empty
+    r = merged.iloc[0]
+    n = int(r["n"])
+    ss = [int(r[f"s{i}"]) for i in range(1, 5)]
+    st, st2 = int(r["st"]), int(r["st2"])
+    item_var = sum(n * s - s * s for s in ss)
+    tot_var = n * st2 - st * st
+    if tot_var <= 0:
+        return empty
+    num = 4 * (tot_var - item_var) * 1_000_000
+    den = 3 * tot_var
+    alpha = -((-num) // den) if num < 0 else num // den
+    return pd.DataFrame({"n": [np.int64(n)],
+                         "sum_total": [np.int64(st)],
+                         "item_var_n2": [np.int64(item_var)],
+                         "total_var_n2": [np.int64(tot_var)],
+                         "alpha_ppm": [np.int64(alpha)]})
+
+
+# ---------------------------------------------------------------------------
+# Turning-points randomness test of the daily series: count strict local
+# extrema, compare with E = 2(n-2)/3 and Var = (16n-29)/90 — a
+# different null than runs_test_daily (which tests signs around the
+# median; this tests local monotonicity).  One fixed float chain.
+# ---------------------------------------------------------------------------
+
+@query("turning_points_randomness", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), w AS (
+  SELECT y,
+         lag(y) OVER (ORDER BY day) AS yp,
+         lead(y) OVER (ORDER BY day) AS yn
+  FROM d
+), s AS (
+  SELECT count(*)::BIGINT + 2 AS n,
+         sum(CASE WHEN (y - yp) * (yn - y) < 0
+                  THEN 1 ELSE 0 END)::BIGINT AS tp
+  FROM w WHERE yp IS NOT NULL AND yn IS NOT NULL
+)
+SELECT n, tp,
+       CAST(floor((CAST(3 * tp - 2 * (n - 2) AS DOUBLE) / 3) * 1000000
+                  / sqrt(CAST(16 * n - 29 AS DOUBLE) / 90))
+            AS BIGINT) AS z_e6
+FROM s WHERE n >= 4
+""")
+def turning_points_q(sf_dir: str):
+    """Turning-points test for serial randomness of daily volume: the
+    count of strict local peaks/troughs against its exact null mean
+    2(n-2)/3 and variance (16n-29)/90.  Counts are exact ints; the
+    z-score is one fixed float chain replicated in SQL."""
+    merged = _daily_type_counts(sf_dir)
+    cols = ["n", "tp", "z_e6"]
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                          for c in cols})
+    if not len(merged):
+        return empty
+    g = (merged.groupby("day", as_index=False)["y"].sum()
+         .sort_values("day"))
+    ys = [int(v) for v in g["y"]]
+    n = len(ys)
+    if n < 4:
+        return empty
+    tp = sum(1 for i in range(1, n - 1)
+             if (ys[i] - ys[i - 1]) * (ys[i + 1] - ys[i]) < 0)
+    z = math.floor(((3 * tp - 2 * (n - 2)) / 3) * 1000000
+                   / math.sqrt((16 * n - 29) / 90))
+    return pd.DataFrame({"n": [np.int64(n)], "tp": [np.int64(tp)],
+                         "z_e6": [np.int64(z)]})
+
+
+# ---------------------------------------------------------------------------
+# Approximate entropy ApEn(m=1, r=sd/2) of the daily series — the
+# regularity statistic (low ApEn = predictable ops cadence).  The
+# tolerance comparison is exact integer (4n^2*diff^2 <= Syy_c); each
+# ln(C_i / N_m) floors once; the two template means floor once each.
+# ---------------------------------------------------------------------------
+
+@query("approximate_entropy_daily", sql="""
+WITH d AS (
+  SELECT row_number() OVER (ORDER BY day) AS i, y FROM (
+    SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y
+    FROM events GROUP BY 1)
+), v AS (
+  SELECT count(*)::HUGEINT AS n,
+         count(*)::HUGEINT * sum(y * y) - sum(y)::HUGEINT * sum(y)
+           AS syyc
+  FROM d
+), c1 AS (
+  SELECT a.i,
+         sum(CASE WHEN 4 * v.n * v.n * (a.y - b.y) * (a.y - b.y)
+                       <= v.syyc THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM d a, d b, v GROUP BY a.i
+), c2 AS (
+  SELECT a.i,
+         sum(CASE WHEN 4 * v.n * v.n * (a.y - b.y) * (a.y - b.y)
+                       <= v.syyc
+                   AND 4 * v.n * v.n * (a2.y - b2.y) * (a2.y - b2.y)
+                       <= v.syyc THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM d a JOIN d a2 ON a2.i = a.i + 1,
+       d b JOIN d b2 ON b2.i = b.i + 1, v
+  GROUP BY a.i
+), phi1 AS (
+  SELECT sum(CAST(floor(ln(CAST(c AS DOUBLE) / n) * 1000000)
+                  AS BIGINT)) // n AS p
+  FROM c1, v GROUP BY n
+), phi2 AS (
+  SELECT sum(CAST(floor(ln(CAST(c AS DOUBLE) / (n - 1)) * 1000000)
+                  AS BIGINT)) // (n - 1) AS p
+  FROM c2, v GROUP BY n
+)
+SELECT (SELECT n::BIGINT FROM v) AS n,
+       CAST(phi1.p AS BIGINT) AS phi1_e6,
+       CAST(phi2.p AS BIGINT) AS phi2_e6,
+       CAST(phi1.p - phi2.p AS BIGINT) AS apen_e6
+FROM phi1, phi2
+""")
+def approximate_entropy_q(sf_dir: str):
+    """ApEn(m=1, r=sd/2) of daily volume: template-match counts under an
+    exact integer tolerance (4n^2 diff^2 <= n-scaled variance), each
+    log-frequency floored at x1e6, template means floored — low values
+    mean tomorrow looks like today.  The O(n^2) match runs on the
+    bounded day series."""
+    merged = _daily_type_counts(sf_dir)
+    cols = ["n", "phi1_e6", "phi2_e6", "apen_e6"]
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                          for c in cols})
+    if not len(merged):
+        return empty
+    g = (merged.groupby("day", as_index=False)["y"].sum()
+         .sort_values("day"))
+    ys = [int(v) for v in g["y"]]
+    n = len(ys)
+    if n < 3:
+        return empty
+    syyc = n * sum(v * v for v in ys) - sum(ys) ** 2
+    nn4 = 4 * n * n
+
+    def close(a, b):
+        return nn4 * (a - b) * (a - b) <= syyc
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    p1 = tdiv(sum(math.floor(math.log(
+        sum(1 for b in ys if close(a, b)) / n) * 1_000_000)
+        for a in ys), n)
+    c2 = []
+    for i in range(n - 1):
+        c = sum(1 for j in range(n - 1)
+                if close(ys[i], ys[j]) and close(ys[i + 1], ys[j + 1]))
+        c2.append(c)
+    p2 = tdiv(sum(math.floor(math.log(c / (n - 1)) * 1_000_000)
+                  for c in c2), n - 1)
+    return pd.DataFrame({"n": [np.int64(n)],
+                         "phi1_e6": [np.int64(p1)],
+                         "phi2_e6": [np.int64(p2)],
+                         "apen_e6": [np.int64(p1 - p2)]})
+
+
+# ---------------------------------------------------------------------------
+# Allan variance of the daily event rate at cluster sizes 1, 2 and 4 —
+# the clock-stability statistic applied to pipeline throughput: white
+# noise halves AVAR per octave, drift keeps it flat.  Cluster sums are
+# exact; AVAR_e6 is one floor division per tau.
+# ---------------------------------------------------------------------------
+
+@query("allan_variance_daily", sql="""
+WITH d AS (
+  SELECT row_number() OVER (ORDER BY day) - 1 AS i, y FROM (
+    SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y
+    FROM events GROUP BY 1)
+), taus AS (SELECT unnest([1, 2, 4]) AS tau),
+cl AS (
+  SELECT tau, i // tau AS c, sum(y)::HUGEINT AS s,
+         count(*)::BIGINT AS cnt
+  FROM d, taus GROUP BY tau, i // tau
+), full_cl AS (
+  SELECT tau, c, s FROM cl WHERE cnt = tau
+), diffs AS (
+  SELECT tau, s - lag(s) OVER (PARTITION BY tau ORDER BY c) AS ds
+  FROM full_cl
+)
+SELECT tau::BIGINT AS tau, count(ds)::BIGINT AS n_diffs,
+       CAST(sum(ds * ds) * 1000000
+            // (2 * count(ds) * tau * tau) AS BIGINT) AS avar_e6
+FROM diffs WHERE ds IS NOT NULL
+GROUP BY tau ORDER BY tau
+""")
+def allan_variance_q(sf_dir: str):
+    """Allan variance of daily throughput at tau = 1, 2, 4 days:
+    sum((S_{i+1}-S_i)^2) / (2 m tau^2) over non-overlapping complete
+    cluster sums — distinguishes white jitter (AVAR ~ 1/tau) from rate
+    drift (flat).  Exact integers end to end."""
+    merged = _daily_type_counts(sf_dir)
+    cols = ["tau", "n_diffs", "avar_e6"]
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                          for c in cols})
+    if not len(merged):
+        return empty
+    g = (merged.groupby("day", as_index=False)["y"].sum()
+         .sort_values("day"))
+    ys = [int(v) for v in g["y"]]
+    rows = []
+    for tau in (1, 2, 4):
+        sums = [sum(ys[i:i + tau]) for i in range(0, len(ys), tau)
+                if len(ys[i:i + tau]) == tau]
+        ds = [b - a for a, b in zip(sums, sums[1:])]
+        if not ds:
+            continue
+        avar = (sum(d * d for d in ds) * 1_000_000
+                // (2 * len(ds) * tau * tau))
+        rows.append((tau, len(ds), avar))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=cols)
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Record-counts audit: observed upper/lower records in the daily series
+# vs the i.i.d. expectation H_n = sum 1/i (exact harmonic integer at
+# x1e6) — too few records = saturation, too many = trend.
+# ---------------------------------------------------------------------------
+
+@query("record_counts_audit", sql="""
+WITH d AS (
+  SELECT row_number() OVER (ORDER BY day) AS i, y FROM (
+    SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y
+    FROM events GROUP BY 1)
+), w AS (
+  SELECT y,
+         max(y) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pmax,
+         min(y) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pmin
+  FROM d
+), recs AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN pmax IS NULL OR y > pmax
+             THEN 1 ELSE 0 END)::BIGINT AS up_records,
+         sum(CASE WHEN pmin IS NULL OR y < pmin
+             THEN 1 ELSE 0 END)::BIGINT AS down_records
+  FROM w
+), h AS (
+  SELECT sum(1000000 // i.i)::BIGINT AS harmonic_e6
+  FROM (SELECT unnest(range(1, (SELECT n FROM recs) + 1)) AS i) i
+)
+SELECT n, up_records, down_records, harmonic_e6
+FROM recs, h
+""")
+def record_counts_q(sf_dir: str):
+    """Observed upper/lower record days in the daily-volume series
+    against the i.i.d. expectation H_n (floored harmonic sum): record
+    excess is a trend signature, record famine a saturation one.  All
+    exact integers over the bounded day series."""
+    merged = _daily_type_counts(sf_dir)
+    cols = ["n", "up_records", "down_records", "harmonic_e6"]
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                          for c in cols})
+    if not len(merged):
+        return empty
+    g = (merged.groupby("day", as_index=False)["y"].sum()
+         .sort_values("day"))
+    ys = [int(v) for v in g["y"]]
+    n = len(ys)
+    up = dn = 0
+    mx, mn = None, None
+    for y in ys:
+        if mx is None or y > mx:
+            up += 1
+        if mn is None or y < mn:
+            dn += 1
+        mx = y if mx is None else max(mx, y)
+        mn = y if mn is None else min(mn, y)
+    harm = sum(1_000_000 // i for i in range(1, n + 1))
+    return pd.DataFrame({"n": [np.int64(n)],
+                         "up_records": [np.int64(up)],
+                         "down_records": [np.int64(dn)],
+                         "harmonic_e6": [np.int64(harm)]})

@@ -360,3 +360,81 @@ def test_borda_is_consensus(ray_session):
         assert sorted(out[c]) == list(range(1, k + 1))
     assert (out["borda"] == 3 * k - out["rank_docs"] - out["rank_len"]
             - out["rank_langs"]).all()
+
+
+def test_wilson_lb_below_share(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        wilson_lower_bound_q,
+    )
+
+    out = wilson_lower_bound_q(SF)
+    assert len(out) > 0
+    # LB never exceeds the raw share and stays in [0, 1]
+    raw = out["s"] * 1_000_000 // out["n"]
+    assert (out["wilson_lb_e6"] <= raw).all()
+    assert (out["wilson_lb_e6"] >= -1).all()
+
+
+def test_ar_bic_ssr_monotone(ray_session):
+    from dataquality_ray.pipelines.queries_diag import ar_order_bic_q
+
+    out = ar_order_bic_q(SF)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["ssr2"] <= r["ssr1"] + 1e-9  # AR(2) nests AR(1)
+    assert r["chosen_order"] in (1, 2)
+
+
+def test_cronbach_alpha_range(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        cronbach_alpha_rules_q,
+    )
+
+    out = cronbach_alpha_rules_q(SF)
+    assert len(out) == 1
+    # alpha <= 1 always (can be negative)
+    assert int(out["alpha_ppm"].iloc[0]) <= 1_000_000
+
+
+def test_turning_points_range(ray_session):
+    from dataquality_ray.pipelines.queries_diag import turning_points_q
+
+    out = turning_points_q(SF)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert 0 <= r["tp"] <= r["n"] - 2
+
+
+def test_apen_nonnegative_for_this_series(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        approximate_entropy_q,
+    )
+
+    out = approximate_entropy_q(SF)
+    assert len(out) == 1
+    r = out.iloc[0]
+    # phi are negative log-frequencies; matches of length 2 are rarer
+    assert r["phi2_e6"] <= r["phi1_e6"]
+    assert r["apen_e6"] >= 0
+
+
+def test_allan_variance_taus(ray_session):
+    from dataquality_ray.pipelines.queries_diag import allan_variance_q
+
+    out = allan_variance_q(SF)
+    assert set(out["tau"]) <= {1, 2, 4}
+    assert (out["avar_e6"] >= 0).all()
+    assert (out["n_diffs"] >= 1).all()
+
+
+def test_record_counts_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_diag import record_counts_q
+
+    out = record_counts_q(SF)
+    r = out.iloc[0]
+    assert 1 <= r["up_records"] <= r["n"]
+    assert 1 <= r["down_records"] <= r["n"]
+    # H_n at 1e6 scale is between ln(n) and ln(n)+1 scaled (coarse)
+    import math
+
+    assert r["harmonic_e6"] <= (math.log(r["n"]) + 1) * 1_000_000
