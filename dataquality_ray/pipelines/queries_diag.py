@@ -2795,3 +2795,338 @@ def record_counts_q(sf_dir: str):
                          "up_records": [np.int64(up)],
                          "down_records": [np.int64(dn)],
                          "harmonic_e6": [np.int64(harm)]})
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test across event types: 2xk contingency of daily
+# counts above/at-or-below the pooled discrete median, chi-square from
+# per-cell exact floors — the third location test beside the parametric
+# weekday ANOVA and rank-based Kruskal-Wallis.
+# ---------------------------------------------------------------------------
+
+@query("mood_median_test_types", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), med AS (SELECT quantile_disc(y, 0.5) AS m FROM d),
+cell AS (
+  SELECT event_type,
+         sum(CASE WHEN y > med.m THEN 1 ELSE 0 END)::BIGINT AS above,
+         sum(CASE WHEN y <= med.m THEN 1 ELSE 0 END)::BIGINT AS below
+  FROM d, med GROUP BY event_type
+), tot AS (
+  SELECT sum(above)::HUGEINT AS ta, sum(below)::HUGEINT AS tb,
+         sum(above + below)::HUGEINT AS n
+  FROM cell
+)
+SELECT c.event_type, c.above, c.below,
+       CAST((c.above * tot.n - (c.above + c.below) * tot.ta)
+            * (c.above * tot.n - (c.above + c.below) * tot.ta)
+            * 1000000 // (tot.n * (c.above + c.below) * tot.ta)
+            + (c.below * tot.n - (c.above + c.below) * tot.tb)
+            * (c.below * tot.n - (c.above + c.below) * tot.tb)
+            * 1000000 // (tot.n * (c.above + c.below) * tot.tb)
+            AS BIGINT) AS chi2_contrib_e6
+FROM cell c, tot ORDER BY event_type
+""")
+def mood_median_test_q(sf_dir: str):
+    """Mood's median test: does each event type spend the same share of
+    days above the pooled daily-count median?  Each type's chi-square
+    contribution is (O*n - r*c)^2 / (n*r*c) summed over its two cells,
+    floored per cell at x1e6 — exact integers throughout."""
+    merged = _daily_type_counts(sf_dir)
+    cols = ["event_type", "above", "below", "chi2_contrib_e6"]
+    empty = pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                          **{c: pd.Series([], dtype=np.int64)
+                             for c in cols[1:]}})
+    if not len(merged):
+        return empty
+    ys = sorted(int(v) for v in merged["y"])
+    m = ys[max(0, math.ceil(0.5 * len(ys)) - 1)]
+    rows = []
+    ab = {}
+    for et, g in merged.groupby("event_type"):
+        a = int((g["y"] > m).sum())
+        b = int((g["y"] <= m).sum())
+        ab[et] = (a, b)
+    ta = sum(v[0] for v in ab.values())
+    tb = sum(v[1] for v in ab.values())
+    n = ta + tb
+    for et in sorted(ab):
+        a, b = ab[et]
+        r = a + b
+        chi = ((a * n - r * ta) ** 2 * 1_000_000 // (n * r * ta)
+               + (b * n - r * tb) ** 2 * 1_000_000 // (n * r * tb))
+        rows.append((et, a, b, chi))
+    out = pd.DataFrame(rows, columns=cols)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset over the integer-grid embeddings (Gonzalez
+# 1985 2-approximation): start at vec 0, repeatedly take the point
+# farthest from the chosen set (tie -> smallest id), k=8 — the
+# diversity-sampling primitive for "pick representative docs".  The SQL
+# unrolls the 8 picks as chained CTEs (the greedy_set_cover pattern).
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def _kcenter_sql(k: int = _KC_K) -> str:
+    ctes = [
+        "idx AS (SELECT unnest(range(1, 65)) AS i)",
+        "q AS MATERIALIZED (SELECT e.vec_id, idx.i, "
+        "CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000) "
+        "AS BIGINT) AS v FROM embeddings e, idx)",
+        "p1 AS (SELECT min(vec_id) AS c FROM embeddings)",
+    ]
+    picked = "(SELECT c FROM p1)"
+    for s in range(2, k + 1):
+        ctes.append(
+            f"md{s} AS MATERIALIZED (SELECT b.vec_id AS cand, "
+            "min(d.d2) AS mind FROM ("
+            "  SELECT a.vec_id AS ca, b0.vec_id AS cb, "
+            "  sum((a.v - b0.v) * (a.v - b0.v))::HUGEINT AS d2 "
+            "  FROM q a JOIN q b0 ON b0.i = a.i "
+            f"  WHERE a.vec_id IN ({picked}) "
+            f"  AND b0.vec_id NOT IN ({picked}) "
+            "  GROUP BY 1, 2) d "
+            "JOIN embeddings b ON b.vec_id = d.cb GROUP BY b.vec_id)")
+        ctes.append(
+            f"p{s} AS MATERIALIZED (SELECT cand AS c FROM md{s} "
+            "ORDER BY mind DESC, cand LIMIT 1)")
+        picked += f" UNION SELECT c FROM p{s}"
+    ctes.append(
+        f"rad AS (SELECT max(mind) AS r2 FROM ("
+        "SELECT b.vec_id AS cand, min(d.d2) AS mind FROM ("
+        "  SELECT a.vec_id AS ca, b0.vec_id AS cb, "
+        "  sum((a.v - b0.v) * (a.v - b0.v))::HUGEINT AS d2 "
+        "  FROM q a JOIN q b0 ON b0.i = a.i "
+        f"  WHERE a.vec_id IN ({picked}) "
+        f"  AND b0.vec_id NOT IN ({picked}) "
+        "  GROUP BY 1, 2) d "
+        "JOIN embeddings b ON b.vec_id = d.cb GROUP BY b.vec_id))")
+    steps = " UNION ALL ".join(
+        f"SELECT {s} AS step, c FROM p{s}" for s in range(1, k + 1))
+    chain = ",\n".join(ctes)
+    return (f"WITH {chain}\nSELECT step::BIGINT AS step, "
+            "c::BIGINT AS vec_id, rad.r2::BIGINT AS radius2 "
+            f"FROM ({steps}), rad ORDER BY step")
+
+
+@query("kcenter_coreset_greedy", sql=_kcenter_sql())
+def kcenter_coreset_q(sf_dir: str):
+    """Gonzalez greedy k-center (k=8) over the x1000 integer embedding
+    grid: the farthest-point coreset whose radius 2-approximates the
+    optimal cover — diversity sampling for exemplar selection.  The
+    engine runs one numpy pass per pick over the bounded embedding
+    table; exact integer distances make the trace replayable."""
+    cols = ["step", "vec_id", "radius2"]
+    emb = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .to_pandas().sort_values("vec_id"))
+    if not len(emb):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    ids = emb["vec_id"].to_numpy(np.int64)
+    mat = np.floor(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+        * 1000).astype(np.int64)
+    chosen = [int(ids.min())]
+    mind = None
+    for _ in range(_KC_K - 1):
+        c = mat[ids == chosen[-1]][0]
+        diff = mat - c[None, :]
+        d2 = (diff * diff).sum(axis=1)
+        mind = d2 if mind is None else np.minimum(mind, d2)
+        mask = ~np.isin(ids, chosen)
+        cand = ids[mask]
+        cd = mind[mask]
+        j = np.lexsort((cand, -cd))[0]
+        chosen.append(int(cand[j]))
+    # radius after all k picks
+    c = mat[ids == chosen[-1]][0]
+    diff = mat - c[None, :]
+    mind = np.minimum(mind, (diff * diff).sum(axis=1))
+    mask = ~np.isin(ids, chosen)
+    r2 = int(mind[mask].max()) if mask.any() else 0
+    out = pd.DataFrame({
+        "step": np.arange(1, _KC_K + 1, dtype=np.int64),
+        "vec_id": np.array(chosen, dtype=np.int64),
+        "radius2": np.full(_KC_K, r2, dtype=np.int64)})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Exact KNN-Shapley data valuation (Jia et al., VLDB'19) of every
+# training vector for the vec-0 query under the lang label: the closed
+# form is a suffix sum over the distance-sorted neighbors, with each
+# increment floored once at x1e9 — which corpus points actually help
+# the nearest-neighbor classifier.
+# ---------------------------------------------------------------------------
+
+_KS_K = 5
+_KS_TOP = 10
+
+
+@query("knn_shapley_audit", sql=f"""
+WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+q AS (SELECT e.vec_id, idx.i,
+             CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM embeddings e, idx),
+lab AS (SELECT e.vec_id, d.lang FROM embeddings e
+        JOIN documents d ON d.doc_id = e.vec_id),
+tl AS (SELECT lang FROM lab WHERE vec_id = 0),
+d2 AS (
+  SELECT b.vec_id AS oid,
+         sum((a.v - b.v) * (a.v - b.v))::HUGEINT AS d2
+  FROM q a JOIN q b ON b.i = a.i AND a.vec_id = 0 AND b.vec_id <> 0
+  GROUP BY 1
+), srt AS (
+  SELECT d2.oid,
+         (lab.lang = tl.lang)::INT::HUGEINT AS y,
+         row_number() OVER (ORDER BY d2.d2, d2.oid) AS j,
+         count(*) OVER () AS nn
+  FROM d2 JOIN lab ON lab.vec_id = d2.oid, tl
+), inc AS (
+  SELECT oid, y, j, nn,
+         CASE WHEN j < nn THEN
+           (y - lead(y) OVER (ORDER BY j)) * 1000000000
+             * least({_KS_K}, j) // ({_KS_K} * j)
+         ELSE 0 END AS inc,
+         last_value(y) OVER (ORDER BY j
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS ylast
+  FROM srt
+), val AS (
+  SELECT oid, j,
+         ylast * 1000000000 // nn
+           + sum(inc) OVER (ORDER BY j
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS shapley_e9
+  FROM inc
+)
+SELECT oid::BIGINT AS vec_id, j::BIGINT AS dist_rank,
+       shapley_e9::BIGINT AS shapley_e9
+FROM val ORDER BY shapley_e9 DESC, vec_id LIMIT {_KS_TOP}
+""")
+def knn_shapley_audit_q(sf_dir: str):
+    """Top-10 most valuable training vectors for the vec-0 query under
+    exact KNN-Shapley (K=5, label = document language): s_j = s_(j+1) +
+    (y_j - y_(j+1))/K * min(K,j)/j on the distance-sorted list, every
+    increment a single truncating integer division at x1e9.  Bounded
+    embedding table; at scale the sort-by-distance is the per-query
+    top-N path."""
+    emb = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+           .to_pandas())
+    docs = (_read(sf_dir, "documents", ["doc_id", "lang"])
+            .to_pandas())
+    cols = ["vec_id", "dist_rank", "shapley_e9"]
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                          for c in cols})
+    lab = dict(zip(docs["doc_id"], docs["lang"]))
+    emb = emb[emb["vec_id"].map(lab.__contains__)]
+    if not len(emb) or 0 not in set(emb["vec_id"]):
+        return empty
+    ids = emb["vec_id"].to_numpy(np.int64)
+    mat = np.floor(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+        * 1000).astype(np.int64)
+    qrow = mat[ids == 0][0]
+    ytest = lab[0]
+    mask = ids != 0
+    oid = ids[mask]
+    diff = mat[mask] - qrow[None, :]
+    d2 = (diff * diff).sum(axis=1)
+    order = np.lexsort((oid, d2))
+    oid = oid[order]
+    ys = [1 if lab[int(o)] == ytest else 0 for o in oid]
+    n = len(ys)
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    s = [0] * n
+    s[n - 1] = ys[n - 1] * 1_000_000_000 // n
+    for j in range(n - 1, 0, -1):  # j is 1-based index of s[j-1]
+        inc = tdiv((ys[j - 1] - ys[j]) * 1_000_000_000
+                   * min(_KS_K, j), _KS_K * j)
+        s[j - 1] = s[j] + inc
+    out = pd.DataFrame({"vec_id": oid.astype(np.int64),
+                        "dist_rank": np.arange(1, n + 1,
+                                               dtype=np.int64),
+                        "shapley_e9": np.array(s, dtype=np.int64)})
+    return (out.sort_values(["shapley_e9", "vec_id"],
+                            ascending=[False, True])
+            .head(_KS_TOP).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Move-to-front coding cost of the daily winning event type: the
+# locality-of-reference statistic (bursty winners = cheap MTF codes).
+# A 31-step recursion over a 5-symbol list, replayed exactly in SQL.
+# ---------------------------------------------------------------------------
+
+@query("mtf_encoding_cost_daily", sql="""
+WITH RECURSIVE d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT day, event_type AS win,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY y DESC, event_type) AS rk
+  FROM d
+), seq AS (
+  SELECT day, win, row_number() OVER (ORDER BY day) AS i
+  FROM w WHERE rk = 1
+), alpha AS (
+  SELECT list(DISTINCT event_type ORDER BY event_type) AS lst FROM d
+), mtf AS (
+  SELECT 0::BIGINT AS i, NULL::VARCHAR AS win, 0::BIGINT AS cost,
+         alpha.lst AS lst
+  FROM alpha
+  UNION ALL
+  SELECT s.i, s.win,
+         list_position(m.lst, s.win)::BIGINT,
+         list_prepend(s.win,
+                      list_filter(m.lst, x -> x <> s.win))
+  FROM mtf m JOIN seq s ON s.i = m.i + 1
+)
+SELECT seq.day::BIGINT AS day, mtf.win AS top_type, mtf.cost
+FROM mtf JOIN seq ON seq.i = mtf.i
+ORDER BY day
+""")
+def mtf_encoding_cost_q(sf_dir: str):
+    """Move-to-front code of the daily winning event type (winner =
+    argmax count, ties alphabetical): position-in-list cost per day over
+    the 5-symbol alphabet — streaks cost 1, regime shifts cost the
+    alphabet depth.  Exact list replay on both engines."""
+    merged = _daily_type_counts(sf_dir)
+    cols = ["day", "top_type", "cost"]
+    empty = pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                          "top_type": pd.Series([], dtype=object),
+                          "cost": pd.Series([], dtype=np.int64)})
+    if not len(merged):
+        return empty
+    wins = []
+    for day, g in merged.groupby("day"):
+        g = g.sort_values(["y", "event_type"],
+                          ascending=[False, True])
+        wins.append((int(day), str(g["event_type"].iloc[0])))
+    wins.sort()
+    lst = sorted(merged["event_type"].unique())
+    rows = []
+    for day, w in wins:
+        pos = lst.index(w) + 1
+        rows.append((day, w, pos))
+        lst.remove(w)
+        lst.insert(0, w)
+    out = pd.DataFrame(rows, columns=cols)
+    out["day"] = out["day"].astype(np.int64)
+    out["cost"] = out["cost"].astype(np.int64)
+    return out

@@ -438,3 +438,56 @@ def test_record_counts_bounds(ray_session):
     import math
 
     assert r["harmonic_e6"] <= (math.log(r["n"]) + 1) * 1_000_000
+
+
+def test_mood_median_cells(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        mood_median_test_q,
+    )
+
+    out = mood_median_test_q(SF)
+    assert len(out) >= 2
+    assert (out["chi2_contrib_e6"] >= 0).all()
+    # at-or-below the discrete median is always the majority-or-half
+    assert int(out["below"].sum()) >= int(out["above"].sum())
+
+
+def test_kcenter_properties(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        _KC_K,
+        kcenter_coreset_q,
+    )
+
+    out = kcenter_coreset_q(SF)
+    assert len(out) == _KC_K
+    assert out["vec_id"].nunique() == _KC_K
+    assert int(out["vec_id"].iloc[0]) == 0  # seed = min id
+    assert (out["radius2"] >= 0).all()
+    assert out["radius2"].nunique() == 1
+
+
+def test_knn_shapley_top(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        _KS_TOP,
+        knn_shapley_audit_q,
+    )
+
+    out = knn_shapley_audit_q(SF)
+    assert len(out) == _KS_TOP
+    s = out["shapley_e9"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+    # shapley values are bounded by 1
+    assert (out["shapley_e9"] <= 1_000_000_000).all()
+
+
+def test_mtf_costs(ray_session):
+    from dataquality_ray.pipelines.queries_diag import (
+        mtf_encoding_cost_q,
+    )
+
+    out = mtf_encoding_cost_q(SF)
+    assert len(out) >= 1
+    assert out["cost"].between(1, 5).all()
+    # a repeated winner always costs 1
+    rep = out["top_type"].shift() == out["top_type"]
+    assert (out.loc[rep, "cost"] == 1).all()
