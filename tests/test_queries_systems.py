@@ -1,0 +1,135 @@
+"""Property tests for the systems/storage operators (queries_systems.py)
+— the invariants the SQL parity gate can't express."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataquality_ray.pipelines import queries_systems as qs
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# Damerau-Levenshtein: the Python kernel must equal DuckDB's builtin on
+# every vocabulary pair (the jaro_winkler verification pattern), and hit
+# the canonical true-DL-vs-OSA discriminator.
+# --------------------------------------------------------------------------
+
+def test_damerau_matches_duckdb_exhaustively():
+    vocab = qs._corpus_vocab(SF)
+    assert len(vocab) >= 10
+    con = duckdb.connect()
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1:]:
+            want = con.execute(
+                "SELECT damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+            assert qs.damerau_levenshtein(a, b) == want, (a, b)
+
+
+def test_damerau_true_dl_not_osa():
+    # OSA('CA','ABC') = 3; true DL = 2 (transpose then insert).
+    assert qs.damerau_levenshtein("CA", "ABC") == 2
+    assert qs.damerau_levenshtein("ab", "ba") == 1
+    assert qs.damerau_levenshtein("", "abc") == 3
+    assert qs.damerau_levenshtein("same", "same") == 0
+
+
+# --------------------------------------------------------------------------
+# Rice coding: best_k must beat-or-match every other k's bit count, and
+# the bit formula must equal a literal unary+binary encoding length.
+# --------------------------------------------------------------------------
+
+def _rice_bits(vals, k):
+    return sum((v >> k) + 1 + k for v in vals)
+
+
+def test_rice_bits_formula_is_encoding_length():
+    vals = [0, 1, 5, 17, 130]
+    for k in range(8):
+        # quotient in unary (q ones + terminator) + k-bit remainder
+        enc = sum((v >> k) + 1 + k for v in vals)
+        assert _rice_bits(vals, k) == enc
+
+
+def test_rice_advisor_best_is_argmin():
+    out = qs.rice_coding_advisor_q(SF)
+    pairs, stage = qs._distinct_token_docs(SF)
+    assert stage is None
+    for _, r in out.iterrows():
+        docs = np.sort(
+            pairs[pairs["token"] == r["token"]]["doc_id"].to_numpy())
+        v = np.diff(docs, prepend=-1) - 1
+        bits = [int((v >> k).sum() + len(v) * (k + 1)) for k in range(16)]
+        assert r["best_bits"] == min(bits)
+        assert bits[int(r["best_k"])] == min(bits)
+
+
+# --------------------------------------------------------------------------
+# Front coding: saved bytes equal the sum of pairwise common prefixes of
+# the sorted dictionary, and never exceed raw bytes.
+# --------------------------------------------------------------------------
+
+def test_front_coding_invariants():
+    out = qs.front_coding_advisor_q(SF)
+    assert len(out) >= 1
+    assert (out["saved_bytes"] >= 0).all()
+    assert (out["fc_bytes"] + out["saved_bytes"] == out["raw_bytes"]).all()
+    assert (out["fc_bytes"] >= out["n_terms"]).all()  # >=1 byte/term left
+
+
+# --------------------------------------------------------------------------
+# BWT runs: a run-count never exceeds the rotation count (len+1), and a
+# repetitive string has fewer runs than its length suggests.
+# --------------------------------------------------------------------------
+
+def test_bwt_run_bounds():
+    out = qs.bwt_run_count_q(SF)
+    assert (out["bwt_runs"] <= out["len"] + 1).all()
+    assert (out["bwt_runs"] >= 1).all()
+
+
+def test_bwt_repetitive_string_compresses():
+    def runs(tok):
+        s = tok + "!"
+        rots = sorted(s[i:] + s[:i] for i in range(len(s)))
+        last = [r[-1] for r in rots]
+        return 1 + sum(a != b for a, b in zip(last, last[1:]))
+
+    assert runs("aaaaaaaa") == 2  # BWT groups the identical chars
+    assert runs("banana") <= 5
+
+
+# --------------------------------------------------------------------------
+# Little's law: the two independently computed sides agree exactly.
+# --------------------------------------------------------------------------
+
+def test_littles_law_identity_holds():
+    out = qs.littles_law_audit_q(SF)
+    assert out["identity_ok"].iloc[0] == 1
+    assert (out["backlog_integral_days"] == out["total_duration_days"]).all()
+    assert out["n_open_orders"].iloc[0] > 0
+
+
+# --------------------------------------------------------------------------
+# ISO week rollup: weeks in 1..53, years within the order-date span +/-1
+# (ISO year can differ from the calendar year at the edges).
+# --------------------------------------------------------------------------
+
+def test_iso_week_rollup_ranges():
+    out = qs.iso_week_rollup_q(SF)
+    assert out["iso_week"].between(1, 53).all()
+    assert out["iso_year"].between(1990, 2010).all()
+    assert (out["n_orders"] > 0).all()
+
+
+def test_char_jaccard_identity_bounds():
+    out = qs.char_jaccard_pairs_q(SF)
+    assert out["char_jaccard"].between(0.0, 1.0).all()
+
+
+def test_coleman_liau_monotone_in_letters():
+    out = qs.coleman_liau_index_q(SF)
+    assert (out["letters"] <= 30 * out["words"]).all()  # sane ratio
+    assert len(out) >= 1
