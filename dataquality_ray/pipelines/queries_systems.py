@@ -561,3 +561,290 @@ def coleman_liau_index_q(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(out).astype({"letters": "int64", "words": "int64",
                                      "sents": "int64",
                                      "cli_scaled": "int64"})
+
+
+# ===========================================================================
+# Batch B: classical statistical tests / estimators, all bit-exact.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra trend test across alphabetically-ordered event
+# types, on per-type daily volumes.  Published as the doubled pairwise
+# U statistic u2 = sum over (x in A, y in B) of 2*[x<y] + [x==y] — pure
+# integer counting, so both engines agree exactly.
+# ---------------------------------------------------------------------------
+
+@query("jonckheere_trend_types", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         sum(CASE WHEN a.y < b.y THEN 2
+                  WHEN a.y = b.y THEN 1 ELSE 0 END)::BIGINT AS u2
+  FROM d a JOIN d b ON a.event_type < b.event_type
+  GROUP BY 1, 2
+), cnt AS (SELECT event_type, count(*)::BIGINT AS n FROM d GROUP BY 1)
+SELECT p.type_a, p.type_b, ca.n AS n_a, cb.n AS n_b, p.u2
+FROM pairs p
+JOIN cnt ca ON ca.event_type = p.type_a
+JOIN cnt cb ON cb.event_type = p.type_b
+ORDER BY 1, 2
+""")
+def jonckheere_trend_types_q(sf_dir: str) -> pd.DataFrame:
+    from dataquality_ray.pipelines.queries_diag import _daily_type_counts
+
+    d = _daily_type_counts(sf_dir)
+    out = {"type_a": [], "type_b": [], "n_a": [], "n_b": [], "u2": []}
+    types = sorted(d["event_type"].unique())
+    vals = {t: np.sort(d.loc[d["event_type"] == t, "y"].to_numpy(np.int64))
+            for t in types}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            xs, ys = vals[a], vals[b]
+            less = np.searchsorted(xs, ys, side="left")
+            leq = np.searchsorted(xs, ys, side="right")
+            out["type_a"].append(a)
+            out["type_b"].append(b)
+            out["n_a"].append(len(xs))
+            out["n_b"].append(len(ys))
+            out["u2"].append(int((2 * less + (leq - less)).sum()))
+    return pd.DataFrame(out).astype({"n_a": "int64", "n_b": "int64",
+                                     "u2": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test of variance homogeneity across event types (daily
+# volumes).  Within-group sums of squares SSW_i = n_i*Q_i - S_i^2 stay
+# exact integers; each log-variance enters as the single op chain
+# floor(1e6 * ln(SSW_i / (n_i*(n_i-1)))), the pooled variance as a
+# per-term integer floor sum — bit-identical across engines (same-box
+# libm, the floor-ln convention of zipf_token_fit).
+# ---------------------------------------------------------------------------
+
+@query("bartlett_variance_test", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, count(*)::HUGEINT AS n, sum(y)::HUGEINT AS sv,
+         sum(y::HUGEINT * y)::HUGEINT AS q
+  FROM d GROUP BY 1
+), g AS (
+  SELECT event_type, n, (n * q - sv * sv) AS ssw FROM s
+  WHERE n >= 2 AND (n * q - sv * sv) > 0
+), t AS (
+  SELECT count(*)::HUGEINT AS k, sum(n)::HUGEINT AS ntot,
+         sum((ssw * 1000000) // n)::HUGEINT AS pooled_scaled,
+         sum((n - 1) * floor(1000000 * ln(ssw::DOUBLE /
+             (n * (n - 1))::DOUBLE))::HUGEINT)::HUGEINT AS sum_term,
+         sum(1000000000000 // (n - 1))::HUGEINT AS sum_inv
+  FROM g
+), f AS (
+  SELECT k, ntot, pooled_scaled,
+         ((ntot - k) * floor(1000000 * ln(pooled_scaled::DOUBLE /
+             ((ntot - k) * 1000000)::DOUBLE))::HUGEINT
+          - sum_term) AS stat_scaled,
+         (1000000 + (sum_inv - 1000000000000 // (ntot - k))
+                    // (3000000 * (k - 1))) AS c_ppm
+  FROM t
+)
+SELECT k::BIGINT AS k, ntot::BIGINT AS n_total,
+       pooled_scaled::BIGINT AS pooled_scaled,
+       stat_scaled::BIGINT AS stat_scaled, c_ppm::BIGINT AS c_ppm,
+       (CASE WHEN stat_scaled >= 0
+             THEN stat_scaled * 1000000 // c_ppm
+             ELSE -((-(stat_scaled * 1000000) + c_ppm - 1) // c_ppm)
+        END)::BIGINT AS bartlett_ppm
+FROM f
+""")
+def bartlett_variance_test_q(sf_dir: str) -> pd.DataFrame:
+    import math
+
+    from dataquality_ray.pipelines.queries_diag import _daily_type_counts
+
+    d = _daily_type_counts(sf_dir)
+    k = ntot = pooled = sum_term = sum_inv = 0
+    for _, g in d.groupby("event_type"):
+        ys = [int(v) for v in g["y"]]
+        n, sv, q = len(ys), sum(ys), sum(v * v for v in ys)
+        ssw = n * q - sv * sv
+        if n < 2 or ssw <= 0:
+            continue
+        k += 1
+        ntot += n
+        pooled += ssw * 1_000_000 // n
+        sum_term += (n - 1) * math.floor(
+            1_000_000 * math.log(ssw / (n * (n - 1))))
+        sum_inv += 10**12 // (n - 1)
+    stat = ((ntot - k) * math.floor(1_000_000 * math.log(
+        pooled / ((ntot - k) * 1_000_000))) - sum_term)
+    c_ppm = 1_000_000 + (sum_inv - 10**12 // (ntot - k)) \
+        // (3_000_000 * (k - 1))
+    return pd.DataFrame({"k": [k], "n_total": [ntot],
+                         "pooled_scaled": [pooled],
+                         "stat_scaled": [stat], "c_ppm": [c_ppm],
+                         "bartlett_ppm": [stat * 1_000_000 // c_ppm]}) \
+        .astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Jackknife bias estimate of the revenue-per-order ratio over the daily
+# axis: each leave-one-day-out ratio is one integer floor division at
+# 1e-9 resolution, their mean/bias/corrected estimate pure integer
+# arithmetic — the Quenouille bias-correction recipe, exactly.
+# ---------------------------------------------------------------------------
+
+@query("jackknife_ratio_bias", sql="""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         count(*)::HUGEINT AS x,
+         sum(round(o_totalprice * 100)::BIGINT)::HUGEINT AS y
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS xs,
+         sum(y)::HUGEINT AS ys FROM d
+), j AS (
+  SELECT t.n, t.xs, t.ys,
+         sum(((t.ys - d.y) * 1000000000) // (t.xs - d.x))::HUGEINT
+           AS jack_sum
+  FROM d, t GROUP BY 1, 2, 3
+)
+SELECT n::BIGINT AS n_days,
+       (ys * 1000000000 // xs)::BIGINT AS r_full_scaled,
+       (jack_sum // n)::BIGINT AS jack_mean_scaled,
+       ((n - 1) * (jack_sum // n - ys * 1000000000 // xs))::BIGINT
+         AS bias_scaled,
+       (n * (ys * 1000000000 // xs)
+        - (n - 1) * (jack_sum // n))::BIGINT AS jk_estimate_scaled
+FROM j
+""")
+def jackknife_ratio_bias_q(sf_dir: str) -> pd.DataFrame:
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = (b["o_orderdate"].cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        cents = pc.round(pc.multiply(b["o_totalprice"], 100.0)) \
+            .cast(pa.int64()).to_numpy()
+        f = pd.DataFrame({"day": day, "x": 1, "y": cents})
+        return f.groupby("day", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False).sum(), 2_000_000)
+    assert ok  # bounded: corpus day axis
+    xs = int(merged["x"].sum())
+    ys = int(merged["y"].sum())
+    n = len(merged)
+    r_full = ys * 1_000_000_000 // xs
+    jack_sum = sum((ys - int(y)) * 1_000_000_000 // (xs - int(x))
+                   for x, y in zip(merged["x"], merged["y"]))
+    jm = jack_sum // n
+    return pd.DataFrame({
+        "n_days": [n], "r_full_scaled": [r_full],
+        "jack_mean_scaled": [jm],
+        "bias_scaled": [(n - 1) * (jm - r_full)],
+        "jk_estimate_scaled": [n * r_full - (n - 1) * jm]}).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Theil's U2 for the naive (last-value) forecast of per-type daily
+# volumes: U2 = sqrt(sum (a_t - a_{t-1})^2 / sum a_{t-1}^2).  Numerator
+# and denominator are exact integers; the published ppm value is the
+# single chain floor(1e6 * sqrt(num/den)).  U2 < 1e6 ppm means the
+# naive forecast beats a no-change martingale on this series.
+# ---------------------------------------------------------------------------
+
+@query("theil_u2_daily", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, y,
+         lag(y) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM d
+)
+SELECT event_type, count(*)::BIGINT AS n_days,
+       sum((y - prev) * (y - prev))::BIGINT AS num,
+       sum(prev * prev)::BIGINT AS den,
+       floor(1000000 * sqrt(sum((y - prev) * (y - prev))::DOUBLE
+                            / sum(prev * prev)::DOUBLE))::BIGINT AS u2_ppm
+FROM l WHERE prev IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""")
+def theil_u2_daily_q(sf_dir: str) -> pd.DataFrame:
+    import math
+
+    from dataquality_ray.pipelines.queries_diag import _daily_type_counts
+
+    d = _daily_type_counts(sf_dir)
+    out = {"event_type": [], "n_days": [], "num": [], "den": [],
+           "u2_ppm": []}
+    for t, g in d.sort_values("day").groupby("event_type", sort=True):
+        y = g["y"].to_numpy(np.int64)
+        if len(y) < 2:
+            continue
+        dy = np.diff(y)
+        num = int((dy.astype(object) ** 2).sum())
+        den = int((y[:-1].astype(object) ** 2).sum())
+        out["event_type"].append(t)
+        out["n_days"].append(len(y) - 1)
+        out["num"].append(num)
+        out["den"].append(den)
+        out["u2_ppm"].append(math.floor(1_000_000 * math.sqrt(num / den)))
+    return pd.DataFrame(out).astype({"n_days": "int64", "num": "int64",
+                                     "den": "int64", "u2_ppm": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss of each source's own tau=0.9 discrete quantile
+# over document lengths — the quantile-regression loss, scaled x10 so
+# tau stays integer: loss10 = sum(9*(y-q) for y>=q else (q-y)).  The
+# quantile follows the quantile_disc convention (index ceil(q*n)-1), so
+# everything is exact integers.
+# ---------------------------------------------------------------------------
+
+@query("pinball_loss_eval", sql="""
+WITH q AS (
+  SELECT source, quantile_disc(n_chars, 0.9)::BIGINT AS q90,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY source
+)
+SELECT d.source, min(q.n)::BIGINT AS n, min(q.q90)::BIGINT AS q90,
+       sum(CASE WHEN d.n_chars >= q.q90 THEN 9 * (d.n_chars - q.q90)
+                ELSE q.q90 - d.n_chars END)::BIGINT AS pinball10
+FROM documents d JOIN q USING (source)
+GROUP BY d.source ORDER BY d.source
+""")
+def pinball_loss_eval_q(sf_dir: str) -> pd.DataFrame:
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.quantiles import _disc_bound_from_counts
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "v": b["n_chars"].to_numpy(), "c": 1})
+        return f.groupby(["source", "v"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["source", "v"], as_index=False)["c"].sum(),
+        2_000_000)
+    assert ok  # bounded: sources x doc-length domain
+    out = {"source": [], "n": [], "q90": [], "pinball10": []}
+    for src, g in merged.groupby("source", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        q = int(_disc_bound_from_counts(v, c, 0.9))
+        loss = int((c * np.where(v >= q, 9 * (v - q), q - v)).sum())
+        out["source"].append(src)
+        out["n"].append(int(c.sum()))
+        out["q90"].append(q)
+        out["pinball10"].append(loss)
+    return pd.DataFrame(out).astype({"n": "int64", "q90": "int64",
+                                     "pinball10": "int64"})

@@ -133,3 +133,65 @@ def test_coleman_liau_monotone_in_letters():
     out = qs.coleman_liau_index_q(SF)
     assert (out["letters"] <= 30 * out["words"]).all()  # sane ratio
     assert len(out) >= 1
+
+
+# --------------------------------------------------------------------------
+# Batch B invariants.
+# --------------------------------------------------------------------------
+
+def test_jonckheere_u2_bounds():
+    out = qs.jonckheere_trend_types_q(SF)
+    # 0 <= u2 <= 2 * n_a * n_b, symmetric-complement identity
+    assert (out["u2"] >= 0).all()
+    assert (out["u2"] <= 2 * out["n_a"] * out["n_b"]).all()
+
+
+def test_jonckheere_identical_groups_give_half():
+    # counting x<y twice plus ties once over identical multisets gives
+    # exactly n*n (half of the 2*n*n maximum)
+    xs = np.array([3, 1, 2])
+    less = np.searchsorted(np.sort(xs), xs, side="left")
+    leq = np.searchsorted(np.sort(xs), xs, side="right")
+    assert int((2 * less + (leq - less)).sum()) == 9
+
+
+def test_bartlett_stat_nonnegative_up_to_floor():
+    out = qs.bartlett_variance_test_q(SF)
+    # pooled variance >= geometric mean of group variances (AM-GM), so
+    # the statistic is nonnegative up to 1e-6 floor slack per group
+    assert out["stat_scaled"].iloc[0] >= -int(out["n_total"].iloc[0])
+    assert out["c_ppm"].iloc[0] >= 1_000_000
+
+
+def test_jackknife_linear_statistic_low_bias():
+    out = qs.jackknife_ratio_bias_q(SF)
+    r = out["r_full_scaled"].iloc[0]
+    # ratio estimators have small (O(1/n)) jackknife bias; the corrected
+    # estimate must stay within 1% of the plug-in ratio on this data
+    assert abs(out["jk_estimate_scaled"].iloc[0] - r) <= max(r // 100, 10**6)
+
+
+def test_theil_u2_constant_series_is_zero():
+    # a constant series has num=0 -> u2=0
+    y = np.array([5, 5, 5, 5])
+    dy = np.diff(y)
+    assert int((dy ** 2).sum()) == 0
+
+
+def test_pinball_loss_quantile_optimality():
+    # the tau-quantile minimizes pinball loss: shifting q by +/-1 never
+    # decreases the loss computed from the same histogram
+    out = qs.pinball_loss_eval_q(SF)
+    from dataquality_ray.stages.autoroute import guarded_partials  # noqa
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["source",
+                                                          "n_chars"])
+    df = t.to_pandas()
+    for _, r in out.iterrows():
+        v = df.loc[df["source"] == r["source"], "n_chars"] \
+            .to_numpy(np.int64)
+        def loss(q):
+            return int(np.where(v >= q, 9 * (v - q), q - v).sum())
+        assert r["pinball10"] == loss(r["q90"])
+        assert loss(r["q90"] - 1) >= r["pinball10"] - len(v)
+        assert loss(r["q90"] + 1) >= r["pinball10"] - len(v)
