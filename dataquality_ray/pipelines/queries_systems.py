@@ -848,3 +848,335 @@ def pinball_loss_eval_q(sf_dir: str) -> pd.DataFrame:
         out["pinball10"].append(loss)
     return pd.DataFrame(out).astype({"n": "int64", "q90": "int64",
                                      "pinball10": "int64"})
+
+
+# ===========================================================================
+# Batch C: ranking aggregation, graph cut vertices, Gorilla timestamp
+# compression audit, magic-number density.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Kemeny-Young optimal ranking of the top-6 corpus tokens from the 5
+# per-source count rankings: minimize the summed pairwise disagreement
+# (#sources strictly preferring v over u for every u-before-v placement).
+# Both engines brute-force all 720 permutations — NP-hard in general,
+# exact at committee size 6.  Tie-break: lexicographic order string.
+# ---------------------------------------------------------------------------
+
+@query("kemeny_ranking_tokens", sql=f"""
+WITH toks AS (
+  SELECT source, unnest({_TOK_SQL}) AS token FROM documents
+), cnt AS (
+  SELECT source, token, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), tot AS (
+  SELECT token, sum(c)::BIGINT AS tc FROM cnt GROUP BY 1
+), top6 AS (
+  SELECT token FROM tot ORDER BY tc DESC, token LIMIT 6
+), srcs AS (SELECT DISTINCT source FROM documents),
+grid AS (
+  SELECT s.source, t.token, coalesce(c.c, 0) AS c
+  FROM srcs s CROSS JOIN top6 t
+  LEFT JOIN cnt c ON c.source = s.source AND c.token = t.token
+), d AS (
+  SELECT ga.token AS u, gb.token AS v,
+         sum(CASE WHEN gb.c > ga.c THEN 1 ELSE 0 END)::BIGINT AS w
+  FROM grid ga JOIN grid gb ON gb.source = ga.source
+                           AND gb.token <> ga.token
+  GROUP BY 1, 2
+), perms AS (
+  SELECT t1.token AS c1, t2.token AS c2, t3.token AS c3,
+         t4.token AS c4, t5.token AS c5, t6.token AS c6
+  FROM top6 t1, top6 t2, top6 t3, top6 t4, top6 t5, top6 t6
+  WHERE t2.token <> t1.token
+    AND t3.token NOT IN (t1.token, t2.token)
+    AND t4.token NOT IN (t1.token, t2.token, t3.token)
+    AND t5.token NOT IN (t1.token, t2.token, t3.token, t4.token)
+    AND t6.token NOT IN (t1.token, t2.token, t3.token, t4.token, t5.token)
+), pp AS (
+  SELECT p.c1||'>'||p.c2||'>'||p.c3||'>'||p.c4||'>'||p.c5||'>'||p.c6
+           AS ordr,
+         CASE ij.i WHEN 1 THEN p.c1 WHEN 2 THEN p.c2 WHEN 3 THEN p.c3
+                   WHEN 4 THEN p.c4 WHEN 5 THEN p.c5 ELSE p.c6 END AS u,
+         CASE ij.j WHEN 1 THEN p.c1 WHEN 2 THEN p.c2 WHEN 3 THEN p.c3
+                   WHEN 4 THEN p.c4 WHEN 5 THEN p.c5 ELSE p.c6 END AS v
+  FROM perms p,
+       (SELECT a.i, b.j FROM unnest(range(1, 7)) AS a(i),
+                             unnest(range(1, 7)) AS b(j)
+        WHERE a.i < b.j) ij
+), scored AS (
+  SELECT pp.ordr, sum(d.w)::BIGINT AS score
+  FROM pp JOIN d ON d.u = pp.u AND d.v = pp.v
+  GROUP BY 1
+)
+SELECT ordr AS best_order, score AS best_score
+FROM scored ORDER BY score, ordr LIMIT 1
+""")
+def kemeny_ranking_tokens_q(sf_dir: str) -> pd.DataFrame:
+    import itertools
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cnt: dict[tuple, int] = {}
+        for src, t in zip(b["source"].to_pylist(), b["text"].to_pylist()):
+            for tok in (t or "").split():
+                cnt[(src, tok)] = cnt.get((src, tok), 0) + 1
+        ks = list(cnt)
+        return pd.DataFrame({"source": [k[0] for k in ks],
+                             "token": [k[1] for k in ks],
+                             "c": list(cnt.values())})
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["source", "token"], as_index=False)["c"].sum(),
+        2_000_000)
+    assert ok  # bounded: sources x corpus vocabulary
+    tot = merged.groupby("token")["c"].sum()
+    top6 = sorted(tot.index, key=lambda t: (-int(tot[t]), t))[:6]
+    assert len(top6) == 6, "vocabulary too small for a 6-candidate panel"
+    srcs = sorted(merged["source"].unique())
+    c = {(s, t): 0 for s in srcs for t in top6}
+    for _, r in merged.iterrows():
+        if (r["source"], r["token"]) in c:
+            c[(r["source"], r["token"])] = int(r["c"])
+    d = {(u, v): sum(1 for s in srcs if c[(s, v)] > c[(s, u)])
+         for u in top6 for v in top6 if u != v}
+    best = None
+    for p in itertools.permutations(top6):
+        score = sum(d[(p[i], p[j])]
+                    for i in range(6) for j in range(i + 1, 6))
+        key = (score, ">".join(p))
+        if best is None or key < best:
+            best = key
+    return pd.DataFrame({"best_order": [best[1]],
+                         "best_score": [best[0]]}) \
+        .astype({"best_score": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Articulation points of the undirected token-bigram graph, by
+# brute-force vertex removal: v is a cut vertex iff components(G - v) >
+# components(G).  Components come from synchronous min-label propagation
+# run a fixed 31 rounds (>= any possible eccentricity at |V| <= 31, so
+# both engines are at the converged fixpoint).  The oracle unrolls the
+# rounds as a linear CTE chain parameterized by the removed vertex.
+# ---------------------------------------------------------------------------
+
+def _artic_sql(rounds: int = 31) -> str:
+    parts = [f"""
+WITH toks AS (SELECT {_TOK_SQL} AS t FROM documents),
+pairs AS (
+  SELECT t[i] AS a, t[i+1] AS b
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+und AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM pairs WHERE a <> b
+),
+edges0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+                        UNION ALL SELECT b, a FROM und),
+verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges0),
+rm AS (SELECT v AS r FROM verts UNION ALL SELECT '' AS r),
+l0 AS MATERIALIZED (
+  SELECT rm.r, v.v, v.v AS label FROM rm, verts v WHERE v.v <> rm.r
+)"""]
+    for k in range(rounds):
+        parts.append(f""",
+l{k + 1} AS MATERIALIZED (
+  SELECT r, v, min(label) AS label FROM (
+    SELECT r, v, label FROM l{k}
+    UNION ALL
+    SELECT l.r, e.dst AS v, l.label
+    FROM l{k} l JOIN edges0 e ON e.src = l.v
+    WHERE e.dst <> l.r
+  ) GROUP BY r, v
+)""")
+    parts.append(f""",
+comp AS (
+  SELECT r, count(DISTINCT label)::BIGINT AS c FROM l{rounds} GROUP BY r
+)
+SELECT v.v AS token,
+       (SELECT c FROM comp WHERE r = '') AS comp_base,
+       c2.c AS comp_removed,
+       (CASE WHEN c2.c > (SELECT c FROM comp WHERE r = '')
+             THEN 1 ELSE 0 END)::BIGINT AS is_articulation
+FROM verts v JOIN comp c2 ON c2.r = v.v
+ORDER BY token""")
+    return "".join(parts)
+
+
+@query("articulation_points_tokens", sql=_artic_sql())
+def articulation_points_tokens_q(sf_dir: str) -> pd.DataFrame:
+    from dataquality_ray.pipelines.queries_mining import bigram_edges
+
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    und = {tuple(sorted((a, b)))
+           for a, b in zip(edges["src"], edges["dst"]) if a != b}
+    adj: dict[str, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)
+
+    def n_components(removed: str | None) -> int:
+        labels = {v: v for v in verts if v != removed}
+        changed = True
+        while changed:  # fixpoint == the 31-round synchronous result
+            changed = False
+            for v in labels:
+                m = min([labels[v]] + [labels[n] for n in adj[v]
+                                       if n in labels])
+                if m < labels[v]:
+                    labels[v] = m
+                    changed = True
+        return len(set(labels.values()))
+
+    base = n_components(None)
+    out = {"token": [], "comp_base": [], "comp_removed": [],
+           "is_articulation": []}
+    for v in verts:
+        c = n_components(v)
+        out["token"].append(v)
+        out["comp_base"].append(base)
+        out["comp_removed"].append(c)
+        out["is_articulation"].append(1 if c > base else 0)
+    return pd.DataFrame(out).astype({"comp_base": "int64",
+                                     "comp_removed": "int64",
+                                     "is_articulation": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Gorilla timestamp delta-of-delta audit (Pelkonen et al., VLDB'15 §4.1):
+# per-user event streams ordered by (ts, event_id), second-resolution
+# deltas-of-deltas bucketed into the paper's variable-length classes
+# {0: 1 bit, [-63,64]: 9, [-255,256]: 12, [-2047,2048]: 16, else: 36}.
+# One groupby(user) shuffle; the bucket histogram merges driver-side.
+# ---------------------------------------------------------------------------
+
+_DOD_BITS = [1, 9, 12, 16, 36]
+
+
+@query("gorilla_timestamp_dod_audit", sql="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS tsec,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), d AS (
+  SELECT user_id, rn,
+         tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY rn) AS dt
+  FROM e
+), dd AS (
+  SELECT dt - lag(dt) OVER (PARTITION BY user_id ORDER BY rn) AS dod
+  FROM d WHERE dt IS NOT NULL
+), b AS (
+  SELECT CASE WHEN dod = 0 THEN 0
+              WHEN dod BETWEEN -63 AND 64 THEN 1
+              WHEN dod BETWEEN -255 AND 256 THEN 2
+              WHEN dod BETWEEN -2047 AND 2048 THEN 3
+              ELSE 4 END AS bucket
+  FROM dd WHERE dod IS NOT NULL
+)
+SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n,
+       (CASE bucket WHEN 0 THEN 1 WHEN 1 THEN 9 WHEN 2 THEN 12
+                    WHEN 3 THEN 16 ELSE 36 END)::BIGINT AS bits_per,
+       (count(*) * CASE bucket WHEN 0 THEN 1 WHEN 1 THEN 9 WHEN 2 THEN 12
+                               WHEN 3 THEN 16 ELSE 36 END)::BIGINT
+         AS total_bits
+FROM b GROUP BY bucket ORDER BY bucket
+""")
+def gorilla_timestamp_dod_audit_q(sf_dir: str) -> pd.DataFrame:
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        tsec = g["ts"].astype("int64").to_numpy() // 1_000_000
+        if len(tsec) < 3:
+            return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        dod = np.diff(np.diff(tsec))
+        bucket = np.select(
+            [dod == 0, (dod >= -63) & (dod <= 64),
+             (dod >= -255) & (dod <= 256),
+             (dod >= -2047) & (dod <= 2048)],
+            [0, 1, 2, 3], default=4)
+        u, c = np.unique(bucket, return_counts=True)
+        return pd.DataFrame({"bucket": u.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    parts = (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
+             .groupby("user_id")
+             .map_groups(per_user, batch_format="pandas")
+             .to_pandas())
+    if not len(parts):
+        return pd.DataFrame({"bucket": [], "n": [], "bits_per": [],
+                             "total_bits": []})
+    out = parts.groupby("bucket", as_index=False)["n"].sum()
+    out["bits_per"] = out["bucket"].map(lambda b: _DOD_BITS[int(b)])
+    out["total_bits"] = out["n"] * out["bits_per"]
+    return out.sort_values("bucket").reset_index(drop=True) \
+        .astype({"bucket": "int64", "n": "int64", "bits_per": "int64",
+                 "total_bits": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Magic-number density over a planted numeric code view: rewrite four
+# fixed tokens into numeric literals (batch->42, row->0, key->1,
+# part->123456 — the deterministic RE2-rewrite convention of
+# _code_view_sql), then count numeric literals and "magic" ones
+# (anything other than 0/1) per source.  RE2 on both engines,
+# byte-identical.
+# ---------------------------------------------------------------------------
+
+_NUM_REWRITES = [(r"\bbatch\b", "42"), (r"\brow\b", "0"),
+                 (r"\bkey\b", "1"), (r"\bpart\b", "123456")]
+
+
+@query("magic_number_density", sql=r"""
+WITH nv AS (
+  SELECT source,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           coalesce(text,''),
+           '\bbatch\b', '42', 'g'), '\brow\b', '0', 'g'),
+           '\bkey\b', '1', 'g'), '\bpart\b', '123456', 'g') AS code
+  FROM documents
+), s AS (
+  SELECT source,
+         sum(len(regexp_extract_all(code, '\b\d+\b')))::BIGINT
+           AS n_numbers,
+         sum(len(regexp_extract_all(code, '\b(?:[2-9]\d*|1\d+)\b')))
+           ::BIGINT AS n_magic,
+         sum(len(regexp_extract_all(code, '\S+')))::BIGINT AS n_tokens
+  FROM nv GROUP BY source
+)
+SELECT source, n_numbers, n_magic, n_tokens,
+       (n_magic * 1000000 // n_tokens)::BIGINT AS magic_ppm
+FROM s WHERE n_tokens > 0 ORDER BY source
+""")
+def magic_number_density_q(sf_dir: str) -> pd.DataFrame:
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        code = pc.coalesce(b["text"], "")
+        for pat, rep in _NUM_REWRITES:
+            code = pc.replace_substring_regex(code, pat, rep)
+        f = pd.DataFrame({
+            "source": b["source"].to_pylist(),
+            "n_numbers": pc.count_substring_regex(
+                code, r"\b\d+\b").to_numpy(),
+            "n_magic": pc.count_substring_regex(
+                code, r"\b(?:[2-9]\d*|1\d+)\b").to_numpy(),
+            "n_tokens": pc.count_substring_regex(
+                code, r"\S+").to_numpy()})
+        return f.groupby("source", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("source", as_index=False).sum(), 2_000_000)
+    assert ok  # bounded: sources
+    merged = merged[merged["n_tokens"] > 0].sort_values("source")
+    merged["magic_ppm"] = (merged["n_magic"] * 1_000_000
+                           // merged["n_tokens"])
+    return merged.reset_index(drop=True).astype(
+        {"n_numbers": "int64", "n_magic": "int64", "n_tokens": "int64",
+         "magic_ppm": "int64"})

