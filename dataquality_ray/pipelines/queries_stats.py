@@ -1315,3 +1315,369 @@ def varint_size_audit_q(sf_dir: str):
         "n_rows": [n], "okey_bytes": [b_ok], "ckey_bytes": [b_ck],
         "price_bytes": [b_pr], "fixed_bytes": [fixed],
         "savings_ppm": [sav]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Permutation entropy (Bandt-Pompe, m=3) of the daily event-count
+# series — the model-free "how predictable is ingest volume" probe.
+# Ties are impossible because each triple element is ranked by the
+# strict total order (count, day); entropy terms use the floor-ln
+# convention: term = floor(1e6 * c * ln(n/c)), H_ppm = sum(term) // n.
+# ---------------------------------------------------------------------------
+
+@query("permutation_entropy_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS x
+  FROM events GROUP BY 1
+), o AS (
+  SELECT day, x, row_number() OVER (ORDER BY day) AS t FROM d
+), tri AS (
+  SELECT a.x x1, a.day d1, b.x x2, b.day d2, c.x x3, c.day d3
+  FROM o a JOIN o b ON b.t = a.t + 1 JOIN o c ON c.t = a.t + 2
+), pat AS (
+  SELECT ((CASE WHEN x2 < x1 OR (x2 = x1 AND d2 < d1) THEN 1 ELSE 0 END)
+        + (CASE WHEN x3 < x1 OR (x3 = x1 AND d3 < d1) THEN 1 ELSE 0 END)) * 9
+       + ((CASE WHEN x1 < x2 OR (x1 = x2 AND d1 < d2) THEN 1 ELSE 0 END)
+        + (CASE WHEN x3 < x2 OR (x3 = x2 AND d3 < d2) THEN 1 ELSE 0 END)) * 3
+       + ((CASE WHEN x1 < x3 OR (x1 = x3 AND d1 < d3) THEN 1 ELSE 0 END)
+        + (CASE WHEN x2 < x3 OR (x2 = x3 AND d2 < d3) THEN 1 ELSE 0 END))
+       AS pattern
+  FROM tri
+), cnt AS (
+  SELECT pattern, count(*)::BIGINT AS cnt FROM pat GROUP BY pattern
+), tot AS (
+  SELECT sum(cnt)::BIGINT AS n,
+         sum(floor(1000000 * cnt * ln(CAST((SELECT sum(cnt) FROM cnt)
+                                           AS DOUBLE) / cnt)))::BIGINT AS ssum
+  FROM cnt
+)
+SELECT c.pattern::BIGINT AS pattern, c.cnt,
+       floor(1000000 * c.cnt
+             * ln(CAST(t.n AS DOUBLE) / c.cnt))::BIGINT AS ent_term,
+       (t.ssum // t.n)::BIGINT AS h_ppm
+FROM cnt c, tot t ORDER BY pattern
+""")
+def permutation_entropy_q(sf_dir: str):
+    """Ordinal-pattern entropy of daily volumes; see comment for the
+    (count, day) strict-total-order tie rule."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day": ts // 86_400_000_000, "x": 1})
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100_000)
+    assert ok and merged is not None  # bounded: distinct days
+    merged = merged.sort_values("day").reset_index(drop=True)
+    keys = list(zip(merged["x"].astype(int), merged["day"].astype(int)))
+    pats: dict[int, int] = {}
+    for t in range(len(keys) - 2):
+        k = keys[t:t + 3]
+        r = [sum(o < k[i] for o in k) for i in range(3)]
+        pid = r[0] * 9 + r[1] * 3 + r[2]
+        pats[pid] = pats.get(pid, 0) + 1
+    n = sum(pats.values())
+    rows = []
+    for pid in sorted(pats):
+        c = pats[pid]
+        rows.append([pid, c, math.floor(1000000 * c * math.log(n / c))])
+    ssum = sum(r[2] for r in rows)
+    out = pd.DataFrame(rows, columns=["pattern", "cnt", "ent_term"])
+    out["h_ppm"] = ssum // n
+    return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Rescaled-range (Hurst R/S) profile per event type over windows of 8
+# and 16 days.  With S = sum x, M = w*sum(x^2) - S^2 and the scaled
+# cumulative deviations D_i = w*cum_i - i*S (all exact integers), the
+# per-window statistic is rs_ppm = floor(1e6 * (maxD-minD) / sqrt(M))
+# — one int->double conversion, one sqrt, one division, one floor on
+# both engines.  Constant windows (M = 0) are excluded.
+# ---------------------------------------------------------------------------
+
+@query("rescaled_range_profile", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+  FROM d
+), wt AS (
+  SELECT g.w AS w, event_type, x, t // g.w AS win,
+         row_number() OVER (PARTITION BY g.w, event_type, t // g.w
+                            ORDER BY t) AS i,
+         sum(x) OVER (PARTITION BY g.w, event_type, t // g.w
+                      ORDER BY t) AS cum
+  FROM o, (VALUES (8), (16)) g(w)
+), st AS (
+  SELECT w, event_type, win, count(*)::BIGINT AS cnt, sum(x)::BIGINT AS s,
+         sum(x * x)::BIGINT AS sxx
+  FROM wt GROUP BY 1, 2, 3
+), dev AS (
+  SELECT c.w, c.event_type, c.win,
+         (max(c.w * c.cum - c.i * st.s)
+          - min(c.w * c.cum - c.i * st.s))::BIGINT AS rw
+  FROM wt c JOIN st ON st.w = c.w AND st.event_type = c.event_type
+                   AND st.win = c.win
+  GROUP BY 1, 2, 3
+)
+SELECT st.event_type, st.w::BIGINT AS w, st.win::BIGINT AS win,
+       floor(1000000 * dev.rw
+             / sqrt(CAST(st.w * st.sxx - st.s * st.s AS DOUBLE)))::BIGINT
+       AS rs_ppm
+FROM st JOIN dev ON dev.w = st.w AND dev.event_type = st.event_type
+                AND dev.win = st.win
+WHERE st.cnt = st.w AND st.w * st.sxx - st.s * st.s > 0
+ORDER BY st.event_type, st.w, st.win
+""")
+def rescaled_range_q(sf_dir: str):
+    """Per-window R/S statistic; see comment for the exact-integer D_i
+    algebra and the single float op chain."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "day": ts // 86_400_000_000, "x": 1})
+        return f.groupby(["event_type", "day"], as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "day"], as_index=False)["x"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts", "event_type"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: types x days
+    rows = []
+    for et, g in merged.groupby("event_type"):
+        x = g.sort_values("day")["x"].to_numpy(np.int64)
+        for w in (8, 16):
+            for win in range(len(x) // w):
+                xs = x[win * w:(win + 1) * w]
+                s = int(xs.sum())
+                m = w * int((xs * xs).sum()) - s * s
+                if m <= 0:
+                    continue
+                cum = np.cumsum(xs)
+                i = np.arange(1, w + 1, dtype=np.int64)
+                dvec = w * cum - i * s
+                rw = int(dvec.max() - dvec.min())
+                rows.append(
+                    [et, w, win,
+                     int(np.floor(1000000 * rw / np.sqrt(float(m))))])
+    out = pd.DataFrame(rows, columns=["event_type", "w", "win", "rs_ppm"])
+    out = out.sort_values(["event_type", "w", "win"]).reset_index(drop=True)
+    for c in ("w", "win", "rs_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha over four deterministic binary quality "raters"
+# (length > 200, contains a digit, > 30 tokens, contains 'the') — the
+# inter-rule agreement audit.  Binary-nominal alpha reduces to exact
+# integers: with m = 4, D_obs = sum k1*(m-k1), N_T = m*n and
+# N1 = sum k1, alpha = 1 - [D_obs * N_T*(N_T-1)] / [m*(m-1)*n*N1*N0];
+# alpha_ppm truncates toward zero on both sides.
+# ---------------------------------------------------------------------------
+
+@query("krippendorff_alpha_rules", sql="""
+WITH r AS (
+  SELECT ((n_chars > 200)::INT
+        + (regexp_matches(coalesce(text, ''), '[0-9]'))::INT
+        + (len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                 '\\s+'),
+                           x -> x <> '')) > 30)::INT
+        + (position('the' IN coalesce(text, '')) > 0)::INT)::BIGINT AS k1
+  FROM documents
+), agg AS (
+  SELECT count(*)::HUGEINT AS n, sum(k1)::HUGEINT AS n1,
+         sum(k1 * (4 - k1))::HUGEINT AS dobs
+  FROM r
+)
+SELECT n::BIGINT AS n_units, n1::BIGINT AS n1, dobs::BIGINT AS d_obs,
+       (CASE WHEN 12 * n * n1 * (4 * n - n1)
+                  - dobs * (4 * n) * (4 * n - 1) < 0
+             THEN -((dobs * (4 * n) * (4 * n - 1)
+                     - 12 * n * n1 * (4 * n - n1)) * 1000000
+                    // (12 * n * n1 * (4 * n - n1)))
+             ELSE (12 * n * n1 * (4 * n - n1)
+                   - dobs * (4 * n) * (4 * n - 1)) * 1000000
+                  // (12 * n * n1 * (4 * n - n1))
+        END)::BIGINT AS alpha_ppm
+FROM agg
+""")
+def krippendorff_alpha_q(sf_dir: str):
+    """Binary-nominal Krippendorff alpha over 4 heuristic raters; see
+    comment for the exact integer reduction."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        t = b["text"].to_pandas().fillna("")
+        k1 = ((b["n_chars"].to_numpy(zero_copy_only=False) > 200)
+              .astype(np.int64)
+              + t.str.contains("[0-9]", regex=True).to_numpy()
+              + (t.str.count(r"\S+").to_numpy() > 30)
+              + t.str.contains("the", regex=False).to_numpy())
+        k1 = k1.astype(np.int64)
+        return pd.DataFrame({"n": [len(k1)], "n1": [int(k1.sum())],
+                             "dobs": [int((k1 * (4 - k1)).sum())]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({c: [int(f[c].sum())]
+                             for c in ("n", "n1", "dobs")})
+
+    stage = (_read(sf_dir, "documents", ["text", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 10)
+    assert ok and merged is not None  # one-row partials
+    n = int(merged["n"].iloc[0])
+    n1 = int(merged["n1"].iloc[0])
+    dobs = int(merged["dobs"].iloc[0])
+    den = 12 * n * n1 * (4 * n - n1)
+    num = den - dobs * (4 * n) * (4 * n - 1)
+    return pd.DataFrame({"n_units": [n], "n1": [n1], "d_obs": [dobs],
+                         "alpha_ppm": [_trunc_div(num * 1_000_000, den)]}
+                        ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta (ordinal effect size) for src0 vs src1 doc lengths —
+# the scale-free companion to mann_whitney_u, from the same grouped
+# value counts.  With u0(v) = #{y <= v} (inclusive cumulative) and
+# b0(v) = #{y < v}: gt = sum_v c1[v]*b0(v) and lt = #{x < y} =
+# sum_v c1[v]*(n0 - u0(v)) = n1*n0 - sum_v c1[v]*u0(v) — all exact
+# integers.  delta_ppm truncates toward zero on both engines.
+# ---------------------------------------------------------------------------
+
+@query("cliffs_delta_sources", sql="""
+WITH f AS (
+  SELECT n_chars AS v, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS g1
+  FROM documents WHERE source IN ('src0', 'src1')
+), cnt AS (
+  SELECT v, sum(g1)::BIGINT AS c1, sum(1 - g1)::BIGINT AS c0
+  FROM f GROUP BY v
+), cum AS (
+  SELECT v, c1, c0,
+         coalesce(sum(c0) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS b0,
+         sum(c0) OVER (ORDER BY v)::BIGINT AS u0
+  FROM cnt
+), agg AS (
+  SELECT sum(c1 * b0)::HUGEINT AS gt, sum(c1 * u0)::HUGEINT AS su,
+         sum(c1)::BIGINT AS n1, sum(c0)::BIGINT AS n0
+  FROM cum
+)
+SELECT n1, n0, gt::BIGINT AS gt_pairs,
+       (n1::HUGEINT * n0 - su)::BIGINT AS lt_pairs,
+       (CASE WHEN gt - (n1::HUGEINT * n0 - su) < 0
+             THEN -(((n1::HUGEINT * n0 - su) - gt) * 1000000
+                    // (n1::HUGEINT * n0))
+             ELSE (gt - (n1::HUGEINT * n0 - su)) * 1000000
+                  // (n1::HUGEINT * n0)
+        END)::BIGINT AS delta_ppm
+FROM agg
+""")
+def cliffs_delta_q(sf_dir: str):
+    """Cliff's delta over src0/src1 doc lengths from grouped counts."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        src = b["source"].to_pandas()
+        m = src.isin(["src0", "src1"]).to_numpy()
+        v = b["n_chars"].to_numpy(zero_copy_only=False)[m]
+        g1 = (src.to_numpy()[m] == "src0").astype(np.int64)
+        f = pd.DataFrame({"v": v, "c1": g1, "c0": 1 - g1})
+        return f.groupby("v", as_index=False)[["c1", "c0"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("v", as_index=False)[["c1", "c0"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: distinct doc lengths
+    merged = merged.sort_values("v").reset_index(drop=True)
+    c1 = merged["c1"].to_numpy(np.int64)
+    c0 = merged["c0"].to_numpy(np.int64)
+    u0 = np.cumsum(c0)
+    b0 = u0 - c0
+    gt = int((c1 * b0).sum())
+    su = int((c1 * u0).sum())
+    n1, n0 = int(c1.sum()), int(c0.sum())
+    lt = n1 * n0 - su
+    return pd.DataFrame({
+        "n1": [n1], "n0": [n0], "gt_pairs": [gt], "lt_pairs": [lt],
+        "delta_ppm": [_trunc_div((gt - lt) * 1_000_000, n1 * n0)]}
+    ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Atkinson inequality index (epsilon = 1) of order value by priority:
+# A = 1 - geomean/mean.  Per-row ln enters as floor(1e6*ln(cents))
+# summed exactly; the final float chain is exp(s_ln/(1e6*n)) then
+# floor(1e6 - 1e6*g*n/s) — identical single-rounding ops on both
+# engines.
+# ---------------------------------------------------------------------------
+
+@query("atkinson_index_by_priority", sql="""
+WITH c AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), agg AS (
+  SELECT priority, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s_cents,
+         sum(floor(1000000 * ln(CAST(cents AS DOUBLE))))::BIGINT AS s_ln
+  FROM c GROUP BY priority
+)
+SELECT priority, n, s_cents, s_ln,
+       floor(1000000 - 1000000 * exp(CAST(s_ln AS DOUBLE) / (1000000.0 * n))
+             * n / s_cents)::BIGINT AS atkinson_ppm
+FROM agg ORDER BY priority
+""")
+def atkinson_index_q(sf_dir: str):
+    """Atkinson(1) = 1 - geomean/mean per priority; floor-ln partials."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cents = np.round(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        lns = np.floor(1000000 * np.log(cents.astype(np.float64)))
+        f = pd.DataFrame({"priority": b["o_orderpriority"].to_pylist(),
+                          "n": 1, "s_cents": cents,
+                          "s_ln": lns.astype(np.int64)})
+        return f.groupby("priority", as_index=False)[
+            ["n", "s_cents", "s_ln"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("priority", as_index=False)[
+            ["n", "s_cents", "s_ln"]].sum()
+
+    stage = (_read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1000)
+    assert ok and merged is not None  # bounded: 5 priorities
+    rows = []
+    for _, r in merged.sort_values("priority").iterrows():
+        n, s, s_ln = int(r["n"]), int(r["s_cents"]), int(r["s_ln"])
+        g = np.exp(float(s_ln) / (1000000.0 * n))
+        rows.append([r["priority"], n, s, s_ln,
+                     int(np.floor(1000000 - 1000000 * g * n / s))])
+    out = pd.DataFrame(rows, columns=["priority", "n", "s_cents", "s_ln",
+                                      "atkinson_ppm"])
+    for c in ("n", "s_cents", "s_ln", "atkinson_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out

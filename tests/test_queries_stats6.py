@@ -1,0 +1,60 @@
+"""Property tests for the round-4 session-6 stats batch
+(permutation entropy, rescaled range, Krippendorff alpha, Cliff's
+delta, Atkinson index) — invariants beyond the SQL parity gate."""
+
+import numpy as np
+
+from dataquality_ray.pipelines import queries_stats as qs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_permutation_entropy_counts_and_bounds():
+    out = qs.permutation_entropy_q(SF)
+    # patterns are valid rank encodings r0*9+r1*3+r2 of a permutation
+    valid = {r[0] * 9 + r[1] * 3 + r[2]
+             for r in [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0),
+                       (2, 0, 1), (2, 1, 0)]}
+    assert set(out["pattern"]).issubset(valid)
+    n = int(out["cnt"].sum())
+    # H <= ln(6) since there are 6 ordinal patterns
+    h = int(out["h_ppm"].iloc[0])
+    assert 0 <= h <= int(np.log(6) * 1e6) + 1
+    # every term consistent with its count
+    for _, r in out.iterrows():
+        want = int(np.floor(1e6 * r["cnt"] * np.log(n / r["cnt"])))
+        assert int(r["ent_term"]) == want
+
+
+def test_rescaled_range_positive_and_window_complete():
+    out = qs.rescaled_range_q(SF)
+    assert (out["rs_ppm"] > 0).all()
+    assert set(out["w"]).issubset({8, 16})
+    # R <= w * range(x) implies R/S is bounded; sanity: rs_ppm < 1e9
+    assert (out["rs_ppm"] < 1_000_000_000).all()
+
+
+def test_krippendorff_alpha_range():
+    out = qs.krippendorff_alpha_q(SF)
+    a = int(out["alpha_ppm"].iloc[0])
+    assert -2_000_000 <= a <= 1_000_000
+    # d_obs consistency: 0 <= d_obs <= 4 * n (k1*(4-k1) maxes at 4)
+    n = int(out["n_units"].iloc[0])
+    assert 0 <= int(out["d_obs"].iloc[0]) <= 4 * n
+
+
+def test_cliffs_delta_pair_accounting():
+    out = qs.cliffs_delta_q(SF)
+    n1, n0 = int(out["n1"].iloc[0]), int(out["n0"].iloc[0])
+    gt, lt = int(out["gt_pairs"].iloc[0]), int(out["lt_pairs"].iloc[0])
+    assert gt >= 0 and lt >= 0 and gt + lt <= n1 * n0  # rest are ties
+    d = int(out["delta_ppm"].iloc[0])
+    assert -1_000_000 <= d <= 1_000_000
+
+
+def test_atkinson_in_unit_interval():
+    out = qs.atkinson_index_q(SF)
+    # geomean <= mean (AM-GM) so A in [0, 1)
+    assert (out["atkinson_ppm"] >= 0).all()
+    assert (out["atkinson_ppm"] < 1_000_000).all()
+    assert len(out) == 5  # five order priorities
