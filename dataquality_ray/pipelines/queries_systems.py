@@ -1180,3 +1180,260 @@ def magic_number_density_q(sf_dir: str) -> pd.DataFrame:
     return merged.reset_index(drop=True).astype(
         {"n_numbers": "int64", "n_magic": "int64", "n_tokens": "int64",
          "magic_ppm": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Simple-9 packing audit: greedily pack each token's posting gaps into
+# 32-bit words using the nine Simple-9 layouts (28x1b .. 1x28b;
+# Anh & Moffat, "Inverted index compression using word-aligned binary
+# codes").  At each position the widest layout whose next-c gaps all
+# fit is chosen — replayed in SQL with windowed lookahead maxima and a
+# linear recursive walk.  All-integer, so both engines agree exactly.
+# ---------------------------------------------------------------------------
+
+_S9_LAYOUTS = [(28, 1), (14, 2), (9, 3), (7, 4), (5, 5),
+               (4, 7), (3, 9), (2, 14), (1, 28)]
+
+
+def _s9_sql() -> str:
+    feas = []
+    for c, b in _S9_LAYOUTS:
+        feas.append(
+            f"(idx + {c} <= n AND max(v) OVER (PARTITION BY token "
+            f"ORDER BY idx ROWS BETWEEN CURRENT ROW AND {c - 1} FOLLOWING)"
+            f" < {1 << b}) AS ok{c}")
+    chosen = " ".join(f"WHEN ok{c} THEN {c}" for c, _ in _S9_LAYOUTS)
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents
+), post AS (
+  SELECT DISTINCT token, doc_id FROM toks
+), nt AS MATERIALIZED (
+  SELECT token, count(*)::BIGINT AS n FROM post GROUP BY token
+), gaps AS (
+  SELECT p.token,
+         row_number() OVER (PARTITION BY p.token ORDER BY doc_id) - 1
+           AS idx,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY p.token
+                                             ORDER BY doc_id), -1) - 1 AS v,
+         nt.n AS n
+  FROM post p JOIN nt ON nt.token = p.token
+), feas AS MATERIALIZED (
+  SELECT token, idx, {", ".join(feas)}
+  FROM gaps
+), ch AS MATERIALIZED (
+  SELECT token, idx, (CASE {chosen} END)::BIGINT AS c FROM feas
+), walk(token, pos, words) AS (
+  SELECT token, 0::BIGINT, 0::BIGINT FROM nt
+  UNION ALL
+  SELECT w.token, w.pos + ch.c, w.words + 1
+  FROM walk w JOIN ch ON ch.token = w.token AND ch.idx = w.pos
+)
+SELECT nt.token, nt.n AS n_gaps, w.words AS words,
+       (32 * w.words * 1000000 // nt.n)::BIGINT AS bits_per_posting_ppm
+FROM walk w JOIN nt ON nt.token = w.token AND w.pos = nt.n
+ORDER BY nt.token
+"""
+
+
+@query("simple9_packing_audit", sql=_s9_sql())
+def simple9_packing_q(sf_dir: str) -> pd.DataFrame:
+    """Greedy Simple-9 word count per posting list; layouts in
+    _S9_LAYOUTS, widest-feasible-first."""
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["doc_id"].to_numpy(np.int64))
+        v = np.diff(d, prepend=np.int64(-1)) - 1
+        assert v.max(initial=0) < (1 << 28)
+        n = len(v)
+        pos = 0
+        words = 0
+        while pos < n:
+            for c, b in _S9_LAYOUTS:
+                if pos + c <= n and int(v[pos:pos + c].max()) < (1 << b):
+                    pos += c
+                    break
+            else:  # 1x28b always fits per the assert above
+                pos += 1
+            words += 1
+        return pd.DataFrame({"token": [g["token"].iloc[0]],
+                             "n_gaps": [n], "words": [words],
+                             "bits_per_posting_ppm":
+                                 [32 * words * 1_000_000 // n]})
+
+    pairs, stage = _distinct_token_docs(sf_dir)
+    if stage is not None:
+        def finish_group(g: pd.DataFrame) -> pd.DataFrame:
+            return finish(g.drop_duplicates())
+
+        out = stage.groupby("token").map_groups(
+            finish_group, batch_format="pandas").to_pandas()
+    else:
+        out = pd.concat([finish(g) for _, g in pairs.groupby("token")],
+                        ignore_index=True)
+    out = out.sort_values("token").reset_index(drop=True)
+    for c in ("n_gaps", "words", "bits_per_posting_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Leveled-LSM write-amplification replay over the daily event ingest:
+# each day's bytes (sum(length(props)) + 24/row) flush into L1; when a
+# level exceeds its threshold (T1 = 4x mean daily bytes, T2 = 8*T1) the
+# whole level merges into the next, costing both levels' bytes.  The
+# day-by-day state machine is a linear recursive CTE in SQL and a
+# driver loop over <= O(days) rows here — exact integers throughout.
+# ---------------------------------------------------------------------------
+
+@query("lsm_write_amplification", sql="""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT bytes, row_number() OVER (ORDER BY day) AS t
+  FROM (SELECT epoch_us(ts) // 86400000000 AS day,
+               (sum(length(coalesce(props, ''))) + 24 * count(*))::BIGINT
+                 AS bytes
+        FROM events GROUP BY 1)
+), const AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS nd, sum(bytes)::BIGINT AS tb,
+         4 * (sum(bytes)::BIGINT // count(*)) AS t1,
+         32 * (sum(bytes)::BIGINT // count(*)) AS t2
+  FROM daily
+), sim(t, s1, s2, s3, written) AS (
+  SELECT 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT
+  UNION ALL
+  SELECT d.t,
+    CASE WHEN sim.s1 + d.bytes > c.t1 THEN 0 ELSE sim.s1 + d.bytes END,
+    CASE WHEN sim.s2 + (CASE WHEN sim.s1 + d.bytes > c.t1
+                             THEN sim.s1 + d.bytes ELSE 0 END) > c.t2
+         THEN 0
+         ELSE sim.s2 + (CASE WHEN sim.s1 + d.bytes > c.t1
+                             THEN sim.s1 + d.bytes ELSE 0 END) END,
+    sim.s3 + (CASE WHEN sim.s2 + (CASE WHEN sim.s1 + d.bytes > c.t1
+                                       THEN sim.s1 + d.bytes ELSE 0 END)
+                   > c.t2
+              THEN sim.s2 + (CASE WHEN sim.s1 + d.bytes > c.t1
+                                  THEN sim.s1 + d.bytes ELSE 0 END)
+              ELSE 0 END),
+    sim.written + d.bytes
+      + (CASE WHEN sim.s1 + d.bytes > c.t1
+              THEN sim.s1 + d.bytes + sim.s2 ELSE 0 END)
+      + (CASE WHEN sim.s2 + (CASE WHEN sim.s1 + d.bytes > c.t1
+                                  THEN sim.s1 + d.bytes ELSE 0 END) > c.t2
+              THEN sim.s2 + (CASE WHEN sim.s1 + d.bytes > c.t1
+                                  THEN sim.s1 + d.bytes ELSE 0 END) + sim.s3
+              ELSE 0 END)
+  FROM sim JOIN daily d ON d.t = sim.t + 1 CROSS JOIN const c
+)
+SELECT c.nd AS days, c.tb AS ingest_bytes, c.t1, s.written AS written_bytes,
+       (s.written * 1000000 // c.tb)::BIGINT AS wa_ppm,
+       s.s1, s.s2, s.s3
+FROM sim s CROSS JOIN const c WHERE s.t = c.nd
+""")
+def lsm_write_amp_q(sf_dir: str) -> pd.DataFrame:
+    """Leveled-compaction WA replay; see comment for the flush/merge
+    state machine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ln = pc.binary_length(
+            pc.coalesce(b["props"], pa.scalar(""))
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        f = pd.DataFrame({"day": ts // 86_400_000_000, "bytes": ln + 24})
+        return f.groupby("day", as_index=False)["bytes"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["bytes"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts", "props"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100_000)
+    assert ok and merged is not None  # bounded: distinct days
+    merged = merged.sort_values("day").reset_index(drop=True)
+    daily = [int(v) for v in merged["bytes"]]
+    nd, tb = len(daily), sum(daily)
+    t1 = 4 * (tb // nd)
+    t2 = 32 * (tb // nd)
+    s1 = s2 = s3 = written = 0
+    for b in daily:
+        written += b
+        s1 += b
+        if s1 > t1:
+            written += s1 + s2
+            s2 += s1
+            s1 = 0
+            if s2 > t2:
+                written += s2 + s3
+                s3 += s2
+                s2 = 0
+    return pd.DataFrame({
+        "days": [nd], "ingest_bytes": [tb], "t1": [t1],
+        "written_bytes": [written], "wa_ppm": [written * 1_000_000 // tb],
+        "s1": [s1], "s2": [s2], "s3": [s3]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# B-tree bulk-load planner per posting list: sorted bulk load with
+# 64-slot leaves / 128-slot internal nodes at 75% fill (48 / 96 keys),
+# unrolled to four levels (enough for 96^3 * 48 > 4e7 postings).
+# Pages and height are closed-form ceilings — exact on both engines.
+# ---------------------------------------------------------------------------
+
+@query("btree_bulk_load_audit", sql=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents
+), nt AS (
+  SELECT token, count(DISTINCT doc_id)::BIGINT AS n FROM toks GROUP BY token
+), lv AS (
+  SELECT token, n,
+         (n + 47) // 48 AS l1,
+         CASE WHEN (n + 47) // 48 > 1
+              THEN ((n + 47) // 48 + 95) // 96 ELSE 0 END AS l2
+  FROM nt
+), lv2 AS (
+  SELECT token, n, l1, l2,
+         CASE WHEN l2 > 1 THEN (l2 + 95) // 96 ELSE 0 END AS l3
+  FROM lv
+), lv3 AS (
+  SELECT token, n, l1, l2, l3,
+         CASE WHEN l3 > 1 THEN (l3 + 95) // 96 ELSE 0 END AS l4
+  FROM lv2
+)
+SELECT token, n AS n_keys, l1 AS leaves,
+       (l1 + l2 + l3 + l4)::BIGINT AS pages,
+       (1 + (l1 > 1)::INT + (l2 > 1)::INT + (l3 > 1)::INT)::BIGINT
+         AS height
+FROM lv3 ORDER BY token
+""")
+def btree_bulk_load_q(sf_dir: str) -> pd.DataFrame:
+    """Closed-form bulk-load page/height plan per token posting list."""
+    def plan(n: int):
+        l1 = (n + 47) // 48
+        l2 = (l1 + 95) // 96 if l1 > 1 else 0
+        l3 = (l2 + 95) // 96 if l2 > 1 else 0
+        l4 = (l3 + 95) // 96 if l3 > 1 else 0
+        h = 1 + (l1 > 1) + (l2 > 1) + (l3 > 1)
+        return l1, l1 + l2 + l3 + l4, h
+
+    pairs, stage = _distinct_token_docs(sf_dir)
+    if stage is not None:
+        def cnt(g: pd.DataFrame) -> pd.DataFrame:
+            n = int(g["doc_id"].nunique())
+            l1, pg, h = plan(n)
+            return pd.DataFrame({"token": [g["token"].iloc[0]],
+                                 "n_keys": [n], "leaves": [l1],
+                                 "pages": [pg], "height": [h]})
+
+        out = stage.groupby("token").map_groups(
+            cnt, batch_format="pandas").to_pandas()
+    else:
+        rows = []
+        for tok, g in pairs.groupby("token"):
+            n = len(g)
+            l1, pg, h = plan(n)
+            rows.append([tok, n, l1, pg, h])
+        out = pd.DataFrame(
+            rows, columns=["token", "n_keys", "leaves", "pages", "height"])
+    out = out.sort_values("token").reset_index(drop=True)
+    for c in ("n_keys", "leaves", "pages", "height"):
+        out[c] = out[c].astype(np.int64)
+    return out

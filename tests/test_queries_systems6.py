@@ -1,0 +1,59 @@
+"""Property tests for the session-6 systems batch (Simple-9 packing,
+LSM write-amplification replay, B-tree bulk-load planner)."""
+
+import numpy as np
+
+from dataquality_ray.pipelines import queries_systems as qs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _s9_words_bruteforce(vals):
+    """Literal greedy packer over an explicit value list."""
+    pos, words = 0, 0
+    while pos < len(vals):
+        for c, b in qs._S9_LAYOUTS:
+            if pos + c <= len(vals) and max(vals[pos:pos + c]) < (1 << b):
+                pos += c
+                break
+        words += 1
+    return words
+
+
+def test_simple9_bounds_and_bruteforce():
+    out = qs.simple9_packing_q(SF)
+    # words is at least ceil(n/28) and at most n
+    for _, r in out.iterrows():
+        n, w = int(r["n_gaps"]), int(r["words"])
+        assert (n + 27) // 28 <= w <= n
+        assert int(r["bits_per_posting_ppm"]) == 32 * w * 1_000_000 // n
+    # spot-check the packer itself on adversarial mixes
+    assert _s9_words_bruteforce([0] * 28) == 1          # one 28x1b word
+    assert _s9_words_bruteforce([0] * 27 + [2]) == 2    # 1b run broken
+    assert _s9_words_bruteforce([1 << 20]) == 1         # single 28b slot
+    assert _s9_words_bruteforce([3] * 14) == 1          # 14x2b
+
+
+def test_lsm_wa_at_least_one_and_conservation():
+    out = qs.lsm_write_amp_q(SF)
+    r = out.iloc[0]
+    assert int(r["wa_ppm"]) >= 1_000_000  # WA >= 1 by definition
+    # every ingested byte ends up in exactly one level (merges move,
+    # never drop)
+    assert (int(r["s1"]) + int(r["s2"]) + int(r["s3"])
+            == int(r["ingest_bytes"]))
+    assert int(r["written_bytes"]) >= int(r["ingest_bytes"])
+
+
+def test_btree_plan_invariants():
+    out = qs.btree_bulk_load_q(SF)
+    for _, r in out.iterrows():
+        n, l1 = int(r["n_keys"]), int(r["leaves"])
+        assert l1 == (n + 47) // 48
+        assert int(r["pages"]) >= l1
+        h = int(r["height"])
+        # capacity check: a tree of this height must fit n keys
+        caps = {1: 48, 2: 96 * 48, 3: 96 * 96 * 48, 4: 96 ** 3 * 48}
+        assert n <= caps[h]
+        if h > 1:
+            assert n > caps[h - 1]
