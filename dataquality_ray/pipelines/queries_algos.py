@@ -2063,3 +2063,99 @@ def successive_halving_q(sf_dir: str):
     out["round_eliminated"] = out["round_eliminated"].astype(np.int64)
     out["metric"] = out["metric"].astype(np.int64)
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Moore-Hodgson minimum-late-jobs replay: take the busiest customer's
+# orders as a 1-machine job set (p = price cents // 100000 + 1, due
+# dates spread over the order-date span proportional to total work),
+# process in due-date order, and whenever the running completion time
+# exceeds a due date evict the largest processing time selected so far
+# — the classic O(n log n) greedy that minimizes the number of late
+# jobs.  The SQL twin replays the same state machine in a linear
+# recursive CTE whose state is the sorted multiset of selected p's.
+# ---------------------------------------------------------------------------
+
+@query("moore_hodgson_late_orders", sql="""
+WITH RECURSIVE topc AS MATERIALIZED (
+  SELECT o_custkey AS ck FROM orders GROUP BY o_custkey
+  ORDER BY count(*) DESC, o_custkey LIMIT 1
+), raw AS MATERIALIZED (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 100000 + 1 AS p,
+         epoch_us(o_orderdate) // 86400000000 AS day, o_orderkey AS k
+  FROM orders JOIN topc ON o_custkey = topc.ck
+), cn AS MATERIALIZED (
+  SELECT sum(p)::BIGINT AS tp, min(day) AS d0,
+         max(day) - min(day) + 1 AS span, count(*)::BIGINT AS nj
+  FROM raw
+), jobs AS MATERIALIZED (
+  SELECT p, (day - cn.d0 + 1) * cn.tp // cn.span AS due,
+         row_number() OVER (ORDER BY (day - cn.d0 + 1) * cn.tp // cn.span,
+                            k) AS t
+  FROM raw CROSS JOIN cn
+), sim(t, sel, tm) AS (
+  SELECT 0::BIGINT, CAST([] AS BIGINT[]), 0::BIGINT
+  UNION ALL
+  SELECT j.t,
+    CASE WHEN sim.tm + j.p > j.due
+         THEN list_sort(list_append(sim.sel, j.p))[
+                1:len(sim.sel)]
+         ELSE list_append(sim.sel, j.p) END,
+    CASE WHEN sim.tm + j.p > j.due
+         THEN sim.tm + j.p
+              - list_aggregate(list_append(sim.sel, j.p), 'max')
+         ELSE sim.tm + j.p END
+  FROM sim JOIN jobs j ON j.t = sim.t + 1
+)
+SELECT topc.ck AS custkey, cn.nj AS n_jobs,
+       len(s.sel)::BIGINT AS on_time,
+       (cn.nj - len(s.sel))::BIGINT AS late,
+       s.tm AS completion, cn.tp AS total_p
+FROM sim s CROSS JOIN cn CROSS JOIN topc WHERE s.t = cn.nj
+""")
+def moore_hodgson_q(sf_dir: str) -> pd.DataFrame:
+    """Moore-Hodgson greedy over the busiest customer's orders; see
+    comment for the job construction."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def cpart(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"ck": b["o_custkey"].to_numpy(
+            zero_copy_only=False), "c": 1})
+        return f.groupby("ck", as_index=False)["c"].sum()
+
+    def cfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("ck", as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "orders", ["o_custkey"])
+             .map_batches(cpart, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, cfold, 2_000_000)
+    assert ok and merged is not None  # bounded: customer dimension
+    merged = merged.sort_values(["c", "ck"], ascending=[False, True])
+    ck = int(merged["ck"].iloc[0])
+
+    jobs = (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_totalprice",
+                   "o_orderdate"])
+            .filter(expr=f"o_custkey == {ck}").to_pandas())
+    p = (np.round(jobs["o_totalprice"].to_numpy() * 100).astype(np.int64)
+         // 100000 + 1)
+    day = jobs["o_orderdate"].astype("int64").to_numpy() // 86_400_000_000
+    k = jobs["o_orderkey"].to_numpy(np.int64)
+    tp = int(p.sum())
+    d0, span = int(day.min()), int(day.max() - day.min() + 1)
+    due = (day - d0 + 1) * tp // span
+    order = np.lexsort((k, due))
+    sel: list[int] = []
+    tm = 0
+    for i in order:
+        sel.append(int(p[i]))
+        tm += int(p[i])
+        if tm > int(due[i]):
+            mx = max(sel)
+            sel.remove(mx)
+            tm -= mx
+    nj = len(p)
+    return pd.DataFrame({
+        "custkey": [ck], "n_jobs": [nj], "on_time": [len(sel)],
+        "late": [nj - len(sel)], "completion": [tm],
+        "total_p": [tp]}).astype(np.int64)

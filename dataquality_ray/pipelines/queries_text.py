@@ -7428,3 +7428,75 @@ def token_burstiness_profile_q(sf_dir: str):
     for c in cols[1:]:
         merged[c] = merged[c].astype(np.int64)
     return merged.sort_values("tok").reset_index(drop=True)[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Automated Readability Index per source, from per-source totals of
+# alphanumeric characters C, whitespace tokens W and sentence marks
+# S (>= 1 per doc): ARI = 4.71*C/W + 0.5*W/S - 21.43, carried as one
+# exact integer ratio ari_ppm = trunc((4710000*C*S + 500000*W^2
+# - 21430000*W*S) / (W*S)).
+# ---------------------------------------------------------------------------
+
+@query("readability_ari", sql="""
+WITH per AS (
+  SELECT source,
+         length(regexp_replace(coalesce(text, ''), '[^A-Za-z0-9]', '',
+                               'g'))::BIGINT AS c,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                               '\\s+'),
+                         x -> x <> ''))::BIGINT AS w,
+         greatest(1, length(regexp_replace(coalesce(text, ''), '[^.!?]',
+                                           '', 'g')))::BIGINT AS s
+  FROM documents
+), agg AS (
+  SELECT source, sum(c)::HUGEINT AS cc, sum(w)::HUGEINT AS ww,
+         sum(s)::HUGEINT AS ss, count(*)::BIGINT AS n_docs
+  FROM per GROUP BY source
+)
+SELECT source, n_docs, cc::BIGINT AS chars, ww::BIGINT AS words,
+       ss::BIGINT AS sentences,
+       (CASE WHEN 4710000 * cc * ss + 500000 * ww * ww
+                  - 21430000 * ww * ss < 0
+             THEN -((21430000 * ww * ss - 4710000 * cc * ss
+                     - 500000 * ww * ww) // (ww * ss))
+             ELSE (4710000 * cc * ss + 500000 * ww * ww
+                   - 21430000 * ww * ss) // (ww * ss)
+        END)::BIGINT AS ari_ppm
+FROM agg ORDER BY source
+""")
+def readability_ari_q(sf_dir: str) -> pd.DataFrame:
+    """ARI per source from exact (chars, words, sentences) totals."""
+    from dataquality_ray.pipelines.queries_stats import _trunc_div
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        t = b["text"].to_pandas().fillna("")
+        f = pd.DataFrame({
+            "source": b["source"].to_pylist(),
+            "c": t.str.count("[A-Za-z0-9]").to_numpy(np.int64),
+            "w": t.str.count(r"\S+").to_numpy(np.int64),
+            "s": t.str.count(r"[.!?]").to_numpy(np.int64).clip(min=1),
+            "n_docs": 1})
+        return f.groupby("source", as_index=False)[
+            ["c", "w", "s", "n_docs"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)[
+            ["c", "w", "s", "n_docs"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 10_000)
+    assert ok and merged is not None  # bounded: sources
+    rows = []
+    for _, r in merged.sort_values("source").iterrows():
+        cc, ww, ss = int(r["c"]), int(r["w"]), int(r["s"])
+        num = 4710000 * cc * ss + 500000 * ww * ww - 21430000 * ww * ss
+        rows.append([r["source"], int(r["n_docs"]), cc, ww, ss,
+                     _trunc_div(num, ww * ss)])
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "chars",
+                                      "words", "sentences", "ari_ppm"])
+    for c in ("n_docs", "chars", "words", "sentences", "ari_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -10137,3 +10137,84 @@ def drawdown_duration_days_q(sf_dir: str):
         "longest_days": [np.int64(longest)],
         "first_spell_day": [np.int64(first_day)],
         "total_underwater_days": [np.int64(int(under.sum()))]})
+
+
+# ---------------------------------------------------------------------------
+# Log-log price elasticity of demand per brand: per part, x =
+# floor(1e6*ln(retail cents)) and y = floor(1e6*ln(total qty sold));
+# the per-brand OLS slope over those integer points is the elasticity
+# estimate.  slope_ppm = trunc((n*Sxy - Sx*Sy) * 1e6 / (n*Sxx - Sx^2))
+# — exact integers (HUGEINT in SQL, Python ints here) until the single
+# final division.  Brands with < 2 parts or zero x-variance drop out.
+# ---------------------------------------------------------------------------
+
+@query("price_elasticity_brand", sql="""
+WITH q AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT))::BIGINT AS qty
+  FROM lineitem GROUP BY 1
+), pts AS (
+  SELECT p.p_brand AS brand,
+         floor(1000000 * ln(CAST(CAST(round(p.p_retailprice * 100)
+                                      AS BIGINT) AS DOUBLE)))::BIGINT AS x,
+         floor(1000000 * ln(CAST(q.qty AS DOUBLE)))::BIGINT AS y
+  FROM part p JOIN q ON q.l_partkey = p.p_partkey
+), agg AS (
+  SELECT brand, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(y)::HUGEINT AS sy, sum(x::HUGEINT * y)::HUGEINT AS sxy,
+         sum(x::HUGEINT * x)::HUGEINT AS sxx
+  FROM pts GROUP BY brand
+)
+SELECT brand, n::BIGINT AS n_parts,
+       (CASE WHEN n * sxy - sx * sy < 0
+             THEN -((sx * sy - n * sxy) * 1000000
+                    // (n * sxx - sx * sx))
+             ELSE (n * sxy - sx * sy) * 1000000
+                  // (n * sxx - sx * sx) END)::BIGINT AS slope_ppm
+FROM agg WHERE n > 1 AND n * sxx - sx * sx > 0
+ORDER BY brand
+""")
+def price_elasticity_q(sf_dir: str) -> pd.DataFrame:
+    """Per-brand log-log OLS elasticity from exact integer sums."""
+    from dataquality_ray.pipelines.queries_stats import _trunc_div
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def qpart(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "qty": b["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        return f.groupby("pk", as_index=False)["qty"].sum()
+
+    def qfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("pk", as_index=False)["qty"].sum()
+
+    stage = (_read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+             .map_batches(qpart, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, qfold, 2_000_000)
+    assert ok and merged is not None  # bounded: part dimension
+    dim = _read(sf_dir, "part",
+                ["p_partkey", "p_brand", "p_retailprice"]).to_pandas()
+    j = merged.merge(dim, left_on="pk", right_on="p_partkey", how="inner")
+    cents = np.round(j["p_retailprice"].to_numpy() * 100).astype(np.int64)
+    x = np.floor(1000000 * np.log(cents.astype(np.float64))).astype(
+        np.int64)
+    y = np.floor(1000000 * np.log(
+        j["qty"].to_numpy(np.int64).astype(np.float64))).astype(np.int64)
+    f = pd.DataFrame({"brand": j["p_brand"], "x": x, "y": y})
+    rows = []
+    for brand, g in f.groupby("brand"):
+        n = len(g)
+        sx = int(g["x"].sum())
+        sy = int(g["y"].sum())
+        sxy = int(sum(int(a) * int(b) for a, b in zip(g["x"], g["y"])))
+        sxx = int(sum(int(a) * int(a) for a in g["x"]))
+        den = n * sxx - sx * sx
+        if n < 2 or den <= 0:
+            continue
+        rows.append([brand, n,
+                     _trunc_div((n * sxy - sx * sy) * 1_000_000, den)])
+    out = pd.DataFrame(rows, columns=["brand", "n_parts", "slope_ppm"])
+    out = out.sort_values("brand").reset_index(drop=True)
+    out["n_parts"] = out["n_parts"].astype(np.int64)
+    out["slope_ppm"] = out["slope_ppm"].astype(np.int64)
+    return out

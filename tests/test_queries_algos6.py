@@ -1,0 +1,77 @@
+"""Property tests for the session-6 algos batch (Moore-Hodgson,
+price elasticity, ARI readability)."""
+
+import numpy as np
+
+from dataquality_ray.pipelines import queries_algos as qa
+from dataquality_ray.pipelines import queries_text as qt
+from dataquality_ray.pipelines import queries_tpch as qh
+
+SF = "/root/testdata/sf0.001"
+
+
+def _moore_hodgson_bruteforce(ps, dues):
+    """Exhaustive check: the greedy's on-time count is optimal for
+    small n (Moore 1968 optimality)."""
+    n = len(ps)
+    best = 0
+    for mask in range(1 << n):
+        t = 0
+        ok = True
+        for i in range(n):
+            if mask >> i & 1:
+                t += ps[i]
+                if t > dues[i]:
+                    ok = False
+                    break
+        if ok:
+            best = max(best, bin(mask).count("1"))
+    return best
+
+
+def _greedy(ps, dues):
+    sel, tm = [], 0
+    for p, d in zip(ps, dues):
+        sel.append(p)
+        tm += p
+        if tm > d:
+            mx = max(sel)
+            sel.remove(mx)
+            tm -= mx
+    return len(sel)
+
+
+def test_moore_hodgson_greedy_is_optimal_small():
+    rng = np.random.RandomState(7)
+    for _ in range(40):
+        n = rng.randint(2, 9)
+        ps = rng.randint(1, 20, n).tolist()
+        dues = np.sort(rng.randint(1, 60, n)).tolist()
+        assert _greedy(ps, dues) == _moore_hodgson_bruteforce(ps, dues)
+
+
+def test_moore_hodgson_query_consistency():
+    out = qa.moore_hodgson_q(SF)
+    r = out.iloc[0]
+    assert int(r["on_time"]) + int(r["late"]) == int(r["n_jobs"])
+    assert 0 <= int(r["completion"]) <= int(r["total_p"])
+
+
+def test_price_elasticity_bounded():
+    out = qh.price_elasticity_q(SF)
+    assert (out["n_parts"] > 1).all()
+    # elasticity estimates on synthetic data stay within sane range
+    assert (out["slope_ppm"].abs() < 100_000_000).all()
+
+
+def test_readability_ari_consistency():
+    out = qt.readability_ari_q(SF)
+    assert (out["sentences"] >= out["n_docs"]).all()  # >=1 per doc
+    assert (out["words"] > 0).all()
+    for _, r in out.iterrows():
+        num = (4710000 * int(r["chars"]) * int(r["sentences"])
+               + 500000 * int(r["words"]) ** 2
+               - 21430000 * int(r["words"]) * int(r["sentences"]))
+        den = int(r["words"]) * int(r["sentences"])
+        want = -((-num) // den) if num < 0 else num // den
+        assert int(r["ari_ppm"]) == want
