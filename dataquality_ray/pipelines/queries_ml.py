@@ -1733,3 +1733,81 @@ def gale_shapley_q(sf_dir: str):
         "n_proposals": pd.Series([ptr[lg] for lg in langs],
                                  dtype=np.int64)})
     return out
+
+
+# ---------------------------------------------------------------------------
+# One-level decision stump on n_chars predicting "text contains a
+# digit": minimize the weighted Gini impurity over all split points.
+# With cumulative (n_l, p_l) from sorted distinct lengths, the
+# impurity numerator p_l*(n_l-p_l)*n_r + p_r*(n_r-p_r)*n_l over
+# denominator n_l*n_r is compared across thresholds via the scaled
+# integer (num * 10^12) // den with threshold-ascending tie-break —
+# exactly the same ordering key on both engines.
+# ---------------------------------------------------------------------------
+
+@query("decision_stump_nchars", sql="""
+WITH f AS (
+  SELECT n_chars AS v,
+         (regexp_matches(coalesce(text, ''), '[0-9]'))::BIGINT AS y
+  FROM documents
+), cnt AS (
+  SELECT v, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
+  FROM f GROUP BY v
+), tot AS (
+  SELECT sum(c)::BIGINT AS n, sum(p)::BIGINT AS ptot FROM cnt
+), cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v)::BIGINT AS nl,
+         sum(p) OVER (ORDER BY v)::BIGINT AS pl
+  FROM cnt
+), sc AS (
+  SELECT v, nl, pl, (n - nl) AS nr, (ptot - pl) AS pr,
+         ((pl::HUGEINT * (nl - pl) * (n - nl)
+           + (ptot - pl)::HUGEINT * ((n - nl) - (ptot - pl)) * nl)
+          * 1000000000000
+          // (nl::HUGEINT * (n - nl)))::BIGINT AS gini_scaled
+  FROM cum, tot WHERE nl < n
+)
+SELECT v AS threshold, nl, pl, nr, pr, gini_scaled
+FROM sc ORDER BY gini_scaled, v LIMIT 1
+""")
+def decision_stump_q(sf_dir: str) -> pd.DataFrame:
+    """Gini-optimal threshold on n_chars; scaled-integer ordering key."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        t = b["text"].to_pandas().fillna("")
+        f = pd.DataFrame({
+            "v": b["n_chars"].to_numpy(zero_copy_only=False),
+            "c": 1,
+            "p": t.str.contains("[0-9]", regex=True)
+                  .to_numpy().astype(np.int64)})
+        return f.groupby("v", as_index=False)[["c", "p"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("v", as_index=False)[["c", "p"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["n_chars", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: distinct doc lengths
+    merged = merged.sort_values("v").reset_index(drop=True)
+    c = merged["c"].to_numpy(np.int64)
+    p = merged["p"].to_numpy(np.int64)
+    n, ptot = int(c.sum()), int(p.sum())
+    nl = np.cumsum(c)
+    pl = np.cumsum(p)
+    best = None
+    for i in range(len(c)):
+        nli, pli = int(nl[i]), int(pl[i])
+        if nli >= n:
+            continue
+        nri, pri = n - nli, ptot - pli
+        num = pli * (nli - pli) * nri + pri * (nri - pri) * nli
+        s = (num * 10 ** 12) // (nli * nri)
+        key = (s, int(merged["v"].iloc[i]))
+        if best is None or key < best[0]:
+            best = (key, [int(merged["v"].iloc[i]), nli, pli, nri, pri, s])
+    assert best is not None
+    return pd.DataFrame([best[1]],
+                        columns=["threshold", "nl", "pl", "nr", "pr",
+                                 "gini_scaled"]).astype(np.int64)

@@ -1681,3 +1681,96 @@ def atkinson_index_q(sf_dir: str):
     for c in ("n", "s_cents", "s_ln", "atkinson_ppm"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Seasonal strength of the daily volume series (Hyndman's variance
+# decomposition): detrend by a centered 7-term moving sum (d_t = 7*x_t
+# - sum window, integer), group detrended points by weekday, and
+# compare remainder variance against detrended variance.  With S = sum
+# d, Q = sum d^2, m points, T_w/c_w per-weekday sums/counts and
+# P = prod c_w, KP = sum T_w^2 * (P // c_w):
+#   F = 1 - SSR/SSD = (m*KP - P*S^2) / (P*(m*Q - S^2))
+# — a single exact integer ratio; fs_ppm truncates toward zero.
+# ---------------------------------------------------------------------------
+
+@query("seasonal_strength_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS x
+  FROM events GROUP BY 1
+), o AS (
+  SELECT day, x,
+         sum(x) OVER (ORDER BY day
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7,
+         count(*) OVER (ORDER BY day
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cw
+  FROM d
+), det AS (
+  SELECT (day + 4) % 7 AS wd, (7 * x - w7)::BIGINT AS dt
+  FROM o WHERE cw = 7
+), bywd AS (
+  SELECT wd, sum(dt)::BIGINT AS tw, count(*)::BIGINT AS c
+  FROM det GROUP BY wd
+), tot AS (
+  SELECT count(*)::BIGINT AS m, sum(dt)::BIGINT AS s,
+         sum(dt::HUGEINT * dt)::HUGEINT AS q
+  FROM det
+), pp AS (
+  SELECT CAST(product(c) AS BIGINT) AS p FROM bywd
+), kp AS (
+  SELECT sum(tw::HUGEINT * tw * (pp.p // c))::HUGEINT AS kp
+  FROM bywd, pp
+)
+SELECT tot.m, tot.s, tot.q::BIGINT AS q, pp.p, kp.kp::BIGINT AS kp,
+       (CASE WHEN tot.m * kp.kp - pp.p * tot.s::HUGEINT * tot.s < 0
+             THEN -((pp.p * tot.s::HUGEINT * tot.s - tot.m * kp.kp)
+                    * 1000000
+                    // (pp.p * (tot.m * tot.q - tot.s::HUGEINT * tot.s)))
+             ELSE (tot.m * kp.kp - pp.p * tot.s::HUGEINT * tot.s) * 1000000
+                  // (pp.p * (tot.m * tot.q - tot.s::HUGEINT * tot.s))
+        END)::BIGINT AS fs_ppm
+FROM tot, pp, kp
+""")
+def seasonal_strength_q(sf_dir: str):
+    """Weekday seasonal strength from exact integer detrended sums."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day": ts // 86_400_000_000, "x": 1})
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100_000)
+    assert ok and merged is not None  # bounded: distinct days
+    merged = merged.sort_values("day").reset_index(drop=True)
+    day = merged["day"].to_numpy(np.int64)
+    x = merged["x"].to_numpy(np.int64)
+    n = len(x)
+    assert n >= 14, "need at least two full weeks of days"
+    dts, wds = [], []
+    for t in range(3, n - 3):
+        dts.append(int(7 * x[t] - x[t - 3:t + 4].sum()))
+        wds.append(int((day[t] + 4) % 7))
+    m = len(dts)
+    s = sum(dts)
+    q = sum(v * v for v in dts)
+    tw: dict[int, int] = {}
+    cw: dict[int, int] = {}
+    for w, v in zip(wds, dts):
+        tw[w] = tw.get(w, 0) + v
+        cw[w] = cw.get(w, 0) + 1
+    p = math.prod(cw.values())
+    kp = sum(tw[w] * tw[w] * (p // cw[w]) for w in tw)
+    den = p * (m * q - s * s)
+    assert den > 0
+    return pd.DataFrame({
+        "m": [m], "s": [s], "q": [q], "p": [p], "kp": [kp],
+        "fs_ppm": [_trunc_div((m * kp - p * s * s) * 1_000_000, den)]}
+    ).astype(np.int64)

