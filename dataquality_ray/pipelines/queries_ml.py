@@ -1736,8 +1736,9 @@ def gale_shapley_q(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# One-level decision stump on n_chars predicting "text contains a
-# digit": minimize the weighted Gini impurity over all split points.
+# One-level decision stump on n_chars predicting "text mentions
+# 'spark'" (~77% base rate): minimize weighted Gini over all split
+# points.
 # With cumulative (n_l, p_l) from sorted distinct lengths, the
 # impurity numerator p_l*(n_l-p_l)*n_r + p_r*(n_r-p_r)*n_l over
 # denominator n_l*n_r is compared across thresholds via the scaled
@@ -1748,7 +1749,7 @@ def gale_shapley_q(sf_dir: str):
 @query("decision_stump_nchars", sql="""
 WITH f AS (
   SELECT n_chars AS v,
-         (regexp_matches(coalesce(text, ''), '[0-9]'))::BIGINT AS y
+         (position('spark' IN coalesce(text, '')) > 0)::BIGINT AS y
   FROM documents
 ), cnt AS (
   SELECT v, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
@@ -1779,7 +1780,7 @@ def decision_stump_q(sf_dir: str) -> pd.DataFrame:
         f = pd.DataFrame({
             "v": b["n_chars"].to_numpy(zero_copy_only=False),
             "c": 1,
-            "p": t.str.contains("[0-9]", regex=True)
+            "p": t.str.contains("spark", regex=False)
                   .to_numpy().astype(np.int64)})
         return f.groupby("v", as_index=False)[["c", "p"]].sum()
 
@@ -1811,3 +1812,76 @@ def decision_stump_q(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([best[1]],
                         columns=["threshold", "nl", "pl", "nr", "pr",
                                  "gini_scaled"]).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# PR-AUC of the "longer docs mention dups" ranker: score = n_chars
+# descending, label = text contains the rare token 'dup' (~5%
+# prevalence -- the realistic rare-positive retrieval setting).  Step integration at each
+# distinct score: term_ppm = trunc((tp_i - tp_prev) * 1e6 * tp_i
+# / (Ptot * (tp_i + fp_i))) — truncated per term on BOTH engines, so
+# the sum (pr_auc_ppm, repeated per row) matches exactly.
+# ---------------------------------------------------------------------------
+
+@query("pr_auc_rare_label", sql="""
+WITH f AS (
+  SELECT n_chars AS v,
+         (position('dup' IN coalesce(text, '')) > 0)::BIGINT AS y
+  FROM documents
+), cnt AS (
+  SELECT v, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
+  FROM f GROUP BY v
+), tot AS (
+  SELECT sum(p)::BIGINT AS ptot FROM cnt
+), cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v DESC)::BIGINT AS npass,
+         sum(p) OVER (ORDER BY v DESC)::BIGINT AS tp,
+         (sum(p) OVER (ORDER BY v DESC) - p)::BIGINT AS tp_prev
+  FROM cnt
+), terms AS (
+  SELECT v, npass, tp,
+         ((tp - tp_prev)::HUGEINT * 1000000 * tp
+          // (tot.ptot::HUGEINT * npass))::BIGINT AS term_ppm
+  FROM cum, tot
+)
+SELECT v AS threshold, npass, tp, term_ppm,
+       (SELECT sum(term_ppm)::BIGINT FROM terms) AS pr_auc_ppm
+FROM terms ORDER BY threshold DESC
+""")
+def pr_auc_q(sf_dir: str) -> pd.DataFrame:
+    """Per-threshold PR step terms + total PR-AUC (ppm, exact)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        t = b["text"].to_pandas().fillna("")
+        f = pd.DataFrame({
+            "v": b["n_chars"].to_numpy(zero_copy_only=False),
+            "c": 1,
+            "p": t.str.contains("dup", regex=False)
+                  .to_numpy().astype(np.int64)})
+        return f.groupby("v", as_index=False)[["c", "p"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("v", as_index=False)[["c", "p"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["n_chars", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: distinct doc lengths
+    merged = merged.sort_values("v", ascending=False).reset_index(drop=True)
+    c = merged["c"].to_numpy(np.int64)
+    p = merged["p"].to_numpy(np.int64)
+    ptot = int(p.sum())
+    npass = np.cumsum(c)
+    tp = np.cumsum(p)
+    rows = []
+    for i in range(len(c)):
+        dtp = int(p[i])
+        term = (dtp * 1_000_000 * int(tp[i])) // (ptot * int(npass[i]))
+        rows.append([int(merged["v"].iloc[i]), int(npass[i]),
+                     int(tp[i]), term])
+    auc = sum(r[3] for r in rows)
+    out = pd.DataFrame(rows, columns=["threshold", "npass", "tp",
+                                      "term_ppm"])
+    out["pr_auc_ppm"] = auc
+    return out.astype(np.int64)

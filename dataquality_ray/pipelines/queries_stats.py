@@ -1485,7 +1485,7 @@ def rescaled_range_q(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # Krippendorff's alpha over four deterministic binary quality "raters"
-# (length > 200, contains a digit, > 30 tokens, contains 'the') — the
+# (length > 200, mentions 'spark', > 30 tokens, contains 'the') — the
 # inter-rule agreement audit.  Binary-nominal alpha reduces to exact
 # integers: with m = 4, D_obs = sum k1*(m-k1), N_T = m*n and
 # N1 = sum k1, alpha = 1 - [D_obs * N_T*(N_T-1)] / [m*(m-1)*n*N1*N0];
@@ -1495,7 +1495,7 @@ def rescaled_range_q(sf_dir: str):
 @query("krippendorff_alpha_rules", sql="""
 WITH r AS (
   SELECT ((n_chars > 200)::INT
-        + (regexp_matches(coalesce(text, ''), '[0-9]'))::INT
+        + (position('spark' IN coalesce(text, '')) > 0)::INT
         + (len(list_filter(regexp_split_to_array(coalesce(text, ''),
                                                  '\\s+'),
                            x -> x <> '')) > 30)::INT
@@ -1527,7 +1527,7 @@ def krippendorff_alpha_q(sf_dir: str):
         t = b["text"].to_pandas().fillna("")
         k1 = ((b["n_chars"].to_numpy(zero_copy_only=False) > 200)
               .astype(np.int64)
-              + t.str.contains("[0-9]", regex=True).to_numpy()
+              + t.str.contains("spark", regex=False).to_numpy()
               + (t.str.count(r"\S+").to_numpy() > 30)
               + t.str.contains("the", regex=False).to_numpy())
         k1 = k1.astype(np.int64)

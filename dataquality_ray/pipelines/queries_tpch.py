@@ -10218,3 +10218,142 @@ def price_elasticity_q(sf_dir: str) -> pd.DataFrame:
     out["n_parts"] = out["n_parts"].astype(np.int64)
     out["slope_ppm"] = out["slope_ppm"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Semi-join reduction audit: how much of lineitem survives a semi-join
+# against URGENT orders — the number a distributed planner uses to
+# decide whether to ship a filter to the fact table before the join.
+# One smart_join (broadcast below cap, hash shuffle above) plus exact
+# integer reduction ratio.
+# ---------------------------------------------------------------------------
+
+@query("semijoin_reduction_audit", sql="""
+WITH q AS (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), m AS (
+  SELECT count(*)::BIGINT AS matched,
+         count(DISTINCT l.l_orderkey)::BIGINT AS matched_orders
+  FROM lineitem l JOIN q ON q.o_orderkey = l.l_orderkey
+), t AS (
+  SELECT count(*)::BIGINT AS total FROM lineitem
+)
+SELECT t.total, m.matched, m.matched_orders,
+       ((t.total - m.matched) * 1000000 // t.total)::BIGINT
+         AS reduction_ppm
+FROM m, t
+""")
+def semijoin_reduction_q(sf_dir: str) -> pd.DataFrame:
+    """Fact-table survival rate under an URGENT-orders semi-join."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import smart_join
+
+    total = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    keys = (_read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+            .filter(expr="o_orderpriority == '1-URGENT'")
+            .select_columns(["o_orderkey"]))
+    joined = smart_join(
+        _read(sf_dir, "lineitem", ["l_orderkey"]), keys,
+        on="l_orderkey", right_on="o_orderkey", value_cols=[],
+        join_type="inner")
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        # per-batch partial: one row per distinct matched orderkey
+        # (n=0, set-union semantics) plus a sentinel row carrying the
+        # batch's matched-row count under ok=-1
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        u = np.unique(k)
+        return pd.concat([pd.DataFrame({"ok": u, "n": 0}),
+                          pd.DataFrame({"ok": [-1], "n": [len(k)]})],
+                         ignore_index=True)
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("ok", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        joined.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: urgent-order keys
+    matched = int(merged.loc[merged["ok"] == -1, "n"].sum())
+    matched_orders = int((merged["ok"] != -1).sum())
+    return pd.DataFrame({
+        "total": [total], "matched": [matched],
+        "matched_orders": [matched_orders],
+        "reduction_ppm": [(total - matched) * 1_000_000 // total]}
+    ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Runtime-filter effectiveness audit: for the selective probe
+# "URGENT orders placed in 1995", compare a min-max (zone-style)
+# runtime filter on l_orderkey against exact semi-join membership —
+# the false-pass rate tells the planner whether a Bloom filter is
+# worth shipping.  All exact integer counts.
+# ---------------------------------------------------------------------------
+
+@query("runtime_filter_audit", sql="""
+WITH q AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+), mm AS (
+  SELECT min(o_orderkey)::BIGINT AS kmin, max(o_orderkey)::BIGINT AS kmax,
+         count(*)::BIGINT AS n_keys
+  FROM q
+), c AS (
+  SELECT
+    (SELECT count(*) FROM lineitem, mm
+     WHERE l_orderkey BETWEEN mm.kmin AND mm.kmax)::BIGINT
+      AS passed_minmax,
+    (SELECT count(*) FROM lineitem l JOIN q ON q.o_orderkey
+                                               = l.l_orderkey)::BIGINT
+      AS passed_exact
+)
+SELECT mm.kmin, mm.kmax, mm.n_keys, c.passed_minmax, c.passed_exact,
+       ((c.passed_minmax - c.passed_exact) * 1000000
+        // greatest(1, c.passed_minmax))::BIGINT AS false_pass_ppm
+FROM mm, c
+""")
+def runtime_filter_audit_q(sf_dir: str) -> pd.DataFrame:
+    """Min-max vs exact runtime-filter pass counts for a selective
+    order predicate."""
+    import ray
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    qkeys = (_read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_orderdate"])
+             .filter(expr="o_orderpriority == '1-URGENT'")
+             .map_batches(lambda b: b.filter(
+                 (pc.field("o_orderdate")
+                  >= pa.scalar(pd.Timestamp("1995-01-01")))
+                 & (pc.field("o_orderdate")
+                    < pa.scalar(pd.Timestamp("1996-01-01")))),
+                 batch_format="pyarrow")
+             .select_columns(["o_orderkey"]).to_pandas())
+    keys = qkeys["o_orderkey"].to_numpy(np.int64)
+    kmin, kmax, nk = int(keys.min()), int(keys.max()), len(keys)
+    key_ref = ray.put(np.unique(keys))
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ks = ray.get(key_ref)
+        lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        mm = int(((lk >= kmin) & (lk <= kmax)).sum())
+        ex = int(np.isin(lk, ks).sum())
+        return pd.DataFrame({"mm": [mm], "ex": [ex]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"mm": [int(f["mm"].sum())],
+                             "ex": [int(f["ex"].sum())]})
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "lineitem", ["l_orderkey"])
+        .map_batches(part, batch_format="pyarrow"), fold, 10)
+    assert ok and merged is not None  # one-row partials
+    mm = int(merged["mm"].iloc[0])
+    ex = int(merged["ex"].iloc[0])
+    return pd.DataFrame({
+        "kmin": [kmin], "kmax": [kmax], "n_keys": [nk],
+        "passed_minmax": [mm], "passed_exact": [ex],
+        "false_pass_ppm": [(mm - ex) * 1_000_000 // max(1, mm)]}
+    ).astype(np.int64)

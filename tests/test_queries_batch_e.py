@@ -1,0 +1,36 @@
+"""Property tests for session-6 batch E (semi-join reduction audit,
+runtime-filter audit, PR-AUC)."""
+
+from dataquality_ray.pipelines import queries_ml as qm
+from dataquality_ray.pipelines import queries_tpch as qh
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_semijoin_reduction_consistent():
+    out = qh.semijoin_reduction_q(SF)
+    r = out.iloc[0]
+    assert 0 <= int(r["matched"]) <= int(r["total"])
+    assert int(r["matched_orders"]) <= int(r["matched"])
+    assert 0 <= int(r["reduction_ppm"]) <= 1_000_000
+
+
+def test_runtime_filter_minmax_dominates_exact():
+    out = qh.runtime_filter_audit_q(SF)
+    r = out.iloc[0]
+    # min-max is a superset filter of exact membership
+    assert int(r["passed_minmax"]) >= int(r["passed_exact"])
+    assert int(r["kmin"]) <= int(r["kmax"])
+    assert 0 <= int(r["false_pass_ppm"]) <= 1_000_000
+
+
+def test_pr_auc_monotone_and_bounded():
+    out = qm.pr_auc_q(SF)
+    # thresholds descending => tp and npass nondecreasing
+    assert out["tp"].is_monotonic_increasing
+    assert out["npass"].is_monotonic_increasing
+    auc = int(out["pr_auc_ppm"].iloc[0])
+    assert 0 < auc <= 1_000_000
+    assert int(out["term_ppm"].sum()) == auc
+    # final tp equals total positives; final npass equals corpus size
+    assert int(out["tp"].iloc[-1]) > 0
