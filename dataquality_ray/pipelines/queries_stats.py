@@ -1774,3 +1774,95 @@ def seasonal_strength_q(sf_dir: str):
         "m": [m], "s": [s], "q": [q], "p": [p], "kp": [kp],
         "fs_ppm": [_trunc_div((m * kp - p * s * s) * 1_000_000, den)]}
     ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Quade test (weighted rank block ANOVA) over days (blocks) x event
+# types (treatments), on the dense daily count matrix (missing cells
+# are 0).  Midranks are carried doubled (2R = 2*min_rank + ties - 1),
+# block weights are doubled midranks of the block ranges, and
+# S'_ij = Q2_i * (2R_ij - (k+1)) stays integral, so with
+# A' = sum S'^2 and B' = sum_j (sum_i S')^2 the statistic
+# T3 = (n-1)B' / (n*A' - B') is one exact integer ratio (>= 0 by
+# Cauchy-Schwarz; 0/0 reported as 0).
+# ---------------------------------------------------------------------------
+
+@query("quade_test_types", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+), days AS (SELECT DISTINCT day FROM d),
+types AS (SELECT DISTINCT event_type FROM d),
+dense AS (
+  SELECT days.day, types.event_type, coalesce(d.x, 0)::BIGINT AS x
+  FROM days CROSS JOIN types
+  LEFT JOIN d ON d.day = days.day AND d.event_type = types.event_type
+), rk AS (
+  SELECT day, event_type,
+         (2 * rank() OVER (PARTITION BY day ORDER BY x)
+          + count(*) OVER (PARTITION BY day, x) - 1)::BIGINT AS r2
+  FROM dense
+), rng AS (
+  SELECT day, (max(x) - min(x))::BIGINT AS rg FROM dense GROUP BY day
+), qk AS (
+  SELECT day, (2 * rank() OVER (ORDER BY rg)
+               + count(*) OVER (PARTITION BY rg) - 1)::BIGINT AS q2
+  FROM rng
+), kk AS (SELECT count(*)::BIGINT AS k FROM types),
+nn AS (SELECT count(*)::BIGINT AS n FROM days),
+sprime AS (
+  SELECT rk.event_type, (qk.q2 * (rk.r2 - (kk.k + 1)))::BIGINT AS s
+  FROM rk JOIN qk ON qk.day = rk.day CROSS JOIN kk
+), aa AS (SELECT sum(s::HUGEINT * s)::HUGEINT AS a FROM sprime),
+bb AS (
+  SELECT sum(sj * sj)::HUGEINT AS b
+  FROM (SELECT sum(s)::HUGEINT AS sj FROM sprime GROUP BY event_type)
+)
+SELECT nn.n, kk.k, aa.a::BIGINT AS a, bb.b::BIGINT AS b,
+       (CASE WHEN nn.n * aa.a - bb.b = 0 THEN 0
+             ELSE (nn.n - 1) * bb.b * 1000000
+                  // (nn.n * aa.a - bb.b) END)::BIGINT AS t3_ppm
+FROM nn, kk, aa, bb
+""")
+def quade_test_q(sf_dir: str):
+    """Quade weighted rank ANOVA; see comment for the doubled-midrank
+    integer carriage."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day": ts // 86_400_000_000,
+                          "event_type": b["event_type"].to_pylist(),
+                          "x": 1})
+        return f.groupby(["day", "event_type"], as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["day", "event_type"], as_index=False)["x"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts", "event_type"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: days x types
+    mat = merged.pivot_table(index="day", columns="event_type", values="x",
+                             fill_value=0, aggfunc="sum").sort_index()
+    xs = mat.to_numpy(np.int64)
+    n, k = xs.shape
+
+    def midranks2(v: np.ndarray) -> np.ndarray:
+        # 2*midrank = 2*min_rank + ties - 1, min_rank = count_less + 1
+        less = (v[None, :] < v[:, None]).sum(axis=1)
+        eq = (v[None, :] == v[:, None]).sum(axis=1)
+        return 2 * (less + 1) + eq - 1
+
+    r2 = np.vstack([midranks2(xs[i]) for i in range(n)])
+    rg = xs.max(axis=1) - xs.min(axis=1)
+    q2 = midranks2(rg)
+    s = q2[:, None] * (r2 - (k + 1))
+    a = int((s.astype(object) ** 2).sum())
+    sj = s.sum(axis=0).astype(object)
+    b_ = int((sj ** 2).sum())
+    den = n * a - b_
+    t3 = 0 if den == 0 else (n - 1) * b_ * 1_000_000 // den
+    return pd.DataFrame({"n": [n], "k": [k], "a": [a], "b": [b_],
+                         "t3_ppm": [t3]}).astype(np.int64)

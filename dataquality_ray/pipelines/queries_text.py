@@ -7500,3 +7500,58 @@ def readability_ari_q(sf_dir: str) -> pd.DataFrame:
     for c in ("n_docs", "chars", "words", "sentences", "ari_ppm"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption plan per source: with n whitespace tokens,
+# 15% corruption at mean span length 3 gives n_spans = n*15//100//3
+# deterministic spans and masked = 3*n_spans tokens; the plan
+# aggregates docs/tokens/spans/masked and the realized corruption
+# ratio (ppm) per source — all exact integers.
+# ---------------------------------------------------------------------------
+
+@query("span_corruption_plan", sql="""
+WITH per AS (
+  SELECT source,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                               '\\s+'),
+                         x -> x <> ''))::BIGINT AS n
+  FROM documents
+), sp AS (
+  SELECT source, n, (n * 15 // 100 // 3)::BIGINT AS spans
+  FROM per
+)
+SELECT source, count(*)::BIGINT AS docs, sum(n)::BIGINT AS tokens,
+       sum(spans)::BIGINT AS spans, sum(3 * spans)::BIGINT AS masked,
+       (sum(3 * spans) * 1000000 // greatest(1, sum(n)))::BIGINT
+         AS ratio_ppm
+FROM sp GROUP BY source ORDER BY source
+""")
+def span_corruption_q(sf_dir: str) -> pd.DataFrame:
+    """Deterministic T5 span-corruption budget per source."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        t = b["text"].to_pandas().fillna("")
+        n = t.str.count(r"\S+").to_numpy(np.int64)
+        spans = n * 15 // 100 // 3
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "docs": 1, "tokens": n, "spans": spans,
+                          "masked": 3 * spans})
+        return f.groupby("source", as_index=False)[
+            ["docs", "tokens", "spans", "masked"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)[
+            ["docs", "tokens", "spans", "masked"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 10_000)
+    assert ok and merged is not None  # bounded: sources
+    merged = merged.sort_values("source").reset_index(drop=True)
+    merged["ratio_ppm"] = (merged["masked"] * 1_000_000
+                           // merged["tokens"].clip(lower=1))
+    for c in ("docs", "tokens", "spans", "masked", "ratio_ppm"):
+        merged[c] = merged[c].astype(np.int64)
+    return merged

@@ -10357,3 +10357,55 @@ def runtime_filter_audit_q(sf_dir: str) -> pd.DataFrame:
         "passed_minmax": [mm], "passed_exact": [ex],
         "false_pass_ppm": [(mm - ex) * 1_000_000 // max(1, mm)]}
     ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Discount spread per part: how inconsistently a part is discounted
+# across its lineitems (distinct discount levels, min/max in basis
+# points) — top 20 by spread, then partkey.  Exact integer bps.
+# ---------------------------------------------------------------------------
+
+@query("discount_spread_by_part", sql="""
+WITH d AS (
+  SELECT l_partkey,
+         CAST(round(l_discount * 10000) AS BIGINT) AS bps
+  FROM lineitem
+), agg AS (
+  SELECT l_partkey, count(*)::BIGINT AS n_items,
+         count(DISTINCT bps)::BIGINT AS n_levels,
+         min(bps)::BIGINT AS bps_min, max(bps)::BIGINT AS bps_max
+  FROM d GROUP BY l_partkey
+)
+SELECT l_partkey, n_items, n_levels, bps_min, bps_max,
+       (bps_max - bps_min)::BIGINT AS spread_bps
+FROM agg ORDER BY spread_bps DESC, l_partkey LIMIT 20
+""")
+def discount_spread_q(sf_dir: str) -> pd.DataFrame:
+    """Top-20 parts by discount spread; per-(part,bps) counted partials."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        bps = np.round(b["l_discount"].to_numpy(zero_copy_only=False)
+                       * 10000).astype(np.int64)
+        f = pd.DataFrame({"pk": b["l_partkey"].to_numpy(
+            zero_copy_only=False), "bps": bps, "n": 1})
+        return f.groupby(["pk", "bps"], as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["pk", "bps"], as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "lineitem", ["l_partkey", "l_discount"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: parts x 12 bps levels
+    g = merged.groupby("pk")
+    agg = pd.DataFrame({
+        "l_partkey": [int(k) for k in g.groups],
+        "n_items": g["n"].sum().to_numpy(np.int64),
+        "n_levels": g["bps"].nunique().to_numpy(np.int64),
+        "bps_min": g["bps"].min().to_numpy(np.int64),
+        "bps_max": g["bps"].max().to_numpy(np.int64)})
+    agg["spread_bps"] = agg["bps_max"] - agg["bps_min"]
+    agg = agg.sort_values(["spread_bps", "l_partkey"],
+                          ascending=[False, True]).head(20)
+    return agg.reset_index(drop=True).astype(np.int64)

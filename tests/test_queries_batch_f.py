@@ -1,0 +1,36 @@
+"""Property tests for session-6 batch F (span corruption plan,
+discount spread, Quade test)."""
+
+import numpy as np
+
+from dataquality_ray.pipelines import queries_stats as qs
+from dataquality_ray.pipelines import queries_text as qt
+from dataquality_ray.pipelines import queries_tpch as qh
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_span_corruption_budget_bounds():
+    out = qt.span_corruption_q(SF)
+    # realized corruption can never exceed the 15% target
+    assert (out["ratio_ppm"] <= 150_000).all()
+    assert (out["masked"] == 3 * out["spans"]).all()
+    assert (out["tokens"] > 0).all()
+
+
+def test_discount_spread_ordering_and_bounds():
+    out = qh.discount_spread_q(SF)
+    assert len(out) <= 20
+    s = out["spread_bps"].to_numpy()
+    assert (np.diff(s) <= 0).all()  # descending
+    assert (out["bps_max"] - out["bps_min"] == out["spread_bps"]).all()
+    assert (out["n_levels"] <= out["n_items"]).all()
+
+
+def test_quade_statistic_nonnegative():
+    out = qs.quade_test_q(SF)
+    r = out.iloc[0]
+    # n*A - B >= 0 by Cauchy-Schwarz, so T3 >= 0
+    assert int(r["n"]) * int(r["a"]) >= int(r["b"])
+    assert int(r["t3_ppm"]) >= 0
+    assert int(r["k"]) >= 2
