@@ -1866,3 +1866,142 @@ def quade_test_q(sf_dir: str):
     t3 = 0 if den == 0 else (n - 1) * b_ * 1_000_000 // den
     return pd.DataFrame({"n": [n], "k": [k], "a": [a], "b": [b_],
                          "t3_ppm": [t3]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Covariate-shift importance weighting: reweight src0's token counts to
+# src1's length distribution over fixed-width length bins (v // 100).
+# Per bin the weighted contribution c1_b * S0_b / (n1 * c0_b) is
+# truncated to ppm on both engines and summed — the estimated mean
+# token count src0 would show under src1's length profile.
+# ---------------------------------------------------------------------------
+
+@query("covariate_shift_weighted_mean", sql="""
+WITH f AS (
+  SELECT source, n_chars // 100 AS bin,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                               '\\s+'),
+                         x -> x <> ''))::BIGINT AS w
+  FROM documents WHERE source IN ('src0', 'src1')
+), b AS (
+  SELECT bin,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS c0,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS c1,
+         sum(CASE WHEN source = 'src0' THEN w ELSE 0 END)::BIGINT AS s0
+  FROM f GROUP BY bin
+), t AS (
+  SELECT sum(c1)::BIGINT AS n1 FROM b
+), terms AS (
+  SELECT bin, c0, c1, s0,
+         (CASE WHEN c0 = 0 THEN 0
+               ELSE c1::HUGEINT * s0 * 1000000 // (t.n1::HUGEINT * c0)
+          END)::BIGINT AS term_ppm
+  FROM b, t
+)
+SELECT bin::BIGINT AS bin, c0, c1, s0, term_ppm,
+       (SELECT sum(term_ppm)::BIGINT FROM terms) AS weighted_mean_ppm
+FROM terms ORDER BY bin
+""")
+def covariate_shift_q(sf_dir: str):
+    """Importance-weighted mean token count (src0 reweighted to src1)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        src = b["source"].to_pandas()
+        m = src.isin(["src0", "src1"]).to_numpy()
+        t = b["text"].to_pandas().fillna("")[m]
+        w = t.str.count(r"\S+").to_numpy(np.int64)
+        is0 = (src.to_numpy()[m] == "src0")
+        f = pd.DataFrame({
+            "bin": b["n_chars"].to_numpy(zero_copy_only=False)[m] // 100,
+            "c0": is0.astype(np.int64),
+            "c1": (~is0).astype(np.int64),
+            "s0": np.where(is0, w, 0)})
+        return f.groupby("bin", as_index=False)[["c0", "c1", "s0"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("bin", as_index=False)[["c0", "c1", "s0"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "n_chars", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100_000)
+    assert ok and merged is not None  # bounded: length bins
+    merged = merged.sort_values("bin").reset_index(drop=True)
+    n1 = int(merged["c1"].sum())
+    terms = []
+    for _, r in merged.iterrows():
+        c0, c1, s0 = int(r["c0"]), int(r["c1"]), int(r["s0"])
+        terms.append(0 if c0 == 0 else c1 * s0 * 1_000_000 // (n1 * c0))
+    merged["term_ppm"] = terms
+    merged["weighted_mean_ppm"] = sum(terms)
+    return merged.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# MMD^2 between src0/src1 doc lengths under the degree-2 polynomial
+# kernel k(x,y) = (1 + x*y)^2 — closed form in raw moment sums:
+# sum_xy k = n_a*n_b + 2*Sa*Sb + Qa*Qb (Q = sum of squares), so the
+# biased-V MMD^2 = A/n0^2 + B/n1^2 - 2C/(n0*n1) is one exact integer
+# ratio after clearing (n0*n1)^2.
+# ---------------------------------------------------------------------------
+
+@query("mmd_poly2_sources", sql="""
+WITH f AS (
+  SELECT CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS g,
+         n_chars::HUGEINT AS x
+  FROM documents WHERE source IN ('src0', 'src1')
+), m AS (
+  SELECT g, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+         sum(x * x)::HUGEINT AS q
+  FROM f GROUP BY g
+), w AS (
+  SELECT max(CASE WHEN g = 0 THEN n END) AS n0,
+         max(CASE WHEN g = 0 THEN s END) AS s0,
+         max(CASE WHEN g = 0 THEN q END) AS q0,
+         max(CASE WHEN g = 1 THEN n END) AS n1,
+         max(CASE WHEN g = 1 THEN s END) AS s1,
+         max(CASE WHEN g = 1 THEN q END) AS q1
+  FROM m
+)
+SELECT n0::BIGINT AS n0, n1::BIGINT AS n1,
+       (CASE WHEN (n0 * n0 + 2 * s0 * s0 + q0 * q0) * n1 * n1
+                  + (n1 * n1 + 2 * s1 * s1 + q1 * q1) * n0 * n0
+                  - 2 * (n0 * n1 + 2 * s0 * s1 + q0 * q1) * n0 * n1 < 0
+             THEN 0
+             ELSE ((n0 * n0 + 2 * s0 * s0 + q0 * q0) * n1 * n1
+                   + (n1 * n1 + 2 * s1 * s1 + q1 * q1) * n0 * n0
+                   - 2 * (n0 * n1 + 2 * s0 * s1 + q0 * q1) * n0 * n1)
+                  * 1000000 // (n0 * n0 * n1 * n1)
+        END)::BIGINT AS mmd2_ppm
+FROM w
+""")
+def mmd_poly2_q(sf_dir: str):
+    """Closed-form polynomial-kernel MMD^2 from exact moment sums."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        src = b["source"].to_pandas()
+        m = src.isin(["src0", "src1"]).to_numpy()
+        x = b["n_chars"].to_numpy(zero_copy_only=False)[m]
+        g = (src.to_numpy()[m] != "src0").astype(np.int64)
+        f = pd.DataFrame({"g": g, "n": 1, "s": x, "q": x * x})
+        return f.groupby("g", as_index=False)[["n", "s", "q"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("g", as_index=False)[["n", "s", "q"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 10)
+    assert ok and merged is not None  # two one-row groups
+    r0 = merged[merged["g"] == 0].iloc[0]
+    r1 = merged[merged["g"] == 1].iloc[0]
+    n0, s0, q0 = int(r0["n"]), int(r0["s"]), int(r0["q"])
+    n1, s1, q1 = int(r1["n"]), int(r1["s"]), int(r1["q"])
+    a = n0 * n0 + 2 * s0 * s0 + q0 * q0
+    b_ = n1 * n1 + 2 * s1 * s1 + q1 * q1
+    c = n0 * n1 + 2 * s0 * s1 + q0 * q1
+    num = a * n1 * n1 + b_ * n0 * n0 - 2 * c * n0 * n1
+    mmd = 0 if num < 0 else num * 1_000_000 // (n0 * n0 * n1 * n1)
+    return pd.DataFrame({"n0": [n0], "n1": [n1],
+                         "mmd2_ppm": [mmd]}).astype(np.int64)

@@ -7555,3 +7555,78 @@ def span_corruption_q(sf_dir: str) -> pd.DataFrame:
     for c in ("docs", "tokens", "spans", "masked", "ratio_ppm"):
         merged[c] = merged[c].astype(np.int64)
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Top-k stability across deterministic folds: split docs by
+# doc_id % 5, take each fold's top-10 tokens (count desc, token asc),
+# and report the pairwise Jaccard of the fold top-sets — the cheap
+# "is my frequent-token list an artifact of the sample" audit.
+# ---------------------------------------------------------------------------
+
+@query("topk_stability_folds", sql="""
+WITH toks AS (
+  SELECT doc_id % 5 AS fold,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                  '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT fold, token, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), rk AS (
+  SELECT fold, token,
+         row_number() OVER (PARTITION BY fold
+                            ORDER BY c DESC, token) AS rn
+  FROM cnt
+), top AS (
+  SELECT fold, token FROM rk WHERE rn <= 10
+), fp AS (
+  SELECT a.fold AS fold_a, b.fold AS fold_b
+  FROM (SELECT DISTINCT fold FROM top) a
+  JOIN (SELECT DISTINCT fold FROM top) b ON a.fold < b.fold
+), inter AS (
+  SELECT a.fold AS fold_a, b.fold AS fold_b, count(*)::BIGINT AS inter
+  FROM top a JOIN top b ON a.token = b.token AND a.fold < b.fold
+  GROUP BY 1, 2
+)
+SELECT fp.fold_a::BIGINT AS fold_a, fp.fold_b::BIGINT AS fold_b,
+       coalesce(i.inter, 0)::BIGINT AS inter,
+       (coalesce(i.inter, 0) * 1000000
+        // (20 - coalesce(i.inter, 0)))::BIGINT AS jaccard_ppm
+FROM fp LEFT JOIN inter i ON i.fold_a = fp.fold_a AND i.fold_b = fp.fold_b
+ORDER BY fold_a, fold_b
+""")
+def topk_stability_q(sf_dir: str):
+    """Pairwise Jaccard of per-fold top-10 token sets."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        rows_f, rows_t = [], []
+        for did, t in zip(ids, b["text"].to_pylist()):
+            for tok in (t or "").split():
+                rows_f.append(int(did) % 5)
+                rows_t.append(tok)
+        f = pd.DataFrame({"fold": rows_f, "token": rows_t, "c": 1})
+        return f.groupby(["fold", "token"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["fold", "token"], as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: 5 folds x vocabulary
+    tops: dict[int, set] = {}
+    for fd, g in merged.groupby("fold"):
+        g = g.sort_values(["c", "token"], ascending=[False, True])
+        tops[int(fd)] = set(g["token"].head(10))
+    folds = sorted(tops)
+    rows = []
+    for i, fa in enumerate(folds):
+        for fb in folds[i + 1:]:
+            inter = len(tops[fa] & tops[fb])
+            rows.append([fa, fb, inter,
+                         inter * 1_000_000 // (20 - inter)])
+    return pd.DataFrame(rows, columns=["fold_a", "fold_b", "inter",
+                                       "jaccard_ppm"]).astype(np.int64)

@@ -1,0 +1,35 @@
+"""Property tests for session-6 batch G (covariate shift weighting,
+polynomial-kernel MMD, fold top-k stability)."""
+
+from dataquality_ray.pipelines import queries_stats as qs
+from dataquality_ray.pipelines import queries_text as qt
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_covariate_shift_terms_sum():
+    out = qs.covariate_shift_q(SF)
+    assert int(out["term_ppm"].sum()) == int(
+        out["weighted_mean_ppm"].iloc[0])
+    # bins with no src0 mass contribute nothing
+    assert (out.loc[out["c0"] == 0, "term_ppm"] == 0).all()
+
+
+def test_mmd_poly2_nonnegative_and_zero_on_self():
+    out = qs.mmd_poly2_q(SF)
+    assert int(out["mmd2_ppm"].iloc[0]) >= 0
+    # identical moments => zero MMD (closed-form identity)
+    n, s, q = 10, 100, 2000
+    a = n * n + 2 * s * s + q * q
+    assert a * n * n + a * n * n - 2 * a * n * n == 0
+
+
+def test_topk_stability_pairs_complete():
+    out = qt.topk_stability_q(SF)
+    assert len(out) == 10  # C(5,2) fold pairs
+    assert (out["inter"] <= 10).all()
+    assert (out["jaccard_ppm"] <= 1_000_000).all()
+    # Jaccard consistency: j = i / (20 - i)
+    for _, r in out.iterrows():
+        i = int(r["inter"])
+        assert int(r["jaccard_ppm"]) == i * 1_000_000 // (20 - i)
