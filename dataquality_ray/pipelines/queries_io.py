@@ -35,6 +35,7 @@ FROM documents GROUP BY source ORDER BY source
 
 
 def _roundtrip(sf_dir: str, fmt: str) -> pd.DataFrame:
+    from dataquality_ray.sources.avro import read_avro, write_avro
     from dataquality_ray.sources.columnar import (read_ipc, read_orc,
                                                   write_ipc, write_orc)
     from dataquality_ray.stages.autoroute import guarded_partials
@@ -47,6 +48,9 @@ def _roundtrip(sf_dir: str, fmt: str) -> pd.DataFrame:
     if fmt == "orc":
         write_orc(ds, out_dir)
         back = read_orc(out_dir)
+    elif fmt == "avro":
+        write_avro(ds, out_dir, codec="deflate")
+        back = read_avro(out_dir)
     else:
         write_ipc(ds, out_dir)
         back = read_ipc(out_dir)
@@ -103,3 +107,12 @@ def ipc_roundtrip_q(sf_dir: str):
     """documents -> Arrow IPC FILE-format write -> record-batch-
     streaming re-read -> per-source aggregate (Feather v2 parity)."""
     return _roundtrip(sf_dir, "ipc")
+
+
+@query("avro_roundtrip_stats", sql=_RT_SQL)
+def avro_roundtrip_q(sf_dir: str):
+    """documents -> distributed Avro container write (deflate blocks,
+    sources/avro.py stdlib codec) -> block-streaming re-read ->
+    per-source aggregate; hash-equal to DuckDB over the original
+    parquet iff the Avro encode/decode is lossless."""
+    return _roundtrip(sf_dir, "avro")

@@ -1,0 +1,305 @@
+"""Apache Avro object-container source/sink for Ray Data, pure stdlib.
+
+Avro is the remaining mainstream interchange format the engine did not
+accept (warehouse CDC feeds and Kafka archive dumps are routinely Avro
+containers); no Avro library is installed here, so the binary codec is
+implemented from the public specification
+(https://avro.apache.org/docs/current/specification/): zigzag-varint
+longs, little-endian doubles, length-prefixed strings, nullable fields
+as ``["null", T]`` unions, and ``deflate`` blocks as raw RFC-1951
+streams (no zlib header).  Reads stream one Arrow table per container
+block through ``FileBasedDatasource``; writes go through
+``BlockBasedFileDatasink`` — one ``.avro`` file per Ray block, the same
+resumable layout as the parquet/ORC/IPC sinks.
+
+Supported Arrow types: int8..int64 -> long, float32/64 -> double,
+bool -> boolean, string/large_string -> string, binary -> bytes,
+timestamp[us] -> long + logicalType timestamp-micros.  Every field is
+written as the nullable union ``["null", T]`` so null round-trips.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import struct
+import zlib
+from typing import Iterator, Optional
+
+import pyarrow as pa
+
+from ray.data.datasource import BlockBasedFileDatasink, FileBasedDatasource
+
+_MAGIC = b"Obj\x01"
+
+
+# --------------------------------------------------------------------------
+# primitive encoders / decoders (spec §"Binary encoding")
+# --------------------------------------------------------------------------
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+
+
+def _write_long(buf: io.BytesIO, n: int) -> None:
+    z = (n << 1) ^ (n >> 63)  # arithmetic shift handles negatives
+    z &= (1 << 64) - 1
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes((b | 0x80,)))
+        else:
+            buf.write(bytes((b,)))
+            break
+
+
+def _read_long(mv: memoryview, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = mv[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _write_bytes(buf: io.BytesIO, b: bytes) -> None:
+    _write_long(buf, len(b))
+    buf.write(b)
+
+
+def _read_bytes(mv: memoryview, pos: int) -> tuple[bytes, int]:
+    n, pos = _read_long(mv, pos)
+    return bytes(mv[pos:pos + n]), pos + n
+
+
+# --------------------------------------------------------------------------
+# schema mapping
+# --------------------------------------------------------------------------
+
+def _avro_type(t: pa.DataType) -> dict | str:
+    if pa.types.is_timestamp(t):
+        if t.unit != "us":
+            raise ValueError(f"only timestamp[us] supported, got {t}")
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if pa.types.is_integer(t):
+        return "long"
+    if pa.types.is_floating(t):
+        return "double"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    raise ValueError(f"unsupported Arrow type for Avro: {t}")
+
+
+def _schema_json(schema: pa.Schema, name: str = "Row") -> str:
+    fields = [{"name": f.name, "type": ["null", _avro_type(f.type)]}
+              for f in schema]
+    return json.dumps({"type": "record", "name": name, "fields": fields})
+
+
+def _arrow_type_of(avro_t) -> pa.DataType:
+    if isinstance(avro_t, dict):
+        if avro_t.get("logicalType") == "timestamp-micros":
+            return pa.timestamp("us")
+        avro_t = avro_t["type"]
+    return {"long": pa.int64(), "int": pa.int64(),
+            "double": pa.float64(), "float": pa.float64(),
+            "boolean": pa.bool_(), "string": pa.string(),
+            "bytes": pa.binary()}[avro_t]
+
+
+def _branch_of(field_type) -> tuple[bool, object]:
+    """Return (nullable, value_branch) for a field's declared type."""
+    if isinstance(field_type, list):
+        branches = [b for b in field_type if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(f"unsupported union {field_type}")
+        return "null" in field_type, branches[0]
+    return False, field_type
+
+
+# --------------------------------------------------------------------------
+# encode / decode one container file
+# --------------------------------------------------------------------------
+
+def encode_avro(table: pa.Table, codec: str = "deflate",
+                sync_seed: bytes = b"dataquality-ray",
+                block_rows: int = 16384) -> bytes:
+    """Serialize an Arrow table as a spec-conformant Avro container."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"codec must be null/deflate, not {codec!r}")
+    schema_str = _schema_json(table.schema)
+    sync = hashlib.sha256(sync_seed + schema_str.encode()).digest()[:16]
+    out = io.BytesIO()
+    out.write(_MAGIC)
+    _write_long(out, 2)  # metadata map: one block of 2 entries
+    _write_bytes(out, b"avro.schema")
+    _write_bytes(out, schema_str.encode())
+    _write_bytes(out, b"avro.codec")
+    _write_bytes(out, codec.encode())
+    _write_long(out, 0)  # end of map
+    out.write(sync)
+
+    cols = []
+    for f in table.schema:
+        c = table[f.name].to_pylist()
+        if pa.types.is_timestamp(f.type):
+            base = table[f.name].cast(pa.int64()).to_pylist()
+            c = base
+        cols.append((c, _avro_type(f.type)))
+    n = table.num_rows
+    for start in range(0, max(n, 1), block_rows):
+        stop = min(start + block_rows, n)
+        if stop <= start:
+            break
+        buf = io.BytesIO()
+        for i in range(start, stop):
+            for c, at in cols:
+                v = c[i]
+                if v is None:
+                    _write_long(buf, 0)  # union branch: null
+                    continue
+                _write_long(buf, 1)      # union branch: value
+                t = at["type"] if isinstance(at, dict) else at
+                if t == "long":
+                    _write_long(buf, int(v))
+                elif t == "double":
+                    buf.write(struct.pack("<d", float(v)))
+                elif t == "boolean":
+                    buf.write(b"\x01" if v else b"\x00")
+                elif t == "string":
+                    _write_bytes(buf, str(v).encode("utf-8"))
+                else:  # bytes
+                    _write_bytes(buf, bytes(v))
+        payload = buf.getvalue()
+        if codec == "deflate":  # raw RFC-1951, per spec
+            payload = zlib.compress(payload)[2:-4]
+        _write_long(out, stop - start)
+        _write_long(out, len(payload))
+        out.write(payload)
+        out.write(sync)
+    return out.getvalue()
+
+
+def decode_avro(data: bytes,
+                columns: Optional[list] = None) -> Iterator[pa.Table]:
+    """Yield one Arrow table per Avro container block."""
+    mv = memoryview(data)
+    if bytes(mv[:4]) != _MAGIC:
+        raise ValueError("not an Avro object container (bad magic)")
+    pos = 4
+    meta: dict[bytes, bytes] = {}
+    while True:
+        cnt, pos = _read_long(mv, pos)
+        if cnt == 0:
+            break
+        if cnt < 0:  # block form: byte size precedes the entries
+            _, pos = _read_long(mv, pos)
+            cnt = -cnt
+        for _ in range(cnt):
+            k, pos = _read_bytes(mv, pos)
+            v, pos = _read_bytes(mv, pos)
+            meta[k] = v
+    schema = json.loads(meta[b"avro.schema"].decode())
+    codec = meta.get(b"avro.codec", b"null").decode()
+    sync = bytes(mv[pos:pos + 16])
+    pos += 16
+
+    fields = schema["fields"]
+    names = [f["name"] for f in fields]
+    branches = [_branch_of(f["type"]) for f in fields]
+    atypes = [_arrow_type_of(b[1]) for b in branches]
+    want = set(columns) if columns is not None else None
+
+    while pos < len(mv):
+        n_rec, pos = _read_long(mv, pos)
+        n_bytes, pos = _read_long(mv, pos)
+        payload = mv[pos:pos + n_bytes]
+        pos += n_bytes
+        if bytes(mv[pos:pos + 16]) != sync:
+            raise ValueError("sync marker mismatch (corrupt container)")
+        pos += 16
+        if codec == "deflate":
+            payload = memoryview(zlib.decompress(bytes(payload), -15))
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec!r}")
+        cols: list[list] = [[] for _ in names]
+        p = 0
+        for _ in range(n_rec):
+            for j, (nullable, bt) in enumerate(branches):
+                if nullable:
+                    idx, p = _read_long(payload, p)
+                    if idx == 0:
+                        cols[j].append(None)
+                        continue
+                t = bt["type"] if isinstance(bt, dict) else bt
+                if t in ("long", "int"):
+                    v, p = _read_long(payload, p)
+                elif t in ("double", "float"):
+                    v = struct.unpack_from("<d", payload, p)[0]
+                    p += 8
+                elif t == "boolean":
+                    v = payload[p] != 0
+                    p += 1
+                elif t == "string":
+                    b, p = _read_bytes(payload, p)
+                    v = b.decode("utf-8")
+                else:
+                    v, p = _read_bytes(payload, p)
+                cols[j].append(v)
+        arrays, out_names = [], []
+        for j, nm in enumerate(names):
+            if want is not None and nm not in want:
+                continue
+            arrays.append(pa.array(cols[j], type=atypes[j]))
+            out_names.append(nm)
+        yield pa.Table.from_arrays(arrays, names=out_names)
+
+
+# --------------------------------------------------------------------------
+# Ray Data integration
+# --------------------------------------------------------------------------
+
+class AvroDatasource(FileBasedDatasource):
+    """Block-streaming Avro container reader."""
+
+    _FILE_EXTENSIONS = ["avro"]
+
+    def __init__(self, paths, columns: Optional[list] = None, **kwargs):
+        super().__init__(paths, **kwargs)
+        self._columns = columns
+
+    def _read_stream(self, f: "pa.NativeFile",
+                     path: str) -> Iterator[pa.Table]:
+        yield from decode_avro(f.readall(), columns=self._columns)
+
+
+class AvroDatasink(BlockBasedFileDatasink):
+    """One Avro container per Ray block."""
+
+    def __init__(self, path: str, codec: str = "deflate", **kwargs):
+        super().__init__(path, file_format="avro", **kwargs)
+        self._codec = codec
+
+    def write_block_to_file(self, block, file: "pa.NativeFile"):
+        file.write(encode_avro(block.to_arrow(), codec=self._codec))
+
+
+def read_avro(paths, columns: Optional[list] = None, **kwargs):
+    import ray.data as rd
+
+    return rd.read_datasource(AvroDatasource(paths, columns=columns),
+                              **kwargs)
+
+
+def write_avro(ds, path: str, codec: str = "deflate", **kwargs):
+    ds.write_datasink(AvroDatasink(path, codec=codec), **kwargs)

@@ -1,0 +1,94 @@
+"""Tests for the pure-stdlib Avro container source/sink
+(sources/avro.py): spec-level golden bytes for the zigzag varint,
+lossless roundtrip across both codecs / all supported types, and the
+distributed Ray write -> read path."""
+
+import io
+
+import pyarrow as pa
+import pytest
+
+from dataquality_ray.sources import avro as av
+
+
+def _varint_bytes(n: int) -> bytes:
+    buf = io.BytesIO()
+    av._write_long(buf, n)
+    return buf.getvalue()
+
+
+def test_zigzag_varint_spec_goldens():
+    # from the Avro specification's binary-encoding examples
+    assert _varint_bytes(0) == b"\x00"
+    assert _varint_bytes(-1) == b"\x01"
+    assert _varint_bytes(1) == b"\x02"
+    assert _varint_bytes(-2) == b"\x03"
+    assert _varint_bytes(2) == b"\x04"
+    assert _varint_bytes(64) == b"\x80\x01"
+    assert _varint_bytes(-64) == b"\x7f"
+
+
+def test_varint_roundtrip_extremes():
+    for n in (0, 1, -1, 2**62, -(2**62), 2**63 - 1, -(2**63), 12345,
+              -987654321):
+        mv = memoryview(_varint_bytes(n))
+        got, pos = av._read_long(mv, 0)
+        assert got == n and pos == len(mv)
+
+
+def _sample_table() -> pa.Table:
+    return pa.table({
+        "i": pa.array([1, -5, None, 2**40], type=pa.int64()),
+        "d": pa.array([1.5, None, -0.25, 1e300], type=pa.float64()),
+        "s": pa.array(["a", "", None, "é中"], type=pa.string()),
+        "b": pa.array([True, False, None, True], type=pa.bool_()),
+        "t": pa.array([1, 2, None, 1_700_000_000_000_000],
+                      type=pa.timestamp("us")),
+        "raw": pa.array([b"\x00\xff", b"", None, b"xyz"],
+                        type=pa.binary()),
+    })
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip_lossless(codec):
+    t = _sample_table()
+    data = av.encode_avro(t, codec=codec)
+    assert data[:4] == b"Obj\x01"
+    back = pa.concat_tables(list(av.decode_avro(data)))
+    assert back.equals(t)
+
+
+def test_column_pruning_on_decode():
+    t = _sample_table()
+    back = pa.concat_tables(
+        list(av.decode_avro(av.encode_avro(t), columns=["s", "i"])))
+    assert back.column_names == ["i", "s"]
+    assert back["i"].to_pylist() == t["i"].to_pylist()
+
+
+def test_multi_block_container():
+    t = pa.table({"i": pa.array(list(range(1000)), type=pa.int64())})
+    data = av.encode_avro(t, codec="null", block_rows=128)
+    blocks = list(av.decode_avro(data))
+    assert len(blocks) == 8
+    assert pa.concat_tables(blocks)["i"].to_pylist() == list(range(1000))
+
+
+def test_corrupt_sync_detected():
+    data = bytearray(av.encode_avro(_sample_table(), codec="null"))
+    data[-1] ^= 0xFF  # flip a byte in the final sync marker
+    with pytest.raises(ValueError, match="sync"):
+        list(av.decode_avro(bytes(data)))
+
+
+def test_ray_write_read_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    out = str(tmp_path / "docs_avro")
+    av.write_avro(ds, out, codec="deflate")
+    back = av.read_avro(out)
+    a = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b[a.columns.tolist()])
