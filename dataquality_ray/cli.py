@@ -125,6 +125,70 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_convert(args: argparse.Namespace) -> int:
+    """Format conversion between the engine's interchange formats
+    (parquet / orc / ipc / avro / csv / jsonl), distributed end to end:
+    one streaming read -> one block-per-file sink, no driver
+    materialization."""
+    import ray.data as rd
+
+    _ensure_ray()
+    src = args.from_format or (
+        "parquet" if args.input.rstrip("/").endswith(".parquet")
+        or any(f.endswith(".parquet") for f in _listdir(args.input))
+        else None)
+    if src is None:
+        raise SystemExit("cannot infer --from format; pass it explicitly")
+    readers = {
+        "parquet": rd.read_parquet,
+        "csv": rd.read_csv,
+        "jsonl": rd.read_json,
+    }
+    if src in readers:
+        ds = readers[src](args.input)
+    elif src == "orc":
+        from dataquality_ray.sources.columnar import read_orc
+        ds = read_orc(args.input)
+    elif src == "ipc":
+        from dataquality_ray.sources.columnar import read_ipc
+        ds = read_ipc(args.input)
+    elif src == "avro":
+        from dataquality_ray.sources.avro import read_avro
+        ds = read_avro(args.input)
+    else:
+        raise SystemExit(f"unsupported --from {src!r}")
+    dst = args.to_format
+    if dst == "parquet":
+        ds.write_parquet(args.out)
+    elif dst == "csv":
+        ds.write_csv(args.out)
+    elif dst == "jsonl":
+        ds.write_json(args.out)
+    elif dst == "orc":
+        from dataquality_ray.sources.columnar import write_orc
+        write_orc(ds, args.out)
+    elif dst == "ipc":
+        from dataquality_ray.sources.columnar import write_ipc
+        write_ipc(ds, args.out)
+    elif dst == "avro":
+        from dataquality_ray.sources.avro import write_avro
+        write_avro(ds, args.out, codec=args.codec)
+    else:
+        raise SystemExit(f"unsupported --to {dst!r}")
+    print(json.dumps({"from": src, "to": dst, "rows": ds.count(),
+                      "out": args.out}))
+    return 0
+
+
+def _listdir(path: str) -> list[str]:
+    import os
+
+    try:
+        return os.listdir(path)
+    except (NotADirectoryError, FileNotFoundError):
+        return []
+
+
 def cmd_diff(args: argparse.Namespace) -> int:
     """Score regression report between two battery run-log dirs."""
     from dataquality_ray.state.report import battery_diff
@@ -286,6 +350,21 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ex.add_argument("--json", action="store_true")
     ex.set_defaults(fn=cmd_explain)
+
+    cv = sub.add_parser(
+        "convert", help="convert between parquet/orc/ipc/avro/csv/jsonl")
+    cv.add_argument("input")
+    cv.add_argument("out")
+    cv.add_argument("--from", dest="from_format", default=None,
+                    choices=["parquet", "orc", "ipc", "avro", "csv",
+                             "jsonl"])
+    cv.add_argument("--to", dest="to_format", required=True,
+                    choices=["parquet", "orc", "ipc", "avro", "csv",
+                             "jsonl"])
+    cv.add_argument("--codec", default="deflate",
+                    choices=["null", "deflate"],
+                    help="avro block codec (avro output only)")
+    cv.set_defaults(fn=cmd_convert)
 
     b = sub.add_parser("battery", help="DQ test battery over one table")
     b.add_argument("--table", required=True)

@@ -92,3 +92,22 @@ def test_ray_write_read_roundtrip(ray_session, tmp_path):
     a = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
     b = back.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b[a.columns.tolist()])
+
+
+def test_cli_convert_roundtrip(ray_session, tmp_path):
+    import pandas as pd
+
+    from dataquality_ray.cli import main
+
+    avro_dir = str(tmp_path / "region_avro")
+    pq_dir = str(tmp_path / "region_pq")
+    assert main(["convert", "/root/testdata/sf0.001/region.parquet",
+                 avro_dir, "--to", "avro"]) == 0
+    assert main(["convert", avro_dir, pq_dir,
+                 "--from", "avro", "--to", "parquet"]) == 0
+    a = (pd.read_parquet("/root/testdata/sf0.001/region.parquet")
+         .sort_values("r_regionkey").reset_index(drop=True))
+    b = (pd.read_parquet(pq_dir)
+         .sort_values("r_regionkey").reset_index(drop=True))
+    for c in a.columns:  # avro widens int32 -> int64; compare values
+        assert (a[c].to_numpy() == b[c].to_numpy()).all()
