@@ -2159,3 +2159,112 @@ def moore_hodgson_q(sf_dir: str) -> pd.DataFrame:
         "custkey": [ck], "n_jobs": [nj], "on_time": [len(sel)],
         "late": [nj - len(sel)], "completion": [tm],
         "total_p": [tp]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping between the daily-volume curves of the two
+# busiest event types (count desc, name asc) with |x-y| step cost —
+# all-integer DP.  The in-row dependency D[i][j-1] is eliminated with
+# the classic prefix trick: entering row i at column k and running
+# right to j costs P_j - P_{k-1}, so
+#   D[i][j] = P_j + min_{k<=j} (min(D[i-1][k-1], D[i-1][k]) - P_{k-1})
+# — one running-min window per row, unrolled to _DTW_MAXROWS
+# materialized CTEs (rows past the series length carry through).
+# ---------------------------------------------------------------------------
+
+_DTW_MAXROWS = 40
+
+
+def _dtw_sql(maxrows: int = _DTW_MAXROWS) -> str:
+    head = """
+WITH d AS MATERIALIZED (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+), top2 AS MATERIALIZED (
+  SELECT event_type, row_number() OVER (ORDER BY sum(x) DESC,
+                                        event_type) AS g
+  FROM d GROUP BY event_type
+), s1 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY day) AS i, x
+  FROM d JOIN top2 ON top2.event_type = d.event_type AND top2.g = 1
+), s2 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY day) AS j, x AS y
+  FROM d JOIN top2 ON top2.event_type = d.event_type AND top2.g = 2
+), n AS (SELECT (SELECT max(i) FROM s1) AS n1,
+                (SELECT max(j) FROM s2) AS n2),
+r1 AS MATERIALIZED (
+  SELECT s2.j,
+         sum(abs(s1.x - s2.y)) OVER (ORDER BY s2.j)::BIGINT AS dd
+  FROM s2 JOIN s1 ON s1.i = 1
+)"""
+    parts = [head]
+    for i in range(2, maxrows + 1):
+        parts.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT j, dd FROM (
+    SELECT q.j,
+           q.pj + min(q.bk - q.pk1) OVER (ORDER BY q.j
+             ROWS UNBOUNDED PRECEDING) AS dd
+    FROM (
+      SELECT p.j, p.pj,
+             least(coalesce(lag(p.prev) OVER (ORDER BY p.j),
+                            4611686018427387904), p.prev) AS bk,
+             coalesce(lag(p.pj) OVER (ORDER BY p.j), 0) AS pk1
+      FROM (
+        SELECT s2.j, r{i - 1}.dd AS prev,
+               sum(abs(s1.x - s2.y)) OVER (ORDER BY s2.j)::BIGINT AS pj
+        FROM s2 JOIN s1 ON s1.i = {i}
+                JOIN r{i - 1} ON r{i - 1}.j = s2.j
+      ) p
+    ) q
+  )
+  WHERE EXISTS (SELECT 1 FROM s1 WHERE i = {i})
+  UNION ALL
+  SELECT j, dd FROM r{i - 1}
+  WHERE NOT EXISTS (SELECT 1 FROM s1 WHERE i = {i})
+)""")
+    parts.append(f"""
+SELECT n.n1::BIGINT AS n1, n.n2::BIGINT AS n2, r.dd AS dtw,
+       (r.dd * 1000000 // (n.n1 + n.n2))::BIGINT AS dtw_norm_ppm
+FROM r{maxrows} r, n WHERE r.j = n.n2""")
+    return "".join(parts)
+
+
+@query("dtw_daily_volumes", sql=_dtw_sql())
+def dtw_daily_volumes_q(sf_dir: str) -> pd.DataFrame:
+    """Integer DTW between the two busiest types' daily series."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "day": ts // 86_400_000_000, "x": 1})
+        return f.groupby(["event_type", "day"], as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "day"], as_index=False)["x"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts", "event_type"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: types x days
+    tot = merged.groupby("event_type")["x"].sum()
+    order = sorted(tot.index, key=lambda t: (-int(tot[t]), t))
+    xa = merged[merged["event_type"] == order[0]] \
+        .sort_values("day")["x"].to_numpy(np.int64)
+    yb = merged[merged["event_type"] == order[1]] \
+        .sort_values("day")["x"].to_numpy(np.int64)
+    n1, n2 = len(xa), len(yb)
+    assert n1 <= _DTW_MAXROWS, "series longer than the SQL unroll"
+    big = np.int64(2**62)
+    prev = np.cumsum(np.abs(xa[0] - yb))
+    for i in range(1, n1):
+        pj = np.cumsum(np.abs(xa[i] - yb))
+        bk = np.minimum(np.concatenate(([big], prev[:-1])), prev)
+        ek = bk - np.concatenate(([np.int64(0)], pj[:-1]))
+        prev = pj + np.minimum.accumulate(ek)
+    dtw = int(prev[-1])
+    return pd.DataFrame({
+        "n1": [n1], "n2": [n2], "dtw": [dtw],
+        "dtw_norm_ppm": [dtw * 1_000_000 // (n1 + n2)]}).astype(np.int64)

@@ -7630,3 +7630,147 @@ def topk_stability_q(sf_dir: str):
                          inter * 1_000_000 // (20 - inter)])
     return pd.DataFrame(rows, columns=["fold_a", "fold_b", "inter",
                                        "jaccard_ppm"]).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact on the corpus LM: fit the add-1 bigram LM on the FULL
+# corpus and on the exact-deduped corpus (first doc per distinct text),
+# then evaluate the deduped corpus's total NLL under both — the
+# duplicated-content bias a trainer inherits if it skips dedup.
+# NLL terms are the doc_perplexity_bigram floor-ln integers
+# (floor(ln(cu+V)*1e6) - floor(ln(cuv+1)*1e6)), and because the eval
+# positions ARE the dedup bigram multiset, both NLLs are driver-side
+# dot products of the two bounded count maps — no third pass.
+# ---------------------------------------------------------------------------
+
+@query("dedup_lm_impact", sql="""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+), toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), posf AS (
+  SELECT t[u.i] AS u, t[u.i + 1] AS v
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), posd AS (
+  SELECT t[u.i] AS u, t[u.i + 1] AS v
+  FROM toks JOIN keep USING (doc_id), unnest(range(1, len(t))) AS u(i)
+), unif AS (SELECT u, count(*)::BIGINT AS cu FROM posf GROUP BY u),
+unid AS (SELECT u, count(*)::BIGINT AS cu FROM posd GROUP BY u),
+bif AS (SELECT u, v, count(*)::BIGINT AS cuv FROM posf GROUP BY u, v),
+bid AS (SELECT u, v, count(*)::BIGINT AS cuv FROM posd GROUP BY u, v),
+vf AS (SELECT count(DISTINCT x)::BIGINT AS V FROM (
+         SELECT u.x FROM toks, unnest(t) AS u(x))),
+vd AS (SELECT count(DISTINCT x)::BIGINT AS V FROM (
+         SELECT u.x FROM toks JOIN keep USING (doc_id),
+                     unnest(t) AS u(x))),
+nf AS (
+  SELECT sum(CAST(floor(ln(CAST(unif.cu + vf.V AS DOUBLE)) * 1000000)
+                  AS BIGINT)
+             - CAST(floor(ln(CAST(bif.cuv + 1 AS DOUBLE)) * 1000000)
+                  AS BIGINT))::BIGINT AS nll
+  FROM posd p JOIN unif ON p.u = unif.u
+              JOIN bif ON p.u = bif.u AND p.v = bif.v, vf
+), nd AS (
+  SELECT sum(CAST(floor(ln(CAST(unid.cu + vd.V AS DOUBLE)) * 1000000)
+                  AS BIGINT)
+             - CAST(floor(ln(CAST(bid.cuv + 1 AS DOUBLE)) * 1000000)
+                  AS BIGINT))::BIGINT AS nll
+  FROM posd p JOIN unid ON p.u = unid.u
+              JOIN bid ON p.u = bid.u AND p.v = bid.v, vd
+)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_full,
+       (SELECT count(*) FROM keep)::BIGINT AS n_dedup,
+       vf.V AS v_full, vd.V AS v_dedup,
+       nf.nll AS nll_full_model, nd.nll AS nll_dedup_model,
+       (CASE WHEN nf.nll - nd.nll < 0
+             THEN -((nd.nll - nf.nll) * 1000000 // nd.nll)
+             ELSE (nf.nll - nd.nll) * 1000000 // nd.nll
+        END)::BIGINT AS delta_ppm
+FROM vf, vd, nf, nd
+""")
+def dedup_lm_impact_q(sf_dir: str) -> pd.DataFrame:
+    """Full-corpus vs deduped-corpus bigram-LM NLL on the deduped eval
+    set; see comment for the no-third-pass reduction."""
+    import math
+
+    import ray
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def kpart(b: pa.Table) -> pd.DataFrame:
+        import hashlib
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        hs = [hashlib.sha256((t or "").encode()).digest()[:16]
+              for t in b["text"].to_pylist()]
+        f = pd.DataFrame({"h": hs, "mid": ids})
+        return f.groupby("h", as_index=False)["mid"].min()
+
+    def kfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("h", as_index=False)["mid"].min()
+
+    keep_df, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(kpart, batch_format="pyarrow"), kfold, 2_000_000)
+    assert ok and keep_df is not None  # bounded: distinct texts
+    keep_ref = ray.put(np.sort(keep_df["mid"].to_numpy(np.int64)))
+
+    def cpart(b: pa.Table) -> pd.DataFrame:
+        keep = ray.get(keep_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        ink = np.isin(ids, keep)
+        rows: dict[tuple[str, str], list[int]] = {}
+        toks: dict[tuple[str, str], list[int]] = {}
+        for did, txt, k in zip(ids, b["text"].to_pylist(), ink):
+            t = (txt or "").split()
+            w = 1 if k else 0
+            for tok in t:
+                e = toks.setdefault(("", tok), [0, 0])
+                e[0] += 1
+                e[1] += w
+            for i in range(len(t) - 1):
+                e = rows.setdefault((t[i], t[i + 1]), [0, 0])
+                e[0] += 1
+                e[1] += w
+        allr = [(u, v, c[0], c[1]) for (u, v), c in rows.items()] + \
+               [(u, v, c[0], c[1]) for (u, v), c in toks.items()]
+        return pd.DataFrame(allr, columns=["u", "v", "cf", "cd"])
+
+    def cfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["u", "v"], as_index=False)[["cf", "cd"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(cpart, batch_format="pyarrow"), cfold, 2_000_000)
+    assert ok and merged is not None  # bounded: vocab^2 cells
+    uni = merged[merged["u"] == ""]
+    bi = merged[merged["u"] != ""]
+    v_full = int((uni["cf"] > 0).sum())
+    v_ded = int((uni["cd"] > 0).sum())
+    cuf = {u: int(c) for u, c in
+           zip(bi["u"], bi.groupby("u")["cf"].transform("sum"))}
+    cud = {u: int(c) for u, c in
+           zip(bi["u"], bi.groupby("u")["cd"].transform("sum"))}
+
+    def lnf(x: int) -> int:
+        return math.floor(math.log(x) * 1000000)
+
+    nll_f = nll_d = 0
+    for u, v, cf, cd in zip(bi["u"], bi["v"], bi["cf"], bi["cd"]):
+        cd = int(cd)
+        if cd == 0:
+            continue
+        nll_f += cd * (lnf(cuf[u] + v_full) - lnf(int(cf) + 1))
+        nll_d += cd * (lnf(cud[u] + v_ded) - lnf(cd + 1))
+    n_full = int(_read(sf_dir, "documents", ["doc_id"]).count())
+    n_dedup = len(keep_df)
+    from dataquality_ray.pipelines.queries_stats import _trunc_div
+    return pd.DataFrame({
+        "n_full": [n_full], "n_dedup": [n_dedup],
+        "v_full": [v_full], "v_dedup": [v_ded],
+        "nll_full_model": [nll_f], "nll_dedup_model": [nll_d],
+        "delta_ppm": [_trunc_div((nll_f - nll_d) * 1_000_000, nll_d)]}
+    ).astype(np.int64)

@@ -1,0 +1,57 @@
+"""Property tests for session-6 batch H (DTW, dedup LM impact)."""
+
+import numpy as np
+
+from dataquality_ray.pipelines import queries_algos as qa
+from dataquality_ray.pipelines import queries_text as qt
+
+SF = "/root/testdata/sf0.001"
+
+
+def _dtw_bruteforce(x, y):
+    n, m = len(x), len(y)
+    big = 10 ** 18
+    d = [[big] * (m + 1) for _ in range(n + 1)]
+    d[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            c = abs(x[i - 1] - y[j - 1])
+            d[i][j] = c + min(d[i - 1][j - 1], d[i - 1][j], d[i][j - 1])
+    return d[n][m]
+
+
+def test_dtw_kernel_matches_bruteforce():
+    rng = np.random.RandomState(3)
+    for _ in range(30):
+        n, m = rng.randint(2, 12, 2)
+        x = rng.randint(0, 50, n).astype(np.int64)
+        y = rng.randint(0, 50, m).astype(np.int64)
+        # replicate the query's vectorized row recurrence
+        big = np.int64(2 ** 62)
+        prev = np.cumsum(np.abs(x[0] - y))
+        for i in range(1, n):
+            pj = np.cumsum(np.abs(x[i] - y))
+            bk = np.minimum(np.concatenate(([big], prev[:-1])), prev)
+            ek = bk - np.concatenate(([np.int64(0)], pj[:-1]))
+            prev = pj + np.minimum.accumulate(ek)
+        assert int(prev[-1]) == _dtw_bruteforce(x.tolist(), y.tolist())
+
+
+def test_dtw_query_bounds():
+    out = qa.dtw_daily_volumes_q(SF)
+    r = out.iloc[0]
+    assert int(r["dtw"]) >= 0
+    assert int(r["n1"]) > 0 and int(r["n2"]) > 0
+
+
+def test_dedup_lm_impact_consistency():
+    out = qt.dedup_lm_impact_q(SF)
+    r = out.iloc[0]
+    assert int(r["n_dedup"]) <= int(r["n_full"])
+    assert int(r["v_dedup"]) <= int(r["v_full"])
+    assert int(r["nll_full_model"]) > 0
+    assert int(r["nll_dedup_model"]) > 0
+    # the dedup corpus's own model fits it at least as well as any
+    # model evaluated with a larger vocab would suggest; delta stays
+    # within a sane band on synthetic data
+    assert abs(int(r["delta_ppm"])) < 1_000_000
