@@ -2005,3 +2005,220 @@ def mmd_poly2_q(sf_dir: str):
     mmd = 0 if num < 0 else num * 1_000_000 // (n0 * n0 * n1 * n1)
     return pd.DataFrame({"n0": [n0], "n1": [n1],
                          "mmd2_ppm": [mmd]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Survey design effect of cluster sampling by source: one-way ANOVA on
+# n_chars with sources as clusters, ICC from the ANOVA estimator, and
+# DEFF = 1 + (m0 - 1)*ICC.  Every intermediate is an integer scaled by
+# 1e6 with floor division at the SAME fixed points on both engines
+# (the pr_auc per-term truncation precedent), so the chain is exact.
+# ---------------------------------------------------------------------------
+
+@query("design_effect_sources", sql="""
+WITH f AS (
+  SELECT source, n_chars::HUGEINT AS x FROM documents
+), c AS (
+  SELECT source, count(*)::HUGEINT AS nc, sum(x)::HUGEINT AS s,
+         sum(x * x)::HUGEINT AS q
+  FROM f GROUP BY source
+), t AS (
+  SELECT sum(nc)::HUGEINT AS n, count(*)::HUGEINT AS k,
+         sum(s)::HUGEINT AS stot, sum(q)::HUGEINT AS qtot,
+         sum(s * s * 1000000 // nc)::HUGEINT AS a6,
+         sum(nc * nc)::HUGEINT AS sn2
+  FROM c
+), m AS (
+  SELECT n, k,
+         (a6 - stot * stot * 1000000 // n) // (k - 1) AS msb6,
+         (qtot * 1000000 - a6) // (n - k) AS msw6,
+         (n * 1000000 - sn2 * 1000000 // n) // (k - 1) AS m06
+  FROM t
+)
+SELECT n::BIGINT AS n, k::BIGINT AS k, msb6::BIGINT AS msb6,
+       msw6::BIGINT AS msw6, m06::BIGINT AS m06,
+       (CASE WHEN msb6 - msw6 < 0
+             THEN -((msw6 - msb6) * 1000000
+                    // (msb6 + (m06 - 1000000) * msw6 // 1000000))
+             ELSE (msb6 - msw6) * 1000000
+                  // (msb6 + (m06 - 1000000) * msw6 // 1000000)
+        END)::BIGINT AS icc_ppm,
+       (1000000 + (m06 - 1000000)
+        * (CASE WHEN msb6 - msw6 < 0
+                THEN -((msw6 - msb6) * 1000000
+                       // (msb6 + (m06 - 1000000) * msw6 // 1000000))
+                ELSE (msb6 - msw6) * 1000000
+                     // (msb6 + (m06 - 1000000) * msw6 // 1000000)
+           END) // 1000000)::BIGINT AS deff_ppm
+FROM m
+""")
+def design_effect_q(sf_dir: str):
+    """Cluster-sampling DEFF by source; fixed-point integer ANOVA."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(object)
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "nc": 1, "s": x, "q": x * x})
+        return f.groupby("source", as_index=False)[["nc", "s", "q"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)[["nc", "s", "q"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 10_000)
+    assert ok and merged is not None  # bounded: sources
+    nc = [int(v) for v in merged["nc"]]
+    s = [int(v) for v in merged["s"]]
+    q = [int(v) for v in merged["q"]]
+    n, k = sum(nc), len(nc)
+    stot, qtot = sum(s), sum(q)
+    a6 = sum(si * si * 1_000_000 // ci for si, ci in zip(s, nc))
+    sn2 = sum(ci * ci for ci in nc)
+    msb6 = (a6 - stot * stot * 1_000_000 // n) // (k - 1)
+    msw6 = (qtot * 1_000_000 - a6) // (n - k)
+    m06 = (n * 1_000_000 - sn2 * 1_000_000 // n) // (k - 1)
+    den = msb6 + (m06 - 1_000_000) * msw6 // 1_000_000
+    icc = _trunc_div((msb6 - msw6) * 1_000_000, den)
+    deff = 1_000_000 + (m06 - 1_000_000) * icc // 1_000_000
+    return pd.DataFrame({"n": [n], "k": [k], "msb6": [msb6],
+                         "msw6": [msw6], "m06": [m06],
+                         "icc_ppm": [icc], "deff_ppm": [deff]}
+                        ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Good-Toulmin vocabulary extrapolation: from the frequency-of-
+# frequencies f_r of token counts, the unbiased estimate of NEW
+# distinct tokens seen if the corpus doubled is the alternating sum
+# U = f1 - f2 + f3 - ... (Good & Toulmin 1956, t = 1) — exact
+# integers throughout.
+# ---------------------------------------------------------------------------
+
+@query("good_toulmin_extrapolation", sql="""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                  '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*)::BIGINT AS r FROM toks GROUP BY token
+), ff AS (
+  SELECT r, count(*)::BIGINT AS fr FROM cnt GROUP BY r
+)
+SELECT (SELECT count(*) FROM cnt)::BIGINT AS vocab,
+       coalesce(sum(CASE WHEN r = 1 THEN fr END), 0)::BIGINT AS f1,
+       coalesce(sum(CASE WHEN r = 2 THEN fr END), 0)::BIGINT AS f2,
+       coalesce(sum(CASE WHEN r = 3 THEN fr END), 0)::BIGINT AS f3,
+       sum(CASE WHEN r % 2 = 1 THEN fr ELSE -fr END)::BIGINT AS u_new,
+       ((SELECT count(*) FROM cnt)
+        + sum(CASE WHEN r % 2 = 1 THEN fr ELSE -fr END))::BIGINT
+         AS predicted_vocab
+FROM ff
+""")
+def good_toulmin_q(sf_dir: str):
+    """Doubling-extrapolated vocabulary via the alternating f_r sum."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for tok in (t or "").split():
+                rows[tok] = rows.get(tok, 0) + 1
+        return pd.DataFrame({"token": list(rows),
+                             "r": np.array(list(rows.values()),
+                                           dtype=np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("token", as_index=False)["r"].sum()
+
+    stage = (_read(sf_dir, "documents", ["text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: vocabulary
+    r = merged["r"].to_numpy(np.int64)
+    vocab = len(r)
+    fr: dict[int, int] = {}
+    for v in r:
+        fr[int(v)] = fr.get(int(v), 0) + 1
+    u = sum(f if rr % 2 == 1 else -f for rr, f in fr.items())
+    return pd.DataFrame({
+        "vocab": [vocab], "f1": [fr.get(1, 0)], "f2": [fr.get(2, 0)],
+        "f3": [fr.get(3, 0)], "u_new": [u],
+        "predicted_vocab": [vocab + u]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# L-moments of order value by priority: with values sorted ascending
+# and B1 = sum (i-1)x_i, B2 = sum (i-1)(i-2)x_i (exact; invariant to
+# tie order), the L-scale and L-skewness are single integer ratios:
+#   l_cv  = lambda2/lambda1 = (2*B1 - (n-1)*S) / ((n-1)*S)
+#   t3    = lambda3/lambda2 = (6*B2 - 6*(n-2)*B1 + (n-1)*(n-2)*S)
+#                             / ((2*B1 - (n-1)*S) * (n-2))
+# ---------------------------------------------------------------------------
+
+@query("l_moments_by_priority", sql="""
+WITH c AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+), rk AS (
+  SELECT priority, x,
+         row_number() OVER (PARTITION BY priority ORDER BY x) - 1 AS i
+  FROM c
+), agg AS (
+  SELECT priority, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+         sum(i::HUGEINT * x)::HUGEINT AS b1,
+         sum(i::HUGEINT * (i - 1) * x)::HUGEINT AS b2
+  FROM rk GROUP BY priority
+)
+SELECT priority, n::BIGINT AS n, s::BIGINT AS s,
+       b1::BIGINT AS b1, b2::BIGINT AS b2,
+       ((2 * b1 - (n - 1) * s) * 1000000 // ((n - 1) * s))::BIGINT
+         AS l_cv_ppm,
+       (CASE WHEN 6 * b2 - 6 * (n - 2) * b1 + (n - 1) * (n - 2) * s < 0
+             THEN -((6 * (n - 2) * b1 - 6 * b2 - (n - 1) * (n - 2) * s)
+                    * 1000000 // ((2 * b1 - (n - 1) * s) * (n - 2)))
+             ELSE (6 * b2 - 6 * (n - 2) * b1 + (n - 1) * (n - 2) * s)
+                  * 1000000 // ((2 * b1 - (n - 1) * s) * (n - 2))
+        END)::BIGINT AS t3_ppm
+FROM agg ORDER BY priority
+""")
+def l_moments_q(sf_dir: str):
+    """Exact L-CV and L-skewness per priority from sorted-rank sums."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cents = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        f = pd.DataFrame({"priority": b["o_orderpriority"].to_pylist(),
+                          "x": cents})
+        return f
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f
+
+    stage = (_read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: order rows at cap
+    rows = []
+    for pri, g in merged.groupby("priority"):
+        x = np.sort(g["x"].to_numpy(np.int64)).astype(object)
+        n = len(x)
+        i = np.arange(n, dtype=object)
+        s = int(x.sum())
+        b1 = int((i * x).sum())
+        b2 = int((i * (i - 1) * x).sum())
+        l2n = 2 * b1 - (n - 1) * s
+        l3n = 6 * b2 - 6 * (n - 2) * b1 + (n - 1) * (n - 2) * s
+        rows.append([pri, n, s, b1, b2,
+                     _trunc_div(l2n * 1_000_000, (n - 1) * s),
+                     _trunc_div(l3n * 1_000_000, l2n * (n - 2))])
+    out = pd.DataFrame(rows, columns=["priority", "n", "s", "b1", "b2",
+                                      "l_cv_ppm", "t3_ppm"])
+    out = out.sort_values("priority").reset_index(drop=True)
+    for c in ("n", "s", "b1", "b2", "l_cv_ppm", "t3_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -1,0 +1,47 @@
+"""Property tests for session-6 batch I (design effect, Good-Toulmin,
+L-moments)."""
+
+import numpy as np
+
+from dataquality_ray.pipelines import queries_stats as qs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_design_effect_sane():
+    out = qs.design_effect_q(SF)
+    r = out.iloc[0]
+    assert int(r["k"]) >= 2
+    assert int(r["msw6"]) > 0
+    assert -1_100_000 <= int(r["icc_ppm"]) <= 1_000_000
+    # DEFF >= 0 always; near 1e6 when clustering is uninformative
+    assert int(r["deff_ppm"]) >= 0
+
+
+def test_good_toulmin_alternating_sum():
+    out = qs.good_toulmin_q(SF)
+    r = out.iloc[0]
+    assert int(r["vocab"]) > 0
+    # |U| can never exceed the observed vocabulary
+    assert abs(int(r["u_new"])) <= int(r["vocab"])
+    assert int(r["predicted_vocab"]) == int(r["vocab"]) + int(r["u_new"])
+
+
+def test_l_moments_identities():
+    out = qs.l_moments_q(SF)
+    # L-CV in (0, 1) for positive data; |t3| <= 1
+    assert (out["l_cv_ppm"] > 0).all()
+    assert (out["l_cv_ppm"] < 1_000_000).all()
+    assert (out["t3_ppm"].abs() <= 1_000_000).all()
+    # identity check: lambda2 * n * (n-1) == sum_{i<j} (x_(j)-x_(i))
+    # (the Gini-mean-difference form of the L-scale)
+    x = np.array([3, 1, 4, 1, 5], dtype=np.int64)
+    xs = np.sort(x).astype(object)
+    n = len(xs)
+    idx = np.arange(n, dtype=object)
+    b1 = int((idx * xs).sum())
+    s = int(xs.sum())
+    l2_scaled = 2 * b1 - (n - 1) * s  # lambda2 * n * (n-1)
+    pair_sum = sum(int(xs[j]) - int(xs[i])
+                   for i in range(n) for j in range(i + 1, n))
+    assert l2_scaled == pair_sum
