@@ -1580,3 +1580,84 @@ def shuffle_salt_planner_q(sf_dir: str) -> pd.DataFrame:
     for c in ("cnt", "salts", "max_shard", "cap"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Linear-probing hash-table displacement replay: insert the vocabulary
+# into a 64-slot open-addressing table in frequency order (count desc,
+# token asc), h = sha256-derived 64-bit key mod 64, probing forward to
+# the first free slot.  Per-token displacement is the classic primary-
+# clustering audit; the SQL twin replays the insert sequence in a
+# linear recursive CTE whose state is the occupied-slot list.
+# ---------------------------------------------------------------------------
+
+@query("linear_probe_displacement", sql=f"""
+WITH RECURSIVE toks AS (
+  SELECT unnest({_TOK_SQL}) AS token FROM documents
+), cnt AS (
+  SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY token
+), ordered AS MATERIALIZED (
+  SELECT token,
+         ('0x' || substr(sha256(token), 1, 16))::UBIGINT % 64 AS h,
+         row_number() OVER (ORDER BY c DESC, token) AS t
+  FROM cnt
+), nn AS (SELECT count(*)::BIGINT AS n FROM ordered),
+sim(t, token, h, slot, disp, occ) AS (
+  SELECT 0::BIGINT, '', 0::BIGINT, 0::BIGINT, 0::BIGINT,
+         CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT o.t, o.token, o.h::BIGINT,
+         (o.h + d.d) % 64,
+         d.d,
+         list_append(sim.occ, (o.h + d.d) % 64)
+  FROM sim JOIN ordered o ON o.t = sim.t + 1
+  CROSS JOIN LATERAL (
+    SELECT min(g.d)::BIGINT AS d FROM generate_series(0, 63) g(d)
+    WHERE NOT list_contains(sim.occ, (o.h + g.d) % 64)
+  ) d
+)
+SELECT token, h, slot, disp
+FROM sim WHERE t > 0 ORDER BY token
+""")
+def linear_probe_q(sf_dir: str) -> pd.DataFrame:
+    """Open-addressing displacement per token; 64-slot table, frequency
+    insert order."""
+    import hashlib
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for tok in (t or "").split():
+                rows[tok] = rows.get(tok, 0) + 1
+        return pd.DataFrame({"token": list(rows),
+                             "c": np.array(list(rows.values()),
+                                           dtype=np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("token", as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: vocabulary
+    assert len(merged) <= 64, "vocabulary exceeds the 64-slot table"
+    merged = merged.sort_values(["c", "token"],
+                                ascending=[False, True])
+    occ: set[int] = set()
+    rows = []
+    for tok in merged["token"]:
+        h = int.from_bytes(
+            hashlib.sha256(tok.encode()).digest()[:8], "big") % 64
+        d = 0
+        while (h + d) % 64 in occ:
+            d += 1
+        slot = (h + d) % 64
+        occ.add(slot)
+        rows.append([tok, h, slot, d])
+    out = pd.DataFrame(rows, columns=["token", "h", "slot", "disp"])
+    out = out.sort_values("token").reset_index(drop=True)
+    for c in ("h", "slot", "disp"):
+        out[c] = out[c].astype(np.int64)
+    return out

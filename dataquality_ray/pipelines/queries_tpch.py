@@ -10409,3 +10409,50 @@ def discount_spread_q(sf_dir: str) -> pd.DataFrame:
     agg = agg.sort_values(["spread_bps", "l_partkey"],
                           ascending=[False, True]).head(20)
     return agg.reset_index(drop=True).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Posted-price optimizer: for every candidate price r among distinct
+# order totals (in cents), revenue(r) = r * #{orders >= r}; report the
+# revenue-maximizing price (tie -> smallest r).  Exact integers from
+# one cumulative pass over the sorted distinct values.
+# ---------------------------------------------------------------------------
+
+@query("posted_price_optimizer", sql="""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS r FROM orders
+), cnt AS (
+  SELECT r, count(*)::BIGINT AS c FROM c GROUP BY r
+), cum AS (
+  SELECT r, sum(c) OVER (ORDER BY r DESC)::BIGINT AS n_ge
+  FROM cnt
+)
+SELECT r AS best_price_cents, n_ge AS buyers,
+       (r::HUGEINT * n_ge)::BIGINT AS revenue_cents
+FROM cum ORDER BY r::HUGEINT * n_ge DESC, r LIMIT 1
+""")
+def posted_price_q(sf_dir: str) -> pd.DataFrame:
+    """argmax_r r * #{x >= r} over distinct order totals."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        r = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        f = pd.DataFrame({"r": r, "c": 1})
+        return f.groupby("r", as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("r", as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "orders", ["o_totalprice"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: distinct cent totals
+    merged = merged.sort_values("r", ascending=False).reset_index(drop=True)
+    n_ge = np.cumsum(merged["c"].to_numpy(np.int64))
+    r = merged["r"].to_numpy(np.int64)
+    rev = r.astype(object) * n_ge.astype(object)
+    best = min(range(len(r)), key=lambda i: (-int(rev[i]), int(r[i])))
+    return pd.DataFrame({
+        "best_price_cents": [int(r[best])], "buyers": [int(n_ge[best])],
+        "revenue_cents": [int(rev[best])]}).astype(np.int64)

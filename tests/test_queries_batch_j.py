@@ -1,0 +1,24 @@
+"""Property tests for session-6 batch J (posted price, linear
+probing)."""
+
+from dataquality_ray.pipelines import queries_systems as qy
+from dataquality_ray.pipelines import queries_tpch as qh
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_posted_price_dominates_extremes():
+    out = qh.posted_price_q(SF)
+    r = out.iloc[0]
+    assert int(r["buyers"]) >= 1
+    assert int(r["revenue_cents"]) == int(r["best_price_cents"]) \
+        * int(r["buyers"])
+
+
+def test_linear_probe_is_valid_open_addressing():
+    out = qy.linear_probe_q(SF)
+    # every slot used exactly once; every displacement reachable
+    assert out["slot"].is_unique
+    assert (out["slot"] >= 0).all() and (out["slot"] < 64).all()
+    assert (out["disp"] >= 0).all() and (out["disp"] < 64).all()
+    assert ((out["h"] + out["disp"]) % 64 == out["slot"]).all()
