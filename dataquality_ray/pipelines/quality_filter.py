@@ -259,8 +259,14 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
                        dedup: bool = True,
                        dedup_mode: str = "broadcast",
                        batch_size: int = 2048,
-                       compute: str = "tasks") -> dict:
+                       compute: str = "tasks",
+                       capture_stats: bool = False) -> dict:
     """End-to-end resumable run: label + scrub + write + lineage.
+
+    ``capture_stats=True`` additionally persists each chunk's Ray Data
+    execution stats (``Dataset.stats()`` — per-operator wall/cpu/rows)
+    under ``run_dir/stats/<partition>.txt``, the first thing to read
+    when a chunk's ``label_sec``/``finish_sec`` walls look wrong.
 
     Partition/lineage unit = one CHUNK of input files (``chunk_files`` per
     chunk; default = everything in one chunk).  Each chunk is ONE
@@ -359,6 +365,8 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
             # vs holding the whole labeled chunk in plasma.  This is the
             # 100 TB shape: content crosses the object store exactly once.
             labeled.write_parquet(out_dir)
+            if capture_stats:
+                _write_chunk_stats(run_dir, partition, labeled)
             _t_label = _time.monotonic() - _t0
             _t0 = _time.monotonic()
             rec = _chunk_stats(
@@ -395,7 +403,7 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
                       .map_batches(_apply_dup_batch, batch_format="pyarrow",
                                    batch_size=batch_size)
                       .materialize())
-            del labeled  # release the pre-mark blocks
+            labeled = marked  # stats/refcount now follow the marked blocks
             marked.write_parquet(out_dir)
             rec = _chunk_stats(marked.select_columns(
                 ["keep", "scrubbed", "pii_count", "is_dup"]), dedup)
@@ -429,6 +437,8 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
         else:
             labeled.write_parquet(out_dir)
             rec = _chunk_stats(labeled, dedup)
+        if capture_stats:
+            _write_chunk_stats(run_dir, partition, labeled)
         rec.update({"partition": partition, "input_shards": chunk,
                     "rule_version": RULE_VERSION,
                     # per-phase walls: where did this chunk's time go
@@ -442,6 +452,22 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
         _build_dedup_sidecar(run_dir, store, batch_size)
 
     return summarize_run(run_dir)
+
+
+def _write_chunk_stats(run_dir: str, partition: str, ds) -> None:
+    """Best-effort persistence of an executed Dataset's stats report."""
+    try:
+        txt = ds.stats()
+    except Exception:
+        return
+    if not txt:
+        return
+    d = os.path.join(run_dir, "stats")
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{partition}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(txt)
+    os.replace(tmp, os.path.join(d, f"{partition}.txt"))
 
 
 SIDECAR_PARTITION = "__dedup_sidecar__"

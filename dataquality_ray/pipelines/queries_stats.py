@@ -2222,3 +2222,61 @@ def l_moments_q(sf_dir: str):
     for c in ("n", "s", "b1", "b2", "l_cv_ppm", "t3_ppm"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Siegel repeated-median slope of the daily volume trend: per day i the
+# disc-median of pairwise slopes to every other day, then the
+# disc-median of those medians — the 50%-breakdown robust trend
+# (Theil-Sen twin with higher breakdown).  Slopes enter as
+# floor(1e9 * dy / dx) (floor matches toward -inf on both engines) and
+# both median levels use the quantile_disc index ceil(m/2)-1.
+# ---------------------------------------------------------------------------
+
+@query("siegel_repeated_median", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y
+  FROM events GROUP BY 1
+), s AS (
+  SELECT a.day AS i,
+         CAST(floor(1000000000 * (b.y - a.y) / (b.day - a.day))
+              AS BIGINT) AS q
+  FROM d a JOIN d b ON b.day <> a.day
+), med AS (
+  SELECT i, quantile_disc(q, 0.5)::BIGINT AS m FROM s GROUP BY i
+)
+SELECT count(*)::BIGINT AS n_days,
+       quantile_disc(m, 0.5)::BIGINT AS slope_scaled
+FROM med
+""")
+def siegel_repeated_median_q(sf_dir: str):
+    """Repeated-median trend; see comment for the disc conventions."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day": ts // 86_400_000_000, "y": 1})
+        return f.groupby("day", as_index=False)["y"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["y"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100_000)
+    assert ok and merged is not None  # bounded: distinct days
+    merged = merged.sort_values("day").reset_index(drop=True)
+    day = merged["day"].to_numpy(np.float64)
+    y = merged["y"].to_numpy(np.float64)
+    meds = []
+    for i in range(len(day)):
+        dx = day - day[i]
+        m = dx != 0
+        q = np.floor(1_000_000_000 * (y[m] - y[i]) / dx[m]) \
+            .astype(np.int64)
+        q.sort()
+        meds.append(int(q[(len(q) + 1) // 2 - 1]))  # ceil(m/2)-1
+    meds.sort()
+    slope = meds[(len(meds) + 1) // 2 - 1]
+    return pd.DataFrame({"n_days": [len(meds)],
+                         "slope_scaled": [slope]}).astype(np.int64)

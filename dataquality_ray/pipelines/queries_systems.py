@@ -1661,3 +1661,166 @@ def linear_probe_q(sf_dir: str) -> pd.DataFrame:
     for c in ("h", "slot", "disp"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Vose alias-method table for sampling sources proportional to doc
+# counts (Walker/Vose; the O(1)-per-draw sampler a 100 TB mixture
+# loader would build once and broadcast).  Probabilities are scaled to
+# u_i = cnt_i * k against threshold T = total, so construction is pure
+# integers; ties pop the smallest source index.  Each step retires one
+# index: pair the smallest underfull (u < T) with the smallest
+# overfull, transfer T - u_s, re-bucket the donor.  The SQL twin
+# replays the k steps in a linear recursive CTE over (u, small, large)
+# list state.
+# ---------------------------------------------------------------------------
+
+@query("vose_alias_table", sql="""
+WITH RECURSIVE c AS (
+  SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source
+), idx AS MATERIALIZED (
+  SELECT source, cnt, row_number() OVER (ORDER BY source) AS i
+  FROM c
+), kk AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS k, sum(cnt)::BIGINT AS t FROM idx
+), init AS MATERIALIZED (
+  SELECT kk.k, kk.t,
+         list(cnt * kk.k ORDER BY i) AS u,
+         list(i ORDER BY i) FILTER (cnt * kk.k < kk.t) AS small,
+         list(i ORDER BY i) FILTER (cnt * kk.k >= kk.t) AS large
+  FROM idx, kk GROUP BY kk.k, kk.t
+), sim(step, src, prob, alias, u, small, large) AS (
+  SELECT 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+         u, coalesce(small, CAST([] AS BIGINT[])),
+         coalesce(large, CAST([] AS BIGINT[]))
+  FROM init
+  UNION ALL
+  SELECT sim.step + 1,
+    CASE WHEN len(sim.small) > 0 THEN list_min(sim.small)
+         ELSE list_min(sim.large) END,
+    CASE WHEN len(sim.small) > 0 THEN sim.u[list_min(sim.small)]
+         ELSE init.t END,
+    list_min(sim.large),
+    CASE WHEN len(sim.small) > 0
+         THEN list_transform(sim.u, (x, j) ->
+                CASE WHEN j = list_min(sim.large)
+                     THEN x - (init.t - sim.u[list_min(sim.small)])
+                     ELSE x END)
+         ELSE sim.u END,
+    CASE WHEN len(sim.small) > 0
+         THEN (CASE WHEN sim.u[list_min(sim.large)]
+                         - (init.t - sim.u[list_min(sim.small)]) < init.t
+                    THEN list_append(
+                           list_filter(sim.small,
+                                       x -> x <> list_min(sim.small)),
+                           list_min(sim.large))
+                    ELSE list_filter(sim.small,
+                                     x -> x <> list_min(sim.small)) END)
+         ELSE sim.small END,
+    CASE WHEN len(sim.small) > 0
+         THEN (CASE WHEN sim.u[list_min(sim.large)]
+                         - (init.t - sim.u[list_min(sim.small)]) < init.t
+                    THEN list_filter(sim.large,
+                                     x -> x <> list_min(sim.large))
+                    ELSE sim.large END)
+         ELSE list_filter(sim.large, x -> x <> list_min(sim.large)) END
+  FROM sim, init
+  WHERE len(sim.small) > 0 OR len(sim.large) > 0
+)
+SELECT i.source, s.prob AS prob_scaled,
+       a.source AS alias_source, init.t AS threshold
+FROM sim s JOIN idx i ON i.i = s.src JOIN idx a ON a.i = s.alias,
+     init
+WHERE s.step > 0 ORDER BY i.source
+""")
+def vose_alias_q(sf_dir: str) -> pd.DataFrame:
+    """Integer Vose alias table over source doc-count probabilities."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(), "cnt": 1})
+        return f.groupby("source", as_index=False)["cnt"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)["cnt"].sum()
+
+    stage = (_read(sf_dir, "documents", ["source"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 10_000)
+    assert ok and merged is not None  # bounded: sources
+    merged = merged.sort_values("source").reset_index(drop=True)
+    names = merged["source"].tolist()
+    k = len(names)
+    t = int(merged["cnt"].sum())
+    u = {i + 1: int(c) * k for i, c in enumerate(merged["cnt"])}
+    small = sorted(i for i in u if u[i] < t)
+    large = sorted(i for i in u if u[i] >= t)
+    rows = []
+    while small or large:
+        if small:
+            s = small.pop(0)
+            lg = large[0]
+            rows.append([names[s - 1], u[s], names[lg - 1], t])
+            u[lg] -= t - u[s]
+            if u[lg] < t:
+                large.pop(0)
+                small.append(lg)
+                small.sort()
+        else:
+            lg = large.pop(0)
+            rows.append([names[lg - 1], t, names[lg - 1], t])
+    out = pd.DataFrame(rows, columns=["source", "prob_scaled",
+                                      "alias_source", "threshold"])
+    out = out.sort_values("source").reset_index(drop=True)
+    out["prob_scaled"] = out["prob_scaled"].astype(np.int64)
+    out["threshold"] = out["threshold"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# German tank estimator per order-month: treat the order keys seen in
+# a month as serial numbers sampled without replacement and estimate
+# the population ceiling N-hat = max + max//n - 1 (the classic
+# minimum-variance unbiased form, floor-divided identically on both
+# engines) — the "how many keys exist upstream" audit for partial
+# feeds.
+# ---------------------------------------------------------------------------
+
+@query("german_tank_by_month", sql="""
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         o_orderkey AS k
+  FROM orders
+)
+SELECT strftime(mon, '%Y-%m') AS month, count(*)::BIGINT AS n,
+       max(k)::BIGINT AS max_key,
+       (max(k) + max(k) // count(*) - 1)::BIGINT AS n_hat
+FROM m GROUP BY mon ORDER BY month
+""")
+def german_tank_q(sf_dir: str) -> pd.DataFrame:
+    """Serial-number population estimate per month."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        d = b["o_orderdate"].to_pandas()
+        mon = d.dt.strftime("%Y-%m")
+        f = pd.DataFrame({"month": mon,
+                          "k": b["o_orderkey"].to_numpy(
+                              zero_copy_only=False), "n": 1})
+        return f.groupby("month", as_index=False).agg(
+            n=("n", "sum"), max_key=("k", "max"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("month", as_index=False).agg(
+            n=("n", "sum"), max_key=("max_key", "max"))
+
+    stage = (_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 10_000)
+    assert ok and merged is not None  # bounded: months
+    merged = merged.sort_values("month").reset_index(drop=True)
+    merged["n_hat"] = (merged["max_key"]
+                       + merged["max_key"] // merged["n"] - 1)
+    for c in ("n", "max_key", "n_hat"):
+        merged[c] = merged[c].astype(np.int64)
+    return merged

@@ -1,0 +1,28 @@
+"""capture_stats: per-chunk Dataset.stats() persistence."""
+
+import os
+
+from dataquality_ray.fixtures import write_code_files
+from dataquality_ray.pipelines.quality_filter import run_quality_filter
+
+
+def test_capture_stats_writes_reports(ray_session, tmp_path):
+    src = str(tmp_path / "in")
+    run = str(tmp_path / "run")
+    write_code_files(src, n_rows=600, seed=7, rows_per_file=300)
+    summary = run_quality_filter(src, run, dedup=True,
+                                 capture_stats=True)
+    assert summary["rows_in"] == 600
+    stats_dir = os.path.join(run, "stats")
+    files = os.listdir(stats_dir)
+    assert files, "no stats reports written"
+    txt = open(os.path.join(stats_dir, files[0])).read()
+    assert "Operator" in txt or "Stage" in txt
+
+
+def test_capture_stats_off_by_default(ray_session, tmp_path):
+    src = str(tmp_path / "in2")
+    run = str(tmp_path / "run2")
+    write_code_files(src, n_rows=300, seed=8, rows_per_file=300)
+    run_quality_filter(src, run, dedup=False)
+    assert not os.path.exists(os.path.join(run, "stats"))

@@ -1,0 +1,50 @@
+"""Property tests for session-6 batch K (Vose alias table, German tank
+estimator, Siegel repeated median)."""
+
+import numpy as np
+
+from dataquality_ray.pipelines import queries_stats as qs
+from dataquality_ray.pipelines import queries_systems as qy
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_vose_alias_is_a_valid_sampler():
+    out = qy.vose_alias_q(SF)
+    t = int(out["threshold"].iloc[0])
+    # every source appears exactly once with prob in [0, T]
+    assert out["source"].is_unique
+    assert (out["prob_scaled"] >= 0).all()
+    assert (out["prob_scaled"] <= t).all()
+    # total mass conservation: sum over cells of prob + (T - prob)
+    # attributed to alias equals k*T, and per-source mass equals
+    # cnt*k exactly (the alias method's defining property)
+    k = len(out)
+    mass: dict[str, int] = {}
+    for _, r in out.iterrows():
+        mass[r["source"]] = mass.get(r["source"], 0) \
+            + int(r["prob_scaled"])
+        mass[r["alias_source"]] = mass.get(r["alias_source"], 0) \
+            + t - int(r["prob_scaled"])
+    import duckdb
+
+    con = duckdb.connect()
+    cnt = dict(con.execute(
+        f"SELECT source, count(*) FROM '{SF}/documents.parquet' "
+        "GROUP BY source").fetchall())
+    for src, m in mass.items():
+        assert m == cnt[src] * k, src
+
+
+def test_german_tank_at_least_max():
+    out = qy.german_tank_q(SF)
+    assert (out["n_hat"] >= out["max_key"]).all()
+    assert (out["n"] >= 1).all()
+
+
+def test_siegel_median_bounds():
+    out = qs.siegel_repeated_median_q(SF)
+    r = out.iloc[0]
+    assert int(r["n_days"]) >= 2
+    # scaled slope stays within +/- 1e9 * max daily count
+    assert abs(int(r["slope_scaled"])) < 10 ** 15
