@@ -2268,3 +2268,78 @@ def dtw_daily_volumes_q(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "n1": [n1], "n2": [n2], "dtw": [dtw],
         "dtw_norm_ppm": [dtw * 1_000_000 // (n1 + n2)]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# BFPRT (median-of-medians) pivot audit over doc lengths: group values
+# in doc_id order into 5s, take each group's disc-median (3rd of 5),
+# recurse until one value remains, then report that pivot's exact rank
+# in the full data — the deterministic-selection guarantee check
+# (the pivot must land strictly inside the data, away from the
+# extremes, for linear-time select to hold).  Unrolled to 10 levels
+# (5^10 >> any test scale); short levels carry through.
+# ---------------------------------------------------------------------------
+
+_BFPRT_LEVELS = 10
+
+
+def _bfprt_sql(levels: int = _BFPRT_LEVELS) -> str:
+    head = """
+WITH l0 AS MATERIALIZED (
+  SELECT n_chars::BIGINT AS v,
+         row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents
+)"""
+    parts = [head]
+    for i in range(1, levels + 1):
+        prev = f"l{i - 1}"
+        parts.append(f""",
+l{i} AS MATERIALIZED (
+  SELECT quantile_disc(v, 0.5)::BIGINT AS v,
+         row_number() OVER (ORDER BY min(rn)) AS rn
+  FROM (SELECT v, rn, (rn - 1) // 5 AS g FROM {prev})
+  GROUP BY g
+)""")
+    parts.append(f"""
+SELECT (SELECT v FROM l{levels}) AS pivot,
+       (SELECT count(*) FROM l0) :: BIGINT AS n,
+       (SELECT count(*) FROM l0 WHERE v < (SELECT v FROM l{levels}))
+         ::BIGINT AS rank_lt,
+       ((SELECT count(*) FROM l0 WHERE v < (SELECT v FROM l{levels}))
+        * 1000000 // (SELECT count(*) FROM l0))::BIGINT AS rank_ppm""")
+    return "".join(parts)
+
+
+@query("bfprt_pivot_audit", sql=_bfprt_sql())
+def bfprt_pivot_q(sf_dir: str) -> pd.DataFrame:
+    """Deterministic-selection pivot and its exact rank."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            "v": b["n_chars"].to_numpy(zero_copy_only=False)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: corpus rows at cap
+    merged = merged.sort_values("doc_id").reset_index(drop=True)
+    full = merged["v"].to_numpy(np.int64)
+    v = full.copy()
+    for _ in range(_BFPRT_LEVELS):
+        meds = []
+        for g in range(0, len(v), 5):
+            grp = np.sort(v[g:g + 5])
+            meds.append(int(grp[(len(grp) + 1) // 2 - 1]))  # disc median
+        v = np.array(meds, dtype=np.int64)
+    assert len(v) == 1
+    pivot = int(v[0])
+    n = len(full)
+    rank_lt = int((full < pivot).sum())
+    return pd.DataFrame({
+        "pivot": [pivot], "n": [n], "rank_lt": [rank_lt],
+        "rank_ppm": [rank_lt * 1_000_000 // n]}).astype(np.int64)

@@ -7774,3 +7774,77 @@ def dedup_lm_impact_q(sf_dir: str) -> pd.DataFrame:
         "nll_full_model": [nll_f], "nll_dedup_model": [nll_d],
         "delta_ppm": [_trunc_div((nll_f - nll_d) * 1_000_000, nll_d)]}
     ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Renyi entropy spectrum of the token distribution: H0 = ln V (hartley),
+# H1 = Shannon (floor-ln terms, summed then divided once), H2 =
+# ln(N^2 / sum c^2) (collision entropy), Hinf = ln(N / max c)
+# (min-entropy).  H0 >= H1 >= H2 >= Hinf is the defining inequality
+# chain; every value is floor(1e6 * ln(exact integer ratio)).
+# ---------------------------------------------------------------------------
+
+@query("renyi_entropy_tokens", sql="""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                  '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY token
+), tot AS (
+  SELECT count(*)::BIGINT AS v, sum(c)::BIGINT AS n,
+         sum(c::HUGEINT * c)::HUGEINT AS c2, max(c)::BIGINT AS cmax
+  FROM cnt
+), agg AS (
+  SELECT tot.v, tot.n, tot.c2, tot.cmax,
+         sum(floor(1000000 * c
+                   * ln(CAST(tot.n AS DOUBLE) / c)))::BIGINT AS h1_terms
+  FROM cnt, tot GROUP BY tot.v, tot.n, tot.c2, tot.cmax
+)
+SELECT v, n, cmax,
+       floor(1000000 * ln(CAST(v AS DOUBLE)))::BIGINT AS h0_uppm,
+       (h1_terms // n)::BIGINT AS h1_uppm,
+       floor(1000000 * ln(CAST(n AS DOUBLE) * n
+                          / CAST(c2 AS DOUBLE)))::BIGINT AS h2_uppm,
+       floor(1000000 * ln(CAST(n AS DOUBLE) / cmax))::BIGINT
+         AS hinf_uppm
+FROM agg
+""")
+def renyi_entropy_q(sf_dir: str):
+    """Token-distribution entropy spectrum; see comment for the exact
+    integer ratios inside each single ln chain."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for tok in (t or "").split():
+                rows[tok] = rows.get(tok, 0) + 1
+        return pd.DataFrame({"token": list(rows),
+                             "c": np.array(list(rows.values()),
+                                           dtype=np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("token", as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: vocabulary
+    c = [int(x) for x in merged["c"]]
+    v = len(c)
+    n = sum(c)
+    c2 = sum(x * x for x in c)
+    cmax = max(c)
+    h1 = sum(math.floor(1000000 * x * math.log(n / x)) for x in c) // n
+    return pd.DataFrame({
+        "v": [v], "n": [n], "cmax": [cmax],
+        "h0_uppm": [math.floor(1000000 * math.log(v))],
+        "h1_uppm": [h1],
+        "h2_uppm": [math.floor(1000000 * math.log(float(n) * n
+                                                  / float(c2)))],
+        "hinf_uppm": [math.floor(1000000 * math.log(n / cmax))]}
+    ).astype(np.int64)

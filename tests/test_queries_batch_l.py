@@ -1,0 +1,27 @@
+"""Property tests for session-6 batch L (BFPRT pivot, Renyi
+spectrum)."""
+
+from dataquality_ray.pipelines import queries_algos as qa
+from dataquality_ray.pipelines import queries_text as qt
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bfprt_pivot_guarantee():
+    out = qa.bfprt_pivot_q(SF)
+    r = out.iloc[0]
+    n = int(r["n"])
+    # the BFPRT pivot has rank >= ~3n/10 - O(1) and <= ~7n/10 + O(1);
+    # allow slack for repeated recursion over an already-reduced list
+    assert 0 < int(r["rank_lt"]) < n
+    assert 100_000 < int(r["rank_ppm"]) < 900_000
+
+
+def test_renyi_inequality_chain():
+    out = qt.renyi_entropy_q(SF)
+    r = out.iloc[0]
+    # H0 >= H1 >= H2 >= Hinf (floor rounding gives 2 uppm slack)
+    assert int(r["h0_uppm"]) + 2 >= int(r["h1_uppm"])
+    assert int(r["h1_uppm"]) + 2 >= int(r["h2_uppm"])
+    assert int(r["h2_uppm"]) + 2 >= int(r["hinf_uppm"])
+    assert int(r["hinf_uppm"]) >= 0
