@@ -1885,3 +1885,81 @@ def pr_auc_q(sf_dir: str) -> pd.DataFrame:
                                       "term_ppm"])
     out["pr_auc_ppm"] = auc
     return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Unbiased pass@k estimator (Chen et al., Codex): per user with n
+# event-samples of which c are "correct" (value > 50),
+# pass@k = 1 - C(n-c, k)/C(n, k), computed as the exact falling-
+# factorial ratio prod_{i=0..k-1}(n-c-i) / prod(n-i) — integers until
+# the single ppm division.  k = 5; users with n < k are excluded.
+# Output: the 20 lowest-pass users (ties by user_id) + corpus mean.
+# ---------------------------------------------------------------------------
+
+_PASS_K = 5
+
+
+def _pass_sql(k: int = _PASS_K) -> str:
+    num = " * ".join(f"(n - c - {i})" for i in range(k))
+    den = " * ".join(f"(n - {i})" for i in range(k))
+    return f"""
+WITH u AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+         sum((value > 50)::INT)::BIGINT AS c
+  FROM events GROUP BY user_id
+), elig AS (
+  SELECT user_id, n, c,
+         (CASE WHEN n - c < {k} THEN 1000000
+               ELSE 1000000 - ({num})::HUGEINT * 1000000 // ({den})
+          END)::BIGINT AS pass_ppm
+  FROM u WHERE n >= {k}
+), mean AS (
+  SELECT (sum(pass_ppm) // count(*))::BIGINT AS mean_ppm FROM elig
+)
+SELECT e.user_id, e.n, e.c, e.pass_ppm, m.mean_ppm
+FROM elig e, mean m
+ORDER BY e.pass_ppm, e.user_id LIMIT 20
+"""
+
+
+@query("pass_at_k_estimator", sql=_pass_sql())
+def pass_at_k_q(sf_dir: str) -> pd.DataFrame:
+    """Exact pass@{_PASS_K} per user; 20 lowest + corpus mean."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        val = b["value"].to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "n": 1, "c": (val > 50).astype(np.int64)})
+        return f.groupby("user_id", as_index=False)[["n", "c"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("user_id", as_index=False)[["n", "c"]].sum()
+
+    stage = (_read(sf_dir, "events", ["user_id", "value"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: users at cap
+    k = _PASS_K
+    rows = []
+    for _, r in merged.iterrows():
+        n, c = int(r["n"]), int(r["c"])
+        if n < k:
+            continue
+        if n - c < k:
+            p = 1_000_000
+        else:
+            num = 1
+            den = 1
+            for i in range(k):
+                num *= n - c - i
+                den *= n - i
+            p = 1_000_000 - num * 1_000_000 // den
+        rows.append([int(r["user_id"]), n, c, p])
+    mean_ppm = sum(r[3] for r in rows) // len(rows)
+    rows.sort(key=lambda r: (r[3], r[0]))
+    out = pd.DataFrame(rows[:20], columns=["user_id", "n", "c",
+                                           "pass_ppm"])
+    out["mean_ppm"] = mean_ppm
+    return out.astype(np.int64)

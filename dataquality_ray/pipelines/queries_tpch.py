@@ -10456,3 +10456,76 @@ def posted_price_q(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "best_price_cents": [int(r[best])], "buyers": [int(n_ge[best])],
         "revenue_cents": [int(rev[best])]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Bullwhip effect: variance amplification from downstream demand
+# (lineitem quantities per month) to upstream orders (order counts per
+# month).  With exact integer (n, S, Q) per series, the variance ratio
+# Var(orders)/Var(demand) clears denominators into one integer ratio:
+#   bw_ppm = trunc( (nO*QO - SO^2) * nD^2 * 1e6
+#                   / ((nD*QD - SD^2) * nO^2) ).
+# ---------------------------------------------------------------------------
+
+@query("bullwhip_effect_monthly", sql="""
+WITH om AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         count(*)::BIGINT AS x
+  FROM orders GROUP BY 1
+), dm AS (
+  SELECT date_trunc('month', l_shipdate) AS mon,
+         sum(CAST(l_quantity AS BIGINT))::BIGINT AS x
+  FROM lineitem GROUP BY 1
+), a AS (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+         sum(x::HUGEINT * x)::HUGEINT AS q
+  FROM om
+), b AS (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+         sum(x::HUGEINT * x)::HUGEINT AS q
+  FROM dm
+)
+SELECT a.n::BIGINT AS n_order_months, b.n::BIGINT AS n_demand_months,
+       ((a.n * a.q - a.s * a.s) * b.n * b.n * 1000000
+        // ((b.n * b.q - b.s * b.s) * a.n * a.n))::BIGINT
+         AS bullwhip_ppm
+FROM a, b
+""")
+def bullwhip_q(sf_dir: str) -> pd.DataFrame:
+    """Order-to-demand monthly variance amplification ratio."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def om_part(b: pa.Table) -> pd.DataFrame:
+        mon = b["o_orderdate"].to_pandas().dt.strftime("%Y-%m")
+        return pd.DataFrame({"mon": mon, "x": 1}).groupby(
+            "mon", as_index=False)["x"].sum()
+
+    def dm_part(b: pa.Table) -> pd.DataFrame:
+        mon = b["l_shipdate"].to_pandas().dt.strftime("%Y-%m")
+        q = b["l_quantity"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pd.DataFrame({"mon": mon, "x": q}).groupby(
+            "mon", as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("mon", as_index=False)["x"].sum()
+
+    om, ok1 = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate"])
+        .map_batches(om_part, batch_format="pyarrow"), fold, 10_000)
+    dm, ok2 = guarded_partials(
+        _read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"])
+        .map_batches(dm_part, batch_format="pyarrow"), fold, 10_000)
+    assert ok1 and ok2  # bounded: months
+
+    def moments(f: pd.DataFrame):
+        x = [int(v) for v in f["x"]]
+        return len(x), sum(x), sum(v * v for v in x)
+
+    na, sa, qa = moments(om)
+    nb, sb, qb = moments(dm)
+    bw = ((na * qa - sa * sa) * nb * nb * 1_000_000
+          // ((nb * qb - sb * sb) * na * na))
+    return pd.DataFrame({"n_order_months": [na],
+                         "n_demand_months": [nb],
+                         "bullwhip_ppm": [bw]}).astype(np.int64)

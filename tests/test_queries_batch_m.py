@@ -1,0 +1,27 @@
+"""Property tests for session-6 batch M (bullwhip, pass@k)."""
+
+from math import comb
+
+from dataquality_ray.pipelines import queries_ml as qm
+from dataquality_ray.pipelines import queries_tpch as qh
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bullwhip_positive():
+    out = qh.bullwhip_q(SF)
+    assert int(out["bullwhip_ppm"].iloc[0]) > 0
+    assert int(out["n_order_months"].iloc[0]) >= 2
+
+
+def test_pass_at_k_matches_comb_formula():
+    out = qm.pass_at_k_q(SF)
+    k = qm._PASS_K
+    for _, r in out.iterrows():
+        n, c = int(r["n"]), int(r["c"])
+        if n - c < k:
+            want = 1_000_000
+        else:
+            want = 1_000_000 - comb(n - c, k) * 1_000_000 // comb(n, k)
+        assert int(r["pass_ppm"]) == want
+    assert 0 <= int(out["mean_ppm"].iloc[0]) <= 1_000_000
