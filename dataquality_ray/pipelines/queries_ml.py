@@ -1963,3 +1963,118 @@ def pass_at_k_q(sf_dir: str) -> pd.DataFrame:
                                            "pass_ppm"])
     out["mean_ppm"] = mean_ppm
     return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Spiegelhalter's calibration Z for the length-based "mentions dup"
+# probability p = min(999, n_chars) per-mille vs the true label: with
+# integer per-mille probabilities the numerator sum (1000y - p) *
+# (1000 - 2p) and variance sum (1000 - 2p)^2 * p * (1000 - p) are
+# exact integers, and Z = num / sqrt(var) is one float chain.
+# ---------------------------------------------------------------------------
+
+@query("spiegelhalter_calibration_z", sql="""
+WITH f AS (
+  SELECT least(999, n_chars)::BIGINT AS p,
+         (position('dup' IN coalesce(text, '')) > 0)::BIGINT AS y
+  FROM documents
+), agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum((1000 * y - p) * (1000 - 2 * p))::HUGEINT AS num,
+         sum((1000 - 2 * p)::HUGEINT * (1000 - 2 * p) * p
+             * (1000 - p))::HUGEINT AS var
+  FROM f
+)
+SELECT n, num::BIGINT AS num, var::BIGINT AS var,
+       floor(1000000 * CAST(num AS DOUBLE)
+             / sqrt(CAST(var AS DOUBLE)))::BIGINT AS z_ppm
+FROM agg
+""")
+def spiegelhalter_z_q(sf_dir: str) -> pd.DataFrame:
+    """Calibration Z from exact per-mille integer sums."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        t = b["text"].to_pandas().fillna("")
+        p = np.minimum(999, b["n_chars"].to_numpy(zero_copy_only=False)
+                       ).astype(object)
+        y = t.str.contains("dup", regex=False).to_numpy().astype(object)
+        num = ((1000 * y - p) * (1000 - 2 * p)).sum()
+        var = (((1000 - 2 * p) ** 2) * p * (1000 - p)).sum()
+        return pd.DataFrame({"n": [len(p)], "num": [int(num)],
+                             "var": [int(var)]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({c: [int(f[c].sum())]
+                             for c in ("n", "num", "var")})
+
+    stage = (_read(sf_dir, "documents", ["n_chars", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 10)
+    assert ok and merged is not None  # one-row partials
+    n = int(merged["n"].iloc[0])
+    num = int(merged["num"].iloc[0])
+    var = int(merged["var"].iloc[0])
+    z = int(np.floor(1_000_000 * float(num) / np.sqrt(float(var))))
+    return pd.DataFrame({"n": [n], "num": [num], "var": [var],
+                         "z_ppm": [z]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Embedding whitening audit: on the integer grid x' = floor(x * 1000),
+# compare the Gram matrix's diagonal energy against the absolute
+# off-diagonal mass — the "are my dimensions already decorrelated"
+# check before PCA/whitening is scheduled.  Per-batch int64 matmul
+# partials sum exactly; ratio truncates to ppm.
+# ---------------------------------------------------------------------------
+
+@query("embedding_whitening_audit", sql="""
+WITH g AS (
+  SELECT i.i AS i, j.j AS j,
+         sum(CAST(floor(embedding[i.i] * 1000) AS BIGINT)
+             * CAST(floor(embedding[j.j] * 1000) AS BIGINT))::HUGEINT
+           AS gij
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) i(i),
+       unnest(range(1, len(embedding) + 1)) j(j)
+  WHERE j.j >= i.i
+  GROUP BY i.i, j.j
+)
+SELECT sum(CASE WHEN i = j THEN gij END)::BIGINT AS diag_mass,
+       sum(CASE WHEN i < j THEN abs(gij) END)::BIGINT AS offdiag_mass,
+       (sum(CASE WHEN i < j THEN abs(gij) END) * 1000000
+        // sum(CASE WHEN i = j THEN gij END))::BIGINT AS ratio_ppm
+FROM g
+""")
+def embedding_whitening_q(sf_dir: str) -> pd.DataFrame:
+    """Gram diagonal vs off-diagonal mass on the 1e-3 integer grid."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        import numpy as _np
+
+        emb = b["embedding"]
+        flat = emb.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        dim = len(emb[0])
+        x = _np.floor(flat.reshape(-1, dim).astype(_np.float64)
+                      * 1000).astype(_np.int64)
+        g = x.T @ x  # int64: |x'| <= ~2e3, n<=batch, dim 64 -> safe
+        iu = _np.triu_indices(dim)
+        return pd.DataFrame({"i": iu[0], "j": iu[1],
+                             "gij": g[iu].astype(object)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["i", "j"], as_index=False)["gij"].sum()
+
+    stage = (_read(sf_dir, "embeddings", ["embedding"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100_000)
+    assert ok and merged is not None  # bounded: dim^2 cells
+    diag = sum(int(g) for i, j, g in
+               zip(merged["i"], merged["j"], merged["gij"]) if i == j)
+    off = sum(abs(int(g)) for i, j, g in
+              zip(merged["i"], merged["j"], merged["gij"]) if i < j)
+    return pd.DataFrame({
+        "diag_mass": [diag], "offdiag_mass": [off],
+        "ratio_ppm": [off * 1_000_000 // diag]}).astype(np.int64)

@@ -1,0 +1,27 @@
+"""Property tests for session-6 batch N (Spiegelhalter Z, embedding
+whitening audit)."""
+
+import numpy as np
+
+from dataquality_ray.pipelines import queries_ml as qm
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_spiegelhalter_consistency():
+    out = qm.spiegelhalter_z_q(SF)
+    r = out.iloc[0]
+    assert int(r["var"]) > 0
+    # Z = num/sqrt(var) reproduced from the reported sums
+    want = int(np.floor(1e6 * float(int(r["num"]))
+                        / np.sqrt(float(int(r["var"])))))
+    assert int(r["z_ppm"]) == want
+
+
+def test_whitening_masses_positive():
+    out = qm.embedding_whitening_q(SF)
+    r = out.iloc[0]
+    assert int(r["diag_mass"]) > 0  # sum of squares
+    assert int(r["offdiag_mass"]) >= 0
+    assert int(r["ratio_ppm"]) == int(r["offdiag_mass"]) * 1_000_000 \
+        // int(r["diag_mass"])
