@@ -2280,3 +2280,204 @@ def siegel_repeated_median_q(sf_dir: str):
     slope = meds[(len(meds) + 1) // 2 - 1]
     return pd.DataFrame({"n_days": [len(meds)],
                          "slope_scaled": [slope]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Rousseeuw-Croux S_n robust scale of daily volumes: med_i med_j|x_i -
+# x_j| (j != i), both medians disc (quantile_disc index ceil(m/2)-1)
+# — the 50%-breakdown scale estimate with no location estimate needed.
+# All integers.
+# ---------------------------------------------------------------------------
+
+@query("rousseeuw_sn_scale", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS x
+  FROM events GROUP BY 1
+), p AS (
+  SELECT a.day AS i, abs(a.x - b.x)::BIGINT AS ad
+  FROM d a JOIN d b ON b.day <> a.day
+), inner_med AS (
+  SELECT i, quantile_disc(ad, 0.5)::BIGINT AS m FROM p GROUP BY i
+)
+SELECT count(*)::BIGINT AS n_days,
+       quantile_disc(m, 0.5)::BIGINT AS sn_scale
+FROM inner_med
+""")
+def rousseeuw_sn_q(sf_dir: str):
+    """S_n = med_i med_j |x_i - x_j| over daily volumes."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day": ts // 86_400_000_000, "x": 1})
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100_000)
+    assert ok and merged is not None  # bounded: distinct days
+    x = merged["x"].to_numpy(np.int64)
+    meds = []
+    for i in range(len(x)):
+        ad = np.abs(np.delete(x, i) - x[i])
+        ad.sort()
+        meds.append(int(ad[(len(ad) + 1) // 2 - 1]))
+    meds.sort()
+    sn = meds[(len(meds) + 1) // 2 - 1]
+    return pd.DataFrame({"n_days": [len(x)],
+                         "sn_scale": [sn]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Dickey-Fuller unit-root check on the daily volume series (lag 0):
+# regress delta_x on x_{t-1}; with centered integer sums Sxx, Sxy, Syy
+# the squared t-statistic is exact:
+#   t^2 = (n-2) * Sxy^2 / (Sxx*Syy - Sxy^2),   sign(t) = sign(Sxy)
+# (a stationary series gives strongly negative Sxy -> negative t).
+# ---------------------------------------------------------------------------
+
+@query("dickey_fuller_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS v
+  FROM events GROUP BY 1
+), o AS (
+  SELECT v, row_number() OVER (ORDER BY day) AS t FROM d
+), pairs AS (
+  SELECT a.v AS x, (b.v - a.v)::BIGINT AS y
+  FROM o a JOIN o b ON b.t = a.t + 1
+), agg AS (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(y)::HUGEINT AS sy, sum(x::HUGEINT * x)::HUGEINT AS sxx,
+         sum(x::HUGEINT * y)::HUGEINT AS sxy,
+         sum(y::HUGEINT * y)::HUGEINT AS syy
+  FROM pairs
+), c AS (
+  SELECT n, (n * sxx - sx * sx) AS cxx, (n * sxy - sx * sy) AS cxy,
+         (n * syy - sy * sy) AS cyy
+  FROM agg
+)
+SELECT n::BIGINT AS n_pairs, cxy::BIGINT AS cxy,
+       (CASE WHEN cxy < 0
+             THEN -((n - 2) * cxy * cxy * 1000000
+                    // (cxx * cyy - cxy * cxy))
+             ELSE (n - 2) * cxy * cxy * 1000000
+                  // (cxx * cyy - cxy * cxy)
+        END)::BIGINT AS t2_signed_ppm
+FROM c
+""")
+def dickey_fuller_q(sf_dir: str):
+    """Signed t^2 of the DF lag-0 regression, exact integers."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day": ts // 86_400_000_000, "v": 1})
+        return f.groupby("day", as_index=False)["v"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["v"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100_000)
+    assert ok and merged is not None  # bounded: distinct days
+    v = [int(u) for u in merged.sort_values("day")["v"]]
+    xs = v[:-1]
+    ys = [b - a for a, b in zip(v[:-1], v[1:])]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(a * a for a in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    syy = sum(b * b for b in ys)
+    cxx = n * sxx - sx * sx
+    cxy = n * sxy - sx * sy
+    cyy = n * syy - sy * sy
+    den = cxx * cyy - cxy * cxy
+    t2 = _trunc_div((n - 2) * cxy * cxy * 1_000_000, den)
+    if cxy < 0:
+        t2 = -abs(t2)
+    return pd.DataFrame({"n_pairs": [n], "cxy": [cxy],
+                         "t2_signed_ppm": [t2]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Kadane max-burst window on mean-centered daily volumes: scale by n so
+# values stay integral (w_t = n*x_t - S), then the maximum-sum
+# subarray is max_j (pref_j - min_{k<j} pref_k) — pure window
+# functions, no loop.  Ties: smallest end day, then the smallest start
+# day among minimizing prefixes.
+# ---------------------------------------------------------------------------
+
+@query("kadane_burst_window", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS x
+  FROM events GROUP BY 1
+), t AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s FROM d
+), w AS (
+  SELECT day, (t.n * x - t.s)::BIGINT AS v,
+         row_number() OVER (ORDER BY day) AS r
+  FROM d, t
+), pref AS (
+  SELECT day, r, sum(v) OVER (ORDER BY r)::BIGINT AS p FROM w
+), scan AS (
+  SELECT day, r, p,
+         least(0, coalesce(min(p) OVER (ORDER BY r
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+           ::BIGINT AS mn
+  FROM pref
+), best AS (
+  SELECT day AS end_day, r AS jr, p - mn AS gain,
+         CASE WHEN mn = 0 THEN 0
+              ELSE (SELECT min(p2.r) FROM pref p2
+                    WHERE p2.r < scan.r AND p2.p = scan.mn) END
+           AS start_r
+  FROM scan
+)
+SELECT b.end_day::BIGINT AS end_day,
+       (SELECT day FROM pref WHERE r = b.start_r + 1)::BIGINT
+         AS start_day,
+       b.gain::BIGINT AS burst_scaled
+FROM best b ORDER BY b.gain DESC, b.jr LIMIT 1
+""")
+def kadane_burst_q(sf_dir: str):
+    """Max-sum window of centered daily volume, exact scaled ints.
+    The empty prefix (min 0) competes with real prefix minima, and
+    wins ties — window may start at the first day."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day": ts // 86_400_000_000, "x": 1})
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100_000)
+    assert ok and merged is not None  # bounded: distinct days
+    merged = merged.sort_values("day").reset_index(drop=True)
+    days = merged["day"].to_numpy(np.int64)
+    x = merged["x"].to_numpy(np.int64)
+    n, s = len(x), int(x.sum())
+    pref = np.cumsum(n * x - s)
+    best = None
+    run_min = 0       # the empty prefix
+    run_min_r = 0     # 0-based start index of the window it implies
+    for j in range(n):
+        gain = int(pref[j]) - run_min
+        key = (-gain, j)
+        if best is None or key < best[0]:
+            best = (key, j, run_min_r, gain)
+        if int(pref[j]) < run_min:
+            run_min = int(pref[j])
+            run_min_r = j + 1
+    _, j, si, gain = best
+    return pd.DataFrame({
+        "end_day": [int(days[j])], "start_day": [int(days[si])],
+        "burst_scaled": [gain]}).astype(np.int64)

@@ -1,0 +1,51 @@
+"""Property tests for session-6 batch O (S_n scale, Dickey-Fuller,
+Kadane burst window)."""
+
+import numpy as np
+
+from dataquality_ray.pipelines import queries_stats as qs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sn_scale_positive():
+    out = qs.rousseeuw_sn_q(SF)
+    assert int(out["sn_scale"].iloc[0]) >= 0
+    assert int(out["n_days"].iloc[0]) >= 2
+
+
+def test_dickey_fuller_stationary_count_series():
+    out = qs.dickey_fuller_q(SF)
+    r = out.iloc[0]
+    # a mean-reverting daily count series gives negative Sxy (deltas
+    # oppose levels) -> negative signed t^2
+    assert int(r["cxy"]) != 0
+    assert (int(r["t2_signed_ppm"]) < 0) == (int(r["cxy"]) < 0)
+
+
+def test_kadane_matches_bruteforce():
+    out = qs.kadane_burst_q(SF)
+    r = out.iloc[0]
+    # recompute brute-force from the same daily counts
+    import duckdb
+
+    con = duckdb.connect()
+    df = con.execute(
+        f"SELECT epoch_us(ts)//86400000000 AS day, count(*)::BIGINT "
+        f"AS x FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1").df()
+    days = df["day"].to_numpy(np.int64)
+    x = df["x"].to_numpy(np.int64)
+    n, s = len(x), int(x.sum())
+    v = n * x - s
+    best = None
+    for i in range(n):
+        run = 0
+        for j in range(i, n):
+            run += int(v[j])
+            key = (-run, j, i)
+            if best is None or key < best:
+                best = key
+    gain, j, i = -best[0], best[1], best[2]
+    assert int(r["burst_scaled"]) == gain
+    assert int(r["end_day"]) == int(days[j])
+    assert int(r["start_day"]) == int(days[i])
