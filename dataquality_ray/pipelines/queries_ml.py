@@ -2078,3 +2078,70 @@ def embedding_whitening_q(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "diag_mass": [diag], "offdiag_mass": [off],
         "ratio_ppm": [off * 1_000_000 // diag]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training: the 20 closest
+# CROSS-label embedding pairs by exact integer squared distance on the
+# 1e-3 grid (floor(x*1000)) — the pairs a contrastive loss most needs
+# in-batch.  d2 is exact (|a|^2 + |b|^2 - 2ab over int64); ties break
+# by (d2, id_a, id_b).
+# ---------------------------------------------------------------------------
+
+@query("hard_negative_mining", sql="""
+WITH g AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.label AS label_a, b.label AS label_b,
+         list_sum(list_transform(range(1, len(a.v) + 1),
+                  k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k])))::BIGINT
+           AS d2
+  FROM g a JOIN g b ON a.vec_id < b.vec_id AND a.label <> b.label
+)
+SELECT id_a, id_b, label_a::BIGINT AS label_a,
+       label_b::BIGINT AS label_b, d2
+FROM pairs ORDER BY d2, id_a, id_b LIMIT 20
+""")
+def hard_negative_q(sf_dir: str) -> pd.DataFrame:
+    """Top-20 cross-label nearest pairs, exact int-grid distances."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        emb = b["embedding"]
+        flat = emb.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        dim = len(emb[0])
+        x = np.floor(flat.reshape(-1, dim).astype(np.float64)
+                     * 1000).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].to_numpy(zero_copy_only=False),
+            "label": b["label"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64),
+            "v": list(x)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: vectors at cap
+    x = np.vstack(merged["v"].to_numpy())
+    ids = merged["vec_id"].to_numpy(np.int64)
+    lab = merged["label"].to_numpy(np.int64)
+    sq = np.einsum("ij,ij->i", x, x)
+    d2 = sq[:, None] + sq[None, :] - 2 * (x @ x.T)
+    ii, jj = np.meshgrid(np.arange(len(x)), np.arange(len(x)),
+                         indexing="ij")
+    # orient pairs as (smaller vec_id, larger vec_id)
+    mask = (ids[ii] < ids[jj]) & (lab[ii] != lab[jj])
+    f = pd.DataFrame({"id_a": ids[ii[mask]], "id_b": ids[jj[mask]],
+                      "label_a": lab[ii[mask]],
+                      "label_b": lab[jj[mask]], "d2": d2[mask]})
+    out = (f.sort_values(["d2", "id_a", "id_b"]).head(20)
+           .reset_index(drop=True))
+    return out.astype(np.int64)

@@ -25,3 +25,11 @@ def test_whitening_masses_positive():
     assert int(r["offdiag_mass"]) >= 0
     assert int(r["ratio_ppm"]) == int(r["offdiag_mass"]) * 1_000_000 \
         // int(r["diag_mass"])
+
+
+def test_hard_negative_pairs_cross_label():
+    out = qm.hard_negative_q(SF)
+    assert len(out) == 20
+    assert (out["label_a"] != out["label_b"]).all()
+    assert (out["id_a"] < out["id_b"]).all()
+    assert out["d2"].is_monotonic_increasing
