@@ -2481,3 +2481,67 @@ def kadane_burst_q(sf_dir: str):
     return pd.DataFrame({
         "end_day": [int(days[j])], "start_day": [int(days[si])],
         "burst_scaled": [gain]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Erlang-C staffing audit: arrival rate = events per hour (exact
+# rational N / (24*D)), service rate mu = 500/hour per server; for
+# c = 1..4 servers the wait probability clears denominators into one
+# integer ratio: with p = N, q = mu*24*D, term_k = p^k * q^(c-k) *
+# c!/k!,  P_wait = cq*p^c / ((cq - p) * sum_{k<c} term_k + cq*p^c)
+# (1e6 if rho >= 1).  HUGEINT-safe for c <= 4 at test scales.
+# ---------------------------------------------------------------------------
+
+@query("erlang_c_staffing", sql="""
+WITH t AS (
+  SELECT count(*)::HUGEINT AS nn,
+         count(DISTINCT epoch_us(ts) // 86400000000)::HUGEINT AS d
+  FROM events
+), base AS (
+  SELECT nn AS p, 500 * 24 * d AS q FROM t
+), cc AS (
+  SELECT c FROM (VALUES (1), (2), (3), (4)) v(c)
+), terms AS (
+  SELECT cc.c, base.p, base.q,
+         (CASE cc.c WHEN 1 THEN (1::HUGEINT) * (q) * 1 WHEN 2 THEN (1::HUGEINT) * (q * q) * 2 + (p) * (q) * 2 WHEN 3 THEN (1::HUGEINT) * (q * q * q) * 6 + (p) * (q * q) * 6 + (p * p) * (q) * 3 WHEN 4 THEN (1::HUGEINT) * (q * q * q * q) * 24 + (p) * (q * q * q) * 24 + (p * p) * (q * q) * 12 + (p * p * p) * (q) * 4 END)::HUGEINT AS s,
+         (CASE cc.c WHEN 1 THEN p WHEN 2 THEN p * p WHEN 3 THEN p * p * p ELSE p * p * p * p END)::HUGEINT AS pc
+  FROM cc, base
+)
+SELECT c::BIGINT AS servers,
+       (CASE WHEN c * q <= p THEN 1000000
+             ELSE c * q * pc * 1000000
+                  // ((c * q - p) * s + c * q * pc)
+        END)::BIGINT AS pwait_ppm
+FROM terms ORDER BY c
+""")
+def erlang_c_q(sf_dir: str):
+    """Exact-integer Erlang-C wait probabilities for c = 1..4."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day": ts // 86_400_000_000, "n": 1})
+        return f.groupby("day", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100_000)
+    assert ok and merged is not None  # bounded: distinct days
+    p = int(merged["n"].sum())
+    q = 500 * 24 * len(merged)
+    rows = []
+    fact = [1, 1, 2, 6, 24]
+    for c in (1, 2, 3, 4):
+        if c * q <= p:
+            rows.append([c, 1_000_000])
+            continue
+        s = sum(p ** k * q ** (c - k) * fact[c] // fact[k]
+                for k in range(c))
+        pc = p ** c
+        rows.append([c, c * q * pc * 1_000_000
+                     // ((c * q - p) * s + c * q * pc)])
+    return pd.DataFrame(rows, columns=["servers", "pwait_ppm"]) \
+        .astype(np.int64)

@@ -49,3 +49,12 @@ def test_kadane_matches_bruteforce():
     assert int(r["burst_scaled"]) == gain
     assert int(r["end_day"]) == int(days[j])
     assert int(r["start_day"]) == int(days[i])
+
+
+def test_erlang_c_monotone_in_servers():
+    out = qs.erlang_c_q(SF)
+    # adding servers can only reduce the wait probability
+    p = out.sort_values("servers")["pwait_ppm"].to_numpy()
+    assert (p[1:] <= p[:-1]).all()
+    assert (out["pwait_ppm"] >= 0).all()
+    assert (out["pwait_ppm"] <= 1_000_000).all()
