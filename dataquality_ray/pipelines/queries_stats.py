@@ -2545,3 +2545,68 @@ def erlang_c_q(sf_dir: str):
                      // ((c * q - p) * s + c * q * pc)])
     return pd.DataFrame(rows, columns=["servers", "pwait_ppm"]) \
         .astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# The p95-aggregation fallacy, quantified: the global p95 of event
+# values vs the median of per-type p95s (both disc quantiles on the
+# integer-cents grid).  Averaging percentiles over groups is NOT the
+# percentile of the union — this query reports the exact gap.
+# ---------------------------------------------------------------------------
+
+@query("p95_aggregation_fallacy", sql="""
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), per AS (
+  SELECT event_type, quantile_disc(cents, 0.95)::BIGINT AS p95
+  FROM v GROUP BY event_type
+)
+SELECT (SELECT quantile_disc(cents, 0.95) FROM v)::BIGINT
+         AS global_p95,
+       (SELECT quantile_disc(p95, 0.5) FROM per)::BIGINT
+         AS median_of_group_p95,
+       ((SELECT quantile_disc(cents, 0.95) FROM v)
+        - (SELECT quantile_disc(p95, 0.5) FROM per))::BIGINT AS gap
+""")
+def p95_fallacy_q(sf_dir: str):
+    """Global p95 vs median of per-type p95s (disc, cents grid)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cents = np.round(b["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "cents": cents, "n": 1})
+        return f.groupby(["event_type", "cents"], as_index=False)[
+            "n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "cents"], as_index=False)[
+            "n"].sum()
+
+    stage = (_read(sf_dir, "events", ["event_type", "value"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: types x cent values
+
+    def disc_q(vals: np.ndarray, cnts: np.ndarray, q: float) -> int:
+        order = np.argsort(vals, kind="mergesort")
+        v, c = vals[order], cnts[order]
+        total = int(c.sum())
+        k = -(-int(q * 10 ** 6 * total) // 10 ** 6)  # ceil(q*total)
+        cum = np.cumsum(c)
+        return int(v[np.searchsorted(cum, k)])
+
+    g95 = disc_q(merged["cents"].to_numpy(np.int64),
+                 merged["n"].to_numpy(np.int64), 0.95)
+    per = []
+    for _, g in merged.groupby("event_type"):
+        per.append(disc_q(g["cents"].to_numpy(np.int64),
+                          g["n"].to_numpy(np.int64), 0.95))
+    per_arr = np.sort(np.array(per, dtype=np.int64))
+    med = int(per_arr[(len(per_arr) + 1) // 2 - 1])
+    return pd.DataFrame({"global_p95": [g95],
+                         "median_of_group_p95": [med],
+                         "gap": [g95 - med]}).astype(np.int64)

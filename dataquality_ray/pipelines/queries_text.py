@@ -7848,3 +7848,116 @@ def renyi_entropy_q(sf_dir: str):
                                                   / float(c2)))],
         "hinf_uppm": [math.floor(1000000 * math.log(n / cmax))]}
     ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Token novelty by month: how many part-name vocabulary words make
+# their FIRST appearance each month (month = earliest order date of
+# any lineitem carrying the part) — the "is the feed still surfacing
+# new language" curve.  first month = min over (word, month) pairs;
+# exact integers and string months on both engines.
+# ---------------------------------------------------------------------------
+
+@query("token_novelty_by_month", sql="""
+WITH lp AS (
+  SELECT l.l_partkey, min(date_trunc('month', o.o_orderdate)) AS mon
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_partkey
+), words AS (
+  SELECT unnest(regexp_split_to_array(p.p_name, ' ')) AS w, lp.mon
+  FROM part p JOIN lp ON lp.l_partkey = p.p_partkey
+), first_seen AS (
+  SELECT w, min(mon) AS mon FROM words GROUP BY w
+)
+SELECT strftime(mon, '%Y-%m') AS month, count(*)::BIGINT AS new_tokens
+FROM first_seen GROUP BY mon ORDER BY month
+""")
+def token_novelty_q(sf_dir: str) -> pd.DataFrame:
+    """First-appearance month of part-name words via order dates."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import smart_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    j = smart_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                   value_cols=["o_orderdate"], join_type="inner")
+
+    def part_min(b: pa.Table) -> pd.DataFrame:
+        mon = b["o_orderdate"].to_pandas().dt.strftime("%Y-%m")
+        f = pd.DataFrame({
+            "pk": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "mon": mon})
+        return f.groupby("pk", as_index=False)["mon"].min()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("pk", as_index=False)["mon"].min()
+
+    merged, ok = guarded_partials(
+        j.map_batches(part_min, batch_format="pyarrow"), fold,
+        2_000_000)
+    assert ok and merged is not None  # bounded: part dimension
+    names = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    f = merged.merge(names, left_on="pk", right_on="p_partkey",
+                     how="inner")
+    first: dict[str, str] = {}
+    for name, mon in zip(f["p_name"], f["mon"]):
+        for w in name.split(" "):
+            if w not in first or mon < first[w]:
+                first[w] = mon
+    out = pd.Series(first).value_counts().sort_index()
+    res = pd.DataFrame({"month": out.index,
+                        "new_tokens": out.to_numpy(np.int64)})
+    return res.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Encoded-blob scan over event props: rows whose payload embeds a
+# base64-ish run (16+ chars of [A-Za-z0-9+/] ending in = padding or
+# length >= 24) or a hex run (16+ of [0-9a-f]) — the "someone is
+# smuggling binary through the text column" audit.  RE2 counts on both
+# engines.
+# ---------------------------------------------------------------------------
+
+@query("encoded_blob_scan", sql="""
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(regexp_matches(coalesce(props, ''),
+                          '[A-Za-z0-9+/]{24,}')::INT)::BIGINT
+         AS base64ish_rows,
+       sum(regexp_matches(coalesce(props, ''),
+                          '[0-9a-f]{16,}')::INT)::BIGINT AS hexish_rows
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def encoded_blob_q(sf_dir: str) -> pd.DataFrame:
+    """Base64/hex blob incidence per event type."""
+    import re
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    b64 = re.compile(r"[A-Za-z0-9+/]{24,}")
+    hx = re.compile(r"[0-9a-f]{16,}")
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        props = b["props"].to_pandas().fillna("")
+        f = pd.DataFrame({
+            "event_type": b["event_type"].to_pylist(),
+            "n_events": 1,
+            "base64ish_rows": props.map(
+                lambda s: 1 if b64.search(s) else 0),
+            "hexish_rows": props.map(
+                lambda s: 1 if hx.search(s) else 0)})
+        return f.groupby("event_type", as_index=False)[
+            ["n_events", "base64ish_rows", "hexish_rows"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("event_type", as_index=False)[
+            ["n_events", "base64ish_rows", "hexish_rows"]].sum()
+
+    stage = (_read(sf_dir, "events", ["event_type", "props"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 10_000)
+    assert ok and merged is not None  # bounded: event types
+    merged = merged.sort_values("event_type").reset_index(drop=True)
+    for c in ("n_events", "base64ish_rows", "hexish_rows"):
+        merged[c] = merged[c].astype(np.int64)
+    return merged

@@ -1,0 +1,35 @@
+"""Property tests for session-6 batch R (token novelty, encoded blob
+scan, p95 fallacy)."""
+
+from dataquality_ray.pipelines import queries_stats as qs
+from dataquality_ray.pipelines import queries_text as qt
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_token_novelty_sums_to_vocab():
+    out = qt.token_novelty_q(SF)
+    import duckdb
+
+    con = duckdb.connect()
+    vocab = con.execute(f"""
+        SELECT count(DISTINCT w) FROM (
+          SELECT unnest(regexp_split_to_array(p.p_name, ' ')) AS w
+          FROM '{SF}/part.parquet' p
+          JOIN '{SF}/lineitem.parquet' l ON l.l_partkey = p.p_partkey)
+    """).fetchone()[0]
+    assert int(out["new_tokens"].sum()) == vocab
+    assert out["month"].is_monotonic_increasing
+
+
+def test_encoded_blob_counts_bounded():
+    out = qt.encoded_blob_q(SF)
+    assert (out["base64ish_rows"] <= out["n_events"]).all()
+    assert (out["hexish_rows"] <= out["n_events"]).all()
+
+
+def test_p95_fallacy_gap_consistent():
+    out = qs.p95_fallacy_q(SF)
+    r = out.iloc[0]
+    assert int(r["gap"]) == int(r["global_p95"]) \
+        - int(r["median_of_group_p95"])
