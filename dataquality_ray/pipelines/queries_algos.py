@@ -2343,3 +2343,111 @@ def bfprt_pivot_q(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "pivot": [pivot], "n": [n], "rank_lt": [rank_lt],
         "rank_ppm": [rank_lt * 1_000_000 // n]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Optimal binary search tree cost over the token vocabulary (keys in
+# lexicographic order, weights = corpus frequencies): interval DP
+# c[i][j] = w[i][j] + min_m (c[i][m-1] + c[m+1][j]) with exact integer
+# weighted-depth cost.  The SQL twin unrolls the DP by interval length
+# into materialized CTEs (one per length, min over split points via a
+# range join); ties pick the smallest split — same total either way.
+# ---------------------------------------------------------------------------
+
+_OBST_MAX = 40  # unroll bound; vocabulary is ~31 tokens
+
+
+def _obst_sql(maxlen: int = _OBST_MAX) -> str:
+    head = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                  '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), keys AS MATERIALIZED (
+  SELECT token, count(*)::BIGINT AS w,
+         row_number() OVER (ORDER BY token) AS i
+  FROM toks GROUP BY token
+), nv AS (SELECT count(*)::BIGINT AS n FROM keys),
+pw AS MATERIALIZED (
+  SELECT i, sum(w) OVER (ORDER BY i)::BIGINT AS cum FROM keys
+), c0 AS MATERIALIZED (
+  -- empty intervals [i, i-1]: cost 0, indexed by left endpoint i
+  SELECT i, i - 1 AS j, 0::BIGINT AS cost
+  FROM (SELECT i FROM keys UNION ALL
+        SELECT (SELECT max(i) + 1 FROM keys))
+)"""
+    parts = [head]
+    for ln in range(1, maxlen + 1):
+        parts.append(f""",
+c{ln} AS MATERIALIZED (
+  SELECT x.i, x.j, x.wij + min(l.cost + r.cost) AS cost
+  FROM (
+    SELECT k.i, k.i + {ln} - 1 AS j,
+           (SELECT pw.cum FROM pw WHERE pw.i = k.i + {ln} - 1)
+           - coalesce((SELECT pw.cum FROM pw
+                       WHERE pw.i = k.i - 1), 0) AS wij
+    FROM keys k, nv WHERE k.i + {ln} - 1 <= nv.n
+  ) x
+  JOIN generate_series(0, {ln - 1}) s(o) ON TRUE
+  JOIN ({" UNION ALL ".join(f"SELECT i, j, cost FROM c{p}"
+                            for p in range(0, ln))}) l
+    ON l.i = x.i AND l.j = x.i + s.o - 1
+  JOIN ({" UNION ALL ".join(f"SELECT i, j, cost FROM c{p}"
+                            for p in range(0, ln))}) r
+    ON r.i = x.i + s.o + 1 AND r.j = x.j
+  GROUP BY x.i, x.j, x.wij
+)"""
+                     )
+    final_union = " UNION ALL ".join(
+        f"SELECT cost FROM c{p} WHERE i = 1 AND j = (SELECT n FROM nv)"
+        for p in range(1, maxlen + 1))
+    parts.append(f"""
+SELECT (SELECT n FROM nv)::BIGINT AS n_keys,
+       (SELECT sum(w) FROM keys)::BIGINT AS total_weight,
+       ({final_union})::BIGINT AS obst_cost""")
+    return "".join(parts)
+
+
+@query("optimal_bst_cost", sql=_obst_sql())
+def optimal_bst_q(sf_dir: str) -> pd.DataFrame:
+    """Exact weighted-depth cost of the optimal BST over token
+    frequencies."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for tok in (t or "").split():
+                rows[tok] = rows.get(tok, 0) + 1
+        return pd.DataFrame({"token": list(rows),
+                             "w": np.array(list(rows.values()),
+                                           dtype=np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("token", as_index=False)["w"].sum()
+
+    stage = (_read(sf_dir, "documents", ["text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: vocabulary
+    merged = merged.sort_values("token").reset_index(drop=True)
+    w = merged["w"].to_numpy(np.int64)
+    n = len(w)
+    assert n <= _OBST_MAX, "vocabulary exceeds the SQL unroll"
+    pw = np.concatenate([[0], np.cumsum(w)])
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def cost(i: int, j: int) -> int:  # 0-based inclusive, empty if i>j
+        if i > j:
+            return 0
+        wij = int(pw[j + 1] - pw[i])
+        return wij + min(cost(i, m - 1) + cost(m + 1, j)
+                         for m in range(i, j + 1))
+
+    import sys
+    sys.setrecursionlimit(10000)
+    total = cost(0, n - 1)
+    return pd.DataFrame({"n_keys": [n], "total_weight": [int(w.sum())],
+                         "obst_cost": [total]}).astype(np.int64)

@@ -2145,3 +2145,96 @@ def hard_negative_q(sf_dir: str) -> pd.DataFrame:
     out = (f.sort_values(["d2", "id_a", "id_b"]).head(20)
            .reset_index(drop=True))
     return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Max-flow = min-cut transportation audit over the (top-6 sources) x
+# langs bipartite network: S -> source (cap = source doc total) ->
+# lang (cap = joint count) -> T (cap = lang total).  Max flow is
+# found by EXHAUSTIVE min-cut enumeration over all 2^11 node subsets
+# (LP duality makes this exact) — ties break by the smallest cut
+# bitmask (bit i = source i in-cut-side, bit 6+j = lang j).
+# ---------------------------------------------------------------------------
+
+@query("mincut_source_lang_audit", sql="""
+WITH cell AS (
+  SELECT source, lang, count(*)::BIGINT AS c
+  FROM documents GROUP BY source, lang
+), stot AS (
+  SELECT source, sum(c)::BIGINT AS cs,
+         row_number() OVER (ORDER BY sum(c) DESC, source) AS rk
+  FROM cell GROUP BY source
+), top6 AS (
+  SELECT source, cs, rk - 1 AS si FROM stot WHERE rk <= 6
+), lx AS (
+  SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS lj,
+         sum(c)::BIGINT AS cl
+  FROM cell JOIN top6 USING (source) GROUP BY lang
+), e AS (
+  SELECT top6.si, lx.lj, cell.c
+  FROM cell JOIN top6 USING (source) JOIN lx USING (lang)
+), masks AS (
+  SELECT m FROM generate_series(0, 2047) g(m)
+), cuts AS (
+  SELECT m,
+    (SELECT coalesce(sum(cs), 0) FROM top6
+     WHERE (m >> si) % 2 = 0)
+    + (SELECT coalesce(sum(c), 0) FROM e
+       WHERE (m >> si) % 2 = 1 AND (m >> (6 + lj)) % 2 = 0)
+    + (SELECT coalesce(sum(cl), 0) FROM lx
+       WHERE (m >> (6 + lj)) % 2 = 1) AS cap
+  FROM masks
+)
+SELECT min(cap)::BIGINT AS max_flow,
+       (SELECT min(m) FROM cuts c2
+        WHERE c2.cap = (SELECT min(cap) FROM cuts))::BIGINT
+         AS min_cut_mask
+FROM cuts
+""")
+def mincut_audit_q(sf_dir: str) -> pd.DataFrame:
+    """Exhaustive min-cut over the top-6-source x lang network."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "lang": b["lang"].to_pylist(), "c": 1})
+        return f.groupby(["source", "lang"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "lang"], as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "lang"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 10_000)
+    assert ok and merged is not None  # bounded: sources x langs
+    stot = merged.groupby("source")["c"].sum()
+    top6 = sorted(stot.index, key=lambda s: (-int(stot[s]), s))[:6]
+    si = {s: i for i, s in enumerate(top6)}
+    sub = merged[merged["source"].isin(top6)]
+    langs = sorted(sub["lang"].unique())
+    lj = {l: j for j, l in enumerate(langs)}
+    cs = np.zeros(6, dtype=np.int64)
+    for s in top6:
+        cs[si[s]] = int(stot[s])
+    cl = np.zeros(len(langs), dtype=np.int64)
+    edges = []
+    for _, r in sub.iterrows():
+        edges.append((si[r["source"]], lj[r["lang"]], int(r["c"])))
+        cl[lj[r["lang"]]] += int(r["c"])
+    best = None
+    for m in range(1 << (6 + len(langs))):
+        cap = 0
+        for i in range(6):
+            if not m >> i & 1:
+                cap += int(cs[i])
+        for i, j, c in edges:
+            if m >> i & 1 and not m >> (6 + j) & 1:
+                cap += c
+        for j in range(len(langs)):
+            if m >> (6 + j) & 1:
+                cap += int(cl[j])
+        key = (cap, m)
+        if best is None or key < best:
+            best = key
+    return pd.DataFrame({"max_flow": [best[0]],
+                         "min_cut_mask": [best[1]]}).astype(np.int64)
