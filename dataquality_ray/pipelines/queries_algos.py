@@ -2451,3 +2451,74 @@ def optimal_bst_q(sf_dir: str) -> pd.DataFrame:
     total = cost(0, n - 1)
     return pd.DataFrame({"n_keys": [n], "total_weight": [int(w.sum())],
                          "obst_cost": [total]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Best rational approximations of the events-per-day rate: continued-
+# fraction convergents p/q of the exact ratio N/D until q > 64 — the
+# "express this rate as a small fraction for a token-bucket config"
+# helper.  err_scaled = |N*q - p*D| is the exact cross-multiplied
+# error; the SQL twin runs the Euclidean recurrence in a linear
+# recursive CTE.
+# ---------------------------------------------------------------------------
+
+@query("rational_rate_approximation", sql="""
+WITH RECURSIVE t AS (
+  SELECT count(*)::BIGINT AS nn,
+         count(DISTINCT epoch_us(ts) // 86400000000)::BIGINT AS d
+  FROM events
+), cf(k, num, den, p0, q0, p1, q1) AS (
+  SELECT 0::BIGINT, nn, d, 1::BIGINT, 0::BIGINT,
+         nn // d, 1::BIGINT
+  FROM t
+  UNION ALL
+  SELECT k + 1, den, num % den,
+         p1, q1,
+         (num % den > 0)::BIGINT * ((den // (num % den)) * p1 + p0)
+           + (num % den = 0)::BIGINT * p1,
+         (num % den > 0)::BIGINT * ((den // (num % den)) * q1 + q0)
+           + (num % den = 0)::BIGINT * q1
+  FROM cf
+  WHERE num % den > 0
+    AND (den // (num % den)) * q1 + q0 <= 64
+), conv AS (
+  SELECT k, p1 AS p, q1 AS q FROM cf
+)
+SELECT conv.k::BIGINT AS k, conv.p, conv.q,
+       abs(t.nn * conv.q - conv.p * t.d)::BIGINT AS err_scaled
+FROM conv, t ORDER BY k
+""")
+def rational_rate_q(sf_dir: str) -> pd.DataFrame:
+    """CF convergents of events/day with denominators <= 64."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day": ts // 86_400_000_000, "n": 1})
+        return f.groupby("day", as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["n"].sum()
+
+    stage = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 100_000)
+    assert ok and merged is not None  # bounded: distinct days
+    nn = int(merged["n"].sum())
+    d = len(merged)
+    rows = []
+    k = 0
+    num, den = nn, d
+    p0, q0 = 1, 0
+    p1, q1 = nn // d, 1
+    rows.append([k, p1, q1, abs(nn * q1 - p1 * d)])
+    while num % den > 0:
+        a = den // (num % den)
+        if a * q1 + q0 > 64:
+            break
+        p0, q0, p1, q1 = p1, q1, a * p1 + p0, a * q1 + q0
+        num, den = den, num % den
+        k += 1
+        rows.append([k, p1, q1, abs(nn * q1 - p1 * d)])
+    return pd.DataFrame(rows, columns=["k", "p", "q", "err_scaled"]) \
+        .astype(np.int64)

@@ -49,3 +49,15 @@ def test_obst_identities():
     # tiny cross-check of the DP against a hand case: balanced beats
     # degenerate for uniform weights
     assert _bst_cost_bruteforce(np.array([1, 1, 1])) == 5  # root mid
+
+
+def test_cf_convergents_are_best_approximations():
+    from fractions import Fraction
+
+    out = qa.rational_rate_q(SF)
+    # errors strictly improve along convergents; q nondecreasing <= 64
+    assert (out["q"] <= 64).all()
+    assert out["q"].is_monotonic_increasing
+    errs = (out["err_scaled"] / out["q"]).to_numpy()
+    assert all(errs[i + 1] < errs[i] for i in range(len(errs) - 1)) \
+        or len(errs) == 1
