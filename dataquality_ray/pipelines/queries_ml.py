@@ -19,7 +19,6 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from dataquality_ray.pipelines.registry import query
 

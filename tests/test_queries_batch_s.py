@@ -52,8 +52,6 @@ def test_obst_identities():
 
 
 def test_cf_convergents_are_best_approximations():
-    from fractions import Fraction
-
     out = qa.rational_rate_q(SF)
     # errors strictly improve along convergents; q nondecreasing <= 64
     assert (out["q"] <= 64).all()
