@@ -7961,3 +7961,137 @@ def encoded_blob_q(sf_dir: str) -> pd.DataFrame:
     for c in ("n_events", "base64ish_rows", "hexish_rows"):
         merged[c] = merged[c].astype(np.int64)
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-filter yield curve: score every doc with the corpus
+# add-1 bigram LM (doc_perplexity_bigram's integer floor-ln NLL),
+# split the scored corpus into avg-NLL deciles (disc cuts), and report
+# each decile's doc count / char mass — the "what does a ppl threshold
+# cost me" table a CCNet-style filter is tuned from.
+# ---------------------------------------------------------------------------
+
+@query("ppl_filter_yield", sql="""
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t[u.i] AS u, t[u.i + 1] AS v
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), uni AS (SELECT u, count(*)::BIGINT AS cu FROM pos GROUP BY u),
+bi AS (SELECT u, v, count(*)::BIGINT AS cuv FROM pos GROUP BY u, v),
+vocab AS (
+  SELECT count(DISTINCT x)::BIGINT AS V FROM (
+    SELECT u.x FROM toks, unnest(t) AS u(x))
+), scored AS (
+  SELECT p.doc_id,
+         CAST(floor(ln(CAST(uni.cu + vocab.V AS DOUBLE)) * 1000000)
+              AS BIGINT)
+         - CAST(floor(ln(CAST(bi.cuv + 1 AS DOUBLE)) * 1000000)
+              AS BIGINT) AS term
+  FROM pos p JOIN uni ON p.u = uni.u
+             JOIN bi ON p.u = bi.u AND p.v = bi.v, vocab
+), per_doc AS (
+  SELECT t.doc_id, t.n_chars,
+         (CASE WHEN len(t.t) > 1
+               THEN coalesce(s.nll, 0) // (len(t.t) - 1)
+               ELSE 0 END)::BIGINT AS avg_nll
+  FROM toks t LEFT JOIN (
+    SELECT doc_id, sum(term)::BIGINT AS nll FROM scored GROUP BY doc_id
+  ) s USING (doc_id)
+), cuts AS (
+  SELECT quantile_disc(avg_nll,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+  FROM per_doc
+), bucketed AS (
+  SELECT ((avg_nll > c[1])::INT + (avg_nll > c[2])::INT
+        + (avg_nll > c[3])::INT + (avg_nll > c[4])::INT
+        + (avg_nll > c[5])::INT + (avg_nll > c[6])::INT
+        + (avg_nll > c[7])::INT + (avg_nll > c[8])::INT
+        + (avg_nll > c[9])::INT)::BIGINT AS bucket,
+         n_chars, avg_nll
+  FROM per_doc, cuts
+)
+SELECT bucket, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       sum(avg_nll)::BIGINT AS sum_avg_nll
+FROM bucketed GROUP BY bucket ORDER BY bucket
+""")
+def ppl_filter_yield_q(sf_dir: str) -> pd.DataFrame:
+    """Decile yield table of the corpus bigram-LM NLL filter."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        rows: dict[tuple[str, str], int] = {}
+        toks: dict[str, int] = {}
+        for txt in batch["text"].to_pylist():
+            t = (txt or "").split()
+            for tok in t:
+                toks[tok] = toks.get(tok, 0) + 1
+            for i in range(len(t) - 1):
+                k = (t[i], t[i + 1])
+                rows[k] = rows.get(k, 0) + 1
+        out = [(u, v, c) for (u, v), c in rows.items()] + \
+              [("", tok, c) for tok, c in toks.items()]
+        return pd.DataFrame(out, columns=["u", "v", "c"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["u", "v"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: vocab^2 cells
+    bi = merged[merged["u"] != ""]
+    cuv = {(u, v): int(c) for u, v, c in
+           zip(bi["u"], bi["v"], bi["c"])}
+    cu: dict[str, int] = {}
+    for (u, _), c in cuv.items():
+        cu[u] = cu.get(u, 0) + c
+    vocab_n = merged.loc[merged["u"] == "", "v"].nunique()
+
+    def lnf(x: int) -> int:
+        return math.floor(math.log(x) * 1000000)
+
+    lm_u = {u: lnf(c + vocab_n) for u, c in cu.items()}
+    lm_b = {k: lnf(c + 1) for k, c in cuv.items()}
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        out = []
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        for txt, nc in zip(batch["text"].to_pylist(), nch):
+            t = (txt or "").split()
+            if len(t) > 1:
+                nll = sum(lm_u[t[i]] - lm_b[(t[i], t[i + 1])]
+                          for i in range(len(t) - 1))
+                a = nll // (len(t) - 1)
+            else:
+                a = 0
+            out.append((a, int(nc)))
+        return pd.DataFrame(out, columns=["avg_nll", "n_chars"])
+
+    per_doc, ok2 = guarded_partials(
+        _read(sf_dir, "documents", ["text", "n_chars"])
+        .map_batches(score, batch_format="pyarrow"),
+        lambda f: f, 2_000_000)
+    assert ok2 and per_doc is not None  # bounded: docs at cap
+    a = np.sort(per_doc["avg_nll"].to_numpy(np.int64))
+    n = len(a)
+    cuts = [int(a[-(-(q * n) // 10) - 1])
+            for q in range(1, 10)]  # disc: ceil(q/10*n)-1
+    av = per_doc["avg_nll"].to_numpy(np.int64)
+    bucket = np.zeros(n, dtype=np.int64)
+    for c in cuts:
+        bucket += (av > c).astype(np.int64)
+    f = pd.DataFrame({"bucket": bucket,
+                      "n_chars": per_doc["n_chars"].to_numpy(np.int64),
+                      "avg_nll": av})
+    out = f.groupby("bucket", as_index=False).agg(
+        n_docs=("avg_nll", "size"), sum_chars=("n_chars", "sum"),
+        sum_avg_nll=("avg_nll", "sum"))
+    return out.sort_values("bucket").reset_index(drop=True) \
+        .astype(np.int64)

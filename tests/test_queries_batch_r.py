@@ -33,3 +33,16 @@ def test_p95_fallacy_gap_consistent():
     r = out.iloc[0]
     assert int(r["gap"]) == int(r["global_p95"]) \
         - int(r["median_of_group_p95"])
+
+
+def test_ppl_filter_yield_covers_corpus():
+    out = qt.ppl_filter_yield_q(SF)
+    import duckdb
+
+    con = duckdb.connect()
+    n, chars = con.execute(
+        f"SELECT count(*), sum(n_chars) FROM "
+        f"'{SF}/documents.parquet'").fetchone()
+    assert int(out["n_docs"].sum()) == n
+    assert int(out["sum_chars"].sum()) == chars
+    assert (out["bucket"] >= 0).all() and (out["bucket"] <= 9).all()
