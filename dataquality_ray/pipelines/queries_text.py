@@ -8095,3 +8095,257 @@ def ppl_filter_yield_q(sf_dir: str) -> pd.DataFrame:
         sum_avg_nll=("avg_nll", "sum"))
     return out.sort_values("bucket").reset_index(drop=True) \
         .astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Aho-Corasick multi-pattern scan: one automaton pass counts all 8
+# patterns simultaneously instead of 8 regex passes over the corpus —
+# the multi-needle primitive a blocklist scrubber runs at 100 TB.
+# Patterns are the corpus's top-8 bigram phrases (distinct words, so
+# occurrences cannot self-overlap and DuckDB's non-overlapping
+# count_substring equals the automaton's count exactly).
+# ---------------------------------------------------------------------------
+
+class _AhoCorasick:
+    """Classic goto/fail/output automaton over byte strings."""
+
+    def __init__(self, patterns: list[str]):
+        self.goto: list[dict[str, int]] = [{}]
+        self.fail = [0]
+        self.out: list[list[int]] = [[]]
+        for pi, p in enumerate(patterns):
+            s = 0
+            for ch in p:
+                if ch not in self.goto[s]:
+                    self.goto.append({})
+                    self.fail.append(0)
+                    self.out.append([])
+                    self.goto[s][ch] = len(self.goto) - 1
+                s = self.goto[s][ch]
+            self.out[s].append(pi)
+        from collections import deque
+
+        q = deque()
+        for s in self.goto[0].values():
+            q.append(s)
+        while q:
+            r = q.popleft()
+            for ch, s in self.goto[r].items():
+                q.append(s)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[s] = self.goto[f].get(ch, 0) \
+                    if self.goto[f].get(ch, 0) != s else 0
+                self.out[s] = self.out[s] + self.out[self.fail[s]]
+
+    def count(self, text: str, k: int) -> list[int]:
+        c = [0] * k
+        s = 0
+        for ch in text:
+            while s and ch not in self.goto[s]:
+                s = self.fail[s]
+            s = self.goto[s].get(ch, 0)
+            for pi in self.out[s]:
+                c[pi] += 1
+        return c
+
+
+def _top_bigram_phrases(sf_dir: str, k: int = 8) -> list[str]:
+    """Top-k 'u v' phrases with u != v (count desc, phrase asc)."""
+    import pyarrow as _pa
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: _pa.Table) -> pd.DataFrame:
+        rows: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            w = (t or "").split()
+            for i in range(len(w) - 1):
+                if w[i] != w[i + 1]:
+                    ph = w[i] + " " + w[i + 1]
+                    rows[ph] = rows.get(ph, 0) + 1
+        return pd.DataFrame({"ph": list(rows),
+                             "c": np.array(list(rows.values()),
+                                           dtype=np.int64)})
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("ph", as_index=False)["c"].sum(), 2_000_000)
+    assert ok and merged is not None  # bounded: vocab^2 phrases
+    tot = merged.set_index("ph")["c"]
+    return sorted(tot.index, key=lambda p: (-int(tot[p]), p))[:k]
+
+
+@query("aho_corasick_scan", sql="""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT t[u.i] AS u, t[u.i + 1] AS v
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE t[u.i] <> t[u.i + 1]
+), top8 AS (
+  SELECT u || ' ' || v AS ph,
+         row_number() OVER (ORDER BY count(*) DESC, u || ' ' || v)
+           AS rk
+  FROM pos GROUP BY u, v
+)
+SELECT t8.ph AS pattern,
+       CAST(sum(len(coalesce(d.text, ''))
+                - len(replace(coalesce(d.text, ''), t8.ph, '')))
+            // len(t8.ph) AS BIGINT) AS occurrences
+FROM top8 t8 CROSS JOIN documents d
+WHERE t8.rk <= 8
+GROUP BY t8.ph ORDER BY pattern
+""")
+def aho_corasick_q(sf_dir: str) -> pd.DataFrame:
+    """One-pass AC counts of the top-8 bigram phrases (substring
+    semantics, matching the SQL replace-count)."""
+    import ray
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    pats = _top_bigram_phrases(sf_dir, 8)
+    ac_ref = ray.put(_AhoCorasick(pats))
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ac = ray.get(ac_ref)
+        tot = np.zeros(len(pats), dtype=np.int64)
+        for t in b["text"].to_pylist():
+            tot += np.array(ac.count(t or "", len(pats)),
+                            dtype=np.int64)
+        return pd.DataFrame({"pattern": pats, "occurrences": tot})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("pattern", as_index=False)[
+            "occurrences"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 10_000)
+    assert ok and merged is not None  # bounded: 8 patterns
+    out = merged.sort_values("pattern").reset_index(drop=True)
+    out["occurrences"] = out["occurrences"].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BK-tree radius search over the vocabulary: a Burkhardt-Keller metric
+# tree (insert order = sorted vocab) answers "all tokens within
+# Levenshtein distance 2" of each of the 3 most frequent tokens while
+# pruning children whose edge distance violates the triangle
+# inequality.  The oracle recomputes the match sets with DuckDB's
+# levenshtein(); the pruning win itself (distance computations vs
+# brute force) is pinned in tests.
+# ---------------------------------------------------------------------------
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class _BKTree:
+    def __init__(self, words: list[str]):
+        self.nodes: list[tuple[str, dict[int, int]]] = []
+        self.computations = 0
+        for w in words:
+            self._insert(w)
+
+    def _insert(self, w: str) -> None:
+        if not self.nodes:
+            self.nodes.append((w, {}))
+            return
+        i = 0
+        while True:
+            word, kids = self.nodes[i]
+            d = _levenshtein(w, word)
+            if d == 0:
+                return
+            if d in kids:
+                i = kids[d]
+            else:
+                self.nodes.append((w, {}))
+                kids[d] = len(self.nodes) - 1
+                return
+
+    def search(self, q: str, radius: int) -> list[str]:
+        if not self.nodes:
+            return []
+        out = []
+        stack = [0]
+        while stack:
+            i = stack.pop()
+            word, kids = self.nodes[i]
+            d = _levenshtein(q, word)
+            self.computations += 1
+            if d <= radius:
+                out.append(word)
+            for ed, child in kids.items():
+                if d - radius <= ed <= d + radius:
+                    stack.append(child)
+        return out
+
+
+@query("bk_tree_radius_search", sql="""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                  '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY token
+), probes AS (
+  SELECT token AS probe,
+         row_number() OVER (ORDER BY c DESC, token) AS rk
+  FROM cnt
+)
+SELECT p.probe, v.token AS match,
+       levenshtein(p.probe, v.token)::BIGINT AS dist
+FROM probes p CROSS JOIN (SELECT token FROM cnt) v
+WHERE p.rk <= 3 AND levenshtein(p.probe, v.token) <= 2
+ORDER BY p.probe, v.token
+""")
+def bk_tree_q(sf_dir: str) -> pd.DataFrame:
+    """Radius-2 vocabulary neighbors of the top-3 tokens via BK-tree."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for tok in (t or "").split():
+                rows[tok] = rows.get(tok, 0) + 1
+        return pd.DataFrame({"token": list(rows),
+                             "c": np.array(list(rows.values()),
+                                           dtype=np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("token", as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: vocabulary
+    tot = merged.set_index("token")["c"]
+    vocab = sorted(tot.index)
+    probes = sorted(tot.index, key=lambda t: (-int(tot[t]), t))[:3]
+    tree = _BKTree(vocab)
+    rows = []
+    for p in probes:
+        for m in tree.search(p, 2):
+            rows.append([p, m, _levenshtein(p, m)])
+    out = pd.DataFrame(rows, columns=["probe", "match", "dist"])
+    out = out.sort_values(["probe", "match"]).reset_index(drop=True)
+    out["dist"] = out["dist"].astype(np.int64)
+    return out

@@ -46,3 +46,27 @@ def test_ppl_filter_yield_covers_corpus():
     assert int(out["n_docs"].sum()) == n
     assert int(out["sum_chars"].sum()) == chars
     assert (out["bucket"] >= 0).all() and (out["bucket"] <= 9).all()
+
+
+def test_aho_corasick_counts_match_naive():
+    pats = ["ab", "bc", "aab"]
+    ac = qt._AhoCorasick(pats)
+    text = "aabcabab"
+    got = ac.count(text, 3)
+    import re
+
+    for i, p in enumerate(pats):
+        want = len(re.findall(f"(?={re.escape(p)})", text))
+        assert got[i] == want, p
+
+
+def test_bk_tree_prunes_and_is_exact():
+    vocab = sorted({"spark", "spork", "stork", "join", "joins",
+                    "windw", "window", "scan", "scam", "batch"})
+    tree = qt._BKTree(vocab)
+    tree.computations = 0
+    got = sorted(tree.search("window", 2))
+    want = sorted(w for w in vocab
+                  if qt._levenshtein("window", w) <= 2)
+    assert got == want
+    assert tree.computations <= len(vocab)  # never worse than brute
