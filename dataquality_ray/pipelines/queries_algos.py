@@ -2522,3 +2522,138 @@ def rational_rate_q(sf_dir: str) -> pd.DataFrame:
         rows.append([k, p1, q1, abs(nn * q1 - p1 * d)])
     return pd.DataFrame(rows, columns=["k", "p", "q", "err_scaled"]) \
         .astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor TSP tour over the top-10 tokens with Levenshtein
+# distance: start at the lexicographically smallest, repeatedly hop to
+# the nearest unvisited token (ties: lexicographic).  The SQL twin
+# replays the 10 hops in a linear recursive CTE with the visited set
+# as list state and DuckDB's levenshtein() as the metric.
+# ---------------------------------------------------------------------------
+
+@query("tsp_nn_tour_tokens", sql="""
+WITH RECURSIVE toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                  '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY token
+), top10 AS MATERIALIZED (
+  SELECT token FROM cnt ORDER BY c DESC, token LIMIT 10
+), start AS (SELECT min(token) AS t FROM top10),
+tour(step, cur, visited, cost) AS (
+  SELECT 0::BIGINT, start.t, [start.t], 0::BIGINT FROM start
+  UNION ALL
+  SELECT tour.step + 1, nxt.token,
+         list_append(tour.visited, nxt.token),
+         tour.cost + nxt.d
+  FROM tour CROSS JOIN LATERAL (
+    SELECT t10.token, levenshtein(tour.cur, t10.token)::BIGINT AS d
+    FROM top10 t10
+    WHERE NOT list_contains(tour.visited, t10.token)
+    ORDER BY levenshtein(tour.cur, t10.token), t10.token
+    LIMIT 1
+  ) nxt
+)
+SELECT step::BIGINT AS n_hops, cost AS tour_cost,
+       array_to_string(visited, '>') AS tour
+FROM tour ORDER BY step DESC LIMIT 1
+""")
+def tsp_nn_tour_q(sf_dir: str) -> pd.DataFrame:
+    """Greedy NN tour over top-10 tokens, exact edit distances."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.pipelines.queries_text import _levenshtein
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for tok in (t or "").split():
+                rows[tok] = rows.get(tok, 0) + 1
+        return pd.DataFrame({"token": list(rows),
+                             "c": np.array(list(rows.values()),
+                                           dtype=np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("token", as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: vocabulary
+    tot = merged.set_index("token")["c"]
+    top10 = sorted(tot.index, key=lambda t: (-int(tot[t]), t))[:10]
+    cur = min(top10)
+    visited = [cur]
+    cost = 0
+    while len(visited) < len(top10):
+        cands = sorted((w for w in top10 if w not in visited),
+                       key=lambda w: (_levenshtein(cur, w), w))
+        nxt = cands[0]
+        cost += _levenshtein(cur, nxt)
+        visited.append(nxt)
+        cur = nxt
+    return pd.DataFrame({"n_hops": [len(visited) - 1],
+                         "tour_cost": [cost],
+                         "tour": [">".join(visited)]}) \
+        .astype({"n_hops": np.int64, "tour_cost": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# 2-approximate vertex cover of the token bigram graph by greedy
+# maximal matching: scan edges in (a, b) lexicographic order, take an
+# edge when both endpoints are free — cover = both endpoints of every
+# matched edge, guaranteed within 2x of optimum.  The SQL twin replays
+# the scan in a linear recursive CTE over the sorted edge list.
+# ---------------------------------------------------------------------------
+
+@query("vertex_cover_2approx", sql="""
+WITH RECURSIVE toks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text, ''),
+                                           '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), pairs AS (
+  SELECT t[i] AS a, t[i+1] AS b
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM pairs WHERE a <> b
+), el AS MATERIALIZED (
+  SELECT a, b, row_number() OVER (ORDER BY a, b) AS r FROM und
+), nn AS (SELECT count(*)::BIGINT AS n FROM el),
+scan(r, cover, matched) AS (
+  SELECT 0::BIGINT, CAST([] AS VARCHAR[]), 0::BIGINT
+  UNION ALL
+  SELECT e.r,
+         CASE WHEN list_contains(scan.cover, e.a)
+                OR list_contains(scan.cover, e.b)
+              THEN scan.cover
+              ELSE list_append(list_append(scan.cover, e.a), e.b) END,
+         scan.matched
+           + (NOT (list_contains(scan.cover, e.a)
+                   OR list_contains(scan.cover, e.b)))::INT
+  FROM scan JOIN el e ON e.r = scan.r + 1
+)
+SELECT nn.n AS n_edges, s.matched AS matching_size,
+       len(s.cover)::BIGINT AS cover_size
+FROM scan s, nn WHERE s.r = nn.n
+""")
+def vertex_cover_q(sf_dir: str) -> pd.DataFrame:
+    """Greedy-matching vertex cover of the bigram graph."""
+    from dataquality_ray.pipelines.queries_mining import bigram_edges
+
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    und = sorted({tuple(sorted((a, b)))
+                  for a, b in zip(edges["src"], edges["dst"]) if a != b})
+    cover: set = set()
+    matched = 0
+    for a, b in und:
+        if a not in cover and b not in cover:
+            cover.add(a)
+            cover.add(b)
+            matched += 1
+    return pd.DataFrame({"n_edges": [len(und)],
+                         "matching_size": [matched],
+                         "cover_size": [len(cover)]}).astype(np.int64)

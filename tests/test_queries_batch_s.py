@@ -59,3 +59,19 @@ def test_cf_convergents_are_best_approximations():
     errs = (out["err_scaled"] / out["q"]).to_numpy()
     assert all(errs[i + 1] < errs[i] for i in range(len(errs) - 1)) \
         or len(errs) == 1
+
+
+def test_tsp_tour_visits_all_once():
+    out = qa.tsp_nn_tour_q(SF)
+    r = out.iloc[0]
+    stops = r["tour"].split(">")
+    assert len(stops) == len(set(stops)) == int(r["n_hops"]) + 1
+    assert int(r["tour_cost"]) > 0
+
+
+def test_vertex_cover_covers_and_2approx():
+    out = qa.vertex_cover_q(SF)
+    r = out.iloc[0]
+    # cover = 2 * matching, and matching is a lower bound on any cover
+    assert int(r["cover_size"]) == 2 * int(r["matching_size"])
+    assert int(r["matching_size"]) >= 1
