@@ -8349,3 +8349,108 @@ def bk_tree_q(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values(["probe", "match"]).reset_index(drop=True)
     out["dist"] = out["dist"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# LCS between the top-20 token rankings of the two biggest sources —
+# "how much of the frequency profile survives the source change", as
+# the longest common subsequence of the two rank-ordered token lists.
+# Same prefix-trick unroll as dtw_daily_volumes: within-row moves add
+# nothing, so D[i][j] = running_max_k<=j max(D[i-1][k-1] + m_ik,
+# D[i-1][k]) — one window max per unrolled row CTE.
+# ---------------------------------------------------------------------------
+
+_LCS_K = 20
+
+
+def _lcs_sql(k: int = _LCS_K) -> str:
+    head = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                  '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT source, token, count(*)::BIGINT AS c
+  FROM toks GROUP BY source, token
+), s2 AS MATERIALIZED (
+  SELECT source, row_number() OVER (ORDER BY sum(c) DESC, source) AS g
+  FROM cnt GROUP BY source
+), ra AS MATERIALIZED (
+  SELECT token, row_number() OVER (ORDER BY c DESC, token) AS i
+  FROM cnt JOIN s2 USING (source) WHERE s2.g = 1
+  ORDER BY i LIMIT {k}
+), rb AS MATERIALIZED (
+  SELECT token, row_number() OVER (ORDER BY c DESC, token) AS j
+  FROM cnt JOIN s2 USING (source) WHERE s2.g = 2
+  ORDER BY j LIMIT {k}
+), r1 AS MATERIALIZED (
+  SELECT rb.j,
+         max((ra.token = rb.token)::BIGINT)
+           OVER (ORDER BY rb.j)::BIGINT AS dd
+  FROM rb JOIN ra ON ra.i = 1
+)"""
+    parts = [head]
+    for i in range(2, k + 1):
+        parts.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT j, max(cand) OVER (ORDER BY j)::BIGINT AS dd
+  FROM (
+    SELECT rb.j,
+           greatest(r{i - 1}.dd,
+                    coalesce(lag(r{i - 1}.dd) OVER (ORDER BY rb.j), 0)
+                    + (ra.token = rb.token)::BIGINT) AS cand
+    FROM rb JOIN ra ON ra.i = {i}
+            JOIN r{i - 1} ON r{i - 1}.j = rb.j
+  )
+)"""
+                     )
+    parts.append(f"""
+SELECT (SELECT count(*) FROM ra)::BIGINT AS k_a,
+       (SELECT count(*) FROM rb)::BIGINT AS k_b,
+       (SELECT dd FROM r{k} ORDER BY j DESC LIMIT 1) AS lcs_len""")
+    return "".join(parts)
+
+
+@query("lcs_token_rankings", sql=_lcs_sql())
+def lcs_token_rankings_q(sf_dir: str) -> pd.DataFrame:
+    """LCS length of the two biggest sources' top-20 token lists."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows: dict[tuple[str, str], int] = {}
+        for src, t in zip(b["source"].to_pylist(),
+                          b["text"].to_pylist()):
+            for tok in (t or "").split():
+                rows[(src, tok)] = rows.get((src, tok), 0) + 1
+        ks = list(rows)
+        return pd.DataFrame({"source": [a for a, _ in ks],
+                             "token": [b_ for _, b_ in ks],
+                             "c": np.array(list(rows.values()),
+                                           dtype=np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "token"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: sources x vocab
+    stot = merged.groupby("source")["c"].sum()
+    top2 = sorted(stot.index, key=lambda s: (-int(stot[s]), s))[:2]
+
+    def ranking(src: str) -> list[str]:
+        g = merged[merged["source"] == src]
+        g = g.sort_values(["c", "token"], ascending=[False, True])
+        return g["token"].head(_LCS_K).tolist()
+
+    a, b = ranking(top2[0]), ranking(top2[1])
+    prev = np.zeros(len(b), dtype=np.int64)
+    for i, ta in enumerate(a):
+        m = np.array([ta == tb for tb in b], dtype=np.int64)
+        shifted = np.concatenate(([np.int64(0)], prev[:-1]))
+        cand = np.maximum(prev, shifted + m)
+        prev = np.maximum.accumulate(cand)
+    return pd.DataFrame({"k_a": [len(a)], "k_b": [len(b)],
+                         "lcs_len": [int(prev[-1])]}).astype(np.int64)

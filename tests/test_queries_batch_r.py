@@ -70,3 +70,9 @@ def test_bk_tree_prunes_and_is_exact():
                   if qt._levenshtein("window", w) <= 2)
     assert got == want
     assert tree.computations <= len(vocab)  # never worse than brute
+
+
+def test_lcs_rankings_bounds():
+    out = qt.lcs_token_rankings_q(SF)
+    r = out.iloc[0]
+    assert 0 <= int(r["lcs_len"]) <= min(int(r["k_a"]), int(r["k_b"]))
