@@ -2610,3 +2610,143 @@ def p95_fallacy_q(sf_dir: str):
     return pd.DataFrame({"global_p95": [g95],
                          "median_of_group_p95": [med],
                          "gap": [g95 - med]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Lorenz asymmetry coefficient of order values: LAC = F(mu) + L(mu)
+# where F is the population share below the mean and L the value share
+# they hold — LAC < 1 means inequality is driven by many small values,
+# > 1 by few huge ones.  Discrete form, mean comparison via exact
+# cross-multiplication (x*n < S), one ppm division.
+# ---------------------------------------------------------------------------
+
+@query("lorenz_asymmetry_orders", sql="""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders
+), t AS (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s FROM c
+), below AS (
+  SELECT count(*)::HUGEINT AS a, coalesce(sum(x), 0)::HUGEINT AS b
+  FROM c, t WHERE x * t.n < t.s
+)
+SELECT t.n::BIGINT AS n, below.a::BIGINT AS n_below,
+       below.b::BIGINT AS mass_below,
+       ((below.a * t.s + below.b * t.n) * 1000000
+        // (t.n * t.s))::BIGINT AS lac_ppm
+FROM t, below
+""")
+def lorenz_asymmetry_q(sf_dir: str):
+    """Discrete Lorenz asymmetry coefficient over order cents."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        x = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        f = pd.DataFrame({"x": x, "c": 1})
+        return f.groupby("x", as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("x", as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "orders", ["o_totalprice"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: distinct cent totals
+    x = merged["x"].to_numpy(np.int64).astype(object)
+    c = merged["c"].to_numpy(np.int64).astype(object)
+    n = int(c.sum())
+    s = int((x * c).sum())
+    mask = x * n < s
+    a = int(c[mask].sum())
+    b_ = int((x[mask] * c[mask]).sum())
+    return pd.DataFrame({
+        "n": [n], "n_below": [a], "mass_below": [b_],
+        "lac_ppm": [(a * s + b_ * n) * 1_000_000 // (n * s)]}
+    ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Theil T decomposition of doc-length inequality into between-source
+# and within-source components (micro-nat floor-ln convention of
+# theil_index_by_source): T_between = sum_g S_g*(lnf(S_g)-lnf(n_g))//S
+# - (lnf(S)-lnf(n)); T_within = sum_g S_g*T_g // S.  The residual
+# T_total - T_between - T_within is pure floor drift, reported for
+# transparency.
+# ---------------------------------------------------------------------------
+
+@query("theil_decomposition_sources", sql="""
+WITH f AS (
+  SELECT source, n_chars AS x FROM documents WHERE n_chars > 0
+), d AS (
+  SELECT source, x, count(*)::BIGINT AS c FROM f GROUP BY source, x
+), g AS (
+  SELECT source, sum(c)::BIGINT AS n, sum(x * c)::BIGINT AS s,
+         sum(c * x * floor(ln(x) * 1e6)::BIGINT)::BIGINT AS sxl
+  FROM d GROUP BY source
+), gg AS (
+  SELECT source, n, s, sxl,
+         (sxl // s - (floor(ln(s) * 1e6)::BIGINT
+                      - floor(ln(n) * 1e6)::BIGINT))::BIGINT AS tg
+  FROM g
+), t AS (
+  SELECT sum(n)::BIGINT AS n, sum(s)::BIGINT AS s,
+         sum(sxl)::BIGINT AS sxl,
+         sum(s * (floor(ln(s) * 1e6)::BIGINT
+                  - floor(ln(n) * 1e6)::BIGINT))::BIGINT AS btw_num,
+         sum(s::HUGEINT * tg)::HUGEINT AS within_num
+  FROM gg
+)
+SELECT (sxl // s - (floor(ln(s) * 1e6)::BIGINT
+                    - floor(ln(n) * 1e6)::BIGINT))::BIGINT
+         AS t_total,
+       (btw_num // s - (floor(ln(s) * 1e6)::BIGINT
+                        - floor(ln(n) * 1e6)::BIGINT))::BIGINT
+         AS t_between,
+       CAST(within_num // s AS BIGINT) AS t_within
+FROM t
+""")
+def theil_decomposition_q(sf_dir: str):
+    """Between/within Theil decomposition; see comment for the floor
+    points."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def lnf(v: int) -> int:
+        return math.floor(math.log(v) * 1e6)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        x = b["n_chars"].to_numpy(zero_copy_only=False)
+        m = x > 0
+        f = pd.DataFrame({"source": np.asarray(
+            b["source"].to_pylist())[m], "x": x[m], "c": 1})
+        return f.groupby(["source", "x"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "x"], as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "documents", ["source", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: sources x lengths
+    gs = []
+    for src, g in merged.groupby("source"):
+        x = g["x"].to_numpy(np.int64).astype(object)
+        c = g["c"].to_numpy(np.int64).astype(object)
+        n = int(c.sum())
+        s = int((x * c).sum())
+        sxl = int(sum(int(ci) * int(xi) * lnf(int(xi))
+                      for xi, ci in zip(x, c)))
+        tg = sxl // s - (lnf(s) - lnf(n))
+        gs.append((n, s, sxl, tg))
+    n = sum(v[0] for v in gs)
+    s = sum(v[1] for v in gs)
+    sxl = sum(v[2] for v in gs)
+    btw_num = sum(v[1] * (lnf(v[1]) - lnf(v[0])) for v in gs)
+    within_num = sum(v[1] * v[3] for v in gs)
+    t_total = sxl // s - (lnf(s) - lnf(n))
+    t_between = btw_num // s - (lnf(s) - lnf(n))
+    t_within = within_num // s
+    return pd.DataFrame({"t_total": [t_total],
+                         "t_between": [t_between],
+                         "t_within": [t_within]}).astype(np.int64)

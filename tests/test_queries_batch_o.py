@@ -58,3 +58,20 @@ def test_erlang_c_monotone_in_servers():
     assert (p[1:] <= p[:-1]).all()
     assert (out["pwait_ppm"] >= 0).all()
     assert (out["pwait_ppm"] <= 1_000_000).all()
+
+
+def test_lorenz_asymmetry_near_balanced_band():
+    out = qs.lorenz_asymmetry_q(SF)
+    r = out.iloc[0]
+    # F(mu) in [0,1], L(mu) in [0,1] => LAC in [0, 2]
+    assert 0 <= int(r["lac_ppm"]) <= 2_000_000
+    assert int(r["n_below"]) <= int(r["n"])
+
+
+def test_theil_decomposition_additive_within_floor_drift():
+    out = qs.theil_decomposition_q(SF)
+    r = out.iloc[0]
+    resid = int(r["t_total"]) - int(r["t_between"]) - int(r["t_within"])
+    # decomposition is exact up to floor drift (micro-nats)
+    assert abs(resid) < 1000
+    assert int(r["t_total"]) >= 0
