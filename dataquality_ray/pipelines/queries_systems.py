@@ -1824,3 +1824,111 @@ def german_tank_q(sf_dir: str) -> pd.DataFrame:
     for c in ("n", "max_key", "n_hat"):
         merged[c] = merged[c].astype(np.int64)
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Reverse Cuthill-McKee bandwidth audit of the token bigram graph:
+# matrix bandwidth (max |pos(u) - pos(v)| over edges) under the naive
+# lexicographic ordering vs the RCM ordering (BFS from the minimum-
+# degree vertex, neighbors appended in (degree, token) order, restart
+# at the min-(degree, token) unvisited vertex per component, then
+# reverse).  The SQL twin replays the BFS queue in a linear recursive
+# CTE whose state is the emitted order list.
+# ---------------------------------------------------------------------------
+
+def _rcm_sql() -> str:
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT {_TOK_SQL} AS t FROM documents
+), pairs AS (
+  SELECT t[i] AS a, t[i+1] AS b
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM pairs WHERE a <> b
+), adj AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+), deg AS MATERIALIZED (
+  SELECT u, count(*)::BIGINT AS d FROM adj GROUP BY u
+), nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+walk(step, qi, ordr) AS (
+  SELECT 0::BIGINT, 0::BIGINT, CAST([] AS VARCHAR[])
+  UNION ALL
+  SELECT walk.step + 1,
+    CASE WHEN walk.qi < len(walk.ordr) THEN walk.qi + 1
+         ELSE walk.qi END,
+    CASE WHEN walk.qi < len(walk.ordr)
+         THEN walk.ordr || coalesce(
+           (SELECT list(x.v ORDER BY x.d, x.v) FROM (
+              SELECT DISTINCT adj.v, deg.d
+              FROM adj JOIN deg ON deg.u = adj.v
+              WHERE adj.u = walk.ordr[walk.qi + 1]
+                AND NOT list_contains(walk.ordr, adj.v)) x),
+           CAST([] AS VARCHAR[]))
+         ELSE walk.ordr || coalesce(
+           (SELECT [y.u] FROM (
+              SELECT deg.u, deg.d FROM deg
+              WHERE NOT list_contains(walk.ordr, deg.u)) y
+            ORDER BY y.d, y.u LIMIT 1),
+           CAST([] AS VARCHAR[])) END
+  FROM walk, nn
+  WHERE len(walk.ordr) < nn.n
+), final AS (
+  SELECT ordr FROM walk ORDER BY step DESC LIMIT 1
+), pos_lex AS (
+  SELECT u, row_number() OVER (ORDER BY u) AS p FROM deg
+), pos_rcm AS (
+  SELECT f.ordr[g.i] AS u, (len(f.ordr) - g.i + 1)::BIGINT AS p
+  FROM final f, unnest(range(1, len(f.ordr) + 1)) g(i)
+)
+SELECT nn.n AS n_vertices,
+       (SELECT count(*) FROM und)::BIGINT AS n_edges,
+       (SELECT max(abs(pa.p - pb.p)) FROM und
+        JOIN pos_lex pa ON pa.u = und.a
+        JOIN pos_lex pb ON pb.u = und.b)::BIGINT AS bandwidth_lex,
+       (SELECT max(abs(pa.p - pb.p)) FROM und
+        JOIN pos_rcm pa ON pa.u = und.a
+        JOIN pos_rcm pb ON pb.u = und.b)::BIGINT AS bandwidth_rcm
+FROM nn
+"""
+
+
+@query("rcm_bandwidth_audit", sql=_rcm_sql())
+def rcm_bandwidth_q(sf_dir: str) -> pd.DataFrame:
+    """Bandwidth before/after Reverse Cuthill-McKee ordering."""
+    from dataquality_ray.pipelines.queries_mining import bigram_edges
+
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    und = sorted({tuple(sorted((a, b)))
+                  for a, b in zip(edges["src"], edges["dst"]) if a != b})
+    verts = sorted({v for e in und for v in e})
+    adj: dict[str, set] = {v: set() for v in verts}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(adj[v]) for v in verts}
+    order: list[str] = []
+    emitted: set = set()
+    qi = 0
+    while len(order) < len(verts):
+        if qi >= len(order):  # queue exhausted -> restart
+            seed = min((v for v in verts if v not in emitted),
+                       key=lambda v: (deg[v], v))
+            order.append(seed)
+            emitted.add(seed)
+        else:
+            u = order[qi]
+            qi += 1
+            for v in sorted(adj[u] - emitted,
+                            key=lambda w: (deg[w], w)):
+                order.append(v)
+                emitted.add(v)
+    rcm = list(reversed(order))
+    pos_lex = {v: i + 1 for i, v in enumerate(verts)}
+    pos_rcm = {v: i + 1 for i, v in enumerate(rcm)}
+    bw_lex = max(abs(pos_lex[a] - pos_lex[b]) for a, b in und)
+    bw_rcm = max(abs(pos_rcm[a] - pos_rcm[b]) for a, b in und)
+    return pd.DataFrame({
+        "n_vertices": [len(verts)], "n_edges": [len(und)],
+        "bandwidth_lex": [bw_lex], "bandwidth_rcm": [bw_rcm]}
+    ).astype(np.int64)

@@ -56,3 +56,12 @@ def test_salt_planner_caps_hold():
         if int(r["salts"]) > 1:
             assert (int(r["cnt"]) + int(r["salts"]) - 2) \
                 // (int(r["salts"]) - 1) > int(r["cap"])
+
+
+def test_rcm_reduces_or_matches_bandwidth():
+    out = qy.rcm_bandwidth_q("/root/testdata/sf0.001")
+    r = out.iloc[0]
+    # RCM exists to reduce bandwidth; on this graph it must not be
+    # worse than a full-width ordering, and both are valid bandwidths
+    assert 1 <= int(r["bandwidth_rcm"]) <= int(r["n_vertices"]) - 1
+    assert 1 <= int(r["bandwidth_lex"]) <= int(r["n_vertices"]) - 1
