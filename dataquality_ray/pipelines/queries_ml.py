@@ -2237,3 +2237,84 @@ def mincut_audit_q(sf_dir: str) -> pd.DataFrame:
             best = key
     return pd.DataFrame({"max_flow": [best[0]],
                          "min_cut_mask": [best[1]]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Youden's J optimal threshold for the length ranker on the rare
+# 'dup' label: maximize J = TPR - FPR over all cuts "x >= t".  With
+# cumulative (tp, fp) over distinct lengths descending, J compares
+# exactly via cross-multiplication J_scaled = tp*N - fp*P over P*N;
+# ties pick the smallest threshold.
+# ---------------------------------------------------------------------------
+
+@query("youden_j_threshold", sql="""
+WITH f AS (
+  SELECT n_chars AS v,
+         (position('dup' IN coalesce(text, '')) > 0)::BIGINT AS y
+  FROM documents
+), cnt AS (
+  SELECT v, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
+  FROM f GROUP BY v
+), tot AS (
+  SELECT sum(c)::BIGINT AS n_all, sum(p)::BIGINT AS p_all FROM cnt
+), cum AS (
+  SELECT v, sum(p) OVER (ORDER BY v DESC)::BIGINT AS tp,
+         (sum(c) OVER (ORDER BY v DESC)
+          - sum(p) OVER (ORDER BY v DESC))::BIGINT AS fp
+  FROM cnt
+), sc AS (
+  SELECT v, tp, fp,
+         (tp::HUGEINT * (n_all - p_all) - fp::HUGEINT * p_all)
+           ::HUGEINT AS j_num
+  FROM cum, tot
+)
+SELECT v AS threshold, tp, fp,
+       (CASE WHEN j_num < 0
+             THEN -((-j_num) * 1000000
+                    // (tot.p_all::HUGEINT * (tot.n_all - tot.p_all)))
+             ELSE j_num * 1000000
+                  // (tot.p_all::HUGEINT * (tot.n_all - tot.p_all))
+        END)::BIGINT AS j_ppm
+FROM sc, tot ORDER BY j_num DESC, v LIMIT 1
+""")
+def youden_j_q(sf_dir: str) -> pd.DataFrame:
+    """argmax_t TPR - FPR for the 'x >= t' rule, exact integers."""
+    from dataquality_ray.pipelines.queries_stats import _trunc_div
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        t = b["text"].to_pandas().fillna("")
+        f = pd.DataFrame({
+            "v": b["n_chars"].to_numpy(zero_copy_only=False),
+            "c": 1,
+            "p": t.str.contains("dup", regex=False)
+                  .to_numpy().astype(np.int64)})
+        return f.groupby("v", as_index=False)[["c", "p"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("v", as_index=False)[["c", "p"]].sum()
+
+    stage = (_read(sf_dir, "documents", ["n_chars", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok and merged is not None  # bounded: distinct doc lengths
+    merged = merged.sort_values("v", ascending=False).reset_index(
+        drop=True)
+    c = merged["c"].to_numpy(np.int64)
+    p = merged["p"].to_numpy(np.int64)
+    n_all, p_all = int(c.sum()), int(p.sum())
+    tp = np.cumsum(p)
+    fp = np.cumsum(c) - tp
+    best = None
+    for i in range(len(c)):
+        jn = int(tp[i]) * (n_all - p_all) - int(fp[i]) * p_all
+        key = (-jn, int(merged["v"].iloc[i]))
+        if best is None or key < best[0]:
+            best = (key, i, jn)
+    i, jn = best[1], best[2]
+    return pd.DataFrame({
+        "threshold": [int(merged["v"].iloc[i])], "tp": [int(tp[i])],
+        "fp": [int(fp[i])],
+        "j_ppm": [_trunc_div(jn * 1_000_000,
+                             p_all * (n_all - p_all))]}
+    ).astype(np.int64)

@@ -1932,3 +1932,60 @@ def rcm_bandwidth_q(sf_dir: str) -> pd.DataFrame:
         "n_vertices": [len(verts)], "n_edges": [len(und)],
         "bandwidth_lex": [bw_lex], "bandwidth_rcm": [bw_rcm]}
     ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Compression-dictionary advisor (zstd-style shared dictionary): the
+# 16 most valuable 8-char substrings (char 8-grams at word-aligned
+# starts), scored by occurrences * (len - 2) bytes saved if replaced
+# by a 2-byte dictionary reference — exact integer estimate of a
+# shared-dictionary win over the corpus.  Ties: lexicographic gram.
+# ---------------------------------------------------------------------------
+
+@query("compression_dictionary_advisor", sql="""
+WITH toks AS (
+  SELECT text, list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                 '\\s+'),
+                           x -> x <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT substr(t[u.i], 1, 8) AS g
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE len(t[u.i]) >= 8
+), cnt AS (
+  SELECT g, count(*)::BIGINT AS occurrences FROM grams GROUP BY g
+)
+SELECT g AS gram, occurrences,
+       (occurrences * 6)::BIGINT AS bytes_saved
+FROM cnt ORDER BY occurrences * 6 DESC, g LIMIT 16
+""")
+def compression_dict_q(sf_dir: str) -> pd.DataFrame:
+    """Top-16 word-initial 8-grams by dictionary-replacement savings."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for w in (t or "").split():
+                if len(w) >= 8:
+                    g = w[:8]
+                    rows[g] = rows.get(g, 0) + 1
+        return pd.DataFrame({"gram": list(rows),
+                             "occurrences": np.array(
+                                 list(rows.values()), dtype=np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("gram", as_index=False)["occurrences"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: 8-gram prefixes
+    merged["bytes_saved"] = merged["occurrences"] * 6
+    out = merged.sort_values(["bytes_saved", "gram"],
+                             ascending=[False, True]).head(16)
+    out = out[["gram", "occurrences", "bytes_saved"]] \
+        .reset_index(drop=True)
+    out["occurrences"] = out["occurrences"].astype(np.int64)
+    out["bytes_saved"] = out["bytes_saved"].astype(np.int64)
+    return out

@@ -33,3 +33,12 @@ def test_hard_negative_pairs_cross_label():
     assert (out["label_a"] != out["label_b"]).all()
     assert (out["id_a"] < out["id_b"]).all()
     assert out["d2"].is_monotonic_increasing
+
+
+def test_youden_j_dominates_trivial():
+    out = qm.youden_j_q(SF)
+    r = out.iloc[0]
+    # trivial all-positive / all-negative rules give J = 0; the argmax
+    # can't be negative
+    assert int(r["j_ppm"]) >= 0
+    assert int(r["tp"]) >= 1
