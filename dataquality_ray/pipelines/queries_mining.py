@@ -9355,3 +9355,108 @@ def tenure_activity_correlation_q(sf_dir: str):
          if vx > 0 and vy > 0 else None)
     return pd.DataFrame({"n": [np.int64(n)],
                          "r": pd.Series([r], dtype=np.float64)})
+
+
+# ---------------------------------------------------------------------------
+# Restricted mean survival time (RMST) of user retention to horizon
+# tau = 14 days: the area under the Kaplan-Meier curve, with each
+# step's survival floored to ppm (the float product chain is the same
+# left-associated (1.0*(n-d))/n recursion as kaplan_meier_retention;
+# flooring each step makes the area an exact integer sum, so no
+# float-addition-order hazard exists on either engine).
+# ---------------------------------------------------------------------------
+
+_RMST_TAU = 14
+
+
+@query("rmst_retention", sql=f"""
+WITH RECURSIVE u AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_us,
+         max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id
+), hz AS (SELECT max(last_us) AS h FROM u),
+lt AS (
+  SELECT (last_us - first_us) // 86400000000 AS t_day,
+         CASE WHEN last_us <= (SELECT h FROM hz) - 3600000000
+              THEN 1 ELSE 0 END AS ev
+  FROM u
+), agg AS (
+  SELECT t_day, sum(ev)::BIGINT AS d, count(*)::BIGINT AS c
+  FROM lt GROUP BY t_day
+), r AS (
+  SELECT t_day, d,
+         sum(c) OVER (ORDER BY t_day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+  FROM agg
+), dd AS (
+  SELECT t_day, d, n, row_number() OVER (ORDER BY t_day) AS i
+  FROM r WHERE d > 0
+), km AS (
+  SELECT t_day, d, n, i, (1.0 * (n - d)) / n AS s FROM dd WHERE i = 1
+  UNION ALL
+  SELECT dd.t_day, dd.d, dd.n, dd.i,
+         km.s * ((1.0 * (dd.n - dd.d)) / dd.n)
+  FROM dd JOIN km ON dd.i = km.i + 1
+), steps AS (
+  SELECT t_day, floor(1000000 * s)::BIGINT AS s_ppm,
+         lead(t_day) OVER (ORDER BY t_day) AS nxt
+  FROM km WHERE t_day < {_RMST_TAU}
+), area AS (
+  SELECT coalesce(sum(s_ppm * (least(coalesce(nxt, {_RMST_TAU}),
+                                     {_RMST_TAU}) - t_day)), 0)
+           ::BIGINT AS tail_area,
+         coalesce(min(t_day), {_RMST_TAU})::BIGINT AS first_death
+  FROM steps
+)
+SELECT first_death,
+       (1000000 * least(first_death, {_RMST_TAU})
+        + tail_area)::BIGINT AS rmst_ppm_days
+FROM area
+""")
+def rmst_retention_q(sf_dir: str):
+    """RMST to {_RMST_TAU} days; see comment for the ppm-floor area."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "first_us": us, "last_us": us})
+        return f.groupby("user_id", as_index=False).agg(
+            first_us=("first_us", "min"), last_us=("last_us", "max"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("user_id", as_index=False).agg(
+            first_us=("first_us", "min"), last_us=("last_us", "max"))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: users at cap
+    h = int(merged["last_us"].max())
+    t_day = ((merged["last_us"] - merged["first_us"])
+             // 86_400_000_000).astype(np.int64)
+    ev = (merged["last_us"] <= h - 3_600_000_000).astype(np.int64)
+    f = pd.DataFrame({"t": t_day, "d": ev, "c": 1})
+    agg = f.groupby("t", as_index=False).agg(d=("d", "sum"),
+                                             c=("c", "sum"))
+    agg = agg.sort_values("t").reset_index(drop=True)
+    n_at_risk = agg["c"][::-1].cumsum()[::-1].to_numpy(np.int64)
+    s = None
+    steps = []
+    for t, d, n in zip(agg["t"], agg["d"], n_at_risk):
+        if int(d) == 0:
+            continue
+        term = (1.0 * (int(n) - int(d))) / int(n)
+        s = term if s is None else s * term
+        steps.append((int(t), int(np.floor(1_000_000 * s))))
+    tau = _RMST_TAU
+    in_window = [(t, sp) for t, sp in steps if t < tau]
+    first_death = in_window[0][0] if in_window else tau
+    tail = 0
+    for i, (t, sp) in enumerate(in_window):
+        nxt = in_window[i + 1][0] if i + 1 < len(in_window) else tau
+        tail += sp * (min(nxt, tau) - t)
+    rmst = 1_000_000 * min(first_death, tau) + tail
+    return pd.DataFrame({"first_death": [first_death],
+                         "rmst_ppm_days": [rmst]}).astype(np.int64)

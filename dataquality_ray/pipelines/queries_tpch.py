@@ -10529,3 +10529,50 @@ def bullwhip_q(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_order_months": [na],
                          "n_demand_months": [nb],
                          "bullwhip_ppm": [bw]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Join fan-out profile: the distribution of per-orderkey lineitem
+# multiplicities — the number a planner multiplies by to size an
+# orders x lineitem join output, with the exact expected-fanout ratio
+# in ppm.
+# ---------------------------------------------------------------------------
+
+@query("join_fanout_profile", sql="""
+WITH f AS (
+  SELECT l_orderkey, count(*)::BIGINT AS fanout
+  FROM lineitem GROUP BY l_orderkey
+), h AS (
+  SELECT fanout, count(*)::BIGINT AS n_orders FROM f GROUP BY fanout
+), t AS (
+  SELECT sum(fanout * n_orders)::BIGINT AS rows_li,
+         sum(n_orders)::BIGINT AS keys
+  FROM h
+)
+SELECT h.fanout, h.n_orders,
+       (t.rows_li * 1000000 // t.keys)::BIGINT AS mean_fanout_ppm
+FROM h, t ORDER BY h.fanout
+""")
+def join_fanout_q(sf_dir: str) -> pd.DataFrame:
+    """Histogram of lineitem-per-order fanout + mean fanout ppm."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"k": b["l_orderkey"].to_numpy(
+            zero_copy_only=False), "c": 1})
+        return f.groupby("k", as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("k", as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "lineitem", ["l_orderkey"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: order keys at cap
+    h = merged.groupby("c").size().reset_index(name="n_orders")
+    h.columns = ["fanout", "n_orders"]
+    h = h.sort_values("fanout").reset_index(drop=True)
+    rows_li = int((h["fanout"] * h["n_orders"]).sum())
+    keys = int(h["n_orders"].sum())
+    h["mean_fanout_ppm"] = rows_li * 1_000_000 // keys
+    return h.astype(np.int64)

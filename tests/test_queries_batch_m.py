@@ -25,3 +25,22 @@ def test_pass_at_k_matches_comb_formula():
             want = 1_000_000 - comb(n - c, k) * 1_000_000 // comb(n, k)
         assert int(r["pass_ppm"]) == want
     assert 0 <= int(out["mean_ppm"].iloc[0]) <= 1_000_000
+
+
+def test_rmst_bounded_by_horizon():
+    from dataquality_ray.pipelines import queries_mining as qn
+
+    out = qn.rmst_retention_q(SF)
+    r = out.iloc[0]
+    # 0 <= RMST <= tau days (in ppm-days)
+    assert 0 <= int(r["rmst_ppm_days"]) <= qn._RMST_TAU * 1_000_000
+
+
+def test_join_fanout_mass_conserves():
+    out = qh.join_fanout_q(SF)
+    import duckdb
+
+    con = duckdb.connect()
+    n_li = con.execute(
+        f"SELECT count(*) FROM '{SF}/lineitem.parquet'").fetchone()[0]
+    assert int((out["fanout"] * out["n_orders"]).sum()) == n_li
