@@ -9460,3 +9460,117 @@ def rmst_retention_q(sf_dir: str):
     rmst = 1_000_000 * min(first_death, tau) + tail
     return pd.DataFrame({"first_death": [first_death],
                          "rmst_ppm_days": [rmst]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Run-length profile of same-type event runs per user (gaps-and-
+# islands): how long users stay on one event type before switching —
+# the histogram a session-segmentation heuristic is tuned from.
+# ---------------------------------------------------------------------------
+
+@query("event_run_length_profile", sql="""
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS r
+  FROM events
+), g AS (
+  SELECT user_id, event_type, r,
+         r - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY r) AS island
+  FROM o
+), runs AS (
+  SELECT count(*)::BIGINT AS run_len
+  FROM g GROUP BY user_id, event_type, island
+)
+SELECT run_len, count(*)::BIGINT AS n_runs
+FROM runs GROUP BY run_len ORDER BY run_len
+""")
+def event_run_length_q(sf_dir: str):
+    """Same-type run-length histogram, per-user islands."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["us", "event_id"])
+        t = g["event_type"].to_numpy()
+        if len(t) == 0:
+            return pd.DataFrame({"run_len": [], "n": []})
+        change = np.concatenate([[True], t[1:] != t[:-1]])
+        ids = np.cumsum(change)
+        lens = pd.Series(ids).value_counts().to_numpy()
+        f = pd.Series(lens).value_counts().sort_index()
+        return pd.DataFrame({"run_len": f.index.to_numpy(np.int64),
+                             "n": f.to_numpy(np.int64)})
+
+    def prep(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": b["event_type"].to_pylist(),
+            "us": b["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "event_id": b["event_id"].to_numpy(zero_copy_only=False)})
+
+    ds = (_read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                   "event_id"])
+          .map_batches(prep, batch_format="pyarrow"))
+    hist = (ds.groupby("user_id")
+            .map_groups(per_user, batch_format="pandas")
+            .to_pandas())
+    out = hist.groupby("run_len", as_index=False)["n"].sum()
+    out.columns = ["run_len", "n_runs"]
+    return out.sort_values("run_len").reset_index(drop=True) \
+        .astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Exact Pareto cutoff: the smallest number of customers whose summed
+# revenue reaches 80% of the total (cents, cross-multiplied 5*cum >=
+# 4*total so no division happens), plus their exact share.
+# ---------------------------------------------------------------------------
+
+@query("pareto_8020_customers", sql="""
+WITH c AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+  FROM orders GROUP BY o_custkey
+), t AS (
+  SELECT sum(cents)::BIGINT AS total, count(*)::BIGINT AS n_cust FROM c
+), r AS (
+  SELECT cents,
+         sum(cents) OVER (ORDER BY cents DESC, o_custkey)::BIGINT
+           AS cum,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS k
+  FROM c
+)
+SELECT t.n_cust,
+       min(r.k)::BIGINT AS k_customers,
+       (min(r.k) * 1000000 // t.n_cust)::BIGINT AS cust_share_ppm
+FROM r, t WHERE 5 * r.cum >= 4 * t.total
+GROUP BY t.n_cust
+""")
+def pareto_8020_q(sf_dir: str):
+    """Smallest top-revenue customer set reaching 80% of revenue."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cents = np.round(b["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        f = pd.DataFrame({"ck": b["o_custkey"].to_numpy(
+            zero_copy_only=False), "cents": cents})
+        return f.groupby("ck", as_index=False)["cents"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("ck", as_index=False)["cents"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: customer dimension
+    merged = merged.sort_values(["cents", "ck"],
+                                ascending=[False, True])
+    cum = np.cumsum(merged["cents"].to_numpy(np.int64).astype(object))
+    total = int(cum[-1])
+    n_cust = len(merged)
+    k = next(i + 1 for i, cm in enumerate(cum)
+             if 5 * int(cm) >= 4 * total)
+    return pd.DataFrame({
+        "n_cust": [n_cust], "k_customers": [k],
+        "cust_share_ppm": [k * 1_000_000 // n_cust]}).astype(np.int64)

@@ -44,3 +44,25 @@ def test_join_fanout_mass_conserves():
     n_li = con.execute(
         f"SELECT count(*) FROM '{SF}/lineitem.parquet'").fetchone()[0]
     assert int((out["fanout"] * out["n_orders"]).sum()) == n_li
+
+
+def test_event_runs_conserve_events():
+    from dataquality_ray.pipelines import queries_mining as qn
+
+    out = qn.event_run_length_q(SF)
+    import duckdb
+
+    con = duckdb.connect()
+    n_ev = con.execute(
+        f"SELECT count(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert int((out["run_len"] * out["n_runs"]).sum()) == n_ev
+
+
+def test_pareto_cutoff_minimal():
+    from dataquality_ray.pipelines import queries_mining as qn
+
+    out = qn.pareto_8020_q(SF)
+    r = out.iloc[0]
+    assert 1 <= int(r["k_customers"]) <= int(r["n_cust"])
+    # with any inequality, far fewer than 80% of customers suffice
+    assert int(r["cust_share_ppm"]) <= 1_000_000
