@@ -2657,3 +2657,69 @@ def vertex_cover_q(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_edges": [len(und)],
                          "matching_size": [matched],
                          "cover_size": [len(cover)]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# SPT optimality demo on real data: take the busiest order day, treat
+# cents//100000+1 as service times, and compare total completion time
+# under FIFO (orderkey order) vs shortest-processing-time order — the
+# scheduling-theory bound every batch queue should know.  Total
+# completion = sum of prefix sums; exact integers.
+# ---------------------------------------------------------------------------
+
+@query("sjf_vs_fifo_latency", sql="""
+WITH d AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) // 100000 + 1 AS p,
+         o_orderdate AS day
+  FROM orders
+), busiest AS (
+  SELECT day FROM d GROUP BY day ORDER BY count(*) DESC, day LIMIT 1
+), jobs AS (
+  SELECT k, p FROM d JOIN busiest USING (day)
+), fifo AS (
+  SELECT sum(c)::BIGINT AS total FROM (
+    SELECT sum(p) OVER (ORDER BY k)::BIGINT AS c FROM jobs)
+), spt AS (
+  SELECT sum(c)::BIGINT AS total FROM (
+    SELECT sum(p) OVER (ORDER BY p, k)::BIGINT AS c FROM jobs)
+)
+SELECT (SELECT count(*) FROM jobs)::BIGINT AS n_jobs,
+       fifo.total AS fifo_total, spt.total AS spt_total,
+       ((fifo.total - spt.total) * 1000000
+        // fifo.total)::BIGINT AS savings_ppm
+FROM fifo, spt
+""")
+def sjf_vs_fifo_q(sf_dir: str) -> pd.DataFrame:
+    """Total completion FIFO vs SPT on the busiest order day."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = b["o_orderdate"].to_pandas().dt.strftime("%Y-%m-%d")
+        p = (np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                      * 100).astype(np.int64) // 100000 + 1)
+        return pd.DataFrame({
+            "day": day,
+            "k": b["o_orderkey"].to_numpy(zero_copy_only=False),
+            "p": p})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_totalprice", "o_orderdate"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: orders at cap
+    cnt = merged.groupby("day").size()
+    busiest = sorted(cnt.index, key=lambda d: (-int(cnt[d]), d))[0]
+    jobs = merged[merged["day"] == busiest]
+    p_fifo = jobs.sort_values("k")["p"].to_numpy(np.int64)
+    p_spt = jobs.sort_values(["p", "k"])["p"].to_numpy(np.int64)
+    fifo = int(np.cumsum(p_fifo).sum())
+    spt = int(np.cumsum(p_spt).sum())
+    return pd.DataFrame({
+        "n_jobs": [len(jobs)], "fifo_total": [fifo],
+        "spt_total": [spt],
+        "savings_ppm": [(fifo - spt) * 1_000_000 // fifo]}
+    ).astype(np.int64)

@@ -2318,3 +2318,87 @@ def youden_j_q(sf_dir: str) -> pd.DataFrame:
         "j_ppm": [_trunc_div(jn * 1_000_000,
                              p_all * (n_all - p_all))]}
     ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# ROC upper-hull vertices of the length ranker on the 'dup' label:
+# cumulative (fp, tp) points over descending thresholds (plus the
+# origin); a point stays iff it is not STRICTLY below the chord of any
+# pair that brackets it horizontally — pure integer orientation tests
+# (collinear points are kept, identically on both engines).
+# ---------------------------------------------------------------------------
+
+@query("roc_convex_hull_points", sql="""
+WITH f AS (
+  SELECT n_chars AS v,
+         (position('dup' IN coalesce(text, '')) > 0)::BIGINT AS y
+  FROM documents
+), cnt AS (
+  SELECT v, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
+  FROM f GROUP BY v
+), cum AS (
+  SELECT v, sum(p) OVER (ORDER BY v DESC)::BIGINT AS tp,
+         (sum(c) OVER (ORDER BY v DESC)
+          - sum(p) OVER (ORDER BY v DESC))::BIGINT AS fp
+  FROM cnt
+), pts AS (
+  SELECT DISTINCT fp, tp FROM cum
+  UNION SELECT 0::BIGINT, 0::BIGINT
+), bad AS (
+  SELECT DISTINCT m.fp, m.tp
+  FROM pts m JOIN pts a ON a.fp <= m.fp JOIN pts b ON b.fp >= m.fp
+  WHERE a.fp < b.fp
+    AND (m.tp - a.tp) * (b.fp - a.fp)
+        < (b.tp - a.tp) * (m.fp - a.fp)
+)
+SELECT p.fp, p.tp FROM pts p
+LEFT JOIN bad ON bad.fp = p.fp AND bad.tp = p.tp
+WHERE bad.fp IS NULL
+ORDER BY p.fp, p.tp
+""")
+def roc_hull_q(sf_dir: str) -> pd.DataFrame:
+    """ROC points surviving the strict-below-chord test."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        t = b["text"].to_pandas().fillna("")
+        f = pd.DataFrame({
+            "v": b["n_chars"].to_numpy(zero_copy_only=False),
+            "c": 1,
+            "p": t.str.contains("dup", regex=False)
+                  .to_numpy().astype(np.int64)})
+        return f.groupby("v", as_index=False)[["c", "p"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("v", as_index=False)[["c", "p"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["n_chars", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: distinct doc lengths
+    merged = merged.sort_values("v", ascending=False)
+    tp = np.cumsum(merged["p"].to_numpy(np.int64))
+    fpv = np.cumsum(merged["c"].to_numpy(np.int64)) - tp
+    pts = sorted({(0, 0)} | set(zip(fpv.tolist(), tp.tolist())))
+    fp_a = np.array([q[0] for q in pts], dtype=np.int64)
+    tp_a = np.array([q[1] for q in pts], dtype=np.int64)
+    keep = []
+    for mi in range(len(pts)):
+        mfp, mtp = int(fp_a[mi]), int(tp_a[mi])
+        below = False
+        la = fp_a <= mfp
+        rb = fp_a >= mfp
+        for ai in np.nonzero(la)[0]:
+            afp, atp = int(fp_a[ai]), int(tp_a[ai])
+            bs = np.nonzero(rb & (fp_a > afp))[0]
+            if len(bs) == 0:
+                continue
+            lhs = (mtp - atp) * (fp_a[bs] - afp)
+            rhs = (tp_a[bs] - atp) * (mfp - afp)
+            if (lhs < rhs).any():
+                below = True
+                break
+        if not below:
+            keep.append((mfp, mtp))
+    out = pd.DataFrame(sorted(keep), columns=["fp", "tp"])
+    return out.astype(np.int64)

@@ -42,3 +42,17 @@ def test_youden_j_dominates_trivial():
     # can't be negative
     assert int(r["j_ppm"]) >= 0
     assert int(r["tp"]) >= 1
+
+
+def test_roc_hull_is_concave_majorant():
+    out = qm.roc_hull_q(SF)
+    fp = out["fp"].to_numpy()
+    tp = out["tp"].to_numpy()
+    assert (np.diff(fp) >= 0).all() and (np.diff(tp) >= 0).all()
+    # slopes (exact cross-mult) are non-increasing along the hull for
+    # strictly increasing fp segments
+    for i in range(1, len(fp) - 1):
+        if fp[i] > fp[i - 1] and fp[i + 1] > fp[i]:
+            lhs = (tp[i] - tp[i - 1]) * (fp[i + 1] - fp[i])
+            rhs = (tp[i + 1] - tp[i]) * (fp[i] - fp[i - 1])
+            assert lhs >= rhs
