@@ -9574,3 +9574,115 @@ def pareto_8020_q(sf_dir: str):
     return pd.DataFrame({
         "n_cust": [n_cust], "k_customers": [k],
         "cust_share_ppm": [k * 1_000_000 // n_cust]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Peak-to-mean ratio of daily volume per event type (and overall as
+# type '*'): the capacity-planning number — PAR = max_day / mean_day,
+# exact via cross-multiplication par_ppm = max * n_days * 1e6 // total.
+# ---------------------------------------------------------------------------
+
+@query("peak_to_mean_ratio", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT event_type, max(x)::BIGINT AS peak, sum(x)::BIGINT AS total,
+         count(*)::BIGINT AS n_days
+  FROM d GROUP BY event_type
+), overall AS (
+  SELECT '*' AS event_type, max(x)::BIGINT AS peak,
+         sum(x)::BIGINT AS total, count(*)::BIGINT AS n_days
+  FROM (SELECT day, sum(x) AS x FROM d GROUP BY day)
+)
+SELECT event_type, peak, total, n_days,
+       (peak * n_days * 1000000 // total)::BIGINT AS par_ppm
+FROM (SELECT * FROM per UNION ALL SELECT * FROM overall)
+ORDER BY event_type
+""")
+def peak_to_mean_q(sf_dir: str):
+    """PAR per type + overall ('*'), exact integers."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "day": ts // 86_400_000_000, "x": 1})
+        return f.groupby(["event_type", "day"], as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "day"], as_index=False)["x"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: types x days
+    rows = []
+    for et, g in merged.groupby("event_type"):
+        pk, tot, nd = int(g["x"].max()), int(g["x"].sum()), len(g)
+        rows.append([et, pk, tot, nd, pk * nd * 1_000_000 // tot])
+    o = merged.groupby("day")["x"].sum()
+    pk, tot, nd = int(o.max()), int(o.sum()), len(o)
+    rows.append(["*", pk, tot, nd, pk * nd * 1_000_000 // tot])
+    out = pd.DataFrame(rows, columns=["event_type", "peak", "total",
+                                      "n_days", "par_ppm"])
+    out = out.sort_values("event_type").reset_index(drop=True)
+    for c in ("peak", "total", "n_days", "par_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Global silence gaps: the 10 longest quiet stretches between
+# consecutive events across the whole stream (ties by start
+# microsecond) — the outage/feed-stall detector.  One sort shuffle;
+# exact microsecond integers.
+# ---------------------------------------------------------------------------
+
+@query("global_silence_gaps", sql="""
+WITH o AS (
+  SELECT epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT us AS start_us, (nxt - us)::BIGINT AS gap_us
+FROM o WHERE nxt IS NOT NULL
+ORDER BY gap_us DESC, start_us LIMIT 10
+""")
+def global_silence_q(sf_dir: str):
+    """Top-10 longest inter-event silences (per-block top-k merge)."""
+    def topk_block(b: pa.Table) -> pd.DataFrame:
+        us = np.sort(b["us"].to_numpy(zero_copy_only=False))
+        if len(us) < 2:
+            return pd.DataFrame({"start_us": us[:0], "gap_us": us[:0]})
+        gaps = np.diff(us)
+        idx = np.argsort(-gaps, kind="mergesort")[:11]
+        return pd.DataFrame({"start_us": us[idx], "gap_us": gaps[idx],
+                             "lo": [int(us[0])] * len(idx),
+                             "hi": [int(us[-1])] * len(idx)})
+
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", ["ts", "event_id"])
+    # one global sort by time, then per-block candidate gaps + block
+    # boundary gaps stitched on the driver (#blocks rows)
+    ds = (ds.map_batches(lambda b: pa.table(
+        {"us": b["ts"].cast(pa.int64())}), batch_format="pyarrow")
+        .sort("us"))
+    parts = ds.map_batches(topk_block, batch_format="pyarrow") \
+        .to_pandas()
+    # stitch: gaps across adjacent block boundaries
+    bounds = parts[["lo", "hi"]].drop_duplicates().sort_values("lo")
+    los = bounds["lo"].to_numpy(np.int64)
+    his = bounds["hi"].to_numpy(np.int64)
+    stitched = [(int(his[i]), int(los[i + 1]) - int(his[i]))
+                for i in range(len(bounds) - 1)
+                if los[i + 1] > his[i]]
+    cand = pd.concat(
+        [parts[["start_us", "gap_us"]],
+         pd.DataFrame(stitched, columns=["start_us", "gap_us"])],
+        ignore_index=True)
+    out = cand.sort_values(["gap_us", "start_us"],
+                           ascending=[False, True]).head(10)
+    return out.reset_index(drop=True).astype(np.int64)

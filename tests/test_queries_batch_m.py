@@ -2,6 +2,8 @@
 
 from math import comb
 
+import numpy as np
+
 from dataquality_ray.pipelines import queries_ml as qm
 from dataquality_ray.pipelines import queries_tpch as qh
 
@@ -66,3 +68,21 @@ def test_pareto_cutoff_minimal():
     assert 1 <= int(r["k_customers"]) <= int(r["n_cust"])
     # with any inequality, far fewer than 80% of customers suffice
     assert int(r["cust_share_ppm"]) <= 1_000_000
+
+
+def test_peak_to_mean_at_least_one():
+    from dataquality_ray.pipelines import queries_mining as qn
+
+    out = qn.peak_to_mean_q(SF)
+    assert (out["par_ppm"] >= 1_000_000).all()  # max >= mean
+    assert "*" in set(out["event_type"])
+
+
+def test_silence_gaps_descending_positive():
+    from dataquality_ray.pipelines import queries_mining as qn
+
+    out = qn.global_silence_q(SF)
+    assert len(out) == 10
+    g = out["gap_us"].to_numpy()
+    assert (g > 0).all()
+    assert (np.diff(g) <= 0).all()
