@@ -2750,3 +2750,70 @@ def theil_decomposition_q(sf_dir: str):
     return pd.DataFrame({"t_total": [t_total],
                          "t_between": [t_between],
                          "t_within": [t_within]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Freedman-Diaconis histogram bin advisor per priority: width =
+# 2*IQR/cbrt(n) on the cents grid (disc quantiles), bins =
+# ceil(range/width) — the float chain is cbrt, divide, divide, ceil,
+# identical on both engines.
+# ---------------------------------------------------------------------------
+
+@query("fd_bin_rule_advisor", sql="""
+WITH c AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+), agg AS (
+  SELECT priority, count(*)::BIGINT AS n,
+         quantile_disc(x, 0.75)::BIGINT
+           - quantile_disc(x, 0.25)::BIGINT AS iqr,
+         (max(x) - min(x))::BIGINT AS rng
+  FROM c GROUP BY priority
+)
+SELECT priority, n, iqr, rng,
+       CAST(ceil(rng / (2 * iqr / cbrt(CAST(n AS DOUBLE))))
+            AS BIGINT) AS fd_bins
+FROM agg ORDER BY priority
+""")
+def fd_bin_rule_q(sf_dir: str):
+    """FD bin counts per priority; single cbrt/divide/ceil chain."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        x = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        f = pd.DataFrame({"priority": b["o_orderpriority"].to_pylist(),
+                          "x": x, "c": 1})
+        return f.groupby(["priority", "x"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["priority", "x"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: priorities x cents
+
+    def disc_q(vals, cnts, q):
+        order = np.argsort(vals, kind="mergesort")
+        v, c = vals[order], cnts[order]
+        total = int(c.sum())
+        k = -(-q * total // 100)  # q in percent; ceil
+        return int(v[np.searchsorted(np.cumsum(c), k)])
+
+    rows = []
+    for pri, g in merged.groupby("priority"):
+        v = g["x"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.sum())
+        iqr = disc_q(v, c, 75) - disc_q(v, c, 25)
+        rng = int(v.max() - v.min())
+        bins = int(np.ceil(rng / (2 * iqr / np.cbrt(float(n)))))
+        rows.append([pri, n, iqr, rng, bins])
+    out = pd.DataFrame(rows, columns=["priority", "n", "iqr", "rng",
+                                      "fd_bins"])
+    out = out.sort_values("priority").reset_index(drop=True)
+    for c in ("n", "iqr", "rng", "fd_bins"):
+        out[c] = out[c].astype(np.int64)
+    return out
