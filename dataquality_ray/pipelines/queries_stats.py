@@ -2817,3 +2817,63 @@ def fd_bin_rule_q(sf_dir: str):
     for c in ("n", "iqr", "rng", "fd_bins"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann-Kendall trend test on daily volumes: the MK S
+# statistic computed WITHIN each weekday series and summed — removes
+# the weekly cycle that inflates the plain test.  S terms are exact
+# pair-sign counts.
+# ---------------------------------------------------------------------------
+
+@query("seasonal_mann_kendall", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS x
+  FROM events GROUP BY 1
+), w AS (
+  SELECT (day + 4) % 7 AS wd, day, x FROM d
+), pairs AS (
+  SELECT a.wd,
+         sum(CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END)::BIGINT AS s,
+         count(*)::BIGINT AS n_pairs
+  FROM w a JOIN w b ON b.wd = a.wd AND b.day > a.day
+  GROUP BY a.wd
+)
+SELECT wd::BIGINT AS weekday, s, n_pairs,
+       (SELECT sum(s)::BIGINT FROM pairs) AS s_total
+FROM pairs ORDER BY weekday
+""")
+def seasonal_mk_q(sf_dir: str):
+    """Per-weekday MK S + seasonal total, exact pair signs."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day": ts // 86_400_000_000, "x": 1})
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 100_000)
+    assert ok and merged is not None  # bounded: distinct days
+    merged = merged.sort_values("day")
+    merged["wd"] = (merged["day"] + 4) % 7
+    rows = []
+    for wd, g in merged.groupby("wd"):
+        x = g["x"].to_numpy(np.int64)
+        s = 0
+        np_pairs = 0
+        for i in range(len(x)):
+            for j in range(i + 1, len(x)):
+                s += 1 if x[j] > x[i] else (-1 if x[j] < x[i] else 0)
+                np_pairs += 1
+        if np_pairs:
+            rows.append([int(wd), s, np_pairs])
+    total = sum(r[1] for r in rows)
+    out = pd.DataFrame(rows, columns=["weekday", "s", "n_pairs"])
+    out["s_total"] = total
+    return out.astype(np.int64)

@@ -8454,3 +8454,58 @@ def lcs_token_rankings_q(sf_dir: str) -> pd.DataFrame:
         prev = np.maximum.accumulate(cand)
     return pd.DataFrame({"k_a": [len(a)], "k_b": [len(b)],
                          "lcs_len": [int(prev[-1])]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Token length by document position decile: mean token length (ppm)
+# per relative position bucket i*10 // n_tokens — the "do documents
+# degrade toward the end" positional profile.  Exact integer sums.
+# ---------------------------------------------------------------------------
+
+@query("token_length_by_position", sql="""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text, ''),
+                                           '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT ((u.i - 1) * 10 // len(t))::BIGINT AS decile,
+         length(t[u.i])::BIGINT AS l
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE len(t) > 0
+)
+SELECT decile, count(*)::BIGINT AS n_tokens,
+       sum(l)::BIGINT AS sum_len,
+       (sum(l) * 1000000 // count(*))::BIGINT AS mean_len_ppm
+FROM pos GROUP BY decile ORDER BY decile
+""")
+def token_length_by_position_q(sf_dir: str) -> pd.DataFrame:
+    """Mean token length per relative-position decile."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        dec, ln = [], []
+        for t in b["text"].to_pylist():
+            w = (t or "").split()
+            n = len(w)
+            for i, tok in enumerate(w):
+                dec.append(i * 10 // n)
+                ln.append(len(tok))
+        f = pd.DataFrame({"decile": np.array(dec, dtype=np.int64),
+                          "n_tokens": 1,
+                          "sum_len": np.array(ln, dtype=np.int64)})
+        return f.groupby("decile", as_index=False)[
+            ["n_tokens", "sum_len"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("decile", as_index=False)[
+            ["n_tokens", "sum_len"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 10_000)
+    assert ok and merged is not None  # bounded: 10 deciles
+    merged = merged.sort_values("decile").reset_index(drop=True)
+    merged["mean_len_ppm"] = (merged["sum_len"] * 1_000_000
+                              // merged["n_tokens"])
+    return merged.astype(np.int64)
