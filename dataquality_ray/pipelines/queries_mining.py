@@ -9686,3 +9686,119 @@ def global_silence_q(sf_dir: str):
     out = cand.sort_values(["gap_us", "start_us"],
                            ascending=[False, True]).head(10)
     return out.reset_index(drop=True).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Effective type diversity per day (inverse Simpson, "effective number
+# of parties"): ENP = total^2 / sum(c^2) — how many event types the
+# day behaves like.  Exact cross-multiplied ppm.
+# ---------------------------------------------------------------------------
+
+@query("effective_type_diversity_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT day::BIGINT AS day, sum(c)::BIGINT AS total,
+       (sum(c)::HUGEINT * sum(c) * 1000000
+        // sum(c::HUGEINT * c))::BIGINT AS enp_ppm
+FROM d GROUP BY day ORDER BY day
+""")
+def effective_type_diversity_q(sf_dir: str):
+    """Inverse-Simpson effective type count per day."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day": ts // 86_400_000_000,
+                          "event_type": b["event_type"].to_pylist(),
+                          "c": 1})
+        return f.groupby(["day", "event_type"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["day", "event_type"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: days x types
+    rows = []
+    for day, g in merged.groupby("day"):
+        c = [int(v) for v in g["c"]]
+        tot = sum(c)
+        rows.append([int(day), tot,
+                     tot * tot * 1_000_000 // sum(v * v for v in c)])
+    out = pd.DataFrame(rows, columns=["day", "total", "enp_ppm"])
+    return out.sort_values("day").reset_index(drop=True) \
+        .astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Order-key gap histogram: distribution of successive gaps in the
+# sorted key space — the "how sparse is my surrogate key" audit that
+# decides range-scan and allocation strategies.  Exact integers.
+# ---------------------------------------------------------------------------
+
+@query("key_gap_histogram", sql="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+  FROM orders
+), g AS (
+  SELECT (nxt - k)::BIGINT AS gap FROM o WHERE nxt IS NOT NULL
+)
+SELECT gap, count(*)::BIGINT AS n_gaps
+FROM g GROUP BY gap ORDER BY gap
+""")
+def key_gap_histogram_q(sf_dir: str):
+    """Histogram of successive orderkey gaps (per-block + stitched)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        k = np.sort(b["o_orderkey"].to_numpy(zero_copy_only=False))
+        gaps = np.diff(k)
+        f = pd.Series(gaps).value_counts().sort_index()
+        out = pd.DataFrame({"gap": f.index.to_numpy(np.int64),
+                            "n_gaps": f.to_numpy(np.int64)})
+        # carry block min/max so the driver stitches boundary gaps
+        out = pd.concat([out, pd.DataFrame(
+            {"gap": [-1, -2], "n_gaps": [int(k[0]), int(k[-1])]})],
+            ignore_index=True)
+        return out
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        # keep sentinel rows (gap<0) un-merged: they are per-block
+        pos = f[f["gap"] >= 0].groupby("gap", as_index=False)[
+            "n_gaps"].sum()
+        return pd.concat([pos, f[f["gap"] < 0]], ignore_index=True)
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: distinct gap sizes
+    mins = np.sort(merged.loc[merged["gap"] == -1,
+                              "n_gaps"].to_numpy(np.int64))
+    maxs = np.sort(merged.loc[merged["gap"] == -2,
+                              "n_gaps"].to_numpy(np.int64))
+    hist: dict[int, int] = {}
+    for _, r in merged[merged["gap"] >= 0].iterrows():
+        hist[int(r["gap"])] = hist.get(int(r["gap"]), 0) \
+            + int(r["n_gaps"])
+    if all(int(maxs[i]) < int(mins[i + 1])
+           for i in range(len(maxs) - 1)):
+        # blocks cover disjoint key ranges: stitch boundary gaps
+        for i in range(len(maxs) - 1):
+            g = int(mins[i + 1]) - int(maxs[i])
+            hist[g] = hist.get(g, 0) + 1
+    else:
+        # overlapping block ranges (input not key-sorted): recompute
+        # from the full sorted key set (bounded by the combine cap)
+        keys = np.sort(_read(sf_dir, "orders", ["o_orderkey"])
+                       .to_pandas()["o_orderkey"]
+                       .to_numpy(np.int64))
+        f = pd.Series(np.diff(keys)).value_counts().sort_index()
+        hist = {int(g): int(c) for g, c in f.items()}
+    out = pd.DataFrame(sorted(hist.items()),
+                       columns=["gap", "n_gaps"])
+    return out.astype(np.int64)

@@ -8509,3 +8509,171 @@ def token_length_by_position_q(sf_dir: str) -> pd.DataFrame:
     merged["mean_len_ppm"] = (merged["sum_len"] * 1_000_000
                               // merged["n_tokens"])
     return merged.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Boundary-token divergence: Jensen-Shannon divergence between the
+# distributions of FIRST tokens and LAST tokens across documents —
+# stereotyped openings/closings (boilerplate) push it up.  Exact
+# integer JS via floor-ln terms over cross-multiplied ratios, the
+# corpus_drift_js convention: term contributions floored per token,
+# summed, one final division.
+# ---------------------------------------------------------------------------
+
+@query("boundary_token_divergence", sql="""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text, ''),
+                                           '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), fl AS (
+  SELECT t[1] AS ft, t[len(t)] AS lt FROM toks WHERE len(t) > 0
+), fcnt AS (SELECT ft AS tok, count(*)::BIGINT AS a FROM fl GROUP BY ft),
+lcnt AS (SELECT lt AS tok, count(*)::BIGINT AS b FROM fl GROUP BY lt),
+j AS (
+  SELECT coalesce(f.tok, l.tok) AS tok,
+         coalesce(f.a, 0)::BIGINT AS a, coalesce(l.b, 0)::BIGINT AS b
+  FROM fcnt f FULL OUTER JOIN lcnt l ON f.tok = l.tok
+), t AS (
+  SELECT sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb FROM j
+), terms AS (
+  SELECT tok, a, b,
+         (CASE WHEN a > 0
+               THEN floor(1000000 * a
+                          * ln(2.0 * a * t.nb
+                               / (CAST(a AS DOUBLE) * t.nb
+                                  + CAST(b AS DOUBLE) * t.na)))
+               ELSE 0 END)::BIGINT AS ta,
+         (CASE WHEN b > 0
+               THEN floor(1000000 * b
+                          * ln(2.0 * b * t.na
+                               / (CAST(a AS DOUBLE) * t.nb
+                                  + CAST(b AS DOUBLE) * t.na)))
+               ELSE 0 END)::BIGINT AS tb
+  FROM j, t
+)
+SELECT t.na AS n_docs_first, t.nb AS n_docs_last,
+       ((SELECT sum(ta) FROM terms) // t.na
+        + (SELECT sum(tb) FROM terms) // t.nb)::BIGINT AS js2_uppm
+FROM t
+""")
+def boundary_token_divergence_q(sf_dir: str):
+    """2*JS (micro-nats) between first- and last-token distributions."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows: dict[tuple[str, str], int] = {}
+        for t in b["text"].to_pylist():
+            w = (t or "").split()
+            if not w:
+                continue
+            rows[("f", w[0])] = rows.get(("f", w[0]), 0) + 1
+            rows[("l", w[-1])] = rows.get(("l", w[-1]), 0) + 1
+        ks = list(rows)
+        return pd.DataFrame({"side": [k[0] for k in ks],
+                             "tok": [k[1] for k in ks],
+                             "c": np.array(list(rows.values()),
+                                           dtype=np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["side", "tok"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: vocabulary x 2
+    a = merged[merged["side"] == "f"].set_index("tok")["c"]
+    b_ = merged[merged["side"] == "l"].set_index("tok")["c"]
+    toks = set(a.index) | set(b_.index)
+    na, nb = int(a.sum()), int(b_.sum())
+    sa = sb = 0
+    for tok in toks:
+        av = int(a.get(tok, 0))
+        bv = int(b_.get(tok, 0))
+        den = float(av) * nb + float(bv) * na
+        if av > 0:
+            sa += math.floor(1000000 * av
+                             * math.log(2.0 * av * nb / den))
+        if bv > 0:
+            sb += math.floor(1000000 * bv
+                             * math.log(2.0 * bv * na / den))
+    return pd.DataFrame({"n_docs_first": [na], "n_docs_last": [nb],
+                         "js2_uppm": [sa // na + sb // nb]}
+                        ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Most surprising adjacent token pairs: surprisal of the corpus add-1
+# bigram LM (the doc_perplexity integer chain) ranked descending —
+# the anomalous transitions a data-quality reader inspects first.
+# ---------------------------------------------------------------------------
+
+@query("surprising_bigrams_topk", sql="""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(coalesce(text,''), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT t[u.i] AS u, t[u.i + 1] AS v
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+), uni AS (SELECT u, count(*)::BIGINT AS cu FROM pos GROUP BY u),
+bi AS (SELECT u, v, count(*)::BIGINT AS cuv FROM pos GROUP BY u, v),
+vocab AS (
+  SELECT count(DISTINCT x)::BIGINT AS V FROM (
+    SELECT u.x FROM toks, unnest(t) AS u(x))
+)
+SELECT bi.u AS token_a, bi.v AS token_b, bi.cuv AS occurrences,
+       (CAST(floor(ln(CAST(uni.cu + vocab.V AS DOUBLE)) * 1000000)
+             AS BIGINT)
+        - CAST(floor(ln(CAST(bi.cuv + 1 AS DOUBLE)) * 1000000)
+             AS BIGINT))::BIGINT AS surprisal_uppm
+FROM bi JOIN uni ON uni.u = bi.u, vocab
+ORDER BY surprisal_uppm DESC, token_a, token_b LIMIT 15
+""")
+def surprising_bigrams_q(sf_dir: str) -> pd.DataFrame:
+    """Top-15 highest-surprisal adjacent token pairs."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        rows: dict[tuple[str, str], int] = {}
+        toks: dict[str, int] = {}
+        for txt in batch["text"].to_pylist():
+            t = (txt or "").split()
+            for tok in t:
+                toks[tok] = toks.get(tok, 0) + 1
+            for i in range(len(t) - 1):
+                k = (t[i], t[i + 1])
+                rows[k] = rows.get(k, 0) + 1
+        out = [(u, v, c) for (u, v), c in rows.items()] + \
+              [("", tok, c) for tok, c in toks.items()]
+        return pd.DataFrame(out, columns=["u", "v", "c"])
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["u", "v"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: vocab^2 cells
+    bi = merged[merged["u"] != ""]
+    vocab_n = merged.loc[merged["u"] == "", "v"].nunique()
+    cu = bi.groupby("u")["c"].sum()
+
+    def lnf(x: int) -> int:
+        return math.floor(math.log(x) * 1000000)
+
+    rows = []
+    for u, v, c in zip(bi["u"], bi["v"], bi["c"]):
+        rows.append([u, v, int(c),
+                     lnf(int(cu[u]) + vocab_n) - lnf(int(c) + 1)])
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    out = pd.DataFrame(rows[:15], columns=["token_a", "token_b",
+                                           "occurrences",
+                                           "surprisal_uppm"])
+    out["occurrences"] = out["occurrences"].astype(np.int64)
+    out["surprisal_uppm"] = out["surprisal_uppm"].astype(np.int64)
+    return out
