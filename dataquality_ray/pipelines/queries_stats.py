@@ -2877,3 +2877,80 @@ def seasonal_mk_q(sf_dir: str):
     out = pd.DataFrame(rows, columns=["weekday", "s", "n_pairs"])
     out["s_total"] = total
     return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Circadian concentration per event type: the squared mean resultant
+# length of hour-of-day angles, R^2 = ((sum c_h*C_h)^2 +
+# (sum c_h*S_h)^2) / (2^40 * n^2), with C/S the 24 fixed cos/sin
+# values on the dyadic 2^20 grid (the weekly_dft_power convention —
+# integer tables identical on both engines, so every sum is exact
+# until the single ppm division).  r2_ppm ~ 0 for uniform activity,
+# ~ 1e6 for activity concentrated at one hour.
+# ---------------------------------------------------------------------------
+
+_CIRC_C = [1048576, 1012847, 908093, 741455, 524288, 271391, 0,
+           -271391, -524288, -741455, -908093, -1012847, -1048576,
+           -1012847, -908093, -741455, -524288, -271391, 0, 271391,
+           524288, 741455, 908093, 1012847]
+_CIRC_S = [0, 271391, 524288, 741455, 908093, 1012847, 1048576,
+           1012847, 908093, 741455, 524288, 271391, 0, -271391,
+           -524288, -741455, -908093, -1012847, -1048576, -1012847,
+           -908093, -741455, -524288, -271391]
+
+
+def _circ_sql() -> str:
+    c_vals = ", ".join(f"({h}, {c}, {s})" for h, (c, s)
+                       in enumerate(zip(_CIRC_C, _CIRC_S)))
+    return f"""
+WITH trig(h, c, s) AS (VALUES {c_vals}),
+e AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, sum(e.n)::HUGEINT AS n,
+         sum(e.n * trig.c)::HUGEINT AS sc,
+         sum(e.n * trig.s)::HUGEINT AS ss
+  FROM e JOIN trig ON trig.h = e.h
+  GROUP BY event_type
+)
+SELECT event_type, n::BIGINT AS n,
+       ((sc * sc + ss * ss) * 1000000
+        // (1099511627776 * n * n))::BIGINT AS r2_ppm
+FROM agg ORDER BY event_type
+"""
+
+
+@query("circadian_concentration", sql=_circ_sql())
+def circadian_concentration_q(sf_dir: str):
+    """Squared mean resultant length of hour angles per type."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "h": (us // 3_600_000_000) % 24, "n": 1})
+        return f.groupby(["event_type", "h"], as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "h"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 10_000)
+    assert ok and merged is not None  # bounded: types x 24 hours
+    rows = []
+    for et, g in merged.groupby("event_type"):
+        n = int(g["n"].sum())
+        sc = sum(int(r["n"]) * _CIRC_C[int(r["h"])]
+                 for _, r in g.iterrows())
+        ss = sum(int(r["n"]) * _CIRC_S[int(r["h"])]
+                 for _, r in g.iterrows())
+        rows.append([et, n, (sc * sc + ss * ss) * 1_000_000
+                     // ((1 << 40) * n * n)])
+    out = pd.DataFrame(rows, columns=["event_type", "n", "r2_ppm"])
+    out = out.sort_values("event_type").reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["r2_ppm"] = out["r2_ppm"].astype(np.int64)
+    return out
