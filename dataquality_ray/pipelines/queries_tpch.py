@@ -10576,3 +10576,105 @@ def join_fanout_q(sf_dir: str) -> pd.DataFrame:
     keys = int(h["n_orders"].sum())
     h["mean_fanout_ppm"] = rows_li * 1_000_000 // keys
     return h.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Priority-sampling audit (Duffield-Lund-Thorup): weights = order
+# cents, "uniforms" = the sha256-derived 64-bit key of the orderkey
+# (deterministic, so both engines agree), priority = w * 2^64 // u.
+# The k = 20 highest-priority orders plus the (k+1)-th priority tau'
+# give the unbiased subset-sum estimate sum max(w_i, tau'/2^64) —
+# carried as max(w_i*2^64, tau') // 2^64, exact integers end to end.
+# ---------------------------------------------------------------------------
+
+_PRIO_K = 20
+
+
+@query("priority_sampling_audit", sql=f"""
+WITH w AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS w,
+         ('0x' || substr(sha256(o_orderkey::VARCHAR), 1, 16))
+           ::UBIGINT::HUGEINT + 1 AS u
+  FROM orders
+), pr AS (
+  SELECT k, w, (w::HUGEINT * 18446744073709551616 // u) AS p,
+         row_number() OVER (
+           ORDER BY w::HUGEINT * 18446744073709551616 // u DESC, k)
+           AS rk
+  FROM w
+), tau AS (
+  SELECT p AS t FROM pr WHERE rk = {_PRIO_K + 1}
+), est AS (
+  SELECT sum(CASE WHEN pr.w::HUGEINT * 18446744073709551616 > tau.t
+                  THEN pr.w::HUGEINT * 18446744073709551616
+                  ELSE tau.t END
+             // 18446744073709551616)::BIGINT AS estimate
+  FROM pr, tau WHERE pr.rk <= {_PRIO_K}
+)
+SELECT (SELECT count(*) FROM w)::BIGINT AS n,
+       (SELECT sum(w) FROM w)::BIGINT AS true_total,
+       est.estimate,
+       (CASE WHEN est.estimate - (SELECT sum(w) FROM w) < 0
+             THEN -(((SELECT sum(w) FROM w) - est.estimate) * 1000000
+                    // (SELECT sum(w) FROM w))
+             ELSE (est.estimate - (SELECT sum(w) FROM w)) * 1000000
+                  // (SELECT sum(w) FROM w)
+        END)::BIGINT AS err_ppm
+FROM est
+""")
+def priority_sampling_q(sf_dir: str) -> pd.DataFrame:
+    """k=20 priority-sample subset-sum estimate vs the exact total."""
+    import hashlib
+
+    from dataquality_ray.pipelines.queries_stats import _trunc_div
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    SCALE = 1 << 64
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ks = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        w = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        rows = []
+        for k, wi in zip(ks, w):
+            u = int.from_bytes(
+                hashlib.sha256(str(int(k)).encode()).digest()[:8],
+                "big") + 1
+            p = int(wi) * SCALE // u
+            rows.append([int(k), int(wi), p])
+        f = pd.DataFrame(rows, columns=["k", "w", "p"])
+        # per-batch partial: keep only the local top (k+1) candidates
+        # plus the batch's weight sum under sentinel k = -1
+        top = f.sort_values(["p", "k"],
+                            ascending=[False, True]).head(_PRIO_K + 1)
+        return pd.concat(
+            [top, pd.DataFrame({"k": [-1], "w": [int(w.sum())],
+                                "p": [len(w)]})], ignore_index=True)
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        sent = f[f["k"] == -1]
+        rest = (f[f["k"] != -1]
+                .sort_values(["p", "k"], ascending=[False, True])
+                .head(_PRIO_K + 1))
+        tot = pd.DataFrame({"k": [-1], "w": [int(sent["w"].sum())],
+                            "p": [int(sent["p"].sum())]})
+        return pd.concat([rest, tot], ignore_index=True)
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: top-(k+1) + sentinel
+    sent = merged[merged["k"] == -1]
+    n = int(sent["p"].sum())
+    true_total = int(sent["w"].sum())
+    top = (merged[merged["k"] != -1]
+           .sort_values(["p", "k"], ascending=[False, True])
+           .head(_PRIO_K + 1))
+    tau = int(top["p"].iloc[_PRIO_K])
+    est = sum(max(int(wi) * SCALE, tau) // SCALE
+              for wi in top["w"].head(_PRIO_K))
+    return pd.DataFrame({
+        "n": [n], "true_total": [true_total], "estimate": [est],
+        "err_ppm": [_trunc_div((est - true_total) * 1_000_000,
+                               true_total)]}).astype(np.int64)
