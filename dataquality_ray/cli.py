@@ -125,6 +125,35 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sample(args: argparse.Namespace) -> int:
+    """Deterministic hash sampling of a parquet table: a global rate or
+    per-group rates (JSON) — order-invariant, resumable, no shuffle."""
+    import json as _json
+
+    import ray.data as rd
+
+    _ensure_ray()
+    ds = rd.read_parquet(args.input)
+    if args.rates:
+        from dataquality_ray.stages.sampling import stratified_sample
+
+        rates = {k: float(v)
+                 for k, v in _json.loads(args.rates).items()}
+        out = stratified_sample(ds, rates, group_col=args.group_col,
+                                key=args.key, seed=args.seed,
+                                default_rate=args.default_rate)
+    else:
+        from dataquality_ray.stages.sampling import hash_sample
+
+        out = hash_sample(ds, rate=args.rate, key=args.key,
+                          seed=args.seed)
+    out.write_parquet(args.out)
+    kept = rd.read_parquet(args.out).count()
+    print(json.dumps({"rows_in": ds.count(), "rows_kept": kept,
+                      "out": args.out}))
+    return 0
+
+
 def cmd_convert(args: argparse.Namespace) -> int:
     """Format conversion between the engine's interchange formats
     (parquet / orc / ipc / avro / csv / jsonl), distributed end to end:
@@ -350,6 +379,21 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ex.add_argument("--json", action="store_true")
     ex.set_defaults(fn=cmd_explain)
+
+    sp = sub.add_parser(
+        "sample", help="deterministic hash sampling (global or "
+                       "per-group rates)")
+    sp.add_argument("input")
+    sp.add_argument("out")
+    sp.add_argument("--key", required=True,
+                    help="column whose hash decides membership")
+    sp.add_argument("--rate", type=float, default=0.1)
+    sp.add_argument("--rates", default=None,
+                    help='JSON per-group rates, e.g. {"src0": 1.0}')
+    sp.add_argument("--group-col", default="source")
+    sp.add_argument("--default-rate", type=float, default=0.0)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_sample)
 
     cv = sub.add_parser(
         "convert", help="convert between parquet/orc/ipc/avro/csv/jsonl")

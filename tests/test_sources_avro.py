@@ -111,3 +111,19 @@ def test_cli_convert_roundtrip(ray_session, tmp_path):
          .sort_values("r_regionkey").reset_index(drop=True))
     for c in a.columns:  # avro widens int32 -> int64; compare values
         assert (a[c].to_numpy() == b[c].to_numpy()).all()
+
+
+def test_cli_sample_deterministic(ray_session, tmp_path):
+    import pandas as pd
+
+    from dataquality_ray.cli import main
+
+    out1 = str(tmp_path / "s1")
+    out2 = str(tmp_path / "s2")
+    for out in (out1, out2):
+        assert main(["sample", "/root/testdata/sf0.001/documents.parquet",
+                     out, "--key", "doc_id", "--rate", "0.3"]) == 0
+    a = pd.read_parquet(out1).sort_values("doc_id").reset_index(drop=True)
+    b = pd.read_parquet(out2).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # pure function of (key, seed)
+    assert 0 < len(a) < 500
