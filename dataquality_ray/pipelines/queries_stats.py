@@ -2954,3 +2954,134 @@ def circadian_concentration_q(sf_dir: str):
     out["n"] = out["n"].astype(np.int64)
     out["r2_ppm"] = out["r2_ppm"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Goodman-Kruskal gamma between order priority (ordinal 1-URGENT..5)
+# and order-value quartile (disc cuts): concordant/discordant pair
+# counts from the 5x4 contingency table — exact integers,
+# gamma_ppm = (C - D) * 1e6 trunc-div (C + D).
+# ---------------------------------------------------------------------------
+
+@query("goodman_kruskal_gamma", sql="""
+WITH c AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), cuts AS (
+  SELECT quantile_disc(cents, [0.25, 0.5, 0.75]) AS q FROM c
+), b AS (
+  SELECT pr, ((cents > q[1])::INT + (cents > q[2])::INT
+              + (cents > q[3])::INT)::BIGINT AS quart
+  FROM c, cuts
+), cell AS (
+  SELECT pr, quart, count(*)::BIGINT AS n FROM b GROUP BY pr, quart
+), pairs AS (
+  SELECT sum(CASE WHEN b.pr > a.pr AND b.quart > a.quart
+                  THEN a.n::HUGEINT * b.n ELSE 0 END)::HUGEINT AS conc,
+         sum(CASE WHEN b.pr > a.pr AND b.quart < a.quart
+                  THEN a.n::HUGEINT * b.n ELSE 0 END)::HUGEINT AS disc
+  FROM cell a JOIN cell b ON TRUE
+)
+SELECT conc::BIGINT AS concordant, disc::BIGINT AS discordant,
+       (CASE WHEN conc - disc < 0
+             THEN -((disc - conc) * 1000000 // (conc + disc))
+             ELSE (conc - disc) * 1000000 // (conc + disc)
+        END)::BIGINT AS gamma_ppm
+FROM pairs
+""")
+def gk_gamma_q(sf_dir: str):
+    """Gamma over the priority x value-quartile contingency table."""
+    from dataquality_ray.pipelines.queries_stats import _trunc_div
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        pr = np.array([int(s[0]) for s in
+                       b["o_orderpriority"].to_pylist()],
+                      dtype=np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        f = pd.DataFrame({"pr": pr, "cents": cents, "n": 1})
+        return f.groupby(["pr", "cents"], as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["pr", "cents"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: priorities x cents
+
+    # disc quartile cuts over the merged (cents, n) histogram
+    h = merged.groupby("cents", as_index=False)["n"].sum() \
+        .sort_values("cents")
+    cum = np.cumsum(h["n"].to_numpy(np.int64))
+    total = int(cum[-1])
+    cuts = [int(h["cents"].to_numpy(np.int64)
+                [np.searchsorted(cum, -(-q * total // 100))])
+            for q in (25, 50, 75)]
+    merged["quart"] = sum((merged["cents"] > c).astype(np.int64)
+                          for c in cuts)
+    cell = merged.groupby(["pr", "quart"], as_index=False)["n"].sum()
+    conc = disc = 0
+    rows = list(zip(cell["pr"], cell["quart"], cell["n"]))
+    for pa_, qa, na in rows:
+        for pb, qb, nb in rows:
+            if pb > pa_ and qb > qa:
+                conc += int(na) * int(nb)
+            elif pb > pa_ and qb < qa:
+                disc += int(na) * int(nb)
+    return pd.DataFrame({
+        "concordant": [conc], "discordant": [disc],
+        "gamma_ppm": [_trunc_div((conc - disc) * 1_000_000,
+                                 conc + disc)]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Goodman-Kruskal lambda: proportional reduction in error when
+# predicting lang from source — lambda = (sum_g max_lang(n_gl)
+# - max_lang(n_l)) / (n - max_lang(n_l)), exact integers.
+# ---------------------------------------------------------------------------
+
+@query("gk_lambda_source_lang", sql="""
+WITH cell AS (
+  SELECT source, lang, count(*)::BIGINT AS n
+  FROM documents GROUP BY source, lang
+), rowmax AS (
+  SELECT source, max(n)::BIGINT AS m FROM cell GROUP BY source
+), colsum AS (
+  SELECT lang, sum(n)::BIGINT AS n FROM cell GROUP BY lang
+), t AS (
+  SELECT (SELECT sum(m) FROM rowmax)::BIGINT AS sum_rowmax,
+         (SELECT max(n) FROM colsum)::BIGINT AS marg_max,
+         (SELECT sum(n) FROM cell)::BIGINT AS total
+)
+SELECT total, sum_rowmax, marg_max,
+       ((sum_rowmax - marg_max) * 1000000
+        // (total - marg_max))::BIGINT AS lambda_ppm
+FROM t
+""")
+def gk_lambda_q(sf_dir: str):
+    """PRE of predicting lang from source, exact integers."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "lang": b["lang"].to_pylist(), "n": 1})
+        return f.groupby(["source", "lang"], as_index=False)["n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "lang"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "lang"])
+        .map_batches(part, batch_format="pyarrow"), fold, 10_000)
+    assert ok and merged is not None  # bounded: sources x langs
+    total = int(merged["n"].sum())
+    sum_rowmax = int(merged.groupby("source")["n"].max().sum())
+    marg_max = int(merged.groupby("lang")["n"].sum().max())
+    return pd.DataFrame({
+        "total": [total], "sum_rowmax": [sum_rowmax],
+        "marg_max": [marg_max],
+        "lambda_ppm": [(sum_rowmax - marg_max) * 1_000_000
+                       // (total - marg_max)]}).astype(np.int64)
