@@ -2723,3 +2723,117 @@ def sjf_vs_fifo_q(sf_dir: str) -> pd.DataFrame:
         "spt_total": [spt],
         "savings_ppm": [(fifo - spt) * 1_000_000 // fifo]}
     ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Replacement-selection run generation (external sort, Knuth TAOCP
+# 5.4.1): stream the busiest day's order values in arrival (orderkey)
+# order through an 8-slot selection heap; output the minimum eligible
+# (>= last emitted) value, else close the run.  Expected run length is
+# ~2M on random input — the audit reports actual runs and the
+# avg-run-length/M ratio.  The SQL twin replays the stream in a linear
+# recursive CTE whose state is the heap multiset (one-instance removal
+# via list_position + slicing).
+# ---------------------------------------------------------------------------
+
+_RS_M = 8
+
+
+@query("replacement_selection_runs", sql=f"""
+WITH RECURSIVE d AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         o_orderdate AS day
+  FROM orders
+), busiest AS (
+  SELECT day FROM d GROUP BY day ORDER BY count(*) DESC, day LIMIT 1
+), inp AS MATERIALIZED (
+  SELECT v, row_number() OVER (ORDER BY k) AS i
+  FROM d JOIN busiest USING (day)
+), nn AS (SELECT count(*)::BIGINT AS n FROM inp),
+init AS (
+  SELECT coalesce(list(v ORDER BY i), CAST([] AS BIGINT[])) AS heap
+  FROM inp WHERE i <= {_RS_M}
+), sim(step, pos, heap, last, runs, emitted) AS (
+  SELECT 0::BIGINT, {_RS_M}::BIGINT, list_sort(init.heap),
+         -1::BIGINT, 1::BIGINT, 0::BIGINT
+  FROM init
+  UNION ALL
+  SELECT sim.step + 1,
+    CASE WHEN sim.pos < nn.n THEN sim.pos + 1 ELSE sim.pos END,
+    list_sort(
+      CASE WHEN list_position(sim.heap, ch.v) = 1
+           THEN sim.heap[2:len(sim.heap)]
+           ELSE sim.heap[1:list_position(sim.heap, ch.v) - 1]
+                || sim.heap[list_position(sim.heap, ch.v) + 1
+                            :len(sim.heap)] END
+      || CASE WHEN sim.pos < nn.n
+              THEN [(SELECT v FROM inp WHERE i = sim.pos + 1)]
+              ELSE CAST([] AS BIGINT[]) END),
+    ch.v,
+    sim.runs + ch.newrun,
+    sim.emitted + 1
+  FROM sim CROSS JOIN nn CROSS JOIN LATERAL (
+    SELECT
+      CASE WHEN len(list_filter(sim.heap, x -> x >= sim.last)) > 0
+           THEN list_min(list_filter(sim.heap, x -> x >= sim.last))
+           ELSE list_min(sim.heap) END AS v,
+      CASE WHEN len(list_filter(sim.heap, x -> x >= sim.last)) > 0
+           THEN 0 ELSE 1 END AS newrun
+  ) ch
+  WHERE len(sim.heap) > 0
+)
+SELECT nn.n AS n_records, s.runs::BIGINT AS n_runs,
+       (nn.n * 1000000 // (s.runs * {_RS_M}))::BIGINT
+         AS runlen_over_m_ppm
+FROM sim s, nn WHERE s.emitted = nn.n
+""")
+def replacement_selection_q(sf_dir: str) -> pd.DataFrame:
+    """Run count of 8-slot replacement selection on the busiest day."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = b["o_orderdate"].to_pandas().dt.strftime("%Y-%m-%d")
+        return pd.DataFrame({
+            "day": day,
+            "k": b["o_orderkey"].to_numpy(zero_copy_only=False),
+            "v": np.round(b["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_totalprice", "o_orderdate"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: orders at cap
+    cnt = merged.groupby("day").size()
+    busiest = sorted(cnt.index, key=lambda d: (-int(cnt[d]), d))[0]
+    vals = merged[merged["day"] == busiest].sort_values("k")["v"] \
+        .to_numpy(np.int64).tolist()
+    n = len(vals)
+    heap = sorted(vals[:_RS_M])
+    pos = _RS_M
+    last = -1
+    runs = 1
+    emitted = 0
+    while heap:
+        elig = [x for x in heap if x >= last]
+        if elig:
+            v = min(elig)
+        else:
+            v = min(heap)
+            runs += 1
+        heap.remove(v)
+        last = v
+        emitted += 1
+        if pos < n:
+            heap.append(vals[pos])
+            heap.sort()
+            pos += 1
+    assert emitted == n
+    return pd.DataFrame({
+        "n_records": [n], "n_runs": [runs],
+        "runlen_over_m_ppm": [n * 1_000_000 // (runs * _RS_M)]}
+    ).astype(np.int64)

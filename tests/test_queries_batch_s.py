@@ -75,3 +75,13 @@ def test_vertex_cover_covers_and_2approx():
     # cover = 2 * matching, and matching is a lower bound on any cover
     assert int(r["cover_size"]) == 2 * int(r["matching_size"])
     assert int(r["matching_size"]) >= 1
+
+
+def test_replacement_selection_beats_naive_runs():
+    out = qa.replacement_selection_q(SF)
+    r = out.iloc[0]
+    n, runs = int(r["n_records"]), int(r["n_runs"])
+    # naive M-record runs would need ceil(n/M) runs; replacement
+    # selection can never be worse
+    assert runs <= -(-n // qa._RS_M)
+    assert runs >= 1
