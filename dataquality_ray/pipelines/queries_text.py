@@ -8677,3 +8677,99 @@ def surprising_bigrams_q(sf_dir: str) -> pd.DataFrame:
     out["occurrences"] = out["occurrences"].astype(np.int64)
     out["surprisal_uppm"] = out["surprisal_uppm"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Blocked (cache-line) Bloom filter FPR audit: same sha256->splitmix64
+# hash budget as bloom_fpr_audit, but all k = 4 bits confined to one
+# 512-bit block chosen by the raw 64-bit key (block = h % 2048, bit =
+# chain % 512 within it) — the cache-friendly layout's FPR penalty
+# measured against the standard filter on the same 5000 absent probes.
+# ---------------------------------------------------------------------------
+
+def _blocked_bloom_sql(n_probes: int = 5000) -> str:
+    from dataquality_ray.stages.sketch import BLOOM_K, BLOOM_M
+
+    nb = BLOOM_M // 512
+    chain_a, chain_b = [], []
+    prev = "haj"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        chain_a.append(f"ba{n} AS (SELECT blk, {expr} AS x FROM {prev})")
+        prev = f"ba{n}"
+    last_a = prev
+    prev = "hbj"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        chain_b.append(
+            f"bb{n} AS (SELECT pid, blk, {expr} AS x FROM {prev})")
+        prev = f"bb{n}"
+    last_b = prev
+    return f"""
+WITH probes AS (
+  SELECT i AS pid, 'absent-' || i AS key
+  FROM (SELECT unnest(range(0, {n_probes})) AS i)
+), js AS (SELECT unnest(range(0, {BLOOM_K}))::UBIGINT AS j),
+ha AS (SELECT ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS h
+       FROM documents WHERE text IS NOT NULL),
+haj AS (SELECT (h % {nb})::BIGINT AS blk, xor(h, j)::HUGEINT AS x
+        FROM ha CROSS JOIN js),
+{', '.join(chain_a)},
+posa AS (SELECT DISTINCT blk * 512 + (x % 512) AS pos FROM {last_a}),
+hb AS (SELECT pid, ('0x' || substr(sha256(key), 1, 16))::UBIGINT AS h
+       FROM probes),
+hbj AS (SELECT pid, (h % {nb})::BIGINT AS blk,
+               xor(h, j)::HUGEINT AS x
+        FROM hb CROSS JOIN js),
+{', '.join(chain_b)},
+posb AS (SELECT pid, blk * 512 + (x % 512) AS pos FROM {last_b}),
+verdicts AS (
+  SELECT b.pid, bool_and(p.pos IS NOT NULL) AS hit
+  FROM posb b LEFT JOIN posa p ON b.pos = p.pos GROUP BY b.pid
+)
+SELECT count(*)::BIGINT AS n_probes,
+       count(*) FILTER (WHERE hit)::BIGINT AS n_false_positives
+FROM verdicts
+"""
+
+
+@query("blocked_bloom_fpr_audit", sql=_blocked_bloom_sql())
+def blocked_bloom_fpr_q(sf_dir: str) -> pd.DataFrame:
+    """FPR of the 512-bit-blocked Bloom layout on absent probes."""
+    import hashlib
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.sketch import BLOOM_K, BLOOM_M, splitmix64
+
+    nb = BLOOM_M // 512
+
+    def positions(vals: list[str]) -> np.ndarray:
+        base = np.empty(len(vals), dtype=np.uint64)
+        for i, v in enumerate(vals):
+            base[i] = int.from_bytes(
+                hashlib.sha256(str(v).encode()).digest()[:8], "big")
+        blk = (base % np.uint64(nb)).astype(np.int64) * 512
+        pos = np.empty((len(vals), BLOOM_K), dtype=np.int64)
+        for j in range(BLOOM_K):
+            pos[:, j] = blk + (splitmix64(base ^ np.uint64(j))
+                               & np.uint64(511)).astype(np.int64)
+        return pos
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        vals = [str(v) for v in b["text"].drop_null().to_pylist()]
+        if not vals:
+            return pd.DataFrame({"pos": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"pos": np.unique(positions(vals).ravel())})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: set bits <= BLOOM_M
+    bits = set(int(p) for p in merged["pos"])
+    probes = [f"absent-{i}" for i in range(5000)]
+    ppos = positions(probes)
+    fps = sum(1 for r in ppos if all(int(p) in bits for p in r))
+    return pd.DataFrame({"n_probes": [5000],
+                         "n_false_positives": [fps]}).astype(np.int64)
