@@ -3085,3 +3085,127 @@ def gk_lambda_q(sf_dir: str):
         "marg_max": [marg_max],
         "lambda_ppm": [(sum_rowmax - marg_max) * 1_000_000
                        // (total - marg_max)]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Negative-binomial method-of-moments fit of daily counts per type:
+# with exact integer n, S, Q the dispersion test v > m reduces to
+# n*Q - S^2 > S*n (cross-multiplied), r = m^2/(v-m) and p = m/v land
+# as single integer ratios: r_ppm = S^2*(n-0)... carried as
+# r_ppm = S*S*1e6 // (n*Q - S*S - S*n), p_ppm = S*n*1e6 // (n*Q - S*S)
+# (overdispersed types only; others report -1).
+# ---------------------------------------------------------------------------
+
+@query("negbin_moments_by_type", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+), a AS (
+  SELECT event_type, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+         sum(x::HUGEINT * x)::HUGEINT AS q
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n::BIGINT AS n_days,
+       (CASE WHEN n * q - s * s > s * n
+             THEN s * s * 1000000 // (n * q - s * s - s * n)
+             ELSE -1 END)::BIGINT AS r_ppm,
+       (CASE WHEN n * q - s * s > s * n
+             THEN s * n * 1000000 // (n * q - s * s)
+             ELSE -1 END)::BIGINT AS p_ppm
+FROM a ORDER BY event_type
+""")
+def negbin_moments_q(sf_dir: str):
+    """NB(r, p) moment estimates per type; -1 when not overdispersed."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "day": ts // 86_400_000_000, "x": 1})
+        return f.groupby(["event_type", "day"], as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "day"], as_index=False)["x"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: types x days
+    rows = []
+    for et, g in merged.groupby("event_type"):
+        x = [int(v) for v in g["x"]]
+        n, s, q = len(x), sum(x), sum(v * v for v in x)
+        if n * q - s * s > s * n:
+            r = s * s * 1_000_000 // (n * q - s * s - s * n)
+            p = s * n * 1_000_000 // (n * q - s * s)
+        else:
+            r = p = -1
+        rows.append([et, n, r, p])
+    out = pd.DataFrame(rows, columns=["event_type", "n_days", "r_ppm",
+                                      "p_ppm"])
+    out = out.sort_values("event_type").reset_index(drop=True)
+    for c in ("n_days", "r_ppm", "p_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tail ratio p99/p50 of event values per type (disc quantiles on the
+# cents grid) — the single number that says how heavy the tail a
+# latency/spend budget must absorb.
+# ---------------------------------------------------------------------------
+
+@query("tail_ratio_values", sql="""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+       quantile_disc(cents, 0.5)::BIGINT AS p50,
+       quantile_disc(cents, 0.99)::BIGINT AS p99,
+       (quantile_disc(cents, 0.99) * 1000000
+        // quantile_disc(cents, 0.5))::BIGINT AS tail_ratio_ppm
+FROM v GROUP BY event_type ORDER BY event_type
+""")
+def tail_ratio_q(sf_dir: str):
+    """p99/p50 per type, exact cents grid."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        cents = np.round(b["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "cents": cents, "n": 1})
+        return f.groupby(["event_type", "cents"], as_index=False)[
+            "n"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "cents"], as_index=False)[
+            "n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: types x cents
+
+    def disc_q(v, c, qpct):
+        order = np.argsort(v, kind="mergesort")
+        vv, cc = v[order], c[order]
+        total = int(cc.sum())
+        k = -(-qpct * total // 100)
+        return int(vv[np.searchsorted(np.cumsum(cc), k)])
+
+    rows = []
+    for et, g in merged.groupby("event_type"):
+        v = g["cents"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        p50 = disc_q(v, c, 50)
+        p99 = disc_q(v, c, 99)
+        rows.append([et, p50, p99, p99 * 1_000_000 // p50])
+    out = pd.DataFrame(rows, columns=["event_type", "p50", "p99",
+                                      "tail_ratio_ppm"])
+    out = out.sort_values("event_type").reset_index(drop=True)
+    for c in ("p50", "p99", "tail_ratio_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out
