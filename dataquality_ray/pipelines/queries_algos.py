@@ -2837,3 +2837,127 @@ def replacement_selection_q(sf_dir: str) -> pd.DataFrame:
         "n_records": [n], "n_runs": [runs],
         "runlen_over_m_ppm": [n * 1_000_000 // (runs * _RS_M)]}
     ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# 0-dimensional sublevel persistence diagram of the daily volume
+# series (TDA): activate days in ascending (value, position) order;
+# an activation bridging two active intervals merges them and KILLS
+# the younger component (the one with the larger minimum) — emitting
+# the persistence pair (birth value, death value).  Minima compare by
+# the unique encoding w = x*64 + position.  The SQL twin replays the
+# sweep in a linear recursive CTE over interval/pair struct lists.
+# ---------------------------------------------------------------------------
+
+@query("persistence_pairs_daily", sql="""
+WITH RECURSIVE d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS x
+  FROM events GROUP BY 1
+), o AS (
+  SELECT x, row_number() OVER (ORDER BY day) AS i FROM d
+), act AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY x, i) AS t, i AS p, x,
+         (x * 64 + i)::BIGINT AS w
+  FROM o
+), nn AS (SELECT count(*)::BIGINT AS n FROM act),
+sweep(t, ints, pairs) AS (
+  SELECT 0::BIGINT,
+         CAST([] AS STRUCT(s BIGINT, e BIGINT, m BIGINT)[]),
+         CAST([] AS STRUCT(b BIGINT, d BIGINT)[])
+  UNION ALL
+  SELECT sweep.t + 1,
+    CASE
+      WHEN len(list_filter(sweep.ints, q -> q.e = a.p - 1)) > 0
+       AND len(list_filter(sweep.ints, q -> q.s = a.p + 1)) > 0
+      THEN list_append(
+             list_filter(sweep.ints,
+                         q -> q.e <> a.p - 1 AND q.s <> a.p + 1),
+             {'s': list_filter(sweep.ints,
+                               q -> q.e = a.p - 1)[1].s,
+              'e': list_filter(sweep.ints,
+                               q -> q.s = a.p + 1)[1].e,
+              'm': least(list_filter(sweep.ints,
+                                     q -> q.e = a.p - 1)[1].m,
+                         list_filter(sweep.ints,
+                                     q -> q.s = a.p + 1)[1].m)})
+      WHEN len(list_filter(sweep.ints, q -> q.e = a.p - 1)) > 0
+      THEN list_append(
+             list_filter(sweep.ints, q -> q.e <> a.p - 1),
+             {'s': list_filter(sweep.ints,
+                               q -> q.e = a.p - 1)[1].s,
+              'e': a.p,
+              'm': list_filter(sweep.ints,
+                               q -> q.e = a.p - 1)[1].m})
+      WHEN len(list_filter(sweep.ints, q -> q.s = a.p + 1)) > 0
+      THEN list_append(
+             list_filter(sweep.ints, q -> q.s <> a.p + 1),
+             {'s': a.p,
+              'e': list_filter(sweep.ints,
+                               q -> q.s = a.p + 1)[1].e,
+              'm': list_filter(sweep.ints,
+                               q -> q.s = a.p + 1)[1].m})
+      ELSE list_append(sweep.ints, {'s': a.p, 'e': a.p, 'm': a.w})
+    END,
+    CASE
+      WHEN len(list_filter(sweep.ints, q -> q.e = a.p - 1)) > 0
+       AND len(list_filter(sweep.ints, q -> q.s = a.p + 1)) > 0
+      THEN list_append(sweep.pairs,
+             {'b': greatest(list_filter(sweep.ints,
+                                        q -> q.e = a.p - 1)[1].m,
+                            list_filter(sweep.ints,
+                                        q -> q.s = a.p + 1)[1].m),
+              'd': a.x})
+      ELSE sweep.pairs
+    END
+  FROM sweep JOIN act a ON a.t = sweep.t + 1
+), fin AS (
+  SELECT pairs FROM sweep, nn WHERE t = nn.n
+)
+SELECT (u.pr).b // 64 AS birth_x, (u.pr).b % 64 AS birth_pos,
+       (u.pr).d AS death_x, (u.pr).d - (u.pr).b // 64 AS persistence
+FROM fin, unnest(fin.pairs) u(pr)
+ORDER BY birth_x, birth_pos, death_x
+""")
+def persistence_pairs_q(sf_dir: str) -> pd.DataFrame:
+    """Finite 0-dim persistence pairs of the daily series."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day": ts // 86_400_000_000, "x": 1})
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("day", as_index=False)["x"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 100_000)
+    assert ok and merged is not None  # bounded: distinct days
+    merged = merged.sort_values("day").reset_index(drop=True)
+    x = merged["x"].to_numpy(np.int64)
+    n = len(x)
+    order = sorted(range(n), key=lambda i: (int(x[i]), i))
+    ints: list[list[int]] = []  # [s, e, m] with 1-based positions
+    pairs = []
+    for i in order:
+        p = i + 1
+        w = int(x[i]) * 64 + p
+        li = next((q for q in ints if q[1] == p - 1), None)
+        ri = next((q for q in ints if q[0] == p + 1), None)
+        if li and ri:
+            pairs.append([max(li[2], ri[2]), int(x[i])])
+            ints.remove(li)
+            ints.remove(ri)
+            ints.append([li[0], ri[1], min(li[2], ri[2])])
+        elif li:
+            li[1] = p
+        elif ri:
+            ri[0] = p
+        else:
+            ints.append([p, p, w])
+    rows = sorted([[b // 64, b % 64, d, d - b // 64]
+                   for b, d in pairs])
+    out = pd.DataFrame(rows, columns=["birth_x", "birth_pos",
+                                      "death_x", "persistence"])
+    return out.astype(np.int64)

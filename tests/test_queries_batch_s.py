@@ -85,3 +85,12 @@ def test_replacement_selection_beats_naive_runs():
     # selection can never be worse
     assert runs <= -(-n // qa._RS_M)
     assert runs >= 1
+
+
+def test_persistence_pairs_structure():
+    out = qa.persistence_pairs_q(SF)
+    # a series with n local minima yields exactly n-1 finite pairs
+    # (the global min never dies); persistence >= 0; births <= deaths
+    assert (out["persistence"] >= 0).all()
+    assert (out["birth_x"] <= out["death_x"]).all()
+    assert len(out) >= 1
