@@ -1989,3 +1989,65 @@ def compression_dict_q(sf_dir: str) -> pd.DataFrame:
     out["occurrences"] = out["occurrences"].astype(np.int64)
     out["bytes_saved"] = out["bytes_saved"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Log-structured-storage cleaning plan: 16 segments (o_orderkey % 16),
+# live bytes = open orders ('O') x 64B, dead = the rest; clean the 8
+# lowest-utilization segments (exact cross-multiplied utilization
+# ordering, ties by segment id) and report the bytes moved vs bytes
+# reclaimed — the LFS/SSD-GC write-amplification budget.
+# ---------------------------------------------------------------------------
+
+@query("lfs_cleaning_plan", sql="""
+WITH seg AS (
+  SELECT o_orderkey % 16 AS seg,
+         count(*)::BIGINT * 64 AS size_b,
+         sum((o_orderstatus = 'O')::INT)::BIGINT * 64 AS live_b
+  FROM orders GROUP BY 1
+), rk AS (
+  SELECT seg, size_b, live_b,
+         row_number() OVER (ORDER BY live_b::HUGEINT * 1000000
+                                     // size_b, seg) AS r
+  FROM seg
+)
+SELECT sum(CASE WHEN r <= 8 THEN live_b ELSE 0 END)::BIGINT
+         AS moved_bytes,
+       sum(CASE WHEN r <= 8 THEN size_b - live_b ELSE 0 END)::BIGINT
+         AS reclaimed_bytes,
+       (sum(CASE WHEN r <= 8 THEN live_b ELSE 0 END) * 1000000
+        // greatest(1, sum(CASE WHEN r <= 8
+                                THEN size_b - live_b ELSE 0 END)))
+         ::BIGINT AS move_per_reclaim_ppm
+FROM rk
+""")
+def lfs_cleaning_q(sf_dir: str) -> pd.DataFrame:
+    """Bytes moved vs reclaimed cleaning the 8 emptiest segments."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        seg = b["o_orderkey"].to_numpy(zero_copy_only=False) % 16
+        live = (np.asarray(b["o_orderstatus"].to_pylist()) == "O")
+        f = pd.DataFrame({"seg": seg, "size_b": 64,
+                          "live_b": live.astype(np.int64) * 64})
+        return f.groupby("seg", as_index=False)[
+            ["size_b", "live_b"]].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("seg", as_index=False)[
+            ["size_b", "live_b"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+        .map_batches(part, batch_format="pyarrow"), fold, 1000)
+    assert ok and merged is not None  # bounded: 16 segments
+    merged["u"] = [int(l) * 1_000_000 // int(s)
+                   for l, s in zip(merged["live_b"], merged["size_b"])]
+    merged = merged.sort_values(["u", "seg"]).head(8)
+    moved = int(merged["live_b"].sum())
+    reclaimed = int((merged["size_b"] - merged["live_b"]).sum())
+    return pd.DataFrame({
+        "moved_bytes": [moved], "reclaimed_bytes": [reclaimed],
+        "move_per_reclaim_ppm": [moved * 1_000_000
+                                 // max(1, reclaimed)]}
+    ).astype(np.int64)

@@ -8773,3 +8773,60 @@ def blocked_bloom_fpr_q(sf_dir: str) -> pd.DataFrame:
     fps = sum(1 for r in ppos if all(int(p) in bits for p in r))
     return pd.DataFrame({"n_probes": [5000],
                          "n_false_positives": [fps]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Token h-index / g-index: h = max h with h tokens of count >= h;
+# g = max g with the top-g counts summing to >= g^2 — the bibliometric
+# pair as a one-glance vocabulary-concentration summary.  Exact.
+# ---------------------------------------------------------------------------
+
+@query("token_h_g_index", sql="""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                  '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*)::BIGINT AS c FROM toks GROUP BY token
+), rk AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r,
+         sum(c) OVER (ORDER BY c DESC, token)::BIGINT AS cum
+  FROM cnt
+)
+SELECT (SELECT count(*) FROM cnt)::BIGINT AS vocab,
+       coalesce((SELECT max(r) FROM rk WHERE c >= r), 0)::BIGINT
+         AS h_index,
+       coalesce((SELECT max(r) FROM rk WHERE cum >= r * r), 0)::BIGINT
+         AS g_index
+""")
+def token_h_g_index_q(sf_dir: str) -> pd.DataFrame:
+    """h- and g-index of the token frequency list."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        rows: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for tok in (t or "").split():
+                rows[tok] = rows.get(tok, 0) + 1
+        return pd.DataFrame({"token": list(rows),
+                             "c": np.array(list(rows.values()),
+                                           dtype=np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("token", as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: vocabulary
+    merged = merged.sort_values(["c", "token"],
+                                ascending=[False, True])
+    c = merged["c"].to_numpy(np.int64)
+    cum = np.cumsum(c.astype(object))
+    h = max((i + 1 for i in range(len(c)) if int(c[i]) >= i + 1),
+            default=0)
+    g = max((i + 1 for i in range(len(c))
+             if int(cum[i]) >= (i + 1) ** 2), default=0)
+    return pd.DataFrame({"vocab": [len(c)], "h_index": [h],
+                         "g_index": [g]}).astype(np.int64)
