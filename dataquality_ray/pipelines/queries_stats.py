@@ -2174,7 +2174,6 @@ WITH c AS (
   FROM rk GROUP BY priority
 )
 SELECT priority, n::BIGINT AS n, s::BIGINT AS s,
-       b1::BIGINT AS b1, b2::BIGINT AS b2,
        ((2 * b1 - (n - 1) * s) * 1000000 // ((n - 1) * s))::BIGINT
          AS l_cv_ppm,
        (CASE WHEN 6 * b2 - 6 * (n - 2) * b1 + (n - 1) * (n - 2) * s < 0
@@ -2213,13 +2212,15 @@ def l_moments_q(sf_dir: str):
         b2 = int((i * (i - 1) * x).sum())
         l2n = 2 * b1 - (n - 1) * s
         l3n = 6 * b2 - 6 * (n - 2) * b1 + (n - 1) * (n - 2) * s
-        rows.append([pri, n, s, b1, b2,
+        # raw b1/b2 overflow int64 beyond ~10^5 rows/group; only the
+        # scale-free ratios are emitted
+        rows.append([pri, n, s,
                      _trunc_div(l2n * 1_000_000, (n - 1) * s),
                      _trunc_div(l3n * 1_000_000, l2n * (n - 2))])
-    out = pd.DataFrame(rows, columns=["priority", "n", "s", "b1", "b2",
+    out = pd.DataFrame(rows, columns=["priority", "n", "s",
                                       "l_cv_ppm", "t3_ppm"])
     out = out.sort_values("priority").reset_index(drop=True)
-    for c in ("n", "s", "b1", "b2", "l_cv_ppm", "t3_ppm"):
+    for c in ("n", "s", "l_cv_ppm", "t3_ppm"):
         out[c] = out[c].astype(np.int64)
     return out
 
