@@ -2051,3 +2051,165 @@ def lfs_cleaning_q(sf_dir: str) -> pd.DataFrame:
         "move_per_reclaim_ppm": [moved * 1_000_000
                                  // max(1, reclaimed)]}
     ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Luby-style maximal independent set of the token bigram graph with
+# deterministic sha-derived priorities: each round selects every
+# active vertex whose priority beats all active neighbors
+# (strict <, ties impossible on distinct 64-bit keys), removes the
+# winners plus their neighbors, repeats — unrolled 20 rounds (>= the
+# worst chain on |V| <= 31).  The parallel-MIS classic with the
+# randomness replaced by a fixed hash, so both engines replay it
+# exactly.
+# ---------------------------------------------------------------------------
+
+def _luby_sql(rounds: int = 20) -> str:
+    head = f"""
+WITH toks AS (SELECT {_TOK_SQL} AS t FROM documents),
+pairs AS (
+  SELECT t[i] AS a, t[i+1] AS b
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM pairs WHERE a <> b
+),
+adj AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+),
+pri AS MATERIALIZED (
+  SELECT u, ('0x' || substr(sha256(u), 1, 16))::UBIGINT AS p
+  FROM (SELECT DISTINCT u FROM adj)
+),
+a0 AS MATERIALIZED (SELECT u FROM pri),
+m0 AS MATERIALIZED (SELECT u FROM pri WHERE FALSE)"""
+    parts = [head]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+w{k} AS MATERIALIZED (
+  SELECT x.u FROM a{k - 1} x JOIN pri px ON px.u = x.u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM adj JOIN a{k - 1} n ON n.u = adj.v
+    JOIN pri pn ON pn.u = adj.v
+    WHERE adj.u = x.u AND pn.p < px.p)
+),
+a{k} AS MATERIALIZED (
+  SELECT u FROM a{k - 1}
+  WHERE u NOT IN (SELECT u FROM w{k})
+    AND u NOT IN (SELECT adj.v FROM adj JOIN w{k} ON w{k}.u = adj.u)
+),
+m{k} AS MATERIALIZED (
+  SELECT u FROM m{k - 1} UNION SELECT u FROM w{k}
+)""")
+    parts.append(f"""
+SELECT u AS token FROM m{rounds} ORDER BY token""")
+    return "".join(parts)
+
+
+@query("luby_mis_tokens", sql=_luby_sql())
+def luby_mis_q(sf_dir: str) -> pd.DataFrame:
+    """Deterministic-priority Luby MIS over the bigram graph."""
+    import hashlib
+
+    from dataquality_ray.pipelines.queries_mining import bigram_edges
+
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    und = {tuple(sorted((a, b)))
+           for a, b in zip(edges["src"], edges["dst"]) if a != b}
+    adj: dict[str, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    pri = {v: int.from_bytes(
+        hashlib.sha256(v.encode()).digest()[:8], "big")
+        for v in adj}
+    active = set(adj)
+    mis: set = set()
+    while active:
+        winners = {v for v in active
+                   if all(pri[v] <= pri[n] or n not in active
+                          for n in adj[v])
+                   and not any(n in active and pri[n] < pri[v]
+                               for n in adj[v])}
+        mis |= winners
+        removed = set(winners)
+        for w in winners:
+            removed |= adj[w]
+        active -= removed
+    return pd.DataFrame({"token": sorted(mis)})
+
+
+# ---------------------------------------------------------------------------
+# Sample-sort splitter audit: pick 7 splitters from the every-100th
+# sample of order cents (deterministic rank positions, disc
+# convention), count the 8 resulting partitions, and report the worst
+# partition's imbalance vs the ideal n/8 — the range-partition
+# planning check a distributed sort runs before shuffling 100 TB.
+# ---------------------------------------------------------------------------
+
+@query("sample_sort_splitter_audit", sql="""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         row_number() OVER (ORDER BY round(o_totalprice * 100),
+                            o_orderkey) AS r
+  FROM orders
+), n AS (SELECT count(*)::BIGINT AS n FROM c),
+samp AS (
+  SELECT x, row_number() OVER (ORDER BY r) AS sr
+  FROM c WHERE r % 100 = 1
+), ns AS (SELECT count(*)::BIGINT AS m FROM samp),
+spl AS (
+  SELECT s.x AS cut
+  FROM samp s, ns, (SELECT unnest(range(1, 8)) AS k) g
+  WHERE s.sr = greatest(1, (g.k * ns.m) // 8)
+), parts AS (
+  SELECT (SELECT count(*) FROM spl sp WHERE c.x > sp.cut)::BIGINT
+           AS part_id
+  FROM c
+), sizes AS (
+  SELECT part_id, count(*)::BIGINT AS sz FROM parts GROUP BY part_id
+)
+SELECT n.n AS n_rows,
+       count(*)::BIGINT AS n_parts,
+       max(sz)::BIGINT AS max_part,
+       (max(sz) * 8 * 1000000 // n.n)::BIGINT AS imbalance_ppm
+FROM sizes, n GROUP BY n.n
+""")
+def sample_sort_splitter_q(sf_dir: str) -> pd.DataFrame:
+    """Partition balance under every-100th-sample splitters."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        x = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        f = pd.DataFrame({"x": x,
+                          "k": b["o_orderkey"].to_numpy(
+                              zero_copy_only=False)})
+        return f
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: orders at cap
+    merged = merged.sort_values(["x", "k"]).reset_index(drop=True)
+    x = merged["x"].to_numpy(np.int64)
+    n = len(x)
+    samp = x[0::100]  # ranks r % 100 == 1 on the 1-based grid
+    m = len(samp)
+    # keep the multiset: duplicate cut values shift part ids exactly
+    # like the SQL's per-splitter strict comparison does
+    cuts = [int(samp[max(1, (k * m) // 8) - 1]) for k in range(1, 8)]
+    part_id = np.zeros(n, dtype=np.int64)
+    for cut in cuts:
+        part_id += (x > cut).astype(np.int64)
+    sizes = np.bincount(part_id)
+    sizes = sizes[sizes > 0]
+    return pd.DataFrame({
+        "n_rows": [n], "n_parts": [len(sizes)],
+        "max_part": [int(sizes.max())],
+        "imbalance_ppm": [int(sizes.max()) * 8 * 1_000_000 // n]}
+    ).astype(np.int64)

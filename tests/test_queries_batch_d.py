@@ -65,3 +65,32 @@ def test_rcm_reduces_or_matches_bandwidth():
     # worse than a full-width ordering, and both are valid bandwidths
     assert 1 <= int(r["bandwidth_rcm"]) <= int(r["n_vertices"]) - 1
     assert 1 <= int(r["bandwidth_lex"]) <= int(r["n_vertices"]) - 1
+
+
+def test_luby_mis_is_maximal_independent():
+    out = qy.luby_mis_q("/root/testdata/sf0.001")
+    mis = set(out["token"])
+    from dataquality_ray.pipelines.queries_mining import bigram_edges
+    import ray.data as rd
+
+    edges = bigram_edges(
+        rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                        columns=["text"]))
+    und = {tuple(sorted((a, b)))
+           for a, b in zip(edges["src"], edges["dst"]) if a != b}
+    verts = {v for e in und for v in e}
+    # independent: no edge within the set
+    assert not any(a in mis and b in mis for a, b in und)
+    # maximal: every vertex outside has a neighbor inside
+    for v in verts - mis:
+        assert any((v, n) in und or (n, v) in und
+                   or tuple(sorted((v, n))) in und
+                   for n in mis), v
+
+
+def test_sample_sort_balance_reasonable(ray_session):
+    out = qy.sample_sort_splitter_q("/root/testdata/sf0.001")
+    r = out.iloc[0]
+    assert 1 <= int(r["n_parts"]) <= 8
+    # max part of a sampled range partition stays within 3x ideal
+    assert int(r["imbalance_ppm"]) < 3_000_000
