@@ -8830,3 +8830,75 @@ def token_h_g_index_q(sf_dir: str) -> pd.DataFrame:
              if int(cum[i]) >= (i + 1) ** 2), default=0)
     return pd.DataFrame({"vocab": [len(c)], "h_index": [h],
                          "g_index": [g]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Closest feature pair: the two most similar documents in the exact
+# integer (n_chars, n_tokens) feature plane (squared Euclidean,
+# excluding identical points; ties by ids) — the computational-
+# geometry classic run as a chunked int64 census.
+# ---------------------------------------------------------------------------
+
+@query("closest_feature_pair", sql="""
+WITH f AS (
+  SELECT doc_id, n_chars::BIGINT AS cx,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                               '\\s+'),
+                         x -> x <> ''))::BIGINT AS ty
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ((a.cx - b.cx) * (a.cx - b.cx)
+          + (a.ty - b.ty) * (a.ty - b.ty))::BIGINT AS d2
+  FROM f a JOIN f b ON a.doc_id < b.doc_id
+  WHERE a.cx <> b.cx OR a.ty <> b.ty
+)
+SELECT id_a, id_b, d2 FROM pairs ORDER BY d2, id_a, id_b LIMIT 1
+""")
+def closest_feature_pair_q(sf_dir: str) -> pd.DataFrame:
+    """Min nonzero squared distance in the (chars, tokens) plane."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        t = b["text"].to_pandas().fillna("")
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+            "cx": b["n_chars"].to_numpy(zero_copy_only=False),
+            "ty": t.str.count(r"\S+").to_numpy(np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "n_chars", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: docs at cap
+    merged = merged.sort_values("doc_id").reset_index(drop=True)
+    ids = merged["doc_id"].to_numpy(np.int64)
+    cx = merged["cx"].to_numpy(np.int64)
+    ty = merged["ty"].to_numpy(np.int64)
+    n = len(ids)
+    best = None
+    chunk = max(1, 4_000_000 // max(n, 1))
+    for i0 in range(0, n, chunk):
+        i1 = min(i0 + chunk, n)
+        dx = cx[i0:i1, None] - cx[None, :]
+        dy = ty[i0:i1, None] - ty[None, :]
+        d2 = dx * dx + dy * dy
+        ii = np.arange(i0, i1)[:, None]
+        jj = np.arange(n)[None, :]
+        valid = (ids[jj] > ids[ii]) & (d2 > 0)
+        if not valid.any():
+            continue
+        dv = np.where(valid, d2, np.int64(2**62))
+        flat = int(dv.argmin())
+        r, cidx = divmod(flat, n)
+        # resolve exact tie-break (d2, id_a, id_b) within the chunk
+        cand = np.argwhere(dv == dv.min())
+        key = min((int(dv[r_, c_]), int(ids[i0 + r_]), int(ids[c_]))
+                  for r_, c_ in cand)
+        if best is None or key < best:
+            best = key
+    return pd.DataFrame([[best[1], best[2], best[0]]],
+                        columns=["id_a", "id_b", "d2"]) \
+        .astype(np.int64)

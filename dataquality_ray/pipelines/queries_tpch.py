@@ -10678,3 +10678,65 @@ def priority_sampling_q(sf_dir: str) -> pd.DataFrame:
         "n": [n], "true_total": [true_total], "estimate": [est],
         "err_ppm": [_trunc_div((est - true_total) * 1_000_000,
                                true_total)]}).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-order detection: pairs from the same customer with the
+# SAME total (cents) placed within 7 days of each other — the classic
+# double-charge / double-submit audit.  Grouped by (cust, cents) so
+# the pair scan is per-group; exact day arithmetic.
+# ---------------------------------------------------------------------------
+
+@query("duplicate_order_detection", sql="""
+WITH o AS (
+  SELECT o_custkey AS c, o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+)
+SELECT a.c AS custkey, a.k AS order_a, b.k AS order_b,
+       a.cents, (b.day - a.day)::BIGINT AS gap_days
+FROM o a JOIN o b
+  ON b.c = a.c AND b.cents = a.cents AND b.k > a.k
+ AND abs(b.day - a.day) <= 7
+ORDER BY custkey, order_a, order_b
+""")
+def duplicate_order_q(sf_dir: str) -> pd.DataFrame:
+    """Same-(cust, cents) order pairs within 7 days."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c": b["o_custkey"].to_numpy(zero_copy_only=False),
+            "k": b["o_orderkey"].to_numpy(zero_copy_only=False),
+            "cents": np.round(b["o_totalprice"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64),
+            "day": b["o_orderdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // 86_400_000_000})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderkey", "o_totalprice",
+               "o_orderdate"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: orders at cap
+    rows = []
+    for (c, cents), g in merged.groupby(["c", "cents"]):
+        if len(g) < 2:
+            continue
+        recs = sorted(zip(g["k"].astype(int), g["day"].astype(int)))
+        for i in range(len(recs)):
+            for j in range(len(recs)):
+                if recs[j][0] > recs[i][0] \
+                        and abs(recs[j][1] - recs[i][1]) <= 7:
+                    rows.append([int(c), recs[i][0], recs[j][0],
+                                 int(cents),
+                                 recs[j][1] - recs[i][1]])
+    out = pd.DataFrame(rows, columns=["custkey", "order_a", "order_b",
+                                      "cents", "gap_days"])
+    out = out.sort_values(["custkey", "order_a", "order_b"]) \
+        .reset_index(drop=True)
+    return out.astype(np.int64)
