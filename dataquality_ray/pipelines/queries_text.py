@@ -8902,3 +8902,61 @@ def closest_feature_pair_q(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([[best[1], best[2], best[0]]],
                         columns=["id_a", "id_b", "d2"]) \
         .astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Token trie fanout: distinct prefixes at depths 1..4 and the implied
+# branching factor (ppm) per level — the number a prefix-compressed
+# dictionary or FST sizes itself from.
+# ---------------------------------------------------------------------------
+
+@query("token_trie_fanout", sql="""
+WITH toks AS (
+  SELECT DISTINCT unnest(list_filter(
+           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+           x -> x <> '')) AS token
+  FROM documents
+), lv AS (
+  SELECT d.d AS depth, count(DISTINCT substr(token, 1, d.d::INT))
+           ::BIGINT AS prefixes
+  FROM toks, (SELECT unnest(range(1, 5)) AS d) d
+  WHERE length(token) >= d.d
+  GROUP BY d.d
+)
+SELECT depth::BIGINT AS depth, prefixes,
+       (prefixes * 1000000
+        // greatest(1, lag(prefixes, 1, 1)
+                       OVER (ORDER BY depth)))::BIGINT
+         AS branching_ppm
+FROM lv ORDER BY depth
+""")
+def token_trie_fanout_q(sf_dir: str) -> pd.DataFrame:
+    """Distinct prefixes and branching per trie level (1..4)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = set()
+        for t in b["text"].to_pylist():
+            toks.update((t or "").split())
+        return pd.DataFrame({"token": sorted(toks)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok and merged is not None  # bounded: vocabulary
+    toks = merged["token"].tolist()
+    rows = []
+    prev = 1
+    for d in range(1, 5):
+        pref = {t[:d] for t in toks if len(t) >= d}
+        if not pref:
+            continue
+        rows.append([d, len(pref),
+                     len(pref) * 1_000_000 // max(1, prev)])
+        prev = len(pref)
+    return pd.DataFrame(rows, columns=["depth", "prefixes",
+                                       "branching_ppm"]) \
+        .astype(np.int64)

@@ -10740,3 +10740,63 @@ def duplicate_order_q(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values(["custkey", "order_a", "order_b"]) \
         .reset_index(drop=True)
     return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Month-end loading audit (channel-stuffing forensics): per month, the
+# share of order volume landing in the last 2 calendar days vs the
+# uniform expectation 2/days_in_month — load_ratio_ppm > 1e6 means the
+# month's tail is overloaded.  Exact integer cross-multiplication.
+# ---------------------------------------------------------------------------
+
+@query("month_end_loading_audit", sql="""
+WITH o AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         CAST(strftime(o_orderdate, '%d') AS BIGINT) AS dom,
+         CAST(strftime(last_day(o_orderdate), '%d') AS BIGINT) AS dim
+  FROM orders
+), agg AS (
+  SELECT strftime(mon, '%Y-%m') AS month, max(dim) AS dim,
+         count(*)::BIGINT AS n,
+         sum((dom >= dim - 1)::INT)::BIGINT AS tail_n
+  FROM o GROUP BY mon
+)
+SELECT month, n, tail_n, dim AS days_in_month,
+       (tail_n::HUGEINT * dim * 1000000 // (n * 2))::BIGINT
+         AS load_ratio_ppm
+FROM agg ORDER BY month
+""")
+def month_end_loading_q(sf_dir: str) -> pd.DataFrame:
+    """Last-2-days volume share vs uniform expectation per month."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        d = b["o_orderdate"].to_pandas()
+        mon = d.dt.strftime("%Y-%m")
+        dom = d.dt.day.to_numpy(np.int64)
+        dim = d.dt.days_in_month.to_numpy(np.int64)
+        f = pd.DataFrame({"month": mon, "n": 1, "dim": dim,
+                          "tail_n": (dom >= dim - 1).astype(np.int64)})
+        return f.groupby("month", as_index=False).agg(
+            n=("n", "sum"), dim=("dim", "max"),
+            tail_n=("tail_n", "sum"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("month", as_index=False).agg(
+            n=("n", "sum"), dim=("dim", "max"),
+            tail_n=("tail_n", "sum"))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate"])
+        .map_batches(part, batch_format="pyarrow"), fold, 10_000)
+    assert ok and merged is not None  # bounded: months
+    merged = merged.sort_values("month").reset_index(drop=True)
+    merged["load_ratio_ppm"] = [
+        int(t) * int(d) * 1_000_000 // (int(n) * 2)
+        for t, d, n in zip(merged["tail_n"], merged["dim"],
+                           merged["n"])]
+    out = merged[["month", "n", "tail_n", "dim", "load_ratio_ppm"]]
+    out = out.rename(columns={"dim": "days_in_month"})
+    for c in ("n", "tail_n", "days_in_month", "load_ratio_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out
