@@ -1825,3 +1825,256 @@ def function_length_profile_q(sf_dir: str):
     for c in cols[1:]:
         merged[c] = merged[c].astype("int64")
     return merged[list(cols)].sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Binary-content detection — control-character density per file, the
+# cheap "is this actually text?" gate every code-corpus filter runs
+# before tokenizing (reference analog: the non-printable indicator in
+# /root/reference/utils/table_operations.py's symbol scan, re-expressed
+# as a vectorized RE2 count kernel).  Control bytes are PLANTED on
+# doc_id % 13 == 0 (eight C0 chars prepended) so the detector has a
+# known signal; the flag itself is computed from the text, not the
+# planting rule: is_binary <=> 200 * n_ctrl > n_chars (density > 0.5%),
+# an exact integer cross-multiply.
+# ---------------------------------------------------------------------------
+
+_CTRL_RE = "[\x01-\x08\x0b\x0c\x0e-\x1f]"
+
+
+@query("binary_file_detect", sql=f"""
+WITH v AS (
+  SELECT source,
+         CASE WHEN doc_id % 13 = 0
+              THEN repeat(chr(1) || chr(2), 4) || coalesce(text, '')
+              ELSE coalesce(text, '') END AS v
+  FROM documents
+), s AS (
+  SELECT source,
+         length(regexp_replace(v, '[^\x01-\x08\x0b\x0c\x0e-\x1f]', '',
+                               'g'))::BIGINT AS n_ctrl,
+         length(v)::BIGINT AS n_chars
+  FROM v
+)
+SELECT source,
+       count(*)::BIGINT AS n_files,
+       sum(CASE WHEN 200 * n_ctrl > n_chars THEN 1 ELSE 0 END)::BIGINT
+         AS n_binary,
+       sum(n_ctrl)::BIGINT AS ctrl_chars_total
+FROM s GROUP BY source ORDER BY source
+""")
+def binary_file_detect_q(sf_dir: str):
+    """Control-character density gate: count C0 control chars per file
+    (planted on doc_id % 13 == 0), flag files where the density exceeds
+    0.5% by exact integer cross-multiply, and census per source.  One
+    RE2 count kernel per batch; a #sources-bounded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        head = np.where(ids % 13 == 0, "\x01\x02" * 4, "")
+        v = pc.binary_join_element_wise(
+            pa.array(head), pc.coalesce(b["text"], pa.scalar("")), "")
+        n_ctrl = pc.count_substring_regex(v, _CTRL_RE).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_chars = pc.utf8_length(v).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        f = pd.DataFrame({
+            "source": b["source"].to_pylist(),
+            "n_files": 1,
+            "n_binary": (200 * n_ctrl > n_chars).astype(np.int64),
+            "ctrl_chars_total": n_ctrl})
+        return f.groupby("source", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #sources
+    cols = ("source", "n_files", "n_binary", "ctrl_chars_total")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    for c in cols[1:]:
+        merged[c] = merged[c].astype("int64")
+    return merged[list(cols)].sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Line-ending hygiene census — CRLF / LF / mixed / none per file, the
+# normalization signal a code-corpus pipeline checks before hashing
+# (mixed EOL styles double exact-dedup misses).  EOL styles are PLANTED:
+# doc_id % 7 == 0 rewrites every space to CRLF, % 7 == 1 rewrites to LF
+# then upgrades only the FIRST newline to CRLF (mixed), everything else
+# gets plain LF.  Classification reads the derived text itself: CRLF
+# presence and bare-LF presence via two RE2 probes.
+# ---------------------------------------------------------------------------
+
+
+@query("mixed_eol_profile", sql="""
+WITH v AS (
+  SELECT CASE
+           WHEN doc_id % 7 = 0
+             THEN replace(coalesce(text, ''), ' ', chr(13) || chr(10))
+           WHEN doc_id % 7 = 1
+             THEN regexp_replace(replace(coalesce(text, ''), ' ', chr(10)),
+                                 chr(10), chr(13) || chr(10))
+           ELSE replace(coalesce(text, ''), ' ', chr(10)) END AS v
+  FROM documents
+), c AS (
+  SELECT contains(v, chr(13) || chr(10)) AS has_crlf,
+         regexp_matches(v, '(^|[^\r])\n') AS has_bare_lf
+  FROM v
+)
+SELECT CASE WHEN has_crlf AND has_bare_lf THEN 'mixed'
+            WHEN has_crlf THEN 'crlf'
+            WHEN has_bare_lf THEN 'lf'
+            ELSE 'none' END AS eol_style,
+       count(*)::BIGINT AS n_files
+FROM c GROUP BY 1 ORDER BY eol_style
+""")
+def mixed_eol_profile_q(sf_dir: str):
+    """EOL-style census (crlf / lf / mixed / none) over a deterministic
+    CRLF plant.  Two vectorized RE2 probes per batch; a 4-row bounded
+    combine.  The mixed class comes from upgrading only the first LF of
+    doc_id % 7 == 1 files (single-replacement parity: Arrow
+    ``max_replacements=1`` == DuckDB non-'g' ``regexp_replace``)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = pc.coalesce(b["text"], pa.scalar(""))
+        crlf_all = pc.replace_substring(txt, pattern=" ",
+                                        replacement="\r\n")
+        lf_all = pc.replace_substring(txt, pattern=" ", replacement="\n")
+        mixed = pc.replace_substring(lf_all, pattern="\n",
+                                     replacement="\r\n",
+                                     max_replacements=1)
+        sel = ids % 7
+        v = pa.array(np.where(sel == 0,
+                              crlf_all.to_numpy(zero_copy_only=False),
+                              np.where(sel == 1,
+                                       mixed.to_numpy(zero_copy_only=False),
+                                       lf_all.to_numpy(
+                                           zero_copy_only=False))))
+        has_crlf = pc.match_substring(v, "\r\n").to_numpy(
+            zero_copy_only=False)
+        has_bare = pc.match_substring_regex(v, "(^|[^\r])\n").to_numpy(
+            zero_copy_only=False)
+        style = np.where(has_crlf & has_bare, "mixed",
+                         np.where(has_crlf, "crlf",
+                                  np.where(has_bare, "lf", "none")))
+        f = pd.DataFrame({"eol_style": style, "n_files": 1})
+        return f.groupby("eol_style", as_index=False)["n_files"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("eol_style", as_index=False)["n_files"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 4 styles
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "eol_style": pd.Series([], dtype=object),
+            "n_files": pd.Series([], dtype=np.int64)})
+    merged["n_files"] = merged["n_files"].astype("int64")
+    return merged.sort_values("eol_style").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Vendored / auto-generated file census — the two exclusion classes a
+# code-corpus quality filter drops before training (vendored
+# third-party trees and machine-written files; north-rule analog of the
+# flagship's rule_autogen at per-source census granularity).  Both
+# signals are PLANTED (path prefix from doc_id % 17, a "DO NOT EDIT"
+# header on doc_id % 19 in {0, 1}) and both are DETECTED from the
+# derived path/text, not the planting rule.
+# ---------------------------------------------------------------------------
+
+
+@query("vendored_generated_census", sql="""
+WITH v AS (
+  SELECT source,
+         CASE doc_id % 17 WHEN 0 THEN 'vendor/'
+                          WHEN 1 THEN 'node_modules/'
+                          WHEN 2 THEN 'third_party/'
+                          ELSE 'src/' END
+           || 'f' || doc_id || '.py' AS path,
+         CASE WHEN doc_id % 19 IN (0, 1)
+              THEN '// Code generated by tool. DO NOT EDIT.' || chr(10)
+                   || coalesce(text, '')
+              ELSE coalesce(text, '') END AS v
+  FROM documents
+), f AS (
+  SELECT source,
+         regexp_matches(path, '^(vendor|node_modules|third_party)/')
+           AS vendored,
+         regexp_matches(v, '(?i)(code generated by|do not edit|@generated)')
+           AS generated
+  FROM v
+)
+SELECT source,
+       count(*)::BIGINT AS n_files,
+       sum(CASE WHEN vendored THEN 1 ELSE 0 END)::BIGINT AS n_vendored,
+       sum(CASE WHEN generated THEN 1 ELSE 0 END)::BIGINT AS n_generated,
+       sum(CASE WHEN vendored OR generated THEN 1 ELSE 0 END)::BIGINT
+         AS n_excluded,
+       (sum(CASE WHEN vendored OR generated THEN 1 ELSE 0 END)
+          * 1000000 // count(*))::BIGINT AS excluded_ppm
+FROM f GROUP BY source ORDER BY source
+""")
+def vendored_generated_census_q(sf_dir: str):
+    """Per-source counts of vendored-path and generated-marker files
+    plus the combined exclusion rate (exact ppm).  Two RE2 probes per
+    batch over the derived path/header; #sources-bounded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % 17
+        prefix = np.where(sel == 0, "vendor/",
+                          np.where(sel == 1, "node_modules/",
+                                   np.where(sel == 2, "third_party/",
+                                            "src/")))
+        path = pa.array([f"{p}f{i}.py" for p, i in zip(prefix, ids)])
+        head = np.where(ids % 19 < 2,
+                        "// Code generated by tool. DO NOT EDIT.\n", "")
+        v = pc.binary_join_element_wise(
+            pa.array(head), pc.coalesce(b["text"], pa.scalar("")), "")
+        vend = pc.match_substring_regex(
+            path, "^(vendor|node_modules|third_party)/").to_numpy(
+            zero_copy_only=False)
+        gen = pc.match_substring_regex(
+            v, "(?i)(code generated by|do not edit|@generated)").to_numpy(
+            zero_copy_only=False)
+        f = pd.DataFrame({
+            "source": b["source"].to_pylist(),
+            "n_files": 1,
+            "n_vendored": vend.astype(np.int64),
+            "n_generated": gen.astype(np.int64),
+            "n_excluded": (vend | gen).astype(np.int64)})
+        return f.groupby("source", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #sources
+    cols = ("source", "n_files", "n_vendored", "n_generated",
+            "n_excluded", "excluded_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+    merged["excluded_ppm"] = [
+        int(e) * 1_000_000 // int(n)
+        for e, n in zip(merged["n_excluded"], merged["n_files"])]
+    for c in cols[1:]:
+        merged[c] = merged[c].astype("int64")
+    return merged[list(cols)].sort_values("source").reset_index(drop=True)

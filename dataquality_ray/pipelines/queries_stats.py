@@ -3210,3 +3210,108 @@ def tail_ratio_q(sf_dir: str):
     for c in ("p50", "p99", "tail_ratio_ppm"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR selection over (event_type, day) volume cells —
+# the multiple-testing gate a monitoring pipeline needs before alerting
+# on "this cell deviates".  P-values are empirical and EXACT rationals:
+# p_i = #{cells with deviation >= dev_i} / m where dev_i =
+# |m * count_i - total| (the integer cross-multiplied distance from the
+# grand mean), so the whole BH procedure — sort, k* = max{k: p_(k) <=
+# alpha*k/m} at alpha = 0.1, reject p <= p_(k*) — reduces to integer
+# comparisons (10 * g_(k) <= k) with no transcendental math anywhere.
+# ---------------------------------------------------------------------------
+
+
+@query("bh_fdr_events", sql="""
+WITH cells AS (
+  SELECT event_type, (ts::DATE - DATE '2024-01-01')::BIGINT AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+), m AS (SELECT count(*)::BIGINT AS m, sum(n_events)::BIGINT AS total
+         FROM cells),
+dev AS (
+  SELECT c.event_type, c.day, c.n_events,
+         abs(m.m * c.n_events - m.total)::BIGINT AS dev_num, m.m
+  FROM cells c CROSS JOIN m
+), ranked AS (
+  SELECT *,
+         (SELECT count(*) FROM dev d2
+          WHERE d2.dev_num >= dev.dev_num)::BIGINT AS p_num,
+         row_number() OVER (ORDER BY (SELECT count(*) FROM dev d3
+                                      WHERE d3.dev_num >= dev.dev_num),
+                            event_type, day) AS k
+  FROM dev
+), kstar AS (
+  SELECT coalesce(max(CASE WHEN 10 * p_num <= k THEN p_num END), -1)
+    AS g_cut
+  FROM ranked
+)
+SELECT event_type, day, n_events, dev_num, p_num, m,
+       p_num <= (SELECT g_cut FROM kstar) AS rejected
+FROM ranked
+ORDER BY event_type, day
+""")
+def bh_fdr_events_q(sf_dir: str):
+    """BH-FDR over per-(type, day) event counts with exact empirical
+    rank p-values.  Cell counts fold through the guarded combine
+    (bounded: #types x #days); the BH scan is a sort + one cumulative
+    pass over m cells driver-side (m is the bounded cell universe, not
+    the row count)."""
+    import pyarrow.compute as pc
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000) - 19723  # epoch days since 2024-01-01
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "day": day, "n_events": 1})
+        return f.groupby(["event_type", "day"],
+                         as_index=False)["n_events"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "day"],
+                         as_index=False)["n_events"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #types x #days
+    cols = ["event_type", "day", "n_events", "dev_num", "p_num", "m",
+            "rejected"]
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            **{c: pd.Series([], dtype=np.int64) for c in cols[1:6]},
+            "rejected": pd.Series([], dtype=bool)})
+    n = merged["n_events"].to_numpy(np.int64)
+    m = len(merged)
+    total = int(n.sum())
+    dev = np.abs(m * n - total)
+    order = np.argsort(-dev, kind="mergesort")
+    # p_num_i = #{dev_j >= dev_i}: rank of the last tied element
+    sorted_dev = dev[order]
+    # for each distinct dev value, count of elements >= it
+    ge_count = np.searchsorted(-sorted_dev, -sorted_dev, side="right")
+    p_num = np.empty(m, dtype=np.int64)
+    p_num[order] = ge_count
+    # BH at alpha=0.1: k-th smallest p (ties broken deterministically)
+    ks = np.argsort(p_num, kind="mergesort")
+    g_cut = -1
+    for k, i in enumerate(ks, start=1):
+        if 10 * p_num[i] <= k:
+            g_cut = max(g_cut, int(p_num[i]))
+    out = pd.DataFrame({
+        "event_type": merged["event_type"].to_numpy(),
+        "day": merged["day"].to_numpy(np.int64),
+        "n_events": n,
+        "dev_num": dev.astype(np.int64),
+        "p_num": p_num,
+        "m": np.int64(m),
+        "rejected": p_num <= g_cut})
+    for c in cols[1:6]:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["event_type", "day"])
+            .reset_index(drop=True))

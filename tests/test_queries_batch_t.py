@@ -1,0 +1,71 @@
+"""Semantic checks for the round-4 session-7 batch (binary detect, EOL
+census, vendored/generated census, BH-FDR) beyond oracle parity."""
+
+import numpy as np
+
+from dataquality_ray.pipelines import queries_code as qc
+from dataquality_ray.pipelines import queries_stats as qs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_binary_file_detect_counts(ray_session):
+    out = qc.binary_file_detect_q(SF)
+    assert (out["n_binary"] <= out["n_files"]).all()
+    # plants on doc_id % 13 == 0 guarantee some control chars exist
+    assert out["ctrl_chars_total"].sum() > 0
+    # 8 planted C0 chars per flagged doc at minimum
+    assert out["ctrl_chars_total"].sum() >= 8 * out["n_binary"].sum()
+
+
+def test_mixed_eol_profile_partition(ray_session):
+    out = qc.mixed_eol_profile_q(SF)
+    assert set(out["eol_style"]) <= {"crlf", "lf", "mixed", "none"}
+    # every doc lands in exactly one class
+    assert out["n_files"].sum() == 500
+    # word soup has spaces, so the lf class (doc_id%7 in 2..6) dominates
+    lf = out.set_index("eol_style")["n_files"].get("lf", 0)
+    assert lf > 250
+
+
+def test_vendored_generated_census_rates(ray_session):
+    out = qc.vendored_generated_census_q(SF)
+    assert (out["n_excluded"] <= out["n_files"]).all()
+    assert (out["n_excluded"] >= out[["n_vendored", "n_generated"]]
+            .max(axis=1)).all()
+    # exact ppm: floor(n_excluded * 1e6 / n_files)
+    expect = (out["n_excluded"] * 1_000_000 // out["n_files"])
+    assert (out["excluded_ppm"] == expect).all()
+    # plant rates: 3/17 vendored, 2/19 generated -> both nonzero
+    assert out["n_vendored"].sum() > 0
+    assert out["n_generated"].sum() > 0
+
+
+def test_bh_fdr_events_procedure(ray_session):
+    out = qs.bh_fdr_events_q(SF)
+    m = int(out["m"].iloc[0])
+    assert len(out) == m
+    # empirical p in [1, m]; deviation consistent with counts
+    assert out["p_num"].between(1, m).all()
+    total = int(out["n_events"].sum())
+    assert (out["dev_num"] ==
+            (m * out["n_events"] - total).abs()).all()
+    # BH monotonicity: rejection is a lower set in p
+    if out["rejected"].any():
+        pmax_rej = out.loc[out["rejected"], "p_num"].max()
+        assert (out.loc[out["p_num"] <= pmax_rej, "rejected"]).all()
+        # the largest rejected rank k satisfies 10 * g <= k for some
+        # k >= count of cells with p_num <= pmax_rej
+        k = int((out["p_num"] <= pmax_rej).sum())
+        assert 10 * int(pmax_rej) <= k
+
+
+def test_bh_fdr_rejects_iff_cut(ray_session):
+    out = qs.bh_fdr_events_q(SF)
+    # never reject everything (deviations differ across cells), never
+    # reject a cell whose deviation is the minimum while keeping the max
+    if out["rejected"].any():
+        rej = out[out["rejected"]]
+        keep = out[~out["rejected"]]
+        if len(keep):
+            assert rej["dev_num"].min() >= keep["dev_num"].max()
