@@ -2998,3 +2998,232 @@ def persistence_pairs_q(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["birth_x", "birth_pos",
                                       "death_x", "persistence"])
     return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Booth minimal rotation of each document's token sequence — the
+# canonical-rotation key used to cluster cyclically-equivalent
+# sequences (rotation-invariant dedup).  The engine runs Booth's O(n)
+# least-rotation algorithm on per-doc token-rank arrays; the oracle
+# brute-forces every rotation (bounded: ~80 tokens/doc), so the driver
+# check is algorithm-vs-exhaustive.  Joined-with-space comparison in
+# SQL equals token-wise comparison because ' ' sorts below every token
+# character and all rotations have equal length.
+# ---------------------------------------------------------------------------
+
+
+def _booth_least_rotation(codes: np.ndarray) -> int:
+    """Least starting index of the lexicographically minimal rotation
+    (Booth 1980, failure-function formulation)."""
+    n = len(codes)
+    if n <= 1:
+        return 0
+    s = np.concatenate([codes, codes])
+    f = np.full(2 * n, -1, dtype=np.int64)
+    k = 0
+    for j in range(1, 2 * n):
+        sj = s[j]
+        i = f[j - k - 1]
+        while i != -1 and sj != s[k + i + 1]:
+            if sj < s[k + i + 1]:
+                k = j - i - 1
+            i = f[i]
+        if sj != s[k + i + 1]:
+            if sj < s[k]:
+                k = j
+            f[j - k] = -1
+        else:
+            f[j - k] = i + 1
+    return int(k % n)
+
+
+@query("booth_min_rotation", sql="""
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS a
+  FROM documents
+), nn AS (
+  SELECT doc_id, a, len(a)::BIGINT AS n FROM t
+), rot AS (
+  SELECT doc_id, n, r,
+         array_to_string(list_concat(a[r + 1:n], a[1:r]), ' ') AS s,
+         a
+  FROM nn, LATERAL (
+    SELECT unnest(generate_series(0, (n - 1)::INT))::BIGINT AS r)
+), best AS (
+  SELECT doc_id, n, r, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s, r) AS rk
+  FROM rot
+)
+SELECT doc_id, n AS n_tokens, r AS rot_index,
+       array_to_string(string_split(s, ' ')[1:3], ' ') AS min_head
+FROM best WHERE rk = 1 ORDER BY doc_id
+""")
+def booth_min_rotation_q(sf_dir: str):
+    """Booth least-rotation index + head of the canonical rotation per
+    document.  Tokens are rank-encoded per doc (np.unique) and Booth's
+    O(n) scan finds the least index; the whole kernel is per-doc
+    bounded work inside map_batches with no shuffle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = []
+        for did, txt in zip(ids, b["text"].to_pylist()):
+            toks = (txt or "").split(" ")
+            uniq, codes = np.unique(toks, return_inverse=True)
+            k = _booth_least_rotation(codes.astype(np.int64))
+            rot = toks[k:] + toks[:k]
+            rows.append([int(did), len(toks), k, " ".join(rot[:3])])
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_tokens", "rot_index", "min_head"])
+
+    out = docs.map_batches(kern, batch_format="pyarrow").to_pandas()
+    for c in ("doc_id", "n_tokens", "rot_index"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Smallest token-sequence period (KMP failure function) — the exact
+# repetition structure behind "document is k copies of a template".
+# A true repeat is PLANTED on doc_id % 5 == 0 (text doubled), so the
+# detector sees real periodic inputs; the oracle finds the same period
+# by direct slice comparison (smallest p with a[1:n-p] = a[p+1:n]),
+# again algorithm-vs-exhaustive.
+# ---------------------------------------------------------------------------
+
+
+@query("smallest_period_tokens", sql="""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN coalesce(text, '') || ' ' || coalesce(text, '')
+              ELSE coalesce(text, '') END AS v
+  FROM documents
+), a AS (
+  SELECT doc_id, string_split(v, ' ') AS a,
+         len(string_split(v, ' '))::BIGINT AS n
+  FROM t
+), chk AS (
+  SELECT doc_id, n, p
+  FROM a, LATERAL (
+    SELECT unnest(generate_series(1, n::INT))::BIGINT AS p)
+  WHERE a[1:(n - p)::INT] = a[(p + 1)::INT:n::INT]
+)
+SELECT doc_id, n AS n_tokens, min(p) AS period,
+       (min(p) < n AND n % min(p) = 0) AS is_full_repeat
+FROM chk GROUP BY doc_id, n ORDER BY doc_id
+""")
+def smallest_period_tokens_q(sf_dir: str):
+    """Smallest period p of each doc's token sequence via the KMP
+    failure function (period = n - border(n)); is_full_repeat marks
+    docs that are exactly n/p copies of the length-p prefix (planted on
+    doc_id % 5 == 0 by doubling).  Per-doc O(n) inside map_batches."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = []
+        for did, txt in zip(ids, b["text"].to_pylist()):
+            t = txt or ""
+            if did % 5 == 0:
+                t = t + " " + t
+            toks = t.split(" ")
+            _, codes = np.unique(toks, return_inverse=True)
+            n = len(codes)
+            pi = np.zeros(n, dtype=np.int64)
+            k = 0
+            for i in range(1, n):
+                while k and codes[i] != codes[k]:
+                    k = int(pi[k - 1])
+                if codes[i] == codes[k]:
+                    k += 1
+                pi[i] = k
+            period = n - int(pi[n - 1]) if n else 0
+            rows.append([int(did), n, period,
+                         period < n and n % period == 0])
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_tokens", "period", "is_full_repeat"])
+
+    out = docs.map_batches(kern, batch_format="pyarrow").to_pandas()
+    for c in ("doc_id", "n_tokens", "period"):
+        out[c] = out[c].astype(np.int64)
+    out["is_full_repeat"] = out["is_full_repeat"].astype(bool)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Chen-Fox-Lyndon factorization census (Duval's algorithm) — the number
+# and shape of Lyndon factors of each document's character stream, the
+# combinatorial backbone of suffix-array construction and a
+# repetitiveness signal.  The engine runs Duval's O(n) factorizer; the
+# oracle uses the INDEPENDENT suffix characterization (position i
+# starts a factor iff suffix(i) is lexicographically smaller than every
+# earlier suffix — suffixes are pairwise distinct, so strict < is
+# well-defined), making the driver check a two-theorem consistency
+# proof.
+# ---------------------------------------------------------------------------
+
+
+@query("lyndon_factor_count", sql="""
+WITH s AS (
+  SELECT doc_id, coalesce(text, '') AS v FROM documents
+), suf AS (
+  SELECT doc_id, i, substr(v, i::INT) AS sfx, length(v)::BIGINT AS n
+  FROM s, LATERAL (
+    SELECT unnest(generate_series(1, length(v)::INT))::BIGINT AS i)
+), mark AS (
+  SELECT doc_id, i, n,
+         CASE WHEN i = 1 THEN TRUE
+              ELSE sfx < min(sfx) OVER (
+                     PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              END AS b
+  FROM suf
+), bnd AS (
+  SELECT doc_id, n, i,
+         lead(i, 1, n + 1) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM mark WHERE b
+)
+SELECT doc_id, n AS n_chars, count(*)::BIGINT AS n_factors,
+       max(nxt - i)::BIGINT AS longest_factor_len,
+       (n + 1 - max(i))::BIGINT AS last_factor_len
+FROM bnd GROUP BY doc_id, n ORDER BY doc_id
+""")
+def lyndon_factor_count_q(sf_dir: str):
+    """Duval Chen-Fox-Lyndon factorization per document: factor count,
+    longest factor, and the final (lexicographically smallest suffix)
+    factor length.  Per-doc O(n) inside map_batches, no shuffle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def duval(t: str) -> list[int]:
+        n = len(t)
+        i = 0
+        out = []
+        while i < n:
+            j, k = i + 1, i
+            while j < n and t[k] <= t[j]:
+                k = i if t[k] < t[j] else k + 1
+                j += 1
+            while i <= k:
+                out.append(j - k)
+                i += j - k
+        return out
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = []
+        for did, txt in zip(ids, b["text"].to_pylist()):
+            t = txt or ""
+            fl = duval(t)
+            rows.append([int(did), len(t), len(fl),
+                         max(fl) if fl else 0, fl[-1] if fl else 0])
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_chars", "n_factors",
+                           "longest_factor_len", "last_factor_len"])
+
+    out = docs.map_batches(kern, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -69,3 +69,55 @@ def test_bh_fdr_rejects_iff_cut(ray_session):
         keep = out[~out["rejected"]]
         if len(keep):
             assert rej["dev_num"].min() >= keep["dev_num"].max()
+
+
+def test_booth_vs_bruteforce(ray_session):
+    from dataquality_ray.pipelines import queries_algos as qa
+
+    out = qa.booth_min_rotation_q(SF)
+    import duckdb
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 60").df()
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        rots = [(toks[k:] + toks[:k], k) for k in range(len(toks))]
+        best = min(rots, key=lambda t: (t[0], t[1]))
+        got = out[out["doc_id"] == r["doc_id"]].iloc[0]
+        assert int(got["rot_index"]) == best[1]
+        assert got["min_head"] == " ".join(best[0][:3])
+
+
+def test_smallest_period_planted_repeat(ray_session):
+    from dataquality_ray.pipelines import queries_algos as qa
+
+    out = qa.smallest_period_tokens_q(SF)
+    planted = out[out["doc_id"] % 5 == 0]
+    # doubled docs: period divides n and is at most n/2
+    assert (planted["period"] * 2 <= planted["n_tokens"]).all()
+    assert planted["is_full_repeat"].all()
+    # period always in [1, n]
+    assert (out["period"] >= 1).all()
+    assert (out["period"] <= out["n_tokens"]).all()
+
+
+def test_lyndon_factorization_invariants(ray_session):
+    from dataquality_ray.pipelines import queries_algos as qa
+
+    out = qa.lyndon_factor_count_q(SF)
+    assert (out["n_factors"] >= 1).all()
+    assert (out["longest_factor_len"] <= out["n_chars"]).all()
+    assert (out["last_factor_len"] <= out["longest_factor_len"]).all()
+    # Duval invariant: factors are non-increasing, so the last factor is
+    # the smallest suffix; total factor lengths == n_chars is implied by
+    # construction — spot-check via a direct Duval on a few docs
+    import duckdb
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 40").df()
+    for _, r in docs.iterrows():
+        t = r["text"]
+        # last CFL factor = lexicographically smallest suffix
+        smallest = min(t[i:] for i in range(len(t)))
+        got = out[out["doc_id"] == r["doc_id"]].iloc[0]
+        assert int(got["last_factor_len"]) == len(smallest)
