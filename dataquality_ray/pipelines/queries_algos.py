@@ -3227,3 +3227,199 @@ def lyndon_factor_count_q(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Suffix-automaton distinct-substring census — exact count of distinct
+# substrings of length <= 32 per document via the suffix automaton
+# identity  sum over states of min(len, L) - min(link.len, L)
+# (Blumer et al. 1985).  Companion to distinct_substring_count (which
+# caps at 8 by grid enumeration): the engine is a real O(n) automaton
+# per doc, the oracle an exhaustive 32-deep substring grid — another
+# algorithm-vs-exhaustive driver check.
+# ---------------------------------------------------------------------------
+
+_SAM_L = 32
+
+
+def _sam_distinct_le(s: str, L: int) -> int:
+    """Distinct substrings of length <= L via suffix automaton."""
+    sa_len = [0]
+    sa_link = [-1]
+    trans: list[dict] = [{}]
+    last = 0
+    for ch in s:
+        cur = len(sa_len)
+        sa_len.append(sa_len[last] + 1)
+        sa_link.append(-2)
+        trans.append({})
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = sa_link[p]
+        if p == -1:
+            sa_link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if sa_len[p] + 1 == sa_len[q]:
+                sa_link[cur] = q
+            else:
+                clone = len(sa_len)
+                sa_len.append(sa_len[p] + 1)
+                sa_link.append(sa_link[q])
+                trans.append(dict(trans[q]))
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = sa_link[p]
+                sa_link[q] = clone
+                sa_link[cur] = clone
+        last = cur
+    total = 0
+    for v in range(1, len(sa_len)):
+        total += min(sa_len[v], L) - min(sa_len[sa_link[v]], L)
+    return total
+
+
+@query("suffix_automaton_substrings", sql=f"""
+WITH s AS (
+  SELECT doc_id, coalesce(text, '') AS v FROM documents
+), g AS (
+  SELECT doc_id, substr(v, i::INT, l::INT) AS sub
+  FROM s,
+       LATERAL (SELECT unnest(generate_series(
+                  1, length(v)::INT))::BIGINT AS i),
+       LATERAL (SELECT unnest(generate_series(1, {_SAM_L}))::BIGINT AS l)
+  WHERE i + l - 1 <= length(v)
+), c AS (
+  SELECT doc_id, count(DISTINCT sub)::BIGINT AS n_distinct FROM g
+  GROUP BY doc_id
+), p AS (
+  SELECT doc_id, length(v)::BIGINT AS n_chars,
+         (CASE WHEN length(v) >= {_SAM_L}
+               THEN {_SAM_L} * (length(v) - {_SAM_L})
+                    + {_SAM_L} * ({_SAM_L} + 1) // 2
+               ELSE length(v) * (length(v) + 1) // 2 END)::BIGINT
+           AS n_possible
+  FROM s
+)
+SELECT p.doc_id, p.n_chars, c.n_distinct,
+       (c.n_distinct * 1000000 // p.n_possible)::BIGINT
+         AS saturation_ppm
+FROM p JOIN c ON c.doc_id = p.doc_id ORDER BY p.doc_id
+""")
+def suffix_automaton_substrings_q(sf_dir: str):
+    """Distinct substrings of length <= 32 per doc (suffix automaton)
+    plus the saturation ratio vs the position-count upper bound (exact
+    ppm) — low saturation = heavy internal repetition.  Per-doc O(n)
+    automaton inside map_batches, no shuffle."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = []
+        for did, txt in zip(ids, b["text"].to_pylist()):
+            t = txt or ""
+            n = len(t)
+            nd = _sam_distinct_le(t, _SAM_L)
+            if n >= _SAM_L:
+                poss = _SAM_L * (n - _SAM_L) + _SAM_L * (_SAM_L + 1) // 2
+            else:
+                poss = n * (n + 1) // 2
+            rows.append([int(did), n, nd,
+                         nd * 1_000_000 // poss if poss else 0])
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_chars", "n_distinct",
+                           "saturation_ppm"])
+
+    out = docs.map_batches(kern, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Palindrome census (eertree / palindromic tree) — count of DISTINCT
+# palindromic substrings of length <= 32 per doc and the longest such
+# palindrome (Rubinchik & Shur 2015: an eertree node per distinct
+# palindrome, O(n) construction).  Oracle: exhaustive 32-deep substring
+# grid filtered by reverse(sub) = sub.
+# ---------------------------------------------------------------------------
+
+
+def _eertree_pal_lens(s: str) -> list[int]:
+    """Lengths of every distinct palindromic substring of s."""
+    len_ = [-1, 0]
+    link = [0, 0]
+    trans: list[dict] = [{}, {}]
+    last = 1
+    out = []
+    for i, ch in enumerate(s):
+        cur = last
+        while True:
+            l = len_[cur]
+            if i - l - 1 >= 0 and s[i - l - 1] == ch:
+                break
+            cur = link[cur]
+        if ch in trans[cur]:
+            last = trans[cur][ch]
+            continue
+        now = len(len_)
+        len_.append(len_[cur] + 2)
+        trans.append({})
+        if len_[now] == 1:
+            link.append(1)
+        else:
+            c2 = link[cur]
+            while True:
+                l = len_[c2]
+                if i - l - 1 >= 0 and s[i - l - 1] == ch:
+                    break
+                c2 = link[c2]
+            link.append(trans[c2][ch])
+        trans[cur][ch] = now
+        out.append(len_[now])
+        last = now
+    return out
+
+
+@query("palindrome_census", sql=f"""
+WITH s AS (
+  SELECT doc_id, coalesce(text, '') AS v FROM documents
+), g AS (
+  SELECT doc_id, substr(v, i::INT, l::INT) AS sub
+  FROM s,
+       LATERAL (SELECT unnest(generate_series(
+                  1, length(v)::INT))::BIGINT AS i),
+       LATERAL (SELECT unnest(generate_series(1, {_SAM_L}))::BIGINT AS l)
+  WHERE i + l - 1 <= length(v)
+), pal AS (
+  SELECT DISTINCT doc_id, sub FROM g WHERE reverse(sub) = sub
+)
+SELECT p.doc_id, length(any_value(s.v))::BIGINT AS n_chars,
+       count(*)::BIGINT AS n_palindromes,
+       max(length(p.sub))::BIGINT AS longest_pal
+FROM pal p JOIN s ON s.doc_id = p.doc_id
+GROUP BY p.doc_id ORDER BY p.doc_id
+""")
+def palindrome_census_q(sf_dir: str):
+    """Distinct palindromic substrings (len <= 32) per doc via the
+    eertree; longest such palindrome.  Per-doc O(n) inside
+    map_batches."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kern(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = []
+        for did, txt in zip(ids, b["text"].to_pylist()):
+            t = txt or ""
+            lens = [l for l in _eertree_pal_lens(t) if l <= _SAM_L]
+            rows.append([int(did), len(t), len(lens),
+                         max(lens) if lens else 0])
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_chars", "n_palindromes",
+                           "longest_pal"])
+
+    out = docs.map_batches(kern, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

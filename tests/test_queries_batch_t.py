@@ -121,3 +121,38 @@ def test_lyndon_factorization_invariants(ray_session):
         smallest = min(t[i:] for i in range(len(t)))
         got = out[out["doc_id"] == r["doc_id"]].iloc[0]
         assert int(got["last_factor_len"]) == len(smallest)
+
+
+def test_suffix_automaton_vs_bruteforce(ray_session):
+    from dataquality_ray.pipelines import queries_algos as qa
+
+    out = qa.suffix_automaton_substrings_q(SF)
+    import duckdb
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 25").df()
+    for _, r in docs.iterrows():
+        t = r["text"]
+        brute = len({t[i:i + l] for i in range(len(t))
+                     for l in range(1, 33) if i + l <= len(t)})
+        got = out[out["doc_id"] == r["doc_id"]].iloc[0]
+        assert int(got["n_distinct"]) == brute
+    assert (out["saturation_ppm"] <= 1_000_000).all()
+
+
+def test_palindrome_census_vs_bruteforce(ray_session):
+    from dataquality_ray.pipelines import queries_algos as qa
+
+    out = qa.palindrome_census_q(SF)
+    import duckdb
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 25").df()
+    for _, r in docs.iterrows():
+        t = r["text"]
+        pals = {t[i:i + l] for i in range(len(t))
+                for l in range(1, 33)
+                if i + l <= len(t) and t[i:i + l] == t[i:i + l][::-1]}
+        got = out[out["doc_id"] == r["doc_id"]].iloc[0]
+        assert int(got["n_palindromes"]) == len(pals)
+        assert int(got["longest_pal"]) == max(map(len, pals))
