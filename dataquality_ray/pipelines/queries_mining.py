@@ -9802,3 +9802,82 @@ def key_gap_histogram_q(sf_dir: str):
     out = pd.DataFrame(sorted(hist.items()),
                        columns=["gap", "n_gaps"])
     return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Spectral radius of the symmetrized token bigram graph — L-infinity
+# power iteration in EXACT integer fixed point (Q20): normalize by the
+# max coordinate instead of the 2-norm so there is no square root
+# anywhere, and the normalization factor itself converges to the
+# Perron eigenvalue of the nonnegative adjacency matrix.  Four
+# unrolled iterations in both engines (Python bigints == HUGEINT).
+# ---------------------------------------------------------------------------
+
+_SR_S = 1 << 20
+_SR_ITERS = 4
+
+
+def _spectral_sql() -> str:
+    ctes = [_BIGRAM_SQL.strip().rstrip(","),
+            "sym AS (SELECT src AS u, dst AS v, cnt FROM edges "
+            "UNION ALL SELECT dst, src, cnt FROM edges)",
+            "adj AS (SELECT u, v, sum(cnt)::HUGEINT AS w FROM sym "
+            "GROUP BY u, v)",
+            "nodes AS (SELECT DISTINCT u AS tok FROM adj)",
+            f"v0 AS (SELECT tok, {_SR_S}::HUGEINT AS x FROM nodes)"]
+    prev = "v0"
+    for i in range(1, _SR_ITERS + 1):
+        ctes.append(
+            f"av{i} AS (SELECT a.u AS tok, sum(a.w * p.x)::HUGEINT AS ax "
+            f"FROM adj a JOIN {prev} p ON p.tok = a.v GROUP BY a.u)")
+        ctes.append(
+            f"m{i} AS (SELECT max(ax)::HUGEINT AS m FROM av{i})")
+        ctes.append(
+            f"v{i} AS (SELECT tok, (ax * {_SR_S}::HUGEINT) // m{i}.m AS x "
+            f"FROM av{i}, m{i})")
+        prev = f"v{i}"
+    chain = ",\n".join(ctes)
+    return f"""WITH {chain},
+top AS (SELECT tok, x, row_number() OVER (ORDER BY x DESC, tok) AS rk
+        FROM v{_SR_ITERS})
+SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM adj)::BIGINT AS n_sym_entries,
+       (SELECT m FROM m{_SR_ITERS})::BIGINT // 1 AS lambda_q20,
+       (SELECT tok FROM top WHERE rk = 1) AS principal_tok
+"""
+
+
+@query("spectral_radius_tokens", sql=_spectral_sql())
+def spectral_radius_tokens_q(sf_dir: str):
+    """Perron eigenvalue estimate (Q20) + principal token of the
+    symmetrized bigram adjacency after four exact-integer power
+    iterations.  Edge counts fold through the guarded combine (bounded
+    by vocab^2); the O(vocab^2) iteration runs driver-side on the tiny
+    merged matrix."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    if not len(edges):
+        return pd.DataFrame({
+            "n_nodes": pd.Series([0], dtype=np.int64),
+            "n_sym_entries": pd.Series([0], dtype=np.int64),
+            "lambda_q20": pd.Series([0], dtype=np.int64),
+            "principal_tok": pd.Series([None], dtype=object)})
+    adj: dict[tuple, int] = {}
+    for s, d, c in zip(edges["src"], edges["dst"], edges["cnt"]):
+        adj[(s, d)] = adj.get((s, d), 0) + int(c)
+        adj[(d, s)] = adj.get((d, s), 0) + int(c)
+    nodes = sorted({u for u, _ in adj})
+    x = {t: _SR_S for t in nodes}
+    m = 0
+    for _ in range(_SR_ITERS):
+        ax = {t: 0 for t in nodes}
+        for (u, v), w in adj.items():
+            ax[u] += w * x[v]
+        m = max(ax.values())
+        x = {t: (ax[t] * _SR_S) // m for t in nodes}
+    top = min(((t, xv) for t, xv in x.items()),
+              key=lambda kv: (-kv[1], kv[0]))[0]
+    return pd.DataFrame({
+        "n_nodes": pd.Series([len(nodes)], dtype=np.int64),
+        "n_sym_entries": pd.Series([len(adj)], dtype=np.int64),
+        "lambda_q20": pd.Series([m], dtype=np.int64),
+        "principal_tok": pd.Series([top], dtype=object)})

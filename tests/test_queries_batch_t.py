@@ -156,3 +156,23 @@ def test_palindrome_census_vs_bruteforce(ray_session):
         got = out[out["doc_id"] == r["doc_id"]].iloc[0]
         assert int(got["n_palindromes"]) == len(pals)
         assert int(got["longest_pal"]) == max(map(len, pals))
+
+
+def test_spectral_radius_bounds(ray_session):
+    from dataquality_ray.pipelines import queries_mining as qm
+
+    out = qm.spectral_radius_tokens_q(SF)
+    r = out.iloc[0]
+    lam = int(r["lambda_q20"]) / (1 << 20)
+    # Perron bounds: max row sum >= lambda >= average row sum; after 4
+    # L-inf iterations the normalizer is sandwiched by the same bounds
+    edges = qm.bigram_edges(__import__("ray").data.read_parquet(
+        f"{SF}/documents.parquet", columns=["text"]))
+    import collections
+    rowsum = collections.Counter()
+    for s, d, c in zip(edges["src"], edges["dst"], edges["cnt"]):
+        rowsum[s] += int(c)
+        rowsum[d] += int(c)
+    assert lam <= max(rowsum.values()) + 1e-6
+    assert lam >= sum(rowsum.values()) / len(rowsum) - 1.0
+    assert r["principal_tok"] in rowsum
