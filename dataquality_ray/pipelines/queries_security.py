@@ -1,0 +1,248 @@
+"""PII / security-adjacent scanner operators over the documents table.
+
+The north rule's quality filter includes a regex-based PII/credential
+scrubber; these operators are the *audit* side of that scrubber — census
+scans a corpus operator would run before deciding scrub rules.  The driver's
+testdata text contains none of these signals, so each scanner PLANTS its
+signal deterministically from ``doc_id`` arithmetic, applied identically on
+the Ray side (numpy + pyarrow kernels) and in the DuckDB oracle (``CASE`` +
+``printf`` — both engines run RE2, so the detection regexes are
+byte-identical; same precedent as ``queries_code.code_view_batch``).
+
+Reference analog: the per-column indicator kernels in
+``/root/reference/utils/table_operations.py`` (find_non_digits-style regex
+probes), re-expressed as vectorized Arrow regex scans over a content column.
+
+Scale notes: every scanner is one ``map_batches`` pass with RE2 kernels —
+no shuffle.  The two census aggregations fold through
+``stages.autoroute.guarded_partials`` with a domain bounded by construction
+(4 UUID versions / 3 IP classes), so the driver-side merge is O(1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataquality_ray.pipelines.registry import query
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# 1. Confusable / mixed-script identifier scan
+# ---------------------------------------------------------------------------
+
+# Planted: every 23rd doc gets a Latin+Cyrillic homoglyph token (' раge' —
+# Cyrillic р/а glued to Latin g/e), every 29th a pure-Cyrillic word
+# (' привет') that must NOT trip the mixed-script detector.
+_MIXED_RE = r"[A-Za-z]\p{Cyrillic}|\p{Cyrillic}[A-Za-z]"
+_CYR_RE = r"\p{Cyrillic}"
+
+
+@query("confusable_script_scan", sql=f"""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text,'')
+           || CASE WHEN doc_id % 23 = 0 THEN ' раge' ELSE '' END
+           || CASE WHEN doc_id % 29 = 0 THEN ' привет' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_MIXED_RE}'))::BIGINT AS n_mixed,
+       CASE WHEN regexp_matches(t, '{_CYR_RE}') THEN 1 ELSE 0 END::BIGINT
+         AS has_cyrillic,
+       CASE WHEN len(regexp_extract_all(t, '{_MIXED_RE}')) > 0
+            THEN 1 ELSE 0 END::BIGINT AS suspicious
+FROM p ORDER BY doc_id
+""")
+def confusable_script_scan_q(sf_dir: str):
+    """Per-doc mixed-script (Latin↔Cyrillic homoglyph) boundary count — the
+    classic confusable-identifier / trojan-source signal.  Two RE2 count
+    kernels per batch; pure-Cyrillic text is counted but not flagged."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        t = pc.binary_join_element_wise(
+            base,
+            pa.array(np.where(ids % 23 == 0, " раge", "")),
+            pa.array(np.where(ids % 29 == 0, " привет", "")),
+            "")
+        n_mixed = pc.count_substring_regex(t, _MIXED_RE).cast(pa.int64())
+        has_cyr = pc.greater(
+            pc.count_substring_regex(t, _CYR_RE), 0).cast(pa.int64())
+        susp = pc.greater(n_mixed, 0).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_mixed": n_mixed,
+                         "has_cyrillic": has_cyr, "suspicious": susp})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# 2. UUID version census
+# ---------------------------------------------------------------------------
+
+# Planted: docs with doc_id % 7 < 4 carry one RFC-4122-shaped UUID whose
+# version nibble cycles 1/3/4/5 with doc_id % 4; the hex fields derive from
+# doc_id via fixed multipliers (Knuth 2654435761 etc.) so both engines
+# print identical strings.  The scan itself is the honest part: it
+# regex-extracts the version nibble from the text rather than re-deriving
+# it from doc_id.
+_UUID_SCAN = (r"[0-9a-f]{8}-[0-9a-f]{4}-(?P<v>[1345])[0-9a-f]{3}"
+              r"-[0-9a-f]{4}-[0-9a-f]{12}")
+_UUID_SCAN_SQL = (r"[0-9a-f]{8}-[0-9a-f]{4}-([1345])[0-9a-f]{3}"
+                  r"-[0-9a-f]{4}-[0-9a-f]{12}")
+
+
+@query("uuid_version_census", sql=f"""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text,'') || CASE WHEN doc_id % 7 < 4 THEN ' '
+           || printf('%08x', (doc_id * 2654435761) % 4294967296) || '-'
+           || printf('%04x', (doc_id * 40503) % 65536) || '-'
+           || CASE doc_id % 4 WHEN 0 THEN '1' WHEN 1 THEN '3'
+                              WHEN 2 THEN '4' ELSE '5' END
+           || printf('%03x', (doc_id * 12345) % 4096) || '-'
+           || printf('%04x', (doc_id * 31) % 65536) || '-'
+           || printf('%012x', (doc_id * 1000003) % 281474976710656)
+         ELSE '' END AS t
+  FROM documents),
+e AS (SELECT regexp_extract(t, '{_UUID_SCAN_SQL}', 1) AS v FROM p)
+SELECT v AS uuid_version, count(*)::BIGINT AS n_docs
+FROM e WHERE v <> '' GROUP BY v ORDER BY v
+""")
+def uuid_version_census_q(sf_dir: str):
+    """Corpus census of RFC-4122 UUID version nibbles (v1 = MAC+time leak,
+    v4 = random, v3/v5 = namespace hashes) — a standard PII-surface audit.
+    One extract_regex kernel per batch; version-bounded (≤4 key) combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vers = np.array(["1", "3", "4", "5"])[ids % 4]
+        plant = [
+            (" {:08x}-{:04x}-{}{:03x}-{:04x}-{:012x}".format(
+                (i * 2654435761) % 4294967296, (i * 40503) % 65536,
+                v, (i * 12345) % 4096, (i * 31) % 65536,
+                (i * 1000003) % 281474976710656)
+             if i % 7 < 4 else "")
+            for i, v in zip(ids, vers)]
+        t = pc.binary_join_element_wise(
+            pc.coalesce(batch["text"], pa.scalar("")), pa.array(plant), "")
+        hit = pc.extract_regex(t, _UUID_SCAN)
+        v = pc.struct_field(hit, "v")
+        f = pd.DataFrame({"uuid_version": v.to_pandas()}).dropna()
+        f["n_docs"] = 1
+        return f.groupby("uuid_version", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("uuid_version", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 4 version nibbles
+    if merged is None or not len(merged):
+        return pd.DataFrame({"uuid_version": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype=np.int64)})
+    merged["n_docs"] = merged["n_docs"].astype("int64")
+    return (merged[["uuid_version", "n_docs"]]
+            .sort_values("uuid_version").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# 3. Private / public / reserved IP literal census
+# ---------------------------------------------------------------------------
+
+_IP_SCAN = (r"(?P<o1>\d{1,3})\.(?P<o2>\d{1,3})\.(?P<o3>\d{1,3})"
+            r"\.(?P<o4>\d{1,3})")
+
+
+@query("ip_private_census", sql=r"""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text,'') || CASE WHEN doc_id % 3 = 0 THEN ' ' ||
+           CASE doc_id % 5
+             WHEN 0 THEN '10.' || ((doc_id//7)%256)::VARCHAR || '.'
+                    || (doc_id%256)::VARCHAR || '.'
+                    || ((doc_id//3)%256)::VARCHAR
+             WHEN 1 THEN '192.168.' || (doc_id%256)::VARCHAR || '.'
+                    || ((doc_id//5)%256)::VARCHAR
+             WHEN 2 THEN '172.' || (16 + doc_id%16)::VARCHAR || '.'
+                    || (doc_id%256)::VARCHAR || '.1'
+             WHEN 3 THEN '8.' || (doc_id%200 + 1)::VARCHAR || '.'
+                    || ((doc_id//11)%256)::VARCHAR || '.'
+                    || (doc_id%250 + 1)::VARCHAR
+             ELSE '203.0.113.' || (doc_id%256)::VARCHAR
+           END ELSE '' END AS t
+  FROM documents),
+e AS (
+  SELECT doc_id,
+         regexp_extract(t, '(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})', 0)
+           AS ip,
+         regexp_extract(t, '(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})', 1)
+           ::INT AS o1,
+         regexp_extract(t, '(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})', 2)
+           ::INT AS o2,
+         regexp_extract(t, '(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})', 3)
+           ::INT AS o3
+  FROM p WHERE regexp_matches(t, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))
+SELECT doc_id, ip,
+       CASE WHEN o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                 OR (o1 = 192 AND o2 = 168) THEN 'private'
+            WHEN o1 = 203 AND o2 = 0 AND o3 = 113 THEN 'reserved'
+            ELSE 'public' END AS ip_class
+FROM e ORDER BY doc_id
+""")
+def ip_private_census_q(sf_dir: str):
+    """Extract IPv4 literals and classify RFC-1918 private / TEST-NET
+    reserved / public — the routing decision a PII scrubber makes before
+    redacting.  One extract_regex kernel per batch, numpy octet
+    classification, no shuffle; per-doc output keyed by doc_id."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % 5
+        planted = [""] * len(ids)
+        for j, (i, s) in enumerate(zip(ids, sel)):
+            if i % 3 != 0:
+                continue
+            i = int(i)
+            if s == 0:
+                planted[j] = f" 10.{(i//7)%256}.{i%256}.{(i//3)%256}"
+            elif s == 1:
+                planted[j] = f" 192.168.{i%256}.{(i//5)%256}"
+            elif s == 2:
+                planted[j] = f" 172.{16 + i%16}.{i%256}.1"
+            elif s == 3:
+                planted[j] = f" 8.{i%200 + 1}.{(i//11)%256}.{i%250 + 1}"
+            else:
+                planted[j] = f" 203.0.113.{i%256}"
+        t = pc.binary_join_element_wise(
+            pc.coalesce(batch["text"], pa.scalar("")), pa.array(planted), "")
+        hit = pc.extract_regex(t, _IP_SCAN)
+        keep = pc.is_valid(hit)
+        hit = hit.filter(keep)
+        kept_ids = pc.filter(batch["doc_id"], keep)
+        octs = [pc.struct_field(hit, f"o{k}") for k in (1, 2, 3, 4)]
+        ip = pc.binary_join_element_wise(*octs, ".")
+        o1 = octs[0].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        o2 = octs[1].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        o3 = octs[2].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        private = (o1 == 10) | ((o1 == 172) & (o2 >= 16) & (o2 <= 31)) \
+            | ((o1 == 192) & (o2 == 168))
+        reserved = (o1 == 203) & (o2 == 0) & (o3 == 113)
+        cls = np.where(private, "private",
+                       np.where(reserved, "reserved", "public"))
+        return pa.table({"doc_id": kept_ids, "ip": ip,
+                         "ip_class": pa.array(cls)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

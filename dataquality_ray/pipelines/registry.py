@@ -57,6 +57,7 @@ def _load():
         queries_io,
         queries_mining,
         queries_ml,
+        queries_security,
         queries_stats,
         queries_systems,
         queries_dimensions,

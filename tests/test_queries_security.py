@@ -1,0 +1,56 @@
+"""Semantic checks for the PII/security scanner operators (beyond oracle
+parity — the planted signals must land exactly where doc_id arithmetic
+says they do, and nowhere else)."""
+
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_confusable_scan_matches_plant(ray_session):
+    from dataquality_ray.pipelines.queries_security import (
+        confusable_script_scan_q,
+    )
+
+    df = confusable_script_scan_q(SF)
+    ids = df["doc_id"].to_numpy()
+    # mixed-script token planted iff doc_id % 23 == 0
+    assert (df["suspicious"].to_numpy() == (ids % 23 == 0)).all()
+    # pure-Cyrillic word (% 29) sets has_cyrillic but NOT suspicious
+    pure = df[(ids % 29 == 0) & (ids % 23 != 0)]
+    assert (pure["has_cyrillic"] == 1).all()
+    assert (pure["suspicious"] == 0).all()
+    # the ' раge' plant has exactly one Cyrillic→Latin boundary (а→g)
+    assert (df.loc[ids % 23 == 0, "n_mixed"] == 1).all()
+
+
+def test_uuid_census_counts(ray_session):
+    from dataquality_ray.pipelines.queries_security import (
+        uuid_version_census_q,
+    )
+
+    df = uuid_version_census_q(SF)
+    assert set(df["uuid_version"]) <= {"1", "3", "4", "5"}
+    n = 500  # sf0.001 documents rows
+    expect_total = sum(1 for i in range(n) if i % 7 < 4)
+    assert df["n_docs"].sum() == expect_total
+    assert str(df["n_docs"].dtype) == "int64"
+
+
+def test_ip_census_classes(ray_session):
+    from dataquality_ray.pipelines.queries_security import (
+        ip_private_census_q,
+    )
+
+    df = ip_private_census_q(SF)
+    ids = df["doc_id"].to_numpy()
+    assert (ids % 3 == 0).all()  # only planted docs carry an IP
+    sel = ids % 5
+    expect = np.where(sel <= 2, "private",
+                      np.where(sel == 3, "public", "reserved"))
+    assert (df["ip_class"].to_numpy() == expect).all()
+    # every extracted string is a syntactically valid dotted quad in range
+    for ip in df["ip"]:
+        octs = ip.split(".")
+        assert len(octs) == 4
+        assert all(0 <= int(o) <= 255 for o in octs)
