@@ -54,3 +54,62 @@ def test_ip_census_classes(ray_session):
         octs = ip.split(".")
         assert len(octs) == 4
         assert all(0 <= int(o) <= 255 for o in octs)
+
+
+def test_credential_census_counts(ray_session):
+    from dataquality_ray.pipelines.queries_security import (
+        credential_prefix_census_q,
+    )
+
+    df = credential_prefix_census_q(SF)
+    got = dict(zip(df["cred_type"], df["n_docs"]))
+    n = 500
+    expect = {
+        "aws_key": sum(1 for i in range(n) if i % 13 == 0),
+        "github_pat": sum(1 for i in range(n) if i % 13 == 1),
+        "slack_token": sum(1 for i in range(n) if i % 13 == 2),
+        "pem_private_key": sum(1 for i in range(n) if i % 13 == 3),
+    }
+    assert got == expect
+
+
+def test_base64_blob_thresholds(ray_session):
+    from dataquality_ray.pipelines.queries_security import (
+        base64_blob_detect_q,
+    )
+
+    df = base64_blob_detect_q(SF)
+    ids = df["doc_id"].to_numpy()
+    planted = df[ids % 6 == 0]
+    # the planted run is 10*(4 + doc_id%5) chars and is the first match
+    assert (planted["n_blobs"] >= 1).all()
+    assert (planted["first_run_len"]
+            == 10 * (4 + planted["doc_id"] % 5)).all()
+    # sub-threshold 20-char runs must NOT be detected
+    neg = df[ids % 6 == 3]
+    assert (neg["n_blobs"] == 0).all()
+    assert (neg["first_run_len"] == 0).all()
+
+
+def test_email_scrub_sha_removes_emails(ray_session):
+    import hashlib
+
+    from dataquality_ray.pipelines.queries_security import (
+        email_redaction_audit_q,
+    )
+
+    df = email_redaction_audit_q(SF)
+    ids = df["doc_id"].to_numpy()
+    assert (df.loc[ids % 4 < 2, "n_emails"] >= 1).all()
+    assert (df.loc[ids % 4 >= 2, "n_emails"] == 0).all()
+    # sha is 64 lowercase hex chars and differs between scrubbed docs
+    assert df["scrubbed_sha"].str.fullmatch("[0-9a-f]{64}").all()
+    # independently recompute one row's scrub
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    row = t.to_pandas().set_index("doc_id")
+    some = int(df.loc[ids % 4 == 0, "doc_id"].iloc[0])
+    scrubbed = (row.loc[some, "text"] or "") + " [EMAIL]"
+    assert (df.set_index("doc_id").loc[some, "scrubbed_sha"]
+            == hashlib.sha256(scrubbed.encode()).hexdigest())
