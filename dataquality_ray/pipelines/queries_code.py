@@ -2078,3 +2078,118 @@ def vendored_generated_census_q(sf_dir: str):
     for c in cols[1:]:
         merged[c] = merged[c].astype("int64")
     return merged[list(cols)].sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Line-length filter rule (north-rule heuristic: auto-generated / minified
+# files have extreme max line lengths)
+# ---------------------------------------------------------------------------
+
+@query("line_length_filter", sql=f"""
+WITH cv AS ({_code_view_sql()}),
+p AS (
+  SELECT doc_id,
+         code || CASE WHEN doc_id % 9 = 0
+                      THEN chr(10) || repeat('x', 150 + doc_id % 100)
+                      ELSE '' END AS code
+  FROM cv),
+m AS (
+  SELECT doc_id,
+         len(string_split(code, chr(10))) AS n_lines,
+         list_max(list_transform(string_split(code, chr(10)),
+                                 x -> len(x))) AS max_line_len,
+         len(code) AS total_len
+  FROM p)
+SELECT doc_id,
+       max_line_len::BIGINT AS max_line_len,
+       ((total_len - (n_lines - 1)) * 1000000 // n_lines)::BIGINT
+         AS mean_line_ppm,
+       CASE WHEN max_line_len <= 200 THEN 1 ELSE 0 END::BIGINT AS keep
+FROM m ORDER BY doc_id
+""")
+def line_length_filter_q(sf_dir: str):
+    """Per-file max/mean line length + keep decision (max ≤ 200 chars) —
+    the minified/auto-generated-file drop rule of code-corpus quality
+    filters.  Planted long lines (150–249 chars on every 9th doc) exercise
+    both sides of the threshold.  Fully vectorized: one split_pattern,
+    flat utf8_length, and a numpy segment-max via maximum.reduceat over
+    the list offsets — no per-row Python."""
+    def kern(batch: pa.Table) -> pa.Table:
+        cv = code_view_batch(batch)
+        ids = cv["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        plant = pa.array([
+            "\n" + "x" * (150 + int(i) % 100) if i % 9 == 0 else ""
+            for i in ids])
+        code = pc.binary_join_element_wise(
+            cv["code"].combine_chunks(), plant, "")
+        lines = pc.split_pattern(code, "\n")
+        offsets = lines.offsets.to_numpy()
+        lens = pc.utf8_length(lines.flatten()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ids):
+            max_len = np.maximum.reduceat(lens, offsets[:-1])
+        else:
+            max_len = np.array([], dtype=np.int64)
+        n_lines = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        total = pc.utf8_length(code).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mean_ppm = (total - (n_lines - 1)) * 1_000_000 // n_lines
+        return pa.table({
+            "doc_id": cv["doc_id"],
+            "max_line_len": pa.array(max_len, pa.int64()),
+            "mean_line_ppm": pa.array(mean_ppm, pa.int64()),
+            "keep": pa.array((max_len <= 200).astype(np.int64))})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Alphanumeric-ratio filter rule
+# ---------------------------------------------------------------------------
+
+@query("alnum_ratio_filter", sql="""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text,'') || CASE WHEN doc_id % 8 = 0
+           THEN ' ' || repeat('!?#', 30 + doc_id % 20) ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '[A-Za-z0-9]'))::BIGINT AS n_alnum,
+       len(t)::BIGINT AS n_chars,
+       CASE WHEN len(t) = 0 THEN 0
+            ELSE len(regexp_extract_all(t, '[A-Za-z0-9]'))
+                 * 1000000 // len(t) END::BIGINT AS alnum_ppm,
+       CASE WHEN len(t) > 0 AND len(regexp_extract_all(t, '[A-Za-z0-9]'))
+                 * 1000000 // len(t) >= 700000
+            THEN 1 ELSE 0 END::BIGINT AS keep
+FROM p ORDER BY doc_id
+""")
+def alnum_ratio_filter_q(sf_dir: str):
+    """Per-doc alphanumeric character fraction (exact ppm) + keep decision
+    (≥ 70%) — the symbol-soup drop rule; planted punctuation blobs on
+    every 8th doc exercise the drop side.  One RE2 count per batch."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        plant = pa.array([
+            " " + "!?#" * (30 + int(i) % 20) if i % 8 == 0 else ""
+            for i in ids])
+        t = pc.binary_join_element_wise(
+            pc.coalesce(batch["text"], pa.scalar("")), plant, "")
+        n_alnum = pc.count_substring_regex(t, "[A-Za-z0-9]").cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        n_chars = pc.utf8_length(t).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ppm = np.where(n_chars > 0,
+                       n_alnum * 1_000_000 // np.maximum(n_chars, 1), 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_alnum": pa.array(n_alnum, pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "alnum_ppm": pa.array(ppm, pa.int64()),
+            "keep": pa.array((ppm >= 700_000).astype(np.int64))})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

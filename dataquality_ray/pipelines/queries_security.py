@@ -435,3 +435,139 @@ def email_redaction_audit_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# 7. Zero-width character scan
+# ---------------------------------------------------------------------------
+
+# Planted invisible characters: ZWSP U+200B (doc_id % 31), ZWNJ U+200C
+# (% 37), BOM/ZWNBSP U+FEFF (% 41) — the glyphless payloads used for
+# watermarking and filter evasion.
+_ZW_RE = r"\x{200B}|\x{200C}|\x{FEFF}"
+
+
+@query("zero_width_char_scan", sql=f"""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text,'')
+           || CASE WHEN doc_id % 31 = 0 THEN 'a'||chr(8203)||'b'
+                   ELSE '' END
+           || CASE WHEN doc_id % 37 = 0 THEN 'x'||chr(8204)||'y'
+                   ELSE '' END
+           || CASE WHEN doc_id % 41 = 0 THEN chr(65279) ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_ZW_RE}'))::BIGINT AS n_zero_width,
+       CASE WHEN regexp_matches(t, '{_ZW_RE}') THEN 1 ELSE 0 END::BIGINT
+         AS has_zero_width
+FROM p ORDER BY doc_id
+""")
+def zero_width_char_scan_q(sf_dir: str):
+    """Per-doc count of zero-width characters (ZWSP/ZWNJ/ZWNBSP) — the
+    invisible-payload signal a corpus filter strips before tokenization.
+    One RE2 count kernel per batch; no shuffle."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.binary_join_element_wise(
+            pc.coalesce(batch["text"], pa.scalar("")),
+            pa.array(np.where(ids % 31 == 0, "a​b", "")),
+            pa.array(np.where(ids % 37 == 0, "x‌y", "")),
+            pa.array(np.where(ids % 41 == 0, "﻿", "")),
+            "")
+        n = pc.count_substring_regex(t, _ZW_RE).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_zero_width": n,
+                         "has_zero_width": pc.greater(n, 0).cast(pa.int64())})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# 8. Bidi control scan (trojan-source)
+# ---------------------------------------------------------------------------
+
+# Planted: RLO U+202E (doc_id % 43) and LRI U+2066 (% 47) — the directional
+# overrides of the Trojan-Source attack (Boucher & Anderson 2021); the
+# detector class covers U+202A–U+202E and U+2066–U+2069.
+_BIDI_RE = r"[\x{202A}-\x{202E}\x{2066}-\x{2069}]"
+
+
+@query("bidi_control_scan", sql=f"""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text,'')
+           || CASE WHEN doc_id % 43 = 0 THEN chr(8238)||'evil'
+                   ELSE '' END
+           || CASE WHEN doc_id % 47 = 0 THEN chr(8294)||'iso'
+                   ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_BIDI_RE}'))::BIGINT AS n_bidi,
+       CASE WHEN regexp_matches(t, '{_BIDI_RE}') THEN 1 ELSE 0 END::BIGINT
+         AS trojan_risk
+FROM p ORDER BY doc_id
+""")
+def bidi_control_scan_q(sf_dir: str):
+    """Per-doc count of Unicode bidirectional control characters — the
+    Trojan-Source supply-chain signal every code-corpus filter should
+    drop or normalize.  One RE2 class kernel per batch."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.binary_join_element_wise(
+            pc.coalesce(batch["text"], pa.scalar("")),
+            pa.array(np.where(ids % 43 == 0, "‮evil", "")),
+            pa.array(np.where(ids % 47 == 0, "⁦iso", "")),
+            "")
+        n = pc.count_substring_regex(t, _BIDI_RE).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_bidi": n,
+                         "trojan_risk": pc.greater(n, 0).cast(pa.int64())})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# 9. C0 control-character census
+# ---------------------------------------------------------------------------
+
+# Planted: BEL \\x07 (doc_id % 53) and ESC \\x1B (% 59); the detector class
+# is C0 minus the legitimate whitespace controls (tab/LF/CR).
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+
+
+@query("control_char_census", sql=f"""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text,'')
+           || CASE WHEN doc_id % 53 = 0 THEN 'b'||chr(7)||'ell'
+                   ELSE '' END
+           || CASE WHEN doc_id % 59 = 0 THEN chr(27)||'[0m' ELSE '' END
+           AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_CTRL_RE}'))::BIGINT AS n_control,
+       CASE WHEN regexp_matches(t, '{_CTRL_RE}') THEN 1 ELSE 0 END::BIGINT
+         AS has_control
+FROM p ORDER BY doc_id
+""")
+def control_char_census_q(sf_dir: str):
+    """Per-doc census of non-whitespace C0 control characters (BEL, ESC
+    ANSI sequences, NULs) — a binary-contamination signal for text
+    corpora.  One RE2 class kernel per batch."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.binary_join_element_wise(
+            pc.coalesce(batch["text"], pa.scalar("")),
+            pa.array(np.where(ids % 53 == 0, "b\x07ell", "")),
+            pa.array(np.where(ids % 59 == 0, "\x1b[0m", "")),
+            "")
+        n = pc.count_substring_regex(t, _CTRL_RE).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_control": n,
+                         "has_control": pc.greater(n, 0).cast(pa.int64())})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -325,3 +325,34 @@ def test_function_length_partition(ray_session):
     assert (m["n_funcs"] == m["n_defs"]).all()
     assert (df["max_len"] >= 1).all()
     assert (df["sum_len"] >= df["n_funcs"]).all()
+
+
+def test_line_length_filter_thresholds(ray_session):
+    from dataquality_ray.pipelines.queries_code import line_length_filter_q
+
+    df = line_length_filter_q(SF)
+    ids = df["doc_id"].to_numpy()
+    planted = df[ids % 9 == 0]
+    # planted line dominates the word-soup lines
+    assert (planted["max_line_len"]
+            == 150 + planted["doc_id"] % 100).all()
+    assert (planted["keep"].to_numpy()
+            == (planted["max_line_len"] <= 200).to_numpy()).all()
+    # word-soup docs have short lines and are all kept
+    base = df[ids % 9 != 0]
+    assert (base["keep"] == 1).all()
+    assert (df["mean_line_ppm"] >= 0).all()
+
+
+def test_alnum_ratio_filter_drop_side(ray_session):
+    from dataquality_ray.pipelines.queries_code import alnum_ratio_filter_q
+
+    df = alnum_ratio_filter_q(SF)
+    assert (df["n_alnum"] <= df["n_chars"]).all()
+    assert df["alnum_ppm"].between(0, 1_000_000).all()
+    ids = df["doc_id"].to_numpy()
+    # punctuation-blobbed docs have strictly lower ratio than clean twins
+    assert (df.loc[ids % 8 == 0, "alnum_ppm"].mean()
+            < df.loc[ids % 8 != 0, "alnum_ppm"].mean())
+    # keep must agree with the ppm threshold
+    assert (df["keep"] == (df["alnum_ppm"] >= 700_000).astype("int64")).all()

@@ -113,3 +113,33 @@ def test_email_scrub_sha_removes_emails(ray_session):
     scrubbed = (row.loc[some, "text"] or "") + " [EMAIL]"
     assert (df.set_index("doc_id").loc[some, "scrubbed_sha"]
             == hashlib.sha256(scrubbed.encode()).hexdigest())
+
+
+def test_zero_width_and_bidi_plants(ray_session):
+    from dataquality_ray.pipelines.queries_security import (
+        bidi_control_scan_q,
+        zero_width_char_scan_q,
+    )
+
+    zw = zero_width_char_scan_q(SF)
+    ids = zw["doc_id"].to_numpy()
+    expect = ((ids % 31 == 0).astype(int) + (ids % 37 == 0).astype(int)
+              + (ids % 41 == 0).astype(int))
+    assert (zw["n_zero_width"].to_numpy() == expect).all()
+
+    bd = bidi_control_scan_q(SF)
+    ids = bd["doc_id"].to_numpy()
+    expect = (ids % 43 == 0).astype(int) + (ids % 47 == 0).astype(int)
+    assert (bd["n_bidi"].to_numpy() == expect).all()
+    assert (bd["trojan_risk"].to_numpy() == (expect > 0)).all()
+
+
+def test_control_char_census_plants(ray_session):
+    from dataquality_ray.pipelines.queries_security import (
+        control_char_census_q,
+    )
+
+    df = control_char_census_q(SF)
+    ids = df["doc_id"].to_numpy()
+    expect = (ids % 53 == 0).astype(int) + (ids % 59 == 0).astype(int)
+    assert (df["n_control"].to_numpy() == expect).all()
