@@ -571,3 +571,61 @@ def control_char_census_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# 10. Unicode NFC normalization scan
+# ---------------------------------------------------------------------------
+
+# Planted decomposed sequences: 'e'+COMBINING ACUTE (doc_id % 27) and
+# 'n'+COMBINING TILDE (% 33) — text that changes under NFC.  needs_nfc is
+# the flag a corpus normalizer uses to decide whether to rewrite a doc;
+# len_delta is the byte-budget impact.
+_COMBINING_RE = r"\p{Mn}"
+
+
+@query("nfc_normalization_scan", sql=f"""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text,'')
+           || CASE WHEN doc_id % 27 = 0 THEN ' cafe'||chr(769)
+                   ELSE '' END
+           || CASE WHEN doc_id % 33 = 0 THEN ' n'||chr(771)
+                   ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END::BIGINT
+         AS needs_nfc,
+       len(regexp_extract_all(t, '{_COMBINING_RE}'))::BIGINT
+         AS n_combining,
+       (len(t) - len(nfc_normalize(t)))::BIGINT AS len_delta
+FROM p ORDER BY doc_id
+""")
+def nfc_normalization_scan_q(sf_dir: str):
+    """Per-doc NFC-normalization audit: does the text change under NFC,
+    how many combining marks does it carry, and how many codepoints does
+    normalization save — the decide-before-rewrite scan of a corpus
+    normalizer.  RE2 class count per batch; the NFC pass itself is
+    C-level unicodedata over the batch."""
+    import unicodedata
+
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.binary_join_element_wise(
+            pc.coalesce(batch["text"], pa.scalar("")),
+            pa.array(np.where(ids % 27 == 0, " café", "")),
+            pa.array(np.where(ids % 33 == 0, " ñ", "")),
+            "")
+        n_comb = pc.count_substring_regex(t, _COMBINING_RE).cast(pa.int64())
+        raw = t.to_pylist()
+        norm = [unicodedata.normalize("NFC", s) for s in raw]
+        needs = pa.array([int(a != b) for a, b in zip(raw, norm)],
+                         pa.int64())
+        delta = pa.array([len(a) - len(b) for a, b in zip(raw, norm)],
+                         pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "needs_nfc": needs,
+                         "n_combining": n_comb, "len_delta": delta})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -2213,3 +2213,62 @@ def sample_sort_splitter_q(sf_dir: str) -> pd.DataFrame:
         "max_part": [int(sizes.max())],
         "imbalance_ppm": [int(sizes.max()) * 8 * 1_000_000 // n]}
     ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Speculative-execution straggler audit
+# ---------------------------------------------------------------------------
+
+@query("straggler_speculation_audit", sql="""
+WITH t AS (
+  SELECT l_orderkey, floor(l_quantity)::BIGINT AS dur FROM lineitem),
+m AS (
+  SELECT l_orderkey, quantile_disc(dur, 0.5) AS med,
+         count(*) AS n_tasks
+  FROM t GROUP BY l_orderkey),
+s AS (
+  SELECT t.l_orderkey,
+         count(*) AS n_stragglers,
+         sum(2 * t.dur - 3 * m.med)::BIGINT AS saved_x2
+  FROM t JOIN m ON t.l_orderkey = m.l_orderkey
+  WHERE 2 * t.dur > 3 * m.med
+  GROUP BY t.l_orderkey)
+SELECT m.l_orderkey, m.n_tasks::BIGINT AS n_tasks,
+       m.med::BIGINT AS med_dur,
+       s.n_stragglers::BIGINT AS n_stragglers, s.saved_x2
+FROM m JOIN s ON s.l_orderkey = m.l_orderkey
+ORDER BY m.l_orderkey
+""")
+def straggler_speculation_audit_q(sf_dir: str):
+    """Replay a speculative-execution policy over each order's lineitems
+    as a task group (duration proxy = quantity): a backup copy launches
+    for any task slower than 1.5× the group's discrete median
+    (integer-safe as 2·dur > 3·med), and saved_x2 totals twice the time a
+    perfect backup recovers.  Ray shape: hash shuffle on the job key +
+    vectorized per-group numpy — the straggler-mitigation audit a cluster
+    scheduler runs over task logs."""
+    def per_job(g: pd.DataFrame) -> pd.DataFrame:
+        dur = np.floor(g["l_quantity"].to_numpy()).astype(np.int64)
+        n = len(dur)
+        med = int(np.sort(dur)[(n - 1) // 2])
+        strag = 2 * dur > 3 * med
+        if not strag.any():
+            return pd.DataFrame({
+                "l_orderkey": pd.Series([], dtype=np.int64),
+                "n_tasks": pd.Series([], dtype=np.int64),
+                "med_dur": pd.Series([], dtype=np.int64),
+                "n_stragglers": pd.Series([], dtype=np.int64),
+                "saved_x2": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "l_orderkey": [int(g["l_orderkey"].iloc[0])],
+            "n_tasks": [n], "med_dur": [med],
+            "n_stragglers": [int(strag.sum())],
+            "saved_x2": [int((2 * dur[strag] - 3 * med).sum())]})
+
+    out = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+           .groupby("l_orderkey")
+           .map_groups(per_job, batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_orderkey").reset_index(drop=True)

@@ -8960,3 +8960,85 @@ def token_trie_fanout_q(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["depth", "prefixes",
                                        "branching_ppm"]) \
         .astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-style distinct-unigram overlap between adjacent doc pairs
+# ---------------------------------------------------------------------------
+
+@query("rouge_overlap_pairs", sql="""
+WITH d AS (
+  SELECT DISTINCT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS w
+  FROM documents),
+d2 AS (SELECT doc_id, w FROM d WHERE w <> ''),
+sz AS (SELECT doc_id, count(*) AS n FROM d2 GROUP BY doc_id),
+ov AS (
+  SELECT c.doc_id AS cand_id, r.doc_id AS ref_id, count(*) AS n_overlap
+  FROM d2 c JOIN d2 r ON r.doc_id = c.doc_id + 1 AND r.w = c.w
+  WHERE c.doc_id % 2 = 0
+  GROUP BY c.doc_id, r.doc_id)
+SELECT o.cand_id, o.ref_id, o.n_overlap::BIGINT AS n_overlap,
+       (o.n_overlap * 1000000 // sc.n)::BIGINT AS prec_ppm,
+       (o.n_overlap * 1000000 // sr.n)::BIGINT AS rec_ppm,
+       (2 * o.n_overlap * 1000000 // (sc.n + sr.n))::BIGINT AS f1_ppm
+FROM ov o
+JOIN sz sc ON sc.doc_id = o.cand_id
+JOIN sz sr ON sr.doc_id = o.ref_id
+ORDER BY o.cand_id
+""")
+def rouge_overlap_pairs_q(sf_dir: str):
+    """ROUGE-1-style distinct-unigram precision/recall/F1 (exact ppm)
+    between adjacent doc pairs (even doc_id = candidate, +1 = reference) —
+    the n-gram-overlap eval primitive for generated-vs-reference text.
+    Ray shape: one map_batches tokenize+explode, then a hash shuffle on
+    pair_id with per-pair set intersection in map_groups — the same
+    partition-by-pair layout a 100 TB eval would use."""
+    import ray.data as rd  # noqa: F401
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(
+            pc.coalesce(batch["text"], pa.scalar("")).combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray)
+            else pc.coalesce(batch["text"], pa.scalar("")), " ")
+        offs = toks.offsets.to_numpy()
+        flat = toks.flatten()
+        parent = np.repeat(np.arange(len(ids)), offs[1:] - offs[:-1])
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": pa.array(ids[parent][keep]),
+            "w": flat.filter(pa.array(keep))})
+        # distinct per doc before the shuffle (map-side dedup)
+        t = t.group_by(["doc_id", "w"]).aggregate([])
+        ids2 = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("pair_id", pa.array(ids2 // 2))
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["pair_id"].iloc[0])
+        cand_id, ref_id = 2 * pid, 2 * pid + 1
+        c = set(g.loc[g["doc_id"] == cand_id, "w"])
+        r = set(g.loc[g["doc_id"] == ref_id, "w"])
+        if not c or not r:
+            return pd.DataFrame({
+                "cand_id": pd.Series([], dtype=np.int64),
+                "ref_id": pd.Series([], dtype=np.int64),
+                "n_overlap": pd.Series([], dtype=np.int64),
+                "prec_ppm": pd.Series([], dtype=np.int64),
+                "rec_ppm": pd.Series([], dtype=np.int64),
+                "f1_ppm": pd.Series([], dtype=np.int64)})
+        inter = len(c & r)
+        return pd.DataFrame({
+            "cand_id": [cand_id], "ref_id": [ref_id],
+            "n_overlap": [inter],
+            "prec_ppm": [inter * 1_000_000 // len(c)],
+            "rec_ppm": [inter * 1_000_000 // len(r)],
+            "f1_ppm": [2 * inter * 1_000_000 // (len(c) + len(r))]})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(explode, batch_format="pyarrow")
+           .groupby("pair_id")
+           .map_groups(per_pair, batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("cand_id").reset_index(drop=True)

@@ -143,3 +143,18 @@ def test_control_char_census_plants(ray_session):
     ids = df["doc_id"].to_numpy()
     expect = (ids % 53 == 0).astype(int) + (ids % 59 == 0).astype(int)
     assert (df["n_control"].to_numpy() == expect).all()
+
+
+def test_nfc_scan_plants(ray_session):
+    from dataquality_ray.pipelines.queries_security import (
+        nfc_normalization_scan_q,
+    )
+
+    df = nfc_normalization_scan_q(SF)
+    ids = df["doc_id"].to_numpy()
+    planted = (ids % 27 == 0) | (ids % 33 == 0)
+    assert (df["needs_nfc"].to_numpy() == planted.astype(int)).all()
+    expect_comb = (ids % 27 == 0).astype(int) + (ids % 33 == 0).astype(int)
+    assert (df["n_combining"].to_numpy() == expect_comb).all()
+    # NFC composes each planted pair into one codepoint
+    assert (df["len_delta"].to_numpy() == expect_comb).all()

@@ -253,3 +253,17 @@ def test_magic_number_density_plants():
     assert out["n_numbers"].sum() > 0
     assert out["n_magic"].sum() > 0
     assert (out["magic_ppm"] <= 1_000_000).all()
+
+
+def test_straggler_audit_policy(ray_session):
+    from dataquality_ray.pipelines.queries_systems import (
+        straggler_speculation_audit_q,
+    )
+
+    df = straggler_speculation_audit_q(SF)
+    assert (df["n_stragglers"] >= 1).all()
+    assert (df["n_stragglers"] <= df["n_tasks"]).all()
+    assert (df["saved_x2"] >= df["n_stragglers"]).all()
+    # a straggler needs 2*dur > 3*med, so med-dominated singleton groups
+    # can never appear
+    assert (df["n_tasks"] >= 2).all()

@@ -1,0 +1,21 @@
+
+
+"""Semantic checks for text-analysis operators (beyond oracle parity)."""
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rouge_overlap_pairs_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_text import rouge_overlap_pairs_q
+
+    df = rouge_overlap_pairs_q(SF)
+    assert (df["cand_id"] % 2 == 0).all()
+    assert (df["ref_id"] == df["cand_id"] + 1).all()
+    for c in ("prec_ppm", "rec_ppm", "f1_ppm"):
+        assert df[c].between(0, 1_000_000).all()
+    # F1 lies between min and max of precision/recall (harmonic-ish mean)
+    lo = df[["prec_ppm", "rec_ppm"]].min(axis=1)
+    hi = df[["prec_ppm", "rec_ppm"]].max(axis=1)
+    assert (df["f1_ppm"] >= lo - 1).all() and (df["f1_ppm"] <= hi + 1).all()
+    # word soup overlaps heavily: expect most pairs nonzero
+    assert (df["n_overlap"] > 0).mean() > 0.9
