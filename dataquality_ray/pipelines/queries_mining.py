@@ -9881,3 +9881,93 @@ def spectral_radius_tokens_q(sf_dir: str):
         "n_sym_entries": pd.Series([len(adj)], dtype=np.int64),
         "lambda_q20": pd.Series([m], dtype=np.int64),
         "principal_tok": pd.Series([top], dtype=object)})
+
+
+@query("page_hinkley_drift", sql=f"""
+WITH {_DAILY_SQL.strip()}, o AS (
+  SELECT day_idx, n, row_number() OVER (ORDER BY day_idx) AS i,
+         sum(n) OVER (ORDER BY day_idx) AS s
+  FROM d
+), terms AS (
+  SELECT day_idx,
+         n::HUGEINT * 1000000 - (s::HUGEINT * 1000000 // i) AS term
+  FROM o
+), ph AS (
+  SELECT day_idx,
+         sum(term) OVER (ORDER BY day_idx) AS m_t
+  FROM terms
+), g AS (
+  SELECT day_idx, m_t,
+         min(m_t) OVER (ORDER BY day_idx) AS m_min
+  FROM ph
+)
+SELECT day_idx,
+       CAST(m_t AS BIGINT) AS ph_ppm,
+       CAST(m_t - m_min AS BIGINT) AS gap_ppm,
+       CASE WHEN m_t - m_min > 5000000 THEN 1 ELSE 0 END::BIGINT AS alarm
+FROM g ORDER BY day_idx
+""")
+def page_hinkley_drift_q(sf_dir: str):
+    """Page-Hinkley sequential drift detector over daily event volume:
+    per-day deviation from the running mean (floor-scaled ppm so both
+    engines agree exactly), its cumulative sum, the gap to the running
+    minimum, and the alarm flag (gap > 5 count-ppm) — the classic
+    streaming mean-shift monitor.  Daily counts reduce distributedly;
+    the O(days) scan is driver-side."""
+    d = _daily_counts(sf_dir)
+    cols = ("day_idx", "ph_ppm", "gap_ppm", "alarm")
+    if not len(d):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    x = d["n"].to_numpy(np.int64).astype(object)
+    s = np.cumsum(x)
+    i = np.arange(1, len(x) + 1, dtype=object)
+    term = x * 1_000_000 - (s * 1_000_000 // i)
+    m_t = np.cumsum(term)
+    m_min = np.minimum.accumulate(m_t)
+    gap = m_t - m_min
+    return pd.DataFrame({
+        "day_idx": d["day_idx"].astype("int64"),
+        "ph_ppm": pd.Series([int(v) for v in m_t], dtype="int64"),
+        "gap_ppm": pd.Series([int(v) for v in gap], dtype="int64"),
+        "alarm": pd.Series([int(v > 5_000_000) for v in gap],
+                           dtype="int64")}).reset_index(drop=True)
+
+
+@query("pettitt_changepoint", sql=f"""
+WITH {_DAILY_SQL.strip()}, o AS (
+  SELECT day_idx, n, row_number() OVER (ORDER BY day_idx) AS i FROM d
+), u AS (
+  SELECT t.i AS t, t.day_idx,
+         coalesce((SELECT sum(CASE WHEN a.n > b.n THEN 1
+                                   WHEN a.n < b.n THEN -1 ELSE 0 END)
+                   FROM o a, o b WHERE a.i <= t.i AND b.i > t.i), 0) AS u
+  FROM o t WHERE t.i < (SELECT max(i) FROM o)
+)
+SELECT day_idx AS change_day,
+       abs(u)::BIGINT AS k_statistic,
+       u::BIGINT AS u_signed
+FROM u ORDER BY abs(u) DESC, t LIMIT 1
+""")
+def pettitt_changepoint_q(sf_dir: str):
+    """Pettitt rank-based changepoint test on daily event volume: the
+    split day t* maximizing |U_t| = |Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j)| —
+    the nonparametric single-changepoint locator (ties → earliest day,
+    matching SQL's ORDER BY).  Exact integer ranks, O(days²)
+    driver-side after the distributed daily reduce."""
+    d = _daily_counts(sf_dir)
+    cols = ("change_day", "k_statistic", "u_signed")
+    if len(d) < 2:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    x = d["n"].to_numpy(np.int64)
+    m = len(x)
+    sgn = np.sign(x[:, None] - x[None, :]).astype(np.int64)
+    u = np.array([sgn[: t + 1, t + 1:].sum() for t in range(m - 1)],
+                 dtype=np.int64)
+    best = int(np.argmax(np.abs(u)))  # first max = earliest day
+    return pd.DataFrame({
+        "change_day": pd.Series([int(d["day_idx"].iloc[best])],
+                                dtype="int64"),
+        "k_statistic": pd.Series([int(abs(u[best]))], dtype="int64"),
+        "u_signed": pd.Series([int(u[best])], dtype="int64")})

@@ -2272,3 +2272,55 @@ def straggler_speculation_audit_q(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("l_orderkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Ski-rental (rent-or-buy) online-policy audit
+# ---------------------------------------------------------------------------
+
+@query("ski_rental_audit", sql="""
+WITH d AS (
+  SELECT user_id,
+         count(DISTINCT epoch_us(ts) // 86400000000) AS n_days
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       n_days::BIGINT AS n_days,
+       CASE WHEN n_days < 4 THEN n_days ELSE 4 END::BIGINT AS opt_cost,
+       CASE WHEN n_days < 4 THEN n_days ELSE 7 END::BIGINT AS online_cost,
+       (CASE WHEN n_days < 4 THEN n_days ELSE 7 END * 1000000
+        // CASE WHEN n_days < 4 THEN n_days ELSE 4 END)::BIGINT
+         AS ratio_ppm
+FROM d ORDER BY user_id
+""")
+def ski_rental_audit_q(sf_dir: str):
+    """Ski-rental (rent-or-buy) audit per user: active days = distinct
+    event days, buy price B=4; the break-even online policy rents B−1
+    days then buys (cost 2B−1=7 when d≥B), offline optimal pays
+    min(d, B).  The classic 2−1/B competitive-ratio replay — the shape
+    of every cache-provisioning / spot-vs-reserved decision.  Ray shape:
+    map-side (user, day) dedup, one hash shuffle on user_id, per-group
+    distinct count."""
+    B = 4
+
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch["ts"].cast(pa.int64()), 86400000000)
+        t = pa.table({"user_id": batch["user_id"], "day": day})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        d = int(g["day"].nunique())
+        opt = min(d, B)
+        online = d if d < B else 2 * B - 1
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_days": [d], "opt_cost": [opt], "online_cost": [online],
+            "ratio_ppm": [online * 1_000_000 // opt]})
+
+    out = (_read(sf_dir, "events", ["user_id", "ts"])
+           .map_batches(dedup_pairs, batch_format="pyarrow")
+           .groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .to_pandas())
+    for c in ("n_days", "opt_cost", "online_cost", "ratio_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -1672,3 +1672,29 @@ def test_cohens_kappa_identity_and_bounds(ray_session):
     # independent-ish planted rules: |kappa| well below perfect agreement
     assert abs(int(r["kappa_ppm"])) < 500_000
     assert 0 <= int(r["po_ppm"]) <= 1_000_000
+
+
+def test_page_hinkley_monotone_min(ray_session):
+    from dataquality_ray.pipelines.queries_mining import page_hinkley_drift_q
+
+    df = page_hinkley_drift_q(SF)
+    assert (df["gap_ppm"] >= 0).all()
+    assert (df["alarm"] == (df["gap_ppm"] > 5_000_000).astype("int64")).all()
+    # gap is ph minus running min: recompute independently
+    import numpy as np
+
+    m = df["ph_ppm"].to_numpy()
+    assert (df["gap_ppm"].to_numpy() == m - np.minimum.accumulate(m)).all()
+
+
+def test_pettitt_statistic_bound(ray_session):
+    from dataquality_ray.pipelines.queries_mining import pettitt_changepoint_q
+
+    df = pettitt_changepoint_q(SF)
+    assert len(df) == 1
+    # |U| can never exceed the number of cross pairs
+    from dataquality_ray.pipelines.queries_mining import _daily_counts
+
+    m = len(_daily_counts(SF))
+    assert 0 <= df["k_statistic"].iloc[0] <= (m * m) // 4 + m
+    assert abs(df["u_signed"].iloc[0]) == df["k_statistic"].iloc[0]

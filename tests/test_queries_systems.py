@@ -267,3 +267,14 @@ def test_straggler_audit_policy(ray_session):
     # a straggler needs 2*dur > 3*med, so med-dominated singleton groups
     # can never appear
     assert (df["n_tasks"] >= 2).all()
+
+
+def test_ski_rental_competitive_ratio(ray_session):
+    from dataquality_ray.pipelines.queries_systems import ski_rental_audit_q
+
+    df = ski_rental_audit_q(SF)
+    assert (df["opt_cost"] <= df["online_cost"]).all()
+    # deterministic break-even policy is (2 - 1/B)-competitive, B=4
+    assert (df["ratio_ppm"] <= 1_750_000).all()
+    assert (df.loc[df["n_days"] < 4, "ratio_ppm"] == 1_000_000).all()
+    assert (df.loc[df["n_days"] >= 4, "online_cost"] == 7).all()
