@@ -686,3 +686,71 @@ def a4_report_q(sf_dir: str):
                .reset_index(drop=True)
             [["l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate",
               "o_orderdate_after_l_shipdate"]])
+
+
+# ---------------------------------------------------------------------------
+# Approximate functional dependency g3 error
+# ---------------------------------------------------------------------------
+
+@query("approx_fd_g3_error", sql="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type),
+m AS (SELECT user_id, sum(n) AS tot, max(n) AS keep FROM c GROUP BY user_id)
+SELECT sum(tot)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_keys,
+       (sum(tot) - sum(keep))::BIGINT AS n_violating,
+       ((sum(tot) - sum(keep)) * 1000000 // sum(tot))::BIGINT AS g3_ppm
+FROM m
+""")
+def approx_fd_g3_error_q(sf_dir: str):
+    """g3 error of the approximate functional dependency
+    user_id → event_type: the minimum number of rows to delete for the FD
+    to hold exactly (Kivinen–Mannila), as count + exact ppm.  Ray shape:
+    map-side (user,type) count, one hash shuffle on user_id, per-group
+    keep=max, then an O(#blocks) constant-key driver reduce — no
+    driver-held key universe."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch["user_id"],
+                      "event_type": batch["event_type"]})
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return (g.select(["user_id", "event_type", "event_type_count"])
+                .rename_columns(["user_id", "event_type", "n"]))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby("event_type")["n"].sum()
+        return pd.DataFrame({"tot": [int(n.sum())],
+                             "keep": [int(n.max())], "keys": [1]})
+
+    def block_sum(b: pa.Table) -> pd.DataFrame:
+        f = b.to_pandas()
+        return pd.DataFrame({"k": [0], "tot": [int(f["tot"].sum())],
+                             "keep": [int(f["keep"].sum())],
+                             "keys": [int(f["keys"].sum())]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("k", as_index=False).sum()
+
+    stage = (_read(sf_dir, "events", ["user_id", "event_type"])
+             .map_batches(pair_counts, batch_format="pyarrow")
+             .groupby("user_id")
+             .map_groups(per_user, batch_format="pandas")
+             .map_batches(block_sum, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 2_000_000)
+    assert ok  # bounded: one constant key
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("n_rows", "n_keys", "n_violating",
+                                       "g3_ppm")})
+    tot = int(merged["tot"].iloc[0])
+    keep = int(merged["keep"].iloc[0])
+    keys = int(merged["keys"].iloc[0])
+    return pd.DataFrame({
+        "n_rows": pd.Series([tot], dtype="int64"),
+        "n_keys": pd.Series([keys], dtype="int64"),
+        "n_violating": pd.Series([tot - keep], dtype="int64"),
+        "g3_ppm": pd.Series([(tot - keep) * 1_000_000 // tot],
+                            dtype="int64")})

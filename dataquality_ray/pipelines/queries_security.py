@@ -629,3 +629,91 @@ def nfc_normalization_scan_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# 11. JWT structure census
+# ---------------------------------------------------------------------------
+
+# Planted three-segment JWTs (header.payload.signature, base64url) whose
+# header is one of the public constants for {"alg":"HS256"/"RS256"/"none"};
+# payload/signature hex derives from doc_id.  alg='none' is the classic
+# signature-bypass misconfiguration a secret scanner must flag.
+_JWT_HDRS = {
+    "eyJhbGciOiJIUzI1NiJ9": "HS256",
+    "eyJhbGciOiJSUzI1NiJ9": "RS256",
+    "eyJhbGciOiJub25lIn0": "none",
+}
+_JWT_SCAN = r"(?P<h>eyJ[A-Za-z0-9_-]+)\.[A-Za-z0-9_-]+\.[A-Za-z0-9_-]*"
+_JWT_SCAN_SQL = r"(eyJ[A-Za-z0-9_-]+)\.[A-Za-z0-9_-]+\.[A-Za-z0-9_-]*"
+
+
+@query("jwt_token_census", sql=f"""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text,'') || CASE doc_id % 11
+           WHEN 0 THEN ' eyJhbGciOiJIUzI1NiJ9.'
+             || printf('%016x', (doc_id * 48271) % 281474976710656) || '.'
+             || printf('%08x', (doc_id * 16807) % 4294967296)
+           WHEN 1 THEN ' eyJhbGciOiJSUzI1NiJ9.'
+             || printf('%016x', (doc_id * 48271) % 281474976710656) || '.'
+             || printf('%08x', (doc_id * 16807) % 4294967296)
+           WHEN 2 THEN ' eyJhbGciOiJub25lIn0.'
+             || printf('%016x', (doc_id * 48271) % 281474976710656) || '.'
+           ELSE '' END AS t
+  FROM documents),
+e AS (SELECT regexp_extract(t, '{_JWT_SCAN_SQL}', 1) AS h FROM p)
+SELECT CASE h WHEN 'eyJhbGciOiJIUzI1NiJ9' THEN 'HS256'
+              WHEN 'eyJhbGciOiJSUzI1NiJ9' THEN 'RS256'
+              WHEN 'eyJhbGciOiJub25lIn0' THEN 'none'
+              ELSE 'unknown' END AS alg,
+       count(*)::BIGINT AS n_docs
+FROM e WHERE h <> '' GROUP BY 1 ORDER BY alg
+""")
+def jwt_token_census_q(sf_dir: str):
+    """Census of JWT algorithm headers found in text (HS256 / RS256 /
+    the alg='none' signature bypass) — a credential-leak audit over the
+    corpus.  One extract_regex per batch; alg-bounded (≤4 key) combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        plant = [""] * len(ids)
+        for j, i in enumerate(ids):
+            i = int(i)
+            r = i % 11
+            if r > 2:
+                continue
+            body = format((i * 48271) % 281474976710656, "016x")
+            if r == 0:
+                plant[j] = (" eyJhbGciOiJIUzI1NiJ9." + body + "."
+                            + format((i * 16807) % 4294967296, "08x"))
+            elif r == 1:
+                plant[j] = (" eyJhbGciOiJSUzI1NiJ9." + body + "."
+                            + format((i * 16807) % 4294967296, "08x"))
+            else:
+                plant[j] = " eyJhbGciOiJub25lIn0." + body + "."
+        t = pc.binary_join_element_wise(
+            pc.coalesce(batch["text"], pa.scalar("")), pa.array(plant), "")
+        h = pc.struct_field(pc.extract_regex(t, _JWT_SCAN), "h")
+        f = pd.DataFrame({"h": h.to_pandas()}).dropna()
+        if not len(f):
+            return pd.DataFrame({"alg": pd.Series([], dtype=object),
+                                 "n_docs": pd.Series([], dtype=np.int64)})
+        f["alg"] = f["h"].map(lambda s: _JWT_HDRS.get(s, "unknown"))
+        f["n_docs"] = 1
+        return f.groupby("alg", as_index=False)["n_docs"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("alg", as_index=False)["n_docs"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 4 alg classes
+    if merged is None or not len(merged):
+        return pd.DataFrame({"alg": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype=np.int64)})
+    merged["n_docs"] = merged["n_docs"].astype("int64")
+    return merged[["alg", "n_docs"]].sort_values("alg").reset_index(
+        drop=True)

@@ -302,3 +302,17 @@ def test_cap_per_group_matches_pandas_and_partitioning(ray_session):
                .to_pandas()[["id", "g", "score"]]
                .sort_values("id").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want[["id", "g", "score"]])
+
+
+def test_approx_fd_g3_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_dimensions import (
+        approx_fd_g3_error_q,
+    )
+
+    df = approx_fd_g3_error_q("/root/testdata/sf0.001")
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert 0 <= r["n_violating"] < r["n_rows"]
+    # deleting all-but-one row per key always suffices
+    assert r["n_violating"] <= r["n_rows"] - r["n_keys"]
+    assert 0 <= r["g3_ppm"] < 1_000_000

@@ -158,3 +158,17 @@ def test_nfc_scan_plants(ray_session):
     assert (df["n_combining"].to_numpy() == expect_comb).all()
     # NFC composes each planted pair into one codepoint
     assert (df["len_delta"].to_numpy() == expect_comb).all()
+
+
+def test_jwt_census_counts(ray_session):
+    from dataquality_ray.pipelines.queries_security import jwt_token_census_q
+
+    df = jwt_token_census_q(SF)
+    got = dict(zip(df["alg"], df["n_docs"]))
+    n = 500
+    expect = {
+        "HS256": sum(1 for i in range(n) if i % 11 == 0),
+        "RS256": sum(1 for i in range(n) if i % 11 == 1),
+        "none": sum(1 for i in range(n) if i % 11 == 2),
+    }
+    assert got == expect  # and never 'unknown' on planted data
