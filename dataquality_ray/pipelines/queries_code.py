@@ -2193,3 +2193,176 @@ def alnum_ratio_filter_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Semver dependency-pin census
+# ---------------------------------------------------------------------------
+
+# Planted dependency specs ("pkg": "^1.2.3" / "~…" / ">=…" / exact pin)
+# selected by doc_id % 10; versions derive from doc_id so both engines
+# print identical strings.  The scan classifies the range operator — the
+# dependency-pinning hygiene signal of a code-corpus audit.
+_SEMVER_SCAN = (r'"dep[0-9]+": "(?P<op>\^|~|>=|)'
+                r'(?P<ver>[0-9]+\.[0-9]+\.[0-9]+)"')
+_SEMVER_SCAN_SQL = r'"dep\d+": "(\^|~|>=|)(\d+\.\d+\.\d+)"'
+
+
+@query("semver_pin_census", sql=f"""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text,'') || CASE WHEN doc_id % 10 < 4 THEN ' "dep'
+           || (doc_id % 7)::VARCHAR || '": "'
+           || CASE doc_id % 10 WHEN 0 THEN '^' WHEN 1 THEN '~'
+                               WHEN 2 THEN '>=' ELSE '' END
+           || (doc_id % 9)::VARCHAR || '.' || (doc_id % 5)::VARCHAR
+           || '.' || (doc_id % 3)::VARCHAR || '"'
+         ELSE '' END AS t
+  FROM documents),
+e AS (
+  SELECT regexp_extract(t, '{_SEMVER_SCAN_SQL}', 1) AS op,
+         regexp_extract(t, '{_SEMVER_SCAN_SQL}', 2) AS ver
+  FROM p WHERE regexp_matches(t, '{_SEMVER_SCAN_SQL}'))
+SELECT CASE op WHEN '^' THEN 'caret' WHEN '~' THEN 'tilde'
+               WHEN '>=' THEN 'gte' ELSE 'exact_pin' END AS pin_style,
+       count(*)::BIGINT AS n_deps
+FROM e GROUP BY 1 ORDER BY pin_style
+""")
+def semver_pin_census_q(sf_dir: str):
+    """Census of semver range styles (caret / tilde / gte / exact pin) in
+    dependency specs — supply-chain pinning hygiene.  One extract_regex
+    per batch; 4-key-bounded combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    _STYLE = {"^": "caret", "~": "tilde", ">=": "gte", "": "exact_pin"}
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        plant = [""] * len(ids)
+        for j, i in enumerate(ids):
+            i = int(i)
+            if i % 10 >= 4:
+                continue
+            op = {0: "^", 1: "~", 2: ">="}.get(i % 10, "")
+            plant[j] = f' "dep{i % 7}": "{op}{i % 9}.{i % 5}.{i % 3}"'
+        t = pc.binary_join_element_wise(
+            pc.coalesce(batch["text"], pa.scalar("")), pa.array(plant), "")
+        hit = pc.extract_regex(t, _SEMVER_SCAN)
+        op = pc.struct_field(hit, "op").to_pandas().dropna()
+        if not len(op):
+            return pd.DataFrame({"pin_style": pd.Series([], dtype=object),
+                                 "n_deps": pd.Series([], dtype=np.int64)})
+        f = pd.DataFrame({"pin_style": op.map(_STYLE), "n_deps": 1})
+        return f.groupby("pin_style", as_index=False).sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("pin_style", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 4 pin styles
+    if merged is None or not len(merged):
+        return pd.DataFrame({"pin_style": pd.Series([], dtype=object),
+                             "n_deps": pd.Series([], dtype=np.int64)})
+    merged["n_deps"] = merged["n_deps"].astype("int64")
+    return (merged[["pin_style", "n_deps"]]
+            .sort_values("pin_style").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Markdown structure census
+# ---------------------------------------------------------------------------
+
+@query("markdown_structure_census", sql=f"""
+WITH cv AS ({_code_view_sql()}),
+p AS (
+  SELECT doc_id,
+         code || CASE WHEN doc_id % 12 = 0
+                      THEN chr(10)||'# Title'||chr(10)||'## Sub'
+                      ELSE '' END
+              || CASE WHEN doc_id % 14 = 0
+                      THEN chr(10)||'```'||chr(10)||'x'||chr(10)||'```'
+                      ELSE '' END
+              || CASE WHEN doc_id % 16 = 0
+                      THEN chr(10)||'[a](http://x.test)' ELSE '' END AS t
+  FROM cv)
+SELECT doc_id,
+       len(regexp_extract_all(t, '(?m)^#{{1,6}} '))::BIGINT AS n_headings,
+       (len(regexp_extract_all(t, '(?m)^```')) // 2)::BIGINT
+         AS n_code_fences,
+       len(regexp_extract_all(t, '\\[[^\\]]*\\]\\([^)]*\\)'))::BIGINT
+         AS n_links
+FROM p ORDER BY doc_id
+""")
+def markdown_structure_census_q(sf_dir: str):
+    """Per-doc Markdown structure counts (ATX headings, fenced code
+    blocks, inline links) over the code view — the doc-vs-code routing
+    signal of a mixed corpus.  Three RE2 counts per batch."""
+    def kern(batch: pa.Table) -> pa.Table:
+        cv = code_view_batch(batch)
+        ids = cv["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.binary_join_element_wise(
+            cv["code"].combine_chunks()
+            if isinstance(cv["code"], pa.ChunkedArray) else cv["code"],
+            pa.array(np.where(ids % 12 == 0, "\n# Title\n## Sub", "")),
+            pa.array(np.where(ids % 14 == 0, "\n```\nx\n```", "")),
+            pa.array(np.where(ids % 16 == 0, "\n[a](http://x.test)", "")),
+            "")
+        heads = pc.count_substring_regex(t, r"(?m)^#{1,6} ").cast(pa.int64())
+        fences = pc.divide(
+            pc.count_substring_regex(t, r"(?m)^```"), 2).cast(pa.int64())
+        links = pc.count_substring_regex(
+            t, r"\[[^\]]*\]\([^)]*\)").cast(pa.int64())
+        return pa.table({"doc_id": cv["doc_id"], "n_headings": heads,
+                         "n_code_fences": fences, "n_links": links})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Trailing-whitespace / final-newline hygiene census
+# ---------------------------------------------------------------------------
+
+@query("whitespace_hygiene_census", sql=f"""
+WITH cv AS ({_code_view_sql()}),
+p AS (
+  SELECT doc_id,
+         code || CASE WHEN doc_id % 21 = 0 THEN chr(10)||'x  '
+                      ELSE '' END
+              || CASE WHEN doc_id % 22 = 0 THEN chr(10) ELSE '' END AS t
+  FROM cv)
+SELECT doc_id,
+       len(regexp_extract_all(t, '(?m)[ '||chr(9)||']+$'))::BIGINT
+         AS n_trailing_ws_lines,
+       CASE WHEN t <> '' AND substr(t, len(t), 1) = chr(10)
+            THEN 1 ELSE 0 END::BIGINT AS has_final_newline
+FROM p ORDER BY doc_id
+""")
+def whitespace_hygiene_census_q(sf_dir: str):
+    """Per-doc trailing-whitespace line count and final-newline presence
+    over the code view — the lint hygiene census (planted: every 21st doc
+    a trailing-space line, every 22nd a final newline).  One RE2 count +
+    one suffix probe per batch."""
+    def kern(batch: pa.Table) -> pa.Table:
+        cv = code_view_batch(batch)
+        ids = cv["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.binary_join_element_wise(
+            cv["code"].combine_chunks()
+            if isinstance(cv["code"], pa.ChunkedArray) else cv["code"],
+            pa.array(np.where(ids % 21 == 0, "\nx  ", "")),
+            pa.array(np.where(ids % 22 == 0, "\n", "")),
+            "")
+        trail = pc.count_substring_regex(t, r"(?m)[ \t]+$").cast(pa.int64())
+        final_nl = pc.and_(
+            pc.not_equal(t, ""),
+            pc.ends_with(t, "\n")).cast(pa.int64())
+        return pa.table({"doc_id": cv["doc_id"],
+                         "n_trailing_ws_lines": trail,
+                         "has_final_newline": final_nl})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

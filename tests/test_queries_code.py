@@ -356,3 +356,50 @@ def test_alnum_ratio_filter_drop_side(ray_session):
             < df.loc[ids % 8 != 0, "alnum_ppm"].mean())
     # keep must agree with the ppm threshold
     assert (df["keep"] == (df["alnum_ppm"] >= 700_000).astype("int64")).all()
+
+
+def test_semver_pin_census_counts(ray_session):
+    from dataquality_ray.pipelines.queries_code import semver_pin_census_q
+
+    df = semver_pin_census_q(SF)
+    got = dict(zip(df["pin_style"], df["n_deps"]))
+    n = 500
+    expect = {
+        "caret": sum(1 for i in range(n) if i % 10 == 0),
+        "tilde": sum(1 for i in range(n) if i % 10 == 1),
+        "gte": sum(1 for i in range(n) if i % 10 == 2),
+        "exact_pin": sum(1 for i in range(n) if i % 10 == 3),
+    }
+    assert got == expect
+
+
+def test_markdown_census_plants(ray_session):
+    from dataquality_ray.pipelines.queries_code import (
+        markdown_structure_census_q,
+    )
+
+    df = markdown_structure_census_q(SF)
+    ids = df["doc_id"].to_numpy()
+    # '# the' comment lines in the code view count as headings too, so
+    # planted docs have >= 2 extra; fence/link plants are exact deltas
+    assert (df.loc[ids % 14 == 0, "n_code_fences"] == 1).all()
+    assert (df.loc[ids % 14 != 0, "n_code_fences"] == 0).all()
+    assert (df.loc[ids % 16 == 0, "n_links"] == 1).all()
+    assert (df.loc[ids % 16 != 0, "n_links"] == 0).all()
+    planted = df[ids % 12 == 0]["n_headings"]
+    twin = df[ids % 12 != 0]["n_headings"]
+    assert planted.mean() >= twin.mean() + 2
+
+
+def test_whitespace_hygiene_plants(ray_session):
+    from dataquality_ray.pipelines.queries_code import (
+        whitespace_hygiene_census_q,
+    )
+
+    df = whitespace_hygiene_census_q(SF)
+    ids = df["doc_id"].to_numpy()
+    assert (df.loc[ids % 21 == 0, "n_trailing_ws_lines"] >= 1).all()
+    assert (df.loc[ids % 21 != 0, "n_trailing_ws_lines"] == 0).all()
+    assert (df["has_final_newline"].to_numpy()
+            == ((ids % 22 == 0) & (ids % 21 != 0)).astype(int)
+            | ((ids % 22 == 0)).astype(int)).all()
