@@ -285,6 +285,40 @@ def cmd_explain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_scan(args: argparse.Namespace) -> int:
+    """PII / security scan over a parquet text corpus: per-row hit counts
+    for every detector in functions.security.SCAN_RES (credentials, JWTs,
+    emails, IPs, trojan-source characters, base64 blobs), an optional
+    scrubbed copy of the corpus, and a one-line JSON summary.  One
+    map_batches pass each — no shuffle at any corpus size."""
+    import ray.data as rd
+
+    from dataquality_ray.functions.security import (
+        security_scan_batch,
+        security_summary,
+        scrub_batch,
+    )
+
+    _ensure_ray()
+    ds = rd.read_parquet(args.input)
+    scan = ds.map_batches(
+        lambda b: security_scan_batch(b, text_col=args.text_column),
+        batch_format="pyarrow")
+    if args.out:
+        scan.write_parquet(args.out)
+        flags = rd.read_parquet(args.out).to_pandas()
+    else:
+        flags = scan.to_pandas()
+    summary = security_summary(flags)
+    if args.scrub_out:
+        ds.map_batches(
+            lambda b: scrub_batch(b, text_col=args.text_column),
+            batch_format="pyarrow").write_parquet(args.scrub_out)
+        summary["scrub_out"] = args.scrub_out
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_battery(args: argparse.Namespace) -> int:
     from dataquality_ray.pipelines.battery import (
         battery_from_config,
@@ -409,6 +443,16 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["null", "deflate"],
                     help="avro block codec (avro output only)")
     cv.set_defaults(fn=cmd_convert)
+
+    sc = sub.add_parser(
+        "scan", help="PII/security scan (and optional scrub) of a corpus")
+    sc.add_argument("--input", required=True)
+    sc.add_argument("--text-column", default="text")
+    sc.add_argument("--out", default=None,
+                    help="write per-row hit counts parquet here")
+    sc.add_argument("--scrub-out", default=None,
+                    help="write a scrubbed copy of the corpus here")
+    sc.set_defaults(fn=cmd_scan)
 
     b = sub.add_parser("battery", help="DQ test battery over one table")
     b.add_argument("--table", required=True)

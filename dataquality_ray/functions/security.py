@@ -1,0 +1,115 @@
+"""Vectorized PII / security scan kernels over an Arrow string column.
+
+Single source of truth for the detection regexes shared by the
+``queries_security`` registry operators (which PLANT signals before
+scanning, so DuckDB oracles can replay them) and by the ``scan`` CLI /
+pipeline stage here, which scans *real* text unplanted.
+
+Every kernel is one or two RE2 passes over the whole batch — no Python
+per-row work — so a scan stage is a plain ``map_batches`` with zero
+shuffles at any corpus size.  The scrubber mirrors the north rule's
+regex-based PII scrub (emails / IPs / credential shapes → typed
+placeholders) and is idempotent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- detection regexes (RE2 syntax; byte-identical semantics in DuckDB) ---
+MIXED_SCRIPT_RE = r"[A-Za-z]\p{Cyrillic}|\p{Cyrillic}[A-Za-z]"
+ZERO_WIDTH_RE = r"\x{200B}|\x{200C}|\x{FEFF}"
+BIDI_RE = r"[\x{202A}-\x{202E}\x{2066}-\x{2069}]"
+CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+UUID_RE = (r"[0-9a-f]{8}-[0-9a-f]{4}-[1345][0-9a-f]{3}"
+           r"-[0-9a-f]{4}-[0-9a-f]{12}")
+JWT_RE = r"eyJ[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+\.[A-Za-z0-9_-]*"
+BASE64_RUN_RE = r"[A-Za-z0-9+/]{40,}"
+CREDENTIAL_RES = {
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    "github_pat": r"ghp_[A-Za-z0-9]{36}",
+    "slack_token": r"xoxb-[0-9]{10}",
+    "pem_private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+}
+
+#: scan-name -> regex, the full census a `scan` run reports per doc.
+SCAN_RES = {
+    "mixed_script": MIXED_SCRIPT_RE,
+    "zero_width": ZERO_WIDTH_RE,
+    "bidi_control": BIDI_RE,
+    "control_char": CONTROL_RE,
+    "email": EMAIL_RE,
+    "ipv4": IPV4_RE,
+    "uuid": UUID_RE,
+    "jwt": JWT_RE,
+    "base64_blob": BASE64_RUN_RE,
+    **CREDENTIAL_RES,
+}
+
+#: regexes whose hits make a row PII-positive (the scrub set).
+PII_KEYS = ("email", "ipv4", "jwt", "aws_key", "github_pat",
+            "slack_token", "pem_private_key")
+
+
+def security_scan_batch(batch: pa.Table, text_col: str = "text",
+                        id_cols: tuple[str, ...] | None = None) -> pa.Table:
+    """Per-row hit counts for every scan regex plus a has_pii flag.
+
+    Returns the id columns (default: every non-text column present)
+    followed by one ``n_<scan>`` int64 column per entry in ``SCAN_RES``
+    and ``has_pii``.
+    """
+    t = pc.coalesce(batch[text_col], pa.scalar(""))
+    if id_cols is None:
+        id_cols = tuple(c for c in batch.column_names if c != text_col)
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        c: batch[c] for c in id_cols}
+    pii = None
+    for name, pat in SCAN_RES.items():
+        n = pc.count_substring_regex(t, pat).cast(pa.int64())
+        cols[f"n_{name}"] = n
+        if name in PII_KEYS:
+            hit = pc.greater(n, 0)
+            pii = hit if pii is None else pc.or_(pii, hit)
+    cols["has_pii"] = pii.cast(pa.int64())
+    return pa.table(cols)
+
+
+def scrub_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Replace PII matches with typed placeholders, preserving all other
+    columns; adds ``n_scrubbed`` (total replacements) per row."""
+    t = pc.coalesce(batch[text_col], pa.scalar(""))
+    total = pa.nulls(len(batch), pa.int64())
+    total = pc.fill_null(total, 0)
+    for name, pat, tag in (
+            ("email", EMAIL_RE, "[EMAIL]"),
+            ("ipv4", IPV4_RE, "[IP]"),
+            ("jwt", JWT_RE, "[JWT]"),
+            ("aws_key", CREDENTIAL_RES["aws_key"], "[KEY]"),
+            ("github_pat", CREDENTIAL_RES["github_pat"], "[KEY]"),
+            ("slack_token", CREDENTIAL_RES["slack_token"], "[KEY]"),
+            ("pem_private_key", CREDENTIAL_RES["pem_private_key"],
+             "[KEY]")):
+        n = pc.count_substring_regex(t, pat).cast(pa.int64())
+        total = pc.add(total, n)
+        t = pc.replace_substring_regex(t, pat, tag)
+    out = {c: (t if c == text_col else batch[c])
+           for c in batch.column_names}
+    out["n_scrubbed"] = total
+    return pa.table(out)
+
+
+def security_summary(scan_df) -> dict:
+    """Corpus-level roll-up of a per-row scan frame (pandas)."""
+    n = int(len(scan_df))
+    out = {"rows": n,
+           "pii_rows": int(scan_df["has_pii"].sum()) if n else 0}
+    for name in SCAN_RES:
+        col = f"n_{name}"
+        if col in scan_df:
+            out[f"hits_{name}"] = int(scan_df[col].sum())
+    return out

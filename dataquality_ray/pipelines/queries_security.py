@@ -42,7 +42,17 @@ def _read(sf_dir: str, table: str, columns=None):
 # Planted: every 23rd doc gets a Latin+Cyrillic homoglyph token (' раge' —
 # Cyrillic р/а glued to Latin g/e), every 29th a pure-Cyrillic word
 # (' привет') that must NOT trip the mixed-script detector.
-_MIXED_RE = r"[A-Za-z]\p{Cyrillic}|\p{Cyrillic}[A-Za-z]"
+# Detection regexes are shared with the unplanted `scan` CLI stage —
+# functions/security.py is the single source of truth.
+from dataquality_ray.functions.security import (  # noqa: E402
+    BASE64_RUN_RE as _B64_RUN,
+    BIDI_RE as _BIDI_RE,
+    CONTROL_RE as _CTRL_RE,
+    EMAIL_RE as _EMAIL_RE,
+    MIXED_SCRIPT_RE as _MIXED_RE,
+    ZERO_WIDTH_RE as _ZW_RE,
+)
+
 _CYR_RE = r"\p{Cyrillic}"
 
 
@@ -342,7 +352,6 @@ def credential_prefix_census_q(sf_dir: str):
 # 10-char chunk); docs at residue 3 get a 20-char run that must stay below
 # the 40-char detection threshold.  First-match length is well-defined on
 # both engines (RE2 leftmost + greedy {40,}).
-_B64_RUN = r"[A-Za-z0-9+/]{40,}"
 
 
 @query("base64_blob_detect", sql=f"""
@@ -392,7 +401,6 @@ def base64_blob_detect_q(sf_dir: str):
 # scrubbed text byte-for-byte via per-row sha256 — replicated in DuckDB's
 # sha256() so the driver hash-checks actual scrubbed content, not just
 # counts.
-_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 
 @query("email_redaction_audit", sql=f"""
@@ -444,7 +452,6 @@ def email_redaction_audit_q(sf_dir: str):
 # Planted invisible characters: ZWSP U+200B (doc_id % 31), ZWNJ U+200C
 # (% 37), BOM/ZWNBSP U+FEFF (% 41) — the glyphless payloads used for
 # watermarking and filter evasion.
-_ZW_RE = r"\x{200B}|\x{200C}|\x{FEFF}"
 
 
 @query("zero_width_char_scan", sql=f"""
@@ -491,7 +498,6 @@ def zero_width_char_scan_q(sf_dir: str):
 # Planted: RLO U+202E (doc_id % 43) and LRI U+2066 (% 47) — the directional
 # overrides of the Trojan-Source attack (Boucher & Anderson 2021); the
 # detector class covers U+202A–U+202E and U+2066–U+2069.
-_BIDI_RE = r"[\x{202A}-\x{202E}\x{2066}-\x{2069}]"
 
 
 @query("bidi_control_scan", sql=f"""
@@ -535,7 +541,6 @@ def bidi_control_scan_q(sf_dir: str):
 
 # Planted: BEL \\x07 (doc_id % 53) and ESC \\x1B (% 59); the detector class
 # is C0 minus the legitimate whitespace controls (tab/LF/CR).
-_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
 
 
 @query("control_char_census", sql=f"""
