@@ -2366,3 +2366,86 @@ def whitespace_hygiene_census_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Dead-function census (defined somewhere, called nowhere)
+# ---------------------------------------------------------------------------
+
+# Planted corpus-level link structure: every 5th doc DEFINES fn{doc_id%40}
+# (with a parameter, so the call regex cannot match the definition) and
+# every 7th doc CALLS fn{(doc_id*3)%40}.  The census anti-joins the two
+# distinct name sets — the unreferenced-symbol signal of repo-level
+# dead-code analysis.
+_DEF_SCAN = r"def (?P<f>fn[0-9]+)\(x\)"
+_DEF_SCAN_SQL = r"def (fn\d+)\(x\)"
+_CALL_SCAN = r"(?P<f>fn[0-9]+)\(\)"
+_CALL_SCAN_SQL = r"(fn\d+)\(\)"
+
+
+@query("dead_function_census", sql=f"""
+WITH p AS (
+  SELECT doc_id,
+         coalesce(text,'')
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' def fn' || (doc_id % 40)::VARCHAR || '(x): pass'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' fn' || ((doc_id * 3) % 40)::VARCHAR || '()'
+                   ELSE '' END AS t
+  FROM documents),
+defs AS (
+  SELECT regexp_extract(t, '{_DEF_SCAN_SQL}', 1) AS f,
+         count(*)::BIGINT AS n_defs
+  FROM p WHERE regexp_matches(t, '{_DEF_SCAN_SQL}') GROUP BY 1),
+calls AS (
+  SELECT DISTINCT regexp_extract(t, '{_CALL_SCAN_SQL}', 1) AS f
+  FROM p WHERE regexp_matches(t, '{_CALL_SCAN_SQL}'))
+SELECT d.f AS func_name, d.n_defs
+FROM defs d LEFT JOIN calls c ON c.f = d.f
+WHERE c.f IS NULL
+ORDER BY d.f
+""")
+def dead_function_census_q(sf_dir: str):
+    """Corpus-wide dead-function census: names defined in some file but
+    called in none — the unreferenced-symbol half of repo-level dead-code
+    elimination.  Two extract_regex passes per batch, name-bounded
+    combine, driver-side anti-join over ≤40 symbols."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        plant = [""] * len(ids)
+        for j, i in enumerate(ids):
+            i = int(i)
+            s = ""
+            if i % 5 == 0:
+                s += f" def fn{i % 40}(x): pass"
+            if i % 7 == 0:
+                s += f" fn{(i * 3) % 40}()"
+            plant[j] = s
+        t = pc.binary_join_element_wise(
+            pc.coalesce(batch["text"], pa.scalar("")), pa.array(plant), "")
+        d = pc.struct_field(
+            pc.extract_regex(t, _DEF_SCAN), "f").to_pandas().dropna()
+        c = pc.struct_field(
+            pc.extract_regex(t, _CALL_SCAN), "f").to_pandas().dropna()
+        return pd.concat([
+            pd.DataFrame({"f": d, "n_defs": 1, "n_calls": 0}),
+            pd.DataFrame({"f": c, "n_defs": 0, "n_calls": 1}),
+        ], ignore_index=True)
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("f", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 40 symbol names
+    if merged is None or not len(merged):
+        return pd.DataFrame({"func_name": pd.Series([], dtype=object),
+                             "n_defs": pd.Series([], dtype=np.int64)})
+    dead = merged[(merged["n_defs"] > 0) & (merged["n_calls"] == 0)]
+    out = pd.DataFrame({"func_name": dead["f"],
+                        "n_defs": dead["n_defs"].astype("int64")})
+    return out.sort_values("func_name").reset_index(drop=True)

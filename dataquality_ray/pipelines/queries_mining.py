@@ -9971,3 +9971,137 @@ def pettitt_changepoint_q(sf_dir: str):
                                 dtype="int64"),
         "k_statistic": pd.Series([int(abs(u[best]))], dtype="int64"),
         "u_signed": pd.Series([int(u[best])], dtype="int64")})
+
+
+@query("kuiper_hour_uniformity", sql="""
+WITH h AS (
+  SELECT (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1),
+grid AS (SELECT range AS hour FROM range(24)),
+f AS (
+  SELECT g.hour, coalesce(h.n, 0) AS n FROM grid g
+  LEFT JOIN h ON h.hour = g.hour),
+c AS (
+  SELECT hour, sum(n) OVER (ORDER BY hour) AS s,
+         (SELECT sum(n) FROM f) AS tot
+  FROM f),
+a AS (SELECT hour, 24 * s - (hour + 1) * tot AS dev FROM c)
+SELECT (SELECT tot FROM c LIMIT 1)::BIGINT AS n_events,
+       greatest(max(dev), 0)::BIGINT AS d_plus_scaled,
+       greatest(max(-dev), 0)::BIGINT AS d_minus_scaled,
+       (greatest(max(dev), 0) + greatest(max(-dev), 0))::BIGINT
+         AS v_scaled
+FROM a
+""")
+def kuiper_hour_uniformity_q(sf_dir: str):
+    """Kuiper circular-uniformity statistic of event hour-of-day:
+    V = D⁺ + D⁻ of the hourly ECDF against uniform, cross-multiplied by
+    24·N so every quantity is an exact integer (the rotation-invariant
+    alternative to KS for clock data).  Hour counts reduce distributedly
+    (24-key bounded combine); the scan is O(24) driver-side."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts % 86400000000) // 3600000000
+        s = pd.Series(hour).value_counts()
+        return pd.DataFrame({"hour": s.index.astype(np.int64),
+                             "n": s.to_numpy(np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("hour", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: 24 hours
+    cols = ("n_events", "d_plus_scaled", "d_minus_scaled", "v_scaled")
+    n = np.zeros(24, dtype=np.int64)
+    if merged is not None and len(merged):
+        n[merged["hour"].to_numpy(np.int64)] = merged["n"].to_numpy(
+            np.int64)
+    tot = int(n.sum())
+    s = np.cumsum(n)
+    dev = 24 * s - np.arange(1, 25, dtype=np.int64) * tot
+    dp = max(int(dev.max()), 0)
+    dm = max(int((-dev).max()), 0)
+    return pd.DataFrame({
+        "n_events": pd.Series([tot], dtype="int64"),
+        "d_plus_scaled": pd.Series([dp], dtype="int64"),
+        "d_minus_scaled": pd.Series([dm], dtype="int64"),
+        "v_scaled": pd.Series([dp + dm], dtype="int64")})
+
+
+@query("kendall_w_concordance", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type FROM events),
+days AS (SELECT DISTINCT day_idx FROM d),
+dense AS (
+  SELECT t.event_type, dy.day_idx, coalesce(d.n, 0) AS n
+  FROM types t CROSS JOIN days dy
+  LEFT JOIN d ON d.event_type = t.event_type AND d.day_idx = dy.day_idx),
+r AS (
+  SELECT event_type, day_idx,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY n)
+           + count(*) OVER (PARTITION BY event_type, n) - 1 AS r2
+  FROM dense),
+sums AS (SELECT day_idx, sum(r2) AS r2sum FROM r GROUP BY day_idx),
+dims AS (
+  SELECT (SELECT count(*) FROM types) AS m,
+         (SELECT count(*) FROM days) AS n_days),
+s AS (
+  SELECT sum((r2sum - dims.m * (dims.n_days + 1))
+             * (r2sum - dims.m * (dims.n_days + 1)))::HUGEINT AS s4,
+         any_value(dims.m) AS m, any_value(dims.n_days) AS n_days
+  FROM sums, dims)
+SELECT m::BIGINT AS n_raters, n_days::BIGINT AS n_items,
+       CAST(s4 AS BIGINT) AS s4_statistic,
+       CAST(3 * s4 * 1000000
+            // (m::HUGEINT * m * (n_days::HUGEINT * n_days * n_days
+                                  - n_days)) AS BIGINT) AS w_ppm
+FROM s
+""")
+def kendall_w_concordance_q(sf_dir: str):
+    """Kendall's W coefficient of concordance: do the event types (raters)
+    rank the days (items) by volume consistently?  Average ranks doubled
+    so ties stay integer; S4 = Σ(2·ranksum − m(n+1))² is exact, and
+    w_ppm = 3·S4·10⁶ ÷ m²(n³−n) floors identically on both engines (no
+    tie correction, documented).  The (type, day) matrix reduces through
+    a bounded combine; ranking is O(m·n log n) driver-side."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        day = pc.divide(b["ts"].cast(pa.int64()), 86400000000)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "day_idx": day.to_pandas()})
+        g = f.groupby(["event_type", "day_idx"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "day_idx"],
+                         as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: types x calendar days
+    cols = ("n_raters", "n_items", "s4_statistic", "w_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    wide = (merged.pivot_table(index="event_type", columns="day_idx",
+                               values="n", aggfunc="sum", fill_value=0))
+    m, n = wide.shape
+    r2 = (wide.rank(axis=1, method="average") * 2).astype(np.int64)
+    r2sum = r2.sum(axis=0).to_numpy(np.int64).astype(object)
+    s4 = int(((r2sum - m * (n + 1)) ** 2).sum())
+    w_ppm = 3 * s4 * 1_000_000 // (m * m * (n ** 3 - n))
+    return pd.DataFrame({
+        "n_raters": pd.Series([m], dtype="int64"),
+        "n_items": pd.Series([n], dtype="int64"),
+        "s4_statistic": pd.Series([s4], dtype="int64"),
+        "w_ppm": pd.Series([int(w_ppm)], dtype="int64")})

@@ -403,3 +403,13 @@ def test_whitespace_hygiene_plants(ray_session):
     assert (df["has_final_newline"].to_numpy()
             == ((ids % 22 == 0) & (ids % 21 != 0)).astype(int)
             | ((ids % 22 == 0)).astype(int)).all()
+
+
+def test_dead_function_census_matches_plant(ray_session):
+    from dataquality_ray.pipelines.queries_code import dead_function_census_q
+
+    df = dead_function_census_q(SF)
+    n = 500
+    defined = {f"fn{i % 40}" for i in range(n) if i % 5 == 0}
+    called = {f"fn{(i * 3) % 40}" for i in range(n) if i % 7 == 0}
+    assert set(df["func_name"]) == defined - called

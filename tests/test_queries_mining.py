@@ -1698,3 +1698,26 @@ def test_pettitt_statistic_bound(ray_session):
     m = len(_daily_counts(SF))
     assert 0 <= df["k_statistic"].iloc[0] <= (m * m) // 4 + m
     assert abs(df["u_signed"].iloc[0]) == df["k_statistic"].iloc[0]
+
+
+def test_kuiper_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        kuiper_hour_uniformity_q,
+    )
+
+    df = kuiper_hour_uniformity_q(SF)
+    r = df.iloc[0]
+    assert r["v_scaled"] == r["d_plus_scaled"] + r["d_minus_scaled"]
+    # V/(24N) is in [0, 2]
+    assert 0 <= r["v_scaled"] <= 2 * 24 * r["n_events"]
+
+
+def test_kendall_w_range(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        kendall_w_concordance_q,
+    )
+
+    df = kendall_w_concordance_q(SF)
+    r = df.iloc[0]
+    assert 0 <= r["w_ppm"] <= 1_000_000
+    assert r["n_raters"] >= 2 and r["n_items"] >= 2
