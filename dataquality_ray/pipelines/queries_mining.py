@@ -10105,3 +10105,106 @@ def kendall_w_concordance_q(sf_dir: str):
         "n_items": pd.Series([n], dtype="int64"),
         "s4_statistic": pd.Series([s4], dtype="int64"),
         "w_ppm": pd.Series([int(w_ppm)], dtype="int64")})
+
+
+def _rebalance_sql() -> str:
+    """Two rings (8 and 9 nodes) from the same vnode hash chain; count
+    keys whose owner changes when node 8 joins."""
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    ctes = [
+        ("vn", "SELECT n.node, v.vn, (n.node * 1000 + v.vn)::UBIGINT"
+               "::HUGEINT AS x FROM "
+               f"(SELECT unnest(range(0, {_RING_NODES + 1})) AS node) n, "
+               f"(SELECT unnest(range(0, {_RING_VNODES})) AS vn) v"),
+    ]
+    prev = "vn"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append((f"vh{n}", f"SELECT node, vn, {expr} AS x FROM {prev}"))
+        prev = f"vh{n}"
+    ctes.append(("ring9", f"SELECT node, x AS pos FROM {prev}"))
+    ctes.append(("ring8",
+                 f"SELECT node, pos FROM ring9 WHERE node < {_RING_NODES}"))
+    ctes.append(("dk", "SELECT doc_id, doc_id::UBIGINT::HUGEINT AS x "
+                       "FROM documents"))
+    prev = "dk"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append((f"kh{n}", f"SELECT doc_id, {expr} AS x FROM {prev}"))
+        prev = f"kh{n}"
+    ctes.append(("keyh", f"SELECT doc_id, x AS kpos FROM {prev}"))
+    for ring in ("ring8", "ring9"):
+        ctes.append((f"a_{ring}",
+                     "SELECT k.doc_id, coalesce("
+                     f"  (SELECT r.node FROM {ring} r WHERE r.pos >= k.kpos"
+                     "   ORDER BY r.pos, r.node LIMIT 1),"
+                     f"  (SELECT r2.node FROM {ring} r2"
+                     "   ORDER BY r2.pos, r2.node LIMIT 1)) AS node "
+                     "FROM keyh k"))
+    chain = ",\n".join(f"{n} AS ({s})" for n, s in ctes)
+    return (f"WITH {chain}\n"
+            "SELECT count(*)::BIGINT AS n_keys,\n"
+            "       sum(CASE WHEN a.node <> b.node THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_moved,\n"
+            "       sum(CASE WHEN a.node <> b.node AND b.node = "
+            f"{_RING_NODES} THEN 1 ELSE 0 END)::BIGINT AS n_to_new,\n"
+            "       (sum(CASE WHEN a.node <> b.node THEN 1 ELSE 0 END)"
+            " * 1000000 // count(*))::BIGINT AS moved_ppm\n"
+            "FROM a_ring8 a JOIN a_ring9 b USING (doc_id)")
+
+
+@query("consistent_hash_rebalance_cost", sql=_rebalance_sql())
+def consistent_hash_rebalance_cost_q(sf_dir: str):
+    """The consistent-hashing selling point, measured: when node 8 joins
+    the 8-node × 16-vnode splitmix ring, how many keys move?  (Expected
+    ≈ 1/9 of keys, and — the invariant the test pins — every moved key
+    moves TO the new node, never between old nodes.)  Both assignments
+    are one vectorized searchsorted per batch against the two broadcast
+    rings; the combine is a single summary row."""
+    from dataquality_ray.functions.hashing import splitmix64
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def ring(n_nodes: int):
+        vids = (np.arange(n_nodes, dtype=np.uint64)[:, None]
+                * np.uint64(1000)
+                + np.arange(_RING_VNODES, dtype=np.uint64)[None, :]
+                ).ravel()
+        pos = splitmix64(vids)
+        nodes = np.repeat(np.arange(n_nodes, dtype=np.int64),
+                          _RING_VNODES)
+        order = np.lexsort((nodes, pos))
+        return pos[order], nodes[order]
+
+    p8, n8 = ring(_RING_NODES)
+    p9, n9 = ring(_RING_NODES + 1)
+
+    def assign(kpos, pos, nodes):
+        idx = np.searchsorted(pos, kpos, side="left")
+        idx = np.where(idx == len(pos), 0, idx)
+        return nodes[idx]
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(b["doc_id"].to_pylist(), dtype=np.uint64)
+        kpos = splitmix64(ids)
+        a = assign(kpos, p8, n8)
+        bb = assign(kpos, p9, n9)
+        moved = a != bb
+        return pd.DataFrame({
+            "k": [0], "n_keys": [len(ids)],
+            "n_moved": [int(moved.sum())],
+            "n_to_new": [int((moved & (bb == _RING_NODES)).sum())]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("k", as_index=False).sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(part, batch_format="pyarrow"), fold, 1000)
+    assert ok and merged is not None
+    nk = int(merged["n_keys"].iloc[0])
+    nm = int(merged["n_moved"].iloc[0])
+    return pd.DataFrame({
+        "n_keys": pd.Series([nk], dtype="int64"),
+        "n_moved": pd.Series([nm], dtype="int64"),
+        "n_to_new": pd.Series([int(merged["n_to_new"].iloc[0])],
+                              dtype="int64"),
+        "moved_ppm": pd.Series([nm * 1_000_000 // nk], dtype="int64")})

@@ -2324,3 +2324,74 @@ def ski_rental_audit_q(sf_dir: str):
     for c in ("n_days", "opt_cost", "online_cost", "ratio_ppm"):
         out[c] = out[c].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Group-commit batching audit
+# ---------------------------------------------------------------------------
+
+@query("group_commit_batching_audit", sql="""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS bucket,
+         count(*) AS batch_sz,
+         sum((epoch_us(ts) // 1000000 + 1) * 1000000 - epoch_us(ts))
+           AS wait_us
+  FROM events GROUP BY user_id, epoch_us(ts) // 1000000)
+SELECT count(*)::BIGINT AS n_flushes,
+       sum(batch_sz)::BIGINT AS n_events,
+       (sum(batch_sz) * 1000000 // count(*))::BIGINT AS avg_batch_ppm,
+       max(batch_sz)::BIGINT AS max_batch,
+       sum(wait_us)::BIGINT AS total_wait_us
+FROM b
+""")
+def group_commit_batching_audit_q(sf_dir: str):
+    """Group-commit replay: appends from one user inside the same
+    1-second window flush together.  Reports flush count, mean batch
+    size (exact ppm), max batch, and the total added latency (each
+    append waits until its window closes) — the throughput-vs-latency
+    ledger of WAL batching.  Ray shape: one hash shuffle on user_id,
+    per-user window aggregation, constant-key block-sum reduce."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        bucket = ts // 1_000_000
+        f = pd.DataFrame({"bucket": bucket,
+                          "wait": (bucket + 1) * 1_000_000 - ts})
+        agg = f.groupby("bucket")["wait"].agg(["count", "sum"])
+        return pd.DataFrame({
+            "k": [0], "n_flushes": [len(agg)],
+            "n_events": [int(agg["count"].sum())],
+            "max_batch": [int(agg["count"].max())],
+            "total_wait_us": [int(agg["sum"].sum())]})
+
+    def block_sum(b: pa.Table) -> pd.DataFrame:
+        f = b.to_pandas()
+        return pd.DataFrame({
+            "k": [0], "n_flushes": [int(f["n_flushes"].sum())],
+            "n_events": [int(f["n_events"].sum())],
+            "max_batch": [int(f["max_batch"].max())],
+            "total_wait_us": [int(f["total_wait_us"].sum())]})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("k", as_index=False).agg(
+            n_flushes=("n_flushes", "sum"), n_events=("n_events", "sum"),
+            max_batch=("max_batch", "max"),
+            total_wait_us=("total_wait_us", "sum"))
+
+    stage = (_read(sf_dir, "events", ["user_id", "ts"])
+             .groupby("user_id")
+             .map_groups(per_user, batch_format="pandas")
+             .map_batches(block_sum, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, 1000)
+    assert ok and merged is not None
+    nf = int(merged["n_flushes"].iloc[0])
+    ne = int(merged["n_events"].iloc[0])
+    return pd.DataFrame({
+        "n_flushes": pd.Series([nf], dtype="int64"),
+        "n_events": pd.Series([ne], dtype="int64"),
+        "avg_batch_ppm": pd.Series([ne * 1_000_000 // nf], dtype="int64"),
+        "max_batch": pd.Series([int(merged["max_batch"].iloc[0])],
+                               dtype="int64"),
+        "total_wait_us": pd.Series([int(merged["total_wait_us"].iloc[0])],
+                                   dtype="int64")})

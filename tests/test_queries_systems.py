@@ -278,3 +278,30 @@ def test_ski_rental_competitive_ratio(ray_session):
     assert (df["ratio_ppm"] <= 1_750_000).all()
     assert (df.loc[df["n_days"] < 4, "ratio_ppm"] == 1_000_000).all()
     assert (df.loc[df["n_days"] >= 4, "online_cost"] == 7).all()
+
+
+def test_rebalance_moves_only_to_new_node(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        consistent_hash_rebalance_cost_q,
+    )
+
+    df = consistent_hash_rebalance_cost_q(SF)
+    r = df.iloc[0]
+    # THE consistent-hashing invariant: moves go only to the joining node
+    assert r["n_moved"] == r["n_to_new"]
+    # expected move fraction ~ 1/9; allow wide but meaningful bounds
+    assert 0 < r["moved_ppm"] < 400_000
+
+
+def test_group_commit_invariants(ray_session):
+    from dataquality_ray.pipelines.queries_systems import (
+        group_commit_batching_audit_q,
+    )
+
+    df = group_commit_batching_audit_q(SF)
+    r = df.iloc[0]
+    assert r["n_flushes"] <= r["n_events"]
+    assert r["avg_batch_ppm"] >= 1_000_000
+    assert r["max_batch"] >= 1
+    # every append waits less than one full window
+    assert r["total_wait_us"] <= r["n_events"] * 1_000_000
