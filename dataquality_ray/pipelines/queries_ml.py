@@ -2402,3 +2402,99 @@ def roc_hull_q(sf_dir: str) -> pd.DataFrame:
             keep.append((mfp, mtp))
     out = pd.DataFrame(sorted(keep), columns=["fp", "tp"])
     return out.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Weighted-majority (multiplicative weights) experts replay
+# ---------------------------------------------------------------------------
+
+@query("weighted_majority_experts", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n
+  FROM events GROUP BY 1),
+o AS (SELECT row_number() OVER (ORDER BY day_idx) AS i, n FROM d),
+oo AS (
+  SELECT i, CASE WHEN n > lag(n) OVER (ORDER BY i) THEN 1 ELSE 0 END AS o
+  FROM o),
+ob AS (
+  SELECT i, o, lag(o) OVER (ORDER BY i) AS prev_o
+  FROM oo WHERE i >= 2),
+px AS (
+  SELECT i, o, e.expert,
+         CASE e.expert WHEN 'up' THEN 1 WHEN 'down' THEN 0
+                       WHEN 'momentum' THEN prev_o
+                       ELSE 1 - prev_o END AS pred
+  FROM ob, (SELECT unnest(['up','down','momentum','reversal']) AS expert) e
+  WHERE i >= 3),
+er AS (
+  SELECT i, o, expert, pred,
+         CASE WHEN pred <> o THEN 1 ELSE 0 END AS err,
+         coalesce(sum(CASE WHEN pred <> o THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY expert ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cumerr
+  FROM px),
+w AS (
+  SELECT i, o, expert, pred, err,
+         (1::HUGEINT << (100 - least(cumerr, 100))) AS wgt
+  FROM er),
+ens AS (
+  SELECT i, any_value(o) AS o,
+         CASE WHEN 2 * sum(wgt * pred) >= sum(wgt) THEN 1 ELSE 0 END
+           AS pred
+  FROM w GROUP BY i),
+tot AS (
+  SELECT expert, count(*) AS n_preds, sum(err) AS n_errors
+  FROM w GROUP BY expert
+  UNION ALL
+  SELECT 'ensemble', count(*),
+         sum(CASE WHEN pred <> o THEN 1 ELSE 0 END)
+  FROM ens)
+SELECT expert, n_preds::BIGINT AS n_preds, n_errors::BIGINT AS n_errors
+FROM tot ORDER BY expert
+""")
+def weighted_majority_experts_q(sf_dir: str):
+    """Weighted-majority (halving multiplicative weights) replay over
+    four deterministic experts predicting whether tomorrow's event
+    volume rises: always-up, always-down, momentum, mean-reversion.
+    Weights are exact HUGEINT powers 2^(100−errors) (clamped), ensemble
+    ties predict 'up' — so both engines replay the identical online
+    game, and the classic mistake bound m ≤ 2.41(m* + log₂4) is pinned
+    in the test.  Daily counts reduce distributedly; the replay is
+    O(days·4) driver-side."""
+    from dataquality_ray.pipelines.queries_mining import _daily_counts
+
+    d = _daily_counts(sf_dir)
+    x = d["n"].to_numpy(np.int64)
+    experts = ["up", "down", "momentum", "reversal"]
+    cols = ("expert", "n_preds", "n_errors")
+    if len(x) < 3:
+        return pd.DataFrame({"expert": pd.Series([], dtype=object),
+                             "n_preds": pd.Series([], dtype=np.int64),
+                             "n_errors": pd.Series([], dtype=np.int64)})
+    o = (x[1:] > x[:-1]).astype(int)  # o[t] = outcome at day index t+1
+    errs = dict.fromkeys(experts, 0)
+    ens_err = 0
+    n_preds = 0
+    for t in range(1, len(o)):  # predicting o[t], prev outcome o[t-1]
+        preds = {"up": 1, "down": 0, "momentum": int(o[t - 1]),
+                 "reversal": 1 - int(o[t - 1])}
+        wsum = 0
+        wup = 0
+        for e in experts:
+            w = 1 << (100 - min(errs[e], 100))
+            wsum += w
+            wup += w * preds[e]
+        ens_pred = 1 if 2 * wup >= wsum else 0
+        ens_err += int(ens_pred != o[t])
+        for e in experts:
+            errs[e] += int(preds[e] != o[t])
+        n_preds += 1
+    rows = [{"expert": e, "n_preds": n_preds, "n_errors": errs[e]}
+            for e in experts]
+    rows.append({"expert": "ensemble", "n_preds": n_preds,
+                 "n_errors": ens_err})
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["n_preds"] = out["n_preds"].astype("int64")
+    out["n_errors"] = out["n_errors"].astype("int64")
+    return out.sort_values("expert").reset_index(drop=True)

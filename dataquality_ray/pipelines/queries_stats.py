@@ -3315,3 +3315,79 @@ def bh_fdr_events_q(sf_dir: str):
         out[c] = out[c].astype(np.int64)
     return (out.sort_values(["event_type", "day"])
             .reset_index(drop=True))
+
+
+def _perm_sql() -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    ctes = [
+        ("d", "SELECT epoch_us(ts) // 86400000000 AS day_idx, "
+              "count(*)::BIGINT AS n FROM events GROUP BY 1"),
+        ("o", "SELECT n, row_number() OVER (ORDER BY day_idx) - 1 AS i "
+              "FROM d"),
+        ("pairs", "SELECT i // 2 AS j, "
+                  "sum(CASE WHEN i % 2 = 0 THEN n ELSE -n END) AS diff "
+                  "FROM o WHERE i < 2 * ((SELECT count(*) FROM o) // 2) "
+                  "GROUP BY i // 2"),
+        ("perms", "SELECT range AS p FROM range(256)"),
+        ("k0", "SELECT p, j, diff, "
+               "(p * 1048573 + j)::UBIGINT::HUGEINT AS x "
+               "FROM perms, pairs"),
+    ]
+    prev = "k0"
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append((f"k{n + 1}",
+                     f"SELECT p, j, diff, {expr} AS x FROM {prev}"))
+        prev = f"k{n + 1}"
+    ctes.append(("tp", "SELECT p, sum(CASE WHEN x % 2 = 0 THEN diff "
+                       f"ELSE -diff END) AS t FROM {prev} GROUP BY p"))
+    ctes.append(("obs", "SELECT sum(diff) AS t0 FROM pairs"))
+    chain = ",\n".join(f"{n} AS ({s})" for n, s in ctes)
+    return (f"WITH {chain}\n"
+            "SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_pairs,\n"
+            "       abs(any_value(obs.t0))::BIGINT AS t_obs_abs,\n"
+            "       256::BIGINT AS n_perms,\n"
+            "       sum(CASE WHEN abs(tp.t) >= abs(obs.t0) THEN 1 ELSE 0"
+            " END)::BIGINT AS n_ge,\n"
+            "       ((sum(CASE WHEN abs(tp.t) >= abs(obs.t0) THEN 1 ELSE"
+            " 0 END) + 1) * 1000000 // 257)::BIGINT AS p_ppm\n"
+            "FROM tp, obs")
+
+
+@query("hash_permutation_test", sql=_perm_sql())
+def hash_permutation_test_q(sf_dir: str):
+    """Exact Fisher sign-flip permutation test on paired daily volumes:
+    consecutive days pair up, the statistic is the signed sum of pair
+    differences, and the null distribution comes from 256 deterministic
+    splitmix64-derived sign flips (identical bit streams on both
+    engines).  p = (#{|T_perm| ≥ |T_obs|} + 1)/(256 + 1), floor-scaled —
+    the assumption-free two-sided test.  Daily counts reduce
+    distributedly; the 256×pairs flip matrix is O(days) driver-side."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    from dataquality_ray.functions.hashing import splitmix64
+    from dataquality_ray.pipelines.queries_mining import _daily_counts
+
+    d = _daily_counts(sf_dir)
+    cols = ("n_pairs", "t_obs_abs", "n_perms", "n_ge", "p_ppm")
+    x = d["n"].to_numpy(np.int64)
+    m = (len(x) // 2) * 2
+    diff = x[0:m:2] - x[1:m:2]
+    if not len(diff):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    p = np.arange(256, dtype=np.uint64)[:, None]
+    j = np.arange(len(diff), dtype=np.uint64)[None, :]
+    bits = (splitmix64(p * np.uint64(1048573) + j)
+            % np.uint64(2)).astype(np.int64)
+    signs = 1 - 2 * bits
+    t = signs @ diff
+    t0 = int(diff.sum())
+    n_ge = int((np.abs(t) >= abs(t0)).sum())
+    return pd.DataFrame({
+        "n_pairs": pd.Series([len(diff)], dtype="int64"),
+        "t_obs_abs": pd.Series([abs(t0)], dtype="int64"),
+        "n_perms": pd.Series([256], dtype="int64"),
+        "n_ge": pd.Series([n_ge], dtype="int64"),
+        "p_ppm": pd.Series([(n_ge + 1) * 1_000_000 // 257],
+                           dtype="int64")})

@@ -297,3 +297,21 @@ def test_silhouette_range_and_labels(ray_session):
     assert len(out) >= 2
     assert (out["mean_s_micro"].abs() <= 1_000_000).all()
     assert (out["sum_s_micro"].abs() <= out["n"] * 1_000_000).all()
+
+
+def test_weighted_majority_mistake_bound(ray_session):
+    from dataquality_ray.pipelines.queries_ml import (
+        weighted_majority_experts_q,
+    )
+
+    df = weighted_majority_experts_q("/root/testdata/sf0.001")
+    assert set(df["expert"]) == {"up", "down", "momentum", "reversal",
+                                 "ensemble"}
+    best = df[df["expert"] != "ensemble"]["n_errors"].min()
+    ens = int(df.loc[df["expert"] == "ensemble", "n_errors"].iloc[0])
+    # classic weighted-majority bound: m <= 2.41 (m* + log2 N), N=4
+    assert ens <= 2.41 * (best + 2) + 1
+    # up and down are complementary: errors sum to the prediction count
+    n_preds = int(df["n_preds"].iloc[0])
+    updown = df[df["expert"].isin(["up", "down"])]["n_errors"].sum()
+    assert updown == n_preds

@@ -150,3 +150,16 @@ def test_varint_bytes_bounds():
     for c in ("okey_bytes", "ckey_bytes", "price_bytes"):
         assert n <= int(out[c].iloc[0]) <= 10 * n
     assert 0 <= int(out["savings_ppm"].iloc[0]) <= 1_000_000
+
+
+def test_hash_permutation_test_valid_p(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        hash_permutation_test_q,
+    )
+
+    df = hash_permutation_test_q("/root/testdata/sf0.001")
+    r = df.iloc[0]
+    assert r["n_perms"] == 256
+    assert 0 <= r["n_ge"] <= 256
+    # add-one p-value lies in ((0, 1]]
+    assert 1_000_000 // 257 <= r["p_ppm"] <= 1_000_000
