@@ -9042,3 +9042,131 @@ def rouge_overlap_pairs_q(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("cand_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap of per-source top-20 token rankings
+# ---------------------------------------------------------------------------
+
+# RBO(p=0.9) truncated at depth 20, made exact: using A_d = |top_d(a) ∩
+# top_d(b)| = #{tok : max(rank_a, rank_b) <= d}, the statistic
+# Σ_d p^(d-1)/d · A_d becomes Σ_tok SUFFIX[max_rank] with integer
+# coefficients 9^(d-1)·10^(20-d)·lcm(1..20)/d — no floats anywhere.
+def _rbo_constants():
+    from math import lcm
+
+    L = lcm(*range(1, 21))
+    coefs = [9 ** (d - 1) * 10 ** (20 - d) * (L // d)
+             for d in range(1, 21)]
+    suffix = [sum(coefs[d - 1:]) for d in range(1, 21)]
+    return suffix, sum(suffix)
+
+
+_RBO_SUFFIX, _RBO_DENOM = _rbo_constants()
+
+
+def _rbo_sql() -> str:
+    case = ("CASE greatest(a.k, b.k) "
+            + " ".join(f"WHEN {r} THEN {s}::HUGEINT"
+                       for r, s in enumerate(_RBO_SUFFIX, 1))
+            + " END")
+    return f"""
+WITH tc AS (
+  SELECT source, tok, count(*)::BIGINT AS n FROM (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents WHERE length(trim(text)) > 0)
+  GROUP BY 1, 2
+), r AS (
+  SELECT source, tok,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, tok) AS k
+  FROM tc
+), t20 AS (SELECT source, tok, k FROM r WHERE k <= 20),
+pairs AS (
+  SELECT s1.source AS source_a, s2.source AS source_b
+  FROM (SELECT DISTINCT source FROM documents) s1
+  JOIN (SELECT DISTINCT source FROM documents) s2
+    ON s1.source < s2.source),
+ov AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS overlap20,
+         sum({case}) AS rbo_scaled
+  FROM t20 a JOIN t20 b
+    ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT p.source_a, p.source_b,
+       coalesce(ov.overlap20, 0)::BIGINT AS overlap20,
+       CAST(coalesce(ov.rbo_scaled, 0) * 1000000
+            // {_RBO_DENOM}::HUGEINT AS BIGINT) AS rbo_ppm
+FROM pairs p LEFT JOIN ov
+  ON ov.source_a = p.source_a AND ov.source_b = p.source_b
+ORDER BY p.source_a, p.source_b
+"""
+
+
+@query("rbo_token_rankings", sql=_rbo_sql())
+def rbo_token_rankings_q(sf_dir: str):
+    """Rank-biased overlap (Webber et al., p=0.9, depth 20) between every
+    source pair's token-frequency rankings — the top-weighted
+    list-similarity measure that Kendall/Spearman (both present) are
+    not.  Exact integers via lcm-scaled suffix coefficients; ties break
+    token-ascending like the oracle window.  Same guarded (source,
+    token) combine as top_token_per_source; the pairwise pass is
+    O(sources²·20) driver-side."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+    )
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        srcs, toks = [], []
+        for s, t in zip(batch["source"].to_pylist(),
+                        batch["text"].to_pylist()):
+            for tok in (t or "").split():
+                srcs.append(s)
+                toks.append(tok)
+        df = pd.DataFrame({"source": srcs, "tok": toks})
+        return (df.groupby(["source", "tok"], sort=False).size()
+                  .rename("n").reset_index())
+
+    def merge(frame: pd.DataFrame) -> pd.DataFrame:
+        return (frame.groupby(["source", "tok"], sort=False)["n"].sum()
+                     .reset_index())
+
+    tc, ok = guarded_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), merge,
+        DRIVER_COMBINE_CAP)
+    assert ok, "vocab x sources beyond cap; see source_token_entropy twin"
+    cols = ("source_a", "source_b", "overlap20", "rbo_ppm")
+    if tc is None or not len(tc):
+        return pd.DataFrame({
+            "source_a": pd.Series([], dtype=object),
+            "source_b": pd.Series([], dtype=object),
+            "overlap20": pd.Series([], dtype=np.int64),
+            "rbo_ppm": pd.Series([], dtype=np.int64)})
+    tc = tc.sort_values(["source", "n", "tok"],
+                        ascending=[True, False, True])
+    tc["k"] = tc.groupby("source").cumcount() + 1
+    t20 = tc[tc["k"] <= 20][["source", "tok", "k"]]
+    sources = sorted(tc["source"].unique())
+    rank = {(s, t): int(k)
+            for s, t, k in t20.itertuples(index=False)}
+    by_src = {s: dict(g[["tok", "k"]].itertuples(index=False))
+              for s, g in t20.groupby("source")}
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            ra, rb = by_src.get(a, {}), by_src.get(b, {})
+            common = set(ra) & set(rb)
+            scaled = sum(_RBO_SUFFIX[max(ra[t], rb[t]) - 1]
+                         for t in common)
+            rows.append({
+                "source_a": a, "source_b": b,
+                "overlap20": len(common),
+                "rbo_ppm": int(scaled * 1_000_000 // _RBO_DENOM)})
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["overlap20"] = out["overlap20"].astype("int64")
+    out["rbo_ppm"] = out["rbo_ppm"].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)

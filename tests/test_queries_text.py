@@ -19,3 +19,23 @@ def test_rouge_overlap_pairs_bounds(ray_session):
     assert (df["f1_ppm"] >= lo - 1).all() and (df["f1_ppm"] <= hi + 1).all()
     # word soup overlaps heavily: expect most pairs nonzero
     assert (df["n_overlap"] > 0).mean() > 0.9
+
+
+def test_rbo_identity_and_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        _RBO_DENOM,
+        _RBO_SUFFIX,
+        rbo_token_rankings_q,
+    )
+
+    # identical lists score exactly 1.0 under the scaled formula
+    assert sum(_RBO_SUFFIX) == _RBO_DENOM
+    # suffix coefficients strictly decrease with rank (top-weightedness)
+    assert all(a > b for a, b in zip(_RBO_SUFFIX, _RBO_SUFFIX[1:]))
+
+    df = rbo_token_rankings_q("/root/testdata/sf0.001")
+    assert (df["source_a"] < df["source_b"]).all()
+    assert df["overlap20"].between(0, 20).all()
+    assert df["rbo_ppm"].between(0, 1_000_000).all()
+    # word-soup sources share vocabulary: overlap should be substantial
+    assert df["overlap20"].mean() > 5
