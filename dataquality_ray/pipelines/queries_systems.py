@@ -2395,3 +2395,106 @@ def group_commit_batching_audit_q(sf_dir: str):
                                dtype="int64"),
         "total_wait_us": pd.Series([int(merged["total_wait_us"].iloc[0])],
                                    dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# PID controller replay over daily volume
+# ---------------------------------------------------------------------------
+
+@query("pid_controller_replay", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n
+  FROM events GROUP BY 1),
+t AS (SELECT sum(n) // count(*) AS target FROM d),
+e AS (
+  SELECT day_idx, n, (t.target - n) AS err FROM d, t),
+w AS (
+  SELECT day_idx, err,
+         sum(err) OVER (ORDER BY day_idx) AS integral,
+         err - coalesce(lag(err) OVER (ORDER BY day_idx), err) AS deriv
+  FROM e)
+SELECT day_idx, err::BIGINT AS err, integral::BIGINT AS integral,
+       deriv::BIGINT AS deriv,
+       (2 * err + integral + 3 * deriv)::BIGINT AS control
+FROM w ORDER BY day_idx
+""")
+def pid_controller_replay_q(sf_dir: str):
+    """Integer PID controller replay on daily event volume against the
+    floor-mean setpoint: P=2e, I=Σe, D=Δe (first-day derivative 0), all
+    divisions avoided so both engines replay bit-identically — the
+    autoscaler-control shape over a load series.  Daily counts reduce
+    distributedly; the O(days) scan is driver-side."""
+    from dataquality_ray.pipelines.queries_mining import _daily_counts
+
+    d = _daily_counts(sf_dir)
+    cols = ("day_idx", "err", "integral", "deriv", "control")
+    if not len(d):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    n = d["n"].to_numpy(np.int64)
+    target = int(n.sum()) // len(n)
+    err = target - n
+    integral = np.cumsum(err)
+    deriv = np.diff(err, prepend=err[0])
+    return pd.DataFrame({
+        "day_idx": d["day_idx"].astype("int64"),
+        "err": pd.Series(err, dtype="int64"),
+        "integral": pd.Series(integral, dtype="int64"),
+        "deriv": pd.Series(deriv, dtype="int64"),
+        "control": pd.Series(2 * err + integral + 3 * deriv,
+                             dtype="int64")}).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TCP-AIMD congestion-window replay
+# ---------------------------------------------------------------------------
+
+@query("aimd_cwnd_replay", sql="""
+WITH RECURSIVE d0 AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n
+  FROM events GROUP BY 1),
+d AS (
+  SELECT row_number() OVER (ORDER BY day_idx) AS i, day_idx, n FROM d0),
+t AS (SELECT sum(n) // count(*) AS thr, count(*) AS m FROM d0),
+r AS (
+  SELECT 0 AS i, 1::BIGINT AS cwnd
+  UNION ALL
+  SELECT r.i + 1,
+         CASE WHEN d.n > (SELECT thr FROM t)
+              THEN greatest(1, r.cwnd // 2)
+              ELSE r.cwnd + 1 END
+  FROM r JOIN d ON d.i = r.i + 1
+  WHERE r.i < (SELECT m FROM t))
+SELECT d.day_idx,
+       CASE WHEN d.n > (SELECT thr FROM t) THEN 1 ELSE 0 END::BIGINT
+         AS congested,
+       r.cwnd::BIGINT AS cwnd
+FROM r JOIN d ON d.i = r.i
+ORDER BY d.day_idx
+""")
+def aimd_cwnd_replay_q(sf_dir: str):
+    """TCP additive-increase / multiplicative-decrease replay: the
+    congestion window grows +1 on calm days and halves (floor, min 1)
+    when daily volume exceeds the floor-mean threshold — the classic
+    stateful control loop, replayed identically by the engine and a
+    recursive-CTE oracle.  Daily counts reduce distributedly; the
+    O(days) state scan is driver-side."""
+    from dataquality_ray.pipelines.queries_mining import _daily_counts
+
+    d = _daily_counts(sf_dir)
+    cols = ("day_idx", "congested", "cwnd")
+    if not len(d):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    n = d["n"].to_numpy(np.int64)
+    thr = int(n.sum()) // len(n)
+    cwnd = 1
+    out = []
+    for day, vol in zip(d["day_idx"].to_numpy(np.int64), n):
+        cong = int(vol > thr)
+        cwnd = max(1, cwnd // 2) if cong else cwnd + 1
+        out.append((int(day), cong, cwnd))
+    f = pd.DataFrame(out, columns=list(cols))
+    for c in cols:
+        f[c] = f[c].astype("int64")
+    return f.reset_index(drop=True)

@@ -305,3 +305,30 @@ def test_group_commit_invariants(ray_session):
     assert r["max_batch"] >= 1
     # every append waits less than one full window
     assert r["total_wait_us"] <= r["n_events"] * 1_000_000
+
+
+def test_pid_replay_identities(ray_session):
+    import numpy as np
+
+    from dataquality_ray.pipelines.queries_systems import (
+        pid_controller_replay_q,
+    )
+
+    df = pid_controller_replay_q(SF)
+    err = df["err"].to_numpy()
+    assert (df["integral"].to_numpy() == np.cumsum(err)).all()
+    assert df["deriv"].iloc[0] == 0
+    assert (df["control"]
+            == 2 * df["err"] + df["integral"] + 3 * df["deriv"]).all()
+
+
+def test_aimd_replay_dynamics(ray_session):
+    from dataquality_ray.pipelines.queries_systems import aimd_cwnd_replay_q
+
+    df = aimd_cwnd_replay_q(SF)
+    assert (df["cwnd"] >= 1).all()
+    prev = 1
+    for cong, cwnd in zip(df["congested"], df["cwnd"]):
+        assert cwnd == (max(1, prev // 2) if cong else prev + 1)
+        prev = int(cwnd)
+    assert df["congested"].isin((0, 1)).all()
