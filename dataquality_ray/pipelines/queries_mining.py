@@ -10208,3 +10208,105 @@ def consistent_hash_rebalance_cost_q(sf_dir: str):
         "n_to_new": pd.Series([int(merged["n_to_new"].iloc[0])],
                               dtype="int64"),
         "moved_ppm": pd.Series([nm * 1_000_000 // nk], dtype="int64")})
+
+
+def _bareiss_det(m: list[list[int]]) -> int:
+    """Exact integer determinant by fraction-free Bareiss elimination
+    (every intermediate division is exact), O(n^3) big-int ops."""
+    a = [row[:] for row in m]
+    n = len(a)
+    if n == 0:
+        return 1
+    sign = 1
+    prev = 1
+    for k in range(n - 1):
+        if a[k][k] == 0:
+            swap = next((i for i in range(k + 1, n) if a[i][k] != 0),
+                        None)
+            if swap is None:
+                return 0
+            a[k], a[swap] = a[swap], a[k]
+            sign = -sign
+        for i in range(k + 1, n):
+            for j in range(k + 1, n):
+                a[i][j] = (a[i][j] * a[k][k]
+                           - a[i][k] * a[k][j]) // prev
+            a[i][k] = 0
+        prev = a[k][k]
+    return sign * a[n - 1][n - 1]
+
+
+def spanning_tree_count(adj: dict[tuple, int], nodes: list) -> int:
+    """Kirchhoff Matrix-Tree: spanning trees of the unweighted simple
+    graph = any cofactor of the Laplacian, computed exactly."""
+    idx = {t: i for i, t in enumerate(nodes)}
+    n = len(nodes)
+    lap = [[0] * n for _ in range(n)]
+    for (u, v) in adj:
+        if u == v:
+            continue
+        i, j = idx[u], idx[v]
+        if i < j:
+            lap[i][j] -= 1
+            lap[j][i] -= 1
+            lap[i][i] += 1
+            lap[j][j] += 1
+    minor = [row[1:] for row in lap[1:]]
+    return _bareiss_det(minor)
+
+
+@query("spanning_tree_count_tokens")
+def spanning_tree_count_tokens_q(sf_dir: str):
+    """Kirchhoff Matrix-Tree census of the symmetrized token bigram
+    graph's largest connected component: the exact number of spanning
+    trees via fraction-free Bareiss elimination of a Laplacian cofactor
+    — hundreds of digits, so the count ships as a decimal string plus
+    its residue mod 2^61−1 and digit length.  No SQL oracle exists for
+    an integer determinant; correctness is pinned by Cayley/cycle/path
+    closed forms in tests.  Edges fold through the guarded combine
+    (vocab²-bounded); the O(n³) big-int elimination runs driver-side on
+    the ~30-node component."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    cols = ("n_nodes_cc", "n_edges_cc", "n_digits", "count_mod_m61",
+            "tree_count")
+    if not len(edges):
+        return pd.DataFrame({
+            **{c: pd.Series([0], dtype=np.int64) for c in cols[:-1]},
+            "tree_count": pd.Series(["0"], dtype=object)})
+    adj: set[tuple] = set()
+    neigh: dict = {}
+    for s, t in zip(edges["src"], edges["dst"]):
+        if s == t:
+            continue
+        adj.add((s, t))
+        adj.add((t, s))
+        neigh.setdefault(s, set()).add(t)
+        neigh.setdefault(t, set()).add(s)
+    # largest connected component, ties by smallest member token
+    seen: set = set()
+    best: list = []
+    for start in sorted(neigh):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in neigh[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        if len(comp) > len(best):
+            best = comp
+    nodes = sorted(best)
+    sub = {(u, v) for (u, v) in adj if u in set(nodes) and v in set(nodes)}
+    cnt = spanning_tree_count(sub, nodes)
+    s = str(cnt)
+    return pd.DataFrame({
+        "n_nodes_cc": pd.Series([len(nodes)], dtype=np.int64),
+        "n_edges_cc": pd.Series([len(sub) // 2], dtype=np.int64),
+        "n_digits": pd.Series([len(s)], dtype=np.int64),
+        "count_mod_m61": pd.Series([cnt % ((1 << 61) - 1)],
+                                   dtype=np.int64),
+        "tree_count": pd.Series([s], dtype=object)})

@@ -2498,3 +2498,60 @@ def aimd_cwnd_replay_q(sf_dir: str):
     for c in cols:
         f[c] = f[c].astype("int64")
     return f.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# RFC-6298 RTO estimator replay
+# ---------------------------------------------------------------------------
+
+@query("rto_estimator_replay", sql="""
+WITH RECURSIVE d0 AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, count(*)::BIGINT AS n
+  FROM events GROUP BY 1),
+d AS (
+  SELECT row_number() OVER (ORDER BY day_idx) AS i, day_idx, n FROM d0),
+r AS (
+  SELECT 1 AS i, n AS srtt, n // 2 AS rttvar FROM d WHERE i = 1
+  UNION ALL
+  SELECT r.i + 1,
+         r.srtt + (d.n - r.srtt) // 8,
+         r.rttvar + (abs(r.srtt - d.n) - r.rttvar) // 4
+  FROM r JOIN d ON d.i = r.i + 1)
+SELECT d.day_idx, d.n AS sample,
+       r.srtt::BIGINT AS srtt, r.rttvar::BIGINT AS rttvar,
+       (r.srtt + greatest(4 * r.rttvar, 1))::BIGINT AS rto
+FROM r JOIN d ON d.i = r.i
+ORDER BY d.day_idx
+""")
+def rto_estimator_replay_q(sf_dir: str):
+    """RFC-6298 retransmission-timeout estimator replayed over daily
+    volumes as RTT samples: SRTT += (R−SRTT)/8, RTTVAR += (|SRTT−R|
+    −RTTVAR)/4 (old SRTT, per the RFC), RTO = SRTT + max(4·RTTVAR, 1) —
+    the integer exponential smoother TCP actually ships.  Divisions
+    truncate toward zero on both engines (_trunc_div mirrors DuckDB
+    //).  Daily counts reduce distributedly; the O(days) state scan is
+    driver-side."""
+    from dataquality_ray.pipelines.queries_mining import _daily_counts
+    from dataquality_ray.pipelines.queries_stats import _trunc_div
+
+    d = _daily_counts(sf_dir)
+    cols = ("day_idx", "sample", "srtt", "rttvar", "rto")
+    if not len(d):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    n = d["n"].to_numpy(np.int64)
+    days = d["day_idx"].to_numpy(np.int64)
+    srtt, rttvar = int(n[0]), int(n[0]) // 2
+    rows = [(int(days[0]), int(n[0]), srtt, rttvar,
+             srtt + max(4 * rttvar, 1))]
+    for day, r in zip(days[1:], n[1:]):
+        r = int(r)
+        new_rttvar = rttvar + _trunc_div(abs(srtt - r) - rttvar, 4)
+        new_srtt = srtt + _trunc_div(r - srtt, 8)
+        srtt, rttvar = new_srtt, new_rttvar
+        rows.append((int(day), r, srtt, rttvar,
+                     srtt + max(4 * rttvar, 1)))
+    f = pd.DataFrame(rows, columns=list(cols))
+    for c in cols:
+        f[c] = f[c].astype("int64")
+    return f.reset_index(drop=True)

@@ -1721,3 +1721,42 @@ def test_kendall_w_range(ray_session):
     r = df.iloc[0]
     assert 0 <= r["w_ppm"] <= 1_000_000
     assert r["n_raters"] >= 2 and r["n_items"] >= 2
+
+
+def test_bareiss_tree_count_closed_forms():
+    from dataquality_ray.pipelines.queries_mining import spanning_tree_count
+
+    def graph(edges):
+        adj = set()
+        for u, v in edges:
+            adj.add((u, v))
+            adj.add((v, u))
+        return adj
+
+    # Cayley: K_n has n^(n-2) spanning trees
+    for n in (3, 4, 5, 6, 8):
+        kn = graph([(i, j) for i in range(n) for j in range(i + 1, n)])
+        assert spanning_tree_count(kn, list(range(n))) == n ** (n - 2)
+    # cycle C_n has n; path P_n has 1
+    for n in (3, 5, 9):
+        cyc = graph([(i, (i + 1) % n) for i in range(n)])
+        assert spanning_tree_count(cyc, list(range(n))) == n
+        path = graph([(i, i + 1) for i in range(n - 1)])
+        assert spanning_tree_count(path, list(range(n))) == 1
+    # disconnected graph has 0
+    dis = graph([(0, 1), (2, 3)])
+    assert spanning_tree_count(dis, [0, 1, 2, 3]) == 0
+
+
+def test_spanning_tree_count_tokens_runs(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        spanning_tree_count_tokens_q,
+    )
+
+    df = spanning_tree_count_tokens_q(SF)
+    r = df.iloc[0]
+    assert r["n_nodes_cc"] >= 2
+    assert len(r["tree_count"]) == r["n_digits"]
+    assert int(r["tree_count"]) % ((1 << 61) - 1) == r["count_mod_m61"]
+    # a connected component has at least one spanning tree
+    assert r["tree_count"] != "0"

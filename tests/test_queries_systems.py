@@ -332,3 +332,18 @@ def test_aimd_replay_dynamics(ray_session):
         assert cwnd == (max(1, prev // 2) if cong else prev + 1)
         prev = int(cwnd)
     assert df["congested"].isin((0, 1)).all()
+
+
+def test_rto_replay_rfc_properties(ray_session):
+    from dataquality_ray.pipelines.queries_systems import (
+        rto_estimator_replay_q,
+    )
+
+    df = rto_estimator_replay_q(SF)
+    assert (df["rto"] >= df["srtt"] + 1).all()
+    # srtt stays within the sample range (it is a convex-ish smoother)
+    lo, hi = df["sample"].min(), df["sample"].max()
+    assert df["srtt"].between(lo - 8, hi + 8).all()
+    r0 = df.iloc[0]
+    assert r0["srtt"] == r0["sample"]
+    assert r0["rttvar"] == r0["sample"] // 2
