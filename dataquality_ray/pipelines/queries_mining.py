@@ -10310,3 +10310,117 @@ def spanning_tree_count_tokens_q(sf_dir: str):
         "count_mod_m61": pd.Series([cnt % ((1 << 61) - 1)],
                                    dtype=np.int64),
         "tree_count": pd.Series([s], dtype=object)})
+
+
+@query("eulerian_path_audit", sql=f"""
+WITH {_BIGRAM_SQL.strip()},
+deg AS (
+  SELECT tok,
+         coalesce(sum(o.c), 0) AS outdeg,
+         coalesce(sum(i.c), 0) AS indeg
+  FROM (SELECT src AS tok FROM edges
+        UNION SELECT dst FROM edges) n
+  LEFT JOIN (SELECT src AS tok, count(*) AS c FROM edges GROUP BY 1) o
+    USING (tok)
+  LEFT JOIN (SELECT dst AS tok, count(*) AS c FROM edges GROUP BY 1) i
+    USING (tok)
+  GROUP BY tok)
+SELECT count(*)::BIGINT AS n_nodes,
+       sum(CASE WHEN outdeg = indeg THEN 1 ELSE 0 END)::BIGINT
+         AS n_balanced,
+       sum(CASE WHEN outdeg = indeg + 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_source_like,
+       sum(CASE WHEN indeg = outdeg + 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_sink_like,
+       CASE WHEN sum(CASE WHEN outdeg = indeg THEN 0 ELSE 1 END) = 0
+                 OR (sum(CASE WHEN outdeg = indeg + 1 THEN 1 ELSE 0 END)
+                     = 1
+                 AND sum(CASE WHEN indeg = outdeg + 1 THEN 1 ELSE 0 END)
+                     = 1
+                 AND sum(CASE WHEN abs(outdeg - indeg) > 1 THEN 1
+                              ELSE 0 END) = 0)
+            THEN 1 ELSE 0 END::BIGINT AS degree_condition_ok
+FROM deg
+""")
+def eulerian_path_audit_q(sf_dir: str):
+    """Eulerian-path degree audit of the distinct-edge token bigram
+    digraph: balanced nodes, the one-extra-out source and one-extra-in
+    sink counts, and whether the classic degree condition for an
+    Eulerian path holds (connectivity not checked — degree side only,
+    stated).  Distinct edges fold through the guarded combine;
+    the degree scan is O(vocab) driver-side."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    cols = ("n_nodes", "n_balanced", "n_source_like", "n_sink_like",
+            "degree_condition_ok")
+    if not len(edges):
+        return pd.DataFrame({c: pd.Series([0], dtype=np.int64)
+                             for c in cols})
+    e = edges[["src", "dst"]].drop_duplicates()
+    outd = e.groupby("src").size()
+    ind = e.groupby("dst").size()
+    nodes = sorted(set(e["src"]) | set(e["dst"]))
+    od = np.array([int(outd.get(t, 0)) for t in nodes])
+    idg = np.array([int(ind.get(t, 0)) for t in nodes])
+    balanced = int((od == idg).sum())
+    src_like = int((od == idg + 1).sum())
+    sink_like = int((idg == od + 1).sum())
+    bad = int((np.abs(od - idg) > 1).sum())
+    ok = int(balanced == len(nodes)
+             or (src_like == 1 and sink_like == 1 and bad == 0))
+    return pd.DataFrame({
+        "n_nodes": pd.Series([len(nodes)], dtype=np.int64),
+        "n_balanced": pd.Series([balanced], dtype=np.int64),
+        "n_source_like": pd.Series([src_like], dtype=np.int64),
+        "n_sink_like": pd.Series([sink_like], dtype=np.int64),
+        "degree_condition_ok": pd.Series([ok], dtype=np.int64)})
+
+
+def densest_subgraph_peel(adj: dict, nodes: list):
+    """Charikar greedy peeling (2-approximation): repeatedly remove the
+    min-degree node (ties: smallest label) and track the density-max
+    prefix.  Density reported as the exact fraction (2|E|, |V|)."""
+    neigh = {t: set() for t in nodes}
+    for (u, v) in adj:
+        if u != v:
+            neigh[u].add(v)
+            neigh[v].add(u)
+    cur = set(nodes)
+    m = sum(len(s) for s in neigh.values()) // 2
+    best = (2 * m, len(cur), frozenset(cur))
+    while len(cur) > 1:
+        t = min(cur, key=lambda x: (len(neigh[x]), x))
+        m -= len(neigh[t])
+        cur.remove(t)
+        for v in neigh[t]:
+            neigh[v].discard(t)
+        neigh[t] = set()
+        if cur and 2 * m * best[1] > best[0] * len(cur):
+            best = (2 * m, len(cur), frozenset(cur))
+    return best
+
+
+@query("densest_subgraph_peeling")
+def densest_subgraph_peeling_q(sf_dir: str):
+    """Charikar greedy-peeling densest subgraph of the symmetrized token
+    bigram graph: the density-max prefix of the min-degree removal
+    order, reported as the exact fraction 2|E|/|V| (ppm) plus the
+    witness size — the 2-approximation with a brute-force optimality
+    bound pinned in tests.  No SQL oracle (sequential peeling state);
+    edges fold through the guarded combine, peeling is O(V·E) on the
+    ~30-node vocab graph driver-side."""
+    edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
+    cols = ("n_nodes_sub", "two_m_sub", "density_ppm")
+    if not len(edges):
+        return pd.DataFrame({c: pd.Series([0], dtype=np.int64)
+                             for c in cols})
+    adj = set()
+    for s, t in zip(edges["src"], edges["dst"]):
+        if s != t:
+            adj.add((min(s, t), max(s, t)))
+    nodes = sorted({u for e in adj for u in e})
+    two_m, k, _ = densest_subgraph_peel(adj, nodes)
+    return pd.DataFrame({
+        "n_nodes_sub": pd.Series([k], dtype=np.int64),
+        "two_m_sub": pd.Series([two_m], dtype=np.int64),
+        "density_ppm": pd.Series([two_m * 1_000_000 // (2 * k)],
+                                 dtype=np.int64)})

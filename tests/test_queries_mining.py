@@ -1760,3 +1760,77 @@ def test_spanning_tree_count_tokens_runs(ray_session):
     assert int(r["tree_count"]) % ((1 << 61) - 1) == r["count_mod_m61"]
     # a connected component has at least one spanning tree
     assert r["tree_count"] != "0"
+
+
+def test_eulerian_path_audit(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        eulerian_path_audit_q,
+    )
+
+    df = eulerian_path_audit_q(SF)
+    r = df.iloc[0]
+    # every edge contributes one out and one in: source/sink counts can
+    # differ by many, but the signed degree imbalance sums to zero, so
+    # source-like and sink-like excesses of exactly 1 must pair up
+    assert r["n_balanced"] + r["n_source_like"] + r["n_sink_like"] <= r["n_nodes"]
+    if r["degree_condition_ok"]:
+        assert (r["n_balanced"] == r["n_nodes"]
+                or (r["n_source_like"] == 1 and r["n_sink_like"] == 1))
+
+
+def _brute_densest(adj, nodes):
+    """Exact densest subgraph by subset enumeration (tiny graphs only)."""
+    from itertools import combinations
+
+    best = (0, 1)  # (2m, k) as a fraction 2m/2k ~ m/k
+    for k in range(1, len(nodes) + 1):
+        for sub in combinations(nodes, k):
+            s = set(sub)
+            m2 = 2 * sum(1 for (u, v) in adj if u in s and v in s)
+            if m2 * best[1] > best[0] * k:
+                best = (m2, k)
+    return best
+
+
+def test_densest_peel_2approx_vs_bruteforce():
+    """Charikar peeling is a 1/2-approximation: density(peel) >=
+    density(opt)/2, verified exactly (integer cross-multiplication)
+    on every graph in a deterministic small-graph family."""
+    import itertools
+    import random
+
+    from dataquality_ray.pipelines.queries_mining import (
+        densest_subgraph_peel,
+    )
+
+    rng = random.Random(7)
+    cases = []
+    # K5 plus a pendant path; two triangles sharing a vertex; random G(n,p)
+    k5 = {(i, j) for i in range(5) for j in range(i + 1, 5)}
+    cases.append(k5 | {(4, 5), (5, 6)})
+    cases.append({(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)})
+    for n, p in [(6, 0.4), (7, 0.5), (8, 0.3)]:
+        e = {(i, j) for i in range(n) for j in range(i + 1, n)
+             if rng.random() < p}
+        if e:
+            cases.append(e)
+    for adj in cases:
+        nodes = sorted({u for e in adj for u in e})
+        m2, k, _ = densest_subgraph_peel(adj, nodes)
+        bm2, bk = _brute_densest(adj, nodes)
+        # 2-approx: (m2/k) >= (bm2/bk)/2  <=>  2*m2*bk >= bm2*k
+        assert 2 * m2 * bk >= bm2 * k
+        # and never denser than the optimum
+        assert m2 * bk <= bm2 * k
+
+
+def test_densest_peeling_runs(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        densest_subgraph_peeling_q,
+    )
+
+    df = densest_subgraph_peeling_q(SF)
+    r = df.iloc[0]
+    assert r["n_nodes_sub"] >= 1
+    # density_ppm is floor(1e6 * m / k) with m = two_m/2
+    assert r["density_ppm"] == r["two_m_sub"] * 1_000_000 // (2 * r["n_nodes_sub"])
