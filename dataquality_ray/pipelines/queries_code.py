@@ -2449,3 +2449,280 @@ def dead_function_census_q(sf_dir: str):
     out = pd.DataFrame({"func_name": dead["f"],
                         "n_defs": dead["n_defs"].astype("int64")})
     return out.sort_values("func_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Merge-conflict-marker scan — files with unresolved VCS conflict blocks are
+# dropped by every serious code-corpus cleaner (they are not valid source in
+# any language).  The word-soup testdata cannot contain the markers, so a
+# conflict block is PLANTED deterministically for doc_id % 13 in (0, 1) —
+# same precedent as the license headers above (reference analog: the planted
+# indicator columns in /root/reference/utils/table_operations.py).
+# ---------------------------------------------------------------------------
+
+_CONFLICT_BLOCK = ("<<<<<<< HEAD\nours = 1\n=======\ntheirs = 2\n"
+                   ">>>>>>> feature-branch\n")
+
+
+@query("merge_conflict_scan", sql=f"""
+WITH cv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 IN (0, 1)
+              THEN '{_CONFLICT_BLOCK.replace(chr(10), "'||chr(10)||'")}'
+              ELSE '' END
+         || regexp_replace(coalesce(text,''), ' ', chr(10), 'g') AS code
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(code, '(?m)^<<<<<<< ')) AS n_begin,
+       len(regexp_extract_all(code, '(?m)^=======$')) AS n_sep,
+       len(regexp_extract_all(code, '(?m)^>>>>>>> ')) AS n_end,
+       (len(regexp_extract_all(code, '(?m)^<<<<<<< ')) > 0
+        AND len(regexp_extract_all(code, '(?m)^<<<<<<< '))
+            = len(regexp_extract_all(code, '(?m)^>>>>>>> '))
+        AND len(regexp_extract_all(code, '(?m)^<<<<<<< '))
+            = len(regexp_extract_all(code, '(?m)^=======$')))
+         AS has_conflict
+FROM cv ORDER BY doc_id
+""")
+def merge_conflict_scan_q(sf_dir: str):
+    """Unresolved-merge-conflict detector: counts ``<<<<<<<`` / ``=======``
+    / ``>>>>>>>`` marker lines and flags files whose three marker kinds are
+    present and balanced (a structurally complete conflict block).  Three
+    RE2 count kernels per batch — no Python row loop."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        plant = np.where(ids % 13 < 2, _CONFLICT_BLOCK, "")
+        code = pc.binary_join_element_wise(
+            pa.array(plant),
+            pc.replace_substring_regex(
+                pc.coalesce(batch["text"], pa.scalar("")), " ", "\n"),
+            "")
+        n_begin = pc.count_substring_regex(
+            code, r"(?m)^<<<<<<< ").cast(pa.int64())
+        n_sep = pc.count_substring_regex(
+            code, r"(?m)^=======$").cast(pa.int64())
+        n_end = pc.count_substring_regex(
+            code, r"(?m)^>>>>>>> ").cast(pa.int64())
+        has = pc.and_(pc.and_(pc.greater(n_begin, 0),
+                              pc.equal(n_begin, n_end)),
+                      pc.equal(n_begin, n_sep))
+        return pa.table({"doc_id": batch["doc_id"], "n_begin": n_begin,
+                         "n_sep": n_sep, "n_end": n_end,
+                         "has_conflict": has})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Log-content detector — build logs / runtime logs checked into repos are a
+# classic code-corpus contaminant.  Timestamped lines and Java-style stack
+# frames are planted deterministically (words 'scan' -> a timestamped INFO
+# line, 'merge' -> an '    at pkg.Cls(Src.java:42)' frame), then the detector
+# measures the log-line fraction exactly as a real cleaner would.
+# ---------------------------------------------------------------------------
+
+@query("log_content_detect", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(
+             regexp_replace(coalesce(text,''), ' ', chr(10), 'g'),
+             '(?m)^scan$', '2024-01-01 00:00:00 INFO scan', 'g'),
+             '(?m)^merge$', '    at com.example.merge(Merge.java:42)', 'g')
+           AS code
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN code = '' THEN 0
+            ELSE len(string_split(code, chr(10))) END AS n_lines,
+       len(regexp_extract_all(code,
+           '(?m)^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2} '))
+         AS n_ts_lines,
+       len(regexp_extract_all(code, '(?m)^    at [a-z]'))
+         AS n_frame_lines,
+       CASE WHEN code = '' THEN 0
+            ELSE (len(regexp_extract_all(code,
+                '(?m)^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2} '))
+              + len(regexp_extract_all(code, '(?m)^    at [a-z]')))
+              * 1000000 // len(string_split(code, chr(10))) END
+         AS log_frac_ppm,
+       CASE WHEN code = '' THEN FALSE
+            ELSE (len(regexp_extract_all(code,
+                '(?m)^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2} '))
+              + len(regexp_extract_all(code, '(?m)^    at [a-z]')))
+              * 1000000 // len(string_split(code, chr(10))) > 100000 END
+         AS is_log
+FROM cv ORDER BY doc_id
+""")
+def log_content_detect_q(sf_dir: str):
+    """Log-file detector: fraction of lines that are timestamped log lines
+    or stack frames, integer-ppm exact; ``is_log`` fires above 10%.  All
+    counting is RE2 (`count_substring_regex`) — vectorized, zero row
+    loops."""
+    _TS_RE = (r"(?m)^[0-9]{4}-[0-9]{2}-[0-9]{2} "
+              r"[0-9]{2}:[0-9]{2}:[0-9]{2} ")
+    _FRAME_RE = r"(?m)^    at [a-z]"
+
+    def kern(batch: pa.Table) -> pa.Table:
+        code = pc.replace_substring_regex(
+            pc.coalesce(batch["text"], pa.scalar("")), " ", "\n")
+        code = pc.replace_substring_regex(
+            code, r"(?m)^scan$", "2024-01-01 00:00:00 INFO scan")
+        code = pc.replace_substring_regex(
+            code, r"(?m)^merge$", "    at com.example.merge(Merge.java:42)")
+        nonempty = pc.not_equal(code, "")
+        n_lines = pc.if_else(
+            nonempty, pc.add(pc.count_substring(code, "\n"), 1),
+            pa.scalar(0, pa.int32())).cast(pa.int64())
+        n_ts = pc.count_substring_regex(code, _TS_RE).cast(pa.int64())
+        n_frame = pc.count_substring_regex(code, _FRAME_RE).cast(pa.int64())
+        nl = n_lines.to_numpy(zero_copy_only=False)
+        tot = (n_ts.to_numpy(zero_copy_only=False)
+               + n_frame.to_numpy(zero_copy_only=False))
+        ppm = np.where(nl > 0, tot * 1_000_000 // np.maximum(nl, 1),
+                       0).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "n_lines": n_lines,
+                         "n_ts_lines": n_ts, "n_frame_lines": n_frame,
+                         "log_frac_ppm": pa.array(ppm),
+                         "is_log": pa.array((ppm > 100_000) & (nl > 0))})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Type-2 clone coverage — fraction of each file's 3-line windows (after
+# type-2 normalization: digit runs -> '0') that also occur in at least one
+# OTHER file.  This is the classic duplicate-code / boilerplate measure a
+# code-corpus cleaner uses to drop template-expanded files (cf. the
+# paragraph-level CCNet dedup in stages/boilerplate.py — this is its
+# line-window analog over the code view).
+#
+# Shape at scale: pass 1 explodes (window, doc_id) pairs (distinct within
+# batch), guarded driver combine -> set of windows seen in >= 2 distinct
+# docs; past the cap it re-routes to a groupby twin where only the CLONED
+# window keys return to the driver.  Pass 2 re-streams the documents and
+# counts per-position membership against the broadcast clone set.
+# ---------------------------------------------------------------------------
+
+_T2_NORM_SQL = ("regexp_replace(regexp_replace(coalesce(text,''), ' ', "
+                "chr(10), 'g'), '[0-9]+', '0', 'g')")
+
+
+@query("clone_type2_coverage", sql=f"""
+WITH cv AS (SELECT doc_id, {_T2_NORM_SQL} AS code FROM documents),
+L AS (SELECT doc_id, string_split(code, chr(10)) AS ls FROM cv),
+W AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ls) - 1),
+                    i -> ls[i] || chr(10) || ls[i+1] || chr(10) || ls[i+2]))
+               AS win
+      FROM L WHERE len(ls) >= 3),
+ND AS (SELECT win, count(DISTINCT doc_id) AS nd FROM W GROUP BY win),
+P AS (SELECT doc_id, count(*) AS n_windows,
+             CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cloned
+      FROM W JOIN ND USING (win) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(P.n_windows, 0) AS n_windows,
+       coalesce(P.n_cloned, 0) AS n_cloned,
+       CAST(CASE WHEN coalesce(P.n_windows, 0) = 0 THEN 0
+            ELSE P.n_cloned * 1000000 // P.n_windows END AS BIGINT)
+         AS clone_ppm
+FROM documents d LEFT JOIN P USING (doc_id) ORDER BY doc_id
+""")
+def clone_type2_coverage_q(sf_dir: str):
+    """Per-file type-2 clone coverage over normalized 3-line windows."""
+    from dataquality_ray.stages.autoroute import (
+        guarded_partials,
+        record_route,
+        DRIVER_COMBINE_CAP,
+    )
+    import ray
+
+    def _windows(batch: pa.Table):
+        """Vectorized window extraction: (doc_ids, window strings,
+        window->doc index) for one batch."""
+        code = pc.replace_substring_regex(
+            pc.coalesce(batch["text"], pa.scalar("")), " ", "\n")
+        code = pc.replace_substring_regex(code, "[0-9]+", "0")
+        texts = code.to_pylist()
+        line_lists = [t.split("\n") for t in texts]
+        nlines = np.fromiter(map(len, line_lists), np.int64,
+                             len(line_lists))
+        flat = np.array([ln for ls in line_lists for ln in ls],
+                        dtype=object)
+        doc_idx = np.repeat(np.arange(len(line_lists)), nlines)
+        if len(flat) < 3:
+            return np.array([], np.int64), np.array([], object)
+        # window at i spans lines i..i+2 — valid iff all in the same doc
+        valid = doc_idx[:-2] == doc_idx[2:]
+        wins = (flat[:-2] + "\n" + flat[1:-1] + "\n" + flat[2:])[valid]
+        wdoc = doc_idx[:-2][valid]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return ids[wdoc], wins
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ids, wins = _windows(batch)
+        return pd.DataFrame({"win": wins, "doc_id": ids}).drop_duplicates()
+
+    def fold(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.drop_duplicates()
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    pairs, ok = guarded_partials(stage, fold, DRIVER_COMBINE_CAP)
+    if ok:
+        record_route("clone_type2_coverage", "combine",
+                     "distinct (window, doc) pairs within cap",
+                     0 if pairs is None else len(pairs))
+        if pairs is None or not len(pairs):
+            cloned = np.array([], dtype=object)
+        else:
+            vc = pairs["win"].value_counts()
+            cloned = np.sort(vc.index[vc >= 2].to_numpy(dtype=object))
+    else:
+        # groupby twin: shuffle pairs by window; only keys crossing the
+        # >= 2-distinct-docs threshold return to the driver (the cloned
+        # universe is assumed driver-sized — boilerplate is by nature a
+        # small hot set; same contract as boilerplate.hot_line_keys).
+        record_route("clone_type2_coverage", "groupby_twin",
+                     "distinct (window, doc) pairs exceed cap", None)
+
+        def nd_group(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "win": [g["win"].iloc[0]],
+                "nd": [g["doc_id"].nunique()]})
+
+        agg = stage.groupby("win").map_groups(nd_group,
+                                              batch_format="pandas")
+        cloned = np.sort(np.array(
+            [r["win"] for r in agg.filter(lambda r: r["nd"] >= 2)
+             .iter_rows()], dtype=object))
+
+    clone_ref = ray.put(cloned)
+
+    def cover(batch: pa.Table) -> pd.DataFrame:
+        hot = ray.get(clone_ref)
+        ids, wins = _windows(batch)
+        n = len(batch)
+        all_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = {v: i for i, v in enumerate(all_ids)}
+        nw = np.zeros(n, dtype=np.int64)
+        nc = np.zeros(n, dtype=np.int64)
+        if len(wins):
+            pos = np.fromiter((order[v] for v in ids), np.int64, len(ids))
+            np.add.at(nw, pos, 1)
+            if len(hot):
+                hit = np.isin(wins, hot)
+                np.add.at(nc, pos, hit.astype(np.int64))
+        ppm = np.where(nw > 0, nc * 1_000_000 // np.maximum(nw, 1),
+                       0).astype(np.int64)
+        return pd.DataFrame({"doc_id": all_ids, "n_windows": nw,
+                             "n_cloned": nc, "clone_ppm": ppm})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(cover, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -413,3 +413,47 @@ def test_dead_function_census_matches_plant(ray_session):
     defined = {f"fn{i % 40}" for i in range(n) if i % 5 == 0}
     called = {f"fn{(i * 3) % 40}" for i in range(n) if i % 7 == 0}
     assert set(df["func_name"]) == defined - called
+
+
+def test_merge_conflict_scan_plants(ray_session):
+    from dataquality_ray.pipelines.queries_code import merge_conflict_scan_q
+
+    df = merge_conflict_scan_q(SF)
+    ids = df["doc_id"].to_numpy()
+    planted = df[ids % 13 < 2]
+    clean = df[ids % 13 >= 2]
+    assert planted["has_conflict"].all()
+    assert (planted["n_begin"] == 1).all()
+    assert (planted["n_sep"] == 1).all()
+    assert (planted["n_end"] == 1).all()
+    assert not clean["has_conflict"].any()
+    assert (clean[["n_begin", "n_sep", "n_end"]].to_numpy() == 0).all()
+
+
+def test_log_content_detect_plants(ray_session):
+    from dataquality_ray.pipelines.queries_code import log_content_detect_q
+
+    df = log_content_detect_q(SF)
+    # planted lines only fire where the words existed; invariants hold
+    assert (df["n_ts_lines"] + df["n_frame_lines"] <= df["n_lines"]).all()
+    assert df["log_frac_ppm"].between(0, 1_000_000).all()
+    assert (df["is_log"]
+            == ((df["log_frac_ppm"] > 100_000) & (df["n_lines"] > 0))).all()
+    # the corpus contains 'min'/'max' words, so some log lines exist
+    assert (df["n_ts_lines"].sum() + df["n_frame_lines"].sum()) > 0
+
+
+def test_clone_type2_twin_equivalence(ray_session, monkeypatch):
+    from dataquality_ray.pipelines.queries_code import clone_type2_coverage_q
+    from dataquality_ray.stages import autoroute as ar
+
+    base = clone_type2_coverage_q(SF)
+    assert ar.last_route("clone_type2_coverage")["chosen"] == "combine"
+    assert (base["n_cloned"] <= base["n_windows"]).all()
+    # windows really are shared across the word-soup corpus
+    assert base["n_cloned"].sum() > 0
+
+    monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 50)
+    twin = clone_type2_coverage_q(SF)
+    assert ar.last_route("clone_type2_coverage")["chosen"] == "groupby_twin"
+    assert twin.equals(base)
