@@ -2726,3 +2726,130 @@ def clone_type2_coverage_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(cover, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# CTPH fuzzy-hash digest (ssdeep-style context-triggered piecewise hashing,
+# Kornblum 2006, "Identifying almost identical files using context triggered
+# piecewise hashing").  A rolling hash over a 7-char window triggers block
+# boundaries wherever rh % 16 == 15; each block contributes one digest char
+# from a position-weighted checksum.  Local edits therefore perturb only the
+# digest chars near the edit — the property fuzzy matching relies on.
+# Simplifications vs ssdeep, kept deterministic for the exact SQL replay:
+# fixed trigger modulus (no doc-length-adaptive block size), weighted-sum
+# piecewise hash instead of FNV, no 64-char digest cap.
+# ---------------------------------------------------------------------------
+
+_CTPH_ALPHA = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+               "abcdefghijklmnopqrstuvwxyz0123456789+/")
+_CTPH_W = np.array([1, 3, 9, 27, 81, 243, 729], dtype=np.int64)
+
+
+def ctph_digest_batch(texts: list[str]) -> tuple[np.ndarray, list[str]]:
+    """Vectorized CTPH over a batch: returns (n_blocks, digests).
+
+    One utf-32 decode gives exact code points (== DuckDB ``ascii``); the
+    rolling hash is a single sliding-window matmul over the concatenated
+    batch; block ids / in-block positions are cumsum segment arithmetic.
+    The only Python loop is the final one-join-per-doc digest assembly.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    n = len(texts)
+    lens = np.fromiter(map(len, texts), np.int64, n)
+    n_blocks = np.zeros(n, dtype=np.int64)
+    digests = [""] * n
+    total = int(lens.sum())
+    if total == 0:
+        return n_blocks, digests
+    mega = "".join(texts)
+    codes = np.frombuffer(mega.encode("utf-32-le"),
+                          dtype="<u4").astype(np.int64)
+    doc_idx = np.repeat(np.arange(n), lens)
+    # boundary test at char i (0-based): window codes[i-6..i], all one doc
+    is_bnd = np.zeros(total, dtype=bool)
+    if total >= 7:
+        rh = sliding_window_view(codes, 7) @ _CTPH_W  # rh[k] ends at k+6
+        ok = doc_idx[6:] == doc_idx[:-6]
+        is_bnd[6:] = ok & (rh % 16 == 15)
+    # block id per char = boundaries strictly before it, within its doc
+    cs_excl = np.cumsum(is_bnd) - is_bnd
+    doc_starts = np.zeros(n, dtype=np.int64)
+    doc_starts[1:] = np.cumsum(lens)[:-1]
+    has = lens > 0
+    base = np.zeros(n, dtype=np.int64)
+    base[has] = cs_excl[doc_starts[has]]
+    bid = cs_excl - base[doc_idx]
+    # segment (doc, bid) boundaries -> in-block position j (0-based)
+    seg_key = doc_idx * (1 << 32) + bid
+    new_seg = np.ones(total, dtype=bool)
+    new_seg[1:] = seg_key[1:] != seg_key[:-1]
+    seg_ord = np.cumsum(new_seg) - 1          # 0-based segment ordinal
+    seg_start = np.flatnonzero(new_seg)
+    j = np.arange(total) - seg_start[seg_ord]
+    contrib = codes * (j % 9 + 1)
+    nseg = int(seg_ord[-1]) + 1
+    sums = np.zeros(nseg, dtype=np.int64)
+    np.add.at(sums, seg_ord, contrib)
+    h = (sums % 64).astype(np.int64)
+    seg_doc = doc_idx[seg_start]
+    np.add.at(n_blocks, seg_doc, 1)
+    chars = np.array(list(_CTPH_ALPHA), dtype=object)[h]
+    # assemble per-doc digests (segments are already in doc order)
+    ends = np.cumsum(n_blocks)
+    starts = ends - n_blocks
+    for i in range(n):
+        if n_blocks[i]:
+            digests[i] = "".join(chars[starts[i]:ends[i]])
+    return n_blocks, digests
+
+
+@query("ctph_digest", sql=f"""
+WITH d AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(range(1, length(t)+1)) AS p
+        FROM d WHERE length(t) > 0),
+ch AS (SELECT doc_id, p, ascii(substr(t, CAST(p AS INT), 1)) AS c, t
+       FROM pos),
+rh AS (
+  SELECT doc_id, p, c,
+    CASE WHEN p >= 7 THEN (
+      ascii(substr(t,CAST(p-6 AS INT),1))*1
+      + ascii(substr(t,CAST(p-5 AS INT),1))*3
+      + ascii(substr(t,CAST(p-4 AS INT),1))*9
+      + ascii(substr(t,CAST(p-3 AS INT),1))*27
+      + ascii(substr(t,CAST(p-2 AS INT),1))*81
+      + ascii(substr(t,CAST(p-1 AS INT),1))*243
+      + c*729) % 16 = 15 ELSE FALSE END AS is_bnd
+  FROM ch),
+blk AS (
+  SELECT doc_id, p, c, coalesce(sum(CASE WHEN is_bnd THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bid
+  FROM rh),
+seq AS (SELECT doc_id, bid, c,
+        row_number() OVER (PARTITION BY doc_id, bid ORDER BY p) AS j
+        FROM blk),
+pieces AS (SELECT doc_id, bid,
+           CAST(sum(c * ((j-1) % 9 + 1)) % 64 AS INT) AS h
+           FROM seq GROUP BY doc_id, bid),
+dig AS (SELECT doc_id, count(*) AS n_blocks,
+        string_agg(substr('{_CTPH_ALPHA}', h+1, 1), '' ORDER BY bid)
+          AS digest
+        FROM pieces GROUP BY doc_id)
+SELECT d0.doc_id, coalesce(dig.n_blocks, 0) AS n_blocks,
+       coalesce(dig.digest, '') AS digest
+FROM documents d0 LEFT JOIN dig USING (doc_id) ORDER BY doc_id
+""")
+def ctph_digest_q(sf_dir: str):
+    """Per-file CTPH fuzzy digest + block count (see ctph_digest_batch)."""
+    def kern(batch: pa.Table) -> pd.DataFrame:
+        texts = [t if t is not None else ""
+                 for t in batch["text"].to_pylist()]
+        nb, dg = ctph_digest_batch(texts)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "n_blocks": nb, "digest": dg})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

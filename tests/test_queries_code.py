@@ -457,3 +457,27 @@ def test_clone_type2_twin_equivalence(ray_session, monkeypatch):
     twin = clone_type2_coverage_q(SF)
     assert ar.last_route("clone_type2_coverage")["chosen"] == "groupby_twin"
     assert twin.equals(base)
+
+
+def test_ctph_digest_locality(ray_session):
+    """The CTPH property: a local edit only perturbs nearby digest chars."""
+    from dataquality_ray.pipelines.queries_code import ctph_digest_batch
+
+    base = ("the quick brown fox jumps over the lazy dog " * 40).strip()
+    # append-only edit: the digest of the original is a PREFIX of the
+    # edited digest up to the last complete block (suffix blocks change)
+    nb0, d0 = ctph_digest_batch([base])
+    nb1, d1 = ctph_digest_batch([base + " extra tail content here"])
+    assert nb0[0] > 3
+    shared = d0[0][:-1]  # all but the trailing partial block
+    assert d1[0].startswith(shared)
+    # a mid-string edit leaves the leading blocks untouched
+    mid = len(base) // 2
+    edited = base[:mid] + "X" + base[mid + 1:]
+    _, d2 = ctph_digest_batch([edited])
+    k = min(8, nb0[0] // 3)
+    assert d2[0][:k] == d0[0][:k]
+    # batch path == single path
+    nb3, d3 = ctph_digest_batch([base, edited, ""])
+    assert nb3[2] == 0 and d3[2] == ""
+    assert d3[0] == d0[0] and d3[1] == d2[0]
