@@ -2745,23 +2745,24 @@ _CTPH_ALPHA = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _CTPH_W = np.array([1, 3, 9, 27, 81, 243, 729], dtype=np.int64)
 
 
-def ctph_digest_batch(texts: list[str]) -> tuple[np.ndarray, list[str]]:
-    """Vectorized CTPH over a batch: returns (n_blocks, digests).
+def _ctph_segments(texts: list[str]):
+    """Shared CTPH/CDC boundary machinery over one batch.
 
+    Returns ``(mega, codes, doc_idx, seg_start, seg_ord, n_blocks)`` where
+    segments are the content-triggered blocks, in (doc, position) order.
     One utf-32 decode gives exact code points (== DuckDB ``ascii``); the
     rolling hash is a single sliding-window matmul over the concatenated
     batch; block ids / in-block positions are cumsum segment arithmetic.
-    The only Python loop is the final one-join-per-doc digest assembly.
     """
     from numpy.lib.stride_tricks import sliding_window_view
 
     n = len(texts)
     lens = np.fromiter(map(len, texts), np.int64, n)
     n_blocks = np.zeros(n, dtype=np.int64)
-    digests = [""] * n
     total = int(lens.sum())
     if total == 0:
-        return n_blocks, digests
+        return "", np.zeros(0, np.int64), np.zeros(0, np.int64), \
+            np.zeros(0, np.int64), np.zeros(0, np.int64), n_blocks
     mega = "".join(texts)
     codes = np.frombuffer(mega.encode("utf-32-le"),
                           dtype="<u4").astype(np.int64)
@@ -2780,20 +2781,32 @@ def ctph_digest_batch(texts: list[str]) -> tuple[np.ndarray, list[str]]:
     base = np.zeros(n, dtype=np.int64)
     base[has] = cs_excl[doc_starts[has]]
     bid = cs_excl - base[doc_idx]
-    # segment (doc, bid) boundaries -> in-block position j (0-based)
+    # segment (doc, bid) boundaries -> ordinals and start offsets
     seg_key = doc_idx * (1 << 32) + bid
     new_seg = np.ones(total, dtype=bool)
     new_seg[1:] = seg_key[1:] != seg_key[:-1]
     seg_ord = np.cumsum(new_seg) - 1          # 0-based segment ordinal
     seg_start = np.flatnonzero(new_seg)
+    np.add.at(n_blocks, doc_idx[seg_start], 1)
+    return mega, codes, doc_idx, seg_start, seg_ord, n_blocks
+
+
+def ctph_digest_batch(texts: list[str]) -> tuple[np.ndarray, list[str]]:
+    """Vectorized CTPH over a batch: returns (n_blocks, digests).  The
+    only Python loop is the final one-join-per-doc digest assembly."""
+    n = len(texts)
+    mega, codes, doc_idx, seg_start, seg_ord, n_blocks = \
+        _ctph_segments(texts)
+    digests = [""] * n
+    total = len(codes)
+    if total == 0:
+        return n_blocks, digests
     j = np.arange(total) - seg_start[seg_ord]
     contrib = codes * (j % 9 + 1)
     nseg = int(seg_ord[-1]) + 1
     sums = np.zeros(nseg, dtype=np.int64)
     np.add.at(sums, seg_ord, contrib)
     h = (sums % 64).astype(np.int64)
-    seg_doc = doc_idx[seg_start]
-    np.add.at(n_blocks, seg_doc, 1)
     chars = np.array(list(_CTPH_ALPHA), dtype=object)[h]
     # assemble per-doc digests (segments are already in doc order)
     ends = np.cumsum(n_blocks)
@@ -2802,6 +2815,24 @@ def ctph_digest_batch(texts: list[str]) -> tuple[np.ndarray, list[str]]:
         if n_blocks[i]:
             digests[i] = "".join(chars[starts[i]:ends[i]])
     return n_blocks, digests
+
+
+def cdc_chunks_batch(texts: list[str]) -> tuple[np.ndarray, list[str]]:
+    """Content-defined chunks per batch: (doc index per chunk, chunk
+    strings).  Same boundaries as the CTPH digest — an rsync/FastCDC-style
+    chunker (boundaries follow content, so an insertion only re-chunks
+    its neighborhood)."""
+    mega, codes, doc_idx, seg_start, seg_ord, n_blocks = \
+        _ctph_segments(texts)
+    total = len(codes)
+    if total == 0:
+        return np.zeros(0, np.int64), []
+    seg_end = np.empty_like(seg_start)
+    seg_end[:-1] = seg_start[1:]
+    seg_end[-1] = total
+    chunks = [mega[a:b] for a, b in zip(seg_start.tolist(),
+                                        seg_end.tolist())]
+    return doc_idx[seg_start], chunks
 
 
 @query("ctph_digest", sql=f"""
@@ -2853,3 +2884,115 @@ def ctph_digest_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined-chunking dedup ratio — the rsync / FastCDC storage measure:
+# chunk every file at content-triggered boundaries (insertions only re-chunk
+# their neighborhood, unlike fixed-size blocks), then ask how many bytes the
+# corpus costs once duplicate chunks are stored once.  At 100 TB this is the
+# question a chunk store answers; the near-dup docs planted in the testdata
+# make the ratio strictly < 1.
+# ---------------------------------------------------------------------------
+
+@query("cdc_dedup_ratio", sql=f"""
+WITH d AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(range(1, length(t)+1)) AS p
+        FROM d WHERE length(t) > 0),
+ch AS (SELECT doc_id, p, t FROM pos),
+rh AS (
+  SELECT doc_id, p, t,
+    CASE WHEN p >= 7 THEN (
+      ascii(substr(t,CAST(p-6 AS INT),1))*1
+      + ascii(substr(t,CAST(p-5 AS INT),1))*3
+      + ascii(substr(t,CAST(p-4 AS INT),1))*9
+      + ascii(substr(t,CAST(p-3 AS INT),1))*27
+      + ascii(substr(t,CAST(p-2 AS INT),1))*81
+      + ascii(substr(t,CAST(p-1 AS INT),1))*243
+      + ascii(substr(t,CAST(p AS INT),1))*729) % 16 = 15
+      ELSE FALSE END AS is_bnd
+  FROM ch),
+blk AS (
+  SELECT doc_id, p, t, coalesce(sum(CASE WHEN is_bnd THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bid
+  FROM rh),
+chunks AS (
+  SELECT doc_id, bid,
+         string_agg(substr(t, CAST(p AS INT), 1), '' ORDER BY p) AS chunk
+  FROM blk GROUP BY doc_id, bid)
+SELECT count(*) AS n_chunks,
+       count(DISTINCT chunk) AS n_distinct_chunks,
+       CAST(coalesce(sum(length(chunk)), 0) AS BIGINT) AS bytes_total,
+       CAST(coalesce((SELECT sum(length(c)) FROM
+             (SELECT DISTINCT chunk AS c FROM chunks)), 0) AS BIGINT)
+         AS bytes_distinct,
+       CAST(CASE WHEN coalesce(sum(length(chunk)), 0) = 0 THEN 1000000
+            ELSE (SELECT sum(length(c)) FROM
+                  (SELECT DISTINCT chunk AS c FROM chunks)) * 1000000
+                 // sum(length(chunk)) END AS BIGINT) AS dedup_ratio_ppm
+FROM chunks
+""")
+def cdc_dedup_ratio_q(sf_dir: str):
+    """Corpus CDC dedup ratio: distinct-chunk bytes / total bytes (ppm).
+
+    Shape: map_batches emits per-batch (chunk, len, occurrences) partials;
+    guarded driver combine dedups by chunk, re-routing to a groupby twin
+    past the cap (the chunk universe is unbounded at 100 TB — the twin
+    shuffles chunk keys, and only four scalar aggregates return)."""
+    from dataquality_ray.stages.autoroute import (
+        guarded_partials,
+        record_route,
+        DRIVER_COMBINE_CAP,
+    )
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        texts = [t if t is not None else ""
+                 for t in batch["text"].to_pylist()]
+        _, chunks = cdc_chunks_batch(texts)
+        f = pd.DataFrame({"chunk": chunks})
+        g = f.groupby("chunk", sort=False).size().reset_index(name="n")
+        g["len"] = g["chunk"].str.len().astype(np.int64)
+        return g
+
+    def fold(frame: pd.DataFrame) -> pd.DataFrame:
+        return (frame.groupby("chunk", sort=False, as_index=False)
+                .agg(n=("n", "sum"), len=("len", "first")))
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, DRIVER_COMBINE_CAP)
+    if ok:
+        record_route("cdc_dedup_ratio", "combine",
+                     "distinct chunks within cap",
+                     0 if merged is None else len(merged))
+        if merged is None or not len(merged):
+            nc = nd = bt = bd = 0
+        else:
+            nc = int(merged["n"].sum())
+            nd = int(len(merged))
+            bt = int((merged["n"] * merged["len"]).sum())
+            bd = int(merged["len"].sum())
+    else:
+        record_route("cdc_dedup_ratio", "groupby_twin",
+                     "distinct chunks exceed cap", None)
+
+        def per_chunk(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n": [int(g["n"].sum())],
+                "len": [int(g["len"].iloc[0])]})
+
+        agg = stage.groupby("chunk").map_groups(per_chunk,
+                                                batch_format="pandas")
+        nc = nd = bt = bd = 0
+        for b in agg.iter_batches(batch_format="pandas", batch_size=None):
+            nc += int(b["n"].sum())
+            nd += len(b)
+            bt += int((b["n"] * b["len"]).sum())
+            bd += int(b["len"].sum())
+    ppm = bd * 1_000_000 // bt if bt else 1_000_000
+    return pd.DataFrame({"n_chunks": [np.int64(nc)],
+                         "n_distinct_chunks": [np.int64(nd)],
+                         "bytes_total": [np.int64(bt)],
+                         "bytes_distinct": [np.int64(bd)],
+                         "dedup_ratio_ppm": [np.int64(ppm)]})

@@ -481,3 +481,38 @@ def test_ctph_digest_locality(ray_session):
     nb3, d3 = ctph_digest_batch([base, edited, ""])
     assert nb3[2] == 0 and d3[2] == ""
     assert d3[0] == d0[0] and d3[1] == d2[0]
+
+
+def test_cdc_dedup_ratio_twin_equivalence(ray_session, monkeypatch):
+    from dataquality_ray.pipelines.queries_code import cdc_dedup_ratio_q
+    from dataquality_ray.stages import autoroute as ar
+
+    base = cdc_dedup_ratio_q(SF)
+    assert ar.last_route("cdc_dedup_ratio")["chosen"] == "combine"
+    r = base.iloc[0]
+    assert r["n_distinct_chunks"] <= r["n_chunks"]
+    assert r["bytes_distinct"] <= r["bytes_total"]
+    # planted near-dup docs => real chunk-level dedup exists
+    assert r["dedup_ratio_ppm"] < 1_000_000
+
+    monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 100)
+    twin = cdc_dedup_ratio_q(SF)
+    assert ar.last_route("cdc_dedup_ratio")["chosen"] == "groupby_twin"
+    assert twin.equals(base)
+
+
+def test_cdc_chunks_reconstruct(ray_session):
+    """Chunks tile each doc exactly; an insertion re-chunks only locally."""
+    from dataquality_ray.pipelines.queries_code import cdc_chunks_batch
+
+    a = ("alpha beta gamma delta epsilon zeta eta theta " * 30).strip()
+    di, ch = cdc_chunks_batch([a, "", a[:100]])
+    assert "".join(c for d, c in zip(di, ch) if d == 0) == a
+    assert "".join(c for d, c in zip(di, ch) if d == 2) == a[:100]
+    # insertion: chunk multiset of the tail is preserved
+    b = a[:200] + "INSERTED" + a[200:]
+    _, chb = cdc_chunks_batch([b])
+    ca = [c for d, c in zip(di, ch) if d == 0]
+    # nearly all chunks survive the edit (only the neighborhood re-chunks)
+    from collections import Counter
+    assert sum((Counter(chb) & Counter(ca)).values()) >= len(ca) - 4
