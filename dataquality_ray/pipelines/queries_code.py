@@ -2996,3 +2996,143 @@ def cdc_dedup_ratio_q(sf_dir: str):
                          "bytes_total": [np.int64(bt)],
                          "bytes_distinct": [np.int64(bd)],
                          "dedup_ratio_ppm": [np.int64(ppm)]})
+
+
+# ---------------------------------------------------------------------------
+# CTPH similarity pairs — the ssdeep MATCHING step: two files are fuzzy-hash
+# candidates when their digests share a run of consecutive digest chars
+# (here a 5-gram), i.e. LSH banding over the CTPH digest exactly like
+# MinHash banding over signatures (stages/minhash.py).  The planted
+# near-dup documents share long identical chunk runs, so real pairs exist.
+# ---------------------------------------------------------------------------
+
+_CTPH_GRAM = 5
+
+
+def _ctph_digest_cte() -> str:
+    """The digest-per-doc CTE chain (shared with ctph_digest's oracle)."""
+    return f"""
+d AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+pos AS (SELECT doc_id, t, unnest(range(1, length(t)+1)) AS p
+        FROM d WHERE length(t) > 0),
+ch AS (SELECT doc_id, p, ascii(substr(t, CAST(p AS INT), 1)) AS c, t
+       FROM pos),
+rh AS (
+  SELECT doc_id, p, c,
+    CASE WHEN p >= 7 THEN (
+      ascii(substr(t,CAST(p-6 AS INT),1))*1
+      + ascii(substr(t,CAST(p-5 AS INT),1))*3
+      + ascii(substr(t,CAST(p-4 AS INT),1))*9
+      + ascii(substr(t,CAST(p-3 AS INT),1))*27
+      + ascii(substr(t,CAST(p-2 AS INT),1))*81
+      + ascii(substr(t,CAST(p-1 AS INT),1))*243
+      + c*729) % 16 = 15 ELSE FALSE END AS is_bnd
+  FROM ch),
+blk AS (
+  SELECT doc_id, p, c, coalesce(sum(CASE WHEN is_bnd THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY p
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bid
+  FROM rh),
+seq AS (SELECT doc_id, bid, c,
+        row_number() OVER (PARTITION BY doc_id, bid ORDER BY p) AS j
+        FROM blk),
+pieces AS (SELECT doc_id, bid,
+           CAST(sum(c * ((j-1) % 9 + 1)) % 64 AS INT) AS h
+           FROM seq GROUP BY doc_id, bid),
+dig AS (SELECT doc_id,
+        string_agg(substr('{_CTPH_ALPHA}', h+1, 1), '' ORDER BY bid)
+          AS digest
+        FROM pieces GROUP BY doc_id)"""
+
+
+@query("ctph_similarity_pairs", sql=f"""
+WITH {_ctph_digest_cte()},
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, length(digest) - {_CTPH_GRAM} + 2),
+             i -> substr(digest, CAST(i AS INT), {_CTPH_GRAM})))) AS g
+  FROM dig WHERE length(digest) >= {_CTPH_GRAM})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS shared_grams
+FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id ORDER BY doc_a, doc_b
+""")
+def ctph_similarity_pairs_q(sf_dir: str):
+    """Fuzzy-hash candidate pairs: docs whose CTPH digests share >= 1
+    digest 5-gram, with the shared-gram count (band-collision strength).
+
+    Shape: digest grams explode to (gram, doc) pairs; the guarded combine
+    holds the (bounded-ish) gram->doc index, re-routing to a groupby twin
+    whose per-gram groups emit pair partials directly — the scale path
+    never holds the full index anywhere."""
+    from dataquality_ray.stages.autoroute import (
+        guarded_partials,
+        record_route,
+        DRIVER_COMBINE_CAP,
+    )
+
+    def grams(batch: pa.Table) -> pd.DataFrame:
+        texts = [t if t is not None else ""
+                 for t in batch["text"].to_pylist()]
+        _, dg = ctph_digest_batch(texts)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_g: list[str] = []
+        out_d: list[int] = []
+        for did, s in zip(ids, dg):
+            if len(s) >= _CTPH_GRAM:
+                gs = {s[i:i + _CTPH_GRAM]
+                      for i in range(len(s) - _CTPH_GRAM + 1)}
+                out_g.extend(gs)
+                out_d.extend([did] * len(gs))
+        return pd.DataFrame({"g": out_g, "doc_id": out_d})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.drop_duplicates()
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(grams, batch_format="pyarrow"))
+    pairs, ok = guarded_partials(stage, fold, DRIVER_COMBINE_CAP)
+    if ok:
+        record_route("ctph_similarity_pairs", "combine",
+                     "gram->doc index within cap",
+                     0 if pairs is None else len(pairs))
+        if pairs is None or not len(pairs):
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "shared_grams": pd.Series([], dtype=np.int64)})
+        m = pairs.merge(pairs, on="g")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+               .size())
+    else:
+        record_route("ctph_similarity_pairs", "groupby_twin",
+                     "gram->doc index exceeds cap", None)
+
+        def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) < 2:
+                return pd.DataFrame({"doc_id_x": [], "doc_id_y": []})
+            ia, ib = np.triu_indices(len(ids), k=1)
+            return pd.DataFrame({"doc_id_x": ids[ia],
+                                 "doc_id_y": ids[ib]})
+
+        agg = stage.groupby("g").map_groups(per_gram,
+                                            batch_format="pandas")
+        parts = [b for b in agg.iter_batches(batch_format="pandas",
+                                             batch_size=None) if len(b)]
+        if not parts:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "shared_grams": pd.Series([], dtype=np.int64)})
+        out = (pd.concat(parts, ignore_index=True)
+               .groupby(["doc_id_x", "doc_id_y"], as_index=False)
+               .size())
+    out = out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b",
+                              "size": "shared_grams"})
+    out["shared_grams"] = out["shared_grams"].astype(np.int64)
+    out["doc_a"] = out["doc_a"].astype(np.int64)
+    out["doc_b"] = out["doc_b"].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -516,3 +516,21 @@ def test_cdc_chunks_reconstruct(ray_session):
     # nearly all chunks survive the edit (only the neighborhood re-chunks)
     from collections import Counter
     assert sum((Counter(chb) & Counter(ca)).values()) >= len(ca) - 4
+
+
+def test_ctph_similarity_pairs_twin(ray_session, monkeypatch):
+    from dataquality_ray.pipelines.queries_code import (
+        ctph_similarity_pairs_q,
+    )
+    from dataquality_ray.stages import autoroute as ar
+
+    base = ctph_similarity_pairs_q(SF)
+    assert ar.last_route("ctph_similarity_pairs")["chosen"] == "combine"
+    assert len(base) > 0  # planted near-dups collide
+    assert (base["doc_a"] < base["doc_b"]).all()
+    assert (base["shared_grams"] >= 1).all()
+
+    monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 50)
+    twin = ctph_similarity_pairs_q(SF)
+    assert ar.last_route("ctph_similarity_pairs")["chosen"] == "groupby_twin"
+    assert twin.equals(base)
