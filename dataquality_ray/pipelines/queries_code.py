@@ -3136,3 +3136,122 @@ def ctph_similarity_pairs_q(sf_dir: str):
     out["doc_a"] = out["doc_a"].astype(np.int64)
     out["doc_b"] = out["doc_b"].astype(np.int64)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Obfuscation heuristics — complements minified_detect: obfuscators keep
+# whitespace but destroy NAMES (single-char identifiers, hex-soup names).
+# Planted for doc_id % 19 in (0,1): the doc's words are joined with
+# ' a=b1; ' separators, creating a dense single-char / hex-ish identifier
+# stream the detector must flag.
+# ---------------------------------------------------------------------------
+
+@query("obfuscation_score", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 19 IN (0, 1)
+              THEN replace(coalesce(text,''), ' ', ' a=b1; ')
+              ELSE coalesce(text,'') END AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '\\b[a-z_][a-z0-9_]*')) AS n_ids,
+         len(regexp_extract_all(t, '\\b[a-z_]\\b')) AS n_short,
+         len(regexp_extract_all(t, '\\b[a-z][0-9]+\\b')) AS n_hexish
+  FROM cv
+)
+SELECT doc_id, n_ids, n_short, n_hexish,
+       CAST(CASE WHEN n_ids = 0 THEN 0
+            ELSE (n_short + n_hexish) * 1000000 // n_ids END AS BIGINT)
+         AS obf_ppm,
+       CASE WHEN n_ids = 0 THEN FALSE
+            ELSE (n_short + n_hexish) * 1000000 // n_ids > 300000 END
+         AS is_obfuscated
+FROM s ORDER BY doc_id
+""")
+def obfuscation_score_q(sf_dir: str):
+    """Identifier-obfuscation score: fraction of identifiers that are
+    single-char or letter+digits names, integer-ppm exact; flags above
+    30%.  All counting via RE2 ``count_substring_regex`` kernels."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        planted = pc.replace_substring(base, " ", " a=b1; ")
+        t = pc.if_else(pa.array(ids % 19 < 2), planted, base)
+        n_ids = pc.count_substring_regex(
+            t, r"\b[a-z_][a-z0-9_]*").cast(pa.int64())
+        n_short = pc.count_substring_regex(t, r"\b[a-z_]\b").cast(pa.int64())
+        n_hex = pc.count_substring_regex(
+            t, r"\b[a-z][0-9]+\b").cast(pa.int64())
+        ni = n_ids.to_numpy(zero_copy_only=False)
+        bad = (n_short.to_numpy(zero_copy_only=False)
+               + n_hex.to_numpy(zero_copy_only=False))
+        ppm = np.where(ni > 0, bad * 1_000_000 // np.maximum(ni, 1),
+                       0).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "n_ids": n_ids,
+                         "n_short": n_short, "n_hexish": n_hex,
+                         "obf_ppm": pa.array(ppm),
+                         "is_obfuscated": pa.array((ppm > 300_000)
+                                                   & (ni > 0))})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Data-dump detector — CSV/JSON dumps checked into repos are dropped by
+# code-corpus cleaners (they are data, not source).  A numeric block is
+# planted for doc_id % 17 in (0,1): every second word becomes a float
+# literal, pushing the numeric-token fraction past the gate.
+# ---------------------------------------------------------------------------
+
+@query("data_file_detect", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 IN (0, 1)
+              THEN replace(coalesce(text,''), ' ', ' 12.5, ')
+              ELSE coalesce(text,'') END AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[^ ]+')) AS n_toks,
+         len(regexp_extract_all(t, '(?:^| )[0-9]+(?:[.][0-9]+)?[,;]?(?: |$)'))
+           AS n_numeric
+  FROM cv
+)
+SELECT doc_id, n_toks, n_numeric,
+       CAST(CASE WHEN n_toks = 0 THEN 0
+            ELSE n_numeric * 1000000 // n_toks END AS BIGINT)
+         AS numeric_ppm,
+       CASE WHEN n_toks = 0 THEN FALSE
+            ELSE n_numeric * 1000000 // n_toks > 250000 END AS is_data_dump
+FROM s ORDER BY doc_id
+""")
+def data_file_detect_q(sf_dir: str):
+    """Numeric-token fraction per file; flags probable data dumps above
+    25%.  The numeric-token regex requires a delimiter context on both
+    sides so overlapping matches cannot double-count (RE2 finds
+    non-overlapping matches in both engines)."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        planted = pc.replace_substring(base, " ", " 12.5, ")
+        t = pc.if_else(pa.array(ids % 17 < 2), planted, base)
+        n_toks = pc.count_substring_regex(t, r"[^ ]+").cast(pa.int64())
+        n_num = pc.count_substring_regex(
+            t, r"(?:^| )[0-9]+(?:[.][0-9]+)?[,;]?(?: |$)").cast(pa.int64())
+        nt = n_toks.to_numpy(zero_copy_only=False)
+        nn = n_num.to_numpy(zero_copy_only=False)
+        ppm = np.where(nt > 0, nn * 1_000_000 // np.maximum(nt, 1),
+                       0).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "n_toks": n_toks,
+                         "n_numeric": n_num, "numeric_ppm": pa.array(ppm),
+                         "is_data_dump": pa.array((ppm > 250_000)
+                                                  & (nt > 0))})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

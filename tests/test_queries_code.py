@@ -534,3 +534,23 @@ def test_ctph_similarity_pairs_twin(ray_session, monkeypatch):
     twin = ctph_similarity_pairs_q(SF)
     assert ar.last_route("ctph_similarity_pairs")["chosen"] == "groupby_twin"
     assert twin.equals(base)
+
+
+def test_obfuscation_score_plants(ray_session):
+    from dataquality_ray.pipelines.queries_code import obfuscation_score_q
+
+    df = obfuscation_score_q(SF)
+    ids = df["doc_id"].to_numpy()
+    assert df.loc[ids % 19 < 2, "is_obfuscated"].all()
+    assert not df.loc[ids % 19 >= 2, "is_obfuscated"].any()
+    assert (df["n_short"] + df["n_hexish"] <= df["n_ids"]).all()
+
+
+def test_data_file_detect_plants(ray_session):
+    from dataquality_ray.pipelines.queries_code import data_file_detect_q
+
+    df = data_file_detect_q(SF)
+    ids = df["doc_id"].to_numpy()
+    assert df.loc[ids % 17 < 2, "is_data_dump"].all()
+    assert not df.loc[ids % 17 >= 2, "is_data_dump"].any()
+    assert (df["n_numeric"] <= df["n_toks"]).all()
