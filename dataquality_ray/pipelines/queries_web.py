@@ -288,3 +288,275 @@ def compaction_bin_packing_q(sf_dir: str):
     g["n_files"] = g["n_files"].astype(np.int64)
     g["bin_bytes"] = g["bin_bytes"].astype(np.int64)
     return g.sort_values("bin_id").reset_index(drop=True)[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Published web-corpus document-quality panels, re-expressed as exact
+# integer-ppm Arrow kernels with DuckDB twins.  The testdata documents are
+# single-line word soup, so the line structure and the rule triggers are
+# PLANTED deterministically (identical RE2/string rewrites on both sides,
+# same precedent as queries_code.code_view_batch): the word token
+# ' spark ' becomes a line break, and doc_id buckets get bullet prefixes /
+# ellipsis suffixes / policy phrases appended.  The operators under test
+# are the real rule kernels a C4/Gopher/FineWeb-style cleaner runs per
+# document (reference analog: the per-column indicator kernels in
+# /root/reference/utils/table_operations.py, here as corpus-level rules).
+# ---------------------------------------------------------------------------
+
+_NLRE = r"\x0a"  # newline inside an RE2 pattern, byte-identical both engines
+
+
+def _lineview_sql(extra: str = "t") -> str:
+    """SQL fragment: the shared line view (word 'spark' -> newline)."""
+    return f"replace({extra}, ' spark ', chr(10))"
+
+
+@query("c4_policy_filters", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         coalesce(text,'') ||
+         CASE WHEN doc_id % 23 IN (0, 1) THEN ' lorem ipsum dolor sit'
+              WHEN doc_id % 23 IN (2, 3) THEN ' function() { return; }'
+              WHEN doc_id % 23 IN (4, 5) THEN ' cookie policy terms of use'
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(regexp_matches(t, 'lorem ipsum'), FALSE) AS has_lorem,
+       contains(t, '{') AS has_brace,
+       coalesce(regexp_matches(t, 'cookie policy|privacy policy|terms of use'),
+                FALSE) AS has_policy,
+       NOT (coalesce(regexp_matches(t, 'lorem ipsum'), FALSE)
+            OR contains(t, '{')
+            OR coalesce(regexp_matches(t,
+                 'cookie policy|privacy policy|terms of use'), FALSE))
+         AS c4_keep
+FROM cv ORDER BY doc_id
+""")
+def c4_policy_filters_q(sf_dir: str):
+    """C4-style document blocklist rules (Raffel et al. 2020): lorem-ipsum
+    placeholder text, curly braces (code leakage into a prose corpus), and
+    boilerplate policy phrases.  One vectorized RE2 pass per rule."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        m = ids % 23
+        suffix = np.full(len(ids), "", dtype=object)
+        suffix[m < 2] = " lorem ipsum dolor sit"
+        suffix[(m >= 2) & (m < 4)] = " function() { return; }"
+        suffix[(m >= 4) & (m < 6)] = " cookie policy terms of use"
+        t = pc.binary_join_element_wise(base, pa.array(suffix,
+                                                       type=pa.string()), "")
+        lorem = pc.match_substring_regex(t, "lorem ipsum")
+        brace = pc.match_substring(t, "{")
+        policy = pc.match_substring_regex(
+            t, "cookie policy|privacy policy|terms of use")
+        keep = pc.invert(pc.or_(pc.or_(lorem, brace), policy))
+        return pa.table({"doc_id": batch["doc_id"], "has_lorem": lorem,
+                         "has_brace": brace, "has_policy": policy,
+                         "c4_keep": keep})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+@query("gopher_quality_panel", sql=f"""
+WITH lv AS (
+  SELECT doc_id, {_lineview_sql("coalesce(text,'')")} AS t1 FROM documents
+),
+cv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 IN (0, 1)
+              THEN '- ' || replace(t1, chr(10), chr(10) || '- ')
+              WHEN doc_id % 13 IN (2, 3)
+              THEN replace(t1, chr(10), '...' || chr(10)) || '...'
+              ELSE t1 END AS t
+  FROM lv
+),
+s AS (
+  SELECT doc_id,
+         length(t) - length(replace(t, chr(10), '')) + 1 AS n_lines,
+         len(regexp_extract_all(t, '[^ {_NLRE}]+')) AS n_words,
+         length(regexp_replace(t, '[ {_NLRE}]', '', 'g')) AS word_chars,
+         len(regexp_extract_all(t, '(?:^|{_NLRE})- ')) AS n_bullet,
+         len(regexp_extract_all(t, '[.][.][.](?:{_NLRE}|$)')) AS n_ellipsis,
+         (CASE WHEN regexp_matches(t, '\\bthe\\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(t, '\\ba\\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(t, '\\border\\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(t, '\\bvalue\\b') THEN 1 ELSE 0 END)
+           AS n_stop_types
+  FROM cv
+)
+SELECT doc_id, n_lines, n_words,
+       CAST(CASE WHEN n_words = 0 THEN 0
+            ELSE word_chars * 1000000 // n_words END AS BIGINT)
+         AS mean_word_len_ppm,
+       CAST(n_bullet * 1000000 // n_lines AS BIGINT) AS bullet_ppm,
+       CAST(n_ellipsis * 1000000 // n_lines AS BIGINT) AS ellipsis_ppm,
+       CAST(n_stop_types AS BIGINT) AS n_stop_types,
+       n_bullet * 1000000 > 900000 * n_lines AS flag_bullets,
+       n_ellipsis * 1000000 > 300000 * n_lines AS flag_ellipsis,
+       (n_words < 50 OR n_words > 100000) AS flag_word_count,
+       (n_words = 0 OR word_chars * 1000000 // n_words < 3000000
+        OR word_chars * 1000000 // n_words > 10000000) AS flag_word_len,
+       n_stop_types < 2 AS flag_stop,
+       NOT (n_bullet * 1000000 > 900000 * n_lines
+            OR n_ellipsis * 1000000 > 300000 * n_lines
+            OR n_words < 50 OR n_words > 100000
+            OR n_words = 0 OR word_chars * 1000000 // n_words < 3000000
+            OR word_chars * 1000000 // n_words > 10000000
+            OR n_stop_types < 2) AS gopher_keep
+FROM s ORDER BY doc_id
+""")
+def gopher_quality_panel_q(sf_dir: str):
+    """Gopher quality rules (Rae et al. 2021 table A1): word-count bounds,
+    mean word length in [3,10], >90% bullet lines, >30% ellipsis-ended
+    lines, and >=2 distinct stop words.  Integer-ppm exact; bullet/ellipsis
+    structure planted per doc_id bucket over the shared line view."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        lv = pc.replace_substring(base, " spark ", "\n")
+        m = ids % 13
+        bullets = pc.binary_join_element_wise(
+            pa.scalar("- "), pc.replace_substring(lv, "\n", "\n- "), "")
+        dots = pc.binary_join_element_wise(
+            pc.replace_substring(lv, "\n", "...\n"), "...", "")
+        t = pc.if_else(pa.array(m < 2), bullets,
+                       pc.if_else(pa.array((m >= 2) & (m < 4)), dots, lv))
+        n_lines = pc.add(pc.count_substring(t, "\n"), 1).cast(pa.int64())
+        n_words = pc.count_substring_regex(
+            t, r"[^ \x0a]+").cast(pa.int64())
+        word_chars = pc.utf8_length(
+            pc.replace_substring_regex(t, r"[ \x0a]", "")).cast(pa.int64())
+        n_bullet = pc.count_substring_regex(
+            t, r"(?:^|\x0a)- ").cast(pa.int64())
+        n_ellipsis = pc.count_substring_regex(
+            t, r"[.][.][.](?:\x0a|$)").cast(pa.int64())
+        stop = sum(
+            pc.match_substring_regex(t, rf"\b{w}\b").cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            for w in ("the", "a", "order", "value")).astype(np.int64)
+        nl = n_lines.to_numpy(zero_copy_only=False)
+        nw = n_words.to_numpy(zero_copy_only=False)
+        wc = word_chars.to_numpy(zero_copy_only=False)
+        nb = n_bullet.to_numpy(zero_copy_only=False)
+        ne = n_ellipsis.to_numpy(zero_copy_only=False)
+        mean_ppm = np.where(nw > 0, wc * 1_000_000 // np.maximum(nw, 1),
+                            0).astype(np.int64)
+        f_bul = nb * 1_000_000 > 900_000 * nl
+        f_ell = ne * 1_000_000 > 300_000 * nl
+        f_wcnt = (nw < 50) | (nw > 100_000)
+        f_wlen = (nw == 0) | (mean_ppm < 3_000_000) | (mean_ppm > 10_000_000)
+        f_stop = stop < 2
+        return pa.table({
+            "doc_id": batch["doc_id"], "n_lines": n_lines,
+            "n_words": n_words, "mean_word_len_ppm": pa.array(mean_ppm),
+            "bullet_ppm": pa.array(nb * 1_000_000 // nl),
+            "ellipsis_ppm": pa.array(ne * 1_000_000 // nl),
+            "n_stop_types": pa.array(stop),
+            "flag_bullets": pa.array(f_bul), "flag_ellipsis": pa.array(f_ell),
+            "flag_word_count": pa.array(f_wcnt),
+            "flag_word_len": pa.array(f_wlen), "flag_stop": pa.array(f_stop),
+            "gopher_keep": pa.array(~(f_bul | f_ell | f_wcnt | f_wlen
+                                      | f_stop))})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+@query("fineweb_line_panel", sql=f"""
+WITH lv AS (
+  SELECT doc_id, {_lineview_sql("coalesce(text,'')")} AS t1 FROM documents
+),
+cv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 IN (0, 1)
+              THEN replace(t1, chr(10), '.' || chr(10)) || '.'
+              ELSE t1 END AS t
+  FROM lv
+),
+ex AS (
+  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM cv
+),
+g AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS L
+  FROM ex GROUP BY doc_id, line
+),
+agg AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         sum(CASE WHEN L < 20 THEN c ELSE 0 END) AS n_short,
+         sum(c * L) AS total_chars,
+         sum(CASE WHEN c > 1 THEN c * L ELSE 0 END) AS dup_chars,
+         sum(CASE WHEN regexp_matches(line, '[.!?]$') THEN c ELSE 0 END)
+           AS n_punct
+  FROM g GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_short AS BIGINT) AS n_short_lines,
+       CAST(n_short * 1000000 // n_lines AS BIGINT) AS short_line_ppm,
+       CAST(dup_chars * 1000000 // greatest(total_chars, 1) AS BIGINT)
+         AS dup_char_ppm,
+       CAST(n_punct * 1000000 // n_lines AS BIGINT) AS punct_end_ppm,
+       n_short * 1000000 > 666666 * n_lines AS flag_short_lines,
+       dup_chars * 1000000 > 100000 * greatest(total_chars, 1)
+         AS flag_dup_chars,
+       n_punct * 1000000 < 120000 * n_lines AS flag_low_punct
+FROM agg ORDER BY doc_id
+""")
+def fineweb_line_panel_q(sf_dir: str):
+    """FineWeb/RefinedWeb line-level rules (Penedo et al. 2024): short-line
+    fraction, fraction of characters inside duplicated lines, and
+    punctuation-ended line fraction.  Per-batch: one split_pattern +
+    list_parent_indices flatten, np.bincount per metric, one pandas
+    (doc,line) groupby for the duplicate-char mass."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        lv = pc.replace_substring(base, " spark ", "\n")
+        planted = pc.binary_join_element_wise(
+            pc.replace_substring(lv, "\n", ".\n"), ".", "")
+        t = pc.if_else(pa.array(ids % 7 < 2), planted, lv)
+        lines = pc.split_pattern(t, "\n")
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        L = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(batch)
+        n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+        n_short = np.bincount(parent, weights=(L < 20).astype(np.int64),
+                              minlength=n).astype(np.int64)
+        total = np.bincount(parent, weights=L, minlength=n).astype(np.int64)
+        punct = pc.match_substring_regex(flat, r"[.!?]$").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_punct = np.bincount(parent, weights=punct,
+                              minlength=n).astype(np.int64)
+        df = pd.DataFrame({"p": parent, "line": flat.to_pandas(), "L": L})
+        gg = (df.groupby(["p", "line"], sort=False)
+              .agg(c=("L", "size"), L=("L", "first")).reset_index())
+        d = gg[gg["c"] >= 2]
+        dup = np.zeros(n, np.int64)
+        if len(d):
+            np.add.at(dup, d["p"].to_numpy(),
+                      (d["c"] * d["L"]).to_numpy(dtype=np.int64))
+        tot = np.maximum(total, 1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines),
+            "n_short_lines": pa.array(n_short),
+            "short_line_ppm": pa.array(n_short * 1_000_000 // n_lines),
+            "dup_char_ppm": pa.array(dup * 1_000_000 // tot),
+            "punct_end_ppm": pa.array(n_punct * 1_000_000 // n_lines),
+            "flag_short_lines": pa.array(
+                n_short * 1_000_000 > 666_666 * n_lines),
+            "flag_dup_chars": pa.array(dup * 1_000_000 > 100_000 * tot),
+            "flag_low_punct": pa.array(
+                n_punct * 1_000_000 < 120_000 * n_lines)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

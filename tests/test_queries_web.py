@@ -136,3 +136,48 @@ def test_compaction_bins_conserve_and_fill(ray_session):
     assert (got["last_day"].sort_index() == ref["max"].sort_index()).all()
     assert df["bin_id"].is_monotonic_increasing
     assert len(df) > 1  # target actually splits the corpus
+
+
+def test_c4_policy_filters_plants(ray_session):
+    from dataquality_ray.pipelines.queries_web import c4_policy_filters_q
+
+    df = c4_policy_filters_q(SF)
+    m = df["doc_id"].to_numpy() % 23
+    assert df.loc[m < 2, "has_lorem"].all()
+    assert df.loc[(m >= 2) & (m < 4), "has_brace"].all()
+    assert df.loc[(m >= 4) & (m < 6), "has_policy"].all()
+    # unplanted word-soup docs trip no rule and are kept
+    assert df.loc[m >= 6, "c4_keep"].all()
+    assert not df.loc[m < 6, "c4_keep"].any()
+
+
+def test_gopher_quality_panel_plants(ray_session):
+    from dataquality_ray.pipelines.queries_web import gopher_quality_panel_q
+
+    df = gopher_quality_panel_q(SF)
+    m = df["doc_id"].to_numpy() % 13
+    # bullet plant: every line starts '- ' -> ppm == 1e6 -> flagged
+    assert (df.loc[m < 2, "bullet_ppm"] == 1_000_000).all()
+    assert df.loc[m < 2, "flag_bullets"].all()
+    assert (df.loc[(m >= 2) & (m < 4), "ellipsis_ppm"] == 1_000_000).all()
+    assert df.loc[(m >= 2) & (m < 4), "flag_ellipsis"].all()
+    assert not df.loc[m >= 4, "flag_bullets"].any()
+    assert not df.loc[m >= 4, "flag_ellipsis"].any()
+    # word soup mean word length sits in [3,10] chars
+    assert not df.loc[m >= 4, "flag_word_len"].any()
+    assert (df["n_stop_types"] <= 4).all()
+
+
+def test_fineweb_line_panel_plants(ray_session):
+    from dataquality_ray.pipelines.queries_web import fineweb_line_panel_q
+
+    df = fineweb_line_panel_q(SF)
+    m = df["doc_id"].to_numpy() % 7
+    # punct plant: every line ends '.' -> ppm == 1e6 -> not low-punct
+    assert (df.loc[m < 2, "punct_end_ppm"] == 1_000_000).all()
+    assert not df.loc[m < 2, "flag_low_punct"].any()
+    # soup has no sentence punctuation at all
+    assert (df.loc[m >= 2, "punct_end_ppm"] == 0).all()
+    assert df.loc[m >= 2, "flag_low_punct"].all()
+    assert (df["n_short_lines"] <= df["n_lines"]).all()
+    assert df["dup_char_ppm"].between(0, 1_000_000).all()
