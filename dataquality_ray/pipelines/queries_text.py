@@ -9170,3 +9170,179 @@ def rbo_token_rankings_q(sf_dir: str):
     out["overlap20"] = out["overlap20"].astype("int64")
     out["rbo_ppm"] = out["rbo_ppm"].astype("int64")
     return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Readability, round 2: Gunning fog + SMOG per document.  Complex words
+# (>=3 vowel runs) are PLANTED by rewriting the token 'slow' to
+# 'elaborate' for doc_id % 9 in (0,1,2) — identical string rewrite both
+# engines; the detector then counts real vowel-run structure.  Sentence
+# convention matches readability_flesch: occurrences of 'the' + 1.
+# ---------------------------------------------------------------------------
+
+@query("fog_smog_readability", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 IN (0, 1, 2)
+              THEN replace(coalesce(text,''), ' slow ', ' elaborate ')
+              ELSE coalesce(text,'') END AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(list_filter(string_split(t, ' '), x -> x <> '')) AS w,
+         len(regexp_extract_all(t, '\\bthe\\b')) + 1 AS s,
+         len(list_filter(string_split(t, ' '),
+             x -> len(regexp_extract_all(x, '[aeiou]+')) >= 3)) AS cx
+  FROM cv
+)
+SELECT doc_id, w::BIGINT AS n_words, s::BIGINT AS n_sentences,
+       cx::BIGINT AS n_complex,
+       CAST(CASE WHEN w = 0 THEN 0
+            ELSE (400 * ((1000 * w) // s)
+                  + 400 * ((100000 * cx) // w)) // 1000 END AS BIGINT)
+         AS fog_milli,
+       CAST(CASE WHEN w = 0 THEN 0
+            ELSE floor(1043 * sqrt(CAST((30000000 * cx) // s AS DOUBLE))
+                       / 1000) + 3129 END AS BIGINT) AS smog_micro_milli
+FROM s ORDER BY doc_id
+""")
+def fog_smog_readability_q(sf_dir: str):
+    """Gunning fog (0.4*(words/sentence + 100*complex/words)) and SMOG
+    (1.043*sqrt(30*complex/sentence)+3.129) per document as floor-milli
+    integer chains; sqrt over an integer-valued double is correctly
+    rounded IEEE on both engines, so the chain stays exact."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        planted = pc.replace_substring(base, " slow ", " elaborate ")
+        t = pc.if_else(pa.array(ids % 9 < 3), planted, base)
+        toks = pc.split_pattern(t, " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten()
+        doc_rep = np.repeat(np.arange(len(n_per)), n_per)
+        nonempty = pc.not_equal(flat, "").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        runs = pc.count_substring_regex(flat, "[aeiou]+").to_numpy(
+            zero_copy_only=False)
+        w = np.bincount(doc_rep, weights=nonempty,
+                        minlength=len(n_per)).astype(np.int64)
+        cx = np.bincount(doc_rep, weights=(runs >= 3).astype(np.int64),
+                         minlength=len(n_per)).astype(np.int64)
+        s = pc.count_substring_regex(t, r"\bthe\b").to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1
+        fog = np.where(
+            w > 0,
+            (400 * ((1000 * w) // s)
+             + 400 * ((100000 * cx) // np.maximum(w, 1))) // 1000,
+            0).astype(np.int64)
+        smog = np.where(
+            w > 0,
+            np.floor(1043 * np.sqrt(((30_000_000 * cx) // s)
+                                    .astype(np.float64)) / 1000) + 3129,
+            0).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "n_words": pa.array(w),
+                         "n_sentences": pa.array(s), "n_complex":
+                         pa.array(cx), "fog_milli": pa.array(fog),
+                         "smog_micro_milli": pa.array(smog)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Lexical-richness panel per source: Honoré's R, Brunet's W, Sichel's S,
+# Guiraud's R and Herdan's C from exact (source, token) count partials.
+# The transcendental tail (ln/pow/sqrt) runs once per source on the
+# merged 20-row frame with the same glibc libm DuckDB links, then floors
+# to milli — the established float-stability pattern (see corpus_drift_js).
+# ---------------------------------------------------------------------------
+
+@query("lexical_richness_panel", sql="""
+WITH tok AS (
+  SELECT source, unnest(string_split(coalesce(text,''), ' ')) AS w
+  FROM documents
+),
+c AS (
+  SELECT source, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY source, w
+),
+a AS (
+  SELECT source, sum(c) AS n, count(*) AS v,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS v1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS v2
+  FROM c GROUP BY source
+)
+SELECT source, n::BIGINT AS n_tokens, v::BIGINT AS n_types,
+       v1::BIGINT AS hapax, v2::BIGINT AS dis_legomena,
+       CAST(v2 * 1000000 // v AS BIGINT) AS sichel_ppm,
+       CAST(floor(1000 * v / sqrt(n::DOUBLE)) AS BIGINT) AS guiraud_milli,
+       CAST(floor(1000 * ln(v::DOUBLE) / ln(n::DOUBLE)) AS BIGINT)
+         AS herdan_c_milli,
+       CAST(floor(1000 * power(n::DOUBLE, power(v::DOUBLE, -0.165)))
+            AS BIGINT) AS brunet_w_milli,
+       CAST(CASE WHEN v1 = v THEN -1
+            ELSE floor(100000 * ln(n::DOUBLE)
+                       / (1.0 - v1::DOUBLE / v::DOUBLE)) END AS BIGINT)
+         AS honore_milli
+FROM a ORDER BY source
+""")
+def lexical_richness_panel_q(sf_dir: str):
+    """Classic lexical-richness statistics per source from exact
+    distributed (source, token) partials; scale shape: partial counts per
+    batch, guarded combine (vocab x sources bounded), transcendental tail
+    on the merged frame only."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        src = np.repeat(np.asarray(b["source"].to_pylist(), dtype=object),
+                        n_per)
+        f = pd.DataFrame({"source": src, "w": flat})
+        f = f[f["w"] != ""]
+        return (f.groupby(["source", "w"], sort=False).size()
+                .rename("c").reset_index())
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return (f.groupby(["source", "w"], as_index=False)["c"].sum())
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text", "source"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: vocabulary x sources
+    cols = ("source", "n_tokens", "n_types", "hapax", "dis_legomena",
+            "sichel_ppm", "guiraud_milli", "herdan_c_milli",
+            "brunet_w_milli", "honore_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    g = merged.groupby("source")["c"]
+    a = pd.DataFrame({"n": g.sum(), "v": g.size(),
+                      "v1": g.apply(lambda s: int((s == 1).sum())),
+                      "v2": g.apply(lambda s: int((s == 2).sum()))
+                      }).reset_index()
+    rows = []
+    for r in a.itertuples(index=False):
+        n, v, v1, v2 = int(r.n), int(r.v), int(r.v1), int(r.v2)
+        rows.append({
+            "source": r.source, "n_tokens": n, "n_types": v, "hapax": v1,
+            "dis_legomena": v2, "sichel_ppm": v2 * 1_000_000 // v,
+            "guiraud_milli": math.floor(1000 * v / math.sqrt(n)),
+            "herdan_c_milli": math.floor(1000 * math.log(v) / math.log(n)),
+            "brunet_w_milli": math.floor(
+                1000 * math.pow(n, math.pow(v, -0.165))),
+            "honore_milli": (-1 if v1 == v else math.floor(
+                100000 * math.log(n) / (1.0 - v1 / v)))})
+    out = pd.DataFrame(rows)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)

@@ -39,3 +39,34 @@ def test_rbo_identity_and_bounds(ray_session):
     assert df["rbo_ppm"].between(0, 1_000_000).all()
     # word-soup sources share vocabulary: overlap should be substantial
     assert df["overlap20"].mean() > 5
+
+
+def test_fog_smog_readability_plants(ray_session):
+    from dataquality_ray.pipelines.queries_text import fog_smog_readability_q
+
+    df = fog_smog_readability_q(SF)
+    m = df["doc_id"].to_numpy() % 9
+    # 'slow' -> 'elaborate' adds complex words in buckets 0-2 on top of the
+    # soup's natural ones ('customer' has 3 vowel runs)
+    assert (df.loc[m < 3, "n_complex"].mean()
+            > df.loc[m >= 3, "n_complex"].mean())
+    assert (df["n_complex"] <= df["n_words"]).all()
+    # SMOG floor is its 3.129 intercept when no complex words exist
+    assert (df.loc[(df["n_complex"] == 0) & (df["n_words"] > 0),
+                   "smog_micro_milli"] == 3129).all()
+    assert (df.loc[df["n_words"] > 0, "fog_milli"] > 0).all()
+
+
+def test_lexical_richness_panel_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        lexical_richness_panel_q,
+    )
+
+    df = lexical_richness_panel_q(SF)
+    assert len(df) == 20  # one row per source
+    assert (df["n_types"] <= df["n_tokens"]).all()
+    assert (df["hapax"] + df["dis_legomena"] <= df["n_types"]).all()
+    # Herdan's C = ln V / ln N is in (0, 1] for V <= N
+    assert df["herdan_c_milli"].between(0, 1000).all()
+    assert (df["sichel_ppm"] <= 1_000_000).all()
+    assert (df["guiraud_milli"] > 0).all()
