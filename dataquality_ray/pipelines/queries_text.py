@@ -9346,3 +9346,253 @@ def lexical_richness_panel_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Broder supershingles (Broder 1997, "On the resemblance and containment
+# of documents"): sketch = the 6 smallest shingle sha-hashes per doc,
+# supershingle = sha of each run of 3 consecutive sketch values; docs
+# sharing any positional supershingle are near-dup candidates.  The whole
+# chain (sha64 shingles -> sorted sketch -> run hash -> positional join)
+# is SQL-replicated, same precedent as dedup_minhash's sha path.
+# ---------------------------------------------------------------------------
+
+@query("supershingle_dedup", sql=f"""
+WITH corpus AS ({_MINHASH_CORPUS}),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' ')))
+         END AS sg
+  FROM corpus
+),
+hs AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(sg,
+             s -> ('0x' || substr(sha256(s), 1, 16))::UBIGINT))) AS hl
+  FROM sh
+),
+sk AS (SELECT doc_id, hl[1:least(len(hl), 6)] AS sk FROM hs),
+ss AS (
+  SELECT doc_id, r.g,
+         ('0x' || substr(sha256(
+             array_to_string(sk[3*r.g+1:3*r.g+3], '-')), 1, 16))::UBIGINT
+           AS ssh
+  FROM sk CROSS JOIN (SELECT unnest(range(0, 2)) AS g) r
+  WHERE len(sk) >= 3 * (r.g + 1)
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM ss a JOIN ss b ON a.g = b.g AND a.ssh = b.ssh
+                     AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared::BIGINT AS n_shared
+FROM p ORDER BY doc_a, doc_b
+""")
+def supershingle_dedup_q(sf_dir: str):
+    """Two-level supershingle near-dup candidates over the minhash test
+    corpus (mutant twins of docs 0..19).  Scale shape: the per-doc sketch
+    is a map_batches kernel; candidate pairing groups by supershingle
+    value (bounded buckets by construction), driver combine within cap
+    with a groupby twin past it."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+    from dataquality_ray.stages.minhash import _hash64, shingle_hashes
+
+    def with_mutants(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.less(batch["doc_id"], 20))
+        texts = [" ".join(t.split()[1:]) for t in sub["text"].to_pylist()]
+        mut = pa.table({"doc_id": pc.add(sub["doc_id"], 1000000),
+                        "text": pa.array(texts, pa.string())})
+        return pa.concat_tables([batch.select(["doc_id", "text"]), mut])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id, out_key = [], []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            hl = shingle_hashes(t or "", k=3)  # sorted distinct uint64
+            sk = hl[:6]
+            for g in range(2):
+                if len(sk) >= 3 * (g + 1):
+                    run = "-".join(str(int(x)) for x in sk[3*g:3*g+3])
+                    out_id.append(ids[i])
+                    out_key.append(f"{g}:{_hash64(run)}")
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "key": pa.array(out_key, pa.string())})
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(with_mutants, batch_format="pyarrow")
+             .map_batches(sketch, batch_format="pyarrow"))
+    cols = ("doc_a", "doc_b", "n_shared")
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+
+    merged, ok = guarded_partials(stage, lambda f: f, DRIVER_COMBINE_CAP)
+    if ok:
+        record_route("supershingle_dedup", "driver_combine",
+                     "key index within cap", None)
+        if merged is None or not len(merged):
+            return empty()
+        m = merged.merge(merged, on="key")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size())
+    else:
+        record_route("supershingle_dedup", "groupby_twin",
+                     "key index exceeds cap", None)
+
+        def per_key(g: pd.DataFrame) -> pd.DataFrame:
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) < 2:
+                return pd.DataFrame({"doc_id_x": [], "doc_id_y": []})
+            ia, ib = np.triu_indices(len(ids), k=1)
+            return pd.DataFrame({"doc_id_x": ids[ia], "doc_id_y": ids[ib]})
+
+        agg = stage.groupby("key").map_groups(per_key, batch_format="pandas")
+        parts = [b for b in agg.iter_batches(batch_format="pandas",
+                                             batch_size=None) if len(b)]
+        if not parts:
+            return empty()
+        out = (pd.concat(parts, ignore_index=True)
+               .groupby(["doc_id_x", "doc_id_y"], as_index=False).size())
+    out = out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b",
+                              "size": "n_shared"})
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bag distance (Bartolini et al. 2002): max(|A\\B|, |B\\A|) over token
+# multisets — a cheap lower bound for token edit distance, evaluated over
+# adjacent-doc_id candidate pairs.  Pair p covers docs (p, p+1); each
+# doc's token counts are emitted to both pairs it belongs to, plus a
+# presence marker so a pair only exists when both docs do.
+# ---------------------------------------------------------------------------
+
+@query("bag_distance_pairs", sql="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w, count(*) AS c FROM tok WHERE w <> ''
+  GROUP BY doc_id, w
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+u AS (
+  SELECT p.doc_a, p.doc_b, c.w, c.c AS ca, 0 AS cb
+  FROM p JOIN c ON c.doc_id = p.doc_a
+  UNION ALL
+  SELECT p.doc_a, p.doc_b, c.w, 0, c.c
+  FROM p JOIN c ON c.doc_id = p.doc_b
+),
+g AS (
+  SELECT doc_a, doc_b, w, sum(ca) AS ca, sum(cb) AS cb
+  FROM u GROUP BY doc_a, doc_b, w
+),
+d AS (
+  SELECT doc_a, doc_b,
+         sum(greatest(ca - cb, 0)) AS a_minus_b,
+         sum(greatest(cb - ca, 0)) AS b_minus_a
+  FROM g GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, a_minus_b::BIGINT AS a_minus_b,
+       b_minus_a::BIGINT AS b_minus_a,
+       greatest(a_minus_b, b_minus_a)::BIGINT AS bag_distance
+FROM d ORDER BY doc_a, doc_b
+""")
+def bag_distance_pairs_q(sf_dir: str):
+    """Distributed shape: each (doc, token, count) row is emitted to pair
+    doc_id (side a) and pair doc_id-1 (side b) with presence markers; the
+    per-pair reduce is a bounded-width multiset diff.  Driver combine
+    within cap, groupby twin past it (pair keyspace is unbounded)."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(batch["text"], pa.scalar("")),
+                                " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, n_per)
+        keep = flat != ""
+        f = (pd.DataFrame({"doc": doc[keep], "w": flat[keep]})
+             .groupby(["doc", "w"], sort=False).size().rename("c")
+             .reset_index())
+        # side-a rows to pair=doc, side-b rows to pair=doc-1, plus one
+        # presence marker row per doc and side (w = '' sentinel)
+        mark = pd.DataFrame({"doc": ids, "w": "", "c": 0})
+        a = pd.concat([f, mark], ignore_index=True)
+        b = a.copy()
+        rows = pd.concat([
+            pd.DataFrame({"p": a["doc"], "w": a["w"], "ca": a["c"],
+                          "cb": 0, "ma": (a["w"] == "").astype(np.int64),
+                          "mb": 0}),
+            pd.DataFrame({"p": b["doc"] - 1, "w": b["w"], "ca": 0,
+                          "cb": b["c"], "ma": 0,
+                          "mb": (b["w"] == "").astype(np.int64)}),
+        ], ignore_index=True)
+        rows = rows[rows["p"] >= 0]
+        return (rows.groupby(["p", "w"], as_index=False)
+                [["ca", "cb", "ma", "mb"]].sum())
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return (f.groupby(["p", "w"], as_index=False)
+                [["ca", "cb", "ma", "mb"]].sum())
+
+    def reduce_pair(f: pd.DataFrame) -> pd.DataFrame:
+        # pair exists only when both presence markers arrived
+        marks = f.groupby("p")[["ma", "mb"]].sum()
+        valid = marks[(marks["ma"] > 0) & (marks["mb"] > 0)].index
+        wf = f[(f["w"] != "") & f["p"].isin(valid)]
+        d = wf.assign(
+            am=np.maximum(wf["ca"] - wf["cb"], 0),
+            bm=np.maximum(wf["cb"] - wf["ca"], 0))
+        out = d.groupby("p", as_index=False)[["am", "bm"]].sum()
+        return out
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    cols = ("doc_a", "doc_b", "a_minus_b", "b_minus_a", "bag_distance")
+    merged, ok = guarded_partials(stage, fold, DRIVER_COMBINE_CAP)
+    if ok:
+        record_route("bag_distance_pairs", "driver_combine",
+                     "pair x token index within cap", None)
+        out = (reduce_pair(merged) if merged is not None and len(merged)
+               else None)
+    else:
+        record_route("bag_distance_pairs", "groupby_twin",
+                     "pair x token index exceeds cap", None)
+        agg = (stage.groupby("p")
+               .map_groups(lambda g: reduce_pair(fold(g)),
+                           batch_format="pandas"))
+        parts = [b for b in agg.iter_batches(batch_format="pandas",
+                                             batch_size=None) if len(b)]
+        out = pd.concat(parts, ignore_index=True) if parts else None
+    if out is None or not len(out):
+        return pd.DataFrame({
+            **{c: pd.Series([], dtype=np.int64) for c in cols}})
+    out = out.rename(columns={"p": "doc_a", "am": "a_minus_b",
+                              "bm": "b_minus_a"})
+    out["doc_b"] = out["doc_a"] + 1
+    out["bag_distance"] = np.maximum(out["a_minus_b"], out["b_minus_a"])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return (out[list(cols)].sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))

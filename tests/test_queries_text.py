@@ -2,6 +2,8 @@
 
 """Semantic checks for text-analysis operators (beyond oracle parity)."""
 
+import numpy as np
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -70,3 +72,38 @@ def test_lexical_richness_panel_bounds(ray_session):
     assert df["herdan_c_milli"].between(0, 1000).all()
     assert (df["sichel_ppm"] <= 1_000_000).all()
     assert (df["guiraud_milli"] > 0).all()
+
+
+def test_supershingle_dedup_finds_mutants(ray_session, monkeypatch):
+    import dataquality_ray.stages.autoroute as ar
+    from dataquality_ray.pipelines.queries_text import supershingle_dedup_q
+
+    base = supershingle_dedup_q(SF)
+    assert (base["doc_a"] < base["doc_b"]).all()
+    assert base["n_shared"].between(1, 2).all()
+    # most mutant twins (first word dropped) keep an identical 6-min
+    # sketch, so the pair (d, d+1e6) surfaces for most d < 20
+    mut = base[(base["doc_b"] - base["doc_a"]) == 1_000_000]
+    assert len(mut) >= 10
+
+    monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 10)
+    twin = supershingle_dedup_q(SF)
+    assert ar.last_route("supershingle_dedup")["chosen"] == "groupby_twin"
+    assert twin.equals(base)
+
+
+def test_bag_distance_pairs_twin(ray_session, monkeypatch):
+    import dataquality_ray.stages.autoroute as ar
+    from dataquality_ray.pipelines.queries_text import bag_distance_pairs_q
+
+    base = bag_distance_pairs_q(SF)
+    # one pair per adjacent doc_id couple, max doc has no successor
+    assert (base["doc_b"] == base["doc_a"] + 1).all()
+    assert (base["bag_distance"]
+            == np.maximum(base["a_minus_b"], base["b_minus_a"])).all()
+    assert (base["bag_distance"] >= 1).all()  # soup docs differ
+
+    monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 10)
+    twin = bag_distance_pairs_q(SF)
+    assert ar.last_route("bag_distance_pairs")["chosen"] == "groupby_twin"
+    assert twin.equals(base)
