@@ -3391,3 +3391,152 @@ def hash_permutation_test_q(sf_dir: str):
         "n_ge": pd.Series([n_ge], dtype="int64"),
         "p_ppm": pd.Series([(n_ge + 1) * 1_000_000 // 257],
                            dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Holm-Bonferroni step-down multiple-testing correction (Holm 1979) over
+# one synthetic exact p-value per event type.  The p-values are planted
+# uniform integers derived from sha256(event_type) — the operator under
+# test is the step-down adjustment chain itself (rank, (m-k+1)-scaling,
+# running max, cap), all integer-ppm exact.  Complements bh_fdr_events
+# (step-up FDR) with the FWER-controlling step-down twin.
+# ---------------------------------------------------------------------------
+
+@query("holm_bonferroni_stepdown", sql="""
+WITH t AS (SELECT DISTINCT event_type FROM events),
+p AS (
+  SELECT event_type,
+         (('0x' || substr(sha256(event_type), 1, 16))::UBIGINT
+          % 1000000)::BIGINT AS p_ppm
+  FROM t
+),
+r AS (
+  SELECT event_type, p_ppm,
+         row_number() OVER (ORDER BY p_ppm, event_type) AS rk,
+         count(*) OVER () AS m
+  FROM p
+),
+a AS (
+  SELECT event_type, p_ppm, rk,
+         max(least((m - rk + 1) * p_ppm, 1000000))
+           OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS adj
+  FROM r
+)
+SELECT event_type, p_ppm, rk::BIGINT AS rank,
+       adj::BIGINT AS adj_p_ppm, adj <= 50000 AS reject
+FROM a ORDER BY event_type
+""")
+def holm_bonferroni_q(sf_dir: str):
+    """Step-down FWER control: sort p ascending, scale the k-th smallest
+    by (m-k+1), enforce monotonicity with a running max, reject while the
+    adjusted p stays <= alpha.  Distinct event types reduce distributedly;
+    the m-row adjustment chain runs on the driver."""
+    import hashlib
+
+    types = (_read(sf_dir, "events", ["event_type"])
+             .unique("event_type"))
+    rows = []
+    for t in types:
+        h = int.from_bytes(
+            hashlib.sha256(t.encode()).digest()[:8], "big")
+        rows.append({"event_type": t, "p_ppm": h % 1_000_000})
+    f = pd.DataFrame(rows).sort_values(
+        ["p_ppm", "event_type"]).reset_index(drop=True)
+    m = len(f)
+    f["rank"] = np.arange(1, m + 1, dtype=np.int64)
+    raw = np.minimum((m - f["rank"].to_numpy() + 1)
+                     * f["p_ppm"].to_numpy(), 1_000_000)
+    f["adj_p_ppm"] = np.maximum.accumulate(raw).astype(np.int64)
+    f["reject"] = f["adj_p_ppm"] <= 50_000
+    f["p_ppm"] = f["p_ppm"].astype(np.int64)
+    return (f[["event_type", "p_ppm", "rank", "adj_p_ppm", "reject"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Raking / iterative proportional fitting (Deming & Stephan 1940) of the
+# source x lang contingency table toward uniform target margins, run as
+# an INTEGER-MICRO chain: after every row/column scaling the cells floor
+# to integer micro-units, so margins are exact integer sums and the whole
+# 3-iteration schedule is bit-reproducible on both engines (float sums of
+# unfloored doubles would depend on accumulation order).
+# ---------------------------------------------------------------------------
+
+def _raking_sql() -> str:
+    body = """
+c0 AS (
+  SELECT source, lang, count(*) * 1000000 AS cell
+  FROM documents GROUP BY source, lang
+),
+tgt AS (
+  SELECT (sum(cell) / count(DISTINCT source))::DOUBLE AS row_t,
+         (sum(cell) / count(DISTINCT lang))::DOUBLE AS col_t
+  FROM c0
+)"""
+    prev = "c0"
+    for it in range(3):
+        body += f""",
+r{it} AS (
+  SELECT source, sum(cell) AS rs FROM {prev} GROUP BY source
+),
+cr{it} AS (
+  SELECT c.source, c.lang,
+         floor(c.cell * (tgt.row_t / r{it}.rs)) AS cell
+  FROM {prev} c JOIN r{it} USING (source) CROSS JOIN tgt
+),
+k{it} AS (
+  SELECT lang, sum(cell) AS cs FROM cr{it} GROUP BY lang
+),
+cc{it} AS (
+  SELECT c.source, c.lang,
+         floor(c.cell * (tgt.col_t / k{it}.cs)) AS cell
+  FROM cr{it} c JOIN k{it} USING (lang) CROSS JOIN tgt
+)"""
+        prev = f"cc{it}"
+    return f"""WITH {body}
+SELECT source, lang, cell::BIGINT AS weight_micro
+FROM {prev} ORDER BY source, lang"""
+
+
+@query("raking_ipf_margins", sql=_raking_sql())
+def raking_ipf_q(sf_dir: str):
+    """3 IPF iterations over the (source, lang) count table toward uniform
+    margins.  Exact count partials reduce distributedly (bounded 20x5
+    grid); the iteration runs on the driver in float64 with a floor to
+    integer micro-units after every scaling, mirroring the SQL chain."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "lang": b["lang"].to_pylist()})
+        return f.groupby(["source", "lang"], as_index=False).size()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["source", "lang"], as_index=False)["size"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "lang"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: sources x langs
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             "lang": pd.Series([], dtype=object),
+                             "weight_micro": pd.Series([], dtype=np.int64)})
+    f = merged.rename(columns={"size": "cell"}).copy()
+    f["cell"] = f["cell"].astype(np.int64) * 1_000_000
+    total = int(f["cell"].sum())
+    row_t = float(total / f["source"].nunique())
+    col_t = float(total / f["lang"].nunique())
+    for _ in range(3):
+        rs = f.groupby("source")["cell"].transform("sum").to_numpy()
+        f["cell"] = np.floor(f["cell"].to_numpy(np.float64)
+                             * (row_t / rs.astype(np.float64)))
+        cs = f.groupby("lang")["cell"].transform("sum").to_numpy()
+        f["cell"] = np.floor(f["cell"].to_numpy(np.float64)
+                             * (col_t / cs.astype(np.float64)))
+    f["weight_micro"] = f["cell"].astype(np.int64)
+    return (f[["source", "lang", "weight_micro"]]
+            .sort_values(["source", "lang"]).reset_index(drop=True))

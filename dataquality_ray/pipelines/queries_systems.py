@@ -2555,3 +2555,65 @@ def rto_estimator_replay_q(sf_dir: str):
     for c in cols:
         f[c] = f[c].astype("int64")
     return f.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# External-sort k-way merge planner: per source, initial run count at a
+# 64-doc run capacity, merge passes at fan-in 8 (smallest p with 8^p >=
+# runs), and total bytes moved (= source bytes x passes).  Companion to
+# replacement_selection_runs (which derives run lengths) — this audits
+# the merge schedule those runs feed.
+# ---------------------------------------------------------------------------
+
+@query("kway_merge_pass_audit", sql="""
+WITH s AS (
+  SELECT source, count(*) AS n, sum(n_chars) AS bytes
+  FROM documents GROUP BY source
+),
+c AS (SELECT source, n, bytes, (n + 63) // 64 AS runs FROM s),
+p AS (
+  SELECT source, n, bytes, runs,
+         CASE WHEN runs <= 1 THEN 0 WHEN runs <= 8 THEN 1
+              WHEN runs <= 64 THEN 2 WHEN runs <= 512 THEN 3
+              WHEN runs <= 4096 THEN 4 ELSE 5 END AS passes
+  FROM c
+)
+SELECT source, n::BIGINT AS n_docs, runs::BIGINT AS n_runs,
+       passes::BIGINT AS n_passes,
+       (bytes * passes)::BIGINT AS bytes_moved
+FROM p ORDER BY source
+""")
+def kway_merge_pass_q(sf_dir: str):
+    """Integer merge-pass planner from exact per-source (count, bytes)
+    partials; the pass count is the base-8 ceiling log via threshold
+    ladder (exact, no float log)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "n_chars": b["n_chars"].to_numpy(
+                              zero_copy_only=False).astype(np.int64)})
+        return f.groupby("source", as_index=False).agg(
+            n=("n_chars", "size"), bytes=("n_chars", "sum"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("source", as_index=False)[["n", "bytes"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: #sources
+    cols = ("source", "n_docs", "n_runs", "n_passes", "bytes_moved")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    n = merged["n"].to_numpy(np.int64)
+    runs = (n + 63) // 64
+    passes = np.select([runs <= 1, runs <= 8, runs <= 64, runs <= 512,
+                        runs <= 4096], [0, 1, 2, 3, 4], 5).astype(np.int64)
+    out = pd.DataFrame({"source": merged["source"], "n_docs": n,
+                        "n_runs": runs.astype(np.int64), "n_passes": passes,
+                        "bytes_moved": (merged["bytes"].to_numpy(np.int64)
+                                        * passes).astype(np.int64)})
+    return out.sort_values("source").reset_index(drop=True)

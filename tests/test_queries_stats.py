@@ -163,3 +163,35 @@ def test_hash_permutation_test_valid_p(ray_session):
     assert 0 <= r["n_ge"] <= 256
     # add-one p-value lies in ((0, 1]]
     assert 1_000_000 // 257 <= r["p_ppm"] <= 1_000_000
+
+
+def test_holm_stepdown_monotone(ray_session):
+    from dataquality_ray.pipelines.queries_stats import holm_bonferroni_q
+
+    df = holm_bonferroni_q(SF)
+    assert len(df) == df["event_type"].nunique()
+    r = df.sort_values("rank")
+    # adjusted p is monotone nondecreasing in rank and >= raw p
+    assert (r["adj_p_ppm"].diff().dropna() >= 0).all()
+    assert (r["adj_p_ppm"] >= r["p_ppm"]).all()
+    assert (r["adj_p_ppm"] <= 1_000_000).all()
+    # rejections form a prefix of the rank order
+    rej = r["reject"].to_numpy()
+    assert not rej[rej.argmin():].any()
+
+
+def test_raking_ipf_converges_toward_uniform(ray_session):
+    import numpy as np
+
+    from dataquality_ray.pipelines.queries_stats import raking_ipf_q
+
+    df = raking_ipf_q(SF)
+    piv = df.pivot(index="source", columns="lang",
+                   values="weight_micro").fillna(0)
+    col = piv.sum(axis=0).to_numpy(dtype=np.float64)
+    # after the final column scaling, column margins are near-equal
+    # (floor slack only: each cell drops < 1 micro-unit)
+    assert col.max() - col.min() <= len(piv) * len(piv.columns)
+    row = piv.sum(axis=1).to_numpy(dtype=np.float64)
+    # row margins approach uniformity too (within 1% after 3 iterations)
+    assert (row.max() - row.min()) / row.mean() < 0.01

@@ -347,3 +347,16 @@ def test_rto_replay_rfc_properties(ray_session):
     r0 = df.iloc[0]
     assert r0["srtt"] == r0["sample"]
     assert r0["rttvar"] == r0["sample"] // 2
+
+
+def test_kway_merge_pass_audit(ray_session):
+    from dataquality_ray.pipelines.queries_systems import kway_merge_pass_q
+
+    df = kway_merge_pass_q(SF)
+    assert (df["n_runs"] == (df["n_docs"] + 63) // 64).all()
+    # fan-in 8: one pass covers up to 8 runs
+    one = df[df["n_passes"] == 1]
+    assert one["n_runs"].between(2, 8).all()
+    zero = df[df["n_passes"] == 0]
+    assert (zero["n_runs"] <= 1).all()
+    assert (zero["bytes_moved"] == 0).all()
