@@ -10424,3 +10424,71 @@ def densest_subgraph_peeling_q(sf_dir: str):
         "two_m_sub": pd.Series([two_m], dtype=np.int64),
         "density_ppm": pd.Series([two_m * 1_000_000 // (2 * k)],
                                  dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Connected components, oracle-checked: edges join consecutive doc_ids
+# sharing a lang, so components are exactly the maximal equal-lang runs —
+# a closed form the oracle computes with gaps-and-islands windows while
+# the engine runs the REAL distributed min-label propagation
+# (stages/minhash.near_dup_keep_distributed, the beyond-cap dedup twin).
+# This pins the generic component labeler against an independent
+# formulation under the driver hash.
+# ---------------------------------------------------------------------------
+
+@query("lang_run_components", sql="""
+WITH m AS (
+  SELECT doc_id, lang,
+         CASE WHEN lag(lang) OVER (ORDER BY doc_id) = lang
+                   AND lag(doc_id) OVER (ORDER BY doc_id) = doc_id - 1
+              THEN 0 ELSE 1 END AS brk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang, sum(brk) OVER (ORDER BY doc_id) AS grp FROM m
+),
+a AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY grp) AS group_id,
+         count(*) OVER (PARTITION BY grp) AS sz
+  FROM g
+)
+SELECT doc_id, group_id::BIGINT AS group_id, doc_id = group_id AS keep
+FROM a WHERE sz >= 2 ORDER BY doc_id
+""")
+def lang_run_components_q(sf_dir: str):
+    """Edges are derived distributedly (each doc posts its lang to pair
+    slots doc_id and doc_id-1; a groupby(p) emits the edge when both
+    sides agree), then labeled by min-label propagation with pointer
+    jumping — zero driver state at every step."""
+    from dataquality_ray.stages.minhash import near_dup_keep_distributed
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        f = pd.DataFrame({
+            "p": np.concatenate([ids, ids - 1]),
+            "side": np.concatenate([np.zeros(len(ids), np.int64),
+                                    np.ones(len(ids), np.int64)]),
+            "lang": np.concatenate([lang, lang])})
+        return f[f["p"] >= 0]
+
+    def to_edge(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        if not len(a) or not len(b) or a["lang"].iloc[0] != b["lang"].iloc[0]:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64)})
+        p = int(g["p"].iloc[0])
+        return pd.DataFrame({"id_a": [p], "id_b": [p + 1]})
+
+    edges = (_read(sf_dir, "documents", ["doc_id", "lang"])
+             .map_batches(part, batch_format="pyarrow")
+             .groupby("p").map_groups(to_edge, batch_format="pandas"))
+    labeled = near_dup_keep_distributed(edges).to_pandas()
+    labeled["doc_id"] = labeled["doc_id"].astype(np.int64)
+    labeled["group_id"] = labeled["group_id"].astype(np.int64)
+    return labeled.sort_values("doc_id").reset_index(drop=True)

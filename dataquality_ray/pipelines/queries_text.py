@@ -9596,3 +9596,81 @@ def bag_distance_pairs_q(sf_dir: str):
         out[c] = out[c].astype(np.int64)
     return (out[list(cols)].sort_values(["doc_a", "doc_b"])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# MATTR — moving-average type-token ratio (Covington & McFall 2010),
+# window 25: the windowed fix for TTR's length sensitivity (plain TTR /
+# type_token_ratio shrinks with doc length; MATTR doesn't).  Exact
+# integer chain: per-window ttr_ppm = distinct*1e6 // window_len, doc
+# score = mean of window scores (floored once).
+# ---------------------------------------------------------------------------
+
+@query("mattr_lexical_diversity", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text,''), ' '), x -> x <> '')
+           AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS ord
+  FROM cv
+),
+wnd AS (
+  SELECT doc_id, unnest(range(1, greatest(len(t) - 24, 1) + 1)) AS s
+  FROM cv
+),
+per AS (
+  SELECT w.doc_id, w.s, count(DISTINCT tok.w) AS d, count(*) AS m
+  FROM wnd w JOIN tok ON tok.doc_id = w.doc_id
+                     AND tok.ord BETWEEN w.s AND w.s + 24
+  GROUP BY w.doc_id, w.s
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_windows,
+         sum(d * 1000000 // m) AS ttr_sum
+  FROM per GROUP BY doc_id
+),
+n AS (SELECT doc_id, len(t) AS n_tokens FROM cv)
+SELECT a.doc_id, n.n_tokens::BIGINT AS n_tokens,
+       a.n_windows::BIGINT AS n_windows,
+       CAST(a.ttr_sum // a.n_windows AS BIGINT) AS mattr_ppm
+FROM agg a JOIN n ON n.doc_id = a.doc_id ORDER BY a.doc_id
+""")
+def mattr_lexical_diversity_q(sf_dir: str):
+    """Per-doc MATTR over 25-token sliding windows (docs shorter than the
+    window get one whole-doc window; token-less docs are omitted, matching
+    the oracle's inner join).  The window scan is a per-doc numpy kernel
+    inside map_batches — parallel across blocks, O(n_windows * 25) per
+    doc."""
+    def kern(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.coalesce(batch["text"], pa.scalar("")),
+                                " ")
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_id, out_n, out_w, out_ppm = [], [], [], []
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        for i in range(len(arr)):
+            words = [w for w in arr[i].as_py() if w != ""]
+            n = len(words)
+            if n == 0:
+                continue
+            codes = pd.factorize(np.asarray(words, dtype=object))[0]
+            n_w = max(n - 24, 1)
+            ttr_sum = 0
+            for s in range(n_w):
+                win = codes[s:s + 25]
+                ttr_sum += len(np.unique(win)) * 1_000_000 // len(win)
+            out_id.append(ids[i])
+            out_n.append(n)
+            out_w.append(n_w)
+            out_ppm.append(ttr_sum // n_w)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "n_tokens": pa.array(out_n, pa.int64()),
+                         "n_windows": pa.array(out_w, pa.int64()),
+                         "mattr_ppm": pa.array(out_ppm, pa.int64())})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1834,3 +1834,23 @@ def test_densest_peeling_runs(ray_session):
     assert r["n_nodes_sub"] >= 1
     # density_ppm is floor(1e6 * m / k) with m = two_m/2
     assert r["density_ppm"] == r["two_m_sub"] * 1_000_000 // (2 * r["n_nodes_sub"])
+
+
+def test_lang_run_components_are_runs(ray_session):
+    import pyarrow.parquet as pq
+
+    from dataquality_ray.pipelines.queries_mining import lang_run_components_q
+
+    df = lang_run_components_q(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    lang = docs.set_index("doc_id")["lang"]
+    # every labeled component is a run of equal lang, rooted at its min
+    for gid, grp in df.groupby("group_id"):
+        ids = grp["doc_id"].to_numpy()
+        assert ids.min() == gid
+        assert (np.diff(np.sort(ids)) == 1).all()
+        assert lang.loc[ids].nunique() == 1
+    assert (df["keep"] == (df["doc_id"] == df["group_id"])).all()
+    # singletons (no equal-lang neighbour) are excluded
+    assert df.groupby("group_id").size().min() >= 2

@@ -107,3 +107,16 @@ def test_bag_distance_pairs_twin(ray_session, monkeypatch):
     twin = bag_distance_pairs_q(SF)
     assert ar.last_route("bag_distance_pairs")["chosen"] == "groupby_twin"
     assert twin.equals(base)
+
+
+def test_mattr_vs_plain_ttr(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        mattr_lexical_diversity_q,
+    )
+
+    df = mattr_lexical_diversity_q(SF)
+    assert df["mattr_ppm"].between(1, 1_000_000).all()
+    long = df[df["n_tokens"] > 25]
+    assert (long["n_windows"] == long["n_tokens"] - 24).all()
+    short = df[df["n_tokens"] <= 25]
+    assert (short["n_windows"] == 1).all()
