@@ -3255,3 +3255,95 @@ def data_file_detect_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Import-cycle scan — the dependency-hygiene companion to import_fanin.
+# Each doc declares module mod_{doc_id % 63} and a planted import of
+# mod_{(doc_id*2) % 63} appended as a real 'import ...' line the
+# scanner must regex-extract; out-degree-1 modules form a functional
+# graph whose 1-/2-/3-cycles the scan detects with pure joins (no
+# recursion).
+# ---------------------------------------------------------------------------
+
+@query("import_cycle_scan", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         'mod_' || (doc_id % 63) AS src,
+         coalesce(text,'') || chr(10) || 'import mod_'
+           || ((doc_id * 2) % 63) AS v
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT src, regexp_extract(v, 'import (mod_[0-9]+)', 1) AS dst
+  FROM cv
+),
+c1 AS (SELECT src AS module, 1 AS cl FROM e WHERE src = dst),
+c2 AS (
+  SELECT a.src AS module, 2 AS cl
+  FROM e a JOIN e b ON a.dst = b.src AND b.dst = a.src
+  WHERE a.src <> a.dst
+),
+c3 AS (
+  SELECT a.src AS module, 3 AS cl
+  FROM e a JOIN e b ON a.dst = b.src JOIN e c ON b.dst = c.src
+  WHERE c.dst = a.src AND a.src <> a.dst AND a.src <> b.dst
+),
+u AS (
+  SELECT module, min(cl) AS cycle_len
+  FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        UNION ALL SELECT * FROM c3)
+  GROUP BY module
+)
+SELECT module, cycle_len::BIGINT AS cycle_len FROM u ORDER BY module
+""")
+def import_cycle_scan_q(sf_dir: str):
+    """Modules on an import cycle of length <= 3.  The edge set is
+    regex-extracted per batch and reduced distributedly (bounded: 63
+    modules); cycle detection is three self-joins on the driver over the
+    tiny distinct edge list."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = pc.binary_join_element_wise(
+            pc.coalesce(batch["text"], pa.scalar("")),
+            pa.array(["\nimport mod_%d" % ((i * 2) % 63)
+                      for i in ids], pa.string()), "")
+        dst = pc.extract_regex(v, r"import (?P<m>mod_[0-9]+)")
+        dsts = [d["m"] if d is not None else None for d in dst.to_pylist()]
+        f = pd.DataFrame({"src": ["mod_%d" % (i % 63) for i in ids],
+                          "dst": dsts})
+        return f.dropna().drop_duplicates()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.drop_duplicates(), 2_000_000)
+    assert ok  # bounded: 63x63 module grid
+    if merged is None or not len(merged):
+        return pd.DataFrame({"module": pd.Series([], dtype=object),
+                             "cycle_len": pd.Series([], dtype=np.int64)})
+    e = merged.drop_duplicates()
+    rows: dict = {}
+
+    def add(mods, cl: int) -> None:
+        for s in mods:
+            if s not in rows or rows[s] > cl:
+                rows[s] = cl
+
+    c1 = e[e["src"] == e["dst"]]
+    add(c1["src"], 1)
+    two = e.merge(e, left_on="dst", right_on="src",
+                  suffixes=("_a", "_b"))
+    c2 = two[(two["dst_b"] == two["src_a"]) & (two["src_a"] != two["dst_a"])]
+    add(c2["src_a"], 2)
+    three = two.merge(e, left_on="dst_b", right_on="src")
+    c3 = three[(three["dst"] == three["src_a"])
+               & (three["src_a"] != three["dst_a"])
+               & (three["src_a"] != three["dst_b"])]
+    add(c3["src_a"], 3)
+    out = pd.DataFrame({"module": list(rows), "cycle_len": [
+        np.int64(rows[m]) for m in rows]})
+    out["cycle_len"] = out["cycle_len"].astype(np.int64)
+    return out.sort_values("module").reset_index(drop=True)

@@ -9674,3 +9674,128 @@ def mattr_lexical_diversity_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff bigram LM score (Brants et al. 2007): each doc scored
+# against counts from the doc_id % 3 == 0 reference subset; seen bigrams
+# score c12/c(w1), unseen ones back off to 0.4 * c(w2)/N — the whole
+# chain in floor-ppm integers.  The reference counts reduce distributedly
+# (bounded: vocab^2), broadcast into the scoring kernel.
+# ---------------------------------------------------------------------------
+
+@query("stupid_backoff_score", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text,''), ' '), x -> x <> '')
+           AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM cv WHERE len(t) >= 2
+),
+rbc AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg WHERE doc_id % 3 = 0
+  GROUP BY w1, w2
+),
+ruc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(t) AS w FROM cv WHERE doc_id % 3 = 0) GROUP BY w
+),
+rn AS (
+  SELECT count(*) AS n
+  FROM (SELECT unnest(t) AS w FROM cv WHERE doc_id % 3 = 0)
+),
+sc AS (
+  SELECT bg.doc_id,
+         CASE WHEN rbc.c12 IS NOT NULL
+              THEN rbc.c12 * 1000000 // u1.c
+              ELSE (2 * ((coalesce(u2.c, 0) * 1000000) // rn.n)) // 5
+         END AS s
+  FROM bg
+  LEFT JOIN rbc ON rbc.w1 = bg.w1 AND rbc.w2 = bg.w2
+  LEFT JOIN ruc u1 ON u1.w = bg.w1
+  LEFT JOIN ruc u2 ON u2.w = bg.w2
+  CROSS JOIN rn
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       CAST(sum(s) // count(*) AS BIGINT) AS sb_score_ppm
+FROM sc GROUP BY doc_id ORDER BY doc_id
+""")
+def stupid_backoff_score_q(sf_dir: str):
+    """Two Dataset passes: reference (bigram, unigram, N) count partials
+    with a guarded combine, then a vectorized per-batch scoring kernel
+    (pandas merges against the broadcast count tables, numpy integer
+    arithmetic).  Docs with < 2 tokens are omitted (no bigrams), matching
+    the oracle's group-by."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def flat_tokens(batch: pa.Table):
+        toks = pc.split_pattern(pc.coalesce(batch["text"], pa.scalar("")),
+                                " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, n_per)
+        keep = flat != ""
+        return doc[keep], flat[keep]
+
+    def ref_part(batch: pa.Table) -> pd.DataFrame:
+        doc, w = flat_tokens(batch)
+        ref = doc % 3 == 0
+        doc, w = doc[ref], w[ref]
+        adj = (doc[1:] == doc[:-1]) if len(doc) else np.array([], bool)
+        uni = pd.DataFrame({"w1": w, "w2": "", "c": 1})
+        big = pd.DataFrame({"w1": w[:-1][adj], "w2": w[1:][adj], "c": 1})
+        both = pd.concat([uni, big], ignore_index=True)
+        return both.groupby(["w1", "w2"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["w1", "w2"], as_index=False)["c"].sum()
+
+    counts, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(ref_part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: vocab + vocab^2
+    if counts is None:
+        counts = pd.DataFrame({"w1": [], "w2": [], "c": []})
+    uni = counts[counts["w2"] == ""].set_index("w1")["c"]
+    big = counts[counts["w2"] != ""].set_index(["w1", "w2"])["c"]
+    n_ref = int(uni.sum())
+
+    def score(batch: pa.Table) -> pa.Table:
+        doc, w = flat_tokens(batch)
+        if not len(doc):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "sb_score_ppm": pa.array([], pa.int64())})
+        adj = doc[1:] == doc[:-1]
+        d = doc[:-1][adj]
+        f = pd.DataFrame({"w1": w[:-1][adj], "w2": w[1:][adj]})
+        c12 = big.reindex(pd.MultiIndex.from_frame(f)).to_numpy(np.float64)
+        c1 = uni.reindex(f["w1"]).to_numpy(np.float64)
+        c2 = np.nan_to_num(uni.reindex(f["w2"]).to_numpy(np.float64))
+        seen = ~np.isnan(c12)
+        s = np.where(
+            seen,
+            np.nan_to_num(c12).astype(np.int64) * 1_000_000
+            // np.maximum(np.nan_to_num(c1), 1).astype(np.int64),
+            (2 * ((c2.astype(np.int64) * 1_000_000) // max(n_ref, 1))) // 5)
+        if not len(d):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "sb_score_ppm": pa.array([], pa.int64())})
+        first = np.concatenate([[True], d[1:] != d[:-1]])
+        gid = np.cumsum(first) - 1
+        cnt = np.bincount(gid).astype(np.int64)
+        tot = np.bincount(gid, weights=s).astype(np.int64)
+        return pa.table({"doc_id": pa.array(d[first], pa.int64()),
+                         "n_bigrams": pa.array(cnt),
+                         "sb_score_ppm": pa.array(tot // cnt)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(score, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

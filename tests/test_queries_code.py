@@ -554,3 +554,17 @@ def test_data_file_detect_plants(ray_session):
     assert df.loc[ids % 17 < 2, "is_data_dump"].all()
     assert not df.loc[ids % 17 >= 2, "is_data_dump"].any()
     assert (df["n_numeric"] <= df["n_toks"]).all()
+
+
+def test_import_cycle_scan_functional_graph(ray_session):
+    from dataquality_ray.pipelines.queries_code import import_cycle_scan_q
+
+    df = import_cycle_scan_q(SF)
+    got = dict(zip(df["module"], df["cycle_len"]))
+    # f(m) = 2m mod 63: fixed point at 0, 2-cycle {21,42},
+    # 3-cycles {9,18,36} and {27,45,54}
+    assert got.get("mod_0") == 1
+    assert got.get("mod_21") == 2 and got.get("mod_42") == 2
+    for m in (9, 18, 36, 27, 45, 54):
+        assert got.get(f"mod_{m}") == 3
+    assert len(df) == 9

@@ -120,3 +120,15 @@ def test_mattr_vs_plain_ttr(ray_session):
     assert (long["n_windows"] == long["n_tokens"] - 24).all()
     short = df[df["n_tokens"] <= 25]
     assert (short["n_windows"] == 1).all()
+
+
+def test_stupid_backoff_score_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_text import stupid_backoff_score_q
+
+    df = stupid_backoff_score_q(SF)
+    assert df["sb_score_ppm"].between(0, 1_000_000).all()
+    assert (df["n_bigrams"] >= 1).all()
+    # reference docs score against counts that include themselves, so
+    # they can never hit the backoff-to-zero floor
+    ref = df[df["doc_id"] % 3 == 0]
+    assert (ref["sb_score_ppm"] > 0).all()
