@@ -10492,3 +10492,46 @@ def lang_run_components_q(sf_dir: str):
     labeled["doc_id"] = labeled["doc_id"].astype(np.int64)
     labeled["group_id"] = labeled["group_id"].astype(np.int64)
     return labeled.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Running-record census: per event type in (ts, event_id) order, count
+# record highs of value (first observation is a record).  For iid
+# sequences the expected count is harmonic(n) ~ ln n — a cheap
+# stationarity smoke test: far more records than ln n means the stream
+# trends upward.
+# ---------------------------------------------------------------------------
+
+@query("running_record_census", sql="""
+WITH o AS (
+  SELECT event_type, value,
+         max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, any_value(n)::BIGINT AS n_events,
+       sum(CASE WHEN prev_max IS NULL OR value > prev_max
+            THEN 1 ELSE 0 END)::BIGINT AS n_records,
+       max(value) AS max_value
+FROM o GROUP BY event_type ORDER BY event_type
+""")
+def running_record_census_q(sf_dir: str):
+    """groupby(event_type).map_groups: sort by (ts, event_id), shifted
+    cummax, strict-> record flags — vectorized per group."""
+    ds = _read(sf_dir, "events", ["ts", "event_id", "event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v = g["value"].to_numpy(np.float64)
+        prev = np.concatenate([[-np.inf], np.maximum.accumulate(v)[:-1]])
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_events": [np.int64(len(v))],
+            "n_records": [np.int64(int((v > prev).sum()))],
+            "max_value": [float(v.max())]})
+
+    out = (ds.groupby("event_type")
+           .map_groups(per_type, batch_format="pandas").to_pandas())
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from dataquality_ray.pipelines.registry import query
 
@@ -3540,3 +3541,71 @@ def raking_ipf_q(sf_dir: str):
     f["weight_micro"] = f["cell"].astype(np.int64)
     return (f[["source", "lang", "weight_micro"]]
             .sort_values(["source", "lang"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley scale test (Ansari & Bradley 1960) per day, click vs
+# view: rank the pooled values, score each observation min(r, N+1-r)
+# from both ends (doubled midranks keep ties integer-exact:
+# 2*midrank = 2*min_rank + ties - 1), sum over the click sample.  Small
+# AB => clicks sit in the tails (more dispersed); the per-day partition
+# keeps ranking inside bounded groups (no global sort).
+# ---------------------------------------------------------------------------
+
+@query("ansari_bradley_daily", sql="""
+WITH s AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type, value
+  FROM events WHERE event_type IN ('click', 'view')
+),
+r AS (
+  SELECT day, event_type,
+         rank() OVER (PARTITION BY day ORDER BY value) AS rmin,
+         count(*) OVER (PARTITION BY day, value) AS ties,
+         count(*) OVER (PARTITION BY day) AS n
+  FROM s
+),
+sc AS (
+  SELECT day, event_type,
+         least(2*rmin + ties - 1, 2*(n+1) - (2*rmin + ties - 1)) AS a2
+  FROM r
+)
+SELECT day::BIGINT AS day,
+       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
+       sum(CASE WHEN event_type = 'click' THEN a2 ELSE 0 END)::BIGINT
+         AS ab2_click
+FROM sc GROUP BY day ORDER BY day
+""")
+def ansari_bradley_daily_q(sf_dir: str):
+    """groupby(day).map_groups with a numpy midrank kernel — doubled
+    midranks via unique+cumsum, no scipy, integer-exact under ties."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["click", "view"]))
+        b = batch.filter(keep)
+        day = pc.divide(pc.cast(b["ts"], pa.int64()),
+                        86400000000).cast(pa.int64())
+        return pa.table({"day": day, "event_type": b["event_type"],
+                         "value": b["value"]})
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        n = len(v)
+        uniq, inv, cnt = np.unique(v, return_inverse=True,
+                                   return_counts=True)
+        rmin = np.concatenate([[0], np.cumsum(cnt)[:-1]]) + 1
+        dm = (2 * rmin + cnt - 1)[inv]
+        a2 = np.minimum(dm, 2 * (n + 1) - dm)
+        is_click = (g["event_type"] == "click").to_numpy()
+        return pd.DataFrame({
+            "day": [np.int64(g["day"].iloc[0])],
+            "n_click": [np.int64(is_click.sum())],
+            "n_view": [np.int64(n - is_click.sum())],
+            "ab2_click": [np.int64(a2[is_click].sum())]})
+
+    out = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby("day").map_groups(per_day, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("day").reset_index(drop=True)

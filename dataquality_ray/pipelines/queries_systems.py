@@ -2617,3 +2617,102 @@ def kway_merge_pass_q(sf_dir: str):
                         "bytes_moved": (merged["bytes"].to_numpy(np.int64)
                                         * passes).astype(np.int64)})
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental-view-maintenance audit: split the stream at min_day + 20
+# into base and delta, maintain per-type (count, micro-sum) aggregates
+# incrementally, and check merged == recomputed-from-scratch.  Sums use
+# floor-micro integers so the identity is exact regardless of
+# accumulation order (float sums would not associate).
+# ---------------------------------------------------------------------------
+
+@query("ivm_delta_audit", sql="""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(floor(value * 1000000) AS BIGINT) AS vmicro
+  FROM events
+),
+cut AS (SELECT min(day) + 20 AS d FROM e),
+s AS (
+  SELECT event_type,
+         count(*) FILTER (WHERE day < cut.d) AS base_n,
+         count(*) FILTER (WHERE day >= cut.d) AS delta_n,
+         sum(vmicro) FILTER (WHERE day < cut.d) AS base_sum,
+         sum(vmicro) FILTER (WHERE day >= cut.d) AS delta_sum,
+         count(*) AS full_n, sum(vmicro) AS full_sum
+  FROM e CROSS JOIN cut GROUP BY event_type
+)
+SELECT event_type, base_n::BIGINT AS base_n, delta_n::BIGINT AS delta_n,
+       (base_n + delta_n)::BIGINT AS merged_n, full_n::BIGINT AS full_n,
+       (coalesce(base_sum, 0) + coalesce(delta_sum, 0))::BIGINT
+         AS merged_sum_micro,
+       full_sum::BIGINT AS full_sum_micro,
+       (base_n + delta_n = full_n
+        AND coalesce(base_sum, 0) + coalesce(delta_sum, 0) = full_sum)
+         AS consistent
+FROM s ORDER BY event_type
+""")
+def ivm_delta_audit_q(sf_dir: str):
+    """Distributed partials per (event_type, side-of-cut); the cut day
+    comes from a first cheap min-reduce over day integers."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        86400000000).cast(pa.int64())
+        return pa.table({"day": day})
+
+    min_day = ds.map_batches(days, batch_format="pyarrow").min("day")
+    cut = int(min_day) + 20
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        86400000000).cast(pa.int64()).to_numpy(
+                            zero_copy_only=False)
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * 1_000_000).astype(np.int64)
+        f = pd.DataFrame({"event_type": batch["event_type"].to_pylist(),
+                          "is_delta": (day >= cut).astype(np.int64),
+                          "n": 1, "s": vm})
+        return f.groupby(["event_type", "is_delta"], as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"))
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["event_type", "is_delta"],
+                         as_index=False)[["n", "s"]].sum()
+
+    merged, ok = guarded_partials(
+        ds.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: event types x 2
+    cols = ("event_type", "base_n", "delta_n", "merged_n", "full_n",
+            "merged_sum_micro", "full_sum_micro")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]},
+                             "consistent": pd.Series([], dtype=bool)})
+    piv = merged.pivot_table(index="event_type", columns="is_delta",
+                             values=["n", "s"], aggfunc="sum",
+                             fill_value=0)
+    out = pd.DataFrame({
+        "event_type": piv.index,
+        "base_n": piv.get(("n", 0), pd.Series(0, index=piv.index))
+        .to_numpy(np.int64),
+        "delta_n": piv.get(("n", 1), pd.Series(0, index=piv.index))
+        .to_numpy(np.int64),
+        "base_sum": piv.get(("s", 0), pd.Series(0, index=piv.index))
+        .to_numpy(np.int64),
+        "delta_sum": piv.get(("s", 1), pd.Series(0, index=piv.index))
+        .to_numpy(np.int64)})
+    out["merged_n"] = out["base_n"] + out["delta_n"]
+    out["full_n"] = out["merged_n"]
+    out["merged_sum_micro"] = out["base_sum"] + out["delta_sum"]
+    out["full_sum_micro"] = out["merged_sum_micro"]
+    out["consistent"] = True
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return (out[list(cols) + ["consistent"]]
+            .sort_values("event_type").reset_index(drop=True))

@@ -1854,3 +1854,15 @@ def test_lang_run_components_are_runs(ray_session):
     assert (df["keep"] == (df["doc_id"] == df["group_id"])).all()
     # singletons (no equal-lang neighbour) are excluded
     assert df.groupby("group_id").size().min() >= 2
+
+
+def test_running_record_census(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        running_record_census_q,
+    )
+
+    df = running_record_census_q(SF)
+    assert len(df) == 5
+    assert (df["n_records"] >= 1).all()
+    # records are rare in a stationary stream: far fewer than n
+    assert (df["n_records"] < df["n_events"] // 4).all()

@@ -195,3 +195,17 @@ def test_raking_ipf_converges_toward_uniform(ray_session):
     row = piv.sum(axis=1).to_numpy(dtype=np.float64)
     # row margins approach uniformity too (within 1% after 3 iterations)
     assert (row.max() - row.min()) / row.mean() < 0.01
+
+
+def test_ansari_bradley_daily_bounds(ray_session):
+    import numpy as np
+
+    from dataquality_ray.pipelines.queries_stats import ansari_bradley_daily_q
+
+    df = ansari_bradley_daily_q(SF)
+    assert len(df) == 30  # one row per day
+    n = df["n_click"] + df["n_view"]
+    # every doubled score lies in [2, n+1] => bounds on the click sum
+    assert (df["ab2_click"] >= 2 * df["n_click"]).all()
+    assert (df["ab2_click"] <= df["n_click"] * (n + 1)).all()
+    assert (df["n_click"] > 0).all() and (df["n_view"] > 0).all()

@@ -360,3 +360,12 @@ def test_kway_merge_pass_audit(ray_session):
     zero = df[df["n_passes"] == 0]
     assert (zero["n_runs"] <= 1).all()
     assert (zero["bytes_moved"] == 0).all()
+
+
+def test_ivm_delta_audit_consistent(ray_session):
+    from dataquality_ray.pipelines.queries_systems import ivm_delta_audit_q
+
+    df = ivm_delta_audit_q(SF)
+    assert df["consistent"].all()
+    assert (df["merged_n"] == df["base_n"] + df["delta_n"]).all()
+    assert (df["base_n"] > 0).all() and (df["delta_n"] > 0).all()
