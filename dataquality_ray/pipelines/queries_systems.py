@@ -2716,3 +2716,64 @@ def ivm_delta_audit_q(sf_dir: str):
         out[c] = out[c].astype(np.int64)
     return (out[list(cols) + ["consistent"]]
             .sort_values("event_type").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Skip-list level census: level(doc) = trailing zero bits of
+# splitmix64(doc_id) + 1 (capped at 13) — the geometric p=1/2 coin a
+# skip list throws per insert.  The census checks the level histogram
+# against its expected halving and reports the max tower height.
+# ---------------------------------------------------------------------------
+
+def _skiplist_sql() -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    prev = "h0"
+    ctes = ["h0 AS (SELECT doc_id, doc_id::HUGEINT AS x FROM documents)"]
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append(f"s{n} AS (SELECT doc_id, {expr} AS x FROM {prev})")
+        prev = f"s{n}"
+    ladder = " ".join(
+        f"WHEN x % {2 ** k} = {2 ** (k - 1)} THEN {k}"
+        for k in range(1, 13))
+    ctes.append(f"""lv AS (
+  SELECT doc_id, CASE {ladder} ELSE 13 END AS level FROM {prev}
+)""")
+    return (f"WITH {', '.join(ctes)}\n"
+            "SELECT level::BIGINT AS level, count(*)::BIGINT AS n_docs\n"
+            "FROM lv GROUP BY level ORDER BY level")
+
+
+@query("skiplist_level_census", sql=_skiplist_sql())
+def skiplist_level_census_q(sf_dir: str):
+    """Vectorized level assignment per batch (uint64 splitmix + modulo
+    ladder), bounded 13-level histogram reduced distributedly."""
+    from dataquality_ray.functions.hashing import splitmix64
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        h = splitmix64(b["doc_id"].to_numpy(zero_copy_only=False)
+                       .astype(np.uint64))
+        level = np.full(len(h), 13, dtype=np.int64)
+        assigned = np.zeros(len(h), dtype=bool)
+        for k in range(1, 13):
+            hit = (~assigned) & (h % np.uint64(2 ** k)
+                                 == np.uint64(2 ** (k - 1)))
+            level[hit] = k
+            assigned |= hit
+        f = pd.DataFrame({"level": level})
+        return f.groupby("level", as_index=False).size().rename(
+            columns={"size": "n_docs"})
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("level", as_index=False)["n_docs"].sum(),
+        2_000_000)
+    assert ok  # bounded: 13 levels
+    if merged is None or not len(merged):
+        return pd.DataFrame({"level": pd.Series([], dtype=np.int64),
+                             "n_docs": pd.Series([], dtype=np.int64)})
+    merged["level"] = merged["level"].astype(np.int64)
+    merged["n_docs"] = merged["n_docs"].astype(np.int64)
+    return merged.sort_values("level").reset_index(drop=True)

@@ -9799,3 +9799,207 @@ def stupid_backoff_score_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(score, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Count-Sketch (Charikar, Chen & Farach-Colton 2002): signed-bucket
+# median estimator — the unbiased companion to the CMS's biased-up min
+# estimator (cms_token_counts).  Same sha64 -> splitmix64 double-hash
+# family, width 512, 5 rows, sign from a parity probe of the same chain;
+# the 5-way integer median is exact (rank-3 of sorted 5).
+# ---------------------------------------------------------------------------
+
+def _countsketch_sql(width: int = 512, rows: int = 5) -> str:
+    from dataquality_ray.stages.sketch import CMS_SEED_B
+
+    ctes = [
+        ("toks", "SELECT unnest(regexp_split_to_array(trim(text), "
+                 "'\\s+')) AS tok FROM documents "
+                 "WHERE length(trim(text)) > 0"),
+        ("dtoks", "SELECT DISTINCT tok FROM toks"),
+        ("h0", "SELECT tok, "
+               "('0x' || substr(sha256(tok),1,16))::UBIGINT::HUGEINT AS xa, "
+               "xor(('0x' || substr(sha256(tok),1,16))::UBIGINT, "
+               f"{CMS_SEED_B}::UBIGINT)::HUGEINT AS xb FROM dtoks"),
+    ]
+    prev = "h0"
+    for n, expr in enumerate(_sm64_exprs("xa")):
+        ctes.append((f"ka{n}", f"SELECT tok, {expr} AS xa, xb FROM {prev}"))
+        prev = f"ka{n}"
+    for n, expr in enumerate(_sm64_exprs("xb")):
+        ctes.append((f"kb{n}", f"SELECT tok, xa, {expr} AS xb FROM {prev}"))
+        prev = f"kb{n}"
+    rvals = ",".join(f"({r})" for r in range(rows))
+    ctes += [
+        ("tokc", "SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok"),
+        ("cells", f"SELECT h.tok, t.c, rs.r, "
+                  f"((h.xa + rs.r * h.xb) % {_M64S}) % {width} AS cell, "
+                  f"CASE WHEN ((h.xa + (rs.r + 11) * h.xb) % {_M64S}) % 2 "
+                  "= 0 THEN 1 ELSE -1 END AS sgn "
+                  f"FROM {prev} h JOIN tokc t USING (tok) "
+                  f"CROSS JOIN (VALUES {rvals}) rs(r)"),
+        ("vals", "SELECT r, cell, sum(sgn * c)::BIGINT AS v "
+                 "FROM cells GROUP BY 1, 2"),
+        ("est", "SELECT c2.tok, c2.c, c2.sgn * v.v AS e "
+                "FROM cells c2 JOIN vals v "
+                "ON v.r = c2.r AND v.cell = c2.cell"),
+        ("ranked", "SELECT tok, c, e, "
+                   "row_number() OVER (PARTITION BY tok ORDER BY e) AS rn "
+                   "FROM est"),
+        ("med", "SELECT tok, any_value(c) AS exact_count, "
+                f"max(CASE WHEN rn = {rows // 2 + 1} THEN e END) AS m "
+                "FROM ranked GROUP BY tok"),
+    ]
+    body = ",\n".join(f"{n} AS ({s})" for n, s in ctes)
+    return (f"WITH {body}\n"
+            "SELECT tok AS token, exact_count, m::BIGINT AS cs_estimate\n"
+            "FROM med ORDER BY exact_count DESC, token LIMIT 10")
+
+
+@query("countsketch_heavy_hitters", sql=_countsketch_sql())
+def countsketch_q(sf_dir: str):
+    """Top-10 tokens with their Count-Sketch median estimates.  Exact
+    token counts reduce distributedly (bounded vocab); the 5x512 signed
+    table and the median probe run on the merged counts with the same
+    uint64 splitmix chain the SQL unrolls."""
+    from dataquality_ray.functions.hashing import splitmix64
+    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.minhash import _hash64
+    from dataquality_ray.stages.sketch import CMS_SEED_B
+
+    width, rows = 512, 5
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks: list = []
+        for t in b["text"].to_pylist():
+            toks.extend((t or "").split())
+        if not toks:
+            return pd.DataFrame({"tok": [], "c": []})
+        uniq, counts = np.unique(np.asarray(toks, dtype=object).astype(str),
+                                 return_counts=True)
+        return pd.DataFrame({"tok": uniq, "c": counts.astype(np.int64)})
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("tok", as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: vocabulary
+    if merged is None or not len(merged):
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "exact_count": pd.Series([], dtype=np.int64),
+                             "cs_estimate": pd.Series([], dtype=np.int64)})
+    toks = merged["tok"].to_numpy(dtype=object)
+    c = merged["c"].to_numpy(np.int64)
+    base = np.array([_hash64(t) for t in toks], dtype=np.uint64)
+    xa = splitmix64(base)
+    xb = splitmix64(base ^ np.uint64(CMS_SEED_B))
+    est = np.empty((rows, len(toks)), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            cell = ((xa + np.uint64(r) * xb) % np.uint64(width)).astype(
+                np.int64)
+            sgn = np.where((xa + np.uint64(r + 11) * xb)
+                           % np.uint64(2) == 0, 1, -1).astype(np.int64)
+            v = np.zeros(width, dtype=np.int64)
+            np.add.at(v, cell, sgn * c)
+            est[r] = sgn * v[cell]
+    cs = np.sort(est, axis=0)[rows // 2]
+    out = pd.DataFrame({"token": toks, "exact_count": c, "cs_estimate": cs})
+    return (out.sort_values(["exact_count", "token"],
+                            ascending=[False, True]).head(10)
+            .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Typo census: a token is a typo candidate when a 10x-more-frequent
+# vocabulary word sits at Levenshtein distance exactly 1 (the classic
+# spell-check / OCR-noise gate).  The typo 'tabl' (distance-1 deletion) is planted by
+# rewriting ' table ' in doc_id % 31 == 0 docs.
+# ---------------------------------------------------------------------------
+
+@query("typo_census", sql="""
+WITH cv AS (
+  SELECT CASE WHEN doc_id % 31 = 0
+              THEN replace(coalesce(text,''), ' table ', ' tabl ')
+              ELSE coalesce(text,'') END AS t
+  FROM documents
+),
+tok AS (
+  SELECT unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS w
+  FROM cv
+),
+c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+cand AS (
+  SELECT a.w AS word, a.c AS n_count, b.w AS suggestion,
+         b.c AS suggestion_count,
+         row_number() OVER (PARTITION BY a.w
+                            ORDER BY b.c DESC, b.w) AS rn
+  FROM c a JOIN c b ON b.c >= 10 * a.c AND levenshtein(a.w, b.w) = 1
+)
+SELECT word, n_count::BIGINT AS n_count, suggestion,
+       suggestion_count::BIGINT AS suggestion_count
+FROM cand WHERE rn = 1 ORDER BY word
+""")
+def typo_census_q(sf_dir: str):
+    """Distributed token counts (bounded vocab), then an O(V^2) driver
+    pass with an exact Levenshtein DP — V is the corpus vocabulary, tiny
+    relative to the corpus; suggestion ties break (count DESC, word)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def lev(a: str, b: str) -> int:
+        if abs(len(a) - len(b)) > 1:
+            return 2  # caller only needs ==1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(b["text"], pa.scalar(""))
+        planted = pc.replace_substring(base, " table ", " tabl ")
+        t = pc.if_else(pa.array(ids % 31 == 0), planted, base)
+        toks: list = []
+        for s in t.to_pylist():
+            toks.extend(s.split())
+        if not toks:
+            return pd.DataFrame({"w": [], "c": []})
+        uniq, counts = np.unique(np.asarray(toks, dtype=object).astype(str),
+                                 return_counts=True)
+        return pd.DataFrame({"w": uniq, "c": counts.astype(np.int64)})
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("w", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: vocabulary
+    cols = ("word", "n_count", "suggestion", "suggestion_count")
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "word": pd.Series([], dtype=object),
+            "n_count": pd.Series([], dtype=np.int64),
+            "suggestion": pd.Series([], dtype=object),
+            "suggestion_count": pd.Series([], dtype=np.int64)})
+    rows = []
+    recs = sorted(merged.itertuples(index=False), key=lambda r: r.w)
+    for a in recs:
+        best = None
+        for b in recs:
+            if b.c >= 10 * a.c and lev(a.w, b.w) == 1:
+                if best is None or (b.c, ) > (best.c, ) or \
+                        (b.c == best.c and b.w < best.w):
+                    best = b
+        if best is not None:
+            rows.append({"word": a.w, "n_count": int(a.c),
+                         "suggestion": best.w,
+                         "suggestion_count": int(best.c)})
+    out = pd.DataFrame(rows, columns=list(cols))
+    out["n_count"] = out["n_count"].astype(np.int64)
+    out["suggestion_count"] = out["suggestion_count"].astype(np.int64)
+    return out.sort_values("word").reset_index(drop=True)

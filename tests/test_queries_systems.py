@@ -369,3 +369,16 @@ def test_ivm_delta_audit_consistent(ray_session):
     assert df["consistent"].all()
     assert (df["merged_n"] == df["base_n"] + df["delta_n"]).all()
     assert (df["base_n"] > 0).all() and (df["delta_n"] > 0).all()
+
+
+def test_skiplist_levels_halve(ray_session):
+    from dataquality_ray.pipelines.queries_systems import (
+        skiplist_level_census_q,
+    )
+
+    df = skiplist_level_census_q(SF)
+    assert df["n_docs"].sum() == 500
+    got = df.set_index("level")["n_docs"]
+    # geometric halving: level 1 holds about half, level 2 a quarter
+    assert 180 <= got.get(1, 0) <= 320
+    assert got.get(1, 0) > got.get(2, 0) > got.get(3, 0)

@@ -132,3 +132,27 @@ def test_stupid_backoff_score_bounds(ray_session):
     # they can never hit the backoff-to-zero floor
     ref = df[df["doc_id"] % 3 == 0]
     assert (ref["sb_score_ppm"] > 0).all()
+
+
+def test_countsketch_unbiased_shape(ray_session):
+    from dataquality_ray.pipelines.queries_text import countsketch_q
+
+    df = countsketch_q(SF)
+    assert len(df) == 10
+    # heavy hitters in a 31-word vocab over 512 buckets rarely collide:
+    # estimates land within a small band of exact counts
+    err = (df["cs_estimate"] - df["exact_count"]).abs()
+    assert (err <= df["exact_count"]).all()
+    # unlike CMS, Count-Sketch can under-estimate
+    assert df["exact_count"].is_monotonic_decreasing
+
+
+def test_typo_census_finds_tabel(ray_session):
+    from dataquality_ray.pipelines.queries_text import typo_census_q
+
+    df = typo_census_q(SF)
+    got = df.set_index("word")
+    assert "tabl" in got.index
+    assert got.loc["tabl", "suggestion"] == "table"
+    assert got.loc["tabl", "suggestion_count"] >= \
+        10 * got.loc["tabl", "n_count"]
