@@ -3347,3 +3347,61 @@ def import_cycle_scan_q(sf_dir: str):
         np.int64(rows[m]) for m in rows]})
     out["cycle_len"] = out["cycle_len"].astype(np.int64)
     return out.sort_values("module").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Adler-32 checksum per document (RFC 1950, zlib's integrity check):
+# a = 1 + sum(bytes) mod 65521, b = n + sum((n-i+1)*byte_i) mod 65521,
+# checksum = b*65536 + a.  A lineage-grade content fingerprint cheaper
+# than sha256 and — unlike it — replayable in portable SQL arithmetic.
+# Texts are ASCII so code points equal bytes on both engines.
+# ---------------------------------------------------------------------------
+
+@query("adler32_checksum", sql="""
+WITH cv AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+ch AS (
+  SELECT doc_id, unnest(range(1, length(t) + 1)) AS i, t FROM cv
+),
+b AS (
+  SELECT doc_id, i, unicode(substr(t, i, 1)) AS byte,
+         length(t) AS n
+  FROM ch
+),
+agg AS (
+  SELECT doc_id, any_value(n) AS n,
+         sum(byte) AS sb, sum((n - i + 1) * byte) AS swb
+  FROM b GROUP BY doc_id
+)
+SELECT cv.doc_id,
+       length(cv.t)::BIGINT AS n_bytes,
+       ((1 + coalesce(agg.sb, 0)) % 65521)::BIGINT AS a,
+       ((length(cv.t) + coalesce(agg.swb, 0)) % 65521)::BIGINT AS b,
+       (((length(cv.t) + coalesce(agg.swb, 0)) % 65521) * 65536
+        + (1 + coalesce(agg.sb, 0)) % 65521)::BIGINT AS adler32
+FROM cv LEFT JOIN agg ON agg.doc_id = cv.doc_id
+ORDER BY cv.doc_id
+""")
+def adler32_checksum_q(sf_dir: str):
+    """Vectorized per batch: one bytes view + arange dot product per doc
+    (numpy int64, no modular loop — sums stay far below 2^63)."""
+    def kern(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_n = [], [], []
+        for t in batch["text"].to_pylist():
+            raw = (t or "").encode("utf-8")
+            n = len(raw)
+            v = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            sb = int(v.sum())
+            swb = int((v * np.arange(n, 0, -1, dtype=np.int64)).sum())
+            out_a.append((1 + sb) % 65521)
+            out_b.append((n + swb) % 65521)
+            out_n.append(n)
+        a = np.array(out_a, np.int64)
+        b = np.array(out_b, np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bytes": pa.array(out_n, pa.int64()),
+                         "a": pa.array(a), "b": pa.array(b),
+                         "adler32": pa.array(b * 65536 + a)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

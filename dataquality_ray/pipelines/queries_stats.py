@@ -3609,3 +3609,66 @@ def ansari_bradley_daily_q(sf_dir: str):
            .groupby("day").map_groups(per_day, batch_format="pandas")
            .to_pandas())
     return out.sort_values("day").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Shiryaev-Roberts drift statistic over daily event volumes: R_d =
+# (1 + R_{d-1}) * LR_d with the pseudo-likelihood-ratio LR_d =
+# (c_d + 1) / (lambda0 + 1), lambda0 = mean of the first 10 days.  The
+# SR recursion is the Bayes-optimal quickest-detection companion to the
+# minimax CUSUM family already in the registry (cusum_alarm_replay).
+# Sequential over 30 AGGREGATED rows; both engines run the identical
+# double chain, floored to milli only for display.
+# ---------------------------------------------------------------------------
+
+@query("shiryaev_roberts_drift", sql="""
+WITH RECURSIVE d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT day, c, row_number() OVER (ORDER BY day) AS pos FROM d),
+base AS (SELECT sum(c) / 10.0 AS lam FROM o WHERE pos <= 10),
+rec AS (
+  SELECT 0::BIGINT AS pos, 0.0::DOUBLE AS r
+  UNION ALL
+  SELECT o.pos, (1.0 + rec.r) * ((o.c + 1) / (base.lam + 1))
+  FROM rec JOIN o ON o.pos = rec.pos + 1 CROSS JOIN base
+)
+SELECT o.day::BIGINT AS day, o.c AS n_events,
+       CAST(floor(r * 1000) AS BIGINT) AS sr_milli, r > 1000 AS alarm
+FROM o JOIN rec USING (pos) ORDER BY day
+""")
+def shiryaev_roberts_q(sf_dir: str):
+    """Per-day counts reduce distributedly (bounded: calendar days); the
+    30-step SR recursion runs on the driver with the same IEEE ops."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    if merged is None or not len(merged):
+        return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64),
+                             "sr_milli": pd.Series([], dtype=np.int64),
+                             "alarm": pd.Series([], dtype=bool)})
+    f = merged.sort_values("day").reset_index(drop=True)
+    lam = float(f["c"].head(10).sum()) / 10.0
+    r, rs = 0.0, []
+    for c in f["c"]:
+        r = (1.0 + r) * ((int(c) + 1) / (lam + 1))
+        rs.append(r)
+    f["n_events"] = f["c"].astype(np.int64)
+    f["sr_milli"] = np.array([math.floor(x * 1000) for x in rs], np.int64)
+    f["alarm"] = np.array([x > 1000 for x in rs])
+    f["day"] = f["day"].astype(np.int64)
+    return f[["day", "n_events", "sr_milli", "alarm"]]

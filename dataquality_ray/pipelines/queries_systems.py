@@ -2777,3 +2777,91 @@ def skiplist_level_census_q(sf_dir: str):
     merged["level"] = merged["level"].astype(np.int64)
     merged["n_docs"] = merged["n_docs"].astype(np.int64)
     return merged.sort_values("level").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectation-suite audit (Great-Expectations-style): five
+# named expectations over orders, each reporting checked/failed counts
+# and an exact fail-ppm — the contract-check surface a pipeline gates
+# merges on.  One scan, five counters, bounded combine.
+# ---------------------------------------------------------------------------
+
+@query("expectation_suite_audit", sql="""
+WITH s AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 600000
+             THEN 1 ELSE 0 END) AS f2,
+         sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+             THEN 1 ELSE 0 END) AS f3,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+             THEN 1 ELSE 0 END) AS f4,
+         sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+             THEN 1 ELSE 0 END) AS f5
+  FROM orders
+)
+SELECT e.expectation, s.n::BIGINT AS n_checked,
+       CASE e.expectation
+            WHEN 'orderkey_not_null' THEN s.f1
+            WHEN 'totalprice_in_range' THEN s.f2
+            WHEN 'status_in_set' THEN s.f3
+            WHEN 'orderdate_min_bound' THEN s.f4
+            WHEN 'priority_format' THEN s.f5 END::BIGINT AS n_failed,
+       CASE e.expectation
+            WHEN 'orderkey_not_null' THEN s.f1
+            WHEN 'totalprice_in_range' THEN s.f2
+            WHEN 'status_in_set' THEN s.f3
+            WHEN 'orderdate_min_bound' THEN s.f4
+            WHEN 'priority_format' THEN s.f5 END = 0 AS passed
+FROM s CROSS JOIN (VALUES ('orderkey_not_null'), ('totalprice_in_range'),
+                          ('status_in_set'), ('orderdate_min_bound'),
+                          ('priority_format')) e(expectation)
+ORDER BY e.expectation
+""")
+def expectation_suite_q(sf_dir: str):
+    """Five vectorized Arrow predicates folded to (n, f1..f5) partials in
+    one pruned scan."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        price = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        ok_date = pc.less(
+            b["o_orderdate"],
+            pa.scalar(np.datetime64("1992-01-01", "us"))).to_numpy(
+                zero_copy_only=False)
+        f = {
+            "n": len(b),
+            "f1": int(pc.sum(pc.cast(pc.is_null(b["o_orderkey"]),
+                                     pa.int64())).as_py() or 0),
+            "f2": int(((price < 0) | (price > 600000)).sum()),
+            "f3": int((~pc.is_in(b["o_orderstatus"],
+                                 value_set=pa.array(["O", "F", "P"]))
+                       .to_numpy(zero_copy_only=False)).sum()),
+            "f4": int(ok_date.sum()),
+            "f5": int((~pc.match_substring_regex(
+                b["o_orderpriority"], "^[1-5]-").to_numpy(
+                    zero_copy_only=False)).sum()),
+        }
+        return pd.DataFrame([f])
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_totalprice", "o_orderstatus",
+               "o_orderdate", "o_orderpriority"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: pd.DataFrame([f.sum()]), 2_000_000)
+    assert ok  # bounded: one row of counters
+    names = ["orderkey_not_null", "totalprice_in_range", "status_in_set",
+             "orderdate_min_bound", "priority_format"]
+    keys = ["f1", "f2", "f3", "f4", "f5"]
+    n = int(merged["n"].iloc[0]) if merged is not None and len(merged) else 0
+    rows = []
+    for nm, k in sorted(zip(names, keys)):
+        fails = int(merged[k].iloc[0]) if merged is not None and \
+            len(merged) else 0
+        rows.append({"expectation": nm, "n_checked": n, "n_failed": fails,
+                     "passed": fails == 0})
+    out = pd.DataFrame(rows)
+    out["n_checked"] = out["n_checked"].astype(np.int64)
+    out["n_failed"] = out["n_failed"].astype(np.int64)
+    return out

@@ -568,3 +568,20 @@ def test_import_cycle_scan_functional_graph(ray_session):
     for m in (9, 18, 36, 27, 45, 54):
         assert got.get(f"mod_{m}") == 3
     assert len(df) == 9
+
+
+def test_adler32_matches_zlib(ray_session):
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from dataquality_ray.pipelines.queries_code import adler32_checksum_q
+
+    df = adler32_checksum_q(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    ref = {int(r.doc_id): zlib.adler32((r.text or "").encode())
+           for r in docs.head(50).itertuples(index=False)}
+    got = df.set_index("doc_id")["adler32"]
+    for d, want in ref.items():
+        assert int(got.loc[d]) == want

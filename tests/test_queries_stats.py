@@ -209,3 +209,15 @@ def test_ansari_bradley_daily_bounds(ray_session):
     assert (df["ab2_click"] >= 2 * df["n_click"]).all()
     assert (df["ab2_click"] <= df["n_click"] * (n + 1)).all()
     assert (df["n_click"] > 0).all() and (df["n_view"] > 0).all()
+
+
+def test_shiryaev_roberts_growth(ray_session):
+    from dataquality_ray.pipelines.queries_stats import shiryaev_roberts_q
+
+    df = shiryaev_roberts_q(SF)
+    assert len(df) == 30
+    # under no drift (LR ~ 1) the SR statistic grows roughly linearly:
+    # it must exceed its day count eventually but stay far below the
+    # exponential alarm regime on stationary data
+    assert df["sr_milli"].iloc[-1] > 5_000
+    assert (df["sr_milli"] >= 0).all()

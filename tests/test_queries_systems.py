@@ -382,3 +382,12 @@ def test_skiplist_levels_halve(ray_session):
     # geometric halving: level 1 holds about half, level 2 a quarter
     assert 180 <= got.get(1, 0) <= 320
     assert got.get(1, 0) > got.get(2, 0) > got.get(3, 0)
+
+
+def test_expectation_suite_all_pass(ray_session):
+    from dataquality_ray.pipelines.queries_systems import expectation_suite_q
+
+    df = expectation_suite_q(SF)
+    assert len(df) == 5
+    assert df["passed"].all()  # generated data satisfies its own contract
+    assert df["n_checked"].nunique() == 1
