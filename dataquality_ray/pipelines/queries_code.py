@@ -3405,3 +3405,103 @@ def adler32_checksum_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# CSV dialect sniffer: docs are rewritten into CSV records of exactly 6
+# fields per line (token chunking, ragged tail dropped; delimiter planted
+# per doc_id % 3 from {',' ';' '|'} replacing remaining spaces).  The sniffer then infers the
+# delimiter the way csv.Sniffer does: a candidate wins when every line
+# carries the same nonzero count of it; ties break by candidate priority
+# (',' > ';' > '|').
+# ---------------------------------------------------------------------------
+
+@query("csv_dialect_sniffer", sql="""
+WITH lv AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text,''),
+                        '((?:[^ ]+ ){5}[^ ]+) ', '\\1' || chr(10),
+                        'g') AS t1
+  FROM documents
+),
+tv AS (
+  SELECT doc_id,
+         regexp_replace(t1, '\\x0a(?:[^ \\x0a]+( [^ \\x0a]+){0,4})?$',
+                        '') AS t2
+  FROM lv
+),
+cv AS (
+  SELECT doc_id,
+         replace(t2, ' ', CASE doc_id % 3 WHEN 0 THEN ','
+                          WHEN 1 THEN ';' ELSE '|' END) AS t
+  FROM tv
+),
+ln AS (
+  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM cv
+),
+pc AS (
+  SELECT doc_id,
+         min(length(line) - length(replace(line, ',', ''))) AS cmin,
+         max(length(line) - length(replace(line, ',', ''))) AS cmax,
+         min(length(line) - length(replace(line, ';', ''))) AS smin,
+         max(length(line) - length(replace(line, ';', ''))) AS smax,
+         min(length(line) - length(replace(line, '|', ''))) AS pmin,
+         max(length(line) - length(replace(line, '|', ''))) AS pmax,
+         count(*) AS n_lines
+  FROM ln GROUP BY doc_id
+)
+SELECT doc_id,
+       n_lines::BIGINT AS n_lines,
+       CASE WHEN cmin = cmax AND cmin > 0 THEN ','
+            WHEN smin = smax AND smin > 0 THEN ';'
+            WHEN pmin = pmax AND pmin > 0 THEN '|'
+            ELSE 'none' END AS delimiter,
+       CASE WHEN cmin = cmax AND cmin > 0 THEN cmin + 1
+            WHEN smin = smax AND smin > 0 THEN smin + 1
+            WHEN pmin = pmax AND pmin > 0 THEN pmin + 1
+            ELSE 1 END::BIGINT AS n_fields
+FROM pc ORDER BY doc_id
+""")
+def csv_dialect_sniffer_q(sf_dir: str):
+    """Per-batch: line split + flatten, per-line delimiter counts via one
+    Arrow count_substring per candidate, per-doc min/max via
+    np.minimum.at/np.maximum.at — a consistent nonzero count across all
+    lines elects the delimiter."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        t1 = pc.replace_substring_regex(
+            base, r"((?:[^ ]+ ){5}[^ ]+) ", "\\1\n")
+        t2 = pc.replace_substring_regex(
+            t1, r"\x0a(?:[^ \x0a]+( [^ \x0a]+){0,4})?$", "")
+        delim = np.array([",", ";", "|"], dtype=object)[ids % 3]
+        t = pa.array([s.replace(" ", d) for s, d in
+                      zip(t2.to_pylist(), delim)], pa.string())
+        lines = pc.split_pattern(t, "\n")
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+        stats = {}
+        for name, d in (("c", ","), ("s", ";"), ("p", "|")):
+            cnt = pc.count_substring(flat, d).to_numpy(zero_copy_only=False)
+            mn = np.full(n, np.iinfo(np.int64).max, np.int64)
+            mx = np.zeros(n, np.int64)
+            np.minimum.at(mn, parent, cnt)
+            np.maximum.at(mx, parent, cnt)
+            stats[name] = (mn, mx)
+        delim_out = np.full(n, "none", dtype=object)
+        fields = np.ones(n, np.int64)
+        for name, ch in (("p", "|"), ("s", ";"), ("c", ",")):
+            mn, mx = stats[name]
+            hit = (mn == mx) & (mn > 0)
+            delim_out[hit] = ch
+            fields[hit] = mn[hit] + 1
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_lines": pa.array(n_lines),
+                         "delimiter": pa.array(delim_out, pa.string()),
+                         "n_fields": pa.array(fields)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -3672,3 +3672,185 @@ def shiryaev_roberts_q(sf_dir: str):
     f["alarm"] = np.array([x > 1000 for x in rs])
     f["day"] = f["day"].astype(np.int64)
     return f[["day", "n_events", "sr_milli", "alarm"]]
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test on the daily-volume series (lags 1..5):
+# Q = n(n+2) * sum_k rho_k^2 / (n-k).  The autocorrelations come from
+# exact integer partials (pairwise products of counts at lag k); the
+# double tail evaluates one fixed expression per lag and floors to
+# micro.  Complements acf_daily_volume / durbin_watson_daily with the
+# joint white-noise test.
+# ---------------------------------------------------------------------------
+
+@query("ljung_box_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT day, c, row_number() OVER (ORDER BY day) AS pos FROM d),
+base AS (
+  SELECT count(*) AS n, sum(c) AS s, sum(c * c) AS ss FROM o
+),
+lag_k AS (
+  SELECT k.k, sum(a.c * b.c) AS sxy, count(*) AS npairs
+  FROM (VALUES (1),(2),(3),(4),(5)) k(k)
+  JOIN o a ON TRUE
+  JOIN o b ON b.pos = a.pos + k.k
+  GROUP BY k.k
+),
+rho AS (
+  SELECT l.k,
+         (l.sxy - (base.s::DOUBLE / base.n) * (base.s::DOUBLE)
+          + (base.n - l.npairs) * (base.s::DOUBLE / base.n)
+            * (base.s::DOUBLE / base.n))
+         / (base.ss - base.s::DOUBLE * base.s / base.n) AS r,
+         base.n AS n
+  FROM lag_k l CROSS JOIN base
+)
+SELECT k::BIGINT AS lag,
+       CAST(floor(r * 1000000) AS BIGINT) AS rho_micro,
+       CAST(floor(sum(n * (n + 2.0) * r * r / (n - k))
+                  OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) * 1000000) AS BIGINT)
+         AS q_stat_micro
+FROM rho ORDER BY k
+""")
+def ljung_box_daily_q(sf_dir: str):
+    """Day counts reduce distributedly; rho_k uses the computational ACF
+    variant (sxy - (n-k)*xbar^2) / (ss - n*xbar^2) — every sum an exact
+    integer before the one double expression per lag, identical algebra
+    in the oracle."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("lag", "rho_micro", "q_stat_micro")
+    if merged is None or len(merged) < 6:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    f = merged.sort_values("day").reset_index(drop=True)
+    x = f["c"].to_numpy(np.int64)
+    n = len(x)
+    s = int(x.sum())
+    ss = int((x * x).sum())
+    rows, q = [], 0.0
+    for k in range(1, 6):
+        sxy = int((x[:-k] * x[k:]).sum())
+        npairs = n - k
+        r = (sxy - (s / n) * float(s)
+             + (n - npairs) * (s / n) * (s / n)) \
+            / (ss - float(s) * s / n)
+        q += n * (n + 2.0) * r * r / (n - k)
+        rows.append({"lag": k, "rho_micro": math.floor(r * 1_000_000),
+                     "q_stat_micro": math.floor(q * 1_000_000)})
+    out = pd.DataFrame(rows)
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cook's distance for the daily-volume-on-day-index OLS: leverage h_i,
+# residual e_i, D_i = e_i^2 h_i / (2 s^2 (1-h_i)^2).  All moments are
+# exact integers (day index = dense rank); the per-day double tail is
+# one fixed expression.  Flags D_i > 4/n — the standard screening rule
+# for days whose volume rewrites the trend line.
+# ---------------------------------------------------------------------------
+
+@query("cooks_distance_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT day, c, row_number() OVER (ORDER BY day) AS x FROM d),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+         sum(c) AS sy, sum(x * c) AS sxy, sum(c * c) AS syy
+  FROM o
+),
+fit AS (
+  SELECT n, sx, sxx, sy, sxy,
+         (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx) AS beta,
+         (sy::DOUBLE / n) AS ybar, (sx::DOUBLE / n) AS xbar,
+         (sxx::DOUBLE - sx::DOUBLE * sx / n) AS sxx_c,
+         (syy::DOUBLE - sy::DOUBLE * sy / n) AS syy_c
+  FROM m
+),
+per AS (
+  SELECT o.day, o.c, o.x,
+         (o.c - (fit.ybar + fit.beta * (o.x - fit.xbar))) AS e,
+         (1.0 / fit.n + (o.x - fit.xbar) * (o.x - fit.xbar)
+          / fit.sxx_c) AS h,
+         (fit.syy_c - fit.beta * fit.beta * fit.sxx_c)
+           / (fit.n - 2) AS s2,
+         fit.n AS n
+  FROM o CROSS JOIN fit
+)
+SELECT day::BIGINT AS day, c AS n_events,
+       CAST(floor(e * 1000) AS BIGINT) AS residual_milli,
+       CAST(floor(h * 1000000) AS BIGINT) AS leverage_micro,
+       CAST(floor(e * e * h / (2 * s2 * (1 - h) * (1 - h)) * 1000000)
+            AS BIGINT) AS cooks_d_micro,
+       e * e * h / (2 * s2 * (1 - h) * (1 - h)) > 4.0 / n AS influential
+FROM per ORDER BY day
+""")
+def cooks_distance_daily_q(sf_dir: str):
+    """Integer moments reduce distributedly; the driver evaluates the
+    same double expressions per day (bounded: calendar days)."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("day", "n_events", "residual_milli", "leverage_micro",
+            "cooks_d_micro")
+    if merged is None or len(merged) < 3:
+        return pd.DataFrame({**{c: pd.Series([], dtype=np.int64)
+                                for c in cols},
+                             "influential": pd.Series([], dtype=bool)})
+    f = merged.sort_values("day").reset_index(drop=True)
+    c = f["c"].to_numpy(np.int64)
+    n = len(c)
+    x = np.arange(1, n + 1, dtype=np.int64)
+    sx, sxx = int(x.sum()), int((x * x).sum())
+    sy, sxy, syy = int(c.sum()), int((x * c).sum()), int((c * c).sum())
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    ybar, xbar = sy / n, sx / n
+    sxx_c = sxx - float(sx) * sx / n
+    syy_c = syy - float(sy) * sy / n
+    s2 = (syy_c - beta * beta * sxx_c) / (n - 2)
+    e = c - (ybar + beta * (x - xbar))
+    h = 1.0 / n + (x - xbar) * (x - xbar) / sxx_c
+    d = e * e * h / (2 * s2 * (1 - h) * (1 - h))
+    out = pd.DataFrame({
+        "day": f["day"].astype(np.int64), "n_events": c,
+        "residual_milli": np.array([math.floor(v * 1000) for v in e],
+                                   np.int64),
+        "leverage_micro": np.array([math.floor(v * 1_000_000) for v in h],
+                                   np.int64),
+        "cooks_d_micro": np.array([math.floor(v * 1_000_000) for v in d],
+                                  np.int64),
+        "influential": d > 4.0 / n})
+    return out

@@ -585,3 +585,13 @@ def test_adler32_matches_zlib(ray_session):
     got = df.set_index("doc_id")["adler32"]
     for d, want in ref.items():
         assert int(got.loc[d]) == want
+
+
+def test_csv_dialect_sniffer_plants(ray_session):
+    from dataquality_ray.pipelines.queries_code import csv_dialect_sniffer_q
+
+    df = csv_dialect_sniffer_q(SF)
+    m = df["doc_id"].to_numpy() % 3
+    want = np.array([",", ";", "|"], dtype=object)[m]
+    assert (df["delimiter"].to_numpy() == want).all()
+    assert (df["n_fields"] == 6).all()

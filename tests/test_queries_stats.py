@@ -221,3 +221,25 @@ def test_shiryaev_roberts_growth(ray_session):
     # exponential alarm regime on stationary data
     assert df["sr_milli"].iloc[-1] > 5_000
     assert (df["sr_milli"] >= 0).all()
+
+
+def test_ljung_box_monotone_q(ray_session):
+    from dataquality_ray.pipelines.queries_stats import ljung_box_daily_q
+
+    df = ljung_box_daily_q(SF)
+    assert list(df["lag"]) == [1, 2, 3, 4, 5]
+    # Q accumulates nonnegative terms
+    assert (df["q_stat_micro"].diff().dropna() >= 0).all()
+    assert df["rho_micro"].between(-1_000_001, 1_000_000).all()
+
+
+def test_cooks_distance_flags(ray_session):
+    from dataquality_ray.pipelines.queries_stats import cooks_distance_daily_q
+
+    df = cooks_distance_daily_q(SF)
+    assert len(df) == 30
+    assert (df["cooks_d_micro"] >= 0).all()
+    # endpoints carry the highest leverage in a simple regression
+    lev = df["leverage_micro"].to_numpy()
+    assert lev[0] == lev.max() or lev[-1] == lev.max()
+    assert df["influential"].sum() <= 6  # screening rule is selective
