@@ -3505,3 +3505,74 @@ def csv_dialect_sniffer_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# LZ77 window-match census: count positions whose 4-gram already
+# appeared within the previous 64 characters — the match
+# opportunities a 64-byte-window LZ77 coder would exploit.  Companion to
+# lz78_complexity (dictionary growth) and cdc_token_chunks (content
+# chunking): this one measures local self-similarity.
+# ---------------------------------------------------------------------------
+
+@query("lz77_window_matches", sql="""
+WITH cv AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(range(1, greatest(length(t) - 2, 1))) AS i, t
+  FROM cv WHERE length(t) >= 4
+),
+q AS (SELECT doc_id, i, substr(t, i, 4) AS gram FROM g),
+m AS (
+  SELECT a.doc_id, a.i
+  FROM q a JOIN q b ON b.doc_id = a.doc_id AND b.gram = a.gram
+                   AND b.i < a.i AND b.i >= a.i - 64
+  GROUP BY a.doc_id, a.i
+),
+c AS (
+  SELECT q.doc_id, count(*) AS n_positions,
+         sum(CASE WHEN m.i IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+  FROM q LEFT JOIN m ON m.doc_id = q.doc_id AND m.i = q.i
+  GROUP BY q.doc_id
+)
+SELECT doc_id, n_positions::BIGINT AS n_positions,
+       n_matched::BIGINT AS n_matched,
+       CAST(n_matched * 1000000 // n_positions AS BIGINT) AS match_ppm
+FROM c ORDER BY doc_id
+""")
+def lz77_window_matches_q(sf_dir: str):
+    """Per-doc numpy kernel inside map_batches: 4-gram codes via a
+    base-256 rolling view, matched = any equal code in the trailing
+    64-position window (vectorized per offset: 64 shifted comparisons,
+    no per-position Python)."""
+    def kern(batch: pa.Table) -> pa.Table:
+        out_id, out_np, out_nm = [], [], []
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for j, t in enumerate(batch["text"].to_pylist()):
+            raw = (t or "").encode("utf-8")
+            n = len(raw)
+            if n < 4:
+                continue
+            v = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            code = (v[:-3] * 16777216 + v[1:-2] * 65536
+                    + v[2:-1] * 256 + v[3:])
+            npos = len(code)
+            matched = np.zeros(npos, dtype=bool)
+            for off in range(1, 65):
+                if off >= npos:
+                    break
+                matched[off:] |= code[off:] == code[:-off]
+            out_id.append(ids[j])
+            out_np.append(npos)
+            out_nm.append(int(matched.sum()))
+        npos_a = np.array(out_np, np.int64)
+        nm_a = np.array(out_nm, np.int64)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_positions": pa.array(npos_a),
+            "n_matched": pa.array(nm_a),
+            "match_ppm": pa.array(nm_a * 1_000_000
+                                  // np.maximum(npos_a, 1))})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -3854,3 +3854,89 @@ def cooks_distance_daily_q(sf_dir: str):
                                   np.int64),
         "influential": d > 4.0 / n})
     return out
+
+
+# ---------------------------------------------------------------------------
+# ICC(1,1) — one-way random-effects intraclass correlation treating days
+# as targets and event types as raters (rating = daily count):
+# (MSB - MSW) / (MSB + (k-1) MSW).  All sums of squares come from exact
+# integer partials; complements the categorical agreement panel
+# (Cohen/Fleiss/Krippendorff) with the continuous-rating coefficient.
+# ---------------------------------------------------------------------------
+
+@query("icc_daily_volume", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+k AS (SELECT count(DISTINCT event_type) AS k FROM d),
+full_grid AS (
+  SELECT day FROM d GROUP BY day HAVING count(*) = (SELECT k FROM k)
+),
+g AS (SELECT d.* FROM d JOIN full_grid USING (day)),
+m AS (
+  SELECT count(DISTINCT day) AS n, any_value(k.k) AS k,
+         sum(c) AS s, sum(c * c) AS ss
+  FROM g CROSS JOIN k
+),
+rowsum AS (SELECT day, sum(c) AS rs FROM g GROUP BY day),
+q AS (SELECT sum(rs * rs) AS srs FROM rowsum),
+f AS (
+  SELECT m.n, m.k,
+         (q.srs::DOUBLE / m.k - m.s::DOUBLE * m.s / (m.n * m.k))
+           / (m.n - 1) AS msb,
+         (m.ss::DOUBLE - q.srs::DOUBLE / m.k) / (m.n * (m.k - 1)) AS msw
+  FROM m CROSS JOIN q
+)
+SELECT n::BIGINT AS n_days, k::BIGINT AS n_raters,
+       CAST(floor(msb * 1000) AS BIGINT) AS msb_milli,
+       CAST(floor(msw * 1000) AS BIGINT) AS msw_milli,
+       CAST(floor((msb - msw) / (msb + (k - 1) * msw) * 1000000)
+            AS BIGINT) AS icc_micro
+FROM f
+""")
+def icc_daily_volume_q(sf_dir: str):
+    """(day, type) counts reduce distributedly; days missing any rater
+    drop (complete-case one-way ANOVA), and the driver evaluates the two
+    mean squares from integer sums."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        f = pd.DataFrame({"day": day,
+                          "event_type": batch["event_type"].to_pylist()})
+        return (f.groupby(["day", "event_type"], as_index=False).size()
+                .rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["day", "event_type"],
+                            as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: days x types
+    cols = ("n_days", "n_raters", "msb_milli", "msw_milli", "icc_micro")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    k = merged["event_type"].nunique()
+    sizes = merged.groupby("day")["c"].transform("size")
+    g = merged[sizes == k]
+    n = g["day"].nunique()
+    s = int(g["c"].sum())
+    ss = int((g["c"].astype(np.int64) ** 2).sum())
+    srs = int((g.groupby("day")["c"].sum().astype(np.int64) ** 2).sum())
+    msb = (srs / k - float(s) * s / (n * k)) / (n - 1)
+    msw = (ss - srs / k) / (n * (k - 1))
+    icc = (msb - msw) / (msb + (k - 1) * msw)
+    out = pd.DataFrame([{
+        "n_days": n, "n_raters": k,
+        "msb_milli": math.floor(msb * 1000),
+        "msw_milli": math.floor(msw * 1000),
+        "icc_micro": math.floor(icc * 1_000_000)}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

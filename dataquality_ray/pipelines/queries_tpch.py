@@ -10800,3 +10800,133 @@ def month_end_loading_q(sf_dir: str) -> pd.DataFrame:
     for c in ("n", "tail_n", "days_in_month", "load_ratio_ppm"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# EOQ (economic order quantity) replay per brand: demand D = total
+# quantity, order cost S = 100, holding cost H = 2 => EOQ =
+# sqrt(2*D*S/H) = sqrt(100*D); sqrt over an integer-valued double is
+# correctly rounded IEEE, so the milli floor is exact.  Companion to the
+# (s,S) inventory replay / XYZ classification already in the registry.
+# ---------------------------------------------------------------------------
+
+@query("eoq_replay_brand", sql="""
+WITH d AS (
+  SELECT p.p_brand AS brand, sum(l.l_quantity)::BIGINT AS demand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand
+)
+SELECT brand, demand,
+       CAST(floor(sqrt(CAST(100 * demand AS DOUBLE)) * 1000) AS BIGINT)
+         AS eoq_milli,
+       CAST(demand * 1000000
+            // greatest(CAST(floor(sqrt(CAST(100 * demand AS DOUBLE))
+                                   * 1000) AS BIGINT), 1) AS BIGINT)
+         AS orders_per_cycle_kilo
+FROM d ORDER BY brand
+""")
+def eoq_replay_brand_q(sf_dir: str):
+    """Distributed demand partials via the broadcast part->brand lookup
+    (part is the small side), bounded combine per brand."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    import ray
+
+    part_tbl = (_read(sf_dir, "part", ["p_partkey", "p_brand"])
+                .to_pandas())
+    lookup_ref = ray.put(dict(zip(part_tbl["p_partkey"].astype(np.int64),
+                                  part_tbl["p_brand"])))
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        lut = ray.get(lookup_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"brand": [lut.get(int(k)) for k in pk],
+                          "q": qty.astype(np.int64)})
+        return f.groupby("brand", as_index=False)["q"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow"),
+        lambda f: f.groupby("brand", as_index=False)["q"].sum(), 2_000_000)
+    assert ok  # bounded: brand universe
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "brand": pd.Series([], dtype=object),
+            "demand": pd.Series([], dtype=np.int64),
+            "eoq_milli": pd.Series([], dtype=np.int64),
+            "orders_per_cycle_kilo": pd.Series([], dtype=np.int64)})
+    d = merged["q"].to_numpy(np.int64)
+    eoq = np.array([math.floor(math.sqrt(float(100 * v)) * 1000)
+                    for v in d], np.int64)
+    out = pd.DataFrame({
+        "brand": merged["brand"], "demand": d, "eoq_milli": eoq,
+        "orders_per_cycle_kilo": (d * 1_000_000
+                                  // np.maximum(eoq, 1)).astype(np.int64)})
+    return out.sort_values("brand").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Newsvendor stock level per event type: critical fractile 0.8 =>
+# stock = the ceil(0.8 n)-th order statistic of daily demand (exact
+# discontinuous quantile, no interpolation).  Daily demand histograms
+# reduce distributedly; the order statistic reads off cumulative counts.
+# ---------------------------------------------------------------------------
+
+@query("newsvendor_stock_level", sql="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+)
+SELECT event_type, any_value(n)::BIGINT AS n_days,
+       max(CASE WHEN rk = (n * 8 + 9) // 10 THEN c END)::BIGINT
+         AS stock_level,
+       max(c)::BIGINT AS peak_demand
+FROM r GROUP BY event_type ORDER BY event_type
+""")
+def newsvendor_stock_q(sf_dir: str):
+    """(type, day) count partials -> per-type sorted demand vector on the
+    driver (bounded: types x days); k = ceil(0.8 n) via (8n+9)//10."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        f = pd.DataFrame({"event_type": batch["event_type"].to_pylist(),
+                          "day": day})
+        return (f.groupby(["event_type", "day"], as_index=False).size()
+                .rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["event_type", "day"],
+                            as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: types x calendar days
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n_days": pd.Series([], dtype=np.int64),
+            "stock_level": pd.Series([], dtype=np.int64),
+            "peak_demand": pd.Series([], dtype=np.int64)})
+    rows = []
+    for t, g in merged.groupby("event_type"):
+        c = np.sort(g["c"].to_numpy(np.int64))
+        n = len(c)
+        k = (n * 8 + 9) // 10
+        rows.append({"event_type": t, "n_days": n,
+                     "stock_level": int(c[k - 1]),
+                     "peak_demand": int(c[-1])})
+    out = pd.DataFrame(rows)
+    for c2 in ("n_days", "stock_level", "peak_demand"):
+        out[c2] = out[c2].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -595,3 +595,12 @@ def test_csv_dialect_sniffer_plants(ray_session):
     want = np.array([",", ";", "|"], dtype=object)[m]
     assert (df["delimiter"].to_numpy() == want).all()
     assert (df["n_fields"] == 6).all()
+
+
+def test_lz77_window_matches_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_code import lz77_window_matches_q
+
+    df = lz77_window_matches_q(SF)
+    assert (df["n_matched"] <= df["n_positions"]).all()
+    # 31-word soup repeats tokens constantly: most docs have matches
+    assert (df["match_ppm"] > 0).mean() > 0.9

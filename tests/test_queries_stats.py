@@ -243,3 +243,15 @@ def test_cooks_distance_flags(ray_session):
     lev = df["leverage_micro"].to_numpy()
     assert lev[0] == lev.max() or lev[-1] == lev.max()
     assert df["influential"].sum() <= 6  # screening rule is selective
+
+
+def test_icc_daily_volume_range(ray_session):
+    from dataquality_ray.pipelines.queries_stats import icc_daily_volume_q
+
+    df = icc_daily_volume_q(SF)
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert r["n_raters"] == 5
+    # ICC(1,1) lies in [-1/(k-1), 1]
+    assert -1_000_000 // 4 - 1 <= r["icc_micro"] <= 1_000_000
+    assert r["msw_milli"] > 0

@@ -1,0 +1,20 @@
+"""Semantic checks for TPC-H-adjacent operators."""
+
+SF = "/root/testdata/sf0.001"
+
+def test_eoq_and_newsvendor(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        eoq_replay_brand_q,
+        newsvendor_stock_q,
+    )
+
+    eoq = eoq_replay_brand_q(SF)
+    assert (eoq["eoq_milli"] > 0).all()
+    # EOQ = 10*sqrt(D): squares back to ~100*D within floor slack
+    approx = (eoq["eoq_milli"] / 1000.0) ** 2
+    assert ((approx - 100 * eoq["demand"]).abs()
+            <= 2 * eoq["eoq_milli"] / 1000.0 + 1).all()
+
+    nv = newsvendor_stock_q(SF)
+    assert (nv["stock_level"] <= nv["peak_demand"]).all()
+    assert (nv["n_days"] == 30).all()
