@@ -10003,3 +10003,91 @@ def typo_census_q(sf_dir: str):
     out["n_count"] = out["n_count"].astype(np.int64)
     out["suggestion_count"] = out["suggestion_count"].astype(np.int64)
     return out.sort_values("word").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TextTiling-style topic-shift detection (Hearst 1997), integer-exact:
+# tokens chunk into 6-token tiles, adjacent tiles score multiset-Jaccard
+# in ppm, and a gap under 10% marks a topic boundary.  On word soup the
+# scores are driven by shared vocabulary; the operator under test is the
+# tile/gap machinery a segmentation pass runs per document.
+# ---------------------------------------------------------------------------
+
+@query("texttiling_boundaries", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text,''), ' '), x -> x <> '')
+           AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(t) AS w, unnest(range(0, len(t))) AS ord FROM cv
+),
+cnt AS (
+  SELECT doc_id, ord // 6 AS k, w, count(*) AS c
+  FROM tok GROUP BY doc_id, ord // 6, w
+),
+sz AS (SELECT doc_id, k, sum(c) AS n FROM cnt GROUP BY doc_id, k),
+inter AS (
+  SELECT a.doc_id, a.k AS g, sum(least(a.c, b.c)) AS inter
+  FROM cnt a JOIN cnt b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+                       AND b.w = a.w
+  GROUP BY a.doc_id, a.k
+),
+gaps AS (
+  SELECT s1.doc_id, coalesce(i.inter, 0) AS inter,
+         s1.n + s2.n - coalesce(i.inter, 0) AS uni
+  FROM sz s1 JOIN sz s2 ON s2.doc_id = s1.doc_id AND s2.k = s1.k + 1
+  LEFT JOIN inter i ON i.doc_id = s1.doc_id AND i.g = s1.k
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_gaps,
+         sum(inter * 1000000 // uni) AS sj,
+         sum(CASE WHEN inter * 1000000 // uni < 100000
+             THEN 1 ELSE 0 END) AS nb
+  FROM gaps GROUP BY doc_id
+),
+nc AS (SELECT doc_id, count(*) AS n_chunks FROM sz GROUP BY doc_id)
+SELECT a.doc_id, nc.n_chunks::BIGINT AS n_chunks,
+       a.n_gaps::BIGINT AS n_gaps, a.nb::BIGINT AS n_boundaries,
+       CAST(a.sj // a.n_gaps AS BIGINT) AS mean_gap_jaccard_ppm
+FROM agg a JOIN nc USING (doc_id) ORDER BY a.doc_id
+""")
+def texttiling_boundaries_q(sf_dir: str):
+    """Per-doc numpy kernel: factorized token codes -> (chunk, vocab)
+    count matrix -> vectorized elementwise-min between consecutive rows.
+    Docs with fewer than 2 tiles are omitted (no gaps), matching the
+    oracle's joins."""
+    def kern(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "n_chunks": [], "n_gaps": [],
+                "n_boundaries": [], "mean_gap_jaccard_ppm": []}
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for j, t in enumerate(batch["text"].to_pylist()):
+            words = [w for w in (t or "").split(" ") if w != ""]
+            n = len(words)
+            if n < 7:
+                if n == 0 or (n - 1) // 6 == 0:
+                    continue
+            codes = pd.factorize(np.asarray(words, dtype=object))[0]
+            n_chunks = (n + 5) // 6
+            if n_chunks < 2:
+                continue
+            chunk = np.arange(n) // 6
+            m = np.zeros((n_chunks, codes.max() + 1), dtype=np.int64)
+            np.add.at(m, (chunk, codes), 1)
+            sizes = m.sum(axis=1)
+            inter = np.minimum(m[:-1], m[1:]).sum(axis=1)
+            uni = sizes[:-1] + sizes[1:] - inter
+            jac = inter * 1_000_000 // uni
+            rows["doc_id"].append(ids[j])
+            rows["n_chunks"].append(n_chunks)
+            rows["n_gaps"].append(n_chunks - 1)
+            rows["n_boundaries"].append(int((jac < 100_000).sum()))
+            rows["mean_gap_jaccard_ppm"].append(
+                int(jac.sum()) // (n_chunks - 1))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -10930,3 +10930,61 @@ def newsvendor_stock_q(sf_dir: str):
     for c2 in ("n_days", "stock_level", "peak_demand"):
         out[c2] = out[c2].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Psychological price-ending census: histogram of the cents digits of
+# o_totalprice (floor(x*100 + 0.5) so both engines bucket identically)
+# and the chi-square contribution of each ending against uniform — the
+# retail "does this data look synthetic or scraped" probe (real price
+# lists pile up on .99/.95; uniform endings suggest generated data).
+# ---------------------------------------------------------------------------
+
+@query("price_ending_digits_chi2", sql="""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 100 AS ending
+  FROM orders
+),
+h AS (SELECT ending, count(*)::BIGINT AS n FROM c GROUP BY ending),
+t AS (SELECT sum(n) AS total FROM h)
+SELECT h.ending::BIGINT AS ending, h.n AS n_orders,
+       CAST(floor(t.total / 100.0 * 1000) AS BIGINT) AS expected_milli,
+       CAST(floor((h.n - t.total / 100.0) * (h.n - t.total / 100.0)
+                  / (t.total / 100.0) * 1000000) AS BIGINT)
+         AS chi2_contrib_micro
+FROM h CROSS JOIN t ORDER BY h.ending
+""")
+def price_ending_digits_q(sf_dir: str):
+    """Bounded 100-bucket histogram from one pruned scan."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        p = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        ending = (np.floor(p * 100 + 0.5).astype(np.int64)) % 100
+        return (pd.DataFrame({"ending": ending})
+                .groupby("ending", as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("ending", as_index=False)["n"].sum(), 2_000_000)
+    assert ok  # bounded: 100 endings
+    cols = ("ending", "n_orders", "expected_milli", "chi2_contrib_micro")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    total = int(merged["n"].sum())
+    e = total / 100.0
+    f = merged.sort_values("ending").reset_index(drop=True)
+    n = f["n"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "ending": f["ending"].astype(np.int64),
+        "n_orders": n,
+        "expected_milli": np.int64(math.floor(e * 1000)),
+        "chi2_contrib_micro": np.array(
+            [math.floor((v - e) * (v - e) / e * 1_000_000) for v in n],
+            np.int64)})
+    return out

@@ -156,3 +156,14 @@ def test_typo_census_finds_tabel(ray_session):
     assert got.loc["tabl", "suggestion"] == "table"
     assert got.loc["tabl", "suggestion_count"] >= \
         10 * got.loc["tabl", "n_count"]
+
+
+def test_texttiling_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_text import texttiling_boundaries_q
+
+    df = texttiling_boundaries_q(SF)
+    assert (df["n_gaps"] == df["n_chunks"] - 1).all()
+    assert (df["n_boundaries"] <= df["n_gaps"]).all()
+    assert df["mean_gap_jaccard_ppm"].between(0, 1_000_000).all()
+    # shared 31-word vocabulary: adjacent tiles overlap often
+    assert df["mean_gap_jaccard_ppm"].mean() > 30_000

@@ -18,3 +18,12 @@ def test_eoq_and_newsvendor(ray_session):
     nv = newsvendor_stock_q(SF)
     assert (nv["stock_level"] <= nv["peak_demand"]).all()
     assert (nv["n_days"] == 30).all()
+
+
+def test_price_ending_digits(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import price_ending_digits_q
+
+    df = price_ending_digits_q(SF)
+    assert df["ending"].between(0, 99).all()
+    assert df["n_orders"].sum() == 1500  # sf0.001 orders
+    assert (df["chi2_contrib_micro"] >= 0).all()
