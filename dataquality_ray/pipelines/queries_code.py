@@ -3576,3 +3576,82 @@ def lz77_window_matches_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Import reachability census over the same planted f(m) = 2m mod 63
+# dependency graph as import_cycle_scan: modules reachable within <= 4
+# hops and whether the walk returns home (on a cycle of length <= 4).
+# Out-degree-1 graphs make the census exact with four chained joins.
+# ---------------------------------------------------------------------------
+
+@query("import_reachability_census", sql="""
+WITH cv AS (
+  SELECT doc_id, 'mod_' || (doc_id % 63) AS src,
+         coalesce(text,'') || chr(10) || 'import mod_'
+           || ((doc_id * 2) % 63) AS v
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT src, regexp_extract(v, 'import (mod_[0-9]+)', 1) AS dst
+  FROM cv
+),
+hops AS (
+  SELECT src AS module, dst AS h FROM e
+  UNION
+  SELECT a.src, b.dst FROM e a JOIN e b ON b.src = a.dst
+  UNION
+  SELECT a.src, c.dst FROM e a JOIN e b ON b.src = a.dst
+                      JOIN e c ON c.src = b.dst
+  UNION
+  SELECT a.src, d.dst FROM e a JOIN e b ON b.src = a.dst
+                      JOIN e c ON c.src = b.dst
+                      JOIN e d ON d.src = c.dst
+)
+SELECT module, count(DISTINCT h)::BIGINT AS n_reachable_4,
+       max(CASE WHEN h = module THEN 1 ELSE 0 END) = 1 AS returns_home
+FROM hops GROUP BY module ORDER BY module
+""")
+def import_reachability_q(sf_dir: str):
+    """Distinct edges reduce distributedly (bounded 63-module grid); the
+    4-hop closure iterates a dict walk on the driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = pc.binary_join_element_wise(
+            pc.coalesce(batch["text"], pa.scalar("")),
+            pa.array(["\nimport mod_%d" % ((i * 2) % 63) for i in ids],
+                     pa.string()), "")
+        dst = pc.extract_regex(v, r"import (?P<m>mod_[0-9]+)")
+        dsts = [d["m"] if d is not None else None for d in dst.to_pylist()]
+        f = pd.DataFrame({"src": ["mod_%d" % (i % 63) for i in ids],
+                          "dst": dsts})
+        return f.dropna().drop_duplicates()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.drop_duplicates(), 2_000_000)
+    assert ok  # bounded: 63x63 module grid
+    if merged is None or not len(merged):
+        return pd.DataFrame({"module": pd.Series([], dtype=object),
+                             "n_reachable_4": pd.Series([], dtype=np.int64),
+                             "returns_home": pd.Series([], dtype=bool)})
+    nxt = dict(zip(merged["src"], merged["dst"]))
+    rows = []
+    for m in sorted(nxt):
+        seen, cur = set(), m
+        home = False
+        for _ in range(4):
+            cur = nxt.get(cur)
+            if cur is None:
+                break
+            seen.add(cur)
+            if cur == m:
+                home = True
+        rows.append({"module": m, "n_reachable_4": len(seen),
+                     "returns_home": home})
+    out = pd.DataFrame(rows)
+    out["n_reachable_4"] = out["n_reachable_4"].astype(np.int64)
+    return out.sort_values("module").reset_index(drop=True)

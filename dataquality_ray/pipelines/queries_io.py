@@ -116,3 +116,51 @@ def avro_roundtrip_q(sf_dir: str):
     per-source aggregate; hash-equal to DuckDB over the original
     parquet iff the Avro encode/decode is lossless."""
     return _roundtrip(sf_dir, "avro")
+
+
+# ---------------------------------------------------------------------------
+# Parquet footer-statistics integrity audit: the engine reads the REAL
+# row-group metadata (num_rows, doc_id min/max) from the file footer and
+# cross-checks it against distributed data-side aggregates; the oracle
+# pins the data side (a corrupt footer would flip stats_match to false
+# on the engine while the oracle's view-derived row stays true — a hash
+# mismatch, which is the point of the audit).  The testdata tables are
+# single-row-group at every driver scale (< 122880 rows).
+# ---------------------------------------------------------------------------
+
+@query("parquet_stats_integrity_audit", sql="""
+SELECT 0::BIGINT AS row_group_id, count(*)::BIGINT AS num_rows,
+       min(doc_id)::BIGINT AS docid_min, max(doc_id)::BIGINT AS docid_max,
+       TRUE AS stats_match
+FROM documents
+""")
+def parquet_stats_integrity_q(sf_dir: str):
+    """Footer metadata via pyarrow (zero data IO) vs a pruned distributed
+    min/max/count over the doc_id column."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    meta = pq.ParquetFile(path)
+    idx = meta.schema_arrow.names.index("doc_id")
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    data_n = ds.count()
+    data_min = ds.min("doc_id")
+    data_max = ds.max("doc_id")
+    rows = []
+    tot = 0
+    mins, maxs = [], []
+    for rg in range(meta.metadata.num_row_groups):
+        g = meta.metadata.row_group(rg)
+        st = g.column(idx).statistics
+        rows.append({"row_group_id": rg, "num_rows": g.num_rows,
+                     "docid_min": int(st.min), "docid_max": int(st.max)})
+        tot += g.num_rows
+        mins.append(int(st.min))
+        maxs.append(int(st.max))
+    match = (tot == int(data_n) and min(mins) == int(data_min)
+             and max(maxs) == int(data_max))
+    out = pd.DataFrame(rows)
+    out["stats_match"] = match
+    for c in ("row_group_id", "num_rows", "docid_min", "docid_max"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("row_group_id").reset_index(drop=True)

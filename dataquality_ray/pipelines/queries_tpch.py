@@ -10988,3 +10988,65 @@ def price_ending_digits_q(sf_dir: str):
             [math.floor((v - e) * (v - e) / e * 1_000_000) for v in n],
             np.int64)})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Benford SECOND-digit forensic test over o_totalprice (first-digit law
+# already in benford_first_digit): the second significant digit of the
+# integer part vs the exact Benford-2 probabilities, embedded as the
+# same floor-ppm constants on both engines.
+# ---------------------------------------------------------------------------
+
+_BENFORD2_PPM = [119679, 113890, 108821, 104329, 100308,
+                 96677, 93374, 90351, 87570, 84997]
+
+
+@query("benford_second_digit", sql=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     2, 1) AS BIGINT) AS d2
+  FROM orders WHERE o_totalprice >= 10
+),
+h AS (SELECT d2, count(*)::BIGINT AS n FROM d GROUP BY d2),
+t AS (SELECT sum(n) AS total FROM h),
+p AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"({d}, {p})" for d, p in enumerate(_BENFORD2_PPM))})
+    v(d2, exp_ppm)
+)
+SELECT p.d2::BIGINT AS digit, coalesce(h.n, 0)::BIGINT AS n_orders,
+       p.exp_ppm::BIGINT AS benford_ppm,
+       CAST(coalesce(h.n, 0) * 1000000 // t.total AS BIGINT)
+         AS observed_ppm
+FROM p LEFT JOIN h ON h.d2 = p.d2 CROSS JOIN t ORDER BY p.d2
+""")
+def benford_second_digit_q(sf_dir: str):
+    """String-sliced second digit (no float log10 near digit
+    boundaries); bounded 10-bucket histogram."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        p = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        p = p[p >= 10]
+        ip = np.floor(p).astype(np.int64).astype(str)
+        d2 = np.array([int(s[1]) for s in ip], np.int64)
+        return (pd.DataFrame({"d2": d2}).groupby("d2", as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("d2", as_index=False)["n"].sum(), 2_000_000)
+    assert ok  # bounded: 10 digits
+    counts = {int(r.d2): int(r.n) for r in merged.itertuples(index=False)} \
+        if merged is not None and len(merged) else {}
+    total = max(sum(counts.values()), 1)
+    out = pd.DataFrame({
+        "digit": np.arange(10, dtype=np.int64),
+        "n_orders": np.array([counts.get(d, 0) for d in range(10)],
+                             np.int64),
+        "benford_ppm": np.array(_BENFORD2_PPM, np.int64),
+        "observed_ppm": np.array(
+            [counts.get(d, 0) * 1_000_000 // total for d in range(10)],
+            np.int64)})
+    return out

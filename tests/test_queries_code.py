@@ -604,3 +604,20 @@ def test_lz77_window_matches_bounds(ray_session):
     assert (df["n_matched"] <= df["n_positions"]).all()
     # 31-word soup repeats tokens constantly: most docs have matches
     assert (df["match_ppm"] > 0).mean() > 0.9
+
+
+def test_import_reachability(ray_session):
+    from dataquality_ray.pipelines.queries_code import import_reachability_q
+
+    df = import_reachability_q(SF)
+    got = df.set_index("module")
+    # doubling map: 4 hops reach at most 4 distinct modules
+    assert df["n_reachable_4"].between(1, 4).all()
+    # the fixed point 0 reaches only itself and returns home
+    assert got.loc["mod_0", "n_reachable_4"] == 1
+    assert bool(got.loc["mod_0", "returns_home"])
+    # members of the 2- and 3-cycles return home within 4 hops
+    assert bool(got.loc["mod_21", "returns_home"])
+    assert bool(got.loc["mod_9", "returns_home"])
+    # mod_1 walks 2 -> 4 -> 8 -> 16: a pure tail, never home
+    assert not bool(got.loc["mod_1", "returns_home"])

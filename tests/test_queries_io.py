@@ -1,0 +1,12 @@
+"""Semantic checks for interchange/IO operators."""
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parquet_stats_integrity(ray_session):
+    from dataquality_ray.pipelines.queries_io import parquet_stats_integrity_q
+
+    df = parquet_stats_integrity_q(SF)
+    assert df["stats_match"].all()
+    assert df["num_rows"].sum() == 500
+    assert df["docid_min"].min() == 0 and df["docid_max"].max() == 499

@@ -27,3 +27,12 @@ def test_price_ending_digits(ray_session):
     assert df["ending"].between(0, 99).all()
     assert df["n_orders"].sum() == 1500  # sf0.001 orders
     assert (df["chi2_contrib_micro"] >= 0).all()
+
+
+def test_benford_second_digit(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import benford_second_digit_q
+
+    df = benford_second_digit_q(SF)
+    assert len(df) == 10
+    assert df["n_orders"].sum() == 1500
+    assert df["benford_ppm"].is_monotonic_decreasing
