@@ -2865,3 +2865,84 @@ def expectation_suite_q(sf_dir: str):
     out["n_checked"] = out["n_checked"].astype(np.int64)
     out["n_failed"] = out["n_failed"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# WAL last-write-wins replay audit: per user, the final value under
+# (ts, event_id) ordering computed two ways — full replay vs checkpoint
+# at min_day+20 merged with the tail replay.  LWW argmax states are
+# mergeable (take the later of the two), so the audit must agree; a
+# disagreement means the ordering key is not total.  Companion to
+# ivm_delta_audit (additive aggregates) for order-dependent state.
+# ---------------------------------------------------------------------------
+
+@query("wal_lww_replay_audit", sql="""
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+cut AS (SELECT min(day) + 20 AS d FROM e),
+full_r AS (
+  SELECT user_id, value AS v_full
+  FROM (SELECT user_id, value, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e) WHERE rn = 1
+),
+ckpt AS (
+  SELECT user_id, value AS v, ts, event_id
+  FROM (SELECT user_id, value, ts, event_id, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e CROSS JOIN cut WHERE day < cut.d) WHERE rn = 1
+),
+tail_r AS (
+  SELECT user_id, value AS v, ts, event_id
+  FROM (SELECT user_id, value, ts, event_id, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e CROSS JOIN cut WHERE day >= cut.d) WHERE rn = 1
+),
+merged AS (
+  SELECT coalesce(c.user_id, t.user_id) AS user_id,
+         CASE WHEN t.user_id IS NULL THEN c.v
+              WHEN c.user_id IS NULL THEN t.v
+              WHEN (t.ts, t.event_id) > (c.ts, c.event_id) THEN t.v
+              ELSE c.v END AS v_merged
+  FROM ckpt c FULL OUTER JOIN tail_r t ON t.user_id = c.user_id
+)
+SELECT f.user_id::BIGINT AS user_id, f.v_full, m.v_merged,
+       f.v_full = m.v_merged AS consistent
+FROM full_r f JOIN merged m ON m.user_id = f.user_id
+ORDER BY f.user_id
+""")
+def wal_lww_replay_q(sf_dir: str):
+    """groupby(user).map_groups computes both replays per user in one
+    pass (the checkpoint/tail split is a filter inside the group) — the
+    shuffle moves each user's log once."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def min_day(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        86400000000).cast(pa.int64())
+        return pa.table({"day": day})
+
+    cut = int(ds.map_batches(min_day, batch_format="pyarrow")
+              .min("day")) + 20
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        day = (g["ts"].astype("int64").to_numpy() // 86_400_000_000)
+        v_full = float(g["value"].iloc[-1])
+        head = g[day < cut]
+        tail = g[day >= cut]
+        if len(tail):
+            v_merged = float(tail["value"].iloc[-1])
+        else:
+            v_merged = float(head["value"].iloc[-1])
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "v_full": [v_full], "v_merged": [v_merged],
+            "consistent": [v_full == v_merged]})
+
+    out = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)

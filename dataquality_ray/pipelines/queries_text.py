@@ -10091,3 +10091,47 @@ def texttiling_boundaries_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Dehyphenation scan — the PDF/OCR line-break artifact repair: planted
+# 'mer- ge' breaks (doc_id % 5 in (0,1): ' merge ' -> ' mer- ge '), the
+# scanner counts '<alpha>- <alpha>' break sites and emits the repaired
+# length; cleaners run exactly this pass before tokenization.
+# ---------------------------------------------------------------------------
+
+@query("dehyphenation_scan", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 IN (0, 1)
+              THEN replace(coalesce(text,''), ' merge ', ' mer- ge ')
+              ELSE coalesce(text,'') END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '[a-z]- [a-z]'))::BIGINT AS n_breaks,
+       length(t)::BIGINT AS raw_len,
+       length(regexp_replace(t, '([a-z])- ([a-z])', '\\1\\2', 'g'))::BIGINT
+         AS repaired_len,
+       len(regexp_extract_all(t, '[a-z]- [a-z]')) > 0 AS needs_repair
+FROM cv ORDER BY doc_id
+""")
+def dehyphenation_scan_q(sf_dir: str):
+    """One RE2 count + one RE2 rewrite per batch; repaired_len drops 2
+    chars per break ('- ' removed)."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        planted = pc.replace_substring(base, " merge ", " mer- ge ")
+        t = pc.if_else(pa.array(ids % 5 < 2), planted, base)
+        n = pc.count_substring_regex(t, r"[a-z]- [a-z]").cast(pa.int64())
+        rep = pc.replace_substring_regex(t, r"([a-z])- ([a-z])", r"\1\2")
+        return pa.table({"doc_id": batch["doc_id"], "n_breaks": n,
+                         "raw_len": pc.utf8_length(t).cast(pa.int64()),
+                         "repaired_len": pc.utf8_length(rep).cast(
+                             pa.int64()),
+                         "needs_repair": pc.greater(n, 0)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -391,3 +391,12 @@ def test_expectation_suite_all_pass(ray_session):
     assert len(df) == 5
     assert df["passed"].all()  # generated data satisfies its own contract
     assert df["n_checked"].nunique() == 1
+
+
+def test_wal_lww_replay_consistent(ray_session):
+    from dataquality_ray.pipelines.queries_systems import wal_lww_replay_q
+
+    df = wal_lww_replay_q(SF)
+    assert df["consistent"].all()
+    assert (df["v_full"] == df["v_merged"]).all()
+    assert df["user_id"].is_unique

@@ -167,3 +167,15 @@ def test_texttiling_bounds(ray_session):
     assert df["mean_gap_jaccard_ppm"].between(0, 1_000_000).all()
     # shared 31-word vocabulary: adjacent tiles overlap often
     assert df["mean_gap_jaccard_ppm"].mean() > 30_000
+
+
+def test_dehyphenation_scan_plants(ray_session):
+    from dataquality_ray.pipelines.queries_text import dehyphenation_scan_q
+
+    df = dehyphenation_scan_q(SF)
+    m = df["doc_id"].to_numpy() % 5
+    planted = df[(m < 2) & (df["n_breaks"] > 0)]
+    assert len(planted) > 0
+    # repair removes exactly 2 chars per break
+    assert (df["repaired_len"] == df["raw_len"] - 2 * df["n_breaks"]).all()
+    assert not df.loc[m >= 2, "needs_repair"].any()
