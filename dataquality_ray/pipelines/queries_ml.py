@@ -19,6 +19,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from dataquality_ray.pipelines.registry import query
 
@@ -2498,3 +2499,187 @@ def weighted_majority_experts_q(sf_dir: str):
     out["n_preds"] = out["n_preds"].astype("int64")
     out["n_errors"] = out["n_errors"].astype("int64")
     return out.sort_values("expert").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect size, click vs view values: the parametric companion
+# to cliffs_delta_sources — d = (m1 - m2) / s_pooled with both moments
+# from exact integer-micro sums (values floor to milli once; milli keeps the squared sums inside int64 at corpus scale), plus
+# Hedges' g small-sample correction factor (1 - 3/(4(n1+n2)-9)).
+# ---------------------------------------------------------------------------
+
+@query("cohen_d_effect_size", sql="""
+WITH s AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(CAST(floor(value * 1000) AS BIGINT)) AS s1,
+         sum(CAST(floor(value * 1000) AS BIGINT)
+             * CAST(floor(value * 1000) AS BIGINT)) AS s2
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY event_type
+),
+w AS (
+  SELECT max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+         max(CASE WHEN event_type = 'click' THEN s1 END) AS a1,
+         max(CASE WHEN event_type = 'click' THEN s2 END) AS q1,
+         max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+         max(CASE WHEN event_type = 'view' THEN s1 END) AS a2,
+         max(CASE WHEN event_type = 'view' THEN s2 END) AS q2
+  FROM s
+),
+f AS (
+  SELECT n1, n2,
+         (a1::DOUBLE / n1 - a2::DOUBLE / n2) AS mdiff,
+         sqrt(((q1::DOUBLE - a1::DOUBLE * a1 / n1)
+               + (q2::DOUBLE - a2::DOUBLE * a2 / n2))
+              / (n1 + n2 - 2)) AS sp
+  FROM w
+)
+SELECT n1::BIGINT AS n_click, n2::BIGINT AS n_view,
+       CAST(floor(mdiff / sp * 1000000) AS BIGINT) AS cohens_d_micro,
+       CAST(floor(mdiff / sp * (1 - 3.0 / (4 * (n1 + n2) - 9)) * 1000000)
+            AS BIGINT) AS hedges_g_micro
+FROM f
+""")
+def cohen_d_q(sf_dir: str):
+    """Two-group integer-micro moment partials in one scan; the double
+    tail is one fixed expression."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        keep = pc.is_in(b["event_type"],
+                        value_set=pa.array(["click", "view"]))
+        t = b.filter(keep)
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 1_000).astype(np.int64)
+        f = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                          "n": 1, "s1": v, "s2": v * v})
+        return f.groupby("event_type", as_index=False)[["n", "s1",
+                                                        "s2"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("event_type",
+                            as_index=False)[["n", "s1", "s2"]].sum(),
+        2_000_000)
+    assert ok  # bounded: two groups
+    cols = ("n_click", "n_view", "cohens_d_micro", "hedges_g_micro")
+    if merged is None or len(merged) < 2:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = merged.set_index("event_type")
+    n1, a1, q1 = (int(g.loc["click", k]) for k in ("n", "s1", "s2"))
+    n2, a2, q2 = (int(g.loc["view", k]) for k in ("n", "s1", "s2"))
+    mdiff = a1 / n1 - a2 / n2
+    sp = math.sqrt(((q1 - float(a1) * a1 / n1)
+                    + (q2 - float(a2) * a2 / n2)) / (n1 + n2 - 2))
+    d = mdiff / sp
+    out = pd.DataFrame([{
+        "n_click": n1, "n_view": n2,
+        "cohens_d_micro": math.floor(d * 1_000_000),
+        "hedges_g_micro": math.floor(
+            d * (1 - 3.0 / (4 * (n1 + n2) - 9)) * 1_000_000)}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BBSE label-shift estimation (Lipton et al. 2018): a fixed blackbox
+# classifier (token count > 52 predicts the long-doc label n_chars > 310), its confusion on the
+# doc_id % 3 == 0 "validation" split, and the 2x2 closed-form inversion
+# that recovers target-split label priors from prediction rates —
+# exact integer counts, one double expression.
+# ---------------------------------------------------------------------------
+
+@query("label_shift_bbse", sql="""
+WITH d AS (
+  SELECT doc_id, (n_chars > 310) AS y,
+         (len(list_filter(string_split(coalesce(text,''), ' '),
+                          x -> x <> '')) > 52) AS p,
+         doc_id % 3 = 0 AS val
+  FROM documents
+),
+conf AS (
+  SELECT sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS tn,
+         count(*) AS nv
+  FROM d WHERE val
+),
+tgt AS (
+  SELECT sum(CASE WHEN p THEN 1 ELSE 0 END) AS pp, count(*) AS nt
+  FROM d WHERE NOT val
+),
+f AS (
+  SELECT conf.nv, tgt.nt,
+         conf.tp::DOUBLE / conf.nv AS c11, conf.fp::DOUBLE / conf.nv AS c10,
+         conf.fn::DOUBLE / conf.nv AS c01, conf.tn::DOUBLE / conf.nv AS c00,
+         tgt.pp::DOUBLE / tgt.nt AS mu1
+  FROM conf CROSS JOIN tgt
+),
+inv AS (
+  SELECT nv, nt,
+         c11 / (c11 + c01) AS a, c10 / (c10 + c00) AS b, mu1
+  FROM f
+)
+SELECT nv::BIGINT AS n_val, nt::BIGINT AS n_target,
+       CAST(floor((mu1 - b) / (a - b) * 1000000) AS BIGINT)
+         AS target_prior_micro,
+       CAST(floor(a * 1000000) AS BIGINT) AS tpr_micro,
+       CAST(floor(b * 1000000) AS BIGINT) AS fpr_micro
+FROM inv
+""")
+def label_shift_bbse_q(sf_dir: str):
+    """One scan, five counters; the prior recovery is the standard
+    two-class BBSE inversion prior = (mu - fpr) / (tpr - fpr)."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["n_chars"].to_numpy(zero_copy_only=False) > 310
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(np.arange(len(n_per)), n_per)
+        nw = np.bincount(doc_rep, weights=(flat != "").astype(np.int64),
+                         minlength=len(n_per))
+        p = nw > 52
+        val = ids % 3 == 0
+        return pd.DataFrame([{
+            "tp": int((val & p & y).sum()), "fp": int((val & p & ~y).sum()),
+            "fn": int((val & ~p & y).sum()),
+            "tn": int((val & ~p & ~y).sum()),
+            "nv": int(val.sum()), "pp": int((~val & p).sum()),
+            "nt": int((~val).sum())}])
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: pd.DataFrame([f.sum()]), 2_000_000)
+    assert ok  # bounded: one counter row
+    r = merged.iloc[0]
+    nv, nt = int(r["nv"]), int(r["nt"])
+    c11, c10 = int(r["tp"]) / nv, int(r["fp"]) / nv
+    c01, c00 = int(r["fn"]) / nv, int(r["tn"]) / nv
+    mu1 = int(r["pp"]) / nt
+    a = c11 / (c11 + c01)
+    b2 = c10 / (c10 + c00)
+    out = pd.DataFrame([{
+        "n_val": nv, "n_target": nt,
+        "target_prior_micro": math.floor((mu1 - b2) / (a - b2)
+                                            * 1_000_000),
+        "tpr_micro": math.floor(a * 1_000_000),
+        "fpr_micro": math.floor(b2 * 1_000_000)}])
+    for c in ("n_val", "n_target", "target_prior_micro", "tpr_micro",
+              "fpr_micro"):
+        out[c] = out[c].astype(np.int64)
+    return out

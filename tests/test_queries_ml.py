@@ -315,3 +315,27 @@ def test_weighted_majority_mistake_bound(ray_session):
     n_preds = int(df["n_preds"].iloc[0])
     updown = df[df["expert"].isin(["up", "down"])]["n_errors"].sum()
     assert updown == n_preds
+
+
+def test_cohen_d_sign_and_scale(ray_session):
+    from dataquality_ray.pipelines.queries_ml import cohen_d_q
+
+    df = cohen_d_q(SF)
+    assert len(df) == 1
+    r = df.iloc[0]
+    # |g| < |d| (Hedges correction shrinks toward zero) and both tiny on
+    # the same-distribution synthetic values
+    assert abs(r["hedges_g_micro"]) <= abs(r["cohens_d_micro"]) + 1
+    assert abs(r["cohens_d_micro"]) < 500_000
+
+
+def test_label_shift_bbse_prior(ray_session):
+    from dataquality_ray.pipelines.queries_ml import label_shift_bbse_q
+
+    df = label_shift_bbse_q(SF)
+    r = df.iloc[0]
+    # tpr must exceed fpr for the inversion to be well-posed
+    assert r["tpr_micro"] > r["fpr_micro"]
+    # recovered prior is a plausible probability (inversion noise can
+    # push it slightly outside [0,1]; BBSE clips downstream)
+    assert -200_000 <= r["target_prior_micro"] <= 1_200_000
