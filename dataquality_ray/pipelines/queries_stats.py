@@ -3940,3 +3940,195 @@ def icc_daily_volume_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation r_xy.z over documents: x = n_chars, y = token
+# count, z = distinct-token count.  All three pairwise Pearson r's come
+# from exact integer moment partials in ONE scan; the partial is the
+# textbook (r_xy - r_xz r_yz) / sqrt((1-r_xz^2)(1-r_yz^2)).
+# ---------------------------------------------------------------------------
+
+@query("partial_correlation_doc_features", sql="""
+WITH f AS (
+  SELECT n_chars AS x,
+         len(list_filter(string_split(coalesce(text,''), ' '),
+                         t -> t <> '')) AS y,
+         len(list_distinct(list_filter(string_split(coalesce(text,''), ' '),
+                                       t -> t <> ''))) AS z
+  FROM documents
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+         sum(x*x) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz,
+         sum(x*y) AS sxy, sum(x*z) AS sxz, sum(y*z) AS syz
+  FROM f
+),
+r AS (
+  SELECT n,
+         (n*sxy - sx*sy)::DOUBLE
+           / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)) AS rxy,
+         (n*sxz - sx*sz)::DOUBLE
+           / sqrt((n*sxx - sx*sx)::DOUBLE * (n*szz - sz*sz)) AS rxz,
+         (n*syz - sy*sz)::DOUBLE
+           / sqrt((n*syy - sy*sy)::DOUBLE * (n*szz - sz*sz)) AS ryz
+  FROM m
+)
+SELECT n::BIGINT AS n_docs,
+       CAST(floor(rxy * 1000000) AS BIGINT) AS r_xy_micro,
+       CAST(floor(rxz * 1000000) AS BIGINT) AS r_xz_micro,
+       CAST(floor(ryz * 1000000) AS BIGINT) AS r_yz_micro,
+       CAST(floor((rxy - rxz * ryz)
+                  / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) * 1000000)
+            AS BIGINT) AS r_xy_given_z_micro
+FROM r
+""")
+def partial_correlation_q(sf_dir: str):
+    """Ten integer moments in one distributed pass; double tail on the
+    driver mirrors the oracle expression exactly."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(len(n_per)), n_per)
+        ne = flat != ""
+        y = np.bincount(rep, weights=ne.astype(np.int64),
+                        minlength=len(n_per)).astype(np.int64)
+        z = np.array([len(set(flat[rep == i][ne[rep == i]]))
+                      for i in range(len(n_per))], np.int64)
+        return pd.DataFrame([{
+            "n": len(x), "sx": int(x.sum()), "sy": int(y.sum()),
+            "sz": int(z.sum()), "sxx": int((x*x).sum()),
+            "syy": int((y*y).sum()), "szz": int((z*z).sum()),
+            "sxy": int((x*y).sum()), "sxz": int((x*z).sum()),
+            "syz": int((y*z).sum())}])
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["n_chars", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: pd.DataFrame([f.sum()]), 2_000_000)
+    assert ok  # bounded: one moment row
+    r0 = merged.iloc[0]
+    n = int(r0["n"])
+    sx, sy, sz = int(r0["sx"]), int(r0["sy"]), int(r0["sz"])
+    sxx, syy, szz = int(r0["sxx"]), int(r0["syy"]), int(r0["szz"])
+    sxy, sxz, syz = int(r0["sxy"]), int(r0["sxz"]), int(r0["syz"])
+    rxy = (n*sxy - sx*sy) / math.sqrt(float(n*sxx - sx*sx)
+                                      * (n*syy - sy*sy))
+    rxz = (n*sxz - sx*sz) / math.sqrt(float(n*sxx - sx*sx)
+                                      * (n*szz - sz*sz))
+    ryz = (n*syz - sy*sz) / math.sqrt(float(n*syy - sy*sy)
+                                      * (n*szz - sz*sz))
+    part_r = (rxy - rxz * ryz) / math.sqrt((1 - rxz*rxz) * (1 - ryz*ryz))
+    out = pd.DataFrame([{
+        "n_docs": n, "r_xy_micro": math.floor(rxy * 1_000_000),
+        "r_xz_micro": math.floor(rxz * 1_000_000),
+        "r_yz_micro": math.floor(ryz * 1_000_000),
+        "r_xy_given_z_micro": math.floor(part_r * 1_000_000)}])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Distance correlation (Szekely et al. 2007) between daily volume and
+# daily distinct users — catches the nonlinear dependence Pearson
+# misses.  Convention for cross-engine exactness: each doubly-centered
+# product A_jk * B_jk floors to micro BEFORE summation, so the n^2
+# reduction is an integer sum (double accumulation order would differ
+# between engines).  n = calendar days, so the pair matrix is tiny.
+# ---------------------------------------------------------------------------
+
+@query("distance_correlation_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS x, count(DISTINCT user_id)::BIGINT AS y
+  FROM events GROUP BY 1
+),
+o AS (SELECT day, x, y, row_number() OVER (ORDER BY day) AS i FROM d),
+px AS (
+  SELECT a.i AS j, b.i AS k, abs(a.x - b.x)::DOUBLE AS ax,
+         abs(a.y - b.y)::DOUBLE AS ay
+  FROM o a CROSS JOIN o b
+),
+mx AS (
+  SELECT j, avg(ax) AS rx, avg(ay) AS ry FROM px GROUP BY j
+),
+gx AS (SELECT avg(ax) AS gx, avg(ay) AS gy FROM px),
+c AS (
+  SELECT p.j, p.k,
+         (p.ax - mj.rx - mk.rx + gx.gx) AS ajk,
+         (p.ay - mj.ry - mk.ry + gx.gy) AS bjk
+  FROM px p JOIN mx mj ON mj.j = p.j JOIN mx mk ON mk.j = p.k
+  CROSS JOIN gx
+),
+s AS (
+  SELECT sum(CAST(floor(ajk * bjk * 1000000) AS BIGINT)) AS sab,
+         sum(CAST(floor(ajk * ajk * 1000000) AS BIGINT)) AS saa,
+         sum(CAST(floor(bjk * bjk * 1000000) AS BIGINT)) AS sbb,
+         count(*) AS n2
+  FROM c
+)
+SELECT n2::BIGINT AS n_pairs, sab::BIGINT AS dcov2_sum_micro,
+       saa::BIGINT AS dvarx_sum_micro, sbb::BIGINT AS dvary_sum_micro,
+       CAST(floor(sab / sqrt(saa::DOUBLE * sbb) * 1000000) AS BIGINT)
+         AS dcor2_micro
+FROM s
+""")
+def distance_correlation_q(sf_dir: str):
+    """(day, volume, distinct-user) partials reduce distributedly (the
+    distinct-user count per day uses per-batch unique pairs then an
+    exact fold); the n^2 centering runs on the driver's tiny day
+    matrix with the same floor-per-term integer convention."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part2(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day": day, "user_id": uid, "n": 1})
+        return f.groupby(["day", "user_id"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(part2, batch_format="pyarrow"),
+        lambda f: f.groupby(["day", "user_id"], as_index=False)["n"].sum(),
+        2_000_000)
+    assert ok  # bounded: days x active users
+    cols = ("n_pairs", "dcov2_sum_micro", "dvarx_sum_micro",
+            "dvary_sum_micro", "dcor2_micro")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = merged.groupby("day").agg(x=("n", "sum"), y=("user_id", "size"))
+    g = g.sort_index()
+    x = g["x"].to_numpy(np.int64).astype(np.float64)
+    y = g["y"].to_numpy(np.int64).astype(np.float64)
+    ax = np.abs(x[:, None] - x[None, :])
+    ay = np.abs(y[:, None] - y[None, :])
+    A = ax - ax.mean(axis=1, keepdims=True) - ax.mean(axis=0,
+                                                      keepdims=True) \
+        + ax.mean()
+    B = ay - ay.mean(axis=1, keepdims=True) - ay.mean(axis=0,
+                                                      keepdims=True) \
+        + ay.mean()
+    sab = int(np.floor(A * B * 1_000_000).astype(np.int64).sum())
+    saa = int(np.floor(A * A * 1_000_000).astype(np.int64).sum())
+    sbb = int(np.floor(B * B * 1_000_000).astype(np.int64).sum())
+    out = pd.DataFrame([{
+        "n_pairs": A.size, "dcov2_sum_micro": sab,
+        "dvarx_sum_micro": saa, "dvary_sum_micro": sbb,
+        "dcor2_micro": math.floor(sab / math.sqrt(float(saa) * sbb)
+                                  * 1_000_000)}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

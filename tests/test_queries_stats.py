@@ -255,3 +255,27 @@ def test_icc_daily_volume_range(ray_session):
     # ICC(1,1) lies in [-1/(k-1), 1]
     assert -1_000_000 // 4 - 1 <= r["icc_micro"] <= 1_000_000
     assert r["msw_milli"] > 0
+
+
+def test_partial_correlation_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_stats import partial_correlation_q
+
+    df = partial_correlation_q(SF)
+    r = df.iloc[0]
+    for c in ("r_xy_micro", "r_xz_micro", "r_yz_micro",
+              "r_xy_given_z_micro"):
+        assert -1_000_001 <= r[c] <= 1_000_000
+    # chars and token count are strongly positively correlated
+    assert r["r_xy_micro"] > 900_000
+
+
+def test_distance_correlation_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        distance_correlation_q,
+    )
+
+    df = distance_correlation_q(SF)
+    r = df.iloc[0]
+    assert r["n_pairs"] == 900  # 30x30 day matrix
+    assert 0 <= r["dcor2_micro"] <= 1_000_001
+    assert r["dvarx_sum_micro"] > 0 and r["dvary_sum_micro"] > 0
