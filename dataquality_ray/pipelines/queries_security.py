@@ -722,3 +722,112 @@ def jwt_token_census_q(sf_dir: str):
     merged["n_docs"] = merged["n_docs"].astype("int64")
     return merged[["alg", "n_docs"]].sort_values("alg").reset_index(
         drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Obfuscated-email decode scan — scrubber evasion: 'bob [at] corp [dot]
+# com' style spellings defeat a plain email regex, so the scrubber first
+# normalizes ' [at] ' -> '@' and ' [dot] ' -> '.', then re-runs the
+# detector.  Planted for doc_id % 13 in (0, 1); the query reports
+# detections before and after decoding (the delta is the evasion yield).
+# ---------------------------------------------------------------------------
+
+@query("deobfuscate_email_scan", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 IN (0, 1)
+              THEN replace(coalesce(text,''), ' value ',
+                           ' bob [at] corp [dot] com ')
+              ELSE coalesce(text,'') END AS t
+  FROM documents
+),
+d AS (
+  SELECT doc_id, t,
+         replace(replace(t, ' [at] ', '@'), ' [dot] ', '.') AS decoded
+  FROM cv
+)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+'))::BIGINT AS raw_hits,
+       len(regexp_extract_all(decoded,
+           '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+'))::BIGINT AS decoded_hits,
+       len(regexp_extract_all(decoded,
+           '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+'))
+         - len(regexp_extract_all(t,
+           '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+')) > 0 AS evasion_found
+FROM d ORDER BY doc_id
+""")
+def deobfuscate_email_q(sf_dir: str):
+    """Two substring normalizations + one RE2 count, all vectorized."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        planted = pc.replace_substring(base, " value ",
+                                       " bob [at] corp [dot] com ")
+        t = pc.if_else(pa.array(ids % 13 < 2), planted, base)
+        decoded = pc.replace_substring(
+            pc.replace_substring(t, " [at] ", "@"), " [dot] ", ".")
+        rx = r"[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+        raw = pc.count_substring_regex(t, rx).cast(pa.int64())
+        dec = pc.count_substring_regex(decoded, rx).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "raw_hits": raw,
+                         "decoded_hits": dec,
+                         "evasion_found": pc.greater(pc.subtract(dec, raw),
+                                                     0)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Leetspeak normalization scan — toxicity-filter evasion: '5l0w' style
+# digit substitutions hide vocabulary words from matchers.  Planted
+# ' slow ' -> ' sl0w ' for doc_id % 11 in (0, 1, 2); the normalizer maps
+# 0->o 1->l 3->e 4->a 5->s 7->t inside alphanumeric tokens and counts
+# tokens that become the vocabulary word 'slow' only after mapping.
+# ---------------------------------------------------------------------------
+
+@query("leetspeak_normalize_scan", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 IN (0, 1, 2)
+              THEN replace(coalesce(text,''), ' slow ', ' sl0w ')
+              ELSE coalesce(text,'') END AS t
+  FROM documents
+),
+d AS (
+  SELECT doc_id, t,
+         replace(replace(replace(replace(replace(replace(t,
+           '0', 'o'), '1', 'l'), '3', 'e'), '4', 'a'), '5', 's'),
+           '7', 't') AS norm
+  FROM cv
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '\\bslow\\b'))::BIGINT AS raw_slow,
+       len(regexp_extract_all(norm, '\\bslow\\b'))::BIGINT AS norm_slow,
+       len(regexp_extract_all(norm, '\\bslow\\b'))
+         - len(regexp_extract_all(t, '\\bslow\\b')) > 0 AS leet_evasion
+FROM d ORDER BY doc_id
+""")
+def leetspeak_normalize_q(sf_dir: str):
+    """Six chained substring maps + two RE2 counts per batch."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        planted = pc.replace_substring(base, " slow ", " sl0w ")
+        t = pc.if_else(pa.array(ids % 11 < 3), planted, base)
+        norm = t
+        for a, b in (("0", "o"), ("1", "l"), ("3", "e"), ("4", "a"),
+                     ("5", "s"), ("7", "t")):
+            norm = pc.replace_substring(norm, a, b)
+        raw = pc.count_substring_regex(t, r"\bslow\b").cast(pa.int64())
+        nm = pc.count_substring_regex(norm, r"\bslow\b").cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "raw_slow": raw,
+                         "norm_slow": nm,
+                         "leet_evasion": pc.greater(pc.subtract(nm, raw),
+                                                    0)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

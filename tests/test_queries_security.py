@@ -172,3 +172,32 @@ def test_jwt_census_counts(ray_session):
         "none": sum(1 for i in range(n) if i % 11 == 2),
     }
     assert got == expect  # and never 'unknown' on planted data
+
+
+def test_deobfuscate_email_plants(ray_session):
+    from dataquality_ray.pipelines.queries_security import (
+        deobfuscate_email_q,
+    )
+
+    df = deobfuscate_email_q(SF)
+    m = df["doc_id"].to_numpy() % 13
+    planted = df[m < 2]
+    assert (planted["raw_hits"] == 0).all()  # evades the plain regex
+    # docs whose soup contained ' value ' got the plant (most do)
+    assert planted["evasion_found"].mean() > 0.5
+    assert not df.loc[m >= 2, "evasion_found"].any()
+
+
+def test_leetspeak_normalize_plants(ray_session):
+    from dataquality_ray.pipelines.queries_security import (
+        leetspeak_normalize_q,
+    )
+
+    df = leetspeak_normalize_q(SF)
+    m = df["doc_id"].to_numpy() % 11
+    # every planted doc that contained 'slow' gains detections
+    assert df.loc[(m < 3) & (df["norm_slow"] > 0),
+                  "norm_slow"].ge(df.loc[(m < 3) & (df["norm_slow"] > 0),
+                                         "raw_slow"]).all()
+    assert not df.loc[m >= 3, "leet_evasion"].any()
+    assert (df.loc[m >= 3, "norm_slow"] == df.loc[m >= 3, "raw_slow"]).all()
