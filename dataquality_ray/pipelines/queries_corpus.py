@@ -3953,3 +3953,80 @@ def soundex_census_q(sf_dir: str):
         max_tok=("tok", "max")).reset_index()
     g["n_tokens"] = g["n_tokens"].astype(np.int64)
     return g.sort_values("code").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Per-source release gate: the shipping decision a corpus build makes
+# per shard — duplicate-text rate, mean length, and English share each
+# checked against a threshold, all from ONE fused scan of partials;
+# the duplicate rate counts per-source distinct texts (16-byte hash
+# keys in the combine, never raw text).  gate_pass = every check.
+# ---------------------------------------------------------------------------
+
+@query("source_release_gate", sql="""
+WITH s AS (
+  SELECT source, count(*) AS n,
+         count(DISTINCT text) AS n_distinct,
+         sum(n_chars) AS chars,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+  FROM documents GROUP BY source
+)
+SELECT source, n::BIGINT AS n_docs,
+       CAST((n - n_distinct) * 1000000 // n AS BIGINT) AS dup_ppm,
+       CAST(chars // n AS BIGINT) AS mean_chars,
+       CAST(n_en * 1000000 // n AS BIGINT) AS en_ppm,
+       ((n - n_distinct) * 1000000 // n <= 50000
+        AND chars // n >= 100
+        AND n_en * 1000000 // n >= 100000) AS gate_pass
+FROM s ORDER BY source
+""")
+def source_release_gate_q(sf_dir: str):
+    """One scan; the distinct-text count per source folds through
+    per-batch (source, text-hash) dedup partials — 16-byte keys, not
+    raw text, cross the combine."""
+    import hashlib
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        txt = b["text"].to_pylist()
+        h = [hashlib.sha256((t or "").encode()).digest()[:16] for t in txt]
+        lang = np.asarray(b["lang"].to_pylist(), dtype=object)
+        chars = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = pd.DataFrame({"source": src, "h": h, "n": 1,
+                          "chars": chars,
+                          "n_en": (lang == "en").astype(np.int64)})
+        return (f.groupby(["source", "h"], as_index=False)
+                .agg(n=("n", "sum"), chars=("chars", "sum"),
+                     n_en=("n_en", "sum")))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text", "lang", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["source", "h"], as_index=False)
+        [["n", "chars", "n_en"]].sum(), 2_000_000)
+    assert ok  # sources x distinct texts; groupby twin unnecessary at
+    # gate scale (distinct texts per source bounded by corpus design)
+    cols = ("source", "n_docs", "dup_ppm", "mean_chars", "en_ppm",
+            "gate_pass")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:-1]},
+                             "gate_pass": pd.Series([], dtype=bool)})
+    agg = merged.groupby("source").agg(
+        n=("n", "sum"), n_distinct=("h", "size"),
+        chars=("chars", "sum"), n_en=("n_en", "sum")).reset_index()
+    n = agg["n"].to_numpy(np.int64)
+    dup = (n - agg["n_distinct"].to_numpy(np.int64)) * 1_000_000 // n
+    mean_chars = agg["chars"].to_numpy(np.int64) // n
+    en = agg["n_en"].to_numpy(np.int64) * 1_000_000 // n
+    out = pd.DataFrame({
+        "source": agg["source"], "n_docs": n,
+        "dup_ppm": dup.astype(np.int64),
+        "mean_chars": mean_chars.astype(np.int64),
+        "en_ppm": en.astype(np.int64),
+        "gate_pass": (dup <= 50_000) & (mean_chars >= 100)
+        & (en >= 100_000)})
+    return out.sort_values("source").reset_index(drop=True)

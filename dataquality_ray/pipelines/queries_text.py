@@ -10135,3 +10135,98 @@ def dehyphenation_scan_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Self-BLEU-2 diversity (Zhu et al. 2018, "Texygen"): per doc, clipped
+# bigram precision against the REST of the corpus (global bigram counts
+# minus the doc's own) — high self-BLEU means the corpus repeats itself;
+# generation-quality suites report exactly this.  Integer-exact: clipped
+# counts are min(c_doc, c_rest), precision floors to ppm.
+# ---------------------------------------------------------------------------
+
+@query("self_bleu2_diversity", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text,''), ' '), x -> x <> '')
+           AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(t[1:len(t)-1]) || ' ' || unnest(t[2:len(t)])
+           AS g
+  FROM cv WHERE len(t) >= 2
+),
+dc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+gc AS (SELECT g, sum(c) AS tot FROM dc GROUP BY g),
+p AS (
+  SELECT dc.doc_id,
+         sum(least(dc.c, gc.tot - dc.c)) AS clipped,
+         sum(dc.c) AS n_bigrams
+  FROM dc JOIN gc USING (g) GROUP BY dc.doc_id
+)
+SELECT doc_id, n_bigrams::BIGINT AS n_bigrams,
+       clipped::BIGINT AS clipped_matches,
+       CAST(clipped * 1000000 // n_bigrams AS BIGINT) AS self_bleu2_ppm
+FROM p ORDER BY doc_id
+""")
+def self_bleu2_q(sf_dir: str):
+    """Two passes: global bigram counts reduce distributedly (bounded:
+    vocab^2) and broadcast into a per-batch scoring kernel — per-doc
+    counts never leave their batch.  Docs with < 2 tokens drop (no
+    bigrams), matching the oracle."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def flat_bigrams(batch: pa.Table):
+        toks = pc.split_pattern(pc.coalesce(batch["text"], pa.scalar("")),
+                                " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, n_per)
+        keep = flat != ""
+        doc, w = doc[keep], flat[keep]
+        adj = (doc[1:] == doc[:-1]) if len(doc) else np.array([], bool)
+        g = np.char.add(np.char.add(w[:-1][adj].astype(str), " "),
+                        w[1:][adj].astype(str))
+        return doc[:-1][adj], g
+
+    def gpart(batch: pa.Table) -> pd.DataFrame:
+        _, g = flat_bigrams(batch)
+        f = pd.DataFrame({"g": g, "c": 1})
+        return f.groupby("g", as_index=False)["c"].sum()
+
+    gc, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(gpart, batch_format="pyarrow"),
+        lambda f: f.groupby("g", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: bigram vocabulary
+    cols = ("doc_id", "n_bigrams", "clipped_matches", "self_bleu2_ppm")
+    if gc is None or not len(gc):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    tot = gc.set_index("g")["c"]
+
+    def score(batch: pa.Table) -> pa.Table:
+        doc, g = flat_bigrams(batch)
+        if not len(doc):
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        f = (pd.DataFrame({"doc_id": doc, "g": g, "c": 1})
+             .groupby(["doc_id", "g"], as_index=False)["c"].sum())
+        f["tot"] = f["g"].map(tot).astype(np.int64)
+        f["clip"] = np.minimum(f["c"], f["tot"] - f["c"])
+        agg = (f.groupby("doc_id")
+               .agg(n_bigrams=("c", "sum"), clipped_matches=("clip", "sum"))
+               .reset_index())
+        agg["self_bleu2_ppm"] = (agg["clipped_matches"] * 1_000_000
+                                 // agg["n_bigrams"])
+        return pa.table({c: pa.array(agg[c].to_numpy(np.int64))
+                         for c in cols})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(score, batch_format="pyarrow").to_pandas())
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -509,3 +509,14 @@ def test_soundex_census_blocks():
     out = qc.soundex_census_q(SF)
     assert (out["n_tokens"] >= 1).all()
     assert (out["min_tok"] <= out["max_tok"]).all()
+
+
+def test_source_release_gate(ray_session):
+    from dataquality_ray.pipelines.queries_corpus import source_release_gate_q
+
+    df = source_release_gate_q(SF)
+    assert len(df) == 20
+    # synthetic soup: no exact dup texts, healthy lengths, en present
+    assert (df["dup_ppm"] == 0).all()
+    assert df["gate_pass"].all()
+    assert df["en_ppm"].between(0, 1_000_000).all()

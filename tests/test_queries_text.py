@@ -179,3 +179,13 @@ def test_dehyphenation_scan_plants(ray_session):
     # repair removes exactly 2 chars per break
     assert (df["repaired_len"] == df["raw_len"] - 2 * df["n_breaks"]).all()
     assert not df.loc[m >= 2, "needs_repair"].any()
+
+
+def test_self_bleu2_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_text import self_bleu2_q
+
+    df = self_bleu2_q(SF)
+    assert (df["clipped_matches"] <= df["n_bigrams"]).all()
+    assert df["self_bleu2_ppm"].between(0, 1_000_000).all()
+    # word-soup bigrams recur across the corpus: self-BLEU is high
+    assert df["self_bleu2_ppm"].median() > 500_000
