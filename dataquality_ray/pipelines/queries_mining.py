@@ -10458,37 +10458,72 @@ FROM a WHERE sz >= 2 ORDER BY doc_id
 """)
 def lang_run_components_q(sf_dir: str):
     """Edges are derived distributedly (each doc posts its lang to pair
-    slots doc_id and doc_id-1; a groupby(p) emits the edge when both
-    sides agree), then labeled by min-label propagation with pointer
-    jumping — zero driver state at every step."""
-    from dataquality_ray.stages.minhash import near_dup_keep_distributed
+    slots doc_id and doc_id-1; one Arrow-native groupby emits the edge
+    when both sides agree).  Labeling auto-routes: union-find on the
+    driver while the EDGE set (tiny vs the corpus) fits the cap, the
+    min-label + pointer-jumping distributed twin past it — equivalence
+    pinned by the monkeypatched-cap test."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        record_route,
+    )
+    from dataquality_ray.stages.minhash import (
+        connected_components,
+        near_dup_keep_distributed,
+    )
 
-    def part(batch: pa.Table) -> pd.DataFrame:
+    from ray.data.aggregate import Min, Sum
+
+    def part(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         lang = np.asarray(batch["lang"].to_pylist(), dtype=object)
-        f = pd.DataFrame({
-            "p": np.concatenate([ids, ids - 1]),
-            "side": np.concatenate([np.zeros(len(ids), np.int64),
-                                    np.ones(len(ids), np.int64)]),
-            "lang": np.concatenate([lang, lang])})
-        return f[f["p"] >= 0]
+        p = np.concatenate([ids, ids - 1])
+        side = np.concatenate([np.zeros(len(ids), np.int64),
+                               np.ones(len(ids), np.int64)])
+        lang2 = np.concatenate([lang, lang])
+        keep = p >= 0
+        key = np.char.add(np.char.add(p[keep].astype(str), "|"),
+                          lang2[keep].astype(str))
+        return pa.table({"key": pa.array(key, pa.string()),
+                         "p": pa.array(p[keep]),
+                         "side": pa.array(side[keep]),
+                         "n": pa.array(np.ones(int(keep.sum()), np.int64))})
 
-    def to_edge(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                                 "id_b": pd.Series([], dtype=np.int64)})
-        a = g[g["side"] == 0]
-        b = g[g["side"] == 1]
-        if not len(a) or not len(b) or a["lang"].iloc[0] != b["lang"].iloc[0]:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                                 "id_b": pd.Series([], dtype=np.int64)})
-        p = int(g["p"].iloc[0])
-        return pd.DataFrame({"id_a": [p], "id_b": [p + 1]})
+    # a pair slot p becomes the edge (p, p+1) iff BOTH docs posted the
+    # same lang to it: the (p, lang) group then has n == 2, side-sum == 1
+    # -- one Arrow-native groupby aggregate, no per-group Python
+    grouped = (_read(sf_dir, "documents", ["doc_id", "lang"])
+               .map_batches(part, batch_format="pyarrow")
+               .groupby("key")
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("side", alias_name="s"),
+                          Min("p", alias_name="p")))
 
-    edges = (_read(sf_dir, "documents", ["doc_id", "lang"])
-             .map_batches(part, batch_format="pyarrow")
-             .groupby("p").map_groups(to_edge, batch_format="pandas"))
-    labeled = near_dup_keep_distributed(edges).to_pandas()
+    def to_edge(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.equal(batch["n"], 2), pc.equal(batch["s"], 1))
+        p = batch.filter(ok)["p"]
+        return pa.table({"id_a": p, "id_b": pc.add(p, 1)})
+
+    edges = grouped.map_batches(to_edge, batch_format="pyarrow")
+
+    n_edges = edges.count()
+    if n_edges <= DRIVER_COMBINE_CAP:
+        # near-dup pair sets are tiny relative to the corpus: union-find
+        # on the driver (the same fast path every dedup caller takes)
+        record_route("lang_run_components", "driver_union_find",
+                     "edge count within cap", n_edges)
+        pairs = edges.to_pandas()
+        roots = connected_components(pairs)
+        labeled = pd.DataFrame({
+            "doc_id": np.fromiter(roots.keys(), dtype=np.int64,
+                                  count=len(roots)),
+            "group_id": np.fromiter(roots.values(), dtype=np.int64,
+                                    count=len(roots))})
+        labeled["keep"] = labeled["doc_id"] == labeled["group_id"]
+    else:
+        record_route("lang_run_components", "minlabel_twin",
+                     "edge count exceeds cap", n_edges)
+        labeled = near_dup_keep_distributed(edges).to_pandas()
     labeled["doc_id"] = labeled["doc_id"].astype(np.int64)
     labeled["group_id"] = labeled["group_id"].astype(np.int64)
     return labeled.sort_values("doc_id").reset_index(drop=True)

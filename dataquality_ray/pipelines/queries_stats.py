@@ -4132,3 +4132,151 @@ def distance_correlation_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Recurrence quantification of the daily-volume series: recurrence
+# matrix R_ij = [|c_i - c_j| <= eps] with eps = 5% of the count range,
+# recurrence rate = density off the diagonal, determinism = share of
+# recurrent points lying on a diagonal line of length >= 2 — all exact
+# integer counting on the tiny day matrix after a distributed reduce.
+# ---------------------------------------------------------------------------
+
+@query("recurrence_quantification_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT c, row_number() OVER (ORDER BY day) AS i FROM d),
+eps AS (SELECT (max(c) - min(c)) AS rng, count(*) AS n FROM o),
+r AS (
+  SELECT a.i AS i, b.i AS j
+  FROM o a CROSS JOIN o b CROSS JOIN eps
+  WHERE a.i <> b.i AND abs(a.c - b.c) * 20 <= eps.rng
+),
+det AS (
+  SELECT count(*) AS n_diag
+  FROM r r1 JOIN r r2 ON r2.i = r1.i + 1 AND r2.j = r1.j + 1
+),
+det2 AS (
+  SELECT count(*) AS on_line FROM r
+  WHERE EXISTS (SELECT 1 FROM r r2
+                WHERE r2.i = r.i + 1 AND r2.j = r.j + 1)
+     OR EXISTS (SELECT 1 FROM r r2
+                WHERE r2.i = r.i - 1 AND r2.j = r.j - 1)
+)
+SELECT eps.n::BIGINT AS n_days,
+       (SELECT count(*) FROM r)::BIGINT AS n_recurrent,
+       CAST((SELECT count(*) FROM r) * 1000000
+            // (eps.n * (eps.n - 1)) AS BIGINT) AS recurrence_ppm,
+       CAST(det2.on_line * 1000000
+            // greatest((SELECT count(*) FROM r), 1) AS BIGINT)
+         AS determinism_ppm
+FROM eps CROSS JOIN det CROSS JOIN det2
+""")
+def recurrence_quantification_q(sf_dir: str):
+    """Day counts reduce distributedly; the 30x30 recurrence logic is
+    exact integer comparisons (|dc| * 20 <= range avoids division)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("n_days", "n_recurrent", "recurrence_ppm", "determinism_ppm")
+    if merged is None or len(merged) < 3:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    c = merged.sort_values("day")["c"].to_numpy(np.int64)
+    n = len(c)
+    rng = int(c.max() - c.min())
+    rec = (np.abs(c[:, None] - c[None, :]) * 20 <= rng)
+    np.fill_diagonal(rec, False)
+    n_rec = int(rec.sum())
+    shift = np.zeros_like(rec)
+    shift[1:, 1:] = rec[:-1, :-1]
+    shift2 = np.zeros_like(rec)
+    shift2[:-1, :-1] = rec[1:, 1:]
+    on_line = int((rec & (shift | shift2)).sum())
+    out = pd.DataFrame([{
+        "n_days": n, "n_recurrent": n_rec,
+        "recurrence_ppm": n_rec * 1_000_000 // (n * (n - 1)),
+        "determinism_ppm": on_line * 1_000_000 // max(n_rec, 1)}])
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Natural visibility graph (Lacasa et al. 2008) of the daily-volume
+# series: days i < j connect when every k between them satisfies
+# c_k < c_j + (c_i - c_j) * (j - k) / (j - i); cross-multiplied to exact
+# integer arithmetic.  The degree sequence distinguishes periodic,
+# random, and fractal series — a time-series fingerprint as a graph.
+# ---------------------------------------------------------------------------
+
+@query("visibility_graph_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT day, c, row_number() OVER (ORDER BY day) AS i FROM d),
+pairs AS (
+  SELECT a.i AS i, b.i AS j, a.c AS ci, b.c AS cj
+  FROM o a JOIN o b ON b.i > a.i
+),
+vis AS (
+  SELECT p.i, p.j FROM pairs p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM o k
+    WHERE k.i > p.i AND k.i < p.j
+      AND k.c * (p.j - p.i) >= p.cj * (p.j - p.i)
+                               + (p.ci - p.cj) * (p.j - k.i))
+),
+deg AS (
+  SELECT i, count(*) AS d FROM (
+    SELECT i FROM vis UNION ALL SELECT j FROM vis) GROUP BY i
+)
+SELECT o.day::BIGINT AS day, coalesce(deg.d, 0)::BIGINT AS degree
+FROM o LEFT JOIN deg ON deg.i = o.i ORDER BY o.day
+""")
+def visibility_graph_q(sf_dir: str):
+    """Same distributed day reduce; the O(n^3) visibility check runs on
+    the 30-point driver vector in vectorized integer numpy."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    if merged is None or not len(merged):
+        return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                             "degree": pd.Series([], dtype=np.int64)})
+    f = merged.sort_values("day").reset_index(drop=True)
+    c = f["c"].to_numpy(np.int64)
+    n = len(c)
+    deg = np.zeros(n, np.int64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            ks = np.arange(i + 1, j)
+            if len(ks) == 0 or np.all(
+                    c[ks] * (j - i) < c[j] * (j - i)
+                    + (c[i] - c[j]) * (j - ks)):
+                deg[i] += 1
+                deg[j] += 1
+    return pd.DataFrame({"day": f["day"].astype(np.int64),
+                         "degree": deg})

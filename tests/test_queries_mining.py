@@ -1836,12 +1836,15 @@ def test_densest_peeling_runs(ray_session):
     assert r["density_ppm"] == r["two_m_sub"] * 1_000_000 // (2 * r["n_nodes_sub"])
 
 
-def test_lang_run_components_are_runs(ray_session):
+def test_lang_run_components_are_runs(ray_session, monkeypatch):
     import pyarrow.parquet as pq
 
+    import dataquality_ray.stages.autoroute as ar
     from dataquality_ray.pipelines.queries_mining import lang_run_components_q
 
     df = lang_run_components_q(SF)
+    assert ar.last_route("lang_run_components")["chosen"] == \
+        "driver_union_find"
     docs = pq.read_table(f"{SF}/documents.parquet",
                          columns=["doc_id", "lang"]).to_pandas()
     lang = docs.set_index("doc_id")["lang"]
@@ -1854,6 +1857,12 @@ def test_lang_run_components_are_runs(ray_session):
     assert (df["keep"] == (df["doc_id"] == df["group_id"])).all()
     # singletons (no equal-lang neighbour) are excluded
     assert df.groupby("group_id").size().min() >= 2
+
+    # past the cap the min-label + pointer-jumping twin must agree
+    monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 2)
+    twin = lang_run_components_q(SF)
+    assert ar.last_route("lang_run_components")["chosen"] == "minlabel_twin"
+    assert twin.equals(df)
 
 
 def test_running_record_census(ray_session):
