@@ -279,3 +279,27 @@ def test_distance_correlation_bounds(ray_session):
     assert r["n_pairs"] == 900  # 30x30 day matrix
     assert 0 <= r["dcor2_micro"] <= 1_000_001
     assert r["dvarx_sum_micro"] > 0 and r["dvary_sum_micro"] > 0
+
+
+def test_recurrence_quantification_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        recurrence_quantification_q,
+    )
+
+    df = recurrence_quantification_q(SF)
+    r = df.iloc[0]
+    assert r["n_days"] == 30
+    assert 0 <= r["recurrence_ppm"] <= 1_000_000
+    assert 0 <= r["determinism_ppm"] <= 1_000_000
+
+
+def test_visibility_graph_daily(ray_session):
+    from dataquality_ray.pipelines.queries_stats import visibility_graph_q
+
+    df = visibility_graph_q(SF)
+    assert len(df) == 30
+    # adjacent days always see each other: degree >= 1, and the handshake
+    # sum is even and at least 2(n-1)
+    assert (df["degree"] >= 1).all()
+    assert df["degree"].sum() % 2 == 0
+    assert df["degree"].sum() >= 2 * 29
