@@ -831,3 +831,169 @@ def leetspeak_normalize_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Dangerous-call census over the code view: eval/exec/os.system/
+# pickle.loads/yaml.load occurrences, planted per doc_id bucket by
+# rewriting one soup token into a real call expression; a code-corpus
+# cleaner drops or flags files whose density crosses policy.
+# ---------------------------------------------------------------------------
+
+_DANGER_PLANTS = [
+    ("eval", " eval(x) "), ("exec", " exec(s) "),
+    ("os_system", " os.system(cmd) "), ("pickle_loads",
+                                        " pickle.loads(blob) "),
+    ("yaml_load", " yaml.load(doc) "),
+]
+
+
+@query("dangerous_call_census", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         CASE doc_id % 15
+           WHEN 0 THEN replace(coalesce(text,''), ' key ', ' eval(x) ')
+           WHEN 1 THEN replace(coalesce(text,''), ' key ', ' exec(s) ')
+           WHEN 2 THEN replace(coalesce(text,''), ' key ',
+                               ' os.system(cmd) ')
+           WHEN 3 THEN replace(coalesce(text,''), ' key ',
+                               ' pickle.loads(blob) ')
+           WHEN 4 THEN replace(coalesce(text,''), ' key ',
+                               ' yaml.load(doc) ')
+           ELSE coalesce(text,'') END AS t
+  FROM documents
+),
+c AS (
+  SELECT k.kind,
+         sum(len(regexp_extract_all(cv.t, k.pat))) AS n_calls,
+         sum(CASE WHEN len(regexp_extract_all(cv.t, k.pat)) > 0
+             THEN 1 ELSE 0 END) AS n_docs
+  FROM cv CROSS JOIN (VALUES
+    ('eval', '\\beval[(]'), ('exec', '\\bexec[(]'),
+    ('os_system', 'os[.]system[(]'),
+    ('pickle_loads', 'pickle[.]loads[(]'),
+    ('yaml_load', 'yaml[.]load[(]')) k(kind, pat)
+  GROUP BY k.kind
+)
+SELECT kind, n_calls::BIGINT AS n_calls, n_docs::BIGINT AS n_docs
+FROM c ORDER BY kind
+""")
+def dangerous_call_census_q(sf_dir: str):
+    """Five RE2 counts per batch folded to a bounded 5-row census."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    pats = {"eval": r"\beval\(", "exec": r"\bexec\(",
+            "os_system": r"os\.system\(",
+            "pickle_loads": r"pickle\.loads\(",
+            "yaml_load": r"yaml\.load\("}
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(b["text"], pa.scalar(""))
+        t = base
+        for slot, (_, planted) in enumerate(_DANGER_PLANTS):
+            rewritten = pc.replace_substring(base, " key ", planted)
+            t = pc.if_else(pa.array(ids % 15 == slot), rewritten, t)
+        rows = []
+        for kind, pat in pats.items():
+            n = pc.count_substring_regex(t, pat).to_numpy(
+                zero_copy_only=False)
+            rows.append({"kind": kind, "n_calls": int(n.sum()),
+                         "n_docs": int((n > 0).sum())})
+        return pd.DataFrame(rows)
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("kind", as_index=False)[["n_calls",
+                                                     "n_docs"]].sum(),
+        2_000_000)
+    assert ok  # bounded: 5 kinds
+    out = merged.sort_values("kind").reset_index(drop=True)
+    out["n_calls"] = out["n_calls"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out[["kind", "n_calls", "n_docs"]]
+
+
+# ---------------------------------------------------------------------------
+# Catastrophic-backtracking regex lint: source files embedding patterns
+# like (a+)+ or (\\w*)* blow up NFA engines (ReDoS).  Planted
+# ' re("(a+)+") ' literals; the linter itself runs on RE2 (linear), so
+# scanning for the vulnerable SHAPE is safe at corpus scale.
+# ---------------------------------------------------------------------------
+
+@query("regex_backtracking_lint", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 IN (0, 1)
+              THEN replace(coalesce(text,''), ' filter ',
+                           ' re("(a+)+") ')
+              ELSE coalesce(text,'') END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           '[(][^()]*[+*][)][+*]'))::BIGINT AS n_nested_quantifiers,
+       len(regexp_extract_all(t, '[(][^()]*[+*][)][+*]')) > 0
+         AS redos_risk
+FROM cv ORDER BY doc_id
+""")
+def regex_backtracking_lint_q(sf_dir: str):
+    """One RE2 scan for the nested-quantifier shape '(X+)+'."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        planted = pc.replace_substring(base, " filter ", ' re("(a+)+") ')
+        t = pc.if_else(pa.array(ids % 17 < 2), planted, base)
+        n = pc.count_substring_regex(
+            t, r"\([^()]*[+*]\)[+*]").cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_nested_quantifiers": n,
+                         "redos_risk": pc.greater(n, 0)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SQL string-concat lint: 'exec("SELECT ... " + var)' query-building by
+# concatenation is the injection anti-pattern reviewers gate on.
+# Planted ' query ' -> ' exec("SELECT " + uid) '.
+# ---------------------------------------------------------------------------
+
+@query("sql_concat_lint", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 19 IN (0, 1)
+              THEN replace(coalesce(text,''), ' query ',
+                           ' exec("SELECT " + uid) ')
+              ELSE coalesce(text,'') END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           '"(?:SELECT|INSERT|UPDATE|DELETE)[^"]*"\\s*[+]'))::BIGINT
+         AS n_concat_sites,
+       len(regexp_extract_all(t,
+           '"(?:SELECT|INSERT|UPDATE|DELETE)[^"]*"\\s*[+]')) > 0
+         AS injection_risk
+FROM cv ORDER BY doc_id
+""")
+def sql_concat_lint_q(sf_dir: str):
+    """One RE2 scan for quoted-SQL-literal '+' concatenation sites."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        planted = pc.replace_substring(base, " query ",
+                                       ' exec("SELECT " + uid) ')
+        t = pc.if_else(pa.array(ids % 19 < 2), planted, base)
+        n = pc.count_substring_regex(
+            t, r'"(?:SELECT|INSERT|UPDATE|DELETE)[^"]*"\s*[+]').cast(
+                pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_concat_sites": n,
+                         "injection_risk": pc.greater(n, 0)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -201,3 +201,33 @@ def test_leetspeak_normalize_plants(ray_session):
                                          "raw_slow"]).all()
     assert not df.loc[m >= 3, "leet_evasion"].any()
     assert (df.loc[m >= 3, "norm_slow"] == df.loc[m >= 3, "raw_slow"]).all()
+
+
+def test_dangerous_call_census_plants(ray_session):
+    from dataquality_ray.pipelines.queries_security import (
+        dangerous_call_census_q,
+    )
+
+    df = dangerous_call_census_q(SF)
+    got = df.set_index("kind")
+    assert set(got.index) == {"eval", "exec", "os_system", "pickle_loads",
+                              "yaml_load"}
+    assert (got["n_calls"] > 0).all()
+    assert (got["n_docs"] <= got["n_calls"]).all()
+
+
+def test_regex_and_sql_lints(ray_session):
+    from dataquality_ray.pipelines.queries_security import (
+        regex_backtracking_lint_q,
+        sql_concat_lint_q,
+    )
+
+    r = regex_backtracking_lint_q(SF)
+    m = r["doc_id"].to_numpy() % 17
+    assert r.loc[m < 2, "redos_risk"].mean() > 0.5
+    assert not r.loc[m >= 2, "redos_risk"].any()
+
+    s = sql_concat_lint_q(SF)
+    m = s["doc_id"].to_numpy() % 19
+    assert s.loc[m < 2, "injection_risk"].mean() > 0.5
+    assert not s.loc[m >= 2, "injection_risk"].any()
