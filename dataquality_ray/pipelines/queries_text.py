@@ -10230,3 +10230,63 @@ def self_bleu2_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Number-format normalization scan: '1,234.56'-style grouped literals
+# break numeric parsers downstream, so cleaners strip the grouping
+# commas.  Planted ' 1,234.56 ' (value varies with doc_id % 4) for
+# doc_id % 7 in (0, 1); the scan counts formatted literals and sums the
+# normalized values in exact micro integers.
+# ---------------------------------------------------------------------------
+
+@query("number_format_normalize_scan", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 IN (0, 1)
+              THEN replace(coalesce(text,''), ' big ',
+                           ' 1,23' || (doc_id % 4) || '.56 ')
+              ELSE coalesce(text,'') END AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         regexp_extract_all(t, '[0-9]{1,3}(?:,[0-9]{3})+(?:[.][0-9]+)?')
+           AS lits
+  FROM cv
+)
+SELECT doc_id, len(lits)::BIGINT AS n_formatted,
+       CAST(coalesce(list_sum(list_transform(lits,
+            x -> CAST(floor(CAST(replace(x, ',', '') AS DOUBLE) * 1000000)
+                      AS BIGINT))), 0) AS BIGINT) AS normalized_sum_micro
+FROM m ORDER BY doc_id
+""")
+def number_format_normalize_q(sf_dir: str):
+    """RE2 extraction of grouped numeric literals + per-doc micro sums;
+    the comma strip and float parse are identical on both engines
+    (short decimal literals parse exactly)."""
+    import re
+
+    pat = re.compile(r"[0-9]{1,3}(?:,[0-9]{3})+(?:\.[0-9]+)?")
+
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        out_n, out_s = [], []
+        texts = base.to_pylist()
+        for i, t in zip(ids, texts):
+            if i % 7 < 2:
+                t = t.replace(" big ", " 1,23%d.56 " % (i % 4))
+            lits = pat.findall(t)
+            out_n.append(len(lits))
+            out_s.append(sum(
+                int(np.floor(float(x.replace(",", "")) * 1_000_000))
+                for x in lits))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_formatted": pa.array(out_n, pa.int64()),
+                         "normalized_sum_micro": pa.array(out_s,
+                                                          pa.int64())})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -11050,3 +11050,64 @@ def benford_second_digit_q(sf_dir: str):
             [counts.get(d, 0) * 1_000_000 // total for d in range(10)],
             np.int64)})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Single-source parts census — supply-chain concentration risk: parts
+# whose lineitems all come from one supplier have no fallback.  Census
+# of parts by distinct-supplier bucket (1 / 2 / 3+) with the revenue
+# exposed in the single-source bucket.
+# ---------------------------------------------------------------------------
+
+@query("single_source_parts_census", sql="""
+WITH s AS (
+  SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp,
+         CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CASE WHEN n_supp = 1 THEN '1'
+            WHEN n_supp = 2 THEN '2' ELSE '3+' END AS supplier_bucket,
+       count(*)::BIGINT AS n_parts,
+       sum(rev_cents)::BIGINT AS revenue_cents
+FROM s GROUP BY 1 ORDER BY 1
+""")
+def single_source_parts_q(sf_dir: str):
+    """Per-batch (part, supplier) dedup partials with revenue side sums;
+    the combine folds to distinct-supplier counts per part, then the
+    bounded 3-bucket census."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "pk": b["l_partkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "sk": b["l_suppkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "rev": np.floor(b["l_extendedprice"].to_numpy(
+                zero_copy_only=False) * 100).astype(np.int64)})
+        return (f.groupby(["pk", "sk"], as_index=False)["rev"].sum())
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["pk", "sk"], as_index=False)["rev"].sum(),
+        2_000_000)
+    assert ok  # bounded at driver scales; part x supplier pairs
+    cols = ("supplier_bucket", "n_parts", "revenue_cents")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"supplier_bucket": pd.Series([], dtype=object),
+                             "n_parts": pd.Series([], dtype=np.int64),
+                             "revenue_cents": pd.Series([], dtype=np.int64)})
+    per_part = merged.groupby("pk").agg(n_supp=("sk", "size"),
+                                        rev=("rev", "sum")).reset_index()
+    per_part["supplier_bucket"] = np.where(
+        per_part["n_supp"] == 1, "1",
+        np.where(per_part["n_supp"] == 2, "2", "3+"))
+    out = (per_part.groupby("supplier_bucket")
+           .agg(n_parts=("pk", "size"), revenue_cents=("rev", "sum"))
+           .reset_index().sort_values("supplier_bucket")
+           .reset_index(drop=True))
+    out["n_parts"] = out["n_parts"].astype(np.int64)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return out[list(cols)]

@@ -189,3 +189,20 @@ def test_self_bleu2_bounds(ray_session):
     assert df["self_bleu2_ppm"].between(0, 1_000_000).all()
     # word-soup bigrams recur across the corpus: self-BLEU is high
     assert df["self_bleu2_ppm"].median() > 500_000
+
+
+def test_number_format_normalize_plants(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        number_format_normalize_q,
+    )
+
+    df = number_format_normalize_q(SF)
+    m = df["doc_id"].to_numpy() % 7
+    planted = df[(m < 2) & (df["n_formatted"] > 0)]
+    assert len(planted) > 0
+    # each planted literal 1,23d.56 normalizes to 123d.56 micro; docs
+    # with several ' big ' tokens carry several literals
+    vals = 1_000_000 * (1230 + planted["doc_id"] % 4) + 560_000
+    assert (planted["normalized_sum_micro"]
+            == planted["n_formatted"] * vals).all()
+    assert (df.loc[m >= 2, "n_formatted"] == 0).all()

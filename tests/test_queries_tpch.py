@@ -36,3 +36,12 @@ def test_benford_second_digit(ray_session):
     assert len(df) == 10
     assert df["n_orders"].sum() == 1500
     assert df["benford_ppm"].is_monotonic_decreasing
+
+
+def test_single_source_parts(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import single_source_parts_q
+
+    df = single_source_parts_q(SF)
+    assert set(df["supplier_bucket"]) <= {"1", "2", "3+"}
+    assert (df["n_parts"] > 0).any()
+    assert (df["revenue_cents"] > 0).all()
