@@ -3655,3 +3655,119 @@ def import_reachability_q(sf_dir: str):
     out = pd.DataFrame(rows)
     out["n_reachable_4"] = out["n_reachable_4"].astype(np.int64)
     return out.sort_values("module").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Test-file detection: corpus curation routinely separates test code
+# from library code (tests skew identifier statistics and inflate
+# near-dup rates).  Planted 'def test_foo(): assert x == y' for
+# doc_id % 9 in (0, 1); the detector scores test-prefix defs and assert
+# density.
+# ---------------------------------------------------------------------------
+
+@query("test_code_detect", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 IN (0, 1)
+              THEN replace(coalesce(text,''), ' join ',
+                           ' def test_foo(): assert x == y ')
+              ELSE coalesce(text,'') END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, 'def test_[a-z_]+'))::BIGINT
+         AS n_test_defs,
+       len(regexp_extract_all(t, '\\bassert\\b'))::BIGINT AS n_asserts,
+       (len(regexp_extract_all(t, 'def test_[a-z_]+')) > 0
+        AND len(regexp_extract_all(t, '\\bassert\\b')) > 0) AS is_test_file
+FROM cv ORDER BY doc_id
+""")
+def test_code_detect_q(sf_dir: str):
+    """Two RE2 counts per batch; flagged only when both signals appear."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        planted = pc.replace_substring(
+            base, " join ", " def test_foo(): assert x == y ")
+        t = pc.if_else(pa.array(ids % 9 < 2), planted, base)
+        defs = pc.count_substring_regex(
+            t, "def test_[a-z_]+").cast(pa.int64())
+        asserts = pc.count_substring_regex(
+            t, r"\bassert\b").cast(pa.int64())
+        return pa.table({
+            "doc_id": batch["doc_id"], "n_test_defs": defs,
+            "n_asserts": asserts,
+            "is_test_file": pc.and_(pc.greater(defs, 0),
+                                    pc.greater(asserts, 0))})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# License mix per source over the code view's planted headers (MIT /
+# Apache-2.0 / GPL-3.0 for doc_id % 11 in 0/1/2): sources mixing
+# copyleft with permissive licenses need legal review before training
+# use — the compliance gate a code-corpus build runs per shard.
+# ---------------------------------------------------------------------------
+
+@query("license_mix_by_source", sql=f"""
+WITH cv AS (
+  SELECT source,
+         CASE doc_id % 11 WHEN 0 THEN 'mit' WHEN 1 THEN 'apache'
+              WHEN 2 THEN 'gpl' ELSE 'none' END AS lic
+  FROM documents
+),
+s AS (
+  SELECT source,
+         sum(CASE WHEN lic = 'mit' THEN 1 ELSE 0 END) AS n_mit,
+         sum(CASE WHEN lic = 'apache' THEN 1 ELSE 0 END) AS n_apache,
+         sum(CASE WHEN lic = 'gpl' THEN 1 ELSE 0 END) AS n_gpl,
+         sum(CASE WHEN lic = 'none' THEN 1 ELSE 0 END) AS n_unlicensed
+  FROM cv GROUP BY source
+)
+SELECT source, n_mit::BIGINT AS n_mit, n_apache::BIGINT AS n_apache,
+       n_gpl::BIGINT AS n_gpl, n_unlicensed::BIGINT AS n_unlicensed,
+       (n_gpl > 0 AND (n_mit > 0 OR n_apache > 0)) AS copyleft_mix
+FROM s ORDER BY source
+""")
+def license_mix_q(sf_dir: str):
+    """Bounded (source, license) counts from one pruned scan."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids % 11
+        lic = np.where(sel == 0, "mit",
+                       np.where(sel == 1, "apache",
+                                np.where(sel == 2, "gpl", "none")))
+        f = pd.DataFrame({"source": b["source"].to_pylist(), "lic": lic,
+                          "n": 1})
+        return f.groupby(["source", "lic"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["source", "lic"], as_index=False)["n"].sum(),
+        2_000_000)
+    assert ok  # bounded: sources x 4 license classes
+    cols = ("source", "n_mit", "n_apache", "n_gpl", "n_unlicensed",
+            "copyleft_mix")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:-1]},
+                             "copyleft_mix": pd.Series([], dtype=bool)})
+    piv = (merged.pivot_table(index="source", columns="lic", values="n",
+                              aggfunc="sum", fill_value=0)
+           .reindex(columns=["mit", "apache", "gpl", "none"], fill_value=0))
+    out = pd.DataFrame({
+        "source": piv.index,
+        "n_mit": piv["mit"].to_numpy(np.int64),
+        "n_apache": piv["apache"].to_numpy(np.int64),
+        "n_gpl": piv["gpl"].to_numpy(np.int64),
+        "n_unlicensed": piv["none"].to_numpy(np.int64)})
+    out["copyleft_mix"] = (out["n_gpl"] > 0) & ((out["n_mit"] > 0)
+                                                | (out["n_apache"] > 0))
+    return out.sort_values("source").reset_index(drop=True)

@@ -621,3 +621,26 @@ def test_import_reachability(ray_session):
     assert bool(got.loc["mod_9", "returns_home"])
     # mod_1 walks 2 -> 4 -> 8 -> 16: a pure tail, never home
     assert not bool(got.loc["mod_1", "returns_home"])
+
+
+def test_test_code_detect_plants(ray_session):
+    from dataquality_ray.pipelines.queries_code import test_code_detect_q
+
+    df = test_code_detect_q(SF)
+    m = df["doc_id"].to_numpy() % 9
+    planted = df[m < 2]
+    assert planted["is_test_file"].mean() > 0.5  # docs containing ' join '
+    assert not df.loc[m >= 2, "is_test_file"].any()
+    assert (df["n_test_defs"] <= df["n_asserts"]).all()
+
+
+def test_license_mix_by_source(ray_session):
+    from dataquality_ray.pipelines.queries_code import license_mix_q
+
+    df = license_mix_q(SF)
+    assert len(df) == 20
+    tot = (df["n_mit"] + df["n_apache"] + df["n_gpl"]
+           + df["n_unlicensed"]).sum()
+    assert tot == 500
+    # doc_id % 11 spreads every license into most sources
+    assert df["copyleft_mix"].mean() > 0.8
