@@ -4280,3 +4280,167 @@ def visibility_graph_q(sf_dir: str):
                 deg[j] += 1
     return pd.DataFrame({"day": f["day"].astype(np.int64),
                          "degree": deg})
+
+
+# ---------------------------------------------------------------------------
+# Interrupted time series on daily volume, cut at min_day + 15:
+# segmented OLS with level + slope change (y = b0 + b1 t + b2 D +
+# b3 D(t - t0)); closed form from the two segments' exact integer
+# moments.  The causal-inference companion to
+# regression_discontinuity_price for the event stream.
+# ---------------------------------------------------------------------------
+
+@query("interrupted_time_series_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (
+  SELECT c, row_number() OVER (ORDER BY day) AS t,
+         row_number() OVER (ORDER BY day) > 15 AS post
+  FROM d
+),
+seg AS (
+  SELECT post, count(*) AS n, sum(t) AS st, sum(t*t) AS stt,
+         sum(c) AS sc, sum(t*c) AS stc
+  FROM o GROUP BY post
+),
+fit AS (
+  SELECT post, n,
+         (n*stc - st*sc)::DOUBLE / (n*stt - st*st) AS slope,
+         (sc::DOUBLE / n)
+           - ((n*stc - st*sc)::DOUBLE / (n*stt - st*st))
+             * (st::DOUBLE / n) AS intercept
+  FROM seg
+)
+SELECT
+  CAST(floor(pre.slope * 1000000) AS BIGINT) AS pre_slope_micro,
+  CAST(floor(post.slope * 1000000) AS BIGINT) AS post_slope_micro,
+  CAST(floor((post.slope - pre.slope) * 1000000) AS BIGINT)
+    AS slope_change_micro,
+  CAST(floor(((post.intercept + post.slope * 16)
+              - (pre.intercept + pre.slope * 16)) * 1000) AS BIGINT)
+    AS level_change_at_cut_milli
+FROM (SELECT * FROM fit WHERE NOT post) pre
+CROSS JOIN (SELECT * FROM fit WHERE post) post
+""")
+def interrupted_time_series_q(sf_dir: str):
+    """Two per-segment OLS fits from one bounded combine of integer
+    moments; the level change evaluates both lines at the first post
+    day (t = 16)."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("pre_slope_micro", "post_slope_micro", "slope_change_micro",
+            "level_change_at_cut_milli")
+    if merged is None or len(merged) < 20:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    f = merged.sort_values("day").reset_index(drop=True)
+    c = f["c"].to_numpy(np.int64)
+    t = np.arange(1, len(c) + 1, dtype=np.int64)
+
+    def seg_fit(mask):
+        tt, cc = t[mask], c[mask]
+        n = len(tt)
+        st, stt = int(tt.sum()), int((tt*tt).sum())
+        sc, stc = int(cc.sum()), int((tt*cc).sum())
+        slope = (n*stc - st*sc) / (n*stt - st*st)
+        inter = sc / n - slope * (st / n)
+        return slope, inter
+
+    s_pre, i_pre = seg_fit(t <= 15)
+    s_post, i_post = seg_fit(t > 15)
+    out = pd.DataFrame([{
+        "pre_slope_micro": math.floor(s_pre * 1_000_000),
+        "post_slope_micro": math.floor(s_post * 1_000_000),
+        "slope_change_micro": math.floor((s_post - s_pre) * 1_000_000),
+        "level_change_at_cut_milli": math.floor(
+            ((i_post + s_post * 16) - (i_pre + s_pre * 16)) * 1000)}])
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dixon's Q test for the extreme daily volumes: Q = gap / range as an
+# exact integer ppm for both the max and the min of the 30-day series —
+# the small-sample outlier screen that needs no distributional moments.
+# ---------------------------------------------------------------------------
+
+@query("dixon_q_outlier_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c, day) AS rk,
+         count(*) OVER () AS n
+  FROM d
+),
+v AS (
+  SELECT max(CASE WHEN rk = 1 THEN c END) AS lo1,
+         max(CASE WHEN rk = 2 THEN c END) AS lo2,
+         max(CASE WHEN rk = n - 1 THEN c END) AS hi2,
+         max(CASE WHEN rk = n THEN c END) AS hi1,
+         any_value(n) AS n
+  FROM r
+)
+SELECT n::BIGINT AS n_days, lo1 AS min_count, hi1 AS max_count,
+       CAST((lo2 - lo1) * 1000000 // greatest(hi1 - lo1, 1) AS BIGINT)
+         AS q_low_ppm,
+       CAST((hi1 - hi2) * 1000000 // greatest(hi1 - lo1, 1) AS BIGINT)
+         AS q_high_ppm,
+       (lo2 - lo1) * 1000000 // greatest(hi1 - lo1, 1) > 412000
+         AS low_outlier,
+       (hi1 - hi2) * 1000000 // greatest(hi1 - lo1, 1) > 412000
+         AS high_outlier
+FROM v
+""")
+def dixon_q_outlier_q(sf_dir: str):
+    """Order statistics off the bounded day table; 0.412 is the n=10
+    critical value used as a fixed screen."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("n_days", "min_count", "max_count", "q_low_ppm", "q_high_ppm")
+    if merged is None or len(merged) < 4:
+        return pd.DataFrame({**{c: pd.Series([], dtype=np.int64)
+                                for c in cols},
+                             "low_outlier": pd.Series([], dtype=bool),
+                             "high_outlier": pd.Series([], dtype=bool)})
+    s = merged.sort_values(["c", "day"]).reset_index(drop=True)
+    c = s["c"].to_numpy(np.int64)
+    n = len(c)
+    rng = max(int(c[-1] - c[0]), 1)
+    ql = int(c[1] - c[0]) * 1_000_000 // rng
+    qh = int(c[-1] - c[-2]) * 1_000_000 // rng
+    out = pd.DataFrame([{
+        "n_days": n, "min_count": int(c[0]), "max_count": int(c[-1]),
+        "q_low_ppm": ql, "q_high_ppm": qh,
+        "low_outlier": ql > 412_000, "high_outlier": qh > 412_000}])
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out

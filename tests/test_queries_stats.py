@@ -303,3 +303,28 @@ def test_visibility_graph_daily(ray_session):
     assert (df["degree"] >= 1).all()
     assert df["degree"].sum() % 2 == 0
     assert df["degree"].sum() >= 2 * 29
+
+
+def test_interrupted_time_series(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        interrupted_time_series_q,
+    )
+
+    df = interrupted_time_series_q(SF)
+    r = df.iloc[0]
+    # independent floors can differ by one micro-unit
+    assert abs(r["slope_change_micro"]
+               - (r["post_slope_micro"] - r["pre_slope_micro"])) <= 1
+    # stationary synthetic volume: no massive regime change
+    assert abs(r["level_change_at_cut_milli"]) < 100_000
+
+
+def test_dixon_q_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_stats import dixon_q_outlier_q
+
+    df = dixon_q_outlier_q(SF)
+    r = df.iloc[0]
+    assert r["n_days"] == 30
+    assert 0 <= r["q_low_ppm"] <= 1_000_000
+    assert 0 <= r["q_high_ppm"] <= 1_000_000
+    assert r["min_count"] < r["max_count"]
