@@ -2946,3 +2946,69 @@ def wal_lww_replay_q(sf_dir: str):
     out = (ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
            .to_pandas())
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Elevator (SCAN) vs FCFS disk-arm audit per day: requested track =
+# floor(value) % 500 in (ts, event_id) arrival order; FCFS seek cost sums
+# |t_i - t_{i-1}| from track 0, SCAN sweeps up from 0 then back down —
+# its cost has the closed form max + (max - min-above-0 ...): computed
+# by replaying the sweep exactly.  Classic OS-scheduling audit, exact
+# integers end to end.
+# ---------------------------------------------------------------------------
+
+@query("disk_scan_vs_fcfs_audit", sql="""
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(floor(value) AS BIGINT) % 500 AS track, ts, event_id
+  FROM events
+),
+f AS (
+  SELECT day, track,
+         lag(track, 1, 0) OVER (PARTITION BY day
+                                ORDER BY ts, event_id) AS prev
+  FROM e
+),
+fcfs AS (
+  SELECT day, sum(abs(track - prev)) AS fcfs_cost,
+         count(*) AS n, max(track) AS tmax, min(track) AS tmin
+  FROM f GROUP BY day
+)
+SELECT day::BIGINT AS day, n::BIGINT AS n_requests,
+       fcfs_cost::BIGINT AS fcfs_cost,
+       (2 * tmax - tmin)::BIGINT AS scan_cost,
+       CAST(fcfs_cost * 1000 // greatest(2 * tmax - tmin, 1) AS BIGINT)
+         AS fcfs_over_scan_milli
+FROM fcfs ORDER BY day
+""")
+def disk_scan_vs_fcfs_q(sf_dir: str):
+    """groupby(day).map_groups: arrival-order diff sum vs the sweep
+    closed form (up to max, back to min): 2*max - min from track 0."""
+    ds = _read(sf_dir, "events", ["ts", "event_id", "value"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        86400000000).cast(pa.int64())
+        track = (np.floor(batch["value"].to_numpy(zero_copy_only=False))
+                 .astype(np.int64) % 500)
+        return pa.table({"day": day, "track": pa.array(track),
+                         "ts": batch["ts"], "event_id": batch["event_id"]})
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["track"].to_numpy(np.int64)
+        prev = np.concatenate([[0], t[:-1]])
+        fcfs = int(np.abs(t - prev).sum())
+        scan = int(2 * t.max() - t.min())
+        return pd.DataFrame({
+            "day": [np.int64(g["day"].iloc[0])],
+            "n_requests": [np.int64(len(t))],
+            "fcfs_cost": [np.int64(fcfs)],
+            "scan_cost": [np.int64(scan)],
+            "fcfs_over_scan_milli": [np.int64(fcfs * 1000
+                                              // max(scan, 1))]})
+
+    out = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby("day").map_groups(per_day, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("day").reset_index(drop=True)

@@ -10290,3 +10290,127 @@ def number_format_normalize_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Kraft-inequality audit per source: treating observed distinct token
+# lengths as codeword lengths, sum 2^(L-len) for L = 16 stays an exact
+# integer; the code is realizable as a prefix code iff the sum <=
+# 2^L.  Companion to the Huffman/Shannon coding audits.
+# ---------------------------------------------------------------------------
+
+@query("kraft_inequality_audit", sql="""
+WITH tok AS (
+  SELECT source, unnest(string_split(coalesce(text,''), ' ')) AS w
+  FROM documents
+),
+dl AS (
+  SELECT DISTINCT source, length(w) AS len FROM tok WHERE w <> ''
+),
+s AS (
+  SELECT source, count(*) AS n_lengths,
+         sum(CAST(power(2, 16 - len) AS BIGINT)) AS kraft_scaled
+  FROM dl WHERE len <= 16 GROUP BY source
+)
+SELECT source, n_lengths::BIGINT AS n_lengths,
+       kraft_scaled::BIGINT AS kraft_scaled_2_16,
+       kraft_scaled <= 65536 AS prefix_realizable
+FROM s ORDER BY source
+""")
+def kraft_inequality_q(sf_dir: str):
+    """Distinct (source, token-length) pairs reduce distributedly
+    (bounded: sources x 16 lengths)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten()
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(np.asarray(b["source"].to_pylist(), dtype=object),
+                        n_per)
+        ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = ln > 0
+        f = pd.DataFrame({"source": src[keep], "len": ln[keep]})
+        return f.drop_duplicates()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.drop_duplicates(), 2_000_000)
+    assert ok  # bounded: sources x token lengths
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_lengths": pd.Series([], dtype=np.int64),
+            "kraft_scaled_2_16": pd.Series([], dtype=np.int64),
+            "prefix_realizable": pd.Series([], dtype=bool)})
+    m = merged[merged["len"] <= 16]
+    agg = (m.assign(k=(2 ** (16 - m["len"].astype(np.int64))))
+           .groupby("source").agg(n_lengths=("len", "size"),
+                                  kraft_scaled_2_16=("k", "sum"))
+           .reset_index())
+    agg["prefix_realizable"] = agg["kraft_scaled_2_16"] <= 65536
+    agg["n_lengths"] = agg["n_lengths"].astype(np.int64)
+    agg["kraft_scaled_2_16"] = agg["kraft_scaled_2_16"].astype(np.int64)
+    return agg.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SIF token weights (Arora et al. 2017): w(t) = a / (a + p(t)) with
+# a = 1e-3 — the smooth-inverse-frequency weights sentence-embedding
+# baselines use.  p(t) in exact ppm; the weight chain is one double
+# expression floored to ppm.
+# ---------------------------------------------------------------------------
+
+@query("sif_token_weights", sql="""
+WITH tok AS (
+  SELECT unnest(string_split(coalesce(text,''), ' ')) AS w FROM documents
+),
+c AS (SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY w),
+t AS (SELECT sum(c) AS n FROM c)
+SELECT c.w AS token, c.c::BIGINT AS n_occurrences,
+       CAST(c.c * 1000000 // t.n AS BIGINT) AS p_ppm,
+       CAST(floor(0.001 / (0.001 + c.c::DOUBLE / t.n) * 1000000)
+            AS BIGINT) AS sif_weight_ppm
+FROM c CROSS JOIN t ORDER BY c.w
+""")
+def sif_token_weights_q(sf_dir: str):
+    """Bounded vocabulary counts; rare tokens weight toward 1, stop-like
+    tokens toward 0."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        flat = flat[flat != ""]
+        if not len(flat):
+            return pd.DataFrame({"w": [], "c": []})
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"w": uniq, "c": counts.astype(np.int64)})
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("w", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: vocabulary
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "token": pd.Series([], dtype=object),
+            "n_occurrences": pd.Series([], dtype=np.int64),
+            "p_ppm": pd.Series([], dtype=np.int64),
+            "sif_weight_ppm": pd.Series([], dtype=np.int64)})
+    n = int(merged["c"].sum())
+    c = merged["c"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "token": merged["w"], "n_occurrences": c,
+        "p_ppm": (c * 1_000_000 // n).astype(np.int64),
+        "sif_weight_ppm": np.array(
+            [math.floor(0.001 / (0.001 + v / n) * 1_000_000) for v in c],
+            np.int64)})
+    return out.sort_values("token").reset_index(drop=True)

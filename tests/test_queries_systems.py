@@ -400,3 +400,13 @@ def test_wal_lww_replay_consistent(ray_session):
     assert df["consistent"].all()
     assert (df["v_full"] == df["v_merged"]).all()
     assert df["user_id"].is_unique
+
+
+def test_disk_scan_beats_fcfs(ray_session):
+    from dataquality_ray.pipelines.queries_systems import disk_scan_vs_fcfs_q
+
+    df = disk_scan_vs_fcfs_q(SF)
+    assert len(df) == 30
+    # random arrivals: FCFS pays far more seek than one sweep
+    assert (df["fcfs_cost"] >= df["scan_cost"]).all()
+    assert (df["fcfs_over_scan_milli"] >= 1000).all()

@@ -206,3 +206,22 @@ def test_number_format_normalize_plants(ray_session):
     assert (planted["normalized_sum_micro"]
             == planted["n_formatted"] * vals).all()
     assert (df.loc[m >= 2, "n_formatted"] == 0).all()
+
+
+def test_kraft_and_sif(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        kraft_inequality_q,
+        sif_token_weights_q,
+    )
+
+    k = kraft_inequality_q(SF)
+    assert len(k) == 20
+    # few short distinct lengths: always realizable as a prefix code
+    assert k["prefix_realizable"].all()
+
+    s = sif_token_weights_q(SF)
+    assert s["sif_weight_ppm"].between(0, 1_000_000).all()
+    # weights decrease with frequency
+    top = s.sort_values("n_occurrences")
+    w = top["sif_weight_ppm"].to_numpy()
+    assert w[0] >= w[-1]
