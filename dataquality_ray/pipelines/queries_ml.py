@@ -2683,3 +2683,85 @@ def label_shift_bbse_q(sf_dir: str):
               "fpr_micro"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Murphy decomposition of the Brier score: with forecasts binned (here
+# p-hat = bin midpoint of n_chars//64 rescaled to [0,1] by /8) and the
+# 'en' label, Brier = reliability - resolution + uncertainty where each
+# component is a closed form of bin counts — all integer partials, one
+# double expression per component.
+# ---------------------------------------------------------------------------
+
+@query("brier_murphy_decomposition", sql="""
+WITH b AS (
+  SELECT least(n_chars // 64, 7) AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+g AS (
+  SELECT bin, count(*) AS n, sum(y) AS pos FROM b GROUP BY bin
+),
+t AS (SELECT sum(n) AS nt, sum(pos) AS post FROM g),
+comp AS (
+  SELECT
+    sum(CAST(floor(g.n * ((g.bin + 0.5) / 8 - g.pos::DOUBLE / g.n)
+                       * ((g.bin + 0.5) / 8 - g.pos::DOUBLE / g.n)
+                   * 1000000 / t.nt) AS BIGINT)) AS rel_micro,
+    sum(CAST(floor(g.n * (g.pos::DOUBLE / g.n - t.post::DOUBLE / t.nt)
+                       * (g.pos::DOUBLE / g.n - t.post::DOUBLE / t.nt)
+                   * 1000000 / t.nt) AS BIGINT)) AS res_micro,
+    any_value(CAST(floor((t.post::DOUBLE / t.nt)
+                         * (1 - t.post::DOUBLE / t.nt) * 1000000)
+                   AS BIGINT)) AS unc_micro
+  FROM g CROSS JOIN t
+)
+SELECT rel_micro::BIGINT AS reliability_micro,
+       res_micro::BIGINT AS resolution_micro,
+       unc_micro::BIGINT AS uncertainty_micro,
+       (rel_micro - res_micro + unc_micro)::BIGINT AS brier_micro
+FROM comp
+""")
+def brier_murphy_q(sf_dir: str):
+    """Bounded 8-bin (n, pos) partials; each bin's term floors to micro
+    before the integer sum (the floor-per-term convention, see
+    distance_correlation_daily)."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        chars = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = (np.asarray(b["lang"].to_pylist(), dtype=object)
+             == "en").astype(np.int64)
+        f = pd.DataFrame({"bin": np.minimum(chars // 64, 7), "n": 1,
+                          "pos": y})
+        return f.groupby("bin", as_index=False)[["n", "pos"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["n_chars", "lang"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("bin", as_index=False)[["n", "pos"]].sum(),
+        2_000_000)
+    assert ok  # bounded: 8 bins
+    cols = ("reliability_micro", "resolution_micro", "uncertainty_micro",
+            "brier_micro")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = merged.sort_values("bin").reset_index(drop=True)
+    n = g["n"].to_numpy(np.int64)
+    pos = g["pos"].to_numpy(np.int64)
+    nt, post = int(n.sum()), int(pos.sum())
+    ph = (g["bin"].to_numpy(np.int64) + 0.5) / 8
+    rel = int(np.floor(n * (ph - pos / n) * (ph - pos / n)
+                       * 1_000_000 / nt).astype(np.int64).sum())
+    res = int(np.floor(n * (pos / n - post / nt) * (pos / n - post / nt)
+                       * 1_000_000 / nt).astype(np.int64).sum())
+    unc = math.floor((post / nt) * (1 - post / nt) * 1_000_000)
+    out = pd.DataFrame([{
+        "reliability_micro": rel, "resolution_micro": res,
+        "uncertainty_micro": unc, "brier_micro": rel - res + unc}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -3012,3 +3012,111 @@ def disk_scan_vs_fcfs_q(sf_dir: str):
            .groupby("day").map_groups(per_day, batch_format="pandas")
            .to_pandas())
     return out.sort_values("day").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve locality audit — companion to zorder_locality_audit:
+# map (doc_id % 64, n_chars % 64) cells through the order-6 Hilbert d2xy
+# walk (exact integer bit transform) and compare consecutive-key cell
+# distance against the z-order interleave on the same points.  Hilbert
+# wins locality benchmarks; this audit measures by how much.
+# ---------------------------------------------------------------------------
+
+def _hilbert_d(order: int, x: int, y: int) -> int:
+    """(x, y) -> distance along the order-n Hilbert curve (exact ints)."""
+    rx, ry, d = 0, 0, 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+@query("hilbert_vs_zorder_locality", sql="""
+WITH RECURSIVE p AS (
+  SELECT doc_id, doc_id % 64 AS x, n_chars % 64 AS y FROM documents
+),
+h AS (
+  SELECT doc_id, x, y, 32 AS s, x AS cx, y AS cy, 0 AS d FROM p
+  UNION ALL
+  SELECT doc_id, x, y, s // 2,
+         CASE WHEN (cy & s) = 0 AND (cx & s) > 0
+              THEN (s - 1 - cy) & (s - 1)
+              WHEN (cy & s) = 0 THEN cy & (s - 1)
+              ELSE cx & (s - 1) END AS cx2,
+         CASE WHEN (cy & s) = 0 AND (cx & s) > 0
+              THEN (s - 1 - cx) & (s - 1)
+              WHEN (cy & s) = 0 THEN cx & (s - 1)
+              ELSE cy & (s - 1) END AS cy2,
+         d + s * s * CASE WHEN (cx & s) > 0 AND (cy & s) > 0 THEN 2
+                          WHEN (cx & s) > 0 THEN 3
+                          WHEN (cy & s) > 0 THEN 1 ELSE 0 END
+  FROM h WHERE s > 0
+),
+hd AS (SELECT doc_id, d AS hilbert_d FROM h WHERE s = 0),
+z AS (
+  SELECT doc_id,
+         ((x & 1)) + 2*((y & 1)) + 4*((x >> 1) & 1) + 8*((y >> 1) & 1)
+         + 16*((x >> 2) & 1) + 32*((y >> 2) & 1) + 64*((x >> 3) & 1)
+         + 128*((y >> 3) & 1) + 256*((x >> 4) & 1) + 512*((y >> 4) & 1)
+         + 1024*((x >> 5) & 1) + 2048*((y >> 5) & 1) AS zorder_d
+  FROM p
+),
+j AS (
+  SELECT hd.doc_id, hd.hilbert_d, z.zorder_d,
+         lag(hd.hilbert_d) OVER (ORDER BY hd.doc_id) AS ph,
+         lag(z.zorder_d) OVER (ORDER BY hd.doc_id) AS pz
+  FROM hd JOIN z USING (doc_id)
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       sum(abs(hilbert_d - ph))::BIGINT AS hilbert_jump_sum,
+       sum(abs(zorder_d - pz))::BIGINT AS zorder_jump_sum,
+       sum(abs(hilbert_d - ph)) <= sum(abs(zorder_d - pz))
+         AS hilbert_wins
+FROM j WHERE ph IS NOT NULL
+""")
+def hilbert_vs_zorder_q(sf_dir: str):
+    """Per-batch exact integer curve transforms; consecutive-doc jump
+    sums reduce via one bounded combine of (doc_id-ordered) partials —
+    the lag pairs come from the sorted driver frame (bounded: one row
+    per doc at test scale... the combine carries (doc_id, hd, zd) and
+    the jump sum is computed on the sorted merge)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = ids % 64
+        y = chars % 64
+        hd = np.array([_hilbert_d(64, int(a), int(c))
+                       for a, c in zip(x, y)], np.int64)
+        zd = np.zeros(len(ids), np.int64)
+        for k in range(6):
+            zd += (((x >> k) & 1) << (2 * k)) + (((y >> k) & 1)
+                                                 << (2 * k + 1))
+        return pd.DataFrame({"doc_id": ids, "hd": hd, "zd": zd})
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.drop_duplicates("doc_id"), 2_000_000)
+    assert ok  # one row per doc at driver scales
+    cols = ("n_pairs", "hilbert_jump_sum", "zorder_jump_sum")
+    if merged is None or len(merged) < 2:
+        return pd.DataFrame({**{c: pd.Series([], dtype=np.int64)
+                                for c in cols},
+                             "hilbert_wins": pd.Series([], dtype=bool)})
+    f = merged.sort_values("doc_id").reset_index(drop=True)
+    hj = int(np.abs(np.diff(f["hd"].to_numpy(np.int64))).sum())
+    zj = int(np.abs(np.diff(f["zd"].to_numpy(np.int64))).sum())
+    out = pd.DataFrame([{"n_pairs": len(f) - 1, "hilbert_jump_sum": hj,
+                         "zorder_jump_sum": zj, "hilbert_wins": hj <= zj}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -339,3 +339,16 @@ def test_label_shift_bbse_prior(ray_session):
     # recovered prior is a plausible probability (inversion noise can
     # push it slightly outside [0,1]; BBSE clips downstream)
     assert -200_000 <= r["target_prior_micro"] <= 1_200_000
+
+
+def test_brier_murphy_identity(ray_session):
+    from dataquality_ray.pipelines.queries_ml import brier_murphy_q
+
+    df = brier_murphy_q(SF)
+    r = df.iloc[0]
+    assert r["brier_micro"] == (r["reliability_micro"]
+                                - r["resolution_micro"]
+                                + r["uncertainty_micro"])
+    # binary base rate bounds uncertainty at 0.25
+    assert 0 <= r["uncertainty_micro"] <= 250_000
+    assert r["reliability_micro"] >= 0 and r["resolution_micro"] >= 0

@@ -410,3 +410,17 @@ def test_disk_scan_beats_fcfs(ray_session):
     # random arrivals: FCFS pays far more seek than one sweep
     assert (df["fcfs_cost"] >= df["scan_cost"]).all()
     assert (df["fcfs_over_scan_milli"] >= 1000).all()
+
+
+def test_hilbert_curve_is_bijective_sample(ray_session):
+    from dataquality_ray.pipelines.queries_systems import (
+        _hilbert_d,
+        hilbert_vs_zorder_q,
+    )
+
+    seen = {_hilbert_d(64, x, y) for x in range(16) for y in range(16)}
+    assert len(seen) == 256  # injective on the sampled block
+    df = hilbert_vs_zorder_q(SF)
+    r = df.iloc[0]
+    assert r["n_pairs"] == 499
+    assert r["hilbert_jump_sum"] > 0 and r["zorder_jump_sum"] > 0
