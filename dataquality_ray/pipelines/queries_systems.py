@@ -3120,3 +3120,66 @@ def hilbert_vs_zorder_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# GCRA (generic cell rate algorithm) rate-limit replay per user — the
+# virtual-scheduling formulation ATM/Redis limiters use, distinct from
+# token_bucket_replay's credit counter: TAT' = max(TAT, t) + T with
+# emission interval T = 2 s and tolerance tau = 4 s; a request conforms
+# iff t >= TAT - tau.  All integer microseconds.
+# ---------------------------------------------------------------------------
+
+@query("gcra_rate_limit_replay", sql="""
+WITH RECURSIVE e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, 0::BIGINT AS rn, 0::BIGINT AS tat,
+         0::BIGINT AS conforming
+  FROM (SELECT DISTINCT user_id FROM e)
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         CASE WHEN e.t >= greatest(r.tat, 0) - 4000000
+              THEN greatest(r.tat, e.t) + 2000000 ELSE r.tat END,
+         r.conforming + CASE WHEN e.t >= greatest(r.tat, 0) - 4000000
+                             THEN 1 ELSE 0 END
+  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+),
+last AS (
+  SELECT user_id, max(rn) AS n FROM r GROUP BY user_id
+)
+SELECT r.user_id::BIGINT AS user_id, last.n::BIGINT AS n_requests,
+       r.conforming::BIGINT AS n_conforming,
+       (last.n - r.conforming)::BIGINT AS n_throttled
+FROM r JOIN last ON last.user_id = r.user_id AND last.n = r.rn
+ORDER BY r.user_id
+""")
+def gcra_rate_limit_q(sf_dir: str):
+    """groupby(user).map_groups replays the TAT recursion per user in a
+    tight numpy-backed loop (state is one integer); the shuffle moves
+    each user's timestamps once."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("int64").to_numpy()
+        tat, conforming = 0, 0
+        for ti in t:
+            ti = int(ti)
+            if ti >= max(tat, 0) - 4_000_000:
+                tat = max(tat, ti) + 2_000_000
+                conforming += 1
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n_requests": [np.int64(len(t))],
+            "n_conforming": [np.int64(conforming)],
+            "n_throttled": [np.int64(len(t) - conforming)]})
+
+    out = (ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)

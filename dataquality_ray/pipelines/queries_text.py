@@ -10414,3 +10414,110 @@ def sif_token_weights_q(sf_dir: str):
             [math.floor(0.001 / (0.001 + v / n) * 1_000_000) for v in c],
             np.int64)})
     return out.sort_values("token").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# RM3 query expansion (Lavrenko relevance model, integer form): take the
+# top-10 docs for the query {merge, join} by summed query-term tf, pool
+# their term counts, and emit the top expansion terms by pooled weight
+# (original query terms excluded).  Exact integer tf everywhere.
+# ---------------------------------------------------------------------------
+
+@query("rm3_expansion_terms", sql="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w, count(*) AS c FROM tok WHERE w <> ''
+  GROUP BY doc_id, w
+),
+score AS (
+  SELECT doc_id, sum(CASE WHEN w IN ('merge', 'join') THEN c ELSE 0 END)
+           AS qscore
+  FROM tf GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id FROM score ORDER BY qscore DESC, doc_id LIMIT 10
+),
+pool AS (
+  SELECT tf.w, sum(tf.c) AS weight, count(*) AS in_docs
+  FROM tf JOIN top USING (doc_id)
+  WHERE tf.w NOT IN ('merge', 'join')
+  GROUP BY tf.w
+)
+SELECT w AS term, weight::BIGINT AS pooled_tf,
+       in_docs::BIGINT AS n_docs
+FROM pool ORDER BY weight DESC, w LIMIT 15
+""")
+def rm3_expansion_q(sf_dir: str):
+    """Two bounded reductions: per-doc query scores (top-10 on the
+    driver), then pooled term counts over the 10 winners via a broadcast
+    doc-id filter."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def score_part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = np.repeat(ids, n_per)
+        hit = (flat == "merge") | (flat == "join")
+        qs = np.bincount(np.searchsorted(ids, rep[hit]),
+                         minlength=len(ids)).astype(np.int64)
+        return pd.DataFrame({"doc_id": ids, "qscore": qs})
+
+    scores, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(score_part, batch_format="pyarrow"),
+        lambda f: f.groupby("doc_id", as_index=False)["qscore"].sum(),
+        5_000_000)
+    assert ok  # one row per doc at driver scales
+    cols = ("term", "pooled_tf", "n_docs")
+    if scores is None or not len(scores):
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "pooled_tf": pd.Series([], dtype=np.int64),
+                             "n_docs": pd.Series([], dtype=np.int64)})
+    top = set(scores.sort_values(["qscore", "doc_id"],
+                                 ascending=[False, True])
+              .head(10)["doc_id"].astype(int))
+
+    def pool_part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ids, list(top))
+        if not keep.any():
+            return pd.DataFrame({"w": [], "c": [], "d": []})
+        sub = b.filter(pa.array(keep))
+        toks = pc.split_pattern(pc.coalesce(sub["text"], pa.scalar("")),
+                                " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rep = np.repeat(np.arange(len(n_per)), n_per)
+        ok2 = (flat != "") & (flat != "merge") & (flat != "join")
+        f = (pd.DataFrame({"doc": rep[ok2], "w": flat[ok2]})
+             .groupby(["doc", "w"]).size().rename("c").reset_index())
+        g = f.groupby("w", as_index=False).agg(c=("c", "sum"),
+                                               d=("doc", "size"))
+        return g
+
+    pooled, ok2 = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(pool_part, batch_format="pyarrow"),
+        lambda f: f.groupby("w", as_index=False)[["c", "d"]].sum(),
+        2_000_000)
+    assert ok2  # bounded: vocabulary
+    if pooled is None or not len(pooled):
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "pooled_tf": pd.Series([], dtype=np.int64),
+                             "n_docs": pd.Series([], dtype=np.int64)})
+    out = (pooled.rename(columns={"w": "term", "c": "pooled_tf",
+                                  "d": "n_docs"})
+           .sort_values(["pooled_tf", "term"], ascending=[False, True])
+           .head(15).reset_index(drop=True))
+    out["pooled_tf"] = out["pooled_tf"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out[list(cols)]

@@ -424,3 +424,13 @@ def test_hilbert_curve_is_bijective_sample(ray_session):
     r = df.iloc[0]
     assert r["n_pairs"] == 499
     assert r["hilbert_jump_sum"] > 0 and r["zorder_jump_sum"] > 0
+
+
+def test_gcra_rate_limit_bounds(ray_session):
+    from dataquality_ray.pipelines.queries_systems import gcra_rate_limit_q
+
+    df = gcra_rate_limit_q(SF)
+    assert (df["n_conforming"] + df["n_throttled"]
+            == df["n_requests"]).all()
+    # first request always conforms (TAT starts at 0)
+    assert (df["n_conforming"] >= 1).all()

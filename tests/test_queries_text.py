@@ -225,3 +225,13 @@ def test_kraft_and_sif(ray_session):
     top = s.sort_values("n_occurrences")
     w = top["sif_weight_ppm"].to_numpy()
     assert w[0] >= w[-1]
+
+
+def test_rm3_expansion_terms(ray_session):
+    from dataquality_ray.pipelines.queries_text import rm3_expansion_q
+
+    df = rm3_expansion_q(SF)
+    assert len(df) == 15
+    assert "merge" not in set(df["term"]) and "join" not in set(df["term"])
+    assert (df["n_docs"] <= 10).all()
+    assert df["pooled_tf"].is_monotonic_decreasing
