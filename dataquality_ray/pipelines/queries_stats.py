@@ -4444,3 +4444,152 @@ def dixon_q_outlier_q(sf_dir: str):
     for col in cols:
         out[col] = out[col].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Doksum shift function at the deciles: Delta(q) = Q_src1(q) - Q_src0(q)
+# for q = 0.1..0.9 over n_chars — where in the distribution two sources
+# differ, not just whether (the quantile-resolved two-sample view).
+# Exact discontinuous quantiles: k = ceil(q n)-th order statistic.
+# ---------------------------------------------------------------------------
+
+@query("doksum_shift_function", sql="""
+WITH s AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+q AS (SELECT unnest(range(1, 10)) AS d),
+pick AS (
+  SELECT q.d, s.source, max(s.n_chars) AS qv
+  FROM q JOIN s ON s.rk = (s.n * q.d + 9) // 10
+  GROUP BY q.d, s.source
+)
+SELECT d::BIGINT AS decile,
+       max(CASE WHEN source = 'src0' THEN qv END)::BIGINT AS q_src0,
+       max(CASE WHEN source = 'src1' THEN qv END)::BIGINT AS q_src1,
+       (max(CASE WHEN source = 'src1' THEN qv END)
+        - max(CASE WHEN source = 'src0' THEN qv END))::BIGINT AS shift
+FROM pick GROUP BY d ORDER BY d
+""")
+def doksum_shift_q(sf_dir: str):
+    """Per-source (n_chars, doc_id)-sorted histograms reduce via bounded
+    (source, n_chars) count partials; deciles read off cumulative counts
+    with the same ceil rule.  Ties inside a value break by doc_id in the
+    oracle's row_number, which cannot change WHICH VALUE the k-th order
+    statistic is — so count-based selection matches exactly."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        keep = (src == "src0") | (src == "src1")
+        f = pd.DataFrame({
+            "source": src[keep],
+            "v": b["n_chars"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)[keep], "n": 1})
+        return f.groupby(["source", "v"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["source", "v"], as_index=False)["n"].sum(),
+        2_000_000)
+    assert ok  # bounded: 2 sources x distinct lengths
+    cols = ("decile", "q_src0", "q_src1", "shift")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    rows = []
+    qs = {}
+    for srcname, g in merged.groupby("source"):
+        g = g.sort_values("v")
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g["v"].to_numpy(np.int64)
+        qs[srcname] = [int(vals[np.searchsorted(
+            cum, (n * d + 9) // 10)]) for d in range(1, 10)]
+    for i, d in enumerate(range(1, 10)):
+        a, b2 = qs["src0"][i], qs["src1"][i]
+        rows.append({"decile": d, "q_src0": a, "q_src1": b2,
+                     "shift": b2 - a})
+    out = pd.DataFrame(rows)
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Mean-excess profile (EVT's mean residual life plot) over event values:
+# at the 50..90th percentile thresholds u, E[X - u | X > u] in exact
+# integer milli — a linearly increasing profile indicates a heavy
+# Pareto-type tail (the diagnostic companion to hill_tail_index).
+# ---------------------------------------------------------------------------
+
+@query("mean_excess_profile", sql="""
+WITH v AS (
+  SELECT CAST(floor(value * 1000) AS BIGINT) AS vm,
+         row_number() OVER (ORDER BY floor(value * 1000), event_id) AS rk,
+         count(*) OVER () AS n
+  FROM events
+),
+th AS (
+  SELECT p.p, max(v.vm) AS u
+  FROM (VALUES (50), (60), (70), (80), (90)) p(p)
+  JOIN v ON v.rk = (v.n * p.p + 99) // 100
+  GROUP BY p.p
+),
+ex AS (
+  SELECT th.p, th.u,
+         count(*) FILTER (WHERE v.vm > th.u) AS n_exceed,
+         sum(CASE WHEN v.vm > th.u THEN v.vm - th.u ELSE 0 END)
+           AS excess_sum
+  FROM th CROSS JOIN v GROUP BY th.p, th.u
+)
+SELECT p::BIGINT AS percentile, u::BIGINT AS threshold_milli,
+       n_exceed::BIGINT AS n_exceedances,
+       CAST(excess_sum // greatest(n_exceed, 1) AS BIGINT)
+         AS mean_excess_milli
+FROM ex ORDER BY p
+""")
+def mean_excess_profile_q(sf_dir: str):
+    """Bounded (value-milli) histogram partials; thresholds and excess
+    sums read off the cumulative histogram on the driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        vm = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * 1000).astype(np.int64)
+        return (pd.DataFrame({"vm": vm}).groupby("vm", as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["value", "event_id"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("vm", as_index=False)["n"].sum(), 2_000_000)
+    assert ok  # bounded: distinct milli values
+    cols = ("percentile", "threshold_milli", "n_exceedances",
+            "mean_excess_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = merged.sort_values("vm").reset_index(drop=True)
+    vals = g["vm"].to_numpy(np.int64)
+    cnt = g["n"].to_numpy(np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    rows = []
+    for p in (50, 60, 70, 80, 90):
+        k = (n * p + 99) // 100
+        u = int(vals[np.searchsorted(cum, k)])
+        above = vals > u
+        n_ex = int(cnt[above].sum())
+        ex_sum = int((cnt[above] * (vals[above] - u)).sum())
+        rows.append({"percentile": p, "threshold_milli": u,
+                     "n_exceedances": n_ex,
+                     "mean_excess_milli": ex_sum // max(n_ex, 1)})
+    out = pd.DataFrame(rows)
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -328,3 +328,24 @@ def test_dixon_q_bounds(ray_session):
     assert 0 <= r["q_low_ppm"] <= 1_000_000
     assert 0 <= r["q_high_ppm"] <= 1_000_000
     assert r["min_count"] < r["max_count"]
+
+
+def test_doksum_shift_function(ray_session):
+    from dataquality_ray.pipelines.queries_stats import doksum_shift_q
+
+    df = doksum_shift_q(SF)
+    assert list(df["decile"]) == list(range(1, 10))
+    # quantiles are nondecreasing within each source
+    assert df["q_src0"].is_monotonic_increasing
+    assert df["q_src1"].is_monotonic_increasing
+    assert (df["shift"] == df["q_src1"] - df["q_src0"]).all()
+
+
+def test_mean_excess_profile(ray_session):
+    from dataquality_ray.pipelines.queries_stats import mean_excess_profile_q
+
+    df = mean_excess_profile_q(SF)
+    assert list(df["percentile"]) == [50, 60, 70, 80, 90]
+    assert df["threshold_milli"].is_monotonic_increasing
+    assert df["n_exceedances"].is_monotonic_decreasing
+    assert (df["mean_excess_milli"] > 0).all()
