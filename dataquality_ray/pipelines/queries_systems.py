@@ -3183,3 +3183,95 @@ def gcra_rate_limit_q(sf_dir: str):
                                             batch_format="pandas")
            .to_pandas())
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Mod-N vs rendezvous resharding stability, 8 -> 9 shards: mod-N
+# reassigns ~8/9 of all docs (the classic trap), rendezvous (highest
+# splitmix64(doc ^ shard-salt) wins) moves only ~1/9.  Exact integer
+# hashing, the same chain as rendezvous_hash_balance.
+# ---------------------------------------------------------------------------
+
+def _rendezvous_sql(n_shards: int, xcol: str = "doc_id") -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    prev = f"rh0_{n_shards}"
+    ctes = [f"rh0_{n_shards} AS (SELECT doc_id, s.s, "
+            f"xor(doc_id::UBIGINT, (s.s * 2654435761)::UBIGINT)::HUGEINT "
+            f"AS x FROM documents CROSS JOIN "
+            f"(SELECT unnest(range(0, {n_shards})) AS s) s)"]
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append(f"rh{n+1}_{n_shards} AS (SELECT doc_id, s, {expr} AS x "
+                    f"FROM {prev})")
+        prev = f"rh{n+1}_{n_shards}"
+    ctes.append(f"""win{n_shards} AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, row_number() OVER (
+      PARTITION BY doc_id ORDER BY x DESC, s) AS rn FROM {prev})
+  WHERE rn = 1
+)""")
+    return ",\n".join(ctes)
+
+
+@query("modn_vs_rendezvous_resize", sql=f"""
+WITH {_rendezvous_sql(8)},
+{_rendezvous_sql(9)},
+m AS (
+  SELECT d.doc_id,
+         d.doc_id % 8 <> d.doc_id % 9 AS modn_moved,
+         a.s <> b.s AS rdv_moved
+  FROM documents d
+  JOIN win8 a ON a.doc_id = d.doc_id
+  JOIN win9 b ON b.doc_id = d.doc_id
+)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN modn_moved THEN 1 ELSE 0 END)::BIGINT AS modn_moved,
+       sum(CASE WHEN rdv_moved THEN 1 ELSE 0 END)::BIGINT AS rdv_moved,
+       CAST(sum(CASE WHEN modn_moved THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS modn_moved_ppm,
+       CAST(sum(CASE WHEN rdv_moved THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS rdv_moved_ppm
+FROM m
+""")
+def modn_vs_rendezvous_q(sf_dir: str):
+    """Vectorized per batch: 9 splitmix columns per doc, argmax over 8
+    then 9 shard salts; one bounded counter combine."""
+    from dataquality_ray.functions.hashing import splitmix64
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def winner(ids: np.ndarray, n_shards: int) -> np.ndarray:
+        best_s = np.zeros(len(ids), np.int64)
+        best_x = np.zeros(len(ids), np.uint64)
+        for s in range(n_shards):
+            with np.errstate(over="ignore"):
+                x = splitmix64(ids.astype(np.uint64)
+                               ^ (np.uint64(s) * np.uint64(2654435761)))
+            better = (x > best_x) if s > 0 else np.ones(len(ids), bool)
+            best_x = np.where(better, x, best_x)
+            best_s = np.where(better, s, best_s)
+        return best_s
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w8 = winner(ids, 8)
+        w9 = winner(ids, 9)
+        return pd.DataFrame([{
+            "n_docs": len(ids),
+            "modn_moved": int((ids % 8 != ids % 9).sum()),
+            "rdv_moved": int((w8 != w9).sum())}])
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: pd.DataFrame([f.sum()]), 2_000_000)
+    assert ok  # bounded: one counter row
+    r = merged.iloc[0]
+    n = int(r["n_docs"])
+    out = pd.DataFrame([{
+        "n_docs": n, "modn_moved": int(r["modn_moved"]),
+        "rdv_moved": int(r["rdv_moved"]),
+        "modn_moved_ppm": int(r["modn_moved"]) * 1_000_000 // n,
+        "rdv_moved_ppm": int(r["rdv_moved"]) * 1_000_000 // n}])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

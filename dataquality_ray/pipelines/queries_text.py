@@ -10521,3 +10521,81 @@ def rm3_expansion_q(sf_dir: str):
     out["pooled_tf"] = out["pooled_tf"].astype(np.int64)
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM pruning audit: how many bigram types (and how much
+# probability mass) a count-threshold prune of 1..5 discards — the
+# size/quality dial every KenLM-style build turns.  Exact integers off
+# the bounded bigram count table.
+# ---------------------------------------------------------------------------
+
+@query("ngram_prune_audit", sql="""
+WITH cv AS (
+  SELECT list_filter(string_split(coalesce(text,''), ' '), x -> x <> '')
+           AS t
+  FROM documents
+),
+bg AS (
+  SELECT unnest(t[1:len(t)-1]) || ' ' || unnest(t[2:len(t)]) AS g
+  FROM cv WHERE len(t) >= 2
+),
+c AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+tot AS (SELECT count(*) AS types, sum(c) AS mass FROM c),
+th AS (SELECT unnest(range(1, 6)) AS k)
+SELECT th.k::BIGINT AS prune_below,
+       count(*) FILTER (WHERE c.c < th.k)::BIGINT AS types_pruned,
+       coalesce(sum(c.c) FILTER (WHERE c.c < th.k), 0)::BIGINT
+         AS mass_pruned,
+       CAST(count(*) FILTER (WHERE c.c < th.k) * 1000000
+            // any_value(tot.types) AS BIGINT) AS types_pruned_ppm,
+       CAST(coalesce(sum(c.c) FILTER (WHERE c.c < th.k), 0) * 1000000
+            // any_value(tot.mass) AS BIGINT) AS mass_pruned_ppm
+FROM th CROSS JOIN c CROSS JOIN tot GROUP BY th.k ORDER BY th.k
+""")
+def ngram_prune_audit_q(sf_dir: str):
+    """Bounded bigram counts (vocab^2) via guarded combine; the 5-row
+    threshold sweep reads off the count histogram."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(np.arange(len(n_per)), n_per)
+        keep = flat != ""
+        ids, w = ids[keep], flat[keep]
+        adj = ids[1:] == ids[:-1]
+        g = np.char.add(np.char.add(w[:-1][adj].astype(str), " "),
+                        w[1:][adj].astype(str))
+        if not len(g):
+            return pd.DataFrame({"g": [], "c": []})
+        uniq, counts = np.unique(g, return_counts=True)
+        return pd.DataFrame({"g": uniq, "c": counts.astype(np.int64)})
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("g", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: bigram vocabulary
+    cols = ("prune_below", "types_pruned", "mass_pruned",
+            "types_pruned_ppm", "mass_pruned_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    c = merged["c"].to_numpy(np.int64)
+    types, mass = len(c), int(c.sum())
+    rows = []
+    for k in range(1, 6):
+        tp = int((c < k).sum())
+        mp = int(c[c < k].sum())
+        rows.append({"prune_below": k, "types_pruned": tp,
+                     "mass_pruned": mp,
+                     "types_pruned_ppm": tp * 1_000_000 // types,
+                     "mass_pruned_ppm": mp * 1_000_000 // mass})
+    out = pd.DataFrame(rows)
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out

@@ -434,3 +434,16 @@ def test_gcra_rate_limit_bounds(ray_session):
             == df["n_requests"]).all()
     # first request always conforms (TAT starts at 0)
     assert (df["n_conforming"] >= 1).all()
+
+
+def test_modn_vs_rendezvous(ray_session):
+    from dataquality_ray.pipelines.queries_systems import (
+        modn_vs_rendezvous_q,
+    )
+
+    df = modn_vs_rendezvous_q(SF)
+    r = df.iloc[0]
+    # mod-N churns most keys on resize; rendezvous moves ~1/9
+    assert r["modn_moved_ppm"] > 800_000
+    assert r["rdv_moved_ppm"] < 250_000
+    assert r["rdv_moved"] < r["modn_moved"]

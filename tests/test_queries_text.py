@@ -235,3 +235,13 @@ def test_rm3_expansion_terms(ray_session):
     assert "merge" not in set(df["term"]) and "join" not in set(df["term"])
     assert (df["n_docs"] <= 10).all()
     assert df["pooled_tf"].is_monotonic_decreasing
+
+
+def test_ngram_prune_audit_monotone(ray_session):
+    from dataquality_ray.pipelines.queries_text import ngram_prune_audit_q
+
+    df = ngram_prune_audit_q(SF)
+    assert list(df["prune_below"]) == [1, 2, 3, 4, 5]
+    assert df["types_pruned"].is_monotonic_increasing
+    assert df["mass_pruned"].is_monotonic_increasing
+    assert (df.loc[df["prune_below"] == 1, "types_pruned"] == 0).all()
