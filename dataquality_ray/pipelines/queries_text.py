@@ -10599,3 +10599,84 @@ def ngram_prune_audit_q(sf_dir: str):
     for col in cols:
         out[col] = out[col].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Dominance/diversity panel per source — the ecology indices corpus
+# reports borrow: Berger-Parker dominance (share of the single most
+# frequent token), McIntosh D, Menhinick R and Margalef richness, all
+# from the bounded (source, token) counts; sqrt/ln run once per source
+# on the merged frame.
+# ---------------------------------------------------------------------------
+
+@query("dominance_diversity_panel", sql="""
+WITH tok AS (
+  SELECT source, unnest(string_split(coalesce(text,''), ' ')) AS w
+  FROM documents
+),
+c AS (
+  SELECT source, w, count(*) AS c FROM tok WHERE w <> ''
+  GROUP BY source, w
+),
+a AS (
+  SELECT source, sum(c) AS n, count(*) AS v, max(c) AS cmax,
+         sum(c * c) AS ss
+  FROM c GROUP BY source
+)
+SELECT source, n::BIGINT AS n_tokens, v::BIGINT AS n_types,
+       CAST(cmax * 1000000 // n AS BIGINT) AS berger_parker_ppm,
+       CAST(floor((n - sqrt(ss::DOUBLE)) / (n - sqrt(n::DOUBLE))
+                  * 1000000) AS BIGINT) AS mcintosh_micro,
+       CAST(floor(v / sqrt(n::DOUBLE) * 1000) AS BIGINT)
+         AS menhinick_milli,
+       CAST(floor((v - 1) / ln(n::DOUBLE) * 1000) AS BIGINT)
+         AS margalef_milli
+FROM a ORDER BY source
+""")
+def dominance_diversity_q(sf_dir: str):
+    """Same distributed (source, token) partials as the richness panel;
+    four index formulas on the driver's 20-row frame."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(np.asarray(b["source"].to_pylist(), dtype=object),
+                        n_per)
+        keep = flat != ""
+        f = pd.DataFrame({"source": src[keep], "w": flat[keep], "c": 1})
+        return f.groupby(["source", "w"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["source", "w"], as_index=False)["c"].sum(),
+        2_000_000)
+    assert ok  # bounded: vocabulary x sources
+    cols = ("source", "n_tokens", "n_types", "berger_parker_ppm",
+            "mcintosh_micro", "menhinick_milli", "margalef_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    rows = []
+    for src, g in merged.groupby("source"):
+        c = g["c"].to_numpy(np.int64)
+        n, v = int(c.sum()), len(c)
+        cmax, ss = int(c.max()), int((c * c).sum())
+        rows.append({
+            "source": src, "n_tokens": n, "n_types": v,
+            "berger_parker_ppm": cmax * 1_000_000 // n,
+            "mcintosh_micro": math.floor(
+                (n - math.sqrt(ss)) / (n - math.sqrt(n)) * 1_000_000),
+            "menhinick_milli": math.floor(v / math.sqrt(n) * 1000),
+            "margalef_milli": math.floor((v - 1) / math.log(n) * 1000)})
+    out = pd.DataFrame(rows)
+    for c2 in cols[1:]:
+        out[c2] = out[c2].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)

@@ -245,3 +245,14 @@ def test_ngram_prune_audit_monotone(ray_session):
     assert df["types_pruned"].is_monotonic_increasing
     assert df["mass_pruned"].is_monotonic_increasing
     assert (df.loc[df["prune_below"] == 1, "types_pruned"] == 0).all()
+
+
+def test_dominance_diversity_panel(ray_session):
+    from dataquality_ray.pipelines.queries_text import dominance_diversity_q
+
+    df = dominance_diversity_q(SF)
+    assert len(df) == 20
+    # 31-word vocab: dominance well under uniform-ish bounds
+    assert df["berger_parker_ppm"].between(32_000, 200_000).all()
+    assert df["mcintosh_micro"].between(0, 1_000_000).all()
+    assert (df["n_types"] <= 31).all()
