@@ -4593,3 +4593,194 @@ def mean_excess_profile_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# James-Stein shrinkage of per-source mean doc length toward the grand
+# mean: shrunk_i = gbar + (1 - c/S2)+ (xbar_i - gbar) with c =
+# (k - 3) * sigma2_within / n_per and S2 = sum (xbar_i - gbar)^2.  All
+# moments exact integers; the shrinkage tail is one double chain with
+# the floor-per-term convention on S2.
+# ---------------------------------------------------------------------------
+
+@query("james_stein_shrinkage_sources", sql="""
+WITH s AS (
+  SELECT source, count(*) AS n, sum(n_chars) AS sx,
+         sum(n_chars * n_chars) AS sxx
+  FROM documents GROUP BY source
+),
+g AS (
+  SELECT count(*) AS k, sum(n) AS nt, sum(sx) AS sxt,
+         sum(sxx) AS sxxt
+  FROM s
+),
+m AS (
+  SELECT s.source, s.n, s.sx,
+         s.sx::DOUBLE / s.n AS xbar,
+         g.sxt::DOUBLE / g.nt AS gbar, g.k,
+         (g.sxxt::DOUBLE - g.sxt::DOUBLE * g.sxt / g.nt)
+           / (g.nt - 1) AS var_all,
+         g.nt // g.k AS n_avg
+  FROM s CROSS JOIN g
+),
+s2 AS (
+  SELECT sum(CAST(floor((xbar - gbar) * (xbar - gbar) * 1000) AS BIGINT))
+           AS s2_milli
+  FROM m
+),
+f AS (
+  SELECT m.*, s2.s2_milli,
+         greatest(1.0 - ((m.k - 3) * m.var_all / m.n_avg)
+                        / (s2.s2_milli / 1000.0), 0.0) AS shrink
+  FROM m CROSS JOIN s2
+)
+SELECT source,
+       CAST(floor(xbar * 1000) AS BIGINT) AS raw_mean_milli,
+       CAST(floor((gbar + shrink * (xbar - gbar)) * 1000) AS BIGINT)
+         AS shrunk_mean_milli,
+       CAST(floor(shrink * 1000000) AS BIGINT) AS shrink_factor_micro
+FROM f ORDER BY source
+""")
+def james_stein_q(sf_dir: str):
+    """One bounded combine of per-source integer moments; the S2 between
+    term floors per source before summing (order-free exact)."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = pd.DataFrame({"source": b["source"].to_pylist(), "n": 1,
+                          "sx": x, "sxx": x * x})
+        return f.groupby("source", as_index=False)[["n", "sx",
+                                                    "sxx"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("source", as_index=False)[["n", "sx",
+                                                       "sxx"]].sum(),
+        2_000_000)
+    assert ok  # bounded: #sources
+    cols = ("source", "raw_mean_milli", "shrunk_mean_milli",
+            "shrink_factor_micro")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    k = len(merged)
+    nt = int(merged["n"].sum())
+    sxt = int(merged["sx"].sum())
+    sxxt = int(merged["sxx"].sum())
+    gbar = sxt / nt
+    var_all = (sxxt - float(sxt) * sxt / nt) / (nt - 1)
+    n_avg = nt // k
+    xbar = merged["sx"].to_numpy(np.int64) / merged["n"].to_numpy(np.int64)
+    s2_milli = int(sum(math.floor((xb - gbar) * (xb - gbar) * 1000)
+                       for xb in xbar))
+    shrink = max(1.0 - ((k - 3) * var_all / n_avg) / (s2_milli / 1000.0),
+                 0.0)
+    out = pd.DataFrame({
+        "source": merged["source"],
+        "raw_mean_milli": np.array(
+            [math.floor(xb * 1000) for xb in xbar], np.int64),
+        "shrunk_mean_milli": np.array(
+            [math.floor((gbar + shrink * (xb - gbar)) * 1000)
+             for xb in xbar], np.int64),
+        "shrink_factor_micro": np.int64(math.floor(shrink * 1_000_000))})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Beta-binomial overdispersion fit for the per-day click share: method
+# of moments on the 30 daily (clicks, total) pairs gives alpha/beta and
+# the overdispersion rho = 1/(alpha+beta+1).  rho > 0 means daily click
+# rates wobble beyond binomial noise — the day-level stability gauge.
+# ---------------------------------------------------------------------------
+
+@query("beta_binomial_rate_fit", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         count(*) FILTER (WHERE event_type = 'click') AS x,
+         count(*) AS n
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT count(*) AS k, sum(x) AS sx, sum(n) AS sn,
+         sum(CAST(floor((x::DOUBLE / n) * (x::DOUBLE / n) * 1000000)
+                  AS BIGINT)) AS sp2_micro,
+         sum(CAST(floor((x::DOUBLE / n) * 1000000) AS BIGINT)) AS sp_micro,
+         min(n) AS nmin
+  FROM d
+),
+f AS (
+  SELECT k, sx, sn, nmin,
+         sp_micro / 1000000.0 / k AS pbar,
+         (sp2_micro / 1000000.0 - (sp_micro / 1000000.0)
+          * (sp_micro / 1000000.0) / k) / (k - 1) AS s2
+  FROM m
+)
+SELECT k::BIGINT AS n_days, sx::BIGINT AS total_clicks,
+       CAST(floor(pbar * 1000000) AS BIGINT) AS mean_rate_micro,
+       CAST(floor(s2 * 1000000000) AS BIGINT) AS var_rate_nano,
+       CAST(floor(CASE
+         WHEN s2 <= 0 THEN 0
+         ELSE greatest((pbar * (1 - pbar) / s2 - 1), 0) END * 1000)
+         AS BIGINT) AS alpha_plus_beta_milli,
+       CAST(floor(CASE
+         WHEN s2 <= 0 THEN 0
+         ELSE 1.0 / (greatest((pbar * (1 - pbar) / s2 - 1), 0) + 1) END
+         * 1000000) AS BIGINT) AS rho_micro
+FROM f
+""")
+def beta_binomial_fit_q(sf_dir: str):
+    """Per-day (clicks, total) partials; per-day rate terms floor to
+    micro before summation (the floor-per-term convention), then the MoM
+    closed form."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        f = pd.DataFrame({"day": day, "x": (et == "click").astype(np.int64),
+                          "n": 1})
+        return f.groupby("day", as_index=False)[["x", "n"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)[["x", "n"]].sum(),
+        2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("n_days", "total_clicks", "mean_rate_micro", "var_rate_nano",
+            "alpha_plus_beta_milli", "rho_micro")
+    if merged is None or len(merged) < 2:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    x = merged["x"].to_numpy(np.int64)
+    n = merged["n"].to_numpy(np.int64)
+    k = len(x)
+    sp = int(sum(math.floor((xi / ni) * 1_000_000)
+                 for xi, ni in zip(x, n)))
+    sp2 = int(sum(math.floor((xi / ni) * (xi / ni) * 1_000_000)
+                  for xi, ni in zip(x, n)))
+    pbar = sp / 1_000_000 / k
+    s2 = (sp2 / 1_000_000 - (sp / 1_000_000) * (sp / 1_000_000) / k) \
+        / (k - 1)
+    if s2 <= 0:
+        apb, rho = 0.0, 0.0
+    else:
+        apb = max(pbar * (1 - pbar) / s2 - 1, 0)
+        rho = 1.0 / (apb + 1)
+    out = pd.DataFrame([{
+        "n_days": k, "total_clicks": int(x.sum()),
+        "mean_rate_micro": math.floor(pbar * 1_000_000),
+        "var_rate_nano": math.floor(s2 * 1_000_000_000),
+        "alpha_plus_beta_milli": math.floor(apb * 1000),
+        "rho_micro": math.floor(rho * 1_000_000) if s2 > 0 else 0}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

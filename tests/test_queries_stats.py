@@ -349,3 +349,24 @@ def test_mean_excess_profile(ray_session):
     assert df["threshold_milli"].is_monotonic_increasing
     assert df["n_exceedances"].is_monotonic_decreasing
     assert (df["mean_excess_milli"] > 0).all()
+
+
+def test_james_stein_shrinks_toward_grand_mean(ray_session):
+    from dataquality_ray.pipelines.queries_stats import james_stein_q
+
+    df = james_stein_q(SF)
+    assert len(df) == 20
+    assert df["shrink_factor_micro"].between(0, 1_000_000).all()
+    # shrunk spread never exceeds raw spread
+    assert (df["shrunk_mean_milli"].max() - df["shrunk_mean_milli"].min()
+            <= df["raw_mean_milli"].max() - df["raw_mean_milli"].min())
+
+
+def test_beta_binomial_fit(ray_session):
+    from dataquality_ray.pipelines.queries_stats import beta_binomial_fit_q
+
+    df = beta_binomial_fit_q(SF)
+    r = df.iloc[0]
+    assert r["n_days"] == 30
+    assert 0 < r["mean_rate_micro"] < 1_000_000
+    assert 0 <= r["rho_micro"] <= 1_000_000
