@@ -3275,3 +3275,77 @@ def modn_vs_rendezvous_q(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Hedged-request model (Dean & Barroso 2013): from the empirical event
+# latency-proxy distribution (value milli), the chance a SINGLE request
+# exceeds each decile threshold vs the chance the MIN OF TWO independent
+# tries does — P_hedged = P_single^2, the tail-at-scale argument in one
+# table.  Exact integer ppm with the square floored once.
+# ---------------------------------------------------------------------------
+
+@query("hedged_request_model", sql="""
+WITH v AS (
+  SELECT CAST(floor(value * 1000) AS BIGINT) AS vm,
+         row_number() OVER (ORDER BY floor(value * 1000), event_id) AS rk,
+         count(*) OVER () AS n
+  FROM events
+),
+th AS (
+  SELECT p.p, max(v.vm) AS u
+  FROM (VALUES (50), (90), (95), (99)) p(p)
+  JOIN v ON v.rk = (v.n * p.p + 99) // 100
+  GROUP BY p.p
+),
+c AS (
+  SELECT th.p, th.u,
+         count(*) FILTER (WHERE v.vm > th.u) AS n_gt,
+         any_value(v.n) AS n
+  FROM th CROSS JOIN v GROUP BY th.p, th.u
+)
+SELECT p::BIGINT AS percentile, u::BIGINT AS threshold_milli,
+       CAST(n_gt * 1000000 // n AS BIGINT) AS p_single_ppm,
+       CAST((n_gt * 1000000 // n) * (n_gt * 1000000 // n) // 1000000
+            AS BIGINT) AS p_hedged_ppm
+FROM c ORDER BY p
+""")
+def hedged_request_model_q(sf_dir: str):
+    """Bounded milli-value histogram; thresholds and tail masses read off
+    cumulative counts like mean_excess_profile."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        vm = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * 1000).astype(np.int64)
+        return (pd.DataFrame({"vm": vm}).groupby("vm", as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["value", "event_id"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("vm", as_index=False)["n"].sum(), 2_000_000)
+    assert ok  # bounded: distinct milli values
+    cols = ("percentile", "threshold_milli", "p_single_ppm",
+            "p_hedged_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = merged.sort_values("vm").reset_index(drop=True)
+    vals = g["vm"].to_numpy(np.int64)
+    cnt = g["n"].to_numpy(np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    rows = []
+    for p in (50, 90, 95, 99):
+        k = (n * p + 99) // 100
+        u = int(vals[np.searchsorted(cum, k)])
+        n_gt = int(cnt[vals > u].sum())
+        ps = n_gt * 1_000_000 // n
+        rows.append({"percentile": p, "threshold_milli": u,
+                     "p_single_ppm": ps,
+                     "p_hedged_ppm": ps * ps // 1_000_000})
+    out = pd.DataFrame(rows)
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

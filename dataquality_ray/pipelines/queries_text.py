@@ -10680,3 +10680,115 @@ def dominance_diversity_q(sf_dir: str):
     for c2 in cols[1:]:
         out[c2] = out[c2].astype(np.int64)
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Tversky index (alpha=0.8, beta=0.2, scaled to integers 4/5 - 1/5) over
+# adjacent-doc token sets: the asymmetric prototype-vs-variant
+# similarity (Jaccard and Dice are its special cases).  Exact rational:
+# T = i / (i + (4a + b) / 5) -> ppm via 5i*1e6 // (5i + 4a + b).
+# ---------------------------------------------------------------------------
+
+@query("tversky_index_pairs", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(coalesce(text,''), ' '),
+                                   x -> x <> '')) AS s
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS i,
+         len(a.s) - len(list_intersect(a.s, b.s)) AS only_a,
+         len(b.s) - len(list_intersect(a.s, b.s)) AS only_b
+  FROM cv a JOIN cv b ON b.doc_id = a.doc_id + 1
+)
+SELECT doc_a, doc_b, i::BIGINT AS n_common,
+       only_a::BIGINT AS n_only_a, only_b::BIGINT AS n_only_b,
+       CAST(5 * i * 1000000 // greatest(5 * i + 4 * only_a + only_b, 1)
+            AS BIGINT) AS tversky_ppm
+FROM p ORDER BY doc_a
+""")
+def tversky_index_q(sf_dir: str):
+    """Pair slots like bag_distance_pairs: each doc posts its distinct
+    token set to pairs doc_id and doc_id-1; the per-pair reduce is a set
+    intersection — driver combine within cap, groupby twin past it."""
+    from dataquality_ray.stages.autoroute import (
+        DRIVER_COMBINE_CAP,
+        guarded_partials,
+        record_route,
+    )
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(batch["text"], pa.scalar("")),
+                                " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(ids, n_per)
+        keep = flat != ""
+        f = (pd.DataFrame({"doc": doc[keep], "w": flat[keep]})
+             .drop_duplicates())
+        mark = pd.DataFrame({"doc": ids, "w": ""})
+        f = pd.concat([f, mark], ignore_index=True)
+        rows = pd.concat([
+            pd.DataFrame({"p": f["doc"], "w": f["w"], "sa": 1, "sb": 0}),
+            pd.DataFrame({"p": f["doc"] - 1, "w": f["w"], "sa": 0,
+                          "sb": 1}),
+        ], ignore_index=True)
+        rows = rows[rows["p"] >= 0]
+        return (rows.groupby(["p", "w"], as_index=False)
+                [["sa", "sb"]].sum())
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["p", "w"], as_index=False)[["sa", "sb"]].sum()
+
+    def reduce_pairs(f: pd.DataFrame) -> pd.DataFrame:
+        marks = f[f["w"] == ""].groupby("p")[["sa", "sb"]].sum()
+        valid = marks[(marks["sa"] > 0) & (marks["sb"] > 0)].index
+        wf = f[(f["w"] != "") & f["p"].isin(valid)]
+        g = wf.groupby("p").agg(
+            i=("sa", lambda s: 0), oa=("sa", "sum"), ob=("sb", "sum"))
+        both = (wf[(wf["sa"] > 0) & (wf["sb"] > 0)]
+                .groupby("p").size().rename("i"))
+        g["i"] = both.reindex(g.index).fillna(0).astype(np.int64)
+        g["oa"] = g["oa"] - g["i"]
+        g["ob"] = g["ob"] - g["i"]
+        return g.reset_index()
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    cols = ("doc_a", "doc_b", "n_common", "n_only_a", "n_only_b",
+            "tversky_ppm")
+    merged, ok = guarded_partials(stage, fold, DRIVER_COMBINE_CAP)
+    if ok:
+        record_route("tversky_index_pairs", "driver_combine",
+                     "pair x token index within cap", None)
+        out = (reduce_pairs(merged) if merged is not None and len(merged)
+               else None)
+    else:
+        record_route("tversky_index_pairs", "groupby_twin",
+                     "pair x token index exceeds cap", None)
+        agg = (stage.groupby("p")
+               .map_groups(lambda g: reduce_pairs(fold(g)),
+                           batch_format="pandas"))
+        parts = [b for b in agg.iter_batches(batch_format="pandas",
+                                             batch_size=None) if len(b)]
+        out = pd.concat(parts, ignore_index=True) if parts else None
+    if out is None or not len(out):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    out = out.rename(columns={"p": "doc_a", "i": "n_common",
+                              "oa": "n_only_a", "ob": "n_only_b"})
+    out["doc_b"] = out["doc_a"] + 1
+    i = out["n_common"].to_numpy(np.int64)
+    a = out["n_only_a"].to_numpy(np.int64)
+    b2 = out["n_only_b"].to_numpy(np.int64)
+    out["tversky_ppm"] = (5 * i * 1_000_000
+                          // np.maximum(5 * i + 4 * a + b2, 1))
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return (out[list(cols)].sort_values("doc_a")
+            .reset_index(drop=True))

@@ -447,3 +447,15 @@ def test_modn_vs_rendezvous(ray_session):
     assert r["modn_moved_ppm"] > 800_000
     assert r["rdv_moved_ppm"] < 250_000
     assert r["rdv_moved"] < r["modn_moved"]
+
+
+def test_hedged_request_model(ray_session):
+    from dataquality_ray.pipelines.queries_systems import (
+        hedged_request_model_q,
+    )
+
+    df = hedged_request_model_q(SF)
+    assert list(df["percentile"]) == [50, 90, 95, 99]
+    # hedging can only help the tail
+    assert (df["p_hedged_ppm"] <= df["p_single_ppm"]).all()
+    assert df["threshold_milli"].is_monotonic_increasing

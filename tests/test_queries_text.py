@@ -256,3 +256,19 @@ def test_dominance_diversity_panel(ray_session):
     assert df["berger_parker_ppm"].between(32_000, 200_000).all()
     assert df["mcintosh_micro"].between(0, 1_000_000).all()
     assert (df["n_types"] <= 31).all()
+
+
+def test_tversky_pairs_twin(ray_session, monkeypatch):
+    import dataquality_ray.stages.autoroute as ar
+    from dataquality_ray.pipelines.queries_text import tversky_index_q
+
+    base = tversky_index_q(SF)
+    assert (base["doc_b"] == base["doc_a"] + 1).all()
+    assert base["tversky_ppm"].between(0, 1_000_000).all()
+    # asymmetry: alpha=0.8 penalizes doc_a-only tokens 4x doc_b-only
+    assert (base["n_common"] >= 1).any()
+
+    monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 10)
+    twin = tversky_index_q(SF)
+    assert ar.last_route("tversky_index_pairs")["chosen"] == "groupby_twin"
+    assert twin.equals(base)
