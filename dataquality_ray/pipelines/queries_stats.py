@@ -4784,3 +4784,132 @@ def beta_binomial_fit_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gini mean difference of daily volumes — the U-statistic E|X - X'|
+# via the sorted closed form sum((2i - n - 1) * x_(i)) over n(n-1)/2
+# pairs, kept exact by emitting the numerator and floor-milli ratio.
+# More robust than variance, finite under heavier tails.
+# ---------------------------------------------------------------------------
+
+@query("gini_mean_difference_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT c, row_number() OVER (ORDER BY c, day) AS i,
+             count(*) OVER () AS n
+      FROM d)
+SELECT any_value(n)::BIGINT AS n_days,
+       sum((2 * i - n - 1) * c)::BIGINT AS gmd_numerator,
+       CAST(sum((2 * i - n - 1) * c) * 1000 * 2
+            // (any_value(n) * (any_value(n) - 1)) AS BIGINT)
+         AS gmd_milli
+FROM o
+""")
+def gini_mean_difference_q(sf_dir: str):
+    """Day counts reduce distributedly; the sorted closed form runs on
+    the bounded day vector."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("n_days", "gmd_numerator", "gmd_milli")
+    if merged is None or len(merged) < 2:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    f = merged.sort_values(["c", "day"]).reset_index(drop=True)
+    c = f["c"].to_numpy(np.int64)
+    n = len(c)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = int(((2 * i - n - 1) * c).sum())
+    out = pd.DataFrame([{
+        "n_days": n, "gmd_numerator": num,
+        "gmd_milli": num * 1000 * 2 // (n * (n - 1))}])
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Robust location panel per event type: median, Tukey trimean
+# (Q1 + 2 Q2 + Q3)/4 and midhinge (Q1 + Q3)/2 from exact k = ceil(q n)
+# order statistics of value milli, emitted x4 / x2 scaled so everything
+# stays integer.
+# ---------------------------------------------------------------------------
+
+@query("robust_location_panel", sql="""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY floor(value * 1000), event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+q AS (
+  SELECT event_type,
+         max(CASE WHEN rk = (n + 3) // 4 THEN vm END) AS q1,
+         max(CASE WHEN rk = (n + 1) // 2 THEN vm END) AS q2,
+         max(CASE WHEN rk = (3 * n + 3) // 4 THEN vm END) AS q3,
+         any_value(n) AS n
+  FROM v GROUP BY event_type
+)
+SELECT event_type, n::BIGINT AS n_events, q2::BIGINT AS median_milli,
+       (q1 + 2 * q2 + q3)::BIGINT AS trimean_x4_milli,
+       (q1 + q3)::BIGINT AS midhinge_x2_milli
+FROM q ORDER BY event_type
+""")
+def robust_location_panel_q(sf_dir: str):
+    """Per-type milli-value histograms reduce distributedly; quartiles
+    read off cumulative counts with the same ceil index rule."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        vm = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * 1000).astype(np.int64)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "vm": vm, "n": 1})
+        return f.groupby(["event_type", "vm"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type", "value", "event_id"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["event_type", "vm"],
+                            as_index=False)["n"].sum(), 2_000_000)
+    assert ok  # bounded: types x distinct milli values
+    cols = ("event_type", "n_events", "median_milli", "trimean_x4_milli",
+            "midhinge_x2_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    rows = []
+    for t, g in merged.groupby("event_type"):
+        g = g.sort_values("vm")
+        vals = g["vm"].to_numpy(np.int64)
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+
+        def pick(k):
+            return int(vals[np.searchsorted(cum, k)])
+
+        q1 = pick((n + 3) // 4)
+        q2 = pick((n + 1) // 2)
+        q3 = pick((3 * n + 3) // 4)
+        rows.append({"event_type": t, "n_events": n, "median_milli": q2,
+                     "trimean_x4_milli": q1 + 2 * q2 + q3,
+                     "midhinge_x2_milli": q1 + q3})
+    out = pd.DataFrame(rows)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -370,3 +370,28 @@ def test_beta_binomial_fit(ray_session):
     assert r["n_days"] == 30
     assert 0 < r["mean_rate_micro"] < 1_000_000
     assert 0 <= r["rho_micro"] <= 1_000_000
+
+
+def test_gini_mean_difference(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        gini_mean_difference_q,
+    )
+
+    df = gini_mean_difference_q(SF)
+    r = df.iloc[0]
+    assert r["n_days"] == 30
+    assert r["gmd_numerator"] > 0  # any dispersion makes it positive
+    assert r["gmd_milli"] > 0
+
+
+def test_robust_location_panel(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        robust_location_panel_q,
+    )
+
+    df = robust_location_panel_q(SF)
+    assert len(df) == 5
+    # Q1 <= median <= Q3 => midhinge and trimean bracket the median
+    assert (df["midhinge_x2_milli"] >= 0).all()
+    assert ((df["trimean_x4_milli"] - 2 * df["median_milli"])
+            == df["midhinge_x2_milli"]).all()
