@@ -10792,3 +10792,154 @@ def tversky_index_q(sf_dir: str):
         out[c] = out[c].astype(np.int64)
     return (out[list(cols)].sort_values("doc_a")
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Chao2 incidence-based richness: with sources as sampling units, Q1 =
+# types seen in exactly one source, Q2 = in exactly two; the estimated
+# true vocabulary is V + Q1^2/(2 Q2) (bias-corrected form when Q2 = 0).
+# The incidence twin of chao1_vocab_estimate.
+# ---------------------------------------------------------------------------
+
+@query("chao2_incidence_vocab", sql="""
+WITH inc AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split(coalesce(text,''), ' '),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+f AS (SELECT w, count(*) AS units FROM inc GROUP BY w),
+s AS (
+  SELECT count(*) AS v,
+         sum(CASE WHEN units = 1 THEN 1 ELSE 0 END) AS q1,
+         sum(CASE WHEN units = 2 THEN 1 ELSE 0 END) AS q2
+  FROM f
+)
+SELECT v::BIGINT AS n_types, q1::BIGINT AS uniques,
+       q2::BIGINT AS duplicates,
+       CAST(CASE WHEN q2 > 0 THEN v + q1 * q1 // (2 * q2)
+            ELSE v + q1 * (q1 - 1) // 2 END AS BIGINT) AS chao2_estimate
+FROM s
+""")
+def chao2_incidence_q(sf_dir: str):
+    """Distinct (source, token) incidence pairs reduce distributedly
+    (bounded: vocab x sources)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(np.asarray(b["source"].to_pylist(), dtype=object),
+                        n_per)
+        keep = flat != ""
+        return (pd.DataFrame({"source": src[keep], "w": flat[keep]})
+                .drop_duplicates())
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.drop_duplicates(), 2_000_000)
+    assert ok  # bounded: vocab x sources
+    cols = ("n_types", "uniques", "duplicates", "chao2_estimate")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    units = merged.groupby("w")["source"].nunique()
+    v = len(units)
+    q1 = int((units == 1).sum())
+    q2 = int((units == 2).sum())
+    est = v + (q1 * q1 // (2 * q2) if q2 > 0 else q1 * (q1 - 1) // 2)
+    out = pd.DataFrame([{"n_types": v, "uniques": q1, "duplicates": q2,
+                         "chao2_estimate": est}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ACE (abundance-based coverage estimator): rare types (count <= 10)
+# carry the information about unseen ones; S_ace = S_abund +
+# S_rare/C_ace + F1/C_ace * gamma^2 with sample coverage C_ace =
+# 1 - F1/N_rare.  Integer counts; the double tail floors to milli.
+# ---------------------------------------------------------------------------
+
+@query("ace_vocab_estimate", sql="""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(coalesce(text,''), ' '),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+s AS (
+  SELECT count(*) FILTER (WHERE c > 10) AS s_abund,
+         count(*) FILTER (WHERE c <= 10) AS s_rare,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+         coalesce(sum(c) FILTER (WHERE c <= 10), 0) AS n_rare,
+         coalesce(sum(CASE WHEN c <= 10 THEN c * (c - 1)
+                      ELSE 0 END), 0) AS rare_pairs
+  FROM c
+)
+SELECT s_abund::BIGINT AS n_abundant, s_rare::BIGINT AS n_rare_types,
+       f1::BIGINT AS singletons,
+       CAST(CASE WHEN n_rare = 0 OR n_rare = f1
+            THEN (s_abund + s_rare) * 1000
+            ELSE floor((s_abund
+                 + s_rare / (1.0 - f1::DOUBLE / n_rare)
+                 + f1 / (1.0 - f1::DOUBLE / n_rare)
+                   * greatest(s_rare::DOUBLE * rare_pairs
+                              / ((1.0 - f1::DOUBLE / n_rare)
+                                 * n_rare * (n_rare - 1)) - 1.0, 0.0))
+                 * 1000) END AS BIGINT) AS ace_estimate_milli
+FROM s
+""")
+def ace_vocab_q(sf_dir: str):
+    """Bounded vocabulary counts; the ACE closed form mirrors the oracle
+    expression term for term."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        flat = flat[flat != ""]
+        if not len(flat):
+            return pd.DataFrame({"w": [], "c": []})
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"w": uniq, "c": counts.astype(np.int64)})
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("w", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: vocabulary
+    cols = ("n_abundant", "n_rare_types", "singletons",
+            "ace_estimate_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    c = merged["c"].to_numpy(np.int64)
+    s_abund = int((c > 10).sum())
+    rare = c[c <= 10]
+    s_rare = len(rare)
+    f1 = int((c == 1).sum())
+    n_rare = int(rare.sum())
+    rare_pairs = int((rare * (rare - 1)).sum())
+    if n_rare == 0 or n_rare == f1:
+        ace = (s_abund + s_rare) * 1000
+    else:
+        cov = 1.0 - f1 / n_rare
+        gamma2 = max(s_rare * rare_pairs
+                     / (cov * n_rare * (n_rare - 1)) - 1.0, 0.0)
+        ace = math.floor((s_abund + s_rare / cov + f1 / cov * gamma2)
+                         * 1000)
+    out = pd.DataFrame([{"n_abundant": s_abund, "n_rare_types": s_rare,
+                         "singletons": f1, "ace_estimate_milli": ace}])
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out

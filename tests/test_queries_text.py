@@ -272,3 +272,22 @@ def test_tversky_pairs_twin(ray_session, monkeypatch):
     twin = tversky_index_q(SF)
     assert ar.last_route("tversky_index_pairs")["chosen"] == "groupby_twin"
     assert twin.equals(base)
+
+
+def test_chao2_and_ace_estimators(ray_session):
+    from dataquality_ray.pipelines.queries_text import (
+        ace_vocab_q,
+        chao2_incidence_q,
+    )
+
+    c2 = chao2_incidence_q(SF)
+    r = c2.iloc[0]
+    # every soup token appears in many sources: no uniques, no inflation
+    assert r["chao2_estimate"] >= r["n_types"]
+    assert r["uniques"] + r["duplicates"] <= r["n_types"]
+
+    ace = ace_vocab_q(SF)
+    a = ace.iloc[0]
+    # estimate (milli) at least the observed type count
+    assert a["ace_estimate_milli"] >= 1000 * (a["n_abundant"]
+                                              + a["n_rare_types"])
