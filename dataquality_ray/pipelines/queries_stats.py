@@ -4913,3 +4913,73 @@ def robust_location_panel_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Scan statistic (Kulldorff-style temporal cluster): the 7-day window
+# with the highest event count, its start day, and the ratio against
+# the mean 7-day window — the burst-cluster detector epidemiology and
+# abuse monitoring share.  Exact integers off the bounded day table.
+# ---------------------------------------------------------------------------
+
+@query("scan_statistic_weekly", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT day, c, row_number() OVER (ORDER BY day) AS i FROM d),
+w AS (
+  SELECT a.i AS start_i, min(a.day) AS start_day, sum(b.c) AS wc
+  FROM o a JOIN o b ON b.i BETWEEN a.i AND a.i + 6
+  WHERE a.i + 6 <= (SELECT max(i) FROM o)
+  GROUP BY a.i
+),
+t AS (SELECT count(*) AS nw, sum(wc) AS total FROM w),
+best AS (
+  SELECT w.start_day, w.wc, t.nw, t.total,
+         row_number() OVER (ORDER BY w.wc DESC, w.start_day) AS rk
+  FROM w CROSS JOIN t
+)
+SELECT start_day::BIGINT AS peak_window_start_day,
+       wc::BIGINT AS peak_window_count,
+       CAST(total // nw AS BIGINT) AS mean_window_count,
+       CAST(wc * 1000 // (total // nw) AS BIGINT) AS peak_over_mean_milli
+FROM best WHERE rk = 1
+""")
+def scan_statistic_weekly_q(sf_dir: str):
+    """Bounded day counts; the 24 sliding 7-day sums run on the driver
+    vector via cumulative sums."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("peak_window_start_day", "peak_window_count",
+            "mean_window_count", "peak_over_mean_milli")
+    if merged is None or len(merged) < 7:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    f = merged.sort_values("day").reset_index(drop=True)
+    c = f["c"].to_numpy(np.int64)
+    days = f["day"].to_numpy(np.int64)
+    cum = np.concatenate([[0], np.cumsum(c)])
+    wc = cum[7:] - cum[:-7]
+    k = int(np.lexsort((days[:len(wc)], -wc))[0])
+    total, nw = int(wc.sum()), len(wc)
+    mean = total // nw
+    out = pd.DataFrame([{
+        "peak_window_start_day": int(days[k]),
+        "peak_window_count": int(wc[k]),
+        "mean_window_count": mean,
+        "peak_over_mean_milli": int(wc[k]) * 1000 // mean}])
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out

@@ -11111,3 +11111,174 @@ def single_source_parts_q(sf_dir: str):
     out["n_parts"] = out["n_parts"].astype(np.int64)
     out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
     return out[list(cols)]
+
+
+# ---------------------------------------------------------------------------
+# Ulcer index of monthly revenue: sqrt(mean(drawdown_pct^2)) where
+# drawdown_pct is each month's percentage below the running revenue
+# peak — the depth-and-duration-sensitive drawdown risk measure
+# (companion to volume_max_drawdown / drawdown_duration_days).
+# Drawdown percents floor to milli before squaring; the final sqrt runs
+# once on an integer-valued double.
+# ---------------------------------------------------------------------------
+
+@query("ulcer_index_monthly", sql="""
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT month, rev,
+         max(rev) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS peak
+  FROM m
+),
+d AS (
+  SELECT month, rev, peak,
+         (peak - rev) * 1000 // peak AS dd_milli
+  FROM r
+),
+s AS (SELECT count(*) AS n, sum(dd_milli * dd_milli) AS ss FROM d)
+SELECT n::BIGINT AS n_months,
+       CAST(floor(sqrt((ss::DOUBLE) / n)) AS BIGINT) AS ulcer_index_milli,
+       (SELECT max(dd_milli) FROM d)::BIGINT AS max_drawdown_milli
+FROM s
+""")
+def ulcer_index_monthly_q(sf_dir: str):
+    """Bounded month revenue partials; the running-peak walk and the
+    quadratic mean run on the driver's month vector."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        months = pc.strftime(b["o_orderdate"], format="%Y-%m").to_pylist()
+        rev = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                       * 100).astype(np.int64)
+        f = pd.DataFrame({"month": months, "rev": rev})
+        return f.groupby("month", as_index=False)["rev"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("month", as_index=False)["rev"].sum(),
+        2_000_000)
+    assert ok  # bounded: calendar months
+    cols = ("n_months", "ulcer_index_milli", "max_drawdown_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    f = merged.sort_values("month").reset_index(drop=True)
+    rev = f["rev"].to_numpy(np.int64)
+    peak = np.maximum.accumulate(rev)
+    dd = (peak - rev) * 1000 // peak
+    n = len(dd)
+    ss = int((dd * dd).sum())
+    out = pd.DataFrame([{
+        "n_months": n,
+        "ulcer_index_milli": math.floor(math.sqrt(ss / n)),
+        "max_drawdown_milli": int(dd.max())}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Chain-ladder development triangle: order cohorts by order month,
+# development lag = months from order to lineitem ship date; cumulative
+# counts C(m, k) and the all-cohort development factors f_k =
+# sum C(., k+1) / sum C(., k) over cohorts observed at both lags — the
+# actuarial run-off forecast machinery, exact integer ratios in milli.
+# ---------------------------------------------------------------------------
+
+@query("chain_ladder_development", sql="""
+WITH j AS (
+  SELECT strftime(o.o_orderdate, '%Y-%m') AS cohort,
+         (CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) * 12
+          + CAST(strftime(l.l_shipdate, '%m') AS BIGINT))
+         - (CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) * 12
+            + CAST(strftime(o.o_orderdate, '%m') AS BIGINT)) AS lag
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+c AS (
+  SELECT cohort, lag, count(*) AS n FROM j
+  WHERE lag BETWEEN 0 AND 4 GROUP BY cohort, lag
+),
+cum AS (
+  SELECT cohort, lag,
+         sum(n) OVER (PARTITION BY cohort ORDER BY lag) AS cum_n,
+         max(lag) OVER (PARTITION BY cohort) AS max_lag
+  FROM c
+),
+f AS (
+  SELECT a.lag AS k,
+         sum(b.cum_n) AS next_sum, sum(a.cum_n) AS cur_sum,
+         count(*) AS n_cohorts
+  FROM cum a JOIN cum b ON b.cohort = a.cohort AND b.lag = a.lag + 1
+  WHERE a.max_lag >= a.lag + 1
+  GROUP BY a.lag
+)
+SELECT k::BIGINT AS dev_lag, n_cohorts::BIGINT AS n_cohorts,
+       cur_sum::BIGINT AS cum_at_k, next_sum::BIGINT AS cum_at_k1,
+       CAST(next_sum * 1000 // cur_sum AS BIGINT) AS dev_factor_milli
+FROM f ORDER BY k
+""")
+def chain_ladder_q(sf_dir: str):
+    """(cohort, lag) count partials via the broadcast order-date lookup
+    (orders is the small side per batch at the join), bounded combine,
+    cumulative triangle on the driver."""
+    import ray
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+              .to_pandas())
+    om = (orders["o_orderdate"].dt.year * 12
+          + orders["o_orderdate"].dt.month).astype(np.int64)
+    lut_ref = ray.put({
+        "month": dict(zip(orders["o_orderkey"].astype(np.int64), om)),
+        "label": dict(zip(orders["o_orderkey"].astype(np.int64),
+                          orders["o_orderdate"].dt.strftime("%Y-%m")))})
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        lut = ray.get(lut_ref)
+        ok_ = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ship = pd.to_datetime(pd.Series(b["l_shipdate"].to_pandas()))
+        sm = (ship.dt.year * 12 + ship.dt.month).to_numpy(np.int64)
+        omn = np.array([lut["month"].get(int(k), -1) for k in ok_],
+                       np.int64)
+        lab = np.array([lut["label"].get(int(k), "") for k in ok_],
+                       dtype=object)
+        lag = sm - omn
+        keep = (omn >= 0) & (lag >= 0) & (lag <= 4)
+        f = pd.DataFrame({"cohort": lab[keep], "lag": lag[keep], "n": 1})
+        return f.groupby(["cohort", "lag"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["cohort", "lag"], as_index=False)["n"].sum(),
+        2_000_000)
+    assert ok  # bounded: months x 5 lags
+    cols = ("dev_lag", "n_cohorts", "cum_at_k", "cum_at_k1",
+            "dev_factor_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    tri = merged.sort_values(["cohort", "lag"]).reset_index(drop=True)
+    tri["cum_n"] = tri.groupby("cohort")["n"].cumsum()
+    tri["max_lag"] = tri.groupby("cohort")["lag"].transform("max")
+    nxt = tri.rename(columns={"lag": "lag1", "cum_n": "cum_n1"})
+    m = tri.merge(nxt[["cohort", "lag1", "cum_n1"]],
+                  left_on=["cohort"], right_on=["cohort"])
+    m = m[(m["lag1"] == m["lag"] + 1) & (m["max_lag"] >= m["lag"] + 1)]
+    f = m.groupby("lag").agg(n_cohorts=("cohort", "size"),
+                             cum_at_k=("cum_n", "sum"),
+                             cum_at_k1=("cum_n1", "sum")).reset_index()
+    f["dev_factor_milli"] = (f["cum_at_k1"].astype(np.int64) * 1000
+                             // f["cum_at_k"].astype(np.int64))
+    f = f.rename(columns={"lag": "dev_lag"})
+    for c in cols:
+        f[c] = f[c].astype(np.int64)
+    return f[list(cols)].sort_values("dev_lag").reset_index(drop=True)

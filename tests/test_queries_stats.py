@@ -395,3 +395,14 @@ def test_robust_location_panel(ray_session):
     assert (df["midhinge_x2_milli"] >= 0).all()
     assert ((df["trimean_x4_milli"] - 2 * df["median_milli"])
             == df["midhinge_x2_milli"]).all()
+
+
+def test_scan_statistic_weekly(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        scan_statistic_weekly_q,
+    )
+
+    df = scan_statistic_weekly_q(SF)
+    r = df.iloc[0]
+    assert r["peak_window_count"] >= r["mean_window_count"]
+    assert r["peak_over_mean_milli"] >= 1000

@@ -45,3 +45,20 @@ def test_single_source_parts(ray_session):
     assert set(df["supplier_bucket"]) <= {"1", "2", "3+"}
     assert (df["n_parts"] > 0).any()
     assert (df["revenue_cents"] > 0).all()
+
+
+def test_ulcer_and_chain_ladder(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import (
+        chain_ladder_q,
+        ulcer_index_monthly_q,
+    )
+
+    u = ulcer_index_monthly_q(SF)
+    r = u.iloc[0]
+    # quadratic mean of drawdowns never exceeds the max drawdown
+    assert r["ulcer_index_milli"] <= r["max_drawdown_milli"]
+
+    cl = chain_ladder_q(SF)
+    assert (cl["dev_factor_milli"] >= 1000).all()  # cumulative growth
+    assert (cl["cum_at_k1"] >= cl["cum_at_k"]).all()
+    assert cl["dev_lag"].is_monotonic_increasing
