@@ -3771,3 +3771,72 @@ def license_mix_q(sf_dir: str):
     out["copyleft_mix"] = (out["n_gpl"] > 0) & ((out["n_mit"] > 0)
                                                 | (out["n_apache"] > 0))
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Full import-cycle census — generalizes import_cycle_scan (lengths
+# <= 3) to ANY cycle length in the planted f(m) = 2m mod 63 dependency
+# graph: walk 63 hops; a module is cyclic iff the walk returns to it,
+# and its cycle length is the first return time.  Tail modules report 0.
+# ---------------------------------------------------------------------------
+
+@query("import_cycle_full_census", sql="""
+WITH RECURSIVE cv AS (
+  SELECT DISTINCT (doc_id % 63) AS m, ((doc_id * 2) % 63) AS nxt
+  FROM documents
+),
+walk AS (
+  SELECT m AS start, nxt AS cur, 1 AS steps,
+         CASE WHEN nxt = m THEN 1 ELSE 0 END AS found
+  FROM cv
+  UNION ALL
+  SELECT w.start, cv.nxt, w.steps + 1,
+         CASE WHEN cv.nxt = w.start THEN 1 ELSE 0 END
+  FROM walk w JOIN cv ON cv.m = w.cur
+  WHERE w.found = 0 AND w.steps < 63
+),
+cyc AS (
+  SELECT start, min(CASE WHEN found = 1 THEN steps END) AS cycle_len
+  FROM walk GROUP BY start
+)
+SELECT 'mod_' || start AS module,
+       coalesce(cycle_len, 0)::BIGINT AS cycle_len,
+       cycle_len IS NOT NULL AS on_cycle
+FROM cyc ORDER BY module
+""")
+def import_cycle_full_q(sf_dir: str):
+    """Distinct planted edges reduce distributedly; the 63-step walk per
+    module runs on the driver's tiny edge map."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return (pd.DataFrame({"m": ids % 63, "nxt": (ids * 2) % 63})
+                .drop_duplicates())
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.drop_duplicates(), 2_000_000)
+    assert ok  # bounded: 63 modules
+    if merged is None or not len(merged):
+        return pd.DataFrame({"module": pd.Series([], dtype=object),
+                             "cycle_len": pd.Series([], dtype=np.int64),
+                             "on_cycle": pd.Series([], dtype=bool)})
+    nxt = dict(zip(merged["m"].astype(int), merged["nxt"].astype(int)))
+    rows = []
+    for m in sorted(nxt):
+        cur, steps, cl = nxt[m], 1, 0
+        while steps <= 63:
+            if cur == m:
+                cl = steps
+                break
+            if cur not in nxt:
+                break
+            cur = nxt[cur]
+            steps += 1
+        rows.append({"module": f"mod_{m}", "cycle_len": cl,
+                     "on_cycle": cl > 0})
+    out = pd.DataFrame(rows)
+    out["cycle_len"] = out["cycle_len"].astype(np.int64)
+    return out.sort_values("module").reset_index(drop=True)

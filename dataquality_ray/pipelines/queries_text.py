@@ -10943,3 +10943,77 @@ def ace_vocab_q(sf_dir: str):
     for col in cols:
         out[col] = out[col].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Coupon-collector audit per source: after N token draws from a V-type
+# vocabulary, a uniform sampler expects V (1 - (1 - 1/V)^N) distinct
+# types; comparing the observed count against that expectation measures
+# how far token usage is from uniform (it always undershoots for
+# Zipfian text).  pow runs once per source on exact integer inputs.
+# ---------------------------------------------------------------------------
+
+@query("coupon_collector_audit", sql="""
+WITH tok AS (
+  SELECT source, unnest(string_split(coalesce(text,''), ' ')) AS w
+  FROM documents
+),
+a AS (
+  SELECT source, count(*) AS n, count(DISTINCT w) AS v
+  FROM tok WHERE w <> '' GROUP BY source
+),
+g AS (SELECT count(DISTINCT w) AS gv FROM tok WHERE w <> '')
+SELECT source, n::BIGINT AS n_tokens, v::BIGINT AS observed_types,
+       CAST(floor(gv * (1 - power(1 - 1.0 / gv, n)) * 1000) AS BIGINT)
+         AS expected_types_milli,
+       CAST(floor(v * 1000000.0
+                  / (gv * (1 - power(1 - 1.0 / gv, n)))) AS BIGINT)
+         AS coverage_ratio_ppm
+FROM a CROSS JOIN g ORDER BY source
+""")
+def coupon_collector_q(sf_dir: str):
+    """Bounded per-source token counts + the global vocabulary size; one
+    pow per source against the same glibc libm."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(np.asarray(b["source"].to_pylist(), dtype=object),
+                        n_per)
+        keep = flat != ""
+        f = pd.DataFrame({"source": src[keep], "w": flat[keep]})
+        g = f.groupby(["source", "w"]).size().rename("c").reset_index()
+        return g
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["source", "w"], as_index=False)["c"].sum(),
+        2_000_000)
+    assert ok  # bounded: vocab x sources
+    cols = ("source", "n_tokens", "observed_types",
+            "expected_types_milli", "coverage_ratio_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({"source": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    gv = merged["w"].nunique()
+    rows = []
+    for src, g in merged.groupby("source"):
+        n = int(g["c"].sum())
+        v = len(g)
+        exp = gv * (1 - math.pow(1 - 1.0 / gv, n))
+        rows.append({"source": src, "n_tokens": n, "observed_types": v,
+                     "expected_types_milli": math.floor(exp * 1000),
+                     "coverage_ratio_ppm": math.floor(v * 1_000_000.0
+                                                      / exp)})
+    out = pd.DataFrame(rows)
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)

@@ -644,3 +644,19 @@ def test_license_mix_by_source(ray_session):
     assert tot == 500
     # doc_id % 11 spreads every license into most sources
     assert df["copyleft_mix"].mean() > 0.8
+
+
+def test_import_cycle_full_census(ray_session):
+    from dataquality_ray.pipelines.queries_code import import_cycle_full_q
+
+    df = import_cycle_full_q(SF)
+    got = df.set_index("module")["cycle_len"].to_dict()
+    # doubling map mod 63: cycle length of m = multiplicative order of 2
+    # modulo 63/gcd... spot-check the known structure
+    assert got["mod_0"] == 1
+    assert got["mod_21"] == 2
+    assert got["mod_9"] == 3
+    assert got["mod_1"] == 6  # ord_63(2) = 6: 1->2->4->8->16->32->1
+    # every doubling-map node is on a cycle or reaches one; here all
+    # nodes are cyclic because gcd(2, 63) = 1 (2 is invertible mod 63)
+    assert df["on_cycle"].all()

@@ -291,3 +291,13 @@ def test_chao2_and_ace_estimators(ray_session):
     # estimate (milli) at least the observed type count
     assert a["ace_estimate_milli"] >= 1000 * (a["n_abundant"]
                                               + a["n_rare_types"])
+
+
+def test_coupon_collector_undershoots(ray_session):
+    from dataquality_ray.pipelines.queries_text import coupon_collector_q
+
+    df = coupon_collector_q(SF)
+    assert len(df) == 20
+    # Zipf-ish soup still covers nearly the whole 31-word vocab
+    assert (df["coverage_ratio_ppm"] <= 1_050_000).all()
+    assert (df["observed_types"] <= 31).all()
