@@ -3840,3 +3840,45 @@ def import_cycle_full_q(sf_dir: str):
     out = pd.DataFrame(rows)
     out["cycle_len"] = out["cycle_len"].astype(np.int64)
     return out.sort_values("module").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bracket-balance scan: unmatched parentheses are the cheapest truncated
+# -file tell (a partial download or a chopped code block leaves the
+# stack open).  Planted ' ((( ' appended for doc_id % 21 in (0, 1).
+# ---------------------------------------------------------------------------
+
+@query("bracket_balance_scan", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         coalesce(text,'') ||
+         CASE WHEN doc_id % 21 IN (0, 1) THEN ' ((( ' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       (length(t) - length(replace(t, '(', '')))::BIGINT AS n_open,
+       (length(t) - length(replace(t, ')', '')))::BIGINT AS n_close,
+       ((length(t) - length(replace(t, '(', '')))
+        - (length(t) - length(replace(t, ')', ''))))::BIGINT AS balance,
+       (length(t) - length(replace(t, '(', '')))
+         <> (length(t) - length(replace(t, ')', ''))) AS unbalanced
+FROM cv ORDER BY doc_id
+""")
+def bracket_balance_scan_q(sf_dir: str):
+    """Two count_substring kernels per batch."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        t = pc.if_else(
+            pa.array(ids % 21 < 2),
+            pc.binary_join_element_wise(base, " ((( ", ""), base)
+        no = pc.count_substring(t, "(").cast(pa.int64())
+        nc = pc.count_substring(t, ")").cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_open": no,
+                         "n_close": nc,
+                         "balance": pc.subtract(no, nc),
+                         "unbalanced": pc.not_equal(no, nc)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

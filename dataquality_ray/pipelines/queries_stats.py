@@ -4983,3 +4983,74 @@ def scan_statistic_weekly_q(sf_dir: str):
     for col in cols:
         out[col] = out[col].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Natural (timsort) run census per day: maximal monotone runs in the
+# value sequence ordered by arrival — few long runs mean presortedness
+# an adaptive sort exploits; n_runs ~ n/2 means random order.  Runs
+# split on strict direction change (plateaus extend the current run).
+# ---------------------------------------------------------------------------
+
+@query("natural_run_census_daily", sql="""
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(floor(value * 1000) AS BIGINT) AS vm,
+         row_number() OVER (PARTITION BY epoch_us(ts) // 86400000000
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+tot AS (SELECT day, count(*) AS n FROM e GROUP BY day),
+d AS (
+  SELECT day, rn,
+         sign(vm - lag(vm) OVER (PARTITION BY day ORDER BY rn)) AS s
+  FROM e
+),
+nz AS (SELECT day, rn, s FROM d WHERE s IS NOT NULL AND s <> 0),
+f2 AS (
+  SELECT day, s, lag(s) OVER (PARTITION BY day ORDER BY rn) AS ps
+  FROM nz
+),
+flips AS (
+  SELECT day,
+         sum(CASE WHEN ps IS NOT NULL AND s = -ps THEN 1 ELSE 0 END)
+           AS n_flips
+  FROM f2 GROUP BY day
+)
+SELECT tot.day::BIGINT AS day, tot.n::BIGINT AS n_events,
+       (coalesce(flips.n_flips, 0) + 1)::BIGINT AS n_runs,
+       CAST((coalesce(flips.n_flips, 0) + 1) * 1000000 // tot.n
+            AS BIGINT) AS runs_per_event_ppm
+FROM tot LEFT JOIN flips ON flips.day = tot.day ORDER BY tot.day
+""")
+def natural_run_census_q(sf_dir: str):
+    """groupby(day).map_groups: drop plateaus, count sign flips of the
+    first difference — n_runs = flips + 1."""
+    ds = _read(sf_dir, "events", ["ts", "event_id", "value"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        86400000000).cast(pa.int64())
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * 1000).astype(np.int64)
+        return pa.table({"day": day, "vm": pa.array(vm),
+                         "ts": batch["ts"], "event_id": batch["event_id"]})
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        vm = g["vm"].to_numpy(np.int64)
+        s = np.sign(np.diff(vm))
+        s = s[s != 0]
+        flips = int((s[1:] == -s[:-1]).sum()) if len(s) > 1 else 0
+        n = len(vm)
+        return pd.DataFrame({
+            "day": [np.int64(g["day"].iloc[0])],
+            "n_events": [np.int64(n)],
+            "n_runs": [np.int64(flips + 1)],
+            "runs_per_event_ppm": [np.int64((flips + 1) * 1_000_000
+                                            // n)]})
+
+    out = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby("day").map_groups(per_day, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("day").reset_index(drop=True)

@@ -660,3 +660,13 @@ def test_import_cycle_full_census(ray_session):
     # every doubling-map node is on a cycle or reaches one; here all
     # nodes are cyclic because gcd(2, 63) = 1 (2 is invertible mod 63)
     assert df["on_cycle"].all()
+
+
+def test_bracket_balance_scan(ray_session):
+    from dataquality_ray.pipelines.queries_code import bracket_balance_scan_q
+
+    df = bracket_balance_scan_q(SF)
+    m = df["doc_id"].to_numpy() % 21
+    assert (df.loc[m < 2, "balance"] == 3).all()
+    assert df.loc[m < 2, "unbalanced"].all()
+    assert not df.loc[m >= 2, "unbalanced"].any()

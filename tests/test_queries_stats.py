@@ -406,3 +406,14 @@ def test_scan_statistic_weekly(ray_session):
     r = df.iloc[0]
     assert r["peak_window_count"] >= r["mean_window_count"]
     assert r["peak_over_mean_milli"] >= 1000
+
+
+def test_natural_run_census(ray_session):
+    from dataquality_ray.pipelines.queries_stats import natural_run_census_q
+
+    df = natural_run_census_q(SF)
+    assert len(df) == 30
+    assert (df["n_runs"] >= 1).all()
+    assert (df["n_runs"] <= df["n_events"]).all()
+    # random values: runs per event around 2/3
+    assert df["runs_per_event_ppm"].between(400_000, 900_000).mean() > 0.8
