@@ -5054,3 +5054,75 @@ def natural_run_census_q(sf_dir: str):
            .groupby("day").map_groups(per_day, batch_format="pandas")
            .to_pandas())
     return out.sort_values("day").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Alpha-beta (g-h) tracking filter over daily volume: the fixed-gain
+# Kalman ancestor — predict x + v, correct with residual gains
+# alpha = 0.5, beta = 0.1.  Sequential over 30 aggregated rows, the
+# identical double chain on both engines (see shiryaev_roberts_drift),
+# floored to milli for display.
+# ---------------------------------------------------------------------------
+
+@query("alpha_beta_filter_daily", sql="""
+WITH RECURSIVE d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT day, c, row_number() OVER (ORDER BY day) AS pos FROM d),
+rec AS (
+  SELECT 0::BIGINT AS pos, 0.0::DOUBLE AS x, 0.0::DOUBLE AS v,
+         0.0::DOUBLE AS resid
+  UNION ALL
+  SELECT o.pos,
+         (rec.x + rec.v) + 0.5 * (o.c - (rec.x + rec.v)),
+         rec.v + 0.1 * (o.c - (rec.x + rec.v)),
+         o.c - (rec.x + rec.v)
+  FROM rec JOIN o ON o.pos = rec.pos + 1
+)
+SELECT o.day::BIGINT AS day, o.c AS n_events,
+       CAST(floor(rec.x * 1000) AS BIGINT) AS estimate_milli,
+       CAST(floor(rec.v * 1000) AS BIGINT) AS velocity_milli,
+       CAST(floor(rec.resid * 1000) AS BIGINT) AS residual_milli
+FROM o JOIN rec USING (pos) ORDER BY o.day
+""")
+def alpha_beta_filter_q(sf_dir: str):
+    """Bounded day counts; 30-step g-h recursion on the driver."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("day", "n_events", "estimate_milli", "velocity_milli",
+            "residual_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    f = merged.sort_values("day").reset_index(drop=True)
+    x, v = 0.0, 0.0
+    est, vel, res = [], [], []
+    for c in f["c"]:
+        pred = x + v
+        r = int(c) - pred
+        x = pred + 0.5 * r
+        v = v + 0.1 * r
+        est.append(math.floor(x * 1000))
+        vel.append(math.floor(v * 1000))
+        res.append(math.floor(r * 1000))
+    out = pd.DataFrame({
+        "day": f["day"].astype(np.int64),
+        "n_events": f["c"].astype(np.int64),
+        "estimate_milli": np.array(est, np.int64),
+        "velocity_milli": np.array(vel, np.int64),
+        "residual_milli": np.array(res, np.int64)})
+    return out

@@ -11017,3 +11017,68 @@ def coupon_collector_q(sf_dir: str):
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bigram count-of-counts spectrum (Good-Turing's raw input, exposed):
+# f_k = number of bigram types occurring exactly k times, k = 1..10
+# plus the 10+ tail — the smoothing diagnostic every LM build plots.
+# ---------------------------------------------------------------------------
+
+@query("bigram_count_spectrum", sql="""
+WITH cv AS (
+  SELECT list_filter(string_split(coalesce(text,''), ' '), x -> x <> '')
+           AS t
+  FROM documents
+),
+bg AS (
+  SELECT unnest(t[1:len(t)-1]) || ' ' || unnest(t[2:len(t)]) AS g
+  FROM cv WHERE len(t) >= 2
+),
+c AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+k AS (
+  SELECT least(c, 11) AS k, count(*) AS f, sum(c) AS mass
+  FROM c GROUP BY least(c, 11)
+)
+SELECT k::BIGINT AS occurrence_count, f::BIGINT AS n_types,
+       mass::BIGINT AS token_mass
+FROM k ORDER BY k
+""")
+def bigram_count_spectrum_q(sf_dir: str):
+    """Bounded bigram counts -> 11-bucket spectrum (11 = the 10+ tail)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(np.arange(len(n_per)), n_per)
+        keep = flat != ""
+        ids, w = ids[keep], flat[keep]
+        adj = ids[1:] == ids[:-1]
+        g = np.char.add(np.char.add(w[:-1][adj].astype(str), " "),
+                        w[1:][adj].astype(str))
+        if not len(g):
+            return pd.DataFrame({"g": [], "c": []})
+        uniq, counts = np.unique(g, return_counts=True)
+        return pd.DataFrame({"g": uniq, "c": counts.astype(np.int64)})
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("g", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: bigram vocabulary
+    cols = ("occurrence_count", "n_types", "token_mass")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    c = merged["c"].to_numpy(np.int64)
+    k = np.minimum(c, 11)
+    f = (pd.DataFrame({"k": k, "c": c})
+         .groupby("k").agg(n_types=("c", "size"), token_mass=("c", "sum"))
+         .reset_index().rename(columns={"k": "occurrence_count"}))
+    for col in cols:
+        f[col] = f[col].astype(np.int64)
+    return f.sort_values("occurrence_count").reset_index(drop=True)

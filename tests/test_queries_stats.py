@@ -417,3 +417,14 @@ def test_natural_run_census(ray_session):
     assert (df["n_runs"] <= df["n_events"]).all()
     # random values: runs per event around 2/3
     assert df["runs_per_event_ppm"].between(400_000, 900_000).mean() > 0.8
+
+
+def test_alpha_beta_filter_tracks(ray_session):
+    from dataquality_ray.pipelines.queries_stats import alpha_beta_filter_q
+
+    df = alpha_beta_filter_q(SF)
+    assert len(df) == 30
+    # after burn-in the estimate stays within the data range
+    tail = df.iloc[5:]
+    lo, hi = df["n_events"].min(), df["n_events"].max()
+    assert tail["estimate_milli"].between(lo * 500, hi * 1500).all()

@@ -301,3 +301,14 @@ def test_coupon_collector_undershoots(ray_session):
     # Zipf-ish soup still covers nearly the whole 31-word vocab
     assert (df["coverage_ratio_ppm"] <= 1_050_000).all()
     assert (df["observed_types"] <= 31).all()
+
+
+def test_bigram_count_spectrum(ray_session):
+    from dataquality_ray.pipelines.queries_text import bigram_count_spectrum_q
+
+    df = bigram_count_spectrum_q(SF)
+    assert df["occurrence_count"].between(1, 11).all()
+    # mass of bucket k (< 11) equals k * types
+    body = df[df["occurrence_count"] < 11]
+    assert (body["token_mass"]
+            == body["occurrence_count"] * body["n_types"]).all()
