@@ -5126,3 +5126,156 @@ def alpha_beta_filter_q(sf_dir: str):
         "velocity_milli": np.array(vel, np.int64),
         "residual_milli": np.array(res, np.int64)})
     return out
+
+
+# ---------------------------------------------------------------------------
+# CRPS of the climatology forecast: train = first 15 days' volumes as
+# the empirical forecast distribution, test = last 15 days; CRPS =
+# mean_y mean_x |x - y| - 0.5 * mean_{x,x'} |x - x'| — two exact
+# integer U-statistics (the second is the train GMD), floored to milli
+# once.  The proper-scoring-rule check a daily-volume forecaster needs.
+# ---------------------------------------------------------------------------
+
+@query("crps_climatology_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT day, c, row_number() OVER (ORDER BY day) AS i FROM d),
+tr AS (SELECT c FROM o WHERE i <= 15),
+te AS (SELECT c FROM o WHERE i > 15),
+cross_term AS (
+  SELECT sum(abs(tr.c - te.c)) AS s, count(*) AS n
+  FROM tr CROSS JOIN te
+),
+self_term AS (
+  SELECT sum(abs(a.c - b.c)) AS s, count(*) AS n
+  FROM tr a CROSS JOIN tr b
+)
+SELECT (SELECT count(*) FROM tr)::BIGINT AS n_train,
+       (SELECT count(*) FROM te)::BIGINT AS n_test,
+       CAST(cross_term.s * 1000 // cross_term.n AS BIGINT)
+         AS mean_cross_milli,
+       CAST(self_term.s * 1000 // self_term.n AS BIGINT)
+         AS mean_self_milli,
+       CAST(cross_term.s * 1000 // cross_term.n
+            - self_term.s * 1000 // self_term.n // 2 AS BIGINT)
+         AS crps_milli
+FROM cross_term CROSS JOIN self_term
+""")
+def crps_climatology_q(sf_dir: str):
+    """Bounded day counts; both U-statistics on the driver's 15-point
+    vectors."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("n_train", "n_test", "mean_cross_milli", "mean_self_milli",
+            "crps_milli")
+    if merged is None or len(merged) < 16:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    f = merged.sort_values("day").reset_index(drop=True)
+    c = f["c"].to_numpy(np.int64)
+    tr, te = c[:15], c[15:]
+    cs = int(np.abs(tr[:, None] - te[None, :]).sum())
+    cn = len(tr) * len(te)
+    ss = int(np.abs(tr[:, None] - tr[None, :]).sum())
+    sn = len(tr) * len(tr)
+    mc = cs * 1000 // cn
+    ms = ss * 1000 // sn
+    out = pd.DataFrame([{
+        "n_train": len(tr), "n_test": len(te),
+        "mean_cross_milli": mc, "mean_self_milli": ms,
+        "crps_milli": mc - ms // 2}])
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Winkler interval score for the climatology [10%, 90%] interval: width
+# plus 2/alpha-scaled penalties for test days outside it (alpha = 0.2
+# => factor 10).  Exact integers: interval bounds are train order
+# statistics, penalties integer distances.
+# ---------------------------------------------------------------------------
+
+@query("winkler_interval_score", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT day, c, row_number() OVER (ORDER BY day) AS i FROM d),
+tr AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS rk,
+         count(*) OVER () AS n
+  FROM o WHERE i <= 15
+),
+b AS (
+  SELECT max(CASE WHEN rk = (n + 9) // 10 THEN c END) AS lo,
+         max(CASE WHEN rk = (9 * n + 9) // 10 THEN c END) AS hi
+  FROM tr
+),
+sc AS (
+  SELECT b.lo, b.hi, o.c,
+         (b.hi - b.lo)
+         + CASE WHEN o.c < b.lo THEN 10 * (b.lo - o.c) ELSE 0 END
+         + CASE WHEN o.c > b.hi THEN 10 * (o.c - b.hi) ELSE 0 END AS w
+  FROM o CROSS JOIN b WHERE o.i > 15
+)
+SELECT any_value(lo)::BIGINT AS interval_lo,
+       any_value(hi)::BIGINT AS interval_hi,
+       count(*)::BIGINT AS n_test,
+       sum(CASE WHEN c >= lo AND c <= hi THEN 1 ELSE 0 END)::BIGINT
+         AS n_covered,
+       sum(w)::BIGINT AS winkler_total,
+       CAST(sum(w) // count(*) AS BIGINT) AS winkler_mean
+FROM sc
+""")
+def winkler_interval_q(sf_dir: str):
+    """Same bounded day reduce; order-statistic bounds + integer
+    penalty walk on the driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("interval_lo", "interval_hi", "n_test", "n_covered",
+            "winkler_total", "winkler_mean")
+    if merged is None or len(merged) < 16:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    f = merged.sort_values("day").reset_index(drop=True)
+    c = f["c"].to_numpy(np.int64)
+    tr = np.sort(c[:15])
+    n = len(tr)
+    lo = int(tr[(n + 9) // 10 - 1])
+    hi = int(tr[(9 * n + 9) // 10 - 1])
+    te = c[15:]
+    w = (hi - lo) + np.where(te < lo, 10 * (lo - te), 0) \
+        + np.where(te > hi, 10 * (te - hi), 0)
+    out = pd.DataFrame([{
+        "interval_lo": lo, "interval_hi": hi, "n_test": len(te),
+        "n_covered": int(((te >= lo) & (te <= hi)).sum()),
+        "winkler_total": int(w.sum()),
+        "winkler_mean": int(w.sum()) // len(te)}])
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out

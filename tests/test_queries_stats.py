@@ -428,3 +428,24 @@ def test_alpha_beta_filter_tracks(ray_session):
     tail = df.iloc[5:]
     lo, hi = df["n_events"].min(), df["n_events"].max()
     assert tail["estimate_milli"].between(lo * 500, hi * 1500).all()
+
+
+def test_crps_and_winkler(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        crps_climatology_q,
+        winkler_interval_q,
+    )
+
+    c = crps_climatology_q(SF)
+    r = c.iloc[0]
+    assert r["n_train"] == 15 and r["n_test"] == 15
+    # CRPS >= 0 up to the two independent floors
+    assert r["crps_milli"] >= -2
+    assert r["mean_cross_milli"] >= r["mean_self_milli"] // 2
+
+    w = winkler_interval_q(SF)
+    rw = w.iloc[0]
+    assert rw["interval_lo"] <= rw["interval_hi"]
+    assert 0 <= rw["n_covered"] <= rw["n_test"]
+    # width is a lower bound for the mean score
+    assert rw["winkler_mean"] >= rw["interval_hi"] - rw["interval_lo"]
