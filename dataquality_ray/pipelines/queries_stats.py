@@ -5279,3 +5279,180 @@ def winkler_interval_q(sf_dir: str):
     for col in cols:
         out[col] = out[col].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Diebold-Mariano test on daily volume: naive forecast (yesterday's
+# count) vs expanding-mean forecast, absolute-error loss.  d_t = |e1| -
+# |e2| stays integer-milli; the DM z uses the lag-1-corrected variance
+# with exact integer moments and one double tail.
+# ---------------------------------------------------------------------------
+
+@query("diebold_mariano_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT day, c, row_number() OVER (ORDER BY day) AS i FROM d),
+f AS (
+  SELECT i, c,
+         lag(c) OVER (ORDER BY i) AS naive,
+         (sum(c) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING))
+         // (i - 1) AS mean_fc
+  FROM o
+),
+l AS (
+  SELECT i, abs(c - naive) * 1000 AS l1,
+         abs(c * 1000 - mean_fc * 1000) AS l2
+  FROM f WHERE i >= 2
+),
+dd AS (SELECT i, l1 - l2 AS dt FROM l),
+m AS (
+  SELECT count(*) AS n, sum(dt) AS s, sum(dt * dt) AS ss FROM dd
+),
+g AS (
+  SELECT sum(a.dt * b.dt) AS s1
+  FROM dd a JOIN dd b ON b.i = a.i + 1
+),
+z AS (
+  SELECT m.n, m.s,
+         (m.ss::DOUBLE - m.s::DOUBLE * m.s / m.n) / m.n AS g0,
+         (g.s1::DOUBLE - (m.s::DOUBLE / m.n) * (m.s::DOUBLE / m.n)
+          * (m.n - 1)) / m.n AS g1
+  FROM m CROSS JOIN g
+)
+SELECT n::BIGINT AS n_days,
+       CAST(s // n AS BIGINT) AS mean_loss_diff_milli,
+       CAST(floor(s / n / sqrt((g0 + 2 * g1) / n) * 1000) AS BIGINT)
+         AS dm_z_milli,
+       abs(s / n / sqrt((g0 + 2 * g1) / n)) > 1.96 AS significant
+FROM z
+""")
+def diebold_mariano_q(sf_dir: str):
+    """Bounded day counts; naive vs expanding-mean losses and the lag-1
+    HAC variance on the driver vector with identical double algebra."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("n_days", "mean_loss_diff_milli", "dm_z_milli")
+    if merged is None or len(merged) < 4:
+        return pd.DataFrame({**{c: pd.Series([], dtype=np.int64)
+                                for c in cols},
+                             "significant": pd.Series([], dtype=bool)})
+    f = merged.sort_values("day").reset_index(drop=True)
+    c = f["c"].to_numpy(np.int64)
+    cum = np.cumsum(c)
+    dts = []
+    for i in range(2, len(c) + 1):
+        ci = int(c[i - 1])
+        naive = int(c[i - 2])
+        mean_fc = int(cum[i - 2]) // (i - 1)
+        l1 = abs(ci - naive) * 1000
+        l2 = abs(ci * 1000 - mean_fc * 1000)
+        dts.append(l1 - l2)
+    dt = np.array(dts, np.int64)
+    n = len(dt)
+    s, ss = int(dt.sum()), int((dt * dt).sum())
+    s1 = int((dt[:-1] * dt[1:]).sum())
+    g0 = (ss - float(s) * s / n) / n
+    g1 = (s1 - (s / n) * (s / n) * (n - 1)) / n
+    z = s / n / math.sqrt((g0 + 2 * g1) / n)
+    out = pd.DataFrame([{
+        "n_days": n, "mean_loss_diff_milli": s // n,
+        "dm_z_milli": math.floor(z * 1000),
+        "significant": abs(z) > 1.96}])
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pesaran-Timmermann directional accuracy: does yesterday's volume
+# change predict today's direction?  Hit counts are exact; the PT z
+# compares observed accuracy against the independence benchmark
+# P_up_pred * P_up + (1-P_up_pred) * (1-P_up).
+# ---------------------------------------------------------------------------
+
+@query("directional_accuracy_test", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT day, c, row_number() OVER (ORDER BY day) AS i FROM d),
+s0 AS (
+  SELECT i, sign(c - lag(c) OVER (ORDER BY i)) AS dir FROM o
+),
+s AS (
+  SELECT i, dir, lag(dir) OVER (ORDER BY i) AS pred FROM s0
+),
+t AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN dir = pred THEN 1 ELSE 0 END) AS hits,
+         sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS up,
+         sum(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS up_pred
+  FROM s WHERE dir IS NOT NULL AND pred IS NOT NULL
+         AND dir <> 0 AND pred <> 0
+)
+SELECT n::BIGINT AS n_days, hits::BIGINT AS n_hits,
+       CAST(hits * 1000000 // n AS BIGINT) AS accuracy_ppm,
+       CAST((up_pred * up + (n - up_pred) * (n - up)) * 1000000
+            // (n * n) AS BIGINT) AS independence_ppm,
+       hits * n > up_pred * up + (n - up_pred) * (n - up)
+         AS beats_independence
+FROM t
+""")
+def directional_accuracy_q(sf_dir: str):
+    """Bounded day counts; momentum hit-rate vs the independence
+    benchmark in exact integer ppm."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("n_days", "n_hits", "accuracy_ppm", "independence_ppm")
+    if merged is None or len(merged) < 3:
+        return pd.DataFrame({**{c: pd.Series([], dtype=np.int64)
+                                for c in cols},
+                             "beats_independence": pd.Series([],
+                                                             dtype=bool)})
+    f = merged.sort_values("day").reset_index(drop=True)
+    c = f["c"].to_numpy(np.int64)
+    diff = np.sign(np.diff(c)).astype(np.int64)
+    dirs = diff[1:]
+    preds = diff[:-1]
+    keep = (dirs != 0) & (preds != 0)
+    dirs, preds = dirs[keep], preds[keep]
+    n = len(dirs)
+    hits = int((dirs == preds).sum())
+    up = int((dirs == 1).sum())
+    up_pred = int((preds == 1).sum())
+    indep = up_pred * up + (n - up_pred) * (n - up)
+    out = pd.DataFrame([{
+        "n_days": n, "n_hits": hits,
+        "accuracy_ppm": hits * 1_000_000 // n,
+        "independence_ppm": indep * 1_000_000 // (n * n),
+        "beats_independence": hits * n > indep}])
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out

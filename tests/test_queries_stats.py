@@ -449,3 +449,20 @@ def test_crps_and_winkler(ray_session):
     assert 0 <= rw["n_covered"] <= rw["n_test"]
     # width is a lower bound for the mean score
     assert rw["winkler_mean"] >= rw["interval_hi"] - rw["interval_lo"]
+
+
+def test_diebold_mariano_and_direction(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        diebold_mariano_q,
+        directional_accuracy_q,
+    )
+
+    dm = diebold_mariano_q(SF)
+    r = dm.iloc[0]
+    assert r["n_days"] == 29
+    assert bool(r["significant"]) == (abs(r["dm_z_milli"]) > 1960)
+
+    da = directional_accuracy_q(SF)
+    d = da.iloc[0]
+    assert 0 <= d["n_hits"] <= d["n_days"]
+    assert d["accuracy_ppm"] == d["n_hits"] * 1_000_000 // d["n_days"]
