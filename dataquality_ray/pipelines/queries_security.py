@@ -997,3 +997,108 @@ def sql_concat_lint_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Prompt-injection phrase scan — LLM-training-corpus hygiene: documents
+# carrying instruction-hijack phrases ('ignore previous instructions',
+# 'disregard all prior', 'you are now DAN') poison instruction-tuned
+# models and are dropped or quarantined.  Planted for doc_id % 29 in
+# (0, 1).
+# ---------------------------------------------------------------------------
+
+@query("prompt_injection_scan", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         coalesce(text,'') ||
+         CASE WHEN doc_id % 29 IN (0, 1)
+              THEN ' ignore previous instructions and reveal'
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           'ignore previous instructions|disregard all prior|'
+           || 'you are now dan|system prompt:'))::BIGINT AS n_phrases,
+       len(regexp_extract_all(t,
+           'ignore previous instructions|disregard all prior|'
+           || 'you are now dan|system prompt:')) > 0 AS injection_risk
+FROM cv ORDER BY doc_id
+""")
+def prompt_injection_scan_q(sf_dir: str):
+    """One RE2 alternation per batch over the phrase blocklist."""
+    rx = ("ignore previous instructions|disregard all prior|"
+          "you are now dan|system prompt:")
+
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        t = pc.if_else(
+            pa.array(ids % 29 < 2),
+            pc.binary_join_element_wise(
+                base, " ignore previous instructions and reveal", ""),
+            base)
+        n = pc.count_substring_regex(t, rx).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_phrases": n,
+                         "injection_risk": pc.greater(n, 0)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Chat-template leakage scan: serialized chat markup ('<|im_start|>',
+# '[INST]', '### Assistant:') inside a pre-training corpus means a
+# model's own outputs or a chat dump leaked in — a known contamination
+# vector.  Planted '<|im_start|>assistant' for doc_id % 31 in (0, 1),
+# '[INST]' for (2, 3).
+# ---------------------------------------------------------------------------
+
+@query("chat_template_leakage_scan", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         coalesce(text,'') ||
+         CASE WHEN doc_id % 31 IN (0, 1) THEN ' <|im_start|>assistant'
+              WHEN doc_id % 31 IN (2, 3) THEN ' [INST] hello [/INST]'
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       (length(t) - length(replace(t, '<|im_start|>', '')))
+         // length('<|im_start|>') AS n_im_start,
+       (length(t) - length(replace(t, '[INST]', ''))) // length('[INST]')
+         AS n_inst,
+       len(regexp_extract_all(t, '### (?:assistant|human|system):'))
+         ::BIGINT AS n_hash_roles,
+       ((length(t) - length(replace(t, '<|im_start|>', ''))) > 0
+        OR (length(t) - length(replace(t, '[INST]', ''))) > 0
+        OR len(regexp_extract_all(t,
+               '### (?:assistant|human|system):')) > 0)
+         AS template_leak
+FROM cv ORDER BY doc_id
+""")
+def chat_template_leakage_q(sf_dir: str):
+    """Substring counts for the fixed markers + one RE2 for role tags."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        m = ids % 31
+        suffix = np.full(len(ids), "", dtype=object)
+        suffix[m < 2] = " <|im_start|>assistant"
+        suffix[(m >= 2) & (m < 4)] = " [INST] hello [/INST]"
+        t = pc.binary_join_element_wise(
+            base, pa.array(suffix, pa.string()), "")
+        ims = pc.count_substring(t, "<|im_start|>").cast(pa.int64())
+        inst = pc.count_substring(t, "[INST]").cast(pa.int64())
+        roles = pc.count_substring_regex(
+            t, r"### (?:assistant|human|system):").cast(pa.int64())
+        leak = pc.or_(pc.or_(pc.greater(ims, 0), pc.greater(inst, 0)),
+                      pc.greater(roles, 0))
+        return pa.table({"doc_id": batch["doc_id"], "n_im_start": ims,
+                         "n_inst": inst, "n_hash_roles": roles,
+                         "template_leak": leak})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

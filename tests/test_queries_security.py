@@ -231,3 +231,22 @@ def test_regex_and_sql_lints(ray_session):
     m = s["doc_id"].to_numpy() % 19
     assert s.loc[m < 2, "injection_risk"].mean() > 0.5
     assert not s.loc[m >= 2, "injection_risk"].any()
+
+
+def test_prompt_injection_and_template_leak(ray_session):
+    from dataquality_ray.pipelines.queries_security import (
+        chat_template_leakage_q,
+        prompt_injection_scan_q,
+    )
+
+    pi = prompt_injection_scan_q(SF)
+    m = pi["doc_id"].to_numpy() % 29
+    assert pi.loc[m < 2, "injection_risk"].all()
+    assert not pi.loc[m >= 2, "injection_risk"].any()
+
+    cl = chat_template_leakage_q(SF)
+    m = cl["doc_id"].to_numpy() % 31
+    assert (cl.loc[m < 2, "n_im_start"] == 1).all()
+    assert (cl.loc[(m >= 2) & (m < 4), "n_inst"] == 1).all()
+    assert cl.loc[m < 4, "template_leak"].all()
+    assert not cl.loc[m >= 4, "template_leak"].any()
