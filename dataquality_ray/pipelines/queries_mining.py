@@ -10570,3 +10570,190 @@ def running_record_census_q(sf_dir: str):
     out = (ds.groupby("event_type")
            .map_groups(per_type, batch_format="pandas").to_pandas())
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Churn-rule confusion: predict churn for users whose last first-half
+# activity is before day 8 (dormant >= 7 days at the cut), actual churn
+# = silent in the second half; full confusion matrix + F1 in exact ppm.
+# The eval harness any retention rule needs before shipping.
+# ---------------------------------------------------------------------------
+
+@query("churn_rule_confusion", sql="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+b AS (SELECT min(day) AS d0 FROM e),
+u AS (
+  SELECT user_id,
+         max(CASE WHEN day < d0 + 15 THEN day END) AS last_h1,
+         count(*) FILTER (WHERE day >= d0 + 15) AS h2_events,
+         any_value(d0) AS d0
+  FROM e CROSS JOIN b GROUP BY user_id
+),
+c AS (
+  SELECT user_id,
+         (last_h1 IS NOT NULL AND last_h1 < d0 + 8) AS pred_churn,
+         (h2_events = 0) AS actual_churn
+  FROM u WHERE last_h1 IS NOT NULL
+),
+m AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN pred_churn AND actual_churn THEN 1 ELSE 0 END)
+           AS tp,
+         sum(CASE WHEN pred_churn AND NOT actual_churn THEN 1 ELSE 0 END)
+           AS fp,
+         sum(CASE WHEN NOT pred_churn AND actual_churn THEN 1 ELSE 0 END)
+           AS fn,
+         sum(CASE WHEN NOT pred_churn AND NOT actual_churn
+             THEN 1 ELSE 0 END) AS tn
+  FROM c
+)
+SELECT n::BIGINT AS n_users, tp::BIGINT AS tp, fp::BIGINT AS fp,
+       fn::BIGINT AS fn, tn::BIGINT AS tn,
+       CAST(2 * tp * 1000000 // greatest(2 * tp + fp + fn, 1) AS BIGINT)
+         AS f1_ppm
+FROM m
+""")
+def churn_rule_confusion_q(sf_dir: str):
+    """Per-user (last-h1-day, h2-count) partials fold through one
+    bounded combine (users active in h1)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.divide(pc.cast(batch["ts"], pa.int64()),
+                                          86400000000).cast(pa.int64())})
+
+    d0 = int(ds.map_batches(days, batch_format="pyarrow").min("day"))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"user_id": uid, "day": day})
+        h1 = f[f["day"] < d0 + 15].groupby("user_id")["day"].max()
+        h2 = (f[f["day"] >= d0 + 15].groupby("user_id").size()
+              .rename("h2"))
+        out = pd.concat([h1.rename("last_h1"), h2], axis=1).reset_index()
+        out["last_h1"] = out["last_h1"].fillna(-1).astype(np.int64)
+        out["h2"] = out["h2"].fillna(0).astype(np.int64)
+        return out
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return (f.groupby("user_id", as_index=False)
+                .agg(last_h1=("last_h1", "max"), h2=("h2", "sum")))
+
+    merged, ok = guarded_partials(
+        ds.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: active users
+    cols = ("n_users", "tp", "fp", "fn", "tn", "f1_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    m = merged[merged["last_h1"] >= 0]
+    pred = m["last_h1"] < d0 + 8
+    actual = m["h2"] == 0
+    tp = int((pred & actual).sum())
+    fp = int((pred & ~actual).sum())
+    fn = int((~pred & actual).sum())
+    tn = int((~pred & ~actual).sum())
+    out = pd.DataFrame([{
+        "n_users": len(m), "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "f1_ppm": 2 * tp * 1_000_000 // max(2 * tp + fp + fn, 1)}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Survivorship-bias audit: the mean first-half value of users who STAY
+# for the second half vs all first-half users — reporting metrics only
+# over survivors overstates engagement; the audit quantifies by how
+# much, exact micro integers.
+# ---------------------------------------------------------------------------
+
+@query("survivorship_bias_audit", sql="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(floor(value * 1000000) AS BIGINT) AS vm
+  FROM events
+),
+b AS (SELECT min(day) AS d0 FROM e),
+h1 AS (
+  SELECT user_id, sum(vm) AS s, count(*) AS n
+  FROM e CROSS JOIN b WHERE day < d0 + 15 GROUP BY user_id
+),
+h2u AS (
+  SELECT DISTINCT user_id FROM e CROSS JOIN b WHERE day >= d0 + 15
+),
+m AS (
+  SELECT sum(h1.s) AS s_all, sum(h1.n) AS n_all,
+         sum(CASE WHEN h2u.user_id IS NOT NULL THEN h1.s ELSE 0 END)
+           AS s_surv,
+         sum(CASE WHEN h2u.user_id IS NOT NULL THEN h1.n ELSE 0 END)
+           AS n_surv
+  FROM h1 LEFT JOIN h2u ON h2u.user_id = h1.user_id
+)
+SELECT n_all::BIGINT AS n_events_all, n_surv::BIGINT AS n_events_surv,
+       CAST(s_all // n_all AS BIGINT) AS mean_all_micro,
+       CAST(s_surv // greatest(n_surv, 1) AS BIGINT) AS mean_surv_micro,
+       CAST((s_surv // greatest(n_surv, 1)) * 1000000
+            // (s_all // n_all) AS BIGINT) AS survivor_ratio_ppm
+FROM m
+""")
+def survivorship_bias_q(sf_dir: str):
+    """Per-user first-half sums + second-half presence in one bounded
+    combine."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.divide(pc.cast(batch["ts"], pa.int64()),
+                                          86400000000).cast(pa.int64())})
+
+    d0 = int(ds.map_batches(days, batch_format="pyarrow").min("day"))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * 1_000_000).astype(np.int64)
+        f = pd.DataFrame({"user_id": uid, "day": day, "vm": vm})
+        g1 = (f[f["day"] < d0 + 15].groupby("user_id")
+              .agg(s=("vm", "sum"), n=("vm", "size")))
+        g2 = (f[f["day"] >= d0 + 15].groupby("user_id").size()
+              .rename("h2"))
+        out = pd.concat([g1, g2], axis=1).fillna(0).reset_index()
+        for c in ("s", "n", "h2"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return (f.groupby("user_id", as_index=False)
+                [["s", "n", "h2"]].sum())
+
+    merged, ok = guarded_partials(
+        ds.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
+    assert ok  # bounded: active users
+    cols = ("n_events_all", "n_events_surv", "mean_all_micro",
+            "mean_surv_micro", "survivor_ratio_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    h1 = merged[merged["n"] > 0]
+    s_all, n_all = int(h1["s"].sum()), int(h1["n"].sum())
+    surv = h1[h1["h2"] > 0]
+    s_surv, n_surv = int(surv["s"].sum()), int(surv["n"].sum())
+    mean_all = s_all // n_all
+    mean_surv = s_surv // max(n_surv, 1)
+    out = pd.DataFrame([{
+        "n_events_all": n_all, "n_events_surv": n_surv,
+        "mean_all_micro": mean_all, "mean_surv_micro": mean_surv,
+        "survivor_ratio_ppm": mean_surv * 1_000_000 // mean_all}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -1875,3 +1875,20 @@ def test_running_record_census(ray_session):
     assert (df["n_records"] >= 1).all()
     # records are rare in a stationary stream: far fewer than n
     assert (df["n_records"] < df["n_events"] // 4).all()
+
+
+def test_churn_and_survivorship(ray_session):
+    from dataquality_ray.pipelines.queries_mining import (
+        churn_rule_confusion_q,
+        survivorship_bias_q,
+    )
+
+    cf = churn_rule_confusion_q(SF)
+    r = cf.iloc[0]
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_users"]
+    assert 0 <= r["f1_ppm"] <= 1_000_000
+
+    sv = survivorship_bias_q(SF)
+    s = sv.iloc[0]
+    assert s["n_events_surv"] <= s["n_events_all"]
+    assert s["survivor_ratio_ppm"] > 0
