@@ -1102,3 +1102,91 @@ def chat_template_leakage_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Resource-leak scan: files calling open() more often than close() leak
+# handles — the classic reviewer lint, planted as real call text:
+# doc_id % 23 in (0, 1) get an unmatched ' open(f) ', (2, 3) get a
+# balanced ' open(f) close(f) '.
+# ---------------------------------------------------------------------------
+
+@query("resource_leak_scan", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         coalesce(text,'') ||
+         CASE WHEN doc_id % 23 IN (0, 1) THEN ' open(f) '
+              WHEN doc_id % 23 IN (2, 3) THEN ' open(f) close(f) '
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '\\bopen[(]'))::BIGINT AS n_open,
+       len(regexp_extract_all(t, '\\bclose[(]'))::BIGINT AS n_close,
+       len(regexp_extract_all(t, '\\bopen[(]'))
+         > len(regexp_extract_all(t, '\\bclose[(]')) AS leak_risk
+FROM cv ORDER BY doc_id
+""")
+def resource_leak_scan_q(sf_dir: str):
+    """Two RE2 counts per batch."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        m = ids % 23
+        suffix = np.full(len(ids), "", dtype=object)
+        suffix[m < 2] = " open(f) "
+        suffix[(m >= 2) & (m < 4)] = " open(f) close(f) "
+        t = pc.binary_join_element_wise(
+            base, pa.array(suffix, pa.string()), "")
+        no = pc.count_substring_regex(t, r"\bopen\(").cast(pa.int64())
+        nc = pc.count_substring_regex(t, r"\bclose\(").cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_open": no,
+                         "n_close": nc,
+                         "leak_risk": pc.greater(no, nc)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Mutable-default-argument lint: 'def f(x=[])' / 'def f(x={})' share
+# one list across calls — the canonical Python footgun.  Planted
+# ' def f(x=[]): ' for doc_id % 27 in (0, 1).
+# ---------------------------------------------------------------------------
+
+@query("mutable_default_scan", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         coalesce(text,'') ||
+         CASE WHEN doc_id % 27 IN (0, 1) THEN ' def f(x=[]): '
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           'def [a-z_]+[(][^)]*=\\s*(?:\\[\\]|\\{\\})'))::BIGINT
+         AS n_mutable_defaults,
+       len(regexp_extract_all(t,
+           'def [a-z_]+[(][^)]*=\\s*(?:\\[\\]|\\{\\})')) > 0
+         AS footgun_risk
+FROM cv ORDER BY doc_id
+""")
+def mutable_default_scan_q(sf_dir: str):
+    """One RE2 scan for the '=[]' / '={}' default shape inside def
+    signatures."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        t = pc.if_else(
+            pa.array(ids % 27 < 2),
+            pc.binary_join_element_wise(base, " def f(x=[]): ", ""), base)
+        n = pc.count_substring_regex(
+            t, r"def [a-z_]+\([^)]*=\s*(?:\[\]|\{\})").cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_mutable_defaults": n,
+                         "footgun_risk": pc.greater(n, 0)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -250,3 +250,21 @@ def test_prompt_injection_and_template_leak(ray_session):
     assert (cl.loc[(m >= 2) & (m < 4), "n_inst"] == 1).all()
     assert cl.loc[m < 4, "template_leak"].all()
     assert not cl.loc[m >= 4, "template_leak"].any()
+
+
+def test_resource_leak_and_mutable_default(ray_session):
+    from dataquality_ray.pipelines.queries_security import (
+        mutable_default_scan_q,
+        resource_leak_scan_q,
+    )
+
+    rl = resource_leak_scan_q(SF)
+    m = rl["doc_id"].to_numpy() % 23
+    assert rl.loc[m < 2, "leak_risk"].all()
+    assert not rl.loc[(m >= 2) & (m < 4), "leak_risk"].any()  # balanced
+    assert not rl.loc[m >= 4, "leak_risk"].any()
+
+    md = mutable_default_scan_q(SF)
+    m = md["doc_id"].to_numpy() % 27
+    assert md.loc[m < 2, "footgun_risk"].all()
+    assert not md.loc[m >= 2, "footgun_risk"].any()
