@@ -3349,3 +3349,71 @@ def hedged_request_model_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# GFS (grandfather-father-son) backup-retention audit over the 30
+# observed days: keep the last 7 dailies, Sunday weeklies for 4 weeks,
+# and first-of-epoch-month monthlies for 3 months; everything else is
+# reclaimable.  Pure integer calendar arithmetic on epoch days
+# (day % 7 == 3 is Sunday for the 1970-01-01 Thursday epoch).
+# ---------------------------------------------------------------------------
+
+@query("gfs_retention_audit", sql="""
+WITH d AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day FROM events
+),
+mx AS (SELECT max(day) AS last FROM d),
+r AS (
+  SELECT d.day,
+         d.day > mx.last - 7 AS keep_daily,
+         (d.day % 7 = 3 AND d.day > mx.last - 28) AS keep_weekly,
+         (strftime(to_timestamp(d.day * 86400), '%d') = '01') AS keep_monthly
+  FROM d CROSS JOIN mx
+)
+SELECT day::BIGINT AS day,
+       CASE WHEN keep_daily THEN 'daily'
+            WHEN keep_weekly THEN 'weekly'
+            WHEN keep_monthly THEN 'monthly'
+            ELSE 'reclaim' END AS retained_by
+FROM r ORDER BY day
+""")
+def gfs_retention_audit_q(sf_dir: str):
+    """Bounded distinct days; the retention ladder is pure integer/date
+    arithmetic mirrored exactly."""
+    import datetime
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return pd.DataFrame({"day": np.unique(day)})
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.drop_duplicates(), 2_000_000)
+    assert ok  # bounded: calendar days
+    if merged is None or not len(merged):
+        return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                             "retained_by": pd.Series([], dtype=object)})
+    days = np.sort(merged["day"].to_numpy(np.int64))
+    last = int(days[-1])
+    rows = []
+    for d in days:
+        d = int(d)
+        if d > last - 7:
+            r = "daily"
+        elif d % 7 == 3 and d > last - 28:
+            r = "weekly"
+        elif datetime.date(1970, 1, 1) + datetime.timedelta(days=d) == \
+                (datetime.date(1970, 1, 1)
+                 + datetime.timedelta(days=d)).replace(day=1):
+            r = "monthly"
+        else:
+            r = "reclaim"
+        rows.append({"day": d, "retained_by": r})
+    out = pd.DataFrame(rows)
+    out["day"] = out["day"].astype(np.int64)
+    return out

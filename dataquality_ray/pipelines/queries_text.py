@@ -11082,3 +11082,86 @@ def bigram_count_spectrum_q(sf_dir: str):
     for col in cols:
         f[col] = f[col].astype(np.int64)
     return f.sort_values("occurrence_count").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Token dispersion DP (Gries 2008): 0.5 * sum_s |share of w in source s
+# - size share of s| — 0 means perfectly even usage across sources,
+# 1 means concentrated in one.  Floor-per-term micro keeps the absolute
+# -difference sum exact across engines.
+# ---------------------------------------------------------------------------
+
+@query("token_dispersion_dp", sql="""
+WITH tok AS (
+  SELECT source, unnest(string_split(coalesce(text,''), ' ')) AS w
+  FROM documents
+),
+c AS (
+  SELECT source, w, count(*) AS c FROM tok WHERE w <> ''
+  GROUP BY source, w
+),
+wt AS (SELECT w, sum(c) AS cw FROM c GROUP BY w),
+st AS (SELECT source, sum(c) AS cs FROM c GROUP BY source),
+tt AS (SELECT sum(c) AS n FROM c),
+terms AS (
+  SELECT wt.w, st.source,
+         CAST(floor(abs(coalesce(c.c, 0)::DOUBLE / wt.cw
+                        - st.cs::DOUBLE / tt.n) * 1000000) AS BIGINT)
+           AS term_micro
+  FROM wt CROSS JOIN st CROSS JOIN tt
+  LEFT JOIN c ON c.w = wt.w AND c.source = st.source
+)
+SELECT w AS token,
+       (SELECT cw FROM wt w2 WHERE w2.w = terms.w)::BIGINT AS n_occurrences,
+       CAST(sum(term_micro) // 2 AS BIGINT) AS dp_micro
+FROM terms GROUP BY w ORDER BY w
+""")
+def token_dispersion_dp_q(sf_dir: str):
+    """Bounded (source, token) counts; the 20-term DP sum per token runs
+    on the merged frame with floor-per-term micro."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = np.repeat(np.asarray(b["source"].to_pylist(), dtype=object),
+                        n_per)
+        keep = flat != ""
+        f = pd.DataFrame({"source": src[keep], "w": flat[keep], "c": 1})
+        return f.groupby(["source", "w"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["source", "w"], as_index=False)["c"].sum(),
+        2_000_000)
+    assert ok  # bounded: vocab x sources
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "token": pd.Series([], dtype=object),
+            "n_occurrences": pd.Series([], dtype=np.int64),
+            "dp_micro": pd.Series([], dtype=np.int64)})
+    n = int(merged["c"].sum())
+    cs = merged.groupby("source")["c"].sum()
+    cw = merged.groupby("w")["c"].sum()
+    piv = (merged.pivot_table(index="w", columns="source", values="c",
+                              aggfunc="sum", fill_value=0)
+           .reindex(columns=cs.index, fill_value=0))
+    rows = []
+    for w in sorted(piv.index):
+        total_w = int(cw[w])
+        s = 0
+        for src in cs.index:
+            s += math.floor(abs(int(piv.loc[w, src]) / total_w
+                                - int(cs[src]) / n) * 1_000_000)
+        rows.append({"token": w, "n_occurrences": total_w,
+                     "dp_micro": s // 2})
+    out = pd.DataFrame(rows)
+    out["n_occurrences"] = out["n_occurrences"].astype(np.int64)
+    out["dp_micro"] = out["dp_micro"].astype(np.int64)
+    return out.sort_values("token").reset_index(drop=True)

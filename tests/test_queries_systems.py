@@ -459,3 +459,16 @@ def test_hedged_request_model(ray_session):
     # hedging can only help the tail
     assert (df["p_hedged_ppm"] <= df["p_single_ppm"]).all()
     assert df["threshold_milli"].is_monotonic_increasing
+
+
+def test_gfs_retention_audit(ray_session):
+    from dataquality_ray.pipelines.queries_systems import (
+        gfs_retention_audit_q,
+    )
+
+    df = gfs_retention_audit_q(SF)
+    assert len(df) == 30
+    got = df["retained_by"].value_counts().to_dict()
+    assert got.get("daily", 0) == 7  # exactly the last 7 days
+    assert got.get("weekly", 0) >= 2  # Sundays within the 4-week window
+    assert got.get("reclaim", 0) >= 15

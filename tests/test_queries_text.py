@@ -312,3 +312,13 @@ def test_bigram_count_spectrum(ray_session):
     body = df[df["occurrence_count"] < 11]
     assert (body["token_mass"]
             == body["occurrence_count"] * body["n_types"]).all()
+
+
+def test_token_dispersion_dp(ray_session):
+    from dataquality_ray.pipelines.queries_text import token_dispersion_dp_q
+
+    df = token_dispersion_dp_q(SF)
+    assert len(df) == 31
+    # soup tokens are spread near-evenly: DP stays small
+    assert df["dp_micro"].between(0, 500_000).all()
+    assert (df["n_occurrences"] > 0).all()
