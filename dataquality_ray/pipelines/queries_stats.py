@@ -5456,3 +5456,77 @@ def directional_accuracy_q(sf_dir: str):
     for col in cols:
         out[col] = out[col].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Inspection-paradox audit: the mean interarrival gap vs the
+# length-biased mean (sum L^2 / sum L) a random observer experiences —
+# the ratio quantifies how much "my bus is always late" bias the event
+# stream carries.  Exact integer microsecond arithmetic on global
+# interarrivals in (ts, event_id) order.
+# ---------------------------------------------------------------------------
+
+@query("inspection_paradox_audit", sql="""
+WITH e AS (
+  SELECT epoch_us(ts) AS t,
+         row_number() OVER (ORDER BY ts, event_id) AS i
+  FROM events
+),
+g AS (
+  SELECT e.t - p.t AS gap
+  FROM e JOIN e p ON p.i = e.i - 1
+),
+m AS (
+  SELECT count(*) AS n, sum(gap) AS s,
+         sum(gap::HUGEINT * gap) AS ss FROM g
+)
+SELECT n::BIGINT AS n_gaps,
+       CAST(s // n AS BIGINT) AS mean_gap_us,
+       CAST(ss // s AS BIGINT) AS length_biased_mean_us,
+       CAST((ss // s) * 1000 // (s // n) AS BIGINT) AS paradox_ratio_milli
+FROM m
+""")
+def inspection_paradox_q(sf_dir: str):
+    """Global sort is avoided: per-batch gap partials carry (sum, sumsq,
+    count) plus each batch's boundary timestamps so cross-batch gaps
+    fold exactly in the combine (batches arrive in file order)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        t = np.sort(pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False))
+        g = np.diff(t)
+        return pd.DataFrame([{
+            "first": int(t[0]), "last": int(t[-1]),
+            "n": len(g), "s": int(g.sum()),
+            "ss": int((g.astype(object) ** 2).sum())}])
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "event_id"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f, 2_000_000)
+    assert ok  # bounded: one row per batch
+    cols = ("n_gaps", "mean_gap_us", "length_biased_mean_us",
+            "paradox_ratio_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    f = merged.sort_values("first").reset_index(drop=True)
+    n = int(f["n"].sum())
+    s = int(f["s"].sum())
+    ss = int(f["ss"].sum())
+    # cross-batch boundary gaps
+    for i in range(1, len(f)):
+        gap = int(f["first"].iloc[i]) - int(f["last"].iloc[i - 1])
+        n += 1
+        s += gap
+        ss += gap * gap
+    mean = s // n
+    lbm = ss // s
+    out = pd.DataFrame([{
+        "n_gaps": n, "mean_gap_us": mean,
+        "length_biased_mean_us": lbm,
+        "paradox_ratio_milli": lbm * 1000 // mean}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

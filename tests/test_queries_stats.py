@@ -466,3 +466,14 @@ def test_diebold_mariano_and_direction(ray_session):
     d = da.iloc[0]
     assert 0 <= d["n_hits"] <= d["n_days"]
     assert d["accuracy_ppm"] == d["n_hits"] * 1_000_000 // d["n_days"]
+
+
+def test_inspection_paradox(ray_session):
+    from dataquality_ray.pipelines.queries_stats import inspection_paradox_q
+
+    df = inspection_paradox_q(SF)
+    r = df.iloc[0]
+    # length-biased mean >= plain mean always (Cauchy-Schwarz)
+    assert r["length_biased_mean_us"] >= r["mean_gap_us"]
+    assert r["paradox_ratio_milli"] >= 1000
+    assert r["n_gaps"] == 999  # 1000 events -> 999 gaps
