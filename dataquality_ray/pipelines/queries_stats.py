@@ -5530,3 +5530,70 @@ def inspection_paradox_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Storey adaptive q-values over the same sha-planted per-type p-values
+# as holm_bonferroni_stepdown — pi0 estimated at lambda = 0.5, q_i =
+# min_{j >= i} pi0 * m * p_(j) / j (reverse running min), all in exact
+# integer ppm.  Completes the multiple-testing family: BH step-up,
+# Holm step-down, Storey adaptive.
+# ---------------------------------------------------------------------------
+
+@query("storey_qvalue_panel", sql="""
+WITH t AS (SELECT DISTINCT event_type FROM events),
+p AS (
+  SELECT event_type,
+         (('0x' || substr(sha256(event_type), 1, 16))::UBIGINT
+          % 1000000)::BIGINT AS p_ppm
+  FROM t
+),
+r AS (
+  SELECT event_type, p_ppm,
+         row_number() OVER (ORDER BY p_ppm, event_type) AS rk,
+         count(*) OVER () AS m
+  FROM p
+),
+pi0 AS (
+  SELECT count(*) FILTER (WHERE p_ppm > 500000) * 2 * 1000000
+         / (SELECT count(*) FROM r) AS pi0_scaled
+  FROM r
+),
+q AS (
+  SELECT r.event_type, r.p_ppm, r.rk,
+         min(CAST(pi0.pi0_scaled AS BIGINT) * r2.p_ppm * 1
+             // (1000000 * r2.rk))
+           AS q_raw
+  FROM r CROSS JOIN pi0
+  JOIN r r2 ON r2.rk >= r.rk
+  GROUP BY r.event_type, r.p_ppm, r.rk
+)
+SELECT event_type, p_ppm, rk::BIGINT AS rank,
+       least(q_raw * (SELECT any_value(m) FROM r), 1000000)::BIGINT
+         AS q_ppm
+FROM q ORDER BY event_type
+""")
+def storey_qvalue_q(sf_dir: str):
+    """Distinct types reduce distributedly; the m-row q-value chain runs
+    on the driver with the same integer algebra."""
+    import hashlib
+
+    types = (_read(sf_dir, "events", ["event_type"])
+             .unique("event_type"))
+    rows = []
+    for t in types:
+        h = int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "big")
+        rows.append({"event_type": t, "p_ppm": h % 1_000_000})
+    f = pd.DataFrame(rows).sort_values(
+        ["p_ppm", "event_type"]).reset_index(drop=True)
+    m = len(f)
+    f["rank"] = np.arange(1, m + 1, dtype=np.int64)
+    pi0_scaled = int((f["p_ppm"] > 500_000).sum()) * 2 * 1_000_000 // m
+    p = f["p_ppm"].to_numpy(np.int64)
+    rk = f["rank"].to_numpy(np.int64)
+    raw = pi0_scaled * p // (1_000_000 * rk)
+    qmin = np.minimum.accumulate(raw[::-1])[::-1]
+    f["q_ppm"] = np.minimum(qmin * m, 1_000_000).astype(np.int64)
+    f["p_ppm"] = f["p_ppm"].astype(np.int64)
+    return (f[["event_type", "p_ppm", "rank", "q_ppm"]]
+            .sort_values("event_type").reset_index(drop=True))

@@ -3417,3 +3417,66 @@ def gfs_retention_audit_q(sf_dir: str):
     out = pd.DataFrame(rows)
     out["day"] = out["day"].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Birthday-collision audit: hash docs into 16-bit buckets (splitmix64
+# low bits) and compare observed collisions N - distinct against the
+# birthday expectation N - B (1 - (1 - 1/B)^N) — a sanity check that
+# the hash behaves uniformly (a skewed hash collides far more).
+# ---------------------------------------------------------------------------
+
+def _birthday_sql() -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    prev = "bh0"
+    ctes = ["bh0 AS (SELECT doc_id, doc_id::HUGEINT AS x FROM documents)"]
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append(f"bh{n+1} AS (SELECT doc_id, {expr} AS x FROM {prev})")
+        prev = f"bh{n+1}"
+    return ",\n".join(ctes) + f""",
+b AS (SELECT (x % 65536)::BIGINT AS bucket FROM {prev}),
+m AS (SELECT count(*) AS n, count(DISTINCT bucket) AS d FROM b)
+SELECT n::BIGINT AS n_docs, d::BIGINT AS n_distinct_buckets,
+       (n - d)::BIGINT AS observed_collisions,
+       CAST(floor(n - 65536 * (1 - power(1 - 1.0/65536, n))) AS BIGINT)
+         AS expected_collisions
+FROM m"""
+
+
+@query("birthday_collision_audit", sql="WITH " + _birthday_sql())
+def birthday_collision_q(sf_dir: str):
+    """Vectorized splitmix per batch; bounded 65536-bucket presence."""
+    import math
+
+    from dataquality_ray.functions.hashing import splitmix64
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        h = splitmix64(b["doc_id"].to_numpy(zero_copy_only=False)
+                       .astype(np.uint64))
+        bucket = (h % np.uint64(65536)).astype(np.int64)
+        f = pd.DataFrame({"bucket": bucket, "n": 1})
+        return f.groupby("bucket", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("bucket", as_index=False)["n"].sum(),
+        2_000_000)
+    assert ok  # bounded: 65536 buckets
+    cols = ("n_docs", "n_distinct_buckets", "observed_collisions",
+            "expected_collisions")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    n = int(merged["n"].sum())
+    d = len(merged)
+    out = pd.DataFrame([{
+        "n_docs": n, "n_distinct_buckets": d,
+        "observed_collisions": n - d,
+        "expected_collisions": math.floor(
+            n - 65536 * (1 - math.pow(1 - 1.0 / 65536, n)))}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -477,3 +477,13 @@ def test_inspection_paradox(ray_session):
     assert r["length_biased_mean_us"] >= r["mean_gap_us"]
     assert r["paradox_ratio_milli"] >= 1000
     assert r["n_gaps"] == 999  # 1000 events -> 999 gaps
+
+
+def test_storey_qvalues_monotone(ray_session):
+    from dataquality_ray.pipelines.queries_stats import storey_qvalue_q
+
+    df = storey_qvalue_q(SF)
+    r = df.sort_values("rank")
+    # q-values are nondecreasing in rank and capped at 1
+    assert (r["q_ppm"].diff().dropna() >= 0).all()
+    assert (r["q_ppm"] <= 1_000_000).all()

@@ -472,3 +472,16 @@ def test_gfs_retention_audit(ray_session):
     assert got.get("daily", 0) == 7  # exactly the last 7 days
     assert got.get("weekly", 0) >= 2  # Sundays within the 4-week window
     assert got.get("reclaim", 0) >= 15
+
+
+def test_birthday_collision_audit(ray_session):
+    from dataquality_ray.pipelines.queries_systems import (
+        birthday_collision_q,
+    )
+
+    df = birthday_collision_q(SF)
+    r = df.iloc[0]
+    assert r["n_docs"] == 500
+    # 500 balls in 65536 bins: expect ~2 collisions, tolerate 0-10
+    assert 0 <= r["observed_collisions"] <= 10
+    assert 0 <= r["expected_collisions"] <= 5
