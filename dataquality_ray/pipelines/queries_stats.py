@@ -5597,3 +5597,137 @@ def storey_qvalue_q(sf_dir: str):
     f["p_ppm"] = f["p_ppm"].astype(np.int64)
     return (f[["event_type", "p_ppm", "rank", "q_ppm"]]
             .sort_values("event_type").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Hartley's F-max across event types: the largest per-type variance of
+# value-milli over the smallest — the quick homoscedasticity screen
+# before any pooled-variance test.  Variances from exact integer
+# moments, the ratio floored to milli.
+# ---------------------------------------------------------------------------
+
+@query("hartley_fmax_types", sql="""
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(floor(value * 1000) AS BIGINT)) AS sx,
+         sum(CAST(floor(value * 1000) AS BIGINT)
+             * CAST(floor(value * 1000) AS BIGINT)) AS sxx
+  FROM events GROUP BY event_type
+),
+v AS (
+  SELECT event_type,
+         (sxx::DOUBLE - sx::DOUBLE * sx / n) / (n - 1) AS var
+  FROM s
+),
+m AS (SELECT max(var) AS vmax, min(var) AS vmin FROM v)
+SELECT (SELECT count(*) FROM v)::BIGINT AS n_groups,
+       CAST(floor(vmax) AS BIGINT) AS max_var_milli2,
+       CAST(floor(vmin) AS BIGINT) AS min_var_milli2,
+       CAST(floor(vmax / vmin * 1000) AS BIGINT) AS fmax_milli,
+       vmax / vmin > 3.0 AS heteroscedastic
+FROM m
+""")
+def hartley_fmax_q(sf_dir: str):
+    """One bounded combine of per-type integer moments."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        vm = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * 1000).astype(np.int64)
+        f = pd.DataFrame({"event_type": b["event_type"].to_pylist(),
+                          "n": 1, "sx": vm, "sxx": vm * vm})
+        return f.groupby("event_type", as_index=False)[["n", "sx",
+                                                        "sxx"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("event_type",
+                            as_index=False)[["n", "sx", "sxx"]].sum(),
+        2_000_000)
+    assert ok  # bounded: event types
+    cols = ("n_groups", "max_var_milli2", "min_var_milli2", "fmax_milli")
+    if merged is None or len(merged) < 2:
+        return pd.DataFrame({**{c: pd.Series([], dtype=np.int64)
+                                for c in cols},
+                             "heteroscedastic": pd.Series([], dtype=bool)})
+    variances = []
+    for r in merged.itertuples(index=False):
+        n, sx, sxx = int(r.n), int(r.sx), int(r.sxx)
+        variances.append((sxx - float(sx) * sx / n) / (n - 1))
+    vmax, vmin = max(variances), min(variances)
+    out = pd.DataFrame([{
+        "n_groups": len(variances),
+        "max_var_milli2": math.floor(vmax),
+        "min_var_milli2": math.floor(vmin),
+        "fmax_milli": math.floor(vmax / vmin * 1000),
+        "heteroscedastic": vmax / vmin > 3.0}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# G-test of independence (source x lang) — the log-likelihood-ratio
+# twin of chi2_independence: G = 2 sum O ln(O/E), each cell's term
+# floored to micro before the integer sum (floor-per-term convention).
+# ---------------------------------------------------------------------------
+
+@query("g_test_source_lang", sql="""
+WITH c AS (
+  SELECT source, lang, count(*) AS o FROM documents GROUP BY source, lang
+),
+rs AS (SELECT source, sum(o) AS r FROM c GROUP BY source),
+cs AS (SELECT lang, sum(o) AS k FROM c GROUP BY lang),
+t AS (SELECT sum(o) AS n FROM c),
+g AS (
+  SELECT sum(CAST(floor(2 * c.o * ln(c.o::DOUBLE * t.n
+                                     / (rs.r::DOUBLE * cs.k))
+                        * 1000000) AS BIGINT)) AS g_micro,
+         count(*) AS n_cells
+  FROM c JOIN rs USING (source) JOIN cs USING (lang) CROSS JOIN t
+)
+SELECT n_cells::BIGINT AS n_cells, g_micro::BIGINT AS g_stat_micro,
+       ((SELECT count(*) FROM rs) - 1)
+         * ((SELECT count(*) FROM cs) - 1) AS dof
+FROM g
+""")
+def g_test_q(sf_dir: str):
+    """Bounded (source, lang) counts; per-cell G terms floor to micro
+    before summation."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"source": b["source"].to_pylist(),
+                          "lang": b["lang"].to_pylist(), "o": 1})
+        return f.groupby(["source", "lang"], as_index=False)["o"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "lang"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["source", "lang"], as_index=False)["o"].sum(),
+        2_000_000)
+    assert ok  # bounded: sources x langs
+    cols = ("n_cells", "g_stat_micro", "dof")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    n = int(merged["o"].sum())
+    rs = merged.groupby("source")["o"].sum()
+    ks = merged.groupby("lang")["o"].sum()
+    g = 0
+    for r in merged.itertuples(index=False):
+        o = int(r.o)
+        g += math.floor(2 * o * math.log(o * n / (int(rs[r.source])
+                                                  * float(int(ks[r.lang]))))
+                        * 1_000_000)
+    out = pd.DataFrame([{
+        "n_cells": len(merged), "g_stat_micro": g,
+        "dof": (len(rs) - 1) * (len(ks) - 1)}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -487,3 +487,21 @@ def test_storey_qvalues_monotone(ray_session):
     # q-values are nondecreasing in rank and capped at 1
     assert (r["q_ppm"].diff().dropna() >= 0).all()
     assert (r["q_ppm"] <= 1_000_000).all()
+
+
+def test_hartley_and_gtest(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        g_test_q,
+        hartley_fmax_q,
+    )
+
+    h = hartley_fmax_q(SF)
+    r = h.iloc[0]
+    assert r["n_groups"] == 5
+    assert r["fmax_milli"] >= 1000  # max/min >= 1
+
+    g = g_test_q(SF)
+    s = g.iloc[0]
+    assert s["dof"] == 19 * 4
+    # G >= 0 up to per-cell floor slack
+    assert s["g_stat_micro"] >= -s["n_cells"]
