@@ -3480,3 +3480,58 @@ def birthday_collision_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Window burst boundary audit: per user, the max events in any calendar
+# minute (fixed windows) vs any sliding 60-second span — a fixed-window
+# rate limiter admits up to 2x its limit when a burst straddles the
+# boundary; users where sliding > fixed expose exactly that gap.
+# ---------------------------------------------------------------------------
+
+@query("window_burst_boundary_audit", sql="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+),
+fixed AS (
+  SELECT user_id, max(c) AS max_fixed
+  FROM (SELECT user_id, t // 60000000 AS minute, count(*) AS c
+        FROM e GROUP BY user_id, t // 60000000)
+  GROUP BY user_id
+),
+sliding AS (
+  SELECT a.user_id, a.t, count(*) AS c
+  FROM e a JOIN e b ON b.user_id = a.user_id
+                   AND b.t > a.t - 60000000 AND b.t <= a.t
+  GROUP BY a.user_id, a.t
+),
+sl AS (SELECT user_id, max(c) AS max_sliding FROM sliding GROUP BY user_id)
+SELECT f.user_id::BIGINT AS user_id, f.max_fixed::BIGINT AS max_fixed,
+       sl.max_sliding::BIGINT AS max_sliding,
+       sl.max_sliding > f.max_fixed AS boundary_burst
+FROM fixed f JOIN sl ON sl.user_id = f.user_id
+ORDER BY f.user_id
+""")
+def window_burst_boundary_q(sf_dir: str):
+    """groupby(user).map_groups: per-user sorted timestamps, fixed-
+    minute bincount and a two-pointer sliding 60 s max."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["ts"].astype("int64").to_numpy())
+        minutes = t // 60_000_000
+        _, counts = np.unique(minutes, return_counts=True)
+        max_fixed = int(counts.max())
+        # sliding: for each event i, count events in (t_i - 60s, t_i]
+        left = np.searchsorted(t, t - 60_000_000, side="right")
+        max_sliding = int((np.arange(1, len(t) + 1) - left).max())
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "max_fixed": [np.int64(max_fixed)],
+            "max_sliding": [np.int64(max_sliding)],
+            "boundary_burst": [max_sliding > max_fixed]})
+
+    out = (ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)

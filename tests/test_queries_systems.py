@@ -485,3 +485,15 @@ def test_birthday_collision_audit(ray_session):
     # 500 balls in 65536 bins: expect ~2 collisions, tolerate 0-10
     assert 0 <= r["observed_collisions"] <= 10
     assert 0 <= r["expected_collisions"] <= 5
+
+
+def test_window_burst_boundary(ray_session):
+    from dataquality_ray.pipelines.queries_systems import (
+        window_burst_boundary_q,
+    )
+
+    df = window_burst_boundary_q(SF)
+    # sliding window dominates fixed by construction
+    assert (df["max_sliding"] >= df["max_fixed"]).all()
+    assert (df["boundary_burst"]
+            == (df["max_sliding"] > df["max_fixed"])).all()
