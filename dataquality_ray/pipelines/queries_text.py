@@ -11165,3 +11165,92 @@ def token_dispersion_dp_q(sf_dir: str):
     out["n_occurrences"] = out["n_occurrences"].astype(np.int64)
     out["dp_micro"] = out["dp_micro"].astype(np.int64)
     return out.sort_values("token").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Minimum covering window: per doc, the shortest token window containing
+# all four anchor tokens {the, a, order, value} — the classic
+# minimum-window-substring kernel (snippet extraction, passage
+# retrieval).  Oracle form: for each end position keep the running last
+# position of each anchor; the best window ending there spans from the
+# smallest of those; minimize over ends.
+# ---------------------------------------------------------------------------
+
+@query("min_window_stopwords", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text,''), ' '), x -> x <> '')
+           AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS i
+  FROM cv
+),
+lastpos AS (
+  SELECT doc_id, i,
+         max(CASE WHEN w = 'the' THEN i END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS l1,
+         max(CASE WHEN w = 'a' THEN i END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS l2,
+         max(CASE WHEN w = 'order' THEN i END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS l3,
+         max(CASE WHEN w = 'value' THEN i END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS l4
+  FROM tok
+),
+best AS (
+  SELECT doc_id,
+         min(i - least(l1, l2, l3, l4) + 1) AS min_window
+  FROM lastpos
+  WHERE l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL
+        AND l4 IS NOT NULL
+  GROUP BY doc_id
+),
+n AS (SELECT doc_id, len(t) AS n_tokens FROM cv)
+SELECT n.doc_id, n.n_tokens::BIGINT AS n_tokens,
+       coalesce(best.min_window, 0)::BIGINT AS min_window,
+       best.min_window IS NOT NULL AS covers_all
+FROM n LEFT JOIN best ON best.doc_id = n.doc_id
+ORDER BY n.doc_id
+""")
+def min_window_stopwords_q(sf_dir: str):
+    """Per-doc numpy kernel: running last-seen positions per anchor, one
+    vectorized min over end positions."""
+    anchors = ("the", "a", "order", "value")
+
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"doc_id": [], "n_tokens": [], "min_window": [],
+               "covers_all": []}
+        for j, t in enumerate(batch["text"].to_pylist()):
+            words = [w for w in (t or "").split(" ") if w != ""]
+            n = len(words)
+            lasts = np.full((4, n), 0, dtype=np.int64)
+            cur = [0, 0, 0, 0]
+            for i, w in enumerate(words, 1):
+                for a_i, a in enumerate(anchors):
+                    if w == a:
+                        cur[a_i] = i
+                    lasts[a_i, i - 1] = cur[a_i]
+            present = (lasts > 0).all(axis=0)
+            if present.any():
+                ends = np.arange(1, n + 1)[present]
+                starts = lasts[:, present].min(axis=0)
+                mw = int((ends - starts + 1).min())
+                cov = True
+            else:
+                mw, cov = 0, False
+            out["doc_id"].append(ids[j])
+            out["n_tokens"].append(n)
+            out["min_window"].append(mw)
+            out["covers_all"].append(cov)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "min_window": pa.array(out["min_window"], pa.int64()),
+            "covers_all": pa.array(out["covers_all"], pa.bool_())})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

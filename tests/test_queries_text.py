@@ -322,3 +322,14 @@ def test_token_dispersion_dp(ray_session):
     # soup tokens are spread near-evenly: DP stays small
     assert df["dp_micro"].between(0, 500_000).all()
     assert (df["n_occurrences"] > 0).all()
+
+
+def test_min_window_stopwords(ray_session):
+    from dataquality_ray.pipelines.queries_text import min_window_stopwords_q
+
+    df = min_window_stopwords_q(SF)
+    cov = df[df["covers_all"]]
+    # a covering window needs at least the 4 anchor tokens
+    assert (cov["min_window"] >= 4).all()
+    assert (cov["min_window"] <= cov["n_tokens"]).all()
+    assert (df.loc[~df["covers_all"], "min_window"] == 0).all()
