@@ -5731,3 +5731,80 @@ def g_test_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pairwise 1-D earth-mover distance between per-source n_chars//32
+# histograms (normalized to ppm mass): EMD_1d = sum |cumA - cumB| over
+# bins — the transport-cost companion to pairwise_ks_matrix (which
+# takes the max instead of the sum).  Floor-per-bin ppm masses keep the
+# cumulative diffs integer-exact.
+# ---------------------------------------------------------------------------
+
+@query("emd_length_matrix", sql="""
+WITH h AS (
+  SELECT source, least(n_chars // 32, 19) AS bin, count(*) AS c
+  FROM documents GROUP BY source, least(n_chars // 32, 19)
+),
+tot AS (SELECT source, sum(c) AS n FROM h GROUP BY source),
+grid AS (
+  SELECT t.source, g.bin, coalesce(h.c, 0) AS c, t.n
+  FROM tot t CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) g
+  LEFT JOIN h ON h.source = t.source AND h.bin = g.bin
+),
+m AS (
+  SELECT source, bin,
+         sum(c * 1000000 // n) OVER (PARTITION BY source ORDER BY bin)
+           AS cum_ppm
+  FROM grid
+),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         sum(abs(a.cum_ppm - b.cum_ppm)) AS emd
+  FROM m a JOIN m b ON b.bin = a.bin AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, emd::BIGINT AS emd_ppm_bins
+FROM p ORDER BY source_a, source_b
+""")
+def emd_length_matrix_q(sf_dir: str):
+    """Bounded (source, bin) histogram; the 190-pair cumulative-diff
+    matrix runs on the driver."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        bins = np.minimum(b["n_chars"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64) // 32, 19)
+        f = pd.DataFrame({"source": b["source"].to_pylist(), "bin": bins,
+                          "c": 1})
+        return f.groupby(["source", "bin"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["source", "bin"], as_index=False)["c"].sum(),
+        2_000_000)
+    assert ok  # bounded: sources x 20 bins
+    if merged is None or not len(merged):
+        return pd.DataFrame({
+            "source_a": pd.Series([], dtype=object),
+            "source_b": pd.Series([], dtype=object),
+            "emd_ppm_bins": pd.Series([], dtype=np.int64)})
+    srcs = sorted(merged["source"].unique())
+    cums = {}
+    for s2 in srcs:
+        g = merged[merged["source"] == s2]
+        n = int(g["c"].sum())
+        full = np.zeros(20, np.int64)
+        full[g["bin"].to_numpy(np.int64)] = g["c"].to_numpy(np.int64)
+        cums[s2] = np.cumsum(full * 1_000_000 // n)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b2 in srcs[i + 1:]:
+            rows.append({"source_a": a, "source_b": b2,
+                         "emd_ppm_bins": int(np.abs(cums[a]
+                                                    - cums[b2]).sum())})
+    out = pd.DataFrame(rows)
+    out["emd_ppm_bins"] = out["emd_ppm_bins"].astype(np.int64)
+    return (out.sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))

@@ -505,3 +505,12 @@ def test_hartley_and_gtest(ray_session):
     assert s["dof"] == 19 * 4
     # G >= 0 up to per-cell floor slack
     assert s["g_stat_micro"] >= -s["n_cells"]
+
+
+def test_emd_length_matrix(ray_session):
+    from dataquality_ray.pipelines.queries_stats import emd_length_matrix_q
+
+    df = emd_length_matrix_q(SF)
+    assert len(df) == 190  # C(20, 2)
+    assert (df["emd_ppm_bins"] >= 0).all()
+    assert (df["source_a"] < df["source_b"]).all()
