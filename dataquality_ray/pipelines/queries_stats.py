@@ -5808,3 +5808,76 @@ def emd_length_matrix_q(sf_dir: str):
     out["emd_ppm_bins"] = out["emd_ppm_bins"].astype(np.int64)
     return (out.sort_values(["source_a", "source_b"])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# PIT calibration histogram: where each second-half day's volume falls
+# among the first-half deciles (probability integral transform) — a
+# flat histogram means the climatology forecast is calibrated; U or
+# hump shapes mean over/under-dispersion.  Exact order-statistic bin
+# edges, exact counts.
+# ---------------------------------------------------------------------------
+
+@query("pit_histogram_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT day, c, row_number() OVER (ORDER BY day) AS i FROM d),
+tr AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS rk, count(*) OVER () AS n
+  FROM o WHERE i <= 15
+),
+edges AS (
+  SELECT p.p, max(tr.c) AS e
+  FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) p(p)
+  JOIN tr ON tr.rk = (tr.n * p.p + 9) // 10
+  GROUP BY p.p
+),
+binned AS (
+  SELECT o.i,
+         coalesce(sum(CASE WHEN o.c > edges.e THEN 1 ELSE 0 END), 0)
+           AS bin
+  FROM o LEFT JOIN edges ON TRUE
+  WHERE o.i > 15 GROUP BY o.i
+),
+alln AS (SELECT unnest(range(0, 10)) AS bin)
+SELECT alln.bin::BIGINT AS decile_bin,
+       coalesce(sum(b2.n), 0)::BIGINT AS n_days
+FROM alln LEFT JOIN (
+  SELECT bin, count(*) AS n FROM binned GROUP BY bin) b2
+  ON b2.bin = alln.bin
+GROUP BY alln.bin ORDER BY alln.bin
+""")
+def pit_histogram_q(sf_dir: str):
+    """Bounded day counts; decile edges from the train half, searchsorted
+    binning of the test half."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    if merged is None or len(merged) < 16:
+        return pd.DataFrame({"decile_bin": pd.Series([], dtype=np.int64),
+                             "n_days": pd.Series([], dtype=np.int64)})
+    f = merged.sort_values("day").reset_index(drop=True)
+    c = f["c"].to_numpy(np.int64)
+    tr = np.sort(c[:15])
+    n = len(tr)
+    edges = np.array([int(tr[(n * p + 9) // 10 - 1])
+                      for p in range(1, 10)], np.int64)
+    te = c[15:]
+    bins = np.array([int((v > edges).sum()) for v in te], np.int64)
+    hist = np.zeros(10, np.int64)
+    np.add.at(hist, bins, 1)
+    out = pd.DataFrame({"decile_bin": np.arange(10, dtype=np.int64),
+                        "n_days": hist})
+    return out

@@ -11282,3 +11282,92 @@ def chain_ladder_q(sf_dir: str):
     for c in cols:
         f[c] = f[c].astype(np.int64)
     return f[list(cols)].sort_values("dev_lag").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Inequality-ratios panel over per-customer spend: Palma (top 10% share
+# over bottom 40% share), the 20:20 ratio, and Zenga's median split
+# (upper-half mean over lower-half mean) — the distribution-shape
+# ratios that survive where a single Gini hides structure.  Exact
+# integer cents with ceil order-statistic cuts.
+# ---------------------------------------------------------------------------
+
+@query("inequality_ratios_panel", sql="""
+WITH s AS (
+  SELECT o_custkey, CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS v
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT v, row_number() OVER (ORDER BY v, o_custkey) AS rk,
+         count(*) OVER () AS n
+  FROM s
+),
+agg AS (
+  SELECT any_value(n) AS n, sum(v) AS total,
+         sum(CASE WHEN rk <= (n * 4 + 9) // 10 THEN v ELSE 0 END)
+           AS bottom40,
+         sum(CASE WHEN rk > n - (n + 9) // 10 THEN v ELSE 0 END)
+           AS top10,
+         sum(CASE WHEN rk <= (n * 2 + 9) // 10 THEN v ELSE 0 END)
+           AS bottom20,
+         sum(CASE WHEN rk > n - (n * 2 + 9) // 10 THEN v ELSE 0 END)
+           AS top20,
+         sum(CASE WHEN rk <= (n + 1) // 2 THEN v ELSE 0 END) AS lower_half,
+         (any_value(n) + 1) // 2 AS n_lower
+  FROM r
+)
+SELECT n::BIGINT AS n_customers,
+       CAST(top10 * 1000 // greatest(bottom40, 1) AS BIGINT)
+         AS palma_milli,
+       CAST(top20 * 1000 // greatest(bottom20, 1) AS BIGINT)
+         AS ratio_2020_milli,
+       CAST(((total - lower_half) * 1000 // greatest(n - n_lower, 1))
+            * 1000
+            // greatest(lower_half * 1000 // n_lower, 1) AS BIGINT)
+         AS zenga_median_milli
+FROM agg
+""")
+def inequality_ratios_q(sf_dir: str):
+    """Per-customer cents partials (bounded: customers), sorted cuts on
+    the driver with the same ceil index rules."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        f = pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64), "v": v})
+        return f.groupby("o_custkey", as_index=False)["v"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("o_custkey", as_index=False)["v"].sum(),
+        2_000_000)
+    assert ok  # bounded: customers
+    cols = ("n_customers", "palma_milli", "ratio_2020_milli",
+            "zenga_median_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    f = merged.sort_values(["v", "o_custkey"]).reset_index(drop=True)
+    v = f["v"].to_numpy(np.int64)
+    n = len(v)
+    total = int(v.sum())
+    b40 = int(v[:(n * 4 + 9) // 10].sum())
+    t10 = int(v[n - (n + 9) // 10:].sum())
+    b20 = int(v[:(n * 2 + 9) // 10].sum())
+    t20 = int(v[n - (n * 2 + 9) // 10:].sum())
+    n_lower = (n + 1) // 2
+    lower = int(v[:n_lower].sum())
+    upper_mean_milli = (total - lower) * 1000 // max(n - n_lower, 1)
+    lower_mean_milli = lower * 1000 // n_lower
+    out = pd.DataFrame([{
+        "n_customers": n,
+        "palma_milli": t10 * 1000 // max(b40, 1),
+        "ratio_2020_milli": t20 * 1000 // max(b20, 1),
+        "zenga_median_milli": upper_mean_milli * 1000
+        // max(lower_mean_milli, 1)}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -514,3 +514,11 @@ def test_emd_length_matrix(ray_session):
     assert len(df) == 190  # C(20, 2)
     assert (df["emd_ppm_bins"] >= 0).all()
     assert (df["source_a"] < df["source_b"]).all()
+
+
+def test_pit_histogram(ray_session):
+    from dataquality_ray.pipelines.queries_stats import pit_histogram_q
+
+    df = pit_histogram_q(SF)
+    assert len(df) == 10
+    assert df["n_days"].sum() == 15  # all test days binned

@@ -62,3 +62,15 @@ def test_ulcer_and_chain_ladder(ray_session):
     assert (cl["dev_factor_milli"] >= 1000).all()  # cumulative growth
     assert (cl["cum_at_k1"] >= cl["cum_at_k"]).all()
     assert cl["dev_lag"].is_monotonic_increasing
+
+
+def test_inequality_ratios(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import inequality_ratios_q
+
+    df = inequality_ratios_q(SF)
+    r = df.iloc[0]
+    # sorted cuts: top-20% sum and upper-half mean dominate their
+    # counterparts; Palma can drop below 1 on near-uniform spend
+    assert r["palma_milli"] > 0
+    assert r["ratio_2020_milli"] >= 1000
+    assert r["zenga_median_milli"] >= 1000
