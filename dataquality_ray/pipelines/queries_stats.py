@@ -5881,3 +5881,139 @@ def pit_histogram_q(sf_dir: str):
     out = pd.DataFrame({"decile_bin": np.arange(10, dtype=np.int64),
                         "n_days": hist})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pickands tail-index estimator on event values: xi = ln((Q1 - Q2) /
+# (Q2 - Q4)) / ln 2 with Q1/Q2/Q4 the top k, 2k, 4k order statistics
+# (k = n//20) — the quantile-spacing alternative to hill_tail_index
+# that also handles xi <= 0.  Integer spacings, one ln per side.
+# ---------------------------------------------------------------------------
+
+@query("pickands_tail_estimate", sql="""
+WITH v AS (
+  SELECT CAST(floor(value * 1000) AS BIGINT) AS vm,
+         row_number() OVER (ORDER BY floor(value * 1000) DESC, event_id)
+           AS rk,
+         count(*) OVER () AS n
+  FROM events
+),
+k AS (SELECT any_value(n) // 20 AS k, any_value(n) AS n FROM v),
+q AS (
+  SELECT k.k, k.n,
+         max(CASE WHEN v.rk = k.k THEN v.vm END) AS q1,
+         max(CASE WHEN v.rk = 2 * k.k THEN v.vm END) AS q2,
+         max(CASE WHEN v.rk = 4 * k.k THEN v.vm END) AS q4
+  FROM v CROSS JOIN k GROUP BY k.k, k.n
+)
+SELECT n::BIGINT AS n_events, k::BIGINT AS k,
+       (q1 - q2)::BIGINT AS upper_spacing_milli,
+       (q2 - q4)::BIGINT AS lower_spacing_milli,
+       CAST(floor(ln((q1 - q2)::DOUBLE / (q2 - q4)) / ln(2.0) * 1000000)
+            AS BIGINT) AS pickands_xi_micro
+FROM q
+""")
+def pickands_tail_q(sf_dir: str):
+    """Bounded milli-value histogram; top order statistics off
+    cumulative counts from the top."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        vm = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * 1000).astype(np.int64)
+        return (pd.DataFrame({"vm": vm}).groupby("vm", as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["value", "event_id"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("vm", as_index=False)["n"].sum(), 2_000_000)
+    assert ok  # bounded: distinct milli values
+    cols = ("n_events", "k", "upper_spacing_milli", "lower_spacing_milli",
+            "pickands_xi_micro")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = merged.sort_values("vm", ascending=False).reset_index(drop=True)
+    vals = g["vm"].to_numpy(np.int64)
+    cum = np.cumsum(g["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+    k = n // 20
+
+    def top_stat(rank):
+        return int(vals[np.searchsorted(cum, rank)])
+
+    q1, q2, q4 = top_stat(k), top_stat(2 * k), top_stat(4 * k)
+    xi = math.log((q1 - q2) / (q2 - q4)) / math.log(2.0)
+    out = pd.DataFrame([{
+        "n_events": n, "k": k, "upper_spacing_milli": q1 - q2,
+        "lower_spacing_milli": q2 - q4,
+        "pickands_xi_micro": math.floor(xi * 1_000_000)}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Qn robust scale of daily volumes (Rousseeuw & Croux 1993): the k-th
+# smallest pairwise absolute difference with k = C(h,2), h = n//2 + 1 —
+# 50% breakdown like the MAD but more efficient and symmetric-free.
+# Exact integer selection on the bounded day vector; the 2.2219
+# consistency factor is applied in milli.
+# ---------------------------------------------------------------------------
+
+@query("qn_scale_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+p AS (
+  SELECT abs(a.c - b.c) AS ad,
+         row_number() OVER (ORDER BY abs(a.c - b.c)) AS rk
+  FROM d a JOIN d b ON b.day > a.day
+),
+n AS (SELECT count(*) AS nd FROM d),
+kk AS (
+  SELECT ((nd // 2 + 1) * (nd // 2)) // 2 AS k, nd FROM n
+)
+SELECT kk.nd::BIGINT AS n_days, kk.k::BIGINT AS k,
+       max(p.ad)::BIGINT AS qn_raw,
+       CAST(floor(max(p.ad) * 2.2219 * 1000) AS BIGINT) AS qn_milli
+FROM p JOIN kk ON p.rk = kk.k GROUP BY kk.nd, kk.k
+""")
+def qn_scale_daily_q(sf_dir: str):
+    """Bounded day counts; the 435-pair selection runs on the driver."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("n_days", "k", "qn_raw", "qn_milli")
+    if merged is None or len(merged) < 4:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    c = merged.sort_values("day")["c"].to_numpy(np.int64)
+    n = len(c)
+    i, j = np.triu_indices(n, k=1)
+    diffs = np.sort(np.abs(c[i] - c[j]))
+    h = n // 2 + 1
+    k = (h * (h - 1)) // 2
+    qn = int(diffs[k - 1])
+    out = pd.DataFrame([{
+        "n_days": n, "k": k, "qn_raw": qn,
+        "qn_milli": math.floor(qn * 2.2219 * 1000)}])
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out

@@ -522,3 +522,21 @@ def test_pit_histogram(ray_session):
     df = pit_histogram_q(SF)
     assert len(df) == 10
     assert df["n_days"].sum() == 15  # all test days binned
+
+
+def test_pickands_and_qn(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        pickands_tail_q,
+        qn_scale_daily_q,
+    )
+
+    p = pickands_tail_q(SF)
+    r = p.iloc[0]
+    assert r["upper_spacing_milli"] > 0 and r["lower_spacing_milli"] > 0
+    # bounded-support synthetic values: xi well under 1
+    assert r["pickands_xi_micro"] < 1_000_000
+
+    q = qn_scale_daily_q(SF)
+    s = q.iloc[0]
+    assert s["n_days"] == 30 and s["k"] == 120  # C(16,2)
+    assert s["qn_raw"] > 0
