@@ -3882,3 +3882,53 @@ def bracket_balance_scan_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Stack-trace leakage detector: tracebacks pasted into docs leak
+# filesystem paths and usernames and mark low-quality scrape segments.
+# Planted Python-style trace for doc_id % 25 in (0, 1).
+# ---------------------------------------------------------------------------
+
+@query("stack_trace_detect", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         coalesce(text,'') ||
+         CASE WHEN doc_id % 25 IN (0, 1)
+              THEN ' Traceback (most recent call last): File "/home/u/x.py", line 7'
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           'Traceback [(]most recent call last[)]'))::BIGINT AS n_tracebacks,
+       len(regexp_extract_all(t, 'File "[^"]+", line [0-9]+'))::BIGINT
+         AS n_frame_lines,
+       (len(regexp_extract_all(t,
+            'Traceback [(]most recent call last[)]')) > 0
+        AND len(regexp_extract_all(t,
+            'File "[^"]+", line [0-9]+')) > 0) AS trace_leak
+FROM cv ORDER BY doc_id
+""")
+def stack_trace_detect_q(sf_dir: str):
+    """Two RE2 counts; the flag requires both the header and a frame."""
+    plant = (' Traceback (most recent call last): '
+             'File "/home/u/x.py", line 7')
+
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        t = pc.if_else(pa.array(ids % 25 < 2),
+                       pc.binary_join_element_wise(base, plant, ""), base)
+        tb = pc.count_substring_regex(
+            t, r"Traceback \(most recent call last\)").cast(pa.int64())
+        fr = pc.count_substring_regex(
+            t, r'File "[^"]+", line [0-9]+').cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tracebacks": tb,
+                         "n_frame_lines": fr,
+                         "trace_leak": pc.and_(pc.greater(tb, 0),
+                                               pc.greater(fr, 0))})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -11254,3 +11254,89 @@ def min_window_stopwords_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Typical-set coverage (AEP): a doc is "typical" when its per-token
+# average negative log-probability under the corpus unigram LM sits
+# within 10% of the corpus entropy H.  Per-token surprisals floor to
+# micro-nats (floor-per-term), so the doc averages and H are exact
+# integer arithmetic; the AEP says coverage -> 1 as docs grow.
+# ---------------------------------------------------------------------------
+
+@query("typical_set_coverage", sql="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(coalesce(text,''), ' ')) AS w
+  FROM documents
+),
+tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+c AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+t AS (SELECT sum(c) AS n FROM c),
+surp AS (
+  SELECT c.w,
+         CAST(floor(-ln(c.c::DOUBLE / t.n) * 1000000) AS BIGINT)
+           AS s_micro,
+         c.c
+  FROM c CROSS JOIN t
+),
+h AS (
+  SELECT sum(s_micro * c) // sum(c) AS h_micro FROM surp
+),
+d AS (
+  SELECT tk.doc_id, sum(surp.s_micro) // count(*) AS doc_rate_micro
+  FROM tk JOIN surp ON surp.w = tk.w GROUP BY tk.doc_id
+)
+SELECT count(*)::BIGINT AS n_docs,
+       any_value(h.h_micro)::BIGINT AS entropy_micro,
+       sum(CASE WHEN abs(d.doc_rate_micro - h.h_micro) * 10
+                     <= h.h_micro THEN 1 ELSE 0 END)::BIGINT
+         AS n_typical,
+       CAST(sum(CASE WHEN abs(d.doc_rate_micro - h.h_micro) * 10
+                     <= h.h_micro THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS typical_ppm
+FROM d CROSS JOIN h
+""")
+def typical_set_coverage_q(sf_dir: str):
+    """Bounded vocabulary surprisal table broadcast into a per-doc
+    scoring pass; all integer micro-nats."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["text"], pa.scalar("")), " ")
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64), n_per)
+        keep = flat != ""
+        f = pd.DataFrame({"doc_id": ids[keep], "w": flat[keep], "c": 1})
+        return f.groupby(["doc_id", "w"], as_index=False)["c"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["doc_id", "w"], as_index=False)["c"].sum(),
+        5_000_000)
+    assert ok  # docs x tiny vocab at driver scales
+    cols = ("n_docs", "entropy_micro", "n_typical", "typical_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    wc = merged.groupby("w")["c"].sum()
+    n = int(wc.sum())
+    surp = {w: math.floor(-math.log(int(cnt) / n) * 1_000_000)
+            for w, cnt in wc.items()}
+    h = sum(surp[w] * int(cnt) for w, cnt in wc.items()) // n
+    merged["s"] = merged["w"].map(surp).astype(np.int64) * merged["c"]
+    g = merged.groupby("doc_id").agg(s=("s", "sum"), nt=("c", "sum"))
+    rate = g["s"].to_numpy(np.int64) // g["nt"].to_numpy(np.int64)
+    typical = int((np.abs(rate - h) * 10 <= h).sum())
+    out = pd.DataFrame([{
+        "n_docs": len(g), "entropy_micro": h, "n_typical": typical,
+        "typical_ppm": typical * 1_000_000 // len(g)}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

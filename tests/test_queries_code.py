@@ -670,3 +670,12 @@ def test_bracket_balance_scan(ray_session):
     assert (df.loc[m < 2, "balance"] == 3).all()
     assert df.loc[m < 2, "unbalanced"].all()
     assert not df.loc[m >= 2, "unbalanced"].any()
+
+
+def test_stack_trace_detect(ray_session):
+    from dataquality_ray.pipelines.queries_code import stack_trace_detect_q
+
+    df = stack_trace_detect_q(SF)
+    m = df["doc_id"].to_numpy() % 25
+    assert df.loc[m < 2, "trace_leak"].all()
+    assert not df.loc[m >= 2, "trace_leak"].any()

@@ -333,3 +333,14 @@ def test_min_window_stopwords(ray_session):
     assert (cov["min_window"] >= 4).all()
     assert (cov["min_window"] <= cov["n_tokens"]).all()
     assert (df.loc[~df["covers_all"], "min_window"] == 0).all()
+
+
+def test_typical_set_coverage(ray_session):
+    from dataquality_ray.pipelines.queries_text import typical_set_coverage_q
+
+    df = typical_set_coverage_q(SF)
+    r = df.iloc[0]
+    assert r["n_docs"] == 500
+    assert 0 <= r["n_typical"] <= 500
+    # near-uniform soup: most docs sit near the entropy rate
+    assert r["typical_ppm"] > 500_000
