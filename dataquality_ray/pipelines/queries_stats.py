@@ -6017,3 +6017,159 @@ def qn_scale_daily_q(sf_dir: str):
     for col in cols:
         out[col] = out[col].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test on daily volumes: skewness and excess
+# kurtosis from exact integer central moments (expanded so every sum is
+# integer), JB = n/6 (S^2 + K^2/4) in one double tail.
+# ---------------------------------------------------------------------------
+
+@query("jarque_bera_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT count(*) AS n, sum(c) AS s1, sum(c*c) AS s2,
+         sum(c*c*c) AS s3, sum(c::HUGEINT*c*c*c) AS s4
+  FROM d
+),
+f AS (
+  SELECT n,
+         (s2::DOUBLE - s1::DOUBLE * s1 / n) / n AS m2,
+         (s3::DOUBLE - 3.0 * s1 * s2 / n
+          + 2.0 * s1 * s1 * s1 / (n * n)) / n AS m3,
+         (s4::DOUBLE - 4.0 * s1 * s3 / n + 6.0 * s1 * s1 * s2 / (n * n)
+          - 3.0 * s1 * s1 * s1 * s1 / (n * n * n)) / n AS m4
+  FROM m
+)
+SELECT n::BIGINT AS n_days,
+       CAST(floor(m3 / power(m2, 1.5) * 1000000) AS BIGINT)
+         AS skewness_micro,
+       CAST(floor((m4 / (m2 * m2) - 3) * 1000000) AS BIGINT)
+         AS excess_kurtosis_micro,
+       CAST(floor(n / 6.0 * (m3 / power(m2, 1.5) * (m3 / power(m2, 1.5))
+            + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4) * 1000)
+            AS BIGINT) AS jb_milli,
+       n / 6.0 * (m3 / power(m2, 1.5) * (m3 / power(m2, 1.5))
+            + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4) > 5.99
+         AS reject_normal
+FROM f
+""")
+def jarque_bera_q(sf_dir: str):
+    """Integer raw moments (s4 in python big ints), identical double
+    algebra for the central moments and the JB statistic."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("n_days", "skewness_micro", "excess_kurtosis_micro",
+            "jb_milli")
+    if merged is None or len(merged) < 4:
+        return pd.DataFrame({**{c: pd.Series([], dtype=np.int64)
+                                for c in cols},
+                             "reject_normal": pd.Series([], dtype=bool)})
+    c = [int(x) for x in merged["c"]]
+    n = len(c)
+    s1 = sum(c)
+    s2 = sum(x * x for x in c)
+    s3 = sum(x ** 3 for x in c)
+    s4 = sum(x ** 4 for x in c)
+    m2 = (s2 - s1 * s1 / n) / n
+    m3 = (s3 - 3.0 * s1 * s2 / n + 2.0 * s1 ** 3 / (n * n)) / n
+    m4 = (s4 - 4.0 * s1 * s3 / n + 6.0 * s1 * s1 * s2 / (n * n)
+          - 3.0 * s1 ** 4 / (n ** 3)) / n
+    skew = m3 / math.pow(m2, 1.5)
+    kurt = m4 / (m2 * m2) - 3
+    jb = n / 6.0 * (skew * skew + kurt * kurt / 4)
+    out = pd.DataFrame([{
+        "n_days": n, "skewness_micro": math.floor(skew * 1_000_000),
+        "excess_kurtosis_micro": math.floor(kurt * 1_000_000),
+        "jb_milli": math.floor(jb * 1000), "reject_normal": jb > 5.99}])
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Robust shape panel: Bowley quartile skewness (Q1+Q3-2Q2)/(Q3-Q1) and
+# Moors octile kurtosis ((E7-E5)+(E3-E1))/(E6-E2) — outlier-proof shape
+# measures from exact order statistics of daily volume.
+# ---------------------------------------------------------------------------
+
+@query("robust_shape_panel", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c, day) AS rk,
+         count(*) OVER () AS n
+  FROM d
+),
+o AS (
+  SELECT max(CASE WHEN rk = (n * 1 + 7) // 8 THEN c END) AS e1,
+         max(CASE WHEN rk = (n * 2 + 7) // 8 THEN c END) AS e2,
+         max(CASE WHEN rk = (n * 3 + 7) // 8 THEN c END) AS e3,
+         max(CASE WHEN rk = (n * 4 + 7) // 8 THEN c END) AS e4,
+         max(CASE WHEN rk = (n * 5 + 7) // 8 THEN c END) AS e5,
+         max(CASE WHEN rk = (n * 6 + 7) // 8 THEN c END) AS e6,
+         max(CASE WHEN rk = (n * 7 + 7) // 8 THEN c END) AS e7,
+         any_value(n) AS n
+  FROM r
+)
+SELECT n::BIGINT AS n_days,
+       CAST(floor((e2 + e6 - 2 * e4) * 1000.0 / greatest(e6 - e2, 1))
+            AS BIGINT) AS bowley_skew_milli,
+       CAST(floor(((e7 - e5) + (e3 - e1)) * 1000.0
+                  / greatest(e6 - e2, 1)) AS BIGINT)
+         AS moors_kurtosis_milli
+FROM o
+""")
+def robust_shape_panel_q(sf_dir: str):
+    """Octiles from the bounded day table with the same ceil rule."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("n_days", "bowley_skew_milli", "moors_kurtosis_milli")
+    if merged is None or len(merged) < 8:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    s = merged.sort_values(["c", "day"]).reset_index(drop=True)
+    c = s["c"].to_numpy(np.int64)
+    n = len(c)
+    e = {k: int(c[(n * k + 7) // 8 - 1]) for k in range(1, 8)}
+    out = pd.DataFrame([{
+        "n_days": n,
+        "bowley_skew_milli": math.floor(
+            (e[2] + e[6] - 2 * e[4]) * 1000.0 / max(e[6] - e[2], 1)),
+        "moors_kurtosis_milli": math.floor(
+            ((e[7] - e[5]) + (e[3] - e[1])) * 1000.0
+            / max(e[6] - e[2], 1))}])
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out

@@ -540,3 +540,21 @@ def test_pickands_and_qn(ray_session):
     s = q.iloc[0]
     assert s["n_days"] == 30 and s["k"] == 120  # C(16,2)
     assert s["qn_raw"] > 0
+
+
+def test_jarque_bera_and_shape(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        jarque_bera_q,
+        robust_shape_panel_q,
+    )
+
+    jb = jarque_bera_q(SF)
+    r = jb.iloc[0]
+    assert r["jb_milli"] >= 0
+    assert bool(r["reject_normal"]) == (r["jb_milli"] > 5990)
+
+    sh = robust_shape_panel_q(SF)
+    s = sh.iloc[0]
+    # Bowley skew lies in [-1, 1]
+    assert -1000 <= s["bowley_skew_milli"] <= 1000
+    assert s["moors_kurtosis_milli"] > 0
