@@ -6173,3 +6173,72 @@ def robust_shape_panel_q(sf_dir: str):
     for col in cols:
         out[col] = out[col].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Paired sign test, clicks vs views per day: count days clicks exceed
+# views, Cohen's g effect size |p - 1/2|, and the normal-approximation
+# z — the assumption-free paired comparison (wilcoxon_signed_rank_daily
+# is its rank-weighted sibling).
+# ---------------------------------------------------------------------------
+
+@query("sign_test_click_view", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         count(*) FILTER (WHERE event_type = 'click') AS clicks,
+         count(*) FILTER (WHERE event_type = 'view') AS views
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT count(*) FILTER (WHERE clicks <> views) AS n,
+         count(*) FILTER (WHERE clicks > views) AS plus,
+         count(*) FILTER (WHERE clicks = views) AS ties
+  FROM d
+)
+SELECT n::BIGINT AS n_informative, plus::BIGINT AS n_plus,
+       ties::BIGINT AS n_ties,
+       CAST(abs(plus * 1000000 // n - 500000) AS BIGINT)
+         AS cohens_g_ppm,
+       CAST(floor((2.0 * plus - n) / sqrt(n::DOUBLE) * 1000) AS BIGINT)
+         AS z_milli
+FROM s
+""")
+def sign_test_q(sf_dir: str):
+    """Bounded per-day (clicks, views) partials; scalar tail."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        f = pd.DataFrame({"day": day,
+                          "clicks": (et == "click").astype(np.int64),
+                          "views": (et == "view").astype(np.int64)})
+        return f.groupby("day", as_index=False)[["clicks", "views"]].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)[["clicks",
+                                                    "views"]].sum(),
+        2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("n_informative", "n_plus", "n_ties", "cohens_g_ppm",
+            "z_milli")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    cl = merged["clicks"].to_numpy(np.int64)
+    vw = merged["views"].to_numpy(np.int64)
+    n = int((cl != vw).sum())
+    plus = int((cl > vw).sum())
+    ties = int((cl == vw).sum())
+    out = pd.DataFrame([{
+        "n_informative": n, "n_plus": plus, "n_ties": ties,
+        "cohens_g_ppm": abs(plus * 1_000_000 // n - 500_000),
+        "z_milli": math.floor((2.0 * plus - n) / math.sqrt(n) * 1000)}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

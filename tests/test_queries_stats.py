@@ -558,3 +558,13 @@ def test_jarque_bera_and_shape(ray_session):
     # Bowley skew lies in [-1, 1]
     assert -1000 <= s["bowley_skew_milli"] <= 1000
     assert s["moors_kurtosis_milli"] > 0
+
+
+def test_sign_test_click_view(ray_session):
+    from dataquality_ray.pipelines.queries_stats import sign_test_q
+
+    df = sign_test_q(SF)
+    r = df.iloc[0]
+    assert r["n_informative"] + r["n_ties"] == 30
+    assert 0 <= r["n_plus"] <= r["n_informative"]
+    assert 0 <= r["cohens_g_ppm"] <= 500_000
