@@ -6242,3 +6242,152 @@ def sign_test_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Vargha-Delaney A (daily): P(click value > view value) + 0.5 P(equal)
+# within each day — the common-language effect size (Cliff's delta =
+# 2A - 1; cliffs_delta_sources reports the source-level cousin).
+# Doubled counting keeps ties integer-exact.
+# ---------------------------------------------------------------------------
+
+@query("vargha_delaney_a_daily", sql="""
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events WHERE event_type IN ('click', 'view')
+),
+p AS (
+  SELECT a.day,
+         sum(CASE WHEN a.vm > b.vm THEN 2
+                  WHEN a.vm = b.vm THEN 1 ELSE 0 END) AS wins2,
+         count(*) AS pairs
+  FROM e a JOIN e b ON b.day = a.day AND b.event_type = 'view'
+  WHERE a.event_type = 'click'
+  GROUP BY a.day
+)
+SELECT day::BIGINT AS day, pairs::BIGINT AS n_pairs,
+       CAST(wins2 * 500000 // pairs AS BIGINT) AS vda_ppm
+FROM p ORDER BY day
+""")
+def vargha_delaney_q(sf_dir: str):
+    """groupby(day).map_groups: sorted-view searchsorted counts per
+    click value (no quadratic pair loop)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["click", "view"]))
+        b = batch.filter(keep)
+        day = pc.divide(pc.cast(b["ts"], pa.int64()),
+                        86400000000).cast(pa.int64())
+        vm = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                      .astype(np.float64) * 1000).astype(np.int64)
+        return pa.table({"day": day, "event_type": b["event_type"],
+                         "vm": pa.array(vm)})
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        cl = np.sort(g.loc[g["event_type"] == "click", "vm"]
+                     .to_numpy(np.int64))
+        vw = np.sort(g.loc[g["event_type"] == "view", "vm"]
+                     .to_numpy(np.int64))
+        lt = np.searchsorted(vw, cl, side="left")
+        le = np.searchsorted(vw, cl, side="right")
+        wins2 = int((lt + le).sum())  # 2*below + ties
+        pairs = len(cl) * len(vw)
+        return pd.DataFrame({
+            "day": [np.int64(g["day"].iloc[0])],
+            "n_pairs": [np.int64(pairs)],
+            "vda_ppm": [np.int64(wins2 * 500_000 // pairs)]})
+
+    out = (ds.map_batches(pre, batch_format="pyarrow")
+           .groupby("day").map_groups(per_day, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("day").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Blomqvist's beta (medial correlation) between daily volume and daily
+# distinct users: sign concordance around the two medians — the
+# quadrant version of Kendall/Spearman, robust and integer-exact.
+# ---------------------------------------------------------------------------
+
+@query("blomqvist_beta_daily", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         count(*)::BIGINT AS x, count(DISTINCT user_id)::BIGINT AS y
+  FROM events GROUP BY 1
+),
+mx AS (
+  SELECT max(CASE WHEN rk = (n + 1) // 2 THEN x END) AS medx
+  FROM (SELECT x, row_number() OVER (ORDER BY x, day) AS rk,
+               count(*) OVER () AS n FROM d)
+),
+my AS (
+  SELECT max(CASE WHEN rk = (n + 1) // 2 THEN y END) AS medy
+  FROM (SELECT y, row_number() OVER (ORDER BY y, day) AS rk,
+               count(*) OVER () AS n FROM d)
+),
+q AS (
+  SELECT count(*) FILTER (WHERE (x > medx AND y > medy)
+                             OR (x < medx AND y < medy)) AS conc,
+         count(*) FILTER (WHERE (x > medx AND y < medy)
+                             OR (x < medx AND y > medy)) AS disc,
+         count(*) AS n
+  FROM d CROSS JOIN mx CROSS JOIN my
+)
+SELECT n::BIGINT AS n_days, conc::BIGINT AS concordant,
+       disc::BIGINT AS discordant,
+       CAST(floor((conc - disc) * 1000000.0
+                  / greatest(conc + disc, 1)) AS BIGINT)
+         AS blomqvist_beta_micro
+FROM q
+""")
+def blomqvist_beta_q(sf_dir: str):
+    """Bounded (day, volume, distinct-users) reduce like
+    distance_correlation_daily; quadrant counting on the driver."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part2(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"day": day, "user_id": uid, "n": 1})
+        return f.groupby(["day", "user_id"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(part2, batch_format="pyarrow"),
+        lambda f: f.groupby(["day", "user_id"], as_index=False)["n"].sum(),
+        2_000_000)
+    assert ok  # bounded: days x active users
+    cols = ("n_days", "concordant", "discordant",
+            "blomqvist_beta_micro")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = merged.groupby("day").agg(x=("n", "sum"), y=("user_id", "size"))
+    g = g.reset_index().sort_values("day")
+    x = g["x"].to_numpy(np.int64)
+    y = g["y"].to_numpy(np.int64)
+    n = len(x)
+
+    def med(v, days):
+        order = np.lexsort((days, v))
+        return int(v[order[(n + 1) // 2 - 1]])
+
+    days = g["day"].to_numpy(np.int64)
+    medx, medy = med(x, days), med(y, days)
+    conc = int((((x > medx) & (y > medy))
+                | ((x < medx) & (y < medy))).sum())
+    disc = int((((x > medx) & (y < medy))
+                | ((x < medx) & (y > medy))).sum())
+    out = pd.DataFrame([{
+        "n_days": n, "concordant": conc, "discordant": disc,
+        "blomqvist_beta_micro": math.floor(
+            (conc - disc) * 1_000_000.0 / max(conc + disc, 1))}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -568,3 +568,21 @@ def test_sign_test_click_view(ray_session):
     assert r["n_informative"] + r["n_ties"] == 30
     assert 0 <= r["n_plus"] <= r["n_informative"]
     assert 0 <= r["cohens_g_ppm"] <= 500_000
+
+
+def test_vda_and_blomqvist(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        blomqvist_beta_q,
+        vargha_delaney_q,
+    )
+
+    vda = vargha_delaney_q(SF)
+    assert len(vda) == 30
+    assert vda["vda_ppm"].between(0, 1_000_000).all()
+    # same-distribution synthetic values: A hovers near 1/2
+    assert 350_000 < vda["vda_ppm"].mean() < 650_000
+
+    bb = blomqvist_beta_q(SF)
+    r = bb.iloc[0]
+    assert -1_000_000 <= r["blomqvist_beta_micro"] <= 1_000_000
+    assert r["concordant"] + r["discordant"] <= r["n_days"]
