@@ -6391,3 +6391,77 @@ def blomqvist_beta_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gamma-Poisson empirical-Bayes shrinkage of per-user daily event
+# rates: method-of-moments gamma prior (alpha, beta) from the user
+# count distribution, posterior mean (alpha + k) / (beta + T) per user
+# — the rate analog of james_stein_shrinkage_sources.  T = 30 days.
+# ---------------------------------------------------------------------------
+
+@query("gamma_poisson_user_rates", sql="""
+WITH u AS (
+  SELECT user_id, count(*)::BIGINT AS k FROM events GROUP BY user_id
+),
+m AS (
+  SELECT count(*) AS n, sum(k) AS s, sum(k * k) AS ss FROM u
+),
+prior AS (
+  SELECT n, s,
+         (s::DOUBLE / n / 30) AS mean_rate,
+         greatest(((ss::DOUBLE - s::DOUBLE * s / n) / (n - 1)
+                   - s::DOUBLE / n) / 900.0, 0.0000001) AS var_rate
+  FROM m
+),
+ab AS (
+  SELECT mean_rate * mean_rate / var_rate AS alpha,
+         mean_rate / var_rate AS beta
+  FROM prior
+)
+SELECT u.user_id::BIGINT AS user_id, u.k AS n_events,
+       CAST(floor(u.k / 30.0 * 1000) AS BIGINT) AS raw_rate_milli,
+       CAST(floor((ab.alpha + u.k) / (ab.beta + 30) * 1000) AS BIGINT)
+         AS shrunk_rate_milli
+FROM u CROSS JOIN ab ORDER BY u.user_id
+""")
+def gamma_poisson_q(sf_dir: str):
+    """Bounded per-user counts; MoM prior and posterior means on the
+    driver with mirrored double algebra (variance of rates subtracts
+    the Poisson noise term mean/T)."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({"user_id": b["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64), "k": 1})
+        return f.groupby("user_id", as_index=False)["k"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("user_id", as_index=False)["k"].sum(),
+        2_000_000)
+    assert ok  # bounded: users
+    cols = ("user_id", "n_events", "raw_rate_milli", "shrunk_rate_milli")
+    if merged is None or len(merged) < 2:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    k = merged["k"].to_numpy(np.int64)
+    n = len(k)
+    s, ss = int(k.sum()), int((k * k).sum())
+    mean_rate = s / n / 30
+    var_rate = max(((ss - float(s) * s / n) / (n - 1) - s / n) / 900.0,
+                   0.0000001)
+    alpha = mean_rate * mean_rate / var_rate
+    beta = mean_rate / var_rate
+    out = pd.DataFrame({
+        "user_id": merged["user_id"].astype(np.int64),
+        "n_events": k,
+        "raw_rate_milli": np.array(
+            [math.floor(v / 30.0 * 1000) for v in k], np.int64),
+        "shrunk_rate_milli": np.array(
+            [math.floor((alpha + v) / (beta + 30) * 1000) for v in k],
+            np.int64)})
+    return out.sort_values("user_id").reset_index(drop=True)

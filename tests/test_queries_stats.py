@@ -586,3 +586,13 @@ def test_vda_and_blomqvist(ray_session):
     r = bb.iloc[0]
     assert -1_000_000 <= r["blomqvist_beta_micro"] <= 1_000_000
     assert r["concordant"] + r["discordant"] <= r["n_days"]
+
+
+def test_gamma_poisson_shrinkage(ray_session):
+    from dataquality_ray.pipelines.queries_stats import gamma_poisson_q
+
+    df = gamma_poisson_q(SF)
+    # shrinkage compresses the spread of rates
+    assert (df["shrunk_rate_milli"].max() - df["shrunk_rate_milli"].min()
+            <= df["raw_rate_milli"].max() - df["raw_rate_milli"].min())
+    assert (df["shrunk_rate_milli"] >= 0).all()
