@@ -3535,3 +3535,71 @@ def window_burst_boundary_q(sf_dir: str):
                                             batch_format="pandas")
            .to_pandas())
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap weight audit: the distributed bootstrap assigns each
+# row an independent Poisson(1) weight from its hash — here via the
+# splitmix64 uniform pushed through the exact Poisson(1) CDF ladder
+# (ppm constants embedded identically on both engines).  The census
+# compares observed weight counts to the n * pmf expectation.
+# ---------------------------------------------------------------------------
+
+_POIS1_CUM_PPM = [367879, 735758, 919698, 981011, 996340, 999405]
+
+
+def _poisson_boot_sql() -> str:
+    from dataquality_ray.pipelines.queries_text import _sm64_exprs
+
+    prev = "pb0"
+    ctes = ["pb0 AS (SELECT doc_id, doc_id::HUGEINT AS x FROM documents)"]
+    for n, expr in enumerate(_sm64_exprs("x")):
+        ctes.append(f"pb{n+1} AS (SELECT doc_id, {expr} AS x FROM {prev})")
+        prev = f"pb{n+1}"
+    ladder = " ".join(
+        f"WHEN u < {c} THEN {k}"
+        for k, c in enumerate(_POIS1_CUM_PPM))
+    return ",\n".join(ctes) + f""",
+u AS (SELECT doc_id, (x % 1000000)::BIGINT AS u FROM {prev}),
+w AS (SELECT doc_id, CASE {ladder} ELSE 6 END AS weight FROM u),
+t AS (SELECT count(*) AS n FROM w)
+SELECT w.weight::BIGINT AS weight, count(*)::BIGINT AS n_docs,
+       CAST(count(*) * 1000000 // any_value(t.n) AS BIGINT)
+         AS observed_ppm
+FROM w CROSS JOIN t GROUP BY w.weight ORDER BY w.weight"""
+
+
+@query("poisson_bootstrap_audit", sql="WITH " + _poisson_boot_sql())
+def poisson_bootstrap_q(sf_dir: str):
+    """Vectorized splitmix + searchsorted ladder per batch; bounded
+    7-bucket census."""
+    from dataquality_ray.functions.hashing import splitmix64
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    cum = np.array(_POIS1_CUM_PPM, np.int64)
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        h = splitmix64(b["doc_id"].to_numpy(zero_copy_only=False)
+                       .astype(np.uint64))
+        u = (h % np.uint64(1_000_000)).astype(np.int64)
+        w = np.searchsorted(cum, u, side="right")
+        f = pd.DataFrame({"weight": w, "n": 1})
+        return f.groupby("weight", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("weight", as_index=False)["n"].sum(),
+        2_000_000)
+    assert ok  # bounded: 7 weights
+    if merged is None or not len(merged):
+        return pd.DataFrame({"weight": pd.Series([], dtype=np.int64),
+                             "n_docs": pd.Series([], dtype=np.int64),
+                             "observed_ppm": pd.Series([], dtype=np.int64)})
+    n = int(merged["n"].sum())
+    out = merged.sort_values("weight").reset_index(drop=True)
+    out = out.rename(columns={"n": "n_docs"})
+    out["weight"] = out["weight"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["observed_ppm"] = (out["n_docs"] * 1_000_000 // n).astype(np.int64)
+    return out

@@ -497,3 +497,16 @@ def test_window_burst_boundary(ray_session):
     assert (df["max_sliding"] >= df["max_fixed"]).all()
     assert (df["boundary_burst"]
             == (df["max_sliding"] > df["max_fixed"])).all()
+
+
+def test_poisson_bootstrap_audit(ray_session):
+    from dataquality_ray.pipelines.queries_systems import (
+        poisson_bootstrap_q,
+    )
+
+    df = poisson_bootstrap_q(SF)
+    assert df["n_docs"].sum() == 500
+    got = df.set_index("weight")["observed_ppm"]
+    # weight 0 and 1 both target e^-1 ~ 367879 ppm
+    assert abs(int(got.get(0, 0)) - 367_879) < 80_000
+    assert abs(int(got.get(1, 0)) - 367_879) < 80_000
