@@ -6465,3 +6465,133 @@ def gamma_poisson_q(sf_dir: str):
             [math.floor((alpha + v) / (beta + 30) * 1000) for v in k],
             np.int64)})
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Zero-inflation audit of the (user, day) count grid: observed empty
+# user-days vs the Poisson expectation N_cells * exp(-lambda-hat) —
+# excess zeros mean a zero-inflated process (users with dormant spells),
+# the standard count-model diagnostic.
+# ---------------------------------------------------------------------------
+
+@query("zero_inflation_audit", sql="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+cells AS (
+  SELECT count(DISTINCT user_id) AS nu, count(DISTINCT day) AS nd,
+         count(*) AS n_events
+  FROM e
+),
+active AS (
+  SELECT count(*) AS n_active
+  FROM (SELECT DISTINCT user_id, day FROM e)
+)
+SELECT (cells.nu * cells.nd)::BIGINT AS n_cells,
+       (cells.nu * cells.nd - active.n_active)::BIGINT AS observed_zeros,
+       CAST(floor(cells.nu * cells.nd
+                  * exp(-(cells.n_events::DOUBLE
+                          / (cells.nu * cells.nd)))) AS BIGINT)
+         AS expected_zeros,
+       (cells.nu * cells.nd - active.n_active)::DOUBLE
+         > cells.nu * cells.nd
+           * exp(-(cells.n_events::DOUBLE / (cells.nu * cells.nd)))
+         AS zero_inflated
+FROM cells CROSS JOIN active
+""")
+def zero_inflation_q(sf_dir: str):
+    """Distinct (user, day) pairs and counters in one bounded combine;
+    exp runs once."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"user_id": uid, "day": day, "n": 1})
+        return f.groupby(["user_id", "day"], as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby(["user_id", "day"], as_index=False)["n"].sum(),
+        2_000_000)
+    assert ok  # bounded: users x days
+    cols = ("n_cells", "observed_zeros", "expected_zeros")
+    if merged is None or not len(merged):
+        return pd.DataFrame({**{c: pd.Series([], dtype=np.int64)
+                                for c in cols},
+                             "zero_inflated": pd.Series([], dtype=bool)})
+    nu = merged["user_id"].nunique()
+    nd = merged["day"].nunique()
+    n_events = int(merged["n"].sum())
+    n_active = len(merged)
+    n_cells = nu * nd
+    obs = n_cells - n_active
+    exp_zeros = n_cells * math.exp(-(n_events / n_cells))
+    out = pd.DataFrame([{
+        "n_cells": n_cells, "observed_zeros": obs,
+        "expected_zeros": math.floor(exp_zeros),
+        "zero_inflated": obs > exp_zeros}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Hoover / Pietra index over per-customer spend: half the relative mean
+# absolute deviation — the share of total revenue that would have to
+# move to equalize everyone, and the maximum vertical gap of the Lorenz
+# curve.  Exact integer cents with one floor at the end.
+# ---------------------------------------------------------------------------
+
+@query("hoover_index_customers", sql="""
+WITH s AS (
+  SELECT o_custkey, CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS v
+  FROM orders GROUP BY o_custkey
+),
+m AS (SELECT count(*) AS n, sum(v) AS total FROM s),
+d AS (
+  SELECT sum(abs(s.v * m.n - m.total)) AS absdev_scaled, any_value(m.n)
+           AS n, any_value(m.total) AS total
+  FROM s CROSS JOIN m
+)
+SELECT n::BIGINT AS n_customers, total::BIGINT AS total_cents,
+       CAST(absdev_scaled * 1000000 // (2 * n::HUGEINT * total)
+            AS BIGINT) AS hoover_ppm
+FROM d
+""")
+def hoover_index_q(sf_dir: str):
+    """Per-customer cents partials; |v*n - total| sums stay exact in
+    python big ints."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        v = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        f = pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64), "v": v})
+        return f.groupby("o_custkey", as_index=False)["v"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("o_custkey", as_index=False)["v"].sum(),
+        2_000_000)
+    assert ok  # bounded: customers
+    cols = ("n_customers", "total_cents", "hoover_ppm")
+    if merged is None or not len(merged):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    v = [int(x) for x in merged["v"]]
+    n = len(v)
+    total = sum(v)
+    absdev = sum(abs(x * n - total) for x in v)
+    out = pd.DataFrame([{
+        "n_customers": n, "total_cents": total,
+        "hoover_ppm": absdev * 1_000_000 // (2 * n * total)}])
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -596,3 +596,19 @@ def test_gamma_poisson_shrinkage(ray_session):
     assert (df["shrunk_rate_milli"].max() - df["shrunk_rate_milli"].min()
             <= df["raw_rate_milli"].max() - df["raw_rate_milli"].min())
     assert (df["shrunk_rate_milli"] >= 0).all()
+
+
+def test_zero_inflation_and_hoover(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        hoover_index_q,
+        zero_inflation_q,
+    )
+
+    z = zero_inflation_q(SF)
+    r = z.iloc[0]
+    assert 0 <= r["observed_zeros"] <= r["n_cells"]
+    assert 0 <= r["expected_zeros"] <= r["n_cells"]
+
+    h = hoover_index_q(SF)
+    s = h.iloc[0]
+    assert 0 <= s["hoover_ppm"] <= 1_000_000
