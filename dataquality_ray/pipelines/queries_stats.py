@@ -6595,3 +6595,144 @@ def hoover_index_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cantelli (one-sided Chebyshev) coverage audit: for k = 1, 2, 3, the
+# observed fraction of days with volume above mean + k*sigma must stay
+# under 1/(1+k^2) — a distribution-free sanity bound any telemetry
+# should satisfy.  Exact integer comparisons: c > mean + k sigma iff
+# (c*n - s)^2 * n > k^2 * (n*ss - s^2) with all quantities integer.
+# ---------------------------------------------------------------------------
+
+@query("cantelli_coverage_audit", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+m AS (SELECT count(*) AS n, sum(c) AS s, sum(c*c) AS ss FROM d),
+k AS (SELECT unnest(range(1, 4)) AS k),
+t AS (
+  SELECT k.k,
+         sum(CASE WHEN (d.c * m.n - m.s) > 0
+                   AND (d.c * m.n - m.s)::HUGEINT * (d.c * m.n - m.s)
+                       > k.k * k.k
+                         * (m.n::HUGEINT * m.ss - m.s::HUGEINT * m.s)
+             THEN 1 ELSE 0 END) AS n_exceed,
+         any_value(m.n) AS n
+  FROM d CROSS JOIN m CROSS JOIN k GROUP BY k.k
+)
+SELECT k::BIGINT AS k, n_exceed::BIGINT AS n_exceed,
+       CAST(n_exceed * 1000000 // n AS BIGINT) AS observed_ppm,
+       CAST(1000000 // (1 + k * k) AS BIGINT) AS cantelli_bound_ppm,
+       n_exceed * (1 + k * k) <= n AS bound_holds
+FROM t ORDER BY k
+""")
+def cantelli_coverage_q(sf_dir: str):
+    """Bounded day counts; the exceedance test is a cross-multiplied
+    integer comparison (no sqrt)."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("k", "n_exceed", "observed_ppm", "cantelli_bound_ppm")
+    if merged is None or len(merged) < 2:
+        return pd.DataFrame({**{c: pd.Series([], dtype=np.int64)
+                                for c in cols},
+                             "bound_holds": pd.Series([], dtype=bool)})
+    c = [int(x) for x in merged["c"]]
+    n = len(c)
+    s = sum(c)
+    ss = sum(x * x for x in c)
+    var_scaled = n * ss - s * s  # n^2 * var * n... scaled variance
+    rows = []
+    for k in (1, 2, 3):
+        n_exceed = sum(1 for x in c
+                       if (x * n - s) > 0
+                       and (x * n - s) ** 2 > k * k * var_scaled)
+        rows.append({"k": k, "n_exceed": n_exceed,
+                     "observed_ppm": n_exceed * 1_000_000 // n,
+                     "cantelli_bound_ppm": 1_000_000 // (1 + k * k),
+                     "bound_holds": n_exceed * (1 + k * k) <= n})
+    out = pd.DataFrame(rows)
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DKW band audit between the two 15-day halves: the sup CDF gap on the
+# merged support vs the Dvoretzky-Kiefer-Wolfowitz 95% band
+# sqrt(ln(2/0.05)/(2*15)) — the finite-sample guarantee behind every
+# KS-style drift alarm.  Sup gap exact via cross-multiplied integer
+# counts.
+# ---------------------------------------------------------------------------
+
+@query("dkw_band_audit", sql="""
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+o AS (SELECT day, c, row_number() OVER (ORDER BY day) AS i FROM d),
+sup AS (
+  SELECT max(abs(
+    (SELECT count(*) FROM o a WHERE a.i <= 15 AND a.c <= v.c) * 15
+    - (SELECT count(*) FROM o b WHERE b.i > 15 AND b.c <= v.c) * 15))
+    AS sup_scaled
+  FROM (SELECT DISTINCT c FROM o) v
+)
+SELECT CAST(sup_scaled * 1000000 // 225 AS BIGINT) AS sup_gap_ppm,
+       CAST(floor(sqrt(ln(2 / 0.05) / 30.0) * 1000000) AS BIGINT)
+         AS dkw_band_ppm,
+       sup_scaled * 1000000.0 / 225
+         <= floor(sqrt(ln(2 / 0.05) / 30.0) * 1000000) AS within_band
+FROM sup
+""")
+def dkw_band_audit_q(sf_dir: str):
+    """Bounded day counts; sup over the merged support with exact
+    integer CDF counts (scale 15*15 = 225)."""
+    import math
+
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        day = (pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(), 2_000_000)
+    assert ok  # bounded: calendar days
+    cols = ("sup_gap_ppm", "dkw_band_ppm")
+    if merged is None or len(merged) < 16:
+        return pd.DataFrame({**{c: pd.Series([], dtype=np.int64)
+                                for c in cols},
+                             "within_band": pd.Series([], dtype=bool)})
+    f = merged.sort_values("day").reset_index(drop=True)
+    c = f["c"].to_numpy(np.int64)
+    a, b = c[:15], c[15:]
+    sup = 0
+    for v in np.unique(c):
+        ca = int((a <= v).sum()) * 15
+        cb = int((b <= v).sum()) * 15
+        sup = max(sup, abs(ca - cb))
+    band = math.floor(math.sqrt(math.log(2 / 0.05) / 30.0) * 1_000_000)
+    out = pd.DataFrame([{
+        "sup_gap_ppm": sup * 1_000_000 // 225,
+        "dkw_band_ppm": band,
+        "within_band": sup * 1_000_000.0 / 225 <= band}])
+    for col in cols:
+        out[col] = out[col].astype(np.int64)
+    return out

@@ -612,3 +612,20 @@ def test_zero_inflation_and_hoover(ray_session):
     h = hoover_index_q(SF)
     s = h.iloc[0]
     assert 0 <= s["hoover_ppm"] <= 1_000_000
+
+
+def test_cantelli_and_dkw(ray_session):
+    from dataquality_ray.pipelines.queries_stats import (
+        cantelli_coverage_q,
+        dkw_band_audit_q,
+    )
+
+    c = cantelli_coverage_q(SF)
+    assert list(c["k"]) == [1, 2, 3]
+    assert c["bound_holds"].all()  # Cantelli is a theorem
+    assert (c["observed_ppm"] <= c["cantelli_bound_ppm"]).all()
+
+    d = dkw_band_audit_q(SF)
+    r = d.iloc[0]
+    assert 0 <= r["sup_gap_ppm"] <= 1_000_000
+    assert r["dkw_band_ppm"] == 350_660  # sqrt(ln 40 / 30)
