@@ -11371,3 +11371,70 @@ def inequality_ratios_q(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Benford MAD conformance (Nigrini): mean absolute deviation between the
+# observed first-digit distribution of o_totalprice and the Benford ppm
+# constants, with Nigrini's verdict bands (close <= 6000 ppm, acceptable
+# <= 12000, marginal <= 15000, else nonconforming).  Closes the
+# forensic family: first digit, second digit, and now the single-number
+# conformance verdict.
+# ---------------------------------------------------------------------------
+
+_BENFORD1_PPM = [301029, 176091, 124938, 96910, 79181, 66946, 57991,
+                 51152, 45757]
+
+
+@query("benford_mad_conformance", sql=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS d1
+  FROM orders WHERE o_totalprice >= 1
+),
+h AS (SELECT d1, count(*)::BIGINT AS n FROM d GROUP BY d1),
+t AS (SELECT sum(n) AS total FROM h),
+p AS (
+  SELECT * FROM (VALUES
+    {", ".join(f"({d+1}, {p})" for d, p in enumerate(_BENFORD1_PPM))})
+    v(d1, exp_ppm)
+),
+dev AS (
+  SELECT sum(abs(coalesce(h.n, 0) * 1000000 // t.total - p.exp_ppm))
+           AS sum_dev
+  FROM p LEFT JOIN h ON h.d1 = p.d1 CROSS JOIN t
+)
+SELECT CAST(sum_dev // 9 AS BIGINT) AS mad_ppm,
+       CASE WHEN sum_dev // 9 <= 6000 THEN 'close'
+            WHEN sum_dev // 9 <= 12000 THEN 'acceptable'
+            WHEN sum_dev // 9 <= 15000 THEN 'marginal'
+            ELSE 'nonconforming' END AS verdict
+FROM dev
+""")
+def benford_mad_q(sf_dir: str):
+    """Bounded 9-digit histogram from one pruned scan."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        p = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        p = p[p >= 1]
+        d1 = np.array([int(s[0]) for s in
+                       np.floor(p).astype(np.int64).astype(str)], np.int64)
+        return (pd.DataFrame({"d1": d1}).groupby("d1", as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("d1", as_index=False)["n"].sum(), 2_000_000)
+    assert ok  # bounded: 9 digits
+    counts = {int(r.d1): int(r.n) for r in merged.itertuples(index=False)} \
+        if merged is not None and len(merged) else {}
+    total = max(sum(counts.values()), 1)
+    sum_dev = sum(abs(counts.get(d + 1, 0) * 1_000_000 // total - p)
+                  for d, p in enumerate(_BENFORD1_PPM))
+    mad = sum_dev // 9
+    verdict = ("close" if mad <= 6000 else
+               "acceptable" if mad <= 12000 else
+               "marginal" if mad <= 15000 else "nonconforming")
+    return pd.DataFrame([{"mad_ppm": np.int64(mad), "verdict": verdict}])

@@ -74,3 +74,13 @@ def test_inequality_ratios(ray_session):
     assert r["palma_milli"] > 0
     assert r["ratio_2020_milli"] >= 1000
     assert r["zenga_median_milli"] >= 1000
+
+
+def test_benford_mad_conformance(ray_session):
+    from dataquality_ray.pipelines.queries_tpch import benford_mad_q
+
+    df = benford_mad_q(SF)
+    r = df.iloc[0]
+    assert r["mad_ppm"] >= 0
+    assert r["verdict"] in {"close", "acceptable", "marginal",
+                            "nonconforming"}
