@@ -3932,3 +3932,129 @@ def stack_trace_detect_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Three code-hygiene censuses: encoding declarations (planted
+# '# -*- coding: utf-8 -*-' / latin-1 variants), wildcard imports
+# ('from x import *' defeats linters and dead-code analysis), and
+# leftover debug prints.  Each a one-regex vectorized scan.
+# ---------------------------------------------------------------------------
+
+@query("coding_declaration_census", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         coalesce(text,'') ||
+         CASE WHEN doc_id % 33 IN (0, 1)
+              THEN ' # -*- coding: utf-8 -*-'
+              WHEN doc_id % 33 = 2 THEN ' # -*- coding: latin-1 -*-'
+              ELSE '' END AS t
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         regexp_extract(t, 'coding: ([a-z0-9-]+)', 1) AS enc
+  FROM cv
+)
+SELECT coalesce(nullif(enc, ''), 'none') AS encoding,
+       count(*)::BIGINT AS n_docs
+FROM d GROUP BY 1 ORDER BY 1
+""")
+def coding_declaration_q(sf_dir: str):
+    """RE2 extract + bounded census."""
+    from dataquality_ray.stages.autoroute import guarded_partials
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(b["text"], pa.scalar(""))
+        m = ids % 33
+        suffix = np.full(len(ids), "", dtype=object)
+        suffix[m < 2] = " # -*- coding: utf-8 -*-"
+        suffix[m == 2] = " # -*- coding: latin-1 -*-"
+        t = pc.binary_join_element_wise(
+            base, pa.array(suffix, pa.string()), "")
+        enc = pc.extract_regex(t, r"coding: (?P<e>[a-z0-9-]+)")
+        encs = [d["e"] if d is not None else "none"
+                for d in enc.to_pylist()]
+        f = pd.DataFrame({"encoding": encs, "n": 1})
+        return f.groupby("encoding", as_index=False)["n"].sum()
+
+    merged, ok = guarded_partials(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(part, batch_format="pyarrow"),
+        lambda f: f.groupby("encoding", as_index=False)["n"].sum(),
+        2_000_000)
+    assert ok  # bounded: encodings
+    out = merged.rename(columns={"n": "n_docs"}) if merged is not None \
+        else pd.DataFrame({"encoding": [], "n_docs": []})
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values("encoding").reset_index(drop=True)
+
+
+@query("wildcard_import_census", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         coalesce(text,'') ||
+         CASE WHEN doc_id % 37 IN (0, 1)
+              THEN ' from os import * ' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           'from [a-z_.]+ import [*]'))::BIGINT AS n_wildcard,
+       len(regexp_extract_all(t, 'from [a-z_.]+ import [*]')) > 0
+         AS namespace_pollution
+FROM cv ORDER BY doc_id
+""")
+def wildcard_import_q(sf_dir: str):
+    """One RE2 count per batch."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        t = pc.if_else(
+            pa.array(ids % 37 < 2),
+            pc.binary_join_element_wise(base, " from os import * ", ""),
+            base)
+        n = pc.count_substring_regex(
+            t, r"from [a-z_.]+ import \*").cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_wildcard": n,
+                         "namespace_pollution": pc.greater(n, 0)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+@query("print_debug_census", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         coalesce(text,'') ||
+         CASE WHEN doc_id % 39 IN (0, 1, 2)
+              THEN ' print(debug_x) print(debug_y) ' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '\\bprint[(]'))::BIGINT AS n_prints,
+       len(regexp_extract_all(t, 'print[(]debug'))::BIGINT
+         AS n_debug_prints,
+       len(regexp_extract_all(t, 'print[(]debug')) > 0 AS debug_left_in
+FROM cv ORDER BY doc_id
+""")
+def print_debug_q(sf_dir: str):
+    """Two RE2 counts per batch."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        t = pc.if_else(
+            pa.array(ids % 39 < 3),
+            pc.binary_join_element_wise(
+                base, " print(debug_x) print(debug_y) ", ""), base)
+        n = pc.count_substring_regex(t, r"\bprint\(").cast(pa.int64())
+        nd = pc.count_substring_regex(t, r"print\(debug").cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_prints": n,
+                         "n_debug_prints": nd,
+                         "debug_left_in": pc.greater(nd, 0)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -679,3 +679,26 @@ def test_stack_trace_detect(ray_session):
     m = df["doc_id"].to_numpy() % 25
     assert df.loc[m < 2, "trace_leak"].all()
     assert not df.loc[m >= 2, "trace_leak"].any()
+
+
+def test_hygiene_censuses(ray_session):
+    from dataquality_ray.pipelines.queries_code import (
+        coding_declaration_q,
+        print_debug_q,
+        wildcard_import_q,
+    )
+
+    enc = coding_declaration_q(SF)
+    got = dict(zip(enc["encoding"], enc["n_docs"]))
+    assert got.get("utf-8", 0) > 0 and got.get("latin-1", 0) > 0
+    assert got["none"] + got.get("utf-8", 0) + got.get("latin-1", 0) == 500
+
+    wi = wildcard_import_q(SF)
+    m = wi["doc_id"].to_numpy() % 37
+    assert wi.loc[m < 2, "namespace_pollution"].all()
+    assert not wi.loc[m >= 2, "namespace_pollution"].any()
+
+    pr = print_debug_q(SF)
+    m = pr["doc_id"].to_numpy() % 39
+    assert (pr.loc[m < 3, "n_debug_prints"] == 2).all()
+    assert not pr.loc[m >= 3, "debug_left_in"].any()
