@@ -4058,3 +4058,100 @@ def print_debug_q(sf_dir: str):
     out = (_read(sf_dir, "documents", ["doc_id", "text"])
            .map_batches(kern, batch_format="pyarrow").to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Modernization censuses: f-string vs .format() call sites (planted per
+# bucket) and type-annotation coverage ('def f(x: int) -> int') — the
+# code-age signals corpus curricula weight by.
+# ---------------------------------------------------------------------------
+
+@query("fstring_vs_format_census", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         coalesce(text,'') ||
+         CASE WHEN doc_id % 41 IN (0, 1) THEN ' f"v={x}" '
+              WHEN doc_id % 41 IN (2, 3) THEN ' "v={}".format(x) '
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, 'f"[^"]*\\{'))::BIGINT AS n_fstrings,
+       len(regexp_extract_all(t, '"[^"]*"[.]format[(]'))::BIGINT
+         AS n_format_calls,
+       CASE WHEN len(regexp_extract_all(t, 'f"[^"]*\\{')) > 0
+                 AND len(regexp_extract_all(t,
+                     '"[^"]*"[.]format[(]')) = 0 THEN 'modern'
+            WHEN len(regexp_extract_all(t, '"[^"]*"[.]format[(]')) > 0
+                 AND len(regexp_extract_all(t, 'f"[^"]*\\{')) = 0
+              THEN 'legacy'
+            WHEN len(regexp_extract_all(t, 'f"[^"]*\\{')) > 0 THEN 'mixed'
+            ELSE 'neither' END AS style
+FROM cv ORDER BY doc_id
+""")
+def fstring_census_q(sf_dir: str):
+    """Two RE2 counts + a style verdict per doc."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        m = ids % 41
+        suffix = np.full(len(ids), "", dtype=object)
+        suffix[m < 2] = ' f"v={x}" '
+        suffix[(m >= 2) & (m < 4)] = ' "v={}".format(x) '
+        t = pc.binary_join_element_wise(
+            base, pa.array(suffix, pa.string()), "")
+        nf = pc.count_substring_regex(t, r'f"[^"]*\{').cast(pa.int64())
+        nm = pc.count_substring_regex(
+            t, r'"[^"]*"\.format\(').cast(pa.int64())
+        nfa = nf.to_numpy(zero_copy_only=False)
+        nma = nm.to_numpy(zero_copy_only=False)
+        style = np.where((nfa > 0) & (nma == 0), "modern",
+                         np.where((nma > 0) & (nfa == 0), "legacy",
+                                  np.where(nfa > 0, "mixed", "neither")))
+        return pa.table({"doc_id": batch["doc_id"], "n_fstrings": nf,
+                         "n_format_calls": nm,
+                         "style": pa.array(style, pa.string())})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+@query("type_annotation_census", sql="""
+WITH cv AS (
+  SELECT doc_id,
+         coalesce(text,'') ||
+         CASE WHEN doc_id % 43 IN (0, 1)
+              THEN ' def g(x: int) -> int: return x '
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           'def [a-z_]+[(][^)]*: [a-z]+'))::BIGINT AS n_annotated_defs,
+       len(regexp_extract_all(t, '-> [a-z]+:'))::BIGINT
+         AS n_return_annotations,
+       len(regexp_extract_all(t, 'def [a-z_]+[(][^)]*: [a-z]+')) > 0
+         AS has_annotations
+FROM cv ORDER BY doc_id
+""")
+def type_annotation_q(sf_dir: str):
+    """Two RE2 counts per batch."""
+    def kern(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = pc.coalesce(batch["text"], pa.scalar(""))
+        t = pc.if_else(
+            pa.array(ids % 43 < 2),
+            pc.binary_join_element_wise(
+                base, " def g(x: int) -> int: return x ", ""), base)
+        na = pc.count_substring_regex(
+            t, r"def [a-z_]+\([^)]*: [a-z]+").cast(pa.int64())
+        nr = pc.count_substring_regex(t, r"-> [a-z]+:").cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_annotated_defs": na,
+                         "n_return_annotations": nr,
+                         "has_annotations": pc.greater(na, 0)})
+
+    out = (_read(sf_dir, "documents", ["doc_id", "text"])
+           .map_batches(kern, batch_format="pyarrow").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)

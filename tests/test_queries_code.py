@@ -702,3 +702,22 @@ def test_hygiene_censuses(ray_session):
     m = pr["doc_id"].to_numpy() % 39
     assert (pr.loc[m < 3, "n_debug_prints"] == 2).all()
     assert not pr.loc[m >= 3, "debug_left_in"].any()
+
+
+def test_modernization_censuses(ray_session):
+    from dataquality_ray.pipelines.queries_code import (
+        fstring_census_q,
+        type_annotation_q,
+    )
+
+    fs = fstring_census_q(SF)
+    m = fs["doc_id"].to_numpy() % 41
+    assert (fs.loc[m < 2, "style"] == "modern").all()
+    assert (fs.loc[(m >= 2) & (m < 4), "style"] == "legacy").all()
+    assert (fs.loc[m >= 4, "style"] == "neither").all()
+
+    ta = type_annotation_q(SF)
+    m = ta["doc_id"].to_numpy() % 43
+    assert ta.loc[m < 2, "has_annotations"].all()
+    assert (ta.loc[m < 2, "n_return_annotations"] == 1).all()
+    assert not ta.loc[m >= 2, "has_annotations"].any()
