@@ -3966,7 +3966,7 @@ def soundex_census_q(sf_dir: str):
 @query("source_release_gate", sql="""
 WITH s AS (
   SELECT source, count(*) AS n,
-         count(DISTINCT text) AS n_distinct,
+         count(DISTINCT coalesce(text, '')) AS n_distinct,
          sum(n_chars) AS chars,
          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
   FROM documents GROUP BY source

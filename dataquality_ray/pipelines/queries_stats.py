@@ -5512,12 +5512,26 @@ def inspection_paradox_q(sf_dir: str):
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
                              for c in cols})
     f = merged.sort_values("first").reset_index(drop=True)
+    firsts = f["first"].to_numpy(np.int64)
+    lasts = f["last"].to_numpy(np.int64)
+    if len(f) > 1 and bool((firsts[1:] < lasts[:-1]).any()):
+        # Batch ts-ranges overlap (input not globally sorted): the
+        # boundary fold would silently miscount, so re-derive partials
+        # from a distributed global sort whose blocks are range-disjoint.
+        merged, ok = guarded_partials(
+            _read(sf_dir, "events", ["ts"]).sort("ts")
+            .map_batches(part, batch_format="pyarrow"),
+            lambda g: g, 2_000_000)
+        assert ok  # bounded: one row per batch
+        f = merged.sort_values("first").reset_index(drop=True)
+        firsts = f["first"].to_numpy(np.int64)
+        lasts = f["last"].to_numpy(np.int64)
     n = int(f["n"].sum())
     s = int(f["s"].sum())
     ss = int(f["ss"].sum())
-    # cross-batch boundary gaps
+    # cross-batch boundary gaps (ranges verified disjoint above)
     for i in range(1, len(f)):
-        gap = int(f["first"].iloc[i]) - int(f["last"].iloc[i - 1])
+        gap = int(firsts[i]) - int(lasts[i - 1])
         n += 1
         s += gap
         ss += gap * gap
@@ -5556,7 +5570,7 @@ r AS (
 ),
 pi0 AS (
   SELECT count(*) FILTER (WHERE p_ppm > 500000) * 2 * 1000000
-         / (SELECT count(*) FROM r) AS pi0_scaled
+         // (SELECT count(*) FROM r) AS pi0_scaled
   FROM r
 ),
 q AS (

@@ -3368,7 +3368,8 @@ r AS (
   SELECT d.day,
          d.day > mx.last - 7 AS keep_daily,
          (d.day % 7 = 3 AND d.day > mx.last - 28) AS keep_weekly,
-         (strftime(to_timestamp(d.day * 86400), '%d') = '01') AS keep_monthly
+         (dayofmonth(DATE '1970-01-01' + d.day * INTERVAL 1 DAY) = 1)
+           AS keep_monthly
   FROM d CROSS JOIN mx
 )
 SELECT day::BIGINT AS day,

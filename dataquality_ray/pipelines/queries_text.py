@@ -10749,8 +10749,9 @@ def tversky_index_q(sf_dir: str):
         marks = f[f["w"] == ""].groupby("p")[["sa", "sb"]].sum()
         valid = marks[(marks["sa"] > 0) & (marks["sb"] > 0)].index
         wf = f[(f["w"] != "") & f["p"].isin(valid)]
-        g = wf.groupby("p").agg(
+        g = (wf.groupby("p").agg(
             i=("sa", lambda s: 0), oa=("sa", "sum"), ob=("sb", "sum"))
+            .reindex(valid, fill_value=0))
         both = (wf[(wf["sa"] > 0) & (wf["sb"] > 0)]
                 .groupby("p").size().rename("i"))
         g["i"] = both.reindex(g.index).fillna(0).astype(np.int64)
