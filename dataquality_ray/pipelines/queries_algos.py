@@ -392,10 +392,16 @@ FROM pairs ORDER BY child_col, parent_col
 """)
 def inclusion_dependency_q(sf_dir: str):
     """IND discovery over the fixed candidate catalog: distinct child
-    values per pair via the guarded combine (FK domains are bounded by
-    the parent table's key count), parent key set broadcast once per
-    pair for the anti-probe."""
-    from dataquality_ray.stages.autoroute import guarded_partials
+    values per pair via the guarded combine; past the cap (FK domains
+    like l_orderkey grow with the corpus) the pair re-routes to a
+    distributed anti-probe — one union + groupby("v") shuffle emitting
+    per-value (in_child, missing) bits that reduce to two counters —
+    so nothing key-domain-sized ever lands on the driver."""
+    from dataquality_ray.stages import autoroute as ar
+    from dataquality_ray.stages.autoroute import (
+        guarded_partials,
+        record_route,
+    )
 
     # one distinct-set pass per table, covering every column any pair
     # needs — 9 candidate pairs cost 9 table scans, not 18.
@@ -407,7 +413,7 @@ def inclusion_dependency_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.drop_duplicates(["col", "v"])
 
-    distinct: dict[tuple[str, str], np.ndarray] = {}
+    distinct: dict[tuple[str, str], np.ndarray | None] = {}
     for table, cols in need.items():
         cols_l = sorted(cols)
 
@@ -420,8 +426,14 @@ def inclusion_dependency_q(sf_dir: str):
 
         merged, ok = guarded_partials(
             _read(sf_dir, table, cols_l)
-            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-        assert ok  # bounded: FK / dimension key domains
+            .map_batches(part, batch_format="pyarrow"), fold,
+            ar.DRIVER_COMBINE_CAP)
+        if not ok:
+            # key domain grew past the cap — mark every column of this
+            # table for the distributed anti-probe twin instead.
+            for c in cols_l:
+                distinct[(table, c)] = None
+            continue
         for c in cols_l:
             if merged is None or not len(merged):
                 distinct[(table, c)] = np.array([], dtype=np.int64)
@@ -429,10 +441,45 @@ def inclusion_dependency_q(sf_dir: str):
                 distinct[(table, c)] = (
                     merged.loc[merged["col"] == c, "v"].to_numpy())
 
+    def _anti_probe(child, ccol, parent, pcol):
+        """Distributed twin: union child/parent distinct-value partials,
+        shuffle on the value, emit one (in_child, missing) bit-row per
+        value, and sum — two BIGINTs cross back to the driver."""
+        def cpart(batch: pa.Table) -> pd.DataFrame:
+            u = pc.unique(pc.drop_null(batch[ccol])).to_pandas()
+            return pd.DataFrame({"v": u, "s": np.int64(1)})
+
+        def ppart(batch: pa.Table) -> pd.DataFrame:
+            u = pc.unique(pc.drop_null(batch[pcol])).to_pandas()
+            return pd.DataFrame({"v": u, "s": np.int64(2)})
+
+        u = (_read(sf_dir, child, [ccol])
+             .map_batches(cpart, batch_format="pyarrow")
+             .union(_read(sf_dir, parent, [pcol])
+                    .map_batches(ppart, batch_format="pyarrow")))
+
+        def per_value(g: pd.DataFrame) -> pd.DataFrame:
+            s = set(g["s"])
+            in_c = np.int64(1 in s)
+            return pd.DataFrame(
+                {"c": [in_c], "m": [np.int64(bool(in_c) and 2 not in s)]})
+
+        bits = u.groupby("v").map_groups(per_value, batch_format="pandas")
+        agg = bits.sum(["c", "m"])
+        return int(agg["sum(c)"]), int(agg["sum(m)"])
+
     rows = []
     for child, ccol, parent, pcol in _IND_PAIRS:
         child_vals = distinct[(child, ccol)]
         parent_vals = distinct[(parent, pcol)]
+        if child_vals is None or parent_vals is None:
+            record_route("inclusion_dependency_scan", "anti_probe_twin",
+                         f"{child}.{ccol} or {parent}.{pcol} domain "
+                         "over cap", None)
+            n_child, missing = _anti_probe(child, ccol, parent, pcol)
+            rows.append([f"{child}.{ccol}", f"{parent}.{pcol}",
+                         n_child, missing, missing == 0])
+            continue
         missing = int((~np.isin(child_vals, parent_vals)).sum())
         rows.append([f"{child}.{ccol}", f"{parent}.{pcol}",
                      len(child_vals), missing, missing == 0])
@@ -1154,7 +1201,9 @@ def perceptron_replay_q(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "lang", "text"])
         .map_batches(part, batch_format="pyarrow"),
         lambda f: f.drop_duplicates("doc_id"), 2_000_000)
-    assert ok  # bounded: replay prefix capped by the combine guard
+    assert ok  # algorithm-inherent cap: an online replay is strictly
+    # sequential (each update depends on every prior row), so the replay
+    # is only defined within the guarded prefix — not a missing twin
     cols = ["n_docs", "mistakes", "w0", "w1", "w2", "w3"]
     if merged is None or not len(merged):
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
@@ -1406,7 +1455,9 @@ def simhash_histogram_q(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(fp_batch, batch_format="pyarrow"),
         lambda f: f.drop_duplicates("doc_id"), 2_000_000)
-    assert ok  # bounded: 8 bytes per doc through the combine guard
+    assert ok  # algorithm-inherent cap: the census is O(n^2) pairwise
+    # by definition; the guard bounds it exactly like EXACT_PAIRS_MAX_N
+    # does for cosine_near_dup_pairs (stages/ann.py) — not a missing twin
     if merged is None or len(merged) < 2:
         return pd.DataFrame({"hamming": pd.Series([], dtype=np.int64),
                              "n_pairs": pd.Series([], dtype=np.int64)})
@@ -2163,11 +2214,29 @@ def moore_hodgson_q(sf_dir: str) -> pd.DataFrame:
     def cfold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("ck", as_index=False)["c"].sum()
 
+    from dataquality_ray.stages import autoroute as ar
+
     stage = (_read(sf_dir, "orders", ["o_custkey"])
              .map_batches(cpart, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, cfold, 2_000_000)
-    assert ok and merged is not None  # bounded: customer dimension
-    merged = merged.sort_values(["c", "ck"], ascending=[False, True])
+    merged, twin = ar.combine_or_groupby_twin(
+        "moore_hodgson_busiest_customer", stage, cfold,
+        ar.DRIVER_COMBINE_CAP, ("ck",))
+    if twin is not None:
+        # customer domain over cap: stream the exact per-customer counts
+        # keeping only the running (count desc, ck asc) argmax.
+        best = None
+        for b in twin.iter_batches(batch_format="pandas",
+                                   batch_size=None):
+            if not len(b):
+                continue
+            cand = pd.concat([best, b]) if best is not None else b
+            best = (cand.sort_values(["c", "ck"],
+                                     ascending=[False, True]).head(1))
+        merged = best
+    else:
+        assert merged is not None
+        merged = merged.sort_values(["c", "ck"],
+                                    ascending=[False, True])
     ck = int(merged["ck"].iloc[0])
 
     jobs = (_read(sf_dir, "orders",
@@ -2360,23 +2429,76 @@ def bfprt_pivot_q(sf_dir: str) -> pd.DataFrame:
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "documents", ["doc_id", "n_chars"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok and merged is not None  # bounded: corpus rows at cap
-    merged = merged.sort_values("doc_id").reset_index(drop=True)
-    full = merged["v"].to_numpy(np.int64)
-    v = full.copy()
-    for _ in range(_BFPRT_LEVELS):
-        meds = []
-        for g in range(0, len(v), 5):
-            grp = np.sort(v[g:g + 5])
-            meds.append(int(grp[(len(grp) + 1) // 2 - 1]))  # disc median
-        v = np.array(meds, dtype=np.int64)
-    assert len(v) == 1
-    pivot = int(v[0])
-    n = len(full)
-    rank_lt = int((full < pivot).sum())
+    from dataquality_ray.stages import autoroute as ar
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, ar.DRIVER_COMBINE_CAP)
+    if ok:
+        assert merged is not None
+        ar.record_route("bfprt_pivot_audit", "combine", "within cap",
+                        len(merged))
+        merged = merged.sort_values("doc_id").reset_index(drop=True)
+        full = merged["v"].to_numpy(np.int64)
+        v = full.copy()
+        for _ in range(_BFPRT_LEVELS):
+            meds = []
+            for g in range(0, len(v), 5):
+                grp = np.sort(v[g:g + 5])
+                # disc median
+                meds.append(int(grp[(len(grp) + 1) // 2 - 1]))
+            v = np.array(meds, dtype=np.int64)
+        assert len(v) == 1
+        pivot = int(v[0])
+        n = len(full)
+        rank_lt = int((full < pivot).sum())
+    else:
+        # rows over cap: the median-of-medians cascade streams over a
+        # distributed doc_id sort with O(5 * levels) driver state (one
+        # partial group of 5 per level), then one counting pass for the
+        # exact rank.  Works to 5^levels rows — the same bound the
+        # fixed-depth SQL unrolling has.
+        ar.record_route("bfprt_pivot_audit", "sorted_cascade",
+                        "rows over cap", None)
+        t = stage.sort("doc_id").materialize()
+        carries = [np.empty(0, np.int64)
+                   for _ in range(_BFPRT_LEVELS + 1)]
+
+        def feed(level: int, vals: np.ndarray) -> None:
+            while level < _BFPRT_LEVELS and len(vals):
+                vals = np.concatenate([carries[level], vals])
+                k = len(vals) // 5
+                carries[level] = vals[k * 5:]
+                if k == 0:
+                    return
+                grp = np.sort(vals[:k * 5].reshape(k, 5), axis=1)
+                vals = grp[:, 2]  # disc median of a full 5-group
+                level += 1
+            if level == _BFPRT_LEVELS and len(vals):
+                carries[level] = np.concatenate([carries[level], vals])
+
+        n = 0
+        for b in t.iter_batches(batch_format="pandas",
+                                batch_size=None):
+            if len(b):
+                n += len(b)
+                feed(0, b["v"].to_numpy(np.int64))
+        for level in range(_BFPRT_LEVELS):
+            if len(carries[level]):
+                grp = np.sort(carries[level])
+                carries[level] = np.empty(0, np.int64)
+                feed(level + 1,
+                     np.array([grp[(len(grp) + 1) // 2 - 1]],
+                              dtype=np.int64))
+        v = carries[_BFPRT_LEVELS]
+        assert len(v) == 1
+        pivot = int(v[0])
+        rank_lt = 0
+        for b in t.iter_batches(batch_format="pandas",
+                                batch_size=None):
+            if len(b):
+                rank_lt += int((b["v"].to_numpy(np.int64)
+                                < pivot).sum())
     return pd.DataFrame({
         "pivot": [pivot], "n": [n], "rank_lt": [rank_lt],
         "rank_ppm": [rank_lt * 1_000_000 // n]}).astype(np.int64)
@@ -2740,23 +2862,53 @@ def sjf_vs_fifo_q(sf_dir: str) -> pd.DataFrame:
             "k": b["o_orderkey"].to_numpy(zero_copy_only=False),
             "p": p})
 
-    def fold(f: pd.DataFrame) -> pd.DataFrame:
-        return f
+    # Phase 1: per-day counts on the bounded calendar axis pick the
+    # busiest day; phase 2 scans only that day's jobs and streams both
+    # schedule totals over distributed sorts with O(1) driver state —
+    # sum of prefix-sums folds as total += batch_cumsum + carry * len.
+    days, ok = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate"])
+        .map_batches(lambda b: (pd.DataFrame(
+            {"day": b["o_orderdate"].to_pandas().dt.strftime(
+                "%Y-%m-%d")}).groupby("day", as_index=False)
+            .size().rename(columns={"size": "c"})),
+            batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(),
+        2_000_000)
+    assert ok  # bounded: calendar days
+    if days is None or not len(days):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("n_jobs", "fifo_total",
+                                       "spt_total", "savings_ppm")})
+    days = days.sort_values(["c", "day"], ascending=[False, True])
+    busiest = days["day"].iloc[0]
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "orders",
-              ["o_orderkey", "o_totalprice", "o_orderdate"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok and merged is not None  # bounded: orders at cap
-    cnt = merged.groupby("day").size()
-    busiest = sorted(cnt.index, key=lambda d: (-int(cnt[d]), d))[0]
-    jobs = merged[merged["day"] == busiest]
-    p_fifo = jobs.sort_values("k")["p"].to_numpy(np.int64)
-    p_spt = jobs.sort_values(["p", "k"])["p"].to_numpy(np.int64)
-    fifo = int(np.cumsum(p_fifo).sum())
-    spt = int(np.cumsum(p_spt).sum())
+    def day_jobs(b: pa.Table) -> pd.DataFrame:
+        f = part(b)
+        return f[f["day"] == busiest][["k", "p"]]
+
+    jobs = (_read(sf_dir, "orders",
+                  ["o_orderkey", "o_totalprice", "o_orderdate"])
+            .map_batches(day_jobs, batch_format="pyarrow")
+            .materialize())
+
+    def stream_total(sort_keys: list[str]) -> tuple[int, int]:
+        total, carry, n = 0, 0, 0
+        for b in (jobs.sort(sort_keys)
+                  .iter_batches(batch_format="pandas",
+                                batch_size=None)):
+            if not len(b):
+                continue
+            p = b["p"].to_numpy(np.int64)
+            total += int(np.cumsum(p).sum()) + carry * len(p)
+            carry += int(p.sum())
+            n += len(p)
+        return total, n
+
+    fifo, n_jobs = stream_total(["k"])
+    spt, _ = stream_total(["p", "k"])
     return pd.DataFrame({
-        "n_jobs": [len(jobs)], "fifo_total": [fifo],
+        "n_jobs": [n_jobs], "fifo_total": [fifo],
         "spt_total": [spt],
         "savings_ppm": [(fifo - spt) * 1_000_000 // fifo]}
     ).astype(np.int64)
@@ -2840,23 +2992,68 @@ def replacement_selection_q(sf_dir: str) -> pd.DataFrame:
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "orders",
-              ["o_orderkey", "o_totalprice", "o_orderdate"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok and merged is not None  # bounded: orders at cap
-    cnt = merged.groupby("day").size()
-    busiest = sorted(cnt.index, key=lambda d: (-int(cnt[d]), d))[0]
-    vals = merged[merged["day"] == busiest].sort_values("k")["v"] \
-        .to_numpy(np.int64).tolist()
-    n = len(vals)
-    heap = sorted(vals[:_RS_M])
-    pos = _RS_M
+    # Phase 1: bounded per-day counts pick the busiest day; phase 2
+    # streams ONLY that day's values through the (inherently
+    # sequential) 8-slot replacement-selection replay — the stream
+    # arrives from a distributed orderkey sort, the driver holds the
+    # heap plus one batch.
+    days, okd = guarded_partials(
+        _read(sf_dir, "orders", ["o_orderdate"])
+        .map_batches(lambda b: (pd.DataFrame(
+            {"day": b["o_orderdate"].to_pandas().dt.strftime(
+                "%Y-%m-%d")}).groupby("day", as_index=False)
+            .size().rename(columns={"size": "c"})),
+            batch_format="pyarrow"),
+        lambda f: f.groupby("day", as_index=False)["c"].sum(),
+        2_000_000)
+    assert okd  # bounded: calendar days
+    assert days is not None and len(days)
+    days = days.sort_values(["c", "day"], ascending=[False, True])
+    busiest = days["day"].iloc[0]
+
+    def day_vals(b: pa.Table) -> pd.DataFrame:
+        f = part(b)
+        return f[f["day"] == busiest][["k", "v"]]
+
+    stream = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_totalprice", "o_orderdate"])
+              .map_batches(day_vals, batch_format="pyarrow")
+              .sort("k"))
+    heap: list[int] = []
+    pos = 0
     last = -1
     runs = 1
     emitted = 0
+    n = 0
+
+    def replay(val_iter):
+        nonlocal last, runs, emitted, pos
+        for x in val_iter:
+            if len(heap) < _RS_M:
+                heap.append(int(x))
+                heap.sort()
+                pos += 1
+                continue
+            elig = [h for h in heap if h >= last]
+            if elig:
+                v = min(elig)
+            else:
+                v = min(heap)
+                runs += 1
+            heap.remove(v)
+            last = v
+            emitted += 1
+            heap.append(int(x))
+            heap.sort()
+            pos += 1
+
+    for b in stream.iter_batches(batch_format="pandas",
+                                 batch_size=None):
+        if len(b):
+            n += len(b)
+            replay(b["v"].to_numpy(np.int64).tolist())
     while heap:
-        elig = [x for x in heap if x >= last]
+        elig = [h for h in heap if h >= last]
         if elig:
             v = min(elig)
         else:
@@ -2865,10 +3062,6 @@ def replacement_selection_q(sf_dir: str) -> pd.DataFrame:
         heap.remove(v)
         last = v
         emitted += 1
-        if pos < n:
-            heap.append(vals[pos])
-            heap.sort()
-            pos += 1
     assert emitted == n
     return pd.DataFrame({
         "n_records": [n], "n_runs": [runs],

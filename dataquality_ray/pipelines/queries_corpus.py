@@ -1948,18 +1948,25 @@ def roaring_container_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.drop_duplicates()
 
-    merged, ok = guarded_partials(
+    from dataquality_ray.stages import autoroute as ar
+
+    # distinct (chunk, key) pairs fold to per-chunk counts past the cap:
+    # the groupby twin's rows are globally unique, so per-batch sizes
+    # sum exactly, and the chunk axis shrinks the key universe 65536x.
+    g = ar.refold_partials(
+        "roaring_container_advisor",
         _read(sf_dir, "orders", ["o_orderkey"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok  # bounded: order-key universe at test scale; the
-    # distinct-count per chunk routes to the groupby twin past cap
-    if merged is None or not len(merged):
+        .map_batches(part, batch_format="pyarrow"), fold,
+        ar.DRIVER_COMBINE_CAP, ("chunk", "key"),
+        lambda f: (f.groupby("chunk", as_index=False).size()
+                   .rename(columns={"size": "n_ids"})),
+        lambda f: f.groupby("chunk", as_index=False)["n_ids"].sum(),
+        ar.DRIVER_COMBINE_CAP)
+    if g is None or not len(g):
         return pd.DataFrame({"chunk": pd.Series([], dtype=np.int64),
                              "n_ids": pd.Series([], dtype=np.int64),
                              "container": pd.Series([], dtype=object),
                              "bytes_est": pd.Series([], dtype=np.int64)})
-    g = (merged.groupby("chunk")["key"].nunique().reset_index()
-         .rename(columns={"key": "n_ids"}))
     g = g.sort_values("chunk").reset_index(drop=True)
     g["chunk"] = g["chunk"].astype(np.int64)
     g["n_ids"] = g["n_ids"].astype(np.int64)
@@ -2658,11 +2665,19 @@ def join_order_cost_q(sf_dir: str):
         return _read(sf_dir, t, [c]).map_batches(
             part, batch_format="pyarrow")
 
-    def key_counts(stage) -> pd.DataFrame:
-        merged, ok = guarded_partials(stage, fold, 2_000_000)
-        assert ok  # key-cardinality bounded; sketch twin past cap
+    from dataquality_ray.stages import autoroute as ar
+    from dataquality_ray.stages.joins import hash_join
+
+    def key_counts(stage):
+        """(frame, twin): exact per-key counts — driver frame within
+        the cap, else a materialized groupby-twin dataset."""
+        merged, twin = ar.combine_or_groupby_twin(
+            "join_order_cost_audit", stage, fold,
+            ar.DRIVER_COMBINE_CAP, ("k",))
+        if twin is not None:
+            return None, twin.materialize()
         return (merged if merged is not None
-                else pd.DataFrame({"k": [], "n": []}))
+                else pd.DataFrame({"k": [], "n": []})), None
 
     cols = [("lineitem", "l_orderkey"), ("orders", "o_orderkey"),
             ("orders", "o_custkey"), ("customer", "c_custkey")]
@@ -2670,17 +2685,51 @@ def join_order_cost_q(sf_dir: str):
     with ThreadPoolExecutor(max_workers=4) as ex:
         lok, ook, ock, cck = list(ex.map(key_counts, stages))
 
-    def join_size(a: pd.DataFrame, b: pd.DataFrame) -> int:
-        m = a.merge(b, on="k", how="inner", suffixes=("_a", "_b"))
-        return int((m["n_a"].astype(object).map(int)
-                    * m["n_b"].astype(object).map(int)).sum())
+    def stats(kc) -> tuple[int, int]:
+        frame, tw = kc
+        if frame is not None:
+            return int(frame["n"].sum()), len(frame)
+        n = nd = 0
+        for b in tw.iter_batches(batch_format="pandas",
+                                 batch_size=None):
+            if len(b):
+                n += int(b["n"].sum())
+                nd += len(b)
+        return n, nd
 
-    nl, no_, nc = (int(lok["n"].sum()), int(ook["n"].sum()),
-                   int(cck["n"].sum()))
+    def join_size(a, b) -> int:
+        fa, ta = a
+        fb, tb = b
+        if fa is not None and fb is not None:
+            m = fa.merge(fb, on="k", how="inner",
+                         suffixes=("_a", "_b"))
+            return int((m["n_a"].astype(object).map(int)
+                        * m["n_b"].astype(object).map(int)).sum())
+        # at least one side over cap: hash-join the exact count sets
+        # and stream the product sum back as decimal strings.
+        import ray.data as rd
+        da = ta if ta is not None else rd.from_pandas(fa)
+        db = tb if tb is not None else rd.from_pandas(fb)
+        j = hash_join(da, db.map_batches(
+            lambda f: f.rename(columns={"n": "nb"}),
+            batch_format="pandas"), on="k", join_type="inner")
+        tot = 0
+        for b in (j.map_batches(
+                lambda f: pd.DataFrame({"s": [str(int(
+                    (f["n"].astype(object).map(int)
+                     * f["nb"].astype(object).map(int)).sum()))]}),
+                batch_format="pandas")
+                .iter_batches(batch_format="pandas",
+                              batch_size=None)):
+            tot += sum(int(s) for s in b["s"])
+        return tot
+
+    (nl, dl), (no_, do_) = stats(lok), stats(ook)
+    (noc, dc_), (nc, dcc) = stats(ock), stats(cck)
     act_lo = join_size(lok, ook)
     act_oc = join_size(ock, cck)
-    est_lo = nl * no_ // max(len(lok), len(ook))
-    est_oc = no_ * nc // max(len(ock), len(cck))
+    est_lo = nl * no_ // max(dl, do_)
+    est_oc = noc * nc // max(dc_, dcc)
     return pd.DataFrame({
         "plan": ["lineitem_orders_first", "orders_customer_first"],
         "est_intermediate": np.array([est_lo, est_oc], dtype=np.int64),
@@ -2757,12 +2806,26 @@ def knn_hubness_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("vec_id", as_index=False)["n3"].sum()
 
-    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages import autoroute as ar
 
-    merged, ok = guarded_partials(
+    merged, twin = ar.combine_or_groupby_twin(
+        "knn_hubness_audit",
         _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok  # bounded: one count row per referenced vector
+        .map_batches(part, batch_format="pyarrow"), fold,
+        ar.DRIVER_COMBINE_CAP, ("vec_id",))
+    if twin is not None:
+        # referenced-vector domain over cap: stream the exact per-vector
+        # counts keeping only a running top-N — driver state is N rows.
+        best = None
+        for b in twin.iter_batches(batch_format="pandas",
+                                   batch_size=None):
+            if not len(b):
+                continue
+            cand = pd.concat([best, b]) if best is not None else b
+            best = (cand.sort_values(["n3", "vec_id"],
+                                     ascending=[False, True])
+                    .head(_HUB_TOP))
+        merged = best
     if merged is None or not len(merged):
         return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
                              "n3": pd.Series([], dtype=np.int64)})
@@ -3248,38 +3311,48 @@ def randomized_response_q(sf_dir: str):
     key set."""
     from dataquality_ray.stages.autoroute import guarded_partials
 
-    # types are data-derived but bounded; discover them with the same
-    # combine that carries the counts (two columns: true and reported
-    # need the SAME sorted list, so plant the list after the combine)
+    # phase 1: the sorted type list (bounded universe) so every batch
+    # can resolve its coin flips locally; phase 2 partials then carry
+    # only the (true, reported) k^2 census — nothing event-sized.
+    types, okt = guarded_partials(
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(lambda b: pd.DataFrame(
+            {"event_type": pd.unique(np.asarray(
+                b["event_type"].to_pylist(), dtype=object))}),
+            batch_format="pyarrow"),
+        lambda f: f.drop_duplicates(), 2_000_000)
+    assert okt  # bounded: event-type universe
+    cols = ("event_type", "true_count", "obs_count", "debiased_est")
+    if types is None or not len(types):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    tl = sorted(types["event_type"])
+    k = len(tl)
+
     def part(batch: pa.Table) -> pd.DataFrame:
         et = batch["event_type"].to_pylist()
-        hs = [_sha64(str(i))
-              for i in batch["event_id"].to_pylist()]
-        f = pd.DataFrame({"event_type": et, "h": hs, "n": 1})
-        return f.groupby(["event_type", "h"], as_index=False)["n"].sum()
+        rows = []
+        for t, i in zip(et, batch["event_id"].to_pylist()):
+            h = _sha64(str(i))
+            rep = t if h % 4 < 3 else tl[(h // 4) % k]
+            rows.append((t, rep))
+        f = pd.DataFrame(rows, columns=["event_type", "rep"])
+        f["n"] = 1
+        return f.groupby(["event_type", "rep"], as_index=False)[
+            "n"].sum()
 
     def fold(f: pd.DataFrame) -> pd.DataFrame:
-        return f.groupby(["event_type", "h"], as_index=False)["n"].sum()
+        return f.groupby(["event_type", "rep"], as_index=False)[
+            "n"].sum()
 
     merged, ok = guarded_partials(
         _read(sf_dir, "events", ["event_id", "event_type"])
         .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok  # bounded at audit scale; (type,h) collapses to the
-    # reported-type census under the groupby twin past cap
-    cols = ("event_type", "true_count", "obs_count", "debiased_est")
-    if merged is None or not len(merged):
-        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
-                             **{c: pd.Series([], dtype=np.int64)
-                                for c in cols[1:]}})
-    tl = sorted(merged["event_type"].unique())
-    k = len(tl)
-    h = merged["h"].astype(object).map(int)
-    keep = (h % 4) < 3
-    alt = (h // 4 % k).map(lambda i: tl[int(i)])
-    rep = np.where(keep, merged["event_type"], alt)
+    assert ok  # bounded: type^2 census
+    assert merged is not None and len(merged)
     n = int(merged["n"].sum())
-    obs = (pd.DataFrame({"rep": rep, "n": merged["n"]})
-           .groupby("rep")["n"].sum().to_dict())
+    obs = merged.groupby("rep")["n"].sum().to_dict()
     tru = merged.groupby("event_type")["n"].sum().to_dict()
     rows = []
     for t in tl:
@@ -4001,23 +4074,33 @@ def source_release_gate_q(sf_dir: str):
                 .agg(n=("n", "sum"), chars=("chars", "sum"),
                      n_en=("n_en", "sum")))
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "documents", ["source", "text", "lang", "n_chars"])
+    from dataquality_ray.stages import autoroute as ar
+
+    # (source, distinct-text) pairs grow with the corpus: past the cap
+    # the groupby twin's globally-unique rows refold per source — the
+    # distinct count is a per-batch row count there, and only #sources
+    # rows reach the driver.
+    agg = ar.refold_partials(
+        "source_release_gate",
+        _read(sf_dir, "documents", ["source", "text", "lang",
+                                    "n_chars"])
         .map_batches(part, batch_format="pyarrow"),
         lambda f: f.groupby(["source", "h"], as_index=False)
-        [["n", "chars", "n_en"]].sum(), 2_000_000)
-    assert ok  # sources x distinct texts; groupby twin unnecessary at
-    # gate scale (distinct texts per source bounded by corpus design)
+        [["n", "chars", "n_en"]].sum(),
+        ar.DRIVER_COMBINE_CAP, ("source", "h"),
+        lambda f: (f.groupby("source", as_index=False).agg(
+            n=("n", "sum"), n_distinct=("h", "size"),
+            chars=("chars", "sum"), n_en=("n_en", "sum"))),
+        lambda f: f.groupby("source", as_index=False)[
+            ["n", "n_distinct", "chars", "n_en"]].sum(),
+        2_000_000)
     cols = ("source", "n_docs", "dup_ppm", "mean_chars", "en_ppm",
             "gate_pass")
-    if merged is None or not len(merged):
+    if agg is None or not len(agg):
         return pd.DataFrame({"source": pd.Series([], dtype=object),
                              **{c: pd.Series([], dtype=np.int64)
                                 for c in cols[1:-1]},
                              "gate_pass": pd.Series([], dtype=bool)})
-    agg = merged.groupby("source").agg(
-        n=("n", "sum"), n_distinct=("h", "size"),
-        chars=("chars", "sum"), n_en=("n_en", "sum")).reset_index()
     n = agg["n"].to_numpy(np.int64)
     dup = (n - agg["n_distinct"].to_numpy(np.int64)) * 1_000_000 // n
     mean_chars = agg["chars"].to_numpy(np.int64) // n

@@ -512,27 +512,70 @@ def learned_index_error_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.drop_duplicates("key")
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "orders", ["o_orderkey"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok  # bounded: distinct order keys (sort-rank twin past cap)
+    from dataquality_ray.stages import autoroute as ar
+
+    stage = (_read(sf_dir, "orders", ["o_orderkey"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, twin = ar.combine_or_groupby_twin(
+        "learned_index_error", stage, fold, ar.DRIVER_COMBINE_CAP,
+        ("key",))
     cols = ["decile", "n_keys", "max_abs_err"]
     empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
-    if merged is None or not len(merged):
-        return empty
-    keys = sorted(int(v) for v in merged["key"])
-    n = len(keys)
-    pos = list(range(1, n + 1))
-    d, b, a, es = _ols_scaled_residuals(keys, pos)
-    if d <= 0:
-        return empty
     rows: dict[int, list] = {}
-    for i, e in enumerate(es):
-        dec = (i * 10) // n
-        err = abs(e) // d
-        ent = rows.setdefault(dec, [0, 0])
-        ent[0] += 1
-        ent[1] = max(ent[1], err)
+    if twin is not None:
+        # key domain over cap: the sort-rank twin — distributed sort of
+        # the exact distinct keys streamed twice (Python-int OLS sums
+        # with ranks first, then D-scaled residual folding per decile);
+        # driver state is six big ints and ten decile cells.
+        srt = twin.sort("key").materialize()
+        n, sx, sy, sxx, sxy = 0, 0, 0, 0, 0
+        for bt in srt.iter_batches(batch_format="pandas",
+                                   batch_size=None):
+            if not len(bt):
+                continue
+            for v in bt["key"]:
+                v = int(v)
+                n += 1
+                sx += v
+                sy += n
+                sxx += v * v
+                sxy += v * n
+        if n == 0:
+            return empty
+        d = n * sxx - sx * sx
+        b = n * sxy - sx * sy
+        a = sy * sxx - sx * sxy
+        if d <= 0:
+            return empty
+        i = 0
+        for bt in srt.iter_batches(batch_format="pandas",
+                                   batch_size=None):
+            if not len(bt):
+                continue
+            for v in bt["key"]:
+                v = int(v)
+                e = d * (i + 1) - a - b * v
+                dec = (i * 10) // n
+                err = abs(e) // d
+                ent = rows.setdefault(dec, [0, 0])
+                ent[0] += 1
+                ent[1] = max(ent[1], err)
+                i += 1
+    else:
+        if merged is None or not len(merged):
+            return empty
+        keys = sorted(int(v) for v in merged["key"])
+        n = len(keys)
+        pos = list(range(1, n + 1))
+        d, b, a, es = _ols_scaled_residuals(keys, pos)
+        if d <= 0:
+            return empty
+        for i, e in enumerate(es):
+            dec = (i * 10) // n
+            err = abs(e) // d
+            ent = rows.setdefault(dec, [0, 0])
+            ent[0] += 1
+            ent[1] = max(ent[1], err)
     out = pd.DataFrame(
         [(k, v[0], v[1]) for k, v in sorted(rows.items())], columns=cols)
     for c in cols:

@@ -8746,12 +8746,57 @@ def cohort_ltv_curve_q(sf_dir: str):
     def first_fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("user_id", as_index=False)["d"].min()
 
-    first, ok = guarded_partials(
+    from dataquality_ray.stages import autoroute as ar
+    from dataquality_ray.stages.joins import hash_join
+
+    first, twin = ar.combine_or_groupby_twin(
+        "cohort_ltv_curve",
         _read(sf_dir, "events", ["user_id", "ts"])
         .map_batches(first_part, batch_format="pyarrow"), first_fold,
-        2_000_000)
-    assert ok  # bounded: #users; groupby twin is the scale path
+        ar.DRIVER_COMBINE_CAP, ("user_id",))
     cols = ("cohort_day", "age", "n_purchases", "cents", "cum_cents")
+    if twin is not None:
+        # user domain over cap: hash-join first-seen days back into the
+        # purchase scan instead of a driver dict, then fold on the
+        # bounded (cohort, age) calendar^2 grid as before.
+        ev = _read(sf_dir, "events",
+                   ["user_id", "ts", "event_type", "value"])
+        joined = hash_join(ev, twin, on="user_id", value_cols=["d"],
+                           join_type="inner")
+
+        def part_j(b: pa.Table) -> pd.DataFrame:
+            et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+            keep = et == "purchase"
+            if not keep.any():
+                return pd.DataFrame({"cohort_day": [], "age": [],
+                                     "n_purchases": [], "cents": []})
+            day = (b["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)[keep] // 86_400_000_000)
+            cents = np.round(b["value"].to_numpy(
+                zero_copy_only=False)[keep] * 100.0).astype(np.int64)
+            cd = b["d"].to_numpy(zero_copy_only=False)[keep].astype(
+                np.int64)
+            f = pd.DataFrame({"cohort_day": cd, "age": day - cd,
+                              "n_purchases": 1, "cents": cents})
+            return f.groupby(["cohort_day", "age"],
+                             as_index=False).sum()
+
+        merged, ok = guarded_partials(
+            joined.map_batches(part_j, batch_format="pyarrow"),
+            lambda f: f.groupby(["cohort_day", "age"],
+                                as_index=False).sum(),
+            2_000_000)
+        assert ok  # bounded: cohorts x ages (calendar^2)
+        if merged is None or not len(merged):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        merged = merged.sort_values(["cohort_day", "age"]) \
+            .reset_index(drop=True)
+        merged["cum_cents"] = (merged.groupby("cohort_day")["cents"]
+                               .cumsum())
+        for c in cols:
+            merged[c] = merged[c].astype(np.int64)
+        return merged[list(cols)]
     if first is None or not len(first):
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
                              for c in cols})
@@ -8956,17 +9001,58 @@ def stickiness_dau_mau_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.drop_duplicates()
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "events", ["ts", "user_id"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok  # bounded: days x users; HLL twin past cap
+    from dataquality_ray.stages import autoroute as ar
+
+    stage = (_read(sf_dir, "events", ["ts", "user_id"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, twin = ar.combine_or_groupby_twin(
+        "stickiness_dau_mau", stage, fold, ar.DRIVER_COMBINE_CAP,
+        ("month", "day", "user_id"))
     cols = ("month", "n_days", "dau_sum", "mau", "stickiness_ppm")
+    rows = []
+    if twin is not None:
+        # (day x user) domain over cap: one EXTRA shuffle keyed on
+        # (month, user) emits each user's distinct-day rows plus one
+        # month-marker row (day = -1), so dau/mau fold on the bounded
+        # calendar axis and the user domain never lands on the driver.
+        def per_mu(g: pd.DataFrame) -> pd.DataFrame:
+            m = g["month"].iloc[0]
+            days = np.unique(g["day"].to_numpy(np.int64))
+            f = pd.DataFrame({"month": m, "day": days,
+                              "du": np.int64(1), "mu": np.int64(0)})
+            mark = pd.DataFrame({"month": [m], "day": [np.int64(-1)],
+                                 "du": [np.int64(0)],
+                                 "mu": [np.int64(1)]})
+            return pd.concat([f, mark], ignore_index=True)
+
+        counts = (stage.groupby(["month", "user_id"])
+                  .map_groups(per_mu, batch_format="pandas"))
+        agg, ok2 = guarded_partials(
+            counts,
+            lambda f: (f.groupby(["month", "day"], as_index=False)
+                       [["du", "mu"]].sum()),
+            2_000_000)
+        assert ok2  # bounded: calendar months x days
+        if agg is None or not len(agg):
+            return pd.DataFrame({
+                "month": pd.Series([], dtype=object),
+                **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
+        for month, sub in agg.groupby("month"):
+            mau = int(sub.loc[sub["day"] < 0, "mu"].sum())
+            d = sub[sub["day"] >= 0]
+            n_days = len(d)
+            dau_sum = int(d["du"].sum())
+            rows.append((month, n_days, dau_sum, mau,
+                         dau_sum * 1_000_000 // (n_days * mau)))
+        out = pd.DataFrame(rows, columns=list(cols))
+        for c in cols[1:]:
+            out[c] = out[c].astype(np.int64)
+        return out.sort_values("month").reset_index(drop=True)
     if merged is None or not len(merged):
         return pd.DataFrame({
             "month": pd.Series([], dtype=object),
             **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
     dau = merged.groupby(["month", "day"])["user_id"].nunique()
-    rows = []
     for month, sub in merged.groupby("month"):
         mau = int(sub["user_id"].nunique())
         dsub = dau.loc[month]
@@ -9331,22 +9417,31 @@ def tenure_activity_correlation_q(sf_dir: str):
         return f.groupby("user_id", as_index=False).agg(
             mn=("mn", "min"), mx=("mx", "max"), n=("n", "sum"))
 
-    merged, ok = guarded_partials(
+    from dataquality_ray.stages import autoroute as ar
+
+    def part2(f: pd.DataFrame) -> pd.DataFrame:
+        tenure = ((f["mx"].astype(np.int64) - f["mn"].astype(np.int64))
+                  // 86_400_000_000).to_numpy(dtype=np.int64)
+        act = f["n"].to_numpy(dtype=np.int64)
+        return pd.DataFrame([{
+            "k": 0, "n": len(f), "sx": int(tenure.sum()),
+            "sy": int(act.sum()), "sxy": int((tenure * act).sum()),
+            "sxx": int((tenure * tenure).sum()),
+            "syy": int((act * act).sum())}])
+
+    merged = ar.refold_partials(
+        "tenure_activity_correlation",
         _read(sf_dir, "events", ["user_id", "ts"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok  # bounded: #users; groupby twin is the scale path
+        .map_batches(part, batch_format="pyarrow"), fold,
+        ar.DRIVER_COMBINE_CAP, ("user_id",),
+        part2, lambda f: f.groupby("k", as_index=False).sum(), 16)
     if merged is None or not len(merged):
         return pd.DataFrame({"n": pd.Series([], dtype=np.int64),
                              "r": pd.Series([], dtype=np.float64)})
-    tenure = ((merged["mx"].astype(np.int64)
-               - merged["mn"].astype(np.int64))
-              // 86_400_000_000).to_numpy(dtype=np.int64)
-    act = merged["n"].to_numpy(dtype=np.int64)
-    n = len(merged)
-    sx, sy = int(tenure.sum()), int(act.sum())
-    sxy = int((tenure * act).sum())
-    sxx = int((tenure * tenure).sum())
-    syy = int((act * act).sum())
+    row = merged.iloc[0]
+    n = int(row["n"])
+    sx, sy = int(row["sx"]), int(row["sy"])
+    sxy, sxx, syy = int(row["sxy"]), int(row["sxx"]), int(row["syy"])
     import math
 
     vx, vy = n * sxx - sx * sx, n * syy - sy * sy
@@ -9429,17 +9524,46 @@ def rmst_retention_q(sf_dir: str):
         return f.groupby("user_id", as_index=False).agg(
             first_us=("first_us", "min"), last_us=("last_us", "max"))
 
-    merged, ok = guarded_partials(
+    from dataquality_ray.stages import autoroute as ar
+
+    merged, twin = ar.combine_or_groupby_twin(
+        "rmst_retention",
         _read(sf_dir, "events", ["user_id", "ts"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok and merged is not None  # bounded: users at cap
-    h = int(merged["last_us"].max())
-    t_day = ((merged["last_us"] - merged["first_us"])
-             // 86_400_000_000).astype(np.int64)
-    ev = (merged["last_us"] <= h - 3_600_000_000).astype(np.int64)
-    f = pd.DataFrame({"t": t_day, "d": ev, "c": 1})
-    agg = f.groupby("t", as_index=False).agg(d=("d", "sum"),
-                                             c=("c", "sum"))
+        .map_batches(part, batch_format="pyarrow"), fold,
+        ar.DRIVER_COMBINE_CAP, ("user_id",))
+    if twin is not None:
+        # user domain over cap: global horizon via one pruned max scan,
+        # then per-user rows fold to the bounded duration-day axis.
+        h = int(_read(sf_dir, "events", ["ts"]).map_batches(
+            lambda b: pd.DataFrame({"m": [int(
+                b["ts"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False).max())]}),
+            batch_format="pyarrow").max("m"))
+
+        def part2(f: pd.DataFrame) -> pd.DataFrame:
+            g = pd.DataFrame({
+                "t": ((f["last_us"] - f["first_us"])
+                      // 86_400_000_000).astype(np.int64),
+                "d": (f["last_us"] <= h - 3_600_000_000).astype(
+                    np.int64), "c": 1})
+            return g.groupby("t", as_index=False).agg(d=("d", "sum"),
+                                                      c=("c", "sum"))
+
+        agg, ok2 = guarded_partials(
+            twin.map_batches(part2, batch_format="pandas"),
+            lambda f: f.groupby("t", as_index=False).agg(
+                d=("d", "sum"), c=("c", "sum")),
+            2_000_000)
+        assert ok2 and agg is not None  # bounded: calendar days
+    else:
+        assert merged is not None
+        h = int(merged["last_us"].max())
+        t_day = ((merged["last_us"] - merged["first_us"])
+                 // 86_400_000_000).astype(np.int64)
+        ev = (merged["last_us"] <= h - 3_600_000_000).astype(np.int64)
+        f = pd.DataFrame({"t": t_day, "d": ev, "c": 1})
+        agg = f.groupby("t", as_index=False).agg(d=("d", "sum"),
+                                                 c=("c", "sum"))
     agg = agg.sort_values("t").reset_index(drop=True)
     n_at_risk = agg["c"][::-1].cumsum()[::-1].to_numpy(np.int64)
     s = None
@@ -9560,17 +9684,46 @@ def pareto_8020_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("ck", as_index=False)["cents"].sum()
 
-    merged, ok = guarded_partials(
+    from dataquality_ray.stages import autoroute as ar
+
+    merged, twin = ar.combine_or_groupby_twin(
+        "pareto_8020",
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok and merged is not None  # bounded: customer dimension
-    merged = merged.sort_values(["cents", "ck"],
-                                ascending=[False, True])
-    cum = np.cumsum(merged["cents"].to_numpy(np.int64).astype(object))
-    total = int(cum[-1])
-    n_cust = len(merged)
-    k = next(i + 1 for i, cm in enumerate(cum)
-             if 5 * int(cm) >= 4 * total)
+        .map_batches(part, batch_format="pyarrow"), fold,
+        ar.DRIVER_COMBINE_CAP, ("ck",))
+    if twin is not None:
+        # customer domain over cap: materialize exact per-customer rows
+        # in the (spillable) object store, one streaming pass for the
+        # total, then a distributed descending sort streamed in order
+        # until the 80% threshold — driver state is two counters.
+        t = twin.materialize()
+        total, n_cust = 0, 0
+        for b in t.iter_batches(batch_format="pandas", batch_size=None):
+            if len(b):
+                n_cust += len(b)
+                total += int(sum(int(x) for x in b["cents"]))
+        cum, k = 0, 0
+        for b in (t.sort(["cents", "ck"], descending=[True, False])
+                  .iter_batches(batch_format="pandas", batch_size=None)):
+            done = False
+            for x in b["cents"]:
+                cum += int(x)
+                k += 1
+                if 5 * cum >= 4 * total:
+                    done = True
+                    break
+            if done:
+                break
+    else:
+        assert merged is not None
+        merged = merged.sort_values(["cents", "ck"],
+                                    ascending=[False, True])
+        cum = np.cumsum(merged["cents"].to_numpy(np.int64)
+                        .astype(object))
+        total = int(cum[-1])
+        n_cust = len(merged)
+        k = next(i + 1 for i, cm in enumerate(cum)
+                 if 5 * int(cm) >= 4 * total)
     return pd.DataFrame({
         "n_cust": [n_cust], "k_customers": [k],
         "cust_share_ppm": [k * 1_000_000 // n_cust]}).astype(np.int64)
@@ -10645,22 +10798,34 @@ def churn_rule_confusion_q(sf_dir: str):
         return (f.groupby("user_id", as_index=False)
                 .agg(last_h1=("last_h1", "max"), h2=("h2", "sum")))
 
-    merged, ok = guarded_partials(
-        ds.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok  # bounded: active users
+    from dataquality_ray.stages import autoroute as ar
+
+    def part2(f: pd.DataFrame) -> pd.DataFrame:
+        m = f[f["last_h1"] >= 0]
+        pred = m["last_h1"] < d0 + 8
+        actual = m["h2"] == 0
+        return pd.DataFrame([{
+            "k": 0, "nu": len(m),
+            "tp": int((pred & actual).sum()),
+            "fp": int((pred & ~actual).sum()),
+            "fn": int((~pred & actual).sum()),
+            "tn": int((~pred & ~actual).sum())}])
+
+    merged = ar.refold_partials(
+        "churn_rule_confusion",
+        ds.map_batches(part, batch_format="pyarrow"), fold,
+        ar.DRIVER_COMBINE_CAP, ("user_id",),
+        part2, lambda f: f.groupby("k", as_index=False).sum(), 16)
     cols = ("n_users", "tp", "fp", "fn", "tn", "f1_ppm")
     if merged is None or not len(merged):
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
                              for c in cols})
-    m = merged[merged["last_h1"] >= 0]
-    pred = m["last_h1"] < d0 + 8
-    actual = m["h2"] == 0
-    tp = int((pred & actual).sum())
-    fp = int((pred & ~actual).sum())
-    fn = int((~pred & actual).sum())
-    tn = int((~pred & ~actual).sum())
+    row = merged.iloc[0]
+    tp, fp = int(row["tp"]), int(row["fp"])
+    fn, tn = int(row["fn"]), int(row["tn"])
     out = pd.DataFrame([{
-        "n_users": len(m), "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "n_users": int(row["nu"]), "tp": tp, "fp": fp, "fn": fn,
+        "tn": tn,
         "f1_ppm": 2 * tp * 1_000_000 // max(2 * tp + fp + fn, 1)}])
     for c in cols:
         out[c] = out[c].astype(np.int64)
@@ -10736,18 +10901,30 @@ def survivorship_bias_q(sf_dir: str):
         return (f.groupby("user_id", as_index=False)
                 [["s", "n", "h2"]].sum())
 
-    merged, ok = guarded_partials(
-        ds.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok  # bounded: active users
+    from dataquality_ray.stages import autoroute as ar
+
+    def part2(f: pd.DataFrame) -> pd.DataFrame:
+        h1 = f[f["n"] > 0]
+        surv = h1[h1["h2"] > 0]
+        return pd.DataFrame([{
+            "k": 0, "s_all": int(h1["s"].sum()),
+            "n_all": int(h1["n"].sum()),
+            "s_surv": int(surv["s"].sum()),
+            "n_surv": int(surv["n"].sum())}])
+
+    merged = ar.refold_partials(
+        "survivorship_bias_audit",
+        ds.map_batches(part, batch_format="pyarrow"), fold,
+        ar.DRIVER_COMBINE_CAP, ("user_id",),
+        part2, lambda f: f.groupby("k", as_index=False).sum(), 16)
     cols = ("n_events_all", "n_events_surv", "mean_all_micro",
             "mean_surv_micro", "survivor_ratio_ppm")
     if merged is None or not len(merged):
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
                              for c in cols})
-    h1 = merged[merged["n"] > 0]
-    s_all, n_all = int(h1["s"].sum()), int(h1["n"].sum())
-    surv = h1[h1["h2"] > 0]
-    s_surv, n_surv = int(surv["s"].sum()), int(surv["n"].sum())
+    row = merged.iloc[0]
+    s_all, n_all = int(row["s_all"]), int(row["n_all"])
+    s_surv, n_surv = int(row["s_surv"]), int(row["n_surv"])
     mean_all = s_all // n_all
     mean_surv = s_surv // max(n_surv, 1)
     out = pd.DataFrame([{

@@ -1937,30 +1937,57 @@ def pass_at_k_q(sf_dir: str) -> pd.DataFrame:
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("user_id", as_index=False)[["n", "c"]].sum()
 
+    from dataquality_ray.stages import autoroute as ar
+
+    k = _PASS_K
+
+    def score_rows(f: pd.DataFrame) -> list[list[int]]:
+        rows = []
+        for uid, n, c in zip(f["user_id"], f["n"], f["c"]):
+            n, c = int(n), int(c)
+            if n < k:
+                continue
+            if n - c < k:
+                p = 1_000_000
+            else:
+                num = 1
+                den = 1
+                for i in range(k):
+                    num *= n - c - i
+                    den *= n - i
+                p = 1_000_000 - num * 1_000_000 // den
+            rows.append([int(uid), n, c, p])
+        return rows
+
     stage = (_read(sf_dir, "events", ["user_id", "value"])
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 2_000_000)
-    assert ok and merged is not None  # bounded: users at cap
-    k = _PASS_K
-    rows = []
-    for _, r in merged.iterrows():
-        n, c = int(r["n"]), int(r["c"])
-        if n < k:
-            continue
-        if n - c < k:
-            p = 1_000_000
-        else:
-            num = 1
-            den = 1
-            for i in range(k):
-                num *= n - c - i
-                den *= n - i
-            p = 1_000_000 - num * 1_000_000 // den
-        rows.append([int(r["user_id"]), n, c, p])
-    mean_ppm = sum(r[3] for r in rows) // len(rows)
-    rows.sort(key=lambda r: (r[3], r[0]))
-    out = pd.DataFrame(rows[:20], columns=["user_id", "n", "c",
-                                           "pass_ppm"])
+    merged, twin = ar.combine_or_groupby_twin(
+        "pass_at_k_estimator", stage, fold, ar.DRIVER_COMBINE_CAP,
+        ("user_id",))
+    if twin is None:
+        assert merged is not None
+        rows = score_rows(merged)
+        mean_ppm = sum(r[3] for r in rows) // len(rows)
+        rows.sort(key=lambda r: (r[3], r[0]))
+        rows = rows[:20]
+    else:
+        # user domain over cap: stream the exact per-user rows keeping
+        # a running bottom-20 plus the (count, sum) for the mean.
+        best: list[list[int]] = []
+        tot, cnt = 0, 0
+        for b in twin.iter_batches(batch_format="pandas",
+                                   batch_size=None):
+            if not len(b):
+                continue
+            rws = score_rows(b)
+            tot += sum(r[3] for r in rws)
+            cnt += len(rws)
+            best = sorted(best + rws,
+                          key=lambda r: (r[3], r[0]))[:20]
+        mean_ppm = tot // cnt
+        rows = best
+    out = pd.DataFrame(rows, columns=["user_id", "n", "c",
+                                      "pass_ppm"])
     out["mean_ppm"] = mean_ppm
     return out.astype(np.int64)
 
@@ -2129,7 +2156,10 @@ def hard_negative_q(sf_dir: str) -> pd.DataFrame:
     merged, ok = guarded_partials(
         _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
         .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok and merged is not None  # bounded: vectors at cap
+    assert ok and merged is not None  # algorithm-inherent cap: exact
+    # cross-label all-pairs census is O(n^2) by definition; the guard
+    # bounds it exactly like EXACT_PAIRS_MAX_N does in stages/ann.py
+    # (the approximate scale path is ann_* / cosine_near_dup_pairs)
     x = np.vstack(merged["v"].to_numpy())
     ids = merged["vec_id"].to_numpy(np.int64)
     lab = merged["label"].to_numpy(np.int64)

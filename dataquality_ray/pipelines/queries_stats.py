@@ -794,16 +794,45 @@ def kaplan_meier_q(sf_dir: str):
         return f.groupby("user_id", as_index=False).agg(
             d0=("d0", "min"), d1=("d1", "max"))
 
+    from dataquality_ray.stages import autoroute as ar
+
     stage = (_read(sf_dir, "events", ["user_id", "ts"])
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 2_000_000)
-    assert ok and merged is not None  # bounded: distinct users
-    dm = int(merged["d1"].max())
-    dur = (merged["d1"] - merged["d0"] + 1).to_numpy().astype(np.int64)
-    ev = (merged["d1"] < dm).to_numpy().astype(np.int64)
-    f = pd.DataFrame({"dur": dur, "d": ev, "c": 1})
-    t = f.groupby("dur", as_index=False).agg(
-        d=("d", "sum"), c=("c", "sum")).sort_values("dur")
+    merged, twin = ar.combine_or_groupby_twin(
+        "kaplan_meier_retention", stage, fold, ar.DRIVER_COMBINE_CAP,
+        ("user_id",))
+    if twin is not None:
+        # user domain over cap: global max day via one pruned scan, then
+        # exact per-user rows fold to the bounded (dur) axis in-shuffle.
+        dm = int(_read(sf_dir, "events", ["ts"]).map_batches(
+            lambda b: pd.DataFrame({"m": [int(
+                b["ts"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False).max() // 86_400_000_000)]}),
+            batch_format="pyarrow").max("m"))
+
+        def part2(f: pd.DataFrame) -> pd.DataFrame:
+            g = pd.DataFrame({
+                "dur": (f["d1"] - f["d0"] + 1).astype(np.int64),
+                "d": (f["d1"] < dm).astype(np.int64), "c": 1})
+            return g.groupby("dur", as_index=False).agg(
+                d=("d", "sum"), c=("c", "sum"))
+
+        t, ok2 = guarded_partials(
+            twin.map_batches(part2, batch_format="pandas"),
+            lambda f: f.groupby("dur", as_index=False).agg(
+                d=("d", "sum"), c=("c", "sum")),
+            2_000_000)
+        assert ok2 and t is not None  # bounded: calendar days
+        t = t.sort_values("dur")
+    else:
+        assert merged is not None
+        dm = int(merged["d1"].max())
+        dur = (merged["d1"] - merged["d0"] + 1).to_numpy().astype(
+            np.int64)
+        ev = (merged["d1"] < dm).to_numpy().astype(np.int64)
+        f = pd.DataFrame({"dur": dur, "d": ev, "c": 1})
+        t = f.groupby("dur", as_index=False).agg(
+            d=("d", "sum"), c=("c", "sum")).sort_values("dur")
     # risk set = users with duration >= t (suffix sum)
     n_at = np.cumsum(t["c"].to_numpy()[::-1])[::-1]
     t["n"] = n_at
@@ -1003,10 +1032,17 @@ SELECT count(*)::BIGINT AS n_treated,
 FROM m WHERE rn = 1
 """)
 def nn_matching_att_q(sf_dir: str):
-    """1-NN covariate-matching treatment-effect estimate; engine probes a
-    sorted control array with searchsorted (left/right nearest), exactly
-    reproducing the SQL (distance, balance, custkey) argmin."""
+    """1-NN covariate-matching treatment-effect estimate.  Both sides
+    reduce distributedly to the bounded balance-cents grid (treated →
+    per-bal count/Σy, controls → per-bal min-custkey representative —
+    the SQL (distance, bal, custkey) argmin only ever picks that row);
+    per-customer spend attaches via broadcast lookup within the cap and
+    a hash join past it, so nothing customer-dimension-sized lands on
+    the driver.  The final probe is one vectorized searchsorted over
+    grid rows."""
+    from dataquality_ray.stages import autoroute as ar
     from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.joins import broadcast_join, hash_join
 
     def spend_part(b: pa.Table) -> pd.DataFrame:
         f = pd.DataFrame({
@@ -1018,42 +1054,82 @@ def nn_matching_att_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("k", as_index=False)["y"].sum()
 
-    spend, ok = guarded_partials(
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(spend_part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok and spend is not None  # bounded: distinct customers
-    cust = (_read(sf_dir, "customer",
-                  ["c_custkey", "c_acctbal", "c_mktsegment"])
-            .to_pandas())
-    cust["bal"] = np.round(cust["c_acctbal"].to_numpy()
-                           * 100).astype(np.int64)
-    ymap = dict(zip(spend["k"], spend["y"]))
-    cust["y"] = np.array([int(ymap.get(k, 0))
-                          for k in cust["c_custkey"]], dtype=np.int64)
-    tr = cust[cust["c_mktsegment"] == "BUILDING"]
-    ct = (cust[cust["c_mktsegment"] != "BUILDING"]
-          .sort_values(["bal", "c_custkey"]).reset_index(drop=True))
-    cb = ct["bal"].to_numpy()
-    cy = ct["y"].to_numpy()
-    # first occurrence index of each balance value (min custkey per bal)
-    first_idx = np.searchsorted(cb, cb, side="left")
-    att_num = 0
-    for bt, yt in zip(tr["bal"].to_numpy(), tr["y"].to_numpy()):
-        ir = int(np.searchsorted(cb, bt, side="right"))
-        il = ir - 1
-        cand = []
-        if il >= 0:
-            j = int(first_idx[il])
-            cand.append((abs(int(bt) - int(cb[j])), int(cb[j]), j))
-        if ir < len(cb):
-            # side='right' lands on the first (min-custkey) row of the
-            # nearest strictly-greater balance
-            cand.append((abs(int(bt) - int(cb[ir])), int(cb[ir]), ir))
-        _, _, jbest = min(cand)
-        att_num += int(yt) - int(cy[jbest])
-    n_t = len(tr)
+    spend_stage = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+                   .map_batches(spend_part, batch_format="pyarrow"))
+    spend, twin = ar.combine_or_groupby_twin(
+        "nn_matching_att", spend_stage, fold, ar.DRIVER_COMBINE_CAP,
+        ("k",))
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_acctbal", "c_mktsegment"])
+    if twin is None:
+        lookup = (spend if spend is not None
+                  else pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                                     "y": pd.Series([], dtype=np.int64)})
+                  ).rename(columns={"k": "c_custkey"})
+        joined = broadcast_join(cust, lookup, on="c_custkey",
+                                value_cols=["y"], join_type="left_outer")
+    else:
+        joined = hash_join(cust, twin, on="c_custkey", right_on="k",
+                           value_cols=["y"], join_type="left_outer")
+
+    _KMAX = np.iinfo(np.int64).max
+
+    def bal_part(b: pa.Table) -> pd.DataFrame:
+        f = b.to_pandas()
+        f["bal"] = np.round(f["c_acctbal"].to_numpy()
+                            * 100).astype(np.int64)
+        f["y"] = f["y"].fillna(0).astype(np.int64)
+        tr = f["c_mktsegment"] == "BUILDING"
+        t = (f[tr].groupby("bal", as_index=False)
+             .agg(n_t=("y", "size"), sy_t=("y", "sum")))
+        t["n_c"] = np.int64(0)
+        t["k_min"] = _KMAX
+        t["y_min"] = np.int64(0)
+        c = (f[~tr].sort_values("c_custkey")
+             .groupby("bal", as_index=False)
+             .agg(n_c=("y", "size"), k_min=("c_custkey", "first"),
+                  y_min=("y", "first")))
+        c["n_t"] = np.int64(0)
+        c["sy_t"] = np.int64(0)
+        cols = ["bal", "n_t", "sy_t", "n_c", "k_min", "y_min"]
+        return pd.concat([t[cols], c[cols]], ignore_index=True)
+
+    def bal_fold(f: pd.DataFrame) -> pd.DataFrame:
+        f = f.sort_values("k_min")
+        return f.groupby("bal", as_index=False).agg(
+            n_t=("n_t", "sum"), sy_t=("sy_t", "sum"), n_c=("n_c", "sum"),
+            k_min=("k_min", "first"), y_min=("y_min", "first"))
+
+    g, ok = guarded_partials(
+        joined.map_batches(bal_part, batch_format="pyarrow"), bal_fold,
+        2_000_000)
+    assert ok  # bounded: balance cents grid (corpus-invariant)
+    if g is None or not len(g):
+        g = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                          for c in ("bal", "n_t", "sy_t", "n_c",
+                                    "k_min", "y_min")})
+    ct = g[g["n_c"] > 0].sort_values("bal").reset_index(drop=True)
+    cb = ct["bal"].to_numpy(np.int64)
+    cy = ct["y_min"].to_numpy(np.int64)
+    trg = g[g["n_t"] > 0].sort_values("bal").reset_index(drop=True)
+    bt = trg["bal"].to_numpy(np.int64)
+    nt = trg["n_t"].to_numpy(np.int64)
+    syt = trg["sy_t"].to_numpy(np.int64)
+    ir = np.searchsorted(cb, bt, side="right")
+    il = ir - 1
+    has_l = il >= 0
+    has_r = ir < len(cb)
+    dl = bt - cb[np.clip(il, 0, max(len(cb) - 1, 0))]
+    dr = cb[np.clip(ir, 0, max(len(cb) - 1, 0))] - bt
+    # equal distance → smaller control balance → the left candidate
+    take_left = has_l & (~has_r | (dl <= dr))
+    yc = np.where(take_left, cy[np.clip(il, 0, max(len(cb) - 1, 0))],
+                  cy[np.clip(ir, 0, max(len(cb) - 1, 0))])
+    att_num = int((syt - nt * yc).sum())
+    n_t = int(nt.sum())
     att = _trunc_div(att_num, n_t)
-    return pd.DataFrame({"n_treated": [n_t], "n_control": [len(ct)],
+    return pd.DataFrame({"n_treated": [n_t],
+                         "n_control": [int(g["n_c"].sum())],
                          "att_num_cents": [att_num], "att_cents": [att]})
 
 
@@ -2186,35 +2262,61 @@ SELECT priority, n::BIGINT AS n, s::BIGINT AS s,
 FROM agg ORDER BY priority
 """)
 def l_moments_q(sf_dir: str):
-    """Exact L-CV and L-skewness per priority from sorted-rank sums."""
-    from dataquality_ray.stages.autoroute import guarded_partials
+    """Exact L-CV and L-skewness per priority from sorted-rank sums.
+
+    Partials are (priority, cents-value) COUNTS — the domain is the
+    corpus-invariant price grid, not the row count — and rank sums
+    derive from run offsets: for a value run of count c at offset o,
+    sum(i*x) = x*(c*o + c(c-1)/2) and sum(i(i-1)*x) telescopes through
+    T(m) = (m-1)m(m+1)/3.  Past the cap the exact counts re-sort
+    distributedly and stream through the same accumulator with O(1)
+    driver state."""
+    from dataquality_ray.stages import autoroute as ar
 
     def part(b: pa.Table) -> pd.DataFrame:
         cents = np.round(b["o_totalprice"].to_numpy(zero_copy_only=False)
                          * 100).astype(np.int64)
         f = pd.DataFrame({"priority": b["o_orderpriority"].to_pylist(),
-                          "x": cents})
-        return f
+                          "x": cents, "c": np.int64(1)})
+        return f.groupby(["priority", "x"], as_index=False)["c"].sum()
 
     def fold(f: pd.DataFrame) -> pd.DataFrame:
-        return f
+        return f.groupby(["priority", "x"], as_index=False)["c"].sum()
+
+    def accum(f: pd.DataFrame, state: dict) -> None:
+        # f: (priority, x, c) rows sorted by (priority, x); object-int
+        # vectors keep the telescoping T(m) = (m-1)m(m+1)/3 exact.
+        for pri, g in f.groupby("priority", sort=False):
+            st = state.setdefault(pri, [0, 0, 0, 0])  # n, s, b1, b2
+            c = g["c"].to_numpy(np.int64)
+            cl = c.astype(object)
+            xl = g["x"].to_numpy(np.int64).astype(object)
+            ol = (np.cumsum(c) - c).astype(object) + st[0]
+            e = ol + cl - 1
+            st[1] += int((xl * cl).sum())
+            st[2] += int((xl * (cl * ol + cl * (cl - 1) // 2)).sum())
+            st[3] += int((xl * ((e - 1) * e * (e + 1) // 3
+                                - (ol - 2) * (ol - 1) * ol // 3)).sum())
+            st[0] += int(c.sum())
 
     stage = (_read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 2_000_000)
-    assert ok and merged is not None  # bounded: order rows at cap
+    merged, twin = ar.combine_or_groupby_twin(
+        "l_moments_by_priority", stage, fold, ar.DRIVER_COMBINE_CAP,
+        ("priority", "x"))
+    state: dict = {}
+    if twin is None:
+        if merged is not None and len(merged):
+            accum(merged.sort_values(["priority", "x"]), state)
+    else:
+        for b in (twin.sort(["priority", "x"])
+                  .iter_batches(batch_format="pandas", batch_size=None)):
+            if len(b):
+                accum(b, state)
     rows = []
-    for pri, g in merged.groupby("priority"):
-        x = np.sort(g["x"].to_numpy(np.int64)).astype(object)
-        n = len(x)
-        i = np.arange(n, dtype=object)
-        s = int(x.sum())
-        b1 = int((i * x).sum())
-        b2 = int((i * (i - 1) * x).sum())
+    for pri, (n, s, b1, b2) in state.items():
         l2n = 2 * b1 - (n - 1) * s
         l3n = 6 * b2 - 6 * (n - 2) * b1 + (n - 1) * (n - 2) * s
-        # raw b1/b2 overflow int64 beyond ~10^5 rows/group; only the
-        # scale-free ratios are emitted
         rows.append([pri, n, s,
                      _trunc_div(l2n * 1_000_000, (n - 1) * s),
                      _trunc_div(l3n * 1_000_000, l2n * (n - 2))])
@@ -4098,19 +4200,29 @@ def distance_correlation_q(sf_dir: str):
         f = pd.DataFrame({"day": day, "user_id": uid, "n": 1})
         return f.groupby(["day", "user_id"], as_index=False)["n"].sum()
 
-    merged, ok = guarded_partials(
+    from dataquality_ray.stages import autoroute as ar
+
+    # (day, user) partials fold per-day past the cap — the exact
+    # per-(day,user) rows from the groupby twin are globally unique, so
+    # per-batch (sum n, row count) partials re-fold on the bounded
+    # calendar axis without the user domain ever landing on the driver.
+    merged = ar.refold_partials(
+        "distance_correlation_daily",
         _read(sf_dir, "events", ["ts", "user_id"])
         .map_batches(part2, batch_format="pyarrow"),
-        lambda f: f.groupby(["day", "user_id"], as_index=False)["n"].sum(),
+        lambda f: f.groupby(["day", "user_id"],
+                            as_index=False)["n"].sum(),
+        ar.DRIVER_COMBINE_CAP, ("day", "user_id"),
+        lambda f: (f.groupby("day", as_index=False)
+                   .agg(x=("n", "sum"), y=("user_id", "size"))),
+        lambda f: f.groupby("day", as_index=False)[["x", "y"]].sum(),
         2_000_000)
-    assert ok  # bounded: days x active users
     cols = ("n_pairs", "dcov2_sum_micro", "dvarx_sum_micro",
             "dvary_sum_micro", "dcor2_micro")
     if merged is None or not len(merged):
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
                              for c in cols})
-    g = merged.groupby("day").agg(x=("n", "sum"), y=("user_id", "size"))
-    g = g.sort_index()
+    g = merged.set_index("day").sort_index()
     x = g["x"].to_numpy(np.int64).astype(np.float64)
     y = g["y"].to_numpy(np.int64).astype(np.float64)
     ax = np.abs(x[:, None] - x[None, :])
@@ -6371,19 +6483,25 @@ def blomqvist_beta_q(sf_dir: str):
         f = pd.DataFrame({"day": day, "user_id": uid, "n": 1})
         return f.groupby(["day", "user_id"], as_index=False)["n"].sum()
 
-    merged, ok = guarded_partials(
+    from dataquality_ray.stages import autoroute as ar
+
+    merged = ar.refold_partials(
+        "blomqvist_beta_daily",
         _read(sf_dir, "events", ["ts", "user_id"])
         .map_batches(part2, batch_format="pyarrow"),
-        lambda f: f.groupby(["day", "user_id"], as_index=False)["n"].sum(),
+        lambda f: f.groupby(["day", "user_id"],
+                            as_index=False)["n"].sum(),
+        ar.DRIVER_COMBINE_CAP, ("day", "user_id"),
+        lambda f: (f.groupby("day", as_index=False)
+                   .agg(x=("n", "sum"), y=("user_id", "size"))),
+        lambda f: f.groupby("day", as_index=False)[["x", "y"]].sum(),
         2_000_000)
-    assert ok  # bounded: days x active users
     cols = ("n_days", "concordant", "discordant",
             "blomqvist_beta_micro")
     if merged is None or not len(merged):
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
                              for c in cols})
-    g = merged.groupby("day").agg(x=("n", "sum"), y=("user_id", "size"))
-    g = g.reset_index().sort_values("day")
+    g = merged.sort_values("day")
     x = g["x"].to_numpy(np.int64)
     y = g["y"].to_numpy(np.int64)
     n = len(x)
@@ -6452,12 +6570,18 @@ def gamma_poisson_q(sf_dir: str):
             zero_copy_only=False).astype(np.int64), "k": 1})
         return f.groupby("user_id", as_index=False)["k"].sum()
 
-    merged, ok = guarded_partials(
+    from dataquality_ray.stages import autoroute as ar
+
+    merged, twin = ar.combine_or_groupby_twin(
+        "gamma_poisson_shrinkage",
         _read(sf_dir, "events", ["user_id"])
         .map_batches(part, batch_format="pyarrow"),
         lambda f: f.groupby("user_id", as_index=False)["k"].sum(),
-        2_000_000)
-    assert ok  # bounded: users
+        ar.DRIVER_COMBINE_CAP, ("user_id",))
+    if twin is not None:
+        # per-user rows ARE the result: the twin moves the fold into the
+        # shuffle; the stream-back is output-sized by definition.
+        merged = ar.twin_to_frame(twin)
     cols = ("user_id", "n_events", "raw_rate_milli", "shrunk_rate_milli")
     if merged is None or len(merged) < 2:
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
@@ -6527,21 +6651,38 @@ def zero_inflation_q(sf_dir: str):
         f = pd.DataFrame({"user_id": uid, "day": day, "n": 1})
         return f.groupby(["user_id", "day"], as_index=False)["n"].sum()
 
-    merged, ok = guarded_partials(
+    from dataquality_ray.stages import autoroute as ar
+
+    merged, twin = ar.combine_or_groupby_twin(
+        "zero_inflation_audit",
         _read(sf_dir, "events", ["ts", "user_id"])
         .map_batches(part, batch_format="pyarrow"),
-        lambda f: f.groupby(["user_id", "day"], as_index=False)["n"].sum(),
-        2_000_000)
-    assert ok  # bounded: users x days
+        lambda f: f.groupby(["user_id", "day"],
+                            as_index=False)["n"].sum(),
+        ar.DRIVER_COMBINE_CAP, ("user_id", "day"))
     cols = ("n_cells", "observed_zeros", "expected_zeros")
-    if merged is None or not len(merged):
-        return pd.DataFrame({**{c: pd.Series([], dtype=np.int64)
-                                for c in cols},
-                             "zero_inflated": pd.Series([], dtype=bool)})
-    nu = merged["user_id"].nunique()
-    nd = merged["day"].nunique()
-    n_events = int(merged["n"].sum())
-    n_active = len(merged)
+    if twin is not None:
+        # (user x day) over cap: count the twin's unique cell rows and
+        # event sum streamingly; the two marginal distinct counts take
+        # one extra groupby-count each — counters only on the driver.
+        tw = twin.materialize()
+        n_active, n_events = 0, 0
+        for b in tw.iter_batches(batch_format="pandas",
+                                 batch_size=None):
+            if len(b):
+                n_active += len(b)
+                n_events += int(b["n"].sum())
+        nu = int(tw.groupby("user_id").count().count())
+        nd = int(tw.groupby("day").count().count())
+    else:
+        if merged is None or not len(merged):
+            return pd.DataFrame(
+                {**{c: pd.Series([], dtype=np.int64) for c in cols},
+                 "zero_inflated": pd.Series([], dtype=bool)})
+        nu = merged["user_id"].nunique()
+        nd = merged["day"].nunique()
+        n_events = int(merged["n"].sum())
+        n_active = len(merged)
     n_cells = nu * nd
     obs = n_cells - n_active
     exp_zeros = n_cells * math.exp(-(n_events / n_cells))
@@ -6589,13 +6730,45 @@ def hoover_index_q(sf_dir: str):
             zero_copy_only=False).astype(np.int64), "v": v})
         return f.groupby("o_custkey", as_index=False)["v"].sum()
 
-    merged, ok = guarded_partials(
+    from dataquality_ray.stages import autoroute as ar
+
+    merged, twin = ar.combine_or_groupby_twin(
+        "hoover_index_customers",
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(part, batch_format="pyarrow"),
         lambda f: f.groupby("o_custkey", as_index=False)["v"].sum(),
-        2_000_000)
-    assert ok  # bounded: customers
+        ar.DRIVER_COMBINE_CAP, ("o_custkey",))
     cols = ("n_customers", "total_cents", "hoover_ppm")
+    if twin is not None:
+        # customer domain over cap: materialize the exact per-customer
+        # rows in the (spillable) object store and make two streaming
+        # passes — (n, total) first, then the |v*n - total| deviation,
+        # partial sums carried as decimal strings so Python-int
+        # exactness survives the Arrow hop.
+        t = twin.materialize()
+        n, total = 0, 0
+        for b in t.iter_batches(batch_format="pandas", batch_size=None):
+            if len(b):
+                n += len(b)
+                total += int(sum(int(x) for x in b["v"]))
+        if n == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+
+        def dev_part(f: pd.DataFrame, n=n, total=total) -> pd.DataFrame:
+            a = sum(abs(int(x) * n - total) for x in f["v"])
+            return pd.DataFrame({"a": [str(a)]})
+
+        absdev = 0
+        for b in (t.map_batches(dev_part, batch_format="pandas")
+                  .iter_batches(batch_format="pandas", batch_size=None)):
+            absdev += sum(int(s) for s in b["a"])
+        out = pd.DataFrame([{
+            "n_customers": n, "total_cents": total,
+            "hoover_ppm": absdev * 1_000_000 // (2 * n * total)}])
+        for c in cols:
+            out[c] = out[c].astype(np.int64)
+        return out
     if merged is None or not len(merged):
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
                              for c in cols})

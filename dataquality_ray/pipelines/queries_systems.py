@@ -2191,23 +2191,68 @@ def sample_sort_splitter_q(sf_dir: str) -> pd.DataFrame:
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok and merged is not None  # bounded: orders at cap
-    merged = merged.sort_values(["x", "k"]).reset_index(drop=True)
-    x = merged["x"].to_numpy(np.int64)
-    n = len(x)
-    samp = x[0::100]  # ranks r % 100 == 1 on the 1-based grid
-    m = len(samp)
-    # keep the multiset: duplicate cut values shift part ids exactly
-    # like the SQL's per-splitter strict comparison does
-    cuts = [int(samp[max(1, (k * m) // 8) - 1]) for k in range(1, 8)]
-    part_id = np.zeros(n, dtype=np.int64)
-    for cut in cuts:
-        part_id += (x > cut).astype(np.int64)
-    sizes = np.bincount(part_id)
-    sizes = sizes[sizes > 0]
+    from dataquality_ray.stages import autoroute as ar
+
+    stage = (_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, ar.DRIVER_COMBINE_CAP)
+    if ok and merged is not None:
+        ar.record_route("sample_sort_splitter_audit", "combine",
+                        "within cap", len(merged))
+        merged = merged.sort_values(["x", "k"]).reset_index(drop=True)
+        x = merged["x"].to_numpy(np.int64)
+        n = len(x)
+        samp = x[0::100]  # ranks r % 100 == 1 on the 1-based grid
+        m = len(samp)
+        # keep the multiset: duplicate cut values shift part ids
+        # exactly like the SQL's per-splitter strict comparison does
+        cuts = [int(samp[max(1, (k * m) // 8) - 1])
+                for k in range(1, 8)]
+        part_id = np.zeros(n, dtype=np.int64)
+        for cut in cuts:
+            part_id += (x > cut).astype(np.int64)
+        sizes = np.bincount(part_id)
+        sizes = sizes[sizes > 0]
+    elif ok:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("n_rows", "n_parts", "max_part",
+                                       "imbalance_ppm")})
+    else:
+        # rows over cap: distributed sort streamed twice — pass 1
+        # collects the every-100th sample (the 1% the driver holds IS
+        # the sample-sort design), pass 2 bins each batch against the
+        # cuts with one vectorized searchsorted.
+        ar.record_route("sample_sort_splitter_audit", "sorted_stream",
+                        "rows over cap", None)
+        t = stage.sort(["x", "k"]).materialize()
+        samples: list[np.ndarray] = []
+        n = 0
+        for b in t.iter_batches(batch_format="pandas",
+                                batch_size=None):
+            if not len(b):
+                continue
+            xs = b["x"].to_numpy(np.int64)
+            idx = np.arange(len(xs))
+            samples.append(xs[(n + idx) % 100 == 0])
+            n += len(xs)
+        if n == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("n_rows", "n_parts",
+                                           "max_part",
+                                           "imbalance_ppm")})
+        samp = np.concatenate(samples)
+        m = len(samp)
+        cuts = np.asarray(sorted(int(samp[max(1, (k * m) // 8) - 1])
+                                 for k in range(1, 8)), dtype=np.int64)
+        sizes = np.zeros(8, dtype=np.int64)
+        for b in t.iter_batches(batch_format="pandas",
+                                batch_size=None):
+            if not len(b):
+                continue
+            xs = b["x"].to_numpy(np.int64)
+            pid = np.searchsorted(cuts, xs, side="left")
+            sizes += np.bincount(pid, minlength=8)
+        sizes = sizes[sizes > 0]
     return pd.DataFrame({
         "n_rows": [n], "n_parts": [len(sizes)],
         "max_part": [int(sizes.max())],
@@ -2247,28 +2292,86 @@ def straggler_speculation_audit_q(sf_dir: str):
     perfect backup recovers.  Ray shape: hash shuffle on the job key +
     vectorized per-group numpy — the straggler-mitigation audit a cluster
     scheduler runs over task logs."""
-    def per_job(g: pd.DataFrame) -> pd.DataFrame:
-        dur = np.floor(g["l_quantity"].to_numpy()).astype(np.int64)
-        n = len(dur)
-        med = int(np.sort(dur)[(n - 1) // 2])
-        strag = 2 * dur > 3 * med
-        if not strag.any():
-            return pd.DataFrame({
-                "l_orderkey": pd.Series([], dtype=np.int64),
-                "n_tasks": pd.Series([], dtype=np.int64),
-                "med_dur": pd.Series([], dtype=np.int64),
-                "n_stragglers": pd.Series([], dtype=np.int64),
-                "saved_x2": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({
-            "l_orderkey": [int(g["l_orderkey"].iloc[0])],
-            "n_tasks": [n], "med_dur": [med],
-            "n_stragglers": [int(strag.sum())],
-            "saved_x2": [int((2 * dur[strag] - 3 * med).sum())]})
+    from dataquality_ray.stages import autoroute as ar
 
-    out = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-           .groupby("l_orderkey")
-           .map_groups(per_job, batch_format="pandas")
-           .to_pandas())
+    cols = ["l_orderkey", "n_tasks", "med_dur", "n_stragglers",
+            "saved_x2"]
+
+    def part(b: pa.Table) -> pd.DataFrame:
+        f = pd.DataFrame({
+            "k": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "dur": np.floor(b["l_quantity"].to_numpy(
+                zero_copy_only=False)).astype(np.int64), "c": 1})
+        return f.groupby(["k", "dur"], as_index=False)["c"].sum()
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby(["k", "dur"], as_index=False)["c"].sum()
+
+    stage = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, twin = ar.combine_or_groupby_twin(
+        "straggler_speculation_audit", stage, fold,
+        ar.DRIVER_COMBINE_CAP, ("k", "dur"))
+    if twin is not None:
+        # (order x duration-value) over cap: per-order reduce stays in
+        # the shuffle — each group is one order's duration histogram.
+        def per_hist(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("dur")
+            c = g["c"].to_numpy(np.int64)
+            dur = g["dur"].to_numpy(np.int64)
+            n = int(c.sum())
+            med = int(dur[np.searchsorted(np.cumsum(c),
+                                          (n - 1) // 2 + 1)])
+            strag = 2 * dur > 3 * med
+            ns = int(c[strag].sum())
+            if ns == 0:
+                return pd.DataFrame(columns=cols)
+            return pd.DataFrame([[int(g["k"].iloc[0]), n, med, ns,
+                                  int((c[strag] * (2 * dur[strag]
+                                                   - 3 * med)).sum())]],
+                                columns=cols)
+
+        out = ar.twin_to_frame(
+            stage.groupby("k").map_groups(
+                lambda g: per_hist(fold(g)), batch_format="pandas"))
+        if out is None:
+            out = pd.DataFrame(columns=cols)
+    else:
+        if merged is None or not len(merged):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        # one vectorized pass over the (k, dur)-sorted histogram — the
+        # interval_scheduling recipe; no per-group frame construction
+        m = merged.sort_values(["k", "dur"]).reset_index(drop=True)
+        k = m["k"].to_numpy(np.int64)
+        dur = m["dur"].to_numpy(np.int64)
+        c = m["c"].to_numpy(np.int64)
+        new_seg = np.r_[True, k[1:] != k[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        nseg = int(seg_id[-1]) + 1
+        n_per = np.bincount(seg_id, weights=c,
+                            minlength=nseg).astype(np.int64)
+        cs = np.cumsum(c)
+        seg_base = np.repeat(cs[new_seg] - c[new_seg], np.bincount(
+            seg_id, minlength=nseg).astype(np.int64))
+        cc = cs - seg_base  # within-segment cumulative count
+        mr = ((n_per - 1) // 2)[seg_id]
+        is_med = (cc - c <= mr) & (cc > mr)
+        med_per = np.zeros(nseg, dtype=np.int64)
+        med_per[seg_id[is_med]] = dur[is_med]
+        med = med_per[seg_id]
+        strag = 2 * dur > 3 * med
+        n_strag = np.bincount(seg_id, weights=np.where(strag, c, 0),
+                              minlength=nseg).astype(np.int64)
+        saved = np.bincount(
+            seg_id, weights=np.where(strag, c * (2 * dur - 3 * med), 0),
+            minlength=nseg).astype(np.int64)
+        keys = k[new_seg]
+        keep = n_strag > 0
+        out = pd.DataFrame({
+            "l_orderkey": keys[keep], "n_tasks": n_per[keep],
+            "med_dur": med_per[keep], "n_stragglers": n_strag[keep],
+            "saved_x2": saved[keep]})
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("l_orderkey").reset_index(drop=True)
@@ -2307,20 +2410,48 @@ def ski_rental_audit_q(sf_dir: str):
         t = pa.table({"user_id": batch["user_id"], "day": day})
         return t.group_by(["user_id", "day"]).aggregate([])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        d = int(g["day"].nunique())
-        opt = min(d, B)
-        online = d if d < B else 2 * B - 1
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_days": [d], "opt_cost": [opt], "online_cost": [online],
-            "ratio_ppm": [online * 1_000_000 // opt]})
+    from dataquality_ray.stages import autoroute as ar
 
-    out = (_read(sf_dir, "events", ["user_id", "ts"])
-           .map_batches(dedup_pairs, batch_format="pyarrow")
-           .groupby("user_id")
-           .map_groups(per_user, batch_format="pandas")
-           .to_pandas())
+    def vector_out(uids: np.ndarray, d: np.ndarray) -> pd.DataFrame:
+        opt = np.minimum(d, B)
+        online = np.where(d < B, d, 2 * B - 1)
+        return pd.DataFrame({
+            "user_id": uids, "n_days": d, "opt_cost": opt,
+            "online_cost": online,
+            "ratio_ppm": online * 1_000_000 // opt})
+
+    stage = (_read(sf_dir, "events", ["user_id", "ts"])
+             .map_batches(dedup_pairs, batch_format="pyarrow")
+             .map_batches(lambda f: f.drop_duplicates(),
+                          batch_format="pandas"))
+    merged, twin = ar.combine_or_groupby_twin(
+        "ski_rental_audit", stage, lambda f: f.drop_duplicates(),
+        ar.DRIVER_COMBINE_CAP, ("user_id", "day"))
+    if twin is not None:
+        # (user x day) over cap: the twin's globally-unique pair rows
+        # refold per user distributedly, then one vectorized pass per
+        # streamed batch — output-sized, no per-group frames.
+        counts = (twin.groupby("user_id")
+                  .map_groups(lambda g: pd.DataFrame(
+                      [[int(g["user_id"].iloc[0]), len(g)]],
+                      columns=["user_id", "d"]),
+                      batch_format="pandas"))
+        parts = [vector_out(b["user_id"].to_numpy(np.int64),
+                            b["d"].to_numpy(np.int64))
+                 for b in counts.iter_batches(batch_format="pandas",
+                                              batch_size=None)
+                 if len(b)]
+        out = (pd.concat(parts, ignore_index=True) if parts
+               else vector_out(np.array([], np.int64),
+                               np.array([], np.int64)))
+    else:
+        if merged is None or not len(merged):
+            return vector_out(np.array([], np.int64),
+                              np.array([], np.int64)).astype("int64")
+        g = (merged.groupby("user_id").size()
+             .reset_index(name="d"))
+        out = vector_out(g["user_id"].to_numpy(np.int64),
+                         g["d"].to_numpy(np.int64))
     for c in ("n_days", "opt_cost", "online_cost", "ratio_ppm"):
         out[c] = out[c].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
@@ -3102,20 +3233,47 @@ def hilbert_vs_zorder_q(sf_dir: str):
                                                  << (2 * k + 1))
         return pd.DataFrame({"doc_id": ids, "hd": hd, "zd": zd})
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "documents", ["doc_id", "n_chars"])
-        .map_batches(part, batch_format="pyarrow"),
-        lambda f: f.drop_duplicates("doc_id"), 2_000_000)
-    assert ok  # one row per doc at driver scales
+    from dataquality_ray.stages import autoroute as ar
+
+    stage = (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage,
+                                  lambda f: f.drop_duplicates("doc_id"),
+                                  ar.DRIVER_COMBINE_CAP)
     cols = ("n_pairs", "hilbert_jump_sum", "zorder_jump_sum")
-    if merged is None or len(merged) < 2:
-        return pd.DataFrame({**{c: pd.Series([], dtype=np.int64)
-                                for c in cols},
-                             "hilbert_wins": pd.Series([], dtype=bool)})
-    f = merged.sort_values("doc_id").reset_index(drop=True)
-    hj = int(np.abs(np.diff(f["hd"].to_numpy(np.int64))).sum())
-    zj = int(np.abs(np.diff(f["zd"].to_numpy(np.int64))).sum())
-    out = pd.DataFrame([{"n_pairs": len(f) - 1, "hilbert_jump_sum": hj,
+    if ok:
+        if merged is None or len(merged) < 2:
+            return pd.DataFrame({**{c: pd.Series([], dtype=np.int64)
+                                    for c in cols},
+                                 "hilbert_wins": pd.Series([],
+                                                           dtype=bool)})
+        f = merged.sort_values("doc_id").reset_index(drop=True)
+        n_pairs = len(f) - 1
+        hj = int(np.abs(np.diff(f["hd"].to_numpy(np.int64))).sum())
+        zj = int(np.abs(np.diff(f["zd"].to_numpy(np.int64))).sum())
+    else:
+        # docs over cap: distributed doc_id sort streamed once; the lag
+        # folds across batch boundaries with one carried row.
+        ar.record_route("hilbert_vs_zorder", "sorted_stream",
+                        "docs over cap", None)
+        hj = zj = n_pairs = 0
+        prev_h = prev_z = None
+        for b in (stage.sort("doc_id")
+                  .iter_batches(batch_format="pandas",
+                                batch_size=None)):
+            if not len(b):
+                continue
+            hd = b["hd"].to_numpy(np.int64)
+            zd = b["zd"].to_numpy(np.int64)
+            hj += int(np.abs(np.diff(hd)).sum())
+            zj += int(np.abs(np.diff(zd)).sum())
+            n_pairs += len(hd) - 1
+            if prev_h is not None:
+                hj += abs(int(hd[0]) - prev_h)
+                zj += abs(int(zd[0]) - prev_z)
+                n_pairs += 1
+            prev_h, prev_z = int(hd[-1]), int(zd[-1])
+    out = pd.DataFrame([{"n_pairs": n_pairs, "hilbert_jump_sum": hj,
                          "zorder_jump_sum": zj, "hilbert_wins": hj <= zj}])
     for c in cols:
         out[c] = out[c].astype(np.int64)

@@ -7712,19 +7712,12 @@ def dedup_lm_impact_q(sf_dir: str) -> pd.DataFrame:
     def kfold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("h", as_index=False)["mid"].min()
 
-    keep_df, ok = guarded_partials(
-        _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(kpart, batch_format="pyarrow"), kfold, 2_000_000)
-    assert ok and keep_df is not None  # bounded: distinct texts
-    keep_ref = ray.put(np.sort(keep_df["mid"].to_numpy(np.int64)))
+    from dataquality_ray.stages import autoroute as ar
 
-    def cpart(b: pa.Table) -> pd.DataFrame:
-        keep = ray.get(keep_ref)
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        ink = np.isin(ids, keep)
+    def bigram_rows(texts, ink) -> pd.DataFrame:
         rows: dict[tuple[str, str], list[int]] = {}
         toks: dict[tuple[str, str], list[int]] = {}
-        for did, txt, k in zip(ids, b["text"].to_pylist(), ink):
+        for txt, k in zip(texts, ink):
             t = (txt or "").split()
             w = 1 if k else 0
             for tok in t:
@@ -7742,9 +7735,56 @@ def dedup_lm_impact_q(sf_dir: str) -> pd.DataFrame:
     def cfold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby(["u", "v"], as_index=False)[["cf", "cd"]].sum()
 
-    merged, ok = guarded_partials(
+    keep_df, ktwin = ar.combine_or_groupby_twin(
+        "dedup_lm_impact",
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(cpart, batch_format="pyarrow"), cfold, 2_000_000)
+        .map_batches(kpart, batch_format="pyarrow"), kfold,
+        ar.DRIVER_COMBINE_CAP, ("h",))
+    if ktwin is None:
+        assert keep_df is not None
+        keep_ref = ray.put(np.sort(keep_df["mid"].to_numpy(np.int64)))
+        n_dedup = len(keep_df)
+
+        def cpart(b: pa.Table) -> pd.DataFrame:
+            keep = ray.get(keep_ref)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            return bigram_rows(b["text"].to_pylist(),
+                               np.isin(ids, keep))
+
+        cstage = (_read(sf_dir, "documents", ["doc_id", "text"])
+                  .map_batches(cpart, batch_format="pyarrow"))
+    else:
+        # distinct-text domain over cap: zero-driver-state twin — join
+        # each doc's text-hash against the per-hash min doc_id, mark
+        # keep = (mid == doc_id); content crosses the shuffle once.
+        import hashlib
+
+        from dataquality_ray.stages.joins import hash_join
+
+        kt = ktwin.materialize()
+        n_dedup = int(kt.count())
+
+        def perdoc(b: pa.Table) -> pd.DataFrame:
+            txt = b["text"].to_pylist()
+            return pd.DataFrame({
+                "doc_id": b["doc_id"].to_numpy(zero_copy_only=False),
+                "text": txt,
+                "h": [hashlib.sha256((t or "").encode()).digest()[:16]
+                      for t in txt]})
+
+        joined = hash_join(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(perdoc, batch_format="pyarrow"),
+            kt, on="h", value_cols=["mid"], join_type="inner")
+
+        def cpart_j(b: pa.Table) -> pd.DataFrame:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            mid = b["mid"].to_numpy(zero_copy_only=False)
+            return bigram_rows(b["text"].to_pylist(), ids == mid)
+
+        cstage = joined.map_batches(cpart_j, batch_format="pyarrow")
+
+    merged, ok = guarded_partials(cstage, cfold, 2_000_000)
     assert ok and merged is not None  # bounded: vocab^2 cells
     uni = merged[merged["u"] == ""]
     bi = merged[merged["u"] != ""]
@@ -7766,7 +7806,6 @@ def dedup_lm_impact_q(sf_dir: str) -> pd.DataFrame:
         nll_f += cd * (lnf(cuf[u] + v_full) - lnf(int(cf) + 1))
         nll_d += cd * (lnf(cud[u] + v_ded) - lnf(cd + 1))
     n_full = int(_read(sf_dir, "documents", ["doc_id"]).count())
-    n_dedup = len(keep_df)
     from dataquality_ray.pipelines.queries_stats import _trunc_div
     return pd.DataFrame({
         "n_full": [n_full], "n_dedup": [n_dedup],
@@ -7873,9 +7912,18 @@ SELECT strftime(mon, '%Y-%m') AS month, count(*)::BIGINT AS new_tokens
 FROM first_seen GROUP BY mon ORDER BY month
 """)
 def token_novelty_q(sf_dir: str) -> pd.DataFrame:
-    """First-appearance month of part-name words via order dates."""
-    from dataquality_ray.stages.autoroute import guarded_partials
-    from dataquality_ray.stages.joins import smart_join
+    """First-appearance month of part-name words via order dates.
+
+    Fully distributed: per-batch (partkey, min-month) partials from the
+    lineitem-orders join hash-join against the exploded (partkey, word)
+    table — the part dimension never lands on the driver (it grows with
+    SF).  The final (word, min-month) combine is bounded by the
+    part-name word vocabulary (corpus-invariant), with a groupby twin
+    past the cap.  Min-over-partials equals the global min, so the
+    partkey partials need no pre-aggregation shuffle of their own.
+    """
+    from dataquality_ray.stages import autoroute as ar
+    from dataquality_ray.stages.joins import hash_join, smart_join
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -7889,25 +7937,44 @@ def token_novelty_q(sf_dir: str) -> pd.DataFrame:
             "mon": mon})
         return f.groupby("pk", as_index=False)["mon"].min()
 
-    def fold(f: pd.DataFrame) -> pd.DataFrame:
-        return f.groupby("pk", as_index=False)["mon"].min()
+    pkmon = j.map_batches(part_min, batch_format="pyarrow")
 
-    merged, ok = guarded_partials(
-        j.map_batches(part_min, batch_format="pyarrow"), fold,
-        2_000_000)
-    assert ok and merged is not None  # bounded: part dimension
-    names = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
-    f = merged.merge(names, left_on="pk", right_on="p_partkey",
-                     how="inner")
-    first: dict[str, str] = {}
-    for name, mon in zip(f["p_name"], f["mon"]):
-        for w in name.split(" "):
-            if w not in first or mon < first[w]:
-                first[w] = mon
-    out = pd.Series(first).value_counts().sort_index()
-    res = pd.DataFrame({"month": out.index,
-                        "new_tokens": out.to_numpy(np.int64)})
-    return res.reset_index(drop=True)
+    def explode(b: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(pc.coalesce(b["p_name"], pa.scalar("")),
+                                " ")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        arr = (toks.combine_chunks()
+               if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        pk = np.repeat(b["p_partkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64), n_per)
+        f = pd.DataFrame({"pk": pk, "w": flat})
+        return f[f["w"] != ""].drop_duplicates()
+
+    words = (_read(sf_dir, "part", ["p_partkey", "p_name"])
+             .map_batches(explode, batch_format="pyarrow"))
+    wm = hash_join(words, pkmon, on="pk", value_cols=["mon"],
+                   join_type="inner")
+
+    def fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("w", as_index=False)["mon"].min()
+
+    merged, twin = ar.combine_or_groupby_twin(
+        "token_novelty_by_month",
+        wm.map_batches(lambda b: fold(b.to_pandas()[["w", "mon"]]),
+                       batch_format="pyarrow"),
+        fold, ar.DRIVER_COMBINE_CAP, ("w",))
+    if twin is not None:
+        parts = [b for b in twin.iter_batches(batch_format="pandas",
+                                              batch_size=None) if len(b)]
+        merged = pd.concat(parts, ignore_index=True) if parts else None
+    if merged is None or not len(merged):
+        return pd.DataFrame({"month": pd.Series([], dtype=object),
+                             "new_tokens": pd.Series([], dtype=np.int64)})
+    out = merged.groupby("mon").size().sort_index()
+    return pd.DataFrame({"month": np.asarray(out.index, dtype=object),
+                         "new_tokens": out.to_numpy(np.int64)}
+                        ).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -7929,23 +7996,22 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type
 """)
 def encoded_blob_q(sf_dir: str) -> pd.DataFrame:
-    """Base64/hex blob incidence per event type."""
-    import re
-
+    """Base64/hex blob incidence per event type — both patterns run as
+    vectorized RE2 kernels (pc.match_substring_regex, the same engine
+    the oracle's regexp_matches uses), no per-row Python."""
     from dataquality_ray.stages.autoroute import guarded_partials
 
-    b64 = re.compile(r"[A-Za-z0-9+/]{24,}")
-    hx = re.compile(r"[0-9a-f]{16,}")
-
     def part(b: pa.Table) -> pd.DataFrame:
-        props = b["props"].to_pandas().fillna("")
+        props = pc.coalesce(b["props"], pa.scalar(""))
         f = pd.DataFrame({
             "event_type": b["event_type"].to_pylist(),
             "n_events": 1,
-            "base64ish_rows": props.map(
-                lambda s: 1 if b64.search(s) else 0),
-            "hexish_rows": props.map(
-                lambda s: 1 if hx.search(s) else 0)})
+            "base64ish_rows": pc.match_substring_regex(
+                props, r"[A-Za-z0-9+/]{24,}").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "hexish_rows": pc.match_substring_regex(
+                props, r"[0-9a-f]{16,}").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
         return f.groupby("event_type", as_index=False)[
             ["n_events", "base64ish_rows", "hexish_rows"]].sum()
 
@@ -8074,25 +8140,83 @@ def ppl_filter_yield_q(sf_dir: str) -> pd.DataFrame:
             out.append((a, int(nc)))
         return pd.DataFrame(out, columns=["avg_nll", "n_chars"])
 
-    per_doc, ok2 = guarded_partials(
+    from dataquality_ray.stages import autoroute as ar
+
+    # per-doc scores reduce to a value histogram keyed on the micro-nll
+    # grid (value-range-bounded, not doc-count-bounded); deciles and
+    # bucket aggregates read off the cumulative histogram exactly.
+    def hfold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("avg_nll", as_index=False).agg(
+            n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+
+    hist, twin = ar.combine_or_groupby_twin(
+        "ppl_filter_yield",
         _read(sf_dir, "documents", ["text", "n_chars"])
-        .map_batches(score, batch_format="pyarrow"),
-        lambda f: f, 2_000_000)
-    assert ok2 and per_doc is not None  # bounded: docs at cap
-    a = np.sort(per_doc["avg_nll"].to_numpy(np.int64))
-    n = len(a)
-    cuts = [int(a[-(-(q * n) // 10) - 1])
-            for q in range(1, 10)]  # disc: ceil(q/10*n)-1
-    av = per_doc["avg_nll"].to_numpy(np.int64)
-    bucket = np.zeros(n, dtype=np.int64)
-    for c in cuts:
-        bucket += (av > c).astype(np.int64)
-    f = pd.DataFrame({"bucket": bucket,
-                      "n_chars": per_doc["n_chars"].to_numpy(np.int64),
-                      "avg_nll": av})
-    out = f.groupby("bucket", as_index=False).agg(
-        n_docs=("avg_nll", "size"), sum_chars=("n_chars", "sum"),
-        sum_avg_nll=("avg_nll", "sum"))
+        .map_batches(score, batch_format="pyarrow")
+        .map_batches(lambda f: f.groupby("avg_nll", as_index=False)
+                     .agg(n_docs=("n_chars", "size"),
+                          sum_chars=("n_chars", "sum")),
+                     batch_format="pandas"),
+        hfold, ar.DRIVER_COMBINE_CAP, ("avg_nll",))
+    if twin is None:
+        assert hist is not None and len(hist)
+        hist = hist.sort_values("avg_nll").reset_index(drop=True)
+        vals = hist["avg_nll"].to_numpy(np.int64)
+        cnt = hist["n_docs"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        cuts = np.asarray(
+            [int(vals[np.searchsorted(cum, -(-(q * n) // 10))])
+             for q in range(1, 10)], dtype=np.int64)
+        bucket = np.searchsorted(cuts, vals, side="left")
+        f = pd.DataFrame({
+            "bucket": bucket, "n_docs": cnt,
+            "sum_chars": hist["sum_chars"].to_numpy(np.int64),
+            "sum_avg_nll": vals * cnt})
+        out = f.groupby("bucket", as_index=False)[
+            ["n_docs", "sum_chars", "sum_avg_nll"]].sum()
+    else:
+        # micro-nll grid over cap: stream the sorted histogram twice —
+        # cut discovery, then 10-bucket aggregation; O(1) driver state.
+        t = twin.materialize()
+        n = 0
+        for b in t.iter_batches(batch_format="pandas",
+                                batch_size=None):
+            if len(b):
+                n += int(b["n_docs"].sum())
+        pos = [-(-(q * n) // 10) for q in range(1, 10)]
+        cuts_l: list[int] = []
+        cum = 0
+        srt = t.sort("avg_nll").materialize()
+        for b in srt.iter_batches(batch_format="pandas",
+                                  batch_size=None):
+            if not len(b):
+                continue
+            v = b["avg_nll"].to_numpy(np.int64)
+            c = cum + np.cumsum(b["n_docs"].to_numpy(np.int64))
+            while len(cuts_l) < 9 and pos[len(cuts_l)] <= c[-1]:
+                cuts_l.append(int(
+                    v[np.searchsorted(c, pos[len(cuts_l)])]))
+            cum = int(c[-1])
+        cuts = np.asarray(cuts_l, dtype=np.int64)
+        agg = np.zeros((10, 3), dtype=object)
+        for b in srt.iter_batches(batch_format="pandas",
+                                  batch_size=None):
+            if not len(b):
+                continue
+            v = b["avg_nll"].to_numpy(np.int64)
+            nd = b["n_docs"].to_numpy(np.int64)
+            sc = b["sum_chars"].to_numpy(np.int64)
+            bk = np.searchsorted(cuts, v, side="left")
+            for bi in np.unique(bk):
+                m = bk == bi
+                agg[bi][0] += int(nd[m].sum())
+                agg[bi][1] += int(sc[m].sum())
+                agg[bi][2] += int((v[m] * nd[m]).sum())
+        rows = [[bi, a[0], a[1], a[2]] for bi, a in enumerate(agg)
+                if a[0] > 0]
+        out = pd.DataFrame(rows, columns=["bucket", "n_docs",
+                                          "sum_chars", "sum_avg_nll"])
     return out.sort_values("bucket").reset_index(drop=True) \
         .astype(np.int64)
 
@@ -8856,7 +8980,15 @@ WITH f AS (
 SELECT id_a, id_b, d2 FROM pairs ORDER BY d2, id_a, id_b LIMIT 1
 """)
 def closest_feature_pair_q(sf_dir: str) -> pd.DataFrame:
-    """Min nonzero squared distance in the (chars, tokens) plane."""
+    """Min nonzero squared distance in the (chars, tokens) plane.
+
+    Within the cap: driver-side chunked int64 census.  Past it: classic
+    closest-pair divide-and-conquer over a distributed cx sort — each
+    sorted block reports its local best key, then only the boundary
+    strips of width d = ceil(sqrt(best d2)) come back for the
+    cross-block pass (assumes the cx spread exceeds d; the strip pull
+    re-checks that against the cap)."""
+    from dataquality_ray.stages import autoroute as ar
     from dataquality_ray.stages.autoroute import guarded_partials
 
     def part(b: pa.Table) -> pd.DataFrame:
@@ -8869,10 +9001,68 @@ def closest_feature_pair_q(sf_dir: str) -> pd.DataFrame:
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "documents", ["doc_id", "n_chars", "text"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok and merged is not None  # bounded: docs at cap
+    stage = (_read(sf_dir, "documents", ["doc_id", "n_chars", "text"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, ar.DRIVER_COMBINE_CAP)
+    if ok:
+        assert merged is not None
+        best = _closest_census(merged)
+        return pd.DataFrame([[best[1], best[2], best[0]]],
+                            columns=["id_a", "id_b", "d2"]) \
+            .astype(np.int64)
+    ar.record_route("closest_feature_pair", "sorted_blocks",
+                    "docs over cap", None)
+    srt = stage.sort(["cx", "ty", "doc_id"]).materialize()
+
+    def local_best(f: pd.DataFrame) -> pd.DataFrame:
+        key = _closest_census(f)
+        if key is None:
+            return pd.DataFrame(columns=["d2", "id_a", "id_b",
+                                         "lo", "hi"])
+        return pd.DataFrame([[key[0], key[1], key[2],
+                              int(f["cx"].min()), int(f["cx"].max())]],
+                            columns=["d2", "id_a", "id_b", "lo", "hi"])
+
+    locals_df = ar.twin_to_frame(
+        srt.map_batches(local_best, batch_format="pandas"))
+    best = None
+    bounds = []
+    if locals_df is not None and len(locals_df):
+        for _, r in locals_df.iterrows():
+            key = (int(r["d2"]), int(r["id_a"]), int(r["id_b"]))
+            if best is None or key < best:
+                best = key
+        bounds = sorted(int(h) for h in locals_df["hi"])[:-1]
+    if bounds and best is not None:
+        d = int(np.ceil(np.sqrt(float(best[0]))))
+        barr = np.asarray(bounds, dtype=np.int64)
+
+        def strip(f: pd.DataFrame) -> pd.DataFrame:
+            x = f["cx"].to_numpy(np.int64)
+            near = np.zeros(len(x), dtype=bool)
+            for bv in barr:
+                near |= np.abs(x - bv) <= d
+            return f[near]
+
+        spts = ar.twin_to_frame(
+            srt.map_batches(strip, batch_format="pandas"))
+        if spts is not None and len(spts) > 1:
+            assert len(spts) <= 2_000_000, \
+                "strip wider than cap: cx spread below d"
+            key = _closest_census(
+                spts.sort_values("doc_id").reset_index(drop=True))
+            if key is not None and key < best:
+                best = key
+    assert best is not None
+    return pd.DataFrame([[best[1], best[2], best[0]]],
+                        columns=["id_a", "id_b", "d2"]) \
+        .astype(np.int64)
+
+
+def _closest_census(merged: pd.DataFrame):
+    """Exact (d2, id_a, id_b) argmin over all non-identical point pairs
+    of a (doc_id, cx, ty) frame — chunked so peak memory stays at
+    chunk x n int64s.  Returns None when no valid pair exists."""
     merged = merged.sort_values("doc_id").reset_index(drop=True)
     ids = merged["doc_id"].to_numpy(np.int64)
     cx = merged["cx"].to_numpy(np.int64)
@@ -8891,17 +9081,13 @@ def closest_feature_pair_q(sf_dir: str) -> pd.DataFrame:
         if not valid.any():
             continue
         dv = np.where(valid, d2, np.int64(2**62))
-        flat = int(dv.argmin())
-        r, cidx = divmod(flat, n)
         # resolve exact tie-break (d2, id_a, id_b) within the chunk
         cand = np.argwhere(dv == dv.min())
         key = min((int(dv[r_, c_]), int(ids[i0 + r_]), int(ids[c_]))
                   for r_, c_ in cand)
         if best is None or key < best:
             best = key
-    return pd.DataFrame([[best[1], best[2], best[0]]],
-                        columns=["id_a", "id_b", "d2"]) \
-        .astype(np.int64)
+    return best
 
 
 # ---------------------------------------------------------------------------

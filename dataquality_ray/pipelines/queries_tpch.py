@@ -1893,15 +1893,26 @@ def ab_srm_check_q(sf_dir: str):
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.drop_duplicates()
 
-    users, ok = guarded_partials(
-        ds.map_batches(partial, batch_format="pandas"), partial,
-        DRIVER_COMBINE_CAP)
-    assert ok, "distinct users beyond cap; bucket inside map_batches"
-    u = users["user_id"].to_numpy(dtype=np.uint64)
-    bucket = (splitmix64(u ^ np.uint64(12345)) % np.uint64(2)).astype(
-        np.int64)
-    n_a = int((bucket == 0).sum())
-    n_b = int((bucket == 1).sum())
+    from dataquality_ray.stages import autoroute as ar
+
+    def bucket_counts(f: pd.DataFrame) -> pd.DataFrame:
+        u = f["user_id"].to_numpy(dtype=np.uint64)
+        b = (splitmix64(u ^ np.uint64(12345))
+             % np.uint64(2)).astype(np.int64)
+        return pd.DataFrame([{"g": 0, "n_a": int((b == 0).sum()),
+                              "n_b": int((b == 1).sum())}])
+
+    # past the cap the groupby twin's globally-unique users bucket
+    # inside map_batches and only two counters reach the driver.
+    agg = ar.refold_partials(
+        "ab_srm_check", ds.map_batches(partial, batch_format="pandas"),
+        partial, DRIVER_COMBINE_CAP, ("user_id",),
+        bucket_counts,
+        lambda f: f.groupby("g", as_index=False)[["n_a", "n_b"]].sum(),
+        16)
+    assert agg is not None and len(agg)
+    n_a = int(agg["n_a"].iloc[0])
+    n_b = int(agg["n_b"].iloc[0])
     z = float(n_a - n_b) / np.sqrt(float(n_a + n_b))
     return pd.DataFrame({"n_a": np.array([n_a], np.int64),
                          "n_b": np.array([n_b], np.int64),
@@ -8629,12 +8640,45 @@ def column_match_profile_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"v": f["v"].unique()})
 
-    def distinct_vals(stage) -> np.ndarray:
-        merged, ok = guarded_partials(stage, fold, 2_000_000)
-        assert ok  # key-cardinality bounded; KMV sketch past cap
+    from dataquality_ray.stages import autoroute as ar
+
+    def distinct_vals(stage) -> np.ndarray | None:
+        merged, ok = guarded_partials(stage, fold,
+                                      ar.DRIVER_COMBINE_CAP)
+        if not ok:
+            return None  # over cap: pair re-routes to the union probe
         if merged is None or not len(merged):
             return np.array([], dtype=np.int64)
         return merged["v"].to_numpy(dtype=np.int64)
+
+    def pair_probe(lt, lc, rt, rc) -> tuple[int, int, int]:
+        """Distributed twin: union both columns' distinct-value
+        partials, shuffle on the value, emit per-value membership bits
+        and sum — three counters cross back to the driver."""
+        ar.record_route("column_match_advisor", "union_probe",
+                        f"{lt}.{lc} or {rt}.{rc} over cap", None)
+
+        def mk(table, col, side):
+            def p(b: pa.Table, col=col, side=side) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "v": np.unique(b[col].to_numpy(
+                        zero_copy_only=False)),
+                    "s": np.int64(side)})
+            return _read(sf_dir, table, [col]).map_batches(
+                p, batch_format="pyarrow")
+
+        u = mk(lt, lc, 1).union(mk(rt, rc, 2))
+
+        def per_value(g: pd.DataFrame) -> pd.DataFrame:
+            s = set(g["s"])
+            return pd.DataFrame([{
+                "l": np.int64(1 in s), "r": np.int64(2 in s),
+                "i": np.int64(1 in s and 2 in s)}])
+
+        agg = (u.groupby("v").map_groups(per_value,
+                                         batch_format="pandas")
+               .sum(["l", "r", "i"]))
+        return int(agg["sum(l)"]), int(agg["sum(r)"]), int(agg["sum(i)"])
 
     # plan the per-column distinct scans serially (filesystem
     # resolution has a lazy-import race under threads), stream them
@@ -8651,8 +8695,11 @@ def column_match_profile_q(sf_dir: str):
     rows = []
     for lt, lc, rt, rc in _COLMATCH_PAIRS:
         a, b = cache[(lt, lc)], cache[(rt, rc)]
-        ni = int(len(np.intersect1d(a, b, assume_unique=True)))
-        nl, nr = len(a), len(b)
+        if a is None or b is None:
+            nl, nr, ni = pair_probe(lt, lc, rt, rc)
+        else:
+            ni = int(len(np.intersect1d(a, b, assume_unique=True)))
+            nl, nr = len(a), len(b)
         rows.append((f"{lt}.{lc}", f"{rt}.{rc}", nl, nr, ni,
                      ni * 1_000_000 // nl if nl else 0,
                      ni * 1_000_000 // (nl + nr - ni)
@@ -8805,15 +8852,27 @@ def ndv_correlation_audit_q(sf_dir: str):
         def fold(f: pd.DataFrame) -> pd.DataFrame:
             return f.drop_duplicates()
 
-        merged, ok = guarded_partials(
-            _read(sf_dir, t, [a, b])
-            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-        assert ok  # key-cardinality bounded; HLL sketch past cap
-        if merged is None:
-            merged = pd.DataFrame({"a": [], "b": []})
-        ndv_a = int(merged["a"].nunique())
-        ndv_b = int(merged["b"].nunique())
-        ndv_ab = int(len(merged))
+        from dataquality_ray.stages import autoroute as ar
+
+        stage = (_read(sf_dir, t, [a, b])
+                 .map_batches(part, batch_format="pyarrow"))
+        merged, twin = ar.combine_or_groupby_twin(
+            "ndv_correlation_pairs", stage, fold,
+            ar.DRIVER_COMBINE_CAP, ("a", "b"))
+        if twin is not None:
+            # pair domain over cap: the twin's globally-unique (a, b)
+            # rows count streamingly; the marginal NDVs take one extra
+            # groupby-count each — counters only on the driver.
+            tw = twin.materialize()
+            ndv_ab = int(tw.count())
+            ndv_a = int(tw.groupby("a").count().count())
+            ndv_b = int(tw.groupby("b").count().count())
+        else:
+            if merged is None:
+                merged = pd.DataFrame({"a": [], "b": []})
+            ndv_a = int(merged["a"].nunique())
+            ndv_b = int(merged["b"].nunique())
+            ndv_ab = int(len(merged))
         ind = ndv_ab * 1_000_000 // min(ndv_a * ndv_b, cap_bound) \
             if ndv_a and ndv_b else 0
         rows.append((f"{t}.{a}|{b}", ndv_a, ndv_b, ndv_ab, ind))
@@ -9160,12 +9219,23 @@ def pk_candidate_scan_q(sf_dir: str):
         return _read(sf_dir, t, [c]).map_batches(
             part, batch_format="pyarrow")
 
+    from dataquality_ray.stages import autoroute as ar
+
     def col_stats(args):
         (t, c), stage = args
-        merged, ok = guarded_partials(stage, fold, 2_000_000)
-        assert ok  # cardinality bounded; sketch twin past cap
-        n_rows = int(merged["n"].sum()) if merged is not None else 0
-        n_distinct = int(len(merged)) if merged is not None else 0
+        # past the cap the groupby twin's unique (v, n) rows refold to
+        # two counters per batch — the value domain never lands whole.
+        merged = ar.refold_partials(
+            "pk_discovery_scan", stage, fold, ar.DRIVER_COMBINE_CAP,
+            ("v",),
+            lambda f: pd.DataFrame([{"g": 0, "rows": int(f["n"].sum()),
+                                     "nd": len(f)}]),
+            lambda f: f.groupby("g", as_index=False)[
+                ["rows", "nd"]].sum(), 16)
+        n_rows = int(merged["rows"].iloc[0]) if merged is not None \
+            and len(merged) else 0
+        n_distinct = int(merged["nd"].iloc[0]) if merged is not None \
+            and len(merged) else 0
         return (f"{t}.{c}", n_rows, n_distinct,
                 n_distinct * 1_000_000 // n_rows if n_rows else 0,
                 1 if n_rows and n_distinct == n_rows else 0)
@@ -9619,27 +9689,49 @@ def new_vs_returning_revenue_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby(["o_custkey", "month"], as_index=False).sum()
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "orders",
-              ["o_custkey", "o_orderdate", "o_totalprice"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok  # bounded: customer x active-month pairs; groupby twin
-    # on (custkey) is the scale path
-    if merged is None or not len(merged):
-        return pd.DataFrame({
-            "month": pd.Series([], dtype=object),
-            **{c: pd.Series([], dtype=np.int64) for c in cols[1:]}})
-    first = merged.groupby("o_custkey")["month"].transform("min")
-    is_new = (merged["month"] == first).to_numpy()
-    cents = merged["cents"].to_numpy(dtype=np.int64)
-    n = merged["n"].to_numpy(dtype=np.int64)
-    out = pd.DataFrame({
-        "month": merged["month"],
-        "new_cents": np.where(is_new, cents, 0),
-        "returning_cents": np.where(is_new, 0, cents),
-        "n_new_orders": np.where(is_new, n, 0),
-        "n_returning_orders": np.where(is_new, 0, n)})
-    out = out.groupby("month", as_index=False).sum()
+    from dataquality_ray.stages import autoroute as ar
+
+    def split_new(f: pd.DataFrame) -> pd.DataFrame:
+        first = f.groupby("o_custkey")["month"].transform("min")
+        is_new = (f["month"] == first).to_numpy()
+        cents = f["cents"].to_numpy(dtype=np.int64)
+        n = f["n"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({
+            "month": f["month"],
+            "new_cents": np.where(is_new, cents, 0),
+            "returning_cents": np.where(is_new, 0, cents),
+            "n_new_orders": np.where(is_new, n, 0),
+            "n_returning_orders": np.where(is_new, 0, n)})
+        return out.groupby("month", as_index=False).sum()
+
+    stage = (_read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, ar.DRIVER_COMBINE_CAP)
+    if ok:
+        ar.record_route("new_vs_returning_revenue", "combine",
+                        "within cap",
+                        0 if merged is None else len(merged))
+        if merged is None or not len(merged):
+            return pd.DataFrame({
+                "month": pd.Series([], dtype=object),
+                **{c: pd.Series([], dtype=np.int64)
+                   for c in cols[1:]}})
+        out = split_new(merged)
+    else:
+        # customer x month over cap: groupby twin on custkey — each
+        # group holds one customer's months, so the first-month split
+        # happens in-shuffle and refolds on the bounded calendar axis.
+        ar.record_route("new_vs_returning_revenue", "groupby_twin",
+                        "over cap", None)
+        twin = (stage.groupby("o_custkey")
+                .map_groups(lambda g: split_new(fold(g)),
+                            batch_format="pandas"))
+        out, ok2 = guarded_partials(
+            twin,
+            lambda f: f.groupby("month", as_index=False).sum(),
+            2_000_000)
+        assert ok2 and out is not None  # bounded: calendar months
     out = out.sort_values("month").reset_index(drop=True)
     for c in cols[1:]:
         out[c] = out[c].astype(np.int64)
@@ -9777,11 +9869,19 @@ def bloom_size_planner_q(sf_dir: str):
         def fold(f: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({"v": f["v"].unique()})
 
-        merged, ok = guarded_partials(
+        from dataquality_ray.stages import autoroute as ar
+
+        # exact-NDV refold: past the cap, count the groupby twin's
+        # unique value rows per batch — only one counter on the driver.
+        nd = ar.refold_partials(
+            "bloom_sizing_advisor",
             _read(sf_dir, t, [c])
-            .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-        assert ok  # cardinality bounded; HLL twin past cap
-        ndv = int(len(merged)) if merged is not None else 0
+            .map_batches(part, batch_format="pyarrow"), fold,
+            ar.DRIVER_COMBINE_CAP, ("v",),
+            lambda f: pd.DataFrame([{"g": 0, "nd": len(f)}]),
+            lambda f: f.groupby("g", as_index=False)["nd"].sum(), 16)
+        ndv = int(nd["nd"].iloc[0]) if nd is not None and len(nd) \
+            else 0
         if ndv == 0:
             rows.append((f"{t}.{c}", 0, 0, 0))
             continue
@@ -10188,30 +10288,76 @@ def price_elasticity_q(sf_dir: str) -> pd.DataFrame:
     def qfold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("pk", as_index=False)["qty"].sum()
 
+    from dataquality_ray.stages import autoroute as ar
+    from dataquality_ray.stages.joins import broadcast_join, hash_join
+
     stage = (_read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
              .map_batches(qpart, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, qfold, 2_000_000)
-    assert ok and merged is not None  # bounded: part dimension
-    dim = _read(sf_dir, "part",
-                ["p_partkey", "p_brand", "p_retailprice"]).to_pandas()
-    j = merged.merge(dim, left_on="pk", right_on="p_partkey", how="inner")
-    cents = np.round(j["p_retailprice"].to_numpy() * 100).astype(np.int64)
-    x = np.floor(1000000 * np.log(cents.astype(np.float64))).astype(
-        np.int64)
-    y = np.floor(1000000 * np.log(
-        j["qty"].to_numpy(np.int64).astype(np.float64))).astype(np.int64)
-    f = pd.DataFrame({"brand": j["p_brand"], "x": x, "y": y})
+    merged, twin = ar.combine_or_groupby_twin(
+        "price_elasticity_brand", stage, qfold, ar.DRIVER_COMBINE_CAP,
+        ("pk",))
+    part_ds = _read(sf_dir, "part",
+                    ["p_partkey", "p_brand", "p_retailprice"])
+    if twin is None:
+        qframe = (merged if merged is not None
+                  else pd.DataFrame({"pk": pd.Series([], dtype=np.int64),
+                                     "qty": pd.Series([],
+                                                      dtype=np.int64)})
+                  ).rename(columns={"pk": "p_partkey"})
+        joined = broadcast_join(part_ds, qframe, on="p_partkey",
+                                value_cols=["qty"], join_type="inner")
+    else:
+        joined = hash_join(part_ds, twin, on="p_partkey", right_on="pk",
+                           value_cols=["qty"], join_type="inner")
+
+    def pts_part(b: pa.Table) -> pd.DataFrame:
+        cents = np.round(b["p_retailprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        x = np.floor(1000000 * np.log(cents.astype(
+            np.float64))).astype(np.int64)
+        y = np.floor(1000000 * np.log(b["qty"].to_numpy(
+            zero_copy_only=False).astype(np.float64))).astype(np.int64)
+        f = pd.DataFrame({"brand": b["p_brand"].to_pylist(),
+                          "x": x, "y": y})
+        rows = []
+        for brand, g in f.groupby("brand"):
+            gx = g["x"].to_numpy(np.int64)
+            gy = g["y"].to_numpy(np.int64)
+            rows.append([brand, len(g), int(gx.sum()), int(gy.sum()),
+                         str(sum(int(a) * int(c)
+                                 for a, c in zip(gx, gy))),
+                         str(sum(int(a) * int(a) for a in gx))])
+        return pd.DataFrame(rows, columns=["brand", "n", "sx", "sy",
+                                           "sxy", "sxx"])
+
+    def pts_fold(f: pd.DataFrame) -> pd.DataFrame:
+        # sxy/sxx travel as decimal strings: Python-int exact through
+        # the Arrow hop, immune to int64 overflow at scale.
+        def red(g: pd.DataFrame) -> pd.Series:
+            return pd.Series({
+                "n": int(g["n"].sum()), "sx": int(g["sx"].sum()),
+                "sy": int(g["sy"].sum()),
+                "sxy": str(sum(int(s) for s in g["sxy"])),
+                "sxx": str(sum(int(s) for s in g["sxx"]))})
+        out = f.groupby("brand").apply(red, include_groups=False)
+        return out.reset_index()
+
+    agg, ok = guarded_partials(
+        joined.map_batches(pts_part, batch_format="pyarrow"), pts_fold,
+        2_000_000)
+    assert ok  # bounded: brand catalog
     rows = []
-    for brand, g in f.groupby("brand"):
-        n = len(g)
-        sx = int(g["x"].sum())
-        sy = int(g["y"].sum())
-        sxy = int(sum(int(a) * int(b) for a, b in zip(g["x"], g["y"])))
-        sxx = int(sum(int(a) * int(a) for a in g["x"]))
+    if agg is None:
+        agg = pd.DataFrame(columns=["brand", "n", "sx", "sy", "sxy",
+                                    "sxx"])
+    for _, r in agg.iterrows():
+        n = int(r["n"])
+        sx, sy = int(r["sx"]), int(r["sy"])
+        sxy, sxx = int(r["sxy"]), int(r["sxx"])
         den = n * sxx - sx * sx
         if n < 2 or den <= 0:
             continue
-        rows.append([brand, n,
+        rows.append([r["brand"], n,
                      _trunc_div((n * sxy - sx * sy) * 1_000_000, den)])
     out = pd.DataFrame(rows, columns=["brand", "n_parts", "slope_ppm"])
     out = out.sort_values("brand").reset_index(drop=True)
@@ -10270,11 +10416,24 @@ def semijoin_reduction_q(sf_dir: str) -> pd.DataFrame:
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("ok", as_index=False)["n"].sum()
 
-    merged, ok = guarded_partials(
-        joined.map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok and merged is not None  # bounded: urgent-order keys
-    matched = int(merged.loc[merged["ok"] == -1, "n"].sum())
-    matched_orders = int((merged["ok"] != -1).sum())
+    from dataquality_ray.stages import autoroute as ar
+
+    # the (distinct matched orderkey) set grows with the corpus: past
+    # the cap the groupby twin's globally-unique key rows refold into
+    # two counters — matched rows (sentinel) and matched distinct keys.
+    merged = ar.refold_partials(
+        "semijoin_reduction_audit",
+        joined.map_batches(part, batch_format="pyarrow"), fold,
+        ar.DRIVER_COMBINE_CAP, ("ok",),
+        lambda f: pd.DataFrame([{
+            "g": 0,
+            "matched": int(f.loc[f["ok"] == -1, "n"].sum()),
+            "morders": int((f["ok"] != -1).sum())}]),
+        lambda f: f.groupby("g", as_index=False)[
+            ["matched", "morders"]].sum(), 16)
+    assert merged is not None
+    matched = int(merged["matched"].iloc[0])
+    matched_orders = int(merged["morders"].iloc[0])
     return pd.DataFrame({
         "total": [total], "matched": [matched],
         "matched_orders": [matched_orders],
@@ -10565,12 +10724,22 @@ def join_fanout_q(sf_dir: str) -> pd.DataFrame:
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("k", as_index=False)["c"].sum()
 
-    merged, ok = guarded_partials(
+    from dataquality_ray.stages import autoroute as ar
+
+    # per-orderkey counts refold onto the small fanout axis past the
+    # cap — the twin's per-key rows are globally unique so per-batch
+    # histogram partials sum exactly.
+    h = ar.refold_partials(
+        "join_fanout_profile",
         _read(sf_dir, "lineitem", ["l_orderkey"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok and merged is not None  # bounded: order keys at cap
-    h = merged.groupby("c").size().reset_index(name="n_orders")
-    h.columns = ["fanout", "n_orders"]
+        .map_batches(part, batch_format="pyarrow"), fold,
+        ar.DRIVER_COMBINE_CAP, ("k",),
+        lambda f: (f.groupby("c", as_index=False).size()
+                   .rename(columns={"c": "fanout",
+                                    "size": "n_orders"})),
+        lambda f: f.groupby("fanout", as_index=False)["n_orders"].sum(),
+        2_000_000)
+    assert h is not None and len(h)
     h = h.sort_values("fanout").reset_index(drop=True)
     rows_li = int((h["fanout"] * h["n_orders"]).sum())
     keys = int(h["n_orders"].sum())
@@ -10717,26 +10886,54 @@ def duplicate_order_q(sf_dir: str) -> pd.DataFrame:
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "orders",
-              ["o_custkey", "o_orderkey", "o_totalprice",
-               "o_orderdate"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok and merged is not None  # bounded: orders at cap
-    rows = []
-    for (c, cents), g in merged.groupby(["c", "cents"]):
-        if len(g) < 2:
-            continue
+    from dataquality_ray.stages import autoroute as ar
+
+    def pairs_of(g: pd.DataFrame) -> list[list[int]]:
+        rows: list[list[int]] = []
+        c = int(g["c"].iloc[0])
+        cents = int(g["cents"].iloc[0])
         recs = sorted(zip(g["k"].astype(int), g["day"].astype(int)))
         for i in range(len(recs)):
             for j in range(len(recs)):
                 if recs[j][0] > recs[i][0] \
                         and abs(recs[j][1] - recs[i][1]) <= 7:
-                    rows.append([int(c), recs[i][0], recs[j][0],
-                                 int(cents),
+                    rows.append([c, recs[i][0], recs[j][0], cents,
                                  recs[j][1] - recs[i][1]])
-    out = pd.DataFrame(rows, columns=["custkey", "order_a", "order_b",
-                                      "cents", "gap_days"])
+        return rows
+
+    pair_cols = ["custkey", "order_a", "order_b", "cents", "gap_days"]
+    stage = (_read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_totalprice",
+                    "o_orderdate"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, ok = guarded_partials(stage, fold, ar.DRIVER_COMBINE_CAP)
+    rows = []
+    if ok and merged is not None:
+        ar.record_route("duplicate_order_detection", "combine",
+                        "within cap", len(merged))
+        for _, g in merged.groupby(["c", "cents"]):
+            if len(g) >= 2:
+                rows.extend(pairs_of(g))
+        out = pd.DataFrame(rows, columns=pair_cols)
+    elif ok:
+        out = pd.DataFrame(rows, columns=pair_cols)
+    else:
+        # orders over cap: the pair scan is per-(cust, cents) group by
+        # construction — shuffle on that key and emit pairs in the
+        # groups; the stream-back is output-sized (the audit's pairs).
+        ar.record_route("duplicate_order_detection", "groupby_twin",
+                        "over cap", None)
+
+        def per_group(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) < 2:
+                return pd.DataFrame(columns=pair_cols)
+            return pd.DataFrame(pairs_of(g), columns=pair_cols)
+
+        out = ar.twin_to_frame(
+            stage.groupby(["c", "cents"])
+            .map_groups(per_group, batch_format="pandas"))
+        if out is None:
+            out = pd.DataFrame(rows, columns=pair_cols)
     out = out.sort_values(["custkey", "order_a", "order_b"]) \
         .reset_index(drop=True)
     return out.astype(np.int64)
@@ -11339,14 +11536,64 @@ def inequality_ratios_q(sf_dir: str):
             zero_copy_only=False).astype(np.int64), "v": v})
         return f.groupby("o_custkey", as_index=False)["v"].sum()
 
-    merged, ok = guarded_partials(
+    from dataquality_ray.stages import autoroute as ar
+
+    merged, twin = ar.combine_or_groupby_twin(
+        "inequality_ratios_panel",
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(part, batch_format="pyarrow"),
         lambda f: f.groupby("o_custkey", as_index=False)["v"].sum(),
-        2_000_000)
-    assert ok  # bounded: customers
+        ar.DRIVER_COMBINE_CAP, ("o_custkey",))
     cols = ("n_customers", "palma_milli", "ratio_2020_milli",
             "zenga_median_milli")
+    if twin is not None:
+        # customer domain over cap: count/total in one streaming pass,
+        # then a distributed (v, custkey) sort streamed once capturing
+        # the prefix sums at the five rank cuts — O(1) driver state.
+        t = twin.materialize()
+        n, total = 0, 0
+        for b in t.iter_batches(batch_format="pandas",
+                                batch_size=None):
+            if len(b):
+                n += len(b)
+                total += int(b["v"].to_numpy(np.int64).sum())
+        if n == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        n_lower = (n + 1) // 2
+        cuts = sorted({(n * 4 + 9) // 10, (n * 2 + 9) // 10,
+                       n - (n + 9) // 10, n - (n * 2 + 9) // 10,
+                       n_lower})
+        prefix_at = {0: 0}
+        pos, prefix = 0, 0
+        for b in (t.sort(["v", "o_custkey"])
+                  .iter_batches(batch_format="pandas",
+                                batch_size=None)):
+            if not len(b):
+                continue
+            v = b["v"].to_numpy(np.int64)
+            cs = np.cumsum(v.astype(object))
+            for c in cuts:
+                if pos < c <= pos + len(v):
+                    prefix_at[c] = prefix + int(cs[c - pos - 1])
+            prefix += int(cs[-1])
+            pos += len(v)
+        b40 = prefix_at[(n * 4 + 9) // 10]
+        b20 = prefix_at[(n * 2 + 9) // 10]
+        t10 = total - prefix_at[n - (n + 9) // 10]
+        t20 = total - prefix_at[n - (n * 2 + 9) // 10]
+        lower = prefix_at[n_lower]
+        upper_mean_milli = (total - lower) * 1000 // max(n - n_lower, 1)
+        lower_mean_milli = lower * 1000 // n_lower
+        out = pd.DataFrame([{
+            "n_customers": n,
+            "palma_milli": t10 * 1000 // max(b40, 1),
+            "ratio_2020_milli": t20 * 1000 // max(b20, 1),
+            "zenga_median_milli": upper_mean_milli * 1000
+            // max(lower_mean_milli, 1)}])
+        for c in cols:
+            out[c] = out[c].astype(np.int64)
+        return out
     if merged is None or not len(merged):
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
                              for c in cols})

@@ -118,3 +118,42 @@ def combine_or_groupby_twin(op: str, stage_ds, fold_fn, cap: int, keys,
     twin = stage_ds.groupby(key).map_groups(fold_fn,
                                             batch_format="pandas")
     return None, twin
+
+
+def twin_to_frame(twin_ds) -> pd.DataFrame | None:
+    """Stream a twin dataset's exact per-key rows back into one frame.
+
+    For queries whose RESULT is itself keyed on the (corpus-growing)
+    combine key, the returned frame is output-sized by definition — the
+    twin moves the fold work into the shuffle and removes the abort, and
+    the driver holds only what the caller was going to return anyway.
+    Callers with a *bounded* final aggregate should instead keep reducing
+    distributedly (``guarded_partials`` over ``twin_ds.map_batches``).
+    """
+    parts = [b for b in twin_ds.iter_batches(batch_format="pandas",
+                                             batch_size=None) if len(b)]
+    return pd.concat(parts, ignore_index=True) if parts else None
+
+
+def refold_partials(op: str, stage_ds, fold_fn, cap: int, keys,
+                    part_fn, fold2_fn, cap2: int,
+                    *, buffer_rows: int = 262_144):
+    """Two-level guarded reduction: fold ``stage_ds`` partials on
+    ``keys`` (corpus-growing — e.g. per-user); past the cap, re-route to
+    the groupby twin and KEEP REDUCING distributedly with ``part_fn``
+    (exact per-key rows → second-level partial rows) folded by
+    ``fold2_fn`` under ``cap2`` (the bounded final key — e.g. calendar
+    days).  Returns the second-level merged frame either way; the
+    intermediate key domain never lands on the driver past the cap.
+    """
+    merged, twin = combine_or_groupby_twin(op, stage_ds, fold_fn, cap,
+                                           keys, buffer_rows=buffer_rows)
+    if twin is None:
+        if merged is None or not len(merged):
+            return None
+        return fold2_fn(part_fn(merged))
+    merged2, ok2 = guarded_partials(
+        twin.map_batches(part_fn, batch_format="pandas"), fold2_fn, cap2,
+        buffer_rows=buffer_rows)
+    assert ok2  # second-level key is the caller's bounded final axis
+    return merged2

@@ -1,0 +1,32 @@
+"""Pin the driver-semantics sweep in CI shape (VERDICT r04 item 8): every
+default `pytest tests/` run replays a 50-query random sample of the
+dtype-sensitive oracle sweep (`tools/sweep_driver.py`), seeded from the
+date so the sample rotates daily but is reproducible within a day —
+representation drift can never land silently between driver rounds."""
+
+import datetime
+import random
+
+import pytest
+
+import __ray_entry__ as entrymod
+from tools.sweep_driver import _duck, _to_pandas, compare
+
+SF = "/root/testdata/sf0.001"
+SAMPLE = 50
+
+_qs = entrymod.queries()
+_orc = entrymod.oracle_sql()
+_pairs = sorted(set(_qs) & set(_orc))
+_seed = int(datetime.date.today().strftime("%Y%m%d"))
+_sample = sorted(random.Random(_seed).sample(_pairs,
+                                             min(SAMPLE, len(_pairs))))
+
+
+@pytest.mark.parametrize("name", _sample)
+def test_driver_sweep_sample(ray_session, name):
+    ray_df = _to_pandas(_qs[name](SF))
+    with _duck(SF) as con:
+        duck_df = con.execute(_orc[name]).fetchdf()
+    res = compare(name, ray_df, duck_df)
+    assert all(v for k, v in res.items() if k.endswith("_match")), res

@@ -1,0 +1,101 @@
+"""Route-telemetry tests for the round-5 scale-audit fixes: the two
+queries whose driver-combine bounds were proven corpus-growing
+(VERDICT r04 "What's wrong" #1/#2) must re-route to their distributed
+twins past the cap and produce byte-identical results."""
+
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+import dataquality_ray.stages.autoroute as ar
+from dataquality_ray.stages.autoroute import last_route
+
+SF = "/root/testdata/sf0.001"
+_qs = entrymod.queries()
+
+
+def test_token_novelty_twin_matches_combine(ray_session, monkeypatch):
+    base = (_qs["token_novelty_by_month"](SF)
+            .sort_values("month").reset_index(drop=True))
+    assert last_route("token_novelty_by_month")["chosen"] == "combine"
+    monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 5)
+    routed = (_qs["token_novelty_by_month"](SF)
+              .sort_values("month").reset_index(drop=True))
+    assert last_route("token_novelty_by_month")["chosen"] == "groupby_twin"
+    pd.testing.assert_frame_equal(routed, base)
+    assert len(base) > 0
+
+
+# Queries whose corpus-growing combine bound got a distributed twin in
+# round 5: force the cap low and assert byte-identical results.
+TWINNED = [
+    "kaplan_meier_log_survival",
+    "nn_matching_att",
+    "l_moments_by_priority",
+    "distance_correlation_daily",
+    "blomqvist_beta_daily",
+    "gamma_poisson_user_rates",
+    "hoover_index_customers",
+    "tenure_activity_correlation",
+    "cohort_ltv_curve",
+    "rmst_retention",
+    "pareto_8020_customers",
+    "stickiness_dau_mau",
+    "churn_rule_confusion",
+    "survivorship_bias_audit",
+    "roaring_container_advisor",
+    "knn_hubness_audit",
+    "sample_sort_splitter_audit",
+    "bfprt_pivot_audit",
+    "moore_hodgson_late_orders",
+    "price_elasticity_brand",
+    "join_fanout_profile",
+    "duplicate_order_detection",
+    "inequality_ratios_panel",
+    "dedup_lm_impact",
+    "ppl_filter_yield",
+    "closest_feature_pair",
+    "hilbert_vs_zorder_locality",
+    "pass_at_k_estimator",
+    "semijoin_reduction_audit",
+    "learned_index_error_audit",
+    "new_vs_returning_revenue",
+    "zero_inflation_audit",
+    "ab_srm_check",
+    "pk_candidate_scan",
+    "ndv_correlation_audit",
+    "bloom_size_planner",
+    "column_match_profile",
+    "join_order_cost_audit",
+    "source_release_gate",
+]
+
+
+def _canon_sorted(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", TWINNED)
+def test_twin_matches_combine(ray_session, monkeypatch, name):
+    base = _canon_sorted(_qs[name](SF))
+    monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 7)
+    routed = _canon_sorted(_qs[name](SF))
+    pd.testing.assert_frame_equal(routed, base)
+
+
+def test_inclusion_dependency_anti_probe_matches(ray_session, monkeypatch):
+    base = (_qs["inclusion_dependency_scan"](SF)
+            .reset_index(drop=True))
+    monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 50)
+    routed = (_qs["inclusion_dependency_scan"](SF)
+              .reset_index(drop=True))
+    evt = last_route("inclusion_dependency_scan")
+    assert evt is not None and evt["chosen"] == "anti_probe_twin"
+    pd.testing.assert_frame_equal(routed, base)
+    # the catalog has at least one non-IND pair in stock data is not
+    # guaranteed; assert shape instead
+    assert len(base) == 9
