@@ -308,11 +308,20 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
     store) or ``'actors'`` (explicit pool — opt in for genuinely heavy
     per-worker state).  See :func:`label_pipeline`.
     """
-    if dedup_mode not in ("broadcast", "join", "sidecar"):
+    if dedup_mode not in ("broadcast", "join", "sidecar",
+                          "broadcast_stream"):
         raise ValueError(f"unknown dedup_mode {dedup_mode!r}")
     import ray.data as rd
 
     sidecar = dedup and dedup_mode == "sidecar"
+    # 'broadcast_stream': broadcast dup index built in an upfront
+    # hash-only pass (only 16-byte keys leave the read), then every
+    # chunk runs label -> write as ONE fused streaming pass with NO
+    # materialize barrier — the round-5 plasma-ceiling lever: nothing
+    # is ever pinned in the object store, at the cost of reading
+    # content twice (hash pass + label pass).  Stats come from a
+    # pruned read of the written output, like sidecar.
+    stream_bcast = dedup and dedup_mode == "broadcast_stream"
     files = _expand_files(input_path)
     store = LineageStore(run_dir)
     done = store.completed_partitions()
@@ -334,7 +343,7 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
     # single-chunk run (the default) instead derives dedup from the
     # labeled blocks' own content_sha256 column AFTER labeling — the
     # corpus is read and hashed exactly once.
-    single_chunk = len(chunks) == 1 and not done
+    single_chunk = len(chunks) == 1 and not done and not stream_bcast
     chunked_join = dedup and dedup_mode == "join" and not single_chunk
     dup_ref = (build_dup_index(files)
                if dedup and not single_chunk and not sidecar
@@ -356,6 +365,26 @@ def run_quality_filter(input_path: str | list[str], run_dir: str, *,
                             batch_format="pyarrow", batch_size=batch_size)
         labeled = label_pipeline(ds, dup_index_ref=dup_ref,
                                  batch_size=batch_size, compute=compute)
+        if stream_bcast:
+            # label (dups marked inline via the broadcast index) ->
+            # write, one fused streaming pass, zero plasma pinning.
+            labeled.write_parquet(out_dir)
+            if capture_stats:
+                _write_chunk_stats(run_dir, partition, labeled)
+            _t_label = _time.monotonic() - _t0
+            _t0 = _time.monotonic()
+            rec = _chunk_stats(
+                rd.read_parquet(out_dir,
+                                columns=["keep", "scrubbed", "pii_count",
+                                         "is_dup"]),
+                dedup=True)
+            rec.update({"partition": partition, "input_shards": chunk,
+                        "rule_version": RULE_VERSION,
+                        "label_sec": round(_t_label, 3),
+                        "finish_sec": round(_time.monotonic() - _t0, 3)})
+            store.write_records([rec])
+            store.commit(chunk)
+            continue
         if sidecar:
             # Fully streaming: label -> write in ONE pass with no
             # materialize barrier (write tasks consume labeled blocks as

@@ -10552,14 +10552,59 @@ def densest_subgraph_peel(adj: dict, nodes: list):
     return best
 
 
-@query("densest_subgraph_peeling")
+@query("densest_subgraph_peeling", sql=r"""
+WITH RECURSIVE
+toks AS (SELECT list_filter(regexp_split_to_array(coalesce(text,''),
+                  '\s+'), x -> x <> '') AS ts FROM documents),
+pairs AS (SELECT unnest(range(1, len(ts))) AS i, ts FROM toks),
+edges AS (SELECT ts[i] AS src, ts[i+1] AS dst, count(*)::HUGEINT AS cnt
+          FROM pairs GROUP BY 1, 2),
+ue AS (SELECT DISTINCT least(src,dst) AS u, greatest(src,dst) AS v
+       FROM edges WHERE src <> dst),
+nd AS (SELECT list_sort(list(DISTINCT x)) AS ns FROM
+        (SELECT u AS x FROM ue UNION SELECT v AS x FROM ue)),
+peel(step, rem, m2) AS (
+  SELECT 0::BIGINT, nd.ns, (SELECT 2*count(*) FROM ue)::BIGINT FROM nd
+  WHERE nd.ns IS NOT NULL
+  UNION ALL
+  SELECT p.step + 1,
+         p.rem[1:list_position(p.rem, pick.t) - 1]
+           || p.rem[list_position(p.rem, pick.t) + 1:len(p.rem)],
+         p.m2 - 2 * pick.d
+  FROM peel p, LATERAL (
+    SELECT x AS t,
+           (SELECT count(*) FROM ue
+            WHERE (ue.u = x AND list_contains(p.rem, ue.v))
+               OR (ue.v = x AND list_contains(p.rem, ue.u))) AS d
+    FROM unnest(p.rem) AS t1(x)
+    ORDER BY d, x LIMIT 1
+  ) pick
+  WHERE len(p.rem) > 1
+),
+states AS (SELECT step, len(rem)::BIGINT AS nv, m2 FROM peel
+           WHERE len(rem) >= 1),
+best AS (
+  SELECT nv, m2 FROM states s
+  WHERE NOT EXISTS (SELECT 1 FROM states t
+                    WHERE t.m2 * s.nv > s.m2 * t.nv)
+  ORDER BY step LIMIT 1
+)
+SELECT nv::BIGINT AS n_nodes_sub, m2::BIGINT AS two_m_sub,
+       (m2 * 1000000 // (2 * nv))::BIGINT AS density_ppm
+FROM best
+UNION ALL
+SELECT 0::BIGINT, 0::BIGINT, 0::BIGINT
+WHERE NOT EXISTS (SELECT 1 FROM ue)
+""")
 def densest_subgraph_peeling_q(sf_dir: str):
     """Charikar greedy-peeling densest subgraph of the symmetrized token
     bigram graph: the density-max prefix of the min-degree removal
     order, reported as the exact fraction 2|E|/|V| (ppm) plus the
     witness size — the 2-approximation with a brute-force optimality
-    bound pinned in tests.  No SQL oracle (sequential peeling state);
-    edges fold through the guarded combine, peeling is O(V·E) on the
+    bound pinned in tests.  The oracle replays the peel as a recursive
+    CTE (min-degree pick with the same (degree, label) tie-break, exact
+    cross-multiplied density argmax with earliest-step ties); edges
+    fold through the guarded combine, peeling is O(V·E) on the
     ~30-node vocab graph driver-side."""
     edges = bigram_edges(_read(sf_dir, "documents", ["text"]))
     cols = ("n_nodes_sub", "two_m_sub", "density_ppm")

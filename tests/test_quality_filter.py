@@ -466,3 +466,47 @@ def test_mark_duplicates_join_zero_dup_groups(ray_session):
     out = mark_duplicates_join(hashed).to_pandas()
     assert len(out) == 8
     assert not out["is_dup"].any() and out["dup_keep"].all()
+
+
+def test_dedup_mode_broadcast_stream_matches_broadcast(ray_session,
+                                                       tmp_path):
+    """dedup_mode='broadcast_stream' (round-5 plasma lever: upfront
+    hash-only index pass, then ONE fused label->write stream with no
+    materialize barrier) must produce the identical summary and
+    identical per-row keep/is_dup marks, including on resume."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from dataquality_ray.fixtures import write_code_files
+    from dataquality_ray.pipelines.quality_filter import run_quality_filter
+
+    src = str(tmp_path / "in")
+    write_code_files(src, n_rows=600, seed=11, rows_per_file=200)
+
+    outs = {}
+    for mode in ("broadcast", "broadcast_stream"):
+        run_dir = str(tmp_path / f"run_{mode}")
+        summary = run_quality_filter(src, run_dir, dedup=True,
+                                     dedup_mode=mode)
+        rows = (pads.dataset(f"{run_dir}/data").to_table(
+            columns=["row_id", "keep", "is_dup", "dup_keep"]).to_pandas()
+            .sort_values("row_id").reset_index(drop=True))
+        outs[mode] = (summary, rows)
+
+    s_b, r_b = outs["broadcast"]
+    s_s, r_s = outs["broadcast_stream"]
+    assert s_b == s_s
+    pd.testing.assert_frame_equal(r_b, r_s)
+    assert r_b["is_dup"].any()  # fixture plants duplicates
+    # rerun on the completed dir is an instant manifest no-op
+    assert run_quality_filter(
+        src, str(tmp_path / "run_broadcast_stream"), dedup=True,
+        dedup_mode="broadcast_stream") == s_s
+    # chunked: same global dup picks at chunk_files=1 (partition count
+    # differs by construction; every counter must match)
+    c_dir = str(tmp_path / "run_bs_chunked")
+    s_c = run_quality_filter(src, c_dir, dedup=True,
+                             dedup_mode="broadcast_stream",
+                             chunk_files=1)
+    assert {k: v for k, v in s_c.items() if k != "partitions"} \
+        == {k: v for k, v in s_s.items() if k != "partitions"}
