@@ -2010,8 +2010,14 @@ def corpus_delta_q(sf_dir: str):
     old = ds.map_batches(not_mult3, batch_format="pyarrow")
     out = (corpus_delta(ds, old)
            .select_columns(["doc_id", "n_chars"])
-           .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    return out
+           .to_pandas())
+    if not len(out):
+        # empty delta loses the schema through to_pandas (caught by the
+        # round-5 3x replicated stress corpus, where every 'new' text
+        # already exists in the prior snapshot)
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "n_chars": pd.Series([], dtype=np.int64)})
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -7914,14 +7920,17 @@ FROM first_seen GROUP BY mon ORDER BY month
 def token_novelty_q(sf_dir: str) -> pd.DataFrame:
     """First-appearance month of part-name words via order dates.
 
-    Fully distributed: per-batch (partkey, min-month) partials from the
-    lineitem-orders join hash-join against the exploded (partkey, word)
-    table — the part dimension never lands on the driver (it grows with
-    SF).  The final (word, min-month) combine is bounded by the
+    Distributed both ways: per-batch (partkey, min-month) partials from
+    the lineitem-orders join either fold through the guarded combine and
+    BROADCAST into the part-name explode (fast path — one ray.put, no
+    extra shuffle), or, past the cap, hash-join against the exploded
+    (partkey, word) table so the part dimension never lands on the
+    driver.  The final (word, min-month) fold is bounded by the
     part-name word vocabulary (corpus-invariant), with a groupby twin
-    past the cap.  Min-over-partials equals the global min, so the
-    partkey partials need no pre-aggregation shuffle of their own.
+    past the cap.  Min-over-partials equals the global min.
     """
+    import ray
+
     from dataquality_ray.stages import autoroute as ar
     from dataquality_ray.stages.joins import hash_join, smart_join
 
@@ -7937,9 +7946,12 @@ def token_novelty_q(sf_dir: str) -> pd.DataFrame:
             "mon": mon})
         return f.groupby("pk", as_index=False)["mon"].min()
 
+    def pk_fold(f: pd.DataFrame) -> pd.DataFrame:
+        return f.groupby("pk", as_index=False)["mon"].min()
+
     pkmon = j.map_batches(part_min, batch_format="pyarrow")
 
-    def explode(b: pa.Table) -> pd.DataFrame:
+    def explode_tokens(b: pa.Table) -> pd.DataFrame:
         toks = pc.split_pattern(pc.coalesce(b["p_name"], pa.scalar("")),
                                 " ")
         n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
@@ -7951,19 +7963,39 @@ def token_novelty_q(sf_dir: str) -> pd.DataFrame:
         f = pd.DataFrame({"pk": pk, "w": flat})
         return f[f["w"] != ""].drop_duplicates()
 
-    words = (_read(sf_dir, "part", ["p_partkey", "p_name"])
-             .map_batches(explode, batch_format="pyarrow"))
-    wm = hash_join(words, pkmon, on="pk", value_cols=["mon"],
-                   join_type="inner")
-
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("w", as_index=False)["mon"].min()
 
+    pk_merged, pk_twin = ar.combine_or_groupby_twin(
+        "token_novelty_by_month", pkmon, pk_fold,
+        ar.DRIVER_COMBINE_CAP, ("pk",))
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    if pk_twin is None:
+        if pk_merged is None or not len(pk_merged):
+            return pd.DataFrame(
+                {"month": pd.Series([], dtype=object),
+                 "new_tokens": pd.Series([], dtype=np.int64)})
+        ref = ray.put(pk_merged)
+
+        def explode_join(b: pa.Table) -> pd.DataFrame:
+            lut = ray.get(ref)
+            f = explode_tokens(b).merge(lut, on="pk", how="inner")
+            return fold(f[["w", "mon"]])
+
+        wm_stage = part_ds.map_batches(explode_join,
+                                       batch_format="pyarrow")
+    else:
+        wm = hash_join(part_ds.map_batches(explode_tokens,
+                                           batch_format="pyarrow"),
+                       pk_twin, on="pk", value_cols=["mon"],
+                       join_type="inner")
+        wm_stage = wm.map_batches(
+            lambda b: fold(b.to_pandas()[["w", "mon"]]),
+            batch_format="pyarrow")
+
     merged, twin = ar.combine_or_groupby_twin(
-        "token_novelty_by_month",
-        wm.map_batches(lambda b: fold(b.to_pandas()[["w", "mon"]]),
-                       batch_format="pyarrow"),
-        fold, ar.DRIVER_COMBINE_CAP, ("w",))
+        "token_novelty_by_month", wm_stage, fold,
+        ar.DRIVER_COMBINE_CAP, ("w",))
     if twin is not None:
         parts = [b for b in twin.iter_batches(batch_format="pandas",
                                               batch_size=None) if len(b)]

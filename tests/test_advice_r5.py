@@ -172,3 +172,20 @@ def test_inspection_paradox_unsorted_input(tmp_path):
     })
     sf = _mkdir(tmp_path, events=ev)
     _parity("inspection_paradox_audit", sf)
+
+
+def test_corpus_snapshot_delta_empty(tmp_path):
+    # every 'new crawl' text (doc_id % 3 == 0) also exists in the prior
+    # snapshot -> empty delta; the query must keep its schema (the 3x
+    # replicated stress corpus caught a KeyError here in round 5)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["same a", "same a", "b", "c", "c", "b"],
+        "lang": ["en"] * 6,
+        "source": ["s"] * 6,
+        "n_chars": np.full(6, 6, dtype=np.int64),
+    })
+    sf = _mkdir(tmp_path, documents=docs)
+    out = _parity("corpus_snapshot_delta", sf)
+    assert len(out) == 0 and list(sorted(out.columns)) == \
+        ["doc_id", "n_chars"]
