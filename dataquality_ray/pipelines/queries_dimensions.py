@@ -472,6 +472,10 @@ def u1_q(sf_dir: str):
 
 @query("c1_near_dup")
 def c1_q(sf_dir: str):
+    """Exact all-pairs C1 self-similarity over p_name — rows-only (the
+    word-1-2-gram TF-IDF cosine has no SQL twin); score formulas are
+    pandas-oracle-tested in tests/test_similarity.py and the
+    distributed twin is c1_near_dup_bucketed."""
     from dataquality_ray.stages.similarity import c1_near_dup
 
     res = c1_near_dup(_read(sf_dir, "part", ["p_name"]), ["p_name"],
@@ -630,7 +634,11 @@ def c3_q(sf_dir: str):
 def dq_battery_q(sf_dir: str):
     """The full battery over lineitem + orders + documents: one row per
     (battery, test) with its score, one per dimension roll-up, one grade row
-    per battery.  Reports + run-log land under /tmp/dq_battery_reports."""
+    per battery.  Reports + run-log land under /tmp/dq_battery_reports.
+    Rows-only: the documents battery includes the C1/C2/C3 TF-IDF
+    similarity tests, which have no SQL equivalent — every
+    SQL-expressible component test has its own oracle query, and the
+    roll-up/grade math is pinned by scoring unit tests."""
     import tempfile
 
     from dataquality_ray.pipelines.battery import full_battery, run_battery

@@ -799,6 +799,10 @@ def embedding_near_dup_q(sf_dir: str):
 
 @query("ann_lsh_bucketed")
 def ann_lsh_q(sf_dir: str):
+    """Random-hyperplane LSH bucketed top-k — rows-only: the float
+    cosine chain (normalize, matmul) is not bit-replicable in SQL;
+    recall vs brute force and bucket routing are pinned in
+    tests/test_dedup_ann.py."""
     from dataquality_ray.stages.ann import lsh_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -815,6 +819,11 @@ def ann_lsh_q(sf_dir: str):
 
 @query("quality_filter_code")
 def flagship_q(sf_dir: str):
+    """The flagship label pipeline over the synthesized code corpus —
+    rows-only: the input is generated in-process (not one of the
+    driver's parquet views), so no SQL oracle can see it; keep/scrub/
+    dedup semantics are pinned by tests/test_quality_filter.py and the
+    driver smoke-checks entry()."""
     import ray.data as rd
 
     from dataquality_ray.fixtures import generate_code_files
@@ -841,6 +850,9 @@ def flagship_q(sf_dir: str):
 
 @query("multimodal_image_features")
 def multimodal_q(sf_dir: str):
+    """Image-decode plumbing (fake decoder) — rows-only: payloads are
+    synthesized binary, decode is a codec not a relation; schema/actor
+    plumbing pinned in tests/test_multimodal_codecs.py."""
     import ray.data as rd
 
     from dataquality_ray.stages.multimodal import (
@@ -886,6 +898,9 @@ def multimodal_real_q(sf_dir: str):
 
 @query("multimodal_audio_features")
 def multimodal_audio_q(sf_dir: str):
+    """Audio-sampling plumbing (fake decoder) — rows-only: payloads
+    are synthesized binary, decode is a codec not a relation; schema/
+    actor plumbing pinned in tests/test_multimodal_codecs.py."""
     import ray.data as rd
 
     from dataquality_ray.stages.multimodal import (
@@ -1034,6 +1049,10 @@ def multimodal_video_q(sf_dir: str):
 
 @query("multimodal_resize_plan")
 def multimodal_resize_q(sf_dir: str):
+    """Aspect-preserving resize planning over decoded image metadata —
+    rows-only: the synthetic dims come from a Mersenne-Twister stream
+    no SQL can replay; plan arithmetic pinned in
+    tests/test_multimodal_codecs.py."""
     import ray.data as rd
 
     from dataquality_ray.stages.multimodal import (
@@ -4429,8 +4448,9 @@ def pca_embeddings_q(sf_dir: str):
     """PCA of the embedding table (stages/pca.py: d×d covariance from one
     pass of (n, Σx, Σxxᵀ) partials — O(d²) per batch regardless of row
     count — eigh on the driver, components broadcast for the projection).
-    Output: per-component explained variance; orthonormality and
-    total-variance conservation are asserted in-query."""
+    Output: per-component explained variance; rows-only (the eigh float
+    chain has no SQL twin) — orthonormality and total-variance
+    conservation are asserted in-query, numpy parity in tests."""
     from dataquality_ray.stages.pca import pca_fit, pca_transform
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -4539,7 +4559,8 @@ def mmr_diverse_topk_q(sf_dir: str):
     (lambda=0.7) — the diversity-aware retrieval head over the ANN
     stage.  Candidate fetch is the distributed part (brute-force cosine
     top-50 per batch, merged); the greedy rerank is O(k·candidates) on
-    the driver."""
+    the driver.  Rows-only: the float cosine chain and the sequential
+    greedy state have no SQL twin; ordering pinned in tests."""
     import ray.data as rd
 
     from dataquality_ray.stages.ann import _stack_embeddings
@@ -4604,7 +4625,8 @@ def pq_distortion_report_q(sf_dir: str):
     subquantizer, the mean squared reconstruction error over the corpus
     (distortion partials merge as exact counts + float sums per
     subspace).  The measurement that decides m/k before trusting PQ
-    recall at scale."""
+    recall at scale.  Rows-only: the codebooks come from iterative
+    k-means — no SQL twin; distortion bounds pinned in tests."""
     import ray.data as rd
 
     from dataquality_ray.stages.ann import PQIndex, _stack_embeddings
