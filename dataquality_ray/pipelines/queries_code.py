@@ -752,17 +752,33 @@ def dict_encoding_advisor_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby(["column_name", "val"], as_index=False).sum()
 
+    from dataquality_ray.stages import autoroute as ar
+
     stage = (_read(sf_dir, "documents", COLS)
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 4_000_000)
-    assert ok and merged is not None
+    # value domains can grow with the corpus: past the cap the groupby
+    # twin's globally-unique (column, val) rows refold to per-column
+    # counters (rows, distinct, plain/dict bytes) — nothing value-sized
+    # on the driver.
+    agg = ar.refold_partials(
+        "dict_encoding_advisor", stage, fold, 2 * ar.DRIVER_COMBINE_CAP,
+        ("column_name", "val"),
+        lambda f: (f.assign(vb=f["val"].str.len(), nd=1)
+                   .groupby("column_name", as_index=False)
+                   .agg(n_rows=("n_rows", "sum"),
+                        plain_bytes=("plain_bytes", "sum"),
+                        nd=("nd", "sum"), vb=("vb", "sum"))),
+        lambda f: f.groupby("column_name", as_index=False)[
+            ["n_rows", "plain_bytes", "nd", "vb"]].sum(), 1_000)
+    assert agg is not None
     rows = []
     for c in COLS:
-        g = merged[merged["column_name"] == c]
+        g = agg[agg["column_name"] == c]
         n_rows = int(g["n_rows"].sum())
         plain = int(g["plain_bytes"].sum())
-        dict_b = int(g["val"].str.len().sum()) + n_rows * 4
-        rows.append((c, n_rows, len(g), plain, dict_b, dict_b < plain))
+        dict_b = int(g["vb"].sum()) + n_rows * 4
+        nd = int(g["nd"].sum())
+        rows.append((c, n_rows, nd, plain, dict_b, dict_b < plain))
     return pd.DataFrame(rows, columns=["column_name", "n_rows",
                                        "n_distinct", "plain_bytes",
                                        "dict_bytes", "dict_wins"])

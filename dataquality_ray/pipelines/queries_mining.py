@@ -851,16 +851,50 @@ def fd_discovery_q(sf_dir: str):
     def comb(f: pd.DataFrame) -> pd.DataFrame:
         return f.drop_duplicates(["det", "dep", "ka", "kb"])
 
+    from dataquality_ray.stages import autoroute as ar
+
     stage = (_read(sf_dir, "documents", ["doc_id", "lang", "source"])
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, comb, 4_000_000)
-    assert ok and merged is not None
+    merged, twin = ar.combine_or_groupby_twin(
+        "fd_discovery", stage, comb, 2 * ar.DRIVER_COMBINE_CAP,
+        ("det", "dep", "ka", "kb"))
     rows = []
-    for a, bb in candidates:
-        u = merged[(merged["det"] == a) & (merged["dep"] == bb)]
-        da = u["ka"].nunique()
-        dab = len(u)
-        rows.append((a, bb, da, dab, da == dab))
+    if twin is not None:
+        # key-column candidates grow with the corpus: count the twin's
+        # globally-unique pair rows streamingly per candidate, and take
+        # the determinant marginals with one groupby-count each —
+        # counters only on the driver.
+        tw = twin.materialize()
+        dab_c: dict[tuple, int] = {}
+        for b in tw.iter_batches(batch_format="pandas",
+                                 batch_size=None):
+            if not len(b):
+                continue
+            g = b.groupby(["det", "dep"]).size()
+            for kk, v in g.items():
+                dab_c[kk] = dab_c.get(kk, 0) + int(v)
+        da_ds = (tw.groupby(["det", "dep", "ka"])
+                 .map_groups(lambda g: g.head(1),
+                             batch_format="pandas"))
+        da_c: dict[tuple, int] = {}
+        for b in da_ds.iter_batches(batch_format="pandas",
+                                    batch_size=None):
+            if not len(b):
+                continue
+            g = b.groupby(["det", "dep"]).size()
+            for kk, v in g.items():
+                da_c[kk] = da_c.get(kk, 0) + int(v)
+        for a, bb in candidates:
+            da = da_c.get((a, bb), 0)
+            dab = dab_c.get((a, bb), 0)
+            rows.append((a, bb, da, dab, da == dab))
+    else:
+        assert merged is not None
+        for a, bb in candidates:
+            u = merged[(merged["det"] == a) & (merged["dep"] == bb)]
+            da = u["ka"].nunique()
+            dab = len(u)
+            rows.append((a, bb, da, dab, da == dab))
     out = pd.DataFrame(rows, columns=["determinant", "dependent",
                                       "n_determinant", "n_pairs",
                                       "fd_holds"])
@@ -1017,18 +1051,41 @@ def cms_join_size_estimate_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("k", as_index=False)["c"].sum()
 
-    la, ok1 = guarded_partials(
-        _read(sf_dir, "lineitem", ["l_orderkey"])
-        .map_batches(cnt("l_orderkey"), batch_format="pyarrow"),
-        fold, 4_000_000)
-    ob, ok2 = guarded_partials(
-        _read(sf_dir, "orders", ["o_orderkey"])
-        .map_batches(cnt("o_orderkey"), batch_format="pyarrow"),
-        fold, 4_000_000)
-    assert ok1 and ok2
-    m = la.merge(ob, on="k", suffixes=("_l", "_o"))
-    exact = int((m["c_l"].to_numpy(np.int64)
-                 * m["c_o"].to_numpy(np.int64)).sum())
+    from dataquality_ray.stages import autoroute as ar
+    from dataquality_ray.stages.joins import hash_join
+
+    lst = (_read(sf_dir, "lineitem", ["l_orderkey"])
+           .map_batches(cnt("l_orderkey"), batch_format="pyarrow"))
+    ost = (_read(sf_dir, "orders", ["o_orderkey"])
+           .map_batches(cnt("o_orderkey"), batch_format="pyarrow"))
+    la, tw1 = ar.combine_or_groupby_twin(
+        "cms_join_size_estimate", lst, fold,
+        2 * ar.DRIVER_COMBINE_CAP, ("k",))
+    ob, tw2 = ar.combine_or_groupby_twin(
+        "cms_join_size_estimate", ost, fold,
+        2 * ar.DRIVER_COMBINE_CAP, ("k",))
+    if tw1 is not None or tw2 is not None:
+        # order-key domain over cap: hash-join the exact count sets and
+        # stream the product sum back as decimal strings.
+        import ray.data as rd
+        da = tw1 if tw1 is not None else rd.from_pandas(la)
+        db = tw2 if tw2 is not None else rd.from_pandas(ob)
+        j = hash_join(da, db.map_batches(
+            lambda f: f.rename(columns={"c": "co"}),
+            batch_format="pandas"), on="k", join_type="inner")
+        exact = 0
+        for b in (j.map_batches(
+                lambda f: pd.DataFrame({"s": [str(int(
+                    (f["c"].astype(object).map(int)
+                     * f["co"].astype(object).map(int)).sum()))]}),
+                batch_format="pandas")
+                .iter_batches(batch_format="pandas",
+                              batch_size=None)):
+            exact += sum(int(s) for s in b["s"])
+    else:
+        m = la.merge(ob, on="k", suffixes=("_l", "_o"))
+        exact = int((m["c_l"].to_numpy(np.int64)
+                     * m["c_o"].to_numpy(np.int64)).sum())
     return pd.DataFrame({"exact_join_size": [exact],
                          "cms_estimate": [est]})
 
@@ -1175,8 +1232,16 @@ def golden_record_merge_q(sf_dir: str):
                    ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
              .map_batches(plant, batch_format="pyarrow")
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 2_000_000)
-    assert ok and merged is not None
+    from dataquality_ray.stages import autoroute as ar
+
+    merged, twin = ar.combine_or_groupby_twin(
+        "golden_record_merge", stage, fold, ar.DRIVER_COMBINE_CAP,
+        ("entity_id",))
+    if twin is not None:
+        # entity domain over cap: the per-entity golden records ARE the
+        # result — fold in-shuffle, output-sized stream-back.
+        merged = ar.twin_to_frame(twin)
+    assert merged is not None
     out = merged.sort_values("entity_id").reset_index(drop=True)
     out["n_records"] = out["n_records"].astype("int64")
     out["canonical_id"] = out["canonical_id"].astype("int64")
@@ -1941,13 +2006,33 @@ def bitmap_index_stats_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.drop_duplicates()
 
+    from dataquality_ray.stages import autoroute as ar
+
     stage = (_read(sf_dir, "events", ["event_type", "event_id"])
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 4_000_000)
-    assert ok and merged is not None
-    total = merged["block"].nunique()
-    g = merged.groupby("event_type").size().rename("n_present_blocks") \
-        .reset_index()
+    merged, twin = ar.combine_or_groupby_twin(
+        "bitmap_index_stats", stage, fold, 2 * ar.DRIVER_COMBINE_CAP,
+        ("event_type", "block"))
+    if twin is not None:
+        # block universe over cap (it shrinks the id space only 1000x):
+        # per-type counts sum from the twin's unique rows; the global
+        # distinct-block count takes one groupby-count — counters only.
+        tw = twin.materialize()
+        per_type: dict[str, int] = {}
+        for b in tw.iter_batches(batch_format="pandas",
+                                 batch_size=None):
+            if not len(b):
+                continue
+            for t, v in b.groupby("event_type").size().items():
+                per_type[t] = per_type.get(t, 0) + int(v)
+        total = int(tw.groupby("block").count().count())
+        g = pd.DataFrame(sorted(per_type.items()),
+                         columns=["event_type", "n_present_blocks"])
+    else:
+        assert merged is not None
+        total = merged["block"].nunique()
+        g = (merged.groupby("event_type").size()
+             .rename("n_present_blocks").reset_index())
     g["total_blocks"] = total
     g["density_ppm"] = (g["n_present_blocks"].astype(object) * 1000000
                         // total).astype("int64")
@@ -2260,10 +2345,48 @@ def zorder_locality_audit_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.drop_duplicates("doc_id")
 
+    from dataquality_ray.stages import autoroute as ar
+
     stage = (_read(sf_dir, "documents", ["doc_id", "n_chars"])
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 4_000_000)
-    assert ok and merged is not None
+    merged, twin = ar.combine_or_groupby_twin(
+        "zorder_locality_audit", stage, fold,
+        2 * ar.DRIVER_COMBINE_CAP, ("doc_id",))
+    if twin is not None:
+        # doc domain over cap: two distributed sorts streamed in order —
+        # ranks are running positions, so blocks-touched is a monotone
+        # transition count with O(1) driver state per ordering.
+        tw = twin.materialize()
+
+        def blocks_touched(sort_keys) -> tuple[int, int]:
+            pos, touched, total_last, last = 0, 0, -1, -1
+            total = 0
+            for b in (tw.sort(sort_keys)
+                      .iter_batches(batch_format="pandas",
+                                    batch_size=None)):
+                if not len(b):
+                    continue
+                xb = b["xb"].to_numpy(np.int64)
+                blocks = (pos + np.arange(len(xb))) // 64
+                for bi in np.unique(blocks):
+                    if bi != total_last:
+                        total += 1
+                        total_last = bi
+                band = blocks[(xb >= 60) & (xb <= 80)]
+                for bi in np.unique(band):
+                    if bi != last:
+                        touched += 1
+                        last = bi
+                pos += len(xb)
+            return touched, total
+
+        zt, ztot = blocks_touched(["morton", "doc_id"])
+        rt, _ = blocks_touched(["doc_id"])
+        return pd.DataFrame({
+            "zorder_blocks_touched": [zt],
+            "rowid_blocks_touched": [rt],
+            "total_blocks": [ztot]})
+    assert merged is not None
     z = merged.sort_values(["morton", "doc_id"]).reset_index(drop=True)
     z["zblock"] = np.arange(len(z)) // 64
     r = merged.sort_values("doc_id").reset_index(drop=True)

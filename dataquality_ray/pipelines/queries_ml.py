@@ -102,6 +102,7 @@ def dbscan_embeddings_q(sf_dir: str):
     """
     import ray
 
+    from dataquality_ray.stages import autoroute as ar
     from dataquality_ray.stages.autoroute import guarded_partials
 
     emb = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -126,12 +127,81 @@ def dbscan_embeddings_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.drop_duplicates(["sid", "oid"])
 
-    pairs, ok = guarded_partials(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    # bounded: eps-neighbor pairs; past cap -> minhash.components twin
-    assert ok, "eps-pair keyspace over cap: route stages/minhash components"
+    stage = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+             .map_batches(part, batch_format="pyarrow"))
+    pairs, ok = guarded_partials(stage, fold, ar.DRIVER_COMBINE_CAP)
     out = pd.DataFrame({"vec_id": gids})
+    if not ok:
+        # eps-pair set over cap: the documented distributed path — core
+        # ids from a degree groupby, min-label propagation over the
+        # core-core edge Dataset (identical labels to the union-find's
+        # min root), border mins from one more groupby; the per-vector
+        # assembly is output-sized.
+        from dataquality_ray.stages.autoroute import record_route
+        from dataquality_ray.stages.joins import hash_join
+        from dataquality_ray.stages.minhash import (
+            near_dup_keep_distributed,
+        )
+
+        record_route("dbscan_embeddings", "components_twin",
+                     "eps-pairs over cap", None)
+        pd_ds = stage.materialize()
+        deg = pd_ds.groupby("sid").count()
+
+        def core_rows(f: pd.DataFrame) -> pd.DataFrame:
+            cnt_col = [c for c in f.columns if c != "sid"][0]
+            m = f[f[cnt_col] >= _DB_MINNB]
+            return pd.DataFrame({"cid": m["sid"],
+                                 "is_core": np.int64(1)})
+
+        core_ds = deg.map_batches(core_rows,
+                                  batch_format="pandas").materialize()
+        # pairs with core sid
+        pc_s = hash_join(pd_ds, core_ds, on="sid", right_on="cid",
+                         value_cols=["is_core"], join_type="inner")
+        # core-core edges: of those, keep core oid
+        cc = hash_join(pc_s.map_batches(
+            lambda f: f[["sid", "oid"]], batch_format="pandas"),
+            core_ds, on="oid", right_on="cid", value_cols=["is_core"],
+            join_type="inner")
+        comp = near_dup_keep_distributed(cc, id_a="sid",
+                                         id_b="oid").to_pandas()
+        clab = dict(zip(comp["doc_id"].astype(int),
+                        comp["group_id"].astype(int)))
+        # isolated cores (no core neighbor) are their own cluster
+        core_ids = core_ds.to_pandas()["cid"].astype(int)
+        for c in core_ids:
+            clab.setdefault(int(c), int(c))
+        # border: non-core sid with core oid -> min core label
+        bp = hash_join(pd_ds, core_ds, on="oid", right_on="cid",
+                       value_cols=["is_core"], join_type="inner")
+        border: dict[int, int] = {}
+        for b in bp.iter_batches(batch_format="pandas",
+                                 batch_size=None):
+            if not len(b):
+                continue
+            for s, o in zip(b["sid"].astype(int),
+                            b["oid"].astype(int)):
+                if s in clab:
+                    continue
+                lab = clab[o]
+                if s not in border or lab < border[s]:
+                    border[s] = lab
+        roles, labels = [], []
+        for v in gids:
+            v = int(v)
+            if v in clab:
+                roles.append("core")
+                labels.append(clab[v])
+            elif v in border:
+                roles.append("border")
+                labels.append(border[v])
+            else:
+                roles.append("noise")
+                labels.append(-1)
+        out["role"] = roles
+        out["cluster"] = pd.Series(labels, dtype=np.int64)
+        return out
     if pairs is None or not len(pairs):
         out["role"] = "noise"
         out["cluster"] = np.int64(-1)
@@ -811,13 +881,78 @@ def lof_scores_q(sf_dir: str):
                 "d2": np.take_along_axis(d2, top, axis=1).ravel()}
         return pd.DataFrame(rows)
 
-    prof, ok = guarded_partials(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(part, batch_format="pyarrow"),
-        lambda f: f, 2_000_000)
-    # bounded: k rows per corpus point; past cap -> join twin (oracle shape)
-    assert ok, "kNN profile over cap: route the join-stage twin"
+    from dataquality_ray.stages import autoroute as ar
+
+    stage = (_read(sf_dir, "embeddings", ["vec_id", "embedding"])
+             .map_batches(part, batch_format="pyarrow"))
+    prof, ok = guarded_partials(stage, lambda f: f,
+                                ar.DRIVER_COMBINE_CAP)
     cols = ("vec_id", "lof_micro")
+    if not ok:
+        # kNN profile over cap: the join-stage twin (the oracle's own
+        # shape) — kdist per point via groupby-max, reach sums via one
+        # hash join + groupby, LOF per point in a 3-row map_groups with
+        # Python-int exactness, running top-20 on the driver.
+        from dataquality_ray.stages.joins import hash_join
+
+        ar.record_route("lof_scores", "join_twin",
+                        "kNN profile over cap", None)
+        prof_ds = stage.materialize()
+        kd = (prof_ds.groupby("vec_id").max("d2")
+              .map_batches(lambda f: pd.DataFrame(
+                  {"oid": f["vec_id"],
+                   "kdist": f[[c for c in f.columns
+                               if c != "vec_id"][0]]}),
+                  batch_format="pandas"))
+        j = hash_join(prof_ds, kd, on="oid", value_cols=["kdist"],
+                      join_type="inner")
+        reach = (j.map_batches(lambda f: pd.DataFrame(
+            {"vec_id": f["vec_id"],
+             "r": np.maximum(f["kdist"].to_numpy(np.int64),
+                             f["d2"].to_numpy(np.int64))}),
+            batch_format="pandas")
+            .groupby("vec_id").sum("r")
+            .map_batches(lambda f: pd.DataFrame(
+                {"vec_id": f["vec_id"],
+                 "s": f[[c for c in f.columns
+                         if c != "vec_id"][0]]}),
+                batch_format="pandas").materialize())
+        # attach each point's own reach sum and its neighbors' sums
+        own = hash_join(prof_ds, reach, on="vec_id",
+                        value_cols=["s"], join_type="inner")
+        nbr = hash_join(
+            own.map_batches(lambda f: f.rename(
+                columns={"s": "s_self"}), batch_format="pandas"),
+            reach.map_batches(lambda f: pd.DataFrame(
+                {"oid": f["vec_id"], "s_o": f["s"]}),
+                batch_format="pandas"),
+            on="oid", value_cols=["s_o"], join_type="inner")
+
+        def lof_group(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("oid")
+            s1, s2, s3 = (int(x) for x in g["s_o"].head(_LOF_K))
+            sv = int(g["s_self"].iloc[0])
+            num = sv * (s1 * s2 + s1 * s3 + s2 * s3) * 1_000_000
+            return pd.DataFrame(
+                [[int(g["vec_id"].iloc[0]),
+                  num // (_LOF_K * s1 * s2 * s3)]],
+                columns=["vec_id", "lof_micro"])
+
+        best = None
+        for b in (nbr.groupby("vec_id")
+                  .map_groups(lof_group, batch_format="pandas")
+                  .iter_batches(batch_format="pandas",
+                                batch_size=None)):
+            if not len(b):
+                continue
+            cand = pd.concat([best, b]) if best is not None else b
+            best = (cand.sort_values(["lof_micro", "vec_id"],
+                                     ascending=[False, True])
+                    .head(_LOF_TOP))
+        if best is None:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in cols})
+        return best.reset_index(drop=True).astype(np.int64)
     if prof is None or not len(prof):
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
                              for c in cols})
@@ -1472,11 +1607,78 @@ def mondrian_kanon_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("user_id", as_index=False)[["x", "y"]].sum()
 
-    merged, ok = guarded_partials(
-        _read(sf_dir, "events", ["user_id", "value"])
-        .map_batches(part, batch_format="pyarrow"), fold, 2_000_000)
-    assert ok, "user keyspace over cap: route per-round groupby medians"
+    from dataquality_ray.stages import autoroute as ar
+
+    stage = (_read(sf_dir, "events", ["user_id", "value"])
+             .map_batches(part, batch_format="pyarrow"))
+    merged, twin = ar.combine_or_groupby_twin(
+        "mondrian_kanon_boxes", stage, fold, ar.DRIVER_COMBINE_CAP,
+        ("user_id",))
     cols = ("box_id", "n", "x_min", "x_max", "y_min", "y_max")
+    if twin is not None:
+        # user domain over cap: the documented per-round shape — each
+        # round folds a (box, dim-value) histogram (value-grid-bounded)
+        # to derive exact disc medians, broadcasts the <= 2^r cuts, and
+        # relabels in map_batches; the final <= 2^rounds box aggregate
+        # is a bounded combine.
+        cur = twin.materialize()
+        for r in range(1, _MONDRIAN_ROUNDS + 1):
+            dim = "x" if r % 2 == 1 else "y"
+
+            def histp(f: pd.DataFrame, dim=dim, rr=r) -> pd.DataFrame:
+                if "box" not in f.columns:
+                    f = f.assign(box=np.int64(0))
+                g = (f.groupby(["box", dim], as_index=False)
+                     .size().rename(columns={dim: "v",
+                                             "size": "c"}))
+                return g
+
+            hist, okh = guarded_partials(
+                cur.map_batches(histp, batch_format="pandas"),
+                lambda f: f.groupby(["box", "v"],
+                                    as_index=False)["c"].sum(),
+                2_000_000)
+            assert okh and hist is not None  # bounded: boxes x grid
+            med: dict[int, int] = {}
+            for box, g in hist.groupby("box"):
+                g = g.sort_values("v")
+                c = g["c"].to_numpy(np.int64)
+                cum = np.cumsum(c)
+                n = int(cum[-1])
+                pos = math.ceil(0.5 * n)
+                med[int(box)] = int(
+                    g["v"].to_numpy(np.int64)[
+                        np.searchsorted(cum, pos)])
+
+            def relabel(f: pd.DataFrame, dim=dim,
+                        med=med) -> pd.DataFrame:
+                if "box" not in f.columns:
+                    f = f.assign(box=np.int64(0))
+                f = f.copy()
+                f["box"] = (f["box"].astype(np.int64) * 2
+                            + (f[dim] > f["box"].map(med))
+                            .astype(np.int64))
+                return f
+
+            cur = cur.map_batches(relabel,
+                                  batch_format="pandas").materialize()
+
+        out, okf = guarded_partials(
+            cur.map_batches(lambda f: f.groupby("box", as_index=False)
+                            .agg(n=("user_id", "size"),
+                                 x_min=("x", "min"),
+                                 x_max=("x", "max"),
+                                 y_min=("y", "min"),
+                                 y_max=("y", "max")),
+                            batch_format="pandas"),
+            lambda f: f.groupby("box", as_index=False).agg(
+                n=("n", "sum"), x_min=("x_min", "min"),
+                x_max=("x_max", "max"), y_min=("y_min", "min"),
+                y_max=("y_max", "max")), 100_000)
+        assert okf and out is not None  # bounded: 2^rounds boxes
+        out = out.rename(columns={"box": "box_id"}) \
+            .sort_values("box_id")
+        return out.reset_index(drop=True).astype(np.int64)[list(cols)]
     if merged is None or not len(merged):
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
                              for c in cols})

@@ -4123,10 +4123,22 @@ def dedup_normalized_q(sf_dir: str):
         out["c"] = g["c"].sum()["c"]
         return out
 
-    idx, ok = guarded_partials(
+    from dataquality_ray.stages import autoroute as ar
+
+    idx, twin = ar.combine_or_groupby_twin(
+        "dedup_normalized",
         corpus.map_batches(partial, batch_format="pyarrow"), merge,
-        DRIVER_COMBINE_CAP)
-    assert ok, "use mark_duplicates_join for corpora beyond the cap"
+        ar.DRIVER_COMBINE_CAP, ("h",))
+    if twin is not None:
+        # distinct-hash domain over cap: stream the exact per-hash rows
+        # keeping only the dup groups (c > 1) — output-sized.
+        parts = [b[b["c"] > 1]
+                 for b in twin.iter_batches(batch_format="pandas",
+                                            batch_size=None)
+                 if len(b)]
+        idx = (pd.concat(parts, ignore_index=True) if parts
+               else pd.DataFrame({"h": [], "doc_id": [], "c": []}))
+    assert idx is not None
     dups = idx[idx["c"] > 1]
     return (pd.DataFrame({"doc_id": dups["doc_id"].astype(np.int64),
                           "n_variants": dups["c"].astype(np.int64)})
@@ -4398,19 +4410,61 @@ def cdc_apply_q(sf_dir: str):
                                   ascending=[True, False])
                      .groupby("doc_id", sort=False).head(1))
 
-    log, ok = guarded_partials(
-        docs.map_batches(build_log, batch_format="pyarrow"), latest,
-        DRIVER_COMBINE_CAP)
-    assert ok, "changelog beyond cap: hash-join apply per key partition"
-    touched = ray.put(np.sort(log["doc_id"].to_numpy(dtype=np.int64)))
+    from dataquality_ray.stages import autoroute as ar
 
-    def drop_touched(batch: pa.Table) -> pa.Table:
-        ks = ray.get(touched)
-        mask = ~np.isin(batch["doc_id"].to_numpy(zero_copy_only=False), ks)
-        return batch.filter(pa.array(mask))
+    log_stage = docs.map_batches(build_log, batch_format="pyarrow")
+    log, ltwin = ar.combine_or_groupby_twin(
+        "cdc_changelog_apply", log_stage, latest,
+        ar.DRIVER_COMBINE_CAP, ("doc_id",))
+    if ltwin is not None:
+        # touched-key domain over cap: the hash-join apply — kept rows
+        # come from a left-outer join against the latest-op keys
+        # (marker-null filter = anti join), upsert stats fold from the
+        # twin Dataset; per-lang output stays bounded.
+        from dataquality_ray.stages.joins import hash_join
 
-    kept = docs.map_batches(drop_touched, batch_format="pyarrow")
-    upserts = log[log["op"].isin(["U", "I"])]
+        lt = ltwin.materialize()
+        marks = lt.map_batches(
+            lambda f: pd.DataFrame({"doc_id": f["doc_id"],
+                                    "touched": np.int64(1)}),
+            batch_format="pandas")
+        joined = hash_join(docs, marks, on="doc_id",
+                           value_cols=["touched"],
+                           join_type="left_outer")
+        kept = joined.map_batches(
+            lambda b: b.filter(pc.is_null(b["touched"]))
+            .drop_columns(["touched"]), batch_format="pyarrow")
+        # per-lang upsert stats fold streamingly (lang-bounded) —
+        # nothing touched-key-sized lands on the driver
+        up_acc: list[pd.DataFrame] = []
+        for b in lt.iter_batches(batch_format="pandas",
+                                 batch_size=None):
+            b = b[b["op"].isin(["U", "I"])]
+            if not len(b):
+                continue
+            up_acc.append(pd.DataFrame({
+                "lang": b["lang"],
+                "total_chars": b["text"].str.len().astype(np.int64),
+                "n_docs": 1}).groupby("lang", as_index=False).sum())
+        upserts = None
+        up_stats_pre = (pd.concat(up_acc, ignore_index=True)
+                        .groupby("lang", as_index=False).sum()
+                        if up_acc else
+                        pd.DataFrame({"lang": [], "total_chars": [],
+                                      "n_docs": []}))
+    else:
+        assert log is not None
+        touched = ray.put(np.sort(log["doc_id"].to_numpy(
+            dtype=np.int64)))
+
+        def drop_touched(batch: pa.Table) -> pa.Table:
+            ks = ray.get(touched)
+            mask = ~np.isin(batch["doc_id"].to_numpy(
+                zero_copy_only=False), ks)
+            return batch.filter(pa.array(mask))
+
+        kept = docs.map_batches(drop_touched, batch_format="pyarrow")
+        upserts = log[log["op"].isin(["U", "I"])]
 
     def stats_partial(batch: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame({
@@ -4427,10 +4481,13 @@ def cdc_apply_q(sf_dir: str):
 
     base_stats = (kept.map_batches(stats_partial, batch_format="pyarrow")
                   .to_pandas())
-    up_stats = pd.DataFrame({
-        "lang": upserts["lang"],
-        "total_chars": upserts["text"].str.len().astype(np.int64),
-        "n_docs": 1})
+    if upserts is None:
+        up_stats = up_stats_pre
+    else:
+        up_stats = pd.DataFrame({
+            "lang": upserts["lang"],
+            "total_chars": upserts["text"].str.len().astype(np.int64),
+            "n_docs": 1})
     out = fold(pd.concat([base_stats, up_stats], ignore_index=True))
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["total_chars"] = out["total_chars"].astype(np.int64)

@@ -3104,16 +3104,53 @@ def rolling_distinct_users_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.drop_duplicates()
 
+    from dataquality_ray.stages import autoroute as ar
+
     stage = (_read(sf_dir, "events", ["ts", "user_id"])
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 4_000_000)
-    assert ok and merged is not None
-    days = np.sort(merged["day_idx"].unique())
-    rows = []
-    for d in days:
-        w = merged[(merged["day_idx"] >= d - 6) & (merged["day_idx"] <= d)]
-        rows.append((int(d), int(w["user_id"].nunique())))
-    return pd.DataFrame(rows, columns=["day_idx", "wau"])
+    merged, ok = guarded_partials(stage, fold,
+                                  2 * ar.DRIVER_COMBINE_CAP)
+    if ok:
+        ar.record_route("rolling_distinct_users", "combine",
+                        "within cap",
+                        0 if merged is None else len(merged))
+        assert merged is not None
+        days = np.sort(merged["day_idx"].unique())
+        rows = []
+        for d in days:
+            w = merged[(merged["day_idx"] >= d - 6)
+                       & (merged["day_idx"] <= d)]
+            rows.append((int(d), int(w["user_id"].nunique())))
+        return pd.DataFrame(rows, columns=["day_idx", "wau"])
+    # (day x user) over cap: shuffle on user — each user's active-day
+    # set expands to its 7-day coverage (deduped per user), which folds
+    # on the bounded calendar axis; a parallel per-day active count
+    # restricts output to observed days.
+    ar.record_route("rolling_distinct_users", "groupby_twin",
+                    "over cap", None)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        a = np.unique(g["day_idx"].to_numpy(np.int64))
+        covered = np.unique(np.concatenate(
+            [a + k for k in range(7)]))
+        f = pd.DataFrame({"day_idx": covered, "wau": np.int64(1),
+                          "active": np.int64(0)})
+        f.loc[f["day_idx"].isin(a), "active"] = 1
+        return f
+
+    agg, ok2 = guarded_partials(
+        stage.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas"),
+        lambda f: f.groupby("day_idx", as_index=False)[
+            ["wau", "active"]].sum(), 4_000_000)
+    assert ok2  # bounded: calendar days
+    if agg is None or not len(agg):
+        return pd.DataFrame({"day_idx": pd.Series([], dtype=np.int64),
+                             "wau": pd.Series([], dtype=np.int64)})
+    agg = agg[agg["active"] > 0].sort_values("day_idx")
+    return pd.DataFrame({
+        "day_idx": agg["day_idx"].to_numpy(np.int64),
+        "wau": agg["wau"].to_numpy(np.int64)}).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -3229,10 +3266,45 @@ def abc_supplier_classification_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.groupby("l_suppkey", as_index=False)["cents"].sum()
 
+    from dataquality_ray.stages import autoroute as ar
+
     stage = (_read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 2_000_000)
-    assert ok and merged is not None
+    merged, twin = ar.combine_or_groupby_twin(
+        "abc_supplier_classification", stage, fold,
+        ar.DRIVER_COMBINE_CAP, ("l_suppkey",))
+    if twin is not None:
+        # supplier domain over cap: total in one streaming pass, then a
+        # distributed (cents desc, key) sort streamed with a running
+        # cumulative — output-sized concat, O(1) extra driver state.
+        tw = twin.materialize()
+        total = 0
+        for b in tw.iter_batches(batch_format="pandas",
+                                 batch_size=None):
+            if len(b):
+                total += int(b["cents"].to_numpy(np.int64).sum())
+        parts = []
+        cum = 0
+        for b in (tw.sort(["cents", "l_suppkey"],
+                          descending=[True, False])
+                  .iter_batches(batch_format="pandas",
+                                batch_size=None)):
+            if not len(b):
+                continue
+            cents = b["cents"].to_numpy(np.int64)
+            cb = cum + np.concatenate([[0], cents.cumsum()[:-1]])
+            cls = np.where(cb * 10 < 8 * total, "A",
+                           np.where(cb * 100 < 95 * total, "B", "C"))
+            parts.append(pd.DataFrame({
+                "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+                "cents": cents.astype("int64"), "abc_class": cls}))
+            cum += int(cents.sum())
+        return (pd.concat(parts, ignore_index=True) if parts
+                else pd.DataFrame({"l_suppkey": pd.Series([], "int64"),
+                                   "cents": pd.Series([], "int64"),
+                                   "abc_class": pd.Series([],
+                                                          dtype=object)}))
+    assert merged is not None
     r = merged.sort_values(["cents", "l_suppkey"],
                            ascending=[False, True]).reset_index(drop=True)
     cents = r["cents"].to_numpy(np.int64)
@@ -4299,14 +4371,53 @@ def relational_division_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.drop_duplicates()
 
+    from dataquality_ray.stages import autoroute as ar
+
     stage = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 4_000_000)
-    assert ok and merged is not None
-    n_universe = merged["prio"].nunique()
-    g = merged.groupby("o_custkey").size().rename("n_prio").reset_index()
-    out = g[g["n_prio"] == n_universe].sort_values("o_custkey") \
-        .reset_index(drop=True)
+    merged, ok = guarded_partials(stage, fold,
+                                  2 * ar.DRIVER_COMBINE_CAP)
+    if ok:
+        ar.record_route("relational_division", "combine", "within cap",
+                        0 if merged is None else len(merged))
+        assert merged is not None
+        n_universe = merged["prio"].nunique()
+        g = (merged.groupby("o_custkey").size().rename("n_prio")
+             .reset_index())
+        out = g[g["n_prio"] == n_universe].sort_values("o_custkey") \
+            .reset_index(drop=True)
+    else:
+        # customer domain over cap: the priority universe is a tiny
+        # separate combine; divisors stream from a per-customer shuffle
+        # (distinct-priority count per group) — output-sized concat.
+        ar.record_route("relational_division", "groupby_twin",
+                        "over cap", None)
+        uni, oku = guarded_partials(
+            _read(sf_dir, "orders", ["o_orderpriority"])
+            .map_batches(lambda b: pd.DataFrame(
+                {"prio": pd.unique(np.asarray(
+                    b["o_orderpriority"].to_pylist(), dtype=object))}),
+                batch_format="pyarrow"),
+            lambda f: f.drop_duplicates(), 1_000_000)
+        assert oku  # bounded: priority universe
+        n_universe = len(uni) if uni is not None else 0
+
+        def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                [[int(g["o_custkey"].iloc[0]),
+                  int(g["prio"].nunique())]],
+                columns=["o_custkey", "n_prio"])
+
+        parts = [b[b["n_prio"] == n_universe]
+                 for b in (stage.groupby("o_custkey")
+                           .map_groups(per_cust,
+                                       batch_format="pandas")
+                           .iter_batches(batch_format="pandas",
+                                         batch_size=None))
+                 if len(b)]
+        out = (pd.concat(parts, ignore_index=True) if parts
+               else pd.DataFrame({"o_custkey": [], "n_prio": []}))
+        out = out.sort_values("o_custkey").reset_index(drop=True)
     out["o_custkey"] = out["o_custkey"].astype("int64")
     out["n_prio"] = out["n_prio"].astype("int64")
     return out
@@ -4458,19 +4569,62 @@ def daily_user_churn_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.drop_duplicates()
 
+    from dataquality_ray.stages import autoroute as ar
+
     stage = (_read(sf_dir, "events", ["ts", "user_id"])
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 4_000_000)
-    assert ok and merged is not None
-    sets = {int(d): set(g["user_id"])
-            for d, g in merged.groupby("day_idx")}
-    rows = []
-    for d in sorted(sets):
-        cur = sets[d]
-        prev = sets.get(d - 1, set())
-        rows.append((d, len(cur), len(cur - prev), len(prev - cur)))
-    return pd.DataFrame(rows, columns=["day_idx", "n_active", "n_new",
-                                       "n_churned"])
+    merged, ok = guarded_partials(stage, fold,
+                                  2 * ar.DRIVER_COMBINE_CAP)
+    if ok:
+        ar.record_route("daily_user_churn", "combine", "within cap",
+                        0 if merged is None else len(merged))
+        assert merged is not None
+        sets = {int(d): set(g["user_id"])
+                for d, g in merged.groupby("day_idx")}
+        rows = []
+        for d in sorted(sets):
+            cur = sets[d]
+            prev = sets.get(d - 1, set())
+            rows.append((d, len(cur), len(cur - prev),
+                         len(prev - cur)))
+        return pd.DataFrame(rows, columns=["day_idx", "n_active",
+                                           "n_new", "n_churned"])
+    # (day x user) over cap: shuffle on user — the consecutive-day set
+    # algebra is per-user local (new: active today, not yesterday;
+    # churned: active yesterday, not today, attributed to today), so
+    # per-user partials fold on the bounded calendar axis.
+    ar.record_route("daily_user_churn", "groupby_twin", "over cap",
+                    None)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        a = np.unique(g["day_idx"].to_numpy(np.int64))
+        inset = set(a.tolist())
+        new = np.array([d for d in a if d - 1 not in inset], np.int64)
+        churn = np.array([d + 1 for d in a if d + 1 not in inset],
+                         np.int64)
+        f1 = pd.DataFrame({"day_idx": a, "n_active": np.int64(1),
+                           "n_new": np.int64(0),
+                           "n_churned": np.int64(0)})
+        f1.loc[f1["day_idx"].isin(new), "n_new"] = 1
+        f2 = pd.DataFrame({"day_idx": churn,
+                           "n_active": np.int64(0),
+                           "n_new": np.int64(0),
+                           "n_churned": np.int64(1)})
+        return pd.concat([f1, f2], ignore_index=True)
+
+    agg, ok2 = guarded_partials(
+        stage.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas"),
+        lambda f: f.groupby("day_idx", as_index=False)[
+            ["n_active", "n_new", "n_churned"]].sum(), 4_000_000)
+    assert ok2  # bounded: calendar days
+    if agg is None or not len(agg):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("day_idx", "n_active", "n_new",
+                                       "n_churned")})
+    agg = agg[agg["n_active"] > 0].sort_values("day_idx")
+    return agg.reset_index(drop=True)[
+        ["day_idx", "n_active", "n_new", "n_churned"]]
 
 
 # ---------------------------------------------------------------------------
@@ -5150,15 +5304,57 @@ def type_user_overlap_q(sf_dir: str):
     def fold(f: pd.DataFrame) -> pd.DataFrame:
         return f.drop_duplicates()
 
+    from dataquality_ray.stages import autoroute as ar
+
     stage = (_read(sf_dir, "events", ["event_type", "user_id"])
              .map_batches(part, batch_format="pyarrow"))
-    merged, ok = guarded_partials(stage, fold, 4_000_000)
-    assert ok and merged is not None
-    sets = {t: set(g["user_id"]) for t, g in merged.groupby("event_type")}
+    merged, ok = guarded_partials(stage, fold,
+                                  2 * ar.DRIVER_COMBINE_CAP)
+    if ok:
+        ar.record_route("type_user_overlap", "combine", "within cap",
+                        0 if merged is None else len(merged))
+        assert merged is not None
+        sets = {t: set(g["user_id"])
+                for t, g in merged.groupby("event_type")}
+        rows = []
+        for a, b2 in combinations(sorted(sets), 2):
+            nb = len(sets[a] & sets[b2])
+            j = nb * 1000000 // (len(sets[a]) + len(sets[b2]) - nb)
+            rows.append((a, b2, nb, j))
+        return pd.DataFrame(rows, columns=["type_a", "type_b",
+                                           "n_both", "jaccard_ppm"])
+    # (type x user) over cap: shuffle on user — each user's distinct
+    # type set emits its pair memberships plus per-type marker rows
+    # ('' sentinel), folding on the bounded type^2 grid.
+    ar.record_route("type_user_overlap", "groupby_twin", "over cap",
+                    None)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(set(g["event_type"]))
+        rows = [(a, b2, 1) for a, b2 in combinations(ts, 2)]
+        rows += [(t, "", 1) for t in ts]
+        return pd.DataFrame(rows, columns=["type_a", "type_b", "n"])
+
+    agg, ok2 = guarded_partials(
+        stage.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas"),
+        lambda f: f.groupby(["type_a", "type_b"],
+                            as_index=False)["n"].sum(), 1_000_000)
+    assert ok2  # bounded: event-type^2 grid
+    if agg is None or not len(agg):
+        return pd.DataFrame({"type_a": pd.Series([], dtype=object),
+                             "type_b": pd.Series([], dtype=object),
+                             "n_both": pd.Series([], dtype=np.int64),
+                             "jaccard_ppm": pd.Series([],
+                                                      dtype=np.int64)})
+    n_users = dict(zip(agg.loc[agg["type_b"] == "", "type_a"],
+                       agg.loc[agg["type_b"] == "", "n"].astype(int)))
+    nb_map = {(a, b2): int(n) for a, b2, n in zip(
+        agg["type_a"], agg["type_b"], agg["n"]) if b2 != ""}
     rows = []
-    for a, b2 in combinations(sorted(sets), 2):
-        nb = len(sets[a] & sets[b2])
-        j = nb * 1000000 // (len(sets[a]) + len(sets[b2]) - nb)
+    for a, b2 in combinations(sorted(n_users), 2):
+        nb = nb_map.get((a, b2), 0)
+        j = nb * 1000000 // (n_users[a] + n_users[b2] - nb)
         rows.append((a, b2, nb, j))
     return pd.DataFrame(rows, columns=["type_a", "type_b", "n_both",
                                        "jaccard_ppm"])

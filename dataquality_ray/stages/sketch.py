@@ -759,12 +759,11 @@ def kll_group_quantiles(ds, col: str, group_col: str,
             rows.extend(extract(sub))
         return pd.DataFrame(rows, columns=cols)
 
-    from dataquality_ray.stages.autoroute import guarded_partials
+    from dataquality_ray.stages.autoroute import twin_to_frame
 
-    out, ok = guarded_partials(
-        twin.map_batches(qpart, batch_format="pandas"),
-        lambda f: f.drop_duplicates([group_col, "q"]), 4_000_000)
-    assert ok
+    # each (group, q) row is globally unique, so the stream-back is
+    # output-sized by definition — no combine cap to abort on
+    out = twin_to_frame(twin.map_batches(qpart, batch_format="pandas"))
     if out is None or not len(out):
         return empty
     return (out.sort_values([group_col, "q"])

@@ -68,7 +68,31 @@ TWINNED = [
     "column_match_profile",
     "join_order_cost_audit",
     "source_release_gate",
+    "fd_discovery",
+    "golden_record_merge",
+    "zorder_locality_audit",
+    "cms_join_size_estimate",
+    "rolling_distinct_users",
+    "daily_user_churn",
+    "relational_division",
+    "type_user_overlap",
+    "abc_supplier_classification",
+    "dbscan_embeddings",
+    "lof_scores",
+    "mondrian_kanon_boxes",
+    "dict_encoding_advisor",
+    "dedup_normalized",
+    "cdc_apply",
 ]
+
+
+def test_bitmap_index_stats_twin(ray_session, monkeypatch):
+    # tiny (type, block) grid at sf0.001: needs a sub-5 cap to route
+    base = _canon_sorted(_qs["bitmap_index_stats"](SF))
+    monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 1)
+    routed = _canon_sorted(_qs["bitmap_index_stats"](SF))
+    assert last_route("bitmap_index_stats")["chosen"] == "groupby_twin"
+    pd.testing.assert_frame_equal(routed, base)
 
 
 def _canon_sorted(df):
@@ -83,7 +107,11 @@ def _canon_sorted(df):
 def test_twin_matches_combine(ray_session, monkeypatch, name):
     base = _canon_sorted(_qs[name](SF))
     monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 7)
+    n_evt = len(ar.ROUTE_EVENTS)
     routed = _canon_sorted(_qs[name](SF))
+    fired = [e for e in ar.ROUTE_EVENTS[n_evt:]
+             if e["chosen"] not in ("combine",)]
+    assert fired, f"{name}: no non-combine route fired under cap 7"
     pd.testing.assert_frame_equal(routed, base)
 
 
