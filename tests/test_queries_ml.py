@@ -115,13 +115,18 @@ def test_lis_twin_route_equivalence(ray_session, monkeypatch):
                                   default.reset_index(drop=True))
 
 
-def test_dbscan_pair_cap_abort_names_twin(ray_session, monkeypatch):
+def test_dbscan_pair_cap_routes_to_components_twin(ray_session,
+                                                   monkeypatch):
+    """Round 5: past the cap dbscan no longer aborts — it re-routes to
+    the distributed min-label components path with identical output."""
     import dataquality_ray.stages.autoroute as ar
 
-    monkeypatch.setattr(ar, "guarded_partials",
-                        lambda *a, **k: (None, False))
-    with pytest.raises(AssertionError, match="minhash components"):
-        qm.dbscan_embeddings_q(SF)
+    base = qm.dbscan_embeddings_q(SF).reset_index(drop=True)
+    monkeypatch.setattr(ar, "DRIVER_COMBINE_CAP", 7)
+    routed = qm.dbscan_embeddings_q(SF).reset_index(drop=True)
+    assert ar.last_route("dbscan_embeddings")["chosen"] \
+        == "components_twin"
+    pd.testing.assert_frame_equal(routed, base)
 
 
 def test_mst_is_spanning_tree_and_prim_parity(ray_session):
